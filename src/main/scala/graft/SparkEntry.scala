@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{ContractQueries, PipelineQueries, QueryDef, ReportQuery}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §5. */
 object SparkEntry {
+
+  val allQueries: Seq[QueryDef] =
+    (ReportQuery.qContractReport +: ContractQueries.all) ++ PipelineQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ReportQuery.qContractReport.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops whose hash families are
+    * not SQL-expressible (minhash/simhash/LSH) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    allQueries.collect { case QueryDef(n, _, Some(sql)) => n -> sql.trim }.toMap
 }

@@ -1,0 +1,150 @@
+package graft.contracts
+
+/** Data-contract model.
+  *
+  * Mirrors the capability surface of the reference engine's contract
+  * model (reference: crates/contracts_core/src/contract.rs:36-394) as
+  * plain Scala case classes. The semantics of every check are documented
+  * on the validator that executes it (see [[graft.validators]]).
+  */
+final case class Contract(
+    version: String,
+    name: String,
+    owner: String,
+    description: Option[String] = None,
+    schema: ContractSchema,
+    qualityChecks: Option[QualityChecks] = None,
+    sla: Option[Sla] = None,
+)
+
+final case class ContractSchema(
+    format: String,
+    location: String,
+    fields: Seq[Field],
+)
+
+final case class Field(
+    name: String,
+    dataType: String,
+    nullable: Boolean = true,
+    description: Option[String] = None,
+    tags: Seq[String] = Nil,
+    constraints: Seq[Constraint] = Nil,
+)
+
+/** Field-level constraints (reference: contract.rs:133-159). */
+sealed trait Constraint
+object Constraint {
+  /** Value must be one of `values` (string-compared, like the reference). */
+  final case class AllowedValues(values: Seq[String]) extends Constraint
+  /** Numeric value must lie in [min, max], inclusive. */
+  final case class Range(min: Double, max: Double) extends Constraint
+  /** String value must match `regex` (Java regex on the Spark side). */
+  final case class Pattern(regex: String) extends Constraint
+  /** Arbitrary SQL boolean expression over the table's columns. */
+  final case class Custom(definition: String) extends Constraint
+}
+
+/** Table-level quality checks (reference: contract.rs:166-232). */
+final case class QualityChecks(
+    completeness: Option[CompletenessCheck] = None,
+    uniqueness: Option[UniquenessCheck] = None,
+    freshness: Option[FreshnessCheck] = None,
+    customChecks: Seq[CustomCheck] = Nil,
+    mlChecks: Option[MlChecks] = None,
+)
+
+/** Non-null ratio of each field must be >= threshold (0..1). */
+final case class CompletenessCheck(threshold: Double, fields: Seq[String])
+
+/** `fields` must be unique together; scope "global" (default) or
+  * "per_day" (uniqueness within each calendar day of `dateField`). */
+final case class UniquenessCheck(
+    fields: Seq[String],
+    scope: Option[String] = None,
+    dateField: Option[String] = None,
+)
+
+/** now() - max(metric) must be <= maxDelay ("30m" | "1h" | "2d"...). */
+final case class FreshnessCheck(maxDelay: String, metric: String)
+
+/** Named SQL check; the query must return a single boolean TRUE row. */
+final case class CustomCheck(
+    name: String,
+    definition: String,
+    severity: Option[String] = None,
+)
+
+/** ML-specific dataset checks (reference: contract.rs:244-385). */
+final case class MlChecks(
+    noOverlap: Option[NoOverlapCheck] = None,
+    temporalSplit: Option[TemporalSplitCheck] = None,
+    classBalance: Option[ClassBalanceCheck] = None,
+    featureDrift: Option[FeatureDriftCheck] = None,
+    targetLeakage: Option[TargetLeakageCheck] = None,
+    nullRateByGroup: Option[NullRateByGroupCheck] = None,
+)
+
+final case class NoOverlapCheck(splitField: String, keyFields: Seq[String])
+
+final case class TemporalSplitCheck(
+    splitField: String,
+    timestampField: String,
+    trainSplit: String = "train",
+    testSplit: String = "test",
+    splitOrder: Option[Seq[String]] = None,
+) {
+  def order: Seq[String] = splitOrder.getOrElse(Seq(trainSplit, testSplit))
+}
+
+final case class ClassBalanceCheck(
+    labelField: String,
+    maxProportion: Double,
+    minProportion: Option[Double] = None,
+)
+
+/** PSI drift over quantile bins (reference: ml.rs:350-445). */
+final case class FeatureDriftCheck(
+    splitField: String,
+    referenceSplit: String,
+    currentSplit: String,
+    featureFields: Seq[String],
+    numBins: Option[Int] = None,
+    threshold: Option[Double] = None,
+)
+
+final case class TargetLeakageCheck(
+    targetField: String,
+    featureFields: Seq[String],
+    maxCorrelation: Option[Double] = None,
+)
+
+final case class NullRateByGroupCheck(
+    groupField: String,
+    checkFields: Seq[String],
+    maxNullRateDiff: Option[Double] = None,
+)
+
+final case class Sla(
+    availability: Option[Double] = None,
+    responseTime: Option[String] = None,
+    penalties: Option[String] = None,
+)
+
+object Durations {
+  /** Parses "90s" | "30m" | "1h" | "2d" into seconds (reference's
+    * freshness delay grammar, custom.rs parse_duration). */
+  def parseSeconds(s: String): Long = {
+    val t = s.trim
+    require(t.nonEmpty, "empty duration")
+    val (numPart, unit) = t.splitAt(t.length - 1)
+    val n = numPart.toLong
+    unit match {
+      case "s" => n
+      case "m" => n * 60L
+      case "h" => n * 3600L
+      case "d" => n * 86400L
+      case _   => throw new IllegalArgumentException(s"bad duration unit: $s")
+    }
+  }
+}

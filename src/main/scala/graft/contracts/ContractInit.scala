@@ -1,0 +1,115 @@
+package graft.contracts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructField
+
+/** Reverse-engineers a contract from a live table, the Spark analogue of
+  * the reference's `init` verb (reference:
+  * crates/contracts_cli/src/commands/init.rs — reads a catalog table's
+  * schema and emits a contract skeleton).
+  */
+object ContractInit {
+
+  def fromTable(df: DataFrame, name: String, owner: String,
+                format: String = "parquet", location: String = ""): Contract =
+    Contract(
+      version = "1.0.0",
+      name = name,
+      owner = owner,
+      description = Some(s"Generated from live schema of '$name'"),
+      schema = ContractSchema(
+        format = format,
+        location = location,
+        fields = df.schema.fields.toSeq.map(fieldOf),
+      ),
+    )
+
+  private def fieldOf(f: StructField): Field =
+    Field(name = f.name, dataType = ContractTypes.fromSpark(f.dataType), nullable = f.nullable)
+
+  /** Renders a contract back to YAML (round-trips through
+    * [[ContractParser.parse]]). */
+  def toYaml(c: Contract): String = {
+    val sb = new StringBuilder
+    def line(s: String): Unit = { sb.append(s).append('\n'); () }
+    line(s"""version: "${c.version}"""")
+    line(s"name: ${c.name}")
+    line(s"owner: ${c.owner}")
+    c.description.foreach(d => line(s"description: ${quote(d)}"))
+    line("schema:")
+    line(s"  format: ${c.schema.format}")
+    line(s"  location: ${quote(c.schema.location)}")
+    line("  fields:")
+    c.schema.fields.foreach { f =>
+      line(s"    - name: ${f.name}")
+      line(s"      type: ${quote(f.dataType)}")
+      line(s"      nullable: ${f.nullable}")
+      if (f.tags.nonEmpty) {
+        line("      tags:")
+        f.tags.foreach(t => line(s"        - $t"))
+      }
+      if (f.constraints.nonEmpty) {
+        line("      constraints:")
+        f.constraints.foreach {
+          case Constraint.AllowedValues(vs) =>
+            line("        - type: allowedvalues")
+            line("          values:")
+            vs.foreach(v => line(s"            - ${quote(v)}"))
+          case Constraint.Range(min, max) =>
+            line("        - type: range")
+            line(s"          min: $min")
+            line(s"          max: $max")
+          case Constraint.Pattern(r) =>
+            line("        - type: pattern")
+            line(s"          regex: ${quote(r)}")
+          case Constraint.Custom(d) =>
+            line("        - type: custom")
+            line(s"          definition: ${quote(d)}")
+        }
+      }
+    }
+    sb.toString
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
+
+/** Detects drift between a contract and a live schema, the analogue of
+  * the reference's Iceberg schema-drift detection (reference:
+  * crates/contracts_iceberg/src/schema.rs). */
+object SchemaDrift {
+
+  sealed trait Drift { def field: String }
+  final case class MissingField(field: String) extends Drift
+  final case class ExtraField(field: String) extends Drift
+  final case class TypeMismatch(field: String, expected: String, actual: String) extends Drift
+  final case class NullabilityMismatch(field: String, expectedNullable: Boolean) extends Drift
+
+  def diff(contract: Contract, live: org.apache.spark.sql.types.StructType): Seq[Drift] = {
+    val liveByName = live.fields.map(f => f.name -> f).toMap
+    val declared = contract.schema.fields
+    val missing = declared.filterNot(f => liveByName.contains(f.name)).map(f => MissingField(f.name))
+    val extra = live.fields.toSeq
+      .filterNot(f => declared.exists(_.name == f.name)).map(f => ExtraField(f.name))
+    val mismatched = declared.flatMap { f =>
+      liveByName.get(f.name).toSeq.flatMap { lf =>
+        val expected = ContractTypes.toSpark(f.dataType)
+        // timestamp vs timestamp_ntz is storage detail, not drift
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val tsFamily = Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
+        val typeDrift =
+          if (lf.dataType != expected && !(tsFamily(lf.dataType) && tsFamily(expected)))
+            Seq(TypeMismatch(f.name, expected.simpleString, lf.dataType.simpleString))
+          else Nil
+        // A nullable live column under a non-nullable declaration is drift;
+        // the reverse direction is a safe narrowing.
+        val nullDrift =
+          if (!f.nullable && lf.nullable) Seq(NullabilityMismatch(f.name, expectedNullable = false))
+          else Nil
+        typeDrift ++ nullDrift
+      }
+    }
+    missing ++ extra ++ mismatched
+  }
+}

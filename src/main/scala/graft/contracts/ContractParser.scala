@@ -1,0 +1,153 @@
+package graft.contracts
+
+import java.{util => ju}
+import scala.jdk.CollectionConverters._
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+
+/** Parses contract documents from YAML (and therefore JSON, a YAML
+  * subset). Grammar mirrors the reference's file format
+  * (reference: crates/contracts_parser/src/lib.rs:93,
+  * examples/contracts/user_events.yml): top-level
+  * `version/name/owner/description/schema/quality_checks/sla`.
+  *
+  * Uses snakeyaml's SafeConstructor (ships with Spark) — contracts are
+  * data, never executable tags.
+  */
+object ContractParser {
+
+  def parse(content: String): Contract = {
+    val yaml = new Yaml(new SafeConstructor(new LoaderOptions()))
+    val root = asMap(yaml.load[Any](content), "contract root")
+    parseContract(root)
+  }
+
+  def parseFile(path: String): Contract =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  // ---- traversal helpers over snakeyaml's java structures ----
+
+  private type M = Map[String, Any]
+
+  private def asMap(v: Any, what: String): M = v match {
+    case m: ju.Map[_, _] => m.asScala.map { case (k, x) => (String.valueOf(k), x: Any) }.toMap
+    case other => throw new IllegalArgumentException(s"$what: expected mapping, got $other")
+  }
+  private def asList(v: Any, what: String): Seq[Any] = v match {
+    case l: ju.List[_] => l.asScala.toSeq.map(x => x: Any)
+    case other => throw new IllegalArgumentException(s"$what: expected list, got $other")
+  }
+  private def str(m: M, k: String): String = m.get(k) match {
+    case Some(v) if v != null => String.valueOf(v)
+    case _ => throw new IllegalArgumentException(s"missing required key '$k'")
+  }
+  private def strOpt(m: M, k: String): Option[String] =
+    m.get(k).filter(_ != null).map(String.valueOf)
+  private def dbl(m: M, k: String): Double = str(m, k).toDouble
+  private def dblOpt(m: M, k: String): Option[Double] = strOpt(m, k).map(_.toDouble)
+  private def intOpt(m: M, k: String): Option[Int] = strOpt(m, k).map(_.toInt)
+  private def boolOr(m: M, k: String, default: Boolean): Boolean =
+    strOpt(m, k).map(_.toBoolean).getOrElse(default)
+  private def strList(m: M, k: String): Seq[String] =
+    m.get(k).filter(_ != null).map(asList(_, k).map(String.valueOf)).getOrElse(Nil)
+
+  private def parseContract(m: M): Contract = Contract(
+    version = str(m, "version"),
+    name = str(m, "name"),
+    owner = str(m, "owner"),
+    description = strOpt(m, "description"),
+    schema = parseSchema(asMap(m.getOrElse("schema",
+      throw new IllegalArgumentException("missing 'schema'")), "schema")),
+    qualityChecks = m.get("quality_checks").filter(_ != null)
+      .map(v => parseQuality(asMap(v, "quality_checks"))),
+    sla = m.get("sla").filter(_ != null).map(v => parseSla(asMap(v, "sla"))),
+  )
+
+  private def parseSchema(m: M): ContractSchema = ContractSchema(
+    format = strOpt(m, "format").getOrElse("parquet"),
+    location = strOpt(m, "location").getOrElse(""),
+    fields = asList(m.getOrElse("fields", new ju.ArrayList[Any]()), "fields")
+      .map(v => parseField(asMap(v, "field"))),
+  )
+
+  private def parseField(m: M): Field = Field(
+    name = str(m, "name"),
+    dataType = str(m, "type"),
+    nullable = boolOr(m, "nullable", default = true),
+    description = strOpt(m, "description"),
+    tags = strList(m, "tags"),
+    constraints = m.get("constraints").filter(_ != null)
+      .map(asList(_, "constraints").map(v => parseConstraint(asMap(v, "constraint"))))
+      .getOrElse(Nil),
+  )
+
+  private def parseConstraint(m: M): Constraint =
+    str(m, "type").toLowerCase match {
+      case "allowedvalues" | "allowed_values" => Constraint.AllowedValues(strList(m, "values"))
+      case "range"   => Constraint.Range(dbl(m, "min"), dbl(m, "max"))
+      case "pattern" => Constraint.Pattern(str(m, "regex"))
+      case "custom"  => Constraint.Custom(str(m, "definition"))
+      case other     => throw new IllegalArgumentException(s"unknown constraint type '$other'")
+    }
+
+  private def parseQuality(m: M): QualityChecks = QualityChecks(
+    completeness = m.get("completeness").filter(_ != null).map { v =>
+      val c = asMap(v, "completeness")
+      CompletenessCheck(dbl(c, "threshold"), strList(c, "fields"))
+    },
+    uniqueness = m.get("uniqueness").filter(_ != null).map { v =>
+      val c = asMap(v, "uniqueness")
+      UniquenessCheck(strList(c, "fields"), strOpt(c, "scope"), strOpt(c, "date_field"))
+    },
+    freshness = m.get("freshness").filter(_ != null).map { v =>
+      val c = asMap(v, "freshness")
+      FreshnessCheck(str(c, "max_delay"), str(c, "metric"))
+    },
+    customChecks = m.get("custom_checks").filter(_ != null)
+      .map(asList(_, "custom_checks").map { v =>
+        val c = asMap(v, "custom_check")
+        CustomCheck(str(c, "name"), str(c, "definition"), strOpt(c, "severity"))
+      }).getOrElse(Nil),
+    mlChecks = m.get("ml_checks").filter(_ != null).map(v => parseMl(asMap(v, "ml_checks"))),
+  )
+
+  private def parseMl(m: M): MlChecks = MlChecks(
+    noOverlap = m.get("no_overlap").filter(_ != null).map { v =>
+      val c = asMap(v, "no_overlap")
+      NoOverlapCheck(str(c, "split_field"), strList(c, "key_fields"))
+    },
+    temporalSplit = m.get("temporal_split").filter(_ != null).map { v =>
+      val c = asMap(v, "temporal_split")
+      TemporalSplitCheck(
+        str(c, "split_field"), str(c, "timestamp_field"),
+        strOpt(c, "train_split").getOrElse("train"),
+        strOpt(c, "test_split").getOrElse("test"),
+        m.get("temporal_split").flatMap(_ => c.get("split_order"))
+          .filter(_ != null).map(asList(_, "split_order").map(String.valueOf)),
+      )
+    },
+    classBalance = m.get("class_balance").filter(_ != null).map { v =>
+      val c = asMap(v, "class_balance")
+      ClassBalanceCheck(str(c, "label_field"), dbl(c, "max_proportion"), dblOpt(c, "min_proportion"))
+    },
+    featureDrift = m.get("feature_drift").filter(_ != null).map { v =>
+      val c = asMap(v, "feature_drift")
+      FeatureDriftCheck(
+        str(c, "split_field"), str(c, "reference_split"), str(c, "current_split"),
+        strList(c, "feature_fields"), intOpt(c, "num_bins"), dblOpt(c, "threshold"))
+    },
+    targetLeakage = m.get("target_leakage").filter(_ != null).map { v =>
+      val c = asMap(v, "target_leakage")
+      TargetLeakageCheck(str(c, "target_field"), strList(c, "feature_fields"),
+        dblOpt(c, "max_correlation"))
+    },
+    nullRateByGroup = m.get("null_rate_by_group").filter(_ != null).map { v =>
+      val c = asMap(v, "null_rate_by_group")
+      NullRateByGroupCheck(str(c, "group_field"), strList(c, "check_fields"),
+        dblOpt(c, "max_null_rate_diff"))
+    },
+  )
+
+  private def parseSla(m: M): Sla =
+    Sla(dblOpt(m, "availability"), strOpt(m, "response_time"), strOpt(m, "penalties"))
+}

@@ -1,0 +1,83 @@
+package graft.contracts
+
+import org.apache.spark.sql.types._
+
+/** Contract type grammar ⇄ Spark Catalyst types.
+  *
+  * Accepts the reference's type names (reference:
+  * crates/contracts_core/src/datatype.rs:178-200): primitives plus
+  * `list<T>`, `map<K,V>`, `decimal(p,s)`.
+  */
+object ContractTypes {
+
+  def toSpark(t: String): DataType = {
+    val s = t.trim
+    val lower = s.toLowerCase
+    lower match {
+      case "string" | "varchar" | "text" | "uuid" => StringType
+      case "int" | "int32" | "integer"            => IntegerType
+      case "int64" | "long" | "bigint"            => LongType
+      case "int16" | "short" | "smallint"         => ShortType
+      case "float" | "float32"                    => FloatType
+      case "float64" | "double"                   => DoubleType
+      case "boolean" | "bool"                     => BooleanType
+      case "timestamp" | "datetime"               => TimestampType
+      case "date"                                 => DateType
+      case "binary" | "bytes"                     => BinaryType
+      case "decimal"                              => DecimalType(38, 18)
+      case _ if lower.startsWith("decimal(") =>
+        val inner = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
+        val parts = inner.split(',').map(_.trim.toInt)
+        DecimalType(parts(0), if (parts.length > 1) parts(1) else 0)
+      case _ if lower.startsWith("list<") && s.endsWith(">") =>
+        ArrayType(toSpark(s.substring(5, s.length - 1)))
+      case _ if lower.startsWith("array<") && s.endsWith(">") =>
+        ArrayType(toSpark(s.substring(6, s.length - 1)))
+      case _ if lower.startsWith("map<") && s.endsWith(">") =>
+        val inner = s.substring(4, s.length - 1)
+        val comma = topLevelComma(inner)
+        MapType(toSpark(inner.substring(0, comma)), toSpark(inner.substring(comma + 1)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown contract type '$other'")
+    }
+  }
+
+  /** Inverse mapping, used by [[ContractInit]] to emit contracts. */
+  def fromSpark(t: DataType): String = t match {
+    case StringType            => "string"
+    case IntegerType           => "int32"
+    case LongType              => "int64"
+    case ShortType             => "int16"
+    case FloatType             => "float32"
+    case DoubleType            => "float64"
+    case BooleanType           => "boolean"
+    case TimestampType         => "timestamp"
+    case TimestampNTZType      => "timestamp"
+    case DateType              => "date"
+    case BinaryType            => "binary"
+    case d: DecimalType        => s"decimal(${d.precision},${d.scale})"
+    case ArrayType(e, _)       => s"list<${fromSpark(e)}>"
+    case MapType(k, v, _)      => s"map<${fromSpark(k)},${fromSpark(v)}>"
+    case s: StructType         => s"struct<${s.fields.map(f => s"${f.name}:${fromSpark(f.dataType)}").mkString(",")}>"
+    case other                 => other.simpleString
+  }
+
+  def toStructType(schema: ContractSchema): StructType =
+    StructType(schema.fields.map(f => StructField(f.name, toSpark(f.dataType), f.nullable)))
+
+  /** Index of the comma separating K,V at nesting depth 0. */
+  private def topLevelComma(s: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
+        case ',' if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"malformed parameterized type: $s")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives used by the dedup / text-analysis
+  * operators. All pure Catalyst expressions (codegen'd; no UDFs), and
+  * all deliberately SQL-portable so the driver's DuckDB oracle can
+  * replay them exactly.
+  */
+object TextFns {
+
+  /** Whitespace-normalized, lowercased text (dedup canonical form). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Number of space-separated tokens, computed with exact integer math
+    * (`spaces + 1`) so any SQL engine agrees bit-for-bit. */
+  def wsTokenCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, " ", "")) + 1
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, or a
+    * single other non-space char each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Occurrences of `needle` in `text` (non-overlapping, exact). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
+      needle.length).cast("long")
+
+  /** Array of the words of `text` (split on single spaces). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, joined with a space. The shingle
+    * unit for Jaccard / MinHash dedup. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** MinHash signature: for each of `numPerm` hash families, the min of
+    * `xxhash64(shingle, familyIdx)` over the shingle set. One nested
+    * higher-order expression, fully codegen'd, no shuffle.
+    * (Broder's minwise hashing; family = seed mixing via xxhash64.) */
+  def minhashSignature(shingles: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)), p =>
+      array_min(transform(shingles, s => xxhash64(s, p))))
+
+  /** LSH band hashes of a minhash signature: `numBands` hashes, each
+    * over `rowsPerBand` consecutive signature slots. */
+  def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** 64 SimHash bit-weights over the word multiset: weight j is
+    * Σ_words ±1 where the sign is the parity of `xxhash64(word, j)` —
+    * an independent random bit per (word, bit), the classic Charikar
+    * construction. Materialize this once (`withColumn`) and feed it to
+    * [[packSimhash]] so the array is computed a single time per row. */
+  def simhashWeights(text: Column): Column = {
+    val ws = words(text)
+    transform(sequence(lit(0), lit(63)), j =>
+      aggregate(ws, lit(0L), (acc, w) => acc + pmod(xxhash64(w, j), lit(2L)) * 2L - 1L))
+  }
+
+  /** Packs 64 bit-weights into one BIGINT simhash (bit j set iff
+    * weight j > 0; MSB = weight 0). */
+  def packSimhash(weights: Column): Column =
+    (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      // shiftleft wraps (no ANSI overflow) — bit 63 lands in the sign bit
+      shiftleft(acc, 1).bitwiseOR(when(element_at(weights, j + 1) > 0L, 1L).otherwise(0L))
+    }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** 16-bit blocks of a simhash — pigeonhole LSH keys: two hashes within
+    * hamming distance 3 share at least one of their 4 blocks, so a join
+    * on (block, key) finds all such pairs without a cross join. */
+  def simhashBlocks(h: Column): Column =
+    array((0 until 4).map { b =>
+      struct(lit(b).as("block"),
+        pmod(shiftrightunsigned(h, b * 16), lit(65536L)).as("key"))
+    }: _*)
+}

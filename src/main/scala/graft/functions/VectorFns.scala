@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float>` / `array<double>`
+  * embedding columns. Pure Catalyst higher-order functions — codegen'd,
+  * no UDFs, distributable.
+  *
+  * All arithmetic is done in DOUBLE with a sequential left fold so
+  * results are reproducible across partitionings (the fold happens
+  * per-row, not across rows).
+  */
+object VectorFns {
+
+  /** Cast any numeric array to array<double>. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(v: Column): Column = dot(v, v)
+
+  /** Cosine similarity; null-safe (0 vectors → null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = sqrt(normSq(a) * normSq(b))
+    when(n > 0d, d / n)
+  }
+
+  /** Euclidean distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, x) => acc + x))
+
+  /** Random-hyperplane LSH bucket id for cosine similarity: sign bits of
+    * `numPlanes` pseudo-random hyperplanes packed into a BIGINT. Planes
+    * are derived deterministically from `xxhash64(planeIdx, dimIdx)`
+    * mapped to [-0.5, 0.5), so every executor materializes the same
+    * family without shipping plane matrices.
+    */
+  def rhpBucket(v: Column, numPlanes: Int, dim: Int, seed: Int = 42): Column = {
+    val vd = asDouble(v)
+    val planeDots = transform(sequence(lit(0), lit(numPlanes - 1)), p =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0d), (acc, d) =>
+        acc + element_at(vd, d + 1) *
+          ((pmod(xxhash64(p, d, lit(seed)), lit(1000000L)).cast("double") / 1000000d) - 0.5d)))
+    aggregate(sequence(lit(0), lit(numPlanes - 1)), lit(0L), (acc, p) =>
+      acc * 2L + when(element_at(planeDots, p + 1) >= 0d, 1L).otherwise(0L))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct alongside.
+  *
+  * The Spark-side machinery here — schema, batch iteration via
+  * `mapPartitions`, partition sizing — is real and tested; the actual
+  * codec step is STUBBED (`decodeStub`) because no media libraries ship
+  * in this environment: it derives deterministic fake features from the
+  * raw bytes. Swap `decodeStub` for a real decoder (JNI/FFI per
+  * partition) without touching any plan shape.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("content_sha", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+  ))
+
+  /** Attaches `binary` payload + metadata struct using pure Column
+    * expressions — the hot path used by the driver query. The fake
+    * decode is: width = bytes mod 640 + 32, height = first byte + 1,
+    * n_frames = bytes / 1000 + 1 (all deterministic functions of the
+    * payload, replayable in any SQL engine). */
+  def withMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("meta", struct(
+      length(col(binCol)).cast("long").as("byte_len"),
+      sha2(col(binCol), 256).as("content_sha"),
+      (pmod(length(col(binCol)), lit(640)) + 32).cast("int").as("width"),
+      (ascii(col(binCol).cast("string")) + 1).cast("int").as("height"),
+      (length(col(binCol)) / 1000 + 1).cast("int").as("n_frames"),
+    ))
+
+  /** ??? — real decode goes here. Deterministic fake so the plumbing is
+    * testable end-to-end: it must agree with [[withMeta]]'s expressions. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val w = math.floorMod(payload.length, 640) + 32
+    val h = (if (payload.nonEmpty) payload(0) & 0xff else 0) + 1
+    val f = payload.length / 1000 + 1
+    (w, h, f)
+  }
+
+  /** The batch-decode path: iterates partitions row-batch-wise like a
+    * real codec would (amortizing per-batch codec init), emitting the
+    * same schema as [[withMeta]]. Use for decoders that need native
+    * state; prefer [[withMeta]] when expressions suffice. */
+  def decodeBatches(df: DataFrame, binCol: String, batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("meta", metaSchema, nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // per-partition codec init would happen here
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val payload = row.getAs[Array[Byte]](binIdx)
+          val (w, h, f) = decodeStub(payload)
+          val digest = sha.digest(payload).map("%02x".format(_)).mkString
+          sha.reset()
+          Row.fromSeq(row.toSeq :+ Row(payload.length.toLong, digest, w, h, f))
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * expressions (codegen'd, SQL-portable, no UDFs).
+  */
+object TextAnalysis {
+
+  /** Marker-word profiles for the n-gram/stopword language heuristic.
+    * Deliberately tiny and deterministic: score(lang) = Σ occurrences
+    * of that language's marker words (as standalone words); predict the
+    * argmax, "und" (undetermined) when all scores are 0. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "zh" -> Seq("的", "是", "了"),
+  )
+
+  private def wordOccurrences(text: Column, word: String): Column =
+    TextFns.occurrences(concat(lit(" "), text, lit(" ")), s" $word ")
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers.toMap.getOrElse(lang, Nil)
+      .map(w => wordOccurrences(text, w))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+
+  /** Predicted language code; ties broken by profile order. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => (l, langScore(text, l)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0L, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Heuristic quality features + a composite flag, the usual pre-train
+    * corpus filters: token count bounds, mean word length, alpha ratio,
+    * stopword presence. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tokens = TextFns.wsTokenCount(t)
+    val chars = length(t)
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val stop = langScore(t, "en")
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("n_chars", chars.cast("long"))
+      // mean word length in tenths (exact integer math)
+      .withColumn("mean_word_len_x10", ((chars - (tokens - 1)) * 10L / tokens).cast("long"))
+      .withColumn("alpha_ratio_bp", (alpha * 10000L / greatest(chars, lit(1))).cast("long"))
+      .withColumn("stopword_hits", stop.cast("long"))
+      .withColumn("quality_ok",
+        tokens >= 5L && tokens <= 100000L &&
+          col("mean_word_len_x10").between(20L, 120L) &&
+          col("alpha_ratio_bp") >= 5000L &&
+          stop >= 1L)
+  }
+
+  /** Whitespace and BPE-ish token counts. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", TextFns.wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("re_tokens", TextFns.regexTokenCount(col(textCol)).cast("long"))
+
+  /** Content fingerprints: raw md5 and normalized md5 (the rolling-hash
+    * analogue used for shard-level dedup bookkeeping). */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp_raw", md5(col(textCol).cast("binary")))
+      .withColumn("fp_norm", md5(TextFns.normalize(col(textCol)).cast("binary")))
+}

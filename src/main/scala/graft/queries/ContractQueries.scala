@@ -1,0 +1,495 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
+
+import graft.contracts._
+import graft.validators.MlValidators
+import QueryDef.table
+
+/** Driver queries exercising the contract-engine surface (SURVEY §2
+  * rows 4–18). Every query is a single declarative plan; scalar checks
+  * fuse into one scan of their table. Oracles are plain DuckDB SQL on
+  * the same parquet tables.
+  */
+object ContractQueries {
+
+  /** Explodes one 1-row agg into long-format rows. */
+  private def explodeRows(agg: DataFrame, rows: Seq[Column]): DataFrame =
+    agg.select(explode(array(rows: _*)).as("r")).select("r.*")
+
+  private def nullCountRows(df: DataFrame, tbl: String, fields: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__total") +:
+      fields.map(f => (count(lit(1)) - count(col(f))).as(s"__n_$f"))
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    explodeRows(agg, fields.map(f => struct(
+      lit(s"$tbl.$f").as("field"),
+      col(s"__n_$f").cast(LongType).as("null_count"),
+      col("__total").cast(LongType).as("total"))))
+  }
+
+  // 4. schema nullability — null counts of contract-non-nullable fields
+  val qSchemaNullability = QueryDef("q_schema_nullability",
+    (s, dir) => {
+      nullCountRows(table(s, dir, "events"), "events",
+          Seq("event_id", "ts", "user_id", "event_type"))
+        .unionByName(nullCountRows(table(s, dir, "orders"), "orders",
+          Seq("o_orderkey", "o_custkey")))
+        .orderBy("field")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'events.event_id' AS field, CAST(count(*)-count(event_id) AS BIGINT) AS null_count, CAST(count(*) AS BIGINT) AS total FROM events
+        UNION ALL SELECT 'events.ts', CAST(count(*)-count(ts) AS BIGINT), CAST(count(*) AS BIGINT) FROM events
+        UNION ALL SELECT 'events.user_id', CAST(count(*)-count(user_id) AS BIGINT), CAST(count(*) AS BIGINT) FROM events
+        UNION ALL SELECT 'events.event_type', CAST(count(*)-count(event_type) AS BIGINT), CAST(count(*) AS BIGINT) FROM events
+        UNION ALL SELECT 'orders.o_orderkey', CAST(count(*)-count(o_orderkey) AS BIGINT), CAST(count(*) AS BIGINT) FROM orders
+        UNION ALL SELECT 'orders.o_custkey', CAST(count(*)-count(o_custkey) AS BIGINT), CAST(count(*) AS BIGINT) FROM orders
+      ) ORDER BY field"""))
+
+  private def violationRow(field: String, bad: Column, total: Column): Column = struct(
+    lit(field).as("field"), bad.cast(LongType).as("violations"),
+    total.cast(LongType).as("total"), (bad === 0L).as("passed"))
+
+  // 5. allowed_values constraint
+  val qConstraintAllowed = QueryDef("q_constraint_allowed",
+    (s, dir) => {
+      val ev = table(s, dir, "events").agg(
+        count(lit(1)).as("__t"),
+        sum(when(col("event_type").isNotNull &&
+          !col("event_type").isin("click", "view", "purchase", "signup"), 1L)
+          .otherwise(0L)).as("__b"))
+      val or = table(s, dir, "orders").agg(
+        count(lit(1)).as("__t"),
+        sum(when(col("o_orderstatus").isNotNull &&
+          !col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L)).as("__b"))
+      explodeRows(ev, Seq(violationRow("events.event_type", col("__b"), col("__t"))))
+        .unionByName(explodeRows(or,
+          Seq(violationRow("orders.o_orderstatus", col("__b"), col("__t")))))
+        .orderBy("field")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'events.event_type' AS field,
+               CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+               CAST(count(*) AS BIGINT) AS total,
+               sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) = 0 AS passed
+        FROM events
+        UNION ALL
+        SELECT 'orders.o_orderstatus',
+               CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) = 0
+        FROM orders
+      ) ORDER BY field"""))
+
+  // 6. range constraint
+  val qConstraintRange = QueryDef("q_constraint_range",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem").agg(
+        count(lit(1)).as("__t"),
+        sum(when(col("l_quantity").isNotNull &&
+          (col("l_quantity") < 1d || col("l_quantity") > 45d), 1L).otherwise(0L)).as("__q"),
+        sum(when(col("l_discount").isNotNull &&
+          (col("l_discount") < 0d || col("l_discount") > 0.08d), 1L).otherwise(0L)).as("__d"))
+      val ev = table(s, dir, "events").agg(
+        count(lit(1)).as("__t"),
+        sum(when(col("value").isNotNull &&
+          (col("value") < 0d || col("value") > 400d), 1L).otherwise(0L)).as("__v"))
+      explodeRows(li, Seq(
+        violationRow("lineitem.l_quantity", col("__q"), col("__t")),
+        violationRow("lineitem.l_discount", col("__d"), col("__t"))))
+        .unionByName(explodeRows(ev, Seq(violationRow("events.value", col("__v"), col("__t")))))
+        .orderBy("field")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'lineitem.l_quantity' AS field,
+               CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 45) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+               CAST(count(*) AS BIGINT) AS total,
+               sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 45) THEN 1 ELSE 0 END) = 0 AS passed
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_discount',
+               CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08) THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08) THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.value',
+               CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) THEN 1 ELSE 0 END) = 0
+        FROM events
+      ) ORDER BY field"""))
+
+  // 7. pattern constraint
+  val qConstraintPattern = QueryDef("q_constraint_pattern",
+    (s, dir) => {
+      val doc = table(s, dir, "documents").agg(
+        count(lit(1)).as("__t"),
+        sum(when(col("source").isNotNull && !col("source").rlike("^src[0-9]+$"), 1L)
+          .otherwise(0L)).as("__s"),
+        sum(when(col("lang").isNotNull && !col("lang").rlike("^[a-z][a-z]$"), 1L)
+          .otherwise(0L)).as("__l"))
+      val ev = table(s, dir, "events").agg(
+        count(lit(1)).as("__t"),
+        sum(when(col("event_type").isNotNull && !col("event_type").rlike("^[a-z]+$"), 1L)
+          .otherwise(0L)).as("__e"))
+      explodeRows(doc, Seq(
+        violationRow("documents.source", col("__s"), col("__t")),
+        violationRow("documents.lang", col("__l"), col("__t"))))
+        .unionByName(explodeRows(ev,
+          Seq(violationRow("events.event_type", col("__e"), col("__t")))))
+        .orderBy("field")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'documents.source' AS field,
+               CAST(sum(CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+               CAST(count(*) AS BIGINT) AS total,
+               sum(CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) = 0 AS passed
+        FROM documents
+        UNION ALL
+        SELECT 'documents.lang',
+               CAST(sum(CASE WHEN lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z][a-z]$') THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               sum(CASE WHEN lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z][a-z]$') THEN 1 ELSE 0 END) = 0
+        FROM documents
+        UNION ALL
+        SELECT 'events.event_type',
+               CAST(sum(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               sum(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) = 0
+        FROM events
+      ) ORDER BY field"""))
+
+  // 8. custom SQL checks, executed through the real validator machinery
+  val qCustomChecks = QueryDef("q_custom_checks",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      table(s, dir, "events").createOrReplaceTempView("events")
+      val checks = Seq(
+        ("no_negative_totalprice", "SELECT count(*) = 0 FROM orders WHERE o_totalprice < 0"),
+        ("order_priorities_bounded", "SELECT count(DISTINCT o_orderpriority) <= 5 FROM orders"),
+        ("events_value_upper", "SELECT count(*) = 0 FROM events WHERE value > 450"),
+      )
+      checks.map { case (name, sql) =>
+        s.sql(sql).toDF("res").limit(1).select(
+          lit(name).as("check_name"),
+          col("res").cast(BooleanType).as("passed"))
+      }.reduce(_ unionByName _).orderBy("check_name")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'no_negative_totalprice' AS check_name, (SELECT count(*) = 0 FROM orders WHERE o_totalprice < 0) AS passed
+        UNION ALL SELECT 'order_priorities_bounded', (SELECT count(DISTINCT o_orderpriority) <= 5 FROM orders)
+        UNION ALL SELECT 'events_value_upper', (SELECT count(*) = 0 FROM events WHERE value > 450)
+      ) ORDER BY check_name"""))
+
+  // 9. completeness — exact integer threshold compare (ppm)
+  val qCompleteness = QueryDef("q_completeness",
+    (s, dir) => {
+      def rows(df: DataFrame, tbl: String, fields: Seq[String], ppm: Long): DataFrame = {
+        val aggs = count(lit(1)).as("__total") +: fields.map(f => count(col(f)).as(s"__nn_$f"))
+        explodeRows(df.agg(aggs.head, aggs.tail: _*), fields.map(f => struct(
+          lit(s"$tbl.$f").as("field"),
+          col(s"__nn_$f").cast(LongType).as("non_null"),
+          col("__total").cast(LongType).as("total"),
+          (col(s"__nn_$f") * 1000000L >= lit(ppm) * col("__total")).as("passed"))))
+      }
+      rows(table(s, dir, "events"), "events", Seq("value", "props"), 990000L)
+        .unionByName(rows(table(s, dir, "documents"), "documents", Seq("text", "lang"), 990000L))
+        .unionByName(rows(table(s, dir, "customer"), "customer", Seq("c_acctbal"), 990000L))
+        .orderBy("field")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'events.value' AS field, CAST(count(value) AS BIGINT) AS non_null, CAST(count(*) AS BIGINT) AS total, count(value)*1000000 >= 990000*count(*) AS passed FROM events
+        UNION ALL SELECT 'events.props', CAST(count(props) AS BIGINT), CAST(count(*) AS BIGINT), count(props)*1000000 >= 990000*count(*) FROM events
+        UNION ALL SELECT 'documents.text', CAST(count(text) AS BIGINT), CAST(count(*) AS BIGINT), count(text)*1000000 >= 990000*count(*) FROM documents
+        UNION ALL SELECT 'documents.lang', CAST(count(lang) AS BIGINT), CAST(count(*) AS BIGINT), count(lang)*1000000 >= 990000*count(*) FROM documents
+        UNION ALL SELECT 'customer.c_acctbal', CAST(count(c_acctbal) AS BIGINT), CAST(count(*) AS BIGINT), count(c_acctbal)*1000000 >= 990000*count(*) FROM customer
+      ) ORDER BY field"""))
+
+  // 10a. uniqueness, global scope
+  val qUniqueness = QueryDef("q_uniqueness",
+    (s, dir) => {
+      def dupStats(df: DataFrame, keyName: String, keys: Seq[String]): DataFrame =
+        df.groupBy(keys.map(col): _*).count()
+          .agg(
+            count(lit(1)).as("total_keys"),
+            sum(when(col("count") > 1, 1L).otherwise(0L)).as("dup_keys"),
+            sum(when(col("count") > 1, col("count") - 1).otherwise(0L)).as("dup_rows"))
+          .select(lit(keyName).as("key_name"),
+            col("total_keys").cast(LongType).as("total_keys"),
+            col("dup_keys").cast(LongType).as("dup_keys"),
+            col("dup_rows").cast(LongType).as("dup_rows"))
+      dupStats(table(s, dir, "orders"), "orders.o_orderkey", Seq("o_orderkey"))
+        .unionByName(dupStats(table(s, dir, "lineitem"),
+          "lineitem.l_orderkey+l_linenumber", Seq("l_orderkey", "l_linenumber")))
+        .unionByName(dupStats(table(s, dir, "events"), "events.user_id", Seq("user_id")))
+        .orderBy("key_name")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'orders.o_orderkey' AS key_name, CAST(count(*) AS BIGINT) AS total_keys,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+               CAST(sum(CASE WHEN c > 1 THEN c-1 ELSE 0 END) AS BIGINT) AS dup_rows
+        FROM (SELECT count(*) c FROM orders GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey+l_linenumber', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN c > 1 THEN c-1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT count(*) c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'events.user_id', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN c > 1 THEN c-1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT count(*) c FROM events GROUP BY user_id)
+      ) ORDER BY key_name"""))
+
+  // 10b. uniqueness, per_day scope
+  val qUniquenessPerDay = QueryDef("q_uniqueness_per_day",
+    (s, dir) => {
+      table(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"), col("event_type"))
+        .count()
+        .groupBy("day")
+        .agg(
+          count(lit(1)).cast(LongType).as("keys"),
+          sum(when(col("count") > 1, 1L).otherwise(0L)).cast(LongType).as("dup_keys"),
+          sum(when(col("count") > 1, col("count") - 1).otherwise(0L)).cast(LongType).as("dup_rows"))
+        .orderBy("day")
+    },
+    Some("""
+      SELECT day, CAST(count(*) AS BIGINT) AS keys,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+             CAST(sum(CASE WHEN c > 1 THEN c-1 ELSE 0 END) AS BIGINT) AS dup_rows
+      FROM (SELECT CAST(ts AS DATE) AS day, user_id, event_type, count(*) c
+            FROM events GROUP BY 1, 2, 3)
+      GROUP BY day ORDER BY day"""))
+
+  // 11. freshness against a fixed asOf (determinism for the oracle)
+  val qFreshness = QueryDef("q_freshness",
+    (s, dir) => {
+      val asOfMs = 1706745600000L // 2024-02-01T00:00:00Z
+      table(s, dir, "events").agg(unix_millis(max(col("ts"))).as("max_ts_ms"))
+        .select(
+          lit("events.ts").as("metric_field"),
+          col("max_ts_ms").cast(LongType).as("max_ts_ms"),
+          (lit(asOfMs) - col("max_ts_ms")).cast(LongType).as("lag_ms"),
+          ((lit(asOfMs) - col("max_ts_ms")) <= 24L * 3600000L).as("fresh_24h"),
+          ((lit(asOfMs) - col("max_ts_ms")) <= 72L * 3600000L).as("fresh_72h"))
+    },
+    Some("""
+      SELECT 'events.ts' AS metric_field,
+             CAST(epoch_ms(max(ts)) AS BIGINT) AS max_ts_ms,
+             CAST(1706745600000 - epoch_ms(max(ts)) AS BIGINT) AS lag_ms,
+             (1706745600000 - epoch_ms(max(ts))) <= 24*3600000 AS fresh_24h,
+             (1706745600000 - epoch_ms(max(ts))) <= 72*3600000 AS fresh_72h
+      FROM events"""))
+
+  // 12. ml no_overlap on a derived split
+  val qMlNoOverlap = QueryDef("q_ml_no_overlap",
+    (s, dir) => {
+      val split = when(col("event_id") % 10 <= 6, "train")
+        .when(col("event_id") % 10 <= 8, "val").otherwise("test")
+      table(s, dir, "events").withColumn("split", split)
+        .groupBy("user_id").agg(countDistinct(col("split")).as("nsplits"))
+        .agg(
+          count(lit(1)).cast(LongType).as("total_keys"),
+          sum(when(col("nsplits") > 1, 1L).otherwise(0L)).cast(LongType).as("overlap_keys"),
+          max(col("nsplits")).cast(LongType).as("max_splits_per_key"))
+        .select(lit("events.user_id").as("key_name"), col("total_keys"),
+          col("overlap_keys"), col("max_splits_per_key"))
+    },
+    Some("""
+      SELECT 'events.user_id' AS key_name,
+             CAST(count(*) AS BIGINT) AS total_keys,
+             CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_keys,
+             CAST(max(n) AS BIGINT) AS max_splits_per_key
+      FROM (SELECT user_id, count(DISTINCT CASE WHEN event_id % 10 <= 6 THEN 'train'
+                                               WHEN event_id % 10 <= 8 THEN 'val'
+                                               ELSE 'test' END) n
+            FROM events GROUP BY user_id)"""))
+
+  // 13. ml temporal_split over a time-derived 3-way split
+  val qMlTemporalSplit = QueryDef("q_ml_temporal_split",
+    (s, dir) => {
+      val split = when(dayofmonth(col("ts")) <= 20, "train")
+        .when(dayofmonth(col("ts")) <= 25, "val").otherwise("test")
+      val per = table(s, dir, "events").withColumn("split", split)
+        .groupBy("split")
+        .agg(unix_millis(min(col("ts"))).as("min_ms"), unix_millis(max(col("ts"))).as("max_ms"))
+      val order = s.createDataFrame(Seq(("train", 0), ("val", 1), ("test", 2)))
+        .toDF("split", "idx")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("idx")
+      per.join(order, "split")
+        .select(col("split"), col("idx"), col("min_ms"), col("max_ms"),
+          lag("max_ms", 1).over(w).as("prev_max_ms"),
+          lag("split", 1).over(w).as("prev_split"))
+        .filter(col("prev_max_ms").isNotNull)
+        .select(
+          concat(col("prev_split"), lit("->"), col("split")).as("pair"),
+          col("prev_max_ms").cast(LongType).as("max_prev_ms"),
+          col("min_ms").cast(LongType).as("min_next_ms"),
+          (col("prev_max_ms") <= col("min_ms")).as("ordered"))
+        .orderBy("pair")
+    },
+    Some("""
+      WITH per AS (
+        SELECT CASE WHEN EXTRACT(day FROM ts) <= 20 THEN 'train'
+                    WHEN EXTRACT(day FROM ts) <= 25 THEN 'val' ELSE 'test' END AS split,
+               CAST(epoch_ms(min(ts)) AS BIGINT) AS min_ms,
+               CAST(epoch_ms(max(ts)) AS BIGINT) AS max_ms
+        FROM events GROUP BY 1),
+      ord AS (SELECT * FROM (VALUES ('train', 0), ('val', 1), ('test', 2)) AS t(split, idx)),
+      seq AS (
+        SELECT per.split, idx, min_ms, max_ms,
+               lag(max_ms) OVER (ORDER BY idx) AS prev_max_ms,
+               lag(per.split) OVER (ORDER BY idx) AS prev_split
+        FROM per JOIN ord ON per.split = ord.split)
+      SELECT prev_split || '->' || split AS pair,
+             prev_max_ms AS max_prev_ms, min_ms AS min_next_ms,
+             prev_max_ms <= min_ms AS ordered
+      FROM seq WHERE prev_max_ms IS NOT NULL ORDER BY pair"""))
+
+  // 14. ml class_balance on embeddings.label
+  val qMlClassBalance = QueryDef("q_ml_class_balance",
+    (s, dir) => {
+      table(s, dir, "embeddings")
+        .groupBy(col("label").cast(LongType).as("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(
+          col("label"),
+          col("cnt").cast(LongType).as("cnt"),
+          expr("CAST(cnt * 10000 DIV total AS BIGINT)").as("prop_bp"),
+          (col("cnt") * 100L <= lit(15L) * col("total")).as("ok_max"),
+          (col("cnt") * 100L >= lit(2L) * col("total")).as("ok_min"))
+        .orderBy("label")
+    },
+    Some("""
+      SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(*) * 10000 // (SELECT count(*) FROM embeddings) AS BIGINT) AS prop_bp,
+             count(*) * 100 <= 15 * (SELECT count(*) FROM embeddings) AS ok_max,
+             count(*) * 100 >= 2 * (SELECT count(*) FROM embeddings) AS ok_min
+      FROM embeddings GROUP BY label ORDER BY label"""))
+
+  // 15. ml feature_drift: PSI of events.value between behavioral cohorts
+  val qMlFeatureDrift = QueryDef("q_ml_feature_drift",
+    (s, dir) => {
+      val df = table(s, dir, "events").withColumn("split",
+        when(col("event_type").isin("click", "view"), "ref").otherwise("cur"))
+      MlValidators.psiByFeature(df,
+          FeatureDriftCheck("split", "ref", "cur", Seq("value"), Some(10), Some(0.2)))
+        .select(col("feature"), round(col("psi"), 4).as("psi_r4"),
+          (col("psi") <= 0.2).as("within_threshold"))
+    },
+    Some("""
+      WITH d AS (SELECT value, CASE WHEN event_type IN ('click','view') THEN 'ref' ELSE 'cur' END AS split
+                 FROM events WHERE value IS NOT NULL),
+      b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q FROM d WHERE split = 'ref'),
+      binned AS (SELECT split, len(list_filter((SELECT q FROM b), x -> value >= x)) AS bin FROM d),
+      counts AS (SELECT bin,
+                        sum(CASE WHEN split = 'ref' THEN 1 ELSE 0 END) AS rc,
+                        sum(CASE WHEN split = 'cur' THEN 1 ELSE 0 END) AS cc
+                 FROM binned GROUP BY bin),
+      pct AS (SELECT rc * 1.0 / (SELECT sum(rc) FROM counts) + 1e-6 AS rp,
+                     cc * 1.0 / (SELECT sum(cc) FROM counts) + 1e-6 AS cp
+              FROM counts)
+      SELECT 'value' AS feature,
+             round(sum((cp - rp) * ln(cp / rp)), 4) AS psi_r4,
+             sum((cp - rp) * ln(cp / rp)) <= 0.2 AS within_threshold
+      FROM pct"""))
+
+  // 16. ml target_leakage via Pearson correlation
+  val qMlTargetLeakage = QueryDef("q_ml_target_leakage",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem").agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("__c1"),
+        corr(col("l_discount"), col("l_tax")).as("__c2"))
+      val ev = table(s, dir, "events").agg(
+        corr(col("value"), col("user_id").cast(DoubleType)).as("__c3"))
+      explodeRows(li, Seq(
+        struct(lit("lineitem.l_quantity").as("feature"), lit("l_extendedprice").as("target"),
+          round(col("__c1"), 4).as("corr_r4"), (abs(col("__c1")) <= 0.95).as("ok")),
+        struct(lit("lineitem.l_discount").as("feature"), lit("l_tax").as("target"),
+          round(col("__c2"), 4).as("corr_r4"), (abs(col("__c2")) <= 0.95).as("ok"))))
+        .unionByName(explodeRows(ev, Seq(
+          struct(lit("events.value").as("feature"), lit("user_id").as("target"),
+            round(col("__c3"), 4).as("corr_r4"), (abs(col("__c3")) <= 0.95).as("ok")))))
+        .orderBy("feature")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'lineitem.l_quantity' AS feature, 'l_extendedprice' AS target,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_r4,
+               abs(corr(l_quantity, l_extendedprice)) <= 0.95 AS ok
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_discount', 'l_tax', round(corr(l_discount, l_tax), 4),
+               abs(corr(l_discount, l_tax)) <= 0.95
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.value', 'user_id', round(corr(value, user_id), 4),
+               abs(corr(value, user_id)) <= 0.95
+        FROM events
+      ) ORDER BY feature"""))
+
+  // 17. ml null_rate_by_group over derived nulls (exact bp integer math)
+  val qMlNullRateByGroup = QueryDef("q_ml_null_rate_by_group",
+    (s, dir) => {
+      val df = table(s, dir, "events")
+        .withColumn("f_props", when(col("props") === """{"k": 0}""", lit(null)).otherwise(col("props")))
+        .withColumn("f_value", when(col("value") < 50d, lit(null)).otherwise(col("value")))
+      val per = df.groupBy("event_type").agg(
+        count(lit(1)).as("total"),
+        (count(lit(1)) - count(col("f_props"))).as("n_props"),
+        (count(lit(1)) - count(col("f_value"))).as("n_value"))
+        .select(col("event_type"),
+          expr("CAST(n_props * 10000 DIV total AS BIGINT)").as("bp_props"),
+          expr("CAST(n_value * 10000 DIV total AS BIGINT)").as("bp_value"))
+      val agg = per.agg(
+        max("bp_props").as("__maxp"), min("bp_props").as("__minp"),
+        max("bp_value").as("__maxv"), min("bp_value").as("__minv"))
+      explodeRows(agg, Seq(
+        struct(lit("props_nullif_k0").as("field"), col("__maxp").cast(LongType).as("max_bp"),
+          col("__minp").cast(LongType).as("min_bp"),
+          (col("__maxp") - col("__minp")).cast(LongType).as("diff_bp"),
+          (col("__maxp") - col("__minp") <= 1000L).as("ok")),
+        struct(lit("value_nullif_lt50").as("field"), col("__maxv").cast(LongType).as("max_bp"),
+          col("__minv").cast(LongType).as("min_bp"),
+          (col("__maxv") - col("__minv")).cast(LongType).as("diff_bp"),
+          (col("__maxv") - col("__minv") <= 1000L).as("ok"))))
+        .orderBy("field")
+    },
+    Some("""
+      WITH per AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN props = '{"k": 0}' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS bp_props,
+               CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS bp_value
+        FROM events GROUP BY event_type)
+      SELECT * FROM (
+        SELECT 'props_nullif_k0' AS field, CAST(max(bp_props) AS BIGINT) AS max_bp,
+               CAST(min(bp_props) AS BIGINT) AS min_bp,
+               CAST(max(bp_props) - min(bp_props) AS BIGINT) AS diff_bp,
+               max(bp_props) - min(bp_props) <= 1000 AS ok
+        FROM per
+        UNION ALL
+        SELECT 'value_nullif_lt50', CAST(max(bp_value) AS BIGINT), CAST(min(bp_value) AS BIGINT),
+               CAST(max(bp_value) - min(bp_value) AS BIGINT),
+               max(bp_value) - min(bp_value) <= 1000
+        FROM per
+      ) ORDER BY field"""))
+
+  val all: Seq[QueryDef] = Seq(
+    qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
+    qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
+    qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
+    qMlTargetLeakage, qMlNullRateByGroup,
+  )
+}

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import QueryDef.table
+
+/** Driver queries for the training-data pipeline operators (SURVEY §2
+  * rows 25–36). SQL-expressible ones carry DuckDB oracles; the
+  * hash-family-dependent ones (minhash / simhash / LSH) are rows-only
+  * here and verified against exact algorithms in the test suite.
+  */
+object PipelineQueries {
+
+  // 25. exact dedup via normalized-text fingerprints
+  val qDedupExact = QueryDef("q_dedup_exact",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val fp = docs.select(
+        md5(TextFns.normalize(col("text")).cast("binary")).as("fp"))
+        .groupBy("fp").count()
+      fp.agg(
+        sum(col("count")).cast(LongType).as("total_docs"),
+        count(lit(1)).cast(LongType).as("distinct_docs"),
+        sum(when(col("count") > 1, 1L).otherwise(0L)).cast(LongType).as("dup_groups"),
+        sum(when(col("count") > 1, col("count") - 1).otherwise(0L)).cast(LongType).as("dup_docs"))
+    },
+    Some("""
+      SELECT CAST(sum(c) AS BIGINT) AS total_docs,
+             CAST(count(*) AS BIGINT) AS distinct_docs,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+             CAST(sum(CASE WHEN c > 1 THEN c-1 ELSE 0 END) AS BIGINT) AS dup_docs
+      FROM (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp, count(*) c
+            FROM documents GROUP BY 1)"""))
+
+  // 26. word-3-gram Jaccard near-dup pairs (exact, inverted-index join)
+  val qDedupJaccard = QueryDef("q_dedup_jaccard",
+    (s, dir) => {
+      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccardBp = 100L)
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(15)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jacc_bp
+      FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 100
+      ORDER BY jacc_bp DESC, id_a, id_b LIMIT 15"""))
+
+  // 27. MinHash+LSH candidates, exact-verified (hash family not SQL-portable → rows-only)
+  val qDedupMinhash = QueryDef("q_dedup_minhash",
+    (s, dir) => {
+      Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, numPerm = 128, numBands = 32, minJaccardBp = 100L)
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(15)
+    },
+    None)
+
+  // 28. SimHash near-dup pairs (rows-only)
+  val qDedupSimhash = QueryDef("q_dedup_simhash",
+    (s, dir) => {
+      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 24)
+        .groupBy()
+        .agg(count(lit(1)).cast(LongType).as("pairs"),
+          min("hamming").cast(LongType).as("min_hamming"))
+    },
+    None)
+
+  // 29. embedding near-dup pairs, exact cosine (double fold both sides)
+  val qDedupEmbedding = QueryDef("q_dedup_embedding",
+    (s, dir) => {
+      Dedup.embeddingPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.3, exact = true)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+    Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                        list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS cos_r4
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                 list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.3
+      ORDER BY cos_r4 DESC, id_a, id_b LIMIT 20"""))
+
+  // 30. brute-force cosine top-k (probes broadcast, corpus scanned once)
+  val qAnnTopk = QueryDef("q_ann_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("n_id"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(c, 4) AS cos_r4 FROM (
+        SELECT p.vec_id q_id, c.vec_id n_id,
+               list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) c,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                      list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                 c.vec_id ASC) rank
+        FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id != p.vec_id)
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  // 31. LSH-bucketed ANN (hash-derived planes → rows-only; recall spec-tested)
+  val qAnnLsh = QueryDef("q_ann_lsh",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numPlanes = 4)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("n_id"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy("q_id", "rank")
+    },
+    None)
+
+  // 32. language-ID heuristic → confusion matrix vs the labeled lang
+  val qTextLangid = QueryDef("q_text_langid",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).cast(LongType).as("cnt"))
+        .orderBy("lang", "predicted")
+    },
+    Some(langidOracle))
+
+  // 33. quality scoring aggregated per source lang
+  val qTextQuality = QueryDef("q_text_quality",
+    (s, dir) => {
+      TextAnalysis.qualityFeatures(table(s, dir, "documents"), "text")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).cast(LongType).as("docs"),
+          sum("n_tokens").cast(LongType).as("sum_tokens"),
+          min("n_tokens").cast(LongType).as("min_tokens"),
+          max("n_tokens").cast(LongType).as("max_tokens"),
+          sum("mean_word_len_x10").cast(LongType).as("sum_mwl_x10"),
+          sum(when(col("quality_ok"), 0L).otherwise(1L)).cast(LongType).as("low_quality"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               (length(replace(' ' || text || ' ', ' the ', '')) IS NOT NULL) AS dummy,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en
+        FROM documents),
+      g AS (
+        SELECT lang, n_tokens,
+               CAST((n_chars - (n_tokens - 1)) * 10 // n_tokens AS BIGINT) AS mwl_x10,
+               alpha * 10000 // greatest(n_chars, 1) AS alpha_bp,
+               stop_en
+        FROM f)
+      SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+             CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+             CAST(sum(mwl_x10) AS BIGINT) AS sum_mwl_x10,
+             CAST(sum(CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+                            AND mwl_x10 BETWEEN 20 AND 120
+                            AND alpha_bp >= 5000 AND stop_en >= 1
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_quality
+      FROM g GROUP BY lang ORDER BY lang"""))
+
+  // 34. token counting (whitespace + BPE-ish regex)
+  val qTextTokens = QueryDef("q_text_tokens",
+    (s, dir) => {
+      TextAnalysis.tokenCounts(table(s, dir, "documents"), "text")
+        .agg(
+          count(lit(1)).cast(LongType).as("docs"),
+          sum("ws_tokens").cast(LongType).as("sum_ws_tokens"),
+          sum("re_tokens").cast(LongType).as("sum_re_tokens"),
+          min("ws_tokens").cast(LongType).as("min_ws_tokens"),
+          max("ws_tokens").cast(LongType).as("max_ws_tokens"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_ws_tokens,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_re_tokens,
+             CAST(min(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS min_ws_tokens,
+             CAST(max(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS max_ws_tokens
+      FROM documents"""))
+
+  // 35. content fingerprints
+  val qTextFingerprint = QueryDef("q_text_fingerprint",
+    (s, dir) => {
+      val fp = TextAnalysis.fingerprints(table(s, dir, "documents"), "text")
+      fp.agg(
+        count(lit(1)).cast(LongType).as("docs"),
+        countDistinct(col("fp_raw")).cast(LongType).as("distinct_raw"),
+        countDistinct(col("fp_norm")).cast(LongType).as("distinct_norm"),
+        min(col("fp_norm")).as("min_fp_norm"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_raw,
+             CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS distinct_norm,
+             min(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS min_fp_norm
+      FROM documents"""))
+
+  // 36. multimodal binary plumbing with deterministic fake decode
+  val qMultimodalMeta = QueryDef("q_multimodal_meta",
+    (s, dir) => {
+      val withBin = table(s, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.withMeta(withBin, "payload")
+        .select(col("doc_id"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.content_sha").as("content_sha"),
+          col("meta.width").cast(LongType).as("width"),
+          col("meta.height").cast(LongType).as("height"),
+          col("meta.n_frames").cast(LongType).as("n_frames"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS byte_len,
+             sha256(text) AS content_sha,
+             CAST(length(text) % 640 + 32 AS BIGINT) AS width,
+             CAST(ord(substr(text, 1, 1)) + 1 AS BIGINT) AS height,
+             CAST(length(text) // 1000 + 1 AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id < 10 ORDER BY doc_id"""))
+
+  private lazy val langidOracle: String = {
+    // replicate TextAnalysis.langId: per-lang marker-word occurrence sums,
+    // argmax with profile-order tie-break, 'und' when all zero.
+    def occ(w: String): String =
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+    def score(ws: Seq[String]): String = ws.map(occ).mkString(" + ")
+    val s_en = score(Seq("the", "a", "of", "and", "is"))
+    val s_de = score(Seq("der", "die", "das", "und", "ist"))
+    val s_fr = score(Seq("le", "la", "les", "et", "est"))
+    val s_es = score(Seq("el", "la", "los", "y", "es"))
+    s"""
+      WITH s AS (
+        SELECT lang, ($s_en) AS s_en, ($s_de) AS s_de, ($s_fr) AS s_fr, ($s_es) AS s_es, 0 AS s_zh
+        FROM documents),
+      p AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                    ELSE 'zh' END AS predicted
+        FROM s)
+      SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
+      FROM p GROUP BY lang, predicted ORDER BY lang, predicted"""
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
+    qAnnTopk, qAnnLsh, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
+    qMultimodalMeta,
+  )
+}

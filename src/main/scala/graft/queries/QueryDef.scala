@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-verifiable query: a Spark plan over the testdata tables
+  * plus (when SQL-expressible) an equivalent DuckDB oracle. Column
+  * names, value rounding and row order are contractual — the driver
+  * hashes both results (columns sorted by name) and compares.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+object QueryDef {
+  /** Loads a testdata table. `events.ts` is parquet TIMESTAMP(NANOS),
+    * which Spark 4 only reads as a nanosecond BIGINT under the legacy
+    * flag — convert it back to a microsecond timestamp here so every
+    * downstream query sees a proper timestamp column (same instants the
+    * DuckDB oracle sees, truncated ns→µs). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
+}

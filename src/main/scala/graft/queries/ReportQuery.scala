@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.contracts._
+import graft.validators.ContractValidator
+import QueryDef.table
+
+/** The flagship: a full contract — schema, nullability, completeness,
+  * constraints, freshness, uniqueness, custom SQL, ML checks — executed
+  * end-to-end by [[graft.validators.ContractValidator]] against the
+  * events table, with the entire report independently re-derived in
+  * DuckDB SQL as the oracle. This pins the real engine code path, not a
+  * per-query reimplementation.
+  */
+object ReportQuery {
+
+  private val asOf = java.sql.Timestamp.from(Instant.parse("2024-02-01T00:00:00Z"))
+
+  /** The demo contract (view name doubles as the custom-check table). */
+  def eventsContract: Contract = Contract(
+    version = "1.0.0",
+    name = "events_contract",
+    owner = "graft",
+    description = Some("demo contract over the events table"),
+    schema = ContractSchema(
+      format = "parquet",
+      location = "",
+      fields = Seq(
+        Field("event_id", "int64", nullable = false),
+        Field("ts", "timestamp", nullable = false),
+        Field("user_id", "int64", nullable = false),
+        Field("event_type", "string", nullable = false, constraints = Seq(
+          Constraint.AllowedValues(Seq("click", "view", "purchase", "signup", "error")))),
+        Field("value", "float64", nullable = true, constraints = Seq(
+          Constraint.Range(0d, 500d))),
+        Field("props", "string", nullable = true, constraints = Seq(
+          Constraint.Pattern("^\\{.*\\}$"))),
+      ),
+    ),
+    qualityChecks = Some(QualityChecks(
+      completeness = Some(CompletenessCheck(0.999, Seq("value", "props"))),
+      uniqueness = Some(UniquenessCheck(Seq("event_id"))),
+      freshness = Some(FreshnessCheck("48h", "ts")),
+      customChecks = Seq(
+        CustomCheck("value_bounds",
+          "SELECT count(*) = 0 FROM events_contract WHERE value < 0")),
+      mlChecks = Some(MlChecks(
+        classBalance = Some(ClassBalanceCheck("event_type", 0.25, Some(0.10))),
+        targetLeakage = Some(TargetLeakageCheck("user_id", Seq("value"), Some(0.95))),
+      )),
+    )),
+  )
+
+  val qContractReport = QueryDef("q_contract_report",
+    (s, dir) => {
+      val df = table(s, dir, "events")
+      new ContractValidator(Some(asOf)).validate(df, eventsContract)
+        .select(col("check").as("check_name"), col("field"), col("passed"),
+          round(col("metric"), 4).as("metric_r4"))
+        .orderBy("check_name", "field")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'schema' AS check_name, 'event_id' AS field, true AS passed, 1.0 AS metric_r4
+        UNION ALL SELECT 'schema', 'ts', true, 1.0
+        UNION ALL SELECT 'schema', 'user_id', true, 1.0
+        UNION ALL SELECT 'schema', 'event_type', true, 1.0
+        UNION ALL SELECT 'schema', 'value', true, 1.0
+        UNION ALL SELECT 'schema', 'props', true, 1.0
+        UNION ALL SELECT 'nullability', 'event_id', count(*)-count(event_id) = 0, round(CAST(count(*)-count(event_id) AS DOUBLE), 4) FROM events
+        UNION ALL SELECT 'nullability', 'ts', count(*)-count(ts) = 0, round(CAST(count(*)-count(ts) AS DOUBLE), 4) FROM events
+        UNION ALL SELECT 'nullability', 'user_id', count(*)-count(user_id) = 0, round(CAST(count(*)-count(user_id) AS DOUBLE), 4) FROM events
+        UNION ALL SELECT 'nullability', 'event_type', count(*)-count(event_type) = 0, round(CAST(count(*)-count(event_type) AS DOUBLE), 4) FROM events
+        UNION ALL SELECT 'completeness', 'value', count(value)*1000000 >= 999000*count(*), round(count(value)*1.0/count(*), 4) FROM events
+        UNION ALL SELECT 'completeness', 'props', count(props)*1000000 >= 999000*count(*), round(count(props)*1.0/count(*), 4) FROM events
+        UNION ALL SELECT 'allowed_values', 'event_type',
+          sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) = 0,
+          round(CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS DOUBLE), 4)
+          FROM events
+        UNION ALL SELECT 'range', 'value',
+          sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 500) THEN 1 ELSE 0 END) = 0,
+          round(CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 500) THEN 1 ELSE 0 END) AS DOUBLE), 4)
+          FROM events
+        UNION ALL SELECT 'pattern', 'props',
+          sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\{.*\}$') THEN 1 ELSE 0 END) = 0,
+          round(CAST(sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\{.*\}$') THEN 1 ELSE 0 END) AS DOUBLE), 4)
+          FROM events
+        UNION ALL SELECT 'freshness', 'ts',
+          (1706745600 - CAST(floor(epoch(max(ts))) AS BIGINT)) <= 172800,
+          round(CAST(1706745600 - CAST(floor(epoch(max(ts))) AS BIGINT) AS DOUBLE), 4)
+          FROM events
+        UNION ALL SELECT 'uniqueness', 'event_id',
+          coalesce(sum(CASE WHEN c > 1 THEN c-1 END), 0) = 0,
+          round(CAST(coalesce(sum(CASE WHEN c > 1 THEN c-1 END), 0) AS DOUBLE), 4)
+          FROM (SELECT count(*) c FROM events GROUP BY event_id)
+        UNION ALL SELECT 'custom:value_bounds', '',
+          (SELECT count(*) = 0 FROM events WHERE value < 0),
+          CASE WHEN (SELECT count(*) = 0 FROM events WHERE value < 0) THEN 1.0 ELSE 0.0 END
+        UNION ALL SELECT 'ml_class_balance', event_type,
+          cnt*1000000 <= 250000*total AND cnt*1000000 >= 100000*total,
+          round(cnt*1.0/total, 4)
+          FROM (SELECT event_type, count(*) cnt, sum(count(*)) OVER () total FROM events GROUP BY event_type)
+        UNION ALL SELECT 'ml_target_leakage', 'value',
+          abs(corr(value, user_id)) <= 0.95, round(corr(value, user_id), 4)
+          FROM events
+      ) ORDER BY check_name, field"""))
+}

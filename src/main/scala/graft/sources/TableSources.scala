@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.contracts.{Contract, ContractTypes}
+
+/** Table readers with contract-declared schemas (the analogue of the
+  * reference's file readers + Iceberg table resolution, reference:
+  * crates/contracts_validator/src/file_reader.rs and
+  * crates/contracts_iceberg/src/catalog.rs).
+  *
+  * Reading `withSchema` pins the scan's `ReadSchema` to exactly the
+  * contract's columns, so validation never pays for undeclared columns
+  * (column pruning by construction) and type drift surfaces at read
+  * time instead of mid-query.
+  */
+object TableSources {
+
+  /** Reads `format`-typed data at `path`; format from the contract
+    * ("parquet" | "csv" | "json"; "iceberg" resolves through the Spark
+    * catalog as a table name). */
+  def read(spark: SparkSession, contract: Contract, pathOverride: Option[String] = None): DataFrame = {
+    val location = pathOverride.getOrElse(contract.schema.location)
+    contract.schema.format.toLowerCase match {
+      case "parquet" => spark.read.parquet(location)
+      case "csv" =>
+        spark.read
+          .option("header", "true")
+          .schema(ContractTypes.toStructType(contract.schema))
+          .csv(location)
+      case "json" =>
+        spark.read
+          .schema(ContractTypes.toStructType(contract.schema))
+          .json(location)
+      case "iceberg" | "table" | "catalog" =>
+        // Iceberg jars aren't shipped here; any catalog-registered table
+        // (including Iceberg when its extension is on the classpath)
+        // resolves through the session catalog identically.
+        spark.read.table(location)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported contract format '$other'")
+    }
+  }
+
+  /** Projects to the contract's declared fields (those present). */
+  def select(df: DataFrame, contract: Contract): DataFrame = {
+    val live = df.columns.toSet
+    val wanted = contract.schema.fields.map(_.name).filter(live)
+    df.select(wanted.map(org.apache.spark.sql.functions.col): _*)
+  }
+}

@@ -1,0 +1,224 @@
+package graft.validators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.contracts._
+
+/** One validation outcome; a contract run is a `DataFrame` of these. */
+final case class CheckResult(
+    check: String,
+    field: String,
+    passed: Boolean,
+    metric: Double,
+    detail: String,
+)
+
+/** Executes every check of a [[Contract]] against a DataFrame.
+  *
+  * Capability-equivalent to the reference's validation engine
+  * (reference: crates/contracts_validator/src/engine.rs:216 and the
+  * SQL-compiled path in datafusion_engine.rs), re-designed for Spark:
+  *
+  *   - All *scalar* checks — nullability of non-nullable fields,
+  *     completeness ratios, constraint violation counts, freshness
+  *     max(ts) — are fused into ONE `agg()` over one table scan, with
+  *     map-side partial aggregation and only the contract's columns
+  *     read. The reference issues one query per check; at 100 TB one
+  *     fused scan is the difference between 1 and ~K passes.
+  *   - Keyed checks (uniqueness, ML split checks) each add exactly one
+  *     shuffle on their natural key.
+  *   - The report itself is a DataFrame — composable, writable,
+  *     joinable with past runs.
+  *
+  * @param asOf "now" for freshness checks; fixed for reproducible runs,
+  *             defaults to the wall clock like the reference.
+  */
+final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
+
+  import ContractValidator._
+
+  def validate(df: DataFrame, contract: Contract): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      schemaResults(spark, df, contract) ++
+        scalarResults(df, contract) ++
+        uniquenessResults(df, contract) ++
+        customResults(df, contract) ++
+        mlResults(df, contract)
+    parts.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[CheckResult](resultEncoder).toDF())
+  }
+
+  /** Schema presence / type checks: pure metadata, no scan.
+    * (reference: contracts_validator/src/schema.rs:25) */
+  private def schemaResults(spark: SparkSession, df: DataFrame, c: Contract): Seq[DataFrame] = {
+    // nullability metadata is meaningless on file scans (parquet reads
+    // are always nullable) — actual nulls are counted in the fused scan
+    val drifts = SchemaDrift.diff(c, df.schema)
+      .filterNot(_.isInstanceOf[SchemaDrift.NullabilityMismatch])
+    val presence = c.schema.fields.map { f =>
+      val fieldDrifts = drifts.filter(_.field == f.name)
+      val passed = fieldDrifts.isEmpty
+      val detail =
+        if (passed) "ok"
+        else fieldDrifts.map {
+          case SchemaDrift.MissingField(_) => "missing in live schema"
+          case SchemaDrift.TypeMismatch(_, e, a) => s"type $a != declared $e"
+          case SchemaDrift.NullabilityMismatch(_, _) => "live column nullable, declared non-nullable"
+          case SchemaDrift.ExtraField(_) => "undeclared"
+        }.mkString("; ")
+      CheckResult("schema", f.name, passed, if (passed) 1d else 0d, detail)
+    }
+    Seq(spark.createDataset(presence)(resultEncoder).toDF())
+  }
+
+  /** The fused single-scan pass: nullability + completeness +
+    * constraints + freshness. */
+  private def scalarResults(df: DataFrame, c: Contract): Seq[DataFrame] = {
+    val live = df.schema.fieldNames.toSet
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val outs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var i = 0
+    def slot(agg: Column): String = { val n = s"m$i"; i += 1; aggs += agg.as(n); n }
+    val total = slot(count(lit(1)))
+    def totalC = col(total)
+
+    // nullability of declared non-nullable fields
+    // (reference: schema.rs null handling; datafusion_engine.rs:299)
+    c.schema.fields.filter(f => !f.nullable && live(f.name)).foreach { f =>
+      val nulls = slot(count(lit(1)) - count(col(f.name)))
+      outs += result(lit("nullability"), lit(f.name), col(nulls) === 0,
+        col(nulls).cast(DoubleType),
+        format_string("%d null(s) in non-nullable field", col(nulls)))
+    }
+
+    val qc = c.qualityChecks
+    // completeness (reference: quality.rs:34) — exact integer compare,
+    // non_null * 1e6 >= threshold_ppm * total, no float thresholds.
+    qc.flatMap(_.completeness).foreach { cc =>
+      val ppm = math.round(cc.threshold * 1000000L)
+      cc.fields.filter(live).foreach { f =>
+        val nn = slot(count(col(f)))
+        outs += result(lit("completeness"), lit(f),
+          col(nn) * 1000000L >= lit(ppm) * totalC,
+          col(nn).cast(DoubleType) / totalC.cast(DoubleType),
+          format_string(s"non-null %d of %d (threshold ${cc.threshold})", col(nn), totalC))
+      }
+    }
+
+    // field constraints (reference: constraints.rs; compiled to
+    // conditional aggregates like datafusion_engine.rs:338-420).
+    // Nulls never violate constraints (nullability covers them).
+    for {
+      f <- c.schema.fields if live(f.name)
+      con <- f.constraints
+    } con match {
+      case Constraint.AllowedValues(values) =>
+        val bad = slot(sum(when(col(f.name).isNotNull &&
+          !col(f.name).cast(StringType).isin(values: _*), 1L).otherwise(0L)))
+        outs += result(lit("allowed_values"), lit(f.name), coalesce(col(bad), lit(0L)) === 0,
+          coalesce(col(bad), lit(0L)).cast(DoubleType),
+          format_string("%d value(s) outside allowed set", coalesce(col(bad), lit(0L))))
+      case Constraint.Range(min, max) =>
+        val bad = slot(sum(when(col(f.name).isNotNull &&
+          (col(f.name) < min || col(f.name) > max), 1L).otherwise(0L)))
+        outs += result(lit("range"), lit(f.name), coalesce(col(bad), lit(0L)) === 0,
+          coalesce(col(bad), lit(0L)).cast(DoubleType),
+          format_string(s"%d value(s) outside [$min, $max]", coalesce(col(bad), lit(0L))))
+      case Constraint.Pattern(regex) =>
+        val bad = slot(sum(when(col(f.name).isNotNull &&
+          !col(f.name).rlike(regex), 1L).otherwise(0L)))
+        outs += result(lit("pattern"), lit(f.name), coalesce(col(bad), lit(0L)) === 0,
+          coalesce(col(bad), lit(0L)).cast(DoubleType),
+          format_string(s"%d value(s) not matching /$regex/", coalesce(col(bad), lit(0L))))
+      case Constraint.Custom(_) => // executed as table-level custom check
+    }
+
+    // freshness (reference: custom.rs:90): now - max(metric) <= max_delay
+    qc.flatMap(_.freshness).filter(fr => live(fr.metric)).foreach { fr =>
+      val maxTs = slot(max(col(fr.metric).cast(TimestampType)))
+      val now = asOf.map(ts => lit(ts)).getOrElse(current_timestamp())
+      val lagSec = unix_timestamp(now) - unix_timestamp(col(maxTs))
+      val limit = Durations.parseSeconds(fr.maxDelay)
+      outs += result(lit("freshness"), lit(fr.metric),
+        col(maxTs).isNotNull && lagSec <= limit,
+        lagSec.cast(DoubleType),
+        format_string(s"lag %ds (max ${fr.maxDelay})", lagSec))
+    }
+
+    if (outs.isEmpty) Nil
+    else {
+      val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
+      Seq(one.select(explode(array(outs.toSeq: _*)).as("r")).select("r.*"))
+    }
+  }
+
+  /** Uniqueness: one shuffle on the declared key (+ day for per_day
+    * scope). (reference: quality.rs:86) */
+  private def uniquenessResults(df: DataFrame, c: Contract): Seq[DataFrame] = {
+    c.qualityChecks.flatMap(_.uniqueness).toSeq.map { u =>
+      val keyCols = u.fields.map(col)
+      val grouped = u.scope.map(_.toLowerCase) match {
+        case Some("per_day") =>
+          val dateCol = to_date(col(u.dateField.getOrElse(u.fields.head)))
+          df.groupBy((keyCols :+ dateCol.as("__day")): _*)
+        case _ => df.groupBy(keyCols: _*)
+      }
+      grouped.count()
+        .agg(
+          sum(when(col("count") > 1, col("count") - 1)).as("dup_rows"),
+          sum(when(col("count") > 1, 1L).otherwise(0L)).as("dup_keys"))
+        .select(result(lit("uniqueness"), lit(u.fields.mkString(",")),
+          coalesce(col("dup_rows"), lit(0L)) === 0,
+          coalesce(col("dup_rows"), lit(0L)).cast(DoubleType),
+          format_string(s"%d duplicate row(s) over %d key(s), scope ${u.scope.getOrElse("global")}",
+            coalesce(col("dup_rows"), lit(0L)), coalesce(col("dup_keys"), lit(0L)))).as("r"))
+        .select("r.*")
+    }
+  }
+
+  /** Custom SQL checks: each `definition` must yield a single row whose
+    * first column is TRUE. (reference: custom.rs + datafusion_engine.rs
+    * custom-check execution) */
+  private def customResults(df: DataFrame, c: Contract): Seq[DataFrame] = {
+    val checks = c.qualityChecks.map(_.customChecks).getOrElse(Nil)
+    if (checks.isEmpty) return Nil
+    val spark = df.sparkSession
+    df.createOrReplaceTempView(c.name)
+    checks.map { ch =>
+      // first column of the check's result, whatever its generated name
+      val passedDf = spark.sql(ch.definition).toDF("res")
+      passedDf.limit(1)
+        .select(result(lit("custom:" + ch.name), lit(""),
+          col("res").cast(BooleanType),
+          col("res").cast(BooleanType).cast(DoubleType),
+          lit(s"severity=${ch.severity.getOrElse("error")}")).as("r"))
+        .select("r.*")
+    }
+  }
+
+  private def mlResults(df: DataFrame, c: Contract): Seq[DataFrame] = {
+    c.qualityChecks.flatMap(_.mlChecks).toSeq.flatMap { ml =>
+      ml.noOverlap.map(ch => MlValidators.noOverlap(df, ch)).toSeq ++
+        ml.temporalSplit.map(ch => MlValidators.temporalSplit(df, ch)).toSeq ++
+        ml.classBalance.map(ch => MlValidators.classBalance(df, ch)).toSeq ++
+        ml.featureDrift.map(ch => MlValidators.featureDrift(df, ch)).toSeq ++
+        ml.targetLeakage.map(ch => MlValidators.targetLeakage(df, ch)).toSeq ++
+        ml.nullRateByGroup.map(ch => MlValidators.nullRateByGroup(df, ch)).toSeq
+    }
+  }
+}
+
+object ContractValidator {
+  private[validators] val resultEncoder =
+    org.apache.spark.sql.Encoders.product[CheckResult]
+
+  /** Builds a CheckResult-shaped struct column. */
+  private[validators] def result(check: Column, field: Column, passed: Column,
+                                 metric: Column, detail: Column): Column =
+    struct(check.as("check"), field.as("field"),
+      coalesce(passed, lit(false)).as("passed"),
+      coalesce(metric, lit(0d)).as("metric"), detail.as("detail"))
+}

@@ -1,0 +1,181 @@
+package graft.validators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
+
+import graft.contracts._
+import ContractValidator.result
+
+/** ML dataset checks as Spark plans (reference:
+  * crates/contracts_validator/src/ml.rs). Each check is a small number
+  * of keyed aggregations — no row iteration, no driver loops; only the
+  * few-row summaries (per split / per bin / per class) move after the
+  * shuffle, so every check scales with one pass + one shuffle.
+  */
+object MlValidators {
+
+  /** Keys must not appear in more than one split
+    * (reference: ml.rs:92 validate_no_overlap). */
+  def noOverlap(df: DataFrame, ch: NoOverlapCheck): DataFrame = {
+    val keys = ch.keyFields.map(col)
+    df.filter(col(ch.splitField).isNotNull)
+      .groupBy(keys: _*)
+      .agg(countDistinct(col(ch.splitField)).as("nsplits"))
+      .agg(sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("overlap"),
+        count(lit(1)).as("keys"))
+      .select(result(lit("ml_no_overlap"), lit(ch.keyFields.mkString(",")),
+        coalesce(col("overlap"), lit(0L)) === 0,
+        coalesce(col("overlap"), lit(0L)).cast(DoubleType),
+        format_string("%d of %d key(s) present in >1 split", col("overlap"), col("keys"))).as("r"))
+      .select("r.*")
+  }
+
+  /** max(ts) of each split must be <= min(ts) of the next split in
+    * `order` (reference: ml.rs:184). One row per adjacent pair. */
+  def temporalSplit(df: DataFrame, ch: TemporalSplitCheck): DataFrame = {
+    val spark = df.sparkSession
+    val order = ch.order
+    val orderDf = spark.createDataFrame(order.zipWithIndex).toDF("__split", "__idx")
+    val perSplit = df
+      .filter(col(ch.splitField).isin(order: _*))
+      .groupBy(col(ch.splitField).as("__split"))
+      .agg(min(col(ch.timestampField).cast(TimestampType)).as("__min"),
+        max(col(ch.timestampField).cast(TimestampType)).as("__max"))
+    // per-split summary is |order| rows; the window below is driver-scale
+    val w = Window.orderBy("__idx")
+    perSplit.join(orderDf, "__split")
+      .select(col("__split"), col("__idx"), col("__min"), col("__max"),
+        lag("__max", 1).over(w).as("__prev_max"),
+        lag("__split", 1).over(w).as("__prev_split"))
+      .filter(col("__prev_max").isNotNull)
+      .select(result(lit("ml_temporal_split"),
+        concat(col("__prev_split"), lit("->"), col("__split")),
+        col("__prev_max") <= col("__min"),
+        (unix_timestamp(col("__min")) - unix_timestamp(col("__prev_max"))).cast(DoubleType),
+        format_string("gap %ds between max(prev) and min(next)",
+          unix_timestamp(col("__min")) - unix_timestamp(col("__prev_max")))).as("r"))
+      .select("r.*")
+  }
+
+  /** Per-class proportion must be <= maxProportion (and >= minProportion
+    * when set) (reference: ml.rs:284). One row per class. */
+  def classBalance(df: DataFrame, ch: ClassBalanceCheck): DataFrame = {
+    val counts = df.filter(col(ch.labelField).isNotNull)
+      .groupBy(col(ch.labelField).cast(StringType).as("__label"))
+      .count()
+    val w = Window.partitionBy()
+    val withTotal = counts.withColumn("__total", sum("count").over(w))
+    // exact integer compare: cnt * 1e6 vs bound_ppm * total
+    val maxPpm = math.round(ch.maxProportion * 1000000L)
+    val minPpm = ch.minProportion.map(p => math.round(p * 1000000L))
+    val okMax = col("count") * 1000000L <= lit(maxPpm) * col("__total")
+    val okMin = minPpm.map(p => col("count") * 1000000L >= lit(p) * col("__total"))
+      .getOrElse(lit(true))
+    withTotal.select(result(lit("ml_class_balance"), col("__label"),
+      okMax && okMin,
+      col("count").cast(DoubleType) / col("__total").cast(DoubleType),
+      format_string(s"%d of %d rows (max ${ch.maxProportion}" +
+        ch.minProportion.map(p => s", min $p").getOrElse("") + ")",
+        col("count"), col("__total"))).as("r"))
+      .select("r.*")
+  }
+
+  /** Population Stability Index over quantile bins of the reference
+    * split (reference: ml.rs:350-445): boundaries are the
+    * i/numBins-quantiles of the reference split; bin(v) = number of
+    * boundaries <= v; PSI = Σ (cur% − ref%) · ln(cur% / ref%) with
+    * ε=1e-6 smoothing. One row per feature.
+    *
+    * Boundaries use exact `percentile` so results are reproducible and
+    * oracle-comparable; at 100 TB switch `exactQuantiles=false` to use
+    * the t-digest sketch (`approx_percentile`) — same plan shape, no
+    * extra sort.
+    */
+  def featureDrift(df: DataFrame, ch: FeatureDriftCheck,
+                   exactQuantiles: Boolean = true): DataFrame = {
+    val thr = ch.threshold.getOrElse(0.2)
+    val numBins = ch.numBins.getOrElse(10)
+    psiByFeature(df, ch, exactQuantiles)
+      .select(result(lit("ml_feature_drift"), col("feature"),
+        col("psi") <= thr, col("psi"),
+        format_string(s"PSI %.4f over $numBins quantile bins " +
+          s"(${ch.referenceSplit} vs ${ch.currentSplit}, threshold $thr)",
+          col("psi"))).as("r"))
+      .select("r.*")
+  }
+
+  /** The PSI metric table behind [[featureDrift]]: one (feature, psi)
+    * row per feature field. */
+  def psiByFeature(df: DataFrame, ch: FeatureDriftCheck,
+                   exactQuantiles: Boolean = true): DataFrame = {
+    val numBins = ch.numBins.getOrElse(10)
+    val eps = 1e-6
+    val probs = (1 until numBins).map(i => i.toDouble / numBins)
+    val perFeature = ch.featureFields.map { f =>
+      val v = col(f).cast(DoubleType)
+      val pctFn = if (exactQuantiles) "percentile" else "approx_percentile"
+      val bounds = df
+        .filter(col(ch.splitField) === ch.referenceSplit && v.isNotNull)
+        .agg(expr(s"$pctFn(CAST(`$f` AS DOUBLE), array(${probs.mkString(",")}))").as("__b"))
+      val binned = df
+        .filter(col(ch.splitField).isin(ch.referenceSplit, ch.currentSplit) && v.isNotNull)
+        .crossJoin(broadcast(bounds))
+        .select(col(ch.splitField).as("__split"),
+          size(filter(col("__b"), b => v >= b)).as("__bin"))
+      val counts = binned.groupBy("__bin").agg(
+        sum(when(col("__split") === ch.referenceSplit, 1L).otherwise(0L)).as("__rc"),
+        sum(when(col("__split") === ch.currentSplit, 1L).otherwise(0L)).as("__cc"))
+      // <= numBins rows from here on
+      val w = Window.partitionBy()
+      val pct = counts
+        .withColumn("__rt", sum("__rc").over(w))
+        .withColumn("__ct", sum("__cc").over(w))
+        .select(
+          (col("__rc").cast(DoubleType) / col("__rt") + eps).as("__rp"),
+          (col("__cc").cast(DoubleType) / col("__ct") + eps).as("__cp"))
+      pct.agg(sum((col("__cp") - col("__rp")) * log(col("__cp") / col("__rp"))).as("psi"))
+        .select(lit(f).as("feature"), col("psi"))
+    }
+    perFeature.reduce(_ unionByName _)
+  }
+
+  /** |Pearson r(feature, target)| must be <= maxCorrelation
+    * (reference: ml.rs:447). All features in ONE aggregation pass. */
+  def targetLeakage(df: DataFrame, ch: TargetLeakageCheck): DataFrame = {
+    val maxCorr = ch.maxCorrelation.getOrElse(0.95)
+    val aggs = ch.featureFields.map(f =>
+      corr(col(f).cast(DoubleType), col(ch.targetField).cast(DoubleType)).as(s"__c_$f"))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val outs = ch.featureFields.map { f =>
+      val c = coalesce(col(s"__c_$f"), lit(0d))
+      result(lit("ml_target_leakage"), lit(f), abs(c) <= maxCorr, c,
+        format_string(s"corr(%s, ${ch.targetField}) = %.4f (max $maxCorr)", lit(f), c))
+    }
+    row.select(explode(array(outs: _*)).as("r")).select("r.*")
+  }
+
+  /** Spread of per-group null rates must be <= maxNullRateDiff
+    * (reference: ml.rs:484). One groupBy; one row per checked field. */
+  def nullRateByGroup(df: DataFrame, ch: NullRateByGroupCheck): DataFrame = {
+    val maxDiff = ch.maxNullRateDiff.getOrElse(0.1)
+    val aggs = count(lit(1)).as("__total") +:
+      ch.checkFields.map(f => count(col(f)).as(s"__nn_$f"))
+    val perGroup = df.filter(col(ch.groupField).isNotNull)
+      .groupBy(col(ch.groupField)).agg(aggs.head, aggs.tail: _*)
+    // per-group summary is tiny; fold max/min rate per field in one agg
+    val rateAggs = ch.checkFields.flatMap { f =>
+      val rate = (col("__total") - col(s"__nn_$f")).cast(DoubleType) / col("__total")
+      Seq(max(rate).as(s"__max_$f"), min(rate).as(s"__min_$f"))
+    }
+    val row = perGroup.agg(rateAggs.head, rateAggs.tail: _*)
+    val outs = ch.checkFields.map { f =>
+      val diff = col(s"__max_$f") - col(s"__min_$f")
+      result(lit("ml_null_rate_by_group"), lit(f), diff <= maxDiff, diff,
+        format_string(s"null-rate spread %.4f across groups of ${ch.groupField} (max $maxDiff)",
+          diff))
+    }
+    row.select(explode(array(outs: _*)).as("r")).select("r.*")
+  }
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify (Spark) at a
+given SF, then replay each oracle SQL in DuckDB over the same parquet
+tables and compare values column-by-column (columns sorted by name).
+
+Usage: python3 tools/selfcheck.py [sfdir] [outdir] [query ...]
+"""
+import json, math, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool): return str(v)
+    return str(v)
+
+fails, okc, weak = [], 0, 0
+for name in sorted(oracles):
+    if only and name not in only: continue
+    sql = oracles[name]
+    spark_dir = f"{outdir}/{name}"
+    files = glob.glob(f"{spark_dir}/*.parquet")
+    if not files:
+        fails.append((name, "NO SPARK OUTPUT")); continue
+    spark_tbl = pq.read_table(files[0])
+    try:
+        duck = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        fails.append((name, f"ORACLE SQL ERROR: {e}")); continue
+    sc = sorted(spark_tbl.column_names)
+    dc = sorted(duck.column_names)
+    if sc != dc:
+        fails.append((name, f"COLUMNS spark={sc} duck={dc}")); continue
+    srows = sorted(tuple(norm(spark_tbl.column(c)[i].as_py()) for c in sc)
+                   for i in range(spark_tbl.num_rows))
+    drows = sorted(tuple(norm(duck.column(c)[i].as_py()) for c in dc)
+                   for i in range(duck.num_rows))
+    if srows != drows:
+        diff = [(a, b) for a, b in zip(srows, drows) if a != b][:5]
+        extra = f" rowcount spark={len(srows)} duck={len(drows)}"
+        fails.append((name, f"VALUE MISMATCH{extra} first_diffs={diff}"))
+    else:
+        okc += 1
+        print(f"  OK {name} ({len(srows)} rows)")
+
+# rows-only queries: just confirm output exists and has rows
+for d in sorted(glob.glob(f"{outdir}/*")):
+    name = os.path.basename(d)
+    if not os.path.isdir(d) or name in oracles: continue
+    if only and name not in only: continue
+    files = glob.glob(f"{d}/*.parquet")
+    n = pq.read_table(files[0]).num_rows if files else -1
+    weak += 1
+    print(f"  rows-only {name}: {n} rows")
+
+print(f"\n{okc} oracle-matched, {weak} rows-only, {len(fails)} FAILED")
+for name, why in fails:
+    print(f"FAIL {name}: {why[:600]}")
+sys.exit(1 if fails else 0)
