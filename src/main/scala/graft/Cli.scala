@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.contracts.{ContractInit, ContractParser}
+import graft.sources.TableSources
+import graft.validators.ContractValidator
+
+/** Thin CLI over the library — the analogue of the reference's verbs
+  * (reference: crates/contracts_cli/src/commands/{check,validate,init}.rs).
+  *
+  *   check <contract.yml>                  parse + static definition checks
+  *   validate <contract.yml> [dataPath]    run all checks, print the report
+  *   init <dataPath> <name> <owner>        emit a contract from live schema
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "check" :: path :: Nil =>
+      val c = ContractParser.parseFile(path)
+      println(s"OK: contract '${c.name}' v${c.version}, ${c.schema.fields.size} field(s), " +
+        s"${c.schema.fields.map(_.constraints.size).sum} constraint(s)")
+
+    case "validate" :: path :: rest =>
+      val c = ContractParser.parseFile(path)
+      val spark = session()
+      try {
+        val df = TableSources.read(spark, c, rest.headOption)
+        val report = new ContractValidator().validate(df, c)
+        report.orderBy("check", "field").show(1000, truncate = false)
+        val failed = report.filter(!org.apache.spark.sql.functions.col("passed")).count()
+        println(if (failed == 0) "PASS" else s"FAIL: $failed check(s) failed")
+        if (failed > 0) sys.exit(1)
+      } finally spark.stop()
+
+    case "init" :: dataPath :: name :: owner :: Nil =>
+      val spark = session()
+      try {
+        val df = spark.read.parquet(dataPath)
+        val contract = ContractInit.fromTable(df, name, owner,
+          format = "parquet", location = dataPath)
+        println(ContractInit.toYaml(contract))
+      } finally spark.stop()
+
+    case _ =>
+      System.err.println(
+        """usage: graft.Cli <verb> ...
+          |  check <contract.yml>
+          |  validate <contract.yml> [dataPath]
+          |  init <dataPath> <name> <owner>""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+}

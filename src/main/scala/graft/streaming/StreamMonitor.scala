@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.contracts._
+
+/** Contract checks as Structured Streaming aggregations — the streaming
+  * analogue of the batch [[graft.validators.ContractValidator]].
+  *
+  * Quality metrics are per-event-time-window conditional aggregates
+  * (same fused-scan shape as the batch path, plus watermarked windows),
+  * so a stream job emits one row per (window) with every field's
+  * null/violation counts — append-mode-safe, state bounded by the
+  * watermark.
+  */
+object StreamMonitor {
+
+  /** Windowed quality metrics: per window, row counts, per-field null
+    * counts (completeness fields + non-nullable fields) and per-field
+    * constraint-violation counts. Works identically on a batch frame
+    * (for tests / backfill) and a streaming frame.
+    */
+  def qualityMetrics(df: DataFrame, contract: Contract, tsCol: String,
+                     windowDuration: String, watermarkDelay: String): DataFrame = {
+    val live = df.columns.toSet
+    val fields = contract.schema.fields.filter(f => live(f.name))
+
+    val nullAggs: Seq[Column] = {
+      val completeness = contract.qualityChecks.flatMap(_.completeness)
+        .map(_.fields).getOrElse(Nil)
+      val nonNullable = fields.filter(!_.nullable).map(_.name)
+      (completeness ++ nonNullable).distinct.filter(live).map { f =>
+        (count(lit(1)) - count(col(f))).cast("long").as(s"nulls_$f")
+      }
+    }
+    val violationAggs: Seq[Column] = for {
+      f <- fields
+      (c, i) <- f.constraints.zipWithIndex
+      agg <- constraintViolations(f.name, c).map(v =>
+        v.cast("long").as(s"violations_${f.name}_$i"))
+    } yield agg
+
+    val aggs = count(lit(1)).cast("long").as("rows") +: (nullAggs ++ violationAggs)
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    src.groupBy(window(col(tsCol), windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("*")).drop("window")
+  }
+
+  private def constraintViolations(name: String, c: Constraint): Option[Column] = c match {
+    case Constraint.AllowedValues(vs) =>
+      Some(sum(when(col(name).isNotNull && !col(name).cast("string").isin(vs: _*), 1L)
+        .otherwise(0L)))
+    case Constraint.Range(min, max) =>
+      Some(sum(when(col(name).isNotNull && (col(name) < min || col(name) > max), 1L)
+        .otherwise(0L)))
+    case Constraint.Pattern(re) =>
+      Some(sum(when(col(name).isNotNull && !col(name).rlike(re), 1L).otherwise(0L)))
+    case Constraint.Custom(_) => None
+  }
+
+  final case class KeyFreshness(key: String, lastSeenMs: Long, stale: Boolean)
+  private final case class FreshState(lastSeenMs: Long)
+
+  /** Per-key freshness tracking with custom state: emits, for every key,
+    * its latest event time and whether the key has gone stale relative
+    * to `maxDelayMs` (measured against the greatest event time seen in
+    * the batch for that key — deterministic, no wall clock).
+    *
+    * The `mapGroupsWithState` shape is the scale path: state is one
+    * (key → long) entry, partitioned by key across executors.
+    */
+  def keyFreshness(events: DataFrame, keyCol: String, tsCol: String,
+                   maxDelayMs: Long): Dataset[KeyFreshness] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col(keyCol).cast("string").as("key"), unix_millis(col(tsCol)).as("ts"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[FreshState, KeyFreshness](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[FreshState]) =>
+          val maxTs = rows.map(_._2).foldLeft(
+            state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue))(math.max)
+          state.update(FreshState(maxTs))
+          KeyFreshness(key, maxTs, stale = false)
+      }
+  }
+
+  /** Convenience: run a streaming quality query into an in-memory sink
+    * (used by tests and local monitoring). Returns the query name. */
+  def startMemorySink(metrics: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    metrics.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+}

@@ -188,14 +188,24 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
     val spark = df.sparkSession
     df.createOrReplaceTempView(c.name)
     checks.map { ch =>
-      // first column of the check's result, whatever its generated name
-      val passedDf = spark.sql(ch.definition).toDF("res")
-      passedDf.limit(1)
-        .select(result(lit("custom:" + ch.name), lit(""),
-          col("res").cast(BooleanType),
-          col("res").cast(BooleanType).cast(DoubleType),
-          lit(s"severity=${ch.severity.getOrElse("error")}")).as("r"))
-        .select("r.*")
+      try {
+        // first column of the check's result, whatever its generated name
+        val passedDf = spark.sql(ch.definition).toDF("res")
+        passedDf.limit(1)
+          .select(result(lit("custom:" + ch.name), lit(""),
+            col("res").cast(BooleanType),
+            col("res").cast(BooleanType).cast(DoubleType),
+            lit(s"severity=${ch.severity.getOrElse("error")}")).as("r"))
+          .select("r.*")
+      } catch {
+        // an unplannable definition fails the check, not the run
+        // (reference: custom.rs validate_single_custom_check surfaces a
+        // ValidationError for bad definitions)
+        case e: org.apache.spark.sql.AnalysisException =>
+          spark.createDataset(Seq(CheckResult("custom:" + ch.name, "",
+            passed = false, 0d,
+            s"definition failed to plan: ${e.getMessage.take(200)}")))(resultEncoder).toDF()
+      }
     }
   }
 

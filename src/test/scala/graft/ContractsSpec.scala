@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.contracts._
+
+class ContractsSpec extends SparkSpec {
+
+  val yaml: String =
+    """version: "1.0.0"
+      |name: user_events
+      |owner: analytics
+      |description: demo
+      |schema:
+      |  format: parquet
+      |  location: /tmp/x
+      |  fields:
+      |    - name: event_id
+      |      type: string
+      |      nullable: false
+      |      tags: [primary_key]
+      |    - name: event_type
+      |      type: string
+      |      nullable: false
+      |      constraints:
+      |        - type: allowedvalues
+      |          values: [a, b]
+      |    - name: value
+      |      type: float64
+      |      constraints:
+      |        - type: range
+      |          min: 0
+      |          max: 10
+      |    - name: url
+      |      type: string
+      |      constraints:
+      |        - type: pattern
+      |          regex: "^https?://.*"
+      |    - name: props
+      |      type: map<string,string>
+      |quality_checks:
+      |  completeness:
+      |    threshold: 0.99
+      |    fields: [event_id]
+      |  uniqueness:
+      |    fields: [event_id]
+      |    scope: global
+      |  freshness:
+      |    max_delay: 1h
+      |    metric: ts
+      |  custom_checks:
+      |    - name: c1
+      |      definition: "SELECT count(*) = 0 FROM user_events"
+      |      severity: warning
+      |  ml_checks:
+      |    class_balance:
+      |      label_field: event_type
+      |      max_proportion: 0.9
+      |    feature_drift:
+      |      split_field: split
+      |      reference_split: train
+      |      current_split: test
+      |      feature_fields: [value]
+      |      num_bins: 5
+      |sla:
+      |  availability: 0.999
+      |  response_time: 100ms
+      |""".stripMargin
+
+  test("parse reference-style YAML contract") {
+    val c = ContractParser.parse(yaml)
+    assert(c.name == "user_events" && c.owner == "analytics")
+    assert(c.schema.fields.size == 5)
+    assert(c.schema.fields.head.tags == Seq("primary_key"))
+    assert(c.schema.fields(1).constraints == Seq(Constraint.AllowedValues(Seq("a", "b"))))
+    assert(c.schema.fields(2).constraints == Seq(Constraint.Range(0, 10)))
+    val qc = c.qualityChecks.get
+    assert(qc.completeness.get.threshold == 0.99)
+    assert(qc.uniqueness.get.scope.contains("global"))
+    assert(qc.freshness.get.maxDelay == "1h")
+    assert(qc.customChecks.head.severity.contains("warning"))
+    assert(qc.mlChecks.get.classBalance.get.maxProportion == 0.9)
+    assert(qc.mlChecks.get.featureDrift.get.numBins.contains(5))
+    assert(c.sla.get.availability.contains(0.999))
+  }
+
+  test("JSON is parsed too (YAML superset)") {
+    val json = """{"version":"1","name":"n","owner":"o",
+      "schema":{"format":"parquet","location":"l",
+        "fields":[{"name":"a","type":"int64","nullable":false}]}}"""
+    val c = ContractParser.parse(json)
+    assert(c.schema.fields == Seq(Field("a", "int64", nullable = false)))
+  }
+
+  test("missing required key fails") {
+    intercept[IllegalArgumentException](ContractParser.parse("version: '1'\nname: x\n"))
+  }
+
+  test("init → toYaml → parse roundtrip") {
+    val df = spark.read.parquet(sf("orders"))
+    val c = ContractInit.fromTable(df, "orders", "me")
+    val c2 = ContractParser.parse(ContractInit.toYaml(c))
+    assert(c2.schema.fields.map(f => (f.name, f.dataType)) ==
+      c.schema.fields.map(f => (f.name, f.dataType)))
+  }
+
+  test("type grammar both directions") {
+    assert(ContractTypes.toSpark("string") == StringType)
+    assert(ContractTypes.toSpark("int64") == LongType)
+    assert(ContractTypes.toSpark("decimal(10,2)") == DecimalType(10, 2))
+    assert(ContractTypes.toSpark("list<float32>") == ArrayType(FloatType))
+    assert(ContractTypes.toSpark("map<string,int32>") == MapType(StringType, IntegerType))
+    assert(ContractTypes.toSpark("map<string,list<double>>") ==
+      MapType(StringType, ArrayType(DoubleType)))
+    assert(ContractTypes.fromSpark(ArrayType(FloatType)) == "list<float32>")
+    intercept[IllegalArgumentException](ContractTypes.toSpark("wat"))
+  }
+
+  test("schema drift detection") {
+    val contract = Contract(version = "1", name = "t", owner = "o",
+      schema = ContractSchema("parquet", "", Seq(
+        Field("a", "int64"), Field("b", "string"), Field("gone", "int32"))))
+    val live = StructType(Seq(
+      StructField("a", LongType), StructField("b", IntegerType),
+      StructField("extra", StringType)))
+    val drifts = SchemaDrift.diff(contract, live)
+    assert(drifts.contains(SchemaDrift.MissingField("gone")))
+    assert(drifts.contains(SchemaDrift.ExtraField("extra")))
+    assert(drifts.exists { case SchemaDrift.TypeMismatch("b", _, _) => true; case _ => false })
+  }
+
+  test("duration grammar") {
+    assert(Durations.parseSeconds("90s") == 90)
+    assert(Durations.parseSeconds("30m") == 1800)
+    assert(Durations.parseSeconds("2h") == 7200)
+    assert(Durations.parseSeconds("1d") == 86400)
+    intercept[IllegalArgumentException](Durations.parseSeconds("5y"))
+  }
+}

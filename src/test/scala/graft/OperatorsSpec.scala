@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with exact dups, near dups (one word changed), and distinct docs
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "The  quick brown fox jumps over the lazy dog near the river bank today"), // normalized dup of 0
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup of 0
+    (4L, "completely different content about spark catalyst optimizer and query plans"),
+    (5L, "yet another unrelated document with its own words entirely separate here"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups + drop") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("dup_count") == 3)
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("jaccard pairs find the near-dup with high similarity") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccardBp = 3000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("jacc_bp"))).toSeq
+    // exact dups 0-1 at 10000 bp; near-dup pairs (x,3) high but < 10000
+    assert(pairs.exists { case (a, b, bp) => a == 0 && b == 1 && bp == 10000 })
+    assert(pairs.exists { case (a, b, bp) => a == 0 && b == 3 && bp > 3000 && bp < 10000 })
+    assert(!pairs.exists { case (a, b, _) => b == 4 || b == 5 })
+  }
+
+  test("minhash+LSH finds the same pairs as exact jaccard on this corpus") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccardBp = 3000)
+      .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", n = 3,
+      numPerm = 128, numBands = 32, minJaccardBp = 3000)
+      .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
+    assert(lsh == exact) // verification removes FPs; recall ~1 at J>=0.3 with 32x4 bands
+  }
+
+  test("simhash finds near-dups and exact dups") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSeq
+    assert(pairs.exists { case (a, b, h) => a == 0 && b == 1 && h == 0 })
+    assert(pairs.exists { case (a, b, h) => a == 0 && b == 3 && h <= 12 })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(4L, 5L) })
+  }
+
+  lazy val vecs = {
+    // 3 clusters of near-identical vectors + noise vectors
+    def v(base: Seq[Double], eps: Double) = base.map(x => (x + eps).toFloat)
+    val b1 = Seq(1.0, 0.0, 0.0, 0.5); val b2 = Seq(0.0, 1.0, 0.0, -0.5); val b3 = Seq(0.3, 0.3, 0.9, 0.0)
+    Seq(
+      (0L, v(b1, 0)), (1L, v(b1, 0.01)), (2L, v(b1, 0.02)),
+      (3L, v(b2, 0)), (4L, v(b2, 0.01)),
+      (5L, v(b3, 0)), (6L, v(b3, 0.015)),
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup pairs, exact and LSH-bucketed agree on near-identical pairs") {
+    val exact = Dedup.embeddingPairs(vecs, "vec_id", "embedding", minCosine = 0.999, exact = true)
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    assert(exact.contains(Seq(0L, 1L)) && exact.contains(Seq(3L, 4L)) && exact.contains(Seq(5L, 6L)))
+    val lsh = Dedup.embeddingPairs(vecs, "vec_id", "embedding", minCosine = 0.999,
+      exact = false, numPlanes = 4, dim = 4)
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    // identical-direction vectors always share every hyperplane side
+    assert(lsh == exact)
+  }
+
+  test("brute-force ANN returns correct ranked neighbors") {
+    val res = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("n_id"))).toSeq.sortBy(_._1)
+    assert(res.map(_._2).take(2) == Seq(1L, 2L)) // same-cluster first
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val probes = emb.filter($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    val approx = Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 5, numPlanes = 2)
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // 2 planes ≈ 1/4 of corpus per bucket
+  }
+
+  test("language id picks marker-matched language") {
+    val df = Seq(
+      ("the cat and the dog of a house is here", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("le chien et la maison est la", "fr"),
+      ("el perro y los gatos es aqui", "es"),
+      ("xyzzy qwerty asdf", "und"),
+    ).toDF("text", "expected")
+    val got = df.withColumn("p", TextAnalysis.langId($"text"))
+      .filter($"p" === $"expected").count()
+    assert(got == 5)
+  }
+
+  test("token counts and fingerprints") {
+    val df = Seq((1L, "one two  three"), (2L, "a-b c3 d!")).toDF("id", "text")
+    val t = TextAnalysis.tokenCounts(df, "text").collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("ws_tokens"), r.getAs[Long]("re_tokens")))).toMap
+    assert(t(1L) == (4L, 3L)) // double space makes 4 ws tokens; regex sees 3 words
+    assert(t(2L) == (3L, 7L)) // a,-,b,c,3,d,!
+    val fp = TextAnalysis.fingerprints(Seq((1L, "A  b"), (2L, "a b")).toDF("id", "text"), "text")
+      .select("fp_norm").distinct().count()
+    assert(fp == 1) // normalization collapses case + whitespace
+  }
+
+  test("quality features flag degenerate docs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and runs away home"),
+      (2L, "x"), // too short
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbcccccc ddd eee fff"), // huge words
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("quality_ok")).toMap
+    assert(q(1L) && !q(2L) && !q(3L))
+  }
+
+  test("multimodal: expression path and batch-decode path agree") {
+    val df = spark.read.parquet(sf("documents")).limit(50)
+      .withColumn("payload", $"text".cast("binary"))
+    val a = Multimodal.withMeta(df, "payload")
+      .select($"doc_id", $"meta.byte_len", $"meta.content_sha", $"meta.width",
+        $"meta.height", $"meta.n_frames")
+      .collect().map(_.toSeq).toSet
+    val b = Multimodal.decodeBatches(df, "payload", batchSize = 16)
+      .select($"doc_id", $"meta.byte_len", $"meta.content_sha", $"meta.width",
+        $"meta.height", $"meta.n_frames")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 50)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.contracts._
+import graft.sources.TableSources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv + json read with contract-declared schema") {
+    val tmp = Files.createTempDirectory("graft-sources").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    df.write.option("header", "true").csv(s"$tmp/csv")
+    df.write.json(s"$tmp/json")
+
+    def contract(fmt: String, loc: String) = Contract(
+      version = "1", name = "src", owner = "o",
+      schema = ContractSchema(fmt, loc, Seq(
+        Field("id", "int64", nullable = false),
+        Field("name", "string"),
+        Field("score", "float64"))))
+
+    val csv = TableSources.read(spark, contract("csv", s"$tmp/csv"))
+    assert(csv.schema.map(_.dataType.simpleString) == Seq("bigint", "string", "double"))
+    assert(csv.count() == 2)
+
+    val json = TableSources.read(spark, contract("json", s"$tmp/json"))
+    assert(json.count() == 2)
+    assert(json.select("score").as[Double].collect().sorted.toSeq == Seq(1.5, 2.5))
+
+    // catalog path: register a temp view, read through format "table"
+    df.createOrReplaceTempView("src_view")
+    val viaCatalog = TableSources.read(spark, contract("table", "src_view"))
+    assert(viaCatalog.count() == 2)
+
+    intercept[IllegalArgumentException](
+      TableSources.read(spark, contract("avro", s"$tmp/csv")))
+  }
+
+  test("select projects to declared fields only") {
+    val df = Seq((1L, "x", true)).toDF("a", "b", "undeclared")
+    val c = Contract(version = "1", name = "p", owner = "o",
+      schema = ContractSchema("parquet", "", Seq(Field("a", "int64"), Field("b", "string"))))
+    assert(TableSources.select(df, c).columns.toSeq == Seq("a", "b"))
+  }
+}

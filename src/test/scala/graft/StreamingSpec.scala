@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.contracts._
+import graft.streaming.StreamMonitor
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val contract: Contract = Contract(
+    version = "1", name = "stream_demo", owner = "o",
+    schema = ContractSchema("parquet", "", Seq(
+      Field("id", "int64", nullable = false),
+      Field("status", "string", constraints = Seq(
+        Constraint.AllowedValues(Seq("ok", "warn")))),
+    )),
+    qualityChecks = Some(QualityChecks(
+      completeness = Some(CompletenessCheck(0.9, Seq("status"))))),
+  )
+
+  test("windowed quality metrics over a real stream (MemoryStream)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("id", "status", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val metrics = StreamMonitor.qualityMetrics(stream, contract, "ts",
+      windowDuration = "10 minutes", watermarkDelay = "0 seconds")
+    val query = StreamMonitor.startMemorySink(metrics, "qm")
+    try {
+      mem.addData(
+        (1L, "ok", "2024-01-01 10:01:00"),
+        (2L, null, "2024-01-01 10:02:00"),
+        (3L, "BAD", "2024-01-01 10:03:00"))
+      query.processAllAvailable()
+      // advance watermark past the first window so it closes (append mode)
+      mem.addData((4L, "ok", "2024-01-01 10:31:00"))
+      query.processAllAvailable()
+
+      val out = spark.table("qm").collect()
+      assert(out.length == 1, out.mkString(";"))
+      val r = out.head
+      assert(r.getAs[Long]("rows") == 3)
+      assert(r.getAs[Long]("nulls_status") == 1)
+      assert(r.getAs[Long]("violations_status_0") == 1)
+    } finally query.stop()
+  }
+
+  test("same metrics work on a batch frame (backfill path)") {
+    val df = Seq(
+      (1L, "ok", "2024-01-01 10:01:00"), (2L, "nope", "2024-01-01 10:02:00"))
+      .toDF("id", "status", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = StreamMonitor.qualityMetrics(df, contract, "ts", "10 minutes", "0 seconds")
+      .collect().head
+    assert(out.getAs[Long]("rows") == 2 && out.getAs[Long]("violations_status_0") == 1)
+  }
+
+  test("per-key freshness state tracks the latest event per key") {
+    val df = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:00:00"),
+      ("b", "2024-01-01 09:00:00"))
+      .toDF("k", "ts_s").withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = StreamMonitor.keyFreshness(df, "k", "ts", maxDelayMs = 3600000)
+      .collect().map(kf => kf.key -> kf.lastSeenMs).toMap
+    assert(out("a") == java.time.Instant.parse("2024-01-01T11:00:00Z").toEpochMilli)
+    assert(out("b") == java.time.Instant.parse("2024-01-01T09:00:00Z").toEpochMilli)
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+
+import graft.contracts._
+import graft.validators.{CheckResult, ContractValidator, MlValidators}
+
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def results(df: org.apache.spark.sql.DataFrame): Map[(String, String), CheckResult] =
+    df.as[CheckResult].collect().map(r => (r.check, r.field) -> r).toMap
+
+  val contract: Contract = Contract(
+    version = "1", name = "t_demo", owner = "o",
+    schema = ContractSchema("parquet", "", Seq(
+      Field("id", "int64", nullable = false),
+      Field("status", "string", constraints = Seq(
+        Constraint.AllowedValues(Seq("on", "off")))),
+      Field("score", "float64", constraints = Seq(Constraint.Range(0, 100))),
+      Field("code", "string", constraints = Seq(Constraint.Pattern("^[A-Z]{3}$"))),
+      Field("ts", "timestamp"),
+    )),
+    qualityChecks = Some(QualityChecks(
+      completeness = Some(CompletenessCheck(0.8, Seq("status"))),
+      uniqueness = Some(UniquenessCheck(Seq("id"))),
+      freshness = Some(FreshnessCheck("1h", "ts")),
+      customChecks = Seq(CustomCheck("never_neg",
+        "SELECT count(*) = 0 FROM t_demo WHERE score < -1000")),
+    )),
+  )
+
+  def mkDf(rows: Seq[(java.lang.Long, String, java.lang.Double, String, String)]) =
+    rows.toDF("id", "status", "score", "code", "ts_s")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts_s")).drop("ts_s")
+
+  test("all checks pass on clean data") {
+    val df = mkDf(Seq(
+      (1L, "on", 50.0, "ABC", "2024-01-01 10:00:00"),
+      (2L, "off", 99.0, "XYZ", "2024-01-01 10:30:00")))
+    val asOf = Timestamp.valueOf("2024-01-01 11:00:00")
+    val r = results(new ContractValidator(Some(asOf)).validate(df, contract))
+    assert(r.values.forall(_.passed), r.values.filterNot(_.passed))
+    assert(r(("uniqueness", "id")).metric == 0d)
+    assert(r(("freshness", "ts")).metric == 1800d)
+  }
+
+  test("each violation type is caught with the right metric") {
+    val df = mkDf(Seq(
+      (1L, "on", 50.0, "ABC", "2024-01-01 10:00:00"),
+      (1L, "BAD", 150.0, "nope", "2024-01-01 10:00:00"), // dup id, bad everything
+      (2L, null, -5.0, "ABC", "2023-12-25 00:00:00"),
+      (3L, null, null, null, null),
+      (4L, null, null, null, null),
+    ))
+    val asOf = Timestamp.valueOf("2024-01-01 12:00:00")
+    val r = results(new ContractValidator(Some(asOf)).validate(df, contract))
+    assert(r(("allowed_values", "status")).metric == 1d && !r(("allowed_values", "status")).passed)
+    assert(r(("range", "score")).metric == 2d && !r(("range", "score")).passed)
+    assert(r(("pattern", "code")).metric == 1d && !r(("pattern", "code")).passed)
+    // completeness: 2 of 5 non-null < 0.8
+    assert(!r(("completeness", "status")).passed && r(("completeness", "status")).metric == 0.4)
+    assert(r(("uniqueness", "id")).metric == 1d && !r(("uniqueness", "id")).passed)
+    // freshness: max ts 10:00, asOf 12:00 → 7200s > 1h
+    assert(!r(("freshness", "ts")).passed && r(("freshness", "ts")).metric == 7200d)
+    assert(r(("custom:never_neg", "")).passed)
+    // nullability of non-nullable id: zero nulls → passes
+    assert(r(("nullability", "id")).passed)
+  }
+
+  test("missing + mistyped fields fail the schema check") {
+    val df = Seq((1L, 2L)).toDF("id", "status") // status wrong type, others missing
+    val r = results(new ContractValidator().validate(df, contract))
+    assert(r(("schema", "id")).passed)
+    assert(!r(("schema", "status")).passed)
+    assert(!r(("schema", "score")).passed && !r(("schema", "code")).passed)
+  }
+
+  test("per_day uniqueness scopes duplicates to calendar days") {
+    val df = Seq(
+      (1L, "2024-01-01 01:00:00"), (1L, "2024-01-01 02:00:00"), // same-day dup
+      (1L, "2024-01-02 01:00:00"), // different day: not a dup
+    ).toDF("id", "d")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"d")).drop("d")
+    val c = Contract(version = "1", name = "pday", owner = "o",
+      schema = ContractSchema("parquet", "", Seq(Field("id", "int64"))),
+      qualityChecks = Some(QualityChecks(uniqueness =
+        Some(UniquenessCheck(Seq("id"), Some("per_day"), Some("ts"))))))
+    val r = results(new ContractValidator().validate(df, c))
+    assert(r(("uniqueness", "id")).metric == 1d)
+  }
+
+  test("ml checks: overlap, temporal, balance, drift, leakage, null spread") {
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val split = if (i % 2 == 0) "train" else "test"
+      // value distribution shifts between splits → drift
+      val v = if (split == "train") i.toDouble % 50 else 50.0 + i % 50
+      val label = if (i % 10 == 0) "rare" else "common"
+      val ts = f"2024-01-${if (split == "train") 10 else 20}%02d 00:00:00"
+      val maybeNull: java.lang.Double = if (split == "test" && i % 3 == 0) null else v
+      (i.toLong % 79, split, v, v * 2 + 1, label, ts, maybeNull)
+    }
+    val df = rows.toDF("key", "split", "value", "leaky", "label", "ts_s", "holey")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts_s")).drop("ts_s")
+
+    val overlap = results(MlValidators.noOverlap(df, NoOverlapCheck("split", Seq("key"))))
+    assert(!overlap.values.head.passed && overlap.values.head.metric > 0)
+
+    val temporal = results(MlValidators.temporalSplit(df,
+      TemporalSplitCheck("split", "ts", "train", "test")))
+    assert(temporal(("ml_temporal_split", "train->test")).passed)
+
+    val balance = results(MlValidators.classBalance(df, ClassBalanceCheck("label", 0.5, Some(0.05))))
+    assert(!balance(("ml_class_balance", "common")).passed) // 90% > 50%
+    assert(balance(("ml_class_balance", "rare")).passed)    // 10% within [5%, 50%]
+
+    val drift = results(MlValidators.featureDrift(df,
+      FeatureDriftCheck("split", "train", "test", Seq("value"), Some(5), Some(0.2))))
+    assert(!drift(("ml_feature_drift", "value")).passed, drift)
+
+    val noDrift = results(MlValidators.featureDrift(df,
+      FeatureDriftCheck("split", "train", "test", Seq("key"), Some(5), Some(0.2))))
+    assert(noDrift(("ml_feature_drift", "key")).passed, noDrift)
+
+    val leak = results(MlValidators.targetLeakage(df,
+      TargetLeakageCheck("value", Seq("leaky", "key"), Some(0.95))))
+    assert(!leak(("ml_target_leakage", "leaky")).passed) // perfectly correlated
+    assert(leak(("ml_target_leakage", "key")).passed)
+
+    val nullSpread = results(MlValidators.nullRateByGroup(df,
+      NullRateByGroupCheck("split", Seq("holey"), Some(0.1))))
+    assert(!nullSpread(("ml_null_rate_by_group", "holey")).passed) // ~33% vs 0%
+  }
+}
