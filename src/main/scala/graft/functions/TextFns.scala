@@ -41,13 +41,29 @@ object TextFns {
         i => concat_ws(" ", slice(ws, i, lit(n)))))
   }
 
-  /** MinHash signature: for each of `numPerm` hash families, the min of
-    * `xxhash64(shingle, familyIdx)` over the shingle set. One nested
-    * higher-order expression, fully codegen'd, no shuffle.
-    * (Broder's minwise hashing; family = seed mixing via xxhash64.) */
-  def minhashSignature(shingles: Column, numPerm: Int): Column =
+  /** Base hashes for minhashing: one xxhash64 per shingle, folded into
+    * [0, 2^31-1). Materialize as its own column (`withColumn`) before
+    * [[minhashSignature]] so each shingle is hashed exactly once. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature from pre-materialized shingle hashes: `numPerm`
+    * affine permutations h → (a·h + b) mod p over the Mersenne prime
+    * (Broder's minwise family). Each permutation is two ALU ops per
+    * shingle — the expensive string hashing happened once in
+    * [[shingleHashes]]. Coefficients derive from a seeded RNG, so the
+    * family is fixed across executors and runs. */
+  def minhashSignature(hashes: Column, numPerm: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    def next(bound: Long): Long = math.floorMod(rnd.nextLong(), bound)
+    val as = typedlit(Seq.fill(numPerm)(1L + next(MersennePrime - 1)))
+    val bs = typedlit(Seq.fill(numPerm)(next(MersennePrime)))
     transform(sequence(lit(0), lit(numPerm - 1)), p =>
-      array_min(transform(shingles, s => xxhash64(s, p))))
+      array_min(transform(hashes, h =>
+        pmod(h * element_at(as, p + 1) + element_at(bs, p + 1), lit(MersennePrime)))))
+  }
 
   /** LSH band hashes of a minhash signature: `numBands` hashes, each
     * over `rowsPerBand` consecutive signature slots. */
@@ -55,16 +71,19 @@ object TextFns {
     transform(sequence(lit(0), lit(numBands - 1)), b =>
       xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
-  /** 64 SimHash bit-weights over the word multiset: weight j is
-    * Σ_words ±1 where the sign is the parity of `xxhash64(word, j)` —
-    * an independent random bit per (word, bit), the classic Charikar
-    * construction. Materialize this once (`withColumn`) and feed it to
-    * [[packSimhash]] so the array is computed a single time per row. */
-  def simhashWeights(text: Column): Column = {
-    val ws = words(text)
-    transform(sequence(lit(0), lit(63)), j =>
-      aggregate(ws, lit(0L), (acc, w) => acc + pmod(xxhash64(w, j), lit(2L)) * 2L - 1L))
-  }
+  /** One xxhash64 per word — materialize as its own column before
+    * [[simhashWeights]] so each word is hashed exactly once. */
+  def wordHashes(text: Column): Column = transform(words(text), w => xxhash64(w))
+
+  /** 64 SimHash bit-weights from pre-materialized word hashes: weight j
+    * is Σ_words (2·bit_j(h_word) − 1) — the classic Charikar
+    * construction, two ALU ops per (word, bit), no re-hashing. Bit
+    * extraction uses constant shift amounts (one aggregate per bit). */
+  def simhashWeights(hashes: Column): Column =
+    array((0 until 64).map { j =>
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + pmod(shiftrightunsigned(h, j), lit(2L)) * 2L - 1L)
+    }: _*)
 
   /** Packs 64 bit-weights into one BIGINT simhash (bit j set iff
     * weight j > 0; MSB = weight 0). */

@@ -4,50 +4,59 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Column-level vector math over `array<float>` / `array<double>`
-  * embedding columns. Pure Catalyst higher-order functions — codegen'd,
-  * no UDFs, distributable.
+  * embedding columns — no UDFs, distributable, reproducible.
   *
-  * All arithmetic is done in DOUBLE with a sequential left fold so
-  * results are reproducible across partitionings (the fold happens
-  * per-row, not across rows).
+  * The dot product is a custom codegen'd Catalyst expression
+  * ([[ArrayDotProduct]]): a tight primitive loop in whole-stage codegen.
+  * All arithmetic is DOUBLE with a sequential left fold, so results are
+  * bit-identical across partitionings and match DuckDB's
+  * `list_dot_product` over `DOUBLE[]` (the oracle).
   */
 object VectorFns {
 
-  /** Cast any numeric array to array<double>. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Dot product in double precision (codegen'd). */
+  def dot(a: Column, b: Column): Column = ArrayDotProduct.dot(a, b)
 
-  /** Dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
-
-  /** Squared L2 norm. */
+  /** Squared L2 norm. Precompute this once per vector (withColumn) and
+    * use [[cosineFromNorms]] in pair joins — recomputing norms per pair
+    * triples the flops of the hot loop. */
   def normSq(v: Column): Column = dot(v, v)
 
-  /** Cosine similarity; null-safe (0 vectors → null). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = sqrt(normSq(a) * normSq(b))
-    when(n > 0d, d / n)
+  /** Cosine similarity; null-safe (zero vectors → null). */
+  def cosine(a: Column, b: Column): Column = cosineFromNorms(a, b, normSq(a), normSq(b))
+
+  /** Cosine from precomputed squared norms — the pair-join hot path. */
+  def cosineFromNorms(a: Column, b: Column, nsqA: Column, nsqB: Column): Column = {
+    val n = sqrt(nsqA * nsqB)
+    when(n > 0d, dot(a, b) / n)
   }
 
   /** Euclidean distance. */
-  def l2(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0d), (acc, x) => acc + x))
+  def l2(a: Column, b: Column): Column = {
+    val d = transform(a, x => x.cast("double"))
+    val e = transform(b, x => x.cast("double"))
+    sqrt(aggregate(zip_with(d, e, (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x))
+  }
 
-  /** Random-hyperplane LSH bucket id for cosine similarity: sign bits of
-    * `numPlanes` pseudo-random hyperplanes packed into a BIGINT. Planes
-    * are derived deterministically from `xxhash64(planeIdx, dimIdx)`
-    * mapped to [-0.5, 0.5), so every executor materializes the same
-    * family without shipping plane matrices.
+  /** Random-hyperplane LSH bucket for cosine similarity: the sign bits
+    * of `numPlanes` fixed Gaussian hyperplanes packed into a BIGINT.
+    *
+    * Planes are generated driver-side from a seeded RNG and shipped as
+    * literal arrays — each bucket assignment is `numPlanes` codegen'd
+    * dot products, no per-element hashing. Deterministic across runs
+    * and executors for a given (numPlanes, dim, seed).
     */
-  def rhpBucket(v: Column, numPlanes: Int, dim: Int, seed: Int = 42): Column = {
-    val vd = asDouble(v)
-    val planeDots = transform(sequence(lit(0), lit(numPlanes - 1)), p =>
-      aggregate(sequence(lit(0), lit(dim - 1)), lit(0d), (acc, d) =>
-        acc + element_at(vd, d + 1) *
-          ((pmod(xxhash64(p, d, lit(seed)), lit(1000000L)).cast("double") / 1000000d) - 0.5d)))
-    aggregate(sequence(lit(0), lit(numPlanes - 1)), lit(0L), (acc, p) =>
-      acc * 2L + when(element_at(planeDots, p + 1) >= 0d, 1L).otherwise(0L))
+  def rhpBucket(v: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val vd = transform(v, x => x.cast("double"))
+    planes(numPlanes, dim, seed).foldLeft(lit(0L)) { (acc, plane) =>
+      shiftleft(acc, 1).bitwiseOR(
+        when(dot(vd, typedlit(plane)) >= 0d, 1L).otherwise(0L))
+    }
+  }
+
+  /** The fixed Gaussian hyperplane family backing [[rhpBucket]]. */
+  def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 }

@@ -9,30 +9,33 @@ import graft.functions.VectorFns
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k with the probe set broadcast —
-  * the right plan whenever |probes| is small (the corpus is scanned
-  * once, no shuffle of the corpus, per-partition top-k via the
-  * window's partial sort).
+  * the right plan whenever |probes| is small: the corpus is scanned
+  * once, no corpus shuffle, squared norms computed once per row, and
+  * the per-(probe, vector) work is a single codegen'd dot product.
   *
-  * Scale path: random-hyperplane LSH buckets; probes only compare
-  * against corpus vectors in the same bucket — turns the O(Q·N) scan
-  * into an equi-join with ~N/2^p candidates per probe. Recall measured
-  * in the test suite; raise `numPlanes` for selectivity, lower for
-  * recall.
+  * Scale path: random-hyperplane LSH buckets (fixed Gaussian planes as
+  * literals, see [[VectorFns.rhpBucket]]); probes only meet corpus
+  * vectors in their bucket — an equi-join with ~N/2^p candidates per
+  * probe instead of N. Recall is measured in the test suite; raise
+  * `numPlanes` for selectivity, lower it for recall.
   */
 object Ann {
 
   /** Exact top-k neighbors for each probe. Output:
-    * (query_id, rank, neighbor_id, cosine). Ties broken by neighbor id
-    * so results are totally ordered and reproducible. */
+    * (q_id, rank, n_id, cosine). Ties broken by neighbor id so results
+    * are totally ordered and reproducible. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      includeSelf: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_nsq", VectorFns.normSq(col("n_vec")))
     val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nsq", VectorFns.normSq(col("q_vec")))
     val scored = c.crossJoin(broadcast(p))
       .filter(if (includeSelf) lit(true) else col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        VectorFns.cosine(col("q_vec"), col("n_vec")).as("cosine"))
+        VectorFns.cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nsq"), col("n_nsq")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -45,13 +48,16 @@ object Ann {
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_nsq", VectorFns.normSq(col("n_vec")))
       .withColumn("bucket", VectorFns.rhpBucket(col("n_vec"), numPlanes, dim))
     val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nsq", VectorFns.normSq(col("q_vec")))
       .withColumn("bucket", VectorFns.rhpBucket(col("q_vec"), numPlanes, dim))
     val scored = c.join(broadcast(p), "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        VectorFns.cosine(col("q_vec"), col("n_vec")).as("cosine"))
+        VectorFns.cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nsq"), col("n_nsq")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

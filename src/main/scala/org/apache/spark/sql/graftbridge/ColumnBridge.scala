@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridges graft's custom Catalyst expressions into the public Column
+  * API (Spark 4 hides Expression↔Column conversion behind
+  * `private[sql]`; this shim lives in the sql package tree to reach it —
+  * the standard pattern for out-of-tree Catalyst extensions).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
