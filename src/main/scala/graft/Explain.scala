@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit helper: prints the formatted physical plan of selected
+  * driver queries so scan pruning / broadcast / codegen spans can be
+  * inspected (SURVEY §4 discipline). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val names = if (args.nonEmpty) args(0).split(",").toSeq else Seq("q_contract_report")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

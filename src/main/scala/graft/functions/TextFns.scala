@@ -24,9 +24,11 @@ object TextFns {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Occurrences of `needle` in `text` (non-overlapping, exact). */
+  /** Occurrences of `needle` in `text` (non-overlapping, exact).
+    * Literal `replace`, not regex — this runs once per marker word per
+    * document in language ID. */
   def occurrences(text: Column, needle: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
+    ((length(text) - length(call_function("replace", text, lit(needle), lit("")))) /
       needle.length).cast("long")
 
   /** Array of the words of `text` (split on single spaces). */

@@ -249,6 +249,31 @@ object PipelineQueries {
              CAST(length(text) // 1000 + 1 AS BIGINT) AS n_frames
       FROM documents WHERE doc_id < 10 ORDER BY doc_id"""))
 
+  // 19 (sources): contract-driven read + declared-field projection
+  val qSourceContractRead = QueryDef("q_source_contract_read",
+    (s, dir) => {
+      import graft.contracts._
+      val contract = Contract(version = "1", name = "documents", owner = "graft",
+        schema = ContractSchema("parquet", s"$dir/documents.parquet", Seq(
+          Field("doc_id", "int64", nullable = false),
+          Field("lang", "string"),
+          Field("n_chars", "int64"))))
+      val df = graft.sources.TableSources.select(
+        graft.sources.TableSources.read(s, contract), contract)
+      df.groupBy("lang").agg(
+        count(lit(1)).cast(LongType).as("docs"),
+        min("doc_id").cast(LongType).as("min_doc"),
+        max("doc_id").cast(LongType).as("max_doc"),
+        sum("n_chars").cast(LongType).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             CAST(min(doc_id) AS BIGINT) AS min_doc,
+             CAST(max(doc_id) AS BIGINT) AS max_doc,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   private lazy val langidOracle: String = {
     // replicate TextAnalysis.langId: per-lang marker-word occurrence sums,
     // argmax with profile-order tie-break, 'und' when all zero.
@@ -279,6 +304,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
-    qMultimodalMeta,
+    qMultimodalMeta, qSourceContractRead,
   )
 }
