@@ -22,19 +22,31 @@ object ContractParser {
     parseContract(root)
   }
 
-  def parseFile(path: String): Contract =
-    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+  /** TOML contracts (reference: parse_toml, contract.toml fixtures). */
+  def parseToml(content: String): Contract =
+    parseContract(TomlParser.parse(content))
 
-  // ---- traversal helpers over snakeyaml's java structures ----
+  /** Dispatches on extension like the reference's detect_format
+    * (contracts_parser/src/lib.rs:144): .toml → TOML, else YAML/JSON. */
+  def parseFile(path: String): Contract = {
+    val content =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    if (path.toLowerCase.endsWith(".toml")) parseToml(content) else parse(content)
+  }
+
+  // ---- traversal helpers over snakeyaml's java structures (YAML) and
+  //      plain Scala collections (TOML) ----
 
   private type M = Map[String, Any]
 
   private def asMap(v: Any, what: String): M = v match {
     case m: ju.Map[_, _] => m.asScala.map { case (k, x) => (String.valueOf(k), x: Any) }.toMap
+    case m: Map[_, _] => m.map { case (k, x) => (String.valueOf(k), x: Any) }
     case other => throw new IllegalArgumentException(s"$what: expected mapping, got $other")
   }
   private def asList(v: Any, what: String): Seq[Any] = v match {
     case l: ju.List[_] => l.asScala.toSeq.map(x => x: Any)
+    case l: Seq[_] => l.map(x => x: Any)
     case other => throw new IllegalArgumentException(s"$what: expected list, got $other")
   }
   private def str(m: M, k: String): String = m.get(k) match {

@@ -1,0 +1,133 @@
+package graft.contracts
+
+import scala.collection.mutable
+
+/** Minimal TOML subset parser — enough for contract documents
+  * (reference: crates/contracts_parser/src/lib.rs:123 parse_toml and
+  * the contract.toml fixtures): top-level key/values, `[table.path]`,
+  * `[[array.of.tables]]`, basic strings, ints, floats, booleans,
+  * single-line arrays, comments. Produces the same nested
+  * Map[String, Any] shape the YAML path produces, so both feed one
+  * contract builder.
+  *
+  * Not a general TOML implementation (no multiline strings, dates, or
+  * inline tables) — contracts don't use them.
+  */
+object TomlParser {
+
+  def parse(content: String): Map[String, Any] = {
+    val root = mutable.LinkedHashMap.empty[String, Any]
+    // current insertion target (a table or the newest array-of-tables row)
+    var current: mutable.LinkedHashMap[String, Any] = root
+
+    content.linesIterator.zipWithIndex.foreach { case (rawLine, ln) =>
+      val line = stripComment(rawLine).trim
+      if (line.nonEmpty) {
+        if (line.startsWith("[[") && line.endsWith("]]")) {
+          val path = line.substring(2, line.length - 2).trim.split('.').toSeq
+          current = appendTableArray(root, path, ln)
+        } else if (line.startsWith("[") && line.endsWith("]")) {
+          val path = line.substring(1, line.length - 1).trim.split('.').toSeq
+          current = descend(root, path, ln)
+        } else {
+          val eq = line.indexOf('=')
+          require(eq > 0, s"TOML line ${ln + 1}: expected key = value, got '$line'")
+          val key = unquoteKey(line.substring(0, eq).trim)
+          current(key) = parseValue(line.substring(eq + 1).trim, ln)
+        }
+      }
+    }
+    deepImmutable(root)
+  }
+
+  private def stripComment(line: String): String = {
+    // drop a # that is not inside a quoted string
+    var inStr = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"' && (i == 0 || line.charAt(i - 1) != '\\')) inStr = !inStr
+      else if (c == '#' && !inStr) return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  private def descend(root: mutable.LinkedHashMap[String, Any], path: Seq[String],
+                      ln: Int): mutable.LinkedHashMap[String, Any] =
+    path.foldLeft(root) { (m, k) =>
+      m.getOrElseUpdate(k, mutable.LinkedHashMap.empty[String, Any]) match {
+        case t: mutable.LinkedHashMap[_, _] =>
+          t.asInstanceOf[mutable.LinkedHashMap[String, Any]]
+        case buf: mutable.ArrayBuffer[_] => // [[x]] then [x.y]: descend into last row
+          buf.asInstanceOf[mutable.ArrayBuffer[Any]].last
+            .asInstanceOf[mutable.LinkedHashMap[String, Any]]
+        case other =>
+          throw new IllegalArgumentException(
+            s"TOML line ${ln + 1}: '$k' is a value, not a table ($other)")
+      }
+    }
+
+  private def appendTableArray(root: mutable.LinkedHashMap[String, Any], path: Seq[String],
+                               ln: Int): mutable.LinkedHashMap[String, Any] = {
+    val parent = descend(root, path.init, ln)
+    val buf = parent.getOrElseUpdate(path.last, mutable.ArrayBuffer.empty[Any]) match {
+      case b: mutable.ArrayBuffer[_] => b.asInstanceOf[mutable.ArrayBuffer[Any]]
+      case other => throw new IllegalArgumentException(
+        s"TOML line ${ln + 1}: '${path.last}' is not an array of tables ($other)")
+    }
+    val row = mutable.LinkedHashMap.empty[String, Any]
+    buf += row
+    row
+  }
+
+  private def unquoteKey(k: String): String =
+    if (k.length >= 2 && k.startsWith("\"") && k.endsWith("\"")) k.substring(1, k.length - 1)
+    else k
+
+  private[contracts] def parseValue(v: String, ln: Int): Any = v match {
+    case s if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
+      s.substring(1, s.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+        .replace("\\n", "\n").replace("\\t", "\t")
+    case s if s.startsWith("[") && s.endsWith("]") =>
+      splitTopLevel(s.substring(1, s.length - 1)).map(x => parseValue(x.trim, ln))
+    case "true"  => true
+    case "false" => false
+    case s if s.matches("[+-]?[0-9_]+") => s.replace("_", "").toLong
+    case s if s.matches("""[+-]?[0-9_]*\.?[0-9_]+([eE][+-]?[0-9]+)?""") =>
+      s.replace("_", "").toDouble
+    case other =>
+      throw new IllegalArgumentException(s"TOML line ${ln + 1}: unsupported value '$other'")
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) inStr = !inStr
+      else if (!inStr) c match {
+        case '[' => depth += 1
+        case ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (s.substring(start).trim.nonEmpty) out += s.substring(start)
+    out.toSeq
+  }
+
+  private def deepImmutable(v: Any): Map[String, Any] =
+    deepConv(v).asInstanceOf[Map[String, Any]]
+
+  private def deepConv(v: Any): Any = v match {
+    case m: mutable.LinkedHashMap[_, _] =>
+      m.map { case (k, x) => String.valueOf(k) -> deepConv(x) }.toMap
+    case b: mutable.ArrayBuffer[_] => b.map(deepConv).toSeq
+    case s: Seq[_] => s.map(deepConv)
+    case other => other
+  }
+}

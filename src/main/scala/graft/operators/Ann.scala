@@ -42,6 +42,61 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `numCells` Voronoi cells around sampled centroids; each probe
+    * searches only its `nprobe` nearest cells.
+    *
+    * Centroids are a deterministic id-ordered sample collected to the
+    * driver (numCells × dim doubles — a sketch, not data) and shipped
+    * back as literals, so cell assignment is `numCells` codegen'd dot
+    * products per row and the only shuffle is the candidate equi-join on
+    * cell id. At 100 TB this is the classic IVF-flat layout: ~N/numCells
+    * candidates per probe, recall tuned by `nprobe`.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val centroids: Seq[Seq[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(numCells)
+      .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
+    require(centroids.nonEmpty, "corpus is empty")
+
+    // squared L2 distance to each centroid: nsq − 2·v·c + csq
+    def dists(vec: org.apache.spark.sql.Column, nsq: org.apache.spark.sql.Column) =
+      array(centroids.map { c =>
+        val csq = c.map(x => x * x).sum
+        nsq - VectorFns.dot(vec, typedlit(c)) * 2d + lit(csq)
+      }: _*)
+
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_nsq", VectorFns.normSq(col("n_vec")))
+      .withColumn("__d", dists(col("n_vec"), col("n_nsq")))
+      .withColumn("cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .drop("__d")
+    val p0 = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nsq", VectorFns.normSq(col("q_vec")))
+      .withColumn("__d", dists(col("q_vec"), col("q_nsq")))
+    // the probe's nprobe nearest cells (ties include extras — more recall)
+    val nb = math.min(nprobe, centroids.size)
+    val p = p0
+      .withColumn("__cut", element_at(array_sort(col("__d")), nb))
+      .withColumn("cell", explode(filter(
+        sequence(lit(1), lit(centroids.size)),
+        i => element_at(col("__d"), i) <= col("__cut"))))
+      .drop("__d", "__cut")
+    val scored = c.join(broadcast(p), "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nsq"), col("n_nsq")).as("cosine"))
+      .dropDuplicates("q_id", "n_id") // a neighbor can appear via several cells
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
   /** LSH-bucketed approximate top-k: same output schema as
     * [[bruteForceTopK]], restricted to same-bucket candidates. */
   def lshTopK(corpus: DataFrame, probes: DataFrame,

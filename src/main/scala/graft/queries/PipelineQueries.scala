@@ -135,6 +135,18 @@ object PipelineQueries {
     },
     None)
 
+  // 31b. IVF-partitioned ANN (centroid sample → rows-only; recall spec-tested)
+  val qAnnIvf = QueryDef("q_ann_ivf",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numCells = 16, nprobe = 4)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("n_id"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy("q_id", "rank")
+    },
+    None)
+
   // 32. language-ID heuristic → confusion matrix vs the labeled lang
   val qTextLangid = QueryDef("q_text_langid",
     (s, dir) => {
@@ -303,7 +315,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
-    qAnnTopk, qAnnLsh, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
+    qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead,
   )
 }

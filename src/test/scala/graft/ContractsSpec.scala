@@ -92,6 +92,51 @@ class ContractsSpec extends SparkSpec {
     assert(c.schema.fields == Seq(Field("a", "int64", nullable = false)))
   }
 
+  test("parse reference-style TOML contract") {
+    val toml =
+      """version = "1.0.0"
+        |name = "toml_test"   # like the reference fixture
+        |owner = "test-team"
+        |description = "TOML format contract for testing"
+        |
+        |[schema]
+        |format = "parquet"
+        |location = "/tmp/toml"
+        |
+        |[[schema.fields]]
+        |name = "id"
+        |type = "string"
+        |nullable = false
+        |tags = ["primary_key", "pii"]
+        |
+        |[[schema.fields]]
+        |name = "amount"
+        |type = "decimal(10,2)"
+        |nullable = true
+        |
+        |[[schema.fields.constraints]]
+        |type = "range"
+        |min = 0
+        |max = 1000.5
+        |
+        |[quality_checks.completeness]
+        |threshold = 0.99
+        |fields = ["id"]
+        |
+        |[quality_checks.uniqueness]
+        |fields = ["id"]
+        |scope = "global"
+        |""".stripMargin
+    val c = ContractParser.parseToml(toml)
+    assert(c.name == "toml_test" && c.owner == "test-team")
+    assert(c.schema.fields.map(_.name) == Seq("id", "amount"))
+    assert(c.schema.fields.head.tags == Seq("primary_key", "pii"))
+    assert(c.schema.fields(1).dataType == "decimal(10,2)")
+    assert(c.schema.fields(1).constraints == Seq(Constraint.Range(0, 1000.5)))
+    assert(c.qualityChecks.get.completeness.get.threshold == 0.99)
+    assert(c.qualityChecks.get.uniqueness.get.scope.contains("global"))
+  }
+
   test("missing required key fails") {
     intercept[IllegalArgumentException](ContractParser.parse("version: '1'\nname: x\n"))
   }

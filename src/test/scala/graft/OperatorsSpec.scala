@@ -90,6 +90,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall") // 2 planes ≈ 1/4 of corpus per bucket
   }
 
+  test("IVF ANN recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val probes = emb.filter($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    val ivf = Ann.ivfTopK(emb, probes, "vec_id", "embedding", k = 5,
+      numCells = 8, nprobe = 4)
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall") // half the cells searched
+  }
+
   test("language id picks marker-matched language") {
     val df = Seq(
       ("the cat and the dog of a house is here", "en"),
