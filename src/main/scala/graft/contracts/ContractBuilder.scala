@@ -1,0 +1,82 @@
+package graft.contracts
+
+/** Fluent contract construction (reference:
+  * crates/contracts_core/src/builder.rs — ContractBuilder/FieldBuilder).
+  *
+  * {{{
+  * val c = ContractBuilder("events", "analytics")
+  *   .location("/data/events").format("parquet")
+  *   .field(FieldBuilder("event_id", "int64").notNull.tag("primary_key"))
+  *   .field(FieldBuilder("status", "string").allowed("on", "off"))
+  *   .completeness(0.99, "event_id")
+  *   .uniqueness("event_id")
+  *   .freshness("1h", "ts")
+  *   .build
+  * }}}
+  */
+final case class ContractBuilder(
+    name: String,
+    owner: String,
+    private val versionV: String = "1.0.0",
+    private val descriptionV: Option[String] = None,
+    private val formatV: String = "parquet",
+    private val locationV: String = "",
+    private val fieldsV: Vector[Field] = Vector.empty,
+    private val qc: QualityChecks = QualityChecks(),
+    private val slaV: Option[Sla] = None,
+) {
+  def version(v: String): ContractBuilder = copy(versionV = v)
+  def description(d: String): ContractBuilder = copy(descriptionV = Some(d))
+  def format(f: String): ContractBuilder = copy(formatV = f)
+  def location(l: String): ContractBuilder = copy(locationV = l)
+  def field(f: Field): ContractBuilder = copy(fieldsV = fieldsV :+ f)
+  def field(fb: FieldBuilder): ContractBuilder = copy(fieldsV = fieldsV :+ fb.build)
+
+  def completeness(threshold: Double, fields: String*): ContractBuilder =
+    copy(qc = qc.copy(completeness = Some(CompletenessCheck(threshold, fields))))
+  def uniqueness(fields: String*): ContractBuilder =
+    copy(qc = qc.copy(uniqueness = Some(UniquenessCheck(fields))))
+  def uniquenessPerDay(dateField: String, fields: String*): ContractBuilder =
+    copy(qc = qc.copy(uniqueness =
+      Some(UniquenessCheck(fields, Some("per_day"), Some(dateField)))))
+  def freshness(maxDelay: String, metric: String): ContractBuilder =
+    copy(qc = qc.copy(freshness = Some(FreshnessCheck(maxDelay, metric))))
+  def customCheck(name: String, definition: String,
+                  severity: Option[String] = None): ContractBuilder =
+    copy(qc = qc.copy(customChecks = qc.customChecks :+ CustomCheck(name, definition, severity)))
+  def mlChecks(ml: MlChecks): ContractBuilder = copy(qc = qc.copy(mlChecks = Some(ml)))
+  def sla(s: Sla): ContractBuilder = copy(slaV = Some(s))
+
+  def build: Contract = Contract(
+    version = versionV, name = name, owner = owner, description = descriptionV,
+    schema = ContractSchema(formatV, locationV, fieldsV),
+    qualityChecks =
+      if (qc == QualityChecks()) None else Some(qc),
+    sla = slaV,
+  )
+}
+
+final case class FieldBuilder(
+    name: String,
+    dataType: String,
+    private val nullableV: Boolean = true,
+    private val descriptionV: Option[String] = None,
+    private val tagsV: Vector[String] = Vector.empty,
+    private val constraintsV: Vector[Constraint] = Vector.empty,
+) {
+  def notNull: FieldBuilder = copy(nullableV = false)
+  def nullable(b: Boolean): FieldBuilder = copy(nullableV = b)
+  def description(d: String): FieldBuilder = copy(descriptionV = Some(d))
+  def tag(t: String*): FieldBuilder = copy(tagsV = tagsV ++ t)
+  def allowed(values: String*): FieldBuilder =
+    copy(constraintsV = constraintsV :+ Constraint.AllowedValues(values))
+  def range(min: Double, max: Double): FieldBuilder =
+    copy(constraintsV = constraintsV :+ Constraint.Range(min, max))
+  def pattern(regex: String): FieldBuilder =
+    copy(constraintsV = constraintsV :+ Constraint.Pattern(regex))
+  def custom(definition: String): FieldBuilder =
+    copy(constraintsV = constraintsV :+ Constraint.Custom(definition))
+
+  def build: Field =
+    Field(name, dataType, nullableV, descriptionV, tagsV, constraintsV)
+}

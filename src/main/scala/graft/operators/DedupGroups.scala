@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pair lists → duplicate
+  * GROUPS, and group-level dedup (keep one canonical doc per group).
+  *
+  * Near-dup pairs are transitive in practice (A≈B, B≈C ⇒ keep one of
+  * {A,B,C}); pairwise filtering alone would keep two of the three. This
+  * is the standard large-corpus dedup step after MinHash/SimHash.
+  *
+  * Algorithm: iterative min-label propagation on the (symmetrized) edge
+  * list — each round every vertex takes the min component id among
+  * itself and its neighbors; converges in O(cluster diameter) rounds
+  * (near-dup clusters are shallow). Each round is one join + one
+  * groupBy on vertex id — the same shuffle key every time, so at scale
+  * the exchange is reused; lineage is cut with localCheckpoint every
+  * few rounds to keep plans bounded.
+  */
+object DedupGroups {
+
+  /** (id, component) for every vertex appearing in `pairs`; component =
+    * min vertex id of the connected component. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 25, checkpointInterval: Int = 5): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val updated = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (col("nbr_min").isNotNull && col("nbr_min") < col("component")).as("__changed"))
+      val next =
+        if ((iter + 1) % checkpointInterval == 0) updated.localCheckpoint(true)
+        else updated
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keeps one doc per near-duplicate group (min id), plus every doc
+    * that was in no pair. `pairs` must reference ids of `df`. */
+  def dropGroupDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+                          aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val toDrop = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}

@@ -60,6 +60,40 @@ object PipelineQueries {
       WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 100
       ORDER BY jacc_bp DESC, id_a, id_b LIMIT 15"""))
 
+  // 26b. duplicate GROUPS: connected components over jaccard pairs
+  val qDedupGroups = QueryDef("q_dedup_groups",
+    (s, dir) => {
+      val pairs = Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccardBp = 2000L)
+      graft.operators.DedupGroups.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).cast(LongType).as("group_size"))
+        .orderBy("component")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      )
+      SELECT CAST(min_d AS BIGINT) AS component, CAST(count(*) AS BIGINT) AS group_size
+      FROM (SELECT s, min(d) AS min_d FROM reach GROUP BY s)
+      GROUP BY min_d ORDER BY component"""))
+
   // 27. MinHash+LSH candidates, exact-verified (hash family not SQL-portable → rows-only)
   val qDedupMinhash = QueryDef("q_dedup_minhash",
     (s, dir) => {
@@ -314,7 +348,7 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
+    qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead,
   )

@@ -1,0 +1,37 @@
+package graft.validators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.contracts.{Contract, SchemaDrift}
+
+/** Catalog-table validation — the Spark analogue of the reference's
+  * Iceberg integration (reference: crates/contracts_iceberg/src/
+  * validator.rs + catalog.rs): resolve a table through the session
+  * catalog, diff its schema against the contract, and run the full
+  * check suite.
+  *
+  * Works with any catalog plugged into the session (Hive, in-memory
+  * views, and Iceberg/Delta when their extensions are on the
+  * classpath) — catalog resolution is Spark's job, graft only speaks
+  * `spark.read.table`.
+  */
+object CatalogContracts {
+
+  /** Schema drift between the contract and the catalog's metadata —
+    * metadata-only, no scan (like the reference's schema validation
+    * against the Iceberg table's schema). */
+  def drift(spark: SparkSession, contract: Contract,
+            tableName: Option[String] = None): Seq[SchemaDrift.Drift] = {
+    val name = tableName.getOrElse(contract.schema.location)
+    SchemaDrift.diff(contract, spark.table(name).schema)
+      .filterNot(_.isInstanceOf[SchemaDrift.NullabilityMismatch])
+  }
+
+  /** Full validation of a catalog table against a contract. */
+  def validate(spark: SparkSession, contract: Contract,
+               tableName: Option[String] = None,
+               asOf: Option[java.sql.Timestamp] = None): DataFrame = {
+    val name = tableName.getOrElse(contract.schema.location)
+    new ContractValidator(asOf).validate(spark.table(name), contract)
+  }
+}

@@ -174,6 +174,45 @@ class ContractsSpec extends SparkSpec {
     assert(drifts.exists { case SchemaDrift.TypeMismatch("b", _, _) => true; case _ => false })
   }
 
+  test("fluent builder mirrors the reference's ContractBuilder") {
+    val c = ContractBuilder("events", "analytics")
+      .location("/data/events")
+      .field(FieldBuilder("event_id", "int64").notNull.tag("primary_key"))
+      .field(FieldBuilder("status", "string").allowed("on", "off").range(0, 1))
+      .completeness(0.99, "event_id")
+      .uniqueness("event_id")
+      .freshness("1h", "ts")
+      .customCheck("c1", "SELECT count(*) = 0 FROM events", Some("warning"))
+      .build
+    assert(c.schema.fields.map(_.name) == Seq("event_id", "status"))
+    assert(!c.schema.fields.head.nullable)
+    assert(c.schema.fields(1).constraints ==
+      Seq(Constraint.AllowedValues(Seq("on", "off")), Constraint.Range(0, 1)))
+    val qc = c.qualityChecks.get
+    assert(qc.completeness.get.threshold == 0.99)
+    assert(qc.freshness.get.maxDelay == "1h")
+    assert(qc.customChecks.head.severity.contains("warning"))
+    // builder output round-trips through YAML
+    val c2 = ContractParser.parse(ContractInit.toYaml(c))
+    assert(c2.schema.fields.map(_.name) == c.schema.fields.map(_.name))
+  }
+
+  test("catalog-table validation via the session catalog") {
+    import spark.implicits._
+    Seq((1L, "on"), (2L, "off"), (2L, "on")).toDF("id", "status")
+      .createOrReplaceTempView("cat_tbl")
+    val c = ContractBuilder("cat_tbl", "o").format("table").location("cat_tbl")
+      .field(FieldBuilder("id", "int64").notNull)
+      .field(FieldBuilder("status", "string").allowed("on", "off"))
+      .uniqueness("id")
+      .build
+    assert(graft.validators.CatalogContracts.drift(spark, c).isEmpty)
+    val report = graft.validators.CatalogContracts.validate(spark, c)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(!report(("uniqueness", "id")))     // dup id=2
+    assert(report(("allowed_values", "status")))
+  }
+
   test("duration grammar") {
     assert(Durations.parseSeconds("90s") == 90)
     assert(Durations.parseSeconds("30m") == 1800)

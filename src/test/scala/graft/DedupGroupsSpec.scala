@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.DedupGroups
+
+class DedupGroupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components over transitive near-dup pairs") {
+    // chain 0-1-2 (0-2 never compared), pair 3-4, vertex 7 via (7,8)
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val comps = DedupGroups.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(0L) == 0L && comps(1L) == 0L && comps(2L) == 0L)
+    assert(comps(3L) == 3L && comps(4L) == 3L)
+    assert(comps(7L) == 7L && comps(8L) == 7L)
+  }
+
+  test("long chain converges (diameter > 1 round)") {
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = DedupGroups.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet == Set(0L), comps)
+  }
+
+  test("group-level dedup keeps one doc per cluster + singletons") {
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = DedupGroups.dropGroupDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L, 5L, 7L, 8L, 9L))
+  }
+}
