@@ -23,12 +23,17 @@ object DedupGroups {
   /** (id, component) for every vertex appearing in `pairs`; component =
     * min vertex id of the connected component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 25, checkpointInterval: Int = 5): DataFrame = {
+                          maxIter: Int = 25): DataFrame = {
+    // materialize the edge list ONCE — every iteration joins against it,
+    // and the pair-generation pipeline upstream (LSH, verification) must
+    // not be recomputed per round. (At cluster scale: persist(DISK).)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint(true)
 
     var iter = 0
     var converged = false
@@ -37,13 +42,13 @@ object DedupGroups {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nbr_min"))
-      val updated = labels.join(msgs, Seq("id"), "left")
+      // checkpoint each round: the convergence probe and the next round
+      // both read it, and lineage stays one-join deep
+      val next = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           (col("nbr_min").isNotNull && col("nbr_min") < col("component")).as("__changed"))
-      val next =
-        if ((iter + 1) % checkpointInterval == 0) updated.localCheckpoint(true)
-        else updated
+        .localCheckpoint(true)
       converged = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       iter += 1
