@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event sessionization: splits each key's event stream into sessions
+  * at inactivity gaps > `gapMs`.
+  *
+  * One shuffle on the key; the session index is a running sum of
+  * gap-boundary flags inside the per-key sorted window — the batch twin
+  * of Structured Streaming's `session_window` (which
+  * [[graft.streaming.StreamMonitor]] pairs with on the live path).
+  */
+object Sessionize {
+
+  /** Adds `session_idx` (1-based per key) to every event. Ordering ties
+    * on the timestamp are broken by `tieCol` so results are
+    * deterministic. */
+  def withSessions(df: DataFrame, keyCol: String, tsCol: String,
+                   gapMs: Long, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val tms = unix_millis(col(tsCol).cast("timestamp"))
+    val prev = lag(tms, 1).over(w)
+    val boundary = when(prev.isNull || tms - prev > gapMs, 1L).otherwise(0L)
+    df.withColumn("session_idx",
+      sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-key session stats: sessions, events, longest session. */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+                   gapMs: Long, tieCol: String): DataFrame =
+    withSessions(df, keyCol, tsCol, gapMs, tieCol)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col(keyCol))
+      .agg(
+        max("session_idx").cast("long").as("sessions"),
+        sum("session_events").cast("long").as("events"),
+        max("session_events").cast("long").as("max_session_events"))
+}
+
+/** Deterministic dataset splitting for reproducible train/val/test
+  * assignment — a hash of the key decides the split, so membership is
+  * stable under reshuffling, appends, and re-runs (the property the ML
+  * no_overlap / temporal checks in [[graft.validators.MlValidators]]
+  * audit).
+  */
+object Sampling {
+
+  /** Adds `split` from hash buckets of `keyCol`: fractions like
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */
+  def hashSplit(df: DataFrame, keyCol: String,
+                fractions: Seq[(String, Double)], seed: Int = 42): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(10000L))
+    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }.tail
+    val split = fractions.map(_._1).zip(cuts).foldRight(lit(fractions.last._1)) {
+      case ((name, cut), acc) => when(bucket < cut, name).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Modulo variant (`keyCol % 10000`) — same semantics, replayable in
+    * any SQL engine; use when cross-engine reproducibility matters more
+    * than hash uniformity. */
+  def moduloSplit(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bucket = pmod(col(keyCol), lit(10000L))
+    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }.tail
+    val split = fractions.map(_._1).zip(cuts).foldRight(lit(fractions.last._1)) {
+      case ((name, cut), acc) => when(bucket < cut, name).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Per-stratum exact-fraction-ish sampling via per-stratum hash
+    * buckets: keeps ~fraction of each `strataCol` group,
+    * deterministically. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fraction: Double, seed: Int = 42): DataFrame =
+    df.filter(pmod(xxhash64(col(strataCol), col(keyCol), lit(seed)), lit(10000L))
+      < math.round(fraction * 10000))
+}

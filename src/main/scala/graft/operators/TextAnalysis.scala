@@ -73,4 +73,19 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp_raw", md5(col(textCol).cast("binary")))
       .withColumn("fp_norm", md5(TextFns.normalize(col(textCol)).cast("binary")))
+
+  /** Corpus vocabulary: (word, doc_freq, term_freq) — one explode +
+    * one aggregation; map-side combine keeps the shuffle at
+    * |vocabulary| rows regardless of corpus size. */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFns.words(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).cast("long").as("term_freq"))
+
+  /** Vocabulary with document frequency (distinct docs per word). */
+  def vocabularyWithDocFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"), explode(TextFns.words(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).cast("long").as("term_freq"),
+        countDistinct(col("__doc")).cast("long").as("doc_freq"))
 }

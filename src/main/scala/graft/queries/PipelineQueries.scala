@@ -320,6 +320,77 @@ object PipelineQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  // 38. sessionization (30-min inactivity gap) over the events stream
+  val qSessionize = QueryDef("q_sessionize",
+    (s, dir) => {
+      graft.operators.Sessionize.sessionStats(table(s, dir, "events"),
+          "user_id", "ts", gapMs = 1800000L, tieCol = "event_id")
+        .agg(
+          count(lit(1)).cast(LongType).as("users"),
+          sum("sessions").cast(LongType).as("total_sessions"),
+          sum("events").cast(LongType).as("total_events"),
+          max("sessions").cast(LongType).as("max_sessions_per_user"),
+          max("max_session_events").cast(LongType).as("max_session_events"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, event_id, epoch_ms(ts) tms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+        FROM events),
+      b AS (
+        SELECT user_id, event_id, tms,
+               CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END ns
+        FROM x),
+      sess AS (
+        SELECT user_id,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                             ROWS UNBOUNDED PRECEDING) session_idx
+        FROM b),
+      per_sess AS (
+        SELECT user_id, session_idx, count(*) session_events
+        FROM sess GROUP BY user_id, session_idx),
+      per_user AS (
+        SELECT user_id, max(session_idx) sessions, sum(session_events) events,
+               max(session_events) max_session_events
+        FROM per_sess GROUP BY user_id)
+      SELECT CAST(count(*) AS BIGINT) AS users,
+             CAST(sum(sessions) AS BIGINT) AS total_sessions,
+             CAST(sum(events) AS BIGINT) AS total_events,
+             CAST(max(sessions) AS BIGINT) AS max_sessions_per_user,
+             CAST(max(max_session_events) AS BIGINT) AS max_session_events
+      FROM per_user"""))
+
+  // 39. reproducible train/val/test split (modulo variant for the oracle;
+  //     hashSplit is the production default)
+  val qSplitAssign = QueryDef("q_split_assign",
+    (s, dir) => {
+      graft.operators.Sampling.moduloSplit(table(s, dir, "events"), "user_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).cast(LongType).as("events"),
+          countDistinct(col("user_id")).cast(LongType).as("users"))
+        .orderBy("split")
+    },
+    Some("""
+      SELECT CASE WHEN user_id % 10000 < 8000 THEN 'train'
+                  WHEN user_id % 10000 < 9000 THEN 'val' ELSE 'test' END AS split,
+             CAST(count(*) AS BIGINT) AS events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      FROM events GROUP BY 1 ORDER BY split"""))
+
+  // 40. corpus vocabulary: top-20 words with term + doc frequencies
+  val qTextVocab = QueryDef("q_text_vocab",
+    (s, dir) => {
+      TextAnalysis.vocabularyWithDocFreq(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("term_freq").desc, col("word"))
+        .limit(20)
+    },
+    Some("""
+      SELECT word, CAST(count(*) AS BIGINT) AS term_freq,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) word FROM documents)
+      GROUP BY word ORDER BY term_freq DESC, word LIMIT 20"""))
+
   private lazy val langidOracle: String = {
     // replicate TextAnalysis.langId: per-lang marker-word occurrence sums,
     // argmax with profile-order tie-break, 'und' when all zero.
@@ -350,6 +421,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
-    qMultimodalMeta, qSourceContractRead,
+    qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab,
   )
 }

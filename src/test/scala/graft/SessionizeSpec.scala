@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, Sessionize, TextAnalysis}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessions split at the inactivity gap") {
+    val df = Seq(
+      ("u1", 1L, "10:00:00"), ("u1", 2L, "10:10:00"), // session 1
+      ("u1", 3L, "11:30:00"),                          // gap > 30m → session 2
+      ("u2", 4L, "10:00:00"),                          // separate user
+    ).map { case (u, e, t) => (u, e, s"2024-01-01 $t") }
+      .toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val stats = Sessionize.sessionStats(df, "user_id", "ts", 1800000L, "event_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats("u1") == ((2L, 3L, 2L))) // 2 sessions, 3 events, longest has 2
+    assert(stats("u2") == ((1L, 1L, 1L)))
+  }
+
+  test("hash split is deterministic, disjoint, and roughly proportional") {
+    val df = (0L until 1000L).map(i => Tuple1(i)).toDF("id")
+    val a = Sampling.hashSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.hashSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // deterministic
+    assert(a("train") > 700 && a("train") < 900, a)
+    assert(a.values.sum == 1000) // partition (disjoint + complete)
+  }
+
+  test("stratified sample keeps ~fraction of each stratum") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val kept = Sampling.stratifiedSample(df, "s", "id", 0.25)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") > 150 && kept("a") < 350, kept)
+    assert(kept("b") > 150 && kept("b") < 350, kept)
+  }
+
+  test("vocabulary counts term and doc frequencies") {
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabularyWithDocFreq(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("a") == ((3L, 2L)) && v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
+  }
+}
