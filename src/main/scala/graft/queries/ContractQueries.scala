@@ -486,7 +486,37 @@ object ContractQueries {
         FROM per
       ) ORDER BY field"""))
 
+  // 37. streaming quality metrics (same plan on the batch/backfill path —
+  //     the streaming runner itself is MemoryStream-spec-tested)
+  val qStreamQuality = QueryDef("q_stream_quality",
+    (s, dir) => {
+      import graft.contracts._
+      val contract = ContractBuilder("events_stream", "graft")
+        .field(FieldBuilder("event_id", "int64").notNull)
+        .field(FieldBuilder("event_type", "string").allowed("click", "view", "purchase", "signup"))
+        .field(FieldBuilder("value", "float64").range(0, 400))
+        .completeness(0.99, "value", "props")
+        .build
+      graft.streaming.StreamMonitor
+        .qualityMetrics(table(s, dir, "events"), contract, "ts", "1 day", "0 seconds")
+        .select(
+          unix_millis(col("window_start")).as("ws_ms"),
+          col("rows"), col("nulls_value"), col("nulls_props"), col("nulls_event_id"),
+          col("violations_event_type_0"), col("violations_value_0"))
+        .orderBy("ws_ms")
+    },
+    Some("""
+      SELECT CAST(epoch_ms(ts) // 86400000 * 86400000 AS BIGINT) AS ws_ms,
+             CAST(count(*) AS BIGINT) AS rows,
+             CAST(count(*) - count(value) AS BIGINT) AS nulls_value,
+             CAST(count(*) - count(props) AS BIGINT) AS nulls_props,
+             CAST(count(*) - count(event_id) AS BIGINT) AS nulls_event_id,
+             CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS violations_event_type_0,
+             CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) THEN 1 ELSE 0 END) AS BIGINT) AS violations_value_0
+      FROM events GROUP BY 1 ORDER BY ws_ms"""))
+
   val all: Seq[QueryDef] = Seq(
+    qStreamQuality,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
