@@ -18,8 +18,15 @@ object Cli {
   def main(args: Array[String]): Unit = args.toList match {
     case "check" :: path :: Nil =>
       val c = ContractParser.parseFile(path)
-      println(s"OK: contract '${c.name}' v${c.version}, ${c.schema.fields.size} field(s), " +
-        s"${c.schema.fields.map(_.constraints.size).sum} constraint(s)")
+      val issues = graft.validators.DefinitionLint.lint(c)
+      if (issues.isEmpty)
+        println(s"OK: contract '${c.name}' v${c.version}, ${c.schema.fields.size} field(s), " +
+          s"${c.schema.fields.map(_.constraints.size).sum} constraint(s)")
+      else {
+        issues.foreach(i => System.err.println(s"ISSUE ${i.path}: ${i.message}"))
+        println(s"FAIL: ${issues.size} definition issue(s)")
+        sys.exit(1)
+      }
 
     case "validate" :: path :: rest =>
       val c = ContractParser.parseFile(path)

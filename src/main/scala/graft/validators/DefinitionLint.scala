@@ -1,0 +1,132 @@
+package graft.validators
+
+import scala.util.{Failure, Success, Try}
+
+import graft.contracts._
+
+/** Static contract-definition checks, no data touched — the analogue of
+  * the reference's definition validation (reference:
+  * contracts_validator/src/engine.rs:474 validate_definition and
+  * contracts_core/src/validator.rs). Used by the CLI `check` verb.
+  */
+object DefinitionLint {
+
+  final case class Issue(path: String, message: String)
+
+  def lint(c: Contract): Seq[Issue] = {
+    val issues = scala.collection.mutable.ArrayBuffer.empty[Issue]
+    def issue(path: String, msg: String): Unit = { issues += Issue(path, msg); () }
+
+    if (c.name.trim.isEmpty) issue("name", "must not be empty")
+    if (c.owner.trim.isEmpty) issue("owner", "must not be empty")
+    if (c.schema.fields.isEmpty) issue("schema.fields", "contract declares no fields")
+
+    val names = c.schema.fields.map(_.name)
+    names.diff(names.distinct).distinct.foreach(d =>
+      issue(s"schema.fields.$d", "duplicate field declaration"))
+
+    c.schema.fields.foreach { f =>
+      Try(ContractTypes.toSpark(f.dataType)) match {
+        case Failure(e) => issue(s"schema.fields.${f.name}.type", e.getMessage)
+        case Success(_) =>
+      }
+      f.constraints.zipWithIndex.foreach {
+        case (Constraint.Range(min, max), i) if min > max =>
+          issue(s"schema.fields.${f.name}.constraints[$i]", s"range min $min > max $max")
+        case (Constraint.Pattern(re), i) =>
+          Try(java.util.regex.Pattern.compile(re)) match {
+            case Failure(e) =>
+              issue(s"schema.fields.${f.name}.constraints[$i]", s"bad regex: ${e.getMessage}")
+            case Success(_) =>
+          }
+        case (Constraint.AllowedValues(vs), i) if vs.isEmpty =>
+          issue(s"schema.fields.${f.name}.constraints[$i]", "allowed_values is empty")
+        case _ =>
+      }
+    }
+
+    val known = names.toSet
+    def checkFieldsExist(path: String, fs: Seq[String]): Unit =
+      fs.filterNot(known).foreach(f => issue(path, s"references undeclared field '$f'"))
+
+    c.qualityChecks.foreach { qc =>
+      qc.completeness.foreach { cc =>
+        if (cc.threshold < 0 || cc.threshold > 1)
+          issue("quality_checks.completeness.threshold", s"${cc.threshold} not in [0, 1]")
+        if (cc.fields.isEmpty) issue("quality_checks.completeness.fields", "empty")
+        checkFieldsExist("quality_checks.completeness.fields", cc.fields)
+      }
+      qc.uniqueness.foreach { u =>
+        if (u.fields.isEmpty) issue("quality_checks.uniqueness.fields", "empty")
+        checkFieldsExist("quality_checks.uniqueness.fields", u.fields)
+        u.scope.foreach { s =>
+          if (!Set("global", "per_day").contains(s.toLowerCase))
+            issue("quality_checks.uniqueness.scope", s"unknown scope '$s'")
+        }
+      }
+      qc.freshness.foreach { fr =>
+        Try(Durations.parseSeconds(fr.maxDelay)) match {
+          case Failure(e) => issue("quality_checks.freshness.max_delay", e.getMessage)
+          case Success(_) =>
+        }
+        checkFieldsExist("quality_checks.freshness.metric", Seq(fr.metric))
+      }
+      qc.customChecks.zipWithIndex.foreach { case (ch, i) =>
+        if (ch.definition.trim.isEmpty)
+          issue(s"quality_checks.custom_checks[$i]", "definition is empty")
+        else if (!ch.definition.toUpperCase.contains("SELECT"))
+          // same heuristic the reference applies (custom.rs:
+          // validate_single_custom_check)
+          issue(s"quality_checks.custom_checks[$i]", "definition does not look like SQL")
+        ch.severity.foreach { s =>
+          if (!Set("error", "warning", "info").contains(s.toLowerCase))
+            issue(s"quality_checks.custom_checks[$i].severity", s"unknown severity '$s'")
+        }
+      }
+      qc.mlChecks.foreach { ml =>
+        ml.classBalance.foreach { cb =>
+          if (cb.maxProportion <= 0 || cb.maxProportion > 1)
+            issue("quality_checks.ml_checks.class_balance.max_proportion",
+              s"${cb.maxProportion} not in (0, 1]")
+          cb.minProportion.filter(p => p < 0 || p > cb.maxProportion).foreach(p =>
+            issue("quality_checks.ml_checks.class_balance.min_proportion",
+              s"$p not in [0, max_proportion]"))
+          checkFieldsExist("quality_checks.ml_checks.class_balance.label_field",
+            Seq(cb.labelField))
+        }
+        ml.noOverlap.foreach { n =>
+          checkFieldsExist("quality_checks.ml_checks.no_overlap",
+            n.splitField +: n.keyFields)
+        }
+        ml.temporalSplit.foreach { t =>
+          checkFieldsExist("quality_checks.ml_checks.temporal_split",
+            Seq(t.splitField, t.timestampField))
+          t.splitOrder.filter(_.size < 2).foreach(_ =>
+            issue("quality_checks.ml_checks.temporal_split.split_order",
+              "needs at least two splits"))
+        }
+        ml.featureDrift.foreach { d =>
+          checkFieldsExist("quality_checks.ml_checks.feature_drift",
+            d.splitField +: d.featureFields)
+          d.numBins.filter(_ < 2).foreach(b =>
+            issue("quality_checks.ml_checks.feature_drift.num_bins", s"$b < 2"))
+        }
+        ml.targetLeakage.foreach { t =>
+          checkFieldsExist("quality_checks.ml_checks.target_leakage",
+            t.targetField +: t.featureFields)
+          t.maxCorrelation.filter(m => m <= 0 || m > 1).foreach(m =>
+            issue("quality_checks.ml_checks.target_leakage.max_correlation",
+              s"$m not in (0, 1]"))
+        }
+        ml.nullRateByGroup.foreach { n =>
+          checkFieldsExist("quality_checks.ml_checks.null_rate_by_group",
+            n.groupField +: n.checkFields)
+        }
+      }
+    }
+    c.sla.flatMap(_.availability).filter(a => a < 0 || a > 1).foreach(a =>
+      issue("sla.availability", s"$a not in [0, 1]"))
+
+    issues.toSeq
+  }
+}

@@ -92,6 +92,36 @@ class ValidatorSpec extends SparkSpec {
     assert(r(("uniqueness", "id")).metric == 1d)
   }
 
+  test("definition lint catches static contract mistakes") {
+    import graft.validators.DefinitionLint
+    val bad = Contract(version = "1", name = "x", owner = "o",
+      schema = ContractSchema("parquet", "", Seq(
+        Field("a", "wat_type"),
+        Field("a", "int64"), // duplicate
+        Field("b", "string", constraints = Seq(
+          Constraint.Range(10, 1),          // min > max
+          Constraint.Pattern("[unclosed"),  // bad regex
+          Constraint.AllowedValues(Nil))),  // empty
+      )),
+      qualityChecks = Some(QualityChecks(
+        completeness = Some(CompletenessCheck(1.5, Seq("missing_field"))),
+        uniqueness = Some(UniquenessCheck(Seq("b"), Some("per_hour"))),
+        freshness = Some(FreshnessCheck("5y", "a")),
+        customChecks = Seq(CustomCheck("c", "not sql at all", Some("fatal"))),
+      )))
+    val paths = DefinitionLint.lint(bad).map(_.path)
+    assert(paths.exists(_.contains("wat_type")) || paths.exists(_.endsWith("a.type")))
+    assert(paths.exists(_.contains("duplicate")) || paths.contains("schema.fields.a"))
+    assert(paths.exists(_.startsWith("schema.fields.b.constraints")))
+    assert(paths.contains("quality_checks.completeness.threshold"))
+    assert(paths.contains("quality_checks.completeness.fields"))
+    assert(paths.contains("quality_checks.uniqueness.scope"))
+    assert(paths.contains("quality_checks.freshness.max_delay"))
+    assert(paths.exists(_.startsWith("quality_checks.custom_checks[0]")))
+    // a clean contract lints clean
+    assert(DefinitionLint.lint(contract).isEmpty)
+  }
+
   test("ml checks: overlap, temporal, balance, drift, leakage, null spread") {
     val n = 200
     val rows = (0 until n).map { i =>
