@@ -33,11 +33,17 @@ object Cli {
       val spark = session()
       try {
         val df = TableSources.read(spark, c, rest.headOption)
-        val report = new ContractValidator().validate(df, c)
+        val report = new ContractValidator().validate(df, c).cache()
         report.orderBy("check", "field").show(1000, truncate = false)
-        val failed = report.filter(!org.apache.spark.sql.functions.col("passed")).count()
-        println(if (failed == 0) "PASS" else s"FAIL: $failed check(s) failed")
-        if (failed > 0) sys.exit(1)
+        import org.apache.spark.sql.functions.col
+        val failed = report.filter(!col("passed")).count()
+        // warnings/info report but don't gate (reference: cli validate.rs)
+        val fatal = report.filter(!col("passed") && col("severity") === "error").count()
+        println(
+          if (failed == 0) "PASS"
+          else if (fatal == 0) s"PASS with $failed warning(s)"
+          else s"FAIL: $fatal error(s), ${failed - fatal} warning(s)")
+        if (fatal > 0) sys.exit(1)
       } finally spark.stop()
 
     case "init" :: dataPath :: name :: owner :: Nil =>

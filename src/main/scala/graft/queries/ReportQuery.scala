@@ -59,11 +59,11 @@ object ReportQuery {
       val df = table(s, dir, "events")
       new ContractValidator(Some(asOf)).validate(df, eventsContract)
         .select(col("check").as("check_name"), col("field"), col("passed"),
-          round(col("metric"), 4).as("metric_r4"))
+          round(col("metric"), 4).as("metric_r4"), col("severity"))
         .orderBy("check_name", "field")
     },
     Some("""
-      SELECT * FROM (
+      SELECT *, 'error' AS severity FROM (
         SELECT 'schema' AS check_name, 'event_id' AS field, true AS passed, 1.0 AS metric_r4
         UNION ALL SELECT 'schema', 'ts', true, 1.0
         UNION ALL SELECT 'schema', 'user_id', true, 1.0

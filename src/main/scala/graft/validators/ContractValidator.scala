@@ -13,6 +13,7 @@ final case class CheckResult(
     passed: Boolean,
     metric: Double,
     detail: String,
+    severity: String = "error",
 )
 
 /** Executes every check of a [[Contract]] against a DataFrame.
@@ -195,7 +196,8 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
           .select(result(lit("custom:" + ch.name), lit(""),
             col("res").cast(BooleanType),
             col("res").cast(BooleanType).cast(DoubleType),
-            lit(s"severity=${ch.severity.getOrElse("error")}")).as("r"))
+            lit("custom check"),
+            lit(ch.severity.getOrElse("error"))).as("r"))
           .select("r.*")
       } catch {
         // an unplannable definition fails the check, not the run
@@ -204,7 +206,8 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
         case e: org.apache.spark.sql.AnalysisException =>
           spark.createDataset(Seq(CheckResult("custom:" + ch.name, "",
             passed = false, 0d,
-            s"definition failed to plan: ${e.getMessage.take(200)}")))(resultEncoder).toDF()
+            s"definition failed to plan: ${e.getMessage.take(200)}",
+            ch.severity.getOrElse("error"))))(resultEncoder).toDF()
       }
     }
   }
@@ -225,10 +228,14 @@ object ContractValidator {
   private[validators] val resultEncoder =
     org.apache.spark.sql.Encoders.product[CheckResult]
 
-  /** Builds a CheckResult-shaped struct column. */
+  /** Builds a CheckResult-shaped struct column. Severity follows the
+    * reference's levels (error | warning | info); only failed
+    * error-severity checks are fatal (reference: cli validate.rs). */
   private[validators] def result(check: Column, field: Column, passed: Column,
-                                 metric: Column, detail: Column): Column =
+                                 metric: Column, detail: Column,
+                                 severity: Column = lit("error")): Column =
     struct(check.as("check"), field.as("field"),
       coalesce(passed, lit(false)).as("passed"),
-      coalesce(metric, lit(0d)).as("metric"), detail.as("detail"))
+      coalesce(metric, lit(0d)).as("metric"), detail.as("detail"),
+      severity.as("severity"))
 }
