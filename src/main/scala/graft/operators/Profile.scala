@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Table profiling — the reference's heritage capability (DCE evolved
+  * from the `dataprof` profiler; reference: README.md "Origin") and the
+  * `init` workflow's data-driven half: summarize a table before writing
+  * its contract.
+  *
+  * All columns of a kind profile in ONE fused aggregation pass over one
+  * scan (same discipline as the validator). Exact distinct counts and
+  * exact percentiles by default for reproducibility; pass
+  * `approx = true` at 100 TB to switch to HLL sketches and t-digest
+  * without changing the plan shape.
+  */
+object Profile {
+
+  /** Numeric profile: one row per column —
+    * (column, total, nulls, min_r4, max_r4, mean_r4, p50_r4, distinct_cnt). */
+  def numeric(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("__t"))
+    cols.foreach { c =>
+      val v = col(c).cast(DoubleType)
+      aggs += (count(lit(1)) - count(v)).as(s"__n_$c")
+      aggs += min(v).as(s"__min_$c")
+      aggs += max(v).as(s"__max_$c")
+      aggs += avg(v).as(s"__avg_$c")
+      aggs += expr(s"percentile(CAST(`$c` AS DOUBLE), 0.5)").as(s"__p50_$c")
+      aggs += (if (approx) approx_count_distinct(v) else countDistinct(v)).as(s"__d_$c")
+    }
+    val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("column"),
+      col("__t").cast(LongType).as("total"),
+      col(s"__n_$c").cast(LongType).as("nulls"),
+      round(col(s"__min_$c"), 4).as("min_r4"),
+      round(col(s"__max_$c"), 4).as("max_r4"),
+      round(col(s"__avg_$c"), 4).as("mean_r4"),
+      round(col(s"__p50_$c"), 4).as("p50_r4"),
+      col(s"__d_$c").cast(LongType).as("distinct_cnt")))
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** String profile: one row per column —
+    * (column, total, nulls, distinct_cnt, min_val, max_val, sum_len). */
+  def strings(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("__t"))
+    cols.foreach { c =>
+      val v = col(c).cast("string")
+      aggs += (count(lit(1)) - count(v)).as(s"__n_$c")
+      aggs += min(v).as(s"__min_$c")
+      aggs += max(v).as(s"__max_$c")
+      aggs += sum(length(v)).as(s"__len_$c")
+      aggs += (if (approx) approx_count_distinct(v) else countDistinct(v)).as(s"__d_$c")
+    }
+    val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("column"),
+      col("__t").cast(LongType).as("total"),
+      col(s"__n_$c").cast(LongType).as("nulls"),
+      col(s"__d_$c").cast(LongType).as("distinct_cnt"),
+      col(s"__min_$c").as("min_val"),
+      col(s"__max_$c").as("max_val"),
+      coalesce(col(s"__len_$c"), lit(0L)).cast(LongType).as("sum_len")))
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Suggests a contract from profile + schema: non-nullable where no
+    * nulls observed, allowed_values for low-cardinality strings, range
+    * for numerics — the data-driven `init --strict` the reference's
+    * profiling heritage implies. */
+  def suggestContract(df: DataFrame, name: String, owner: String,
+                      allowedValuesMaxCard: Int = 20): graft.contracts.Contract = {
+    import graft.contracts._
+    val base = ContractInit.fromTable(df, name, owner)
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
+    val nums = if (numericCols.nonEmpty)
+      numeric(df, numericCols).collect().map(r => r.getString(0) -> r).toMap
+    else Map.empty[String, org.apache.spark.sql.Row]
+    val strs = if (stringCols.nonEmpty)
+      strings(df, stringCols).collect().map(r => r.getString(0) -> r).toMap
+    else Map.empty[String, org.apache.spark.sql.Row]
+    val lowCard = strs.filter { case (_, r) =>
+      r.getAs[Long]("distinct_cnt") <= allowedValuesMaxCard && r.getAs[Long]("nulls") == 0
+    }.keySet
+    val lowCardValues: Map[String, Seq[String]] = lowCard.map { c =>
+      c -> df.select(col(c)).distinct().orderBy(col(c))
+        .collect().map(_.getString(0)).toSeq
+    }.toMap
+    base.copy(schema = base.schema.copy(fields = base.schema.fields.map { f =>
+      val noNulls =
+        nums.get(f.name).map(_.getAs[Long]("nulls") == 0)
+          .orElse(strs.get(f.name).map(_.getAs[Long]("nulls") == 0))
+      val constraints =
+        nums.get(f.name).map { r =>
+          Seq(Constraint.Range(r.getAs[Double]("min_r4"), r.getAs[Double]("max_r4")))
+        }.getOrElse(Nil) ++
+          lowCardValues.get(f.name).map(vs => Constraint.AllowedValues(vs)).toSeq
+      f.copy(nullable = !noNulls.getOrElse(false), constraints = constraints)
+    }))
+  }
+}

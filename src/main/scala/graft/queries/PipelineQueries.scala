@@ -391,6 +391,66 @@ object PipelineQueries {
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) word FROM documents)
       GROUP BY word ORDER BY term_freq DESC, word LIMIT 20"""))
 
+  // 42. table profiling (dataprof heritage): fused single-scan summaries
+  val qProfileNumeric = QueryDef("q_profile_numeric",
+    (s, dir) => {
+      graft.operators.Profile.numeric(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS total,
+               CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls,
+               round(min(l_quantity), 4) AS min_r4, round(max(l_quantity), 4) AS max_r4,
+               round(avg(l_quantity), 4) AS mean_r4,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_r4,
+               CAST(count(DISTINCT l_quantity) AS BIGINT) AS distinct_cnt
+        FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', CAST(count(*) AS BIGINT), CAST(count(*) - count(l_extendedprice) AS BIGINT),
+               round(min(l_extendedprice), 4), round(max(l_extendedprice), 4), round(avg(l_extendedprice), 4),
+               round(quantile_cont(l_extendedprice, 0.5), 4), CAST(count(DISTINCT l_extendedprice) AS BIGINT)
+        FROM lineitem
+        UNION ALL SELECT 'l_discount', CAST(count(*) AS BIGINT), CAST(count(*) - count(l_discount) AS BIGINT),
+               round(min(l_discount), 4), round(max(l_discount), 4), round(avg(l_discount), 4),
+               round(quantile_cont(l_discount, 0.5), 4), CAST(count(DISTINCT l_discount) AS BIGINT)
+        FROM lineitem
+        UNION ALL SELECT 'l_tax', CAST(count(*) AS BIGINT), CAST(count(*) - count(l_tax) AS BIGINT),
+               round(min(l_tax), 4), round(max(l_tax), 4), round(avg(l_tax), 4),
+               round(quantile_cont(l_tax, 0.5), 4), CAST(count(DISTINCT l_tax) AS BIGINT)
+        FROM lineitem
+      ) ORDER BY "column""""))
+
+  val qProfileStrings = QueryDef("q_profile_strings",
+    (s, dir) => {
+      graft.operators.Profile.strings(table(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority"))
+        .unionByName(graft.operators.Profile.strings(table(s, dir, "documents"),
+          Seq("lang", "source")))
+        .orderBy("column")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS total,
+               CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nulls,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS distinct_cnt,
+               min(o_orderstatus) AS min_val, max(o_orderstatus) AS max_val,
+               CAST(coalesce(sum(length(o_orderstatus)), 0) AS BIGINT) AS sum_len
+        FROM orders
+        UNION ALL SELECT 'o_orderpriority', CAST(count(*) AS BIGINT), CAST(count(*) - count(o_orderpriority) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT), min(o_orderpriority), max(o_orderpriority),
+               CAST(coalesce(sum(length(o_orderpriority)), 0) AS BIGINT)
+        FROM orders
+        UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(*) - count(lang) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang),
+               CAST(coalesce(sum(length(lang)), 0) AS BIGINT)
+        FROM documents
+        UNION ALL SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(*) - count(source) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT), min(source), max(source),
+               CAST(coalesce(sum(length(source)), 0) AS BIGINT)
+        FROM documents
+      ) ORDER BY "column""""))
+
   private lazy val langidOracle: String = {
     // replicate TextAnalysis.langId: per-lang marker-word occurrence sums,
     // argmax with profile-order tie-break, 'und' when all zero.
@@ -421,6 +481,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
-    qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab,
+    qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings,
   )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.contracts.Constraint
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numeric + string profiles in one scan each") {
+    val df = Seq(
+      (1L, Some(2.0), "a"), (2L, Some(4.0), "b"), (3L, None, "a"),
+    ).toDF("id", "v", "s")
+    val num = Profile.numeric(df, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(num("id").getAs[Long]("nulls") == 0)
+    assert(num("id").getAs[Double]("p50_r4") == 2.0)
+    assert(num("v").getAs[Long]("nulls") == 1)
+    assert(num("v").getAs[Double]("mean_r4") == 3.0)
+    assert(num("v").getAs[Long]("distinct_cnt") == 2)
+    val str = Profile.strings(df, Seq("s")).collect().head
+    assert(str.getAs[Long]("distinct_cnt") == 2 && str.getAs[String]("min_val") == "a")
+    assert(str.getAs[Long]("sum_len") == 3)
+  }
+
+  test("suggestContract tightens nullability and infers constraints") {
+    val df = spark.read.parquet(sf("orders"))
+    val c = Profile.suggestContract(df, "orders", "me")
+    val status = c.schema.fields.find(_.name == "o_orderstatus").get
+    assert(!status.nullable) // no nulls observed
+    assert(status.constraints.exists {
+      case Constraint.AllowedValues(vs) => vs.toSet == Set("O", "F", "P")
+      case _ => false
+    })
+    val price = c.schema.fields.find(_.name == "o_totalprice").get
+    assert(price.constraints.exists {
+      case Constraint.Range(min, max) => min > 0 && max > min
+      case _ => false
+    })
+    // and the suggestion round-trips through YAML + lints clean
+    val parsed = graft.contracts.ContractParser.parse(graft.contracts.ContractInit.toYaml(c))
+    assert(graft.validators.DefinitionLint.lint(parsed).isEmpty)
+  }
+}
