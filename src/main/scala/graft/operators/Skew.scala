@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed
+  * (the celebrity-user / stop-shingle problem): salt the skewed side
+  * into `salts` sub-keys and replicate the other side once per salt, so
+  * one hot key spreads over `salts` tasks instead of one straggler.
+  *
+  * AQE's skew-join handles moderate skew automatically; explicit
+  * salting is for the pathological keys AQE can't split (a single key
+  * larger than a task's memory). Correctness is exact — SkewSpec
+  * asserts equality with the plain join.
+  */
+object Skew {
+
+  /** Inner equi-join of `left` (skewed side) with `right` on `key`.
+    * Left rows get a deterministic salt from `saltBy` (any
+    * high-cardinality column, e.g. the row's id); right rows are
+    * replicated `salts` times. One shuffle on (key, salt). */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+                     salts: Int, saltBy: String): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(saltBy)), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Skew report for a prospective join key: top-n heaviest keys and
+    * their share — decide between broadcast, AQE, and salting. */
+  def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).count()
+    val total = counts.agg(sum("count").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(key), col("count"),
+        expr("CAST(count * 10000 DIV __total AS BIGINT)").as("share_bp"))
+      .orderBy(col("count").desc, col(key))
+      .limit(topN)
+  }
+}

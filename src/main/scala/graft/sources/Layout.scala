@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical-layout helpers for the 100 TB story: partitioned and
+  * bucketed writes so repeated joins/aggregations on the same keys are
+  * co-located and skip the shuffle entirely.
+  *
+  * A fact table bucketed by its join key and a dimension bucketed the
+  * same way join with `SortMergeJoin` and NO `Exchange` on either side
+  * (asserted in LayoutSpec) — at cluster scale that's the difference
+  * between re-shuffling 100 TB per query and reading pre-shuffled data.
+  */
+object Layout {
+
+  /** Writes `df` as a bucketed (+ optionally sorted) managed table.
+    * Bucket count should be sized so bucket × partition files fit
+    * executor memory; same count on both join sides is required for
+    * shuffle-free joins. */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    var w = df.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(tableName)
+  }
+
+  /** Writes `df` partitioned by low-cardinality columns — partition
+    * pruning for free on any filter over them. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the check LayoutSpec uses to prove bucketed joins are co-located.
+    * Executes the frame first: under AQE the final plan (and its
+    * exchanges) only exists after execution. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    df.count()
+    val rendered = df.queryExecution.executedPlan.toString
+    !rendered.contains("ShuffleExchange") && !rendered.contains("ShuffleQueryStage") &&
+      !rendered.contains("Exchange hashpartitioning")
+  }
+}

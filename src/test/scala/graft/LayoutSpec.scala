@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without any shuffle exchange") {
+    val facts = (0L until 1000L).map(i => (i % 50, i, s"v$i")).toDF("k", "id", "payload")
+    val dims = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "name")
+    Layout.writeBucketed(facts, "graft_facts_b", buckets = 8, bucketCols = Seq("k"),
+      sortCols = Seq("k"))
+    Layout.writeBucketed(dims, "graft_dims_b", buckets = 8, bucketCols = Seq("k"),
+      sortCols = Seq("k"))
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_facts_b").join(spark.table("graft_dims_b"), "k")
+      assert(joined.count() == 1000)
+      assert(Layout.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString.take(2000))
+      // sanity: the same join over unbucketed frames DOES shuffle
+      assert(!Layout.isShuffleFree(facts.join(dims, "k")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("partitioned write prunes partitions on filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("part", "v")
+    Layout.writePartitioned(df, s"$tmp/t", Seq("part"))
+    val read = spark.read.parquet(s"$tmp/t").filter($"part" === "a")
+    assert(read.count() == 2)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(!scan.contains("part=b"), "partition b should be pruned")
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    // 90% of left rows share one hot key
+    val left = (0L until 2000L).map(i => (if (i % 10 == 0) i % 7 else 99L, i))
+      .toDF("k", "row_id")
+    val right = (0L until 100L).map(i => (i, s"r$i")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("row_id", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedEquiJoin(left, right, "k", salts = 8, saltBy = "row_id")
+      .select("row_id", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("keySkew surfaces the hot key") {
+    val df = (0L until 1000L).map(i => Tuple1(if (i < 900) 7L else i)).toDF("k")
+    val top = Skew.keySkew(df, "k", 1).collect().head
+    assert(top.getLong(0) == 7L && top.getAs[Long]("share_bp") == 9000L)
+  }
+}
