@@ -1,0 +1,111 @@
+package graft.validators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.contracts._
+
+/** Incremental contract validation: scalar check metrics are algebraic
+  * counters (counts, violation sums, max timestamps), so a contract can
+  * be enforced over an append-only table by scanning ONLY the new
+  * slice and merging its counter snapshot with the accumulated state —
+  * the daily-100 TB operating mode, where re-scanning history for every
+  * run is the difference between minutes and hours.
+  *
+  * Not incrementally mergeable (needs per-key state): uniqueness and
+  * the ML split checks — run those on the full table at a coarser
+  * cadence, or track keys in a streaming state store
+  * ([[graft.streaming.StreamMonitor.keyFreshness]] shows the shape).
+  *
+  * Usage:
+  * {{{
+  * val s1 = IncrementalValidator.snapshot(day1Df, contract)  // persist
+  * val s2 = IncrementalValidator.snapshot(day2Df, contract)
+  * val all = IncrementalValidator.merge(s1, s2)
+  * IncrementalValidator.report(all, contract, asOf)          // CheckResults
+  * }}}
+  */
+object IncrementalValidator {
+
+  /** Counter snapshot of one data slice: one row per (check, field) with
+    * mergeable counters (total, nonNull/ok count, violations, maxTsMs). */
+  def snapshot(df: DataFrame, c: Contract): DataFrame = {
+    val live = df.schema.fieldNames.toSet
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var i = 0
+    def slot(agg: Column): String = { val n = s"m$i"; i += 1; aggs += agg.as(n); n }
+    val total = slot(count(lit(1)))
+
+    def row(check: String, field: String, counter: Column, maxTs: Column = lit(null)) =
+      rows += struct(lit(check).as("check"), lit(field).as("field"),
+        col(total).cast(LongType).as("total"),
+        counter.cast(LongType).as("counter"),
+        maxTs.cast(LongType).as("max_ts_ms"))
+
+    c.schema.fields.filter(f => !f.nullable && live(f.name)).foreach { f =>
+      row("nullability", f.name, col(slot(count(lit(1)) - count(col(f.name)))))
+    }
+    c.qualityChecks.flatMap(_.completeness).foreach { cc =>
+      cc.fields.filter(live).foreach { f =>
+        row("completeness", f, col(slot(count(col(f)))))
+      }
+    }
+    for {
+      f <- c.schema.fields if live(f.name)
+      con <- f.constraints
+    } con match {
+      case Constraint.AllowedValues(values) =>
+        row("allowed_values", f.name, coalesce(col(slot(sum(when(col(f.name).isNotNull &&
+          !col(f.name).cast("string").isin(values: _*), 1L).otherwise(0L)))), lit(0L)))
+      case Constraint.Range(min, max) =>
+        row("range", f.name, coalesce(col(slot(sum(when(col(f.name).isNotNull &&
+          (col(f.name) < min || col(f.name) > max), 1L).otherwise(0L)))), lit(0L)))
+      case Constraint.Pattern(re) =>
+        row("pattern", f.name, coalesce(col(slot(sum(when(col(f.name).isNotNull &&
+          !col(f.name).rlike(re), 1L).otherwise(0L)))), lit(0L)))
+      case Constraint.Custom(_) =>
+    }
+    c.qualityChecks.flatMap(_.freshness).filter(fr => live(fr.metric)).foreach { fr =>
+      val m = slot(unix_millis(max(col(fr.metric).cast("timestamp"))))
+      row("freshness", fr.metric, lit(0L), col(m))
+    }
+
+    val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    one.select(explode(array(rows.toSeq: _*)).as("r")).select("r.*")
+  }
+
+  /** Merges counter snapshots: totals and counters add, max-ts maxes. */
+  def merge(snapshots: DataFrame*): DataFrame =
+    snapshots.reduce(_ unionByName _)
+      .groupBy("check", "field")
+      .agg(sum("total").cast(LongType).as("total"),
+        sum("counter").cast(LongType).as("counter"),
+        max("max_ts_ms").cast(LongType).as("max_ts_ms"))
+
+  /** Evaluates the merged state into CheckResult rows — same pass/fail
+    * semantics as the batch [[ContractValidator]]. */
+  def report(state: DataFrame, c: Contract,
+             asOf: Option[java.sql.Timestamp] = None): DataFrame = {
+    val ppm = c.qualityChecks.flatMap(_.completeness)
+      .map(cc => math.round(cc.threshold * 1000000L)).getOrElse(1000000L)
+    val freshLimitMs = c.qualityChecks.flatMap(_.freshness)
+      .map(fr => Durations.parseSeconds(fr.maxDelay) * 1000L).getOrElse(Long.MaxValue)
+    val asOfMs = asOf.map(_.getTime)
+      .getOrElse(java.lang.System.currentTimeMillis())
+    val passed =
+      when(col("check") === "completeness", col("counter") * 1000000L >= lit(ppm) * col("total"))
+        .when(col("check") === "freshness", lit(asOfMs) - col("max_ts_ms") <= freshLimitMs)
+        .otherwise(col("counter") === 0L)
+    val metric =
+      when(col("check") === "completeness",
+        col("counter").cast(DoubleType) / col("total").cast(DoubleType))
+        .when(col("check") === "freshness",
+          ((lit(asOfMs) - col("max_ts_ms")) / 1000L).cast(DoubleType))
+        .otherwise(col("counter").cast(DoubleType))
+    state.select(col("check"), col("field"), passed.as("passed"), metric.as("metric"),
+      format_string("merged over %d row(s)", col("total")).as("detail"),
+      lit("error").as("severity"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.contracts._
+import graft.validators.{CheckResult, ContractValidator, IncrementalValidator}
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  val contract: Contract = ContractBuilder("inc", "o")
+    .field(FieldBuilder("id", "int64").notNull)
+    .field(FieldBuilder("status", "string").allowed("on", "off"))
+    .field(FieldBuilder("score", "float64").range(0, 100))
+    .completeness(0.8, "status")
+    .freshness("1h", "ts")
+    .build
+
+  def mk(rows: Seq[(java.lang.Long, String, java.lang.Double, String)]) =
+    rows.toDF("id", "status", "score", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+  test("merged incremental snapshots equal the full-table report") {
+    val day1 = mk(Seq(
+      (1L, "on", 50.0, "2024-01-01 10:00:00"),
+      (2L, "BAD", 150.0, "2024-01-01 11:00:00"),
+      (3L, null, 20.0, "2024-01-01 12:00:00")))
+    val day2 = mk(Seq(
+      (4L, "off", -5.0, "2024-01-02 10:00:00"),
+      (5L, null, 60.0, "2024-01-02 11:00:00")))
+    val full = mk(Seq(
+      (1L, "on", 50.0, "2024-01-01 10:00:00"),
+      (2L, "BAD", 150.0, "2024-01-01 11:00:00"),
+      (3L, null, 20.0, "2024-01-01 12:00:00"),
+      (4L, "off", -5.0, "2024-01-02 10:00:00"),
+      (5L, null, 60.0, "2024-01-02 11:00:00")))
+
+    val asOf = java.sql.Timestamp.valueOf("2024-01-02 11:30:00")
+    val merged = IncrementalValidator.merge(
+      IncrementalValidator.snapshot(day1, contract),
+      IncrementalValidator.snapshot(day2, contract))
+    val inc = IncrementalValidator.report(merged, contract, Some(asOf))
+      .as[CheckResult].collect().map(r => (r.check, r.field) -> (r.passed, r.metric)).toMap
+
+    // the batch validator's scalar rows over the full table
+    val batch = new ContractValidator(Some(asOf)).validate(full, contract)
+      .as[CheckResult].collect()
+      .filter(r => Set("nullability", "completeness", "allowed_values", "range", "freshness")(r.check))
+      .map(r => (r.check, r.field) -> (r.passed, r.metric)).toMap
+
+    assert(inc == batch, s"\ninc=$inc\nbatch=$batch")
+    // sanity on the actual values
+    assert(inc(("allowed_values", "status")) == ((false, 1.0)))
+    assert(inc(("range", "score")) == ((false, 2.0)))
+    assert(inc(("completeness", "status")) == ((false, 0.6)))
+    assert(inc(("freshness", "ts")) == ((true, 1800.0)))
+  }
+}
