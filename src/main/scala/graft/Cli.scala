@@ -29,16 +29,38 @@ object Cli {
       }
 
     case "validate" :: path :: rest =>
-      val c = ContractParser.parseFile(path)
+      // flags mirror the reference's validate verb (cli/validate.rs):
+      //   --strict       warnings gate like errors
+      //   --schema-only  skip quality/constraint checks
+      //   --sample N     validate a row sample
+      //   --json         machine-readable report lines
+      val (flags, positional) = rest.partition(_.startsWith("--"))
+      val strict = flags.contains("--strict")
+      val schemaOnly = flags.contains("--schema-only")
+      val json = flags.contains("--json")
+      val sample = rest.sliding(2).collectFirst {
+        case Seq("--sample", n) => n.toInt
+      }
+      val positionalArgs = positional.filterNot(p => sample.exists(_.toString == p))
+      val c0 = ContractParser.parseFile(path)
+      val c = if (schemaOnly)
+        c0.copy(qualityChecks = None,
+          schema = c0.schema.copy(fields = c0.schema.fields.map(_.copy(constraints = Nil))))
+      else c0
       val spark = session()
       try {
-        val df = TableSources.read(spark, c, rest.headOption)
+        val df0 = TableSources.read(spark, c, positionalArgs.headOption)
+        val df = sample.map(df0.limit).getOrElse(df0)
         val report = new ContractValidator().validate(df, c).cache()
-        report.orderBy("check", "field").show(1000, truncate = false)
         import org.apache.spark.sql.functions.col
+        if (json) report.orderBy("check", "field").toJSON.collect().foreach(println)
+        else report.orderBy("check", "field").show(1000, truncate = false)
         val failed = report.filter(!col("passed")).count()
-        // warnings/info report but don't gate (reference: cli validate.rs)
-        val fatal = report.filter(!col("passed") && col("severity") === "error").count()
+        // warnings/info report but don't gate unless --strict
+        // (reference: cli validate.rs strict mode)
+        val fatal =
+          if (strict) failed
+          else report.filter(!col("passed") && col("severity") === "error").count()
         println(
           if (failed == 0) "PASS"
           else if (fatal == 0) s"PASS with $failed warning(s)"
@@ -58,8 +80,8 @@ object Cli {
     case _ =>
       System.err.println(
         """usage: graft.Cli <verb> ...
-          |  check <contract.yml>
-          |  validate <contract.yml> [dataPath]
+          |  check <contract.yml|.toml>
+          |  validate <contract.yml|.toml> [dataPath] [--strict] [--schema-only] [--sample N] [--json]
           |  init <dataPath> <name> <owner>""".stripMargin)
       sys.exit(2)
   }
