@@ -88,4 +88,21 @@ object TextAnalysis {
       .groupBy("word")
       .agg(count(lit(1)).cast("long").as("term_freq"),
         countDistinct(col("__doc")).cast("long").as("doc_freq"))
+
+  /** TF-IDF weights per (doc, word): tf · ln(N / df). Two aggregations
+    * (per-doc term counts, per-word doc frequency) + one broadcast-able
+    * join on word — the standard sparse-weights layout for retrieval
+    * and relevance-filtered corpus curation. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("doc_id"), explode(TextFns.words(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).cast("long").as("tf"))
+    val docFreq = terms.groupBy("word")
+      .agg(countDistinct(col("doc_id")).cast("long").as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    terms.join(docFreq, "word").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
+      .select("doc_id", "word", "tf", "df", "tfidf")
+  }
 }

@@ -391,6 +391,46 @@ object PipelineQueries {
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) word FROM documents)
       GROUP BY word ORDER BY term_freq DESC, word LIMIT 20"""))
 
+  // 46. TF-IDF relevance weights (top terms of the first docs)
+  val qTextTfidf = QueryDef("q_text_tfidf",
+    (s, dir) => {
+      TextAnalysis.tfidf(table(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text")
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf_r4"))
+        .orderBy(col("doc_id"), col("tfidf_r4").desc, col("word"))
+        .limit(30)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) word FROM d),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM terms GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) n FROM d)
+      SELECT doc_id, word, tf, df,
+             round(tf * ln(n * 1.0 / df), 4) AS tfidf_r4
+      FROM tf JOIN df USING (word) CROSS JOIN n
+      WHERE doc_id < 3
+      ORDER BY doc_id, tfidf_r4 DESC, word LIMIT 30"""))
+
+  // 47. semi-structured extraction from the JSON props column
+  val qJsonProps = QueryDef("q_json_props",
+    (s, dir) => {
+      table(s, dir, "events")
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).cast(LongType).as("cnt"),
+          round(sum("value"), 2).as("sum_value_r2"))
+        .orderBy("k")
+    },
+    Some("""
+      SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k,
+             CAST(count(*) AS BIGINT) AS cnt,
+             round(sum(value), 2) AS sum_value_r2
+      FROM events GROUP BY 1 ORDER BY k"""))
+
   // 42. table profiling (dataprof heritage): fused single-scan summaries
   val qProfileNumeric = QueryDef("q_profile_numeric",
     (s, dir) => {
@@ -481,6 +521,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
-    qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings,
+    qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
   )
 }
