@@ -515,8 +515,44 @@ object ContractQueries {
              CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) THEN 1 ELSE 0 END) AS BIGINT) AS violations_value_0
       FROM events GROUP BY 1 ORDER BY ws_ms"""))
 
+  // 48. write-side enforcement: clean/quarantine partition by row rules
+  val qEnforce = QueryDef("q_enforce",
+    (s, dir) => {
+      import graft.contracts._
+      val contract = ContractBuilder("events_enf", "graft")
+        .field(FieldBuilder("event_id", "int64").notNull)
+        .field(FieldBuilder("event_type", "string").allowed("click", "view", "purchase", "signup"))
+        .field(FieldBuilder("value", "float64").range(0, 400))
+        .build
+      val flagged = graft.validators.Enforce.withViolations(table(s, dir, "events"), contract)
+      val perReason = flagged
+        .select(explode(col("violation_reasons")).as("reason"))
+        .groupBy("reason").agg(count(lit(1)).cast(LongType).as("cnt"))
+      val clean = flagged.filter(size(col("violation_reasons")) === 0)
+        .agg(count(lit(1)).cast(LongType).as("cnt"))
+        .select(lit("CLEAN").as("reason"), col("cnt"))
+      perReason.unionByName(clean).orderBy("reason")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'allowed_values:event_type' AS reason,
+               CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+        FROM events
+        UNION ALL
+        SELECT 'range:value',
+               CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'CLEAN',
+               CAST(sum(CASE WHEN event_id IS NOT NULL
+                              AND NOT (event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup'))
+                              AND NOT (value IS NOT NULL AND (value < 0 OR value > 400))
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+      ) WHERE cnt > 0 ORDER BY reason"""))
+
   val all: Seq[QueryDef] = Seq(
-    qStreamQuality,
+    qStreamQuality, qEnforce,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,

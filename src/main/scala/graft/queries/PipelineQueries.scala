@@ -104,6 +104,73 @@ object PipelineQueries {
     },
     None)
 
+  // 27b. MinHash with a PORTABLE hash family (md5-derived) — the same
+  // signatures are computable in any SQL engine, so unlike q_dedup_minhash
+  // this LSH pipeline is fully oracle-checked end to end.
+  val qDedupMinhashPortable = QueryDef("q_dedup_minhash_portable",
+    (s, dir) => {
+      val numPerm = 16; val bands = 4; val r = 4
+      val base = table(s, dir, "documents")
+        .select(col("doc_id").as("id"), TextFns.wordShingles(col("text"), 3).as("sh"))
+        .localCheckpoint(true)
+      val hash: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        (sh, p) => conv(substring(md5(concat(sh, lit(":"), p.cast("string")).cast("binary")), 1, 8),
+          16, 10).cast(LongType)
+      val sigs = base.withColumn("sig",
+        transform(sequence(lit(0), lit(numPerm - 1)), p =>
+          array_min(transform(col("sh"), sh => hash(sh, p)))))
+      val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "key")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      cand
+        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        .withColumn("uni", size(col("sh_a")).cast(LongType) + size(col("sh_b")) - col("inter"))
+        .withColumn("jacc_bp", expr("inter * 10000 DIV uni"))
+        .filter(col("jacc_bp") >= 1000L)
+        .select("id_a", "id_b", "inter", "uni", "jacc_bp")
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(15)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      shl AS (SELECT doc_id, list(sh) shs FROM sh GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), p ->
+                 list_min(list_transform(shs, s ->
+                   ('0x' || substr(md5(s || ':' || CAST(p AS VARCHAR)), 1, 8))::BIGINT))) sig
+        FROM shl),
+      banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+        FROM sigs, generate_series(0, 3) t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id ia, b.doc_id ib
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jacc_bp
+      FROM cand JOIN p USING (ia, ib)
+      JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 1000
+      ORDER BY jacc_bp DESC, id_a, id_b LIMIT 15"""))
+
   // 28. SimHash near-dup pairs (rows-only)
   val qDedupSimhash = QueryDef("q_dedup_simhash",
     (s, dir) => {
@@ -519,7 +586,7 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupSimhash, qDedupEmbedding,
+    qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
   )

@@ -1,0 +1,43 @@
+package graft
+
+import graft.contracts._
+import graft.validators.Enforce
+
+class EnforceSpec extends SparkSpec {
+  import spark.implicits._
+
+  val contract: Contract = ContractBuilder("enf", "o")
+    .field(FieldBuilder("id", "int64").notNull)
+    .field(FieldBuilder("status", "string").allowed("on", "off"))
+    .field(FieldBuilder("score", "float64").range(0, 100))
+    .build
+
+  def df = Seq[(java.lang.Long, String, java.lang.Double)](
+    (1L, "on", 50.0),     // clean
+    (null, "off", 10.0),  // null id
+    (2L, "BAD", 10.0),    // allowed_values
+    (3L, "on", 500.0),    // range
+    (4L, "BAD", -1.0),    // two violations
+    (5L, null, null),     // nulls in nullable fields: clean
+  ).toDF("id", "status", "score")
+
+  test("partition splits clean rows from violations with reasons") {
+    val (clean, bad) = Enforce.partition(df, contract)
+    assert(clean.select("id").as[java.lang.Long].collect().toSet == Set(1L, 5L))
+    val reasons = bad.collect().map(r =>
+      r.getAs[Any]("id") -> r.getSeq[String](r.fieldIndex("violation_reasons")).toSet).toMap
+    assert(reasons(null) == Set("null_in_non_nullable:id"))
+    assert(reasons(2L) == Set("allowed_values:status"))
+    assert(reasons(3L) == Set("range:score"))
+    assert(reasons(4L) == Set("allowed_values:status", "range:score"))
+  }
+
+  test("validateAndWrite lands clean + quarantine channels") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-enforce").toString
+    val quarantined = Enforce.validateAndWrite(df, contract, s"$tmp/clean", s"$tmp/bad")
+    assert(quarantined == 4)
+    assert(spark.read.parquet(s"$tmp/clean").count() == 2)
+    val bad = spark.read.parquet(s"$tmp/bad")
+    assert(bad.count() == 4 && bad.columns.contains("violation_reasons"))
+  }
+}
