@@ -111,6 +111,7 @@ object PipelineQueries {
     (s, dir) => {
       val numPerm = 16; val bands = 4; val r = 4
       val base = table(s, dir, "documents")
+        .filter(col("doc_id") < 2000)  // bounded demo slice; the xxhash kernel is the scale path
         .select(col("doc_id").as("id"), TextFns.wordShingles(col("text"), 3).as("sh"))
         .localCheckpoint(true)
       val hash: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
@@ -139,7 +140,7 @@ object PipelineQueries {
         .limit(15)
     },
     Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 2000),
       sh AS (SELECT DISTINCT doc_id,
                     unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
                                           g -> array_to_string(ws[g:g+2], ' '))) sh

@@ -89,6 +89,31 @@ object StreamMonitor {
       }
   }
 
+  /** Streaming exact dedup: drops re-deliveries of the same key within
+    * the watermark horizon (state is bounded by the watermark — the
+    * streaming twin of [[graft.operators.Dedup.dropExactDuplicates]]).
+    * On a batch frame falls back to plain dropDuplicates for backfill. */
+  def dropDuplicatesStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                           watermarkDelay: String): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else df.dropDuplicates(keyCols)
+
+  /** Inactivity-gap sessions via `session_window` — the streaming twin
+    * of [[graft.operators.Sessionize]]; identical session boundaries on
+    * batch input (spec-checked). Emits one row per (key, session). */
+  def sessionAgg(df: DataFrame, keyCol: String, tsCol: String,
+                 gap: String, watermarkDelay: String): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    src.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).cast("long").as("session_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("session_events"))
+  }
+
   /** Convenience: run a streaming quality query into an in-memory sink
     * (used by tests and local monitoring). Returns the query name. */
   def startMemorySink(metrics: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =

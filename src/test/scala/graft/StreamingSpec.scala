@@ -58,6 +58,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.getAs[Long]("rows") == 2 && out.getAs[Long]("violations_status_0") == 1)
   }
 
+  test("streaming dedup drops within-watermark redeliveries") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val deduped = StreamMonitor.dropDuplicatesStream(stream, Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      mem.addData((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:01:00"),
+        (2L, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2) // id=1 redelivery dropped
+    } finally q.stop()
+  }
+
+  test("session_window agg matches the batch sessionizer's boundaries") {
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:10:00"),
+      ("u1", "2024-01-01 11:30:00"), ("u2", "2024-01-01 10:00:00"))
+      .toDF("user_id", "ts_s").withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .withColumn("event_id", monotonically_increasing_id())
+    val streamSessions = StreamMonitor.sessionAgg(df, "user_id", "ts", "30 minutes", "0 seconds")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchSessions = graft.operators.Sessionize
+      .sessionStats(df, "user_id", "ts", 1800000L, "event_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamSessions == batchSessions && streamSessions == Map("u1" -> 2L, "u2" -> 1L))
+  }
+
   test("per-key freshness state tracks the latest event per key") {
     val df = Seq(
       ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:00:00"),
