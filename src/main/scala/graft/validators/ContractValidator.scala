@@ -104,7 +104,8 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
         val nn = slot(count(col(f)))
         outs += result(lit("completeness"), lit(f),
           col(nn) * 1000000L >= lit(ppm) * totalC,
-          col(nn).cast(DoubleType) / totalC.cast(DoubleType),
+          when(totalC === 0L, 1d)
+            .otherwise(col(nn).cast(DoubleType) / totalC.cast(DoubleType)),
           format_string(s"non-null %d of %d (threshold ${cc.threshold})", col(nn), totalC))
       }
     }
@@ -143,10 +144,12 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
       val now = asOf.map(ts => lit(ts)).getOrElse(current_timestamp())
       val lagSec = unix_timestamp(now) - unix_timestamp(col(maxTs))
       val limit = Durations.parseSeconds(fr.maxDelay)
+      // empty slice → vacuous pass, like the reference's empty-dataset
+      // short-circuit (quality.rs / custom.rs: `if dataset.is_empty()`)
       outs += result(lit("freshness"), lit(fr.metric),
-        col(maxTs).isNotNull && lagSec <= limit,
-        lagSec.cast(DoubleType),
-        format_string(s"lag %ds (max ${fr.maxDelay})", lagSec))
+        totalC === 0L || (col(maxTs).isNotNull && lagSec <= limit),
+        coalesce(lagSec.cast(DoubleType), lit(0d)),
+        format_string(s"lag %ds (max ${fr.maxDelay})", coalesce(lagSec, lit(0L))))
     }
 
     if (outs.isEmpty) Nil

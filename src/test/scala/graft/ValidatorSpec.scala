@@ -70,6 +70,13 @@ class ValidatorSpec extends SparkSpec {
     assert(r(("nullability", "id")).passed)
   }
 
+  test("empty dataset passes vacuously (reference empty-dataset semantics)") {
+    val df = mkDf(Nil)
+    val r = results(new ContractValidator(
+      Some(Timestamp.valueOf("2024-01-01 12:00:00"))).validate(df, contract))
+    assert(r.values.forall(_.passed), r.values.filterNot(_.passed))
+  }
+
   test("missing + mistyped fields fail the schema check") {
     val df = Seq((1L, 2L)).toDF("id", "status") // status wrong type, others missing
     val r = results(new ContractValidator().validate(df, contract))
