@@ -23,6 +23,7 @@ object ContractTypes {
       case "boolean" | "bool"                     => BooleanType
       case "timestamp" | "datetime"               => TimestampType
       case "date"                                 => DateType
+      case "time"                                 => TimeType()
       case "binary" | "bytes"                     => BinaryType
       case "decimal"                              => DecimalType(38, 18)
       case _ if lower.startsWith("decimal(") =>
@@ -37,6 +38,13 @@ object ContractTypes {
         val inner = s.substring(4, s.length - 1)
         val comma = topLevelComma(inner)
         MapType(toSpark(inner.substring(0, comma)), toSpark(inner.substring(comma + 1)))
+      case _ if lower.startsWith("struct<") && s.endsWith(">") =>
+        val inner = s.substring(7, s.length - 1).trim
+        if (inner.isEmpty) StructType(Nil)
+        else StructType(splitTopLevel(inner).map { part =>
+          val colon = topLevelColon(part)
+          StructField(part.substring(0, colon).trim, toSpark(part.substring(colon + 1)))
+        })
       case other =>
         throw new IllegalArgumentException(s"unknown contract type '$other'")
     }
@@ -54,6 +62,7 @@ object ContractTypes {
     case TimestampType         => "timestamp"
     case TimestampNTZType      => "timestamp"
     case DateType              => "date"
+    case _: TimeType           => "time"
     case BinaryType            => "binary"
     case d: DecimalType        => s"decimal(${d.precision},${d.scale})"
     case ArrayType(e, _)       => s"list<${fromSpark(e)}>"
@@ -79,5 +88,40 @@ object ContractTypes {
       i += 1
     }
     throw new IllegalArgumentException(s"malformed parameterized type: $s")
+  }
+
+  /** Index of the name:type separator at nesting depth 0. */
+  private def topLevelColon(s: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
+        case ':' if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"malformed struct field: $s")
+  }
+
+  /** Splits on depth-0 commas: struct field lists, nested or not. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
   }
 }

@@ -84,6 +84,19 @@ object Profile {
     val nums = if (numericCols.nonEmpty)
       numeric(df, numericCols).collect().map(r => r.getString(0) -> r).toMap
     else Map.empty[String, org.apache.spark.sql.Row]
+    // exact (unrounded) min/max for Range suggestions: a rounded bound
+    // can exclude the very data it was profiled from
+    val exactBounds: Map[String, (Double, Double)] = if (numericCols.nonEmpty) {
+      val aggs = numericCols.flatMap(c => Seq(
+        min(col(c).cast(DoubleType)).as(s"__mn_$c"),
+        max(col(c).cast(DoubleType)).as(s"__mx_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+      numericCols.flatMap { c =>
+        val mn = r.getAs[java.lang.Double](s"__mn_$c")
+        val mx = r.getAs[java.lang.Double](s"__mx_$c")
+        if (mn == null || mx == null) None else Some(c -> (mn.doubleValue, mx.doubleValue))
+      }.toMap
+    } else Map.empty
     val strs = if (stringCols.nonEmpty)
       strings(df, stringCols).collect().map(r => r.getString(0) -> r).toMap
     else Map.empty[String, org.apache.spark.sql.Row]
@@ -99,8 +112,8 @@ object Profile {
         nums.get(f.name).map(_.getAs[Long]("nulls") == 0)
           .orElse(strs.get(f.name).map(_.getAs[Long]("nulls") == 0))
       val constraints =
-        nums.get(f.name).map { r =>
-          Seq(Constraint.Range(r.getAs[Double]("min_r4"), r.getAs[Double]("max_r4")))
+        exactBounds.get(f.name).map { case (mn, mx) =>
+          Seq(Constraint.Range(mn, mx))
         }.getOrElse(Nil) ++
           lowCardValues.get(f.name).map(vs => Constraint.AllowedValues(vs)).toSeq
       f.copy(nullable = !noNulls.getOrElse(false), constraints = constraints)

@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event sessionization: splits each key's event stream into sessions
-  * at inactivity gaps > `gapMs`.
+  * at inactivity gaps > `gapMs`. The boundary is exclusive to match
+  * `session_window`, which MERGES an event arriving exactly `gap` after
+  * the previous one into the same session (spec-verified parity —
+  * sessions merge when nextStart <= prevEnd).
   *
   * One shuffle on the key; the session index is a running sum of
   * gap-boundary flags inside the per-key sorted window — the batch twin

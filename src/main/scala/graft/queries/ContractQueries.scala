@@ -166,26 +166,40 @@ object ContractQueries {
       ) ORDER BY field"""))
 
   // 8. custom SQL checks, executed through the real validator machinery
+  // with the reference's result interpretation (custom.rs:405): count
+  // style (pass iff 0), boolean style (pass iff true), row-listing
+  // style (pass iff empty, metric = row count on failure).
   val qCustomChecks = QueryDef("q_custom_checks",
     (s, dir) => {
-      table(s, dir, "orders").createOrReplaceTempView("orders")
+      val orders = table(s, dir, "orders")
       table(s, dir, "events").createOrReplaceTempView("events")
-      val checks = Seq(
-        ("no_negative_totalprice", "SELECT count(*) = 0 FROM orders WHERE o_totalprice < 0"),
-        ("order_priorities_bounded", "SELECT count(DISTINCT o_orderpriority) <= 5 FROM orders"),
-        ("events_value_upper", "SELECT count(*) = 0 FROM events WHERE value > 450"),
-      )
-      checks.map { case (name, sql) =>
-        s.sql(sql).toDF("res").limit(1).select(
-          lit(name).as("check_name"),
-          col("res").cast(BooleanType).as("passed"))
-      }.reduce(_ unionByName _).orderBy("check_name")
+      val c = Contract(version = "1", name = "orders", owner = "graft",
+        schema = ContractSchema("parquet", "", Seq(Field("o_orderkey", "int64"))),
+        qualityChecks = Some(QualityChecks(customChecks = Seq(
+          CustomCheck("no_negative_totalprice",
+            "SELECT count(*) FROM orders WHERE o_totalprice < 0"),
+          CustomCheck("order_priorities_bounded",
+            "SELECT count(DISTINCT o_orderpriority) <= 5 FROM orders"),
+          CustomCheck("events_value_upper",
+            "SELECT event_type FROM events WHERE value > 450"),
+        ))))
+      new graft.validators.ContractValidator().validate(orders, c)
+        .where(col("check").startsWith("custom:"))
+        .select(col("check").as("check_name"), col("passed"),
+          col("metric").cast(DoubleType).as("metric"))
+        .orderBy("check_name")
     },
     Some("""
       SELECT * FROM (
-        SELECT 'no_negative_totalprice' AS check_name, (SELECT count(*) = 0 FROM orders WHERE o_totalprice < 0) AS passed
-        UNION ALL SELECT 'order_priorities_bounded', (SELECT count(DISTINCT o_orderpriority) <= 5 FROM orders)
-        UNION ALL SELECT 'events_value_upper', (SELECT count(*) = 0 FROM events WHERE value > 450)
+        SELECT 'custom:no_negative_totalprice' AS check_name,
+               (SELECT count(*) FROM orders WHERE o_totalprice < 0) = 0 AS passed,
+               CAST((SELECT count(*) FROM orders WHERE o_totalprice < 0) AS DOUBLE) AS metric
+        UNION ALL SELECT 'custom:order_priorities_bounded',
+               (SELECT count(DISTINCT o_orderpriority) <= 5 FROM orders),
+               CASE WHEN (SELECT count(DISTINCT o_orderpriority) <= 5 FROM orders) THEN 1.0 ELSE 0.0 END
+        UNION ALL SELECT 'custom:events_value_upper',
+               (SELECT count(*) FROM events WHERE value > 450) = 0,
+               CAST((SELECT count(*) FROM events WHERE value > 450) AS DOUBLE)
       ) ORDER BY check_name"""))
 
   // 9. completeness — exact integer threshold compare (ppm)

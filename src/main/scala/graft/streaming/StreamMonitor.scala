@@ -63,30 +63,58 @@ object StreamMonitor {
   }
 
   final case class KeyFreshness(key: String, lastSeenMs: Long, stale: Boolean)
-  private final case class FreshState(lastSeenMs: Long)
 
-  /** Per-key freshness tracking with custom state: emits, for every key,
-    * its latest event time and whether the key has gone stale relative
-    * to `maxDelayMs` (measured against the greatest event time seen in
-    * the batch for that key — deterministic, no wall clock).
+  /** Per-key freshness tracking: emits, for every key, its latest event
+    * time and whether the key is stale — its last event lags the
+    * reference time by more than `maxDelayMs`. Deterministic, no wall
+    * clock:
     *
-    * The `mapGroupsWithState` shape is the scale path: state is one
-    * (key → long) entry, partitioned by key across executors.
+    *   - batch (backfill): reference time = the batch's max event time.
+    *     One shuffle on the key plus a broadcast of the 1-row global
+    *     max — no stateful op needed.
+    *   - streaming: reference time = the event-time watermark. A key
+    *     that stays silent for `maxDelayMs` past its last event fires
+    *     an event-time timeout → emits `stale = true` and REMOVES its
+    *     state, so state is TTL-bounded and does not grow with dead
+    *     keys. State is one (key → long) entry, partitioned by key
+    *     across executors.
     */
   def keyFreshness(events: DataFrame, keyCol: String, tsCol: String,
-                   maxDelayMs: Long): Dataset[KeyFreshness] = {
+                   maxDelayMs: Long, watermarkDelay: String = "0 seconds"): Dataset[KeyFreshness] = {
     import events.sparkSession.implicits._
-    val typed = events
-      .select(col(keyCol).cast("string").as("key"), unix_millis(col(tsCol)).as("ts"))
-      .as[(String, Long)]
-    typed.groupByKey(_._1)
-      .mapGroupsWithState[FreshState, KeyFreshness](GroupStateTimeout.NoTimeout) {
-        (key, rows, state: GroupState[FreshState]) =>
-          val maxTs = rows.map(_._2).foldLeft(
-            state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue))(math.max)
-          state.update(FreshState(maxTs))
-          KeyFreshness(key, maxTs, stale = false)
-      }
+    if (!events.isStreaming) {
+      val keyed = events.select(col(keyCol).cast("string").as("key"),
+        unix_millis(col(tsCol)).as("ts"))
+      val perKey = keyed.groupBy("key").agg(max(col("ts")).as("lastSeenMs"))
+      val ref = keyed.agg(max(col("ts")).as("refMs"))
+      perKey.crossJoin(broadcast(ref))
+        .select(col("key"), col("lastSeenMs"),
+          (col("refMs") - col("lastSeenMs") > maxDelayMs).as("stale"))
+        .as[KeyFreshness]
+    } else {
+      // keep tsCol itself through the select so its watermark metadata
+      // survives to the stateful operator
+      val typed = events.withWatermark(tsCol, watermarkDelay)
+        .select(col(keyCol).cast("string").as("key"), col(tsCol).as("ts"))
+        .as[(String, java.sql.Timestamp)]
+      typed.groupByKey(_._1)
+        .mapGroupsWithState[Long, KeyFreshness](GroupStateTimeout.EventTimeTimeout) {
+          (key, rows, state: GroupState[Long]) =>
+            if (state.hasTimedOut) {
+              val last = state.get
+              state.remove() // TTL: a stale key's state is dropped
+              KeyFreshness(key, last, stale = true)
+            } else {
+              val maxTs = rows.map(_._2.getTime).foldLeft(
+                state.getOption.getOrElse(Long.MinValue))(math.max)
+              state.update(maxTs)
+              val wm = state.getCurrentWatermarkMs()
+              // timeout must be strictly later than the current watermark
+              state.setTimeoutTimestamp(math.max(maxTs + maxDelayMs, wm + 1))
+              KeyFreshness(key, maxTs, stale = wm - maxTs > maxDelayMs)
+            }
+        }
+    }
   }
 
   /** Streaming exact dedup: drops re-deliveries of the same key within

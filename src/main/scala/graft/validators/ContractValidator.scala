@@ -183,34 +183,69 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
     }
   }
 
-  /** Custom SQL checks: each `definition` must yield a single row whose
-    * first column is TRUE. (reference: custom.rs + datafusion_engine.rs
-    * custom-check execution) */
+  /** Custom SQL checks, with the reference's result interpretation
+    * (reference: custom.rs:405 execute_custom_check):
+    *
+    *   - definition must be a single SELECT (no semicolons) — anything
+    *     else fails the check, not the run;
+    *   - empty result set = pass;
+    *   - single row, first column numeric = pass iff the value is 0
+    *     (the `SELECT count(*) FROM t WHERE <violation>` idiom);
+    *   - single row, first column boolean = pass iff TRUE (compat
+    *     extension for `SELECT count(*) = 0 ...` style checks);
+    *   - any other non-empty result = fail, metric = row count.
+    *
+    * Only the first result column is inspected; the verdict is computed
+    * as ONE distributed aggregate — the check's result set is never
+    * collected to the driver, so a `SELECT * FROM t WHERE bad` check
+    * stays safe at 100 TB. Every declared check emits exactly one row. */
   private def customResults(df: DataFrame, c: Contract): Seq[DataFrame] = {
     val checks = c.qualityChecks.map(_.customChecks).getOrElse(Nil)
     if (checks.isEmpty) return Nil
     val spark = df.sparkSession
     df.createOrReplaceTempView(c.name)
     checks.map { ch =>
-      try {
-        // first column of the check's result, whatever its generated name
-        val passedDf = spark.sql(ch.definition).toDF("res")
-        passedDf.limit(1)
-          .select(result(lit("custom:" + ch.name), lit(""),
-            col("res").cast(BooleanType),
-            col("res").cast(BooleanType).cast(DoubleType),
-            lit("custom check"),
-            lit(ch.severity.getOrElse("error"))).as("r"))
-          .select("r.*")
+      val sev = ch.severity.getOrElse("error")
+      def failRow(detail: String): DataFrame =
+        spark.createDataset(Seq(CheckResult("custom:" + ch.name, "",
+          passed = false, 0d, detail, sev)))(resultEncoder).toDF()
+      val defn = ch.definition.trim
+      if (!defn.toUpperCase.startsWith("SELECT"))
+        failRow("custom checks must be SELECT statements")
+      else if (defn.contains(";"))
+        failRow("custom checks must not contain semicolons (multiple statements)")
+      else try {
+        val res = spark.sql(defn)
+        val r = res.select(col(res.columns.head).as("res"))
+        val dt = r.schema.head.dataType
+        val isNumeric = dt.isInstanceOf[NumericType]
+        val isBool = dt == BooleanType
+        val valueAgg = dt match {
+          case _: NumericType => max(col("res")).cast(DoubleType)
+          case BooleanType => max(col("res").cast(IntegerType)).cast(DoubleType)
+          case _ => lit(null).cast(DoubleType)
+        }
+        val agg = r.agg(count(lit(1)).as("n"), valueAgg.as("v"))
+        val n = col("n")
+        val passed =
+          if (isNumeric) n === 0L || (n === 1L && col("v") === 0d)
+          else if (isBool) n === 0L || (n === 1L && col("v") === 1d)
+          else n === 0L
+        val metric =
+          when(n === 1L && lit(isNumeric || isBool), coalesce(col("v"), lit(0d)))
+            .otherwise(n.cast(DoubleType))
+        val detail = when(n === 0L, lit("empty result"))
+          .when(n === 1L && lit(isNumeric),
+            format_string("returned count %.0f (expected 0)", coalesce(col("v"), lit(-1d))))
+          .when(n === 1L && lit(isBool), lit("boolean check"))
+          .otherwise(format_string("returned %d row(s) (expected empty result)", n))
+        agg.select(result(lit("custom:" + ch.name), lit(""), passed, metric,
+          detail, lit(sev)).as("r")).select("r.*")
       } catch {
-        // an unplannable definition fails the check, not the run
-        // (reference: custom.rs validate_single_custom_check surfaces a
-        // ValidationError for bad definitions)
-        case e: org.apache.spark.sql.AnalysisException =>
-          spark.createDataset(Seq(CheckResult("custom:" + ch.name, "",
-            passed = false, 0d,
-            s"definition failed to plan: ${e.getMessage.take(200)}",
-            ch.severity.getOrElse("error"))))(resultEncoder).toDF()
+        // an unplannable/failing definition fails the check, not the run
+        // (reference: custom.rs maps execution errors to ValidationError)
+        case scala.util.control.NonFatal(e) =>
+          failRow(s"definition failed: ${Option(e.getMessage).getOrElse(e.toString).take(200)}")
       }
     }
   }

@@ -161,6 +161,26 @@ class ContractsSpec extends SparkSpec {
     intercept[IllegalArgumentException](ContractTypes.toSpark("wat"))
   }
 
+  test("struct + time round-trip the full reference grammar (datatype.rs:178)") {
+    val nested = StructType(Seq(
+      StructField("a", LongType),
+      StructField("b", MapType(StringType, ArrayType(DoubleType))),
+      StructField("c", StructType(Seq(
+        StructField("x", DecimalType(10, 2)), StructField("y", StringType))))))
+    // fromSpark → toSpark is the identity on every grammar production
+    val cases: Seq[DataType] = Seq(
+      StringType, LongType, org.apache.spark.sql.types.TimeType(),
+      DecimalType(10, 2), ArrayType(FloatType),
+      MapType(StringType, nested), nested)
+    cases.foreach { t =>
+      assert(ContractTypes.toSpark(ContractTypes.fromSpark(t)) == t, t)
+    }
+    assert(ContractTypes.toSpark("time") == org.apache.spark.sql.types.TimeType())
+    assert(ContractTypes.toSpark("struct<a:int64,b:map<string,list<float64>>>") ==
+      StructType(Seq(StructField("a", LongType),
+        StructField("b", MapType(StringType, ArrayType(DoubleType))))))
+  }
+
   test("schema drift detection") {
     val contract = Contract(version = "1", name = "t", owner = "o",
       schema = ContractSchema("parquet", "", Seq(

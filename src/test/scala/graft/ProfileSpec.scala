@@ -40,4 +40,16 @@ class ProfileSpec extends SparkSpec {
     val parsed = graft.contracts.ContractParser.parse(graft.contracts.ContractInit.toYaml(c))
     assert(graft.validators.DefinitionLint.lint(parsed).isEmpty)
   }
+
+  test("suggested range constraints never fail on the profiled data") {
+    // values whose 4-dp half-up rounding moves the min UP / max DOWN —
+    // a rounded bound would immediately flag its own source data
+    val df = Seq(0.12345001, 0.99999999, 0.123451, 7.00005)
+      .map(Tuple1(_)).toDF("v")
+    val c = Profile.suggestContract(df, "t_rng", "me")
+    val report = new graft.validators.ContractValidator().validate(df, c)
+      .collect().filter(_.getAs[String]("check") == "range")
+    assert(report.nonEmpty && report.forall(_.getAs[Boolean]("passed")),
+      report.mkString(";"))
+  }
 }

@@ -21,6 +21,28 @@ class SessionizeSpec extends SparkSpec {
     assert(stats("u2") == ((1L, 1L, 1L)))
   }
 
+  test("events spaced exactly at the gap stay in one session (session_window parity)") {
+    // session_window merges sessions when nextStart <= prevEnd, so an
+    // event exactly `gap` after the previous one joins the SAME session
+    // (empirically verified); the batch path's exclusive `>` boundary
+    // must agree. One second past the gap → new session (u2).
+    val df = Seq(
+      ("u1", 1L, "2024-01-01 10:00:00"),
+      ("u1", 2L, "2024-01-01 10:30:00"), // exactly 30m later → same session
+      ("u1", 3L, "2024-01-01 10:59:59"), // 29m59s later → same session
+      ("u2", 4L, "2024-01-01 10:00:00"),
+      ("u2", 5L, "2024-01-01 10:30:01"), // 30m01s later → new session
+    ).toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val batch = Sessionize.sessionStats(df, "user_id", "ts", 1800000L, "event_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = graft.streaming.StreamMonitor
+      .sessionAgg(df, "user_id", "ts", "30 minutes", "0 seconds")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch == stream && batch == Map("u1" -> 1L, "u2" -> 2L), (batch, stream))
+  }
+
   test("hash split is deterministic, disjoint, and roughly proportional") {
     val df = (0L until 1000L).map(i => Tuple1(i)).toDF("id")
     val a = Sampling.hashSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

@@ -88,14 +88,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamSessions == batchSessions && streamSessions == Map("u1" -> 2L, "u2" -> 1L))
   }
 
-  test("per-key freshness state tracks the latest event per key") {
+  test("per-key freshness flags keys lagging the batch max beyond maxDelayMs") {
     val df = Seq(
       ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:00:00"),
       ("b", "2024-01-01 09:00:00"))
       .toDF("k", "ts_s").withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
     val out = StreamMonitor.keyFreshness(df, "k", "ts", maxDelayMs = 3600000)
-      .collect().map(kf => kf.key -> kf.lastSeenMs).toMap
-    assert(out("a") == java.time.Instant.parse("2024-01-01T11:00:00Z").toEpochMilli)
-    assert(out("b") == java.time.Instant.parse("2024-01-01T09:00:00Z").toEpochMilli)
+      .collect().map(kf => kf.key -> kf).toMap
+    assert(out("a").lastSeenMs == java.time.Instant.parse("2024-01-01T11:00:00Z").toEpochMilli)
+    assert(out("b").lastSeenMs == java.time.Instant.parse("2024-01-01T09:00:00Z").toEpochMilli)
+    // reference time = batch max (11:00); b lags 2h > 1h → stale
+    assert(!out("a").stale && out("b").stale)
+  }
+
+  test("streaming freshness: silent key times out stale and drops state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("k", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val fresh = StreamMonitor.keyFreshness(stream, "k", "ts", maxDelayMs = 3600000)
+    val q = fresh.toDF().writeStream.format("memory").queryName("kf")
+      .outputMode("update").start()
+    try {
+      mem.addData(("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      // a keeps flowing; watermark advances past b's 10:00 + 1h deadline
+      mem.addData(("a", "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // timeouts fire on the batch after the watermark update
+      mem.addData(("a", "2024-01-01 12:01:00"))
+      q.processAllAvailable()
+      val rows = spark.table("kf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      val t10 = java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli
+      assert(rows.contains(("b", t10, true)), rows.mkString(";"))
+      assert(!rows.exists(r => r._1 == "a" && r._3), rows.mkString(";"))
+    } finally q.stop()
   }
 }

@@ -129,6 +129,36 @@ class ValidatorSpec extends SparkSpec {
     assert(DefinitionLint.lint(contract).isEmpty)
   }
 
+  test("custom checks follow reference result semantics (custom.rs:405)") {
+    val df = mkDf(Seq(
+      (1L, "on", 50.0, "ABC", "2024-01-01 10:00:00"),
+      (2L, "off", -5.0, "XYZ", "2024-01-01 10:30:00")))
+    def run(defn: String): CheckResult = {
+      val c = contract.copy(qualityChecks = Some(QualityChecks(
+        customChecks = Seq(CustomCheck("c", defn)))))
+      results(new ContractValidator().validate(df, c))(("custom:c", ""))
+    }
+    // count-style: violations exist → count > 0 → FAIL
+    val neg = run("SELECT count(*) FROM t_demo WHERE score < 0")
+    assert(!neg.passed && neg.metric == 1d)
+    // count-style on clean data → 0 → pass
+    assert(run("SELECT count(*) FROM t_demo WHERE score > 1000").passed)
+    // row-listing style: empty result = pass
+    assert(run("SELECT code FROM t_demo WHERE score > 1000").passed)
+    // row-listing style: non-empty = fail, metric = row count
+    val listed = run("SELECT code FROM t_demo WHERE score < 100")
+    assert(!listed.passed && listed.metric == 2d)
+    // boolean compat: pass iff TRUE
+    assert(run("SELECT count(*) = 0 FROM t_demo WHERE score > 1000").passed)
+    assert(!run("SELECT count(*) = 0 FROM t_demo WHERE score < 0").passed)
+    // only the first column is inspected (multi-column result plans fine)
+    assert(!run("SELECT count(*), max(score) FROM t_demo WHERE score < 0").passed)
+    // non-SELECT / multi-statement / unplannable fail the check, not the run
+    assert(!run("DROP TABLE t_demo").passed)
+    assert(!run("SELECT 1; SELECT 2").passed)
+    assert(!run("SELECT nonexistent_col FROM t_demo").passed)
+  }
+
   test("ml checks: overlap, temporal, balance, drift, leakage, null spread") {
     val n = 200
     val rows = (0 until n).map { i =>
