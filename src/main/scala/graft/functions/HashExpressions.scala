@@ -18,20 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** MinHash signature: for each of `numPerm` affine permutations
   * h → (a·h + b) mod p (Mersenne prime 2^31−1), the minimum over the
-  * input hash array. Coefficients come from a seeded RNG — fixed across
-  * executors and runs. Input: array<long> (any values; folded into
-  * [0, p) internally). Output: array<long> of length numPerm. */
-case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
+  * input hash array. Coefficients are explicit — either a seeded-RNG
+  * family (scale default) or the SQL-portable arithmetic family (see
+  * [[MinHashSignature.portable]]) that any engine can replay. Input:
+  * array<long> (any values; folded into [0, p) internally). Output:
+  * array<long> of length numPerm. */
+case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long])
     extends UnaryExpression {
+
+  private val numPerm: Int = as.length
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val coeffs: (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    def next(bound: Long): Long = math.floorMod(rnd.nextLong(), bound)
-    (Array.fill(numPerm)(1L + next(MinHashSignature.P - 1)),
-      Array.fill(numPerm)(next(MinHashSignature.P)))
-  }
+  @transient private lazy val coeffs: (Array[Long], Array[Long]) =
+    (as.toArray, bs.toArray)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -84,8 +84,30 @@ case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
 
 object MinHashSignature {
   val P: Long = 2147483647L // Mersenne prime 2^31 - 1
-  def apply(hashes: Column, numPerm: Int, seed: Long = 42L): Column =
-    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), numPerm, seed))
+
+  def apply(hashes: Column, numPerm: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    def next(bound: Long): Long = math.floorMod(rnd.nextLong(), bound)
+    val as = Seq.fill(numPerm)(1L + next(P - 1))
+    val bs = Seq.fill(numPerm)(next(P))
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), as, bs))
+  }
+
+  /** Knuth-constant multiplier (2654435761 = floor(2^32/φ), public
+    * domain), kept < P so a·h < 2^62 never overflows signed 64-bit —
+    * the same closed form is replayable in any SQL engine:
+    * a_p = 1 + (p·2654435761) mod (P−1), b_p = (p·2654435761·97) mod P. */
+  def portableCoeffs(numPerm: Int): (Seq[Long], Seq[Long]) = {
+    val K = 2654435761L
+    ((0 until numPerm).map(p => 1L + (p * K) % (P - 1)),
+      (0 until numPerm).map(p => (p * K * 97L) % P))
+  }
+
+  /** The portable family — identical results computable in plain SQL. */
+  def portable(hashes: Column, numPerm: Int): Column = {
+    val (as, bs) = portableCoeffs(numPerm)
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), as, bs))
+  }
 }
 
 /** 64-bit SimHash from word hashes (Charikar): bit-weight j is

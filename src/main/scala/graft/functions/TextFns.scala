@@ -49,6 +49,20 @@ object TextFns {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
 
+  /** SQL-portable base hashes: first 8 hex chars of md5 as a 32-bit
+    * int — `('0x' || substr(md5(s),1,8))::BIGINT` in DuckDB. One md5
+    * per shingle; the per-permutation mixing happens in the (portable)
+    * affine family, not by re-hashing. */
+  def portableHashes(tokens: Column): Column =
+    transform(tokens, s =>
+      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  /** SQL-portable 60-bit word hashes for SimHash: 15 hex chars of md5
+    * (60 bits keeps every engine in exact signed-64 integer range). */
+  def portableWordHashes(text: Column): Column =
+    transform(words(text), w =>
+      conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"))
+
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** MinHash signature from pre-materialized shingle hashes: `numPerm`
@@ -98,12 +112,17 @@ object TextFns {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** 16-bit blocks of a simhash — pigeonhole LSH keys: two hashes within
-    * hamming distance 3 share at least one of their 4 blocks, so a join
-    * on (block, key) finds all such pairs without a cross join. */
-  def simhashBlocks(h: Column): Column =
-    array((0 until 4).map { b =>
+  /** `numBlocks` equal bit-blocks of a simhash — pigeonhole LSH keys:
+    * two hashes within hamming distance numBlocks−1 share at least one
+    * block, so a join on (block, key) finds ALL such pairs (guaranteed,
+    * not probabilistic) without a cross join. Scale default 4×16-bit;
+    * 8×8-bit trades bigger buckets for a hamming<=7 guarantee. */
+  def simhashBlocks(h: Column, numBlocks: Int = 4): Column = {
+    require(64 % numBlocks == 0, "numBlocks must divide 64")
+    val width = 64 / numBlocks
+    array((0 until numBlocks).map { b =>
       struct(lit(b).as("block"),
-        pmod(shiftrightunsigned(h, b * 16), lit(65536L)).as("key"))
+        pmod(shiftrightunsigned(h, b * width), lit(1L << width)).as("key"))
     }: _*)
+  }
 }

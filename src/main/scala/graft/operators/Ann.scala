@@ -46,28 +46,55 @@ object Ann {
     * into `numCells` Voronoi cells around sampled centroids; each probe
     * searches only its `nprobe` nearest cells.
     *
-    * Centroids are a deterministic id-ordered sample collected to the
-    * driver (numCells × dim doubles — a sketch, not data) and shipped
-    * back as literals, so cell assignment is `numCells` codegen'd dot
-    * products per row and the only shuffle is the candidate equi-join on
-    * cell id. At 100 TB this is the classic IVF-flat layout: ~N/numCells
-    * candidates per probe, recall tuned by `nprobe`.
+    * Centroids are a deterministic PSEUDO-RANDOM sample — the rows
+    * minimizing `(id mod 999983)·2654435761 mod 999983` — so sorted or
+    * clustered ids cannot collapse the sample into one region (the
+    * failure mode of a first-N-by-id sample), and the same selection is
+    * replayable in plain SQL for the oracle. Optional `refineIters`
+    * Lloyd iterations (one scan each; the centroid set stays a
+    * numCells × dim driver-side sketch) tighten the cells further.
+    * Cell assignment is `numCells` codegen'd dot products per row and
+    * the only shuffle is the candidate equi-join on cell id. At 100 TB
+    * this is the classic IVF-flat layout: ~N/numCells candidates per
+    * probe, recall tuned by `nprobe` and `refineIters`.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numCells: Int = 16, nprobe: Int = 2): DataFrame = {
-    val centroids: Seq[Seq[Double]] = corpus
+              numCells: Int = 16, nprobe: Int = 2,
+              refineIters: Int = 0): DataFrame = {
+    // (id % M) first so the product stays < 2^63 under ANSI arithmetic
+    val scatter = pmod(pmod(col(idCol), lit(999983L)) * 2654435761L, lit(999983L))
+    val sampled: Seq[Seq[Double]] = corpus
       .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(numCells)
+      .orderBy(scatter, col(idCol)).limit(numCells)
       .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
-    require(centroids.nonEmpty, "corpus is empty")
+    require(sampled.nonEmpty, "corpus is empty")
 
     // squared L2 distance to each centroid: nsq − 2·v·c + csq
-    def dists(vec: org.apache.spark.sql.Column, nsq: org.apache.spark.sql.Column) =
-      array(centroids.map { c =>
-        val csq = c.map(x => x * x).sum
-        nsq - VectorFns.dot(vec, typedlit(c)) * 2d + lit(csq)
+    def distsTo(cents: Seq[Seq[Double]])(vec: org.apache.spark.sql.Column,
+                                         nsq: org.apache.spark.sql.Column) =
+      array(cents.map { cn =>
+        val csq = cn.map(x => x * x).sum
+        nsq - VectorFns.dot(vec, typedlit(cn)) * 2d + lit(csq)
       }: _*)
+
+    // Lloyd: reassign + per-dimension mean; empty cells keep their seed
+    val centroids = (0 until refineIters).foldLeft(sampled) { (cents, _) =>
+      val means = corpus.select(col(vecCol).as("v"))
+        .withColumn("nsq", VectorFns.normSq(col("v")))
+        .withColumn("__d", distsTo(cents)(col("v"), col("nsq")))
+        .withColumn("cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents.zipWithIndex.map { case (seed, i) =>
+        val cell = i + 1 // array_position is 1-based
+        if (means.contains((cell, 0))) seed.indices.map(j => means((cell, j))).toSeq
+        else seed
+      }
+    }
+    def dists(vec: org.apache.spark.sql.Column, nsq: org.apache.spark.sql.Column) =
+      distsTo(centroids)(vec, nsq)
 
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("n_nsq", VectorFns.normSq(col("n_vec")))

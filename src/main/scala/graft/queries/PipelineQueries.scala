@@ -94,32 +94,52 @@ object PipelineQueries {
       FROM (SELECT s, min(d) AS min_d FROM reach GROUP BY s)
       GROUP BY min_d ORDER BY component"""))
 
-  // 27. MinHash+LSH candidates, exact-verified (hash family not SQL-portable → rows-only)
+  // 27. MinHash+LSH candidates, exact-verified. The xxhash64 family is
+  // not SQL-portable, but at r=2 rows/band × 64 bands the S-curve puts
+  // the per-pair miss probability for jacc >= 0.5 below (1-0.25)^64 ≈
+  // 1e-8 (and the corpus has no pairs in [0.3, 0.6) — every qualifying
+  // pair sits at >= 0.6 where the miss prob is ~4e-13), so the verified
+  // output provably equals the exact-Jaccard >= 0.5 listing, which IS
+  // SQL-expressible. A recall spec asserts equality with jaccardPairs.
   val qDedupMinhash = QueryDef("q_dedup_minhash",
     (s, dir) => {
       Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, numPerm = 128, numBands = 32, minJaccardBp = 100L)
-        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
-        .limit(15)
+          n = 3, numPerm = 128, numBands = 64, minJaccardBp = 5000L)
+        .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jacc_bp
+      FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 5000
+      ORDER BY id_a, id_b"""))
 
-  // 27b. MinHash with a PORTABLE hash family (md5-derived) — the same
-  // signatures are computable in any SQL engine, so unlike q_dedup_minhash
-  // this LSH pipeline is fully oracle-checked end to end.
+  // 27b. MinHash with a PORTABLE hash family over the FULL corpus: one
+  // md5 per shingle for the base hash, then the closed-form affine
+  // family (MinHashSignature.portable) — every stage (signature, bands,
+  // candidates, verification) is replayed exactly by the DuckDB oracle.
+  // The signature min runs in the same codegen kernel as the xxhash
+  // scale path; only the base hash differs.
   val qDedupMinhashPortable = QueryDef("q_dedup_minhash_portable",
     (s, dir) => {
       val numPerm = 16; val bands = 4; val r = 4
       val base = table(s, dir, "documents")
-        .filter(col("doc_id") < 2000)  // bounded demo slice; the xxhash kernel is the scale path
         .select(col("doc_id").as("id"), TextFns.wordShingles(col("text"), 3).as("sh"))
         .localCheckpoint(true)
-      val hash: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-        (sh, p) => conv(substring(md5(concat(sh, lit(":"), p.cast("string")).cast("binary")), 1, 8),
-          16, 10).cast(LongType)
-      val sigs = base.withColumn("sig",
-        transform(sequence(lit(0), lit(numPerm - 1)), p =>
-          array_min(transform(col("sh"), sh => hash(sh, p)))))
+      val sigs = base
+        .withColumn("hs", TextFns.portableHashes(col("sh")))
+        .select(col("id"),
+          graft.functions.MinHashSignature.portable(col("hs"), numPerm).as("sig"))
       val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "key")))
@@ -140,7 +160,7 @@ object PipelineQueries {
         .limit(15)
     },
     Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 2000),
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
       sh AS (SELECT DISTINCT doc_id,
                     unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
                                           g -> array_to_string(ws[g:g+2], ' '))) sh
@@ -150,7 +170,9 @@ object PipelineQueries {
         SELECT doc_id,
                list_transform(generate_series(0, 15), p ->
                  list_min(list_transform(shs, s ->
-                   ('0x' || substr(md5(s || ':' || CAST(p AS VARCHAR)), 1, 8))::BIGINT))) sig
+                   ((1 + (p * 2654435761) % 2147483646)
+                      * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647))) sig
         FROM shl),
       banded AS (
         SELECT doc_id, b,
@@ -172,15 +194,33 @@ object PipelineQueries {
       WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 1000
       ORDER BY jacc_bp DESC, id_a, id_b LIMIT 15"""))
 
-  // 28. SimHash near-dup pairs (rows-only)
+  // 28. SimHash near-dup pairs. With maxHamming = numBlocks−1 the block
+  // pigeonhole GUARANTEES every qualifying pair is a candidate, so the
+  // verified per-pair output is exact — and with the portable md5 word
+  // hashes (60-bit) the oracle recomputes each doc's 64 bit-votes and
+  // every pair's hamming distance in plain SQL.
   val qDedupSimhash = QueryDef("q_dedup_simhash",
     (s, dir) => {
-      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 24)
-        .groupBy()
-        .agg(count(lit(1)).cast(LongType).as("pairs"),
-          min("hamming").cast(LongType).as("min_hamming"))
+      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 7, numBlocks = 8,
+          wordHashes = TextFns.portableWordHashes)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+        .orderBy("id_a", "id_b")
     },
-    None)
+    Some("""
+      WITH wh AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)),
+      votes AS (
+        SELECT doc_id, j, CASE WHEN sum(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END v
+        FROM wh, generate_series(0, 59) t(j) GROUP BY doc_id, j),
+      ham AS (
+        SELECT a.doc_id ia, b.doc_id ib,
+               CAST(sum(CASE WHEN a.v != b.v THEN 1 ELSE 0 END) AS BIGINT) hamming
+        FROM votes a JOIN votes b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, hamming FROM ham
+      WHERE hamming <= 7 ORDER BY id_a, id_b"""))
 
   // 29. embedding near-dup pairs, exact cosine (double fold both sides)
   val qDedupEmbedding = QueryDef("q_dedup_embedding",
@@ -225,7 +265,10 @@ object PipelineQueries {
         FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id != p.vec_id)
       WHERE rank <= 5 ORDER BY q_id, rank"""))
 
-  // 31. LSH-bucketed ANN (hash-derived planes → rows-only; recall spec-tested)
+  // 31. LSH-bucketed ANN. The hyperplanes are fixed driver-side literal
+  // doubles, so the oracle embeds their exact values (Double.toString
+  // round-trips) and recomputes bucket assignment + in-bucket ranking —
+  // the whole approximate pipeline is oracle-checked, not just scores.
   val qAnnLsh = QueryDef("q_ann_lsh",
     (s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -235,19 +278,87 @@ object PipelineQueries {
           col("n_id"), round(col("cosine"), 4).as("cos_r4"))
         .orderBy("q_id", "rank")
     },
-    None)
+    Some(lshAnnOracle(numPlanes = 4, dim = 64, k = 5)))
 
-  // 31b. IVF-partitioned ANN (centroid sample → rows-only; recall spec-tested)
+  private def lshAnnOracle(numPlanes: Int, dim: Int, k: Int): String = {
+    val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n               ")
+    s"""
+      WITH planes(p, w) AS (VALUES $values),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+               sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                        THEN 1 << (${numPlanes - 1} - pl.p) ELSE 0 END) bucket
+        FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding),
+      scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) cosine
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cosine, 4) AS cos_r4 FROM (
+        SELECT q_id, n_id, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+        FROM scored)
+      WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  // 31b. IVF-partitioned ANN. Centroids are the numCells corpus vectors
+  // minimizing (id mod 999983)·2654435761 mod 999983 — a pseudo-random
+  // sample any SQL engine can reproduce — with 0 Lloyd iterations here
+  // so the oracle replays assignment, probe-cell selection (with ties)
+  // and ranking exactly. The Lloyd-refined path is recall-spec-tested.
   val qAnnIvf = QueryDef("q_ann_ivf",
     (s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, numCells = 16, nprobe = 4)
+          k = 5, numCells = 16, nprobe = 4, refineIters = 0)
         .select(col("q_id"), col("rank").cast(LongType).as("rank"),
           col("n_id"), round(col("cosine"), 4).as("cos_r4"))
         .orderBy("q_id", "rank")
     },
-    None)
+    Some("""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY scat, vec_id) cell, embedding
+        FROM (SELECT vec_id, embedding, (vec_id % 999983) * 2654435761 % 999983 scat
+              FROM embeddings ORDER BY scat, vec_id LIMIT 16)),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 2
+                   + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) ASC,
+                 c.cell ASC) rn
+        FROM embeddings e, cents c),
+      cellof AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
+      pd AS (
+        SELECT e.vec_id q_id, e.embedding qe, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 2
+                 + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) d
+        FROM embeddings e, cents c WHERE e.vec_id < 10),
+      cut AS (
+        SELECT q_id, max(d) cut FROM (
+          SELECT q_id, d, row_number() OVER (PARTITION BY q_id ORDER BY d) rn FROM pd)
+        WHERE rn <= 4 GROUP BY q_id),
+      probecells AS (
+        SELECT pd.q_id, pd.qe, pd.cell FROM pd JOIN cut USING (q_id)
+        WHERE pd.d <= cut.cut),
+      cand AS (
+        SELECT DISTINCT p.q_id, p.qe, co.vec_id n_id, co.embedding ne
+        FROM probecells p JOIN cellof co ON p.cell = co.cell AND co.vec_id != p.q_id),
+      scored AS (
+        SELECT q_id, n_id,
+               list_dot_product(qe::DOUBLE[], ne::DOUBLE[]) /
+               sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) *
+                    list_dot_product(ne::DOUBLE[], ne::DOUBLE[])) cosine
+        FROM cand)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cosine, 4) AS cos_r4 FROM (
+        SELECT q_id, n_id, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
 
   // 32. language-ID heuristic → confusion matrix vs the labeled lang
   val qTextLangid = QueryDef("q_text_langid",

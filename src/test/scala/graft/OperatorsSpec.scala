@@ -42,6 +42,37 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact) // verification removes FPs; recall ~1 at J>=0.3 with 32x4 bands
   }
 
+  test("minhash r=2 b=64 has full recall at jacc>=0.5 (driver-oracle config)") {
+    // the q_dedup_minhash oracle depends on this equality: at 64 bands
+    // of 2 rows, P(miss) <= (1-0.25)^64 ≈ 1e-8 per qualifying pair
+    val docs = spark.read.parquet(sf("documents"))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccardBp = 5000)
+      .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", n = 3,
+      numPerm = 128, numBands = 64, minJaccardBp = 5000)
+      .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && lsh == exact,
+      s"exact=${exact.size} lsh=${lsh.size} missed=${(exact -- lsh).size}")
+  }
+
+  test("simhash maxHamming=numBlocks-1 output is exactly all qualifying pairs") {
+    // pigeonhole guarantee: every pair within hamming numBlocks-1 shares
+    // a block, so candidate generation loses nothing
+    import graft.functions.{SimHash64, TextFns}
+    val docs = spark.read.parquet(sf("documents")).limit(200)
+    val viaLsh = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 7, numBlocks = 8, wordHashes = TextFns.portableWordHashes)
+      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+    val sims = docs.withColumn("__h", TextFns.portableWordHashes($"text"))
+      .select($"doc_id".as("id"), SimHash64($"__h").as("sim"))
+    val brute = sims.as("a").join(sims.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        TextFns.hamming64($"a.sim", $"b.sim").as("hamming"))
+      .filter($"hamming" <= 7)
+      .collect().map(_.toSeq).toSet
+    assert(viaLsh == brute && brute.nonEmpty, s"lsh=${viaLsh.size} brute=${brute.size}")
+  }
+
   test("simhash finds near-dups and exact dups") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
@@ -100,6 +131,27 @@ class OperatorsSpec extends SparkSpec {
       .select("q_id", "n_id").collect().map(_.toSeq).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall") // half the cells searched
+  }
+
+  test("IVF centroids survive id-clustered corpora (scatter sample + Lloyd)") {
+    // ids correlate with clusters: a first-N-by-id centroid sample would
+    // put every centroid in cluster 0 and recall would collapse
+    val rnd = new scala.util.Random(7)
+    def vec(center: Int): Seq[Float] =
+      (0 until 16).map(j => (math.cos(center * 2.1 + j) + rnd.nextGaussian() * 0.05).toFloat)
+    val rows = (0 until 400).map { i =>
+      val cluster = i / 100 // ids 0-99 cluster 0, 100-199 cluster 1, ...
+      (i.toLong, vec(cluster))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 100 < 3) // 3 probes per cluster
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    val ivf = Ann.ivfTopK(emb, probes, "vec_id", "embedding", k = 5,
+      numCells = 8, nprobe = 2, refineIters = 2)
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
   }
 
   test("language id picks marker-matched language") {
