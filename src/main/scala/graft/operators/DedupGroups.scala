@@ -15,25 +15,39 @@ import org.apache.spark.sql.functions._
   * itself and its neighbors; converges in O(cluster diameter) rounds
   * (near-dup clusters are shallow). Each round is one join + one
   * groupBy on vertex id — the same shuffle key every time, so at scale
-  * the exchange is reused; lineage is cut with localCheckpoint every
-  * few rounds to keep plans bounded.
+  * the exchange is reused.
+  *
+  * Fault-tolerance at scale: every intermediate is
+  * `persist(DISK_ONLY)` — lineage-backed, so a lost executor recomputes
+  * instead of killing the job (localCheckpoint would pin blocks to
+  * executors). Convergence costs ONE action per round (the changed-label
+  * count doubles as cache materialization). Lineage is cut every
+  * `checkpointInterval` rounds to keep analysis bounded — reliably if
+  * `spark.sparkContext.setCheckpointDir` is configured (the cluster
+  * deployment), locally otherwise.
   */
 object DedupGroups {
 
   /** (id, component) for every vertex appearing in `pairs`; component =
     * min vertex id of the connected component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25, checkpointInterval: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sc = pairs.sparkSession.sparkContext
+    def cutLineage(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+
     // materialize the edge list ONCE — every iteration joins against it,
     // and the pair-generation pipeline upstream (LSH, verification) must
-    // not be recomputed per round. (At cluster scale: persist(DISK).)
+    // not be recomputed per round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .persist(StorageLevel.DISK_ONLY)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.DISK_ONLY)
 
     var iter = 0
     var converged = false
@@ -42,17 +56,20 @@ object DedupGroups {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nbr_min"))
-      // checkpoint each round: the convergence probe and the next round
-      // both read it, and lineage stays one-join deep
-      val next = labels.join(msgs, Seq("id"), "left")
+      val stepped = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           (col("nbr_min").isNotNull && col("nbr_min") < col("component")).as("__changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__changed")).isEmpty
+      val next =
+        if ((iter + 1) % checkpointInterval == 0) cutLineage(stepped)
+        else stepped.persist(StorageLevel.DISK_ONLY)
+      // one action: materializes the round AND decides convergence
+      converged = next.filter(col("__changed")).count() == 0
+      labels.unpersist()
       labels = next.drop("__changed")
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -1,56 +1,123 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with a typed metadata struct alongside.
   *
-  * The Spark-side machinery here — schema, batch iteration via
-  * `mapPartitions`, partition sizing — is real and tested; the actual
-  * codec step is STUBBED (`decodeStub`) because no media libraries ship
-  * in this environment: it derives deterministic fake features from the
-  * raw bytes. Swap `decodeStub` for a real decoder (JNI/FFI per
-  * partition) without touching any plan shape.
+  * The decode step is REAL for two container formats, parsed in pure
+  * JVM (no media libraries needed for header metadata):
+  *
+  *   - PNG: signature + IHDR chunk → width, height, bit_depth
+  *   - WAV: RIFF/WAVE fmt + data chunks → channels, sample_rate,
+  *     bit_depth, n_frames (sample frames = data bytes / block align)
+  *
+  * Unrecognized payloads report format = "unknown" with zeroed media
+  * fields — honest "not decoded", not a fake. Two equivalent paths:
+  *
+  *   - [[withMeta]]: pure Column expressions over the hex-encoded
+  *     header (64 bytes) — codegen'd, SQL-replayable (the driver
+  *     oracle re-parses the same headers in DuckDB), assumes the
+  *     canonical chunk layout (fmt/data at fixed offsets).
+  *   - [[decodeBatches]]: `mapPartitions` row-batch iteration, the
+  *     shape a real frame/pixel codec needs (per-partition init,
+  *     amortized batches). Walks WAV chunks properly, so non-canonical
+  *     files (extra LIST/fact chunks) also parse. Pixel/sample DECODE
+  *     (vs header metadata) would slot into the same loop via JNI/FFI.
   */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),
     StructField("content_sha", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("bit_depth", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false),
   ))
 
-  /** Attaches `binary` payload + metadata struct using pure Column
-    * expressions — the hot path used by the driver query. The fake
-    * decode is: width = bytes mod 640 + 32, height = first byte + 1,
-    * n_frames = bytes / 1000 + 1 (all deterministic functions of the
-    * payload, replayable in any SQL engine). */
-  def withMeta(df: DataFrame, binCol: String): DataFrame =
+  /** Expression-path metadata over the first 64 header bytes.
+    * `content_sha` is sha256 of the HEX encoding of the payload (the
+    * form every SQL engine can hash — DuckDB's sha256 is VARCHAR-only).
+    */
+  def withMeta(df: DataFrame, binCol: String): DataFrame = {
+    val hx = hex(substring(col(binCol), 1, 64))
+    def be(start: Int, len: Int): Column = conv(substring(hx, start, len), 16, 10).cast("long")
+    def le16(s: Int): Column =
+      conv(concat(substring(hx, s + 2, 2), substring(hx, s, 2)), 16, 10).cast("long")
+    def le32(s: Int): Column =
+      conv(concat(substring(hx, s + 6, 2), substring(hx, s + 4, 2),
+        substring(hx, s + 2, 2), substring(hx, s, 2)), 16, 10).cast("long")
+    // hex offsets: payload byte k (1-based) = hex chars 2k-1..2k
+    val isPng = substring(hx, 1, 16) === lit("89504E470D0A1A0A") &&
+      substring(hx, 25, 8) === lit("49484452") // "IHDR"
+    val isWav = substring(hx, 1, 8) === lit("52494646") &&   // "RIFF"
+      substring(hx, 17, 8) === lit("57415645") &&            // "WAVE"
+      substring(hx, 25, 8) === lit("666D7420") &&            // "fmt "
+      substring(hx, 73, 8) === lit("64617461")               // "data" (canonical layout)
+    val zero = lit(0L)
     df.withColumn("meta", struct(
       length(col(binCol)).cast("long").as("byte_len"),
-      sha2(col(binCol), 256).as("content_sha"),
-      (pmod(length(col(binCol)), lit(640)) + 32).cast("int").as("width"),
-      (ascii(col(binCol).cast("string")) + 1).cast("int").as("height"),
-      (length(col(binCol)) / 1000 + 1).cast("int").as("n_frames"),
+      sha2(hex(col(binCol)), 256).as("content_sha"),
+      when(isPng, "png").when(isWav, "wav").otherwise("unknown").as("format"),
+      when(isPng, be(33, 8)).otherwise(zero).cast("int").as("width"),
+      when(isPng, be(41, 8)).otherwise(zero).cast("int").as("height"),
+      when(isPng, be(49, 2)).when(isWav, le16(69)).otherwise(zero).cast("int").as("bit_depth"),
+      when(isWav, le16(45)).otherwise(zero).cast("int").as("channels"),
+      when(isWav, le32(49)).otherwise(zero).cast("int").as("sample_rate"),
+      when(isPng, lit(1L))
+        .when(isWav, floor(le32(81).cast("double") / greatest(le16(65), lit(1L)).cast("double")))
+        .otherwise(zero).cast("int").as("n_frames"),
     ))
+  }
 
-  /** ??? — real decode goes here. Deterministic fake so the plumbing is
-    * testable end-to-end: it must agree with [[withMeta]]'s expressions. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val w = math.floorMod(payload.length, 640) + 32
-    val h = (if (payload.nonEmpty) payload(0) & 0xff else 0) + 1
-    val f = payload.length / 1000 + 1
-    (w, h, f)
+  final case class MediaMeta(format: String, width: Int, height: Int, bitDepth: Int,
+                             channels: Int, sampleRate: Int, nFrames: Int)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  /** JVM header parser — the decodeBatches twin of [[withMeta]]'s
+    * expressions, plus proper WAV chunk walking. */
+  def parseHeader(p: Array[Byte]): MediaMeta = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String = new String(p.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+
+    if (p.length >= 25 && p.take(8).sameElements(PngSig) && tag(12) == "IHDR")
+      MediaMeta("png", be32(16), be32(20), u8(24), 0, 0, 1)
+    else if (p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var off = 12
+      var channels = 0; var rate = 0; var bits = 0; var block = 0
+      var dataSize = 0L; var seenFmt = false; var seenData = false
+      while (off + 8 <= p.length && !(seenFmt && seenData)) {
+        val cid = tag(off)
+        val csz = le32(off + 4)
+        if (cid == "fmt " && off + 24 <= p.length) {
+          channels = le16(off + 10); rate = le32(off + 12).toInt
+          block = le16(off + 20); bits = le16(off + 22); seenFmt = true
+        }
+        if (cid == "data") { dataSize = csz; seenData = true }
+        off += 8 + csz.toInt + (csz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      if (seenFmt)
+        MediaMeta("wav", 0, 0, bits, channels, rate,
+          if (block > 0) (dataSize / block).toInt else 0)
+      else MediaMeta("unknown", 0, 0, 0, 0, 0, 0)
+    } else MediaMeta("unknown", 0, 0, 0, 0, 0, 0)
   }
 
   /** The batch-decode path: iterates partitions row-batch-wise like a
     * real codec would (amortizing per-batch codec init), emitting the
     * same schema as [[withMeta]]. Use for decoders that need native
-    * state; prefer [[withMeta]] when expressions suffice. */
+    * state; prefer [[withMeta]] when header expressions suffice. */
   def decodeBatches(df: DataFrame, binCol: String, batchSize: Int = 256): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("meta", metaSchema, nullable = false))
     val binIdx = df.schema.fieldIndex(binCol)
@@ -58,13 +125,20 @@ object Multimodal {
     df.mapPartitions { rows =>
       // per-partition codec init would happen here
       val sha = java.security.MessageDigest.getInstance("SHA-256")
+      val hexDigits = "0123456789ABCDEF"
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val payload = row.getAs[Array[Byte]](binIdx)
-          val (w, h, f) = decodeStub(payload)
-          val digest = sha.digest(payload).map("%02x".format(_)).mkString
+          val m = parseHeader(payload)
+          val hx = new StringBuilder(payload.length * 2)
+          payload.foreach { b =>
+            hx.append(hexDigits((b >> 4) & 0xf)).append(hexDigits(b & 0xf))
+          }
+          val digest = sha.digest(hx.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .map("%02x".format(_)).mkString
           sha.reset()
-          Row.fromSeq(row.toSeq :+ Row(payload.length.toLong, digest, w, h, f))
+          Row.fromSeq(row.toSeq :+ Row(payload.length.toLong, digest, m.format,
+            m.width, m.height, m.bitDepth, m.channels, m.sampleRate, m.nFrames))
         }
       }
     }(enc)

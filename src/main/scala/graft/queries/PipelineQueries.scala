@@ -135,7 +135,7 @@ object PipelineQueries {
       val numPerm = 16; val bands = 4; val r = 4
       val base = table(s, dir, "documents")
         .select(col("doc_id").as("id"), TextFns.wordShingles(col("text"), 3).as("sh"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val sigs = base
         .withColumn("hs", TextFns.portableHashes(col("sh")))
         .select(col("id"),
@@ -451,28 +451,65 @@ object PipelineQueries {
       FROM documents"""))
 
   // 36. multimodal binary plumbing with deterministic fake decode
+  // a real PNG header (320×200, bit depth 8) and canonical WAV header
+  // (stereo, 44100 Hz, 16-bit, 2 sample frames) — parsed by BOTH the
+  // Spark expressions and the DuckDB oracle from the same bytes
+  private val PngFixtureHex =
+    "89504E470D0A1A0A0000000D4948445200000140000000C80806000000"
+  private val WavFixtureHex =
+    "524946462C00000057415645666D7420100000000100020044AC000010B102000400100064617461080000000000000000000000"
+
   val qMultimodalMeta = QueryDef("q_multimodal_meta",
     (s, dir) => {
       val withBin = table(s, dir, "documents")
         .filter(col("doc_id") < 10)
-        .withColumn("payload", col("text").cast("binary"))
-      Multimodal.withMeta(withBin, "payload")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val fixtures = s.createDataFrame(Seq(
+        (9000L, PngFixtureHex), (9001L, WavFixtureHex))).toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("payload"))
+      Multimodal.withMeta(withBin.unionByName(fixtures), "payload")
         .select(col("doc_id"),
           col("meta.byte_len").as("byte_len"),
           col("meta.content_sha").as("content_sha"),
+          col("meta.format").as("format"),
           col("meta.width").cast(LongType).as("width"),
           col("meta.height").cast(LongType).as("height"),
+          col("meta.bit_depth").cast(LongType).as("bit_depth"),
+          col("meta.channels").cast(LongType).as("channels"),
+          col("meta.sample_rate").cast(LongType).as("sample_rate"),
           col("meta.n_frames").cast(LongType).as("n_frames"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
+      WITH payloads AS (
+        SELECT doc_id, text::BLOB payload FROM documents WHERE doc_id < 10
+        UNION ALL SELECT * FROM (VALUES
+          (9000, unhex('$PngFixtureHex')),
+          (9001, unhex('$WavFixtureHex'))) t(doc_id, payload)),
+      h AS (
+        SELECT doc_id, payload, hex(payload) hx,
+          CASE WHEN substr(hex(payload),1,16) = '89504E470D0A1A0A'
+                    AND substr(hex(payload),25,8) = '49484452' THEN 'png'
+               WHEN substr(hex(payload),1,8) = '52494646' AND substr(hex(payload),17,8) = '57415645'
+                    AND substr(hex(payload),25,8) = '666D7420' AND substr(hex(payload),73,8) = '64617461' THEN 'wav'
+               ELSE 'unknown' END fmt
+        FROM payloads)
       SELECT doc_id,
-             CAST(length(text) AS BIGINT) AS byte_len,
-             sha256(text) AS content_sha,
-             CAST(length(text) % 640 + 32 AS BIGINT) AS width,
-             CAST(ord(substr(text, 1, 1)) + 1 AS BIGINT) AS height,
-             CAST(length(text) // 1000 + 1 AS BIGINT) AS n_frames
-      FROM documents WHERE doc_id < 10 ORDER BY doc_id"""))
+        CAST(octet_length(payload) AS BIGINT) AS byte_len,
+        sha256(hex(payload)) AS content_sha,
+        fmt AS format,
+        CAST(CASE WHEN fmt='png' THEN ('0x'||substr(hx,33,8))::BIGINT ELSE 0 END AS BIGINT) AS width,
+        CAST(CASE WHEN fmt='png' THEN ('0x'||substr(hx,41,8))::BIGINT ELSE 0 END AS BIGINT) AS height,
+        CAST(CASE WHEN fmt='png' THEN ('0x'||substr(hx,49,2))::BIGINT
+                  WHEN fmt='wav' THEN ('0x'||substr(hx,71,2)||substr(hx,69,2))::BIGINT
+                  ELSE 0 END AS BIGINT) AS bit_depth,
+        CAST(CASE WHEN fmt='wav' THEN ('0x'||substr(hx,47,2)||substr(hx,45,2))::BIGINT ELSE 0 END AS BIGINT) AS channels,
+        CAST(CASE WHEN fmt='wav' THEN ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::BIGINT ELSE 0 END AS BIGINT) AS sample_rate,
+        CAST(CASE WHEN fmt='png' THEN 1
+                  WHEN fmt='wav' THEN ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::BIGINT
+                       // greatest(('0x'||substr(hx,67,2)||substr(hx,65,2))::BIGINT, 1)
+                  ELSE 0 END AS BIGINT) AS n_frames
+      FROM h ORDER BY doc_id"""))
 
   // 19 (sources): contract-driven read + declared-field projection
   val qSourceContractRead = QueryDef("q_source_contract_read",

@@ -69,12 +69,18 @@ object Enforce {
     * `quarantinePath`; returns the quarantined count. */
   def validateAndWrite(df: DataFrame, c: Contract, path: String,
                        quarantinePath: String): Long = {
-    val flagged = withViolations(df, c).localCheckpoint(true)
-    val bad = flagged.filter(size(col("violation_reasons")) > 0)
-    val clean = flagged.filter(size(col("violation_reasons")) === 0).drop("violation_reasons")
-    clean.write.mode("overwrite").parquet(path)
-    val badCount = bad.count()
-    if (badCount > 0) bad.write.mode("overwrite").parquet(quarantinePath)
-    badCount
+    // lineage-backed cache (NOT localCheckpoint): the clean write, the
+    // count and the quarantine write all read the flagged frame once,
+    // and a lost executor recomputes instead of failing the job
+    val flagged = withViolations(df, c)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val bad = flagged.filter(size(col("violation_reasons")) > 0)
+      val clean = flagged.filter(size(col("violation_reasons")) === 0).drop("violation_reasons")
+      clean.write.mode("overwrite").parquet(path)
+      val badCount = bad.count()
+      if (badCount > 0) bad.write.mode("overwrite").parquet(quarantinePath)
+      badCount
+    } finally flagged.unpersist()
   }
 }

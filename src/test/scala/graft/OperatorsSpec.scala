@@ -189,17 +189,43 @@ class OperatorsSpec extends SparkSpec {
     assert(q(1L) && !q(2L) && !q(3L))
   }
 
+  private val metaCols = Seq("byte_len", "content_sha", "format", "width", "height",
+    "bit_depth", "channels", "sample_rate", "n_frames")
+
   test("multimodal: expression path and batch-decode path agree") {
     val df = spark.read.parquet(sf("documents")).limit(50)
       .withColumn("payload", $"text".cast("binary"))
-    val a = Multimodal.withMeta(df, "payload")
-      .select($"doc_id", $"meta.byte_len", $"meta.content_sha", $"meta.width",
-        $"meta.height", $"meta.n_frames")
-      .collect().map(_.toSeq).toSet
-    val b = Multimodal.decodeBatches(df, "payload", batchSize = 16)
-      .select($"doc_id", $"meta.byte_len", $"meta.content_sha", $"meta.width",
-        $"meta.height", $"meta.n_frames")
-      .collect().map(_.toSeq).toSet
+    def flat(x: org.apache.spark.sql.DataFrame) =
+      x.select($"doc_id" +: metaCols.map(c => col(s"meta.$c")): _*)
+        .collect().map(_.toSeq).toSet
+    val a = flat(Multimodal.withMeta(df, "payload"))
+    val b = flat(Multimodal.decodeBatches(df, "payload", batchSize = 16))
     assert(a == b && a.size == 50)
+  }
+
+  test("multimodal: real PNG and WAV headers parse on both paths") {
+    val pngHex = "89504E470D0A1A0A0000000D4948445200000140000000C80806000000"
+    val wavHex = "524946462C00000057415645666D7420100000000100020044AC000010B102000400100064617461080000000000000000000000"
+    val df = Seq((1L, pngHex), (2L, wavHex), (3L, "DEADBEEF"))
+      .toDF("id", "hx").select($"id", unhex($"hx").as("payload"))
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.select($"id", $"meta.format", $"meta.width", $"meta.height", $"meta.bit_depth",
+          $"meta.channels", $"meta.sample_rate", $"meta.n_frames")
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val e = rows(Multimodal.withMeta(df, "payload"))
+    val b = rows(Multimodal.decodeBatches(df, "payload"))
+    assert(e == b)
+    assert(e(1L) == Seq("png", 320, 200, 8, 0, 0, 1))
+    assert(e(2L) == Seq("wav", 0, 0, 16, 2, 44100, 2))
+    assert(e(3L) == Seq("unknown", 0, 0, 0, 0, 0, 0))
+    // the batch path walks chunks: a WAV with an extra LIST chunk before
+    // data still parses (the canonical-layout expression path reports
+    // unknown — documented asymmetry)
+    val withList = ("52494646" + "40000000" + "57415645" + "666D7420" + "10000000" +
+      "0100020044AC000010B1020004001000" + "4C495354" + "04000000" + "41424344" +
+      "64617461" + "08000000" + "0000000000000000")
+    val df2 = Seq((9L, withList)).toDF("id", "hx").select($"id", unhex($"hx").as("payload"))
+    assert(rows(Multimodal.decodeBatches(df2, "payload"))(9L) ==
+      Seq("wav", 0, 0, 16, 2, 44100, 2))
   }
 }
