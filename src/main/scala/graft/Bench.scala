@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every driver query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line on stdout (the driver parses it — nothing else
+  * may print there; Spark logs go to stderr at ERROR level).
+  *
+  * Each query runs twice: `queries` carries the cold (first-run) time —
+  * the round-over-round comparison metric — and `warm` the second run,
+  * so plan/caching regressions are attributable. A per-query physical
+  * plan fingerprint (exchange + scan counts) goes to stderr as a
+  * `[bench-plans]` line: a changed count between rounds pinpoints the
+  * query whose plan shape regressed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,16 +21,33 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val cold = timed(fn(spark, sfDir).count())
+      val warm = timed(fn(spark, sfDir).count())
+      val plan =
+        try {
+          val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          (raw"Exchange".r.findAllIn(p).size, raw"Scan parquet".r.findAllIn(p).size)
+        } catch { case _: Throwable => (-1, -1) }
+      (name, cold, warm, plan)
+    }
+
+    def jmap(f: ((String, Double, Double, (Int, Int))) => Double): String =
+      rows.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val coldTotal = rows.map(_._2).sum
+    val warmTotal = rows.map(_._3).sum
+    val plans = rows.map(r => s""""${r._1}":[${r._4._1},${r._4._2}]""").mkString("{", ",", "}")
+    System.err.println(s"""[bench-plans] $plans""")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${jmap(_._2)},"warm":${jmap(_._3)},"warm_total":$warmTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,64 +65,39 @@ object TextFns {
 
   private val MersennePrime = 2147483647L // 2^31 - 1
 
-  /** MinHash signature from pre-materialized shingle hashes: `numPerm`
-    * affine permutations h → (a·h + b) mod p over the Mersenne prime
-    * (Broder's minwise family). Each permutation is two ALU ops per
-    * shingle — the expensive string hashing happened once in
-    * [[shingleHashes]]. Coefficients derive from a seeded RNG, so the
-    * family is fixed across executors and runs. */
-  def minhashSignature(hashes: Column, numPerm: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    def next(bound: Long): Long = math.floorMod(rnd.nextLong(), bound)
-    val as = typedlit(Seq.fill(numPerm)(1L + next(MersennePrime - 1)))
-    val bs = typedlit(Seq.fill(numPerm)(next(MersennePrime)))
-    transform(sequence(lit(0), lit(numPerm - 1)), p =>
-      array_min(transform(hashes, h =>
-        pmod(h * element_at(as, p + 1) + element_at(bs, p + 1), lit(MersennePrime)))))
-  }
-
   /** LSH band hashes of a minhash signature: `numBands` hashes, each
     * over `rowsPerBand` consecutive signature slots. */
   def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)), b =>
       xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
-  /** One xxhash64 per word — materialize as its own column before
-    * [[simhashWeights]] so each word is hashed exactly once. */
+  /** One xxhash64 per word — materialize as its own column before the
+    * [[graft.functions.SimHash64]] kernel so each word is hashed once. */
   def wordHashes(text: Column): Column = transform(words(text), w => xxhash64(w))
-
-  /** 64 SimHash bit-weights from pre-materialized word hashes: weight j
-    * is Σ_words (2·bit_j(h_word) − 1) — the classic Charikar
-    * construction, two ALU ops per (word, bit), no re-hashing. Bit
-    * extraction uses constant shift amounts (one aggregate per bit). */
-  def simhashWeights(hashes: Column): Column =
-    array((0 until 64).map { j =>
-      aggregate(hashes, lit(0L), (acc, h) =>
-        acc + pmod(shiftrightunsigned(h, j), lit(2L)) * 2L - 1L)
-    }: _*)
-
-  /** Packs 64 bit-weights into one BIGINT simhash (bit j set iff
-    * weight j > 0; MSB = weight 0). */
-  def packSimhash(weights: Column): Column =
-    (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      // shiftleft wraps (no ANSI overflow) — bit 63 lands in the sign bit
-      shiftleft(acc, 1).bitwiseOR(when(element_at(weights, j + 1) > 0L, 1L).otherwise(0L))
-    }
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** `numBlocks` equal bit-blocks of a simhash — pigeonhole LSH keys:
-    * two hashes within hamming distance numBlocks−1 share at least one
-    * block, so a join on (block, key) finds ALL such pairs (guaranteed,
-    * not probabilistic) without a cross join. Scale default 4×16-bit;
-    * 8×8-bit trades bigger buckets for a hamming<=7 guarantee. */
-  def simhashBlocks(h: Column, numBlocks: Int = 4): Column = {
-    require(64 % numBlocks == 0, "numBlocks must divide 64")
-    val width = 64 / numBlocks
-    array((0 until numBlocks).map { b =>
+  /** `numBlocks` near-equal bit-blocks of a simhash — pigeonhole LSH
+    * keys: two hashes within hamming distance numBlocks−1 share at
+    * least one block, so a join on (block, key) finds ALL such pairs
+    * (guaranteed, not probabilistic) without a cross join.
+    *
+    * `loBit` excludes dead low bits from the key space: a 60-bit hash
+    * family leaves sim bits 0–3 always zero, and a block keyed on them
+    * would carry 4 fewer entropy bits → 16× bigger buckets. Blocks over
+    * [loBit, 64) keep the guarantee (dead bits never differ) with full
+    * key entropy. */
+  def simhashBlocks(h: Column, numBlocks: Int = 4, loBit: Int = 0): Column = {
+    val span = 64 - loBit
+    require(numBlocks > 0 && numBlocks <= span, "numBlocks must fit the live bit span")
+    val base = span / numBlocks
+    val extra = span % numBlocks
+    val widths = Seq.tabulate(numBlocks)(b => base + (if (b < extra) 1 else 0))
+    val offsets = widths.scanLeft(loBit)(_ + _).init
+    array(offsets.zip(widths).zipWithIndex.map { case ((off, w), b) =>
       struct(lit(b).as("block"),
-        pmod(shiftrightunsigned(h, b * width), lit(1L << width)).as("key"))
+        pmod(shiftrightunsigned(h, off), lit(1L << w)).as("key"))
     }: _*)
   }
 }

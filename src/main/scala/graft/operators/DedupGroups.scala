@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * {A,B,C}); pairwise filtering alone would keep two of the three. This
   * is the standard large-corpus dedup step after MinHash/SimHash.
   *
-  * Algorithm: iterative min-label propagation on the (symmetrized) edge
-  * list — each round every vertex takes the min component id among
-  * itself and its neighbors; converges in O(cluster diameter) rounds
-  * (near-dup clusters are shallow). Each round is one join + one
-  * groupBy on vertex id — the same shuffle key every time, so at scale
-  * the exchange is reused.
+  * Algorithm: the edge list (already the output of LSH + exact
+  * verification) is a tiny fraction of the corpus — dup pairs, not
+  * documents. Below `smallGraphEdges` the component labels come from a
+  * single bounded collect + union-find (microseconds of CPU vs seconds
+  * of per-round scheduling for a distributed loop over a few thousand
+  * edges); above it, iterative min-label propagation: each round every
+  * vertex takes the min label among itself and its neighbors, one join
+  * + one groupBy per round, always shuffling on the vertex id — the
+  * same key every time, so at scale the exchange is reused.
   *
   * Fault-tolerance at scale: every intermediate is
   * `persist(DISK_ONLY)` — lineage-backed, so a lost executor recomputes
@@ -29,11 +32,19 @@ import org.apache.spark.sql.functions._
 object DedupGroups {
 
   /** (id, component) for every vertex appearing in `pairs`; component =
-    * min vertex id of the connected component. */
+    * min vertex id of the connected component.
+    *
+    * `smallGraphEdges`: below this many (symmetrized, distinct) edges
+    * the labels are computed with one bounded collect + union-find —
+    * ~80 MB of driver memory at the 5M default, vs seconds of per-round
+    * scheduling overhead for a distributed loop that a dup-pair graph
+    * almost never needs. The distributed path takes over above it. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 25, checkpointInterval: Int = 5): DataFrame = {
+                          maxIter: Int = 25, checkpointInterval: Int = 5,
+                          smallGraphEdges: Long = 5000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
     def cutLineage(df: DataFrame): DataFrame =
       if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
@@ -44,10 +55,40 @@ object DedupGroups {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = edges.count() // materializes the cache either way
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      edges.schema.head.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+
+    if (edgeCount <= smallGraphEdges && integralIds) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("src").cast("long"), col("dst").cast("long")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edges.unpersist()
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "component")
+    }
+
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var iter = 0
     var converged = false
@@ -62,7 +103,7 @@ object DedupGroups {
           (col("nbr_min").isNotNull && col("nbr_min") < col("component")).as("__changed"))
       val next =
         if ((iter + 1) % checkpointInterval == 0) cutLineage(stepped)
-        else stepped.persist(StorageLevel.DISK_ONLY)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
       // one action: materializes the round AND decides convergence
       converged = next.filter(col("__changed")).count() == 0
       labels.unpersist()

@@ -201,8 +201,13 @@ object PipelineQueries {
   // every pair's hamming distance in plain SQL.
   val qDedupSimhash = QueryDef("q_dedup_simhash",
     (s, dir) => {
+      // loBit=4: portable word hashes are 60-bit, so sim bits 0-3 are
+      // dead; maxBucketSize=MaxValue: the guard may not drop buckets
+      // here or the hamming<=7 completeness guarantee (and the oracle)
+      // would break
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 7, numBlocks = 8,
+          maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+          maxBucketSize = Long.MaxValue,
           wordHashes = TextFns.portableWordHashes)
         .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
         .orderBy("id_a", "id_b")

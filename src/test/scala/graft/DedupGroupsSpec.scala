@@ -22,6 +22,17 @@ class DedupGroupsSpec extends SparkSpec {
     assert(comps.values.toSet == Set(0L), comps)
   }
 
+  test("distributed label-propagation path matches union-find fast path") {
+    val pairs = (Seq((0L, 1L), (1L, 2L), (3L, 4L), (7L, 8L)) ++
+      (10L until 30L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val fast = DedupGroups.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = DedupGroups.connectedComponents(pairs, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, (fast, dist))
+    assert(fast(30L) == 10L && fast(2L) == 0L)
+  }
+
   test("group-level dedup keeps one doc per cluster + singletons") {
     val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")

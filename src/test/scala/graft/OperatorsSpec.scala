@@ -61,7 +61,8 @@ class OperatorsSpec extends SparkSpec {
     import graft.functions.{SimHash64, TextFns}
     val docs = spark.read.parquet(sf("documents")).limit(200)
     val viaLsh = Dedup.simhashPairs(docs, "doc_id", "text",
-        maxHamming = 7, numBlocks = 8, wordHashes = TextFns.portableWordHashes)
+        maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+        maxBucketSize = Long.MaxValue, wordHashes = TextFns.portableWordHashes)
       .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
     val sims = docs.withColumn("__h", TextFns.portableWordHashes($"text"))
       .select($"doc_id".as("id"), SimHash64($"__h").as("sim"))

@@ -44,4 +44,40 @@ class SourcesSpec extends SparkSpec {
       schema = ContractSchema("parquet", "", Seq(Field("a", "int64"), Field("b", "string"))))
     assert(TableSources.select(df, c).columns.toSeq == Seq("a", "b"))
   }
+
+  test("iceberg catalog config maps the reference surface to spark conf keys") {
+    import graft.sources.IcebergCatalogs._
+    // reference quick start: `dce init <rest-uri> --catalog rest`
+    val rest = IcebergConfig(CatalogType.Rest("http://localhost:8181", "s3://wh"),
+      Seq("db"), "orders")
+    assert(rest.validate().isRight && rest.warehouse.contains("s3://wh"))
+    val s = sparkSettings("ice", rest)
+    assert(s("spark.sql.catalog.ice") == "org.apache.iceberg.spark.SparkCatalog")
+    assert(s("spark.sql.catalog.ice.type") == "rest")
+    assert(s("spark.sql.catalog.ice.uri") == "http://localhost:8181")
+    assert(s("spark.sql.catalog.ice.warehouse") == "s3://wh")
+    assert(tableIdent("ice", rest) == "ice.db.orders")
+
+    val glue = IcebergConfig(CatalogType.Glue("s3://wh", Some("123"), Some("eu-west-1")),
+      Seq("db", "schema"), "t", Map("io-impl" -> "org.apache.iceberg.aws.s3.S3FileIO"))
+    val g = sparkSettings("gl", glue)
+    assert(g("spark.sql.catalog.gl.catalog-impl") == "org.apache.iceberg.aws.glue.GlueCatalog")
+    assert(g("spark.sql.catalog.gl.glue.id") == "123")
+    assert(g("spark.sql.catalog.gl.client.region") == "eu-west-1")
+    assert(g("spark.sql.catalog.gl.io-impl") == "org.apache.iceberg.aws.s3.S3FileIO")
+    assert(tableIdent("gl", glue) == "gl.db.schema.t")
+
+    val hms = IcebergConfig(CatalogType.Hms("thrift://hms:9083", "/wh"), Seq("db"), "t")
+    assert(sparkSettings("h", hms)("spark.sql.catalog.h.type") == "hive")
+    val fio = IcebergConfig(CatalogType.FileIO("/tmp/wh"), Seq("db"), "t")
+    assert(sparkSettings("f", fio)("spark.sql.catalog.f.type") == "hadoop")
+
+    // reference validate() rules (config.rs)
+    assert(IcebergConfig(CatalogType.FileIO("/w"), Seq("db"), "").validate().isLeft)
+    assert(IcebergConfig(CatalogType.FileIO("/w"), Nil, "t").validate().isLeft)
+
+    // configure() lands the keys on a live session conf
+    configure(spark, "icetest", rest)
+    assert(spark.conf.get("spark.sql.catalog.icetest.type") == "rest")
+  }
 }
