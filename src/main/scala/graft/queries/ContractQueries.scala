@@ -339,17 +339,18 @@ object ContractQueries {
         .agg(unix_millis(min(col("ts"))).as("min_ms"), unix_millis(max(col("ts"))).as("max_ms"))
       val order = s.createDataFrame(Seq(("train", 0), ("val", 1), ("test", 2)))
         .toDF("split", "idx")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("idx")
-      per.join(order, "split")
-        .select(col("split"), col("idx"), col("min_ms"), col("max_ms"),
-          lag("max_ms", 1).over(w).as("prev_max_ms"),
-          lag("split", 1).over(w).as("prev_split"))
-        .filter(col("prev_max_ms").isNotNull)
+      // adjacent pairs from one sorted array — no global window
+      val packed = per.join(order, "split")
+        .agg(array_sort(collect_list(struct(col("idx"), col("split"),
+          col("min_ms"), col("max_ms")))).as("a"))
+      packed.select(explode(when(size(col("a")) >= 2,
+          expr("transform(sequence(1, size(a)-1), i -> named_struct('p', a[i-1], 'c', a[i]))")))
+          .as("pc"))
         .select(
-          concat(col("prev_split"), lit("->"), col("split")).as("pair"),
-          col("prev_max_ms").cast(LongType).as("max_prev_ms"),
-          col("min_ms").cast(LongType).as("min_next_ms"),
-          (col("prev_max_ms") <= col("min_ms")).as("ordered"))
+          concat(col("pc.p.split"), lit("->"), col("pc.c.split")).as("pair"),
+          col("pc.p.max_ms").cast(LongType).as("max_prev_ms"),
+          col("pc.c.min_ms").cast(LongType).as("min_next_ms"),
+          (col("pc.p.max_ms") <= col("pc.c.min_ms")).as("ordered"))
         .orderBy("pair")
     },
     Some("""
@@ -373,11 +374,11 @@ object ContractQueries {
   // 14. ml class_balance on embeddings.label
   val qMlClassBalance = QueryDef("q_ml_class_balance",
     (s, dir) => {
-      table(s, dir, "embeddings")
+      val counts = table(s, dir, "embeddings")
         .groupBy(col("label").cast(LongType).as("label"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("total", sum("cnt").over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      counts.crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
         .select(
           col("label"),
           col("cnt").cast(LongType).as("cnt"),

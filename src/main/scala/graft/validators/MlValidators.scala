@@ -1,7 +1,6 @@
 package graft.validators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
 
@@ -33,7 +32,10 @@ object MlValidators {
   }
 
   /** max(ts) of each split must be <= min(ts) of the next split in
-    * `order` (reference: ml.rs:184). One row per adjacent pair. */
+    * `order` (reference: ml.rs:184). One row per adjacent pair. The
+    * per-split summaries (≤ |order| rows) fold into ONE sorted array
+    * and adjacent pairs come from a transform — no global window, so
+    * no "all data to a single partition" noise in plan audits. */
   def temporalSplit(df: DataFrame, ch: TemporalSplitCheck): DataFrame = {
     val spark = df.sparkSession
     val order = ch.order
@@ -43,30 +45,32 @@ object MlValidators {
       .groupBy(col(ch.splitField).as("__split"))
       .agg(min(col(ch.timestampField).cast(TimestampType)).as("__min"),
         max(col(ch.timestampField).cast(TimestampType)).as("__max"))
-    // per-split summary is |order| rows; the window below is driver-scale
-    val w = Window.orderBy("__idx")
-    perSplit.join(orderDf, "__split")
-      .select(col("__split"), col("__idx"), col("__min"), col("__max"),
-        lag("__max", 1).over(w).as("__prev_max"),
-        lag("__split", 1).over(w).as("__prev_split"))
-      .filter(col("__prev_max").isNotNull)
+    val packed = perSplit.join(orderDf, "__split")
+      .agg(array_sort(collect_list(struct(col("__idx"), col("__split"),
+        col("__min"), col("__max")))).as("a"))
+    // explode(null) emits no rows — fewer than 2 present splits = no pairs
+    val pairsArr = when(size(col("a")) >= 2,
+      expr("transform(sequence(1, size(a)-1), i -> named_struct('p', a[i-1], 'c', a[i]))"))
+    packed.select(explode(pairsArr).as("pc"))
       .select(result(lit("ml_temporal_split"),
-        concat(col("__prev_split"), lit("->"), col("__split")),
-        col("__prev_max") <= col("__min"),
-        (unix_timestamp(col("__min")) - unix_timestamp(col("__prev_max"))).cast(DoubleType),
+        concat(col("pc.p.__split"), lit("->"), col("pc.c.__split")),
+        col("pc.p.__max") <= col("pc.c.__min"),
+        (unix_timestamp(col("pc.c.__min")) - unix_timestamp(col("pc.p.__max"))).cast(DoubleType),
         format_string("gap %ds between max(prev) and min(next)",
-          unix_timestamp(col("__min")) - unix_timestamp(col("__prev_max")))).as("r"))
+          unix_timestamp(col("pc.c.__min")) - unix_timestamp(col("pc.p.__max")))).as("r"))
       .select("r.*")
   }
 
   /** Per-class proportion must be <= maxProportion (and >= minProportion
     * when set) (reference: ml.rs:284). One row per class. */
   def classBalance(df: DataFrame, ch: ClassBalanceCheck): DataFrame = {
+    // cache the ≤|classes|-row summary so the broadcast total doesn't
+    // rescan the table; broadcast scalar agg replaces a global window
     val counts = df.filter(col(ch.labelField).isNotNull)
       .groupBy(col(ch.labelField).cast(StringType).as("__label"))
       .count()
-    val w = Window.partitionBy()
-    val withTotal = counts.withColumn("__total", sum("count").over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val withTotal = counts.crossJoin(broadcast(counts.agg(sum("count").as("__total"))))
     // exact integer compare: cnt * 1e6 vs bound_ppm * total
     val maxPpm = math.round(ch.maxProportion * 1000000L)
     val minPpm = ch.minProportion.map(p => math.round(p * 1000000L))
@@ -127,11 +131,11 @@ object MlValidators {
       val counts = binned.groupBy("__bin").agg(
         sum(when(col("__split") === ch.referenceSplit, 1L).otherwise(0L)).as("__rc"),
         sum(when(col("__split") === ch.currentSplit, 1L).otherwise(0L)).as("__cc"))
-      // <= numBins rows from here on
-      val w = Window.partitionBy()
-      val pct = counts
-        .withColumn("__rt", sum("__rc").over(w))
-        .withColumn("__ct", sum("__cc").over(w))
+        // <= numBins rows from here on — cache so the broadcast totals
+        // don't rescan; broadcast scalar agg replaces a global window
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val totals = counts.agg(sum("__rc").as("__rt"), sum("__cc").as("__ct"))
+      val pct = counts.crossJoin(broadcast(totals))
         .select(
           (col("__rc").cast(DoubleType) / col("__rt") + eps).as("__rp"),
           (col("__cc").cast(DoubleType) / col("__ct") + eps).as("__cp"))
