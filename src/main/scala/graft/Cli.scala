@@ -12,6 +12,10 @@ import graft.validators.ContractValidator
   *   check <contract.yml>                  parse + static definition checks
   *   validate <contract.yml> [dataPath]    run all checks, print the report
   *   init <dataPath> <name> <owner>        emit a contract from live schema
+  *   profile <dataPath>                    numeric + string column profiles
+  *   suggest <dataPath> <name> <owner>     emit a DATA-driven contract
+  *                                         (profile-tightened nullability,
+  *                                         ranges, allowed values)
   */
 object Cli {
 
@@ -77,12 +81,38 @@ object Cli {
         println(ContractInit.toYaml(contract))
       } finally spark.stop()
 
+    case "profile" :: dataPath :: Nil =>
+      val spark = session()
+      try {
+        val df = spark.read.parquet(dataPath)
+        val numericCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+        }.toSeq
+        val stringCols = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+        }.toSeq
+        if (numericCols.nonEmpty)
+          graft.operators.Profile.numeric(df, numericCols).show(1000, truncate = false)
+        if (stringCols.nonEmpty)
+          graft.operators.Profile.strings(df, stringCols).show(1000, truncate = false)
+      } finally spark.stop()
+
+    case "suggest" :: dataPath :: name :: owner :: Nil =>
+      val spark = session()
+      try {
+        val df = spark.read.parquet(dataPath)
+        println(ContractInit.toYaml(
+          graft.operators.Profile.suggestContract(df, name, owner)))
+      } finally spark.stop()
+
     case _ =>
       System.err.println(
         """usage: graft.Cli <verb> ...
           |  check <contract.yml|.toml>
           |  validate <contract.yml|.toml> [dataPath] [--strict] [--schema-only] [--sample N] [--json]
-          |  init <dataPath> <name> <owner>""".stripMargin)
+          |  init <dataPath> <name> <owner>
+          |  profile <dataPath>
+          |  suggest <dataPath> <name> <owner>""".stripMargin)
       sys.exit(2)
   }
 

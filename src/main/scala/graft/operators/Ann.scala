@@ -125,21 +125,37 @@ object Ann {
   }
 
   /** LSH-bucketed approximate top-k: same output schema as
-    * [[bruteForceTopK]], restricted to same-bucket candidates. */
+    * [[bruteForceTopK]], restricted to same-bucket candidates.
+    *
+    * `multiprobe`: how many ADDITIONAL buckets each probe visits — the
+    * probe's own bucket plus the `multiprobe` buckets one bit-flip away
+    * (nearest in hamming order). A near neighbor on the far side of one
+    * hyperplane differs in exactly one sign bit, so 1-flip probing
+    * recovers most of the recall lost to plane-boundary splits without
+    * touching the corpus side: the probe set is tiny and broadcast, so
+    * exploding it `multiprobe+1`-fold is free at any corpus scale. */
   def lshTopK(corpus: DataFrame, probes: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 6, dim: Int = 64): DataFrame = {
+              numPlanes: Int = 6, dim: Int = 64, multiprobe: Int = 0): DataFrame = {
+    require(multiprobe <= numPlanes, "at most numPlanes one-bit flips exist")
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("n_nsq", VectorFns.normSq(col("n_vec")))
       .withColumn("bucket", VectorFns.rhpBucket(col("n_vec"), numPlanes, dim))
-    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val p0 = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nsq", VectorFns.normSq(col("q_vec")))
       .withColumn("bucket", VectorFns.rhpBucket(col("q_vec"), numPlanes, dim))
-    val scored = c.join(broadcast(p), "bucket")
+    val p =
+      if (multiprobe == 0) p0
+      else p0.withColumn("bucket", explode(array(
+          (col("bucket") +: (0 until multiprobe).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
+    val joined = c.join(broadcast(p), "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         VectorFns.cosineFromNorms(col("q_vec"), col("n_vec"),
           col("q_nsq"), col("n_nsq")).as("cosine"))
+    // a candidate can only repeat when several probe buckets hit it
+    val scored = if (multiprobe == 0) joined else joined.dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

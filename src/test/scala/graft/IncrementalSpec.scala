@@ -55,4 +55,29 @@ class IncrementalSpec extends SparkSpec {
     assert(inc(("completeness", "status")) == ((false, 0.6)))
     assert(inc(("freshness", "ts")) == ((true, 1800.0)))
   }
+
+  test("uniqueness merges via HLL sketches across slices") {
+    val c = ContractBuilder("u", "o")
+      .field(FieldBuilder("id", "int64"))
+      .uniqueness("id")
+      .build
+    // 3000 distinct keys split over two slices, plus 300 cross-slice dups
+    val s1 = (0L until 1500L).map(Tuple1(_)).toDF("id")
+    val s2 = ((1500L until 3000L) ++ (0L until 300L)).map(Tuple1(_)).toDF("id")
+    val merged = IncrementalValidator.uniquenessMerge(
+      IncrementalValidator.uniquenessSnapshot(s1, c),
+      IncrementalValidator.uniquenessSnapshot(s2, c))
+    val r = IncrementalValidator.uniquenessReport(merged).collect().head
+    // ~300/3300 = 9.1% dups — far above the 2% tolerance → fail
+    assert(!r.getAs[Boolean]("passed"))
+    assert(math.abs(r.getAs[Double]("metric") - 300.0 / 3300.0) < 0.02, r)
+
+    // clean slices pass within sketch noise
+    val cleanMerged = IncrementalValidator.uniquenessMerge(
+      IncrementalValidator.uniquenessSnapshot(s1, c),
+      IncrementalValidator.uniquenessSnapshot(
+        (1500L until 3000L).map(Tuple1(_)).toDF("id"), c))
+    val clean = IncrementalValidator.uniquenessReport(cleanMerged).collect().head
+    assert(clean.getAs[Boolean]("passed"), clean)
+  }
 }

@@ -122,6 +122,24 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall") // 2 planes ≈ 1/4 of corpus per bucket
   }
 
+  test("multiprobe LSH recovers recall lost to plane boundaries") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val probes = emb.filter($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    def recallAt(mp: Int): Double = {
+      val got = Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 5,
+        numPlanes = 4, multiprobe = mp)
+        .select("q_id", "n_id").collect().map(_.toSeq).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0); val r4 = recallAt(4)
+    // probing 5 of 16 buckets on weak-contrast random embeddings bounds
+    // absolute recall; the multiprobe CLAIM is the delta
+    assert(r4 >= r0 + 0.1, s"multiprobe $r4 should clearly beat single-probe $r0")
+    assert(r4 >= 0.4, s"recall $r4")
+  }
+
   test("IVF ANN recall vs brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet(sf("embeddings"))
     val probes = emb.filter($"vec_id" < 20)
