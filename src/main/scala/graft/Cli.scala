@@ -46,16 +46,15 @@ object Cli {
         case Seq("--sample", n) => n.toInt
       }
       val positionalArgs = positional.filterNot(p => sample.exists(_.toString == p))
-      val c0 = ContractParser.parseFile(path)
-      val c = if (schemaOnly)
-        c0.copy(qualityChecks = None,
-          schema = c0.schema.copy(fields = c0.schema.fields.map(_.copy(constraints = Nil))))
-      else c0
+      val c = ContractParser.parseFile(path)
+      val parts =
+        if (schemaOnly) ContractValidator.Part.SchemaOnly
+        else ContractValidator.Part.All
       val spark = session()
       try {
         val df0 = TableSources.read(spark, c, positionalArgs.headOption)
         val df = sample.map(df0.limit).getOrElse(df0)
-        val report = new ContractValidator().validate(df, c).cache()
+        val report = new ContractValidator().validate(df, c, parts).cache()
         import org.apache.spark.sql.functions.col
         if (json) report.orderBy("check", "field").toJSON.collect().foreach(println)
         else report.orderBy("check", "field").show(1000, truncate = false)

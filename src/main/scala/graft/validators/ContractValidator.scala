@@ -40,15 +40,25 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
 
   import ContractValidator._
 
-  def validate(df: DataFrame, contract: Contract): DataFrame = {
+  def validate(df: DataFrame, contract: Contract): DataFrame =
+    validate(df, contract, Part.All)
+
+  /** Part-scoped validation, mirroring the reference's partial
+    * entry points (validator engine.rs: validate_schema,
+    * validate_quality_only, validate_ml_only,
+    * validate_custom_checks_only, validate_freshness_only). Only the
+    * requested parts' aggregations are planned — a freshness-only run
+    * of a wide contract is one max() over one column, not the full
+    * fused scan. */
+  def validate(df: DataFrame, contract: Contract, parts: Set[Part]): DataFrame = {
     val spark = df.sparkSession
-    val parts =
-      schemaResults(spark, df, contract) ++
-        scalarResults(df, contract) ++
-        uniquenessResults(df, contract) ++
-        customResults(df, contract) ++
-        mlResults(df, contract)
-    parts.reduceOption(_ unionByName _)
+    val sections =
+      (if (parts(Part.Schema)) schemaResults(spark, df, contract) else Nil) ++
+        scalarResults(df, contract, parts) ++
+        (if (parts(Part.Uniqueness)) uniquenessResults(df, contract) else Nil) ++
+        (if (parts(Part.Custom)) customResults(df, contract) else Nil) ++
+        (if (parts(Part.Ml)) mlResults(df, contract) else Nil)
+    sections.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[CheckResult](resultEncoder).toDF())
   }
 
@@ -76,8 +86,9 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
   }
 
   /** The fused single-scan pass: nullability + completeness +
-    * constraints + freshness. */
-  private def scalarResults(df: DataFrame, c: Contract): Seq[DataFrame] = {
+    * constraints + freshness (each section gated by `parts`). */
+  private def scalarResults(df: DataFrame, c: Contract,
+                            parts: Set[Part] = Part.All): Seq[DataFrame] = {
     val live = df.schema.fieldNames.toSet
     val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
     val outs = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -88,7 +99,7 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
 
     // nullability of declared non-nullable fields
     // (reference: schema.rs null handling; datafusion_engine.rs:299)
-    c.schema.fields.filter(f => !f.nullable && live(f.name)).foreach { f =>
+    if (parts(Part.Schema)) c.schema.fields.filter(f => !f.nullable && live(f.name)).foreach { f =>
       val nulls = slot(count(lit(1)) - count(col(f.name)))
       outs += result(lit("nullability"), lit(f.name), col(nulls) === 0,
         col(nulls).cast(DoubleType),
@@ -98,7 +109,7 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
     val qc = c.qualityChecks
     // completeness (reference: quality.rs:34) — exact integer compare,
     // non_null * 1e6 >= threshold_ppm * total, no float thresholds.
-    qc.flatMap(_.completeness).foreach { cc =>
+    if (parts(Part.Completeness)) qc.flatMap(_.completeness).foreach { cc =>
       val ppm = math.round(cc.threshold * 1000000L)
       cc.fields.filter(live).foreach { f =>
         val nn = slot(count(col(f)))
@@ -113,7 +124,7 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
     // field constraints (reference: constraints.rs; compiled to
     // conditional aggregates like datafusion_engine.rs:338-420).
     // Nulls never violate constraints (nullability covers them).
-    for {
+    if (parts(Part.Constraints)) for {
       f <- c.schema.fields if live(f.name)
       con <- f.constraints
     } con match {
@@ -139,7 +150,7 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
     }
 
     // freshness (reference: custom.rs:90): now - max(metric) <= max_delay
-    qc.flatMap(_.freshness).filter(fr => live(fr.metric)).foreach { fr =>
+    if (parts(Part.Freshness)) qc.flatMap(_.freshness).filter(fr => live(fr.metric)).foreach { fr =>
       val maxTs = slot(max(col(fr.metric).cast(TimestampType)))
       val now = asOf.map(ts => lit(ts)).getOrElse(current_timestamp())
       val lagSec = unix_timestamp(now) - unix_timestamp(col(maxTs))
@@ -263,6 +274,28 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
 }
 
 object ContractValidator {
+
+  /** Validation sections, for part-scoped runs (reference:
+    * validate_schema / validate_quality_only / validate_ml_only /
+    * validate_custom_checks_only / validate_freshness_only). */
+  sealed abstract class Part
+  object Part {
+    case object Schema extends Part        // presence/types + nullability
+    case object Constraints extends Part   // allowed_values/range/pattern
+    case object Completeness extends Part
+    case object Uniqueness extends Part
+    case object Freshness extends Part
+    case object Custom extends Part
+    case object Ml extends Part
+    val All: Set[Part] =
+      Set(Schema, Constraints, Completeness, Uniqueness, Freshness, Custom, Ml)
+    val SchemaOnly: Set[Part] = Set(Schema)
+    val QualityOnly: Set[Part] = Set(Completeness, Uniqueness, Freshness)
+    val FreshnessOnly: Set[Part] = Set(Freshness)
+    val CustomOnly: Set[Part] = Set(Custom)
+    val MlOnly: Set[Part] = Set(Ml)
+  }
+
   private[validators] val resultEncoder =
     org.apache.spark.sql.Encoders.product[CheckResult]
 

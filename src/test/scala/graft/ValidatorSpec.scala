@@ -159,6 +159,23 @@ class ValidatorSpec extends SparkSpec {
     assert(!run("SELECT nonexistent_col FROM t_demo").passed)
   }
 
+  test("part-scoped validation plans only the requested sections") {
+    import graft.validators.ContractValidator.Part
+    val df = mkDf(Seq((1L, "on", 50.0, "ABC", "2024-01-01 10:00:00")))
+    val asOf = Some(Timestamp.valueOf("2024-01-01 10:30:00"))
+    def checksOf(parts: Set[Part]): Set[String] =
+      new ContractValidator(asOf).validate(df, contract, parts)
+        .select("check").collect().map(_.getString(0)).toSet
+    assert(checksOf(Part.FreshnessOnly) == Set("freshness"))
+    assert(checksOf(Part.QualityOnly) == Set("completeness", "uniqueness", "freshness"))
+    assert(checksOf(Part.SchemaOnly) == Set("schema", "nullability"))
+    assert(checksOf(Part.CustomOnly) == Set("custom:never_neg"))
+    assert(checksOf(Set(Part.Constraints)) == Set("allowed_values", "range", "pattern"))
+    assert(checksOf(Part.All) ==
+      Set("schema", "nullability", "completeness", "uniqueness", "freshness",
+        "allowed_values", "range", "pattern", "custom:never_neg"))
+  }
+
   test("ml checks: overlap, temporal, balance, drift, leakage, null spread") {
     val n = 200
     val rows = (0 until n).map { i =>
