@@ -530,6 +530,36 @@ object ContractQueries {
              CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) THEN 1 ELSE 0 END) AS BIGINT) AS violations_value_0
       FROM events GROUP BY 1 ORDER BY ws_ms"""))
 
+  // 37b. window-over-window trend alerts on the quality-metrics table
+  //      (predecessor equi-join on the window boundary — no ordering)
+  val qStreamTrend = QueryDef("q_stream_trend",
+    (s, dir) => {
+      import graft.contracts._
+      val contract = Contract(version = "1", name = "events_trend", owner = "graft",
+        schema = ContractSchema("parquet", "", Seq(Field("event_id", "int64"))))
+      val metrics = graft.streaming.StreamMonitor
+        .qualityMetrics(table(s, dir, "events"), contract, "ts", "1 day", "0 seconds")
+      graft.streaming.StreamMonitor.trendAlerts(metrics, Seq("rows"), maxChangeRatio = 0.05)
+        .select(unix_millis(col("window_start")).as("ws_ms"),
+          col("metric"),
+          col("prev_value").cast(LongType).as("prev_value"),
+          col("value").cast(LongType).as("value"),
+          round(col("change_ratio"), 4).as("change_r4"))
+        .orderBy("ws_ms")
+    },
+    Some("""
+      WITH m AS (
+        SELECT (epoch_ms(ts) // 86400000) * 86400000 ws, count(*) n
+        FROM events GROUP BY 1),
+      j AS (
+        SELECT c.ws, c.n, p.n prev_n,
+               abs(c.n - p.n) / CAST(p.n AS DOUBLE) ratio
+        FROM m c JOIN m p ON c.ws = p.ws + 86400000)
+      SELECT CAST(ws AS BIGINT) AS ws_ms, 'rows' AS metric,
+             CAST(prev_n AS BIGINT) AS prev_value, CAST(n AS BIGINT) AS value,
+             round(ratio, 4) AS change_r4
+      FROM j WHERE ratio > 0.05 ORDER BY ws_ms"""))
+
   // 48. write-side enforcement: clean/quarantine partition by row rules
   val qEnforce = QueryDef("q_enforce",
     (s, dir) => {
@@ -567,7 +597,7 @@ object ContractQueries {
       ) WHERE cnt > 0 ORDER BY reason"""))
 
   val all: Seq[QueryDef] = Seq(
-    qStreamQuality, qEnforce,
+    qStreamQuality, qStreamTrend, qEnforce,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,

@@ -8,9 +8,11 @@ import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
 import QueryDef.table
 
 /** Driver queries for the training-data pipeline operators (SURVEY §2
-  * rows 25–36). SQL-expressible ones carry DuckDB oracles; the
-  * hash-family-dependent ones (minhash / simhash / LSH) are rows-only
-  * here and verified against exact algorithms in the test suite.
+  * rows 25–36). ALL carry DuckDB oracles — the approximate pipelines
+  * included, via portable hash families (md5 base + closed-form affine
+  * mixing), guarantee-bounded LSH parameterizations (pigeonhole blocks,
+  * recall≈1 band configs), and literal-embedded constants (hyperplanes
+  * printed into the generated SQL). See SURVEY §5.
   */
 object PipelineQueries {
 

@@ -117,6 +117,38 @@ object StreamMonitor {
     }
   }
 
+  /** Window-over-window trend alerts on a metrics table (the output of
+    * [[qualityMetrics]] — batch, backfill, or a materialized stream
+    * sink): each window joins its predecessor via
+    * prev.window_end == cur.window_start — an equi-join on the boundary
+    * timestamp, scalable with no global ordering — and every value
+    * column whose relative change exceeds `maxChangeRatio` emits one
+    * alert row (window_start, window_end, metric, prev_value, value,
+    * change_ratio). A metric appearing from 0 alerts with an infinite
+    * ratio. Consume a live stream by sinking [[qualityMetrics]] (e.g.
+    * foreachBatch) and running this over the metrics table — trends are
+    * a table-level concern; the per-key stateful analogue is
+    * [[keyFreshness]]. */
+  def trendAlerts(metrics: DataFrame, valueCols: Seq[String],
+                  maxChangeRatio: Double = 0.5): DataFrame = {
+    val prev = metrics.select((col("window_end").as("__ts") +:
+      valueCols.map(c => col(c).as(s"__prev_$c"))): _*)
+    val alerts = valueCols.map { c =>
+      val p = col(s"__prev_$c").cast("double")
+      val v = col(c).cast("double")
+      val change = when(p === 0d,
+          when(v === 0d, 0d).otherwise(lit(Double.PositiveInfinity)))
+        .otherwise(abs(v - p) / p)
+      struct(lit(c).as("metric"), p.as("prev_value"), v.as("value"),
+        change.as("change_ratio"))
+    }
+    metrics.join(prev, col("window_start") === col("__ts"))
+      .select(col("window_start"), col("window_end"),
+        explode(array(alerts: _*)).as("a"))
+      .select(col("window_start"), col("window_end"), col("a.*"))
+      .filter(col("change_ratio") > maxChangeRatio)
+  }
+
   /** Streaming exact dedup: drops re-deliveries of the same key within
     * the watermark horizon (state is bounded by the watermark — the
     * streaming twin of [[graft.operators.Dedup.dropExactDuplicates]]).

@@ -101,6 +101,28 @@ class StreamingSpec extends SparkSpec {
     assert(!out("a").stale && out("b").stale)
   }
 
+  test("trend alerts flag window-over-window metric jumps") {
+    val metrics = Seq(
+      ("10:00", "10:10", 100L, 1L),
+      ("10:10", "10:20", 110L, 1L),  // +10% rows, flat nulls → quiet
+      ("10:20", "10:30", 400L, 9L),  // rows ×3.6, nulls ×9 → alerts
+      ("10:30", "10:40", 400L, 0L),  // nulls -100% → alert
+      ("10:50", "11:00", 800L, 0L),  // gap: no predecessor → no alert
+    ).toDF("s", "e", "rows", "nulls_status")
+      .withColumn("window_start", to_timestamp(concat(lit("2024-01-01 "), $"s")))
+      .withColumn("window_end", to_timestamp(concat(lit("2024-01-01 "), $"e")))
+      .drop("s", "e")
+    val alerts = StreamMonitor.trendAlerts(metrics, Seq("rows", "nulls_status"),
+        maxChangeRatio = 0.5)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").toString.substring(11, 16),
+        r.getAs[String]("metric"), r.getAs[Double]("change_ratio")))
+    assert(alerts.toSet.map((t: (String, String, Double)) => (t._1, t._2)) ==
+      Set(("10:20", "rows"), ("10:20", "nulls_status"), ("10:30", "nulls_status")),
+      alerts.mkString(";"))
+    val rowsJump = alerts.find(a => a._1 == "10:20" && a._2 == "rows").get._3
+    assert(math.abs(rowsJump - (400.0 - 110.0) / 110.0) < 1e-9)
+  }
+
   test("streaming freshness: silent key times out stale and drops state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
