@@ -71,14 +71,46 @@ object Cli {
         if (fatal > 0) sys.exit(1)
       } finally spark.stop()
 
-    case "init" :: dataPath :: name :: owner :: Nil =>
-      val spark = session()
-      try {
-        val df = spark.read.parquet(dataPath)
-        val contract = ContractInit.fromTable(df, name, owner,
-          format = "parquet", location = dataPath)
-        println(ContractInit.toYaml(contract))
-      } finally spark.stop()
+    case "init" :: rest if rest.size >= 3 =>
+      // reference init.rs surface: source may be a catalog table
+      // (--table, e.g. an Iceberg table configured via IcebergCatalogs),
+      // output may go to a file (--out), description is overridable
+      var isTable = false
+      var out: Option[String] = None
+      var desc: Option[String] = None
+      val pos = scala.collection.mutable.Buffer[String]()
+      val a = rest.toVector
+      var i = 0
+      while (i < a.length) {
+        a(i) match {
+          case "--table" => isTable = true
+          case "--out" if i + 1 < a.length => out = Some(a(i + 1)); i += 1
+          case "--description" if i + 1 < a.length => desc = Some(a(i + 1)); i += 1
+          case x => pos += x
+        }
+        i += 1
+      }
+      pos.toList match {
+        case source :: name :: owner :: Nil =>
+          val spark = session()
+          try {
+            val df = if (isTable) spark.read.table(source) else spark.read.parquet(source)
+            val c0 = ContractInit.fromTable(df, name, owner,
+              format = if (isTable) "iceberg" else "parquet", location = source)
+            val contract = desc.map(d => c0.copy(description = Some(d))).getOrElse(c0)
+            val yaml = ContractInit.toYaml(contract)
+            out match {
+              case Some(p) =>
+                java.nio.file.Files.write(java.nio.file.Paths.get(p),
+                  yaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                println(s"contract written to: $p")
+              case None => println(yaml)
+            }
+          } finally spark.stop()
+        case _ =>
+          System.err.println("usage: init <dataPath|tableName> <name> <owner> [--table] [--out <path>] [--description <text>]")
+          sys.exit(2)
+      }
 
     case "profile" :: dataPath :: Nil =>
       val spark = session()
@@ -109,7 +141,7 @@ object Cli {
         """usage: graft.Cli <verb> ...
           |  check <contract.yml|.toml>
           |  validate <contract.yml|.toml> [dataPath] [--strict] [--schema-only] [--sample N] [--json]
-          |  init <dataPath> <name> <owner>
+          |  init <dataPath|tableName> <name> <owner> [--table] [--out <path>] [--description <text>]
           |  profile <dataPath>
           |  suggest <dataPath> <name> <owner>""".stripMargin)
       sys.exit(2)
