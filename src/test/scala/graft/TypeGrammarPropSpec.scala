@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalacheck.{Arbitrary, Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.contracts.ContractTypes
+
+/** Property test: `toSpark(fromSpark(t)) == t` over the full contract
+  * type grammar (reference: contracts_core/src/datatype.rs:178-200),
+  * including arbitrarily nested list/map/struct trees — the generative
+  * version of the example-based round-trip spec. */
+object TypeGrammarPropSpec extends Properties("ContractTypes") {
+
+  private val genPrimitive: Gen[DataType] = Gen.oneOf(
+    StringType, IntegerType, LongType, ShortType, FloatType, DoubleType,
+    BooleanType, TimestampType, DateType, TimeType(), BinaryType)
+
+  private val genDecimal: Gen[DataType] = for {
+    p <- Gen.choose(1, 38)
+    s <- Gen.choose(0, p)
+  } yield DecimalType(p, s)
+
+  private val genFieldName: Gen[String] = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(4, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private def genType(depth: Int): Gen[DataType] =
+    if (depth <= 0) Gen.oneOf(genPrimitive, genDecimal)
+    else Gen.frequency(
+      4 -> genPrimitive,
+      1 -> genDecimal,
+      1 -> genType(depth - 1).map(ArrayType(_)),
+      1 -> (for {
+        k <- Gen.oneOf(genPrimitive, genDecimal) // map keys stay simple
+        v <- genType(depth - 1)
+      } yield MapType(k, v)),
+      1 -> (for {
+        n <- Gen.choose(1, 4)
+        names <- Gen.listOfN(n, genFieldName).suchThat(l => l.distinct.size == l.size)
+        types <- Gen.listOfN(n, genType(depth - 1))
+      } yield StructType(names.zip(types).map { case (nm, t) => StructField(nm, t) })),
+    )
+
+  implicit private val arbType: Arbitrary[DataType] = Arbitrary(genType(3))
+
+  property("toSpark . fromSpark == identity") = forAll { (t: DataType) =>
+    ContractTypes.toSpark(ContractTypes.fromSpark(t)) == t
+  }
+}
