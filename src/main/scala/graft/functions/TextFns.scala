@@ -36,11 +36,15 @@ object TextFns {
 
   /** Distinct word n-gram shingles, joined with a space. The shingle
     * unit for Jaccard / MinHash dedup. */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShinglesAll(text, n))
+
+  /** ALL word n-gram shingles, duplicates kept — the unit for
+    * repetition scoring, where the duplicate count IS the signal. */
+  def wordShinglesAll(text: Column, n: Int): Column = {
     val ws = words(text)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
+    transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(n))))
   }
 
   /** Base hashes for minhashing: one xxhash64 per shingle, folded into

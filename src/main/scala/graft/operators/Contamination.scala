@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Cross-corpus n-gram contamination: for every document of a
+  * (typically small) evaluation corpus, the fraction of its distinct
+  * word n-grams that appear ANYWHERE in the training corpus — the
+  * standard benchmark-leak check run before training.
+  *
+  * Plan shape at 100 TB: the training side reduces to its distinct
+  * shingle set (one shuffle with map-side combine — the inverted
+  * index's key set, NOT document pairs), the eval side explodes its
+  * shingles, and one equi-join on the shingle scores every eval
+  * n-gram. No cross join, no per-pair work; cost scales with
+  * |training shingle vocabulary| + |eval shingles|. For repeated
+  * checks against a frozen training snapshot, persist the distinct
+  * shingle set once (or distill it to a bloom filter for an
+  * approximate prefilter) and reuse it across eval sets.
+  */
+object Contamination {
+
+  /** One row per eval doc: (id, total_ngrams, matched_ngrams,
+    * contamination_bp). `total_ngrams` counts the doc's DISTINCT
+    * n-grams; `matched_ngrams` how many of them occur in `train`. */
+  def ngramContainment(train: DataFrame, eval: DataFrame,
+                       idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val trainSh = train
+      .select(explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val evalSh = eval
+      .select(col(idCol).as("id"), explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+    evalSh.join(trainSh.withColumn("__hit", lit(1L)), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("total_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).cast("long").as("matched_ngrams"))
+      .withColumn("contamination_bp",
+        (col("matched_ngrams") * 10000L / col("total_ngrams")).cast("long"))
+  }
+
+  /** Eval docs whose contamination exceeds `maxBp` — the drop list. */
+  def contaminated(train: DataFrame, eval: DataFrame,
+                   idCol: String, textCol: String,
+                   n: Int = 3, maxBp: Long = 5000L): DataFrame =
+    ngramContainment(train, eval, idCol, textCol, n)
+      .filter(col("contamination_bp") > maxBp)
+}

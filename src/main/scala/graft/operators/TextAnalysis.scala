@@ -89,6 +89,22 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("term_freq"),
         countDistinct(col("__doc")).cast("long").as("doc_freq"))
 
+  /** Intra-document repetition (the Gopher/RefinedWeb-style quality
+    * rule): fraction of a doc's word n-grams that are repeats of an
+    * earlier n-gram in the SAME doc. Templated/boilerplate/spun text
+    * scores high; map-only per row (two array expressions), exact
+    * integer basis points. Output: id, total_ngrams, distinct_ngrams,
+    * rep_bp. */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val all = TextFns.wordShinglesAll(col(textCol), n)
+    df.select(col(idCol).as("id"),
+        size(all).cast("long").as("total_ngrams"),
+        size(array_distinct(all)).cast("long").as("distinct_ngrams"))
+      .withColumn("rep_bp",
+        ((col("total_ngrams") - col("distinct_ngrams")) * 10000L / col("total_ngrams"))
+          .cast("long"))
+  }
+
   /** TF-IDF weights per (doc, word): tf · ln(N / df). Two aggregations
     * (per-doc term counts, per-word doc frequency) + one broadcast-able
     * join on word — the standard sparse-weights layout for retrieval

@@ -714,6 +714,53 @@ object PipelineQueries {
         FROM documents
       ) ORDER BY "column""""))
 
+  // 49. intra-doc repetition scoring (Gopher-style quality rule)
+  val qTextRepetition = QueryDef("q_text_repetition",
+    (s, dir) => {
+      graft.operators.TextAnalysis.repetition(table(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("rep_bp").desc, col("id"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      g AS (SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                  i -> array_to_string(ws[i:i+2], ' ')) sh
+            FROM w),
+      r AS (SELECT doc_id id, len(sh) total, len(list_distinct(sh)) dist FROM g)
+      SELECT id, CAST(total AS BIGINT) AS total_ngrams,
+             CAST(dist AS BIGINT) AS distinct_ngrams,
+             CAST((total - dist) * 10000 // total AS BIGINT) AS rep_bp
+      FROM r ORDER BY rep_bp DESC, id LIMIT 20"""))
+
+  // 50. cross-corpus n-gram contamination (benchmark-leak check):
+  // even-id docs stand in for the training corpus, odd-id for eval
+  val qContamination = QueryDef("q_contamination",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Contamination.ngramContainment(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3)
+        .orderBy(col("contamination_bp").desc, col("id"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+      ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+      r AS (SELECT ev.doc_id id, count(*) total,
+                   sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) matched
+            FROM ev LEFT JOIN tr ON ev.sh = tr.sh GROUP BY 1)
+      SELECT id, CAST(total AS BIGINT) AS total_ngrams,
+             CAST(matched AS BIGINT) AS matched_ngrams,
+             CAST(matched * 10000 // total AS BIGINT) AS contamination_bp
+      FROM r ORDER BY contamination_bp DESC, id LIMIT 20"""))
+
   private lazy val langidOracle: String = {
     // replicate TextAnalysis.langId: per-lang marker-word occurrence sums,
     // argmax with profile-order tie-break, 'und' when all zero.
@@ -745,5 +792,6 @@ object PipelineQueries {
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
+    qTextRepetition, qContamination,
   )
 }

@@ -197,6 +197,37 @@ class OperatorsSpec extends SparkSpec {
     assert(fp == 1) // normalization collapses case + whitespace
   }
 
+  test("repetition scoring flags templated text") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // all unique
+      (2L, "spam ham eggs spam ham eggs spam ham eggs spam ham eggs"), // heavy repeats
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("rep_bp")).toMap
+    assert(r(1L) == 0L)
+    // 10 trigrams, 3 distinct → 7000 bp
+    assert(r(2L) == 7000L, r)
+  }
+
+  test("contamination finds eval docs leaked into training") {
+    import graft.operators.Contamination
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely unrelated training material here today")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+      (2L, "the quick brown fox went somewhere else entirely"), // partial
+      (3L, "zero overlap with anything in that corpus")).toDF("doc_id", "text")
+    val r = Contamination.ngramContainment(train, eval, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("contamination_bp")).toMap
+    assert(r(1L) == 10000L)
+    assert(r(2L) > 0L && r(2L) < 10000L)
+    assert(r(3L) == 0L)
+    val dropped = Contamination.contaminated(train, eval, "doc_id", "text", n = 3, maxBp = 5000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(1L))
+  }
+
   test("quality features flag degenerate docs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and runs away home"),
