@@ -85,4 +85,18 @@ object Sampling {
                        fraction: Double, seed: Int = 42): DataFrame =
     df.filter(pmod(xxhash64(col(strataCol), col(keyCol), lit(seed)), lit(10000L))
       < math.round(fraction * 10000))
+
+  /** At most `quota` rows per key, chosen by deterministic hash rank —
+    * the per-source/per-domain cap that stops one crawler or site from
+    * dominating a corpus. One shuffle on the key; selection is stable
+    * under reshuffling and re-runs (hash of `tieCol` decides, ties by
+    * `tieCol` itself). */
+  def quotaPerKey(df: DataFrame, keyCol: String, quota: Int,
+                  tieCol: String, seed: Int = 42): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(xxhash64(col(tieCol), lit(seed)), col(tieCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota).drop("__rk")
+  }
 }

@@ -761,6 +761,39 @@ object PipelineQueries {
              CAST(matched * 10000 // total AS BIGINT) AS contamination_bp
       FROM r ORDER BY contamination_bp DESC, id LIMIT 20"""))
 
+  // 51. skew-salted join — oracled against an independent PLAIN join:
+  // salting must be invisible in the output
+  val qSkewJoin = QueryDef("q_skew_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val cust = table(s, dir, "customer").withColumnRenamed("c_custkey", "user_id")
+      graft.operators.Skew.saltedEquiJoin(ev, cust, "user_id", salts = 8, saltBy = "event_id")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast(LongType).as("events"),
+          count(col("value")).cast(LongType).as("valued"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS events,
+             CAST(count(value) AS BIGINT) AS valued
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  // 52. per-source quota sampling — the oracle checks the quota
+  // PROPERTY (per-key counts = min(n, quota)); which rows survive is
+  // hash-ranked and spec-tested for determinism
+  val qQuotaSample = QueryDef("q_quota_sample",
+    (s, dir) => {
+      graft.operators.Sampling.quotaPerKey(table(s, dir, "documents"),
+          "source", quota = 25, tieCol = "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("kept"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, CAST(least(count(*), 25) AS BIGINT) AS kept
+      FROM documents GROUP BY source ORDER BY source"""))
+
   private lazy val langidOracle: String = {
     // replicate TextAnalysis.langId: per-lang marker-word occurrence sums,
     // argmax with profile-order tie-break, 'und' when all zero.
@@ -792,6 +825,6 @@ object PipelineQueries {
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
-    qTextRepetition, qContamination,
+    qTextRepetition, qContamination, qSkewJoin, qQuotaSample,
   )
 }

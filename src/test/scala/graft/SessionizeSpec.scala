@@ -54,6 +54,22 @@ class SessionizeSpec extends SparkSpec {
     assert(a.values.sum == 1000) // partition (disjoint + complete)
   }
 
+  test("quota sampling caps each key deterministically") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val a = Sampling.quotaPerKey(df, "src", quota = 10, tieCol = "id")
+    val counts = a.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10L), counts)
+    // deterministic selection, not just deterministic counts
+    val ids1 = a.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.quotaPerKey(df, "src", quota = 10, tieCol = "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // under-quota keys keep everything
+    val small = Sampling.quotaPerKey(df.filter($"id" < 6), "src", quota = 10, tieCol = "id")
+    assert(small.count() == 6)
+  }
+
   test("stratified sample keeps ~fraction of each stratum") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
     val kept = Sampling.stratifiedSample(df, "s", "id", 0.25)
