@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Shared-preparation dedup pipeline: shingles the corpus ONCE and
+  * derives every near-dup operator from the same cached (id, sh) frame.
+  *
+  * Standalone `Dedup.jaccardPairs` / `minhashPairs` / CC each shingle
+  * their input independently — correct, but a full curation pass that
+  * runs several of them re-parses the corpus per operator. At 100 TB
+  * the shingling scan (tokenize + n-gram + distinct per doc) dominates;
+  * sharing it is the difference between one corpus pass and four.
+  * Downstream derivations (posting explode, signature kernel, band
+  * join) read the cached arrays, not the text.
+  *
+  * {{{
+  * val p = new DedupPipeline(docs, "doc_id", "text", n = 3)
+  * val exact   = p.jaccardPairs(minJaccardBp = 2000)
+  * val approx  = p.minhashPairs(numBands = 64, minJaccardBp = 5000)
+  * val deduped = p.dropDuplicates(minJaccardBp = 2000)
+  * p.unpersist()
+  * }}}
+  */
+final class DedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int = 3) {
+
+  /** (id, sh) arrays, computed and cached once — the shared prep. */
+  val shingled: DataFrame = df.select(col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), n).as("sh"))
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def jaccardPairs(minJaccardBp: Long = 1000L,
+                   maxShinglePostings: Long = 10000L): DataFrame =
+    Dedup.jaccardFromShingled(shingled, minJaccardBp, maxShinglePostings)
+
+  def minhashPairs(numPerm: Int = 128, numBands: Int = 32,
+                   minJaccardBp: Long = 1000L, maxBucketSize: Long = 1000L): DataFrame =
+    Dedup.minhashFromShingled(shingled, numPerm, numBands, minJaccardBp, maxBucketSize)
+
+  /** Near-dup GROUPS over [[jaccardPairs]] candidates. */
+  def groups(minJaccardBp: Long = 2000L): DataFrame =
+    DedupGroups.connectedComponents(jaccardPairs(minJaccardBp))
+
+  /** One doc per near-dup group (min id) plus all unpaired docs. */
+  def dropDuplicates(minJaccardBp: Long = 2000L): DataFrame =
+    DedupGroups.dropGroupDuplicates(df, idCol, jaccardPairs(minJaccardBp))
+
+  def unpersist(): Unit = { shingled.unpersist(); () }
+}

@@ -33,6 +33,26 @@ class DedupGroupsSpec extends SparkSpec {
     assert(fast(30L) == 10L && fast(2L) == 0L)
   }
 
+  test("DedupPipeline shares one shingling and matches standalone operators") {
+    import graft.operators.{Dedup, DedupPipeline}
+    val docs = spark.read.parquet(sf("documents")).limit(300)
+    val p = new DedupPipeline(docs, "doc_id", "text", n = 3)
+    try {
+      val viaPipeline = p.jaccardPairs(minJaccardBp = 2000)
+        .collect().map(_.toSeq).toSet
+      val standalone = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccardBp = 2000)
+        .collect().map(_.toSeq).toSet
+      assert(viaPipeline == standalone && standalone.nonEmpty)
+      val mhPipeline = p.minhashPairs(numBands = 64, minJaccardBp = 5000)
+        .collect().map(_.toSeq).toSet
+      val mhStandalone = Dedup.minhashPairs(docs, "doc_id", "text", n = 3,
+        numBands = 64, minJaccardBp = 5000).collect().map(_.toSeq).toSet
+      assert(mhPipeline == mhStandalone)
+      val kept = p.dropDuplicates(minJaccardBp = 2000)
+      assert(kept.count() < docs.count()) // corpus has planted near-dups
+    } finally p.unpersist()
+  }
+
   test("group-level dedup keeps one doc per cluster + singletons") {
     val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
