@@ -23,10 +23,25 @@ object Cli {
     case "check" :: path :: Nil =>
       val c = ContractParser.parseFile(path)
       val issues = graft.validators.DefinitionLint.lint(c)
-      if (issues.isEmpty)
+      if (issues.isEmpty) {
+        val checks = c.qualityChecks.toSeq.flatMap { qc =>
+          qc.completeness.map(_ => "completeness").toSeq ++
+            qc.uniqueness.map(_ => "uniqueness").toSeq ++
+            qc.freshness.map(_ => "freshness").toSeq ++
+            (if (qc.customChecks.nonEmpty) Seq(s"${qc.customChecks.size} custom") else Nil) ++
+            qc.mlChecks.map(_ => "ml").toSeq
+        }
         println(s"OK: contract '${c.name}' v${c.version}, ${c.schema.fields.size} field(s), " +
-          s"${c.schema.fields.map(_.constraints.size).sum} constraint(s)")
-      else {
+          s"${c.schema.fields.map(_.constraints.size).sum} constraint(s)" +
+          (if (checks.nonEmpty) s"; quality checks: ${checks.mkString(", ")}" else ""))
+        // reference check.rs:56-65 prints the SLA block when declared
+        c.sla.foreach { sla =>
+          println("SLA:")
+          sla.availability.foreach(a => println(s"  availability:  $a"))
+          sla.responseTime.foreach(rt => println(s"  response time: $rt"))
+          sla.penalties.foreach(p => println(s"  penalties:     $p"))
+        }
+      } else {
         issues.foreach(i => System.err.println(s"ISSUE ${i.path}: ${i.message}"))
         println(s"FAIL: ${issues.size} definition issue(s)")
         sys.exit(1)
