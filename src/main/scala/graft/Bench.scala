@@ -3,19 +3,27 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every driver query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line on stdout (the driver parses it — nothing else
-  * may print there; Spark logs go to stderr at ERROR level).
+  * may print there; Spark logs go to stderr at ERROR level). The same
+  * JSON is also written to `target/bench.json` so the result survives
+  * any stdout truncation by the harness.
   *
-  * Each query runs twice: `queries` carries the cold (first-run) time —
-  * the round-over-round comparison metric — and `warm` the second run,
-  * so plan/caching regressions are attributable. A per-query physical
-  * plan fingerprint (exchange + scan counts) goes to stderr as a
-  * `[bench-plans]` line: a changed count between rounds pinpoints the
-  * query whose plan shape regressed.
+  * Per query: one cold (first) run, then `SPARK_GRAFT_BENCH_RUNS`
+  * (default 3) warm runs whose MEDIAN is reported — single-shot warm
+  * numbers at local[N] swing >10x on identical code, medians are the
+  * trustworthy comparison unit. All individual warm runs ship in
+  * "warm_runs". A query that throws is reported in "errors" with its
+  * times as -1 and excluded from the totals — a broken query must
+  * never bench as "fast".
+  *
+  * A per-query physical plan fingerprint (exchange + scan counts) goes
+  * to stderr as a `[bench-plans]` line: a changed count between rounds
+  * pinpoints the query whose plan shape regressed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,34 +32,66 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def timed(body: => Unit): Double = {
-      val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val rows = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val cold = timed(fn(spark, sfDir).count())
-      // the warm run's frame doubles as the plan-fingerprint source, so
-      // queries with driver-side prep (IVF centroids, CC fast path)
-      // don't pay an unreported third construction
-      var warmDf: org.apache.spark.sql.DataFrame = null
-      val warm = timed { warmDf = fn(spark, sfDir); warmDf.count() }
-      val plan =
-        try {
-          val p = warmDf.queryExecution.executedPlan.toString
-          (raw"Exchange".r.findAllIn(p).size, raw"Scan parquet".r.findAllIn(p).size)
-        } catch { case _: Throwable => (-1, -1) }
-      (name, cold, warm, plan)
+
+    final case class R(name: String, cold: Double, warms: Seq[Double],
+                       err: Option[String], plan: (Int, Int)) {
+      def warmMedian: Double =
+        if (warms.isEmpty) -1.0
+        else { val s = warms.sorted; s(s.length / 2) }
+      def ok: Boolean = err.isEmpty
     }
 
-    def jmap(f: ((String, Double, Double, (Int, Int))) => Double): String =
-      rows.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val coldTotal = rows.map(_._2).sum
-    val warmTotal = rows.map(_._3).sum
-    val plans = rows.map(r => s""""${r._1}":[${r._4._1},${r._4._2}]""").mkString("{", ",", "}")
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Either[String, (Double, org.apache.spark.sql.DataFrame)] =
+        try {
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          df.count()
+          Right(((System.nanoTime() - t0) / 1e9, df))
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      once() match {
+        case Left(err) => R(name, -1.0, Nil, Some(err), (-1, -1))
+        case Right((cold, _)) =>
+          val warmResults = (1 to nWarm).map(_ => once())
+          val warms = warmResults.collect { case Right((t, _)) => t }
+          val err = warmResults.collectFirst { case Left(e) => e }
+          val plan = warmResults.collectFirst { case Right((_, df)) =>
+            try {
+              val p = df.queryExecution.executedPlan.toString
+              (raw"Exchange".r.findAllIn(p).size, raw"Scan parquet".r.findAllIn(p).size)
+            } catch { case _: Throwable => (-1, -1) }
+          }.getOrElse((-1, -1))
+          R(name, cold, warms, err, plan)
+      }
+    }
+
+    def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def jmap(f: R => String): String =
+      rows.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val okRows = rows.filter(_.ok)
+    val coldTotal = okRows.map(_.cold).sum
+    val warmTotal = okRows.map(_.warmMedian).sum
+    val errors = rows.flatMap(r => r.err.map(e =>
+      "\"" + r.name + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""))
+    val plans = rows.map(r => s""""${r.name}":[${r.plan._1},${r.plan._2}]""").mkString("{", ",", "}")
     System.err.println(s"""[bench-plans] $plans""")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${jmap(_._2)},"warm":${jmap(_._3)},"warm_total":$warmTotal,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(coldTotal)},"unit":"sec"""" +
+      s""","queries":${jmap(r => fmt(r.cold))}""" +
+      s""","warm":${jmap(r => fmt(r.warmMedian))}""" +
+      s""","warm_runs":${jmap(r => r.warms.map(fmt).mkString("[", ",", "]"))}""" +
+      s""","warm_total":${fmt(warmTotal)}""" +
+      s""","errors":{${errors.mkString(",")}}""" +
+      s""","sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout remains the source of truth
+    println(json)
     spark.stop()
   }
 }

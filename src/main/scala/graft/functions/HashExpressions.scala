@@ -167,3 +167,114 @@ object SimHash64 {
   def apply(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
 }
+
+/** Compiled per-element hash loops. `transform(arr, lambda)` evaluates
+  * its lambda interpreted per element — on the dedup board that is one
+  * lambda step per shingle per document. These kernels run the same math
+  * (bit-identical values: Spark's own XXH64, the same md5) in a single
+  * compiled loop per row. */
+object ArrayHashKernel {
+
+  /** xxhash64(s) folded into [0, p) per element — bit-identical to
+    * `transform(arr, s => pmod(xxhash64(s), p))`. */
+  def xxhashMod(arr: ArrayData, p: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          arr.getUTF8String(i), 42L), p)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** LSH band hashes of a minhash signature — bit-identical to
+    * `transform(sequence(0, numBands-1), b => xxhash64(slice(sig,
+    * b*r+1, r)))`: Spark hashes an array<long> by folding
+    * XXH64.hashLong over the elements from seed 42. */
+  def bandHashes(sig: ArrayData, numBands: Int, r: Int): ArrayData = {
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = 42L
+      var j = 0
+      while (j < r) { h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig.getLong(b * r + j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `hexChars` hex digits of md5(s) as an unsigned long per
+    * element — bit-identical to `transform(arr, s =>
+    * conv(substring(md5(s.cast("binary")), 1, hexChars), 16, 10)
+    * .cast("long"))` for hexChars <= 15 (value < 2^60 stays in signed
+    * range). The digest prefix is read straight off the first bytes —
+    * no hex string is ever built. */
+  def md5Prefix(arr: ArrayData, hexChars: Int): ArrayData = {
+    require(hexChars >= 1 && hexChars <= 15, "hexChars must be in [1, 15]")
+    val md = md5Digest.get()
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val nBytes = (hexChars + 1) / 2
+      var v = 0L
+      var j = 0
+      while (j < nBytes) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      if (hexChars % 2 == 1) v = v >>> 4 // odd prefix: drop the low nibble
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<string> → array<long>: xxhash64 mod p per element (minhash base
+  * hashes). See [[ArrayHashKernel.xxhashMod]]. */
+case class XxHashModArray(child: Expression, p: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayHashKernel.xxhashMod(input.asInstanceOf[ArrayData], p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ArrayHashKernel.xxhashMod($a, ${p}L);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> signature → array<long> of `numBands` band hashes. See
+  * [[ArrayHashKernel.bandHashes]]. */
+case class BandHashArray(child: Expression, numBands: Int, r: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayHashKernel.bandHashes(input.asInstanceOf[ArrayData], numBands, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ArrayHashKernel.bandHashes($a, $numBands, $r);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> → array<long>: first `hexChars` md5 hex digits per
+  * element (the SQL-portable hash family). See
+  * [[ArrayHashKernel.md5Prefix]]. */
+case class Md5PrefixArray(child: Expression, hexChars: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayHashKernel.md5Prefix(input.asInstanceOf[ArrayData], hexChars)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ArrayHashKernel.md5Prefix($a, $hexChars);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

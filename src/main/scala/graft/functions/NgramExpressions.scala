@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass word n-gram statistics for repetition scoring.
+  *
+  * Semantics are EXACTLY those of the portable SQL formulation
+  * `transform(sequence(1, greatest(size(ws)-n+1, 1)),
+  *   i => concat_ws(" ", slice(ws, i, n)))` followed by
+  * `size(...)` / `size(array_distinct(...))`:
+  *   - a document with fewer than n words yields ONE shingle (the join
+  *     of all its words), so total = distinct = 1;
+  *   - otherwise total = |words|-n+1 and distinct counts distinct
+  *     n-word windows. Words are split on single spaces and therefore
+  *     contain no spaces, so window-tuple equality == joined-string
+  *     equality — the kernel never materializes the joined strings.
+  *
+  * The interpreted HOF costs |words| lambda invocations, each doing a
+  * slice allocation + concat; this kernel interns each word to an int
+  * id once, packs each window of n ids into one long and counts
+  * distinct longs in an open-addressed set — the Gopher-rule filter
+  * that runs over EVERY document of the corpus stays in whole-stage
+  * codegen with zero per-window allocation.
+  */
+object NgramKernel {
+
+  /** (total_ngrams, distinct_ngrams) for word n-grams of `words`. */
+  def stats(words: ArrayData, n: Int): InternalRow = {
+    val len = words.numElements()
+    if (len < n) return new GenericInternalRow(Array[Any](1L, 1L))
+    val total = len - n + 1
+    // intern words to dense int ids (equal bytes -> equal id)
+    val ids = new java.util.HashMap[UTF8String, Integer](len * 2)
+    val w = new Array[Int](len)
+    var i = 0
+    while (i < len) {
+      val s = if (words.isNullAt(i)) UTF8String.EMPTY_UTF8 else words.getUTF8String(i)
+      var id = ids.get(s)
+      if (id == null) { id = Integer.valueOf(ids.size); ids.put(s, id) }
+      w(i) = id.intValue()
+      i += 1
+    }
+    // pack n ids into one non-negative long when they fit in 63 bits
+    val bits = math.max(64 - java.lang.Long.numberOfLeadingZeros(math.max(len - 1, 1).toLong), 1)
+    val dist =
+      if (bits * n <= 63) distinctPacked(w, n, total, bits)
+      else distinctJoined(w, n, total)
+    new GenericInternalRow(Array[Any](total.toLong, dist.toLong))
+  }
+
+  private def distinctPacked(w: Array[Int], n: Int, total: Int, bits: Int): Int = {
+    // open-addressed long set, capacity fixed at >= 2*total up front (load
+    // <= 50%, no resize); packed keys are >= 0 so -1 is a safe empty
+    val cap = java.lang.Integer.highestOneBit(math.max(total, 2)) * 4
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    java.util.Arrays.fill(table, -1L)
+    var size = 0
+    var i = 0
+    while (i < total) {
+      var key = 0L
+      var j = 0
+      while (j < n) { key = (key << bits) | w(i + j).toLong; j += 1 }
+      var idx = (mix64(key) & mask).toInt
+      var probing = true
+      while (probing) {
+        val cur = table(idx)
+        if (cur == -1L) { table(idx) = key; size += 1; probing = false }
+        else if (cur == key) probing = false
+        else idx = (idx + 1) & mask
+      }
+      i += 1
+    }
+    size
+  }
+
+  private def mix64(z0: Long): Long = {
+    // splitmix64 finalizer (public domain)
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Fallback for windows that cannot pack into 63 bits (docs with more
+    * than 2^(63/n) words — effectively never for n<=3). */
+  private def distinctJoined(w: Array[Int], n: Int, total: Int): Int = {
+    val set = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { sb.append(w(i + j)).append(','); j += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    set.size
+  }
+}
+
+/** struct(total_ngrams, distinct_ngrams) over a word array — see
+  * [[NgramKernel.stats]]. Codegen emits a direct call into the compiled
+  * kernel, keeping the whole projection inside whole-stage codegen. */
+case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_ngrams", LongType, nullable = false),
+    StructField("distinct_ngrams", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramKernel.stats(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.NgramKernel.stats($a, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramStats {
+  def apply(words: Column, n: Int): Column =
+    ColumnBridge.column(NgramStats(ColumnBridge.expression(words), n))
+}

@@ -47,33 +47,36 @@ object TextFns {
       i => concat_ws(" ", slice(ws, i, lit(n))))
   }
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
   /** Base hashes for minhashing: one xxhash64 per shingle, folded into
-    * [0, 2^31-1). Materialize as its own column (`withColumn`) before
+    * [0, 2^31-1). Compiled loop ([[ArrayHashKernel.xxhashMod]]) with
+    * values bit-identical to `transform(sh, s => pmod(xxhash64(s), p))`.
+    * Materialize as its own column (`withColumn`) before
     * [[minhashSignature]] so each shingle is hashed exactly once. */
   def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
+    ColumnBridge.column(XxHashModArray(ColumnBridge.expression(shingles), MersennePrime))
 
   /** SQL-portable base hashes: first 8 hex chars of md5 as a 32-bit
     * int — `('0x' || substr(md5(s),1,8))::BIGINT` in DuckDB. One md5
-    * per shingle; the per-permutation mixing happens in the (portable)
-    * affine family, not by re-hashing. */
+    * per shingle in a compiled loop ([[ArrayHashKernel.md5Prefix]]);
+    * the per-permutation mixing happens in the (portable) affine
+    * family, not by re-hashing. */
   def portableHashes(tokens: Column): Column =
-    transform(tokens, s =>
-      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
+    ColumnBridge.column(Md5PrefixArray(ColumnBridge.expression(tokens), 8))
 
   /** SQL-portable 60-bit word hashes for SimHash: 15 hex chars of md5
     * (60 bits keeps every engine in exact signed-64 integer range). */
   def portableWordHashes(text: Column): Column =
-    transform(words(text), w =>
-      conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"))
+    ColumnBridge.column(Md5PrefixArray(ColumnBridge.expression(words(text)), 15))
 
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** LSH band hashes of a minhash signature: `numBands` hashes, each
-    * over `rowsPerBand` consecutive signature slots. */
+    * over `rowsPerBand` consecutive signature slots — compiled loop,
+    * values bit-identical to `xxhash64(slice(sig, b*r+1, r))`. */
   def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)), b =>
-      xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+    ColumnBridge.column(BandHashArray(ColumnBridge.expression(sig), numBands, rowsPerBand))
 
   /** One xxhash64 per word — materialize as its own column before the
     * [[graft.functions.SimHash64]] kernel so each word is hashed once. */

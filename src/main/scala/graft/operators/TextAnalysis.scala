@@ -96,10 +96,13 @@ object TextAnalysis {
     * integer basis points. Output: id, total_ngrams, distinct_ngrams,
     * rep_bp. */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val all = TextFns.wordShinglesAll(col(textCol), n)
+    // one-pass codegen kernel — same semantics as
+    // size(wordShinglesAll)/size(array_distinct(wordShinglesAll)) without
+    // materializing the n-gram strings or an interpreted lambda
+    val st = graft.functions.NgramStats(TextFns.words(col(textCol)), n)
     df.select(col(idCol).as("id"),
-        size(all).cast("long").as("total_ngrams"),
-        size(array_distinct(all)).cast("long").as("distinct_ngrams"))
+        st.getField("total_ngrams").as("total_ngrams"),
+        st.getField("distinct_ngrams").as("distinct_ngrams"))
       .withColumn("rep_bp",
         ((col("total_ngrams") - col("distinct_ngrams")) * 10000L / col("total_ngrams"))
           .cast("long"))

