@@ -15,19 +15,25 @@ import org.apache.spark.sql.functions._
   * documents. Below `smallGraphEdges` the component labels come from a
   * single bounded collect + union-find (microseconds of CPU vs seconds
   * of per-round scheduling for a distributed loop over a few thousand
-  * edges); above it, iterative min-label propagation: each round every
-  * vertex takes the min label among itself and its neighbors, one join
-  * + one groupBy per round, always shuffling on the vertex id — the
-  * same key every time, so at scale the exchange is reused.
+  * edges); above it, alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+  * the algorithm built for exactly this web-scale dedup-graph shape):
+  * each phase is one groupBy(min) + one join, both shuffling on the
+  * vertex id, and the component diameter halves per round, so a
+  * 100 TB corpus's dup graph converges in O(log d) rounds where plain
+  * min-label relaxation needs O(d) — the difference between ~15 and
+  * thousands of rounds on chain-shaped near-dup clusters.
   *
   * Fault-tolerance at scale: every intermediate is
-  * `persist(DISK_ONLY)` — lineage-backed, so a lost executor recomputes
-  * instead of killing the job (localCheckpoint would pin blocks to
-  * executors). Convergence costs ONE action per round (the changed-label
-  * count doubles as cache materialization). Lineage is cut every
-  * `checkpointInterval` rounds to keep analysis bounded — reliably if
-  * `spark.sparkContext.setCheckpointDir` is configured (the cluster
-  * deployment), locally otherwise.
+  * `persist(MEMORY_AND_DISK)` — lineage-backed, so a lost executor
+  * recomputes instead of killing the job (localCheckpoint would pin
+  * blocks to executors). Convergence costs ONE action per round: an
+  * aggregate signature (edge count + sum of per-edge xxhash64) that
+  * doubles as cache materialization — identical signatures on
+  * consecutive rounds mean an identical star set, i.e. a fixpoint.
+  * Lineage is cut every `checkpointInterval` rounds to keep analysis
+  * bounded — reliably if `spark.sparkContext.setCheckpointDir` is
+  * configured (the cluster deployment), locally otherwise.
   */
 object DedupGroups {
 
@@ -86,32 +92,64 @@ object DedupGroups {
       return rows.toDF("id", "component")
     }
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // Alternating large-star / small-star (Kiveris et al.). Edges are
+    // kept as directed (child, parent) pairs with parent < child after
+    // the first small-star; at the fixpoint every component is a star
+    // rooted at its minimum vertex id.
+    //
+    // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+    // small-star(u): over parent-directed edges (all dst < src):
+    //   m = min(N<(u)); emit (v, m) for v ∈ N<(u) \ {m} and (u, m)
+    var cur = edges.filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
+    var curSig = (-1L, -1L)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val msgs = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min("component").as("nbr_min"))
-      val stepped = labels.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          (col("nbr_min").isNotNull && col("nbr_min") < col("component")).as("__changed"))
-      val next =
-        if ((iter + 1) % checkpointInterval == 0) cutLineage(stepped)
-        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
-      // one action: materializes the round AND decides convergence
-      converged = next.filter(col("__changed")).count() == 0
-      labels.unpersist()
-      labels = next.drop("__changed")
+      // one symmetrize + min per vertex, one join — shuffles on src both
+      // times, so the exchange key is stable across phases and rounds
+      val sym = cur.select(col("src"), col("dst"))
+        .unionByName(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val large = sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val minsS = large.groupBy("src").agg(min("dst").as("m"))
+      val small = large.join(minsS, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(minsS.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // lineage MUST be cut every round: each star round references the
+      // previous frame ~18x (union + two groupBys + two self-joins), so
+      // an uncut plan grows 18^rounds nodes and OOMs the driver on plan
+      // analysis alone. The cut is free here — the signature action
+      // below materializes the round regardless.
+      val next = cutLineage(small)
+      // one action: materializes the round AND decides convergence via an
+      // order-independent edge-set signature (count + xxhash64 xor —
+      // xor, not sum: overflow-free under ANSI and exact on a distinct set)
+      val sigRow = next.agg(
+        count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == curSig
+      cur.unpersist()
+      cur = next
+      curSig = sig
       iter += 1
     }
     edges.unpersist()
-    labels
+    // fixpoint stars: every non-root has exactly one edge to its
+    // component min; roots appear only as dst
+    val members = cur.select(col("src").as("id"), col("dst").as("component"))
+    val roots = cur.select(col("dst")).distinct()
+      .select(col("dst").as("id"), col("dst").as("component"))
+    members.unionByName(roots).dropDuplicates("id")
   }
 
   /** Keeps one doc per near-duplicate group (min id), plus every doc

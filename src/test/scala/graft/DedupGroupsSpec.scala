@@ -22,7 +22,7 @@ class DedupGroupsSpec extends SparkSpec {
     assert(comps.values.toSet == Set(0L), comps)
   }
 
-  test("distributed label-propagation path matches union-find fast path") {
+  test("distributed large-star/small-star path matches union-find fast path") {
     val pairs = (Seq((0L, 1L), (1L, 2L), (3L, 4L), (7L, 8L)) ++
       (10L until 30L).map(i => (i, i + 1))).toDF("id_a", "id_b")
     val fast = DedupGroups.connectedComponents(pairs)
@@ -31,6 +31,30 @@ class DedupGroupsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast == dist, (fast, dist))
     assert(fast(30L) == 10L && fast(2L) == 0L)
+  }
+
+  test("large-star/small-star on a >5M-edge graph (the 100TB-corpus path)") {
+    import org.apache.spark.sql.functions._
+    // 50k stars of 100 spokes (5.0M edges — wide, converges fast) plus a
+    // 512-vertex chain (deep — forces the O(log d) round behavior that
+    // plain min-label relaxation would need 512 rounds for)
+    val stars = spark.range(50000).select(
+        (col("id") * 200).as("hub"), explode(sequence(lit(1), lit(100))).as("k"))
+      .select(col("hub").as("id_a"), (col("hub") + col("k")).as("id_b"))
+    val base = 100000000L
+    val path = spark.range(512).select(
+      (col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
+    val edges = stars.unionByName(path)
+    assert(edges.count() == 5000512L)
+    val cc = DedupGroups.connectedComponents(edges, smallGraphEdges = 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wrongStars = cc.filter(col("id") < base)
+      .filter(col("component") =!= (col("id") - pmod(col("id"), lit(200)))).count()
+    val wrongPath = cc.filter(col("id") >= base)
+      .filter(col("component") =!= base).count()
+    assert(wrongStars == 0 && wrongPath == 0)
+    assert(cc.count() == 50000L * 101 + 513)
+    cc.unpersist()
   }
 
   test("DedupPipeline shares one shingling and matches standalone operators") {
