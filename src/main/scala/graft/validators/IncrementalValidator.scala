@@ -18,9 +18,12 @@ import graft.contracts._
   * regardless of slice size), sketches union losslessly across slices,
   * and the duplicate estimate is total − distinct-estimate with HLL's
   * ~1% relative error — the right trade at 100 TB, where exact
-  * incremental uniqueness would carry O(distinct keys) state. Exact
-  * answers still come from the batch [[ContractValidator]] at a coarser
-  * cadence. Still not mergeable: the ML split checks.
+  * incremental uniqueness would carry O(distinct keys) state. For keys
+  * whose cardinality IS bounded (enums, tenant ids, small dimensions)
+  * [[uniquenessSnapshotExact]] carries per-key counts instead — exact,
+  * still mergeable, zero-tolerance. Exact unbounded answers still come
+  * from the batch [[ContractValidator]] at a coarser cadence. Still
+  * not mergeable: the ML split checks.
   *
   * Usage:
   * {{{
@@ -109,21 +112,68 @@ object IncrementalValidator {
       .agg(sum("total").cast(LongType).as("total"),
         hll_union_agg(col("sketch"), lit(true)).as("sketch"))
 
+  /** HLL relative standard error at the given lgK: ~1.04/√(2^lgK)
+    * (the classic HLL bound — ±1.04/√2^14 ≈ ±0.81% at the default). */
+  def hllRse(lgK: Int): Double = 1.04 / math.sqrt((1L << lgK).toDouble)
+
   /** Evaluates merged uniqueness state: estimated duplicate rows =
     * total − distinct-estimate; passes while the estimated duplicate
     * FRACTION stays within `tolerance` (default 2%, ≈ 2× HLL's relative
     * standard error at lgK=14 — an exact-zero gate would flap on sketch
-    * noise). */
-  def uniquenessReport(state: DataFrame, tolerance: Double = 0.02): DataFrame = {
+    * noise). The detail names the estimator's ±RSE bound so a report
+    * reader can tell sketch noise from real duplication; keys whose
+    * cardinality is small enough to carry exactly should use
+    * [[uniquenessSnapshotExact]] instead. */
+  def uniquenessReport(state: DataFrame, tolerance: Double = 0.02,
+                       lgK: Int = 14): DataFrame = {
     val est = hll_sketch_estimate(col("sketch")).cast(DoubleType)
     val dupFrac = greatest(lit(0d), (col("total") - est) / col("total"))
     state.select(col("check"), col("field"),
       (dupFrac <= tolerance).as("passed"),
       dupFrac.as("metric"),
-      format_string("~%.2f%% duplicate key(s) over %d row(s) (HLL estimate, tolerance " +
-        s"$tolerance)", dupFrac * 100d, col("total")).as("detail"),
+      format_string("~%.2f%% duplicate key(s) over %d row(s) (HLL estimate, " +
+        f"RSE ±${hllRse(lgK) * 100}%.2f%%%%, tolerance $tolerance)",
+        dupFrac * 100d, col("total")).as("detail"),
       lit("error").as("severity"))
   }
+
+  /** EXACT mergeable uniqueness state: one row per (check, field, key)
+    * with its observed count. State is O(distinct keys) — the right
+    * mode when key cardinality is bounded (enums, tenant ids, small
+    * dimensions) and HLL's RSE would drown the duplicate signal; at
+    * unbounded cardinality use [[uniquenessSnapshot]]. Keys are
+    * serialized with to_json so composite and null-bearing keys merge
+    * unambiguously across slices. */
+  def uniquenessSnapshotExact(df: DataFrame, c: Contract): DataFrame = {
+    val checks = c.qualityChecks.map(u => u.uniqueness.toSeq).getOrElse(Nil)
+    require(checks.nonEmpty, "contract declares no uniqueness check")
+    checks.map { u =>
+      df.groupBy(to_json(struct(u.fields.map(col): _*)).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("uniqueness").as("check"),
+          lit(u.fields.mkString(",")).as("field"),
+          col("key"), col("cnt").cast(LongType).as("cnt"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Merges exact uniqueness snapshots: per-key counts add. */
+  def uniquenessMergeExact(snapshots: DataFrame*): DataFrame =
+    snapshots.reduce(_ unionByName _)
+      .groupBy("check", "field", "key")
+      .agg(sum("cnt").cast(LongType).as("cnt"))
+
+  /** Evaluates exact merged state: duplicate rows = Σ max(cnt−1, 0),
+    * zero-tolerance (no estimator noise to absorb). */
+  def uniquenessReportExact(state: DataFrame): DataFrame =
+    state.groupBy("check", "field")
+      .agg(sum("cnt").cast(LongType).as("total"),
+        sum(when(col("cnt") > 1, col("cnt") - 1L).otherwise(0L)).cast(LongType).as("dups"))
+      .select(col("check"), col("field"),
+        (col("dups") === 0L).as("passed"),
+        (col("dups").cast(DoubleType) / col("total")).as("metric"),
+        format_string("%d duplicate key occurrence(s) over %d row(s) (exact merge)",
+          col("dups"), col("total")).as("detail"),
+        lit("error").as("severity"))
 
   /** Evaluates the merged state into CheckResult rows — same pass/fail
     * semantics as the batch [[ContractValidator]]. */

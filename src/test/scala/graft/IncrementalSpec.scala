@@ -79,5 +79,41 @@ class IncrementalSpec extends SparkSpec {
         (1500L until 3000L).map(Tuple1(_)).toDF("id"), c))
     val clean = IncrementalValidator.uniquenessReport(cleanMerged).collect().head
     assert(clean.getAs[Boolean]("passed"), clean)
+    // the report surfaces the estimator's error bound
+    assert(clean.getAs[String]("detail").contains("RSE ±0.81%"), clean)
+  }
+
+  test("exact mergeable uniqueness counts cross-slice duplicates precisely") {
+    val c = ContractBuilder("u", "o")
+      .field(FieldBuilder("id", "int64"))
+      .uniqueness("id")
+      .build
+    // 5 cross-slice dup keys + 1 in-slice dup; tiny cardinality where
+    // HLL noise could mask the signal but exact counts cannot
+    val s1 = ((0L until 50L) :+ 7L).map(Tuple1(_)).toDF("id") // 7 twice in slice 1
+    val s2 = ((50L until 100L) ++ (0L until 5L)).map(Tuple1(_)).toDF("id")
+    val merged = IncrementalValidator.uniquenessMergeExact(
+      IncrementalValidator.uniquenessSnapshotExact(s1, c),
+      IncrementalValidator.uniquenessSnapshotExact(s2, c))
+    val r = IncrementalValidator.uniquenessReportExact(merged).collect().head
+    assert(!r.getAs[Boolean]("passed"))
+    // dups = 6: key 7 appears 3x (2 extra... no: 7 twice in s1 = 1 extra)
+    // keys 0..4 twice across slices = 5 extra → 6 total
+    assert(r.getAs[String]("detail").startsWith("6 duplicate key occurrence(s) over 106 row(s)"), r)
+    assert(math.abs(r.getAs[Double]("metric") - 6.0 / 106.0) < 1e-12)
+
+    // exact mode matches the batch validator's duplicate count exactly
+    val full = s1.unionByName(s2)
+    val batchDups = full.groupBy("id").count().filter($"count" > 1)
+      .agg(sum($"count" - 1L)).collect().head.getLong(0)
+    assert(batchDups == 6L)
+
+    // clean slices pass with a zero-tolerance gate
+    val cleanR = IncrementalValidator.uniquenessReportExact(
+      IncrementalValidator.uniquenessMergeExact(
+        IncrementalValidator.uniquenessSnapshotExact((0L until 50L).map(Tuple1(_)).toDF("id"), c),
+        IncrementalValidator.uniquenessSnapshotExact((50L until 100L).map(Tuple1(_)).toDF("id"), c)))
+      .collect().head
+    assert(cleanR.getAs[Boolean]("passed") && cleanR.getAs[Double]("metric") == 0.0)
   }
 }

@@ -123,6 +123,46 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(rowsJump - (400.0 - 110.0) / 110.0) < 1e-9)
   }
 
+  test("trend alerts over a foreachBatch-persisted metrics sink (live path)") {
+    // the production wiring: stream → windowed qualityMetrics →
+    // foreachBatch append into a parquet metrics table → trendAlerts
+    // over the sink. Proves the live path end-to-end, not just batch.
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("id", "status", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val metrics = StreamMonitor.qualityMetrics(stream, contract, "ts",
+      windowDuration = "10 minutes", watermarkDelay = "0 seconds")
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    val q = metrics.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dir)
+      }
+      .start()
+    try {
+      // window 10:00-10:10 gets 4 rows; 10:10-10:20 gets 1 (a 75% drop)
+      mem.addData((1L, "ok", "2024-01-01 10:01:00"), (2L, "ok", "2024-01-01 10:02:00"),
+        (3L, "ok", "2024-01-01 10:03:00"), (4L, "ok", "2024-01-01 10:04:00"))
+      q.processAllAvailable()
+      mem.addData((5L, "ok", "2024-01-01 10:11:00"))
+      q.processAllAvailable()
+      // advance the watermark in two steps so both windows close + flush
+      mem.addData((6L, "ok", "2024-01-01 10:35:00"))
+      q.processAllAvailable()
+      mem.addData((7L, "ok", "2024-01-01 10:45:00"))
+      q.processAllAvailable()
+
+      val sink = spark.read.parquet(dir)
+      assert(sink.filter($"rows" === 4L).count() == 1, sink.collect().mkString(";"))
+      val alerts = StreamMonitor.trendAlerts(sink, Seq("rows"), maxChangeRatio = 0.5)
+        .collect()
+      assert(alerts.length == 1, alerts.mkString(";"))
+      assert(alerts.head.getAs[String]("metric") == "rows")
+      assert(math.abs(alerts.head.getAs[Double]("change_ratio") - 0.75) < 1e-9)
+    } finally q.stop()
+  }
+
   test("streaming freshness: silent key times out stale and drops state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
