@@ -176,15 +176,16 @@ object SimHash64 {
 object ArrayHashKernel {
 
   /** xxhash64(s) folded into [0, p) per element — bit-identical to
-    * `transform(arr, s => pmod(xxhash64(s), p))`. */
+    * `transform(arr, s => pmod(xxhash64(s), p))`. p <= 0 skips the
+    * fold (bit-identical to plain `transform(arr, s => xxhash64(s))`). */
   def xxhashMod(arr: ArrayData, p: Long): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = java.lang.Math.floorMod(
-        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-          arr.getUTF8String(i), 42L), p)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        arr.getUTF8String(i), 42L)
+      out(i) = if (p > 0) java.lang.Math.floorMod(h, p) else h
       i += 1
     }
     new GenericArrayData(out)

@@ -107,6 +107,79 @@ object NgramKernel {
   }
 }
 
+/** Word n-gram shingles in a compiled loop — bit-identical to
+  * `transform(sequence(1, greatest(size(ws)-(n-1), 1)),
+  *   i => concat_ws(" ", slice(ws, i, n)))`, optionally wrapped in
+  * `array_distinct` (first-occurrence order preserved, matching
+  * Spark's). The shingling scan is the dominant per-document cost of
+  * the dedup board; the interpreted formulation pays three lambda
+  * layers (sequence element → slice allocation → concat) per window. */
+object ShingleKernel {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def shingles(words: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = words.numElements()
+    val total = math.max(len - n + 1, 1)
+    if (distinct) {
+      // LinkedHashSet: dedupe while keeping first-occurrence order,
+      // exactly array_distinct's semantics
+      val set = new java.util.LinkedHashSet[UTF8String](total * 2)
+      var i = 0
+      while (i < total) { set.add(window(words, i, n, len)); i += 1 }
+      val out = new Array[Any](set.size)
+      val it = set.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Any](total)
+      var i = 0
+      while (i < total) { out(i) = window(words, i, n, len); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** words[i ..< min(i+n, len)] joined with a single space (concat_ws
+    * semantics: null elements skipped). */
+  private def window(words: ArrayData, i: Int, n: Int, len: Int): UTF8String = {
+    val end = math.min(i + n, len)
+    val parts = new Array[UTF8String](end - i)
+    var j = i
+    while (j < end) {
+      parts(j - i) = if (words.isNullAt(j)) null else words.getUTF8String(j)
+      j += 1
+    }
+    UTF8String.concatWs(Space, parts: _*)
+  }
+}
+
+/** array<string> words → array<string> n-gram shingles (distinct or
+  * all). See [[ShingleKernel.shingles]]. */
+case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleKernel.shingles($a, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShinglesExpr {
+  def apply(words: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(words), n, distinct))
+}
+
 /** struct(total_ngrams, distinct_ngrams) over a word array — see
   * [[NgramKernel.stats]]. Codegen emits a direct call into the compiled
   * kernel, keeping the whole projection inside whole-stage codegen. */

@@ -35,12 +35,17 @@ object TextFns {
   def words(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles, joined with a space. The shingle
-    * unit for Jaccard / MinHash dedup. */
+    * unit for Jaccard / MinHash dedup. Compiled loop
+    * ([[ShingleKernel]]), bit-identical to
+    * `array_distinct(wordShinglesAll(text, n))`. */
   def wordShingles(text: Column, n: Int): Column =
-    array_distinct(wordShinglesAll(text, n))
+    WordShinglesExpr(words(text), n, distinct = true)
 
   /** ALL word n-gram shingles, duplicates kept — the unit for
-    * repetition scoring, where the duplicate count IS the signal. */
+    * repetition scoring, where the duplicate count IS the signal.
+    * Kept as the portable `transform` formulation: it IS the reference
+    * the oracles replay and the kernels are spec-compared against; hot
+    * paths use [[graft.functions.NgramStats]] / [[wordShingles]]. */
   def wordShinglesAll(text: Column, n: Int): Column = {
     val ws = words(text)
     transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
@@ -78,9 +83,12 @@ object TextFns {
   def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     ColumnBridge.column(BandHashArray(ColumnBridge.expression(sig), numBands, rowsPerBand))
 
-  /** One xxhash64 per word — materialize as its own column before the
-    * [[graft.functions.SimHash64]] kernel so each word is hashed once. */
-  def wordHashes(text: Column): Column = transform(words(text), w => xxhash64(w))
+  /** One xxhash64 per word (compiled loop, bit-identical to
+    * `transform(words, w => xxhash64(w))`) — materialize as its own
+    * column before the [[graft.functions.SimHash64]] kernel so each
+    * word is hashed once. */
+  def wordHashes(text: Column): Column =
+    ColumnBridge.column(XxHashModArray(ColumnBridge.expression(words(text)), 0L))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")

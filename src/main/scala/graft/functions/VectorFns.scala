@@ -46,13 +46,13 @@ object VectorFns {
     * dot products, no per-element hashing. Deterministic across runs
     * and executors for a given (numPlanes, dim, seed).
     */
-  def rhpBucket(v: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val vd = transform(v, x => x.cast("double"))
+  def rhpBucket(v: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    // ArrayDotProduct takes array<float> directly (accumulates in
+    // double) — no interpreted per-element cast lambda needed
     planes(numPlanes, dim, seed).foldLeft(lit(0L)) { (acc, plane) =>
       shiftleft(acc, 1).bitwiseOR(
-        when(dot(vd, typedlit(plane)) >= 0d, 1L).otherwise(0L))
+        when(dot(v, typedlit(plane)) >= 0d, 1L).otherwise(0L))
     }
-  }
 
   /** The fixed Gaussian hyperplane family backing [[rhpBucket]]. */
   def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

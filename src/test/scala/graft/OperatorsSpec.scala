@@ -97,6 +97,18 @@ class OperatorsSpec extends SparkSpec {
       transform(TextFns.words($"text"), w =>
         conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")).as("i15"))
     assert(md.filter($"k8" =!= $"i8" || $"k15" =!= $"i15").count() == 0)
+    // distinct shingles: compiled windows vs array_distinct(transform(...))
+    val shingleEdge = Seq((9000L, ""), (9001L, "one"), (9002L, "a  b   c"),
+      (9003L, "x x x x")).toDF("doc_id", "text")
+    val sk = spark.read.parquet(sf("documents")).limit(200).select($"doc_id", $"text")
+      .unionByName(shingleEdge)
+      .select(TextFns.wordShingles($"text", 3).as("k"),
+        array_distinct(TextFns.wordShinglesAll($"text", 3)).as("i"))
+    assert(sk.filter($"k" =!= $"i").count() == 0)
+    // word hashes: compiled raw xxhash vs transform(xxhash64)
+    val wh = docs.select(TextFns.wordHashes($"text").as("k"),
+      transform(TextFns.words($"text"), w => xxhash64(w)).as("i"))
+    assert(wh.filter($"k" =!= $"i").count() == 0)
     }
   }
 
