@@ -40,6 +40,46 @@ object Contamination {
         (col("matched_ngrams") * 10000L / col("total_ngrams")).cast("long"))
   }
 
+  /** Approximate scale path: the training shingle vocabulary distilled
+    * to a Bloom filter instead of a shuffled join side. The filter is
+    * built once (one pass over training shingles), broadcast at a few
+    * MB regardless of corpus size, and eval shingles are scored
+    * MAP-SIDE — no shuffle touches the training side at query time, so
+    * a frozen 100 TB training snapshot amortizes to a bitset.
+    *
+    * Guarantees: no false negatives (every truly-contained n-gram is
+    * counted), false positives bounded by `fpp` — so the reported
+    * containment is an UPPER bound on the exact one, the safe direction
+    * for a leak check (spec-asserted against the exact operator).
+    * `expectedItems` sizes the filter (~1.2 bytes/item at 1%); ids must
+    * be integral (the documents convention, as in
+    * [[DedupGroups.connectedComponents]]'s fast path). */
+  def ngramContainmentBloom(train: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String, n: Int = 3,
+                            expectedItems: Long = 1L << 22,
+                            fpp: Double = 0.01): DataFrame = {
+    val spark = eval.sparkSession
+    import spark.implicits._
+    val bloom = train
+      .select(explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .stat.bloomFilter("sh", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val evalSh = eval.select(col(idCol).cast("long").as("id"),
+      explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+    // mapPartitions is justified here (codec-shaped membership probe
+    // against a broadcast sketch — no Column form exists for
+    // util.sketch.BloomFilter); everything around it stays declarative
+    val hits = evalSh.as[(Long, String)].mapPartitions { it =>
+      val b = bc.value
+      it.map { case (id, sh) => (id, if (b.mightContainString(sh)) 1L else 0L) }
+    }.toDF("id", "hit")
+    hits.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("total_ngrams"),
+        sum("hit").cast("long").as("matched_ngrams"))
+      .withColumn("contamination_bp",
+        (col("matched_ngrams") * 10000L / col("total_ngrams")).cast("long"))
+  }
+
   /** Eval docs whose contamination exceeds `maxBp` — the drop list. */
   def contaminated(train: DataFrame, eval: DataFrame,
                    idCol: String, textCol: String,

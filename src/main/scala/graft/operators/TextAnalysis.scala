@@ -108,6 +108,26 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** PII indicator patterns — the pre-train compliance scrub every
+    * large corpus runs. Regexes stay inside the class-portable subset
+    * both Java regex (Spark) and RE2 (DuckDB) execute identically: no
+    * backreferences, no lookaround. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phones" -> "\\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}",
+    "ssns" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4s" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "long_digit_runs" -> "[0-9]{13,19}",
+  )
+
+  /** Per-document PII indicator counts (map-only, codegen'd
+    * regexp_count) plus a `has_pii` flag — rows flagged here feed a
+    * redaction or drop step before training. */
+  def piiScan(df: DataFrame, textCol: String): DataFrame =
+    piiPatterns.foldLeft(df) { case (acc, (name, re)) =>
+      acc.withColumn(name, regexp_count(col(textCol), lit(re)).cast("long"))
+    }.withColumn("has_pii", piiPatterns.map(p => col(p._1) > 0L).reduce(_ || _))
+
   /** TF-IDF weights per (doc, word): tf · ln(N / df). Two aggregations
     * (per-doc term counts, per-word doc frequency) + one broadcast-able
     * join on word — the standard sparse-weights layout for retrieval

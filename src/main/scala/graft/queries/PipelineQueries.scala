@@ -775,6 +775,48 @@ object PipelineQueries {
              CAST(matched * 10000 // total AS BIGINT) AS contamination_bp
       FROM r ORDER BY contamination_bp DESC, id LIMIT 20"""))
 
+  // 53. PII indicator scan (pre-train compliance scrub). The corpus is
+  // synthetic, so three fixture docs plant every pattern class; the
+  // oracle re-counts each regex with DuckDB's RE2 — the patterns live
+  // in TextAnalysis.piiPatterns, shared verbatim by both sides, and are
+  // kept to the class-portable regex subset (no backrefs/lookaround).
+  private val PiiFixtures: Seq[(Long, String, String)] = Seq(
+    (9000L, "contact alice.smith+test@example.co.uk or bob@corp.io today", "fixture"),
+    (9001L, "call +4915123456789 or 555-123-4567 from 10.0.0.1 card 4111111111111111", "fixture"),
+    (9002L, "leaked ssn 123-45-6789 in the dump", "fixture"))
+
+  val qTextPii = QueryDef("q_text_pii",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+        .unionByName(fixtures)
+      val sums = TextAnalysis.piiPatterns.map { case (nm, _) =>
+        sum(nm).cast(LongType).as(nm) }
+      TextAnalysis.piiScan(docs, "text")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          (sums :+ sum(when(col("has_pii"), 1L).otherwise(0L)).cast(LongType).as("docs_with_pii")): _*)
+        .orderBy("source")
+    },
+    Some {
+      def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
+      val cols = TextAnalysis.piiPatterns.map { case (nm, re) =>
+        s"CAST(sum(${cnt(re)}) AS BIGINT) AS $nm" }.mkString(",\n             ")
+      val hasPii = TextAnalysis.piiPatterns.map { case (_, re) => s"${cnt(re)} > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, src) => s"($id, '$t', '$src')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text, source))
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             $cols,
+             CAST(sum(CASE WHEN $hasPii THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+      FROM docs GROUP BY source ORDER BY source"""
+    })
+
   // 51. skew-salted join — oracled against an independent PLAIN join:
   // salting must be invisible in the output
   val qSkewJoin = QueryDef("q_skew_join",
@@ -839,6 +881,6 @@ object PipelineQueries {
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
-    qTextRepetition, qContamination, qSkewJoin, qQuotaSample,
+    qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii,
   )
 }

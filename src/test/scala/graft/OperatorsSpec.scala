@@ -316,6 +316,42 @@ class OperatorsSpec extends SparkSpec {
     assert(dropped == Set(1L))
   }
 
+  test("pii scan counts indicators and flags documents") {
+    val df = Seq(
+      (1L, "mail me at a@b.io and c.d@e.org please"),
+      (2L, "ssn 123-45-6789 and card 4111111111111111"),
+      (3L, "perfectly clean prose with no identifiers at all"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScan(df, "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("emails") == 2 && r(1L).getAs[Boolean]("has_pii"))
+    assert(r(2L).getAs[Long]("ssns") == 1 && r(2L).getAs[Long]("long_digit_runs") == 1)
+    assert(!r(3L).getAs[Boolean]("has_pii"))
+  }
+
+  test("bloom contamination upper-bounds the exact containment") {
+    import graft.operators.Contamination
+    val docs = spark.read.parquet(sf("documents")).limit(400)
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val eval = docs.filter($"doc_id" % 2 === 1)
+    val exact = Contamination.ngramContainment(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = Contamination.ngramContainmentBloom(train, eval, "doc_id", "text", n = 3,
+        expectedItems = 1L << 16, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloom.keySet == exact.keySet)
+    var slack = 0L
+    exact.foreach { case (id, (total, matched)) =>
+      val (bTotal, bMatched) = bloom(id)
+      assert(bTotal == total, s"doc $id totals differ")
+      // no false negatives: bloom count >= exact; fpp bounds the excess
+      assert(bMatched >= matched && bMatched <= total, s"doc $id: $bMatched vs $matched")
+      slack += bMatched - matched
+    }
+    val totalNgrams = exact.values.map(_._1).sum
+    assert(slack <= math.max(10L, (totalNgrams * 0.03).toLong), s"slack $slack of $totalNgrams")
+  }
+
   test("quality features flag degenerate docs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and runs away home"),
