@@ -651,11 +651,40 @@ object ContractQueries {
       FROM decl d FULL OUTER JOIN live l ON d.field = l.field
       ORDER BY field, status"""))
 
+  // 45. incremental validation, exact mergeable uniqueness mode: two
+  // disjoint event slices snapshot independently, merge, and the report
+  // must equal DuckDB's independent full-table duplicate accounting —
+  // proving merged-state == full-scan engine-to-engine, not just
+  // Spark-vs-Spark as the spec does.
+  val qIncrementalUnique = QueryDef("q_incremental_unique",
+    (s, dir) => {
+      import graft.validators.IncrementalValidator
+      val c = ContractBuilder("events", "graft")
+        .field(FieldBuilder("user_id", "int64"))
+        .uniqueness("user_id").build
+      val ev = table(s, dir, "events")
+      val merged = IncrementalValidator.uniquenessMergeExact(
+        IncrementalValidator.uniquenessSnapshotExact(ev.filter(col("event_id") % 2 === 0), c),
+        IncrementalValidator.uniquenessSnapshotExact(ev.filter(col("event_id") % 2 === 1), c))
+      IncrementalValidator.uniquenessReportExact(merged)
+    },
+    Some("""
+      WITH k AS (SELECT user_id, count(*) c FROM events GROUP BY 1),
+      a AS (SELECT CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) dups,
+                   CAST(sum(c) AS BIGINT) total FROM k)
+      SELECT 'uniqueness' AS "check", 'user_id' AS field,
+             dups = 0 AS passed,
+             CAST(dups AS DOUBLE) / total AS metric,
+             printf('%d duplicate key occurrence(s) over %d row(s) (exact merge)',
+                    dups, total) AS detail,
+             'error' AS severity
+      FROM a"""))
+
   val all: Seq[QueryDef] = Seq(
     qStreamQuality, qStreamTrend, qEnforce,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
-    qMlTargetLeakage, qMlNullRateByGroup, qCatalogDrift,
+    qMlTargetLeakage, qMlNullRateByGroup, qCatalogDrift, qIncrementalUnique,
   )
 }

@@ -352,6 +352,19 @@ class OperatorsSpec extends SparkSpec {
     assert(slack <= math.max(10L, (totalNgrams * 0.03).toLong), s"slack $slack of $totalNgrams")
   }
 
+  test("hot driver query plans contain no interpreted lambda") {
+    // regression guard for the codegen-kernel work: these queries run
+    // per-document over the whole corpus — an interpreted HOF lambda
+    // (LambdaFunction in the plan) re-entering any of them is a perf bug
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_text_repetition", "q_dedup_jaccard", "q_contamination",
+        "q_text_pii", "q_dedup_simhash").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("lambdafunction"),
+        s"$n plan regressed to an interpreted lambda")
+    }
+  }
+
   test("quality features flag degenerate docs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and runs away home"),
