@@ -31,6 +31,21 @@ object PipelineQueries {
       s"${System.identityHashCode(s.sparkContext)}#$dir",
       _ => new graft.operators.DedupPipeline(table(s, dir, "documents"), "doc_id", "text", n = 3))
 
+  /** One jaccard pair computation per (session, dir), at the board's
+    * LOWEST threshold (100 bp): a higher threshold is a pure filter of
+    * a lower one's output, so `q_dedup_jaccard` (bp≥100) and
+    * `q_dedup_groups` (bp≥2000) share one postings self-join instead of
+    * running it twice — the same share-the-scan economics as the
+    * shingling, one level up. */
+  private val jaccardPairs100 =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def sharedJaccardPairs(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    jaccardPairs100.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}#$dir",
+      _ => dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 100L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // 25. exact dedup via normalized-text fingerprints
   val qDedupExact = QueryDef("q_dedup_exact",
     (s, dir) => {
@@ -55,7 +70,7 @@ object PipelineQueries {
   // 26. word-3-gram Jaccard near-dup pairs (exact, inverted-index join)
   val qDedupJaccard = QueryDef("q_dedup_jaccard",
     (s, dir) => {
-      dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 100L)
+      sharedJaccardPairs(s, dir)
         .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
         .limit(15)
     },
@@ -79,7 +94,7 @@ object PipelineQueries {
   // 26b. duplicate GROUPS: connected components over jaccard pairs
   val qDedupGroups = QueryDef("q_dedup_groups",
     (s, dir) => {
-      val pairs = dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 2000L)
+      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
       graft.operators.DedupGroups.connectedComponents(pairs)
         .groupBy("component")
         .agg(count(lit(1)).cast(LongType).as("group_size"))
