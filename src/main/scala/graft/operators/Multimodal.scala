@@ -114,6 +114,194 @@ object Multimodal {
     } else MediaMeta("unknown", 0, 0, 0, 0, 0, 0)
   }
 
+  // ---------------------------------------------------------------
+  // Real pixel/sample decode — pure JVM, no media libraries:
+  //   - PNG: full IDAT decode (zlib inflate via java.util.zip +
+  //     scanline unfiltering, all 5 filter types) for non-interlaced
+  //     8-bit gray/RGB/RGBA — the formats a training corpus's
+  //     thumbnails actually use. Decoded pixels feed feature
+  //     extraction (per-channel means) and nearest-neighbor resize.
+  //   - WAV: PCM frame sampling straight off the data chunk at
+  //     block-align boundaries (every-Nth-frame decimation).
+  // Codecs needing native state (JPEG, video) would slot into the
+  // same mapPartitions loop via FFI; the Spark-side plumbing (schema,
+  // batching, partitioning) is identical.
+  // ---------------------------------------------------------------
+
+  /** Decoded raster: unfiltered rows concatenated, `channels` bytes
+    * per pixel (1 = gray, 3 = RGB, 4 = RGBA). */
+  final case class PngImage(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** Full PNG decode for non-interlaced 8-bit gray/RGB/RGBA. Returns
+    * None for other color types / bit depths / interlaced images —
+    * honest "not decoded", never a fake. */
+  def decodePng(p: Array[Byte]): Option[PngImage] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 33 || !p.take(8).sameElements(PngSig) || tag(12) != "IHDR") return None
+    val width = be32(16); val height = be32(20)
+    val bitDepth = u8(24); val colorType = u8(25); val interlace = u8(28)
+    val channels = colorType match {
+      case 0 => 1 case 2 => 3 case 6 => 4 case _ => return None
+    }
+    if (bitDepth != 8 || interlace != 0 || width <= 0 || height <= 0) return None
+    // gather IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    while (off + 8 <= p.length) {
+      val len = be32(off); val cid = tag(off + 4)
+      if (cid == "IDAT" && off + 8 + len <= p.length) idat.write(p, off + 8, len)
+      off += 12 + len // len + type + data + crc
+    }
+    if (idat.size() == 0) return None
+    // zlib inflate to (1 filter byte + width*channels) per row
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    try {
+      while (filled < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, filled, raw.length - filled)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        filled += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (filled < raw.length) return None
+    // unfilter scanlines (PNG filters 0-4; Paeth per the spec)
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val left = if (x >= channels) out(rowOut + x - channels) & 0xff else 0
+        val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= channels) out(rowOut - stride + x - channels) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) / 2)
+          case 4 =>
+            val pr = left + up - upLeft
+            val pa = math.abs(pr - left); val pb = math.abs(pr - up); val pc = math.abs(pr - upLeft)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        out(rowOut + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(width, height, channels, out))
+  }
+
+  /** Per-channel mean pixel values in thousandths (exact integer math —
+    * deterministic across engines and partitionings). */
+  def channelMeansX1000(img: PngImage): Array[Long] = {
+    val sums = new Array[Long](img.channels)
+    var i = 0
+    while (i < img.pixels.length) {
+      sums(i % img.channels) += img.pixels(i) & 0xff
+      i += 1
+    }
+    val nPix = (img.width.toLong * img.height).max(1L)
+    sums.map(s => s * 1000L / nPix)
+  }
+
+  /** Nearest-neighbor resize — the thumbnail/normalization step of an
+    * image pipeline, exact and deterministic. */
+  def resizeNearest(img: PngImage, tw: Int, th: Int): PngImage = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    val out = new Array[Byte](tw * th * img.channels)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * img.height / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * img.width / tw).toInt
+        val src = (sy * img.width + sx) * img.channels
+        val dst = (y * tw + x) * img.channels
+        System.arraycopy(img.pixels, src, out, dst, img.channels)
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(tw, th, img.channels, out)
+  }
+
+  /** Every `everyNth`-th PCM sample frame of a WAV payload, sliced at
+    * block-align boundaries off the data chunk — frame-sampling
+    * decimation with zero decode beyond the container walk. */
+  def sampleWavFrames(p: Array[Byte], everyNth: Int): Seq[Array[Byte]] = {
+    require(everyNth > 0, "everyNth must be positive")
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String = new String(p.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return Nil
+    var off = 12
+    var block = 0
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= p.length && (block == 0 || dataOff < 0)) {
+      val cid = tag(off); val csz = le32(off + 4)
+      if (cid == "fmt " && off + 24 <= p.length) block = le16(off + 20)
+      if (cid == "data") { dataOff = off + 8; dataLen = csz }
+      off += 8 + csz.toInt + (csz.toInt & 1)
+    }
+    if (block <= 0 || dataOff < 0) return Nil
+    val nFrames = (math.min(dataLen, (p.length - dataOff).toLong) / block).toInt
+    (0 until nFrames by everyNth).map { f =>
+      java.util.Arrays.copyOfRange(p, dataOff + f * block, dataOff + (f + 1) * block)
+    }
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("px_width", IntegerType, nullable = false),
+    StructField("px_height", IntegerType, nullable = false),
+    StructField("px_channels", IntegerType, nullable = false),
+    StructField("channel_means_x1000", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("pixel_sha", StringType, nullable = false),
+    StructField("thumb", BinaryType, nullable = true),
+  ))
+
+  /** DataFrame-level image feature extraction: decode → per-channel
+    * means + pixel sha256 → optional nearest-neighbor thumbnail.
+    * mapPartitions (codec-shaped — per-partition digest init, batch
+    * iteration); undecodable payloads report decoded=false with empty
+    * features, never nulls that would poison downstream aggregates. */
+  def withImageFeatures(df: DataFrame, binCol: String,
+                        thumbSize: Option[(Int, Int)] = None): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("img", imageFeatureSchema, nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { row =>
+        val payload = row.getAs[Array[Byte]](binIdx)
+        val img = decodePng(payload)
+        val feat = img match {
+          case Some(i) =>
+            sha.reset()
+            val digest = sha.digest(i.pixels).map("%02x".format(_)).mkString
+            val thumb = thumbSize.map { case (tw, th) => resizeNearest(i, tw, th).pixels }.orNull
+            Row(true, i.width, i.height, i.channels, channelMeansX1000(i).toSeq, digest, thumb)
+          case None => Row(false, 0, 0, 0, Seq.empty[Long], "", null)
+        }
+        Row.fromSeq(row.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
   /** The batch-decode path: iterates partitions row-batch-wise like a
     * real codec would (amortizing per-batch codec init), emitting the
     * same schema as [[withMeta]]. Use for decoders that need native

@@ -365,6 +365,113 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // independent PNG ENCODER (filter + deflate + chunk/crc), so the
+  // decode spec is a true inverse check, not the decoder testing itself
+  private object TestPng {
+    private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val tagB = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagB); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(tagB).put(data).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    /** Builds a real PNG: rows filtered per `filters` (cycled), zlib
+      * deflated, correct chunk CRCs. */
+    def make(w: Int, h: Int, ch: Int, pixels: Array[Byte], filters: Seq[Int]): Array[Byte] = {
+      val colorType = ch match { case 1 => 0; case 3 => 2; case 4 => 6 }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val stride = w * ch
+      def px(y: Int, x: Int): Int = if (y < 0 || x < 0) 0 else pixels(y * stride + x) & 0xff
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h) {
+        val f = filters(y % filters.length)
+        raw(y * (stride + 1)) = f.toByte
+        for (x <- 0 until stride) {
+          val cur = px(y, x)
+          val left = if (x >= ch) px(y, x - ch) else 0
+          val up = px(y - 1, x)
+          val ul = if (x >= ch) px(y - 1, x - ch) else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 =>
+              val pr = left + up - ul
+              val pa = math.abs(pr - left); val pb = math.abs(pr - up); val pc = math.abs(pr - ul)
+              cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          }
+          raw(y * (stride + 1) + 1 + x) = (v & 0xff).toByte
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = deflater.deflate(buf); deflater.end()
+      val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty)
+    }
+  }
+
+  test("png pixel decode round-trips synthesized images (all 5 filters)") {
+    for (ch <- Seq(1, 3, 4)) {
+      val w = 4; val h = 5
+      val pixels = Array.tabulate(w * h * ch)(i => ((i * 37 + 11) % 256).toByte)
+      val png = TestPng.make(w, h, ch, pixels, filters = Seq(0, 1, 2, 3, 4))
+      val img = Multimodal.decodePng(png).get
+      assert(img.width == w && img.height == h && img.channels == ch)
+      assert(img.pixels.sameElements(pixels), s"pixel mismatch at ch=$ch")
+      // exact per-channel means
+      val means = Multimodal.channelMeansX1000(img).toSeq
+      val expect = (0 until ch).map(c =>
+        (0 until w * h).map(p => (pixels(p * ch + c) & 0xff).toLong).sum * 1000L / (w * h))
+      assert(means == expect)
+      // nearest-neighbor 2x2 thumb picks pixels (0,0),(2,0),(0,2),(2,2)
+      val t = Multimodal.resizeNearest(img, 2, 2)
+      assert(t.pixels.length == 2 * 2 * ch)
+      def srcPx(y: Int, x: Int) = pixels.slice((y * w + x) * ch, (y * w + x) * ch + ch).toSeq
+      assert(t.pixels.slice(0, ch).toSeq == srcPx(0, 0))
+      assert(t.pixels.slice(ch, 2 * ch).toSeq == srcPx(0, 2))
+    }
+    // undecodable inputs are honest Nones
+    assert(Multimodal.decodePng(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("image feature extraction over a DataFrame (decode + thumb)") {
+    val w = 6; val h = 4; val ch = 3
+    val pixels = Array.tabulate(w * h * ch)(i => ((i * 53 + 7) % 256).toByte)
+    val png = TestPng.make(w, h, ch, pixels, filters = Seq(4, 3, 2, 1))
+    val df = Seq((1L, png), (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val out = Multimodal.withImageFeatures(df, "payload", thumbSize = Some((3, 2)))
+      .select($"id", $"img.decoded", $"img.px_width", $"img.px_channels",
+        $"img.channel_means_x1000", $"img.thumb")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getInt(2) == w && out(1L).getInt(3) == ch)
+    assert(out(1L).getSeq[Long](4).length == ch)
+    assert(out(1L).getAs[Array[Byte]](5).length == 3 * 2 * ch)
+    assert(!out(2L).getBoolean(1))
+  }
+
+  test("wav frame sampling slices PCM frames at block boundaries") {
+    // 2ch 16-bit (block=4), 6 frames with known bytes
+    val frames = (0 until 6).map(f => Array[Byte](f.toByte, (f + 1).toByte, (f + 2).toByte, (f + 3).toByte))
+    val data = frames.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    val wav = bb.array()
+    val sampled = Multimodal.sampleWavFrames(wav, everyNth = 2)
+    assert(sampled.length == 3)
+    assert(sampled(0).sameElements(frames(0)) && sampled(1).sameElements(frames(2))
+      && sampled(2).sameElements(frames(4)))
+    assert(Multimodal.sampleWavFrames(Array[Byte](1, 2), 1).isEmpty)
+  }
+
   test("quality features flag degenerate docs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and runs away home"),
