@@ -65,6 +65,30 @@ object Enforce {
       flagged.filter(size(col("violation_reasons")) > 0))
   }
 
+  /** Streaming enforcement: the same row-level clean/quarantine split
+    * applied per micro-batch via foreachBatch — clean rows append to
+    * `path`, violations (with `violation_reasons`) to `quarantinePath`.
+    * The dead-letter layout, live: no row is dropped, the gate runs
+    * continuously, and both sinks are plain parquet tables any
+    * downstream reader (or [[ContractValidator]] backfill) can query.
+    * Returns the started query; the caller owns its lifecycle. */
+  def enforceStream(stream: DataFrame, c: Contract, path: String,
+                    quarantinePath: String,
+                    checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.foreachBatch { (batch: DataFrame, _: Long) =>
+      val flagged = withViolations(batch, c)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        flagged.filter(size(col("violation_reasons")) === 0).drop("violation_reasons")
+          .write.mode("append").parquet(path)
+        flagged.filter(size(col("violation_reasons")) > 0)
+          .write.mode("append").parquet(quarantinePath)
+      } finally { flagged.unpersist(); () }
+    }.start()
+  }
+
   /** Enforced write: clean rows to `path`, violations (with reasons) to
     * `quarantinePath`; returns the quarantined count. */
   def validateAndWrite(df: DataFrame, c: Contract, path: String,

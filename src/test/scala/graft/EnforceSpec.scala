@@ -40,4 +40,25 @@ class EnforceSpec extends SparkSpec {
     val bad = spark.read.parquet(s"$tmp/bad")
     assert(bad.count() == 4 && bad.columns.contains("violation_reasons"))
   }
+
+  test("streaming enforcement quarantines violations live (foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-enforce-stream").toString
+    val mem = MemoryStream[(java.lang.Long, String, java.lang.Double)]
+    val stream = mem.toDF().toDF("id", "status", "score")
+    val q = Enforce.enforceStream(stream, contract, s"$tmp/clean", s"$tmp/bad")
+    try {
+      mem.addData((1L, "on", 50.0), (2L, "BAD", 10.0))
+      q.processAllAvailable()
+      mem.addData((3L, "on", 500.0), (4L, "off", 20.0))
+      q.processAllAvailable()
+      val clean = spark.read.parquet(s"$tmp/clean")
+      val bad = spark.read.parquet(s"$tmp/bad")
+      assert(clean.select("id").as[java.lang.Long].collect().toSet == Set(1L, 4L))
+      val reasons = bad.collect().map(r =>
+        r.getAs[Any]("id") -> r.getSeq[String](r.fieldIndex("violation_reasons")).toSet).toMap
+      assert(reasons == Map(2L -> Set("allowed_values:status"), 3L -> Set("range:score")))
+    } finally q.stop()
+  }
 }
