@@ -302,6 +302,19 @@ object Multimodal {
     }(enc)
   }
 
+  /** Content-addressed image dedup: exact-duplicate groups by DECODED
+    * pixel sha — robust to container-level differences (filter
+    * strategy, compression level, chunk layout) that make byte-level
+    * fingerprints miss re-encoded copies. Same shape as
+    * [[Dedup.exactGroups]]: one shuffle on the pixel hash. Payloads
+    * that don't decode are excluded (they have no pixel identity). */
+  def exactPixelGroups(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    withImageFeatures(df, binCol)
+      .filter(col("img.decoded"))
+      .groupBy(col("img.pixel_sha").as("pixel_sha"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
+      .filter(col("dup_count") > 1)
+
   /** The batch-decode path: iterates partitions row-batch-wise like a
     * real codec would (amortizing per-batch codec init), emitting the
     * same schema as [[withMeta]]. Use for decoders that need native

@@ -455,6 +455,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!out(2L).getBoolean(1))
   }
 
+  test("pixel-level image dedup catches re-encoded copies byte hashes miss") {
+    val w = 5; val h = 3; val ch = 3
+    val pixels = Array.tabulate(w * h * ch)(i => ((i * 29 + 3) % 256).toByte)
+    // same pixels, different PNG bytes (filter strategies differ)
+    val encA = TestPng.make(w, h, ch, pixels, filters = Seq(0))
+    val encB = TestPng.make(w, h, ch, pixels, filters = Seq(1, 2, 3, 4))
+    assert(!encA.sameElements(encB)) // byte-level dedup would miss this pair
+    val other = TestPng.make(w, h, ch, pixels.map(b => (b ^ 0x7f).toByte), filters = Seq(0))
+    val df = Seq((1L, encA), (2L, encB), (3L, other), (4L, Array[Byte](1))).toDF("id", "payload")
+    val groups = Multimodal.exactPixelGroups(df, "id", "payload").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("dup_count") == 2 && groups.head.getAs[Long]("keep_id") == 1L)
+  }
+
   test("wav frame sampling slices PCM frames at block boundaries") {
     // 2ch 16-bit (block=4), 6 frames with known bytes
     val frames = (0 until 6).map(f => Array[Byte](f.toByte, (f + 1).toByte, (f + 2).toByte, (f + 3).toByte))
