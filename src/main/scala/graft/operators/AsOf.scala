@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for each left row, attach the single
+  * right row with the greatest `rightTs <= leftTs` for the same key —
+  * the feature-store lookup every training pipeline needs for
+  * leakage-free feature attachment (an event must only see feature
+  * snapshots from its past).
+  *
+  * Spark has no native as-of join; the naive range join explodes to a
+  * per-key cross product. This implementation is the scalable
+  * formulation: tag both sides, union, ONE shuffle on the key, one
+  * sort by (ts, side), and a running `last(payload, ignoreNulls)`
+  * carries each key's latest snapshot forward to the events that
+  * follow it. Cost is one exchange + sort over |left| + |right| rows —
+  * no broadcast requirement, no range explosion, skew-safe for any key
+  * whose event count fits a partition sort.
+  *
+  * Right rows tie-sort BEFORE left rows at equal timestamps, so a
+  * snapshot timestamped exactly at the event time IS visible
+  * (inclusive `<=`, matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`,
+  * which the driver oracle replays natively). The right side must be
+  * unique per (key, ts) — run [[latestPerKeyTs]] first when it is not.
+  */
+object AsOf {
+
+  /** One row per (key, ts): keeps the row with the greatest `tieCol` —
+    * makes the as-of target unambiguous before [[joinAsOf]]. */
+  def latestPerKeyTs(df: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col(tsCol)).orderBy(col(tieCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** Left rows with `payloadCols` of their as-of right row attached as
+    * `payloadPrefix<col>` (null when no right row precedes — left-join
+    * semantics). `leftTs`/`rightTs` must be directly comparable types
+    * (cast upstream). */
+  def joinAsOf(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String],
+               payloadPrefix: String = "asof_"): DataFrame = {
+    val keyType = left.schema(leftKey).dataType
+    val tsType = left.schema(leftTs).dataType
+    val pType = right.select(struct(payloadCols.map(col): _*).as("__p"))
+      .schema.head.dataType
+    val lStructType = left.select(struct(left.columns.map(col): _*).as("__l"))
+      .schema.head.dataType
+
+    val lf = left.select(
+      col(leftKey).as("__k"), col(leftTs).as("__t"),
+      lit(null).cast(pType).as("__p"), lit(1).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val rf = right.select(
+      col(rightKey).cast(keyType).as("__k"), col(rightTs).cast(tsType).as("__t"),
+      struct(payloadCols.map(col): _*).as("__p"), lit(0).as("__side"),
+      lit(null).cast(lStructType).as("__l"))
+
+    // right (side 0) sorts before left (side 1) at equal ts → inclusive <=
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lf.unionByName(rf)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col("__l").getField(c).as(c)) ++
+        payloadCols.map(c => col("__asof").getField(c).as(payloadPrefix + c)): _*)
+  }
+}

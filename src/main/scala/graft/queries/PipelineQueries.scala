@@ -832,6 +832,43 @@ object PipelineQueries {
       FROM docs GROUP BY source ORDER BY source"""
     })
 
+  // 54. as-of (point-in-time) join — each event sees the latest order
+  // of its customer at or before the event date, never a future one
+  // (leakage-free feature attachment). The oracle replays it with
+  // DuckDB's NATIVE ASOF LEFT JOIN — two independent formulations of
+  // the same semantics. Snapshot side deduped to one row per
+  // (customer, date) keeping max orderkey, so the target is
+  // unambiguous in both engines.
+  val qAsofJoin = QueryDef("q_asof_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("ev_date"), col("event_type"))
+      val snaps = graft.operators.AsOf.latestPerKeyTs(
+        table(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")),
+        "o_custkey", "o_orderdate", "o_orderkey")
+      graft.operators.AsOf.joinAsOf(ev, snaps, "user_id", "o_custkey",
+          "ev_date", "o_orderdate", Seq("o_orderkey"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(LongType).as("events"),
+          count(col("asof_o_orderkey")).cast(LongType).as("matched"),
+          sum(coalesce(col("asof_o_orderkey"), lit(0L))).cast(LongType).as("sum_orderkey"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH snaps AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2),
+      e AS (SELECT event_id, user_id, CAST(ts AS DATE) ev_date, event_type FROM events),
+      j AS (
+        SELECT e.event_type, s.o_orderkey
+        FROM e ASOF LEFT JOIN snaps s
+          ON e.user_id = s.o_custkey AND e.ev_date >= s.o_orderdate)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS events,
+             CAST(count(o_orderkey) AS BIGINT) AS matched,
+             CAST(sum(coalesce(o_orderkey, 0)) AS BIGINT) AS sum_orderkey
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   // 51. skew-salted join — oracled against an independent PLAIN join:
   // salting must be invisible in the output
   val qSkewJoin = QueryDef("q_skew_join",
@@ -896,6 +933,6 @@ object PipelineQueries {
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
-    qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii,
+    qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
   )
 }

@@ -486,6 +486,34 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.sampleWavFrames(Array[Byte](1, 2), 1).isEmpty)
   }
 
+  test("as-of join attaches the latest snapshot at or before each event") {
+    import graft.operators.AsOf
+    val snaps = Seq(
+      (1L, 10L, "v10"), (1L, 20L, "v20"), (1L, 20L, "v20b"), // tie at ts=20
+      (2L, 15L, "w15"),
+    ).toDF("k", "ts", "v")
+    val events = Seq(
+      (1L, 5L),   // before any snapshot → null
+      (1L, 10L),  // exactly at ts=10 → inclusive match v10
+      (1L, 19L),  // between → v10
+      (1L, 20L),  // tie ts: deduped keeps max tie ("v20b" lexic? tie on v)
+      (1L, 99L),  // after all → latest
+      (2L, 14L),  // before 2's only snapshot → null
+      (3L, 50L),  // key with no snapshots → null
+    ).toDF("k", "ts")
+    val deduped = AsOf.latestPerKeyTs(snaps, "k", "ts", "v")
+    val out = AsOf.joinAsOf(events, deduped, "k", "k", "ts", "ts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[String]("asof_v")).toMap
+    assert(out((1L, 5L)) == null)
+    assert(out((1L, 10L)) == "v10")
+    assert(out((1L, 19L)) == "v10")
+    assert(out((1L, 20L)) == "v20b") // max-tie row won the dedupe
+    assert(out((1L, 99L)) == "v20b")
+    assert(out((2L, 14L)) == null)
+    assert(out((3L, 50L)) == null)
+    assert(out.size == 7) // exactly one output row per event
+  }
+
   test("quality features flag degenerate docs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and runs away home"),
