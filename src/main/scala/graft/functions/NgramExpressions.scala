@@ -140,6 +140,24 @@ object ShingleKernel {
     }
   }
 
+  /** Overlapping fixed-size chunks: windows of `n` words at stride
+    * `step` (overlap = n − step), as many as needed to cover every
+    * word — `max(ceil((len − overlap) / step), 1)` chunks, the final
+    * one short when the document doesn't divide evenly. The
+    * context-window chunking step of a training-data pipeline, same
+    * compiled loop as the shingles. */
+  def chunks(words: ArrayData, n: Int, step: Int): ArrayData = {
+    val len = words.numElements()
+    val overlap = n - step
+    val total = math.max(ceilDiv(len - overlap, step), 1)
+    val out = new Array[Any](total)
+    var c = 0
+    while (c < total) { out(c) = window(words, c * step, n, len); c += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def ceilDiv(a: Int, b: Int): Int = if (a <= 0) 0 else (a + b - 1) / b
+
   /** words[i ..< min(i+n, len)] joined with a single space (concat_ws
     * semantics: null elements skipped). */
   private def window(words: ArrayData, i: Int, n: Int, len: Int): UTF8String = {
@@ -178,6 +196,32 @@ case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean)
 object WordShinglesExpr {
   def apply(words: Column, n: Int, distinct: Boolean): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(words), n, distinct))
+}
+
+/** array<string> words → array<string> overlapping chunks of `n` words
+  * at stride `step`. See [[ShingleKernel.chunks]]. */
+case class WordChunksExpr(child: Expression, n: Int, step: Int)
+    extends UnaryExpression {
+  require(n >= 1 && step >= 1 && step <= n, "need 1 <= step <= n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.chunks(input.asInstanceOf[ArrayData], n, step)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleKernel.chunks($a, $n, $step);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordChunksExpr {
+  def apply(words: Column, n: Int, step: Int): Column =
+    ColumnBridge.column(WordChunksExpr(ColumnBridge.expression(words), n, step))
 }
 
 /** struct(total_ngrams, distinct_ngrams) over a word array — see

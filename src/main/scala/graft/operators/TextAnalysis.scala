@@ -128,6 +128,24 @@ object TextAnalysis {
       acc.withColumn(name, regexp_count(col(textCol), lit(re)).cast("long"))
     }.withColumn("has_pii", piiPatterns.map(p => col(p._1) > 0L).reduce(_ || _))
 
+  /** Context-window chunking: one row per (doc, chunk) where each
+    * chunk is `chunkTokens` whitespace tokens and consecutive chunks
+    * share `overlapTokens` — the split-to-window step before
+    * tokenization/packing in a training pipeline. Map-only (compiled
+    * window loop + posexplode); every word lands in ≥1 chunk, the last
+    * chunk is short when the doc doesn't divide evenly, and a doc
+    * shorter than one chunk yields exactly one chunk. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol).as("id"),
+        posexplode(graft.functions.WordChunksExpr(TextFns.words(col(textCol)), chunkTokens, step))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_tokens", TextFns.wsTokenCount(col("chunk")).cast("long"))
+  }
+
   /** TF-IDF weights per (doc, word): tf · ln(N / df). Two aggregations
     * (per-doc term counts, per-word doc frequency) + one broadcast-able
     * join on word — the standard sparse-weights layout for retrieval

@@ -832,6 +832,32 @@ object PipelineQueries {
       FROM docs GROUP BY source ORDER BY source"""
     })
 
+  // 55. context-window chunking — 64-token windows with 16-token
+  // overlap; chunk text fingerprinted (md5) so the oracle hash-checks
+  // every chunk's exact content without hauling the text itself.
+  val qTextChunks = QueryDef("q_text_chunks",
+    (s, dir) => {
+      TextAnalysis.chunk(table(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .select(col("id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("chunk_tokens"), md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy("id", "chunk_idx")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 50),
+      w2 AS (SELECT doc_id, ws,
+                    greatest(CAST(ceil((len(ws) - 16) * 1.0 / 48) AS INT), 1) AS n
+             FROM w),
+      c AS (SELECT doc_id,
+                   unnest(generate_series(1, n)) AS g,
+                   unnest(list_transform(generate_series(1, n),
+                     g -> array_to_string(ws[(g-1)*48+1 : (g-1)*48+64], ' '))) AS chunk
+            FROM w2)
+      SELECT doc_id AS id, CAST(g - 1 AS BIGINT) AS chunk_idx,
+             CAST(length(chunk) - length(replace(chunk, ' ', '')) + 1 AS BIGINT) AS chunk_tokens,
+             md5(chunk) AS chunk_md5
+      FROM c ORDER BY id, chunk_idx"""))
+
   // 54. as-of (point-in-time) join — each event sees the latest order
   // of its customer at or before the event date, never a future one
   // (leakage-free feature attachment). The oracle replays it with
@@ -934,5 +960,6 @@ object PipelineQueries {
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
+    qTextChunks,
   )
 }

@@ -514,6 +514,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 7) // exactly one output row per event
   }
 
+  test("context-window chunking covers every token with declared overlap") {
+    // 10 words, chunk 5, overlap 2 → starts 0,3,6 → 3 chunks
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b"),   // shorter than one chunk → exactly one chunk
+      (3L, ""),      // empty text → one chunk (the empty join)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 5, overlapTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out((1L, 0)) == ("w1 w2 w3 w4 w5", 5L))
+    assert(out((1L, 1)) == ("w4 w5 w6 w7 w8", 5L)) // 2-token overlap with chunk 0
+    assert(out((1L, 2)) == ("w7 w8 w9 w10", 4L))   // short tail, still covered
+    assert(out((2L, 0)) == ("a b", 2L))
+    assert(out((3L, 0))._1 == "")
+    assert(out.size == 5)
+    // every token of doc 1 appears in some chunk
+    val covered = (0 to 2).flatMap(i => out((1L, i))._1.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("quality features flag degenerate docs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and runs away home"),
