@@ -99,4 +99,27 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= quota).drop("__rk")
   }
+
+  /** Deterministic sequential packing: within each key, rows in
+    * `orderCol` order accumulate into token-budget bins — `bin` =
+    * exclusive-prefix-sum(`tokenCol`) div `budget`. The
+    * chunk-then-pack step that fills training context windows.
+    * Capacity-TARGETED, not capacity-capped: a row straddling a
+    * boundary joins the earlier bin (its bin index is decided before
+    * its own tokens count), so bins overshoot by at most one row —
+    * the standard streaming-pack approximation, and the price of
+    * keeping packing a single window function (one shuffle on the
+    * key, deterministic, SQL-replayable) instead of a sequential
+    * first-fit loop no engine can parallelize. */
+  def packBins(df: DataFrame, keyCol: String, orderCol: String,
+               tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__excl", (sum(col(tokenCol)).over(w) - col(tokenCol)).cast("long"))
+      .withColumn("bin", expr(s"__excl DIV ${budget}L")) // exact integer division
+      .drop("__excl")
+  }
 }

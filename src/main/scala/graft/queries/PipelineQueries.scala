@@ -858,6 +858,35 @@ object PipelineQueries {
              md5(chunk) AS chunk_md5
       FROM c ORDER BY id, chunk_idx"""))
 
+  // 56. sequence packing: per-source token-budget bins over the
+  // documents, doc-id order — the chunk-then-pack step that fills
+  // training context windows. Oracle replays the exclusive-prefix-sum
+  // window in DuckDB.
+  val qPackBins = QueryDef("q_pack_bins",
+    (s, dir) => {
+      val withTokens = table(s, dir, "documents")
+        .withColumn("n_tokens", TextFns.wsTokenCount(col("text")).cast(LongType))
+      graft.operators.Sampling.packBins(withTokens, "source", "doc_id", "n_tokens", budget = 4000L)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum("n_tokens").cast(LongType).as("bin_tokens"))
+        .orderBy("source", "bin")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) n_tokens
+        FROM documents),
+      b AS (
+        SELECT source, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens) // 4000 AS bin
+        FROM t)
+      SELECT source, CAST(bin AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // 54. as-of (point-in-time) join — each event sees the latest order
   // of its customer at or before the event date, never a future one
   // (leakage-free feature attachment). The oracle replays it with
@@ -960,6 +989,6 @@ object PipelineQueries {
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
-    qTextChunks,
+    qTextChunks, qPackBins,
   )
 }

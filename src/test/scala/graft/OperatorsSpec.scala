@@ -534,6 +534,19 @@ class OperatorsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("sequence packing fills token-budget bins in order") {
+    import graft.operators.Sampling
+    val df = Seq(
+      ("s", 1L, 400L), ("s", 2L, 500L), ("s", 3L, 200L), // bin 0: 1100 (straddles)
+      ("s", 4L, 900L),                                   // excl=1100 → bin 1
+      ("s", 5L, 100L),                                   // excl=2000 → bin 2
+      ("t", 6L, 50L),                                    // separate key restarts bins
+    ).toDF("src", "id", "toks")
+    val out = Sampling.packBins(df, "src", "id", "toks", budget = 1000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 0L))
+  }
+
   test("quality features flag degenerate docs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and runs away home"),
