@@ -146,6 +146,40 @@ object TextAnalysis {
       .withColumn("chunk_tokens", TextFns.wsTokenCount(col("chunk")).cast("long"))
   }
 
+  /** Bigram language-model quality score (the CCNet/KenLM-style corpus
+    * filter, reduced to exact SQL-replayable arithmetic): an add-one
+    * smoothed bigram LM is "trained" as two count aggregations over
+    * `train`, and every `eval` doc scores
+    * `mean(ln((C(w1,w2)+1) / (C(w1)+V)))` over its word bigrams —
+    * gibberish and out-of-domain text score far below fluent text.
+    *
+    * Plan shape: train reduces to its bigram + unigram count tables
+    * (map-side combined, reusable across eval sets — persist them for
+    * repeated scoring); eval explodes bigrams and equi-joins the
+    * counts. No pairs, no cross joins; cost scales with corpus token
+    * counts. Output: (id, n_bigrams, lm_score_r4). */
+  def bigramLmScore(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame, extra: Column*) =
+      df.select(extra :+ explode(TextFns.wordShinglesAll(col(textCol), 2)).as("bg"): _*)
+    val bgCounts = bigrams(train).groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val uniCounts = train
+      .select(explode(TextFns.words(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    bigrams(eval, col(idCol).as("id"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(bgCounts, Seq("bg"), "left")
+      .join(uniCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce(col("c_bg"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("c_w1"), lit(0L)) + col("v")).cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg("logp"), 4).as("lm_score_r4"))
+  }
+
   /** TF-IDF weights per (doc, word): tf · ln(N / df). Two aggregations
     * (per-doc term counts, per-word doc frequency) + one broadcast-able
     * join on word — the standard sparse-weights layout for retrieval

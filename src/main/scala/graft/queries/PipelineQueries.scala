@@ -858,6 +858,42 @@ object PipelineQueries {
              md5(chunk) AS chunk_md5
       FROM c ORDER BY id, chunk_idx"""))
 
+  // 57. bigram-LM quality scoring (CCNet/KenLM-style filter): even-id
+  // docs train the smoothed bigram LM, odd-id docs are scored. The
+  // oracle retrains and rescores in DuckDB — counts are exact integers
+  // and the mean-log arithmetic is rounded to 4 dp on both sides.
+  val qTextLmScore = QueryDef("q_text_lm_score",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.bigramLmScore(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy(col("lm_score_r4").desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                                          g -> array_to_string(ws[g:g+1], ' '))) bg
+             FROM w),
+      bgc AS (SELECT bg, count(*) c_bg FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+      uni AS (SELECT w1, count(*) c_w1
+              FROM (SELECT unnest(ws) w1 FROM w WHERE doc_id % 2 = 0) GROUP BY 1),
+      v AS (SELECT count(*) v FROM uni),
+      scored AS (
+        SELECT b.doc_id id, ln((coalesce(c_bg, 0) + 1) * 1.0 / (coalesce(c_w1, 0) + v)) logp
+        FROM bg b
+        LEFT JOIN bgc ON b.bg = bgc.bg
+        LEFT JOIN uni ON string_split(b.bg, ' ')[1] = uni.w1
+        CROSS JOIN v
+        WHERE b.doc_id % 2 = 1)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(logp), 4) AS lm_score_r4
+      FROM scored GROUP BY id
+      ORDER BY lm_score_r4 DESC, id LIMIT 25"""))
+
   // 56. sequence packing: per-source token-budget bins over the
   // documents, doc-id order — the chunk-then-pack step that fills
   // training context windows. Oracle replays the exclusive-prefix-sum
@@ -989,6 +1025,6 @@ object PipelineQueries {
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
-    qTextChunks, qPackBins,
+    qTextChunks, qPackBins, qTextLmScore,
   )
 }

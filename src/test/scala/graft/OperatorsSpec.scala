@@ -534,6 +534,21 @@ class OperatorsSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("bigram LM scores in-domain text above gibberish") {
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the lazy dog sleeps while the quick fox runs"),
+      (4L, "a quick brown dog jumps over a lazy fox")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick brown fox jumps"),   // in-domain bigrams
+      (3L, "zxq wvut plmok njibhu vgcfx")) // gibberish: all unseen
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(train, eval, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) > r(3L), r)
+    assert(r.size == 2)
+  }
+
   test("sequence packing fills token-budget bins in order") {
     import graft.operators.Sampling
     val df = Seq(
