@@ -158,27 +158,47 @@ object TextAnalysis {
     * repeated scoring); eval explodes bigrams and equi-joins the
     * counts. No pairs, no cross joins; cost scales with corpus token
     * counts. Output: (id, n_bigrams, lm_score_r4). */
-  def bigramLmScore(train: DataFrame, eval: DataFrame,
-                    idCol: String, textCol: String): DataFrame = {
-    def bigrams(df: DataFrame, extra: Column*) =
-      df.select(extra :+ explode(TextFns.wordShinglesAll(col(textCol), 2)).as("bg"): _*)
-    val bgCounts = bigrams(train).groupBy("bg").agg(count(lit(1)).as("c_bg"))
+  /** A trained bigram LM: its two count tables plus the 1-row vocab
+    * size. [[persist]] it when scoring more than one eval set — the
+    * frozen-reference-corpus usage this filter exists for. */
+  final case class BigramLm(bgCounts: DataFrame, uniCounts: DataFrame, vocab: DataFrame) {
+    def persist(): BigramLm = {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      BigramLm(bgCounts.persist(lvl), uniCounts.persist(lvl), vocab.persist(lvl))
+    }
+    def unpersist(): Unit = {
+      bgCounts.unpersist(); uniCounts.unpersist(); vocab.unpersist(); ()
+    }
+  }
+
+  private def docBigrams(df: DataFrame, textCol: String, extra: Column*) =
+    df.select(extra :+ explode(TextFns.wordShinglesAll(col(textCol), 2)).as("bg"): _*)
+
+  def trainBigramLm(train: DataFrame, textCol: String): BigramLm = {
+    val bgCounts = docBigrams(train, textCol).groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val uniCounts = train
       .select(explode(TextFns.words(col(textCol))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    val vocab = uniCounts.agg(count(lit(1)).as("v"))
-    bigrams(eval, col(idCol).as("id"))
+    BigramLm(bgCounts, uniCounts, uniCounts.agg(count(lit(1)).as("v")))
+  }
+
+  def scoreBigramLm(model: BigramLm, eval: DataFrame,
+                    idCol: String, textCol: String): DataFrame =
+    docBigrams(eval, textCol, col(idCol).as("id"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .join(bgCounts, Seq("bg"), "left")
-      .join(uniCounts, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(model.bgCounts, Seq("bg"), "left")
+      .join(model.uniCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
       .withColumn("logp",
         log((coalesce(col("c_bg"), lit(0L)) + 1L).cast("double") /
           (coalesce(col("c_w1"), lit(0L)) + col("v")).cast("double")))
       .groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg("logp"), 4).as("lm_score_r4"))
-  }
+
+  def bigramLmScore(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String): DataFrame =
+    scoreBigramLm(trainBigramLm(train, textCol), eval, idCol, textCol)
 
   /** TF-IDF weights per (doc, word): tf · ln(N / df). Two aggregations
     * (per-doc term counts, per-word doc frequency) + one broadcast-able

