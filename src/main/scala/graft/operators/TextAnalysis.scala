@@ -172,7 +172,10 @@ object TextAnalysis {
   }
 
   private def docBigrams(df: DataFrame, textCol: String, extra: Column*) =
-    df.select(extra :+ explode(TextFns.wordShinglesAll(col(textCol), 2)).as("bg"): _*)
+    // compiled window loop (bit-identical to wordShinglesAll(text, 2))
+    // — this explode runs per word of the corpus, both sides
+    df.select(extra :+ explode(graft.functions.WordShinglesExpr(
+      TextFns.words(col(textCol)), 2, distinct = false)).as("bg"): _*)
 
   def trainBigramLm(train: DataFrame, textCol: String): BigramLm = {
     val bgCounts = docBigrams(train, textCol).groupBy("bg").agg(count(lit(1)).as("c_bg"))

@@ -103,8 +103,10 @@ class OperatorsSpec extends SparkSpec {
     val sk = spark.read.parquet(sf("documents")).limit(200).select($"doc_id", $"text")
       .unionByName(shingleEdge)
       .select(TextFns.wordShingles($"text", 3).as("k"),
-        array_distinct(TextFns.wordShinglesAll($"text", 3)).as("i"))
-    assert(sk.filter($"k" =!= $"i").count() == 0)
+        array_distinct(TextFns.wordShinglesAll($"text", 3)).as("i"),
+        graft.functions.WordShinglesExpr(TextFns.words($"text"), 2, distinct = false).as("k2"),
+        TextFns.wordShinglesAll($"text", 2).as("i2"))
+    assert(sk.filter($"k" =!= $"i" || $"k2" =!= $"i2").count() == 0)
     // word hashes: compiled raw xxhash vs transform(xxhash64)
     val wh = docs.select(TextFns.wordHashes($"text").as("k"),
       transform(TextFns.words($"text"), w => xxhash64(w)).as("i"))
@@ -358,7 +360,8 @@ class OperatorsSpec extends SparkSpec {
     // (LambdaFunction in the plan) re-entering any of them is a perf bug
     val dir = "/root/testdata/sf0.001"
     Seq("q_text_repetition", "q_dedup_jaccard", "q_contamination",
-        "q_text_pii", "q_dedup_simhash").foreach { n =>
+        "q_text_pii", "q_dedup_simhash", "q_text_chunks", "q_text_lm_score",
+        "q_asof_join", "q_pack_bins").foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("lambdafunction"),
         s"$n plan regressed to an interpreted lambda")
