@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{NgramKernel, ShingleKernel}
+
+/** Property tests for the compiled text kernels against straightforward
+  * Scala reference implementations of the portable SQL formulations —
+  * generative coverage of the window/dedup/chunk arithmetic that the
+  * example-based specs and the fixed corpus can't exhaust. A small
+  * alphabet forces heavy shingle collisions; empty words model the
+  * multi-space split artifacts real text produces. */
+object KernelPropSpec extends Properties("TextKernels") {
+
+  private val genWord: Gen[String] =
+    Gen.oneOf(Gen.const(""), Gen.oneOf("a", "b", "ab", "xyz", "w1", "€ü"))
+  private val genWords: Gen[List[String]] = Gen.choose(0, 50).flatMap(Gen.listOfN(_, genWord))
+  private val genN: Gen[Int] = Gen.choose(1, 5)
+
+  private def toArrayData(words: List[String]): GenericArrayData =
+    new GenericArrayData(words.map(w => UTF8String.fromString(w): Any).toArray)
+
+  /** Reference: the `transform(sequence(1, greatest(len-n+1, 1)),
+    * i => concat_ws(" ", slice(ws, i, n)))` formulation. */
+  private def refWindows(words: List[String], n: Int): List[String] = {
+    val total = math.max(words.length - n + 1, 1)
+    (0 until total).map(i => words.slice(i, i + n).mkString(" ")).toList
+  }
+
+  property("NgramStats == size/distinct of the window formulation") =
+    forAll(genWords, genN) { (words, n) =>
+      val ref = refWindows(words, n)
+      val row = NgramKernel.stats(toArrayData(words), n)
+      row.getLong(0) == ref.size.toLong && row.getLong(1) == ref.distinct.size.toLong
+    }
+
+  property("ShingleKernel.shingles(all) == window formulation") =
+    forAll(genWords, genN) { (words, n) =>
+      val got = ShingleKernel.shingles(toArrayData(words), n, distinct = false)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString).toList ==
+        refWindows(words, n)
+    }
+
+  property("ShingleKernel.shingles(distinct) keeps first-occurrence order") =
+    forAll(genWords, genN) { (words, n) =>
+      val got = ShingleKernel.shingles(toArrayData(words), n, distinct = true)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString).toList ==
+        refWindows(words, n).distinct
+    }
+
+  property("chunks cover every word with the declared stride") =
+    forAll(genWords, genN, genN) { (words, n0, step0) =>
+      val n = math.max(n0, step0)
+      val step = math.min(n0, step0)
+      val got = ShingleKernel.chunks(toArrayData(words), n, step)
+      val chunks = (0 until got.numElements()).map(got.getUTF8String(_).toString).toList
+      val overlap = n - step
+      val expectedCount =
+        math.max(math.ceil((words.length - overlap).toDouble / step).toInt, 1)
+      val refChunks = (0 until expectedCount)
+        .map(c => words.slice(c * step, c * step + n).mkString(" ")).toList
+      // the reference construction covers every index (last start + n >=
+      // len by the count formula), so equality IS the coverage proof
+      chunks == refChunks
+    }
+}
