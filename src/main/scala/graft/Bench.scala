@@ -3,9 +3,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every driver query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line on stdout (the driver parses it — nothing else
-  * may print there; Spark logs go to stderr at ERROR level). The same
-  * JSON is also written to `target/bench.json` so the result survives
-  * any stdout truncation by the harness.
+  * may print there; Spark logs go to stderr at ERROR level). The
+  * stdout line is COMPACT (cold/warm/totals/errors only — no per-run
+  * arrays) so it fits the driver's line-capture window; the FULL
+  * version including every individual warm run goes to
+  * `target/bench.json`.
   *
   * Per query: one cold (first) run, then `SPARK_GRAFT_BENCH_RUNS`
   * (default 3) warm runs whose MEDIAN is reported — single-shot warm
@@ -72,26 +74,42 @@ object Bench {
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(f: R => String): String =
       rows.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    // full JSON-string escaping: exception messages routinely carry
+    // newlines/tabs/control chars, and one raw control char makes the
+    // single line the driver parses invalid exactly when a query broke
+    def jstr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
+    }
     val okRows = rows.filter(_.ok)
     val coldTotal = okRows.map(_.cold).sum
     val warmTotal = okRows.map(_.warmMedian).sum
-    val errors = rows.flatMap(r => r.err.map(e =>
-      "\"" + r.name + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""))
+    val errors = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
     val plans = rows.map(r => s""""${r.name}":[${r.plan._1},${r.plan._2}]""").mkString("{", ",", "}")
     System.err.println(s"""[bench-plans] $plans""")
-    val json = s"""{"metric":"total","value":${fmt(coldTotal)},"unit":"sec"""" +
+    val compact = s"""{"metric":"total","value":${fmt(coldTotal)},"unit":"sec"""" +
       s""","queries":${jmap(r => fmt(r.cold))}""" +
       s""","warm":${jmap(r => fmt(r.warmMedian))}""" +
-      s""","warm_runs":${jmap(r => r.warms.map(fmt).mkString("[", ",", "]"))}""" +
       s""","warm_total":${fmt(warmTotal)}""" +
       s""","errors":{${errors.mkString(",")}}""" +
       s""","sf":"$sfDir"}"""
+    val full = compact.dropRight(1) +
+      s""","warm_runs":${jmap(r => r.warms.map(fmt).mkString("[", ",", "]"))}}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout remains the source of truth
-    println(json)
+    println(compact)
     spark.stop()
   }
 }

@@ -37,26 +37,41 @@ object NgramKernel {
     val len = words.numElements()
     if (len < n) return new GenericInternalRow(Array[Any](1L, 1L))
     val total = len - n + 1
-    // intern words to dense int ids (equal bytes -> equal id)
+    // intern words to dense int ids (equal bytes -> equal id); a null
+    // word gets the sentinel -1 and is SKIPPED when packing — concat_ws,
+    // the documented reference formulation, skips nulls, so ("a",null)
+    // must equal ("a") joined ("a") and stay distinct from ("a","")
+    // (which joins to "a "). split() never yields nulls, but the
+    // bit-identical claim must hold for any word array.
     val ids = new java.util.HashMap[UTF8String, Integer](len * 2)
     val w = new Array[Int](len)
     var i = 0
     while (i < len) {
-      val s = if (words.isNullAt(i)) UTF8String.EMPTY_UTF8 else words.getUTF8String(i)
-      var id = ids.get(s)
-      if (id == null) { id = Integer.valueOf(ids.size); ids.put(s, id) }
-      w(i) = id.intValue()
+      if (words.isNullAt(i)) w(i) = -1
+      else {
+        val s = words.getUTF8String(i)
+        var id = ids.get(s)
+        if (id == null) { id = Integer.valueOf(ids.size); ids.put(s, id) }
+        w(i) = id.intValue()
+      }
       i += 1
     }
-    // pack n ids into one non-negative long when they fit in 63 bits
-    val bits = math.max(64 - java.lang.Long.numberOfLeadingZeros(math.max(len - 1, 1).toLong), 1)
+    // pack the (id+1)s of a window's non-null words into one
+    // non-negative long when they fit in 63 bits; bits covers id+1 <= len
+    val bits = math.max(64 - java.lang.Long.numberOfLeadingZeros(math.max(len, 1).toLong), 1)
+    // join collision: a window of zero non-null words and a window of
+    // exactly one EMPTY word both concat_ws to "" — the only case where
+    // distinct joined strings and distinct non-null id sequences differ
+    // (space-free words make the join invertible otherwise)
+    val emptyId = { val e = ids.get(UTF8String.EMPTY_UTF8); if (e == null) -2 else e.intValue() }
     val dist =
-      if (bits * n <= 63) distinctPacked(w, n, total, bits)
-      else distinctJoined(w, n, total)
+      if (bits * n <= 63) distinctPacked(w, n, total, bits, emptyId)
+      else distinctJoined(w, n, total, emptyId)
     new GenericInternalRow(Array[Any](total.toLong, dist.toLong))
   }
 
-  private def distinctPacked(w: Array[Int], n: Int, total: Int, bits: Int): Int = {
+  private def distinctPacked(w: Array[Int], n: Int, total: Int, bits: Int,
+                             emptyId: Int): Int = {
     // open-addressed long set, capacity fixed at >= 2*total up front (load
     // <= 50%, no resize); packed keys are >= 0 so -1 is a safe empty
     val cap = java.lang.Integer.highestOneBit(math.max(total, 2)) * 4
@@ -68,7 +83,17 @@ object NgramKernel {
     while (i < total) {
       var key = 0L
       var j = 0
-      while (j < n) { key = (key << bits) | w(i + j).toLong; j += 1 }
+      var cnt = 0
+      var lastId = -1
+      // nulls (id -1) contribute nothing, mirroring concat_ws; real ids
+      // shift in as id+1 (>= 1), so no non-null word aliases "absent"
+      while (j < n) {
+        val id = w(i + j)
+        if (id >= 0) { key = (key << bits) | (id + 1).toLong; cnt += 1; lastId = id }
+        j += 1
+      }
+      // [""] joins to "" exactly like [] — canonicalize to the same key
+      if (cnt == 1 && lastId == emptyId) key = 0L
       var idx = (mix64(key) & mask).toInt
       var probing = true
       while (probing) {
@@ -92,14 +117,23 @@ object NgramKernel {
 
   /** Fallback for windows that cannot pack into 63 bits (docs with more
     * than 2^(63/n) words — effectively never for n<=3). */
-  private def distinctJoined(w: Array[Int], n: Int, total: Int): Int = {
+  private def distinctJoined(w: Array[Int], n: Int, total: Int, emptyId: Int): Int = {
     val set = new java.util.HashSet[String](total * 2)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < total) {
       sb.setLength(0)
       var j = 0
-      while (j < n) { sb.append(w(i + j)).append(','); j += 1 }
+      var cnt = 0
+      var lastId = -1
+      // skip nulls (id -1) to mirror concat_ws, as in distinctPacked
+      while (j < n) {
+        val id = w(i + j)
+        if (id >= 0) { sb.append(id).append(','); cnt += 1; lastId = id }
+        j += 1
+      }
+      // [""] joins to "" exactly like [] — canonicalize (see distinctPacked)
+      if (cnt == 1 && lastId == emptyId) sb.setLength(0)
       set.add(sb.toString)
       i += 1
     }

@@ -53,11 +53,27 @@ object Contamination {
     * for a leak check (spec-asserted against the exact operator).
     * `expectedItems` sizes the filter (~1.2 bytes/item at 1%); ids must
     * be integral (the documents convention, as in
-    * [[DedupGroups.connectedComponents]]'s fast path). */
+    * [[DedupGroups.connectedComponents]]'s fast path).
+    *
+    * Broadcast lifetime: this overload leaves the (MB-sized) broadcast
+    * sketch alive for the session — fine for a one-shot check or a
+    * reused frozen snapshot. A caller running many checks against
+    * DIFFERENT training corpora should use [[ngramContainmentBloomManaged]]
+    * and destroy each sketch after its result is materialized. */
   def ngramContainmentBloom(train: DataFrame, eval: DataFrame,
                             idCol: String, textCol: String, n: Int = 3,
                             expectedItems: Long = 1L << 22,
-                            fpp: Double = 0.01): DataFrame = {
+                            fpp: Double = 0.01): DataFrame =
+    ngramContainmentBloomManaged(train, eval, idCol, textCol, n, expectedItems, fpp)._1
+
+  /** As [[ngramContainmentBloom]], plus a cleanup handle that destroys
+    * the broadcast Bloom filter on driver AND executors. Call it only
+    * AFTER the returned frame's last materialization — the frame is
+    * lazy and cannot evaluate once its sketch is destroyed. */
+  def ngramContainmentBloomManaged(train: DataFrame, eval: DataFrame,
+                                   idCol: String, textCol: String, n: Int = 3,
+                                   expectedItems: Long = 1L << 22,
+                                   fpp: Double = 0.01): (DataFrame, () => Unit) = {
     val spark = eval.sparkSession
     import spark.implicits._
     val bloom = train
@@ -73,11 +89,12 @@ object Contamination {
       val b = bc.value
       it.map { case (id, sh) => (id, if (b.mightContainString(sh)) 1L else 0L) }
     }.toDF("id", "hit")
-    hits.groupBy("id")
+    val res = hits.groupBy("id")
       .agg(count(lit(1)).cast("long").as("total_ngrams"),
         sum("hit").cast("long").as("matched_ngrams"))
       .withColumn("contamination_bp",
         (col("matched_ngrams") * 10000L / col("total_ngrams")).cast("long"))
+    (res, () => bc.destroy())
   }
 
   /** Eval docs whose contamination exceeds `maxBp` — the drop list. */

@@ -24,16 +24,20 @@ import org.apache.spark.sql.functions._
   * min-label relaxation needs O(d) — the difference between ~15 and
   * thousands of rounds on chain-shaped near-dup clusters.
   *
-  * Fault-tolerance at scale: every intermediate is
-  * `persist(MEMORY_AND_DISK)` — lineage-backed, so a lost executor
-  * recomputes instead of killing the job (localCheckpoint would pin
-  * blocks to executors). Convergence costs ONE action per round: an
-  * aggregate signature (edge count + sum of per-edge xxhash64) that
-  * doubles as cache materialization — identical signatures on
-  * consecutive rounds mean an identical star set, i.e. a fixpoint.
-  * Lineage is cut every `checkpointInterval` rounds to keep analysis
-  * bounded — reliably if `spark.sparkContext.setCheckpointDir` is
-  * configured (the cluster deployment), locally otherwise.
+  * Lineage and fault tolerance: the star loop MUST cut lineage every
+  * round (each round references the prior frame ~18×, so an uncut plan
+  * grows 18^rounds nodes and OOMs the driver on analysis alone). With
+  * `spark.sparkContext.setCheckpointDir` configured — the cluster
+  * deployment — the cut is a reliable `checkpoint` and a lost executor
+  * replays from the checkpoint store. Without one it falls back to
+  * `localCheckpoint`, which pins blocks to executors: fine for
+  * local/test runs, NOT executor-loss tolerant — configure a
+  * checkpoint dir in production. The static edge list itself stays
+  * `persist(MEMORY_AND_DISK)` (lineage-backed). Convergence costs ONE
+  * action per round: an aggregate signature (edge count + xor of
+  * per-edge xxhash64) that doubles as cache materialization —
+  * identical signatures on consecutive rounds mean an identical star
+  * set, i.e. a fixpoint.
   */
 object DedupGroups {
 
@@ -46,7 +50,7 @@ object DedupGroups {
     * scheduling overhead for a distributed loop that a dup-pair graph
     * almost never needs. The distributed path takes over above it. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 25, checkpointInterval: Int = 5,
+                          maxIter: Int = 25,
                           smallGraphEdges: Long = 5000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession

@@ -23,13 +23,29 @@ object PipelineQueries {
     * operator is the scale-killer the [[graft.operators.DedupPipeline]]
     * was built to avoid. Memoized per session so Verify/Bench runs pay
     * the scan once across all dedup queries. */
-  private val pipelines =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.DedupPipeline]()
+  /** Session-scoped memo keyed on (applicationId, startTime, dir) — a
+    * UNIQUE stable id per context, unlike identityHashCode, which can
+    * collide after a context is GC'd and hand a later session a cached
+    * frame bound to a stopped SparkContext. Entries whose context has
+    * stopped are evicted on every access (their persisted blocks are
+    * already gone), so nothing leaks for the process lifetime. */
+  private final class SessionCache[V] {
+    private final case class Entry(sc: org.apache.spark.SparkContext, value: V)
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    def get(s: org.apache.spark.sql.SparkSession, dir: String)(compute: => V): V = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.sc.isStopped) it.remove()
+      val sc = s.sparkContext
+      m.computeIfAbsent(s"${sc.applicationId}@${sc.startTime}#$dir",
+        _ => Entry(sc, compute)).value
+    }
+  }
+
+  private val pipelines = new SessionCache[graft.operators.DedupPipeline]
   private def dedupPipeline(s: org.apache.spark.sql.SparkSession,
                             dir: String): graft.operators.DedupPipeline =
-    pipelines.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}#$dir",
-      _ => new graft.operators.DedupPipeline(table(s, dir, "documents"), "doc_id", "text", n = 3))
+    pipelines.get(s, dir)(
+      new graft.operators.DedupPipeline(table(s, dir, "documents"), "doc_id", "text", n = 3))
 
   /** One jaccard pair computation per (session, dir), at the board's
     * LOWEST threshold (100 bp): a higher threshold is a pure filter of
@@ -37,13 +53,11 @@ object PipelineQueries {
     * `q_dedup_groups` (bp≥2000) share one postings self-join instead of
     * running it twice — the same share-the-scan economics as the
     * shingling, one level up. */
-  private val jaccardPairs100 =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private val jaccardPairs100 = new SessionCache[org.apache.spark.sql.DataFrame]
   private def sharedJaccardPairs(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
-    jaccardPairs100.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}#$dir",
-      _ => dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 100L)
+    jaccardPairs100.get(s, dir)(
+      dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 100L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // 25. exact dedup via normalized-text fingerprints
@@ -258,25 +272,46 @@ object PipelineQueries {
       SELECT ia AS id_a, ib AS id_b, hamming FROM ham
       WHERE hamming <= 7 ORDER BY id_a, id_b"""))
 
-  // 29. embedding near-dup pairs, exact cosine (double fold both sides)
+  // 29. embedding near-dup pairs — the SCALE path: random-hyperplane
+  // buckets (one equi-join shuffle on the packed sign-bit bucket, no
+  // all-pairs BroadcastNestedLoopJoin), cosine verified in-bucket. The
+  // hyperplanes are fixed driver-side literals, so the oracle embeds
+  // their exact values (Double.toString round-trips) and replays bucket
+  // assignment + in-bucket cosine — the whole approximate pipeline is
+  // oracle-checked, like q_ann_lsh. The exact=true all-pairs twin stays
+  // spec-covered (bucketed ⊆ exact, plan-shape guard in OperatorsSpec).
   val qDedupEmbedding = QueryDef("q_dedup_embedding",
     (s, dir) => {
       Dedup.embeddingPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.3, exact = true)
+          minCosine = 0.3, exact = false, numPlanes = 8, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
         .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
         .limit(20)
     },
-    Some("""
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    Some(rhpDedupOracle(numPlanes = 8, dim = 64, minCosine = 0.3, limit = 20)))
+
+  private def rhpDedupOracle(numPlanes: Int, dim: Int, minCosine: Double,
+                             limit: Int): String = {
+    val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n               ")
+    s"""
+      WITH planes(p, w) AS (VALUES $values),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+               sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                        THEN 1 << (${numPlanes - 1} - pl.p) ELSE 0 END) bucket
+        FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding)
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
                    sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
-                        list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS cos_r4
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                        list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 4) AS cos_r4
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
             sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
-                 list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.3
-      ORDER BY cos_r4 DESC, id_a, id_b LIMIT 20"""))
+                 list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) >= $minCosine
+      ORDER BY cos_r4 DESC, id_a, id_b LIMIT $limit"""
+  }
 
   // 30. brute-force cosine top-k (probes broadcast, corpus scanned once)
   val qAnnTopk = QueryDef("q_ann_topk",
@@ -862,16 +897,14 @@ object PipelineQueries {
   // docs train the smoothed bigram LM, odd-id docs are scored. The
   // oracle retrains and rescores in DuckDB — counts are exact integers
   // and the mean-log arithmetic is rounded to 4 dp on both sides.
-  private val lmModels =
-    new java.util.concurrent.ConcurrentHashMap[String, TextAnalysis.BigramLm]()
+  private val lmModels = new SessionCache[TextAnalysis.BigramLm]
   val qTextLmScore = QueryDef("q_text_lm_score",
     (s, dir) => {
       val docs = table(s, dir, "documents")
       // the LM's count tables are the frozen-reference state — train
       // once per (session, dir), persist, score any number of times
-      val model = lmModels.computeIfAbsent(
-        s"${System.identityHashCode(s.sparkContext)}#$dir",
-        _ => TextAnalysis.trainBigramLm(docs.filter(col("doc_id") % 2 === 0), "text").persist())
+      val model = lmModels.get(s, dir)(
+        TextAnalysis.trainBigramLm(docs.filter(col("doc_id") % 2 === 0), "text").persist())
       TextAnalysis.scoreBigramLm(model, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy(col("lm_score_r4").desc, col("id"))
         .limit(25)

@@ -51,6 +51,35 @@ object KernelPropSpec extends Properties("TextKernels") {
         refWindows(words, n).distinct
     }
 
+  // null-bearing word arrays: concat_ws (the documented reference
+  // formulation) SKIPS nulls — ("a",null) joins to "a", ("a","") to
+  // "a " — and the kernels must agree even though split() itself never
+  // yields nulls
+  private val genWordOrNull: Gen[Option[String]] =
+    Gen.frequency(1 -> Gen.const(Option.empty[String]), 4 -> genWord.map(Option(_)))
+  private val genWordsNullable: Gen[List[Option[String]]] =
+    Gen.choose(0, 50).flatMap(Gen.listOfN(_, genWordOrNull))
+  private def toArrayDataNullable(words: List[Option[String]]): GenericArrayData =
+    new GenericArrayData(words.map(w => w.map(UTF8String.fromString).orNull: Any).toArray)
+  private def refWindowsNullable(words: List[Option[String]], n: Int): List[String] = {
+    val total = math.max(words.length - n + 1, 1)
+    (0 until total).map(i => words.slice(i, i + n).flatten.mkString(" ")).toList
+  }
+
+  property("NgramStats null-skips like concat_ws on null-bearing arrays") =
+    forAll(genWordsNullable, genN) { (words, n) =>
+      val ref = refWindowsNullable(words, n)
+      val row = NgramKernel.stats(toArrayDataNullable(words), n)
+      row.getLong(0) == ref.size.toLong && row.getLong(1) == ref.distinct.size.toLong
+    }
+
+  property("ShingleKernel null-skips like concat_ws on null-bearing arrays") =
+    forAll(genWordsNullable, genN) { (words, n) =>
+      val got = ShingleKernel.shingles(toArrayDataNullable(words), n, distinct = false)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString).toList ==
+        refWindowsNullable(words, n)
+    }
+
   property("chunks cover every word with the declared stride") =
     forAll(genWords, genN, genN) { (words, n0, step0) =>
       val n = math.max(n0, step0)

@@ -164,6 +164,30 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("q_dedup_embedding runs the bucketed scale plan; bucketed output ⊆ exact (recall twin)") {
+    // driver-config plan shape: the scale path must be a bucket
+    // equi-join, never the O(n²) all-pairs BroadcastNestedLoopJoin
+    val df = SparkEntry.queries("q_dedup_embedding")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "q_dedup_embedding regressed to the all-pairs join")
+    assert(plan.contains("bucket"), "bucket equi-join key missing from the plan")
+    // recall twin of the retired exact driver query: on the real
+    // embeddings table the bucketed pairs are a subset of the exact
+    // pairs (verification is exact, so no false positives), and the
+    // fixed-seed planes make the subset deterministic and non-empty
+    val emb = spark.read.parquet(sf("embeddings"))
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        minCosine = 0.3, exact = true)
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    val bucketed = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        minCosine = 0.3, exact = false, numPlanes = 8, dim = 64)
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    assert(bucketed.nonEmpty, "bucketed path found no pairs at sf0.001")
+    assert(bucketed.subsetOf(exact),
+      s"bucketed produced non-exact pairs: ${(bucketed -- exact).take(5)}")
+  }
+
   test("brute-force ANN returns correct ranked neighbors") {
     val res = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("n_id"))).toSeq.sortBy(_._1)
