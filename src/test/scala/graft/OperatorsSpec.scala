@@ -164,6 +164,38 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("simhash guarded-production twin: finite maxBucketSize matches unbounded, drops surfaced") {
+    // the driver query runs maxBucketSize=Long.MaxValue (required: a
+    // dropped bucket would break the hamming<=7 completeness guarantee
+    // the oracle replays). This is its production twin, mirroring the
+    // minhash 64x32-production / 128x64-guarantee split: with a finite
+    // guard of 1000 no bucket on this corpus is dropped, so the output
+    // must be IDENTICAL to the unbounded config — and the new
+    // dropped-buckets frame proves it (empty ⇒ nothing was lost).
+    import graft.functions.TextFns
+    val real = spark.read.parquet(sf("documents"))
+    def run(cap: Long) = Dedup.simhashPairsWithStats(real, "doc_id", "text",
+      maxHamming = 7, maxBucketSize = cap, numBlocks = 8, blockLoBit = 4,
+      wordHashes = TextFns.portableWordHashes)
+    val (unboundedPairs, _) = run(Long.MaxValue)
+    val unbounded = unboundedPairs.select("id_a", "id_b", "hamming")
+      .collect().map(_.toSeq).toSet
+    val (guardedPairs, guardedDropped) = run(1000L)
+    val guarded = guardedPairs.select("id_a", "id_b", "hamming")
+      .collect().map(_.toSeq).toSet
+    assert(guardedDropped.count() == 0L, "guard=1000 dropped buckets on the test corpus")
+    assert(unbounded.nonEmpty && guarded == unbounded)
+    // a deliberately tiny cap DOES drop buckets — the drop list reports
+    // exactly the skew the guard removed, and output stays a subset
+    val (cappedPairs, cappedDropped) = run(2L)
+    val capped = cappedPairs.select("id_a", "id_b", "hamming")
+      .collect().map(_.toSeq).toSet
+    val drops = cappedDropped.collect()
+    assert(drops.nonEmpty, "cap=2 should drop the corpus's duplicate-heavy buckets")
+    assert(drops.forall(_.getAs[Long]("bucket_size") > 2L))
+    assert(capped.subsetOf(unbounded))
+  }
+
   test("q_dedup_embedding runs the bucketed scale plan; bucketed output ⊆ exact (recall twin)") {
     // driver-config plan shape: the scale path must be a bucket
     // equi-join, never the O(n²) all-pairs BroadcastNestedLoopJoin
@@ -186,6 +218,15 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketed.nonEmpty, "bucketed path found no pairs at sf0.001")
     assert(bucketed.subsetOf(exact),
       s"bucketed produced non-exact pairs: ${(bucketed -- exact).take(5)}")
+    // multiprobe (1-bit-flip buckets) recovers pairs lost to single
+    // plane boundaries: still exact-verified (⊆ exact), never fewer
+    // than single-probe, and measurably closer to exact on this corpus
+    val probed = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        minCosine = 0.3, exact = false, numPlanes = 8, dim = 64, multiprobe = 8)
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    assert(probed.subsetOf(exact) && bucketed.subsetOf(probed))
+    assert(probed.size > bucketed.size,
+      s"multiprobe recovered nothing: ${probed.size} vs ${bucketed.size} of ${exact.size}")
   }
 
   test("brute-force ANN returns correct ranked neighbors") {
@@ -320,6 +361,29 @@ class OperatorsSpec extends SparkSpec {
         .filter($"total_ngrams" =!= $"t" || $"distinct_ngrams" =!= $"d")
       assert(bad.count() == 0)
       assert(kernel.count() == df.count())
+    }
+  }
+
+  test("centroid-distance kernel is bit-identical to per-centroid dot columns") {
+    import graft.functions.{CentroidDistsExpr, VectorFns}
+    // a fixed 16x64 centroid matrix with awkward doubles; the batched
+    // kernel must reproduce the unbatched nsq − 2·v·c + csq columns
+    // EXACTLY (the IVF oracle replays these doubles in SQL)
+    val cents: Seq[Seq[Double]] =
+      (0 until 16).map(k => (0 until 64).map(j => math.sin(k * 64 + j) / (1 + j * 0.1)))
+    val emb = spark.read.parquet(sf("embeddings"))
+      .select($"vec_id", $"embedding")
+      .withColumn("nsq", VectorFns.normSq($"embedding"))
+    val unbatched = array(cents.map { cn =>
+      val csq = cn.map(x => x * x).sum
+      $"nsq" - VectorFns.dot($"embedding", typedlit(cn)) * 2d + lit(csq)
+    }: _*)
+    withCodegenNoFallback {
+      val bad = emb
+        .withColumn("a", CentroidDistsExpr($"embedding", $"nsq", cents))
+        .withColumn("b", unbatched)
+        .filter($"a" =!= $"b")
+      assert(bad.count() == 0)
     }
   }
 
