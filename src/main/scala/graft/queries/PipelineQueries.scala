@@ -1057,11 +1057,54 @@ object PipelineQueries {
       FROM p GROUP BY lang, predicted ORDER BY lang, predicted"""
   }
 
+  // 58. physical layout: bucketed writes + the shuffle-free co-located
+  // join they buy. Both sides are written bucketed on the join key
+  // (once per session+dir), the join is asserted exchange-free IN THE
+  // QUERY (broadcast disabled so the proof is the bucketing, not a
+  // broadcast), and the aggregate is engine-portable integer math
+  // (floor-cents — Spark truncates and DuckDB rounds on double→bigint
+  // casts, so the explicit floor keeps both sides identical). The
+  // oracle computes the same join+aggregate over the raw parquet:
+  // layout is a physical property, values must not change.
+  private val bucketedTables = new SessionCache[(String, String)]
+  val qLayoutJoin = QueryDef("q_layout_join",
+    (s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (ordersT, custT) = bucketedTables.get(s, dir) {
+        val o = s"graft_orders_b$suffix"
+        val c = s"graft_customer_b$suffix"
+        graft.sources.Layout.writeBucketed(table(s, dir, "orders"), o,
+          buckets = 8, bucketCols = Seq("o_custkey"), sortCols = Seq("o_custkey"))
+        graft.sources.Layout.writeBucketed(table(s, dir, "customer"), c,
+          buckets = 8, bucketCols = Seq("c_custkey"), sortCols = Seq("c_custkey"))
+        (o, c)
+      }
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.table(ordersT)
+          .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+        // the layout claim, enforced where the driver runs it: matching
+        // bucketing on both sides must join with NO shuffle exchange
+        require(graft.sources.Layout.isShuffleFree(joined),
+          "bucketed co-located join produced a shuffle exchange")
+        joined.groupBy(col("c_mktsegment").as("mktsegment"))
+          .agg(count(lit(1)).cast(LongType).as("order_count"),
+            sum(floor(col("o_totalprice") * 100)).cast(LongType).as("total_cents"))
+          .orderBy("mktsegment")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
+    Some("""
+      SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS order_count,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
-    qTextChunks, qPackBins, qTextLmScore,
+    qTextChunks, qPackBins, qTextLmScore, qLayoutJoin,
   )
 }

@@ -28,6 +28,22 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("q_layout_join: bucketed driver query equals the plain unbucketed join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_layout_join")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // reference: same join + aggregate over the raw parquet, no layout
+    val plain = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("mktsegment"))
+      .agg(count(lit(1)).cast("long").as("order_count"),
+        sum(floor($"o_totalprice" * 100)).cast("long").as("total_cents"))
+      .orderBy("mktsegment")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == plain)
+  }
+
   test("partitioned write prunes partitions on filter") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("part", "v")
