@@ -84,3 +84,84 @@ object ArrayDotProduct {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Batched squared-L2 distances from one vector to a whole centroid
+  * matrix: `out[k] = nsq − 2·(v·C[k]) + csq[k]`, every arithmetic step
+  * sequenced exactly like the per-centroid [[ArrayDotProduct]]
+  * formulation (`nsq - dot*2 + csq`, dots as left-to-right folds), so
+  * swapping one for the other changes no output bit — the IVF oracle
+  * replays the same doubles in SQL.
+  *
+  * One compiled loop over the matrix replaces `numCells` separate
+  * array-literal dot expressions: the row's vector bytes are walked
+  * K times without re-evaluating K expression trees, and the centroid
+  * matrix lives once per task as a codegen reference object instead of
+  * K boxed array literals in the plan. */
+object CentroidKernel {
+  def dists(v: ArrayData, nsq: Double, cents: Array[Array[Double]],
+            csq: Array[Double], isFloat: Boolean): ArrayData = {
+    val k = cents.length
+    val out = new Array[Double](k)
+    var ki = 0
+    while (ki < k) {
+      val c = cents(ki)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0d
+      var i = 0
+      while (i < n) {
+        acc += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * c(i)
+        i += 1
+      }
+      out(ki) = nsq - acc * 2d + csq(ki)
+      ki += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** array<float|double> vector + its precomputed squared norm →
+  * array<double> of squared L2 distances to each row of `cents`. See
+  * [[CentroidKernel]]. */
+case class CentroidDistsExpr(vec: Expression, nsq: Expression,
+                             cents: Array[Array[Double]]) extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = nsq
+
+  // sum of squares per centroid, left-to-right like Seq.sum in the
+  // unbatched formulation
+  private lazy val csq: Array[Double] = cents.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, nsq.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (v, n) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_centroid_dists expects (array<float|double>, double), got ${v.sql}, ${n.sql}")
+    }
+
+  private def elemIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CentroidKernel.dists(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      cents, csq, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val csqRef = ctx.addReferenceObj("csq", csq, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CentroidKernel.dists($a, $b, $centsRef, $csqRef, $elemIsFloat);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, nsq = newRight)
+}
+
+object CentroidDistsExpr {
+  def apply(vec: Column, nsq: Column, cents: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CentroidDistsExpr(ColumnBridge.expression(vec),
+      ColumnBridge.expression(nsq), cents.map(_.toArray).toArray))
+}

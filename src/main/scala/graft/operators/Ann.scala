@@ -70,13 +70,12 @@ object Ann {
       .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
     require(sampled.nonEmpty, "corpus is empty")
 
-    // squared L2 distance to each centroid: nsq − 2·v·c + csq
+    // squared L2 distances to ALL centroids in one compiled loop
+    // (bit-identical to the per-centroid nsq − 2·v·c + csq columns it
+    // replaced — the oracle replays the same doubles in SQL)
     def distsTo(cents: Seq[Seq[Double]])(vec: org.apache.spark.sql.Column,
                                          nsq: org.apache.spark.sql.Column) =
-      array(cents.map { cn =>
-        val csq = cn.map(x => x * x).sum
-        nsq - VectorFns.dot(vec, typedlit(cn)) * 2d + lit(csq)
-      }: _*)
+      graft.functions.CentroidDistsExpr(vec, nsq, cents)
 
     // Lloyd: reassign + per-dimension mean; empty cells keep their seed
     val centroids = (0 until refineIters).foldLeft(sampled) { (cents, _) =>
