@@ -45,13 +45,16 @@ object Constraint {
   final case class Custom(definition: String) extends Constraint
 }
 
-/** Table-level quality checks (reference: contract.rs:166-232). */
+/** Table-level quality checks (reference: contract.rs:166-232; `trend`
+  * extends the reference surface with streaming rate-of-change limits,
+  * SLA-adjacent like freshness). */
 final case class QualityChecks(
     completeness: Option[CompletenessCheck] = None,
     uniqueness: Option[UniquenessCheck] = None,
     freshness: Option[FreshnessCheck] = None,
     customChecks: Seq[CustomCheck] = Nil,
     mlChecks: Option[MlChecks] = None,
+    trend: Option[TrendCheck] = None,
 )
 
 /** Non-null ratio of each field must be >= threshold (0..1). */
@@ -123,6 +126,22 @@ final case class NullRateByGroupCheck(
     groupField: String,
     checkFields: Seq[String],
     maxNullRateDiff: Option[Double] = None,
+)
+
+/** Declarative window-over-window rate-of-change limits on streamed
+  * quality metrics — the streaming trend check expressed on the
+  * contract, so trend alerting is contract-driven like every batch
+  * check. `windowDuration`/`watermarkDelay` parameterize the metrics
+  * aggregation; a metric whose relative change between consecutive
+  * windows exceeds its threshold (`perMetric` override, else
+  * `maxChangeRatio`) raises an alert. Empty `metrics` = every metric
+  * column the quality aggregation emits. */
+final case class TrendCheck(
+    windowDuration: String,
+    watermarkDelay: String = "0 seconds",
+    maxChangeRatio: Double = 0.5,
+    metrics: Seq[String] = Nil,
+    perMetric: Map[String, Double] = Map.empty,
 )
 
 final case class Sla(

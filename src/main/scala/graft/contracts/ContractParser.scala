@@ -121,6 +121,19 @@ object ContractParser {
         CustomCheck(str(c, "name"), str(c, "definition"), strOpt(c, "severity"))
       }).getOrElse(Nil),
     mlChecks = m.get("ml_checks").filter(_ != null).map(v => parseMl(asMap(v, "ml_checks"))),
+    trend = m.get("trend").filter(_ != null).map { v =>
+      val c = asMap(v, "trend")
+      TrendCheck(
+        windowDuration = str(c, "window_duration"),
+        watermarkDelay = strOpt(c, "watermark_delay").getOrElse("0 seconds"),
+        maxChangeRatio = dblOpt(c, "max_change_ratio").getOrElse(0.5),
+        metrics = strList(c, "metrics"),
+        perMetric = c.get("per_metric").filter(_ != null)
+          .map(pm => asMap(pm, "per_metric")
+            .map { case (k, x) => k -> String.valueOf(x).toDouble })
+          .getOrElse(Map.empty),
+      )
+    },
   )
 
   private def parseMl(m: M): MlChecks = MlChecks(

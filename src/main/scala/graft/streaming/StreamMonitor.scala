@@ -130,7 +130,8 @@ object StreamMonitor {
     * a table-level concern; the per-key stateful analogue is
     * [[keyFreshness]]. */
   def trendAlerts(metrics: DataFrame, valueCols: Seq[String],
-                  maxChangeRatio: Double = 0.5): DataFrame = {
+                  maxChangeRatio: Double = 0.5,
+                  perMetric: Map[String, Double] = Map.empty): DataFrame = {
     val prev = metrics.select((col("window_end").as("__ts") +:
       valueCols.map(c => col(c).as(s"__prev_$c"))): _*)
     val alerts = valueCols.map { c =>
@@ -140,14 +141,42 @@ object StreamMonitor {
           when(v === 0d, 0d).otherwise(lit(Double.PositiveInfinity)))
         .otherwise(abs(v - p) / p)
       struct(lit(c).as("metric"), p.as("prev_value"), v.as("value"),
-        change.as("change_ratio"))
+        change.as("change_ratio"),
+        lit(perMetric.getOrElse(c, maxChangeRatio)).as("max_ratio"))
     }
     metrics.join(prev, col("window_start") === col("__ts"))
       .select(col("window_start"), col("window_end"),
         explode(array(alerts: _*)).as("a"))
       .select(col("window_start"), col("window_end"), col("a.*"))
-      .filter(col("change_ratio") > maxChangeRatio)
+      .filter(col("change_ratio") > col("max_ratio"))
   }
+
+  /** [[qualityMetrics]] parameterized by the contract's own
+    * `quality_checks.trend` block — window and watermark come from the
+    * contract document, not call-site constants. */
+  def qualityMetricsForContract(df: DataFrame, contract: Contract,
+                                tsCol: String): DataFrame = {
+    val tc = trendCheck(contract)
+    qualityMetrics(df, contract, tsCol, tc.windowDuration, tc.watermarkDelay)
+  }
+
+  /** [[trendAlerts]] driven by the contract's `quality_checks.trend`
+    * block: monitored metrics, default ratio, and per-metric overrides
+    * all come from the contract — streaming trend checks are declared
+    * next to completeness/freshness, not hard-coded at the call site.
+    * An empty `metrics` list monitors every metric column the quality
+    * aggregation emitted. */
+  def trendAlertsForContract(metrics: DataFrame, contract: Contract): DataFrame = {
+    val tc = trendCheck(contract)
+    val cols =
+      if (tc.metrics.nonEmpty) tc.metrics
+      else metrics.columns.filterNot(Set("window_start", "window_end")).toSeq
+    trendAlerts(metrics, cols, tc.maxChangeRatio, tc.perMetric)
+  }
+
+  private def trendCheck(contract: Contract): TrendCheck =
+    contract.qualityChecks.flatMap(_.trend).getOrElse(throw new IllegalArgumentException(
+      s"contract '${contract.name}' declares no quality_checks.trend block"))
 
   /** Streaming exact dedup: drops re-deliveries of the same key within
     * the watermark horizon (state is bounded by the watermark — the

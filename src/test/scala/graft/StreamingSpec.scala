@@ -163,6 +163,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contract-declared trend thresholds drive streaming alerts e2e") {
+    // the trend DSL lives ON the contract like every batch check:
+    // window, watermark, default ratio, and per-metric overrides are
+    // parsed from YAML and flow through metrics → alerts untouched
+    val yaml =
+      """
+        |version: "1"
+        |name: events_trend
+        |owner: graft
+        |schema:
+        |  format: parquet
+        |  location: ""
+        |  fields:
+        |    - {name: id, type: int64, nullable: false}
+        |    - {name: status, type: string}
+        |quality_checks:
+        |  completeness: {threshold: 0.9, fields: [status]}
+        |  trend:
+        |    window_duration: 10 minutes
+        |    watermark_delay: 0 seconds
+        |    max_change_ratio: 0.5
+        |    metrics: [rows, nulls_status]
+        |    per_metric: {rows: 10.0}
+        |""".stripMargin
+    val c = ContractParser.parse(yaml)
+    val tc = c.qualityChecks.get.trend.get
+    assert(tc.windowDuration == "10 minutes" && tc.maxChangeRatio == 0.5)
+    assert(tc.perMetric == Map("rows" -> 10.0) && tc.metrics == Seq("rows", "nulls_status"))
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("id", "status", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val metrics = StreamMonitor.qualityMetricsForContract(stream, c, "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend-dsl").toString
+    val q = metrics.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dir)
+      }
+      .start()
+    try {
+      // window 1: 2 rows, 0 nulls; window 2: 6 rows (×3 jump), 2 nulls
+      // (from 0 → infinite ratio)
+      mem.addData((1L, "ok", "2024-01-01 10:01:00"), (2L, "ok", "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      mem.addData((3L, "ok", "2024-01-01 10:11:00"), (4L, "ok", "2024-01-01 10:12:00"),
+        (5L, "ok", "2024-01-01 10:13:00"), (6L, "ok", "2024-01-01 10:14:00"),
+        (7L, null, "2024-01-01 10:15:00"), (8L, null, "2024-01-01 10:16:00"))
+      q.processAllAvailable()
+      mem.addData((9L, "ok", "2024-01-01 10:35:00"))
+      q.processAllAvailable()
+      mem.addData((10L, "ok", "2024-01-01 10:45:00"))
+      q.processAllAvailable()
+
+      val sink = spark.read.parquet(dir)
+      val alerts = StreamMonitor.trendAlertsForContract(sink, c).collect()
+      // nulls_status 0 → 2 fires at the default 0.5 ratio; the rows ×3
+      // jump stays under its per-metric override of 10.0 → silent
+      assert(alerts.map(_.getAs[String]("metric")).toSeq == Seq("nulls_status"),
+        alerts.mkString(";"))
+      assert(alerts.head.getAs[Double]("max_ratio") == 0.5)
+      assert(alerts.head.getAs[Double]("change_ratio").isPosInfinity)
+    } finally q.stop()
+  }
+
   test("streaming freshness: silent key times out stale and drops state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
