@@ -218,4 +218,27 @@ class ValidatorSpec extends SparkSpec {
       NullRateByGroupCheck("split", Seq("holey"), Some(0.1))))
     assert(!nullSpread(("ml_null_rate_by_group", "holey")).passed) // ~33% vs 0%
   }
+
+  test("approx-quantile drift (the 100TB default) stays within a stated PSI bound of exact") {
+    // exactQuantiles=false swaps `percentile` for the t-digest
+    // `approx_percentile` sketch — the configuration a 100 TB run uses.
+    // Only bin BOUNDARIES move (by at most the sketch's rank error), so
+    // PSI moves by a bounded amount on real data; assert the bound on
+    // the orders table, where statuses give a genuine two-split layout.
+    val orders = spark.read.parquet(sf("orders"))
+    val ch = FeatureDriftCheck("o_orderstatus", "O", "F",
+      Seq("o_totalprice"), Some(10), Some(0.2))
+    def psi(exact: Boolean): Double =
+      MlValidators.psiByFeature(orders, ch, exactQuantiles = exact)
+        .collect().head.getAs[Double]("psi")
+    val exactPsi = psi(true)
+    val approxPsi = psi(false)
+    // stated bound: |approx − exact| <= 0.02 absolute PSI at the default
+    // sketch accuracy (1e4) — an order of magnitude under the 0.2
+    // alerting threshold, so the sketch cannot flip a verdict that
+    // isn't already borderline
+    assert(exactPsi >= 0 && approxPsi >= 0)
+    assert(math.abs(approxPsi - exactPsi) <= 0.02,
+      s"exact=$exactPsi approx=$approxPsi")
+  }
 }
