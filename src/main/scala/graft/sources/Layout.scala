@@ -21,6 +21,17 @@ object Layout {
                     bucketCols: Seq[String], sortCols: Seq[String] = Nil,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(tableName)) {
+      // an earlier JVM's in-memory session catalog may have left the
+      // managed location on disk while this catalog has no table entry;
+      // CREATE then refuses with LOCATION_ALREADY_EXISTS and Overwrite
+      // never gets a chance — clear the orphaned location first
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     var w = df.write.mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
