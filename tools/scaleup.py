@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Synthesize a 10x scale-up of the documents + embeddings tables (the
+dedup/ANN/text board's inputs) on top of an existing SF dir, for
+testing the LSH guards, bucket caps and CC thresholds one decade above
+the largest driver SF. Other tables are copied as-is.
+
+Each copy k shifts ids by k*OFFSET (OFFSET = next power of ten above
+the max id), so copies are exact near-dup clusters of size 10 — the
+worst case for bucket occupancy and connected-component density.
+
+Usage: python3 tools/scaleup.py [src_sf_dir] [dst_dir] [copies]
+"""
+import glob, os, shutil, sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1x"
+copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(dst, exist_ok=True)
+
+def offset_for(col):
+    m = pc.max(col).as_py()
+    off = 1
+    while off <= m:
+        off *= 10
+    return off
+
+def scale(name, id_col):
+    t = pq.read_table(f"{src}/{name}.parquet")
+    off = offset_for(t.column(id_col))
+    parts = []
+    for k in range(copies):
+        ids = pc.add(t.column(id_col), k * off)
+        parts.append(t.set_column(t.schema.get_field_index(id_col), id_col, ids))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{dst}/{name}.parquet")
+    print(f"{name}: {t.num_rows} -> {out.num_rows} rows (id offset {off})")
+
+for f in glob.glob(f"{src}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    if name not in ("documents", "embeddings"):
+        shutil.copyfile(f, f"{dst}/{name}.parquet")
+
+scale("documents", "doc_id")
+scale("embeddings", "vec_id")
