@@ -33,6 +33,27 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 4 || b == 5 })
   }
 
+  test("exact-collapse jaccard equals the direct operator on a copy-heavy corpus") {
+    // real docs + every doc duplicated with a shifted id — the shape of
+    // raw web corpora, where pair-generation cost is quadratic in the
+    // copy factor but collapse cost is linear. The collapsed operator
+    // must reproduce the direct operator's pairs EXACTLY (pruning
+    // threshold high enough to never trigger on either side).
+    val real = spark.read.parquet(sf("documents")).limit(300)
+      .select($"doc_id", $"text")
+    val copies = real.withColumn("doc_id", $"doc_id" + 100000L)
+    val corpus = real.unionByName(copies)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "inter", "uni", "jacc_bp").collect().map(_.toSeq).toSet
+    val direct = key(Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      minJaccardBp = 2000, maxShinglePostings = 1000000L))
+    val collapsed = key(Dedup.collapsedJaccardPairs(corpus, "doc_id", "text", n = 3,
+      minJaccardBp = 2000, maxShinglePostings = 1000000L))
+    assert(direct.nonEmpty && collapsed == direct,
+      s"direct=${direct.size} collapsed=${collapsed.size} " +
+        s"missing=${(direct -- collapsed).take(3)} extra=${(collapsed -- direct).take(3)}")
+  }
+
   test("minhash+LSH finds the same pairs as exact jaccard on this corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccardBp = 3000)
       .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
