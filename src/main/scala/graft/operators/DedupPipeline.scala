@@ -35,6 +35,16 @@ final class DedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int 
                    maxShinglePostings: Long = 10000L): DataFrame =
     Dedup.jaccardFromShingled(shingled, minJaccardBp, maxShinglePostings)
 
+  /** [[Dedup.collapsedJaccardPairs]] over this pipeline's corpus — the
+    * right pair generator when the corpus is exact-copy-heavy (cost of
+    * the quadratic stage drops to distinct texts; see the operator
+    * scaladoc for the measured 37×). Shingles representatives from the
+    * raw text, not the shared cache: the collapse happens BEFORE
+    * shingling, which is the point. */
+  def collapsedJaccardPairs(minJaccardBp: Long = 1000L,
+                            maxShinglePostings: Long = 10000L): DataFrame =
+    Dedup.collapsedJaccardPairs(df, idCol, textCol, n, minJaccardBp, maxShinglePostings)
+
   def minhashPairs(numPerm: Int = 128, numBands: Int = 32,
                    minJaccardBp: Long = 1000L, maxBucketSize: Long = 1000L): DataFrame =
     Dedup.minhashFromShingled(shingled, numPerm, numBands, minJaccardBp, maxBucketSize)

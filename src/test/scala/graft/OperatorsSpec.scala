@@ -54,6 +54,25 @@ class OperatorsSpec extends SparkSpec {
         s"missing=${(direct -- collapsed).take(3)} extra=${(collapsed -- direct).take(3)}")
   }
 
+  test("exact-collapse simhash equals the direct operator on a copy-heavy corpus") {
+    import graft.functions.TextFns
+    val real = spark.read.parquet(sf("documents")).limit(300)
+      .select($"doc_id", $"text")
+    val corpus = real.unionByName(real.withColumn("doc_id", $"doc_id" + 100000L))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming", "sim_a", "sim_b")
+        .collect().map(_.toSeq).toSet
+    val direct = key(Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 7, maxBucketSize = Long.MaxValue, numBlocks = 8, blockLoBit = 4,
+      wordHashes = TextFns.portableWordHashes))
+    val collapsed = key(Dedup.collapsedSimhashPairs(corpus, "doc_id", "text",
+      maxHamming = 7, maxBucketSize = Long.MaxValue, numBlocks = 8, blockLoBit = 4,
+      wordHashes = TextFns.portableWordHashes))
+    assert(direct.nonEmpty && collapsed == direct,
+      s"direct=${direct.size} collapsed=${collapsed.size} " +
+        s"missing=${(direct -- collapsed).take(3)} extra=${(collapsed -- direct).take(3)}")
+  }
+
   test("minhash+LSH finds the same pairs as exact jaccard on this corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccardBp = 3000)
       .select("id_a", "id_b", "jacc_bp").collect().map(_.toSeq).toSet
