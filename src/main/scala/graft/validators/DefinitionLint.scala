@@ -123,6 +123,19 @@ object DefinitionLint {
             n.groupField +: n.checkFields)
         }
       }
+      qc.trend.foreach { t =>
+        if (t.windowDuration.trim.isEmpty)
+          issue("quality_checks.trend.window_duration", "must not be empty")
+        if (t.maxChangeRatio <= 0)
+          issue("quality_checks.trend.max_change_ratio",
+            s"${t.maxChangeRatio} must be > 0")
+        t.perMetric.foreach { case (m, r) =>
+          if (r <= 0) issue(s"quality_checks.trend.per_metric.$m", s"$r must be > 0")
+          if (t.metrics.nonEmpty && !t.metrics.contains(m))
+            issue(s"quality_checks.trend.per_metric.$m",
+              "overrides a metric not in the monitored list")
+        }
+      }
     }
     c.sla.flatMap(_.availability).filter(a => a < 0 || a > 1).foreach(a =>
       issue("sla.availability", s"$a not in [0, 1]"))

@@ -115,8 +115,13 @@ class ValidatorSpec extends SparkSpec {
         uniqueness = Some(UniquenessCheck(Seq("b"), Some("per_hour"))),
         freshness = Some(FreshnessCheck("5y", "a")),
         customChecks = Seq(CustomCheck("c", "not sql at all", Some("fatal"))),
+        trend = Some(TrendCheck("", maxChangeRatio = -1,
+          metrics = Seq("rows"), perMetric = Map("nulls_x" -> 0.0))),
       )))
     val paths = DefinitionLint.lint(bad).map(_.path)
+    assert(paths.contains("quality_checks.trend.window_duration"))
+    assert(paths.contains("quality_checks.trend.max_change_ratio"))
+    assert(paths.count(_ == "quality_checks.trend.per_metric.nulls_x") == 2) // <=0 AND unmonitored
     assert(paths.exists(_.contains("wat_type")) || paths.exists(_.endsWith("a.type")))
     assert(paths.exists(_.contains("duplicate")) || paths.contains("schema.fields.a"))
     assert(paths.exists(_.startsWith("schema.fields.b.constraints")))
