@@ -54,6 +54,25 @@ class OperatorsSpec extends SparkSpec {
         s"missing=${(direct -- collapsed).take(3)} extra=${(collapsed -- direct).take(3)}")
   }
 
+  test("exact-collapse minhash equals the direct operator on a copy-heavy corpus") {
+    val real = spark.read.parquet(sf("documents")).limit(300)
+      .select($"doc_id", $"text")
+    val corpus = real.unionByName(real.withColumn("doc_id", $"doc_id" + 100000L))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "inter", "uni", "jacc_bp").collect().map(_.toSeq).toSet
+    // unbounded buckets on BOTH sides: in the direct operator the exact
+    // copies double every band bucket, and a capped bucket would drop
+    // pairs the collapsed operator keeps (its buckets count distinct
+    // texts) — the documented difference this spec is not about
+    val direct = key(Dedup.minhashPairs(corpus, "doc_id", "text", n = 3,
+      numPerm = 64, numBands = 32, minJaccardBp = 5000, maxBucketSize = Long.MaxValue))
+    val collapsed = key(Dedup.collapsedMinhashPairs(corpus, "doc_id", "text", n = 3,
+      numPerm = 64, numBands = 32, minJaccardBp = 5000, maxBucketSize = Long.MaxValue))
+    assert(direct.nonEmpty && collapsed == direct,
+      s"direct=${direct.size} collapsed=${collapsed.size} " +
+        s"missing=${(direct -- collapsed).take(3)} extra=${(collapsed -- direct).take(3)}")
+  }
+
   test("exact-collapse simhash equals the direct operator on a copy-heavy corpus") {
     import graft.functions.TextFns
     val real = spark.read.parquet(sf("documents")).limit(300)
