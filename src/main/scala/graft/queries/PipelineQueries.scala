@@ -1079,20 +1079,21 @@ object PipelineQueries {
           buckets = 8, bucketCols = Seq("c_custkey"), sortCols = Seq("c_custkey"))
         (o, c)
       }
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val joined = s.table(ordersT)
-          .join(s.table(custT), col("o_custkey") === col("c_custkey"))
-        // the layout claim, enforced where the driver runs it: matching
-        // bucketing on both sides must join with NO shuffle exchange
-        require(graft.sources.Layout.isShuffleFree(joined),
-          "bucketed co-located join produced a shuffle exchange")
-        joined.groupBy(col("c_mktsegment").as("mktsegment"))
-          .agg(count(lit(1)).cast(LongType).as("order_count"),
-            sum(floor(col("o_totalprice") * 100)).cast(LongType).as("total_cents"))
-          .orderBy("mktsegment")
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // the MERGE hint (not a session conf) forces the sort-merge join,
+      // so the RETURNED lazy frame keeps the bucketed plan when the
+      // driver executes it later — a conf toggled here and restored
+      // would be re-read at execution time and silently hand the query
+      // back to a BroadcastHashJoin
+      val joined = s.table(ordersT)
+        .join(s.table(custT).hint("merge"), col("o_custkey") === col("c_custkey"))
+      // the layout claim, enforced where the driver runs it: matching
+      // bucketing on both sides must join with NO shuffle exchange
+      require(graft.sources.Layout.isShuffleFree(joined),
+        "bucketed co-located join produced a shuffle exchange")
+      joined.groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).cast(LongType).as("order_count"),
+          sum(floor(col("o_totalprice") * 100)).cast(LongType).as("total_cents"))
+        .orderBy("mktsegment")
     },
     Some("""
       SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS order_count,

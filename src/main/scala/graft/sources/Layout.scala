@@ -22,11 +22,17 @@ object Layout {
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     val spark = df.sparkSession
-    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(tableName)) {
+    if (mode == SaveMode.Overwrite && !tableName.contains(".") &&
+        !spark.catalog.tableExists(tableName)) {
       // an earlier JVM's in-memory session catalog may have left the
       // managed location on disk while this catalog has no table entry;
       // CREATE then refuses with LOCATION_ALREADY_EXISTS and Overwrite
-      // never gets a chance — clear the orphaned location first
+      // never gets a chance — clear the orphaned location first.
+      // Unqualified names only: warehouse/<name> is the default-database
+      // layout, and a db-qualified name would map elsewhere (warehouse/
+      // <db>.db/<name>). NOT safe against a CONCURRENT jvm actively
+      // using the same warehouse dir — writers of one table must be
+      // serialized, the same contract saveAsTable itself has.
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

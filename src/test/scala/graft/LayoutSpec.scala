@@ -30,8 +30,14 @@ class LayoutSpec extends SparkSpec {
 
   test("q_layout_join: bucketed driver query equals the plain unbucketed join") {
     val dir = "/root/testdata/sf0.001"
-    val got = SparkEntry.queries("q_layout_join")(spark, dir)
-      .collect().map(_.toSeq).toSeq
+    val result = SparkEntry.queries("q_layout_join")(spark, dir)
+    val got = result.collect().map(_.toSeq).toSeq
+    // the RETURNED frame (the one the driver executes) must still run
+    // the bucketed sort-merge join — the merge hint, unlike a session
+    // conf, survives into this plan
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
     // reference: same join + aggregate over the raw parquet, no layout
     val plain = spark.read.parquet(s"$dir/orders.parquet")
       .join(spark.read.parquet(s"$dir/customer.parquet"),
