@@ -290,6 +290,49 @@ object PipelineQueries {
     },
     Some(rhpDedupOracle(numPlanes = 8, dim = 64, minCosine = 0.3, limit = 20)))
 
+  // 29b. the multiprobe variant of the same scale path: each vector
+  // also probes its one-bit-flip buckets, recovering near-dup pairs
+  // split by a single plane boundary. Spark keeps the equi-join shape
+  // (probe side explodes (1+p)×); the oracle replays the SEMANTICS —
+  // same-bucket OR buckets differing in exactly one bit, i.e.
+  // xor(bucket_a, bucket_b) is 0 or a power of two — over the same
+  // literal planes. With multiprobe = numPlanes every 1-bit flip is
+  // probed, so the xor test is exact.
+  val qDedupEmbeddingMp = QueryDef("q_dedup_embedding_mp",
+    (s, dir) => {
+      Dedup.embeddingPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.3, exact = false, numPlanes = 8, dim = 64, multiprobe = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+    Some(rhpDedupMultiprobeOracle(numPlanes = 8, dim = 64, minCosine = 0.3, limit = 20)))
+
+  private def rhpDedupMultiprobeOracle(numPlanes: Int, dim: Int, minCosine: Double,
+                                       limit: Int): String = {
+    val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n               ")
+    s"""
+      WITH planes(p, w) AS (VALUES $values),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                             THEN 1 << (${numPlanes - 1} - pl.p) ELSE 0 END) AS BIGINT) bucket
+        FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding)
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                        list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 4) AS cos_r4
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND (xor(a.bucket, c.bucket) & (xor(a.bucket, c.bucket) - 1)) = 0
+      WHERE list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+            sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                 list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) >= $minCosine
+      ORDER BY cos_r4 DESC, id_a, id_b LIMIT $limit"""
+  }
+
   private def rhpDedupOracle(numPlanes: Int, dim: Int, minCosine: Double,
                              limit: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
@@ -1102,7 +1145,7 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding,
+    qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,

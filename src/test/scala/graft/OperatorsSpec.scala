@@ -258,11 +258,13 @@ class OperatorsSpec extends SparkSpec {
   test("q_dedup_embedding runs the bucketed scale plan; bucketed output ⊆ exact (recall twin)") {
     // driver-config plan shape: the scale path must be a bucket
     // equi-join, never the O(n²) all-pairs BroadcastNestedLoopJoin
-    val df = SparkEntry.queries("q_dedup_embedding")(spark, "/root/testdata/sf0.001")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "q_dedup_embedding regressed to the all-pairs join")
-    assert(plan.contains("bucket"), "bucket equi-join key missing from the plan")
+    Seq("q_dedup_embedding", "q_dedup_embedding_mp").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q regressed to the all-pairs join")
+      assert(plan.contains("bucket"), s"$q: bucket equi-join key missing from the plan")
+    }
     // recall twin of the retired exact driver query: on the real
     // embeddings table the bucketed pairs are a subset of the exact
     // pairs (verification is exact, so no false positives), and the
