@@ -1103,8 +1103,8 @@ object PipelineQueries {
   // 58. physical layout: bucketed writes + the shuffle-free co-located
   // join they buy. Both sides are written bucketed on the join key
   // (once per session+dir), the join is asserted exchange-free IN THE
-  // QUERY (broadcast disabled so the proof is the bucketing, not a
-  // broadcast), and the aggregate is engine-portable integer math
+  // QUERY (a MERGE hint pins the sort-merge join, so the proof is the
+  // bucketing, not a broadcast), and the aggregate is engine-portable integer math
   // (floor-cents — Spark truncates and DuckDB rounds on double→bigint
   // casts, so the explicit floor keeps both sides identical). The
   // oracle computes the same join+aggregate over the raw parquet:

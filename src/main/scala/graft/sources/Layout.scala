@@ -22,19 +22,18 @@ object Layout {
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     val spark = df.sparkSession
-    if (mode == SaveMode.Overwrite && !tableName.contains(".") &&
-        !spark.catalog.tableExists(tableName)) {
+    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(tableName)) {
       // an earlier JVM's in-memory session catalog may have left the
       // managed location on disk while this catalog has no table entry;
       // CREATE then refuses with LOCATION_ALREADY_EXISTS and Overwrite
-      // never gets a chance — clear the orphaned location first.
-      // Unqualified names only: warehouse/<name> is the default-database
-      // layout, and a db-qualified name would map elsewhere (warehouse/
-      // <db>.db/<name>). NOT safe against a CONCURRENT jvm actively
-      // using the same warehouse dir — writers of one table must be
-      // serialized, the same contract saveAsTable itself has.
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase)
+      // never gets a chance — clear the orphaned location first. The
+      // location comes from the catalog's own defaultTablePath, so
+      // db-qualified names resolve to their real warehouse/<db>.db/<t>
+      // layout. NOT safe against a CONCURRENT jvm actively writing the
+      // same table — writers of one table must be serialized, the same
+      // contract saveAsTable itself has.
+      val loc = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.graftbridge.ColumnBridge.defaultTablePath(spark, tableName))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

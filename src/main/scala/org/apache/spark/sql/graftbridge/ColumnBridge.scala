@@ -12,4 +12,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The catalog's OWN default location for a managed table — correct
+    * for qualified and unqualified names alike (warehouse/<name> vs
+    * warehouse/<db>.db/<name>), unlike any hand-built path. Used by
+    * [[graft.sources.Layout]] to clear orphaned locations a previous
+    * JVM's in-memory catalog left behind. */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession,
+                       tableName: String): java.net.URI = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(tableName)
+    val ident = parts match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case _ => throw new IllegalArgumentException(
+        s"expected [db.]table, got '$tableName'")
+    }
+    spark.sessionState.catalog.defaultTablePath(ident)
+  }
 }
