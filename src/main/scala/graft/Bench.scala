@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every driver query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line on stdout (the driver parses it — nothing else
   * may print there; Spark logs go to stderr at ERROR level). The
-  * stdout line is COMPACT (cold/warm/totals/errors only — no per-run
-  * arrays) so it fits the driver's line-capture window; the FULL
-  * version including every individual warm run goes to
-  * `target/bench.json`.
+  * stdout line is COMPACT — a SINGLE per-query map ("queries" = warm
+  * medians, the between-rounds comparison unit) plus totals and
+  * errors, staying under ~2 KB so it fits the driver's line-capture
+  * window (the two-map cold+warm format exceeded it). The FULL
+  * version — per-query cold times and every individual warm run —
+  * goes to `target/bench.json`.
   *
   * Per query: one cold (first) run, then `SPARK_GRAFT_BENCH_RUNS`
   * (default 3) warm runs whose MEDIAN is reported — single-shot warm
@@ -96,13 +98,20 @@ object Bench {
     val errors = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
     val plans = rows.map(r => s""""${r.name}":[${r.plan._1},${r.plan._2}]""").mkString("{", ",", "}")
     System.err.println(s"""[bench-plans] $plans""")
+    // stdout carries ONE per-query map (warm medians — the comparison
+    // unit between rounds) so the line stays under ~2 KB for 55+
+    // queries: the driver's line capture truncated the previous
+    // two-map (cold + warm) format five rounds running. Cold per-query
+    // times live only in target/bench.json.
     val compact = s"""{"metric":"total","value":${fmt(coldTotal)},"unit":"sec"""" +
-      s""","queries":${jmap(r => fmt(r.cold))}""" +
-      s""","warm":${jmap(r => fmt(r.warmMedian))}""" +
+      s""","queries":${jmap(r => fmt(r.warmMedian))}""" +
+      s""","queries_kind":"warm_median"""" +
+      s""","cold_total":${fmt(coldTotal)}""" +
       s""","warm_total":${fmt(warmTotal)}""" +
       s""","errors":{${errors.mkString(",")}}""" +
       s""","sf":"$sfDir"}"""
     val full = compact.dropRight(1) +
+      s""","cold":${jmap(r => fmt(r.cold))}""" +
       s""","warm_runs":${jmap(r => r.warms.map(fmt).mkString("[", ",", "]"))}}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")

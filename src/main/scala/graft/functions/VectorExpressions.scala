@@ -123,13 +123,20 @@ object CentroidKernel {
   * array<double> of squared L2 distances to each row of `cents`. See
   * [[CentroidKernel]]. */
 case class CentroidDistsExpr(vec: Expression, nsq: Expression,
-                             cents: Array[Array[Double]]) extends BinaryExpression {
+                             cents: Seq[Seq[Double]]) extends BinaryExpression {
   override def left: Expression = vec
   override def right: Expression = nsq
 
+  // centroids live in the case class as Seq[Seq[Double]] so case-class
+  // equality is STRUCTURAL — Array fields compare by reference, which
+  // would make two semantically identical expressions never equal and
+  // defeat subexpression elimination / plan canonicalization. The hot
+  // kernel still runs on primitive arrays, materialized once lazily.
+  private lazy val centsArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+
   // sum of squares per centroid, left-to-right like Seq.sum in the
   // unbatched formulation
-  private lazy val csq: Array[Double] = cents.map(c => c.map(x => x * x).sum)
+  private lazy val csq: Array[Double] = centsArr.map(c => c.map(x => x * x).sum)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -147,10 +154,10 @@ case class CentroidDistsExpr(vec: Expression, nsq: Expression,
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CentroidKernel.dists(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
-      cents, csq, elemIsFloat)
+      centsArr, csq, elemIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
     val csqRef = ctx.addReferenceObj("csq", csq, "double[]")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.CentroidKernel.dists($a, $b, $centsRef, $csqRef, $elemIsFloat);")
@@ -163,5 +170,5 @@ case class CentroidDistsExpr(vec: Expression, nsq: Expression,
 object CentroidDistsExpr {
   def apply(vec: Column, nsq: Column, cents: Seq[Seq[Double]]): Column =
     ColumnBridge.column(CentroidDistsExpr(ColumnBridge.expression(vec),
-      ColumnBridge.expression(nsq), cents.map(_.toArray).toArray))
+      ColumnBridge.expression(nsq), cents.map(_.toVector).toVector))
 }

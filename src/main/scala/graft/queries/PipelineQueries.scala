@@ -272,6 +272,50 @@ object PipelineQueries {
       SELECT ia AS id_a, ib AS id_b, hamming FROM ham
       WHERE hamming <= 7 ORDER BY id_a, id_b"""))
 
+  // 26d/27c/28b. the SAME three near-dup listings through the
+  // exact-duplicate COLLAPSE pre-pass — the 100 TB production path,
+  // where the quadratic candidate stage runs over DISTINCT texts only
+  // (measured 37×/17×/24× on the 10×-copy stress corpus; see the
+  // operator scaladocs). Each twin replays its direct query's oracle
+  // byte-for-byte: collapse changes no output whenever stop-shingle /
+  // bucket pruning never triggers, which is provably the case wherever
+  // the DIRECT queries hash-match these same oracles (the oracles
+  // never prune, so a pruned direct run could not have matched). The
+  // within-class expansion edge (duplicate null-text docs) is
+  // spec-pinned in OperatorsSpec's edgeDocs corpora.
+  val qDedupJaccardCollapsed = QueryDef("q_dedup_jaccard_collapsed",
+    (s, dir) => {
+      Dedup.collapsedJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccardBp = 100L)
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(15)
+    },
+    qDedupJaccard.oracle)
+
+  val qDedupMinhashCollapsed = QueryDef("q_dedup_minhash_collapsed",
+    (s, dir) => {
+      Dedup.collapsedMinhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, numPerm = 64, numBands = 32, minJaccardBp = 5000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    qDedupMinhash.oracle)
+
+  val qDedupSimhashCollapsed = QueryDef("q_dedup_simhash_collapsed",
+    (s, dir) => {
+      // same oracle-exact config as q_dedup_simhash (unbounded buckets:
+      // a dropped bucket would break the hamming<=7 completeness the
+      // oracle assumes) — but buckets here hold DISTINCT texts, so the
+      // cap exact copies could blow in the direct operator cannot
+      // trigger at any copy factor
+      Dedup.collapsedSimhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+          maxBucketSize = Long.MaxValue,
+          wordHashes = TextFns.portableWordHashes)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+    qDedupSimhash.oracle)
+
   // 29. embedding near-dup pairs — the SCALE path: random-hyperplane
   // buckets (one equi-join shuffle on the packed sign-bit bucket, no
   // all-pairs BroadcastNestedLoopJoin), cosine verified in-bucket. The
@@ -1146,6 +1190,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
+    qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,

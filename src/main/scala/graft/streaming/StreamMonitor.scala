@@ -165,12 +165,26 @@ object StreamMonitor {
     * all come from the contract — streaming trend checks are declared
     * next to completeness/freshness, not hard-coded at the call site.
     * An empty `metrics` list monitors every metric column the quality
-    * aggregation emitted. */
+    * aggregation emitted.
+    *
+    * Declared names are validated against the ACTUAL metrics frame:
+    * a `metrics` entry or `per_metric` key naming a column the
+    * aggregation never emits fails loudly here instead of being
+    * silently ignored at runtime (a typo'd override would otherwise
+    * monitor at the default ratio forever). */
   def trendAlertsForContract(metrics: DataFrame, contract: Contract): DataFrame = {
     val tc = trendCheck(contract)
-    val cols =
-      if (tc.metrics.nonEmpty) tc.metrics
-      else metrics.columns.filterNot(Set("window_start", "window_end")).toSeq
+    val live = metrics.columns.filterNot(Set("window_start", "window_end")).toSeq
+    val cols = if (tc.metrics.nonEmpty) tc.metrics else live
+    val unknown = ((tc.metrics ++ tc.perMetric.keys).distinct).filterNot(live.toSet)
+    require(unknown.isEmpty,
+      s"contract '${contract.name}' quality_checks.trend names metric column(s) the " +
+        s"quality aggregation does not emit: ${unknown.mkString(", ")} " +
+        s"(emitted: ${live.mkString(", ")})")
+    val stray = tc.perMetric.keys.filterNot(cols.toSet)
+    require(stray.isEmpty,
+      s"contract '${contract.name}' quality_checks.trend.per_metric overrides " +
+        s"unmonitored metric(s): ${stray.mkString(", ")} (monitored: ${cols.mkString(", ")})")
     trendAlerts(metrics, cols, tc.maxChangeRatio, tc.perMetric)
   }
 

@@ -33,6 +33,17 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 4 || b == 5 })
   }
 
+  // degenerate duplicate docs every collapse spec appends to its
+  // corpus: empty, one-word, and NULL texts, each duplicated — the
+  // edge where a naive within-class expansion could invent pairs the
+  // direct operators never emit (null text → null shingles/fingerprint
+  // → no postings → no pair)
+  lazy val edgeDocs = Seq(
+    (800000L, ""), (800001L, ""),
+    (800002L, "one"), (800003L, "one"),
+    (800004L, null.asInstanceOf[String]), (800005L, null.asInstanceOf[String]),
+  ).toDF("doc_id", "text")
+
   test("exact-collapse jaccard equals the direct operator on a copy-heavy corpus") {
     // real docs + every doc duplicated with a shifted id — the shape of
     // raw web corpora, where pair-generation cost is quadratic in the
@@ -42,7 +53,7 @@ class OperatorsSpec extends SparkSpec {
     val real = spark.read.parquet(sf("documents")).limit(300)
       .select($"doc_id", $"text")
     val copies = real.withColumn("doc_id", $"doc_id" + 100000L)
-    val corpus = real.unionByName(copies)
+    val corpus = real.unionByName(copies).unionByName(edgeDocs)
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "inter", "uni", "jacc_bp").collect().map(_.toSeq).toSet
     val direct = key(Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
@@ -58,6 +69,7 @@ class OperatorsSpec extends SparkSpec {
     val real = spark.read.parquet(sf("documents")).limit(300)
       .select($"doc_id", $"text")
     val corpus = real.unionByName(real.withColumn("doc_id", $"doc_id" + 100000L))
+      .unionByName(edgeDocs)
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "inter", "uni", "jacc_bp").collect().map(_.toSeq).toSet
     // unbounded buckets on BOTH sides: in the direct operator the exact
@@ -78,6 +90,7 @@ class OperatorsSpec extends SparkSpec {
     val real = spark.read.parquet(sf("documents")).limit(300)
       .select($"doc_id", $"text")
     val corpus = real.unionByName(real.withColumn("doc_id", $"doc_id" + 100000L))
+      .unionByName(edgeDocs)
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "hamming", "sim_a", "sim_b")
         .collect().map(_.toSeq).toSet

@@ -123,6 +123,41 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(rowsJump - (400.0 - 110.0) / 110.0) < 1e-9)
   }
 
+  test("contract trend naming an unemitted metric column fails loudly") {
+    import graft.contracts._
+    val metrics = Seq((1L, 2L)).toDF("rows", "nulls_status")
+      .withColumn("window_start", to_timestamp(lit("2024-01-01 10:00:00")))
+      .withColumn("window_end", to_timestamp(lit("2024-01-01 10:10:00")))
+    def contract(tc: TrendCheck) = Contract(version = "1", name = "t", owner = "qa",
+      schema = ContractSchema("parquet", "t", Seq(Field("rows", "long"))),
+      qualityChecks = Some(QualityChecks(trend = Some(tc))))
+    def trend(metricNames: Seq[String] = Nil, per: Map[String, Double] = Map.empty) =
+      TrendCheck("10 minutes", metrics = metricNames, perMetric = per)
+    // a per_metric override keyed on a column the aggregation never
+    // emits must throw, not silently monitor at the default ratio
+    val typo = intercept[IllegalArgumentException] {
+      StreamMonitor.trendAlertsForContract(metrics,
+        contract(trend(per = Map("nulls_stats" -> 2.0))))
+    }
+    assert(typo.getMessage.contains("nulls_stats"), typo.getMessage)
+    // same for a declared metrics entry
+    val ghost = intercept[IllegalArgumentException] {
+      StreamMonitor.trendAlertsForContract(metrics,
+        contract(trend(metricNames = Seq("rows", "violations_x_0"))))
+    }
+    assert(ghost.getMessage.contains("violations_x_0"), ghost.getMessage)
+    // an override on a live-but-unmonitored column is flagged too
+    val stray = intercept[IllegalArgumentException] {
+      StreamMonitor.trendAlertsForContract(metrics,
+        contract(trend(metricNames = Seq("rows"), per = Map("nulls_status" -> 2.0))))
+    }
+    assert(stray.getMessage.contains("nulls_status"), stray.getMessage)
+    // and the valid declarations still run
+    assert(StreamMonitor.trendAlertsForContract(metrics,
+      contract(trend(metricNames = Seq("rows"), per = Map("rows" -> 2.0))))
+      .columns.contains("metric"))
+  }
+
   test("trend alerts over a foreachBatch-persisted metrics sink (live path)") {
     // the production wiring: stream → windowed qualityMetrics →
     // foreachBatch append into a parquet metrics table → trendAlerts
