@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled marker tables for [[LangIdKernel]]: one UTF8String code per
+  * language plus the UTF-8 byte patterns of its space-padded marker
+  * words (" w " — the standalone-word unit of the portable
+  * formulation). */
+final class LangProfiles(profiles: Seq[(String, Seq[String])]) extends Serializable {
+  val langs: Array[UTF8String] =
+    profiles.map { case (l, _) => UTF8String.fromString(l) }.toArray
+  val patterns: Array[Array[Array[Byte]]] =
+    profiles.map { case (_, ws) =>
+      ws.map(w => s" $w ".getBytes("UTF-8")).toArray
+    }.toArray
+}
+
+/** One-pass language-ID scoring. Bit-identical to the portable Column
+  * formulation ([[graft.operators.TextAnalysis.langIdPortable]], which
+  * the DuckDB oracle replays): each marker's count is the number of
+  * NON-OVERLAPPING left-to-right matches of " marker " in the
+  * space-padded text — exactly what the `replace`-based length-diff
+  * formula measures (`replace` consumes matched bytes, so " a a a "
+  * counts 2, not 3) — and the prediction is the first language in
+  * profile order whose score equals the strictly positive maximum,
+  * "und" otherwise. Byte-level search equals the formulation's
+  * character-level one: patterns are delimited by ASCII spaces, which
+  * in valid UTF-8 never occur inside a multi-byte sequence. */
+object LangIdKernel {
+
+  private val Und = UTF8String.fromString("und")
+
+  def langId(text: UTF8String, p: LangProfiles): UTF8String = {
+    val tb = text.getBytes
+    val padded = new Array[Byte](tb.length + 2)
+    padded(0) = ' '
+    padded(padded.length - 1) = ' '
+    System.arraycopy(tb, 0, padded, 1, tb.length)
+    var bestIdx = -1
+    var best = 0L
+    var li = 0
+    while (li < p.patterns.length) {
+      val pats = p.patterns(li)
+      var score = 0L
+      var wi = 0
+      while (wi < pats.length) { score += countNonOverlapping(padded, pats(wi)); wi += 1 }
+      // strict > keeps the FIRST language in profile order among ties,
+      // and a 0 score can never displace the initial best of 0 → "und"
+      if (score > best) { best = score; bestIdx = li }
+      li += 1
+    }
+    if (bestIdx < 0) Und else p.langs(bestIdx)
+  }
+
+  /** Matches scanning left to right, each match consuming its bytes —
+    * the non-overlapping semantics of string replace. */
+  private def countNonOverlapping(hay: Array[Byte], needle: Array[Byte]): Long = {
+    val n = hay.length
+    val m = needle.length
+    var count = 0L
+    var i = 0
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && hay(i + j) == needle(j)) j += 1
+      if (j == m) { count += 1; i += m } else i += 1
+    }
+    count
+  }
+}
+
+/** string text → predicted language code, via [[LangIdKernel]] — the
+  * codegen'd hot path for corpus-wide language ID: one compiled scan
+  * of the text replaces ~2 string traversals per marker word (the
+  * length-diff of a full `replace`) in the portable formulation.
+  * Null text is null here; the operator-level wrapper restores the
+  * formulation's null → "und". */
+case class LangIdExpr(child: Expression,
+                      profiles: Seq[(String, Seq[String])]) extends UnaryExpression {
+
+  // profiles live in the case class as Seq for STRUCTURAL equality
+  // (canonicalization-friendly, like CentroidDistsExpr); the kernel
+  // reads the precompiled byte-pattern table
+  @transient private lazy val compiled: LangProfiles = new LangProfiles(profiles)
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_lang_id expects string, got ${t.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdKernel.langId(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val profRef = ctx.addReferenceObj("langProfiles", compiled,
+      classOf[LangProfiles].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LangIdKernel.langId($a, $profRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangIdExpr {
+  def apply(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text), profiles))
+}

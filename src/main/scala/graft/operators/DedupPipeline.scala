@@ -59,3 +59,98 @@ final class DedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int 
 
   def unpersist(): Unit = { shingled.unpersist(); () }
 }
+
+/** Shared-preparation pipeline for the exact-duplicate COLLAPSE dedup
+  * family: the collapse (one md5 pass + class assignment) and the
+  * representative shingling run ONCE, and jaccard / minhash / simhash
+  * pair generation all derive from the same cached frames.
+  *
+  * The one-shot `Dedup.collapsedJaccardPairs` / `collapsedMinhashPairs`
+  * / `collapsedSimhashPairs` each rebuild the collapse from the raw
+  * text — correct, but a curation pass running several of them repeats
+  * the corpus-wide md5 + shingling per operator, exactly the
+  * re-preparation cost [[DedupPipeline]] eliminates for the direct
+  * family. At 100 TB (and measurably at sf0.1) the preparation scans
+  * dominate the collapsed operators, since collapse makes the
+  * quadratic candidate stage cheap by construction.
+  *
+  * {{{
+  * val p = new CollapsedDedupPipeline(docs, "doc_id", "text", n = 3)
+  * val jac = p.jaccardPairs(minJaccardBp = 100)
+  * val mh  = p.minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000)
+  * val sh  = p.simhashPairs(maxHamming = 7, numBlocks = 8)
+  * p.unpersist()
+  * }}}
+  *
+  * Output semantics are the one-shot operators' — identical, pair for
+  * pair (they delegate here). */
+final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String,
+                                   n: Int = 3) {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private val cls = Dedup.collapseExact(df, idCol, textCol)
+
+  /** member id → class representative, persisted: every pair expansion
+    * reads it twice (id_a side + id_b side) per derived operator. */
+  val byRep: DataFrame = cls.byRep.persist(MEMORY_AND_DISK)
+
+  /** (id = rid, sh) over DISTINCT texts, computed and cached once —
+    * shared by the jaccard and minhash derivations. Lazy: a
+    * simhash-only pipeline never shingles. */
+  lazy val repShingled: DataFrame = cls.repDocs
+    .select(col("rid").as("id"), TextFns.wordShingles(col("__text"), n).as("sh"))
+    .persist(MEMORY_AND_DISK)
+
+  /** [[Dedup.collapsedJaccardPairs]] from the shared prep. */
+  def jaccardPairs(minJaccardBp: Long = 1000L,
+                   maxShinglePostings: Long = 10000L): DataFrame = {
+    val rpairs = Dedup.jaccardFromShingled(repShingled, minJaccardBp, maxShinglePostings)
+    Dedup.expandCross(rpairs, byRep)((_, _) =>
+        Seq(col("inter"), col("uni"), col("jacc_bp")))
+      .unionByName(Dedup.withinClass(byRep, Dedup.jaccardPerRep(repShingled)))
+  }
+
+  /** [[Dedup.collapsedMinhashPairs]] from the shared prep. */
+  def minhashPairs(numPerm: Int = 128, numBands: Int = 32,
+                   minJaccardBp: Long = 1000L,
+                   maxBucketSize: Long = 1000L): DataFrame = {
+    val rpairs = Dedup.minhashFromShingled(repShingled, numPerm, numBands,
+      minJaccardBp, maxBucketSize)
+    Dedup.expandCross(rpairs, byRep)((_, _) =>
+        Seq(col("inter"), col("uni"), col("jacc_bp")))
+      .unionByName(Dedup.withinClass(byRep, Dedup.jaccardPerRep(repShingled)))
+  }
+
+  /** [[Dedup.collapsedSimhashPairs]] from the shared prep. Fingerprints
+    * are computed once over distinct texts and cached per call — the
+    * block join and the within-class expansion both read them, and
+    * `wordHashes` is an arbitrary function, so the sims frame cannot be
+    * keyed into the shared cache across differing hash families. */
+  def simhashPairs(maxHamming: Int = 3, maxBucketSize: Long = 1000L,
+                   numBlocks: Int = 4, blockLoBit: Int = 0,
+                   wordHashes: Column => Column = TextFns.wordHashes): DataFrame = {
+    val repSims = cls.repDocs
+      .withColumn("__h", wordHashes(col("__text")))
+      .select(col("rid").as("id"), graft.functions.SimHash64(col("__h")).as("sim"))
+      .persist(MEMORY_AND_DISK)
+    val (rpairs, _) = Dedup.simhashFromSims(repSims, maxHamming, maxBucketSize,
+      numBlocks, blockLoBit)
+    val cross = Dedup.expandCross(rpairs, byRep)((ma, mb) => Seq(
+      col("hamming"),
+      // sims follow the representative of each expanded member; a swap
+      // by least/greatest swaps the sims with the ids
+      when(ma < mb, col("sim_a")).otherwise(col("sim_b")).as("sim_a"),
+      when(ma < mb, col("sim_b")).otherwise(col("sim_a")).as("sim_b")))
+    // within-class: identical text ⇒ identical fingerprint, hamming 0.
+    // NULL-text classes are excluded to mirror the direct operator:
+    // a null text has a null fingerprint, generates no block rows, and
+    // so never pairs there — the same edge jaccardPerRep filters.
+    val perRep = repSims.filter(col("sim").isNotNull)
+      .select(col("id").as("rid"), lit(0L).as("hamming"),
+        col("sim").as("sim_a"), col("sim").as("sim_b"))
+    cross.unionByName(Dedup.withinClass(byRep, perRep))
+  }
+
+  def unpersist(): Unit = { byRep.unpersist(); repShingled.unpersist(); cls.members.unpersist(); () }
+}

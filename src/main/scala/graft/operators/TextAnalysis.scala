@@ -31,8 +31,19 @@ object TextAnalysis {
       .map(w => wordOccurrences(text, w))
       .reduceOption(_ + _).getOrElse(lit(0L))
 
-  /** Predicted language code; ties broken by profile order. */
-  def langId(text: Column): Column = {
+  /** Predicted language code; ties broken by profile order. Runs the
+    * one-pass [[graft.functions.LangIdKernel]] — bit-identical to
+    * [[langIdPortable]] (spec-compared corpus-wide), including the
+    * formulation's null → "und" (a null text scores null everywhere,
+    * so every `when` falls through to the literal). */
+  def langId(text: Column): Column =
+    coalesce(graft.functions.LangIdExpr(text, langMarkers), lit("und"))
+
+  /** The portable Column formulation of [[langId]] — `replace`-based
+    * marker occurrence sums, argmax with profile-order tie-break — the
+    * reference the DuckDB oracle replays in SQL and the kernel is
+    * spec-compared against. */
+  def langIdPortable(text: Column): Column = {
     val scores = langMarkers.map { case (l, _) => (l, langScore(text, l)) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>

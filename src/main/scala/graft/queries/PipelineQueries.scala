@@ -47,6 +47,28 @@ object PipelineQueries {
     pipelines.get(s, dir)(
       new graft.operators.DedupPipeline(table(s, dir, "documents"), "doc_id", "text", n = 3))
 
+  /** One exact-duplicate collapse + representative shingling per
+    * (session, dir), shared by the three `_collapsed` board queries —
+    * the collapse pre-pass is one corpus md5 scan; running it once per
+    * operator would triple exactly the cost the collapse family exists
+    * to amortize. */
+  private val collapsedPipelines = new SessionCache[graft.operators.CollapsedDedupPipeline]
+  private def collapsedPipeline(s: org.apache.spark.sql.SparkSession,
+                                dir: String): graft.operators.CollapsedDedupPipeline =
+    collapsedPipelines.get(s, dir)(
+      new graft.operators.CollapsedDedupPipeline(table(s, dir, "documents"), "doc_id", "text", n = 3))
+
+  /** One collapsed jaccard pair computation per (session, dir) at the
+    * board's lowest threshold, persisted — the same
+    * higher-threshold-is-a-filter economics as [[sharedJaccardPairs]],
+    * applied to the collapse path. */
+  private val collapsedJaccardPairs100 = new SessionCache[org.apache.spark.sql.DataFrame]
+  private def sharedCollapsedJaccardPairs(s: org.apache.spark.sql.SparkSession,
+                                          dir: String): org.apache.spark.sql.DataFrame =
+    collapsedJaccardPairs100.get(s, dir)(
+      collapsedPipeline(s, dir).jaccardPairs(minJaccardBp = 100L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** One jaccard pair computation per (session, dir), at the board's
     * LOWEST threshold (100 bp): a higher threshold is a pure filter of
     * a lower one's output, so `q_dedup_jaccard` (bp≥100) and
@@ -285,8 +307,7 @@ object PipelineQueries {
   // spec-pinned in OperatorsSpec's edgeDocs corpora.
   val qDedupJaccardCollapsed = QueryDef("q_dedup_jaccard_collapsed",
     (s, dir) => {
-      Dedup.collapsedJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJaccardBp = 100L)
+      sharedCollapsedJaccardPairs(s, dir)
         .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
         .limit(15)
     },
@@ -294,8 +315,8 @@ object PipelineQueries {
 
   val qDedupMinhashCollapsed = QueryDef("q_dedup_minhash_collapsed",
     (s, dir) => {
-      Dedup.collapsedMinhashPairs(table(s, dir, "documents"), "doc_id", "text",
-          n = 3, numPerm = 64, numBands = 32, minJaccardBp = 5000L)
+      collapsedPipeline(s, dir)
+        .minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L)
         .orderBy(col("id_a"), col("id_b"))
     },
     qDedupMinhash.oracle)
@@ -307,8 +328,8 @@ object PipelineQueries {
       // oracle assumes) — but buckets here hold DISTINCT texts, so the
       // cap exact copies could blow in the direct operator cannot
       // trigger at any copy factor
-      Dedup.collapsedSimhashPairs(table(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+      collapsedPipeline(s, dir)
+        .simhashPairs(maxHamming = 7, numBlocks = 8, blockLoBit = 4,
           maxBucketSize = Long.MaxValue,
           wordHashes = TextFns.portableWordHashes)
         .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))

@@ -384,6 +384,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got == 5)
   }
 
+  test("langid kernel is bit-identical to the portable formulation") {
+    withCodegenNoFallback {
+      val edge = Seq(
+        "", " ", "   ",
+        "a a a",                   // overlapping standalone 'a': replace counts 2, not 3
+        "the the el el",           // en/es tie shapes
+        "der le el y es is",       // multi-language marker mix
+        "的 是 了 的",             // zh multi-byte markers
+        "the", " the ", "thethe",  // boundary/padding edges
+        "und a of and is la les",  // ties + fr mix
+        null.asInstanceOf[String], // null text → "und" in both
+      ).toDF("text")
+      val all = spark.read.parquet(sf("documents")).select($"text").unionByName(edge)
+        // two separate plans (kernel / portable): one combined projection
+        // duplicates the portable `replace` tree past janino's generated-
+        // class limits. Deterministic order + pure function of text ⇒
+        // element-wise compare is exact.
+        .orderBy(coalesce($"text", lit("")).asc, $"text".asc_nulls_first)
+        .cache()
+      val ks = all.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+      val is = all.select(TextAnalysis.langIdPortable($"text")).collect().map(_.getString(0))
+      assert(ks.length == is.length && ks.sameElements(is),
+        ks.zip(is).zipWithIndex.filter(p => p._1._1 != p._1._2).take(3).mkString(";"))
+      all.unpersist()
+    }
+  }
+
   test("token counts and fingerprints") {
     val df = Seq((1L, "one two  three"), (2L, "a-b c3 d!")).toDF("id", "text")
     val t = TextAnalysis.tokenCounts(df, "text").collect()
