@@ -217,6 +217,45 @@ object StreamMonitor {
         col("session_events"))
   }
 
+  final case class StateStoreHealth(query_name: String, query_id: String,
+                                    batch_id: Long, operator: String,
+                                    num_rows_total: Long, num_rows_updated: Long,
+                                    num_rows_dropped_by_watermark: Long,
+                                    memory_used_bytes: Long, healthy: Boolean)
+
+  /** State-store health of a running streaming query, one row per
+    * stateful operator of the LAST completed micro-batch — the
+    * contract-reportable twin of [[trendAlerts]] for the state
+    * dimension: unbounded-state bugs (a missing watermark, a key-space
+    * leak) show up as monotonically growing `num_rows_total` /
+    * `memory_used_bytes` long before an executor OOMs, and a row
+    * `healthy = false` (a bound exceeded) is the alert. Pure
+    * driver-side metadata from `query.lastProgress` — no job runs, so
+    * it is safe to poll per batch from a monitoring loop and union
+    * into the same report sink as the quality metrics. A query with no
+    * progress yet (or no stateful operator) yields an empty frame. */
+  def stateStoreHealth(query: org.apache.spark.sql.streaming.StreamingQuery,
+                       maxRowsTotal: Long = Long.MaxValue,
+                       maxMemoryBytes: Long = Long.MaxValue): Dataset[StateStoreHealth] = {
+    val spark = query.sparkSession
+    import spark.implicits._
+    val rows = Option(query.lastProgress).toSeq.flatMap { p =>
+      p.stateOperators.toSeq.map { op =>
+        StateStoreHealth(
+          query_name = Option(query.name).getOrElse(""),
+          query_id = query.id.toString,
+          batch_id = p.batchId,
+          operator = Option(op.operatorName).getOrElse(""),
+          num_rows_total = op.numRowsTotal,
+          num_rows_updated = op.numRowsUpdated,
+          num_rows_dropped_by_watermark = op.numRowsDroppedByWatermark,
+          memory_used_bytes = op.memoryUsedBytes,
+          healthy = op.numRowsTotal <= maxRowsTotal && op.memoryUsedBytes <= maxMemoryBytes)
+      }
+    }
+    rows.toDS()
+  }
+
   /** Convenience: run a streaming quality query into an in-memory sink
     * (used by tests and local monitoring). Returns the query name. */
   def startMemorySink(metrics: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =

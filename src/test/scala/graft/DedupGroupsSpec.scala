@@ -33,28 +33,48 @@ class DedupGroupsSpec extends SparkSpec {
     assert(fast(30L) == 10L && fast(2L) == 0L)
   }
 
-  test("large-star/small-star on a >5M-edge graph (the 100TB-corpus path)") {
+  test("large-star/small-star on a >5M-edge graph with a reliable checkpoint dir (the cluster path)") {
     import org.apache.spark.sql.functions._
-    // 50k stars of 100 spokes (5.0M edges — wide, converges fast) plus a
-    // 512-vertex chain (deep — forces the O(log d) round behavior that
-    // plain min-label relaxation would need 512 rounds for)
-    val stars = spark.range(50000).select(
-        (col("id") * 200).as("hub"), explode(sequence(lit(1), lit(100))).as("k"))
-      .select(col("hub").as("id_a"), (col("hub") + col("k")).as("id_b"))
-    val base = 100000000L
-    val path = spark.range(512).select(
-      (col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
-    val edges = stars.unionByName(path)
-    assert(edges.count() == 5000512L)
-    val cc = DedupGroups.connectedComponents(edges, smallGraphEdges = 0L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wrongStars = cc.filter(col("id") < base)
-      .filter(col("component") =!= (col("id") - pmod(col("id"), lit(200)))).count()
-    val wrongPath = cc.filter(col("id") >= base)
-      .filter(col("component") =!= base).count()
-    assert(wrongStars == 0 && wrongPath == 0)
-    assert(cc.count() == 50000L * 101 + 513)
-    cc.unpersist()
+    // the preceding distributed-path test ran with NO checkpoint dir —
+    // the localCheckpoint fallback; this one runs the SAME star loop
+    // through the reliable-`checkpoint` branch the scaladoc documents
+    // for cluster deployments (setCheckpointDir → executor-loss
+    // tolerant), so both lineage-cut branches are exercised.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      // 50k stars of 100 spokes (5.0M edges — wide, converges fast) plus a
+      // 512-vertex chain (deep — forces the O(log d) round behavior that
+      // plain min-label relaxation would need 512 rounds for)
+      val stars = spark.range(50000).select(
+          (col("id") * 200).as("hub"), explode(sequence(lit(1), lit(100))).as("k"))
+        .select(col("hub").as("id_a"), (col("hub") + col("k")).as("id_b"))
+      val base = 100000000L
+      val path = spark.range(512).select(
+        (col("id") + base).as("id_a"), (col("id") + base + 1).as("id_b"))
+      val edges = stars.unionByName(path)
+      assert(edges.count() == 5000512L)
+      val cc = DedupGroups.connectedComponents(edges, smallGraphEdges = 0L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wrongStars = cc.filter(col("id") < base)
+        .filter(col("component") =!= (col("id") - pmod(col("id"), lit(200)))).count()
+      val wrongPath = cc.filter(col("id") >= base)
+        .filter(col("component") =!= base).count()
+      assert(wrongStars == 0 && wrongPath == 0)
+      assert(cc.count() == 50000L * 101 + 513)
+      cc.unpersist()
+      // the loop really took the reliable branch: round frames were
+      // written into the configured checkpoint store
+      val checkpointed = java.nio.file.Files.walk(ckpt)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(checkpointed > 0, s"no checkpoint files under $ckpt")
+    } finally {
+      // restore the no-checkpoint-dir state for later specs (shared
+      // session): Option(null) → None inside setCheckpointDir
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    }
   }
 
   test("DedupPipeline shares one shingling and matches standalone operators") {

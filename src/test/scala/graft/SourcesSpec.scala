@@ -80,4 +80,38 @@ class SourcesSpec extends SparkSpec {
     configure(spark, "icetest", rest)
     assert(spark.conf.get("spark.sql.catalog.icetest.type") == "rest")
   }
+
+  test("iceberg LIVE path: config + drift against a real table (gated on runtime jar)") {
+    // READINESS spec: this build environment has no egress to fetch
+    // iceberg-spark-runtime, so today the gate cancels the test
+    // (reported as canceled, not passed). The day the jar lands on the
+    // classpath the whole live path — hadoop catalog from generated
+    // conf keys, real table create/insert, CatalogContracts.drift +
+    // validate through spark.read.table — runs with ZERO code changes.
+    assume(
+      try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+      catch { case _: ClassNotFoundException => false },
+      "iceberg-spark-runtime not on classpath")
+
+    import graft.sources.IcebergCatalogs._
+    import graft.contracts._
+    val wh = java.nio.file.Files.createTempDirectory("graft-ice-wh").toString
+    val cfg = IcebergConfig(CatalogType.FileIO(wh), Seq("db"), "live_t")
+    configure(spark, "icelive", cfg)
+    val ident = tableIdent("icelive", cfg)
+    spark.sql(s"CREATE TABLE $ident (id BIGINT, status STRING) USING iceberg")
+    spark.sql(s"INSERT INTO $ident VALUES (1, 'ok'), (2, 'bad')")
+    assert(readTable(spark, "icelive", cfg).count() == 2)
+
+    // contract expects an extra column + a narrower type → drift rows
+    val c = Contract(version = "1", name = "live", owner = "o",
+      schema = ContractSchema("iceberg", ident, Seq(
+        Field("id", "int64"), Field("status", "string"),
+        Field("missing_col", "float64"))))
+    val drifts = graft.validators.CatalogContracts.drift(spark, c)
+    assert(drifts.exists(_.field == "missing_col"), drifts)
+    val report = graft.validators.CatalogContracts.validate(spark, c)
+    assert(report.count() > 0)
+    spark.sql(s"DROP TABLE $ident")
+  }
 }

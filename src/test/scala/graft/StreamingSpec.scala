@@ -263,6 +263,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state-store health row surfaces stateful-operator size per query") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("key", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    // keyFreshness = mapGroupsWithState → one state row per live key
+    val q = StreamMonitor.keyFreshness(stream, "key", "ts", maxDelayMs = 60000L)
+      .writeStream.format("memory").queryName("health_t").outputMode("update").start()
+    try {
+      mem.addData(("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:00:30"),
+        ("c", "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      val health = StreamMonitor.stateStoreHealth(q).collect()
+      assert(health.nonEmpty, "no stateful operator reported")
+      val h = health.head
+      assert(h.query_name == "health_t" && h.num_rows_total == 3L && h.healthy, h)
+      assert(h.memory_used_bytes > 0L, h)
+      // a bound below the live key count flags the row unhealthy
+      val flagged = StreamMonitor.stateStoreHealth(q, maxRowsTotal = 2L).collect().head
+      assert(!flagged.healthy, flagged)
+      // contract-reportable: plain columns, unionable into a report sink
+      assert(StreamMonitor.stateStoreHealth(q).columns.toSet
+        .contains("num_rows_dropped_by_watermark"))
+    } finally q.stop()
+  }
+
   test("streaming freshness: silent key times out stale and drops state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
