@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashSignature, TextFns}
+
+/** Cross-snapshot near-duplicate lookup: dedup a NEW batch of documents
+  * against an already-indexed corpus — the daily-crawl workflow, where
+  * re-running pairwise dedup over (history ∪ batch) would rescan the
+  * full 100 TB corpus for every increment.
+  *
+  * The index is a banded MinHash signature frame built ONCE over the
+  * historical corpus ([[minhashIndex]]) and persisted like any table;
+  * each batch then runs [[lookup]]: signature + band keys for the batch
+  * only (map-only over the batch), one equi-join shuffle against the
+  * index on (band, key), and signature-only verification — estimated
+  * Jaccard = fraction of matching permutations — so the lookup reads
+  * NO raw text from the index side, only numPerm longs per candidate.
+  * Index growth is append-only: a batch's own signature frame unions
+  * into the index for the next increment.
+  *
+  * Uses the portable hash family ([[MinHashSignature.portable]], md5
+  * base) so every stage — signature, banding, candidacy, the estimate —
+  * is replayable in plain SQL by any engine holding the same index.
+  *
+  * Reference ships only whole-table revalidation
+  * (contracts_core/src/validator.rs); incremental corpus state there is
+  * counter snapshots (cf. [[graft.validators.IncrementalValidator]]) —
+  * this extends the same idea to content near-duplication.
+  */
+object IncrementalDedup {
+
+  /** Banded signature index of a corpus: one row per (id, band, key)
+    * carrying the full signature. `numPerm` longs per doc, exploded ×
+    * `numBands` — the storage the lookup join runs against. */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   numPerm: Int, numBands: Int, shingleN: Int = 3): DataFrame = {
+    require(numPerm % numBands == 0, "numPerm must divide into numBands")
+    val r = numPerm / numBands
+    docs.select(col(idCol).as("id"),
+        TextFns.wordShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("hs", TextFns.portableHashes(col("sh")))
+      .select(col("id"), MinHashSignature.portable(col("hs"), numPerm).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "key")))
+  }
+
+  /** Batch docs near-duplicate to the indexed corpus: one row per
+    * (batch doc, index doc) candidate pair — banded on the SAME
+    * (numPerm, numBands) as the index — whose estimated Jaccard
+    * (matching permutations / numPerm, basis points) reaches
+    * `minEstBp`. Columns: (id_batch, id_index, matches, est_bp). */
+  def lookup(index: DataFrame, batch: DataFrame, idCol: String,
+             textCol: String, numPerm: Int, numBands: Int,
+             minEstBp: Long, shingleN: Int = 3): DataFrame = {
+    val banded = minhashIndex(batch, idCol, textCol, numPerm, numBands, shingleN)
+    val cand = banded.as("b").join(index.as("i"),
+        col("b.band") === col("i.band") && col("b.key") === col("i.key"))
+      .select(col("b.id").as("id_batch"), col("i.id").as("id_index"),
+        col("b.sig").as("sig_b"), col("i.sig").as("sig_i"))
+      .dropDuplicates("id_batch", "id_index")
+    cand
+      .withColumn("matches",
+        aggregate(zip_with(col("sig_b"), col("sig_i"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, m) => acc + m))
+      .withColumn("est_bp", expr(s"matches * 10000 DIV ${numPerm}L"))
+      .filter(col("est_bp") >= minEstBp)
+      .select("id_batch", "id_index", "matches", "est_bp")
+  }
+}

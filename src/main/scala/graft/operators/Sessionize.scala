@@ -100,6 +100,34 @@ object Sampling {
       .filter(col("__rk") <= quota).drop("__rk")
   }
 
+  /** Domain-mix sampling: draws a fixed-budget sample whose key
+    * (domain/language) proportions follow a declared recipe — the
+    * "data mixture" step of a training pipeline (sample web-heavy raw
+    * corpora down to e.g. 40% en / 20% de / ...). Per-key quota =
+    * round(weight × budget), capped by availability; within a key the
+    * winners are the lowest md5-rank rows (md5 of `tieCol` + seed, a
+    * hash every engine computes identically — this sampler's selection
+    * is REPLAYABLE outside Spark, unlike [[quotaPerKey]]'s xxhash64
+    * ranking). Keys absent from `weights` are dropped.
+    *
+    * One shuffle on the key; Spark collapses the rank-filter into
+    * WindowGroupLimit, so each map task pre-prunes to its local top
+    * quota before the exchange — the shuffle carries O(keys × quota)
+    * rows no matter the corpus size. */
+  def mixSample(df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
+                budget: Int, tieCol: String, seed: Int = 42): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
+    val quota = weights.foldRight(lit(0L)) { case ((k, w), acc) =>
+      when(col(keyCol) === k, lit(math.round(w * budget))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(md5(concat(col(tieCol).cast("string"), lit(":" + seed)).cast("binary")),
+        col(tieCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota).drop("__rk")
+  }
+
   /** Deterministic sequential packing: within each key, rows in
     * `orderCol` order accumulate into token-budget bins — `bin` =
     * exclusive-prefix-sum(`tokenCol`) div `budget`. The

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-version diff: what changed between two snapshots of a keyed
+  * document set (yesterday's crawl vs today's). The versioning step
+  * that decides what a downstream incremental pipeline must reprocess.
+  *
+  * The comparison runs on an md5 fingerprint of the normalized payload,
+  * never the payload itself — the diff of two 100 TB snapshots moves
+  * (id, 32-byte hash) through its one full-outer-join shuffle, not
+  * text. Both inputs keep their parquet scans pruned to the two
+  * columns. The reference's drift detection covers schemas only
+  * (contracts_core/src/drift.rs); this is its row-content counterpart.
+  */
+object SnapshotDiff {
+
+  /** One row per id present in either snapshot:
+    * (id, status ∈ added | removed | changed | unchanged).
+    *   - added:    id only in `v2`
+    *   - removed:  id only in `v1`
+    *   - changed:  in both, fingerprints differ
+    *   - unchanged otherwise
+    */
+  def diff(v1: DataFrame, v2: DataFrame, idCol: String,
+           payloadCol: String): DataFrame = {
+    // presence comes from its own marker, not the fingerprint — a doc
+    // with a NULL payload in both snapshots is unchanged, not added
+    def fp(df: DataFrame) =
+      df.select(col(idCol).as("id"),
+        md5(TextFns.normalize(col(payloadCol)).cast("binary")).as("fp"),
+        lit(1).as("present"))
+    fp(v1).as("a").join(fp(v2).as("b"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("a.present").isNull, "added")
+          .when(col("b.present").isNull, "removed")
+          .when(!(col("a.fp") <=> col("b.fp")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** The diff rolled up to (status, cnt) — the monitoring signal
+    * (alert when `changed`/`removed` spike between snapshots). */
+  def diffCounts(v1: DataFrame, v2: DataFrame, idCol: String,
+                 payloadCol: String): DataFrame =
+    diff(v1, v2, idCol, payloadCol)
+      .groupBy("status").agg(count(lit(1)).as("cnt"))
+}

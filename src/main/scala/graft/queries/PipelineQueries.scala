@@ -337,6 +337,58 @@ object PipelineQueries {
     },
     qDedupSimhash.oracle)
 
+  // 27d. INCREMENTAL near-dup: a new batch (doc_id % 5 = 0 — today's
+  // crawl) looked up against the banded signature index of the already-
+  // ingested corpus (the other 80%). The lookup verifies on signatures
+  // alone (est jaccard = matching perms / numPerm) — no raw index text
+  // moves — and the oracle replays every stage of the portable family:
+  // signatures, band candidacy restricted to batch×index, the estimate.
+  val qDedupIncremental = QueryDef("q_dedup_incremental",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val index = graft.operators.IncrementalDedup.minhashIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        numPerm = 16, numBands = 4)
+      graft.operators.IncrementalDedup.lookup(index,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          numPerm = 16, numBands = 4, minEstBp = 5000L)
+        .orderBy("id_batch", "id_index")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      shl AS (SELECT doc_id, list(sh) shs FROM sh GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), p ->
+                 list_min(list_transform(shs, s ->
+                   ((1 + (p * 2654435761) % 2147483646)
+                      * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647))) sig
+        FROM shl),
+      banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*4+1 : b*4+4], ',') bkey, sig
+        FROM sigs, generate_series(0, 3) t(b)),
+      cand AS (
+        SELECT DISTINCT b.doc_id id_batch, i.doc_id id_index,
+               b.sig sig_b, i.sig sig_i
+        FROM banded b JOIN banded i
+          ON b.b = i.b AND b.bkey = i.bkey
+         AND b.doc_id % 5 = 0 AND i.doc_id % 5 != 0),
+      m AS (
+        SELECT id_batch, id_index,
+               CAST(len(list_filter(generate_series(1, 16),
+                                    k -> sig_b[k] = sig_i[k])) AS BIGINT) matches
+        FROM cand)
+      SELECT id_batch, id_index, matches,
+             CAST(matches * 10000 // 16 AS BIGINT) AS est_bp
+      FROM m WHERE matches * 10000 // 16 >= 5000
+      ORDER BY id_batch, id_index"""))
+
   // 29. embedding near-dup pairs — the SCALE path: random-hyperplane
   // buckets (one equi-join shuffle on the packed sign-bit bucket, no
   // all-pairs BroadcastNestedLoopJoin), cosine verified in-bucket. The
@@ -1138,6 +1190,64 @@ object PipelineQueries {
       SELECT source, CAST(least(count(*), 25) AS BIGINT) AS kept
       FROM documents GROUP BY source ORDER BY source"""))
 
+  // 56b. corpus snapshot diff: v1 = docs minus every ninth-ish id
+  // (those read as "added" in v2), v2 = docs minus the %10 ids
+  // ("removed") with every seventh doc's text reversed ("changed") —
+  // both versions derived deterministically from the one table so the
+  // oracle rebuilds them exactly. The diff itself compares only
+  // (id, md5-of-normalized-payload) through its full-outer join.
+  val qSnapshotDiff = QueryDef("q_snapshot_diff",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 9 =!= 5)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          reverse(col("text"))).otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(v1, v2, "doc_id", "text")
+        .orderBy("id")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp
+        FROM documents WHERE doc_id % 9 != 5),
+      v2 AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(
+                 CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END),
+                 '\s+', ' ', 'g'))) fp
+        FROM documents WHERE doc_id % 10 != 0)
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.fp IS DISTINCT FROM v2.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      ORDER BY id"""))
+
+  // 39b. domain-mix sampling: a 100-doc sample at a declared language
+  // recipe (40% en / 20% de / 20% fr / 10% es / 10% zh), winners chosen
+  // by portable md5 rank so the oracle replays the exact selection —
+  // not just the counts (contrast q_quota_sample's counts-only check).
+  val qMixSample = QueryDef("q_mix_sample",
+    (s, dir) => {
+      graft.operators.Sampling.mixSample(table(s, dir, "documents"),
+          "lang", Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+            "es" -> 0.1, "zh" -> 0.1), budget = 100, tieCol = "doc_id")
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) rk
+        FROM documents)
+      SELECT lang, doc_id FROM r
+      WHERE (lang = 'en' AND rk <= 40) OR (lang = 'de' AND rk <= 20)
+         OR (lang = 'fr' AND rk <= 20) OR (lang = 'es' AND rk <= 10)
+         OR (lang = 'zh' AND rk <= 10)
+      ORDER BY lang, doc_id"""))
+
   private lazy val langidOracle: String = {
     // replicate TextAnalysis.langId: per-lang marker-word occurrence sums,
     // argmax with profile-order tie-break, 'und' when all zero.
@@ -1211,10 +1321,10 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
-    qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed,
+    qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
-    qTextChunks, qPackBins, qTextLmScore, qLayoutJoin,
+    qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample,
   )
 }

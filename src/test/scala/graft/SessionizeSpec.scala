@@ -78,6 +78,74 @@ class SessionizeSpec extends SparkSpec {
     assert(kept("b") > 150 && kept("b") < 350, kept)
   }
 
+  test("mix sampling hits the declared recipe, caps at availability, drops unlisted keys") {
+    val df = ((0L until 200L).map(i => (i, "en")) ++
+      (200L until 230L).map(i => (i, "de")) ++        // under the de quota
+      (230L until 300L).map(i => (i, "fr")) ++
+      (300L until 320L).map(i => (i, "xx"))).toDF("id", "lang")
+    val s = Sampling.mixSample(df, "lang",
+      Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), budget = 100, tieCol = "id")
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 50L, "de" -> 30L, "fr" -> 20L), counts)
+    // availability cap: a thinner de keeps everything it has
+    val thin = Sampling.mixSample(df.filter($"lang" =!= "de" || $"id" < 210),
+      "lang", Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), budget = 100, tieCol = "id")
+    assert(thin.filter($"lang" === "de").count() == 10L)
+    // deterministic SELECTION (md5 rank), not just counts
+    val ids1 = s.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.mixSample(df, "lang",
+        Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), budget = 100, tieCol = "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && !ids1.exists(_ >= 300L)) // xx dropped
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged, null payloads included") {
+    import graft.operators.SnapshotDiff
+    val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"),
+      (5L, null: String)).toDF("id", "text")
+    val v2 = Seq((1L, "same  TEXT "), (2L, "new text"), (4L, "born"),
+      (5L, null: String)).toDF("id", "text")
+    val d = SnapshotDiff.diff(v1, v2, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 1: differs only in case/whitespace → normalized fingerprints equal
+    assert(d == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"), d.toString)
+    val counts = SnapshotDiff.diffCounts(v1, v2, "id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L), counts.toString)
+  }
+
+  test("incremental dedup finds batch near-dups of the index from signatures alone") {
+    import graft.operators.IncrementalDedup
+    val mk = (i: Long, t: String) => (i, t)
+    val index = IncrementalDedup.minhashIndex(
+      Seq(mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        mk(2L, "one two three four five six seven eight nine ten"),
+        mk(3L, "wholly unrelated content words nothing shared here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", numPerm = 16, numBands = 4)
+    val batch = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      mk(11L, "one two three four five six seven eight nine"),  // near-dup of 2
+      mk(12L, "completely fresh never indexed material")).toDF("doc_id", "text")
+    val hits = IncrementalDedup.lookup(index, batch, "doc_id", "text",
+        numPerm = 16, numBands = 4, minEstBp = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byBatch = hits.groupBy(_._1)
+    assert(byBatch(10L).toSeq == Seq((10L, 1L, 16L, 10000L)), hits.toSeq) // all perms match
+    assert(byBatch.get(11L).forall(_.forall(_._2 == 2L)), hits.toSeq)
+    assert(!byBatch.contains(12L), hits.toSeq)
+    // incremental growth: the batch's own index unions in for the next increment
+    val index2 = index.unionByName(IncrementalDedup.minhashIndex(
+      batch, "doc_id", "text", numPerm = 16, numBands = 4))
+    val next = Seq(mk(20L, "completely fresh never indexed material")).toDF("doc_id", "text")
+    val hits2 = IncrementalDedup.lookup(index2, next, "doc_id", "text",
+      numPerm = 16, numBands = 4, minEstBp = 5000L).collect()
+    assert(hits2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((20L, 12L)))
+  }
+
   test("vocabulary counts term and doc frequencies") {
     val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabularyWithDocFreq(df, "doc_id", "text")
