@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Spark extensions entry point: launch with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` and every
+  * session created on the cluster has the graft SQL functions
+  * ([[GraftFunctions.all]]) — no code change in the client, SQL-only
+  * clients included. Zero-arg class instantiated by Spark from the
+  * conf; [[GraftFunctions.register]] is the post-hoc route for
+  * sessions that already exist. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(extensions.injectFunction)
+}

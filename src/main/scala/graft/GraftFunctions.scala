@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.md5
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{SimHash64, TextFns, VectorFns}
+import graft.operators.TextAnalysis
+
+/** graft's column helpers as SQL functions, so `spark.sql("SELECT
+  * graft_langid(text) ...")` works anywhere the library's jar does —
+  * including pure-SQL clients (JDBC/Thrift, PySpark `spark.sql`) that
+  * never touch the Scala Column API. Two registration routes, same
+  * descriptions:
+  *
+  *   - at session creation: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *     (every new session gets the functions; the cluster deployment)
+  *   - post-hoc on a live session: [[register]] (session-scoped)
+  *
+  * Each builder delegates to the SAME Column helper the DataFrame API
+  * uses — one implementation, two surfaces — so every function keeps
+  * its codegen kernel and its oracle/spec coverage.
+  */
+object GraftFunctions {
+
+  type Description = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def toCol(e: Expression): Column = ColumnBridge.column(e)
+  // analyzableExpression, NOT expression: a builder's return value must
+  // be a real Catalyst tree the analyzer can finish resolving — the
+  // opaque ColumnNodeExpression wrapper never resolves on this path
+  private def toExpr(c: Column): Expression = ColumnBridge.analyzableExpression(c)
+
+  private def describe(name: String, usage: String,
+                       builder: Seq[Expression] => Expression): Description =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, null, name, usage, ""), builder)
+
+  private def unary(name: String, usage: String)(f: Column => Column): Description =
+    describe(name, usage, { args =>
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+      toExpr(f(toCol(args.head)))
+    })
+
+  private def binary(name: String, usage: String)(f: (Column, Column) => Column): Description =
+    describe(name, usage, { args =>
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+      toExpr(f(toCol(args(0)), toCol(args(1))))
+    })
+
+  /** 64-bit SimHash of text via the portable md5 word hashes — the same
+    * formulation [[graft.operators.Dedup.simhashPairs]] runs with
+    * [[TextFns.portableWordHashes]]. */
+  def simhash64(text: Column): Column =
+    toCol(SimHash64(toExpr(TextFns.portableWordHashes(text))))
+
+  /** md5 of the normalized text ([[TextAnalysis.fingerprints]]' fp_norm). */
+  def fingerprint(text: Column): Column =
+    md5(TextFns.normalize(text).cast("binary"))
+
+  val all: Seq[Description] = Seq(
+    unary("graft_normalize", "whitespace-normalized, lowercased text")(TextFns.normalize),
+    unary("graft_fingerprint", "md5 of the normalized text")(fingerprint),
+    unary("graft_ws_tokens", "whitespace token count (spaces + 1)")(TextFns.wsTokenCount),
+    unary("graft_langid", "predicted language code, 'und' when unknown")(TextAnalysis.langId),
+    unary("graft_simhash64", "64-bit SimHash over portable md5 word hashes")(simhash64),
+    binary("graft_dot", "double-precision dot product of two array columns")(VectorFns.dot),
+    binary("graft_cosine", "cosine similarity of two array columns, null for zero vectors")(VectorFns.cosine),
+    describe("graft_word_shingles",
+      "distinct word n-gram shingles of text; n literal, default 3", { args =>
+        val n = args match {
+          case Seq(_) => 3
+          case Seq(_, Literal(v: Int, IntegerType)) => v
+          case Seq(_, other) => throw new IllegalArgumentException(
+            s"graft_word_shingles: n must be an integer literal, got $other")
+          case _ => throw new IllegalArgumentException(
+            s"graft_word_shingles expects 1-2 arguments, got ${args.length}")
+        }
+        toExpr(TextFns.wordShingles(toCol(args.head), n))
+      }),
+  )
+
+  /** Registers every function on an existing session (session-scoped;
+    * idempotent — re-registration replaces). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      ColumnBridge.registerFunction(spark, ident, info, builder)
+    }
+}

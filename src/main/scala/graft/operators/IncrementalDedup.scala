@@ -51,17 +51,47 @@ object IncrementalDedup {
     * (batch doc, index doc) candidate pair — banded on the SAME
     * (numPerm, numBands) as the index — whose estimated Jaccard
     * (matching permutations / numPerm, basis points) reaches
-    * `minEstBp`. Columns: (id_batch, id_index, matches, est_bp). */
+    * `minEstBp`. Columns: (id_batch, id_index, matches, est_bp).
+    *
+    * A pair sharing k bands comes out of the join k times; instead of a
+    * `dropDuplicates` (a second shuffle, and unbounded state under
+    * streaming) each copy decides row-locally whether it is the
+    * canonical one — the set of agreeing bands is a pure function of
+    * the two signatures it already carries, so only the row joined on
+    * the FIRST agreeing band survives. The whole lookup is one
+    * stateless equi-join shuffle, which is what lets [[lookupStream]]
+    * run it unchanged inside a micro-batch. */
   def lookup(index: DataFrame, batch: DataFrame, idCol: String,
              textCol: String, numPerm: Int, numBands: Int,
-             minEstBp: Long, shingleN: Int = 3): DataFrame = {
-    val banded = minhashIndex(batch, idCol, textCol, numPerm, numBands, shingleN)
-    val cand = banded.as("b").join(index.as("i"),
+             minEstBp: Long, shingleN: Int = 3): DataFrame =
+    lookupPlan(index, minhashIndex(batch, idCol, textCol, numPerm, numBands, shingleN),
+      numPerm, numBands, minEstBp)
+
+  /** Streaming twin of [[lookup]]: `stream` is a streaming frame of
+    * (id, text); the result streams one alert row per near-dup of the
+    * static index, append-mode, NO stateful operator — signature and
+    * banding are map-only, the stream-static band join re-probes the
+    * index per micro-batch, and pair dedup is the row-local
+    * first-agreeing-band rule. The in-flight gate that keeps an
+    * already-ingested document from entering the corpus twice. */
+  def lookupStream(index: DataFrame, stream: DataFrame, idCol: String,
+                   textCol: String, numPerm: Int, numBands: Int,
+                   minEstBp: Long, shingleN: Int = 3): DataFrame =
+    lookupPlan(index, minhashIndex(stream, idCol, textCol, numPerm, numBands, shingleN),
+      numPerm, numBands, minEstBp)
+
+  private def lookupPlan(index: DataFrame, batchBanded: DataFrame,
+                         numPerm: Int, numBands: Int, minEstBp: Long): DataFrame = {
+    val r = numPerm / numBands
+    def bandKey(sig: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      slice(sig, b * r + 1, lit(r))
+    batchBanded.as("b").join(index.as("i"),
         col("b.band") === col("i.band") && col("b.key") === col("i.key"))
       .select(col("b.id").as("id_batch"), col("i.id").as("id_index"),
-        col("b.sig").as("sig_b"), col("i.sig").as("sig_i"))
-      .dropDuplicates("id_batch", "id_index")
-    cand
+        col("b.band").as("band"), col("b.sig").as("sig_b"), col("i.sig").as("sig_i"))
+      .filter(col("band") === element_at(
+        filter(sequence(lit(0), lit(numBands - 1)),
+          b => bandKey(col("sig_b"), b) === bandKey(col("sig_i"), b)), 1))
       .withColumn("matches",
         aggregate(zip_with(col("sig_b"), col("sig_i"),
             (x, y) => when(x === y, 1L).otherwise(0L)),

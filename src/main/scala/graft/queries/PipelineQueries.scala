@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.GraftFunctions
 import graft.functions.{TextFns, VectorFns}
 import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
 import QueryDef.table
@@ -1248,9 +1249,12 @@ object PipelineQueries {
          OR (lang = 'zh' AND rk <= 10)
       ORDER BY lang, doc_id"""))
 
-  private lazy val langidOracle: String = {
-    // replicate TextAnalysis.langId: per-lang marker-word occurrence sums,
-    // argmax with profile-order tie-break, 'und' when all zero.
+  /** CTE prefix replaying TextAnalysis.langId in SQL — per-lang
+    * marker-word occurrence sums, argmax with profile-order tie-break,
+    * 'und' when all zero — yielding table `p(<carryCols>, predicted)`.
+    * `carryCols` are passed through from `documents` for the caller's
+    * aggregation. */
+  private def langidPredictedCtes(carryCols: String): String = {
     def occ(w: String): String =
       s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
     def score(ws: Seq[String]): String = ws.map(occ).mkString(" + ")
@@ -1260,20 +1264,46 @@ object PipelineQueries {
     val s_es = score(Seq("el", "la", "los", "y", "es"))
     s"""
       WITH s AS (
-        SELECT lang, ($s_en) AS s_en, ($s_de) AS s_de, ($s_fr) AS s_fr, ($s_es) AS s_es, 0 AS s_zh
+        SELECT $carryCols, ($s_en) AS s_en, ($s_de) AS s_de, ($s_fr) AS s_fr, ($s_es) AS s_es, 0 AS s_zh
         FROM documents),
       p AS (
-        SELECT lang,
+        SELECT $carryCols,
                CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
                     WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
                     ELSE 'zh' END AS predicted
-        FROM s)
+        FROM s)"""
+  }
+
+  private lazy val langidOracle: String =
+    langidPredictedCtes("lang") + """
       SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
       FROM p GROUP BY lang, predicted ORDER BY lang, predicted"""
-  }
+
+  // 57. the SQL-function surface end-to-end: the same query a pure-SQL
+  // client would run after `spark.sql.extensions=graft.GraftExtensions`
+  // (here registered post-hoc — same descriptions, see GraftFunctions).
+  // Exercises graft_langid / graft_ws_tokens / graft_fingerprint
+  // through SQL text, oracle-replayed like their Column twins.
+  val qSqlApi = QueryDef("q_sql_api",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""
+        SELECT source, graft_langid(text) AS predicted,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(graft_ws_tokens(text) AS BIGINT)) AS BIGINT) AS sum_tokens,
+               CAST(count(DISTINCT graft_fingerprint(text)) AS BIGINT) AS distinct_fp
+        FROM graft_docs
+        GROUP BY source, predicted ORDER BY source, predicted""")
+    },
+    Some(langidPredictedCtes("source, text") + """
+      SELECT source, predicted, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+             CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS distinct_fp
+      FROM p GROUP BY source, predicted ORDER BY source, predicted"""))
 
   // 58. physical layout: bucketed writes + the shuffle-free co-located
   // join they buy. Both sides are written bucketed on the join key
@@ -1325,6 +1355,6 @@ object PipelineQueries {
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
-    qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample,
+    qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
   )
 }

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridges graft's custom Catalyst expressions into the public Column
@@ -12,6 +13,42 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Converts a Column into a REAL Catalyst expression tree (lazy
+    * `Unresolved*` nodes included), not [[expression]]'s opaque
+    * `ColumnNodeExpression` wrapper. The wrapper only resolves on the
+    * classic Dataset path; an expression RETURNED from a SQL
+    * FunctionBuilder never goes through that conversion and dies
+    * unevaluable at codegen — builders must return this form, which
+    * the analyzer's normal fixpoint then resolves. */
+  def analyzableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Registers a SQL function on an EXISTING session's function
+    * registry (session-scoped, replaces on re-register) — the post-hoc
+    * twin of `SparkSessionExtensions.injectFunction`, for sessions the
+    * library did not create (notebooks, the driver's Verify session). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       ident: FunctionIdentifier, info: ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  /** A NEW session on the same SparkContext with `configure` applied
+    * through `SparkSessionExtensions.registerFunctions` — the SAME
+    * entry point `BaseSessionStateBuilder` invokes for
+    * `spark.sql.extensions` classes at session creation. Lets specs
+    * exercise the extensions deployment path while another session is
+    * active (Builder.getOrCreate would return that one and silently
+    * skip the extensions; the classic SparkSession constructor taking
+    * extensions is fully private). */
+  def sessionWithExtensions(base: org.apache.spark.sql.SparkSession,
+                            configure: SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession = {
+    val ext = new SparkSessionExtensions
+    configure(ext)
+    val session = base.newSession()
+    ext.registerFunctions(session.sessionState.functionRegistry)
+    session
+  }
 
   /** The catalog's OWN default location for a managed table — correct
     * for qualified and unqualified names alike (warehouse/<name> vs

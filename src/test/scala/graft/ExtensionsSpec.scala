@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.TextAnalysis
+
+/** The SQL-function surface: both registration routes (extensions at
+  * session creation, post-hoc registry) expose the SAME descriptions,
+  * and every SQL function equals its Column-API twin — including the
+  * null / empty / multibyte edges the kernels are spec'd on. */
+class ExtensionsSpec extends SparkSpec {
+
+  private def docs(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      (1L, "the cat of the hat is a cat"),
+      (2L, "der hund und die katze ist da"),
+      (3L, null: String),
+      (4L, ""),
+      (5L, "的 是 了"),
+      (6L, "  MIXED   Case\tand   spaces  ")).toDF("id", "text")
+  }
+
+  test("extensions-constructed session has every function (the spark.sql.extensions path)") {
+    val s2 = ColumnBridge.sessionWithExtensions(spark, new GraftExtensions()(_))
+    docs(s2).createOrReplaceTempView("ext_docs")
+    val got = s2.sql(
+      "SELECT id, graft_langid(text) p FROM ext_docs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "und",
+      5L -> "zh", 6L -> "und"), got.toString)
+    // usage metadata landed in the catalog too
+    assert(s2.sql("DESCRIBE FUNCTION graft_langid").collect()
+      .exists(_.getString(0).contains("graft_langid")))
+    // ...and nothing leaked into a plain session on the same context
+    val bare = spark.newSession()
+    docs(bare).createOrReplaceTempView("bare_docs")
+    intercept[AnalysisException] {
+      bare.sql("SELECT graft_langid(text) FROM bare_docs").collect()
+    }
+  }
+
+  test("post-hoc register(): every SQL function equals its Column-API twin") {
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val d = docs(s2)
+    d.createOrReplaceTempView("reg_docs")
+    val viaSql = s2.sql("""
+      SELECT id, graft_normalize(text) n, graft_fingerprint(text) fp,
+             CAST(graft_ws_tokens(text) AS BIGINT) t, graft_langid(text) l,
+             graft_simhash64(text) sh,
+             graft_word_shingles(text) s3, graft_word_shingles(text, 2) s2
+      FROM reg_docs ORDER BY id""").collect()
+    val viaCols = d.select(col("id"),
+        TextFns.normalize(col("text")).as("n"),
+        GraftFunctions.fingerprint(col("text")).as("fp"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("t"),
+        TextAnalysis.langId(col("text")).as("l"),
+        GraftFunctions.simhash64(col("text")).as("sh"),
+        TextFns.wordShingles(col("text"), 3).as("s3"),
+        TextFns.wordShingles(col("text"), 2).as("s2"))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq == viaCols.toSeq)
+
+    // vector functions on array columns
+    import s2.implicits._
+    val vecs = Seq((1L, Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 1.0)),
+      (2L, Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0))).toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("reg_vecs")
+    val vSql = s2.sql(
+      "SELECT id, graft_dot(a, b) d, graft_cosine(a, b) c FROM reg_vecs ORDER BY id")
+      .collect()
+    val vCols = vecs.select(col("id"), VectorFns.dot(col("a"), col("b")).as("d"),
+        VectorFns.cosine(col("a"), col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(vSql.toSeq == vCols.toSeq)
+    assert(vSql(0) == Row(1L, 4.0, 4.0 / (3.0 * math.sqrt(5.0))))
+    assert(vSql(1).isNullAt(2)) // zero vector → null cosine
+
+    // registration is session-scoped and idempotent
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT graft_ws_tokens('a b c')").head.getInt(0) == 3)
+  }
+
+  test("bad arguments fail analysis loudly") {
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val e1 = intercept[Exception](s2.sql("SELECT graft_langid('a', 'b')").collect())
+    assert(e1.getMessage.contains("graft_langid"), e1.getMessage)
+    val e2 = intercept[Exception](
+      s2.sql("SELECT graft_word_shingles('a b c', 'x')").collect())
+    assert(e2.getMessage.contains("graft_word_shingles"), e2.getMessage)
+  }
+}

@@ -289,6 +289,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup gates micro-batches against the static index, stateless") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.IncrementalDedup
+    val indexDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val index = IncrementalDedup.minhashIndex(indexDocs, "doc_id", "text", 16, 4)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = IncrementalDedup.lookupStream(index, stream, "doc_id", "text",
+        numPerm = 16, numBands = 4, minEstBp = 5000L)
+      .writeStream.format("memory").queryName("inc_dedup_t").outputMode("append").start()
+    try {
+      mem.addData((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "totally novel content never indexed anywhere"))
+      q.processAllAvailable()
+      mem.addData((12L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((10L, 1L, 16L, 10000L), (12L, 2L, 16L, 10000L)), got)
+      // exactly the batch lookup's answer over the same docs
+      val batchDocs = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "totally novel content never indexed anywhere"),
+        (12L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+      val batch = IncrementalDedup.lookup(index, batchDocs, "doc_id", "text",
+          numPerm = 16, numBands = 4, minEstBp = 5000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch == got, batch)
+      // STATELESS: the pair-dedup is the row-local first-agreeing-band
+      // rule, not a dropDuplicates — no state-store operator exists, so
+      // this gate needs no watermark and holds no memory across batches
+      assert(StreamMonitor.stateStoreHealth(q).collect()
+        .forall(h => h.num_rows_total == 0L), "expected no state rows")
+    } finally q.stop()
+  }
+
   test("streaming freshness: silent key times out stale and drops state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
