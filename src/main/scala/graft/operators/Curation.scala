@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-curation operators that close the loop from dedup/quality
+  * SIGNALS to the transforms a training-data pipeline actually ships:
+  * pick one representative per duplicate cluster (by quality, not just
+  * min id), measure cross-document repeated-span coverage (the
+  * substring-level dedup signal of Lee et al., "Deduplicating Training
+  * Data Makes Language Models Better", ACL 2022), redact PII in place,
+  * and run an ordered quality filter chain with first-failing-rule
+  * attribution (the Gopher/RefinedWeb rule-cascade reporting shape).
+  *
+  * Scale notes are per operator; nothing here introduces a pairwise
+  * stage — every plan is linear in corpus size (aggregations + equi-
+  * joins on content keys), so each survives the 100 TB corpus the
+  * near-dup operators are already built for.
+  */
+object Curation {
+
+  /** One representative per near-duplicate cluster, chosen by SCORE
+    * (ties → smaller id). [[DedupGroups.dropGroupDuplicates]] keeps the
+    * min-id doc; production pipelines keep the BEST doc of each cluster
+    * — longest, highest quality score, most recent — and this operator
+    * is that keep-policy. Returns one row per cluster:
+    * (component, group_size, keep_id, keep_score).
+    *
+    * Plan: connected components over the pair list (see
+    * [[DedupGroups.connectedComponents]] for the scale story), one join
+    * to attach scores, then ONE aggregation — the argmax is a
+    * `max(struct(score, -id))`, which partial-aggregates map-side, so
+    * the shuffle carries one row per cluster, not per member. Docs in
+    * no pair form no cluster and are implicitly kept ([[keepBest]]
+    * materializes that corpus view).
+    */
+  def selectRepresentatives(docs: DataFrame, idCol: String, score: Column,
+                            pairs: DataFrame, aCol: String = "id_a",
+                            bCol: String = "id_b"): DataFrame = {
+    val comps = DedupGroups.connectedComponents(pairs, aCol, bCol)
+    comps.join(docs.select(col(idCol).as("id"), score.cast("long").as("__score")), "id")
+      .groupBy("component")
+      .agg(
+        count(lit(1)).cast("long").as("group_size"),
+        max(struct(col("__score").as("s"), (-col("id")).as("nid"))).as("__best"))
+      .select(col("component"), col("group_size"),
+        (-col("__best.nid")).cast("long").as("keep_id"),
+        col("__best.s").as("keep_score"))
+  }
+
+  /** The deduplicated corpus under the same keep-policy: every doc that
+    * is its cluster's representative, plus every doc in no cluster. */
+  def keepBest(docs: DataFrame, idCol: String, score: Column,
+               pairs: DataFrame, aCol: String = "id_a",
+               bCol: String = "id_b"): DataFrame = {
+    val comps = DedupGroups.connectedComponents(pairs, aCol, bCol)
+    val reps = selectRepresentatives(docs, idCol, score, pairs, aCol, bCol)
+    val drop = comps.join(reps.select(col("keep_id").as("id")), Seq("id"), "left_anti")
+    docs.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Cross-document repeated-span coverage: for each doc, the fraction
+    * of its words covered by a word `k`-gram that also occurs in at
+    * least `minDocs` distinct documents — the span-level dedup signal
+    * (suffix-array substring dedup reduced to fixed-k fingerprints).
+    * Output per doc: (id, n_words, dup_grams, covered_words, cov_bp).
+    *
+    * Plan (all linear, no pair stage): one map-only shingling with
+    * positions, one gram-frequency aggregation (map-side combined; the
+    * shuffle carries distinct grams), one equi-join back on gram, one
+    * per-doc window to union overlapping [pos, pos+k) intervals
+    * (sorted-starts sweep: each gram contributes
+    * `min(k, next_start − start)`, the last `min(k, n_words − start)`),
+    * one final aggregation. Unlike pair generation, a gram shared by
+    * millions of docs costs those docs one row each — popular grams
+    * cannot go quadratic, so no stop-gram guard is needed here.
+    */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1, minDocs >= 2")
+    val sh = docs.select(col(idCol).as("id"),
+      TextFns.wsTokenCount(col(textCol)).cast("long").as("n_words"),
+      posexplode(graft.functions.WordShinglesExpr(
+        TextFns.words(col(textCol)), k, distinct = false)).as(Seq("pos", "gram")))
+    val dupGrams = sh.groupBy("gram")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gram")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val covered = sh.join(dupGrams, "gram")
+      .withColumn("__contrib",
+        least(lit(k.toLong),
+          coalesce(lead("pos", 1).over(byDoc).cast("long"), col("n_words")) - col("pos")))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("dup_grams"),
+        sum("__contrib").cast("long").as("covered_words"))
+    docs.select(col(idCol).as("id"),
+        TextFns.wsTokenCount(col(textCol)).cast("long").as("n_words"))
+      .join(covered, Seq("id"), "left")
+      .na.fill(0L, Seq("dup_grams", "covered_words"))
+      .withColumn("cov_bp",
+        (col("covered_words") * 10000L / greatest(col("n_words"), lit(1L))).cast("long"))
+  }
+
+  /** Redaction token per PII class, applied in [[TextAnalysis.piiPatterns]]
+    * order (order is part of the contract: a digit run consumed by the
+    * phone pattern is no longer there for the digit-run pattern). */
+  val redactionTokens: Map[String, String] = Map(
+    "emails" -> "<EMAIL>", "phones" -> "<PHONE>", "ssns" -> "<SSN>",
+    "ipv4s" -> "<IP>", "long_digit_runs" -> "<NUM>")
+
+  /** The redacted text: every PII indicator replaced by its class
+    * token, patterns applied in declaration order. Pure codegen'd
+    * Column (a regexp_replace chain) — the map-only transform the
+    * [[TextAnalysis.piiScan]] flag feeds in a compliance scrub. */
+  def redact(text: Column): Column =
+    TextAnalysis.piiPatterns.foldLeft(text) { case (t, (name, re)) =>
+      regexp_replace(t, re, redactionTokens(name))
+    }
+
+  /** One ordered rule of a curation filter chain: `passes` is the keep
+    * predicate; a doc's `first_fail` is the name of the FIRST rule it
+    * fails (evaluation order = chain order), "pass" when it fails none. */
+  final case class FilterRule(name: String, passes: Column)
+
+  /** Applies an ordered filter chain, adding `first_fail` (name of the
+    * first failing rule, "pass" otherwise) and `keep`. Rules compose as
+    * one nested CASE — a single map-only projection regardless of chain
+    * length, so the whole cascade rides one corpus scan; the per-rule
+    * attribution is what a curation report aggregates (how many docs
+    * each rule rejected, counting each doc once). */
+  def filterChain(df: DataFrame, rules: Seq[FilterRule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val firstFail = rules.foldRight(lit("pass")) { case (r, acc) =>
+      when(!r.passes, lit(r.name)).otherwise(acc)
+    }
+    df.withColumn("first_fail", firstFail)
+      .withColumn("keep", col("first_fail") === "pass")
+  }
+}

@@ -1349,6 +1349,243 @@ object PipelineQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1 ORDER BY 1"""))
 
+  // 60. canonical-representative selection per near-dup cluster: the
+  // keep-policy dedup (keep the LONGEST doc of each jaccard>=0.2
+  // cluster, ties -> min id) over the same shared pair list as
+  // q_dedup_groups. The oracle replays the recursive-CTE connected
+  // components, then the same argmax per component.
+  val qDedupCanonical = QueryDef("q_dedup_canonical",
+    (s, dir) => {
+      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.Curation.selectRepresentatives(
+          table(s, dir, "documents"), "doc_id", col("n_chars"), pairs)
+        .orderBy("component")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      ),
+      comp AS (SELECT s AS id, min(d) AS component FROM reach GROUP BY s),
+      j AS (SELECT c.component, c.id, d.n_chars
+            FROM comp c JOIN documents d ON c.id = d.doc_id),
+      r AS (SELECT component, id, n_chars,
+                   count(*) OVER (PARTITION BY component) gs,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, id) rn
+            FROM j)
+      SELECT CAST(component AS BIGINT) AS component, CAST(gs AS BIGINT) AS group_size,
+             CAST(id AS BIGINT) AS keep_id, CAST(n_chars AS BIGINT) AS keep_score
+      FROM r WHERE rn = 1 ORDER BY component"""))
+
+  // 61. cross-doc repeated-span coverage (fixed-k substring-dedup
+  // signal): fraction of each doc's words covered by an 8-gram that
+  // also occurs in another doc. The oracle replays the shingling
+  // (incl. the one-truncated-shingle short-doc convention), the
+  // doc-frequency filter, and the sorted-starts interval-union sweep.
+  val qSpanDedup = QueryDef("q_span_dedup",
+    (s, dir) => {
+      graft.operators.Curation.spanCoverage(
+          table(s, dir, "documents"), "doc_id", "text", k = 8, minDocs = 2)
+        .orderBy(col("cov_bp").desc, col("id"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      g0 AS (SELECT doc_id, len(ws) nw, ws,
+                    unnest(generate_series(1, greatest(len(ws) - 7, 1))) gg
+             FROM w),
+      g AS (SELECT doc_id, nw, gg - 1 pos,
+                   array_to_string(ws[gg:gg+7], ' ') gram
+            FROM g0),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT g.doc_id, g.nw, g.pos,
+                   lead(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) nxt
+            FROM g JOIN dup USING (gram)),
+      cov AS (SELECT doc_id, count(*) dup_grams,
+                     sum(least(8, coalesce(nxt, nw) - pos)) covered
+              FROM d GROUP BY 1),
+      base AS (SELECT doc_id, len(string_split(text, ' ')) nw FROM documents)
+      SELECT CAST(b.doc_id AS BIGINT) AS id, CAST(b.nw AS BIGINT) AS n_words,
+             CAST(coalesce(c.dup_grams, 0) AS BIGINT) AS dup_grams,
+             CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_words,
+             CAST(coalesce(c.covered, 0) * 10000 // greatest(b.nw, 1) AS BIGINT) AS cov_bp
+      FROM base b LEFT JOIN cov c USING (doc_id)
+      ORDER BY cov_bp DESC, id LIMIT 20"""))
+
+  // 53b. PII REDACTION — the transform the q_text_pii flag feeds: every
+  // indicator replaced by its class token, patterns applied in
+  // declaration order (shared verbatim with the scan; the oracle nests
+  // the same regexp_replace chain). Fixture docs plant every class;
+  // only changed docs are returned, so the hash check covers the exact
+  // redacted text.
+  val qTextRedact = QueryDef("q_text_redact",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      docs.withColumn("redacted", graft.operators.Curation.redact(col("text")))
+        .filter(col("redacted") =!= col("text"))
+        .select(col("doc_id"), col("redacted"),
+          (length(col("text")) - length(col("redacted"))).cast(LongType).as("chars_delta"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val red = graft.operators.TextAnalysis.piiPatterns.foldLeft("text") {
+        case (e, (nm, re)) =>
+          s"regexp_replace($e, '$re', '${graft.operators.Curation.redactionTokens(nm)}', 'g')"
+      }
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      r AS (SELECT doc_id, text, $red AS redacted FROM docs)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, redacted,
+             CAST(length(text) - length(redacted) AS BIGINT) AS chars_delta
+      FROM r WHERE redacted != text ORDER BY doc_id"""
+    })
+
+  // 62. ordered curation filter chain with first-failing-rule
+  // attribution (the Gopher/RefinedWeb rule-cascade report): six rules
+  // over one corpus scan, aggregated to (first_fail, n_docs). Fixtures
+  // included so the pii rule has a non-empty bucket. Every rule formula
+  // is one already oracle-proven elsewhere on the board (quality
+  // features, 3-gram repetition, pii counts).
+  val qFilterChain = QueryDef("q_filter_chain",
+    (s, dir) => {
+      import graft.operators.Curation.FilterRule
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      val feats = graft.operators.TextAnalysis.piiScan(
+        graft.operators.TextAnalysis.qualityFeatures(docs, "text"), "text")
+        .withColumn("__st", graft.functions.NgramStats(TextFns.words(col("text")), 3))
+        .withColumn("rep_bp",
+          ((col("__st.total_ngrams") - col("__st.distinct_ngrams")) * 10000L /
+            col("__st.total_ngrams")).cast(LongType))
+      val rules = Seq(
+        FilterRule("min_words", col("n_tokens") >= 5L),
+        FilterRule("mean_word_len", col("mean_word_len_x10").between(20L, 120L)),
+        FilterRule("alpha_ratio", col("alpha_ratio_bp") >= 5000L),
+        FilterRule("stopwords", col("stopword_hits") >= 1L),
+        FilterRule("repetition", col("rep_bp") <= 3000L),
+        FilterRule("pii", !col("has_pii")))
+      graft.operators.Curation.filterChain(feats, rules)
+        .groupBy("first_fail")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .orderBy("first_fail")
+    },
+    Some {
+      val hasPii = graft.operators.TextAnalysis.piiPatterns
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      f AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en,
+               ($hasPii) AS has_pii
+        FROM docs),
+      rep AS (
+        SELECT doc_id, len(sh) total, len(list_distinct(sh)) dist
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) sh
+              FROM docs)),
+      g AS (
+        SELECT f.doc_id, f.n_tokens,
+               CAST((f.n_chars - (f.n_tokens - 1)) * 10 // f.n_tokens AS BIGINT) AS mwl_x10,
+               f.alpha * 10000 // greatest(f.n_chars, 1) AS alpha_bp,
+               f.stop_en, f.has_pii,
+               (rep.total - rep.dist) * 10000 // rep.total AS rep_bp
+        FROM f JOIN rep USING (doc_id))
+      SELECT CASE WHEN NOT (n_tokens >= 5) THEN 'min_words'
+                  WHEN NOT (mwl_x10 BETWEEN 20 AND 120) THEN 'mean_word_len'
+                  WHEN NOT (alpha_bp >= 5000) THEN 'alpha_ratio'
+                  WHEN NOT (stop_en >= 1) THEN 'stopwords'
+                  WHEN NOT (rep_bp <= 3000) THEN 'repetition'
+                  WHEN has_pii THEN 'pii'
+                  ELSE 'pass' END AS first_fail,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1 ORDER BY 1"""
+    })
+
+  // 63. per-source corpus card (the datasheet rollup a curation run
+  // ships with): doc/token/char totals, language spread, dominant
+  // declared language (argmax, ties -> lexicographically smaller), and
+  // exact-dup pressure via distinct normalized fingerprints.
+  val qCorpusCard = QueryDef("q_corpus_card",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val perSrc = docs.groupBy("source").agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum(TextFns.wsTokenCount(col("text"))).cast(LongType).as("sum_tokens"),
+        sum(length(col("text"))).cast(LongType).as("sum_chars"),
+        countDistinct(col("lang")).cast(LongType).as("n_langs"),
+        countDistinct(md5(TextFns.normalize(col("text")).cast("binary")))
+          .cast(LongType).as("distinct_fp"))
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__c").desc, col("lang"))
+      val topLang = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(bySrc))
+        .filter(col("__rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      perSrc.join(topLang, "source")
+        .withColumn("dup_docs", (col("n_docs") - col("distinct_fp")).cast(LongType))
+        .select("source", "n_docs", "sum_tokens", "sum_chars", "n_langs",
+          "top_lang", "dup_docs")
+        .orderBy("source")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS distinct_fp
+        FROM documents GROUP BY source),
+      tl AS (
+        SELECT source, lang AS top_lang
+        FROM (SELECT source, lang,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY count(*) DESC, lang) rn
+              FROM documents GROUP BY source, lang)
+        WHERE rn = 1)
+      SELECT a.source, n_docs, sum_tokens, sum_chars, n_langs, top_lang,
+             CAST(n_docs - distinct_fp AS BIGINT) AS dup_docs
+      FROM agg a JOIN tl ON a.source = tl.source ORDER BY a.source"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -1356,5 +1593,6 @@ object PipelineQueries {
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
+    qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard,
   )
 }

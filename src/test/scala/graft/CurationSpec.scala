@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+import graft.operators.Curation.FilterRule
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two near-dup clusters with different-length members, plus a loner
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today", 70L),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 70L), // dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today yes", 74L), // longest of cluster
+    (10L, "completely different content about spark catalyst optimizer and query plans", 76L),
+    (11L, "completely different content about spark catalyst optimizer and query plans", 76L), // dup of 10
+    (20L, "a loner document with its own words entirely separate from all others", 70L),
+  ).toDF("doc_id", "text", "score")
+
+  lazy val pairs = Seq((0L, 1L), (0L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+
+  test("selectRepresentatives picks the max-score doc per cluster, min id on ties") {
+    val reps = Curation.selectRepresentatives(docs, "doc_id", col("score"), pairs)
+      .collect().map(r => (r.getAs[Long]("component"), r.getAs[Long]("group_size"),
+        r.getAs[Long]("keep_id"), r.getAs[Long]("keep_score"))).toSet
+    // cluster {0,1,2}: 2 has the highest score; cluster {10,11}: tie -> min id 10
+    assert(reps == Set((0L, 3L, 2L, 74L), (10L, 2L, 10L, 76L)))
+  }
+
+  test("keepBest keeps representatives and all unclustered docs") {
+    val kept = Curation.keepBest(docs, "doc_id", col("score"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L))
+  }
+
+  test("spanCoverage marks shared spans, clamps to doc length, skips unshared docs") {
+    val spanDocs = Seq(
+      // docs 0/1 share words 0-9 (10 words); doc 0 then diverges
+      (0L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 xa xb xc xd xe xf"),
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 ya yb yc yd ye yf"),
+      (2L, "zz zy zx zw zv zu zt zs zr zq zp zo zn zm zl zk"), // no shared 4-gram
+      (3L, "s0 s1 s2"), (4L, "s0 s1 s2"), // shorter than k, exact dups
+    ).toDF("doc_id", "text")
+    val cov = Curation.spanCoverage(spanDocs, "doc_id", "text", k = 4, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("dup_grams"),
+          r.getAs[Long]("covered_words"), r.getAs[Long]("cov_bp")))).toMap
+    // shared prefix: 4-grams at positions 0..6 are cross-doc dups ->
+    // covered interval [0, 10) = 10 words of 16
+    assert(cov(0L) == ((16L, 7L, 10L, 6250L)))
+    assert(cov(1L) == ((16L, 7L, 10L, 6250L)))
+    assert(cov(2L) == ((16L, 0L, 0L, 0L)))
+    // short doc: one truncated whole-doc shingle, covered = n_words (never > doc)
+    assert(cov(3L) == ((3L, 1L, 3L, 10000L)))
+    assert(cov(4L) == ((3L, 1L, 3L, 10000L)))
+  }
+
+  test("spanCoverage ignores within-doc repeats that no other doc shares") {
+    val selfRep = Seq(
+      (0L, "p q r s p q r s p q r s"), // internal repetition only
+      (1L, "t u v w x y z t2 u2 v2 w2 x2"),
+    ).toDF("doc_id", "text")
+    val cov = Curation.spanCoverage(selfRep, "doc_id", "text", k = 4, minDocs = 2)
+      .filter(col("dup_grams") > 0).count()
+    assert(cov == 0L)
+  }
+
+  test("redact replaces every PII class with its token and is a no-op on clean text") {
+    val out = Seq(
+      (0L, "contact alice.smith+test@example.co.uk or bob@corp.io today"),
+      (1L, "call +4915123456789 or 555-123-4567 from 10.0.0.1 card 4111111111111111"),
+      (2L, "leaked ssn 123-45-6789 in the dump"),
+      (3L, "perfectly clean text with no indicators at all"),
+    ).toDF("doc_id", "text")
+      .withColumn("redacted", Curation.redact(col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted")).toMap
+    assert(out(0L) == "contact <EMAIL> or <EMAIL> today")
+    assert(out(1L) == "call <PHONE> or <PHONE> from <IP> card <NUM>")
+    assert(out(2L) == "leaked ssn <SSN> in the dump")
+    assert(out(3L) == "perfectly clean text with no indicators at all")
+    // idempotent: tokens contain no redactable content
+    val again = Seq((0L, out(0L)), (1L, out(1L)), (2L, out(2L))).toDF("doc_id", "text")
+      .withColumn("r2", Curation.redact(col("text")))
+      .filter(col("r2") =!= col("text")).count()
+    assert(again == 0L)
+  }
+
+  test("filterChain attributes the FIRST failing rule in chain order") {
+    val df = Seq(
+      (0L, 10L, true),  // passes both
+      (1L, 2L, true),   // fails rule1
+      (2L, 2L, false),  // fails both -> rule1 wins
+      (3L, 10L, false), // fails rule2
+    ).toDF("id", "n", "flag")
+    val out = Curation.filterChain(df, Seq(
+      FilterRule("rule1", col("n") >= 5L),
+      FilterRule("rule2", col("flag"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("first_fail"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(0L) == (("pass", true)))
+    assert(out(1L) == (("rule1", false)))
+    assert(out(2L) == (("rule1", false)))
+    assert(out(3L) == (("rule2", false)))
+  }
+
+  test("selectRepresentatives agrees with dropGroupDuplicates group structure") {
+    // on the real sf0.001 corpus: representative count == cluster count,
+    // and each representative belongs to its own cluster
+    val real = spark.read.parquet(sf("documents")).select($"doc_id", $"text", $"n_chars")
+    val ps = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, minJaccardBp = 2000)
+    val comps = graft.operators.DedupGroups.connectedComponents(ps)
+    val reps = Curation.selectRepresentatives(real, "doc_id", col("n_chars"), ps)
+    assert(reps.count() == comps.select("component").distinct().count())
+    val joined = reps.join(comps, reps("keep_id") === comps("id"))
+      .filter(reps("component") =!= comps("component")).count()
+    assert(joined == 0L)
+  }
+}
