@@ -67,6 +67,8 @@ object GraftFunctions {
     unary("graft_ws_tokens", "whitespace token count (spaces + 1)")(TextFns.wsTokenCount),
     unary("graft_langid", "predicted language code, 'und' when unknown")(TextAnalysis.langId),
     unary("graft_simhash64", "64-bit SimHash over portable md5 word hashes")(simhash64),
+    unary("graft_redact", "text with PII indicators replaced by class tokens")(
+      graft.operators.Curation.redact),
     binary("graft_dot", "double-precision dot product of two array columns")(VectorFns.dot),
     binary("graft_cosine", "cosine similarity of two array columns, null for zero vectors")(VectorFns.cosine),
     describe("graft_word_shingles",

@@ -105,6 +105,31 @@ object Curation {
         (col("covered_words") * 10000L / greatest(col("n_words"), lit(1L))).cast("long"))
   }
 
+  /** Dedup-aware (group-consistent) train/val/test assignment: every
+    * member of a near-duplicate cluster lands in the SAME split — the
+    * leakage-prevention step a plain per-doc split misses (a near-copy
+    * of a training doc in the test set is contamination, not signal).
+    * The split key is the cluster's component id for clustered docs and
+    * the doc's own id otherwise; assignment is
+    * [[Sampling.portableSplit]]'s md5-prefix bucket — portable (any SQL
+    * engine replays it) AND uniform (doc ids counting up from 0 spread
+    * evenly, where a raw modulo would land them all in one split). Adds
+    * `dup_group` (nullable cluster id), `split_key`, and `split`.
+    *
+    * Plan: components over the pair list + ONE left equi-join on the
+    * doc id — the split CASE itself is map-only. */
+  def groupConsistentSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                           fractions: Seq[(String, Double)],
+                           aCol: String = "id_a", bCol: String = "id_b",
+                           seed: Int = 42): DataFrame = {
+    val comps = DedupGroups.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("component", "dup_group")
+    val keyed = docs.join(comps, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("dup_group"), col(idCol)).cast("long"))
+    Sampling.portableSplit(keyed, "split_key", fractions, seed)
+  }
+
   /** Redaction token per PII class, applied in [[TextAnalysis.piiPatterns]]
     * order (order is part of the contract: a digit run consumed by the
     * phone pattern is no longer there for the digit-run pattern). */

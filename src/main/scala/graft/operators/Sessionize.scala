@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,12 +51,11 @@ object Sessionize {
   */
 object Sampling {
 
-  /** Adds `split` from hash buckets of `keyCol`: fractions like
+  /** Shared threshold CASE over a 0..9999 bucket column: fractions like
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */
-  def hashSplit(df: DataFrame, keyCol: String,
-                fractions: Seq[(String, Double)], seed: Int = 42): DataFrame = {
+  private def splitByBucket(df: DataFrame, bucket: Column,
+                            fractions: Seq[(String, Double)]): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(10000L))
     val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }.tail
     val split = fractions.map(_._1).zip(cuts).foldRight(lit(fractions.last._1)) {
       case ((name, cut), acc) => when(bucket < cut, name).otherwise(acc)
@@ -64,19 +63,31 @@ object Sampling {
     df.withColumn("split", split)
   }
 
+  /** Adds `split` from hash buckets of `keyCol`: fractions like
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */
+  def hashSplit(df: DataFrame, keyCol: String,
+                fractions: Seq[(String, Double)], seed: Int = 42): DataFrame =
+    splitByBucket(df, pmod(xxhash64(col(keyCol), lit(seed)), lit(10000L)), fractions)
+
   /** Modulo variant (`keyCol % 10000`) — same semantics, replayable in
     * any SQL engine; use when cross-engine reproducibility matters more
     * than hash uniformity. */
   def moduloSplit(df: DataFrame, keyCol: String,
-                  fractions: Seq[(String, Double)]): DataFrame = {
-    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val bucket = pmod(col(keyCol), lit(10000L))
-    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }.tail
-    val split = fractions.map(_._1).zip(cuts).foldRight(lit(fractions.last._1)) {
-      case ((name, cut), acc) => when(bucket < cut, name).otherwise(acc)
-    }
-    df.withColumn("split", split)
-  }
+                  fractions: Seq[(String, Double)]): DataFrame =
+    splitByBucket(df, pmod(col(keyCol), lit(10000L)), fractions)
+
+  /** Portable AND uniform variant: the bucket is the first 8 hex chars
+    * of md5("<key>:<seed>") mod 10000 — the same md5 family
+    * [[mixSample]]'s rank uses, so the assignment replays identically
+    * in any engine with md5, and ids clustered in a narrow range (doc
+    * ids counting up from 0) still spread evenly where [[moduloSplit]]
+    * would put them all in one bucket. */
+  def portableSplit(df: DataFrame, keyCol: String,
+                    fractions: Seq[(String, Double)], seed: Int = 42): DataFrame =
+    splitByBucket(df,
+      pmod(conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$seed"))), 1, 8),
+        16, 10).cast("long"), lit(10000L)),
+      fractions)
 
   /** Per-stratum exact-fraction-ish sampling via per-stratum hash
     * buckets: keeps ~fraction of each `strataCol` group,

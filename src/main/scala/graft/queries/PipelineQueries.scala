@@ -1428,7 +1428,7 @@ object PipelineQueries {
       FROM base b LEFT JOIN cov c USING (doc_id)
       ORDER BY cov_bp DESC, id LIMIT 20"""))
 
-  // 53b. PII REDACTION — the transform the q_text_pii flag feeds: every
+  // 62. PII REDACTION — the transform the q_text_pii flag feeds: every
   // indicator replaced by its class token, patterns applied in
   // declaration order (shared verbatim with the scan; the oracle nests
   // the same regexp_replace chain). Fixture docs plant every class;
@@ -1463,7 +1463,7 @@ object PipelineQueries {
       FROM r WHERE redacted != text ORDER BY doc_id"""
     })
 
-  // 62. ordered curation filter chain with first-failing-rule
+  // 63. ordered curation filter chain with first-failing-rule
   // attribution (the Gopher/RefinedWeb rule-cascade report): six rules
   // over one corpus scan, aggregated to (first_fail, n_docs). Fixtures
   // included so the pii rule has a non-empty bucket. Every rule formula
@@ -1540,7 +1540,7 @@ object PipelineQueries {
       FROM g GROUP BY 1 ORDER BY 1"""
     })
 
-  // 63. per-source corpus card (the datasheet rollup a curation run
+  // 64. per-source corpus card (the datasheet rollup a curation run
   // ships with): doc/token/char totals, language spread, dominant
   // declared language (argmax, ties -> lexicographically smaller), and
   // exact-dup pressure via distinct normalized fingerprints.
@@ -1586,6 +1586,60 @@ object PipelineQueries {
              CAST(n_docs - distinct_fp AS BIGINT) AS dup_docs
       FROM agg a JOIN tl ON a.source = tl.source ORDER BY a.source"""))
 
+  // 65. dedup-aware (group-consistent) splits: every member of a
+  // near-dup cluster (same bp>=2000 pair list as q_dedup_groups) lands
+  // in the same split — the leakage-prevention step a per-doc split
+  // misses. Assignment buckets md5("<coalesce(component, doc_id)>:42")
+  // (portable AND uniform — doc ids count up from 0, so a raw modulo
+  // would land the whole corpus in 'train'); the oracle replays
+  // components, the md5 bucket, and the threshold CASE.
+  val qSplitByGroup = QueryDef("q_split_by_group",
+    (s, dir) => {
+      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.Curation.groupConsistentSplit(
+          table(s, dir, "documents"), "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          countDistinct(col("dup_group")).cast(LongType).as("clusters"),
+          sum(when(col("dup_group").isNotNull, 1L).otherwise(0L))
+            .cast(LongType).as("grouped_docs"))
+        .orderBy("split")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      ),
+      comp AS (SELECT s AS id, min(d) AS component FROM reach GROUP BY s),
+      k AS (SELECT d.doc_id, c.component,
+                   ('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 bkt
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      a AS (SELECT component,
+                   CASE WHEN bkt < 8000 THEN 'train'
+                        WHEN bkt < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM k)
+      SELECT split, CAST(count(*) AS BIGINT) AS docs,
+             CAST(count(DISTINCT component) AS BIGINT) AS clusters,
+             CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS grouped_docs
+      FROM a GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -1593,6 +1647,6 @@ object PipelineQueries {
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
-    qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard,
+    qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
   )
 }

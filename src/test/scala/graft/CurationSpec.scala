@@ -104,6 +104,44 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == (("rule2", false)))
   }
 
+  test("groupConsistentSplit keeps a split-straddling cluster in one split") {
+    val ids = (0L until 200L)
+    val sdocs = ids.toDF("doc_id").withColumn("text", lit("x"))
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // hashed buckets spread even a narrow 0..199 id range over all splits
+    // (raw modulo would put every doc in 'train')
+    val solo = Curation.groupConsistentSplit(sdocs, "doc_id", emptyPairs, fr)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(solo.values.toSet == Set("train", "val", "test"))
+    // pair doc 0 with a doc whose solo split differs: grouped, both get
+    // the COMPONENT's (min id = 0) split
+    val b = ids.find(i => solo(i) != solo(0L)).get
+    val out = Curation.groupConsistentSplit(sdocs, "doc_id",
+        Seq((0L, b)).toDF("id_a", "id_b"), fr)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), Option(r.getAs[Any]("dup_group")),
+          r.getAs[Long]("split_key")))).toMap
+    assert(out(0L) == ((solo(0L), Some(0L), 0L)))
+    assert(out(b) == ((solo(0L), Some(0L), 0L))) // moved off its solo split
+    // unclustered docs keep their solo assignment
+    val c = ids.find(i => i != 0L && i != b).get
+    assert(out(c) == ((solo(c), None, c)))
+  }
+
+  test("groupConsistentSplit never straddles a cluster on the real corpus") {
+    val real = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+    val ps = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, minJaccardBp = 2000)
+    val out = Curation.groupConsistentSplit(real, "doc_id", ps,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == real.count())
+    val straddlers = out.filter(col("dup_group").isNotNull)
+      .groupBy("dup_group")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1L).count()
+    assert(straddlers == 0L)
+  }
+
   test("selectRepresentatives agrees with dropGroupDuplicates group structure") {
     // on the real sf0.001 corpus: representative count == cluster count,
     // and each representative belongs to its own cluster

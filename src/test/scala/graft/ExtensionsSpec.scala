@@ -51,7 +51,7 @@ class ExtensionsSpec extends SparkSpec {
     val viaSql = s2.sql("""
       SELECT id, graft_normalize(text) n, graft_fingerprint(text) fp,
              CAST(graft_ws_tokens(text) AS BIGINT) t, graft_langid(text) l,
-             graft_simhash64(text) sh,
+             graft_simhash64(text) sh, graft_redact(text) red,
              graft_word_shingles(text) s3, graft_word_shingles(text, 2) s2
       FROM reg_docs ORDER BY id""").collect()
     val viaCols = d.select(col("id"),
@@ -60,6 +60,7 @@ class ExtensionsSpec extends SparkSpec {
         TextFns.wsTokenCount(col("text")).cast("long").as("t"),
         TextAnalysis.langId(col("text")).as("l"),
         GraftFunctions.simhash64(col("text")).as("sh"),
+        graft.operators.Curation.redact(col("text")).as("red"),
         TextFns.wordShingles(col("text"), 3).as("s3"),
         TextFns.wordShingles(col("text"), 2).as("s2"))
       .orderBy("id").collect()
