@@ -1,19 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: time one driver query repeatedly. `runMain graft.TimeQ q_x [n]`. */
+/** Scratch: time one driver query repeatedly. `runMain graft.TimeQ q_x [n]`.
+  * Default clears the cache between reps (every rep pays shared-frame
+  * materialization — the cold shape); `SPARK_GRAFT_TIMEQ_NOCLEAR=1`
+  * keeps caches warm between reps, matching Bench's warm runs. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 2
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val noClear = sys.env.get("SPARK_GRAFT_TIMEQ_NOCLEAR").contains("1")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to reps).foreach { i =>
-      spark.sharedState.cacheManager.clearCache()
+      if (!noClear) spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[timeq] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

@@ -98,6 +98,38 @@ object Contamination {
   }
 
   /** Eval docs whose contamination exceeds `maxBp` — the drop list. */
+  /** Pairwise corpus-overlap matrix: exact shingle-set Jaccard between
+    * every pair of `groupCol` values (sources/domains/snapshots) — the
+    * dataset-level redundancy signal that decides which feeds of a
+    * corpus are worth keeping, where [[ngramContainment]] scores
+    * individual docs. Output: (key_a, key_b, inter, uni, jacc_bp),
+    * key_a < key_b.
+    *
+    * Plan shape at 100 TB: one distinct over (group, shingle) — the
+    * per-group inverted-index key sets, map-side combined — then a
+    * self-equi-join on the shingle. Join fan-out per shingle is bounded
+    * by groups² (groups = tens), NOT documents, so a hot shingle
+    * appearing in every group costs groups²/2 rows, never a document
+    * pair explosion. */
+  def pairwiseOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("key"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("key").agg(count(lit(1)).cast("long").as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    inter
+      .join(sizes.select(col("key").as("key_a"), col("sz").as("__sa")), "key_a")
+      .join(sizes.select(col("key").as("key_b"), col("sz").as("__sb")), "key_b")
+      .withColumn("uni", (col("__sa") + col("__sb") - col("inter")).cast("long"))
+      .withColumn("jacc_bp", (col("inter") * 10000L / col("uni")).cast("long"))
+      .select("key_a", "key_b", "inter", "uni", "jacc_bp")
+  }
+
   def contaminated(train: DataFrame, eval: DataFrame,
                    idCol: String, textCol: String,
                    n: Int = 3, maxBp: Long = 5000L): DataFrame =

@@ -1640,6 +1640,33 @@ object PipelineQueries {
              CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS grouped_docs
       FROM a GROUP BY 1 ORDER BY 1"""))
 
+  // 66. pairwise corpus-overlap matrix: exact shingle-set Jaccard
+  // between every source pair — the feed-level redundancy signal
+  // (which feeds duplicate each other), vs q_contamination's per-doc
+  // scores. Join fan-out bounded by sources², never document pairs.
+  val qSourceOverlap = QueryDef("q_source_overlap",
+    (s, dir) => {
+      graft.operators.Contamination.pairwiseOverlap(
+          table(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy(col("jacc_bp").desc, col("key_a"), col("key_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT source,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT source, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.source ka, b.source kb, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT ka AS key_a, kb AS key_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jacc_bp
+      FROM p JOIN sz sa ON ka = sa.source JOIN sz sb ON kb = sb.source
+      ORDER BY jacc_bp DESC, key_a, key_b LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -1648,5 +1675,6 @@ object PipelineQueries {
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
+    qSourceOverlap,
   )
 }

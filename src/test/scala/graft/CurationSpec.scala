@@ -142,6 +142,22 @@ class CurationSpec extends SparkSpec {
     assert(straddlers == 0L)
   }
 
+  test("pairwiseOverlap computes exact per-pair shingle Jaccard between groups") {
+    val byGroup = Seq(
+      ("s1", "a b c d e"),          // shingles: {a b c, b c d, c d e}
+      ("s2", "a b c d x"),          // {a b c, b c d, c d x} -> inter 2, uni 4
+      ("s2", "a b c d e"),          // s2 adds {c d e} -> {a b c, b c d, c d x, c d e}
+      ("s3", "p q r s t"),          // disjoint from s1
+    ).toDF("source", "text")
+    val out = graft.operators.Contamination.pairwiseOverlap(byGroup, "source", "text", n = 3)
+      .collect().map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("uni"), r.getAs[Long]("jacc_bp")))).toMap
+    // s1={abc,bcd,cde}, s2={abc,bcd,cdx,cde}: inter 3, uni 4 -> 7500
+    assert(out(("s1", "s2")) == ((3L, 4L, 7500L)))
+    // s3 shares nothing -> no row (equi-join finds no common shingle)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
+
   test("selectRepresentatives agrees with dropGroupDuplicates group structure") {
     // on the real sf0.001 corpus: representative count == cluster count,
     // and each representative belongs to its own cluster
