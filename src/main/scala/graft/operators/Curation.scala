@@ -69,14 +69,21 @@ object Curation {
     * Output per doc: (id, n_words, dup_grams, covered_words, cov_bp).
     *
     * Plan (all linear, no pair stage): one map-only shingling with
-    * positions, one gram-frequency aggregation (map-side combined; the
-    * shuffle carries distinct grams), one equi-join back on gram, one
-    * per-doc window to union overlapping [pos, pos+k) intervals
-    * (sorted-starts sweep: each gram contributes
-    * `min(k, next_start − start)`, the last `min(k, n_words − start)`),
-    * one final aggregation. Unlike pair generation, a gram shared by
-    * millions of docs costs those docs one row each — popular grams
-    * cannot go quadratic, so no stop-gram guard is needed here.
+    * positions, one gram-frequency aggregation (map-side combined — the
+    * shuffle carries distinct grams, and the ≥minDocs FILTER shrinks
+    * the result to just the cross-doc grams), one equi-join of the
+    * shingled corpus against that reduced gram list, one per-doc window
+    * to union overlapping [pos, pos+k) intervals (sorted-starts sweep:
+    * each gram contributes `min(k, next_start − start)`, the last
+    * `min(k, n_words − start)`), one final aggregation. The corpus IS
+    * shingled twice (agg side + join side) — deliberately: the
+    * alternative one-pass plan (a min≠max window over the gram) forces
+    * a full SORT of every positioned shingle, measured 3× slower at
+    * sf0.1, while here the reduced dup-gram list broadcasts when small
+    * and AQE falls back to a shuffled join only when it genuinely
+    * isn't. Unlike pair generation, a gram shared by millions of docs
+    * costs those docs one row each — popular grams cannot go
+    * quadratic, so no stop-gram guard is needed.
     */
   def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, minDocs: Int = 2): DataFrame = {

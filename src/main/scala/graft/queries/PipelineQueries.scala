@@ -1401,7 +1401,7 @@ object PipelineQueries {
   val qSpanDedup = QueryDef("q_span_dedup",
     (s, dir) => {
       graft.operators.Curation.spanCoverage(
-          table(s, dir, "documents"), "doc_id", "text", k = 8, minDocs = 2)
+          table(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("cov_bp").desc, col("id"))
         .limit(20)
     },

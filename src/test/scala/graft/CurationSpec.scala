@@ -42,7 +42,7 @@ class CurationSpec extends SparkSpec {
       (2L, "zz zy zx zw zv zu zt zs zr zq zp zo zn zm zl zk"), // no shared 4-gram
       (3L, "s0 s1 s2"), (4L, "s0 s1 s2"), // shorter than k, exact dups
     ).toDF("doc_id", "text")
-    val cov = Curation.spanCoverage(spanDocs, "doc_id", "text", k = 4, minDocs = 2)
+    val cov = Curation.spanCoverage(spanDocs, "doc_id", "text", k = 4)
       .collect().map(r => r.getAs[Long]("id") ->
         ((r.getAs[Long]("n_words"), r.getAs[Long]("dup_grams"),
           r.getAs[Long]("covered_words"), r.getAs[Long]("cov_bp")))).toMap
@@ -61,7 +61,7 @@ class CurationSpec extends SparkSpec {
       (0L, "p q r s p q r s p q r s"), // internal repetition only
       (1L, "t u v w x y z t2 u2 v2 w2 x2"),
     ).toDF("doc_id", "text")
-    val cov = Curation.spanCoverage(selfRep, "doc_id", "text", k = 4, minDocs = 2)
+    val cov = Curation.spanCoverage(selfRep, "doc_id", "text", k = 4)
       .filter(col("dup_grams") > 0).count()
     assert(cov == 0L)
   }
