@@ -133,6 +133,39 @@ object Ann {
     * recovers most of the recall lost to plane-boundary splits without
     * touching the corpus side: the probe set is tiny and broadcast, so
     * exploding it `multiprobe+1`-fold is free at any corpus scale. */
+  /** Per-group embedding dispersion: how tightly each group's vectors
+    * sit around their own centroid — the corpus-level diversity/drift
+    * signal of an embedding space (a collapsing group means redundant
+    * or near-duplicate content; a drifting centroid between snapshots
+    * means distribution shift). Output per group:
+    * (group, n_vecs, mean_norm_r4, mean_cos_r4) where mean_cos_r4 is
+    * the average cosine of members to the group centroid, rounded to
+    * 4 dp (absorbs summation-order float noise, keeping the numbers
+    * engine-replayable).
+    *
+    * Plan: explode vectors to (group, id, pos, value) rows once, one
+    * aggregation for the per-(group, pos) centroid (map-side combined;
+    * groups × dim rows — broadcast-sized), one equi-join back, two
+    * nested aggregations for per-vector then per-group stats. All
+    * linear in n × dim; no pairwise work anywhere. */
+  def embeddingDispersion(df: DataFrame, groupCol: String,
+                          idCol: String, vecCol: String): DataFrame = {
+    val ex = df.select(col(groupCol).as("group"), col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = ex.groupBy("group", "pos").agg(avg("v").as("c"))
+    val perVec = ex.join(broadcast(cent), Seq("group", "pos"))
+      .groupBy("group", "id")
+      .agg(sum(col("v") * col("c")).as("__dot"),
+        sqrt(sum(col("v") * col("v"))).as("__nv"),
+        sqrt(sum(col("c") * col("c"))).as("__nc"))
+      .withColumn("__cos", col("__dot") / (col("__nv") * col("__nc")))
+    perVec.groupBy("group")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        round(avg("__nv"), 4).as("mean_norm_r4"),
+        round(avg("__cos"), 4).as("mean_cos_r4"))
+  }
+
   def lshTopK(corpus: DataFrame, probes: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 6, dim: Int = 64, multiprobe: Int = 0): DataFrame = {

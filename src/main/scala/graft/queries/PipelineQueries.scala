@@ -1667,6 +1667,36 @@ object PipelineQueries {
       FROM p JOIN sz sa ON ka = sa.source JOIN sz sb ON kb = sb.source
       ORDER BY jacc_bp DESC, key_a, key_b LIMIT 20"""))
 
+  // 67. per-label embedding dispersion: centroid tightness per group —
+  // the embedding-space diversity/drift signal (collapsing group =
+  // redundant content; centroid shift between snapshots = drift).
+  // Exploded-row formulation: one centroid aggregation + one broadcast
+  // join, all linear in n x dim; 4-dp rounding absorbs summation-order
+  // float noise so DuckDB replays the numbers exactly.
+  val qEmbedStats = QueryDef("q_embed_stats",
+    (s, dir) => {
+      graft.operators.Ann.embeddingDispersion(
+          table(s, dir, "embeddings"), "label", "vec_id", "embedding")
+        .select(col("group").cast(LongType).as("group"), col("n_vecs"),
+          col("mean_norm_r4"), col("mean_cos_r4"))
+        .orderBy("group")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label, vec_id, gg pos, embedding[gg]::DOUBLE v
+        FROM (SELECT label, vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) gg
+              FROM embeddings)),
+      cent AS (SELECT label, pos, avg(v) c FROM ex GROUP BY 1, 2),
+      pv AS (SELECT ex.label, ex.vec_id,
+                    sum(v * c) dot, sqrt(sum(v * v)) nv, sqrt(sum(c * c)) nc
+             FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+             GROUP BY 1, 2)
+      SELECT CAST(label AS BIGINT) AS "group", CAST(count(*) AS BIGINT) AS n_vecs,
+             round(avg(nv), 4) AS mean_norm_r4,
+             round(avg(dot / (nv * nc)), 4) AS mean_cos_r4
+      FROM pv GROUP BY 1 ORDER BY "group" """))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -1675,6 +1705,6 @@ object PipelineQueries {
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
-    qSourceOverlap,
+    qSourceOverlap, qEmbedStats,
   )
 }

@@ -142,6 +142,21 @@ class CurationSpec extends SparkSpec {
     assert(straddlers == 0L)
   }
 
+  test("embeddingDispersion separates tight clusters from spread ones") {
+    val vecs = Seq(
+      ("tight", 1L, Seq(1.0f, 0.0f)), ("tight", 2L, Seq(1.0f, 0.0f)),
+      ("tight", 3L, Seq(1.0f, 0.0f)),                       // identical -> cos 1
+      ("spread", 10L, Seq(1.0f, 0.0f)), ("spread", 11L, Seq(0.0f, 1.0f)), // orthogonal
+    ).toDF("label", "vec_id", "embedding")
+    val out = graft.operators.Ann.embeddingDispersion(vecs, "label", "vec_id", "embedding")
+      .collect().map(r => r.getAs[String]("group") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_norm_r4"),
+          r.getAs[Double]("mean_cos_r4")))).toMap
+    assert(out("tight") == ((3L, 1.0, 1.0)))
+    // e1 vs centroid (.5,.5): cos = .5 / sqrt(.5) = 0.7071
+    assert(out("spread") == ((2L, 1.0, 0.7071)))
+  }
+
   test("pairwiseOverlap computes exact per-pair shingle Jaccard between groups") {
     val byGroup = Seq(
       ("s1", "a b c d e"),          // shingles: {a b c, b c d, c d e}
