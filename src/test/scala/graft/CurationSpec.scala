@@ -142,6 +142,32 @@ class CurationSpec extends SparkSpec {
     assert(straddlers == 0L)
   }
 
+  test("collapsed spanCoverage equals the direct operator on a copy-heavy corpus") {
+    // real docs + exact copies + degenerate edge docs (empty/one-word/
+    // null texts, duplicated) — the same corpus shape the other
+    // collapse-equality specs pin
+    val real = spark.read.parquet(sf("documents")).limit(300)
+      .select($"doc_id", $"text")
+    val copies = real.withColumn("doc_id", $"doc_id" + 100000L)
+    val edge = Seq(
+      (800000L, ""), (800001L, ""),
+      (800002L, "one"), (800003L, "one"),
+      (800004L, null.asInstanceOf[String]), (800005L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val corpus = real.unionByName(copies).unionByName(edge)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_words", "dup_grams", "covered_words", "cov_bp")
+        .collect().map(_.toSeq).toSet
+    val direct = key(Curation.spanCoverage(corpus, "doc_id", "text", k = 8))
+    val collapsed = key(new graft.operators.CollapsedDedupPipeline(
+      corpus, "doc_id", "text").spanCoverage(k = 8))
+    assert(collapsed == direct)
+    // with copies present, every real doc is fully covered (its own
+    // copy shares every gram) — sanity that the corpus exercises the
+    // class-size term of the cross-doc test
+    assert(direct.exists(r => r(4) == 10000L))
+  }
+
   test("embeddingDispersion separates tight clusters from spread ones") {
     val vecs = Seq(
       ("tight", 1L, Seq(1.0f, 0.0f)), ("tight", 2L, Seq(1.0f, 0.0f)),
