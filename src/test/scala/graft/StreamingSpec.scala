@@ -326,6 +326,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gate: filter chain + redaction run map-only on a stream") {
+    // the in-flight ingest curation step: every rule projection and the
+    // redaction chain are stateless Column expressions, so the whole
+    // gate rides each micro-batch with zero state store rows — the same
+    // zero-state claim IncrementalDedup.lookupStream makes for dedup
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.operators.Curation.filterChain(
+        mem.toDF().toDF("doc_id", "text")
+          .withColumn("redacted", graft.operators.Curation.redact($"text"))
+          .withColumn("n_tokens", graft.functions.TextFns.wsTokenCount($"text").cast("long")),
+        Seq(graft.operators.Curation.FilterRule("min_words", $"n_tokens" >= 5L),
+          graft.operators.Curation.FilterRule("pii", $"redacted" === $"text")))
+    val query = StreamMonitor.startMemorySink(gated, "curation_gate")
+    try {
+      mem.addData(
+        (1L, "a perfectly fine document with plenty of words here"),
+        (2L, "too short"),
+        (3L, "please email alice.smith@example.com the quarterly report today"))
+      query.processAllAvailable()
+      val rows = spark.table("curation_gate")
+        .select("doc_id", "first_fail", "keep", "redacted")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("first_fail"), r.getAs[Boolean]("keep"),
+            r.getAs[String]("redacted")))).toMap
+      assert(rows(1L)._1 == "pass" && rows(1L)._2)
+      assert(rows(2L)._1 == "min_words" && !rows(2L)._2)
+      assert(rows(3L)._1 == "pii" && !rows(3L)._2)
+      assert(rows(3L)._3 == "please email <EMAIL> the quarterly report today")
+      // stateless: no state-store rows anywhere in the query
+      val health = StreamMonitor.stateStoreHealth(query).collect()
+      assert(health.isEmpty || health.forall(_.num_rows_total == 0L))
+    } finally query.stop()
+  }
+
   test("streaming freshness: silent key times out stale and drops state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
