@@ -100,6 +100,35 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("term_freq"),
         countDistinct(col("__doc")).cast("long").as("doc_freq"))
 
+  /** Boilerplate n-gram candidates per group (source/domain): the
+    * top-`topK` word n-grams by WITHIN-GROUP document frequency — the
+    * header/footer/template detector of web-corpus curation (a phrase
+    * appearing in most of one domain's pages is chrome, not content).
+    * Output: (group, gram, doc_freq, df_bp, rank) where df_bp is the
+    * fraction of the group's docs containing the gram, in basis points.
+    *
+    * Plan: distinct (group, doc, gram) explode → one (group, gram)
+    * aggregation (map-side combined) → per-group top-K window that
+    * Spark collapses into WindowGroupLimit, so each map task pre-prunes
+    * to its local top-K before the shuffle. Linear; no pairs. */
+  def boilerplateNgrams(df: DataFrame, groupCol: String, idCol: String,
+                        textCol: String, n: Int = 3, topK: Int = 3): DataFrame = {
+    val docsPerGroup = df.groupBy(col(groupCol).as("group"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+    val grams = df.select(col(groupCol).as("group"), col(idCol).as("__doc"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .groupBy("group", "gram")
+      .agg(count(lit(1)).cast("long").as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("group")
+      .orderBy(col("doc_freq").desc, col("gram"))
+    grams.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(broadcast(docsPerGroup), "group")
+      .withColumn("df_bp", (col("doc_freq") * 10000L / col("__docs")).cast("long"))
+      .select("group", "gram", "doc_freq", "df_bp", "rank")
+  }
+
   /** Intra-document repetition (the Gopher/RefinedWeb-style quality
     * rule): fraction of a doc's word n-grams that are repeats of an
     * earlier n-gram in the SAME doc. Templated/boilerplate/spun text

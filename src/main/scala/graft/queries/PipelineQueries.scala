@@ -1716,6 +1716,38 @@ object PipelineQueries {
              round(avg(dot / (nv * nc)), 4) AS mean_cos_r4
       FROM pv GROUP BY 1 ORDER BY "group" """))
 
+  // 68. per-source boilerplate n-grams: top-1 3-gram by within-source
+  // document frequency — the header/footer/template detector (a phrase
+  // in most of one domain's pages is chrome, not content). Top-1 keeps
+  // the output at one row per source; rank ties break on the gram.
+  val qBoilerplate = QueryDef("q_boilerplate",
+    (s, dir) => {
+      graft.operators.TextAnalysis.boilerplateNgrams(
+          table(s, dir, "documents"), "source", "doc_id", "text", n = 3, topK = 1)
+        .withColumnRenamed("group", "source")
+        .select(col("source"), col("gram"), col("doc_freq"),
+          col("df_bp"), col("rank").cast(LongType).as("rank"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH w AS (SELECT source, doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT source, doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) gram
+             FROM w),
+      df AS (SELECT source, gram, count(DISTINCT doc_id) doc_freq
+             FROM sh GROUP BY 1, 2),
+      nd AS (SELECT source, count(DISTINCT doc_id) docs FROM documents GROUP BY 1),
+      r AS (SELECT source, gram, doc_freq,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY doc_freq DESC, gram) rk
+            FROM df)
+      SELECT r.source, gram, CAST(doc_freq AS BIGINT) AS doc_freq,
+             CAST(doc_freq * 10000 // docs AS BIGINT) AS df_bp,
+             CAST(rk AS BIGINT) AS rank
+      FROM r JOIN nd ON r.source = nd.source
+      WHERE rk <= 1 ORDER BY r.source"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -1724,6 +1756,6 @@ object PipelineQueries {
     qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
-    qSourceOverlap, qEmbedStats, qSpanDedupCollapsed,
+    qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
   )
 }

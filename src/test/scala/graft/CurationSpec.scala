@@ -168,6 +168,23 @@ class CurationSpec extends SparkSpec {
     assert(direct.exists(r => r(4) == 10000L))
   }
 
+  test("boilerplateNgrams surfaces the template phrase of a group") {
+    val byGroup = Seq(
+      ("d1", 1L, "copyright acme corp all rights reserved unique alpha text"),
+      ("d1", 2L, "copyright acme corp all rights reserved different beta words"),
+      ("d1", 3L, "copyright acme corp something else entirely gamma here"),
+      ("d2", 10L, "no shared template in this tiny group at all"),
+    ).toDF("source", "doc_id", "text")
+    val top = graft.operators.TextAnalysis.boilerplateNgrams(
+        byGroup, "source", "doc_id", "text", n = 3, topK = 1)
+      .collect().map(r => r.getAs[String]("group") ->
+        ((r.getAs[String]("gram"), r.getAs[Long]("doc_freq"), r.getAs[Long]("df_bp")))).toMap
+    // "copyright acme corp" is in all 3 d1 docs; tie-broken alphabetically
+    // against the other df=3 candidates -> none exist beyond it at df 3... and 10000 bp
+    assert(top("d1") == (("copyright acme corp", 3L, 10000L)))
+    assert(top("d2")._2 == 1L) // every gram df 1 in a 1-doc group
+  }
+
   test("embeddingDispersion separates tight clusters from spread ones") {
     val vecs = Seq(
       ("tight", 1L, Seq(1.0f, 0.0f)), ("tight", 2L, Seq(1.0f, 0.0f)),
