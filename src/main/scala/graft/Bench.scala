@@ -73,6 +73,10 @@ object Bench {
       }
     }
 
+    // stdout uses 3 dp (1 ms): at 72 queries the 4-dp line crossed
+    // ~2 KB — the driver capture window that truncated rounds 1-5.
+    // target/bench.json keeps 4 dp.
+    def fmt3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(f: R => String): String =
       rows.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
@@ -103,11 +107,11 @@ object Bench {
     // queries: the driver's line capture truncated the previous
     // two-map (cold + warm) format five rounds running. Cold per-query
     // times live only in target/bench.json.
-    val compact = s"""{"metric":"total","value":${fmt(coldTotal)},"unit":"sec"""" +
-      s""","queries":${jmap(r => fmt(r.warmMedian))}""" +
+    val compact = s"""{"metric":"total","value":${fmt3(coldTotal)},"unit":"sec"""" +
+      s""","queries":${jmap(r => fmt3(r.warmMedian))}""" +
       s""","queries_kind":"warm_median"""" +
-      s""","cold_total":${fmt(coldTotal)}""" +
-      s""","warm_total":${fmt(warmTotal)}""" +
+      s""","cold_total":${fmt3(coldTotal)}""" +
+      s""","warm_total":${fmt3(warmTotal)}""" +
       s""","errors":{${errors.mkString(",")}}""" +
       s""","sf":"$sfDir"}"""
     val full = compact.dropRight(1) +

@@ -95,10 +95,16 @@ final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String
     * reads it twice (id_a side + id_b side) per derived operator. */
   val byRep: DataFrame = cls.byRep.persist(MEMORY_AND_DISK)
 
+  /** (rid, __text) over DISTINCT texts, persisted lazily — the
+    * collapse itself (corpus md5 + class-min join) must run once per
+    * pipeline, not once per derived operator run (simhash fingerprints
+    * and the span-coverage sweep both read it). */
+  lazy val repDocs: DataFrame = cls.repDocs.persist(MEMORY_AND_DISK)
+
   /** (id = rid, sh) over DISTINCT texts, computed and cached once —
     * shared by the jaccard and minhash derivations. Lazy: a
     * simhash-only pipeline never shingles. */
-  lazy val repShingled: DataFrame = cls.repDocs
+  lazy val repShingled: DataFrame = repDocs
     .select(col("rid").as("id"), TextFns.wordShingles(col("__text"), n).as("sh"))
     .persist(MEMORY_AND_DISK)
 
@@ -130,7 +136,7 @@ final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String
   def simhashPairs(maxHamming: Int = 3, maxBucketSize: Long = 1000L,
                    numBlocks: Int = 4, blockLoBit: Int = 0,
                    wordHashes: Column => Column = TextFns.wordHashes): DataFrame = {
-    val repSims = cls.repDocs
+    val repSims = repDocs
       .withColumn("__h", wordHashes(col("__text")))
       .select(col("rid").as("id"), graft.functions.SimHash64(col("__h")).as("sim"))
       .persist(MEMORY_AND_DISK)
@@ -167,7 +173,7 @@ final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String
     require(k >= 1 && minDocs >= 2, "need k >= 1, minDocs >= 2")
     import org.apache.spark.sql.expressions.Window
     val csize = byRep.groupBy("rid").agg(count(lit(1)).as("__cs"))
-    val sh = cls.repDocs.select(col("rid"),
+    val sh = repDocs.select(col("rid"),
       TextFns.wsTokenCount(col("__text")).cast("long").as("n_words"),
       posexplode(graft.functions.WordShinglesExpr(
         TextFns.words(col("__text")), k, distinct = false)).as(Seq("pos", "gram")))
@@ -197,5 +203,8 @@ final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String
         (col("covered_words") * 10000L / greatest(col("n_words"), lit(1L))).cast("long"))
   }
 
-  def unpersist(): Unit = { byRep.unpersist(); repShingled.unpersist(); cls.members.unpersist(); () }
+  def unpersist(): Unit = {
+    byRep.unpersist(); repDocs.unpersist(); repShingled.unpersist()
+    cls.members.unpersist(); ()
+  }
 }
