@@ -58,10 +58,12 @@ object Ann {
     * this is the classic IVF-flat layout: ~N/numCells candidates per
     * probe, recall tuned by `nprobe` and `refineIters`.
     */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              numCells: Int = 16, nprobe: Int = 2,
-              refineIters: Int = 0): DataFrame = {
+  /** The deterministic pseudo-random centroid sample described in
+    * [[ivfTopK]]'s scaladoc, shared with [[semanticDedup]]: the rows
+    * minimizing `(id mod 999983)·2654435761 mod 999983`, replayable in
+    * plain SQL. Driver-side state is numCells × dim. */
+  private def sampleCentroids(corpus: DataFrame, idCol: String,
+                              vecCol: String, numCells: Int): Seq[Seq[Double]] = {
     // (id % M) first so the product stays < 2^63 under ANSI arithmetic
     val scatter = pmod(pmod(col(idCol), lit(999983L)) * 2654435761L, lit(999983L))
     val sampled: Seq[Seq[Double]] = corpus
@@ -69,6 +71,14 @@ object Ann {
       .orderBy(scatter, col(idCol)).limit(numCells)
       .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
     require(sampled.nonEmpty, "corpus is empty")
+    sampled
+  }
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numCells: Int = 16, nprobe: Int = 2,
+              refineIters: Int = 0): DataFrame = {
+    val sampled = sampleCentroids(corpus, idCol, vecCol, numCells)
 
     // squared L2 distances to ALL centroids in one compiled loop
     // (bit-identical to the per-centroid nsq − 2·v·c + csq columns it
@@ -121,6 +131,58 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space into `numCells` Voronoi cells around
+    * the deterministic centroid sample, then inside each cell drop
+    * every vector DOMINATED by a semantic duplicate — a same-cell
+    * neighbor with cosine ≥ `tau` whose keep-priority (greater squared
+    * L2 distance to the cell centroid, ties by smaller id) beats it.
+    * Keeping the member FARTHEST from the centroid retains the cell's
+    * edge examples (SemDeDup's keep rule); the per-pair domination form
+    * makes the decision deterministic and SQL-replayable (EXISTS) with
+    * no iterative clustering. Complements [[graft.operators.Dedup]]'s
+    * `embeddingPairs`: that one lists near-identical pairs above a high
+    * cosine; this one prunes semantic redundancy inside similarity
+    * cells at much lower thresholds, where all-pairs listing would
+    * explode.
+    *
+    * Output: one row per vector — (id, cell, dc_r4 = squared distance
+    * to own centroid rounded to 4 dp, dropped).
+    *
+    * Scale: cell assignment is one compiled kernel pass
+    * ([[graft.functions.CentroidDistsExpr]]); the only shuffles are the
+    * within-cell self-join and the dominated-id distinct, both bounded
+    * by cell occupancy (~N/numCells)² pairs per cell — size numCells so
+    * cells stay ~10⁴ vectors (the IVF-flat sizing rule), never
+    * all-pairs. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, numCells: Int = 16): DataFrame = {
+    val cents = sampleCentroids(corpus, idCol, vecCol, numCells)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nsq", VectorFns.normSq(col("v")))
+      .withColumn("__d", graft.functions.CentroidDistsExpr(col("v"), col("nsq"), cents))
+      .withColumn("dc", array_min(col("__d")))
+      .withColumn("cell", array_position(col("__d"), col("dc")).cast("int"))
+      .drop("__d")
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nsq").as("nsq_a"), col("dc").as("dc_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nsq").as("nsq_b"), col("dc").as("dc_b"))
+    val dominated = a.join(b, "cell")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(VectorFns.cosineFromNorms(col("v_a"), col("v_b"),
+        col("nsq_a"), col("nsq_b")) >= tau)
+      .filter(col("dc_a") > col("dc_b") ||
+        (col("dc_a") === col("dc_b") && col("id_a") < col("id_b")))
+      .select(col("id_b").as("id")).distinct()
+    assigned
+      .join(dominated.withColumn("__dom", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        round(col("dc"), 4).as("dc_r4"),
+        coalesce(col("__dom"), lit(false)).as("dropped"))
   }
 
   /** LSH-bucketed approximate top-k: same output schema as

@@ -100,6 +100,45 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("term_freq"),
         countDistinct(col("__doc")).cast("long").as("doc_freq"))
 
+  /** Per-doc ARRIVAL NOVELTY over a pre-shingled `(id, sh)` frame (the
+    * [[DedupPipeline.shingled]] cache — one corpus shingling serves the
+    * whole dedup/novelty board): the fraction of a doc's distinct
+    * n-grams whose FIRST corpus occurrence (minimum id) is this doc.
+    * This is the per-doc form of the deduplicated-token-yield curves of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): a doc with low novelty_bp contributes almost no
+    * n-gram not already seen earlier in the corpus — the
+    * redundancy-weighting signal for sampling and curriculum ordering,
+    * softer than a dedup drop. Output: (id, n_grams, novel_grams,
+    * novelty_bp). Docs with a NULL text have no shingles and emit no
+    * row (the dedup board's convention for such docs).
+    *
+    * Plan: explode → one (gram → min id) aggregation (map-side
+    * combined; shuffle carries one row per distinct gram) → join back
+    * on gram → per-doc count/sum. Linear end-to-end: a gram shared by
+    * millions of docs costs those docs one row each. The signal is
+    * order-DEPENDENT by design (novelty is relative to what arrived
+    * before), so `id` must be the corpus arrival order. */
+  def noveltyFromShingled(shingled: DataFrame): DataFrame = {
+    val g = shingled.select(col("id"), explode(col("sh")).as("gram"))
+    val first = g.groupBy("gram").agg(min("id").as("__first"))
+    g.join(first, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L))
+          .cast("long").as("novel_grams"))
+      .withColumn("novelty_bp",
+        (col("novel_grams") * 10000L / col("n_grams")).cast("long"))
+  }
+
+  /** [[noveltyFromShingled]] from raw text — shingles the corpus
+    * itself. Prefer the shingled-frame form when a [[DedupPipeline]]
+    * is already paying for the corpus shingling. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame =
+    noveltyFromShingled(df.select(col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), n).as("sh")))
+
   /** Boilerplate n-gram candidates per group (source/domain): the
     * top-`topK` word n-grams by WITHIN-GROUP document frequency — the
     * header/footer/template detector of web-corpus curation (a phrase

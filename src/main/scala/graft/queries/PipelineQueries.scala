@@ -1748,6 +1748,75 @@ object PipelineQueries {
       FROM r JOIN nd ON r.source = nd.source
       WHERE rk <= 1 ORDER BY r.source"""))
 
+  // 69. SemDeDup-style semantic dedup: Voronoi cells around the
+  // deterministic IVF centroid sample, per-pair domination drop inside
+  // each cell (cos >= tau to a member farther from the centroid; ties
+  // by id). The oracle replays centroid selection, cell assignment,
+  // and the EXISTS domination over the same doubles — the centroid
+  // math is the q_ann_ivf-proven CentroidDistsExpr formulation.
+  // tau = 0.3 drops ~28% of the synthetic embeddings (138/500 at
+  // sf0.01), a realistic semantic-prune rate.
+  val qDedupSemantic = QueryDef("q_dedup_semantic",
+    (s, dir) => {
+      Ann.semanticDedup(table(s, dir, "embeddings"), "vec_id", "embedding",
+          tau = 0.3, numCells = 16)
+        .orderBy("id")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY scat, vec_id) cell, embedding
+        FROM (SELECT vec_id, embedding, (vec_id % 999983) * 2654435761 % 999983 scat
+              FROM embeddings ORDER BY scat, vec_id LIMIT 16)),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 2
+                 + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) d,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 2
+                   + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) ASC,
+                 c.cell ASC) rn
+        FROM embeddings e, cents c),
+      cellof AS (SELECT vec_id, embedding, cell, d FROM assign WHERE rn = 1),
+      dom AS (
+        SELECT DISTINCT b.vec_id
+        FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.vec_id != b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                   list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.3
+          AND (a.d > b.d OR (a.d = b.d AND a.vec_id < b.vec_id)))
+      SELECT c.vec_id AS id, CAST(c.cell AS BIGINT) AS cell,
+             round(c.d, 4) AS dc_r4, (dom.vec_id IS NOT NULL) AS dropped
+      FROM cellof c LEFT JOIN dom ON c.vec_id = dom.vec_id
+      ORDER BY id"""))
+
+  // 70. per-doc arrival novelty (Lee et al. 2022 yield curves, per-doc
+  // form): fraction of a doc's distinct 3-grams first seen in THIS doc
+  // (minimum doc_id across the corpus). Shares the session's one
+  // corpus shingling; the 25 most-redundant docs (lowest novelty) are
+  // the deterministic readout.
+  val qTextNovelty = QueryDef("q_text_novelty",
+    (s, dir) => {
+      TextAnalysis.noveltyFromShingled(dedupPipeline(s, dir).shingled)
+        .orderBy(col("novelty_bp").asc, col("id").asc)
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      first AS (SELECT sh, min(doc_id) fd FROM sh GROUP BY 1),
+      r AS (SELECT s.doc_id, count(*) n,
+                   sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) novel
+            FROM sh s JOIN first f USING (sh) GROUP BY 1)
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(n AS BIGINT) AS n_grams,
+             CAST(novel AS BIGINT) AS novel_grams,
+             CAST(novel * 10000 // n AS BIGINT) AS novelty_bp
+      FROM r ORDER BY novelty_bp ASC, doc_id ASC LIMIT 25"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -1757,5 +1826,6 @@ object PipelineQueries {
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
+    qDedupSemantic, qTextNovelty,
   )
 }

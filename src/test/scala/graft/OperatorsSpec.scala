@@ -371,6 +371,50 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("semantic dedup drops the centroid-closer member of each cos>=tau pair") {
+    // one cell (numCells = 1): centroid = the min-scatter id's vector =
+    // v0, so squared distances are hand-computable: d0=0, d1=1, d2=2,
+    // d3=10, d4=2. cos>=0.9 pairs: (0,1), (2,3), (2,4), (3,4).
+    // Keep-the-farthest: 1 beats 0; 3 beats 2 and 4. The (2,4) tie
+    // (d2 = d4 = 2) breaks to the smaller id: 2 dominates 4, never the
+    // reverse — so 4's drop has two witnesses and 2's only one (id 3).
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(2f, 0f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(0f, 3f)), (4L, Seq(0f, 1f)),
+    ).toDF("vec_id", "embedding")
+    val got = Ann.semanticDedup(emb, "vec_id", "embedding", tau = 0.9, numCells = 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cell"), r.getAs[Double]("dc_r4"), r.getAs[Boolean]("dropped")))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got.values.forall(_._1 == 1L)) // single cell
+    assert(got(0L)._2 == 0.0 && got(1L)._2 == 1.0 && got(3L)._2 == 10.0)
+    assert(got.filter(_._2._3).keySet == Set(0L, 2L, 4L))
+    // tau above any attainable cosine -> nothing is semantically dup
+    val none = Ann.semanticDedup(emb, "vec_id", "embedding", tau = 2.0, numCells = 1)
+    assert(none.filter(col("dropped")).count() == 0)
+  }
+
+  test("novelty: first corpus occurrence of each gram credits only the min-id doc") {
+    // doc0 introduces both its grams; doc1 is an exact dup (novelty 0);
+    // doc2 shares one gram with doc0; doc3 (null) emits no row; doc4 is
+    // all-new. Order-dependence IS the semantic: swap ids 0/1 and the
+    // credit moves.
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), (2L, "a b c x"),
+      (3L, null.asInstanceOf[String]), (4L, "q r s t u"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScores(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("novel_grams"), r.getAs[Long]("novelty_bp")))
+      .toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 10000L)),
+      1L -> ((2L, 0L, 0L)),
+      2L -> ((2L, 1L, 5000L)),
+      4L -> ((3L, 3L, 10000L))))
+  }
+
   test("language id picks marker-matched language") {
     val df = Seq(
       ("the cat and the dog of a house is here", "en"),
