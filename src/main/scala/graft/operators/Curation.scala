@@ -172,4 +172,68 @@ object Curation {
     df.withColumn("first_fail", firstFail)
       .withColumn("keep", col("first_fail") === "pass")
   }
+
+  /** End-to-end curation FUNNEL with first-drop attribution across the
+    * three standard pipeline stages, in their production order:
+    * quality rules (the [[filterChain]] cascade), exact dedup
+    * (normalized-fingerprint classes), benchmark contamination
+    * ([[Contamination.ngramContainment]] ≥ `contamBp`). A doc is
+    * charged to the FIRST stage that drops it and to no later one, so
+    * the per-stage doc counts sum exactly to the corpus — the yield
+    * report every training-data pipeline publishes (how many docs and
+    * tokens each stage cost, what survived).
+    *
+    * Stage semantics follow the order: the exact-dup stage sees only
+    * quality survivors (the canonical copy of a class is the MIN id
+    * among its surviving members — a class whose every member failed
+    * quality charges nothing to dedup), and contamination sees only
+    * docs that survived both. Output: one row per non-empty stage —
+    * (stage_idx, stage, n_docs, n_tokens), stage ∈ rule names +
+    * "exact_dup" + "contaminated" + "kept", n_tokens the whitespace
+    * token total, stage_idx the funnel position (rules 1..k, then
+    * k+1..k+3).
+    *
+    * `feats` must carry the rule predicate columns (like
+    * [[filterChain]]) plus `idCol`/`textCol`. Plan: the chain CASE and
+    * fingerprint ride the one corpus scan; dedup adds one
+    * map-side-combined (fp → min id) aggregation + an equi-join back;
+    * contamination is the containment operator's posting join over
+    * survivors only. Linear end-to-end — three aggregation/join
+    * shuffles, no pairwise stage. */
+  def funnel(feats: DataFrame, idCol: String, textCol: String,
+             rules: Seq[FilterRule],
+             benchmark: DataFrame, benchTextCol: String,
+             n: Int = 3, contamBp: Long = 5000L): DataFrame = {
+    val chained = filterChain(feats, rules)
+      .withColumn("__fp", md5(TextFns.normalize(col(textCol)).cast("binary")))
+    val canon = chained.filter(col("keep"))
+      .groupBy("__fp").agg(min(col(idCol)).as("__canon"))
+    val d = chained.join(canon, Seq("__fp"), "left")
+      .withColumn("__is_dup", col("keep") && col(idCol) =!= col("__canon"))
+    val survivors = d.filter(col("keep") && !col("__is_dup"))
+      .select(col(idCol), col(textCol))
+    val contamIds = Contamination.ngramContainment(
+        benchmark.select(col(benchTextCol).as(textCol)), survivors,
+        idCol, textCol, n)
+      .filter(col("contamination_bp") >= contamBp)
+      .select(col("id").as("__cid")).withColumn("__contam", lit(true))
+    val stage = when(!col("keep"), col("first_fail"))
+      .when(col("__is_dup"), lit("exact_dup"))
+      .when(coalesce(col("__contam"), lit(false)), lit("contaminated"))
+      .otherwise(lit("kept"))
+    val stageIdx = rules.zipWithIndex.foldRight(
+        when(col("stage") === "exact_dup", lit((rules.size + 1).toLong))
+          .when(col("stage") === "contaminated", lit((rules.size + 2).toLong))
+          .otherwise(lit((rules.size + 3).toLong))) { case ((r, i), acc) =>
+        when(col("stage") === r.name, lit((i + 1).toLong)).otherwise(acc)
+      }
+    d.join(contamIds, col(idCol) === col("__cid"), "left")
+      .withColumn("stage", stage)
+      .withColumn("__tok", TextFns.wsTokenCount(col(textCol)).cast("long"))
+      .groupBy("stage")
+      .agg(min(stageIdx).as("stage_idx"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("__tok").cast("long").as("n_tokens"))
+      .select(col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens"))
+  }
 }

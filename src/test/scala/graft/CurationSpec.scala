@@ -228,4 +228,38 @@ class CurationSpec extends SparkSpec {
       .filter(reps("component") =!= comps("component")).count()
     assert(joined == 0L)
   }
+
+  test("funnel charges each doc to its FIRST dropping stage, counts summing to the corpus") {
+    // one doc per stage, plus the two canonical-selection semantics:
+    // (a) an exact-dup class member is charged to dedup only if a
+    //     same-class member SURVIVED quality (ids 1/2: 1 kept, 2 dup);
+    // (b) the uppercase twin (id 3) shares id 1's normalized
+    //     fingerprint but fails `stopwords` on its RAW text — charged
+    //     to the quality rule, never to dedup.
+    val corpus = Seq(
+      (0L, "tiny"),                                         // min_words
+      (1L, "the cat and the dog sat on a mat today"),       // kept (canonical)
+      (2L, "the cat and the dog sat on a mat today"),       // exact_dup of 1
+      (3L, "THE CAT AND THE DOG SAT ON A MAT TODAY"),       // stopwords (raw-text markers)
+      (4L, "a fish or the bird flew over the lake"),        // contaminated (in benchmark)
+      (5L, "numbers one two three and four or five"),       // kept
+    ).toDF("doc_id", "text")
+    val bench = Seq("a fish or the bird flew over the lake near a tree").toDF("text")
+    val feats = graft.operators.TextAnalysis.qualityFeatures(corpus, "text")
+    val rules = Seq(
+      FilterRule("min_words", col("n_tokens") >= 5L),
+      FilterRule("stopwords", col("stopword_hits") >= 1L))
+    val got = Curation.funnel(feats, "doc_id", "text", rules, bench, "text",
+        n = 3, contamBp = 5000L)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("stage_idx"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(got == Map(
+      "min_words" -> ((1L, 1L, 1L)),
+      "stopwords" -> ((2L, 1L, 10L)),
+      "exact_dup" -> ((3L, 1L, 10L)),
+      "contaminated" -> ((4L, 1L, 9L)),
+      "kept" -> ((5L, 2L, 18L))))
+    assert(got.values.map(_._2).sum == corpus.count())
+  }
 }
