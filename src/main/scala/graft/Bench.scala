@@ -107,10 +107,12 @@ object Bench {
     // queries: the driver's line capture truncated the previous
     // two-map (cold + warm) format five rounds running. Cold per-query
     // times live only in target/bench.json.
+    // "value" IS the cold total; the per-query map holds warm medians
+    // (the between-rounds comparison unit). No queries_kind/cold_total
+    // duplicates: at 75 queries every redundant key costs line budget
+    // against the driver's ~2.2 KB capture window.
     val compact = s"""{"metric":"total","value":${fmt3(coldTotal)},"unit":"sec"""" +
       s""","queries":${jmap(r => fmt3(r.warmMedian))}""" +
-      s""","queries_kind":"warm_median"""" +
-      s""","cold_total":${fmt3(coldTotal)}""" +
       s""","warm_total":${fmt3(warmTotal)}""" +
       s""","errors":{${errors.mkString(",")}}""" +
       s""","sf":"$sfDir"}"""

@@ -204,17 +204,35 @@ object Curation {
              rules: Seq[FilterRule],
              benchmark: DataFrame, benchTextCol: String,
              n: Int = 3, contamBp: Long = 5000L): DataFrame = {
+    // ONE evaluation of the (typically expensive — regex scans, n-gram
+    // kernels) rule features, projected NARROW before anything fans
+    // out: the canonical-id window shuffles only (id, fp, flags,
+    // tokens), never the text, and the rule expressions run in exactly
+    // one corpus pass.
     val chained = filterChain(feats, rules)
-      .withColumn("__fp", md5(TextFns.normalize(col(textCol)).cast("binary")))
-    val canon = chained.filter(col("keep"))
-      .groupBy("__fp").agg(min(col(idCol)).as("__canon"))
-    val d = chained.join(canon, Seq("__fp"), "left")
-      .withColumn("__is_dup", col("keep") && col(idCol) =!= col("__canon"))
-    val survivors = d.filter(col("keep") && !col("__is_dup"))
-      .select(col(idCol), col(textCol))
+      .select(col(idCol).as("__id"), col("first_fail"), col("keep"),
+        md5(TextFns.normalize(col(textCol)).cast("binary")).as("__fp"),
+        TextFns.wsTokenCount(col(textCol)).cast("long").as("__tok"))
+    // canonical copy = min SURVIVING id of the fingerprint class, as a
+    // window over the class — no second feature evaluation, no join
+    // back. NULL-text docs (null fingerprint) are never exact-dups of
+    // each other: null keys don't match an equi-join, and any SQL
+    // replay of this operator does the dedup stage with one.
+    val wfp = Window.partitionBy("__fp")
+    val d = chained
+      .withColumn("__canon", min(when(col("keep"), col("__id"))).over(wfp))
+      .withColumn("__is_dup",
+        col("keep") && col("__fp").isNotNull && col("__id") =!= col("__canon"))
+    // containment runs over ALL docs from a (id, text)-pruned branch —
+    // the rule features never evaluate here, and the stage CASE below
+    // charges 'contaminated' only to docs that survived the earlier
+    // stages, so the extra rows change no output. (On a corpus where
+    // earlier stages drop most docs, a survivors-only eval side would
+    // shingle less at the price of re-evaluating every rule feature —
+    // measured on this board, the one-pass shape wins.)
     val contamIds = Contamination.ngramContainment(
-        benchmark.select(col(benchTextCol).as(textCol)), survivors,
-        idCol, textCol, n)
+        benchmark.select(col(benchTextCol).as(textCol)),
+        feats.select(col(idCol), col(textCol)), idCol, textCol, n)
       .filter(col("contamination_bp") >= contamBp)
       .select(col("id").as("__cid")).withColumn("__contam", lit(true))
     val stage = when(!col("keep"), col("first_fail"))
@@ -227,9 +245,8 @@ object Curation {
           .otherwise(lit((rules.size + 3).toLong))) { case ((r, i), acc) =>
         when(col("stage") === r.name, lit((i + 1).toLong)).otherwise(acc)
       }
-    d.join(contamIds, col(idCol) === col("__cid"), "left")
+    d.join(contamIds, col("__id") === col("__cid"), "left")
       .withColumn("stage", stage)
-      .withColumn("__tok", TextFns.wsTokenCount(col(textCol)).cast("long"))
       .groupBy("stage")
       .agg(min(stageIdx).as("stage_idx"),
         count(lit(1)).cast("long").as("n_docs"),
