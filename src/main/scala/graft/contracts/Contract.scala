@@ -55,6 +55,24 @@ final case class QualityChecks(
     customChecks: Seq[CustomCheck] = Nil,
     mlChecks: Option[MlChecks] = None,
     trend: Option[TrendCheck] = None,
+    vector: Seq[VectorCheck] = Nil,
+)
+
+/** Embedding-column quality — the ML-data extension of the reference's
+  * quality surface for `array<float|double>` fields (an embedding store
+  * is a table like any other; its failure modes are just different):
+  * dimensionality (declared `dim`, else uniformity), non-finite
+  * entries, L2 norm bounds, and degenerate all-zero vectors. Rates are
+  * row fractions in [0, 1], compared exactly in ppm like completeness.
+  * NULL rows are the nullability/completeness checks' concern and are
+  * excluded from every vector metric. */
+final case class VectorCheck(
+    field: String,
+    dim: Option[Int] = None,
+    minNorm: Option[Double] = None,
+    maxNorm: Option[Double] = None,
+    maxNanRate: Double = 0.0,
+    maxZeroRate: Double = 0.0,
 )
 
 /** Non-null ratio of each field must be >= threshold (0..1). */

@@ -45,6 +45,8 @@ final case class ContractBuilder(
                   severity: Option[String] = None): ContractBuilder =
     copy(qc = qc.copy(customChecks = qc.customChecks :+ CustomCheck(name, definition, severity)))
   def mlChecks(ml: MlChecks): ContractBuilder = copy(qc = qc.copy(mlChecks = Some(ml)))
+  def vectorCheck(v: VectorCheck): ContractBuilder =
+    copy(qc = qc.copy(vector = qc.vector :+ v))
   def sla(s: Sla): ContractBuilder = copy(slaV = Some(s))
 
   def build: Contract = Contract(

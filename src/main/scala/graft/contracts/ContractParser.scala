@@ -134,6 +134,18 @@ object ContractParser {
           .getOrElse(Map.empty),
       )
     },
+    vector = m.get("vector").filter(_ != null)
+      .map(asList(_, "vector").map { v =>
+        val c = asMap(v, "vector")
+        VectorCheck(
+          field = str(c, "field"),
+          dim = c.get("dim").filter(_ != null).map(x => String.valueOf(x).toInt),
+          minNorm = dblOpt(c, "min_norm"),
+          maxNorm = dblOpt(c, "max_norm"),
+          maxNanRate = dblOpt(c, "max_nan_rate").getOrElse(0.0),
+          maxZeroRate = dblOpt(c, "max_zero_rate").getOrElse(0.0),
+        )
+      }).getOrElse(Nil),
   )
 
   private def parseMl(m: M): MlChecks = MlChecks(

@@ -680,11 +680,70 @@ object ContractQueries {
              'error' AS severity
       FROM a"""))
 
+  // 72. embedding-column contract checks (quality_checks.vector): the
+  // REAL validator path (Part.Vector of the fused scan) over the
+  // embeddings table plus three fixture vectors planting each failure
+  // mode — wrong dimensionality, all-zero, a NaN entry. The oracle
+  // recomputes every metric with DuckDB list functions over the same
+  // doubles (the norm path is the q_ann_ivf-proven
+  // list_dot_product ≡ ArrayDotProduct identity).
+  val qVectorContract = QueryDef("q_vector_contract",
+    (s, dir) => {
+      import graft.validators.ContractValidator
+      val fixtures = s.createDataFrame(Seq(
+        (9000L, Seq(1f, 2f)),
+        (9001L, Seq.fill(64)(0f)),
+        (9002L, Float.NaN +: Seq.fill(63)(0.5f)),
+      )).toDF("vec_id", "embedding")
+      val vecs = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .unionByName(fixtures)
+      val contract = ContractBuilder("embeddings_v1", "graft")
+        .field(FieldBuilder("embedding", "array<float>"))
+        .vectorCheck(VectorCheck("embedding", dim = Some(64),
+          minNorm = Some(0.9), maxNorm = Some(1.1)))
+        .build
+      new ContractValidator().validate(vecs, contract,
+          Set(ContractValidator.Part.Vector))
+        .select(col("check"), col("field"), col("passed"), col("metric"))
+        .orderBy("check")
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT embedding FROM embeddings
+        UNION ALL SELECT [1.0::FLOAT, 2.0::FLOAT]
+        UNION ALL SELECT list_transform(generate_series(1, 64), x -> 0.0::FLOAT)
+        UNION ALL SELECT list_transform(generate_series(1, 64),
+                                        x -> CASE WHEN x = 1 THEN 'nan'::FLOAT
+                                                  ELSE 0.5::FLOAT END)),
+      m AS (
+        SELECT count(embedding) AS nn,
+               sum(CASE WHEN len(embedding) != 64 THEN 1 ELSE 0 END) AS bad_dim,
+               sum(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+                        THEN 1 ELSE 0 END) AS nan_rows,
+               sum(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+                        THEN 1 ELSE 0 END) AS zero_rows,
+               sum(CASE WHEN NOT isnan(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                         AND (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) < 0.9
+                              OR sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 1.1)
+                        THEN 1 ELSE 0 END) AS bad_norm
+        FROM vecs)
+      SELECT * FROM (
+        SELECT 'vector_dim' AS "check", 'embedding' AS field,
+               bad_dim = 0 AS passed, CAST(bad_dim AS DOUBLE) AS metric FROM m
+        UNION ALL SELECT 'vector_nan', 'embedding', nan_rows * 1000000 <= 0 * nn,
+               CAST(nan_rows AS DOUBLE) / nn FROM m
+        UNION ALL SELECT 'vector_norm', 'embedding', bad_norm = 0,
+               CAST(bad_norm AS DOUBLE) FROM m
+        UNION ALL SELECT 'vector_zero', 'embedding', zero_rows * 1000000 <= 0 * nn,
+               CAST(zero_rows AS DOUBLE) / nn FROM m
+      ) ORDER BY "check""""))
+
   val all: Seq[QueryDef] = Seq(
     qStreamQuality, qStreamTrend, qEnforce,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
     qMlTargetLeakage, qMlNullRateByGroup, qCatalogDrift, qIncrementalUnique,
+    qVectorContract,
   )
 }

@@ -163,6 +163,76 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
         format_string(s"lag %ds (max ${fr.maxDelay})", coalesce(lagSec, lit(0L))))
     }
 
+    // embedding-column quality (VectorCheck) — rides the SAME fused
+    // scan: every metric is a conditional aggregate over the array
+    // column (size / exists-NaN / dot-product norm, the norm via the
+    // codegen ArrayDotProduct kernel). NULL rows belong to
+    // nullability/completeness and are excluded here.
+    if (parts(Part.Vector)) qc.toSeq.flatMap(_.vector).foreach { vc =>
+      if (!live(vc.field)) {
+        // declared on a missing column: loud fail, not a vacuous pass
+        outs += result(lit("vector_dim"), lit(vc.field), lit(false), lit(-1d),
+          lit(s"column '${vc.field}' not found"))
+      } else df.schema(vc.field).dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          val v = col(vc.field)
+          val nonNull = slot(count(v))
+          def nonNullC = col(nonNull)
+          def rate(bad: Column): Column =
+            when(nonNullC === 0L, 0d)
+              .otherwise(bad.cast(DoubleType) / nonNullC.cast(DoubleType))
+          vc.dim match {
+            case Some(d) =>
+              val bad = slot(sum(when(v.isNotNull && size(v) =!= d, 1L).otherwise(0L)))
+              outs += result(lit("vector_dim"), lit(vc.field),
+                coalesce(col(bad), lit(0L)) === 0,
+                coalesce(col(bad), lit(0L)).cast(DoubleType),
+                format_string(s"%d row(s) with dim != $d", coalesce(col(bad), lit(0L))))
+            case None =>
+              val dims = slot(countDistinct(when(v.isNotNull, size(v))))
+              outs += result(lit("vector_dim"), lit(vc.field), col(dims) <= 1,
+                col(dims).cast(DoubleType),
+                format_string("%d distinct dimensionalities", col(dims)))
+          }
+          val nanPpm = math.round(vc.maxNanRate * 1000000L)
+          val nan = slot(sum(when(v.isNotNull && exists(v, x => isnan(x)), 1L)
+            .otherwise(0L)))
+          outs += result(lit("vector_nan"), lit(vc.field),
+            coalesce(col(nan), lit(0L)) * 1000000L <= lit(nanPpm) * nonNullC,
+            rate(coalesce(col(nan), lit(0L))),
+            format_string(s"%d row(s) with NaN entries (max rate ${vc.maxNanRate})",
+              coalesce(col(nan), lit(0L))))
+          val zeroPpm = math.round(vc.maxZeroRate * 1000000L)
+          val normSq = graft.functions.VectorFns.normSq(v)
+          val zero = slot(sum(when(v.isNotNull && normSq === 0d, 1L).otherwise(0L)))
+          outs += result(lit("vector_zero"), lit(vc.field),
+            coalesce(col(zero), lit(0L)) * 1000000L <= lit(zeroPpm) * nonNullC,
+            rate(coalesce(col(zero), lit(0L))),
+            format_string(s"%d all-zero vector(s) (max rate ${vc.maxZeroRate})",
+              coalesce(col(zero), lit(0L))))
+          if (vc.minNorm.isDefined || vc.maxNorm.isDefined) {
+            val norm = sqrt(normSq)
+            val below = vc.minNorm.map(b => norm < b).getOrElse(lit(false))
+            val above = vc.maxNorm.map(b => norm > b).getOrElse(lit(false))
+            val bad = slot(sum(when(v.isNotNull && !isnan(norm) && (below || above),
+              1L).otherwise(0L)))
+            val lo = slot(min(when(v.isNotNull && !isnan(norm), norm)))
+            val hi = slot(max(when(v.isNotNull && !isnan(norm), norm)))
+            outs += result(lit("vector_norm"), lit(vc.field),
+              coalesce(col(bad), lit(0L)) === 0,
+              coalesce(col(bad), lit(0L)).cast(DoubleType),
+              format_string(
+                s"%d norm(s) outside [${vc.minNorm.getOrElse("-inf")}, " +
+                  s"${vc.maxNorm.getOrElse("inf")}], observed [%s, %s]",
+                coalesce(col(bad), lit(0L)), col(lo), col(hi)))
+          }
+        case other =>
+          outs += result(lit("vector_dim"), lit(vc.field), lit(false), lit(-1d),
+            lit(s"column '${vc.field}' is ${other.simpleString}, " +
+              "vector checks need array<float|double>"))
+      }
+    }
+
     if (outs.isEmpty) Nil
     else {
       val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
@@ -287,10 +357,11 @@ object ContractValidator {
     case object Freshness extends Part
     case object Custom extends Part
     case object Ml extends Part
+    case object Vector extends Part        // embedding-column quality
     val All: Set[Part] =
-      Set(Schema, Constraints, Completeness, Uniqueness, Freshness, Custom, Ml)
+      Set(Schema, Constraints, Completeness, Uniqueness, Freshness, Custom, Ml, Vector)
     val SchemaOnly: Set[Part] = Set(Schema)
-    val QualityOnly: Set[Part] = Set(Completeness, Uniqueness, Freshness)
+    val QualityOnly: Set[Part] = Set(Completeness, Uniqueness, Freshness, Vector)
     val FreshnessOnly: Set[Part] = Set(Freshness)
     val CustomOnly: Set[Part] = Set(Custom)
     val MlOnly: Set[Part] = Set(Ml)

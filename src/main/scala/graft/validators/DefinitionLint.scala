@@ -123,6 +123,19 @@ object DefinitionLint {
             n.groupField +: n.checkFields)
         }
       }
+      qc.vector.foreach { v =>
+        checkFieldsExist("quality_checks.vector", Seq(v.field))
+        v.dim.filter(_ < 1).foreach(d =>
+          issue(s"quality_checks.vector.${v.field}.dim", s"$d must be >= 1"))
+        Seq("max_nan_rate" -> v.maxNanRate, "max_zero_rate" -> v.maxZeroRate)
+          .foreach { case (n, r) =>
+            if (r < 0 || r > 1)
+              issue(s"quality_checks.vector.${v.field}.$n", s"$r not in [0, 1]")
+          }
+        for (lo <- v.minNorm; hi <- v.maxNorm; if lo > hi)
+          issue(s"quality_checks.vector.${v.field}.min_norm",
+            s"$lo > max_norm $hi")
+      }
       qc.trend.foreach { t =>
         if (t.windowDuration.trim.isEmpty)
           issue("quality_checks.trend.window_duration", "must not be empty")

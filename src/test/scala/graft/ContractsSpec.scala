@@ -62,6 +62,12 @@ class ContractsSpec extends SparkSpec {
       |      current_split: test
       |      feature_fields: [value]
       |      num_bins: 5
+      |  vector:
+      |    - field: emb
+      |      dim: 64
+      |      min_norm: 0.5
+      |      max_norm: 2.0
+      |      max_nan_rate: 0.01
       |sla:
       |  availability: 0.999
       |  response_time: 100ms
@@ -81,6 +87,8 @@ class ContractsSpec extends SparkSpec {
     assert(qc.customChecks.head.severity.contains("warning"))
     assert(qc.mlChecks.get.classBalance.get.maxProportion == 0.9)
     assert(qc.mlChecks.get.featureDrift.get.numBins.contains(5))
+    assert(qc.vector == Seq(VectorCheck("emb", dim = Some(64),
+      minNorm = Some(0.5), maxNorm = Some(2.0), maxNanRate = 0.01)))
     assert(c.sla.get.availability.contains(0.999))
   }
 

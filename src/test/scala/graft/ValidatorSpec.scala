@@ -99,6 +99,49 @@ class ValidatorSpec extends SparkSpec {
     assert(r(("uniqueness", "id")).metric == 1d)
   }
 
+  test("vector checks: dim, NaN, zero, norm bounds — one fused scan, nulls excluded") {
+    val vecs = Seq(
+      (1L, Seq(0.6f, 0.8f)),               // norm 1.0 — clean
+      (2L, Seq(3f, 4f)),                   // norm 5.0 — out of [0.5, 2]
+      (3L, Seq(0f, 0f)),                   // zero (and norm 0 < 0.5)
+      (4L, Seq(Float.NaN, 1f)),            // NaN (excluded from norm)
+      (5L, Seq(1f, 0f, 0f)),               // wrong dim
+      (6L, null.asInstanceOf[Seq[Float]]), // null row — not a vector metric
+    ).toDF("id", "v")
+    val c = ContractBuilder("vt", "o")
+      .vectorCheck(VectorCheck("v", dim = Some(2),
+        minNorm = Some(0.5), maxNorm = Some(2.0),
+        maxNanRate = 0.5, maxZeroRate = 0.0))
+      .build
+    val r = results(new ContractValidator().validate(vecs, c,
+      Set(ContractValidator.Part.Vector)))
+    assert(r(("vector_dim", "v")).passed == false &&
+      r(("vector_dim", "v")).metric == 1d)
+    // 1 NaN row of 5 non-null = 0.2 <= declared 0.5 → PASSES with rate
+    assert(r(("vector_nan", "v")).passed && r(("vector_nan", "v")).metric == 0.2)
+    assert(r(("vector_zero", "v")).passed == false &&
+      r(("vector_zero", "v")).metric == 0.2)
+    // finite norms: 1.0, 5.0, 0.0, 1.0 (dim-3 row included; NaN row not)
+    assert(r(("vector_norm", "v")).passed == false &&
+      r(("vector_norm", "v")).metric == 2d)
+
+    // no declared dim → uniformity mode: {2, 3} = 2 distinct dims
+    val cu = ContractBuilder("vt", "o").vectorCheck(VectorCheck("v")).build
+    val ru = results(new ContractValidator().validate(vecs, cu,
+      Set(ContractValidator.Part.Vector)))
+    assert(ru(("vector_dim", "v")).passed == false &&
+      ru(("vector_dim", "v")).metric == 2d)
+
+    // missing column and non-array column fail loudly, never vacuously
+    val cm = ContractBuilder("vt", "o")
+      .vectorCheck(VectorCheck("nope")).vectorCheck(VectorCheck("id")).build
+    val rm = results(new ContractValidator().validate(vecs, cm,
+      Set(ContractValidator.Part.Vector)))
+    assert(rm(("vector_dim", "nope")).passed == false)
+    assert(rm(("vector_dim", "id")).passed == false &&
+      rm(("vector_dim", "id")).detail.contains("array<float|double>"))
+  }
+
   test("definition lint catches static contract mistakes") {
     import graft.validators.DefinitionLint
     val bad = Contract(version = "1", name = "x", owner = "o",
@@ -117,8 +160,14 @@ class ValidatorSpec extends SparkSpec {
         customChecks = Seq(CustomCheck("c", "not sql at all", Some("fatal"))),
         trend = Some(TrendCheck("", maxChangeRatio = -1,
           metrics = Seq("rows"), perMetric = Map("nulls_x" -> 0.0))),
+        vector = Seq(VectorCheck("missing_v", dim = Some(0),
+          minNorm = Some(5.0), maxNorm = Some(1.0), maxNanRate = 2.0)),
       )))
     val paths = DefinitionLint.lint(bad).map(_.path)
+    assert(paths.contains("quality_checks.vector"))
+    assert(paths.contains("quality_checks.vector.missing_v.dim"))
+    assert(paths.contains("quality_checks.vector.missing_v.max_nan_rate"))
+    assert(paths.contains("quality_checks.vector.missing_v.min_norm"))
     assert(paths.contains("quality_checks.trend.window_duration"))
     assert(paths.contains("quality_checks.trend.max_change_ratio"))
     assert(paths.count(_ == "quality_checks.trend.per_metric.nulls_x") == 2) // <=0 AND unmonitored
