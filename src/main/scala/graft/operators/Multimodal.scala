@@ -76,6 +76,47 @@ object Multimodal {
     ))
   }
 
+  /** Block-level binary dedup: fixed-size aligned content blocks,
+    * fingerprinted across payloads — the storage-dedup / partial-copy
+    * signal for multimodal columns (a byte-identical file under a
+    * different id shares every block; a truncated or tail-appended
+    * copy shares its head blocks). Output one row per non-empty
+    * payload: (id, n_blocks, shared_blocks, dedup_bp), where a block
+    * position counts as shared when its CONTENT appears in ≥ 2
+    * distinct docs at any position.
+    *
+    * Blocks are hashed over the HEX encoding (2 chars/byte,
+    * block-aligned — identity on hex == identity on bytes), the same
+    * cross-engine form as [[withMeta]]'s content_sha. Fixed-size
+    * blocks, not content-defined chunking: CDC survives insertions but
+    * needs a sequential rolling hash no declarative engine replays;
+    * aligned blocks catch the re-container / truncation / append cases
+    * and keep the operator one explode + two aggregations. Plan:
+    * map-only block explode (⌈len/blockSize⌉ rows per payload), one
+    * (block-hash → distinct docs) map-side-combined aggregation, join
+    * back, per-doc aggregation. Linear; shuffle rows = total blocks. */
+  def blockDedup(df: DataFrame, idCol: String, binCol: String,
+                 blockSize: Int = 64): DataFrame = {
+    require(blockSize >= 1, "blockSize must be >= 1")
+    val hexLen = blockSize * 2
+    val blocks = df
+      .select(col(idCol).as("id"), hex(col(binCol)).as("__hx"))
+      .filter(col("__hx").isNotNull && length(col("__hx")) > 0)
+      .withColumn("__i", explode(sequence(lit(1L),
+        ceil(length(col("__hx")).cast("double") / hexLen).cast("long"))))
+      .select(col("id"),
+        md5(substr(col("__hx"), (col("__i") - 1L) * hexLen + 1L, lit(hexLen.toLong))
+          .cast("binary")).as("__bh"))
+    val docsPerBlock = blocks.select("id", "__bh").distinct()
+      .groupBy("__bh").agg(count(lit(1)).as("__nd"))
+    blocks.join(docsPerBlock, "__bh")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("long").as("shared_blocks"))
+      .withColumn("dedup_bp",
+        (col("shared_blocks") * 10000L / col("n_blocks")).cast("long"))
+  }
+
   final case class MediaMeta(format: String, width: Int, height: Int, bitDepth: Int,
                              channels: Int, sampleRate: Int, nFrames: Int)
 

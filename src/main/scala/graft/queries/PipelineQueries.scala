@@ -1923,6 +1923,49 @@ object PipelineQueries {
       FROM staged GROUP BY 1, 2 ORDER BY 1"""
     })
 
+  // 73. block-level binary dedup: fixed-size aligned content blocks
+  // fingerprinted across payloads (storage-dedup / partial-copy
+  // signal). Fixtures: the PNG header fixture, a last-byte-corrupted
+  // copy (shares its head block only), and an exact copy (shares all).
+  // Block hashes ride the hex encoding — the same cross-engine form as
+  // q_multimodal_meta's content_sha.
+  val qMultimodalBlocks = QueryDef("q_multimodal_blocks",
+    (s, dir) => {
+      val corrupted = PngFixtureHex.dropRight(2) + "FF"
+      val fixtures = s.createDataFrame(Seq(
+        (9000L, PngFixtureHex), (9001L, corrupted), (9002L, PngFixtureHex)))
+        .toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("payload"))
+      val payloads = table(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionByName(fixtures)
+      Multimodal.blockDedup(payloads, "doc_id", "payload", blockSize = 16)
+        .orderBy("id")
+    },
+    Some {
+      val corrupted = PngFixtureHex.dropRight(2) + "FF"
+      s"""
+      WITH p AS (
+        SELECT doc_id, hex(text::BLOB) hx FROM documents WHERE doc_id < 40
+        UNION ALL SELECT * FROM (VALUES
+          (9000, '$PngFixtureHex'), (9001, '$corrupted'),
+          (9002, '$PngFixtureHex')) t(doc_id, hx)),
+      pe AS (SELECT doc_id, hx,
+                    unnest(generate_series(1, CAST(ceil(len(hx) / 32.0) AS BIGINT))) i
+             FROM p WHERE len(hx) > 0),
+      b AS (SELECT doc_id, md5(substr(hx, CAST((i - 1) * 32 + 1 AS BIGINT), 32)) bh
+            FROM pe),
+      nd AS (SELECT bh, count(DISTINCT doc_id) nd FROM b GROUP BY 1),
+      r AS (SELECT b.doc_id, count(*) nb,
+                   sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) sh
+            FROM b JOIN nd USING (bh) GROUP BY 1)
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(nb AS BIGINT) AS n_blocks,
+             CAST(sh AS BIGINT) AS shared_blocks,
+             CAST(sh * 10000 // nb AS BIGINT) AS dedup_bp
+      FROM r ORDER BY id"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -1932,6 +1975,6 @@ object PipelineQueries {
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
-    qDedupSemantic, qTextNovelty, qPipelineFunnel,
+    qDedupSemantic, qTextNovelty, qPipelineFunnel, qMultimodalBlocks,
   )
 }

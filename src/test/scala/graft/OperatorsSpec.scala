@@ -415,6 +415,25 @@ class OperatorsSpec extends SparkSpec {
       4L -> ((3L, 3L, 10000L))))
   }
 
+  test("block dedup counts aligned shared-content blocks across payloads") {
+    // a = [X|Y], b = [X|Z] (shares a's head block), c = exact copy of
+    // a (shares both), d = lone short payload (one unshared block)
+    val X = Array.fill[Byte](16)(1); val Y = Array.fill[Byte](16)(2)
+    val Z = Array.fill[Byte](16)(3); val W = Array.fill[Byte](8)(4)
+    val payloads = Seq(
+      (0L, X ++ Y), (1L, X ++ Z), (2L, X ++ Y), (3L, W),
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.blockDedup(payloads, "doc_id", "payload", blockSize = 16)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("shared_blocks"), r.getAs[Long]("dedup_bp")))
+      .toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 10000L)),
+      1L -> ((2L, 1L, 5000L)),
+      2L -> ((2L, 2L, 10000L)),
+      3L -> ((1L, 0L, 0L))))
+  }
+
   test("language id picks marker-matched language") {
     val df = Seq(
       ("the cat and the dog of a house is here", "en"),
