@@ -200,10 +200,27 @@ object Curation {
     * contamination is the containment operator's posting join over
     * survivors only. Linear end-to-end — three aggregation/join
     * shuffles, no pairwise stage. */
+  /** @param containSurvivorsOnly containment-stage eval side: `false`
+    *        (default) shingles ALL docs from an (id, text)-pruned
+    *        branch — rule features evaluate once, the right shape when
+    *        most docs survive the earlier stages; `true` semi-joins
+    *        the eval side down to quality+dedup survivors first — the
+    *        features evaluate a second time (the survivor set needs
+    *        them), but the containment join shingles only survivors.
+    *        MEASURED on the 10×-exact-copy stress corpus (dedup drops
+    *        90% of docs): the default still wins, ~2.7 vs ~3.2 s warm
+    *        — the second feature evaluation costs more than the
+    *        smaller shingle join saves, because containment fan-out is
+    *        bounded by benchmark-shingle matches either way. Flip only
+    *        when the eval side dominates end-to-end (very long docs ×
+    *        tiny survivor fraction). Output is IDENTICAL either way —
+    *        the stage CASE already restricts 'contaminated' to
+    *        survivors. */
   def funnel(feats: DataFrame, idCol: String, textCol: String,
              rules: Seq[FilterRule],
              benchmark: DataFrame, benchTextCol: String,
-             n: Int = 3, contamBp: Long = 5000L): DataFrame = {
+             n: Int = 3, contamBp: Long = 5000L,
+             containSurvivorsOnly: Boolean = false): DataFrame = {
     // ONE evaluation of the (typically expensive — regex scans, n-gram
     // kernels) rule features, projected NARROW before anything fans
     // out: the canonical-id window shuffles only (id, fp, flags,
@@ -223,16 +240,18 @@ object Curation {
       .withColumn("__canon", min(when(col("keep"), col("__id"))).over(wfp))
       .withColumn("__is_dup",
         col("keep") && col("__fp").isNotNull && col("__id") =!= col("__canon"))
-    // containment runs over ALL docs from a (id, text)-pruned branch —
-    // the rule features never evaluate here, and the stage CASE below
-    // charges 'contaminated' only to docs that survived the earlier
-    // stages, so the extra rows change no output. (On a corpus where
-    // earlier stages drop most docs, a survivors-only eval side would
-    // shingle less at the price of re-evaluating every rule feature —
-    // measured on this board, the one-pass shape wins.)
+    // containment eval side: see the containSurvivorsOnly param doc
+    // for the two shapes and when each wins.
+    val evalSide = {
+      val pruned = feats.select(col(idCol), col(textCol))
+      if (!containSurvivorsOnly) pruned
+      else pruned.join(
+        d.filter(col("keep") && !col("__is_dup")).select(col("__id").as(idCol)),
+        Seq(idCol), "left_semi")
+    }
     val contamIds = Contamination.ngramContainment(
-        benchmark.select(col(benchTextCol).as(textCol)),
-        feats.select(col(idCol), col(textCol)), idCol, textCol, n)
+        benchmark.select(col(benchTextCol).as(textCol)), evalSide,
+        idCol, textCol, n)
       .filter(col("contamination_bp") >= contamBp)
       .select(col("id").as("__cid")).withColumn("__contam", lit(true))
     val stage = when(!col("keep"), col("first_fail"))

@@ -261,5 +261,14 @@ class CurationSpec extends SparkSpec {
       "contaminated" -> ((4L, 1L, 9L)),
       "kept" -> ((5L, 2L, 18L))))
     assert(got.values.map(_._2).sum == corpus.count())
+
+    // the containment eval-side shapes are a pure physical trade-off:
+    // survivors-only must produce the identical funnel
+    val gotSurv = Curation.funnel(feats, "doc_id", "text", rules, bench, "text",
+        n = 3, contamBp = 5000L, containSurvivorsOnly = true)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("stage_idx"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(gotSurv == got)
   }
 }
