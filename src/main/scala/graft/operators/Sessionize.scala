@@ -161,4 +161,80 @@ object Sampling {
       .withColumn("bin", expr(s"__excl DIV ${budget}L")) // exact integer division
       .drop("__excl")
   }
+
+  /** Deterministic training-shard export: every row gets a contiguous
+    * GLOBAL position under the caller's total order, then
+    * `shard = pos div docsPerShard` — the last-mile step that turns a
+    * curated corpus into ordered training shards (curriculum order,
+    * quality order, plain id order).
+    *
+    * The global ordering is the two-level idiom, NEVER a global
+    * window (`row_number() OVER (ORDER BY …)` collapses the corpus
+    * into one task — the classic accidental scale-killer):
+    * range-repartition on the order key, rank WITHIN each partition
+    * (sorts run in parallel), then add per-partition offsets computed
+    * from partition sizes — a #partitions-row aggregate, broadcast
+    * back. Sampled range boundaries make the partition ASSIGNMENT
+    * nondeterministic, but the emitted positions depend only on the
+    * total order, so the output is deterministic anyway — `orderBy`
+    * must be a total order (append a unique id as the last key).
+    *
+    * Adds (`pos`, `shard`). One range shuffle + one tiny broadcast
+    * join; at any scale the driver state is #partitions rows. */
+  def exportShards(df: DataFrame, orderBy: Seq[Column],
+                   docsPerShard: Long): DataFrame =
+    exportShardsManaged(df, orderBy, docsPerShard)._1
+
+  /** As [[exportShards]], plus a cleanup handle releasing the
+    * materialized sort. Call it only AFTER the returned frame's last
+    * use. */
+  def exportShardsManaged(df: DataFrame, orderBy: Seq[Column],
+                          docsPerShard: Long): (DataFrame, () => Unit) = {
+    require(docsPerShard >= 1, "docsPerShard must be >= 1")
+    require(orderBy.nonEmpty, "need at least one order column")
+    val parts = math.max(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val ranged = df.repartitionByRange(parts, orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    val within = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(orderBy: _*)
+    // PERSIST + materialize before forking: the position join and the
+    // offsets aggregate below both consume this frame, and the range
+    // exchange is NOT reproducible across independent evaluations
+    // (sampled boundaries + AQE coalescing can partition the two
+    // branches differently, silently corrupting the offsets — observed
+    // at sf0.1). One disk-backed materialization of the sort is also
+    // what an export job wants: the manifest and the shard write then
+    // reuse it instead of re-sorting.
+    val ranked = ranged.withColumn("__rk", row_number().over(within).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count() // force now, so every consumer reads the same copy
+    // the global cumsum below runs in ONE task over #partitions rows —
+    // that IS the idiom's point: the only sequential state is sketch-
+    // sized, never the corpus
+    val offsets = ranked.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        (sum(col("__n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__pid"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)) - col("__n"))
+          .cast("long"))
+      .select("__pid", "__offset")
+    val out = ranked.join(broadcast(offsets), "__pid")
+      .withColumn("pos", col("__offset") + col("__rk") - 1L)
+      .withColumn("shard", expr(s"pos DIV ${docsPerShard}L"))
+      .drop("__pid", "__rk", "__offset")
+    (out, () => { ranked.unpersist(); () })
+  }
+
+  /** Per-shard manifest for an [[exportShards]] output: docs, token
+    * total, and the position range — what a training job reads to plan
+    * its input. One aggregation. */
+  def shardManifest(sharded: DataFrame, tokenCol: String): DataFrame =
+    sharded.groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("docs"),
+        sum(col(tokenCol)).cast("long").as("tokens"),
+        min("pos").cast("long").as("first_pos"),
+        max("pos").cast("long").as("last_pos"))
 }

@@ -1966,6 +1966,34 @@ object PipelineQueries {
       FROM r ORDER BY id"""
     })
 
+  // 74. deterministic training-shard export + manifest: global
+  // contiguous positions under a total order (longest-doc-first
+  // curriculum, ties by id) via the two-level range-partition idiom —
+  // NEVER a global single-task window — then shard = pos div N. The
+  // oracle replays the ordering with one row_number (fine at oracle
+  // scale; the operator exists precisely because that plan isn't).
+  val qExportShards = QueryDef("q_export_shards",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("__tok", TextFns.wsTokenCount(col("text")).cast(LongType))
+      val sharded = graft.operators.Sampling.exportShards(docs,
+        Seq(col("n_chars").desc, col("doc_id").asc), docsPerShard = 40L)
+      graft.operators.Sampling.shardManifest(sharded, "__tok")
+        .orderBy("shard")
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS tok,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS pos
+        FROM documents)
+      SELECT CAST(pos // 40 AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(tok) AS BIGINT) AS tokens,
+             CAST(min(pos) AS BIGINT) AS first_pos,
+             CAST(max(pos) AS BIGINT) AS last_pos
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -1976,5 +2004,6 @@ object PipelineQueries {
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qMultimodalBlocks,
+    qExportShards,
   )
 }

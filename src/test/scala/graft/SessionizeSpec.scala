@@ -146,6 +146,35 @@ class SessionizeSpec extends SparkSpec {
     assert(hits2.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((20L, 12L)))
   }
 
+  test("export shards: contiguous global positions equal the single-window reference") {
+    import org.apache.spark.sql.functions._
+    // real corpus, adversarial order key (desc + tie-broken) — the
+    // two-level range-partition positions must equal row_number() over
+    // a plain global window, and be stable across runs
+    val docs = spark.read.parquet(sf("documents"))
+    val (sharded, cleanup) = graft.operators.Sampling.exportShardsManaged(
+      docs, Seq(col("n_chars").desc, col("doc_id").asc), docsPerShard = 7L)
+    val got = sharded.select("doc_id", "pos", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    cleanup()
+    val n = docs.count()
+    assert(got.map(_._2).sorted.toSeq == (0L until n).toSeq) // contiguous, no gaps
+    val ref = docs.withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars").desc, col("doc_id").asc)) - 1L)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq == ref.toSeq)
+    assert(got.forall { case (_, p, s) => s == p / 7 })
+    // second run, same input → identical assignment
+    val (again, cleanup2) = graft.operators.Sampling.exportShardsManaged(
+      docs, Seq(col("n_chars").desc, col("doc_id").asc), docsPerShard = 7L)
+    val got2 = again.select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    cleanup2()
+    assert(got2.toSeq == got.map(t => (t._1, t._2)).toSeq)
+  }
+
   test("vocabulary counts term and doc frequencies") {
     val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabularyWithDocFreq(df, "doc_id", "text")
