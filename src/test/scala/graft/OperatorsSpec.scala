@@ -371,6 +371,71 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("semantic dedup plan is cell-equi-join; drops agree with a brute-force referee") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val sd = Ann.semanticDedup(emb, "vec_id", "embedding", tau = 0.3, numCells = 8)
+    // plan guard: the within-cell pair stage must be an equi-join on
+    // the cell id — never an all-pairs BroadcastNestedLoopJoin or a
+    // CartesianProduct (the O(n²) regressions this operator exists to
+    // avoid)
+    val plan = sd.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "semanticDedup regressed to an all-pairs join")
+    // referee: recompute cells, exact distances, and the domination
+    // rule brute-force on the driver from the RAW vectors (same
+    // deterministic centroid sample, same sequential double
+    // arithmetic) — every drop must have a same-cell dominator with
+    // cos >= tau, every keep must have none, and the emitted cell
+    // must match
+    val rows = sd.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cell"),
+      r.getAs[Boolean]("dropped")))
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(pmod(pmod(col("vec_id"), lit(999983L)) * 2654435761L, lit(999983L)),
+        col("vec_id"))
+      .limit(8).collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }; d
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    // same formula order as CentroidDistsExpr: nsq - 2*dot + csq
+    def assign(v: Array[Double]): (Int, Double) = {
+      val ds = cents.map(c => dot(v, v) - 2d * dot(v, c) + dot(c, c))
+      val m = ds.min
+      (ds.indexWhere(_ == m) + 1, m) // 1-based like array_position
+    }
+    val ref = vecs.map { case (id, v) => id -> assign(v) }
+    val byCell = ref.groupBy(_._2._1)
+    val disagreements = rows.filter { case (id, cell, dropped) =>
+      val (refCell, dc) = ref(id)
+      val dominated = byCell(refCell).exists { case (oid, (_, odc)) =>
+        oid != id && cos(vecs(oid), vecs(id)) >= 0.3 &&
+          (odc > dc || (odc == dc && oid < id))
+      }
+      cell != refCell || dominated != dropped
+    }
+    assert(disagreements.isEmpty,
+      s"${disagreements.length} cell/drop decisions disagree with brute force")
+    assert(rows.count(_._3) > 0, "tau=0.3 should drop something on real embeddings")
+  }
+
+  test("novelty invariant: every distinct corpus gram is credited exactly once") {
+    val docs = spark.read.parquet(sf("documents"))
+    val nov = TextAnalysis.noveltyScores(docs, "doc_id", "text", n = 3).collect()
+    val totalNovel = nov.map(_.getAs[Long]("novel_grams")).sum
+    val distinctGrams = docs
+      .select(explode(graft.functions.TextFns.wordShingles(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(totalNovel == distinctGrams,
+      s"novel-gram credits $totalNovel != distinct corpus grams $distinctGrams")
+    assert(nov.forall { r =>
+      val bp = r.getAs[Long]("novelty_bp"); bp >= 0L && bp <= 10000L
+    })
+  }
+
   test("semantic dedup drops the centroid-closer member of each cos>=tau pair") {
     // one cell (numCells = 1): centroid = the min-scatter id's vector =
     // v0, so squared distances are hand-computable: d0=0, d1=1, d2=2,
