@@ -29,7 +29,9 @@ object Cli {
             qc.uniqueness.map(_ => "uniqueness").toSeq ++
             qc.freshness.map(_ => "freshness").toSeq ++
             (if (qc.customChecks.nonEmpty) Seq(s"${qc.customChecks.size} custom") else Nil) ++
-            qc.mlChecks.map(_ => "ml").toSeq
+            qc.mlChecks.map(_ => "ml").toSeq ++
+            qc.trend.map(_ => "trend").toSeq ++
+            (if (qc.vector.nonEmpty) Seq(s"${qc.vector.size} vector") else Nil)
         }
         println(s"OK: contract '${c.name}' v${c.version}, ${c.schema.fields.size} field(s), " +
           s"${c.schema.fields.map(_.constraints.size).sum} constraint(s)" +

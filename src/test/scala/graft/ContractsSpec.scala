@@ -92,6 +92,42 @@ class ContractsSpec extends SparkSpec {
     assert(c.sla.get.availability.contains(0.999))
   }
 
+  test("CLI check verb reports the vector block (e2e over a contract file)") {
+    // `check` is the sessionless verb — safe to drive in-process. A
+    // lint-clean contract (vector field declared, valid types) must
+    // print OK and count the vector check.
+    val cleanYaml =
+      """version: "1.0.0"
+        |name: vec_store
+        |owner: ml
+        |schema:
+        |  format: parquet
+        |  location: /tmp/v
+        |  fields:
+        |    - name: id
+        |      type: int64
+        |      nullable: false
+        |    - name: emb
+        |      type: list<float32>
+        |quality_checks:
+        |  vector:
+        |    - field: emb
+        |      dim: 8
+        |      min_norm: 0.5
+        |      max_norm: 2.0
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_cli_vec", ".yml")
+    java.nio.file.Files.write(f, cleanYaml.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.main(Array("check", f.toString))
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("OK: contract 'vec_store'"), printed)
+    assert(printed.contains("1 vector"), printed)
+    java.nio.file.Files.delete(f)
+  }
+
   test("JSON is parsed too (YAML superset)") {
     val json = """{"version":"1","name":"n","owner":"o",
       "schema":{"format":"parquet","location":"l",
