@@ -99,7 +99,12 @@ object Bench {
     val okRows = rows.filter(_.ok)
     val coldTotal = okRows.map(_.cold).sum
     val warmTotal = okRows.map(_.warmMedian).sum
-    val errors = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
+    // stdout error messages are truncated hard (full 200-char versions
+    // live in target/bench.json): one stack-trace-bearing message would
+    // push the line past the driver's capture window exactly when a
+    // query broke — the moment visibility matters most
+    val errors = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e.take(80))))
+    val errorsFull = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
     val plans = rows.map(r => s""""${r.name}":[${r.plan._1},${r.plan._2}]""").mkString("{", ",", "}")
     System.err.println(s"""[bench-plans] $plans""")
     // stdout carries ONE per-query map (warm medians — the comparison
@@ -111,12 +116,19 @@ object Bench {
     // (the between-rounds comparison unit). No queries_kind/cold_total
     // duplicates: at 75 queries every redundant key costs line budget
     // against the driver's ~2.2 KB capture window.
-    val compact = s"""{"metric":"total","value":${fmt3(coldTotal)},"unit":"sec"""" +
-      s""","queries":${jmap(r => fmt3(r.warmMedian))}""" +
-      s""","warm_total":${fmt3(warmTotal)}""" +
-      s""","errors":{${errors.mkString(",")}}""" +
-      s""","sf":"$sfDir"}"""
-    val full = compact.dropRight(1) +
+    def line(withQueries: Boolean): String =
+      s"""{"metric":"total","value":${fmt3(coldTotal)},"unit":"sec"""" +
+        (if (withQueries) s""","queries":${jmap(r => fmt3(r.warmMedian))}""" else "") +
+        s""","warm_total":${fmt3(warmTotal)}""" +
+        s""","errors":{${errors.mkString(",")}}""" +
+        s""","sf":"$sfDir"}"""
+    // hard size valve: a valid-but-map-less line always beats a line
+    // the driver's ~2.2 KB capture truncates mid-JSON (per-query times
+    // survive in target/bench.json either way)
+    val withMap = line(withQueries = true)
+    val compact = if (withMap.length <= 2150) withMap else line(withQueries = false)
+    val full = withMap.dropRight(1) +
+      s""","errors_full":{${errorsFull.mkString(",")}}""" +
       s""","cold":${jmap(r => fmt(r.cold))}""" +
       s""","warm_runs":${jmap(r => r.warms.map(fmt).mkString("[", ",", "]"))}}"""
     try {
