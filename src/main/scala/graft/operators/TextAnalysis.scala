@@ -100,6 +100,38 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("term_freq"),
         countDistinct(col("__doc")).cast("long").as("doc_freq"))
 
+  /** Per-doc script mix: character counts per writing system (Latin,
+    * Cyrillic, CJK unified ideographs) plus digits, and the dominant
+    * script — the multilingual curation signal next to [[langId]]: a
+    * doc whose characters split across scripts is usually mojibake,
+    * spam, or boilerplate-wrapped content, and per-script corpus
+    * composition is a datasheet line. Counts are map-only
+    * `regexp_replace` length differences (codegen'd, one corpus scan);
+    * `dominant_script` is the argmax with a fixed tie order
+    * (latin > cyrillic > cjk, all-zero → "none"). Ranges are the
+    * portable explicit blocks (U+0400–U+04FF, U+4E00–U+9FFF) so any
+    * RE2/Java engine replays them. */
+  def scriptMix(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def keep(clazz: String): Column =
+      length(t) - length(regexp_replace(t, clazz, ""))
+    val latin = keep("[A-Za-z]")
+    val cyr = keep("[\\u0400-\\u04FF]")
+    val cjk = keep("[\\u4E00-\\u9FFF]")
+    val digit = keep("[0-9]")
+    df.withColumn("latin_chars", latin.cast("long"))
+      .withColumn("cyrillic_chars", cyr.cast("long"))
+      .withColumn("cjk_chars", cjk.cast("long"))
+      .withColumn("digit_chars", digit.cast("long"))
+      .withColumn("dominant_script",
+        when(col("latin_chars") === 0L && col("cyrillic_chars") === 0L &&
+          col("cjk_chars") === 0L, "none")
+          .when(col("latin_chars") >= col("cyrillic_chars") &&
+            col("latin_chars") >= col("cjk_chars"), "latin")
+          .when(col("cyrillic_chars") >= col("cjk_chars"), "cyrillic")
+          .otherwise("cjk"))
+  }
+
   /** Per-doc ARRIVAL NOVELTY over a pre-shingled `(id, sh)` frame (the
     * [[DedupPipeline.shingled]] cache — one corpus shingling serves the
     * whole dedup/novelty board): the fraction of a doc's distinct

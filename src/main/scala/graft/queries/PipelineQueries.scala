@@ -1994,6 +1994,57 @@ object PipelineQueries {
              CAST(max(pos) AS BIGINT) AS last_pos
       FROM r GROUP BY 1 ORDER BY 1"""))
 
+  // 75. script-mix detection: per-script character counts + dominant
+  // script, rolled up per (lang, dominant). The synthetic corpus is
+  // all-Latin, so fixtures plant Cyrillic, CJK, and a mixed-script
+  // (mojibake-shaped) doc. The oracle replays the same explicit
+  // Unicode ranges in RE2 syntax.
+  val qTextScripts = QueryDef("q_text_scripts",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(Seq(
+        (9100L, "привет мир это тест", "ru-fixture"),
+        (9101L, "你好世界测试", "zh-fixture"),
+        (9102L, "click here пример 文本 123", "mixed-fixture"),
+      )).toDF("doc_id", "text", "lang")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(fixtures)
+      TextAnalysis.scriptMix(docs, "text")
+        .groupBy("lang", "dominant_script")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum("latin_chars").cast(LongType).as("latin_chars"),
+          sum("cyrillic_chars").cast(LongType).as("cyrillic_chars"),
+          sum("cjk_chars").cast(LongType).as("cjk_chars"),
+          sum("digit_chars").cast(LongType).as("digit_chars"))
+        .orderBy("lang", "dominant_script")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          (9100, 'привет мир это тест', 'ru-fixture'),
+          (9101, '你好世界测试', 'zh-fixture'),
+          (9102, 'click here пример 文本 123', 'mixed-fixture')) t(doc_id, text, lang)),
+      m AS (
+        SELECT lang,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+               length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+               length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig
+        FROM docs),
+      d AS (
+        SELECT lang, latin, cyr, cjk, dig,
+               CASE WHEN latin = 0 AND cyr = 0 AND cjk = 0 THEN 'none'
+                    WHEN latin >= cyr AND latin >= cjk THEN 'latin'
+                    WHEN cyr >= cjk THEN 'cyrillic'
+                    ELSE 'cjk' END AS dominant_script
+        FROM m)
+      SELECT lang, dominant_script, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(latin) AS BIGINT) AS latin_chars,
+             CAST(sum(cyr) AS BIGINT) AS cyrillic_chars,
+             CAST(sum(cjk) AS BIGINT) AS cjk_chars,
+             CAST(sum(dig) AS BIGINT) AS digit_chars
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -2004,6 +2055,6 @@ object PipelineQueries {
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qMultimodalBlocks,
-    qExportShards,
+    qExportShards, qTextScripts,
   )
 }

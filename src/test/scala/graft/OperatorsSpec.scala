@@ -499,6 +499,26 @@ class OperatorsSpec extends SparkSpec {
       3L -> ((1L, 0L, 0L))))
   }
 
+  test("script mix counts per-script chars with the fixed dominance tie order") {
+    val df = Seq(
+      (0L, "hello мир"),      // 5 latin, 3 cyrillic -> latin
+      (1L, "мир 你好"),        // 3 cyrillic, 2 cjk -> cyrillic
+      (2L, "你好"),            // cjk only
+      (3L, "12345 !!"),       // digits only, no script -> none
+      (4L, "abcабв"),         // 3 vs 3 tie -> latin (fixed order)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("latin_chars"), r.getAs[Long]("cyrillic_chars"),
+          r.getAs[Long]("cjk_chars"), r.getAs[Long]("digit_chars"),
+          r.getAs[String]("dominant_script"))).toMap
+    assert(got(0L) == ((5L, 3L, 0L, 0L, "latin")))
+    assert(got(1L) == ((0L, 3L, 2L, 0L, "cyrillic")))
+    assert(got(2L) == ((0L, 0L, 2L, 0L, "cjk")))
+    assert(got(3L) == ((0L, 0L, 0L, 5L, "none")))
+    assert(got(4L) == ((3L, 3L, 0L, 0L, "latin")))
+  }
+
   test("language id picks marker-matched language") {
     val df = Seq(
       ("the cat and the dog of a house is here", "en"),
