@@ -103,7 +103,13 @@ object Bench {
     // live in target/bench.json): one stack-trace-bearing message would
     // push the line past the driver's capture window exactly when a
     // query broke — the moment visibility matters most
-    val errors = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e.take(80))))
+    // ...and at most 8 of them: a systemic failure (bad SF dir) errors
+    // every query, and 79 × ~100-byte entries would blow the window on
+    // BOTH line shapes — the count of the rest still ships
+    val allErrors = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e.take(80))))
+    val errors =
+      if (allErrors.size <= 8) allErrors
+      else allErrors.take(8) :+ s""""_more_errors":${allErrors.size - 8}"""
     val errorsFull = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
     val plans = rows.map(r => s""""${r.name}":[${r.plan._1},${r.plan._2}]""").mkString("{", ",", "}")
     System.err.println(s"""[bench-plans] $plans""")

@@ -139,7 +139,9 @@ object ContractParser {
         val c = asMap(v, "vector")
         VectorCheck(
           field = str(c, "field"),
-          dim = c.get("dim").filter(_ != null).map(x => String.valueOf(x).toInt),
+          // via the tolerant double parse like every other numeric in
+          // this block: YAML round-trips integers as 64.0 routinely
+          dim = dblOpt(c, "dim").map(_.toInt),
           minNorm = dblOpt(c, "min_norm"),
           maxNorm = dblOpt(c, "max_norm"),
           maxNanRate = dblOpt(c, "max_nan_rate").getOrElse(0.0),

@@ -152,6 +152,15 @@ object Ann {
     * Output: one row per vector — (id, cell, dc_r4 = squared distance
     * to own centroid rounded to 4 dp, dropped).
     *
+    * Zero-norm vectors have no direction, hence no cosine: they are
+    * NEVER semantic duplicates (of each other or anything else) and
+    * always survive. [[VectorFns.cosineFromNorms]] returns NULL for
+    * them, which the ≥ tau filter excludes; a SQL replay must guard
+    * the same way (a bare dot/sqrt(0) is NaN, and engines that order
+    * NaN above all values would silently DROP a zero vector instead).
+    * Flag them with a `vector_zero` contract check — dedup is not the
+    * place they get cleaned.
+    *
     * Scale: cell assignment is one compiled kernel pass
     * ([[graft.functions.CentroidDistsExpr]]); the only shuffles are the
     * within-cell self-join and the dominated-id distinct, both bounded

@@ -221,6 +221,14 @@ object Curation {
              benchmark: DataFrame, benchTextCol: String,
              n: Int = 3, contamBp: Long = 5000L,
              containSurvivorsOnly: Boolean = false): DataFrame = {
+    // the built-in stage labels are reserved: a rule named like one
+    // would silently merge with that stage in the attribution CASE
+    // (and filterChain's keep = first_fail === "pass" makes a rule
+    // named "pass" unfailable)
+    val reserved = Set("pass", "exact_dup", "contaminated", "kept")
+    val clashes = rules.map(_.name).filter(reserved)
+    require(clashes.isEmpty,
+      s"rule name(s) ${clashes.mkString(", ")} collide with reserved stage labels $reserved")
     // ONE evaluation of the (typically expensive — regex scans, n-gram
     // kernels) rule features, projected NARROW before anything fans
     // out: the canonical-id window shuffles only (id, fp, flags,

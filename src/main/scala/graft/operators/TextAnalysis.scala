@@ -113,8 +113,12 @@ object TextAnalysis {
     * RE2/Java engine replays them. */
   def scriptMix(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    // NULL text counts as zero of everything → dominant "none"; without
+    // the coalesce every `when` condition is NULL (skipped) and the
+    // chain would fall through to the LAST branch, labeling null docs
+    // "cjk"
     def keep(clazz: String): Column =
-      length(t) - length(regexp_replace(t, clazz, ""))
+      coalesce(length(t) - length(regexp_replace(t, clazz, "")), lit(0))
     val latin = keep("[A-Za-z]")
     val cyr = keep("[\\u0400-\\u04FF]")
     val cjk = keep("[\\u4E00-\\u9FFF]")

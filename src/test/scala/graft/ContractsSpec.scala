@@ -89,6 +89,9 @@ class ContractsSpec extends SparkSpec {
     assert(qc.mlChecks.get.featureDrift.get.numBins.contains(5))
     assert(qc.vector == Seq(VectorCheck("emb", dim = Some(64),
       minNorm = Some(0.5), maxNorm = Some(2.0), maxNanRate = 0.01)))
+    // YAML round-trips integers as floats routinely: dim 64.0 parses
+    val floatDim = ContractParser.parse(yaml.replace("dim: 64", "dim: 64.0"))
+    assert(floatDim.qualityChecks.get.vector.head.dim.contains(64))
     assert(c.sla.get.availability.contains(0.999))
   }
 

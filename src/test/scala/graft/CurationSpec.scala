@@ -270,5 +270,13 @@ class CurationSpec extends SparkSpec {
         (r.getAs[Long]("stage_idx"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
       .toMap
     assert(gotSurv == got)
+
+    // built-in stage labels are reserved rule names — a rule named
+    // like one would silently merge with that stage
+    val boom = intercept[IllegalArgumentException] {
+      Curation.funnel(feats, "doc_id", "text",
+        Seq(FilterRule("exact_dup", col("n_tokens") >= 5L)), bench, "text")
+    }
+    assert(boom.getMessage.contains("exact_dup"))
   }
 }

@@ -517,6 +517,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L, 2L, 0L, "cjk")))
     assert(got(3L) == ((0L, 0L, 0L, 5L, "none")))
     assert(got(4L) == ((3L, 3L, 0L, 0L, "latin")))
+    // NULL text = zero of everything -> 'none', never the CASE fall-through
+    val nul = TextAnalysis.scriptMix(
+        Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(nul.getAs[Long]("latin_chars") == 0L &&
+      nul.getAs[String]("dominant_script") == "none")
+  }
+
+  test("semantic dedup never pairs zero-norm vectors (no direction, no cosine)") {
+    // two identical all-zero vectors in the one cell: strongest
+    // possible "duplicates" by a naive NaN-ordering comparison, but
+    // they have no direction — both survive; a real duplicate pair in
+    // the same corpus still drops
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)),
+      (2L, Seq(1f, 0f)), (3L, Seq(2f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Ann.semanticDedup(emb, "vec_id", "embedding", tau = 0.9, numCells = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("dropped")).toMap
+    assert(!got(0L) && !got(1L), "zero vectors must never be semantic duplicates")
+    assert(got.count(_._2) == 1 && (got(2L) || got(3L)))
   }
 
   test("language id picks marker-matched language") {
