@@ -27,7 +27,11 @@ object Curation {
     * min-id doc; production pipelines keep the BEST doc of each cluster
     * — longest, highest quality score, most recent — and this operator
     * is that keep-policy. Returns one row per cluster:
-    * (component, group_size, keep_id, keep_score).
+    * (component, group_size, keep_id, keep_score). The score ranks and
+    * returns in its NATIVE type — a double quality score in [0, 1]
+    * compares at full precision (an earlier long-cast silently
+    * truncated every fractional score to 0, degenerating the
+    * keep-policy to min-id selection; fixed r7, spec-pinned).
     *
     * Plan: connected components over the pair list (see
     * [[DedupGroups.connectedComponents]] for the scale story), one join
@@ -41,7 +45,7 @@ object Curation {
                             pairs: DataFrame, aCol: String = "id_a",
                             bCol: String = "id_b"): DataFrame = {
     val comps = DedupGroups.connectedComponents(pairs, aCol, bCol)
-    comps.join(docs.select(col(idCol).as("id"), score.cast("long").as("__score")), "id")
+    comps.join(docs.select(col(idCol).as("id"), score.as("__score")), "id")
       .groupBy("component")
       .agg(
         count(lit(1)).cast("long").as("group_size"),
@@ -174,9 +178,11 @@ object Curation {
   }
 
   /** End-to-end curation FUNNEL with first-drop attribution across the
-    * three standard pipeline stages, in their production order:
+    * standard pipeline stages, in their production order:
     * quality rules (the [[filterChain]] cascade), exact dedup
-    * (normalized-fingerprint classes), benchmark contamination
+    * (normalized-fingerprint classes), OPTIONAL near dedup (caller-
+    * supplied pair frame → connected components, the RefinedWeb/Gopher
+    * minhash-cluster stage), benchmark contamination
     * ([[Contamination.ngramContainment]] ≥ `contamBp`). A doc is
     * charged to the FIRST stage that drops it and to no later one, so
     * the per-stage doc counts sum exactly to the corpus — the yield
@@ -186,12 +192,25 @@ object Curation {
     * Stage semantics follow the order: the exact-dup stage sees only
     * quality survivors (the canonical copy of a class is the MIN id
     * among its surviving members — a class whose every member failed
-    * quality charges nothing to dedup), and contamination sees only
-    * docs that survived both. Output: one row per non-empty stage —
+    * quality charges nothing to dedup); the near-dup stage sees only
+    * docs that survived both (each cluster's canonical member is the
+    * MIN surviving id — same keep-policy as exact dedup; a cluster
+    * whose members all fell earlier charges nothing, and a clustered
+    * doc whose clustermates are all outside the corpus keeps);
+    * contamination sees only docs that survived everything before it.
+    * Output: one row per non-empty stage —
     * (stage_idx, stage, n_docs, n_tokens), stage ∈ rule names +
-    * "exact_dup" + "contaminated" + "kept", n_tokens the whitespace
-    * token total, stage_idx the funnel position (rules 1..k, then
-    * k+1..k+3).
+    * "exact_dup" [+ "near_dup"] + "contaminated" + "kept", n_tokens
+    * the whitespace token total, stage_idx the funnel position
+    * (rules 1..k, then the built-in stages in order).
+    *
+    * `nearDupPairs` plan cost: components over the pair frame (see
+    * [[DedupGroups.connectedComponents]]) + ONE left equi-join on the
+    * doc id + one window keyed on coalesce(component, per-row
+    * sentinel) — the pair list is sketch-sized next to its corpus, and
+    * nothing else changes shape. Pairs may reference ids outside the
+    * corpus (e.g. a full-corpus pair cache probed by a sliced funnel)
+    * — out-of-corpus members simply never compete for canonical.
     *
     * `feats` must carry the rule predicate columns (like
     * [[filterChain]]) plus `idCol`/`textCol`. Plan: the chain CASE and
@@ -220,12 +239,14 @@ object Curation {
              rules: Seq[FilterRule],
              benchmark: DataFrame, benchTextCol: String,
              n: Int = 3, contamBp: Long = 5000L,
-             containSurvivorsOnly: Boolean = false): DataFrame = {
+             containSurvivorsOnly: Boolean = false,
+             nearDupPairs: Option[DataFrame] = None,
+             pairACol: String = "id_a", pairBCol: String = "id_b"): DataFrame = {
     // the built-in stage labels are reserved: a rule named like one
     // would silently merge with that stage in the attribution CASE
     // (and filterChain's keep = first_fail === "pass" makes a rule
     // named "pass" unfailable)
-    val reserved = Set("pass", "exact_dup", "contaminated", "kept")
+    val reserved = Set("pass", "exact_dup", "near_dup", "contaminated", "kept")
     val clashes = rules.map(_.name).filter(reserved)
     require(clashes.isEmpty,
       s"rule name(s) ${clashes.mkString(", ")} collide with reserved stage labels $reserved")
@@ -242,19 +263,45 @@ object Curation {
     // window over the class — no second feature evaluation, no join
     // back. NULL-text docs (null fingerprint) are never exact-dups of
     // each other: null keys don't match an equi-join, and any SQL
-    // replay of this operator does the dedup stage with one.
-    val wfp = Window.partitionBy("__fp")
-    val d = chained
+    // replay of this operator does the dedup stage with one. The window
+    // key is coalesce(fp, per-row sentinel) — a bare partitionBy(__fp)
+    // would land EVERY null-fp doc in one window partition, a
+    // single-task skew hotspot at scale; the " id:" prefix cannot
+    // collide with md5 hex, so each null-fp doc gets its own singleton
+    // partition and __is_dup (null-guarded) is unchanged.
+    val wfp = Window.partitionBy(
+      coalesce(col("__fp"), concat(lit(" id:"), col("__id"))))
+    val dExact = chained
       .withColumn("__canon", min(when(col("keep"), col("__id"))).over(wfp))
       .withColumn("__is_dup",
         col("keep") && col("__fp").isNotNull && col("__id") =!= col("__canon"))
+    // optional near-dup stage: components over the caller's pair frame,
+    // canonical member = MIN id among members that survived quality +
+    // exact dedup (the same keep-policy the exact stage uses). The
+    // window key gets the same null-skew treatment as the fingerprint
+    // window — unclustered docs ride singleton partitions.
+    val d = nearDupPairs match {
+      case None => dExact.withColumn("__is_near", lit(false))
+      case Some(p) =>
+        val comps = DedupGroups.connectedComponents(p, pairACol, pairBCol)
+          .select(col("id").as("__id"), col("component").as("__grp"))
+        val wg = Window.partitionBy(
+          coalesce(col("__grp").cast("string"), concat(lit(" id:"), col("__id"))))
+        dExact.join(comps, Seq("__id"), "left")
+          .withColumn("__ncanon",
+            min(when(col("keep") && !col("__is_dup"), col("__id"))).over(wg))
+          .withColumn("__is_near",
+            col("keep") && !col("__is_dup") && col("__grp").isNotNull &&
+              col("__id") =!= col("__ncanon"))
+    }
     // containment eval side: see the containSurvivorsOnly param doc
     // for the two shapes and when each wins.
     val evalSide = {
       val pruned = feats.select(col(idCol), col(textCol))
       if (!containSurvivorsOnly) pruned
       else pruned.join(
-        d.filter(col("keep") && !col("__is_dup")).select(col("__id").as(idCol)),
+        d.filter(col("keep") && !col("__is_dup") && !col("__is_near"))
+          .select(col("__id").as(idCol)),
         Seq(idCol), "left_semi")
     }
     val contamIds = Contamination.ngramContainment(
@@ -264,12 +311,17 @@ object Curation {
       .select(col("id").as("__cid")).withColumn("__contam", lit(true))
     val stage = when(!col("keep"), col("first_fail"))
       .when(col("__is_dup"), lit("exact_dup"))
+      .when(col("__is_near"), lit("near_dup"))
       .when(coalesce(col("__contam"), lit(false)), lit("contaminated"))
       .otherwise(lit("kept"))
+    // built-in stage positions shift by one when the near-dup stage is
+    // active; without pairs the indices are identical to the r6 shape
+    val nd = if (nearDupPairs.isDefined) 1 else 0
     val stageIdx = rules.zipWithIndex.foldRight(
         when(col("stage") === "exact_dup", lit((rules.size + 1).toLong))
-          .when(col("stage") === "contaminated", lit((rules.size + 2).toLong))
-          .otherwise(lit((rules.size + 3).toLong))) { case ((r, i), acc) =>
+          .when(col("stage") === "near_dup", lit((rules.size + 2).toLong))
+          .when(col("stage") === "contaminated", lit((rules.size + 2 + nd).toLong))
+          .otherwise(lit((rules.size + 3 + nd).toLong))) { case ((r, i), acc) =>
         when(col("stage") === r.name, lit((i + 1).toLong)).otherwise(acc)
       }
     d.join(contamIds, col("__id") === col("__cid"), "left")

@@ -119,7 +119,14 @@ object Sampling {
     * winners are the lowest md5-rank rows (md5 of `tieCol` + seed, a
     * hash every engine computes identically — this sampler's selection
     * is REPLAYABLE outside Spark, unlike [[quotaPerKey]]'s xxhash64
-    * ranking). Keys absent from `weights` are dropped.
+    * ranking). Keys absent from `weights` are dropped — and
+    * [[mixSampleReport]] is the honesty twin that makes every such
+    * decision visible (requested vs granted vs available per key,
+    * including unlisted keys at weight 0).
+    *
+    * Weights must sum to ≤ 1 (+1e-6 float slack): an over-subscribed
+    * recipe would silently grant quotas exceeding the budget — loud
+    * `require`, same policy as the simhash bucket guard.
     *
     * One shuffle on the key; Spark collapses the rank-filter into
     * WindowGroupLimit, so each map task pre-prunes to its local top
@@ -127,8 +134,8 @@ object Sampling {
     * rows no matter the corpus size. */
   def mixSample(df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
                 budget: Int, tieCol: String, seed: Int = 42): DataFrame = {
+    requireRecipe(weights)
     require(budget > 0, "budget must be positive")
-    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
     val quota = weights.foldRight(lit(0L)) { case ((k, w), acc) =>
       when(col(keyCol) === k, lit(math.round(w * budget))).otherwise(acc)
     }
@@ -137,6 +144,47 @@ object Sampling {
         col(tieCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= quota).drop("__rk")
+  }
+
+  private def requireRecipe(weights: Seq[(String, Double)]): Unit = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
+    val dups = weights.groupBy(_._1).collect { case (k, ws) if ws.size > 1 => k }
+    require(dups.isEmpty, s"duplicate recipe key(s): ${dups.mkString(", ")}")
+    val total = weights.map(_._2).sum
+    require(total <= 1.0 + 1e-6,
+      f"recipe weights sum to $total%.4f > 1: quotas would exceed the budget")
+  }
+
+  /** The per-key accounting of a [[mixSample]] draw: what the recipe
+    * `requested` (round(weight × budget)), how many rows were
+    * `available`, and how many the sampler `granted`
+    * (min(requested, available)) — including keys PRESENT in the data
+    * but absent from the recipe (weight 0, silently dropped by the
+    * sampler) and recipe keys with no data (available 0). The honesty
+    * report a mixture recipe ships with: an under-available key is a
+    * recipe the corpus cannot satisfy, visible here instead of as a
+    * silently smaller sample.
+    *
+    * One map-side-combined count per key + a broadcast-sized join
+    * against the literal recipe — strictly cheaper than the sample
+    * itself. */
+  def mixSampleReport(df: DataFrame, keyCol: String,
+                      weights: Seq[(String, Double)], budget: Int): DataFrame = {
+    requireRecipe(weights)
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = weights.toDF("key", "weight")
+      .withColumn("requested", round(col("weight") * budget).cast("long"))
+    val avail = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).cast("long").as("available"))
+    avail.join(recipe, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("weight"), lit(0d)).as("weight"),
+        coalesce(col("requested"), lit(0L)).as("requested"),
+        coalesce(col("available"), lit(0L)).as("available"),
+        least(coalesce(col("requested"), lit(0L)),
+          coalesce(col("available"), lit(0L))).as("granted"))
   }
 
   /** Deterministic sequential packing: within each key, rows in

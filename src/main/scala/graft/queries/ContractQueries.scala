@@ -682,8 +682,9 @@ object ContractQueries {
 
   // 72. embedding-column contract checks (quality_checks.vector): the
   // REAL validator path (Part.Vector of the fused scan) over the
-  // embeddings table plus three fixture vectors planting each failure
-  // mode — wrong dimensionality, all-zero, a NaN entry. The oracle
+  // embeddings table plus four fixture vectors planting each failure
+  // mode — wrong dimensionality, all-zero, a NaN entry, an Inf entry
+  // (vector_nan counts NON-FINITE entries, not just NaN). The oracle
   // recomputes every metric with DuckDB list functions over the same
   // doubles (the norm path is the q_ann_ivf-proven
   // list_dot_product ≡ ArrayDotProduct identity).
@@ -694,6 +695,7 @@ object ContractQueries {
         (9000L, Seq(1f, 2f)),
         (9001L, Seq.fill(64)(0f)),
         (9002L, Float.NaN +: Seq.fill(63)(0.5f)),
+        (9003L, Float.PositiveInfinity +: Seq.fill(63)(0.5f)),
       )).toDF("vec_id", "embedding")
       val vecs = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .unionByName(fixtures)
@@ -714,11 +716,14 @@ object ContractQueries {
         UNION ALL SELECT list_transform(generate_series(1, 64), x -> 0.0::FLOAT)
         UNION ALL SELECT list_transform(generate_series(1, 64),
                                         x -> CASE WHEN x = 1 THEN 'nan'::FLOAT
+                                                  ELSE 0.5::FLOAT END)
+        UNION ALL SELECT list_transform(generate_series(1, 64),
+                                        x -> CASE WHEN x = 1 THEN 'inf'::FLOAT
                                                   ELSE 0.5::FLOAT END)),
       m AS (
         SELECT count(embedding) AS nn,
                sum(CASE WHEN len(embedding) != 64 THEN 1 ELSE 0 END) AS bad_dim,
-               sum(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+               sum(CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
                         THEN 1 ELSE 0 END) AS nan_rows,
                sum(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
                         THEN 1 ELSE 0 END) AS zero_rows,

@@ -1361,8 +1361,10 @@ object PipelineQueries {
       // never prune), at 37x less cost on copy-heavy corpora; on the
       // board it reuses the cache the _collapsed queries materialize
       val pairs = sharedCollapsedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      // cast: the operator now preserves the score's native type (the
+      // long-truncation fix); the oracle's keep_score is BIGINT
       graft.operators.Curation.selectRepresentatives(
-          table(s, dir, "documents"), "doc_id", col("n_chars"), pairs)
+          table(s, dir, "documents"), "doc_id", col("n_chars").cast("long"), pairs)
         .orderBy("component")
     },
     Some("""
@@ -1928,6 +1930,146 @@ object PipelineQueries {
       FROM staged GROUP BY 1, 2 ORDER BY 1"""
     })
 
+  // 71b. the funnel with the production NEAR-DUP stage wired between
+  // exact dedup and contamination (the RefinedWeb/Gopher order):
+  // jaccard clusters (the board's shared collapsed pair cache at
+  // bp >= 2000 — the exact frame q_dedup_canonical consumes) → each
+  // cluster keeps its MIN surviving id, clustermates are charged to
+  // 'near_dup'. The oracle replays the components with the same
+  // recursive-CTE closure as q_dedup_canonical, then the min-surviving
+  // canonical and the stage CASE. Pairs cover ALL documents while the
+  // funnel corpus is the odd half — out-of-corpus clustermates never
+  // compete for canonical (the operator's documented slicing rule).
+  val qPipelineFunnelV2 = QueryDef("q_pipeline_funnel_v2",
+    (s, dir) => {
+      import graft.operators.Curation.FilterRule
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val all = table(s, dir, "documents")
+      val docs = all.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      val feats = graft.operators.TextAnalysis.piiScan(
+        graft.operators.TextAnalysis.qualityFeatures(docs, "text"), "text")
+        .withColumn("__st", graft.functions.NgramStats(TextFns.words(col("text")), 3))
+        .withColumn("rep_bp",
+          ((col("__st.total_ngrams") - col("__st.distinct_ngrams")) * 10000L /
+            col("__st.total_ngrams")).cast(LongType))
+      val rules = Seq(
+        FilterRule("min_words", col("n_tokens") >= 5L),
+        FilterRule("mean_word_len", col("mean_word_len_x10").between(20L, 120L)),
+        FilterRule("alpha_ratio", col("alpha_ratio_bp") >= 5000L),
+        FilterRule("stopwords", col("stopword_hits") >= 1L),
+        FilterRule("repetition", col("rep_bp") <= 3000L),
+        FilterRule("pii", !col("has_pii")))
+      val pairs = sharedCollapsedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.Curation.funnel(feats, "doc_id", "text", rules,
+          all.filter(col("doc_id") % 2 === 0), "text", n = 3, contamBp = 5000L,
+          nearDupPairs = Some(pairs))
+        .orderBy("stage_idx")
+    },
+    Some {
+      val hasPii = graft.operators.TextAnalysis.piiPatterns
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      f AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en,
+               ($hasPii) AS has_pii
+        FROM docs),
+      rep AS (
+        SELECT doc_id, len(sh) total, len(list_distinct(sh)) dist
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) sh
+              FROM docs)),
+      ff AS (
+        SELECT f.doc_id, f.n_tokens,
+               CASE WHEN NOT (f.n_tokens >= 5) THEN 'min_words'
+                    WHEN NOT (CAST((f.n_chars - (f.n_tokens - 1)) * 10 // f.n_tokens AS BIGINT) BETWEEN 20 AND 120) THEN 'mean_word_len'
+                    WHEN NOT (f.alpha * 10000 // greatest(f.n_chars, 1) >= 5000) THEN 'alpha_ratio'
+                    WHEN NOT (f.stop_en >= 1) THEN 'stopwords'
+                    WHEN NOT ((rep.total - rep.dist) * 10000 // rep.total <= 3000) THEN 'repetition'
+                    WHEN f.has_pii THEN 'pii'
+                    ELSE 'pass' END AS first_fail
+        FROM f JOIN rep USING (doc_id)),
+      fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fp FROM docs),
+      keepers AS (SELECT doc_id FROM ff WHERE first_fail = 'pass'),
+      canon AS (SELECT fp.fp, min(fp.doc_id) canon
+                FROM fp JOIN keepers USING (doc_id) GROUP BY 1),
+      dup AS (SELECT fp.doc_id FROM fp JOIN keepers USING (doc_id)
+              JOIN canon ON fp.fp = canon.fp WHERE fp.doc_id != canon.canon),
+      surv AS (SELECT doc_id FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      jw AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      jsh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                           g -> array_to_string(ws[g:g+2], ' '))) sh
+              FROM jw),
+      jsz AS (SELECT doc_id, count(*) sz FROM jsh GROUP BY 1),
+      jp AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+             FROM jsh a JOIN jsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      jprs AS (
+        SELECT ia, ib FROM jp JOIN jsz sa ON ia = sa.doc_id JOIN jsz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      jedges AS (SELECT ia s, ib d FROM jprs UNION SELECT ib, ia FROM jprs),
+      jverts AS (SELECT DISTINCT s FROM jedges),
+      jreach AS (
+        SELECT s, s AS d FROM jverts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM jreach) r JOIN jedges e ON r.d = e.s
+      ),
+      jcomp AS (SELECT s AS id, min(d) AS component FROM jreach GROUP BY s),
+      ncanon AS (SELECT c.component, min(c.id) nc
+                 FROM jcomp c JOIN surv s ON c.id = s.doc_id GROUP BY 1),
+      near AS (SELECT c.id AS doc_id
+               FROM jcomp c JOIN surv s ON c.id = s.doc_id
+               JOIN ncanon n ON c.component = n.component
+               WHERE c.id != n.nc),
+      sw AS (SELECT d.doc_id, string_split(d.text, ' ') ws FROM docs d JOIN surv USING (doc_id)),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM sw),
+      bw AS (SELECT string_split(text, ' ') ws FROM documents WHERE doc_id % 2 = 0),
+      tr AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                                   i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM bw),
+      cont AS (SELECT s.doc_id, count(*) total,
+                      sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) m
+               FROM sh s LEFT JOIN tr ON s.sh = tr.sh GROUP BY 1),
+      contam AS (SELECT doc_id FROM cont WHERE m * 10000 // total >= 5000),
+      staged AS (
+        SELECT ff.doc_id, ff.n_tokens,
+               CASE WHEN ff.first_fail != 'pass' THEN ff.first_fail
+                    WHEN ff.doc_id IN (SELECT doc_id FROM dup) THEN 'exact_dup'
+                    WHEN ff.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                    WHEN ff.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+                    ELSE 'kept' END stage
+        FROM ff)
+      SELECT CAST(CASE stage WHEN 'min_words' THEN 1 WHEN 'mean_word_len' THEN 2
+                             WHEN 'alpha_ratio' THEN 3 WHEN 'stopwords' THEN 4
+                             WHEN 'repetition' THEN 5 WHEN 'pii' THEN 6
+                             WHEN 'exact_dup' THEN 7 WHEN 'near_dup' THEN 8
+                             WHEN 'contaminated' THEN 9
+                             ELSE 10 END AS BIGINT) AS stage_idx,
+             stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM staged GROUP BY 1, 2 ORDER BY 1"""
+    })
+
   // 73. block-level binary dedup: fixed-size aligned content blocks
   // fingerprinted across payloads (storage-dedup / partial-copy
   // signal). Fixtures: the PNG header fixture, a last-byte-corrupted
@@ -2069,7 +2211,7 @@ object PipelineQueries {
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
-    qDedupSemantic, qTextNovelty, qPipelineFunnel, qMultimodalBlocks,
+    qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
     qExportShards, qTextScripts,
   )
 }

@@ -194,13 +194,17 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
                 col(dims).cast(DoubleType),
                 format_string("%d distinct dimensionalities", col(dims)))
           }
+          // non-finite = NaN OR ±Infinity, as the scaladoc promises — an
+          // Inf entry corrupts downstream math exactly like a NaN and
+          // must not pass a "clean entries" check (r7 advice fix)
           val nanPpm = math.round(vc.maxNanRate * 1000000L)
-          val nan = slot(sum(when(v.isNotNull && exists(v, x => isnan(x)), 1L)
+          val nan = slot(sum(when(v.isNotNull && exists(v, x =>
+            isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity), 1L)
             .otherwise(0L)))
           outs += result(lit("vector_nan"), lit(vc.field),
             coalesce(col(nan), lit(0L)) * 1000000L <= lit(nanPpm) * nonNullC,
             rate(coalesce(col(nan), lit(0L))),
-            format_string(s"%d row(s) with NaN entries (max rate ${vc.maxNanRate})",
+            format_string(s"%d row(s) with non-finite entries (max rate ${vc.maxNanRate})",
               coalesce(col(nan), lit(0L))))
           val zeroPpm = math.round(vc.maxZeroRate * 1000000L)
           val normSq = graft.functions.VectorFns.normSq(v)

@@ -28,6 +28,24 @@ class CurationSpec extends SparkSpec {
     assert(reps == Set((0L, 3L, 2L, 74L), (10L, 2L, 10L, 76L)))
   }
 
+  test("selectRepresentatives ranks a double quality score at full precision") {
+    // the natural quality-score shape is a double in [0, 1]: ranking
+    // must happen on the native type (the old long-cast truncated every
+    // score to 0, silently degenerating the keep-policy to min-id)
+    val scored = Seq(
+      (0L, 0.31), (1L, 0.92), (2L, 0.57), // cluster {0,1,2}: 1 wins on 0.92
+      (10L, 0.40), (11L, 0.41),           // cluster {10,11}: 11 wins on 0.41
+      (20L, 0.99),                        // loner, no cluster
+    ).toDF("doc_id", "q")
+    val reps = Curation.selectRepresentatives(scored, "doc_id", col("q"), pairs)
+      .collect().map(r => (r.getAs[Long]("component"), r.getAs[Long]("group_size"),
+        r.getAs[Long]("keep_id"), r.getAs[Double]("keep_score"))).toSet
+    assert(reps == Set((0L, 3L, 1L, 0.92), (10L, 2L, 11L, 0.41)))
+    val kept = Curation.keepBest(scored, "doc_id", col("q"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 11L, 20L))
+  }
+
   test("keepBest keeps representatives and all unclustered docs") {
     val kept = Curation.keepBest(docs, "doc_id", col("score"), pairs)
       .select("doc_id").as[Long].collect().toSet
@@ -278,5 +296,46 @@ class CurationSpec extends SparkSpec {
         Seq(FilterRule("exact_dup", col("n_tokens") >= 5L)), bench, "text")
     }
     assert(boom.getMessage.contains("exact_dup"))
+  }
+
+  test("funnel near-dup stage charges clustermates to the min SURVIVING canonical") {
+    val corpus = Seq(
+      (0L, "tiny"),                                          // min_words
+      (1L, "the cat and the dog sat on a mat today"),        // kept (cluster {1,3} canonical)
+      (2L, "the cat and the dog sat on a mat today"),        // exact_dup of 1
+      (3L, "the cat and the dog sat on a mat tonight"),      // near_dup of 1
+      (4L, "a fish or the bird flew over the lake"),         // contaminated
+      (5L, "numbers one two three and four or five"),        // kept
+      (6L, "just the four words"),                           // min_words (cluster {6,7})
+      (7L, "seven proper words and the dog here now"),       // kept: cluster canonical
+    ).toDF("doc_id", "text")
+    val bench = Seq("a fish or the bird flew over the lake near a tree").toDF("text")
+    val feats = graft.operators.TextAnalysis.qualityFeatures(corpus, "text")
+    val rules = Seq(
+      FilterRule("min_words", col("n_tokens") >= 5L),
+      FilterRule("stopwords", col("stopword_hits") >= 1L))
+    // pair frame: {1,3} both survive -> 3 charged to near_dup; {6,7}'s
+    // min id fails min_words, so the canonical is the SURVIVING 7 —
+    // the cluster charges nothing more
+    val pairs = Seq((1L, 3L), (6L, 7L)).toDF("id_a", "id_b")
+    val got = Curation.funnel(feats, "doc_id", "text", rules, bench, "text",
+        n = 3, contamBp = 5000L, nearDupPairs = Some(pairs))
+      .collect().map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("stage_idx"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    assert(got == Map(
+      "min_words" -> ((1L, 2L, 5L)),
+      "exact_dup" -> ((3L, 1L, 10L)),
+      "near_dup" -> ((4L, 1L, 10L)),
+      "contaminated" -> ((5L, 1L, 9L)),
+      "kept" -> ((6L, 3L, 26L))))
+    assert(got.values.map(_._2).sum == corpus.count())
+    // "near_dup" joins the reserved rule names once the stage exists
+    val boom = intercept[IllegalArgumentException] {
+      Curation.funnel(feats, "doc_id", "text",
+        Seq(FilterRule("near_dup", col("n_tokens") >= 5L)), bench, "text",
+        nearDupPairs = Some(pairs))
+    }
+    assert(boom.getMessage.contains("near_dup"))
   }
 }

@@ -100,6 +100,41 @@ class SessionizeSpec extends SparkSpec {
     assert(ids1 == ids2 && !ids1.exists(_ >= 300L)) // xx dropped
   }
 
+  test("mix sampling rejects over-subscribed recipes and reports per-key accounting") {
+    val df = ((0L until 200L).map(i => (i, "en")) ++
+      (200L until 210L).map(i => (i, "de")) ++        // under the de quota
+      (300L until 320L).map(i => (i, "xx"))).toDF("id", "lang")
+    // weights summing past 1 (+ float slack) would grant quotas beyond
+    // the budget — loud require, not a silent over-draw
+    val boom = intercept[IllegalArgumentException] {
+      Sampling.mixSample(df, "lang", Seq("en" -> 0.8, "de" -> 0.4),
+        budget = 100, tieCol = "id")
+    }
+    assert(boom.getMessage.contains("exceed the budget"))
+    intercept[IllegalArgumentException] { // duplicate keys: first-match would win silently
+      Sampling.mixSample(df, "lang", Seq("en" -> 0.3, "en" -> 0.2),
+        budget = 100, tieCol = "id")
+    }
+    // the report surfaces: under-available keys (de grants 10 of 30),
+    // unlisted data keys (xx: weight 0), and data-less recipe keys (fr)
+    val rep = Sampling.mixSampleReport(df, "lang",
+        Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), budget = 100)
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("requested"), r.getAs[Long]("available"),
+          r.getAs[Long]("granted")))).toMap
+    assert(rep == Map(
+      "en" -> ((50L, 200L, 50L)),
+      "de" -> ((30L, 10L, 10L)),
+      "fr" -> ((20L, 0L, 0L)),
+      "xx" -> ((0L, 20L, 0L))))
+    // granted accounting matches what mixSample actually draws
+    val drawn = Sampling.mixSample(df, "lang",
+        Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), budget = 100, tieCol = "id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(drawn == rep.collect { case (k, (_, _, g)) if g > 0 => k -> g })
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged, null payloads included") {
     import graft.operators.SnapshotDiff
     val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"),

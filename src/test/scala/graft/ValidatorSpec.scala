@@ -99,7 +99,7 @@ class ValidatorSpec extends SparkSpec {
     assert(r(("uniqueness", "id")).metric == 1d)
   }
 
-  test("vector checks: dim, NaN, zero, norm bounds — one fused scan, nulls excluded") {
+  test("vector checks: dim, non-finite, zero, norm bounds — one fused scan, nulls excluded") {
     val vecs = Seq(
       (1L, Seq(0.6f, 0.8f)),               // norm 1.0 — clean
       (2L, Seq(3f, 4f)),                   // norm 5.0 — out of [0.5, 2]
@@ -107,6 +107,7 @@ class ValidatorSpec extends SparkSpec {
       (4L, Seq(Float.NaN, 1f)),            // NaN (excluded from norm)
       (5L, Seq(1f, 0f, 0f)),               // wrong dim
       (6L, null.asInstanceOf[Seq[Float]]), // null row — not a vector metric
+      (7L, Seq(Float.PositiveInfinity, 0f)), // Inf: non-finite AND norm-bad
     ).toDF("id", "v")
     val c = ContractBuilder("vt", "o")
       .vectorCheck(VectorCheck("v", dim = Some(2),
@@ -117,13 +118,15 @@ class ValidatorSpec extends SparkSpec {
       Set(ContractValidator.Part.Vector)))
     assert(r(("vector_dim", "v")).passed == false &&
       r(("vector_dim", "v")).metric == 1d)
-    // 1 NaN row of 5 non-null = 0.2 <= declared 0.5 → PASSES with rate
-    assert(r(("vector_nan", "v")).passed && r(("vector_nan", "v")).metric == 0.2)
+    // vector_nan counts NON-FINITE rows (NaN or ±Inf, per scaladoc):
+    // 2 of 6 non-null = 1/3 <= declared 0.5 → PASSES with rate
+    assert(r(("vector_nan", "v")).passed && r(("vector_nan", "v")).metric == 2d / 6d)
     assert(r(("vector_zero", "v")).passed == false &&
-      r(("vector_zero", "v")).metric == 0.2)
-    // finite norms: 1.0, 5.0, 0.0, 1.0 (dim-3 row included; NaN row not)
+      r(("vector_zero", "v")).metric == 1d / 6d)
+    // non-NaN norms: 1.0, 5.0, 0.0, 1.0, Inf (dim-3 row included; the
+    // NaN row's norm is NaN and excluded; Inf norm is > max → bad)
     assert(r(("vector_norm", "v")).passed == false &&
-      r(("vector_norm", "v")).metric == 2d)
+      r(("vector_norm", "v")).metric == 3d)
 
     // no declared dim → uniformity mode: {2, 3} = 2 distinct dims
     val cu = ContractBuilder("vt", "o").vectorCheck(VectorCheck("v")).build
