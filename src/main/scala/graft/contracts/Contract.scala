@@ -56,6 +56,26 @@ final case class QualityChecks(
     mlChecks: Option[MlChecks] = None,
     trend: Option[TrendCheck] = None,
     vector: Seq[VectorCheck] = Nil,
+    curation: Seq[CurationRule] = Nil,
+)
+
+/** One named rule of a curation filter chain, declared on the contract
+  * (`quality_checks.curation`) so a YAML/TOML contract drives
+  * [[graft.operators.Curation.filterChain]]/`funnel` like every batch
+  * check. Rules apply IN DECLARATION ORDER (first-fail attribution is
+  * order-contractual). The six standard Gopher/C4-style rules are
+  * prebuilt — thresholds in NATURAL units:
+  *  - `min_words`: keep docs with at least `min` whitespace words;
+  *  - `mean_word_len`: mean word length within [`min`, `max`] chars;
+  *  - `alpha_ratio`: alphabetic-character fraction ≥ `min` ([0, 1]);
+  *  - `stopwords`: at least `min` English stopword hits;
+  *  - `repetition`: duplicate word-n-gram fraction ≤ `max` ([0, 1]);
+  *  - `pii`: no PII indicators (no parameters).
+  * Execution: [[graft.operators.Curation.filterChainForContract]]. */
+final case class CurationRule(
+    rule: String,
+    min: Option[Double] = None,
+    max: Option[Double] = None,
 )
 
 /** Embedding-column quality — the ML-data extension of the reference's

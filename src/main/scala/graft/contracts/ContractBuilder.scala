@@ -47,6 +47,8 @@ final case class ContractBuilder(
   def mlChecks(ml: MlChecks): ContractBuilder = copy(qc = qc.copy(mlChecks = Some(ml)))
   def vectorCheck(v: VectorCheck): ContractBuilder =
     copy(qc = qc.copy(vector = qc.vector :+ v))
+  def curationRule(r: CurationRule): ContractBuilder =
+    copy(qc = qc.copy(curation = qc.curation :+ r))
   def sla(s: Sla): ContractBuilder = copy(slaV = Some(s))
 
   def build: Contract = Contract(

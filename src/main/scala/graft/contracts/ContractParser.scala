@@ -148,6 +148,15 @@ object ContractParser {
           maxZeroRate = dblOpt(c, "max_zero_rate").getOrElse(0.0),
         )
       }).getOrElse(Nil),
+    curation = m.get("curation").filter(_ != null)
+      .map(asList(_, "curation").map { v =>
+        val c = asMap(v, "curation")
+        CurationRule(
+          rule = str(c, "rule"),
+          min = dblOpt(c, "min"),
+          max = dblOpt(c, "max"),
+        )
+      }).getOrElse(Nil),
   )
 
   private def parseMl(m: M): MlChecks = MlChecks(

@@ -162,6 +162,68 @@ object Curation {
     * fails (evaluation order = chain order), "pass" when it fails none. */
   final case class FilterRule(name: String, passes: Column)
 
+  /** The rule names [[rulesFromContract]] understands — the standard
+    * Gopher/C4 cascade. Thresholds are declared in natural units on the
+    * contract ([[graft.contracts.CurationRule]]) and compiled here to
+    * the integer feature columns [[curationFeatures]] emits. */
+  val standardCurationRules: Seq[String] =
+    Seq("min_words", "mean_word_len", "alpha_ratio", "stopwords", "repetition", "pii")
+
+  /** The feature frame the standard contract rules read: quality
+    * features (token/char/alpha/stopword integers) + the PII flag + the
+    * duplicate-n-gram ratio — all map-only codegen expressions riding
+    * ONE corpus scan, the exact formulation the `q_filter_chain` /
+    * `q_pipeline_funnel` oracles replay. */
+  def curationFeatures(df: DataFrame, textCol: String, ngramN: Int = 3): DataFrame =
+    TextAnalysis.piiScan(TextAnalysis.qualityFeatures(df, textCol), textCol)
+      .withColumn("__st",
+        graft.functions.NgramStats(TextFns.words(col(textCol)), ngramN))
+      .withColumn("rep_bp",
+        ((col("__st.total_ngrams") - col("__st.distinct_ngrams")) * 10000L /
+          col("__st.total_ngrams")).cast("long"))
+      .drop("__st")
+
+  /** Compiles contract-declared curation rules ([[graft.contracts
+    * .CurationRule]], natural units) into [[FilterRule]]s over the
+    * [[curationFeatures]] columns, preserving declaration order.
+    * Unknown names and missing parameters fail loudly — the lint
+    * catches them statically, this is the runtime backstop. */
+  def rulesFromContract(rules: Seq[graft.contracts.CurationRule]): Seq[FilterRule] = {
+    require(rules.nonEmpty, "contract declares no curation rules")
+    rules.map { r =>
+      def need(p: Option[Double], which: String): Double = p.getOrElse(
+        throw new IllegalArgumentException(s"curation rule '${r.rule}' needs $which"))
+      val passes = r.rule match {
+        case "min_words" => col("n_tokens") >= math.round(need(r.min, "min"))
+        case "mean_word_len" =>
+          require(r.min.isDefined || r.max.isDefined,
+            "curation rule 'mean_word_len' needs min and/or max")
+          val lower = r.min.map(v => col("mean_word_len_x10") >= math.round(v * 10))
+            .getOrElse(lit(true))
+          val upper = r.max.map(v => col("mean_word_len_x10") <= math.round(v * 10))
+            .getOrElse(lit(true))
+          lower && upper
+        case "alpha_ratio" =>
+          col("alpha_ratio_bp") >= math.round(need(r.min, "min") * 10000)
+        case "stopwords" => col("stopword_hits") >= math.round(need(r.min, "min"))
+        case "repetition" => col("rep_bp") <= math.round(need(r.max, "max") * 10000)
+        case "pii" => !col("has_pii")
+        case other => throw new IllegalArgumentException(
+          s"unknown curation rule '$other' (known: ${standardCurationRules.mkString(", ")})")
+      }
+      FilterRule(r.rule, passes)
+    }
+  }
+
+  /** The contract-driven cascade end-to-end: features + declared rules
+    * + [[filterChain]] in one call — a YAML/TOML contract's
+    * `quality_checks.curation` block runs like every batch check. */
+  def filterChainForContract(df: DataFrame, textCol: String,
+                             contract: graft.contracts.Contract,
+                             ngramN: Int = 3): DataFrame =
+    filterChain(curationFeatures(df, textCol, ngramN),
+      rulesFromContract(contract.qualityChecks.map(_.curation).getOrElse(Nil)))
+
   /** Applies an ordered filter chain, adding `first_fail` (name of the
     * first failing rule, "pass" otherwise) and `keep`. Rules compose as
     * one nested CASE — a single map-only projection regardless of chain

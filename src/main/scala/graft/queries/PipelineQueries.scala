@@ -1488,27 +1488,43 @@ object PipelineQueries {
   // over one corpus scan, aggregated to (first_fail, n_docs). Fixtures
   // included so the pii rule has a non-empty bucket. Every rule formula
   // is one already oracle-proven elsewhere on the board (quality
-  // features, 3-gram repetition, pii counts).
+  // features, 3-gram repetition, pii counts). CONTRACT-DRIVEN since
+  // r7: the YAML below declares quality_checks.curation in natural
+  // units and rulesFromContract compiles it to the identical six
+  // FilterRules the r6 query built by hand — oracle unchanged.
   val qFilterChain = QueryDef("q_filter_chain",
     (s, dir) => {
-      import graft.operators.Curation.FilterRule
+      val contract = graft.contracts.ContractParser.parse(
+        """version: "1.0"
+          |name: documents_curation
+          |owner: graft
+          |schema:
+          |  format: parquet
+          |  location: documents
+          |  fields:
+          |    - name: doc_id
+          |      type: int64
+          |    - name: text
+          |      type: string
+          |quality_checks:
+          |  curation:
+          |    - rule: min_words
+          |      min: 5
+          |    - rule: mean_word_len
+          |      min: 2.0
+          |      max: 12.0
+          |    - rule: alpha_ratio
+          |      min: 0.5
+          |    - rule: stopwords
+          |      min: 1
+          |    - rule: repetition
+          |      max: 0.3
+          |    - rule: pii
+          |""".stripMargin)
       val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(fixtures.select(col("doc_id"), col("text")))
-      val feats = graft.operators.TextAnalysis.piiScan(
-        graft.operators.TextAnalysis.qualityFeatures(docs, "text"), "text")
-        .withColumn("__st", graft.functions.NgramStats(TextFns.words(col("text")), 3))
-        .withColumn("rep_bp",
-          ((col("__st.total_ngrams") - col("__st.distinct_ngrams")) * 10000L /
-            col("__st.total_ngrams")).cast(LongType))
-      val rules = Seq(
-        FilterRule("min_words", col("n_tokens") >= 5L),
-        FilterRule("mean_word_len", col("mean_word_len_x10").between(20L, 120L)),
-        FilterRule("alpha_ratio", col("alpha_ratio_bp") >= 5000L),
-        FilterRule("stopwords", col("stopword_hits") >= 1L),
-        FilterRule("repetition", col("rep_bp") <= 3000L),
-        FilterRule("pii", !col("has_pii")))
-      graft.operators.Curation.filterChain(feats, rules)
+      graft.operators.Curation.filterChainForContract(docs, "text", contract)
         .groupBy("first_fail")
         .agg(count(lit(1)).cast(LongType).as("n_docs"))
         .orderBy("first_fail")
@@ -2125,18 +2141,15 @@ object PipelineQueries {
   // and never release any; the memo makes every rep share one copy,
   // the same lifecycle as the dedup pipelines' caches
   private val shardedDocs = new SessionCache[org.apache.spark.sql.DataFrame]
-  val qExportShards = QueryDef("q_export_shards",
-    (s, dir) => {
-      val sharded = shardedDocs.get(s, dir) {
-        val docs = table(s, dir, "documents")
-          .withColumn("__tok", TextFns.wsTokenCount(col("text")).cast(LongType))
-        graft.operators.Sampling.exportShards(docs,
-          Seq(col("n_chars").desc, col("doc_id").asc), docsPerShard = 40L)
-      }
-      graft.operators.Sampling.shardManifest(sharded, "__tok")
-        .orderBy("shard")
-    },
-    Some("""
+  private def shardedCorpus(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    shardedDocs.get(s, dir) {
+      val docs = table(s, dir, "documents")
+        .withColumn("__tok", TextFns.wsTokenCount(col("text")).cast(LongType))
+      graft.operators.Sampling.exportShards(docs,
+        Seq(col("n_chars").desc, col("doc_id").asc), docsPerShard = 40L)
+    }
+  private val ShardManifestOracle = """
       WITH r AS (
         SELECT doc_id,
                length(text) - length(replace(text, ' ', '')) + 1 AS tok,
@@ -2147,7 +2160,42 @@ object PipelineQueries {
              CAST(sum(tok) AS BIGINT) AS tokens,
              CAST(min(pos) AS BIGINT) AS first_pos,
              CAST(max(pos) AS BIGINT) AS last_pos
-      FROM r GROUP BY 1 ORDER BY 1"""))
+      FROM r GROUP BY 1 ORDER BY 1"""
+  val qExportShards = QueryDef("q_export_shards",
+    (s, dir) => {
+      graft.operators.Sampling.shardManifest(shardedCorpus(s, dir), "__tok")
+        .orderBy("shard")
+    },
+    Some(ShardManifestOracle))
+
+  // 74b. the EXPORT in shard export: write the sharded corpus as
+  // shard-PARTITIONED parquet (partitionBy("shard") — the layout a
+  // training job partition-prunes), read it back from disk, and
+  // manifest the RE-READ against the same oracle as q_export_shards.
+  // A green row proves the write/read round-trip preserves every
+  // position, shard assignment, and row — not just the positioning
+  // arithmetic. The write happens once per (session, dir) under
+  // target/ (same lifecycle as the sort cache it forks from, which is
+  // persisted+materialized — see exportShards' fork-consistency note);
+  // the timed query path always reads from DISK.
+  private val shardExportDirs = new SessionCache[String]
+  val qExportRoundtrip = QueryDef("q_export_roundtrip",
+    (s, dir) => {
+      val outDir = shardExportDirs.get(s, dir) {
+        val path = "target/shard_export/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        shardedCorpus(s, dir)
+          .select(col("doc_id"), col("__tok"), col("pos"), col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(path)
+        path
+      }
+      // partition-column type inference reads `shard` back as int —
+      // restore the manifest's long type
+      val back = s.read.parquet(outDir)
+        .withColumn("shard", col("shard").cast(LongType))
+      graft.operators.Sampling.shardManifest(back, "__tok").orderBy("shard")
+    },
+    Some(ShardManifestOracle))
 
   // 75. script-mix detection: per-script character counts + dominant
   // script, rolled up per (lang, dominant). The synthetic corpus is
@@ -2212,6 +2260,6 @@ object PipelineQueries {
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
-    qExportShards, qTextScripts,
+    qExportShards, qExportRoundtrip, qTextScripts,
   )
 }

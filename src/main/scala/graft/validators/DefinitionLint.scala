@@ -136,6 +136,39 @@ object DefinitionLint {
           issue(s"quality_checks.vector.${v.field}.min_norm",
             s"$lo > max_norm $hi")
       }
+      // curation rules: known name, required params present and in
+      // range, no duplicate names (first-fail attribution merges
+      // duplicates silently otherwise)
+      locally {
+        val known = graft.operators.Curation.standardCurationRules.toSet
+        qc.curation.groupBy(_.rule).collect { case (r, rs) if rs.size > 1 => r }
+          .foreach(r => issue(s"quality_checks.curation.$r", "declared more than once"))
+        qc.curation.foreach { r =>
+          def where = s"quality_checks.curation.${r.rule}"
+          if (!known(r.rule))
+            issue(where, s"unknown rule (known: ${known.toSeq.sorted.mkString(", ")})")
+          else r.rule match {
+            case "min_words" | "stopwords" =>
+              if (r.min.isEmpty) issue(where, "needs min")
+              r.min.filter(_ < 0).foreach(v => issue(where, s"min $v must be >= 0"))
+            case "mean_word_len" =>
+              if (r.min.isEmpty && r.max.isEmpty) issue(where, "needs min and/or max")
+              for (lo <- r.min; hi <- r.max; if lo > hi)
+                issue(where, s"min $lo > max $hi")
+            case "alpha_ratio" =>
+              if (r.min.isEmpty) issue(where, "needs min")
+              r.min.filter(v => v < 0 || v > 1).foreach(v =>
+                issue(where, s"min $v not in [0, 1]"))
+            case "repetition" =>
+              if (r.max.isEmpty) issue(where, "needs max")
+              r.max.filter(v => v < 0 || v > 1).foreach(v =>
+                issue(where, s"max $v not in [0, 1]"))
+            case "pii" =>
+              if (r.min.isDefined || r.max.isDefined)
+                issue(where, "takes no min/max")
+          }
+        }
+      }
       qc.trend.foreach { t =>
         if (t.windowDuration.trim.isEmpty)
           issue("quality_checks.trend.window_duration", "must not be empty")

@@ -298,6 +298,63 @@ class CurationSpec extends SparkSpec {
     assert(boom.getMessage.contains("exact_dup"))
   }
 
+  test("contract-declared curation rules drive filterChain end-to-end") {
+    val contract = graft.contracts.ContractParser.parse(
+      """version: "1"
+        |name: cur
+        |owner: o
+        |schema:
+        |  format: parquet
+        |  location: x
+        |  fields:
+        |    - name: text
+        |      type: string
+        |quality_checks:
+        |  curation:
+        |    - rule: min_words
+        |      min: 5
+        |    - rule: stopwords
+        |      min: 1
+        |    - rule: repetition
+        |      max: 0.3
+        |    - rule: pii
+        |""".stripMargin)
+    val cur = contract.qualityChecks.get.curation
+    assert(cur.map(_.rule) == Seq("min_words", "stopwords", "repetition", "pii"))
+    assert(cur.head.min.contains(5.0) && cur(2).max.contains(0.3))
+    val corpus = Seq(
+      (0L, "tiny"),                                               // min_words
+      (1L, "words without any marker terms here now"),            // stopwords
+      (2L, "the dog the dog the dog the dog the dog"),            // repetition
+      (3L, "reach me at alice@example.com about the offer today"),// pii
+      (4L, "a perfectly ordinary sentence about the weather"),    // pass
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation.filterChainForContract(corpus, "text", contract)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("first_fail")).toMap
+    assert(out == Map(0L -> "min_words", 1L -> "stopwords", 2L -> "repetition",
+      3L -> "pii", 4L -> "pass"))
+    // declaration ORDER is the attribution order: doc 0 ("tiny") fails
+    // BOTH min_words and stopwords — reversing the chain re-charges it
+    // to whichever comes first
+    val flipped = contract.copy(qualityChecks = contract.qualityChecks
+      .map(q => q.copy(curation = q.curation.reverse)))
+    val out2 = graft.operators.Curation.filterChainForContract(corpus, "text", flipped)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("first_fail")).toMap
+    assert(out2(0L) == "stopwords" && out2(4L) == "pass")
+    // runtime backstops: unknown rule, missing param, empty chain
+    import graft.contracts.CurationRule
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.rulesFromContract(Seq(CurationRule("wat")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.rulesFromContract(Seq(CurationRule("min_words")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.filterChainForContract(corpus, "text",
+        contract.copy(qualityChecks = None))
+    }
+  }
+
   test("funnel near-dup stage charges clustermates to the min SURVIVING canonical") {
     val corpus = Seq(
       (0L, "tiny"),                                          // min_words

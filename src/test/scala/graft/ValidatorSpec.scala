@@ -165,8 +165,20 @@ class ValidatorSpec extends SparkSpec {
           metrics = Seq("rows"), perMetric = Map("nulls_x" -> 0.0))),
         vector = Seq(VectorCheck("missing_v", dim = Some(0),
           minNorm = Some(5.0), maxNorm = Some(1.0), maxNanRate = 2.0)),
+        curation = Seq(
+          CurationRule("wat"),                         // unknown name
+          CurationRule("min_words"),                   // needs min
+          CurationRule("min_words", min = Some(5.0)),  // duplicate name
+          CurationRule("alpha_ratio", min = Some(1.5)),// ratio out of [0,1]
+          CurationRule("mean_word_len"),               // needs min and/or max
+          CurationRule("pii", max = Some(1.0))),       // takes no params
       )))
     val paths = DefinitionLint.lint(bad).map(_.path)
+    assert(paths.contains("quality_checks.curation.wat"))
+    assert(paths.count(_ == "quality_checks.curation.min_words") >= 2) // missing min + duplicate
+    assert(paths.contains("quality_checks.curation.alpha_ratio"))
+    assert(paths.contains("quality_checks.curation.mean_word_len"))
+    assert(paths.contains("quality_checks.curation.pii"))
     assert(paths.contains("quality_checks.vector"))
     assert(paths.contains("quality_checks.vector.missing_v.dim"))
     assert(paths.contains("quality_checks.vector.missing_v.max_nan_rate"))
