@@ -175,6 +175,57 @@ object TextAnalysis {
     noveltyFromShingled(df.select(col(idCol).as("id"),
       TextFns.wordShingles(col(textCol), n).as("sh")))
 
+  /** Corpus vocabulary-growth (yield) curve — the CORPUS-level form of
+    * the Lee et al. 2022 deduplicated-token yield curves whose per-doc
+    * form is [[noveltyFromShingled]]: arrival order (the id) bucketed
+    * into `bucketSize`-doc windows; per bucket, how many distinct
+    * n-grams occur for the FIRST time anywhere in the corpus (their
+    * min id lands in the bucket) against the bucket's total (doc,
+    * gram) rows, plus the running distinct-vocabulary total. A
+    * flattening curve says marginal data is redundant — the
+    * collect-more-or-dedup-harder decision signal. Output one row per
+    * bucket: (bucket, first_id, docs, gram_rows, new_grams,
+    * new_bp, cum_grams).
+    *
+    * Plan: one (gram → min id) map-side-combined aggregation (shared
+    * shape with novelty) → one bucket rollup of each side → one
+    * cumulative window over #buckets rows. The cumsum window is
+    * single-task over a SKETCH-sized frame (#buckets rows — the same
+    * deliberate idiom as exportShards' offsets cumsum), never the
+    * corpus. Linear end-to-end. */
+  def vocabularyGrowthFromShingled(shingled: DataFrame,
+                                   bucketSize: Long): DataFrame = {
+    require(bucketSize >= 1, "bucketSize must be >= 1")
+    val g = shingled.select(col("id"), explode(col("sh")).as("gram"))
+      .withColumn("__bucket", expr(s"id DIV ${bucketSize}L"))
+    val perBucket = g.groupBy("__bucket")
+      .agg(countDistinct(col("id")).cast("long").as("docs"),
+        count(lit(1)).cast("long").as("gram_rows"))
+    val firstIn = g.groupBy("gram").agg(min("id").as("__first"))
+      .groupBy(expr(s"__first DIV ${bucketSize}L").as("__bucket"))
+      .agg(count(lit(1)).cast("long").as("new_grams"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("__bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBucket.join(firstIn, Seq("__bucket"), "left")
+      .na.fill(0L, Seq("new_grams"))
+      .withColumn("new_bp",
+        (col("new_grams") * 10000L / greatest(col("gram_rows"), lit(1L))).cast("long"))
+      .withColumn("cum_grams", sum("new_grams").over(cum).cast("long"))
+      .select(col("__bucket").as("bucket"),
+        (col("__bucket") * bucketSize).as("first_id"),
+        col("docs"), col("gram_rows"), col("new_grams"), col("new_bp"),
+        col("cum_grams"))
+  }
+
+  /** [[vocabularyGrowthFromShingled]] from raw text. Prefer the
+    * shingled-frame form when a [[DedupPipeline]] already pays for the
+    * corpus shingling. */
+  def vocabularyGrowth(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, bucketSize: Long = 50L): DataFrame =
+    vocabularyGrowthFromShingled(df.select(col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), n).as("sh")), bucketSize)
+
   /** Boilerplate n-gram candidates per group (source/domain): the
     * top-`topK` word n-grams by WITHIN-GROUP document frequency — the
     * header/footer/template detector of web-corpus curation (a phrase
@@ -317,6 +368,60 @@ object TextAnalysis {
   def bigramLmScore(train: DataFrame, eval: DataFrame,
                     idCol: String, textCol: String): DataFrame =
     scoreBigramLm(trainBigramLm(train, textCol), eval, idCol, textCol)
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): every candidate
+    * doc scores `log p_target(x) − log p_background(x)` per bigram
+    * under two add-one smoothed bigram LMs — one trained on the small
+    * target-domain corpus, one on the raw/background corpus — and
+    * data selection keeps the top-weighted docs (the
+    * hashed-n-gram-LM reduction of the paper, with exact bigrams in
+    * place of hashed features so every number is SQL-replayable).
+    * Output: (id, n_bigrams, target_lm_r4, background_lm_r4,
+    * dsir_weight_r4) — weight = mean per-bigram log-ratio, 4-dp
+    * rounded like [[scoreBigramLm]] (absorbs summation-order float
+    * noise).
+    *
+    * Plan: both models are count tables ([[trainBigramLm]] — persist
+    * them to amortize across candidate batches); candidates explode
+    * ONCE and join both models' counts in the same pass — four
+    * broadcast-able equi-joins on (bg)/(w1) + two 1-row vocab
+    * broadcasts, one aggregation. No pairs; cost scales with candidate
+    * token count. At 100 TB the models are vocabulary-sized (shuffle
+    * carries distinct grams), the candidate pass is linear. */
+  def dsirWeights(targetLm: BigramLm, backgroundLm: BigramLm,
+                  candidates: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val tb = targetLm.bgCounts.withColumnRenamed("c_bg", "c_bg_t")
+    val bb = backgroundLm.bgCounts.withColumnRenamed("c_bg", "c_bg_b")
+    val tu = targetLm.uniCounts.withColumnRenamed("c_w1", "c_w1_t")
+    val bu = backgroundLm.uniCounts.withColumnRenamed("c_w1", "c_w1_b")
+    val tv = targetLm.vocab.withColumnRenamed("v", "v_t")
+    val bv = backgroundLm.vocab.withColumnRenamed("v", "v_b")
+    def logp(cBg: String, cW1: String, v: String): Column =
+      log((coalesce(col(cBg), lit(0L)) + 1L).cast("double") /
+        (coalesce(col(cW1), lit(0L)) + col(v)).cast("double"))
+    docBigrams(candidates, textCol, col(idCol).as("id"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(tb, Seq("bg"), "left").join(bb, Seq("bg"), "left")
+      .join(tu, Seq("w1"), "left").join(bu, Seq("w1"), "left")
+      .crossJoin(broadcast(tv)).crossJoin(broadcast(bv))
+      .withColumn("logp_t", logp("c_bg_t", "c_w1_t", "v_t"))
+      .withColumn("logp_b", logp("c_bg_b", "c_w1_b", "v_b"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg("logp_t"), 4).as("target_lm_r4"),
+        round(avg("logp_b"), 4).as("background_lm_r4"),
+        round(avg(col("logp_t") - col("logp_b")), 4).as("dsir_weight_r4"))
+  }
+
+  /** [[dsirWeights]] training both models inline. Prefer pre-trained
+    * persisted models when scoring more than one candidate batch. */
+  def dsirScore(target: DataFrame, background: DataFrame,
+                candidates: DataFrame, idCol: String,
+                textCol: String): DataFrame =
+    dsirWeights(trainBigramLm(target, textCol),
+      trainBigramLm(background, textCol), candidates, idCol, textCol)
 
   /** TF-IDF weights per (doc, word): tf · ln(N / df). Two aggregations
     * (per-doc term counts, per-word doc frequency) + one broadcast-able

@@ -1092,6 +1092,90 @@ object PipelineQueries {
       FROM scored GROUP BY id
       ORDER BY lm_score_r4 DESC, id LIMIT 25"""))
 
+  // 76. DSIR-style importance weights (Xie et al. 2023): candidates
+  // score mean per-bigram ln(p_target/p_background) under two add-one
+  // bigram LMs — target = the en slice, background = every other
+  // lang, candidates = the doc_id % 5 slice (all langs). The oracle
+  // retrains BOTH models and rescores in DuckDB (the q_text_lm_score
+  // replay, doubled); models are session-cached + persisted like the
+  // LM filter's — frozen-reference state scoring any candidate batch.
+  private val dsirModels =
+    new SessionCache[(TextAnalysis.BigramLm, TextAnalysis.BigramLm)]
+  val qDsirWeights = QueryDef("q_dsir_weights",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (t, b) = dsirModels.get(s, dir)((
+        TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "text").persist(),
+        TextAnalysis.trainBigramLm(docs.filter(col("lang") =!= "en"), "text").persist()))
+      TextAnalysis.dsirWeights(t, b,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("dsir_weight_r4").desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents),
+      bg AS (SELECT doc_id, lang,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                                          g -> array_to_string(ws[g:g+1], ' '))) bg
+             FROM w),
+      tb AS (SELECT bg, count(*) c_bg_t FROM bg WHERE lang = 'en' GROUP BY 1),
+      xb AS (SELECT bg, count(*) c_bg_b FROM bg WHERE lang != 'en' GROUP BY 1),
+      tu AS (SELECT w1, count(*) c_w1_t
+             FROM (SELECT unnest(ws) w1 FROM w WHERE lang = 'en') GROUP BY 1),
+      xu AS (SELECT w1, count(*) c_w1_b
+             FROM (SELECT unnest(ws) w1 FROM w WHERE lang != 'en') GROUP BY 1),
+      tv AS (SELECT count(*) v_t FROM tu),
+      xv AS (SELECT count(*) v_b FROM xu),
+      scored AS (
+        SELECT b.doc_id id,
+               ln((coalesce(c_bg_t, 0) + 1) * 1.0 / (coalesce(c_w1_t, 0) + v_t)) lt,
+               ln((coalesce(c_bg_b, 0) + 1) * 1.0 / (coalesce(c_w1_b, 0) + v_b)) lb
+        FROM bg b
+        LEFT JOIN tb ON b.bg = tb.bg
+        LEFT JOIN xb ON b.bg = xb.bg
+        LEFT JOIN tu ON string_split(b.bg, ' ')[1] = tu.w1
+        LEFT JOIN xu ON string_split(b.bg, ' ')[1] = xu.w1
+        CROSS JOIN tv CROSS JOIN xv
+        WHERE b.doc_id % 5 = 0)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(lt), 4) AS target_lm_r4,
+             round(avg(lb), 4) AS background_lm_r4,
+             round(avg(lt - lb), 4) AS dsir_weight_r4
+      FROM scored GROUP BY id
+      ORDER BY dsir_weight_r4 DESC, id LIMIT 25"""))
+
+  // 77. corpus vocabulary-growth (yield) curve, Lee et al. 2022: per
+  // 50-doc arrival bucket, first-occurrence distinct 3-grams vs total
+  // gram rows + the running vocabulary total — the corpus-level twin
+  // of q_text_novelty, sharing the session's one corpus shingling.
+  val qTextYield = QueryDef("q_text_yield",
+    (s, dir) => {
+      TextAnalysis.vocabularyGrowthFromShingled(
+          dedupPipeline(s, dir).shingled, bucketSize = 50L)
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      g AS (SELECT doc_id, sh, doc_id // 50 bucket FROM sh),
+      pb AS (SELECT bucket, count(DISTINCT doc_id) docs, count(*) gram_rows
+             FROM g GROUP BY 1),
+      fi AS (SELECT sh, min(doc_id) fd FROM g GROUP BY 1),
+      nb AS (SELECT fd // 50 bucket, count(*) new_grams FROM fi GROUP BY 1)
+      SELECT CAST(pb.bucket AS BIGINT) AS bucket,
+             CAST(pb.bucket * 50 AS BIGINT) AS first_id,
+             CAST(docs AS BIGINT) AS docs,
+             CAST(gram_rows AS BIGINT) AS gram_rows,
+             CAST(coalesce(new_grams, 0) AS BIGINT) AS new_grams,
+             CAST(coalesce(new_grams, 0) * 10000 // greatest(gram_rows, 1) AS BIGINT) AS new_bp,
+             CAST(sum(coalesce(new_grams, 0))
+                    OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams
+      FROM pb LEFT JOIN nb ON pb.bucket = nb.bucket
+      ORDER BY bucket"""))
+
   // 56. sequence packing: per-source token-budget bins over the
   // documents, doc-id order — the chunk-then-pack step that fills
   // training context windows. Oracle replays the exclusive-prefix-sum
@@ -2260,6 +2344,6 @@ object PipelineQueries {
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
-    qExportShards, qExportRoundtrip, qTextScripts,
+    qExportShards, qExportRoundtrip, qTextScripts, qDsirWeights, qTextYield,
   )
 }

@@ -480,6 +480,63 @@ class OperatorsSpec extends SparkSpec {
       4L -> ((3L, 3L, 10000L))))
   }
 
+  test("vocabulary-growth curve credits each gram's bucket once, conserving the vocab") {
+    // bucketSize 2: buckets {0,1} and {2,3}. Doc 0 introduces 2 grams,
+    // doc 1 is an exact dup (0 new), doc 2 shares one gram with doc 0
+    // (1 new), doc 3 is all-new (3 new).
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t u"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabularyGrowth(docs, "doc_id", "text", n = 3, bucketSize = 2L)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("first_id"), r.getAs[Long]("docs"), r.getAs[Long]("gram_rows"),
+          r.getAs[Long]("new_grams"), r.getAs[Long]("new_bp"), r.getAs[Long]("cum_grams"))))
+      .toMap
+    // bucket 0: docs 0+1, 4 gram rows, 2 first-occurrences, cum 2
+    // bucket 1: docs 2+3, 5 gram rows, 4 first-occurrences, cum 6
+    assert(got == Map(
+      0L -> ((0L, 2L, 4L, 2L, 5000L, 2L)),
+      1L -> ((2L, 2L, 5L, 4L, 8000L, 6L))))
+    // conservation on the real corpus: Σ new_grams over buckets ==
+    // distinct corpus grams, and cum_grams is its running prefix
+    val real = spark.read.parquet(sf("documents"))
+    val curve = TextAnalysis.vocabularyGrowth(real, "doc_id", "text", n = 3, bucketSize = 50L)
+      .orderBy("bucket").collect()
+    val distinctGrams = real
+      .select(explode(graft.functions.TextFns.wordShingles(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(curve.map(_.getAs[Long]("new_grams")).sum == distinctGrams)
+    assert(curve.last.getAs[Long]("cum_grams") == distinctGrams)
+    val cums = curve.map(_.getAs[Long]("cum_grams"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("DSIR weights rank target-domain candidates above background-domain ones") {
+    val target = Seq(
+      (100L, "the ripe apple and the sweet pear hang in the orchard"),
+      (101L, "an orchard of apple trees and pear trees in bloom")).toDF("doc_id", "text")
+    val background = Seq(
+      (200L, "the kernel scheduler preempts a thread on the busy core"),
+      (201L, "a thread blocks while the kernel runs the scheduler")).toDF("doc_id", "text")
+    val candidates = Seq(
+      (0L, "the sweet apple hangs in the orchard"),       // target-ish
+      (1L, "the kernel runs a thread on the core"),       // background-ish
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dsirScore(target, background, candidates, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("target_lm_r4"), r.getAs[Double]("background_lm_r4"),
+          r.getAs[Double]("dsir_weight_r4")))).toMap
+    assert(got(0L)._3 > 0, s"target-domain candidate should weigh positive: ${got(0L)}")
+    assert(got(1L)._3 < 0, s"background-domain candidate should weigh negative: ${got(1L)}")
+    assert(got(0L)._3 > got(1L)._3)
+    // the two per-model means agree with the single-model scorer — the
+    // fused two-model pass is exactly scoreBigramLm run twice
+    val tm = TextAnalysis.trainBigramLm(target, "text")
+    val solo = TextAnalysis.scoreBigramLm(tm, candidates, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("lm_score_r4")).toMap
+    assert(got(0L)._1 == solo(0L) && got(1L)._1 == solo(1L))
+  }
+
   test("block dedup counts aligned shared-content blocks across payloads") {
     // a = [X|Y], b = [X|Z] (shares a's head block), c = exact copy of
     // a (shares both), d = lone short payload (one unshared block)
