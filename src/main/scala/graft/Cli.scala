@@ -16,6 +16,10 @@ import graft.validators.ContractValidator
   *   suggest <dataPath> <name> <owner>     emit a DATA-driven contract
   *                                         (profile-tightened nullability,
   *                                         ranges, allowed values)
+  *   curate <contract.yml> [dataPath]      run the contract's
+  *                                         quality_checks.curation chain,
+  *                                         print docs per first-failing
+  *                                         rule (chain order) + kept
   */
 object Cli {
 
@@ -31,7 +35,8 @@ object Cli {
             (if (qc.customChecks.nonEmpty) Seq(s"${qc.customChecks.size} custom") else Nil) ++
             qc.mlChecks.map(_ => "ml").toSeq ++
             qc.trend.map(_ => "trend").toSeq ++
-            (if (qc.vector.nonEmpty) Seq(s"${qc.vector.size} vector") else Nil)
+            (if (qc.vector.nonEmpty) Seq(s"${qc.vector.size} vector") else Nil) ++
+            (if (qc.curation.nonEmpty) Seq(s"${qc.curation.size} curation") else Nil)
         }
         println(s"OK: contract '${c.name}' v${c.version}, ${c.schema.fields.size} field(s), " +
           s"${c.schema.fields.map(_.constraints.size).sum} constraint(s)" +
@@ -145,6 +150,41 @@ object Cli {
           graft.operators.Profile.strings(df, stringCols).show(1000, truncate = false)
       } finally spark.stop()
 
+    case "curate" :: path :: rest =>
+      //   --text <col>   text column (default "text")
+      //   --json         machine-readable per-rule lines
+      val (flags, positional) = rest.partition(_.startsWith("--"))
+      val json = flags.contains("--json")
+      val textColOpt = rest.sliding(2).collectFirst { case Seq("--text", c) => c }
+      val textCol = textColOpt.getOrElse("text")
+      val positionalArgs = positional.filterNot(p => textColOpt.contains(p))
+      val c = ContractParser.parseFile(path)
+      val ruleNames = c.qualityChecks.map(_.curation).getOrElse(Nil).map(_.rule)
+      if (ruleNames.isEmpty) {
+        System.err.println(s"contract '${c.name}' declares no quality_checks.curation rules")
+        sys.exit(1)
+      }
+      // reuse an in-process session when one is live (keeps the verb
+      // drivable from tests and notebooks); own + stop it otherwise
+      val (spark, owned) = SparkSession.getActiveSession match {
+        case Some(live) => (live, false)
+        case None => (session(), true)
+      }
+      try {
+        val df = TableSources.read(spark, c, positionalArgs.headOption)
+        val chained = graft.operators.Curation.filterChainForContract(df, textCol, c)
+        import org.apache.spark.sql.functions.{count, lit}
+        val byRule = chained.groupBy("first_fail")
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rows = (ruleNames :+ "pass").map(r => r -> byRule.getOrElse(r, 0L))
+        if (json) rows.foreach { case (r, n) => println(s"""{"rule":"$r","n_docs":$n}""") }
+        else {
+          rows.foreach { case (r, n) => println(f"$r%-16s$n%10d") }
+          println(f"${"total"}%-16s${rows.map(_._2).sum}%10d")
+        }
+      } finally if (owned) spark.stop()
+
     case "suggest" :: dataPath :: name :: owner :: Nil =>
       val spark = session()
       try {
@@ -160,7 +200,8 @@ object Cli {
           |  validate <contract.yml|.toml> [dataPath] [--strict] [--schema-only] [--sample N] [--json]
           |  init <dataPath|tableName> <name> <owner> [--table] [--out <path>] [--description <text>]
           |  profile <dataPath>
-          |  suggest <dataPath> <name> <owner>""".stripMargin)
+          |  suggest <dataPath> <name> <owner>
+          |  curate <contract.yml|.toml> [dataPath] [--text <col>] [--json]""".stripMargin)
       sys.exit(2)
   }
 

@@ -60,6 +60,24 @@ object Contamination {
     * reused frozen snapshot. A caller running many checks against
     * DIFFERENT training corpora should use [[ngramContainmentBloomManaged]]
     * and destroy each sketch after its result is materialized. */
+  /** The TRANSFORM the contamination scan feeds (as [[Curation.redact]]
+    * is to the PII scan): the eval/training corpus with every doc whose
+    * benchmark containment reaches `minBp` REMOVED — the
+    * decontamination step run before training. Docs with no shingles
+    * (null/empty text) have no containment row and are kept, like docs
+    * below the threshold. Plan: [[ngramContainment]]'s vocabulary
+    * equi-join + one anti-join back on the id — linear, no new
+    * shapes. */
+  def decontaminate(benchmark: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3,
+                    minBp: Long = 5000L): DataFrame = {
+    require(minBp >= 0L, "minBp must be >= 0")
+    val contaminated = ngramContainment(benchmark, corpus, idCol, textCol, n)
+      .filter(col("contamination_bp") >= minBp)
+      .select(col("id").as(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   def ngramContainmentBloom(train: DataFrame, eval: DataFrame,
                             idCol: String, textCol: String, n: Int = 3,
                             expectedItems: Long = 1L << 22,

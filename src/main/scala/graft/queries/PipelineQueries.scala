@@ -986,6 +986,45 @@ object PipelineQueries {
              CAST(matched * 10000 // total AS BIGINT) AS contamination_bp
       FROM r ORDER BY contamination_bp DESC, id LIMIT 20"""))
 
+  // 50b. decontamination TRANSFORM (the scan's removal twin, as redact
+  // is to the PII scan): odd docs with every >= 50%-contained doc
+  // removed against a 5% benchmark slice (doc_id % 20 — the even half
+  // q_contamination uses contains nearly every odd doc's vocabulary at
+  // sf0.1, which would make the cleaned corpus empty and the gate
+  // vacuous; the thin slice keeps the split non-trivial at BOTH SFs:
+  // 249/250 kept at sf0.01, 2,303/2,500 at sf0.1), rolled up per
+  // source. The oracle replays containment then the anti-join as
+  // NOT IN.
+  val qDecontaminate = QueryDef("q_decontaminate",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Contamination.decontaminate(
+          docs.filter(col("doc_id") % 20 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, minBp = 5000L)
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum(TextFns.wsTokenCount(col("text")).cast(LongType)).cast(LongType).as("tokens"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+      ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+      r AS (SELECT ev.doc_id id, count(*) total,
+                   sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) matched
+            FROM ev LEFT JOIN tr ON ev.sh = tr.sh GROUP BY 1),
+      bad AS (SELECT id FROM r WHERE matched * 10000 // total >= 5000)
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens
+      FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM bad)
+      GROUP BY 1 ORDER BY 1"""))
+
   // 53. PII indicator scan (pre-train compliance scrub). The corpus is
   // synthetic, so three fixture docs plant every pattern class; the
   // oracle re-counts each regex with DuckDB's RE2 — the patterns live
@@ -2339,7 +2378,7 @@ object PipelineQueries {
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
-    qTextRepetition, qContamination, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
+    qTextRepetition, qContamination, qDecontaminate, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,

@@ -131,6 +131,48 @@ class ContractsSpec extends SparkSpec {
     java.nio.file.Files.delete(f)
   }
 
+  test("CLI curate verb runs the contract's curation chain end-to-end") {
+    val yml =
+      s"""version: "1"
+         |name: docs_curation
+         |owner: graft
+         |schema:
+         |  format: parquet
+         |  location: ${sf("documents")}
+         |  fields:
+         |    - name: doc_id
+         |      type: int64
+         |    - name: text
+         |      type: string
+         |quality_checks:
+         |  curation:
+         |    - rule: min_words
+         |      min: 5
+         |    - rule: stopwords
+         |      min: 1
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_cli_cur", ".yml")
+    java.nio.file.Files.write(f, yml.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.main(Array("curate", f.toString, "--json"))
+    }
+    // the verb reuses the suite's live session (owned = false) — the
+    // shared SparkSpec session must survive the call
+    assert(spark.sparkContext.isStopped == false)
+    val rows = out.toString("UTF-8").linesIterator
+      .filter(_.startsWith("{")).toSeq
+      .map { l =>
+        val r = """"rule":"([^"]+)","n_docs":(\d+)""".r.findFirstMatchIn(l).get
+        r.group(1) -> r.group(2).toLong
+      }.toMap
+    assert(rows.keySet == Set("min_words", "stopwords", "pass"))
+    val total = spark.read.parquet(sf("documents")).count()
+    assert(rows.values.sum == total, s"$rows should sum to the corpus $total")
+    assert(rows("pass") > 0)
+    java.nio.file.Files.delete(f)
+  }
+
   test("JSON is parsed too (YAML superset)") {
     val json = """{"version":"1","name":"n","owner":"o",
       "schema":{"format":"parquet","location":"l",

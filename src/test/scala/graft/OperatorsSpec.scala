@@ -731,6 +731,16 @@ class OperatorsSpec extends SparkSpec {
     val dropped = Contamination.contaminated(train, eval, "doc_id", "text", n = 3, maxBp = 5000L)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(dropped == Set(1L))
+    // the removal TWIN: the cleaned corpus keeps everything below the
+    // threshold, all columns intact, and shingle-less (null-text) docs
+    val evalN = eval.unionByName(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val kept = Contamination.decontaminate(train, evalN, "doc_id", "text",
+        n = 3, minBp = 5000L)
+    assert(kept.columns.toSeq == evalN.columns.toSeq)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    // an unreachable threshold keeps the whole corpus
+    assert(Contamination.decontaminate(train, evalN, "doc_id", "text", n = 3, minBp = 10001L)
+      .count() == 4L)
   }
 
   test("pii scan counts indicators and flags documents") {
@@ -776,7 +786,8 @@ class OperatorsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     Seq("q_text_repetition", "q_dedup_jaccard", "q_contamination",
         "q_text_pii", "q_dedup_simhash", "q_text_chunks", "q_text_lm_score",
-        "q_asof_join", "q_pack_bins").foreach { n =>
+        "q_asof_join", "q_pack_bins",
+        "q_dsir_weights", "q_text_yield", "q_pipeline_funnel_v2").foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("lambdafunction"),
         s"$n plan regressed to an interpreted lambda")
