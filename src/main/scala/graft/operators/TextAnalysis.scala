@@ -423,6 +423,93 @@ object TextAnalysis {
     dsirWeights(trainBigramLm(target, textCol),
       trainBigramLm(background, textCol), candidates, idCol, textCol)
 
+  /** A trained multinomial Naive Bayes text classifier: the sparse
+    * (label, word) count table, per-class token/doc totals, and the
+    * 1-row (vocab size, total docs) frame. [[persist]] it when scoring
+    * more than one candidate batch — the frozen-reference-classifier
+    * usage (GPT-3/LLaMA-style "looks like the curated corpus" quality
+    * classification) this operator exists for. */
+  final case class NaiveBayesModel(wordCounts: DataFrame,
+                                   classStats: DataFrame,
+                                   vocab: DataFrame) {
+    def persist(): NaiveBayesModel = {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      NaiveBayesModel(wordCounts.persist(lvl), classStats.persist(lvl),
+        vocab.persist(lvl))
+    }
+    def unpersist(): Unit = {
+      wordCounts.unpersist(); classStats.unpersist(); vocab.unpersist(); ()
+    }
+  }
+
+  /** Trains add-one-smoothed multinomial Naive Bayes on a labeled
+    * corpus — the distributed reduction of the fastText-style
+    * quality/domain classifier used for corpus filtering, with exact
+    * word counts so every score is SQL-replayable. Null-text rows are
+    * excluded (they carry no features).
+    *
+    * Plan: the model IS three count aggregations — (label, word)
+    * counts, per-class token+doc totals, one (V, N) row. Shuffle
+    * carries distinct (label, word) pairs, i.e. vocabulary-sized at
+    * any corpus scale; nothing quadratic. */
+  def trainNaiveBayes(train: DataFrame, labelCol: String,
+                      textCol: String): NaiveBayesModel = {
+    val rows = train.filter(col(textCol).isNotNull)
+    val tw = rows.select(col(labelCol).as("label"),
+      explode(TextFns.words(col(textCol))).as("w"))
+    val wordCounts = tw.groupBy("label", "w").agg(count(lit(1)).as("c_wl"))
+    val classStats = tw.groupBy("label").agg(count(lit(1)).as("c_tokens"))
+      .join(rows.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_docs")), Seq("label"))
+    val vocab = tw.agg(countDistinct(col("w")).as("v"))
+      .crossJoin(rows.agg(count(lit(1)).as("n_total")))
+    NaiveBayesModel(wordCounts, classStats, vocab)
+  }
+
+  /** Scores every eval doc against every class and predicts the argmax
+    * of `ln(n_docs_c/N) + Σ_w cnt(w)·ln((C(w,c)+1)/(T_c+V))`. Output:
+    * (id, predicted, nb_score_r4). Ties break to the
+    * lexicographically-largest label (deterministic).
+    *
+    * Plan: one per-doc word-count aggregation, a broadcast of the
+    * tiny class list (rows = numClasses), ONE equi-join on (w, label)
+    * against the sparse model counts, two aggregations keyed on the
+    * doc id + argmax as `max(struct)` so the final shuffle carries one
+    * row per (doc, class). Cost is eval-token-count × numClasses —
+    * linear; no pairs. */
+  def scoreNaiveBayes(model: NaiveBayesModel, eval: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val ew = eval.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(TextFns.words(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
+    val classes = model.classStats.select("label", "c_tokens")
+    val priors = model.classStats
+      .crossJoin(model.vocab.select("n_total"))
+      .select(col("label"),
+        log(col("n_docs").cast("double") / col("n_total")).as("prior"))
+    ew.crossJoin(broadcast(classes))
+      .join(model.wordCounts, Seq("label", "w"), "left")
+      .crossJoin(broadcast(model.vocab.select("v")))
+      .withColumn("term", col("cnt").cast("double") *
+        log((coalesce(col("c_wl"), lit(0L)) + 1L).cast("double") /
+          (col("c_tokens") + col("v")).cast("double")))
+      .groupBy("id", "label").agg(sum("term").as("s"))
+      .join(broadcast(priors), Seq("label"))
+      .withColumn("score", col("s") + col("prior"))
+      .groupBy("id")
+      .agg(max(struct(col("score"), col("label"))).as("m"))
+      .select(col("id"), col("m.label").as("predicted"),
+        round(col("m.score"), 4).as("nb_score_r4"))
+  }
+
+  /** [[scoreNaiveBayes]] training inline. Prefer a pre-trained
+    * persisted model when scoring more than one batch. */
+  def naiveBayesClassify(train: DataFrame, eval: DataFrame,
+                         labelCol: String, idCol: String,
+                         textCol: String): DataFrame =
+    scoreNaiveBayes(trainNaiveBayes(train, labelCol, textCol),
+      eval, idCol, textCol)
+
   /** TF-IDF weights per (doc, word): tf · ln(N / df). Two aggregations
     * (per-doc term counts, per-word doc frequency) + one broadcast-able
     * join on word — the standard sparse-weights layout for retrieval

@@ -1183,6 +1183,54 @@ object PipelineQueries {
       FROM scored GROUP BY id
       ORDER BY dsir_weight_r4 DESC, id LIMIT 25"""))
 
+  // 78. multinomial Naive Bayes classifier (the fastText-style
+  // quality/domain classifier of GPT-3/LLaMA curation, reduced to
+  // exact SQL-replayable counts): train on the even half labeled by
+  // lang, predict the odd half, emit the confusion matrix. Min
+  // top1-top2 margin is 4e-3 at sf0.01 and 1e-5 at sf0.1 (measured) —
+  // >=5 orders above cross-engine float-sum noise, argmax stable. The
+  // oracle retrains + rescores in DuckDB, tie order replayed as
+  // ORDER BY s DESC, label DESC to match max(struct(score, label)).
+  private val nbModels = new SessionCache[TextAnalysis.NaiveBayesModel]
+  val qClassifyNb = QueryDef("q_classify_nb",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = nbModels.get(s, dir)(
+        TextAnalysis.trainNaiveBayes(
+          docs.filter(col("doc_id") % 2 === 0), "lang", "text").persist())
+      TextAnalysis.scoreNaiveBayes(
+          model, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).cast(LongType).as("docs"))
+        .orderBy("lang", "predicted")
+    },
+    Some("""
+      WITH train AS (SELECT lang, string_split(text, ' ') ws FROM documents
+                     WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      tw AS (SELECT lang, unnest(ws) w FROM train),
+      wc AS (SELECT lang, w, count(*) c_wl FROM tw GROUP BY 1, 2),
+      ct AS (SELECT lang, count(*) c_tokens FROM tw GROUP BY 1),
+      nd AS (SELECT lang, count(*) n_docs FROM train GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) v FROM tw),
+      n AS (SELECT count(*) n_total FROM train),
+      ew AS (SELECT doc_id, lang actual, w, count(*) cnt FROM
+               (SELECT doc_id, lang, unnest(string_split(text, ' ')) w
+                FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL)
+             GROUP BY 1, 2, 3),
+      sc AS (SELECT ew.doc_id, ew.actual, ct.lang clang,
+                    sum(ew.cnt * ln((coalesce(wc.c_wl, 0) + 1.0) / (ct.c_tokens + v.v)))
+                    + any_value(ln(nd.n_docs * 1.0 / n.n_total)) s
+             FROM ew CROSS JOIN ct
+             LEFT JOIN wc ON wc.w = ew.w AND wc.lang = ct.lang
+             JOIN nd ON nd.lang = ct.lang
+             CROSS JOIN v CROSS JOIN n
+             GROUP BY 1, 2, 3),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY s DESC, clang DESC) rk FROM sc)
+      SELECT actual AS lang, clang AS predicted, CAST(count(*) AS BIGINT) AS docs
+      FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // 77. corpus vocabulary-growth (yield) curve, Lee et al. 2022: per
   // 50-doc arrival bucket, first-occurrence distinct 3-grams vs total
   // gram rows + the running vocabulary total — the corpus-level twin
@@ -2383,6 +2431,6 @@ object PipelineQueries {
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
-    qExportShards, qExportRoundtrip, qTextScripts, qDsirWeights, qTextYield,
+    qExportShards, qExportRoundtrip, qTextScripts, qDsirWeights, qTextYield, qClassifyNb,
   )
 }

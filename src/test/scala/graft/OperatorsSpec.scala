@@ -537,6 +537,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0L)._1 == solo(0L) && got(1L)._1 == solo(1L))
   }
 
+  test("Naive Bayes classifier predicts the hand-computable class") {
+    val train = Seq(
+      ("fruit", "apple pear apple plum"),
+      ("fruit", "pear apple cherry"),
+      ("tech", "kernel thread kernel core"),
+      ("tech", "thread core scheduler"),
+      ("tech", null.asInstanceOf[String])).toDF("label", "text") // no features -> excluded
+    val eval = Seq(
+      (0L, "apple pear plum"),
+      (1L, "kernel core thread"),
+      (2L, null.asInstanceOf[String]),      // null text -> no prediction row
+      (3L, "quartz")).toDF("doc_id", "text") // OOV everywhere -> prior+smoothing only
+    val model = TextAnalysis.trainNaiveBayes(train, "label", "text")
+    // model shapes: V = 8 distinct words, N = 4 non-null docs, 2 classes
+    assert(model.vocab.collect().head.toSeq == Seq(8L, 4L))
+    assert(model.classStats.orderBy("label").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("fruit", 7L, 2L), Seq("tech", 7L, 2L)))
+    val got = TextAnalysis.scoreNaiveBayes(model, eval, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("predicted"), r.getAs[Double]("nb_score_r4")))).toMap
+    assert(got.keySet == Set(0L, 1L, 3L))
+    assert(got(0L)._1 == "fruit" && got(1L)._1 == "tech")
+    // hand check doc 0 under fruit (c_tokens+V = 7+8 = 15; apple count
+    // 3, pear 2, plum 1): ln(2/4) + ln(4/15) + ln(3/15) + ln(2/15)
+    val fruitScore = math.log(2.0 / 4) + math.log(4.0 / 15) +
+      math.log(3.0 / 15) + math.log(2.0 / 15)
+    assert(math.abs(got(0L)._2 - (math.round(fruitScore * 1e4) / 1e4)) < 1e-9)
+    // OOV doc: every class scores prior + ln(1/15); equal priors and
+    // totals -> exact tie -> deterministic max-label tiebreak
+    assert(got(3L)._1 == "tech")
+    assert(TextAnalysis.naiveBayesClassify(train, eval, "label", "doc_id", "text")
+      .collect().length == 3)
+  }
+
   test("block dedup counts aligned shared-content blocks across payloads") {
     // a = [X|Y], b = [X|Z] (shares a's head block), c = exact copy of
     // a (shares both), d = lone short payload (one unshared block)
