@@ -116,6 +116,49 @@ object Curation {
         (col("covered_words") * 10000L / greatest(col("n_words"), lit(1L))).cast("long"))
   }
 
+  /** Chunk-level exact substring dedup — the chunk-granular reduction
+    * of Lee et al. 2022's ExactSubstr: split every doc into
+    * non-overlapping `chunkTokens`-word windows, keep only the FIRST
+    * arrival (min (doc id, chunk index)) of every distinct chunk text,
+    * and reassemble each doc from its surviving chunks in order. Where
+    * [[spanCoverage]] MEASURES cross-doc repetition, this is the
+    * TRANSFORM that removes it: repeated boilerplate chunks survive
+    * exactly once corpus-wide. Output: one row per input doc —
+    * (id, total_chunks, kept_chunks, clean_text); `clean_text` is null
+    * when every chunk was dropped (fully-boilerplate doc) and for
+    * null-text docs (0 chunks).
+    *
+    * Plan: map-only chunking (compiled window loop + posexplode), ONE
+    * shuffle on the chunk hash where `min(struct(id, idx))` partial-
+    * aggregates map-side (the shuffle carries one row per DISTINCT
+    * chunk), an equi-join back on the hash filtered to the winning
+    * instance, and a per-doc reassembly whose collect_list state is
+    * bounded by the doc's own chunk count. Linear at any corpus size;
+    * a chunk repeated across millions of docs costs one shuffle row. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 50): DataFrame = {
+    require(chunkTokens >= 1, "need chunkTokens >= 1")
+    val ch = TextAnalysis.chunk(docs.filter(col(textCol).isNotNull),
+        idCol, textCol, chunkTokens)
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), md5(col("chunk").cast("binary")).as("__h"))
+    val first = ch.groupBy("__h")
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("__first"))
+    val kept = ch.join(first, Seq("__h"))
+      .filter(col("id") === col("__first.id") &&
+        col("chunk_idx") === col("__first.chunk_idx"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("kept_chunks"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk"))).as("clean_text"))
+    val totals = ch.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("total_chunks"))
+    docs.select(col(idCol).as("id")).join(totals, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
+      .na.fill(0L, Seq("total_chunks", "kept_chunks"))
+  }
+
   /** Dedup-aware (group-consistent) train/val/test assignment: every
     * member of a near-duplicate cluster lands in the SAME split — the
     * leakage-prevention step a plain per-doc split misses (a near-copy

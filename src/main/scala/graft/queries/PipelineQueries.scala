@@ -1231,6 +1231,50 @@ object PipelineQueries {
       SELECT actual AS lang, clang AS predicted, CAST(count(*) AS BIGINT) AS docs
       FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // 79. chunk-level exact substring dedup (Lee et al. ExactSubstr at
+  // chunk granularity): 50-token non-overlapping windows, first
+  // arrival of every distinct chunk survives, docs reassembled from
+  // surviving chunks. Output: the 25 docs losing the most chunks, the
+  // cleaned text pinned by md5 so the oracle hash-checks the exact
+  // reassembled content. DuckDB replays the window split (the
+  // q_text_chunks slicing with stride = width), first-arrival as
+  // row_number over (chunk ORDER BY doc, idx), reassembly as ordered
+  // string_agg.
+  val qChunkDedup = QueryDef("q_chunk_dedup",
+    (s, dir) => {
+      graft.operators.Curation.chunkDedup(
+          table(s, dir, "documents"), "doc_id", "text", chunkTokens = 50)
+        .select(col("id"), col("total_chunks"), col("kept_chunks"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy((col("total_chunks") - col("kept_chunks")).desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+                 WHERE text IS NOT NULL),
+      w2 AS (SELECT doc_id, ws,
+                    greatest(CAST(ceil(len(ws) * 1.0 / 50) AS INT), 1) AS n
+             FROM w),
+      c AS (SELECT doc_id,
+                   unnest(generate_series(1, n)) AS g,
+                   unnest(list_transform(generate_series(1, n),
+                     g -> array_to_string(ws[(g-1)*50+1 : (g-1)*50+50], ' '))) AS chunk
+            FROM w2),
+      f AS (SELECT *, row_number() OVER (PARTITION BY chunk
+                                         ORDER BY doc_id, g) rk FROM c),
+      k AS (SELECT doc_id, count(*) kept,
+                   md5(string_agg(chunk, ' ' ORDER BY g)) cmd5
+            FROM f WHERE rk = 1 GROUP BY 1),
+      t AS (SELECT doc_id, count(*) total FROM c GROUP BY 1)
+      SELECT d.doc_id AS id,
+             CAST(coalesce(t.total, 0) AS BIGINT) AS total_chunks,
+             CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_chunks,
+             k.cmd5 AS clean_md5
+      FROM documents d
+      LEFT JOIN t ON t.doc_id = d.doc_id
+      LEFT JOIN k ON k.doc_id = d.doc_id
+      ORDER BY coalesce(t.total, 0) - coalesce(k.kept, 0) DESC, id LIMIT 25"""))
+
   // 77. corpus vocabulary-growth (yield) curve, Lee et al. 2022: per
   // 50-doc arrival bucket, first-occurrence distinct 3-grams vs total
   // gram rows + the running vocabulary total — the corpus-level twin
@@ -2432,5 +2476,6 @@ object PipelineQueries {
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
     qExportShards, qExportRoundtrip, qTextScripts, qDsirWeights, qTextYield, qClassifyNb,
+    qChunkDedup,
   )
 }

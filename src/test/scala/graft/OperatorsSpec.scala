@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Curation, Dedup, Multimodal, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -569,6 +569,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L)._1 == "tech")
     assert(TextAnalysis.naiveBayesClassify(train, eval, "label", "doc_id", "text")
       .collect().length == 3)
+  }
+
+  test("chunk dedup keeps first arrival of each distinct chunk and reassembles") {
+    // 2-token chunks: doc 0 = [a b][c d], doc 1 = [c d][e f] (chunk
+    // "c d" repeats -> doc 1 loses it), doc 2 = exact copy of doc 0
+    // (loses everything), doc 3 null text
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "c d e f"), (2L, "a b c d"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Curation.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("total_chunks"), r.getAs[Long]("kept_chunks"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(0L) == ((2L, 2L, "a b c d")))
+    assert(got(1L) == ((2L, 1L, "e f")))
+    assert(got(2L) == ((2L, 0L, null)))
+    assert(got(3L) == ((0L, 0L, null)))
+    // conservation on the real corpus: Σ kept == distinct chunks, and
+    // kept <= total per doc
+    val real = spark.read.parquet(sf("documents"))
+    val r = Curation.chunkDedup(real, "doc_id", "text", chunkTokens = 50)
+    assert(r.filter(col("kept_chunks") > col("total_chunks")).count() == 0)
+    val keptSum = r.agg(sum("kept_chunks")).collect().head.getLong(0)
+    val distinctChunks = TextAnalysis
+      .chunk(real.filter(col("text").isNotNull), "doc_id", "text", 50)
+      .select("chunk").distinct().count()
+    assert(keptSum == distinctChunks)
   }
 
   test("block dedup counts aligned shared-content blocks across payloads") {
