@@ -187,6 +187,36 @@ object Sampling {
           coalesce(col("available"), lit(0L))).as("granted"))
   }
 
+  /** Temperature-scaled mixture recipe (the XLM-R/mT5 multilingual
+    * sampling rule): sampling share q_i ∝ p_i^α where p_i is key i's
+    * natural corpus share. α = 1 reproduces natural proportions, α → 0
+    * approaches uniform; 0.3 is the multilingual standard that
+    * upsamples rare languages without drowning the head. The DATA-driven
+    * recipe builder feeding [[mixSample]], where that sampler's weights
+    * are caller-declared. Output per key: (key, n_rows, weight — the
+    * exact normalized share for programmatic chaining — p_nat_r6,
+    * weight_r6, upsample_r4); upsample = q_i/p_i is the effective
+    * epoch multiplier a fixed token budget implies for that key.
+    *
+    * Plan: one map-side-combined count per key, then two 1-row
+    * broadcast aggregates (corpus total, normalizer Z) — the per-key
+    * frame is keys-sized, never corpus-sized, at any scale. */
+  def temperatureWeights(df: DataFrame, keyCol: String,
+                         alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val powed = counts.crossJoin(broadcast(counts.agg(sum("n_rows").as("__n"))))
+      .withColumn("__p", col("n_rows").cast("double") / col("__n"))
+      .withColumn("__q", pow(col("__p"), lit(alpha)))
+    powed.crossJoin(broadcast(powed.agg(sum("__q").as("__z"))))
+      .select(col("key"), col("n_rows"),
+        (col("__q") / col("__z")).as("weight"),
+        round(col("__p"), 6).as("p_nat_r6"),
+        round(col("__q") / col("__z"), 6).as("weight_r6"),
+        round(col("__q") / col("__z") / col("__p"), 4).as("upsample_r4"))
+  }
+
   /** Deterministic sequential packing: within each key, rows in
     * `orderCol` order accumulate into token-budget bins — `bin` =
     * exclusive-prefix-sum(`tokenCol`) div `budget`. The

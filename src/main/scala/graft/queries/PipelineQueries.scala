@@ -1464,6 +1464,31 @@ object PipelineQueries {
          OR (lang = 'zh' AND rk <= 10)
       ORDER BY lang, doc_id"""))
 
+  // 39c. temperature-scaled mixture recipe (XLM-R/mT5 α-sampling):
+  // the DATA-driven recipe builder feeding q_mix_sample's declared
+  // weights — per-source q_i ∝ p_i^0.3, upsample = q_i/p_i. Rounding
+  // (6 dp shares, 4 dp upsample) absorbs libm pow/summation-order
+  // differences between the JVM and DuckDB; counts are exact.
+  val qMixTemperature = QueryDef("q_mix_temperature",
+    (s, dir) => {
+      graft.operators.Sampling.temperatureWeights(
+          table(s, dir, "documents"), "source", alpha = 0.3)
+        .drop("weight")
+        .orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT source AS key, count(*) n_rows FROM documents GROUP BY 1),
+      t AS (SELECT sum(n_rows) n FROM c),
+      p AS (SELECT key, n_rows, n_rows * 1.0 / n AS pn,
+                   pow(n_rows * 1.0 / n, 0.3) AS q
+            FROM c CROSS JOIN t),
+      z AS (SELECT sum(q) z FROM p)
+      SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+             round(pn, 6) AS p_nat_r6,
+             round(q / z, 6) AS weight_r6,
+             round(q / z / pn, 4) AS upsample_r4
+      FROM p CROSS JOIN z ORDER BY key"""))
+
   /** CTE prefix replaying TextAnalysis.langId in SQL — per-lang
     * marker-word occurrence sums, argmax with profile-order tie-break,
     * 'und' when all zero — yielding table `p(<carryCols>, predicted)`.
@@ -2471,7 +2496,7 @@ object PipelineQueries {
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qDecontaminate, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
-    qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qSqlApi,
+    qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qMixTemperature, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
     qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,

@@ -571,6 +571,30 @@ class OperatorsSpec extends SparkSpec {
       .collect().length == 3)
   }
 
+  test("temperature weights upsample rare keys, alpha=1 is the identity") {
+    import graft.operators.Sampling
+    // 80 / 15 / 5 split
+    val df = ((1 to 80).map(i => (i.toLong, "en")) ++
+      (81 to 95).map(i => (i.toLong, "de")) ++
+      (96 to 100).map(i => (i.toLong, "zh"))).toDF("doc_id", "lang")
+    val w = Sampling.temperatureWeights(df, "lang", alpha = 0.3)
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Double]("weight"), r.getAs[Double]("upsample_r4")))).toMap
+    // weights normalize, order by share is preserved, tails upsample
+    assert(math.abs(w.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(w("en")._1 > w("de")._1 && w("de")._1 > w("zh")._1)
+    assert(w("en")._2 < 1.0 && w("de")._2 > 1.0 && w("zh")._2 > 1.0)
+    // rarer key gets the larger epoch multiplier
+    assert(w("zh")._2 > w("de")._2)
+    // alpha = 1: weight == natural share, upsample == 1 for every key
+    val id = Sampling.temperatureWeights(df, "lang", alpha = 1.0).collect()
+    id.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") -
+        r.getAs[Long]("n_rows") / 100.0) < 1e-9)
+      assert(r.getAs[Double]("upsample_r4") == 1.0)
+    }
+  }
+
   test("chunk dedup keeps first arrival of each distinct chunk and reassembles") {
     // 2-token chunks: doc 0 = [a b][c d], doc 1 = [c d][e f] (chunk
     // "c d" repeats -> doc 1 loses it), doc 2 = exact copy of doc 0
