@@ -116,7 +116,9 @@ final case class CustomCheck(
     severity: Option[String] = None,
 )
 
-/** ML-specific dataset checks (reference: contract.rs:244-385). */
+/** ML-specific dataset checks (reference: contract.rs:244-385;
+  * `k_anonymity` extends the reference surface with a
+  * re-identification-risk gate). */
 final case class MlChecks(
     noOverlap: Option[NoOverlapCheck] = None,
     temporalSplit: Option[TemporalSplitCheck] = None,
@@ -124,6 +126,7 @@ final case class MlChecks(
     featureDrift: Option[FeatureDriftCheck] = None,
     targetLeakage: Option[TargetLeakageCheck] = None,
     nullRateByGroup: Option[NullRateByGroupCheck] = None,
+    kAnonymity: Option[KAnonymityCheck] = None,
 )
 
 final case class NoOverlapCheck(splitField: String, keyFields: Seq[String])
@@ -164,6 +167,20 @@ final case class NullRateByGroupCheck(
     groupField: String,
     checkFields: Seq[String],
     maxNullRateDiff: Option[Double] = None,
+)
+
+/** k-anonymity (Sweeney 2002): every combination of the quasi-identifier
+  * fields must be shared by at least `k` rows — the re-identification
+  * risk gate for training data carrying demographic-shaped columns.
+  * Rows with any NULL quasi-id are excluded (NULL is not an identity —
+  * their rates are the completeness checks' concern).
+  * `maxViolationRate` is the tolerated fraction of rows living in
+  * groups smaller than k (default 0 = strict), compared exactly in
+  * basis points like completeness. */
+final case class KAnonymityCheck(
+    quasiIdFields: Seq[String],
+    k: Int,
+    maxViolationRate: Double = 0.0,
 )
 
 /** Declarative window-over-window rate-of-change limits on streamed

@@ -194,6 +194,11 @@ object ContractParser {
       NullRateByGroupCheck(str(c, "group_field"), strList(c, "check_fields"),
         dblOpt(c, "max_null_rate_diff"))
     },
+    kAnonymity = m.get("k_anonymity").filter(_ != null).map { v =>
+      val c = asMap(v, "k_anonymity")
+      KAnonymityCheck(strList(c, "quasi_id_fields"), str(c, "k").toInt,
+        dblOpt(c, "max_violation_rate").getOrElse(0.0))
+    },
   )
 
   private def parseSla(m: M): Sla =

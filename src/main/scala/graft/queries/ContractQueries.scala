@@ -455,6 +455,43 @@ object ContractQueries {
         FROM events
       ) ORDER BY feature"""))
 
+  // 17b. ml k_anonymity: quasi-ids (lang, source, 200-char length
+  // bucket) at k=10 over documents — the re-identification risk gate.
+  // One groupBy on the quasi-id tuple + a 1-row fold; exact integer
+  // bp math like every contract rate. Violation rates are non-trivial
+  // at BOTH SFs (9600 bp at sf0.01, 964 bp at sf0.1). The validator
+  // row (MlValidators.kAnonymity) is spec-asserted to agree with this
+  // replay on the same data.
+  val qMlKAnonymity = QueryDef("q_ml_k_anonymity",
+    (s, dir) => {
+      val g = table(s, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars DIV 200"))
+        .filter(col("lang").isNotNull && col("source").isNotNull &&
+          col("len_bucket").isNotNull)
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("__n"))
+      g.agg(
+          count(lit(1)).cast(LongType).as("n_groups"),
+          coalesce(sum(when(col("__n") < 10, 1L)), lit(0L)).cast(LongType).as("viol_groups"),
+          coalesce(sum(col("__n")), lit(0L)).cast(LongType).as("n_rows"),
+          coalesce(sum(when(col("__n") < 10, col("__n"))), lit(0L)).cast(LongType).as("viol_rows"))
+        .withColumn("viol_bp", expr("viol_rows * 10000 DIV n_rows").cast(LongType))
+        .withColumn("ok", col("viol_bp") <= 1000L)
+    },
+    Some("""
+      WITH g AS (SELECT lang, source, n_chars // 200 AS b, count(*) n
+                 FROM documents
+                 WHERE lang IS NOT NULL AND source IS NOT NULL
+                   AND n_chars IS NOT NULL
+                 GROUP BY 1, 2, 3)
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS viol_rows,
+             CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) * 10000 // sum(n) AS BIGINT) AS viol_bp,
+             sum(CASE WHEN n < 10 THEN n ELSE 0 END) * 10000 // sum(n) <= 1000 AS ok
+      FROM g"""))
+
   // 17. ml null_rate_by_group over derived nulls (exact bp integer math)
   val qMlNullRateByGroup = QueryDef("q_ml_null_rate_by_group",
     (s, dir) => {
@@ -748,7 +785,7 @@ object ContractQueries {
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
-    qMlTargetLeakage, qMlNullRateByGroup, qCatalogDrift, qIncrementalUnique,
+    qMlTargetLeakage, qMlNullRateByGroup, qMlKAnonymity, qCatalogDrift, qIncrementalUnique,
     qVectorContract,
   )
 }

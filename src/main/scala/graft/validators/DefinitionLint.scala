@@ -122,6 +122,18 @@ object DefinitionLint {
           checkFieldsExist("quality_checks.ml_checks.null_rate_by_group",
             n.groupField +: n.checkFields)
         }
+        ml.kAnonymity.foreach { ka =>
+          checkFieldsExist("quality_checks.ml_checks.k_anonymity",
+            ka.quasiIdFields)
+          if (ka.quasiIdFields.isEmpty)
+            issue("quality_checks.ml_checks.k_anonymity.quasi_id_fields",
+              "needs at least one field")
+          if (ka.k < 2)
+            issue("quality_checks.ml_checks.k_anonymity.k", s"${ka.k} < 2")
+          if (ka.maxViolationRate < 0 || ka.maxViolationRate > 1)
+            issue("quality_checks.ml_checks.k_anonymity.max_violation_rate",
+              s"${ka.maxViolationRate} not in [0, 1]")
+        }
       }
       qc.vector.foreach { v =>
         checkFieldsExist("quality_checks.vector", Seq(v.field))

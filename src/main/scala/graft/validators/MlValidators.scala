@@ -160,6 +160,42 @@ object MlValidators {
     row.select(explode(array(outs: _*)).as("r")).select("r.*")
   }
 
+  /** k-anonymity: the fraction of rows living in quasi-identifier
+    * groups smaller than k must be <= maxViolationRate. One groupBy on
+    * the quasi-id tuple + a 1-row fold over the group-size summary —
+    * the summary after the shuffle is one row per DISTINCT quasi-id
+    * combination, never corpus-sized. The pass verdict compares in
+    * exact basis points (integer arithmetic), like completeness. */
+  def kAnonymity(df: DataFrame, ch: KAnonymityCheck): DataFrame = {
+    require(ch.k >= 2, s"k must be >= 2, got ${ch.k}")
+    require(ch.maxViolationRate >= 0 && ch.maxViolationRate <= 1,
+      s"max_violation_rate ${ch.maxViolationRate} not in [0, 1]")
+    val nonNull = ch.quasiIdFields
+      .map(col(_).isNotNull).reduce(_ && _)
+    val grouped = df.filter(nonNull)
+      .groupBy(ch.quasiIdFields.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val maxBp = math.round(ch.maxViolationRate * 10000)
+    val row = grouped.agg(
+      coalesce(sum(when(col("__n") < ch.k, col("__n"))), lit(0L)).as("__viol_rows"),
+      coalesce(sum(when(col("__n") < ch.k, 1L)), lit(0L)).as("__viol_groups"),
+      coalesce(sum(col("__n")), lit(0L)).as("__rows"),
+      count(lit(1)).as("__groups"))
+    // an empty table (0 groups) is vacuously anonymous
+    row.select(result(lit("ml_k_anonymity"),
+      lit(ch.quasiIdFields.mkString(",")),
+      col("__viol_rows") * 10000L <= lit(maxBp) * col("__rows") ||
+        col("__rows") === 0L,
+      expr("__viol_rows * 10000 DIV greatest(__rows, 1)")
+        .cast(DoubleType) / 10000d,
+      format_string(
+        s"%d of %d row(s) in %d group(s) below k=${ch.k} " +
+          s"(of %d quasi-id group(s), max rate ${ch.maxViolationRate})",
+        col("__viol_rows"), col("__rows"), col("__viol_groups"),
+        col("__groups"))).as("r"))
+      .select("r.*")
+  }
+
   /** Spread of per-group null rates must be <= maxNullRateDiff
     * (reference: ml.rs:484). One groupBy; one row per checked field. */
   def nullRateByGroup(df: DataFrame, ch: NullRateByGroupCheck): DataFrame = {

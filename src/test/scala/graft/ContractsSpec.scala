@@ -62,6 +62,10 @@ class ContractsSpec extends SparkSpec {
       |      current_split: test
       |      feature_fields: [value]
       |      num_bins: 5
+      |    k_anonymity:
+      |      quasi_id_fields: [event_type, url]
+      |      k: 5
+      |      max_violation_rate: 0.01
       |  vector:
       |    - field: emb
       |      dim: 64
@@ -87,6 +91,8 @@ class ContractsSpec extends SparkSpec {
     assert(qc.customChecks.head.severity.contains("warning"))
     assert(qc.mlChecks.get.classBalance.get.maxProportion == 0.9)
     assert(qc.mlChecks.get.featureDrift.get.numBins.contains(5))
+    assert(qc.mlChecks.get.kAnonymity.contains(
+      KAnonymityCheck(Seq("event_type", "url"), 5, 0.01)))
     assert(qc.vector == Seq(VectorCheck("emb", dim = Some(64),
       minNorm = Some(0.5), maxNorm = Some(2.0), maxNanRate = 0.01)))
     // YAML round-trips integers as floats routinely: dim 64.0 parses

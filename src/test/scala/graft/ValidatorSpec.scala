@@ -165,6 +165,8 @@ class ValidatorSpec extends SparkSpec {
           metrics = Seq("rows"), perMetric = Map("nulls_x" -> 0.0))),
         vector = Seq(VectorCheck("missing_v", dim = Some(0),
           minNorm = Some(5.0), maxNorm = Some(1.0), maxNanRate = 2.0)),
+        mlChecks = Some(MlChecks(kAnonymity = Some(
+          KAnonymityCheck(Seq("missing_q"), k = 1, maxViolationRate = 2.0)))),
         curation = Seq(
           CurationRule("wat"),                         // unknown name
           CurationRule("min_words"),                   // needs min
@@ -180,6 +182,9 @@ class ValidatorSpec extends SparkSpec {
     assert(paths.contains("quality_checks.curation.mean_word_len"))
     assert(paths.contains("quality_checks.curation.pii"))
     assert(paths.contains("quality_checks.vector"))
+    assert(paths.contains("quality_checks.ml_checks.k_anonymity"))       // missing_q
+    assert(paths.contains("quality_checks.ml_checks.k_anonymity.k"))     // k < 2
+    assert(paths.contains("quality_checks.ml_checks.k_anonymity.max_violation_rate"))
     assert(paths.contains("quality_checks.vector.missing_v.dim"))
     assert(paths.contains("quality_checks.vector.missing_v.max_nan_rate"))
     assert(paths.contains("quality_checks.vector.missing_v.min_norm"))
@@ -286,6 +291,47 @@ class ValidatorSpec extends SparkSpec {
     val nullSpread = results(MlValidators.nullRateByGroup(df,
       NullRateByGroupCheck("split", Seq("holey"), Some(0.1))))
     assert(!nullSpread(("ml_null_rate_by_group", "holey")).passed) // ~33% vs 0%
+  }
+
+  test("k-anonymity flags small quasi-id groups, excludes NULL ids, tolerates declared rate") {
+    import org.apache.spark.sql.functions.col
+    // groups: (en, web) x4, (de, web) x2, (de, wiki) x1; one NULL row
+    val df = (Seq.fill(4)(("en", "web")) ++ Seq.fill(2)(("de", "web")) ++
+      Seq(("de", "wiki"), (null.asInstanceOf[String], "web")))
+      .toDF("lang", "src")
+    val strict = results(MlValidators.kAnonymity(df,
+      KAnonymityCheck(Seq("lang", "src"), k = 3)))
+    val r = strict(("ml_k_anonymity", "lang,src"))
+    // 3 of 7 non-null rows below k=3 (the NULL row is excluded)
+    assert(!r.passed)
+    assert(r.metric == 0.4285)  // 4285 bp, exact integer division
+    assert(r.detail.contains("3 of 7 row(s) in 2 group(s) below k=3"))
+    assert(r.detail.contains("of 3 quasi-id group(s)"))
+    // a declared tolerance above the violation rate passes
+    val tol = results(MlValidators.kAnonymity(df,
+      KAnonymityCheck(Seq("lang", "src"), k = 3, maxViolationRate = 0.5)))
+    assert(tol(("ml_k_anonymity", "lang,src")).passed)
+    // empty table is vacuously anonymous
+    val empty = results(MlValidators.kAnonymity(
+      df.filter(col("lang") === "nope"), KAnonymityCheck(Seq("lang"), k = 2)))
+    assert(empty(("ml_k_anonymity", "lang")).passed)
+    // guard rails
+    intercept[IllegalArgumentException] {
+      MlValidators.kAnonymity(df, KAnonymityCheck(Seq("lang"), k = 1))
+    }
+    intercept[IllegalArgumentException] {
+      MlValidators.kAnonymity(df, KAnonymityCheck(Seq("lang"), 2, maxViolationRate = 1.5))
+    }
+    // the validator row agrees with q_ml_k_anonymity's replay on the
+    // real corpus (same quasi-ids, same k, same bp arithmetic)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("len_bucket", org.apache.spark.sql.functions.expr("n_chars DIV 200"))
+    val q = SparkEntry.queries("q_ml_k_anonymity")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val v = results(MlValidators.kAnonymity(real,
+      KAnonymityCheck(Seq("lang", "source", "len_bucket"), k = 10)))
+      .apply(("ml_k_anonymity", "lang,source,len_bucket"))
+    assert(v.metric == q.getAs[Long]("viol_bp") / 10000.0)
   }
 
   test("approx-quantile drift (the 100TB default) stays within a stated PSI bound of exact") {
