@@ -88,16 +88,26 @@ object Contamination {
     * the broadcast Bloom filter on driver AND executors. Call it only
     * AFTER the returned frame's last materialization — the frame is
     * lazy and cannot evaluate once its sketch is destroyed. */
+  /** Distills a (frozen) corpus's distinct n-gram vocabulary into a
+    * broadcast Bloom filter — the MB-sized sketch every Bloom-path
+    * operator probes. Build ONCE per benchmark corpus and reuse across
+    * eval batches and streams; `destroy()` the broadcast when done. */
+  def trainVocabularyBloom(train: DataFrame, textCol: String, n: Int = 3,
+                           expectedItems: Long = 1L << 22, fpp: Double = 0.01)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
+    val bloom = train
+      .select(explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .stat.bloomFilter("sh", expectedItems, fpp)
+    train.sparkSession.sparkContext.broadcast(bloom)
+  }
+
   def ngramContainmentBloomManaged(train: DataFrame, eval: DataFrame,
                                    idCol: String, textCol: String, n: Int = 3,
                                    expectedItems: Long = 1L << 22,
                                    fpp: Double = 0.01): (DataFrame, () => Unit) = {
     val spark = eval.sparkSession
     import spark.implicits._
-    val bloom = train
-      .select(explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
-      .stat.bloomFilter("sh", expectedItems, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
+    val bc = trainVocabularyBloom(train, textCol, n, expectedItems, fpp)
     val evalSh = eval.select(col(idCol).cast("long").as("id"),
       explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
     // mapPartitions is justified here (codec-shaped membership probe
@@ -113,6 +123,47 @@ object Contamination {
       .withColumn("contamination_bp",
         (col("matched_ngrams") * 10000L / col("total_ngrams")).cast("long"))
     (res, () => bc.destroy())
+  }
+
+  /** Zero-state STREAMING decontamination gate (and its batch twin —
+    * the identical plan runs under either engine): each arriving doc
+    * is scored by a row-LOCAL probe of its own shingle array against
+    * the broadcast benchmark Bloom ([[trainVocabularyBloom]]) and kept
+    * iff its estimated containment stays below `minBp`. A pure map —
+    * no shuffle, no watermark, no state store — so a 100 TB/day crawl
+    * gate runs at ingest wire speed. The sketch has no false negatives,
+    * so the estimate only OVERcounts: the gate is conservative — it can
+    * drop a clean doc at the fpp rate but never keeps a doc the exact
+    * [[decontaminate]] would drop. Shingle-less (null/empty-text) docs
+    * are kept, like the exact operator. Output: (id, text,
+    * total_ngrams, matched_ngrams, contamination_bp) for kept docs.
+    *
+    * mapPartitions is justified here for the same reason as the batch
+    * Bloom path: no Column form exists for the sketch probe; the
+    * shingling itself stays in the codegen'd kernel (computed as a
+    * column BEFORE the probe, so stream and batch share bit-identical
+    * shingles). */
+  def decontaminateStream(stream: DataFrame, idCol: String, textCol: String,
+                          bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+                          n: Int = 3, minBp: Long = 5000L): DataFrame = {
+    require(minBp >= 0L, "minBp must be >= 0")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+        TextFns.wordShingles(col(textCol), n).as("sh"))
+      .as[(Long, String, Seq[String])]
+      .mapPartitions { it =>
+        val b = bloom.value
+        it.map { case (id, text, sh) =>
+          val shs = if (sh == null) Seq.empty[String] else sh
+          val total = shs.size.toLong
+          val matched = shs.count(s => b.mightContainString(s)).toLong
+          val bp = if (total > 0) matched * 10000L / total else 0L
+          (id, text, total, matched, bp)
+        }
+      }
+      .toDF("id", "text", "total_ngrams", "matched_ngrams", "contamination_bp")
+      .filter(col("total_ngrams") === 0L || col("contamination_bp") < minBp)
   }
 
   /** Eval docs whose contamination exceeds `maxBp` — the drop list. */

@@ -361,6 +361,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination gates docs against the benchmark Bloom, stateless") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.Contamination
+    val benchmark = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val bloom = Contamination.trainVocabularyBloom(benchmark, "text", n = 3,
+      expectedItems = 1024L)
+    val mem = MemoryStream[(Long, String)]
+    val gated = Contamination.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bloom,
+      n = 3, minBp = 5000L)
+    val q = StreamMonitor.startMemorySink(gated, "decon_gate")
+    try {
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog today"), // fully contained
+        (11L, "completely unrelated prose about distributed query engines"),
+        (12L, null.asInstanceOf[String]))                            // shingle-less -> kept
+      q.processAllAvailable()
+      val kept = spark.table("decon_gate").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("contamination_bp")).toMap
+      assert(kept.keySet == Set(11L, 12L), kept)
+      assert(kept(12L) == 0L)
+      // zero state: a pure map holds nothing across micro-batches
+      val health = StreamMonitor.stateStoreHealth(q).collect()
+      assert(health.isEmpty || health.forall(_.num_rows_total == 0L))
+      // batch twin on the same frame agrees row-for-row, and the gate is
+      // CONSERVATIVE vs the exact operator: kept-by-bloom ⊆ kept-by-exact
+      val batchDocs = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog today"),
+        (11L, "completely unrelated prose about distributed query engines"),
+        (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val batchKept = Contamination.decontaminateStream(
+          batchDocs, "doc_id", "text", bloom, n = 3, minBp = 5000L)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("contamination_bp")).toMap
+      assert(batchKept == kept, batchKept)
+      val exactKept = Contamination.decontaminate(benchmark, batchDocs,
+        "doc_id", "text", n = 3, minBp = 5000L)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept.keySet.subsetOf(exactKept))
+    } finally { q.stop(); bloom.destroy() }
+  }
+
   test("streaming freshness: silent key times out stale and drops state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, String)]
