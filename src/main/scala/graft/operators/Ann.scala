@@ -237,6 +237,40 @@ object Ann {
         round(avg("__cos"), 4).as("mean_cos_r4"))
   }
 
+  /** Per-group centroid DRIFT between two embedding snapshots: cosine
+    * between each group's v1 and v2 centroids plus the norm ratio —
+    * the embedding-space shift signal between corpus versions (or
+    * encoder versions) that [[embeddingDispersion]]'s within-snapshot
+    * tightness cannot see. Output: (group, n_v1, n_v2, cos_r4,
+    * norm_ratio_r4); groups present in only one snapshot drop (drift
+    * is undefined), 4-dp rounding absorbs summation-order float noise.
+    * A group whose centroid is exactly the zero vector yields null
+    * cosine (0/0) — contract-gate zero vectors upstream via
+    * `quality_checks.vector` if that matters.
+    *
+    * Plan: ONE centroid aggregation per snapshot (map-side combined;
+    * the shuffle carries groups × dim rows, never vectors), an
+    * equi-join of the two tiny centroid frames on (group, pos), one
+    * fold over dims. Linear in n × dim at any corpus size. */
+  def centroidDrift(v1: DataFrame, v2: DataFrame,
+                    groupCol: String, vecCol: String): DataFrame = {
+    def cent(df: DataFrame, s: String) =
+      df.select(col(groupCol).as("group"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy("group", "pos")
+        .agg(avg("v").as(s"c$s"), count(lit(1)).as(s"n$s"))
+    cent(v1, "1").join(cent(v2, "2"), Seq("group", "pos"))
+      .groupBy("group")
+      .agg(max("n1").cast("long").as("n_v1"),
+        max("n2").cast("long").as("n_v2"),
+        sum(col("c1") * col("c2")).as("__dot"),
+        sqrt(sum(col("c1") * col("c1"))).as("__m1"),
+        sqrt(sum(col("c2") * col("c2"))).as("__m2"))
+      .select(col("group"), col("n_v1"), col("n_v2"),
+        round(col("__dot") / (col("__m1") * col("__m2")), 4).as("cos_r4"),
+        round(col("__m2") / col("__m1"), 4).as("norm_ratio_r4"))
+  }
+
   def lshTopK(corpus: DataFrame, probes: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 6, dim: Int = 64, multiprobe: Int = 0): DataFrame = {

@@ -1974,6 +1974,40 @@ object PipelineQueries {
              round(avg(dot / (nv * nc)), 4) AS mean_cos_r4
       FROM pv GROUP BY 1 ORDER BY "group" """))
 
+  // 67b. per-label centroid drift between the even/odd vec_id halves —
+  // the embedding-space SHIFT between two corpus snapshots that
+  // q_embed_stats' within-snapshot tightness cannot see. Same exploded
+  // formulation and 4-dp absorption; the two centroid frames join on
+  // (label, pos), labels × dim rows at any scale.
+  val qEmbedDrift = QueryDef("q_embed_drift",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Ann.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "label", "embedding")
+        .select(col("group").cast(LongType).as("group"),
+          col("n_v1"), col("n_v2"), col("cos_r4"), col("norm_ratio_r4"))
+        .orderBy("group")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label, vec_id % 2 AS half, gg pos, embedding[gg]::DOUBLE v
+        FROM (SELECT label, vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) gg
+              FROM embeddings)),
+      cent AS (SELECT label, half, pos, avg(v) c, count(*) n
+               FROM ex GROUP BY 1, 2, 3),
+      j AS (SELECT a.label, a.c c1, b.c c2, a.n n1, b.n n2
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.pos = b.pos
+             AND a.half = 0 AND b.half = 1)
+      SELECT CAST(label AS BIGINT) AS "group",
+             CAST(max(n1) AS BIGINT) AS n_v1,
+             CAST(max(n2) AS BIGINT) AS n_v2,
+             round(sum(c1 * c2) / (sqrt(sum(c1 * c1)) * sqrt(sum(c2 * c2))), 4) AS cos_r4,
+             round(sqrt(sum(c2 * c2)) / sqrt(sum(c1 * c1)), 4) AS norm_ratio_r4
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   // 68. per-source boilerplate n-grams: top-1 3-gram by within-source
   // document frequency — the header/footer/template detector (a phrase
   // in most of one domain's pages is chrome, not content). Top-1 keeps
@@ -2498,7 +2532,7 @@ object PipelineQueries {
     qTextRepetition, qContamination, qDecontaminate, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qMixTemperature, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,
-    qSourceOverlap, qEmbedStats, qSpanDedupCollapsed, qBoilerplate,
+    qSourceOverlap, qEmbedStats, qEmbedDrift, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
     qExportShards, qExportRoundtrip, qTextScripts, qDsirWeights, qTextYield, qClassifyNb,
     qChunkDedup,

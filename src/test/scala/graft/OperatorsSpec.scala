@@ -571,6 +571,25 @@ class OperatorsSpec extends SparkSpec {
       .collect().length == 3)
   }
 
+  test("centroid drift: cosine and norm ratio between snapshot centroids") {
+    val v1 = Seq(
+      (1L, 0L, Seq(1f, 0f)), (2L, 0L, Seq(1f, 0f)),  // label 0 centroid (1, 0)
+      (3L, 1L, Seq(0f, 2f)),                          // label 1 centroid (0, 2)
+      (4L, 2L, Seq(1f, 1f)))                          // label 2: v1-only -> dropped
+      .toDF("vec_id", "label", "embedding")
+    val v2 = Seq(
+      (5L, 0L, Seq(2f, 0f)),                          // same direction, 2x norm
+      (6L, 1L, Seq(3f, 0f)))                          // orthogonal, 1.5x norm
+      .toDF("vec_id", "label", "embedding")
+    val got = Ann.centroidDrift(v1, v2, "label", "embedding")
+      .collect().map(r => r.getAs[Long]("group") ->
+        ((r.getAs[Long]("n_v1"), r.getAs[Long]("n_v2"),
+          r.getAs[Double]("cos_r4"), r.getAs[Double]("norm_ratio_r4")))).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == ((2L, 1L, 1.0, 2.0)))
+    assert(got(1L) == ((1L, 1L, 0.0, 1.5)))
+  }
+
   test("temperature weights upsample rare keys, alpha=1 is the identity") {
     import graft.operators.Sampling
     // 80 / 15 / 5 split
