@@ -891,7 +891,9 @@ class OperatorsSpec extends SparkSpec {
     Seq("q_text_repetition", "q_dedup_jaccard", "q_contamination",
         "q_text_pii", "q_dedup_simhash", "q_text_chunks", "q_text_lm_score",
         "q_asof_join", "q_pack_bins",
-        "q_dsir_weights", "q_text_yield", "q_pipeline_funnel_v2").foreach { n =>
+        "q_dsir_weights", "q_text_yield", "q_pipeline_funnel_v2",
+        "q_classify_nb", "q_mix_temperature", "q_embed_drift",
+        "q_ml_k_anonymity", "q_decontaminate").foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("lambdafunction"),
         s"$n plan regressed to an interpreted lambda")
