@@ -371,11 +371,11 @@ object Curation {
     // replay of this operator does the dedup stage with one. The window
     // key is coalesce(fp, per-row sentinel) — a bare partitionBy(__fp)
     // would land EVERY null-fp doc in one window partition, a
-    // single-task skew hotspot at scale; the " id:" prefix cannot
+    // single-task skew hotspot at scale; the "\u0000id:" prefix cannot
     // collide with md5 hex, so each null-fp doc gets its own singleton
     // partition and __is_dup (null-guarded) is unchanged.
     val wfp = Window.partitionBy(
-      coalesce(col("__fp"), concat(lit(" id:"), col("__id"))))
+      coalesce(col("__fp"), concat(lit("\u0000id:"), col("__id"))))
     val dExact = chained
       .withColumn("__canon", min(when(col("keep"), col("__id"))).over(wfp))
       .withColumn("__is_dup",
