@@ -127,6 +127,7 @@ final case class MlChecks(
     targetLeakage: Option[TargetLeakageCheck] = None,
     nullRateByGroup: Option[NullRateByGroupCheck] = None,
     kAnonymity: Option[KAnonymityCheck] = None,
+    lDiversity: Option[LDiversityCheck] = None,
 )
 
 final case class NoOverlapCheck(splitField: String, keyFields: Seq[String])
@@ -180,6 +181,23 @@ final case class NullRateByGroupCheck(
 final case class KAnonymityCheck(
     quasiIdFields: Seq[String],
     k: Int,
+    maxViolationRate: Double = 0.0,
+)
+
+/** l-diversity (Machanavajjhala et al. 2007): every quasi-identifier
+  * group must contain at least `l` DISTINCT values of the sensitive
+  * field — the homogeneity-attack gate [[KAnonymityCheck]] cannot see
+  * (a k-anonymous group whose members all share one sensitive value
+  * still discloses it). Rows with any NULL quasi-id are excluded, as
+  * in k-anonymity; NULL sensitive values carry no information and do
+  * not count toward a group's diversity (but the rows still count as
+  * violating rows when their group is below l). `maxViolationRate` is
+  * the tolerated fraction of rows living in groups below l, compared
+  * exactly in basis points. */
+final case class LDiversityCheck(
+    quasiIdFields: Seq[String],
+    sensitiveField: String,
+    l: Int,
     maxViolationRate: Double = 0.0,
 )
 

@@ -199,6 +199,11 @@ object ContractParser {
       KAnonymityCheck(strList(c, "quasi_id_fields"), str(c, "k").toInt,
         dblOpt(c, "max_violation_rate").getOrElse(0.0))
     },
+    lDiversity = m.get("l_diversity").filter(_ != null).map { v =>
+      val c = asMap(v, "l_diversity")
+      LDiversityCheck(strList(c, "quasi_id_fields"), str(c, "sensitive_field"),
+        str(c, "l").toInt, dblOpt(c, "max_violation_rate").getOrElse(0.0))
+    },
   )
 
   private def parseSla(m: M): Sla =

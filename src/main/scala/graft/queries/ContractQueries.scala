@@ -492,6 +492,43 @@ object ContractQueries {
              sum(CASE WHEN n < 10 THEN n ELSE 0 END) * 10000 // sum(n) <= 1000 AS ok
       FROM g"""))
 
+  // 17c. ml l_diversity: quasi-ids (source, 25-char length bucket),
+  // sensitive field lang at l=4 — the homogeneity-attack gate next to
+  // k-anonymity: a group can hold >= k rows yet disclose lang if all
+  // members share it. Same plan: ONE quasi-id groupBy (count +
+  // count_distinct partial-aggregate map-side) + a 1-row fold. Rates
+  // are non-trivial at BOTH SFs (9800 bp sf0.01 / 1118 bp sf0.1) and
+  // straddle the 2000 bp tolerance, so both verdicts are exercised.
+  // MlValidators.lDiversity is spec-asserted to agree with this replay.
+  val qMlLDiversity = QueryDef("q_ml_l_diversity",
+    (s, dir) => {
+      val g = table(s, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars DIV 25"))
+        .filter(col("source").isNotNull && col("len_bucket").isNotNull)
+        .groupBy("source", "len_bucket")
+        .agg(count(lit(1)).as("__n"), countDistinct(col("lang")).as("__d"))
+      g.agg(
+          count(lit(1)).cast(LongType).as("n_groups"),
+          coalesce(sum(when(col("__d") < 4, 1L)), lit(0L)).cast(LongType).as("viol_groups"),
+          coalesce(sum(col("__n")), lit(0L)).cast(LongType).as("n_rows"),
+          coalesce(sum(when(col("__d") < 4, col("__n"))), lit(0L)).cast(LongType).as("viol_rows"))
+        .withColumn("viol_bp", expr("viol_rows * 10000 DIV n_rows").cast(LongType))
+        .withColumn("ok", col("viol_bp") <= 2000L)
+    },
+    Some("""
+      WITH g AS (SELECT source, n_chars // 25 AS b, count(*) n,
+                        count(DISTINCT lang) d
+                 FROM documents
+                 WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                 GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN d < 4 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN d < 4 THEN n ELSE 0 END) AS BIGINT) AS viol_rows,
+             CAST(sum(CASE WHEN d < 4 THEN n ELSE 0 END) * 10000 // sum(n) AS BIGINT) AS viol_bp,
+             sum(CASE WHEN d < 4 THEN n ELSE 0 END) * 10000 // sum(n) <= 2000 AS ok
+      FROM g"""))
+
   // 17. ml null_rate_by_group over derived nulls (exact bp integer math)
   val qMlNullRateByGroup = QueryDef("q_ml_null_rate_by_group",
     (s, dir) => {
@@ -785,7 +822,8 @@ object ContractQueries {
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
-    qMlTargetLeakage, qMlNullRateByGroup, qMlKAnonymity, qCatalogDrift, qIncrementalUnique,
+    qMlTargetLeakage, qMlNullRateByGroup, qMlKAnonymity, qMlLDiversity,
+    qCatalogDrift, qIncrementalUnique,
     qVectorContract,
   )
 }

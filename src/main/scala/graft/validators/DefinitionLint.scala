@@ -134,6 +134,22 @@ object DefinitionLint {
             issue("quality_checks.ml_checks.k_anonymity.max_violation_rate",
               s"${ka.maxViolationRate} not in [0, 1]")
         }
+        ml.lDiversity.foreach { ld =>
+          checkFieldsExist("quality_checks.ml_checks.l_diversity",
+            ld.quasiIdFields :+ ld.sensitiveField)
+          if (ld.quasiIdFields.isEmpty)
+            issue("quality_checks.ml_checks.l_diversity.quasi_id_fields",
+              "needs at least one field")
+          if (ld.quasiIdFields.contains(ld.sensitiveField))
+            issue("quality_checks.ml_checks.l_diversity.sensitive_field",
+              s"'${ld.sensitiveField}' is also a quasi-id (diversity would be " +
+                "identically 1)")
+          if (ld.l < 2)
+            issue("quality_checks.ml_checks.l_diversity.l", s"${ld.l} < 2")
+          if (ld.maxViolationRate < 0 || ld.maxViolationRate > 1)
+            issue("quality_checks.ml_checks.l_diversity.max_violation_rate",
+              s"${ld.maxViolationRate} not in [0, 1]")
+        }
       }
       qc.vector.foreach { v =>
         checkFieldsExist("quality_checks.vector", Seq(v.field))

@@ -196,6 +196,47 @@ object MlValidators {
       .select("r.*")
   }
 
+  /** l-diversity: the fraction of rows living in quasi-identifier
+    * groups with fewer than `l` DISTINCT sensitive values must be
+    * <= maxViolationRate — the homogeneity-attack sibling of
+    * [[kAnonymity]]. Same plan shape: ONE groupBy on the quasi-id
+    * tuple (count + count_distinct of the sensitive field partial-
+    * aggregate map-side) + a 1-row fold over the group summary; the
+    * post-shuffle frame is one row per distinct quasi-id combination.
+    * NULL quasi-id rows are excluded; NULL sensitive values don't
+    * count toward diversity (count_distinct ignores them) but their
+    * rows still count when the group violates. Exact bp verdict. */
+  def lDiversity(df: DataFrame, ch: LDiversityCheck): DataFrame = {
+    require(ch.l >= 2, s"l must be >= 2, got ${ch.l}")
+    require(ch.maxViolationRate >= 0 && ch.maxViolationRate <= 1,
+      s"max_violation_rate ${ch.maxViolationRate} not in [0, 1]")
+    val nonNull = ch.quasiIdFields.map(col(_).isNotNull).reduce(_ && _)
+    val grouped = df.filter(nonNull)
+      .groupBy(ch.quasiIdFields.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(ch.sensitiveField)).as("__d"))
+    val maxBp = math.round(ch.maxViolationRate * 10000)
+    val row = grouped.agg(
+      coalesce(sum(when(col("__d") < ch.l, col("__n"))), lit(0L)).as("__viol_rows"),
+      coalesce(sum(when(col("__d") < ch.l, 1L)), lit(0L)).as("__viol_groups"),
+      coalesce(sum(col("__n")), lit(0L)).as("__rows"),
+      count(lit(1)).as("__groups"))
+    // an empty table (0 groups) is vacuously diverse
+    row.select(result(lit("ml_l_diversity"),
+      lit(ch.quasiIdFields.mkString(",") + "->" + ch.sensitiveField),
+      col("__viol_rows") * 10000L <= lit(maxBp) * col("__rows") ||
+        col("__rows") === 0L,
+      expr("__viol_rows * 10000 DIV greatest(__rows, 1)")
+        .cast(DoubleType) / 10000d,
+      format_string(
+        s"%d of %d row(s) in %d group(s) below l=${ch.l} distinct " +
+          s"${ch.sensitiveField} (of %d quasi-id group(s), max rate " +
+          s"${ch.maxViolationRate})",
+        col("__viol_rows"), col("__rows"), col("__viol_groups"),
+        col("__groups"))).as("r"))
+      .select("r.*")
+  }
+
   /** Spread of per-group null rates must be <= maxNullRateDiff
     * (reference: ml.rs:484). One groupBy; one row per checked field. */
   def nullRateByGroup(df: DataFrame, ch: NullRateByGroupCheck): DataFrame = {

@@ -66,6 +66,11 @@ class ContractsSpec extends SparkSpec {
       |      quasi_id_fields: [event_type, url]
       |      k: 5
       |      max_violation_rate: 0.01
+      |    l_diversity:
+      |      quasi_id_fields: [event_type]
+      |      sensitive_field: url
+      |      l: 3
+      |      max_violation_rate: 0.02
       |  vector:
       |    - field: emb
       |      dim: 64
@@ -93,6 +98,8 @@ class ContractsSpec extends SparkSpec {
     assert(qc.mlChecks.get.featureDrift.get.numBins.contains(5))
     assert(qc.mlChecks.get.kAnonymity.contains(
       KAnonymityCheck(Seq("event_type", "url"), 5, 0.01)))
+    assert(qc.mlChecks.get.lDiversity.contains(
+      LDiversityCheck(Seq("event_type"), "url", 3, 0.02)))
     assert(qc.vector == Seq(VectorCheck("emb", dim = Some(64),
       minNorm = Some(0.5), maxNorm = Some(2.0), maxNanRate = 0.01)))
     // YAML round-trips integers as floats routinely: dim 64.0 parses

@@ -165,8 +165,11 @@ class ValidatorSpec extends SparkSpec {
           metrics = Seq("rows"), perMetric = Map("nulls_x" -> 0.0))),
         vector = Seq(VectorCheck("missing_v", dim = Some(0),
           minNorm = Some(5.0), maxNorm = Some(1.0), maxNanRate = 2.0)),
-        mlChecks = Some(MlChecks(kAnonymity = Some(
-          KAnonymityCheck(Seq("missing_q"), k = 1, maxViolationRate = 2.0)))),
+        mlChecks = Some(MlChecks(
+          kAnonymity = Some(
+            KAnonymityCheck(Seq("missing_q"), k = 1, maxViolationRate = 2.0)),
+          lDiversity = Some(
+            LDiversityCheck(Seq("a"), "a", l = 1, maxViolationRate = 2.0)))),
         curation = Seq(
           CurationRule("wat"),                         // unknown name
           CurationRule("min_words"),                   // needs min
@@ -185,6 +188,9 @@ class ValidatorSpec extends SparkSpec {
     assert(paths.contains("quality_checks.ml_checks.k_anonymity"))       // missing_q
     assert(paths.contains("quality_checks.ml_checks.k_anonymity.k"))     // k < 2
     assert(paths.contains("quality_checks.ml_checks.k_anonymity.max_violation_rate"))
+    assert(paths.contains("quality_checks.ml_checks.l_diversity.sensitive_field")) // quasi-id overlap
+    assert(paths.contains("quality_checks.ml_checks.l_diversity.l"))               // l < 2
+    assert(paths.contains("quality_checks.ml_checks.l_diversity.max_violation_rate"))
     assert(paths.contains("quality_checks.vector.missing_v.dim"))
     assert(paths.contains("quality_checks.vector.missing_v.max_nan_rate"))
     assert(paths.contains("quality_checks.vector.missing_v.min_norm"))
@@ -331,6 +337,55 @@ class ValidatorSpec extends SparkSpec {
     val v = results(MlValidators.kAnonymity(real,
       KAnonymityCheck(Seq("lang", "source", "len_bucket"), k = 10)))
       .apply(("ml_k_anonymity", "lang,source,len_bucket"))
+    assert(v.metric == q.getAs[Long]("viol_bp") / 10000.0)
+  }
+
+  test("l-diversity flags homogeneous groups, ignores NULL sensitive values, agrees with the query replay") {
+    import org.apache.spark.sql.functions.col
+    // groups by src: web = {en, en, de, de} (2 distinct), wiki = {fr}
+    // (1 distinct), forum = {en, de, null} (2 distinct — the NULL
+    // lang adds NO diversity but its row still counts); one NULL-src
+    // row excluded entirely
+    val df = Seq(("web", "en"), ("web", "en"), ("web", "de"), ("web", "de"),
+      ("wiki", "fr"), ("forum", "en"), ("forum", "de"),
+      ("forum", null.asInstanceOf[String]),
+      (null.asInstanceOf[String], "en")).toDF("src", "lang")
+    val strict = results(MlValidators.lDiversity(df,
+      LDiversityCheck(Seq("src"), "lang", l = 3)))
+    val r = strict(("ml_l_diversity", "src->lang"))
+    // ALL 8 non-null-src rows live in groups with < 3 distinct langs
+    assert(!r.passed)
+    assert(r.metric == 1.0)
+    assert(r.detail.contains("8 of 8 row(s) in 3 group(s) below l=3"))
+    // l=2: only wiki (1 distinct) violates -> 1 of 8 rows = 1250 bp
+    val l2 = results(MlValidators.lDiversity(df,
+      LDiversityCheck(Seq("src"), "lang", l = 2)))
+    assert(!l2(("ml_l_diversity", "src->lang")).passed)
+    assert(l2(("ml_l_diversity", "src->lang")).metric == 0.125)
+    // tolerance above the rate passes; empty table vacuously diverse
+    assert(results(MlValidators.lDiversity(df,
+      LDiversityCheck(Seq("src"), "lang", 2, maxViolationRate = 0.2)))
+      .apply(("ml_l_diversity", "src->lang")).passed)
+    assert(results(MlValidators.lDiversity(df.filter(col("src") === "nope"),
+      LDiversityCheck(Seq("src"), "lang", 2)))
+      .apply(("ml_l_diversity", "src->lang")).passed)
+    // guard rails
+    intercept[IllegalArgumentException] {
+      MlValidators.lDiversity(df, LDiversityCheck(Seq("src"), "lang", l = 1))
+    }
+    intercept[IllegalArgumentException] {
+      MlValidators.lDiversity(df, LDiversityCheck(Seq("src"), "lang", 2,
+        maxViolationRate = -0.1))
+    }
+    // the validator row agrees with q_ml_l_diversity's replay on the
+    // real corpus (same quasi-ids, same l, same bp arithmetic)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("len_bucket", org.apache.spark.sql.functions.expr("n_chars DIV 25"))
+    val q = SparkEntry.queries("q_ml_l_diversity")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val v = results(MlValidators.lDiversity(real,
+      LDiversityCheck(Seq("source", "len_bucket"), "lang", l = 4)))
+      .apply(("ml_l_diversity", "source,len_bucket->lang"))
     assert(v.metric == q.getAs[Long]("viol_bp") / 10000.0)
   }
 
