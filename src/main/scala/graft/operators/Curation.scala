@@ -159,6 +159,50 @@ object Curation {
       .na.fill(0L, Seq("total_chunks", "kept_chunks"))
   }
 
+  /** C4-style boilerplate STRIPPING (Raffel et al. 2020's line filter
+    * at chunk granularity): any chunk appearing in at least
+    * `minDocFreq` DISTINCT docs is removed from EVERY doc — including
+    * its first arrival. The third member of the repeated-text family:
+    * [[spanCoverage]] measures repetition, [[chunkDedup]] keeps one
+    * copy corpus-wide, this keeps none (the right call when the
+    * repeated text is navigation/legal boilerplate rather than
+    * content). Within-doc repeats of a doc-unique chunk survive — the
+    * trigger is CROSS-doc frequency, as in C4. Output: one row per
+    * input doc — (id, total_chunks, kept_chunks, clean_text);
+    * `clean_text` is null when every chunk was boilerplate and for
+    * null-text docs.
+    *
+    * Plan: the [[chunkDedup]] shape with the per-chunk aggregate
+    * swapped: map-only chunking, ONE shuffle on the chunk hash where
+    * countDistinct(id) partial-aggregates map-side (shuffle rows
+    * bounded by distinct (chunk, doc) pairs, i.e. total chunks), an
+    * equi-join back keeping df < minDocFreq, per-doc ordered
+    * reassembly. Linear; a chunk shared by millions of docs costs one
+    * aggregated row and zero kept rows. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 50, minDocFreq: Int = 2): DataFrame = {
+    require(chunkTokens >= 1, "need chunkTokens >= 1")
+    require(minDocFreq >= 2, "need minDocFreq >= 2 (1 would strip everything)")
+    val ch = TextAnalysis.chunk(docs.filter(col(textCol).isNotNull),
+        idCol, textCol, chunkTokens)
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), md5(col("chunk").cast("binary")).as("__h"))
+    val freq = ch.groupBy("__h")
+      .agg(countDistinct(col("id")).as("__df"))
+    val kept = ch.join(freq, Seq("__h"))
+      .filter(col("__df") < minDocFreq)
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("kept_chunks"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk"))).as("clean_text"))
+    val totals = ch.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("total_chunks"))
+    docs.select(col(idCol).as("id")).join(totals, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
+      .na.fill(0L, Seq("total_chunks", "kept_chunks"))
+  }
+
   /** Dedup-aware (group-consistent) train/val/test assignment: every
     * member of a near-duplicate cluster lands in the SAME split — the
     * leakage-prevention step a plain per-doc split misses (a near-copy

@@ -1275,6 +1275,49 @@ object PipelineQueries {
       LEFT JOIN k ON k.doc_id = d.doc_id
       ORDER BY coalesce(t.total, 0) - coalesce(k.kept, 0) DESC, id LIMIT 25"""))
 
+  // 84. C4-style boilerplate stripping at chunk granularity: any
+  // 25-token chunk appearing in >= 2 distinct docs is removed from
+  // EVERY doc (chunkDedup keeps the first copy; this keeps none —
+  // the navigation/legal-boilerplate call). Output: the 25 docs
+  // losing the most chunks, reassembled text pinned by md5. Oracle
+  // replays the window split + count(DISTINCT doc) per chunk +
+  // ordered string_agg. Removal is non-trivial at both SFs (83 of
+  // 1,318 chunk rows sf0.01, 924 of 13,073 sf0.1).
+  val qStripBoilerplate = QueryDef("q_strip_boilerplate",
+    (s, dir) => {
+      graft.operators.Curation.stripBoilerplate(
+          table(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 25, minDocFreq = 2)
+        .select(col("id"), col("total_chunks"), col("kept_chunks"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy((col("total_chunks") - col("kept_chunks")).desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+                 WHERE text IS NOT NULL),
+      w2 AS (SELECT doc_id, ws,
+                    greatest(CAST(ceil(len(ws) * 1.0 / 25) AS INT), 1) AS n
+             FROM w),
+      c AS (SELECT doc_id,
+                   unnest(generate_series(1, n)) AS g,
+                   unnest(list_transform(generate_series(1, n),
+                     g -> array_to_string(ws[(g-1)*25+1 : (g-1)*25+25], ' '))) AS chunk
+            FROM w2),
+      f AS (SELECT chunk, count(DISTINCT doc_id) df FROM c GROUP BY 1),
+      k AS (SELECT doc_id, count(*) kept,
+                   md5(string_agg(chunk, ' ' ORDER BY g)) cmd5
+            FROM c JOIN f USING (chunk) WHERE f.df < 2 GROUP BY 1),
+      t AS (SELECT doc_id, count(*) total FROM c GROUP BY 1)
+      SELECT d.doc_id AS id,
+             CAST(coalesce(t.total, 0) AS BIGINT) AS total_chunks,
+             CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_chunks,
+             k.cmd5 AS clean_md5
+      FROM documents d
+      LEFT JOIN t ON t.doc_id = d.doc_id
+      LEFT JOIN k ON k.doc_id = d.doc_id
+      ORDER BY coalesce(t.total, 0) - coalesce(k.kept, 0) DESC, id LIMIT 25"""))
+
   // 77. corpus vocabulary-growth (yield) curve, Lee et al. 2022: per
   // 50-doc arrival bucket, first-occurrence distinct 3-grams vs total
   // gram rows + the running vocabulary total — the corpus-level twin
@@ -2535,6 +2578,6 @@ object PipelineQueries {
     qSourceOverlap, qEmbedStats, qEmbedDrift, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
     qExportShards, qExportRoundtrip, qTextScripts, qDsirWeights, qTextYield, qClassifyNb,
-    qChunkDedup,
+    qChunkDedup, qStripBoilerplate,
   )
 }

@@ -641,6 +641,47 @@ class OperatorsSpec extends SparkSpec {
     assert(keptSum == distinctChunks)
   }
 
+  test("stripBoilerplate removes cross-doc chunks everywhere, keeps within-doc repeats") {
+    // 2-token chunks: "c d" appears in docs 0 and 1 -> removed from
+    // BOTH (incl. the first arrival chunkDedup would keep); doc 2
+    // repeats its own doc-unique chunk "x y" twice -> both copies
+    // survive (cross-doc frequency is the trigger, not raw count);
+    // doc 3 is an exact copy of doc 0 -> fully boilerplate, null text
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "c d e f"), (2L, "x y x y"),
+      (3L, "a b c d"), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Curation.stripBoilerplate(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("total_chunks"), r.getAs[Long]("kept_chunks"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(0L) == ((2L, 0L, null)))     // "a b" and "c d" both cross-doc
+    assert(got(1L) == ((2L, 1L, "e f")))
+    assert(got(2L) == ((2L, 2L, "x y x y")))
+    assert(got(3L) == ((2L, 0L, null)))
+    assert(got(4L) == ((0L, 0L, null)))
+    // minDocFreq above the max df (="c d" in docs 0,1,3) keeps everything
+    val lax = Curation.stripBoilerplate(docs, "doc_id", "text", 2, minDocFreq = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("kept_chunks")).toMap
+    assert(lax(0L) == 2L && lax(3L) == 2L)
+    intercept[IllegalArgumentException] {
+      Curation.stripBoilerplate(docs, "doc_id", "text", 2, minDocFreq = 1)
+    }
+    // real corpus: strictly subset of chunkDedup's keeps (first
+    // arrivals of shared chunks are also gone), conservation vs the
+    // doc-frequency table
+    val real = spark.read.parquet(sf("documents"))
+    val strip = Curation.stripBoilerplate(real, "doc_id", "text", chunkTokens = 50)
+    val dedup = Curation.chunkDedup(real, "doc_id", "text", chunkTokens = 50)
+    val s = strip.agg(sum("kept_chunks")).collect().head.getLong(0)
+    val d = dedup.agg(sum("kept_chunks")).collect().head.getLong(0)
+    assert(s <= d)
+    val uniqueChunkRows = TextAnalysis
+      .chunk(real.filter(col("text").isNotNull), "doc_id", "text", 50)
+      .groupBy("chunk").agg(countDistinct("id").as("df"), count(lit(1)).as("n"))
+      .filter(col("df") < 2).agg(sum("n")).collect().head.getLong(0)
+    assert(s == uniqueChunkRows)
+  }
+
   test("block dedup counts aligned shared-content blocks across payloads") {
     // a = [X|Y], b = [X|Z] (shares a's head block), c = exact copy of
     // a (shares both), d = lone short payload (one unshared block)
