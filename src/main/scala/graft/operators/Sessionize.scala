@@ -41,6 +41,58 @@ object Sessionize {
         max("session_idx").cast("long").as("sessions"),
         sum("session_events").cast("long").as("events"),
         max("session_events").cast("long").as("max_session_events"))
+
+  /** Ordered event-sequence conversion funnel: how many users complete
+    * step 1, then step 2 STRICTLY after their first step-1 event, then
+    * step 3 strictly after that, ... — the classic product-analytics
+    * funnel (windowFunnel in ClickHouse, funnel charts everywhere),
+    * computed exactly. A user's step-i time is the EARLIEST step-i
+    * event after their step-(i-1) time (earliest-completion semantics;
+    * min is associative, so partial aggregation applies). Output: one
+    * row per step — (step_idx, step, users, conv_prev_bp — users as bp
+    * of the previous step's, 10000 for step 1 — and conv_first_bp).
+    *
+    * Plan: per step, a type-FILTERED scan (predicate pushed to the
+    * source) aggregated to at most one row per user, then a user-keyed
+    * equi-join against the previous step's frame — k steps cost k
+    * pushed scans + (k-1) joins of users-sized frames, never an
+    * event-pair product. The conversion window runs over the k-row
+    * summary (the sketch-sized single-task idiom, never the data). A
+    * repeated step name would make "strictly after" ill-posed between
+    * its own copies — rejected loudly. */
+  def eventFunnel(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
+    val perStep = scala.collection.mutable.ArrayBuffer(
+      cur.agg(count(lit(1)).cast("long").as("users"))
+        .select(lit(1L).as("step_idx"), lit(steps.head).as("step"), col("users")))
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      cur = events.filter(col(typeCol) === s)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        .join(cur, "__u")
+        .filter(col("__ts") > col("__t"))
+        .groupBy("__u").agg(min(col("__ts")).as("__t"))
+      perStep += cur.agg(count(lit(1)).cast("long").as("users"))
+        .select(lit(i + 2L).as("step_idx"), lit(s).as("step"), col("users"))
+    }
+    val counts = perStep.reduce(_ unionByName _)
+    val w = Window.orderBy("step_idx")
+    counts
+      .withColumn("__prev",
+        greatest(coalesce(lag("users", 1).over(w), col("users")), lit(1L)))
+      .withColumn("__first",
+        greatest(first("users").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(1L)))
+      .withColumn("conv_prev_bp",
+        expr("users * 10000 DIV __prev").cast("long"))
+      .withColumn("conv_first_bp",
+        expr("users * 10000 DIV __first").cast("long"))
+      .drop("__prev", "__first")
+  }
 }
 
 /** Deterministic dataset splitting for reproducible train/val/test

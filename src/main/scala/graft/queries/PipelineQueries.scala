@@ -808,6 +808,45 @@ object PipelineQueries {
              CAST(max(max_session_events) AS BIGINT) AS max_session_events
       FROM per_user"""))
 
+  // 85. ordered event-sequence conversion funnel over the events
+  // stream: users completing signup, then view STRICTLY after their
+  // first signup, then click after that, then purchase — earliest-
+  // completion semantics, per-step user counts + bp conversion vs the
+  // previous step and vs step 1. Per step: one type-filtered pushed
+  // scan aggregated to <= one row per user + a user-keyed equi-join
+  // with the previous frame; the conversion window runs over the
+  // 4-row summary. Oracle chains the same conditional-min CTEs.
+  val qEventFunnel = QueryDef("q_event_funnel",
+    (s, dir) => {
+      graft.operators.Sessionize.eventFunnel(table(s, dir, "events"),
+          "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx")
+    },
+    Some("""
+      WITH s1 AS (SELECT user_id, min(ts) t FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) t FROM events e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) t FROM events e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+      s4 AS (SELECT e.user_id, min(e.ts) t FROM events e
+             JOIN s3 ON s3.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+      c AS (SELECT 1 AS step_idx, 'signup' AS step, count(*) u FROM s1
+            UNION ALL SELECT 2, 'view', count(*) FROM s2
+            UNION ALL SELECT 3, 'click', count(*) FROM s3
+            UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+             CAST(u AS BIGINT) AS users,
+             CAST(u * 10000 // greatest(coalesce(lag(u) OVER (ORDER BY step_idx), u), 1)
+                  AS BIGINT) AS conv_prev_bp,
+             CAST(u * 10000 // greatest(first_value(u) OVER (ORDER BY step_idx), 1)
+                  AS BIGINT) AS conv_first_bp
+      FROM c ORDER BY step_idx"""))
+
   // 39. reproducible train/val/test split (modulo variant for the oracle;
   //     hashSplit is the production default)
   val qSplitAssign = QueryDef("q_split_assign",
@@ -2571,7 +2610,7 @@ object PipelineQueries {
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
-    qMultimodalMeta, qSourceContractRead, qSessionize, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
+    qMultimodalMeta, qSourceContractRead, qSessionize, qEventFunnel, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qDecontaminate, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qMixTemperature, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,

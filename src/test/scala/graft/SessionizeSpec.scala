@@ -43,6 +43,40 @@ class SessionizeSpec extends SparkSpec {
     assert(batch == stream && batch == Map("u1" -> 1L, "u2" -> 2L), (batch, stream))
   }
 
+  test("event funnel requires strict ordering between steps, earliest-completion") {
+    // u1: a@1 b@2 c@3           -> completes all three
+    // u2: b@1 a@2 b@3           -> a then b (3 > 2), no c
+    // u3: a@1 b@1               -> b NOT after a (strict >), stops at a
+    // u4: b@1 c@2               -> never did a, not in the funnel
+    // u5: a@5 c@6               -> no b; c can't count without b
+    val df = Seq(
+      ("u1", "a", 1), ("u1", "b", 2), ("u1", "c", 3),
+      ("u2", "b", 1), ("u2", "a", 2), ("u2", "b", 3),
+      ("u3", "a", 1), ("u3", "b", 1),
+      ("u4", "b", 1), ("u4", "c", 2),
+      ("u5", "a", 5), ("u5", "c", 6),
+    ).toDF("user_id", "event_type", "off")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:00")) +
+        expr("make_interval(0, 0, 0, 0, 0, 0, off)"))
+    val rows = Sessionize.eventFunnel(df, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))
+      .orderBy("step_idx").collect()
+    assert(rows.map(_.getAs[String]("step")).toSeq == Seq("a", "b", "c"))
+    assert(rows.map(_.getAs[Long]("users")).toSeq == Seq(4L, 2L, 1L))
+    // 2/4 = 5000 bp, 1/2 = 5000 bp; vs first: 10000, 5000, 2500
+    assert(rows.map(_.getAs[Long]("conv_prev_bp")).toSeq == Seq(10000L, 5000L, 5000L))
+    assert(rows.map(_.getAs[Long]("conv_first_bp")).toSeq == Seq(10000L, 5000L, 2500L))
+    // earliest-completion: u2's b@3 counts even though b@1 precedes a
+    // (asserted by u2 being in step 2 above); duplicate steps rejected
+    intercept[IllegalArgumentException] {
+      Sessionize.eventFunnel(df, "user_id", "ts", "event_type", Seq("a", "a"))
+    }
+    // an empty first step yields zero users all the way down
+    val none = Sessionize.eventFunnel(df, "user_id", "ts", "event_type",
+        Seq("zz", "b")).orderBy("step_idx").collect()
+    assert(none.map(_.getAs[Long]("users")).toSeq == Seq(0L, 0L))
+  }
+
   test("hash split is deterministic, disjoint, and roughly proportional") {
     val df = (0L until 1000L).map(i => Tuple1(i)).toDF("id")
     val a = Sampling.hashSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
