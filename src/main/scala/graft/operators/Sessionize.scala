@@ -93,6 +93,45 @@ object Sessionize {
         expr("users * 10000 DIV __first").cast("long"))
       .drop("__prev", "__first")
   }
+
+  /** Cohort retention: users grouped by the period of their FIRST
+    * event (the cohort), then for each later period the fraction of
+    * the cohort still active — the product-analytics retention matrix,
+    * computed exactly. `granularity` is "day" or "week" (calendar
+    * truncation, so both engines agree on boundaries). Output: one row
+    * per (cohort, offset) — cohort as yyyy-MM-dd of the truncated
+    * period start, `offset_n` in granularity units, cohort_users,
+    * active_users, retention_bp (exact integer bp of the cohort).
+    *
+    * Plan: one per-user min aggregation (the cohort frame, <= one row
+    * per user), one distinct over (user, period) — both partial-
+    * aggregate map-side — a user-keyed equi-join between them, and a
+    * (cohort, offset) rollup whose output is cohorts x periods rows.
+    * Linear in events; nothing driver-side. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      granularity: String = "day"): DataFrame = {
+    require(Set("day", "week")(granularity),
+      s"granularity must be day or week, got $granularity")
+    val unitDays = if (granularity == "day") 1 else 7
+    val first = events.groupBy(col(userCol).as("__u"))
+      .agg(date_trunc(granularity, min(col(tsCol))).as("__cohort"))
+    val sizes = first.groupBy("__cohort")
+      .agg(count(lit(1)).as("cohort_users"))
+    val activity = events.select(col(userCol).as("__u"),
+        date_trunc(granularity, col(tsCol)).as("__b"))
+      .distinct()
+    activity.join(first, "__u")
+      .groupBy(col("__cohort"),
+        expr(s"datediff(__b, __cohort) DIV $unitDays").cast("long").as("offset_n"))
+      .agg(count(lit(1)).cast("long").as("active_users"))
+      .join(sizes, "__cohort")
+      .select(
+        date_format(col("__cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset_n"),
+        col("cohort_users").cast("long").as("cohort_users"),
+        col("active_users"),
+        expr("active_users * 10000 DIV cohort_users").cast("long").as("retention_bp"))
+  }
 }
 
 /** Deterministic dataset splitting for reproducible train/val/test

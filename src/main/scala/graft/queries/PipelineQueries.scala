@@ -847,6 +847,32 @@ object PipelineQueries {
                   AS BIGINT) AS conv_first_bp
       FROM c ORDER BY step_idx"""))
 
+  // 86. day-granularity cohort retention over the events stream: users
+  // cohorted by first-event day, per-offset active fraction in exact
+  // bp — the retention matrix next to the conversion funnel. Cohorts
+  // are non-degenerate at both SFs (2 at sf0.01, 4 at sf0.1). One
+  // per-user min agg + one distinct (user, day) + a user-keyed join +
+  // a (cohort, offset) rollup; linear in events.
+  val qCohortRetention = QueryDef("q_cohort_retention",
+    (s, dir) => {
+      graft.operators.Sessionize.cohortRetention(table(s, dir, "events"),
+          "user_id", "ts", granularity = "day")
+        .orderBy("cohort", "offset_n")
+    },
+    Some("""
+      WITH f AS (SELECT user_id, date_trunc('day', min(ts)) cd
+                 FROM events GROUP BY 1),
+      cs AS (SELECT cd, count(*) cu FROM f GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('day', ts) ab FROM events),
+      r AS (SELECT f.cd, datediff('day', f.cd, a.ab) AS o, count(*) au
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+      SELECT strftime(r.cd, '%Y-%m-%d') AS cohort,
+             CAST(o AS BIGINT) AS offset_n,
+             CAST(cu AS BIGINT) AS cohort_users,
+             CAST(au AS BIGINT) AS active_users,
+             CAST(au * 10000 // cu AS BIGINT) AS retention_bp
+      FROM r JOIN cs USING (cd) ORDER BY 1, 2"""))
+
   // 39. reproducible train/val/test split (modulo variant for the oracle;
   //     hashSplit is the production default)
   val qSplitAssign = QueryDef("q_split_assign",
@@ -2610,7 +2636,7 @@ object PipelineQueries {
     qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
-    qMultimodalMeta, qSourceContractRead, qSessionize, qEventFunnel, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
+    qMultimodalMeta, qSourceContractRead, qSessionize, qEventFunnel, qCohortRetention, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,
     qTextRepetition, qContamination, qDecontaminate, qSkewJoin, qQuotaSample, qTextPii, qAsofJoin,
     qTextChunks, qPackBins, qTextLmScore, qLayoutJoin, qSnapshotDiff, qMixSample, qMixTemperature, qSqlApi,
     qDedupCanonical, qSpanDedup, qTextRedact, qFilterChain, qCorpusCard, qSplitByGroup,

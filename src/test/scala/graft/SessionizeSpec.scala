@@ -77,6 +77,35 @@ class SessionizeSpec extends SparkSpec {
     assert(none.map(_.getAs[Long]("users")).toSeq == Seq(0L, 0L))
   }
 
+  test("cohort retention buckets by first-event period, exact bp per offset") {
+    // cohort Mon Jan 1: u1 (active day 0 and 2), u2 (day 0 only)
+    // cohort Wed Jan 3: u3 (active day 0 and 1)
+    // multiple same-day events must count once (distinct user-day)
+    val df = Seq(
+      ("u1", "2024-01-01 09:00:00"), ("u1", "2024-01-01 11:00:00"),
+      ("u1", "2024-01-03 09:00:00"),
+      ("u2", "2024-01-01 23:59:59"),
+      ("u3", "2024-01-03 01:00:00"), ("u3", "2024-01-04 01:00:00"),
+    ).toDF("user_id", "ts_s").withColumn("ts", to_timestamp($"ts_s"))
+    val got = Sessionize.cohortRetention(df, "user_id", "ts", "day")
+      .collect().map(r => (r.getAs[String]("cohort"), r.getAs[Long]("offset_n")) ->
+        ((r.getAs[Long]("cohort_users"), r.getAs[Long]("active_users"),
+          r.getAs[Long]("retention_bp")))).toMap
+    assert(got(("2024-01-01", 0L)) == ((2L, 2L, 10000L)))
+    assert(got(("2024-01-01", 2L)) == ((2L, 1L, 5000L)))
+    assert(got(("2024-01-03", 0L)) == ((1L, 1L, 10000L)))
+    assert(got(("2024-01-03", 1L)) == ((1L, 1L, 10000L)))
+    assert(got.size == 4) // no empty offsets, no cross-cohort bleed
+    // week granularity folds everything into the Jan-1 ISO week
+    val wk = Sessionize.cohortRetention(df, "user_id", "ts", "week")
+      .collect().map(r => (r.getAs[String]("cohort"), r.getAs[Long]("offset_n")) ->
+        r.getAs[Long]("active_users")).toMap
+    assert(wk == Map(("2024-01-01", 0L) -> 3L))
+    intercept[IllegalArgumentException] {
+      Sessionize.cohortRetention(df, "user_id", "ts", "month")
+    }
+  }
+
   test("hash split is deterministic, disjoint, and roughly proportional") {
     val df = (0L until 1000L).map(i => Tuple1(i)).toDF("id")
     val a = Sampling.hashSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
