@@ -164,4 +164,40 @@ object DedupGroups {
     val toDrop = comps.filter(col("id") =!= col("component")).select(col("id"))
     df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** Duplication profile — the corpus-datasheet histogram of
+    * near-duplicate cluster sizes: for each size, how many clusters
+    * and how many docs live in them, including the size-1 row for docs
+    * in no pair at all. `docs_bp` is each size's exact share of the
+    * corpus in basis points; Σ n_docs equals the corpus, so the
+    * profile doubles as a conservation check on the clustering. The
+    * shape of this histogram is the collect-more-vs-dedup-harder
+    * signal (a fat tail of large clusters = heavy template/mirror
+    * duplication).
+    *
+    * Plan: components over the pair list (bounded like every CC use),
+    * a per-component size aggregation (components-sized), a size
+    * histogram (sizes-sized), and ONE 1-row broadcast corpus count for
+    * the singleton row + bp — nothing corpus-sized moves after the
+    * component step. */
+  def clusterSizeProfile(docs: DataFrame, idCol: String, pairs: DataFrame,
+                         aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val sizes = connectedComponents(pairs, aCol, bCol)
+      .groupBy("component").agg(count(lit(1)).as("__sz"))
+    val hist = sizes.groupBy(col("__sz").cast("long").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+    val total = docs.agg(count(lit(1)).cast("long").as("__total"))
+    val clustered = hist.agg(
+      coalesce(sum(col("cluster_size") * col("n_clusters")), lit(0L)).as("__in"))
+    val singletons = total.crossJoin(broadcast(clustered))
+      .select(lit(1L).as("cluster_size"),
+        (col("__total") - col("__in")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singletons)
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        expr("cluster_size * n_clusters * 10000 DIV greatest(__total, 1)")
+          .cast("long").as("docs_bp"))
+  }
 }

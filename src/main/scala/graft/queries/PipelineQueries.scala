@@ -161,6 +161,55 @@ object PipelineQueries {
       FROM (SELECT s, min(d) AS min_d FROM reach GROUP BY s)
       GROUP BY min_d ORDER BY component"""))
 
+  // 87. duplication profile: the histogram of near-dup cluster sizes
+  // over the same bp>=2000 jaccard pair graph as q_dedup_groups (one
+  // shared postings self-join per session), INCLUDING the size-1 row
+  // for unclustered docs — Σ n_docs == corpus is the built-in
+  // conservation check, docs_bp the exact corpus share. Oracle extends
+  // the recursive-CTE component replay with the histogram rollup and
+  // the documents-count singleton row.
+  val qDupProfile = QueryDef("q_dup_profile",
+    (s, dir) => {
+      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.DedupGroups.clusterSizeProfile(
+          table(s, dir, "documents"), "doc_id", pairs)
+        .orderBy("cluster_size")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      ),
+      csz AS (SELECT min_d, count(*) csz
+              FROM (SELECT s, min(d) AS min_d FROM reach GROUP BY s)
+              GROUP BY 1),
+      hist AS (SELECT csz AS cluster_size, count(*) n_clusters FROM csz GROUP BY 1),
+      tot AS (SELECT count(*) total FROM documents),
+      inc AS (SELECT coalesce(sum(cluster_size * n_clusters), 0) inc FROM hist),
+      uni AS (SELECT 1 AS cluster_size, total - inc AS n_clusters
+              FROM tot, inc WHERE total - inc > 0),
+      f AS (SELECT * FROM hist UNION ALL SELECT * FROM uni)
+      SELECT CAST(f.cluster_size AS BIGINT) AS cluster_size,
+             CAST(f.n_clusters AS BIGINT) AS n_clusters,
+             CAST(f.cluster_size * f.n_clusters AS BIGINT) AS n_docs,
+             CAST(f.cluster_size * f.n_clusters * 10000 // greatest(total, 1) AS BIGINT) AS docs_bp
+      FROM f, tot ORDER BY cluster_size"""))
+
   // 27. MinHash+LSH candidates, exact-verified. The xxhash64 family is
   // not SQL-portable, but at r=2 rows/band × 32 bands the S-curve puts
   // the per-pair miss probability for jacc >= 0.5 at (1-0.25)^32 ≈ 1e-4
@@ -2633,7 +2682,7 @@ object PipelineQueries {
       FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupJaccard, qDedupGroups, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
+    qDedupExact, qDedupJaccard, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qEventFunnel, qCohortRetention, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,

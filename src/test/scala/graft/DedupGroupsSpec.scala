@@ -104,4 +104,34 @@ class DedupGroupsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 3L, 4L, 5L, 7L, 8L, 9L))
   }
+
+  test("cluster-size profile counts clusters per size, singletons, conserves the corpus") {
+    // 10 docs: one 3-cluster {0,1,2}, one 2-cluster {5,6}, 5 singletons
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = DedupGroups.clusterSizeProfile(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("docs_bp")))).toMap
+    assert(got(1L) == ((5L, 5L, 5000L)))
+    assert(got(2L) == ((1L, 2L, 2000L)))
+    assert(got(3L) == ((1L, 3L, 3000L)))
+    assert(got.size == 3)
+    assert(got.values.map(_._2).sum == 10L) // conservation
+    // a fully-clustered corpus has no singleton row
+    val all = DedupGroups.clusterSizeProfile(
+        (0L to 2L).map(i => (i, "x")).toDF("doc_id", "text"), "doc_id",
+        Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getAs[Long]("cluster_size")).toSeq
+    assert(all == Seq(3L))
+    // real corpus: conservation against the documents count
+    val real = spark.read.parquet(sf("documents"))
+    val pr = graft.operators.Dedup.jaccardPairs(real, "doc_id", "text",
+      n = 3, minJaccardBp = 2000)
+    val prof = DedupGroups.clusterSizeProfile(real, "doc_id", pr)
+    val totalDocs = real.count()
+    val sumDocs = prof.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect().head.getLong(0)
+    assert(sumDocs == totalDocs)
+  }
 }
