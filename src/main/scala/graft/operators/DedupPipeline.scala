@@ -49,6 +49,12 @@ final class DedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int 
                    minJaccardBp: Long = 1000L, maxBucketSize: Long = 1000L): DataFrame =
     Dedup.minhashFromShingled(shingled, numPerm, numBands, minJaccardBp, maxBucketSize)
 
+  /** [[Dedup.containmentPairs]] over the shared shingling — the
+    * quote-inclusion catcher next to [[jaccardPairs]]. */
+  def containmentPairs(minContainBp: Long = 8000L,
+                       maxShinglePostings: Long = 10000L): DataFrame =
+    Dedup.containmentFromShingled(shingled, minContainBp, maxShinglePostings)
+
   /** Near-dup GROUPS over [[jaccardPairs]] candidates. */
   def groups(minJaccardBp: Long = 2000L): DataFrame =
     DedupGroups.connectedComponents(jaccardPairs(minJaccardBp))

@@ -210,6 +210,34 @@ object PipelineQueries {
              CAST(f.cluster_size * f.n_clusters * 10000 // greatest(total, 1) AS BIGINT) AS docs_bp
       FROM f, tot ORDER BY cluster_size"""))
 
+  // 88. containment pairs (Broder's coefficient, max direction): the
+  // asymmetric quote-inclusion catcher — intersection over the SMALLER
+  // shingle set, so a short doc embedded in a long one scores ~10000
+  // where Jaccard dilutes toward 0. Shares the session shingling and
+  // the same postings self-join shape as q_dedup_jaccard; only the
+  // final ratio differs. Full pair list (25 rows sf0.01 / 256 sf0.1).
+  val qDedupContainment = QueryDef("q_dedup_containment",
+    (s, dir) => {
+      dedupPipeline(s, dir).containmentPairs(minContainBp = 8000L)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+             CAST(inter * 10000 // least(sa.sz, sb.sz) AS BIGINT) AS contain_bp
+      FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE inter * 10000 // least(sa.sz, sb.sz) >= 8000
+      ORDER BY id_a, id_b"""))
+
   // 27. MinHash+LSH candidates, exact-verified. The xxhash64 family is
   // not SQL-portable, but at r=2 rows/band × 32 bands the S-curve puts
   // the per-pair miss probability for jacc >= 0.5 at (1-0.25)^32 ≈ 1e-4
@@ -2682,7 +2710,7 @@ object PipelineQueries {
       FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupJaccard, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
+    qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
     qAnnTopk, qAnnLsh, qAnnIvf, qTextLangid, qTextQuality, qTextTokens, qTextFingerprint,
     qMultimodalMeta, qSourceContractRead, qSessionize, qEventFunnel, qCohortRetention, qSplitAssign, qTextVocab, qProfileNumeric, qProfileStrings, qTextTfidf, qJsonProps,

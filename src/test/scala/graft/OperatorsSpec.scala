@@ -33,6 +33,35 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 4 || b == 5 })
   }
 
+  test("containment pairs catch a quote-inclusion Jaccard dilutes away") {
+    // doc 11 is doc 10's opening quoted verbatim: every one of its
+    // shingles appears in 10, so containment = 10000, while Jaccard =
+    // |small| / |big| stays low. Doc 12 shares nothing.
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq((10L, long), (11L, quote), (12L, "x y z q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+        minContainBp = 9000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("contain_bp")).toMap
+    assert(got == Map((10L, 11L) -> 10000L))
+    // the same pair under Jaccard: 6 shared of 58 union = ~1000 bp —
+    // invisible at any practical Jaccard threshold
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, minJaccardBp = 0)
+      .filter($"id_a" === 10L && $"id_b" === 11L)
+      .collect().head.getAs[Long]("jacc_bp")
+    assert(jac < 2000L)
+    // pipeline variant rides the shared shingling and agrees
+    val p = new graft.operators.DedupPipeline(df, "doc_id", "text", n = 3)
+    try {
+      val viaP = p.containmentPairs(minContainBp = 9000)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Long]("contain_bp")).toMap
+      assert(viaP == got)
+    } finally p.unpersist()
+  }
+
   // degenerate duplicate docs every collapse spec appends to its
   // corpus: empty, one-word, and NULL texts, each duplicated — the
   // edge where a naive within-class expansion could invent pairs the
