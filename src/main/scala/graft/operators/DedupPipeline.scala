@@ -55,6 +55,15 @@ final class DedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int 
                        maxShinglePostings: Long = 10000L): DataFrame =
     Dedup.containmentFromShingled(shingled, minContainBp, maxShinglePostings)
 
+  /** The raw candidate frame (id_a, id_b, inter, sz_a, sz_b) both
+    * ratio listings derive from — callers running jaccard AND
+    * containment in one session should persist THIS once and use
+    * [[Dedup.jaccardFromCandidates]] / [[Dedup.containmentFromCandidates]],
+    * sharing the postings self-join (the expensive stage) instead of
+    * running it per metric. */
+  def candidatePairs(maxShinglePostings: Long = 10000L): DataFrame =
+    Dedup.candidatesFromShingled(shingled, maxShinglePostings)
+
   /** Near-dup GROUPS over [[jaccardPairs]] candidates. */
   def groups(minJaccardBp: Long = 2000L): DataFrame =
     DedupGroups.connectedComponents(jaccardPairs(minJaccardBp))

@@ -70,18 +70,25 @@ object PipelineQueries {
       collapsedPipeline(s, dir).jaccardPairs(minJaccardBp = 100L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** One jaccard pair computation per (session, dir), at the board's
-    * LOWEST threshold (100 bp): a higher threshold is a pure filter of
-    * a lower one's output, so `q_dedup_jaccard` (bp≥100) and
-    * `q_dedup_groups` (bp≥2000) share one postings self-join instead of
-    * running it twice — the same share-the-scan economics as the
+  /** One CANDIDATE pair computation per (session, dir) — the raw
+    * (id_a, id_b, inter, sz_a, sz_b) frame of the postings self-join,
+    * the expensive stage under every set-similarity listing. Jaccard
+    * (any threshold) and containment are map-only ratio filters of
+    * this one persisted frame, so `q_dedup_jaccard` (bp≥100),
+    * `q_dedup_groups` (bp≥2000) and `q_dedup_containment` (≥8000)
+    * share ONE self-join — the same share-the-scan economics as the
     * shingling, one level up. */
-  private val jaccardPairs100 = new SessionCache[org.apache.spark.sql.DataFrame]
+  private val candidatePairsCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  private def sharedCandidatePairs(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame =
+    candidatePairsCache.get(s, dir)(
+      dedupPipeline(s, dir).candidatePairs()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def sharedJaccardPairs(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
-    jaccardPairs100.get(s, dir)(
-      dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 100L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.operators.Dedup.jaccardFromCandidates(
+      sharedCandidatePairs(s, dir), minJaccardBp = 100L)
 
   // 25. exact dedup via normalized-text fingerprints
   val qDedupExact = QueryDef("q_dedup_exact",
@@ -218,7 +225,8 @@ object PipelineQueries {
   // final ratio differs. Full pair list (25 rows sf0.01 / 256 sf0.1).
   val qDedupContainment = QueryDef("q_dedup_containment",
     (s, dir) => {
-      dedupPipeline(s, dir).containmentPairs(minContainBp = 8000L)
+      graft.operators.Dedup.containmentFromCandidates(
+          sharedCandidatePairs(s, dir), minContainBp = 8000L)
         .orderBy("id_a", "id_b")
     },
     Some("""
