@@ -298,4 +298,28 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
+
+  /** Recall@k of an approximate neighbor list against the exact one —
+    * the eval harness every ANN deployment needs before trusting its
+    * index parameters (numPlanes/multiprobe, numCells/nprobe). Both
+    * inputs are (q_id, n_id, …) frames as produced by [[lshTopK]] /
+    * [[ivfTopK]] / [[bruteForceTopK]]; output is one row per probe:
+    * (q_id, exact_k, hits, recall_bp) with recall_bp the exact integer
+    * bp of exact neighbors the approximate list found. Probes the
+    * approximate index returned NOTHING for (empty bucket) still
+    * appear, with hits 0 — silent misses are the number that matters.
+    *
+    * Plan: one equi-join on (q_id, n_id) between two k·|probes|-sized
+    * frames + a per-probe rollup — cost is the eval lists, never the
+    * corpus. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("n_id"))
+    val a = approx.select(col("q_id"), col("n_id"))
+      .withColumn("__hit", lit(1L))
+    e.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("long").as("exact_k"),
+        sum(coalesce(col("__hit"), lit(0L))).cast("long").as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 DIV exact_k").cast("long"))
+  }
 }

@@ -67,6 +67,108 @@ object Profile {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** Exact corpus percentiles at scale, `percentile_disc` semantics:
+    * for each requested basis-point fraction q the result is the actual
+    * data element at rank max(1, ceil(q·n/10000)) in sorted order —
+    * never an interpolated value, so the answer replays bit-identically
+    * in any SQL engine (`quantile_disc`/`percentile_disc`) and is
+    * itself a member of the data (what a range-contract suggestion or a
+    * curriculum boundary wants).
+    *
+    * The scale story is the point: the naive plan
+    * (`row_number() OVER (ORDER BY v)` or a driver-side sort) collapses
+    * the corpus into one task. This runs the two-level idiom over the
+    * DISTINCT-VALUE frame: per-value counts (one map-side-combined
+    * shuffle, output ≤ corpus and typically far smaller), range
+    * repartition by value, per-partition weighted cumsums in parallel,
+    * then per-partition offsets from a #partitions-row aggregate — the
+    * only sequential state is sketch-sized. Quantile extraction is one
+    * conditional-min aggregation over the cumulative frame (map-side
+    * partial aggregation; no theta-join, no second sort).
+    *
+    * EAGER: the result (≤ |qsBp| rows) is computed now and returned as
+    * a local frame, because the ranked intermediate must be persisted
+    * for fork-consistency (the offsets branch and the extraction branch
+    * must see the SAME sampled range boundaries — the exportShards
+    * lesson) and releasing it requires materializing first. NULLs are
+    * excluded, matching SQL ordered-set aggregates. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qsBp: Seq[Int]): DataFrame = {
+    require(qsBp.nonEmpty, "need at least one quantile")
+    require(qsBp.forall(q => q >= 0 && q <= 10000),
+      s"quantiles are basis points in [0, 10000], got $qsBp")
+    require(qsBp.distinct.size == qsBp.size, s"duplicate quantiles: $qsBp")
+    val spark = df.sparkSession
+    val parts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast(DoubleType).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val ranged = counts.repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+    val within = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = ranged.withColumn("__cumIn", sum(col("__c")).over(within))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ranked.count() // materialize: both branches must see one copy
+      val offsets = ranked.groupBy("__pid").agg(sum("__c").as("__pn"))
+        .withColumn("__offset",
+          (sum(col("__pn")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("__pid"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)) - col("__pn"))
+            .cast(LongType))
+      val total = offsets.agg(sum("__pn").cast(LongType).as("__n"))
+      val cum = ranked.join(broadcast(offsets.select("__pid", "__offset")), "__pid")
+        .withColumn("__cum", col("__offset") + col("__cumIn"))
+        .crossJoin(broadcast(total))
+      // rank_q = max(1, ceil(q·n/10000)), exact in integer arithmetic
+      val aggs = qsBp.map { q =>
+        val rank = greatest(lit(1L), expr(s"($q * __n + 9999) DIV 10000"))
+        min(when(col("__cum") >= rank, col("__v"))).as(s"__q_$q")
+      }
+      val one = cum.agg(aggs.head, aggs.tail: _*)
+      val rows = qsBp.map(q => struct(
+        lit(q.toLong).as("q_bp"), col(s"__q_$q").as("value")))
+      val out = one.select(explode(array(rows: _*)).as("r")).select("r.*")
+        .collect() // bounded: |qsBp| rows
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_bp", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("value", DoubleType, nullable = true))))
+    } finally { ranked.unpersist(); () }
+  }
+
+  /** Equal-frequency (quantile) binning: adds `bin` (0-based long) =
+    * the number of interior [[exactQuantiles]] boundaries STRICTLY
+    * below the value — bin i holds values in (b_i, b_{i+1}] with exact,
+    * engine-replayable tie handling. The curriculum-ordering /
+    * difficulty-stratification primitive: bin by length, LM score, or
+    * quality percentile, then sample or order shards per bin.
+    *
+    * The boundaries (nBins − 1 interior percentiles) are computed
+    * eagerly by [[exactQuantiles]] and folded into the plan as
+    * LITERALS, so the assignment itself is a map-only codegen'd CASE —
+    * zero extra shuffles on the corpus at any scale. Heavy value ties
+    * land in one bin by design (disc semantics); NULL values get bin
+    * NULL. */
+  def withQuantileBins(df: DataFrame, valueCol: String,
+                       nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val qs = (1 until nBins).map(i => i * 10000 / nBins)
+    val bounds = exactQuantiles(df, valueCol, qs)
+      .collect().sortBy(_.getLong(0)).map(r => r.getDouble(1))
+    val v = col(valueCol).cast(DoubleType)
+    val bin = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(v > lit(b), 1L).otherwise(0L)
+    }
+    df.withColumn("bin", when(v.isNotNull, bin))
+  }
+
   /** Suggests a contract from profile + schema: non-nullable where no
     * nulls observed, allowed_values for low-cardinality strings, range
     * for numerics — the data-driven `init --strict` the reference's

@@ -94,6 +94,35 @@ object Sessionize {
       .drop("__prev", "__first")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every consecutive event pair inside a user's
+    * timeline, count (from_type → to_type) and the row-normalized
+    * transition probability — the behavioral fingerprint behind
+    * next-event prediction, bot detection (improbable chains), and
+    * funnel design. Output: one row per observed (from_type, to_type) —
+    * (from_type, to_type, transitions, prob_bp) with prob_bp the exact
+    * integer bp of all transitions leaving from_type.
+    *
+    * Plan: ONE shuffle on the user key for the `lead` window (ties on
+    * the timestamp broken by `tieCol`, so adjacency is a total order
+    * and deterministic), then a (from, to) rollup that partial-
+    * aggregates map-side to at most |types|² rows; the normalizing
+    * window runs over that summary frame — sketch-sized, never the
+    * events. Linear in events at any scale. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("transitions"))
+    counts
+      .withColumn("prob_bp",
+        expr("transitions * 10000 DIV sum(transitions) OVER (PARTITION BY from_type)")
+          .cast("long"))
+  }
+
   /** Cohort retention: users grouped by the period of their FIRST
     * event (the cohort), then for each later period the fraction of
     * the cohort still active — the product-analytics retention matrix,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Robust time-series anomaly detection over an event stream — the
+  * monitoring twin of [[graft.streaming.StreamMonitor]]'s trend check:
+  * where `TrendCheck` gates TODAY against a trailing window, this
+  * profiles the WHOLE history and flags every bucket whose volume is a
+  * robust outlier. The ingest-volume canary a pipeline datasheet ships
+  * with (a crawler that died, a source that 10×'d, a backfill that
+  * double-wrote).
+  *
+  * Median/MAD instead of mean/stddev: a single spike inflates a stddev
+  * enough to hide itself (masking); the median absolute deviation is
+  * robust to up to 50% contamination. Exact discrete medians
+  * (`percentile_disc` semantics — the element at rank ceil(q·n), never
+  * an interpolated value), so results replay identically in any SQL
+  * engine and stay integral on integral counts.
+  *
+  * Scale: one map-side-combined aggregation collapses events to one row
+  * per (key, bucket) — bounded by keys × calendar, NOT event volume —
+  * and every later step works on that summary frame, keyed shuffles
+  * only. The per-key `collect_list` of bucket counts is bounded by the
+  * calendar too (10 years of days = 3,653 elements), the same
+  * sketch-sized-state idiom as the shard-export offsets.
+  */
+object TimeSeries {
+
+  /** Exact discrete median of a bounded numeric array column. */
+  private def discMedian(arr: org.apache.spark.sql.Column) = {
+    val sorted = sort_array(arr)
+    element_at(sorted, greatest(lit(1), ceil(size(sorted) / 2.0)).cast("int"))
+  }
+
+  /** Per-(key, bucket) event counts with robust outlier flags:
+    * (key, bucket, cnt, med, mad, is_anomaly) where `is_anomaly` =
+    * |cnt − med| > k · max(mad, 1) — the MAD floor stops a perfectly
+    * flat history (mad 0) from flagging every ±1 wiggle.
+    *
+    * `granularity` is any `date_trunc` unit (day/hour/week). Buckets
+    * with zero events are absent — a dead source shows as a missing
+    * bucket in freshness checks, not a zero here (documented, not a
+    * bug: counts-present-only is what SQL replay gives every engine).
+    */
+  def madAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                   granularity: String = "day", k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        date_trunc(granularity, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+    val med = counts.groupBy("key")
+      .agg(discMedian(collect_list(col("cnt"))).cast(LongType).as("med"))
+    val withMed = counts.join(med, "key")
+      .withColumn("__dev", abs(col("cnt") - col("med")))
+    val mad = withMed.groupBy("key")
+      .agg(discMedian(collect_list(col("__dev"))).cast(LongType).as("mad"))
+    withMed.join(mad, "key")
+      .withColumn("is_anomaly",
+        col("__dev").cast("double") > lit(k) * greatest(col("mad"), lit(1L)).cast("double"))
+      .drop("__dev")
+  }
+}

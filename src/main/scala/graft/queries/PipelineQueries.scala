@@ -2717,6 +2717,184 @@ object PipelineQueries {
              CAST(sum(dig) AS BIGINT) AS digit_chars
       FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // 90. first-order Markov transition matrix over per-user event
+  // sequences: one user-keyed lead window (ties broken by event_id),
+  // then a |types|²-bounded rollup with exact integer row-normalized
+  // probabilities. The oracle replays the identical window + rollup.
+  val qEventTransitions = QueryDef("q_event_transitions",
+    (s, dir) => {
+      graft.operators.Sessionize.eventTransitions(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS ft,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+        FROM events),
+      t AS (SELECT ft, tt, count(*) c FROM seq WHERE tt IS NOT NULL GROUP BY 1, 2)
+      SELECT ft AS from_type, tt AS to_type, CAST(c AS BIGINT) AS transitions,
+             CAST(c * 10000 // sum(c) OVER (PARTITION BY ft) AS BIGINT) AS prob_bp
+      FROM t ORDER BY from_type, to_type"""))
+
+  // 91. robust ingest-volume anomalies: daily counts per event type,
+  // exact discrete median + MAD per type (percentile_disc semantics,
+  // so quantile_disc replays them), flag |cnt−med| > 3·max(mad,1).
+  val qTsAnomaly = QueryDef("q_ts_anomaly",
+    (s, dir) => {
+      graft.operators.TimeSeries.madAnomalies(
+          table(s, dir, "events"), "event_type", "ts", "day", k = 3.0)
+        .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("med"), col("mad"), col("is_anomaly"))
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type AS key, date_trunc('day', ts) AS b, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT key, quantile_disc(cnt, 0.5) AS med FROM c GROUP BY 1),
+      d AS (SELECT c.key, c.b, c.cnt, m.med, abs(c.cnt - m.med) AS dev
+            FROM c JOIN m USING (key)),
+      md AS (SELECT key, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1)
+      SELECT d.key, strftime(d.b, '%Y-%m-%d') AS day, CAST(d.cnt AS BIGINT) AS cnt,
+             CAST(d.med AS BIGINT) AS med, CAST(md.mad AS BIGINT) AS mad,
+             (CAST(d.dev AS DOUBLE) > 3.0 * greatest(md.mad, 1)) AS is_anomaly
+      FROM d JOIN md USING (key) ORDER BY key, day"""))
+
+  // 92. exact distributed percentiles (percentile_disc semantics) via
+  // the two-level range-partition idiom over the distinct-value frame —
+  // never a global single-task window. quantile_disc IS the oracle.
+  val qProfileQuantiles = QueryDef("q_profile_quantiles",
+    (s, dir) => {
+      graft.operators.Profile.exactQuantiles(
+          table(s, dir, "lineitem"), "l_extendedprice",
+          Seq(100, 2500, 5000, 7500, 9900, 10000))
+        .orderBy("q_bp")
+    },
+    Some("""
+      SELECT q_bp, value FROM (
+        SELECT CAST(100 AS BIGINT) AS q_bp, quantile_disc(l_extendedprice, 0.01) AS value FROM lineitem
+        UNION ALL SELECT 2500, quantile_disc(l_extendedprice, 0.25) FROM lineitem
+        UNION ALL SELECT 5000, quantile_disc(l_extendedprice, 0.50) FROM lineitem
+        UNION ALL SELECT 7500, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+        UNION ALL SELECT 9900, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+        UNION ALL SELECT 10000, quantile_disc(l_extendedprice, 1.00) FROM lineitem)
+      ORDER BY q_bp"""))
+
+  // 93. equal-frequency curriculum binning: interior deciles of
+  // n_chars become literal CASE boundaries (bin = #boundaries strictly
+  // below the value), then a per-bin rollup — difficulty
+  // stratification for curriculum ordering. The oracle recomputes the
+  // same boundaries with quantile_disc and replays the comparison.
+  val qCurriculumBins = QueryDef("q_curriculum_bins",
+    (s, dir) => {
+      graft.operators.Profile.withQuantileBins(
+          table(s, dir, "documents"), "n_chars", nBins = 10)
+        .groupBy("bin")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          min("n_chars").cast(LongType).as("n_min"),
+          max("n_chars").cast(LongType).as("n_max"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH b AS (SELECT quantile_disc(n_chars, 0.1) b1, quantile_disc(n_chars, 0.2) b2,
+                        quantile_disc(n_chars, 0.3) b3, quantile_disc(n_chars, 0.4) b4,
+                        quantile_disc(n_chars, 0.5) b5, quantile_disc(n_chars, 0.6) b6,
+                        quantile_disc(n_chars, 0.7) b7, quantile_disc(n_chars, 0.8) b8,
+                        quantile_disc(n_chars, 0.9) b9 FROM documents),
+      binned AS (
+        SELECT n_chars,
+               (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END +
+                CASE WHEN n_chars > b3 THEN 1 ELSE 0 END + CASE WHEN n_chars > b4 THEN 1 ELSE 0 END +
+                CASE WHEN n_chars > b5 THEN 1 ELSE 0 END + CASE WHEN n_chars > b6 THEN 1 ELSE 0 END +
+                CASE WHEN n_chars > b7 THEN 1 ELSE 0 END + CASE WHEN n_chars > b8 THEN 1 ELSE 0 END +
+                CASE WHEN n_chars > b9 THEN 1 ELSE 0 END) AS bin
+        FROM documents, b)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS docs,
+             CAST(min(n_chars) AS BIGINT) AS n_min, CAST(max(n_chars) AS BIGINT) AS n_max
+      FROM binned GROUP BY 1 ORDER BY 1"""))
+
+  // 94. ANN recall@k eval: the LSH index's top-5 lists joined against
+  // the exact top-5 lists, per-probe hit counts + exact integer
+  // recall_bp. The oracle recomputes BOTH pipelines (planes embedded
+  // as literals) and replays the join — the whole eval is checked.
+  val qAnnRecall = QueryDef("q_ann_recall",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Ann.recallAtK(
+          Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5),
+          Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 5, numPlanes = 4))
+        .orderBy("q_id")
+    },
+    Some(annRecallOracle(numPlanes = 4, dim = 64, k = 5)))
+
+  // 95. Z-order (Morton) layout profile: interleave 16-bit
+  // (l_partkey, l_suppkey) into a curve key, group into file-sized
+  // curve ranges, report per-range min/max on BOTH dims — the
+  // data-skipping bounds a sort-by-z write gives parquet footers. Pure
+  // bit arithmetic, so the oracle replays it with the same shifts.
+  val qLayoutZorder = QueryDef("q_layout_zorder",
+    (s, dir) => {
+      graft.sources.Layout.zOrderProfile(
+          table(s, dir, "lineitem"), "l_partkey", "l_suppkey", bucketShift = 18)
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH s0 AS (SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y FROM lineitem),
+      s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xs, (y | (y << 8)) & 16711935 AS ys FROM s0),
+      s2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+      s3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+      s4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
+      z AS (SELECT x, y, xs | (ys << 1) AS z FROM s4)
+      SELECT CAST(z >> 18 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+             CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+      FROM z GROUP BY 1 ORDER BY 1"""))
+
+  private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
+    val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n               ")
+    s"""
+      WITH planes(p, w) AS (VALUES $values),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+               sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                        THEN 1 << (${numPlanes - 1} - pl.p) ELSE 0 END) bucket
+        FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding),
+      lshscored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) cosine
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id),
+      lsh AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+          FROM lshscored)
+        WHERE rank <= $k),
+      exscored AS (
+        SELECT p.vec_id q_id, c.vec_id n_id,
+               list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) cosine
+        FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id != p.vec_id),
+      ex AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+          FROM exscored)
+        WHERE rank <= $k)
+      SELECT ex.q_id, CAST(count(*) AS BIGINT) AS exact_k,
+             CAST(sum(CASE WHEN lsh.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN lsh.n_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                  // count(*) AS BIGINT) AS recall_bp
+      FROM ex LEFT JOIN lsh ON ex.q_id = lsh.q_id AND ex.n_id = lsh.n_id
+      GROUP BY ex.q_id ORDER BY ex.q_id"""
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -2729,5 +2907,7 @@ object PipelineQueries {
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
     qExportShards, qExportRoundtrip, qTextScripts, qDsirWeights, qTextYield, qClassifyNb,
     qChunkDedup, qStripBoilerplate,
+    qEventTransitions, qTsAnomaly, qProfileQuantiles, qCurriculumBins,
+    qAnnRecall, qLayoutZorder,
   )
 }

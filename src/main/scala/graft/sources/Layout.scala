@@ -49,6 +49,54 @@ object Layout {
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Morton (Z-order) key from two 16-bit dimensions: bits of `x` and
+    * `y` interleaved (y in the odd positions), giving a 32-bit curve
+    * key whose sort order keeps BOTH dimensions locally clustered —
+    * sort-before-write on this key and every parquet row group carries
+    * tight min/max bounds on x AND y, so predicates on EITHER dimension
+    * prune files (a single-column sort only prunes its own column; the
+    * classic multi-dim data-skipping layout, cf. Delta/Iceberg
+    * Z-ordering). Inputs are masked to 16 bits; pre-scale or bucket
+    * wider domains first.
+    *
+    * Pure built-in bit arithmetic (the magic-mask bit spread), so the
+    * key is codegen'd, map-only, and replayable in any engine with
+    * shifts — no UDF, no shuffle. */
+  def zOrderKey(x: org.apache.spark.sql.Column,
+                y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val b0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      val b1 = b0.bitwiseOR(shiftleft(b0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b2 = b1.bitwiseOR(shiftleft(b1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val b3 = b2.bitwiseOR(shiftleft(b2, 2)).bitwiseAND(lit(0x33333333L))
+      b3.bitwiseOR(shiftleft(b3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** The data-skipping evidence for a [[zOrderKey]] layout: group rows
+    * into file-sized curve ranges (`bucket` = zkey >> bucketShift, i.e.
+    * contiguous runs of the sorted-by-z write) and report each range's
+    * min/max on both dimensions — the bounds parquet footers would
+    * carry, and exactly what a scan with a predicate on either
+    * dimension prunes against. Narrow per-bucket spans on BOTH dims =
+    * the layout works. One map-side-combined aggregation; output is
+    * #buckets rows. */
+  def zOrderProfile(df: DataFrame, xCol: String, yCol: String,
+                    bucketShift: Int = 22): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bucketShift >= 0 && bucketShift < 32, "bucketShift in [0, 32)")
+    val x = col(xCol).cast("long").bitwiseAND(lit(0xFFFFL))
+    val y = col(yCol).cast("long").bitwiseAND(lit(0xFFFFL))
+    df.withColumn("__z", zOrderKey(col(xCol), col(yCol)))
+      .withColumn("__x", x).withColumn("__y", y)
+      .groupBy(shiftright(col("__z"), bucketShift).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min("__x").cast("long").as("x_min"), max("__x").cast("long").as("x_max"),
+        min("__y").cast("long").as("y_min"), max("__y").cast("long").as("y_max"))
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the check LayoutSpec uses to prove bucketed joins are co-located.
     * Executes the frame first: under AQE the final plan (and its

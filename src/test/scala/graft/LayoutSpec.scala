@@ -60,6 +60,36 @@ class LayoutSpec extends SparkSpec {
     assert(!scan.contains("part=b"), "partition b should be pruned")
   }
 
+  test("zOrderKey interleaves bits (reference Morton) and masks to 16 bits") {
+    def spreadRef(v: Long): Long =
+      (0 until 16).map(i => ((v >> i) & 1L) << (2 * i)).sum
+    def mortonRef(x: Long, y: Long): Long =
+      spreadRef(x & 0xFFFF) | (spreadRef(y & 0xFFFF) << 1)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (12345L, 54321L), (70000L, 2L)) // 70000 overflows 16 bits → masked
+    val df = cases.toDF("x", "y")
+      .withColumn("z", Layout.zOrderKey($"x", $"y"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) =>
+      assert(got((x, y)) == mortonRef(x, y), s"morton($x,$y)")
+    }
+  }
+
+  test("zOrderProfile: curve-range buckets carry tight bounds on BOTH dims") {
+    // a dense 64x64 grid: each z bucket of 256 keys is a 16x16 tile,
+    // so both dims span exactly 16 values per bucket — the data-
+    // skipping story a single-column sort cannot give the second dim
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val prof = Layout.zOrderProfile(grid.toDF("x", "y"), "x", "y", bucketShift = 8)
+      .collect()
+    assert(prof.length == 16) // 4096 points / 256 per bucket
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 256L)
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") == 15L)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") == 15L)
+    }
+  }
+
   test("salted join equals the plain join on skewed data") {
     // 90% of left rows share one hot key
     val left = (0L until 2000L).map(i => (if (i % 10 == 0) i % 7 else 99L, i))

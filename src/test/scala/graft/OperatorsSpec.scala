@@ -349,6 +349,45 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall") // 2 planes ≈ 1/4 of corpus per bucket
   }
 
+  test("recallAtK: hand-built lists give exact per-probe hit counts, silent misses included") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("q_id", "n_id")
+    // probe 1: 2/3 found; probe 2: 0/2 (one wrong id); probe 3: absent
+    // from the approx output entirely (empty bucket) — still reported
+    val approx = Seq((1L, 10L), (1L, 12L), (2L, 99L)).toDF("q_id", "n_id")
+    val got = graft.operators.Ann.recallAtK(exact, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, 6666L)), 2L -> ((2L, 0L, 0L)), 3L -> ((1L, 0L, 0L))))
+  }
+
+  test("madAnomalies flags the spike day, robust to the spike itself") {
+    // type "a": 9 days at ~100 ± small wiggle, one day at 1000.
+    // mean/stddev would be dragged by the spike; median/MAD are not.
+    val rows = (Seq.tabulate(9)(d => (d, 100L + (d % 3))) :+ ((9, 1000L)))
+      .flatMap { case (d, n) => (0L until n).map(i =>
+        (new java.sql.Timestamp(86400000L * d + i), "a", i)) }
+    val df = rows.toDF("ts", "event_type", "i")
+    val got = graft.operators.TimeSeries
+      .madAnomalies(df, "event_type", "ts", "day", k = 3.0)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("bucket").getTime / 86400000L ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(got.size == 10)
+    val (spikeCnt, med, mad, spikeFlag) = got(9L)
+    assert(spikeCnt == 1000L && spikeFlag, s"spike row: ${got(9L)}")
+    assert(med <= 102L && mad <= 1L) // the spike did not move the center
+    assert(got.filterKeys(_ != 9L).values.forall(!_._4), "no false positives")
+  }
+
+  test("madAnomalies MAD floor: a perfectly flat history flags nothing") {
+    val rows = Seq.tabulate(5)(d => (new java.sql.Timestamp(86400000L * d), "b"))
+    val got = graft.operators.TimeSeries
+      .madAnomalies(rows.toDF("ts", "event_type"), "event_type", "ts", "day", k = 3.0)
+      .collect()
+    assert(got.length == 5 && got.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
   test("multiprobe LSH recovers recall lost to plane boundaries") {
     val emb = spark.read.parquet(sf("embeddings"))
     val probes = emb.filter($"vec_id" < 20)

@@ -22,6 +22,37 @@ class ProfileSpec extends SparkSpec {
     assert(str.getAs[Long]("sum_len") == 3)
   }
 
+  test("exactQuantiles matches percentile_disc semantics (rank ceil(q*n))") {
+    // 1..10 plus a duplicate block and a NULL; disc rank = ceil(q*n/10000)
+    val vals: Seq[java.lang.Double] =
+      Seq[java.lang.Double](5.0, 1.0, 9.0, 3.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, null)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val got = Profile.exactQuantiles(df, "v", Seq(0, 2500, 5000, 9000, 10000))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = vals.filter(_ != null).map(_.doubleValue).sorted // n = 10
+    def disc(qBp: Long): Double =
+      sorted(math.max(1, math.ceil(qBp * sorted.size / 10000.0).toInt) - 1)
+    assert(got == Map(0L -> disc(0), 2500L -> disc(2500), 5000L -> disc(5000),
+      9000L -> disc(9000), 10000L -> disc(10000)))
+    assert(got(0L) == 1.0 && got(10000L) == 9.0 && got(5000L) == 4.0)
+  }
+
+  test("withQuantileBins: equal-frequency bins, ties in one bin, NULL passes through") {
+    val df = (Seq.fill(4)(10.0) ++ Seq(20.0, 30.0, 40.0, 50.0)) // heavy tie at 10
+      .map(d => Tuple1(java.lang.Double.valueOf(d))).toDF("v")
+      .union(Seq(Tuple1(null: java.lang.Double)).toDF("v"))
+    val bins = Profile.withQuantileBins(df, "v", nBins = 4).collect()
+      .map(r => Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue) ->
+        Option(r.getAs[java.lang.Long]("bin")).map(_.longValue)).toMap
+    // n=8: boundaries at q=2500/5000/7500 → ranks 2,4,6 → values 10,10,30
+    assert(bins(Some(10.0)) == Some(0L)) // all ties share bin 0
+    assert(bins(Some(20.0)) == Some(2L)) // > 10, > 10, <= 30
+    assert(bins(Some(30.0)) == Some(2L))
+    assert(bins(Some(40.0)) == Some(3L))
+    assert(bins(Some(50.0)) == Some(3L))
+    assert(bins(None).isEmpty) // NULL value → NULL bin
+  }
+
   test("suggestContract tightens nullability and infers constraints") {
     val df = spark.read.parquet(sf("orders"))
     val c = Profile.suggestContract(df, "orders", "me")

@@ -117,6 +117,32 @@ class SessionizeSpec extends SparkSpec {
     assert(a.values.sum == 1000) // partition (disjoint + complete)
   }
 
+  test("event transitions count adjacent pairs per user with exact row-normalized bp") {
+    val df = Seq(
+      // u1: a → b → a → c ; u2: b → b ; u3 single event (no transition)
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 5L, "b"), (2L, 6L, "b"),
+      (3L, 7L, "a"),
+    ).map { case (u, e, t) => (u, e, new java.sql.Timestamp(e * 1000), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.eventTransitions(df, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // from a: a→b, a→c (one each → 5000 bp); from b: b→a, b→b
+    assert(got == Map(
+      ("a", "b") -> ((1L, 5000L)), ("a", "c") -> ((1L, 5000L)),
+      ("b", "a") -> ((1L, 5000L)), ("b", "b") -> ((1L, 5000L))))
+  }
+
+  test("ties on the timestamp are broken by the tie column, keeping adjacency deterministic") {
+    val t0 = new java.sql.Timestamp(1000)
+    val df = Seq((1L, 2L, t0, "b"), (1L, 1L, t0, "a"), (1L, 3L, t0, "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.eventTransitions(df, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("b", "c")))
+  }
+
   test("quota sampling caps each key deterministically") {
     val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val a = Sampling.quotaPerKey(df, "src", quota = 10, tieCol = "id")
