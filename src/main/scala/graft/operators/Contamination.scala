@@ -204,4 +204,33 @@ object Contamination {
                    n: Int = 3, maxBp: Long = 5000L): DataFrame =
     ngramContainment(train, eval, idCol, textCol, n)
       .filter(col("contamination_bp") > maxBp)
+
+  /** SEMANTIC contamination: the n-gram checks above catch verbatim
+    * benchmark leakage, but a paraphrased or translated eval item
+    * shares no n-grams with its training twin — it shares a
+    * neighborhood in embedding space. For every eval vector this
+    * reports its single nearest training vector by cosine and flags
+    * similarities ≥ `tau` — the embedding-space leak audit run next to
+    * the textual one (cf. the SemDeDup observation that semantic
+    * duplicates are invisible to lexical dedup).
+    *
+    * Output: (q_id, n_id, cos_r4, contaminated). One row per eval
+    * vector, ALWAYS — an eval item with no training neighbor at all
+    * would be a coverage gap worth seeing, not a row to drop.
+    *
+    * Plan: the eval side is broadcast ([[Ann.bruteForceTopK]] — eval
+    * sets are small by nature); the training corpus is scanned ONCE
+    * with no shuffle of the training side, so a 100 TB embedding store
+    * costs one pass. For repeated audits against a frozen store, the
+    * IVF route ([[Ann.ivfTopK]]) trades exactness for cell-pruned
+    * scans; this exact form is the referee. */
+  def embeddingContamination(train: DataFrame, eval: DataFrame,
+                             idCol: String, vecCol: String,
+                             tau: Double): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau is a cosine, got $tau")
+    Ann.bruteForceTopK(train, eval, idCol, vecCol, k = 1)
+      .select(col("q_id"), col("n_id"),
+        round(col("cosine"), 4).as("cos_r4"),
+        (col("cosine") >= tau).as("contaminated"))
+  }
 }

@@ -143,6 +143,14 @@ object Profile {
     } finally { ranked.unpersist(); () }
   }
 
+  /** [[exactQuantiles]] collected to a (q_bp → value) map — the form
+    * the literal-folding consumers ([[withBins]],
+    * [[winsorizeReportAt]]) and a session cache want. */
+  def quantileValues(df: DataFrame, valueCol: String,
+                     qsBp: Seq[Int]): Map[Int, Double] =
+    exactQuantiles(df, valueCol, qsBp).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+
   /** Equal-frequency (quantile) binning: adds `bin` (0-based long) =
     * the number of interior [[exactQuantiles]] boundaries STRICTLY
     * below the value — bin i holds values in (b_i, b_{i+1}] with exact,
@@ -160,13 +168,92 @@ object Profile {
                        nBins: Int): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     val qs = (1 until nBins).map(i => i * 10000 / nBins)
-    val bounds = exactQuantiles(df, valueCol, qs)
-      .collect().sortBy(_.getLong(0)).map(r => r.getDouble(1))
+    val bounds = quantileValues(df, valueCol, qs).toSeq.sortBy(_._1).map(_._2)
+    withBins(df, valueCol, bounds)
+  }
+
+  /** The literal-boundary half of [[withQuantileBins]]: `bin` = number
+    * of `boundaries` strictly below the value. Map-only; boundaries
+    * typically come from a cached [[quantileValues]] of a frozen
+    * corpus, so repeated binning never re-sorts. */
+  def withBins(df: DataFrame, valueCol: String,
+               boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty, "need at least one boundary")
     val v = col(valueCol).cast(DoubleType)
-    val bin = bounds.foldLeft(lit(0L)) { (acc, b) =>
+    val bin = boundaries.foldLeft(lit(0L)) { (acc, b) =>
       acc + when(v > lit(b), 1L).otherwise(0L)
     }
     df.withColumn("bin", when(v.isNotNull, bin))
+  }
+
+  /** Winsorization report: clip a numeric column at the [loBp, hiBp]
+    * [[exactQuantiles]] percentiles and report what clipping did —
+    * (column, lo, hi, n_lo, n_hi, total) with `lo`/`hi` the literal
+    * disc-percentile bounds and `n_lo`/`n_hi` the rows that would be
+    * clipped at each end. The outlier-taming step of feature hygiene
+    * (a fat-finger price or a 10 GB "document" otherwise dominates any
+    * mean-based statistic downstream), reported rather than silently
+    * applied — pair with [[winsorized]] for the clipped frame itself.
+    *
+    * The bounds are computed eagerly (disc percentiles are data
+    * elements, engine-replayable) and folded in as literals; the
+    * report is then ONE map-side-combined aggregation. */
+  def winsorizeReport(df: DataFrame, valueCol: String,
+                      loBp: Int = 100, hiBp: Int = 9900): DataFrame = {
+    require(loBp < hiBp, s"loBp $loBp must be < hiBp $hiBp")
+    val bounds = quantileValues(df, valueCol, Seq(loBp, hiBp))
+    winsorizeReportAt(df, valueCol, bounds(loBp), bounds(hiBp))
+  }
+
+  /** The literal-bounds half of [[winsorizeReport]] — ONE map-side-
+    * combined aggregation given bounds already in hand (typically a
+    * cached [[quantileValues]] of a frozen corpus). */
+  def winsorizeReportAt(df: DataFrame, valueCol: String,
+                        lo: Double, hi: Double): DataFrame = {
+    require(lo <= hi, s"lo $lo must be <= hi $hi")
+    val v = col(valueCol).cast(DoubleType)
+    df.filter(v.isNotNull).agg(
+      count(lit(1)).cast(LongType).as("total"),
+      sum(when(v < lo, 1L).otherwise(0L)).cast(LongType).as("n_lo"),
+      sum(when(v > hi, 1L).otherwise(0L)).cast(LongType).as("n_hi"))
+      .select(lit(valueCol).as("column"), lit(lo).as("lo"), lit(hi).as("hi"),
+        col("n_lo"), col("n_hi"), col("total"))
+  }
+
+  /** The clipped frame: `valueCol` replaced by
+    * greatest(lo, least(hi, v)) at the same [[exactQuantiles]] bounds.
+    * Map-only once the literal bounds are in hand. */
+  def winsorized(df: DataFrame, valueCol: String,
+                 loBp: Int = 100, hiBp: Int = 9900): DataFrame = {
+    require(loBp < hiBp, s"loBp $loBp must be < hiBp $hiBp")
+    val bounds = quantileValues(df, valueCol, Seq(loBp, hiBp))
+    val v = col(valueCol).cast(DoubleType)
+    df.withColumn(valueCol,
+      when(v.isNull, v).otherwise(
+        greatest(lit(bounds(loBp)), least(lit(bounds(hiBp)), v))))
+  }
+
+  /** Exact top-k values per group by frequency — the heavy-hitters
+    * datasheet line (dominant contributors per source, hot keys per
+    * join column), with fully deterministic ordering (count desc, then
+    * value asc). Output: (group, value, cnt, rank), rank ≤ k.
+    *
+    * Plan: one map-side-combined (group, value) count, then the
+    * rank-filter window — Spark collapses it into WindowGroupLimit, so
+    * each map task pre-prunes to its local top k before the exchange;
+    * the shuffle carries O(groups × k), never the corpus. The exact
+    * referee of a count-min/SpaceSaving sketch at any scale where the
+    * (group, value) frame shuffles; beyond that, swap in the sketch and
+    * keep this as the audit on samples. */
+  def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.groupBy(col(groupCol).as("group"), col(valueCol).as("value"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    counts.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
   }
 
   /** Suggests a contract from profile + schema: non-nullable where no

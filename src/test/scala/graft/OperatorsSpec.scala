@@ -927,6 +927,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("embedding contamination flags the paraphrase-shaped nearest neighbor") {
+    import graft.operators.Contamination
+    // train: an "original" near (1,0,0) and a decoy near (0,1,0);
+    // eval: a paraphrase of the original (same direction, scaled) and
+    // an unrelated item pointing along z — nearest neighbor below tau
+    val train = Seq(
+      (100L, Seq(1.0f, 0.05f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (1L, Seq(2.0f, 0.1f, 0.0f)),   // cos≈1 vs 100 → contaminated
+      (2L, Seq(0.1f, 0.1f, 1.0f))    // far from both → clean
+    ).toDF("vec_id", "embedding")
+    val got = Contamination.embeddingContamination(train, eval,
+        "vec_id", "embedding", tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((100L, true)))
+    assert(got(2L)._2 == false) // present with its nearest, just not flagged
+    assert(got.size == 2)       // one row per eval vector, always
+  }
+
   test("contamination finds eval docs leaked into training") {
     import graft.operators.Contamination
     val train = Seq(

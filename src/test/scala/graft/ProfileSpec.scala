@@ -53,6 +53,32 @@ class ProfileSpec extends SparkSpec {
     assert(bins(None).isEmpty) // NULL value → NULL bin
   }
 
+  test("winsorizeReport counts clips at disc-percentile bounds; winsorized clamps") {
+    val df = ((1 to 100).map(_.toDouble) :+ 100000.0) // one fat-finger outlier
+      .map(Tuple1(_)).toDF("v")
+    // n=101: lo rank ceil(0.01·101)=2 → 2.0; hi rank ceil(0.99·101)=100 → 100.0
+    val rep = Profile.winsorizeReport(df, "v", loBp = 100, hiBp = 9900).collect().head
+    assert(rep.getAs[String]("column") == "v")
+    assert(rep.getAs[Double]("lo") == 2.0 && rep.getAs[Double]("hi") == 100.0)
+    assert(rep.getAs[Long]("n_lo") == 1L)   // value 1.0
+    assert(rep.getAs[Long]("n_hi") == 1L)   // the outlier
+    assert(rep.getAs[Long]("total") == 101L)
+    val clipped = Profile.winsorized(df, "v", 100, 9900)
+      .agg(org.apache.spark.sql.functions.min("v"),
+        org.apache.spark.sql.functions.max("v")).collect().head
+    assert(clipped.getDouble(0) == 2.0 && clipped.getDouble(1) == 100.0)
+  }
+
+  test("topKPerGroup: exact counts, deterministic ties, k cap") {
+    val df = Seq("a" -> 1L, "a" -> 1L, "a" -> 2L, "a" -> 2L, "a" -> 3L,
+      "b" -> 9L).toDF("g", "v")
+    val got = Profile.topKPerGroup(df, "g", "v", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // tie between values 1 and 2 (count 2 each) → value asc wins
+    assert(got == Map(
+      ("a", 1L) -> ((1L, 2L)), ("a", 2L) -> ((2L, 2L)), ("b", 1L) -> ((9L, 1L))))
+  }
+
   test("suggestContract tightens nullability and infers constraints") {
     val df = spark.read.parquet(sf("orders"))
     val c = Profile.suggestContract(df, "orders", "me")
