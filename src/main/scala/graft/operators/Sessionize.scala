@@ -209,6 +209,22 @@ object Sampling {
         16, 10).cast("long"), lit(10000L)),
       fractions)
 
+  /** Group-aware k-fold cross-validation assignment: `fold` ∈ [0, k)
+    * from the portable md5 bucket of `groupCol` — every row of a group
+    * (user, dup-cluster representative, document family) lands in ONE
+    * fold by construction, so no fold's training half ever sees its
+    * validation twin (the leakage the ML no_overlap check audits).
+    * Same md5(:seed) family as [[portableSplit]]/[[mixSample]]: the
+    * assignment replays identically in any engine with md5, is stable
+    * under appends and reshuffles, and needs no global state. Map-only. */
+  def kFold(df: DataFrame, groupCol: String, k: Int,
+            seed: Int = 42): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(concat(col(groupCol).cast("string"), lit(s":$seed"))), 1, 8),
+        16, 10).cast("long"), lit(k.toLong)))
+  }
+
   /** Per-stratum exact-fraction-ish sampling via per-stratum hash
     * buckets: keeps ~fraction of each `strataCol` group,
     * deterministically. */

@@ -62,4 +62,37 @@ object TimeSeries {
         col("__dev").cast("double") > lit(k) * greatest(col("mad"), lit(1L)).cast("double"))
       .drop("__dev")
   }
+
+  /** Trailing moving average over per-key bucket counts: for every
+    * (key, bucket) the mean of the last `window` PRESENT buckets
+    * (current included) and the current count's deviation from it in
+    * bp — the smoothed ingest-volume trend line next to
+    * [[madAnomalies]]'s outlier flags. ROWS framing over present
+    * buckets (a gap day simply isn't averaged), which is what SQL
+    * window replay gives every engine.
+    *
+    * Scale: the rollup collapses events to keys × calendar rows
+    * map-side; the window then partitions by key over those bounded
+    * frames — never a global window, never the event volume. */
+  def rollingTrend(events: DataFrame, keyCol: String, tsCol: String,
+                   granularity: String = "day", window: Int = 7): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        date_trunc(granularity, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(-(window - 1).toLong, 0L)
+    // integer bp arithmetic (cnt·n − sum)·10000 DIV sum: exact, and
+    // both engines truncate integral division toward zero — a
+    // double-cast would round in DuckDB but truncate in Spark
+    counts
+      .withColumn("__s", sum(col("cnt")).over(w))
+      .withColumn("__n", count(col("cnt")).over(w))
+      .withColumn("ma_r4", round(col("__s").cast("double") / col("__n"), 4))
+      .withColumn("dev_bp",
+        expr("(cnt * __n - __s) * 10000 DIV __s").cast(LongType))
+      .drop("__s", "__n")
+  }
 }

@@ -2959,6 +2959,96 @@ object PipelineQueries {
         FROM events GROUP BY 1, 2)
       WHERE rank <= 3 ORDER BY "group", rank"""))
 
+  // 100. referential integrity (the dbt-style "relationships" test):
+  // orphan foreign keys via LEFT ANTI join. The clean star schema has
+  // zero orphans, so fixtures plant three dangling user_ids and a NULL
+  // — the check must prove it FINDS orphans, not that clean data is
+  // clean. One summary row per relation.
+  val qRefIntegrity = QueryDef("q_ref_integrity",
+    (s, dir) => {
+      import s.implicits._
+      val fixtures = Seq(
+        (900000001L, "orphan-1"), (900000002L, "orphan-2"),
+        (900000003L, "orphan-3")).toDF("user_id", "note")
+        .unionByName(Seq((Option.empty[Long], "null-key")).toDF("user_id", "note"))
+      val events = table(s, dir, "events").select(col("user_id"), lit("e").as("note"))
+        .unionByName(fixtures)
+      val li = graft.validators.Relationships.referentialIntegrity(
+        table(s, dir, "lineitem"), table(s, dir, "orders"),
+        "l_orderkey", "o_orderkey", "lineitem->orders")
+      val ev = graft.validators.Relationships.referentialIntegrity(
+        events, table(s, dir, "customer"),
+        "user_id", "c_custkey", "events->customer")
+      li.unionByName(ev).orderBy("relation")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id FROM events
+        UNION ALL SELECT * FROM (VALUES (900000001), (900000002), (900000003), (NULL)) t(user_id)),
+      r1 AS (
+        SELECT 'lineitem->orders' AS relation,
+               CAST(count(*) AS BIGINT) AS child_rows,
+               CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+               CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey),
+      r2 AS (
+        SELECT 'events->customer' AS relation,
+               CAST(count(*) AS BIGINT) AS child_rows,
+               CAST(sum(CASE WHEN e.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+               CAST(sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows
+        FROM ev e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON e.user_id = c.c_custkey),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      SELECT relation, child_rows, null_keys, orphan_rows,
+             CAST(CASE WHEN child_rows - null_keys > 0
+                       THEN orphan_rows * 10000 // (child_rows - null_keys)
+                       ELSE 0 END AS BIGINT) AS orphan_bp
+      FROM u ORDER BY relation"""))
+
+  // 101. trailing 7-bucket moving average per event type + exact
+  // integer deviation bp — both engines replay the identical ROWS
+  // window over the daily rollup.
+  val qRollingTrend = QueryDef("q_rolling_trend",
+    (s, dir) => {
+      graft.operators.TimeSeries.rollingTrend(
+          table(s, dir, "events"), "event_type", "ts", "day", window = 7)
+        .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("ma_r4"), col("dev_bp"))
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type AS key, date_trunc('day', ts) AS b, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT key, b, cnt,
+               sum(cnt) OVER (PARTITION BY key ORDER BY b ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) s,
+               count(cnt) OVER (PARTITION BY key ORDER BY b ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) n
+        FROM c)
+      SELECT key, strftime(b, '%Y-%m-%d') AS day, CAST(cnt AS BIGINT) AS cnt,
+             round(CAST(s AS DOUBLE) / n, 4) AS ma_r4,
+             CAST((cnt * n - s) * 10000 // s AS BIGINT) AS dev_bp
+      FROM w ORDER BY key, day"""))
+
+  // 102. group-aware k-fold CV assignment: portable md5 fold per user,
+  // per-fold user/event totals. The oracle replays the md5 bucket.
+  val qMlKfold = QueryDef("q_ml_kfold",
+    (s, dir) => {
+      graft.operators.Sampling.kFold(table(s, dir, "events"), "user_id", k = 5)
+        .groupBy("fold")
+        .agg(countDistinct("user_id").cast(LongType).as("users"),
+          count(lit(1)).cast(LongType).as("events"))
+        .orderBy("fold")
+    },
+    Some("""
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 5 AS fold,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             CAST(count(*) AS BIGINT) AS events
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3017,5 +3107,6 @@ object PipelineQueries {
     qEventTransitions, qTsAnomaly, qProfileQuantiles, qCurriculumBins,
     qAnnRecall, qLayoutZorder,
     qEmbedContamination, qWinsorize, qTokenFertility, qHeavyHitters,
+    qRefIntegrity, qRollingTrend, qMlKfold,
   )
 }

@@ -1,0 +1,50 @@
+package graft.validators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-table referential-integrity checks — the "relationships" test
+  * of the dbt/Great-Expectations family, missing from single-table
+  * constraint validation: every child foreign key must resolve to a
+  * parent row (reference: the contract model's single-table checks in
+  * contracts_core; this extends the same report shape across tables).
+  *
+  * Orphans are detected with a LEFT ANTI join on the key — one keyed
+  * shuffle, no row explosion (anti join emits at most the child side),
+  * and Catalyst broadcasts the parent automatically when it is
+  * dimension-sized. NULL foreign keys are reported separately, not as
+  * orphans: SQL FK semantics ignore NULLs, and a null-rate problem is
+  * a completeness check's job.
+  */
+object Relationships {
+
+  /** One summary row: (relation, child_rows, null_keys, orphan_rows,
+    * orphan_bp) — orphan_bp over the non-null keys, 0 when the child
+    * has no non-null keys. */
+  def referentialIntegrity(child: DataFrame, parent: DataFrame,
+                           childKey: String, parentKey: String,
+                           relation: String): DataFrame = {
+    val keyed = child.select(col(childKey).as("__k"))
+    val nn = keyed.filter(col("__k").isNotNull)
+    val orphans = nn.join(
+      parent.select(col(parentKey).as("__k")).distinct(), Seq("__k"), "left_anti")
+    val totals = keyed.agg(
+      count(lit(1)).cast("long").as("child_rows"),
+      sum(when(col("__k").isNull, 1L).otherwise(0L)).cast("long").as("null_keys"))
+    val orph = orphans.agg(count(lit(1)).cast("long").as("orphan_rows"))
+    totals.crossJoin(broadcast(orph))
+      .select(lit(relation).as("relation"), col("child_rows"), col("null_keys"),
+        col("orphan_rows"),
+        when(col("child_rows") - col("null_keys") > 0,
+          col("orphan_rows") * 10000L / (col("child_rows") - col("null_keys")))
+          .otherwise(0L).cast("long").as("orphan_bp"))
+  }
+
+  /** The row-level twin: child rows whose non-null key resolves to no
+    * parent — what a quarantine write or a debugging session wants. */
+  def orphanRows(child: DataFrame, parent: DataFrame,
+                 childKey: String, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+}

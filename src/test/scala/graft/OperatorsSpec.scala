@@ -380,6 +380,50 @@ class OperatorsSpec extends SparkSpec {
     assert(got.filterKeys(_ != 9L).values.forall(!_._4), "no false positives")
   }
 
+  test("rollingTrend: trailing mean over present buckets, exact integer dev_bp") {
+    // one key, days 0..3 with counts 10, 20, 30, 100; window=2
+    val rows = Seq((0, 10L), (1, 20L), (2, 30L), (3, 100L)).flatMap { case (d, n) =>
+      (0L until n).map(i => (new java.sql.Timestamp(86400000L * d + i), "a"))
+    }
+    val got = graft.operators.TimeSeries
+      .rollingTrend(rows.toDF("ts", "event_type"), "event_type", "ts", "day", window = 2)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("bucket").getTime / 86400000L ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("ma_r4"), r.getAs[Long]("dev_bp")))).toMap
+    assert(got(0L) == ((10L, 10.0, 0L)))      // first bucket: window of one
+    assert(got(1L) == ((20L, 15.0, 3333L)))   // (20·2−30)·10000 DIV 30
+    assert(got(2L) == ((30L, 25.0, 2000L)))
+    assert(got(3L) == ((100L, 65.0, 5384L)))
+  }
+
+  test("referential integrity: orphans found, NULL keys separated, row-level twin agrees") {
+    import graft.validators.Relationships
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val rep = Relationships.referentialIntegrity(child, parent, "fk", "pk", "c->p")
+      .collect().head
+    assert(rep.getString(0) == "c->p")
+    assert(rep.getAs[Long]("child_rows") == 4L)
+    assert(rep.getAs[Long]("null_keys") == 1L)  // NULL is not an orphan
+    assert(rep.getAs[Long]("orphan_rows") == 1L)
+    assert(rep.getAs[Long]("orphan_bp") == 3333L) // 1 of 3 non-null
+    val orphans = Relationships.orphanRows(child, parent, "fk", "pk")
+      .collect().map(_.getLong(0)).toSeq
+    assert(orphans == Seq(9L))
+  }
+
+  test("kFold: group-consistent folds in [0,k), portable md5 replay") {
+    val df = (0L until 200L).map(u => (u, u * 7)).toDF("user_id", "x")
+    val folds = graft.operators.Sampling.kFold(df, "user_id", k = 5)
+      .select("user_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    assert(folds.values.toSet.size == 5) // 200 users hit all 5 folds
+    // replay one assignment by hand: first 8 hex chars of md5("7:42") % 5
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("7:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(folds(7L) == java.lang.Long.parseLong(md.take(8), 16) % 5)
+  }
+
   test("madAnomalies MAD floor: a perfectly flat history flags nothing") {
     val rows = Seq.tabulate(5)(d => (new java.sql.Timestamp(86400000L * d), "b"))
     val got = graft.operators.TimeSeries
