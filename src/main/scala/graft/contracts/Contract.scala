@@ -57,6 +57,29 @@ final case class QualityChecks(
     trend: Option[TrendCheck] = None,
     vector: Seq[VectorCheck] = Nil,
     curation: Seq[CurationRule] = Nil,
+    quantile: Seq[QuantileCheck] = Nil,
+)
+
+/** Distribution-shape bound on a numeric field: the exact DISCRETE
+  * percentile at `qBp` basis points (percentile_disc semantics — an
+  * actual data element, engine-replayable) must lie in [min, max] —
+  * "p99 latency ≤ 500ms", "median doc length ≥ 200 chars": the checks
+  * a min/max Range constraint cannot express (one outlier moves max;
+  * nothing short of a distribution shift moves p99). At least one
+  * bound is required. NULLs are excluded, as in SQL ordered-set
+  * aggregates.
+  *
+  * Unlike the fused scalar checks, a percentile needs the
+  * distinct-value sort ([[graft.operators.Profile.exactQuantiles]]'s
+  * two-level range-partition plan) — each checked FIELD costs one such
+  * pass, all of that field's declared percentiles riding it together.
+  * Declare accordingly: five bounds on one field cost one pass, one
+  * bound on five fields costs five. */
+final case class QuantileCheck(
+    field: String,
+    qBp: Int,
+    min: Option[Double] = None,
+    max: Option[Double] = None,
 )
 
 /** One named rule of a curation filter chain, declared on the contract

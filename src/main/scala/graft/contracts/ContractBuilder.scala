@@ -49,6 +49,8 @@ final case class ContractBuilder(
     copy(qc = qc.copy(vector = qc.vector :+ v))
   def curationRule(r: CurationRule): ContractBuilder =
     copy(qc = qc.copy(curation = qc.curation :+ r))
+  def quantileCheck(q: QuantileCheck): ContractBuilder =
+    copy(qc = qc.copy(quantile = qc.quantile :+ q))
   def sla(s: Sla): ContractBuilder = copy(slaV = Some(s))
 
   def build: Contract = Contract(

@@ -148,6 +148,18 @@ object ContractParser {
           maxZeroRate = dblOpt(c, "max_zero_rate").getOrElse(0.0),
         )
       }).getOrElse(Nil),
+    quantile = m.get("quantile").filter(_ != null)
+      .map(asList(_, "quantile").map { v =>
+        val c = asMap(v, "quantile")
+        QuantileCheck(
+          field = str(c, "field"),
+          qBp = dblOpt(c, "q_bp").map(_.toInt)
+            .getOrElse(throw new IllegalArgumentException(
+              "quality_checks.quantile entry missing q_bp")),
+          min = dblOpt(c, "min"),
+          max = dblOpt(c, "max"),
+        )
+      }).getOrElse(Nil),
     curation = m.get("curation").filter(_ != null)
       .map(asList(_, "curation").map { v =>
         val c = asMap(v, "curation")

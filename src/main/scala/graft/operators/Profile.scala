@@ -149,6 +149,7 @@ object Profile {
   def quantileValues(df: DataFrame, valueCol: String,
                      qsBp: Seq[Int]): Map[Int, Double] =
     exactQuantiles(df, valueCol, qsBp).collect()
+      .filterNot(_.isNullAt(1)) // all-NULL/empty column → no entries
       .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
 
   /** Equal-frequency (quantile) binning: adds `bin` (0-based long) =

@@ -817,6 +817,38 @@ object ContractQueries {
                CAST(zero_rows AS DOUBLE) / nn FROM m
       ) ORDER BY "check""""))
 
+  // 23b. quantile (distribution-shape) contract checks across the FULL
+  // surface: builder-declared bounds on exact disc percentiles of
+  // l_extendedprice — p50 within generous bounds (passes) and p99 with
+  // a deliberately tight max (fails at both SFs: the synthetic price
+  // distribution's p99 sits far above 1000), so BOTH verdicts are
+  // exercised. metric IS the percentile value, so quantile_disc
+  // replays passed and metric alike.
+  val qQuantileContract = QueryDef("q_quantile_contract",
+    (s, dir) => {
+      import graft.validators.ContractValidator
+      val contract = ContractBuilder("lineitem_v1", "graft")
+        .field(FieldBuilder("l_extendedprice", "double"))
+        .quantileCheck(QuantileCheck("l_extendedprice", qBp = 5000,
+          min = Some(1.0), max = Some(1e9)))
+        .quantileCheck(QuantileCheck("l_extendedprice", qBp = 9900,
+          max = Some(1000.0)))
+        .build
+      new ContractValidator().validate(table(s, dir, "lineitem"), contract,
+          Set(ContractValidator.Part.Quantile))
+        .select(col("check"), col("field"), col("passed"),
+          round(col("metric"), 4).as("metric_r4"))
+        .orderBy("metric_r4")
+    },
+    Some("""
+      WITH q AS (SELECT quantile_disc(l_extendedprice, 0.50) p50,
+                        quantile_disc(l_extendedprice, 0.99) p99 FROM lineitem)
+      SELECT * FROM (
+        SELECT 'quantile' AS "check", 'l_extendedprice' AS field,
+               (p50 >= 1.0 AND p50 <= 1e9) AS passed, round(p50, 4) AS metric_r4 FROM q
+        UNION ALL SELECT 'quantile', 'l_extendedprice', p99 <= 1000.0, round(p99, 4) FROM q
+      ) ORDER BY metric_r4"""))
+
   val all: Seq[QueryDef] = Seq(
     qStreamQuality, qStreamTrend, qEnforce,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
@@ -824,6 +856,6 @@ object ContractQueries {
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
     qMlTargetLeakage, qMlNullRateByGroup, qMlKAnonymity, qMlLDiversity,
     qCatalogDrift, qIncrementalUnique,
-    qVectorContract,
+    qVectorContract, qQuantileContract,
   )
 }

@@ -57,7 +57,8 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
         scalarResults(df, contract, parts) ++
         (if (parts(Part.Uniqueness)) uniquenessResults(df, contract) else Nil) ++
         (if (parts(Part.Custom)) customResults(df, contract) else Nil) ++
-        (if (parts(Part.Ml)) mlResults(df, contract) else Nil)
+        (if (parts(Part.Ml)) mlResults(df, contract) else Nil) ++
+        (if (parts(Part.Quantile)) quantileResults(df, contract) else Nil)
     sections.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[CheckResult](resultEncoder).toDF())
   }
@@ -268,6 +269,48 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
     }
   }
 
+  /** Quantile (distribution-shape) checks: the exact disc percentile
+    * of each declared field/q_bp must lie within its bounds. These
+    * cannot ride the fused scalar scan — a percentile needs the sorted
+    * distinct-value frame — so each checked FIELD runs ONE
+    * [[graft.operators.Profile.exactQuantiles]] pass (the two-level
+    * range-partition plan, never a global window), all of that field's
+    * declared percentiles extracted together. The pass is eager by
+    * construction (exactQuantiles materializes its ranked frame), so
+    * the report rows come back as a local frame — bounded by the
+    * number of declared checks, same as the CLI report. */
+  private def quantileResults(df: DataFrame, c: Contract): Seq[DataFrame] = {
+    val checks = c.qualityChecks.map(_.quantile).getOrElse(Nil)
+    if (checks.isEmpty) return Nil
+    val spark = df.sparkSession
+    val live = df.schema.fieldNames.toSet
+    val rows: Seq[CheckResult] = checks.groupBy(_.field).toSeq.sortBy(_._1)
+      .flatMap { case (field, fieldChecks) =>
+        if (!live(field))
+          fieldChecks.map(ch => CheckResult("quantile", field, passed = false,
+            metric = -1d, detail = s"field missing for p${ch.qBp}bp check"))
+        else {
+          val values = graft.operators.Profile.quantileValues(
+            df, field, fieldChecks.map(_.qBp).distinct)
+          fieldChecks.map { ch =>
+            values.get(ch.qBp) match {
+              case None => // all-NULL or empty column
+                CheckResult("quantile", field, passed = true, metric = 0d,
+                  detail = s"no non-null values; p${ch.qBp}bp check vacuous")
+              case Some(v) =>
+                val okMin = ch.min.forall(v >= _)
+                val okMax = ch.max.forall(v <= _)
+                CheckResult("quantile", field, passed = okMin && okMax,
+                  metric = v,
+                  detail = s"p${ch.qBp}bp = $v (bounds [${ch.min.getOrElse("-inf")}, " +
+                    s"${ch.max.getOrElse("inf")}])")
+            }
+          }
+        }
+      }
+    Seq(spark.createDataFrame(rows))
+  }
+
   /** Custom SQL checks, with the reference's result interpretation
     * (reference: custom.rs:405 execute_custom_check):
     *
@@ -364,10 +407,11 @@ object ContractValidator {
     case object Custom extends Part
     case object Ml extends Part
     case object Vector extends Part        // embedding-column quality
+    case object Quantile extends Part      // distribution-shape bounds
     val All: Set[Part] =
-      Set(Schema, Constraints, Completeness, Uniqueness, Freshness, Custom, Ml, Vector)
+      Set(Schema, Constraints, Completeness, Uniqueness, Freshness, Custom, Ml, Vector, Quantile)
     val SchemaOnly: Set[Part] = Set(Schema)
-    val QualityOnly: Set[Part] = Set(Completeness, Uniqueness, Freshness, Vector)
+    val QualityOnly: Set[Part] = Set(Completeness, Uniqueness, Freshness, Vector, Quantile)
     val FreshnessOnly: Set[Part] = Set(Freshness)
     val CustomOnly: Set[Part] = Set(Custom)
     val MlOnly: Set[Part] = Set(Ml)

@@ -164,6 +164,21 @@ object DefinitionLint {
           issue(s"quality_checks.vector.${v.field}.min_norm",
             s"$lo > max_norm $hi")
       }
+      qc.quantile.foreach { q =>
+        checkFieldsExist("quality_checks.quantile", Seq(q.field))
+        if (q.qBp < 0 || q.qBp > 10000)
+          issue(s"quality_checks.quantile.${q.field}.q_bp",
+            s"${q.qBp} not in [0, 10000] basis points")
+        if (q.min.isEmpty && q.max.isEmpty)
+          issue(s"quality_checks.quantile.${q.field}",
+            "needs at least one of min/max")
+        for (lo <- q.min; hi <- q.max; if lo > hi)
+          issue(s"quality_checks.quantile.${q.field}.min", s"$lo > max $hi")
+      }
+      qc.quantile.groupBy(q => (q.field, q.qBp))
+        .collect { case ((f, q), cs) if cs.size > 1 => (f, q) }
+        .foreach { case (f, q) =>
+          issue(s"quality_checks.quantile.$f", s"p${q}bp declared more than once") }
       // curation rules: known name, required params present and in
       // range, no duplicate names (first-fail attribution merges
       // duplicates silently otherwise)

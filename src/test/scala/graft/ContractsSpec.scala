@@ -77,6 +77,14 @@ class ContractsSpec extends SparkSpec {
       |      min_norm: 0.5
       |      max_norm: 2.0
       |      max_nan_rate: 0.01
+      |  quantile:
+      |    - field: value
+      |      q_bp: 9900
+      |      max: 500.0
+      |    - field: value
+      |      q_bp: 5000
+      |      min: 1.0
+      |      max: 100.0
       |sla:
       |  availability: 0.999
       |  response_time: 100ms
@@ -102,6 +110,9 @@ class ContractsSpec extends SparkSpec {
       LDiversityCheck(Seq("event_type"), "url", 3, 0.02)))
     assert(qc.vector == Seq(VectorCheck("emb", dim = Some(64),
       minNorm = Some(0.5), maxNorm = Some(2.0), maxNanRate = 0.01)))
+    assert(qc.quantile == Seq(
+      QuantileCheck("value", 9900, max = Some(500.0)),
+      QuantileCheck("value", 5000, min = Some(1.0), max = Some(100.0))))
     // YAML round-trips integers as floats routinely: dim 64.0 parses
     val floatDim = ContractParser.parse(yaml.replace("dim: 64", "dim: 64.0"))
     assert(floatDim.qualityChecks.get.vector.head.dim.contains(64))

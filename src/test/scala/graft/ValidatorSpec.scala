@@ -99,6 +99,30 @@ class ValidatorSpec extends SparkSpec {
     assert(r(("uniqueness", "id")).metric == 1d)
   }
 
+  test("quantile checks: disc-percentile bounds, both verdicts, missing field, vacuous NULL column") {
+    val df = ((1 to 100).map(_.toDouble) :+ 100000.0)
+      .map(d => (d, null.asInstanceOf[java.lang.Double])).toDF("v", "empty")
+    val c = ContractBuilder("qt", "o")
+      .quantileCheck(QuantileCheck("v", qBp = 5000, min = Some(1.0), max = Some(60.0)))
+      .quantileCheck(QuantileCheck("v", qBp = 9900, max = Some(120.0)))  // p99=100
+      .quantileCheck(QuantileCheck("v", qBp = 10000, max = Some(120.0))) // max outlier
+      .quantileCheck(QuantileCheck("empty", qBp = 5000, min = Some(0.0)))
+      .quantileCheck(QuantileCheck("nope", qBp = 5000, min = Some(0.0)))
+      .build
+    val rows = new ContractValidator().validate(df, c,
+        Set(ContractValidator.Part.Quantile))
+      .as[CheckResult].collect()
+    assert(rows.length == 5 && rows.forall(_.check == "quantile"))
+    val v = rows.filter(_.field == "v").sortBy(_.metric)
+    // n=101: p50 rank ceil(.5*101)=51 → 51.0 in [1,60] passes;
+    // p99 rank 100 → 100.0 <= 120 passes; p100 → the outlier fails
+    assert(v.map(_.metric).toSeq == Seq(51.0, 100.0, 100000.0))
+    assert(v.map(_.passed).toSeq == Seq(true, true, false))
+    assert(rows.find(_.field == "empty").get.passed) // vacuous, flagged in detail
+    assert(rows.find(_.field == "empty").get.detail.contains("vacuous"))
+    assert(!rows.find(_.field == "nope").get.passed) // missing field fails loudly
+  }
+
   test("vector checks: dim, non-finite, zero, norm bounds — one fused scan, nulls excluded") {
     val vecs = Seq(
       (1L, Seq(0.6f, 0.8f)),               // norm 1.0 — clean
