@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Table profiling — the reference's heritage capability (DCE evolved
   * from the `dataprof` profiler; reference: README.md "Origin") and the
@@ -255,6 +255,71 @@ object Profile {
       .orderBy(col("cnt").desc, col("value").asc)
     counts.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
+  }
+
+  /** Benford first-digit audit: the leading-digit distribution of a
+    * naturally-occurring numeric column against Benford's law
+    * (P(d) = log10(1 + 1/d)) — the fabrication/fat-finger screen
+    * forensic accounting runs, useful on any organic magnitude column
+    * (prices, counts, durations). Values < 1 are excluded (no stable
+    * leading digit in this formulation); expected shares ship as
+    * literal bp so the comparison is exact integer arithmetic.
+    *
+    * The leading digit is taken from the STRING of floor(v) — never a
+    * double→int cast (Spark truncates where other engines round) and
+    * never floor(log10(v)) (log10 of exact powers of 10 lands on
+    * x.9999… in binary and floors wrong). One map-side-combined
+    * 9-row rollup. Output per digit: (digit, cnt, obs_bp, exp_bp,
+    * dev_bp) with dev the signed obs−exp. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val expBp: Map[Int, Long] =
+      (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 10000)).toMap
+    val v = col(valueCol).cast(DoubleType)
+    val digit = substring(floor(v).cast(LongType).cast(StringType), 1, 1).cast(LongType)
+    val expCol = (1 to 9).foldRight(lit(0L)) { (d, acc) =>
+      when(col("digit") === d, lit(expBp(d))).otherwise(acc)
+    }
+    df.filter(v >= 1.0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .crossJoin(broadcast(df.filter(v >= 1.0)
+        .agg(count(lit(1)).cast(LongType).as("__t"))))
+      .select(col("digit"), col("cnt"),
+        expr("cnt * 10000 DIV __t").cast(LongType).as("obs_bp"),
+        expCol.as("exp_bp"))
+      .withColumn("dev_bp", col("obs_bp") - col("exp_bp"))
+  }
+
+  /** Pairwise Pearson correlation of numeric columns in ONE fused
+    * aggregation pass — the feature-redundancy / leakage-adjacent
+    * audit next to the per-pair target_leakage check. Output: one row
+    * per unordered pair (col_a < col_b), corr_r4 rounded to 4 dp (the
+    * cross-engine float tolerance every r4 metric on the board uses).
+    * NULL-affected pairs return NULL corr, as SQL corr does. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+    } yield (a, b)
+    // covar_samp / (σa·σb) instead of built-in corr: under ANSI mode
+    // corr THROWS on a zero-variance column where SQL semantics want
+    // NULL — the explicit guard returns NULL and never aborts a run
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(covar_samp(col(a).cast(DoubleType), col(b).cast(DoubleType))
+            .as(s"__cov_${a}_$b"),
+        stddev_samp(when(col(b).isNotNull, col(a)).cast(DoubleType))
+          .as(s"__sa_${a}_$b"),
+        stddev_samp(when(col(a).isNotNull, col(b)).cast(DoubleType))
+          .as(s"__sb_${a}_$b"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val denom = col(s"__sa_${a}_$b") * col(s"__sb_${a}_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(when(denom > 0d, col(s"__cov_${a}_$b") / denom), 4).as("corr_r4"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
   /** Suggests a contract from profile + schema: non-nullable where no

@@ -63,6 +63,32 @@ object TimeSeries {
       .drop("__dev")
   }
 
+  /** Calendar-gap detection: per key, the span [first, last] bucket it
+    * ever reported in, how many calendar buckets that span holds, how
+    * many are PRESENT, and how many are missing — the dead-crawler /
+    * silent-outage detector freshness checks can't see (freshness
+    * watches the newest timestamp; a source that skipped last Tuesday
+    * is perfectly "fresh"). A key with missing > 0 has interior holes.
+    *
+    * One map-side-combined rollup to (key, bucket), then a per-key
+    * aggregate — keys × calendar rows, never event volume; exact
+    * integer day arithmetic both engines replay. Day granularity (the
+    * calendar unit datediff counts). */
+  def calendarGaps(events: DataFrame, keyCol: String,
+                   tsCol: String): DataFrame = {
+    val days = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+    days.groupBy("key")
+      .agg(
+        date_format(min(col("__d")), "yyyy-MM-dd").as("first_day"),
+        date_format(max(col("__d")), "yyyy-MM-dd").as("last_day"),
+        (datediff(max(col("__d")), min(col("__d"))) + 1).cast(LongType).as("span_days"),
+        count(lit(1)).cast(LongType).as("present_days"))
+      .withColumn("missing_days", col("span_days") - col("present_days"))
+  }
+
   /** Trailing moving average over per-key bucket counts: for every
     * (key, bucket) the mean of the last `window` PRESENT buckets
     * (current included) and the current count's deviation from it in

@@ -3049,6 +3049,88 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS events
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // 103. calendar-gap detection: per-key day span vs present days —
+  // the silent-outage detector freshness can't see. The continuous
+  // synthetic stream has no holes, so a fixture key skips days (must
+  // prove gaps are FOUND, not that clean data is clean).
+  val qTsGaps = QueryDef("q_ts_gaps",
+    (s, dir) => {
+      import s.implicits._
+      val fixtures = Seq(
+        ("gapful", "2024-01-01 10:00:00"), ("gapful", "2024-01-03 10:00:00"),
+        ("gapful", "2024-01-07 10:00:00"))
+        .toDF("event_type", "ts_s")
+        .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+      val events = table(s, dir, "events").select(col("event_type"), col("ts"))
+        .unionByName(fixtures)
+      graft.operators.TimeSeries.calendarGaps(events, "event_type", "ts")
+        .orderBy("key")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, ts FROM events
+        UNION ALL SELECT * FROM (VALUES
+          ('gapful', TIMESTAMP '2024-01-01 10:00:00'),
+          ('gapful', TIMESTAMP '2024-01-03 10:00:00'),
+          ('gapful', TIMESTAMP '2024-01-07 10:00:00')) t(event_type, ts)),
+      d AS (SELECT DISTINCT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d FROM ev)
+      SELECT key, strftime(min(d), '%Y-%m-%d') AS first_day,
+             strftime(max(d), '%Y-%m-%d') AS last_day,
+             CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS span_days,
+             CAST(count(*) AS BIGINT) AS present_days,
+             CAST(date_diff('day', min(d), max(d)) + 1 - count(*) AS BIGINT) AS missing_days
+      FROM d GROUP BY key ORDER BY key"""))
+
+  // 104. Benford first-digit audit on the price column: observed vs
+  // expected leading-digit shares in exact integer bp. Leading digit
+  // via the string of floor(v) — portable (no double→int cast, no
+  // floor(log10) binary-rounding traps).
+  val qBenford = QueryDef("q_benford",
+    (s, dir) => {
+      graft.operators.Profile.benford(table(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")
+    },
+    Some("""
+      WITH v AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice >= 1.0),
+      d AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) digit FROM v),
+      c AS (SELECT digit, count(*) cnt FROM d GROUP BY 1),
+      t AS (SELECT count(*) t FROM d),
+      e(digit, exp_bp) AS (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969),
+                                  (5, 792), (6, 669), (7, 580), (8, 512), (9, 458))
+      SELECT c.digit, CAST(c.cnt AS BIGINT) AS cnt,
+             CAST(c.cnt * 10000 // t.t AS BIGINT) AS obs_bp,
+             CAST(e.exp_bp AS BIGINT) AS exp_bp,
+             CAST(c.cnt * 10000 // t.t - e.exp_bp AS BIGINT) AS dev_bp
+      FROM c, t, e WHERE c.digit = e.digit ORDER BY c.digit"""))
+
+  // 105. pairwise Pearson correlation of the lineitem numerics in one
+  // fused agg — the feature-redundancy audit. corr is sample
+  // correlation in both engines; r4 rounding is the board's standard
+  // float tolerance.
+  val qCorrMatrix = QueryDef("q_corr_matrix",
+    (s, dir) => {
+      graft.operators.Profile.corrMatrix(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    },
+    Some("""
+      WITH m AS (
+        SELECT round(corr(l_quantity, l_extendedprice), 4) AS c12,
+               round(corr(l_quantity, l_discount), 4) AS c13,
+               round(corr(l_quantity, l_tax), 4) AS c14,
+               round(corr(l_extendedprice, l_discount), 4) AS c23,
+               round(corr(l_extendedprice, l_tax), 4) AS c24,
+               round(corr(l_discount, l_tax), 4) AS c34
+        FROM lineitem)
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c12 AS corr_r4 FROM m
+        UNION ALL SELECT 'l_quantity', 'l_discount', c13 FROM m
+        UNION ALL SELECT 'l_quantity', 'l_tax', c14 FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', c23 FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', c24 FROM m
+        UNION ALL SELECT 'l_discount', 'l_tax', c34 FROM m
+      ) ORDER BY col_a, col_b"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3108,5 +3190,6 @@ object PipelineQueries {
     qAnnRecall, qLayoutZorder,
     qEmbedContamination, qWinsorize, qTokenFertility, qHeavyHitters,
     qRefIntegrity, qRollingTrend, qMlKfold,
+    qTsGaps, qBenford, qCorrMatrix,
   )
 }

@@ -424,6 +424,46 @@ class OperatorsSpec extends SparkSpec {
     assert(folds(7L) == java.lang.Long.parseLong(md.take(8), 16) % 5)
   }
 
+  test("calendarGaps finds interior holes; a continuous key reports zero missing") {
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day + 3600000L)
+    val rows = Seq(("gap", ts(0)), ("gap", ts(2)), ("gap", ts(6)),
+      ("solid", ts(0)), ("solid", ts(1)), ("solid", ts(1)), ("solid", ts(2)))
+    val got = graft.operators.TimeSeries
+      .calendarGaps(rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("span_days"), r.getAs[Long]("present_days"),
+          r.getAs[Long]("missing_days")))).toMap
+    assert(got("gap") == ((7L, 3L, 4L)))   // days 0..6, present {0,2,6}
+    assert(got("solid") == ((3L, 3L, 0L))) // duplicate day counted once
+  }
+
+  test("benford: leading digit from floor-string, values < 1 excluded, exact bp") {
+    // 1x each digit 1..9 at varied magnitudes + excluded sub-1 values
+    val vals = Seq(1.5, 23.0, 345.0, 4000.0, 5.0e4, 6.1, 70.2, 800.9, 9.99,
+      0.5, 0.01).map(Tuple1(_))
+    val got = graft.operators.Profile.benford(vals.toDF("v"), "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    (1 to 9).foreach { d =>
+      val (cnt, obsBp, expBp) = got(d.toLong)
+      assert(cnt == 1L && obsBp == 10000L / 9)
+      assert(expBp == math.round(math.log10(1.0 + 1.0 / d) * 10000))
+    }
+  }
+
+  test("corrMatrix: perfect, inverse, and null-degenerate pairs in one pass") {
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0), (3.0, 6.0, -3.0, 5.0))
+      .toDF("a", "b", "c", "k")
+    val got = graft.operators.Profile.corrMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("corr_r4"))).toMap
+    assert(got.size == 6)
+    assert(got(("a", "b")).contains(1.0))
+    assert(got(("a", "c")).contains(-1.0))
+    assert(got(("a", "k")).isEmpty) // zero-variance column → NULL, as SQL corr
+  }
+
   test("madAnomalies MAD floor: a perfectly flat history flags nothing") {
     val rows = Seq.tabulate(5)(d => (new java.sql.Timestamp(86400000L * d), "b"))
     val got = graft.operators.TimeSeries
