@@ -61,21 +61,37 @@ object Sessionize {
     * repeated step name would make "strictly after" ill-posed between
     * its own copies — rejected loudly. */
   def eventFunnel(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+                  typeCol: String, steps: Seq[String],
+                  windowMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps")
+    require(windowMs.forall(_ > 0), "windowMs must be positive")
+    // windowed (ClickHouse windowFunnel) semantics: every later step
+    // must land within `windowMs` of the user's step-1 ANCHOR time.
+    // Caveat shared with windowFunnel's greedy mode: the anchor is the
+    // EARLIEST step-1 event, so a user whose only completing chain
+    // starts at a later step-1 occurrence is not counted — exact
+    // any-anchor matching is a per-user sequence scan, not a k-join.
     var cur = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
+      .withColumn("__t0", col("__t"))
     val perStep = scala.collection.mutable.ArrayBuffer(
       cur.agg(count(lit(1)).cast("long").as("users"))
         .select(lit(1L).as("step_idx"), lit(steps.head).as("step"), col("users")))
     for ((s, i) <- steps.tail.zipWithIndex) {
+      val inWindow = windowMs match {
+        case Some(w) =>
+          unix_millis(col("__ts").cast("timestamp")) <=
+            unix_millis(col("__t0").cast("timestamp")) + w
+        case None => lit(true)
+      }
       cur = events.filter(col(typeCol) === s)
         .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
         .join(cur, "__u")
-        .filter(col("__ts") > col("__t"))
-        .groupBy("__u").agg(min(col("__ts")).as("__t"))
+        .filter(col("__ts") > col("__t") && inWindow)
+        .groupBy("__u").agg(min(col("__ts")).as("__t"),
+          min(col("__t0")).as("__t0")) // constant per user; min is det.
       perStep += cur.agg(count(lit(1)).cast("long").as("users"))
         .select(lit(i + 2L).as("step_idx"), lit(s).as("step"), col("users"))
     }
@@ -92,6 +108,35 @@ object Sessionize {
       .withColumn("conv_first_bp",
         expr("users * 10000 DIV __first").cast("long"))
       .drop("__prev", "__first")
+  }
+
+  /** DAU/MAU stickiness per calendar month: how much of the monthly
+    * audience shows up on an average day — sum of daily distinct
+    * users over (present days × monthly distinct users), exact
+    * integer bp. The engagement-intensity line next to retention
+    * (retention asks "did they come back", stickiness asks "how
+    * often").
+    *
+    * Plan: ONE distinct (user, day) projection (map-side combined)
+    * feeds both the daily and the monthly rollup — daily counts
+    * aggregate to months, monthly distincts re-aggregate the same
+    * frame; everything after the distinct is calendar-bounded. */
+  def stickiness(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame = {
+    val userDays = events.select(col(userCol).as("__u"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .distinct()
+    val daily = userDays.groupBy("__d")
+      .agg(count(lit(1)).as("__dau"))
+      .groupBy(date_format(date_trunc("month", col("__d")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).cast("long").as("days"),
+        sum("__dau").cast("long").as("sum_dau"))
+    val monthly = userDays
+      .groupBy(date_format(date_trunc("month", col("__d")), "yyyy-MM").as("month"))
+      .agg(countDistinct(col("__u")).cast("long").as("mau"))
+    daily.join(monthly, "month")
+      .withColumn("stickiness_bp",
+        expr("sum_dau * 10000 DIV (days * mau)").cast("long"))
   }
 
   /** First-order Markov transition matrix over per-user event
@@ -223,6 +268,38 @@ object Sampling {
     df.withColumn("fold",
       pmod(conv(substring(md5(concat(col(groupCol).cast("string"), lit(s":$seed"))), 1, 8),
         16, 10).cast("long"), lit(k.toLong)))
+  }
+
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor id gets `k` pseudo-random partner ids from the corpus via
+    * the affine scatter `(anchor·P + j·Q) mod n` (P the Knuth
+    * multiplicative constant, Q an odd stride) — reproducible across
+    * runs and engines (plain integer arithmetic, no RNG state), spread
+    * across the id space (sequential anchors don't share negatives),
+    * and self-free (a draw landing on the anchor advances by one).
+    *
+    * EXACTNESS CONTRACT (caller-owned): ids must be the contiguous
+    * range [0, corpusSize) (the embeddings-table convention) — the
+    * draw is an id, not a row lookup, so a gapped id space yields
+    * phantom negatives; rank ids first (the exportShards positioning)
+    * for gapped spaces. Distinct j can collide on
+    * the same negative for tiny n (documented; duplicates are benign
+    * for training and absent for n ≫ k·Q). Map-only: k rows per
+    * anchor, no shuffle, no join. */
+  def negativePairs(anchors: DataFrame, idCol: String, corpusSize: Long,
+                    k: Int, seed: Int = 42): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(corpusSize >= 2, "need at least 2 ids to draw a non-self negative")
+    val draws = (1 to k).map { j =>
+      val raw = pmod(col(idCol) * 2654435761L + lit(j * 40503L + seed),
+        lit(corpusSize))
+      struct(lit(j.toLong).as("j"),
+        when(raw === col(idCol), pmod(raw + 1L, lit(corpusSize)))
+          .otherwise(raw).cast("long").as("neg_id"))
+    }
+    anchors
+      .select(col(idCol).as("anchor"), explode(array(draws: _*)).as("d"))
+      .select(col("anchor"), col("d.j").as("j"), col("d.neg_id").as("neg_id"))
   }
 
   /** Per-stratum exact-fraction-ish sampling via per-stratum hash

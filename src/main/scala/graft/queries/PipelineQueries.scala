@@ -3131,6 +3131,89 @@ object PipelineQueries {
         UNION ALL SELECT 'l_discount', 'l_tax', c34 FROM m
       ) ORDER BY col_a, col_b"""))
 
+  // 106. windowed conversion funnel (ClickHouse windowFunnel
+  // semantics): later steps must land within 48h of the user's
+  // earliest step-1 anchor — tight enough that the window drops users
+  // the unwindowed funnel (q_event_funnel) keeps, so both paths are
+  // distinguishable on the board.
+  val qEventFunnelWindowed = QueryDef("q_event_funnel_windowed",
+    (s, dir) => {
+      graft.operators.Sessionize.eventFunnel(
+          table(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click"), windowMs = Some(48L * 3600 * 1000))
+        .orderBy("step_idx")
+    },
+    Some("""
+      WITH s1 AS (SELECT user_id u, min(ts) t FROM events WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id u, min(e.ts) t, min(s1.t) t0
+             FROM events e JOIN s1 ON e.user_id = s1.u
+             WHERE e.event_type = 'view' AND e.ts > s1.t
+               AND epoch_ms(e.ts) <= epoch_ms(s1.t) + 172800000
+             GROUP BY 1),
+      s3 AS (SELECT e.user_id u, min(e.ts) t
+             FROM events e JOIN s2 ON e.user_id = s2.u
+             WHERE e.event_type = 'click' AND e.ts > s2.t
+               AND epoch_ms(e.ts) <= epoch_ms(s2.t0) + 172800000
+             GROUP BY 1),
+      c AS (
+        SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS users
+        UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)),
+      w AS (
+        SELECT step_idx, step, users,
+               greatest(coalesce(lag(users) OVER (ORDER BY step_idx), users), 1) prev,
+               greatest(first_value(users) OVER (ORDER BY step_idx), 1) frst
+        FROM c)
+      SELECT CAST(step_idx AS BIGINT) AS step_idx, step, CAST(users AS BIGINT) AS users,
+             CAST(users * 10000 // prev AS BIGINT) AS conv_prev_bp,
+             CAST(users * 10000 // frst AS BIGINT) AS conv_first_bp
+      FROM w ORDER BY step_idx"""))
+
+  // 107. DAU/MAU stickiness per calendar month, exact integer bp over
+  // one distinct (user, day) projection.
+  val qStickiness = QueryDef("q_stickiness",
+    (s, dir) => {
+      graft.operators.Sessionize.stickiness(
+          table(s, dir, "events"), "user_id", "ts")
+        .orderBy("month")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id u, CAST(date_trunc('day', ts) AS DATE) d FROM events),
+      daily AS (
+        SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS days, CAST(sum(dau) AS BIGINT) AS sum_dau
+        FROM (SELECT d, count(*) dau FROM ud GROUP BY 1) GROUP BY 1),
+      monthly AS (
+        SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+               CAST(count(DISTINCT u) AS BIGINT) AS mau
+        FROM ud GROUP BY 1)
+      SELECT month, days, sum_dau, mau,
+             CAST(sum_dau * 10000 // (days * mau) AS BIGINT) AS stickiness_bp
+      FROM daily JOIN monthly USING (month) ORDER BY month"""))
+
+  // 108. deterministic contrastive negative sampling: 3 affine-scatter
+  // negatives per anchor over the contiguous embedding id space —
+  // plain integer arithmetic, so the oracle replays every draw.
+  val qNegativeSample = QueryDef("q_negative_sample",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val n = emb.count()
+      graft.operators.Sampling.negativePairs(
+          emb.filter(col("vec_id") < 20), "vec_id", n, k = 3)
+        .orderBy("anchor", "j")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) n FROM embeddings),
+      a AS (SELECT vec_id AS anchor FROM embeddings WHERE vec_id < 20),
+      d AS (
+        SELECT anchor, j,
+               (anchor * 2654435761 + j * 40503 + 42) % n.n AS raw
+        FROM a, n, (VALUES (1), (2), (3)) js(j))
+      SELECT anchor, CAST(j AS BIGINT) AS j,
+             CAST(CASE WHEN raw = anchor THEN (raw + 1) % (SELECT n FROM n)
+                       ELSE raw END AS BIGINT) AS neg_id
+      FROM d ORDER BY anchor, j"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3191,5 +3274,6 @@ object PipelineQueries {
     qEmbedContamination, qWinsorize, qTokenFertility, qHeavyHitters,
     qRefIntegrity, qRollingTrend, qMlKfold,
     qTsGaps, qBenford, qCorrMatrix,
+    qEventFunnelWindowed, qStickiness, qNegativeSample,
   )
 }

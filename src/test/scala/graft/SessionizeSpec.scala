@@ -143,6 +143,53 @@ class SessionizeSpec extends SparkSpec {
     assert(got == Set(("a", "b"), ("b", "c")))
   }
 
+  test("windowed funnel drops completions outside the step-1 anchor window") {
+    def t(h: Int) = new java.sql.Timestamp(3600000L * h)
+    val df = Seq(
+      // u1 converts inside 2h of anchor; u2's click lands at +3h — out
+      (1L, t(0), "signup"), (1L, t(1), "view"), (1L, t(2), "click"),
+      (2L, t(0), "signup"), (2L, t(1), "view"), (2L, t(3), "click"),
+      // u3 never views
+      (3L, t(0), "signup"),
+    ).toDF("user_id", "ts", "event_type")
+    def users(win: Option[Long]) =
+      Sessionize.eventFunnel(df, "user_id", "ts", "event_type",
+          Seq("signup", "view", "click"), win)
+        .orderBy("step_idx").collect().map(_.getAs[Long]("users")).toSeq
+    assert(users(None) == Seq(3L, 2L, 2L))
+    assert(users(Some(2L * 3600000)) == Seq(3L, 2L, 1L)) // u2's click out
+    // boundary is inclusive: a click exactly at anchor+2h counts
+    assert(users(Some(3L * 3600000)) == Seq(3L, 2L, 2L))
+  }
+
+  test("stickiness: DAU/MAU bp per month over one (user, day) distinct") {
+    def t(d: Int, h: Int) = new java.sql.Timestamp(86400000L * d + 3600000L * h)
+    // 2 days in epoch month 1970-01: day0 users {1,2}, day1 users {1}
+    // (twice, same day → once); MAU = {1,2} → (2+1)*10000/(2*2) = 7500
+    val df = Seq((1L, t(0, 1)), (2L, t(0, 2)), (1L, t(1, 1)), (1L, t(1, 5)))
+      .toDF("user_id", "ts")
+    val r = Sessionize.stickiness(df, "user_id", "ts").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("month") == "1970-01")
+    assert(row.getAs[Long]("days") == 2L && row.getAs[Long]("sum_dau") == 3L)
+    assert(row.getAs[Long]("mau") == 2L)
+    assert(row.getAs[Long]("stickiness_bp") == 7500L)
+  }
+
+  test("negative sampling: deterministic, self-free, in-range draws") {
+    val anchors = (0L until 50L).map(Tuple1(_)).toDF("vec_id")
+    val got = Sampling.negativePairs(anchors, "vec_id", corpusSize = 50L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 150)
+    got.foreach { case ((a, _), neg) =>
+      assert(neg != a && neg >= 0 && neg < 50, s"anchor $a -> $neg")
+    }
+    // replay one draw by hand: (7·P + 1·40503 + 42) mod 50, bumped if self
+    val raw = (7L * 2654435761L + 40503L + 42L) % 50L
+    assert(got((7L, 1L)) == (if (raw == 7L) (raw + 1) % 50 else raw))
+  }
+
   test("quota sampling caps each key deterministically") {
     val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val a = Sampling.quotaPerKey(df, "src", quota = 10, tieCol = "id")
