@@ -187,6 +187,47 @@ object Profile {
     df.withColumn("bin", when(v.isNotNull, bin))
   }
 
+  /** Per-GROUP exact disc percentiles: (group, q_bp, value) with the
+    * same rank-ceil(q·n/10000) semantics as [[exactQuantiles]], one row
+    * per (group, requested q) — per-domain length profiles, per-source
+    * latency p99s: the grouped version of the datasheet line.
+    *
+    * Plan: per-(group, value) counts (map-side combined), then the
+    * cumulative count via a window PARTITIONED BY GROUP ordered by
+    * value — parallelism comes from the group key, so no two-level
+    * trick is needed; each partition is one group's distinct values.
+    * Extraction is one conditional-min agg per q, grouped by group.
+    * CAVEAT: a single giant group degenerates to one task over its
+    * distinct values — for few/one group(s) use [[exactQuantiles]]
+    * (the two-level plan) per group instead; this operator is for
+    * many-group shapes. NULL values excluded as everywhere. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qsBp: Seq[Int]): DataFrame = {
+    require(qsBp.nonEmpty, "need at least one quantile")
+    require(qsBp.forall(q => q >= 0 && q <= 10000),
+      s"quantiles are basis points in [0, 10000], got $qsBp")
+    require(qsBp.distinct.size == qsBp.size, s"duplicate quantiles: $qsBp")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"), col(valueCol).cast(DoubleType).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    val cumW = byGroup.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(byGroup))
+    val aggs = qsBp.map { q =>
+      val rank = greatest(lit(1L), expr(s"($q * __n + 9999) DIV 10000"))
+      min(when(col("__cum") >= rank, col("__v"))).as(s"__q_$q")
+    }
+    val one = cum.groupBy("group").agg(aggs.head, aggs.tail: _*)
+    val rows = qsBp.map(q => struct(
+      lit(q.toLong).as("q_bp"), col(s"__q_$q").as("value")))
+    one.select(col("group"), explode(array(rows: _*)).as("r"))
+      .select(col("group"), col("r.q_bp"), col("r.value"))
+  }
+
   /** Winsorization report: clip a numeric column at the [loBp, hiBp]
     * [[exactQuantiles]] percentiles and report what clipping did —
     * (column, lo, hi, n_lo, n_hi, total) with `lo`/`hi` the literal

@@ -302,6 +302,25 @@ object Sampling {
       .select(col("anchor"), col("d.j").as("j"), col("d.neg_id").as("neg_id"))
   }
 
+  /** Deterministic per-epoch shuffle: a bijective affine permutation
+    * of contiguous positions `pos_e = (pos·P + epoch·41·999 + 17) mod n`
+    * with P = 2³¹−1 (prime, so coprime to any n < P → a true
+    * permutation) — every training epoch sees the corpus in a
+    * different, REPRODUCIBLE order with zero state: no stored
+    * permutation table, no RNG, any worker computes any position's
+    * epoch order locally (the data-loader contract multi-epoch
+    * training wants). Map-only. Positions must be contiguous [0, n) —
+    * the [[exportShards]] output convention. */
+  def epochPermutation(df: DataFrame, posCol: String, n: Long,
+                       epoch: Int): DataFrame = {
+    require(n >= 1 && n < 2147483647L,
+      s"n must be in [1, 2^31-1) for the fixed prime multiplier, got $n")
+    require(epoch >= 0, "epoch must be >= 0")
+    df.withColumn("epoch_pos",
+      pmod(col(posCol) * 2147483647L + lit(epoch * 40959L + 17L), lit(n))
+        .cast("long"))
+  }
+
   /** Per-stratum exact-fraction-ish sampling via per-stratum hash
     * buckets: keeps ~fraction of each `strataCol` group,
     * deterministically. */

@@ -3214,6 +3214,48 @@ object PipelineQueries {
                        ELSE raw END AS BIGINT) AS neg_id
       FROM d ORDER BY anchor, j"""))
 
+  // 110. per-group exact disc percentiles: per-source n_chars p25/p50/
+  // p95 — the grouped datasheet line; window partitioned by group, so
+  // parallelism comes from the key (caveat for one-group shapes in the
+  // scaladoc). quantile_disc GROUP BY replays it.
+  val qGroupQuantiles = QueryDef("q_group_quantiles",
+    (s, dir) => {
+      graft.operators.Profile.groupQuantiles(
+          table(s, dir, "documents"), "source", "n_chars", Seq(2500, 5000, 9500))
+        .orderBy("group", "q_bp")
+    },
+    Some("""
+      SELECT source AS "group", q_bp, value FROM (
+        SELECT source, CAST(2500 AS BIGINT) AS q_bp,
+               CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS value
+        FROM documents GROUP BY source
+        UNION ALL SELECT source, 5000, CAST(quantile_disc(n_chars, 0.50) AS DOUBLE)
+        FROM documents GROUP BY source
+        UNION ALL SELECT source, 9500, CAST(quantile_disc(n_chars, 0.95) AS DOUBLE)
+        FROM documents GROUP BY source)
+      ORDER BY "group", q_bp"""))
+
+  // 111. deterministic multi-epoch shuffle: the bijective affine
+  // permutation of corpus positions for epochs 1 and 2 — zero-state
+  // reproducible data-loader ordering; plain integer arithmetic, so
+  // the oracle replays every position.
+  val qEpochShuffle = QueryDef("q_epoch_shuffle",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val n = emb.count()
+      val anchors = emb.filter(col("vec_id") < 10).select("vec_id")
+      Seq(1, 2).map { e =>
+        graft.operators.Sampling.epochPermutation(anchors, "vec_id", n, e)
+          .select(col("vec_id"), lit(e.toLong).as("epoch"), col("epoch_pos"))
+      }.reduce(_ unionByName _).orderBy("vec_id", "epoch")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) n FROM embeddings),
+      a AS (SELECT vec_id FROM embeddings WHERE vec_id < 10)
+      SELECT vec_id, CAST(e AS BIGINT) AS epoch,
+             CAST((vec_id * 2147483647 + e * 40959 + 17) % n.n AS BIGINT) AS epoch_pos
+      FROM a, n, (VALUES (1), (2)) es(e) ORDER BY vec_id, epoch"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3275,5 +3317,6 @@ object PipelineQueries {
     qRefIntegrity, qRollingTrend, qMlKfold,
     qTsGaps, qBenford, qCorrMatrix,
     qEventFunnelWindowed, qStickiness, qNegativeSample,
+    qGroupQuantiles, qEpochShuffle,
   )
 }

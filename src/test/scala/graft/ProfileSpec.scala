@@ -79,6 +79,20 @@ class ProfileSpec extends SparkSpec {
       ("a", 1L) -> ((1L, 2L)), ("a", 2L) -> ((2L, 2L)), ("b", 1L) -> ((9L, 1L))))
   }
 
+  test("groupQuantiles: per-group disc ranks, groups independent, NULLs excluded") {
+    val df = (
+      (1 to 10).map(i => ("a", java.lang.Double.valueOf(i.toDouble))) ++
+      Seq("b" -> java.lang.Double.valueOf(100.0), "b" -> java.lang.Double.valueOf(200.0),
+        "b" -> (null: java.lang.Double))
+    ).toDF("g", "v")
+    val got = Profile.groupQuantiles(df, "g", "v", Seq(5000, 10000))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", 5000L)) == 5.0 && got(("a", 10000L)) == 10.0)
+    // group b: n=2 non-null → p50 rank ceil(1)=1 → 100, p100 → 200
+    assert(got(("b", 5000L)) == 100.0 && got(("b", 10000L)) == 200.0)
+    assert(got.size == 4)
+  }
+
   test("suggestContract tightens nullability and infers constraints") {
     val df = spark.read.parquet(sf("orders"))
     val c = Profile.suggestContract(df, "orders", "me")

@@ -190,6 +190,19 @@ class SessionizeSpec extends SparkSpec {
     assert(got((7L, 1L)) == (if (raw == 7L) (raw + 1) % 50 else raw))
   }
 
+  test("epochPermutation is a bijection per epoch and differs between epochs") {
+    val n = 101L
+    val df = (0L until n).map(Tuple1(_)).toDF("pos")
+    val e1 = Sampling.epochPermutation(df, "pos", n, epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e2 = Sampling.epochPermutation(df, "pos", n, epoch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1.values.toSet == (0L until n).toSet) // bijection onto [0, n)
+    assert(e2.values.toSet == (0L until n).toSet)
+    assert(e1 != e2)                              // different order per epoch
+    assert(e1(7L) == (7L * 2147483647L + 40959L + 17L) % n) // replayable
+  }
+
   test("quota sampling caps each key deterministically") {
     val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val a = Sampling.quotaPerKey(df, "src", quota = 10, tieCol = "id")
