@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-entropy kernel for [[CharEntropyExpr]]: Shannon entropy
+  * (base 2) of the CODE-POINT distribution of a string — the
+  * gibberish/compression screen of a text-quality cascade (natural
+  * language sits ~3.5–4.5 bits/char; base64 blobs, minified JS, and
+  * `aaaa…` runs land far outside). One pass, one small hash map —
+  * the scale point: the SQL formulation explodes one row PER
+  * CHARACTER (a 1000× row blowup at corpus scale) where this kernel
+  * keeps the whole computation map-side inside codegen. */
+object EntropyKernel {
+
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var total = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    val ln2 = math.log(2.0)
+    while (it.hasNext) {
+      val c = it.next()(0)
+      val p = c.toDouble / total
+      h -= p * (math.log(p) / ln2)
+    }
+    h
+  }
+}
+
+/** string text → Shannon entropy (bits per code point) via
+  * [[EntropyKernel]]; null text is null. Bit-compatible with the SQL
+  * replay `entropy(c)` over exploded characters up to float summation
+  * order (r4-rounded at the query surface, the board's standard). */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_char_entropy expects string, got ${t.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    EntropyKernel.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.EntropyKernel.charEntropy($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropyExpr {
+  def apply(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
+}

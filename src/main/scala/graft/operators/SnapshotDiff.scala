@@ -47,4 +47,41 @@ object SnapshotDiff {
                  payloadCol: String): DataFrame =
     diff(v1, v2, idCol, payloadCol)
       .groupBy("status").agg(count(lit(1)).as("cnt"))
+
+  /** Categorical mix drift between two snapshots: per category (source,
+    * lang, domain), each side's share and the key's PSI contribution
+    * (p − q)·ln(p/q) with both shares clamped at ε = 1e-6 (the
+    * [[graft.validators.MlValidators]] PSI smoothing, so a category
+    * present in only one snapshot contributes a large-but-finite term
+    * instead of ∞). Σ psi over the rows is the corpus-mix PSI — the
+    * "did this crawl change the data mixture" gate next to the
+    * row-content [[diff]].
+    *
+    * Two map-side-combined counts + one full-outer join on the
+    * category key — |categories|-bounded after the rollups; exact
+    * integer bp shares, psi at r6. */
+  def categoryDrift(v1: DataFrame, v2: DataFrame,
+                    keyCol: String): DataFrame = {
+    val eps = 1e-6
+    def shares(df: DataFrame, cnt: String) =
+      df.groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as(cnt))
+    val a = shares(v1, "cnt_a")
+    val b = shares(v2, "cnt_b")
+    val joined = a.join(b, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum("cnt_a").as("__ta"), sum("cnt_b").as("__tb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("key"),
+        col("cnt_a").cast("long").as("cnt_a"),
+        col("cnt_b").cast("long").as("cnt_b"),
+        expr("cnt_a * 10000 DIV __ta").cast("long").as("share_a_bp"),
+        expr("cnt_b * 10000 DIV __tb").cast("long").as("share_b_bp"),
+        round((greatest(col("cnt_a") / col("__ta"), lit(eps)) -
+               greatest(col("cnt_b") / col("__tb"), lit(eps))) *
+          log(greatest(col("cnt_a") / col("__ta"), lit(eps)) /
+              greatest(col("cnt_b") / col("__tb"), lit(eps))), 6).as("psi_r6"))
+  }
 }

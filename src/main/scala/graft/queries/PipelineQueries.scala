@@ -3256,6 +3256,58 @@ object PipelineQueries {
              CAST((vec_id * 2147483647 + e * 40959 + 17) % n.n AS BIGINT) AS epoch_pos
       FROM a, n, (VALUES (1), (2)) es(e) ORDER BY vec_id, epoch"""))
 
+  // 112. per-source character-entropy profile via the one-pass
+  // CharEntropyExpr codegen kernel (the SQL replay explodes one row
+  // per character — the kernel IS the scale story). Empty/NULL texts
+  // excluded on both sides (an exploded empty string has no rows).
+  val qTextEntropy = QueryDef("q_text_entropy",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      docs.withColumn("__h", graft.functions.CharEntropyExpr(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          round(avg("__h"), 4).as("mean_entropy_r4"),
+          round(min("__h"), 4).as("min_entropy_r4"),
+          round(max("__h"), 4).as("max_entropy_r4"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, source, entropy(c) AS h
+        FROM (SELECT doc_id, source, unnest(split(text, '')) AS c
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        GROUP BY doc_id, source)
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             round(avg(h), 4) AS mean_entropy_r4,
+             round(min(h), 4) AS min_entropy_r4,
+             round(max(h), 4) AS max_entropy_r4
+      FROM h GROUP BY 1 ORDER BY 1"""))
+
+  // 113. categorical mix drift between two snapshots (doc_id parity as
+  // the versions): per-source share shift + ε-smoothed PSI
+  // contribution — "did this crawl change the data mixture".
+  val qMixDrift = QueryDef("q_mix_drift",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.operators.SnapshotDiff.categoryDrift(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1), "source")
+        .orderBy("key")
+    },
+    Some("""
+      WITH a AS (SELECT source AS key, count(*) ca FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      b AS (SELECT source AS key, count(*) cb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      j AS (SELECT coalesce(a.key, b.key) AS key, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+            FROM a FULL OUTER JOIN b ON a.key = b.key),
+      t AS (SELECT sum(ca) ta, sum(cb) tb FROM j)
+      SELECT key, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+             CAST(ca * 10000 // ta AS BIGINT) AS share_a_bp,
+             CAST(cb * 10000 // tb AS BIGINT) AS share_b_bp,
+             round((greatest(ca / ta, 1e-6) - greatest(cb / tb, 1e-6)) *
+                   ln(greatest(ca / ta, 1e-6) / greatest(cb / tb, 1e-6)), 6) AS psi_r6
+      FROM j, t ORDER BY key"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3317,6 +3369,6 @@ object PipelineQueries {
     qRefIntegrity, qRollingTrend, qMlKfold,
     qTsGaps, qBenford, qCorrMatrix,
     qEventFunnelWindowed, qStickiness, qNegativeSample,
-    qGroupQuantiles, qEpochShuffle,
+    qGroupQuantiles, qEpochShuffle, qTextEntropy, qMixDrift,
   )
 }

@@ -15,6 +15,30 @@ import graft.functions.{NgramKernel, ShingleKernel}
   * multi-space split artifacts real text produces. */
 object KernelPropSpec extends Properties("TextKernels") {
 
+  /** Reference: entropy from a plain code-point frequency map. */
+  private def refEntropy(s: String): Double = {
+    val cps = s.codePoints().toArray
+    if (cps.isEmpty) 0.0
+    else {
+      val n = cps.length.toDouble
+      cps.groupBy(identity).values.map { g =>
+        val p = g.length / n; -p * (math.log(p) / math.log(2.0))
+      }.sum
+    }
+  }
+
+  private val genText: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ', '€', '漢', '\uD83D')).map(_.mkString)
+
+  property("charEntropy matches the frequency-map reference") =
+    forAll(genText) { s =>
+      // lone surrogates round-trip through UTF8String as replacement
+      // chars — normalize the input the way UTF8String will see it
+      val seen = UTF8String.fromString(s).toString
+      val got = graft.functions.EntropyKernel.charEntropy(UTF8String.fromString(s))
+      math.abs(got - refEntropy(seen)) < 1e-12
+    }
+
   private val genWord: Gen[String] =
     Gen.oneOf(Gen.const(""), Gen.oneOf("a", "b", "ab", "xyz", "w1", "€ü"))
   private val genWords: Gen[List[String]] = Gen.choose(0, 50).flatMap(Gen.listOfN(_, genWord))

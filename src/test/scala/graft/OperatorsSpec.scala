@@ -464,6 +464,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got(("a", "k")).isEmpty) // zero-variance column → NULL, as SQL corr
   }
 
+  test("charEntropy: hand values, null-safe column, empty string") {
+    import graft.functions.{CharEntropyExpr, EntropyKernel}
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(EntropyKernel.charEntropy(UTF8String.fromString("aabb")) == 1.0)
+    assert(EntropyKernel.charEntropy(UTF8String.fromString("abcd")) == 2.0)
+    assert(EntropyKernel.charEntropy(UTF8String.fromString("aaaa")) == 0.0)
+    assert(EntropyKernel.charEntropy(UTF8String.fromString("")) == 0.0)
+    val df = Seq(Some("aabb"), Some("zzzz"), None).map(Tuple1(_)).toDF("t")
+      .withColumn("h", CharEntropyExpr($"t"))
+    val got = df.collect().map(r => Option(r.getString(0)) ->
+      Option(r.getAs[java.lang.Double]("h")).map(_.doubleValue)).toMap
+    assert(got(Some("aabb")).contains(1.0) && got(Some("zzzz")).contains(0.0))
+    assert(got(None).isEmpty)
+  }
+
+  test("categoryDrift: shares, one-sided keys finite via epsilon, identical mixes at zero") {
+    import graft.operators.SnapshotDiff
+    val v1 = (Seq.fill(8)("web") ++ Seq.fill(2)("books")).map(Tuple1(_)).toDF("src")
+    val v2 = (Seq.fill(5)("web") ++ Seq.fill(4)("books") ++ Seq("code")).map(Tuple1(_)).toDF("src")
+    val got = SnapshotDiff.categoryDrift(v1, v2, "src").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("web") == ((8L, 5L, 8000L, 5000L, got("web")._5)))
+    assert(got("web")._5 > 0) // share fell: (0.8-0.5)ln(0.8/0.5) > 0
+    val code = got("code")
+    assert(code._1 == 0L && code._3 == 0L && !code._5.isInfinite) // ε-smoothed
+    // identical mixes → psi 0 on every key
+    val same = SnapshotDiff.categoryDrift(v1, v1, "src").collect()
+    assert(same.forall(_.getDouble(5) == 0.0))
+  }
+
   test("madAnomalies MAD floor: a perfectly flat history flags nothing") {
     val rows = Seq.tabulate(5)(d => (new java.sql.Timestamp(86400000L * d), "b"))
     val got = graft.operators.TimeSeries
