@@ -14,18 +14,26 @@ final case class QueryDef(
 )
 
 object QueryDef {
-  /** Loads a testdata table. `events.ts` is parquet TIMESTAMP(NANOS),
-    * which Spark 4 only reads as a nanosecond BIGINT under the legacy
-    * flag — convert it back to a microsecond timestamp here so every
-    * downstream query sees a proper timestamp column (same instants the
-    * DuckDB oracle sees, truncated ns→µs). */
+  /** Loads a testdata table, normalizing `events.ts` to a session-TZ
+    * TimestampType whatever the driver generated this round:
+    * TIMESTAMP(NANOS) parquet arrives as a nanosecond BIGINT under the
+    * legacy flag → convert ns→µs; TIMESTAMP(MICROS) without UTC
+    * adjustment arrives as TIMESTAMP_NTZ → cast (session is pinned
+    * UTC, so the wall clock IS the instant the DuckDB oracle sees).
+    * Downstream queries always see one ts type across rounds. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
     else df
   }
 }
