@@ -84,4 +84,63 @@ object SnapshotDiff {
           log(greatest(col("cnt_a") / col("__ta"), lit(eps)) /
               greatest(col("cnt_b") / col("__tb"), lit(eps))), 6).as("psi_r6"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between a numeric
+    * column of two snapshots: D = max over pooled values of
+    * |F_a(v) − F_b(v)| — the numeric-distribution drift gate next to
+    * [[categoryDrift]]'s categorical PSI (PSI needs binning for
+    * continuous columns; KS is binning-free and exact).
+    *
+    * Scale shape: both sides collapse map-side to (distinct value,
+    * count) rows; the ECDFs come from the same two-level global-cumsum
+    * idiom as `Sessionize.exportShards` — range-repartition on the
+    * value, a per-partition running sum, and a #partitions-row offset
+    * pass — so the only single-task state is partition-count-sized,
+    * never a global sort in one task. The ranged frame is persisted
+    * and materialized before the cumsum/offset fork (the range
+    * exchange is not reproducible across independent evaluations).
+    * One row out: (ks_r6, n_a, n_b, distinct_values). NULL and NaN
+    * values are excluded on both sides. */
+  def ksDrift(v1: DataFrame, v2: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, cnt: String, other: String) =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull && !isnan(col("v")))
+        .groupBy("v").agg(count(lit(1)).as(cnt))
+        .withColumn(other, lit(0L))
+    val u = side(v1, "ca", "cb").unionByName(side(v2, "cb", "ca"))
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val parts = math.max(u.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val within = w.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val ranged = u.repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("ra", sum("ca").over(within))
+      .withColumn("rb", sum("cb").over(within))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // force before the fork below reads it twice
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum("ca").as("__na"), sum("cb").as("__nb"))
+      .withColumn("oa", (sum(col("__na")).over(w.orderBy(col("__pid"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__na")).cast("long"))
+      .withColumn("ob", (sum(col("__nb")).over(w.orderBy(col("__pid"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__nb")).cast("long"))
+      .select("__pid", "oa", "ob")
+    val totals = ranged.agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
+    val out = ranged.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .select(abs((col("ra") + col("oa")).cast("double") / col("__ta") -
+        (col("rb") + col("ob")).cast("double") / col("__tb")).as("__d"))
+      .agg(round(max("__d"), 6).as("ks_r6"))
+      .crossJoin(broadcast(totals.select(col("__ta").cast("long").as("n_a"),
+        col("__tb").cast("long").as("n_b"))))
+      .crossJoin(broadcast(u.agg(count(lit(1)).cast("long").as("distinct_values"))))
+      .select("ks_r6", "n_a", "n_b", "distinct_values")
+    // materialize before unpersist: one row, negligible
+    val row = out.collect()
+    ranged.unpersist()
+    val s = v1.sparkSession
+    s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
+  }
 }

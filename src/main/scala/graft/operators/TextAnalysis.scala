@@ -526,4 +526,43 @@ object TextAnalysis {
         col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
       .select("doc_id", "word", "tf", "df", "tfidf")
   }
+
+  /** Okapi BM25 relevance score of every document against a fixed
+    * query-term set (Robertson/Zaragoza 2009; Lucene's idf variant
+    * `ln(1 + (N-df+0.5)/(df+0.5))`, always positive) — the retrieval
+    * ranking one step past [[tfidf]]'s raw weights, and the standard
+    * relevance-filter for query-targeted corpus curation ("keep docs
+    * that score against these seed queries").
+    *
+    * Scale shape: the corpus is scanned ONCE for (doc length, query
+    * term counts); term rows are filtered to the query set BEFORE the
+    * aggregation, so the per-doc frame carries at most |query| rows per
+    * doc; df and the (N, avgdl) stats are broadcast (|query| rows and
+    * 1 row). No shuffle touches non-query terms. Docs matching no
+    * query term score 0 and are omitted (inner semantics — retrieval
+    * wants the matching set, not the corpus). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val docs = df.select(col(idCol).as("doc_id"),
+        TextFns.words(col(textCol)).as("__w"))
+      .withColumn("__dl", size(col("__w")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      avg("__dl").as("__avgdl"))
+    val termHits = docs
+      .select(col("doc_id"), col("__dl"), explode(col("__w")).as("word"))
+      .filter(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id", "__dl", "word")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val docFreq = termHits.groupBy("word")
+      .agg(countDistinct(col("doc_id")).cast("double").as("__df"))
+    termHits.join(broadcast(docFreq), "word").crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__s", col("__idf") * col("tf") * (k1 + 1.0) /
+        (col("tf") + (lit(1.0 - b) + col("__dl") / col("__avgdl") * b) * k1))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("matched_terms"),
+        sum("__s").as("bm25"))
+  }
 }

@@ -3308,6 +3308,96 @@ object PipelineQueries {
                    ln(greatest(ca / ta, 1e-6) / greatest(cb / tb, 1e-6)), 6) AS psi_r6
       FROM j, t ORDER BY key"""))
 
+  // 114. distributed point-in-interval range join (bucket decomposition,
+  // one hash shuffle — never a BroadcastNestedLoopJoin): total event
+  // load inside each user's first-24h window, ANY user's events (the
+  // non-equi part: no key equality, only the time range).
+  val qRangeJoin = QueryDef("q_range_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val points = ev.select(col("event_id"), col("ts"),
+        col("user_id").as("p_user"))
+      val windows = ev.groupBy(col("user_id").as("w_user"))
+        .agg(min("ts").as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 24 HOURS"))
+        .filter(col("w_user") < 40)
+      graft.operators.RangeJoin.pointInInterval(
+          points, windows, "ts", "w_start", "w_end", bucketWidth = 21600.0)
+        .groupBy("w_user")
+        .agg(count(lit(1)).cast(LongType).as("events_in_window"),
+          countDistinct("p_user").cast(LongType).as("active_users"))
+        .orderBy("w_user")
+    },
+    Some("""
+      WITH w AS (
+        SELECT user_id AS w_user, min(ts) AS w_start,
+               min(ts) + INTERVAL 24 HOUR AS w_end
+        FROM events GROUP BY 1)
+      SELECT w.w_user, CAST(count(*) AS BIGINT) AS events_in_window,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+      FROM w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+      WHERE w.w_user < 40
+      GROUP BY 1 ORDER BY 1"""))
+
+  // 115. Okapi BM25 retrieval scoring against a fixed query-term set —
+  // constants interpolated from the Scala side so both engines run the
+  // bit-identical double expression (shortest-roundtrip repr + CAST).
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+  val qTextBm25 = QueryDef("q_text_bm25",
+    (s, dir) => {
+      graft.operators.TextAnalysis.bm25(
+          table(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", Seq("vector", "merge", "scan"), bmK1, bmB)
+        .select(col("doc_id"), col("matched_terms"),
+          round(col("bm25"), 4).as("bm25_r4"))
+        .orderBy(col("bm25_r4").desc, col("doc_id")).limit(25)
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      t AS (SELECT doc_id, unnest(w) AS word FROM d),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+             FROM t WHERE word IN ('vector', 'merge', 'scan') GROUP BY 1, 2),
+      df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+             FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf *
+               CAST(${bmK1 + 1.0} AS DOUBLE) /
+               (tf.tf + (CAST(${1.0 - bmB} AS DOUBLE) +
+                         dl.dl / st.avgdl * CAST($bmB AS DOUBLE)) *
+                        CAST($bmK1 AS DOUBLE)) AS s
+        FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+             round(sum(s), 4) AS bm25_r4
+      FROM sc GROUP BY 1 ORDER BY bm25_r4 DESC, doc_id LIMIT 25"""))
+
+  // 116. exact two-sample KS drift on a numeric column (doc_id parity
+  // as the snapshots) — the binning-free numeric twin of q_mix_drift.
+  val qKsDrift = QueryDef("q_ks_drift",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.operators.SnapshotDiff.ksDrift(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "n_chars")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(n_chars AS DOUBLE) AS v,
+               sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM v),
+      c AS (SELECT sum(ca) OVER (ORDER BY v) AS ra,
+                   sum(cb) OVER (ORDER BY v) AS rb FROM v)
+      SELECT round(max(abs(CAST(ra AS DOUBLE) / t.ta - CAST(rb AS DOUBLE) / t.tb)), 6) AS ks_r6,
+             CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM v) AS distinct_values
+      FROM c, t GROUP BY t.ta, t.tb"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3370,5 +3460,6 @@ object PipelineQueries {
     qTsGaps, qBenford, qCorrMatrix,
     qEventFunnelWindowed, qStickiness, qNegativeSample,
     qGroupQuantiles, qEpochShuffle, qTextEntropy, qMixDrift,
+    qRangeJoin, qTextBm25, qKsDrift,
   )
 }

@@ -1392,4 +1392,69 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(Multimodal.decodeBatches(df2, "payload"))(9L) ==
       Seq("wav", 0, 0, 16, 2, 44100, 2))
   }
+
+  test("range join: closed bounds, multi-bucket intervals, empty intervals dropped") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 10.0), (2L, 25.0), (3L, 40.0), (4L, 55.0))
+      .toDF("pid", "p")
+    val intervals = Seq(
+      (100L, 10.0, 40.0),   // multi-bucket (w=16): buckets 0..2; hits 10, 25, 40
+      (200L, 41.0, 41.5),   // hits nothing
+      (300L, 55.0, 55.0),   // degenerate single point: hits 55 (closed)
+      (400L, 60.0, 50.0),   // end < start: dropped, no pairs
+    ).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", 16.0)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 1L), (100L, 2L), (100L, 3L), (300L, 4L)))
+    // boundary points are INCLUSIVE on both ends (10 and 40 in [10, 40])
+    assert(got((100L, 1L)) && got((100L, 3L)))
+    // overlapping column names are rejected loudly
+    val clash = intervals.withColumnRenamed("iid", "pid")
+    assertThrows[IllegalArgumentException](
+      RangeJoin.pointInInterval(points, clash, "p", "s", "e", 16.0))
+  }
+
+  test("bm25 ranks rarer query terms higher and matches a hand computation") {
+    val corpus = Seq(
+      (0L, "spark spark spark common common"),  // tf(spark)=3, dl=5
+      (1L, "spark common common common common"),
+      (2L, "common common common common rare"), // only doc with 'rare'
+      (3L, "other words entirely here now"),
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.bm25(corpus, "doc_id", "text",
+      Seq("spark", "rare"), k1 = 1.2, b = 0.75)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("matched_terms"), r.getAs[Double]("bm25"))).toMap
+    // doc 3 matches nothing → absent (inner semantics)
+    assert(!scored.contains(3L) && scored.keySet == Set(0L, 1L, 2L))
+    // hand computation for doc 2 / 'rare': N=4, df=1, tf=1, dl=5, avgdl=5
+    val idfRare = math.log(1.0 + (4.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    val expected2 = idfRare * 1.0 * 2.2 / (1.0 + (0.25 + 5.0 / 5.0 * 0.75) * 1.2)
+    assert(math.abs(scored(2L)._2 - expected2) < 1e-12)
+    // 'rare' (df=1) outscores 'spark' at same tf: doc 2 beats doc 1
+    assert(scored(2L)._2 > scored(1L)._2)
+    // higher tf raises the score monotonically: doc 0 beats doc 1
+    assert(scored(0L)._2 > scored(1L)._2)
+  }
+
+  test("ks drift: zero on identical samples, large on disjoint, exact on a hand case") {
+    import graft.operators.SnapshotDiff
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val same = SnapshotDiff.ksDrift(a, a, "v").collect().head
+    assert(same.getAs[Double]("ks_r6") == 0.0)
+    assert(same.getAs[Long]("n_a") == 4 && same.getAs[Long]("n_b") == 4)
+    val b = Seq(10.0, 11.0, 12.0, 13.0).toDF("v")
+    assert(SnapshotDiff.ksDrift(a, b, "v").collect()
+      .head.getAs[Double]("ks_r6") == 1.0)
+    // hand case: a={1,2,2,4}, b={2,3}: ECDF diffs at pooled values
+    //   v=1: |1/4 - 0|   = 0.25
+    //   v=2: |3/4 - 1/2| = 0.25
+    //   v=3: |3/4 - 1|   = 0.25
+    //   v=4: |1 - 1|     = 0
+    val h = SnapshotDiff.ksDrift(
+      Seq(1.0, 2.0, 2.0, 4.0).toDF("v"), Seq(2.0, 3.0).toDF("v"), "v")
+      .collect().head
+    assert(h.getAs[Double]("ks_r6") == 0.25)
+    assert(h.getAs[Long]("distinct_values") == 4)
+  }
 }
