@@ -363,6 +363,88 @@ object Profile {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** Per-group Gini coefficient of a non-negative numeric column —
+    * the concentration audit ("is one source's token mass dominated by
+    * a handful of giant docs?") next to the share-based corpus card.
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over each group's ascending
+    * sort; 0 = perfectly even, →1 = one row holds everything.
+    *
+    * Ranks come from a window PARTITIONED BY the group (parallelism
+    * from the key — same shape and same one-giant-group caveat as
+    * [[groupQuantiles]]; a single global group wants the two-level
+    * [[exactQuantiles]] idiom instead). Tied values contribute
+    * identically under any tie order, so the result is deterministic.
+    * Integer inputs keep Σ i·xᵢ exact up to 2⁵³. All-zero or empty
+    * groups → NULL (undefined), negative values are rejected upstream
+    * by the caller (Gini is defined for non-negative quantities). */
+  def giniByGroup(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("key"), col(valueCol).cast(LongType).as("__x"))
+      .withColumn("__i", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("__x"))))
+      .groupBy("key")
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__s"),
+        sum(col("__i") * col("__x")).as("__is"))
+      .select(col("key"), col("__n").cast(LongType).as("n_rows"),
+        col("__s").cast(LongType).as("total"),
+        when(col("__s") > 0,
+          round(lit(2.0) * col("__is").cast("double") /
+              (col("__n").cast("double") * col("__s").cast("double")) -
+            (col("__n") + 1).cast("double") / col("__n").cast("double"), 6))
+          .as("gini_r6"))
+  }
+
+  /** Association strength between two CATEGORICAL columns: mutual
+    * information (nats) and Cramér's V — what [[corrMatrix]] answers
+    * for numeric pairs ("is lang redundant given source?"; V ≈ 1 says
+    * one column determines the other, worth the same redundancy /
+    * leakage look as a high numeric corr).
+    *
+    * One contingency rollup (map-side combined, |X|·|Y| cells) + tiny
+    * broadcast margins; MI sums over observed cells, χ² over the full
+    * margin cross (zero cells carry (0−e)²/e = e). All counts and
+    * count products are exact integers below 2⁵³ (documented bound:
+    * n·max(n_x)·max(n_y) must stay under it — true far past trillion-
+    * row tables for bounded category counts). Degenerate single-
+    * category columns → NULL V (min(r,c)−1 = 0). */
+  def categoricalAssociation(df: DataFrame, colA: String,
+                             colB: String): DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val ma = cells.groupBy("__a").agg(sum("__nab").as("__na"))
+    val mb = cells.groupBy("__b").agg(sum("__nab").as("__nb"))
+    val tot = cells.agg(sum("__nab").as("__n"),
+      countDistinct("__a").as("__ra"), countDistinct("__b").as("__rb"))
+    val full = broadcast(ma).crossJoin(broadcast(mb))
+      .join(cells, Seq("__a", "__b"), "left")
+      .select(col("__na"), col("__nb"), coalesce(col("__nab"), lit(0L)).as("__o"))
+      .crossJoin(broadcast(tot))
+    full.select(
+        // MI term only where o > 0; χ² term everywhere (e > 0 always)
+        when(col("__o") > 0, col("__o").cast("double") / col("__n") *
+          log(col("__o").cast("double") * col("__n") /
+            (col("__na").cast("double") * col("__nb")))).otherwise(lit(0.0)).as("__mi"),
+        (col("__o").cast("double") - col("__na").cast("double") * col("__nb") / col("__n"))
+          .as("__om"),
+        (col("__na").cast("double") * col("__nb") / col("__n")).as("__e"),
+        col("__n"), col("__ra"), col("__rb"))
+      .agg(round(sum("__mi"), 6).as("mi_r6"),
+        sum(col("__om") * col("__om") / col("__e")).as("__chi2"),
+        first("__n").as("__n"), first("__ra").as("__ra"), first("__rb").as("__rb"))
+      .select(col("mi_r6"),
+        when(least(col("__ra"), col("__rb")) > 1,
+          round(sqrt(col("__chi2") /
+            (col("__n").cast("double") * (least(col("__ra"), col("__rb")) - 1))), 6))
+          .as("cramers_v_r6"),
+        col("__n").cast(LongType).as("n"),
+        (col("__ra") * col("__rb")).cast(LongType).as("cells"))
+  }
+
   /** Suggests a contract from profile + schema: non-nullable where no
     * nulls observed, allowed_values for low-cardinality strings, range
     * for numerics — the data-driven `init --strict` the reference's

@@ -378,6 +378,37 @@ object Sampling {
       .filter(col("__rk") <= quota).drop("__rk")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): k rows drawn with inclusion odds proportional to
+    * `weightCol`, deterministic and portable — each row's draw key is
+    * ln(u)/w with u ∈ (0, 1] from the first 8 md5 hex chars of
+    * "<key>:<seed>" (the [[portableSplit]] hash family), and the k
+    * LARGEST keys win (equivalently the top u^(1/w) of the classic
+    * formulation). No RNG state, stable under reshuffles and appends,
+    * replayable in any engine with md5 — the quality-weighted
+    * subsample step of a curation pipeline ("keep 1M docs, prefer
+    * high-quality ones") with none of `df.sample`'s seed-and-
+    * partitioning nondeterminism.
+    *
+    * Scale: map-only key computation + a distributed top-k
+    * (TakeOrdered — per-partition heaps, never a global sort). Rows
+    * with NULL or non-positive weight are excluded (zero-weight rows
+    * can never be drawn; A-ES is undefined for them). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: Int = 42): DataFrame = {
+    require(k > 0, "k must be positive")
+    // u = (first-8-hex-of-md5 + 1) / 2^32 ∈ (2^-32, 1] — exact dyadic,
+    // so ln(u) is evaluated on bit-identical inputs in every engine
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(s":$seed"))), 1, 8), 16, 10).cast("double") + 1.0) /
+      lit(4294967296.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__ak", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__ak").desc, col(keyCol))
+      .limit(k)
+      .drop("__ak")
+  }
+
   private def requireRecipe(weights: Seq[(String, Double)]): Unit = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
     val dups = weights.groupBy(_._1).collect { case (k, ws) if ws.size > 1 => k }

@@ -121,4 +121,56 @@ object TimeSeries {
         expr("(cnt * __n - __s) * 10000 DIV __s").cast(LongType))
       .drop("__s", "__n")
   }
+
+  /** Lag-k autocorrelation of each key's DAILY event-count series —
+    * the seasonality detector next to [[rollingTrend]]'s smoothing and
+    * [[madAnomalies]]'s outliers (acf(7) ≈ 1 says "weekly-periodic
+    * load"; acf(1) near 0 says day-to-day counts are independent).
+    *
+    * The series is DENSE: each key's [min_day, max_day] calendar is
+    * generated and absent days count 0 (a day with no events IS a zero
+    * observation — lagging over only-present days would silently
+    * compare across gaps). Pearson r at each requested lag comes from
+    * the six integer sums (n, Σx, Σy, Σxy, Σx², Σy²) — exact, so both
+    * engines evaluate identical doubles; zero-variance series → NULL.
+    *
+    * Scale: events collapse map-side to keys × calendar rows; the
+    * calendar explode is span-bounded per key; the lag window
+    * partitions by key over those bounded frames — never the event
+    * volume, never a global window. */
+  def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
+                      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).cast(LongType).as("__c"))
+    val cal = counts.groupBy("key")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(col("key"), explode(expr(
+        "sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    val dense = cal.join(counts, Seq("key", "__d"), "left")
+      .select(col("key"), col("__d"), coalesce(col("__c"), lit(0L)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__d"))
+    lags.map { k =>
+      dense.withColumn("y", lag(col("x"), k).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy("key")
+        .agg(count(lit(1)).as("__n"), sum("x").as("__sx"), sum("y").as("__sy"),
+          sum(col("x") * col("y")).as("__sxy"),
+          sum(col("x") * col("x")).as("__sxx"),
+          sum(col("y") * col("y")).as("__syy"))
+        .withColumn("__vx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .withColumn("__vy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+        .select(col("key"), lit(k).cast(LongType).as("lag"),
+          col("__n").cast(LongType).as("n_pairs"),
+          // explicit zero-variance guard: NULL, never NaN (engines
+          // disagree on double 0/0; SQL convention is NULL-on-undefined)
+          when(col("__vx") > 0 && col("__vy") > 0,
+            round((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+              sqrt(col("__vx").cast("double") * col("__vy").cast("double")), 4))
+            .as("acf_r4"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -3398,6 +3398,116 @@ object PipelineQueries {
              (SELECT CAST(count(*) AS BIGINT) FROM v) AS distinct_values
       FROM c, t GROUP BY t.ta, t.tb"""))
 
+  // 117. lag-k autocorrelation of each event type's dense daily-count
+  // series (absent days are zero observations) — the seasonality
+  // detector next to rolling trend / MAD / calendar gaps.
+  val qTsAcf = QueryDef("q_ts_acf",
+    (s, dir) => {
+      graft.operators.TimeSeries.autocorrelation(
+          table(s, dir, "events"), "event_type", "ts", Seq(1, 7))
+        .orderBy("key", "lag")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(ts AS DATE) AS d,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT key, min(d) AS lo, max(d) AS hi FROM c GROUP BY 1),
+      cal AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+              FROM span),
+      s AS (SELECT cal.key, cal.d, coalesce(c.c, 0) AS x
+            FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      l1 AS (SELECT key, 1 AS lag, x,
+                    lag(x, 1) OVER (PARTITION BY key ORDER BY d) AS y FROM s),
+      l7 AS (SELECT key, 7 AS lag, x,
+                    lag(x, 7) OVER (PARTITION BY key ORDER BY d) AS y FROM s),
+      l AS (SELECT * FROM l1 UNION ALL SELECT * FROM l7),
+      a AS (SELECT key, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM l WHERE y IS NOT NULL GROUP BY 1, 2)
+      SELECT key, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(n * syy - sy * sy AS DOUBLE)), 4)
+             END AS acf_r4
+      FROM a ORDER BY key, lag"""))
+
+  // 118. per-source Gini concentration of document mass — "is one
+  // source's token budget held by a handful of giant docs".
+  val qGini = QueryDef("q_gini",
+    (s, dir) => {
+      graft.operators.Profile.giniByGroup(
+          table(s, dir, "documents"), "source", "n_chars")
+        .orderBy("key")
+    },
+    Some("""
+      WITH x AS (SELECT source AS key, n_chars AS x,
+                        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+                 FROM documents WHERE n_chars IS NOT NULL),
+      a AS (SELECT key, count(*) AS n, sum(x) AS s, sum(i * x) AS isum
+            FROM x GROUP BY 1)
+      SELECT key, CAST(n AS BIGINT) AS n_rows, CAST(s AS BIGINT) AS total,
+             CASE WHEN s > 0 THEN
+               round(2.0 * CAST(isum AS DOUBLE) /
+                       (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) -
+                     CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             END AS gini_r6
+      FROM a ORDER BY key"""))
+
+  // 119. categorical association (mutual information + Cramér's V)
+  // between source and lang — the categorical twin of q_corr_matrix.
+  val qCatAssoc = QueryDef("q_cat_assoc",
+    (s, dir) => {
+      graft.operators.Profile.categoricalAssociation(
+        table(s, dir, "documents"), "source", "lang")
+    },
+    Some("""
+      WITH c AS (SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+                 FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+                 GROUP BY 1, 2),
+      ma AS (SELECT a, sum(o) AS na FROM c GROUP BY 1),
+      mb AS (SELECT b, sum(o) AS nb FROM c GROUP BY 1),
+      t AS (SELECT sum(o) AS n, count(DISTINCT a) AS ra, count(DISTINCT b) AS rb
+            FROM c),
+      f AS (SELECT ma.na AS na, mb.nb AS nb, coalesce(c.o, 0) AS o
+            FROM ma CROSS JOIN mb LEFT JOIN c ON c.a = ma.a AND c.b = mb.b),
+      g AS (SELECT CASE WHEN o > 0 THEN
+                     CAST(o AS DOUBLE) / t.n *
+                     ln(CAST(o AS DOUBLE) * t.n / (CAST(na AS DOUBLE) * nb))
+                   ELSE 0.0 END AS mi,
+                   CAST(o AS DOUBLE) - CAST(na AS DOUBLE) * nb / t.n AS om,
+                   CAST(na AS DOUBLE) * nb / t.n AS e,
+                   t.n AS n, t.ra AS ra, t.rb AS rb
+            FROM f, t)
+      SELECT round(sum(mi), 6) AS mi_r6,
+             CASE WHEN least(any_value(ra), any_value(rb)) > 1 THEN
+               round(sqrt(sum(om * om / e) /
+                 (CAST(any_value(n) AS DOUBLE) *
+                  (least(any_value(ra), any_value(rb)) - 1))), 6)
+             END AS cramers_v_r6,
+             CAST(any_value(n) AS BIGINT) AS n,
+             CAST(any_value(ra) * any_value(rb) AS BIGINT) AS cells
+      FROM g"""))
+
+  // 120. deterministic weighted sampling without replacement (A-ES,
+  // portable md5 draw keys) — quality-weighted subsampling with no RNG
+  // state; here weighted by document length.
+  val qWeightedSample = QueryDef("q_weighted_sample",
+    (s, dir) => {
+      graft.operators.Sampling.weightedSample(
+          table(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT AS DOUBLE)
+                   + 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS ak
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      top AS (SELECT doc_id, n_chars FROM w ORDER BY ak DESC, doc_id LIMIT 50)
+      SELECT doc_id, n_chars FROM top ORDER BY doc_id"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3461,5 +3571,6 @@ object PipelineQueries {
     qEventFunnelWindowed, qStickiness, qNegativeSample,
     qGroupQuantiles, qEpochShuffle, qTextEntropy, qMixDrift,
     qRangeJoin, qTextBm25, qKsDrift,
+    qTsAcf, qGini, qCatAssoc, qWeightedSample,
   )
 }

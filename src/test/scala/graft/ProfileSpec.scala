@@ -123,4 +123,42 @@ class ProfileSpec extends SparkSpec {
     assert(report.nonEmpty && report.forall(_.getAs[Boolean]("passed")),
       report.mkString(";"))
   }
+
+  test("giniByGroup: 0 on even mass, hand case, NULL on all-zero groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("even", 5L), ("even", 5L), ("even", 5L), ("even", 5L),
+      ("skew", 0L), ("skew", 0L), ("skew", 0L), ("skew", 10L),
+      ("zero", 0L), ("zero", 0L),
+    ).toDF("src", "x")
+    val g = Profile.giniByGroup(df, "src", "x").collect()
+      .map(r => r.getAs[String]("key") ->
+        Option(r.getAs[java.lang.Double]("gini_r6"))).toMap
+    assert(g("even").contains(0.0))
+    // skew hand case: sorted 0,0,0,10; G = 2*(4*10)/(4*10) - 5/4 = 0.75
+    assert(g("skew").contains(0.75))
+    assert(g("zero").isEmpty) // undefined, never NaN
+  }
+
+  test("categoricalAssociation: V=1 when columns determine each other, ~0 when independent") {
+    import spark.implicits._
+    // perfectly dependent: b = f(a)
+    val dep = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"), ("z", "3"))
+      .toDF("a", "b")
+    val d = Profile.categoricalAssociation(dep, "a", "b").collect().head
+    assert(d.getAs[Double]("cramers_v_r6") == 1.0)
+    assert(d.getAs[Long]("cells") == 9 && d.getAs[Long]("n") == 5)
+    // mi for the dependent case = H(a) = -(2/5 ln 2/5)*2 - 1/5 ln 1/5
+    val miExp = BigDecimal(-2 * (2.0 / 5 * math.log(2.0 / 5)) - 1.0 / 5 * math.log(1.0 / 5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(d.getAs[Double]("mi_r6") - miExp) < 2e-6)
+    // independent uniform 2x2: MI = 0, V = 0
+    val ind = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")).toDF("a", "b")
+    val i = Profile.categoricalAssociation(ind, "a", "b").collect().head
+    assert(i.getAs[Double]("mi_r6") == 0.0 && i.getAs[Double]("cramers_v_r6") == 0.0)
+    // degenerate single-category column → NULL V, not a crash
+    val deg = Seq(("x", "1"), ("x", "2")).toDF("a", "b")
+    assert(Profile.categoricalAssociation(deg, "a", "b").collect()
+      .head.getAs[java.lang.Double]("cramers_v_r6") == null)
+  }
 }

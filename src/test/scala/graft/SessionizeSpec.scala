@@ -365,4 +365,47 @@ class SessionizeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(v("a") == ((3L, 2L)) && v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
   }
+
+  test("weightedSample replays the A-ES draw by hand; excludes non-positive weights") {
+    // weights grow with id so the hand replay exercises varied draws
+    val rows = (1L to 20L).map(id => (id, id.toDouble))
+    val df = rows.toDF("id", "w")
+    def handKey(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+      math.log(u) / w
+    }
+    val expect = rows.map { case (id, w) => (id, handKey(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(5).map(_._1).toSet
+    val got = Sampling.weightedSample(df, "id", "w", k = 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == expect)
+    // deterministic across runs; zero/null weights can never be drawn
+    assert(Sampling.weightedSample(df, "id", "w", k = 5)
+      .collect().map(_.getAs[Long]("id")).toSet == expect)
+    val withZero = df.withColumn("w", when($"id" === 1L, 0.0).otherwise($"w"))
+    assert(!Sampling.weightedSample(withZero, "id", "w", k = 19)
+      .collect().map(_.getAs[Long]("id")).contains(1L))
+  }
+
+  test("autocorrelation: periodic series, zero-filled gaps, flat series NULL") {
+    import graft.operators.TimeSeries
+    def ts(day: Int, n: Int, key: String) = (1 to n).map(i =>
+      (key, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:0${i % 10}")))
+    // "p": daily counts 1,3,1,3,1,3 → acf(1) = -1, acf(2) = +1
+    val p = (1 to 6).flatMap(d => ts(d, if (d % 2 == 1) 1 else 3, "p"))
+    // "gap": counts 2,0,2 — the dense calendar must fill day 2 with 0
+    val g = ts(1, 2, "gap") ++ ts(3, 2, "gap")
+    // "flat": constant series → zero variance → NULL, never NaN
+    val f = (1 to 3).flatMap(d => ts(d, 1, "flat"))
+    val df = (p ++ g ++ f).toDF("k", "t")
+    val acf = TimeSeries.autocorrelation(df, "k", "t", Seq(1, 2)).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("lag")) ->
+        Option(r.getAs[java.lang.Double]("acf_r4")).map(_.doubleValue)).toMap
+    assert(acf(("p", 1L)).contains(-1.0) && acf(("p", 2L)).contains(1.0))
+    assert(acf(("gap", 1L)).contains(-1.0)) // pairs (0,2),(2,0) off the dense series
+    assert(acf(("flat", 1L)).isEmpty)
+  }
 }
