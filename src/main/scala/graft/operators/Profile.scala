@@ -398,6 +398,81 @@ object Profile {
           .as("gini_r6"))
   }
 
+  /** Exact corpus-relative percentile rank of a numeric column,
+    * attached per row as `pct_bp` ∈ [0, 10000]: count-of-strictly-
+    * smaller · 10000 DIV (n−1) — SQL `percent_rank` semantics (ties
+    * share the min rank), in exact integer bp. The score-normalization
+    * step before a corpus-relative threshold ("drop the bottom decile
+    * by quality") — absolute thresholds drift with the corpus, ranks
+    * don't.
+    *
+    * Never a global window: values collapse map-side to (distinct
+    * value, count); strictly-smaller counts come from the exportShards
+    * two-level global-cumsum idiom (range repartition → per-partition
+    * running sum → #partitions-row offset pass, persisted and
+    * materialized before the fork); rows get their rank back through
+    * one equi-join on the value. NULL values pass through with NULL
+    * pct_bp; a single-row input ranks 0. */
+  def percentileRank(df: DataFrame, valueCol: String): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+    val parts = math.max(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val ranged = vals.repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__run", sum("__c").over(within))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // materialize before the offsets/join fork
+    val offsets = ranged.groupBy("__pid").agg(sum("__c").as("__pc"))
+      .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast("long"))
+      .select("__pid", "__off")
+    val tot = vals.agg(sum("__c").as("__n"))
+    val rank = ranged.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(tot))
+      .select(col("__v"),
+        when(col("__n") > 1,
+          expr("(__run + __off - __c) * 10000 DIV (__n - 1)").cast(LongType))
+          .otherwise(lit(0L)).as("pct_bp"))
+    val out = df.join(rank, df(valueCol) === rank("__v"), "left").drop("__v")
+    out
+  }
+
+  /** Functional-dependency audit `det → dep`: does the determinant
+    * column decide the dependent one? Reports, per checked pair, the
+    * determinant count, how many determinants map to >1 distinct
+    * dependent value, the rows living under those violating
+    * determinants, and the verdict — the cross-column consistency test
+    * (one order_id → one customer; one doc_id → one source) that
+    * single-column constraints cannot express, next to the cross-TABLE
+    * referential check. One map-combined rollup per pair; NULL
+    * dependents count as a value (a det mapping to {x, NULL} is NOT
+    * functional — SQL distinctness treats NULL as one group). */
+  def functionalDependency(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (det, dep) pair")
+    pairs.map { case (det, dep) =>
+      df.filter(col(det).isNotNull)
+        .groupBy(col(det).as("__k"))
+        // NULL counts as one dependent value, with no string sentinel
+        // (sentinels can collide with real data): distinct non-nulls
+        // + 1 iff any null is present
+        .agg((countDistinct(col(dep)) +
+          max(when(col(dep).isNull, 1L).otherwise(0L))).as("__nd"),
+          count(lit(1)).as("__rows"))
+        .agg(count(lit(1)).as("__dets"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("__viol"),
+          sum(when(col("__nd") > 1, col("__rows")).otherwise(0L)).as("__vrows"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          col("__dets").cast(LongType).as("determinants"),
+          col("__viol").cast(LongType).as("violating_determinants"),
+          coalesce(col("__vrows"), lit(0L)).cast(LongType).as("violation_rows"),
+          (col("__viol") === 0L).as("fd_holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Association strength between two CATEGORICAL columns: mutual
     * information (nats) and Cramér's V — what [[corrMatrix]] answers
     * for numeric pairs ("is lang redundant given source?"; V ≈ 1 says

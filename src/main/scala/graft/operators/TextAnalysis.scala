@@ -565,4 +565,75 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("matched_terms"),
         sum("__s").as("bm25"))
   }
+
+  /** Jensen–Shannon divergence (nats) between the word distributions
+    * of two corpus slices — the vocabulary-level drift gate: PSI
+    * (SnapshotDiff.categoryDrift) compares slice SHARES, KS compares a
+    * numeric column; JS answers "do these two sources speak the same
+    * language", symmetric and bounded by ln 2, with no smoothing
+    * needed (one-sided words contribute p/2·ln 2 finitely by
+    * construction).
+    *
+    * Two map-side word counts + ONE full-outer join on the word +
+    * one aggregation — linear in tokens, |vocab|-bounded after the
+    * rollups. Counts are exact integers, so both engines evaluate
+    * identical doubles. Returns one row: (js_r6, vocab_a, vocab_b,
+    * vocab_union). */
+  def vocabJsDivergence(df: DataFrame, textCol: String, groupCol: String,
+                        groupA: String, groupB: String): DataFrame = {
+    def counts(g: String, cnt: String) =
+      df.filter(col(groupCol) === g && col(textCol).isNotNull)
+        .select(explode(TextFns.words(col(textCol))).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).as(cnt))
+    val joined = counts(groupA, "__ca").join(counts(groupB, "__cb"),
+        Seq("__w"), "full_outer")
+      .select(col("__w"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = joined.agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
+    joined.crossJoin(broadcast(tot))
+      .select(
+        (col("__ca").cast("double") / col("__ta")).as("__p"),
+        (col("__cb").cast("double") / col("__tb")).as("__q"),
+        col("__ca"), col("__cb"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2.0)
+      .agg(
+        round(
+          sum(when(col("__p") > 0, col("__p") * log(col("__p") / col("__m")))
+            .otherwise(lit(0.0))) * 0.5 +
+          sum(when(col("__q") > 0, col("__q") * log(col("__q") / col("__m")))
+            .otherwise(lit(0.0))) * 0.5, 6).as("js_r6"),
+        sum(when(col("__ca") > 0, 1L).otherwise(0L)).cast("long").as("vocab_a"),
+        sum(when(col("__cb") > 0, 1L).otherwise(0L)).cast("long").as("vocab_b"),
+        count(lit(1)).cast("long").as("vocab_union"))
+  }
+
+  /** Flesch reading-ease per document + per-group rollup, with the
+    * classic vowel-run syllable heuristic (runs of [aeiouy] per word,
+    * min 1): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words); sentences from [.!?]+ runs, min 1. The readability
+    * feature of a quality cascade — fully SQL-replayable (no
+    * dictionary), whitespace-token convention shared with
+    * [[tokenCounts]]. One explode + two rollups, linear. */
+  def readability(df: DataFrame, idCol: String, textCol: String,
+                  groupCol: String): DataFrame = {
+    val perDoc = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("double").as("__sent"),
+        explode(TextFns.words(col(textCol))).as("__w"))
+      .withColumn("__syl",
+        greatest(size(regexp_extract_all(col("__w"), lit("[aeiouy]+"), lit(0))),
+          lit(1)).cast("double"))
+      .groupBy("__id", "__g", "__sent")
+      .agg(count(lit(1)).cast("double").as("__words"), sum("__syl").as("__syls"))
+      .withColumn("__fre",
+        lit(206.835) - lit(1.015) * (col("__words") / col("__sent")) -
+          lit(84.6) * (col("__syls") / col("__words")))
+    perDoc.groupBy(col("__g").as("key"))
+      .agg(count(lit(1)).cast("long").as("docs"),
+        round(avg("__fre"), 4).as("mean_fre_r4"),
+        round(min("__fre"), 4).as("min_fre_r4"),
+        round(max("__fre"), 4).as("max_fre_r4"))
+  }
 }

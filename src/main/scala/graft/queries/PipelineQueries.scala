@@ -3508,6 +3508,119 @@ object PipelineQueries {
       top AS (SELECT doc_id, n_chars FROM w ORDER BY ak DESC, doc_id LIMIT 50)
       SELECT doc_id, n_chars FROM top ORDER BY doc_id"""))
 
+  // 121. Jensen–Shannon divergence between two sources' word
+  // distributions — vocabulary-level drift, symmetric, bounded ln 2.
+  val qJsDiv = QueryDef("q_js_div",
+    (s, dir) => {
+      graft.operators.TextAnalysis.vocabJsDivergence(
+        table(s, dir, "documents"), "text", "source", "src0", "src1")
+    },
+    Some("""
+      WITH ca AS (SELECT w, count(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents
+              WHERE source = 'src0' AND text IS NOT NULL) GROUP BY 1),
+      cb AS (SELECT w, count(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents
+              WHERE source = 'src1' AND text IS NOT NULL) GROUP BY 1),
+      j AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+            FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+      t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j),
+      m AS (SELECT CAST(ca AS DOUBLE) / t.ta AS p, CAST(cb AS DOUBLE) / t.tb AS q,
+                   (CAST(ca AS DOUBLE) / t.ta + CAST(cb AS DOUBLE) / t.tb) / 2.0 AS m,
+                   ca, cb
+            FROM j, t)
+      SELECT round(sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END) * 0.5 +
+                   sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END) * 0.5, 6) AS js_r6,
+             CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+             CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+             CAST(count(*) AS BIGINT) AS vocab_union
+      FROM m"""))
+
+  // 122. exact percentile-rank normalization (two-level cumsum, never
+  // a global window) — corpus-relative score thresholds.
+  val qPctRank = QueryDef("q_pct_rank",
+    (s, dir) => {
+      graft.operators.Profile.percentileRank(
+          table(s, dir, "documents").filter(col("n_chars").isNotNull),
+          "n_chars")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("n_chars"), col("pct_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH r AS (SELECT doc_id, n_chars,
+                   (rank() OVER (ORDER BY n_chars) - 1) * 10000 //
+                     ((SELECT count(*) FROM documents WHERE n_chars IS NOT NULL) - 1)
+                     AS pct_bp
+                 FROM documents WHERE n_chars IS NOT NULL)
+      SELECT doc_id, n_chars, CAST(pct_bp AS BIGINT) AS pct_bp
+      FROM r WHERE doc_id < 30 ORDER BY doc_id"""))
+
+  // 123. functional-dependency audit: does det decide dep — the
+  // cross-column consistency check single-column constraints miss.
+  val qFdCheck = QueryDef("q_fd_check",
+    (s, dir) => {
+      graft.operators.Profile.functionalDependency(
+          table(s, dir, "documents"),
+          Seq(("doc_id", "source"), ("lang", "source")))
+        .orderBy("det")
+    },
+    Some("""
+      WITH g1 AS (SELECT doc_id AS k,
+                         count(DISTINCT source) +
+                           max(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nd,
+                         count(*) AS c
+                  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+      g2 AS (SELECT lang AS k,
+                    count(DISTINCT source) +
+                      max(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nd,
+                    count(*) AS c
+             FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      u AS (
+        SELECT 'doc_id' AS det, 'source' AS dep,
+               CAST(count(*) AS BIGINT) AS determinants,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violating_determinants,
+               CAST(coalesce(sum(CASE WHEN nd > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+                 AS violation_rows,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+        FROM g1
+        UNION ALL
+        SELECT 'lang', 'source', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN nd > 1 THEN c ELSE 0 END), 0) AS BIGINT),
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+        FROM g2)
+      SELECT * FROM u ORDER BY det"""))
+
+  // 124. Flesch reading-ease per source (vowel-run syllable heuristic,
+  // dictionary-free so fully replayable).
+  val qReadability = QueryDef("q_readability",
+    (s, dir) => {
+      graft.operators.TextAnalysis.readability(
+          table(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("key")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, text,
+                        greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent
+                 FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      w AS (SELECT doc_id, source, sent,
+                   unnest(string_split(text, ' ')) AS word FROM d),
+      s AS (SELECT doc_id, source, sent, CAST(count(*) AS DOUBLE) AS words,
+                   sum(CAST(greatest(len(regexp_extract_all(word, '[aeiouy]+')), 1)
+                       AS DOUBLE)) AS syls
+            FROM w GROUP BY 1, 2, 3),
+      f AS (SELECT source,
+                   206.835 - 1.015 * (words / CAST(sent AS DOUBLE)) -
+                   84.6 * (syls / words) AS fre
+            FROM s)
+      SELECT source AS key, CAST(count(*) AS BIGINT) AS docs,
+             round(avg(fre), 4) AS mean_fre_r4,
+             round(min(fre), 4) AS min_fre_r4,
+             round(max(fre), 4) AS max_fre_r4
+      FROM f GROUP BY 1 ORDER BY 1"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3572,5 +3685,6 @@ object PipelineQueries {
     qGroupQuantiles, qEpochShuffle, qTextEntropy, qMixDrift,
     qRangeJoin, qTextBm25, qKsDrift,
     qTsAcf, qGini, qCatAssoc, qWeightedSample,
+    qJsDiv, qPctRank, qFdCheck, qReadability,
   )
 }

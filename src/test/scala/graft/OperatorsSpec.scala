@@ -1437,6 +1437,38 @@ class OperatorsSpec extends SparkSpec {
     assert(scored(0L)._2 > scored(1L)._2)
   }
 
+  test("vocab JS divergence: 0 identical, ln2 disjoint, hand case") {
+    val df = Seq(
+      ("a", "x x"), ("b", "x y"),          // hand case slices
+      ("c", "p q r"), ("d", "p q r"),      // identical slices
+      ("e", "aa bb"), ("f", "cc dd"),      // disjoint vocab
+    ).toDF("source", "text")
+    def js(a: String, b: String) =
+      TextAnalysis.vocabJsDivergence(df, "text", "source", a, b)
+        .collect().head.getAs[Double]("js_r6")
+    assert(js("c", "d") == 0.0)
+    assert(js("e", "f") == BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a={x:1}, b={x:.5,y:.5}: JS = .5[ln(4/3)] + .5[.5 ln(2/3) + .5 ln 2]
+    val exp = 0.5 * math.log(1 / 0.75) +
+      0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(2.0))
+    assert(math.abs(js("a", "b") - exp) < 2e-6)
+    val row = TextAnalysis.vocabJsDivergence(df, "text", "source", "a", "b")
+      .collect().head
+    assert(row.getAs[Long]("vocab_a") == 1 && row.getAs[Long]("vocab_b") == 2 &&
+      row.getAs[Long]("vocab_union") == 2)
+  }
+
+  test("readability: hand-computed Flesch with vowel-run syllables") {
+    val df = Seq((1L, "g1", "the cat. ran far!")).toDF("id", "src", "text")
+    val r = TextAnalysis.readability(df, "id", "text", "src").collect().head
+    // 2 sentences, 4 words, 4 syllables:
+    // 206.835 - 1.015*(4/2) - 84.6*(4/4) = 120.205
+    assert(r.getAs[Long]("docs") == 1)
+    assert(r.getAs[Double]("mean_fre_r4") == 120.205)
+    assert(r.getAs[Double]("min_fre_r4") == r.getAs[Double]("max_fre_r4"))
+  }
+
   test("ks drift: zero on identical samples, large on disjoint, exact on a hand case") {
     import graft.operators.SnapshotDiff
     val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")

@@ -124,6 +124,32 @@ class ProfileSpec extends SparkSpec {
       report.mkString(";"))
   }
 
+  test("percentileRank: percent_rank semantics with ties, NULL passthrough") {
+    import spark.implicits._
+    val df = Seq(Some(10L), Some(20L), Some(20L), Some(30L), None).toDF("v")
+    val got = Profile.percentileRank(df, "v").collect()
+      .map(r => Option(r.getAs[java.lang.Long]("v")).map(_.longValue) ->
+        Option(r.getAs[java.lang.Long]("pct_bp")).map(_.longValue)).toMap
+    assert(got(Some(10L)).contains(0L))
+    assert(got(Some(20L)).contains(3333L)) // ties share the min rank
+    assert(got(Some(30L)).contains(10000L))
+    assert(got(None).isEmpty) // NULL value → NULL rank, row kept
+  }
+
+  test("functionalDependency: violations counted, NULL dep is a distinct value") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (1L, Some("b")), (2L, Some("c")),
+      (3L, None), (3L, Some("a"))).toDF("k", "d")
+    val r = Profile.functionalDependency(df, Seq(("k", "d"))).collect().head
+    assert(r.getAs[Long]("determinants") == 3)
+    assert(r.getAs[Long]("violating_determinants") == 2) // k=1 and k=3 (null+a)
+    assert(r.getAs[Long]("violation_rows") == 4)
+    assert(!r.getAs[Boolean]("fd_holds"))
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "d")
+    assert(Profile.functionalDependency(clean, Seq(("k", "d")))
+      .collect().head.getAs[Boolean]("fd_holds"))
+  }
+
   test("giniByGroup: 0 on even mass, hand case, NULL on all-zero groups") {
     import spark.implicits._
     val df = Seq(
