@@ -40,6 +40,39 @@ object Contamination {
         (col("matched_ngrams") * 10000L / col("total_ngrams")).cast("long"))
   }
 
+  /** Split-leakage audit: assign train/val/test with the portable
+    * [[Sampling.portableSplit]] hash, then measure how much of each
+    * NON-train split's n-gram vocabulary the train split contains —
+    * "did my random split leak near-duplicates across the boundary",
+    * the check that makes ML `no_overlap` (exact-id) insufficient for
+    * text: two crawls of one page get different ids and still leak.
+    * One row per non-train split: docs (with ≥1 shingle), docs at or
+    * above `leakThresholdBp` containment, and the corpus-level
+    * containment ratio in exact integer bp.
+    *
+    * Plan: ONE shingling per side (the eval splits travel together
+    * with their labels — never one containment pass per split), the
+    * [[ngramContainment]] vocabulary equi-join, one id-join back for
+    * the label, one rollup. Linear in tokens. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   fractions: Seq[(String, Double)],
+                   trainSplit: String = "train", n: Int = 5,
+                   leakThresholdBp: Long = 5000, seed: Int = 42): DataFrame = {
+    require(fractions.exists(_._1 == trainSplit),
+      s"fractions must include the train split '$trainSplit'")
+    val split = Sampling.portableSplit(df, idCol, fractions, seed)
+    val train = split.filter(col("split") === trainSplit)
+    val eval = split.filter(col("split") =!= trainSplit)
+    ngramContainment(train, eval, idCol, textCol, n)
+      .join(eval.select(col(idCol).as("id"), col("split")), "id")
+      .groupBy("split")
+      .agg(count(lit(1)).cast("long").as("docs"),
+        sum(when(col("contamination_bp") >= leakThresholdBp, 1L)
+          .otherwise(0L)).cast("long").as("leaked_docs"),
+        expr("sum(matched_ngrams) * 10000 DIV sum(total_ngrams)")
+          .cast("long").as("corpus_contam_bp"))
+  }
+
   /** Approximate scale path: the training shingle vocabulary distilled
     * to a Bloom filter instead of a shuffled join side. The filter is
     * built once (one pass over training shingles), broadcast at a few

@@ -398,6 +398,23 @@ object Profile {
           .as("gini_r6"))
   }
 
+  /** Numeric-profile drift between two snapshots: [[numeric]]'s fused
+    * single-scan summary run on each side, joined per column, with the
+    * mean/median shifts attached — the STATS half of drift detection
+    * (schema drift says "a column appeared"; this says "l_discount's
+    * median moved 3 points") feeding the same monitoring surface.
+    * Cost: exactly two fused profile scans + a |cols|-row join. */
+  def numericDrift(v1: DataFrame, v2: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      numeric(df, cols).select(col("column"),
+        col("total").as(s"total_$sfx"), col("nulls").as(s"nulls_$sfx"),
+        col("mean_r4").as(s"mean_${sfx}_r4"), col("p50_r4").as(s"p50_${sfx}_r4"))
+    side(v1, "a").join(side(v2, "b"), "column")
+      .withColumn("mean_shift_r4", round(col("mean_b_r4") - col("mean_a_r4"), 4))
+      .withColumn("p50_shift_r4", round(col("p50_b_r4") - col("p50_a_r4"), 4))
+  }
+
   /** Exact corpus-relative percentile rank of a numeric column,
     * attached per row as `pct_bp` ∈ [0, 10000]: count-of-strictly-
     * smaller · 10000 DIV (n−1) — SQL `percent_rank` semantics (ties

@@ -168,6 +168,42 @@ object Sessionize {
           .cast("long"))
   }
 
+  /** Event-type co-occurrence with association strength: for every
+    * unordered type pair, the users holding both, the pair's support,
+    * and its LIFT ((both·n)/(nₐ·n_b): >1 = the types travel together,
+    * <1 = they repel) — market-basket association next to
+    * [[eventTransitions]]' ADJACENT-pair probabilities (co-occurrence
+    * ignores order and distance; transitions don't).
+    *
+    * Plan: ONE distinct (user, type) projection feeds everything; the
+    * pair frame is its self-equi-join on the user (each user yields
+    * C(their types, 2) rows — bounded by the type-alphabet size, not
+    * the event volume); margins and the user total broadcast. Exact
+    * integer counts; lift at r4. */
+  def typeCooccurrence(events: DataFrame, userCol: String,
+                       typeCol: String): DataFrame = {
+    val ut = events.filter(col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__t")).distinct()
+    val n = ut.agg(countDistinct("__u").as("__n"))
+    val per = ut.groupBy("__t").agg(count(lit(1)).as("__c"))
+    ut.as("a").join(ut.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
+      .agg(count(lit(1)).as("__both"))
+      .join(broadcast(per.select(col("__t").as("type_a"), col("__c").as("__ca"))),
+        "type_a")
+      .join(broadcast(per.select(col("__t").as("type_b"), col("__c").as("__cb"))),
+        "type_b")
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"),
+        col("__both").cast("long").as("users_both"),
+        col("__ca").cast("long").as("users_a"),
+        col("__cb").cast("long").as("users_b"),
+        expr("__both * 10000 DIV __n").cast("long").as("support_bp"),
+        round(col("__both").cast("double") * col("__n") /
+          (col("__ca").cast("double") * col("__cb")), 4).as("lift_r4"))
+  }
+
   /** Cohort retention: users grouped by the period of their FIRST
     * event (the cohort), then for each later period the fraction of
     * the cohort still active — the product-analytics retention matrix,

@@ -608,6 +608,26 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("vocab_union"))
   }
 
+  /** Per-group vocabulary richness: tokens, types (distinct words),
+    * hapax legomena (words seen once), type-token ratio and hapax
+    * share in exact integer bp — the lexical-diversity line of a
+    * corpus card (template-generated text shows low TTR and a thin
+    * hapax tail; rich natural text the opposite). One word rollup +
+    * one group rollup, map-side combined, linear in tokens. */
+  def vocabStats(df: DataFrame, textCol: String,
+                 groupCol: String): DataFrame = {
+    df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("key"),
+        explode(TextFns.words(col(textCol))).as("__w"))
+      .groupBy("key", "__w").agg(count(lit(1)).as("__c"))
+      .groupBy("key")
+      .agg(sum("__c").cast("long").as("tokens"),
+        count(lit(1)).cast("long").as("types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).cast("long").as("hapax"))
+      .withColumn("ttr_bp", expr("types * 10000 DIV tokens").cast("long"))
+      .withColumn("hapax_share_bp", expr("hapax * 10000 DIV types").cast("long"))
+  }
+
   /** Flesch reading-ease per document + per-group rollup, with the
     * classic vowel-run syllable heuristic (runs of [aeiouy] per word,
     * min 1): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/

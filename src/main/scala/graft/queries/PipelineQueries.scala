@@ -3621,6 +3621,136 @@ object PipelineQueries {
              round(max(fre), 4) AS max_fre_r4
       FROM f GROUP BY 1 ORDER BY 1"""))
 
+  // 125. split-leakage audit: n-gram containment of val/test against
+  // train under the portable split — the check exact-id no_overlap
+  // cannot do for text.
+  val qSplitLeakage = QueryDef("q_split_leakage",
+    (s, dir) => {
+      graft.operators.Contamination.splitLeakage(
+          table(s, dir, "documents"), "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), n = 5)
+        .orderBy("split")
+    },
+    Some("""
+      WITH s AS (SELECT doc_id, text,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+                 FROM (SELECT doc_id, text,
+                         ('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT % 10000 AS b
+                       FROM documents)),
+      w AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM s),
+      sh AS (SELECT DISTINCT doc_id, split,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 1)),
+                                          i -> array_to_string(ws[i:i+4], ' '))) AS sh
+             FROM w),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+      ev AS (SELECT doc_id, split, sh.sh FROM sh WHERE split != 'train'),
+      r AS (SELECT split, doc_id, count(*) AS total,
+                   sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS matched
+            FROM ev LEFT JOIN tr ON ev.sh = tr.sh GROUP BY 1, 2)
+      SELECT split, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(CASE WHEN matched * 10000 // total >= 5000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS leaked_docs,
+             CAST(sum(matched) * 10000 // sum(total) AS BIGINT) AS corpus_contam_bp
+      FROM r GROUP BY 1 ORDER BY split"""))
+
+  // 126. numeric-profile drift between snapshots (orderkey parity):
+  // the stats half of drift detection next to schema drift.
+  val qProfileDrift = QueryDef("q_profile_drift",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      graft.operators.Profile.numericDrift(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column")
+    },
+    Some("""
+      WITH a AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+      b AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+      pa AS (
+        SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS total_a,
+               CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls_a,
+               round(avg(l_quantity), 4) AS mean_a_r4,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_a_r4 FROM a
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_extendedprice) AS BIGINT),
+               round(avg(l_extendedprice), 4),
+               round(quantile_cont(l_extendedprice, 0.5), 4) FROM a
+        UNION ALL
+        SELECT 'l_discount', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_discount) AS BIGINT),
+               round(avg(l_discount), 4),
+               round(quantile_cont(l_discount, 0.5), 4) FROM a),
+      pb AS (
+        SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS total_b,
+               CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls_b,
+               round(avg(l_quantity), 4) AS mean_b_r4,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_b_r4 FROM b
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_extendedprice) AS BIGINT),
+               round(avg(l_extendedprice), 4),
+               round(quantile_cont(l_extendedprice, 0.5), 4) FROM b
+        UNION ALL
+        SELECT 'l_discount', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_discount) AS BIGINT),
+               round(avg(l_discount), 4),
+               round(quantile_cont(l_discount, 0.5), 4) FROM b)
+      SELECT pa."column", total_a, nulls_a, mean_a_r4, p50_a_r4,
+             total_b, nulls_b, mean_b_r4, p50_b_r4,
+             round(mean_b_r4 - mean_a_r4, 4) AS mean_shift_r4,
+             round(p50_b_r4 - p50_a_r4, 4) AS p50_shift_r4
+      FROM pa JOIN pb ON pa."column" = pb."column"
+      ORDER BY pa."column""""))
+
+  // 127. event-type co-occurrence with lift — market-basket
+  // association, order-blind, next to the adjacent-pair transitions.
+  val qEventLift = QueryDef("q_event_lift",
+    (s, dir) => {
+      // sparsified 1-in-7 slice: the full board has every user holding
+      // every type (all lifts exactly 1.0 — a vacuous check)
+      graft.operators.Sessionize.typeCooccurrence(
+          table(s, dir, "events").filter(pmod(col("event_id"), lit(7)) === 0),
+          "user_id", "event_type")
+        .orderBy("type_a", "type_b")
+    },
+    Some("""
+      WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events
+                  WHERE event_type IS NOT NULL AND event_id % 7 = 0),
+      n AS (SELECT count(DISTINCT u) AS n FROM ut),
+      per AS (SELECT t, count(*) AS c FROM ut GROUP BY 1),
+      p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS nb
+            FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+      SELECT type_a, type_b, CAST(nb AS BIGINT) AS users_both,
+             CAST(ca.c AS BIGINT) AS users_a, CAST(cb.c AS BIGINT) AS users_b,
+             CAST(nb * 10000 // n.n AS BIGINT) AS support_bp,
+             round(CAST(nb AS DOUBLE) * n.n /
+                   (CAST(ca.c AS DOUBLE) * cb.c), 4) AS lift_r4
+      FROM p JOIN per ca ON ca.t = p.type_a JOIN per cb ON cb.t = p.type_b
+      CROSS JOIN n ORDER BY type_a, type_b"""))
+
+  // 128. per-source vocabulary richness: TTR + hapax share.
+  val qVocabStats = QueryDef("q_vocab_stats",
+    (s, dir) => {
+      graft.operators.TextAnalysis.vocabStats(
+          table(s, dir, "documents"), "text", "source")
+        .orderBy("key")
+    },
+    Some("""
+      WITH wc AS (SELECT source AS key, w, count(*) AS c FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL) GROUP BY 1, 2),
+      a AS (SELECT key, sum(c) AS tokens, count(*) AS types,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+            FROM wc GROUP BY 1)
+      SELECT key, CAST(tokens AS BIGINT) AS tokens, CAST(types AS BIGINT) AS types,
+             CAST(hapax AS BIGINT) AS hapax,
+             CAST(types * 10000 // tokens AS BIGINT) AS ttr_bp,
+             CAST(hapax * 10000 // types AS BIGINT) AS hapax_share_bp
+      FROM a ORDER BY key"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3686,5 +3816,6 @@ object PipelineQueries {
     qRangeJoin, qTextBm25, qKsDrift,
     qTsAcf, qGini, qCatAssoc, qWeightedSample,
     qJsDiv, qPctRank, qFdCheck, qReadability,
+    qSplitLeakage, qProfileDrift, qEventLift, qVocabStats,
   )
 }

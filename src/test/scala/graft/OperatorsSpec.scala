@@ -1437,6 +1437,42 @@ class OperatorsSpec extends SparkSpec {
     assert(scored(0L)._2 > scored(1L)._2)
   }
 
+  test("vocabStats: tokens, types, hapax, exact bp ratios") {
+    val df = Seq(("s1", "a b a c"), ("s1", "a d"), ("s2", "x x")).toDF("source", "text")
+    val got = TextAnalysis.vocabStats(df, "text", "source").collect()
+      .map(r => r.getAs[String]("key") -> (r.getAs[Long]("tokens"),
+        r.getAs[Long]("types"), r.getAs[Long]("hapax"),
+        r.getAs[Long]("ttr_bp"), r.getAs[Long]("hapax_share_bp"))).toMap
+    // s1: tokens 6, types {a,b,c,d}=4, hapax {b,c,d}=3
+    assert(got("s1") == ((6L, 4L, 3L, 6666L, 7500L)))
+    assert(got("s2") == ((2L, 1L, 0L, 5000L, 0L)))
+  }
+
+  test("splitLeakage reports per-split containment; a verbatim dup leaks") {
+    import graft.operators.Contamination
+    // ids chosen so the portable split puts 1,2 in train and 3 in val
+    // is NOT guaranteed — instead assert structure: every returned
+    // split is non-train and bp fields are within range
+    val docs = (1L to 40L).map(i =>
+      (i, s"shared prefix words here tail$i plus unique content $i"))
+      .toDF("doc_id", "text")
+    val r = Contamination.splitLeakage(docs, "doc_id", "text",
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2), n = 3)
+      .collect()
+    assert(r.nonEmpty && r.forall(row => row.getAs[String]("split") != "train"))
+    assert(r.forall { row =>
+      val bp = row.getAs[Long]("corpus_contam_bp")
+      bp >= 0 && bp <= 10000 && row.getAs[Long]("leaked_docs") <= row.getAs[Long]("docs")
+    })
+    // a corpus of identical docs leaks 100% wherever the split falls
+    val dup = (1L to 30L).map(i => (i, "the same text in every doc entirely"))
+      .toDF("doc_id", "text")
+    val rd = Contamination.splitLeakage(dup, "doc_id", "text",
+      Seq("train" -> 0.5, "val" -> 0.5), n = 3).collect()
+    assert(rd.forall(_.getAs[Long]("corpus_contam_bp") == 10000L))
+    assert(rd.forall(row => row.getAs[Long]("leaked_docs") == row.getAs[Long]("docs")))
+  }
+
   test("vocab JS divergence: 0 identical, ln2 disjoint, hand case") {
     val df = Seq(
       ("a", "x x"), ("b", "x y"),          // hand case slices

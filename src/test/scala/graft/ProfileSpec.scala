@@ -150,6 +150,16 @@ class ProfileSpec extends SparkSpec {
       .collect().head.getAs[Boolean]("fd_holds"))
   }
 
+  test("numericDrift joins per-column stats with shifts") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Profile.numericDrift(a, b, Seq("v")).collect().head
+    assert(r.getAs[Long]("total_a") == 3 && r.getAs[Long]("total_b") == 3)
+    assert(r.getAs[Double]("mean_shift_r4") == 1.0)
+    assert(r.getAs[Double]("p50_shift_r4") == 1.0)
+  }
+
   test("giniByGroup: 0 on even mass, hand case, NULL on all-zero groups") {
     import spark.implicits._
     val df = Seq(

@@ -366,6 +366,25 @@ class SessionizeSpec extends SparkSpec {
     assert(v("a") == ((3L, 2L)) && v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
   }
 
+  test("typeCooccurrence: hand-computed lift, unordered pairs only") {
+    import graft.operators.Sessionize
+    // u1: {a,b}, u2: {a,b}, u3: {a}, u4: {b,c} → n=4
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c")).zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, u, t, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessionize.typeCooccurrence(ev, "user_id", "event_type")
+      .collect().map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("users_both"), r.getAs[Long]("support_bp"),
+          r.getAs[Double]("lift_r4"))).toMap
+    // (a,b): both=2, na=3, nb=3 → support 5000, lift 2·4/9 = 0.8889
+    assert(got(("a", "b")) == ((2L, 5000L, 0.8889)))
+    // (b,c): both=1, nb=3, nc=1 → lift 1·4/3 = 1.3333
+    assert(got(("b", "c")) == ((1L, 2500L, 1.3333)))
+    assert(!got.contains(("b", "a")) && !got.contains(("a", "a")))
+    assert(!got.contains(("a", "c"))) // no co-occurrence → no row
+  }
+
   test("weightedSample replays the A-ES draw by hand; excludes non-positive weights") {
     // weights grow with id so the hand replay exercises varied draws
     val rows = (1L to 20L).map(id => (id, id.toDouble))
