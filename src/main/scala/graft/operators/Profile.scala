@@ -398,6 +398,27 @@ object Profile {
           .as("gini_r6"))
   }
 
+  /** Equi-width histogram of a numeric column: one row per occupied
+    * bin (bin = v DIV width), with the bin's doc count, corpus share
+    * in exact bp, and the bin's lower bound — the fixed-scale
+    * distribution view next to [[withQuantileBins]]' equi-DEPTH bins
+    * (quantile bins move with the data; a corpus-card histogram must
+    * not). One map-side rollup + a broadcast total; negative values
+    * floor toward −∞ (integer DIV truncation is toward zero, so they
+    * are routed through floor-division explicitly). */
+  def histogram(df: DataFrame, valueCol: String, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val d = df.filter(col(valueCol).isNotNull)
+    val binned = d.groupBy(
+        floor(col(valueCol).cast("double") / width).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("__c"))
+    binned.crossJoin(broadcast(d.agg(count(lit(1)).as("__t"))))
+      .select(col("bin"),
+        (col("bin") * width).cast(LongType).as("lo"),
+        col("__c").cast(LongType).as("docs"),
+        expr("__c * 10000 DIV __t").cast(LongType).as("share_bp"))
+  }
+
   /** Numeric-profile drift between two snapshots: [[numeric]]'s fused
     * single-scan summary run on each side, joined per column, with the
     * mean/median shifts attached — the STATS half of drift detection

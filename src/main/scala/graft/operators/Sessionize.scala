@@ -204,6 +204,36 @@ object Sessionize {
           (col("__ca").cast("double") * col("__cb")), 4).as("lift_r4"))
   }
 
+  /** Inter-arrival cadence per event type: exact disc p50/p90 of the
+    * gaps (seconds) between a user's consecutive events of that type —
+    * the engagement-cadence line next to [[cohortRetention]] ("how
+    * often between visits", where retention asks "did they return").
+    * Gap multiset is tie-order invariant (equal timestamps yield zero
+    * gaps under any tie order), so no tie column is needed.
+    *
+    * Plan: one lag window per (type, user) — user-bounded frames —
+    * then the disc-percentile extraction as a rank/count window
+    * PARTITIONED BY the type (parallelism from the key; same
+    * one-giant-group caveat as `Profile.groupQuantiles`). Linear. */
+  def interArrival(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String): DataFrame = {
+    val secs = events.select(col(typeCol).as("key"), col(userCol).as("__u"),
+      unix_timestamp(col(tsCol)).as("__s"))
+    val perUser = Window.partitionBy(col("key"), col("__u")).orderBy(col("__s"))
+    val gaps = secs.withColumn("gap", col("__s") - lag(col("__s"), 1).over(perUser))
+      .filter(col("gap").isNotNull)
+    val ord = Window.partitionBy(col("key")).orderBy(col("gap"))
+    val all = Window.partitionBy(col("key"))
+    gaps.withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(all))
+      .groupBy("key")
+      .agg(count(lit(1)).cast("long").as("gaps"),
+        min(when(col("__rn") >= expr("greatest(1, (5000 * __n + 9999) DIV 10000)"),
+          col("gap"))).cast("long").as("p50_gap_s"),
+        min(when(col("__rn") >= expr("greatest(1, (9000 * __n + 9999) DIV 10000)"),
+          col("gap"))).cast("long").as("p90_gap_s"))
+  }
+
   /** Cohort retention: users grouped by the period of their FIRST
     * event (the cohort), then for each later period the fraction of
     * the cohort still active — the product-analytics retention matrix,

@@ -608,6 +608,24 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("vocab_union"))
   }
 
+  /** Label-vs-content consistency: per group, how many docs' DETECTED
+    * language ([[langId]]'s one-pass kernel) disagrees with the
+    * DECLARED language column — the metadata-trust audit (a source
+    * whose `lang` labels are 30% wrong poisons every lang-filtered
+    * downstream sample). Map-only scoring + one rollup; mismatch in
+    * exact integer bp. A NULL declared label always counts as a
+    * mismatch (the detector never returns NULL — null text detects as
+    * "und", an honest disagreement with an absent label). */
+  def langConsistency(df: DataFrame, textCol: String, declaredCol: String,
+                      groupCol: String): DataFrame =
+    df.withColumn("__pred", langId(col(textCol)))
+      .groupBy(col(groupCol).as("key"))
+      .agg(count(lit(1)).cast("long").as("docs"),
+        sum(when(!(col("__pred") <=> col(declaredCol)), 1L).otherwise(0L))
+          .cast("long").as("mismatches"))
+      .withColumn("mismatch_bp",
+        expr("mismatches * 10000 DIV docs").cast("long"))
+
   /** Per-group vocabulary richness: tokens, types (distinct words),
     * hapax legomena (words seen once), type-token ratio and hapax
     * share in exact integer bp — the lexical-diversity line of a

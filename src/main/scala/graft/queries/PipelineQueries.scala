@@ -3751,6 +3751,97 @@ object PipelineQueries {
              CAST(hapax * 10000 // types AS BIGINT) AS hapax_share_bp
       FROM a ORDER BY key"""))
 
+  // 129. cross-source duplication incidence over the SHARED jaccard
+  // pair frame — provenance lens: self-plagiarism vs syndication.
+  val qDedupCrossSource = QueryDef("q_dedup_cross_source",
+    (s, dir) => {
+      graft.operators.Dedup.pairGroupIncidence(
+          sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L),
+          table(s, dir, "documents"), "doc_id", "source")
+        .orderBy("key")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      pr AS (SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id
+             JOIN sz sb ON ib = sb.doc_id
+             WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      lab AS (SELECT pr.ia, pr.ib, da.source sa, db.source sb
+              FROM pr JOIN documents da ON pr.ia = da.doc_id
+              JOIN documents db ON pr.ib = db.doc_id),
+      inc AS (SELECT sa AS key, sb AS o FROM lab
+              UNION ALL SELECT sb, sa FROM lab)
+      SELECT key, CAST(count(*) AS BIGINT) AS pairs,
+             CAST(sum(CASE WHEN key IS DISTINCT FROM o THEN 1 ELSE 0 END)
+               AS BIGINT) AS cross_pairs,
+             CAST(sum(CASE WHEN key IS DISTINCT FROM o THEN 1 ELSE 0 END)
+               * 10000 // count(*) AS BIGINT) AS cross_bp
+      FROM inc GROUP BY 1 ORDER BY key"""))
+
+  // 130. declared-vs-detected language consistency per source — the
+  // metadata-trust audit over the langid kernel.
+  val qLangConsistency = QueryDef("q_lang_consistency",
+    (s, dir) => {
+      graft.operators.TextAnalysis.langConsistency(
+          table(s, dir, "documents"), "text", "lang", "source")
+        .orderBy("key")
+    },
+    Some(langidPredictedCtes("source, lang") + """
+      SELECT source AS key, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(CASE WHEN predicted IS DISTINCT FROM lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS mismatches,
+             CAST(sum(CASE WHEN predicted IS DISTINCT FROM lang
+                           THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+               AS mismatch_bp
+      FROM p GROUP BY 1 ORDER BY 1"""))
+
+  // 131. inter-arrival cadence: exact disc p50/p90 gap seconds per
+  // event type — "how often between events", next to retention.
+  val qEventCadence = QueryDef("q_event_cadence",
+    (s, dir) => {
+      graft.operators.Sessionize.interArrival(
+          table(s, dir, "events"), "user_id", "ts", "event_type")
+        .orderBy("key")
+    },
+    Some("""
+      WITH e AS (SELECT event_type AS k, user_id AS u,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+      g AS (SELECT k, s - lag(s) OVER (PARTITION BY k, u ORDER BY s) AS gap
+            FROM e),
+      q AS (SELECT k, gap, row_number() OVER (PARTITION BY k ORDER BY gap) AS rn,
+                   count(*) OVER (PARTITION BY k) AS n
+            FROM g WHERE gap IS NOT NULL)
+      SELECT k AS key, CAST(count(*) AS BIGINT) AS gaps,
+             CAST(min(CASE WHEN rn >= greatest(1, (5000 * n + 9999) // 10000)
+                           THEN gap END) AS BIGINT) AS p50_gap_s,
+             CAST(min(CASE WHEN rn >= greatest(1, (9000 * n + 9999) // 10000)
+                           THEN gap END) AS BIGINT) AS p90_gap_s
+      FROM q GROUP BY 1 ORDER BY 1"""))
+
+  // 132. equi-width doc-length histogram (fixed 200-char bins) — the
+  // corpus-card distribution view that does not move with the data.
+  val qLenHist = QueryDef("q_len_hist",
+    (s, dir) => {
+      graft.operators.Profile.histogram(
+          table(s, dir, "documents"), "n_chars", width = 200L)
+        .orderBy("bin")
+    },
+    Some("""
+      WITH b AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 200) AS BIGINT) AS bin,
+                        count(*) AS c
+                 FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(c) AS t FROM b)
+      SELECT bin, CAST(bin * 200 AS BIGINT) AS lo, CAST(c AS BIGINT) AS docs,
+             CAST(c * 10000 // t.t AS BIGINT) AS share_bp
+      FROM b, t ORDER BY bin"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3817,5 +3908,6 @@ object PipelineQueries {
     qTsAcf, qGini, qCatAssoc, qWeightedSample,
     qJsDiv, qPctRank, qFdCheck, qReadability,
     qSplitLeakage, qProfileDrift, qEventLift, qVocabStats,
+    qDedupCrossSource, qLangConsistency, qEventCadence, qLenHist,
   )
 }

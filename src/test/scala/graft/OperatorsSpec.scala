@@ -1437,6 +1437,35 @@ class OperatorsSpec extends SparkSpec {
     assert(scored(0L)._2 > scored(1L)._2)
   }
 
+  test("pairGroupIncidence: both endpoints counted, cross pairs flagged") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "source")
+    val got = Dedup.pairGroupIncidence(pairs, d, "doc_id", "source")
+      .collect().map(r => r.getAs[String]("key") -> (r.getAs[Long]("pairs"),
+        r.getAs[Long]("cross_pairs"), r.getAs[Long]("cross_bp"))).toMap
+    assert(got("x") == ((3L, 1L, 3333L))) // edges touching x: (1,2)x2 + (1,3)
+    assert(got("y") == ((1L, 1L, 10000L)))
+  }
+
+  test("langConsistency agrees with a direct recomputation incl. NULL labels") {
+    val df = Seq(
+      ("s1", "the cat and the dog of the house is here", "en"),
+      ("s1", "zzz qqq xxx", "en"),
+      ("s2", "the of and is a", null),
+    ).toDF("source", "text", "lang")
+    val direct = df.withColumn("__p", TextAnalysis.langId(col("text")))
+      .collect().map(r => (r.getAs[String]("source"),
+        !(Option(r.getAs[String]("__p")) == Option(r.getAs[String]("lang")))))
+    val expect = direct.groupBy(_._1).map { case (k, v) =>
+      k -> (v.size.toLong, v.count(_._2).toLong) }
+    val got = TextAnalysis.langConsistency(df, "text", "lang", "source")
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("mismatches"))).toMap
+    assert(got == expect)
+    // NULL declared label is always a mismatch
+    assert(got("s2")._2 == 1L)
+  }
+
   test("vocabStats: tokens, types, hapax, exact bp ratios") {
     val df = Seq(("s1", "a b a c"), ("s1", "a d"), ("s2", "x x")).toDF("source", "text")
     val got = TextAnalysis.vocabStats(df, "text", "source").collect()

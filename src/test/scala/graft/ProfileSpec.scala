@@ -150,6 +150,21 @@ class ProfileSpec extends SparkSpec {
       .collect().head.getAs[Boolean]("fd_holds"))
   }
 
+  test("histogram: equi-width bins, exact shares, negative values floor") {
+    import spark.implicits._
+    val df = Seq(0L, 150L, 250L, 399L, 401L).toDF("v")
+    val got = Profile.histogram(df, "v", 200L).collect()
+      .map(r => r.getAs[Long]("bin") -> (r.getAs[Long]("lo"),
+        r.getAs[Long]("docs"), r.getAs[Long]("share_bp"))).toMap
+    assert(got(0L) == ((0L, 2L, 4000L)))
+    assert(got(1L) == ((200L, 2L, 4000L)))
+    assert(got(2L) == ((400L, 1L, 2000L)))
+    val neg = Seq(-1L, -200L, 10L).toDF("v")
+    val b = Profile.histogram(neg, "v", 200L).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("docs")).toMap
+    assert(b(-1L) == 2L && b(0L) == 1L) // floor toward -inf, not toward zero
+  }
+
   test("numericDrift joins per-column stats with shifts") {
     import spark.implicits._
     val a = Seq(1.0, 2.0, 3.0).toDF("v")

@@ -366,6 +366,22 @@ class SessionizeSpec extends SparkSpec {
     assert(v("a") == ((3L, 2L)) && v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
   }
 
+  test("interArrival: exact disc p50/p90 gaps per type, users independent") {
+    import graft.operators.Sessionize
+    def t(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, "a", t(0)), (1L, "a", t(10)), (1L, "a", t(40)),  // gaps 10, 30
+      (2L, "a", t(0)), (2L, "a", t(100)),                   // gap 100
+      (1L, "b", t(0)), (1L, "b", t(7)),                     // gap 7
+    ).toDF("user_id", "event_type", "ts")
+    val got = Sessionize.interArrival(ev, "user_id", "ts", "event_type")
+      .collect().map(r => r.getAs[String]("key") -> (r.getAs[Long]("gaps"),
+        r.getAs[Long]("p50_gap_s"), r.getAs[Long]("p90_gap_s"))).toMap
+    // type a gaps sorted: [10, 30, 100]; p50 rank 2 → 30, p90 rank 3 → 100
+    assert(got("a") == ((3L, 30L, 100L)))
+    assert(got("b") == ((1L, 7L, 7L)))
+  }
+
   test("typeCooccurrence: hand-computed lift, unordered pairs only") {
     import graft.operators.Sessionize
     // u1: {a,b}, u2: {a,b}, u3: {a}, u4: {b,c} → n=4
