@@ -58,6 +58,25 @@ final case class QualityChecks(
     vector: Seq[VectorCheck] = Nil,
     curation: Seq[CurationRule] = Nil,
     quantile: Seq[QuantileCheck] = Nil,
+    conditional: Seq[ConditionalCheck] = Nil,
+)
+
+/** Conditional cross-column rule: whenever `when` holds on a row,
+  * `then` must hold too ("when country = 'US', state must be set";
+  * "when status = 'shipped', ship_date ≥ order_date") — the row-level
+  * IMPLICATION single-column constraints cannot express and a
+  * table-level custom check can only report as one opaque boolean.
+  * Both sides are SQL boolean expressions over the table's columns.
+  * `maxViolationRate` is the tolerated fraction of when-rows violating
+  * `then` (exact ppm compare like completeness, default 0); rows where
+  * `when` does not hold are irrelevant by definition, and a slice with
+  * no when-rows passes vacuously. Rides the validator's fused
+  * single-scan aggregation — two conditional sums, no extra scan. */
+final case class ConditionalCheck(
+    name: String,
+    when: String,
+    thenExpr: String,
+    maxViolationRate: Double = 0.0,
 )
 
 /** Distribution-shape bound on a numeric field: the exact DISCRETE

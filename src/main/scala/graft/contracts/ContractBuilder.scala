@@ -51,6 +51,10 @@ final case class ContractBuilder(
     copy(qc = qc.copy(curation = qc.curation :+ r))
   def quantileCheck(q: QuantileCheck): ContractBuilder =
     copy(qc = qc.copy(quantile = qc.quantile :+ q))
+  def conditionalCheck(name: String, when: String, thenExpr: String,
+                       maxViolationRate: Double = 0.0): ContractBuilder =
+    copy(qc = qc.copy(conditional =
+      qc.conditional :+ ConditionalCheck(name, when, thenExpr, maxViolationRate)))
   def sla(s: Sla): ContractBuilder = copy(slaV = Some(s))
 
   def build: Contract = Contract(

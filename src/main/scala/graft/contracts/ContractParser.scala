@@ -148,6 +148,16 @@ object ContractParser {
           maxZeroRate = dblOpt(c, "max_zero_rate").getOrElse(0.0),
         )
       }).getOrElse(Nil),
+    conditional = m.get("conditional").filter(_ != null)
+      .map(asList(_, "conditional").map { v =>
+        val c = asMap(v, "conditional")
+        ConditionalCheck(
+          name = str(c, "name"),
+          when = str(c, "when"),
+          thenExpr = str(c, "then"),
+          maxViolationRate = dblOpt(c, "max_violation_rate").getOrElse(0.0),
+        )
+      }).getOrElse(Nil),
     quantile = m.get("quantile").filter(_ != null)
       .map(asList(_, "quantile").map { v =>
         val c = asMap(v, "quantile")

@@ -849,7 +849,74 @@ object ContractQueries {
         UNION ALL SELECT 'quantile', 'l_extendedprice', p99 <= 1000.0, round(p99, 4) FROM q
       ) ORDER BY metric_r4"""))
 
+  // conditional cross-column when/then rules, parsed from YAML text so
+  // the query exercises the full parse → lint-clean → fused-scan path:
+  // one passing rule, one failing, the same rule tolerated by rate,
+  // and a vacuous (no matching rows) rule.
+  val qConditionalCheck = QueryDef("q_conditional_check",
+    (s, dir) => {
+      val yaml = """
+        |version: "1"
+        |name: orders
+        |owner: graft
+        |schema:
+        |  format: parquet
+        |  location: ""
+        |  fields:
+        |    - name: o_orderkey
+        |      type: int64
+        |quality_checks:
+        |  conditional:
+        |    - name: open_positive
+        |      when: "o_orderstatus = 'O'"
+        |      then: "o_totalprice > 0"
+        |    - name: high_value_priority
+        |      when: "o_totalprice > 300000"
+        |      then: "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        |    - name: high_value_priority_tolerated
+        |      when: "o_totalprice > 300000"
+        |      then: "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        |      max_violation_rate: 0.9
+        |    - name: vacuous_status
+        |      when: "o_orderstatus = 'X'"
+        |      then: "o_totalprice < 0"
+        |""".stripMargin
+      val c = ContractParser.parse(yaml)
+      require(graft.validators.DefinitionLint.lint(c).isEmpty, "lint must be clean")
+      new graft.validators.ContractValidator().validate(table(s, dir, "orders"), c)
+        .where(col("check") === "conditional")
+        .select(col("field").as("rule"), col("passed"),
+          col("metric").cast(DoubleType).as("metric"))
+        .orderBy("rule")
+    },
+    Some("""
+      WITH hv AS (SELECT count(*) AS wr,
+                         sum(CASE WHEN NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), FALSE)
+                                  THEN 1 ELSE 0 END) AS viol
+                  FROM orders WHERE o_totalprice > 300000),
+      op AS (SELECT count(*) AS wr,
+                    sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                             THEN 1 ELSE 0 END) AS viol
+             FROM orders WHERE o_orderstatus = 'O')
+      SELECT * FROM (
+        SELECT 'open_positive' AS rule, coalesce(viol, 0) = 0 AS passed,
+               CAST(coalesce(viol, 0) AS DOUBLE) AS metric FROM op
+        UNION ALL SELECT 'high_value_priority', coalesce(viol, 0) = 0,
+               CAST(coalesce(viol, 0) AS DOUBLE) FROM hv
+        UNION ALL SELECT 'high_value_priority_tolerated',
+               coalesce(viol, 0) * 1000000 <= 900000 * coalesce(wr, 0),
+               CAST(coalesce(viol, 0) AS DOUBLE) FROM hv
+        UNION ALL SELECT 'vacuous_status',
+               (SELECT count(*) FROM orders
+                WHERE o_orderstatus = 'X'
+                  AND NOT coalesce(o_totalprice < 0, FALSE)) = 0,
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_orderstatus = 'X'
+                       AND NOT coalesce(o_totalprice < 0, FALSE)) AS DOUBLE)
+      ) ORDER BY rule"""))
+
   val all: Seq[QueryDef] = Seq(
+    qConditionalCheck,
     qStreamQuality, qStreamTrend, qEnforce,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,

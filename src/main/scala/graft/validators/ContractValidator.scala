@@ -164,6 +164,39 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
         format_string(s"lag %ds (max ${fr.maxDelay})", coalesce(lagSec, lit(0L))))
     }
 
+    // conditional cross-column rules — two conditional sums riding the
+    // SAME fused scan. Strict two-valued `then`: a row where `then`
+    // evaluates NULL counts as a VIOLATION (data-quality intent;
+    // standard SQL CHECK would pass on UNKNOWN — a contract wanting
+    // CHECK semantics writes `coalesce(<then>, true)`). A row where
+    // `when` is NULL is out of scope, like a false `when`. Expressions
+    // are analyzed against the frame in isolation first, so one bad
+    // rule fails ITS check row, never the whole scan.
+    if (parts(Part.Conditional)) qc.toSeq.flatMap(_.conditional).foreach { cc =>
+      val parsed = scala.util.Try {
+        val w = expr(cc.when)
+        val t = expr(cc.thenExpr)
+        df.select(when(w, 1L), when(t, 1L)).queryExecution.assertAnalyzed()
+        (w, t)
+      }
+      parsed match {
+        case scala.util.Failure(e) =>
+          outs += result(lit("conditional"), lit(cc.name), lit(false), lit(-1d),
+            lit(s"bad expression: ${String.valueOf(e.getMessage).take(160)}"))
+        case scala.util.Success((w, t)) =>
+          val ppm = math.round(cc.maxViolationRate * 1000000L)
+          val whenRows = slot(sum(when(w, 1L).otherwise(0L)))
+          val viol = slot(sum(when(w && !coalesce(t, lit(false)), 1L).otherwise(0L)))
+          outs += result(lit("conditional"), lit(cc.name),
+            coalesce(col(viol), lit(0L)) * 1000000L <=
+              lit(ppm) * coalesce(col(whenRows), lit(0L)),
+            coalesce(col(viol), lit(0L)).cast(DoubleType),
+            format_string(
+              s"%d violation(s) in %d matching row(s) (max rate ${cc.maxViolationRate})",
+              coalesce(col(viol), lit(0L)), coalesce(col(whenRows), lit(0L))))
+      }
+    }
+
     // embedding-column quality (VectorCheck) — rides the SAME fused
     // scan: every metric is a conditional aggregate over the array
     // column (size / exists-NaN / dot-product norm, the norm via the
@@ -408,10 +441,13 @@ object ContractValidator {
     case object Ml extends Part
     case object Vector extends Part        // embedding-column quality
     case object Quantile extends Part      // distribution-shape bounds
+    case object Conditional extends Part   // cross-column when/then rules
     val All: Set[Part] =
-      Set(Schema, Constraints, Completeness, Uniqueness, Freshness, Custom, Ml, Vector, Quantile)
+      Set(Schema, Constraints, Completeness, Uniqueness, Freshness, Custom, Ml, Vector,
+        Quantile, Conditional)
     val SchemaOnly: Set[Part] = Set(Schema)
-    val QualityOnly: Set[Part] = Set(Completeness, Uniqueness, Freshness, Vector, Quantile)
+    val QualityOnly: Set[Part] =
+      Set(Completeness, Uniqueness, Freshness, Vector, Quantile, Conditional)
     val FreshnessOnly: Set[Part] = Set(Freshness)
     val CustomOnly: Set[Part] = Set(Custom)
     val MlOnly: Set[Part] = Set(Ml)

@@ -83,6 +83,21 @@ object DefinitionLint {
             issue(s"quality_checks.custom_checks[$i].severity", s"unknown severity '$s'")
         }
       }
+      qc.conditional.zipWithIndex.foreach { case (cc, i) =>
+        if (cc.name.trim.isEmpty)
+          issue(s"quality_checks.conditional[$i].name", "must not be empty")
+        if (cc.when.trim.isEmpty)
+          issue(s"quality_checks.conditional[$i].when", "must not be empty")
+        if (cc.thenExpr.trim.isEmpty)
+          issue(s"quality_checks.conditional[$i].then", "must not be empty")
+        if (cc.maxViolationRate < 0 || cc.maxViolationRate > 1)
+          issue(s"quality_checks.conditional[$i].max_violation_rate",
+            s"${cc.maxViolationRate} not in [0, 1]")
+        val dups = qc.conditional.count(_.name == cc.name)
+        if (dups > 1 && qc.conditional.indexWhere(_.name == cc.name) == i)
+          issue(s"quality_checks.conditional[$i].name",
+            s"duplicate rule name '${cc.name}'")
+      }
       qc.mlChecks.foreach { ml =>
         ml.classBalance.foreach { cb =>
           if (cb.maxProportion <= 0 || cb.maxProportion > 1)

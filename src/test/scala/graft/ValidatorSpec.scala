@@ -233,6 +233,84 @@ class ValidatorSpec extends SparkSpec {
     assert(DefinitionLint.lint(contract).isEmpty)
   }
 
+  test("conditional when/then rules: violations, NULL-then strictness, vacuous, rate, bad expr isolated") {
+    val df = Seq(
+      ("US", "CA", 10.0), ("US", null, 20.0), ("US", "NY", -5.0),
+      ("DE", null, 30.0), (null, null, 40.0),
+    ).toDF("country", "state", "amount")
+    val c = ContractBuilder("t_cond", "o")
+      .field(FieldBuilder("country", "string"))
+      .conditionalCheck("us_state", "country = 'US'", "state IS NOT NULL")
+      .conditionalCheck("us_state_tolerated", "country = 'US'",
+        "state IS NOT NULL", maxViolationRate = 0.5)
+      .conditionalCheck("null_then_strict", "country = 'US'", "state = 'CA'")
+      .conditionalCheck("vacuous", "country = 'XX'", "amount < 0")
+      .conditionalCheck("broken", "country ==== 'US'", "amount > 0")
+      .build
+    val r = results(new ContractValidator().validate(df, c)
+      .where($"check" === "conditional"))
+    // 3 US rows, 1 NULL state → 1 violation
+    assert(!r(("conditional", "us_state")).passed)
+    assert(r(("conditional", "us_state")).metric == 1.0)
+    // 1 of 3 ≤ 50% → tolerated
+    assert(r(("conditional", "us_state_tolerated")).passed)
+    // then NULL (state NULL) counts as violation: CA passes, NY + NULL fail
+    assert(r(("conditional", "null_then_strict")).metric == 2.0)
+    // no matching rows → vacuous pass
+    assert(r(("conditional", "vacuous")).passed)
+    // unparseable expression fails ITS row; the others still computed
+    assert(!r(("conditional", "broken")).passed)
+    assert(r(("conditional", "broken")).metric == -1.0)
+    assert(r.size == 5)
+    // a rule referencing a missing column fails its row, not the scan
+    val c2 = ContractBuilder("t_cond2", "o")
+      .field(FieldBuilder("country", "string"))
+      .conditionalCheck("missing_col", "nope = 1", "country IS NOT NULL")
+      .conditionalCheck("ok", "country = 'US'", "amount IS NOT NULL")
+      .build
+    val r2 = results(new ContractValidator().validate(df, c2)
+      .where($"check" === "conditional"))
+    assert(!r2(("conditional", "missing_col")).passed)
+    assert(r2(("conditional", "ok")).passed)
+  }
+
+  test("conditional rules parse from YAML and lint statically") {
+    val yaml = """
+      |version: "1"
+      |name: t
+      |owner: o
+      |schema:
+      |  format: parquet
+      |  location: ""
+      |  fields:
+      |    - name: a
+      |      type: string
+      |quality_checks:
+      |  conditional:
+      |    - name: r1
+      |      when: "a = 'x'"
+      |      then: "a IS NOT NULL"
+      |    - name: r2
+      |      when: "a = 'y'"
+      |      then: "a != 'z'"
+      |      max_violation_rate: 0.25
+      |""".stripMargin
+    val c = ContractParser.parse(yaml)
+    val conds = c.qualityChecks.get.conditional
+    assert(conds.map(_.name) == Seq("r1", "r2"))
+    assert(conds(1).maxViolationRate == 0.25)
+    assert(graft.validators.DefinitionLint.lint(c).isEmpty)
+    // lint: empty then, bad rate, duplicate names
+    val bad = ContractBuilder("t", "o").field(FieldBuilder("a", "string"))
+      .conditionalCheck("dup", "a = 'x'", "")
+      .conditionalCheck("dup", "a = 'x'", "a IS NOT NULL", maxViolationRate = 1.5)
+      .build
+    val issues = graft.validators.DefinitionLint.lint(bad).map(_.path)
+    assert(issues.exists(_.contains("conditional[0].then")))
+    assert(issues.exists(_.contains("conditional[1].max_violation_rate")))
+    assert(issues.exists(_.contains("conditional[0].name")))
+  }
+
   test("custom checks follow reference result semantics (custom.rs:405)") {
     val df = mkDf(Seq(
       (1L, "on", 50.0, "ABC", "2024-01-01 10:00:00"),
