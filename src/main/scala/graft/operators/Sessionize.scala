@@ -204,6 +204,40 @@ object Sessionize {
           (col("__ca").cast("double") * col("__cb")), 4).as("lift_r4"))
   }
 
+  /** EXACT rolling active users: for every calendar day, the distinct
+    * users active in the trailing `windowDays` window, next to that
+    * day's DAU and their ratio — the sliding-window engagement metric
+    * ([[stickiness]] is its calendar-month cousin; this one has no
+    * month-boundary artifacts). Exact distinct over a sliding window
+    * is the classically awkward case (windows can't merge distincts);
+    * the scalable formulation EXPLODES each (user, active day) into
+    * the `windowDays` window days it contributes to, then counts one
+    * distinct rollup per day — linear at windowDays× the (user, day)
+    * frame, which is already DAU-collapsed, never the event volume.
+    * Days past the last observed day are clipped (their windows are
+    * incomplete by construction). */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val ud = events.select(col(userCol).as("__u"),
+      to_date(date_trunc("day", col(tsCol))).as("__d")).distinct()
+    val maxDay = ud.agg(max("__d").as("__max"))
+    val cover = ud.select(col("__u"), explode(expr(
+        s"sequence(__d, date_add(__d, ${windowDays - 1}))")).as("day"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("__max"))
+    val rolling = cover.groupBy("day")
+      .agg(count(lit(1)).as("__rolling"))
+    val dau = ud.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("__dau"))
+    rolling.join(dau, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("__dau"), lit(0L)).cast("long").as("dau"),
+        col("__rolling").cast("long").as("rolling_users"),
+        expr("coalesce(__dau, 0) * 10000 DIV __rolling").cast("long").as("ratio_bp"))
+  }
+
   /** Inter-arrival cadence per event type: exact disc p50/p90 of the
     * gaps (seconds) between a user's consecutive events of that type —
     * the engagement-cadence line next to [[cohortRetention]] ("how

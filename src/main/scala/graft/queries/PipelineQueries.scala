@@ -3842,6 +3842,57 @@ object PipelineQueries {
              CAST(c * 10000 // t.t AS BIGINT) AS share_bp
       FROM b, t ORDER BY bin"""))
 
+  // 134. exact rolling 7-day active users per day + DAU ratio —
+  // sliding-window engagement with no month-boundary artifacts.
+  val qRollingUsers = QueryDef("q_rolling_users",
+    (s, dir) => {
+      graft.operators.Sessionize.rollingActiveUsers(
+          table(s, dir, "events"), "user_id", "ts", windowDays = 7)
+        .orderBy("day")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+      mx AS (SELECT max(d) AS m FROM ud),
+      cover AS (SELECT DISTINCT u,
+                       unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day
+                FROM ud),
+      r AS (SELECT day, count(*) AS rolling FROM cover, mx WHERE day <= mx.m GROUP BY 1),
+      dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1)
+      SELECT strftime(r.day, '%Y-%m-%d') AS day,
+             CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+             CAST(r.rolling AS BIGINT) AS rolling_users,
+             CAST(coalesce(dau.dau, 0) * 10000 // r.rolling AS BIGINT) AS ratio_bp
+      FROM r LEFT JOIN dau ON r.day = dau.day
+      ORDER BY day"""))
+
+  // 135. similarity-threshold sweep over the shared jaccard pairs —
+  // the cutoff-tuning curve, one rollup, no pipeline re-run.
+  val qDedupThresholds = QueryDef("q_dedup_thresholds",
+    (s, dir) => {
+      graft.operators.Dedup.thresholdSweep(sharedJaccardPairs(s, dir))
+        .orderBy("threshold_bp")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      jb AS (SELECT inter * 10000 // (sa.sz + sb.sz - inter) AS jacc_bp
+             FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+             WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 100),
+      b AS (SELECT jacc_bp // 1000 AS bkt, count(*) AS c FROM jb GROUP BY 1)
+      SELECT CAST(bkt * 1000 AS BIGINT) AS threshold_bp,
+             CAST(c AS BIGINT) AS pairs_in_bucket,
+             CAST(sum(c) OVER (ORDER BY bkt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS pairs_at_or_above
+      FROM b ORDER BY threshold_bp"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3909,5 +3960,6 @@ object PipelineQueries {
     qJsDiv, qPctRank, qFdCheck, qReadability,
     qSplitLeakage, qProfileDrift, qEventLift, qVocabStats,
     qDedupCrossSource, qLangConsistency, qEventCadence, qLenHist,
+    qRollingUsers, qDedupThresholds,
   )
 }

@@ -1437,6 +1437,19 @@ class OperatorsSpec extends SparkSpec {
     assert(scored(0L)._2 > scored(1L)._2)
   }
 
+  test("thresholdSweep: bucketed counts with descending cumulative") {
+    val pairs = Seq(10000L, 9500L, 8200L, 8000L, 3000L)
+      .map(bp => (1L, 2L, bp)).toDF("id_a", "id_b", "jacc_bp")
+    val got = Dedup.thresholdSweep(pairs).collect()
+      .map(r => r.getAs[Long]("threshold_bp") ->
+        (r.getAs[Long]("pairs_in_bucket"), r.getAs[Long]("pairs_at_or_above"))).toMap
+    assert(got(10000L) == ((1L, 1L)))
+    assert(got(9000L) == ((1L, 2L)))
+    assert(got(8000L) == ((2L, 4L)))
+    assert(got(3000L) == ((1L, 5L)))
+    assert(!got.contains(7000L)) // empty buckets are absent, not zero
+  }
+
   test("pairGroupIncidence: both endpoints counted, cross pairs flagged") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "source")

@@ -366,6 +366,22 @@ class SessionizeSpec extends SparkSpec {
     assert(v("a") == ((3L, 2L)) && v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
   }
 
+  test("rollingActiveUsers: trailing distinct window, clipped at last day") {
+    import graft.operators.Sessionize
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00")
+    // u1 active day 1 and 3; u2 active day 1; u3 active day 4
+    val ev = Seq((1L, d(1)), (1L, d(3)), (2L, d(1)), (3L, d(4)))
+      .toDF("user_id", "ts")
+    val got = Sessionize.rollingActiveUsers(ev, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("rolling_users"))).toMap
+    assert(got("2024-02-01") == ((2L, 2L)))
+    assert(got("2024-02-02") == ((0L, 2L))) // no events, window covers day 1
+    assert(got("2024-02-03") == ((1L, 2L))) // u1+u2 in [1..3]
+    assert(got("2024-02-04") == ((1L, 2L))) // u1 (day 3) + u3
+    assert(!got.contains("2024-02-05")) // clipped past last observed day
+  }
+
   test("interArrival: exact disc p50/p90 gaps per type, users independent") {
     import graft.operators.Sessionize
     def t(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
