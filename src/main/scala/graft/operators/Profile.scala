@@ -379,8 +379,6 @@ object Profile {
     * by the caller (Gini is defined for non-negative quantities). */
   def giniByGroup(df: DataFrame, groupCol: String,
                   valueCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col(valueCol))
     df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("key"), col(valueCol).cast(LongType).as("__x"))
       .withColumn("__i", row_number().over(
@@ -403,16 +401,21 @@ object Profile {
     * in exact bp, and the bin's lower bound — the fixed-scale
     * distribution view next to [[withQuantileBins]]' equi-DEPTH bins
     * (quantile bins move with the data; a corpus-card histogram must
-    * not). One map-side rollup + a broadcast total; negative values
-    * floor toward −∞ (integer DIV truncation is toward zero, so they
-    * are routed through floor-division explicitly). */
+    * not). ONE map-side rollup — the total for the share comes from an
+    * unpartitioned window over the BIN rows (bounded by range/width,
+    * the caller's knob; the offsets-pass idiom), never a second scan
+    * of the input. Negative values floor toward −∞ (integer DIV
+    * truncation is toward zero, so they are routed through
+    * floor-division explicitly). */
   def histogram(df: DataFrame, valueCol: String, width: Long): DataFrame = {
     require(width > 0, s"width must be positive, got $width")
-    val d = df.filter(col(valueCol).isNotNull)
-    val binned = d.groupBy(
-        floor(col(valueCol).cast("double") / width).cast(LongType).as("bin"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol).cast("double") / width).cast(LongType).as("bin"))
       .agg(count(lit(1)).as("__c"))
-    binned.crossJoin(broadcast(d.agg(count(lit(1)).as("__t"))))
+      .withColumn("__t", sum("__c").over(all))
       .select(col("bin"),
         (col("bin") * width).cast(LongType).as("lo"),
         col("__c").cast(LongType).as("docs"),
@@ -450,8 +453,21 @@ object Profile {
     * running sum → #partitions-row offset pass, persisted and
     * materialized before the fork); rows get their rank back through
     * one equi-join on the value. NULL values pass through with NULL
-    * pct_bp; a single-row input ranks 0. */
-  def percentileRank(df: DataFrame, valueCol: String): DataFrame = {
+    * pct_bp; a single-row input ranks 0.
+    *
+    * Like `Sampling.exportShards`, this overload leaves the
+    * materialized rank sort persisted for the session (the returned
+    * frame reads it lazily); a caller running many rankings should
+    * use [[percentileRankManaged]] and release each after its
+    * result's last use. */
+  def percentileRank(df: DataFrame, valueCol: String): DataFrame =
+    percentileRankManaged(df, valueCol)._1
+
+  /** As [[percentileRank]], plus a cleanup handle releasing the
+    * persisted rank frame. Call it only AFTER the returned frame's
+    * last use. */
+  def percentileRankManaged(df: DataFrame,
+                            valueCol: String): (DataFrame, () => Unit) = {
     val vals = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
     val parts = math.max(df.sparkSession.conf
@@ -463,12 +479,14 @@ object Profile {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__run", sum("__c").over(within))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranged.count() // materialize before the offsets/join fork
+    ranged.count() // materialize before the offsets/total/join fork
     val offsets = ranged.groupBy("__pid").agg(sum("__c").as("__pc"))
       .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
         .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast("long"))
       .select("__pid", "__off")
-    val tot = vals.agg(sum("__c").as("__n"))
+    // total from the PERSISTED frame — an agg on `vals` would replay
+    // the source scan and the distinct-value shuffle a second time
+    val tot = ranged.agg(sum("__c").as("__n"))
     val rank = ranged.join(broadcast(offsets), "__pid")
       .crossJoin(broadcast(tot))
       .select(col("__v"),
@@ -476,7 +494,7 @@ object Profile {
           expr("(__run + __off - __c) * 10000 DIV (__n - 1)").cast(LongType))
           .otherwise(lit(0L)).as("pct_bp"))
     val out = df.join(rank, df(valueCol) === rank("__v"), "left").drop("__v")
-    out
+    (out, () => { ranged.unpersist(); () })
   }
 
   /** Functional-dependency audit `det → dep`: does the determinant

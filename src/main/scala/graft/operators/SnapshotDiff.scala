@@ -119,7 +119,9 @@ object SnapshotDiff {
       .withColumn("ra", sum("ca").over(within))
       .withColumn("rb", sum("cb").over(within))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranged.count() // force before the fork below reads it twice
+    // force before the fork below reads it twice — and the row count
+    // IS the distinct-value count, so reuse it instead of re-scanning
+    val nDistinct = ranged.count()
     val offsets = ranged.groupBy("__pid")
       .agg(sum("ca").as("__na"), sum("cb").as("__nb"))
       .withColumn("oa", (sum(col("__na")).over(w.orderBy(col("__pid"))
@@ -135,7 +137,7 @@ object SnapshotDiff {
       .agg(round(max("__d"), 6).as("ks_r6"))
       .crossJoin(broadcast(totals.select(col("__ta").cast("long").as("n_a"),
         col("__tb").cast("long").as("n_b"))))
-      .crossJoin(broadcast(u.agg(count(lit(1)).cast("long").as("distinct_values"))))
+      .withColumn("distinct_values", lit(nDistinct))
       .select("ks_r6", "n_a", "n_b", "distinct_values")
     // materialize before unpersist: one row, negligible
     val row = out.collect()

@@ -544,7 +544,11 @@ object TextAnalysis {
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val docs = df.select(col(idCol).as("doc_id"),
+    // NULL-text docs are excluded HERE, not left to the caller: they
+    // would silently inflate N and drag avgdl toward size(NULL) = -1,
+    // skewing every score with no error
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         TextFns.words(col(textCol)).as("__w"))
       .withColumn("__dl", size(col("__w")).cast("double"))
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"),

@@ -3637,7 +3637,7 @@ object PipelineQueries {
                         WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
                  FROM (SELECT doc_id, text,
                          ('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT % 10000 AS b
-                       FROM documents)),
+                       FROM documents WHERE text IS NOT NULL)),
       w AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM s),
       sh AS (SELECT DISTINCT doc_id, split,
                     unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 1)),
