@@ -3893,6 +3893,39 @@ object PipelineQueries {
                AS pairs_at_or_above
       FROM b ORDER BY threshold_bp"""))
 
+  // 136. sorted-neighborhood near-dup pairs — the blocking alternative
+  // to LSH: exportShards positions + RangeJoin rank band + exact
+  // array-intersect verify.
+  val qDedupSnm = QueryDef("q_dedup_snm",
+    (s, dir) => {
+      graft.operators.Dedup.sortedNeighborhoodPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          sortPrefixLen = 20, window = 10, n = 3, minJaccardBp = 2000L)
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(30)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+                   substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 20) AS sk
+                 FROM documents WHERE text IS NOT NULL),
+      r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn FROM d),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 1)),
+                      g -> array_to_string(ws[g:g+2], ' '))) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents WHERE text IS NOT NULL)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10),
+      j AS (SELECT id_a, id_b,
+                   len(list_intersect(sa.s, sb.s)) AS inter,
+                   len(sa.s) AS sza, len(sb.s) AS szb
+            FROM p JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id)
+      SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(inter * 10000 // (sza + szb - inter) AS BIGINT) AS jacc_bp
+      FROM j WHERE inter * 10000 // (sza + szb - inter) >= 2000
+      ORDER BY jacc_bp DESC, id_a, id_b LIMIT 30"""))
+
   private def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"($i, [${p.mkString(", ")}]::DOUBLE[])"
@@ -3960,6 +3993,6 @@ object PipelineQueries {
     qJsDiv, qPctRank, qFdCheck, qReadability,
     qSplitLeakage, qProfileDrift, qEventLift, qVocabStats,
     qDedupCrossSource, qLangConsistency, qEventCadence, qLenHist,
-    qRollingUsers, qDedupThresholds,
+    qRollingUsers, qDedupThresholds, qDedupSnm,
   )
 }

@@ -1437,6 +1437,30 @@ class OperatorsSpec extends SparkSpec {
     assert(scored(0L)._2 > scored(1L)._2)
   }
 
+  test("sorted-neighborhood pairs: prefix-adjacent dups found, distant-prefix dup missed") {
+    // docs 1/2 share a prefix and near-identical text → adjacent after
+    // sort → found; doc 4 is a near-dup of 1 whose DIFFERENCE is in the
+    // sort prefix → far apart → the documented SNM blind spot
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra"),
+      (4L, "OMEGA beta gamma delta epsilon zeta eta theta"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      sortPrefixLen = 10, window = 1, n = 3, minJaccardBp = 2000L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
+    // window = 3 puts every doc within range; the verify still gates:
+    // (1,4) appears (same text minus the first word), (3, *) never does
+    val wide = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      sortPrefixLen = 10, window = 3, n = 3, minJaccardBp = 2000L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(wide.exists { case (a, b) => Set(a, b) == Set(1L, 4L) })
+    assert(!wide.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("thresholdSweep: bucketed counts with descending cumulative") {
     val pairs = Seq(10000L, 9500L, 8200L, 8000L, 3000L)
       .map(bp => (1L, 2L, bp)).toDF("id_a", "id_b", "jacc_bp")
