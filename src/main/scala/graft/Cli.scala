@@ -20,6 +20,10 @@ import graft.validators.ContractValidator
   *                                         quality_checks.curation chain,
   *                                         print docs per first-failing
   *                                         rule (chain order) + kept
+  *   diff <pathA> <pathB>                  snapshot diff: row-content
+  *                                         counts (with --id/--payload)
+  *                                         + per-column numeric-profile
+  *                                         drift of shared columns
   */
 object Cli {
 
@@ -193,6 +197,52 @@ object Cli {
           graft.operators.Profile.suggestContract(df, name, owner)))
       } finally spark.stop()
 
+    case "diff" :: pathA :: pathB :: rest =>
+      //   --id <col>       content diff on this id column + --payload
+      //   --payload <col>  payload column for the content fingerprint
+      //   --json           machine-readable lines
+      // With --id: row-content diff counts (added/removed/changed/
+      // unchanged). Always: per-column numeric-profile drift of the
+      // shared numeric columns — the stats half next to the row diff.
+      val json = rest.contains("--json")
+      def opt(flag: String) = rest.sliding(2).collectFirst {
+        case Seq(`flag`, v) => v
+      }
+      val (spark, owned) = SparkSession.getActiveSession match {
+        case Some(live) => (live, false)
+        case None => (session(), true)
+      }
+      try {
+        val a = spark.read.parquet(pathA)
+        val b = spark.read.parquet(pathB)
+        (opt("--id"), opt("--payload")) match {
+          case (Some(id), Some(payload)) =>
+            val counts = graft.operators.SnapshotDiff.diffCounts(a, b, id, payload)
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val rows = Seq("added", "removed", "changed", "unchanged")
+              .map(s => s -> counts.getOrElse(s, 0L))
+            if (json) rows.foreach { case (s, n) => println(s"""{"status":"$s","rows":$n}""") }
+            else rows.foreach { case (s, n) => println(f"$s%-12s$n%10d") }
+          case (None, None) => // stats-only diff below
+          case _ =>
+            System.err.println("--id and --payload must be given together")
+            sys.exit(2)
+        }
+        val shared = a.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+            b.schema.fieldNames.contains(f.name) => f.name
+        }.toSeq
+        if (shared.nonEmpty) {
+          val drift = graft.operators.Profile.numericDrift(a, b, shared)
+            .orderBy("column")
+          if (json) {
+            import org.apache.spark.sql.functions.{col, to_json, struct}
+            drift.select(to_json(struct(drift.columns.map(col): _*)))
+              .collect().foreach(r => println(r.getString(0)))
+          } else drift.show(1000, truncate = false)
+        }
+      } finally if (owned) spark.stop()
+
     case _ =>
       System.err.println(
         """usage: graft.Cli <verb> ...
@@ -201,7 +251,8 @@ object Cli {
           |  init <dataPath|tableName> <name> <owner> [--table] [--out <path>] [--description <text>]
           |  profile <dataPath>
           |  suggest <dataPath> <name> <owner>
-          |  curate <contract.yml|.toml> [dataPath] [--text <col>] [--json]""".stripMargin)
+          |  curate <contract.yml|.toml> [dataPath] [--text <col>] [--json]
+          |  diff <pathA> <pathB> [--id <col> --payload <col>] [--json]""".stripMargin)
       sys.exit(2)
   }
 

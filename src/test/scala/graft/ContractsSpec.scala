@@ -197,6 +197,29 @@ class ContractsSpec extends SparkSpec {
     java.nio.file.Files.delete(f)
   }
 
+  test("CLI diff verb: content counts + numeric-profile drift, JSON lines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_diff")
+    val pa = s"$dir/a"; val pb = s"$dir/b"
+    Seq((1L, "same", 10.0), (2L, "old", 20.0), (3L, "same", 30.0))
+      .toDF("id", "payload", "v").write.parquet(pa)
+    Seq((1L, "same", 10.0), (2L, "new", 20.0), (4L, "added", 40.0))
+      .toDF("id", "payload", "v").write.parquet(pb)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.main(Array("diff", pa, pb, "--id", "id", "--payload", "payload", "--json"))
+    }
+    assert(!spark.sparkContext.isStopped) // reused the live session
+    val printed = out.toString("UTF-8")
+    assert(printed.contains(""""status":"added","rows":1"""), printed)
+    assert(printed.contains(""""status":"removed","rows":1"""), printed)
+    assert(printed.contains(""""status":"changed","rows":1"""), printed)
+    assert(printed.contains(""""status":"unchanged","rows":1"""), printed)
+    // shared numeric columns get the profile-drift line (id and v)
+    assert(printed.contains(""""column":"v""""), printed)
+    assert(printed.contains("mean_shift_r4"), printed)
+  }
+
   test("JSON is parsed too (YAML superset)") {
     val json = """{"version":"1","name":"n","owner":"o",
       "schema":{"format":"parquet","location":"l",
