@@ -205,8 +205,16 @@ object Cli {
       // unchanged). Always: per-column numeric-profile drift of the
       // shared numeric columns — the stats half next to the row diff.
       val json = rest.contains("--json")
-      def opt(flag: String) = rest.sliding(2).collectFirst {
-        case Seq(`flag`, v) => v
+      // a dangling flag (`diff a b --id`) or a flag-valued flag
+      // (`--id --json`) must be a hard usage error, not a silent
+      // downgrade to the stats-only diff
+      def opt(flag: String): Option[String] = {
+        val i = rest.indexOf(flag)
+        if (i < 0) None
+        else if (i + 1 >= rest.length || rest(i + 1).startsWith("--")) {
+          System.err.println(s"$flag requires a value")
+          sys.exit(2)
+        } else Some(rest(i + 1))
       }
       val (spark, owned) = SparkSession.getActiveSession match {
         case Some(live) => (live, false)

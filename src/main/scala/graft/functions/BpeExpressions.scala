@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled vocabulary table for [[BpeKernel]]: the piece set plus the
+  * longest piece length (in code points — the unit `substr`/`len` use
+  * in both engines). Built once per expression instance and shipped to
+  * executors as a codegen reference object, the same broadcast-shaped
+  * lifecycle as [[LangProfiles]]. A production tokenizer vocab
+  * (32–100k pieces, ~1 MB) rides the serialized plan once per stage —
+  * noise next to any shuffle; the per-row work never touches the
+  * driver. */
+final class BpeVocab(pieces: Seq[String]) extends Serializable {
+  require(pieces.nonEmpty, "BPE vocab must not be empty")
+  require(pieces.forall(_.nonEmpty), "BPE vocab must not contain empty pieces")
+  val set = new java.util.HashSet[UTF8String](pieces.size * 2)
+  pieces.foreach(p => set.add(UTF8String.fromString(p)))
+  val maxLen: Int = pieces.map(p => p.codePointCount(0, p.length)).max
+}
+
+/** Greedy longest-match subword tokenization (the WordPiece/BPE APPLY
+  * step — merges already folded into a flat piece vocabulary): at each
+  * position in a word, consume the LONGEST vocab piece that prefixes
+  * the remainder, falling back to the single code point (emitted
+  * as-is) when nothing matches — char-fallback keeps the tokenization
+  * total without an `<unk>` sink, so counts stay meaningful on any
+  * input. Pieces never cross word boundaries (the standard pre-split
+  * convention).
+  *
+  * The greedy step is deterministic with no tie-break rule needed: two
+  * DISTINCT pieces of equal length cannot both prefix the same
+  * remainder. The match loop probes lengths maxLen→1 against a hash
+  * set — O(word · maxLen) probes in one compiled pass, no regex, no
+  * per-token lambda. Portable replay: a recursive CTE consuming
+  * `coalesce(longest-matching-piece-length, 1)` code points per step
+  * (the driver oracle replays exactly this; piece count = number of
+  * consumption steps). */
+object BpeKernel {
+
+  /** All pieces of all words, concatenated in word order. */
+  def tokenize(words: ArrayData, v: BpeVocab): ArrayData = {
+    val n = words.numElements()
+    val buf = new java.util.ArrayList[Any](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val word = words.getUTF8String(i)
+        val wlen = word.numChars()
+        var pos = 0
+        while (pos < wlen) {
+          val take = matchAt(word, pos, wlen, v)
+          buf.add(word.substring(pos, pos + take))
+          pos += take
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  /** Piece count only — no piece allocation (the hot path for budget
+    * accounting; fertility, packing, corpus cards). */
+  def count(words: ArrayData, v: BpeVocab): Long = {
+    val n = words.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val word = words.getUTF8String(i)
+        val wlen = word.numChars()
+        var pos = 0
+        while (pos < wlen) { pos += matchAt(word, pos, wlen, v); total += 1L }
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** Code points consumed at `pos`: longest matching piece, else 1. */
+  private def matchAt(word: UTF8String, pos: Int, wlen: Int, v: BpeVocab): Int = {
+    var l = math.min(v.maxLen, wlen - pos)
+    while (l >= 1) {
+      if (v.set.contains(word.substring(pos, pos + l))) return l
+      l -= 1
+    }
+    1
+  }
+}
+
+/** array<string> words → array<string> subword pieces (greedy
+  * longest-match over the vocab; char-fallback). See [[BpeKernel]]. */
+case class BpeTokenizeExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  // vocab lives in the case class as Seq for structural equality
+  // (canonicalization-friendly); the kernel reads the compiled set
+  @transient private lazy val compiled: BpeVocab = new BpeVocab(vocab)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_tokenize expects array<string>, got ${t.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.tokenize(input.asInstanceOf[ArrayData], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocab", compiled, classOf[BpeVocab].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BpeKernel.tokenize($a, $vocabRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeTokenizeExpr {
+  def apply(words: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeTokenizeExpr(ColumnBridge.expression(words), vocab))
+}
+
+/** array<string> words → long subword piece count. Equal to
+  * `size(BpeTokenizeExpr(...))` without allocating the pieces. */
+case class BpeCountExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val compiled: BpeVocab = new BpeVocab(vocab)
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_count expects array<string>, got ${t.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.count(input.asInstanceOf[ArrayData], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocab", compiled, classOf[BpeVocab].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BpeKernel.count($a, $vocabRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeCountExpr {
+  def apply(words: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(words), vocab))
+}

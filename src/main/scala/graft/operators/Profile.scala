@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StringType}
 
 /** Table profiling — the reference's heritage capability (DCE evolved
   * from the `dataprof` profiler; reference: README.md "Origin") and the
@@ -375,12 +375,23 @@ object Profile {
     * [[exactQuantiles]] idiom instead). Tied values contribute
     * identically under any tie order, so the result is deterministic.
     * Integer inputs keep Σ i·xᵢ exact up to 2⁵³. All-zero or empty
-    * groups → NULL (undefined), negative values are rejected upstream
-    * by the caller (Gini is defined for non-negative quantities). */
+    * groups → NULL (undefined). The input column must be an INTEGRAL
+    * type (a fractional column would silently truncate through the
+    * Long cast — rejected at plan time) and non-negative (Gini is
+    * undefined for negative quantities — enforced per row, the task
+    * fails rather than emitting a distorted coefficient). */
   def giniByGroup(df: DataFrame, groupCol: String,
                   valueCol: String): DataFrame = {
+    val dt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"giniByGroup: $valueCol must be an integral type, got $dt " +
+        "(fractional values would truncate through the Long cast)")
     df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("key"), col(valueCol).cast(LongType).as("__x"))
+      .select(col(groupCol).as("key"),
+        when(col(valueCol) >= 0, col(valueCol).cast(LongType))
+          .otherwise(raise_error(concat_ws("", lit(
+            s"giniByGroup: negative $valueCol — Gini is undefined for negative values, got "),
+            col(valueCol))).cast(LongType)).as("__x"))
       .withColumn("__i", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("key")).orderBy(col("__x"))))

@@ -49,6 +49,13 @@ object RangeJoin {
     val overlap = points.columns.toSet intersect intervals.columns.toSet
     require(overlap.isEmpty,
       s"points/intervals column names must be disjoint, both have: ${overlap.mkString(", ")}")
+    // the internal bucket columns are added with withColumn and dropped
+    // from the output — a user column with the same name would be
+    // silently overwritten and lost, so reject it up front
+    val reserved = Seq("__gb", "__gp")
+    val clash = (points.columns ++ intervals.columns).toSet intersect reserved.toSet
+    require(clash.isEmpty,
+      s"input frames must not contain reserved internal columns: ${clash.mkString(", ")}")
     val ib = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(startCol) <= col(endCol))

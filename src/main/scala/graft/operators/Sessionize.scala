@@ -175,18 +175,30 @@ object Sessionize {
     * [[eventTransitions]]' ADJACENT-pair probabilities (co-occurrence
     * ignores order and distance; transitions don't).
     *
-    * Plan: ONE distinct (user, type) projection feeds everything; the
+    * Plan: ONE distinct (user, type) projection — PERSISTED, it feeds
+    * four subtrees (total, margins, both join sides) and re-deriving
+    * it per consumer would re-scan the event volume each time; the
     * pair frame is its self-equi-join on the user (each user yields
     * C(their types, 2) rows — bounded by the type-alphabet size, not
     * the event volume); margins and the user total broadcast. Exact
-    * integer counts; lift at r4. */
+    * integer counts; lift at r4.
+    *
+    * This overload persists for the session; repeated callers should
+    * use [[typeCooccurrenceManaged]] and release after the result's
+    * last materialization. */
   def typeCooccurrence(events: DataFrame, userCol: String,
-                       typeCol: String): DataFrame = {
+                       typeCol: String): DataFrame =
+    typeCooccurrenceManaged(events, userCol, typeCol)._1
+
+  /** [[typeCooccurrence]] with the persisted frame's release handle. */
+  def typeCooccurrenceManaged(events: DataFrame, userCol: String,
+                              typeCol: String): (DataFrame, () => Unit) = {
     val ut = events.filter(col(typeCol).isNotNull)
       .select(col(userCol).as("__u"), col(typeCol).as("__t")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = ut.agg(countDistinct("__u").as("__n"))
     val per = ut.groupBy("__t").agg(count(lit(1)).as("__c"))
-    ut.as("a").join(ut.as("b"),
+    val out = ut.as("a").join(ut.as("b"),
         col("a.__u") === col("b.__u") && col("a.__t") < col("b.__t"))
       .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
       .agg(count(lit(1)).as("__both"))
@@ -202,6 +214,7 @@ object Sessionize {
         expr("__both * 10000 DIV __n").cast("long").as("support_bp"),
         round(col("__both").cast("double") * col("__n") /
           (col("__ca").cast("double") * col("__cb")), 4).as("lift_r4"))
+    (out, () => { ut.unpersist(); () })
   }
 
   /** EXACT rolling active users: for every calendar day, the distinct
@@ -217,10 +230,19 @@ object Sessionize {
     * Days past the last observed day are clipped (their windows are
     * incomplete by construction). */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
-                         windowDays: Int = 7): DataFrame = {
+                         windowDays: Int = 7): DataFrame =
+    rollingActiveUsersManaged(events, userCol, tsCol, windowDays)._1
+
+  /** [[rollingActiveUsers]] with the release handle for the persisted
+    * (user, day) frame — it feeds three subtrees (max-day, window
+    * cover, DAU), each of which would otherwise re-scan the events. */
+  def rollingActiveUsersManaged(events: DataFrame, userCol: String,
+                                tsCol: String, windowDays: Int = 7)
+      : (DataFrame, () => Unit) = {
     require(windowDays >= 1, "windowDays must be >= 1")
     val ud = events.select(col(userCol).as("__u"),
       to_date(date_trunc("day", col(tsCol))).as("__d")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxDay = ud.agg(max("__d").as("__max"))
     val cover = ud.select(col("__u"), explode(expr(
         s"sequence(__d, date_add(__d, ${windowDays - 1}))")).as("day"))
@@ -231,11 +253,12 @@ object Sessionize {
       .agg(count(lit(1)).as("__rolling"))
     val dau = ud.groupBy(col("__d").as("day"))
       .agg(count(lit(1)).as("__dau"))
-    rolling.join(dau, Seq("day"), "left")
+    val out = rolling.join(dau, Seq("day"), "left")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         coalesce(col("__dau"), lit(0L)).cast("long").as("dau"),
         col("__rolling").cast("long").as("rolling_users"),
         expr("coalesce(__dau, 0) * 10000 DIV __rolling").cast("long").as("ratio_bp"))
+    (out, () => { ud.unpersist(); () })
   }
 
   /** Inter-arrival cadence per event type: exact disc p50/p90 of the

@@ -534,33 +534,47 @@ object TextAnalysis {
     * relevance-filter for query-targeted corpus curation ("keep docs
     * that score against these seed queries").
     *
-    * Scale shape: the corpus is scanned ONCE for (doc length, query
-    * term counts); term rows are filtered to the query set BEFORE the
-    * aggregation, so the per-doc frame carries at most |query| rows per
-    * doc; df and the (N, avgdl) stats are broadcast (|query| rows and
-    * 1 row). No shuffle touches non-query terms. Docs matching no
+    * Scale shape: the corpus text is scanned and tokenized ONCE — the
+    * narrow per-doc frame (doc_id, doc length, query-term hits only)
+    * is PERSISTED before the (N, avgdl) aggregate and the term-hits
+    * path fork from it, so neither subtree re-reads or re-tokenizes
+    * the text; df and the (N, avgdl) stats are broadcast (|query| rows
+    * and 1 row). No shuffle touches non-query terms. Docs matching no
     * query term score 0 and are omitted (inner semantics — retrieval
-    * wants the matching set, not the corpus). */
+    * wants the matching set, not the corpus).
+    *
+    * This overload persists the per-doc frame for the session; callers
+    * scoring repeatedly in one session should use [[bm25Managed]] and
+    * release after the result's last materialization. */
   def bm25(df: DataFrame, idCol: String, textCol: String,
-           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Managed(df, idCol, textCol, queryTerms, k1, b)._1
+
+  /** [[bm25]] with the persisted per-doc frame's release handle. */
+  def bm25Managed(df: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k1: Double = 1.2,
+                  b: Double = 0.75): (DataFrame, () => Unit) = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     // NULL-text docs are excluded HERE, not left to the caller: they
     // would silently inflate N and drag avgdl toward size(NULL) = -1,
-    // skewing every score with no error
-    val docs = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        TextFns.words(col(textCol)).as("__w"))
-      .withColumn("__dl", size(col("__w")).cast("double"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+    // skewing every score with no error. The persisted frame keeps
+    // only doc_id, the length, and the query-term occurrences — at
+    // most |occurrences of query terms| array cells per doc, never
+    // the full token array.
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextFns.words(col(textCol)).as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("double").as("__dl"),
+        filter(col("__w"), w => w.isin(queryTerms: _*)).as("__qw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("__n"),
       avg("__dl").as("__avgdl"))
-    val termHits = docs
-      .select(col("doc_id"), col("__dl"), explode(col("__w")).as("word"))
-      .filter(col("word").isin(queryTerms: _*))
+    val termHits = perDoc
+      .select(col("doc_id"), col("__dl"), explode(col("__qw")).as("word"))
       .groupBy("doc_id", "__dl", "word")
       .agg(count(lit(1)).cast("double").as("tf"))
     val docFreq = termHits.groupBy("word")
       .agg(countDistinct(col("doc_id")).cast("double").as("__df"))
-    termHits.join(broadcast(docFreq), "word").crossJoin(broadcast(stats))
+    val scored = termHits.join(broadcast(docFreq), "word").crossJoin(broadcast(stats))
       .withColumn("__idf",
         log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
       .withColumn("__s", col("__idf") * col("tf") * (k1 + 1.0) /
@@ -568,6 +582,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("matched_terms"),
         sum("__s").as("bm25"))
+    (scored, () => { perDoc.unpersist(); () })
   }
 
   /** Jensen–Shannon divergence (nats) between the word distributions
@@ -678,4 +693,39 @@ object TextAnalysis {
         round(min("__fre"), 4).as("min_fre_r4"),
         round(max("__fre"), 4).as("max_fre_r4"))
   }
+
+  /** Per-document subword token budget under a fixed BPE/WordPiece
+    * vocabulary — the greedy longest-match APPLY step
+    * ([[graft.functions.BpeKernel]], compiled codegen loop) over the
+    * normalized text's words. Training budgets are TOKENIZER tokens,
+    * not whitespace tokens; the gap between them is the fertility this
+    * report measures per doc (pieces per word, bp). Char-fallback
+    * keeps the tokenization total on any input, so counts are
+    * meaningful even for out-of-vocabulary scripts.
+    *
+    * Scale shape: map-only — one codegen pass per document, the vocab
+    * rides the serialized plan to executors once per stage (a real
+    * 32–100k-piece vocab is ~1 MB — noise next to any shuffle). No
+    * join, no shuffle, no driver-side loop. Replayable: greedy
+    * longest-match is a recursive consume loop any SQL engine can
+    * replay piece-length-by-piece-length (the driver oracle does). */
+  def subwordBudget(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String]): DataFrame = {
+    val ws = TextFns.words(TextFns.normalize(col(textCol)))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.BpeCountExpr(ws, vocab).as("bpe_tokens"),
+        size(ws).cast("long").as("ws_tokens"))
+      .withColumn("fertility_bp", expr("bpe_tokens * 10000 DIV ws_tokens"))
+  }
+
+  /** [[subwordBudget]]'s piece view: one row per document with the
+    * subword pieces themselves — the downstream unit for packing and
+    * vocabulary-coverage audits. */
+  def subwordTokenize(df: DataFrame, idCol: String, textCol: String,
+                      vocab: Seq[String]): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.BpeTokenizeExpr(
+          TextFns.words(TextFns.normalize(col(textCol))), vocab).as("pieces"))
 }

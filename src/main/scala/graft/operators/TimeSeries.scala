@@ -139,7 +139,15 @@ object TimeSeries {
     * partitions by key over those bounded frames — never the event
     * volume, never a global window. */
   def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
-                      lags: Seq[Int]): DataFrame = {
+                      lags: Seq[Int]): DataFrame =
+    autocorrelationManaged(events, keyCol, tsCol, lags)._1
+
+  /** [[autocorrelation]] with the release handle for the persisted
+    * dense series — each requested lag is its own aggregation subtree,
+    * and without the persist every lag would re-scan the events and
+    * re-generate the calendar. */
+  def autocorrelationManaged(events: DataFrame, keyCol: String, tsCol: String,
+                             lags: Seq[Int]): (DataFrame, () => Unit) = {
     require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
     val counts = events
       .groupBy(col(keyCol).as("key"),
@@ -151,9 +159,10 @@ object TimeSeries {
         "sequence(__lo, __hi, interval 1 day)")).as("__d"))
     val dense = cal.join(counts, Seq("key", "__d"), "left")
       .select(col("key"), col("__d"), coalesce(col("__c"), lit(0L)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("__d"))
-    lags.map { k =>
+    val out = lags.map { k =>
       dense.withColumn("y", lag(col("x"), k).over(w))
         .filter(col("y").isNotNull)
         .groupBy("key")
@@ -172,5 +181,6 @@ object TimeSeries {
               sqrt(col("__vx").cast("double") * col("__vy").cast("double")), 4))
             .as("acf_r4"))
     }.reduce(_ unionByName _)
+    (out, () => { dense.unpersist(); () })
   }
 }

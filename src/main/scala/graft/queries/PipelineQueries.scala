@@ -3344,11 +3344,15 @@ object PipelineQueries {
   // bit-identical double expression (shortest-roundtrip repr + CAST).
   private val bmK1 = 1.2
   private val bmB = 0.75
+  // bm25 persists its per-doc frame for the session (scan-once fork
+  // consistency) — memoized per (session, dir) so repeated Verify/Bench
+  // reps share ONE persisted copy instead of pinning a new one per run
+  private val bm25Cache = new SessionCache[org.apache.spark.sql.DataFrame]
   val qTextBm25 = QueryDef("q_text_bm25",
     (s, dir) => {
-      graft.operators.TextAnalysis.bm25(
+      bm25Cache.get(s, dir)(graft.operators.TextAnalysis.bm25(
           table(s, dir, "documents").filter(col("text").isNotNull),
-          "doc_id", "text", Seq("vector", "merge", "scan"), bmK1, bmB)
+          "doc_id", "text", Seq("vector", "merge", "scan"), bmK1, bmB))
         .select(col("doc_id"), col("matched_terms"),
           round(col("bm25"), 4).as("bm25_r4"))
         .orderBy(col("bm25_r4").desc, col("doc_id")).limit(25)
@@ -3401,10 +3405,14 @@ object PipelineQueries {
   // 117. lag-k autocorrelation of each event type's dense daily-count
   // series (absent days are zero observations) — the seasonality
   // detector next to rolling trend / MAD / calendar gaps.
+  // autocorrelation persists its dense series across the per-lag
+  // subtrees — memoized per (session, dir): one pinned copy per
+  // session, not per bench rep (same lifecycle as shardedCorpus)
+  private val acfCache = new SessionCache[org.apache.spark.sql.DataFrame]
   val qTsAcf = QueryDef("q_ts_acf",
     (s, dir) => {
-      graft.operators.TimeSeries.autocorrelation(
-          table(s, dir, "events"), "event_type", "ts", Seq(1, 7))
+      acfCache.get(s, dir)(graft.operators.TimeSeries.autocorrelation(
+          table(s, dir, "events"), "event_type", "ts", Seq(1, 7)))
         .orderBy("key", "lag")
     },
     Some("""
@@ -3538,11 +3546,15 @@ object PipelineQueries {
 
   // 122. exact percentile-rank normalization (two-level cumsum, never
   // a global window) — corpus-relative score thresholds.
+  // percentileRank persists the ranked corpus (range-exchange fork
+  // consistency) — memoized per (session, dir), same lifecycle note as
+  // shardedCorpus: one pinned copy per session, not per bench rep
+  private val pctRankCache = new SessionCache[org.apache.spark.sql.DataFrame]
   val qPctRank = QueryDef("q_pct_rank",
     (s, dir) => {
-      graft.operators.Profile.percentileRank(
+      pctRankCache.get(s, dir)(graft.operators.Profile.percentileRank(
           table(s, dir, "documents").filter(col("n_chars").isNotNull),
-          "n_chars")
+          "n_chars"))
         .filter(col("doc_id") < 30)
         .select(col("doc_id"), col("n_chars"), col("pct_bp"))
         .orderBy("doc_id")
@@ -3707,13 +3719,16 @@ object PipelineQueries {
 
   // 127. event-type co-occurrence with lift — market-basket
   // association, order-blind, next to the adjacent-pair transitions.
+  // typeCooccurrence persists its (user, type) frame — memoized per
+  // (session, dir), one pinned copy per session
+  private val liftCache = new SessionCache[org.apache.spark.sql.DataFrame]
   val qEventLift = QueryDef("q_event_lift",
     (s, dir) => {
       // sparsified 1-in-7 slice: the full board has every user holding
       // every type (all lifts exactly 1.0 — a vacuous check)
-      graft.operators.Sessionize.typeCooccurrence(
+      liftCache.get(s, dir)(graft.operators.Sessionize.typeCooccurrence(
           table(s, dir, "events").filter(pmod(col("event_id"), lit(7)) === 0),
-          "user_id", "event_type")
+          "user_id", "event_type"))
         .orderBy("type_a", "type_b")
     },
     Some("""
@@ -3844,10 +3859,13 @@ object PipelineQueries {
 
   // 134. exact rolling 7-day active users per day + DAU ratio —
   // sliding-window engagement with no month-boundary artifacts.
+  // rollingActiveUsers persists its (user, day) frame — memoized per
+  // (session, dir), one pinned copy per session
+  private val rollingUsersCache = new SessionCache[org.apache.spark.sql.DataFrame]
   val qRollingUsers = QueryDef("q_rolling_users",
     (s, dir) => {
-      graft.operators.Sessionize.rollingActiveUsers(
-          table(s, dir, "events"), "user_id", "ts", windowDays = 7)
+      rollingUsersCache.get(s, dir)(graft.operators.Sessionize.rollingActiveUsers(
+          table(s, dir, "events"), "user_id", "ts", windowDays = 7))
         .orderBy("day")
     },
     Some("""
@@ -3896,11 +3914,14 @@ object PipelineQueries {
   // 136. sorted-neighborhood near-dup pairs — the blocking alternative
   // to LSH: exportShards positions + RangeJoin rank band + exact
   // array-intersect verify.
+  // SNM persists its ranked frame (range-exchange fork consistency) —
+  // memoized per (session, dir) so bench reps share one pinned copy
+  private val snmPairsCache = new SessionCache[org.apache.spark.sql.DataFrame]
   val qDedupSnm = QueryDef("q_dedup_snm",
     (s, dir) => {
-      graft.operators.Dedup.sortedNeighborhoodPairs(
+      snmPairsCache.get(s, dir)(graft.operators.Dedup.sortedNeighborhoodPairs(
           table(s, dir, "documents"), "doc_id", "text",
-          sortPrefixLen = 20, window = 10, n = 3, minJaccardBp = 2000L)
+          sortPrefixLen = 20, window = 10, n = 3, minJaccardBp = 2000L))
         .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
         .limit(30)
     },
@@ -3969,6 +3990,49 @@ object PipelineQueries {
       GROUP BY ex.q_id ORDER BY ex.q_id"""
   }
 
+  // 137. real subword tokenization: greedy longest-match BPE-apply
+  // (codegen kernel) vs whitespace tokens — per-doc fertility. The
+  // vocab is a SMALL literal (shared verbatim with the oracle), so
+  // DuckDB can replay the greedy match loop as a recursive CTE that
+  // consumes coalesce(longest-matching-piece-len, 1) code points per
+  // step; piece count = consumption steps. Restricted to doc_id < 60
+  // to bound the oracle's recursion (the Spark operator itself is
+  // map-only and corpus-wide).
+  private val bpeVocabLit: Seq[String] = Seq(
+    "the", "tion", "ing", "and", "ent", "ere", "ion", "ati", "for",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+    "e", "t", "a", "o", "i", "n", "s", "r")
+  val qTextBpe = QueryDef("q_text_bpe",
+    (s, dir) => {
+      graft.operators.TextAnalysis.subwordBudget(
+          table(s, dir, "documents").filter(col("doc_id") < 60),
+          "doc_id", "text", bpeVocabLit)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE vocab(piece) AS (VALUES ${bpeVocabLit.map(p => s"('$p')").mkString(", ")}),
+      w AS (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL AND doc_id < 60),
+      step(doc_id, rem) AS (
+        SELECT doc_id, word FROM w WHERE word <> ''
+        UNION ALL
+        SELECT doc_id, substr(rem, 1 + coalesce((SELECT max(len(piece)) FROM vocab
+                                                 WHERE starts_with(rem, piece)), 1))
+        FROM step WHERE rem <> ''),
+      b AS (SELECT doc_id, count(*) AS bpe FROM step WHERE rem <> '' GROUP BY 1),
+      t AS (SELECT doc_id,
+                   len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws
+            FROM documents WHERE text IS NOT NULL AND doc_id < 60)
+      SELECT t.doc_id, CAST(coalesce(b.bpe, 0) AS BIGINT) AS bpe_tokens,
+             CAST(t.ws AS BIGINT) AS ws_tokens,
+             CAST(coalesce(b.bpe, 0) * 10000 // t.ws AS BIGINT) AS fertility_bp
+      FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -3994,5 +4058,6 @@ object PipelineQueries {
     qSplitLeakage, qProfileDrift, qEventLift, qVocabStats,
     qDedupCrossSource, qLangConsistency, qEventCadence, qLenHist,
     qRollingUsers, qDedupThresholds, qDedupSnm,
+    qTextBpe,
   )
 }

@@ -104,6 +104,59 @@ object KernelPropSpec extends Properties("TextKernels") {
         refWindowsNullable(words, n)
     }
 
+  /** Reference greedy longest-match BPE apply: plain String ops, the
+    * recursive-CTE formulation the driver oracle replays (consume the
+    * longest vocab piece prefixing the remainder, else one code
+    * point). Independent of the kernel's hash-set probe loop. */
+  private def refBpe(words: List[String], vocab: List[String]): List[String] = {
+    def pieces(word: String): List[String] = {
+      val cps = word.codePoints().toArray
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var pos = 0
+      while (pos < cps.length) {
+        val take = (math.min(cps.length - pos, vocab.map(v =>
+          v.codePointCount(0, v.length)).maxOption.getOrElse(1)) to 1 by -1)
+          .find { l =>
+            val cand = new String(cps, pos, l)
+            vocab.contains(cand)
+          }.getOrElse(1)
+        out += new String(cps, pos, take)
+        pos += take
+      }
+      out.toList
+    }
+    words.flatMap(pieces)
+  }
+
+  private val genVocab: Gen[List[String]] =
+    Gen.choose(1, 12).flatMap(Gen.listOfN(_,
+      Gen.oneOf("a", "b", "ab", "ba", "aab", "xyz", "€ü", "x", "abab")))
+      .map(_.distinct)
+
+  property("BpeKernel.tokenize == greedy longest-match reference") =
+    forAll(genWords, genVocab) { (words, vocab) =>
+      val v = new graft.functions.BpeVocab(vocab)
+      val got = graft.functions.BpeKernel.tokenize(toArrayData(words), v)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString).toList ==
+        refBpe(words, vocab)
+    }
+
+  property("BpeKernel.count == tokenize length, and >= per-word minimum") =
+    forAll(genWords, genVocab) { (words, vocab) =>
+      val v = new graft.functions.BpeVocab(vocab)
+      val cnt = graft.functions.BpeKernel.count(toArrayData(words), v)
+      val toks = graft.functions.BpeKernel.tokenize(toArrayData(words), v)
+      cnt == toks.numElements().toLong && cnt >= 0L
+    }
+
+  property("BPE pieces reassemble to the input words (lossless cover)") =
+    forAll(genWords, genVocab) { (words, vocab) =>
+      val v = new graft.functions.BpeVocab(vocab)
+      val got = graft.functions.BpeKernel.tokenize(toArrayData(words), v)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString).mkString ==
+        words.mkString
+    }
+
   property("chunks cover every word with the declared stride") =
     forAll(genWords, genN, genN) { (words, n0, step0) =>
       val n = math.max(n0, step0)
