@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain provenance curation — the domain-grain machinery web
+  * corpora are actually curated by (per-source stats exist on the
+  * board at the `source`-label grain; real pipelines roll up by
+  * REGISTERED DOMAIN and filter by domain blocklists; cf. the C4 and
+  * RefinedWeb recipes). Reference analog: /root/reference's curation
+  * surface stops at source labels; this family adds the URL grain.
+  *
+  * Everything here is per-row string expressions (map-only, codegen'd,
+  * no shuffle until the rollup) and deliberately SQL-replayable: the
+  * same regexes run in any engine, and the public-suffix table is a
+  * caller-supplied literal list compiled into a longest-first CASE
+  * chain — NOT a join (suffix tables are a few thousand rows at most;
+  * a join would shuffle the corpus against a constant).
+  *
+  * Scope notes: hosts are matched lowercase; ports are preserved
+  * (default-port stripping needs scheme-conditional rules — out of
+  * scope); IDN/punycode passes through untouched. The tracking-param
+  * strip removes `utm_*`, `gclid`, `fbclid`, `ref` — the cross-site
+  * tracking params that make one page infinite distinct URLs.
+  */
+object UrlCuration {
+
+  /** The default public-suffix-lite table. A real deployment loads the
+    * full public-suffix list; the MECHANISM (longest-suffix-first
+    * match, multi-label suffixes) is identical. */
+  val DefaultSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "com.au", "com", "org", "net", "io", "dev", "edu", "gov")
+
+  private val TrackingParam = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+  /** Hostname of `url` (lowercased authority, port stripped). */
+  def host(url: Column): Column =
+    regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+
+  /** Registered domain of a HOST under `suffixes` (public-suffix-lite):
+    * the label immediately left of the longest matching suffix, plus
+    * the suffix — `a.b.co.uk` → `b.co.uk`, `www.x.com` → `x.com`.
+    * NULL when no suffix matches (opaque hosts, IPs). One anchored
+    * regex, alternation ordered longest-first so `co.uk` wins over
+    * `uk`-style shadowing. */
+  def registeredDomain(hostCol: Column, suffixes: Seq[String] = DefaultSuffixes): Column = {
+    require(suffixes.nonEmpty, "suffix table must not be empty")
+    val alts = suffixes.sortBy(-_.length).map(_.replace(".", "\\.")).mkString("|")
+    val re = s"([^.]+\\.(?:$alts))$$"
+    val m = regexp_extract(hostCol, re, 1)
+    when(m =!= "", m)
+  }
+
+  /** Canonical URL: fragment stripped, tracking params removed (param
+    * order otherwise preserved), scheme+authority lowercased, path and
+    * kept query untouched. The dedup key for URL-level dedup. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    // path+query after the authority prefix
+    val tail = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val path = substring_index(tail, "?", 1)
+    val query = when(tail.contains("?"),
+      regexp_replace(tail, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = array_join(filter(split(query, "&"),
+      p => (p =!= "") && !p.rlike(TrackingParam)), "&")
+    concat(lower(prefix), path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** `df` + (host, registered_domain, canonical_url) derived from
+    * `urlCol` — the parse step every query below shares. Map-only. */
+  def withUrlParts(df: DataFrame, urlCol: String,
+                   suffixes: Seq[String] = DefaultSuffixes): DataFrame = {
+    val h = host(col(urlCol))
+    df.withColumn("host", h)
+      .withColumn("registered_domain", registeredDomain(h, suffixes))
+      .withColumn("canonical_url", canonicalUrl(col(urlCol)))
+  }
+
+  /** Per-registered-domain rollup with blocklist verdicts: page count,
+    * distinct hosts, distinct canonical URLs, corpus share (bp), and
+    * whether the domain is on `blocklist` — the report a
+    * provenance-filter decision reads. One map-side parse + ONE
+    * shuffle on the domain; the corpus total is a broadcast 1-row
+    * aggregate; the blocklist is a literal `isin` (never a join). */
+  def domainRollup(df: DataFrame, urlCol: String,
+                   suffixes: Seq[String] = DefaultSuffixes,
+                   blocklist: Seq[String] = Nil): DataFrame = {
+    val parsed = withUrlParts(df, urlCol, suffixes)
+      .filter(col("registered_domain").isNotNull)
+    val total = parsed.agg(count(lit(1)).as("__total"))
+    parsed
+      .groupBy(col("registered_domain").as("domain"))
+      .agg(count(lit(1)).cast("long").as("pages"),
+        countDistinct(col("host")).cast("long").as("hosts"),
+        countDistinct(col("canonical_url")).cast("long").as("canonical_urls"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("pages * 10000 DIV __total").cast("long"))
+      .withColumn("blocked",
+        if (blocklist.isEmpty) lit(false) else col("domain").isin(blocklist: _*))
+      .drop("__total")
+  }
+
+  /** URL-level dedup on the canonical form: per canonical URL with >1
+    * raw variants, the variant count and the kept (minimum) id — the
+    * "same page, infinite tracking-param spellings" collapse that runs
+    * BEFORE any content dedup (it needs no text at all). One shuffle
+    * on the canonical key. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("id"), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).cast("long").as("variants"),
+        min(col("id")).cast("long").as("keep_id"))
+      .filter(col("variants") > 1)
+}

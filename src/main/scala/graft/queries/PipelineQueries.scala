@@ -4033,6 +4033,80 @@ object PipelineQueries {
       FROM t LEFT JOIN b ON t.doc_id = b.doc_id
       ORDER BY t.doc_id"""))
 
+  // 138–139. URL/domain provenance curation. The testdata carries no
+  // URL column, so both engines derive the SAME deterministic URL per
+  // doc from (doc_id, source) — scheme/subdomain/suffix/path/tracking
+  // params/fragment all varied by doc_id arithmetic — and the operator
+  // (host + registered-domain extraction, canonicalization, rollup,
+  // URL-level dedup) is exercised on that column. One SQL expression
+  // string, evaluated by Spark's expr() AND embedded in the oracle.
+  private val urlExprSql = """concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+      CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+      source, '.',
+      CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' ELSE 'io' END,
+      '/p/', CAST(doc_id % 50 AS STRING),
+      CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&utm_campaign=x&id=', CAST(doc_id % 7 AS STRING))
+           WHEN doc_id % 5 = 1 THEN concat('?id=', CAST(doc_id % 7 AS STRING), '&utm_medium=em')
+           WHEN doc_id % 5 = 2 THEN concat('?id=', CAST(doc_id % 7 AS STRING))
+           ELSE '' END,
+      CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"""
+  private val urlSuffixAlt = graft.operators.UrlCuration.DefaultSuffixes
+    .sortBy(-_.length).map(_.replace(".", "\\.")).mkString("|")
+  private val urlBlocklist = Seq("src0.com", "src7.io")
+  // the oracle's parse CTE mirrors the operator's regexes verbatim
+  private def urlParseCtes: String = s"""
+      WITH u AS (SELECT doc_id, $urlExprSql AS url FROM documents),
+      pp AS (SELECT doc_id, url,
+               regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+               regexp_replace(url, '#.*$$', '') AS nofrag
+             FROM u),
+      pq AS (SELECT doc_id, url, host, nofrag,
+               nullif(regexp_extract(host, '([^.]+\\.(?:$urlSuffixAlt))$$', 1), '') AS registered_domain,
+               regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS prefix
+             FROM pp),
+      pr AS (SELECT doc_id, host, registered_domain, prefix,
+               substr(nofrag, length(prefix) + 1) AS tail FROM pq),
+      ps AS (SELECT doc_id, host, registered_domain, prefix,
+               split_part(tail, '?', 1) AS path,
+               CASE WHEN contains(tail, '?')
+                    THEN regexp_replace(tail, '^[^?]*\\?', '') ELSE '' END AS q
+             FROM pr),
+      p AS (SELECT doc_id, host, registered_domain,
+              lower(prefix) || path ||
+              CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canonical_url
+            FROM (SELECT *, array_to_string(list_filter(string_split(q, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)=')),
+                    '&') AS kept FROM ps))"""
+  val qUrlDomains = QueryDef("q_url_domains",
+    (s, dir) => {
+      graft.operators.UrlCuration.domainRollup(
+          table(s, dir, "documents").withColumn("url", expr(urlExprSql)),
+          "url", blocklist = urlBlocklist)
+        .orderBy("domain")
+    },
+    Some(urlParseCtes + s""",
+      f AS (SELECT * FROM p WHERE registered_domain IS NOT NULL),
+      t AS (SELECT count(*) AS total FROM f)
+      SELECT registered_domain AS domain, CAST(count(*) AS BIGINT) AS pages,
+             CAST(count(DISTINCT host) AS BIGINT) AS hosts,
+             CAST(count(DISTINCT canonical_url) AS BIGINT) AS canonical_urls,
+             CAST(count(*) * 10000 // t.total AS BIGINT) AS share_bp,
+             (registered_domain IN (${urlBlocklist.map(d => s"'$d'").mkString(", ")})) AS blocked
+      FROM f, t GROUP BY registered_domain, t.total ORDER BY domain"""))
+  val qUrlDedup = QueryDef("q_url_dedup",
+    (s, dir) => {
+      graft.operators.UrlCuration.urlDedup(
+          table(s, dir, "documents").withColumn("url", expr(urlExprSql)),
+          "doc_id", "url")
+        .orderBy(col("variants").desc, col("canonical_url")).limit(40)
+    },
+    Some(urlParseCtes + """
+      SELECT canonical_url, CAST(count(*) AS BIGINT) AS variants,
+             CAST(min(doc_id) AS BIGINT) AS keep_id
+      FROM p GROUP BY 1 HAVING count(*) > 1
+      ORDER BY variants DESC, canonical_url LIMIT 40"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4058,6 +4132,6 @@ object PipelineQueries {
     qSplitLeakage, qProfileDrift, qEventLift, qVocabStats,
     qDedupCrossSource, qLangConsistency, qEventCadence, qLenHist,
     qRollingUsers, qDedupThresholds, qDedupSnm,
-    qTextBpe,
+    qTextBpe, qUrlDomains, qUrlDedup,
   )
 }

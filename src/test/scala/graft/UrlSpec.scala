@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.UrlCuration
+
+class UrlSpec extends SparkSpec {
+
+  test("withUrlParts: host, registered domain (longest suffix), canonical") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://www.news.example-site.co.uk/a/B?utm_source=x&id=3&ref=tw#top"),
+      (2L, "http://cdn.assets.site.com:8080/img.png?gclid=abc"),
+      (3L, "https://opaque.internal/path"), // no matching suffix
+      (4L, "HTTPS://UPPER.Site.COM/Path?fbclid=1&keep=2"),
+    ).toDF("id", "url")
+    val p = UrlCuration.withUrlParts(df, "url").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("host"), Option(r.getAs[String]("registered_domain")),
+          r.getAs[String]("canonical_url"))).toMap
+
+    assert(p(1L)._1 == "www.news.example-site.co.uk")
+    assert(p(1L)._2.contains("example-site.co.uk"))
+    // fragment + utm/ref stripped, non-tracking param kept, path case kept
+    assert(p(1L)._3 == "https://www.news.example-site.co.uk/a/B?id=3")
+    assert(p(2L)._1 == "cdn.assets.site.com") // port not part of host
+    assert(p(2L)._2.contains("site.com"))
+    assert(p(2L)._3 == "http://cdn.assets.site.com:8080/img.png")
+    assert(p(3L)._2.isEmpty) // opaque TLD → NULL registered domain
+    // scheme+authority lowercased; Path case preserved; fbclid dropped
+    assert(p(4L)._1 == "upper.site.com")
+    assert(p(4L)._3 == "https://upper.site.com/Path?keep=2")
+  }
+
+  test("urlDedup collapses tracking-param spellings; keeps min id") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "https://a.com/x?utm_source=1&id=9"),
+      (11L, "https://a.com/x?id=9&utm_campaign=2"),
+      (12L, "https://a.com/x?id=9#frag"),
+      (13L, "https://a.com/x?id=8"), // different kept param → own group
+    ).toDF("id", "url")
+    val groups = UrlCuration.urlDedup(df, "id", "url").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[String]("canonical_url") == "https://a.com/x?id=9")
+    assert(groups.head.getAs[Long]("variants") == 3L)
+    assert(groups.head.getAs[Long]("keep_id") == 10L)
+  }
+
+  test("domainRollup: shares sum to ~10000, blocklist flags") {
+    import spark.implicits._
+    val df = (1 to 20).map { i =>
+      (i.toLong, s"https://h$i.dom${i % 2}.com/p")
+    }.toDF("id", "url")
+    val r = UrlCuration.domainRollup(df, "url", blocklist = Seq("dom0.com"))
+      .collect().map(x => x.getAs[String]("domain") ->
+        (x.getAs[Long]("pages"), x.getAs[Long]("hosts"), x.getAs[Boolean]("blocked"))).toMap
+    assert(r("dom0.com") == ((10L, 10L, true)))
+    assert(r("dom1.com") == ((10L, 10L, false)))
+  }
+}
