@@ -86,6 +86,60 @@ object SchemaDrift {
   final case class TypeMismatch(field: String, expected: String, actual: String) extends Drift
   final case class NullabilityMismatch(field: String, expectedNullable: Boolean) extends Drift
 
+  /** Safe type promotions (the Iceberg evolution rules — public spec):
+    * int widening along short → int → long, float → double, and
+    * decimal precision growth at unchanged scale. Everything else is a
+    * breaking rewrite of the value space. */
+  def isWidening(from: org.apache.spark.sql.types.DataType,
+                 to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ShortType, IntegerType) | (ShortType, LongType) |
+           (IntegerType, LongType) | (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+  }
+
+  /** Compatibility verdict for one drift — the evolution triage every
+    * catalog user actually wants next to the raw diff (the reference's
+    * Iceberg drift detection stops at detection;
+    * crates/contracts_iceberg/src/schema.rs):
+    *  - an ADDED live column is `backward_compatible` when nullable
+    *    (contract-shaped writers omitting it still produce valid rows;
+    *    readers projecting declared columns are untouched) and
+    *    `breaking` when required (those writers can no longer write);
+    *  - a DROPPED declared column is always `breaking` (readers
+    *    select it);
+    *  - a type change is `forward_compatible` when it widens along
+    *    [[isWidening]] (old values embed losslessly; readers must
+    *    adopt the wider type) and `breaking` otherwise (narrowing or
+    *    cross-family rewrite);
+    *  - a nullability TIGHTENING against the declaration is `breaking`
+    *    (readers assume non-null). */
+  def verdict(d: Drift, contract: Contract,
+              live: org.apache.spark.sql.types.StructType): String = {
+    val liveByName = live.fields.map(f => f.name -> f).toMap
+    d match {
+      case MissingField(_) => "breaking"
+      case ExtraField(f) =>
+        if (liveByName.get(f).forall(_.nullable)) "backward_compatible" else "breaking"
+      case TypeMismatch(f, _, _) =>
+        val widened = for {
+          decl <- contract.schema.fields.find(_.name == f)
+          lf <- liveByName.get(f)
+        } yield isWidening(ContractTypes.toSpark(decl.dataType), lf.dataType)
+        if (widened.contains(true)) "forward_compatible" else "breaking"
+      case NullabilityMismatch(_, _) => "breaking"
+    }
+  }
+
+  /** [[diff]] + [[verdict]] in one call. */
+  def diffWithVerdicts(contract: Contract,
+                       live: org.apache.spark.sql.types.StructType): Seq[(Drift, String)] =
+    diff(contract, live).map(d => d -> verdict(d, contract, live))
+
   def diff(contract: Contract, live: org.apache.spark.sql.types.StructType): Seq[Drift] = {
     val liveByName = live.fields.map(f => f.name -> f).toMap
     val declared = contract.schema.fields

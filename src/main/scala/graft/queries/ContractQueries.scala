@@ -678,31 +678,39 @@ object ContractQueries {
   // declares one absent column. The oracle re-derives the live schema
   // independently with DuckDB's DESCRIBE — the drift verdicts must
   // agree engine-to-engine.
+  // Extended (r8) with the schema-EVOLUTION verdict per drift row:
+  // added-nullable → backward_compatible, widening per the Iceberg
+  // promotion rules → forward_compatible (n_chars int32→int64),
+  // drop/narrow (lang string live under an int16 declaration) →
+  // breaking. The oracle re-derives both the live schema (DESCRIBE)
+  // and the verdict table independently.
   val qCatalogDrift = QueryDef("q_catalog_drift",
     (s, dir) => {
       table(s, dir, "documents").createOrReplaceTempView("graft_documents_cat")
       val contract = Contract(version = "1", name = "documents", owner = "graft",
         schema = ContractSchema("catalog", "graft_documents_cat", Seq(
           Field("doc_id", "int64", nullable = false),
-          Field("lang", "string"),
-          Field("n_chars", "int32"),         // live is int64 → type_mismatch
+          Field("lang", "int16"),            // live is string → narrowing, breaking
+          Field("n_chars", "int32"),         // live is int64 → widening drift
           Field("quality_score", "float64"), // not live → missing
           Field("text", "string"))))
       val live = s.table("graft_documents_cat").schema
       val drifts = graft.validators.CatalogContracts.drift(s, contract)
       val declared = contract.schema.fields
         .map(f => f.name -> ContractTypes.toSpark(f.dataType).simpleString).toMap
-      val rows: Seq[(String, String, String, String)] =
+      def v(d: SchemaDrift.Drift): String = SchemaDrift.verdict(d, contract, live)
+      val rows: Seq[(String, String, String, String, String)] =
         drifts.map {
-          case SchemaDrift.MissingField(f)        => (f, "missing", declared(f), "")
-          case SchemaDrift.ExtraField(f)          => (f, "extra", "", live(f).dataType.simpleString)
-          case SchemaDrift.TypeMismatch(f, e, a)  => (f, "type_mismatch", e, a)
-          case SchemaDrift.NullabilityMismatch(f, _) => (f, "nullability", "", "")
+          case d @ SchemaDrift.MissingField(f)        => (f, "missing", declared(f), "", v(d))
+          case d @ SchemaDrift.ExtraField(f)          => (f, "extra", "", live(f).dataType.simpleString, v(d))
+          case d @ SchemaDrift.TypeMismatch(f, e, a)  => (f, "type_mismatch", e, a, v(d))
+          case d @ SchemaDrift.NullabilityMismatch(f, _) => (f, "nullability", "", "", v(d))
         } ++ contract.schema.fields
           .filter(f => !drifts.exists(_.field == f.name) && live.fieldNames.contains(f.name))
-          .map(f => (f.name, "ok", declared(f.name), live(f.name).dataType.simpleString))
+          .map(f => (f.name, "ok", declared(f.name), live(f.name).dataType.simpleString, "ok"))
       import s.implicits._
-      rows.toDF("field", "status", "expected", "actual").orderBy("field", "status")
+      rows.toDF("field", "status", "expected", "actual", "verdict")
+        .orderBy("field", "status")
     },
     Some("""
       WITH live AS (
@@ -713,17 +721,31 @@ object ContractQueries {
                  ELSE lower(column_type) END AS actual
         FROM (DESCRIBE SELECT * FROM documents)),
       decl(field, expected) AS (VALUES
-        ('doc_id', 'bigint'), ('lang', 'string'), ('n_chars', 'int'),
-        ('quality_score', 'double'), ('text', 'string'))
-      SELECT coalesce(d.field, l.field) AS field,
-             CASE WHEN l.field IS NULL THEN 'missing'
-                  WHEN d.field IS NULL THEN 'extra'
-                  WHEN d.expected != l.actual THEN 'type_mismatch'
-                  ELSE 'ok' END AS status,
-             coalesce(d.expected, '') AS expected,
-             coalesce(l.actual, '') AS actual
-      FROM decl d FULL OUTER JOIN live l ON d.field = l.field
-      ORDER BY field, status"""))
+        ('doc_id', 'bigint'), ('lang', 'smallint'), ('n_chars', 'int'),
+        ('quality_score', 'double'), ('text', 'string')),
+      widen(f, t) AS (VALUES
+        ('smallint', 'int'), ('smallint', 'bigint'),
+        ('int', 'bigint'), ('float', 'double')),
+      j AS (
+        SELECT coalesce(d.field, l.field) AS field,
+               CASE WHEN l.field IS NULL THEN 'missing'
+                    WHEN d.field IS NULL THEN 'extra'
+                    WHEN d.expected != l.actual THEN 'type_mismatch'
+                    ELSE 'ok' END AS status,
+               coalesce(d.expected, '') AS expected,
+               coalesce(l.actual, '') AS actual
+        FROM decl d FULL OUTER JOIN live l ON d.field = l.field)
+      SELECT field, status, expected, actual,
+             CASE status
+               WHEN 'ok' THEN 'ok'
+               WHEN 'missing' THEN 'breaking'
+               WHEN 'extra' THEN 'backward_compatible'
+               WHEN 'type_mismatch' THEN
+                 CASE WHEN EXISTS (SELECT 1 FROM widen w
+                                   WHERE w.f = j.expected AND w.t = j.actual)
+                      THEN 'forward_compatible' ELSE 'breaking' END
+             END AS verdict
+      FROM j ORDER BY field, status"""))
 
   // 45. incremental validation, exact mergeable uniqueness mode: two
   // disjoint event slices snapshot independently, merge, and the report

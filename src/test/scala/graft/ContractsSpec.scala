@@ -330,6 +330,35 @@ class ContractsSpec extends SparkSpec {
     assert(drifts.exists { case SchemaDrift.TypeMismatch("b", _, _) => true; case _ => false })
   }
 
+  test("schema-evolution verdicts: add/widen/narrow/drop/nullability") {
+    val contract = Contract(version = "1", name = "t", owner = "o",
+      schema = ContractSchema("parquet", "", Seq(
+        Field("wide", "int32"),            // live long  → widening
+        Field("narrow", "int64"),          // live int   → narrowing
+        Field("rewrite", "string"),        // live double → cross-family
+        Field("gone", "int32"),            // dropped live
+        Field("strict", "string", nullable = false)))) // live nullable
+    val live = StructType(Seq(
+      StructField("wide", LongType), StructField("narrow", IntegerType),
+      StructField("rewrite", DoubleType),
+      StructField("strict", StringType, nullable = true),
+      StructField("added_opt", StringType, nullable = true),
+      StructField("added_req", StringType, nullable = false)))
+    val v = SchemaDrift.diffWithVerdicts(contract, live).map {
+      case (d, verdict) => (d.field, d.getClass.getSimpleName) -> verdict
+    }.toMap
+    assert(v(("wide", "TypeMismatch")) == "forward_compatible")
+    assert(v(("narrow", "TypeMismatch")) == "breaking")
+    assert(v(("rewrite", "TypeMismatch")) == "breaking")
+    assert(v(("gone", "MissingField")) == "breaking")
+    assert(v(("strict", "NullabilityMismatch")) == "breaking")
+    assert(v(("added_opt", "ExtraField")) == "backward_compatible")
+    assert(v(("added_req", "ExtraField")) == "breaking")
+    // decimal precision growth at fixed scale widens; scale change breaks
+    assert(SchemaDrift.isWidening(DecimalType(10, 2), DecimalType(20, 2)))
+    assert(!SchemaDrift.isWidening(DecimalType(10, 2), DecimalType(20, 4)))
+  }
+
   test("fluent builder mirrors the reference's ContractBuilder") {
     val c = ContractBuilder("events", "analytics")
       .location("/data/events")
