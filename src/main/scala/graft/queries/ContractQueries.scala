@@ -634,6 +634,71 @@ object ContractQueries {
              round(ratio, 4) AS change_r4
       FROM j WHERE ratio > 0.05 ORDER BY ws_ms"""))
 
+  // 48b. the quarantine REPAIR loop: planted violations (null ids, a
+  // disallowed type label, out-of-range values), declarative repairs
+  // driven by the contract's own constraints (fill-default, replace
+  // with an allowed sentinel, clamp-to-range), re-validation, and the
+  // promote/still-quarantined triage — all accounted in ONE fused
+  // scan. Rows with a null event_id have no default → unrepairable →
+  // stay quarantined; everything else is repaired and promotes. The
+  // oracle replays the planting, the repair reach of each action, and
+  // the triage with independent CASE arithmetic.
+  val qEnforceRepair = QueryDef("q_enforce_repair",
+    (s, dir) => {
+      import graft.contracts._
+      import graft.validators.Enforce
+      val contract = ContractBuilder("events_rep", "graft")
+        .field(FieldBuilder("event_id", "int64").notNull)
+        .field(FieldBuilder("user_id", "int64").notNull)
+        .field(FieldBuilder("event_type", "string")
+          .allowed("click", "view", "purchase", "signup", "error", "other"))
+        .field(FieldBuilder("value", "float64").range(0, 400))
+        .build
+      val planted = table(s, dir, "events").select(
+        when(col("event_id") % 17 === 0, lit(null).cast(LongType))
+          .otherwise(col("event_id")).as("event_id"),
+        when(col("event_id") % 11 === 0, lit(null).cast(LongType))
+          .otherwise(col("user_id")).as("user_id"),
+        when(col("event_id") % 13 === 0, lit("UNKNOWN"))
+          .otherwise(col("event_type")).as("event_type"),
+        when(col("event_id") % 7 === 0, col("value") + 1000)
+          .otherwise(col("value")).as("value"))
+      Enforce.repairSummary(planted, contract,
+          Enforce.RepairPolicy(clampRanges = true,
+            defaults = Map("user_id" -> -1L, "event_type" -> "other")))
+        .orderBy("action")
+    },
+    Some("""
+      WITH p AS (
+        SELECT CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_id END AS eid,
+               CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS uid,
+               CASE WHEN event_id % 13 = 0 THEN 'UNKNOWN' ELSE event_type END AS et,
+               CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END AS v
+        FROM events),
+      f AS (
+        SELECT (eid IS NULL) AS v_eid, (uid IS NULL) AS v_uid,
+               (et IS NOT NULL AND et NOT IN
+                 ('click','view','purchase','signup','error','other')) AS v_et,
+               (v IS NOT NULL AND (v < 0 OR v > 400)) AS v_v
+        FROM p),
+      a AS (
+        SELECT
+          sum(CASE WHEN NOT (v_eid OR v_uid OR v_et OR v_v) THEN 1 ELSE 0 END) AS clean,
+          sum(CASE WHEN (v_eid OR v_uid OR v_et OR v_v) AND NOT v_eid THEN 1 ELSE 0 END) AS promoted,
+          sum(CASE WHEN v_eid THEN 1 ELSE 0 END) AS dropped,
+          sum(CASE WHEN v_uid THEN 1 ELSE 0 END) AS filled,
+          sum(CASE WHEN v_et THEN 1 ELSE 0 END) AS replaced,
+          sum(CASE WHEN v_v THEN 1 ELSE 0 END) AS clamped
+        FROM f)
+      SELECT action, CAST(n AS BIGINT) AS "rows" FROM (
+        SELECT 'clean_pass' AS action, clean AS n FROM a
+        UNION ALL SELECT 'promoted', promoted FROM a
+        UNION ALL SELECT 'still_quarantined', dropped FROM a
+        UNION ALL SELECT 'filled:user_id', filled FROM a
+        UNION ALL SELECT 'replaced:event_type', replaced FROM a
+        UNION ALL SELECT 'clamped:value', clamped FROM a)
+      ORDER BY action"""))
+
   // 48. write-side enforcement: clean/quarantine partition by row rules
   val qEnforce = QueryDef("q_enforce",
     (s, dir) => {
@@ -939,7 +1004,7 @@ object ContractQueries {
 
   val all: Seq[QueryDef] = Seq(
     qConditionalCheck,
-    qStreamQuality, qStreamTrend, qEnforce,
+    qStreamQuality, qStreamTrend, qEnforce, qEnforceRepair,
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,

@@ -89,6 +89,117 @@ object Enforce {
     }.start()
   }
 
+  /** Declarative repair policy for the quarantine REPROCESS loop:
+    * which of the contract's own constraints drive an automatic fix.
+    *  - `clampRanges`: range violations clamp to the nearer bound;
+    *  - `defaults`: per-field fill value — repairs NULL-in-non-nullable
+    *    and not-in-allowed-values violations on that field (the value
+    *    itself must satisfy the field's constraints or re-validation
+    *    will bounce the row right back);
+    * anything else (pattern violations, nulls/disallowed values
+    * without a default) is unrepairable → the row stays quarantined
+    * ("dropped" from promotion, never silently deleted). */
+  final case class RepairPolicy(clampRanges: Boolean = true,
+                                defaults: Map[String, Any] = Map.empty)
+
+  /** The repair actions `policy` authorizes for `c` on this frame, as
+    * (label, would-apply predicate, fixed column). Labels are
+    * `clamped:f` / `filled:f` / `replaced:f` — the accounting grain of
+    * [[repairSummary]]. */
+  def repairActions(df: DataFrame, c: Contract,
+                    policy: RepairPolicy): Seq[(String, Column, String, Column)] = {
+    val live = df.schema.fieldNames.toSet
+    c.schema.fields.filter(f => live(f.name)).flatMap { f =>
+      val cv = col(f.name)
+      val fill = policy.defaults.get(f.name).map(v => lit(v))
+      val fillRule = fill match {
+        case Some(d) if !f.nullable =>
+          Seq((s"filled:${f.name}", cv.isNull, f.name, coalesce(cv, d)))
+        case _ => Nil
+      }
+      val constraintRules = f.constraints.flatMap {
+        case Constraint.Range(min, max) if policy.clampRanges =>
+          Seq((s"clamped:${f.name}",
+            cv.isNotNull && (cv < min || cv > max), f.name,
+            when(cv.isNotNull && cv < min, lit(min))
+              .when(cv.isNotNull && cv > max, lit(max)).otherwise(cv)))
+        case Constraint.AllowedValues(vs) =>
+          fill.toSeq.map(d => (s"replaced:${f.name}",
+            cv.isNotNull && !cv.cast("string").isin(vs: _*), f.name,
+            when(cv.isNotNull && !cv.cast("string").isin(vs: _*), d).otherwise(cv)))
+        case _ => Nil
+      }
+      fillRule ++ constraintRules
+    }
+  }
+
+  /** Applies every authorized repair as a column rewrite (fill →
+    * replace → clamp per field, left to right; each fixed expression
+    * is built from unresolved `col(field)` refs, so stacked repairs on
+    * one field compose — replace/clamp see the filled value). Map-only. */
+  def applyRepairs(df: DataFrame, c: Contract, policy: RepairPolicy): DataFrame =
+    repairActions(df, c, policy).foldLeft(df) {
+      case (cur, (_, _, field, fixed)) => cur.withColumn(field, fixed)
+    }
+
+  /** The quarantine REPROCESS loop on a quarantined frame (as written
+    * by [[validateAndWrite]]/[[enforceStream]], `violation_reasons`
+    * column optional): apply [[applyRepairs]], RE-VALIDATE against the
+    * same contract, and split into (promoted, stillQuarantined) —
+    * promoted rows are contract-clean and safe to append to the main
+    * table; still-quarantined rows carry their remaining
+    * `violation_reasons`. */
+  def repairAndRevalidate(quarantined: DataFrame, c: Contract,
+                          policy: RepairPolicy): (DataFrame, DataFrame) = {
+    val input = if (quarantined.columns.contains("violation_reasons"))
+      quarantined.drop("violation_reasons") else quarantined
+    partition(applyRepairs(input, c, policy), c)
+  }
+
+  /** Whole-loop accounting in ONE scan: per-action applied-row counts
+    * plus the clean/promoted/dropped triage, as (action, rows) —
+    * pre-repair violations, action predicates (on ORIGINAL values) and
+    * post-repair violations are all computed in one fused projection
+    * (Catalyst collapses the stacked withColumns), so the report costs
+    * one pass over the input, the same economics as the fused contract
+    * report. */
+  def repairSummary(df: DataFrame, c: Contract, policy: RepairPolicy): DataFrame = {
+    val actions = repairActions(df, c, policy)
+    val pre = withViolations(df, c).withColumnRenamed("violation_reasons", "__pre")
+    val flagged = actions.zipWithIndex.foldLeft(pre) {
+      case (cur, ((_, pred, _, _), i)) =>
+        cur.withColumn(s"__act_$i", when(pred, 1L).otherwise(0L))
+    }
+    val repaired = actions.foldLeft(flagged: DataFrame) {
+      case (cur, (_, _, field, fixed)) => cur.withColumn(field, fixed)
+    }
+    // re-validate the repaired values directly on the bookkeeping frame
+    // (withViolations would name-collide with __pre)
+    val post = {
+      val rules = rowRules(repaired, c)
+      val reasons =
+        if (rules.isEmpty) array().cast("array<string>")
+        else filter(array(rules.map { case (name, cond) =>
+          when(cond, name).otherwise(lit(null))
+        }: _*), x => x.isNotNull)
+      repaired.withColumn("__post", reasons)
+    }
+    val aggs: Seq[Column] =
+      Seq(sum(when(size(col("__pre")) === 0, 1L).otherwise(0L)).as("__clean"),
+        sum(when(size(col("__pre")) > 0 && size(col("__post")) === 0, 1L).otherwise(0L)).as("__promoted"),
+        sum(when(size(col("__pre")) > 0 && size(col("__post")) > 0, 1L).otherwise(0L)).as("__dropped")) ++
+        actions.indices.map(i => sum(col(s"__act_$i")).as(s"__a_$i"))
+    val one = post.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      Seq(struct(lit("clean_pass").as("action"), coalesce(col("__clean"), lit(0L)).as("rows")),
+        struct(lit("promoted").as("action"), coalesce(col("__promoted"), lit(0L)).as("rows")),
+        struct(lit("still_quarantined").as("action"), coalesce(col("__dropped"), lit(0L)).as("rows"))) ++
+        actions.zipWithIndex.map { case ((label, _, _, _), i) =>
+          struct(lit(label).as("action"), coalesce(col(s"__a_$i"), lit(0L)).as("rows"))
+        }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
   /** Enforced write: clean rows to `path`, violations (with reasons) to
     * `quarantinePath`; returns the quarantined count. */
   def validateAndWrite(df: DataFrame, c: Contract, path: String,

@@ -61,4 +61,36 @@ class EnforceSpec extends SparkSpec {
       assert(reasons == Map(2L -> Set("allowed_values:status"), 3L -> Set("range:score")))
     } finally q.stop()
   }
+
+  test("repairAndRevalidate promotes repaired rows, keeps unrepairable quarantined") {
+    val policy = Enforce.RepairPolicy(clampRanges = true,
+      defaults = Map("status" -> "off"))
+    val (_, quarantined) = Enforce.partition(df, contract)
+    val (promoted, still) = Enforce.repairAndRevalidate(quarantined, contract, policy)
+    // 2L: BAD → off; 3L: 500 → clamp 100; 4L: both repairs; null id: no default → stays
+    val p = promoted.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("status"), r.getAs[java.lang.Double]("score"))).toMap
+    assert(p.keySet == Set(2L, 3L, 4L))
+    assert(p(2L)._1 == "off")
+    assert(p(3L)._2 == 100.0)
+    assert(p(4L) == (("off", 0.0)))
+    val s = still.collect()
+    assert(s.length == 1 && s.head.getAs[Any]("id") == null)
+    assert(s.head.getSeq[String](s.head.fieldIndex("violation_reasons")) ==
+      Seq("null_in_non_nullable:id"))
+  }
+
+  test("repairSummary: one-scan action accounting matches the hand count") {
+    val policy = Enforce.RepairPolicy(clampRanges = true,
+      defaults = Map("status" -> "off"))
+    val m = Enforce.repairSummary(df, contract, policy).collect()
+      .map(r => r.getAs[String]("action") -> r.getAs[Long]("rows")).toMap
+    assert(m("clean_pass") == 2L)
+    assert(m("promoted") == 3L)
+    assert(m("still_quarantined") == 1L)
+    assert(m("replaced:status") == 2L) // rows 2L and 4L
+    assert(m("clamped:score") == 2L)   // rows 3L and 4L
+    // no default for id → no filled action line exists
+    assert(!m.keys.exists(_.startsWith("filled:")))
+  }
 }
