@@ -356,6 +356,73 @@ object Multimodal {
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
       .filter(col("dup_count") > 1)
 
+  /** 64-bit difference hash (dHash — the classic perceptual image
+    * fingerprint): nearest-resize the decoded image to a 9×8 grid,
+    * reduce each cell to integer luma (BT.601 weights ×1000, exact
+    * integer math), and set bit (y·8+x) when gray(x,y) > gray(x+1,y).
+    * Horizontal gradient signs survive re-encoding, resizing and
+    * brightness shifts — the copies [[exactPixelGroups]]' pixel sha
+    * misses. Deterministic: nearest-neighbor sampling and integer
+    * luma make the hash a pure function of the pixel grid. */
+  def dHash64(img: PngImage): Long = {
+    val g = resizeNearest(img, 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val base = (y * 9 + x) * g.channels
+      if (g.channels >= 3) {
+        val r = g.pixels(base) & 0xff
+        val gg = g.pixels(base + 1) & 0xff
+        val b = g.pixels(base + 2) & 0xff
+        (r * 299 + gg * 587 + b * 114) / 1000
+      } else g.pixels(base) & 0xff // grayscale (+alpha): first channel
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x, y) > gray(x + 1, y)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** (id, sim) perceptual-hash frame: decode + [[dHash64]] per image in
+    * `mapPartitions` (codec-shaped, like [[withImageFeatures]]);
+    * undecodable payloads are excluded (no pixel identity). Column
+    * names match the simhash block machinery's contract. */
+  def withDHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(df.schema.fieldIndex(idCol)).dataType, nullable = true),
+      StructField("sim", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        decodePng(row.getAs[Array[Byte]](binIdx))
+          .map(img => Row(row.get(idIdx), dHash64(img)))
+      }
+    }(enc)
+  }
+
+  /** Perceptual image near-dup pairs: [[dHash64]] fingerprints paired
+    * through the SAME pigeonhole block machinery as the text simhash
+    * operator (`numBlocks` blocks catch every pair with hamming ≤
+    * numBlocks−1; exact bit_count verify ≤ `maxHamming`) — resized and
+    * re-encoded copies land within a few gradient-sign flips of each
+    * other, where byte and pixel hashes both miss. One explode + one
+    * bucket equi-join, never all-pairs; the `maxBucketSize` guard
+    * caps degenerate buckets (flat images all hash near 0).
+    * Output: id_a, id_b, hamming, dhash_a, dhash_b. */
+  def perceptualPairs(df: DataFrame, idCol: String, binCol: String,
+                      maxHamming: Int = 4, maxBucketSize: Long = 10000L): DataFrame =
+    Dedup.simhashFromSims(withDHash(df, idCol, binCol),
+        maxHamming, maxBucketSize, numBlocks = maxHamming + 1, blockLoBit = 0)._1
+      .withColumnRenamed("sim_a", "dhash_a")
+      .withColumnRenamed("sim_b", "dhash_b")
+
   /** The batch-decode path: iterates partitions row-batch-wise like a
     * real codec would (amortizing per-batch codec init), emitting the
     * same schema as [[withMeta]]. Use for decoders that need native

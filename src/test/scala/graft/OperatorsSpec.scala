@@ -1249,6 +1249,70 @@ class OperatorsSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("dup_count") == 2 && groups.head.getAs[Long]("keep_id") == 1L)
   }
 
+  test("dHash: independent reference, invariance to re-encode/resize, sensitivity") {
+    val w = 32; val h = 24; val ch = 3
+    // smooth gradient image → meaningful horizontal gradient signs
+    val pixels = Array.tabulate(w * h * ch) { i =>
+      val p = i / ch; val x = p % w; val y = p / w
+      ((x * 7 + y * 3 + (i % ch) * 11) % 256).toByte
+    }
+    val png = TestPng.make(w, h, ch, pixels, filters = Seq(0))
+    val img = Multimodal.decodePng(png).get
+
+    // independent reference: plain 2D-array arithmetic, no PngImage ops
+    def refDHash(px: Array[Byte], iw: Int, ih: Int, ich: Int): Long = {
+      def luma(sx: Int, sy: Int): Int = {
+        val b = (sy * iw + sx) * ich
+        if (ich >= 3)
+          ((px(b) & 0xff) * 299 + (px(b + 1) & 0xff) * 587 + (px(b + 2) & 0xff) * 114) / 1000
+        else px(b) & 0xff
+      }
+      var hsh = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        // nearest-neighbor source cells of the 9x8 grid
+        def src(gx: Int) = ((gx.toLong * iw / 9).toInt, (y.toLong * ih / 8).toInt)
+        val (ax, ay) = src(x); val (bx, by) = src(x + 1)
+        if (luma(ax, ay) > luma(bx, by)) hsh |= 1L << (y * 8 + x)
+      }
+      hsh
+    }
+    val expected = refDHash(pixels, w, h, ch)
+    assert(Multimodal.dHash64(img) == expected)
+
+    // invariant under re-encode (different filters) and 2x upscale
+    val reenc = Multimodal.decodePng(TestPng.make(w, h, ch, pixels, filters = Seq(1, 2, 3, 4))).get
+    assert(Multimodal.dHash64(reenc) == expected)
+    val up = Multimodal.resizeNearest(img, w * 2, h * 2)
+    val upHam = java.lang.Long.bitCount(Multimodal.dHash64(up) ^ expected)
+    assert(upHam <= 4, s"2x upscale moved dHash by $upHam bits")
+    // a genuinely different image is far away
+    val inverted = Multimodal.decodePng(
+      TestPng.make(w, h, ch, pixels.map(b => (~b).toByte), filters = Seq(0))).get
+    assert(java.lang.Long.bitCount(Multimodal.dHash64(inverted) ^ expected) > 16)
+  }
+
+  test("perceptualPairs: pigeonhole hamming pairing over decoded dHashes") {
+    val w = 32; val h = 24; val ch = 3
+    val pixels = Array.tabulate(w * h * ch) { i =>
+      val p = i / ch; val x = p % w; val y = p / w
+      ((x * 5 + y * 9 + (i % ch) * 17) % 256).toByte
+    }
+    val a = TestPng.make(w, h, ch, pixels, filters = Seq(0))
+    val b = TestPng.make(w, h, ch, pixels, filters = Seq(2, 4)) // re-encode of a
+    // resized copy: decode a, nearest-upscale, re-encode
+    val up = Multimodal.resizeNearest(Multimodal.decodePng(a).get, 64, 48)
+    val cPng = TestPng.make(64, 48, ch, up.pixels, filters = Seq(0))
+    val far = TestPng.make(w, h, ch, pixels.map(x => (~x).toByte), filters = Seq(0))
+    val df = Seq((1L, a), (2L, b), (3L, cPng), (4L, far), (5L, Array[Byte](0)))
+      .toDF("id", "payload")
+    val pairs = Multimodal.perceptualPairs(df, "id", "payload", maxHamming = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L) // re-encode: identical hash
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // resize: within budget
+    assert(!pairs.keys.exists { case (x, y) => x == 4L || y == 4L }) // inverted: far
+  }
+
   test("wav frame sampling slices PCM frames at block boundaries") {
     // 2ch 16-bit (block=4), 6 frames with known bytes
     val frames = (0 until 6).map(f => Array[Byte](f.toByte, (f + 1).toByte, (f + 2).toByte, (f + 3).toByte))
