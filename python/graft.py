@@ -1,0 +1,148 @@
+"""PySpark-side client for the graft contracts engine.
+
+No py4j / ``spark._jvm`` binding layer: every helper drives the JVM CLI
+(``graft.Cli``) through ``spark-submit`` (or any JVM launcher you pass)
+and parses its machine-readable ``--json`` report lines back into plain
+dicts — one per check/rule/row — ready for ``spark.createDataFrame``.
+The CLI's exit code is the gate (0 pass / 1 fail), so the same calls
+slot into Airflow/cron sensors unchanged.
+
+Reference analog: the reference ships a compiled Python binding
+(/root/reference crates/contracts-python); this module reaches the same
+surface through process composition instead — zero native build, works
+with whatever Spark distribution launches the jar.
+
+Typical use::
+
+    import graft
+
+    ok, rows = graft.validate("contract.yaml", "/data/events",
+                              jar="graft.jar")
+    report = spark.createDataFrame(rows)    # ordinary DataFrame again
+    report.filter("passed = false").show()
+"""
+
+import json
+import subprocess
+
+__all__ = [
+    "GraftCliError", "run_cli", "validate", "check", "curate", "diff",
+    "init", "suggest", "to_dataframe",
+]
+
+
+class GraftCliError(RuntimeError):
+    """The CLI failed for a non-gate reason (usage error, crash)."""
+
+    def __init__(self, cmd, proc):
+        super().__init__(
+            f"graft CLI failed (exit {proc.returncode}): {' '.join(cmd)}\n"
+            f"stderr tail: {proc.stderr[-2000:] if proc.stderr else ''}")
+        self.returncode = proc.returncode
+        self.stdout = proc.stdout
+        self.stderr = proc.stderr
+
+
+def _default_launcher(jar):
+    return ["spark-submit", "--class", "graft.Cli", jar]
+
+
+def run_cli(verb, *args, jar="graft.jar", launcher=None, env=None):
+    """Runs one CLI verb; returns (exit_code, json_rows, process).
+
+    ``launcher`` overrides the ``spark-submit`` prefix — e.g. a plain
+    ``["java", "-cp", "<classes>:<spark-jars>/*", "graft.Cli"]`` in
+    environments that launch the JVM directly. JSON report lines (one
+    object per line) are parsed; other stdout lines are ignored.
+    Exit codes 0/1 are the pass/fail gate; anything else raises.
+    """
+    cmd = list(launcher or _default_launcher(jar)) + [verb, *args]
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    if proc.returncode not in (0, 1):
+        raise GraftCliError(cmd, proc)
+    rows = []
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass  # non-report JSON-ish log line
+    return proc.returncode, rows, proc
+
+
+def validate(contract, data_path=None, *, strict=False, schema_only=False,
+             sample=None, jar="graft.jar", launcher=None):
+    """Full contract validation. Returns (passed, report_rows) where
+    each row carries (check, field, passed, metric, detail, severity)."""
+    args = [contract] + ([data_path] if data_path else [])
+    if strict:
+        args.append("--strict")
+    if schema_only:
+        args.append("--schema-only")
+    if sample is not None:
+        args += ["--sample", str(sample)]
+    args.append("--json")
+    code, rows, _ = run_cli("validate", *args, jar=jar, launcher=launcher)
+    return code == 0, rows
+
+
+def check(contract, *, jar="graft.jar", launcher=None):
+    """Definition lint (no data). Returns (ok, stdout_text)."""
+    code, _, proc = run_cli("check", contract, jar=jar, launcher=launcher)
+    return code == 0, proc.stdout
+
+
+def curate(contract, data_path=None, *, text_col=None,
+           jar="graft.jar", launcher=None):
+    """Contract-driven curation chain: docs per first-failing rule.
+    Returns rows of (rule, n_docs)."""
+    args = [contract] + ([data_path] if data_path else [])
+    if text_col:
+        args += ["--text", text_col]
+    args.append("--json")
+    _, rows, _ = run_cli("curate", *args, jar=jar, launcher=launcher)
+    return rows
+
+
+def diff(path_a, path_b, *, id_col=None, payload_col=None,
+         jar="graft.jar", launcher=None):
+    """Snapshot diff: content counts (with --id/--payload) + numeric
+    profile drift rows."""
+    args = [path_a, path_b]
+    if id_col and payload_col:
+        args += ["--id", id_col, "--payload", payload_col]
+    args.append("--json")
+    _, rows, _ = run_cli("diff", *args, jar=jar, launcher=launcher)
+    return rows
+
+
+def init(data_path, name, owner, *, out=None, table=False,
+         description=None, jar="graft.jar", launcher=None):
+    """Bootstraps a contract YAML from a live table/path. Returns the
+    YAML text (also written to ``out`` when given)."""
+    args = [data_path, name, owner]
+    if table:
+        args.append("--table")
+    if out:
+        args += ["--out", out]
+    if description:
+        args += ["--description", description]
+    code, _, proc = run_cli("init", *args, jar=jar, launcher=launcher)
+    if code != 0:
+        raise GraftCliError(["init"] + args, proc)
+    return proc.stdout
+
+
+def suggest(data_path, name, owner, *, jar="graft.jar", launcher=None):
+    """Profiles the data and suggests a contract (YAML text)."""
+    code, _, proc = run_cli("suggest", data_path, name, owner,
+                            jar=jar, launcher=launcher)
+    if code != 0:
+        raise GraftCliError(["suggest", data_path], proc)
+    return proc.stdout
+
+
+def to_dataframe(spark, rows):
+    """Report rows → Spark DataFrame (plain createDataFrame)."""
+    return spark.createDataFrame(rows)

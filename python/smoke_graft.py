@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Smoke test for python/graft.py against the compiled classes.
+
+Uses a plain-JVM launcher (java -cp) — the same CLI surface
+spark-submit would hit — so it runs in any checkout with compiled
+classes; pass nothing and it finds the repo layout itself.
+
+    python3 python/smoke_graft.py [sf_dir]
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import graft  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+LAUNCHER = [
+    "java", "-Xmx4g",
+    "--add-exports", "java.base/sun.nio.ch=ALL-UNNAMED",
+    "--add-opens", "java.base/java.nio=ALL-UNNAMED",
+    "--add-opens", "java.base/java.util=ALL-UNNAMED",
+    "--add-opens", "java.base/java.lang=ALL-UNNAMED",
+    "--add-opens", "java.base/java.lang.invoke=ALL-UNNAMED",
+    "--add-opens", "java.base/sun.security.action=ALL-UNNAMED",
+    "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+    "graft.Cli",
+]
+
+def main():
+    events = f"{SF}/events.parquet"
+    with tempfile.TemporaryDirectory() as tmp:
+        # 1. bootstrap a contract from the live table
+        contract_path = os.path.join(tmp, "events.yaml")
+        yaml_text = graft.init(events, "events", "smoke",
+                               out=contract_path, launcher=LAUNCHER)
+        assert os.path.exists(contract_path), "init --out did not write"
+        assert "name: events" in open(contract_path).read()
+        print(f"  init: contract written ({len(yaml_text)} chars)")
+
+        # 2. lint it
+        ok, _ = graft.check(contract_path, launcher=LAUNCHER)
+        assert ok, "freshly initialized contract should lint clean"
+        print("  check: lint clean")
+
+        # 3. validate the table against its own bootstrapped contract
+        passed, rows = graft.validate(contract_path, events,
+                                      launcher=LAUNCHER)
+        assert rows, "validate --json produced no report rows"
+        cols = set(rows[0])
+        assert {"check", "field", "passed"} <= cols, f"report cols: {cols}"
+        assert passed == all(r["passed"] for r in rows
+                             if r.get("severity") == "error"), \
+            "exit-code gate disagrees with the report rows"
+        print(f"  validate: {len(rows)} report rows, passed={passed}")
+
+        # 4. snapshot diff of the table against itself: zero drift
+        drift = graft.diff(events, events, launcher=LAUNCHER)
+        assert drift, "diff --json produced no rows"
+        print(f"  diff: {len(drift)} numeric-drift rows (self vs self)")
+
+    print("SMOKE OK")
+
+
+if __name__ == "__main__":
+    main()
