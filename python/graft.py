@@ -74,7 +74,11 @@ def run_cli(verb, *args, jar="graft.jar", launcher=None, env=None):
 def validate(contract, data_path=None, *, strict=False, schema_only=False,
              sample=None, jar="graft.jar", launcher=None):
     """Full contract validation. Returns (passed, report_rows) where
-    each row carries (check, field, passed, metric, detail, severity)."""
+    each row carries (check, field, passed, metric, detail, severity).
+
+    A gate failure always comes WITH report rows; exit 1 and zero rows
+    means the JVM crashed (bad path, OOM) — raised, never returned as a
+    fake data-quality failure."""
     args = [contract] + ([data_path] if data_path else [])
     if strict:
         args.append("--strict")
@@ -83,7 +87,9 @@ def validate(contract, data_path=None, *, strict=False, schema_only=False,
     if sample is not None:
         args += ["--sample", str(sample)]
     args.append("--json")
-    code, rows, _ = run_cli("validate", *args, jar=jar, launcher=launcher)
+    code, rows, proc = run_cli("validate", *args, jar=jar, launcher=launcher)
+    if code != 0 and not rows:
+        raise GraftCliError(["validate"] + args, proc)
     return code == 0, rows
 
 
@@ -109,6 +115,10 @@ def diff(path_a, path_b, *, id_col=None, payload_col=None,
          jar="graft.jar", launcher=None):
     """Snapshot diff: content counts (with --id/--payload) + numeric
     profile drift rows."""
+    if (id_col is None) != (payload_col is None):
+        # the CLI exits 2 on a half-given pair; fail HERE rather than
+        # silently downgrading to a stats-only diff
+        raise ValueError("id_col and payload_col must be given together")
     args = [path_a, path_b]
     if id_col and payload_col:
         args += ["--id", id_col, "--payload", payload_col]

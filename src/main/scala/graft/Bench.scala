@@ -144,8 +144,9 @@ object Bench {
       case None => defaultDir2(sfDir)
     }
     val rows2 = dir2.map { d =>
-      warmup(spark, d, names) // same attribution rule at the second point
-      runBoard(spark, d, nWarm = 1, names)
+      // same attribution rule at the second point; cost shipped below
+      val w2 = warmup(spark, d, names)
+      (w2, runBoard(spark, d, nWarm = 1, names))
     }
 
     // stdout uses 3 dp (1 ms); target/bench.json keeps 4 dp.
@@ -188,11 +189,11 @@ object Bench {
     // Second-point summary: warm (second-run) total over succeeding
     // queries + error count. ~60 bytes against the line budget.
     val pass2Fields = (dir2, rows2) match {
-      case (Some(d), Some(rs)) =>
+      case (Some(d), Some((w2, rs))) =>
         val ok2 = rs.filter(_.ok)
         val warm2 = ok2.map(r => r.warms.headOption.getOrElse(r.cold)).sum
         val errPart = if (rs.size == ok2.size) "" else s""","err_2":${rs.size - ok2.size}"""
-        s""","warm_total_2":${fmt3(warm2)},"sf_2":"$d"$errPart"""
+        s""","warm_total_2":${fmt3(warm2)},"warmup_total_2":${fmt3(w2)},"sf_2":"$d"$errPart"""
       case _ => ""
     }
 
@@ -221,7 +222,7 @@ object Bench {
       s""","errors_full":{${errorsFull.mkString(",")}}""" +
       s""","cold":${jmap(rows)(r => fmt(r.cold))}""" +
       s""","warm_runs":${jmap(rows)(r => r.warms.map(fmt).mkString("[", ",", "]"))}""" +
-      rows2.map(rs => s""","pass2":${jmap(rs)(r => fmt(r.warms.headOption.getOrElse(r.cold)))}""").getOrElse("") +
+      rows2.map { case (_, rs) => s""","pass2":${jmap(rs)(r => fmt(r.warms.headOption.getOrElse(r.cold)))}""" }.getOrElse("") +
       "}"
     try {
       val out = java.nio.file.Paths.get("target/bench.json")

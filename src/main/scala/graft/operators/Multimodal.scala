@@ -125,6 +125,7 @@ object Multimodal {
   /** JVM header parser — the decodeBatches twin of [[withMeta]]'s
     * expressions, plus proper WAV chunk walking. */
   def parseHeader(p: Array[Byte]): MediaMeta = {
+    if (p == null) return MediaMeta("unknown", 0, 0, 0, 0, 0, 0)
     def u8(i: Int): Int = p(i) & 0xff
     def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -177,6 +178,7 @@ object Multimodal {
     * None for other color types / bit depths / interlaced images —
     * honest "not decoded", never a fake. */
   def decodePng(p: Array[Byte]): Option[PngImage] = {
+    if (p == null) return None // NULL binary cell, not an undecodable payload
     def u8(i: Int): Int = p(i) & 0xff
     def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def tag(i: Int): String = new String(p.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
@@ -282,6 +284,7 @@ object Multimodal {
     * decimation with zero decode beyond the container walk. */
   def sampleWavFrames(p: Array[Byte], everyNth: Int): Seq[Array[Byte]] = {
     require(everyNth > 0, "everyNth must be positive")
+    if (p == null) return Nil
     def u8(i: Int): Int = p(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long =
@@ -418,10 +421,21 @@ object Multimodal {
     * Output: id_a, id_b, hamming, dhash_a, dhash_b. */
   def perceptualPairs(df: DataFrame, idCol: String, binCol: String,
                       maxHamming: Int = 4, maxBucketSize: Long = 10000L): DataFrame =
-    Dedup.simhashFromSims(withDHash(df, idCol, binCol),
-        maxHamming, maxBucketSize, numBlocks = maxHamming + 1, blockLoBit = 0)._1
-      .withColumnRenamed("sim_a", "dhash_a")
-      .withColumnRenamed("sim_b", "dhash_b")
+    perceptualPairsManaged(df, idCol, binCol, maxHamming, maxBucketSize)._1
+
+  /** [[perceptualPairs]] with the release handle for the block
+    * machinery's persisted candidate frame — repeated per-batch image
+    * dedup should release after the result's last materialization
+    * (the plain overload pins it for the session). */
+  def perceptualPairsManaged(df: DataFrame, idCol: String, binCol: String,
+                             maxHamming: Int = 4, maxBucketSize: Long = 10000L)
+      : (DataFrame, () => Unit) = {
+    val (pairs, _, release) = Dedup.simhashFromSimsManaged(
+      withDHash(df, idCol, binCol),
+      maxHamming, maxBucketSize, numBlocks = maxHamming + 1, blockLoBit = 0)
+    (pairs.withColumnRenamed("sim_a", "dhash_a")
+      .withColumnRenamed("sim_b", "dhash_b"), release)
+  }
 
   /** The batch-decode path: iterates partitions row-batch-wise like a
     * real codec would (amortizing per-batch codec init), emitting the
@@ -437,7 +451,8 @@ object Multimodal {
       val hexDigits = "0123456789ABCDEF"
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          val payload = row.getAs[Array[Byte]](binIdx)
+          // NULL cell → empty payload: "unknown" meta, not an executor NPE
+          val payload = Option(row.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
           val m = parseHeader(payload)
           val hx = new StringBuilder(payload.length * 2)
           payload.foreach { b =>

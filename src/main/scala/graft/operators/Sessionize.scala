@@ -228,7 +228,11 @@ object Sessionize {
     * distinct rollup per day — linear at windowDays× the (user, day)
     * frame, which is already DAU-collapsed, never the event volume.
     * Days past the last observed day are clipped (their windows are
-    * incomplete by construction). */
+    * incomplete by construction).
+    *
+    * This overload persists the (user, day) frame for the session;
+    * repeated callers should use [[rollingActiveUsersManaged]] and
+    * release after the result's last materialization. */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int = 7): DataFrame =
     rollingActiveUsersManaged(events, userCol, tsCol, windowDays)._1

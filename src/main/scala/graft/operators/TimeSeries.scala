@@ -138,6 +138,9 @@ object TimeSeries {
     * calendar explode is span-bounded per key; the lag window
     * partitions by key over those bounded frames — never the event
     * volume, never a global window. */
+  /** This overload persists the dense series for the session; repeated
+    * callers should use [[autocorrelationManaged]] and release after
+    * the result's last materialization. */
   def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
                       lags: Seq[Int]): DataFrame =
     autocorrelationManaged(events, keyCol, tsCol, lags)._1

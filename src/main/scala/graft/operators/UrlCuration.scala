@@ -33,9 +33,11 @@ object UrlCuration {
 
   private val TrackingParam = "^(utm_[^=]*|gclid|fbclid|ref)="
 
-  /** Hostname of `url` (lowercased authority, port stripped). */
+  /** Hostname of `url` (lowercased; userinfo and port stripped — an
+    * `alice:pw@site.com` authority yields `site.com`, never the
+    * userinfo baked into the domain). */
   def host(url: Column): Column =
-    regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)", 1)
 
   /** Registered domain of a HOST under `suffixes` (public-suffix-lite):
     * the label immediately left of the longest matching suffix, plus

@@ -4058,7 +4058,7 @@ object PipelineQueries {
   private def urlParseCtes: String = s"""
       WITH u AS (SELECT doc_id, $urlExprSql AS url FROM documents),
       pp AS (SELECT doc_id, url,
-               regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+               regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1) AS host,
                regexp_replace(url, '#.*$$', '') AS nofrag
              FROM u),
       pq AS (SELECT doc_id, url, host, nofrag,

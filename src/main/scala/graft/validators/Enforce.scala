@@ -111,10 +111,16 @@ object Enforce {
     val live = df.schema.fieldNames.toSet
     c.schema.fields.filter(f => live(f.name)).flatMap { f =>
       val cv = col(f.name)
+      // every fixed expression casts back to the column's LIVE type:
+      // range bounds and defaults are contract-side literals (Double,
+      // Int…) and the when/coalesce coercion would otherwise silently
+      // widen an integral column to double in the promoted frame —
+      // breaking the append back to the main table the loop exists for
+      val dt = df.schema(f.name).dataType
       val fill = policy.defaults.get(f.name).map(v => lit(v))
       val fillRule = fill match {
         case Some(d) if !f.nullable =>
-          Seq((s"filled:${f.name}", cv.isNull, f.name, coalesce(cv, d)))
+          Seq((s"filled:${f.name}", cv.isNull, f.name, coalesce(cv, d).cast(dt)))
         case _ => Nil
       }
       val constraintRules = f.constraints.flatMap {
@@ -122,11 +128,12 @@ object Enforce {
           Seq((s"clamped:${f.name}",
             cv.isNotNull && (cv < min || cv > max), f.name,
             when(cv.isNotNull && cv < min, lit(min))
-              .when(cv.isNotNull && cv > max, lit(max)).otherwise(cv)))
+              .when(cv.isNotNull && cv > max, lit(max)).otherwise(cv).cast(dt)))
         case Constraint.AllowedValues(vs) =>
           fill.toSeq.map(d => (s"replaced:${f.name}",
             cv.isNotNull && !cv.cast("string").isin(vs: _*), f.name,
-            when(cv.isNotNull && !cv.cast("string").isin(vs: _*), d).otherwise(cv)))
+            when(cv.isNotNull && !cv.cast("string").isin(vs: _*), d)
+              .otherwise(cv).cast(dt)))
         case _ => Nil
       }
       fillRule ++ constraintRules

@@ -80,6 +80,23 @@ class EnforceSpec extends SparkSpec {
       Seq("null_in_non_nullable:id"))
   }
 
+  test("repairs preserve the live column type (no silent integral→double widening)") {
+    val c = ContractBuilder("typed", "o")
+      .field(FieldBuilder("id", "int64").notNull)
+      .field(FieldBuilder("n", "int64").range(0, 100))
+      .build
+    val df2 = Seq[(java.lang.Long, java.lang.Long)]((1L, 150L), (2L, null))
+      .toDF("id", "n")
+    val policy = Enforce.RepairPolicy(clampRanges = true)
+    val (promoted, _) = Enforce.repairAndRevalidate(df2, c, policy)
+    // clamp bound is a Double literal; the repaired column must stay long
+    assert(promoted.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    val vals = promoted.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.getAs[java.lang.Long]("n"))).toMap
+    assert(vals(1L).contains(100L))
+    assert(vals(2L).isEmpty) // n is nullable: null passes through unrepaired
+  }
+
   test("repairSummary: one-scan action accounting matches the hand count") {
     val policy = Enforce.RepairPolicy(clampRanges = true,
       defaults = Map("status" -> "off"))

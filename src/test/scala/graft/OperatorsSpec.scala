@@ -1303,7 +1303,9 @@ class OperatorsSpec extends SparkSpec {
     val up = Multimodal.resizeNearest(Multimodal.decodePng(a).get, 64, 48)
     val cPng = TestPng.make(64, 48, ch, up.pixels, filters = Seq(0))
     val far = TestPng.make(w, h, ch, pixels.map(x => (~x).toByte), filters = Seq(0))
-    val df = Seq((1L, a), (2L, b), (3L, cPng), (4L, far), (5L, Array[Byte](0)))
+    // 5L: undecodable bytes; 6L: NULL payload — both skipped, never an NPE
+    val df = Seq((1L, a), (2L, b), (3L, cPng), (4L, far), (5L, Array[Byte](0)),
+        (6L, null.asInstanceOf[Array[Byte]]))
       .toDF("id", "payload")
     val pairs = Multimodal.perceptualPairs(df, "id", "payload", maxHamming = 4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->

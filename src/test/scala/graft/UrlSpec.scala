@@ -32,6 +32,21 @@ class UrlSpec extends SparkSpec {
     assert(p(4L)._3 == "https://upper.site.com/Path?keep=2")
   }
 
+  test("host strips userinfo and ports (no userinfo baked into domains)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://alice@site.com/x"),
+      (2L, "https://alice:pw@site.com/x"),
+      (3L, "https://site.com:8443/x"),
+    ).toDF("id", "url")
+    val p = UrlCuration.withUrlParts(df, "url").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("host"), Option(r.getAs[String]("registered_domain")))).toMap
+    assert(p(1L)._1 == "site.com" && p(1L)._2.contains("site.com"))
+    assert(p(2L)._1 == "site.com" && p(2L)._2.contains("site.com"))
+    assert(p(3L)._1 == "site.com")
+  }
+
   test("urlDedup collapses tracking-param spellings; keeps min id") {
     import spark.implicits._
     val df = Seq(
