@@ -159,6 +159,52 @@ object Curation {
       .na.fill(0L, Seq("total_chunks", "kept_chunks"))
   }
 
+  /** Cross-doc duplicate-SENTENCE incidence per document — the fourth
+    * member of the repeated-text family at the natural-language grain:
+    * [[spanCoverage]] measures within-doc repetition,
+    * [[chunkDedup]]/[[stripBoilerplate]] act on fixed token windows,
+    * this scores each doc by how much of it is sentences seen in OTHER
+    * docs (the boilerplate/mirror signal C4's line filter keys on —
+    * a doc that is 80% shared sentences is navigation chrome or a
+    * syndicated copy, whatever its token-window overlap says).
+    * Sentences split on `splitRegex` runs (default `[.!?]+`, the
+    * natural-language sentence delimiter; corpora without terminal
+    * punctuation can pass any segment delimiter), whitespace-normalized
+    * and lowercased, shorter than `minChars` ignored (fragments like
+    * "no" match everywhere and mean nothing). Within-doc repeats count
+    * once
+    * — the trigger is DISTINCT-doc frequency. Output: one row per doc
+    * with ≥1 qualifying sentence — (id, n_sents, dup_sents,
+    * dup_ratio_bp).
+    *
+    * Plan: map-only split/normalize collapsed to (id, md5) BEFORE any
+    * shuffle — the exchanges move 32-byte hashes, never sentence text.
+    * One distinct on (id, hash) (partial-aggregates map-side), ONE
+    * shuffle on the hash where countDistinct-by-construction `count`
+    * partial-aggregates (a sentence shared by millions of docs is one
+    * aggregated row), an equi-join back on the hash, and a per-doc
+    * rollup. Linear in total sentences at any corpus size. */
+  def sentenceDedup(docs: DataFrame, idCol: String, textCol: String,
+                    minChars: Int = 20,
+                    splitRegex: String = "[.!?]+"): DataFrame = {
+    require(minChars >= 1, "need minChars >= 1")
+    val sents = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), splitRegex)).as("__s"))
+      .select(col("id"), graft.functions.TextFns.normalize(col("__s")).as("__s"))
+      .filter(length(col("__s")) >= minChars)
+      .select(col("id"), md5(col("__s").cast("binary")).as("__h"))
+      .distinct()
+    val freq = sents.groupBy("__h")
+      .agg(count(lit(1)).cast("long").as("__docs"))
+    sents.join(freq, Seq("__h"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_sents"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).cast("long").as("dup_sents"))
+      .withColumn("dup_ratio_bp",
+        expr("dup_sents * 10000 DIV n_sents").cast("long"))
+  }
+
   /** C4-style boilerplate STRIPPING (Raffel et al. 2020's line filter
     * at chunk granularity): any chunk appearing in at least
     * `minDocFreq` DISTINCT docs is removed from EVERY doc — including

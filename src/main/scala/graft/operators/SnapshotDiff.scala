@@ -48,6 +48,56 @@ object SnapshotDiff {
     diff(v1, v2, idCol, payloadCol)
       .groupBy("status").agg(count(lit(1)).as("cnt"))
 
+  /** Slowly-changing-dimension (type 2) history of a mutating
+    * attribute: given one row per observation (id, attr, version),
+    * collapse each id's consecutive runs of the same attribute value
+    * into validity intervals — (id, run_seq, attr, effective_from,
+    * effective_to, n_observations, is_current), `run_seq` the 1-based
+    * per-id run index (a total order even when an a→b→a flip happens
+    * inside one version tick) and `effective_to` the next run's start
+    * (exclusive; NULL on the current run). The
+    * row-content [[diff]] answers "what changed between TWO
+    * snapshots"; this builds the full change HISTORY from any number
+    * of observations — the dimension-table form every warehouse
+    * join-as-of expects, and the producer for [[graft.operators.AsOf]]
+    * joins.
+    *
+    * Ties at the same version are ordered by `tieCol` (a unique
+    * observation id) so run boundaries are deterministic. NULL attr is
+    * a legitimate run value (compared null-safely).
+    *
+    * Scale: two stacked per-id windows (lag + running sum) over the
+    * observation rows, then one map-side-combined aggregate per (id,
+    * run) — keyed shuffles only, state bounded per id, never a global
+    * window. */
+  def attributeHistory(df: DataFrame, idCol: String, attrCol: String,
+                       versionCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(versionCol), col(tieCol))
+    df.select(col(idCol).as("id"), col(attrCol).as("attr"),
+        col(versionCol).as("__v"), col(tieCol).as("__t"))
+      .withColumn("__chg",
+        when(lag(struct(col("attr")), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id")).orderBy(col("__v"), col("__t"))).isNull ||
+          !(lag(col("attr"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id")).orderBy(col("__v"), col("__t"))) <=> col("attr")),
+          1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("__v"), col("__t"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("id", "__run")
+      .agg(first(col("attr")).as("attr"), min(col("__v")).as("effective_from"),
+        count(lit(1)).cast("long").as("n_observations"))
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("__run"))))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(col("id"), col("__run").cast("long").as("run_seq"),
+        col("attr"), col("effective_from"), col("effective_to"),
+        col("n_observations"), col("is_current"))
+  }
+
   /** Categorical mix drift between two snapshots: per category (source,
     * lang, domain), each side's share and the key's PSI contribution
     * (p − q)·ln(p/q) with both shares clamped at ε = 1e-6 (the
@@ -83,6 +133,47 @@ object SnapshotDiff {
                greatest(col("cnt_b") / col("__tb"), lit(eps))) *
           log(greatest(col("cnt_a") / col("__ta"), lit(eps)) /
               greatest(col("cnt_b") / col("__tb"), lit(eps))), 6).as("psi_r6"))
+  }
+
+  /** Pearson chi-square homogeneity test between two snapshots'
+    * category distributions — the significance-flavored companion to
+    * [[categoryDrift]]'s PSI (PSI sizes the drift; the chi-square
+    * statistic scales with N, so the SAME small mix shift that PSI
+    * shrugs at becomes loud once enough rows back it). Expected counts
+    * come from the pooled distribution under homogeneity:
+    * e_a = (ca+cb)·ta/N. Per category: both observed counts, the
+    * side-a expectation at r4, the category's chi-square contribution
+    * ((ca−ea)²/ea + (cb−eb)²/eb) at r6, and the standardized residual
+    * (ca−ea)/√ea at r4 (sign says which direction side a moved).
+    * Total χ² = Σ chi2_r6 over rows against k−1 degrees of freedom —
+    * left to the caller/dashboard, no CDF in portable SQL.
+    *
+    * Two map-side-combined counts + one full-outer join on the
+    * category — |categories|-bounded; expectations are single
+    * deterministic double expressions over exact integer counts, so
+    * both engines replay bit-for-bit. */
+  def chiSquareDrift(v1: DataFrame, v2: DataFrame,
+                     keyCol: String): DataFrame = {
+    def counts(df: DataFrame, cnt: String) =
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as(cnt))
+    val joined = counts(v1, "cnt_a").join(counts(v2, "cnt_b"), Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum("cnt_a").as("__ta"), sum("cnt_b").as("__tb"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__ea", (col("cnt_a") + col("cnt_b")).cast("double") *
+        col("__ta") / (col("__ta") + col("__tb")))
+      .withColumn("__eb", (col("cnt_a") + col("cnt_b")).cast("double") *
+        col("__tb") / (col("__ta") + col("__tb")))
+      .select(col("key"),
+        col("cnt_a").cast("long").as("cnt_a"),
+        col("cnt_b").cast("long").as("cnt_b"),
+        round(col("__ea"), 4).as("exp_a_r4"),
+        round((col("cnt_a") - col("__ea")) * (col("cnt_a") - col("__ea")) / col("__ea") +
+          (col("cnt_b") - col("__eb")) * (col("cnt_b") - col("__eb")) / col("__eb"), 6)
+          .as("chi2_r6"),
+        round((col("cnt_a") - col("__ea")) / sqrt(col("__ea")), 4).as("resid_a_r4"))
   }
 
   /** EXACT two-sample Kolmogorov–Smirnov statistic between a numeric

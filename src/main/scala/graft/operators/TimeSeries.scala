@@ -122,6 +122,84 @@ object TimeSeries {
       .drop("__s", "__n")
   }
 
+  /** Exponentially-weighted moving average of per-key bucket counts —
+    * the recency-weighted trend line next to [[rollingTrend]]'s flat
+    * window (a volume shift shows in the EWMA within a bucket or two
+    * where a 7-day flat mean dilutes it for a week). Decay is fixed at
+    * 1/2 per present bucket — powers of two are EXACT doubles, so both
+    * engines compute bit-identical weights — and the window spans the
+    * last `window` PRESENT buckets (adjusted normalization: weights
+    * renormalized over the buckets actually seen, so early buckets
+    * aren't biased toward zero).
+    *
+    * numerator = Horner fold x₁·½^(m−1) + … + x_m·½⁰ over the ordered
+    * window frame; denominator = Σ½^i = 2 − 2^(1−m) closed-form. Both
+    * are deterministic (fixed evaluation order), so `ewma_r4` replays
+    * exactly. `dev_bp` = floor((cnt − ewma)/ewma · 10⁴) — present
+    * buckets have cnt ≥ 1 so ewma > 0 always.
+    *
+    * Scale: the rollup collapses events to keys × calendar rows
+    * map-side; the collect_list window state is bounded by `window`
+    * elements per row, partitioned by key — never a global window,
+    * never the event volume. */
+  def ewmaTrend(events: DataFrame, keyCol: String, tsCol: String,
+                granularity: String = "day", window: Int = 10): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        date_trunc(granularity, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(-(window - 1).toLong, 0L)
+    counts
+      .withColumn("__xs", collect_list(col("cnt")).over(w))
+      .withColumn("__num", expr(
+        "aggregate(__xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc * 0.5 + CAST(x AS DOUBLE))"))
+      .withColumn("__den", lit(2.0) - expr("power(0.5, size(__xs) - 1)"))
+      .withColumn("ewma_r4", round(col("__num") / col("__den"), 4))
+      .withColumn("dev_bp", floor((col("cnt") - col("__num") / col("__den")) /
+        (col("__num") / col("__den")) * 10000).cast(LongType))
+      .drop("__xs", "__num", "__den")
+  }
+
+  /** Day-of-week seasonality profile of each key's event volume: per
+    * (key, dow) the total count, its share of the key's volume in bp,
+    * and the seasonal INDEX — dow daily mean over the key's all-dow
+    * daily mean, in bp (10000 = flat; 20000 = this weekday runs double
+    * the average day). Means divide by the number of PRESENT days of
+    * that weekday, so a short history isn't biased by never-seen
+    * calendar slots. The "is this load weekly-periodic, and how"
+    * companion to [[autocorrelation]]'s acf(7) yes/no signal.
+    *
+    * Exact integer arithmetic end to end: counts and present-day
+    * tallies are integers, and both ratios ship as
+    * (a·b_days·10000) DIV (b·a_days) — cross-multiplied so no
+    * intermediate double appears. Scale: one map-side-combined rollup
+    * to (key, dow, day) — calendar-bounded — then keys × 7 rows. */
+  def seasonalityProfile(events: DataFrame, keyCol: String,
+                         tsCol: String): DataFrame = {
+    val days = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      // ISO weekday 1=Mon..7=Sun — both engines agree on isodow
+      .withColumn("__dow", dayofweek(col("__d")))
+      .withColumn("__dow",
+        when(col("__dow") === 1, 7).otherwise(col("__dow") - 1))
+    val perDow = days.groupBy("key", "__dow")
+      .agg(sum("__c").as("cnt"), count(lit(1)).as("days_present"))
+    val perKey = perDow.groupBy("key")
+      .agg(sum("cnt").as("__tot"), sum("days_present").as("__totdays"))
+    perDow.join(perKey, "key")
+      .select(col("key"), col("__dow").cast(LongType).as("dow"),
+        col("cnt").cast(LongType).as("cnt"),
+        col("days_present").cast(LongType).as("days_present"),
+        expr("cnt * 10000 DIV __tot").cast(LongType).as("share_bp"),
+        expr("(cnt * __totdays * 10000) DIV (__tot * days_present)")
+          .cast(LongType).as("seasonal_index_bp"))
+  }
+
   /** Lag-k autocorrelation of each key's DAILY event-count series —
     * the seasonality detector next to [[rollingTrend]]'s smoothing and
     * [[madAnomalies]]'s outliers (acf(7) ≈ 1 says "weekly-periodic

@@ -4107,6 +4107,135 @@ object PipelineQueries {
       FROM p GROUP BY 1 HAVING count(*) > 1
       ORDER BY variants DESC, canonical_url LIMIT 40"""))
 
+  // 144. recency-weighted EWMA trend: ½-decay over the last 10 present
+  // buckets, Horner numerator / closed-form denominator — every weight
+  // is a power of two, so both engines' doubles agree bit-for-bit
+  // (the oracle's unordered SUM is exact: all terms are dyadic with a
+  // common 2⁹ denominator and integer numerators < 2^53).
+  val qEwmaTrend = QueryDef("q_ewma_trend",
+    (s, dir) => {
+      graft.operators.TimeSeries.ewmaTrend(
+          table(s, dir, "events"), "event_type", "ts")
+        .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("ewma_r4"), col("dev_bp"))
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, date_trunc('day', ts) AS bucket,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY bucket) rn FROM c),
+      j AS (SELECT a.key, a.bucket, a.cnt,
+              sum(b.cnt * power(0.5, a.rn - b.rn)) AS num,
+              2 - power(0.5, count(*) - 1) AS den
+            FROM r a JOIN r b ON a.key = b.key AND b.rn BETWEEN a.rn - 9 AND a.rn
+            GROUP BY a.key, a.bucket, a.cnt, a.rn)
+      SELECT key, strftime(bucket, '%Y-%m-%d') AS day, CAST(cnt AS BIGINT) AS cnt,
+             round(num / den, 4) AS ewma_r4,
+             CAST(floor((cnt - num / den) / (num / den) * 10000) AS BIGINT) AS dev_bp
+      FROM j ORDER BY key, day"""))
+
+  // 145. day-of-week seasonality index (ISO dow), exact cross-multiplied
+  // integer bp arithmetic — no intermediate double on either engine.
+  val qSeasonality = QueryDef("q_seasonality",
+    (s, dir) => {
+      graft.operators.TimeSeries.seasonalityProfile(
+          table(s, dir, "events"), "event_type", "ts")
+        .orderBy("key", "dow")
+    },
+    Some("""
+      WITH d AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS dd,
+                        count(*) AS c
+                 FROM events GROUP BY 1, 2),
+      pd AS (SELECT key, isodow(dd) AS dow, sum(c) AS cnt, count(*) AS days_present
+             FROM d GROUP BY 1, 2),
+      pk AS (SELECT key, sum(cnt) AS tot, sum(days_present) AS totdays
+             FROM pd GROUP BY 1)
+      SELECT pd.key, CAST(dow AS BIGINT) AS dow, CAST(cnt AS BIGINT) AS cnt,
+             CAST(days_present AS BIGINT) AS days_present,
+             CAST(cnt * 10000 // tot AS BIGINT) AS share_bp,
+             CAST((cnt * totdays * 10000) // (tot * days_present) AS BIGINT) AS seasonal_index_bp
+      FROM pd JOIN pk ON pd.key = pk.key ORDER BY pd.key, dow"""))
+
+  // 146. SCD type-2 attribute history: each user's event_type run-length
+  // encoded into validity intervals, ties within a version tick broken
+  // by event_id, run_seq totally ordering the output.
+  val qScd2 = QueryDef("q_scd2",
+    (s, dir) => {
+      graft.operators.SnapshotDiff.attributeHistory(
+          table(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .orderBy("id", "run_seq")
+    },
+    Some("""
+      WITH e AS (SELECT user_id AS id, event_type AS attr, ts AS v, event_id AS t
+                 FROM events),
+      l AS (SELECT *, lag(attr) OVER w AS pa, (row_number() OVER w = 1) AS isfirst
+            FROM e WINDOW w AS (PARTITION BY id ORDER BY v, t)),
+      c AS (SELECT *, CASE WHEN isfirst OR pa IS DISTINCT FROM attr THEN 1 ELSE 0 END AS chg
+            FROM l),
+      r AS (SELECT *, sum(chg) OVER (PARTITION BY id ORDER BY v, t
+              ROWS UNBOUNDED PRECEDING) AS run FROM c),
+      g AS (SELECT id, run, any_value(attr) AS attr, min(v) AS effective_from,
+                   count(*) AS n_observations
+            FROM r GROUP BY 1, 2)
+      SELECT id, CAST(run AS BIGINT) AS run_seq, attr, effective_from,
+             lead(effective_from) OVER (PARTITION BY id ORDER BY run) AS effective_to,
+             CAST(n_observations AS BIGINT) AS n_observations,
+             (lead(effective_from) OVER (PARTITION BY id ORDER BY run) IS NULL) AS is_current
+      FROM g ORDER BY id, run_seq"""))
+
+  // 147. chi-square homogeneity between the even/odd event_id halves'
+  // event_type mixes — expectations from the pooled distribution, one
+  // deterministic double expression per category over exact counts.
+  val qChi2Drift = QueryDef("q_chi2_drift",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.operators.SnapshotDiff.chiSquareDrift(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), "event_type")
+        .orderBy("key")
+    },
+    Some("""
+      WITH a AS (SELECT event_type AS key, count(*) ca FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+      b AS (SELECT event_type AS key, count(*) cb FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+      j AS (SELECT coalesce(a.key, b.key) AS key, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+            FROM a FULL OUTER JOIN b ON a.key = b.key),
+      t AS (SELECT sum(ca) ta, sum(cb) tb FROM j),
+      x AS (SELECT key, ca, cb,
+                   CAST(ca + cb AS DOUBLE) * ta / (ta + tb) AS ea,
+                   CAST(ca + cb AS DOUBLE) * tb / (ta + tb) AS eb
+            FROM j, t)
+      SELECT key, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+             round(ea, 4) AS exp_a_r4,
+             round((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 6) AS chi2_r6,
+             round((ca - ea) / sqrt(ea), 4) AS resid_a_r4
+      FROM x ORDER BY key"""))
+
+  // 148. cross-doc duplicate-sentence incidence. The synthetic corpus
+  // carries no terminal punctuation, so the driver query segments on
+  // the common determiners instead (' the '/' a ' runs) — the same
+  // machinery, a delimiter the data actually contains; real corpora
+  // use the [.!?]+ default.
+  val qSentenceDedup = QueryDef("q_sentence_dedup",
+    (s, dir) => {
+      graft.operators.Curation.sentenceDedup(
+          table(s, dir, "documents"), "doc_id", "text",
+          minChars = 20, splitRegex = "(?: the | a )")
+        .orderBy("id")
+    },
+    Some("""
+      WITH s AS (SELECT doc_id AS id,
+                   trim(regexp_replace(lower(
+                     unnest(string_split_regex(text, '(?: the | a )'))),
+                     '\s+', ' ', 'g')) AS s
+                 FROM documents WHERE text IS NOT NULL),
+      d AS (SELECT DISTINCT id, md5(s) AS h FROM s WHERE len(s) >= 20),
+      f AS (SELECT h, count(*) AS docs FROM d GROUP BY 1)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_sents,
+             CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_sents,
+             CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS dup_ratio_bp
+      FROM d JOIN f USING (h) GROUP BY id ORDER BY id"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4133,5 +4262,6 @@ object PipelineQueries {
     qDedupCrossSource, qLangConsistency, qEventCadence, qLenHist,
     qRollingUsers, qDedupThresholds, qDedupSnm,
     qTextBpe, qUrlDomains, qUrlDedup,
+    qEwmaTrend, qSeasonality, qScd2, qChi2Drift, qSentenceDedup,
   )
 }

@@ -122,6 +122,26 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == (("rule2", false)))
   }
 
+  test("sentenceDedup: cross-doc sentences counted, within-doc repeats once, short ignored") {
+    val corpus = Seq(
+      (0L, "This exact sentence appears everywhere. A doc-unique thought lives here. Short."),
+      (1L, "This exact sentence appears everywhere! Another fully original sentence instead."),
+      // normalized dup (case + spacing) of the shared sentence, twice in one doc
+      (2L, "this  exact sentence appears EVERYWHERE. this exact sentence appears everywhere. One more private line for two."),
+      (3L, null),
+    ).toDF("doc_id", "text")
+    val got = Curation.sentenceDedup(corpus, "doc_id", "text", minChars = 20)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_sents"), r.getAs[Long]("dup_sents"),
+          r.getAs[Long]("dup_ratio_bp")))).toMap
+    // "Short." (6 chars) never qualifies; the shared sentence counts ONCE
+    // per doc; doc 3 (null text) is absent
+    assert(got == Map(
+      0L -> ((2L, 1L, 5000L)),
+      1L -> ((2L, 1L, 5000L)),
+      2L -> ((2L, 1L, 5000L))))
+  }
+
   test("groupConsistentSplit keeps a split-straddling cluster in one split") {
     val ids = (0L until 200L)
     val sdocs = ids.toDF("doc_id").withColumn("text", lit("x"))

@@ -395,6 +395,77 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((100L, 65.0, 5384L)))
   }
 
+  test("ewmaTrend: half-decay Horner weights, adjusted normalization, exact dev_bp") {
+    // one key, days 0..2 with counts 10, 20, 40; window=10
+    val rows = Seq((0, 10L), (1, 20L), (2, 40L)).flatMap { case (d, n) =>
+      (0L until n).map(i => (new java.sql.Timestamp(86400000L * d + i), "a"))
+    }
+    val got = graft.operators.TimeSeries
+      .ewmaTrend(rows.toDF("ts", "event_type"), "event_type", "ts", "day", window = 10)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("bucket").getTime / 86400000L ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("ewma_r4"), r.getAs[Long]("dev_bp")))).toMap
+    assert(got(0L) == ((10L, 10.0, 0L)))  // single bucket: ewma = cnt
+    // m=2: (10·½ + 20) / (2 − ½) = 25/1.5 = 16.6667; dev = floor((20−e)/e·1e4)
+    assert(got(1L) == ((20L, 16.6667, 1999L)))
+    // m=3: (10·¼ + 20·½ + 40) / (2 − ¼) = 52.5/1.75 = 30.0
+    assert(got(2L) == ((40L, 30.0, 3333L)))
+  }
+
+  test("seasonalityProfile: ISO dow, present-day-normalized seasonal index") {
+    // Mon 2024-01-01 and Mon 2024-01-08: 30 events each; Tue 2024-01-02: 15.
+    // dow means: Mon 30 (2 days), Tue 15 (1 day); overall mean 75/3 = 25.
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val rows = ((0L until 30L).map(i => (new java.sql.Timestamp(day0 + i), "a")) ++
+      (0L until 30L).map(i => (new java.sql.Timestamp(day0 + 7 * 86400000L + i), "a")) ++
+      (0L until 15L).map(i => (new java.sql.Timestamp(day0 + 86400000L + i), "a")))
+    val got = graft.operators.TimeSeries
+      .seasonalityProfile(rows.toDF("ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("days_present"),
+          r.getAs[Long]("share_bp"), r.getAs[Long]("seasonal_index_bp")))).toMap
+    assert(got == Map(
+      1L -> ((60L, 2L, 8000L, 12000L)),  // Mon: mean 30 vs 25 → 1.2×
+      2L -> ((15L, 1L, 2000L, 6000L))))  // Tue: mean 15 vs 25 → 0.6×
+  }
+
+  test("attributeHistory: runs collapse, a→b→a splits, ties by tiebreaker, null attr is a run") {
+    import graft.operators.SnapshotDiff
+    val obs = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L), (1L, "a", 40L, 4L),
+      (2L, null, 10L, 5L), (2L, null, 20L, 6L), (2L, "x", 30L, 7L),
+      (3L, "p", 10L, 8L), (3L, "q", 10L, 9L), // same version: event-id order decides
+    ).toDF("id", "attr", "v", "t")
+    val got = SnapshotDiff.attributeHistory(obs, "id", "attr", "v", "t")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("run_seq")) ->
+        ((Option(r.getAs[String]("attr")), r.getAs[Long]("effective_from"),
+          Option(r.getAs[Any]("effective_to")), r.getAs[Long]("n_observations"),
+          r.getAs[Boolean]("is_current")))).toMap
+    assert(got((1L, 1L)) == ((Some("a"), 10L, Some(30L), 2L, false)))
+    assert(got((1L, 2L)) == ((Some("b"), 30L, Some(40L), 1L, false)))
+    assert(got((1L, 3L)) == ((Some("a"), 40L, None, 1L, true)))  // the return run is NEW
+    assert(got((2L, 1L)) == ((None, 10L, Some(30L), 2L, false))) // null attr run
+    assert(got((2L, 2L)) == ((Some("x"), 30L, None, 1L, true)))
+    assert(got((3L, 1L)) == ((Some("p"), 10L, Some(10L), 1L, false)))
+    assert(got((3L, 2L)) == ((Some("q"), 10L, None, 1L, true)))
+    assert(got.size == 7)
+  }
+
+  test("chiSquareDrift: pooled expectations, exact contributions, one-sided category") {
+    import graft.operators.SnapshotDiff
+    // side a: 90 x, 10 y; side b: 60 x, 30 y, 10 z (z absent from a)
+    val a = (Seq.fill(90)("x") ++ Seq.fill(10)("y")).toDF("k")
+    val b = (Seq.fill(60)("x") ++ Seq.fill(30)("y") ++ Seq.fill(10)("z")).toDF("k")
+    val got = SnapshotDiff.chiSquareDrift(a, b, "k")
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"),
+          r.getAs[Double]("exp_a_r4"), r.getAs[Double]("chi2_r6")))).toMap
+    assert(got("x") == ((90L, 60L, 75.0, 6.0)))      // (90−75)²/75 ×2 sides
+    assert(got("y") == ((10L, 30L, 20.0, 10.0)))
+    assert(got("z")._3 == 5.0 && got("z")._4 == 10.0) // 0 observed vs e=5: (0−5)²/5 ×2
+    // total χ² = 26 against dof = 2
+    assert(math.abs(got.values.map(_._4).sum - 26.0) < 1e-9)
+  }
+
   test("referential integrity: orphans found, NULL keys separated, row-level twin agrees") {
     import graft.validators.Relationships
     val parent = Seq(1L, 2L, 3L).toDF("pk")
