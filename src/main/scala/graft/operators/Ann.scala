@@ -133,6 +133,64 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
 
+  /** Deterministic k-means cluster profile over an embedding column —
+    * the semantic-composition datasheet line (cluster-balanced
+    * sampling, mixture design over topics, "what's actually IN this
+    * corpus" at the embedding grain): per cluster its size and total
+    * within-cluster squared-L2 inertia after `iters` Lloyd rounds from
+    * the [[ivfTopK]] scatter-sampled seeds.
+    *
+    * Every step is REPLAYABLE in plain SQL — the usual k-means is not,
+    * because averaging floats is summation-order-dependent. Here the
+    * centroid update sums FIXED-POINT integers (floor(x·2²⁰) per
+    * position — exact for float32 inputs, order-independent) and
+    * divides once (cnt·2²⁰, one deterministic double), so every
+    * engine's iteration lands on bit-identical centroids; inertia
+    * likewise ships as Σ floor(d²·10⁴) exact integers. Empty cells
+    * keep their seed (the [[ivfTopK]] convention); assignment ties go
+    * to the lowest cell id on both engines.
+    *
+    * Plan: per iteration ONE corpus scan (k·dim compiled dot products
+    * per row) + one map-side-combined (cell, pos) aggregate collapsing
+    * to a k×dim driver-side sketch; the final profile is one more scan
+    * + a k-row aggregate. No shuffle ever carries a vector. */
+  def kmeansProfile(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 1): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(iters >= 0, "need iters >= 0")
+    val scale = 1048576L // 2^20
+    def assigned(cents: Seq[Seq[Double]]) = corpus
+      .select(col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("nsq", VectorFns.normSq(col("v")))
+      .withColumn("__d", graft.functions.CentroidDistsExpr(col("v"), col("nsq"), cents))
+      .withColumn("cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
+    val centroids = (0 until iters).foldLeft(sampleCentroids(corpus, idCol, vecCol, k)) {
+      (cents, _) =>
+        val sums = assigned(cents)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(sum(floor(col("x").cast("double") * scale).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+            ((r.getLong(2), r.getLong(3)))).toMap
+        cents.zipWithIndex.map { case (seed, i) =>
+          val cell = i + 1 // array_position is 1-based
+          if (sums.contains((cell, 0)))
+            seed.indices.map { j =>
+              val (s, n) = sums((cell, j)); s / (n * scale.toDouble)
+            }.toSeq
+          else seed
+        }
+    }
+    assigned(centroids)
+      .select(col("cell"), array_min(col("__d")).as("__d2"))
+      .groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("size"),
+        sum(floor(col("__d2") * 10000).cast("long")).as("inertia_q4"))
+      .select(col("cell").cast("long").as("cell"), col("size"), col("inertia_q4"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * partition the embedding space into `numCells` Voronoi cells around

@@ -240,6 +240,43 @@ object Profile {
     * The bounds are computed eagerly (disc percentiles are data
     * elements, engine-replayable) and folded in as literals; the
     * report is then ONE map-side-combined aggregation. */
+  /** Tukey-fence outlier report per group: Q1/Q3 exact disc quantiles
+    * (via the [[groupQuantiles]] machinery), fences at Q1 − k·IQR and
+    * Q3 + k·IQR, and the count of rows strictly OUTSIDE each fence —
+    * the boxplot's whisker rule, the third member of the outlier
+    * family (row MAD flags time buckets, winsorize counts at the
+    * percentile bounds themselves; Tukey fences EXTRAPOLATE beyond the
+    * quartiles, so a clean wide distribution flags nothing where a
+    * 1%/99% winsorize always clips 2%). Fences are single deterministic
+    * double expressions over data-element quantiles, so both engines
+    * replay bit-for-bit; reported at r4 alongside exact counts.
+    *
+    * Plan: one group-windowed quantile pass over the (group, value)
+    * rollup + one map-side-combined count pass joined on the group —
+    * |groups|-bounded join, never a global window. */
+  def tukeyOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                    k: Double = 1.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val quart = groupQuantiles(df, groupCol, valueCol, Seq(2500, 7500))
+      .groupBy("group")
+      .agg(min(when(col("q_bp") === 2500, col("value"))).as("__q1"),
+        min(when(col("q_bp") === 7500, col("value"))).as("__q3"))
+      .withColumn("__lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("__hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+    val v = col(valueCol).cast(DoubleType)
+    df.filter(v.isNotNull)
+      .select(col(groupCol).as("group"), v.as("__v"))
+      .join(quart, "group")
+      .groupBy("group")
+      .agg(count(lit(1)).cast(LongType).as("total"),
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).cast(LongType).as("n_low"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L)).cast(LongType).as("n_high"),
+        round(first(col("__q1")), 4).as("q1_r4"),
+        round(first(col("__q3")), 4).as("q3_r4"),
+        round(first(col("__lo")), 4).as("lo_fence_r4"),
+        round(first(col("__hi")), 4).as("hi_fence_r4"))
+  }
+
   def winsorizeReport(df: DataFrame, valueCol: String,
                       loBp: Int = 100, hiBp: Int = 9900): DataFrame = {
     require(loBp < hiBp, s"loBp $loBp must be < hiBp $hiBp")

@@ -42,6 +42,48 @@ object Sessionize {
         sum("session_events").cast("long").as("events"),
         max("session_events").cast("long").as("max_session_events"))
 
+  /** Turn-structure audit of role-tagged interaction sequences — the
+    * shape validator for conversational training data (chat corpora
+    * want strict user/assistant alternation; an a→a double-turn or a
+    * 40-turn monologue is a formatting bug upstream). Per id, ordered
+    * by (version, tie): turn count, distinct roles, role SWITCHES
+    * (adjacent-pair role changes), the longest same-role run, first
+    * and last role, and `alternation_bp` = switches·10⁴ DIV (turns−1)
+    * (10000 = strictly alternating; NULL for single-turn ids).
+    *
+    * Plan: one per-id ordered window computes the change flags and the
+    * run ids in a single pass; the run-length rollup and the per-id
+    * rollup are both map-side-combined keyed aggregates — state
+    * bounded per id, never a global window. */
+  def turnAudit(df: DataFrame, idCol: String, roleCol: String,
+                tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("__v"), col("__t"))
+    val marked = df.select(col(idCol).as("id"), col(roleCol).as("role"),
+        col(tsCol).as("__v"), col(tieCol).as("__t"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__chg",
+        when(col("__rn") === 1, 1L)
+          .when(!(lag(col("role"), 1).over(w) <=> col("role")), 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy("id", "__run")
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("id")
+      .agg(max(col("__len")).cast("long").as("max_run"),
+        count(lit(1)).cast("long").as("n_runs"))
+    marked.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_turns"),
+        countDistinct(col("role")).cast("long").as("distinct_roles"),
+        (sum(col("__chg")) - 1L).cast("long").as("switches"),
+        min(struct(col("__rn"), col("role"))).getField("role").as("first_role"),
+        max(struct(col("__rn"), col("role"))).getField("role").as("last_role"))
+      .join(runs, "id")
+      .withColumn("alternation_bp",
+        when(col("n_turns") > 1,
+          expr("switches * 10000 DIV (n_turns - 1)")).cast("long"))
+  }
+
   /** Ordered event-sequence conversion funnel: how many users complete
     * step 1, then step 2 STRICTLY after their first step-1 event, then
     * step 3 strictly after that, ... — the classic product-analytics

@@ -585,6 +585,52 @@ object TextAnalysis {
     (scored, () => { perDoc.unpersist(); () })
   }
 
+  /** PMI term co-occurrence over the top-`topN` vocabulary: which
+    * term PAIRS ride together across documents, and whether more or
+    * less than their marginals predict — pmi = ln(n_ab·N / (n_a·n_b))
+    * over document-level presence (within-doc repeats count once).
+    * The topic-structure signal next to [[vocabularyWithDocFreq]]'s
+    * marginals and [[boilerplateNgrams]]'s contiguous phrases:
+    * co-occurrence needs no adjacency, so a template whose halves are
+    * split across a page still lights up, and high-PMI pairs are the
+    * collocations a mixture designer actually reads. Positive pmi =
+    * attraction, negative = repulsion; only observed pairs appear
+    * (n_ab ≥ 1, so pmi is always finite).
+    *
+    * Plan: one scan collapses docs to (doc, term)-distinct rows; the
+    * top-N vocabulary is a TakeOrdered (distributed reduce — never a
+    * global window) broadcast back as a semi-join; the pair generation
+    * is a doc-keyed self-equi-join whose fan-out is ≤ topN²/2 per doc
+    * BY CONSTRUCTION, then one map-side-combined pair count. N (docs
+    * with ≥1 token) and the marginals ride broadcast joins. Exact
+    * integer counts end to end; ln over an exact integer ratio. */
+  def termCooccurrence(docs: DataFrame, idCol: String, textCol: String,
+                       topN: Int = 25): DataFrame = {
+    require(topN >= 2, "need topN >= 2")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(TextFns.words(TextFns.normalize(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val top = base.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(topN)
+    val t = base.join(broadcast(top), Seq("term"))
+    val nDocs = base.select(countDistinct(col("__doc")).as("__n"))
+    val pairs = t.select(col("__doc"), col("term").as("term_a"), col("df").as("n_a"))
+      .join(t.select(col("__doc"), col("term").as("term_b"), col("df").as("n_b")),
+        Seq("__doc"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).cast("long").as("n_ab"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round(log((col("n_ab") * col("__n")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("pmi_r6"))
+  }
+
   /** Jensen–Shannon divergence (nats) between the word distributions
     * of two corpus slices — the vocabulary-level drift gate: PSI
     * (SnapshotDiff.categoryDrift) compares slice SHARES, KS compares a

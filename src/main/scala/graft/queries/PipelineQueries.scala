@@ -4236,6 +4236,132 @@ object PipelineQueries {
              CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS dup_ratio_bp
       FROM d JOIN f USING (h) GROUP BY id ORDER BY id"""))
 
+  // 149. turn-structure audit: role-run shape per user (the chat-corpus
+  // alternation validator), windows replayed verbatim.
+  val qTurnAudit = QueryDef("q_turn_audit",
+    (s, dir) => {
+      graft.operators.Sessionize.turnAudit(
+          table(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .orderBy("id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id AS id, event_type AS role, ts AS v, event_id AS t
+                 FROM events),
+      m AS (SELECT *, row_number() OVER w AS rn,
+              CASE WHEN row_number() OVER w = 1
+                     OR lag(role) OVER w IS DISTINCT FROM role THEN 1 ELSE 0 END AS chg
+            FROM e WINDOW w AS (PARTITION BY id ORDER BY v, t)),
+      r AS (SELECT *, sum(chg) OVER (PARTITION BY id ORDER BY v, t
+              ROWS UNBOUNDED PRECEDING) AS run FROM m),
+      runs AS (SELECT id, run, count(*) AS len FROM r GROUP BY 1, 2),
+      rr AS (SELECT id, max(len) AS max_run, count(*) AS n_runs FROM runs GROUP BY 1),
+      agg AS (SELECT id, count(*) AS n_turns, count(DISTINCT role) AS distinct_roles,
+                     sum(chg) - 1 AS switches,
+                     arg_min(role, rn) AS first_role, arg_max(role, rn) AS last_role
+              FROM r GROUP BY id)
+      SELECT agg.id, CAST(n_turns AS BIGINT) AS n_turns,
+             CAST(distinct_roles AS BIGINT) AS distinct_roles,
+             CAST(switches AS BIGINT) AS switches, first_role, last_role,
+             CAST(max_run AS BIGINT) AS max_run, CAST(n_runs AS BIGINT) AS n_runs,
+             CASE WHEN n_turns > 1
+                  THEN CAST(switches * 10000 // (n_turns - 1) AS BIGINT) END AS alternation_bp
+      FROM agg JOIN rr ON agg.id = rr.id ORDER BY agg.id"""))
+
+  // 150. Tukey-fence outliers per group: disc quartiles, k=1.5 fences
+  // (single deterministic double expressions), exact outside counts.
+  val qTukeyOutliers = QueryDef("q_tukey_outliers",
+    (s, dir) => {
+      graft.operators.Profile.tukeyOutliers(
+          table(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy("group")
+    },
+    Some("""
+      WITH q AS (SELECT l_returnflag AS grp,
+                   CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE) AS q1,
+                   CAST(quantile_disc(l_extendedprice, 0.75) AS DOUBLE) AS q3
+                 FROM lineitem GROUP BY 1),
+      f AS (SELECT grp, q1, q3, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+            FROM q)
+      SELECT l.l_returnflag AS "group", CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             round(any_value(q1), 4) AS q1_r4, round(any_value(q3), 4) AS q3_r4,
+             round(any_value(lo), 4) AS lo_fence_r4, round(any_value(hi), 4) AS hi_fence_r4
+      FROM lineitem l JOIN f ON l.l_returnflag = f.grp
+      GROUP BY 1 ORDER BY 1"""))
+
+  // 151. PMI co-occurrence over the top-20 vocabulary: document-level
+  // presence, exact integer counts, ln over an exact integer ratio.
+  val qTermPmi = QueryDef("q_term_pmi",
+    (s, dir) => {
+      graft.operators.TextAnalysis.termCooccurrence(
+          table(s, dir, "documents"), "doc_id", "text", topN = 20)
+        .orderBy("term_a", "term_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id AS doc,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+                 FROM documents WHERE text IS NOT NULL),
+      base AS (SELECT DISTINCT doc, term FROM w WHERE term <> ''),
+      top AS (SELECT term, count(*) AS df FROM base GROUP BY 1
+              ORDER BY df DESC, term LIMIT 20),
+      t AS (SELECT base.doc, base.term, top.df FROM base JOIN top USING (term)),
+      n AS (SELECT count(DISTINCT doc) AS nd FROM base),
+      p AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab,
+                   any_value(a.df) AS n_a, any_value(b.df) AS n_b
+            FROM t a JOIN t b ON a.doc = b.doc AND a.term < b.term
+            GROUP BY 1, 2)
+      SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             round(ln(CAST(n_ab * nd AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6) AS pmi_r6
+      FROM p, n ORDER BY term_a, term_b"""))
+
+  // 152. deterministic k-means profile: scatter seeds, ONE fixed-point
+  // Lloyd round (integer centroid sums — order-independent, so both
+  // engines land on bit-identical centroids), quantized exact inertia.
+  val qKmeans = QueryDef("q_kmeans",
+    (s, dir) => {
+      graft.operators.Ann.kmeansProfile(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)
+        .orderBy("cell")
+    },
+    Some("""
+      WITH cents0 AS (
+        SELECT row_number() OVER (ORDER BY scat, vec_id) AS cell,
+               embedding::DOUBLE[] AS ce
+        FROM (SELECT vec_id, embedding, (vec_id % 999983) * 2654435761 % 999983 AS scat
+              FROM embeddings ORDER BY scat, vec_id LIMIT 8)),
+      a1 AS (SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                   + list_dot_product(c.ce, c.ce) ASC, c.cell ASC) AS rn
+             FROM embeddings e, cents0 c),
+      as1 AS (SELECT vec_id, embedding, cell FROM a1 WHERE rn = 1),
+      ux AS (SELECT cell, unnest(embedding::DOUBLE[]) AS x,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM as1),
+      upd AS (SELECT cell, pos, sum(CAST(floor(x * 1048576) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM ux GROUP BY 1, 2),
+      cents1 AS (SELECT cell, list(s / (n * 1048576.0) ORDER BY pos) AS ce
+                 FROM upd GROUP BY cell
+                 UNION ALL
+                 SELECT cell, ce FROM cents0
+                 WHERE cell NOT IN (SELECT cell FROM upd)),
+      a2 AS (SELECT e.vec_id, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                 + list_dot_product(c.ce, c.ce) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                   + list_dot_product(c.ce, c.ce) ASC, c.cell ASC) AS rn
+             FROM embeddings e, cents1 c)
+      SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS size,
+             CAST(sum(CAST(floor(d2 * 10000) AS BIGINT)) AS BIGINT) AS inertia_q4
+      FROM a2 WHERE rn = 1 GROUP BY cell ORDER BY cell"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4263,5 +4389,6 @@ object PipelineQueries {
     qRollingUsers, qDedupThresholds, qDedupSnm,
     qTextBpe, qUrlDomains, qUrlDedup,
     qEwmaTrend, qSeasonality, qScd2, qChi2Drift, qSentenceDedup,
+    qTurnAudit, qTukeyOutliers, qTermPmi, qKmeans,
   )
 }

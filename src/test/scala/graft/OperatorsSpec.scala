@@ -466,6 +466,70 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._4).sum - 26.0) < 1e-9)
   }
 
+  test("turnAudit: alternation, double-turns, version ties, single-turn NULL") {
+    import graft.operators.Sessionize
+    val obs = Seq(
+      // user 1 strictly alternates u/a over 4 turns
+      (1L, "u", 10L, 1L), (1L, "a", 20L, 2L), (1L, "u", 30L, 3L), (1L, "a", 40L, 4L),
+      // user 2: a double-turn (a a) in the middle → max_run 2
+      (2L, "u", 10L, 5L), (2L, "a", 20L, 6L), (2L, "a", 30L, 7L), (2L, "u", 40L, 8L),
+      // user 3: single turn → alternation NULL
+      (3L, "u", 10L, 9L),
+      // user 4: same-version tie ordered by the tiebreaker
+      (4L, "a", 10L, 11L), (4L, "u", 10L, 10L),
+    ).toDF("id", "role", "v", "t")
+    val got = Sessionize.turnAudit(obs, "id", "role", "v", "t")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_turns"), r.getAs[Long]("switches"), r.getAs[Long]("max_run"),
+          r.getAs[String]("first_role"), r.getAs[String]("last_role"),
+          Option(r.getAs[Any]("alternation_bp"))))).toMap
+    assert(got(1L) == ((4L, 3L, 1L, "u", "a", Some(10000L))))
+    assert(got(2L) == ((4L, 2L, 2L, "u", "u", Some(6666L))))
+    assert(got(3L) == ((1L, 0L, 1L, "u", "u", None)))
+    assert(got(4L) == ((2L, 1L, 1L, "u", "a", Some(10000L)))) // tie: t=10 first
+  }
+
+  test("tukeyOutliers: disc quartiles, fences, strict outside counts") {
+    // group g: 1..11 plus outliers -100 and +100; Q1 at rank ceil(.25·13)=4,
+    // Q3 at rank ceil(.75·13)=10 of sorted [-100,1..11,100]
+    val vals = (Seq(-100.0, 100.0) ++ (1 to 11).map(_.toDouble)).map(("g", _))
+    val got = graft.operators.Profile
+      .tukeyOutliers(vals.toDF("k", "v"), "k", "v").collect().head
+    assert(got.getAs[Double]("q1_r4") == 3.0 && got.getAs[Double]("q3_r4") == 9.0)
+    assert(got.getAs[Double]("lo_fence_r4") == -6.0 && got.getAs[Double]("hi_fence_r4") == 18.0)
+    assert(got.getAs[Long]("n_low") == 1L && got.getAs[Long]("n_high") == 1L
+      && got.getAs[Long]("total") == 13L)
+  }
+
+  test("termCooccurrence: presence-level counts, attraction vs repulsion signs") {
+    // 4 docs: x,y always together; x,z never; within-doc repeats once
+    val corpus = Seq(
+      (0L, "x y x y"), (1L, "x y"), (2L, "z w"), (3L, "z q w"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.termCooccurrence(corpus, "doc_id", "text", topN = 10)
+      .collect().map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b")) ->
+        ((r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("pmi_r6")))).toMap
+    // x,y: n_ab=2, n_a=n_b=2, N=4 → pmi = ln(2·4/4) = ln 2
+    assert(got(("x", "y")) == ((2L, 2L, 2L, math.rint(math.log(2) * 1e6) / 1e6)))
+    // w,z co-occur twice; q,z once: pmi = ln(1·4/(1·2)) = ln 2
+    assert(got(("w", "z"))._1 == 2L)
+    assert(!got.contains(("x", "z")), "never-co-occurring pairs are absent")
+  }
+
+  test("kmeansProfile: two tight blobs recovered with k=2, exact sizes") {
+    // 6 vectors in two well-separated blobs; k=2, one Lloyd round
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.05f, 0.05f)),
+      (4L, Seq(10.0f, 10.1f)), (5L, Seq(10.1f, 10.0f)), (6L, Seq(10.05f, 10.05f)),
+    ).toDF("vec_id", "embedding")
+    val got = Ann.kmeansProfile(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => (r.getAs[Long]("size"), r.getAs[Long]("inertia_q4")))
+    assert(got.map(_._1).sorted.toSeq == Seq(3L, 3L), s"got $got")
+    // within-blob squared distances are ~0.005 → quantized inertia small
+    assert(got.forall(_._2 < 200L), s"inertia too large: $got")
+  }
+
   test("referential integrity: orphans found, NULL keys separated, row-level twin agrees") {
     import graft.validators.Relationships
     val parent = Seq(1L, 2L, 3L).toDF("pk")
