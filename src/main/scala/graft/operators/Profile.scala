@@ -240,6 +240,44 @@ object Profile {
     * The bounds are computed eagerly (disc percentiles are data
     * elements, engine-replayable) and folded in as literals; the
     * report is then ONE map-side-combined aggregation. */
+  /** Cohen's kappa agreement between two categorical columns —
+    * chance-corrected, which is the difference that matters on skewed
+    * label sets: two raters (or a declared label vs a detector, the
+    * lang-consistency pairing) can agree 90% raw while kappa ≈ 0
+    * because one dominant class explains it all. po = Σ n_kk / N,
+    * pe = Σ rowTot_k·colTot_k / N², kappa = (po − pe)/(1 − pe).
+    * Rows with a NULL on either side are excluded (no-opinion is not a
+    * category). One row out: (n, agree, po_r6, pe_r6, kappa_r6);
+    * kappa NULL when pe = 1 (both sides constant — undefined, never
+    * NaN).
+    *
+    * Exact integer counts; Σ r·c stays in long up to N < 3·10⁹ (row
+    * totals bound it by N²) — beyond that the margins should be
+    * pre-bucketed anyway. Plan: ONE map-side-combined confusion
+    * rollup, then every margin/total is an aggregate of the
+    * |categories|²-bounded confusion frame; results combine on
+    * broadcast 1-row frames. */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val conf = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val n = conf.agg(sum("__c").as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("__agree"))
+    val rc = conf.groupBy("__a").agg(sum("__c").as("__r"))
+      .join(conf.groupBy("__b").agg(sum("__c").as("__k")),
+        col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__r") * col("__k")), lit(0L)).as("__rc"))
+    n.crossJoin(broadcast(rc))
+      .select(col("__n").cast(LongType).as("n"),
+        col("__agree").cast(LongType).as("agree"),
+        round(col("__agree").cast(DoubleType) / col("__n"), 6).as("po_r6"),
+        round(col("__rc").cast(DoubleType) / (col("__n") * col("__n")), 6).as("pe_r6"),
+        when(col("__rc") =!= col("__n") * col("__n"),
+          round((col("__n") * col("__agree") - col("__rc")).cast(DoubleType) /
+            (col("__n") * col("__n") - col("__rc")).cast(DoubleType), 6))
+          .as("kappa_r6"))
+  }
+
   /** Tukey-fence outlier report per group: Q1/Q3 exact disc quantiles
     * (via the [[groupQuantiles]] machinery), fences at Q1 − k·IQR and
     * Q3 + k·IQR, and the count of rows strictly OUTSIDE each fence —

@@ -42,6 +42,78 @@ object Sessionize {
         sum("session_events").cast("long").as("events"),
         max("session_events").cast("long").as("max_session_events"))
 
+  /** Top-k session paths: the most common opening event-type sequences
+    * (first `maxSteps` events of each session, joined " > ") with
+    * session counts and corpus share — the "how do sessions actually
+    * start" exploration view next to [[eventFunnel]]'s fixed
+    * hypothesis (the funnel checks ONE ordering; paths surface the
+    * orderings you didn't think to check). Ties at the cut go to the
+    * lexicographically smaller path, so the top-k is total.
+    *
+    * Plan: [[withSessions]]' per-key window, a rank filter to the
+    * session's first `maxSteps` rows, ONE map-side-combined rollup per
+    * (key, session) whose collect_list state is ≤ maxSteps elements BY
+    * CONSTRUCTION, a path-keyed count, and a TakeOrdered top-k
+    * (distributed reduce, never a global window); the session total
+    * rides a broadcast scalar. */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, tieCol: String, gapMs: Long,
+               maxSteps: Int = 5, topK: Int = 20): DataFrame = {
+    require(maxSteps >= 1 && topK >= 1, "need maxSteps >= 1 and topK >= 1")
+    val sess = withSessions(events, keyCol, tsCol, gapMs, tieCol)
+    val w = Window.partitionBy(col(keyCol), col("session_idx"))
+      .orderBy(col(tsCol), col(tieCol))
+    val paths = sess
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxSteps)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(concat_ws(" > ", transform(
+        sort_array(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+        x => x.getField("t"))).as("path"))
+    val counts = paths.groupBy("path")
+      .agg(count(lit(1)).cast("long").as("sessions"))
+    val total = counts.agg(sum("sessions").as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("sessions * 10000 DIV __tot").cast("long"))
+      .drop("__tot")
+      .orderBy(col("sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  /** Per-user conversion latency: the time from each user's FIRST
+    * `fromType` event to their first `toType` event at-or-after it —
+    * the latency DISTRIBUTION behind [[eventFunnel]]'s step counts
+    * (the funnel says 40% convert; this says whether in seconds or
+    * weeks, which is what an SLA or an attribution window needs).
+    * One row per user who did `fromType`; `latency_ms` NULL for
+    * never-converted users (they belong in the distribution's
+    * denominator, so they are kept, not dropped). Same-instant
+    * conversion (to_ts = from_ts) counts — at-or-after, unlike the
+    * funnel's strictly-after BETWEEN-DISTINCT-steps rule (documented
+    * difference: a from/to pair sharing one event stream tick is a
+    * real conversion here).
+    *
+    * Plan: two type-FILTERED scans (predicates pushed to the source)
+    * each aggregated to ≤1 row per user map-side, one user-keyed
+    * equi-join, exact integer millisecond arithmetic. */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, fromType: String,
+                        toType: String): DataFrame = {
+    val from = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("from_ts"))
+    val to = events.filter(col(typeCol) === toType)
+      .select(col(userCol), col(tsCol).as("__to"))
+    from.join(to, Seq(userCol), "left")
+      .groupBy(userCol, "from_ts")
+      // min(when(...)) ignores the pre-`from` rows AND keeps a user
+      // whose only to-events precede `from` (NULL to_ts, not dropped)
+      .agg(min(when(col("__to") >= col("from_ts"), col("__to"))).as("to_ts"))
+      .withColumn("latency_ms",
+        (unix_millis(col("to_ts")) - unix_millis(col("from_ts"))).cast("long"))
+      .withColumn("converted", col("to_ts").isNotNull)
+  }
+
   /** Turn-structure audit of role-tagged interaction sequences — the
     * shape validator for conversational training data (chat corpora
     * want strict user/assistant alternation; an a→a double-turn or a

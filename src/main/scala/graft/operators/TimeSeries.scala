@@ -200,6 +200,42 @@ object TimeSeries {
           .cast(LongType).as("seasonal_index_bp"))
   }
 
+  /** Last-observation-carried-forward (LOCF) daily imputation: per
+    * (key, calendar day) the value of the key's most recent
+    * observation at-or-before that day, with `observed` false on
+    * imputed days — the gap-FILLING step after [[calendarGaps]] finds
+    * the holes (downstream joins and window features want a dense
+    * series; a missing day must carry yesterday's price, not NULL or
+    * zero). Each day's representative observation is its LATEST by
+    * (ts, tie) — a deterministic data ELEMENT, never an aggregate of
+    * doubles, so both engines replay it bit-for-bit. Leading days
+    * before a key's first observation cannot occur (the calendar
+    * starts at the first observed day).
+    *
+    * Plan: events collapse map-side to (key, day, last-obs) rows; the
+    * calendar explode is span-bounded per key; the LOCF window
+    * partitions by key over those bounded frames — never the event
+    * volume, never a global window. */
+  def forwardFill(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, tieCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(max(struct(col(tsCol), col(tieCol), col(valueCol).as("v")))
+        .getField("v").as("__v"))
+    val cal = daily.groupBy("key")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(col("key"), explode(expr(
+        "sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    cal.join(daily, Seq("key", "__d"), "left")
+      .select(col("key"), date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("__v").isNotNull.as("observed"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value"))
+  }
+
   /** Lag-k autocorrelation of each key's DAILY event-count series —
     * the seasonality detector next to [[rollingTrend]]'s smoothing and
     * [[madAnomalies]]'s outliers (acf(7) ≈ 1 says "weekly-periodic

@@ -4362,6 +4362,105 @@ object PipelineQueries {
              CAST(sum(CAST(floor(d2 * 10000) AS BIGINT)) AS BIGINT) AS inertia_q4
       FROM a2 WHERE rn = 1 GROUP BY cell ORDER BY cell"""))
 
+  // 153. top opening session paths (30-min gap, first 3 steps): the
+  // ordered string_agg replayed on both engines, ties at the cut by
+  // the lexicographically smaller path.
+  val qTopPaths = QueryDef("q_top_paths",
+    (s, dir) => {
+      graft.operators.Sessionize.topPaths(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          gapMs = 1800000L, maxSteps = 3, topK = 15)
+        .orderBy(col("sessions").desc, col("path"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id AS u, ts AS v, event_id AS t, event_type AS et
+                 FROM events),
+      b AS (SELECT *, CASE WHEN lag(v) OVER w IS NULL
+                             OR epoch_ms(v) - epoch_ms(lag(v) OVER w) > 1800000
+                           THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY u ORDER BY v, t)),
+      sess AS (SELECT *, sum(brk) OVER (PARTITION BY u ORDER BY v, t
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+      rn AS (SELECT *, row_number() OVER (PARTITION BY u, sid ORDER BY v, t) AS r
+             FROM sess),
+      paths AS (SELECT u, sid, string_agg(et, ' > ' ORDER BY r) AS path
+                FROM rn WHERE r <= 3 GROUP BY 1, 2),
+      c AS (SELECT path, count(*) AS sessions FROM paths GROUP BY 1),
+      tot AS (SELECT sum(sessions) AS tt FROM c)
+      SELECT path, CAST(sessions AS BIGINT) AS sessions,
+             CAST(sessions * 10000 // tt AS BIGINT) AS share_bp
+      FROM c, tot ORDER BY sessions DESC, path LIMIT 15"""))
+
+  // 154. conversion latency view→purchase: exact integer milliseconds,
+  // never-converted users kept with NULL latency.
+  val qConversionLatency = QueryDef("q_conversion_latency",
+    (s, dir) => {
+      graft.operators.Sessionize.conversionLatency(
+          table(s, dir, "events"), "user_id", "ts", "event_type",
+          fromType = "view", toType = "purchase")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH f AS (SELECT user_id, min(ts) AS from_ts FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      t AS (SELECT e.user_id, min(e.ts) AS to_ts
+            FROM events e JOIN f ON e.user_id = f.user_id AND e.ts >= f.from_ts
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT f.user_id, f.from_ts, t.to_ts,
+             CAST(epoch_ms(t.to_ts) - epoch_ms(f.from_ts) AS BIGINT) AS latency_ms,
+             (t.to_ts IS NOT NULL) AS converted
+      FROM f LEFT JOIN t ON f.user_id = t.user_id ORDER BY f.user_id"""))
+
+  // 155. LOCF forward-fill of each user's daily last-observed value —
+  // the representative is a data ELEMENT (latest by ts, event_id),
+  // never an aggregate of doubles, so both engines replay bit-for-bit.
+  val qForwardFill = QueryDef("q_forward_fill",
+    (s, dir) => {
+      graft.operators.TimeSeries.forwardFill(
+          table(s, dir, "events"), "user_id", "ts", "value", "event_id")
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH daily AS (SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+                            last(value ORDER BY ts, event_id) AS val
+                     FROM events GROUP BY 1, 2),
+      span AS (SELECT key, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+      cal AS (SELECT key, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+              FROM span)
+      SELECT cal.key, strftime(cal.d, '%Y-%m-%d') AS day,
+             (val IS NOT NULL) AS observed,
+             last_value(val IGNORE NULLS) OVER (PARTITION BY cal.key ORDER BY cal.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM cal LEFT JOIN daily ON cal.key = daily.key AND cal.d = daily.d
+      ORDER BY cal.key, day"""))
+
+  // 156. Cohen's kappa of declared lang vs the langid detector —
+  // chance-corrected agreement over the row-32 confusion, exact
+  // integer margins (the kappa the raw row-130 match rate overstates
+  // on a skewed lang mix).
+  val qKappa = QueryDef("q_kappa",
+    (s, dir) => {
+      graft.operators.Profile.cohenKappa(
+        table(s, dir, "documents")
+          .withColumn("predicted", graft.operators.TextAnalysis.langId(col("text"))),
+        "lang", "predicted")
+    },
+    Some(langidPredictedCtes("lang") + """
+      , conf AS (SELECT lang AS a, predicted AS b, count(*) AS c FROM p
+                 WHERE lang IS NOT NULL AND predicted IS NOT NULL GROUP BY 1, 2),
+      nn AS (SELECT sum(c) AS n,
+                    sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM conf),
+      m AS (SELECT coalesce(sum(r.r * k.k), 0) AS rc FROM
+              (SELECT a, sum(c) AS r FROM conf GROUP BY 1) r JOIN
+              (SELECT b, sum(c) AS k FROM conf GROUP BY 1) k ON r.a = k.b)
+      SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+             round(CAST(agree AS DOUBLE) / n, 6) AS po_r6,
+             round(CAST(rc AS DOUBLE) / (n * n), 6) AS pe_r6,
+             CASE WHEN rc <> n * n
+                  THEN round(CAST(n * agree - rc AS DOUBLE) /
+                             CAST(n * n - rc AS DOUBLE), 6) END AS kappa_r6
+      FROM nn, m"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4390,5 +4489,6 @@ object PipelineQueries {
     qTextBpe, qUrlDomains, qUrlDedup,
     qEwmaTrend, qSeasonality, qScd2, qChi2Drift, qSentenceDedup,
     qTurnAudit, qTukeyOutliers, qTermPmi, qKmeans,
+    qTopPaths, qConversionLatency, qForwardFill, qKappa,
   )
 }

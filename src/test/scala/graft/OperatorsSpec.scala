@@ -530,6 +530,79 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(_._2 < 200L), s"inertia too large: $got")
   }
 
+  test("topPaths: session break splits paths, maxSteps caps, ties by path") {
+    import graft.operators.Sessionize
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val rows = Seq(
+      // user 1, one session: a b c d → path capped at a > b > c
+      (1L, t(0L), "a", 1L), (1L, t(1000L), "b", 2L), (1L, t(2000L), "c", 3L), (1L, t(3000L), "d", 4L),
+      // user 1, second session after the gap: a b
+      (1L, t(10000000L), "a", 5L), (1L, t(10001000L), "b", 6L),
+      // user 2: single-event session
+      (2L, t(0L), "a", 7L),
+    ).toDF("u", "ts", "et", "eid")
+    val got = Sessionize.topPaths(rows, "u", "ts", "et", "eid",
+        gapMs = 60000L, maxSteps = 3, topK = 10)
+      .collect().map(r => (r.getAs[String]("path"),
+        r.getAs[Long]("sessions"), r.getAs[Long]("share_bp")))
+    assert(got.toSeq == Seq(("a", 1L, 3333L), ("a > b", 1L, 3333L), ("a > b > c", 1L, 3333L)))
+  }
+
+  test("conversionLatency: at-or-after min, pre-from purchases ignored, never-converted kept") {
+    import graft.operators.Sessionize
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val rows = Seq(
+      (1L, t(1000L), "view"), (1L, t(5000L), "purchase"), (1L, t(9000L), "purchase"),
+      (2L, t(2000L), "purchase"), (2L, t(3000L), "view"), // purchase BEFORE view only
+      (3L, t(100L), "view"), (3L, t(100L), "purchase"),   // same instant converts
+      (4L, t(0L), "purchase"),                             // no view: absent entirely
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessionize.conversionLatency(rows, "user_id", "ts", "event_type",
+        "view", "purchase")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[Any]("latency_ms")), r.getAs[Boolean]("converted")))).toMap
+    assert(got == Map(
+      1L -> ((Some(4000L), true)),
+      2L -> ((None, false)),
+      3L -> ((Some(0L), true))))
+  }
+
+  test("forwardFill: LOCF across gap days, latest observation wins the day") {
+    val rows = Seq(
+      // day 0: two observations — later one (t=2) carries the day
+      ("k", new java.sql.Timestamp(1000L), 10.0, 1L),
+      ("k", new java.sql.Timestamp(2000L), 11.0, 2L),
+      // day 2 (day 1 missing): one observation
+      ("k", new java.sql.Timestamp(2 * 86400000L), 30.0, 3L),
+    ).toDF("key", "ts", "v", "eid")
+    val got = graft.operators.TimeSeries.forwardFill(rows, "key", "ts", "v", "eid")
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Boolean]("observed"), r.getAs[Double]("value")))).toMap
+    assert(got == Map(
+      "1970-01-01" -> ((true, 11.0)),
+      "1970-01-02" -> ((false, 11.0)),  // imputed from day 0
+      "1970-01-03" -> ((true, 30.0))))
+  }
+
+  test("cohenKappa: skewed agreement corrected toward zero; perfect agreement = 1") {
+    import graft.operators.Profile
+    // 90 agreeing on 'x' + 5 agreeing on 'y' + 5 disagreements
+    val skew = ((1 to 90).map(_ => ("x", "x")) ++ (1 to 5).map(_ => ("y", "y")) ++
+      (1 to 5).map(_ => ("x", "y"))).toDF("a", "b")
+    val r = Profile.cohenKappa(skew, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("agree") == 95L)
+    assert(r.getAs[Double]("po_r6") == 0.95)
+    // pe = (95·90 + 5·10)/10000 = 0.86 → kappa = .09/.14 = 0.642857
+    assert(r.getAs[Double]("pe_r6") == 0.86)
+    assert(r.getAs[Double]("kappa_r6") == 0.642857)
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(Profile.cohenKappa(perfect, "a", "b").collect().head
+      .getAs[Double]("kappa_r6") == 1.0)
+    // both sides constant → pe = 1 → kappa NULL, never NaN
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Profile.cohenKappa(const, "a", "b").collect().head.isNullAt(4))
+  }
+
   test("referential integrity: orphans found, NULL keys separated, row-level twin agrees") {
     import graft.validators.Relationships
     val parent = Seq(1L, 2L, 3L).toDF("pk")
