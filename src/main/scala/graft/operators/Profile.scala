@@ -240,6 +240,61 @@ object Profile {
     * The bounds are computed eagerly (disc percentiles are data
     * elements, engine-replayable) and folded in as literals; the
     * report is then ONE map-side-combined aggregation. */
+  /** Count-Min sketch frequency estimates with their exact twins —
+    * the MERGEABLE heavy-hitter sketch for the scale where the exact
+    * per-key rollup (heavyHitters) stops fitting: d×w integer cells,
+    * each a sum, so per-partition / per-day / per-shard sketches merge
+    * by cell-wise addition (the same mergeable-state story as the HLL
+    * uniqueness check) and estimate(key) = min over the d rows of its
+    * cell — a guaranteed OVERestimate (never under), within εN with
+    * ε = e/w at confidence 1 − e^(−d). Hashes are the board's portable
+    * family — md5-prefix base folded into [0, P), then the affine
+    * (1 + pK mod (P−1))·h + pK·97 mod P per row p — so any SQL engine
+    * replays every cell bit-for-bit, and the sketch itself is
+    * engine-portable state.
+    *
+    * Output: one row per probe key — (key, exact, estimate); `exact`
+    * from the same rollup the sketch is built from (0 for absent
+    * keys, where the estimate shows pure collision noise).
+    *
+    * Plan: ONE map-side-combined key rollup (the only pass over the
+    * data), a d-way explode of the DISTINCT-key frame into cells, a
+    * (row, cell) aggregate bounded by d·w rows, and a broadcast probe
+    * join. All integer arithmetic; products < 2^62. */
+  def cmEstimate(df: DataFrame, keyCol: String, probes: Seq[String],
+                 depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
+    require(probes.nonEmpty, "need at least one probe key")
+    val P = 2147483647L
+    val K = 2654435761L
+    // affine row hash over the md5-prefix base of the `__k` column
+    def cellExpr(p: Int) = {
+      val h = expr("conv(substring(md5(__k), 1, 8), 16, 10)").cast("long") % P
+      (((lit(1L) + lit((p * K) % (P - 1))) * h + lit((p * K * 97) % P)) % P % width)
+        .cast("int")
+    }
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val cells = (1 to depth).map { p =>
+      counts.select(lit(p).as("__row"), cellExpr(p).as("__cell"), col("__c"))
+    }.reduce(_ unionByName _)
+      .groupBy("__row", "__cell").agg(sum("__c").as("__sum"))
+    val session = df.sparkSession
+    import session.implicits._
+    val probeDf = probes.toDF("__k")
+    val probeCells = (1 to depth).map { p =>
+      probeDf.select(col("__k"), lit(p).as("__row"), cellExpr(p).as("__cell"))
+    }.reduce(_ unionByName _)
+    val est = broadcast(probeCells).join(cells, Seq("__row", "__cell"), "left")
+      .groupBy("__k")
+      .agg(min(coalesce(col("__sum"), lit(0L))).cast(LongType).as("estimate"))
+    est.join(counts, Seq("__k"), "left")
+      .select(col("__k").as("key"),
+        coalesce(col("__c"), lit(0L)).cast(LongType).as("exact"),
+        col("estimate"))
+  }
+
   /** Cohen's kappa agreement between two categorical columns —
     * chance-corrected, which is the difference that matters on skewed
     * label sets: two raters (or a declared label vs a detector, the

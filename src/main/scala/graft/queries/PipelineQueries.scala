@@ -4461,6 +4461,84 @@ object PipelineQueries {
                              CAST(n * n - rc AS DOUBLE), 6) END AS kappa_r6
       FROM nn, m"""))
 
+  // 157. cross-table fuzzy entity join: even vs odd part keys matched
+  // on p_name token Jaccard — the equi-join-gets-zero-hits record-
+  // linkage case; inverted-index blocking replayed verbatim. Memoized
+  // per session (the operator persists its two token frames).
+  private val fuzzyJoinCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val qFuzzyJoin = QueryDef("q_fuzzy_join",
+    (s, dir) => {
+      fuzzyJoinCache.get(s, dir) {
+        val p = table(s, dir, "part").filter(col("p_partkey") < 2000)
+        graft.operators.Dedup.fuzzyJoin(
+          p.filter(pmod(col("p_partkey"), lit(2)) === 0),
+          p.filter(pmod(col("p_partkey"), lit(2)) === 1),
+          "p_partkey", "p_name", "p_partkey", "p_name",
+          minJaccardBp = 6000L)
+      }.orderBy(col("jacc_bp").desc, col("id_l"), col("id_r")).limit(50)
+    },
+    Some("""
+      WITH lw AS (SELECT p_partkey AS id_l,
+                    unnest(string_split(trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' ')) AS tok
+                  FROM part WHERE p_partkey < 2000 AND p_partkey % 2 = 0),
+      l AS (SELECT DISTINCT id_l, tok FROM lw WHERE tok <> ''),
+      rw AS (SELECT p_partkey AS id_r,
+               unnest(string_split(trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM part WHERE p_partkey < 2000 AND p_partkey % 2 = 1),
+      r AS (SELECT DISTINCT id_r, tok FROM rw WHERE tok <> ''),
+      szl AS (SELECT id_l, count(*) AS sz_l FROM l GROUP BY 1),
+      szr AS (SELECT id_r, count(*) AS sz_r FROM r GROUP BY 1),
+      kl AS (SELECT tok FROM l GROUP BY tok HAVING count(*) <= 10000),
+      kr AS (SELECT tok FROM r GROUP BY tok HAVING count(*) <= 10000),
+      p AS (SELECT l.id_l, r.id_r, count(*) AS inter
+            FROM l JOIN r ON l.tok = r.tok
+            WHERE l.tok IN (SELECT tok FROM kl) AND r.tok IN (SELECT tok FROM kr)
+            GROUP BY 1, 2),
+      j AS (SELECT p.id_l, p.id_r, inter, sz_l, sz_r,
+                   inter * 10000 // (sz_l + sz_r - inter) AS jacc_bp
+            FROM p JOIN szl ON p.id_l = szl.id_l JOIN szr ON p.id_r = szr.id_r)
+      SELECT id_l, id_r, CAST(inter AS BIGINT) AS inter,
+             CAST(sz_l AS BIGINT) AS sz_l, CAST(sz_r AS BIGINT) AS sz_r,
+             CAST(jacc_bp AS BIGINT) AS jacc_bp
+      FROM j WHERE jacc_bp >= 6000
+      ORDER BY jacc_bp DESC, id_l, id_r LIMIT 50"""))
+
+  // 158. Count-Min sketch estimates vs their exact twins: the portable
+  // affine hash family over a deliberately tiny width (8) so collisions
+  // actually show; estimate >= exact always, absent keys show pure
+  // collision noise.
+  val qCmSketch = QueryDef("q_cm_sketch",
+    (s, dir) => {
+      graft.operators.Profile.cmEstimate(
+          table(s, dir, "events"), "event_type",
+          probes = Seq("click", "view", "purchase", "signup", "error", "absent_key"),
+          depth = 4, width = 8)
+        .orderBy("key")
+    },
+    Some("""
+      WITH counts AS (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS c
+                      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      prow AS (SELECT unnest([1, 2, 3, 4]) AS p),
+      cells AS (SELECT p,
+                  ((1 + (p * 2654435761) % 2147483646)
+                    * (('0x' || substr(md5(k), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647 % 8 AS cell,
+                  sum(c) AS s
+                FROM counts, prow GROUP BY 1, 2),
+      probes(k) AS (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+                           ('error'), ('absent_key')),
+      pc AS (SELECT k, p,
+               ((1 + (p * 2654435761) % 2147483646)
+                 * (('0x' || substr(md5(k), 1, 8))::BIGINT % 2147483647)
+                 + (p * 2654435761 * 97) % 2147483647) % 2147483647 % 8 AS cell
+             FROM probes, prow),
+      est AS (SELECT pc.k, min(coalesce(s, 0)) AS estimate
+              FROM pc LEFT JOIN cells ON pc.p = cells.p AND pc.cell = cells.cell
+              GROUP BY 1)
+      SELECT est.k AS key, CAST(coalesce(c, 0) AS BIGINT) AS exact,
+             CAST(estimate AS BIGINT) AS estimate
+      FROM est LEFT JOIN counts ON est.k = counts.k ORDER BY key"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4490,5 +4568,6 @@ object PipelineQueries {
     qEwmaTrend, qSeasonality, qScd2, qChi2Drift, qSentenceDedup,
     qTurnAudit, qTukeyOutliers, qTermPmi, qKmeans,
     qTopPaths, qConversionLatency, qForwardFill, qKappa,
+    qFuzzyJoin, qCmSketch,
   )
 }

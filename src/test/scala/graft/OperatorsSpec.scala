@@ -603,6 +603,45 @@ class OperatorsSpec extends SparkSpec {
     assert(Profile.cohenKappa(const, "a", "b").collect().head.isNullAt(4))
   }
 
+  test("fuzzyJoin: cross-table token matches, true sizes, stop-token blocking") {
+    val l = Seq((1L, "acme corp intl"), (2L, "widget co"), (3L, "zeta systems")).toDF("id", "name")
+    val r = Seq((10L, "acme corp"), (11L, "widget company"), (12L, "unrelated entirely")).toDF("id", "name")
+    val got = Dedup.fuzzyJoin(l, r, "id", "name", "id", "name", minJaccardBp = 3000L)
+      .collect().map(x => (x.getAs[Long]("id_l"), x.getAs[Long]("id_r")) ->
+        ((x.getAs[Long]("inter"), x.getAs[Long]("sz_l"), x.getAs[Long]("sz_r"),
+          x.getAs[Long]("jacc_bp")))).toMap
+    // acme corp intl vs acme corp: inter 2 of union 3 → 6666
+    assert(got((1L, 10L)) == ((2L, 3L, 2L, 6666L)))
+    // widget co vs widget company: inter 1 of union 3 → 3333
+    assert(got((2L, 11L)) == ((1L, 2L, 2L, 3333L)))
+    assert(got.size == 2, s"unexpected pairs: $got")
+    // with the cap at 1, "acme" (left df 3) is pruned from blocking:
+    // ids 4/5 share ONLY acme with 10 → absent; 1-10 still meets via corp
+    val guarded = Dedup.fuzzyJoin(
+      l.union(Seq((4L, "acme again"), (5L, "acme thrice")).toDF("id", "name")), r,
+      "id", "name", "id", "name", minJaccardBp = 1L, maxTokenPostings = 1L)
+      .collect().map(x => (x.getAs[Long]("id_l"), x.getAs[Long]("id_r")) ->
+        x.getAs[Long]("inter")).toMap
+    assert(!guarded.contains((4L, 10L)) && !guarded.contains((5L, 10L)), s"$guarded")
+    assert(guarded((1L, 10L)) == 1L, s"corp (df 1) still blocks: $guarded")
+  }
+
+  test("cmEstimate: overestimates never underestimate, exact twin, absent key") {
+    import graft.operators.Profile
+    val keys = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c") ++
+      Seq.fill(3)("d")).toDF("k")
+    val got = Profile.cmEstimate(keys, "k", probes = Seq("a", "b", "c", "d", "nope"),
+        depth = 3, width = 4)
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("exact"), r.getAs[Long]("estimate")))).toMap
+    assert(got("a")._1 == 50L && got("b")._1 == 30L && got("c")._1 == 7L
+      && got("d")._1 == 3L && got("nope")._1 == 0L)
+    assert(got.values.forall { case (exact, est) => est >= exact },
+      s"CM must never underestimate: $got")
+    // width 4 with 4 keys: total mass bounds any estimate
+    assert(got.values.forall(_._2 <= 90L))
+  }
+
   test("referential integrity: orphans found, NULL keys separated, row-level twin agrees") {
     import graft.validators.Relationships
     val parent = Seq(1L, 2L, 3L).toDF("pk")
