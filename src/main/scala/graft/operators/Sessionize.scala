@@ -114,6 +114,43 @@ object Sessionize {
       .withColumn("converted", col("to_ts").isNotNull)
   }
 
+  /** Active-time coverage per key: each event opens a [ts, ts+holdMs)
+    * interval, overlapping intervals merge, and the key's ACTIVE time
+    * is the union's total length — the engagement denominator raw
+    * event counts inflate (100 events in one minute is one active
+    * minute) and [[sessionStats]] only bounds from above (a session's
+    * span counts its internal gaps; coverage doesn't). The classic
+    * merge-overlapping-intervals sweep, distributed: an interval is
+    * NEW when its start is at-or-past the running max end of all
+    * earlier intervals (exclusive ends: a touch at exactly hold-end is
+    * a gap). Output per key: (key, raw_events, merged_intervals,
+    * active_ms) in exact integer milliseconds.
+    *
+    * Plan: two stacked per-key ordered windows (running max end → new
+    * flag → running interval id) + one map-side-combined (key,
+    * interval) rollup + a per-key rollup — keyed shuffles only, state
+    * bounded per key, never a global window. */
+  def activeTimeCoverage(events: DataFrame, keyCol: String, tsCol: String,
+                         tieCol: String, holdMs: Long): DataFrame = {
+    require(holdMs > 0, "holdMs must be positive")
+    val w = Window.partitionBy(col("key")).orderBy(col("__s"), col("__t"))
+    val prevMax = max(col("__e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1L))
+    events.select(col(keyCol).as("key"),
+        unix_millis(col(tsCol).cast("timestamp")).as("__s"), col(tieCol).as("__t"))
+      .withColumn("__e", col("__s") + holdMs)
+      .withColumn("__new", when(prevMax.isNull || col("__s") >= prevMax, 1L)
+        .otherwise(0L))
+      .withColumn("__iv", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0L)))
+      .groupBy("key", "__iv")
+      .agg(count(lit(1)).as("__n"), min("__s").as("__lo"), max("__e").as("__hi"))
+      .groupBy("key")
+      .agg(sum("__n").cast("long").as("raw_events"),
+        count(lit(1)).cast("long").as("merged_intervals"),
+        sum(col("__hi") - col("__lo")).cast("long").as("active_ms"))
+  }
+
   /** Turn-structure audit of role-tagged interaction sequences — the
     * shape validator for conversational training data (chat corpora
     * want strict user/assistant alternation; an a→a double-turn or a
@@ -456,6 +493,42 @@ object Sessionize {
   * audit).
   */
 object Sampling {
+
+  /** Deterministic weighted interleave ORDER across sources — the
+    * training-order counterpart of `mixSample` (that one decides HOW
+    * MANY rows of each source; this decides the SEQUENCE they stream
+    * in): source s's r-th row (1-based rank by id) gets the integer
+    * sort key (2r − 1)·10⁹ DIV (2·w_s), the classic stride schedule —
+    * a source with double weight appears twice as often, uniformly
+    * spread, and the whole order is a pure function of (id, source,
+    * weights): any two engines (or the same job re-run after
+    * preemption) produce the identical epoch stream. Ties (same key)
+    * break by (source, id). Output: (id, source, rank_in_source,
+    * interleave_key); callers sort by (interleave_key, source, id) —
+    * usually as the write order of an export, so no global position
+    * column is materialized (assigning one at scale would need the
+    * two-level cumsum; the KEY is what the schedule needs).
+    *
+    * Plan: one broadcast weight join + a per-source rank window
+    * (linear, partitioned by source — the per-source ordering any
+    * epoch scheduler needs anyway). Exact long arithmetic; safe for
+    * ranks up to ~4.6·10⁹ per source. */
+  def interleaveOrder(df: DataFrame, keyCol: String, idCol: String,
+                      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate weight keys: ${weights.map(_._1)}")
+    val session = df.sparkSession
+    import session.implicits._
+    val w = Window.partitionBy(col("source")).orderBy(col("id"))
+    df.select(col(idCol).as("id"), col(keyCol).as("source"))
+      .join(broadcast(weights.toDF("source", "__w")), Seq("source"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("interleave_key",
+        expr("(2 * rank_in_source - 1) * 1000000000 DIV (2 * __w)").cast("long"))
+      .select("id", "source", "rank_in_source", "interleave_key")
+  }
 
   /** Shared threshold CASE over a 0..9999 bucket column: fractions like
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */

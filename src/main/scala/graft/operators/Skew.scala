@@ -40,4 +40,45 @@ object Skew {
       .orderBy(col("count").desc, col(key))
       .limit(topN)
   }
+
+  /** One-row distribution summary of a prospective join/partition key —
+    * the "should I salt this" verdict [[keySkew]]'s top-n listing
+    * feeds: row and key cardinalities, the heaviest key's count and
+    * corpus share, exact disc p50/p90/p99 of the per-key counts, and
+    * `skew_ratio_bp` = max·n_keys·10⁴ DIV n_rows (max over mean — the
+    * straggler factor: 10000 = perfectly uniform; 50·10⁴ = the biggest
+    * shuffle partition runs 50× the average task). All exact integer
+    * arithmetic over the count-of-counts.
+    *
+    * Plan: ONE map-side-combined key rollup (the only pass over the
+    * data); everything after runs on the |keys|-bounded counts frame —
+    * the quantiles via the [[graft.operators.Profile.groupQuantiles]]
+    * per-group window (single constant group: bounded by |keys|, which
+    * is exactly the frame a skew decision is ABOUT — if |keys| itself
+    * is data-scale, the key is not a skew risk). */
+  def keySkewSummary(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("__k")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = graft.operators.Profile
+      .groupQuantiles(counts.withColumn("__g", lit("k")), "__g", "__c",
+        Seq(5000, 9000, 9900))
+      .groupBy("group")
+      .agg(min(when(col("q_bp") === 5000, col("value"))).cast("long").as("p50_cnt"),
+        min(when(col("q_bp") === 9000, col("value"))).cast("long").as("p90_cnt"),
+        min(when(col("q_bp") === 9900, col("value"))).cast("long").as("p99_cnt"))
+      .drop("group")
+    val agg = counts.agg(
+      sum("__c").cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      max("__c").cast("long").as("max_cnt"),
+      max(struct(col("__c"), col("__k"))).getField("__k").cast("string").as("top_key"))
+    val out = agg.crossJoin(broadcast(qs))
+      .withColumn("max_share_bp", expr("max_cnt * 10000 DIV n_rows").cast("long"))
+      .withColumn("skew_ratio_bp",
+        expr("max_cnt * n_keys * 10000 DIV n_rows").cast("long"))
+    val row = out.collect()
+    counts.unpersist()
+    val s = df.sparkSession
+    s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
+  }
 }

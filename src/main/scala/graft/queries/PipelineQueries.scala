@@ -4539,6 +4539,72 @@ object PipelineQueries {
              CAST(estimate AS BIGINT) AS estimate
       FROM est LEFT JOIN counts ON est.k = counts.k ORDER BY key"""))
 
+  // 159. deterministic weighted interleave order (stride schedule):
+  // the first 200 positions of the epoch stream, bit-identical on any
+  // engine or re-run.
+  val qInterleave = QueryDef("q_interleave",
+    (s, dir) => {
+      graft.operators.Sampling.interleaveOrder(
+          table(s, dir, "events"), "event_type", "event_id",
+          Seq("click" -> 4L, "view" -> 3L, "purchase" -> 2L,
+            "signup" -> 1L, "error" -> 1L))
+        .orderBy("interleave_key", "source", "id").limit(200)
+    },
+    Some("""
+      WITH wts(source, w) AS (VALUES ('click', 4), ('view', 3), ('purchase', 2),
+                                     ('signup', 1), ('error', 1)),
+      r AS (SELECT event_id AS id, event_type AS source,
+              row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rk
+            FROM events)
+      SELECT id, source, CAST(rk AS BIGINT) AS rank_in_source,
+             CAST((2 * rk - 1) * 1000000000 // (2 * w) AS BIGINT) AS interleave_key
+      FROM r JOIN wts USING (source)
+      ORDER BY interleave_key, source, id LIMIT 200"""))
+
+  // 160. join-key skew verdict: one row of count-of-counts statistics
+  // (exact disc percentiles, max-over-mean straggler factor).
+  val qKeySkew = QueryDef("q_key_skew",
+    (s, dir) => {
+      graft.operators.Skew.keySkewSummary(table(s, dir, "events"), "user_id")
+    },
+    Some("""
+      WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+      q AS (SELECT CAST(quantile_disc(c, 0.50) AS BIGINT) AS p50_cnt,
+                   CAST(quantile_disc(c, 0.90) AS BIGINT) AS p90_cnt,
+                   CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_cnt FROM c),
+      a AS (SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_cnt FROM c),
+      t AS (SELECT CAST(k AS VARCHAR) AS top_key FROM c ORDER BY c DESC, k DESC LIMIT 1)
+      SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+             CAST(max_cnt AS BIGINT) AS max_cnt, top_key, p50_cnt, p90_cnt, p99_cnt,
+             CAST(max_cnt * 10000 // n_rows AS BIGINT) AS max_share_bp,
+             CAST(max_cnt * n_keys * 10000 // n_rows AS BIGINT) AS skew_ratio_bp
+      FROM a, q, t"""))
+
+  // 161. active-time coverage (10-min hold): merged-interval union per
+  // user in exact integer milliseconds — the engagement denominator
+  // raw counts inflate.
+  val qActiveTime = QueryDef("q_active_time",
+    (s, dir) => {
+      graft.operators.Sessionize.activeTimeCoverage(
+          table(s, dir, "events"), "user_id", "ts", "event_id", holdMs = 600000L)
+        .orderBy("key")
+    },
+    Some("""
+      WITH e AS (SELECT user_id AS key, epoch_ms(ts) AS s, event_id AS t FROM events),
+      x AS (SELECT *, s + 600000 AS e2,
+              max(s + 600000) OVER (PARTITION BY key ORDER BY s, t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM e),
+      n AS (SELECT *, CASE WHEN pm IS NULL OR s >= pm THEN 1 ELSE 0 END AS nw FROM x),
+      iv AS (SELECT *, sum(nw) OVER (PARTITION BY key ORDER BY s, t
+               ROWS UNBOUNDED PRECEDING) AS ivid FROM n),
+      g AS (SELECT key, ivid, count(*) AS n, min(s) AS lo, max(e2) AS hi
+            FROM iv GROUP BY 1, 2)
+      SELECT key, CAST(sum(n) AS BIGINT) AS raw_events,
+             CAST(count(*) AS BIGINT) AS merged_intervals,
+             CAST(sum(hi - lo) AS BIGINT) AS active_ms
+      FROM g GROUP BY key ORDER BY key"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4569,5 +4635,6 @@ object PipelineQueries {
     qTurnAudit, qTukeyOutliers, qTermPmi, qKmeans,
     qTopPaths, qConversionLatency, qForwardFill, qKappa,
     qFuzzyJoin, qCmSketch,
+    qInterleave, qKeySkew, qActiveTime,
   )
 }

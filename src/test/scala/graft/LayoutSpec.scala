@@ -107,4 +107,18 @@ class LayoutSpec extends SparkSpec {
     val top = Skew.keySkew(df, "k", 1).collect().head
     assert(top.getLong(0) == 7L && top.getAs[Long]("share_bp") == 9000L)
   }
+
+  test("keySkewSummary: straggler factor, exact percentiles, top key by (cnt, key)") {
+    // hot key 7 with 900 rows + 100 singletons → 101 keys, mean ≈ 9.9
+    val df = (0L until 1000L).map(i => Tuple1(if (i < 900) 7L else i)).toDF("k")
+    val r = Skew.keySkewSummary(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 1000L && r.getAs[Long]("n_keys") == 101L)
+    assert(r.getAs[Long]("max_cnt") == 900L && r.getAs[String]("top_key") == "7")
+    assert(r.getAs[Long]("max_share_bp") == 9000L)
+    // 900·101·10⁴ DIV 1000 = 909000: the hot partition runs ~91× the mean
+    assert(r.getAs[Long]("skew_ratio_bp") == 909000L)
+    assert(r.getAs[Long]("p50_cnt") == 1L && r.getAs[Long]("p90_cnt") == 1L)
+    // p99 of 101 sorted counts: rank ceil(.99·101) = 100 → still 1; max is the 101st
+    assert(r.getAs[Long]("p99_cnt") == 1L)
+  }
 }

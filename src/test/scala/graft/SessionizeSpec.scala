@@ -7,6 +7,39 @@ import graft.operators.{Sampling, Sessionize, TextAnalysis}
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("interleaveOrder: stride schedule doubles the double-weight source") {
+    import graft.operators.Sampling
+    val rows = ((1L to 4L).map(i => (i, "a")) ++ (11L to 14L).map(i => (i, "b")))
+      .toDF("id", "src")
+    val got = Sampling.interleaveOrder(rows, "src", "id", Seq("a" -> 2L, "b" -> 1L))
+      .orderBy("interleave_key", "source", "id")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("rank_in_source"),
+        r.getAs[Long]("interleave_key")))
+    // a keys: (2r−1)·1e9/4 = 250M, 750M, 1250M, 1750M
+    // b keys: (2r−1)·1e9/2 = 500M, 1500M, 3500M(…)
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq(
+      ("a", 1L), ("b", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("a", 4L), ("b", 3L), ("b", 4L)))
+    assert(got.head._3 == 250000000L)
+  }
+
+  test("activeTimeCoverage: overlaps merge, exact union length, touch-at-end splits") {
+    import graft.operators.Sessionize
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val rows = Seq(
+      // user 1: events at 0 and 500 (hold 1000) overlap → [0,1500) = 1500ms
+      (1L, t(0L), 1L), (1L, t(500L), 2L),
+      // then an event starting EXACTLY at 1500 (the running max end): new interval
+      (1L, t(1500L), 3L),
+      // user 2: one event
+      (2L, t(42L), 4L),
+    ).toDF("u", "ts", "eid")
+    val got = Sessionize.activeTimeCoverage(rows, "u", "ts", "eid", holdMs = 1000L)
+      .collect().map(r => r.getAs[Long]("key") ->
+        ((r.getAs[Long]("raw_events"), r.getAs[Long]("merged_intervals"),
+          r.getAs[Long]("active_ms")))).toMap
+    assert(got == Map(1L -> ((3L, 2L, 2500L)), 2L -> ((1L, 1L, 1000L))))
+  }
+
   test("sessions split at the inactivity gap") {
     val df = Seq(
       ("u1", 1L, "10:00:00"), ("u1", 2L, "10:10:00"), // session 1
