@@ -240,6 +240,41 @@ object Profile {
     * The bounds are computed eagerly (disc percentiles are data
     * elements, engine-replayable) and folded in as literals; the
     * report is then ONE map-side-combined aggregation. */
+  /** Kish effective sample size of a weight column per group —
+    * ESS = (Σw)²/Σw², the health check every importance-weighted
+    * pipeline needs next to its weights (DSIR, mixture temperature,
+    * A-ES sampling): 10⁶ rows whose weight mass sits on 400 of them
+    * train like 400 rows, and `ess_ratio_bp` says so before the run
+    * burns. Weights are quantized to floor(w·scale) integers first —
+    * the sums are then EXACT and summation-order-independent, so the
+    * doubles derived from them replay bit-for-bit on any engine (raw
+    * double sums would be order-dependent). Non-positive/NULL weights
+    * are excluded from n (a zero-weight row is not a sample);
+    * `n_excluded` reports them.
+    *
+    * One map-side-combined aggregation per group; Σw stays exact in
+    * long up to ~10¹⁸/scale of total weight mass. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String, weightCol: String,
+                          scale: Long = 10000L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val wq = floor(col(weightCol).cast(DoubleType) * scale).cast(LongType)
+    df.select(col(groupCol).as("group"), wq.as("__w"))
+      .groupBy("group")
+      .agg(
+        sum(when(col("__w") > 0, 1L).otherwise(0L)).cast(LongType).as("n"),
+        sum(when(col("__w").isNull || col("__w") <= 0, 1L).otherwise(0L))
+          .cast(LongType).as("n_excluded"),
+        sum(when(col("__w") > 0, col("__w")).otherwise(0L)).as("__sw"),
+        sum(when(col("__w") > 0, col("__w") * col("__w")).otherwise(0L)).as("__sw2"))
+      .withColumn("ess_r4",
+        when(col("n") > 0, round(col("__sw").cast(DoubleType) * col("__sw") /
+          col("__sw2"), 4)))
+      .withColumn("ess_ratio_bp",
+        when(col("n") > 0, floor(col("__sw").cast(DoubleType) * col("__sw") /
+          col("__sw2") / col("n") * 10000).cast(LongType)))
+      .drop("__sw", "__sw2")
+  }
+
   /** Count-Min sketch frequency estimates with their exact twins —
     * the MERGEABLE heavy-hitter sketch for the scale where the exact
     * per-key rollup (heavyHitters) stops fitting: d×w integer cells,

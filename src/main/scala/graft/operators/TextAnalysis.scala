@@ -585,6 +585,33 @@ object TextAnalysis {
     (scored, () => { perDoc.unpersist(); () })
   }
 
+  /** Shared-prefix template detection: the exact normalized
+    * `prefixChars`-character OPENINGS that `minDocs`+ docs share —
+    * the prefix-anchored member of the repeated-text family (row-68
+    * boilerplate n-grams fire anywhere in a doc; generated/templated
+    * corpora — form letters, SEO pages, prompt templates — repeat at
+    * the START, and a prompt-dedup pass keys on exactly this). Docs
+    * shorter than the prefix contribute their whole text (a short
+    * exact dup still counts). Output per shared prefix: (prefix,
+    * docs, keep_id) with `keep_id` the min doc id — the
+    * representative a collapse step keeps.
+    *
+    * Plan: map-only normalize+substr, ONE shuffle on the prefix where
+    * count/min partial-aggregate map-side — one row per DISTINCT
+    * prefix crosses the wire, a prefix shared by millions of docs
+    * costs one. Linear always. */
+  def sharedPrefixes(docs: DataFrame, idCol: String, textCol: String,
+                     prefixChars: Int = 60, minDocs: Long = 2L): DataFrame = {
+    require(prefixChars >= 1 && minDocs >= 1, "need positive prefixChars/minDocs")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        substring(TextFns.normalize(col(textCol)), 1, prefixChars).as("prefix"))
+      .filter(length(col("prefix")) >= 1)
+      .groupBy("prefix")
+      .agg(count(lit(1)).cast("long").as("docs"), min(col("id")).as("keep_id"))
+      .filter(col("docs") >= minDocs)
+  }
+
   /** PMI term co-occurrence over the top-`topN` vocabulary: which
     * term PAIRS ride together across documents, and whether more or
     * less than their marginals predict — pmi = ln(n_ab·N / (n_a·n_b))

@@ -122,6 +122,60 @@ object TimeSeries {
       .drop("__s", "__n")
   }
 
+  /** Seasonally-adjusted robust anomalies: [[madAnomalies]] with the
+    * day-of-week effect divided out first — on weekly-periodic load
+    * (acf(7) high) the plain MAD flags every Saturday as an outlier
+    * and masks a real Tuesday dip behind the weekly swing. Each
+    * (key, day) count is rescaled by the key's [[seasonalityProfile]]
+    * index (adjusted = cnt·10⁴ DIV index — integer, exact), then the
+    * same median/MAD rule runs on the adjusted series. A day is
+    * anomalous when its DEVIATION FROM ITS WEEKDAY'S NORM is extreme,
+    * not its raw volume.
+    *
+    * Scale: ONE map-side-combined daily rollup feeds BOTH the
+    * seasonal index (re-derived keys × 7 from the daily frame — the
+    * [[seasonalityProfile]] arithmetic, no second events scan) and
+    * the adjusted series; then the [[madAnomalies]] shape — per-key
+    * collect_list bounded by the calendar. Like [[madAnomalies]], the
+    * calendar-bounded rollup branches unpersisted (each branch re-runs
+    * one map-side-combined aggregation — cheaper at this size than
+    * pinning executor storage). */
+  def seasonalAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                        k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val daily = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("day"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .withColumn("__dow", dayofweek(col("day")))
+      .withColumn("__dow",
+        when(col("__dow") === 1, 7).otherwise(col("__dow") - 1))
+    // keys × 7 seasonal index from the SAME daily frame (the
+    // seasonalityProfile arithmetic: dow daily mean over all-dow mean)
+    val perDow = daily.groupBy("key", "__dow")
+      .agg(sum("cnt").as("__pc"), count(lit(1)).as("__pd"))
+    val perKey = perDow.groupBy("key")
+      .agg(sum("__pc").as("__tot"), sum("__pd").as("__totdays"))
+    val idx = perDow.join(perKey, "key")
+      .select(col("key"), col("__dow"),
+        expr("(__pc * __totdays * 10000) DIV (__tot * __pd)").as("__idx"))
+    val adj = daily.join(idx, Seq("key", "__dow"))
+      .withColumn("adj_cnt", expr("cnt * 10000 DIV __idx").cast(LongType))
+    val med = adj.groupBy("key")
+      .agg(discMedian(collect_list(col("adj_cnt"))).cast(LongType).as("med"))
+    val withMed = adj.join(med, "key")
+      .withColumn("__dev", abs(col("adj_cnt") - col("med")))
+    val mad = withMed.groupBy("key")
+      .agg(discMedian(collect_list(col("__dev"))).cast(LongType).as("mad"))
+    withMed.join(mad, "key")
+      .withColumn("is_anomaly",
+        col("__dev").cast("double") > lit(k) * greatest(col("mad"), lit(1L)).cast("double"))
+      .select(col("key"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("__dow").cast(LongType).as("dow"),
+        col("__idx").cast(LongType).as("seasonal_index_bp"),
+        col("adj_cnt"), col("med"), col("mad"), col("is_anomaly"))
+  }
+
   /** Exponentially-weighted moving average of per-key bucket counts —
     * the recency-weighted trend line next to [[rollingTrend]]'s flat
     * window (a volume shift shows in the EWMA within a bucket or two

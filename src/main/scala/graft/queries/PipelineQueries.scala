@@ -4605,6 +4605,81 @@ object PipelineQueries {
              CAST(sum(hi - lo) AS BIGINT) AS active_ms
       FROM g GROUP BY key ORDER BY key"""))
 
+  // 162. shared-prefix template detection: 40-char normalized openings
+  // shared by 2+ docs — the prefix-anchored repeated-text signal.
+  val qSharedPrefixes = QueryDef("q_shared_prefixes",
+    (s, dir) => {
+      graft.operators.TextAnalysis.sharedPrefixes(
+          table(s, dir, "documents"), "doc_id", "text",
+          prefixChars = 40, minDocs = 2L)
+        .orderBy(col("docs").desc, col("prefix"))
+    },
+    Some("""
+      WITH p AS (SELECT doc_id,
+                   substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40) AS prefix
+                 FROM documents WHERE text IS NOT NULL)
+      SELECT prefix, CAST(count(*) AS BIGINT) AS docs,
+             CAST(min(doc_id) AS BIGINT) AS keep_id
+      FROM p WHERE len(prefix) >= 1
+      GROUP BY prefix HAVING count(*) >= 2
+      ORDER BY docs DESC, prefix"""))
+
+  // 163. dow-adjusted robust anomalies: the seasonal index divided out
+  // before the median/MAD rule (plain MAD flags every Saturday on
+  // weekly-periodic load), exact integer adjustment.
+  val qSeasonalAnomaly = QueryDef("q_seasonal_anomaly",
+    (s, dir) => {
+      graft.operators.TimeSeries.seasonalAnomalies(
+          table(s, dir, "events"), "event_type", "ts")
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      cd AS (SELECT *, isodow(d) AS dow FROM c),
+      pd AS (SELECT key, dow, sum(cnt) AS pc, count(*) AS pdn FROM cd GROUP BY 1, 2),
+      pk AS (SELECT key, sum(pc) AS tot, sum(pdn) AS totdays FROM pd GROUP BY 1),
+      ix AS (SELECT pd.key, pd.dow, (pc * totdays * 10000) // (tot * pdn) AS idx
+             FROM pd JOIN pk ON pd.key = pk.key),
+      adj AS (SELECT cd.key, cd.d, cd.cnt, cd.dow, ix.idx,
+                     cnt * 10000 // idx AS adj_cnt
+              FROM cd JOIN ix ON cd.key = ix.key AND cd.dow = ix.dow),
+      m AS (SELECT key, quantile_disc(adj_cnt, 0.5) AS med FROM adj GROUP BY 1),
+      dv AS (SELECT adj.*, m.med, abs(adj.adj_cnt - m.med) AS dev
+             FROM adj JOIN m USING (key)),
+      md AS (SELECT key, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY 1)
+      SELECT dv.key, strftime(dv.d, '%Y-%m-%d') AS day, CAST(dv.cnt AS BIGINT) AS cnt,
+             CAST(dv.dow AS BIGINT) AS dow, CAST(dv.idx AS BIGINT) AS seasonal_index_bp,
+             CAST(dv.adj_cnt AS BIGINT) AS adj_cnt, CAST(dv.med AS BIGINT) AS med,
+             CAST(md.mad AS BIGINT) AS mad,
+             (CAST(dv.dev AS DOUBLE) > 3.0 * greatest(md.mad, 1)) AS is_anomaly
+      FROM dv JOIN md USING (key) ORDER BY key, day"""))
+
+  // 164. Kish effective sample size of the value column per type —
+  // quantized-integer sums so the derived doubles replay bit-for-bit.
+  val qEss = QueryDef("q_ess",
+    (s, dir) => {
+      graft.operators.Profile.effectiveSampleSize(
+          table(s, dir, "events"), "event_type", "value")
+        .orderBy("group")
+    },
+    Some("""
+      WITH w AS (SELECT event_type AS grp,
+                        CAST(floor(value * 10000) AS BIGINT) AS wq
+                 FROM events),
+      a AS (SELECT grp,
+                   sum(CASE WHEN wq > 0 THEN 1 ELSE 0 END) AS n,
+                   sum(CASE WHEN wq IS NULL OR wq <= 0 THEN 1 ELSE 0 END) AS n_excluded,
+                   sum(CASE WHEN wq > 0 THEN wq ELSE 0 END) AS sw,
+                   sum(CASE WHEN wq > 0 THEN wq * wq ELSE 0 END) AS sw2
+            FROM w GROUP BY 1)
+      SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+             CAST(n_excluded AS BIGINT) AS n_excluded,
+             CASE WHEN n > 0 THEN round(CAST(sw AS DOUBLE) * sw / sw2, 4) END AS ess_r4,
+             CASE WHEN n > 0 THEN CAST(floor(CAST(sw AS DOUBLE) * sw / sw2 / n * 10000) AS BIGINT) END AS ess_ratio_bp
+      FROM a ORDER BY "group""""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4636,5 +4711,6 @@ object PipelineQueries {
     qTopPaths, qConversionLatency, qForwardFill, qKappa,
     qFuzzyJoin, qCmSketch,
     qInterleave, qKeySkew, qActiveTime,
+    qSharedPrefixes, qSeasonalAnomaly, qEss,
   )
 }

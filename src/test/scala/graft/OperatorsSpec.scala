@@ -642,6 +642,60 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.forall(_._2 <= 90L))
   }
 
+  test("sharedPrefixes: normalized openings grouped, short docs count whole, loners absent") {
+    val corpus = Seq(
+      (5L, "Dear valued customer, we write to inform you of something dull"),
+      (3L, "dear  VALUED customer, we write to inform you about rates"),
+      (9L, "dear valued customer, we"), // shorter than 40: whole text, distinct
+      (7L, "a completely unique opening that nobody else shares at all"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sharedPrefixes(corpus, "doc_id", "text",
+        prefixChars = 40, minDocs = 2L)
+      .collect().map(r => (r.getAs[String]("prefix"), r.getAs[Long]("docs"),
+        r.getAs[Long]("keep_id")))
+    // 5 and 3 share the 40-char normalized prefix; 9's short text is its own
+    assert(got.toSeq == Seq(("dear valued customer, we write to inform", 2L, 3L)))
+  }
+
+  test("seasonalAnomalies: weekly swing absorbed, real dip flagged") {
+    // 4 weeks: Mondays run 300, other days 100 — periodic, not anomalous.
+    // One Wednesday runs 10 (a real dip).
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime // a Monday
+    val rows = (0 until 28).flatMap { d =>
+      val n = if (d % 7 == 0) 300L else if (d == 16) 10L else 100L
+      (0L until n).map(i => (new java.sql.Timestamp(day0 + d * 86400000L + i), "a"))
+    }
+    val got = graft.operators.TimeSeries
+      .seasonalAnomalies(rows.toDF("ts", "event_type"), "event_type", "ts", k = 3.0)
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("dow"), r.getAs[Long]("adj_cnt"), r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(got.size == 28)
+    // every Monday (dow 1) is NOT anomalous — the index absorbs the 3×
+    assert(got.filter(_._2._1 == 1L).values.forall(!_._3), s"Mondays flagged: $got")
+    // the planted Wednesday dip IS anomalous
+    assert(got("2024-01-17")._3, s"dip not flagged: ${got("2024-01-17")}")
+    // the contrast that motivates the operator: PLAIN madAnomalies on
+    // the same series flags every Monday as an outlier
+    val plain = graft.operators.TimeSeries
+      .madAnomalies(rows.toDF("ts", "event_type"), "event_type", "ts", "day")
+      .collect().map(r => r.getAs[Long]("cnt") -> r.getAs[Boolean]("is_anomaly"))
+    assert(plain.filter(_._1 == 300L).forall(_._2), "plain MAD should flag the 300s")
+  }
+
+  test("effectiveSampleSize: uniform weights give ESS = n; one dominant weight collapses it") {
+    import graft.operators.Profile
+    val rows = (Seq.fill(100)(("u", 2.5)) ++                     // uniform: ESS = 100
+      (Seq(("d", 1000.0)) ++ Seq.fill(99)(("d", 0.001))) ++      // dominated: ESS → 1
+      Seq(("z", 0.0), ("z", -1.0), ("z", 3.0))).toDF("g", "w")   // nonpos excluded
+    val got = Profile.effectiveSampleSize(rows.toDF("g", "w"), "g", "w")
+      .collect().map(r => r.getAs[String]("group") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_excluded"),
+          r.getAs[Double]("ess_r4"), r.getAs[Long]("ess_ratio_bp")))).toMap
+    assert(got("u") == ((100L, 0L, 100.0, 10000L)))
+    assert(got("d")._1 == 100L && got("d")._3 < 1.1, s"dominated ESS: ${got("d")}")
+    assert(got("z") == ((1L, 2L, 1.0, 10000L)))
+  }
+
   test("referential integrity: orphans found, NULL keys separated, row-level twin agrees") {
     import graft.validators.Relationships
     val parent = Seq(1L, 2L, 3L).toDF("pk")
