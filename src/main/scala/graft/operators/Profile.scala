@@ -298,36 +298,82 @@ object Profile {
     * join. All integer arithmetic; products < 2^62. */
   def cmEstimate(df: DataFrame, keyCol: String, probes: Seq[String],
                  depth: Int = 4, width: Int = 1024): DataFrame = {
-    require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
     require(probes.nonEmpty, "need at least one probe key")
-    val P = 2147483647L
-    val K = 2654435761L
-    // affine row hash over the md5-prefix base of the `__k` column
-    def cellExpr(p: Int) = {
-      val h = expr("conv(substring(md5(__k), 1, 8), 16, 10)").cast("long") % P
-      (((lit(1L) + lit((p * K) % (P - 1))) * h + lit((p * K * 97) % P)) % P % width)
-        .cast("int")
-    }
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("__k"))
       .agg(count(lit(1)).as("__c"))
-    val cells = (1 to depth).map { p =>
-      counts.select(lit(p).as("__row"), cellExpr(p).as("__cell"), col("__c"))
-    }.reduce(_ unionByName _)
-      .groupBy("__row", "__cell").agg(sum("__c").as("__sum"))
-    val session = df.sparkSession
-    import session.implicits._
-    val probeDf = probes.toDF("__k")
-    val probeCells = (1 to depth).map { p =>
-      probeDf.select(col("__k"), lit(p).as("__row"), cellExpr(p).as("__cell"))
-    }.reduce(_ unionByName _)
-    val est = broadcast(probeCells).join(cells, Seq("__row", "__cell"), "left")
-      .groupBy("__k")
-      .agg(min(coalesce(col("__sum"), lit(0L))).cast(LongType).as("estimate"))
+    val est = cmEstimateFromCells(cmCellsFromCounts(counts, depth, width),
+      df.sparkSession, probes, depth, width)
     est.join(counts, Seq("__k"), "left")
       .select(col("__k").as("key"),
         coalesce(col("__c"), lit(0L)).cast(LongType).as("exact"),
         col("estimate"))
+  }
+
+  /** The sketch STATE of [[cmEstimate]] as a frame — (row, cell, cnt),
+    * ≤ depth·width rows. Sketches built on any partition of the data
+    * MERGE by unioning their cell frames through [[cmMerge]] (cell
+    * sums are additive), which is the whole point: per-day / per-shard
+    * / per-stream-batch sketches roll up without reprocessing. */
+  def cmSketchCells(df: DataFrame, keyCol: String,
+                    depth: Int = 4, width: Int = 1024): DataFrame =
+    cmCellsFromCounts(
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).cast("string").as("__k"))
+        .agg(count(lit(1)).as("__c")),
+      depth, width)
+      .select(col("__row").as("row"), col("__cell").as("cell"),
+        col("__sum").cast(LongType).as("cnt"))
+
+  /** Cell-wise additive merge of [[cmSketchCells]] frames built with
+    * the SAME (depth, width). */
+  def cmMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "cell").agg(sum("cnt").cast(LongType).as("cnt"))
+  }
+
+  /** Frequency estimates for `probes` from a merged [[cmSketchCells]]
+    * frame — min over the depth rows, 0 for never-hashed cells. */
+  def cmEstimateFor(cells: DataFrame, probes: Seq[String],
+                    depth: Int = 4, width: Int = 1024): DataFrame =
+    cmEstimateFromCells(
+      cells.select(col("row").as("__row"), col("cell").as("__cell"),
+        col("cnt").as("__sum")),
+      cells.sparkSession, probes, depth, width)
+      .select(col("__k").as("key"), col("estimate"))
+
+  private val CmP = 2147483647L
+  private val CmK = 2654435761L
+
+  // affine row hash over the md5-prefix base of the `__k` column
+  private def cmCellExpr(p: Int, width: Int) = {
+    val h = expr("conv(substring(md5(__k), 1, 8), 16, 10)").cast("long") % CmP
+    (((lit(1L) + lit((p * CmK) % (CmP - 1))) * h + lit((p * CmK * 97) % CmP))
+      % CmP % width).cast("int")
+  }
+
+  private def cmCellsFromCounts(counts: DataFrame, depth: Int,
+                                width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
+    (1 to depth).map { p =>
+      counts.select(lit(p).as("__row"), cmCellExpr(p, width).as("__cell"), col("__c"))
+    }.reduce(_ unionByName _)
+      .groupBy("__row", "__cell").agg(sum("__c").as("__sum"))
+  }
+
+  private def cmEstimateFromCells(cells: DataFrame,
+                                  session: org.apache.spark.sql.SparkSession,
+                                  probes: Seq[String], depth: Int,
+                                  width: Int): DataFrame = {
+    import session.implicits._
+    val probeDf = probes.toDF("__k")
+    val probeCells = (1 to depth).map { p =>
+      probeDf.select(col("__k"), lit(p).as("__row"), cmCellExpr(p, width).as("__cell"))
+    }.reduce(_ unionByName _)
+    broadcast(probeCells).join(cells, Seq("__row", "__cell"), "left")
+      .groupBy("__k")
+      .agg(min(coalesce(col("__sum"), lit(0L))).cast(LongType).as("estimate"))
   }
 
   /** Cohen's kappa agreement between two categorical columns —

@@ -4680,6 +4680,36 @@ object PipelineQueries {
              CASE WHEN n > 0 THEN CAST(floor(CAST(sw AS DOUBLE) * sw / sw2 / n * 10000) AS BIGINT) END AS ess_ratio_bp
       FROM a ORDER BY "group""""))
 
+  // 165. classic star-schema rollup with the dimension broadcast
+  // ASSERTED in the query (Layout.usesBroadcastJoin) — revenue per
+  // nation per month through lineitem⋈orders⋈customer⋈nation; exact
+  // floor-cents so both engines' integer sums agree.
+  val qStarJoin = QueryDef("q_star_join",
+    (s, dir) => {
+      val joined = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+      val out = joined.groupBy(col("n_name").as("nation"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).cast(LongType).as("line_count"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))
+            .cast(LongType).as("revenue_cents"))
+        .orderBy("nation", "month")
+      require(graft.sources.Layout.usesBroadcastJoin(out),
+        "small-dim star join must broadcast the nation dimension")
+      out
+    },
+    Some("""
+      SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS line_count,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4712,5 +4742,6 @@ object PipelineQueries {
     qFuzzyJoin, qCmSketch,
     qInterleave, qKeySkew, qActiveTime,
     qSharedPrefixes, qSeasonalAnomaly, qEss,
+    qStarJoin,
   )
 }

@@ -107,4 +107,20 @@ object Layout {
     !rendered.contains("ShuffleExchange") && !rendered.contains("ShuffleQueryStage") &&
       !rendered.contains("Exchange hashpartitioning")
   }
+
+  /** True when the OPTIMIZED logical plan joins via broadcast — the
+    * plan guard for small-dimension star joins (a dim that fell back
+    * to a shuffled sort-merge join is a regression worth failing
+    * loudly on, long before it is a 100 TB regression). Inspected on
+    * the optimized plan, so it holds for the LAZY frame a caller
+    * returns (no execution needed — broadcast hints and
+    * autoBroadcastJoinThreshold are resolved at optimization). */
+  def usesBroadcastJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.exists(
+             _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) ||
+           j.hint.rightHint.exists(_.strategy.exists(
+             _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) => j
+    }.nonEmpty
 }

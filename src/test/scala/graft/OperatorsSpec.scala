@@ -696,6 +696,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got("z") == ((1L, 2L, 1.0, 10000L)))
   }
 
+  test("cmSketchCells merge: per-partition sketches equal the whole-corpus sketch") {
+    import graft.operators.Profile
+    val keys = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(9)("c"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "i")
+    val whole = Profile.cmSketchCells(keys, "k", depth = 3, width = 8)
+    val merged = Profile.cmMerge(Seq(
+      Profile.cmSketchCells(keys.filter(col("i") % 2 === 0), "k", 3, 8),
+      Profile.cmSketchCells(keys.filter(col("i") % 2 === 1), "k", 3, 8)))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("row"), r.getAs[Int]("cell")) -> r.getAs[Long]("cnt")).toMap
+    assert(m(whole) == m(merged), "cell-wise merge must equal the one-pass sketch")
+    val est = Profile.cmEstimateFor(merged, Seq("a", "b", "c", "zz"), 3, 8)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("estimate")).toMap
+    assert(est("a") >= 40L && est("b") >= 25L && est("c") >= 9L)
+  }
+
+  test("usesBroadcastJoin sees the hint and its absence") {
+    import graft.sources.Layout
+    val big = (1L to 100L).map(i => (i, i % 7)).toDF("id", "k")
+    val dim = (0L until 7L).map(i => (i, s"name$i")).toDF("k", "name")
+    assert(Layout.usesBroadcastJoin(big.join(broadcast(dim), "k")))
+    assert(!Layout.usesBroadcastJoin(big.join(dim.hint("merge"), "k")))
+  }
+
   test("referential integrity: orphans found, NULL keys separated, row-level twin agrees") {
     import graft.validators.Relationships
     val parent = Seq(1L, 2L, 3L).toDF("pk")
