@@ -133,6 +133,57 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
 
+  /** Per-group embedding OUTLIERS — the mislabeled-vector detector
+    * next to [[embeddingDispersion]]'s group summaries: every vector
+    * whose squared-L2 distance to its group's centroid exceeds
+    * `factorBp`/10⁴ × the group's MEDIAN distance is listed (an
+    * embedding sitting 3× the typical radius from its own label's
+    * center is usually labeled wrong, embedded wrong, or genuinely
+    * anomalous — all worth a look before training on the label).
+    *
+    * Replayability discipline as in [[kmeansProfile]]: centroids come
+    * from FIXED-POINT integer sums (floor(x·2²⁰) — exact for float32,
+    * order-independent) divided once; per-vector distances quantize
+    * each per-position term floor((x−c)²·10⁸) into exact integer sums
+    * (a raw double Σ over positions would be order-dependent); the
+    * median is the exact disc median of those integers; the flag is an
+    * integer cross-multiplication. Bit-for-bit on any engine.
+    *
+    * Plan: one map-side-combined (group, pos) centroid aggregate, a
+    * posexplode join back on (group, pos) (keyed shuffle, dim-bounded
+    * fan-out per vector), a per-vector integer rollup, the
+    * [[graft.operators.Profile.groupQuantiles]] median, and one
+    * |groups|-bounded join for the flags. Never a global window; no
+    * vector crosses a shuffle twice. */
+  def embeddingOutliers(df: DataFrame, groupCol: String, idCol: String,
+                        vecCol: String, factorBp: Long = 30000L): DataFrame = {
+    require(factorBp > 0, "factorBp must be positive")
+    val scale = 1048576L // 2^20
+    val pe = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("group"), col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = pe.groupBy("group", "pos")
+      .agg(sum(floor(col("x") * scale).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("c", col("__s") / (col("__n") * lit(scale.toDouble)))
+      .select("group", "pos", "c")
+    // cent is |groups|×dim — broadcast keeps the exploded frame
+    // map-side (a hash shuffle of N·dim rows would dwarf everything)
+    val d2 = pe.join(broadcast(cent), Seq("group", "pos"))
+      .withColumn("__t",
+        floor((col("x") - col("c")) * (col("x") - col("c")) * 1e8).cast("long"))
+      .groupBy("group", "id")
+      .agg(sum(col("__t")).as("d2_q8"))
+    val med = graft.operators.Profile
+      .groupQuantiles(d2, "group", "d2_q8", Seq(5000))
+      .select(col("group"), col("value").cast("long").as("med_q8"))
+    d2.join(med, "group")
+      .filter(col("d2_q8") * 10000L > lit(factorBp) * col("med_q8"))
+      .select(col("group"), col("id"), col("d2_q8").cast("long").as("d2_q8"),
+        col("med_q8"))
+  }
+
   /** Deterministic k-means cluster profile over an embedding column —
     * the semantic-composition datasheet line (cluster-balanced
     * sampling, mixture design over topics, "what's actually IN this

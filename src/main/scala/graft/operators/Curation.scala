@@ -357,6 +357,35 @@ object Curation {
     filterChain(curationFeatures(df, textCol, ngramN),
       rulesFromContract(contract.qualityChecks.map(_.curation).getOrElse(Nil)))
 
+  /** Weighted quality SCORE over a rule set — the soft sibling of
+    * [[filterChain]]'s hard cascade (Gopher-style curation keeps a doc
+    * that misses one minor rule but nails the rest; a first-fail
+    * cascade can't express that). Each rule contributes its weight
+    * when it passes; `score_bp` = Σ passed-weights·10⁴ DIV Σ weights,
+    * `passed` = score_bp ≥ threshold, `failed_rules` the
+    * comma-joined names of failing rules in declaration order (empty
+    * when clean). A NULL rule verdict counts as a FAIL and is listed —
+    * silently scoring un-computable features as passes is how junk
+    * sneaks through. One nested-CASE projection, map-only, exactly
+    * like the chain.
+    *
+    * Integer bp arithmetic end to end — both engines agree. */
+  def scoreChain(df: DataFrame, rules: Seq[(FilterRule, Long)],
+                 thresholdBp: Long): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.forall(_._2 > 0), "weights must be positive")
+    require(thresholdBp >= 0 && thresholdBp <= 10000, "threshold is bp")
+    val totalW = rules.map(_._2).sum
+    val score = rules.map { case (r, w) =>
+      when(coalesce(r.passes, lit(false)), lit(w)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("score_bp", (score * 10000L / totalW).cast("long"))
+      .withColumn("passed", col("score_bp") >= thresholdBp)
+      .withColumn("failed_rules", concat_ws(",", rules.map { case (r, _) =>
+        when(!coalesce(r.passes, lit(false)), lit(r.name))
+      }: _*))
+  }
+
   /** Applies an ordered filter chain, adding `first_fail` (name of the
     * first failing rule, "pass" otherwise) and `keep`. Rules compose as
     * one nested CASE — a single map-only projection regardless of chain

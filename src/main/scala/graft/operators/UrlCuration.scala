@@ -104,6 +104,34 @@ object UrlCuration {
       .drop("__total")
   }
 
+  /** Provenance (domain-level) split leakage: registered domains whose
+    * documents land in MORE THAN ONE split of a portable md5 split —
+    * the contamination mode document-level dedup misses entirely (two
+    * different pages of one templated site are "different documents"
+    * to every content check, yet train/test sharing a domain leaks
+    * style, boilerplate and topic wholesale — why C4-era pipelines
+    * split BY provenance). Output one row per (leaking domain, split)
+    * with its doc count; a domain absent from the output is
+    * split-pure.
+    *
+    * One map-only parse+split pass, one domain rollup to find the
+    * leakers (map-side countDistinct), one |leaking-domains|-bounded
+    * semi-join back. */
+  def domainLeakage(df: DataFrame, idCol: String, urlCol: String,
+                    fractions: Seq[(String, Double)], seed: Int = 42,
+                    suffixes: Seq[String] = DefaultSuffixes): DataFrame = {
+    val split = graft.operators.Sampling.portableSplit(df, idCol, fractions, seed)
+    val d = split.select(col("split"),
+        registeredDomain(host(col(urlCol)), suffixes).as("domain"))
+      .filter(col("domain").isNotNull)
+    val leaking = d.groupBy("domain")
+      .agg(countDistinct(col("split")).as("__ns"))
+      .filter(col("__ns") >= 2).select("domain")
+    d.join(leaking, "domain")
+      .groupBy("domain", "split")
+      .agg(count(lit(1)).cast("long").as("docs"))
+  }
+
   /** URL-level dedup on the canonical form: per canonical URL with >1
     * raw variants, the variant count and the kept (minimum) id — the
     * "same page, infinite tracking-param spellings" collapse that runs

@@ -4710,6 +4710,139 @@ object PipelineQueries {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // 166. weighted quality score over the standard curation rules —
+  // the soft (Gopher-style) sibling of q_filter_chain's first-fail
+  // cascade, same features and thresholds, NULL verdicts fail.
+  val qScoreChain = QueryDef("q_score_chain",
+    (s, dir) => {
+      import graft.operators.Curation
+      import Curation.FilterRule
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      val feats = Curation.curationFeatures(docs, "text")
+      val rules = Seq(
+        FilterRule("min_words", col("n_tokens") >= 5) -> 3L,
+        FilterRule("mean_word_len", col("mean_word_len_x10").between(20, 120)) -> 1L,
+        FilterRule("alpha_ratio", col("alpha_ratio_bp") >= 5000) -> 2L,
+        FilterRule("stopwords", col("stopword_hits") >= 1) -> 1L,
+        FilterRule("repetition", col("rep_bp") <= 3000) -> 2L,
+        FilterRule("pii", !col("has_pii")) -> 3L)
+      Curation.scoreChain(feats, rules, thresholdBp = 7500)
+        .groupBy("score_bp", "passed", "failed_rules")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .orderBy("score_bp", "failed_rules")
+    },
+    Some {
+      val hasPii = graft.operators.TextAnalysis.piiPatterns
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      f AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en,
+               ($hasPii) AS has_pii
+        FROM docs),
+      rep AS (
+        SELECT doc_id, len(sh) total, len(list_distinct(sh)) dist
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) sh
+              FROM docs)),
+      g AS (
+        SELECT f.doc_id,
+               (f.n_tokens >= 5) AS r1,
+               (CAST((f.n_chars - (f.n_tokens - 1)) * 10 // f.n_tokens AS BIGINT) BETWEEN 20 AND 120) AS r2,
+               (f.alpha * 10000 // greatest(f.n_chars, 1) >= 5000) AS r3,
+               (f.stop_en >= 1) AS r4,
+               ((rep.total - rep.dist) * 10000 // rep.total <= 3000) AS r5,
+               (NOT f.has_pii) AS r6
+        FROM f JOIN rep USING (doc_id)),
+      sc AS (
+        SELECT doc_id,
+               (CASE WHEN r1 THEN 3 ELSE 0 END + CASE WHEN r2 THEN 1 ELSE 0 END +
+                CASE WHEN r3 THEN 2 ELSE 0 END + CASE WHEN r4 THEN 1 ELSE 0 END +
+                CASE WHEN r5 THEN 2 ELSE 0 END + CASE WHEN r6 THEN 3 ELSE 0 END)
+                 * 10000 // 12 AS score_bp,
+               concat_ws(',',
+                 CASE WHEN NOT r1 THEN 'min_words' END,
+                 CASE WHEN NOT r2 THEN 'mean_word_len' END,
+                 CASE WHEN NOT r3 THEN 'alpha_ratio' END,
+                 CASE WHEN NOT r4 THEN 'stopwords' END,
+                 CASE WHEN NOT r5 THEN 'repetition' END,
+                 CASE WHEN NOT r6 THEN 'pii' END) AS failed_rules
+        FROM g)
+      SELECT CAST(score_bp AS BIGINT) AS score_bp, (score_bp >= 7500) AS passed,
+             failed_rules, CAST(count(*) AS BIGINT) AS n_docs
+      FROM sc GROUP BY 1, 2, 3 ORDER BY score_bp, failed_rules"""
+    })
+
+  // 167. per-group embedding outliers: fixed-point centroid + quantized
+  // integer distance sums (order-independent, bit-exact) vs the exact
+  // disc median, flag by integer cross-multiplication. The synthetic
+  // sphere concentrates distances (max/med ≈ 1.07–1.13), so the query
+  // flags at 1.05×; real corpora use the 3× default.
+  val qEmbedOutliers = QueryDef("q_embed_outliers",
+    (s, dir) => {
+      graft.operators.Ann.embeddingOutliers(
+          table(s, dir, "embeddings"), "label", "vec_id", "embedding",
+          factorBp = 10500L)
+        .orderBy("group", "id")
+    },
+    Some("""
+      WITH pe AS (SELECT label AS grp, vec_id AS id,
+                    generate_subscripts(embedding, 1) AS pos,
+                    unnest(embedding::DOUBLE[]) AS x
+                  FROM embeddings),
+      cent AS (SELECT grp, pos, sum(CAST(floor(x * 1048576) AS BIGINT)) AS s,
+                      count(*) AS n
+               FROM pe GROUP BY 1, 2),
+      c2 AS (SELECT grp, pos, s / (n * 1048576.0) AS c FROM cent),
+      d2 AS (SELECT pe.grp, pe.id,
+                    sum(CAST(floor((x - c) * (x - c) * 1e8) AS BIGINT)) AS d2q
+             FROM pe JOIN c2 ON pe.grp = c2.grp AND pe.pos = c2.pos
+             GROUP BY 1, 2),
+      m AS (SELECT grp, quantile_disc(d2q, 0.5) AS med FROM d2 GROUP BY 1)
+      SELECT d2.grp AS "group", id, CAST(d2q AS BIGINT) AS d2_q8,
+             CAST(med AS BIGINT) AS med_q8
+      FROM d2 JOIN m USING (grp)
+      WHERE d2q * 10000 > 10500 * med
+      ORDER BY "group", id"""))
+
+  // 168. provenance split leakage: registered domains straddling the
+  // 80/10/10 portable split — the contamination mode content dedup
+  // cannot see; URL derivation + suffix parse shared with rows 138–139.
+  val qDomainLeakage = QueryDef("q_domain_leakage",
+    (s, dir) => {
+      graft.operators.UrlCuration.domainLeakage(
+          table(s, dir, "documents").withColumn("url", expr(urlExprSql)),
+          "doc_id", "url", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("domain", "split")
+    },
+    Some(urlParseCtes + """
+      , sp AS (SELECT doc_id, registered_domain AS domain,
+                 CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+                      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM p WHERE registered_domain IS NOT NULL),
+      leak AS (SELECT domain FROM sp GROUP BY domain HAVING count(DISTINCT split) >= 2)
+      SELECT sp.domain, sp.split, CAST(count(*) AS BIGINT) AS docs
+      FROM sp JOIN leak ON sp.domain = leak.domain
+      GROUP BY 1, 2 ORDER BY sp.domain, sp.split"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4742,6 +4875,6 @@ object PipelineQueries {
     qFuzzyJoin, qCmSketch,
     qInterleave, qKeySkew, qActiveTime,
     qSharedPrefixes, qSeasonalAnomaly, qEss,
-    qStarJoin,
+    qStarJoin, qScoreChain, qEmbedOutliers, qDomainLeakage,
   )
 }

@@ -142,6 +142,31 @@ class CurationSpec extends SparkSpec {
       2L -> ((2L, 1L, 5000L))))
   }
 
+  test("scoreChain: weighted score, NULL verdict fails, failed rules listed in order") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      (1L, true, true),   // both pass → 10000
+      (2L, false, true),  // heavy rule fails → 2500
+      (3L, true, false),  // light rule fails → 7500 (at threshold)
+    ).toDF("id", "a", "b")
+      .withColumn("c", lit(null).cast("boolean")) // an un-computable verdict
+    val rules = Seq(
+      Curation.FilterRule("heavy", col("a")) -> 3L,
+      Curation.FilterRule("light", col("b")) -> 1L)
+    val got = Curation.scoreChain(df, rules, thresholdBp = 7500)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("score_bp"), r.getAs[Boolean]("passed"),
+          r.getAs[String]("failed_rules")))).toMap
+    assert(got(1L) == ((10000L, true, "")))
+    assert(got(2L) == ((2500L, false, "heavy")))
+    assert(got(3L) == ((7500L, true, "light"))) // at-threshold passes
+    // NULL verdicts fail and are listed
+    val gotNull = Curation.scoreChain(df,
+        rules :+ (Curation.FilterRule("maybe", col("c")) -> 4L), 5000)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("failed_rules")).toMap
+    assert(gotNull(1L) == "maybe" && gotNull(2L) == "heavy,maybe")
+  }
+
   test("groupConsistentSplit keeps a split-straddling cluster in one split") {
     val ids = (0L until 200L)
     val sdocs = ids.toDF("doc_id").withColumn("text", lit("x"))

@@ -720,6 +720,38 @@ class OperatorsSpec extends SparkSpec {
     assert(!Layout.usesBroadcastJoin(big.join(dim.hint("merge"), "k")))
   }
 
+  test("embeddingOutliers: the far vector flagged, tight cluster clean") {
+    // group g: 4 vectors near the origin, one at distance ~10
+    val vecs = Seq(
+      (1L, "g", Seq(0.1f, 0.0f)), (2L, "g", Seq(0.0f, 0.1f)),
+      (3L, "g", Seq(-0.1f, 0.0f)), (4L, "g", Seq(0.0f, -0.1f)),
+      (5L, "g", Seq(10.0f, 10.0f)),
+    ).toDF("vec_id", "label", "embedding")
+    val got = Ann.embeddingOutliers(vecs, "label", "vec_id", "embedding",
+        factorBp = 30000L)
+      .collect().map(_.getAs[Long]("id"))
+    assert(got.toSeq == Seq(5L), s"got $got")
+  }
+
+  test("domainLeakage: straddling domain reported per split, pure domain absent") {
+    import graft.operators.UrlCuration
+    // ids chosen so the md5 buckets split leak.com across train+test
+    val rows = (0L until 40L).map(i =>
+      (i, if (i < 30) s"https://leak.com/p/$i" else s"https://pure.com/p/0"))
+      .toDF("doc_id", "url")
+    // pure.com's 10 docs: force one split by replacing ids? instead derive:
+    val got = UrlCuration.domainLeakage(rows, "doc_id", "url",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getAs[String]("domain"), r.getAs[String]("split")) ->
+        r.getAs[Long]("docs")).toMap
+    // leak.com has 30 ids → md5 buckets certainly straddle splits
+    assert(got.keys.exists(_._1 == "leak.com"), s"got $got")
+    assert(got.filter(_._1._1 == "leak.com").values.sum == 30L)
+    // every reported domain appears in >= 2 splits
+    val bySplits = got.keys.groupBy(_._1).map { case (d, ks) => d -> ks.size }
+    assert(bySplits.values.forall(_ >= 2), s"got $got")
+  }
+
   test("referential integrity: orphans found, NULL keys separated, row-level twin agrees") {
     import graft.validators.Relationships
     val parent = Seq(1L, 2L, 3L).toDF("pk")
