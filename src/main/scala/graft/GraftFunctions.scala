@@ -69,6 +69,13 @@ object GraftFunctions {
     unary("graft_simhash64", "64-bit SimHash over portable md5 word hashes")(simhash64),
     unary("graft_redact", "text with PII indicators replaced by class tokens")(
       graft.operators.Curation.redact),
+    unary("graft_host", "lowercased host of a URL, null when unparseable")(
+      graft.operators.UrlCuration.host),
+    unary("graft_domain", "registered domain of a URL (public-suffix-lite)")(u =>
+      graft.operators.UrlCuration.registeredDomain(graft.operators.UrlCuration.host(u))),
+    unary("graft_canonical_url",
+      "canonical URL: fragment stripped, tracking params dropped, scheme+authority lowercased")(
+      graft.operators.UrlCuration.canonicalUrl),
     binary("graft_dot", "double-precision dot product of two array columns")(VectorFns.dot),
     binary("graft_cosine", "cosine similarity of two array columns, null for zero vectors")(VectorFns.cosine),
     describe("graft_word_shingles",

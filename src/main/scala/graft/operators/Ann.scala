@@ -133,6 +133,33 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
 
+  /** kNN label-agreement rate — the classic label-noise ESTIMATOR over
+    * an embedding column: for each probe, does its nearest neighbor
+    * (self excluded) carry the same label? A label whose agree@1 rate
+    * sits far below the others is noisy, ill-defined, or split across
+    * modes — the signal that decides between relabeling and dropping
+    * BEFORE a classifier burns epochs on it. Output per label:
+    * (label, probes, agree1, agree1_bp).
+    *
+    * Plan: [[bruteForceTopK]] with the probe set broadcast (ONE corpus
+    * scan, no corpus shuffle) + two label equi-joins + a |labels|-row
+    * rollup. At full-corpus probe counts switch the inner call to
+    * [[lshTopK]]/[[ivfTopK]] — same agreement arithmetic. */
+  def knnLabelAgreement(corpus: DataFrame, probes: DataFrame,
+                        idCol: String, vecCol: String,
+                        labelCol: String): DataFrame = {
+    val nn1 = bruteForceTopK(corpus, probes, idCol, vecCol, k = 1)
+      .filter(col("rank") === 1)
+    val labels = corpus.select(col(idCol), col(labelCol))
+    nn1
+      .join(labels.select(col(idCol).as("q_id"), col(labelCol).as("__ql")), "q_id")
+      .join(labels.select(col(idCol).as("n_id"), col(labelCol).as("__nl")), "n_id")
+      .groupBy(col("__ql").as("label"))
+      .agg(count(lit(1)).cast("long").as("probes"),
+        sum(when(col("__ql") <=> col("__nl"), 1L).otherwise(0L)).cast("long").as("agree1"))
+      .withColumn("agree1_bp", expr("agree1 * 10000 DIV probes").cast("long"))
+  }
+
   /** Per-group embedding OUTLIERS — the mislabeled-vector detector
     * next to [[embeddingDispersion]]'s group summaries: every vector
     * whose squared-L2 distance to its group's centroid exceeds

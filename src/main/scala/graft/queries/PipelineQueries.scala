@@ -4843,6 +4843,78 @@ object PipelineQueries {
       FROM sp JOIN leak ON sp.domain = leak.domain
       GROUP BY 1, 2 ORDER BY sp.domain, sp.split"""))
 
+  // 169b. multi-grain datasheet via ROLLUP grouping sets — per
+  // (source, lang), per source, and grand total in ONE pass (the
+  // subtotal shape every corpus datasheet ships); '(all)' marks the
+  // rolled-up grain on both engines.
+  val qCardRollup = QueryDef("q_card_rollup",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum(TextFns.wsTokenCount(col("text"))).cast(LongType).as("tokens"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("docs"), col("tokens"))
+        .orderBy("source", "lang")
+    },
+    Some("""
+      SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens
+      FROM documents GROUP BY ROLLUP (source, lang)
+      ORDER BY source, lang"""))
+
+  // 170. kNN label agreement (label-noise estimate): nearest-neighbor
+  // label match rate per label over the first 100 probes.
+  val qKnnAgreement = QueryDef("q_knn_agreement",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Ann.knnLabelAgreement(
+          emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", "label")
+        .orderBy("label")
+    },
+    Some("""
+      WITH nn AS (
+        SELECT q_id, n_id FROM (
+          SELECT p.vec_id q_id, c.vec_id n_id,
+                 row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                   list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                        list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                   c.vec_id ASC) rk
+          FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
+          WHERE p.vec_id < 100)
+        WHERE rk = 1)
+      SELECT ql.label, CAST(count(*) AS BIGINT) AS probes,
+             CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS agree1,
+             CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) * 10000
+                  // count(*) AS BIGINT) AS agree1_bp
+      FROM nn JOIN embeddings ql ON nn.q_id = ql.vec_id
+              JOIN embeddings nl ON nn.n_id = nl.vec_id
+      GROUP BY 1 ORDER BY ql.label"""))
+
+  // 171. the SQL URL surface: graft_host/graft_domain/
+  // graft_canonical_url through SQL text, oracle replayed by the
+  // rows-138–139 parse CTEs.
+  val qSqlApiUrl = QueryDef("q_sql_api_url",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents").withColumn("url", expr(urlExprSql))
+        .createOrReplaceTempView("graft_docs_url")
+      s.sql("""
+        SELECT graft_domain(url) AS domain, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT graft_host(url)) AS BIGINT) AS hosts,
+               CAST(count(DISTINCT graft_canonical_url(url)) AS BIGINT) AS canon
+        FROM graft_docs_url WHERE graft_domain(url) IS NOT NULL
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some(urlParseCtes + """
+      SELECT registered_domain AS domain, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT host) AS BIGINT) AS hosts,
+             CAST(count(DISTINCT canonical_url) AS BIGINT) AS canon
+      FROM p WHERE registered_domain IS NOT NULL GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4876,5 +4948,6 @@ object PipelineQueries {
     qInterleave, qKeySkew, qActiveTime,
     qSharedPrefixes, qSeasonalAnomaly, qEss,
     qStarJoin, qScoreChain, qEmbedOutliers, qDomainLeakage,
+    qCardRollup, qKnnAgreement, qSqlApiUrl,
   )
 }

@@ -78,6 +78,23 @@ class ExtensionsSpec extends SparkSpec {
         VectorFns.cosine(col("a"), col("b")).as("c"))
       .orderBy("id").collect()
     assert(vSql.toSeq == vCols.toSeq)
+
+    // URL functions: SQL twin equals the Column API
+    import graft.operators.UrlCuration
+    val urls = Seq(
+      (1L, "HTTPS://User@Sub.Example.CO.UK/P/x?utm_source=a&id=7#frag"),
+      (2L, "http://plain.io/q?id=1&gclid=zz"),
+      (3L, "not a url")).toDF("id", "u")
+    urls.createOrReplaceTempView("reg_urls")
+    val uSql = s2.sql("""
+      SELECT id, graft_host(u) h, graft_domain(u) d, graft_canonical_url(u) c
+      FROM reg_urls ORDER BY id""").collect()
+    val uCols = urls.select(col("id"), UrlCuration.host(col("u")).as("h"),
+        UrlCuration.registeredDomain(UrlCuration.host(col("u"))).as("d"),
+        UrlCuration.canonicalUrl(col("u")).as("c"))
+      .orderBy("id").collect()
+    assert(uSql.toSeq == uCols.toSeq)
+    assert(uSql(0).getString(2) == "example.co.uk")
     assert(vSql(0) == Row(1L, 4.0, 4.0 / (3.0 * math.sqrt(5.0))))
     assert(vSql(1).isNullAt(2)) // zero vector → null cosine
 

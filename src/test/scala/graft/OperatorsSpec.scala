@@ -349,6 +349,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall") // 2 planes ≈ 1/4 of corpus per bucket
   }
 
+  test("knnLabelAgreement: clean labels agree, the planted mislabel disagrees") {
+    // two tight blobs; vec 5 sits in blob B but carries label "a"
+    val vecs = Seq(
+      (1L, "a", Seq(0.9f, 0.1f)), (2L, "a", Seq(1.0f, 0.0f)), (3L, "a", Seq(0.95f, 0.05f)),
+      (4L, "b", Seq(0.0f, 1.0f)), (6L, "b", Seq(0.1f, 0.9f)), (7L, "b", Seq(0.05f, 0.95f)),
+      (5L, "a", Seq(0.0f, 0.98f)),
+    ).toDF("vec_id", "label", "embedding")
+    val got = Ann.knnLabelAgreement(vecs, vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[String]("label") ->
+        ((r.getAs[Long]("probes"), r.getAs[Long]("agree1"), r.getAs[Long]("agree1_bp")))).toMap
+    // label a: probes 1,2,3 agree; probe 5's NN is in blob b → disagree
+    assert(got("a") == ((4L, 3L, 7500L)), s"got $got")
+    // label b: each b's NN could be vec 5 (labeled a) — at least one disagrees
+    assert(got("b")._1 == 3L && got("b")._2 < 3L, s"got $got")
+  }
+
   test("recallAtK: hand-built lists give exact per-probe hit counts, silent misses included") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("q_id", "n_id")
