@@ -59,6 +59,23 @@ final case class QualityChecks(
     curation: Seq[CurationRule] = Nil,
     quantile: Seq[QuantileCheck] = Nil,
     conditional: Seq[ConditionalCheck] = Nil,
+    drift: Seq[DistributionDriftCheck] = Nil,
+)
+
+/** Snapshot-distribution drift gate: the drift statistic between THIS
+  * table and a frozen REFERENCE snapshot must stay ≤ `max` — the
+  * contract form of "did the new crawl change the data": `psi` sums
+  * the ε-smoothed population-stability terms over a categorical
+  * column's values; `ks` is the exact two-sample Kolmogorov–Smirnov D
+  * over a numeric column (binning-free). Unlike
+  * [[FeatureDriftCheck]] (drift BETWEEN SPLITS of one frame), the
+  * reference here is a second frame — yesterday's snapshot, the
+  * training corpus the model shipped on — supplied at validation time
+  * ([[graft.validators.DriftContracts]]). */
+final case class DistributionDriftCheck(
+    field: String,
+    method: String = "psi",
+    max: Double = 0.1,
 )
 
 /** Conditional cross-column rule: whenever `when` holds on a row,

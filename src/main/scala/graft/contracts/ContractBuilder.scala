@@ -51,6 +51,8 @@ final case class ContractBuilder(
     copy(qc = qc.copy(curation = qc.curation :+ r))
   def quantileCheck(q: QuantileCheck): ContractBuilder =
     copy(qc = qc.copy(quantile = qc.quantile :+ q))
+  def driftCheck(d: DistributionDriftCheck): ContractBuilder =
+    copy(qc = qc.copy(drift = qc.drift :+ d))
   def conditionalCheck(name: String, when: String, thenExpr: String,
                        maxViolationRate: Double = 0.0): ContractBuilder =
     copy(qc = qc.copy(conditional =

@@ -179,6 +179,19 @@ object ContractParser {
           max = dblOpt(c, "max"),
         )
       }).getOrElse(Nil),
+    drift = m.get("drift").filter(_ != null)
+      .map(asList(_, "drift").map { v =>
+        val c = asMap(v, "drift")
+        val method = strOpt(c, "method").getOrElse("psi")
+        require(method == "psi" || method == "ks",
+          s"quality_checks.drift method must be psi or ks, got '$method'")
+        DistributionDriftCheck(
+          field = str(c, "field"),
+          method = method,
+          max = dblOpt(c, "max").getOrElse(throw new IllegalArgumentException(
+            "quality_checks.drift entry missing max")),
+        )
+      }).getOrElse(Nil),
   )
 
   private def parseMl(m: M): MlChecks = MlChecks(

@@ -4915,6 +4915,64 @@ object PipelineQueries {
              CAST(count(DISTINCT canonical_url) AS BIGINT) AS canon
       FROM p WHERE registered_domain IS NOT NULL GROUP BY 1 ORDER BY 1"""))
 
+  // 172b. contract-declared snapshot drift gates: a truncation event
+  // (n_chars ≤ 300) leaves the source mix inside its psi budget but
+  // blows the exact-KS gate on the length distribution — one verdict
+  // row per declared check, thresholds compared on the rounded stat.
+  val qContractDrift = QueryDef("q_contract_drift",
+    (s, dir) => {
+      val contract = graft.contracts.ContractParser.parse(
+        """version: "1.0"
+          |name: documents_drift
+          |owner: graft
+          |schema:
+          |  format: parquet
+          |  location: documents
+          |  fields:
+          |    - name: source
+          |      type: string
+          |    - name: n_chars
+          |      type: int64
+          |quality_checks:
+          |  drift:
+          |    - field: source
+          |      method: psi
+          |      max: 0.1
+          |    - field: n_chars
+          |      method: ks
+          |      max: 0.2
+          |""".stripMargin)
+      val docs = table(s, dir, "documents")
+      graft.validators.DriftContracts.check(
+          docs.filter(col("n_chars") <= 300), docs,
+          contract.qualityChecks.get.drift)
+        .orderBy("field")
+    },
+    Some("""
+      WITH cur AS (SELECT * FROM documents WHERE n_chars <= 300),
+      pa AS (SELECT source k, count(*) ca FROM documents GROUP BY 1),
+      pb AS (SELECT source k, count(*) cb FROM cur GROUP BY 1),
+      pj AS (SELECT coalesce(pa.k, pb.k) k, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+             FROM pa FULL OUTER JOIN pb ON pa.k = pb.k),
+      pt AS (SELECT sum(ca) ta, sum(cb) tb FROM pj),
+      psi AS (SELECT round(sum(round((greatest(ca/ta, 1e-6) - greatest(cb/tb, 1e-6))
+                 * ln(greatest(ca/ta, 1e-6) / greatest(cb/tb, 1e-6)), 6)), 6) AS s
+              FROM pj, pt),
+      av AS (SELECT CAST(n_chars AS DOUBLE) v, count(*) ac FROM documents GROUP BY 1),
+      bv AS (SELECT CAST(n_chars AS DOUBLE) v, count(*) bc FROM cur GROUP BY 1),
+      u AS (SELECT coalesce(av.v, bv.v) v, coalesce(ac, 0) ac, coalesce(bc, 0) bc
+            FROM av FULL OUTER JOIN bv ON av.v = bv.v),
+      rr AS (SELECT v, sum(ac) OVER (ORDER BY v) ra, sum(bc) OVER (ORDER BY v) rb
+             FROM u),
+      tt AS (SELECT sum(ac) na, sum(bc) nb FROM u),
+      ks AS (SELECT round(max(abs(CAST(ra AS DOUBLE)/na - CAST(rb AS DOUBLE)/nb)), 6) AS s
+             FROM rr, tt)
+      SELECT 'distribution_drift' AS "check", 'n_chars' AS field, 'ks' AS method,
+             ks.s AS stat_r6, 0.2 AS max_r6, (ks.s <= 0.2) AS passed FROM ks
+      UNION ALL
+      SELECT 'distribution_drift', 'source', 'psi', psi.s, 0.1, (psi.s <= 0.1) FROM psi
+      ORDER BY field"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -4948,6 +5006,6 @@ object PipelineQueries {
     qInterleave, qKeySkew, qActiveTime,
     qSharedPrefixes, qSeasonalAnomaly, qEss,
     qStarJoin, qScoreChain, qEmbedOutliers, qDomainLeakage,
-    qCardRollup, qKnnAgreement, qSqlApiUrl,
+    qCardRollup, qKnnAgreement, qSqlApiUrl, qContractDrift,
   )
 }

@@ -1,0 +1,61 @@
+package graft.validators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.contracts.DistributionDriftCheck
+
+/** Runs a contract's snapshot-distribution drift gates
+  * ([[graft.contracts.DistributionDriftCheck]]) — CURRENT table vs a
+  * frozen REFERENCE snapshot, one verdict row per check:
+  * (check, field, method, stat_r6, max_r6, passed). The reference is a
+  * second frame supplied at validation time (yesterday's partition,
+  * the corpus a model shipped on) — the cross-snapshot form of drift
+  * the reference engine's schema-only detection stops short of.
+  *
+  * Statistics delegate to the oracle-proven drift operators:
+  *   - `psi`: Σ over category values of the ε-smoothed PSI terms
+  *     ([[graft.operators.SnapshotDiff.categoryDrift]]; each term at
+  *     r6, the sum re-rounded — replayed digit-for-digit by SQL
+  *     engines);
+  *   - `ks`: the EXACT two-sample Kolmogorov–Smirnov D
+  *     ([[graft.operators.SnapshotDiff.ksDrift]] — the two-level
+  *     cumsum ECDF, never a single-task sort).
+  *
+  * Each statistic is one bounded aggregate; verdict rows are
+  * |checks|-sized driver-side literals, like the report runner's. The
+  * thresholds compare on the ROUNDED statistic, so a verdict never
+  * flips on sub-r6 float noise between engines.
+  */
+object DriftContracts {
+
+  def check(current: DataFrame, reference: DataFrame,
+            checks: Seq[DistributionDriftCheck]): DataFrame = {
+    require(checks.nonEmpty, "no drift checks declared")
+    val spark = current.sparkSession
+    val rows = checks.map { c =>
+      val stat: Double = c.method match {
+        case "psi" =>
+          val per = graft.operators.SnapshotDiff
+            .categoryDrift(reference, current, c.field)
+            .agg(round(sum("psi_r6"), 6).as("s"))
+            .collect().head
+          if (per.isNullAt(0)) 0.0 else per.getDouble(0)
+        case "ks" =>
+          val r = graft.operators.SnapshotDiff
+            .ksDrift(reference, current, c.field)
+            .collect().head
+          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        case other => throw new IllegalArgumentException(
+          s"drift method must be psi or ks, got '$other'")
+      }
+      Row("distribution_drift", c.field, c.method, stat,
+        math.rint(c.max * 1e6) / 1e6, stat <= c.max)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "check STRING, field STRING, method STRING, stat_r6 DOUBLE, " +
+          "max_r6 DOUBLE, passed BOOLEAN"))
+  }
+}

@@ -220,6 +220,51 @@ class ContractsSpec extends SparkSpec {
     assert(printed.contains("mean_shift_r4"), printed)
   }
 
+  test("drift checks: parse, validate against a reference snapshot, rounded-stat verdicts") {
+    import graft.contracts.{ContractParser, DistributionDriftCheck}
+    val c = ContractParser.parse(
+      """version: "1.0"
+        |name: d
+        |owner: o
+        |schema:
+        |  format: parquet
+        |  location: t
+        |  fields:
+        |    - name: k
+        |      type: string
+        |quality_checks:
+        |  drift:
+        |    - field: k
+        |      method: psi
+        |      max: 0.05
+        |    - field: v
+        |      method: ks
+        |      max: 0.3
+        |""".stripMargin)
+    assert(c.qualityChecks.get.drift == Seq(
+      DistributionDriftCheck("k", "psi", 0.05),
+      DistributionDriftCheck("v", "ks", 0.3)))
+    // a drift entry without max fails loudly at parse time
+    intercept[IllegalArgumentException](ContractParser.parse(
+      """version: "1.0"
+        |name: d
+        |owner: o
+        |schema: {format: parquet, location: t, fields: [{name: k, type: string}]}
+        |quality_checks:
+        |  drift:
+        |    - field: k
+        |""".stripMargin))
+    // reference: uniform k mix, v ~ 1..100; current: same k mix, v shifted +big
+    import spark.implicits._
+    val ref = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("k", "v")
+    val cur = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i + 1000.0)).toDF("k", "v")
+    val got = graft.validators.DriftContracts.check(cur, ref, c.qualityChecks.get.drift)
+      .collect().map(r => r.getAs[String]("field") ->
+        ((r.getAs[Double]("stat_r6"), r.getAs[Boolean]("passed")))).toMap
+    assert(got("k")._1 == 0.0 && got("k")._2, s"identical mix must pass: $got")
+    assert(got("v")._1 == 1.0 && !got("v")._2, s"disjoint supports: KS = 1, fails: $got")
+  }
+
   test("JSON is parsed too (YAML superset)") {
     val json = """{"version":"1","name":"n","owner":"o",
       "schema":{"format":"parquet","location":"l",
