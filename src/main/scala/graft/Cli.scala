@@ -24,6 +24,10 @@ import graft.validators.ContractValidator
   *                                         counts (with --id/--payload)
   *                                         + per-column numeric-profile
   *                                         drift of shared columns
+  *   drift <contract> <current> <reference> the contract's
+  *                                         quality_checks.drift gates
+  *                                         (psi / exact KS) vs a frozen
+  *                                         snapshot; exit 1 on failure
   */
 object Cli {
 
@@ -197,6 +201,38 @@ object Cli {
           graft.operators.Profile.suggestContract(df, name, owner)))
       } finally spark.stop()
 
+    case "drift" :: path :: currentPath :: referencePath :: rest =>
+      //   drift <contract.yml> <currentPath> <referencePath> [--json]
+      // Runs the contract's quality_checks.drift gates (psi / exact
+      // KS) between the current table and the frozen reference
+      // snapshot; exit 1 when any gate fails — the CI form of the
+      // cross-snapshot check.
+      val json = rest.contains("--json")
+      val c = ContractParser.parseFile(path)
+      val checks = c.qualityChecks.map(_.drift).getOrElse(Nil)
+      if (checks.isEmpty) {
+        System.err.println(s"contract '${c.name}' declares no quality_checks.drift gates")
+        sys.exit(1)
+      }
+      val (spark, owned) = SparkSession.getActiveSession match {
+        case Some(live) => (live, false)
+        case None => (session(), true)
+      }
+      val allPassed = try {
+        val cur = spark.read.parquet(currentPath)
+        val ref = spark.read.parquet(referencePath)
+        val rows = graft.validators.DriftContracts.check(cur, ref, checks).collect()
+        rows.foreach { r =>
+          val (f, m, s, mx, p) = (r.getString(1), r.getString(2),
+            r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+          if (json) println(
+            s"""{"field":"$f","method":"$m","stat":$s,"max":$mx,"passed":$p}""")
+          else println(f"$f%-20s$m%-6s$s%12.6f  max $mx%12.6f  ${if (p) "PASS" else "FAIL"}")
+        }
+        rows.forall(_.getBoolean(5))
+      } finally if (owned) spark.stop()
+      if (!allPassed) sys.exit(1)
+
     case "diff" :: pathA :: pathB :: rest =>
       //   --id <col>       content diff on this id column + --payload
       //   --payload <col>  payload column for the content fingerprint
@@ -260,7 +296,8 @@ object Cli {
           |  profile <dataPath>
           |  suggest <dataPath> <name> <owner>
           |  curate <contract.yml|.toml> [dataPath] [--text <col>] [--json]
-          |  diff <pathA> <pathB> [--id <col> --payload <col>] [--json]""".stripMargin)
+          |  diff <pathA> <pathB> [--id <col> --payload <col>] [--json]
+          |  drift <contract.yml|.toml> <currentPath> <referencePath> [--json]""".stripMargin)
       sys.exit(2)
   }
 

@@ -188,6 +188,7 @@ object Curation {
                     minChars: Int = 20,
                     splitRegex: String = "[.!?]+"): DataFrame = {
     require(minChars >= 1, "need minChars >= 1")
+    require(splitRegex.nonEmpty, "need a non-empty splitRegex")
     val sents = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(split(col(textCol), splitRegex)).as("__s"))

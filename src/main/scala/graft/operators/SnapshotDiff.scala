@@ -112,12 +112,22 @@ object SnapshotDiff {
     * integer bp shares, psi at r6. */
   def categoryDrift(v1: DataFrame, v2: DataFrame,
                     keyCol: String): DataFrame = {
+    def shares(df: DataFrame) =
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    categoryDriftFromCounts(shares(v1), shares(v2))
+  }
+
+  /** [[categoryDrift]] from PRE-AGGREGATED (key, cnt) frames — the
+    * incremental form: profile the frozen reference ONCE (a
+    * |categories|-row table), persist it, and every later gate joins
+    * against the profile instead of re-scanning the snapshot
+    * ([[graft.validators.DriftContracts.referenceProfile]]). Same
+    * arithmetic, bit-identical output. */
+  def categoryDriftFromCounts(countsA: DataFrame,
+                              countsB: DataFrame): DataFrame = {
     val eps = 1e-6
-    def shares(df: DataFrame, cnt: String) =
-      df.groupBy(col(keyCol).as("key"))
-        .agg(count(lit(1)).as(cnt))
-    val a = shares(v1, "cnt_a")
-    val b = shares(v2, "cnt_b")
+    val a = countsA.select(col("key"), col("cnt").as("cnt_a"))
+    val b = countsB.select(col("key"), col("cnt").as("cnt_b"))
     val joined = a.join(b, Seq("key"), "full_outer")
       .select(col("key"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
@@ -193,12 +203,22 @@ object SnapshotDiff {
     * One row out: (ks_r6, n_a, n_b, distinct_values). NULL and NaN
     * values are excluded on both sides. */
   def ksDrift(v1: DataFrame, v2: DataFrame, valueCol: String): DataFrame = {
-    def side(df: DataFrame, cnt: String, other: String) =
+    def side(df: DataFrame) =
       df.select(col(valueCol).cast("double").as("v"))
         .filter(col("v").isNotNull && !isnan(col("v")))
-        .groupBy("v").agg(count(lit(1)).as(cnt))
-        .withColumn(other, lit(0L))
-    val u = side(v1, "ca", "cb").unionByName(side(v2, "cb", "ca"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+    ksDriftFromCounts(side(v1), side(v2))
+  }
+
+  /** [[ksDrift]] from PRE-AGGREGATED (v, cnt) frames — the incremental
+    * form (the ECDF needs only the distinct-value counts, so a frozen
+    * reference's distribution persists as a |distinct-values|-row
+    * profile and later gates skip the snapshot re-scan). Same
+    * two-level-cumsum plan, bit-identical output. */
+  def ksDriftFromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
+    def side(df: DataFrame, cnt: String, other: String) =
+      df.select(col("v"), col("cnt").as(cnt)).withColumn(other, lit(0L))
+    val u = side(countsA, "ca", "cb").unionByName(side(countsB, "cb", "ca"))
       .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
     val parts = math.max(u.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt, 1)
@@ -233,7 +253,7 @@ object SnapshotDiff {
     // materialize before unpersist: one row, negligible
     val row = out.collect()
     ranged.unpersist()
-    val s = v1.sparkSession
+    val s = countsA.sparkSession
     s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
   }
 }

@@ -229,8 +229,11 @@ object TimeSeries {
     * Exact integer arithmetic end to end: counts and present-day
     * tallies are integers, and both ratios ship as
     * (a·b_days·10000) DIV (b·a_days) — cross-multiplied so no
-    * intermediate double appears. Scale: one map-side-combined rollup
-    * to (key, dow, day) — calendar-bounded — then keys × 7 rows. */
+    * intermediate double appears. The cross-product stays in long up
+    * to ~10¹¹ events per (key, dow) against a 10⁴-day history —
+    * beyond that, pre-aggregate per day first. Scale: one
+    * map-side-combined rollup to (key, dow, day) — calendar-bounded —
+    * then keys × 7 rows. */
   def seasonalityProfile(events: DataFrame, keyCol: String,
                          tsCol: String): DataFrame = {
     val days = events

@@ -30,20 +30,64 @@ import graft.contracts.DistributionDriftCheck
 object DriftContracts {
 
   def check(current: DataFrame, reference: DataFrame,
-            checks: Seq[DistributionDriftCheck]): DataFrame = {
+            checks: Seq[DistributionDriftCheck]): DataFrame =
+    checkAgainstProfile(current, referenceProfile(reference, checks), checks)
+
+  /** The frozen reference snapshot reduced to the ONE table the gates
+    * need: per psi field its category counts, per ks field its
+    * distinct-value counts — (field, v_str, v_num, cnt), bounded by
+    * categories + distinct values, never row volume. Profile once,
+    * persist anywhere (parquet, a catalog table), and every later
+    * [[checkAgainstProfile]] run skips the reference re-scan — the
+    * incremental-validation idiom at the drift gate. */
+  def referenceProfile(reference: DataFrame,
+                       checks: Seq[DistributionDriftCheck]): DataFrame = {
+    require(checks.nonEmpty, "no drift checks declared")
+    checks.map { c =>
+      c.method match {
+        case "psi" =>
+          reference.groupBy(col(c.field).cast("string").as("v_str"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(lit(c.field).as("field"), col("v_str"),
+              lit(null).cast("double").as("v_num"), col("cnt"))
+        case "ks" =>
+          reference.select(col(c.field).cast("double").as("v_num"))
+            .filter(col("v_num").isNotNull && !isnan(col("v_num")))
+            .groupBy("v_num").agg(count(lit(1)).as("cnt"))
+            .select(lit(c.field).as("field"),
+              lit(null).cast("string").as("v_str"), col("v_num"), col("cnt"))
+        case other => throw new IllegalArgumentException(
+          s"drift method must be psi or ks, got '$other'")
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[check]] against a saved [[referenceProfile]] — bit-identical
+    * verdicts (the spec pins it), without touching the reference
+    * snapshot again. */
+  def checkAgainstProfile(current: DataFrame, profile: DataFrame,
+                          checks: Seq[DistributionDriftCheck]): DataFrame = {
     require(checks.nonEmpty, "no drift checks declared")
     val spark = current.sparkSession
     val rows = checks.map { c =>
+      val ref = profile.filter(col("field") === c.field)
       val stat: Double = c.method match {
         case "psi" =>
+          val refCounts = ref.select(col("v_str").as("key"), col("cnt"))
+          val curCounts = current.groupBy(col(c.field).cast("string").as("key"))
+            .agg(count(lit(1)).as("cnt"))
           val per = graft.operators.SnapshotDiff
-            .categoryDrift(reference, current, c.field)
+            .categoryDriftFromCounts(refCounts, curCounts)
             .agg(round(sum("psi_r6"), 6).as("s"))
             .collect().head
           if (per.isNullAt(0)) 0.0 else per.getDouble(0)
         case "ks" =>
+          val refCounts = ref.select(col("v_num").as("v"), col("cnt"))
+          val curCounts = current.select(col(c.field).cast("double").as("v"))
+            .filter(col("v").isNotNull && !isnan(col("v")))
+            .groupBy("v").agg(count(lit(1)).as("cnt"))
           val r = graft.operators.SnapshotDiff
-            .ksDrift(reference, current, c.field)
+            .ksDriftFromCounts(refCounts, curCounts)
             .collect().head
           if (r.isNullAt(0)) 0.0 else r.getDouble(0)
         case other => throw new IllegalArgumentException(

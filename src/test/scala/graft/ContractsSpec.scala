@@ -220,6 +220,35 @@ class ContractsSpec extends SparkSpec {
     assert(printed.contains("mean_shift_r4"), printed)
   }
 
+  test("CLI drift verb: contract gates vs a frozen snapshot, JSON verdict lines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_drift")
+    val cur = s"$dir/cur"; val ref = s"$dir/ref"
+    val rows = (1 to 50).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble))
+    rows.toDF("k", "v").write.parquet(cur)
+    rows.toDF("k", "v").write.parquet(ref) // identical → every gate passes
+    val contract = s"$dir/c.yml"
+    java.nio.file.Files.writeString(java.nio.file.Path.of(contract),
+      """version: "1.0"
+        |name: d
+        |owner: o
+        |schema: {format: parquet, location: t, fields: [{name: k, type: string}]}
+        |quality_checks:
+        |  drift:
+        |    - {field: k, method: psi, max: 0.05}
+        |    - {field: v, method: ks, max: 0.05}
+        |""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.main(Array("drift", contract, cur, ref, "--json"))
+    }
+    assert(!spark.sparkContext.isStopped)
+    val printed = out.toString("UTF-8")
+    assert(printed.contains(""""field":"k","method":"psi","stat":0.0"""), printed)
+    assert(printed.contains(""""field":"v","method":"ks","stat":0.0"""), printed)
+    assert(!printed.contains("false"), printed)
+  }
+
   test("drift checks: parse, validate against a reference snapshot, rounded-stat verdicts") {
     import graft.contracts.{ContractParser, DistributionDriftCheck}
     val c = ContractParser.parse(
@@ -258,11 +287,20 @@ class ContractsSpec extends SparkSpec {
     import spark.implicits._
     val ref = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("k", "v")
     val cur = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i + 1000.0)).toDF("k", "v")
-    val got = graft.validators.DriftContracts.check(cur, ref, c.qualityChecks.get.drift)
-      .collect().map(r => r.getAs[String]("field") ->
+    val direct = graft.validators.DriftContracts
+      .check(cur, ref, c.qualityChecks.get.drift).collect()
+    val got = direct.map(r => r.getAs[String]("field") ->
         ((r.getAs[Double]("stat_r6"), r.getAs[Boolean]("passed")))).toMap
     assert(got("k")._1 == 0.0 && got("k")._2, s"identical mix must pass: $got")
     assert(got("v")._1 == 1.0 && !got("v")._2, s"disjoint supports: KS = 1, fails: $got")
+    // the saved-profile path gives bit-identical verdicts — profile a
+    // frozen reference once, gate forever without re-scanning it
+    val prof = graft.validators.DriftContracts
+      .referenceProfile(ref, c.qualityChecks.get.drift)
+    assert(prof.count() == 2 + 100) // 2 categories + 100 distinct v
+    val viaProfile = graft.validators.DriftContracts
+      .checkAgainstProfile(cur, prof, c.qualityChecks.get.drift).collect()
+    assert(viaProfile.toSeq == direct.toSeq)
   }
 
   test("JSON is parsed too (YAML superset)") {
