@@ -1180,10 +1180,15 @@ object PipelineQueries {
   // oracle re-counts each regex with DuckDB's RE2 — the patterns live
   // in TextAnalysis.piiPatterns, shared verbatim by both sides, and are
   // kept to the class-portable regex subset (no backrefs/lookaround).
+  // NEGATIVE ids: testdata ids are non-negative at every scale factor
+  // (tools/scaleup.py shifts by positive offsets), so planted fixtures
+  // can never collide with a real doc_id — a collision breaks any
+  // oracle that joins its feature CTEs on doc_id (bit us at 10×: ids
+  // 9000–9002 exist in the scaled corpus).
   private val PiiFixtures: Seq[(Long, String, String)] = Seq(
-    (9000L, "contact alice.smith+test@example.co.uk or bob@corp.io today", "fixture"),
-    (9001L, "call +4915123456789 or 555-123-4567 from 10.0.0.1 card 4111111111111111", "fixture"),
-    (9002L, "leaked ssn 123-45-6789 in the dump", "fixture"))
+    (-9000L, "contact alice.smith+test@example.co.uk or bob@corp.io today", "fixture"),
+    (-9001L, "call +4915123456789 or 555-123-4567 from 10.0.0.1 card 4111111111111111", "fixture"),
+    (-9002L, "leaked ssn 123-45-6789 in the dump", "fixture"))
 
   val qTextPii = QueryDef("q_text_pii",
     (s, dir) => {
