@@ -68,6 +68,18 @@ object ContractInit {
         }
       }
     }
+    // suggested snapshot-drift gates survive the YAML round-trip (the
+    // only quality_checks block suggest/init emits; hand-authored
+    // contracts carry the rest)
+    c.qualityChecks.map(_.drift).filter(_.nonEmpty).foreach { gates =>
+      line("quality_checks:")
+      line("  drift:")
+      gates.foreach { g =>
+        line(s"    - field: ${g.field}")
+        line(s"      method: ${g.method}")
+        line(s"      max: ${g.max}")
+      }
+    }
     sb.toString
   }
 

@@ -838,16 +838,32 @@ object Profile {
       c -> df.select(col(c)).distinct().orderBy(col(c))
         .collect().map(_.getString(0)).toSeq
     }.toMap
-    base.copy(schema = base.schema.copy(fields = base.schema.fields.map { f =>
-      val noNulls =
-        nums.get(f.name).map(_.getAs[Long]("nulls") == 0)
-          .orElse(strs.get(f.name).map(_.getAs[Long]("nulls") == 0))
-      val constraints =
-        exactBounds.get(f.name).map { case (mn, mx) =>
-          Seq(Constraint.Range(mn, mx))
-        }.getOrElse(Nil) ++
-          lowCardValues.get(f.name).map(vs => Constraint.AllowedValues(vs)).toSeq
-      f.copy(nullable = !noNulls.getOrElse(false), constraints = constraints)
-    }))
+    // suggested drift gates close the loop: profile today's snapshot,
+    // store the contract, and every FUTURE snapshot is gated against a
+    // frozen reference ([[graft.validators.DriftContracts]]) — psi for
+    // the low-cardinality categoricals the allowed-values suggestion
+    // already identified (0.1 ≈ the industry "investigate" line), exact
+    // KS for the numerics (0.2 rejects a wholesale distribution swap
+    // while tolerating day-to-day noise at these scales)
+    val driftGates =
+      lowCard.toSeq.sorted.map(c =>
+        DistributionDriftCheck(c, method = "psi", max = 0.1)) ++
+      numericCols.filter(exactBounds.contains).map(c =>
+        DistributionDriftCheck(c, method = "ks", max = 0.2))
+    base.copy(
+      schema = base.schema.copy(fields = base.schema.fields.map { f =>
+        val noNulls =
+          nums.get(f.name).map(_.getAs[Long]("nulls") == 0)
+            .orElse(strs.get(f.name).map(_.getAs[Long]("nulls") == 0))
+        val constraints =
+          exactBounds.get(f.name).map { case (mn, mx) =>
+            Seq(Constraint.Range(mn, mx))
+          }.getOrElse(Nil) ++
+            lowCardValues.get(f.name).map(vs => Constraint.AllowedValues(vs)).toSeq
+        f.copy(nullable = !noNulls.getOrElse(false), constraints = constraints)
+      }),
+      qualityChecks = if (driftGates.isEmpty) base.qualityChecks
+        else Some(base.qualityChecks.getOrElse(QualityChecks())
+          .copy(drift = driftGates)))
   }
 }

@@ -107,9 +107,19 @@ class ProfileSpec extends SparkSpec {
       case Constraint.Range(min, max) => min > 0 && max > min
       case _ => false
     })
-    // and the suggestion round-trips through YAML + lints clean
+    // drift gates suggested: psi for the low-card categoricals the
+    // allowed-values suggestion found, exact KS for the numerics
+    val gates = c.qualityChecks.get.drift
+    assert(gates.exists(g => g.field == "o_orderstatus" && g.method == "psi"))
+    assert(gates.exists(g => g.field == "o_totalprice" && g.method == "ks"))
+    // the suggested gates PASS against the data they were profiled from
+    val verdicts = graft.validators.DriftContracts.check(df, df, gates).collect()
+    assert(verdicts.forall(_.getAs[Boolean]("passed")), verdicts.mkString(";"))
+    // and the suggestion round-trips through YAML + lints clean,
+    // drift gates included
     val parsed = graft.contracts.ContractParser.parse(graft.contracts.ContractInit.toYaml(c))
     assert(graft.validators.DefinitionLint.lint(parsed).isEmpty)
+    assert(parsed.qualityChecks.get.drift == gates)
   }
 
   test("suggested range constraints never fail on the profiled data") {

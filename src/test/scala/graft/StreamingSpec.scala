@@ -48,6 +48,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("drift gates run per micro-batch against a saved reference profile (foreachBatch)") {
+    import graft.contracts.DistributionDriftCheck
+    import graft.validators.DriftContracts
+    implicit val sc = spark.sqlContext
+    // freeze the reference profile ONCE (the incremental form — no
+    // reference re-scan inside the stream)
+    val ref = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("k", "v")
+    val checks = Seq(DistributionDriftCheck("k", "psi", 0.05),
+      DistributionDriftCheck("v", "ks", 0.3))
+    val profile = DriftContracts.referenceProfile(ref, checks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    profile.count()
+
+    val mem = MemoryStream[(String, Double)]
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean)]
+    val query = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          DriftContracts.checkAgainstProfile(batch, profile, checks)
+            .collect().foreach(r => verdicts.synchronized {
+              verdicts += ((id, r.getAs[String]("field"), r.getAs[Boolean]("passed"))); ()
+            })
+        ()
+      }
+      .start()
+    try {
+      // batch 0: drawn from the reference distribution → every gate passes
+      mem.addData((1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)): _*)
+      query.processAllAvailable()
+      // batch 1: category mix collapsed to one value AND values shifted
+      mem.addData((1 to 100).map(i => ("a", i + 1000.0)): _*)
+      query.processAllAvailable()
+      val byBatch = verdicts.toSeq.groupBy(_._1)
+      assert(byBatch(0L).forall(_._3), s"in-distribution batch must pass: $byBatch")
+      assert(byBatch(1L).forall(!_._3), s"drifted batch must fail both gates: $byBatch")
+    } finally { query.stop(); profile.unpersist(); () }
+  }
+
   test("same metrics work on a batch frame (backfill path)") {
     val df = Seq(
       (1L, "ok", "2024-01-01 10:01:00"), (2L, "nope", "2024-01-01 10:02:00"))
