@@ -293,6 +293,110 @@ object TimeSeries {
         last(col("__v"), ignoreNulls = true).over(w).as("value"))
   }
 
+  /** Per-key OLS volume trend over the DENSE daily series: slope in
+    * events/day, intercept, and r² — the one-number "is this source
+    * growing or dying" answer next to [[rollingTrend]]'s smoothed line
+    * (a reader can eyeball the line; a threshold alert needs the
+    * slope). Absent days count 0 (a dying source's silence IS the
+    * signal — fitting only present days would hide it). All five
+    * regression sums are exact integers (x = 0-based day index, y =
+    * counts), so slope/intercept/r² are single deterministic double
+    * expressions any engine replays; zero-variance sides yield NULL
+    * (never NaN).
+    *
+    * Scale: the [[autocorrelation]] shape — map-side rollup to keys ×
+    * calendar, span-bounded dense explode, one map-side-combined
+    * aggregate per key. Integer sums stay exact in long for series up
+    * to ~10⁵ days of ~10⁹ events/day. */
+  def volumeTrend(events: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame = {
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).cast(LongType).as("__c"))
+    val cal = counts.groupBy("key")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(col("key"), col("__lo"), explode(expr(
+        "sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    cal.join(counts, Seq("key", "__d"), "left")
+      .select(col("key"), datediff(col("__d"), col("__lo")).cast(LongType).as("x"),
+        coalesce(col("__c"), lit(0L)).as("y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("__n"), sum("x").as("__sx"), sum("y").as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"))
+      .withColumn("__vx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("__cov", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .select(col("key"), col("__n").cast(LongType).as("days"),
+        when(col("__vx") > 0,
+          round(col("__cov").cast("double") / col("__vx"), 6)).as("slope_r6"),
+        when(col("__vx") > 0,
+          round((col("__sy") - col("__cov").cast("double") / col("__vx") * col("__sx"))
+            / col("__n"), 4)).as("intercept_r4"),
+        when(col("__vx") > 0 && col("__vy") > 0,
+          round(col("__cov").cast("double") * col("__cov") /
+            (col("__vx").cast("double") * col("__vy")), 4)).as("r2_r4"))
+  }
+
+  /** Single change-point detection per key (binary segmentation, one
+    * split) over the DENSE daily count series: the split day that
+    * maximizes the between-segment variance-reduction
+    * gain(t) = S₁²/n₁ + S₂²/n₂ − S²/n — the "WHEN did this source
+    * break/double/die" answer [[madAnomalies]] can't give (MAD flags
+    * individual outlier days; a level SHIFT makes half the series
+    * 'outliers' and the flag useless). Exactly the CUSUM/least-squares
+    * single-split estimator; ties go to the EARLIEST day. Output per
+    * key (series of ≥ 2 days): split_day (first day of the AFTER
+    * segment), both segment means, and the gain.
+    *
+    * Prefix sums ride one per-key ordered window over the
+    * span-bounded dense series; every candidate split is one row of
+    * closed-form double arithmetic over exact integer sums
+    * (deterministic, engine-replayable), and the argmax is a
+    * max(struct) — never a second pass. */
+  def changePoint(events: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame = {
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).cast(LongType).as("__c"))
+    val cal = counts.groupBy("key")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(col("key"), explode(expr(
+        "sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    val dense = cal.join(counts, Seq("key", "__d"), "left")
+      .select(col("key"), col("__d"), coalesce(col("__c"), lit(0L)).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__d"))
+    val cum = dense
+      .withColumn("__i", row_number().over(w).cast(LongType))
+      .withColumn("__s1", sum(col("y")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val totals = dense.groupBy("key")
+      .agg(count(lit(1)).as("__n"), sum("y").as("__s"))
+    cum.join(totals, "key")
+      .filter(col("__i") < col("__n")) // split AFTER row i: both sides non-empty
+      .withColumn("__gain",
+        col("__s1").cast("double") * col("__s1") / col("__i") +
+          (col("__s") - col("__s1")).cast("double") * (col("__s") - col("__s1")) /
+            (col("__n") - col("__i")) -
+          col("__s").cast("double") * col("__s") / col("__n"))
+      .groupBy("key")
+      .agg(max(struct(col("__gain"), (-col("__i")).as("__ni"),
+        date_format(date_add(col("__d"), 1), "yyyy-MM-dd").as("__day"),
+        round(col("__s1").cast("double") / col("__i"), 4).as("__mb"),
+        round((col("__s") - col("__s1")).cast("double") / (col("__n") - col("__i")), 4)
+          .as("__ma"))).as("__best"),
+        max("__n").cast(LongType).as("n_days"))
+      .select(col("key"), col("n_days"),
+        col("__best.__day").as("split_day"),
+        col("__best.__mb").as("mean_before_r4"),
+        col("__best.__ma").as("mean_after_r4"),
+        round(col("__best.__gain"), 4).as("gain_r4"))
+  }
+
   /** Lag-k autocorrelation of each key's DAILY event-count series —
     * the seasonality detector next to [[rollingTrend]]'s smoothing and
     * [[madAnomalies]]'s outliers (acf(7) ≈ 1 says "weekly-periodic

@@ -4978,6 +4978,72 @@ object PipelineQueries {
       SELECT 'distribution_drift', 'source', 'psi', psi.s, 0.1, (psi.s <= 0.1) FROM psi
       ORDER BY field"""))
 
+  // 176. per-type OLS volume trend over the dense daily series — exact
+  // integer regression sums, closed-form slope/intercept/r².
+  val qVolumeTrend = QueryDef("q_volume_trend",
+    (s, dir) => {
+      graft.operators.TimeSeries.volumeTrend(
+          table(s, dir, "events"), "event_type", "ts")
+        .orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) d,
+                        count(*) cnt
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT "key", min(d) lo, max(d) hi FROM c GROUP BY 1),
+      cal AS (SELECT key, lo, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) d
+              FROM span),
+      dense AS (SELECT cal.key, date_diff('day', cal.lo, cal.d) x, coalesce(cnt, 0) y
+                FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      a AS (SELECT key, count(*) n, sum(x) sx, sum(y) sy, sum(x*y) sxy,
+                   sum(x*x) sxx, sum(y*y) syy
+            FROM dense GROUP BY 1)
+      SELECT key, CAST(n AS BIGINT) AS days,
+        CASE WHEN n*sxx - sx*sx > 0
+             THEN round(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 6) END AS slope_r6,
+        CASE WHEN n*sxx - sx*sx > 0
+             THEN round((sy - CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) * sx) / n, 4) END AS intercept_r4,
+        CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             THEN round(CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy) /
+                        (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)), 4) END AS r2_r4
+      FROM a ORDER BY key"""))
+
+  // 177. single change-point per user: the least-squares split of the
+  // dense daily series, ties to the earliest day — closed-form doubles
+  // over exact integer prefix sums, argmax replayed by rank.
+  val qChangePoint = QueryDef("q_change_point",
+    (s, dir) => {
+      graft.operators.TimeSeries.changePoint(
+          table(s, dir, "events"), "user_id", "ts")
+        .orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) d,
+                        count(*) cnt
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT "key", min(d) lo, max(d) hi FROM c GROUP BY 1),
+      cal AS (SELECT key, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) d
+              FROM span),
+      dense AS (SELECT cal.key, cal.d, coalesce(cnt, 0) y
+                FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      cum AS (SELECT key, d, y,
+                row_number() OVER (PARTITION BY key ORDER BY d) i,
+                sum(y) OVER (PARTITION BY key ORDER BY d ROWS UNBOUNDED PRECEDING) s1
+              FROM dense),
+      t AS (SELECT key, count(*) n, sum(y) s FROM dense GROUP BY 1),
+      g AS (SELECT cum.key, i, d, s1, n, s,
+              CAST(s1 AS DOUBLE)*s1/i + CAST(s - s1 AS DOUBLE)*(s - s1)/(n - i)
+                - CAST(s AS DOUBLE)*s/n AS gain
+            FROM cum JOIN t USING (key) WHERE i < n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY gain DESC, i ASC) rk
+            FROM g)
+      SELECT key, CAST(n AS BIGINT) AS n_days,
+             strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS split_day,
+             round(CAST(s1 AS DOUBLE)/i, 4) AS mean_before_r4,
+             round(CAST(s - s1 AS DOUBLE)/(n - i), 4) AS mean_after_r4,
+             round(gain, 4) AS gain_r4
+      FROM r WHERE rk = 1 ORDER BY key"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5012,5 +5078,6 @@ object PipelineQueries {
     qSharedPrefixes, qSeasonalAnomaly, qEss,
     qStarJoin, qScoreChain, qEmbedOutliers, qDomainLeakage,
     qCardRollup, qKnnAgreement, qSqlApiUrl, qContractDrift,
+    qVolumeTrend, qChangePoint,
   )
 }

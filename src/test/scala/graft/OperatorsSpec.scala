@@ -411,6 +411,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((100L, 65.0, 5384L)))
   }
 
+  test("volumeTrend: exact OLS on the dense series, gap days count zero") {
+    // key g: days 0,1,2,4 present with counts 1,3,5,9; day 3 absent → 0.
+    // y = [1,3,5,0,9], x = 0..4: n=5 Σx=10 Σy=18 Σxy=49 Σx²=30
+    val rows = Seq((0, 1L), (1, 3L), (2, 5L), (4, 9L)).flatMap { case (d, n) =>
+      (0L until n).map(i => (new java.sql.Timestamp(86400000L * d + i), "g"))
+    }
+    val got = graft.operators.TimeSeries
+      .volumeTrend(rows.toDF("ts", "event_type"), "event_type", "ts")
+      .collect().head
+    assert(got.getAs[Long]("days") == 5L)
+    // slope = (5·49 − 10·18)/(5·30 − 100) = 65/50 = 1.3
+    assert(got.getAs[Double]("slope_r6") == 1.3)
+    // intercept = (18 − 1.3·10)/5 = 1.0
+    assert(got.getAs[Double]("intercept_r4") == 1.0)
+    assert(got.getAs[Double]("r2_r4") > 0 && got.getAs[Double]("r2_r4") <= 1.0)
+    // constant single-day series: zero x-variance → NULLs, never NaN
+    val one = (0L until 5L).map(i => (new java.sql.Timestamp(i), "h"))
+    val r1 = graft.operators.TimeSeries
+      .volumeTrend(one.toDF("ts", "event_type"), "event_type", "ts").collect().head
+    assert(r1.isNullAt(2) && r1.isNullAt(3) && r1.isNullAt(4))
+  }
+
+  test("changePoint: finds the level shift at the right day, ties earliest") {
+    // key g: 5 days at 10/day then 5 days at 100/day → split after day 4
+    val rows = (0 until 10).flatMap { d =>
+      val n = if (d < 5) 10L else 100L
+      (0L until n).map(i => (new java.sql.Timestamp(86400000L * d + i), "g"))
+    }
+    val got = graft.operators.TimeSeries
+      .changePoint(rows.toDF("ts", "event_type"), "event_type", "ts")
+      .collect().head
+    assert(got.getAs[Long]("n_days") == 10L)
+    assert(got.getAs[String]("split_day") == "1970-01-06") // first AFTER day
+    assert(got.getAs[Double]("mean_before_r4") == 10.0)
+    assert(got.getAs[Double]("mean_after_r4") == 100.0)
+    assert(got.getAs[Double]("gain_r4") > 0)
+  }
+
   test("ewmaTrend: half-decay Horner weights, adjusted normalization, exact dev_bp") {
     // one key, days 0..2 with counts 10, 20, 40; window=10
     val rows = Seq((0, 10L), (1, 20L), (2, 40L)).flatMap { case (d, n) =>
