@@ -228,6 +228,70 @@ object Profile {
       .select(col("group"), col("r.q_bp"), col("r.value"))
   }
 
+  /** Exact WEIGHTED disc quantiles: the smallest value whose cumulative
+    * weight reaches ⌈q·W⌉ — what "median document length" means on an
+    * importance-WEIGHTED corpus (DSIR weights, mixture multiplicities,
+    * repeat counts), where the unweighted [[exactQuantiles]] answers a
+    * different question. Weights quantize to floor(w·scale) integers
+    * first (exact, order-independent sums — the
+    * [[effectiveSampleSize]] discipline); non-positive/NULL weights
+    * are excluded. Rank arithmetic mirrors [[groupQuantiles]]:
+    * rank = (q·W + 9999) DIV 10000, value = min v with cumW ≥ rank —
+    * so at all-equal weights the answers COINCIDE with the unweighted
+    * disc quantiles (spec-pinned).
+    *
+    * Plan: one map-side-combined (value → total weight) rollup, then
+    * the ksDrift two-level global cumsum — range-repartition on the
+    * value, per-partition running sums, a #partitions-row offset pass
+    * (persist-before-fork for the non-reproducible range exchange) —
+    * never a single-task global window; one row per requested
+    * quantile. */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+                        qsBp: Seq[Int], scale: Long = 10000L): DataFrame = {
+    require(qsBp.nonEmpty, "need at least one quantile")
+    require(qsBp.forall(q => q >= 0 && q <= 10000),
+      s"quantiles are basis points in [0, 10000], got $qsBp")
+    require(qsBp.distinct.size == qsBp.size, s"duplicate quantiles: $qsBp")
+    require(scale >= 1, "scale must be >= 1")
+    val wq = floor(col(weightCol).cast(DoubleType) * scale).cast(LongType)
+    val counts = df
+      .select(col(valueCol).cast(DoubleType).as("__v"), wq.as("__w"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) && col("__w") > 0)
+      .groupBy("__v").agg(sum("__w").as("__c"))
+    val parts = math.max(counts.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val ranged = counts.repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rc", sum(col("__c")).over(within))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // force before the offset/total forks read it
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum(col("__c")).as("__pc"))
+      .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast("long"))
+      .select("__pid", "__off")
+    val total = ranged.agg(sum(col("__c")).as("__W"))
+    val cum = ranged.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", col("__rc") + col("__off"))
+    val aggs = qsBp.map { q =>
+      val rank = greatest(lit(1L), expr(s"($q * __W + 9999) DIV 10000"))
+      min(when(col("__cum") >= rank, col("__v"))).as(s"__q_$q")
+    }
+    val one = cum.agg(aggs.head, aggs.tail: _*)
+    val rows = qsBp.map(q => struct(
+      lit(q.toLong).as("q_bp"), col(s"__q_$q").as("value")))
+    val out = one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.q_bp"), col("r.value")).collect()
+    ranged.unpersist()
+    val s = df.sparkSession
+    s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType.fromDDL("q_bp BIGINT, value DOUBLE"))
+  }
+
   /** Winsorization report: clip a numeric column at the [loBp, hiBp]
     * [[exactQuantiles]] percentiles and report what clipping did —
     * (column, lo, hi, n_lo, n_hi, total) with `lo`/`hi` the literal

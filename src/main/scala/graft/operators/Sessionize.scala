@@ -80,6 +80,51 @@ object Sessionize {
       .limit(topK)
   }
 
+  /** Two-variant A/B conversion report with the two-proportion z-test:
+    * users split 50/50 by the portable md5 bucket of their id (same
+    * deterministic assignment as every split on the board), a user
+    * CONVERTS when they have ≥ 1 `convertType` event, and the one-row
+    * report carries both arms' exact counts, rates in bp, and the
+    * pooled two-proportion z statistic (p_a − p_b)/√(p̂(1−p̂)(1/n_a +
+    * 1/n_b)) at r4 — |z| > 1.96 is the usual 5% line. The
+    * experimentation readout next to [[eventFunnel]]'s single-arm
+    * counts; every input to the double expression is an exact integer,
+    * so any engine replays the same z. NULL z when a side is empty or
+    * the pooled rate is degenerate (0 or 1) — never NaN.
+    *
+    * One map-side user rollup (user, variant, converted) + one 2-row
+    * aggregate + a broadcast combine. */
+  def abTestReport(events: DataFrame, userCol: String, typeCol: String,
+                   convertType: String, seed: Int = 42): DataFrame = {
+    val users = Sampling.portableSplit(
+        events.select(col(userCol).as("__u"), col(typeCol).as("__t")),
+        "__u", Seq("a" -> 0.5, "b" -> 0.5), seed)
+      .groupBy("__u", "split")
+      .agg(max(when(col("__t") === convertType, 1L).otherwise(0L)).as("__conv"))
+    val arms = users.groupBy("split")
+      .agg(count(lit(1)).as("n"), sum("__conv").as("conv"))
+    val a = arms.filter(col("split") === "a")
+      .select(col("n").as("users_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("split") === "b")
+      .select(col("n").as("users_b"), col("conv").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("rate_a_bp", expr("conv_a * 10000 DIV users_a").cast("long"))
+      .withColumn("rate_b_bp", expr("conv_b * 10000 DIV users_b").cast("long"))
+      .withColumn("__p", (col("conv_a") + col("conv_b")).cast("double") /
+        (col("users_a") + col("users_b")))
+      .withColumn("z_r4",
+        when(col("__p") > 0 && col("__p") < 1,
+          round((col("conv_a").cast("double") / col("users_a") -
+            col("conv_b").cast("double") / col("users_b")) /
+            sqrt(col("__p") * (lit(1.0) - col("__p")) *
+              (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))), 4)))
+      .select(col("users_a").cast("long").as("users_a"),
+        col("conv_a").cast("long").as("conv_a"),
+        col("users_b").cast("long").as("users_b"),
+        col("conv_b").cast("long").as("conv_b"),
+        col("rate_a_bp"), col("rate_b_bp"), col("z_r4"))
+  }
+
   /** Per-user conversion latency: the time from each user's FIRST
     * `fromType` event to their first `toType` event at-or-after it —
     * the latency DISTRIBUTION behind [[eventFunnel]]'s step counts

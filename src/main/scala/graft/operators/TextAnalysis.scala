@@ -527,6 +527,29 @@ object TextAnalysis {
       .select("doc_id", "word", "tf", "df", "tfidf")
   }
 
+  /** Per-doc top-k keyword extraction: each document's `k` highest
+    * [[tfidf]] terms with rank — the doc-tagging/labeling pass (search
+    * facets, topic labels for a mixture designer, dedup-cluster
+    * naming) that raw corpus-level tf-idf rows don't give you. Rank
+    * orders on the UNROUNDED tf-idf (deterministic — exact integer
+    * tf/df/N through one double expression), ties by the
+    * lexicographically smaller word; output carries tfidf at r4.
+    *
+    * Plan: the [[tfidf]] frame + one per-doc rank window
+    * (WindowGroupLimit prunes to k rows per doc map-side — the
+    * heavy-hitters idiom). */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word").asc)
+    tfidf(df, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("word"), col("tf"), round(col("tfidf"), 4).as("tfidf_r4"))
+  }
+
   /** Okapi BM25 relevance score of every document against a fixed
     * query-term set (Robertson/Zaragoza 2009; Lucene's idf variant
     * `ln(1 + (N-df+0.5)/(df+0.5))`, always positive) — the retrieval

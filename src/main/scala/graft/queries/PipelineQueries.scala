@@ -5044,6 +5044,82 @@ object PipelineQueries {
              round(gain, 4) AS gain_r4
       FROM r WHERE rk = 1 ORDER BY key"""))
 
+  // 178. per-doc top-3 tf-idf keywords: rank on the unrounded weight,
+  // ties to the lexicographically smaller word.
+  val qTopTerms = QueryDef("q_top_terms",
+    (s, dir) => {
+      graft.operators.TextAnalysis.topTerms(
+          table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      terms AS (SELECT doc_id, unnest(string_split(text, ' ')) word FROM d),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM terms GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) n FROM d),
+      sc AS (SELECT doc_id, word, tf, tf * ln(n * 1.0 / df) AS s,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tf * ln(n * 1.0 / df) DESC, word ASC) AS rank
+             FROM tf JOIN df USING (word) CROSS JOIN n)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf,
+             round(s, 4) AS tfidf_r4
+      FROM sc WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  // 179. A/B conversion readout: 50/50 portable split, purchase
+  // conversion per arm, pooled two-proportion z at r4 — every input an
+  // exact integer.
+  val qAbTest = QueryDef("q_ab_test",
+    (s, dir) => {
+      graft.operators.Sessionize.abTestReport(
+        table(s, dir, "events"), "user_id", "event_type", "purchase")
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                        THEN 'a' ELSE 'b' END AS v,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY 1, 2),
+      arms AS (SELECT v, count(*) n, sum(conv) c FROM u GROUP BY 1),
+      a AS (SELECT n AS na, c AS ca FROM arms WHERE v = 'a'),
+      b AS (SELECT n AS nb, c AS cb FROM arms WHERE v = 'b')
+      SELECT CAST(na AS BIGINT) AS users_a, CAST(ca AS BIGINT) AS conv_a,
+             CAST(nb AS BIGINT) AS users_b, CAST(cb AS BIGINT) AS conv_b,
+             CAST(ca * 10000 // na AS BIGINT) AS rate_a_bp,
+             CAST(cb * 10000 // nb AS BIGINT) AS rate_b_bp,
+             CASE WHEN (ca + cb) > 0 AND (ca + cb) < (na + nb) THEN
+               round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) /
+                     sqrt((CAST(ca + cb AS DOUBLE)/(na + nb))
+                          * (1 - CAST(ca + cb AS DOUBLE)/(na + nb))
+                          * (1.0/na + 1.0/nb)), 4) END AS z_r4
+      FROM a, b"""))
+
+  // 180. exact weighted disc quantiles: quantity-weighted price
+  // percentiles via the two-level cumsum — rank (q·W + 9999) DIV 10⁴.
+  val qWeightedQuantiles = QueryDef("q_weighted_quantiles",
+    (s, dir) => {
+      graft.operators.Profile.weightedQuantiles(
+          table(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
+          Seq(2500, 5000, 7500, 9900))
+        .orderBy("q_bp")
+    },
+    Some("""
+      WITH raw AS (SELECT CAST(l_extendedprice AS DOUBLE) v,
+                          CAST(floor(l_quantity * 10000) AS BIGINT) wq
+                   FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      c AS (SELECT v, sum(wq) c FROM raw WHERE wq > 0 GROUP BY 1),
+      r AS (SELECT v, sum(c) OVER (ORDER BY v) cum, sum(c) OVER () W FROM c)
+      SELECT q_bp, "value" FROM (
+        SELECT CAST(2500 AS BIGINT) q_bp,
+               min(CASE WHEN cum >= greatest(1, (2500 * W + 9999) // 10000) THEN v END) AS "value" FROM r
+        UNION ALL SELECT 5000,
+               min(CASE WHEN cum >= greatest(1, (5000 * W + 9999) // 10000) THEN v END) FROM r
+        UNION ALL SELECT 7500,
+               min(CASE WHEN cum >= greatest(1, (7500 * W + 9999) // 10000) THEN v END) FROM r
+        UNION ALL SELECT 9900,
+               min(CASE WHEN cum >= greatest(1, (9900 * W + 9999) // 10000) THEN v END) FROM r)
+      ORDER BY q_bp"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5078,6 +5154,6 @@ object PipelineQueries {
     qSharedPrefixes, qSeasonalAnomaly, qEss,
     qStarJoin, qScoreChain, qEmbedOutliers, qDomainLeakage,
     qCardRollup, qKnnAgreement, qSqlApiUrl, qContractDrift,
-    qVolumeTrend, qChangePoint,
+    qVolumeTrend, qChangePoint, qTopTerms, qAbTest, qWeightedQuantiles,
   )
 }

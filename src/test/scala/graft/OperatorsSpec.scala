@@ -365,6 +365,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got("b")._1 == 3L && got("b")._2 < 3L, s"got $got")
   }
 
+  test("topTerms: doc-distinctive words rank first, ties lexicographic") {
+    val corpus = Seq(
+      (1L, "shared shared zebra zebra zebra"),
+      (2L, "shared shared apple"),
+      (3L, "shared banana banana"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(corpus, "doc_id", "text", k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("word")).toMap
+    // 'shared' is in every doc → idf ln(1) = 0; the doc-unique word wins
+    assert(got == Map(1L -> "zebra", 2L -> "apple", 3L -> "banana"))
+  }
+
+  test("abTestReport: exact counts per arm, degenerate rates give NULL z") {
+    import graft.operators.Sessionize
+    def ev(u: Long, t: String) = (u, new java.sql.Timestamp(u), t)
+    // every user converts → pooled rate 1 → z NULL (never NaN)
+    val all = (1L to 20L).map(ev(_, "purchase")).toDF("user_id", "ts", "event_type")
+    val r1 = Sessionize.abTestReport(all, "user_id", "event_type", "purchase")
+      .collect().head
+    assert(r1.getAs[Long]("users_a") + r1.getAs[Long]("users_b") == 20L)
+    assert(r1.getAs[Long]("conv_a") == r1.getAs[Long]("users_a"))
+    assert(r1.isNullAt(r1.fieldIndex("z_r4")))
+    // mixed conversions: z matches the hand formula on the returned counts
+    val mixed = ((1L to 20L).map(ev(_, "view")) ++
+      (1L to 20L).filter(_ % 3 == 0).map(ev(_, "purchase")))
+      .toDF("user_id", "ts", "event_type")
+    val r2 = Sessionize.abTestReport(mixed, "user_id", "event_type", "purchase")
+      .collect().head
+    val (na, ca, nb, cb) = (r2.getAs[Long]("users_a"), r2.getAs[Long]("conv_a"),
+      r2.getAs[Long]("users_b"), r2.getAs[Long]("conv_b"))
+    assert(na + nb == 20L && ca + cb == 6L)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ca.toDouble / na - cb.toDouble / nb) /
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(r2.getAs[Double]("z_r4") == math.rint(z * 1e4) / 1e4 ||
+      math.abs(r2.getAs[Double]("z_r4") - z) < 1e-3, s"z=${r2.getAs[Double]("z_r4")} vs $z")
+  }
+
   test("recallAtK: hand-built lists give exact per-probe hit counts, silent misses included") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("q_id", "n_id")

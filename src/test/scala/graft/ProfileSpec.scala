@@ -134,6 +134,21 @@ class ProfileSpec extends SparkSpec {
       report.mkString(";"))
   }
 
+  test("weightedQuantiles: weight mass moves the median; unit weights match unweighted") {
+    import spark.implicits._
+    // values 1..4, weight 10 on value 4, weight 1 elsewhere → W = 13,
+    // median rank ceil(13/2) = 7 → cum 1,2,3,13 → value 4
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 10.0)).toDF("v", "w")
+    val got = Profile.weightedQuantiles(df, "v", "w", Seq(5000, 10000))
+      .collect().map(r => r.getAs[Long]("q_bp") -> r.getAs[Double]("value")).toMap
+    assert(got == Map(5000L -> 4.0, 10000L -> 4.0))
+    // all-equal weights coincide with the unweighted disc quantiles
+    val uni = Seq(10.0, 20.0, 30.0, 40.0).map((_, 1.0)).toDF("v", "w")
+    val gotU = Profile.weightedQuantiles(uni, "v", "w", Seq(2500, 5000, 10000))
+      .collect().map(r => r.getAs[Long]("q_bp") -> r.getAs[Double]("value")).toMap
+    assert(gotU == Map(2500L -> 10.0, 5000L -> 20.0, 10000L -> 40.0))
+  }
+
   test("percentileRank: percent_rank semantics with ties, NULL passthrough") {
     import spark.implicits._
     val df = Seq(Some(10L), Some(20L), Some(20L), Some(30L), None).toDF("v")
