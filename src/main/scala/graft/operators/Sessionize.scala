@@ -552,7 +552,10 @@ object Sampling {
     * interleave_key); callers sort by (interleave_key, source, id) —
     * usually as the write order of an export, so no global position
     * column is materialized (assigning one at scale would need the
-    * two-level cumsum; the KEY is what the schedule needs).
+    * two-level cumsum; the KEY is what the schedule needs). Sources
+    * absent from `weights` are EXCLUDED from the stream — like
+    * `mixSample`, the recipe decides the menu; weight a source 0-ish
+    * explicitly if you want a trickle rather than silence.
     *
     * Plan: one broadcast weight join + a per-source rank window
     * (linear, partitioned by source — the per-source ordering any

@@ -52,6 +52,22 @@ object TextAnalysis {
     pick
   }
 
+  /** Language-ID CONFIDENCE per doc: the winning marker score, the
+    * runner-up, and margin = best − second (exact integers from the
+    * same [[langId]] marker sums) — the "trust this prediction?"
+    * signal the bare label hides: margin 0 is a coin flip between two
+    * languages (route to a heavier model or drop), a large margin is
+    * safe to act on. Map-only; one row per non-null-text doc. */
+  def langIdConfidence(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val t = col(textCol)
+    val arr = sort_array(array(langMarkers.map { case (l, _) => langScore(t, l) }: _*))
+    df.filter(t.isNotNull)
+      .select(col(idCol).as("id"), langId(t).as("predicted"),
+        element_at(arr, -1).cast("long").as("best_score"),
+        (element_at(arr, -1) - element_at(arr, -2)).cast("long").as("margin"))
+  }
+
   /** Heuristic quality features + a composite flag, the usual pre-train
     * corpus filters: token count bounds, mean word length, alpha ratio,
     * stopword presence. */

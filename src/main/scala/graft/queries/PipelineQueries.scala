@@ -5120,6 +5120,52 @@ object PipelineQueries {
                min(CASE WHEN cum >= greatest(1, (9900 * W + 9999) // 10000) THEN v END) FROM r)
       ORDER BY q_bp"""))
 
+  // 181. language-ID confidence margin: best − runner-up marker score,
+  // exact integers from the row-32 sums — margin 0 predictions are
+  // coin flips to route or drop.
+  val qLangidMargin = QueryDef("q_langid_margin",
+    (s, dir) => {
+      graft.operators.TextAnalysis.langIdConfidence(
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")
+    },
+    Some(langidPredictedCtes("doc_id") + """
+      , m AS (SELECT s.doc_id, p.predicted,
+                list_sort([s_en, s_de, s_fr, s_es, s_zh]) AS ss
+              FROM s JOIN p USING (doc_id))
+      SELECT doc_id AS id, predicted, CAST(ss[5] AS BIGINT) AS best_score,
+             CAST(ss[5] - ss[4] AS BIGINT) AS margin
+      FROM m ORDER BY id"""))
+
+  // 182. conversion-latency quantiles — rows 154 + 110 composed: the
+  // distribution summary an SLA reads, exact disc percentiles over the
+  // converted users' integer-ms latencies.
+  val qLatencyQuantiles = QueryDef("q_latency_quantiles",
+    (s, dir) => {
+      val lat = graft.operators.Sessionize.conversionLatency(
+          table(s, dir, "events"), "user_id", "ts", "event_type",
+          "view", "purchase")
+        .filter(col("converted"))
+      graft.operators.Profile.groupQuantiles(
+          lat.withColumn("g", lit("all")), "g", "latency_ms",
+          Seq(2500, 5000, 9000))
+        .orderBy("q_bp")
+    },
+    Some("""
+      WITH f AS (SELECT user_id, min(ts) AS from_ts FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      t AS (SELECT e.user_id, min(e.ts) AS to_ts
+            FROM events e JOIN f ON e.user_id = f.user_id AND e.ts >= f.from_ts
+            WHERE e.event_type = 'purchase' GROUP BY 1),
+      lat AS (SELECT epoch_ms(t.to_ts) - epoch_ms(f.from_ts) AS l
+              FROM f JOIN t ON f.user_id = t.user_id)
+      SELECT 'all' AS "group", q_bp, "value" FROM (
+        SELECT CAST(2500 AS BIGINT) q_bp,
+               CAST(quantile_disc(l, 0.25) AS DOUBLE) AS "value" FROM lat
+        UNION ALL SELECT 5000, CAST(quantile_disc(l, 0.50) AS DOUBLE) FROM lat
+        UNION ALL SELECT 9000, CAST(quantile_disc(l, 0.90) AS DOUBLE) FROM lat)
+      ORDER BY q_bp"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5155,5 +5201,6 @@ object PipelineQueries {
     qStarJoin, qScoreChain, qEmbedOutliers, qDomainLeakage,
     qCardRollup, qKnnAgreement, qSqlApiUrl, qContractDrift,
     qVolumeTrend, qChangePoint, qTopTerms, qAbTest, qWeightedQuantiles,
+    qLangidMargin, qLatencyQuantiles,
   )
 }

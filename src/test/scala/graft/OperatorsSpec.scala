@@ -365,6 +365,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got("b")._1 == 3L && got("b")._2 < 3L, s"got $got")
   }
 
+  test("langIdConfidence: clear text has margin, ambiguous text is a coin flip") {
+    val corpus = Seq(
+      (1L, "the cat is on the mat and the dog is here"), // clearly en
+      (2L, "la la la"),             // fr and es tie on 'la' → margin 0
+      (3L, "xyzzy plugh"),          // no markers: und, scores all 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdConfidence(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("predicted"), r.getAs[Long]("best_score"),
+          r.getAs[Long]("margin")))).toMap
+    assert(got(1L)._1 == "en" && got(1L)._3 > 0, s"got $got")
+    assert(got(2L)._3 == 0L, s"fr/es tie must have margin 0: $got")
+    assert(got(3L) == (("und", 0L, 0L)))
+  }
+
   test("topTerms: doc-distinctive words rank first, ties lexicographic") {
     val corpus = Seq(
       (1L, "shared shared zebra zebra zebra"),
