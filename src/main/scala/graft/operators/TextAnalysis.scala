@@ -310,6 +310,74 @@ object TextAnalysis {
       acc.withColumn(name, regexp_count(col(textCol), lit(re)).cast("long"))
     }.withColumn("has_pii", piiPatterns.map(p => col(p._1) > 0L).reduce(_ || _))
 
+  /** Credential/secret indicator patterns — the code-corpus sibling of
+    * [[piiPatterns]] (leaked API keys and private-key blocks must never
+    * reach a training set; cf. the reference's pattern constraints,
+    * contracts_validator/src/constraints.rs). Same class-portable
+    * regex subset (no backreferences, no lookaround, no quote chars —
+    * the patterns are embedded verbatim inside the oracle's
+    * single-quoted SQL literals). */
+  val secretPatterns: Seq[(String, String)] = Seq(
+    "aws_keys" -> "AKIA[0-9A-Z]{16}",
+    "github_tokens" -> "gh[pousr]_[A-Za-z0-9]{36}",
+    "slack_tokens" -> "xox[baprs]-[0-9A-Za-z-]{10,48}",
+    "private_key_blocks" -> "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+    "bearer_tokens" -> "Bearer [A-Za-z0-9._~+/]{20,}",
+    "hex_secrets" -> "[0-9a-f]{40,64}",
+  )
+
+  /** Per-document secret indicator counts plus a `has_secret` flag.
+    * Map-only codegen'd regexp_count — one corpus scan for all six
+    * detectors; at 100 TB the scan cost is the text read itself. */
+  def secretScan(df: DataFrame, textCol: String): DataFrame =
+    secretPatterns.foldLeft(df) { case (acc, (name, re)) =>
+      acc.withColumn(name, regexp_count(col(textCol), lit(re)).cast("long"))
+    }.withColumn("has_secret", secretPatterns.map(p => col(p._1) > 0L).reduce(_ || _))
+
+  /** Unicode hygiene detectors: control chars (minus \t\n\r), U+FFFD
+    * replacement chars (mojibake / decode failures), zero-width chars
+    * (invisible-text spam, word-joiner tricks), and bidi override
+    * controls (the Trojan-Source vector for code corpora). `\x{...}`
+    * hex escapes execute identically in Java regex and RE2. */
+  val unicodePatterns: Seq[(String, String)] = Seq(
+    "control_chars" -> "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]",
+    "replacement_chars" -> "\\x{FFFD}",
+    "zero_width" -> "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{2060}]",
+    "bidi_controls" -> "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]",
+  )
+
+  /** Per-document unicode hygiene counts plus a `has_unicode_issue`
+    * flag — the pre-tokenizer scrub (bad bytes inflate vocab and hide
+    * injected text). Map-only, one scan, codegen'd. */
+  def unicodeAudit(df: DataFrame, textCol: String): DataFrame =
+    unicodePatterns.foldLeft(df) { case (acc, (name, re)) =>
+      acc.withColumn(name, regexp_count(col(textCol), lit(re)).cast("long"))
+    }.withColumn("has_unicode_issue",
+      unicodePatterns.map(p => col(p._1) > 0L).reduce(_ || _))
+
+  /** Markup-density features: HTML/XML tag count, character mass inside
+    * tags (basis points of doc length), entity references, and
+    * script/style openers — the "is this extracted text or raw HTML"
+    * quality gate web corpora run before boilerplate stripping.
+    * Map-only; tag mass via one regexp_replace length diff (no
+    * per-match materialization). Output adds: tags, tag_char_bp,
+    * entities, script_style, has_markup. */
+  def markupDensity(df: DataFrame, textCol: String): DataFrame = {
+    val tagRe = "<[!/A-Za-z][^>]{0,256}>"
+    val t = col(textCol)
+    df.withColumn("tags", regexp_count(t, lit(tagRe)).cast("long"))
+      .withColumn("tag_char_bp",
+        when(length(t) > 0,
+          ((length(t) - length(regexp_replace(t, tagRe, ""))).cast("long") * 10000L
+            / length(t).cast("long")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("entities",
+        regexp_count(t, lit("&[A-Za-z]{2,8};|&#[0-9]{1,6};")).cast("long"))
+      .withColumn("script_style",
+        regexp_count(t, lit("<script|<style|<SCRIPT|<STYLE")).cast("long"))
+      .withColumn("has_markup", col("tags") >= 3L || col("script_style") > 0L)
+  }
+
   /** Context-window chunking: one row per (doc, chunk) where each
     * chunk is `chunkTokens` whitespace tokens and consecutive chunks
     * share `overlapTokens` — the split-to-window step before
