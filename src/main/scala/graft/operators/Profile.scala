@@ -783,6 +783,51 @@ object Profile {
     (out, () => { ranged.unpersist(); () })
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value cube, built scale-first: each metric's quintile
+    * (or `bins`-tile) boundary comes from [[percentileRank]]'s
+    * two-level range-partition cumsum, NEVER a global single-partition
+    * window — the difference between "works on 60k customers" and
+    * "works on 2B". Bin k = least(pct_bp·bins DIV 10000 + 1, bins),
+    * min-rank semantics, so ties share a bin deterministically.
+    *
+    * `monetary` is summed as DECIMAL(12,2) — exact and
+    * partition-order-independent, where a double sum would make bin
+    * membership flap between runs for near-boundary customers.
+    * Recency is whole days behind the FIXED `asOf` date (reproducible
+    * runs — same convention as the freshness check).
+    *
+    * Output: one row per populated (r_bin, f_bin, m_bin) cell with
+    * customer count, exact total monetary (as double readout), and
+    * mean frequency. Note r_bin is ranked on recency_days ASC: bin 1 =
+    * most recently active, bin `bins` = longest dormant.
+    *
+    * The three percentileRank passes each persist a session-lifetime
+    * distinct-value frame (tiny: one row per distinct metric value);
+    * long-lived callers should memoize the result per (session, input)
+    * as the driver queries do. */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  amountCol: String, asOf: Column, bins: Int = 5): DataFrame = {
+    require(bins >= 2, "need bins >= 2")
+    val m = orders.groupBy(col(custCol).as("customer"))
+      .agg(datediff(to_date(asOf), to_date(max(col(dateCol)))).cast(LongType)
+          .as("recency_days"),
+        count(lit(1)).cast(LongType).as("frequency"),
+        sum(col(amountCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .as("monetary"))
+    def addBin(in: DataFrame, metric: String, out: String): DataFrame =
+      percentileRank(in, metric)
+        .withColumn(out,
+          least(expr(s"pct_bp * $bins DIV 10000") + 1, lit(bins)).cast(LongType))
+        .drop("pct_bp")
+    val binned = addBin(addBin(addBin(m, "recency_days", "r_bin"),
+      "frequency", "f_bin"), "monetary", "m_bin")
+    binned.groupBy("r_bin", "f_bin", "m_bin")
+      .agg(count(lit(1)).cast(LongType).as("customers"),
+        sum("monetary").cast(DoubleType).as("total_monetary"),
+        round(avg("frequency"), 4).as("avg_frequency_r4"))
+  }
+
   /** Functional-dependency audit `det → dep`: does the determinant
     * column decide the dependent one? Reports, per checked pair, the
     * determinant count, how many determinants map to >1 distinct

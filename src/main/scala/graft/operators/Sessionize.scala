@@ -364,6 +364,59 @@ object Sessionize {
           .cast("long"))
   }
 
+  /** Behavioral-sequence surprise (bot / anomaly scoring): train an
+    * add-one-smoothed first-order Markov model over EVERY user's
+    * adjacent event-type transitions, then score each user by the mean
+    * negative log-probability of their own transitions. Scripted
+    * traffic repeats transitions the population rarely makes (or makes
+    * them too uniformly) and lands in the tails — the sequence-level
+    * sibling of [[eventCadence]]'s timing regularity and the
+    * event-stream twin of the bigram-LM text filter.
+    *
+    * p(to|from) = (C(from,to)+1) / (C(from)+V), V = distinct event
+    * types. The adjacent-pair frame is built ONCE and persisted — it
+    * feeds the bigram counts, the margin counts, and the scoring join
+    * (three consumers; re-deriving it would re-scan and re-sort the
+    * event volume each time). The model tables are type-alphabet-sized
+    * and broadcast; scoring is one map-side join per pair row. One
+    * keyed sort-shuffle total — the same bound as sessionization.
+    *
+    * This overload persists the pair frame for the session; repeated
+    * callers should use [[sequenceSurpriseManaged]] and release after
+    * the result's last materialization. */
+  def sequenceSurprise(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame =
+    sequenceSurpriseManaged(events, userCol, tsCol, typeCol, tieCol)._1
+
+  /** [[sequenceSurprise]] with the persisted pair frame's release
+    * handle. */
+  def sequenceSurpriseManaged(events: DataFrame, userCol: String, tsCol: String,
+                              typeCol: String, tieCol: String): (DataFrame, () => Unit) = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events.filter(col(typeCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(userCol).as("user_id"), col(typeCol).as("__from"),
+        col("__next").as("__to"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = pairs.groupBy("__from", "__to")
+      .agg(count(lit(1)).as("__c_bg"))
+    val margins = pairs.groupBy("__from").agg(count(lit(1)).as("__c_from"))
+    val vocab = events.filter(col(typeCol).isNotNull)
+      .agg(countDistinct(col(typeCol)).as("__v"))
+    val scored = pairs
+      .join(broadcast(bigrams), Seq("__from", "__to"), "left")
+      .join(broadcast(margins), Seq("__from"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__logp",
+        log((coalesce(col("__c_bg"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__c_from"), lit(0L)) + col("__v")).cast("double")))
+    val out = scored.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("transitions"),
+        round(-avg(col("__logp")), 4).as("surprise_r4"))
+    (out, () => { pairs.unpersist(); () })
+  }
+
   /** Event-type co-occurrence with association strength: for every
     * unordered type pair, the users holding both, the pair's support,
     * and its LIFT ((both·n)/(nₐ·n_b): >1 = the types travel together,

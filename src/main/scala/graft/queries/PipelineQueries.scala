@@ -5310,6 +5310,121 @@ object PipelineQueries {
       FROM feats GROUP BY source ORDER BY source"""
     })
 
+  // 186. CROSS-TABLE AGGREGATE RECONCILIATION — header-vs-detail sum
+  // consistency (order total vs its line items) in EXACT decimal
+  // arithmetic on both engines. The synthetic o_totalprice is
+  // independent noise, so the live rows all mismatch (itself a
+  // faithful data-quality readout); planted negative-key fixtures
+  // prove the matched / mismatched / no-children paths each fire.
+  private val ReconcileOrderFixtures: Seq[(Long, Double, String)] = Seq(
+    (-9200L, 220.00, "FIX"), (-9201L, 100.00, "FIX"), (-9202L, 50.00, "FIX"))
+  private val ReconcileLineFixtures: Seq[(Long, Double, Double, Double)] = Seq(
+    (-9200L, 100.00, 0.00, 0.10), (-9200L, 100.00, 0.00, 0.10),
+    (-9201L, 90.00, 0.10, 0.00))
+
+  val qReconcile = QueryDef("q_reconcile",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .unionByName(s.createDataFrame(ReconcileOrderFixtures)
+          .toDF("o_orderkey", "o_totalprice", "o_orderstatus"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unionByName(s.createDataFrame(ReconcileLineFixtures)
+          .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax"))
+      val measure = col("l_extendedprice").cast(dec(12, 2)) *
+        (lit(1) - col("l_discount").cast(dec(4, 2))) *
+        (lit(1) + col("l_tax").cast(dec(4, 2)))
+      graft.validators.Relationships.aggregateReconcile(
+          ord, li, "o_orderkey", "l_orderkey", "o_totalprice", measure,
+          "o_orderstatus", new java.math.BigDecimal("0.01"))
+        .withColumnRenamed("group", "status")
+        .orderBy("status")
+    },
+    Some {
+      val ordV = ReconcileOrderFixtures.map { case (k, t, st) => s"($k, $t, '$st')" }
+        .mkString(", ")
+      val liV = ReconcileLineFixtures.map { case (k, e, d, t) => s"($k, $e, $d, $t)" }
+        .mkString(", ")
+      s"""
+      WITH ord AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL SELECT * FROM (VALUES $ordV) t(o_orderkey, o_totalprice, o_orderstatus)),
+      li AS (
+        SELECT l_orderkey, l_extendedprice, l_discount, l_tax FROM lineitem
+        UNION ALL SELECT * FROM (VALUES $liV) t(l_orderkey, l_extendedprice, l_discount, l_tax)),
+      s AS (SELECT l_orderkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                       (1 + CAST(l_tax AS DECIMAL(4,2)))) AS s
+            FROM li GROUP BY 1),
+      j AS (SELECT o_orderstatus AS status, CAST(o_totalprice AS DECIMAL(12,2)) AS tp, s
+            FROM ord LEFT JOIN s ON o_orderkey = l_orderkey)
+      SELECT status, CAST(count(*) AS BIGINT) AS parents,
+             CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS parents_no_children,
+             CAST(sum(CASE WHEN s IS NOT NULL AND abs(tp - s) <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+             CAST(sum(CASE WHEN s IS NOT NULL AND abs(tp - s) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS mismatched,
+             CAST(max(abs(tp - s)) AS DOUBLE) AS max_abs_diff
+      FROM j GROUP BY 1 ORDER BY 1"""
+    })
+
+  // 187. RFM SEGMENTATION — recency/frequency/monetary quintile cube
+  // per customer, each quintile from the two-level exact
+  // percentile-rank machinery (row 122), monetary in exact DECIMAL.
+  // Fixed asOf date = reproducible recency (q_freshness convention).
+  private val rfmCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val qRfm = QueryDef("q_rfm",
+    (s, dir) => {
+      rfmCache.get(s, dir)(graft.operators.Profile.rfmSegments(
+          table(s, dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice",
+          lit("2001-12-31"), bins = 5))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    },
+    Some("""
+      WITH m AS (SELECT o_custkey AS customer,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-12-31') AS recency_days,
+                   count(*) AS frequency,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+                 FROM orders GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM m),
+      r AS (SELECT frequency, monetary,
+              CAST(least((rank() OVER (ORDER BY recency_days) - 1) * 10000 // (n - 1) * 5 // 10000 + 1, 5) AS BIGINT) AS r_bin,
+              CAST(least((rank() OVER (ORDER BY frequency) - 1) * 10000 // (n - 1) * 5 // 10000 + 1, 5) AS BIGINT) AS f_bin,
+              CAST(least((rank() OVER (ORDER BY monetary) - 1) * 10000 // (n - 1) * 5 // 10000 + 1, 5) AS BIGINT) AS m_bin
+            FROM m CROSS JOIN n)
+      SELECT r_bin, f_bin, m_bin, CAST(count(*) AS BIGINT) AS customers,
+             CAST(sum(monetary) AS DOUBLE) AS total_monetary,
+             round(avg(frequency), 4) AS avg_frequency_r4
+      FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  // 188. BEHAVIORAL-SEQUENCE SURPRISE — per-user mean negative
+  // log-prob of their adjacent event-type transitions under an
+  // add-one-smoothed population Markov model: the bot/anomaly score
+  // composing row 90's transition matrix with the bigram-LM scoring
+  // idiom (row 55), replayed exactly by the oracle.
+  private val surpriseCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val qSequenceSurprise = QueryDef("q_sequence_surprise",
+    (s, dir) => {
+      surpriseCache.get(s, dir)(graft.operators.Sessionize.sequenceSurprise(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id"))
+        .filter(col("user_id") < 50)
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH p AS (SELECT user_id, event_type AS f,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+                 FROM events WHERE event_type IS NOT NULL),
+      pp AS (SELECT * FROM p WHERE t IS NOT NULL),
+      bg AS (SELECT f, t, count(*) AS c_bg FROM pp GROUP BY 1, 2),
+      mg AS (SELECT f, count(*) AS c_f FROM pp GROUP BY 1),
+      v AS (SELECT count(DISTINCT event_type) AS v FROM events),
+      sc AS (SELECT user_id, ln((c_bg + 1) * 1.0 / (c_f + v)) AS logp
+             FROM pp JOIN bg USING (f, t) JOIN mg USING (f) CROSS JOIN v)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS transitions,
+             round(-avg(logp), 4) AS surprise_r4
+      FROM sc WHERE user_id < 50 GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5347,5 +5462,6 @@ object PipelineQueries {
     qVolumeTrend, qChangePoint, qTopTerms, qAbTest, qWeightedQuantiles,
     qLangidMargin, qLatencyQuantiles,
     qSecretScan, qUnicodeAudit, qMarkupDensity,
+    qReconcile, qRfm, qSequenceSurprise,
   )
 }

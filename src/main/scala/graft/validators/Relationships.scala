@@ -47,4 +47,48 @@ object Relationships {
     child.filter(col(childKey).isNotNull)
       .join(parent.select(col(parentKey).as(childKey)).distinct(),
         Seq(childKey), "left_anti")
+
+  /** Cross-table AGGREGATE reconciliation: does each parent row's
+    * declared total equal the sum of its child rows' measure, within
+    * `tol`? The header-vs-detail consistency audit (order total vs
+    * line items, invoice vs postings) that referential integrity and
+    * single-table constraints both miss.
+    *
+    * ALL arithmetic is DECIMAL: the caller passes `childMeasure`
+    * pre-cast to decimal types, so sums, diffs, and the tolerance
+    * compare are EXACT and order-independent — a double sum's
+    * partition-order nondeterminism would make "within tolerance"
+    * flap between runs (and between engines). Only the final
+    * max_abs_diff readout casts to double.
+    *
+    * Plan: one keyed child aggregation (map-side combined), one join
+    * on the parent key (broadcast when the parent is small, shuffled
+    * hash otherwise — Catalyst picks), one grouped rollup. Linear in
+    * both tables; no windows, nothing driver-side.
+    *
+    * Output per `groupCol` value: parents, parents_no_children,
+    * matched, mismatched, max_abs_diff. Parents with NO child rows
+    * are reported separately, not as mismatches (a missing-detail
+    * problem is [[referentialIntegrity]]'s shape, not a sum error).
+    */
+  def aggregateReconcile(parent: DataFrame, child: DataFrame,
+                         parentKey: String, childKey: String,
+                         totalCol: String, childMeasure: org.apache.spark.sql.Column,
+                         groupCol: String,
+                         tol: java.math.BigDecimal): DataFrame = {
+    val sums = child.groupBy(col(childKey).as("__k"))
+      .agg(sum(childMeasure).as("__s"))
+    val joined = parent.join(sums, parent(parentKey) === sums("__k"), "left")
+    val declared = col(totalCol).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    val diff = abs(declared - col("__s"))
+    joined.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).cast("long").as("parents"),
+        sum(when(col("__s").isNull, 1L).otherwise(0L)).cast("long")
+          .as("parents_no_children"),
+        sum(when(col("__s").isNotNull && diff <= lit(tol), 1L).otherwise(0L))
+          .cast("long").as("matched"),
+        sum(when(col("__s").isNotNull && diff > lit(tol), 1L).otherwise(0L))
+          .cast("long").as("mismatched"),
+        max(diff).cast("double").as("max_abs_diff"))
+  }
 }

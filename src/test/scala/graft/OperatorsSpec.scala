@@ -2175,4 +2175,76 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L).getAs[Long]("script_style") == 1 && r(3L).getAs[Boolean]("has_markup"))
     assert(r(4L).getAs[Long]("tag_char_bp") == 0)
   }
+
+  test("aggregate reconciliation separates matched, mismatched, childless") {
+    import graft.validators.Relationships
+    import org.apache.spark.sql.types.DecimalType
+    val parent = Seq((1L, 220.00, "g"), (2L, 100.00, "g"), (3L, 50.00, "g"))
+      .toDF("pk", "total", "grp")
+    val child = Seq((1L, 100.00, 0.00, 0.10), (1L, 100.00, 0.00, 0.10),
+        (2L, 90.00, 0.10, 0.00))
+      .toDF("fk", "price", "disc", "tax")
+    val measure = $"price".cast(DecimalType(12, 2)) *
+      (lit(1) - $"disc".cast(DecimalType(4, 2))) *
+      (lit(1) + $"tax".cast(DecimalType(4, 2)))
+    val r = Relationships.aggregateReconcile(parent, child, "pk", "fk",
+      "total", measure, "grp", new java.math.BigDecimal("0.01")).collect().head
+    assert(r.getAs[Long]("parents") == 3)
+    assert(r.getAs[Long]("parents_no_children") == 1)
+    // order 1: 2 × 100.00·1.00·1.10 = 220.00 exactly → matched
+    assert(r.getAs[Long]("matched") == 1)
+    // order 2: 90.00·0.90·1.00 = 81.00 vs 100.00 → 19.00 off
+    assert(r.getAs[Long]("mismatched") == 1)
+    assert(r.getAs[Double]("max_abs_diff") == 19.0)
+  }
+
+  test("rfm segmentation bins distinct metrics into exact quintiles") {
+    import graft.operators.Profile
+    // 5 customers, one order each, strictly ordered on every metric →
+    // each lands in its own bin on every axis: pct_bp = (rank-1)·10⁴/4
+    // ∈ {0,2500,5000,7500,10000} → bins {1,2,3,4,5}
+    val orders = Seq(
+      (1L, "2001-12-30", 100.00), (2L, "2001-12-28", 200.00),
+      (3L, "2001-12-26", 300.00), (4L, "2001-12-24", 400.00),
+      (5L, "2001-12-22", 500.00),
+    ).toDF("cust", "d", "amt").withColumn("d", to_timestamp($"d"))
+      // give customer k exactly k orders so frequency is distinct too
+      .union(Seq(
+        (2L, "2001-12-01", 1.00),
+        (3L, "2001-12-01", 1.00), (3L, "2001-12-02", 1.00),
+        (4L, "2001-12-01", 1.00), (4L, "2001-12-02", 1.00), (4L, "2001-12-03", 1.00),
+        (5L, "2001-12-01", 1.00), (5L, "2001-12-02", 1.00), (5L, "2001-12-03", 1.00),
+        (5L, "2001-12-04", 1.00),
+      ).toDF("cust", "d", "amt").withColumn("d", to_timestamp($"d")))
+    val seg = Profile.rfmSegments(orders, "cust", "d", "amt", lit("2001-12-31"), bins = 5)
+      .collect()
+    assert(seg.map(_.getAs[Long]("customers")).sum == 5)
+    val bins = seg.map(r => (r.getAs[Long]("r_bin"), r.getAs[Long]("f_bin"),
+      r.getAs[Long]("m_bin"), r.getAs[Long]("customers")))
+    // customer 1: most recent (bin 1), fewest orders (bin 1), amt 100 lowest+4×1.00 …
+    // monetary: c1=100, c2=201, c3=302, c4=403, c5=504 → strictly increasing
+    assert(bins.contains((1L, 1L, 1L, 1L)))
+    assert(bins.contains((5L, 5L, 5L, 1L)))
+    assert(bins.forall { case (r, f, m, _) =>
+      r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5 })
+  }
+
+  test("sequence surprise scores users by population-model likelihood") {
+    import graft.operators.Sessionize
+    val events = Seq(
+      (1L, 1L, "x"), (1L, 2L, "y"), (1L, 3L, "x"),
+      (2L, 1L, "x"), (2L, 2L, "x"),
+    ).toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"event_id"))
+    val r = Sessionize.sequenceSurprise(events, "user_id", "ts", "event_type", "event_id")
+      .collect().map(x => x.getAs[Long]("user_id") -> x).toMap
+    // pairs: u1 (x,y),(y,x); u2 (x,x); V=2
+    // p(y|x)=(1+1)/(2+2)=.5  p(x|y)=(1+1)/(1+2)=2/3  p(x|x)=(1+1)/(2+2)=.5
+    assert(r(1L).getAs[Long]("transitions") == 2)
+    assert(r(1L).getAs[Double]("surprise_r4") ==
+      BigDecimal(-(math.log(0.5) + math.log(2.0 / 3.0)) / 2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(2L).getAs[Double]("surprise_r4") ==
+      BigDecimal(-math.log(0.5)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
