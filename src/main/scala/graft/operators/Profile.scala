@@ -783,6 +783,87 @@ object Profile {
     (out, () => { ranged.unpersist(); () })
   }
 
+  /** Equal-width histogram-SKETCH quantiles — the constant-state,
+    * MERGEABLE alternative to [[exactQuantiles]]'s two-level pass: the
+    * sketch is one map-side-combined (bin → count) aggregate whose
+    * state is O(nBins) regardless of data volume, so partial sketches
+    * merge associatively across partitions, snapshots, or streaming
+    * micro-batches (the quantile sibling of the Count-Min surface).
+    * Approximate quantile = linear interpolation inside the bin
+    * holding rank ⌈q·n/10⁴⌉ — the SAME rank rule as
+    * [[exactQuantiles]], so an error readout against the exact pass is
+    * apples-to-apples. Error bound: one bin width, (max−min)/nBins.
+    *
+    * Plan: one min/max/count aggregate (broadcast), one bin rollup
+    * over the data (map-side combined), then every window/join below
+    * runs on the ≤ nBins-row SKETCH, never the data — the global
+    * cum-sum window and the non-equi rank-pick join are over
+    * constant-size state, which is the whole point.
+    *
+    * Output: (q_bp, approx_r4, n) per requested quantile. Degenerate
+    * input (all values equal) reports the single value; empty input
+    * returns no rows. */
+  def sketchQuantiles(df: DataFrame, valueCol: String, nBins: Int,
+                      qsBp: Seq[Int]): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536, s"need 2 <= nBins <= 65536, got $nBins")
+    require(qsBp.nonEmpty && qsBp.forall(q => q >= 1 && q <= 10000),
+      s"quantiles are basis points in [1, 10000], got $qsBp")
+    val v = col(valueCol).cast(DoubleType)
+    val src = df.filter(v.isNotNull)
+    val mm = src.agg(min(v).as("__lo"), max(v).as("__hi"),
+      count(lit(1)).cast(LongType).as("__n"))
+    val width = (col("__hi") - col("__lo")) / lit(nBins.toDouble)
+    val binned = src.crossJoin(broadcast(mm))
+      .withColumn("__bin",
+        when(col("__hi") > col("__lo"),
+          least(greatest(floor((v - col("__lo")) / width), lit(0.0)),
+            lit((nBins - 1).toDouble)))
+          .otherwise(lit(0.0)).cast(LongType))
+    val bc = binned.groupBy("__bin").agg(count(lit(1)).as("__c"))
+    // everything below operates on <= nBins rows of sketch state
+    val wn = org.apache.spark.sql.expressions.Window.orderBy("__bin")
+    val cum = bc.withColumn("__cum", sum("__c").over(wn))
+      .withColumn("__cumb", col("__cum") - col("__c"))
+    import df.sparkSession.implicits._
+    val tgt = qsBp.map(_.toLong).toDF("q_bp").crossJoin(broadcast(mm))
+      .withColumn("__r", greatest(lit(1L), expr("(q_bp * __n + 9999) DIV 10000")))
+    tgt.join(broadcast(cum), col("__cum") >= col("__r") && col("__cumb") < col("__r"))
+      .select(col("q_bp"),
+        round(col("__lo") + width *
+          (col("__bin").cast(DoubleType) +
+            (col("__r") - col("__cumb")).cast(DoubleType) / col("__c").cast(DoubleType)),
+          4).as("approx_r4"),
+        col("__n").as("n"))
+      .orderBy("q_bp")
+  }
+
+  /** Candidate-KEY discovery: for each proposed column set, is it a
+    * unique key of the table? Reports distinct key count, duplicated
+    * keys, rows living under duplicates, and the worst multiplicity —
+    * the data-driven half of writing a uniqueness contract (which
+    * asserts a KNOWN key; this FINDS one). NULLs group as values
+    * (null-safe tuple semantics — both engines' GROUP BY), so an
+    * all-NULL column can never masquerade as a key.
+    *
+    * One map-side-combined rollup per candidate — linear per
+    * candidate, no windows, no driver loops beyond the candidate
+    * list itself. */
+  def keyCandidates(df: DataFrame, candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty && candidates.forall(_.nonEmpty),
+      "need at least one non-empty candidate column set")
+    candidates.map { cand =>
+      df.groupBy(cand.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).cast(LongType).as("distinct_keys"),
+          sum("__c").cast(LongType).as("rows"),
+          sum(when(col("__c") > 1L, 1L).otherwise(0L)).cast(LongType).as("dup_keys"),
+          sum(when(col("__c") > 1L, col("__c")).otherwise(0L)).cast(LongType).as("dup_rows"),
+          max("__c").cast(LongType).as("max_multiplicity"))
+        .select(lit(cand.mkString("+")).as("candidate"), col("rows"),
+          col("distinct_keys"), col("dup_keys"), col("dup_rows"),
+          col("max_multiplicity"), (col("dup_keys") === 0L).as("is_key"))
+    }.reduce(_ unionByName _)
+  }
+
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * customer-value cube, built scale-first: each metric's quintile
     * (or `bins`-tile) boundary comes from [[percentileRank]]'s

@@ -48,6 +48,36 @@ object SnapshotDiff {
     diff(v1, v2, idCol, payloadCol)
       .groupBy("status").agg(count(lit(1)).as("cnt"))
 
+  /** Per-COLUMN change attribution: for the ids present in BOTH
+    * snapshots, how many rows changed in each listed column
+    * (null-safe compare — NULL→value and value→NULL both count,
+    * NULL→NULL doesn't)? [[diff]] says THAT a row changed;
+    * this says WHERE, which is what a schema owner triages with
+    * ("9,000 rows changed" vs "every change is in `lang`").
+    *
+    * One inner id-join, then ONE fused aggregate carrying a
+    * conditional sum per column — a single pass over the joined rows
+    * however many columns are audited; the per-column output rows
+    * come from exploding the 1-row aggregate, not re-scanning.
+    * Output: (column, common_ids, changed, changed_bp). */
+  def columnChanges(v1: DataFrame, v2: DataFrame, idCol: String,
+                    columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one column to audit")
+    val a = v1.select(col(idCol).as("id") +: columns.map(c => col(c).as(s"__a_$c")): _*)
+    val b = v2.select(col(idCol).as("id") +: columns.map(c => col(c).as(s"__b_$c")): _*)
+    val aggs = columns.map(c =>
+      sum(when(!(col(s"__a_$c") <=> col(s"__b_$c")), 1L).otherwise(0L))
+        .cast("long").as(s"__ch_$c"))
+    val tot = a.join(b, Seq("id"))
+      .agg(count(lit(1)).cast("long").as("common_ids"), aggs: _*)
+    tot.select(explode(array(columns.map(c => struct(
+        lit(c).as("column"), col("common_ids"), col(s"__ch_$c").as("changed"))): _*))
+        .as("r")).select("r.*")
+      .withColumn("changed_bp",
+        when(col("common_ids") > 0, col("changed") * 10000L / col("common_ids"))
+          .otherwise(0L).cast("long"))
+  }
+
   /** Slowly-changing-dimension (type 2) history of a mutating
     * attribute: given one row per observation (id, attr, version),
     * collapse each id's consecutive runs of the same attribute value

@@ -5425,6 +5425,120 @@ object PipelineQueries {
              round(-avg(logp), 4) AS surprise_r4
       FROM sc WHERE user_id < 50 GROUP BY 1 ORDER BY 1"""))
 
+  // 189. HISTOGRAM-SKETCH QUANTILES — the mergeable constant-state
+  // quantile estimate next to the exact pass, with an error readout
+  // against the SAME shared exact-quantile values (row 92's session
+  // pass) folded in as literals. The oracle replays the sketch
+  // arithmetic bit-for-bit (same expression shapes → same doubles)
+  // and re-derives the exact side with quantile_disc.
+  val qSketchQuantiles = QueryDef("q_sketch_quantiles",
+    (s, dir) => {
+      val exact = sharedPriceQuantiles(s, dir)
+      val approx = graft.operators.Profile.sketchQuantiles(
+        table(s, dir, "lineitem"), "l_extendedprice", nBins = 64,
+        qsBp = Seq(2500, 5000, 9900))
+      val exactCol = coalesce(Seq(2500, 5000, 9900).map(q =>
+        when(col("q_bp") === q.toLong, lit(exact(q)))): _*)
+      approx.withColumn("exact", exactCol)
+        .withColumn("abs_err_r4", round(abs(col("approx_r4") - col("exact")), 4))
+        .select("q_bp", "approx_r4", "exact", "abs_err_r4")
+        .orderBy("q_bp")
+    },
+    Some("""
+      WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL),
+      mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM src),
+      b AS (SELECT CASE WHEN hi > lo
+                     THEN CAST(least(greatest(floor((v - lo) / ((hi - lo) / 64.0)), 0.0), 63.0) AS BIGINT)
+                     ELSE 0 END AS bin
+            FROM src CROSS JOIN mm),
+      bc AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+      cm AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cu,
+                    sum(c) OVER (ORDER BY bin) - c AS cumb FROM bc),
+      q AS (SELECT unnest([2500, 5000, 9900]) AS q_bp),
+      tgt AS (SELECT CAST(q_bp AS BIGINT) AS q_bp,
+                     greatest(1, (q_bp * n + 9999) // 10000) AS r, lo, hi, n
+              FROM q CROSS JOIN mm),
+      pick AS (SELECT q_bp, round(lo + (hi - lo) / 64.0 *
+                        (bin + (r - cumb) * 1.0 / c), 4) AS approx_r4, n
+               FROM tgt JOIN cm ON cu >= r AND cumb < r),
+      ex AS (SELECT CAST(2500 AS BIGINT) AS q_bp,
+                    CAST(quantile_disc(v, 0.25) AS DOUBLE) AS exact FROM src
+             UNION ALL SELECT 5000, CAST(quantile_disc(v, 0.5) AS DOUBLE) FROM src
+             UNION ALL SELECT 9900, CAST(quantile_disc(v, 0.99) AS DOUBLE) FROM src)
+      SELECT q_bp, approx_r4, exact, round(abs(approx_r4 - exact), 4) AS abs_err_r4
+      FROM pick JOIN ex USING (q_bp) ORDER BY q_bp"""))
+
+  // 190. COLUMN-CHANGE ATTRIBUTION — which columns changed between
+  // snapshots (v2 = documents with deterministic planted mutations:
+  // lang rewritten for doc_id%7, n_chars bumped for doc_id%11, source
+  // untouched). One join + ONE fused conditional-sum aggregate.
+  val qDiffColumns = QueryDef("q_diff_columns",
+    (s, dir) => {
+      val v1 = table(s, dir, "documents")
+      val v2 = v1.withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, col("n_chars") + 1).otherwise(col("n_chars")))
+      graft.operators.SnapshotDiff.columnChanges(v1, v2, "doc_id",
+          Seq("lang", "source", "n_chars"))
+        .orderBy("column")
+    },
+    Some("""
+      WITH v1 AS (SELECT doc_id, lang, source, n_chars FROM documents),
+      v2 AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+               source,
+               CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+             FROM documents),
+      j AS (SELECT CAST(count(*) AS BIGINT) AS common_ids,
+                   CAST(sum(CASE WHEN v1.lang IS DISTINCT FROM v2.lang THEN 1 ELSE 0 END) AS BIGINT) AS ch_lang,
+                   CAST(sum(CASE WHEN v1.source IS DISTINCT FROM v2.source THEN 1 ELSE 0 END) AS BIGINT) AS ch_source,
+                   CAST(sum(CASE WHEN v1.n_chars IS DISTINCT FROM v2.n_chars THEN 1 ELSE 0 END) AS BIGINT) AS ch_n_chars
+            FROM v1 JOIN v2 USING (doc_id)),
+      u AS (SELECT 'lang' AS "column", common_ids, ch_lang AS changed FROM j
+            UNION ALL SELECT 'source', common_ids, ch_source FROM j
+            UNION ALL SELECT 'n_chars', common_ids, ch_n_chars FROM j)
+      SELECT "column", common_ids, changed,
+             CAST(CASE WHEN common_ids > 0 THEN changed * 10000 // common_ids ELSE 0 END AS BIGINT) AS changed_bp
+      FROM u ORDER BY "column" """))
+
+  // 191. CANDIDATE-KEY DISCOVERY — the data-driven half of a
+  // uniqueness contract: which column sets actually key the table.
+  // NULLs group as values (both engines' GROUP BY), one rollup per
+  // candidate.
+  val qKeyDiscovery = QueryDef("q_key_discovery",
+    (s, dir) => {
+      graft.operators.Profile.keyCandidates(table(s, dir, "orders"),
+          Seq(Seq("o_orderkey"), Seq("o_custkey"),
+            Seq("o_custkey", "o_orderdate")))
+        .orderBy("candidate")
+    },
+    Some("""
+      WITH c1 AS (SELECT o_orderkey AS k1, count(*) AS c FROM orders GROUP BY 1),
+      c2 AS (SELECT o_custkey AS k1, count(*) AS c FROM orders GROUP BY 1),
+      c3 AS (SELECT o_custkey AS k1, o_orderdate AS k2, count(*) AS c FROM orders GROUP BY 1, 2),
+      u AS (
+        SELECT 'o_orderkey' AS candidate, sum(c) AS "rows", count(*) AS distinct_keys,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_keys,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_rows,
+               max(c) AS max_multiplicity FROM c1
+        UNION ALL
+        SELECT 'o_custkey', sum(c), count(*),
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END), max(c) FROM c2
+        UNION ALL
+        SELECT 'o_custkey+o_orderdate', sum(c), count(*),
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END),
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END), max(c) FROM c3)
+      SELECT candidate, CAST("rows" AS BIGINT) AS "rows",
+             CAST(distinct_keys AS BIGINT) AS distinct_keys,
+             CAST(dup_keys AS BIGINT) AS dup_keys,
+             CAST(dup_rows AS BIGINT) AS dup_rows,
+             CAST(max_multiplicity AS BIGINT) AS max_multiplicity,
+             dup_keys = 0 AS is_key
+      FROM u ORDER BY candidate"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5463,5 +5577,6 @@ object PipelineQueries {
     qLangidMargin, qLatencyQuantiles,
     qSecretScan, qUnicodeAudit, qMarkupDensity,
     qReconcile, qRfm, qSequenceSurprise,
+    qSketchQuantiles, qDiffColumns, qKeyDiscovery,
   )
 }

@@ -2229,6 +2229,59 @@ class OperatorsSpec extends SparkSpec {
       r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5 })
   }
 
+  test("sketch quantiles stay within one bin width of exact") {
+    import graft.operators.Profile
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val qs = Seq(2500, 5000, 9900)
+    val approx = Profile.sketchQuantiles(df, "v", nBins = 50, qsBp = qs)
+      .collect().map(r => r.getAs[Long]("q_bp") -> r.getAs[Double]("approx_r4")).toMap
+    val exact = Profile.quantileValues(df, "v", qs)
+    val binWidth = (1000.0 - 1.0) / 50
+    qs.foreach { q =>
+      assert(math.abs(approx(q.toLong) - exact(q)) <= binWidth,
+        s"q=$q approx=${approx(q.toLong)} exact=${exact(q)}")
+    }
+    assert(approx(2500L) < approx(5000L) && approx(5000L) < approx(9900L))
+    // degenerate: all values equal → the single value, every quantile
+    val one = Profile.sketchQuantiles(Seq(7.0, 7.0, 7.0).toDF("v"), "v", 8, Seq(5000))
+      .collect().head
+    assert(one.getAs[Double]("approx_r4") == 7.0 && one.getAs[Long]("n") == 3)
+  }
+
+  test("column changes attribute the diff to the mutated columns") {
+    import graft.operators.SnapshotDiff
+    val v1 = Seq((1L, Some("en"), 10L), (2L, Some("de"), 20L),
+      (3L, None: Option[String], 30L), (4L, Some("fr"), 40L))
+      .toDF("id", "lang", "n")
+    val v2 = Seq((1L, Some("xx"), 10L), (2L, Some("de"), 21L),
+      (3L, Some("es"), 30L), (5L, Some("it"), 50L))
+      .toDF("id", "lang", "n")
+    val r = SnapshotDiff.columnChanges(v1, v2, "id", Seq("lang", "n"))
+      .collect().map(x => x.getAs[String]("column") -> x).toMap
+    // common ids: 1,2,3 (4 removed, 5 added — both excluded)
+    assert(r("lang").getAs[Long]("common_ids") == 3)
+    // lang: en→xx changed, de→de not, NULL→es changed (null-safe)
+    assert(r("lang").getAs[Long]("changed") == 2)
+    assert(r("n").getAs[Long]("changed") == 1)
+    assert(r("lang").getAs[Long]("changed_bp") == 6666)
+  }
+
+  test("key candidates find unique keys, count dups, group nulls as values") {
+    import graft.operators.Profile
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("b")),
+      (4L, None: Option[String]), (5L, None: Option[String]))
+      .toDF("id", "grp")
+    val r = Profile.keyCandidates(df, Seq(Seq("id"), Seq("grp")))
+      .collect().map(x => x.getAs[String]("candidate") -> x).toMap
+    assert(r("id").getAs[Boolean]("is_key") && r("id").getAs[Long]("distinct_keys") == 5)
+    val g = r("grp")
+    // grp: a×2, b×1, NULL×2 — NULL groups as a value, so 3 distinct
+    assert(!g.getAs[Boolean]("is_key"))
+    assert(g.getAs[Long]("distinct_keys") == 3)
+    assert(g.getAs[Long]("dup_keys") == 2 && g.getAs[Long]("dup_rows") == 4)
+    assert(g.getAs[Long]("max_multiplicity") == 2)
+  }
+
   test("sequence surprise scores users by population-model likelihood") {
     import graft.operators.Sessionize
     val events = Seq(
