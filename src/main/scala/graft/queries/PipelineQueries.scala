@@ -5539,6 +5539,127 @@ object PipelineQueries {
              dup_keys = 0 AS is_key
       FROM u ORDER BY candidate"""))
 
+  // 192. LSH RECALL/PRECISION HARNESS — grades the MinHash band
+  // config against the exact-Jaccard ground truth (the dedup-index
+  // sibling of the ANN recall harness, row 94), over the portable
+  // hash family so every stage replays in SQL. (16 perms, 4 bands):
+  // the S-curve 50%-point sits at j≈0.71, so the jacc≥0.5 truth set
+  // has pairs the banding can deterministically miss — a harness that
+  // could only ever print 10000 would prove nothing.
+  val qDedupRecall = QueryDef("q_dedup_recall",
+    (s, dir) => {
+      Dedup.lshRecall(dedupPipeline(s, dir).shingled,
+        numPerm = 16, bands = 4, minJaccardBp = 5000L)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      shl AS (SELECT doc_id, list(sh) shs FROM sh GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), p ->
+                 list_min(list_transform(shs, s ->
+                   ((1 + (p * 2654435761) % 2147483646)
+                      * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647))) sig
+        FROM shl),
+      banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+        FROM sigs, generate_series(0, 3) t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id ia, b.doc_id ib
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      truth AS (SELECT ia, ib
+                FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+                WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 5000),
+      m AS (SELECT coalesce(c.ia, t.ia) AS ia, coalesce(c.ib, t.ib) AS ib,
+                   c.ia IS NOT NULL AS in_c, t.ia IS NOT NULL AS in_t
+            FROM cand c FULL OUTER JOIN truth t ON c.ia = t.ia AND c.ib = t.ib)
+      SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS truth_pairs,
+             CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS candidate_pairs,
+             CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS hit_pairs,
+             CAST(CASE WHEN sum(CASE WHEN in_t THEN 1 ELSE 0 END) > 0
+               THEN sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) * 10000
+                      // sum(CASE WHEN in_t THEN 1 ELSE 0 END)
+               ELSE 10000 END AS BIGINT) AS recall_bp,
+             CAST(CASE WHEN sum(CASE WHEN in_c THEN 1 ELSE 0 END) > 0
+               THEN sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) * 10000
+                      // sum(CASE WHEN in_c THEN 1 ELSE 0 END)
+               ELSE 10000 END AS BIGINT) AS precision_bp
+      FROM m"""))
+
+  // 193. NUMERIC-FEATURE RELEVANCE — MI + Cramér's V between an
+  // equal-width-binned numeric feature and a categorical label
+  // (rows 132 + 119 composed): the feature-selection readout before
+  // training. Bin arithmetic mirrors the sketch (row 189); the
+  // association math is row 119's, replayed per feature.
+  val qFeatureMi = QueryDef("q_feature_mi",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("n_chars").isNotNull)
+      val mm = docs.agg(min(col("n_chars")).cast("double").as("__lo"),
+        max(col("n_chars")).cast("double").as("__hi"))
+      val width = (col("__hi") - col("__lo")) / lit(8.0)
+      val binned = docs.crossJoin(broadcast(mm))
+        .withColumn("len_bin",
+          when(col("__hi") > col("__lo"),
+            least(greatest(floor((col("n_chars").cast("double") - col("__lo")) / width),
+              lit(0.0)), lit(7.0)))
+            .otherwise(lit(0.0)).cast(LongType))
+      def assoc(label: String) =
+        graft.operators.Profile.categoricalAssociation(binned, "len_bin", label)
+          .withColumn("feature", lit(s"n_chars~$label"))
+      assoc("lang").unionByName(assoc("source"))
+        .select("feature", "mi_r6", "cramers_v_r6", "n", "cells")
+        .orderBy("feature")
+    },
+    Some {
+      def one(label: String) = s"""
+        SELECT 'n_chars~$label' AS feature, mi_r6, cramers_v_r6, n, cells FROM (
+          WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+                             CAST(max(n_chars) AS DOUBLE) AS hi
+                      FROM documents WHERE n_chars IS NOT NULL),
+          binned AS (SELECT CASE WHEN hi > lo
+                       THEN CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - lo) / ((hi - lo) / 8.0)), 0.0), 7.0) AS BIGINT)
+                       ELSE 0 END AS a,
+                       $label AS b
+                     FROM documents CROSS JOIN mm WHERE n_chars IS NOT NULL),
+          c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM binned
+                WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
+          ma AS (SELECT a, sum(o) AS na FROM c GROUP BY 1),
+          mb AS (SELECT b, sum(o) AS nb FROM c GROUP BY 1),
+          t AS (SELECT sum(o) AS n, count(DISTINCT a) AS ra, count(DISTINCT b) AS rb
+                FROM c),
+          f AS (SELECT ma.na AS na, mb.nb AS nb, coalesce(c.o, 0) AS o
+                FROM ma CROSS JOIN mb LEFT JOIN c ON c.a = ma.a AND c.b = mb.b),
+          g AS (SELECT CASE WHEN o > 0 THEN
+                         CAST(o AS DOUBLE) / t.n *
+                         ln(CAST(o AS DOUBLE) * t.n / (CAST(na AS DOUBLE) * nb))
+                       ELSE 0.0 END AS mi,
+                       CAST(o AS DOUBLE) - CAST(na AS DOUBLE) * nb / t.n AS om,
+                       CAST(na AS DOUBLE) * nb / t.n AS e,
+                       t.n AS n, t.ra AS ra, t.rb AS rb
+                FROM f, t)
+          SELECT round(sum(mi), 6) AS mi_r6,
+                 CASE WHEN least(any_value(ra), any_value(rb)) > 1 THEN
+                   round(sqrt(sum(om * om / e) /
+                     (CAST(any_value(n) AS DOUBLE) *
+                      (least(any_value(ra), any_value(rb)) - 1))), 6)
+                 END AS cramers_v_r6,
+                 CAST(any_value(n) AS BIGINT) AS n,
+                 CAST(any_value(ra) * any_value(rb) AS BIGINT) AS cells
+          FROM g)"""
+      s"""${one("lang")} UNION ALL ${one("source")} ORDER BY feature"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5578,5 +5699,6 @@ object PipelineQueries {
     qSecretScan, qUnicodeAudit, qMarkupDensity,
     qReconcile, qRfm, qSequenceSurprise,
     qSketchQuantiles, qDiffColumns, qKeyDiscovery,
+    qDedupRecall, qFeatureMi,
   )
 }

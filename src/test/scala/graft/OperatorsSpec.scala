@@ -2282,6 +2282,28 @@ class OperatorsSpec extends SparkSpec {
     assert(g.getAs[Long]("max_multiplicity") == 2)
   }
 
+  test("lsh recall harness counts truth, candidates and hits consistently") {
+    import graft.operators.{Dedup, DedupPipeline}
+    val docs = spark.read.parquet(sf("documents")).limit(200)
+    val p = new DedupPipeline(docs, "doc_id", "text", n = 3)
+    val r = Dedup.lshRecall(p.shingled, numPerm = 16, bands = 4,
+      minJaccardBp = 5000L).collect().head
+    val (t, c, h) = (r.getAs[Long]("truth_pairs"),
+      r.getAs[Long]("candidate_pairs"), r.getAs[Long]("hit_pairs"))
+    assert(h <= t && h <= c)
+    assert(r.getAs[Long]("recall_bp") ==
+      (if (t > 0) h * 10000L / t else 10000L))
+    assert(r.getAs[Long]("precision_bp") ==
+      (if (c > 0) h * 10000L / c else 10000L))
+    // a corpus with NO qualifying pairs reports vacuous 10000 recall
+    val distinct = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val p2 = new DedupPipeline(distinct, "doc_id", "text", n = 3)
+    val r2 = Dedup.lshRecall(p2.shingled, 16, 4, 5000L).collect().head
+    assert(r2.getAs[Long]("truth_pairs") == 0 && r2.getAs[Long]("recall_bp") == 10000L)
+    p.unpersist(); p2.unpersist()
+  }
+
   test("sequence surprise scores users by population-model likelihood") {
     import graft.operators.Sessionize
     val events = Seq(
