@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy SCHEMA alignment: map an incoming (landing/vendor) schema's
+  * column names onto a target table's columns by normalized edit
+  * distance — the ingestion-mapping suggestion step before a contract
+  * can even be checked (you cannot validate `o_totalprice` until you
+  * know the feed calls it `total_price`). The suggestion pairs with
+  * the contract `init` flow (reference: the init-from-live-table
+  * workflow in contracts_cli): init writes the target schema, this
+  * proposes the rename map for a new feed.
+  *
+  * Names are lowercased and underscore-stripped before Levenshtein, so
+  * `TotalPrice` / `total_price` / `o_totalprice` all land near each
+  * other. Output per source column: the best target, its distance, the
+  * margin to the runner-up, and a `confident` flag: exact normalized
+  * match, or (margin ≥ 2 AND the distance is at most half the
+  * normalized source name — a name most of whose characters must be
+  * edited matches NOTHING, however clear its margin). Ties break on
+  * target name — deterministic.
+  *
+  * Scale: schemas are metadata — both frames are column-count-sized,
+  * the cross join is |S|·|T| name pairs, and the window partitions by
+  * source column. Nothing here touches table DATA.
+  */
+object SchemaMatch {
+
+  private def norm(c: Column): Column = lower(regexp_replace(c, "_", ""))
+
+  def suggestMapping(spark: SparkSession, sourceCols: Seq[String],
+                     targetCols: Seq[String]): DataFrame = {
+    require(sourceCols.nonEmpty && targetCols.nonEmpty,
+      "need non-empty source and target column lists")
+    import spark.implicits._
+    val scored = sourceCols.toDF("source_col")
+      .crossJoin(targetCols.toDF("target_col"))
+      .withColumn("distance",
+        levenshtein(norm(col("source_col")), norm(col("target_col"))).cast("long"))
+    val w = Window.partitionBy("source_col")
+      .orderBy(col("distance"), col("target_col"))
+    val ranked = scored.withColumn("rk", row_number().over(w))
+    val best = ranked.filter(col("rk") === 1)
+      .select(col("source_col"), col("target_col").as("best_target"),
+        col("distance").as("best_distance"))
+    val second = ranked.filter(col("rk") === 2)
+      .select(col("source_col"), col("distance").as("second_distance"))
+    best.join(second, Seq("source_col"), "left")
+      .withColumn("margin",
+        coalesce(col("second_distance") - col("best_distance"), lit(0L)).cast("long"))
+      .withColumn("confident", col("best_distance") === 0L ||
+        (col("margin") >= 2L &&
+          col("best_distance") * 2L <= length(norm(col("source_col")))))
+      .select("source_col", "best_target", "best_distance", "margin", "confident")
+  }
+}

@@ -125,6 +125,53 @@ object Sessionize {
         col("rate_a_bp"), col("rate_b_bp"), col("z_r4"))
   }
 
+  /** A/B POWER analysis — the sample-size planning readout that should
+    * run BEFORE [[abTestReport]] ever does: given the measured
+    * baseline conversion rate and a set of minimum detectable effects
+    * (absolute, in bp), the required users per arm at the standard 5%
+    * two-sided significance / 80% power point,
+    * n = (z_{α/2}+z_β)² · (p₁(1−p₁) + p₂(1−p₂)) / (p₂−p₁)².
+    * z_{α/2}+z_β = 1.959964 + 0.841621 = 2.801585, folded as one
+    * literal so any engine replays identical doubles. An experiment
+    * launched under the printed n is UNPOWERED — the report is the
+    * guard against shipping a z-test that could never have detected
+    * the effect it was asked about.
+    *
+    * One user-grain rollup (map-side combined) + one 1-row aggregate
+    * crossed with the literal MDE frame — data volume touches only
+    * the first rollup. */
+  def abPowerReport(events: DataFrame, userCol: String,
+                    converted: Column, mdesBp: Seq[Int]): DataFrame = {
+    require(mdesBp.nonEmpty && mdesBp.forall(m => m > 0 && m <= 10000),
+      s"MDEs are positive basis points <= 10000, got $mdesBp")
+    val z = 2.801585
+    val tot = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("__conv"))
+      .agg(count(lit(1)).cast("long").as("users"),
+        sum("__conv").cast("long").as("converted"))
+    import events.sparkSession.implicits._
+    val mdes = mdesBp.map(_.toLong).toDF("mde_bp")
+    val d = col("mde_bp").cast("double") / lit(10000.0)
+    tot.crossJoin(broadcast(mdes))
+      .withColumn("__p1", col("converted").cast("double") / col("users"))
+      .withColumn("__p2", col("__p1") + d)
+      // NULL n when the baseline is degenerate (0 or 1) or the lifted
+      // rate leaves [0,1] — the closed form's variance term goes
+      // negative there and a "required n" is meaningless, never
+      // a negative number that looks plausible in a report
+      .withColumn("n_per_arm",
+        when(col("__p1") > 0.0 && col("__p1") < 1.0 && col("__p2") < 1.0,
+          ceil(lit(z) * lit(z) *
+            (col("__p1") * (lit(1.0) - col("__p1")) +
+              col("__p2") * (lit(1.0) - col("__p2"))) / (d * d)))
+          .cast("long"))
+      .select(col("mde_bp"),
+        expr("converted * 10000 DIV users").cast("long").as("baseline_bp"),
+        col("users"), col("converted"), col("n_per_arm"))
+      .orderBy("mde_bp")
+  }
+
   /** Per-user conversion latency: the time from each user's FIRST
     * `fromType` event to their first `toType` event at-or-after it —
     * the latency DISTRIBUTION behind [[eventFunnel]]'s step counts

@@ -81,4 +81,48 @@ object Skew {
     val s = df.sparkSession
     s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
   }
+
+  /** Join-plan ADVISOR — the "should I broadcast, salt, or just
+    * shuffle?" readout for one join, from each side's key statistics:
+    * row count, distinct keys, and worst key multiplicity. The rules
+    * (in priority order, matching what an engineer would do at
+    * 100 TB):
+    *
+    *   1. either side fits `broadcastRowLimit` → broadcast_small_side
+    *      (no shuffle at all beats any skew mitigation);
+    *   2. either side's max-multiplicity/avg-multiplicity ratio (in
+    *      bp) reaches `saltRatioBp` → salt_skewed_keys (the straggler
+    *      task is the bottleneck, cf. [[saltedEquiJoin]]);
+    *   3. otherwise → shuffle_join (plain keyed exchange is fine).
+    *
+    * skew_bp = max_mult · n_keys · 10⁴ / n_rows (= max/avg in bp),
+    * exact integer arithmetic. One map-side-combined rollup per side;
+    * the two 1-row stat frames broadcast-join. Thresholds are caller
+    * POLICY (defaults: 100k-row broadcast limit ≈ a few MB; 20× worst
+    * key for salting). */
+  def joinAdvisor(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String, relation: String,
+                  broadcastRowLimit: Long = 100000L,
+                  saltRatioBp: Long = 200000L): DataFrame = {
+    def side(df: DataFrame, key: String, p: String) =
+      df.groupBy(col(key).as("__k")).agg(count(lit(1)).as("__c"))
+        .agg(sum("__c").cast("long").as(s"${p}_rows"),
+          count(lit(1)).cast("long").as(s"${p}_keys"),
+          max("__c").cast("long").as(s"${p}_max_mult"))
+    side(left, leftKey, "left").crossJoin(broadcast(side(right, rightKey, "right")))
+      .withColumn("left_skew_bp",
+        expr("left_max_mult * left_keys * 10000 DIV left_rows").cast("long"))
+      .withColumn("right_skew_bp",
+        expr("right_max_mult * right_keys * 10000 DIV right_rows").cast("long"))
+      .withColumn("verdict",
+        when(col("left_rows") <= broadcastRowLimit ||
+          col("right_rows") <= broadcastRowLimit, "broadcast_small_side")
+          .when(greatest(col("left_skew_bp"), col("right_skew_bp")) >= saltRatioBp,
+            "salt_skewed_keys")
+          .otherwise("shuffle_join"))
+      .select(lit(relation).as("relation"), col("left_rows"), col("left_keys"),
+        col("left_max_mult"), col("left_skew_bp"), col("right_rows"),
+        col("right_keys"), col("right_max_mult"), col("right_skew_bp"),
+        col("verdict"))
+  }
 }

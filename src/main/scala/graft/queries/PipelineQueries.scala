@@ -5660,6 +5660,129 @@ object PipelineQueries {
       s"""${one("lang")} UNION ALL ${one("source")} ORDER BY feature"""
     })
 
+  // 194. FUZZY SCHEMA ALIGNMENT — map a landing feed's column names
+  // onto the orders schema by normalized Levenshtein (the ingestion
+  // step before any contract can bind); target list read from the
+  // live schema, oracle replays with DuckDB's levenshtein over the
+  // same VALUES.
+  private val LandingCols = Seq("order_key", "customer_key", "status_code",
+    "total_price", "order_date", "priority_level")
+
+  val qSchemaMatch = QueryDef("q_schema_match",
+    (s, dir) => {
+      graft.operators.SchemaMatch.suggestMapping(
+          s, LandingCols, table(s, dir, "orders").columns.toSeq)
+        .orderBy("source_col")
+    },
+    Some {
+      val src = LandingCols.map(c => s"('$c')").mkString(", ")
+      val tgt = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map(c => s"('$c')").mkString(", ")
+      s"""
+      WITH s AS (SELECT * FROM (VALUES $src) t(source_col)),
+      tg AS (SELECT * FROM (VALUES $tgt) t(target_col)),
+      sc AS (SELECT source_col, target_col,
+               CAST(levenshtein(lower(replace(source_col, '_', '')),
+                                lower(replace(target_col, '_', ''))) AS BIGINT) AS distance
+             FROM s CROSS JOIN tg),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source_col
+                        ORDER BY distance, target_col) AS rk FROM sc),
+      b AS (SELECT source_col, target_col AS best_target,
+                   distance AS best_distance FROM r WHERE rk = 1),
+      s2 AS (SELECT source_col, distance AS second_distance FROM r WHERE rk = 2)
+      SELECT b.source_col, best_target, best_distance,
+             CAST(coalesce(second_distance - best_distance, 0) AS BIGINT) AS margin,
+             (best_distance = 0 OR (coalesce(second_distance - best_distance, 0) >= 2
+                AND best_distance * 2 <= length(lower(replace(b.source_col, '_', ''))))) AS confident
+      FROM b LEFT JOIN s2 ON b.source_col = s2.source_col
+      ORDER BY b.source_col"""
+    })
+
+  // 195. JOIN-PLAN ADVISOR — broadcast / salt / shuffle verdict from
+  // each side's key stats (row 160's skew summary turned into the
+  // decision it exists to inform). nation⋈supplier trips the
+  // broadcast rule; orders⋈lineitem (broadcast limit forced down to
+  // 1000 rows so the small SF exercises the non-broadcast path)
+  // reads its skew ratio honestly (~1.75× — NOT salt-worthy at the
+  // 20× default) and lands on shuffle_join; the salt branch is
+  // spec-covered with synthetic 90%-one-key data.
+  val qJoinAdvisor = QueryDef("q_join_advisor",
+    (s, dir) => {
+      graft.operators.Skew.joinAdvisor(
+          table(s, dir, "orders"), table(s, dir, "lineitem"),
+          "o_orderkey", "l_orderkey", "orders-lineitem",
+          broadcastRowLimit = 1000L)
+        .unionByName(graft.operators.Skew.joinAdvisor(
+          table(s, dir, "nation"), table(s, dir, "supplier"),
+          "n_nationkey", "s_nationkey", "nation-supplier"))
+        .orderBy("relation")
+    },
+    Some("""
+      WITH ol AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      ll AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      nl AS (SELECT n_nationkey AS k, count(*) AS c FROM nation GROUP BY 1),
+      sl AS (SELECT s_nationkey AS k, count(*) AS c FROM supplier GROUP BY 1),
+      st AS (
+        SELECT 'orders-lineitem' AS relation, CAST(1000 AS BIGINT) AS blim,
+               (SELECT sum(c) FROM ol) lr, (SELECT count(*) FROM ol) lk,
+               (SELECT max(c) FROM ol) lm,
+               (SELECT sum(c) FROM ll) rr, (SELECT count(*) FROM ll) rk,
+               (SELECT max(c) FROM ll) rm
+        UNION ALL
+        SELECT 'nation-supplier', 100000,
+               (SELECT sum(c) FROM nl), (SELECT count(*) FROM nl),
+               (SELECT max(c) FROM nl),
+               (SELECT sum(c) FROM sl), (SELECT count(*) FROM sl),
+               (SELECT max(c) FROM sl)),
+      x AS (SELECT relation, blim,
+              CAST(lr AS BIGINT) AS left_rows, CAST(lk AS BIGINT) AS left_keys,
+              CAST(lm AS BIGINT) AS left_max_mult,
+              CAST(lm * lk * 10000 // lr AS BIGINT) AS left_skew_bp,
+              CAST(rr AS BIGINT) AS right_rows, CAST(rk AS BIGINT) AS right_keys,
+              CAST(rm AS BIGINT) AS right_max_mult,
+              CAST(rm * rk * 10000 // rr AS BIGINT) AS right_skew_bp
+            FROM st)
+      SELECT relation, left_rows, left_keys, left_max_mult, left_skew_bp,
+             right_rows, right_keys, right_max_mult, right_skew_bp,
+             CASE WHEN left_rows <= blim OR right_rows <= blim THEN 'broadcast_small_side'
+                  WHEN greatest(left_skew_bp, right_skew_bp) >= 200000 THEN 'salt_skewed_keys'
+                  ELSE 'shuffle_join' END AS verdict
+      FROM x ORDER BY relation"""))
+
+  // 196. A/B POWER ANALYSIS — required users per arm at 5%/80% for a
+  // grid of MDEs against the measured big-ticket-purchase baseline
+  // (value ≥ 150 — plain "any purchase" converts EVERY user in this
+  // corpus, a degenerate p=1 baseline the operator now refuses with
+  // NULL): the planning readout that should precede row 179's z-test.
+  // All inputs exact integers; the closed-form n replays
+  // double-for-double.
+  val qAbPower = QueryDef("q_ab_power",
+    (s, dir) => {
+      graft.operators.Sessionize.abPowerReport(
+        table(s, dir, "events"), "user_id",
+        col("event_type") === "purchase" && col("value") >= 150.0,
+        Seq(100, 200, 500))
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' AND "value" >= 150.0
+                       THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY 1),
+      t AS (SELECT count(*) AS users, sum(conv) AS converted FROM u),
+      m AS (SELECT unnest([100, 200, 500]) AS mde_bp),
+      x AS (SELECT CAST(mde_bp AS BIGINT) AS mde_bp, users, converted,
+                   CAST(converted AS DOUBLE) / users AS p1,
+                   CAST(converted AS DOUBLE) / users + CAST(mde_bp AS DOUBLE) / 10000.0 AS p2,
+                   CAST(mde_bp AS DOUBLE) / 10000.0 AS d
+            FROM t CROSS JOIN m)
+      SELECT mde_bp,
+             CAST(converted * 10000 // users AS BIGINT) AS baseline_bp,
+             CAST(users AS BIGINT) AS users, CAST(converted AS BIGINT) AS converted,
+             CAST(CASE WHEN p1 > 0.0 AND p1 < 1.0 AND p2 < 1.0 THEN
+               ceil(2.801585 * 2.801585 *
+                 (p1 * (1 - p1) + p2 * (1 - p2)) / (d * d)) END AS BIGINT) AS n_per_arm
+      FROM x ORDER BY mde_bp"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5700,5 +5823,6 @@ object PipelineQueries {
     qReconcile, qRfm, qSequenceSurprise,
     qSketchQuantiles, qDiffColumns, qKeyDiscovery,
     qDedupRecall, qFeatureMi,
+    qSchemaMatch, qJoinAdvisor, qAbPower,
   )
 }

@@ -2304,6 +2304,59 @@ class OperatorsSpec extends SparkSpec {
     p.unpersist(); p2.unpersist()
   }
 
+  test("schema match maps renamed columns and flags ambiguous ones") {
+    import graft.operators.SchemaMatch
+    val r = SchemaMatch.suggestMapping(spark,
+        Seq("TotalPrice", "order_key", "zzz_mystery"),
+        Seq("o_totalprice", "o_orderkey", "o_orderdate"))
+      .collect().map(x => x.getAs[String]("source_col") -> x).toMap
+    // TotalPrice → totalprice vs ototalprice: distance 1, runner-up far
+    assert(r("TotalPrice").getAs[String]("best_target") == "o_totalprice")
+    assert(r("TotalPrice").getAs[Boolean]("confident"))
+    assert(r("order_key").getAs[String]("best_target") == "o_orderkey")
+    assert(!r("zzz_mystery").getAs[Boolean]("confident"))
+  }
+
+  test("join advisor picks broadcast, salt, or shuffle from key stats") {
+    import graft.operators.Skew
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val big = (1L to 5000L).map(i => (i % 100, i)).toDF("k", "v")
+    // tiny side → broadcast wins regardless of skew
+    assert(Skew.joinAdvisor(small, big, "k", "k", "r1", broadcastRowLimit = 100L)
+      .collect().head.getAs[String]("verdict") == "broadcast_small_side")
+    // 90% of rows on one key, both sides over the limit → salt
+    val skewed = ((1L to 4500L).map(_ => (1L, "hot")) ++
+      (1L to 500L).map(i => (i + 1, "cold"))).toDF("k", "v")
+    val r2 = Skew.joinAdvisor(skewed, big, "k", "k", "r2", broadcastRowLimit = 100L)
+      .collect().head
+    // max_mult=4500, keys=501, rows=5000 → skew_bp = 4,509,000 >> 20×
+    assert(r2.getAs[Long]("left_skew_bp") == 4500L * 501L * 10000L / 5000L)
+    assert(r2.getAs[String]("verdict") == "salt_skewed_keys")
+    // even keys on both big sides → plain shuffle
+    val even = (1L to 5000L).map(i => (i, "v")).toDF("k", "v")
+    assert(Skew.joinAdvisor(even, big, "k", "k", "r3", broadcastRowLimit = 100L)
+      .collect().head.getAs[String]("verdict") == "shuffle_join")
+  }
+
+  test("ab power matches the closed form and refuses degenerate baselines") {
+    import graft.operators.Sessionize
+    // 2 of 4 users convert → p1 = 0.5
+    val ev = Seq((1L, "buy"), (2L, "buy"), (3L, "view"), (4L, "view"))
+      .toDF("user_id", "event_type")
+    val r = Sessionize.abPowerReport(ev, "user_id",
+      col("event_type") === "buy", Seq(500)).collect().head
+    val z = 2.801585
+    val (p1, p2) = (0.5, 0.55)
+    val expected = math.ceil(z * z * (p1 * (1 - p1) + p2 * (1 - p2)) / (0.05 * 0.05)).toLong
+    assert(r.getAs[Long]("n_per_arm") == expected)
+    assert(r.getAs[Long]("baseline_bp") == 5000)
+    // everyone converts → p1 = 1 → NULL, not a negative n
+    val all = Seq((1L, "buy"), (2L, "buy")).toDF("user_id", "event_type")
+    val rd = Sessionize.abPowerReport(all, "user_id",
+      col("event_type") === "buy", Seq(500)).collect().head
+    assert(rd.isNullAt(rd.fieldIndex("n_per_arm")))
+  }
+
   test("sequence surprise scores users by population-model likelihood") {
     import graft.operators.Sessionize
     val events = Seq(
