@@ -129,7 +129,14 @@ final case class QuantileCheck(
   *  - `alpha_ratio`: alphabetic-character fraction ≥ `min` ([0, 1]);
   *  - `stopwords`: at least `min` English stopword hits;
   *  - `repetition`: duplicate word-n-gram fraction ≤ `max` ([0, 1]);
-  *  - `pii`: no PII indicators (no parameters).
+  *  - `pii`: no PII indicators (no parameters);
+  *  - `secrets`: no credential indicators — API keys, token literals,
+  *    private-key blocks (no parameters);
+  *  - `unicode`: no control / U+FFFD / zero-width / bidi-override
+  *    characters (no parameters);
+  *  - `markup`: without `max`, reject docs flagged as markup-bearing;
+  *    with `max`, tolerate in-tag character mass up to that fraction
+  *    of the doc ([0, 1]).
   * Execution: [[graft.operators.Curation.filterChainForContract]]. */
 final case class CurationRule(
     rule: String,

@@ -301,7 +301,8 @@ object Curation {
     * contract ([[graft.contracts.CurationRule]]) and compiled here to
     * the integer feature columns [[curationFeatures]] emits. */
   val standardCurationRules: Seq[String] =
-    Seq("min_words", "mean_word_len", "alpha_ratio", "stopwords", "repetition", "pii")
+    Seq("min_words", "mean_word_len", "alpha_ratio", "stopwords", "repetition",
+      "pii", "secrets", "unicode", "markup")
 
   /** The feature frame the standard contract rules read: quality
     * features (token/char/alpha/stopword integers) + the PII flag + the
@@ -309,7 +310,13 @@ object Curation {
     * ONE corpus scan, the exact formulation the `q_filter_chain` /
     * `q_pipeline_funnel` oracles replay. */
   def curationFeatures(df: DataFrame, textCol: String, ngramN: Int = 3): DataFrame =
-    TextAnalysis.piiScan(TextAnalysis.qualityFeatures(df, textCol), textCol)
+    TextAnalysis.markupDensity(
+      TextAnalysis.unicodeAudit(
+        TextAnalysis.secretScan(
+          TextAnalysis.piiScan(TextAnalysis.qualityFeatures(df, textCol), textCol),
+          textCol),
+        textCol),
+      textCol)
       .withColumn("__st",
         graft.functions.NgramStats(TextFns.words(col(textCol)), ngramN))
       .withColumn("rep_bp",
@@ -342,6 +349,13 @@ object Curation {
         case "stopwords" => col("stopword_hits") >= math.round(need(r.min, "min"))
         case "repetition" => col("rep_bp") <= math.round(need(r.max, "max") * 10000)
         case "pii" => !col("has_pii")
+        case "secrets" => !col("has_secret")
+        case "unicode" => !col("has_unicode_issue")
+        case "markup" =>
+          // no max → reject anything flagged as markup-bearing;
+          // max → tolerate tag mass up to that fraction of the doc
+          r.max.map(v => col("tag_char_bp") <= math.round(v * 10000))
+            .getOrElse(!col("has_markup"))
         case other => throw new IllegalArgumentException(
           s"unknown curation rule '$other' (known: ${standardCurationRules.mkString(", ")})")
       }

@@ -5783,6 +5783,72 @@ object PipelineQueries {
                  (p1 * (1 - p1) + p2 * (1 - p2)) / (d * d)) END AS BIGINT) AS n_per_arm
       FROM x ORDER BY mde_bp"""))
 
+  // 197. CONTRACT-DRIVEN HYGIENE CHAIN — the r8 hygiene detectors
+  // (rows 183-185) as first-class contract curation rules: a YAML
+  // contract declares secrets/unicode/markup and the chain attributes
+  // each doc to its FIRST failing rule; all three fixture families
+  // ride along, the live corpus passes clean. Oracle replays the
+  // nested first-fail CASE over the shared regex sets.
+  val qFilterChainHygiene = QueryDef("q_filter_chain_hygiene",
+    (s, dir) => {
+      val contract = graft.contracts.ContractParser.parse(
+        """version: "1.0"
+          |name: documents_hygiene
+          |owner: graft
+          |schema:
+          |  format: parquet
+          |  location: documents
+          |  fields:
+          |    - name: doc_id
+          |      type: int64
+          |    - name: text
+          |      type: string
+          |quality_checks:
+          |  curation:
+          |    - rule: secrets
+          |    - rule: unicode
+          |    - rule: markup
+          |""".stripMargin)
+      val fixtures = s.createDataFrame(
+          SecretFixtures ++ UnicodeFixtures ++ MarkupFixtures)
+        .toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      graft.operators.Curation.filterChainForContract(docs, "text", contract)
+        .groupBy("first_fail")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .orderBy("first_fail")
+    },
+    Some {
+      def anyOf(ps: Seq[(String, String)]) = ps
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val hasSecret = anyOf(TextAnalysis.secretPatterns)
+      val hasUnicode = anyOf(TextAnalysis.unicodePatterns)
+      val tagRe = "<[!/A-Za-z][^>]{0,256}>"
+      val hasMarkup = s"len(regexp_extract_all(text, '$tagRe')) >= 3 OR " +
+        "len(regexp_extract_all(text, '<script|<style|<SCRIPT|<STYLE')) > 0"
+      val secretV = SecretFixtures.map { case (id, t, _) => s"($id, '$t')" }
+      val unicodeV = Seq(
+        "(-9110, 'bad' || chr(1) || 'control' || chr(7) || 'here')",
+        "(-9111, 'moji' || chr(65533) || 'bake' || chr(65533) || chr(65533))",
+        "(-9112, 'zero' || chr(8203) || 'width' || chr(8205) || ' and bidi ' || chr(8238) || 'evil' || chr(8294))")
+      val markupV = MarkupFixtures.map { case (id, t, _) => s"($id, '$t')" }
+      val fixtureValues = (secretV ++ unicodeV ++ markupV).mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      ff AS (SELECT CASE WHEN $hasSecret THEN 'secrets'
+                         WHEN $hasUnicode THEN 'unicode'
+                         WHEN $hasMarkup THEN 'markup'
+                         ELSE 'pass' END AS first_fail
+             FROM docs)
+      SELECT first_fail, CAST(count(*) AS BIGINT) AS n_docs
+      FROM ff GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5824,5 +5890,6 @@ object PipelineQueries {
     qSketchQuantiles, qDiffColumns, qKeyDiscovery,
     qDedupRecall, qFeatureMi,
     qSchemaMatch, qJoinAdvisor, qAbPower,
+    qFilterChainHygiene,
   )
 }

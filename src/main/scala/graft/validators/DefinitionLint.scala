@@ -221,9 +221,13 @@ object DefinitionLint {
               if (r.max.isEmpty) issue(where, "needs max")
               r.max.filter(v => v < 0 || v > 1).foreach(v =>
                 issue(where, s"max $v not in [0, 1]"))
-            case "pii" =>
+            case "pii" | "secrets" | "unicode" =>
               if (r.min.isDefined || r.max.isDefined)
                 issue(where, "takes no min/max")
+            case "markup" =>
+              if (r.min.isDefined) issue(where, "takes no min")
+              r.max.filter(v => v < 0 || v > 1).foreach(v =>
+                issue(where, s"max $v not in [0, 1]"))
           }
         }
       }
