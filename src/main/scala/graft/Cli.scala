@@ -193,6 +193,39 @@ object Cli {
         }
       } finally if (owned) spark.stop()
 
+    case "scan" :: dataPath :: rest =>
+      //   scan <dataPath> [--text <col>] [--json]
+      // compliance sweep: PII, credentials, unicode hygiene, markup —
+      // the pre-train checklist as one table, one corpus scan
+      val textCol = rest.sliding(2).collectFirst { case Seq("--text", c) => c }
+        .getOrElse("text")
+      val json = rest.contains("--json")
+      val (spark, owned) = SparkSession.getActiveSession match {
+        case Some(live) => (live, false)
+        case None => (session(), true)
+      }
+      try {
+        import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+        val ta = graft.operators.TextAnalysis
+        val df = ta.markupDensity(ta.unicodeAudit(ta.secretScan(ta.piiScan(
+          spark.read.parquet(dataPath), textCol), textCol), textCol), textCol)
+        val flagCols = Seq(
+          "pii" -> col("has_pii"), "secrets" -> col("has_secret"),
+          "unicode" -> col("has_unicode_issue"), "markup" -> col("has_markup"))
+        val aggs = flagCols.map { case (n, c) =>
+          sum(when(c, 1L).otherwise(0L)).as(n) }
+        val row = df.agg(count(lit(1)).as("docs"), aggs: _*).collect().head
+        val docs = row.getLong(0)
+        val out = flagCols.map(_._1).map(n => n -> row.getAs[Long](n))
+        if (json) {
+          val fields = out.map { case (n, v) => s""""$n":$v""" }.mkString(",")
+          println(s"""{"docs":$docs,$fields}""")
+        } else {
+          println(f"${"docs"}%-10s$docs%10d")
+          out.foreach { case (n, v) => println(f"$n%-10s$v%10d") }
+        }
+      } finally if (owned) spark.stop()
+
     case "suggest" :: dataPath :: name :: owner :: Nil =>
       val spark = session()
       try {
@@ -296,6 +329,7 @@ object Cli {
           |  profile <dataPath>
           |  suggest <dataPath> <name> <owner>
           |  curate <contract.yml|.toml> [dataPath] [--text <col>] [--json]
+          |  scan <dataPath> [--text <col>] [--json]
           |  diff <pathA> <pathB> [--id <col> --payload <col>] [--json]
           |  drift <contract.yml|.toml> <currentPath> <referencePath> [--json]""".stripMargin)
       sys.exit(2)
