@@ -458,4 +458,41 @@ object Ann {
         sum(coalesce(col("__hit"), lit(0L))).cast("long").as("hits"))
       .withColumn("recall_bp", expr("hits * 10000 DIV exact_k").cast("long"))
   }
+
+  /** HARD-NEGATIVE mining for contrastive training: for each labeled
+    * probe, the k most-similar corpus vectors carrying a DIFFERENT
+    * label — the near-miss examples a retrieval/embedding model
+    * learns the most from (easy random negatives teach nothing; the
+    * highest-cosine wrong-label neighbors define the decision
+    * boundary). NULL-label rows never match any probe label
+    * (null-safe compare), so unlabeled corpus rows still serve as
+    * negatives rather than silently vanishing.
+    *
+    * This is the brute-force-exact formulation (probe set broadcast,
+    * codegen'd dot products, per-probe top-k window) — correct at any
+    * probe batch that fits a broadcast. At 100 TB corpus × large
+    * probe sets, bucket first (lshTopK / ivfTopK's cell join) and
+    * apply the same label-mismatch filter in-bucket; the filter
+    * composes with every ANN path on the board.
+    *
+    * Output: (q_id, q_label, rank, n_id, n_label, cosine). */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        col(labelCol).as("n_label"))
+      .withColumn("n_nsq", VectorFns.normSq(col("n_vec")))
+    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("q_label"))
+      .withColumn("q_nsq", VectorFns.normSq(col("q_vec")))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("n_id") =!= col("q_id") && !(col("n_label") <=> col("q_label")))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        VectorFns.cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nsq"), col("n_nsq")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"), col("n_id"),
+        col("n_label"), col("cosine"))
+  }
 }

@@ -837,6 +837,30 @@ object Profile {
       .orderBy("q_bp")
   }
 
+  /** The MERGEABLE state surface behind [[sketchQuantiles]]: the raw
+    * (bin, c) cell frame at EXPLICIT bounds — merging is a plain
+    * groupBy-sum, so partial sketches built per partition, per
+    * snapshot, or per streaming micro-batch combine associatively as
+    * long as (lo, hi, nBins) are agreed upfront (the same contract as
+    * [[cmSketchCells]] for counts; spec-asserted:
+    * merge(cells(A), cells(B)) == cells(A ∪ B)). [[sketchQuantiles]]
+    * derives bounds from the data — correct for one-shot use but NOT
+    * mergeable across batches with different extents; this surface is
+    * the incremental path. Out-of-range values clamp into the end
+    * bins, so no value is silently dropped. */
+  def sketchCells(df: DataFrame, valueCol: String, nBins: Int,
+                  lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536, s"need 2 <= nBins <= 65536, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val v = col(valueCol).cast(DoubleType)
+    df.filter(v.isNotNull)
+      .withColumn("__bin",
+        least(greatest(floor((v - lit(lo)) / lit((hi - lo) / nBins)), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast(LongType))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).cast(LongType).as("c"))
+  }
+
   /** Candidate-KEY discovery: for each proposed column set, is it a
     * unique key of the table? Reports distinct key count, duplicated
     * keys, rows living under duplicates, and the worst multiplicity —

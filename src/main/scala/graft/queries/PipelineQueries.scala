@@ -5849,6 +5849,40 @@ object PipelineQueries {
       FROM ff GROUP BY 1 ORDER BY 1"""
     })
 
+  // 198. HARD-NEGATIVE MINING — for each labeled probe, the k
+  // highest-cosine corpus vectors with a DIFFERENT label: the
+  // contrastive-training near-misses (row 30's brute-force exactness
+  // + a null-safe label-mismatch filter that composes with every ANN
+  // path). Oracle replays dot products with list_dot_product.
+  val qHardNegatives = QueryDef("q_hard_negatives",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Ann.hardNegatives(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label", k = 3)
+        .select(col("q_id"), col("q_label").cast(LongType).as("q_label"),
+          col("rank").cast(LongType).as("rank"), col("n_id"),
+          col("n_label").cast(LongType).as("n_label"),
+          round(col("cosine"), 4).as("cos_r4"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""
+      SELECT q_id, q_label, CAST(rank AS BIGINT) AS rank, n_id, n_label,
+             round(c, 4) AS cos_r4 FROM (
+        SELECT p.vec_id q_id, CAST(p.label AS BIGINT) q_label,
+               c.vec_id n_id, CAST(c.label AS BIGINT) n_label,
+               list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) c,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                      list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                 c.vec_id ASC) rank
+        FROM embeddings p JOIN embeddings c
+          ON p.vec_id < 8 AND c.vec_id != p.vec_id
+         AND c.label IS DISTINCT FROM p.label)
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5890,6 +5924,6 @@ object PipelineQueries {
     qSketchQuantiles, qDiffColumns, qKeyDiscovery,
     qDedupRecall, qFeatureMi,
     qSchemaMatch, qJoinAdvisor, qAbPower,
-    qFilterChainHygiene,
+    qFilterChainHygiene, qHardNegatives,
   )
 }

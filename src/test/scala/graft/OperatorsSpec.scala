@@ -2357,6 +2357,40 @@ class OperatorsSpec extends SparkSpec {
     assert(rd.isNullAt(rd.fieldIndex("n_per_arm")))
   }
 
+  test("hard negatives rank wrong-label neighbors, null labels never match") {
+    import graft.operators.Ann
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), Some(0)),
+      (2L, Seq(0.9f, 0.1f), Some(0)),  // same label as 1 → never its negative
+      (3L, Seq(0.8f, 0.2f), Some(1)),  // closest wrong-label to 1
+      (4L, Seq(0.0f, 1.0f), Some(1)),
+      (5L, Seq(0.7f, 0.3f), None),     // unlabeled → negative for everyone
+    ).toDF("vec_id", "embedding", "label")
+    val r = Ann.hardNegatives(vecs, vecs.filter($"vec_id" === 1), "vec_id",
+      "embedding", "label", k = 3).collect()
+    assert(r.map(_.getAs[Long]("n_id")).toSeq == Seq(3L, 5L, 4L))
+    assert(!r.map(_.getAs[Long]("n_id")).contains(2L))
+    assert(r.forall(_.getAs[Long]("q_id") == 1L))
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("sketch cells merge associatively across partitions of the data") {
+    import graft.operators.Profile
+    val a = (1 to 400).map(_.toDouble).toDF("v")
+    val b = (401 to 1000).map(_.toDouble).toDF("v")
+    val whole = Profile.sketchCells(a.union(b), "v", nBins = 32, lo = 1.0, hi = 1000.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Profile.sketchCells(a, "v", 32, 1.0, 1000.0)
+      .unionByName(Profile.sketchCells(b, "v", 32, 1.0, 1000.0))
+      .groupBy("bin").agg(sum("c").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+    // out-of-range values clamp into end bins, never dropped
+    val clamped = Profile.sketchCells(Seq(-5.0, 2000.0).toDF("v"), "v", 32, 1.0, 1000.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clamped == Map(0L -> 1L, 31L -> 1L))
+  }
+
   test("sequence surprise scores users by population-model likelihood") {
     import graft.operators.Sessionize
     val events = Seq(
