@@ -172,6 +172,41 @@ object Sessionize {
       .orderBy("mde_bp")
   }
 
+  /** FIRST/LAST-touch conversion attribution: for every conversion
+    * event, which channel (event type) gets the credit — the earliest
+    * prior touch (first-touch) and the latest touch strictly before
+    * the conversion (last-touch), per user stream. The two standard
+    * attribution models side by side is the point: when they disagree
+    * wildly, position-based credit is unstable and the channel mix
+    * readout ([[eventFunnel]], [[conversionLatency]]) needs care.
+    * Conversions with no prior touch credit "(none)" — dropped rows
+    * would silently understate the conversion total.
+    *
+    * One keyed sort-window (both IGNORE-NULLS frame scans ride the
+    * same sort), then the two credits explode into (model, channel)
+    * rows feeding ONE rollup — the window pass runs once, not once
+    * per attribution model. Output per channel: first_touch and
+    * last_touch conversion counts. */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String,
+                       convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    events
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(explode(array(
+        struct(lit("f").as("m"), coalesce(col("__first"), lit("(none)")).as("channel")),
+        struct(lit("l").as("m"), coalesce(col("__last"), lit("(none)")).as("channel"))))
+        .as("r"))
+      .select("r.*")
+      .groupBy("channel")
+      .agg(sum(when(col("m") === "f", 1L).otherwise(0L)).cast("long").as("first_touch"),
+        sum(when(col("m") === "l", 1L).otherwise(0L)).cast("long").as("last_touch"))
+  }
+
   /** Per-user conversion latency: the time from each user's FIRST
     * `fromType` event to their first `toType` event at-or-after it —
     * the latency DISTRIBUTION behind [[eventFunnel]]'s step counts

@@ -5883,6 +5883,67 @@ object PipelineQueries {
          AND c.label IS DISTINCT FROM p.label)
       WHERE rank <= 3 ORDER BY q_id, rank"""))
 
+  // 200. EDIT-DISTANCE PAIR VERIFICATION — exact Levenshtein over the
+  // shared jaccard candidate frame (filter-verify: the O(len²) stage
+  // only ever sees candidate pairs a linear stage produced). DuckDB's
+  // levenshtein replays the same distances.
+  val qDedupEditdist = QueryDef("q_dedup_editdist",
+    (s, dir) => {
+      Dedup.editDistancePairs(
+          dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 2000L),
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      cand AS (SELECT ia, ib
+               FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+               WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000)
+      SELECT ia AS id_a, ib AS id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+             CAST(levenshtein(da.text, db.text) * 10000 //
+               greatest(length(da.text), length(db.text), 1) AS BIGINT) AS lev_bp
+      FROM cand JOIN documents da ON ia = da.doc_id
+                JOIN documents db ON ib = db.doc_id
+      ORDER BY id_a, id_b"""))
+
+  // 201. FIRST/LAST-TOUCH ATTRIBUTION — which channel gets conversion
+  // credit under both standard models at once; "(none)" keeps
+  // untouched conversions in the total. One window pass (the two
+  // frame scans ride one sort), one rollup.
+  val qAttribution = QueryDef("q_attribution",
+    (s, dir) => {
+      graft.operators.Sessionize.touchAttribution(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          "purchase")
+        .orderBy("channel")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, ts, event_id, event_type,
+                   first_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+                   last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+                 FROM events),
+      conv AS (SELECT coalesce(f, '(none)') AS f, coalesce(l, '(none)') AS l
+               FROM e WHERE event_type = 'purchase'),
+      x AS (SELECT 'f' AS m, f AS channel FROM conv
+            UNION ALL SELECT 'l', l FROM conv)
+      SELECT channel,
+             CAST(sum(CASE WHEN m = 'f' THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+             CAST(sum(CASE WHEN m = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
+      FROM x GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5925,5 +5986,6 @@ object PipelineQueries {
     qDedupRecall, qFeatureMi,
     qSchemaMatch, qJoinAdvisor, qAbPower,
     qFilterChainHygiene, qHardNegatives,
+    qDedupEditdist, qAttribution,
   )
 }

@@ -2391,6 +2391,48 @@ class OperatorsSpec extends SparkSpec {
     assert(clamped == Map(0L -> 1L, 31L -> 1L))
   }
 
+  test("edit distance verifies candidate pairs with normalized lev") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delte"),   // 1 edit from doc 1
+      (3L, "totally different words"),
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val all = Dedup.editDistancePairs(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("lev"), r.getAs[Long]("lev_bp")))).toMap
+    assert(all((1L, 2L))._1 == 1L)
+    assert(all((1L, 2L))._2 == 10000L / 22L) // 1 edit over 22 chars
+    assert(all((1L, 3L))._1 > 10L)
+    // threshold keeps only the near pair
+    val near = Dedup.editDistancePairs(pairs, docs, "doc_id", "text", maxLevBp = 1000L)
+      .collect()
+    assert(near.length == 1 && near.head.getLong(1) == 2L)
+  }
+
+  test("touch attribution credits first and last prior channels") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      // user 1: view → click → purchase  (first=view, last=click)
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // user 2: purchase with no prior touch → (none)
+      (2L, 1L, "purchase"),
+      // user 3: click → purchase → purchase (both purchases credit click;
+      // a purchase is never itself a touch)
+      (3L, 1L, "click"), (3L, 2L, "purchase"), (3L, 3L, "purchase"),
+    ).toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"event_id"))
+    val r = Sessionize.touchAttribution(ev, "user_id", "ts", "event_type",
+      "event_id", "purchase")
+      .collect().map(x => x.getString(0) ->
+        ((x.getAs[Long]("first_touch"), x.getAs[Long]("last_touch")))).toMap
+    assert(r("view") == ((1L, 0L)))
+    // click: first-touch for user 3's two purchases; last-touch for all 3
+    assert(r("click") == ((2L, 3L)))
+    assert(r("(none)") == ((1L, 1L)))
+  }
+
   test("sequence surprise scores users by population-model likelihood") {
     import graft.operators.Sessionize
     val events = Seq(
