@@ -459,6 +459,36 @@ object Ann {
       .withColumn("recall_bp", expr("hits * 10000 DIV exact_k").cast("long"))
   }
 
+  /** INT8 scalar-quantization distortion report — the storage-planning
+    * readout before an embedding store commits to 4×-smaller vectors:
+    * each vector is quantized per-vector (scale = max|x|/127,
+    * q = ⌊x/scale + 0.5⌋ — floor(x+0.5) in BOTH engines, sidestepping
+    * round()'s tie-semantics differences), reconstructed, and the
+    * relative L2 error ‖v−v̂‖/‖v‖ rolled up per label. At 100 TB of
+    * embeddings the question is never "is int8 lossy" (yes) but
+    * "does the loss move my recall" — read this WITH [[annRecall]]
+    * run on the quantized store.
+    *
+    * Map-only per row (three array HOF expressions + the codegen
+    * normSq kernel); one label rollup. All-zero vectors report zero
+    * error (nothing to lose). */
+  def quantizationReport(df: DataFrame, vecCol: String,
+                         labelCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = maxAbs / lit(127.0)
+    val recon = transform(v, x => floor(x / scale + lit(0.5)) * scale)
+    val diff = zip_with(v, recon, (a, b) => a - b)
+    val relErr = when(maxAbs > 0.0,
+      sqrt(VectorFns.normSq(diff) / VectorFns.normSq(v))).otherwise(lit(0.0))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), relErr.as("__e"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("vectors"),
+        round(avg("__e"), 6).as("mean_rel_err_r6"),
+        round(max("__e"), 6).as("max_rel_err_r6"))
+  }
+
   /** HARD-NEGATIVE mining for contrastive training: for each labeled
     * probe, the k most-similar corpus vectors carrying a DIFFERENT
     * label — the near-miss examples a retrieval/embedding model

@@ -751,6 +751,30 @@ object Sampling {
         16, 10).cast("long"), lit(10000L)),
       fractions)
 
+  /** Deterministic per-stratum INSPECTION sample: the k rows of each
+    * stratum with the smallest md5("<id>:<seed>") draw key — the
+    * "show me a few examples from every source" readout a datasheet
+    * or labeling pass starts from. Hash-ordered, so the sample is
+    * uniform-ish within each stratum, stable under appends of OTHER
+    * rows' ids, and replays identically in any engine with md5 —
+    * unlike TABLESAMPLE, which is none of those.
+    *
+    * Per-stratum top-k window (Spark collapses it to WindowGroupLimit
+    * — each map task pre-prunes to its local k before the shuffle, so
+    * the exchange carries ≤ k·partitions rows per stratum, not the
+    * stratum). */
+  def inspectionSample(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int, seed: Int = 42): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val key = substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 16)
+    df.withColumn("__hk", key)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__hk"), col(idCol)))
+        .cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__hk")
+  }
+
   /** Group-aware k-fold cross-validation assignment: `fold` ∈ [0, k)
     * from the portable md5 bucket of `groupCol` — every row of a group
     * (user, dup-cluster representative, document family) lands in ONE

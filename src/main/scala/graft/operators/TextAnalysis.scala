@@ -310,6 +310,41 @@ object TextAnalysis {
       acc.withColumn(name, regexp_count(col(textCol), lit(re)).cast("long"))
     }.withColumn("has_pii", piiPatterns.map(p => col(p._1) > 0L).reduce(_ || _))
 
+  /** TRENDING terms between two corpus slices: the terms whose
+    * relative frequency rose most from slice `a` to slice `b`, by the
+    * add-one-smoothed frequency ratio in EXACT integer basis points —
+    * rise_bp = (c_b+1)(t_a+1)·10⁴ DIV (c_a+1)(t_b+1), >10⁴ = rising.
+    * The per-TERM drilldown next to the distribution-level JS
+    * divergence (which says THAT vocabularies drifted; this says
+    * which words did it) — the newly-trending-topic / emerging-spam
+    * readout between crawl batches. `minCountB` suppresses
+    * one-occurrence noise; ties break on the term.
+    *
+    * One explode + one map-combined term rollup + a broadcast 1-row
+    * total; the top-K window collapses to WindowGroupLimit. Long
+    * arithmetic bound: c_b·t_a·10⁴ must fit int64 — fine to ~10⁹
+    * corpus tokens with 10⁵-count terms; beyond that, drop to the
+    * per-mille variant. */
+  def trendingTerms(df: DataFrame, textCol: String, groupCol: String,
+                    a: String, b: String, topK: Int = 15,
+                    minCountB: Long = 5L): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val words = df.filter(col(groupCol).isin(a, b) && col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), explode(TextFns.words(col(textCol))).as("term"))
+    val counts = words.groupBy("term").agg(
+      sum(when(col("__g") === a, 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("__g") === b, 1L).otherwise(0L)).as("c_b"))
+    val tot = counts.agg(sum("c_a").as("__ta"), sum("c_b").as("__tb"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("c_b") >= minCountB)
+      .withColumn("rise_bp",
+        expr("(c_b + 1) * (__ta + 1) * 10000 DIV ((c_a + 1) * (__tb + 1))").cast("long"))
+      .orderBy(col("rise_bp").desc, col("term"))
+      .limit(topK)
+      .select(col("term"), col("c_a").cast("long").as("c_a"),
+        col("c_b").cast("long").as("c_b"), col("rise_bp"))
+  }
+
   /** Credential/secret indicator patterns — the code-corpus sibling of
     * [[piiPatterns]] (leaked API keys and private-key blocks must never
     * reach a training set; cf. the reference's pattern constraints,

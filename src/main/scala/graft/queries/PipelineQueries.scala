@@ -5944,6 +5944,84 @@ object PipelineQueries {
              CAST(sum(CASE WHEN m = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
       FROM x GROUP BY 1 ORDER BY 1"""))
 
+  // 202. PER-STRATUM INSPECTION SAMPLE — k hash-ordered examples per
+  // source (deterministic, append-stable, engine-replayable — none of
+  // which TABLESAMPLE gives you); the datasheet/labeling starting
+  // point. WindowGroupLimit pre-prunes map-side.
+  val qInspectionSample = QueryDef("q_inspection_sample",
+    (s, dir) => {
+      graft.operators.Sampling.inspectionSample(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", k = 3)
+        .select(col("source"), col("sample_rank"), col("doc_id"))
+        .orderBy("source", "sample_rank")
+    },
+    Some("""
+      SELECT source, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY substr(md5(doc_id || ':42'), 1, 16), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 3 ORDER BY source, sample_rank"""))
+
+  // 203. TRENDING TERMS — which words rose most from src0 to src1, by
+  // exact-integer smoothed frequency ratio: the per-term drilldown
+  // behind row 121's JS divergence.
+  val qTrendingTerms = QueryDef("q_trending_terms",
+    (s, dir) => {
+      graft.operators.TextAnalysis.trendingTerms(
+        table(s, dir, "documents"), "text", "source", "src0", "src1",
+        topK = 15, minCountB = 5L)
+    },
+    Some("""
+      WITH w AS (SELECT source AS g, unnest(string_split(text, ' ')) AS term
+                 FROM documents
+                 WHERE source IN ('src0', 'src1') AND text IS NOT NULL),
+      c AS (SELECT term,
+                   sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS c_a,
+                   sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS c_b
+            FROM w GROUP BY 1),
+      t AS (SELECT sum(c_a) AS ta, sum(c_b) AS tb FROM c)
+      SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+             CAST((c_b + 1) * (ta + 1) * 10000 // ((c_a + 1) * (tb + 1)) AS BIGINT) AS rise_bp
+      FROM c CROSS JOIN t
+      WHERE c_b >= 5
+      ORDER BY rise_bp DESC, term LIMIT 15"""))
+
+  // 204. INT8 QUANTIZATION DISTORTION — relative L2 error of
+  // per-vector int8 scalar quantization, per label: the
+  // 4×-smaller-store planning readout (read with row 94's recall
+  // harness). floor(x+0.5) rounding in BOTH engines; reconstruction
+  // and error replayed element-wise via generate_series subscripts.
+  val qEmbedQuant = QueryDef("q_embed_quant",
+    (s, dir) => {
+      graft.operators.Ann.quantizationReport(
+          table(s, dir, "embeddings"), "embedding", "label")
+        .withColumn("label", col("label").cast(LongType))
+        .orderBy("label")
+    },
+    Some("""
+      WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+                        embedding::DOUBLE[] AS ev
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      q AS (SELECT label,
+                   list_max(list_transform(ev, x -> abs(x))) AS ma,
+                   ev
+            FROM v),
+      e AS (SELECT label,
+                   CASE WHEN ma > 0 THEN
+                     sqrt(
+                       list_sum(list_transform(generate_series(1, len(ev)), i ->
+                         (ev[i] - floor(ev[i] / (ma / 127.0) + 0.5) * (ma / 127.0)) *
+                         (ev[i] - floor(ev[i] / (ma / 127.0) + 0.5) * (ma / 127.0)))) /
+                       list_sum(list_transform(ev, x -> x * x)))
+                   ELSE 0.0 END AS rel
+            FROM q)
+      SELECT label, CAST(count(*) AS BIGINT) AS vectors,
+             round(avg(rel), 6) AS mean_rel_err_r6,
+             round(max(rel), 6) AS max_rel_err_r6
+      FROM e GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -5987,5 +6065,6 @@ object PipelineQueries {
     qSchemaMatch, qJoinAdvisor, qAbPower,
     qFilterChainHygiene, qHardNegatives,
     qDedupEditdist, qAttribution,
+    qInspectionSample, qTrendingTerms, qEmbedQuant,
   )
 }

@@ -2433,6 +2433,55 @@ class OperatorsSpec extends SparkSpec {
     assert(r("(none)") == ((1L, 1L)))
   }
 
+  test("inspection sample takes k stable hash-ordered rows per stratum") {
+    import graft.operators.Sampling
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "stratum")
+    val s1 = Sampling.inspectionSample(df, "stratum", "id", k = 5)
+      .collect().map(r => (r.getAs[String]("stratum"), r.getAs[Long]("sample_rank"),
+        r.getAs[Long]("id")))
+    assert(s1.length == 10)
+    assert(s1.count(_._1 == "even") == 5 && s1.count(_._1 == "odd") == 5)
+    assert(s1.filter(_._1 == "even").map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // append-stable: adding rows does not change which ORIGINAL ids
+    // rank first unless a new id hashes earlier
+    val s2 = Sampling.inspectionSample(df, "stratum", "id", k = 5)
+      .collect().map(r => (r.getAs[String]("stratum"), r.getAs[Long]("id"))).toSet
+    assert(s2 == s1.map(x => (x._1, x._3)).toSet) // deterministic across runs
+  }
+
+  test("trending terms rank exact integer rise ratios") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "old old old stable stable"),
+      (2L, "b", "new new new new new stable stable"),
+    ).toDF("doc_id", "src", "text")
+    val r = TextAnalysis.trendingTerms(docs, "text", "src", "a", "b",
+      topK = 5, minCountB = 1L).collect()
+    // t_a = 5, t_b = 7; "new": c_a=0,c_b=5 → (6·6·10⁴)/(1·8) = 45000
+    val byTerm = r.map(x => x.getString(0) ->
+      ((x.getAs[Long]("c_a"), x.getAs[Long]("c_b"), x.getAs[Long]("rise_bp")))).toMap
+    assert(byTerm("new") == ((0L, 5L, 45000L)))
+    assert(r.head.getString(0) == "new") // biggest riser first
+    assert(!byTerm.contains("old"))      // c_b = 0 < minCountB
+  }
+
+  test("quantization report: zero error on exact int8 grids, zero vectors safe") {
+    import graft.operators.Ann
+    val vecs = Seq(
+      // multiples of max/127 quantize exactly → zero error
+      (1L, Seq(127.0f, 0.0f, -127.0f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f), 1), // all-zero → defined 0 error
+      (3L, Seq(0.3f, 0.7f, -0.2f), 2),
+    ).toDF("vec_id", "embedding", "label")
+    val r = Ann.quantizationReport(vecs, "embedding", "label")
+      .collect().map(x => x.getAs[Int]("label") -> x).toMap
+    assert(r(0).getAs[Double]("mean_rel_err_r6") == 0.0)
+    assert(r(1).getAs[Double]("mean_rel_err_r6") == 0.0)
+    val e = r(2).getAs[Double]("max_rel_err_r6")
+    assert(e > 0.0 && e < 0.01, s"int8 rel err should be sub-1%, got $e")
+  }
+
   test("sequence surprise scores users by population-model likelihood") {
     import graft.operators.Sessionize
     val events = Seq(
