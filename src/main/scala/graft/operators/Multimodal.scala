@@ -437,6 +437,105 @@ object Multimodal {
       .withColumnRenamed("sim_b", "dhash_b"), release)
   }
 
+  /** 64-bit audio difference signature — the WAV sibling of
+    * [[dHash64]]: decode the 16-bit PCM data chunk (stereo mixed down
+    * by summing channels), split the sample stream into 65 equal
+    * windows, compute each window's integer energy (Σ sample², Long
+    * arithmetic — exact), and set bit i when energy(i) > energy(i+1).
+    * Energy-gradient SIGNS survive uniform gain changes, resampled
+    * copies and container rewrites — the re-encoded audio dups a byte
+    * or frame hash misses. None for non-PCM/short payloads — honest
+    * "not decoded", like the PNG path. */
+  def audioSig64(p: Array[Byte]): Option[Long] = {
+    if (p == null || p.length < 44) return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int): String =
+      new String(p.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= p.length && (channels == 0 || dataOff < 0)) {
+      val cid = tag(off); val csz = le32(off + 4)
+      if (cid == "fmt " && off + 24 <= p.length) {
+        channels = le16(off + 10); bits = le16(off + 22)
+      }
+      if (cid == "data") { dataOff = off + 8; dataLen = csz }
+      off += 8 + csz.toInt + (csz.toInt & 1)
+    }
+    if (channels <= 0 || bits != 16 || dataOff < 0) return None
+    val bytesPerFrame = channels * 2
+    val nFrames = (math.min(dataLen, (p.length - dataOff).toLong) / bytesPerFrame).toInt
+    if (nFrames < 65) return None
+    val energies = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val from = (w.toLong * nFrames / 65).toInt
+      val until = ((w + 1).toLong * nFrames / 65).toInt
+      var e = 0L
+      var f = from
+      while (f < until) {
+        val base = dataOff + f * bytesPerFrame
+        var mix = 0
+        var c = 0
+        while (c < channels) {
+          mix += (le16(base + c * 2) << 16) >> 16 // sign-extend 16-bit LE
+          c += 1
+        }
+        e += mix.toLong * mix
+        f += 1
+      }
+      energies(w) = e
+      w += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (energies(i) > energies(i + 1)) h |= 1L << i
+      i += 1
+    }
+    Some(h)
+  }
+
+  /** (id, sim) audio-signature frame — the WAV twin of [[withDHash]];
+    * non-PCM payloads are excluded. */
+  def withAudioSig(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(df.schema.fieldIndex(idCol)).dataType, nullable = true),
+      StructField("sim", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        audioSig64(row.getAs[Array[Byte]](binIdx))
+          .map(sig => Row(row.get(idIdx), sig))
+      }
+    }(enc)
+  }
+
+  /** Perceptual AUDIO near-dup pairs: [[audioSig64]] through the same
+    * pigeonhole block machinery as [[perceptualPairs]] — gain-shifted
+    * and re-encoded copies land within a few energy-gradient flips.
+    * Output: id_a, id_b, hamming, asig_a, asig_b. */
+  def audioPairs(df: DataFrame, idCol: String, binCol: String,
+                 maxHamming: Int = 4, maxBucketSize: Long = 10000L): DataFrame =
+    audioPairsManaged(df, idCol, binCol, maxHamming, maxBucketSize)._1
+
+  /** [[audioPairs]] with the block machinery's release handle. */
+  def audioPairsManaged(df: DataFrame, idCol: String, binCol: String,
+                        maxHamming: Int = 4, maxBucketSize: Long = 10000L)
+      : (DataFrame, () => Unit) = {
+    val (pairs, _, release) = Dedup.simhashFromSimsManaged(
+      withAudioSig(df, idCol, binCol),
+      maxHamming, maxBucketSize, numBlocks = maxHamming + 1, blockLoBit = 0)
+    (pairs.withColumnRenamed("sim_a", "asig_a")
+      .withColumnRenamed("sim_b", "asig_b"), release)
+  }
+
   /** The batch-decode path: iterates partitions row-batch-wise like a
     * real codec would (amortizing per-batch codec init), emitting the
     * same schema as [[withMeta]]. Use for decoders that need native

@@ -1796,6 +1796,40 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.sampleWavFrames(Array[Byte](1, 2), 1).isEmpty)
   }
 
+  test("audio signature pairs gain-scaled copies, separates different audio") {
+    import graft.operators.Multimodal
+    // mono 16-bit WAV with a given sample function
+    def wav(sample: Int => Int, n: Int = 650): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(n * 2)
+      (0 until n).foreach(i => bb.putShort(sample(i).toShort))
+      bb.array()
+    }
+    // a rising-then-falling envelope; a half-gain copy; unrelated noise
+    def env(i: Int): Int = { val w = i / 10; if (w < 33) w * 40 else (65 - w) * 40 }
+    val a = wav(env)
+    val b = wav(i => env(i) / 2)                       // uniform gain → same signs
+    val c = wav(i => ((i * 2654435761L) % 2000 - 1000).toInt) // scatter
+    val sigs = Multimodal.withAudioSig(
+      Seq((1L, a), (2L, b), (3L, c), (4L, Array[Byte](1, 2)),
+        (5L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload"),
+      "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L)) // undecodable + null skipped
+    assert(sigs(1L) == sigs(2L), "uniform gain must not change gradient signs")
+    val pairs = Multimodal.audioPairs(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("id", "payload"),
+      "id", "payload", maxHamming = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L)
+    assert(!pairs.keys.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
   test("as-of join attaches the latest snapshot at or before each event") {
     import graft.operators.AsOf
     val snaps = Seq(
