@@ -28,6 +28,11 @@ import graft.validators.ContractValidator
   *                                         quality_checks.drift gates
   *                                         (psi / exact KS) vs a frozen
   *                                         snapshot; exit 1 on failure
+  *   scan <dataPath>                       one-scan PII + credential +
+  *                                         unicode + markup hygiene sweep
+  *   import <suite.json|schema.yml> <owner> Great Expectations / dbt
+  *                                         tests → a graft contract
+  *                                         (unmapped checks → stderr)
   */
 object Cli {
 
@@ -193,6 +198,31 @@ object Cli {
         }
       } finally if (owned) spark.stop()
 
+    case "import" :: path :: owner :: rest =>
+      //   import <suite.json|schema.yml> <owner> [--model <m>] [--location <p>] [--out <p>]
+      // GE JSON suites and dbt schema.yml test blocks → a graft
+      // contract; unmapped expectations go to stderr, never silently
+      def opt(flag: String): Option[String] =
+        rest.sliding(2).collectFirst { case Seq(`flag`, v) => v }
+      val content = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val imported =
+        if (path.endsWith(".json"))
+          graft.contracts.Interop.fromGreatExpectations(content, owner,
+            location = opt("--location").getOrElse(""))
+        else
+          graft.contracts.Interop.fromDbtSchema(content, owner,
+            model = opt("--model"), location = opt("--location").getOrElse(""))
+      imported.warnings.foreach(w => System.err.println(s"warning: $w"))
+      val yamlOut = ContractInit.toYaml(imported.contract)
+      opt("--out") match {
+        case Some(o) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(o), yamlOut.getBytes("UTF-8"))
+          println(s"wrote ${imported.contract.name} to $o" +
+            s" (${imported.warnings.size} warnings)")
+        case None => println(yamlOut)
+      }
+
     case "scan" :: dataPath :: rest =>
       //   scan <dataPath> [--text <col>] [--json]
       // compliance sweep: PII, credentials, unicode hygiene, markup —
@@ -330,6 +360,7 @@ object Cli {
           |  suggest <dataPath> <name> <owner>
           |  curate <contract.yml|.toml> [dataPath] [--text <col>] [--json]
           |  scan <dataPath> [--text <col>] [--json]
+          |  import <suite.json|schema.yml> <owner> [--model <m>] [--location <p>] [--out <p>]
           |  diff <pathA> <pathB> [--id <col> --payload <col>] [--json]
           |  drift <contract.yml|.toml> <currentPath> <referencePath> [--json]""".stripMargin)
       sys.exit(2)

@@ -68,16 +68,47 @@ object ContractInit {
         }
       }
     }
-    // suggested snapshot-drift gates survive the YAML round-trip (the
-    // only quality_checks block suggest/init emits; hand-authored
-    // contracts carry the rest)
-    c.qualityChecks.map(_.drift).filter(_.nonEmpty).foreach { gates =>
-      line("quality_checks:")
-      line("  drift:")
-      gates.foreach { g =>
-        line(s"    - field: ${g.field}")
-        line(s"      method: ${g.method}")
-        line(s"      max: ${g.max}")
+    // quality_checks blocks that init/suggest/import emit survive the
+    // YAML round-trip: completeness, uniqueness, freshness, custom
+    // checks (the Interop importers' output), and suggested drift
+    // gates; hand-authored contracts carry the rest
+    c.qualityChecks.foreach { qc =>
+      val any = qc.completeness.nonEmpty || qc.uniqueness.nonEmpty ||
+        qc.freshness.nonEmpty || qc.customChecks.nonEmpty || qc.drift.nonEmpty
+      if (any) {
+        line("quality_checks:")
+        qc.completeness.foreach { cc =>
+          line("  completeness:")
+          line(s"    threshold: ${cc.threshold}")
+          line(s"    fields: [${cc.fields.mkString(", ")}]")
+        }
+        qc.uniqueness.foreach { u =>
+          line("  uniqueness:")
+          line(s"    fields: [${u.fields.mkString(", ")}]")
+          u.scope.foreach(s => line(s"    scope: $s"))
+          u.dateField.foreach(d => line(s"    date_field: $d"))
+        }
+        qc.freshness.foreach { f =>
+          line("  freshness:")
+          line(s"    max_delay: ${f.maxDelay}")
+          line(s"    metric: ${f.metric}")
+        }
+        if (qc.customChecks.nonEmpty) {
+          line("  custom_checks:")
+          qc.customChecks.foreach { ch =>
+            line(s"    - name: ${ch.name}")
+            line(s"      definition: ${quote(ch.definition)}")
+            ch.severity.foreach(s => line(s"      severity: $s"))
+          }
+        }
+        if (qc.drift.nonEmpty) {
+          line("  drift:")
+          qc.drift.foreach { g =>
+            line(s"    - field: ${g.field}")
+            line(s"      method: ${g.method}")
+            line(s"      max: ${g.max}")
+          }
+        }
       }
     }
     sb.toString

@@ -1,0 +1,182 @@
+package graft.contracts
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+
+/** Importers for the two expectation formats a migrating team most
+  * likely already has — Great Expectations JSON suites and dbt
+  * `schema.yml` test blocks — mapped onto the contract model so an
+  * existing suite runs through the same fused-scan validator as a
+  * native contract (then `ContractInit.toYaml` persists the result).
+  *
+  * The mapping is deliberately HONEST about partiality: every
+  * expectation/test that has no contract counterpart is returned as a
+  * warning string, never silently dropped — an importer that eats
+  * checks is worse than none. Mapped surface:
+  *
+  *   GE `expect_column_values_to_not_be_null`      → field.nullable=false
+  *   GE `expect_column_values_to_be_between`       → Range constraint
+  *   GE `expect_column_values_to_be_in_set`        → AllowedValues
+  *   GE `expect_column_values_to_match_regex`      → Pattern
+  *   GE `expect_column_values_to_be_unique`        → uniqueness (first),
+  *       further unique columns → exact-count custom checks
+  *   GE `expect_compound_columns_to_be_unique`     → uniqueness (first)
+  *   dbt `not_null` / `unique` / `accepted_values` → as above
+  *   dbt `relationships`                           → field tag
+  *       `fk:<to>.<field>` (cross-TABLE; run via
+  *       [[graft.validators.Relationships]], not the single-table
+  *       validator) + warning
+  *
+  * Column types come from `types` (pass the live table's
+  * `ContractInit`-derived dtypes); unknown columns default to
+  * `string`/nullable — the schema check against the real table will
+  * surface any mismatch loudly.
+  */
+object Interop {
+
+  final case class Imported(contract: Contract, warnings: Seq[String])
+
+  private type M = Map[String, Any]
+  private def load(content: String): Any =
+    new Yaml(new SafeConstructor(new LoaderOptions())).load[Any](content)
+  private def asMap(v: Any): M = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => String.valueOf(k) -> x }.toMap
+    case _ => Map.empty
+  }
+  private def asList(v: Any): Seq[Any] = v match {
+    case l: java.util.List[_] => l.asScala.toSeq
+    case null => Nil
+    case _ => Nil
+  }
+  private def str(v: Any): String = String.valueOf(v)
+
+  /** Assemble fields + checks gathered per column into a Contract. */
+  private def build(name: String, owner: String, location: String,
+                    types: Map[String, String],
+                    notNull: Set[String],
+                    constraints: Map[String, Seq[Constraint]],
+                    uniqueCols: Seq[Seq[String]],
+                    tags: Map[String, Seq[String]],
+                    mentioned: Seq[String],
+                    warnings: Seq[String]): Imported = {
+    val fields = mentioned.distinct.map { c =>
+      Field(name = c, dataType = types.getOrElse(c, "string"),
+        nullable = !notNull(c), tags = tags.getOrElse(c, Nil),
+        constraints = constraints.getOrElse(c, Nil))
+    }
+    val uniq = uniqueCols.headOption.map(cols => UniquenessCheck(cols))
+    // further unique columns keep their guarantee as exact-count custom
+    // checks (the validator exposes the table as a temp view named
+    // after the contract)
+    val extraUnique = uniqueCols.drop(1).map { cols =>
+      val key = cols.mkString(", ")
+      CustomCheck(s"unique_${cols.mkString("_")}",
+        s"SELECT count(*) = count(DISTINCT ${if (cols.size > 1) s"($key)" else key}) FROM $name")
+    }
+    val qc = if (uniq.isEmpty && extraUnique.isEmpty) None
+      else Some(QualityChecks(uniqueness = uniq, customChecks = extraUnique))
+    Imported(Contract(version = "1.0", name = name, owner = owner,
+      schema = ContractSchema("parquet", location, fields),
+      qualityChecks = qc), warnings)
+  }
+
+  /** Import a Great Expectations JSON suite (JSON ⊆ YAML, so the same
+    * safe loader reads it). */
+  def fromGreatExpectations(suiteJson: String, owner: String,
+                            location: String = "",
+                            types: Map[String, String] = Map.empty): Imported = {
+    val root = asMap(load(suiteJson))
+    val name = root.get("expectation_suite_name").map(str).getOrElse("imported_suite")
+    var notNull = Set.empty[String]
+    var constraints = Map.empty[String, Seq[Constraint]].withDefaultValue(Nil)
+    var uniques = Seq.empty[Seq[String]]
+    var mentioned = Seq.empty[String]
+    var warnings = Seq.empty[String]
+    def addC(c: String, k: Constraint): Unit = {
+      constraints = constraints.updated(c, constraints(c) :+ k); mentioned :+= c
+    }
+    asList(root.getOrElse("expectations", Nil)).map(asMap).foreach { e =>
+      val t = e.get("expectation_type").map(str).getOrElse("")
+      val kw = asMap(e.getOrElse("kwargs", null))
+      def col = kw.get("column").map(str).getOrElse("")
+      t match {
+        case "expect_column_values_to_not_be_null" =>
+          notNull += col; mentioned :+= col
+        case "expect_column_values_to_be_between" =>
+          val lo = kw.get("min_value").map(str(_).toDouble).getOrElse(Double.MinValue)
+          val hi = kw.get("max_value").map(str(_).toDouble).getOrElse(Double.MaxValue)
+          addC(col, Constraint.Range(lo, hi))
+        case "expect_column_values_to_be_in_set" =>
+          addC(col, Constraint.AllowedValues(asList(kw.getOrElse("value_set", Nil)).map(str)))
+        case "expect_column_values_to_match_regex" =>
+          addC(col, Constraint.Pattern(kw.get("regex").map(str).getOrElse(".*")))
+        case "expect_column_values_to_be_unique" =>
+          uniques :+= Seq(col); mentioned :+= col
+        case "expect_compound_columns_to_be_unique" =>
+          val cols = asList(kw.getOrElse("column_list", Nil)).map(str)
+          uniques :+= cols; mentioned ++= cols
+        case other =>
+          warnings :+= s"unmapped expectation '$other'" +
+            (if (col.nonEmpty) s" on column '$col'" else "")
+      }
+    }
+    build(name, owner, location, types, notNull, constraints, uniques,
+      Map.empty, mentioned, warnings)
+  }
+
+  /** Import ONE model's test block from a dbt `schema.yml` (version 2).
+    * `model` selects the entry under `models:`; default = the first. */
+  def fromDbtSchema(schemaYml: String, owner: String,
+                    model: Option[String] = None,
+                    location: String = "",
+                    types: Map[String, String] = Map.empty): Imported = {
+    val root = asMap(load(schemaYml))
+    val models = asList(root.getOrElse("models", Nil)).map(asMap)
+    val m = model match {
+      case Some(want) => models.find(_.get("name").map(str).contains(want))
+        .getOrElse(throw new IllegalArgumentException(
+          s"model '$want' not found (have: ${models.flatMap(_.get("name")).map(str).mkString(", ")})"))
+      case None => models.headOption.getOrElse(
+        throw new IllegalArgumentException("schema.yml declares no models"))
+    }
+    val name = m.get("name").map(str).getOrElse("imported_model")
+    var notNull = Set.empty[String]
+    var constraints = Map.empty[String, Seq[Constraint]].withDefaultValue(Nil)
+    var uniques = Seq.empty[Seq[String]]
+    var tags = Map.empty[String, Seq[String]].withDefaultValue(Nil)
+    var mentioned = Seq.empty[String]
+    var warnings = Seq.empty[String]
+    asList(m.getOrElse("columns", Nil)).map(asMap).foreach { cm =>
+      val col = cm.get("name").map(str).getOrElse("")
+      mentioned :+= col
+      asList(cm.getOrElse("tests", Nil)).foreach {
+        case s: String if s == "not_null" => notNull += col
+        case s: String if s == "unique" => uniques :+= Seq(col)
+        case s: String =>
+          warnings :+= s"unmapped dbt test '$s' on column '$col'"
+        case other =>
+          val tm = asMap(other)
+          tm.keys.headOption.getOrElse("") match {
+            case "accepted_values" =>
+              val vals = asList(asMap(tm("accepted_values")).getOrElse("values", Nil)).map(str)
+              constraints = constraints.updated(col,
+                constraints(col) :+ Constraint.AllowedValues(vals))
+            case "relationships" =>
+              val rm = asMap(tm("relationships"))
+              val to = rm.get("to").map(str).getOrElse("?")
+              val fld = rm.get("field").map(str).getOrElse("?")
+              tags = tags.updated(col, tags(col) :+ s"fk:$to.$fld")
+              warnings :+= s"dbt 'relationships' on '$col' → tag fk:$to.$fld " +
+                "(cross-table: run graft.validators.Relationships, not the single-table validator)"
+            case unk =>
+              warnings :+= s"unmapped dbt test '$unk' on column '$col'"
+          }
+      }
+    }
+    build(name, owner, location, types, notNull, constraints, uniques,
+      tags, mentioned, warnings)
+  }
+}

@@ -489,6 +489,106 @@ class ContractsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Durations.parseSeconds("5y"))
   }
 
+  test("Great Expectations suite imports to a contract and validates") {
+    import graft.contracts.{Constraint, Interop}
+    val suite = """{
+      "expectation_suite_name": "orders_suite",
+      "expectations": [
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "o_orderkey"}},
+        {"expectation_type": "expect_column_values_to_be_unique",
+         "kwargs": {"column": "o_orderkey"}},
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "o_orderstatus", "value_set": ["F", "O", "P"]}},
+        {"expectation_type": "expect_column_values_to_be_between",
+         "kwargs": {"column": "o_totalprice", "min_value": 0, "max_value": 1000000}},
+        {"expectation_type": "expect_column_values_to_be_unique",
+         "kwargs": {"column": "o_custkey"}},
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 1}}
+      ]}"""
+    val imp = Interop.fromGreatExpectations(suite, owner = "t",
+      location = sf("orders"),
+      types = Map("o_orderkey" -> "int64", "o_custkey" -> "int64",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double"))
+    val c = imp.contract
+    assert(c.name == "orders_suite")
+    assert(!c.schema.fields.find(_.name == "o_orderkey").get.nullable)
+    assert(c.schema.fields.find(_.name == "o_orderstatus").get.constraints
+      .contains(Constraint.AllowedValues(Seq("F", "O", "P"))))
+    assert(c.qualityChecks.get.uniqueness.get.fields == Seq("o_orderkey"))
+    // second unique column survives as an exact-count custom check
+    assert(c.qualityChecks.get.customChecks.exists(_.name == "unique_o_custkey"))
+    // the unmapped table-level expectation is REPORTED, not eaten
+    assert(imp.warnings.exists(_.contains("expect_table_row_count_to_be_between")))
+    // and the imported contract actually runs through the validator
+    val df = spark.read.parquet(sf("orders"))
+    val report = new graft.validators.ContractValidator().validate(df, c)
+    val byCheck = report.collect().map(r =>
+      r.getAs[String]("check") -> r.getAs[Boolean]("passed")).toMap
+    assert(byCheck.exists(_._1.contains("uniqueness")))
+    // o_orderkey IS a key -> its checks pass; o_custkey is genuinely
+    // NOT unique (customers repeat) -> the imported exact-count check
+    // correctly FAILS, proving it executes rather than decorating
+    assert(byCheck("uniqueness") && byCheck("nullability") && byCheck("schema"))
+    assert(byCheck("custom:unique_o_custkey") == false)
+  }
+
+  test("dbt schema.yml tests import with honest FK warnings") {
+    import graft.contracts.{Constraint, Interop}
+    val yml = """version: 2
+               |models:
+               |  - name: orders
+               |    columns:
+               |      - name: o_orderkey
+               |        tests: [unique, not_null]
+               |      - name: o_orderstatus
+               |        tests:
+               |          - accepted_values:
+               |              values: ['F', 'O', 'P']
+               |      - name: o_custkey
+               |        tests:
+               |          - relationships:
+               |              to: customer
+               |              field: c_custkey
+               |""".stripMargin
+    val imp = Interop.fromDbtSchema(yml, owner = "t")
+    val c = imp.contract
+    assert(c.name == "orders")
+    assert(!c.schema.fields.find(_.name == "o_orderkey").get.nullable)
+    assert(c.qualityChecks.get.uniqueness.get.fields == Seq("o_orderkey"))
+    assert(c.schema.fields.find(_.name == "o_orderstatus").get.constraints
+      .contains(Constraint.AllowedValues(Seq("F", "O", "P"))))
+    val fk = c.schema.fields.find(_.name == "o_custkey").get
+    assert(fk.tags.contains("fk:customer.c_custkey"))
+    assert(imp.warnings.exists(_.contains("relationships")))
+    intercept[IllegalArgumentException](
+      Interop.fromDbtSchema(yml, "t", model = Some("nope")))
+  }
+
+  test("CLI import verb converts a dbt schema.yml to contract YAML") {
+    val yml = """version: 2
+                |models:
+                |  - name: orders
+                |    columns:
+                |      - name: o_orderkey
+                |        tests: [unique, not_null]
+                |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_cli_imp", ".yml")
+    java.nio.file.Files.write(f, yml.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.main(Array("import", f.toString, "team"))
+    }
+    val printed = out.toString("UTF-8")
+    // the printed YAML must parse back into the same contract shape
+    val c = ContractParser.parse(printed)
+    assert(c.name == "orders" && c.owner == "team")
+    assert(!c.schema.fields.find(_.name == "o_orderkey").get.nullable)
+    assert(c.qualityChecks.get.uniqueness.get.fields == Seq("o_orderkey"))
+    java.nio.file.Files.delete(f)
+  }
+
   test("CLI scan verb: one-scan hygiene sweep, JSON line") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_scan")
