@@ -27,7 +27,7 @@ import subprocess
 
 __all__ = [
     "GraftCliError", "run_cli", "validate", "check", "curate", "diff",
-    "init", "suggest", "to_dataframe",
+    "init", "suggest", "scan", "import_tests", "to_dataframe",
 ]
 
 
@@ -151,6 +151,39 @@ def suggest(data_path, name, owner, *, jar="graft.jar", launcher=None):
     if code != 0:
         raise GraftCliError(["suggest", data_path], proc)
     return proc.stdout
+
+
+def scan(data_path, *, text_col=None, jar="graft.jar", launcher=None):
+    """One-scan hygiene sweep (PII / credentials / unicode / markup).
+    Returns the single summary dict."""
+    args = [data_path]
+    if text_col:
+        args += ["--text", text_col]
+    args.append("--json")
+    _, rows, proc = run_cli("scan", *args, jar=jar, launcher=launcher)
+    if not rows:
+        raise GraftCliError(["scan"] + args, proc)
+    return rows[0]
+
+
+def import_tests(path, owner, *, model=None, location=None, out=None,
+                 jar="graft.jar", launcher=None):
+    """Great Expectations JSON suite / dbt schema.yml tests → contract
+    YAML text (also written to ``out`` when given). Unmapped checks
+    arrive on stderr; they are returned as the second element."""
+    args = [path, owner]
+    if model:
+        args += ["--model", model]
+    if location:
+        args += ["--location", location]
+    if out:
+        args += ["--out", out]
+    code, _, proc = run_cli("import", *args, jar=jar, launcher=launcher)
+    if code != 0:
+        raise GraftCliError(["import"] + args, proc)
+    warnings = [l[len("warning: "):] for l in (proc.stderr or "").splitlines()
+                if l.startswith("warning: ")]
+    return proc.stdout, warnings
 
 
 def to_dataframe(spark, rows):

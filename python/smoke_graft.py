@@ -62,6 +62,23 @@ def main():
         assert drift, "diff --json produced no rows"
         print(f"  diff: {len(drift)} numeric-drift rows (self vs self)")
 
+        # 5. hygiene scan over the documents table
+        docs = f"{SF}/documents.parquet"
+        sweep = graft.scan(docs, launcher=LAUNCHER)
+        assert {"docs", "pii", "secrets", "unicode", "markup"} <= set(sweep)
+        assert sweep["docs"] > 0
+        print(f"  scan: {sweep}")
+
+        # 6. dbt schema.yml tests -> contract YAML round-trip
+        dbt_path = os.path.join(tmp, "schema.yml")
+        with open(dbt_path, "w") as f:
+            f.write("version: 2\nmodels:\n  - name: events\n    columns:\n"
+                    "      - name: event_id\n        tests: [unique, not_null]\n")
+        yaml_text, warnings = graft.import_tests(dbt_path, "smoke",
+                                                 launcher=LAUNCHER)
+        assert "name: events" in yaml_text and "uniqueness" in yaml_text
+        print(f"  import: contract from dbt tests ({len(warnings)} warnings)")
+
     print("SMOKE OK")
 
 
