@@ -888,6 +888,78 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** SPEARMAN rank correlation — the robust sibling of the Pearson
+    * matrix (row 106): Pearson over AVERAGE ranks, so monotone-but-
+    * nonlinear relationships score |ρ|≈1 and outliers can't dominate
+    * (a single 10⁹ glitch row moves Pearson arbitrarily, Spearman by
+    * one rank). Tie handling is the standard average-rank convention,
+    * computed EXACTLY: avg_rank = cum_before + (c+1)/2 — halves are
+    * exact in doubles, every product/sum below ~2⁵³ stays exact, so
+    * the result is partition-order-independent up to ~10⁵ rows per
+    * column pair at full exactness (beyond that the usual fp-sum
+    * caveat returns; the r6 rounding absorbs it).
+    *
+    * Plan: per column, the SAME two-level range-partition cumsum as
+    * [[percentileRank]] (distinct-value rollup → within-partition
+    * running sum → broadcast partition offsets — never a global
+    * single-task window), a value-equi-join back, then ONE 1-row
+    * Pearson aggregate. NULL in either column drops the row
+    * (complete-case, like the Pearson matrix). */
+  def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val src = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).cast(DoubleType).as("__x"),
+        col(colB).cast(DoubleType).as("__y"))
+    val parts = math.max(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    def avgRank(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+      val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)
+      // persist before the offsets/join fork: the range exchange is
+      // not reproducible, and the two consumers must see ONE copy
+      val ranged = in.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+        .repartitionByRange(parts, col("__v"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__run", sum("__c").over(within))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranged.count()
+      persisted += ranged
+      val offsets = ranged.groupBy("__pid").agg(sum("__c").as("__pc"))
+        .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast(LongType))
+        .select("__pid", "__off")
+      val ranks = ranged.join(broadcast(offsets), "__pid")
+        .withColumn(out,
+          (col("__run") + col("__off") - col("__c")).cast(DoubleType) +
+            (col("__c") + 1).cast(DoubleType) / 2.0)
+        .select(col("__v").as(c), col(out))
+      in.join(ranks, c)
+    }
+    try {
+      val ranked = avgRank(avgRank(src, "__x", "__rx"), "__y", "__ry")
+      val out = ranked.agg(
+          count(lit(1)).cast(LongType).as("n"),
+          sum("__rx").as("__sx"), sum("__ry").as("__sy"),
+          sum(col("__rx") * col("__ry")).as("__sxy"),
+          sum(col("__rx") * col("__rx")).as("__sxx"),
+          sum(col("__ry") * col("__ry")).as("__syy"))
+        .select(col("n"),
+          when(col("n") > 1 &&
+            (col("n") * col("__sxx") - col("__sx") * col("__sx")) > 0 &&
+            (col("n") * col("__syy") - col("__sy") * col("__sy")) > 0,
+            round((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+              sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+                (col("n") * col("__syy") - col("__sy") * col("__sy"))), 6))
+            .as("spearman_r6"))
+      // one bounded row — collect and return a literal frame so the
+      // persisted rank frames release NOW, not at session end
+      val rows = out.collect()
+      val s = df.sparkSession
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally { persisted.foreach(_.unpersist()); () }
+  }
+
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * customer-value cube, built scale-first: each metric's quintile
     * (or `bins`-tile) boundary comes from [[percentileRank]]'s

@@ -78,6 +78,40 @@ object SnapshotDiff {
           .otherwise(0L).cast("long"))
   }
 
+  /** NEW-CATEGORY detection: the values present in the CURRENT
+    * snapshot but absent from the reference, with counts and current
+    * share — the drilldown behind [[categoryDrift]]'s PSI number (PSI
+    * says the mix moved; this names the categories that APPEARED —
+    * new language codes, new event types, a fat-fingered enum). An
+    * `allowed_values` constraint catches these only when someone
+    * already declared the alphabet; this is the undeclared-alphabet
+    * monitor.
+    *
+    * One map-combined category rollup per side, an anti-join on the
+    * category (broadcast when the reference alphabet is small), share
+    * from the persisted rollup's one total. The result is
+    * category-cardinality-bounded; it is collected into a literal
+    * frame so the internal rollup releases immediately. NULL is not a
+    * category (completeness's concern). */
+  def newCategories(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val counts = cur.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("value"))
+      .agg(count(lit(1)).cast("long").as("rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = counts.agg(coalesce(sum("rows"), lit(0L))).collect().head.getLong(0)
+      val refVals = ref.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("string").as("value")).distinct()
+      val out = counts.join(refVals, Seq("value"), "left_anti")
+        .withColumn("share_bp",
+          (col("rows") * 10000L / lit(math.max(total, 1L))).cast("long"))
+        .orderBy(col("rows").desc, col("value"))
+      val rows = out.collect()
+      val s = cur.sparkSession
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally { counts.unpersist(); () }
+  }
+
   /** Slowly-changing-dimension (type 2) history of a mutating
     * attribute: given one row per observation (id, attr, version),
     * collapse each id's consecutive runs of the same attribute value

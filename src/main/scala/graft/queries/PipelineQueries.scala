@@ -6022,6 +6022,66 @@ object PipelineQueries {
              round(max(rel), 6) AS max_rel_err_r6
       FROM e GROUP BY 1 ORDER BY 1"""))
 
+  // 207. SPEARMAN RANK CORRELATION — average-rank ties, Pearson over
+  // ranks, two-level cumsum per column (never a global window).
+  // Oracle replays avg rank as rank() + (count-1)/2 per row — the
+  // identical standard convention from the row side.
+  val qSpearman = QueryDef("q_spearman",
+    (s, dir) => {
+      graft.operators.Profile.spearman(
+        table(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+    },
+    Some("""
+      WITH src AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                          CAST(l_extendedprice AS DOUBLE) AS y
+                   FROM lineitem
+                   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      r AS (SELECT
+              rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+              rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+            FROM src),
+      a AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+                   sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+            FROM r)
+      SELECT CAST(n AS BIGINT) AS n,
+             CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+               THEN round((n * sxy - sx * sy) /
+                          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             END AS spearman_r6
+      FROM a"""))
+
+  // 208. NEW-CATEGORY DETECTION — the categories that APPEARED between
+  // snapshots, named with counts and share: the drilldown behind the
+  // PSI gates. Planted fixture languages prove the detector fires
+  // (the halves share the full live alphabet).
+  private val NewCatFixtures: Seq[(Long, String)] = Seq(
+    (-9300L, "tlh"), (-9301L, "tlh"), (-9302L, "sjn"))
+
+  val qNewCategories = QueryDef("q_new_categories",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      val cur = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "lang")
+        .unionByName(s.createDataFrame(NewCatFixtures).toDF("doc_id", "lang"))
+      graft.operators.SnapshotDiff.newCategories(ref, cur, "lang")
+    },
+    Some {
+      val fixtureValues = NewCatFixtures.map { case (id, l) => s"($id, '$l')" }
+        .mkString(", ")
+      s"""
+      WITH ref AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+      cur AS (SELECT lang FROM documents WHERE doc_id % 2 != 0
+              UNION ALL SELECT lang FROM (VALUES $fixtureValues) t(doc_id, lang)),
+      c AS (SELECT CAST(lang AS VARCHAR) AS value, count(*) AS rows
+            FROM cur WHERE lang IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(rows) AS total FROM c)
+      SELECT value, CAST(rows AS BIGINT) AS rows,
+             CAST(rows * 10000 // greatest(total, 1) AS BIGINT) AS share_bp
+      FROM c CROSS JOIN t
+      WHERE value NOT IN (SELECT CAST(lang AS VARCHAR) FROM ref WHERE lang IS NOT NULL)
+      ORDER BY rows DESC, value"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -6066,5 +6126,6 @@ object PipelineQueries {
     qFilterChainHygiene, qHardNegatives,
     qDedupEditdist, qAttribution,
     qInspectionSample, qTrendingTerms, qEmbedQuant,
+    qSpearman, qNewCategories,
   )
 }

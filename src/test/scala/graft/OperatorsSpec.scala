@@ -2516,6 +2516,42 @@ class OperatorsSpec extends SparkSpec {
     assert(e > 0.0 && e < 0.01, s"int8 rel err should be sub-1%, got $e")
   }
 
+  test("spearman: monotone nonlinear scores 1, ties use average ranks") {
+    import graft.operators.Profile
+    // strictly monotone but nonlinear: rank correlation exactly 1
+    val cube = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0), (5.0, 125.0))
+      .toDF("x", "y")
+    assert(Profile.spearman(cube, "x", "y").collect().head
+      .getAs[Double]("spearman_r6") == 1.0)
+    // anti-monotone: exactly -1
+    val anti = Seq((1.0, 5.0), (2.0, 4.0), (3.0, 3.0), (4.0, 1.0)).toDF("x", "y")
+    assert(Profile.spearman(anti, "x", "y").collect().head
+      .getAs[Double]("spearman_r6") == -1.0)
+    // tied pairs rank identically on both sides → still 1
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)).toDF("x", "y")
+    val r = Profile.spearman(ties, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Double]("spearman_r6") == 1.0)
+    // constant column → undefined, NULL not NaN
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    val c = Profile.spearman(const, "x", "y").collect().head
+    assert(c.isNullAt(c.fieldIndex("spearman_r6")))
+  }
+
+  test("new categories lists appeared values with counts and share") {
+    import graft.operators.SnapshotDiff
+    val ref = Seq("en", "de", "fr").zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val cur = Seq((10L, "en"), (11L, "en"), (12L, "tlh"), (13L, "tlh"),
+      (14L, "sjn"), (15L, null.asInstanceOf[String])).toDF("id", "lang")
+    val r = SnapshotDiff.newCategories(ref, cur, "lang")
+      .collect().map(x => x.getString(0) ->
+        ((x.getAs[Long]("rows"), x.getAs[Long]("share_bp")))).toMap
+    // 5 non-null current rows; tlh 2/5, sjn 1/5; en known; null excluded
+    assert(r == Map("tlh" -> ((2L, 4000L)), "sjn" -> ((1L, 2000L))))
+    // identical snapshots → empty
+    assert(SnapshotDiff.newCategories(cur, cur, "lang").count() == 0L)
+  }
+
   test("sequence surprise scores users by population-model likelihood") {
     import graft.operators.Sessionize
     val events = Seq(
