@@ -6082,6 +6082,93 @@ object PipelineQueries {
       ORDER BY rows DESC, value"""
     })
 
+  // 209. CORPUS-LEVEL MINHASH SIMILARITY — two corpora's shingle-set
+  // Jaccard from two 16-number signatures (sig(A∪B) = elementwise min
+  // — mergeable like the sketch surfaces), with the exact Jaccard
+  // alongside so the estimator's error is measured. Portable affine
+  // family — the oracle replays signatures bit-exact.
+  val qCorpusSimilarity = QueryDef("q_corpus_similarity",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.corpusSimilarity(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", n = 3, numPerm = 16)
+    },
+    Some("""
+      WITH wa AS (SELECT string_split(text, ' ') ws FROM documents
+                  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      wb AS (SELECT string_split(text, ' ') ws FROM documents
+             WHERE doc_id % 2 != 0 AND text IS NOT NULL),
+      sha AS (SELECT DISTINCT unnest(list_transform(
+                generate_series(1, greatest(len(ws) - 2, 1)),
+                g -> array_to_string(ws[g:g+2], ' '))) sh FROM wa),
+      shb AS (SELECT DISTINCT unnest(list_transform(
+                generate_series(1, greatest(len(ws) - 2, 1)),
+                g -> array_to_string(ws[g:g+2], ' '))) sh FROM wb),
+      ha AS (SELECT ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS h FROM sha),
+      hb AS (SELECT ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS h FROM shb),
+      sa AS (SELECT p, min(((1 + (p * 2654435761) % 2147483646) * h
+                            + (p * 2654435761 * 97) % 2147483647) % 2147483647) AS m
+             FROM ha, generate_series(0, 15) t(p) GROUP BY p),
+      sb AS (SELECT p, min(((1 + (p * 2654435761) % 2147483646) * h
+                            + (p * 2654435761 * 97) % 2147483647) % 2147483647) AS m
+             FROM hb, generate_series(0, 15) t(p) GROUP BY p),
+      mm AS (SELECT sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS matches
+             FROM sa JOIN sb USING (p)),
+      sz AS (SELECT (SELECT count(*) FROM sha) AS za,
+                    (SELECT count(*) FROM shb) AS zb,
+                    (SELECT count(*) FROM sha JOIN shb USING (sh)) AS inter)
+      SELECT CAST(16 AS BIGINT) AS perms, CAST(matches AS BIGINT) AS matching_mins,
+             CAST(matches * 10000 // 16 AS BIGINT) AS est_jacc_bp,
+             CAST(za AS BIGINT) AS shingles_a, CAST(zb AS BIGINT) AS shingles_b,
+             CAST(inter AS BIGINT) AS inter,
+             CAST(CASE WHEN za + zb - inter > 0
+               THEN inter * 10000 // (za + zb - inter) ELSE 10000 END AS BIGINT) AS exact_jacc_bp,
+             CAST(abs(matches * 10000 // 16 -
+               CASE WHEN za + zb - inter > 0
+                 THEN inter * 10000 // (za + zb - inter) ELSE 10000 END) AS BIGINT) AS abs_err_bp
+      FROM mm, sz"""))
+
+  // 210. LANGUAGE-ID CALIBRATION — does the confidence margin (row
+  // 181) actually predict accuracy against the declared label? The
+  // reliability readout per fixed margin bin; a well-calibrated
+  // filter shows acc rising with margin, and the low-margin bin tells
+  // you what a margin threshold would cost.
+  val qLangidCalibration = QueryDef("q_langid_calibration",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.TextAnalysis.langIdConfidence(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .withColumn("margin_bin",
+          when(col("margin") === 0, "a_0")
+            .when(col("margin") <= 2, "b_1-2")
+            .when(col("margin") <= 5, "c_3-5")
+            .otherwise("d_6plus"))
+        .groupBy("margin_bin")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
+            .cast(LongType).as("correct"))
+        .withColumn("acc_bp", expr("correct * 10000 DIV docs").cast(LongType))
+        .orderBy("margin_bin")
+    },
+    Some(langidPredictedCtes("doc_id") + """
+      , m AS (SELECT s.doc_id, p.predicted,
+                list_sort([s_en, s_de, s_fr, s_es, s_zh]) AS ss
+              FROM s JOIN p USING (doc_id)),
+      j AS (SELECT m.doc_id, m.predicted, d.lang,
+                   ss[5] - ss[4] AS margin
+            FROM m JOIN documents d USING (doc_id)),
+      bn AS (SELECT CASE WHEN margin = 0 THEN 'a_0'
+                         WHEN margin <= 2 THEN 'b_1-2'
+                         WHEN margin <= 5 THEN 'c_3-5'
+                         ELSE 'd_6plus' END AS margin_bin,
+                    CASE WHEN predicted = lang THEN 1 ELSE 0 END AS ok
+             FROM j)
+      SELECT margin_bin, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(ok) AS BIGINT) AS correct,
+             CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS acc_bp
+      FROM bn GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -6127,5 +6214,6 @@ object PipelineQueries {
     qDedupEditdist, qAttribution,
     qInspectionSample, qTrendingTerms, qEmbedQuant,
     qSpearman, qNewCategories,
+    qCorpusSimilarity, qLangidCalibration,
   )
 }
