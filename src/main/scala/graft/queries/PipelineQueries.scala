@@ -6169,6 +6169,31 @@ object PipelineQueries {
              CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS acc_bp
       FROM bn GROUP BY 1 ORDER BY 1"""))
 
+  // 211. DP-NOISED COUNT RELEASE — per-source doc counts with
+  // deterministic Laplace(1/ε) noise from the portable md5 draw:
+  // rerunning the release repeats the SAME noise (repeat-publication
+  // spends ε once — fresh-noise-per-run is the classic DP bug), and
+  // the oracle replays the release bit-exact.
+  val qDpCounts = QueryDef("q_dp_counts",
+    (s, dir) => {
+      graft.validators.MlValidators.dpNoisedCounts(
+          table(s, dir, "documents"), "source", epsilon = 1.0)
+        .orderBy("group")
+    },
+    Some("""
+      WITH c AS (SELECT CAST(source AS VARCHAR) AS "group",
+                        CAST(count(*) AS BIGINT) AS true_count
+                 FROM documents WHERE source IS NOT NULL GROUP BY 1),
+      n AS (SELECT "group", true_count,
+              ((('0x' || substr(md5("group" || ':42'), 1, 8))::BIGINT % 1000000)::DOUBLE + 0.5)
+                / 1000000.0 AS u
+            FROM c)
+      SELECT "group", true_count,
+             round(true_count + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4) AS noised_r4,
+             round(abs(round(true_count + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+                       - true_count), 4) AS abs_err_r4
+      FROM n ORDER BY "group" """))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupJaccard, qDedupContainment, qDedupGroups, qDupProfile, qDedupMinhash, qDedupMinhashPortable, qDedupSimhash, qDedupEmbedding, qDedupEmbeddingMp,
     qDedupJaccardCollapsed, qDedupMinhashCollapsed, qDedupSimhashCollapsed, qDedupIncremental,
@@ -6215,5 +6240,6 @@ object PipelineQueries {
     qInspectionSample, qTrendingTerms, qEmbedQuant,
     qSpearman, qNewCategories,
     qCorpusSimilarity, qLangidCalibration,
+    qDpCounts,
   )
 }

@@ -49,6 +49,24 @@ object DefinitionLint {
     def checkFieldsExist(path: String, fs: Seq[String]): Unit =
       fs.filterNot(known).foreach(f => issue(path, s"references undeclared field '$f'"))
 
+    // privacy POLICY lint: a field the author tagged pii/sensitive is a
+    // declared intent — a contract that then ships no scrub (no `pii`
+    // curation rule, no masking pattern on the field) silently breaks
+    // that intent at the first write. Tagging without enforcement is
+    // the gap audits find.
+    val piiTagged = c.schema.fields.filter(
+      _.tags.exists(t => t.equalsIgnoreCase("pii") || t.equalsIgnoreCase("sensitive")))
+    if (piiTagged.nonEmpty) {
+      val hasPiiRule = c.qualityChecks.exists(_.curation.exists(_.rule == "pii"))
+      piiTagged.foreach { f =>
+        val hasPattern = f.constraints.exists(_.isInstanceOf[Constraint.Pattern])
+        if (!hasPiiRule && !hasPattern)
+          issue(s"schema.fields.${f.name}.tags",
+            "tagged pii/sensitive but the contract declares no scrub " +
+              "(no quality_checks.curation 'pii' rule and no pattern constraint on the field)")
+      }
+    }
+
     c.qualityChecks.foreach { qc =>
       qc.completeness.foreach { cc =>
         if (cc.threshold < 0 || cc.threshold > 1)

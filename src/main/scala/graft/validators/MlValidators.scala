@@ -259,4 +259,39 @@ object MlValidators {
     }
     row.select(explode(array(outs: _*)).as("r")).select("r.*")
   }
+  /** DIFFERENTIALLY-PRIVATE count release: per-group counts with
+    * Laplace(1/ε) noise — the publishable sibling of the k-anonymity
+    * and l-diversity checks (those say whether a table is safe to
+    * JOIN; this makes an AGGREGATE safe to PUBLISH). The draw is the
+    * portable md5 hash of the group key — DELIBERATELY deterministic:
+    * rerunning the release yields the SAME noise, so repeated
+    * publication of one statistic spends ε ONCE instead of averaging
+    * the noise away (fresh-noise-per-run is the classic DP
+    * implementation bug; determinism here is the privacy-correct
+    * choice, not a testing convenience — and it makes any engine
+    * replay the release bit-exact).
+    *
+    * u = (md5_8(group:seed) mod 10⁶ + 0.5)/10⁶ ∈ (0,1);
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). Map-side rollup + a
+    * map-only noise projection — nothing driver-side.
+    *
+    * The unnoised count rides along for HARNESS comparison only — a
+    * real release would drop it (and the true count is exactly what ε
+    * protects). */
+  def dpNoisedCounts(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     epsilon: Double, seed: Int = 42): org.apache.spark.sql.DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).cast("long").as("true_count"))
+    val u = (pmod(conv(substring(md5(concat(col("group"), lit(s":$seed"))), 1, 8),
+      16, 10).cast("long"), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val centered = u - 0.5
+    val noise = (lit(-1.0 / epsilon) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered)))
+    counts
+      .withColumn("noised_r4", round(col("true_count") + noise, 4))
+      .withColumn("abs_err_r4", round(abs(col("noised_r4") - col("true_count")), 4))
+  }
 }
+

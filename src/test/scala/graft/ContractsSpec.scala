@@ -566,6 +566,49 @@ class ContractsSpec extends SparkSpec {
       Interop.fromDbtSchema(yml, "t", model = Some("nope")))
   }
 
+  test("lint flags pii-tagged fields with no declared scrub") {
+    import graft.contracts._
+    import graft.validators.DefinitionLint
+    def contract(tags: Seq[String], curation: Seq[CurationRule]) = Contract(
+      version = "1", name = "t", owner = "o",
+      schema = ContractSchema("parquet", "", Seq(
+        Field("email", "string", tags = tags))),
+      qualityChecks = if (curation.isEmpty) None
+        else Some(QualityChecks(curation = curation)))
+    // tagged + no scrub anywhere → flagged
+    val bare = DefinitionLint.lint(contract(Seq("pii"), Nil))
+    assert(bare.exists(i => i.path.contains("email.tags") &&
+      i.message.contains("no scrub")))
+    // a pii curation rule satisfies the policy
+    assert(!DefinitionLint.lint(contract(Seq("PII"), Seq(CurationRule("pii"))))
+      .exists(_.path.contains("email.tags")))
+    // untagged fields are nobody's business
+    assert(!DefinitionLint.lint(contract(Nil, Nil))
+      .exists(_.path.contains("email.tags")))
+  }
+
+  test("dp noised counts are deterministic and epsilon-scaled") {
+    import spark.implicits._
+    import graft.validators.MlValidators
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val r1 = MlValidators.dpNoisedCounts(df, "grp", epsilon = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("noised_r4")))).toMap
+    assert(r1.keySet == Set("g0", "g1", "g2"))
+    assert(r1.values.forall { case (t, _) => t == 100L })
+    // deterministic: the SAME noise on rerun (ε spent once)
+    val r2 = MlValidators.dpNoisedCounts(df, "grp", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("noised_r4")).toMap
+    assert(r1.forall { case (g, (_, nz)) => r2(g) == nz })
+    // noise exists (P(all three draws exactly 0) is nil)
+    assert(r1.values.exists { case (t, nz) => nz != t.toDouble })
+    // tighter epsilon → smaller |noise|, same sign structure
+    val r01 = MlValidators.dpNoisedCounts(df, "grp", epsilon = 10.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("noised_r4")).toMap
+    r1.foreach { case (g, (t, nz)) =>
+      assert(math.abs(r01(g) - t) <= math.abs(nz - t) + 1e-9) }
+  }
+
   test("CLI import verb converts a dbt schema.yml to contract YAML") {
     val yml = """version: 2
                 |models:
