@@ -5548,8 +5548,11 @@ object PipelineQueries {
   // could only ever print 10000 would prove nothing.
   val qDedupRecall = QueryDef("q_dedup_recall",
     (s, dir) => {
+      // truth from the session's shared candidate frame — the postings
+      // self-join runs zero extra times for this harness
       Dedup.lshRecall(dedupPipeline(s, dir).shingled,
-        numPerm = 16, bands = 4, minJaccardBp = 5000L)
+        numPerm = 16, bands = 4, minJaccardBp = 5000L,
+        truthPairs = Some(sharedJaccardPairs(s, dir)))
     },
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
@@ -5614,12 +5617,21 @@ object PipelineQueries {
             least(greatest(floor((col("n_chars").cast("double") - col("__lo")) / width),
               lit(0.0)), lit(7.0)))
             .otherwise(lit(0.0)).cast(LongType))
-      def assoc(label: String) =
-        graft.operators.Profile.categoricalAssociation(binned, "len_bin", label)
-          .withColumn("feature", lit(s"n_chars~$label"))
-      assoc("lang").unionByName(assoc("source"))
-        .select("feature", "mi_r6", "cramers_v_r6", "n", "cells")
-        .orderBy("feature")
+      // the binned feature frame feeds BOTH label associations — one
+      // persisted copy, 2-row result collected, released immediately
+      // (the bm25-style double-scan this board's own review banned)
+      val pinned = binned.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def assoc(label: String) =
+          graft.operators.Profile.categoricalAssociation(pinned, "len_bin", label)
+            .withColumn("feature", lit(s"n_chars~$label"))
+        val out = assoc("lang").unionByName(assoc("source"))
+          .select("feature", "mi_r6", "cramers_v_r6", "n", "cells")
+          .orderBy("feature")
+        val rows = out.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      } finally { pinned.unpersist(); () }
     },
     Some {
       def one(label: String) = s"""
@@ -5890,7 +5902,7 @@ object PipelineQueries {
   val qDedupEditdist = QueryDef("q_dedup_editdist",
     (s, dir) => {
       Dedup.editDistancePairs(
-          dedupPipeline(s, dir).jaccardPairs(minJaccardBp = 2000L),
+          sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L),
           table(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
