@@ -1609,6 +1609,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("r8-late session query plans stay free of cartesian products") {
+    // the per-document/per-pair queries added late in r8 must never
+    // plan an all-pairs CartesianProduct — their only cross joins are
+    // broadcasts of 1-row aggregates or constant literal frames
+    // (which plan as broadcast loops over bounded sides, not
+    // cartesians). q_spearman / q_new_categories / q_feature_mi /
+    // q_corpus_similarity collect internally and return literal
+    // frames, so their plans are checked by their oracles instead.
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_secret_scan", "q_unicode_audit", "q_markup_density", "q_reconcile",
+        "q_sequence_surprise", "q_diff_columns", "q_key_discovery",
+        "q_attribution", "q_dedup_editdist", "q_trending_terms",
+        "q_hard_negatives", "q_embed_quant", "q_langid_calibration",
+        "q_dp_counts", "q_rfm", "q_dedup_recall").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$n plan contains an all-pairs CartesianProduct")
+    }
+  }
+
   // independent PNG ENCODER (filter + deflate + chunk/crc), so the
   // decode spec is a true inverse check, not the decoder testing itself
   private object TestPng {
