@@ -17,12 +17,13 @@ import graft.contracts.{Contract, ContractTypes}
 object TableSources {
 
   /** Reads `format`-typed data at `path`; format from the contract
-    * ("parquet" | "csv" | "json"; "iceberg" resolves through the Spark
-    * catalog as a table name). */
+    * ("parquet" | "orc" | "csv" | "json"; "iceberg" resolves through
+    * the Spark catalog as a table name). */
   def read(spark: SparkSession, contract: Contract, pathOverride: Option[String] = None): DataFrame = {
     val location = pathOverride.getOrElse(contract.schema.location)
     contract.schema.format.toLowerCase match {
       case "parquet" => spark.read.parquet(location)
+      case "orc" => spark.read.orc(location)
       case "csv" =>
         spark.read
           .option("header", "true")

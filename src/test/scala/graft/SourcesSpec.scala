@@ -29,6 +29,11 @@ class SourcesSpec extends SparkSpec {
     assert(json.count() == 2)
     assert(json.select("score").as[Double].collect().sorted.toSeq == Seq(1.5, 2.5))
 
+    df.write.orc(s"$tmp/orc")
+    val orc = TableSources.read(spark, contract("orc", s"$tmp/orc"))
+    assert(orc.count() == 2)
+    assert(orc.schema.map(_.dataType.simpleString) == Seq("bigint", "string", "double"))
+
     // catalog path: register a temp view, read through format "table"
     df.createOrReplaceTempView("src_view")
     val viaCatalog = TableSources.read(spark, contract("table", "src_view"))
