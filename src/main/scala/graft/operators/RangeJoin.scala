@@ -68,4 +68,50 @@ object RangeJoin {
         col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__gp", "__gb")
   }
+
+  /** Inner interval-OVERLAP join: every (left, right) interval pair
+    * with `[ls, le]` ∩ `[rs, re]` ≠ ∅ (closed intervals; touching ends
+    * count) — the both-sides-are-intervals completion of
+    * [[pointInInterval]] (session × incident window, trial period ×
+    * campaign, shift × outage). The naive formulation is again a
+    * BroadcastNestedLoopJoin; this is the same bucket decomposition
+    * applied to BOTH sides, with the classic canonical-bucket trick
+    * replacing a dedup pass: a pair overlapping k shared buckets would
+    * be emitted k times, so the join keeps ONLY the bucket that
+    * contains `max(ls, rs)` — i.e. `greatest(bucket(ls), bucket(rs))`,
+    * which every overlapping pair shares exactly once (both intervals
+    * cover max(ls, rs) by the overlap predicate, so both sides emitted
+    * that bucket). No `distinct`, no second shuffle.
+    *
+    * Scale notes (100 TB): shuffled rows = Σ(len/w + 1) over BOTH
+    * sides; size `w` near the median interval length of the DENSER
+    * side. Hot buckets (many concurrent intervals) are ordinary
+    * join-key skew — AQE skew-split applies. Rows with a NULL bound or
+    * `end < start` produce no pairs (inner semantics), matching
+    * [[pointInInterval]].
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: ${overlap.mkString(", ")}")
+    val reserved = Seq("__gl", "__gr")
+    val clash = (left.columns ++ right.columns).toSet intersect reserved.toSet
+    require(clash.isEmpty,
+      s"input frames must not contain reserved internal columns: ${clash.mkString(", ")}")
+    def valid(df: DataFrame, s: String, e: String) =
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+    val lb = valid(left, lStart, lEnd).withColumn("__gl", explode(sequence(
+      bucketOf(col(lStart), bucketWidth), bucketOf(col(lEnd), bucketWidth))))
+    val rb = valid(right, rStart, rEnd).withColumn("__gr", explode(sequence(
+      bucketOf(col(rStart), bucketWidth), bucketOf(col(rEnd), bucketWidth))))
+    lb.join(rb, lb("__gl") === rb("__gr") &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        lb("__gl") === greatest(
+          bucketOf(col(lStart), bucketWidth), bucketOf(col(rStart), bucketWidth)))
+      .drop("__gl", "__gr")
+  }
 }

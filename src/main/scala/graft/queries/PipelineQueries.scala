@@ -3344,6 +3344,40 @@ object PipelineQueries {
       WHERE w.w_user < 40
       GROUP BY 1 ORDER BY 1"""))
 
+  // 213. Interval-OVERLAP join (both sides intervals): per-user-day
+  // activity spans × synthetic incident windows (every 97th event,
+  // 45 min), canonical-bucket dedup — each overlapping pair exactly
+  // once, overlap in exact integer ms.
+  val qIntervalJoin = QueryDef("q_interval_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val spans = ev.groupBy(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(min("ts").as("ls"), max("ts").as("le"))
+      val incidents = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("incident_id"), col("ts").as("rs"),
+          (col("ts") + expr("INTERVAL 45 MINUTES")).as("re"))
+      graft.operators.RangeJoin.intervalOverlap(
+          spans, incidents, "ls", "le", "rs", "re", bucketWidth = 21600.0)
+        .select(col("user_id"), col("day"), col("incident_id"),
+          (unix_millis(least(col("le"), col("re"))) -
+            unix_millis(greatest(col("ls"), col("rs")))).cast(LongType)
+            .as("overlap_ms"))
+        .orderBy("user_id", "day", "incident_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               min(ts) AS ls, max(ts) AS le
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_id AS incident_id, ts AS rs, ts + INTERVAL 45 MINUTE AS re
+        FROM events WHERE event_id % 97 = 0)
+      SELECT l.user_id, l.day, r.incident_id,
+             CAST(epoch_ms(least(l.le, r.re)) - epoch_ms(greatest(l.ls, r.rs)) AS BIGINT) AS overlap_ms
+      FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+      ORDER BY l.user_id, l.day, r.incident_id"""))
+
   // 115. Okapi BM25 retrieval scoring against a fixed query-term set —
   // constants interpolated from the Scala side so both engines run the
   // bit-identical double expression (shortest-roundtrip repr + CAST).
@@ -6264,5 +6298,6 @@ object PipelineQueries {
     qSpearman, qNewCategories,
     qCorpusSimilarity, qLangidCalibration,
     qDpCounts,
+    qIntervalJoin,
   )
 }

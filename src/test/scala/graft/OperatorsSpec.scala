@@ -1998,6 +1998,30 @@ class OperatorsSpec extends SparkSpec {
       RangeJoin.pointInInterval(points, clash, "p", "s", "e", 16.0))
   }
 
+  test("interval overlap join: each overlapping pair exactly once, touching ends count") {
+    import graft.operators.RangeJoin
+    val left = Seq(
+      (1L, 10.0, 50.0),   // spans buckets 0..3 (w=16)
+      (2L, 55.0, 60.0),
+      (3L, 5.0, 5.0),     // degenerate point interval
+      (4L, 90.0, 80.0),   // end < start: dropped
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (100L, 0.0, 100.0), // spans everything — overlaps 1, 2, 3 (not the invalid 4)
+      (200L, 50.0, 54.0), // touches 1 at exactly 50 (closed: counts)
+      (300L, 61.0, 70.0), // overlaps nothing
+    ).toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", 16.0)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no duplicates even though (1, 100) shares 4 buckets
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == Set((1L, 100L), (2L, 100L), (3L, 100L), (1L, 200L)))
+    // column-name collisions rejected loudly
+    assertThrows[IllegalArgumentException](
+      RangeJoin.intervalOverlap(left, right.withColumnRenamed("rid", "lid"),
+        "ls", "le", "rs", "re", 16.0))
+  }
+
   test("bm25 ranks rarer query terms higher and matches a hand computation") {
     val corpus = Seq(
       (0L, "spark spark spark common common"),  // tf(spark)=3, dl=5
