@@ -3378,6 +3378,53 @@ object PipelineQueries {
       FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
       ORDER BY l.user_id, l.day, r.incident_id"""))
 
+  // 214. CDC changelog apply: fold a synthetic order-derived changelog
+  // (every 10th orderkey a delete, the rest full-image upserts, version
+  // = o_orderkey) onto the customer base — final MERGE state with
+  // floor-cents balances so both engines agree exactly.
+  val qCdcApply = QueryDef("q_cdc_apply",
+    (s, dir) => {
+      val base = table(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        floor(col("c_acctbal") * 100).cast(LongType).as("balance_cents"),
+        col("c_mktsegment").as("segment"))
+      val changes = table(s, dir, "orders").select(
+        col("o_custkey").as("id"),
+        when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+        col("o_orderkey").as("v"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("balance_cents"),
+        col("o_orderstatus").as("segment"))
+      graft.operators.SnapshotDiff.applyChangelog(
+          base, changes, "id", "op", "v", Seq("balance_cents", "segment"))
+        .orderBy("id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_custkey AS id, CAST(floor(c_acctbal * 100) AS BIGINT) AS balance_cents,
+               c_mktsegment AS segment
+        FROM customer),
+      ch AS (
+        SELECT o_custkey AS id,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderkey AS v,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS balance_cents,
+               o_orderstatus AS segment
+        FROM orders),
+      last AS (
+        SELECT id, max(v) AS last_version,
+               arg_max(struct_pack(op := op, bc := balance_cents, seg := segment), v) AS img
+        FROM ch GROUP BY 1)
+      SELECT coalesce(b.id, l.id) AS id,
+             CASE WHEN l.id IS NULL THEN b.balance_cents ELSE l.img.bc END AS balance_cents,
+             CASE WHEN l.id IS NULL THEN b.segment ELSE l.img.seg END AS segment,
+             l.last_version,
+             CASE WHEN b.id IS NULL THEN 'inserted'
+                  WHEN l.id IS NULL THEN 'kept'
+                  ELSE 'updated' END AS change
+      FROM base b FULL OUTER JOIN last l ON b.id = l.id
+      WHERE l.img IS NULL OR l.img.op <> 'D'
+      ORDER BY 1"""))
+
   // 115. Okapi BM25 retrieval scoring against a fixed query-term set —
   // constants interpolated from the Scala side so both engines run the
   // bit-identical double expression (shortest-roundtrip repr + CAST).
@@ -6298,6 +6345,6 @@ object PipelineQueries {
     qSpearman, qNewCategories,
     qCorpusSimilarity, qLangidCalibration,
     qDpCounts,
-    qIntervalJoin,
+    qIntervalJoin, qCdcApply,
   )
 }

@@ -557,6 +557,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("applyChangelog: upsert/delete merge, latest version wins, full-image nulls") {
+    import graft.operators.SnapshotDiff
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "name", "bal")
+    val changes = Seq(
+      (2L, "U", 100L, "b2", 21L),          // simple update
+      (3L, "U", 101L, "c2", 31L),          // updated then deleted: gone
+      (3L, "D", 102L, null, 0L),
+      (4L, "U", 103L, null, 44L),          // full-image: name set to NULL, not kept
+      (5L, "U", 104L, "e", 50L),           // insert (no base row)
+      (6L, "U", 105L, "f", 60L),           // insert then delete: never appears
+      (6L, "D", 106L, null, 0L),
+      (2L, "U", 99L, "stale", 0L),         // OLDER version must lose to 100
+    ).toDF("id", "op", "v", "name", "bal")
+    val got = SnapshotDiff.applyChangelog(base, changes, "id", "op", "v",
+        Seq("name", "bal"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("name")), r.getAs[Long]("bal"),
+          Option(r.getAs[Any]("last_version")), r.getAs[String]("change")))).toMap
+    assert(got(1L) == ((Some("a"), 10L, None, "kept")))
+    assert(got(2L) == ((Some("b2"), 21L, Some(100L), "updated")))
+    assert(got(4L) == ((None, 44L, Some(103L), "updated")))  // image NULL wins
+    assert(got(5L) == ((Some("e"), 50L, Some(104L), "inserted")))
+    assert(got.size == 4)  // 3 and 6 deleted
+    // missing columns rejected loudly
+    assertThrows[IllegalArgumentException](
+      SnapshotDiff.applyChangelog(base, changes.drop("op"), "id", "op", "v", Seq("bal")))
+  }
+
   test("chiSquareDrift: pooled expectations, exact contributions, one-sided category") {
     import graft.operators.SnapshotDiff
     // side a: 90 x, 10 y; side b: 60 x, 30 y, 10 z (z absent from a)
