@@ -194,6 +194,7 @@ final case class MlChecks(
     nullRateByGroup: Option[NullRateByGroupCheck] = None,
     kAnonymity: Option[KAnonymityCheck] = None,
     lDiversity: Option[LDiversityCheck] = None,
+    tCloseness: Option[TClosenessCheck] = None,
 )
 
 final case class NoOverlapCheck(splitField: String, keyFields: Seq[String])
@@ -264,6 +265,27 @@ final case class LDiversityCheck(
     quasiIdFields: Seq[String],
     sensitiveField: String,
     l: Int,
+    maxViolationRate: Double = 0.0,
+)
+
+/** t-closeness (Li et al. 2007): every quasi-identifier group's
+  * distribution of the sensitive field must stay within distance `t`
+  * of the WHOLE table's distribution — the skewness-attack gate
+  * [[LDiversityCheck]] cannot see (a group can hold l distinct
+  * sensitive values yet be dominated by one that is rare globally,
+  * and the deviation itself discloses). Distance is total variation
+  * (½·L1 between the categorical distributions — the standard choice
+  * for nominal sensitive fields; EMD needs a value metric). Rows with
+  * any NULL quasi-id are excluded, as in the siblings; a NULL
+  * sensitive value is compared as its own category (its prevalence
+  * shifting across groups is exactly the kind of disclosure the check
+  * exists to catch). `maxViolationRate` is the tolerated fraction of
+  * rows living in groups farther than t, compared exactly in basis
+  * points. */
+final case class TClosenessCheck(
+    quasiIdFields: Seq[String],
+    sensitiveField: String,
+    t: Double,
     maxViolationRate: Double = 0.0,
 )
 

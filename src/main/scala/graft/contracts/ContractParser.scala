@@ -239,6 +239,11 @@ object ContractParser {
       LDiversityCheck(strList(c, "quasi_id_fields"), str(c, "sensitive_field"),
         str(c, "l").toInt, dblOpt(c, "max_violation_rate").getOrElse(0.0))
     },
+    tCloseness = m.get("t_closeness").filter(_ != null).map { v =>
+      val c = asMap(v, "t_closeness")
+      TClosenessCheck(strList(c, "quasi_id_fields"), str(c, "sensitive_field"),
+        str(c, "t").toDouble, dblOpt(c, "max_violation_rate").getOrElse(0.0))
+    },
   )
 
   private def parseSla(m: M): Sla =

@@ -529,6 +529,65 @@ object ContractQueries {
              sum(CASE WHEN d < 4 THEN n ELSE 0 END) * 10000 // sum(n) <= 2000 AS ok
       FROM g"""))
 
+  // 17d. ml t_closeness: quasi-id source, sensitive field lang at
+  // t=0.15 — the skewness-attack gate after k-anonymity (size) and
+  // l-diversity (distinct count): a source whose lang mix deviates
+  // from the corpus mix discloses by the deviation itself. Exact
+  // integer TV compare (no doubles): group violates iff
+  // Σ|c_v·N − C_v·n_g|·10⁴ > 2·t_bp·n_g·N, absent values in closed
+  // form. Verdicts straddle the 2000 bp tolerance across SFs (fails
+  // sf0.01, passes sf0.1). MlValidators.tCloseness is spec-asserted
+  // to agree with this replay.
+  val qMlTCloseness = QueryDef("q_ml_t_closeness",
+    (s, dir) => {
+      val cells = table(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .groupBy(col("source"), col("lang").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val global = cells.groupBy(col("v").as("gv")).agg(sum("c").as("cv"))
+      val totals = global.agg(sum("cv").as("tn"))
+      val ng = cells.groupBy(col("source").as("ns")).agg(sum("c").as("n"))
+      val dist = cells
+        .join(broadcast(global), col("v") <=> col("gv"))
+        .join(ng, col("source") === col("ns"))
+        .crossJoin(broadcast(totals))
+        .groupBy("source")
+        .agg(first("n").as("n"), first("tn").as("tn"),
+          sum("cv").as("cvsum"),
+          sum(abs(col("c") * col("tn") - col("cv") * col("n"))).as("pre"))
+        .withColumn("viol",
+          (col("pre") + col("n") * (col("tn") - col("cvsum"))) * 10000L >
+            lit(2L * 1500L) * col("n") * col("tn"))
+      dist.agg(
+          count(lit(1)).cast(LongType).as("n_groups"),
+          coalesce(sum(when(col("viol"), 1L)), lit(0L)).cast(LongType).as("viol_groups"),
+          coalesce(sum(col("n")), lit(0L)).cast(LongType).as("n_rows"),
+          coalesce(sum(when(col("viol"), col("n"))), lit(0L)).cast(LongType).as("viol_rows"))
+        .withColumn("viol_bp", expr("viol_rows * 10000 DIV n_rows").cast(LongType))
+        .withColumn("ok", col("viol_bp") <= 2000L)
+    },
+    Some("""
+      WITH cells AS (SELECT source, lang AS v, count(*) AS c
+                     FROM documents WHERE source IS NOT NULL GROUP BY 1, 2),
+      gl AS (SELECT v, sum(c) AS cv FROM cells GROUP BY 1),
+      tot AS (SELECT sum(cv) AS tn FROM gl),
+      ng AS (SELECT source, sum(c) AS n FROM cells GROUP BY 1),
+      d AS (SELECT cells.source, any_value(ng.n) AS n, any_value(tn) AS tn,
+                   sum(cv) AS cvsum, sum(abs(c * tn - cv * ng.n)) AS pre
+            FROM cells JOIN gl ON cells.v IS NOT DISTINCT FROM gl.v
+            JOIN ng ON cells.source = ng.source, tot
+            GROUP BY 1),
+      g AS (SELECT source, n,
+                   (pre + n * (tn - cvsum)) * 10000 > 2 * 1500 * n * tn AS viol
+            FROM d)
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN viol THEN n ELSE 0 END) AS BIGINT) AS viol_rows,
+             CAST(sum(CASE WHEN viol THEN n ELSE 0 END) * 10000 // sum(n) AS BIGINT) AS viol_bp,
+             sum(CASE WHEN viol THEN n ELSE 0 END) * 10000 // sum(n) <= 2000 AS ok
+      FROM g"""))
+
   // 17. ml null_rate_by_group over derived nulls (exact bp integer math)
   val qMlNullRateByGroup = QueryDef("q_ml_null_rate_by_group",
     (s, dir) => {
@@ -1008,7 +1067,7 @@ object ContractQueries {
     qSchemaNullability, qConstraintAllowed, qConstraintRange, qConstraintPattern,
     qCustomChecks, qCompleteness, qUniqueness, qUniquenessPerDay, qFreshness,
     qMlNoOverlap, qMlTemporalSplit, qMlClassBalance, qMlFeatureDrift,
-    qMlTargetLeakage, qMlNullRateByGroup, qMlKAnonymity, qMlLDiversity,
+    qMlTargetLeakage, qMlNullRateByGroup, qMlKAnonymity, qMlLDiversity, qMlTCloseness,
     qCatalogDrift, qIncrementalUnique,
     qVectorContract, qQuantileContract,
   )

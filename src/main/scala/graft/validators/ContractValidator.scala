@@ -420,7 +420,8 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
         ml.targetLeakage.map(ch => MlValidators.targetLeakage(df, ch)).toSeq ++
         ml.nullRateByGroup.map(ch => MlValidators.nullRateByGroup(df, ch)).toSeq ++
         ml.kAnonymity.map(ch => MlValidators.kAnonymity(df, ch)).toSeq ++
-        ml.lDiversity.map(ch => MlValidators.lDiversity(df, ch)).toSeq
+        ml.lDiversity.map(ch => MlValidators.lDiversity(df, ch)).toSeq ++
+        ml.tCloseness.map(ch => MlValidators.tCloseness(df, ch)).toSeq
     }
   }
 }

@@ -183,6 +183,23 @@ object DefinitionLint {
             issue("quality_checks.ml_checks.l_diversity.max_violation_rate",
               s"${ld.maxViolationRate} not in [0, 1]")
         }
+        ml.tCloseness.foreach { tc =>
+          checkFieldsExist("quality_checks.ml_checks.t_closeness",
+            tc.quasiIdFields :+ tc.sensitiveField)
+          if (tc.quasiIdFields.isEmpty)
+            issue("quality_checks.ml_checks.t_closeness.quasi_id_fields",
+              "needs at least one field")
+          if (tc.quasiIdFields.contains(tc.sensitiveField))
+            issue("quality_checks.ml_checks.t_closeness.sensitive_field",
+              s"'${tc.sensitiveField}' is also a quasi-id (each group's " +
+                "distribution would be a point mass by construction)")
+          if (tc.t <= 0 || tc.t > 1)
+            issue("quality_checks.ml_checks.t_closeness.t",
+              s"${tc.t} not in (0, 1]")
+          if (tc.maxViolationRate < 0 || tc.maxViolationRate > 1)
+            issue("quality_checks.ml_checks.t_closeness.max_violation_rate",
+              s"${tc.maxViolationRate} not in [0, 1]")
+        }
       }
       qc.vector.foreach { v =>
         checkFieldsExist("quality_checks.vector", Seq(v.field))

@@ -237,6 +237,83 @@ object MlValidators {
       .select("r.*")
   }
 
+  /** t-closeness (Li et al. 2007): per quasi-id group, total-variation
+    * distance between the group's sensitive-value distribution and the
+    * whole table's must be <= t — the skewness-attack gate after
+    * [[kAnonymity]] (size) and [[lDiversity]] (distinct count). See
+    * [[graft.contracts.TClosenessCheck]] for semantics.
+    *
+    * All-integer arithmetic: group g with rows n_g violates iff
+    * Σ_v |c_v·N − C_v·n_g| > 2·t_bp·n_g·N / 10⁴, where c_v/C_v are the
+    * group/global counts of sensitive value v and N the table total.
+    * Values ABSENT from the group contribute C_v·n_g each; summed in
+    * closed form (Σ_absent C_v·n_g = n_g·N − n_g·Σ_present C_v), so
+    * the plan never materializes group × alphabet. One (quasi, value)
+    * rollup + one |values|-bounded broadcast join + one group fold +
+    * one 1-row fold — never a row-level shuffle after the first
+    * rollup. Products are int64: safe while rows·rows < 9.2e18 / 10⁴
+    * (~10⁹ rows (sf-corpus scale); shard the check or widen to decimal
+    * beyond). */
+  def tCloseness(df: DataFrame, ch: TClosenessCheck): DataFrame = {
+    require(ch.t > 0 && ch.t <= 1, s"t must be in (0, 1], got ${ch.t}")
+    require(ch.maxViolationRate >= 0 && ch.maxViolationRate <= 1,
+      s"max_violation_rate ${ch.maxViolationRate} not in [0, 1]")
+    val tBp = math.round(ch.t * 10000)
+    val maxBp = math.round(ch.maxViolationRate * 10000)
+    val nonNull = ch.quasiIdFields.map(col(_).isNotNull).reduce(_ && _)
+    val cells = df.filter(nonNull)
+      .groupBy(ch.quasiIdFields.map(col) :+ col(ch.sensitiveField).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+    val totals = global.agg(sum(col("__cv")).as("__total"))
+    // the |c_v·N − C_v·n_g| term needs the group total n_g, itself a
+    // sum over the cells — two-level: join n_g back per (group, value),
+    // then fold per group
+    val ng = cells.groupBy(ch.quasiIdFields.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    // null-safe value join: a NULL sensitive value is a category of its
+    // own (see TClosenessCheck scaladoc), and a plain equi-join would
+    // silently drop its cells
+    val dist = cells
+      .join(broadcast(global.withColumnRenamed("__v", "__gv")),
+        col("__v") <=> col("__gv"))
+      .join(ng, ch.quasiIdFields)
+      .crossJoin(broadcast(totals))
+      .groupBy(ch.quasiIdFields.map(col): _*)
+      // post-agg aliases get FRESH names: the USING join keeps ng's
+      // `__n` resolvable as a hidden column downstream, so re-aliasing
+      // to `__n` would make later references ambiguous
+      .agg(first(col("__n")).as("__ng"), first(col("__total")).as("__NN"),
+        sum(col("__cv")).as("__cvSum"),
+        sum(abs(col("__c") * col("__total") - col("__cv") * col("__n")))
+          .as("__presentAbs"))
+      // absent values in closed form: Σ_absent C_v·n_g = n_g·(N − Σ_present C_v)
+      .withColumn("__tvNum",
+        col("__presentAbs") + col("__ng") * (col("__NN") - col("__cvSum")))
+      // violates iff tvNum·10⁴ > 2·t_bp·n_g·N
+      .withColumn("__viol",
+        col("__tvNum") * 10000L > lit(2L * tBp) * col("__ng") * col("__NN"))
+    val row = dist.agg(
+      coalesce(sum(when(col("__viol"), col("__ng"))), lit(0L)).as("__viol_rows"),
+      coalesce(sum(when(col("__viol"), 1L)), lit(0L)).as("__viol_groups"),
+      coalesce(sum(col("__ng")), lit(0L)).as("__rows"),
+      count(lit(1)).as("__groups"))
+    // an empty table (0 groups) is vacuously close
+    row.select(result(lit("ml_t_closeness"),
+      lit(ch.quasiIdFields.mkString(",") + "->" + ch.sensitiveField),
+      col("__viol_rows") * 10000L <= lit(maxBp) * col("__rows") ||
+        col("__rows") === 0L,
+      expr("__viol_rows * 10000 DIV greatest(__rows, 1)")
+        .cast(DoubleType) / 10000d,
+      format_string(
+        s"%d of %d row(s) in %d group(s) farther than t=${ch.t} from the " +
+          s"global ${ch.sensitiveField} distribution (of %d quasi-id " +
+          s"group(s), max rate ${ch.maxViolationRate})",
+        col("__viol_rows"), col("__rows"), col("__viol_groups"),
+        col("__groups"))).as("r"))
+      .select("r.*")
+  }
+
   /** Spread of per-group null rates must be <= maxNullRateDiff
     * (reference: ml.rs:484). One groupBy; one row per checked field. */
   def nullRateByGroup(df: DataFrame, ch: NullRateByGroupCheck): DataFrame = {

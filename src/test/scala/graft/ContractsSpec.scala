@@ -71,6 +71,11 @@ class ContractsSpec extends SparkSpec {
       |      sensitive_field: url
       |      l: 3
       |      max_violation_rate: 0.02
+      |    t_closeness:
+      |      quasi_id_fields: [event_type]
+      |      sensitive_field: url
+      |      t: 0.2
+      |      max_violation_rate: 0.05
       |  vector:
       |    - field: emb
       |      dim: 64
@@ -108,6 +113,8 @@ class ContractsSpec extends SparkSpec {
       KAnonymityCheck(Seq("event_type", "url"), 5, 0.01)))
     assert(qc.mlChecks.get.lDiversity.contains(
       LDiversityCheck(Seq("event_type"), "url", 3, 0.02)))
+    assert(qc.mlChecks.get.tCloseness.contains(
+      TClosenessCheck(Seq("event_type"), "url", 0.2, 0.05)))
     assert(qc.vector == Seq(VectorCheck("emb", dim = Some(64),
       minNorm = Some(0.5), maxNorm = Some(2.0), maxNanRate = 0.01)))
     assert(qc.quantile == Seq(

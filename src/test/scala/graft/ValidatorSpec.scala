@@ -193,7 +193,9 @@ class ValidatorSpec extends SparkSpec {
           kAnonymity = Some(
             KAnonymityCheck(Seq("missing_q"), k = 1, maxViolationRate = 2.0)),
           lDiversity = Some(
-            LDiversityCheck(Seq("a"), "a", l = 1, maxViolationRate = 2.0)))),
+            LDiversityCheck(Seq("a"), "a", l = 1, maxViolationRate = 2.0)),
+          tCloseness = Some(
+            TClosenessCheck(Seq("a"), "a", t = 5.0, maxViolationRate = -1.0)))),
         curation = Seq(
           CurationRule("wat"),                         // unknown name
           CurationRule("min_words"),                   // needs min
@@ -215,6 +217,9 @@ class ValidatorSpec extends SparkSpec {
     assert(paths.contains("quality_checks.ml_checks.l_diversity.sensitive_field")) // quasi-id overlap
     assert(paths.contains("quality_checks.ml_checks.l_diversity.l"))               // l < 2
     assert(paths.contains("quality_checks.ml_checks.l_diversity.max_violation_rate"))
+    assert(paths.contains("quality_checks.ml_checks.t_closeness.sensitive_field")) // quasi-id overlap
+    assert(paths.contains("quality_checks.ml_checks.t_closeness.t"))               // t > 1
+    assert(paths.contains("quality_checks.ml_checks.t_closeness.max_violation_rate"))
     assert(paths.contains("quality_checks.vector.missing_v.dim"))
     assert(paths.contains("quality_checks.vector.missing_v.max_nan_rate"))
     assert(paths.contains("quality_checks.vector.missing_v.min_norm"))
@@ -488,6 +493,64 @@ class ValidatorSpec extends SparkSpec {
     val v = results(MlValidators.lDiversity(real,
       LDiversityCheck(Seq("source", "len_bucket"), "lang", l = 4)))
       .apply(("ml_l_diversity", "source,len_bucket->lang"))
+    assert(v.metric == q.getAs[Long]("viol_bp") / 10000.0)
+  }
+
+  test("t-closeness: exact TV distance, NULL sensitive is a category, agrees with the query replay") {
+    import org.apache.spark.sql.functions.col
+    // global: en 4/10, de 6/10. web = {en×4, de×4}: TV = ½(0.1+0.1)
+    // = 0.1; wiki = {de×2}: TV = ½(0.4+0.4) = 0.4 (absent en via the
+    // closed form); one NULL-src row excluded entirely
+    val df = Seq(("web", "en"), ("web", "en"), ("web", "en"), ("web", "en"),
+      ("web", "de"), ("web", "de"), ("web", "de"), ("web", "de"),
+      ("wiki", "de"), ("wiki", "de"),
+      (null.asInstanceOf[String], "en")).toDF("src", "lang")
+    val strict = results(MlValidators.tCloseness(df,
+      TClosenessCheck(Seq("src"), "lang", t = 0.3)))
+    val r = strict(("ml_t_closeness", "src->lang"))
+    // only wiki (0.4 > 0.3) violates: 2 of 10 rows
+    assert(!r.passed)
+    assert(r.metric == 0.2)
+    assert(r.detail.contains("2 of 10 row(s) in 1 group(s) farther than t=0.3"))
+    // t above every group's distance passes; tolerance above the rate passes
+    assert(results(MlValidators.tCloseness(df,
+      TClosenessCheck(Seq("src"), "lang", t = 0.5)))
+      .apply(("ml_t_closeness", "src->lang")).passed)
+    assert(results(MlValidators.tCloseness(df,
+      TClosenessCheck(Seq("src"), "lang", 0.3, maxViolationRate = 0.3)))
+      .apply(("ml_t_closeness", "src->lang")).passed)
+    // NULL sensitive values are a category of their own: a = {x, null},
+    // b = {x, x} against global {x: 3, null: 1} — both groups at TV
+    // 0.25; dropping NULLs would make a a point mass at x (TV 0.25→
+    // different split). t = 0.2 flags both, t = 0.3 neither.
+    val dfn = Seq(("a", "x"), ("a", null.asInstanceOf[String]),
+      ("b", "x"), ("b", "x")).toDF("src", "lang")
+    assert(results(MlValidators.tCloseness(dfn,
+      TClosenessCheck(Seq("src"), "lang", t = 0.2)))
+      .apply(("ml_t_closeness", "src->lang")).metric == 1.0)
+    assert(results(MlValidators.tCloseness(dfn,
+      TClosenessCheck(Seq("src"), "lang", t = 0.3)))
+      .apply(("ml_t_closeness", "src->lang")).passed)
+    // empty table vacuously close
+    assert(results(MlValidators.tCloseness(df.filter(col("src") === "nope"),
+      TClosenessCheck(Seq("src"), "lang", 0.3)))
+      .apply(("ml_t_closeness", "src->lang")).passed)
+    // guard rails
+    intercept[IllegalArgumentException] {
+      MlValidators.tCloseness(df, TClosenessCheck(Seq("src"), "lang", t = 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      MlValidators.tCloseness(df, TClosenessCheck(Seq("src"), "lang", 0.3,
+        maxViolationRate = 1.5))
+    }
+    // the validator row agrees with q_ml_t_closeness's replay on the
+    // real corpus (same quasi-id, same t, same bp arithmetic)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = SparkEntry.queries("q_ml_t_closeness")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val v = results(MlValidators.tCloseness(real,
+      TClosenessCheck(Seq("source"), "lang", t = 0.15)))
+      .apply(("ml_t_closeness", "source->lang"))
     assert(v.metric == q.getAs[Long]("viol_bp") / 10000.0)
   }
 
