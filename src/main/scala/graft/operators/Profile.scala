@@ -1015,6 +1015,65 @@ object Profile {
     * referential check. One map-combined rollup per pair; NULL
     * dependents count as a value (a det mapping to {x, NULL} is NOT
     * functional — SQL distinctness treats NULL as one group). */
+  /** Leave-one-out target encoding: each row's category is replaced by
+    * the mean target of the OTHER rows sharing it, in exact basis
+    * points — (Σ_cat target − own) · 10⁴ DIV (n_cat − 1). The
+    * leakage-safe form of mean encoding: plain category means leak
+    * each row's own label into its feature (singleton categories leak
+    * it VERBATIM), which is exactly the target-leakage failure the
+    * contract's `target_leakage` check hunts. Singleton categories and
+    * NULL categories encode as NULL (no honest estimate exists —
+    * downstream imputes the global prior explicitly rather than this
+    * operator hiding one). `targetCol` must be integral (0/1 labels or
+    * counts) so the arithmetic is exact on both engines.
+    *
+    * Plan: one |categories|-bounded rollup broadcast back onto the
+    * rows — map-only after the rollup, no row-level shuffle, no
+    * window. */
+  def targetEncodeLoo(df: DataFrame, catCol: String,
+                      targetCol: String): DataFrame = {
+    val dt = df.schema(targetCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"targetEncodeLoo: $targetCol must be an integral type, got $dt")
+    val stats = df.filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .groupBy(col(catCol).as("__cat"))
+      .agg(sum(col(targetCol)).as("__sum"), count(lit(1)).as("__n"))
+    df.join(broadcast(stats), col(catCol) === col("__cat"), "left_outer")
+      // DIV, not fractional-divide-then-cast: exact integral division,
+      // matching the DuckDB replay's `//`
+      .withColumn("enc_bp",
+        when(col("__n") > 1 && col(targetCol).isNotNull,
+          expr(s"(__sum - `$targetCol`) * 10000 DIV (__n - 1)"))
+          .cast(LongType))
+      .drop("__cat", "__sum", "__n")
+  }
+
+  /** Per-key monotonicity audit: ordered by `seqCol`, how often does
+    * `valueCol` strictly DECREASE from one row to the next — the
+    * ordering contract behind event logs (timestamps vs ingest order),
+    * version counters, and watermark sanity. Reports per key: row
+    * count, inversion count, the first offending sequence value, and
+    * the verdict. NULL values are skipped (an absent measurement is
+    * not an inversion); ties are monotone (non-strict).
+    *
+    * Plan: one per-key lag window (state = 1 row) + one map-side
+    * combined rollup — keyed shuffles only, linear. */
+  def monotonicityAudit(df: DataFrame, keyCol: String, seqCol: String,
+                        valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__s"))
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), col(seqCol).as("__s"),
+        col(valueCol).as("__x"))
+      .withColumn("__prev", lag(col("__x"), 1).over(w))
+      .withColumn("__inv", (col("__prev") > col("__x")).cast(LongType))
+      .groupBy("key")
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        coalesce(sum(col("__inv")), lit(0L)).cast(LongType).as("inversions"),
+        min(when(col("__inv") === 1L, col("__s"))).as("first_inversion_at"))
+      .withColumn("ok", col("inversions") === 0L)
+  }
+
   def functionalDependency(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "need at least one (det, dep) pair")
     pairs.map { case (det, dep) =>

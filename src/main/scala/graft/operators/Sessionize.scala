@@ -664,6 +664,41 @@ object Sessionize {
         col("active_users"),
         expr("active_users * 10000 DIV cohort_users").cast("long").as("retention_bp"))
   }
+
+  /** Churn/return label generation: for every (user, active day), did
+    * the user come back within the next `horizonDays` — the label
+    * builder behind every churn model (and the per-observation form of
+    * [[cohortRetention]]'s cohort averages). `returned` is true iff
+    * the user's NEXT active day lands in (day, day + horizon];
+    * `censored` marks observations whose horizon extends past the
+    * corpus's last day — a false `returned` there is "not yet
+    * observed", not churn, and training on censored rows as negatives
+    * is the classic label-leakage-by-truncation bug, so the flag rides
+    * every row instead of silently dropping or mislabeling the tail.
+    *
+    * Plan: one distinct (user, day) rollup (map-side combined), one
+    * per-user lead window (state = 1 row), one broadcast 1-row join
+    * for the corpus max day. Linear; never a global window. */
+  def churnLabels(events: DataFrame, userCol: String, tsCol: String,
+                  horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
+    val days = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .distinct()
+    val maxDay = days.agg(max(col("__d")).as("__maxd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("__d"))
+    days
+      .withColumn("__next", lead(col("__d"), 1).over(w))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user"),
+        date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        date_format(col("__next"), "yyyy-MM-dd").as("next_day"),
+        (col("__next").isNotNull &&
+          datediff(col("__next"), col("__d")) <= horizonDays).as("returned"),
+        (datediff(col("__maxd"), col("__d")) < horizonDays).as("censored"))
+  }
 }
 
 /** Deterministic dataset splitting for reproducible train/val/test

@@ -3425,6 +3425,85 @@ object PipelineQueries {
       WHERE l.img IS NULL OR l.img.op <> 'D'
       ORDER BY 1"""))
 
+  // 215. Churn/return labels at a 7-day horizon: per (user, active
+  // day), did the user come back within 7 days; censored marks
+  // horizon-past-corpus-end observations (training on them as
+  // negatives is the truncation-leakage bug).
+  val qChurnLabels = QueryDef("q_churn_labels",
+    (s, dir) => {
+      graft.operators.Sessionize.churnLabels(
+          table(s, dir, "events"), "user_id", "ts", horizonDays = 7)
+        .select(col("user").as("user_id"), col("day"), col("next_day"),
+          col("returned"), col("censored"))
+        .orderBy("user_id", "day")
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      m AS (SELECT max(d) AS maxd FROM d),
+      l AS (SELECT u, d, lead(d) OVER (PARTITION BY u ORDER BY d) AS nxt FROM d)
+      SELECT l.u AS user_id, strftime(l.d, '%Y-%m-%d') AS day,
+             strftime(l.nxt, '%Y-%m-%d') AS next_day,
+             (l.nxt IS NOT NULL AND datediff('day', l.d, l.nxt) <= 7) AS returned,
+             (datediff('day', l.d, m.maxd) < 7) AS censored
+      FROM l, m ORDER BY 1, 2"""))
+
+  // 216. Leave-one-out target encoding of event_type against the
+  // value>=150 label — the leakage-safe mean encoding (plain category
+  // means leak each row's own label; singletons leak it verbatim →
+  // NULL here). Exact integer bp.
+  val qTargetEncoding = QueryDef("q_target_encoding",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .withColumn("label", (col("value") >= 150d).cast(LongType))
+      graft.operators.Profile.targetEncodeLoo(e, "event_type", "label")
+        .select(col("event_id"), col("event_type"), col("label"), col("enc_bp"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CASE WHEN value IS NULL THEN NULL
+                             WHEN value >= 150 THEN 1 ELSE 0 END AS label
+                 FROM events),
+      s AS (SELECT event_type AS cat, sum(label) AS sm, count(label) AS n
+            FROM e WHERE event_type IS NOT NULL AND label IS NOT NULL GROUP BY 1)
+      SELECT e.event_id, e.event_type, CAST(e.label AS BIGINT) AS label,
+             CAST(CASE WHEN s.n > 1 AND e.label IS NOT NULL
+                       THEN (s.sm - e.label) * 10000 // (s.n - 1) END AS BIGINT) AS enc_bp
+      FROM e LEFT JOIN s ON e.event_type = s.cat
+      ORDER BY e.event_id"""))
+
+  // 217. Per-user monotonicity audit, both verdicts on one board: ts
+  // ordered by event_id is clean (ingest order preserves event time
+  // here — the audit proves it), value ordered by event_id inverts
+  // constantly (as any non-cumulative measure would).
+  val qMonotonicAudit = QueryDef("q_monotonic_audit",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val byTs = graft.operators.Profile.monotonicityAudit(ev, "user_id", "event_id", "ts")
+        .withColumn("audited", lit("ts"))
+      val byValue = graft.operators.Profile.monotonicityAudit(ev, "user_id", "event_id", "value")
+        .withColumn("audited", lit("value"))
+      byTs.unionByName(byValue)
+        .select(col("audited"), col("key"), col("n_rows"), col("inversions"),
+          col("first_inversion_at").cast(LongType), col("ok"))
+        .orderBy("audited", "key")
+    },
+    Some("""
+      WITH b AS (SELECT 'ts' AS audited, user_id AS key, event_id AS s, CAST(epoch_ms(ts) AS DOUBLE) AS x
+                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 UNION ALL
+                 SELECT 'value', user_id, event_id, value
+                 FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      l AS (SELECT audited, key, s, x,
+                   lag(x) OVER (PARTITION BY audited, key ORDER BY s) AS p
+            FROM b)
+      SELECT audited, key, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN p > x THEN 1 ELSE 0 END), 0) AS BIGINT) AS inversions,
+             CAST(min(CASE WHEN p > x THEN s END) AS BIGINT) AS first_inversion_at,
+             coalesce(sum(CASE WHEN p > x THEN 1 ELSE 0 END), 0) = 0 AS ok
+      FROM l GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // 115. Okapi BM25 retrieval scoring against a fixed query-term set —
   // constants interpolated from the Scala side so both engines run the
   // bit-identical double expression (shortest-roundtrip repr + CAST).
@@ -6345,6 +6424,6 @@ object PipelineQueries {
     qSpearman, qNewCategories,
     qCorpusSimilarity, qLangidCalibration,
     qDpCounts,
-    qIntervalJoin, qCdcApply,
+    qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
   )
 }

@@ -161,6 +161,46 @@ class ProfileSpec extends SparkSpec {
     assert(got(None).isEmpty) // NULL value → NULL rank, row kept
   }
 
+  test("targetEncodeLoo: own label excluded, singleton/NULL categories NULL, exact bp") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(1L)), (2L, Some("a"), Some(0L)), (3L, Some("a"), Some(1L)),
+      (4L, Some("b"), Some(1L)),                       // singleton → NULL
+      (5L, None, Some(1L)),                            // NULL cat → NULL
+      (6L, Some("a"), None),                           // NULL label → NULL, excluded from stats
+    ).toDF("id", "cat", "y")
+    val got = Profile.targetEncodeLoo(df, "cat", "y").collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("enc_bp")).map(_.longValue)).toMap
+    // cat a stats exclude row 6: sum=2, n=3
+    assert(got(1L).contains(5000L))  // (2−1)·10⁴/2
+    assert(got(2L).contains(10000L)) // (2−0)·10⁴/2
+    assert(got(3L).contains(5000L))
+    assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty)
+    // non-integral target rejected loudly
+    assertThrows[IllegalArgumentException](
+      Profile.targetEncodeLoo(df.withColumn("y", $"y".cast("double")), "cat", "y"))
+  }
+
+  test("monotonicityAudit: inversions counted, ties monotone, NULLs skipped") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, Some(10L)), ("u", 2L, Some(10L)),  // tie: monotone
+      ("u", 3L, Some(5L)),                         // inversion at 3
+      ("u", 4L, None),                             // NULL skipped entirely
+      ("u", 5L, Some(7L)),                         // 5 < 7? prev non-null is 5 → rise
+      ("u", 6L, Some(6L)),                         // inversion at 6
+      ("v", 1L, Some(1L)), ("v", 2L, Some(2L)),    // clean key
+    ).toDF("k", "s", "x")
+    val got = Profile.monotonicityAudit(df, "k", "s", "x").collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("inversions"),
+          Option(r.getAs[java.lang.Long]("first_inversion_at")).map(_.longValue),
+          r.getAs[Boolean]("ok")))).toMap
+    assert(got("u") == ((5L, 2L, Some(3L), false)))
+    assert(got("v") == ((2L, 0L, None, true)))
+  }
+
   test("functionalDependency: violations counted, NULL dep is a distinct value") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (1L, Some("b")), (2L, Some("c")),

@@ -7,6 +7,30 @@ import graft.operators.{Sampling, Sessionize, TextAnalysis}
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("churnLabels: horizon boundary inclusive, last-day censoring, distinct days") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"2024-01-$d 10:00:00")
+    val ev = Seq(
+      (1L, t("01")), (1L, t("01")),     // duplicate same-day events collapse
+      (1L, t("08")),                    // exactly +7: returned (inclusive)
+      (1L, t("20")),                    // +12: NOT within 7 of day 8
+      (2L, t("05")), (2L, t("06")),     // +1: returned
+      (3L, t("18")),                    // never returns; maxd=20 → 18+7>20 censored
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Sessionize.churnLabels(ev, "user_id", "ts", 7)
+      .collect().map(r => (r.getAs[Long]("user"), r.getAs[String]("day")) ->
+        ((Option(r.getAs[String]("next_day")), r.getAs[Boolean]("returned"),
+          r.getAs[Boolean]("censored")))).toMap
+    assert(got((1L, "2024-01-01")) == ((Some("2024-01-08"), true, false)))
+    assert(got((1L, "2024-01-08")) == ((Some("2024-01-20"), false, false)))
+    assert(got((1L, "2024-01-20")) == ((None, false, true)))   // horizon past corpus end
+    assert(got((2L, "2024-01-05")) == ((Some("2024-01-06"), true, false)))
+    // day 06 + 7 ≤ corpus end (20): the non-return is OBSERVED churn
+    assert(got((2L, "2024-01-06")) == ((None, false, false)))
+    assert(got((3L, "2024-01-18")) == ((None, false, true)))   // "not yet observed", flagged
+    assert(got.size == 6)
+  }
+
   test("interleaveOrder: stride schedule doubles the double-weight source") {
     import graft.operators.Sampling
     val rows = ((1L to 4L).map(i => (i, "a")) ++ (11L to 14L).map(i => (i, "b")))
