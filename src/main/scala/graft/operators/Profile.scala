@@ -1015,6 +1015,38 @@ object Profile {
     * referential check. One map-combined rollup per pair; NULL
     * dependents count as a value (a det mapping to {x, NULL} is NOT
     * functional — SQL distinctness treats NULL as one group). */
+  /** Sliced agreement/accuracy readout: per slice of `sliceCol`, how
+    * often `aCol` and `bCol` agree (declared-vs-predicted label,
+    * human-vs-model annotation, two model generations) — plus the
+    * '(all)' ROLLUP row and an `is_worst` flag on the weakest slice.
+    * The eval-slicing discipline behind every model card: an aggregate
+    * accuracy hides the slice where the model is broken, and the
+    * worst-group number is what distributionally-robust training
+    * optimizes. Rows with a NULL slice or NULL on either side are
+    * excluded (agreement over absent labels is undefined); exact
+    * integer bp.
+    *
+    * Plan: ONE rollup pass (map-side combined); the worst-slice flag
+    * joins a broadcast 1-row min over the |slices|-bounded aggregate.
+    * Never a window over data. */
+  def sliceAgreement(df: DataFrame, sliceCol: String, aCol: String,
+                     bCol: String): DataFrame = {
+    val base = df.filter(col(sliceCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .select(col(sliceCol).cast(StringType).as("__s"),
+        (col(aCol) === col(bCol)).cast(LongType).as("__agree"))
+    val per = base.rollup(col("__s"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        coalesce(sum(col("__agree")), lit(0L)).cast(LongType).as("agree"))
+      .withColumn("acc_bp", expr("agree * 10000 DIV n_rows").cast(LongType))
+    val worst = per.filter(col("__s").isNotNull)
+      .agg(min(col("acc_bp")).as("__worst"))
+    per.crossJoin(broadcast(worst))
+      .select(coalesce(col("__s"), lit("(all)")).as("slice"),
+        col("n_rows"), col("agree"), col("acc_bp"),
+        (col("__s").isNotNull && col("acc_bp") === col("__worst")).as("is_worst"))
+  }
+
   /** Leave-one-out target encoding: each row's category is replaced by
     * the mean target of the OTHER rows sharing it, in exact basis
     * points — (Σ_cat target − own) · 10⁴ DIV (n_cat − 1). The

@@ -4198,6 +4198,70 @@ object PipelineQueries {
       FROM t LEFT JOIN b ON t.doc_id = b.doc_id
       ORDER BY t.doc_id"""))
 
+  // 218. BPE vocabulary coverage: per lang, share of subword pieces
+  // that fell back to single code points (piece ∉ vocab) — the OOV
+  // readout that decides whether a tokenizer vocab fits a corpus
+  // (high fallback = budget inflation + degraded downstream tokens).
+  // Same literal vocab + recursive-CTE replay as q_text_bpe, with the
+  // per-step fallback flag carried through the recursion.
+  val qBpeOov = QueryDef("q_bpe_oov",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 60)
+      graft.operators.TextAnalysis.subwordTokenize(docs, "doc_id", "text", bpeVocabLit)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(coalesce(col("lang"), lit("(none)")).as("lang"),
+          explode(col("pieces")).as("piece"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast(LongType).as("pieces"),
+          coalesce(sum(when(!col("piece").isin(bpeVocabLit: _*), 1L)), lit(0L))
+            .cast(LongType).as("oov_pieces"))
+        .withColumn("oov_bp", expr("oov_pieces * 10000 DIV pieces").cast(LongType))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH RECURSIVE vocab(piece) AS (VALUES ${bpeVocabLit.map(p => s"('$p')").mkString(", ")}),
+      w AS (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL AND doc_id < 60),
+      step(doc_id, rem, oov) AS (
+        SELECT doc_id, word, CAST(NULL AS BOOLEAN) FROM w WHERE word <> ''
+        UNION ALL
+        SELECT doc_id, substr(rem, 1 + coalesce(ml, 1)), (ml IS NULL)
+        FROM (SELECT doc_id, rem,
+                     (SELECT max(len(piece)) FROM vocab WHERE starts_with(rem, piece)) AS ml
+              FROM step WHERE rem <> '') q),
+      em AS (SELECT doc_id, oov FROM step WHERE oov IS NOT NULL),
+      j AS (SELECT coalesce(d.lang, '(none)') AS lang, em.oov
+            FROM em JOIN documents d USING (doc_id))
+      SELECT lang, CAST(count(*) AS BIGINT) AS pieces,
+             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_pieces,
+             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS oov_bp
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
+  // 219. Sliced eval readout: per-source declared-vs-detected lang
+  // agreement with the '(all)' rollup row and the worst-slice flag —
+  // the model-card slicing that an aggregate accuracy hides (and the
+  // worst-group number DRO training optimizes).
+  val qSliceAgreement = QueryDef("q_slice_agreement",
+    (s, dir) => {
+      val df = table(s, dir, "documents")
+        .withColumn("predicted", graft.operators.TextAnalysis.langId(col("text")))
+      graft.operators.Profile.sliceAgreement(df, "source", "lang", "predicted")
+        .orderBy("slice")
+    },
+    Some(langidPredictedCtes("source, lang") + """
+      , b AS (SELECT source, (lang = predicted) AS ag FROM p
+              WHERE source IS NOT NULL AND lang IS NOT NULL AND predicted IS NOT NULL),
+      per AS (SELECT coalesce(source, '(all)') AS slice,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN ag THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+                     CAST(sum(CASE WHEN ag THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS acc_bp,
+                     grouping(source) AS g
+              FROM b GROUP BY ROLLUP (source)),
+      w AS (SELECT min(acc_bp) AS worst FROM per WHERE g = 0)
+      SELECT slice, n_rows, agree, acc_bp, (g = 0 AND acc_bp = worst) AS is_worst
+      FROM per, w ORDER BY slice"""))
+
   // 138–139. URL/domain provenance curation. The testdata carries no
   // URL column, so both engines derive the SAME deterministic URL per
   // doc from (doc_id, source) — scheme/subdomain/suffix/path/tracking
@@ -6425,5 +6489,6 @@ object PipelineQueries {
     qCorpusSimilarity, qLangidCalibration,
     qDpCounts,
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
+    qBpeOov, qSliceAgreement,
   )
 }

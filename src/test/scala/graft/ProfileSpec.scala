@@ -161,6 +161,26 @@ class ProfileSpec extends SparkSpec {
     assert(got(None).isEmpty) // NULL value → NULL rank, row kept
   }
 
+  test("sliceAgreement: per-slice accuracy, (all) rollup, worst flagged, NULLs excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "en", "en"), ("s1", "en", "en"), ("s1", "de", "en"), ("s1", "de", "de"),
+      ("s2", "fr", "fr"),
+      ("s3", "en", "de"), ("s3", "en", "de"),
+      (null.asInstanceOf[String], "en", "en"),  // NULL slice excluded
+      ("s1", null.asInstanceOf[String], "en"),  // NULL label excluded
+    ).toDF("src", "a", "b")
+    val got = Profile.sliceAgreement(df, "src", "a", "b").collect()
+      .map(r => r.getAs[String]("slice") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("agree"),
+          r.getAs[Long]("acc_bp"), r.getAs[Boolean]("is_worst")))).toMap
+    assert(got("s1") == ((4L, 3L, 7500L, false)))
+    assert(got("s2") == ((1L, 1L, 10000L, false)))
+    assert(got("s3") == ((2L, 0L, 0L, true)))       // the broken slice
+    assert(got("(all)") == ((7L, 4L, 5714L, false))) // rollup never flagged worst
+    assert(got.size == 4)
+  }
+
   test("targetEncodeLoo: own label excluded, singleton/NULL categories NULL, exact bp") {
     import spark.implicits._
     val df = Seq(
