@@ -36,6 +36,20 @@ import graft.validators.ContractValidator
   */
 object Cli {
 
+  /** Value of `--flag v` in `rest`, validated: a dangling flag
+    * (`... --flag`) or a flag-valued flag (`--flag --json`) is a hard
+    * usage error (exit 2), never a silent None or a swallowed token —
+    * the failure mode that made `diff a b --id` quietly run a
+    * different diff. Every verb's option parsing goes through here. */
+  private def optValue(rest: Seq[String], flag: String): Option[String] = {
+    val i = rest.indexOf(flag)
+    if (i < 0) None
+    else if (i + 1 >= rest.length || rest(i + 1).startsWith("--")) {
+      System.err.println(s"$flag requires a value")
+      sys.exit(2)
+    } else Some(rest(i + 1))
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "check" :: path :: Nil =>
       val c = ContractParser.parseFile(path)
@@ -77,9 +91,7 @@ object Cli {
       val strict = flags.contains("--strict")
       val schemaOnly = flags.contains("--schema-only")
       val json = flags.contains("--json")
-      val sample = rest.sliding(2).collectFirst {
-        case Seq("--sample", n) => n.toInt
-      }
+      val sample = optValue(rest, "--sample").map(_.toInt)
       val positionalArgs = positional.filterNot(p => sample.exists(_.toString == p))
       val c = ContractParser.parseFile(path)
       val parts =
@@ -168,7 +180,7 @@ object Cli {
       //   --json         machine-readable per-rule lines
       val (flags, positional) = rest.partition(_.startsWith("--"))
       val json = flags.contains("--json")
-      val textColOpt = rest.sliding(2).collectFirst { case Seq("--text", c) => c }
+      val textColOpt = optValue(rest, "--text")
       val textCol = textColOpt.getOrElse("text")
       val positionalArgs = positional.filterNot(p => textColOpt.contains(p))
       val c = ContractParser.parseFile(path)
@@ -202,8 +214,7 @@ object Cli {
       //   import <suite.json|schema.yml> <owner> [--model <m>] [--location <p>] [--out <p>]
       // GE JSON suites and dbt schema.yml test blocks → a graft
       // contract; unmapped expectations go to stderr, never silently
-      def opt(flag: String): Option[String] =
-        rest.sliding(2).collectFirst { case Seq(`flag`, v) => v }
+      def opt(flag: String): Option[String] = optValue(rest, flag)
       val content = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
       val imported =
@@ -227,8 +238,7 @@ object Cli {
       //   scan <dataPath> [--text <col>] [--json]
       // compliance sweep: PII, credentials, unicode hygiene, markup —
       // the pre-train checklist as one table, one corpus scan
-      val textCol = rest.sliding(2).collectFirst { case Seq("--text", c) => c }
-        .getOrElse("text")
+      val textCol = optValue(rest, "--text").getOrElse("text")
       val json = rest.contains("--json")
       val (spark, owned) = SparkSession.getActiveSession match {
         case Some(live) => (live, false)
@@ -307,14 +317,7 @@ object Cli {
       // a dangling flag (`diff a b --id`) or a flag-valued flag
       // (`--id --json`) must be a hard usage error, not a silent
       // downgrade to the stats-only diff
-      def opt(flag: String): Option[String] = {
-        val i = rest.indexOf(flag)
-        if (i < 0) None
-        else if (i + 1 >= rest.length || rest(i + 1).startsWith("--")) {
-          System.err.println(s"$flag requires a value")
-          sys.exit(2)
-        } else Some(rest(i + 1))
-      }
+      def opt(flag: String): Option[String] = optValue(rest, flag)
       val (spark, owned) = SparkSession.getActiveSession match {
         case Some(live) => (live, false)
         case None => (session(), true)
