@@ -448,6 +448,35 @@ object Ann {
     * Plan: one equi-join on (q_id, n_id) between two k·|probes|-sized
     * frames + a per-probe rollup — cost is the eval lists, never the
     * corpus. */
+  /** Reciprocal-rank fusion of N ranked candidate lists — the standard
+    * hybrid-search combiner (lexical BM25 list + embedding cosine list
+    * → one ranking; Cormack et al. 2009): each list contributes
+    * `scale DIV (kRrf + rank)` for every id it ranks, summed across
+    * lists. Integer contributions (scale = 10⁶) keep the fusion exact
+    * and engine-replayable — no fp sums to disagree on. An id missing
+    * from a list simply contributes nothing (the graceful-degradation
+    * property that makes RRF robust to one retriever whiffing);
+    * `n_lists`/`best_rank` ride along for diagnostics. kRrf = 60 is
+    * the published default: it compresses the gap between rank 1 and
+    * rank 10 so one retriever's confidence cannot drown the other's.
+    *
+    * Plan: union of the (id, rank) lists + ONE map-side-combined
+    * rollup — linear in total list length, no join. Ranks must be
+    * ≥ 1; NULL ids/ranks dropped. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, scale: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kRrf >= 1 && scale >= 1, s"kRrf/scale must be >= 1")
+    lists.map(_.select(col(idCol).as("id"),
+        col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+      .filter(col("id").isNotNull && col("__r") >= 1)
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        min(col("__r")).as("best_rank"),
+        sum(expr(s"$scale DIV (${kRrf.toLong} + __r)")).cast("long").as("rrf_score"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("q_id"), col("n_id"))
     val a = approx.select(col("q_id"), col("n_id"))

@@ -1015,6 +1015,99 @@ object Profile {
     * referential check. One map-combined rollup per pair; NULL
     * dependents count as a value (a det mapping to {x, NULL} is NOT
     * functional — SQL distinctness treats NULL as one group). */
+  /** Per-class precision / recall / F1 from two label columns — the
+    * class-level drilldown behind [[cohenKappa]]'s single number and
+    * [[sliceAgreement]]'s metadata slices: a classifier can hold 90%
+    * accuracy while one class's recall is zero, and THAT is the number
+    * that decides relabel-vs-drop. One row per class in the UNION of
+    * truth and predicted alphabets (a class that is predicted but
+    * never true still earns its precision row); rows with NULL on
+    * either side excluded. Exact integer bp; p/r are NULL (never NaN)
+    * when their denominator is empty, f1 NULL when either side is.
+    *
+    * Plan: ONE (truth, predicted) confusion rollup (map-side
+    * combined); everything below runs on the |alphabet|²-bounded
+    * frame. */
+  def classPrf(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val conf = df.filter(col(truthCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(truthCol).cast(StringType).as("__t"),
+        col(predCol).cast(StringType).as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val truthN = conf.groupBy(col("__t").as("cls")).agg(sum("__c").as("truth_n"))
+    val predN = conf.groupBy(col("__p").as("__cls2")).agg(sum("__c").as("pred_n"))
+    val tp = conf.filter(col("__t") === col("__p"))
+      .select(col("__t").as("__cls3"), col("__c").as("__tp"))
+    truthN.join(predN, col("cls") === col("__cls2"), "full_outer")
+      .select(coalesce(col("cls"), col("__cls2")).as("cls"),
+        coalesce(col("truth_n"), lit(0L)).as("truth_n"),
+        coalesce(col("pred_n"), lit(0L)).as("pred_n"))
+      .join(tp, col("cls") === col("__cls3"), "left_outer")
+      .withColumn("tp", coalesce(col("__tp"), lit(0L)))
+      .withColumn("p_bp",
+        when(col("pred_n") > 0, expr("tp * 10000 DIV pred_n")).cast(LongType))
+      .withColumn("r_bp",
+        when(col("truth_n") > 0, expr("tp * 10000 DIV truth_n")).cast(LongType))
+      .withColumn("f1_bp",
+        when(col("p_bp").isNotNull && col("r_bp").isNotNull &&
+            col("p_bp") + col("r_bp") > 0,
+          expr("2 * p_bp * r_bp DIV (p_bp + r_bp)")).cast(LongType))
+      .select("cls", "truth_n", "pred_n", "tp", "p_bp", "r_bp", "f1_bp")
+  }
+
+  /** Decile gains/lift table of a score against a binary label — the
+    * model-eval readout behind "top 10% of scores captures X% of
+    * positives": bucket 1 holds the HIGHEST scores (equal-frequency
+    * via [[percentileRank]]'s exact global percent-rank, ties share a
+    * bucket), cumulative gain_bp = captured share of all positives,
+    * lift_bp = concentration vs the base rate ·10⁴. The gains curve is
+    * the business-facing integral of the ROC the calibration rows
+    * approximate. `labelCol` must be integral 0/1.
+    *
+    * Plan: the [[percentileRankManaged]] two-level rank (never a
+    * single-task global sort) + one bucket rollup; the cumulative
+    * windows run on the nBuckets-row frame — single partition by
+    * construction, bounded at nBuckets. Returns the managed release
+    * for the rank frame — call after the last materialization. */
+  def gainsTableManaged(df: DataFrame, scoreCol: String, labelCol: String,
+                        nBuckets: Int = 10): (DataFrame, () => Unit) = {
+    require(nBuckets >= 2 && nBuckets <= 100,
+      s"need 2 <= nBuckets <= 100, got $nBuckets")
+    val dt = df.schema(labelCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"gainsTable: $labelCol must be an integral type, got $dt")
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val (ranked, release) = percentileRankManaged(base, scoreCol)
+    val w = org.apache.spark.sql.expressions.Window
+    val byBucket = w.orderBy(col("bucket"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val whole = w.orderBy(col("bucket"))
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val out = ranked
+      .withColumn("bucket",
+        lit(nBuckets) - least(expr(s"pct_bp * $nBuckets DIV 10000"),
+          lit(nBuckets - 1L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        coalesce(sum(col(labelCol)), lit(0L)).cast(LongType).as("positives"))
+      .withColumn("cum_rows", sum(col("n_rows")).over(byBucket).cast(LongType))
+      .withColumn("cum_positives", sum(col("positives")).over(byBucket).cast(LongType))
+      .withColumn("__tot_rows", sum(col("n_rows")).over(whole))
+      .withColumn("__tot_pos", sum(col("positives")).over(whole))
+      .withColumn("gain_bp", when(col("__tot_pos") > 0,
+        expr("cum_positives * 10000 DIV __tot_pos")).cast(LongType))
+      .withColumn("lift_bp", when(col("__tot_pos") > 0,
+        expr("cum_positives * __tot_rows * 10000 DIV (cum_rows * __tot_pos)"))
+        .cast(LongType))
+      .drop("__tot_rows", "__tot_pos")
+    (out, release)
+  }
+
+  /** [[gainsTableManaged]] leaving the rank frame persisted for the
+    * session (repeated callers should use the managed form). */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+                 nBuckets: Int = 10): DataFrame =
+    gainsTableManaged(df, scoreCol, labelCol, nBuckets)._1
+
   /** Sliced agreement/accuracy readout: per slice of `sliceCol`, how
     * often `aCol` and `bCol` agree (declared-vs-predicted label,
     * human-vs-model annotation, two model generations) — plus the

@@ -3544,6 +3544,134 @@ object PipelineQueries {
              round(sum(s), 4) AS bm25_r4
       FROM sc GROUP BY 1 ORDER BY bm25_r4 DESC, doc_id LIMIT 25"""))
 
+  // 221. Per-class precision/recall/F1 of the langid detector vs the
+  // declared label — the class-level drilldown behind kappa's single
+  // number (classes predicted-but-never-true still earn their
+  // precision row via the full outer alphabet union). Exact bp.
+  val qClassPrf = QueryDef("q_class_prf",
+    (s, dir) => {
+      val df = table(s, dir, "documents")
+        .withColumn("predicted", graft.operators.TextAnalysis.langId(col("text")))
+      graft.operators.Profile.classPrf(df, "lang", "predicted")
+        .orderBy("cls")
+    },
+    Some(langidPredictedCtes("lang") + """
+      , conf AS (SELECT lang AS t, predicted AS pd, count(*) AS c FROM p
+                 WHERE lang IS NOT NULL AND predicted IS NOT NULL GROUP BY 1, 2),
+      tn AS (SELECT t AS cls, sum(c) AS truth_n FROM conf GROUP BY 1),
+      pn AS (SELECT pd AS cls, sum(c) AS pred_n FROM conf GROUP BY 1),
+      tpx AS (SELECT t AS cls, c AS tp FROM conf WHERE t = pd),
+      u AS (SELECT coalesce(tn.cls, pn.cls) AS cls,
+                   coalesce(truth_n, 0) AS truth_n, coalesce(pred_n, 0) AS pred_n
+            FROM tn FULL OUTER JOIN pn ON tn.cls = pn.cls),
+      f AS (SELECT u.cls, u.truth_n, u.pred_n, coalesce(tpx.tp, 0) AS tp
+            FROM u LEFT JOIN tpx ON u.cls = tpx.cls),
+      g AS (SELECT cls, truth_n, pred_n, tp,
+                   CASE WHEN pred_n > 0 THEN tp * 10000 // pred_n END AS p_bp,
+                   CASE WHEN truth_n > 0 THEN tp * 10000 // truth_n END AS r_bp
+            FROM f)
+      SELECT cls, CAST(truth_n AS BIGINT) AS truth_n, CAST(pred_n AS BIGINT) AS pred_n,
+             CAST(tp AS BIGINT) AS tp, CAST(p_bp AS BIGINT) AS p_bp,
+             CAST(r_bp AS BIGINT) AS r_bp,
+             CAST(CASE WHEN p_bp IS NOT NULL AND r_bp IS NOT NULL AND p_bp + r_bp > 0
+                       THEN 2 * p_bp * r_bp // (p_bp + r_bp) END AS BIGINT) AS f1_bp
+      FROM g ORDER BY cls"""))
+
+  // 222. Decile gains/lift table: score = value + event_id%100 (a
+  // deterministic noisy predictor of the value>=150 label), bucket 1 =
+  // top scores; cumulative capture share + lift vs base rate in exact
+  // bp. Rank frame memoized per session (the same pinned-once policy
+  // as q_pct_rank).
+  private val gainsCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val qGainsTable = QueryDef("q_gains_table",
+    (s, dir) => {
+      gainsCache.get(s, dir) {
+        val e = table(s, dir, "events")
+          .withColumn("score", col("value") + (col("event_id") % 100))
+          .withColumn("label", (col("value") >= 150d).cast(LongType))
+        graft.operators.Profile.gainsTable(e, "score", "label", nBuckets = 10)
+      }.orderBy("bucket")
+    },
+    Some("""
+      WITH e AS (SELECT value + event_id % 100 AS score,
+                        CASE WHEN value >= 150 THEN 1 ELSE 0 END AS label
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT label, (rank() OVER (ORDER BY score) - 1) * 10000 //
+                          ((SELECT count(*) FROM e) - 1) AS pct_bp FROM e),
+      b AS (SELECT 10 - least(pct_bp * 10 // 10000, 9) AS bucket, label FROM r),
+      pp AS (SELECT bucket, count(*) AS nr, sum(label) AS pos FROM b GROUP BY 1),
+      c AS (SELECT bucket, nr, pos,
+                   sum(nr) OVER (ORDER BY bucket) AS cum_rows,
+                   sum(pos) OVER (ORDER BY bucket) AS cum_pos,
+                   sum(nr) OVER () AS tot_rows, sum(pos) OVER () AS tot_pos
+            FROM pp)
+      SELECT bucket, CAST(nr AS BIGINT) AS n_rows, CAST(pos AS BIGINT) AS positives,
+             CAST(cum_rows AS BIGINT) AS cum_rows, CAST(cum_pos AS BIGINT) AS cum_positives,
+             CAST(CASE WHEN tot_pos > 0 THEN cum_pos * 10000 // tot_pos END AS BIGINT) AS gain_bp,
+             CAST(CASE WHEN tot_pos > 0 THEN cum_pos * tot_rows * 10000 // (cum_rows * tot_pos) END AS BIGINT) AS lift_bp
+      FROM c ORDER BY bucket"""))
+
+  // 223. Hybrid search: BM25 lexical top-50 (the cached q_text_bm25
+  // frame) fused with cosine top-50 around probe vector 0 by
+  // reciprocal-rank fusion — integer contributions 10⁶ DIV (60+rank),
+  // so the fused ranking replays exactly; an id one retriever missed
+  // just loses that term.
+  val qHybridSearch = QueryDef("q_hybrid_search",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val vecList = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("n_id").as("doc_id"), col("rank").cast(LongType).as("rank"))
+      val txtList = bm25Cache.get(s, dir)(graft.operators.TextAnalysis.bm25(
+          table(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", Seq("vector", "merge", "scan"), bmK1, bmB))
+        .select(col("doc_id"), round(col("bm25"), 4).as("__s4"))
+        .orderBy(col("__s4").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__s4").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank").cast(LongType).as("rank"))
+      Ann.rrfFuse(Seq(txtList, vecList), "doc_id", "rank")
+        .orderBy(col("rrf_score").desc, col("id"))
+        .limit(20)
+        .select(col("id").as("doc_id"), col("n_lists"), col("best_rank"),
+          col("rrf_score"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      t AS (SELECT doc_id, unnest(w) AS word FROM d),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+             FROM t WHERE word IN ('vector', 'merge', 'scan') GROUP BY 1, 2),
+      dfr AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * tf.tf *
+               CAST(${bmK1 + 1.0} AS DOUBLE) /
+               (tf.tf + (CAST(${1.0 - bmB} AS DOUBLE) +
+                         dl.dl / st.avgdl * CAST($bmB AS DOUBLE)) *
+                        CAST($bmK1 AS DOUBLE)) AS s
+        FROM tf JOIN dfr USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+      bm AS (SELECT doc_id, round(sum(s), 4) AS s4 FROM sc GROUP BY 1),
+      tr AS (SELECT doc_id, row_number() OVER (ORDER BY s4 DESC, doc_id) AS rank FROM bm),
+      vr AS (SELECT c.vec_id AS doc_id,
+                    row_number() OVER (ORDER BY
+                      list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                      sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) *
+                           list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) DESC,
+                      c.vec_id ASC) AS rank
+             FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             WHERE c.vec_id != 0),
+      u AS (SELECT doc_id, rank FROM tr WHERE rank <= 50
+            UNION ALL SELECT doc_id, rank FROM vr WHERE rank <= 50)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(min(rank) AS BIGINT) AS best_rank,
+             CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score
+      FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT 20"""))
+
   // 116. exact two-sample KS drift on a numeric column (doc_id parity
   // as the snapshots) — the binning-free numeric twin of q_mix_drift.
   val qKsDrift = QueryDef("q_ks_drift",
@@ -6489,6 +6617,6 @@ object PipelineQueries {
     qCorpusSimilarity, qLangidCalibration,
     qDpCounts,
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
-    qBpeOov, qSliceAgreement,
+    qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch,
   )
 }

@@ -2027,6 +2027,21 @@ class OperatorsSpec extends SparkSpec {
       RangeJoin.pointInInterval(points, clash, "p", "s", "e", 16.0))
   }
 
+  test("rrfFuse: integer contributions sum across lists, missing ids degrade gracefully") {
+    import graft.operators.Ann
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (9L, 2L), (1L, 0L)).toDF("id", "rank") // rank 0 invalid → dropped
+    val got = Ann.rrfFuse(Seq(a, b), "id", "rank").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lists"), r.getAs[Long]("best_rank"),
+          r.getAs[Long]("rrf_score")))).toMap
+    assert(got(1L) == ((1L, 1L, 1000000L / 61)))            // invalid rank-0 row dropped
+    assert(got(2L) == ((2L, 1L, 1000000L / 62 + 1000000L / 61)))
+    assert(got(3L) == ((1L, 3L, 1000000L / 63)))
+    assert(got(9L) == ((1L, 2L, 1000000L / 62)))
+    assertThrows[IllegalArgumentException](Ann.rrfFuse(Nil, "id", "rank"))
+  }
+
   test("interval overlap join: each overlapping pair exactly once, touching ends count") {
     import graft.operators.RangeJoin
     val left = Seq(

@@ -161,6 +161,50 @@ class ProfileSpec extends SparkSpec {
     assert(got(None).isEmpty) // NULL value → NULL rank, row kept
   }
 
+  test("classPrf: hand confusion, predicted-only class gets a precision row, exact bp") {
+    import spark.implicits._
+    // truth\pred:  en: en,en,de  de: de  (fr predicted once, never true)
+    val df = Seq(("en", "en"), ("en", "en"), ("en", "de"), ("de", "de"),
+      ("de", "fr"), (null.asInstanceOf[String], "en")).toDF("t", "p")
+    val got = Profile.classPrf(df, "t", "p").collect()
+      .map(r => r.getAs[String]("cls") ->
+        ((r.getAs[Long]("truth_n"), r.getAs[Long]("pred_n"), r.getAs[Long]("tp"),
+          Option(r.getAs[java.lang.Long]("p_bp")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("r_bp")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("f1_bp")).map(_.longValue)))).toMap
+    // en: truth 3, pred 2, tp 2 → p 10000, r 6666, f1 = 2·10000·6666/16666 = 7999
+    assert(got("en") == ((3L, 2L, 2L, Some(10000L), Some(6666L), Some(7999L))))
+    // de: truth 2, pred 2, tp 1 → p 5000, r 5000, f1 5000
+    assert(got("de") == ((2L, 2L, 1L, Some(5000L), Some(5000L), Some(5000L))))
+    // fr: never true → recall NULL, precision 0, f1 NULL (p+r = 0)
+    assert(got("fr") == ((0L, 1L, 0L, Some(0L), None, None)))
+    assert(got.size == 3)
+  }
+
+  test("gainsTable: top bucket captures its positives, totals reconcile, lift exact") {
+    import spark.implicits._
+    // 10 rows, scores 1..10, positives at the top 3 scores → with 5
+    // buckets of 2: bucket 1 = scores {10, 9} (2 pos), bucket 2 = {8, 7} (1 pos)
+    val df = (1L to 10L).map(s => (s.toDouble, if (s >= 8) 1L else 0L))
+      .toDF("score", "label")
+    val (gains, release) = Profile.gainsTableManaged(df, "score", "label", nBuckets = 5)
+    val got = gains.collect().map(r => r.getAs[Long]("bucket") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("positives"),
+        r.getAs[Long]("cum_positives"), r.getAs[Long]("gain_bp"),
+        r.getAs[Long]("lift_bp")))).toMap
+    release()
+    // bucket 1: 2 rows, 2 pos, gain 2/3 = 6666 bp, lift (2/2)/(3/10) = 33333
+    assert(got(1L) == ((2L, 2L, 2L, 6666L, 33333L)))
+    assert(got(2L) == ((2L, 1L, 3L, 10000L, 25000L)))
+    assert(got(5L)._3 == 3L)                       // all positives captured
+    assert(got(5L)._4 == 10000L && got(5L)._5 == 10000L) // full-table lift = 1
+    assert(got.values.map(_._1).sum == 10L)
+    // non-integral label rejected loudly
+    assertThrows[IllegalArgumentException](
+      Profile.gainsTable(df.withColumn("label", $"label".cast("double")),
+        "score", "label"))
+  }
+
   test("sliceAgreement: per-slice accuracy, (all) rollup, worst flagged, NULLs excluded") {
     import spark.implicits._
     val df = Seq(
