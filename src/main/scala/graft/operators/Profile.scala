@@ -1033,16 +1033,18 @@ object Profile {
       .groupBy(col(truthCol).cast(StringType).as("__t"),
         col(predCol).cast(StringType).as("__p"))
       .agg(count(lit(1)).as("__c"))
-    val truthN = conf.groupBy(col("__t").as("cls")).agg(sum("__c").as("truth_n"))
-    val predN = conf.groupBy(col("__p").as("__cls2")).agg(sum("__c").as("pred_n"))
-    val tp = conf.filter(col("__t") === col("__p"))
-      .select(col("__t").as("__cls3"), col("__c").as("__tp"))
-    truthN.join(predN, col("cls") === col("__cls2"), "full_outer")
-      .select(coalesce(col("cls"), col("__cls2")).as("cls"),
-        coalesce(col("truth_n"), lit(0L)).as("truth_n"),
-        coalesce(col("pred_n"), lit(0L)).as("pred_n"))
-      .join(tp, col("cls") === col("__cls3"), "left_outer")
-      .withColumn("tp", coalesce(col("__tp"), lit(0L)))
+    // each confusion cell contributes to its TRUTH class's margin and
+    // its PREDICTED class's margin: one alphabet²-bounded explode +
+    // rollup, so the corpus is scanned ONCE (three aggregate branches
+    // off the unpersisted confusion would re-scan it three times)
+    conf.select(explode(array(
+        struct(col("__t").as("cls"), col("__c").as("tn"), lit(0L).as("pn"),
+          when(col("__t") === col("__p"), col("__c")).otherwise(lit(0L)).as("tp")),
+        struct(col("__p").as("cls"), lit(0L).as("tn"), col("__c").as("pn"),
+          lit(0L).as("tp")))).as("__x"))
+      .groupBy(col("__x.cls").as("cls"))
+      .agg(sum("__x.tn").as("truth_n"), sum("__x.pn").as("pred_n"),
+        sum("__x.tp").as("tp"))
       .withColumn("p_bp",
         when(col("pred_n") > 0, expr("tp * 10000 DIV pred_n")).cast(LongType))
       .withColumn("r_bp",
@@ -1119,22 +1121,26 @@ object Profile {
     * excluded (agreement over absent labels is undefined); exact
     * integer bp.
     *
-    * Plan: ONE rollup pass (map-side combined); the worst-slice flag
-    * joins a broadcast 1-row min over the |slices|-bounded aggregate.
-    * Never a window over data. */
+    * Plan: ONE rollup pass (map-side combined) — the corpus is scanned
+    * once; the worst-slice min is a window over the |slices|+1-row
+    * AGGREGATE frame (single task over slice summaries, never data —
+    * a broadcast-join formulation would re-run the scan for the min
+    * branch). */
   def sliceAgreement(df: DataFrame, sliceCol: String, aCol: String,
                      bCol: String): DataFrame = {
     val base = df.filter(col(sliceCol).isNotNull && col(aCol).isNotNull &&
         col(bCol).isNotNull)
       .select(col(sliceCol).cast(StringType).as("__s"),
         (col(aCol) === col(bCol)).cast(LongType).as("__agree"))
-    val per = base.rollup(col("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    base.rollup(col("__s"))
       .agg(count(lit(1)).cast(LongType).as("n_rows"),
         coalesce(sum(col("__agree")), lit(0L)).cast(LongType).as("agree"))
       .withColumn("acc_bp", expr("agree * 10000 DIV n_rows").cast(LongType))
-    val worst = per.filter(col("__s").isNotNull)
-      .agg(min(col("acc_bp")).as("__worst"))
-    per.crossJoin(broadcast(worst))
+      .withColumn("__worst",
+        min(when(col("__s").isNotNull, col("acc_bp"))).over(w))
       .select(coalesce(col("__s"), lit("(all)")).as("slice"),
         col("n_rows"), col("agree"), col("acc_bp"),
         (col("__s").isNotNull && col("acc_bp") === col("__worst")).as("is_worst"))

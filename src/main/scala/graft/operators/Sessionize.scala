@@ -678,7 +678,10 @@ object Sessionize {
     *
     * Plan: one distinct (user, day) rollup (map-side combined), one
     * per-user lead window (state = 1 row), one broadcast 1-row join
-    * for the corpus max day. Linear; never a global window. */
+    * for the corpus max day — whose branch re-reads ONLY the pruned
+    * ts column (a second full-table pass would be the double-scan
+    * anti-pattern; a global-window max would be a single task over
+    * users × days). Linear; never a global window. */
   def churnLabels(events: DataFrame, userCol: String, tsCol: String,
                   horizonDays: Int): DataFrame = {
     require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
@@ -686,7 +689,10 @@ object Sessionize {
       .select(col(userCol).as("user"),
         to_date(date_trunc("day", col(tsCol))).as("__d"))
       .distinct()
-    val maxDay = days.agg(max(col("__d")).as("__maxd"))
+    // straight off events (ts only — column-pruned scan), NOT off
+    // `days`: that branch would replay the distinct shuffle too
+    val maxDay = events.filter(col(tsCol).isNotNull)
+      .agg(max(to_date(date_trunc("day", col(tsCol)))).as("__maxd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user")).orderBy(col("__d"))
     days

@@ -544,17 +544,21 @@ object ContractQueries {
         .filter(col("source").isNotNull)
         .groupBy(col("source"), col("lang").as("v"))
         .agg(count(lit(1)).as("c"))
-      val global = cells.groupBy(col("v").as("gv")).agg(sum("c").as("cv"))
-      val totals = global.agg(sum("cv").as("tn"))
-      val ng = cells.groupBy(col("source").as("ns")).agg(sum("c").as("n"))
+      // margins as window sums over the cells AGGREGATE frame — one
+      // corpus scan (the join formulation re-scans per margin branch)
+      val wv = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
       val dist = cells
-        .join(broadcast(global), col("v") <=> col("gv"))
-        .join(ng, col("source") === col("ns"))
-        .crossJoin(broadcast(totals))
+        .withColumn("cv", sum(col("c")).over(wv))
+        .withColumn("n0", sum(col("c")).over(wg))
+        .withColumn("tn0", sum(col("c")).over(wAll))
         .groupBy("source")
-        .agg(first("n").as("n"), first("tn").as("tn"),
+        .agg(first("n0").as("n"), first("tn0").as("tn"),
           sum("cv").as("cvsum"),
-          sum(abs(col("c") * col("tn") - col("cv") * col("n"))).as("pre"))
+          sum(abs(col("c") * col("tn0") - col("cv") * col("n0"))).as("pre"))
         .withColumn("viol",
           (col("pre") + col("n") * (col("tn") - col("cvsum"))) * 10000L >
             lit(2L * 1500L) * col("n") * col("tn"))

@@ -248,10 +248,11 @@ object MlValidators {
     * group/global counts of sensitive value v and N the table total.
     * Values ABSENT from the group contribute C_v·n_g each; summed in
     * closed form (Σ_absent C_v·n_g = n_g·N − n_g·Σ_present C_v), so
-    * the plan never materializes group × alphabet. One (quasi, value)
-    * rollup + one |values|-bounded broadcast join + one group fold +
-    * one 1-row fold — never a row-level shuffle after the first
-    * rollup. Products are int64: safe while rows·rows < 9.2e18 / 10⁴
+    * the plan never materializes group × alphabet. ONE (quasi, value)
+    * rollup over the data, then window sums + a group fold over that
+    * aggregate frame — the corpus is scanned once, and nothing after
+    * the rollup touches row volume. Products are int64: safe while
+    * rows·rows < 9.2e18 / 10⁴
     * (~10⁹ rows (sf-corpus scale); shard the check or widen to decimal
     * beyond). */
   def tCloseness(df: DataFrame, ch: TClosenessCheck): DataFrame = {
@@ -264,28 +265,30 @@ object MlValidators {
     val cells = df.filter(nonNull)
       .groupBy(ch.quasiIdFields.map(col) :+ col(ch.sensitiveField).as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val global = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
-    val totals = global.agg(sum(col("__cv")).as("__total"))
-    // the |c_v·N − C_v·n_g| term needs the group total n_g, itself a
-    // sum over the cells — two-level: join n_g back per (group, value),
-    // then fold per group
-    val ng = cells.groupBy(ch.quasiIdFields.map(col): _*)
-      .agg(sum(col("__c")).as("__n"))
-    // null-safe value join: a NULL sensitive value is a category of its
-    // own (see TClosenessCheck scaladoc), and a plain equi-join would
-    // silently drop its cells
+    // the global margins (C_v per sensitive value, n_g per group, the
+    // table total N) are WINDOW sums over the cells AGGREGATE frame —
+    // counts, never data rows — so the corpus is scanned exactly once
+    // (the join formulation would re-run the scan per margin branch);
+    // window partitions group NULL sensitive values together, giving
+    // the null-safe value semantics for free. The unpartitioned N
+    // window is a single task over cell summaries, same as the final
+    // 1-row fold every check in this file ends with.
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(ch.quasiIdFields.map(col): _*)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // "__tot", not "__N": the default case-INSENSITIVE resolver would
+    // make withColumn("__N", ...) silently REPLACE "__n"
     val dist = cells
-      .join(broadcast(global.withColumnRenamed("__v", "__gv")),
-        col("__v") <=> col("__gv"))
-      .join(ng, ch.quasiIdFields)
-      .crossJoin(broadcast(totals))
+      .withColumn("__cv", sum(col("__c")).over(wv))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .withColumn("__tot", sum(col("__c")).over(wAll))
       .groupBy(ch.quasiIdFields.map(col): _*)
-      // post-agg aliases get FRESH names: the USING join keeps ng's
-      // `__n` resolvable as a hidden column downstream, so re-aliasing
-      // to `__n` would make later references ambiguous
-      .agg(first(col("__n")).as("__ng"), first(col("__total")).as("__NN"),
+      .agg(first(col("__n")).as("__ng"), first(col("__tot")).as("__NN"),
         sum(col("__cv")).as("__cvSum"),
-        sum(abs(col("__c") * col("__total") - col("__cv") * col("__n")))
+        sum(abs(col("__c") * col("__tot") - col("__cv") * col("__n")))
           .as("__presentAbs"))
       // absent values in closed form: Σ_absent C_v·n_g = n_g·(N − Σ_present C_v)
       .withColumn("__tvNum",
