@@ -477,6 +477,31 @@ object Ann {
         sum(expr(s"$scale DIV (${kRrf.toLong} + __r)")).cast("long").as("rrf_score"))
   }
 
+  /** Mean-reciprocal-rank eval of an approximate index: WHERE the true
+    * nearest neighbor (the exact top-1) lands in the approximate list —
+    * the position-sensitive companion to [[recallAtK]] (recall@k says
+    * the truth is somewhere in the top k; MRR says how close to the
+    * top, which is what reranker budgets and first-result UX depend
+    * on). Per probe: the true NN, its rank in the approx list (NULL =
+    * missed entirely), and rr_ppm = 10⁶ DIV rank (0 on a miss) —
+    * integer reciprocal ranks, so the corpus MRR is Σrr_ppm/probes
+    * with no fp summation-order concerns. Inputs are
+    * [[bruteForceTopK]]-shaped frames (q_id, rank, n_id).
+    *
+    * Plan: one rank-1 filter + one probe-keyed left join — bounded by
+    * probes × k rows. */
+  def mrr(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id").as("true_nn"))
+    val a = approx.select(col("q_id").as("__aq"), col("n_id").as("__an"),
+      col("rank").cast("long").as("__ar"))
+    e.join(a, col("q_id") === col("__aq") && col("true_nn") === col("__an"),
+        "left_outer")
+      .select(col("q_id"), col("true_nn"),
+        col("__ar").as("rank_in_approx"),
+        coalesce(expr("1000000 DIV __ar"), lit(0L)).cast("long").as("rr_ppm"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("q_id"), col("n_id"))
     val a = approx.select(col("q_id"), col("n_id"))

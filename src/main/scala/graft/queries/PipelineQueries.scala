@@ -621,6 +621,56 @@ object PipelineQueries {
       WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
+  // 224. ANN MRR: where the TRUE nearest neighbor lands in the LSH
+  // list — the position-sensitive companion to q_ann_recall (recall@k
+  // says the truth is in the top k; MRR says how near the top).
+  // Integer reciprocal ranks (10⁶ DIV rank, 0 on a miss).
+  val qAnnMrr = QueryDef("q_ann_mrr",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Ann.mrr(
+          Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 1),
+          Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 5, numPlanes = 4))
+        .orderBy("q_id")
+    },
+    Some {
+      val values = VectorFns.planes(4, 64).zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n               ")
+      s"""
+      WITH planes(p, w) AS (VALUES $values),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+               sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                        THEN 1 << (3 - pl.p) ELSE 0 END) bucket
+        FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding),
+      scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) cosine
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id),
+      lr AS (SELECT q_id, n_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+             FROM scored),
+      ex AS (SELECT q_id, n_id AS true_nn FROM (
+               SELECT p.vec_id q_id, c.vec_id n_id,
+                      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                        list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                        sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                             list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                        c.vec_id ASC) rn
+               FROM embeddings p JOIN embeddings c
+                 ON p.vec_id < 10 AND c.vec_id != p.vec_id)
+             WHERE rn = 1)
+      SELECT ex.q_id, ex.true_nn,
+             CAST(lr.rank AS BIGINT) AS rank_in_approx,
+             CAST(coalesce(1000000 // lr.rank, 0) AS BIGINT) AS rr_ppm
+      FROM ex LEFT JOIN lr ON ex.q_id = lr.q_id AND ex.true_nn = lr.n_id AND lr.rank <= 5
+      ORDER BY ex.q_id"""
+    })
+
   // 31b. IVF-partitioned ANN. Centroids are the numCells corpus vectors
   // minimizing (id mod 999983)·2654435761 mod 999983 — a pseudo-random
   // sample any SQL engine can reproduce — with 0 Lloyd iterations here
@@ -6617,6 +6667,6 @@ object PipelineQueries {
     qCorpusSimilarity, qLangidCalibration,
     qDpCounts,
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
-    qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch,
+    qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
   )
 }

@@ -2027,6 +2027,23 @@ class OperatorsSpec extends SparkSpec {
       RangeJoin.pointInInterval(points, clash, "p", "s", "e", 16.0))
   }
 
+  test("mrr: true-NN rank in the approx list, misses score 0") {
+    import graft.operators.Ann
+    val exact = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L), (1L, 2L, 99L))
+      .toDF("q_id", "rank", "n_id")   // rank-2 rows ignored
+    val approx = Seq((1L, 1L, 10L), (2L, 1L, 77L), (2L, 2L, 20L), (3L, 1L, 88L))
+      .toDF("q_id", "rank", "n_id")
+    val got = Ann.mrr(exact, approx).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("true_nn"),
+          Option(r.getAs[java.lang.Long]("rank_in_approx")).map(_.longValue),
+          r.getAs[Long]("rr_ppm")))).toMap
+    assert(got(1L) == ((10L, Some(1L), 1000000L)))  // found at rank 1
+    assert(got(2L) == ((20L, Some(2L), 500000L)))   // found at rank 2
+    assert(got(3L) == ((30L, None, 0L)))            // missed entirely
+    assert(got.size == 3)
+  }
+
   test("rrfFuse: integer contributions sum across lists, missing ids degrade gracefully") {
     import graft.operators.Ann
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
