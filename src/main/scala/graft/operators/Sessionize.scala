@@ -665,6 +665,76 @@ object Sessionize {
         expr("active_users * 10000 DIV cohort_users").cast("long").as("retention_bp"))
   }
 
+  /** Kaplan–Meier survival curve of time-to-return (days from each
+    * user's FIRST active day to their SECOND), with right-censoring at
+    * the corpus's last day — the estimator behind every retention
+    * curve that doesn't throw away users who haven't returned YET
+    * (dropping them is [[churnLabels]]' censoring bug in aggregate
+    * form; KM keeps them in the risk set exactly as long as they were
+    * observed). Per day t: at_risk n_t, return events d_t, censored
+    * exits, hazard_bp = d_t·10⁴ DIV n_t, and the survival estimate
+    * S_t = S_{t−1}·(n_t−d_t)/n_t as a FIXED-POINT integer recurrence
+    * (scaled 10⁸, floor division at every step) — both engines replay
+    * the identical rounded recurrence (ours as an `aggregate` fold,
+    * the oracle as a recursive CTE), where a float cumprod-via-exp-ln
+    * would diverge in the last bits.
+    *
+    * Plan: one distinct (user, day) rollup + a per-user 2-row window
+    * (first/second day) + one pruned ts-scan for the corpus max day +
+    * a per-t rollup; the suffix-sum risk sets and the survival fold
+    * run on the ≤|distinct gaps|-row frame (calendar-bounded), never
+    * data. */
+  def kaplanMeier(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val days = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .distinct()
+    val maxDay = events.filter(col(tsCol).isNotNull)
+      .agg(max(to_date(date_trunc("day", col(tsCol)))).as("__maxd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__d"))
+    // per user: first day, second day (NULL = never returned)
+    val perUser = days
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy("__u")
+      .agg(min(when(col("__rn") === 1, col("__d"))).as("__d0"),
+        min(when(col("__rn") === 2, col("__d"))).as("__next"))
+      .crossJoin(broadcast(maxDay))
+      .select(
+        when(col("__next").isNotNull, datediff(col("__next"), col("__d0")))
+          .otherwise(datediff(col("__maxd"), col("__d0"))).cast("long").as("__e"),
+        col("__next").isNotNull.as("__event"))
+      .filter(col("__e") >= 1) // day-0 censors were never at risk
+    val perT = perUser.groupBy(col("__e").as("t"))
+      .agg(sum(when(col("__event"), 1L).otherwise(0L)).as("__d"),
+        sum(when(!col("__event"), 1L).otherwise(0L)).as("__c"))
+    // risk set = suffix sum of endpoints; survival = ordered fold —
+    // both over the calendar-bounded per-t frame
+    val wSuffix = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perT
+      .withColumn("__n", sum(col("__d") + col("__c")).over(wSuffix))
+      .agg(array_sort(collect_list(struct(col("t"), col("__d"), col("__c"),
+        col("__n")))).as("__a"))
+      .select(explode(expr(
+        """aggregate(__a,
+             struct(100000000L AS s, CAST(array() AS ARRAY<STRUCT<t: BIGINT,
+               d: BIGINT, c: BIGINT, n: BIGINT, s: BIGINT>>) AS out),
+             (acc, x) -> struct(
+               (acc.s * (x.__n - x.__d)) DIV x.__n AS s,
+               concat(acc.out, array(struct(x.t AS t, x.__d AS d, x.__c AS c,
+                 x.__n AS n, (acc.s * (x.__n - x.__d)) DIV x.__n AS s))) AS out),
+             acc -> acc.out)""")).as("__r"))
+      .select(col("__r.t").as("t"),
+        col("__r.n").as("at_risk"),
+        col("__r.d").as("events"),
+        col("__r.c").as("censored"),
+        expr("__r.d * 10000 DIV __r.n").cast("long").as("hazard_bp"),
+        col("__r.s").as("survival_e8"))
+  }
+
   /** Churn/return label generation: for every (user, active day), did
     * the user come back within the next `horizonDays` — the label
     * builder behind every churn model (and the per-observation form of

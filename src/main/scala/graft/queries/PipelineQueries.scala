@@ -3722,6 +3722,53 @@ object PipelineQueries {
              CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score
       FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT 20"""))
 
+  // 225. Kaplan–Meier time-to-return survival curve with
+  // right-censoring at the corpus end — survival as a fixed-point
+  // integer recurrence (scaled 1e8, floor division per step) so both
+  // engines replay the identical rounded product: ours as an
+  // aggregate() fold, the oracle as a recursive CTE.
+  val qKaplanMeier = QueryDef("q_kaplan_meier",
+    (s, dir) => {
+      // 1-in-37 sparsified visit stream: on the full stream nearly
+      // every user returns next day and the curve has 3 points; the
+      // sparse stream spreads gaps across the calendar (23 points)
+      graft.operators.Sessionize.kaplanMeier(
+          table(s, dir, "events").filter(col("event_id") % 37 === 0),
+          "user_id", "ts")
+        .orderBy("t")
+    },
+    Some("""
+      WITH RECURSIVE dd AS (
+        SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS dy
+        FROM events WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+      m AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS maxd
+            FROM events WHERE event_id % 37 = 0 AND ts IS NOT NULL),
+      r AS (SELECT u, dy, row_number() OVER (PARTITION BY u ORDER BY dy) AS rn FROM dd),
+      pu AS (SELECT u, min(CASE WHEN rn = 1 THEN dy END) AS d0,
+                    min(CASE WHEN rn = 2 THEN dy END) AS nxt
+             FROM r WHERE rn <= 2 GROUP BY 1),
+      pe AS (SELECT CASE WHEN nxt IS NOT NULL THEN datediff('day', d0, nxt)
+                         ELSE datediff('day', d0, m.maxd) END AS e,
+                    (nxt IS NOT NULL) AS ev
+             FROM pu, m),
+      pf AS (SELECT e, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS ev_d,
+                    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS ev_c
+             FROM pe WHERE e >= 1 GROUP BY 1),
+      tf AS (SELECT e AS t, ev_d, ev_c,
+                    sum(ev_d + ev_c) OVER (ORDER BY e DESC) AS n
+             FROM pf),
+      km AS (
+        SELECT t, ev_d, ev_c, n, (100000000 * (n - ev_d)) // n AS s
+        FROM tf WHERE t = (SELECT min(t) FROM tf)
+        UNION ALL
+        SELECT tf.t, tf.ev_d, tf.ev_c, tf.n, (km.s * (tf.n - tf.ev_d)) // tf.n
+        FROM km JOIN tf ON tf.t = (SELECT min(t2.t) FROM tf t2 WHERE t2.t > km.t))
+      SELECT CAST(t AS BIGINT) AS t, CAST(n AS BIGINT) AS at_risk,
+             CAST(ev_d AS BIGINT) AS events, CAST(ev_c AS BIGINT) AS censored,
+             CAST(ev_d * 10000 // n AS BIGINT) AS hazard_bp,
+             CAST(s AS BIGINT) AS survival_e8
+      FROM km ORDER BY t"""))
+
   // 116. exact two-sample KS drift on a numeric column (doc_id parity
   // as the snapshots) — the binning-free numeric twin of q_mix_drift.
   val qKsDrift = QueryDef("q_ks_drift",
@@ -6668,5 +6715,6 @@ object PipelineQueries {
     qDpCounts,
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
     qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
+    qKaplanMeier,
   )
 }

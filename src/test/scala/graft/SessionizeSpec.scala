@@ -7,6 +7,33 @@ import graft.operators.{Sampling, Sessionize, TextAnalysis}
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kaplanMeier: hand-computed curve, censored users stay in the risk set") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"2024-01-$d 10:00:00")
+    // corpus end = day 10. Users: a returns at gap 1, b at gap 2,
+    // c at gap 2, d never returns (first seen day 05 → censored at 5),
+    // e never returns, first seen day 10 → censored at 0, NEVER at risk
+    val ev = Seq(
+      (1L, t("01")), (1L, t("02")),
+      (2L, t("03")), (2L, t("05")),
+      (3L, t("06")), (3L, t("08")),
+      (4L, t("05")),
+      (5L, t("10")),
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Sessionize.kaplanMeier(ev, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("at_risk"), r.getAs[Long]("events"),
+          r.getAs[Long]("censored"), r.getAs[Long]("hazard_bp"),
+          r.getAs[Long]("survival_e8")))).toMap
+    // t=1: risk {a,b,c,d}, a returns → S = 1e8·3/4 = 75000000
+    assert(got(1L) == ((4L, 1L, 0L, 2500L, 75000000L)))
+    // t=2: risk {b,c,d}, b and c return → S = 75e6·1/3 = 25000000
+    assert(got(2L) == ((3L, 2L, 0L, 6666L, 25000000L)))
+    // t=5: risk {d}, censored exit, no event → S unchanged
+    assert(got(5L) == ((1L, 0L, 1L, 0L, 25000000L)))
+    assert(got.size == 3)  // user e (endpoint 0) never appears
+  }
+
   test("churnLabels: horizon boundary inclusive, last-day censoring, distinct days") {
     import java.sql.Timestamp
     def t(d: String) = Timestamp.valueOf(s"2024-01-$d 10:00:00")
