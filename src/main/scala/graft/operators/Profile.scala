@@ -1015,6 +1015,68 @@ object Profile {
     * referential check. One map-combined rollup per pair; NULL
     * dependents count as a value (a det mapping to {x, NULL} is NOT
     * functional — SQL distinctness treats NULL as one group). */
+  /** EXACT distributed ROC-AUC of a score against a binary label via
+    * the Mann–Whitney U statistic with midrank tie handling — the
+    * threshold-free companion to [[gainsTableManaged]] (the gains
+    * curve is AUC's business-facing integral). Doubled to stay
+    * integral: U2 = Σ_values cnt_pos·(2·cnt_neg_below + cnt_neg_equal)
+    * (each tie contributes exactly ½), auc_bp = U2·10⁴ DIV
+    * (2·n_pos·n_neg) — no sampling, no sort-to-driver, no fp sums.
+    * NULL scores/labels excluded; degenerate corpora (one class
+    * absent) report NULL auc, never NaN. `labelCol` must be integral
+    * 0/1.
+    *
+    * Plan: one (score → pos/neg counts) rollup, then the row-92
+    * two-level range-partition cumsum over DISTINCT scores for the
+    * below-count — never a single-task global window; one 1-row fold.
+    * int64-safe to ~3·10⁹ labeled rows per class. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val dt = df.schema(labelCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"aucExact: $labelCol must be an integral type, got $dt")
+    val vals = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__v"))
+      .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("__q"))
+    val parts = math.max(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val ranged = vals.repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__qrun", sum(col("__q")).over(within))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // materialize before the offsets/fold fork
+    val offsets = ranged.groupBy("__pid").agg(sum(col("__q")).as("__pc"))
+      .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast(LongType))
+      .select("__pid", "__off")
+    // the result is ONE summary row: fold it eagerly (the
+    // quantileValues precedent) so the persisted rank frame releases
+    // HERE instead of leaking for the session
+    val row = ranged.join(broadcast(offsets), "__pid")
+      // neg strictly below = running-neg-through-this-value − own negs
+      .withColumn("__qBelow", col("__qrun") + col("__off") - col("__q"))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__q")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("__p") * (lit(2L) * col("__qBelow") + col("__q"))),
+          lit(0L)).as("u2"))
+      .withColumn("auc_bp",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("u2 * 10000 DIV (2 * n_pos * n_neg)")).cast(LongType))
+      .collect().head
+    ranged.unpersist()
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(row).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_pos", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_neg", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("u2", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("auc_bp", LongType, nullable = true))))
+  }
+
   /** Per-class precision / recall / F1 from two label columns — the
     * class-level drilldown behind [[cohenKappa]]'s single number and
     * [[sliceAgreement]]'s metadata slices: a classifier can hold 90%

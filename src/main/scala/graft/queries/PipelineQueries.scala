@@ -3661,6 +3661,34 @@ object PipelineQueries {
              CAST(CASE WHEN tot_pos > 0 THEN cum_pos * tot_rows * 10000 // (cum_rows * tot_pos) END AS BIGINT) AS lift_bp
       FROM c ORDER BY bucket"""))
 
+  // 226. Exact distributed ROC-AUC (Mann–Whitney, midrank ties) of
+  // the gains-table score/label — no sampling, no fp sums; memoized
+  // per session because the operator folds its one summary row
+  // eagerly (releasing the rank frame) at construction.
+  private val aucCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val qAuc = QueryDef("q_auc",
+    (s, dir) => {
+      aucCache.get(s, dir) {
+        val e = table(s, dir, "events")
+          .withColumn("score", col("value") + (col("event_id") % 100))
+          .withColumn("label", (col("value") >= 150d).cast(LongType))
+        graft.operators.Profile.aucExact(e, "score", "label")
+      }
+    },
+    Some("""
+      WITH e AS (SELECT value + event_id % 100 AS score,
+                        CASE WHEN value >= 150 THEN 1 ELSE 0 END AS label
+                 FROM events WHERE value IS NOT NULL),
+      v AS (SELECT score, sum(label) AS p, sum(1 - label) AS q FROM e GROUP BY 1),
+      c AS (SELECT p, q,
+                   coalesce(sum(q) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb
+            FROM v)
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(q) AS BIGINT) AS n_neg,
+             CAST(sum(p * (2 * qb + q)) AS BIGINT) AS u2,
+             CAST(sum(p * (2 * qb + q)) * 10000 // (2 * sum(p) * sum(q)) AS BIGINT) AS auc_bp
+      FROM c"""))
+
   // 223. Hybrid search: BM25 lexical top-50 (the cached q_text_bm25
   // frame) fused with cosine top-50 around probe vector 0 by
   // reciprocal-rank fusion — integer contributions 10⁶ DIV (60+rank),
@@ -6715,6 +6743,6 @@ object PipelineQueries {
     qDpCounts,
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
     qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
-    qKaplanMeier,
+    qKaplanMeier, qAuc,
   )
 }

@@ -161,6 +161,24 @@ class ProfileSpec extends SparkSpec {
     assert(got(None).isEmpty) // NULL value → NULL rank, row kept
   }
 
+  test("aucExact: Mann-Whitney with midrank ties, degenerate corpus NULL") {
+    import spark.implicits._
+    // pos scores {2, 3}, neg {1, 2}: pairs = 1 + ½ + 1 + 1 = 3.5 of 4
+    val df = Seq((3.0, Some(1L)), (2.0, Some(1L)), (1.0, Some(0L)),
+      (2.0, Some(0L)), (5.0, None: Option[Long])).toDF("score", "y")
+    val r = Profile.aucExact(df, "score", "y").collect().head
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Long]("u2") == 7L)        // doubled U = 2·3.5
+    assert(r.getAs[Long]("auc_bp") == 8750L) // 3.5/4
+    // one-class corpus: NULL auc, never NaN
+    val onlyPos = Profile.aucExact(df.filter($"y" === 1L), "score", "y")
+      .collect().head
+    assert(onlyPos.isNullAt(onlyPos.fieldIndex("auc_bp")))
+    // non-integral label rejected loudly
+    assertThrows[IllegalArgumentException](
+      Profile.aucExact(df.withColumn("y", $"y".cast("double")), "score", "y"))
+  }
+
   test("classPrf: hand confusion, predicted-only class gets a precision row, exact bp") {
     import spark.implicits._
     // truth\pred:  en: en,en,de  de: de  (fr predicted once, never true)
