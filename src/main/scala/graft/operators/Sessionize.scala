@@ -735,6 +735,82 @@ object Sessionize {
         col("__r.s").as("survival_e8"))
   }
 
+  /** Two-arm log-rank test on time-to-return — "do the arms' retention
+    * curves differ", the significance companion to [[kaplanMeier]]
+    * (eyeballing two KM curves is how retention experiments get
+    * shipped on noise). Same endpoints and censoring as KM; at each
+    * event day the observed arm-A events are compared against the
+    * hypergeometric expectation d·n_A/n, z = (O_A − E_A)/√V. All
+    * per-day contributions are INTEGER arithmetic at e6 scale
+    * (sequential floor-DIV exactly as written — the statistic is
+    * DEFINED as this integer recurrence, so any engine replays it
+    * bit-for-bit; int64-safe to ~20k users per day-cohort, rescale the
+    * e6 factor beyond), and only the final z is one deterministic
+    * double expression over the three integer sums. `armCol` must be
+    * constant per user (the per-user min is taken, deterministically)
+    * and binary — exactly two distinct arms, smaller label = arm A.
+    *
+    * Plan: the KM rollups + one eager 2-row distinct-arm collect
+    * (bounded by design) + per-t suffix windows over the
+    * calendar-bounded frame + one 1-row fold. */
+  def logRank(events: DataFrame, userCol: String, tsCol: String,
+              armCol: String): DataFrame = {
+    val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+      col(armCol).isNotNull)
+    val days = base.select(col(userCol).as("__u"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .distinct()
+    val maxDay = base.agg(max(to_date(date_trunc("day", col(tsCol)))).as("__maxd"))
+    val arms = base.groupBy(col(userCol).as("__au"))
+      .agg(min(col(armCol).cast("string")).as("__arm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__d"))
+    val perUser = days
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy("__u")
+      .agg(min(when(col("__rn") === 1, col("__d"))).as("__d0"),
+        min(when(col("__rn") === 2, col("__d"))).as("__next"))
+      .crossJoin(broadcast(maxDay))
+      .join(arms, col("__u") === col("__au"))
+      .select(
+        when(col("__next").isNotNull, datediff(col("__next"), col("__d0")))
+          .otherwise(datediff(col("__maxd"), col("__d0"))).cast("long").as("__e"),
+        col("__next").isNotNull.as("__event"), col("__arm"))
+      .filter(col("__e") >= 1)
+    val armVals = perUser.select("__arm").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(armVals.length == 2,
+      s"logRank needs exactly two arms, got: ${armVals.mkString(", ")}")
+    val (aLbl, bLbl) = (armVals(0), armVals(1))
+    val wSuffix = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perUser.groupBy(col("__e").as("t"))
+      .agg(sum(when(col("__event") && col("__arm") === aLbl, 1L).otherwise(0L)).as("__da"),
+        sum(when(!col("__event") && col("__arm") === aLbl, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__event") && col("__arm") === bLbl, 1L).otherwise(0L)).as("__db"),
+        sum(when(!col("__event") && col("__arm") === bLbl, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__na", sum(col("__da") + col("__ca")).over(wSuffix))
+      .withColumn("__nb", sum(col("__db") + col("__cb")).over(wSuffix))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__ea", expr("(__d * __na * 1000000) DIV __n"))
+      .withColumn("__va", when(col("__n") > 1,
+        expr("((__d * __na * __nb DIV __n) * (__n - __d) * 1000000) DIV (__n * __n - __n)"))
+        .otherwise(lit(0L)))
+      .agg(coalesce(sum(col("__da") + col("__ca")), lit(0L)).as("users_a"),
+        coalesce(sum(col("__db") + col("__cb")), lit(0L)).as("users_b"),
+        coalesce(sum(col("__da")), lit(0L)).as("observed_a"),
+        coalesce(sum(col("__ea")), lit(0L)).as("expected_a_e6"),
+        coalesce(sum(col("__va")), lit(0L)).as("variance_e6"))
+      .select(lit(aLbl).as("arm_a"), lit(bLbl).as("arm_b"),
+        col("users_a"), col("users_b"), col("observed_a"),
+        col("expected_a_e6"), col("variance_e6"),
+        when(col("variance_e6") > 0,
+          round((col("observed_a") * 1000000L - col("expected_a_e6")) /
+            sqrt(col("variance_e6") * lit(1000000.0)), 4)).as("z_r4"))
+  }
+
   /** Churn/return label generation: for every (user, active day), did
     * the user come back within the next `horizonDays` — the label
     * builder behind every churn model (and the per-observation form of

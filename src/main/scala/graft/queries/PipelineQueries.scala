@@ -3797,6 +3797,69 @@ object PipelineQueries {
              CAST(s AS BIGINT) AS survival_e8
       FROM km ORDER BY t"""))
 
+  // 227. Two-arm log-rank test on time-to-return: portable-md5 arms
+  // over the same sparsified visit stream as q_kaplan_meier — integer
+  // per-day contributions at e6 scale (the statistic IS the integer
+  // recurrence), z as one deterministic double over the three sums.
+  // Memoized: the operator collects the 2-row arm alphabet eagerly.
+  private val logRankCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val qLogRank = QueryDef("q_log_rank",
+    (s, dir) => {
+      logRankCache.get(s, dir) {
+        val ev = table(s, dir, "events").filter(col("event_id") % 37 === 0)
+        val armed = graft.operators.Sampling.portableSplit(
+          ev, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+        graft.operators.Sessionize.logRank(armed, "user_id", "ts", "split")
+      }
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+      dd AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS dy FROM ev),
+      m AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS maxd FROM ev),
+      ar AS (SELECT user_id AS u, min(arm) AS arm FROM ev GROUP BY 1),
+      r AS (SELECT u, dy, row_number() OVER (PARTITION BY u ORDER BY dy) AS rn FROM dd),
+      pu AS (SELECT u, min(CASE WHEN rn = 1 THEN dy END) AS d0,
+                    min(CASE WHEN rn = 2 THEN dy END) AS nxt
+             FROM r WHERE rn <= 2 GROUP BY 1),
+      pe AS (SELECT CASE WHEN nxt IS NOT NULL THEN datediff('day', d0, nxt)
+                         ELSE datediff('day', d0, m.maxd) END AS e,
+                    (nxt IS NOT NULL) AS evf, ar.arm
+             FROM pu JOIN ar ON pu.u = ar.u, m),
+      pt AS (SELECT e AS t,
+                    sum(CASE WHEN evf AND arm = 'a' THEN 1 ELSE 0 END) AS da,
+                    sum(CASE WHEN NOT evf AND arm = 'a' THEN 1 ELSE 0 END) AS ca,
+                    sum(CASE WHEN evf AND arm = 'b' THEN 1 ELSE 0 END) AS db,
+                    sum(CASE WHEN NOT evf AND arm = 'b' THEN 1 ELSE 0 END) AS cb
+             FROM pe WHERE e >= 1 GROUP BY 1),
+      sx AS (SELECT t, da, ca, db, cb,
+                    sum(da + ca) OVER (ORDER BY t DESC) AS na,
+                    sum(db + cb) OVER (ORDER BY t DESC) AS nb
+             FROM pt),
+      ct AS (SELECT *, na + nb AS n, da + db AS d FROM sx),
+      f AS (SELECT da, ca, db, cb,
+                   (d * na * 1000000) // n AS ea,
+                   CASE WHEN n > 1
+                        THEN ((d * na * nb // n) * (n - d) * 1000000) // (n * n - n)
+                        ELSE 0 END AS va
+            FROM ct),
+      agg AS (SELECT CAST(coalesce(sum(da + ca), 0) AS BIGINT) AS users_a,
+                     CAST(coalesce(sum(db + cb), 0) AS BIGINT) AS users_b,
+                     CAST(coalesce(sum(da), 0) AS BIGINT) AS observed_a,
+                     CAST(coalesce(sum(ea), 0) AS BIGINT) AS expected_a_e6,
+                     CAST(coalesce(sum(va), 0) AS BIGINT) AS variance_e6
+              FROM f)
+      SELECT 'a' AS arm_a, 'b' AS arm_b, users_a, users_b, observed_a,
+             expected_a_e6, variance_e6,
+             CASE WHEN variance_e6 > 0
+                  THEN round((observed_a * 1000000 - expected_a_e6) /
+                             sqrt(variance_e6 * 1000000.0), 4) END AS z_r4
+      FROM agg"""))
+
   // 116. exact two-sample KS drift on a numeric column (doc_id parity
   // as the snapshots) — the binning-free numeric twin of q_mix_drift.
   val qKsDrift = QueryDef("q_ks_drift",
@@ -6743,6 +6806,6 @@ object PipelineQueries {
     qDpCounts,
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
     qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
-    qKaplanMeier, qAuc,
+    qKaplanMeier, qAuc, qLogRank,
   )
 }

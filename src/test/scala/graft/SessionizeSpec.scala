@@ -34,6 +34,36 @@ class SessionizeSpec extends SparkSpec {
     assert(got.size == 3)  // user e (endpoint 0) never appears
   }
 
+  test("logRank: hand-computed integer contributions and z, two-arm guard") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"2024-01-$d 09:00:00")
+    // corpus end day 10. Arm x: u1 returns at gap 1, u2 censored at 5.
+    // Arm y: u3 returns at gap 1, u4 returns at gap 2.
+    val ev = Seq(
+      (1L, t("01"), "x"), (1L, t("02"), "x"),
+      (2L, t("05"), "x"),
+      (3L, t("02"), "y"), (3L, t("03"), "y"),
+      (3L, t("10"), "y"), // third day: ignored for endpoints, sets corpus end
+      (4L, t("03"), "y"), (4L, t("05"), "y"),
+    ).toDF("user_id", "ts", "arm")
+    val r = graft.operators.Sessionize.logRank(ev, "user_id", "ts", "arm")
+      .collect().head
+    assert(r.getAs[String]("arm_a") == "x" && r.getAs[String]("arm_b") == "y")
+    assert(r.getAs[Long]("users_a") == 2 && r.getAs[Long]("users_b") == 2)
+    assert(r.getAs[Long]("observed_a") == 1)
+    // t=1: e = 2·2·1e6 DIV 4 = 1e6, v = ((2·2·2 DIV 4)·2·1e6) DIV 12 = 333333
+    // t=2: e = 1·1·1e6 DIV 2 = 5e5, v = ((1·1·1 DIV 2)·…) = 0 — the
+    // documented floor-loss of the sequential DIV at tiny n
+    assert(r.getAs[Long]("expected_a_e6") == 1500000L)
+    assert(r.getAs[Long]("variance_e6") == 333333L)
+    // z = (1e6 − 1.5e6)/√(333333·1e6) = −0.8660
+    assert(r.getAs[Double]("z_r4") == -0.866)
+    // one-arm input rejected loudly
+    assertThrows[IllegalArgumentException](
+      graft.operators.Sessionize.logRank(ev.filter($"arm" === "x"),
+        "user_id", "ts", "arm"))
+  }
+
   test("churnLabels: horizon boundary inclusive, last-day censoring, distinct days") {
     import java.sql.Timestamp
     def t(d: String) = Timestamp.valueOf(s"2024-01-$d 10:00:00")
