@@ -1015,6 +1015,32 @@ object Profile {
     * referential check. One map-combined rollup per pair; NULL
     * dependents count as a value (a det mapping to {x, NULL} is NOT
     * functional — SQL distinctness treats NULL as one group). */
+  /** Order-independent dataset content fingerprint: one row per
+    * labeled frame with (n_rows, xor of a 60-bit portable row hash,
+    * sum of its low 32 bits) — the "did ANYTHING change anywhere"
+    * reproducibility check that costs one map-side-combined scan,
+    * where [[SnapshotDiff]] costs a keyed shuffle. XOR and the bounded
+    * sum are both commutative + associative, so the fingerprint is
+    * partition-order-independent, MERGEABLE across shards/days (xor
+    * the xors, add the sums — the row-158/189 mergeable-state story),
+    * and engine-replayable (md5-prefix hash, the board's portable
+    * family). XOR alone is blind to duplicate-row pairs (they cancel);
+    * the 32-bit-sum channel restores that sensitivity. int64-safe to
+    * ~2³¹ rows per fingerprint call; shard beyond. NULL columns hash
+    * as a sentinel, so a value→NULL flip changes the print. */
+  def contentFingerprint(df: DataFrame, label: String,
+                         cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentFingerprint needs at least one column")
+    val h = expr("conv(substring(md5(concat_ws(chr(1), " +
+      cols.map(c => s"coalesce(cast(`$c` AS STRING), chr(2))").mkString(", ") +
+      ")), 1, 15), 16, 10)").cast(LongType)
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).cast(LongType).as("xor60"),
+        coalesce(sum(expr("__h % 4294967296")), lit(0L)).cast(LongType).as("sum32"))
+      .select(lit(label).as("dataset"), col("n_rows"), col("xor60"), col("sum32"))
+  }
+
   /** EXACT distributed ROC-AUC of a score against a binary label via
     * the Mann–Whitney U statistic with midrank tie handling — the
     * threshold-free companion to [[gainsTableManaged]] (the gains

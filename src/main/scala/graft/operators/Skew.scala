@@ -125,4 +125,41 @@ object Skew {
         col("right_keys"), col("right_max_mult"), col("right_skew_bp"),
         col("verdict"))
   }
+
+  /** EXACT inner-join output cardinality WITHOUT running the join —
+    * Σ_k cnt_left(k)·cnt_right(k) over the two per-key count rollups,
+    * the number [[joinAdvisor]]'s shuffle/salt verdict is really
+    * about: a join that explodes 100× is a modeling bug (wrong grain,
+    * accidental many-to-many) caught here for the price of two
+    * aggregations instead of a cluster-melting shuffle. Reports total
+    * output rows, matching-key count, the single heaviest key with
+    * its contribution (exact arg-max; ties take the larger key
+    * string), and amplification vs the larger MATCHED side in bp.
+    * NULL keys never match — excluded, like the join they model.
+    *
+    * Plan: two map-side-combined count rollups + one |keys|-bounded
+    * equi-join + a 1-row fold. int64-safe while the true join output
+    * is (necessarily — you could not materialize it otherwise). */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String): DataFrame = {
+    val l = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).cast("string").as("__k")).agg(count(lit(1)).as("__cl"))
+    val r = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).cast("string").as("__rk")).agg(count(lit(1)).as("__cr"))
+    l.join(r, col("__k") === col("__rk"))
+      .select(col("__k"), col("__cl"), col("__cr"),
+        (col("__cl") * col("__cr")).as("__prod"),
+        (col("__cl") + col("__cr")).as("__in"))
+      .agg(coalesce(sum(col("__prod")), lit(0L)).cast("long").as("join_rows"),
+        count(lit(1)).cast("long").as("matching_keys"),
+        max(struct(col("__prod"), col("__k"))).as("__top"),
+        coalesce(sum(col("__cl")), lit(0L)).as("__lm"),
+        coalesce(sum(col("__cr")), lit(0L)).as("__rm"))
+      .select(col("join_rows"), col("matching_keys"),
+        col("__top.__k").as("top_key"),
+        col("__top.__prod").cast("long").as("top_key_rows"),
+        when(greatest(col("__lm"), col("__rm")) > 0,
+          expr("join_rows * 10000 DIV greatest(__lm, __rm)"))
+          .cast("long").as("amplification_bp"))
+  }
 }

@@ -3797,6 +3797,91 @@ object PipelineQueries {
              CAST(s AS BIGINT) AS survival_e8
       FROM km ORDER BY t"""))
 
+  // 228. Order-independent dataset content fingerprints: one
+  // map-side-combined scan per table, mergeable across shards —
+  // the "did anything change anywhere" reproducibility check.
+  val qDatasetFingerprint = QueryDef("q_dataset_fingerprint",
+    (s, dir) => {
+      graft.operators.Profile.contentFingerprint(
+          table(s, dir, "documents"), "documents",
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .unionByName(graft.operators.Profile.contentFingerprint(
+          table(s, dir, "nation"), "nation",
+          Seq("n_nationkey", "n_name", "n_regionkey")))
+        .orderBy("dataset")
+    },
+    Some("""
+      WITH hd AS (
+        SELECT ('0x' || substr(md5(concat_ws(chr(1),
+                 coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+                 coalesce(text, chr(2)), coalesce(lang, chr(2)),
+                 coalesce(source, chr(2)),
+                 coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15))::BIGINT AS h
+        FROM documents),
+      hn AS (
+        SELECT ('0x' || substr(md5(concat_ws(chr(1),
+                 coalesce(CAST(n_nationkey AS VARCHAR), chr(2)),
+                 coalesce(n_name, chr(2)),
+                 coalesce(CAST(n_regionkey AS VARCHAR), chr(2)))), 1, 15))::BIGINT AS h
+        FROM nation)
+      SELECT 'documents' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS xor60,
+             CAST(coalesce(sum(h % 4294967296), 0) AS BIGINT) AS sum32
+      FROM hd
+      UNION ALL
+      SELECT 'nation', CAST(count(*) AS BIGINT),
+             CAST(coalesce(bit_xor(h), 0) AS BIGINT),
+             CAST(coalesce(sum(h % 4294967296), 0) AS BIGINT)
+      FROM hn
+      ORDER BY dataset"""))
+
+  // 229. Exact join-size estimate WITHOUT running the join: orders ⋈
+  // lineitem on orderkey — output rows, matching keys, heaviest key,
+  // amplification vs the larger matched side.
+  val qJoinSize = QueryDef("q_join_size",
+    (s, dir) => {
+      graft.operators.Skew.joinSizeEstimate(
+        table(s, dir, "orders"), table(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey")
+    },
+    Some("""
+      WITH l AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS cl
+                 FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+      r AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cr
+            FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+      j AS (SELECT l.k, cl, cr, cl * cr AS prod FROM l JOIN r ON l.k = r.k)
+      SELECT CAST(coalesce(sum(prod), 0) AS BIGINT) AS join_rows,
+             CAST(count(*) AS BIGINT) AS matching_keys,
+             max(struct_pack(p := prod, k := k)).k AS top_key,
+             CAST(max(struct_pack(p := prod, k := k)).p AS BIGINT) AS top_key_rows,
+             CAST(CASE WHEN greatest(sum(cl), sum(cr)) > 0
+                       THEN sum(prod) * 10000 // greatest(sum(cl), sum(cr)) END AS BIGINT) AS amplification_bp
+      FROM j"""))
+
+  // 230. k-anonymity generalization ladder: the violation rate at
+  // every candidate n_chars bucket width in ONE scan — pick the
+  // narrowest width that passes instead of guessing.
+  val qKanonTradeoff = QueryDef("q_kanon_tradeoff",
+    (s, dir) => {
+      graft.validators.MlValidators.kAnonymityTradeoff(
+          table(s, dir, "documents"), Seq("source"), "n_chars",
+          widths = Seq(25L, 50L, 100L, 200L, 400L), k = 10)
+        .orderBy("width")
+    },
+    Some("""
+      WITH w(width) AS (VALUES (25), (50), (100), (200), (400)),
+      g AS (SELECT w.width, source, n_chars // w.width AS b, count(*) AS n
+            FROM documents, w
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            GROUP BY 1, 2, 3)
+      SELECT CAST(width AS BIGINT) AS width,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(coalesce(sum(CASE WHEN n < 10 THEN 1 END), 0) AS BIGINT) AS viol_groups,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN n < 10 THEN n END), 0) AS BIGINT) AS viol_rows,
+             CAST(coalesce(sum(CASE WHEN n < 10 THEN n END), 0) * 10000 // greatest(sum(n), 1) AS BIGINT) AS viol_bp
+      FROM g GROUP BY 1 ORDER BY 1"""))
+
   // 227. Two-arm log-rank test on time-to-return: portable-md5 arms
   // over the same sparsified visit stream as q_kaplan_meier — integer
   // per-day contributions at e6 scale (the statistic IS the integer
@@ -6806,6 +6891,6 @@ object PipelineQueries {
     qDpCounts,
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
     qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
-    qKaplanMeier, qAuc, qLogRank,
+    qKaplanMeier, qAuc, qLogRank, qDatasetFingerprint, qJoinSize, qKanonTradeoff,
   )
 }

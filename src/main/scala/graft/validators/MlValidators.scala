@@ -237,6 +237,46 @@ object MlValidators {
       .select("r.*")
   }
 
+  /** k-anonymity generalization-ladder tradeoff: the [[kAnonymity]]
+    * violation rate at EVERY candidate bucket width of a numeric
+    * quasi-identifier, in one pass — the tuning curve behind the
+    * classic anonymization decision (coarsen ages/lengths/zip-prefixes
+    * until k holds; each widening destroys utility, so you want the
+    * NARROWEST width that passes, and this is that readout). The
+    * numeric column must be integral (bucket = v DIV width, exact);
+    * rows with any NULL quasi value excluded as in the siblings.
+    *
+    * Plan: ONE scan — the width ladder rides an explode (|widths|×
+    * rows into the rollup, map-side combined), then per-width folds
+    * over the group-summary frame. */
+  def kAnonymityTradeoff(df: DataFrame, quasiCols: Seq[String],
+                         numericCol: String, widths: Seq[Long],
+                         k: Int): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1),
+      s"widths must be positive, got ${widths.mkString(", ")}")
+    require(widths.distinct.length == widths.length, "widths must be distinct")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val dt = df.schema(numericCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(dt),
+      s"kAnonymityTradeoff: $numericCol must be integral, got $dt")
+    val nonNull = (quasiCols :+ numericCol).map(col(_).isNotNull).reduce(_ && _)
+    df.filter(nonNull)
+      .select(quasiCols.map(col) :+ col(numericCol).cast("long").as("__v"): _*)
+      .withColumn("width", explode(array(widths.map(lit(_)): _*)))
+      .withColumn("__b", expr("__v DIV width"))
+      .groupBy(col("width") +: quasiCols.map(col) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("width")
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        coalesce(sum(when(col("__n") < k, 1L)), lit(0L)).cast("long").as("viol_groups"),
+        coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L)).cast("long").as("viol_rows"))
+      .withColumn("viol_bp", expr("viol_rows * 10000 DIV greatest(n_rows, 1)").cast("long"))
+  }
+
   /** t-closeness (Li et al. 2007): per quasi-id group, total-variation
     * distance between the group's sensitive-value distribution and the
     * whole table's must be <= t — the skewness-attack gate after

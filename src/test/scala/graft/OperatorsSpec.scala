@@ -2027,6 +2027,41 @@ class OperatorsSpec extends SparkSpec {
       RangeJoin.pointInInterval(points, clash, "p", "s", "e", 16.0))
   }
 
+  test("joinSizeEstimate: exact fan-out without running the join") {
+    import graft.operators.Skew
+    val l = Seq(1L, 1L, 2L, 3L, 9L).toDF("k")            // 9 matches nothing
+    val r = Seq(1L, 1L, 1L, 2L, 4L).toDF("j")            // 4 matches nothing
+    val got = Skew.joinSizeEstimate(l, r, "k", "j").collect().head
+    assert(got.getAs[Long]("join_rows") == 7)            // 2·3 + 1·1
+    assert(got.getAs[Long]("matching_keys") == 2)
+    assert(got.getAs[String]("top_key") == "1")
+    assert(got.getAs[Long]("top_key_rows") == 6)
+    // matched rows: left 3, right 4 → 7·10⁴ DIV 4
+    assert(got.getAs[Long]("amplification_bp") == 17500)
+    // cross-check against the actual join
+    assert(l.join(r, l("k") === r("j")).count() == 7)
+  }
+
+  test("kAnonymityTradeoff: one-pass ladder agrees with per-width kAnonymity") {
+    import graft.validators.MlValidators
+    val df = (1L to 40L).map(i => ("s", i)).toDF("src", "v")
+    val got = MlValidators.kAnonymityTradeoff(df, Seq("src"), "v",
+        widths = Seq(5L, 20L, 100L), k = 10)
+      .collect().map(r => r.getAs[Long]("width") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("viol_rows"),
+          r.getAs[Long]("viol_bp")))).toMap
+    // width 5: buckets of ≤5 rows each → all 40 rows below k=10
+    assert(got(5L) == ((9L, 40L, 10000L)))
+    // width 20: buckets {0:19, 1:20, 2:1} → only v=40's singleton violates
+    assert(got(20L) == ((3L, 1L, 250L)))
+    // width 100: one bucket of 40 → clean
+    assert(got(100L) == ((1L, 0L, 0L)))
+    // non-integral numeric rejected loudly
+    assertThrows[IllegalArgumentException](
+      MlValidators.kAnonymityTradeoff(df.withColumn("v", $"v".cast("double")),
+        Seq("src"), "v", Seq(5L), 10))
+  }
+
   test("mrr: true-NN rank in the approx list, misses score 0") {
     import graft.operators.Ann
     val exact = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L), (1L, 2L, 99L))

@@ -161,6 +161,32 @@ class ProfileSpec extends SparkSpec {
     assert(got(None).isEmpty) // NULL value → NULL rank, row kept
   }
 
+  test("contentFingerprint: order-independent, mergeable, sensitive to every change") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, when}
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None: Option[String]))
+      .toDF("id", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Profile.contentFingerprint(df, "t", Seq("id", "v")).collect().head
+    val base = fp(a)
+    // row order / partitioning never changes the print
+    assert(fp(a.orderBy($"id".desc).repartition(7)).toSeq == base.toSeq)
+    // any value change, a NULL flip, or a dropped row changes it
+    assert(fp(a.withColumn("v", when($"id" === 1, "z").otherwise($"v")))
+      .getAs[Long]("xor60") != base.getAs[Long]("xor60"))
+    assert(fp(a.withColumn("v", when($"id" === 2, lit(null)).otherwise($"v")))
+      .getAs[Long]("xor60") != base.getAs[Long]("xor60"))
+    assert(fp(a.filter($"id" =!= 3)).getAs[Long]("xor60") != base.getAs[Long]("xor60"))
+    // duplicate-row pairs cancel in XOR — the sum channel still sees them
+    val dup = fp(a.unionByName(a))
+    assert(dup.getAs[Long]("xor60") == 0L)
+    assert(dup.getAs[Long]("sum32") == 2 * base.getAs[Long]("sum32"))
+    // merge rule: xor of xors, sum of sums
+    val h1 = fp(a.filter($"id" <= 1)); val h2 = fp(a.filter($"id" > 1))
+    assert((h1.getAs[Long]("xor60") ^ h2.getAs[Long]("xor60")) == base.getAs[Long]("xor60"))
+    assert(h1.getAs[Long]("sum32") + h2.getAs[Long]("sum32") == base.getAs[Long]("sum32"))
+  }
+
   test("aucExact: Mann-Whitney with midrank ties, degenerate corpus NULL") {
     import spark.implicits._
     // pos scores {2, 3}, neg {1, 2}: pairs = 1 + ½ + 1 + 1 = 3.5 of 4
