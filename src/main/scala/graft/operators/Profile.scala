@@ -752,35 +752,55 @@ object Profile {
   /** As [[percentileRank]], plus a cleanup handle releasing the
     * persisted rank frame. Call it only AFTER the returned frame's
     * last use. */
+  /** The two-level range-partition running sum — the ONE
+    * implementation of the board's "global cumulative order without a
+    * single-task window" idiom, shared by [[percentileRankManaged]]
+    * and [[aucExact]]: range-repartition on `orderCol`, per-partition
+    * window sum of `measureCol`, broadcast per-partition offsets.
+    * Returns the input frame + `__rsum` (running sum of measure
+    * through this row, INCLUSIVE, in global `orderCol` order), backed
+    * by a persisted exchange (the range partitioning is not
+    * reproducible across recomputes, so the frame is materialized
+    * before its offsets fork) — call the release after the last
+    * downstream materialization. */
+  private def rangedRunningSumManaged(vals: DataFrame, orderCol: String,
+                                      measureCol: String): (DataFrame, () => Unit) = {
+    val parts = math.max(vals.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val within = w.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val ranged = vals.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrun", sum(col(measureCol)).over(within))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // materialize before the offsets/consumer fork
+    val offsets = ranged.groupBy("__pid").agg(sum(col(measureCol)).as("__pc"))
+      .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast("long"))
+      .select("__pid", "__off")
+    val out = ranged.join(broadcast(offsets), "__pid")
+      .withColumn("__rsum", col("__lrun") + col("__off"))
+      .drop("__lrun", "__off", "__pid")
+    (out, () => { ranged.unpersist(); () })
+  }
+
   def percentileRankManaged(df: DataFrame,
                             valueCol: String): (DataFrame, () => Unit) = {
     val vals = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
-    val parts = math.max(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, 1)
-    val w = org.apache.spark.sql.expressions.Window
-    val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
-      .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val ranged = vals.repartitionByRange(parts, col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__run", sum("__c").over(within))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranged.count() // materialize before the offsets/total/join fork
-    val offsets = ranged.groupBy("__pid").agg(sum("__c").as("__pc"))
-      .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast("long"))
-      .select("__pid", "__off")
-    // total from the PERSISTED frame — an agg on `vals` would replay
+    val (run, release) = rangedRunningSumManaged(vals, "__v", "__c")
+    // total from the persisted frame — an agg on `vals` would replay
     // the source scan and the distinct-value shuffle a second time
-    val tot = ranged.agg(sum("__c").as("__n"))
-    val rank = ranged.join(broadcast(offsets), "__pid")
+    val tot = run.agg(sum("__c").as("__n"))
+    val rank = run
       .crossJoin(broadcast(tot))
       .select(col("__v"),
         when(col("__n") > 1,
-          expr("(__run + __off - __c) * 10000 DIV (__n - 1)").cast(LongType))
+          expr("(__rsum - __c) * 10000 DIV (__n - 1)").cast(LongType))
           .otherwise(lit(0L)).as("pct_bp"))
     val out = df.join(rank, df(valueCol) === rank("__v"), "left").drop("__v")
-    (out, () => { ranged.unpersist(); () })
+    (out, release)
   }
 
   /** Equal-width histogram-SKETCH quantiles — the constant-state,
@@ -1055,7 +1075,10 @@ object Profile {
     * Plan: one (score → pos/neg counts) rollup, then the row-92
     * two-level range-partition cumsum over DISTINCT scores for the
     * below-count — never a single-task global window; one 1-row fold.
-    * int64-safe to ~3·10⁹ labeled rows per class. */
+    * int64 bound: u2·10⁴ must fit, i.e. n_pos·n_neg < 4.6·10¹⁴
+    * (~2·10⁷ rows per balanced class) — evaluate on a stratified
+    * sample beyond (per-stratum U statistics do NOT merge into a
+    * corpus AUC, so there is no exact shard-and-combine path). */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val dt = df.schema(labelCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
@@ -1064,26 +1087,13 @@ object Profile {
       .groupBy(col(scoreCol).as("__v"))
       .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__p"),
         sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("__q"))
-    val parts = math.max(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, 1)
-    val w = org.apache.spark.sql.expressions.Window
-    val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
-      .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val ranged = vals.repartitionByRange(parts, col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__qrun", sum(col("__q")).over(within))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranged.count() // materialize before the offsets/fold fork
-    val offsets = ranged.groupBy("__pid").agg(sum(col("__q")).as("__pc"))
-      .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast(LongType))
-      .select("__pid", "__off")
+    val (run, release) = rangedRunningSumManaged(vals, "__v", "__q")
     // the result is ONE summary row: fold it eagerly (the
     // quantileValues precedent) so the persisted rank frame releases
     // HERE instead of leaking for the session
-    val row = ranged.join(broadcast(offsets), "__pid")
+    val row = run
       // neg strictly below = running-neg-through-this-value − own negs
-      .withColumn("__qBelow", col("__qrun") + col("__off") - col("__q"))
+      .withColumn("__qBelow", col("__rsum") - col("__q"))
       .agg(coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
         coalesce(sum(col("__q")), lit(0L)).as("n_neg"),
         coalesce(sum(col("__p") * (lit(2L) * col("__qBelow") + col("__q"))),
@@ -1092,7 +1102,7 @@ object Profile {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("u2 * 10000 DIV (2 * n_pos * n_neg)")).cast(LongType))
       .collect().head
-    ranged.unpersist()
+    release()
     val spark = df.sparkSession
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(Seq(row).asJava,
@@ -1185,8 +1195,12 @@ object Profile {
       .withColumn("__tot_pos", sum(col("positives")).over(whole))
       .withColumn("gain_bp", when(col("__tot_pos") > 0,
         expr("cum_positives * 10000 DIV __tot_pos")).cast(LongType))
+      // two-step DIV, not cum_pos·tot_rows·10⁴ in one product: the
+      // single product overflows int64 near 10⁸ rows; this form is
+      // safe to ~9·10¹⁴ rows (first factor is ≤ 10⁴ by construction)
+      // at the cost of ≤ 1 bp of extra floor rounding
       .withColumn("lift_bp", when(col("__tot_pos") > 0,
-        expr("cum_positives * __tot_rows * 10000 DIV (cum_rows * __tot_pos)"))
+        expr("(cum_positives * 10000 DIV __tot_pos) * __tot_rows DIV cum_rows"))
         .cast(LongType))
       .drop("__tot_rows", "__tot_pos")
     (out, release)
@@ -1273,7 +1287,11 @@ object Profile {
     * version counters, and watermark sanity. Reports per key: row
     * count, inversion count, the first offending sequence value, and
     * the verdict. NULL values are skipped (an absent measurement is
-    * not an inversion); ties are monotone (non-strict).
+    * not an inversion); NULL sequence positions are skipped too (their
+    * place in the order is undefined, and engines disagree on NULL
+    * sort position); ties are monotone (non-strict). `seqCol` must be
+    * unique per key — duplicate positions make the lag order, and so
+    * the counts, nondeterministic.
     *
     * Plan: one per-key lag window (state = 1 row) + one map-side
     * combined rollup — keyed shuffles only, linear. */
@@ -1281,7 +1299,8 @@ object Profile {
                         valueCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("__s"))
-    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(keyCol).isNotNull && col(seqCol).isNotNull &&
+        col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), col(seqCol).as("__s"),
         col(valueCol).as("__x"))
       .withColumn("__prev", lag(col("__x"), 1).over(w))

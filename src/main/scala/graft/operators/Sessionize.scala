@@ -684,8 +684,13 @@ object Sessionize {
     * a per-t rollup; the suffix-sum risk sets and the survival fold
     * run on the ≤|distinct gaps|-row frame (calendar-bounded), never
     * data. */
-  def kaplanMeier(events: DataFrame, userCol: String,
-                  tsCol: String): DataFrame = {
+  /** Per-user time-to-return endpoint: (__u, __e, __event) — days from
+    * the first active day to the second (event) or to the corpus max
+    * day (censored), day-0 censors dropped (never at risk). ONE
+    * definition shared by [[kaplanMeier]] and [[logRank]] so their
+    * censoring semantics cannot drift apart. */
+  private def returnEndpoints(events: DataFrame, userCol: String,
+                              tsCol: String): DataFrame = {
     val days = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__u"),
         to_date(date_trunc("day", col(tsCol))).as("__d"))
@@ -695,18 +700,23 @@ object Sessionize {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__u")).orderBy(col("__d"))
     // per user: first day, second day (NULL = never returned)
-    val perUser = days
+    days
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= 2)
       .groupBy("__u")
       .agg(min(when(col("__rn") === 1, col("__d"))).as("__d0"),
         min(when(col("__rn") === 2, col("__d"))).as("__next"))
       .crossJoin(broadcast(maxDay))
-      .select(
+      .select(col("__u"),
         when(col("__next").isNotNull, datediff(col("__next"), col("__d0")))
           .otherwise(datediff(col("__maxd"), col("__d0"))).cast("long").as("__e"),
         col("__next").isNotNull.as("__event"))
       .filter(col("__e") >= 1) // day-0 censors were never at risk
+  }
+
+  def kaplanMeier(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val perUser = returnEndpoints(events, userCol, tsCol)
     val perT = perUser.groupBy(col("__e").as("t"))
       .agg(sum(when(col("__event"), 1L).otherwise(0L)).as("__d"),
         sum(when(!col("__event"), 1L).otherwise(0L)).as("__c"))
@@ -757,28 +767,15 @@ object Sessionize {
               armCol: String): DataFrame = {
     val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
       col(armCol).isNotNull)
-    val days = base.select(col(userCol).as("__u"),
-        to_date(date_trunc("day", col(tsCol))).as("__d"))
-      .distinct()
-    val maxDay = base.agg(max(to_date(date_trunc("day", col(tsCol)))).as("__maxd"))
     val arms = base.groupBy(col(userCol).as("__au"))
       .agg(min(col(armCol).cast("string")).as("__arm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__u")).orderBy(col("__d"))
-    val perUser = days
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 2)
-      .groupBy("__u")
-      .agg(min(when(col("__rn") === 1, col("__d"))).as("__d0"),
-        min(when(col("__rn") === 2, col("__d"))).as("__next"))
-      .crossJoin(broadcast(maxDay))
+    val perUser = returnEndpoints(base, userCol, tsCol)
       .join(arms, col("__u") === col("__au"))
-      .select(
-        when(col("__next").isNotNull, datediff(col("__next"), col("__d0")))
-          .otherwise(datediff(col("__maxd"), col("__d0"))).cast("long").as("__e"),
-        col("__next").isNotNull.as("__event"), col("__arm"))
-      .filter(col("__e") >= 1)
-    val armVals = perUser.select("__arm").distinct()
+      .select(col("__e"), col("__event"), col("__arm"))
+    // arm alphabet from the PRE-endpoint-filter frame: an arm whose
+    // users are all first-seen on the corpus's last day must fail the
+    // two-arm guard honestly (and a third such arm must not slip by)
+    val armVals = arms.select("__arm").distinct()
       .collect().map(_.getString(0)).sorted
     require(armVals.length == 2,
       s"logRank needs exactly two arms, got: ${armVals.mkString(", ")}")
@@ -835,9 +832,12 @@ object Sessionize {
       .select(col(userCol).as("user"),
         to_date(date_trunc("day", col(tsCol))).as("__d"))
       .distinct()
-    // straight off events (ts only — column-pruned scan), NOT off
-    // `days`: that branch would replay the distinct shuffle too
-    val maxDay = events.filter(col(tsCol).isNotNull)
+    // straight off events (pruned columns), NOT off `days`: that
+    // branch would replay the distinct shuffle too. Same row filter as
+    // `days` (user AND ts non-null) so the censor horizon and the
+    // observation set cannot disagree when the latest rows are
+    // NULL-user noise
+    val maxDay = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .agg(max(to_date(date_trunc("day", col(tsCol)))).as("__maxd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user")).orderBy(col("__d"))

@@ -204,7 +204,10 @@ object SnapshotDiff {
     val b = base.select(col(idCol).as("__bid") +:
       valueCols.map(c => col(c).as(s"__b_$c")): _*)
     b.join(latest, col("__bid") === col("__cid"), "full_outer")
-      .filter(col("__img").isNull || col("__img.__op") =!= deleteOp)
+      // null-safe: a malformed NULL op is NOT the delete op — it
+      // upserts per the "any non-delete op upserts" contract; a plain
+      // =!= would evaluate NULL and silently DELETE the id
+      .filter(col("__img").isNull || !(col("__img.__op") <=> deleteOp))
       .select(coalesce(col("__bid"), col("__cid")).as(idCol) +:
         valueCols.map(c =>
           when(col("__cid").isNotNull, col(s"__img.$c"))

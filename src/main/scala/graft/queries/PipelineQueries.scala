@@ -3472,7 +3472,7 @@ object PipelineQueries {
                   WHEN l.id IS NULL THEN 'kept'
                   ELSE 'updated' END AS change
       FROM base b FULL OUTER JOIN last l ON b.id = l.id
-      WHERE l.img IS NULL OR l.img.op <> 'D'
+      WHERE l.img IS NULL OR l.img.op IS DISTINCT FROM 'D'
       ORDER BY 1"""))
 
   // 215. Churn/return labels at a 7-day horizon: per (user, active
@@ -3658,7 +3658,7 @@ object PipelineQueries {
       SELECT bucket, CAST(nr AS BIGINT) AS n_rows, CAST(pos AS BIGINT) AS positives,
              CAST(cum_rows AS BIGINT) AS cum_rows, CAST(cum_pos AS BIGINT) AS cum_positives,
              CAST(CASE WHEN tot_pos > 0 THEN cum_pos * 10000 // tot_pos END AS BIGINT) AS gain_bp,
-             CAST(CASE WHEN tot_pos > 0 THEN cum_pos * tot_rows * 10000 // (cum_rows * tot_pos) END AS BIGINT) AS lift_bp
+             CAST(CASE WHEN tot_pos > 0 THEN (cum_pos * 10000 // tot_pos) * tot_rows // cum_rows END AS BIGINT) AS lift_bp
       FROM c ORDER BY bucket"""))
 
   // 226. Exact distributed ROC-AUC (Mann–Whitney, midrank ties) of

@@ -266,7 +266,12 @@ object MlValidators {
     df.filter(nonNull)
       .select(quasiCols.map(col) :+ col(numericCol).cast("long").as("__v"): _*)
       .withColumn("width", explode(array(widths.map(lit(_)): _*)))
-      .withColumn("__b", expr("__v DIV width"))
+      // FLOOR division, not Spark's truncate-toward-zero DIV: a signed
+      // quasi value (-3, width 5) must land in bucket -1 as in the
+      // DuckDB replay's `//`, not share bucket 0 with +3 (which would
+      // both diverge from the oracle and quietly widen the bucket)
+      .withColumn("__b", expr(
+        "__v DIV width - (CASE WHEN __v < 0 AND __v % width != 0 THEN 1 ELSE 0 END)"))
       .groupBy(col("width") +: quasiCols.map(col) :+ col("__b"): _*)
       .agg(count(lit(1)).as("__n"))
       .groupBy("width")
@@ -291,10 +296,9 @@ object MlValidators {
     * the plan never materializes group × alphabet. ONE (quasi, value)
     * rollup over the data, then window sums + a group fold over that
     * aggregate frame — the corpus is scanned once, and nothing after
-    * the rollup touches row volume. Products are int64: safe while
-    * rows·rows < 9.2e18 / 10⁴
-    * (~10⁹ rows (sf-corpus scale); shard the check or widen to decimal
-    * beyond). */
+    * the rollup touches row volume. Products are int64: tvNum·10⁴ ≤
+    * 2·N²·10⁴ must fit, so safe while N < ~2·10⁷ rows — widen the
+    * arithmetic to decimal (or drop the bp scale) beyond. */
   def tCloseness(df: DataFrame, ch: TClosenessCheck): DataFrame = {
     require(ch.t > 0 && ch.t <= 1, s"t must be in (0, 1], got ${ch.t}")
     require(ch.maxViolationRate >= 0 && ch.maxViolationRate <= 1,

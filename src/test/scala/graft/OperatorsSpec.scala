@@ -570,6 +570,7 @@ class OperatorsSpec extends SparkSpec {
       (6L, "U", 105L, "f", 60L),           // insert then delete: never appears
       (6L, "D", 106L, null, 0L),
       (2L, "U", 99L, "stale", 0L),         // OLDER version must lose to 100
+      (7L, null.asInstanceOf[String], 107L, "g", 70L), // NULL op: upsert, NOT delete
     ).toDF("id", "op", "v", "name", "bal")
     val got = SnapshotDiff.applyChangelog(base, changes, "id", "op", "v",
         Seq("name", "bal"))
@@ -580,7 +581,8 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((Some("b2"), 21L, Some(100L), "updated")))
     assert(got(4L) == ((None, 44L, Some(103L), "updated")))  // image NULL wins
     assert(got(5L) == ((Some("e"), 50L, Some(104L), "inserted")))
-    assert(got.size == 4)  // 3 and 6 deleted
+    assert(got(7L) == ((Some("g"), 70L, Some(107L), "inserted"))) // NULL op upserts
+    assert(got.size == 5)  // 3 and 6 deleted
     // missing columns rejected loudly
     assertThrows[IllegalArgumentException](
       SnapshotDiff.applyChangelog(base, changes.drop("op"), "id", "op", "v", Seq("bal")))
@@ -2056,6 +2058,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got(20L) == ((3L, 1L, 250L)))
     // width 100: one bucket of 40 → clean
     assert(got(100L) == ((1L, 0L, 0L)))
+    // FLOOR division on negatives: -3 at width 5 is bucket -1 (as in
+    // the oracle's //), never bucket 0 alongside +3
+    val signed = Seq(("s", -3L), ("s", 3L)).toDF("src", "v")
+    val buckets = MlValidators.kAnonymityTradeoff(signed, Seq("src"), "v",
+        widths = Seq(5L), k = 2)
+      .collect().head
+    assert(buckets.getAs[Long]("n_groups") == 2)   // two buckets, not one
+    assert(buckets.getAs[Long]("viol_rows") == 2)  // both singletons below k
     // non-integral numeric rejected loudly
     assertThrows[IllegalArgumentException](
       MlValidators.kAnonymityTradeoff(df.withColumn("v", $"v".cast("double")),

