@@ -502,6 +502,44 @@ object Ann {
         coalesce(expr("1000000 DIV __ar"), lit(0L)).cast("long").as("rr_ppm"))
   }
 
+  /** NDCG@k of an approximate list against the exact top-k as binary
+    * relevance — the rank-WEIGHTED completion of the eval trio
+    * ([[recallAtK]] membership → [[mrr]] first-hit position → NDCG
+    * whole-list order quality). The 1/log2(1+r) discount rides as
+    * PRECOMPUTED integer literals (⌊10⁶/log2(1+r)⌋ per rank — the
+    * floats never cross an engine boundary), so DCG sums and
+    * ndcg_ppm = dcg·10⁶ DIV idcg are exact integers; the ideal DCG
+    * puts all |exact∩anything| relevant items at the top (binary
+    * relevance, standard). Inputs are [[bruteForceTopK]]-shaped.
+    *
+    * Plan: one probes×k left join + one probe rollup. */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"need 1 <= k <= 100, got $k")
+    val w = (1 to k).map(r => math.floor(1e6 / (math.log(r + 1) / math.log(2))).toLong)
+    val prefix = w.scanLeft(0L)(_ + _).tail // prefix(i-1) = ideal DCG of i hits
+    val e = exact.filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__rel"))
+    // classic normalization: ideal = ALL of the probe's exact top-k at
+    // the top — a missed relevant item costs ndcg, not just reorder
+    val ek = e.groupBy(col("q_id").as("__eq")).agg(count(lit(1)).as("__ek"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("q_id").as("__aq"), col("n_id").as("__an"),
+        col("rank").cast("long").as("__ar"))
+    a.join(e, col("__aq") === col("q_id") && col("__an") === col("n_id"),
+        "left_outer")
+      .groupBy(col("__aq"))
+      .agg(coalesce(sum(col("__rel")), lit(0L)).cast("long").as("hits"),
+        coalesce(sum(when(col("__rel").isNotNull,
+          element_at(array(w.map(lit(_)): _*), col("__ar").cast("int")))),
+          lit(0L)).cast("long").as("dcg"))
+      .join(broadcast(ek), col("__aq") === col("__eq"))
+      .withColumn("__idcg", element_at(array(prefix.map(lit(_)): _*),
+        least(col("__ek"), lit(k.toLong)).cast("int")))
+      .select(col("__aq").as("q_id"), col("hits"), col("dcg"),
+        when(col("__idcg") > 0, expr("dcg * 1000000 DIV __idcg"))
+          .otherwise(lit(0L)).cast("long").as("ndcg_ppm"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("q_id"), col("n_id"))
     val a = approx.select(col("q_id"), col("n_id"))

@@ -671,6 +671,74 @@ object PipelineQueries {
       ORDER BY ex.q_id"""
     })
 
+  // 231. ANN NDCG@5: rank-weighted list quality of the LSH index vs
+  // the exact top-5 (recall = membership, MRR = first hit, NDCG =
+  // whole-list order) — the log2 discounts ride as integer literals
+  // computed once HERE and interpolated into both engines, so the
+  // floats never cross an engine boundary.
+  private val ndcgW: Seq[Long] =
+    (1 to 5).map(r => math.floor(1e6 / (math.log(r + 1) / math.log(2))).toLong)
+  private val ndcgPrefix: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+  val qAnnNdcg = QueryDef("q_ann_ndcg",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Ann.ndcgAtK(
+          Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5),
+          Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 5, numPlanes = 4),
+          k = 5)
+        .orderBy("q_id")
+    },
+    Some {
+      val values = VectorFns.planes(4, 64).zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n               ")
+      val wVals = ndcgW.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      val pVals = ndcgPrefix.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      s"""
+      WITH planes(p, w) AS (VALUES $values),
+      dw(r, wt) AS (VALUES $wVals),
+      pw(h, idcg) AS (VALUES $pVals),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+               sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                        THEN 1 << (3 - pl.p) ELSE 0 END) bucket
+        FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding),
+      scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) cosine
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id),
+      lr AS (SELECT q_id, n_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+             FROM scored),
+      ex AS (SELECT q_id, n_id FROM (
+               SELECT p.vec_id q_id, c.vec_id n_id,
+                      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                        list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                        sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                             list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                        c.vec_id ASC) rn
+               FROM embeddings p JOIN embeddings c
+                 ON p.vec_id < 10 AND c.vec_id != p.vec_id)
+             WHERE rn <= 5),
+      ekt AS (SELECT q_id, count(*) AS ek FROM ex GROUP BY 1),
+      j AS (SELECT lr.q_id, lr.rank,
+                   (ex.n_id IS NOT NULL) AS rel
+            FROM lr LEFT JOIN ex ON lr.q_id = ex.q_id AND lr.n_id = ex.n_id
+            WHERE lr.rank <= 5),
+      agg AS (SELECT j.q_id,
+                     CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                     CAST(coalesce(sum(CASE WHEN rel THEN dw.wt END), 0) AS BIGINT) AS dcg
+              FROM j JOIN dw ON j.rank = dw.r GROUP BY 1)
+      SELECT agg.q_id, agg.hits, agg.dcg,
+             CAST(CASE WHEN agg.hits > 0 THEN agg.dcg * 1000000 // pw.idcg ELSE 0 END AS BIGINT) AS ndcg_ppm
+      FROM agg JOIN ekt ON agg.q_id = ekt.q_id
+      JOIN pw ON pw.h = least(ekt.ek, 5)
+      ORDER BY agg.q_id"""
+    })
+
   // 31b. IVF-partitioned ANN. Centroids are the numCells corpus vectors
   // minimizing (id mod 999983)·2654435761 mod 999983 — a pseudo-random
   // sample any SQL engine can reproduce — with 0 Lloyd iterations here
@@ -6892,5 +6960,6 @@ object PipelineQueries {
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
     qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
     qKaplanMeier, qAuc, qLogRank, qDatasetFingerprint, qJoinSize, qKanonTradeoff,
+    qAnnNdcg,
   )
 }

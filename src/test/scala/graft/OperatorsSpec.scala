@@ -2072,6 +2072,26 @@ class OperatorsSpec extends SparkSpec {
         Seq("src"), "v", Seq(5L), 10))
   }
 
+  test("ndcgAtK: literal log2 discounts, classic ideal normalization, misses cost") {
+    import graft.operators.Ann
+    val w1 = 1000000L
+    val w2 = math.floor(1e6 / (math.log(3) / math.log(2))).toLong // 630929
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L), (2L, 2L, 40L))
+      .toDF("q_id", "rank", "n_id")
+    val approx = Seq(
+      (1L, 1L, 20L), (1L, 2L, 99L),   // one hit at rank 1, one miss
+      (2L, 1L, 40L), (2L, 2L, 30L),   // both hit (reversed order): perfect ndcg
+    ).toDF("q_id", "rank", "n_id")
+    val got = Ann.ndcgAtK(exact, approx, k = 2).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("hits"), r.getAs[Long]("dcg"), r.getAs[Long]("ndcg_ppm")))).toMap
+    // q1: dcg = w1; ideal = w1 + w2 (BOTH exact items at top) — the
+    // miss costs ndcg even though the found item is ranked first
+    assert(got(1L) == ((1L, w1, w1 * 1000000L / (w1 + w2))))
+    // q2: binary relevance — order within the hit set doesn't matter
+    assert(got(2L) == ((2L, w1 + w2, 1000000L)))
+  }
+
   test("mrr: true-NN rank in the approx list, misses score 0") {
     import graft.operators.Ann
     val exact = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L), (1L, 2L, 99L))
