@@ -158,6 +158,73 @@ object DedupGroups {
 
   /** Keeps one doc per near-duplicate group (min id), plus every doc
     * that was in no pair. `pairs` must reference ids of `df`. */
+  /** Fixed-point PageRank over an undirected pair graph — node
+    * centrality within near-dup clusters (which copy is the hub the
+    * others orbit — a graph-aware signal for canonical selection next
+    * to [[graft.operators.Curation]]'s score-based keep policy), or
+    * over any entity-link graph the dedup family produces. Exactly
+    * `iters` power iterations of the damped update in INTEGER ppb
+    * arithmetic, floor division at every step:
+    * r'(v) = (10⁹−d_ppb) DIV N + d_ppb·Σ_u (r(u) DIV deg(u)) DIV 10⁹
+    * — the rounded recurrence IS the definition, so any engine replays
+    * it bit-for-bit (cf. the KM survival fold); no convergence test,
+    * no fp. Edges are symmetrized and deduplicated internally, self
+    * loops dropped; every node has degree ≥ 1 by construction, so
+    * there is no dangling-mass term.
+    *
+    * Plan per iteration: one (src → contribution) map over the edges
+    * + one dst-keyed rollup + one node-keyed join — 2 shuffles ×
+    * iters, all keyed, never a global structure; lineage stays
+    * shallow because `iters` is a small constant (3–5 captures the
+    * cluster-hub structure; this is a ranking signal, not a
+    * convergence exercise). int64-safe: contributions are ≤ 10⁹ each
+    * and N·10⁹ bounds every sum. */
+  def pageRank(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+               iters: Int = 3, dampingBp: Int = 8500): DataFrame =
+    pageRankManaged(pairs, aCol, bCol, iters, dampingBp)._1
+
+  /** [[pageRank]] with the release handle for the persisted edge +
+    * degree frames (each iteration re-reads both — persist-before-loop
+    * is what keeps the plan linear in `iters`). Release after the
+    * result's last materialization. */
+  def pageRankManaged(pairs: DataFrame, aCol: String = "id_a",
+                      bCol: String = "id_b", iters: Int = 3,
+                      dampingBp: Int = 8500): (DataFrame, () => Unit) = {
+    require(iters >= 1 && iters <= 20, s"need 1 <= iters <= 20, got $iters")
+    require(dampingBp >= 0 && dampingBp <= 10000,
+      s"dampingBp must be in [0, 10000], got $dampingBp")
+    val dPpb = dampingBp.toLong * 100000L
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // also materializes both persisted frames
+    val base = if (n > 0) (1000000000L - dPpb) / n else 0L
+    var ranks = nodes.select(col("node"), col("deg"),
+      lit(if (n > 0) 1000000000L / n else 0L).as("rank_ppb"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.select(col("node"), col("deg"),
+          col("rank_ppb")), col("src") === col("node"))
+        .select(col("dst"), expr("rank_ppb DIV deg").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__in"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left_outer")
+        .select(col("node"), col("deg"),
+          (lit(base) +
+            expr(s"$dPpb * coalesce(__in, 0L) DIV 1000000000")).as("rank_ppb"))
+    }
+    val out = ranks.select(col("node"), col("deg"), col("rank_ppb"))
+    (out, () => { sym.unpersist(); nodes.unpersist(); () })
+  }
+
   def dropGroupDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
                           aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)

@@ -136,6 +136,54 @@ object PipelineQueries {
       ORDER BY jacc_bp DESC, id_a, id_b LIMIT 15"""))
 
   // 26b. duplicate GROUPS: connected components over jaccard pairs
+  // 232. Fixed-point PageRank over the near-dup similarity graph —
+  // which copy is the HUB its cluster orbits (a graph-aware canonical
+  // signal next to the score-based keep policy). 3 integer ppb power
+  // iterations, floor division per step: the rounded recurrence IS the
+  // definition, so the oracle's 3 unrolled CTE iterations replay it
+  // bit-for-bit. Memoized: the operator materializes its edge/degree
+  // frames eagerly.
+  private val pageRankCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val qDedupPagerank = QueryDef("q_dedup_pagerank",
+    (s, dir) => {
+      pageRankCache.get(s, dir) {
+        val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+        graft.operators.DedupGroups.pageRank(pairs, iters = 3)
+      }.orderBy(col("rank_ppb").desc, col("node"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      sym AS (SELECT ia AS src, ib AS dst FROM prs
+              UNION SELECT ib, ia FROM prs),
+      deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM deg),
+      r0 AS (SELECT node, deg, 1000000000 // n AS r FROM deg, nn),
+      r1 AS (SELECT d.node, d.deg, 150000000 // nn.n + 850000000 * coalesce(c.s, 0) // 1000000000 AS r
+             FROM deg d LEFT JOIN (
+               SELECT sym.dst AS node, sum(r0.r // r0.deg) AS s
+               FROM sym JOIN r0 ON sym.src = r0.node GROUP BY 1) c ON d.node = c.node, nn),
+      r2 AS (SELECT d.node, d.deg, 150000000 // nn.n + 850000000 * coalesce(c.s, 0) // 1000000000 AS r
+             FROM deg d LEFT JOIN (
+               SELECT sym.dst AS node, sum(r1.r // r1.deg) AS s
+               FROM sym JOIN r1 ON sym.src = r1.node GROUP BY 1) c ON d.node = c.node, nn),
+      r3 AS (SELECT d.node, d.deg, 150000000 // nn.n + 850000000 * coalesce(c.s, 0) // 1000000000 AS r
+             FROM deg d LEFT JOIN (
+               SELECT sym.dst AS node, sum(r2.r // r2.deg) AS s
+               FROM sym JOIN r2 ON sym.src = r2.node GROUP BY 1) c ON d.node = c.node, nn)
+      SELECT node, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_ppb
+      FROM r3 ORDER BY rank_ppb DESC, node"""))
+
   val qDedupGroups = QueryDef("q_dedup_groups",
     (s, dir) => {
       val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
@@ -6960,6 +7008,6 @@ object PipelineQueries {
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
     qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
     qKaplanMeier, qAuc, qLogRank, qDatasetFingerprint, qJoinSize, qKanonTradeoff,
-    qAnnNdcg,
+    qAnnNdcg, qDedupPagerank,
   )
 }

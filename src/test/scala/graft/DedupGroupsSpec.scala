@@ -3,6 +3,31 @@ package graft
 import graft.operators.DedupGroups
 
 class DedupGroupsSpec extends SparkSpec {
+
+  test("pageRank: hand-replayed integer recurrence, hub outranks leaves") {
+    import spark.implicits._
+    import graft.operators.DedupGroups
+    // star: hub 1 linked to 2, 3, 4 (deg 3 vs 1 each); duplicate and
+    // reversed edge rows must collapse; self loop dropped
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (1L, 4L), (5L, 5L))
+      .toDF("id_a", "id_b")
+    val (pr, release) = DedupGroups.pageRankManaged(pairs, iters = 2)
+    val got = pr.collect().map(r => r.getAs[Long]("node") ->
+      ((r.getAs[Long]("deg"), r.getAs[Long]("rank_ppb")))).toMap
+    release()
+    // n = 4, base10 = 1e9/4 = 250000000, base = 150000000/4 = 37500000
+    // iter1: hub gets 3 leaf contributions of 250000000/1 each:
+    //   r(1) = 37500000 + 85e7·750000000/1e9 = 37500000 + 637500000 = 675000000
+    //   r(leaf) = 37500000 + 85e7·(250000000 DIV 3)/1e9
+    //           = 37500000 + 85e7·83333333/1e9 = 37500000 + 70833333 = 108333333
+    // iter2: r(1) = 37500000 + 85e7·(3·108333333)/1e9 = 37500000 + 276249999 = 313749999
+    //   r(leaf) = 37500000 + 85e7·(675000000 DIV 3)/1e9 = 37500000 + 191250000 = 228750000
+    assert(got(1L) == ((3L, 313749999L)))
+    assert(got(2L) == ((1L, 228750000L)))
+    assert(got(3L) == got(2L) && got(4L) == got(2L))
+    assert(!got.contains(5L)) // self-loop-only node has no edges
+    assert(got.size == 4)
+  }
   import spark.implicits._
 
   test("connected components over transitive near-dup pairs") {
