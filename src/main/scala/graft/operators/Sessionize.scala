@@ -745,6 +745,85 @@ object Sessionize {
         col("__r.s").as("survival_e8"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013) over a
+    * per-user frame of (arm, pre-period covariate x, outcome y): the
+    * adjusted outcome ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x)
+    * removes the variance the pre-period already explains, shrinking
+    * confidence intervals by 1−ρ² without touching the treatment
+    * effect — the standard trick that turns an underpowered experiment
+    * readable. x and y must be INTEGRAL (counts, cents): every sum
+    * (Σx, Σy, Σxy, Σx², Σy², per arm and pooled) is an exact int64,
+    * and θ / means / ρ² are single deterministic double expressions
+    * over those integers (the chi-square discipline), rounded at r6.
+    * θ is pooled across arms (standard — a per-arm θ would bias the
+    * effect), exactly two arms required (smaller label = arm A); a
+    * zero-variance covariate reports NULL θ and the raw means.
+    *
+    * int64 bound: n·Σxy must fit — fine while users·max(x)·max(y)
+    * stays under ~9·10¹⁸/users (e.g. 10⁶ users with counts ≤ 3000).
+    *
+    * Plan: one eager 2-row arm collect + ONE fused conditional-sum
+    * aggregation over the user frame; everything else is arithmetic
+    * on the 1-row fold. */
+  def abCuped(users: DataFrame, armCol: String, xCol: String,
+              yCol: String): DataFrame = {
+    for (c <- Seq(xCol, yCol)) {
+      val dt = users.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(dt),
+        s"abCuped: $c must be an integral type, got $dt")
+    }
+    val base = users.filter(col(armCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val armVals = base.select("__arm").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(armVals.length == 2,
+      s"abCuped needs exactly two arms, got: ${armVals.mkString(", ")}")
+    val (aLbl, bLbl) = (armVals(0), armVals(1))
+    base.agg(
+        count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(when(col("__arm") === aLbl, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__arm") === aLbl, col("__x")).otherwise(0L)).as("__sxa"),
+        sum(when(col("__arm") === aLbl, col("__y")).otherwise(0L)).as("__sya"),
+        sum(when(col("__arm") === bLbl, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__arm") === bLbl, col("__x")).otherwise(0L)).as("__sxb"),
+        sum(when(col("__arm") === bLbl, col("__y")).otherwise(0L)).as("__syb"))
+      // θ and ρ² as single deterministic double expressions over the
+      // exact integer sums; the oracle replays the identical formulas
+      .withColumn("__vx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("__cxy", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__theta", when(col("__vx") > 0,
+        col("__cxy").cast("double") / col("__vx").cast("double")))
+      .select(
+        lit(aLbl).as("arm_a"), lit(bLbl).as("arm_b"),
+        col("__na").cast("long").as("users_a"),
+        col("__nb").cast("long").as("users_b"),
+        round(col("__theta"), 6).as("theta_r6"),
+        round(col("__sya").cast("double") / col("__na"), 6).as("raw_a_r6"),
+        round(col("__syb").cast("double") / col("__nb"), 6).as("raw_b_r6"),
+        round((col("__sya").cast("double") - coalesce(col("__theta"), lit(0.0)) *
+          (col("__sxa").cast("double") - col("__na").cast("double") *
+            col("__sx").cast("double") / col("__n"))) / col("__na"), 6)
+          .as("adj_a_r6"),
+        round((col("__syb").cast("double") - coalesce(col("__theta"), lit(0.0)) *
+          (col("__sxb").cast("double") - col("__nb").cast("double") *
+            col("__sx").cast("double") / col("__n"))) / col("__nb"), 6)
+          .as("adj_b_r6"),
+        round(when(col("__vx") > 0 && col("__vy") > 0,
+          col("__cxy").cast("double") * col("__cxy").cast("double") /
+            (col("__vx").cast("double") * col("__vy").cast("double"))), 6)
+          .as("var_reduction_r6"))
+  }
+
   /** Two-arm log-rank test on time-to-return — "do the arms' retention
     * curves differ", the significance companion to [[kaplanMeier]]
     * (eyeballing two KM curves is how retention experiments get

@@ -3998,6 +3998,71 @@ object PipelineQueries {
              CAST(coalesce(sum(CASE WHEN n < 10 THEN n END), 0) * 10000 // greatest(sum(n), 1) AS BIGINT) AS viol_bp
       FROM g GROUP BY 1 ORDER BY 1"""))
 
+  // 233. CUPED variance-reduced A/B readout: pre-period activity
+  // (first 15 days) as the covariate for second-half activity, md5
+  // arms — exact integer sums, θ/means/ρ² as single deterministic
+  // double expressions rounded r6 in both engines.
+  private val cupedCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val qAbCuped = QueryDef("q_ab_cuped",
+    (s, dir) => {
+      cupedCache.get(s, dir) {
+        val ev = table(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        val mid = ev.agg(date_add(to_date(date_trunc("day", min(col("ts")))), 15)
+          .as("__mid"))
+        val users = ev.crossJoin(broadcast(mid))
+          .groupBy("user_id")
+          .agg(sum(when(to_date(date_trunc("day", col("ts"))) < col("__mid"), 1L)
+              .otherwise(0L)).as("x"),
+            sum(when(to_date(date_trunc("day", col("ts"))) >= col("__mid"), 1L)
+              .otherwise(0L)).as("y"))
+        val armed = graft.operators.Sampling.portableSplit(
+          users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+        graft.operators.Sessionize.abCuped(armed, "split", "x", "y")
+      }
+    },
+    Some("""
+      WITH m AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) + 15 AS mid
+                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      u AS (SELECT user_id,
+                   sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) < mid THEN 1 ELSE 0 END) AS x,
+                   sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) >= mid THEN 1 ELSE 0 END) AS y,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                        THEN 'a' ELSE 'b' END AS arm
+            FROM events, m
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id, mid),
+      sm AS (SELECT count(*) AS n,
+                    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                    sum(x * x) AS sxx, sum(y * y) AS syy,
+                    sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                    sum(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS sxa,
+                    sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
+                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+                    sum(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS sxb,
+                    sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb
+             FROM u),
+      d AS (SELECT *,
+                   n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+                   n * sxy - sx * sy AS cxy
+            FROM sm),
+      t AS (SELECT *,
+                   CASE WHEN vx > 0 THEN CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE) END AS theta
+            FROM d)
+      SELECT 'a' AS arm_a, 'b' AS arm_b,
+             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
+             round(theta, 6) AS theta_r6,
+             round(CAST(sya AS DOUBLE) / na, 6) AS raw_a_r6,
+             round(CAST(syb AS DOUBLE) / nb, 6) AS raw_b_r6,
+             round((CAST(sya AS DOUBLE) - coalesce(theta, 0.0) *
+                    (CAST(sxa AS DOUBLE) - CAST(na AS DOUBLE) * CAST(sx AS DOUBLE) / n)) / na, 6) AS adj_a_r6,
+             round((CAST(syb AS DOUBLE) - coalesce(theta, 0.0) *
+                    (CAST(sxb AS DOUBLE) - CAST(nb AS DOUBLE) * CAST(sx AS DOUBLE) / n)) / nb, 6) AS adj_b_r6,
+             round(CASE WHEN vx > 0 AND vy > 0
+                        THEN CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) /
+                             (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END, 6) AS var_reduction_r6
+      FROM t"""))
+
   // 227. Two-arm log-rank test on time-to-return: portable-md5 arms
   // over the same sparsified visit stream as q_kaplan_meier — integer
   // per-day contributions at e6 scale (the statistic IS the integer
@@ -7008,6 +7073,6 @@ object PipelineQueries {
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
     qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
     qKaplanMeier, qAuc, qLogRank, qDatasetFingerprint, qJoinSize, qKanonTradeoff,
-    qAnnNdcg, qDedupPagerank,
+    qAnnNdcg, qDedupPagerank, qAbCuped,
   )
 }

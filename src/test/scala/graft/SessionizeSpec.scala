@@ -34,6 +34,32 @@ class SessionizeSpec extends SparkSpec {
     assert(got.size == 3)  // user e (endpoint 0) never appears
   }
 
+  test("abCuped: perfectly-explained outcome equalizes adjusted means, zero-var covariate NULL theta") {
+    // y = 2x exactly: θ = 2, ρ² = 1, and the whole raw difference
+    // (3 vs 7) is pre-period — adjusted means must coincide at 5
+    val users = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("b", 3L, 6L), ("b", 4L, 8L))
+      .toDF("arm", "x", "y")
+    val r = graft.operators.Sessionize.abCuped(users, "arm", "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("users_a") == 2 && r.getAs[Long]("users_b") == 2)
+    assert(r.getAs[Double]("theta_r6") == 2.0)
+    assert(r.getAs[Double]("raw_a_r6") == 3.0 && r.getAs[Double]("raw_b_r6") == 7.0)
+    assert(r.getAs[Double]("adj_a_r6") == 5.0 && r.getAs[Double]("adj_b_r6") == 5.0)
+    assert(r.getAs[Double]("var_reduction_r6") == 1.0)
+    // zero-variance covariate: NULL theta, adjusted == raw
+    val flat = Seq(("a", 1L, 2L), ("a", 1L, 4L), ("b", 1L, 6L), ("b", 1L, 8L))
+      .toDF("arm", "x", "y")
+    val f = graft.operators.Sessionize.abCuped(flat, "arm", "x", "y")
+      .collect().head
+    assert(f.isNullAt(f.fieldIndex("theta_r6")))
+    assert(f.getAs[Double]("adj_a_r6") == f.getAs[Double]("raw_a_r6"))
+    // non-integral metric rejected loudly; one-arm input rejected loudly
+    assertThrows[IllegalArgumentException](graft.operators.Sessionize.abCuped(
+      users.withColumn("y", $"y".cast("double")), "arm", "x", "y"))
+    assertThrows[IllegalArgumentException](graft.operators.Sessionize.abCuped(
+      users.filter($"arm" === "a"), "arm", "x", "y"))
+  }
+
   test("logRank: hand-computed integer contributions and z, two-arm guard") {
     import java.sql.Timestamp
     def t(d: String) = Timestamp.valueOf(s"2024-01-$d 09:00:00")
