@@ -4844,6 +4844,52 @@ object PipelineQueries {
       SELECT slice, n_rows, agree, acc_bp, (g = 0 AND acc_bp = worst) AS is_worst
       FROM per, w ORDER BY slice"""))
 
+  // 234. BPE vocab-size ladder: corpus fertility at nested prefixes of
+  // the literal vocab (20 / 40 / 57 pieces) — the tokenizer-sizing
+  // tradeoff curve (bigger vocab → fewer pieces per word → cheaper
+  // budgets), each rung replayed by its own recursive-CTE oracle over
+  // the same shared literal table.
+  val qBpeLadder = QueryDef("q_bpe_ladder",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 60)
+      Seq(20, 40, 57).map { n =>
+        graft.operators.TextAnalysis.subwordBudget(docs, "doc_id", "text",
+            bpeVocabLit.take(n))
+          .agg(coalesce(sum("bpe_tokens"), lit(0L)).as("__bp"),
+            coalesce(sum("ws_tokens"), lit(0L)).as("__ws"))
+          .select(lit(n.toLong).as("vocab_size"),
+            col("__bp").cast(LongType).as("bpe_tokens"),
+            col("__ws").cast(LongType).as("ws_tokens"),
+            expr("__bp * 10000 DIV __ws").cast(LongType).as("fertility_bp"))
+      }.reduce(_ unionByName _).orderBy("vocab_size")
+    },
+    Some {
+      def block(n: Int): String = {
+        val vocab = bpeVocabLit.take(n).map(p => s"('$p')").mkString(", ")
+        s"""
+        SELECT $n AS vocab_size, CAST(bp AS BIGINT) AS bpe_tokens,
+               CAST(ws AS BIGINT) AS ws_tokens,
+               CAST(bp * 10000 // ws AS BIGINT) AS fertility_bp
+        FROM (
+          WITH RECURSIVE vocab(piece) AS (VALUES $vocab),
+          w AS (SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+                FROM documents WHERE text IS NOT NULL AND doc_id < 60),
+          step(doc_id, rem) AS (
+            SELECT doc_id, word FROM w WHERE word <> ''
+            UNION ALL
+            SELECT doc_id, substr(rem, 1 + coalesce((SELECT max(len(piece)) FROM vocab
+                                                     WHERE starts_with(rem, piece)), 1))
+            FROM step WHERE rem <> ''),
+          bb AS (SELECT count(*) AS bp FROM step WHERE rem <> ''),
+          tt AS (SELECT sum(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS ws
+                 FROM documents WHERE text IS NOT NULL AND doc_id < 60)
+          SELECT bb.bp, tt.ws FROM bb, tt)"""
+      }
+      Seq(20, 40, 57).map(block).mkString("", "\n        UNION ALL", "") +
+        "\n        ORDER BY vocab_size"
+    })
+
   // 138–139. URL/domain provenance curation. The testdata carries no
   // URL column, so both engines derive the SAME deterministic URL per
   // doc from (doc_id, source) — scheme/subdomain/suffix/path/tracking
@@ -7073,6 +7119,6 @@ object PipelineQueries {
     qIntervalJoin, qCdcApply, qChurnLabels, qTargetEncoding, qMonotonicAudit,
     qBpeOov, qSliceAgreement, qClassPrf, qGainsTable, qHybridSearch, qAnnMrr,
     qKaplanMeier, qAuc, qLogRank, qDatasetFingerprint, qJoinSize, qKanonTradeoff,
-    qAnnNdcg, qDedupPagerank, qAbCuped,
+    qAnnNdcg, qDedupPagerank, qAbCuped, qBpeLadder,
   )
 }
