@@ -1212,6 +1212,99 @@ object Profile {
                  nBuckets: Int = 10): DataFrame =
     gainsTableManaged(df, scoreCol, labelCol, nBuckets)._1
 
+  /** Disparate-impact (four-fifths rule) audit: per group, the
+    * selection rate of a boolean outcome and its ratio to the
+    * HIGHEST-rate group, flagged when the ratio falls below the
+    * threshold (8000 bp = the EEOC 80% rule) — the fairness screen
+    * that belongs next to the privacy checks in any ML-governance
+    * pass (a curation filter or quality gate that silently selects
+    * one source/language/demographic at half the rate of another is
+    * exactly what this catches). Exact integer bp via
+    * cross-multiplication: ratio_bp = sel·n_ref·10⁴ DIV (n·sel_ref);
+    * NULL groups/outcomes excluded; the reference group is the
+    * arg-max rate with the larger group label breaking exact-rate
+    * ties deterministically.
+    *
+    * Plan: ONE group rollup; the reference joins back as a broadcast
+    * 1-row max over the |groups|-bounded frame. */
+  def disparateImpact(df: DataFrame, groupCol: String, selectedCol: String,
+                      thresholdBp: Long = 8000L): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"thresholdBp must be in [1, 10000], got $thresholdBp")
+    val per = df.filter(col(groupCol).isNotNull && col(selectedCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("grp"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        coalesce(sum(when(col(selectedCol).cast("boolean"), 1L).otherwise(0L)),
+          lit(0L)).cast(LongType).as("selected"))
+      .withColumn("rate_bp", expr("selected * 10000 DIV n_rows").cast(LongType))
+    // reference = arg-max by EXACT rate (selected/n cross-multiplied
+    // inside the struct would need a common denominator; rate ties at
+    // bp precision break by group label) — the 1-row max over the
+    // aggregate frame, broadcast back
+    val ref = per.agg(max(struct(col("rate_bp"), col("grp").as("__rg"),
+      col("selected").as("__rs"), col("n_rows").as("__rn"))).as("__r"))
+      .select(col("__r.__rg").as("__refGrp"), col("__r.__rs").as("__refSel"),
+        col("__r.__rn").as("__refN"))
+    per.crossJoin(broadcast(ref))
+      .select(col("grp"), col("n_rows"), col("selected"), col("rate_bp"),
+        col("__refGrp").as("reference_group"),
+        when(col("__refSel") > 0,
+          expr("selected * __refN * 10000 DIV (n_rows * __refSel)"))
+          .cast(LongType).as("impact_ratio_bp"))
+      .withColumn("ok", coalesce(col("impact_ratio_bp") >= thresholdBp,
+        lit(false)))
+  }
+
+  /** Simpson's-paradox screen: does the SIGN of the x–y association
+    * flip between the pooled corpus and its strata — the aggregation
+    * trap behind most wrong dashboard conclusions (pooled "quality
+    * rises with length" while every source individually falls). Signs
+    * come from the covariance NUMERATOR n·Σxy − Σx·Σy, an exact int64
+    * over integral columns — no correlation doubles, no fp: the sign
+    * IS the claim. One row per stratum plus the '(pooled)' row;
+    * `paradox` is set on every row when the pooled sign contradicts
+    * the unanimous (non-zero) stratum signs.
+    *
+    * Plan: ONE stratum rollup (map-side combined); pooled sums and the
+    * contradiction flag fold over the |strata|-bounded frame. int64
+    * bound: rows·max|x|·max|y| per stratum must fit. */
+  def simpsonsCheck(df: DataFrame, stratumCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    for (c <- Seq(xCol, yCol)) {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"simpsonsCheck: $c must be an integral type, got $dt")
+    }
+    val per = df.filter(col(stratumCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(col(stratumCol).cast(StringType).as("stratum"))
+      .agg(count(lit(1)).as("__n"), sum(col(xCol)).as("__sx"),
+        sum(col(yCol)).as("__sy"), sum(col(xCol) * col(yCol)).as("__sxy"))
+      .withColumn("assoc_sign",
+        signum(col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("__pn", sum(col("__n")).over(w))
+      .withColumn("__psx", sum(col("__sx")).over(w))
+      .withColumn("__psy", sum(col("__sy")).over(w))
+      .withColumn("__psxy", sum(col("__sxy")).over(w))
+      .withColumn("pooled_sign",
+        signum(col("__pn") * col("__psxy") - col("__psx") * col("__psy"))
+          .cast(LongType))
+      // paradox: every non-zero stratum sign agrees AND the pooled
+      // sign is the opposite non-zero sign
+      .withColumn("__minS", min(when(col("assoc_sign") =!= 0, col("assoc_sign"))).over(w))
+      .withColumn("__maxS", max(when(col("assoc_sign") =!= 0, col("assoc_sign"))).over(w))
+      .withColumn("paradox",
+        col("__minS").isNotNull && col("__minS") === col("__maxS") &&
+          col("pooled_sign") =!= 0 && col("pooled_sign") =!= col("__minS"))
+      .select(col("stratum"), col("__n").cast(LongType).as("n_rows"),
+        col("assoc_sign"), col("pooled_sign"), col("paradox"))
+  }
+
   /** Sliced agreement/accuracy readout: per slice of `sliceCol`, how
     * often `aCol` and `bCol` agree (declared-vs-predicted label,
     * human-vs-model annotation, two model generations) — plus the
