@@ -511,6 +511,10 @@ object Ann {
     * ndcg_ppm = dcg·10⁶ DIV idcg are exact integers; the ideal DCG
     * puts all |exact∩anything| relevant items at the top (binary
     * relevance, standard). Inputs are [[bruteForceTopK]]-shaped.
+    * Coverage matches [[mrr]]: the output starts from the EXACT-side
+    * probe set, so a probe whose approximate list is empty still
+    * reports hits = 0 / ndcg_ppm = 0 instead of silently vanishing —
+    * corpus-level averages over the eval trio agree on denominator.
     *
     * Plan: one probes×k left join + one probe rollup. */
   def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
@@ -525,18 +529,24 @@ object Ann {
     val a = approx.filter(col("rank") <= k)
       .select(col("q_id").as("__aq"), col("n_id").as("__an"),
         col("rank").cast("long").as("__ar"))
-    a.join(e, col("__aq") === col("q_id") && col("__an") === col("n_id"),
+    val perProbe = a
+      .join(e, col("__aq") === col("q_id") && col("__an") === col("n_id"),
         "left_outer")
       .groupBy(col("__aq"))
-      .agg(coalesce(sum(col("__rel")), lit(0L)).cast("long").as("hits"),
+      .agg(coalesce(sum(col("__rel")), lit(0L)).cast("long").as("__hits"),
         coalesce(sum(when(col("__rel").isNotNull,
           element_at(array(w.map(lit(_)): _*), col("__ar").cast("int")))),
-          lit(0L)).cast("long").as("dcg"))
-      .join(broadcast(ek), col("__aq") === col("__eq"))
+          lit(0L)).cast("long").as("__dcg"))
+    // exact side drives: a probe the approx index missed entirely
+    // still appears, scored 0
+    ek.join(broadcast(perProbe), col("__eq") === col("__aq"), "left_outer")
       .withColumn("__idcg", element_at(array(prefix.map(lit(_)): _*),
         least(col("__ek"), lit(k.toLong)).cast("int")))
-      .select(col("__aq").as("q_id"), col("hits"), col("dcg"),
-        when(col("__idcg") > 0, expr("dcg * 1000000 DIV __idcg"))
+      .select(col("__eq").as("q_id"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        coalesce(col("__dcg"), lit(0L)).as("dcg"),
+        when(col("__idcg") > 0,
+          expr("coalesce(__dcg, 0L) * 1000000 DIV __idcg"))
           .otherwise(lit(0L)).cast("long").as("ndcg_ppm"))
   }
 

@@ -245,7 +245,15 @@ object Profile {
     * value, per-partition running sums, a #partitions-row offset pass
     * (persist-before-fork for the non-reproducible range exchange) —
     * never a single-task global window; one row per requested
-    * quantile. */
+    * quantile.
+    *
+    * EAGER, unlike its managed siblings: the |qsBp|-row answer is
+    * collected and returned as a literal frame so the persisted range
+    * exchange releases before this method returns (no handle for the
+    * caller to leak). Driver traffic is bounded by the requested
+    * quantile count — never data — so the eagerness is a lifecycle
+    * choice, not a scale hazard; callers that need laziness should use
+    * [[exactQuantiles]]' managed pattern instead. */
   def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
                         qsBp: Seq[Int], scale: Long = 10000L): DataFrame = {
     require(qsBp.nonEmpty, "need at least one quantile")
@@ -762,24 +770,34 @@ object Profile {
     * by a persisted exchange (the range partitioning is not
     * reproducible across recomputes, so the frame is materialized
     * before its offsets fork) — call the release after the last
-    * downstream materialization. */
+    * downstream materialization. `partCols` (optional) restarts the
+    * running sum per group: range partitioning goes over
+    * (partCols..., orderCol) so each group's values stay contiguous,
+    * and the per-partition offsets chain within each group — N
+    * independent global cumsums in ONE exchange (the fused-RFM
+    * shape). */
   private def rangedRunningSumManaged(vals: DataFrame, orderCol: String,
-                                      measureCol: String): (DataFrame, () => Unit) = {
+                                      measureCol: String,
+                                      partCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
     val parts = math.max(vals.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt, 1)
     val w = org.apache.spark.sql.expressions.Window
-    val within = w.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val pc = partCols.map(col)
+    val within = w.partitionBy(col("__pid") +: pc: _*).orderBy(col(orderCol))
       .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val ranged = vals.repartitionByRange(parts, col(orderCol))
+    val ranged = vals.repartitionByRange(parts, pc :+ col(orderCol): _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrun", sum(col(measureCol)).over(within))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranged.count() // materialize before the offsets/consumer fork
-    val offsets = ranged.groupBy("__pid").agg(sum(col(measureCol)).as("__pc"))
-      .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
+    val offW = if (partCols.isEmpty) w.orderBy(col("__pid"))
+      else w.partitionBy(pc: _*).orderBy(col("__pid"))
+    val offsets = ranged.groupBy("__pid", partCols: _*)
+      .agg(sum(col(measureCol)).as("__pc"))
+      .withColumn("__off", (sum(col("__pc")).over(offW
         .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast("long"))
-      .select("__pid", "__off")
-    val out = ranged.join(broadcast(offsets), "__pid")
+      .select((col("__pid") +: pc :+ col("__off")): _*)
+    val out = ranged.join(broadcast(offsets), "__pid" +: partCols)
       .withColumn("__rsum", col("__lrun") + col("__off"))
       .drop("__lrun", "__off", "__pid")
     (out, () => { ranged.unpersist(); () })
@@ -999,30 +1017,55 @@ object Profile {
     * mean frequency. Note r_bin is ranked on recency_days ASC: bin 1 =
     * most recently active, bin `bins` = longest dormant.
     *
-    * The three percentileRank passes each persist a session-lifetime
-    * distinct-value frame (tiny: one row per distinct metric value);
-    * long-lived callers should memoize the result per (session, input)
-    * as the driver queries do. */
+    * All THREE metrics rank in ONE fused pass (r8 verdict: three
+    * separate percentileRank exchanges made this the board's most
+    * expensive query): the customer frame melts to (customer, metric,
+    * value) — every metric cast to DECIMAL(18,2), exact for day
+    * counts, order counts and (12,2) money — the distinct rollup and
+    * the two-level range-partition cumsum run once partitioned by
+    * metric, and the pivot back to (r_bin, f_bin, m_bin) carries
+    * frequency/monetary through the melt so nothing re-joins the
+    * source. One session-lifetime persisted rank frame (tiny: one row
+    * per distinct (metric, value)); long-lived callers should memoize
+    * the result per (session, input) as the driver queries do. */
   def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
                   amountCol: String, asOf: Column, bins: Int = 5): DataFrame = {
     require(bins >= 2, "need bins >= 2")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val m = orders.groupBy(col(custCol).as("customer"))
       .agg(datediff(to_date(asOf), to_date(max(col(dateCol)))).cast(LongType)
           .as("recency_days"),
         count(lit(1)).cast(LongType).as("frequency"),
         sum(col(amountCol).cast(org.apache.spark.sql.types.DecimalType(12, 2)))
           .as("monetary"))
-    def addBin(in: DataFrame, metric: String, out: String): DataFrame =
-      percentileRank(in, metric)
-        .withColumn(out,
-          least(expr(s"pct_bp * $bins DIV 10000") + 1, lit(bins)).cast(LongType))
-        .drop("pct_bp")
-    val binned = addBin(addBin(addBin(m, "recency_days", "r_bin"),
-      "frequency", "f_bin"), "monetary", "m_bin")
-    binned.groupBy("r_bin", "f_bin", "m_bin")
+    val melted = m.select(col("customer"), explode(array(
+        struct(lit("r").as("__m"), col("recency_days").cast(dec).as("__v")),
+        struct(lit("f").as("__m"), col("frequency").cast(dec).as("__v")),
+        struct(lit("m").as("__m"), col("monetary").cast(dec).as("__v"))))
+        .as("__e"))
+      .select(col("customer"), col("__e.__m").as("__m"), col("__e.__v").as("__v"))
+    val vals = melted.filter(col("__v").isNotNull)
+      .groupBy("__m", "__v").agg(count(lit(1)).as("__c"))
+    val (run, _) = rangedRunningSumManaged(vals, "__v", "__c", Seq("__m"))
+    val tot = run.groupBy("__m").agg(sum("__c").as("__n"))
+    val rank = run.join(broadcast(tot), "__m")
+      .withColumn("__pct", when(col("__n") > 1,
+        expr("(__rsum - __c) * 10000 DIV (__n - 1)").cast(LongType))
+        .otherwise(lit(0L)))
+      .select(col("__m"), col("__v"),
+        least(expr(s"__pct * $bins DIV 10000") + 1, lit(bins)).cast(LongType)
+          .as("__bin"))
+    melted.join(rank, Seq("__m", "__v"), "left")
+      .groupBy("customer")
+      .agg(min(when(col("__m") === "r", col("__bin"))).as("r_bin"),
+        min(when(col("__m") === "f", col("__bin"))).as("f_bin"),
+        min(when(col("__m") === "m", col("__bin"))).as("m_bin"),
+        min(when(col("__m") === "f", col("__v"))).as("__freq"),
+        sum(when(col("__m") === "m", col("__v"))).as("__mon"))
+      .groupBy("r_bin", "f_bin", "m_bin")
       .agg(count(lit(1)).cast(LongType).as("customers"),
-        sum("monetary").cast(DoubleType).as("total_monetary"),
-        round(avg("frequency"), 4).as("avg_frequency_r4"))
+        sum("__mon").cast(DoubleType).as("total_monetary"),
+        round(avg(col("__freq").cast(DoubleType)), 4).as("avg_frequency_r4"))
   }
 
   /** Functional-dependency audit `det → dep`: does the determinant
@@ -1046,13 +1089,19 @@ object Profile {
     * and engine-replayable (md5-prefix hash, the board's portable
     * family). XOR alone is blind to duplicate-row pairs (they cancel);
     * the 32-bit-sum channel restores that sensitivity. int64-safe to
-    * ~2³¹ rows per fingerprint call; shard beyond. NULL columns hash
-    * as a sentinel, so a value→NULL flip changes the print. */
+    * ~2³¹ rows per fingerprint call; shard beyond. Each column is
+    * md5-hashed SEPARATELY before the fields are joined: the inner
+    * digests are fixed-width hex (never containing the chr(1) field
+    * delimiter, never colliding with the chr(2) NULL sentinel), so
+    * the row encoding is injective up to md5 collisions — a value
+    * that embeds the delimiter, or a literal string equal to the
+    * sentinel, cannot alias a different row (value→NULL flips
+    * included). */
   def contentFingerprint(df: DataFrame, label: String,
                          cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "contentFingerprint needs at least one column")
     val h = expr("conv(substring(md5(concat_ws(chr(1), " +
-      cols.map(c => s"coalesce(cast(`$c` AS STRING), chr(2))").mkString(", ") +
+      cols.map(c => s"coalesce(md5(cast(`$c` AS STRING)), chr(2))").mkString(", ") +
       ")), 1, 15), 16, 10)").cast(LongType)
     df.select(h.as("__h"))
       .agg(count(lit(1)).cast(LongType).as("n_rows"),
@@ -1224,6 +1273,12 @@ object Profile {
     * NULL groups/outcomes excluded; the reference group is the
     * arg-max rate with the larger group label breaking exact-rate
     * ties deterministically.
+    *
+    * int64 bound (exact-integer discipline, as [[aucExact]] /
+    * [[tCloseness]] / [[logRank]] document theirs): the ratio's
+    * numerator selected·n_ref·10⁴ must fit, i.e. selected·n_ref <
+    * 9.2·10¹⁴ — safe to ~3·10⁷ rows per group (balanced); pre-
+    * aggregate or sample groups beyond that before calling.
     *
     * Plan: ONE group rollup; the reference joins back as a broadcast
     * 1-row max over the |groups|-bounded frame. */

@@ -695,7 +695,9 @@ object Sessionize {
       .select(col(userCol).as("__u"),
         to_date(date_trunc("day", col(tsCol))).as("__d"))
       .distinct()
-    val maxDay = events.filter(col(tsCol).isNotNull)
+    // user AND ts non-null, matching churnLabels: NULL-user noise rows
+    // must not extend the censor horizon past the observed risk set
+    val maxDay = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .agg(max(to_date(date_trunc("day", col(tsCol)))).as("__maxd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__u")).orderBy(col("__d"))

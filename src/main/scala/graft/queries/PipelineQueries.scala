@@ -780,11 +780,14 @@ object PipelineQueries {
                      CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
                      CAST(coalesce(sum(CASE WHEN rel THEN dw.wt END), 0) AS BIGINT) AS dcg
               FROM j JOIN dw ON j.rank = dw.r GROUP BY 1)
-      SELECT agg.q_id, agg.hits, agg.dcg,
-             CAST(CASE WHEN agg.hits > 0 THEN agg.dcg * 1000000 // pw.idcg ELSE 0 END AS BIGINT) AS ndcg_ppm
-      FROM agg JOIN ekt ON agg.q_id = ekt.q_id
+      SELECT ekt.q_id,
+             CAST(coalesce(agg.hits, 0) AS BIGINT) AS hits,
+             CAST(coalesce(agg.dcg, 0) AS BIGINT) AS dcg,
+             CAST(CASE WHEN coalesce(agg.hits, 0) > 0
+                       THEN agg.dcg * 1000000 // pw.idcg ELSE 0 END AS BIGINT) AS ndcg_ppm
+      FROM ekt LEFT JOIN agg ON agg.q_id = ekt.q_id
       JOIN pw ON pw.h = least(ekt.ek, 5)
-      ORDER BY agg.q_id"""
+      ORDER BY ekt.q_id"""
     })
 
   // 31b. IVF-partitioned ANN. Centroids are the numCells corpus vectors
@@ -3886,7 +3889,8 @@ object PipelineQueries {
         SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS dy
         FROM events WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
       m AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS maxd
-            FROM events WHERE event_id % 37 = 0 AND ts IS NOT NULL),
+            FROM events
+            WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
       r AS (SELECT u, dy, row_number() OVER (PARTITION BY u ORDER BY dy) AS rn FROM dd),
       pu AS (SELECT u, min(CASE WHEN rn = 1 THEN dy END) AS d0,
                     min(CASE WHEN rn = 2 THEN dy END) AS nxt
@@ -3929,16 +3933,16 @@ object PipelineQueries {
     Some("""
       WITH hd AS (
         SELECT ('0x' || substr(md5(concat_ws(chr(1),
-                 coalesce(CAST(doc_id AS VARCHAR), chr(2)),
-                 coalesce(text, chr(2)), coalesce(lang, chr(2)),
-                 coalesce(source, chr(2)),
-                 coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15))::BIGINT AS h
+                 coalesce(md5(CAST(doc_id AS VARCHAR)), chr(2)),
+                 coalesce(md5(text), chr(2)), coalesce(md5(lang), chr(2)),
+                 coalesce(md5(source), chr(2)),
+                 coalesce(md5(CAST(n_chars AS VARCHAR)), chr(2)))), 1, 15))::BIGINT AS h
         FROM documents),
       hn AS (
         SELECT ('0x' || substr(md5(concat_ws(chr(1),
-                 coalesce(CAST(n_nationkey AS VARCHAR), chr(2)),
-                 coalesce(n_name, chr(2)),
-                 coalesce(CAST(n_regionkey AS VARCHAR), chr(2)))), 1, 15))::BIGINT AS h
+                 coalesce(md5(CAST(n_nationkey AS VARCHAR)), chr(2)),
+                 coalesce(md5(n_name), chr(2)),
+                 coalesce(md5(CAST(n_regionkey AS VARCHAR)), chr(2)))), 1, 15))::BIGINT AS h
         FROM nation)
       SELECT 'documents' AS dataset, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS xor60,

@@ -2076,7 +2076,8 @@ class OperatorsSpec extends SparkSpec {
     import graft.operators.Ann
     val w1 = 1000000L
     val w2 = math.floor(1e6 / (math.log(3) / math.log(2))).toLong // 630929
-    val exact = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L), (2L, 2L, 40L))
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L), (2L, 2L, 40L),
+      (3L, 1L, 50L))                  // probe 3: approx list empty
       .toDF("q_id", "rank", "n_id")
     val approx = Seq(
       (1L, 1L, 20L), (1L, 2L, 99L),   // one hit at rank 1, one miss
@@ -2090,6 +2091,10 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) == ((1L, w1, w1 * 1000000L / (w1 + w2))))
     // q2: binary relevance — order within the hit set doesn't matter
     assert(got(2L) == ((2L, w1 + w2, 1000000L)))
+    // q3: exact-side coverage — a probe the index missed entirely
+    // still reports, scored 0 (mrr-parity denominator)
+    assert(got(3L) == ((0L, 0L, 0L)))
+    assert(got.size == 3)
   }
 
   test("mrr: true-NN rank in the approx list, misses score 0") {

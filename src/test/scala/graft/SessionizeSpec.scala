@@ -13,12 +13,15 @@ class SessionizeSpec extends SparkSpec {
     // corpus end = day 10. Users: a returns at gap 1, b at gap 2,
     // c at gap 2, d never returns (first seen day 05 → censored at 5),
     // e never returns, first seen day 10 → censored at 0, NEVER at risk
+    // the day-12 NULL-user noise row must NOT extend the censor
+    // horizon past the observed risk set (churnLabels semantics)
     val ev = Seq(
-      (1L, t("01")), (1L, t("02")),
-      (2L, t("03")), (2L, t("05")),
-      (3L, t("06")), (3L, t("08")),
-      (4L, t("05")),
-      (5L, t("10")),
+      (Some(1L), t("01")), (Some(1L), t("02")),
+      (Some(2L), t("03")), (Some(2L), t("05")),
+      (Some(3L), t("06")), (Some(3L), t("08")),
+      (Some(4L), t("05")),
+      (Some(5L), t("10")),
+      (None: Option[Long], t("12")),
     ).toDF("user_id", "ts")
     val got = graft.operators.Sessionize.kaplanMeier(ev, "user_id", "ts")
       .collect().map(r => r.getAs[Long]("t") ->
