@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ContractQueries, PipelineQueries, QueryDef, ReportQuery}
+import graft.queries.{ContractQueries, PipelineQueries, QueryDef, ReportQuery, TokenizerQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §5. */
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
-    (ReportQuery.qContractReport +: ContractQueries.all) ++ PipelineQueries.all
+    (ReportQuery.qContractReport +: ContractQueries.all) ++
+      PipelineQueries.all ++ TokenizerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.TextFns
+
+/** BPE merge LEARNING (tokenizer training, Sennrich et al. 2016) —
+  * completes the tokenizer family whose APPLY/OOV/fertility surfaces
+  * ride [[graft.functions.BpeKernel]]: rows 137/218/234 consume a
+  * caller-supplied vocabulary; this learns one from the corpus.
+  *
+  * Reference heritage: the reference engine has no tokenizer trainer —
+  * this is part of the training-data-pipeline surface the brief makes
+  * first-class (corpus → tokenizer → budget accounting).
+  *
+  * The classic algorithm, re-expressed scale-first:
+  *
+  *  1. The corpus reduces ONCE to its word-frequency table (one
+  *     map-side-combined shuffle). Everything after runs on that
+  *     vocabulary-bounded frame — never the corpus — which is why BPE
+  *     training is feasible at 100 TB: the dictionary of a web-scale
+  *     corpus is millions of rows, not billions.
+  *  2. Each word is held as a SPACE-ENCODED symbol string
+  *     (`"  c1  c2  ...  "` — two spaces between symbols and at both
+  *     ends; symbols never contain spaces, so the encoding is
+  *     unambiguous). This makes the per-round merge a plain literal
+  *     `replace(repr, " a  b ", " ab ")`: each non-overlapping
+  *     leftmost match consumes one of the two boundary spaces on each
+  *     side and the replacement restores it, so adjacent occurrences
+  *     merge correctly in one pass ("a b a b" → "ab ab") and NO
+  *     per-row loop, lambda, or UDF is needed — the round is one
+  *     codegen'd string op, replayable verbatim by any SQL engine.
+  *  3. Per round: adjacent-pair counts are one map-side-combined
+  *     (pair → Σ word-count) aggregation; the winning pair is ONE
+  *     `max(struct(count, a, b))` row collected to the driver (ties
+  *     break deterministically: highest count, then byte-wise largest
+  *     pair — both engines compare structs field-by-field, strings
+  *     byte-wise). `numMerges` bounded rounds total.
+  *
+  * Loop discipline (the PageRank rules): the word table persists
+  * before the loop; the symbol frame `localCheckpoint()`s every
+  * `checkpointEvery` rounds so lineage (a chain of `replace`
+  * expressions) stays bounded however many merges are requested.
+  *
+  * EAGER like [[Profile.weightedQuantiles]]: the result is `numMerges`
+  * rows collected and returned as a literal frame (driver traffic
+  * bounded by the merge count, never data) so the persisted word table
+  * releases before this method returns.
+  *
+  * Output: (merge_rank, lhs, rhs, merged, pair_count) in learning
+  * order. Feed `mergedVocab` of the result into
+  * [[TextAnalysis.subwordBudget]] / [[TextAnalysis.subwordTokenize]] —
+  * greedy longest-match apply over the learned pieces, single code
+  * points as the implicit base alphabet (char-fallback).
+  */
+object BpeTrain {
+
+  /** The space-encoded symbol representation of a word at round 0:
+    * every code point its own symbol. DOTALL so line/paragraph
+    * separator code points that survive `normalize` (U+0085, U+2028…)
+    * split like any other char in BOTH regex engines. */
+  private def initialRepr(word: Column): Column =
+    concat(lit("  "), regexp_replace(word, "(?s)(.)", "$1  "))
+
+  /** Learn `numMerges` merges from the corpus' word-frequency table.
+    * Stops early (fewer rows) if the corpus runs out of adjacent
+    * pairs. */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  checkpointEvery: Int = 8): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 4096,
+      s"need 1 <= numMerges <= 4096, got $numMerges")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = df.sparkSession
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(TextFns.words(TextFns.normalize(col(textCol))))
+        .as("__word"))
+      .filter(col("__word") =!= "")
+      .groupBy("__word").agg(count(lit(1)).cast(LongType).as("__cnt"))
+      .select(col("__cnt"), initialRepr(col("__word")).as("__repr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = words
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      var round = 1
+      var exhausted = false
+      while (round <= numMerges && !exhausted) {
+        val syms = split(trim(col("__repr")), "  ")
+        val best = cur
+          .select(col("__cnt"), syms.as("__s"))
+          .select(col("__cnt"), explode(expr(
+            """transform(slice(__s, 1, size(__s) - 1),
+                 (x, i) -> struct(x AS a, element_at(__s, i + 2) AS b))"""))
+            .as("__p"))
+          .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
+          .agg(sum("__cnt").as("__c"))
+          .agg(max(struct(col("__c"), col("__a"), col("__b"))).as("__m"))
+          .collect().head.getStruct(0)
+        if (best == null) exhausted = true
+        else {
+          val (c, a, b) = (best.getLong(0), best.getString(1), best.getString(2))
+          merges += ((round.toLong, a, b, a + b, c))
+          cur = cur.withColumn("__repr",
+            call_function("replace", col("__repr"),
+              lit(s" $a  $b "), lit(s" $a$b ")))
+          if (round % checkpointEvery == 0 && round < numMerges)
+            cur = cur.localCheckpoint()
+          round += 1
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("merge_rank", LongType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false)))
+      val rows = merges.result().map { case (r, a, b, m, c) =>
+        org.apache.spark.sql.Row(r, a, b, m, c) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    } finally { words.unpersist(); () }
+  }
+
+  /** The learned piece list for the greedy-apply surface: merged
+    * symbols in learning order (single code points are the apply
+    * kernel's implicit fallback alphabet, so they need no entries). */
+  def mergedVocab(merges: DataFrame): Seq[String] =
+    merges.orderBy("merge_rank").collect()
+      .map(_.getAs[String]("merged")).toSeq
+}

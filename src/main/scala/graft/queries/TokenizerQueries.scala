@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef.table
+
+/** Tokenizer-TRAINING queries (row 235) — the learning side of the BPE
+  * family whose apply/OOV/fertility queries live in PipelineQueries
+  * (rows 137/218/234). The oracle re-derives the merges in DuckDB as
+  * `numMerges` UNROLLED rounds of the identical portable formulation
+  * (pair rollup → struct argmax → literal space-encoded replace):
+  * recursive CTEs cannot aggregate over their own recursive table, so
+  * bounded unrolling — chained CTEs generated here, one block per
+  * round — is the honest replay. */
+object TokenizerQueries {
+
+  private val bpeTrainRounds = 8
+
+  /** One DuckDB CTE block per learning round: symbols from the
+    * previous round's representation, pair rollup, struct argmax,
+    * merged representation. Round-state CTEs (`w`, `b`) are
+    * MATERIALIZED: each round references the previous round's `w`
+    * twice (pair rollup + merge apply), so default CTE inlining would
+    * expand the chain 2^rounds times. */
+  private def bpeRoundSql(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""      s$i AS (SELECT cnt, string_split(trim(repr), '  ') AS s FROM $prev),
+      e$i AS (SELECT cnt, s, unnest(range(1, len(s))) AS j FROM s$i),
+      p$i AS (SELECT s[j] AS a, s[j + 1] AS b, sum(cnt) AS c FROM e$i GROUP BY 1, 2),
+      b$i AS MATERIALIZED (SELECT max(struct_pack(c := c, a := a, b := b)) AS m FROM p$i),
+      w$i AS MATERIALIZED (SELECT cnt, CASE WHEN (SELECT m FROM b$i) IS NULL THEN repr
+                   ELSE replace(repr,
+                          ' ' || (SELECT m.a FROM b$i) || '  ' || (SELECT m.b FROM b$i) || ' ',
+                          ' ' || (SELECT m.a || m.b FROM b$i) || ' ') END AS repr
+              FROM $prev)"""
+  }
+
+  // 235. BPE merge learning: the first 8 merges trained from the
+  // documents corpus' word-frequency table — pair counts weighted by
+  // word frequency, deterministic argmax (count, then byte-wise
+  // largest pair), space-encoded literal-replace merge application.
+  val qBpeTrain = QueryDef("q_bpe_train",
+    (s, dir) => {
+      graft.operators.BpeTrain.learnMerges(
+          table(s, dir, "documents"), "text", numMerges = bpeTrainRounds)
+        .orderBy("merge_rank")
+    },
+    Some {
+      val rounds = (1 to bpeTrainRounds).map(bpeRoundSql).mkString(",\n")
+      val outRows = (1 to bpeTrainRounds).map { i =>
+        s"""        SELECT CAST($i AS BIGINT) AS merge_rank,
+               (SELECT m.a FROM b$i) AS lhs, (SELECT m.b FROM b$i) AS rhs,
+               (SELECT m.a || m.b FROM b$i) AS merged,
+               (SELECT CAST(m.c AS BIGINT) FROM b$i) AS pair_count"""
+      }.mkString("\n        UNION ALL\n")
+      s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT '  ' || regexp_replace(word, '(?s)(.)', '\\1  ', 'g') AS repr,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> '' GROUP BY 1),
+$rounds
+      SELECT * FROM (
+$outRows
+      ) WHERE merged IS NOT NULL ORDER BY merge_rank"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qBpeTrain)
+}

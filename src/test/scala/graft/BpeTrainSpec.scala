@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BpeTrain, TextAnalysis}
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges: hand-computed merge sequence on a tiny corpus") {
+    // word counts after normalize/split: "lowlow" x3, "lower" x2, "low" x1
+    // round 1 pairs (weighted): (l,o) 3·2+2+1 = 9 wins
+    //   then (lo,w) 3·2+2+1 = 9 ... let's let the assertions pin it.
+    val docs = Seq(
+      "Lowlow lowlow LOWER",
+      "lowlow  lower low",
+    ).toDF("text")
+    val m = BpeTrain.learnMerges(docs, "text", numMerges = 4).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count")))
+    // round 1: adjacent pairs over {lowlow:3, lower:2, low:1}
+    //   (l,o): lowlow has 2 + lower 1 + low 1 → 3·2 + 2 + 1 = 9
+    //   (o,w): same positions → 9; tie → byte-wise LARGEST pair wins: (o,w)
+    assert(m(0) == ((1L, "o", "w", "ow", 9L)))
+    // round 2: (l,ow): lowlow 2·3 + lower 2 + low 1 = 9 → unique max
+    assert(m(1) == ((2L, "l", "ow", "low", 9L)))
+    // round 3: (low,low):3  (low,e):2  (e,r):2 → (low,low) wins
+    assert(m(2) == ((3L, "low", "low", "lowlow", 3L)))
+    // round 4: (low,e):2 vs (e,r):2 → tie → byte-wise largest: (low,e)
+    assert(m(3) == ((4L, "low", "e", "lowe", 2L)))
+  }
+
+  test("learnMerges: adjacent occurrences merge in one pass, leftmost-first") {
+    // "aaaa" x1: round-1 pairs (a,a) = 3; merged repr must become
+    // [aa, aa] (adjacent occurrences both merge — the shared-boundary
+    // case), giving round 2 the pair (aa,aa) = 1
+    val docs = Seq("aaaa").toDF("text")
+    val m = BpeTrain.learnMerges(docs, "text", numMerges = 3).collect()
+      .map(r => (r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    assert(m(0) == (("aa", 3L)))
+    assert(m(1) == (("aaaa", 1L)))
+    assert(m.length == 2) // pairs exhausted: single symbol left
+  }
+
+  test("learnMerges: early exhaustion and checkpointed long runs agree") {
+    val docs = Seq("the cat sat on the mat", "the cat", "a mat").toDF("text")
+    val a = BpeTrain.learnMerges(docs, "text", numMerges = 12,
+      checkpointEvery = 2).collect().toSeq
+    val b = BpeTrain.learnMerges(docs, "text", numMerges = 12,
+      checkpointEvery = 100).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    assert(a.nonEmpty && a.size <= 12)
+    // ranks are 1..n in order
+    assert(a.map(_.getAs[Long]("merge_rank")) == (1L to a.size.toLong))
+  }
+
+  test("learned vocab feeds the greedy-apply surface unchanged") {
+    val docs = Seq((1L, "lowlow lowlow lower"), (2L, "lowlow lower low"))
+      .toDF("doc_id", "text")
+    val vocab = BpeTrain.mergedVocab(
+      BpeTrain.learnMerges(docs, "text", numMerges = 4))
+    assert(vocab.contains("low"))
+    val budget = TextAnalysis.subwordBudget(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bpe_tokens"), r.getAs[Long]("ws_tokens")))).toMap
+    // doc 1: lowlow→[lowlow] (merged piece), lowlow→1, lower→[lowe, r]
+    assert(budget(1L) == ((1L + 1L + 2L, 3L)))
+    // greedy longest-match: "low" tokenizes as the single learned piece
+    val row = TextAnalysis.subwordTokenize(docs, "doc_id", "text", vocab)
+      .filter(col("doc_id") === 2L).collect().head
+    assert(row.getSeq[String](row.fieldIndex("pieces")).toSeq ==
+      Seq("lowlow", "lowe", "r", "low"))
+  }
+}
