@@ -231,7 +231,11 @@ object Ann {
     * Plan: per iteration ONE corpus scan (k·dim compiled dot products
     * per row) + one map-side-combined (cell, pos) aggregate collapsing
     * to a k×dim driver-side sketch; the final profile is one more scan
-    * + a k-row aggregate. No shuffle ever carries a vector. */
+    * + a k-row aggregate. No shuffle ever carries a vector. Unlike
+    * [[DedupGroups.pageRankManaged]]'s rank frame, the Lloyd loop
+    * accumulates NO lineage: centroids round-trip through the driver
+    * as literals, so every iteration plans fresh over the corpus —
+    * plan depth is constant in `iters` and needs no checkpoint. */
   def kmeansProfile(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int = 1): DataFrame = {
     require(k >= 1, "need k >= 1")

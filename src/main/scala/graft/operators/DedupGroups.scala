@@ -209,7 +209,7 @@ object DedupGroups {
     val base = if (n > 0) (1000000000L - dPpb) / n else 0L
     var ranks = nodes.select(col("node"), col("deg"),
       lit(if (n > 0) 1000000000L / n else 0L).as("rank_ppb"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = sym
         .join(ranks.select(col("node"), col("deg"),
           col("rank_ppb")), col("src") === col("node"))
@@ -220,6 +220,10 @@ object DedupGroups {
         .select(col("node"), col("deg"),
           (lit(base) +
             expr(s"$dPpb * coalesce(__in, 0L) DIV 1000000000")).as("rank_ppb"))
+      // lineage grows linearly in iters (each iteration plans on top
+      // of the last); truncate it every few rounds so the max-iters
+      // config never pays deep-plan recompilation at scale
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     val out = ranks.select(col("node"), col("deg"), col("rank_ppb"))
     (out, () => { sym.unpersist(); nodes.unpersist(); () })

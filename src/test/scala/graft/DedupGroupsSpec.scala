@@ -30,6 +30,35 @@ class DedupGroupsSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("pageRank: 20 iterations match an independent replay, plan depth bounded") {
+    // path graph 1-2-3-4: deg 1,2,2,1. Replay the exact integer
+    // recurrence independently on the driver for all 20 iterations.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L))
+    val deg = nbrs.map { case (k, v) => k -> v.size.toLong }
+    val dPpb = 850000000L
+    val base = (1000000000L - dPpb) / 4
+    var expect: Map[Long, Long] = nbrs.keys.map(_ -> 1000000000L / 4).toMap
+    for (_ <- 1 to 20)
+      expect = nbrs.map { case (node, ns) =>
+        val in = ns.map(nb => expect(nb) / deg(nb)).sum
+        node -> (base + dPpb * in / 1000000000L)
+      }
+    val (pr, release) = DedupGroups.pageRankManaged(pairs, iters = 20)
+    // checkpoint-every-5 keeps the logical plan bounded: without it,
+    // 20 iterations stack ~3 operators each; with it, only the tail
+    // segment since the last checkpoint plans on top of the LogicalRDD
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+    val d = depth(pr.queryExecution.optimizedPlan)
+    val got = pr.collect().map(r => r.getAs[Long]("node") ->
+      r.getAs[Long]("rank_ppb")).toMap
+    release()
+    assert(got == expect, (got, expect))
+    assert(d <= 30, s"plan depth $d — checkpointing regressed?")
+  }
+
   test("connected components over transitive near-dup pairs") {
     // chain 0-1-2 (0-2 never compared), pair 3-4, vertex 7 via (7,8)
     val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
