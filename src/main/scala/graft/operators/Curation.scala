@@ -250,6 +250,56 @@ object Curation {
       .na.fill(0L, Seq("total_chunks", "kept_chunks"))
   }
 
+  /** C4's line filter at its ACTUAL grain (Raffel et al. 2020 §2.2
+    * deduplicates at the line level; row 84's [[stripBoilerplate]] is
+    * the fixed-token-window variant): split each doc on `delim`
+    * (newline — the rule's native unit; corpora without newlines can
+    * pass any delimiter regex) and drop every line occurring at least
+    * `minFreq` times within its `groupCol` partition (C4 counted
+    * per-dataset; per-domain is the standard refinement — navigation
+    * chrome repeats within a site, not across the web). Counting is
+    * TOTAL occurrences on the EXACT line content — a doc repeating its
+    * own chrome `minFreq` times trips the rule by itself.
+    * Blank/whitespace-only lines are excluded from counting and
+    * output; NULL groups form their own group (chr(1) sentinel — the
+    * SQL-join-portable encoding of "null is a domain too").
+    *
+    * Output: one row per input doc — (id, total_lines, kept_lines,
+    * clean_text = surviving lines rejoined with \n in document order;
+    * null when nothing survives or text is null).
+    *
+    * Plan: the [[stripBoilerplate]] shape at line grain — map-only
+    * split + posexplode, ONE shuffle on (group, line) where the count
+    * partial-aggregates map-side, an equi-join back keeping
+    * freq < minFreq, per-doc ordered reassembly. Linear in total
+    * lines; a line repeated a million times within a domain costs one
+    * aggregated row and zero kept rows. */
+  def lineFilter(docs: DataFrame, idCol: String, textCol: String,
+                 groupCol: String, minFreq: Int = 3,
+                 delim: String = "\n"): DataFrame = {
+    require(minFreq >= 2, "need minFreq >= 2 (1 would strip everything)")
+    require(delim.nonEmpty, "need a non-empty delimiter")
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        coalesce(col(groupCol).cast("string"), lit("\u0001")).as("__g"),
+        posexplode(split(col(textCol), delim)).as(Seq("idx", "__line")))
+      .filter(trim(col("__line")) =!= "")
+    val freq = lines.groupBy("__g", "__line")
+      .agg(count(lit(1)).as("__f"))
+    val kept = lines.join(freq, Seq("__g", "__line"))
+      .filter(col("__f") < minFreq)
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("kept_lines"),
+        concat_ws("\n", transform(
+          sort_array(collect_list(struct(col("idx"), col("__line")))),
+          x => x.getField("__line"))).as("clean_text"))
+    val totals = lines.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("total_lines"))
+    docs.select(col(idCol).as("id")).join(totals, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
+      .na.fill(0L, Seq("total_lines", "kept_lines"))
+  }
+
   /** Dedup-aware (group-consistent) train/val/test assignment: every
     * member of a near-duplicate cluster lands in the SAME split — the
     * leakage-prevention step a plain per-doc split misses (a near-copy

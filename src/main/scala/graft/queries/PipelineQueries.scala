@@ -1642,6 +1642,59 @@ object PipelineQueries {
       LEFT JOIN k ON k.doc_id = d.doc_id
       ORDER BY coalesce(t.total, 0) - coalesce(k.kept, 0) DESC, id LIMIT 25"""))
 
+  // 236. C4's line filter at its ACTUAL grain (split on newline, drop
+  // lines seen >= 3x per domain — row 84 is the fixed-token-window
+  // variant). The synthetic corpus is single-line docs, so repeated-
+  // chrome fixtures (negative ids, their own source) are unioned in —
+  // the q_text_pii planted-fixture pattern; the literal rows are
+  // shared verbatim with the oracle.
+  val qLineFilter = QueryDef("q_line_filter",
+    (s, dir) => {
+      import s.implicits._
+      val fixture = Seq(
+        (-1L, "SUBSCRIBE NOW\nunique content one\nCOPYRIGHT FIXTURE", "fixture-web"),
+        (-2L, "SUBSCRIBE NOW\nunique content two\nCOPYRIGHT FIXTURE", "fixture-web"),
+        (-3L, "SUBSCRIBE NOW\nunique content three\nCOPYRIGHT FIXTURE", "fixture-web"),
+        (-4L, "unique content four\nCOPYRIGHT FIXTURE\n \nlast words", "fixture-web"),
+        (-5L, "REPEAT ME\nREPEAT ME\nREPEAT ME", "fixture-web"),
+      ).toDF("doc_id", "text", "source")
+      val d = table(s, dir, "documents").select("doc_id", "text", "source")
+        .unionByName(fixture)
+      graft.operators.Curation.lineFilter(d, "doc_id", "text", "source",
+          minFreq = 3)
+        .select(col("id"), col("total_lines"), col("kept_lines"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy((col("total_lines") - col("kept_lines")).desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+          (-1, 'SUBSCRIBE NOW' || chr(10) || 'unique content one' || chr(10) || 'COPYRIGHT FIXTURE', 'fixture-web'),
+          (-2, 'SUBSCRIBE NOW' || chr(10) || 'unique content two' || chr(10) || 'COPYRIGHT FIXTURE', 'fixture-web'),
+          (-3, 'SUBSCRIBE NOW' || chr(10) || 'unique content three' || chr(10) || 'COPYRIGHT FIXTURE', 'fixture-web'),
+          (-4, 'unique content four' || chr(10) || 'COPYRIGHT FIXTURE' || chr(10) || ' ' || chr(10) || 'last words', 'fixture-web'),
+          (-5, 'REPEAT ME' || chr(10) || 'REPEAT ME' || chr(10) || 'REPEAT ME', 'fixture-web')
+        ) v(doc_id, text, source)),
+      l AS (SELECT doc_id, coalesce(source, chr(1)) AS g,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+            FROM d WHERE text IS NOT NULL),
+      nz AS (SELECT * FROM l WHERE trim(line) <> ''),
+      f AS (SELECT g, line, count(*) AS c FROM nz GROUP BY 1, 2),
+      k AS (SELECT doc_id, count(*) AS kept,
+                   md5(string_agg(line, chr(10) ORDER BY idx)) AS cmd5
+            FROM nz JOIN f USING (g, line) WHERE f.c < 3 GROUP BY 1),
+      t AS (SELECT doc_id, count(*) AS total FROM nz GROUP BY 1)
+      SELECT d.doc_id AS id,
+             CAST(coalesce(t.total, 0) AS BIGINT) AS total_lines,
+             CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_lines,
+             k.cmd5 AS clean_md5
+      FROM d LEFT JOIN t USING (doc_id) LEFT JOIN k USING (doc_id)
+      ORDER BY coalesce(t.total, 0) - coalesce(k.kept, 0) DESC, id LIMIT 25"""))
+
   // 77. corpus vocabulary-growth (yield) curve, Lee et al. 2022: per
   // 50-doc arrival bucket, first-occurrence distinct 3-grams vs total
   // gram rows + the running vocabulary total — the corpus-level twin
@@ -7084,7 +7137,7 @@ object PipelineQueries {
     qSourceOverlap, qEmbedStats, qEmbedDrift, qSpanDedupCollapsed, qBoilerplate,
     qDedupSemantic, qTextNovelty, qPipelineFunnel, qPipelineFunnelV2, qMultimodalBlocks,
     qExportShards, qExportRoundtrip, qTextScripts, qDsirWeights, qTextYield, qClassifyNb,
-    qChunkDedup, qStripBoilerplate,
+    qChunkDedup, qStripBoilerplate, qLineFilter,
     qEventTransitions, qTsAnomaly, qProfileQuantiles, qCurriculumBins,
     qAnnRecall, qLayoutZorder,
     qEmbedContamination, qWinsorize, qTokenFertility, qHeavyHitters,

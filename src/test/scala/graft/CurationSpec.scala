@@ -142,6 +142,39 @@ class CurationSpec extends SparkSpec {
       2L -> ((2L, 1L, 5000L))))
   }
 
+  test("lineFilter: per-domain >=3x lines drop, blanks excluded, order preserved") {
+    val corpus = Seq(
+      (1L, "CHROME LINE\nkeep one\nFOOTER", Some("a")),
+      (2L, "CHROME LINE\nkeep two\nFOOTER", Some("a")),
+      (3L, "CHROME LINE\nkeep three", Some("a")),
+      // same chrome in domain b: only 1x there -> kept
+      (4L, "CHROME LINE\nother domain text", Some("b")),
+      // within-doc repetition alone trips the threshold
+      (5L, "ME\nME\nME", Some("b")),
+      // blank lines: not counted, not reassembled, not in totals
+      (6L, "first\n \n\nlast", Some("b")),
+      (7L, null, Some("b")),
+      // NULL domain forms its own group
+      (8L, "CHROME LINE\nnull domain", None),
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.lineFilter(corpus, "doc_id", "text", "source",
+        minFreq = 3).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("total_lines"), r.getAs[Long]("kept_lines"),
+          Option(r.getAs[String]("clean_text"))))).toMap
+    // domain a: CHROME LINE 3x -> dropped everywhere; FOOTER 2x -> kept
+    assert(got(1L) == ((3L, 2L, Some("keep one\nFOOTER"))))
+    assert(got(2L) == ((3L, 2L, Some("keep two\nFOOTER"))))
+    assert(got(3L) == ((2L, 1L, Some("keep three"))))
+    // domain b sees CHROME LINE once -> survives
+    assert(got(4L) == ((2L, 2L, Some("CHROME LINE\nother domain text"))))
+    assert(got(5L) == ((3L, 0L, None)))
+    assert(got(6L) == ((2L, 2L, Some("first\nlast"))))
+    assert(got(7L) == ((0L, 0L, None)))
+    assert(got(8L) == ((2L, 2L, Some("CHROME LINE\nnull domain"))))
+    assert(got.size == 8)
+  }
+
   test("scoreChain: weighted score, NULL verdict fails, failed rules listed in order") {
     import org.apache.spark.sql.functions.{col, lit}
     val df = Seq(
