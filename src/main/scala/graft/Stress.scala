@@ -1,0 +1,119 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Stress-scale certification main: runs the driver board against the
+  * `tools/scaleup.py` 10×-copy corpus (exact near-dup clusters of
+  * size 10 — the worst case for LSH bucket occupancy, collapse paths
+  * and connected-component density) and writes a machine-readable
+  * `target/stress.json`: per-query pass/fail + rows + warm seconds,
+  * plus the standing certification caveats that previously lived only
+  * in SURVEY prose. The scale claims the SURVEY makes are thereby
+  * re-checked mechanically every round instead of asserted.
+  *
+  * Usage: `sbt "runMain graft.Stress [stressDir] [outPath] [query...]"`
+  *   stressDir default `target/sf1x` (generate with
+  *   `python3 tools/scaleup.py /root/testdata/sf0.1 target/sf1x 10`),
+  *   outPath default `target/stress.json`. Empty query list = full
+  *   board. An UNTIMED warmup pass pins the session-shared caches
+  *   first (the Bench discipline), so per-query seconds are warm and
+  *   attribute each query's own cost. */
+object Stress {
+
+  final case class Q(name: String, rows: Long, sec: Double,
+                     err: Option[String]) {
+    def ok: Boolean = err.isEmpty
+  }
+
+  /** Standing certification caveats — scope limits of the stress
+    * evidence itself, shipped in the artifact so they are visible to
+    * the round's mechanical readers. */
+  val caveats: Map[String, String] = Map(
+    "q_dedup_pagerank" -> ("Spark side runs the 10x corpus fine; its " +
+      "ORACLE equivalence was certified on a 3x corpus instead - " +
+      "DuckDB's quadratic recursive-CTE replay of the power iteration " +
+      "exceeds this machine's temp disk at 50k docs."),
+    "oracle_scope" -> ("stress.json certifies the SPARK side at 10x " +
+      "(no crash, sane row counts, warm seconds); DuckDB oracle " +
+      "equivalence is certified per-round at sf0.01 and sf0.1 by the " +
+      "driver's correctness gate."))
+
+  def runBoard(spark: SparkSession, dir: String,
+               names: Seq[String]): Seq[Q] =
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
+      try {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        Q(name, n, (System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          Q(name, -1L, -1.0,
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+      }
+    }
+
+  def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+
+  def toJson(dir: String, warmupSec: Double, qs: Seq[Q]): String = {
+    def fmt(d: Double): String =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val body = qs.map { q =>
+      jstr(q.name) + ":{\"ok\":" + q.ok + ",\"rows\":" + q.rows +
+        ",\"sec\":" + fmt(q.sec) +
+        q.err.map(e => ",\"err\":" + jstr(e)).getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val cav = caveats.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    s"""{"sf_dir":${jstr(dir)},"generated_by":"graft.Stress over tools/scaleup.py output",""" +
+      s""""pass":${qs.count(_.ok)},"fail":${qs.count(!_.ok)},""" +
+      s""""warmup_total":${fmt(warmupSec)},"total_sec":${fmt(qs.filter(_.ok).map(_.sec).sum)},""" +
+      s""""queries":$body,"caveats":$cav}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/sf1x")
+    val out = args.drop(1).headOption.getOrElse("target/stress.json")
+    val only = args.drop(2).toSet
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
+      s"stress dir $dir missing - generate it: " +
+        "python3 tools/scaleup.py /root/testdata/sf0.1 target/sf1x 10")
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    // untimed warmup pins session caches; errors surface in the timed pass
+    val t0 = System.nanoTime()
+    names.foreach { n =>
+      try { SparkEntry.queries(n)(spark, dir).count(); () }
+      catch { case _: Throwable => () }
+    }
+    val warmupSec = (System.nanoTime() - t0) / 1e9
+    val qs = runBoard(spark, dir, names)
+    val json = toJson(dir, warmupSec, qs)
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    System.err.println(s"[stress] ${qs.count(_.ok)}/${qs.size} ok -> $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,213 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.contracts._
+import graft.validators.ContractValidator
+
+/** Property-based DIFFERENTIAL fuzzing of the contract engine: random
+  * small contracts (random nullability, constraints, thresholds,
+  * uniqueness scopes, freshness) over random frames, each replayed by
+  * an INDEPENDENT pure-Scala interpreter over the collected rows and
+  * compared check-by-check. The per-query oracle board pins 230+ fixed
+  * plans; this hunts the interaction bugs no hand-written contract
+  * exercises (e.g. a range whose min exceeds max, a uniqueness key
+  * containing NULLs, an empty frame against a 1.0 completeness
+  * threshold). ScalaCheck's default 100 successful cases per property
+  * ≈ several hundred random contracts per `sbt test` run.
+  *
+  * The interpreter reimplements the DOCUMENTED semantics (exact
+  * integer threshold compares, nulls never violate constraints, SQL
+  * group-equality of NULL keys, vacuous passes on empty slices) from
+  * scratch — shared code with the engine is limited to the Contract
+  * model itself. */
+object ContractFuzzSpec extends Properties("ContractEngine") {
+
+  private lazy val spark = SparkSpec.session
+
+  private val frameSchema = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("v", LongType, nullable = true),
+    StructField("ts", TimestampType, nullable = true)))
+
+  private final case class R(id: Option[Long], name: Option[String],
+                             v: Option[Long], ts: Option[Long])
+
+  private val days: Seq[Long] = Seq(
+    Timestamp.valueOf("2024-03-01 10:00:00").getTime,
+    Timestamp.valueOf("2024-03-02 11:30:00").getTime,
+    Timestamp.valueOf("2024-03-05 23:45:00").getTime)
+  private val asOf = Timestamp.valueOf("2024-03-06 12:00:00")
+
+  private val genRow: Gen[R] = for {
+    id <- Gen.frequency(1 -> Gen.const(None), 6 -> Gen.choose(0L, 5L).map(Some(_)))
+    nm <- Gen.frequency(1 -> Gen.const(None),
+      5 -> Gen.oneOf("a", "ab", "b7", "zz", "", "a9z").map(Some(_)))
+    v <- Gen.frequency(1 -> Gen.const(None), 5 -> Gen.choose(-3L, 9L).map(Some(_)))
+    ts <- Gen.frequency(1 -> Gen.const(None), 4 -> Gen.oneOf(days).map(Some(_)))
+  } yield R(id, nm, v, ts)
+
+  private val genRows: Gen[List[R]] =
+    Gen.frequency(1 -> Gen.const(Nil), 9 -> Gen.listOfN(25, genRow).map(_.take(25)))
+      .flatMap(base => Gen.choose(0, 25).map(n => base.take(n)))
+
+  private val genPattern: Gen[Constraint.Pattern] =
+    Gen.oneOf("^a", "[0-9]", "^[ab]+$", "z").map(Constraint.Pattern(_))
+  private val genAllowedName: Gen[Constraint.AllowedValues] =
+    Gen.someOf(Seq("a", "ab", "zz", "b7")).map(s => Constraint.AllowedValues(s.toSeq))
+  private val genAllowedId: Gen[Constraint.AllowedValues] =
+    Gen.someOf(Seq("0", "1", "2", "3")).map(s => Constraint.AllowedValues(s.toSeq))
+  // min > max allowed on purpose: everything non-null then violates
+  private val genRange: Gen[Constraint.Range] = for {
+    a <- Gen.choose(-2, 8); b <- Gen.choose(-2, 8)
+  } yield Constraint.Range(a.toDouble, b.toDouble)
+
+  private final case class Spec(contract: Contract, rows: List[R])
+
+  private val genSpec: Gen[Spec] = for {
+    rows <- genRows
+    idNullable <- Gen.oneOf(true, false)
+    nameNullable <- Gen.oneOf(true, false)
+    vNullable <- Gen.oneOf(true, false)
+    idAllowed <- Gen.option(genAllowedId)
+    namePattern <- Gen.option(genPattern)
+    nameAllowed <- Gen.option(genAllowedName)
+    vRange <- Gen.option(genRange)
+    complTh <- Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0)
+    complFields <- Gen.someOf(Seq("id", "name", "v", "ts"))
+    withCompl <- Gen.oneOf(true, false)
+    uniqFields <- Gen.atLeastOne(Seq("id", "name", "v"))
+    uniqScope <- Gen.oneOf(None, Some("global"), Some("per_day"))
+    withUniq <- Gen.oneOf(true, false)
+    withFresh <- Gen.oneOf(true, false)
+  } yield {
+    val fields = Seq(
+      Field("id", "int64", nullable = idNullable,
+        constraints = idAllowed.toSeq),
+      Field("name", "string", nullable = nameNullable,
+        constraints = namePattern.toSeq ++ nameAllowed.toSeq),
+      Field("v", "int64", nullable = vNullable,
+        constraints = vRange.toSeq),
+      Field("ts", "timestamp"))
+    val qc = QualityChecks(
+      completeness =
+        if (withCompl && complFields.nonEmpty)
+          Some(CompletenessCheck(complTh, complFields.toSeq)) else None,
+      uniqueness =
+        if (withUniq)
+          Some(UniquenessCheck(uniqFields.toSeq.sorted, uniqScope,
+            dateField = if (uniqScope.contains("per_day")) Some("ts") else None))
+        else None,
+      freshness = if (withFresh) Some(FreshnessCheck("1d", "ts")) else None)
+    Spec(Contract("1.0", "fuzz", "qa",
+      schema = ContractSchema("parquet", "memory", fields),
+      qualityChecks = Some(qc)), rows)
+  }
+
+  /** The independent semantics: every expected (check, field) →
+    * (passed, metric), computed over the plain rows. */
+  private def interpret(c: Contract, rows: List[R]): Map[(String, String), (Boolean, Double)] = {
+    val total = rows.size.toLong
+    def colVals(f: String): List[Option[Any]] = f match {
+      case "id" => rows.map(_.id)
+      case "name" => rows.map(_.name)
+      case "v" => rows.map(_.v)
+      case "ts" => rows.map(_.ts)
+    }
+    def asString(f: String, x: Any): String = x match {
+      case l: Long => l.toString
+      case s: String => s
+      case other => other.toString
+    }
+    val out = scala.collection.mutable.Map.empty[(String, String), (Boolean, Double)]
+    // schema presence: declared types all correct here, always passes
+    c.schema.fields.foreach(f => out(("schema", f.name)) = (true, 1.0))
+    // nullability of declared non-nullable fields
+    c.schema.fields.filterNot(_.nullable).foreach { f =>
+      val nulls = colVals(f.name).count(_.isEmpty).toLong
+      out(("nullability", f.name)) = (nulls == 0, nulls.toDouble)
+    }
+    // completeness: nn * 1e6 >= round(th * 1e6) * total, exact ints
+    c.qualityChecks.flatMap(_.completeness).foreach { cc =>
+      val ppm = math.round(cc.threshold * 1000000L)
+      cc.fields.foreach { f =>
+        val nn = colVals(f).count(_.isDefined).toLong
+        val metric = if (total == 0) 1.0 else nn.toDouble / total.toDouble
+        out(("completeness", f)) = (nn * 1000000L >= ppm * total, metric)
+      }
+    }
+    // constraints: nulls never violate
+    c.schema.fields.foreach { f =>
+      f.constraints.foreach {
+        case Constraint.AllowedValues(values) =>
+          val bad = colVals(f.name).flatten
+            .count(x => !values.contains(asString(f.name, x))).toLong
+          out(("allowed_values", f.name)) = (bad == 0, bad.toDouble)
+        case Constraint.Range(min, max) =>
+          val bad = colVals(f.name).flatten.map(_.asInstanceOf[Long].toDouble)
+            .count(d => d < min || d > max).toLong
+          out(("range", f.name)) = (bad == 0, bad.toDouble)
+        case Constraint.Pattern(re) =>
+          val p = java.util.regex.Pattern.compile(re)
+          val bad = colVals(f.name).flatten.map(_.asInstanceOf[String])
+            .count(s => !p.matcher(s).find()).toLong
+          out(("pattern", f.name)) = (bad == 0, bad.toDouble)
+        case Constraint.Custom(_) => ()
+      }
+    }
+    // uniqueness: SQL group equality (NULL keys group together)
+    c.qualityChecks.flatMap(_.uniqueness).foreach { u =>
+      def key(r: R): Seq[Option[Any]] = {
+        val base: Seq[Option[Any]] = u.fields.sorted.map {
+          case "id" => r.id; case "name" => r.name; case "v" => r.v
+        }
+        if (u.scope.map(_.toLowerCase).contains("per_day"))
+          base :+ r.ts.map(t => java.time.Instant.ofEpochMilli(t)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+        else base
+      }
+      val dupRows = rows.groupBy(key).values
+        .map(_.size.toLong).filter(_ > 1).map(_ - 1).sum
+      out(("uniqueness", u.fields.sorted.mkString(","))) = (dupRows == 0, dupRows.toDouble)
+    }
+    // freshness vs the fixed asOf: vacuous pass on the empty frame
+    c.qualityChecks.flatMap(_.freshness).foreach { fr =>
+      val maxTs = rows.flatMap(_.ts).maxOption
+      val lag = maxTs.map(t => asOf.getTime / 1000L - t / 1000L)
+      val passed = total == 0 || lag.exists(_ <= 86400L)
+      out(("freshness", fr.metric)) = (passed, lag.map(_.toDouble).getOrElse(0.0))
+    }
+    out.toMap
+  }
+
+  property("fused engine == independent interpreter") = forAll(genSpec) { spec =>
+    val data = spec.rows.map(r => Row(r.id.orNull, r.name.orNull, r.v.orNull,
+      r.ts.map(new Timestamp(_)).orNull))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, data.size / 7)), frameSchema)
+    val got = new ContractValidator(asOf = Some(asOf))
+      .validate(df, spec.contract)
+      .collect()
+      .map(r => (r.getAs[String]("check"), r.getAs[String]("field")) ->
+        ((r.getAs[Boolean]("passed"), r.getAs[Double]("metric"))))
+      .toMap
+    val want = interpret(spec.contract, spec.rows)
+    val same = got == want
+    if (!same) {
+      val keys = (got.keySet ++ want.keySet).toSeq.sorted
+      println("MISMATCH on contract: " + spec.contract)
+      keys.foreach { k =>
+        if (got.get(k) != want.get(k))
+          println(s"  $k: engine=${got.get(k)} interpreter=${want.get(k)}")
+      }
+    }
+    same
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+/** The stress artifact's FORMAT machinery, CI-checked: the real
+  * 10×-corpus run happens out-of-band per round
+  * (`runMain graft.Stress` after `tools/scaleup.py`), but the board
+  * runner, the JSON shape, and the standing caveats are asserted here
+  * so a malformed artifact can't ship silently. */
+class StressSpec extends SparkSpec {
+
+  test("runBoard + toJson: per-query pass/fail, valid JSON, caveats present") {
+    val names = Seq("q_dedup_exact", "q_text_vocab")
+    val qs = Stress.runBoard(spark, "/root/testdata/sf0.001", names)
+    assert(qs.map(_.name) == names)
+    assert(qs.forall(_.ok), qs.flatMap(_.err))
+    assert(qs.forall(_.rows > 0))
+    val json = Stress.toJson("/root/testdata/sf0.001", 1.234, qs)
+    // the artifact must parse as strict JSON — use the JVM's own
+    // nashorn-free check: Spark ships Jackson
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    assert(m.get("pass").asInt == 2 && m.get("fail").asInt == 0)
+    assert(m.get("queries").get("q_dedup_exact").get("ok").asBoolean)
+    assert(m.get("queries").get("q_text_vocab").get("rows").asLong > 0)
+    assert(m.get("caveats").has("q_dedup_pagerank"))
+    assert(m.get("caveats").has("oracle_scope"))
+  }
+
+  test("runBoard reports a broken query as fail without aborting the board") {
+    // point a real query at a missing dir: it must error into the row
+    val qs = Stress.runBoard(spark, "/nonexistent-dir",
+      Seq("q_dedup_exact"))
+    assert(qs.size == 1 && !qs.head.ok && qs.head.rows == -1L)
+    val json = Stress.toJson("/nonexistent-dir", 0.0, qs)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(m.get("fail").asInt == 1)
+    assert(m.get("queries").get("q_dedup_exact").has("err"))
+  }
+}
