@@ -1,0 +1,597 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.GraftFunctions
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import QueryDef.table
+
+/** Driver queries: ANN / embedding similarity + eval family (SURVEY
+  * §2 rows 30-31, 67, 69, 83, 94, 96, 152, 168, 171, 198, 204,
+  * 223-224, 231). */
+object AnnQueries {
+
+  import PipelineShared._
+
+
+  // 30. brute-force cosine top-k (probes broadcast, corpus scanned once)
+  val qAnnTopk = QueryDef("q_ann_topk",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("n_id"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(c, 4) AS cos_r4 FROM (
+        SELECT p.vec_id q_id, c.vec_id n_id,
+               list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) c,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                      list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                 c.vec_id ASC) rank
+        FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id != p.vec_id)
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+
+  // 31. LSH-bucketed ANN. The hyperplanes are fixed driver-side literal
+  // doubles, so the oracle embeds their exact values (Double.toString
+  // round-trips) and recomputes bucket assignment + in-bucket ranking —
+  // the whole approximate pipeline is oracle-checked, not just scores.
+  val qAnnLsh = QueryDef("q_ann_lsh",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numPlanes = 4)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("n_id"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy("q_id", "rank")
+    },
+    Some(lshAnnOracle(numPlanes = 4, dim = 64, k = 5)))
+
+
+  // 224. ANN MRR: where the TRUE nearest neighbor lands in the LSH
+  // list — the position-sensitive companion to q_ann_recall (recall@k
+  // says the truth is in the top k; MRR says how near the top).
+  // Integer reciprocal ranks (10⁶ DIV rank, 0 on a miss).
+  val qAnnMrr = QueryDef("q_ann_mrr",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Ann.mrr(
+          Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 1),
+          Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 5, numPlanes = 4))
+        .orderBy("q_id")
+    },
+    Some {
+      val values = VectorFns.planes(4, 64).zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n               ")
+      s"""
+      WITH planes(p, w) AS (VALUES $values),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+               sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                        THEN 1 << (3 - pl.p) ELSE 0 END) bucket
+        FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding),
+      scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) cosine
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id),
+      lr AS (SELECT q_id, n_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+             FROM scored),
+      ex AS (SELECT q_id, n_id AS true_nn FROM (
+               SELECT p.vec_id q_id, c.vec_id n_id,
+                      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                        list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                        sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                             list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                        c.vec_id ASC) rn
+               FROM embeddings p JOIN embeddings c
+                 ON p.vec_id < 10 AND c.vec_id != p.vec_id)
+             WHERE rn = 1)
+      SELECT ex.q_id, ex.true_nn,
+             CAST(lr.rank AS BIGINT) AS rank_in_approx,
+             CAST(coalesce(1000000 // lr.rank, 0) AS BIGINT) AS rr_ppm
+      FROM ex LEFT JOIN lr ON ex.q_id = lr.q_id AND ex.true_nn = lr.n_id AND lr.rank <= 5
+      ORDER BY ex.q_id"""
+    })
+
+  val qAnnNdcg = QueryDef("q_ann_ndcg",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Ann.ndcgAtK(
+          Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5),
+          Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 5, numPlanes = 4),
+          k = 5)
+        .orderBy("q_id")
+    },
+    Some {
+      val values = VectorFns.planes(4, 64).zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n               ")
+      val wVals = ndcgW.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      val pVals = ndcgPrefix.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      s"""
+      WITH planes(p, w) AS (VALUES $values),
+      dw(r, wt) AS (VALUES $wVals),
+      pw(h, idcg) AS (VALUES $pVals),
+      b AS (
+        SELECT e.vec_id, e.embedding,
+               sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) >= 0
+                        THEN 1 << (3 - pl.p) ELSE 0 END) bucket
+        FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding),
+      scored AS (
+        SELECT q.vec_id q_id, c.vec_id n_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) cosine
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id),
+      lr AS (SELECT q_id, n_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+             FROM scored),
+      ex AS (SELECT q_id, n_id FROM (
+               SELECT p.vec_id q_id, c.vec_id n_id,
+                      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                        list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                        sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                             list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                        c.vec_id ASC) rn
+               FROM embeddings p JOIN embeddings c
+                 ON p.vec_id < 10 AND c.vec_id != p.vec_id)
+             WHERE rn <= 5),
+      ekt AS (SELECT q_id, count(*) AS ek FROM ex GROUP BY 1),
+      j AS (SELECT lr.q_id, lr.rank,
+                   (ex.n_id IS NOT NULL) AS rel
+            FROM lr LEFT JOIN ex ON lr.q_id = ex.q_id AND lr.n_id = ex.n_id
+            WHERE lr.rank <= 5),
+      agg AS (SELECT j.q_id,
+                     CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                     CAST(coalesce(sum(CASE WHEN rel THEN dw.wt END), 0) AS BIGINT) AS dcg
+              FROM j JOIN dw ON j.rank = dw.r GROUP BY 1)
+      SELECT ekt.q_id,
+             CAST(coalesce(agg.hits, 0) AS BIGINT) AS hits,
+             CAST(coalesce(agg.dcg, 0) AS BIGINT) AS dcg,
+             CAST(CASE WHEN coalesce(agg.hits, 0) > 0
+                       THEN agg.dcg * 1000000 // pw.idcg ELSE 0 END AS BIGINT) AS ndcg_ppm
+      FROM ekt LEFT JOIN agg ON agg.q_id = ekt.q_id
+      JOIN pw ON pw.h = least(ekt.ek, 5)
+      ORDER BY ekt.q_id"""
+    })
+
+
+  // 31b. IVF-partitioned ANN. Centroids are the numCells corpus vectors
+  // minimizing (id mod 999983)·2654435761 mod 999983 — a pseudo-random
+  // sample any SQL engine can reproduce — with 0 Lloyd iterations here
+  // so the oracle replays assignment, probe-cell selection (with ties)
+  // and ranking exactly. The Lloyd-refined path is recall-spec-tested.
+  val qAnnIvf = QueryDef("q_ann_ivf",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numCells = 16, nprobe = 4, refineIters = 0)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("n_id"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY scat, vec_id) cell, embedding
+        FROM (SELECT vec_id, embedding, (vec_id % 999983) * 2654435761 % 999983 scat
+              FROM embeddings ORDER BY scat, vec_id LIMIT 16)),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 2
+                   + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) ASC,
+                 c.cell ASC) rn
+        FROM embeddings e, cents c),
+      cellof AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
+      pd AS (
+        SELECT e.vec_id q_id, e.embedding qe, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 2
+                 + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) d
+        FROM embeddings e, cents c WHERE e.vec_id < 10),
+      cut AS (
+        SELECT q_id, max(d) cut FROM (
+          SELECT q_id, d, row_number() OVER (PARTITION BY q_id ORDER BY d) rn FROM pd)
+        WHERE rn <= 4 GROUP BY q_id),
+      probecells AS (
+        SELECT pd.q_id, pd.qe, pd.cell FROM pd JOIN cut USING (q_id)
+        WHERE pd.d <= cut.cut),
+      cand AS (
+        SELECT DISTINCT p.q_id, p.qe, co.vec_id n_id, co.embedding ne
+        FROM probecells p JOIN cellof co ON p.cell = co.cell AND co.vec_id != p.q_id),
+      scored AS (
+        SELECT q_id, n_id,
+               list_dot_product(qe::DOUBLE[], ne::DOUBLE[]) /
+               sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) *
+                    list_dot_product(ne::DOUBLE[], ne::DOUBLE[])) cosine
+        FROM cand)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cosine, 4) AS cos_r4 FROM (
+        SELECT q_id, n_id, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+
+  // 67. per-label embedding dispersion: centroid tightness per group —
+  // the embedding-space diversity/drift signal (collapsing group =
+  // redundant content; centroid shift between snapshots = drift).
+  // Exploded-row formulation: one centroid aggregation + one broadcast
+  // join, all linear in n x dim; 4-dp rounding absorbs summation-order
+  // float noise so DuckDB replays the numbers exactly.
+  val qEmbedStats = QueryDef("q_embed_stats",
+    (s, dir) => {
+      graft.operators.Ann.embeddingDispersion(
+          table(s, dir, "embeddings"), "label", "vec_id", "embedding")
+        .select(col("group").cast(LongType).as("group"), col("n_vecs"),
+          col("mean_norm_r4"), col("mean_cos_r4"))
+        .orderBy("group")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label, vec_id, gg pos, embedding[gg]::DOUBLE v
+        FROM (SELECT label, vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) gg
+              FROM embeddings)),
+      cent AS (SELECT label, pos, avg(v) c FROM ex GROUP BY 1, 2),
+      pv AS (SELECT ex.label, ex.vec_id,
+                    sum(v * c) dot, sqrt(sum(v * v)) nv, sqrt(sum(c * c)) nc
+             FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+             GROUP BY 1, 2)
+      SELECT CAST(label AS BIGINT) AS "group", CAST(count(*) AS BIGINT) AS n_vecs,
+             round(avg(nv), 4) AS mean_norm_r4,
+             round(avg(dot / (nv * nc)), 4) AS mean_cos_r4
+      FROM pv GROUP BY 1 ORDER BY "group" """))
+
+
+  // 67b. per-label centroid drift between the even/odd vec_id halves —
+  // the embedding-space SHIFT between two corpus snapshots that
+  // q_embed_stats' within-snapshot tightness cannot see. Same exploded
+  // formulation and 4-dp absorption; the two centroid frames join on
+  // (label, pos), labels × dim rows at any scale.
+  val qEmbedDrift = QueryDef("q_embed_drift",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Ann.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "label", "embedding")
+        .select(col("group").cast(LongType).as("group"),
+          col("n_v1"), col("n_v2"), col("cos_r4"), col("norm_ratio_r4"))
+        .orderBy("group")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label, vec_id % 2 AS half, gg pos, embedding[gg]::DOUBLE v
+        FROM (SELECT label, vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) gg
+              FROM embeddings)),
+      cent AS (SELECT label, half, pos, avg(v) c, count(*) n
+               FROM ex GROUP BY 1, 2, 3),
+      j AS (SELECT a.label, a.c c1, b.c c2, a.n n1, b.n n2
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.pos = b.pos
+             AND a.half = 0 AND b.half = 1)
+      SELECT CAST(label AS BIGINT) AS "group",
+             CAST(max(n1) AS BIGINT) AS n_v1,
+             CAST(max(n2) AS BIGINT) AS n_v2,
+             round(sum(c1 * c2) / (sqrt(sum(c1 * c1)) * sqrt(sum(c2 * c2))), 4) AS cos_r4,
+             round(sqrt(sum(c2 * c2)) / sqrt(sum(c1 * c1)), 4) AS norm_ratio_r4
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
+
+  // 94. ANN recall@k eval: the LSH index's top-5 lists joined against
+  // the exact top-5 lists, per-probe hit counts + exact integer
+  // recall_bp. The oracle recomputes BOTH pipelines (planes embedded
+  // as literals) and replays the join — the whole eval is checked.
+  val qAnnRecall = QueryDef("q_ann_recall",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Ann.recallAtK(
+          Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5),
+          Ann.lshTopK(emb, probes, "vec_id", "embedding", k = 5, numPlanes = 4))
+        .orderBy("q_id")
+    },
+    Some(annRecallOracle(numPlanes = 4, dim = 64, k = 5)))
+
+
+  // 96. semantic (embedding-space) contamination: each eval vector's
+  // single nearest training vector by cosine + a tau flag — catches
+  // the paraphrased benchmark leak n-gram containment can't see. The
+  // oracle replays the exact rank-1 search.
+  val qEmbedContamination = QueryDef("q_embed_contamination",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Contamination.embeddingContamination(
+          emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", tau = 0.8)
+        .orderBy("q_id")
+    },
+    Some("""
+      SELECT q_id, n_id, round(c, 4) AS cos_r4, (c >= 0.8) AS contaminated FROM (
+        SELECT p.vec_id q_id, c.vec_id n_id,
+               list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) c,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                      list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                 c.vec_id ASC) rank
+        FROM embeddings p JOIN embeddings c ON p.vec_id < 20 AND c.vec_id >= 20)
+      WHERE rank = 1 ORDER BY q_id"""))
+
+
+  // 223. Hybrid search: BM25 lexical top-50 (the cached q_text_bm25
+  // frame) fused with cosine top-50 around probe vector 0 by
+  // reciprocal-rank fusion — integer contributions 10⁶ DIV (60+rank),
+  // so the fused ranking replays exactly; an id one retriever missed
+  // just loses that term.
+  val qHybridSearch = QueryDef("q_hybrid_search",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val vecList = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("n_id").as("doc_id"), col("rank").cast(LongType).as("rank"))
+      val txtList = bm25Cache.get(s, dir)(graft.operators.TextAnalysis.bm25(
+          table(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", Seq("vector", "merge", "scan"), bmK1, bmB))
+        .select(col("doc_id"), round(col("bm25"), 4).as("__s4"))
+        .orderBy(col("__s4").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__s4").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank").cast(LongType).as("rank"))
+      Ann.rrfFuse(Seq(txtList, vecList), "doc_id", "rank")
+        .orderBy(col("rrf_score").desc, col("id"))
+        .limit(20)
+        .select(col("id").as("doc_id"), col("n_lists"), col("best_rank"),
+          col("rrf_score"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      t AS (SELECT doc_id, unnest(w) AS word FROM d),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+             FROM t WHERE word IN ('vector', 'merge', 'scan') GROUP BY 1, 2),
+      dfr AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * tf.tf *
+               CAST(${bmK1 + 1.0} AS DOUBLE) /
+               (tf.tf + (CAST(${1.0 - bmB} AS DOUBLE) +
+                         dl.dl / st.avgdl * CAST($bmB AS DOUBLE)) *
+                        CAST($bmK1 AS DOUBLE)) AS s
+        FROM tf JOIN dfr USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+      bm AS (SELECT doc_id, round(sum(s), 4) AS s4 FROM sc GROUP BY 1),
+      tr AS (SELECT doc_id, row_number() OVER (ORDER BY s4 DESC, doc_id) AS rank FROM bm),
+      vr AS (SELECT c.vec_id AS doc_id,
+                    row_number() OVER (ORDER BY
+                      list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                      sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) *
+                           list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) DESC,
+                      c.vec_id ASC) AS rank
+             FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             WHERE c.vec_id != 0),
+      u AS (SELECT doc_id, rank FROM tr WHERE rank <= 50
+            UNION ALL SELECT doc_id, rank FROM vr WHERE rank <= 50)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(min(rank) AS BIGINT) AS best_rank,
+             CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score
+      FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT 20"""))
+
+
+  // 152. deterministic k-means profile: scatter seeds, ONE fixed-point
+  // Lloyd round (integer centroid sums — order-independent, so both
+  // engines land on bit-identical centroids), quantized exact inertia.
+  val qKmeans = QueryDef("q_kmeans",
+    (s, dir) => {
+      graft.operators.Ann.kmeansProfile(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)
+        .orderBy("cell")
+    },
+    Some("""
+      WITH cents0 AS (
+        SELECT row_number() OVER (ORDER BY scat, vec_id) AS cell,
+               embedding::DOUBLE[] AS ce
+        FROM (SELECT vec_id, embedding, (vec_id % 999983) * 2654435761 % 999983 AS scat
+              FROM embeddings ORDER BY scat, vec_id LIMIT 8)),
+      a1 AS (SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                   + list_dot_product(c.ce, c.ce) ASC, c.cell ASC) AS rn
+             FROM embeddings e, cents0 c),
+      as1 AS (SELECT vec_id, embedding, cell FROM a1 WHERE rn = 1),
+      ux AS (SELECT cell, unnest(embedding::DOUBLE[]) AS x,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM as1),
+      upd AS (SELECT cell, pos, sum(CAST(floor(x * 1048576) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM ux GROUP BY 1, 2),
+      cents1 AS (SELECT cell, list(s / (n * 1048576.0) ORDER BY pos) AS ce
+                 FROM upd GROUP BY cell
+                 UNION ALL
+                 SELECT cell, ce FROM cents0
+                 WHERE cell NOT IN (SELECT cell FROM upd)),
+      a2 AS (SELECT e.vec_id, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                 + list_dot_product(c.ce, c.ce) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                   + list_dot_product(c.ce, c.ce) ASC, c.cell ASC) AS rn
+             FROM embeddings e, cents1 c)
+      SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS size,
+             CAST(sum(CAST(floor(d2 * 10000) AS BIGINT)) AS BIGINT) AS inertia_q4
+      FROM a2 WHERE rn = 1 GROUP BY cell ORDER BY cell"""))
+
+
+  // 167. per-group embedding outliers: fixed-point centroid + quantized
+  // integer distance sums (order-independent, bit-exact) vs the exact
+  // disc median, flag by integer cross-multiplication. The synthetic
+  // sphere concentrates distances (max/med ≈ 1.07–1.13), so the query
+  // flags at 1.05×; real corpora use the 3× default.
+  val qEmbedOutliers = QueryDef("q_embed_outliers",
+    (s, dir) => {
+      graft.operators.Ann.embeddingOutliers(
+          table(s, dir, "embeddings"), "label", "vec_id", "embedding",
+          factorBp = 10500L)
+        .orderBy("group", "id")
+    },
+    Some("""
+      WITH pe AS (SELECT label AS grp, vec_id AS id,
+                    generate_subscripts(embedding, 1) AS pos,
+                    unnest(embedding::DOUBLE[]) AS x
+                  FROM embeddings),
+      cent AS (SELECT grp, pos, sum(CAST(floor(x * 1048576) AS BIGINT)) AS s,
+                      count(*) AS n
+               FROM pe GROUP BY 1, 2),
+      c2 AS (SELECT grp, pos, s / (n * 1048576.0) AS c FROM cent),
+      d2 AS (SELECT pe.grp, pe.id,
+                    sum(CAST(floor((x - c) * (x - c) * 1e8) AS BIGINT)) AS d2q
+             FROM pe JOIN c2 ON pe.grp = c2.grp AND pe.pos = c2.pos
+             GROUP BY 1, 2),
+      m AS (SELECT grp, quantile_disc(d2q, 0.5) AS med FROM d2 GROUP BY 1)
+      SELECT d2.grp AS "group", id, CAST(d2q AS BIGINT) AS d2_q8,
+             CAST(med AS BIGINT) AS med_q8
+      FROM d2 JOIN m USING (grp)
+      WHERE d2q * 10000 > 10500 * med
+      ORDER BY "group", id"""))
+
+
+  // 170. kNN label agreement (label-noise estimate): nearest-neighbor
+  // label match rate per label over the first 100 probes.
+  val qKnnAgreement = QueryDef("q_knn_agreement",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Ann.knnLabelAgreement(
+          emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding", "label")
+        .orderBy("label")
+    },
+    Some("""
+      WITH nn AS (
+        SELECT q_id, n_id FROM (
+          SELECT p.vec_id q_id, c.vec_id n_id,
+                 row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                   list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                        list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                   c.vec_id ASC) rk
+          FROM embeddings p JOIN embeddings c ON c.vec_id != p.vec_id
+          WHERE p.vec_id < 100)
+        WHERE rk = 1)
+      SELECT ql.label, CAST(count(*) AS BIGINT) AS probes,
+             CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS agree1,
+             CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) * 10000
+                  // count(*) AS BIGINT) AS agree1_bp
+      FROM nn JOIN embeddings ql ON nn.q_id = ql.vec_id
+              JOIN embeddings nl ON nn.n_id = nl.vec_id
+      GROUP BY 1 ORDER BY ql.label"""))
+
+
+  // 198. HARD-NEGATIVE MINING — for each labeled probe, the k
+  // highest-cosine corpus vectors with a DIFFERENT label: the
+  // contrastive-training near-misses (row 30's brute-force exactness
+  // + a null-safe label-mismatch filter that composes with every ANN
+  // path). Oracle replays dot products with list_dot_product.
+  val qHardNegatives = QueryDef("q_hard_negatives",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Ann.hardNegatives(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label", k = 3)
+        .select(col("q_id"), col("q_label").cast(LongType).as("q_label"),
+          col("rank").cast(LongType).as("rank"), col("n_id"),
+          col("n_label").cast(LongType).as("n_label"),
+          round(col("cosine"), 4).as("cos_r4"))
+        .orderBy("q_id", "rank")
+    },
+    Some("""
+      SELECT q_id, q_label, CAST(rank AS BIGINT) AS rank, n_id, n_label,
+             round(c, 4) AS cos_r4 FROM (
+        SELECT p.vec_id q_id, CAST(p.label AS BIGINT) q_label,
+               c.vec_id n_id, CAST(c.label AS BIGINT) n_label,
+               list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                    list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) c,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) *
+                      list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) DESC,
+                 c.vec_id ASC) rank
+        FROM embeddings p JOIN embeddings c
+          ON p.vec_id < 8 AND c.vec_id != p.vec_id
+         AND c.label IS DISTINCT FROM p.label)
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+
+  // 204. INT8 QUANTIZATION DISTORTION — relative L2 error of
+  // per-vector int8 scalar quantization, per label: the
+  // 4×-smaller-store planning readout (read with row 94's recall
+  // harness). floor(x+0.5) rounding in BOTH engines; reconstruction
+  // and error replayed element-wise via generate_series subscripts.
+  val qEmbedQuant = QueryDef("q_embed_quant",
+    (s, dir) => {
+      graft.operators.Ann.quantizationReport(
+          table(s, dir, "embeddings"), "embedding", "label")
+        .withColumn("label", col("label").cast(LongType))
+        .orderBy("label")
+    },
+    Some("""
+      WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+                        embedding::DOUBLE[] AS ev
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      q AS (SELECT label,
+                   list_max(list_transform(ev, x -> abs(x))) AS ma,
+                   ev
+            FROM v),
+      e AS (SELECT label,
+                   CASE WHEN ma > 0 THEN
+                     sqrt(
+                       list_sum(list_transform(generate_series(1, len(ev)), i ->
+                         (ev[i] - floor(ev[i] / (ma / 127.0) + 0.5) * (ma / 127.0)) *
+                         (ev[i] - floor(ev[i] / (ma / 127.0) + 0.5) * (ma / 127.0)))) /
+                       list_sum(list_transform(ev, x -> x * x)))
+                   ELSE 0.0 END AS rel
+            FROM q)
+      SELECT label, CAST(count(*) AS BIGINT) AS vectors,
+             round(avg(rel), 6) AS mean_rel_err_r6,
+             round(max(rel), 6) AS max_rel_err_r6
+      FROM e GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(
+    qAnnTopk,
+    qAnnLsh,
+    qAnnMrr,
+    qAnnNdcg,
+    qAnnIvf,
+    qEmbedStats,
+    qEmbedDrift,
+    qAnnRecall,
+    qEmbedContamination,
+    qHybridSearch,
+    qKmeans,
+    qEmbedOutliers,
+    qKnnAgreement,
+    qHardNegatives,
+    qEmbedQuant,
+  )
+}

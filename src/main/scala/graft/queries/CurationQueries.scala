@@ -1,0 +1,1286 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.GraftFunctions
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import QueryDef.table
+
+/** Driver queries: curation chains / funnels / sources / layout /
+  * joins / multimodal / SQL-surface family (SURVEY §2 rows 36-37, 43,
+  * 47-48, 50-52, 59, 63-64, 66, 71-73, 95, 114, 160, 165, 167,
+  * 169-170, 172, 194-195, 197, 213, 229). */
+object CurationQueries {
+
+  import PipelineShared._
+
+
+  val qMultimodalMeta = QueryDef("q_multimodal_meta",
+    (s, dir) => {
+      val withBin = table(s, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val fixtures = s.createDataFrame(Seq(
+        (9000L, PngFixtureHex), (9001L, WavFixtureHex))).toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("payload"))
+      Multimodal.withMeta(withBin.unionByName(fixtures), "payload")
+        .select(col("doc_id"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.content_sha").as("content_sha"),
+          col("meta.format").as("format"),
+          col("meta.width").cast(LongType).as("width"),
+          col("meta.height").cast(LongType).as("height"),
+          col("meta.bit_depth").cast(LongType).as("bit_depth"),
+          col("meta.channels").cast(LongType).as("channels"),
+          col("meta.sample_rate").cast(LongType).as("sample_rate"),
+          col("meta.n_frames").cast(LongType).as("n_frames"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH payloads AS (
+        SELECT doc_id, text::BLOB payload FROM documents WHERE doc_id < 10
+        UNION ALL SELECT * FROM (VALUES
+          (9000, unhex('$PngFixtureHex')),
+          (9001, unhex('$WavFixtureHex'))) t(doc_id, payload)),
+      h AS (
+        SELECT doc_id, payload, hex(payload) hx,
+          CASE WHEN substr(hex(payload),1,16) = '89504E470D0A1A0A'
+                    AND substr(hex(payload),25,8) = '49484452' THEN 'png'
+               WHEN substr(hex(payload),1,8) = '52494646' AND substr(hex(payload),17,8) = '57415645'
+                    AND substr(hex(payload),25,8) = '666D7420' AND substr(hex(payload),73,8) = '64617461' THEN 'wav'
+               ELSE 'unknown' END fmt
+        FROM payloads)
+      SELECT doc_id,
+        CAST(octet_length(payload) AS BIGINT) AS byte_len,
+        sha256(hex(payload)) AS content_sha,
+        fmt AS format,
+        CAST(CASE WHEN fmt='png' THEN ('0x'||substr(hx,33,8))::BIGINT ELSE 0 END AS BIGINT) AS width,
+        CAST(CASE WHEN fmt='png' THEN ('0x'||substr(hx,41,8))::BIGINT ELSE 0 END AS BIGINT) AS height,
+        CAST(CASE WHEN fmt='png' THEN ('0x'||substr(hx,49,2))::BIGINT
+                  WHEN fmt='wav' THEN ('0x'||substr(hx,71,2)||substr(hx,69,2))::BIGINT
+                  ELSE 0 END AS BIGINT) AS bit_depth,
+        CAST(CASE WHEN fmt='wav' THEN ('0x'||substr(hx,47,2)||substr(hx,45,2))::BIGINT ELSE 0 END AS BIGINT) AS channels,
+        CAST(CASE WHEN fmt='wav' THEN ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::BIGINT ELSE 0 END AS BIGINT) AS sample_rate,
+        CAST(CASE WHEN fmt='png' THEN 1
+                  WHEN fmt='wav' THEN ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::BIGINT
+                       // greatest(('0x'||substr(hx,67,2)||substr(hx,65,2))::BIGINT, 1)
+                  ELSE 0 END AS BIGINT) AS n_frames
+      FROM h ORDER BY doc_id"""))
+
+
+  // 19 (sources): contract-driven read + declared-field projection
+  val qSourceContractRead = QueryDef("q_source_contract_read",
+    (s, dir) => {
+      import graft.contracts._
+      val contract = Contract(version = "1", name = "documents", owner = "graft",
+        schema = ContractSchema("parquet", s"$dir/documents.parquet", Seq(
+          Field("doc_id", "int64", nullable = false),
+          Field("lang", "string"),
+          Field("n_chars", "int64"))))
+      val df = graft.sources.TableSources.select(
+        graft.sources.TableSources.read(s, contract), contract)
+      df.groupBy("lang").agg(
+        count(lit(1)).cast(LongType).as("docs"),
+        min("doc_id").cast(LongType).as("min_doc"),
+        max("doc_id").cast(LongType).as("max_doc"),
+        sum("n_chars").cast(LongType).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             CAST(min(doc_id) AS BIGINT) AS min_doc,
+             CAST(max(doc_id) AS BIGINT) AS max_doc,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+
+  // 47. semi-structured extraction from the JSON props column
+  val qJsonProps = QueryDef("q_json_props",
+    (s, dir) => {
+      table(s, dir, "events")
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).cast(LongType).as("cnt"),
+          round(sum("value"), 2).as("sum_value_r2"))
+        .orderBy("k")
+    },
+    Some("""
+      SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k,
+             CAST(count(*) AS BIGINT) AS cnt,
+             round(sum(value), 2) AS sum_value_r2
+      FROM events GROUP BY 1 ORDER BY k"""))
+
+
+  // 50. cross-corpus n-gram contamination (benchmark-leak check):
+  // even-id docs stand in for the training corpus, odd-id for eval
+  val qContamination = QueryDef("q_contamination",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Contamination.ngramContainment(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3)
+        .orderBy(col("contamination_bp").desc, col("id"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+      ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+      r AS (SELECT ev.doc_id id, count(*) total,
+                   sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) matched
+            FROM ev LEFT JOIN tr ON ev.sh = tr.sh GROUP BY 1)
+      SELECT id, CAST(total AS BIGINT) AS total_ngrams,
+             CAST(matched AS BIGINT) AS matched_ngrams,
+             CAST(matched * 10000 // total AS BIGINT) AS contamination_bp
+      FROM r ORDER BY contamination_bp DESC, id LIMIT 20"""))
+
+
+  // 50b. decontamination TRANSFORM (the scan's removal twin, as redact
+  // is to the PII scan): odd docs with every >= 50%-contained doc
+  // removed against a 5% benchmark slice (doc_id % 20 — the even half
+  // q_contamination uses contains nearly every odd doc's vocabulary at
+  // sf0.1, which would make the cleaned corpus empty and the gate
+  // vacuous; the thin slice keeps the split non-trivial at BOTH SFs:
+  // 249/250 kept at sf0.01, 2,303/2,500 at sf0.1), rolled up per
+  // source. The oracle replays containment then the anti-join as
+  // NOT IN.
+  val qDecontaminate = QueryDef("q_decontaminate",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Contamination.decontaminate(
+          docs.filter(col("doc_id") % 20 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, minBp = 5000L)
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum(TextFns.wsTokenCount(col("text")).cast(LongType)).cast(LongType).as("tokens"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+      ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+      r AS (SELECT ev.doc_id id, count(*) total,
+                   sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) matched
+            FROM ev LEFT JOIN tr ON ev.sh = tr.sh GROUP BY 1),
+      bad AS (SELECT id FROM r WHERE matched * 10000 // total >= 5000)
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens
+      FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM bad)
+      GROUP BY 1 ORDER BY 1"""))
+
+
+  // 54. as-of (point-in-time) join — each event sees the latest order
+  // of its customer at or before the event date, never a future one
+  // (leakage-free feature attachment). The oracle replays it with
+  // DuckDB's NATIVE ASOF LEFT JOIN — two independent formulations of
+  // the same semantics. Snapshot side deduped to one row per
+  // (customer, date) keeping max orderkey, so the target is
+  // unambiguous in both engines.
+  val qAsofJoin = QueryDef("q_asof_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("ev_date"), col("event_type"))
+      val snaps = graft.operators.AsOf.latestPerKeyTs(
+        table(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")),
+        "o_custkey", "o_orderdate", "o_orderkey")
+      graft.operators.AsOf.joinAsOf(ev, snaps, "user_id", "o_custkey",
+          "ev_date", "o_orderdate", Seq("o_orderkey"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(LongType).as("events"),
+          count(col("asof_o_orderkey")).cast(LongType).as("matched"),
+          sum(coalesce(col("asof_o_orderkey"), lit(0L))).cast(LongType).as("sum_orderkey"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH snaps AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2),
+      e AS (SELECT event_id, user_id, CAST(ts AS DATE) ev_date, event_type FROM events),
+      j AS (
+        SELECT e.event_type, s.o_orderkey
+        FROM e ASOF LEFT JOIN snaps s
+          ON e.user_id = s.o_custkey AND e.ev_date >= s.o_orderdate)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS events,
+             CAST(count(o_orderkey) AS BIGINT) AS matched,
+             CAST(sum(coalesce(o_orderkey, 0)) AS BIGINT) AS sum_orderkey
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
+
+  // 51. skew-salted join — oracled against an independent PLAIN join:
+  // salting must be invisible in the output
+  val qSkewJoin = QueryDef("q_skew_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val cust = table(s, dir, "customer").withColumnRenamed("c_custkey", "user_id")
+      graft.operators.Skew.saltedEquiJoin(ev, cust, "user_id", salts = 8, saltBy = "event_id")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast(LongType).as("events"),
+          count(col("value")).cast(LongType).as("valued"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS events,
+             CAST(count(value) AS BIGINT) AS valued
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
+
+  // 57. the SQL-function surface end-to-end: the same query a pure-SQL
+  // client would run after `spark.sql.extensions=graft.GraftExtensions`
+  // (here registered post-hoc — same descriptions, see GraftFunctions).
+  // Exercises graft_langid / graft_ws_tokens / graft_fingerprint
+  // through SQL text, oracle-replayed like their Column twins.
+  val qSqlApi = QueryDef("q_sql_api",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""
+        SELECT source, graft_langid(text) AS predicted,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(graft_ws_tokens(text) AS BIGINT)) AS BIGINT) AS sum_tokens,
+               CAST(count(DISTINCT graft_fingerprint(text)) AS BIGINT) AS distinct_fp
+        FROM graft_docs
+        GROUP BY source, predicted ORDER BY source, predicted""")
+    },
+    Some(langidPredictedCtes("source, text") + """
+      SELECT source, predicted, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+             CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS distinct_fp
+      FROM p GROUP BY source, predicted ORDER BY source, predicted"""))
+
+  val qLayoutJoin = QueryDef("q_layout_join",
+    (s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (ordersT, custT) = bucketedTables.get(s, dir) {
+        val o = s"graft_orders_b$suffix"
+        val c = s"graft_customer_b$suffix"
+        graft.sources.Layout.writeBucketed(table(s, dir, "orders"), o,
+          buckets = 8, bucketCols = Seq("o_custkey"), sortCols = Seq("o_custkey"))
+        graft.sources.Layout.writeBucketed(table(s, dir, "customer"), c,
+          buckets = 8, bucketCols = Seq("c_custkey"), sortCols = Seq("c_custkey"))
+        (o, c)
+      }
+      // the MERGE hint (not a session conf) forces the sort-merge join,
+      // so the RETURNED lazy frame keeps the bucketed plan when the
+      // driver executes it later — a conf toggled here and restored
+      // would be re-read at execution time and silently hand the query
+      // back to a BroadcastHashJoin
+      val joined = s.table(ordersT)
+        .join(s.table(custT).hint("merge"), col("o_custkey") === col("c_custkey"))
+      // the layout claim, enforced where the driver runs it: matching
+      // bucketing on both sides must join with NO shuffle exchange
+      require(graft.sources.Layout.isShuffleFree(joined),
+        "bucketed co-located join produced a shuffle exchange")
+      joined.groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).cast(LongType).as("order_count"),
+          sum(floor(col("o_totalprice") * 100)).cast(LongType).as("total_cents"))
+        .orderBy("mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS order_count,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
+
+  // 63. ordered curation filter chain with first-failing-rule
+  // attribution (the Gopher/RefinedWeb rule-cascade report): six rules
+  // over one corpus scan, aggregated to (first_fail, n_docs). Fixtures
+  // included so the pii rule has a non-empty bucket. Every rule formula
+  // is one already oracle-proven elsewhere on the board (quality
+  // features, 3-gram repetition, pii counts). CONTRACT-DRIVEN since
+  // r7: the YAML below declares quality_checks.curation in natural
+  // units and rulesFromContract compiles it to the identical six
+  // FilterRules the r6 query built by hand — oracle unchanged.
+  val qFilterChain = QueryDef("q_filter_chain",
+    (s, dir) => {
+      val contract = graft.contracts.ContractParser.parse(
+        """version: "1.0"
+          |name: documents_curation
+          |owner: graft
+          |schema:
+          |  format: parquet
+          |  location: documents
+          |  fields:
+          |    - name: doc_id
+          |      type: int64
+          |    - name: text
+          |      type: string
+          |quality_checks:
+          |  curation:
+          |    - rule: min_words
+          |      min: 5
+          |    - rule: mean_word_len
+          |      min: 2.0
+          |      max: 12.0
+          |    - rule: alpha_ratio
+          |      min: 0.5
+          |    - rule: stopwords
+          |      min: 1
+          |    - rule: repetition
+          |      max: 0.3
+          |    - rule: pii
+          |""".stripMargin)
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      graft.operators.Curation.filterChainForContract(docs, "text", contract)
+        .groupBy("first_fail")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .orderBy("first_fail")
+    },
+    Some {
+      val hasPii = graft.operators.TextAnalysis.piiPatterns
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      f AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en,
+               ($hasPii) AS has_pii
+        FROM docs),
+      rep AS (
+        SELECT doc_id, len(sh) total, len(list_distinct(sh)) dist
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) sh
+              FROM docs)),
+      g AS (
+        SELECT f.doc_id, f.n_tokens,
+               CAST((f.n_chars - (f.n_tokens - 1)) * 10 // f.n_tokens AS BIGINT) AS mwl_x10,
+               f.alpha * 10000 // greatest(f.n_chars, 1) AS alpha_bp,
+               f.stop_en, f.has_pii,
+               (rep.total - rep.dist) * 10000 // rep.total AS rep_bp
+        FROM f JOIN rep USING (doc_id))
+      SELECT CASE WHEN NOT (n_tokens >= 5) THEN 'min_words'
+                  WHEN NOT (mwl_x10 BETWEEN 20 AND 120) THEN 'mean_word_len'
+                  WHEN NOT (alpha_bp >= 5000) THEN 'alpha_ratio'
+                  WHEN NOT (stop_en >= 1) THEN 'stopwords'
+                  WHEN NOT (rep_bp <= 3000) THEN 'repetition'
+                  WHEN has_pii THEN 'pii'
+                  ELSE 'pass' END AS first_fail,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1 ORDER BY 1"""
+    })
+
+
+  // 64. per-source corpus card (the datasheet rollup a curation run
+  // ships with): doc/token/char totals, language spread, dominant
+  // declared language (argmax, ties -> lexicographically smaller), and
+  // exact-dup pressure via distinct normalized fingerprints.
+  val qCorpusCard = QueryDef("q_corpus_card",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val perSrc = docs.groupBy("source").agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum(TextFns.wsTokenCount(col("text"))).cast(LongType).as("sum_tokens"),
+        sum(length(col("text"))).cast(LongType).as("sum_chars"),
+        countDistinct(col("lang")).cast(LongType).as("n_langs"),
+        countDistinct(md5(TextFns.normalize(col("text")).cast("binary")))
+          .cast(LongType).as("distinct_fp"))
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__c").desc, col("lang"))
+      val topLang = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(bySrc))
+        .filter(col("__rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      perSrc.join(topLang, "source")
+        .withColumn("dup_docs", (col("n_docs") - col("distinct_fp")).cast(LongType))
+        .select("source", "n_docs", "sum_tokens", "sum_chars", "n_langs",
+          "top_lang", "dup_docs")
+        .orderBy("source")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS distinct_fp
+        FROM documents GROUP BY source),
+      tl AS (
+        SELECT source, lang AS top_lang
+        FROM (SELECT source, lang,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY count(*) DESC, lang) rn
+              FROM documents GROUP BY source, lang)
+        WHERE rn = 1)
+      SELECT a.source, n_docs, sum_tokens, sum_chars, n_langs, top_lang,
+             CAST(n_docs - distinct_fp AS BIGINT) AS dup_docs
+      FROM agg a JOIN tl ON a.source = tl.source ORDER BY a.source"""))
+
+
+  // 66. pairwise corpus-overlap matrix: exact shingle-set Jaccard
+  // between every source pair — the feed-level redundancy signal
+  // (which feeds duplicate each other), vs q_contamination's per-doc
+  // scores. Join fan-out bounded by sources², never document pairs.
+  val qSourceOverlap = QueryDef("q_source_overlap",
+    (s, dir) => {
+      graft.operators.Contamination.pairwiseOverlap(
+          table(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy(col("jacc_bp").desc, col("key_a"), col("key_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT source,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT source, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.source ka, b.source kb, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT ka AS key_a, kb AS key_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jacc_bp
+      FROM p JOIN sz sa ON ka = sa.source JOIN sz sb ON kb = sb.source
+      ORDER BY jacc_bp DESC, key_a, key_b LIMIT 20"""))
+
+
+  // 71. the end-to-end curation FUNNEL: quality cascade -> exact dedup
+  // -> benchmark contamination, each doc charged to the FIRST stage
+  // that drops it (stage doc counts sum to the corpus). Corpus = odd
+  // docs + pii fixtures, benchmark = even docs (the q_contamination
+  // split); every stage formula is one already oracle-proven on the
+  // board, recomposed into one attribution CASE.
+  val qPipelineFunnel = QueryDef("q_pipeline_funnel",
+    (s, dir) => {
+      import graft.operators.Curation.FilterRule
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val all = table(s, dir, "documents")
+      val docs = all.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      val feats = graft.operators.TextAnalysis.piiScan(
+        graft.operators.TextAnalysis.qualityFeatures(docs, "text"), "text")
+        .withColumn("__st", graft.functions.NgramStats(TextFns.words(col("text")), 3))
+        .withColumn("rep_bp",
+          ((col("__st.total_ngrams") - col("__st.distinct_ngrams")) * 10000L /
+            col("__st.total_ngrams")).cast(LongType))
+      val rules = Seq(
+        FilterRule("min_words", col("n_tokens") >= 5L),
+        FilterRule("mean_word_len", col("mean_word_len_x10").between(20L, 120L)),
+        FilterRule("alpha_ratio", col("alpha_ratio_bp") >= 5000L),
+        FilterRule("stopwords", col("stopword_hits") >= 1L),
+        FilterRule("repetition", col("rep_bp") <= 3000L),
+        FilterRule("pii", !col("has_pii")))
+      graft.operators.Curation.funnel(feats, "doc_id", "text", rules,
+          all.filter(col("doc_id") % 2 === 0), "text", n = 3, contamBp = 5000L)
+        .orderBy("stage_idx")
+    },
+    Some {
+      val hasPii = graft.operators.TextAnalysis.piiPatterns
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      f AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en,
+               ($hasPii) AS has_pii
+        FROM docs),
+      rep AS (
+        SELECT doc_id, len(sh) total, len(list_distinct(sh)) dist
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) sh
+              FROM docs)),
+      ff AS (
+        SELECT f.doc_id, f.n_tokens,
+               CASE WHEN NOT (f.n_tokens >= 5) THEN 'min_words'
+                    WHEN NOT (CAST((f.n_chars - (f.n_tokens - 1)) * 10 // f.n_tokens AS BIGINT) BETWEEN 20 AND 120) THEN 'mean_word_len'
+                    WHEN NOT (f.alpha * 10000 // greatest(f.n_chars, 1) >= 5000) THEN 'alpha_ratio'
+                    WHEN NOT (f.stop_en >= 1) THEN 'stopwords'
+                    WHEN NOT ((rep.total - rep.dist) * 10000 // rep.total <= 3000) THEN 'repetition'
+                    WHEN f.has_pii THEN 'pii'
+                    ELSE 'pass' END AS first_fail
+        FROM f JOIN rep USING (doc_id)),
+      fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fp FROM docs),
+      keepers AS (SELECT doc_id FROM ff WHERE first_fail = 'pass'),
+      canon AS (SELECT fp.fp, min(fp.doc_id) canon
+                FROM fp JOIN keepers USING (doc_id) GROUP BY 1),
+      dup AS (SELECT fp.doc_id FROM fp JOIN keepers USING (doc_id)
+              JOIN canon ON fp.fp = canon.fp WHERE fp.doc_id != canon.canon),
+      surv AS (SELECT doc_id FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      sw AS (SELECT d.doc_id, string_split(d.text, ' ') ws FROM docs d JOIN surv USING (doc_id)),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM sw),
+      bw AS (SELECT string_split(text, ' ') ws FROM documents WHERE doc_id % 2 = 0),
+      tr AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                                   i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM bw),
+      cont AS (SELECT s.doc_id, count(*) total,
+                      sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) m
+               FROM sh s LEFT JOIN tr ON s.sh = tr.sh GROUP BY 1),
+      contam AS (SELECT doc_id FROM cont WHERE m * 10000 // total >= 5000),
+      staged AS (
+        SELECT ff.doc_id, ff.n_tokens,
+               CASE WHEN ff.first_fail != 'pass' THEN ff.first_fail
+                    WHEN ff.doc_id IN (SELECT doc_id FROM dup) THEN 'exact_dup'
+                    WHEN ff.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+                    ELSE 'kept' END stage
+        FROM ff)
+      SELECT CAST(CASE stage WHEN 'min_words' THEN 1 WHEN 'mean_word_len' THEN 2
+                             WHEN 'alpha_ratio' THEN 3 WHEN 'stopwords' THEN 4
+                             WHEN 'repetition' THEN 5 WHEN 'pii' THEN 6
+                             WHEN 'exact_dup' THEN 7 WHEN 'contaminated' THEN 8
+                             ELSE 9 END AS BIGINT) AS stage_idx,
+             stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM staged GROUP BY 1, 2 ORDER BY 1"""
+    })
+
+
+  // 71b. the funnel with the production NEAR-DUP stage wired between
+  // exact dedup and contamination (the RefinedWeb/Gopher order):
+  // jaccard clusters (the board's shared collapsed pair cache at
+  // bp >= 2000 — the exact frame q_dedup_canonical consumes) → each
+  // cluster keeps its MIN surviving id, clustermates are charged to
+  // 'near_dup'. The oracle replays the components with the same
+  // recursive-CTE closure as q_dedup_canonical, then the min-surviving
+  // canonical and the stage CASE. Pairs cover ALL documents while the
+  // funnel corpus is the odd half — out-of-corpus clustermates never
+  // compete for canonical (the operator's documented slicing rule).
+  val qPipelineFunnelV2 = QueryDef("q_pipeline_funnel_v2",
+    (s, dir) => {
+      import graft.operators.Curation.FilterRule
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val all = table(s, dir, "documents")
+      val docs = all.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      val feats = graft.operators.TextAnalysis.piiScan(
+        graft.operators.TextAnalysis.qualityFeatures(docs, "text"), "text")
+        .withColumn("__st", graft.functions.NgramStats(TextFns.words(col("text")), 3))
+        .withColumn("rep_bp",
+          ((col("__st.total_ngrams") - col("__st.distinct_ngrams")) * 10000L /
+            col("__st.total_ngrams")).cast(LongType))
+      val rules = Seq(
+        FilterRule("min_words", col("n_tokens") >= 5L),
+        FilterRule("mean_word_len", col("mean_word_len_x10").between(20L, 120L)),
+        FilterRule("alpha_ratio", col("alpha_ratio_bp") >= 5000L),
+        FilterRule("stopwords", col("stopword_hits") >= 1L),
+        FilterRule("repetition", col("rep_bp") <= 3000L),
+        FilterRule("pii", !col("has_pii")))
+      val pairs = sharedCollapsedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.Curation.funnel(feats, "doc_id", "text", rules,
+          all.filter(col("doc_id") % 2 === 0), "text", n = 3, contamBp = 5000L,
+          nearDupPairs = Some(pairs))
+        .orderBy("stage_idx")
+    },
+    Some {
+      val hasPii = graft.operators.TextAnalysis.piiPatterns
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      f AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en,
+               ($hasPii) AS has_pii
+        FROM docs),
+      rep AS (
+        SELECT doc_id, len(sh) total, len(list_distinct(sh)) dist
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) sh
+              FROM docs)),
+      ff AS (
+        SELECT f.doc_id, f.n_tokens,
+               CASE WHEN NOT (f.n_tokens >= 5) THEN 'min_words'
+                    WHEN NOT (CAST((f.n_chars - (f.n_tokens - 1)) * 10 // f.n_tokens AS BIGINT) BETWEEN 20 AND 120) THEN 'mean_word_len'
+                    WHEN NOT (f.alpha * 10000 // greatest(f.n_chars, 1) >= 5000) THEN 'alpha_ratio'
+                    WHEN NOT (f.stop_en >= 1) THEN 'stopwords'
+                    WHEN NOT ((rep.total - rep.dist) * 10000 // rep.total <= 3000) THEN 'repetition'
+                    WHEN f.has_pii THEN 'pii'
+                    ELSE 'pass' END AS first_fail
+        FROM f JOIN rep USING (doc_id)),
+      fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fp FROM docs),
+      keepers AS (SELECT doc_id FROM ff WHERE first_fail = 'pass'),
+      canon AS (SELECT fp.fp, min(fp.doc_id) canon
+                FROM fp JOIN keepers USING (doc_id) GROUP BY 1),
+      dup AS (SELECT fp.doc_id FROM fp JOIN keepers USING (doc_id)
+              JOIN canon ON fp.fp = canon.fp WHERE fp.doc_id != canon.canon),
+      surv AS (SELECT doc_id FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      jw AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      jsh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                           g -> array_to_string(ws[g:g+2], ' '))) sh
+              FROM jw),
+      jsz AS (SELECT doc_id, count(*) sz FROM jsh GROUP BY 1),
+      jp AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+             FROM jsh a JOIN jsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      jprs AS (
+        SELECT ia, ib FROM jp JOIN jsz sa ON ia = sa.doc_id JOIN jsz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      jedges AS (SELECT ia s, ib d FROM jprs UNION SELECT ib, ia FROM jprs),
+      jverts AS (SELECT DISTINCT s FROM jedges),
+      jreach AS (
+        SELECT s, s AS d FROM jverts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM jreach) r JOIN jedges e ON r.d = e.s
+      ),
+      jcomp AS (SELECT s AS id, min(d) AS component FROM jreach GROUP BY s),
+      ncanon AS (SELECT c.component, min(c.id) nc
+                 FROM jcomp c JOIN surv s ON c.id = s.doc_id GROUP BY 1),
+      near AS (SELECT c.id AS doc_id
+               FROM jcomp c JOIN surv s ON c.id = s.doc_id
+               JOIN ncanon n ON c.component = n.component
+               WHERE c.id != n.nc),
+      sw AS (SELECT d.doc_id, string_split(d.text, ' ') ws FROM docs d JOIN surv USING (doc_id)),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM sw),
+      bw AS (SELECT string_split(text, ' ') ws FROM documents WHERE doc_id % 2 = 0),
+      tr AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                                   i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM bw),
+      cont AS (SELECT s.doc_id, count(*) total,
+                      sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) m
+               FROM sh s LEFT JOIN tr ON s.sh = tr.sh GROUP BY 1),
+      contam AS (SELECT doc_id FROM cont WHERE m * 10000 // total >= 5000),
+      staged AS (
+        SELECT ff.doc_id, ff.n_tokens,
+               CASE WHEN ff.first_fail != 'pass' THEN ff.first_fail
+                    WHEN ff.doc_id IN (SELECT doc_id FROM dup) THEN 'exact_dup'
+                    WHEN ff.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                    WHEN ff.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+                    ELSE 'kept' END stage
+        FROM ff)
+      SELECT CAST(CASE stage WHEN 'min_words' THEN 1 WHEN 'mean_word_len' THEN 2
+                             WHEN 'alpha_ratio' THEN 3 WHEN 'stopwords' THEN 4
+                             WHEN 'repetition' THEN 5 WHEN 'pii' THEN 6
+                             WHEN 'exact_dup' THEN 7 WHEN 'near_dup' THEN 8
+                             WHEN 'contaminated' THEN 9
+                             ELSE 10 END AS BIGINT) AS stage_idx,
+             stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM staged GROUP BY 1, 2 ORDER BY 1"""
+    })
+
+
+  // 73. block-level binary dedup: fixed-size aligned content blocks
+  // fingerprinted across payloads (storage-dedup / partial-copy
+  // signal). Fixtures: the PNG header fixture, a last-byte-corrupted
+  // copy (shares its head block only), and an exact copy (shares all).
+  // Block hashes ride the hex encoding — the same cross-engine form as
+  // q_multimodal_meta's content_sha.
+  val qMultimodalBlocks = QueryDef("q_multimodal_blocks",
+    (s, dir) => {
+      val corrupted = PngFixtureHex.dropRight(2) + "FF"
+      val fixtures = s.createDataFrame(Seq(
+        (9000L, PngFixtureHex), (9001L, corrupted), (9002L, PngFixtureHex)))
+        .toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("payload"))
+      val payloads = table(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionByName(fixtures)
+      Multimodal.blockDedup(payloads, "doc_id", "payload", blockSize = 16)
+        .orderBy("id")
+    },
+    Some {
+      val corrupted = PngFixtureHex.dropRight(2) + "FF"
+      s"""
+      WITH p AS (
+        SELECT doc_id, hex(text::BLOB) hx FROM documents WHERE doc_id < 40
+        UNION ALL SELECT * FROM (VALUES
+          (9000, '$PngFixtureHex'), (9001, '$corrupted'),
+          (9002, '$PngFixtureHex')) t(doc_id, hx)),
+      pe AS (SELECT doc_id, hx,
+                    unnest(generate_series(1, CAST(ceil(len(hx) / 32.0) AS BIGINT))) i
+             FROM p WHERE len(hx) > 0),
+      b AS (SELECT doc_id, md5(substr(hx, CAST((i - 1) * 32 + 1 AS BIGINT), 32)) bh
+            FROM pe),
+      nd AS (SELECT bh, count(DISTINCT doc_id) nd FROM b GROUP BY 1),
+      r AS (SELECT b.doc_id, count(*) nb,
+                   sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) sh
+            FROM b JOIN nd USING (bh) GROUP BY 1)
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(nb AS BIGINT) AS n_blocks,
+             CAST(sh AS BIGINT) AS shared_blocks,
+             CAST(sh * 10000 // nb AS BIGINT) AS dedup_bp
+      FROM r ORDER BY id"""
+    })
+
+
+  // 95. Z-order (Morton) layout profile: interleave 16-bit
+  // (l_partkey, l_suppkey) into a curve key, group into file-sized
+  // curve ranges, report per-range min/max on BOTH dims — the
+  // data-skipping bounds a sort-by-z write gives parquet footers. Pure
+  // bit arithmetic, so the oracle replays it with the same shifts.
+  val qLayoutZorder = QueryDef("q_layout_zorder",
+    (s, dir) => {
+      graft.sources.Layout.zOrderProfile(
+          table(s, dir, "lineitem"), "l_partkey", "l_suppkey", bucketShift = 18)
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH s0 AS (SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y FROM lineitem),
+      s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xs, (y | (y << 8)) & 16711935 AS ys FROM s0),
+      s2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+      s3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+      s4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
+      z AS (SELECT x, y, xs | (ys << 1) AS z FROM s4)
+      SELECT CAST(z >> 18 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+             CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+      FROM z GROUP BY 1 ORDER BY 1"""))
+
+
+  // 114. distributed point-in-interval range join (bucket decomposition,
+  // one hash shuffle — never a BroadcastNestedLoopJoin): total event
+  // load inside each user's first-24h window, ANY user's events (the
+  // non-equi part: no key equality, only the time range).
+  val qRangeJoin = QueryDef("q_range_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val points = ev.select(col("event_id"), col("ts"),
+        col("user_id").as("p_user"))
+      val windows = ev.groupBy(col("user_id").as("w_user"))
+        .agg(min("ts").as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 24 HOURS"))
+        .filter(col("w_user") < 40)
+      graft.operators.RangeJoin.pointInInterval(
+          points, windows, "ts", "w_start", "w_end", bucketWidth = 21600.0)
+        .groupBy("w_user")
+        .agg(count(lit(1)).cast(LongType).as("events_in_window"),
+          countDistinct("p_user").cast(LongType).as("active_users"))
+        .orderBy("w_user")
+    },
+    Some("""
+      WITH w AS (
+        SELECT user_id AS w_user, min(ts) AS w_start,
+               min(ts) + INTERVAL 24 HOUR AS w_end
+        FROM events GROUP BY 1)
+      SELECT w.w_user, CAST(count(*) AS BIGINT) AS events_in_window,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+      FROM w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+      WHERE w.w_user < 40
+      GROUP BY 1 ORDER BY 1"""))
+
+
+  // 213. Interval-OVERLAP join (both sides intervals): per-user-day
+  // activity spans × synthetic incident windows (every 97th event,
+  // 45 min), canonical-bucket dedup — each overlapping pair exactly
+  // once, overlap in exact integer ms.
+  val qIntervalJoin = QueryDef("q_interval_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val spans = ev.groupBy(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(min("ts").as("ls"), max("ts").as("le"))
+      val incidents = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("incident_id"), col("ts").as("rs"),
+          (col("ts") + expr("INTERVAL 45 MINUTES")).as("re"))
+      graft.operators.RangeJoin.intervalOverlap(
+          spans, incidents, "ls", "le", "rs", "re", bucketWidth = 21600.0)
+        .select(col("user_id"), col("day"), col("incident_id"),
+          (unix_millis(least(col("le"), col("re"))) -
+            unix_millis(greatest(col("ls"), col("rs")))).cast(LongType)
+            .as("overlap_ms"))
+        .orderBy("user_id", "day", "incident_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               min(ts) AS ls, max(ts) AS le
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_id AS incident_id, ts AS rs, ts + INTERVAL 45 MINUTE AS re
+        FROM events WHERE event_id % 97 = 0)
+      SELECT l.user_id, l.day, r.incident_id,
+             CAST(epoch_ms(least(l.le, r.re)) - epoch_ms(greatest(l.ls, r.rs)) AS BIGINT) AS overlap_ms
+      FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+      ORDER BY l.user_id, l.day, r.incident_id"""))
+
+
+  // 229. Exact join-size estimate WITHOUT running the join: orders ⋈
+  // lineitem on orderkey — output rows, matching keys, heaviest key,
+  // amplification vs the larger matched side.
+  val qJoinSize = QueryDef("q_join_size",
+    (s, dir) => {
+      graft.operators.Skew.joinSizeEstimate(
+        table(s, dir, "orders"), table(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey")
+    },
+    Some("""
+      WITH l AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS cl
+                 FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+      r AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cr
+            FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+      j AS (SELECT l.k, cl, cr, cl * cr AS prod FROM l JOIN r ON l.k = r.k)
+      SELECT CAST(coalesce(sum(prod), 0) AS BIGINT) AS join_rows,
+             CAST(count(*) AS BIGINT) AS matching_keys,
+             max(struct_pack(p := prod, k := k)).k AS top_key,
+             CAST(max(struct_pack(p := prod, k := k)).p AS BIGINT) AS top_key_rows,
+             CAST(CASE WHEN greatest(sum(cl), sum(cr)) > 0
+                       THEN sum(prod) * 10000 // greatest(sum(cl), sum(cr)) END AS BIGINT) AS amplification_bp
+      FROM j"""))
+
+  val qUrlDomains = QueryDef("q_url_domains",
+    (s, dir) => {
+      graft.operators.UrlCuration.domainRollup(
+          table(s, dir, "documents").withColumn("url", expr(urlExprSql)),
+          "url", blocklist = urlBlocklist)
+        .orderBy("domain")
+    },
+    Some(urlParseCtes + s""",
+      f AS (SELECT * FROM p WHERE registered_domain IS NOT NULL),
+      t AS (SELECT count(*) AS total FROM f)
+      SELECT registered_domain AS domain, CAST(count(*) AS BIGINT) AS pages,
+             CAST(count(DISTINCT host) AS BIGINT) AS hosts,
+             CAST(count(DISTINCT canonical_url) AS BIGINT) AS canonical_urls,
+             CAST(count(*) * 10000 // t.total AS BIGINT) AS share_bp,
+             (registered_domain IN (${urlBlocklist.map(d => s"'$d'").mkString(", ")})) AS blocked
+      FROM f, t GROUP BY registered_domain, t.total ORDER BY domain"""))
+
+  val qUrlDedup = QueryDef("q_url_dedup",
+    (s, dir) => {
+      graft.operators.UrlCuration.urlDedup(
+          table(s, dir, "documents").withColumn("url", expr(urlExprSql)),
+          "doc_id", "url")
+        .orderBy(col("variants").desc, col("canonical_url")).limit(40)
+    },
+    Some(urlParseCtes + """
+      SELECT canonical_url, CAST(count(*) AS BIGINT) AS variants,
+             CAST(min(doc_id) AS BIGINT) AS keep_id
+      FROM p GROUP BY 1 HAVING count(*) > 1
+      ORDER BY variants DESC, canonical_url LIMIT 40"""))
+
+
+  // 160. join-key skew verdict: one row of count-of-counts statistics
+  // (exact disc percentiles, max-over-mean straggler factor).
+  val qKeySkew = QueryDef("q_key_skew",
+    (s, dir) => {
+      graft.operators.Skew.keySkewSummary(table(s, dir, "events"), "user_id")
+    },
+    Some("""
+      WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+      q AS (SELECT CAST(quantile_disc(c, 0.50) AS BIGINT) AS p50_cnt,
+                   CAST(quantile_disc(c, 0.90) AS BIGINT) AS p90_cnt,
+                   CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_cnt FROM c),
+      a AS (SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_cnt FROM c),
+      t AS (SELECT CAST(k AS VARCHAR) AS top_key FROM c ORDER BY c DESC, k DESC LIMIT 1)
+      SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+             CAST(max_cnt AS BIGINT) AS max_cnt, top_key, p50_cnt, p90_cnt, p99_cnt,
+             CAST(max_cnt * 10000 // n_rows AS BIGINT) AS max_share_bp,
+             CAST(max_cnt * n_keys * 10000 // n_rows AS BIGINT) AS skew_ratio_bp
+      FROM a, q, t"""))
+
+
+  // 165. classic star-schema rollup with the dimension broadcast
+  // ASSERTED in the query (Layout.usesBroadcastJoin) — revenue per
+  // nation per month through lineitem⋈orders⋈customer⋈nation; exact
+  // floor-cents so both engines' integer sums agree.
+  val qStarJoin = QueryDef("q_star_join",
+    (s, dir) => {
+      val joined = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+      val out = joined.groupBy(col("n_name").as("nation"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).cast(LongType).as("line_count"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))
+            .cast(LongType).as("revenue_cents"))
+        .orderBy("nation", "month")
+      require(graft.sources.Layout.usesBroadcastJoin(out),
+        "small-dim star join must broadcast the nation dimension")
+      out
+    },
+    Some("""
+      SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS line_count,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+
+  // 166. weighted quality score over the standard curation rules —
+  // the soft (Gopher-style) sibling of q_filter_chain's first-fail
+  // cascade, same features and thresholds, NULL verdicts fail.
+  val qScoreChain = QueryDef("q_score_chain",
+    (s, dir) => {
+      import graft.operators.Curation
+      import Curation.FilterRule
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      val feats = Curation.curationFeatures(docs, "text")
+      val rules = Seq(
+        FilterRule("min_words", col("n_tokens") >= 5) -> 3L,
+        FilterRule("mean_word_len", col("mean_word_len_x10").between(20, 120)) -> 1L,
+        FilterRule("alpha_ratio", col("alpha_ratio_bp") >= 5000) -> 2L,
+        FilterRule("stopwords", col("stopword_hits") >= 1) -> 1L,
+        FilterRule("repetition", col("rep_bp") <= 3000) -> 2L,
+        FilterRule("pii", !col("has_pii")) -> 3L)
+      Curation.scoreChain(feats, rules, thresholdBp = 7500)
+        .groupBy("score_bp", "passed", "failed_rules")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .orderBy("score_bp", "failed_rules")
+    },
+    Some {
+      val hasPii = graft.operators.TextAnalysis.piiPatterns
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      f AS (
+        SELECT doc_id, text,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en,
+               ($hasPii) AS has_pii
+        FROM docs),
+      rep AS (
+        SELECT doc_id, len(sh) total, len(list_distinct(sh)) dist
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) sh
+              FROM docs)),
+      g AS (
+        SELECT f.doc_id,
+               (f.n_tokens >= 5) AS r1,
+               (CAST((f.n_chars - (f.n_tokens - 1)) * 10 // f.n_tokens AS BIGINT) BETWEEN 20 AND 120) AS r2,
+               (f.alpha * 10000 // greatest(f.n_chars, 1) >= 5000) AS r3,
+               (f.stop_en >= 1) AS r4,
+               ((rep.total - rep.dist) * 10000 // rep.total <= 3000) AS r5,
+               (NOT f.has_pii) AS r6
+        FROM f JOIN rep USING (doc_id)),
+      sc AS (
+        SELECT doc_id,
+               (CASE WHEN r1 THEN 3 ELSE 0 END + CASE WHEN r2 THEN 1 ELSE 0 END +
+                CASE WHEN r3 THEN 2 ELSE 0 END + CASE WHEN r4 THEN 1 ELSE 0 END +
+                CASE WHEN r5 THEN 2 ELSE 0 END + CASE WHEN r6 THEN 3 ELSE 0 END)
+                 * 10000 // 12 AS score_bp,
+               concat_ws(',',
+                 CASE WHEN NOT r1 THEN 'min_words' END,
+                 CASE WHEN NOT r2 THEN 'mean_word_len' END,
+                 CASE WHEN NOT r3 THEN 'alpha_ratio' END,
+                 CASE WHEN NOT r4 THEN 'stopwords' END,
+                 CASE WHEN NOT r5 THEN 'repetition' END,
+                 CASE WHEN NOT r6 THEN 'pii' END) AS failed_rules
+        FROM g)
+      SELECT CAST(score_bp AS BIGINT) AS score_bp, (score_bp >= 7500) AS passed,
+             failed_rules, CAST(count(*) AS BIGINT) AS n_docs
+      FROM sc GROUP BY 1, 2, 3 ORDER BY score_bp, failed_rules"""
+    })
+
+
+  // 168. provenance split leakage: registered domains straddling the
+  // 80/10/10 portable split — the contamination mode content dedup
+  // cannot see; URL derivation + suffix parse shared with rows 138–139.
+  val qDomainLeakage = QueryDef("q_domain_leakage",
+    (s, dir) => {
+      graft.operators.UrlCuration.domainLeakage(
+          table(s, dir, "documents").withColumn("url", expr(urlExprSql)),
+          "doc_id", "url", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("domain", "split")
+    },
+    Some(urlParseCtes + """
+      , sp AS (SELECT doc_id, registered_domain AS domain,
+                 CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+                      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM p WHERE registered_domain IS NOT NULL),
+      leak AS (SELECT domain FROM sp GROUP BY domain HAVING count(DISTINCT split) >= 2)
+      SELECT sp.domain, sp.split, CAST(count(*) AS BIGINT) AS docs
+      FROM sp JOIN leak ON sp.domain = leak.domain
+      GROUP BY 1, 2 ORDER BY sp.domain, sp.split"""))
+
+
+  // 169b. multi-grain datasheet via ROLLUP grouping sets — per
+  // (source, lang), per source, and grand total in ONE pass (the
+  // subtotal shape every corpus datasheet ships); '(all)' marks the
+  // rolled-up grain on both engines.
+  val qCardRollup = QueryDef("q_card_rollup",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum(TextFns.wsTokenCount(col("text"))).cast(LongType).as("tokens"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("docs"), col("tokens"))
+        .orderBy("source", "lang")
+    },
+    Some("""
+      SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens
+      FROM documents GROUP BY ROLLUP (source, lang)
+      ORDER BY source, lang"""))
+
+
+  // 171. the SQL URL surface: graft_host/graft_domain/
+  // graft_canonical_url through SQL text, oracle replayed by the
+  // rows-138–139 parse CTEs.
+  val qSqlApiUrl = QueryDef("q_sql_api_url",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "documents").withColumn("url", expr(urlExprSql))
+        .createOrReplaceTempView("graft_docs_url")
+      s.sql("""
+        SELECT graft_domain(url) AS domain, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT graft_host(url)) AS BIGINT) AS hosts,
+               CAST(count(DISTINCT graft_canonical_url(url)) AS BIGINT) AS canon
+        FROM graft_docs_url WHERE graft_domain(url) IS NOT NULL
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some(urlParseCtes + """
+      SELECT registered_domain AS domain, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT host) AS BIGINT) AS hosts,
+             CAST(count(DISTINCT canonical_url) AS BIGINT) AS canon
+      FROM p WHERE registered_domain IS NOT NULL GROUP BY 1 ORDER BY 1"""))
+
+
+  val qSchemaMatch = QueryDef("q_schema_match",
+    (s, dir) => {
+      graft.operators.SchemaMatch.suggestMapping(
+          s, LandingCols, table(s, dir, "orders").columns.toSeq)
+        .orderBy("source_col")
+    },
+    Some {
+      val src = LandingCols.map(c => s"('$c')").mkString(", ")
+      val tgt = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map(c => s"('$c')").mkString(", ")
+      s"""
+      WITH s AS (SELECT * FROM (VALUES $src) t(source_col)),
+      tg AS (SELECT * FROM (VALUES $tgt) t(target_col)),
+      sc AS (SELECT source_col, target_col,
+               CAST(levenshtein(lower(replace(source_col, '_', '')),
+                                lower(replace(target_col, '_', ''))) AS BIGINT) AS distance
+             FROM s CROSS JOIN tg),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source_col
+                        ORDER BY distance, target_col) AS rk FROM sc),
+      b AS (SELECT source_col, target_col AS best_target,
+                   distance AS best_distance FROM r WHERE rk = 1),
+      s2 AS (SELECT source_col, distance AS second_distance FROM r WHERE rk = 2)
+      SELECT b.source_col, best_target, best_distance,
+             CAST(coalesce(second_distance - best_distance, 0) AS BIGINT) AS margin,
+             (best_distance = 0 OR (coalesce(second_distance - best_distance, 0) >= 2
+                AND best_distance * 2 <= length(lower(replace(b.source_col, '_', ''))))) AS confident
+      FROM b LEFT JOIN s2 ON b.source_col = s2.source_col
+      ORDER BY b.source_col"""
+    })
+
+
+  // 195. JOIN-PLAN ADVISOR — broadcast / salt / shuffle verdict from
+  // each side's key stats (row 160's skew summary turned into the
+  // decision it exists to inform). nation⋈supplier trips the
+  // broadcast rule; orders⋈lineitem (broadcast limit forced down to
+  // 1000 rows so the small SF exercises the non-broadcast path)
+  // reads its skew ratio honestly (~1.75× — NOT salt-worthy at the
+  // 20× default) and lands on shuffle_join; the salt branch is
+  // spec-covered with synthetic 90%-one-key data.
+  val qJoinAdvisor = QueryDef("q_join_advisor",
+    (s, dir) => {
+      graft.operators.Skew.joinAdvisor(
+          table(s, dir, "orders"), table(s, dir, "lineitem"),
+          "o_orderkey", "l_orderkey", "orders-lineitem",
+          broadcastRowLimit = 1000L)
+        .unionByName(graft.operators.Skew.joinAdvisor(
+          table(s, dir, "nation"), table(s, dir, "supplier"),
+          "n_nationkey", "s_nationkey", "nation-supplier"))
+        .orderBy("relation")
+    },
+    Some("""
+      WITH ol AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      ll AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      nl AS (SELECT n_nationkey AS k, count(*) AS c FROM nation GROUP BY 1),
+      sl AS (SELECT s_nationkey AS k, count(*) AS c FROM supplier GROUP BY 1),
+      st AS (
+        SELECT 'orders-lineitem' AS relation, CAST(1000 AS BIGINT) AS blim,
+               (SELECT sum(c) FROM ol) lr, (SELECT count(*) FROM ol) lk,
+               (SELECT max(c) FROM ol) lm,
+               (SELECT sum(c) FROM ll) rr, (SELECT count(*) FROM ll) rk,
+               (SELECT max(c) FROM ll) rm
+        UNION ALL
+        SELECT 'nation-supplier', 100000,
+               (SELECT sum(c) FROM nl), (SELECT count(*) FROM nl),
+               (SELECT max(c) FROM nl),
+               (SELECT sum(c) FROM sl), (SELECT count(*) FROM sl),
+               (SELECT max(c) FROM sl)),
+      x AS (SELECT relation, blim,
+              CAST(lr AS BIGINT) AS left_rows, CAST(lk AS BIGINT) AS left_keys,
+              CAST(lm AS BIGINT) AS left_max_mult,
+              CAST(lm * lk * 10000 // lr AS BIGINT) AS left_skew_bp,
+              CAST(rr AS BIGINT) AS right_rows, CAST(rk AS BIGINT) AS right_keys,
+              CAST(rm AS BIGINT) AS right_max_mult,
+              CAST(rm * rk * 10000 // rr AS BIGINT) AS right_skew_bp
+            FROM st)
+      SELECT relation, left_rows, left_keys, left_max_mult, left_skew_bp,
+             right_rows, right_keys, right_max_mult, right_skew_bp,
+             CASE WHEN left_rows <= blim OR right_rows <= blim THEN 'broadcast_small_side'
+                  WHEN greatest(left_skew_bp, right_skew_bp) >= 200000 THEN 'salt_skewed_keys'
+                  ELSE 'shuffle_join' END AS verdict
+      FROM x ORDER BY relation"""))
+
+
+  // 197. CONTRACT-DRIVEN HYGIENE CHAIN — the r8 hygiene detectors
+  // (rows 183-185) as first-class contract curation rules: a YAML
+  // contract declares secrets/unicode/markup and the chain attributes
+  // each doc to its FIRST failing rule; all three fixture families
+  // ride along, the live corpus passes clean. Oracle replays the
+  // nested first-fail CASE over the shared regex sets.
+  val qFilterChainHygiene = QueryDef("q_filter_chain_hygiene",
+    (s, dir) => {
+      val contract = graft.contracts.ContractParser.parse(
+        """version: "1.0"
+          |name: documents_hygiene
+          |owner: graft
+          |schema:
+          |  format: parquet
+          |  location: documents
+          |  fields:
+          |    - name: doc_id
+          |      type: int64
+          |    - name: text
+          |      type: string
+          |quality_checks:
+          |  curation:
+          |    - rule: secrets
+          |    - rule: unicode
+          |    - rule: markup
+          |""".stripMargin)
+      val fixtures = s.createDataFrame(
+          SecretFixtures ++ UnicodeFixtures ++ MarkupFixtures)
+        .toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      graft.operators.Curation.filterChainForContract(docs, "text", contract)
+        .groupBy("first_fail")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .orderBy("first_fail")
+    },
+    Some {
+      def anyOf(ps: Seq[(String, String)]) = ps
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re')) > 0" }
+        .mkString(" OR ")
+      val hasSecret = anyOf(TextAnalysis.secretPatterns)
+      val hasUnicode = anyOf(TextAnalysis.unicodePatterns)
+      val tagRe = "<[!/A-Za-z][^>]{0,256}>"
+      val hasMarkup = s"len(regexp_extract_all(text, '$tagRe')) >= 3 OR " +
+        "len(regexp_extract_all(text, '<script|<style|<SCRIPT|<STYLE')) > 0"
+      val secretV = SecretFixtures.map { case (id, t, _) => s"($id, '$t')" }
+      val unicodeV = Seq(
+        "(-9110, 'bad' || chr(1) || 'control' || chr(7) || 'here')",
+        "(-9111, 'moji' || chr(65533) || 'bake' || chr(65533) || chr(65533))",
+        "(-9112, 'zero' || chr(8203) || 'width' || chr(8205) || ' and bidi ' || chr(8238) || 'evil' || chr(8294))")
+      val markupV = MarkupFixtures.map { case (id, t, _) => s"($id, '$t')" }
+      val fixtureValues = (secretV ++ unicodeV ++ markupV).mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      ff AS (SELECT CASE WHEN $hasSecret THEN 'secrets'
+                         WHEN $hasUnicode THEN 'unicode'
+                         WHEN $hasMarkup THEN 'markup'
+                         ELSE 'pass' END AS first_fail
+             FROM docs)
+      SELECT first_fail, CAST(count(*) AS BIGINT) AS n_docs
+      FROM ff GROUP BY 1 ORDER BY 1"""
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    qMultimodalMeta,
+    qSourceContractRead,
+    qJsonProps,
+    qContamination,
+    qDecontaminate,
+    qAsofJoin,
+    qSkewJoin,
+    qSqlApi,
+    qLayoutJoin,
+    qFilterChain,
+    qCorpusCard,
+    qSourceOverlap,
+    qPipelineFunnel,
+    qPipelineFunnelV2,
+    qMultimodalBlocks,
+    qLayoutZorder,
+    qRangeJoin,
+    qIntervalJoin,
+    qJoinSize,
+    qUrlDomains,
+    qUrlDedup,
+    qKeySkew,
+    qStarJoin,
+    qScoreChain,
+    qDomainLeakage,
+    qCardRollup,
+    qSqlApiUrl,
+    qSchemaMatch,
+    qJoinAdvisor,
+    qFilterChainHygiene,
+  )
+}

@@ -1,0 +1,1114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.GraftFunctions
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import QueryDef.table
+
+/** Driver queries: exact/near-dup dedup family (SURVEY §2 rows 25-29,
+  * 41, 56, 60-61, 79, 84, 87-88, 129, 135-136, 139, 148, 157, 192,
+  * 200, 209, 232, 236). */
+object DedupQueries {
+
+  import PipelineShared._
+
+
+  // 25. exact dedup via normalized-text fingerprints
+  val qDedupExact = QueryDef("q_dedup_exact",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val fp = docs.select(
+        md5(TextFns.normalize(col("text")).cast("binary")).as("fp"))
+        .groupBy("fp").count()
+      fp.agg(
+        sum(col("count")).cast(LongType).as("total_docs"),
+        count(lit(1)).cast(LongType).as("distinct_docs"),
+        sum(when(col("count") > 1, 1L).otherwise(0L)).cast(LongType).as("dup_groups"),
+        sum(when(col("count") > 1, col("count") - 1).otherwise(0L)).cast(LongType).as("dup_docs"))
+    },
+    Some("""
+      SELECT CAST(sum(c) AS BIGINT) AS total_docs,
+             CAST(count(*) AS BIGINT) AS distinct_docs,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+             CAST(sum(CASE WHEN c > 1 THEN c-1 ELSE 0 END) AS BIGINT) AS dup_docs
+      FROM (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp, count(*) c
+            FROM documents GROUP BY 1)"""))
+
+
+  // 26. word-3-gram Jaccard near-dup pairs (exact, inverted-index join)
+  val qDedupJaccard = QueryDef("q_dedup_jaccard",
+    (s, dir) => {
+      sharedJaccardPairs(s, dir)
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(15)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jacc_bp
+      FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 100
+      ORDER BY jacc_bp DESC, id_a, id_b LIMIT 15"""))
+
+  val qDedupPagerank = QueryDef("q_dedup_pagerank",
+    (s, dir) => {
+      pageRankCache.get(s, dir) {
+        val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+        graft.operators.DedupGroups.pageRank(pairs, iters = 3)
+      }.orderBy(col("rank_ppb").desc, col("node"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      sym AS (SELECT ia AS src, ib AS dst FROM prs
+              UNION SELECT ib, ia FROM prs),
+      deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM deg),
+      r0 AS (SELECT node, deg, 1000000000 // n AS r FROM deg, nn),
+      r1 AS (SELECT d.node, d.deg, 150000000 // nn.n + 850000000 * coalesce(c.s, 0) // 1000000000 AS r
+             FROM deg d LEFT JOIN (
+               SELECT sym.dst AS node, sum(r0.r // r0.deg) AS s
+               FROM sym JOIN r0 ON sym.src = r0.node GROUP BY 1) c ON d.node = c.node, nn),
+      r2 AS (SELECT d.node, d.deg, 150000000 // nn.n + 850000000 * coalesce(c.s, 0) // 1000000000 AS r
+             FROM deg d LEFT JOIN (
+               SELECT sym.dst AS node, sum(r1.r // r1.deg) AS s
+               FROM sym JOIN r1 ON sym.src = r1.node GROUP BY 1) c ON d.node = c.node, nn),
+      r3 AS (SELECT d.node, d.deg, 150000000 // nn.n + 850000000 * coalesce(c.s, 0) // 1000000000 AS r
+             FROM deg d LEFT JOIN (
+               SELECT sym.dst AS node, sum(r2.r // r2.deg) AS s
+               FROM sym JOIN r2 ON sym.src = r2.node GROUP BY 1) c ON d.node = c.node, nn)
+      SELECT node, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_ppb
+      FROM r3 ORDER BY rank_ppb DESC, node"""))
+
+
+  val qDedupGroups = QueryDef("q_dedup_groups",
+    (s, dir) => {
+      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.DedupGroups.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).cast(LongType).as("group_size"))
+        .orderBy("component")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      )
+      SELECT CAST(min_d AS BIGINT) AS component, CAST(count(*) AS BIGINT) AS group_size
+      FROM (SELECT s, min(d) AS min_d FROM reach GROUP BY s)
+      GROUP BY min_d ORDER BY component"""))
+
+
+  // 87. duplication profile: the histogram of near-dup cluster sizes
+  // over the same bp>=2000 jaccard pair graph as q_dedup_groups (one
+  // shared postings self-join per session), INCLUDING the size-1 row
+  // for unclustered docs — Σ n_docs == corpus is the built-in
+  // conservation check, docs_bp the exact corpus share. Oracle extends
+  // the recursive-CTE component replay with the histogram rollup and
+  // the documents-count singleton row.
+  val qDupProfile = QueryDef("q_dup_profile",
+    (s, dir) => {
+      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.DedupGroups.clusterSizeProfile(
+          table(s, dir, "documents"), "doc_id", pairs)
+        .orderBy("cluster_size")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      ),
+      csz AS (SELECT min_d, count(*) csz
+              FROM (SELECT s, min(d) AS min_d FROM reach GROUP BY s)
+              GROUP BY 1),
+      hist AS (SELECT csz AS cluster_size, count(*) n_clusters FROM csz GROUP BY 1),
+      tot AS (SELECT count(*) total FROM documents),
+      inc AS (SELECT coalesce(sum(cluster_size * n_clusters), 0) inc FROM hist),
+      uni AS (SELECT 1 AS cluster_size, total - inc AS n_clusters
+              FROM tot, inc WHERE total - inc > 0),
+      f AS (SELECT * FROM hist UNION ALL SELECT * FROM uni)
+      SELECT CAST(f.cluster_size AS BIGINT) AS cluster_size,
+             CAST(f.n_clusters AS BIGINT) AS n_clusters,
+             CAST(f.cluster_size * f.n_clusters AS BIGINT) AS n_docs,
+             CAST(f.cluster_size * f.n_clusters * 10000 // greatest(total, 1) AS BIGINT) AS docs_bp
+      FROM f, tot ORDER BY cluster_size"""))
+
+
+  // 88. containment pairs (Broder's coefficient, max direction): the
+  // asymmetric quote-inclusion catcher — intersection over the SMALLER
+  // shingle set, so a short doc embedded in a long one scores ~10000
+  // where Jaccard dilutes toward 0. Shares the session shingling and
+  // the same postings self-join shape as q_dedup_jaccard; only the
+  // final ratio differs. Full pair list (25 rows sf0.01 / 256 sf0.1).
+  val qDedupContainment = QueryDef("q_dedup_containment",
+    (s, dir) => {
+      graft.operators.Dedup.containmentFromCandidates(
+          sharedCandidatePairs(s, dir), minContainBp = 8000L)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+             CAST(inter * 10000 // least(sa.sz, sb.sz) AS BIGINT) AS contain_bp
+      FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE inter * 10000 // least(sa.sz, sb.sz) >= 8000
+      ORDER BY id_a, id_b"""))
+
+
+  // 27. MinHash+LSH candidates, exact-verified. The xxhash64 family is
+  // not SQL-portable, but at r=2 rows/band × 32 bands the S-curve puts
+  // the per-pair miss probability for jacc >= 0.5 at (1-0.25)^32 ≈ 1e-4
+  // (and the corpus has no pairs in [0.3, 0.6) — every qualifying pair
+  // sits at >= 0.6 where the miss prob is ~6e-7), so the verified
+  // output provably equals the exact-Jaccard >= 0.5 listing, which IS
+  // SQL-expressible. This is the 32-band production config (half the
+  // signature + banding cost of the earlier 64-band one); the 64-band
+  // recall-1 guarantee remains available as minhashPairs(numPerm=128,
+  // numBands=64) and is spec-asserted against exact jaccard. A recall
+  // spec asserts this config's equality with jaccardPairs too.
+  val qDedupMinhash = QueryDef("q_dedup_minhash",
+    (s, dir) => {
+      dedupPipeline(s, dir).minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jacc_bp
+      FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 5000
+      ORDER BY id_a, id_b"""))
+
+
+  // 27b. MinHash with a PORTABLE hash family over the FULL corpus: one
+  // md5 per shingle for the base hash, then the closed-form affine
+  // family (MinHashSignature.portable) — every stage (signature, bands,
+  // candidates, verification) is replayed exactly by the DuckDB oracle.
+  // The signature min runs in the same codegen kernel as the xxhash
+  // scale path; only the base hash differs.
+  val qDedupMinhashPortable = QueryDef("q_dedup_minhash_portable",
+    (s, dir) => {
+      val numPerm = 16; val bands = 4; val r = 4
+      val base = dedupPipeline(s, dir).shingled
+      val sigs = base
+        .withColumn("hs", TextFns.portableHashes(col("sh")))
+        .select(col("id"),
+          graft.functions.MinHashSignature.portable(col("hs"), numPerm).as("sig"))
+      val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "key")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      cand
+        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        .withColumn("uni", size(col("sh_a")).cast(LongType) + size(col("sh_b")) - col("inter"))
+        .withColumn("jacc_bp", expr("inter * 10000 DIV uni"))
+        .filter(col("jacc_bp") >= 1000L)
+        .select("id_a", "id_b", "inter", "uni", "jacc_bp")
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(15)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      shl AS (SELECT doc_id, list(sh) shs FROM sh GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), p ->
+                 list_min(list_transform(shs, s ->
+                   ((1 + (p * 2654435761) % 2147483646)
+                      * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647))) sig
+        FROM shl),
+      banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+        FROM sigs, generate_series(0, 3) t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id ia, b.doc_id ib
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jacc_bp
+      FROM cand JOIN p USING (ia, ib)
+      JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 1000
+      ORDER BY jacc_bp DESC, id_a, id_b LIMIT 15"""))
+
+
+  // 28. SimHash near-dup pairs. With maxHamming = numBlocks−1 the block
+  // pigeonhole GUARANTEES every qualifying pair is a candidate, so the
+  // verified per-pair output is exact — and with the portable md5 word
+  // hashes (60-bit) the oracle recomputes each doc's 64 bit-votes and
+  // every pair's hamming distance in plain SQL.
+  val qDedupSimhash = QueryDef("q_dedup_simhash",
+    (s, dir) => {
+      // loBit=4: portable word hashes are 60-bit, so sim bits 0-3 are
+      // dead; maxBucketSize=MaxValue: the guard may not drop buckets
+      // here or the hamming<=7 completeness guarantee (and the oracle)
+      // would break
+      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+          maxBucketSize = Long.MaxValue,
+          wordHashes = TextFns.portableWordHashes)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH wh AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)),
+      votes AS (
+        SELECT doc_id, j, CASE WHEN sum(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END v
+        FROM wh, generate_series(0, 59) t(j) GROUP BY doc_id, j),
+      ham AS (
+        SELECT a.doc_id ia, b.doc_id ib,
+               CAST(sum(CASE WHEN a.v != b.v THEN 1 ELSE 0 END) AS BIGINT) hamming
+        FROM votes a JOIN votes b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, hamming FROM ham
+      WHERE hamming <= 7 ORDER BY id_a, id_b"""))
+
+
+  // 26d/27c/28b. the SAME three near-dup listings through the
+  // exact-duplicate COLLAPSE pre-pass — the 100 TB production path,
+  // where the quadratic candidate stage runs over DISTINCT texts only
+  // (measured 37×/17×/24× on the 10×-copy stress corpus; see the
+  // operator scaladocs). Each twin replays its direct query's oracle
+  // byte-for-byte: collapse changes no output whenever stop-shingle /
+  // bucket pruning never triggers, which is provably the case wherever
+  // the DIRECT queries hash-match these same oracles (the oracles
+  // never prune, so a pruned direct run could not have matched). The
+  // within-class expansion edge (duplicate null-text docs) is
+  // spec-pinned in OperatorsSpec's edgeDocs corpora.
+  val qDedupJaccardCollapsed = QueryDef("q_dedup_jaccard_collapsed",
+    (s, dir) => {
+      sharedCollapsedJaccardPairs(s, dir)
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(15)
+    },
+    qDedupJaccard.oracle)
+
+
+  val qDedupMinhashCollapsed = QueryDef("q_dedup_minhash_collapsed",
+    (s, dir) => {
+      collapsedPipeline(s, dir)
+        .minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    qDedupMinhash.oracle)
+
+
+  val qDedupSimhashCollapsed = QueryDef("q_dedup_simhash_collapsed",
+    (s, dir) => {
+      // same oracle-exact config as q_dedup_simhash (unbounded buckets:
+      // a dropped bucket would break the hamming<=7 completeness the
+      // oracle assumes) — but buckets here hold DISTINCT texts, so the
+      // cap exact copies could blow in the direct operator cannot
+      // trigger at any copy factor
+      collapsedPipeline(s, dir)
+        .simhashPairs(maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+          maxBucketSize = Long.MaxValue,
+          wordHashes = TextFns.portableWordHashes)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+    qDedupSimhash.oracle)
+
+
+  // 27d. INCREMENTAL near-dup: a new batch (doc_id % 5 = 0 — today's
+  // crawl) looked up against the banded signature index of the already-
+  // ingested corpus (the other 80%). The lookup verifies on signatures
+  // alone (est jaccard = matching perms / numPerm) — no raw index text
+  // moves — and the oracle replays every stage of the portable family:
+  // signatures, band candidacy restricted to batch×index, the estimate.
+  val qDedupIncremental = QueryDef("q_dedup_incremental",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val index = graft.operators.IncrementalDedup.minhashIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        numPerm = 16, numBands = 4)
+      graft.operators.IncrementalDedup.lookup(index,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          numPerm = 16, numBands = 4, minEstBp = 5000L)
+        .orderBy("id_batch", "id_index")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      shl AS (SELECT doc_id, list(sh) shs FROM sh GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), p ->
+                 list_min(list_transform(shs, s ->
+                   ((1 + (p * 2654435761) % 2147483646)
+                      * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647))) sig
+        FROM shl),
+      banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*4+1 : b*4+4], ',') bkey, sig
+        FROM sigs, generate_series(0, 3) t(b)),
+      cand AS (
+        SELECT DISTINCT b.doc_id id_batch, i.doc_id id_index,
+               b.sig sig_b, i.sig sig_i
+        FROM banded b JOIN banded i
+          ON b.b = i.b AND b.bkey = i.bkey
+         AND b.doc_id % 5 = 0 AND i.doc_id % 5 != 0),
+      m AS (
+        SELECT id_batch, id_index,
+               CAST(len(list_filter(generate_series(1, 16),
+                                    k -> sig_b[k] = sig_i[k])) AS BIGINT) matches
+        FROM cand)
+      SELECT id_batch, id_index, matches,
+             CAST(matches * 10000 // 16 AS BIGINT) AS est_bp
+      FROM m WHERE matches * 10000 // 16 >= 5000
+      ORDER BY id_batch, id_index"""))
+
+
+  // 29. embedding near-dup pairs — the SCALE path: random-hyperplane
+  // buckets (one equi-join shuffle on the packed sign-bit bucket, no
+  // all-pairs BroadcastNestedLoopJoin), cosine verified in-bucket. The
+  // hyperplanes are fixed driver-side literals, so the oracle embeds
+  // their exact values (Double.toString round-trips) and replays bucket
+  // assignment + in-bucket cosine — the whole approximate pipeline is
+  // oracle-checked, like q_ann_lsh. The exact=true all-pairs twin stays
+  // spec-covered (bucketed ⊆ exact, plan-shape guard in OperatorsSpec).
+  val qDedupEmbedding = QueryDef("q_dedup_embedding",
+    (s, dir) => {
+      Dedup.embeddingPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.3, exact = false, numPlanes = 8, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+    Some(rhpDedupOracle(numPlanes = 8, dim = 64, minCosine = 0.3, limit = 20)))
+
+
+  // 29b. the multiprobe variant of the same scale path: each vector
+  // also probes its one-bit-flip buckets, recovering near-dup pairs
+  // split by a single plane boundary. Spark keeps the equi-join shape
+  // (probe side explodes (1+p)×); the oracle replays the SEMANTICS —
+  // same-bucket OR buckets differing in exactly one bit, i.e.
+  // xor(bucket_a, bucket_b) is 0 or a power of two — over the same
+  // literal planes. With multiprobe = numPlanes every 1-bit flip is
+  // probed, so the xor test is exact.
+  val qDedupEmbeddingMp = QueryDef("q_dedup_embedding_mp",
+    (s, dir) => {
+      Dedup.embeddingPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.3, exact = false, numPlanes = 8, dim = 64, multiprobe = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
+        .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+    Some(rhpDedupMultiprobeOracle(numPlanes = 8, dim = 64, minCosine = 0.3, limit = 20)))
+
+
+  // 79. chunk-level exact substring dedup (Lee et al. ExactSubstr at
+  // chunk granularity): 50-token non-overlapping windows, first
+  // arrival of every distinct chunk survives, docs reassembled from
+  // surviving chunks. Output: the 25 docs losing the most chunks, the
+  // cleaned text pinned by md5 so the oracle hash-checks the exact
+  // reassembled content. DuckDB replays the window split (the
+  // q_text_chunks slicing with stride = width), first-arrival as
+  // row_number over (chunk ORDER BY doc, idx), reassembly as ordered
+  // string_agg.
+  val qChunkDedup = QueryDef("q_chunk_dedup",
+    (s, dir) => {
+      graft.operators.Curation.chunkDedup(
+          table(s, dir, "documents"), "doc_id", "text", chunkTokens = 50)
+        .select(col("id"), col("total_chunks"), col("kept_chunks"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy((col("total_chunks") - col("kept_chunks")).desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+                 WHERE text IS NOT NULL),
+      w2 AS (SELECT doc_id, ws,
+                    greatest(CAST(ceil(len(ws) * 1.0 / 50) AS INT), 1) AS n
+             FROM w),
+      c AS (SELECT doc_id,
+                   unnest(generate_series(1, n)) AS g,
+                   unnest(list_transform(generate_series(1, n),
+                     g -> array_to_string(ws[(g-1)*50+1 : (g-1)*50+50], ' '))) AS chunk
+            FROM w2),
+      f AS (SELECT *, row_number() OVER (PARTITION BY chunk
+                                         ORDER BY doc_id, g) rk FROM c),
+      k AS (SELECT doc_id, count(*) kept,
+                   md5(string_agg(chunk, ' ' ORDER BY g)) cmd5
+            FROM f WHERE rk = 1 GROUP BY 1),
+      t AS (SELECT doc_id, count(*) total FROM c GROUP BY 1)
+      SELECT d.doc_id AS id,
+             CAST(coalesce(t.total, 0) AS BIGINT) AS total_chunks,
+             CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_chunks,
+             k.cmd5 AS clean_md5
+      FROM documents d
+      LEFT JOIN t ON t.doc_id = d.doc_id
+      LEFT JOIN k ON k.doc_id = d.doc_id
+      ORDER BY coalesce(t.total, 0) - coalesce(k.kept, 0) DESC, id LIMIT 25"""))
+
+
+  // 84. C4-style boilerplate stripping at chunk granularity: any
+  // 25-token chunk appearing in >= 2 distinct docs is removed from
+  // EVERY doc (chunkDedup keeps the first copy; this keeps none —
+  // the navigation/legal-boilerplate call). Output: the 25 docs
+  // losing the most chunks, reassembled text pinned by md5. Oracle
+  // replays the window split + count(DISTINCT doc) per chunk +
+  // ordered string_agg. Removal is non-trivial at both SFs (83 of
+  // 1,318 chunk rows sf0.01, 924 of 13,073 sf0.1).
+  val qStripBoilerplate = QueryDef("q_strip_boilerplate",
+    (s, dir) => {
+      graft.operators.Curation.stripBoilerplate(
+          table(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 25, minDocFreq = 2)
+        .select(col("id"), col("total_chunks"), col("kept_chunks"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy((col("total_chunks") - col("kept_chunks")).desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+                 WHERE text IS NOT NULL),
+      w2 AS (SELECT doc_id, ws,
+                    greatest(CAST(ceil(len(ws) * 1.0 / 25) AS INT), 1) AS n
+             FROM w),
+      c AS (SELECT doc_id,
+                   unnest(generate_series(1, n)) AS g,
+                   unnest(list_transform(generate_series(1, n),
+                     g -> array_to_string(ws[(g-1)*25+1 : (g-1)*25+25], ' '))) AS chunk
+            FROM w2),
+      f AS (SELECT chunk, count(DISTINCT doc_id) df FROM c GROUP BY 1),
+      k AS (SELECT doc_id, count(*) kept,
+                   md5(string_agg(chunk, ' ' ORDER BY g)) cmd5
+            FROM c JOIN f USING (chunk) WHERE f.df < 2 GROUP BY 1),
+      t AS (SELECT doc_id, count(*) total FROM c GROUP BY 1)
+      SELECT d.doc_id AS id,
+             CAST(coalesce(t.total, 0) AS BIGINT) AS total_chunks,
+             CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_chunks,
+             k.cmd5 AS clean_md5
+      FROM documents d
+      LEFT JOIN t ON t.doc_id = d.doc_id
+      LEFT JOIN k ON k.doc_id = d.doc_id
+      ORDER BY coalesce(t.total, 0) - coalesce(k.kept, 0) DESC, id LIMIT 25"""))
+
+
+  // 236. C4's line filter at its ACTUAL grain (split on newline, drop
+  // lines seen >= 3x per domain — row 84 is the fixed-token-window
+  // variant). The synthetic corpus is single-line docs, so repeated-
+  // chrome fixtures (negative ids, their own source) are unioned in —
+  // the q_text_pii planted-fixture pattern; the literal rows are
+  // shared verbatim with the oracle.
+  val qLineFilter = QueryDef("q_line_filter",
+    (s, dir) => {
+      import s.implicits._
+      val fixture = Seq(
+        (-1L, "SUBSCRIBE NOW\nunique content one\nCOPYRIGHT FIXTURE", "fixture-web"),
+        (-2L, "SUBSCRIBE NOW\nunique content two\nCOPYRIGHT FIXTURE", "fixture-web"),
+        (-3L, "SUBSCRIBE NOW\nunique content three\nCOPYRIGHT FIXTURE", "fixture-web"),
+        (-4L, "unique content four\nCOPYRIGHT FIXTURE\n \nlast words", "fixture-web"),
+        (-5L, "REPEAT ME\nREPEAT ME\nREPEAT ME", "fixture-web"),
+      ).toDF("doc_id", "text", "source")
+      val d = table(s, dir, "documents").select("doc_id", "text", "source")
+        .unionByName(fixture)
+      graft.operators.Curation.lineFilter(d, "doc_id", "text", "source",
+          minFreq = 3)
+        .select(col("id"), col("total_lines"), col("kept_lines"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy((col("total_lines") - col("kept_lines")).desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+          (-1, 'SUBSCRIBE NOW' || chr(10) || 'unique content one' || chr(10) || 'COPYRIGHT FIXTURE', 'fixture-web'),
+          (-2, 'SUBSCRIBE NOW' || chr(10) || 'unique content two' || chr(10) || 'COPYRIGHT FIXTURE', 'fixture-web'),
+          (-3, 'SUBSCRIBE NOW' || chr(10) || 'unique content three' || chr(10) || 'COPYRIGHT FIXTURE', 'fixture-web'),
+          (-4, 'unique content four' || chr(10) || 'COPYRIGHT FIXTURE' || chr(10) || ' ' || chr(10) || 'last words', 'fixture-web'),
+          (-5, 'REPEAT ME' || chr(10) || 'REPEAT ME' || chr(10) || 'REPEAT ME', 'fixture-web')
+        ) v(doc_id, text, source)),
+      l AS (SELECT doc_id, coalesce(source, chr(1)) AS g,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+            FROM d WHERE text IS NOT NULL),
+      nz AS (SELECT * FROM l WHERE trim(line) <> ''),
+      f AS (SELECT g, line, count(*) AS c FROM nz GROUP BY 1, 2),
+      k AS (SELECT doc_id, count(*) AS kept,
+                   md5(string_agg(line, chr(10) ORDER BY idx)) AS cmd5
+            FROM nz JOIN f USING (g, line) WHERE f.c < 3 GROUP BY 1),
+      t AS (SELECT doc_id, count(*) AS total FROM nz GROUP BY 1)
+      SELECT d.doc_id AS id,
+             CAST(coalesce(t.total, 0) AS BIGINT) AS total_lines,
+             CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_lines,
+             k.cmd5 AS clean_md5
+      FROM d LEFT JOIN t USING (doc_id) LEFT JOIN k USING (doc_id)
+      ORDER BY coalesce(t.total, 0) - coalesce(k.kept, 0) DESC, id LIMIT 25"""))
+
+
+  // 60. canonical-representative selection per near-dup cluster: the
+  // keep-policy dedup (keep the LONGEST doc of each jaccard>=0.2
+  // cluster, ties -> min id) over the same shared pair list as
+  // q_dedup_groups. The oracle replays the recursive-CTE connected
+  // components, then the same argmax per component.
+  val qDedupCanonical = QueryDef("q_dedup_canonical",
+    (s, dir) => {
+      // collapsed pair source: identical pairs to the direct pipeline
+      // wherever the direct oracles hash-match (proven — the oracles
+      // never prune), at 37x less cost on copy-heavy corpora; on the
+      // board it reuses the cache the _collapsed queries materialize
+      val pairs = sharedCollapsedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      // cast: the operator now preserves the score's native type (the
+      // long-truncation fix); the oracle's keep_score is BIGINT
+      graft.operators.Curation.selectRepresentatives(
+          table(s, dir, "documents"), "doc_id", col("n_chars").cast("long"), pairs)
+        .orderBy("component")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      ),
+      comp AS (SELECT s AS id, min(d) AS component FROM reach GROUP BY s),
+      j AS (SELECT c.component, c.id, d.n_chars
+            FROM comp c JOIN documents d ON c.id = d.doc_id),
+      r AS (SELECT component, id, n_chars,
+                   count(*) OVER (PARTITION BY component) gs,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, id) rn
+            FROM j)
+      SELECT CAST(component AS BIGINT) AS component, CAST(gs AS BIGINT) AS group_size,
+             CAST(id AS BIGINT) AS keep_id, CAST(n_chars AS BIGINT) AS keep_score
+      FROM r WHERE rn = 1 ORDER BY component"""))
+
+
+  // 61. cross-doc repeated-span coverage (fixed-k substring-dedup
+  // signal): fraction of each doc's words covered by an 8-gram that
+  // also occurs in another doc. The oracle replays the shingling
+  // (incl. the one-truncated-shingle short-doc convention), the
+  // doc-frequency filter, and the sorted-starts interval-union sweep.
+  val qSpanDedup = QueryDef("q_span_dedup",
+    (s, dir) => {
+      graft.operators.Curation.spanCoverage(
+          table(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("cov_bp").desc, col("id"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      g0 AS (SELECT doc_id, len(ws) nw, ws,
+                    unnest(generate_series(1, greatest(len(ws) - 7, 1))) gg
+             FROM w),
+      g AS (SELECT doc_id, nw, gg - 1 pos,
+                   array_to_string(ws[gg:gg+7], ' ') gram
+            FROM g0),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT g.doc_id, g.nw, g.pos,
+                   lead(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) nxt
+            FROM g JOIN dup USING (gram)),
+      cov AS (SELECT doc_id, count(*) dup_grams,
+                     sum(least(8, coalesce(nxt, nw) - pos)) covered
+              FROM d GROUP BY 1),
+      base AS (SELECT doc_id, len(string_split(text, ' ')) nw FROM documents)
+      SELECT CAST(b.doc_id AS BIGINT) AS id, CAST(b.nw AS BIGINT) AS n_words,
+             CAST(coalesce(c.dup_grams, 0) AS BIGINT) AS dup_grams,
+             CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_words,
+             CAST(coalesce(c.covered, 0) * 10000 // greatest(b.nw, 1) AS BIGINT) AS cov_bp
+      FROM base b LEFT JOIN cov c USING (doc_id)
+      ORDER BY cov_bp DESC, id LIMIT 20"""))
+
+
+  // 61b. span coverage through the exact-collapse pre-pass — the
+  // 100 TB path on copy-heavy corpora (the sweep runs over distinct
+  // texts; a gram's doc-frequency = sum of class sizes of texts
+  // containing it, so the cross-doc test stays exact). Replays the
+  // direct query's oracle byte-for-byte, same soundness argument as
+  // the other _collapsed twins; shares the session's collapse prep.
+  val qSpanDedupCollapsed = QueryDef("q_span_dedup_collapsed",
+    (s, dir) => {
+      collapsedPipeline(s, dir).spanCoverage(k = 8)
+        .orderBy(col("cov_bp").desc, col("id"))
+        .limit(20)
+    },
+    qSpanDedup.oracle)
+
+
+  // 69. SemDeDup-style semantic dedup: Voronoi cells around the
+  // deterministic IVF centroid sample, per-pair domination drop inside
+  // each cell (cos >= tau to a member farther from the centroid; ties
+  // by id). The oracle replays centroid selection, cell assignment,
+  // and the EXISTS domination over the same doubles — the centroid
+  // math is the q_ann_ivf-proven CentroidDistsExpr formulation.
+  // tau = 0.3 drops ~28% of the synthetic embeddings (138/500 at
+  // sf0.01), a realistic semantic-prune rate.
+  val qDedupSemantic = QueryDef("q_dedup_semantic",
+    (s, dir) => {
+      Ann.semanticDedup(table(s, dir, "embeddings"), "vec_id", "embedding",
+          tau = 0.3, numCells = 16)
+        .orderBy("id")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY scat, vec_id) cell, embedding
+        FROM (SELECT vec_id, embedding, (vec_id % 999983) * 2654435761 % 999983 scat
+              FROM embeddings ORDER BY scat, vec_id LIMIT 16)),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 2
+                 + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) d,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 2
+                   + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) ASC,
+                 c.cell ASC) rn
+        FROM embeddings e, cents c),
+      cellof AS (SELECT vec_id, embedding, cell, d FROM assign WHERE rn = 1),
+      dom AS (
+        -- the norm-product > 0 guard mirrors the operator: zero-norm
+        -- vectors have no cosine and are never semantic duplicates (a
+        -- bare dot/sqrt(0) is NaN, which DuckDB orders ABOVE tau)
+        SELECT DISTINCT b.vec_id
+        FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.vec_id != b.vec_id
+        WHERE sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                   list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) > 0
+          AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                   list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.3
+          AND (a.d > b.d OR (a.d = b.d AND a.vec_id < b.vec_id)))
+      SELECT c.vec_id AS id, CAST(c.cell AS BIGINT) AS cell,
+             round(c.d, 4) AS dc_r4, (dom.vec_id IS NOT NULL) AS dropped
+      FROM cellof c LEFT JOIN dom ON c.vec_id = dom.vec_id
+      ORDER BY id"""))
+
+
+  // 129. cross-source duplication incidence over the SHARED jaccard
+  // pair frame — provenance lens: self-plagiarism vs syndication.
+  val qDedupCrossSource = QueryDef("q_dedup_cross_source",
+    (s, dir) => {
+      graft.operators.Dedup.pairGroupIncidence(
+          sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L),
+          table(s, dir, "documents"), "doc_id", "source")
+        .orderBy("key")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      pr AS (SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id
+             JOIN sz sb ON ib = sb.doc_id
+             WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      lab AS (SELECT pr.ia, pr.ib, da.source sa, db.source sb
+              FROM pr JOIN documents da ON pr.ia = da.doc_id
+              JOIN documents db ON pr.ib = db.doc_id),
+      inc AS (SELECT sa AS key, sb AS o FROM lab
+              UNION ALL SELECT sb, sa FROM lab)
+      SELECT key, CAST(count(*) AS BIGINT) AS pairs,
+             CAST(sum(CASE WHEN key IS DISTINCT FROM o THEN 1 ELSE 0 END)
+               AS BIGINT) AS cross_pairs,
+             CAST(sum(CASE WHEN key IS DISTINCT FROM o THEN 1 ELSE 0 END)
+               * 10000 // count(*) AS BIGINT) AS cross_bp
+      FROM inc GROUP BY 1 ORDER BY key"""))
+
+
+  // 135. similarity-threshold sweep over the shared jaccard pairs —
+  // the cutoff-tuning curve, one rollup, no pipeline re-run.
+  val qDedupThresholds = QueryDef("q_dedup_thresholds",
+    (s, dir) => {
+      graft.operators.Dedup.thresholdSweep(sharedJaccardPairs(s, dir))
+        .orderBy("threshold_bp")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      jb AS (SELECT inter * 10000 // (sa.sz + sb.sz - inter) AS jacc_bp
+             FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+             WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 100),
+      b AS (SELECT jacc_bp // 1000 AS bkt, count(*) AS c FROM jb GROUP BY 1)
+      SELECT CAST(bkt * 1000 AS BIGINT) AS threshold_bp,
+             CAST(c AS BIGINT) AS pairs_in_bucket,
+             CAST(sum(c) OVER (ORDER BY bkt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS pairs_at_or_above
+      FROM b ORDER BY threshold_bp"""))
+
+  val qDedupSnm = QueryDef("q_dedup_snm",
+    (s, dir) => {
+      snmPairsCache.get(s, dir)(graft.operators.Dedup.sortedNeighborhoodPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          sortPrefixLen = 20, window = 10, n = 3, minJaccardBp = 2000L))
+        .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
+        .limit(30)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+                   substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 20) AS sk
+                 FROM documents WHERE text IS NOT NULL),
+      r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn FROM d),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 1)),
+                      g -> array_to_string(ws[g:g+2], ' '))) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents WHERE text IS NOT NULL)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10),
+      j AS (SELECT id_a, id_b,
+                   len(list_intersect(sa.s, sb.s)) AS inter,
+                   len(sa.s) AS sza, len(sb.s) AS szb
+            FROM p JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id)
+      SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+             CAST(inter * 10000 // (sza + szb - inter) AS BIGINT) AS jacc_bp
+      FROM j WHERE inter * 10000 // (sza + szb - inter) >= 2000
+      ORDER BY jacc_bp DESC, id_a, id_b LIMIT 30"""))
+
+
+  // 148. cross-doc duplicate-sentence incidence. The synthetic corpus
+  // carries no terminal punctuation, so the driver query segments on
+  // the common determiners instead (' the '/' a ' runs) — the same
+  // machinery, a delimiter the data actually contains; real corpora
+  // use the [.!?]+ default.
+  val qSentenceDedup = QueryDef("q_sentence_dedup",
+    (s, dir) => {
+      graft.operators.Curation.sentenceDedup(
+          table(s, dir, "documents"), "doc_id", "text",
+          minChars = 20, splitRegex = "(?: the | a )")
+        .orderBy("id")
+    },
+    Some("""
+      WITH s AS (SELECT doc_id AS id,
+                   trim(regexp_replace(lower(
+                     unnest(string_split_regex(text, '(?: the | a )'))),
+                     '\s+', ' ', 'g')) AS s
+                 FROM documents WHERE text IS NOT NULL),
+      d AS (SELECT DISTINCT id, md5(s) AS h FROM s WHERE len(s) >= 20),
+      f AS (SELECT h, count(*) AS docs FROM d GROUP BY 1)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_sents,
+             CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_sents,
+             CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS dup_ratio_bp
+      FROM d JOIN f USING (h) GROUP BY id ORDER BY id"""))
+
+  val qFuzzyJoin = QueryDef("q_fuzzy_join",
+    (s, dir) => {
+      fuzzyJoinCache.get(s, dir) {
+        val p = table(s, dir, "part").filter(col("p_partkey") < 2000)
+        graft.operators.Dedup.fuzzyJoin(
+          p.filter(pmod(col("p_partkey"), lit(2)) === 0),
+          p.filter(pmod(col("p_partkey"), lit(2)) === 1),
+          "p_partkey", "p_name", "p_partkey", "p_name",
+          minJaccardBp = 6000L)
+      }.orderBy(col("jacc_bp").desc, col("id_l"), col("id_r")).limit(50)
+    },
+    Some("""
+      WITH lw AS (SELECT p_partkey AS id_l,
+                    unnest(string_split(trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' ')) AS tok
+                  FROM part WHERE p_partkey < 2000 AND p_partkey % 2 = 0),
+      l AS (SELECT DISTINCT id_l, tok FROM lw WHERE tok <> ''),
+      rw AS (SELECT p_partkey AS id_r,
+               unnest(string_split(trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')), ' ')) AS tok
+             FROM part WHERE p_partkey < 2000 AND p_partkey % 2 = 1),
+      r AS (SELECT DISTINCT id_r, tok FROM rw WHERE tok <> ''),
+      szl AS (SELECT id_l, count(*) AS sz_l FROM l GROUP BY 1),
+      szr AS (SELECT id_r, count(*) AS sz_r FROM r GROUP BY 1),
+      kl AS (SELECT tok FROM l GROUP BY tok HAVING count(*) <= 10000),
+      kr AS (SELECT tok FROM r GROUP BY tok HAVING count(*) <= 10000),
+      p AS (SELECT l.id_l, r.id_r, count(*) AS inter
+            FROM l JOIN r ON l.tok = r.tok
+            WHERE l.tok IN (SELECT tok FROM kl) AND r.tok IN (SELECT tok FROM kr)
+            GROUP BY 1, 2),
+      j AS (SELECT p.id_l, p.id_r, inter, sz_l, sz_r,
+                   inter * 10000 // (sz_l + sz_r - inter) AS jacc_bp
+            FROM p JOIN szl ON p.id_l = szl.id_l JOIN szr ON p.id_r = szr.id_r)
+      SELECT id_l, id_r, CAST(inter AS BIGINT) AS inter,
+             CAST(sz_l AS BIGINT) AS sz_l, CAST(sz_r AS BIGINT) AS sz_r,
+             CAST(jacc_bp AS BIGINT) AS jacc_bp
+      FROM j WHERE jacc_bp >= 6000
+      ORDER BY jacc_bp DESC, id_l, id_r LIMIT 50"""))
+
+
+  // 192. LSH RECALL/PRECISION HARNESS — grades the MinHash band
+  // config against the exact-Jaccard ground truth (the dedup-index
+  // sibling of the ANN recall harness, row 94), over the portable
+  // hash family so every stage replays in SQL. (16 perms, 4 bands):
+  // the S-curve 50%-point sits at j≈0.71, so the jacc≥0.5 truth set
+  // has pairs the banding can deterministically miss — a harness that
+  // could only ever print 10000 would prove nothing.
+  val qDedupRecall = QueryDef("q_dedup_recall",
+    (s, dir) => {
+      // truth from the session's shared candidate frame — the postings
+      // self-join runs zero extra times for this harness
+      Dedup.lshRecall(dedupPipeline(s, dir).shingled,
+        numPerm = 16, bands = 4, minJaccardBp = 5000L,
+        truthPairs = Some(sharedJaccardPairs(s, dir)))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      shl AS (SELECT doc_id, list(sh) shs FROM sh GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), p ->
+                 list_min(list_transform(shs, s ->
+                   ((1 + (p * 2654435761) % 2147483646)
+                      * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647))) sig
+        FROM shl),
+      banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+        FROM sigs, generate_series(0, 3) t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id ia, b.doc_id ib
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      truth AS (SELECT ia, ib
+                FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+                WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 5000),
+      m AS (SELECT coalesce(c.ia, t.ia) AS ia, coalesce(c.ib, t.ib) AS ib,
+                   c.ia IS NOT NULL AS in_c, t.ia IS NOT NULL AS in_t
+            FROM cand c FULL OUTER JOIN truth t ON c.ia = t.ia AND c.ib = t.ib)
+      SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS truth_pairs,
+             CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS candidate_pairs,
+             CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS hit_pairs,
+             CAST(CASE WHEN sum(CASE WHEN in_t THEN 1 ELSE 0 END) > 0
+               THEN sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) * 10000
+                      // sum(CASE WHEN in_t THEN 1 ELSE 0 END)
+               ELSE 10000 END AS BIGINT) AS recall_bp,
+             CAST(CASE WHEN sum(CASE WHEN in_c THEN 1 ELSE 0 END) > 0
+               THEN sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) * 10000
+                      // sum(CASE WHEN in_c THEN 1 ELSE 0 END)
+               ELSE 10000 END AS BIGINT) AS precision_bp
+      FROM m"""))
+
+
+  // 200. EDIT-DISTANCE PAIR VERIFICATION — exact Levenshtein over the
+  // shared jaccard candidate frame (filter-verify: the O(len²) stage
+  // only ever sees candidate pairs a linear stage produced). DuckDB's
+  // levenshtein replays the same distances.
+  val qDedupEditdist = QueryDef("q_dedup_editdist",
+    (s, dir) => {
+      Dedup.editDistancePairs(
+          sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L),
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      cand AS (SELECT ia, ib
+               FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+               WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000)
+      SELECT ia AS id_a, ib AS id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+             CAST(levenshtein(da.text, db.text) * 10000 //
+               greatest(length(da.text), length(db.text), 1) AS BIGINT) AS lev_bp
+      FROM cand JOIN documents da ON ia = da.doc_id
+                JOIN documents db ON ib = db.doc_id
+      ORDER BY id_a, id_b"""))
+
+  val qCorpusSimilarity = QueryDef("q_corpus_similarity",
+    (s, dir) => {
+      corpusSimCache.get(s, dir) {
+        val docs = table(s, dir, "documents")
+        Dedup.corpusSimilarity(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), "text", n = 3, numPerm = 16)
+      }
+    },
+    Some("""
+      WITH wa AS (SELECT string_split(text, ' ') ws FROM documents
+                  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      wb AS (SELECT string_split(text, ' ') ws FROM documents
+             WHERE doc_id % 2 != 0 AND text IS NOT NULL),
+      sha AS (SELECT DISTINCT unnest(list_transform(
+                generate_series(1, greatest(len(ws) - 2, 1)),
+                g -> array_to_string(ws[g:g+2], ' '))) sh FROM wa),
+      shb AS (SELECT DISTINCT unnest(list_transform(
+                generate_series(1, greatest(len(ws) - 2, 1)),
+                g -> array_to_string(ws[g:g+2], ' '))) sh FROM wb),
+      ha AS (SELECT ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS h FROM sha),
+      hb AS (SELECT ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS h FROM shb),
+      sa AS (SELECT p, min(((1 + (p * 2654435761) % 2147483646) * h
+                            + (p * 2654435761 * 97) % 2147483647) % 2147483647) AS m
+             FROM ha, generate_series(0, 15) t(p) GROUP BY p),
+      sb AS (SELECT p, min(((1 + (p * 2654435761) % 2147483646) * h
+                            + (p * 2654435761 * 97) % 2147483647) % 2147483647) AS m
+             FROM hb, generate_series(0, 15) t(p) GROUP BY p),
+      mm AS (SELECT sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS matches
+             FROM sa JOIN sb USING (p)),
+      sz AS (SELECT (SELECT count(*) FROM sha) AS za,
+                    (SELECT count(*) FROM shb) AS zb,
+                    (SELECT count(*) FROM sha JOIN shb USING (sh)) AS inter)
+      SELECT CAST(16 AS BIGINT) AS perms, CAST(matches AS BIGINT) AS matching_mins,
+             CAST(matches * 10000 // 16 AS BIGINT) AS est_jacc_bp,
+             CAST(za AS BIGINT) AS shingles_a, CAST(zb AS BIGINT) AS shingles_b,
+             CAST(inter AS BIGINT) AS inter,
+             CAST(CASE WHEN za + zb - inter > 0
+               THEN inter * 10000 // (za + zb - inter) ELSE 10000 END AS BIGINT) AS exact_jacc_bp,
+             CAST(abs(matches * 10000 // 16 -
+               CASE WHEN za + zb - inter > 0
+                 THEN inter * 10000 // (za + zb - inter) ELSE 10000 END) AS BIGINT) AS abs_err_bp
+      FROM mm, sz"""))
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact,
+    qDedupJaccard,
+    qDedupPagerank,
+    qDedupGroups,
+    qDupProfile,
+    qDedupContainment,
+    qDedupMinhash,
+    qDedupMinhashPortable,
+    qDedupSimhash,
+    qDedupJaccardCollapsed,
+    qDedupMinhashCollapsed,
+    qDedupSimhashCollapsed,
+    qDedupIncremental,
+    qDedupEmbedding,
+    qDedupEmbeddingMp,
+    qChunkDedup,
+    qStripBoilerplate,
+    qLineFilter,
+    qDedupCanonical,
+    qSpanDedup,
+    qSpanDedupCollapsed,
+    qDedupSemantic,
+    qDedupCrossSource,
+    qDedupThresholds,
+    qDedupSnm,
+    qSentenceDedup,
+    qFuzzyJoin,
+    qDedupRecall,
+    qDedupEditdist,
+    qCorpusSimilarity,
+  )
+}

@@ -1,0 +1,693 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.GraftFunctions
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import QueryDef.table
+
+/** Driver queries: snapshot-diff / drift / time-series family (SURVEY
+  * §2 rows 57, 91, 101, 104, 113, 116-117, 144-147, 155, 163, 173,
+  * 176-177, 190, 208, 214). */
+object DriftQueries {
+
+  import PipelineShared._
+
+
+  // 56b. corpus snapshot diff: v1 = docs minus every ninth-ish id
+  // (those read as "added" in v2), v2 = docs minus the %10 ids
+  // ("removed") with every seventh doc's text reversed ("changed") —
+  // both versions derived deterministically from the one table so the
+  // oracle rebuilds them exactly. The diff itself compares only
+  // (id, md5-of-normalized-payload) through its full-outer join.
+  val qSnapshotDiff = QueryDef("q_snapshot_diff",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 9 =!= 5)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          reverse(col("text"))).otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(v1, v2, "doc_id", "text")
+        .orderBy("id")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp
+        FROM documents WHERE doc_id % 9 != 5),
+      v2 AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(
+                 CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END),
+                 '\s+', ' ', 'g'))) fp
+        FROM documents WHERE doc_id % 10 != 0)
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.fp IS DISTINCT FROM v2.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      ORDER BY id"""))
+
+
+  // 91. robust ingest-volume anomalies: daily counts per event type,
+  // exact discrete median + MAD per type (percentile_disc semantics,
+  // so quantile_disc replays them), flag |cnt−med| > 3·max(mad,1).
+  val qTsAnomaly = QueryDef("q_ts_anomaly",
+    (s, dir) => {
+      graft.operators.TimeSeries.madAnomalies(
+          table(s, dir, "events"), "event_type", "ts", "day", k = 3.0)
+        .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("med"), col("mad"), col("is_anomaly"))
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type AS key, date_trunc('day', ts) AS b, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT key, quantile_disc(cnt, 0.5) AS med FROM c GROUP BY 1),
+      d AS (SELECT c.key, c.b, c.cnt, m.med, abs(c.cnt - m.med) AS dev
+            FROM c JOIN m USING (key)),
+      md AS (SELECT key, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1)
+      SELECT d.key, strftime(d.b, '%Y-%m-%d') AS day, CAST(d.cnt AS BIGINT) AS cnt,
+             CAST(d.med AS BIGINT) AS med, CAST(md.mad AS BIGINT) AS mad,
+             (CAST(d.dev AS DOUBLE) > 3.0 * greatest(md.mad, 1)) AS is_anomaly
+      FROM d JOIN md USING (key) ORDER BY key, day"""))
+
+
+  // 101. trailing 7-bucket moving average per event type + exact
+  // integer deviation bp — both engines replay the identical ROWS
+  // window over the daily rollup.
+  val qRollingTrend = QueryDef("q_rolling_trend",
+    (s, dir) => {
+      graft.operators.TimeSeries.rollingTrend(
+          table(s, dir, "events"), "event_type", "ts", "day", window = 7)
+        .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("ma_r4"), col("dev_bp"))
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type AS key, date_trunc('day', ts) AS b, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT key, b, cnt,
+               sum(cnt) OVER (PARTITION BY key ORDER BY b ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) s,
+               count(cnt) OVER (PARTITION BY key ORDER BY b ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) n
+        FROM c)
+      SELECT key, strftime(b, '%Y-%m-%d') AS day, CAST(cnt AS BIGINT) AS cnt,
+             round(CAST(s AS DOUBLE) / n, 4) AS ma_r4,
+             CAST((cnt * n - s) * 10000 // s AS BIGINT) AS dev_bp
+      FROM w ORDER BY key, day"""))
+
+
+  // 103. calendar-gap detection: per-key day span vs present days —
+  // the silent-outage detector freshness can't see. The continuous
+  // synthetic stream has no holes, so a fixture key skips days (must
+  // prove gaps are FOUND, not that clean data is clean).
+  val qTsGaps = QueryDef("q_ts_gaps",
+    (s, dir) => {
+      import s.implicits._
+      val fixtures = Seq(
+        ("gapful", "2024-01-01 10:00:00"), ("gapful", "2024-01-03 10:00:00"),
+        ("gapful", "2024-01-07 10:00:00"))
+        .toDF("event_type", "ts_s")
+        .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+      val events = table(s, dir, "events").select(col("event_type"), col("ts"))
+        .unionByName(fixtures)
+      graft.operators.TimeSeries.calendarGaps(events, "event_type", "ts")
+        .orderBy("key")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, ts FROM events
+        UNION ALL SELECT * FROM (VALUES
+          ('gapful', TIMESTAMP '2024-01-01 10:00:00'),
+          ('gapful', TIMESTAMP '2024-01-03 10:00:00'),
+          ('gapful', TIMESTAMP '2024-01-07 10:00:00')) t(event_type, ts)),
+      d AS (SELECT DISTINCT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d FROM ev)
+      SELECT key, strftime(min(d), '%Y-%m-%d') AS first_day,
+             strftime(max(d), '%Y-%m-%d') AS last_day,
+             CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS span_days,
+             CAST(count(*) AS BIGINT) AS present_days,
+             CAST(date_diff('day', min(d), max(d)) + 1 - count(*) AS BIGINT) AS missing_days
+      FROM d GROUP BY key ORDER BY key"""))
+
+
+  // 113. categorical mix drift between two snapshots (doc_id parity as
+  // the versions): per-source share shift + ε-smoothed PSI
+  // contribution — "did this crawl change the data mixture".
+  val qMixDrift = QueryDef("q_mix_drift",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.operators.SnapshotDiff.categoryDrift(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1), "source")
+        .orderBy("key")
+    },
+    Some("""
+      WITH a AS (SELECT source AS key, count(*) ca FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      b AS (SELECT source AS key, count(*) cb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      j AS (SELECT coalesce(a.key, b.key) AS key, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+            FROM a FULL OUTER JOIN b ON a.key = b.key),
+      t AS (SELECT sum(ca) ta, sum(cb) tb FROM j)
+      SELECT key, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+             CAST(ca * 10000 // ta AS BIGINT) AS share_a_bp,
+             CAST(cb * 10000 // tb AS BIGINT) AS share_b_bp,
+             round((greatest(ca / ta, 1e-6) - greatest(cb / tb, 1e-6)) *
+                   ln(greatest(ca / ta, 1e-6) / greatest(cb / tb, 1e-6)), 6) AS psi_r6
+      FROM j, t ORDER BY key"""))
+
+
+  // 214. CDC changelog apply: fold a synthetic order-derived changelog
+  // (every 10th orderkey a delete, the rest full-image upserts, version
+  // = o_orderkey) onto the customer base — final MERGE state with
+  // floor-cents balances so both engines agree exactly.
+  val qCdcApply = QueryDef("q_cdc_apply",
+    (s, dir) => {
+      val base = table(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        floor(col("c_acctbal") * 100).cast(LongType).as("balance_cents"),
+        col("c_mktsegment").as("segment"))
+      val changes = table(s, dir, "orders").select(
+        col("o_custkey").as("id"),
+        when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+        col("o_orderkey").as("v"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("balance_cents"),
+        col("o_orderstatus").as("segment"))
+      graft.operators.SnapshotDiff.applyChangelog(
+          base, changes, "id", "op", "v", Seq("balance_cents", "segment"))
+        .orderBy("id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_custkey AS id, CAST(floor(c_acctbal * 100) AS BIGINT) AS balance_cents,
+               c_mktsegment AS segment
+        FROM customer),
+      ch AS (
+        SELECT o_custkey AS id,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderkey AS v,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS balance_cents,
+               o_orderstatus AS segment
+        FROM orders),
+      last AS (
+        SELECT id, max(v) AS last_version,
+               arg_max(struct_pack(op := op, bc := balance_cents, seg := segment), v) AS img
+        FROM ch GROUP BY 1)
+      SELECT coalesce(b.id, l.id) AS id,
+             CASE WHEN l.id IS NULL THEN b.balance_cents ELSE l.img.bc END AS balance_cents,
+             CASE WHEN l.id IS NULL THEN b.segment ELSE l.img.seg END AS segment,
+             l.last_version,
+             CASE WHEN b.id IS NULL THEN 'inserted'
+                  WHEN l.id IS NULL THEN 'kept'
+                  ELSE 'updated' END AS change
+      FROM base b FULL OUTER JOIN last l ON b.id = l.id
+      WHERE l.img IS NULL OR l.img.op IS DISTINCT FROM 'D'
+      ORDER BY 1"""))
+
+
+  // 116. exact two-sample KS drift on a numeric column (doc_id parity
+  // as the snapshots) — the binning-free numeric twin of q_mix_drift.
+  val qKsDrift = QueryDef("q_ks_drift",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.operators.SnapshotDiff.ksDrift(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "n_chars")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(n_chars AS DOUBLE) AS v,
+               sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM v),
+      c AS (SELECT sum(ca) OVER (ORDER BY v) AS ra,
+                   sum(cb) OVER (ORDER BY v) AS rb FROM v)
+      SELECT round(max(abs(CAST(ra AS DOUBLE) / t.ta - CAST(rb AS DOUBLE) / t.tb)), 6) AS ks_r6,
+             CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM v) AS distinct_values
+      FROM c, t GROUP BY t.ta, t.tb"""))
+
+  val qTsAcf = QueryDef("q_ts_acf",
+    (s, dir) => {
+      acfCache.get(s, dir)(graft.operators.TimeSeries.autocorrelation(
+          table(s, dir, "events"), "event_type", "ts", Seq(1, 7)))
+        .orderBy("key", "lag")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(ts AS DATE) AS d,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT key, min(d) AS lo, max(d) AS hi FROM c GROUP BY 1),
+      cal AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+              FROM span),
+      s AS (SELECT cal.key, cal.d, coalesce(c.c, 0) AS x
+            FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      l1 AS (SELECT key, 1 AS lag, x,
+                    lag(x, 1) OVER (PARTITION BY key ORDER BY d) AS y FROM s),
+      l7 AS (SELECT key, 7 AS lag, x,
+                    lag(x, 7) OVER (PARTITION BY key ORDER BY d) AS y FROM s),
+      l AS (SELECT * FROM l1 UNION ALL SELECT * FROM l7),
+      a AS (SELECT key, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM l WHERE y IS NOT NULL GROUP BY 1, 2)
+      SELECT key, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(n * syy - sy * sy AS DOUBLE)), 4)
+             END AS acf_r4
+      FROM a ORDER BY key, lag"""))
+
+
+  // 126. numeric-profile drift between snapshots (orderkey parity):
+  // the stats half of drift detection next to schema drift.
+  val qProfileDrift = QueryDef("q_profile_drift",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      graft.operators.Profile.numericDrift(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column")
+    },
+    Some("""
+      WITH a AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+      b AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+      pa AS (
+        SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS total_a,
+               CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls_a,
+               round(avg(l_quantity), 4) AS mean_a_r4,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_a_r4 FROM a
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_extendedprice) AS BIGINT),
+               round(avg(l_extendedprice), 4),
+               round(quantile_cont(l_extendedprice, 0.5), 4) FROM a
+        UNION ALL
+        SELECT 'l_discount', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_discount) AS BIGINT),
+               round(avg(l_discount), 4),
+               round(quantile_cont(l_discount, 0.5), 4) FROM a),
+      pb AS (
+        SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS total_b,
+               CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls_b,
+               round(avg(l_quantity), 4) AS mean_b_r4,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_b_r4 FROM b
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_extendedprice) AS BIGINT),
+               round(avg(l_extendedprice), 4),
+               round(quantile_cont(l_extendedprice, 0.5), 4) FROM b
+        UNION ALL
+        SELECT 'l_discount', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_discount) AS BIGINT),
+               round(avg(l_discount), 4),
+               round(quantile_cont(l_discount, 0.5), 4) FROM b)
+      SELECT pa."column", total_a, nulls_a, mean_a_r4, p50_a_r4,
+             total_b, nulls_b, mean_b_r4, p50_b_r4,
+             round(mean_b_r4 - mean_a_r4, 4) AS mean_shift_r4,
+             round(p50_b_r4 - p50_a_r4, 4) AS p50_shift_r4
+      FROM pa JOIN pb ON pa."column" = pb."column"
+      ORDER BY pa."column""""))
+
+
+  // 144. recency-weighted EWMA trend: ½-decay over the last 10 present
+  // buckets, Horner numerator / closed-form denominator — every weight
+  // is a power of two, so both engines' doubles agree bit-for-bit
+  // (the oracle's unordered SUM is exact: all terms are dyadic with a
+  // common 2⁹ denominator and integer numerators < 2^53).
+  val qEwmaTrend = QueryDef("q_ewma_trend",
+    (s, dir) => {
+      graft.operators.TimeSeries.ewmaTrend(
+          table(s, dir, "events"), "event_type", "ts")
+        .select(col("key"), date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("ewma_r4"), col("dev_bp"))
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, date_trunc('day', ts) AS bucket,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY bucket) rn FROM c),
+      j AS (SELECT a.key, a.bucket, a.cnt,
+              sum(b.cnt * power(0.5, a.rn - b.rn)) AS num,
+              2 - power(0.5, count(*) - 1) AS den
+            FROM r a JOIN r b ON a.key = b.key AND b.rn BETWEEN a.rn - 9 AND a.rn
+            GROUP BY a.key, a.bucket, a.cnt, a.rn)
+      SELECT key, strftime(bucket, '%Y-%m-%d') AS day, CAST(cnt AS BIGINT) AS cnt,
+             round(num / den, 4) AS ewma_r4,
+             CAST(floor((cnt - num / den) / (num / den) * 10000) AS BIGINT) AS dev_bp
+      FROM j ORDER BY key, day"""))
+
+
+  // 145. day-of-week seasonality index (ISO dow), exact cross-multiplied
+  // integer bp arithmetic — no intermediate double on either engine.
+  val qSeasonality = QueryDef("q_seasonality",
+    (s, dir) => {
+      graft.operators.TimeSeries.seasonalityProfile(
+          table(s, dir, "events"), "event_type", "ts")
+        .orderBy("key", "dow")
+    },
+    Some("""
+      WITH d AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS dd,
+                        count(*) AS c
+                 FROM events GROUP BY 1, 2),
+      pd AS (SELECT key, isodow(dd) AS dow, sum(c) AS cnt, count(*) AS days_present
+             FROM d GROUP BY 1, 2),
+      pk AS (SELECT key, sum(cnt) AS tot, sum(days_present) AS totdays
+             FROM pd GROUP BY 1)
+      SELECT pd.key, CAST(dow AS BIGINT) AS dow, CAST(cnt AS BIGINT) AS cnt,
+             CAST(days_present AS BIGINT) AS days_present,
+             CAST(cnt * 10000 // tot AS BIGINT) AS share_bp,
+             CAST((cnt * totdays * 10000) // (tot * days_present) AS BIGINT) AS seasonal_index_bp
+      FROM pd JOIN pk ON pd.key = pk.key ORDER BY pd.key, dow"""))
+
+
+  // 146. SCD type-2 attribute history: each user's event_type run-length
+  // encoded into validity intervals, ties within a version tick broken
+  // by event_id, run_seq totally ordering the output.
+  val qScd2 = QueryDef("q_scd2",
+    (s, dir) => {
+      graft.operators.SnapshotDiff.attributeHistory(
+          table(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .orderBy("id", "run_seq")
+    },
+    Some("""
+      WITH e AS (SELECT user_id AS id, event_type AS attr, ts AS v, event_id AS t
+                 FROM events),
+      l AS (SELECT *, lag(attr) OVER w AS pa, (row_number() OVER w = 1) AS isfirst
+            FROM e WINDOW w AS (PARTITION BY id ORDER BY v, t)),
+      c AS (SELECT *, CASE WHEN isfirst OR pa IS DISTINCT FROM attr THEN 1 ELSE 0 END AS chg
+            FROM l),
+      r AS (SELECT *, sum(chg) OVER (PARTITION BY id ORDER BY v, t
+              ROWS UNBOUNDED PRECEDING) AS run FROM c),
+      g AS (SELECT id, run, any_value(attr) AS attr, min(v) AS effective_from,
+                   count(*) AS n_observations
+            FROM r GROUP BY 1, 2)
+      SELECT id, CAST(run AS BIGINT) AS run_seq, attr, effective_from,
+             lead(effective_from) OVER (PARTITION BY id ORDER BY run) AS effective_to,
+             CAST(n_observations AS BIGINT) AS n_observations,
+             (lead(effective_from) OVER (PARTITION BY id ORDER BY run) IS NULL) AS is_current
+      FROM g ORDER BY id, run_seq"""))
+
+
+  // 147. chi-square homogeneity between the even/odd event_id halves'
+  // event_type mixes — expectations from the pooled distribution, one
+  // deterministic double expression per category over exact counts.
+  val qChi2Drift = QueryDef("q_chi2_drift",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.operators.SnapshotDiff.chiSquareDrift(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), "event_type")
+        .orderBy("key")
+    },
+    Some("""
+      WITH a AS (SELECT event_type AS key, count(*) ca FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+      b AS (SELECT event_type AS key, count(*) cb FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+      j AS (SELECT coalesce(a.key, b.key) AS key, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+            FROM a FULL OUTER JOIN b ON a.key = b.key),
+      t AS (SELECT sum(ca) ta, sum(cb) tb FROM j),
+      x AS (SELECT key, ca, cb,
+                   CAST(ca + cb AS DOUBLE) * ta / (ta + tb) AS ea,
+                   CAST(ca + cb AS DOUBLE) * tb / (ta + tb) AS eb
+            FROM j, t)
+      SELECT key, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+             round(ea, 4) AS exp_a_r4,
+             round((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 6) AS chi2_r6,
+             round((ca - ea) / sqrt(ea), 4) AS resid_a_r4
+      FROM x ORDER BY key"""))
+
+
+  // 155. LOCF forward-fill of each user's daily last-observed value —
+  // the representative is a data ELEMENT (latest by ts, event_id),
+  // never an aggregate of doubles, so both engines replay bit-for-bit.
+  val qForwardFill = QueryDef("q_forward_fill",
+    (s, dir) => {
+      graft.operators.TimeSeries.forwardFill(
+          table(s, dir, "events"), "user_id", "ts", "value", "event_id")
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH daily AS (SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+                            last(value ORDER BY ts, event_id) AS val
+                     FROM events GROUP BY 1, 2),
+      span AS (SELECT key, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+      cal AS (SELECT key, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+              FROM span)
+      SELECT cal.key, strftime(cal.d, '%Y-%m-%d') AS day,
+             (val IS NOT NULL) AS observed,
+             last_value(val IGNORE NULLS) OVER (PARTITION BY cal.key ORDER BY cal.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM cal LEFT JOIN daily ON cal.key = daily.key AND cal.d = daily.d
+      ORDER BY cal.key, day"""))
+
+
+  // 163. dow-adjusted robust anomalies: the seasonal index divided out
+  // before the median/MAD rule (plain MAD flags every Saturday on
+  // weekly-periodic load), exact integer adjustment.
+  val qSeasonalAnomaly = QueryDef("q_seasonal_anomaly",
+    (s, dir) => {
+      graft.operators.TimeSeries.seasonalAnomalies(
+          table(s, dir, "events"), "event_type", "ts")
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      cd AS (SELECT *, isodow(d) AS dow FROM c),
+      pd AS (SELECT key, dow, sum(cnt) AS pc, count(*) AS pdn FROM cd GROUP BY 1, 2),
+      pk AS (SELECT key, sum(pc) AS tot, sum(pdn) AS totdays FROM pd GROUP BY 1),
+      ix AS (SELECT pd.key, pd.dow, (pc * totdays * 10000) // (tot * pdn) AS idx
+             FROM pd JOIN pk ON pd.key = pk.key),
+      adj AS (SELECT cd.key, cd.d, cd.cnt, cd.dow, ix.idx,
+                     cnt * 10000 // idx AS adj_cnt
+              FROM cd JOIN ix ON cd.key = ix.key AND cd.dow = ix.dow),
+      m AS (SELECT key, quantile_disc(adj_cnt, 0.5) AS med FROM adj GROUP BY 1),
+      dv AS (SELECT adj.*, m.med, abs(adj.adj_cnt - m.med) AS dev
+             FROM adj JOIN m USING (key)),
+      md AS (SELECT key, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY 1)
+      SELECT dv.key, strftime(dv.d, '%Y-%m-%d') AS day, CAST(dv.cnt AS BIGINT) AS cnt,
+             CAST(dv.dow AS BIGINT) AS dow, CAST(dv.idx AS BIGINT) AS seasonal_index_bp,
+             CAST(dv.adj_cnt AS BIGINT) AS adj_cnt, CAST(dv.med AS BIGINT) AS med,
+             CAST(md.mad AS BIGINT) AS mad,
+             (CAST(dv.dev AS DOUBLE) > 3.0 * greatest(md.mad, 1)) AS is_anomaly
+      FROM dv JOIN md USING (key) ORDER BY key, day"""))
+
+
+  // 172b. contract-declared snapshot drift gates: a truncation event
+  // (n_chars ≤ 300) leaves the source mix inside its psi budget but
+  // blows the exact-KS gate on the length distribution — one verdict
+  // row per declared check, thresholds compared on the rounded stat.
+  val qContractDrift = QueryDef("q_contract_drift",
+    (s, dir) => {
+      val contract = graft.contracts.ContractParser.parse(
+        """version: "1.0"
+          |name: documents_drift
+          |owner: graft
+          |schema:
+          |  format: parquet
+          |  location: documents
+          |  fields:
+          |    - name: source
+          |      type: string
+          |    - name: n_chars
+          |      type: int64
+          |quality_checks:
+          |  drift:
+          |    - field: source
+          |      method: psi
+          |      max: 0.1
+          |    - field: n_chars
+          |      method: ks
+          |      max: 0.2
+          |""".stripMargin)
+      val docs = table(s, dir, "documents")
+      graft.validators.DriftContracts.check(
+          docs.filter(col("n_chars") <= 300), docs,
+          contract.qualityChecks.get.drift)
+        .orderBy("field")
+    },
+    Some("""
+      WITH cur AS (SELECT * FROM documents WHERE n_chars <= 300),
+      pa AS (SELECT source k, count(*) ca FROM documents GROUP BY 1),
+      pb AS (SELECT source k, count(*) cb FROM cur GROUP BY 1),
+      pj AS (SELECT coalesce(pa.k, pb.k) k, coalesce(ca, 0) ca, coalesce(cb, 0) cb
+             FROM pa FULL OUTER JOIN pb ON pa.k = pb.k),
+      pt AS (SELECT sum(ca) ta, sum(cb) tb FROM pj),
+      psi AS (SELECT round(sum(round((greatest(ca/ta, 1e-6) - greatest(cb/tb, 1e-6))
+                 * ln(greatest(ca/ta, 1e-6) / greatest(cb/tb, 1e-6)), 6)), 6) AS s
+              FROM pj, pt),
+      av AS (SELECT CAST(n_chars AS DOUBLE) v, count(*) ac FROM documents GROUP BY 1),
+      bv AS (SELECT CAST(n_chars AS DOUBLE) v, count(*) bc FROM cur GROUP BY 1),
+      u AS (SELECT coalesce(av.v, bv.v) v, coalesce(ac, 0) ac, coalesce(bc, 0) bc
+            FROM av FULL OUTER JOIN bv ON av.v = bv.v),
+      rr AS (SELECT v, sum(ac) OVER (ORDER BY v) ra, sum(bc) OVER (ORDER BY v) rb
+             FROM u),
+      tt AS (SELECT sum(ac) na, sum(bc) nb FROM u),
+      ks AS (SELECT round(max(abs(CAST(ra AS DOUBLE)/na - CAST(rb AS DOUBLE)/nb)), 6) AS s
+             FROM rr, tt)
+      SELECT 'distribution_drift' AS "check", 'n_chars' AS field, 'ks' AS method,
+             ks.s AS stat_r6, 0.2 AS max_r6, (ks.s <= 0.2) AS passed FROM ks
+      UNION ALL
+      SELECT 'distribution_drift', 'source', 'psi', psi.s, 0.1, (psi.s <= 0.1) FROM psi
+      ORDER BY field"""))
+
+
+  // 176. per-type OLS volume trend over the dense daily series — exact
+  // integer regression sums, closed-form slope/intercept/r².
+  val qVolumeTrend = QueryDef("q_volume_trend",
+    (s, dir) => {
+      graft.operators.TimeSeries.volumeTrend(
+          table(s, dir, "events"), "event_type", "ts")
+        .orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) d,
+                        count(*) cnt
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT "key", min(d) lo, max(d) hi FROM c GROUP BY 1),
+      cal AS (SELECT key, lo, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) d
+              FROM span),
+      dense AS (SELECT cal.key, date_diff('day', cal.lo, cal.d) x, coalesce(cnt, 0) y
+                FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      a AS (SELECT key, count(*) n, sum(x) sx, sum(y) sy, sum(x*y) sxy,
+                   sum(x*x) sxx, sum(y*y) syy
+            FROM dense GROUP BY 1)
+      SELECT key, CAST(n AS BIGINT) AS days,
+        CASE WHEN n*sxx - sx*sx > 0
+             THEN round(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 6) END AS slope_r6,
+        CASE WHEN n*sxx - sx*sx > 0
+             THEN round((sy - CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) * sx) / n, 4) END AS intercept_r4,
+        CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             THEN round(CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy) /
+                        (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)), 4) END AS r2_r4
+      FROM a ORDER BY key"""))
+
+
+  // 177. single change-point per user: the least-squares split of the
+  // dense daily series, ties to the earliest day — closed-form doubles
+  // over exact integer prefix sums, argmax replayed by rank.
+  val qChangePoint = QueryDef("q_change_point",
+    (s, dir) => {
+      graft.operators.TimeSeries.changePoint(
+          table(s, dir, "events"), "user_id", "ts")
+        .orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) d,
+                        count(*) cnt
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT "key", min(d) lo, max(d) hi FROM c GROUP BY 1),
+      cal AS (SELECT key, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) d
+              FROM span),
+      dense AS (SELECT cal.key, cal.d, coalesce(cnt, 0) y
+                FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      cum AS (SELECT key, d, y,
+                row_number() OVER (PARTITION BY key ORDER BY d) i,
+                sum(y) OVER (PARTITION BY key ORDER BY d ROWS UNBOUNDED PRECEDING) s1
+              FROM dense),
+      t AS (SELECT key, count(*) n, sum(y) s FROM dense GROUP BY 1),
+      g AS (SELECT cum.key, i, d, s1, n, s,
+              CAST(s1 AS DOUBLE)*s1/i + CAST(s - s1 AS DOUBLE)*(s - s1)/(n - i)
+                - CAST(s AS DOUBLE)*s/n AS gain
+            FROM cum JOIN t USING (key) WHERE i < n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY gain DESC, i ASC) rk
+            FROM g)
+      SELECT key, CAST(n AS BIGINT) AS n_days,
+             strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS split_day,
+             round(CAST(s1 AS DOUBLE)/i, 4) AS mean_before_r4,
+             round(CAST(s - s1 AS DOUBLE)/(n - i), 4) AS mean_after_r4,
+             round(gain, 4) AS gain_r4
+      FROM r WHERE rk = 1 ORDER BY key"""))
+
+
+  // 190. COLUMN-CHANGE ATTRIBUTION — which columns changed between
+  // snapshots (v2 = documents with deterministic planted mutations:
+  // lang rewritten for doc_id%7, n_chars bumped for doc_id%11, source
+  // untouched). One join + ONE fused conditional-sum aggregate.
+  val qDiffColumns = QueryDef("q_diff_columns",
+    (s, dir) => {
+      val v1 = table(s, dir, "documents")
+      val v2 = v1.withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, col("n_chars") + 1).otherwise(col("n_chars")))
+      graft.operators.SnapshotDiff.columnChanges(v1, v2, "doc_id",
+          Seq("lang", "source", "n_chars"))
+        .orderBy("column")
+    },
+    Some("""
+      WITH v1 AS (SELECT doc_id, lang, source, n_chars FROM documents),
+      v2 AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+               source,
+               CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+             FROM documents),
+      j AS (SELECT CAST(count(*) AS BIGINT) AS common_ids,
+                   CAST(sum(CASE WHEN v1.lang IS DISTINCT FROM v2.lang THEN 1 ELSE 0 END) AS BIGINT) AS ch_lang,
+                   CAST(sum(CASE WHEN v1.source IS DISTINCT FROM v2.source THEN 1 ELSE 0 END) AS BIGINT) AS ch_source,
+                   CAST(sum(CASE WHEN v1.n_chars IS DISTINCT FROM v2.n_chars THEN 1 ELSE 0 END) AS BIGINT) AS ch_n_chars
+            FROM v1 JOIN v2 USING (doc_id)),
+      u AS (SELECT 'lang' AS "column", common_ids, ch_lang AS changed FROM j
+            UNION ALL SELECT 'source', common_ids, ch_source FROM j
+            UNION ALL SELECT 'n_chars', common_ids, ch_n_chars FROM j)
+      SELECT "column", common_ids, changed,
+             CAST(CASE WHEN common_ids > 0 THEN changed * 10000 // common_ids ELSE 0 END AS BIGINT) AS changed_bp
+      FROM u ORDER BY "column" """))
+
+  val qNewCategories = QueryDef("q_new_categories",
+    (s, dir) => {
+      newCatCache.get(s, dir) {
+        val docs = table(s, dir, "documents")
+        val ref = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        val cur = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "lang")
+          .unionByName(s.createDataFrame(NewCatFixtures).toDF("doc_id", "lang"))
+        graft.operators.SnapshotDiff.newCategories(ref, cur, "lang")
+      }
+    },
+    Some {
+      val fixtureValues = NewCatFixtures.map { case (id, l) => s"($id, '$l')" }
+        .mkString(", ")
+      s"""
+      WITH ref AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+      cur AS (SELECT lang FROM documents WHERE doc_id % 2 != 0
+              UNION ALL SELECT lang FROM (VALUES $fixtureValues) t(doc_id, lang)),
+      c AS (SELECT CAST(lang AS VARCHAR) AS value, count(*) AS rows
+            FROM cur WHERE lang IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(rows) AS total FROM c)
+      SELECT value, CAST(rows AS BIGINT) AS rows,
+             CAST(rows * 10000 // greatest(total, 1) AS BIGINT) AS share_bp
+      FROM c CROSS JOIN t
+      WHERE value NOT IN (SELECT CAST(lang AS VARCHAR) FROM ref WHERE lang IS NOT NULL)
+      ORDER BY rows DESC, value"""
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    qSnapshotDiff,
+    qTsAnomaly,
+    qRollingTrend,
+    qTsGaps,
+    qMixDrift,
+    qCdcApply,
+    qKsDrift,
+    qTsAcf,
+    qProfileDrift,
+    qEwmaTrend,
+    qSeasonality,
+    qScd2,
+    qChi2Drift,
+    qForwardFill,
+    qSeasonalAnomaly,
+    qContractDrift,
+    qVolumeTrend,
+    qChangePoint,
+    qDiffColumns,
+    qNewCategories,
+  )
+}

@@ -1,0 +1,746 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.GraftFunctions
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import QueryDef.table
+
+/** Driver queries: event-sequence / experimentation / survival family
+  * (SURVEY §2 rows 38, 85-86, 90, 107-108, 127, 131, 134, 149,
+  * 153-154, 161, 179, 188, 196, 201, 215, 225, 227, 233). */
+object EventQueries {
+
+  import PipelineShared._
+
+
+  // 38. sessionization (30-min inactivity gap) over the events stream
+  val qSessionize = QueryDef("q_sessionize",
+    (s, dir) => {
+      graft.operators.Sessionize.sessionStats(table(s, dir, "events"),
+          "user_id", "ts", gapMs = 1800000L, tieCol = "event_id")
+        .agg(
+          count(lit(1)).cast(LongType).as("users"),
+          sum("sessions").cast(LongType).as("total_sessions"),
+          sum("events").cast(LongType).as("total_events"),
+          max("sessions").cast(LongType).as("max_sessions_per_user"),
+          max("max_session_events").cast(LongType).as("max_session_events"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, event_id, epoch_ms(ts) tms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+        FROM events),
+      b AS (
+        SELECT user_id, event_id, tms,
+               CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END ns
+        FROM x),
+      sess AS (
+        SELECT user_id,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                             ROWS UNBOUNDED PRECEDING) session_idx
+        FROM b),
+      per_sess AS (
+        SELECT user_id, session_idx, count(*) session_events
+        FROM sess GROUP BY user_id, session_idx),
+      per_user AS (
+        SELECT user_id, max(session_idx) sessions, sum(session_events) events,
+               max(session_events) max_session_events
+        FROM per_sess GROUP BY user_id)
+      SELECT CAST(count(*) AS BIGINT) AS users,
+             CAST(sum(sessions) AS BIGINT) AS total_sessions,
+             CAST(sum(events) AS BIGINT) AS total_events,
+             CAST(max(sessions) AS BIGINT) AS max_sessions_per_user,
+             CAST(max(max_session_events) AS BIGINT) AS max_session_events
+      FROM per_user"""))
+
+
+  // 85. ordered event-sequence conversion funnel over the events
+  // stream: users completing signup, then view STRICTLY after their
+  // first signup, then click after that, then purchase — earliest-
+  // completion semantics, per-step user counts + bp conversion vs the
+  // previous step and vs step 1. Per step: one type-filtered pushed
+  // scan aggregated to <= one row per user + a user-keyed equi-join
+  // with the previous frame; the conversion window runs over the
+  // 4-row summary. Oracle chains the same conditional-min CTEs.
+  val qEventFunnel = QueryDef("q_event_funnel",
+    (s, dir) => {
+      graft.operators.Sessionize.eventFunnel(table(s, dir, "events"),
+          "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx")
+    },
+    Some("""
+      WITH s1 AS (SELECT user_id, min(ts) t FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) t FROM events e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) t FROM events e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+      s4 AS (SELECT e.user_id, min(e.ts) t FROM events e
+             JOIN s3 ON s3.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+      c AS (SELECT 1 AS step_idx, 'signup' AS step, count(*) u FROM s1
+            UNION ALL SELECT 2, 'view', count(*) FROM s2
+            UNION ALL SELECT 3, 'click', count(*) FROM s3
+            UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+             CAST(u AS BIGINT) AS users,
+             CAST(u * 10000 // greatest(coalesce(lag(u) OVER (ORDER BY step_idx), u), 1)
+                  AS BIGINT) AS conv_prev_bp,
+             CAST(u * 10000 // greatest(first_value(u) OVER (ORDER BY step_idx), 1)
+                  AS BIGINT) AS conv_first_bp
+      FROM c ORDER BY step_idx"""))
+
+
+  // 86. day-granularity cohort retention over the events stream: users
+  // cohorted by first-event day, per-offset active fraction in exact
+  // bp — the retention matrix next to the conversion funnel. Cohorts
+  // are non-degenerate at both SFs (2 at sf0.01, 4 at sf0.1). One
+  // per-user min agg + one distinct (user, day) + a user-keyed join +
+  // a (cohort, offset) rollup; linear in events.
+  val qCohortRetention = QueryDef("q_cohort_retention",
+    (s, dir) => {
+      graft.operators.Sessionize.cohortRetention(table(s, dir, "events"),
+          "user_id", "ts", granularity = "day")
+        .orderBy("cohort", "offset_n")
+    },
+    Some("""
+      WITH f AS (SELECT user_id, date_trunc('day', min(ts)) cd
+                 FROM events GROUP BY 1),
+      cs AS (SELECT cd, count(*) cu FROM f GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('day', ts) ab FROM events),
+      r AS (SELECT f.cd, datediff('day', f.cd, a.ab) AS o, count(*) au
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+      SELECT strftime(r.cd, '%Y-%m-%d') AS cohort,
+             CAST(o AS BIGINT) AS offset_n,
+             CAST(cu AS BIGINT) AS cohort_users,
+             CAST(au AS BIGINT) AS active_users,
+             CAST(au * 10000 // cu AS BIGINT) AS retention_bp
+      FROM r JOIN cs USING (cd) ORDER BY 1, 2"""))
+
+
+  // 90. first-order Markov transition matrix over per-user event
+  // sequences: one user-keyed lead window (ties broken by event_id),
+  // then a |types|²-bounded rollup with exact integer row-normalized
+  // probabilities. The oracle replays the identical window + rollup.
+  val qEventTransitions = QueryDef("q_event_transitions",
+    (s, dir) => {
+      graft.operators.Sessionize.eventTransitions(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS ft,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+        FROM events),
+      t AS (SELECT ft, tt, count(*) c FROM seq WHERE tt IS NOT NULL GROUP BY 1, 2)
+      SELECT ft AS from_type, tt AS to_type, CAST(c AS BIGINT) AS transitions,
+             CAST(c * 10000 // sum(c) OVER (PARTITION BY ft) AS BIGINT) AS prob_bp
+      FROM t ORDER BY from_type, to_type"""))
+
+
+  // 106. windowed conversion funnel (ClickHouse windowFunnel
+  // semantics): later steps must land within 48h of the user's
+  // earliest step-1 anchor — tight enough that the window drops users
+  // the unwindowed funnel (q_event_funnel) keeps, so both paths are
+  // distinguishable on the board.
+  val qEventFunnelWindowed = QueryDef("q_event_funnel_windowed",
+    (s, dir) => {
+      graft.operators.Sessionize.eventFunnel(
+          table(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click"), windowMs = Some(48L * 3600 * 1000))
+        .orderBy("step_idx")
+    },
+    Some("""
+      WITH s1 AS (SELECT user_id u, min(ts) t FROM events WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id u, min(e.ts) t, min(s1.t) t0
+             FROM events e JOIN s1 ON e.user_id = s1.u
+             WHERE e.event_type = 'view' AND e.ts > s1.t
+               AND epoch_ms(e.ts) <= epoch_ms(s1.t) + 172800000
+             GROUP BY 1),
+      s3 AS (SELECT e.user_id u, min(e.ts) t
+             FROM events e JOIN s2 ON e.user_id = s2.u
+             WHERE e.event_type = 'click' AND e.ts > s2.t
+               AND epoch_ms(e.ts) <= epoch_ms(s2.t0) + 172800000
+             GROUP BY 1),
+      c AS (
+        SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS users
+        UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)),
+      w AS (
+        SELECT step_idx, step, users,
+               greatest(coalesce(lag(users) OVER (ORDER BY step_idx), users), 1) prev,
+               greatest(first_value(users) OVER (ORDER BY step_idx), 1) frst
+        FROM c)
+      SELECT CAST(step_idx AS BIGINT) AS step_idx, step, CAST(users AS BIGINT) AS users,
+             CAST(users * 10000 // prev AS BIGINT) AS conv_prev_bp,
+             CAST(users * 10000 // frst AS BIGINT) AS conv_first_bp
+      FROM w ORDER BY step_idx"""))
+
+
+  // 107. DAU/MAU stickiness per calendar month, exact integer bp over
+  // one distinct (user, day) projection.
+  val qStickiness = QueryDef("q_stickiness",
+    (s, dir) => {
+      graft.operators.Sessionize.stickiness(
+          table(s, dir, "events"), "user_id", "ts")
+        .orderBy("month")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id u, CAST(date_trunc('day', ts) AS DATE) d FROM events),
+      daily AS (
+        SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS days, CAST(sum(dau) AS BIGINT) AS sum_dau
+        FROM (SELECT d, count(*) dau FROM ud GROUP BY 1) GROUP BY 1),
+      monthly AS (
+        SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+               CAST(count(DISTINCT u) AS BIGINT) AS mau
+        FROM ud GROUP BY 1)
+      SELECT month, days, sum_dau, mau,
+             CAST(sum_dau * 10000 // (days * mau) AS BIGINT) AS stickiness_bp
+      FROM daily JOIN monthly USING (month) ORDER BY month"""))
+
+
+  // 215. Churn/return labels at a 7-day horizon: per (user, active
+  // day), did the user come back within 7 days; censored marks
+  // horizon-past-corpus-end observations (training on them as
+  // negatives is the truncation-leakage bug).
+  val qChurnLabels = QueryDef("q_churn_labels",
+    (s, dir) => {
+      graft.operators.Sessionize.churnLabels(
+          table(s, dir, "events"), "user_id", "ts", horizonDays = 7)
+        .select(col("user").as("user_id"), col("day"), col("next_day"),
+          col("returned"), col("censored"))
+        .orderBy("user_id", "day")
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      m AS (SELECT max(d) AS maxd FROM d),
+      l AS (SELECT u, d, lead(d) OVER (PARTITION BY u ORDER BY d) AS nxt FROM d)
+      SELECT l.u AS user_id, strftime(l.d, '%Y-%m-%d') AS day,
+             strftime(l.nxt, '%Y-%m-%d') AS next_day,
+             (l.nxt IS NOT NULL AND datediff('day', l.d, l.nxt) <= 7) AS returned,
+             (datediff('day', l.d, m.maxd) < 7) AS censored
+      FROM l, m ORDER BY 1, 2"""))
+
+
+  // 225. Kaplan–Meier time-to-return survival curve with
+  // right-censoring at the corpus end — survival as a fixed-point
+  // integer recurrence (scaled 1e8, floor division per step) so both
+  // engines replay the identical rounded product: ours as an
+  // aggregate() fold, the oracle as a recursive CTE.
+  val qKaplanMeier = QueryDef("q_kaplan_meier",
+    (s, dir) => {
+      // 1-in-37 sparsified visit stream: on the full stream nearly
+      // every user returns next day and the curve has 3 points; the
+      // sparse stream spreads gaps across the calendar (23 points)
+      graft.operators.Sessionize.kaplanMeier(
+          table(s, dir, "events").filter(col("event_id") % 37 === 0),
+          "user_id", "ts")
+        .orderBy("t")
+    },
+    Some("""
+      WITH RECURSIVE dd AS (
+        SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS dy
+        FROM events WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+      m AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS maxd
+            FROM events
+            WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+      r AS (SELECT u, dy, row_number() OVER (PARTITION BY u ORDER BY dy) AS rn FROM dd),
+      pu AS (SELECT u, min(CASE WHEN rn = 1 THEN dy END) AS d0,
+                    min(CASE WHEN rn = 2 THEN dy END) AS nxt
+             FROM r WHERE rn <= 2 GROUP BY 1),
+      pe AS (SELECT CASE WHEN nxt IS NOT NULL THEN datediff('day', d0, nxt)
+                         ELSE datediff('day', d0, m.maxd) END AS e,
+                    (nxt IS NOT NULL) AS ev
+             FROM pu, m),
+      pf AS (SELECT e, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS ev_d,
+                    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS ev_c
+             FROM pe WHERE e >= 1 GROUP BY 1),
+      tf AS (SELECT e AS t, ev_d, ev_c,
+                    sum(ev_d + ev_c) OVER (ORDER BY e DESC) AS n
+             FROM pf),
+      km AS (
+        SELECT t, ev_d, ev_c, n, (100000000 * (n - ev_d)) // n AS s
+        FROM tf WHERE t = (SELECT min(t) FROM tf)
+        UNION ALL
+        SELECT tf.t, tf.ev_d, tf.ev_c, tf.n, (km.s * (tf.n - tf.ev_d)) // tf.n
+        FROM km JOIN tf ON tf.t = (SELECT min(t2.t) FROM tf t2 WHERE t2.t > km.t))
+      SELECT CAST(t AS BIGINT) AS t, CAST(n AS BIGINT) AS at_risk,
+             CAST(ev_d AS BIGINT) AS events, CAST(ev_c AS BIGINT) AS censored,
+             CAST(ev_d * 10000 // n AS BIGINT) AS hazard_bp,
+             CAST(s AS BIGINT) AS survival_e8
+      FROM km ORDER BY t"""))
+
+  val qAbCuped = QueryDef("q_ab_cuped",
+    (s, dir) => {
+      cupedCache.get(s, dir) {
+        val ev = table(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        val mid = ev.agg(date_add(to_date(date_trunc("day", min(col("ts")))), 15)
+          .as("__mid"))
+        val users = ev.crossJoin(broadcast(mid))
+          .groupBy("user_id")
+          .agg(sum(when(to_date(date_trunc("day", col("ts"))) < col("__mid"), 1L)
+              .otherwise(0L)).as("x"),
+            sum(when(to_date(date_trunc("day", col("ts"))) >= col("__mid"), 1L)
+              .otherwise(0L)).as("y"))
+        val armed = graft.operators.Sampling.portableSplit(
+          users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+        graft.operators.Sessionize.abCuped(armed, "split", "x", "y")
+      }
+    },
+    Some("""
+      WITH m AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) + 15 AS mid
+                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      u AS (SELECT user_id,
+                   sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) < mid THEN 1 ELSE 0 END) AS x,
+                   sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) >= mid THEN 1 ELSE 0 END) AS y,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                        THEN 'a' ELSE 'b' END AS arm
+            FROM events, m
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id, mid),
+      sm AS (SELECT count(*) AS n,
+                    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                    sum(x * x) AS sxx, sum(y * y) AS syy,
+                    sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                    sum(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS sxa,
+                    sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
+                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+                    sum(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS sxb,
+                    sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb
+             FROM u),
+      d AS (SELECT *,
+                   n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+                   n * sxy - sx * sy AS cxy
+            FROM sm),
+      t AS (SELECT *,
+                   CASE WHEN vx > 0 THEN CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE) END AS theta
+            FROM d)
+      SELECT 'a' AS arm_a, 'b' AS arm_b,
+             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
+             round(theta, 6) AS theta_r6,
+             round(CAST(sya AS DOUBLE) / na, 6) AS raw_a_r6,
+             round(CAST(syb AS DOUBLE) / nb, 6) AS raw_b_r6,
+             round((CAST(sya AS DOUBLE) - coalesce(theta, 0.0) *
+                    (CAST(sxa AS DOUBLE) - CAST(na AS DOUBLE) * CAST(sx AS DOUBLE) / n)) / na, 6) AS adj_a_r6,
+             round((CAST(syb AS DOUBLE) - coalesce(theta, 0.0) *
+                    (CAST(sxb AS DOUBLE) - CAST(nb AS DOUBLE) * CAST(sx AS DOUBLE) / n)) / nb, 6) AS adj_b_r6,
+             round(CASE WHEN vx > 0 AND vy > 0
+                        THEN CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) /
+                             (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END, 6) AS var_reduction_r6
+      FROM t"""))
+
+  val qLogRank = QueryDef("q_log_rank",
+    (s, dir) => {
+      logRankCache.get(s, dir) {
+        val ev = table(s, dir, "events").filter(col("event_id") % 37 === 0)
+        val armed = graft.operators.Sampling.portableSplit(
+          ev, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+        graft.operators.Sessionize.logRank(armed, "user_id", "ts", "split")
+      }
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events
+        WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+      dd AS (SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS dy FROM ev),
+      m AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS maxd FROM ev),
+      ar AS (SELECT user_id AS u, min(arm) AS arm FROM ev GROUP BY 1),
+      r AS (SELECT u, dy, row_number() OVER (PARTITION BY u ORDER BY dy) AS rn FROM dd),
+      pu AS (SELECT u, min(CASE WHEN rn = 1 THEN dy END) AS d0,
+                    min(CASE WHEN rn = 2 THEN dy END) AS nxt
+             FROM r WHERE rn <= 2 GROUP BY 1),
+      pe AS (SELECT CASE WHEN nxt IS NOT NULL THEN datediff('day', d0, nxt)
+                         ELSE datediff('day', d0, m.maxd) END AS e,
+                    (nxt IS NOT NULL) AS evf, ar.arm
+             FROM pu JOIN ar ON pu.u = ar.u, m),
+      pt AS (SELECT e AS t,
+                    sum(CASE WHEN evf AND arm = 'a' THEN 1 ELSE 0 END) AS da,
+                    sum(CASE WHEN NOT evf AND arm = 'a' THEN 1 ELSE 0 END) AS ca,
+                    sum(CASE WHEN evf AND arm = 'b' THEN 1 ELSE 0 END) AS db,
+                    sum(CASE WHEN NOT evf AND arm = 'b' THEN 1 ELSE 0 END) AS cb
+             FROM pe WHERE e >= 1 GROUP BY 1),
+      sx AS (SELECT t, da, ca, db, cb,
+                    sum(da + ca) OVER (ORDER BY t DESC) AS na,
+                    sum(db + cb) OVER (ORDER BY t DESC) AS nb
+             FROM pt),
+      ct AS (SELECT *, na + nb AS n, da + db AS d FROM sx),
+      f AS (SELECT da, ca, db, cb,
+                   (d * na * 1000000) // n AS ea,
+                   CASE WHEN n > 1
+                        THEN ((d * na * nb // n) * (n - d) * 1000000) // (n * n - n)
+                        ELSE 0 END AS va
+            FROM ct),
+      agg AS (SELECT CAST(coalesce(sum(da + ca), 0) AS BIGINT) AS users_a,
+                     CAST(coalesce(sum(db + cb), 0) AS BIGINT) AS users_b,
+                     CAST(coalesce(sum(da), 0) AS BIGINT) AS observed_a,
+                     CAST(coalesce(sum(ea), 0) AS BIGINT) AS expected_a_e6,
+                     CAST(coalesce(sum(va), 0) AS BIGINT) AS variance_e6
+              FROM f)
+      SELECT 'a' AS arm_a, 'b' AS arm_b, users_a, users_b, observed_a,
+             expected_a_e6, variance_e6,
+             CASE WHEN variance_e6 > 0
+                  THEN round((observed_a * 1000000 - expected_a_e6) /
+                             sqrt(variance_e6 * 1000000.0), 4) END AS z_r4
+      FROM agg"""))
+
+  val qEventLift = QueryDef("q_event_lift",
+    (s, dir) => {
+      // sparsified 1-in-7 slice: the full board has every user holding
+      // every type (all lifts exactly 1.0 — a vacuous check)
+      liftCache.get(s, dir)(graft.operators.Sessionize.typeCooccurrence(
+          table(s, dir, "events").filter(pmod(col("event_id"), lit(7)) === 0),
+          "user_id", "event_type"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""
+      WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events
+                  WHERE event_type IS NOT NULL AND event_id % 7 = 0),
+      n AS (SELECT count(DISTINCT u) AS n FROM ut),
+      per AS (SELECT t, count(*) AS c FROM ut GROUP BY 1),
+      p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS nb
+            FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+      SELECT type_a, type_b, CAST(nb AS BIGINT) AS users_both,
+             CAST(ca.c AS BIGINT) AS users_a, CAST(cb.c AS BIGINT) AS users_b,
+             CAST(nb * 10000 // n.n AS BIGINT) AS support_bp,
+             round(CAST(nb AS DOUBLE) * n.n /
+                   (CAST(ca.c AS DOUBLE) * cb.c), 4) AS lift_r4
+      FROM p JOIN per ca ON ca.t = p.type_a JOIN per cb ON cb.t = p.type_b
+      CROSS JOIN n ORDER BY type_a, type_b"""))
+
+
+  // 131. inter-arrival cadence: exact disc p50/p90 gap seconds per
+  // event type — "how often between events", next to retention.
+  val qEventCadence = QueryDef("q_event_cadence",
+    (s, dir) => {
+      graft.operators.Sessionize.interArrival(
+          table(s, dir, "events"), "user_id", "ts", "event_type")
+        .orderBy("key")
+    },
+    Some("""
+      WITH e AS (SELECT event_type AS k, user_id AS u,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+      g AS (SELECT k, s - lag(s) OVER (PARTITION BY k, u ORDER BY s) AS gap
+            FROM e),
+      q AS (SELECT k, gap, row_number() OVER (PARTITION BY k ORDER BY gap) AS rn,
+                   count(*) OVER (PARTITION BY k) AS n
+            FROM g WHERE gap IS NOT NULL)
+      SELECT k AS key, CAST(count(*) AS BIGINT) AS gaps,
+             CAST(min(CASE WHEN rn >= greatest(1, (5000 * n + 9999) // 10000)
+                           THEN gap END) AS BIGINT) AS p50_gap_s,
+             CAST(min(CASE WHEN rn >= greatest(1, (9000 * n + 9999) // 10000)
+                           THEN gap END) AS BIGINT) AS p90_gap_s
+      FROM q GROUP BY 1 ORDER BY 1"""))
+
+  val qRollingUsers = QueryDef("q_rolling_users",
+    (s, dir) => {
+      rollingUsersCache.get(s, dir)(graft.operators.Sessionize.rollingActiveUsers(
+          table(s, dir, "events"), "user_id", "ts", windowDays = 7))
+        .orderBy("day")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+      mx AS (SELECT max(d) AS m FROM ud),
+      cover AS (SELECT DISTINCT u,
+                       unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day
+                FROM ud),
+      r AS (SELECT day, count(*) AS rolling FROM cover, mx WHERE day <= mx.m GROUP BY 1),
+      dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1)
+      SELECT strftime(r.day, '%Y-%m-%d') AS day,
+             CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+             CAST(r.rolling AS BIGINT) AS rolling_users,
+             CAST(coalesce(dau.dau, 0) * 10000 // r.rolling AS BIGINT) AS ratio_bp
+      FROM r LEFT JOIN dau ON r.day = dau.day
+      ORDER BY day"""))
+
+
+  // 149. turn-structure audit: role-run shape per user (the chat-corpus
+  // alternation validator), windows replayed verbatim.
+  val qTurnAudit = QueryDef("q_turn_audit",
+    (s, dir) => {
+      graft.operators.Sessionize.turnAudit(
+          table(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .orderBy("id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id AS id, event_type AS role, ts AS v, event_id AS t
+                 FROM events),
+      m AS (SELECT *, row_number() OVER w AS rn,
+              CASE WHEN row_number() OVER w = 1
+                     OR lag(role) OVER w IS DISTINCT FROM role THEN 1 ELSE 0 END AS chg
+            FROM e WINDOW w AS (PARTITION BY id ORDER BY v, t)),
+      r AS (SELECT *, sum(chg) OVER (PARTITION BY id ORDER BY v, t
+              ROWS UNBOUNDED PRECEDING) AS run FROM m),
+      runs AS (SELECT id, run, count(*) AS len FROM r GROUP BY 1, 2),
+      rr AS (SELECT id, max(len) AS max_run, count(*) AS n_runs FROM runs GROUP BY 1),
+      agg AS (SELECT id, count(*) AS n_turns, count(DISTINCT role) AS distinct_roles,
+                     sum(chg) - 1 AS switches,
+                     arg_min(role, rn) AS first_role, arg_max(role, rn) AS last_role
+              FROM r GROUP BY id)
+      SELECT agg.id, CAST(n_turns AS BIGINT) AS n_turns,
+             CAST(distinct_roles AS BIGINT) AS distinct_roles,
+             CAST(switches AS BIGINT) AS switches, first_role, last_role,
+             CAST(max_run AS BIGINT) AS max_run, CAST(n_runs AS BIGINT) AS n_runs,
+             CASE WHEN n_turns > 1
+                  THEN CAST(switches * 10000 // (n_turns - 1) AS BIGINT) END AS alternation_bp
+      FROM agg JOIN rr ON agg.id = rr.id ORDER BY agg.id"""))
+
+
+  // 153. top opening session paths (30-min gap, first 3 steps): the
+  // ordered string_agg replayed on both engines, ties at the cut by
+  // the lexicographically smaller path.
+  val qTopPaths = QueryDef("q_top_paths",
+    (s, dir) => {
+      graft.operators.Sessionize.topPaths(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          gapMs = 1800000L, maxSteps = 3, topK = 15)
+        .orderBy(col("sessions").desc, col("path"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id AS u, ts AS v, event_id AS t, event_type AS et
+                 FROM events),
+      b AS (SELECT *, CASE WHEN lag(v) OVER w IS NULL
+                             OR epoch_ms(v) - epoch_ms(lag(v) OVER w) > 1800000
+                           THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY u ORDER BY v, t)),
+      sess AS (SELECT *, sum(brk) OVER (PARTITION BY u ORDER BY v, t
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+      rn AS (SELECT *, row_number() OVER (PARTITION BY u, sid ORDER BY v, t) AS r
+             FROM sess),
+      paths AS (SELECT u, sid, string_agg(et, ' > ' ORDER BY r) AS path
+                FROM rn WHERE r <= 3 GROUP BY 1, 2),
+      c AS (SELECT path, count(*) AS sessions FROM paths GROUP BY 1),
+      tot AS (SELECT sum(sessions) AS tt FROM c)
+      SELECT path, CAST(sessions AS BIGINT) AS sessions,
+             CAST(sessions * 10000 // tt AS BIGINT) AS share_bp
+      FROM c, tot ORDER BY sessions DESC, path LIMIT 15"""))
+
+
+  // 154. conversion latency view→purchase: exact integer milliseconds,
+  // never-converted users kept with NULL latency.
+  val qConversionLatency = QueryDef("q_conversion_latency",
+    (s, dir) => {
+      graft.operators.Sessionize.conversionLatency(
+          table(s, dir, "events"), "user_id", "ts", "event_type",
+          fromType = "view", toType = "purchase")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH f AS (SELECT user_id, min(ts) AS from_ts FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      t AS (SELECT e.user_id, min(e.ts) AS to_ts
+            FROM events e JOIN f ON e.user_id = f.user_id AND e.ts >= f.from_ts
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT f.user_id, f.from_ts, t.to_ts,
+             CAST(epoch_ms(t.to_ts) - epoch_ms(f.from_ts) AS BIGINT) AS latency_ms,
+             (t.to_ts IS NOT NULL) AS converted
+      FROM f LEFT JOIN t ON f.user_id = t.user_id ORDER BY f.user_id"""))
+
+
+  // 161. active-time coverage (10-min hold): merged-interval union per
+  // user in exact integer milliseconds — the engagement denominator
+  // raw counts inflate.
+  val qActiveTime = QueryDef("q_active_time",
+    (s, dir) => {
+      graft.operators.Sessionize.activeTimeCoverage(
+          table(s, dir, "events"), "user_id", "ts", "event_id", holdMs = 600000L)
+        .orderBy("key")
+    },
+    Some("""
+      WITH e AS (SELECT user_id AS key, epoch_ms(ts) AS s, event_id AS t FROM events),
+      x AS (SELECT *, s + 600000 AS e2,
+              max(s + 600000) OVER (PARTITION BY key ORDER BY s, t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM e),
+      n AS (SELECT *, CASE WHEN pm IS NULL OR s >= pm THEN 1 ELSE 0 END AS nw FROM x),
+      iv AS (SELECT *, sum(nw) OVER (PARTITION BY key ORDER BY s, t
+               ROWS UNBOUNDED PRECEDING) AS ivid FROM n),
+      g AS (SELECT key, ivid, count(*) AS n, min(s) AS lo, max(e2) AS hi
+            FROM iv GROUP BY 1, 2)
+      SELECT key, CAST(sum(n) AS BIGINT) AS raw_events,
+             CAST(count(*) AS BIGINT) AS merged_intervals,
+             CAST(sum(hi - lo) AS BIGINT) AS active_ms
+      FROM g GROUP BY key ORDER BY key"""))
+
+
+  // 179. A/B conversion readout: 50/50 portable split, purchase
+  // conversion per arm, pooled two-proportion z at r4 — every input an
+  // exact integer.
+  val qAbTest = QueryDef("q_ab_test",
+    (s, dir) => {
+      graft.operators.Sessionize.abTestReport(
+        table(s, dir, "events"), "user_id", "event_type", "purchase")
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                        THEN 'a' ELSE 'b' END AS v,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY 1, 2),
+      arms AS (SELECT v, count(*) n, sum(conv) c FROM u GROUP BY 1),
+      a AS (SELECT n AS na, c AS ca FROM arms WHERE v = 'a'),
+      b AS (SELECT n AS nb, c AS cb FROM arms WHERE v = 'b')
+      SELECT CAST(na AS BIGINT) AS users_a, CAST(ca AS BIGINT) AS conv_a,
+             CAST(nb AS BIGINT) AS users_b, CAST(cb AS BIGINT) AS conv_b,
+             CAST(ca * 10000 // na AS BIGINT) AS rate_a_bp,
+             CAST(cb * 10000 // nb AS BIGINT) AS rate_b_bp,
+             CASE WHEN (ca + cb) > 0 AND (ca + cb) < (na + nb) THEN
+               round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) /
+                     sqrt((CAST(ca + cb AS DOUBLE)/(na + nb))
+                          * (1 - CAST(ca + cb AS DOUBLE)/(na + nb))
+                          * (1.0/na + 1.0/nb)), 4) END AS z_r4
+      FROM a, b"""))
+
+
+  // 182. conversion-latency quantiles — rows 154 + 110 composed: the
+  // distribution summary an SLA reads, exact disc percentiles over the
+  // converted users' integer-ms latencies.
+  val qLatencyQuantiles = QueryDef("q_latency_quantiles",
+    (s, dir) => {
+      val lat = graft.operators.Sessionize.conversionLatency(
+          table(s, dir, "events"), "user_id", "ts", "event_type",
+          "view", "purchase")
+        .filter(col("converted"))
+      graft.operators.Profile.groupQuantiles(
+          lat.withColumn("g", lit("all")), "g", "latency_ms",
+          Seq(2500, 5000, 9000))
+        .orderBy("q_bp")
+    },
+    Some("""
+      WITH f AS (SELECT user_id, min(ts) AS from_ts FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      t AS (SELECT e.user_id, min(e.ts) AS to_ts
+            FROM events e JOIN f ON e.user_id = f.user_id AND e.ts >= f.from_ts
+            WHERE e.event_type = 'purchase' GROUP BY 1),
+      lat AS (SELECT epoch_ms(t.to_ts) - epoch_ms(f.from_ts) AS l
+              FROM f JOIN t ON f.user_id = t.user_id)
+      SELECT 'all' AS "group", q_bp, "value" FROM (
+        SELECT CAST(2500 AS BIGINT) q_bp,
+               CAST(quantile_disc(l, 0.25) AS DOUBLE) AS "value" FROM lat
+        UNION ALL SELECT 5000, CAST(quantile_disc(l, 0.50) AS DOUBLE) FROM lat
+        UNION ALL SELECT 9000, CAST(quantile_disc(l, 0.90) AS DOUBLE) FROM lat)
+      ORDER BY q_bp"""))
+
+  val qSequenceSurprise = QueryDef("q_sequence_surprise",
+    (s, dir) => {
+      surpriseCache.get(s, dir)(graft.operators.Sessionize.sequenceSurprise(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id"))
+        .filter(col("user_id") < 50)
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH p AS (SELECT user_id, event_type AS f,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+                 FROM events WHERE event_type IS NOT NULL),
+      pp AS (SELECT * FROM p WHERE t IS NOT NULL),
+      bg AS (SELECT f, t, count(*) AS c_bg FROM pp GROUP BY 1, 2),
+      mg AS (SELECT f, count(*) AS c_f FROM pp GROUP BY 1),
+      v AS (SELECT count(DISTINCT event_type) AS v FROM events),
+      sc AS (SELECT user_id, ln((c_bg + 1) * 1.0 / (c_f + v)) AS logp
+             FROM pp JOIN bg USING (f, t) JOIN mg USING (f) CROSS JOIN v)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS transitions,
+             round(-avg(logp), 4) AS surprise_r4
+      FROM sc WHERE user_id < 50 GROUP BY 1 ORDER BY 1"""))
+
+
+  // 196. A/B POWER ANALYSIS — required users per arm at 5%/80% for a
+  // grid of MDEs against the measured big-ticket-purchase baseline
+  // (value ≥ 150 — plain "any purchase" converts EVERY user in this
+  // corpus, a degenerate p=1 baseline the operator now refuses with
+  // NULL): the planning readout that should precede row 179's z-test.
+  // All inputs exact integers; the closed-form n replays
+  // double-for-double.
+  val qAbPower = QueryDef("q_ab_power",
+    (s, dir) => {
+      graft.operators.Sessionize.abPowerReport(
+        table(s, dir, "events"), "user_id",
+        col("event_type") === "purchase" && col("value") >= 150.0,
+        Seq(100, 200, 500))
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' AND "value" >= 150.0
+                       THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY 1),
+      t AS (SELECT count(*) AS users, sum(conv) AS converted FROM u),
+      m AS (SELECT unnest([100, 200, 500]) AS mde_bp),
+      x AS (SELECT CAST(mde_bp AS BIGINT) AS mde_bp, users, converted,
+                   CAST(converted AS DOUBLE) / users AS p1,
+                   CAST(converted AS DOUBLE) / users + CAST(mde_bp AS DOUBLE) / 10000.0 AS p2,
+                   CAST(mde_bp AS DOUBLE) / 10000.0 AS d
+            FROM t CROSS JOIN m)
+      SELECT mde_bp,
+             CAST(converted * 10000 // users AS BIGINT) AS baseline_bp,
+             CAST(users AS BIGINT) AS users, CAST(converted AS BIGINT) AS converted,
+             CAST(CASE WHEN p1 > 0.0 AND p1 < 1.0 AND p2 < 1.0 THEN
+               ceil(2.801585 * 2.801585 *
+                 (p1 * (1 - p1) + p2 * (1 - p2)) / (d * d)) END AS BIGINT) AS n_per_arm
+      FROM x ORDER BY mde_bp"""))
+
+
+  // 201. FIRST/LAST-TOUCH ATTRIBUTION — which channel gets conversion
+  // credit under both standard models at once; "(none)" keeps
+  // untouched conversions in the total. One window pass (the two
+  // frame scans ride one sort), one rollup.
+  val qAttribution = QueryDef("q_attribution",
+    (s, dir) => {
+      graft.operators.Sessionize.touchAttribution(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          "purchase")
+        .orderBy("channel")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, ts, event_id, event_type,
+                   first_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+                   last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+                 FROM events),
+      conv AS (SELECT coalesce(f, '(none)') AS f, coalesce(l, '(none)') AS l
+               FROM e WHERE event_type = 'purchase'),
+      x AS (SELECT 'f' AS m, f AS channel FROM conv
+            UNION ALL SELECT 'l', l FROM conv)
+      SELECT channel,
+             CAST(sum(CASE WHEN m = 'f' THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+             CAST(sum(CASE WHEN m = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
+      FROM x GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(
+    qSessionize,
+    qEventFunnel,
+    qCohortRetention,
+    qEventTransitions,
+    qEventFunnelWindowed,
+    qStickiness,
+    qChurnLabels,
+    qKaplanMeier,
+    qAbCuped,
+    qLogRank,
+    qEventLift,
+    qEventCadence,
+    qRollingUsers,
+    qTurnAudit,
+    qTopPaths,
+    qConversionLatency,
+    qActiveTime,
+    qAbTest,
+    qLatencyQuantiles,
+    qSequenceSurprise,
+    qAbPower,
+    qAttribution,
+  )
+}

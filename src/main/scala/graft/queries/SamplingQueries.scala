@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.GraftFunctions
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import QueryDef.table
+
+/** Driver queries: splits / sampling / packing / shard-export family
+  * (SURVEY §2 rows 39, 54, 58, 65, 74, 80, 102, 109, 111, 120, 125,
+  * 159, 202). */
+object SamplingQueries {
+
+  import PipelineShared._
+
+
+  // 39. reproducible train/val/test split (modulo variant for the oracle;
+  //     hashSplit is the production default)
+  val qSplitAssign = QueryDef("q_split_assign",
+    (s, dir) => {
+      graft.operators.Sampling.moduloSplit(table(s, dir, "events"), "user_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).cast(LongType).as("events"),
+          countDistinct(col("user_id")).cast(LongType).as("users"))
+        .orderBy("split")
+    },
+    Some("""
+      SELECT CASE WHEN user_id % 10000 < 8000 THEN 'train'
+                  WHEN user_id % 10000 < 9000 THEN 'val' ELSE 'test' END AS split,
+             CAST(count(*) AS BIGINT) AS events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      FROM events GROUP BY 1 ORDER BY split"""))
+
+
+  // 56. sequence packing: per-source token-budget bins over the
+  // documents, doc-id order — the chunk-then-pack step that fills
+  // training context windows. Oracle replays the exclusive-prefix-sum
+  // window in DuckDB.
+  val qPackBins = QueryDef("q_pack_bins",
+    (s, dir) => {
+      val withTokens = table(s, dir, "documents")
+        .withColumn("n_tokens", TextFns.wsTokenCount(col("text")).cast(LongType))
+      graft.operators.Sampling.packBins(withTokens, "source", "doc_id", "n_tokens", budget = 4000L)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum("n_tokens").cast(LongType).as("bin_tokens"))
+        .orderBy("source", "bin")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) n_tokens
+        FROM documents),
+      b AS (
+        SELECT source, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens) // 4000 AS bin
+        FROM t)
+      SELECT source, CAST(bin AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+
+  // 52. per-source quota sampling — the oracle checks the quota
+  // PROPERTY (per-key counts = min(n, quota)); which rows survive is
+  // hash-ranked and spec-tested for determinism
+  val qQuotaSample = QueryDef("q_quota_sample",
+    (s, dir) => {
+      graft.operators.Sampling.quotaPerKey(table(s, dir, "documents"),
+          "source", quota = 25, tieCol = "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("kept"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, CAST(least(count(*), 25) AS BIGINT) AS kept
+      FROM documents GROUP BY source ORDER BY source"""))
+
+
+  // 39b. domain-mix sampling: a 100-doc sample at a declared language
+  // recipe (40% en / 20% de / 20% fr / 10% es / 10% zh), winners chosen
+  // by portable md5 rank so the oracle replays the exact selection —
+  // not just the counts (contrast q_quota_sample's counts-only check).
+  val qMixSample = QueryDef("q_mix_sample",
+    (s, dir) => {
+      graft.operators.Sampling.mixSample(table(s, dir, "documents"),
+          "lang", Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+            "es" -> 0.1, "zh" -> 0.1), budget = 100, tieCol = "doc_id")
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) rk
+        FROM documents)
+      SELECT lang, doc_id FROM r
+      WHERE (lang = 'en' AND rk <= 40) OR (lang = 'de' AND rk <= 20)
+         OR (lang = 'fr' AND rk <= 20) OR (lang = 'es' AND rk <= 10)
+         OR (lang = 'zh' AND rk <= 10)
+      ORDER BY lang, doc_id"""))
+
+
+  // 39c. temperature-scaled mixture recipe (XLM-R/mT5 α-sampling):
+  // the DATA-driven recipe builder feeding q_mix_sample's declared
+  // weights — per-source q_i ∝ p_i^0.3, upsample = q_i/p_i. Rounding
+  // (6 dp shares, 4 dp upsample) absorbs libm pow/summation-order
+  // differences between the JVM and DuckDB; counts are exact.
+  val qMixTemperature = QueryDef("q_mix_temperature",
+    (s, dir) => {
+      graft.operators.Sampling.temperatureWeights(
+          table(s, dir, "documents"), "source", alpha = 0.3)
+        .drop("weight")
+        .orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT source AS key, count(*) n_rows FROM documents GROUP BY 1),
+      t AS (SELECT sum(n_rows) n FROM c),
+      p AS (SELECT key, n_rows, n_rows * 1.0 / n AS pn,
+                   pow(n_rows * 1.0 / n, 0.3) AS q
+            FROM c CROSS JOIN t),
+      z AS (SELECT sum(q) z FROM p)
+      SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+             round(pn, 6) AS p_nat_r6,
+             round(q / z, 6) AS weight_r6,
+             round(q / z / pn, 4) AS upsample_r4
+      FROM p CROSS JOIN z ORDER BY key"""))
+
+
+  // 65. dedup-aware (group-consistent) splits: every member of a
+  // near-dup cluster (same bp>=2000 pair list as q_dedup_groups) lands
+  // in the same split — the leakage-prevention step a per-doc split
+  // misses. Assignment buckets md5("<coalesce(component, doc_id)>:42")
+  // (portable AND uniform — doc ids count up from 0, so a raw modulo
+  // would land the whole corpus in 'train'); the oracle replays
+  // components, the md5 bucket, and the threshold CASE.
+  val qSplitByGroup = QueryDef("q_split_by_group",
+    (s, dir) => {
+      // collapsed pair source — same reasoning as q_dedup_canonical
+      val pairs = sharedCollapsedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.Curation.groupConsistentSplit(
+          table(s, dir, "documents"), "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          countDistinct(col("dup_group")).cast(LongType).as("clusters"),
+          sum(when(col("dup_group").isNotNull, 1L).otherwise(0L))
+            .cast(LongType).as("grouped_docs"))
+        .orderBy("split")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      ),
+      comp AS (SELECT s AS id, min(d) AS component FROM reach GROUP BY s),
+      k AS (SELECT d.doc_id, c.component,
+                   ('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 bkt
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      a AS (SELECT component,
+                   CASE WHEN bkt < 8000 THEN 'train'
+                        WHEN bkt < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM k)
+      SELECT split, CAST(count(*) AS BIGINT) AS docs,
+             CAST(count(DISTINCT component) AS BIGINT) AS clusters,
+             CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS grouped_docs
+      FROM a GROUP BY 1 ORDER BY 1"""))
+
+  val qExportShards = QueryDef("q_export_shards",
+    (s, dir) => {
+      graft.operators.Sampling.shardManifest(shardedCorpus(s, dir), "__tok")
+        .orderBy("shard")
+    },
+    Some(ShardManifestOracle))
+
+  val qExportRoundtrip = QueryDef("q_export_roundtrip",
+    (s, dir) => {
+      val outDir = shardExportDirs.get(s, dir) {
+        val path = "target/shard_export/" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        shardedCorpus(s, dir)
+          .select(col("doc_id"), col("__tok"), col("pos"), col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(path)
+        path
+      }
+      // partition-column type inference reads `shard` back as int —
+      // restore the manifest's long type
+      val back = s.read.parquet(outDir)
+        .withColumn("shard", col("shard").cast(LongType))
+      graft.operators.Sampling.shardManifest(back, "__tok").orderBy("shard")
+    },
+    Some(ShardManifestOracle))
+
+
+  // 102. group-aware k-fold CV assignment: portable md5 fold per user,
+  // per-fold user/event totals. The oracle replays the md5 bucket.
+  val qMlKfold = QueryDef("q_ml_kfold",
+    (s, dir) => {
+      graft.operators.Sampling.kFold(table(s, dir, "events"), "user_id", k = 5)
+        .groupBy("fold")
+        .agg(countDistinct("user_id").cast(LongType).as("users"),
+          count(lit(1)).cast(LongType).as("events"))
+        .orderBy("fold")
+    },
+    Some("""
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 5 AS fold,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             CAST(count(*) AS BIGINT) AS events
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+
+  // 108. deterministic contrastive negative sampling: 3 affine-scatter
+  // negatives per anchor over the contiguous embedding id space —
+  // plain integer arithmetic, so the oracle replays every draw.
+  val qNegativeSample = QueryDef("q_negative_sample",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val n = emb.count()
+      graft.operators.Sampling.negativePairs(
+          emb.filter(col("vec_id") < 20), "vec_id", n, k = 3)
+        .orderBy("anchor", "j")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) n FROM embeddings),
+      a AS (SELECT vec_id AS anchor FROM embeddings WHERE vec_id < 20),
+      d AS (
+        SELECT anchor, j,
+               (anchor * 2654435761 + j * 40503 + 42) % n.n AS raw
+        FROM a, n, (VALUES (1), (2), (3)) js(j))
+      SELECT anchor, CAST(j AS BIGINT) AS j,
+             CAST(CASE WHEN raw = anchor THEN (raw + 1) % (SELECT n FROM n)
+                       ELSE raw END AS BIGINT) AS neg_id
+      FROM d ORDER BY anchor, j"""))
+
+
+  // 111. deterministic multi-epoch shuffle: the bijective affine
+  // permutation of corpus positions for epochs 1 and 2 — zero-state
+  // reproducible data-loader ordering; plain integer arithmetic, so
+  // the oracle replays every position.
+  val qEpochShuffle = QueryDef("q_epoch_shuffle",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val n = emb.count()
+      val anchors = emb.filter(col("vec_id") < 10).select("vec_id")
+      Seq(1, 2).map { e =>
+        graft.operators.Sampling.epochPermutation(anchors, "vec_id", n, e)
+          .select(col("vec_id"), lit(e.toLong).as("epoch"), col("epoch_pos"))
+      }.reduce(_ unionByName _).orderBy("vec_id", "epoch")
+    },
+    Some("""
+      WITH n AS (SELECT count(*) n FROM embeddings),
+      a AS (SELECT vec_id FROM embeddings WHERE vec_id < 10)
+      SELECT vec_id, CAST(e AS BIGINT) AS epoch,
+             CAST((vec_id * 2147483647 + e * 40959 + 17) % n.n AS BIGINT) AS epoch_pos
+      FROM a, n, (VALUES (1), (2)) es(e) ORDER BY vec_id, epoch"""))
+
+
+  // 120. deterministic weighted sampling without replacement (A-ES,
+  // portable md5 draw keys) — quality-weighted subsampling with no RNG
+  // state; here weighted by document length.
+  val qWeightedSample = QueryDef("q_weighted_sample",
+    (s, dir) => {
+      graft.operators.Sampling.weightedSample(
+          table(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT AS DOUBLE)
+                   + 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS ak
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      top AS (SELECT doc_id, n_chars FROM w ORDER BY ak DESC, doc_id LIMIT 50)
+      SELECT doc_id, n_chars FROM top ORDER BY doc_id"""))
+
+
+  // 125. split-leakage audit: n-gram containment of val/test against
+  // train under the portable split — the check exact-id no_overlap
+  // cannot do for text.
+  val qSplitLeakage = QueryDef("q_split_leakage",
+    (s, dir) => {
+      graft.operators.Contamination.splitLeakage(
+          table(s, dir, "documents"), "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), n = 5)
+        .orderBy("split")
+    },
+    Some("""
+      WITH s AS (SELECT doc_id, text,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+                 FROM (SELECT doc_id, text,
+                         ('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT % 10000 AS b
+                       FROM documents WHERE text IS NOT NULL)),
+      w AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM s),
+      sh AS (SELECT DISTINCT doc_id, split,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 1)),
+                                          i -> array_to_string(ws[i:i+4], ' '))) AS sh
+             FROM w),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+      ev AS (SELECT doc_id, split, sh.sh FROM sh WHERE split != 'train'),
+      r AS (SELECT split, doc_id, count(*) AS total,
+                   sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS matched
+            FROM ev LEFT JOIN tr ON ev.sh = tr.sh GROUP BY 1, 2)
+      SELECT split, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(CASE WHEN matched * 10000 // total >= 5000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS leaked_docs,
+             CAST(sum(matched) * 10000 // sum(total) AS BIGINT) AS corpus_contam_bp
+      FROM r GROUP BY 1 ORDER BY split"""))
+
+
+  // 159. deterministic weighted interleave order (stride schedule):
+  // the first 200 positions of the epoch stream, bit-identical on any
+  // engine or re-run.
+  val qInterleave = QueryDef("q_interleave",
+    (s, dir) => {
+      graft.operators.Sampling.interleaveOrder(
+          table(s, dir, "events"), "event_type", "event_id",
+          Seq("click" -> 4L, "view" -> 3L, "purchase" -> 2L,
+            "signup" -> 1L, "error" -> 1L))
+        .orderBy("interleave_key", "source", "id").limit(200)
+    },
+    Some("""
+      WITH wts(source, w) AS (VALUES ('click', 4), ('view', 3), ('purchase', 2),
+                                     ('signup', 1), ('error', 1)),
+      r AS (SELECT event_id AS id, event_type AS source,
+              row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rk
+            FROM events)
+      SELECT id, source, CAST(rk AS BIGINT) AS rank_in_source,
+             CAST((2 * rk - 1) * 1000000000 // (2 * w) AS BIGINT) AS interleave_key
+      FROM r JOIN wts USING (source)
+      ORDER BY interleave_key, source, id LIMIT 200"""))
+
+
+  // 202. PER-STRATUM INSPECTION SAMPLE — k hash-ordered examples per
+  // source (deterministic, append-stable, engine-replayable — none of
+  // which TABLESAMPLE gives you); the datasheet/labeling starting
+  // point. WindowGroupLimit pre-prunes map-side.
+  val qInspectionSample = QueryDef("q_inspection_sample",
+    (s, dir) => {
+      graft.operators.Sampling.inspectionSample(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", k = 3)
+        .select(col("source"), col("sample_rank"), col("doc_id"))
+        .orderBy("source", "sample_rank")
+    },
+    Some("""
+      SELECT source, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY substr(md5(doc_id || ':42'), 1, 16), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 3 ORDER BY source, sample_rank"""))
+
+  val all: Seq[QueryDef] = Seq(
+    qSplitAssign,
+    qPackBins,
+    qQuotaSample,
+    qMixSample,
+    qMixTemperature,
+    qSplitByGroup,
+    qExportShards,
+    qExportRoundtrip,
+    qMlKfold,
+    qNegativeSample,
+    qEpochShuffle,
+    qWeightedSample,
+    qSplitLeakage,
+    qInterleave,
+    qInspectionSample,
+  )
+}

@@ -1,0 +1,1131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.GraftFunctions
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import QueryDef.table
+
+/** Driver queries: text-analysis family (SURVEY §2 rows 32-35, 40,
+  * 46, 49, 55, 68, 75-78, 98, 112, 115, 121, 124, 128, 130, 137,
+  * 151, 162, 178, 181, 183-185, 203, 210, 218, 234). */
+object TextQueries {
+
+  import PipelineShared._
+
+
+  // 32. language-ID heuristic → confusion matrix vs the labeled lang
+  val qTextLangid = QueryDef("q_text_langid",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).cast(LongType).as("cnt"))
+        .orderBy("lang", "predicted")
+    },
+    Some(langidOracle))
+
+
+  // 33. quality scoring aggregated per source lang
+  val qTextQuality = QueryDef("q_text_quality",
+    (s, dir) => {
+      TextAnalysis.qualityFeatures(table(s, dir, "documents"), "text")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).cast(LongType).as("docs"),
+          sum("n_tokens").cast(LongType).as("sum_tokens"),
+          min("n_tokens").cast(LongType).as("min_tokens"),
+          max("n_tokens").cast(LongType).as("max_tokens"),
+          sum("mean_word_len_x10").cast(LongType).as("sum_mwl_x10"),
+          sum(when(col("quality_ok"), 0L).otherwise(1L)).cast(LongType).as("low_quality"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               (length(replace(' ' || text || ' ', ' the ', '')) IS NOT NULL) AS dummy,
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT) +
+               CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4 AS BIGINT) AS stop_en
+        FROM documents),
+      g AS (
+        SELECT lang, n_tokens,
+               CAST((n_chars - (n_tokens - 1)) * 10 // n_tokens AS BIGINT) AS mwl_x10,
+               alpha * 10000 // greatest(n_chars, 1) AS alpha_bp,
+               stop_en
+        FROM f)
+      SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+             CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+             CAST(sum(mwl_x10) AS BIGINT) AS sum_mwl_x10,
+             CAST(sum(CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+                            AND mwl_x10 BETWEEN 20 AND 120
+                            AND alpha_bp >= 5000 AND stop_en >= 1
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_quality
+      FROM g GROUP BY lang ORDER BY lang"""))
+
+
+  // 34. token counting (whitespace + BPE-ish regex)
+  val qTextTokens = QueryDef("q_text_tokens",
+    (s, dir) => {
+      TextAnalysis.tokenCounts(table(s, dir, "documents"), "text")
+        .agg(
+          count(lit(1)).cast(LongType).as("docs"),
+          sum("ws_tokens").cast(LongType).as("sum_ws_tokens"),
+          sum("re_tokens").cast(LongType).as("sum_re_tokens"),
+          min("ws_tokens").cast(LongType).as("min_ws_tokens"),
+          max("ws_tokens").cast(LongType).as("max_ws_tokens"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_ws_tokens,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_re_tokens,
+             CAST(min(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS min_ws_tokens,
+             CAST(max(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS max_ws_tokens
+      FROM documents"""))
+
+
+  // 35. content fingerprints
+  val qTextFingerprint = QueryDef("q_text_fingerprint",
+    (s, dir) => {
+      val fp = TextAnalysis.fingerprints(table(s, dir, "documents"), "text")
+      fp.agg(
+        count(lit(1)).cast(LongType).as("docs"),
+        countDistinct(col("fp_raw")).cast(LongType).as("distinct_raw"),
+        countDistinct(col("fp_norm")).cast(LongType).as("distinct_norm"),
+        min(col("fp_norm")).as("min_fp_norm"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_raw,
+             CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS distinct_norm,
+             min(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS min_fp_norm
+      FROM documents"""))
+
+
+  // 40. corpus vocabulary: top-20 words with term + doc frequencies
+  val qTextVocab = QueryDef("q_text_vocab",
+    (s, dir) => {
+      TextAnalysis.vocabularyWithDocFreq(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("term_freq").desc, col("word"))
+        .limit(20)
+    },
+    Some("""
+      SELECT word, CAST(count(*) AS BIGINT) AS term_freq,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) word FROM documents)
+      GROUP BY word ORDER BY term_freq DESC, word LIMIT 20"""))
+
+
+  // 46. TF-IDF relevance weights (top terms of the first docs)
+  val qTextTfidf = QueryDef("q_text_tfidf",
+    (s, dir) => {
+      TextAnalysis.tfidf(table(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text")
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf_r4"))
+        .orderBy(col("doc_id"), col("tfidf_r4").desc, col("word"))
+        .limit(30)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) word FROM d),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM terms GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) n FROM d)
+      SELECT doc_id, word, tf, df,
+             round(tf * ln(n * 1.0 / df), 4) AS tfidf_r4
+      FROM tf JOIN df USING (word) CROSS JOIN n
+      WHERE doc_id < 3
+      ORDER BY doc_id, tfidf_r4 DESC, word LIMIT 30"""))
+
+
+  // 49. intra-doc repetition scoring (Gopher-style quality rule)
+  val qTextRepetition = QueryDef("q_text_repetition",
+    (s, dir) => {
+      graft.operators.TextAnalysis.repetition(table(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("rep_bp").desc, col("id"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      g AS (SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                  i -> array_to_string(ws[i:i+2], ' ')) sh
+            FROM w),
+      r AS (SELECT doc_id id, len(sh) total, len(list_distinct(sh)) dist FROM g)
+      SELECT id, CAST(total AS BIGINT) AS total_ngrams,
+             CAST(dist AS BIGINT) AS distinct_ngrams,
+             CAST((total - dist) * 10000 // total AS BIGINT) AS rep_bp
+      FROM r ORDER BY rep_bp DESC, id LIMIT 20"""))
+
+
+  val qTextPii = QueryDef("q_text_pii",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+        .unionByName(fixtures)
+      val sums = TextAnalysis.piiPatterns.map { case (nm, _) =>
+        sum(nm).cast(LongType).as(nm) }
+      TextAnalysis.piiScan(docs, "text")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          (sums :+ sum(when(col("has_pii"), 1L).otherwise(0L)).cast(LongType).as("docs_with_pii")): _*)
+        .orderBy("source")
+    },
+    Some {
+      def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
+      val cols = TextAnalysis.piiPatterns.map { case (nm, re) =>
+        s"CAST(sum(${cnt(re)}) AS BIGINT) AS $nm" }.mkString(",\n             ")
+      val hasPii = TextAnalysis.piiPatterns.map { case (_, re) => s"${cnt(re)} > 0" }
+        .mkString(" OR ")
+      val fixtureValues = PiiFixtures.map { case (id, t, src) => s"($id, '$t', '$src')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text, source))
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             $cols,
+             CAST(sum(CASE WHEN $hasPii THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+      FROM docs GROUP BY source ORDER BY source"""
+    })
+
+
+  // 55. context-window chunking — 64-token windows with 16-token
+  // overlap; chunk text fingerprinted (md5) so the oracle hash-checks
+  // every chunk's exact content without hauling the text itself.
+  val qTextChunks = QueryDef("q_text_chunks",
+    (s, dir) => {
+      TextAnalysis.chunk(table(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .select(col("id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("chunk_tokens"), md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy("id", "chunk_idx")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 50),
+      w2 AS (SELECT doc_id, ws,
+                    greatest(CAST(ceil((len(ws) - 16) * 1.0 / 48) AS INT), 1) AS n
+             FROM w),
+      c AS (SELECT doc_id,
+                   unnest(generate_series(1, n)) AS g,
+                   unnest(list_transform(generate_series(1, n),
+                     g -> array_to_string(ws[(g-1)*48+1 : (g-1)*48+64], ' '))) AS chunk
+            FROM w2)
+      SELECT doc_id AS id, CAST(g - 1 AS BIGINT) AS chunk_idx,
+             CAST(length(chunk) - length(replace(chunk, ' ', '')) + 1 AS BIGINT) AS chunk_tokens,
+             md5(chunk) AS chunk_md5
+      FROM c ORDER BY id, chunk_idx"""))
+
+  val qTextLmScore = QueryDef("q_text_lm_score",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      // the LM's count tables are the frozen-reference state — train
+      // once per (session, dir), persist, score any number of times
+      val model = lmModels.get(s, dir)(
+        TextAnalysis.trainBigramLm(docs.filter(col("doc_id") % 2 === 0), "text").persist())
+      TextAnalysis.scoreBigramLm(model, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy(col("lm_score_r4").desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                                          g -> array_to_string(ws[g:g+1], ' '))) bg
+             FROM w),
+      bgc AS (SELECT bg, count(*) c_bg FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+      uni AS (SELECT w1, count(*) c_w1
+              FROM (SELECT unnest(ws) w1 FROM w WHERE doc_id % 2 = 0) GROUP BY 1),
+      v AS (SELECT count(*) v FROM uni),
+      scored AS (
+        SELECT b.doc_id id, ln((coalesce(c_bg, 0) + 1) * 1.0 / (coalesce(c_w1, 0) + v)) logp
+        FROM bg b
+        LEFT JOIN bgc ON b.bg = bgc.bg
+        LEFT JOIN uni ON string_split(b.bg, ' ')[1] = uni.w1
+        CROSS JOIN v
+        WHERE b.doc_id % 2 = 1)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(logp), 4) AS lm_score_r4
+      FROM scored GROUP BY id
+      ORDER BY lm_score_r4 DESC, id LIMIT 25"""))
+
+  val qDsirWeights = QueryDef("q_dsir_weights",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (t, b) = dsirModels.get(s, dir)((
+        TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "text").persist(),
+        TextAnalysis.trainBigramLm(docs.filter(col("lang") =!= "en"), "text").persist()))
+      TextAnalysis.dsirWeights(t, b,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("dsir_weight_r4").desc, col("id"))
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents),
+      bg AS (SELECT doc_id, lang,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                                          g -> array_to_string(ws[g:g+1], ' '))) bg
+             FROM w),
+      tb AS (SELECT bg, count(*) c_bg_t FROM bg WHERE lang = 'en' GROUP BY 1),
+      xb AS (SELECT bg, count(*) c_bg_b FROM bg WHERE lang != 'en' GROUP BY 1),
+      tu AS (SELECT w1, count(*) c_w1_t
+             FROM (SELECT unnest(ws) w1 FROM w WHERE lang = 'en') GROUP BY 1),
+      xu AS (SELECT w1, count(*) c_w1_b
+             FROM (SELECT unnest(ws) w1 FROM w WHERE lang != 'en') GROUP BY 1),
+      tv AS (SELECT count(*) v_t FROM tu),
+      xv AS (SELECT count(*) v_b FROM xu),
+      scored AS (
+        SELECT b.doc_id id,
+               ln((coalesce(c_bg_t, 0) + 1) * 1.0 / (coalesce(c_w1_t, 0) + v_t)) lt,
+               ln((coalesce(c_bg_b, 0) + 1) * 1.0 / (coalesce(c_w1_b, 0) + v_b)) lb
+        FROM bg b
+        LEFT JOIN tb ON b.bg = tb.bg
+        LEFT JOIN xb ON b.bg = xb.bg
+        LEFT JOIN tu ON string_split(b.bg, ' ')[1] = tu.w1
+        LEFT JOIN xu ON string_split(b.bg, ' ')[1] = xu.w1
+        CROSS JOIN tv CROSS JOIN xv
+        WHERE b.doc_id % 5 = 0)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(lt), 4) AS target_lm_r4,
+             round(avg(lb), 4) AS background_lm_r4,
+             round(avg(lt - lb), 4) AS dsir_weight_r4
+      FROM scored GROUP BY id
+      ORDER BY dsir_weight_r4 DESC, id LIMIT 25"""))
+
+  val qClassifyNb = QueryDef("q_classify_nb",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = nbModels.get(s, dir)(
+        TextAnalysis.trainNaiveBayes(
+          docs.filter(col("doc_id") % 2 === 0), "lang", "text").persist())
+      TextAnalysis.scoreNaiveBayes(
+          model, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).cast(LongType).as("docs"))
+        .orderBy("lang", "predicted")
+    },
+    Some("""
+      WITH train AS (SELECT lang, string_split(text, ' ') ws FROM documents
+                     WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      tw AS (SELECT lang, unnest(ws) w FROM train),
+      wc AS (SELECT lang, w, count(*) c_wl FROM tw GROUP BY 1, 2),
+      ct AS (SELECT lang, count(*) c_tokens FROM tw GROUP BY 1),
+      nd AS (SELECT lang, count(*) n_docs FROM train GROUP BY 1),
+      v AS (SELECT count(DISTINCT w) v FROM tw),
+      n AS (SELECT count(*) n_total FROM train),
+      ew AS (SELECT doc_id, lang actual, w, count(*) cnt FROM
+               (SELECT doc_id, lang, unnest(string_split(text, ' ')) w
+                FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL)
+             GROUP BY 1, 2, 3),
+      sc AS (SELECT ew.doc_id, ew.actual, ct.lang clang,
+                    sum(ew.cnt * ln((coalesce(wc.c_wl, 0) + 1.0) / (ct.c_tokens + v.v)))
+                    + any_value(ln(nd.n_docs * 1.0 / n.n_total)) s
+             FROM ew CROSS JOIN ct
+             LEFT JOIN wc ON wc.w = ew.w AND wc.lang = ct.lang
+             JOIN nd ON nd.lang = ct.lang
+             CROSS JOIN v CROSS JOIN n
+             GROUP BY 1, 2, 3),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY s DESC, clang DESC) rk FROM sc)
+      SELECT actual AS lang, clang AS predicted, CAST(count(*) AS BIGINT) AS docs
+      FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+
+  // 77. corpus vocabulary-growth (yield) curve, Lee et al. 2022: per
+  // 50-doc arrival bucket, first-occurrence distinct 3-grams vs total
+  // gram rows + the running vocabulary total — the corpus-level twin
+  // of q_text_novelty, sharing the session's one corpus shingling.
+  val qTextYield = QueryDef("q_text_yield",
+    (s, dir) => {
+      TextAnalysis.vocabularyGrowthFromShingled(
+          dedupPipeline(s, dir).shingled, bucketSize = 50L)
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      g AS (SELECT doc_id, sh, doc_id // 50 bucket FROM sh),
+      pb AS (SELECT bucket, count(DISTINCT doc_id) docs, count(*) gram_rows
+             FROM g GROUP BY 1),
+      fi AS (SELECT sh, min(doc_id) fd FROM g GROUP BY 1),
+      nb AS (SELECT fd // 50 bucket, count(*) new_grams FROM fi GROUP BY 1)
+      SELECT CAST(pb.bucket AS BIGINT) AS bucket,
+             CAST(pb.bucket * 50 AS BIGINT) AS first_id,
+             CAST(docs AS BIGINT) AS docs,
+             CAST(gram_rows AS BIGINT) AS gram_rows,
+             CAST(coalesce(new_grams, 0) AS BIGINT) AS new_grams,
+             CAST(coalesce(new_grams, 0) * 10000 // greatest(gram_rows, 1) AS BIGINT) AS new_bp,
+             CAST(sum(coalesce(new_grams, 0))
+                    OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams
+      FROM pb LEFT JOIN nb ON pb.bucket = nb.bucket
+      ORDER BY bucket"""))
+
+
+  // 62. PII REDACTION — the transform the q_text_pii flag feeds: every
+  // indicator replaced by its class token, patterns applied in
+  // declaration order (shared verbatim with the scan; the oracle nests
+  // the same regexp_replace chain). Fixture docs plant every class;
+  // only changed docs are returned, so the hash check covers the exact
+  // redacted text.
+  val qTextRedact = QueryDef("q_text_redact",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(PiiFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.select(col("doc_id"), col("text")))
+      docs.withColumn("redacted", graft.operators.Curation.redact(col("text")))
+        .filter(col("redacted") =!= col("text"))
+        .select(col("doc_id"), col("redacted"),
+          (length(col("text")) - length(col("redacted"))).cast(LongType).as("chars_delta"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val red = graft.operators.TextAnalysis.piiPatterns.foldLeft("text") {
+        case (e, (nm, re)) =>
+          s"regexp_replace($e, '$re', '${graft.operators.Curation.redactionTokens(nm)}', 'g')"
+      }
+      val fixtureValues = PiiFixtures.map { case (id, t, _) => s"($id, '$t')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text)),
+      r AS (SELECT doc_id, text, $red AS redacted FROM docs)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, redacted,
+             CAST(length(text) - length(redacted) AS BIGINT) AS chars_delta
+      FROM r WHERE redacted != text ORDER BY doc_id"""
+    })
+
+
+  // 68. per-source boilerplate n-grams: top-1 3-gram by within-source
+  // document frequency — the header/footer/template detector (a phrase
+  // in most of one domain's pages is chrome, not content). Top-1 keeps
+  // the output at one row per source; rank ties break on the gram.
+  val qBoilerplate = QueryDef("q_boilerplate",
+    (s, dir) => {
+      graft.operators.TextAnalysis.boilerplateNgrams(
+          table(s, dir, "documents"), "source", "doc_id", "text", n = 3, topK = 1)
+        .withColumnRenamed("group", "source")
+        .select(col("source"), col("gram"), col("doc_freq"),
+          col("df_bp"), col("rank").cast(LongType).as("rank"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH w AS (SELECT source, doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT source, doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) gram
+             FROM w),
+      df AS (SELECT source, gram, count(DISTINCT doc_id) doc_freq
+             FROM sh GROUP BY 1, 2),
+      nd AS (SELECT source, count(DISTINCT doc_id) docs FROM documents GROUP BY 1),
+      r AS (SELECT source, gram, doc_freq,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY doc_freq DESC, gram) rk
+            FROM df)
+      SELECT r.source, gram, CAST(doc_freq AS BIGINT) AS doc_freq,
+             CAST(doc_freq * 10000 // docs AS BIGINT) AS df_bp,
+             CAST(rk AS BIGINT) AS rank
+      FROM r JOIN nd ON r.source = nd.source
+      WHERE rk <= 1 ORDER BY r.source"""))
+
+
+  // 70. per-doc arrival novelty (Lee et al. 2022 yield curves, per-doc
+  // form): fraction of a doc's distinct 3-grams first seen in THIS doc
+  // (minimum doc_id across the corpus). Shares the session's one
+  // corpus shingling; the 25 most-redundant docs (lowest novelty) are
+  // the deterministic readout.
+  val qTextNovelty = QueryDef("q_text_novelty",
+    (s, dir) => {
+      TextAnalysis.noveltyFromShingled(dedupPipeline(s, dir).shingled)
+        .orderBy(col("novelty_bp").asc, col("id").asc)
+        .limit(25)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      first AS (SELECT sh, min(doc_id) fd FROM sh GROUP BY 1),
+      r AS (SELECT s.doc_id, count(*) n,
+                   sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) novel
+            FROM sh s JOIN first f USING (sh) GROUP BY 1)
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(n AS BIGINT) AS n_grams,
+             CAST(novel AS BIGINT) AS novel_grams,
+             CAST(novel * 10000 // n AS BIGINT) AS novelty_bp
+      FROM r ORDER BY novelty_bp ASC, doc_id ASC LIMIT 25"""))
+
+
+  // 75. script-mix detection: per-script character counts + dominant
+  // script, rolled up per (lang, dominant). The synthetic corpus is
+  // all-Latin, so fixtures plant Cyrillic, CJK, and a mixed-script
+  // (mojibake-shaped) doc. The oracle replays the same explicit
+  // Unicode ranges in RE2 syntax.
+  val qTextScripts = QueryDef("q_text_scripts",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(Seq(
+        (9100L, "привет мир это тест", "ru-fixture"),
+        (9101L, "你好世界测试", "zh-fixture"),
+        (9102L, "click here пример 文本 123", "mixed-fixture"),
+      )).toDF("doc_id", "text", "lang")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(fixtures)
+      TextAnalysis.scriptMix(docs, "text")
+        .groupBy("lang", "dominant_script")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum("latin_chars").cast(LongType).as("latin_chars"),
+          sum("cyrillic_chars").cast(LongType).as("cyrillic_chars"),
+          sum("cjk_chars").cast(LongType).as("cjk_chars"),
+          sum("digit_chars").cast(LongType).as("digit_chars"))
+        .orderBy("lang", "dominant_script")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          (9100, 'привет мир это тест', 'ru-fixture'),
+          (9101, '你好世界测试', 'zh-fixture'),
+          (9102, 'click here пример 文本 123', 'mixed-fixture')) t(doc_id, text, lang)),
+      m AS (
+        -- coalesce mirrors the operator: NULL text counts as zero of
+        -- everything and lands dominant 'none', not the CASE fall-through
+        SELECT lang,
+               coalesce(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')), 0) AS latin,
+               coalesce(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')), 0) AS cyr,
+               coalesce(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')), 0) AS cjk,
+               coalesce(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')), 0) AS dig
+        FROM docs),
+      d AS (
+        SELECT lang, latin, cyr, cjk, dig,
+               CASE WHEN latin = 0 AND cyr = 0 AND cjk = 0 THEN 'none'
+                    WHEN latin >= cyr AND latin >= cjk THEN 'latin'
+                    WHEN cyr >= cjk THEN 'cyrillic'
+                    ELSE 'cjk' END AS dominant_script
+        FROM m)
+      SELECT lang, dominant_script, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(latin) AS BIGINT) AS latin_chars,
+             CAST(sum(cyr) AS BIGINT) AS cyrillic_chars,
+             CAST(sum(cjk) AS BIGINT) AS cjk_chars,
+             CAST(sum(dig) AS BIGINT) AS digit_chars
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+
+  // 98. tokenizer fertility per language: chars-per-token ratio from
+  // the corpus-card whitespace token convention — the
+  // tokenizer-efficiency signal a multilingual mix is balanced by.
+  val qTokenFertility = QueryDef("q_token_fertility",
+    (s, dir) => {
+      val tok = TextFns.wsTokenCount(col("text")).cast(LongType)
+      table(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum("n_chars").cast(LongType).as("chars"),
+          sum(tok).cast(LongType).as("tokens"),
+          round(sum("n_chars").cast("double") / sum(tok), 4).as("cpt_r4"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens,
+             round(CAST(sum(n_chars) AS DOUBLE) /
+                   sum(length(text) - length(replace(text, ' ', '')) + 1), 4) AS cpt_r4
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+
+  // 112. per-source character-entropy profile via the one-pass
+  // CharEntropyExpr codegen kernel (the SQL replay explodes one row
+  // per character — the kernel IS the scale story). Empty/NULL texts
+  // excluded on both sides (an exploded empty string has no rows).
+  val qTextEntropy = QueryDef("q_text_entropy",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      docs.withColumn("__h", graft.functions.CharEntropyExpr(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          round(avg("__h"), 4).as("mean_entropy_r4"),
+          round(min("__h"), 4).as("min_entropy_r4"),
+          round(max("__h"), 4).as("max_entropy_r4"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, source, entropy(c) AS h
+        FROM (SELECT doc_id, source, unnest(split(text, '')) AS c
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        GROUP BY doc_id, source)
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             round(avg(h), 4) AS mean_entropy_r4,
+             round(min(h), 4) AS min_entropy_r4,
+             round(max(h), 4) AS max_entropy_r4
+      FROM h GROUP BY 1 ORDER BY 1"""))
+
+  val qTextBm25 = QueryDef("q_text_bm25",
+    (s, dir) => {
+      bm25Cache.get(s, dir)(graft.operators.TextAnalysis.bm25(
+          table(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", Seq("vector", "merge", "scan"), bmK1, bmB))
+        .select(col("doc_id"), col("matched_terms"),
+          round(col("bm25"), 4).as("bm25_r4"))
+        .orderBy(col("bm25_r4").desc, col("doc_id")).limit(25)
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      t AS (SELECT doc_id, unnest(w) AS word FROM d),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+             FROM t WHERE word IN ('vector', 'merge', 'scan') GROUP BY 1, 2),
+      df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+             FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf *
+               CAST(${bmK1 + 1.0} AS DOUBLE) /
+               (tf.tf + (CAST(${1.0 - bmB} AS DOUBLE) +
+                         dl.dl / st.avgdl * CAST($bmB AS DOUBLE)) *
+                        CAST($bmK1 AS DOUBLE)) AS s
+        FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+             round(sum(s), 4) AS bm25_r4
+      FROM sc GROUP BY 1 ORDER BY bm25_r4 DESC, doc_id LIMIT 25"""))
+
+
+  // 121. Jensen–Shannon divergence between two sources' word
+  // distributions — vocabulary-level drift, symmetric, bounded ln 2.
+  val qJsDiv = QueryDef("q_js_div",
+    (s, dir) => {
+      graft.operators.TextAnalysis.vocabJsDivergence(
+        table(s, dir, "documents"), "text", "source", "src0", "src1")
+    },
+    Some("""
+      WITH ca AS (SELECT w, count(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents
+              WHERE source = 'src0' AND text IS NOT NULL) GROUP BY 1),
+      cb AS (SELECT w, count(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents
+              WHERE source = 'src1' AND text IS NOT NULL) GROUP BY 1),
+      j AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+            FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+      t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j),
+      m AS (SELECT CAST(ca AS DOUBLE) / t.ta AS p, CAST(cb AS DOUBLE) / t.tb AS q,
+                   (CAST(ca AS DOUBLE) / t.ta + CAST(cb AS DOUBLE) / t.tb) / 2.0 AS m,
+                   ca, cb
+            FROM j, t)
+      SELECT round(sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END) * 0.5 +
+                   sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END) * 0.5, 6) AS js_r6,
+             CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+             CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+             CAST(count(*) AS BIGINT) AS vocab_union
+      FROM m"""))
+
+
+  // 124. Flesch reading-ease per source (vowel-run syllable heuristic,
+  // dictionary-free so fully replayable).
+  val qReadability = QueryDef("q_readability",
+    (s, dir) => {
+      graft.operators.TextAnalysis.readability(
+          table(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("key")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, text,
+                        greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent
+                 FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      w AS (SELECT doc_id, source, sent,
+                   unnest(string_split(text, ' ')) AS word FROM d),
+      s AS (SELECT doc_id, source, sent, CAST(count(*) AS DOUBLE) AS words,
+                   sum(CAST(greatest(len(regexp_extract_all(word, '[aeiouy]+')), 1)
+                       AS DOUBLE)) AS syls
+            FROM w GROUP BY 1, 2, 3),
+      f AS (SELECT source,
+                   206.835 - 1.015 * (words / CAST(sent AS DOUBLE)) -
+                   84.6 * (syls / words) AS fre
+            FROM s)
+      SELECT source AS key, CAST(count(*) AS BIGINT) AS docs,
+             round(avg(fre), 4) AS mean_fre_r4,
+             round(min(fre), 4) AS min_fre_r4,
+             round(max(fre), 4) AS max_fre_r4
+      FROM f GROUP BY 1 ORDER BY 1"""))
+
+
+  // 128. per-source vocabulary richness: TTR + hapax share.
+  val qVocabStats = QueryDef("q_vocab_stats",
+    (s, dir) => {
+      graft.operators.TextAnalysis.vocabStats(
+          table(s, dir, "documents"), "text", "source")
+        .orderBy("key")
+    },
+    Some("""
+      WITH wc AS (SELECT source AS key, w, count(*) AS c FROM (
+              SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL) GROUP BY 1, 2),
+      a AS (SELECT key, sum(c) AS tokens, count(*) AS types,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+            FROM wc GROUP BY 1)
+      SELECT key, CAST(tokens AS BIGINT) AS tokens, CAST(types AS BIGINT) AS types,
+             CAST(hapax AS BIGINT) AS hapax,
+             CAST(types * 10000 // tokens AS BIGINT) AS ttr_bp,
+             CAST(hapax * 10000 // types AS BIGINT) AS hapax_share_bp
+      FROM a ORDER BY key"""))
+
+
+  // 130. declared-vs-detected language consistency per source — the
+  // metadata-trust audit over the langid kernel.
+  val qLangConsistency = QueryDef("q_lang_consistency",
+    (s, dir) => {
+      graft.operators.TextAnalysis.langConsistency(
+          table(s, dir, "documents"), "text", "lang", "source")
+        .orderBy("key")
+    },
+    Some(langidPredictedCtes("source, lang") + """
+      SELECT source AS key, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(CASE WHEN predicted IS DISTINCT FROM lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS mismatches,
+             CAST(sum(CASE WHEN predicted IS DISTINCT FROM lang
+                           THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+               AS mismatch_bp
+      FROM p GROUP BY 1 ORDER BY 1"""))
+
+  val qTextBpe = QueryDef("q_text_bpe",
+    (s, dir) => {
+      graft.operators.TextAnalysis.subwordBudget(
+          table(s, dir, "documents").filter(col("doc_id") < 60),
+          "doc_id", "text", bpeVocabLit)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE vocab(piece) AS (VALUES ${bpeVocabLit.map(p => s"('$p')").mkString(", ")}),
+      w AS (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL AND doc_id < 60),
+      step(doc_id, rem) AS (
+        SELECT doc_id, word FROM w WHERE word <> ''
+        UNION ALL
+        SELECT doc_id, substr(rem, 1 + coalesce((SELECT max(len(piece)) FROM vocab
+                                                 WHERE starts_with(rem, piece)), 1))
+        FROM step WHERE rem <> ''),
+      b AS (SELECT doc_id, count(*) AS bpe FROM step WHERE rem <> '' GROUP BY 1),
+      t AS (SELECT doc_id,
+                   len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws
+            FROM documents WHERE text IS NOT NULL AND doc_id < 60)
+      SELECT t.doc_id, CAST(coalesce(b.bpe, 0) AS BIGINT) AS bpe_tokens,
+             CAST(t.ws AS BIGINT) AS ws_tokens,
+             CAST(coalesce(b.bpe, 0) * 10000 // t.ws AS BIGINT) AS fertility_bp
+      FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+      ORDER BY t.doc_id"""))
+
+
+  // 218. BPE vocabulary coverage: per lang, share of subword pieces
+  // that fell back to single code points (piece ∉ vocab) — the OOV
+  // readout that decides whether a tokenizer vocab fits a corpus
+  // (high fallback = budget inflation + degraded downstream tokens).
+  // Same literal vocab + recursive-CTE replay as q_text_bpe, with the
+  // per-step fallback flag carried through the recursion.
+  val qBpeOov = QueryDef("q_bpe_oov",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 60)
+      graft.operators.TextAnalysis.subwordTokenize(docs, "doc_id", "text", bpeVocabLit)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(coalesce(col("lang"), lit("(none)")).as("lang"),
+          explode(col("pieces")).as("piece"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast(LongType).as("pieces"),
+          coalesce(sum(when(!col("piece").isin(bpeVocabLit: _*), 1L)), lit(0L))
+            .cast(LongType).as("oov_pieces"))
+        .withColumn("oov_bp", expr("oov_pieces * 10000 DIV pieces").cast(LongType))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH RECURSIVE vocab(piece) AS (VALUES ${bpeVocabLit.map(p => s"('$p')").mkString(", ")}),
+      w AS (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL AND doc_id < 60),
+      step(doc_id, rem, oov) AS (
+        SELECT doc_id, word, CAST(NULL AS BOOLEAN) FROM w WHERE word <> ''
+        UNION ALL
+        SELECT doc_id, substr(rem, 1 + coalesce(ml, 1)), (ml IS NULL)
+        FROM (SELECT doc_id, rem,
+                     (SELECT max(len(piece)) FROM vocab WHERE starts_with(rem, piece)) AS ml
+              FROM step WHERE rem <> '') q),
+      em AS (SELECT doc_id, oov FROM step WHERE oov IS NOT NULL),
+      j AS (SELECT coalesce(d.lang, '(none)') AS lang, em.oov
+            FROM em JOIN documents d USING (doc_id))
+      SELECT lang, CAST(count(*) AS BIGINT) AS pieces,
+             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_pieces,
+             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS oov_bp
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
+
+  // 234. BPE vocab-size ladder: corpus fertility at nested prefixes of
+  // the literal vocab (20 / 40 / 57 pieces) — the tokenizer-sizing
+  // tradeoff curve (bigger vocab → fewer pieces per word → cheaper
+  // budgets), each rung replayed by its own recursive-CTE oracle over
+  // the same shared literal table.
+  val qBpeLadder = QueryDef("q_bpe_ladder",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 60)
+      Seq(20, 40, 57).map { n =>
+        graft.operators.TextAnalysis.subwordBudget(docs, "doc_id", "text",
+            bpeVocabLit.take(n))
+          .agg(coalesce(sum("bpe_tokens"), lit(0L)).as("__bp"),
+            coalesce(sum("ws_tokens"), lit(0L)).as("__ws"))
+          .select(lit(n.toLong).as("vocab_size"),
+            col("__bp").cast(LongType).as("bpe_tokens"),
+            col("__ws").cast(LongType).as("ws_tokens"),
+            expr("__bp * 10000 DIV __ws").cast(LongType).as("fertility_bp"))
+      }.reduce(_ unionByName _).orderBy("vocab_size")
+    },
+    Some {
+      def block(n: Int): String = {
+        val vocab = bpeVocabLit.take(n).map(p => s"('$p')").mkString(", ")
+        s"""
+        SELECT $n AS vocab_size, CAST(bp AS BIGINT) AS bpe_tokens,
+               CAST(ws AS BIGINT) AS ws_tokens,
+               CAST(bp * 10000 // ws AS BIGINT) AS fertility_bp
+        FROM (
+          WITH RECURSIVE vocab(piece) AS (VALUES $vocab),
+          w AS (SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+                FROM documents WHERE text IS NOT NULL AND doc_id < 60),
+          step(doc_id, rem) AS (
+            SELECT doc_id, word FROM w WHERE word <> ''
+            UNION ALL
+            SELECT doc_id, substr(rem, 1 + coalesce((SELECT max(len(piece)) FROM vocab
+                                                     WHERE starts_with(rem, piece)), 1))
+            FROM step WHERE rem <> ''),
+          bb AS (SELECT count(*) AS bp FROM step WHERE rem <> ''),
+          tt AS (SELECT sum(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS ws
+                 FROM documents WHERE text IS NOT NULL AND doc_id < 60)
+          SELECT bb.bp, tt.ws FROM bb, tt)"""
+      }
+      Seq(20, 40, 57).map(block).mkString("", "\n        UNION ALL", "") +
+        "\n        ORDER BY vocab_size"
+    })
+
+
+  // 151. PMI co-occurrence over the top-20 vocabulary: document-level
+  // presence, exact integer counts, ln over an exact integer ratio.
+  val qTermPmi = QueryDef("q_term_pmi",
+    (s, dir) => {
+      graft.operators.TextAnalysis.termCooccurrence(
+          table(s, dir, "documents"), "doc_id", "text", topN = 20)
+        .orderBy("term_a", "term_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id AS doc,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+                 FROM documents WHERE text IS NOT NULL),
+      base AS (SELECT DISTINCT doc, term FROM w WHERE term <> ''),
+      top AS (SELECT term, count(*) AS df FROM base GROUP BY 1
+              ORDER BY df DESC, term LIMIT 20),
+      t AS (SELECT base.doc, base.term, top.df FROM base JOIN top USING (term)),
+      n AS (SELECT count(DISTINCT doc) AS nd FROM base),
+      p AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab,
+                   any_value(a.df) AS n_a, any_value(b.df) AS n_b
+            FROM t a JOIN t b ON a.doc = b.doc AND a.term < b.term
+            GROUP BY 1, 2)
+      SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             round(ln(CAST(n_ab * nd AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)), 6) AS pmi_r6
+      FROM p, n ORDER BY term_a, term_b"""))
+
+
+  // 162. shared-prefix template detection: 40-char normalized openings
+  // shared by 2+ docs — the prefix-anchored repeated-text signal.
+  val qSharedPrefixes = QueryDef("q_shared_prefixes",
+    (s, dir) => {
+      graft.operators.TextAnalysis.sharedPrefixes(
+          table(s, dir, "documents"), "doc_id", "text",
+          prefixChars = 40, minDocs = 2L)
+        .orderBy(col("docs").desc, col("prefix"))
+    },
+    Some("""
+      WITH p AS (SELECT doc_id,
+                   substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40) AS prefix
+                 FROM documents WHERE text IS NOT NULL)
+      SELECT prefix, CAST(count(*) AS BIGINT) AS docs,
+             CAST(min(doc_id) AS BIGINT) AS keep_id
+      FROM p WHERE len(prefix) >= 1
+      GROUP BY prefix HAVING count(*) >= 2
+      ORDER BY docs DESC, prefix"""))
+
+
+  // 178. per-doc top-3 tf-idf keywords: rank on the unrounded weight,
+  // ties to the lexicographically smaller word.
+  val qTopTerms = QueryDef("q_top_terms",
+    (s, dir) => {
+      graft.operators.TextAnalysis.topTerms(
+          table(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      terms AS (SELECT doc_id, unnest(string_split(text, ' ')) word FROM d),
+      tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM terms GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) n FROM d),
+      sc AS (SELECT doc_id, word, tf, tf * ln(n * 1.0 / df) AS s,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tf * ln(n * 1.0 / df) DESC, word ASC) AS rank
+             FROM tf JOIN df USING (word) CROSS JOIN n)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf,
+             round(s, 4) AS tfidf_r4
+      FROM sc WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+
+  // 181. language-ID confidence margin: best − runner-up marker score,
+  // exact integers from the row-32 sums — margin 0 predictions are
+  // coin flips to route or drop.
+  val qLangidMargin = QueryDef("q_langid_margin",
+    (s, dir) => {
+      graft.operators.TextAnalysis.langIdConfidence(
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")
+    },
+    Some(langidPredictedCtes("doc_id") + """
+      , m AS (SELECT s.doc_id, p.predicted,
+                list_sort([s_en, s_de, s_fr, s_es, s_zh]) AS ss
+              FROM s JOIN p USING (doc_id))
+      SELECT doc_id AS id, predicted, CAST(ss[5] AS BIGINT) AS best_score,
+             CAST(ss[5] - ss[4] AS BIGINT) AS margin
+      FROM m ORDER BY id"""))
+
+
+  val qSecretScan = QueryDef("q_secret_scan",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(SecretFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+        .unionByName(fixtures)
+      val sums = TextAnalysis.secretPatterns.map { case (nm, _) =>
+        sum(nm).cast(LongType).as(nm) }
+      TextAnalysis.secretScan(docs, "text")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          (sums :+ sum(when(col("has_secret"), 1L).otherwise(0L)).cast(LongType)
+            .as("docs_with_secrets")): _*)
+        .orderBy("source")
+    },
+    Some {
+      def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
+      val cols = TextAnalysis.secretPatterns.map { case (nm, re) =>
+        s"CAST(sum(${cnt(re)}) AS BIGINT) AS $nm" }.mkString(",\n             ")
+      val hasSecret = TextAnalysis.secretPatterns.map { case (_, re) => s"${cnt(re)} > 0" }
+        .mkString(" OR ")
+      val fixtureValues = SecretFixtures.map { case (id, t, src) => s"($id, '$t', '$src')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text, source))
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             $cols,
+             CAST(sum(CASE WHEN $hasSecret THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_secrets
+      FROM docs GROUP BY source ORDER BY source"""
+    })
+
+
+  val qUnicodeAudit = QueryDef("q_unicode_audit",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(UnicodeFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+        .unionByName(fixtures)
+      val sums = TextAnalysis.unicodePatterns.map { case (nm, _) =>
+        sum(nm).cast(LongType).as(nm) }
+      TextAnalysis.unicodeAudit(docs, "text")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          (sums :+ sum(when(col("has_unicode_issue"), 1L).otherwise(0L)).cast(LongType)
+            .as("docs_flagged")): _*)
+        .orderBy("source")
+    },
+    Some {
+      def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
+      val cols = TextAnalysis.unicodePatterns.map { case (nm, re) =>
+        s"CAST(sum(${cnt(re)}) AS BIGINT) AS $nm" }.mkString(",\n             ")
+      val flagged = TextAnalysis.unicodePatterns.map { case (_, re) => s"${cnt(re)} > 0" }
+        .mkString(" OR ")
+      val fixtureValues = Seq(
+        s"(-9110, 'bad' || chr(1) || 'control' || chr(7) || 'here', 'fixture')",
+        s"(-9111, 'moji' || chr(65533) || 'bake' || chr(65533) || chr(65533), 'fixture')",
+        s"(-9112, 'zero' || chr(8203) || 'width' || chr(8205) || ' and bidi ' || chr(8238) || 'evil' || chr(8294), 'fixture')",
+      ).mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text, source))
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             $cols,
+             CAST(sum(CASE WHEN $flagged THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+      FROM docs GROUP BY source ORDER BY source"""
+    })
+
+
+  val qMarkupDensity = QueryDef("q_markup_density",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(MarkupFixtures).toDF("doc_id", "text", "source")
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+        .unionByName(fixtures)
+      TextAnalysis.markupDensity(docs, "text")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum("tags").cast(LongType).as("tags"),
+          sum("tag_char_bp").cast(LongType).as("tag_char_bp"),
+          sum("entities").cast(LongType).as("entities"),
+          sum("script_style").cast(LongType).as("script_style"),
+          sum(when(col("has_markup"), 1L).otherwise(0L)).cast(LongType).as("docs_with_markup"))
+        .orderBy("source")
+    },
+    Some {
+      val tagRe = "<[!/A-Za-z][^>]{0,256}>"
+      val fixtureValues = MarkupFixtures.map { case (id, t, src) => s"($id, '$t', '$src')" }
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT * FROM (VALUES
+          $fixtureValues) t(doc_id, text, source)),
+      feats AS (
+        SELECT source,
+               len(regexp_extract_all(text, '$tagRe')) AS tags,
+               CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '$tagRe', '', 'g'))) * 10000 // length(text)
+                 ELSE 0 END AS tag_char_bp,
+               len(regexp_extract_all(text, '&[A-Za-z]{2,8};|&#[0-9]{1,6};')) AS entities,
+               len(regexp_extract_all(text, '<script|<style|<SCRIPT|<STYLE')) AS script_style
+        FROM docs)
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(tags) AS BIGINT) AS tags,
+             CAST(sum(tag_char_bp) AS BIGINT) AS tag_char_bp,
+             CAST(sum(entities) AS BIGINT) AS entities,
+             CAST(sum(script_style) AS BIGINT) AS script_style,
+             CAST(sum(CASE WHEN tags >= 3 OR script_style > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_markup
+      FROM feats GROUP BY source ORDER BY source"""
+    })
+
+
+  // 203. TRENDING TERMS — which words rose most from src0 to src1, by
+  // exact-integer smoothed frequency ratio: the per-term drilldown
+  // behind row 121's JS divergence.
+  val qTrendingTerms = QueryDef("q_trending_terms",
+    (s, dir) => {
+      graft.operators.TextAnalysis.trendingTerms(
+        table(s, dir, "documents"), "text", "source", "src0", "src1",
+        topK = 15, minCountB = 5L)
+    },
+    Some("""
+      WITH w AS (SELECT source AS g, unnest(string_split(text, ' ')) AS term
+                 FROM documents
+                 WHERE source IN ('src0', 'src1') AND text IS NOT NULL),
+      c AS (SELECT term,
+                   sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS c_a,
+                   sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS c_b
+            FROM w GROUP BY 1),
+      t AS (SELECT sum(c_a) AS ta, sum(c_b) AS tb FROM c)
+      SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+             CAST((c_b + 1) * (ta + 1) * 10000 // ((c_a + 1) * (tb + 1)) AS BIGINT) AS rise_bp
+      FROM c CROSS JOIN t
+      WHERE c_b >= 5
+      ORDER BY rise_bp DESC, term LIMIT 15"""))
+
+
+  // 210. LANGUAGE-ID CALIBRATION — does the confidence margin (row
+  // 181) actually predict accuracy against the declared label? The
+  // reliability readout per fixed margin bin; a well-calibrated
+  // filter shows acc rising with margin, and the low-margin bin tells
+  // you what a margin threshold would cost.
+  val qLangidCalibration = QueryDef("q_langid_calibration",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.TextAnalysis.langIdConfidence(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .withColumn("margin_bin",
+          when(col("margin") === 0, "a_0")
+            .when(col("margin") <= 2, "b_1-2")
+            .when(col("margin") <= 5, "c_3-5")
+            .otherwise("d_6plus"))
+        .groupBy("margin_bin")
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
+            .cast(LongType).as("correct"))
+        .withColumn("acc_bp", expr("correct * 10000 DIV docs").cast(LongType))
+        .orderBy("margin_bin")
+    },
+    Some(langidPredictedCtes("doc_id") + """
+      , m AS (SELECT s.doc_id, p.predicted,
+                list_sort([s_en, s_de, s_fr, s_es, s_zh]) AS ss
+              FROM s JOIN p USING (doc_id)),
+      j AS (SELECT m.doc_id, m.predicted, d.lang,
+                   ss[5] - ss[4] AS margin
+            FROM m JOIN documents d USING (doc_id)),
+      bn AS (SELECT CASE WHEN margin = 0 THEN 'a_0'
+                         WHEN margin <= 2 THEN 'b_1-2'
+                         WHEN margin <= 5 THEN 'c_3-5'
+                         ELSE 'd_6plus' END AS margin_bin,
+                    CASE WHEN predicted = lang THEN 1 ELSE 0 END AS ok
+             FROM j)
+      SELECT margin_bin, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(ok) AS BIGINT) AS correct,
+             CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS acc_bp
+      FROM bn GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(
+    qTextLangid,
+    qTextQuality,
+    qTextTokens,
+    qTextFingerprint,
+    qTextVocab,
+    qTextTfidf,
+    qTextRepetition,
+    qTextPii,
+    qTextChunks,
+    qTextLmScore,
+    qDsirWeights,
+    qClassifyNb,
+    qTextYield,
+    qTextRedact,
+    qBoilerplate,
+    qTextNovelty,
+    qTextScripts,
+    qTokenFertility,
+    qTextEntropy,
+    qTextBm25,
+    qJsDiv,
+    qReadability,
+    qVocabStats,
+    qLangConsistency,
+    qTextBpe,
+    qBpeOov,
+    qBpeLadder,
+    qTermPmi,
+    qSharedPrefixes,
+    qTopTerms,
+    qLangidMargin,
+    qSecretScan,
+    qUnicodeAudit,
+    qMarkupDensity,
+    qTrendingTerms,
+    qLangidCalibration,
+  )
+}
