@@ -71,6 +71,20 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
 
   private final case class Spec(contract: Contract, rows: List[R])
 
+  /** Conditional-rule templates: SQL text for the engine + the same
+    * three-valued semantics in plain Scala for the interpreter.
+    * Engine contract: a row whose `then` evaluates NULL is a
+    * VIOLATION; a NULL `when` is out of scope. */
+  private val conditionals: Seq[(String, String, String, R => Option[Boolean], R => Option[Boolean])] = Seq(
+    ("c_v_name", "v >= 0", "name IS NOT NULL",
+      (r: R) => r.v.map(_ >= 0L), (r: R) => Some(r.name.isDefined)),
+    ("c_id_v", "id IS NOT NULL", "v > 2",
+      (r: R) => Some(r.id.isDefined), (r: R) => r.v.map(_ > 2L)),
+    ("c_name_v", "name = 'a'", "v BETWEEN 0 AND 5",
+      (r: R) => r.name.map(_ == "a"), (r: R) => r.v.map(v => v >= 0L && v <= 5L)),
+    ("c_even_id", "v % 2 = 0", "id <= 3",
+      (r: R) => r.v.map(_ % 2 == 0L), (r: R) => r.id.map(_ <= 3L)))
+
   private val genSpec: Gen[Spec] = for {
     rows <- genRows
     idNullable <- Gen.oneOf(true, false)
@@ -87,6 +101,12 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
     uniqScope <- Gen.oneOf(None, Some("global"), Some("per_day"))
     withUniq <- Gen.oneOf(true, false)
     withFresh <- Gen.oneOf(true, false)
+    conds <- Gen.someOf(conditionals)
+    condRate <- Gen.oneOf(0.0, 0.1, 0.5)
+    withQuant <- Gen.oneOf(true, false)
+    quantBp <- Gen.oneOf(1, 2500, 5000, 9999, 10000)
+    quantMin <- Gen.option(Gen.choose(-3, 9).map(_.toDouble))
+    quantMax <- Gen.option(Gen.choose(-3, 9).map(_.toDouble))
   } yield {
     val fields = Seq(
       Field("id", "int64", nullable = idNullable,
@@ -105,7 +125,16 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
           Some(UniquenessCheck(uniqFields.toSeq.sorted, uniqScope,
             dateField = if (uniqScope.contains("per_day")) Some("ts") else None))
         else None,
-      freshness = if (withFresh) Some(FreshnessCheck("1d", "ts")) else None)
+      freshness = if (withFresh) Some(FreshnessCheck("1d", "ts")) else None,
+      conditional = conds.toSeq.map { case (n, w, t, _, _) =>
+        ConditionalCheck(n, w, t, condRate) },
+      quantile =
+        if (withQuant)
+          // at least one bound is the declared contract
+          Seq(QuantileCheck("v", quantBp,
+            min = if (quantMin.isEmpty && quantMax.isEmpty) Some(0.0) else quantMin,
+            max = quantMax))
+        else Nil)
     Spec(Contract("1.0", "fuzz", "qa",
       schema = ContractSchema("parquet", "memory", fields),
       qualityChecks = Some(qc)), rows)
@@ -176,6 +205,28 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
       val dupRows = rows.groupBy(key).values
         .map(_.size.toLong).filter(_ > 1).map(_ - 1).sum
       out(("uniqueness", u.fields.sorted.mkString(","))) = (dupRows == 0, dupRows.toDouble)
+    }
+    // conditional: viol * 1e6 <= ppm * whenRows, NULL `then` in scope
+    // counts as a violation, NULL `when` is out of scope
+    c.qualityChecks.toList.flatMap(_.conditional).foreach { cc =>
+      val (_, _, _, wf, tf) = conditionals.find(_._1 == cc.name).get
+      val inScope = rows.filter(r => wf(r).contains(true))
+      val viol = inScope.count(r => !tf(r).getOrElse(false)).toLong
+      val ppm = math.round(cc.maxViolationRate * 1000000L)
+      out(("conditional", cc.name)) =
+        (viol * 1000000L <= ppm * inScope.size.toLong, viol.toDouble)
+    }
+    // quantile: exact disc percentile, rank = max(1, ceil(q*n/1e4))
+    c.qualityChecks.toList.flatMap(_.quantile).foreach { qc =>
+      val vals = colVals(qc.field).flatten.map(_.asInstanceOf[Long].toDouble).sorted
+      if (vals.isEmpty) out(("quantile", qc.field)) = (true, 0.0)
+      else {
+        val n = vals.size.toLong
+        val rank = math.max(1L, (qc.qBp.toLong * n + 9999L) / 10000L)
+        val v = vals((rank - 1).toInt)
+        out(("quantile", qc.field)) =
+          (qc.min.forall(v >= _) && qc.max.forall(v <= _), v)
+      }
     }
     // freshness vs the fixed asOf: vacuous pass on the empty frame
     c.qualityChecks.flatMap(_.freshness).foreach { fr =>
