@@ -82,6 +82,7 @@ object BpeTrain {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cur = words
+      var lastCp: Option[DataFrame] = None
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
       var round = 1
       var exhausted = false
@@ -104,11 +105,21 @@ object BpeTrain {
           cur = cur.withColumn("__repr",
             call_function("replace", col("__repr"),
               lit(s" $a  $b "), lit(s" $a$b ")))
-          if (round % checkpointEvery == 0 && round < numMerges)
-            cur = cur.localCheckpoint()
+          if (round % checkpointEvery == 0 && round < numMerges) {
+            // at most one live checkpoint: the new one (eager, built
+            // from the old) frees its predecessor's storage now
+            val cp = cur.localCheckpoint()
+            lastCp.foreach(org.apache.spark.sql.graftbridge
+              .CheckpointBridge.unpersistLocalCheckpoint)
+            lastCp = Some(cp)
+            cur = cp
+          }
           round += 1
         }
       }
+      // eager result: the last checkpoint has served its purpose
+      lastCp.foreach(org.apache.spark.sql.graftbridge
+        .CheckpointBridge.unpersistLocalCheckpoint)
       val schema = StructType(Seq(
         StructField("merge_rank", LongType, nullable = false),
         StructField("lhs", StringType, nullable = false),

@@ -209,6 +209,10 @@ object DedupGroups {
     val base = if (n > 0) (1000000000L - dPpb) / n else 0L
     var ranks = nodes.select(col("node"), col("deg"),
       lit(if (n > 0) 1000000000L / n else 0L).as("rank_ppb"))
+    // at most ONE live checkpoint: each new one (having consumed the
+    // previous) frees its predecessor's storage eagerly instead of
+    // waiting for the GC-driven ContextCleaner
+    var lastCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = sym
         .join(ranks.select(col("node"), col("deg"),
@@ -223,10 +227,22 @@ object DedupGroups {
       // lineage grows linearly in iters (each iteration plans on top
       // of the last); truncate it every few rounds so the max-iters
       // config never pays deep-plan recompilation at scale
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 5 == 0 && i < iters) {
+        val cp = ranks.localCheckpoint() // eager: materialized on return
+        lastCp.foreach(
+          org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistLocalCheckpoint)
+        lastCp = Some(cp)
+        ranks = cp
+      }
     }
     val out = ranks.select(col("node"), col("deg"), col("rank_ppb"))
-    (out, () => { sym.unpersist(); nodes.unpersist(); () })
+    (out, () => {
+      sym.unpersist(); nodes.unpersist()
+      // the final checkpoint backs `out` lazily — freed with the handle
+      lastCp.foreach(
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistLocalCheckpoint)
+      ()
+    })
   }
 
   def dropGroupDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,

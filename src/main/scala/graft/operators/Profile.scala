@@ -1020,8 +1020,8 @@ object Profile {
     * All THREE metrics rank in ONE fused pass (r8 verdict: three
     * separate percentileRank exchanges made this the board's most
     * expensive query): the customer frame melts to (customer, metric,
-    * value) — every metric cast to DECIMAL(18,2), exact for day
-    * counts, order counts and (12,2) money — the distinct rollup and
+    * value) — every metric cast to DECIMAL(38,2), exact for day
+    * counts, order counts and the (22,2) money sums — the distinct rollup and
     * the two-level range-partition cumsum run once partitioned by
     * metric, and the pivot back to (r_bin, f_bin, m_bin) carries
     * frequency/monetary through the melt so nothing re-joins the
@@ -1031,7 +1031,9 @@ object Profile {
   def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
                   amountCol: String, asOf: Column, bins: Int = 5): DataFrame = {
     require(bins >= 2, "need bins >= 2")
-    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    // (38,2) so the melt cannot narrow the DECIMAL(22,2) monetary sum
+    // (a 1e16 customer total must bin, not overflow/NULL)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 2)
     val m = orders.groupBy(col(custCol).as("customer"))
       .agg(datediff(to_date(asOf), to_date(max(col(dateCol)))).cast(LongType)
           .as("recency_days"),

@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Frees the storage behind a `Dataset.localCheckpoint()` result.
+  *
+  * A local checkpoint materializes the frame into a persisted RDD that
+  * rides the new plan as a [[LogicalRDD]] leaf; `Dataset.unpersist()`
+  * only talks to the SQL cache manager and never releases it, so a
+  * superseded checkpoint otherwise lives until the driver-GC-driven
+  * ContextCleaner happens to run. Iterative operators that checkpoint
+  * every few rounds (PageRank, BPE training) call this on the PREVIOUS
+  * checkpoint once the next one has materialized, keeping at most one
+  * live copy instead of iters/checkpointEvery of them.
+  *
+  * Lives in the sql package tree to reach `queryExecution.logical`'s
+  * execution-private node type — the [[ColumnBridge]] pattern. No-op
+  * on plans that are not checkpoint leaves. */
+object CheckpointBridge {
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+}
