@@ -40,8 +40,13 @@ object MlValidators {
     val spark = df.sparkSession
     val order = ch.order
     val orderDf = spark.createDataFrame(order.zipWithIndex).toDF("__split", "__idx")
+    // a split with zero non-null timestamps has no temporal evidence:
+    // it is NOT PRESENT (same as a split with no rows), rather than
+    // producing a NULL-endpoint pair whose verdict is neither pass nor
+    // fail (caught by the contract fuzzer)
     val perSplit = df
-      .filter(col(ch.splitField).isin(order: _*))
+      .filter(col(ch.splitField).isin(order: _*) &&
+        col(ch.timestampField).isNotNull)
       .groupBy(col(ch.splitField).as("__split"))
       .agg(min(col(ch.timestampField).cast(TimestampType)).as("__min"),
         max(col(ch.timestampField).cast(TimestampType)).as("__max"))
@@ -376,7 +381,9 @@ object MlValidators {
     }
     val row = perGroup.agg(rateAggs.head, rateAggs.tail: _*)
     val outs = ch.checkFields.map { f =>
-      val diff = col(s"__max_$f") - col(s"__min_$f")
+      // no groups at all (empty slice) → vacuous pass at spread 0,
+      // the freshness convention — not a NULL verdict
+      val diff = coalesce(col(s"__max_$f") - col(s"__min_$f"), lit(0d))
       result(lit("ml_null_rate_by_group"), lit(f), diff <= maxDiff, diff,
         format_string(s"null-rate spread %.4f across groups of ${ch.groupField} (max $maxDiff)",
           diff))

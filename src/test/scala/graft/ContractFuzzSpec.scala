@@ -103,6 +103,16 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
     withFresh <- Gen.oneOf(true, false)
     conds <- Gen.someOf(conditionals)
     condRate <- Gen.oneOf(0.0, 0.1, 0.5)
+    withNoOverlap <- Gen.oneOf(true, false)
+    overlapKeys <- Gen.atLeastOne(Seq("id", "v"))
+    withTemporal <- Gen.oneOf(true, false)
+    temporalOrder <- Gen.oneOf(Seq("a", "ab"), Seq("ab", "a"), Seq("a", "zz", "b7"))
+    withBalance <- Gen.oneOf(true, false)
+    balMax <- Gen.oneOf(0.1, 0.5, 1.0)
+    balMin <- Gen.option(Gen.oneOf(0.0, 0.05, 0.2))
+    withNullRate <- Gen.oneOf(true, false)
+    nullRateFields <- Gen.atLeastOne(Seq("id", "v", "ts"))
+    nullRateMax <- Gen.oneOf(0.0, 0.1, 0.5)
     withQuant <- Gen.oneOf(true, false)
     quantBp <- Gen.oneOf(1, 2500, 5000, 9999, 10000)
     quantMin <- Gen.option(Gen.choose(-3, 9).map(_.toDouble))
@@ -126,6 +136,24 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
             dateField = if (uniqScope.contains("per_day")) Some("ts") else None))
         else None,
       freshness = if (withFresh) Some(FreshnessCheck("1d", "ts")) else None,
+      mlChecks = {
+        val ml = MlChecks(
+          noOverlap =
+            if (withNoOverlap)
+              Some(NoOverlapCheck("name", overlapKeys.toSeq.sorted)) else None,
+          temporalSplit =
+            if (withTemporal)
+              Some(TemporalSplitCheck("name", "ts",
+                splitOrder = Some(temporalOrder))) else None,
+          classBalance =
+            if (withBalance)
+              Some(ClassBalanceCheck("name", balMax, balMin)) else None,
+          nullRateByGroup =
+            if (withNullRate)
+              Some(NullRateByGroupCheck("name", nullRateFields.toSeq.sorted,
+                Some(nullRateMax))) else None)
+        if (ml == MlChecks()) None else Some(ml)
+      },
       conditional = conds.toSeq.map { case (n, w, t, _, _) =>
         ConditionalCheck(n, w, t, condRate) },
       quantile =
@@ -205,6 +233,58 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
       val dupRows = rows.groupBy(key).values
         .map(_.size.toLong).filter(_ > 1).map(_ - 1).sum
       out(("uniqueness", u.fields.sorted.mkString(","))) = (dupRows == 0, dupRows.toDouble)
+    }
+    // ml checks over the split/label/group column `name`
+    c.qualityChecks.flatMap(_.mlChecks).foreach { ml =>
+      ml.noOverlap.foreach { ch =>
+        val split = rows.filter(_.name.isDefined)
+        val overlap = split.groupBy(r => ch.keyFields.map {
+            case "id" => r.id; case "v" => r.v
+          }).values.count(_.map(_.name.get).distinct.size > 1).toLong
+        out(("ml_no_overlap", ch.keyFields.mkString(","))) =
+          (overlap == 0, overlap.toDouble)
+      }
+      ml.temporalSplit.foreach { ch =>
+        // a split with zero non-null timestamps is NOT PRESENT
+        val bySplit = rows
+          .filter(r => r.name.exists(ch.order.contains) && r.ts.isDefined)
+          .groupBy(_.name.get)
+        val present = ch.order.filter(bySplit.contains)
+        present.zip(present.drop(1)).foreach { case (p, n) =>
+          val pMax = bySplit(p).map(_.ts.get).max
+          val nMin = bySplit(n).map(_.ts.get).min
+          out(("ml_temporal_split", s"$p->$n")) =
+            (pMax <= nMin, (nMin / 1000L - pMax / 1000L).toDouble)
+        }
+      }
+      ml.classBalance.foreach { ch =>
+        val labeled = rows.flatMap(_.name)
+        val total = labeled.size.toLong
+        val maxPpm = math.round(ch.maxProportion * 1000000L)
+        val minPpm = ch.minProportion.map(p => math.round(p * 1000000L))
+        labeled.groupBy(identity).foreach { case (label, g) =>
+          val cnt = g.size.toLong
+          val ok = cnt * 1000000L <= maxPpm * total &&
+            minPpm.forall(p => cnt * 1000000L >= p * total)
+          out(("ml_class_balance", label)) = (ok, cnt.toDouble / total.toDouble)
+        }
+      }
+      ml.nullRateByGroup.foreach { ch =>
+        val maxDiff = ch.maxNullRateDiff.getOrElse(0.1)
+        val groups = rows.filter(_.name.isDefined).groupBy(_.name.get)
+        ch.checkFields.foreach { f =>
+          val rates = groups.values.map { g =>
+            val total = g.size.toLong
+            val nn = g.count(r => (f match {
+              case "id" => r.id; case "v" => r.v; case "ts" => r.ts
+            }).isDefined).toLong
+            (total - nn).toDouble / total.toDouble
+          }
+          // empty slice → vacuous pass at spread 0 (engine convention)
+          val diff = if (rates.isEmpty) 0.0 else rates.max - rates.min
+          out(("ml_null_rate_by_group", f)) = (diff <= maxDiff, diff)
+        }
+      }
     }
     // conditional: viol * 1e6 <= ppm * whenRows, NULL `then` in scope
     // counts as a violation, NULL `when` is out of scope
