@@ -35,10 +35,13 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
     StructField("id", LongType, nullable = true),
     StructField("name", StringType, nullable = true),
     StructField("v", LongType, nullable = true),
-    StructField("ts", TimestampType, nullable = true)))
+    StructField("ts", TimestampType, nullable = true),
+    StructField("emb", ArrayType(DoubleType, containsNull = false),
+      nullable = true)))
 
   private final case class R(id: Option[Long], name: Option[String],
-                             v: Option[Long], ts: Option[Long])
+                             v: Option[Long], ts: Option[Long],
+                             emb: Option[Seq[Double]])
 
   private val days: Seq[Long] = Seq(
     Timestamp.valueOf("2024-03-01 10:00:00").getTime,
@@ -52,7 +55,12 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
       5 -> Gen.oneOf("a", "ab", "b7", "zz", "", "a9z").map(Some(_)))
     v <- Gen.frequency(1 -> Gen.const(None), 5 -> Gen.choose(-3L, 9L).map(Some(_)))
     ts <- Gen.frequency(1 -> Gen.const(None), 4 -> Gen.oneOf(days).map(Some(_)))
-  } yield R(id, nm, v, ts)
+    dim <- Gen.frequency(4 -> Gen.const(2), 1 -> Gen.const(3))
+    es <- Gen.listOfN(dim, Gen.frequency(
+      6 -> Gen.oneOf(0.0, 1.0, -2.5, 3.25),
+      1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity)))
+    emb <- Gen.frequency(1 -> Gen.const(None), 4 -> Gen.const(Some(es: Seq[Double])))
+  } yield R(id, nm, v, ts, emb)
 
   private val genRows: Gen[List[R]] =
     Gen.frequency(1 -> Gen.const(Nil), 9 -> Gen.listOfN(25, genRow).map(_.take(25)))
@@ -113,6 +121,12 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
     withNullRate <- Gen.oneOf(true, false)
     nullRateFields <- Gen.atLeastOne(Seq("id", "v", "ts"))
     nullRateMax <- Gen.oneOf(0.0, 0.1, 0.5)
+    withVector <- Gen.oneOf(true, false)
+    vecDim <- Gen.oneOf(None, Some(2), Some(3))
+    vecMinNorm <- Gen.option(Gen.oneOf(0.5, 1.0))
+    vecMaxNorm <- Gen.option(Gen.oneOf(1.0, 3.0))
+    vecNanRate <- Gen.oneOf(0.0, 0.5)
+    vecZeroRate <- Gen.oneOf(0.0, 0.5)
     withQuant <- Gen.oneOf(true, false)
     quantBp <- Gen.oneOf(1, 2500, 5000, 9999, 10000)
     quantMin <- Gen.option(Gen.choose(-3, 9).map(_.toDouble))
@@ -154,6 +168,12 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
                 Some(nullRateMax))) else None)
         if (ml == MlChecks()) None else Some(ml)
       },
+      vector =
+        if (withVector)
+          Seq(VectorCheck("emb", dim = vecDim, minNorm = vecMinNorm,
+            maxNorm = vecMaxNorm, maxNanRate = vecNanRate,
+            maxZeroRate = vecZeroRate))
+        else Nil,
       conditional = conds.toSeq.map { case (n, w, t, _, _) =>
         ConditionalCheck(n, w, t, condRate) },
       quantile =
@@ -233,6 +253,38 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
       val dupRows = rows.groupBy(key).values
         .map(_.size.toLong).filter(_ > 1).map(_ - 1).sum
       out(("uniqueness", u.fields.sorted.mkString(","))) = (dupRows == 0, dupRows.toDouble)
+    }
+    // vector checks: dim / non-finite / zero-norm / norm bounds over
+    // the embedding column, ordered-fold normSq like the kernel
+    c.qualityChecks.toList.flatMap(_.vector).foreach { vc =>
+      val vecs = rows.flatMap(_.emb)
+      val nonNull = vecs.size.toLong
+      def rate(bad: Long): Double =
+        if (nonNull == 0) 0.0 else bad.toDouble / nonNull.toDouble
+      vc.dim match {
+        case Some(d) =>
+          val bad = vecs.count(_.size != d).toLong
+          out(("vector_dim", vc.field)) = (bad == 0, bad.toDouble)
+        case None =>
+          val dims = vecs.map(_.size).distinct.size.toLong
+          out(("vector_dim", vc.field)) = (dims <= 1, dims.toDouble)
+      }
+      val nanPpm = math.round(vc.maxNanRate * 1000000L)
+      val nan = vecs.count(_.exists(x => x.isNaN || x.isInfinite)).toLong
+      out(("vector_nan", vc.field)) =
+        (nan * 1000000L <= nanPpm * nonNull, rate(nan))
+      def normSq(g: Seq[Double]): Double = g.foldLeft(0.0)((a, x) => a + x * x)
+      val zeroPpm = math.round(vc.maxZeroRate * 1000000L)
+      val zero = vecs.count(g => normSq(g) == 0.0).toLong
+      out(("vector_zero", vc.field)) =
+        (zero * 1000000L <= zeroPpm * nonNull, rate(zero))
+      if (vc.minNorm.isDefined || vc.maxNorm.isDefined) {
+        val bad = vecs.count { g =>
+          val n = math.sqrt(normSq(g))
+          !n.isNaN && (vc.minNorm.exists(n < _) || vc.maxNorm.exists(n > _))
+        }.toLong
+        out(("vector_norm", vc.field)) = (bad == 0, bad.toDouble)
+      }
     }
     // ml checks over the split/label/group column `name`
     c.qualityChecks.flatMap(_.mlChecks).foreach { ml =>
@@ -320,7 +372,7 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
 
   property("fused engine == independent interpreter") = forAll(genSpec) { spec =>
     val data = spec.rows.map(r => Row(r.id.orNull, r.name.orNull, r.v.orNull,
-      r.ts.map(new Timestamp(_)).orNull))
+      r.ts.map(new Timestamp(_)).orNull, r.emb.orNull))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(data, math.max(1, data.size / 7)), frameSchema)
     val got = new ContractValidator(asOf = Some(asOf))
