@@ -121,6 +121,12 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
     withNullRate <- Gen.oneOf(true, false)
     nullRateFields <- Gen.atLeastOne(Seq("id", "v", "ts"))
     nullRateMax <- Gen.oneOf(0.0, 0.1, 0.5)
+    withKanon <- Gen.oneOf(true, false)
+    kanonQuasi <- Gen.atLeastOne(Seq("name", "v"))
+    kanonK <- Gen.oneOf(2, 3)
+    kanonRate <- Gen.oneOf(0.0, 0.3)
+    withLdiv <- Gen.oneOf(true, false)
+    ldivL <- Gen.oneOf(2, 3)
     withVector <- Gen.oneOf(true, false)
     vecDim <- Gen.oneOf(None, Some(2), Some(3))
     vecMinNorm <- Gen.option(Gen.oneOf(0.5, 1.0))
@@ -165,7 +171,15 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
           nullRateByGroup =
             if (withNullRate)
               Some(NullRateByGroupCheck("name", nullRateFields.toSeq.sorted,
-                Some(nullRateMax))) else None)
+                Some(nullRateMax))) else None,
+          kAnonymity =
+            if (withKanon)
+              Some(KAnonymityCheck(kanonQuasi.toSeq.sorted, kanonK, kanonRate))
+            else None,
+          lDiversity =
+            if (withLdiv)
+              Some(LDiversityCheck(kanonQuasi.toSeq.sorted, "id", ldivL,
+                kanonRate)) else None)
         if (ml == MlChecks()) None else Some(ml)
       },
       vector =
@@ -320,6 +334,36 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
             minPpm.forall(p => cnt * 1000000L >= p * total)
           out(("ml_class_balance", label)) = (ok, cnt.toDouble / total.toDouble)
         }
+      }
+      def quasiGroups(quasi: Seq[String]): Iterable[List[R]] =
+        rows.filter(r => quasi.forall {
+            case "name" => r.name.isDefined; case "v" => r.v.isDefined
+          })
+          .groupBy(r => quasi.map {
+            case "name" => r.name; case "v" => r.v
+          }).values
+      def privacyVerdict(violRows: Long, totalRows: Long,
+                         rate: Double): (Boolean, Double) = {
+        val maxBp = math.round(rate * 10000)
+        (violRows * 10000L <= maxBp * totalRows || totalRows == 0,
+          (violRows * 10000L / math.max(totalRows, 1L)).toDouble / 10000d)
+      }
+      ml.kAnonymity.foreach { ch =>
+        val gs = quasiGroups(ch.quasiIdFields)
+        val viol = gs.filter(_.size < ch.k).map(_.size.toLong).sum
+        val total = gs.map(_.size.toLong).sum
+        out(("ml_k_anonymity", ch.quasiIdFields.mkString(","))) =
+          privacyVerdict(viol, total, ch.maxViolationRate)
+      }
+      ml.lDiversity.foreach { ch =>
+        val gs = quasiGroups(ch.quasiIdFields)
+        // NULL sensitive values carry no diversity; their rows still count
+        val viol = gs.filter(_.flatMap(_.id).distinct.size < ch.l)
+          .map(_.size.toLong).sum
+        val total = gs.map(_.size.toLong).sum
+        out(("ml_l_diversity",
+          ch.quasiIdFields.mkString(",") + "->" + ch.sensitiveField)) =
+          privacyVerdict(viol, total, ch.maxViolationRate)
       }
       ml.nullRateByGroup.foreach { ch =>
         val maxDiff = ch.maxNullRateDiff.getOrElse(0.1)
