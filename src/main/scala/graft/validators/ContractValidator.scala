@@ -388,9 +388,13 @@ final class ContractValidator(asOf: Option[java.sql.Timestamp] = None) {
         }
         val agg = r.agg(count(lit(1)).as("n"), valueAgg.as("v"))
         val n = col("n")
+        // coalesce: a single NULL value is NOT the expected 0/true —
+        // it must FAIL, not produce a NULL verdict (contract fuzzer)
         val passed =
-          if (isNumeric) n === 0L || (n === 1L && col("v") === 0d)
-          else if (isBool) n === 0L || (n === 1L && col("v") === 1d)
+          if (isNumeric) n === 0L || (n === 1L &&
+            coalesce(col("v") === 0d, lit(false)))
+          else if (isBool) n === 0L || (n === 1L &&
+            coalesce(col("v") === 1d, lit(false)))
           else n === 0L
         val metric =
           when(n === 1L && lit(isNumeric || isBool), coalesce(col("v"), lit(0d)))

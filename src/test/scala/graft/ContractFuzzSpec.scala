@@ -79,6 +79,29 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
 
   private final case class Spec(contract: Contract, rows: List[R])
 
+  /** Custom-check templates over the temp view (named after the
+    * contract, "fuzz"): SQL for the engine, semantics in Scala.
+    * Covers the numeric-scalar, boolean-scalar, row-listing (with the
+    * single-NULL-value fail), and both syntactic-reject paths. */
+  private val customs: Seq[(String, String, List[R] => (Boolean, Double))] = Seq(
+    ("neg_v_count", "SELECT count(*) FROM fuzz WHERE v < 0",
+      rows => { val n = rows.count(_.v.exists(_ < 0L)).toLong
+        (n == 0, n.toDouble) }),
+    ("no_null_names", "SELECT count(*) = 0 FROM fuzz WHERE name IS NULL",
+      rows => { val ok = !rows.exists(_.name.isEmpty)
+        (ok, if (ok) 1.0 else 0.0) }),
+    ("list_big_v", "SELECT id FROM fuzz WHERE v > 7",
+      rows => {
+        val ids = rows.filter(_.v.exists(_ > 7L)).map(_.id)
+        ids.size match {
+          case 0 => (true, 0.0)
+          case 1 => (ids.head.contains(0L), ids.head.map(_.toDouble).getOrElse(0.0))
+          case n => (false, n.toDouble)
+        }
+      }),
+    ("not_select", "DELETE FROM fuzz", _ => (false, 0.0)),
+    ("two_stmts", "SELECT 1; SELECT 2", _ => (false, 0.0)))
+
   /** Conditional-rule templates: SQL text for the engine + the same
     * three-valued semantics in plain Scala for the interpreter.
     * Engine contract: a row whose `then` evaluates NULL is a
@@ -111,6 +134,7 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
     withFresh <- Gen.oneOf(true, false)
     conds <- Gen.someOf(conditionals)
     condRate <- Gen.oneOf(0.0, 0.1, 0.5)
+    customSel <- Gen.someOf(customs)
     withNoOverlap <- Gen.oneOf(true, false)
     overlapKeys <- Gen.atLeastOne(Seq("id", "v"))
     withTemporal <- Gen.oneOf(true, false)
@@ -156,6 +180,8 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
             dateField = if (uniqScope.contains("per_day")) Some("ts") else None))
         else None,
       freshness = if (withFresh) Some(FreshnessCheck("1d", "ts")) else None,
+      customChecks = customSel.toSeq.map { case (n, sql, _) =>
+        CustomCheck(n, sql) },
       mlChecks = {
         val ml = MlChecks(
           noOverlap =
@@ -267,6 +293,11 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
       val dupRows = rows.groupBy(key).values
         .map(_.size.toLong).filter(_ > 1).map(_ - 1).sum
       out(("uniqueness", u.fields.sorted.mkString(","))) = (dupRows == 0, dupRows.toDouble)
+    }
+    // custom checks: key is ("custom:<name>", "")
+    c.qualityChecks.toList.flatMap(_.customChecks).foreach { cc =>
+      val (_, _, f) = customs.find(_._1 == cc.name).get
+      out(("custom:" + cc.name, "")) = f(rows)
     }
     // vector checks: dim / non-finite / zero-norm / norm bounds over
     // the embedding column, ordered-fold normSq like the kernel
