@@ -445,11 +445,79 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
     out.toMap
   }
 
-  property("fused engine == independent interpreter") = forAll(genSpec) { spec =>
-    val data = spec.rows.map(r => Row(r.id.orNull, r.name.orNull, r.v.orNull,
+  private def toDf(rows: List[R]) = {
+    val data = rows.map(r => Row(r.id.orNull, r.name.orNull, r.v.orNull,
       r.ts.map(new Timestamp(_)).orNull, r.emb.orNull))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(data, math.max(1, data.size / 7)), frameSchema)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, data.size / 7)),
+      frameSchema)
+  }
+
+  /** A contract SUGGESTED from a frame must validate green on that
+    * same frame — the profile→suggest→validate loop's fixed point
+    * (a suggested range/allowed-set/nullability that excludes the very
+    * data it was profiled from is a suggestion bug). */
+  property("suggested contract validates green on its own frame") =
+    forAll(genRows) { rows =>
+      val df = toDf(rows).drop("emb") // suggest profiles numeric+string
+      val suggested = graft.operators.Profile.suggestContract(df, "fuzz", "qa")
+      val res = new ContractValidator(asOf = Some(asOf))
+        .validate(df, suggested).collect()
+      val bad = res.filterNot(_.getAs[Boolean]("passed"))
+      if (bad.nonEmpty) println("SUGGEST-FAIL: " + bad.mkString(" | "))
+      bad.isEmpty
+    }
+
+  /** Counter snapshots over any 2-way split of the frame must merge to
+    * the full-frame snapshot — the incremental validator's core
+    * algebra, at random instead of the fixed spec corpus. */
+  property("counter snapshots merge to the full-frame snapshot") =
+    forAll(genSpec, Gen.choose(0, 25)) { (spec, cutRaw) =>
+      import graft.validators.IncrementalValidator
+      // snapshot() needs at least one scalar counter row
+      val qc = spec.contract.qualityChecks.get
+      val c = spec.contract.copy(qualityChecks = Some(qc.copy(
+        completeness = qc.completeness
+          .orElse(Some(CompletenessCheck(0.9, Seq("id", "v")))))))
+      val cut = math.min(cutRaw, spec.rows.size)
+      def snapMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[String]("check"), r.getAs[String]("field")) ->
+          ((r.getAs[Long]("total"), r.getAs[Long]("counter"),
+            Option(r.getAs[java.lang.Long]("max_ts_ms")).map(_.longValue)))).toMap
+      val merged = snapMap(IncrementalValidator.merge(
+        IncrementalValidator.snapshot(toDf(spec.rows.take(cut)), c),
+        IncrementalValidator.snapshot(toDf(spec.rows.drop(cut)), c)))
+      val full = snapMap(IncrementalValidator.snapshot(toDf(spec.rows), c))
+      if (merged != full) println(s"MERGE-MISMATCH: $merged vs $full")
+      merged == full
+    }
+
+  /** Exact uniqueness state over any 2-way split must merge to the
+    * full-frame state (per-key counts add; NULL-bearing composite keys
+    * serialize identically on both sides). */
+  property("exact uniqueness state merges to the full-frame state") =
+    forAll(genRows, Gen.choose(0, 25)) { (rows, cutRaw) =>
+      import graft.validators.IncrementalValidator
+      val c = Contract("1.0", "fuzz", "qa",
+        schema = ContractSchema("parquet", "memory", Seq(
+          Field("id", "int64"), Field("name", "string"))),
+        qualityChecks = Some(QualityChecks(
+          uniqueness = Some(UniquenessCheck(Seq("id", "name"), None)))))
+      val cut = math.min(cutRaw, rows.size)
+      def repMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[String]("check"), r.getAs[String]("field")) ->
+          ((r.getAs[Boolean]("passed"), r.getAs[Double]("metric")))).toMap
+      val merged = repMap(IncrementalValidator.uniquenessReportExact(
+        IncrementalValidator.uniquenessMergeExact(
+          IncrementalValidator.uniquenessSnapshotExact(toDf(rows.take(cut)), c),
+          IncrementalValidator.uniquenessSnapshotExact(toDf(rows.drop(cut)), c))))
+      val full = repMap(IncrementalValidator.uniquenessReportExact(
+        IncrementalValidator.uniquenessSnapshotExact(toDf(rows), c)))
+      merged == full
+    }
+
+  property("fused engine == independent interpreter") = forAll(genSpec) { spec =>
+    val df = toDf(spec.rows)
     val got = new ContractValidator(asOf = Some(asOf))
       .validate(df, spec.contract)
       .collect()
