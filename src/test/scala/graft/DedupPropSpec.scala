@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Randomized equality fuzzing of the collapse dedup family: on ANY
+  * corpus (random short texts from a tiny colliding alphabet, random
+  * duplicate multiplicities, empty and NULL texts mixed in), the
+  * exact-duplicate-collapse operators must reproduce the direct
+  * operators' pair sets EXACTLY. The fixed-corpus equality specs in
+  * OperatorsSpec pin the real-data shape; this covers the adversarial
+  * small-structure space (single-word docs, all-duplicate corpora,
+  * shingle-set subsets) no hand-built corpus enumerates. */
+object DedupPropSpec extends Properties("DedupCollapse") {
+
+  private lazy val spark = SparkSpec.session
+
+  // each case runs six pipeline plans; a smaller case count keeps the
+  // suite under a minute while still sweeping the structure space
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  private val genDocText: Gen[Option[String]] = Gen.frequency(
+    1 -> Gen.const(None),
+    1 -> Gen.const(Some("")),
+    8 -> Gen.choose(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd", "a", "b"))
+        .map(ws => Some(ws.mkString(" ")))))
+
+  /** (text, copies) pairs → corpus with sequential ids; random copy
+    * multiplicities make exact-dup classes of every size. */
+  private val genCorpus: Gen[List[(Long, Option[String])]] = for {
+    n <- Gen.choose(2, 10)
+    docs <- Gen.listOfN(n, genDocText)
+    copies <- Gen.listOfN(n, Gen.choose(1, 3))
+  } yield docs.zip(copies).flatMap { case (t, c) => Seq.fill(c)(t) }
+    .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def toDf(rows: List[(Long, Option[String])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, t) => Row(id, t.orNull) }, 2), schema)
+
+  private def pairKey(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+    df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+
+  property("collapsed jaccard/minhash/simhash == direct on random corpora") =
+    forAll(genCorpus) { rows =>
+      val corpus = toDf(rows)
+      val jCols = Seq("id_a", "id_b", "inter", "uni", "jacc_bp")
+      val jd = pairKey(Dedup.jaccardPairs(corpus, "doc_id", "text", n = 2,
+        minJaccardBp = 100, maxShinglePostings = 1000000L), jCols)
+      val jc = pairKey(Dedup.collapsedJaccardPairs(corpus, "doc_id", "text",
+        n = 2, minJaccardBp = 100, maxShinglePostings = 1000000L), jCols)
+      val md = pairKey(Dedup.minhashPairs(corpus, "doc_id", "text", n = 2,
+        numPerm = 16, numBands = 8, minJaccardBp = 2000,
+        maxBucketSize = Long.MaxValue), jCols)
+      val mc = pairKey(Dedup.collapsedMinhashPairs(corpus, "doc_id", "text",
+        n = 2, numPerm = 16, numBands = 8, minJaccardBp = 2000,
+        maxBucketSize = Long.MaxValue), jCols)
+      val sCols = Seq("id_a", "id_b", "hamming", "sim_a", "sim_b")
+      val sd = pairKey(Dedup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 7, maxBucketSize = Long.MaxValue, numBlocks = 8,
+        blockLoBit = 4, wordHashes = TextFns.portableWordHashes), sCols)
+      val sc = pairKey(Dedup.collapsedSimhashPairs(corpus, "doc_id", "text",
+        maxHamming = 7, maxBucketSize = Long.MaxValue, numBlocks = 8,
+        blockLoBit = 4, wordHashes = TextFns.portableWordHashes), sCols)
+      val ok = jc == jd && mc == md && sc == sd
+      if (!ok) println(s"COLLAPSE-MISMATCH on $rows: " +
+        s"jacc ${jd.size}/${jc.size} minhash ${md.size}/${mc.size} " +
+        s"simhash ${sd.size}/${sc.size}")
+      ok
+    }
+}
