@@ -223,6 +223,9 @@ object Bench {
       s""","cold":${jmap(rows)(r => fmt(r.cold))}""" +
       s""","warm_runs":${jmap(rows)(r => r.warms.map(fmt).mkString("[", ",", "]"))}""" +
       rows2.map { case (_, rs) => s""","pass2":${jmap(rs)(r => fmt(r.warms.headOption.getOrElse(r.cold)))}""" }.getOrElse("") +
+      // plan fingerprints persist here too (stderr scrolls away between
+      // rounds; the archived file is what cross-round diffs read)
+      s""","plans":$plans""" +
       "}"
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
