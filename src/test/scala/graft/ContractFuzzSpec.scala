@@ -516,6 +516,51 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
       merged == full
     }
 
+  /** The row-level enforcement rules ([[graft.validators.Enforce]])
+    * and the fused aggregate verdicts are INDEPENDENT encodings of the
+    * same constraint semantics — on any frame the quarantine reasons
+    * must tie exactly to the aggregate violation metrics, the split
+    * must conserve rows, and a re-partitioned clean slice must
+    * quarantine nothing. */
+  property("enforcement split ties to the aggregate verdicts") =
+    forAll(genSpec) { spec =>
+      import graft.validators.Enforce
+      val df = toDf(spec.rows)
+      val (clean, quar) = Enforce.partition(df, spec.contract)
+      val cleanN = clean.count()
+      val quarRows = quar.collect()
+      val conserved = cleanN + quarRows.size == spec.rows.size
+      val recleanEmpty = Enforce.partition(clean, spec.contract)._2.isEmpty
+      // reason → expected aggregate (check, field)
+      val reasonCounts = quarRows
+        .flatMap(r => r.getSeq[String](r.fieldIndex("violation_reasons")))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val agg = new ContractValidator(asOf = Some(asOf))
+        .validate(df, spec.contract).collect()
+        .map(r => (r.getAs[String]("check"), r.getAs[String]("field")) ->
+          r.getAs[Double]("metric")).toMap
+      def tied(reason: String, check: String, field: String): Boolean =
+        agg.get((check, field)).forall(_ ==
+          reasonCounts.getOrElse(reason, 0L).toDouble)
+      val ties = spec.contract.schema.fields.forall { f =>
+        (f.nullable || tied(s"null_in_non_nullable:${f.name}",
+          "nullability", f.name)) &&
+          f.constraints.forall {
+            case Constraint.AllowedValues(_) =>
+              tied(s"allowed_values:${f.name}", "allowed_values", f.name)
+            case Constraint.Range(_, _) =>
+              tied(s"range:${f.name}", "range", f.name)
+            case Constraint.Pattern(_) =>
+              tied(s"pattern:${f.name}", "pattern", f.name)
+            case _ => true
+          }
+      }
+      if (!(conserved && recleanEmpty && ties))
+        println(s"ENFORCE-MISMATCH conserved=$conserved " +
+          s"reclean=$recleanEmpty ties=$ties reasons=$reasonCounts")
+      conserved && recleanEmpty && ties
+    }
+
   property("fused engine == independent interpreter") = forAll(genSpec) { spec =>
     val df = toDf(spec.rows)
     val got = new ContractValidator(asOf = Some(asOf))
