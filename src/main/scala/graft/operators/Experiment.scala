@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Experiment-readout statistics beyond the closed-form z tests in
+  * [[Sessionize]] (`abTest`, `abPower`, `abCuped`, `logRank`): the
+  * scale-first resampling and unequal-variance machinery an A/B
+  * platform runs on hundreds of millions of units, where "just
+  * bootstrap it" means a driver-side loop nobody can afford.
+  *
+  * Both operators consume a UNIT-GRAIN frame (one row per randomized
+  * unit — user, session, account), which at any corpus size is orders
+  * of magnitude smaller than the event log it was rolled up from; the
+  * rollup is the caller's one heavy pass, everything here is a single
+  * map-side-combined aggregation over that frame.
+  */
+object Experiment {
+
+  /** Poisson(1) CDF thresholds scaled to 2^32, P(X<=k) for k=0..7:
+    * a 32-bit uniform hash draw h maps to the bootstrap weight
+    * w = #{k : h >= T_k} — an exact integer inverse-CDF lookup both
+    * Spark and any SQL oracle replay bit-for-bit. Residual tail mass
+    * P(w=8) ≈ 1.0e-5 is assigned to w=8 (the Poisson(1) tail beyond 8
+    * is folded into the last step). */
+  private[graft] val PoissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L,
+    4279248373L, 4292415291L, 4294609777L, 4294923276L)
+
+  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    val dt = df.schema(c).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: $c must be an integral type, got $dt")
+  }
+
+  private def twoArms(base: DataFrame, op: String): (String, String) = {
+    // eager 2-row collect, bounded by design (the abCuped precedent)
+    val arms = base.select("__arm").distinct().collect().map(_.getString(0)).sorted
+    require(arms.length == 2, s"$op needs exactly two arms, got: ${arms.mkString(", ")}")
+    (arms(0), arms(1))
+  }
+
+  /** Deterministic POISSON-BOOTSTRAP percentile CI for the difference
+    * of arm means (Chamandy et al. 2012, "Estimating uncertainty for
+    * massive data streams"; Kleiner et al. 2014 BLB is the heavier
+    * cousin) — the nonparametric companion to [[Sessionize.abTest]]'s
+    * closed-form z: when the metric is skewed (revenue, latency,
+    * token counts) the normal approximation misstates the CI and THIS
+    * is the readout an experimentation platform actually ships.
+    * Classic resampling draws B multinomial replicas — impossible
+    * distributed because the multinomial couples all rows; the
+    * Poisson approximation makes each unit's replicate weight an
+    * INDEPENDENT Poisson(1) draw, so all B replicas compute in ONE
+    * pass as conditional sums. Weights are not pseudo-random at all:
+    * unit u's weight in replica r is the exact inverse-CDF lookup of
+    * the 32-bit draw md5("<id>:<r>:<seed>") against
+    * [[PoissonThresholds]] — reproducible across engines, stable
+    * under appends of other units.
+    *
+    * Replicate mean = Σw·y / Σw per arm (double division over exact
+    * integer sums — identical IEEE result in any engine); diff = B−A;
+    * the CI is the PERCENTILE-DISC pick of the replicate diffs at
+    * 2.5%/97.5% (indices ceil(q·B) over ascending order), so no
+    * engine-dependent interpolation touches the result. Replicas
+    * where either arm draws total weight 0 are excluded from the
+    * order statistics (probability ~(1/e)^n — only degenerate-corpus
+    * relevant; indices adjust to the surviving count).
+    *
+    * Plan: one projection computing the B weight columns (ONE md5 per
+    * (unit, replica); the 8 threshold comparisons share the digest via
+    * codegen subexpression elimination) → ONE map-side-combined global
+    * aggregation (4B+4 conditional sums) → all ordering/window work on
+    * the B-row replicate frame (bounded by construction). int64: Σw·y
+    * ≤ 8·Σy — safe to Σ|y| < 1.1e18.
+    *
+    * `idCol` must be unique per row (the unit key the caller rolled
+    * up by); `yCol` integral. B=40 gives disc indices 1 and 39 — the
+    * narrowest B where the 95% CI is not simply [min, max]. */
+  def bootstrapDiff(users: DataFrame, idCol: String, armCol: String,
+                    yCol: String, b: Int = 40, seed: Int = 42): DataFrame = {
+    require(b >= 4, s"bootstrapDiff: need b >= 4 replicas, got $b")
+    requireIntegral(users, yCol, "bootstrapDiff")
+    val base = users
+      .filter(col(idCol).isNotNull && col(armCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(armCol).cast("string").as("__arm"), col(yCol).cast("long").as("__y"))
+    val (aLbl, bLbl) = twoArms(base, "bootstrapDiff")
+    def weight(r: Int) = {
+      val h = conv(substring(md5(concat(col("__id"), lit(s":$r:$seed"))), 1, 8),
+        16, 10).cast(LongType)
+      PoissonThresholds.map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
+    }
+    val weighted = base.select(
+      Seq(col("__arm"), col("__y")) ++
+        (0 until b).map(r => weight(r).as(s"__w$r")): _*)
+    val isA = col("__arm") === aLbl
+    val isB = col("__arm") === bLbl
+    val aggs =
+      Seq(sum(when(isA, 1L).otherwise(0L)).as("__na"),
+        sum(when(isB, 1L).otherwise(0L)).as("__nb"),
+        sum(when(isA, col("__y")).otherwise(0L)).as("__sya"),
+        sum(when(isB, col("__y")).otherwise(0L)).as("__syb")) ++
+      (0 until b).flatMap { r =>
+        Seq(
+          sum(when(isA, col(s"__w$r") * col("__y")).otherwise(0L)).as(s"__swya$r"),
+          sum(when(isA, col(s"__w$r")).otherwise(0L)).as(s"__swa$r"),
+          sum(when(isB, col(s"__w$r") * col("__y")).otherwise(0L)).as(s"__swyb$r"),
+          sum(when(isB, col(s"__w$r")).otherwise(0L)).as(s"__swb$r"))
+      }
+    val folded = weighted.agg(aggs.head, aggs.tail: _*)
+    val reps = folded.select(
+      col("__na"), col("__nb"), col("__sya"), col("__syb"),
+      posexplode(array((0 until b).map(r => struct(
+        col(s"__swya$r").as("swya"), col(s"__swa$r").as("swa"),
+        col(s"__swyb$r").as("swyb"), col(s"__swb$r").as("swb"))): _*))
+        .as(Seq("__r", "__s")))
+      .select(col("__na"), col("__nb"), col("__sya"), col("__syb"), col("__r"),
+        col("__s.swya").as("__swya"), col("__s.swa").as("__swa"),
+        col("__s.swyb").as("__swyb"), col("__s.swb").as("__swb"))
+      .filter(col("__swa") > 0 && col("__swb") > 0)
+      .withColumn("__diff",
+        col("__swyb").cast("double") / col("__swb") -
+          col("__swya").cast("double") / col("__swa"))
+    // B-row frame: the global window is bounded by the replica count
+    val ranked = reps
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__diff"), col("__r"))))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__lo", greatest(lit(1L), ceil(lit(0.025) * col("__cnt"))))
+      .withColumn("__hi", ceil(lit(0.975) * col("__cnt")))
+    ranked.agg(
+        max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        max(col("__sya")).as("__sya"), max(col("__syb")).as("__syb"),
+        max(col("__cnt")).cast(LongType).as("replicas"),
+        max(when(col("__rn") === col("__lo"), col("__diff"))).as("__blo"),
+        max(when(col("__rn") === col("__hi"), col("__diff"))).as("__bhi"))
+      .select(
+        lit(aLbl).as("arm_a"), lit(bLbl).as("arm_b"),
+        col("__na").cast(LongType).as("users_a"),
+        col("__nb").cast(LongType).as("users_b"),
+        round(col("__sya").cast("double") / col("__na"), 6).as("mean_a_r6"),
+        round(col("__syb").cast("double") / col("__nb"), 6).as("mean_b_r6"),
+        round(col("__syb").cast("double") / col("__nb") -
+          col("__sya").cast("double") / col("__na"), 6).as("diff_r6"),
+        col("replicas"),
+        round(col("__blo"), 6).as("boot_lo_r6"),
+        round(col("__bhi"), 6).as("boot_hi_r6"))
+  }
+
+  /** WELCH's unequal-variance t readout for a continuous (integral)
+    * unit-grain metric — the two-proportion z in [[Sessionize.abTest]]
+    * covers conversion; this covers "did mean events/revenue/tokens
+    * per user move", without Student's equal-variance assumption
+    * (arms routinely have different variance — the treatment CHANGES
+    * the distribution, not just its mean). Welch 1947; the
+    * Welch–Satterthwaite df is the standard readout.
+    *
+    * Everything derives from ONE map-side-combined pass of exact
+    * integer sums (n, Σy, Σy² per arm); t and df are single
+    * deterministic double expressions over those sums that any engine
+    * replays identically: vnum_i = n_i·Σy²_i − (Σy_i)² (int64 — safe
+    * while n·Σy² < 9.2e18; at ~1e9 rows of |y| ≤ 1e4 you are at the
+    * cliff, rescale y first), v_i = vnum_i / (n_i·(n_i−1)),
+    * se²_i = v_i/n_i, t = (m_b−m_a)/√(se²_a+se²_b),
+    * df = (se²_a+se²_b)² / (se⁴_a/(n_a−1) + se⁴_b/(n_b−1)).
+    * t/df are NULL (never NaN) when either arm has n < 2 or both
+    * variances are zero. */
+  def welchT(users: DataFrame, armCol: String, yCol: String): DataFrame = {
+    requireIntegral(users, yCol, "welchT")
+    val base = users.filter(col(armCol).isNotNull && col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"), col(yCol).cast("long").as("__y"))
+    val (aLbl, bLbl) = twoArms(base, "welchT")
+    val isA = col("__arm") === aLbl
+    val isB = col("__arm") === bLbl
+    base.agg(
+        sum(when(isA, 1L).otherwise(0L)).as("__na"),
+        sum(when(isB, 1L).otherwise(0L)).as("__nb"),
+        sum(when(isA, col("__y")).otherwise(0L)).as("__sa"),
+        sum(when(isB, col("__y")).otherwise(0L)).as("__sb"),
+        sum(when(isA, col("__y") * col("__y")).otherwise(0L)).as("__ssa"),
+        sum(when(isB, col("__y") * col("__y")).otherwise(0L)).as("__ssb"))
+      .withColumn("__vna", col("__na") * col("__ssa") - col("__sa") * col("__sa"))
+      .withColumn("__vnb", col("__nb") * col("__ssb") - col("__sb") * col("__sb"))
+      .withColumn("__sea", when(col("__na") > 1,
+        col("__vna").cast("double") / (col("__na") * (col("__na") - 1)) / col("__na")))
+      .withColumn("__seb", when(col("__nb") > 1,
+        col("__vnb").cast("double") / (col("__nb") * (col("__nb") - 1)) / col("__nb")))
+      .withColumn("__se2", col("__sea") + col("__seb"))
+      .select(
+        lit(aLbl).as("arm_a"), lit(bLbl).as("arm_b"),
+        col("__na").cast(LongType).as("users_a"),
+        col("__nb").cast(LongType).as("users_b"),
+        round(col("__sa").cast("double") / col("__na"), 6).as("mean_a_r6"),
+        round(col("__sb").cast("double") / col("__nb"), 6).as("mean_b_r6"),
+        round(col("__sb").cast("double") / col("__nb") -
+          col("__sa").cast("double") / col("__na"), 6).as("diff_r6"),
+        round(when(col("__se2") > 0,
+          (col("__sb").cast("double") / col("__nb") -
+            col("__sa").cast("double") / col("__na")) / sqrt(col("__se2"))), 4)
+          .as("t_r4"),
+        round(when(col("__se2") > 0,
+          (col("__se2") * col("__se2")) /
+            (col("__sea") * col("__sea") / (col("__na") - 1) +
+              col("__seb") * col("__seb") / (col("__nb") - 1))), 2)
+          .as("df_r2"))
+  }
+}

@@ -719,6 +719,99 @@ object EventQueries {
              CAST(sum(CASE WHEN m = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
       FROM x GROUP BY 1 ORDER BY 1"""))
 
+  // 238. DETERMINISTIC POISSON-BOOTSTRAP CI for the diff of per-user
+  // event-count means — all 40 replicas in ONE conditional-sum pass,
+  // unit weights the exact inverse-CDF lookup of md5("<id>:<r>:42")
+  // against the Poisson(1) thresholds, CI the percentile-DISC pick
+  // over replicate diffs (no interpolation): every number replays
+  // engine-to-engine from exact integer sums.
+  val qAbBootstrap = QueryDef("q_ab_bootstrap",
+    (s, dir) => {
+      graft.operators.Experiment.bootstrapDiff(
+        armedUsers(s, dir), "user_id", "split", "y")
+    },
+    Some(s"""
+      WITH $armedUsersSql,
+      rep AS (SELECT CAST(r.range AS BIGINT) AS r FROM range(0, 40) r),
+      h AS (SELECT u.arm, u.y, rep.r,
+              ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' || CAST(rep.r AS VARCHAR) || ':42'), 1, 8))::BIGINT AS hv
+            FROM u, rep),
+      w AS (SELECT arm, y, r,
+              (CASE WHEN hv >= 1580030168 THEN 1 ELSE 0 END) +
+              (CASE WHEN hv >= 3160060337 THEN 1 ELSE 0 END) +
+              (CASE WHEN hv >= 3950075421 THEN 1 ELSE 0 END) +
+              (CASE WHEN hv >= 4213413783 THEN 1 ELSE 0 END) +
+              (CASE WHEN hv >= 4279248373 THEN 1 ELSE 0 END) +
+              (CASE WHEN hv >= 4292415291 THEN 1 ELSE 0 END) +
+              (CASE WHEN hv >= 4294609777 THEN 1 ELSE 0 END) +
+              (CASE WHEN hv >= 4294923276 THEN 1 ELSE 0 END) AS w
+            FROM h),
+      rs AS (SELECT r,
+               sum(CASE WHEN arm = 'a' THEN w * y ELSE 0 END) AS swya,
+               sum(CASE WHEN arm = 'a' THEN w ELSE 0 END) AS swa,
+               sum(CASE WHEN arm = 'b' THEN w * y ELSE 0 END) AS swyb,
+               sum(CASE WHEN arm = 'b' THEN w ELSE 0 END) AS swb
+             FROM w GROUP BY 1),
+      tot AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                     sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+                     sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
+                     sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb
+              FROM u),
+      d AS (SELECT r, CAST(swyb AS DOUBLE) / swb - CAST(swya AS DOUBLE) / swa AS diff
+            FROM rs WHERE swa > 0 AND swb > 0),
+      rk AS (SELECT diff, row_number() OVER (ORDER BY diff, r) AS rn,
+                    count(*) OVER () AS cnt
+             FROM d),
+      pick AS (SELECT max(CASE WHEN rn = greatest(1, CAST(ceil(0.025 * cnt) AS BIGINT)) THEN diff END) AS blo,
+                      max(CASE WHEN rn = CAST(ceil(0.975 * cnt) AS BIGINT) THEN diff END) AS bhi,
+                      CAST(max(cnt) AS BIGINT) AS replicas
+               FROM rk)
+      SELECT 'a' AS arm_a, 'b' AS arm_b,
+             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
+             round(CAST(sya AS DOUBLE) / na, 6) AS mean_a_r6,
+             round(CAST(syb AS DOUBLE) / nb, 6) AS mean_b_r6,
+             round(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na, 6) AS diff_r6,
+             replicas,
+             round(blo, 6) AS boot_lo_r6,
+             round(bhi, 6) AS boot_hi_r6
+      FROM tot, pick"""))
+
+
+  // 239. WELCH unequal-variance t on the same armed unit frame — the
+  // continuous-metric companion to row 179's two-proportion z; t and
+  // the Welch–Satterthwaite df as single deterministic double
+  // expressions over exact integer (n, Σy, Σy²) per arm.
+  val qAbWelch = QueryDef("q_ab_welch",
+    (s, dir) => {
+      graft.operators.Experiment.welchT(armedUsers(s, dir), "split", "y")
+    },
+    Some(s"""
+      WITH $armedUsersSql,
+      sm AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+                    sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sa,
+                    sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS sb,
+                    sum(CASE WHEN arm = 'a' THEN y * y ELSE 0 END) AS ssa,
+                    sum(CASE WHEN arm = 'b' THEN y * y ELSE 0 END) AS ssb
+             FROM u),
+      v AS (SELECT *, na * ssa - sa * sa AS vna, nb * ssb - sb * sb AS vnb FROM sm),
+      se AS (SELECT *,
+               CASE WHEN na > 1 THEN CAST(vna AS DOUBLE) / (na * (na - 1)) / na END AS sea,
+               CASE WHEN nb > 1 THEN CAST(vnb AS DOUBLE) / (nb * (nb - 1)) / nb END AS seb
+             FROM v),
+      f AS (SELECT *, sea + seb AS se2 FROM se)
+      SELECT 'a' AS arm_a, 'b' AS arm_b,
+             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
+             round(CAST(sa AS DOUBLE) / na, 6) AS mean_a_r6,
+             round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b_r6,
+             round(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na, 6) AS diff_r6,
+             round(CASE WHEN se2 > 0 THEN
+               (CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na) / sqrt(se2) END, 4) AS t_r4,
+             round(CASE WHEN se2 > 0 THEN
+               (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1)) END, 2) AS df_r2
+      FROM f"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -742,5 +835,7 @@ object EventQueries {
     qSequenceSurprise,
     qAbPower,
     qAttribution,
+    qAbBootstrap,
+    qAbWelch,
   )
 }

@@ -420,6 +420,34 @@ private[queries] object PipelineShared {
   val logRankCache = new SessionCache[org.apache.spark.sql.DataFrame]
 
 
+  // 238/239. Poisson-bootstrap + Welch readouts share ONE armed
+  // unit-grain frame: per-user total event count with portable md5
+  // 50/50 arms — the rollup is the heavy pass, both stats are single
+  // aggregations over it. Memoized per (session, dir) so the two
+  // board queries (and every bench rep's plan rebuild) pay the plan
+  // construction once; both operators also collect the 2-row arm
+  // alphabet eagerly.
+  val armedUsersCache = new SessionCache[org.apache.spark.sql.DataFrame]
+
+  def armedUsers(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    armedUsersCache.get(s, dir) {
+      val users = table(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast(LongType).as("y"))
+      graft.operators.Sampling.portableSplit(
+        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+    }
+
+  /** The armed-users CTE both oracle SQLs open with. */
+  val armedUsersSql: String =
+    """u AS (SELECT user_id,
+      |        CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+      |             THEN 'a' ELSE 'b' END AS arm,
+      |        count(*) AS y
+      |      FROM events WHERE user_id IS NOT NULL GROUP BY 1)""".stripMargin
+
+
   // 117. lag-k autocorrelation of each event type's dense daily-count
   // series (absent days are zero observations) — the seasonality
   // detector next to rolling trend / MAD / calendar gaps.

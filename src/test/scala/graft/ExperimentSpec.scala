@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the [[graft.operators.Experiment]] readouts: Welch t
+  * against a hand calculation, bootstrap invariants against the
+  * constant-metric closed form, and the weight lookup against an
+  * independent in-test md5 replay. */
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5u32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("welchT: hand-computed t and Welch-Satterthwaite df") {
+    // a: [1,2,3,4] n=4 mean=2.5 var=5/3; b: [2,4,6,8,10] n=5 mean=6 var=10
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 2L), ("b", 4L), ("b", 6L), ("b", 8L), ("b", 10L))
+      .toDF("arm", "y")
+    val r = graft.operators.Experiment.welchT(df, "arm", "y").collect().head
+    assert(r.getAs[Long]("users_a") == 4L && r.getAs[Long]("users_b") == 5L)
+    assert(r.getAs[Double]("mean_a_r6") == 2.5 && r.getAs[Double]("mean_b_r6") == 6.0)
+    val sea = (5.0 / 3) / 4; val seb = 10.0 / 5
+    val t = 3.5 / math.sqrt(sea + seb)
+    val dfW = math.pow(sea + seb, 2) / (sea * sea / 3 + seb * seb / 4)
+    assert(r.getAs[Double]("t_r4") == math.rint(t * 1e4) / 1e4 ||
+      math.abs(r.getAs[Double]("t_r4") - t) < 1e-3)
+    assert(math.abs(r.getAs[Double]("df_r2") - dfW) < 0.01)
+  }
+
+  test("welchT: degenerate arms report NULL t/df, never NaN") {
+    // single-element arm: n-1 = 0 must yield NULL, not a division blowup
+    val single = Seq(("a", 5L), ("b", 2L), ("b", 3L)).toDF("arm", "y")
+    val r1 = graft.operators.Experiment.welchT(single, "arm", "y").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("t_r4")) && r1.isNullAt(r1.fieldIndex("df_r2")))
+    // both variances zero: se2 = 0 must yield NULL
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 3L), ("b", 3L)).toDF("arm", "y")
+    val r2 = graft.operators.Experiment.welchT(flat, "arm", "y").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("t_r4")))
+    assert(r2.getAs[Double]("diff_r6") == -2.0)
+    // arm-count guard
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.welchT(
+        Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("arm", "y"), "arm", "y")
+        .collect())
+    // type guard
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.welchT(
+        Seq(("a", 1.5), ("b", 2.5)).toDF("arm", "y"), "arm", "y"))
+  }
+
+  test("bootstrapDiff: constant metrics collapse every replicate to the exact diff") {
+    // every unit in an arm shares y, so EVERY replicate mean is that y
+    // regardless of the Poisson weights: diff and both CI bounds must
+    // be exactly b - a for any draw that leaves both arms nonempty.
+    val df = ((1 to 30).map(i => (i.toLong, "a", 2L)) ++
+      (31 to 70).map(i => (i.toLong, "b", 5L))).toDF("id", "arm", "y")
+    val r = graft.operators.Experiment.bootstrapDiff(df, "id", "arm", "y")
+      .collect().head
+    assert(r.getAs[Double]("diff_r6") == 3.0)
+    assert(r.getAs[Double]("boot_lo_r6") == 3.0)
+    assert(r.getAs[Double]("boot_hi_r6") == 3.0)
+    assert(r.getAs[Long]("replicas") == 40L)
+    assert(r.getAs[Long]("users_a") == 30L && r.getAs[Long]("users_b") == 40L)
+  }
+
+  test("bootstrapDiff: weights replay the md5 inverse-CDF lookup exactly") {
+    // drive the whole CI through an independent JVM-side replay of the
+    // hash -> threshold-count weight on a tiny frame, and compare
+    val units = (1 to 8).map(i => (i.toLong, if (i <= 4) "a" else "b", i.toLong))
+    val df = units.toDF("id", "arm", "y")
+    val b = 12
+    val got = graft.operators.Experiment.bootstrapDiff(df, "id", "arm", "y", b = b)
+      .collect().head
+    val ts = graft.operators.Experiment.PoissonThresholds
+    val diffs = (0 until b).flatMap { r =>
+      val ws = units.map { case (id, arm, y) =>
+        val h = md5u32(s"$id:$r:42")
+        (arm, ts.count(h >= _).toLong, y)
+      }
+      val (swya, swa) = (ws.filter(_._1 == "a").map(w => w._2 * w._3).sum,
+        ws.filter(_._1 == "a").map(_._2).sum)
+      val (swyb, swb) = (ws.filter(_._1 == "b").map(w => w._2 * w._3).sum,
+        ws.filter(_._1 == "b").map(_._2).sum)
+      if (swa > 0 && swb > 0) Some(swyb.toDouble / swb - swya.toDouble / swa)
+      else None
+    }.sorted
+    val cnt = diffs.length
+    val lo = diffs(math.max(1, math.ceil(0.025 * cnt).toInt) - 1)
+    val hi = diffs(math.ceil(0.975 * cnt).toInt - 1)
+    assert(got.getAs[Long]("replicas") == cnt.toLong)
+    assert(got.getAs[Double]("boot_lo_r6") == math.rint(lo * 1e6) / 1e6 ||
+      math.abs(got.getAs[Double]("boot_lo_r6") - lo) < 1e-6)
+    assert(math.abs(got.getAs[Double]("boot_hi_r6") - hi) < 1e-6)
+  }
+
+  test("bootstrapDiff: guards") {
+    val df = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "arm", "y")
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.bootstrapDiff(df, "id", "arm", "y", b = 3))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.bootstrapDiff(
+        Seq((1L, "a", 1.5)).toDF("id", "arm", "y"), "id", "arm", "y"))
+  }
+}
