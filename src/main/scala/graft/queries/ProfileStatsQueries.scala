@@ -1075,6 +1075,55 @@ object ProfileStatsQueries {
                        - true_count), 4) AS abs_err_r4
       FROM n ORDER BY "group" """))
 
+  // 240. PORTABLE HyperLogLog distinct sketch (m=64) with the
+  // accuracy harness: doc-text cardinality per source (small-range
+  // linear-counting branch) UNION part-key cardinality per return
+  // flag (raw harmonic branch) — both correction paths certified
+  // against the exact distinct count; register fold exact-integer,
+  // estimate one deterministic double expression.
+  val qHllDistinct = QueryDef("q_hll_distinct",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(concat(lit("doc:"), col("source")).as("g"), col("text").as("v"))
+      val li = table(s, dir, "lineitem")
+        .select(concat(lit("li:"), col("l_returnflag")).as("g"),
+          col("l_partkey").cast("string").as("v"))
+      graft.operators.Hll.accuracy(docs.unionByName(li), "g", "v")
+        .orderBy("group")
+    },
+    Some("""
+      WITH src AS (
+        SELECT 'doc:' || source AS g, text AS v FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+        UNION ALL
+        SELECT 'li:' || l_returnflag, CAST(l_partkey AS VARCHAR) FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL),
+      h AS (SELECT g, v, ('0x' || substr(md5(v || ':42'), 1, 15))::BIGINT AS h60 FROM src),
+      b AS (SELECT g, h60 % 64 AS bucket, h60 // 64 AS w FROM h),
+      r AS (SELECT g, bucket,
+              CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+            FROM b),
+      reg AS (SELECT g, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+      agg AS (SELECT g, count(*) AS present,
+                     sum(1::BIGINT << CAST(55 - m AS INT)) AS sp
+              FROM reg GROUP BY 1),
+      est AS (SELECT g, present, 64 - present AS vz,
+                CAST(2904.064 AS DOUBLE) /
+                  (CAST(sp + (64 - present) * (1::BIGINT << 55) AS DOUBLE) / 36028797018963968.0) AS eraw
+              FROM agg),
+      fin AS (SELECT g, present,
+                round(CASE WHEN eraw <= 160 AND vz > 0
+                           THEN 64 * ln(CAST(64 AS DOUBLE) / vz)
+                           ELSE eraw END, 2) AS hll_r2
+              FROM est),
+      ex AS (SELECT g, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+             FROM src GROUP BY 1)
+      SELECT fin.g AS "group", CAST(present AS BIGINT) AS buckets_present,
+             hll_r2, exact_distinct,
+             CAST(floor(abs(hll_r2 / exact_distinct - 1) * 10000) AS BIGINT) AS err_bp
+      FROM fin JOIN ex ON fin.g = ex.g ORDER BY 1"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qProfileNumeric,
     qProfileStrings,
@@ -1111,5 +1160,6 @@ object ProfileStatsQueries {
     qFeatureMi,
     qSpearman,
     qDpCounts,
+    qHllDistinct,
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the portable HyperLogLog sketch: the shard-merge law
+  * (union registers → max → estimate ≡ whole-corpus estimate),
+  * duplicate invariance, the linear-counting closed form, and an
+  * accuracy envelope on real testdata. */
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Hll
+
+  test("hll: merge of shard registers equals whole-corpus registers") {
+    val whole = (1 to 400).map(i => ("g", s"val_$i")).toDF("g", "v")
+    val s1 = whole.filter(substring(col("v"), 5, 10).cast("int") % 2 === 0)
+    val s2 = whole.filter(substring(col("v"), 5, 10).cast("int") % 2 =!= 0)
+    val merged = Hll.registers(s1, "g", "v")
+      .unionByName(Hll.registers(s2, "g", "v"))
+      .groupBy("group", "bucket").agg(max("reg").as("reg"))
+    val a = Hll.estimate(merged).collect().head
+    val b = Hll.estimate(Hll.registers(whole, "g", "v")).collect().head
+    assert(a.getAs[Double]("hll_r2") == b.getAs[Double]("hll_r2"))
+    assert(a.getAs[Long]("buckets_present") == b.getAs[Long]("buckets_present"))
+  }
+
+  test("hll: duplicates do not move the estimate") {
+    val base = (1 to 100).map(i => ("g", s"v$i")).toDF("g", "v")
+    val duped = base.unionByName(base).unionByName(base)
+    val a = Hll.estimate(Hll.registers(base, "g", "v")).collect().head
+    val b = Hll.estimate(Hll.registers(duped, "g", "v")).collect().head
+    assert(a.getAs[Double]("hll_r2") == b.getAs[Double]("hll_r2"))
+  }
+
+  test("hll: single distinct value hits the linear-counting closed form") {
+    val one = Seq(("g", "only"), ("g", "only")).toDF("g", "v")
+    val r = Hll.estimate(Hll.registers(one, "g", "v")).collect().head
+    assert(r.getAs[Long]("buckets_present") == 1L)
+    // V = 63 empty registers -> 64 * ln(64/63)
+    val expected = math.rint(64 * math.log(64.0 / 63) * 100) / 100
+    assert(r.getAs[Double]("hll_r2") == expected)
+  }
+
+  test("hll: accuracy within a generous 3-sigma envelope on testdata") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("source").as("g"), col("text").as("v"))
+    val rows = Hll.accuracy(docs, "g", "v").collect()
+    assert(rows.nonEmpty)
+    // sigma = 1.04/sqrt(64) = 13%; 3 sigma = 39% = 3900bp
+    rows.foreach { r =>
+      assert(r.getAs[Long]("err_bp") < 3900,
+        s"${r.getAs[String]("group")}: err ${r.getAs[Long]("err_bp")}bp")
+    }
+  }
+
+  test("hll: NULL groups and values are excluded") {
+    val df = Seq((Some("g"), Some("a")), (Some("g"), None),
+      (None, Some("b")), (Some("g"), Some("c"))).toDF("g", "v")
+    val regs = Hll.registers(df, "g", "v")
+    assert(regs.select("group").distinct().collect().map(_.getString(0)).toSeq == Seq("g"))
+    // only 'a' and 'c' hashed
+    assert(regs.agg(count(lit(1))).collect().head.getLong(0) <= 2L)
+  }
+}
