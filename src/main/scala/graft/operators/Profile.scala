@@ -1205,6 +1205,59 @@ object Profile {
       .select("cls", "truth_n", "pred_n", "tp", "p_bp", "r_bp", "f1_bp")
   }
 
+  /** Reliability diagram + EXPECTED CALIBRATION ERROR (Naeini et al.
+    * 2015; Guo et al. 2017 made it the standard readout) of a
+    * predicted probability against a binary label — AUC ([[aucExact]])
+    * says whether the model RANKS well; THIS says whether "0.8" means
+    * 80%, the property a downstream threshold/quality-score consumer
+    * actually relies on. Fixed-width probability bins (map-only — at
+    * 100 TB an equal-frequency binning would cost a global rank pass
+    * for no diagnostic gain), per-bin predicted-vs-observed rates, and
+    * the n-weighted ECE.
+    *
+    * The caller supplies the prediction as INTEGER basis points
+    * (0..10000) — that choice keeps the whole operator exact-integer:
+    * conf_bp = Σpred DIV n, acc_bp = pos·10⁴ DIV n, and
+    * ece_bp = Σ_bins |pos_b·10⁴ − Σpred_b| DIV N (each bin's
+    * contribution is its n-weighted |acc−conf| gap in bp·rows) — no
+    * floating sum anywhere, any engine replays it bit-for-bit. int64:
+    * pos·10⁴ — safe to 9·10¹⁴ rows. Out-of-range preds are clamped to
+    * [0, 10000]; NULL pred/label rows excluded; only occupied bins
+    * emitted. `labelCol` integral 0/1.
+    *
+    * Plan: ONE map-side-combined bin rollup; the ECE fold and join run
+    * on the ≤nBins-row frame (broadcast of a 1-row total). */
+  def calibrationReport(df: DataFrame, predBpCol: String, labelCol: String,
+                        nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100, s"need 2 <= nBins <= 100, got $nBins")
+    for (c <- Seq(predBpCol, labelCol)) {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"calibrationReport: $c must be an integral type, got $dt")
+    }
+    val bins = df.filter(col(predBpCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        greatest(lit(0L), least(lit(10000L), col(predBpCol).cast(LongType)))
+          .as("__pred"),
+        when(col(labelCol) =!= 0, 1L).otherwise(0L).as("__y"))
+      .withColumn("bin",
+        least(expr(s"__pred * $nBins DIV 10000"), lit(nBins - 1L)).cast(LongType))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("__y")).cast(LongType).as("positives"),
+        sum(col("__pred")).cast(LongType).as("__spred"))
+    val tot = bins.agg(
+      coalesce(sum(col("n")), lit(0L)).as("__tn"),
+      coalesce(sum(abs(col("positives") * 10000L - col("__spred"))), lit(0L))
+        .as("__gap"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("positives"),
+        expr("__spred DIV n").cast(LongType).as("conf_bp"),
+        expr("positives * 10000 DIV n").cast(LongType).as("acc_bp"),
+        when(col("__tn") > 0, expr("__gap DIV __tn")).cast(LongType)
+          .as("ece_bp"))
+  }
+
   /** Decile gains/lift table of a score against a binary label — the
     * model-eval readout behind "top 10% of scores captures X% of
     * positives": bucket 1 holds the HIGHEST scores (equal-frequency

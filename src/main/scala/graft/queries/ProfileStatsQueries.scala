@@ -1124,6 +1124,36 @@ object ProfileStatsQueries {
       FROM fin JOIN ex ON fin.g = ex.g ORDER BY 1"""))
 
 
+  // 241. Reliability diagram + ECE: a synthetic probability from the
+  // event value (floor -> clamp -> integer bp, every step exact) vs
+  // the big-ticket label — per-bin predicted/observed rates and the
+  // n-weighted calibration gap, all integer arithmetic.
+  val qCalibration = QueryDef("q_calibration",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("pred_bp", expr(
+          "CAST(least(10000, greatest(0, CAST(floor(value) AS BIGINT)) * 100 DIV 3) AS BIGINT)"))
+        .withColumn("label", (col("value") >= 150d).cast(LongType))
+      graft.operators.Profile.calibrationReport(e, "pred_bp", "label")
+        .orderBy("bin")
+    },
+    Some("""
+      WITH e AS (SELECT CAST(least(10000, (greatest(0, CAST(floor("value") AS BIGINT)) * 100) // 3) AS BIGINT) AS pred,
+                        CASE WHEN "value" >= 150 THEN 1 ELSE 0 END AS y
+                 FROM events WHERE "value" IS NOT NULL),
+      b AS (SELECT least(pred * 10 // 10000, 9) AS bin,
+                   count(*) AS n, sum(y) AS pos, sum(pred) AS spred
+            FROM e GROUP BY 1),
+      t AS (SELECT sum(n) AS tn, sum(abs(pos * 10000 - spred)) AS gap FROM b)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+             CAST(pos AS BIGINT) AS positives,
+             CAST(spred // n AS BIGINT) AS conf_bp,
+             CAST(pos * 10000 // n AS BIGINT) AS acc_bp,
+             CAST(CASE WHEN tn > 0 THEN gap // tn END AS BIGINT) AS ece_bp
+      FROM b, t ORDER BY bin"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qProfileNumeric,
     qProfileStrings,
@@ -1161,5 +1191,6 @@ object ProfileStatsQueries {
     qSpearman,
     qDpCounts,
     qHllDistinct,
+    qCalibration,
   )
 }

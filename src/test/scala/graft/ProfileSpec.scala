@@ -386,4 +386,31 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.categoricalAssociation(deg, "a", "b").collect()
       .head.getAs[java.lang.Double]("cramers_v_r6") == null)
   }
+
+  test("calibrationReport: hand-computed bins, ECE, clamping and guards") {
+    import spark.implicits._
+    // bin 0 (preds 0..999): preds 500,500 labels 1,0 -> conf 500, acc 5000
+    // bin 9 (pred 9500, clamp 12000->10000): labels 1,1 -> conf 9750, acc 10000
+    val df = Seq((500L, 1L), (500L, 0L), (9500L, 1L), (12000L, 1L),
+      (-50L, 0L)).toDF("p", "y")
+    val rows = Profile.calibrationReport(df, "p", "y").collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 9L))
+    val b0 = rows(0); val b9 = rows(1)
+    assert(b0.getAs[Long]("n") == 3 && b0.getAs[Long]("positives") == 1)
+    // bin0: preds 500,500,0(clamped) -> conf = 1000/3 = 333
+    assert(b0.getAs[Long]("conf_bp") == 333L)
+    assert(b0.getAs[Long]("acc_bp") == 3333L)
+    assert(b9.getAs[Long]("conf_bp") == 9750L && b9.getAs[Long]("acc_bp") == 10000L)
+    // ECE = (|1*1e4 - 1000| + |2*1e4 - 19500|) DIV 5 = (9000+500)/5 = 1900
+    assert(b0.getAs[Long]("ece_bp") == 1900L && b9.getAs[Long]("ece_bp") == 1900L)
+    // perfectly calibrated degenerate: pred 10000, all positive -> ECE 0
+    val perfect = Seq((10000L, 1L), (10000L, 1L)).toDF("p", "y")
+    assert(Profile.calibrationReport(perfect, "p", "y").collect()
+      .head.getAs[Long]("ece_bp") == 0L)
+    assertThrows[IllegalArgumentException](
+      Profile.calibrationReport(df, "p", "y", nBins = 1))
+    assertThrows[IllegalArgumentException](
+      Profile.calibrationReport(Seq((0.5, 1L)).toDF("p", "y"), "p", "y"))
+  }
 }
