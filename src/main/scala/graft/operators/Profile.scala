@@ -1258,6 +1258,76 @@ object Profile {
           .as("ece_bp"))
   }
 
+  /** KRUSKAL–WALLIS rank test (Kruskal & Wallis 1952): "does this
+    * numeric column's distribution differ across k groups" without
+    * normality assumptions — the k-sample generalization of
+    * [[aucExact]]'s Mann–Whitney machinery and the omnibus companion
+    * to the pairwise [[graft.operators.Experiment.welchT]]: the ANOVA
+    * a drift/segment investigation actually wants on skewed metrics.
+    *
+    * Midranks via the same exact machinery as AUC: per distinct value,
+    * doubled midrank 2·mr(v) = 2·cumBelow(v) + c(v) + 1 from the
+    * two-level range-partition running sum. The statistic is then
+    * DEFINED as an integer recurrence (the [[logRank]] discipline —
+    * any engine replays it bit-for-bit): doubled mean rank per group
+    * rbar2_g = R2_g DIV n_g (R2_g = Σ c_gv·(2·cumBelow+c+1)),
+    * term_g = n_g·(rbar2_g − (N+1))², H = 3·Σterm / (N·(N+1)) as one
+    * double expression (the algebra folds the /4 from doubling into
+    * 12/4 = 3), tie correction C = 1 − Σ(c³−c)/(N³−N) with the
+    * denominator in doubles. The DIV floor perturbs H by O(k/N) —
+    * far below any decision threshold, and reproducibility beats the
+    * last decimal at this altitude. int64 bounds: Σ n_g·dev² ≤ 4N³
+    * and Σc³ ≤ N³ ⇒ exact to N ≈ 1.3·10⁶ rows — beyond that,
+    * evaluate on a stratified sample (rank statistics do not
+    * shard-and-combine; same caveat as AUC).
+    *
+    * Plan: one (value → count) rollup + the shared two-level cumsum +
+    * one (group, value) rollup joined back on the distinct-value
+    * frame, all folds map-side-combined; output is ONE row. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), col(valueCol).as("__v"))
+    val vals = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val (run, release) = rangedRunningSumManaged(vals, "__v", "__c")
+    val mid = run.withColumn("__mr2",
+      lit(2L) * (col("__rsum") - col("__c")) + col("__c") + lit(1L))
+    val perGroup = base.groupBy("__g", "__v").agg(count(lit(1)).as("__cgv"))
+      .join(mid.select("__v", "__mr2"), "__v")
+      .groupBy("__g")
+      .agg(sum(col("__cgv")).as("__ng"),
+        sum(col("__cgv") * col("__mr2")).as("__r2"))
+    // one summary row: fold eagerly so the persisted rank frame
+    // releases here (the aucExact precedent)
+    val tieRow = mid.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum(col("__c") * col("__c") * col("__c") - col("__c")), lit(0L))
+        .as("__ties")).collect().head
+    val (n, ties) = (tieRow.getLong(0), tieRow.getLong(1))
+    val gRow = perGroup
+      .withColumn("__rbar2", expr("__r2 DIV __ng"))
+      .agg(count(lit(1)).as("__k"),
+        coalesce(sum(col("__ng") *
+          (col("__rbar2") - lit(n + 1)) * (col("__rbar2") - lit(n + 1))),
+          lit(0L)).as("__t")).collect().head
+    release()
+    val (k, t) = (gRow.getLong(0), gRow.getLong(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, k, t, ties)).toDF("__n", "__k", "__t", "__ties")
+      .withColumn("__h", when(col("__n") > 1,
+        lit(3.0) * col("__t") / (col("__n") * (col("__n") + 1))))
+      .withColumn("__c", when(col("__n") > 1,
+        lit(1.0) - col("__ties") /
+          (col("__n").cast("double") * col("__n") * col("__n") - col("__n"))))
+      .select(
+        col("__n").cast(LongType).as("n"),
+        col("__k").cast(LongType).as("k_groups"),
+        (col("__k") - 1L).cast(LongType).as("df"),
+        round(col("__h"), 4).as("h_r4"),
+        round(when(col("__c") > 0, col("__h") / col("__c")), 4).as("h_adj_r4"))
+  }
+
   /** Decile gains/lift table of a score against a binary label — the
     * model-eval readout behind "top 10% of scores captures X% of
     * positives": bucket 1 holds the HIGHEST scores (equal-frequency

@@ -1154,6 +1154,38 @@ object ProfileStatsQueries {
       FROM b, t ORDER BY bin"""))
 
 
+  // 242. Kruskal-Wallis k-sample rank test: does order value differ
+  // across the five priority classes — midranks via the shared
+  // two-level cumsum, statistic defined as the integer recurrence
+  // (logRank discipline), tie-corrected.
+  val qKruskal = QueryDef("q_kruskal",
+    (s, dir) => {
+      graft.operators.Profile.kruskalWallis(
+        table(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+    },
+    Some("""
+      WITH b AS (SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+                 WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      vals AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
+      run AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS rsum FROM vals),
+      mid AS (SELECT v, c, 2 * (rsum - c) + c + 1 AS mr2 FROM run),
+      pg AS (SELECT g, v, count(*) AS cgv FROM b GROUP BY 1, 2),
+      gr AS (SELECT g, sum(cgv) AS ng, sum(cgv * mr2) AS r2
+             FROM pg JOIN mid USING (v) GROUP BY 1),
+      tt AS (SELECT sum(c) AS n, sum(c * c * c - c) AS ties FROM mid),
+      gg AS (SELECT count(*) AS k,
+                    sum(ng * (r2 // ng - (n + 1)) * (r2 // ng - (n + 1))) AS t
+             FROM gr, tt),
+      f AS (SELECT n, k, t, ties,
+              CASE WHEN n > 1 THEN CAST(3 AS DOUBLE) * t / (n * (n + 1)) END AS h,
+              CASE WHEN n > 1 THEN 1.0 - ties / (CAST(n AS DOUBLE) * n * n - n) END AS tc
+            FROM tt, gg)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+             CAST(k - 1 AS BIGINT) AS df, round(h, 4) AS h_r4,
+             round(CASE WHEN tc > 0 THEN h / tc END, 4) AS h_adj_r4
+      FROM f"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qProfileNumeric,
     qProfileStrings,
@@ -1192,5 +1224,6 @@ object ProfileStatsQueries {
     qDpCounts,
     qHllDistinct,
     qCalibration,
+    qKruskal,
   )
 }

@@ -387,6 +387,30 @@ class ProfileSpec extends SparkSpec {
       .head.getAs[java.lang.Double]("cramers_v_r6") == null)
   }
 
+  test("kruskalWallis: hand-computed H, tie correction, null distribution") {
+    import spark.implicits._
+    // a=[1,2] b=[3,4]: ranks 1..4, R_a=3 R_b=7 -> H = 2.4, no ties
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r1 = Profile.kruskalWallis(sep, "g", "v").collect().head
+    assert(r1.getAs[Long]("n") == 4 && r1.getAs[Long]("k_groups") == 2)
+    assert(r1.getAs[Long]("df") == 1)
+    assert(r1.getAs[Double]("h_r4") == 2.4 && r1.getAs[Double]("h_adj_r4") == 2.4)
+    // full ties within values: a=[1,1] b=[2,2]: midranks 1.5/3.5 ->
+    // H = 2.4, C = 1 - 12/60 = 0.8 -> adjusted 3.0
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    val r2 = Profile.kruskalWallis(tied, "g", "v").collect().head
+    assert(r2.getAs[Double]("h_r4") == 2.4 && r2.getAs[Double]("h_adj_r4") == 3.0)
+    // identical distributions: H = 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val r3 = Profile.kruskalWallis(same, "g", "v").collect().head
+    assert(r3.getAs[Double]("h_r4") == 0.0)
+    // NULL group/value rows excluded
+    val withNulls = Seq((Some("a"), Some(1.0)), (Some("a"), None),
+      (None, Some(9.0)), (Some("b"), Some(2.0))).toDF("g", "v")
+    assert(Profile.kruskalWallis(withNulls, "g", "v").collect()
+      .head.getAs[Long]("n") == 2)
+  }
+
   test("calibrationReport: hand-computed bins, ECE, clamping and guards") {
     import spark.implicits._
     // bin 0 (preds 0..999): preds 500,500 labels 1,0 -> conf 500, acc 5000
