@@ -376,4 +376,87 @@ object SnapshotDiff {
     val s = countsA.sparkSession
     s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
   }
+
+  /** EXACT 1-Wasserstein (earth-mover) distance between two snapshots
+    * of an INTEGRAL column — the magnitude-aware companion to
+    * [[ksDrift]]: KS reports the worst single ECDF gap (a pure
+    * probability, blind to HOW FAR mass moved), PSI needs bins; W1 =
+    * ∫|F_A − F_B| is the average displacement in the column's own
+    * units ("token counts shifted by 37 tokens"), the number a drift
+    * gate can threshold meaningfully (Ramdas et al. 2017 survey the
+    * estimator).
+    *
+    * Over the merged distinct values x_1<…<x_k, W1 = Σ_i
+    * |F_A(x_i) − F_B(x_i)|·(x_{i+1} − x_i). The column is REQUIRED
+    * integral precisely so this sum stays exact-int64: per segment,
+    * |ra·t_B − rb·t_A| · gap (the unnormalized ECDF imbalance times
+    * the integer gap), normalized once by t_A·t_B at the end — no
+    * floating accumulation, any engine replays it. int64 bound:
+    * t_A·t_B·range < 9.2·10¹⁸ (e.g. two 10⁶-row snapshots over a
+    * 10⁶-wide domain); beyond that, pre-scale the column down — the
+    * distance degrades gracefully, the overflow does not.
+    *
+    * Plan: one (value → ca, cb) rollup, the same two-level
+    * range-partition dual cumsum as [[ksDriftFromCounts]] (never a
+    * single-task global window); the segment gap needs each
+    * partition's successor value, carried by the broadcast per-
+    * partition (offset, next-partition-min) frame. The global max
+    * value's row has no successor and is dropped — its ECDF imbalance
+    * is identically zero. */
+  def wassersteinDrift(v1: DataFrame, v2: DataFrame,
+                       valueCol: String): DataFrame = {
+    val dt = v1.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(dt),
+      s"wassersteinDrift: $valueCol must be an integral type, got $dt")
+    def side(df: DataFrame, cnt: String, other: String) =
+      df.select(col(valueCol).cast("long").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as(cnt))
+        .withColumn(other, lit(0L))
+    val u = side(v1, "ca", "cb").unionByName(side(v2, "cb", "ca"))
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val parts = math.max(u.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val within = w.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val ranged = u.repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("ra", sum("ca").over(within))
+      .withColumn("rb", sum("cb").over(within))
+      .withColumn("__lv", lead(col("v"), 1).over(
+        w.partitionBy(col("__pid")).orderBy(col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDistinct = ranged.count() // force before the forks below
+    val offW = w.orderBy(col("__pid"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum("ca").as("__na"), sum("cb").as("__nb"), min("v").as("__minv"))
+      .withColumn("oa", (sum(col("__na")).over(offW) - col("__na")).cast("long"))
+      .withColumn("ob", (sum(col("__nb")).over(offW) - col("__nb")).cast("long"))
+      .withColumn("__nxt", lead(col("__minv"), 1).over(w.orderBy(col("__pid"))))
+      .select("__pid", "oa", "ob", "__nxt")
+    val totals = ranged.agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
+    val out = ranged.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .withColumn("__gap", coalesce(col("__lv"), col("__nxt")) - col("v"))
+      .filter(col("__gap").isNotNull)
+      .select((abs((col("ra") + col("oa")) * col("__tb") -
+        (col("rb") + col("ob")) * col("__ta")) * col("__gap")).as("__contrib"))
+      .agg(coalesce(sum("__contrib"), lit(0L)).as("__s"))
+      .crossJoin(broadcast(totals))
+      .select(
+        when(col("__ta") > 0 && col("__tb") > 0,
+          round(col("__s").cast("double") / (col("__ta") * col("__tb")), 6))
+          .as("w1_r6"),
+        col("__ta").cast("long").as("n_a"),
+        col("__tb").cast("long").as("n_b"))
+      .withColumn("distinct_values", lit(nDistinct))
+    val row = out.collect() // one row; materialize before unpersist
+    ranged.unpersist()
+    val s = v1.sparkSession
+    s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
+  }
 }

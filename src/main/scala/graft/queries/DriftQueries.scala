@@ -231,6 +231,36 @@ object DriftQueries {
              (SELECT CAST(count(*) AS BIGINT) FROM v) AS distinct_values
       FROM c, t GROUP BY t.ta, t.tb"""))
 
+  // 243. exact 1-Wasserstein drift on the same parity snapshots as
+  // q_ks_drift: KS's worst-gap probability, W1's magnitude in column
+  // units — contributions exact int64 (|ECDF imbalance| x integer
+  // gap), one normalization at the end.
+  val qWassersteinDrift = QueryDef("q_wasserstein_drift",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.operators.SnapshotDiff.wassersteinDrift(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "n_chars")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(n_chars AS BIGINT) AS v,
+               sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM v),
+      c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS ra,
+                   sum(cb) OVER (ORDER BY v) AS rb,
+                   lead(v) OVER (ORDER BY v) AS nv
+            FROM v),
+      g AS (SELECT coalesce(sum(abs(ra * t.tb - rb * t.ta) * (nv - v)), 0) AS s
+            FROM c, t WHERE nv IS NOT NULL)
+      SELECT CASE WHEN t.ta > 0 AND t.tb > 0
+                  THEN round(CAST(g.s AS DOUBLE) / (t.ta * t.tb), 6) END AS w1_r6,
+             CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM v) AS distinct_values
+      FROM t, g"""))
+
   val qTsAcf = QueryDef("q_ts_acf",
     (s, dir) => {
       acfCache.get(s, dir)(graft.operators.TimeSeries.autocorrelation(
@@ -689,5 +719,6 @@ object DriftQueries {
     qChangePoint,
     qDiffColumns,
     qNewCategories,
+    qWassersteinDrift,
   )
 }
