@@ -461,4 +461,123 @@ object TimeSeries {
     }.reduce(_ unionByName _)
     (out, () => { dense.unpersist(); () })
   }
+
+  /** LEAD/LAG CROSS-CORRELATION between two event types' dense daily
+    * series — "do purchases follow views, and by how many days": the
+    * two-series companion to [[autocorrelationManaged]], the readout
+    * behind attribution windows and anomaly root-causing ("errors
+    * spike 2 days after deploys"). r(k) = Pearson(x_t, y_{t+k}) over
+    * the shared calendar; positive k means y LAGS x by k days (x
+    * leads), negative k the reverse, so the argmax lag IS the
+    * estimated delay.
+    *
+    * One conditional-sum scan rolls BOTH series up per day; the dense
+    * calendar comes from the union span (absent days are zero
+    * observations, as in ACF). All moments are exact integer sums;
+    * r is the usual single double expression with the zero-variance
+    * NULL guard. int64: Σx·y ≤ span·max_daily² — safe to ~10⁹ events
+    * per day.
+    *
+    * Plan: one (day → cx, cy) rollup; per-lag subtrees over the
+    * persisted dense frame (the ACF discipline). The alignment window
+    * is GLOBAL over the day axis — a single partition bounded by the
+    * CALENDAR length (decades = thousands of rows), not data volume. */
+  def crossCorrelationManaged(events: DataFrame, typeCol: String, tsCol: String,
+                              typeX: String, typeY: String,
+                              lags: Seq[Int]): (DataFrame, () => Unit) = {
+    require(lags.nonEmpty, "need at least one lag")
+    val counts = events.filter(col(typeCol).isin(typeX, typeY))
+      .groupBy(to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(sum(when(col(typeCol) === typeX, 1L).otherwise(0L)).as("__cx"),
+        sum(when(col(typeCol) === typeY, 1L).otherwise(0L)).as("__cy"))
+    val span = counts.agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(explode(expr("sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    val dense = span.join(counts, Seq("__d"), "left")
+      .select(col("__d"), coalesce(col("__cx"), lit(0L)).as("x"),
+        coalesce(col("__cy"), lit(0L)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__d"))
+    val out = lags.map { k =>
+      val shifted =
+        if (k >= 0) dense.withColumn("__yy", lead(col("y"), k).over(w))
+        else dense.withColumn("__yy", lag(col("y"), -k).over(w))
+      shifted.filter(col("__yy").isNotNull)
+        .agg(count(lit(1)).as("__n"), sum("x").as("__sx"), sum("__yy").as("__sy"),
+          sum(col("x") * col("__yy")).as("__sxy"),
+          sum(col("x") * col("x")).as("__sxx"),
+          sum(col("__yy") * col("__yy")).as("__syy"))
+        .withColumn("__vx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .withColumn("__vy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+        .select(lit(k).cast(LongType).as("lag"),
+          col("__n").cast(LongType).as("n_pairs"),
+          when(col("__vx") > 0 && col("__vy") > 0,
+            round((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+              sqrt(col("__vx").cast("double") * col("__vy").cast("double")), 4))
+            .as("xcorr_r4"))
+    }.reduce(_ unionByName _)
+    (out, () => { dense.unpersist(); () })
+  }
+
+  def crossCorrelation(events: DataFrame, typeCol: String, tsCol: String,
+                       typeX: String, typeY: String,
+                       lags: Seq[Int]): DataFrame =
+    crossCorrelationManaged(events, typeCol, tsCol, typeX, typeY, lags)._1
+
+  /** SEASONAL-NAIVE BACKTEST per key: how predictable is each series
+    * under the "same day last week" forecast — the honest baseline
+    * (Hyndman & Koehler 2006 define MASE against exactly this class)
+    * that decides whether a capacity/anomaly model earns its keep, and
+    * a volatility profile in its own right. Forecast f_d = x_{d−7},
+    * scale denominator the one-day naive |x_d − x_{d−1}|; MASE < 1 ⇒
+    * weekly seasonality explains more than day-over-day persistence.
+    *
+    * Per key over the dense daily series: n_eval = days with a d−7
+    * predecessor, MAE/RMSE/bias from exact integer Σ|e|, Σe², Σe
+    * (int64: Σe² ≤ span·max_daily² — same bound as ACF), MASE =
+    * Σ|e|·n₁ / (Σ|e₁|·n) as one double expression, NULL when the
+    * series is flat (zero naive error) or too short. Plan: the ACF
+    * dense-calendar rollup + per-key lag windows — ONE aggregation,
+    * state bounded per key. */
+  def seasonalBacktest(events: DataFrame, keyCol: String, tsCol: String,
+                       season: Int = 7): DataFrame = {
+    require(season >= 1, s"need season >= 1, got $season")
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).cast(LongType).as("__c"))
+    val cal = counts.groupBy("key")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(col("key"), explode(expr(
+        "sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    val dense = cal.join(counts, Seq("key", "__d"), "left")
+      .select(col("key"), col("__d"), coalesce(col("__c"), lit(0L)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__d"))
+    dense
+      .withColumn("__f", lag(col("x"), season).over(w))
+      .withColumn("__p", lag(col("x"), 1).over(w))
+      .groupBy("key")
+      .agg(count(lit(1)).cast(LongType).as("n_days"),
+        sum(when(col("__f").isNotNull, 1L).otherwise(0L)).as("__ne"),
+        coalesce(sum(when(col("__f").isNotNull, abs(col("x") - col("__f")))),
+          lit(0L)).as("__sae"),
+        coalesce(sum(when(col("__f").isNotNull,
+          (col("x") - col("__f")) * (col("x") - col("__f")))), lit(0L)).as("__sse"),
+        coalesce(sum(when(col("__f").isNotNull, col("x") - col("__f"))),
+          lit(0L)).as("__se"),
+        sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("__n1"),
+        coalesce(sum(when(col("__p").isNotNull, abs(col("x") - col("__p")))),
+          lit(0L)).as("__sae1"))
+      .select(col("key"), col("n_days"),
+        col("__ne").cast(LongType).as("n_eval"),
+        round(when(col("__ne") > 0,
+          col("__sae").cast("double") / col("__ne")), 4).as("mae_r4"),
+        round(when(col("__ne") > 0,
+          sqrt(col("__sse").cast("double") / col("__ne"))), 4).as("rmse_r4"),
+        round(when(col("__ne") > 0,
+          col("__se").cast("double") / col("__ne")), 4).as("bias_r4"),
+        round(when(col("__ne") > 0 && col("__sae1") > 0,
+          col("__sae").cast("double") * col("__n1") /
+            (col("__sae1").cast("double") * col("__ne"))), 4).as("mase_r4"))
+  }
 }

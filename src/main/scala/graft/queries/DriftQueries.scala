@@ -261,6 +261,87 @@ object DriftQueries {
              (SELECT CAST(count(*) AS BIGINT) FROM v) AS distinct_values
       FROM t, g"""))
 
+  // 244. lead/lag cross-correlation between the view and purchase
+  // daily series — the two-series companion to q_ts_acf; the argmax
+  // lag estimates the view->purchase delay. One conditional rollup,
+  // exact integer moments per lag.
+  val qTsXcorr = QueryDef("q_ts_xcorr",
+    (s, dir) => {
+      xcorrCache.get(s, dir) {
+        val (out, release) = graft.operators.TimeSeries.crossCorrelationManaged(
+          table(s, dir, "events"), "event_type", "ts", "view", "purchase",
+          Seq(-3, -1, 0, 1, 3, 7))
+        // 6-row result: fold it eagerly so the dense series releases here
+        val r = out.orderBy("lag").cache()
+        r.count()
+        release()
+        r
+      }
+    },
+    Some("""
+      WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cx,
+                        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cy
+                 FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+      span AS (SELECT unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d FROM c),
+      s AS (SELECT span.d, coalesce(c.cx, 0) AS x, coalesce(c.cy, 0) AS y
+            FROM span LEFT JOIN c USING (d)),
+      l AS (
+        SELECT -3 AS lag, x, lag(y, 3) OVER (ORDER BY d) AS yy FROM s
+        UNION ALL SELECT -1, x, lag(y, 1) OVER (ORDER BY d) FROM s
+        UNION ALL SELECT 0, x, y FROM s
+        UNION ALL SELECT 1, x, lead(y, 1) OVER (ORDER BY d) FROM s
+        UNION ALL SELECT 3, x, lead(y, 3) OVER (ORDER BY d) FROM s
+        UNION ALL SELECT 7, x, lead(y, 7) OVER (ORDER BY d) FROM s),
+      f AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(yy) AS sy,
+                   sum(x * yy) AS sxy, sum(x * x) AS sxx, sum(yy * yy) AS syy
+            FROM l WHERE yy IS NOT NULL GROUP BY 1),
+      v AS (SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy FROM f)
+      SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             CASE WHEN vx > 0 AND vy > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 4) END AS xcorr_r4
+      FROM v ORDER BY lag"""))
+
+
+  // 245. seasonal-naive backtest per event type: MAE/RMSE/bias/MASE of
+  // the "same day last week" forecast over the dense daily series —
+  // MASE < 1 means weekly seasonality beats day-over-day persistence.
+  val qSeasonalBacktest = QueryDef("q_seasonal_backtest",
+    (s, dir) => {
+      graft.operators.TimeSeries.seasonalBacktest(
+          table(s, dir, "events"), "event_type", "ts")
+        .orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT key, min(d) AS lo, max(d) AS hi FROM c GROUP BY 1),
+      cal AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+              FROM span),
+      s AS (SELECT cal.key, cal.d, coalesce(c.cnt, 0) AS x
+            FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      l AS (SELECT key, x,
+                   lag(x, 7) OVER (PARTITION BY key ORDER BY d) AS f,
+                   lag(x, 1) OVER (PARTITION BY key ORDER BY d) AS p
+            FROM s),
+      a AS (SELECT key, count(*) AS n_days,
+                   sum(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END) AS ne,
+                   coalesce(sum(CASE WHEN f IS NOT NULL THEN abs(x - f) END), 0) AS sae,
+                   coalesce(sum(CASE WHEN f IS NOT NULL THEN (x - f) * (x - f) END), 0) AS sse,
+                   coalesce(sum(CASE WHEN f IS NOT NULL THEN x - f END), 0) AS se,
+                   sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+                   coalesce(sum(CASE WHEN p IS NOT NULL THEN abs(x - p) END), 0) AS sae1
+            FROM l GROUP BY 1)
+      SELECT key, CAST(n_days AS BIGINT) AS n_days, CAST(ne AS BIGINT) AS n_eval,
+             round(CASE WHEN ne > 0 THEN CAST(sae AS DOUBLE) / ne END, 4) AS mae_r4,
+             round(CASE WHEN ne > 0 THEN sqrt(CAST(sse AS DOUBLE) / ne) END, 4) AS rmse_r4,
+             round(CASE WHEN ne > 0 THEN CAST(se AS DOUBLE) / ne END, 4) AS bias_r4,
+             round(CASE WHEN ne > 0 AND sae1 > 0
+                        THEN CAST(sae AS DOUBLE) * n1 / (CAST(sae1 AS DOUBLE) * ne) END, 4) AS mase_r4
+      FROM a ORDER BY key"""))
+
   val qTsAcf = QueryDef("q_ts_acf",
     (s, dir) => {
       acfCache.get(s, dir)(graft.operators.TimeSeries.autocorrelation(
@@ -720,5 +801,7 @@ object DriftQueries {
     qDiffColumns,
     qNewCategories,
     qWassersteinDrift,
+    qTsXcorr,
+    qSeasonalBacktest,
   )
 }

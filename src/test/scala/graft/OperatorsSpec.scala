@@ -502,6 +502,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getAs[Double]("gain_r4") > 0)
   }
 
+  test("crossCorrelation: exact-shift series peaks at the true lag") {
+    // y is x delayed by exactly 2 days: r(2) = 1
+    def mk(t: String, d: Int, n: Long) =
+      (0L until n).map(i => (new java.sql.Timestamp(86400000L * d + i), t))
+    val rows = (mk("x", 0, 1) ++ mk("x", 1, 2) ++ mk("x", 2, 3) ++ mk("x", 3, 1) ++
+      mk("y", 2, 1) ++ mk("y", 3, 2) ++ mk("y", 4, 3) ++ mk("y", 5, 1))
+      .toDF("ts", "event_type")
+    val got = graft.operators.TimeSeries
+      .crossCorrelation(rows, "event_type", "ts", "x", "y", Seq(-2, 0, 2))
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[java.lang.Double]("xcorr_r4"))).toMap
+    assert(got(2L)._2 == 1.0)
+    assert(got(2L)._1 == 4L) // span 6 days, lag 2 -> 4 pairs
+    assert(got(0L)._2 < 1.0)
+    // negative lag pairs x_t with y_{t-2} = x_{t-4}: defined but weaker
+    assert(got(-2L)._1 == 4L)
+    assertThrows[IllegalArgumentException](graft.operators.TimeSeries
+      .crossCorrelation(rows, "event_type", "ts", "x", "y", Nil))
+  }
+
+  test("seasonalBacktest: periodic series scores zero error, flat series NULL mase") {
+    // two full weeks of an exact period-7 pattern: every d-7 forecast hits
+    val pat = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val rows = (0 until 14).flatMap { d =>
+      (0L until pat(d % 7)).map(i => (new java.sql.Timestamp(86400000L * d + i), "a"))
+    } ++ (0 until 10).flatMap { d => // flat key: 2/day, zero naive error
+      (0L until 2L).map(i => (new java.sql.Timestamp(86400000L * d + i), "flat"))
+    }
+    val got = graft.operators.TimeSeries
+      .seasonalBacktest(rows.toDF("ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_days") == 14 && a.getAs[Long]("n_eval") == 7)
+    assert(a.getAs[Double]("mae_r4") == 0.0 && a.getAs[Double]("rmse_r4") == 0.0)
+    assert(a.getAs[Double]("bias_r4") == 0.0 && a.getAs[Double]("mase_r4") == 0.0)
+    val f = got("flat")
+    assert(f.getAs[Double]("mae_r4") == 0.0)
+    assert(f.getAs[java.lang.Double]("mase_r4") == null) // zero naive error
+  }
+
   test("ewmaTrend: half-decay Horner weights, adjusted normalization, exact dev_bp") {
     // one key, days 0..2 with counts 10, 20, 40; window=10
     val rows = Seq((0, 10L), (1, 20L), (2, 40L)).flatMap { case (d, n) =>
