@@ -148,6 +148,56 @@ object Experiment {
         round(col("__bhi"), 6).as("boot_hi_r6"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH check (Fabijan et al. 2019 call it the
+    * most common way experiments silently rot): the assignment counts
+    * an A/B readout TRUSTS are themselves a hypothesis — if the
+    * observed arm sizes are inconsistent with the declared ratios,
+    * every downstream stat ([[bootstrapDiff]], [[welchT]],
+    * [[Sessionize.abTest]]) is invalid, and SRM is how you find out
+    * BEFORE shipping a conclusion. Per-arm exact binomial z against
+    * the declared share: z = (o − n·p)/√(n·p·(1−p)) — per-ARM rows
+    * (the [[SnapshotDiff.chiSquareDrift]] shape), so no cross-row
+    * floating sum exists; `srm` trips at |z| > 3 (the industry-
+    * standard alarm threshold), and an arm that appears in the data
+    * but not in the declaration (or vice versa with observations
+    * present elsewhere) trips unconditionally.
+    *
+    * `declared`: (arm label → share in basis points), must sum to
+    * 10000. Plan: ONE arm-count rollup (map-side combined, k-row
+    * result) full-outer-joined with the broadcast literal declaration;
+    * all arithmetic on the k-row frame. */
+  def srmCheck(users: DataFrame, armCol: String,
+               declared: Seq[(String, Long)]): DataFrame = {
+    require(declared.nonEmpty && declared.map(_._2).sum == 10000L,
+      s"declared shares must sum to 10000 bp, got ${declared.map(_._2).sum}")
+    require(declared.map(_._1).distinct.size == declared.size,
+      "declared arm labels must be unique")
+    val spark = users.sparkSession
+    import spark.implicits._
+    val decl = declared.toDF("arm", "declared_bp")
+    val obs = users.filter(col(armCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).cast(LongType).as("observed"))
+    val joined = obs.join(broadcast(decl), Seq("arm"), "full_outer")
+      .select(col("arm"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        coalesce(col("declared_bp"), lit(0L)).as("declared_bp"))
+    val tot = joined.agg(coalesce(sum(col("observed")), lit(0L)).as("__n"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("__p", col("declared_bp").cast("double") / 10000.0)
+      .withColumn("__z",
+        when(col("declared_bp") > 0 && col("declared_bp") < 10000 && col("__n") > 0,
+          (col("observed") - col("__n") * col("__p")) /
+            sqrt(col("__n") * col("__p") * (lit(1.0) - col("__p")))))
+      .select(col("arm"), col("observed"), col("declared_bp"),
+        round(col("__n") * col("__p"), 2).as("expected_r2"),
+        round(col("__z"), 4).as("z_r4"),
+        (coalesce(abs(col("__z")) > 3.0, lit(false)) ||
+          (col("declared_bp") === 0 && col("observed") > 0) ||
+          (col("declared_bp") === 10000L && col("observed") < col("__n")))
+          .as("srm"))
+  }
+
   /** WELCH's unequal-variance t readout for a continuous (integral)
     * unit-grain metric — the two-proportion z in [[Sessionize.abTest]]
     * covers conversion; this covers "did mean events/revenue/tokens

@@ -523,6 +523,84 @@ object TimeSeries {
                        lags: Seq[Int]): DataFrame =
     crossCorrelationManaged(events, typeCol, tsCol, typeX, typeY, lags)._1
 
+  /** MANN–KENDALL monotonic-trend test + THEIL–SEN slope per key
+    * (Mann 1945, Kendall 1975; Sen 1968) — the nonparametric
+    * complement to [[volumeTrend]]'s OLS: OLS answers "what line fits"
+    * and one outlier day drags it; MK/Sen answer "is volume
+    * monotonically drifting, and at what robust rate" — the
+    * is-this-source-dying detector that shrugs off spike days.
+    * S = Σ_{i<j} sign(x_j − x_i) over the dense daily series,
+    * tie-corrected variance 18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5),
+    * z = (S − sgn(S)) / √(var18/18) (the continuity correction),
+    * sen = the percentile-disc MEDIAN of pairwise slopes
+    * (x_j − x_i)/(j − i) — an element pick over deterministic
+    * doubles, no interpolation, engine-replayable.
+    *
+    * All of S/var18 are exact int64 (n = day span; safe to ~10⁵-day
+    * spans). The pairwise frame is the deliberate cost: span(span−1)/2
+    * rows PER KEY — bounded by the CALENDAR (30 years ≈ 6·10⁷ pairs),
+    * never by data volume; the per-key rank window for the median is
+    * partition-bounded by the same. Keys whose span < 2 report NULL
+    * z/sen. Plan: one (key, day) rollup, calendar densify, one
+    * self-join on key with day<day2, one rollup + one bounded window. */
+  def mannKendall(events: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame = {
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).cast(LongType).as("__c"))
+    val cal = counts.groupBy("key")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(col("key"), col("__lo"), explode(expr(
+        "sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    // the dense series feeds the self-join (twice) and the tie rollup:
+    // persist, fold the key-bounded result eagerly, release here
+    val dense = cal.join(counts, Seq("key", "__d"), "left")
+      .select(col("key"), datediff(col("__d"), col("__lo")).cast(LongType).as("i"),
+        coalesce(col("__c"), lit(0L)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = dense.as("a").join(dense.as("b"),
+        col("a.key") === col("b.key") && col("a.i") < col("b.i"))
+      .select(col("a.key").as("key"),
+        signum(col("b.x") - col("a.x")).cast(LongType).as("__sgn"),
+        ((col("b.x") - col("a.x")).cast("double") /
+          (col("b.i") - col("a.i"))).as("__slope"))
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col("key")).orderBy(col("__slope"))))
+      .withColumn("__cnt", count(lit(1)).over(w.partitionBy(col("key"))))
+    val med = ranked
+      .filter(col("__rn") === expr("(__cnt + 1) DIV 2"))
+      .select(col("key"), col("__slope").as("__sen"))
+    val sAgg = pairs.groupBy("key")
+      .agg(sum(col("__sgn")).as("__s"), count(lit(1)).as("__np"))
+    val ties = dense.groupBy("key", "x").agg(count(lit(1)).as("__t"))
+      .groupBy("key")
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5)).as("__tt"),
+        count(lit(1)).as("__distinct_x"),
+        sum(col("__t")).as("__n"))
+    // anchor on the ties frame: it has every key, including span-1
+    // series whose pair frame is empty (they report NULL z/sen)
+    val out = ties.join(sAgg, Seq("key"), "left").join(med, Seq("key"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(0L)))
+      .withColumn("__var18",
+        col("__n") * (col("__n") - 1) * (lit(2) * col("__n") + 5) - col("__tt"))
+      .select(col("key"),
+        col("__n").cast(LongType).as("n_days"),
+        col("__s").cast(LongType).as("s"),
+        col("__var18").cast(LongType).as("var18"),
+        round(when(col("__var18") > 0,
+          (col("__s") - signum(col("__s"))).cast("double") /
+            sqrt(col("__var18").cast("double") / 18.0)), 4).as("z_r4"),
+        round(col("__sen"), 6).as("sen_slope_r6"))
+    val rows = out.collect() // key-bounded; pin before the release
+    dense.unpersist()
+    val s = events.sparkSession
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq,
+      math.max(1, math.min(rows.length, 4))), out.schema)
+  }
+
   /** SEASONAL-NAIVE BACKTEST per key: how predictable is each series
     * under the "same day last week" forecast — the honest baseline
     * (Hyndman & Koehler 2006 define MASE against exactly this class)

@@ -342,6 +342,48 @@ object DriftQueries {
                         THEN CAST(sae AS DOUBLE) * n1 / (CAST(sae1 AS DOUBLE) * ne) END, 4) AS mase_r4
       FROM a ORDER BY key"""))
 
+  // 247. Mann-Kendall monotonic trend + Theil-Sen robust slope per
+  // event type: the outlier-proof is-this-source-dying detector next
+  // to the OLS volume trend; S/var18 exact int64, Sen slope a
+  // percentile-disc element pick.
+  val qMkTrend = QueryDef("q_mk_trend",
+    (s, dir) => {
+      mkTrendCache.get(s, dir)(graft.operators.TimeSeries.mannKendall(
+          table(s, dir, "events"), "event_type", "ts"))
+        .orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT key, min(d) AS lo, max(d) AS hi FROM c GROUP BY 1),
+      cal AS (SELECT key, lo, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+              FROM span),
+      s AS (SELECT cal.key, datediff('day', cal.lo, cal.d) AS i, coalesce(c.cnt, 0) AS x
+            FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      p AS (SELECT a.key, sign(b.x - a.x) AS sgn,
+                   CAST(b.x - a.x AS DOUBLE) / (b.i - a.i) AS slope
+            FROM s a JOIN s b ON a.key = b.key AND a.i < b.i),
+      sa AS (SELECT key, sum(sgn) AS sv FROM p GROUP BY 1),
+      rk AS (SELECT key, slope, row_number() OVER (PARTITION BY key ORDER BY slope) AS rn,
+                    count(*) OVER (PARTITION BY key) AS cnt
+             FROM p),
+      md AS (SELECT key, slope AS sen FROM rk WHERE rn = (cnt + 1) // 2),
+      t AS (SELECT key, x, count(*) AS tcnt FROM s GROUP BY 1, 2),
+      tt AS (SELECT key, sum(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS ttv,
+                    sum(tcnt) AS n
+             FROM t GROUP BY 1),
+      f AS (SELECT tt.key, tt.n, coalesce(sa.sv, 0) AS sv,
+                   tt.n * (tt.n - 1) * (2 * tt.n + 5) - tt.ttv AS var18, md.sen
+            FROM tt LEFT JOIN sa ON tt.key = sa.key
+                    LEFT JOIN md ON tt.key = md.key)
+      SELECT key, CAST(n AS BIGINT) AS n_days, CAST(sv AS BIGINT) AS s,
+             CAST(var18 AS BIGINT) AS var18,
+             round(CASE WHEN var18 > 0
+                        THEN CAST(sv - sign(sv) AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) END, 4) AS z_r4,
+             round(sen, 6) AS sen_slope_r6
+      FROM f ORDER BY key"""))
+
   val qTsAcf = QueryDef("q_ts_acf",
     (s, dir) => {
       acfCache.get(s, dir)(graft.operators.TimeSeries.autocorrelation(
@@ -803,5 +845,6 @@ object DriftQueries {
     qWassersteinDrift,
     qTsXcorr,
     qSeasonalBacktest,
+    qMkTrend,
   )
 }

@@ -812,6 +812,47 @@ object EventQueries {
       FROM f"""))
 
 
+  // 246. sample-ratio-mismatch gate on the shared armed frame: the
+  // true 50/50 declaration passes, a deliberately mis-declared 60/40
+  // trips — both verdict paths certified; per-arm rows, no cross-row
+  // floating sums.
+  val qAbSrm = QueryDef("q_ab_srm",
+    (s, dir) => {
+      val armed = armedUsers(s, dir)
+      graft.operators.Experiment.srmCheck(armed, "split",
+          Seq("a" -> 5000L, "b" -> 5000L))
+        .withColumn("config", lit("declared_50_50"))
+        .unionByName(
+          graft.operators.Experiment.srmCheck(armed, "split",
+              Seq("a" -> 6000L, "b" -> 4000L))
+            .withColumn("config", lit("declared_60_40")))
+        .orderBy("config", "arm")
+    },
+    Some(s"""
+      WITH $armedUsersSql,
+      o AS (SELECT arm, count(*) AS observed FROM u GROUP BY 1),
+      n AS (SELECT sum(observed) AS n FROM o),
+      c AS (SELECT 'declared_50_50' AS config, 'a' AS arm, 5000 AS bp
+            UNION ALL SELECT 'declared_50_50', 'b', 5000
+            UNION ALL SELECT 'declared_60_40', 'a', 6000
+            UNION ALL SELECT 'declared_60_40', 'b', 4000),
+      j AS (SELECT c.config, c.arm, coalesce(o.observed, 0) AS observed, c.bp, n.n
+            FROM c LEFT JOIN o USING (arm), n),
+      z AS (SELECT *, CAST(bp AS DOUBLE) / 10000.0 AS p FROM j),
+      f AS (SELECT config, arm, observed, bp, n,
+              round(n * p, 2) AS expected_r2,
+              CASE WHEN bp > 0 AND bp < 10000 AND n > 0
+                   THEN (observed - n * p) / sqrt(n * p * (1 - p)) END AS zz
+            FROM z)
+      SELECT arm, CAST(observed AS BIGINT) AS observed,
+             CAST(bp AS BIGINT) AS declared_bp, expected_r2,
+             round(zz, 4) AS z_r4,
+             (coalesce(abs(zz) > 3.0, false) OR (bp = 0 AND observed > 0)
+              OR (bp = 10000 AND observed < n)) AS srm,
+             config
+      FROM f ORDER BY config, arm"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -837,5 +878,6 @@ object EventQueries {
     qAttribution,
     qAbBootstrap,
     qAbWelch,
+    qAbSrm,
   )
 }

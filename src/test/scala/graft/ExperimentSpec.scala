@@ -97,6 +97,38 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("boot_hi_r6") - hi) < 1e-6)
   }
 
+  test("srmCheck: hand-computed z, mismatch trips, undeclared arm trips") {
+    // 30 vs 70 observed against a declared 50/50: z_a = (30-50)/5 = -4
+    val df = ((1 to 30).map(i => (i, "a")) ++ (31 to 100).map(i => (i, "b")))
+      .toDF("id", "arm")
+    val r = graft.operators.Experiment.srmCheck(df, "arm",
+      Seq("a" -> 5000L, "b" -> 5000L)).collect()
+      .map(x => x.getAs[String]("arm") -> x).toMap
+    assert(r("a").getAs[Double]("z_r4") == -4.0)
+    assert(r("a").getAs[Boolean]("srm") && r("b").getAs[Boolean]("srm"))
+    assert(r("a").getAs[Double]("expected_r2") == 50.0)
+    // declaring the observed 30/70 passes
+    val ok = graft.operators.Experiment.srmCheck(df, "arm",
+      Seq("a" -> 3000L, "b" -> 7000L)).collect()
+    assert(ok.forall(!_.getAs[Boolean]("srm")))
+    // an arm in the data but not the declaration trips unconditionally
+    val rogue = graft.operators.Experiment.srmCheck(df, "arm",
+      Seq("a" -> 3000L, "b" -> 6999L, "c" -> 1L)).collect()
+      .map(x => x.getAs[String]("arm") -> x).toMap
+    assert(rogue.contains("c") && rogue("c").getAs[Long]("observed") == 0L)
+    val undeclared = graft.operators.Experiment.srmCheck(
+      df.withColumn("arm", when(col("id") === 1, "ghost").otherwise(col("arm"))),
+      "arm", Seq("a" -> 5000L, "b" -> 5000L)).collect()
+      .map(x => x.getAs[String]("arm") -> x).toMap
+    assert(undeclared("ghost").getAs[Boolean]("srm"))
+    // guards: shares must sum to 10000, labels unique
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.srmCheck(df, "arm", Seq("a" -> 5000L)))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.srmCheck(df, "arm",
+        Seq("a" -> 5000L, "a" -> 5000L)))
+  }
+
   test("bootstrapDiff: guards") {
     val df = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "arm", "y")
     assertThrows[IllegalArgumentException](

@@ -522,6 +522,27 @@ class OperatorsSpec extends SparkSpec {
       .crossCorrelation(rows, "event_type", "ts", "x", "y", Nil))
   }
 
+  test("mannKendall: monotone series hand values, flat series NULL z") {
+    // counts 1,2,3,4,5 over five consecutive days: S = 10,
+    // var18 = 5*4*15 = 300, z = 9/sqrt(300/18), sen = 1
+    def mk(t: String, d: Int, n: Long) =
+      (0L until n).map(i => (new java.sql.Timestamp(86400000L * d + i), t))
+    val rows = ((0 until 5).flatMap(d => mk("up", d, d + 1L)) ++
+      (0 until 6).flatMap(d => mk("flat", d, 3L))).toDF("ts", "event_type")
+    val got = graft.operators.TimeSeries.mannKendall(rows, "event_type", "ts")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val up = got("up")
+    assert(up.getAs[Long]("n_days") == 5 && up.getAs[Long]("s") == 10)
+    assert(up.getAs[Long]("var18") == 300)
+    assert(up.getAs[Double]("z_r4") ==
+      math.rint(9.0 / math.sqrt(300.0 / 18) * 1e4) / 1e4)
+    assert(up.getAs[Double]("sen_slope_r6") == 1.0)
+    val flat = got("flat")
+    assert(flat.getAs[Long]("s") == 0 && flat.getAs[Long]("var18") == 0)
+    assert(flat.getAs[java.lang.Double]("z_r4") == null)
+    assert(flat.getAs[Double]("sen_slope_r6") == 0.0)
+  }
+
   test("seasonalBacktest: periodic series scores zero error, flat series NULL mase") {
     // two full weeks of an exact period-7 pattern: every d-7 forecast hits
     val pat = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
