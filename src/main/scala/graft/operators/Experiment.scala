@@ -148,6 +148,149 @@ object Experiment {
         round(col("__bhi"), 6).as("boot_hi_r6"))
   }
 
+  /** DELTA-METHOD readout for a RATIO metric — r = Σy/Σx per arm
+    * (revenue per session, purchases per event, tokens per doc):
+    * THE standard A/B subtlety, because the ratio's denominator is
+    * itself random and a naive per-unit mean-of-ratios answers a
+    * different question. Deng, Knoblich & Lu (2018) is the canonical
+    * treatment: var(r) ≈ (var_y − 2r·cov + r²·var_x) / (n·x̄²) from
+    * the per-UNIT moments, so the whole readout is ONE
+    * map-side-combined pass of exact integer sums (n, Σx, Σy, Σxy,
+    * Σx², Σy² per arm) with r/se/z as single deterministic double
+    * expressions any engine replays. int64: n·Σx² — same cliff as
+    * [[welchT]], rescale beyond ~1e9·1e9. z NULL (never NaN) when
+    * either arm has n < 2, Σx ≤ 0, or both delta-variances vanish.
+    * `xCol`/`yCol` integral; x is the denominator (exposure). */
+  def ratioDelta(users: DataFrame, armCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    requireIntegral(users, xCol, "ratioDelta")
+    requireIntegral(users, yCol, "ratioDelta")
+    val base = users.filter(col(armCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val (aLbl, bLbl) = twoArms(base, "ratioDelta")
+    def sums(pred: org.apache.spark.sql.Column, sfx: String) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"__n$sfx"),
+      sum(when(pred, col("__x")).otherwise(0L)).as(s"__sx$sfx"),
+      sum(when(pred, col("__y")).otherwise(0L)).as(s"__sy$sfx"),
+      sum(when(pred, col("__x") * col("__y")).otherwise(0L)).as(s"__sxy$sfx"),
+      sum(when(pred, col("__x") * col("__x")).otherwise(0L)).as(s"__sxx$sfx"),
+      sum(when(pred, col("__y") * col("__y")).otherwise(0L)).as(s"__syy$sfx"))
+    val aggs = sums(col("__arm") === aLbl, "a") ++ sums(col("__arm") === bLbl, "b")
+    def seSq(sfx: String) = {
+      val (n, sx, sy, sxy, sxx, syy) = (col(s"__n$sfx"), col(s"__sx$sfx"),
+        col(s"__sy$sfx"), col(s"__sxy$sfx"), col(s"__sxx$sfx"), col(s"__syy$sfx"))
+      val r = sy.cast("double") / sx
+      val varX = (n * sxx - sx * sx).cast("double") / (n * (n - 1))
+      val varY = (n * syy - sy * sy).cast("double") / (n * (n - 1))
+      val covXY = (n * sxy - sx * sy).cast("double") / (n * (n - 1))
+      val xbar = sx.cast("double") / n
+      when(n > 1 && sx > 0,
+        (varY - lit(2.0) * r * covXY + r * r * varX) / (n * xbar * xbar))
+    }
+    base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__sea", seSq("a"))
+      .withColumn("__seb", seSq("b"))
+      .withColumn("__ra", when(col("__sxa") > 0,
+        col("__sya").cast("double") / col("__sxa")))
+      .withColumn("__rb", when(col("__sxb") > 0,
+        col("__syb").cast("double") / col("__sxb")))
+      .withColumn("__se2", col("__sea") + col("__seb"))
+      .select(
+        lit(aLbl).as("arm_a"), lit(bLbl).as("arm_b"),
+        col("__na").cast(LongType).as("users_a"),
+        col("__nb").cast(LongType).as("users_b"),
+        round(col("__ra"), 6).as("ratio_a_r6"),
+        round(col("__rb"), 6).as("ratio_b_r6"),
+        round(col("__rb") - col("__ra"), 6).as("diff_r6"),
+        round(when(col("__se2") > 0,
+          (col("__rb") - col("__ra")) / sqrt(col("__se2"))), 4).as("z_r4"))
+  }
+
+  /** MANTEL–HAENSZEL stratified conversion readout (Mantel & Haenszel
+    * 1959; the Cochran–MH chi² with continuity correction): the
+    * Simpson's-paradox guard for experiments — when assignment or
+    * traffic is imbalanced ACROSS strata (country, platform, source),
+    * the pooled 2×2 of [[Sessionize.abTest]] can show an effect that
+    * reverses inside every stratum; MH pools the per-stratum tables
+    * with their own weights instead. Common odds ratio
+    * OR = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i).
+    *
+    * The [[Sessionize.logRank]] integer discipline verbatim: each
+    * stratum's expectation and hypergeometric variance fold at e6
+    * scale with sequential floor-DIV — ea_e6 = m1·nA·10⁶ DIV n,
+    * v_e6 = ((m1·nA·nB DIV n)·m0·10⁶) DIV (n²−n), OR numerators
+    * a·d·10⁶ DIV n — the statistic IS this recurrence, replayable
+    * bit-for-bit; int64-safe to ~3·10⁴ units per stratum (the logRank
+    * cohort bound — rescale the e6 factor beyond). chi² =
+    * (|Σa·10⁶ − Σea| − 5·10⁵)² / (Σv·10⁶) and the final OR are the
+    * only doubles. Arms = exactly two (smaller label = A); `convCol`
+    * integral 0/1; NULL stratum is its own stratum (chr(1) sentinel
+    * would collide with real data here, so NULLs group via the
+    * grouping key directly). Strata with an empty arm contribute
+    * zero variance and no information — standard MH behavior.
+    *
+    * Plan: ONE (stratum) conditional rollup (map-side combined),
+    * integer folds on the |strata|-row frame, 1-row output. */
+  def mhStratified(users: DataFrame, stratumCol: String, armCol: String,
+                   convCol: String): DataFrame = {
+    requireIntegral(users, convCol, "mhStratified")
+    val base = users.filter(col(armCol).isNotNull && col(convCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("__s"),
+        col(armCol).cast("string").as("__arm"),
+        when(col(convCol) =!= 0, 1L).otherwise(0L).as("__c"))
+    val (aLbl, bLbl) = twoArms(base, "mhStratified")
+    val strata = base.groupBy("__s")
+      .agg(
+        sum(when(col("__arm") === aLbl, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__arm") === bLbl, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__arm") === aLbl, col("__c")).otherwise(0L)).as("__a"),
+        sum(when(col("__arm") === bLbl, col("__c")).otherwise(0L)).as("__b"))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .withColumn("__m1", col("__a") + col("__b"))
+      .withColumn("__m0", col("__n") - col("__m1"))
+      .withColumn("__cc", col("__na") - col("__a")) // non-conv in A
+      .withColumn("__dd", col("__nb") - col("__b")) // non-conv in B
+      .withColumn("__ea6", expr("__m1 * __na * 1000000 DIV __n"))
+      .withColumn("__v6", when(col("__n") > 1,
+        expr("((__m1 * __na * __nb DIV __n) * __m0 * 1000000) DIV (__n * __n - __n)"))
+        .otherwise(lit(0L)))
+      .withColumn("__or_num6", expr("__a * __dd * 1000000 DIV __n"))
+      .withColumn("__or_den6", expr("__b * __cc * 1000000 DIV __n"))
+    strata.agg(
+        count(lit(1)).cast(LongType).as("strata"),
+        coalesce(sum(col("__na")), lit(0L)).as("__tna"),
+        coalesce(sum(col("__nb")), lit(0L)).as("__tnb"),
+        coalesce(sum(col("__a")), lit(0L)).as("__ta"),
+        coalesce(sum(col("__b")), lit(0L)).as("__tb"),
+        coalesce(sum(col("__ea6")), lit(0L)).as("__tea6"),
+        coalesce(sum(col("__v6")), lit(0L)).as("__tv6"),
+        coalesce(sum(col("__or_num6")), lit(0L)).as("__ton6"),
+        coalesce(sum(col("__or_den6")), lit(0L)).as("__tod6"))
+      // |Σa − ΣE| at e6 is int64-exact; the square must go through
+      // double (6e9² would overflow int64) as d·d — NOT pow(d, 2),
+      // whose libm rounding engines need not share — clamped at 0 so
+      // an effect smaller than the continuity correction reads chi²=0
+      .withColumn("__d6", greatest(
+        (abs(col("__ta") * lit(1000000L) - col("__tea6")) - lit(500000L))
+          .cast("double"), lit(0.0)))
+      .select(
+        lit(aLbl).as("arm_a"), lit(bLbl).as("arm_b"), col("strata"),
+        col("__tna").cast(LongType).as("users_a"),
+        col("__tnb").cast(LongType).as("users_b"),
+        col("__ta").cast(LongType).as("conv_a"),
+        col("__tb").cast(LongType).as("conv_b"),
+        round(when(col("__tod6") > 0,
+          col("__ton6").cast("double") / col("__tod6")), 4).as("mh_or_r4"),
+        // |Σa − ΣE| at e6 is int64-exact; the square must go through
+        // double (6e9² would overflow int64), clamped at 0 so an
+        // effect smaller than the continuity correction reads chi²=0
+        round(when(col("__tv6") > 0,
+          col("__d6") * col("__d6") /
+            (col("__tv6").cast("double") * lit(1000000.0))), 4).as("chi2_r4"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check (Fabijan et al. 2019 call it the
     * most common way experiments silently rot): the assignment counts
     * an A/B readout TRUSTS are themselves a hypothesis — if the

@@ -523,6 +523,63 @@ object TimeSeries {
                        lags: Seq[Int]): DataFrame =
     crossCorrelationManaged(events, typeCol, tsCol, typeX, typeY, lags)._1
 
+  /** Two-sided CUSUM drift monitor per key (Page 1954): [[madAnomalies]]
+    * catches SPIKES, [[changePoint]] finds one retrospective split —
+    * CUSUM catches the thing both miss, a SMALL PERSISTENT shift
+    * (a source quietly losing 5%/day), by accumulating deviations
+    * beyond a slack κ and alarming when the accumulation crosses h.
+    * The sequential recurrence S_t = max(0, S_{t−1} + a_t) looks
+    * un-distributable, but it has the exact prefix closed form
+    * S_t = C_t − min(0, min_{j≤t} C_j) with C the running sum of a —
+    * so it runs as TWO per-key window passes (cumsum + prefix-min),
+    * never an iterative fold.
+    *
+    * Everything is exact e4-scaled integers: per-key reference
+    * ref_e4 = Σx·10⁴ DIV n over the dense series, dev_e4 = x·10⁴ −
+    * ref_e4, slack κ_e4 = slackBp·ref_e4 DIV 10⁴, threshold h_e4 =
+    * thresholdBp·ref_e4 DIV 10⁴ (both as fractions of the reference
+    * level, so one config serves keys of any volume); the upward arm
+    * accumulates dev−κ, the downward arm −dev−κ. int64: |C| ≤
+    * span·max_daily·10⁴ — safe to ~10⁹ events/day over 30 years.
+    * Plan: one daily rollup + calendar densify + one 1-row-per-key
+    * broadcastable reference join + two ROWS windows per key
+    * (calendar-bounded partitions, the rollingTrend shape). */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+            slackBp: Long = 500L, thresholdBp: Long = 40000L): DataFrame = {
+    require(slackBp >= 0 && thresholdBp > 0, "need slackBp >= 0, thresholdBp > 0")
+    val counts = events
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+    val cal = counts.groupBy("key")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(col("key"), explode(expr(
+        "sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    val dense = cal.join(counts, Seq("key", "__d"), "left")
+      .select(col("key"), col("__d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val ref = dense.groupBy("key")
+      .agg(expr("sum(cnt) * 10000 DIV count(*)").as("__ref4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__d"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0L)
+    dense.join(ref, "key")
+      .withColumn("__k4", expr(s"$slackBp * __ref4 DIV 10000"))
+      .withColumn("__h4", expr(s"$thresholdBp * __ref4 DIV 10000"))
+      .withColumn("__dev4", col("cnt") * lit(10000L) - col("__ref4"))
+      .withColumn("__cu", sum(col("__dev4") - col("__k4")).over(run))
+      .withColumn("__cd", sum(lit(0L) - col("__dev4") - col("__k4")).over(run))
+      .withColumn("cusum_up_e4",
+        col("__cu") - least(min(col("__cu")).over(run), lit(0L)))
+      .withColumn("cusum_down_e4",
+        col("__cd") - least(min(col("__cd")).over(run), lit(0L)))
+      .select(col("key"), date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("cusum_up_e4").cast(LongType).as("cusum_up_e4"),
+        col("cusum_down_e4").cast(LongType).as("cusum_down_e4"),
+        (col("cusum_up_e4") > col("__h4")).as("alarm_up"),
+        (col("cusum_down_e4") > col("__h4")).as("alarm_down"))
+  }
+
   /** MANN–KENDALL monotonic-trend test + THEIL–SEN slope per key
     * (Mann 1945, Kendall 1975; Sen 1968) — the nonparametric
     * complement to [[volumeTrend]]'s OLS: OLS answers "what line fits"

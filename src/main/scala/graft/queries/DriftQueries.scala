@@ -342,6 +342,41 @@ object DriftQueries {
                         THEN CAST(sae AS DOUBLE) * n1 / (CAST(sae1 AS DOUBLE) * ne) END, 4) AS mase_r4
       FROM a ORDER BY key"""))
 
+  // 250. two-sided CUSUM drift monitor per event type: the small-
+  // persistent-shift detector MAD spikes and single change points
+  // miss; the sequential max-recurrence runs as cumsum + prefix-min
+  // windows, all e4-scaled exact integers.
+  val qCusum = QueryDef("q_cusum",
+    (s, dir) => {
+      graft.operators.TimeSeries.cusum(
+          table(s, dir, "events"), "event_type", "ts")
+        .orderBy("key", "day")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+                        count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT key, min(d) AS lo, max(d) AS hi FROM c GROUP BY 1),
+      cal AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+              FROM span),
+      s AS (SELECT cal.key, cal.d, coalesce(c.cnt, 0) AS cnt
+            FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      r AS (SELECT key, sum(cnt) * 10000 // count(*) AS ref4 FROM s GROUP BY 1),
+      a AS (SELECT s.key, s.d, s.cnt, r.ref4,
+                   500 * r.ref4 // 10000 AS k4, 40000 * r.ref4 // 10000 AS h4,
+                   s.cnt * 10000 - r.ref4 AS dev4
+            FROM s JOIN r USING (key)),
+      w AS (SELECT *, sum(dev4 - k4) OVER (PARTITION BY key ORDER BY d) AS cu,
+                   sum(0 - dev4 - k4) OVER (PARTITION BY key ORDER BY d) AS cd
+            FROM a),
+      m AS (SELECT *, cu - least(min(cu) OVER (PARTITION BY key ORDER BY d), 0) AS su,
+                   cd - least(min(cd) OVER (PARTITION BY key ORDER BY d), 0) AS sd
+            FROM w)
+      SELECT key, strftime(d, '%Y-%m-%d') AS day, CAST(cnt AS BIGINT) AS cnt,
+             CAST(su AS BIGINT) AS cusum_up_e4, CAST(sd AS BIGINT) AS cusum_down_e4,
+             su > h4 AS alarm_up, sd > h4 AS alarm_down
+      FROM m ORDER BY key, day"""))
+
   // 247. Mann-Kendall monotonic trend + Theil-Sen robust slope per
   // event type: the outlier-proof is-this-source-dying detector next
   // to the OLS volume trend; S/var18 exact int64, Sen slope a
@@ -846,5 +881,6 @@ object DriftQueries {
     qTsXcorr,
     qSeasonalBacktest,
     qMkTrend,
+    qCusum,
   )
 }

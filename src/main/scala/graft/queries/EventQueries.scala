@@ -853,6 +853,119 @@ object EventQueries {
       FROM f ORDER BY config, arm"""))
 
 
+  // 248. delta-method ratio metric: purchases per event — the
+  // denominator is random, so the naive mean-of-ratios is the wrong
+  // estimator; one exact-integer moment pass per arm, r/se/z single
+  // double expressions.
+  val qAbRatio = QueryDef("q_ab_ratio",
+    (s, dir) => {
+      val users = table(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast(LongType).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val armed = graft.operators.Sampling.portableSplit(
+        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      graft.operators.Experiment.ratioDelta(armed, "split", "x", "y")
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                        THEN 'a' ELSE 'b' END AS arm,
+                   count(*) AS x,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      sm AS (SELECT
+               sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS sxa,
+               sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
+               sum(CASE WHEN arm = 'a' THEN x * y ELSE 0 END) AS sxya,
+               sum(CASE WHEN arm = 'a' THEN x * x ELSE 0 END) AS sxxa,
+               sum(CASE WHEN arm = 'a' THEN y * y ELSE 0 END) AS syya,
+               sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+               sum(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS sxb,
+               sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb,
+               sum(CASE WHEN arm = 'b' THEN x * y ELSE 0 END) AS sxyb,
+               sum(CASE WHEN arm = 'b' THEN x * x ELSE 0 END) AS sxxb,
+               sum(CASE WHEN arm = 'b' THEN y * y ELSE 0 END) AS syyb
+             FROM u),
+      d AS (SELECT *,
+              CASE WHEN sxa > 0 THEN CAST(sya AS DOUBLE) / sxa END AS ra,
+              CASE WHEN sxb > 0 THEN CAST(syb AS DOUBLE) / sxb END AS rb
+            FROM sm),
+      se AS (SELECT *,
+               CASE WHEN na > 1 AND sxa > 0 THEN
+                 (CAST(na * syya - sya * sya AS DOUBLE) / (na * (na - 1))
+                  - 2.0 * ra * (CAST(na * sxya - sxa * sya AS DOUBLE) / (na * (na - 1)))
+                  + ra * ra * (CAST(na * sxxa - sxa * sxa AS DOUBLE) / (na * (na - 1))))
+                 / (na * (CAST(sxa AS DOUBLE) / na) * (CAST(sxa AS DOUBLE) / na)) END AS sea,
+               CASE WHEN nb > 1 AND sxb > 0 THEN
+                 (CAST(nb * syyb - syb * syb AS DOUBLE) / (nb * (nb - 1))
+                  - 2.0 * rb * (CAST(nb * sxyb - sxb * syb AS DOUBLE) / (nb * (nb - 1)))
+                  + rb * rb * (CAST(nb * sxxb - sxb * sxb AS DOUBLE) / (nb * (nb - 1))))
+                 / (nb * (CAST(sxb AS DOUBLE) / nb) * (CAST(sxb AS DOUBLE) / nb)) END AS seb
+             FROM d),
+      f AS (SELECT *, sea + seb AS se2 FROM se)
+      SELECT 'a' AS arm_a, 'b' AS arm_b,
+             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
+             round(ra, 6) AS ratio_a_r6, round(rb, 6) AS ratio_b_r6,
+             round(rb - ra, 6) AS diff_r6,
+             round(CASE WHEN se2 > 0 THEN (rb - ra) / sqrt(se2) END, 4) AS z_r4
+      FROM f"""))
+
+
+  // 249. Mantel-Haenszel stratified conversion: the Simpson's-paradox
+  // guard — per-stratum 2x2 pooled with hypergeometric weights, the
+  // logRank e6 integer discipline per stratum; id-bucket strata as the
+  // deterministic stand-in for country/platform.
+  val qMhStrat = QueryDef("q_mh_strat",
+    (s, dir) => {
+      val users = table(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("st", pmod(col("user_id"), lit(5)).cast("string"))
+      val armed = graft.operators.Sampling.portableSplit(
+        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      graft.operators.Experiment.mhStratified(armed, "st", "split", "conv")
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+                   CAST(user_id % 5 AS VARCHAR) AS st,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                        THEN 'a' ELSE 'b' END AS arm,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+      s AS (SELECT st,
+              sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+              sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+              sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS a,
+              sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS b
+            FROM u GROUP BY 1),
+      x AS (SELECT *, na + nb AS n, a + b AS m1, na + nb - a - b AS m0,
+                   na - a AS cc, nb - b AS dd
+            FROM s),
+      e AS (SELECT *,
+              m1 * na * 1000000 // n AS ea6,
+              CASE WHEN n > 1 THEN ((m1 * na * nb // n) * m0 * 1000000) // (n * n - n)
+                   ELSE 0 END AS v6,
+              a * dd * 1000000 // n AS on6,
+              b * cc * 1000000 // n AS od6
+            FROM x),
+      f AS (SELECT count(*) AS strata, sum(na) AS tna, sum(nb) AS tnb,
+                   sum(a) AS ta, sum(b) AS tb, sum(ea6) AS tea6,
+                   sum(v6) AS tv6, sum(on6) AS ton6, sum(od6) AS tod6
+            FROM e),
+      g AS (SELECT *, greatest(CAST(abs(ta * 1000000 - tea6) - 500000 AS DOUBLE), 0.0) AS d6
+            FROM f)
+      SELECT 'a' AS arm_a, 'b' AS arm_b, CAST(strata AS BIGINT) AS strata,
+             CAST(tna AS BIGINT) AS users_a, CAST(tnb AS BIGINT) AS users_b,
+             CAST(ta AS BIGINT) AS conv_a, CAST(tb AS BIGINT) AS conv_b,
+             round(CASE WHEN tod6 > 0 THEN CAST(ton6 AS DOUBLE) / tod6 END, 4) AS mh_or_r4,
+             round(CASE WHEN tv6 > 0 THEN d6 * d6 / (CAST(tv6 AS DOUBLE) * 1000000.0) END, 4) AS chi2_r4
+      FROM g"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -879,5 +992,7 @@ object EventQueries {
     qAbBootstrap,
     qAbWelch,
     qAbSrm,
+    qAbRatio,
+    qMhStrat,
   )
 }

@@ -129,6 +129,59 @@ class ExperimentSpec extends SparkSpec {
         Seq("a" -> 5000L, "a" -> 5000L)))
   }
 
+  test("ratioDelta: hand-computed ratios, z sanity, degenerate guards") {
+    // a: (x,y) = (2,1),(4,1) -> r = 2/6; b: (2,2),(4,2) -> r = 4/6
+    val df = Seq(("a", 2L, 1L), ("a", 4L, 1L), ("b", 2L, 2L), ("b", 4L, 2L))
+      .toDF("arm", "x", "y")
+    val r = graft.operators.Experiment.ratioDelta(df, "arm", "x", "y")
+      .collect().head
+    assert(r.getAs[Double]("ratio_a_r6") == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(r.getAs[Double]("ratio_b_r6") == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(r.getAs[Double]("diff_r6") == math.rint(1.0 / 3 * 1e6) / 1e6)
+    // constant y, varying x -> nonzero delta variance, finite z
+    assert(r.getAs[java.lang.Double]("z_r4") != null)
+    // single-unit arms: n-1 = 0 -> NULL z
+    val tiny = Seq(("a", 2L, 1L), ("b", 3L, 2L)).toDF("arm", "x", "y")
+    val t = graft.operators.Experiment.ratioDelta(tiny, "arm", "x", "y")
+      .collect().head
+    assert(t.isNullAt(t.fieldIndex("z_r4")))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.ratioDelta(
+        Seq(("a", 1.5, 1L)).toDF("arm", "x", "y"), "arm", "x", "y"))
+  }
+
+  test("mhStratified: confounded strata null out, genuine effect survives") {
+    // classic Simpson setup: stratum s1 mostly arm a, s2 mostly arm b,
+    // conversion depends ONLY on stratum -> pooled rates differ but MH
+    // sees no arm effect (chi2 ~ 0, OR ~ 1)
+    def unit(st: String, arm: String, conv: Long, n: Int) =
+      (1 to n).map(_ => (st, arm, conv))
+    val confounded = (
+      unit("s1", "a", 1L, 90) ++ unit("s1", "a", 0L, 10) ++ // s1: 90% conv
+        unit("s1", "b", 1L, 9) ++ unit("s1", "b", 0L, 1) ++
+        unit("s2", "a", 1L, 1) ++ unit("s2", "a", 0L, 9) ++ // s2: 10% conv
+        unit("s2", "b", 1L, 9) ++ unit("s2", "b", 0L, 81)
+      ).toDF("st", "arm", "conv")
+    val m = graft.operators.Experiment.mhStratified(confounded, "st", "arm", "conv")
+      .collect().head
+    assert(m.getAs[Long]("strata") == 2)
+    assert(m.getAs[Long]("users_a") == 110 && m.getAs[Long]("users_b") == 100)
+    // within-stratum rates are identical across arms: OR ~ 1, chi2 ~ 0
+    assert(math.abs(m.getAs[Double]("mh_or_r4") - 1.0) < 0.05)
+    assert(m.getAs[Double]("chi2_r4") < 0.1)
+    // genuine effect: same strata, arm b converts strictly more everywhere
+    val effect = (
+      unit("s1", "a", 1L, 10) ++ unit("s1", "a", 0L, 90) ++
+        unit("s1", "b", 1L, 50) ++ unit("s1", "b", 0L, 50) ++
+        unit("s2", "a", 1L, 10) ++ unit("s2", "a", 0L, 90) ++
+        unit("s2", "b", 1L, 50) ++ unit("s2", "b", 0L, 50)
+      ).toDF("st", "arm", "conv")
+    val e = graft.operators.Experiment.mhStratified(effect, "st", "arm", "conv")
+      .collect().head
+    assert(e.getAs[Double]("mh_or_r4") < 0.5) // arm a converts far less
+    assert(e.getAs[Double]("chi2_r4") > 10.0)
+  }
+
   test("bootstrapDiff: guards") {
     val df = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "arm", "y")
     assertThrows[IllegalArgumentException](

@@ -522,6 +522,40 @@ class OperatorsSpec extends SparkSpec {
       .crossCorrelation(rows, "event_type", "ts", "x", "y", Nil))
   }
 
+  test("cusum: level shift alarms upward arm, flat series never alarms") {
+    def mk(t: String, d: Int, n: Long) =
+      (0L until n).map(i => (new java.sql.Timestamp(86400000L * d + i), t))
+    // 10 days at 10/day then 10 days at 14/day: ref = 12, the upward
+    // CUSUM accumulates (14-12-slack) per late day and must alarm
+    val rows = ((0 until 10).flatMap(d => mk("shift", d, 10L)) ++
+      (10 until 20).flatMap(d => mk("shift", d, 14L)) ++
+      (0 until 20).flatMap(d => mk("flat", d, 5L))).toDF("ts", "event_type")
+    val got = graft.operators.TimeSeries.cusum(rows, "event_type", "ts",
+      thresholdBp = 10000L).collect()
+    val shift = got.filter(_.getAs[String]("key") == "shift")
+    assert(shift.length == 20)
+    // ref4 = 120000, slack 6000: late days accumulate +14000/day on
+    // the up arm; with h4 = 1x ref = 120000 the up arm must alarm in
+    // the second half (and the low first half legitimately trips the
+    // down arm against the pooled mean - that is CUSUM's semantics)
+    val late = shift.filter(_.getAs[String]("day") >= "1970-01-15")
+    assert(late.exists(_.getAs[Boolean]("alarm_up")))
+    val flat = got.filter(_.getAs[String]("key") == "flat")
+    assert(flat.forall(r => !r.getAs[Boolean]("alarm_up") &&
+      !r.getAs[Boolean]("alarm_down")))
+    assert(flat.forall(_.getAs[Long]("cusum_up_e4") == 0L))
+    // exact recurrence replay on the shift key, upward arm
+    val ref4 = (10 * 10L + 10 * 14L) * 10000L / 20
+    val k4 = 500L * ref4 / 10000L
+    var s = 0L
+    val ups = shift.sortBy(_.getAs[String]("day")).map(_.getAs[Long]("cusum_up_e4"))
+    val xs = (0 until 10).map(_ => 10L) ++ (10 until 20).map(_ => 14L)
+    xs.zip(ups).foreach { case (x, got) =>
+      s = math.max(0L, s + (x * 10000L - ref4) - k4)
+      assert(got == s)
+    }
+  }
+
   test("mannKendall: monotone series hand values, flat series NULL z") {
     // counts 1,2,3,4,5 over five consecutive days: S = 10,
     // var18 = 5*4*15 = 300, z = 9/sqrt(300/18), sen = 1
