@@ -148,6 +148,50 @@ object Experiment {
         round(col("__bhi"), 6).as("boot_hi_r6"))
   }
 
+  /** WINSORIZED (trimmed-tail) Welch readout: clamp each arm's metric
+    * at its own exact [loBp, hiBp] disc quantiles, then run [[welchT]]
+    * on the clamped values — the robust middle ground between the
+    * normal-theory t (one whale user moves the mean) and the rank
+    * tests (which discard magnitude entirely); winsorizing at p5/p95
+    * is the standard heavy-tail A/B hygiene (Tukey's trimming applied
+    * to experiments). Per-ARM bounds, not pooled: clamping both arms
+    * at pooled quantiles would let one arm's tail shift the other's
+    * clamp — a cross-contamination the per-arm form avoids.
+    *
+    * Everything stays exact-integer: the disc quantiles of an
+    * integral metric are integral ([[Profile.groupQuantiles]] element
+    * picks), the clamp is long min/max, and the t/df that follow are
+    * [[welchT]]'s integer-sum expressions. The output row carries the
+    * four clamp bounds so the readout is self-describing.
+    *
+    * Plan: the per-group quantile window (2 bounded partitions — one
+    * per arm) + a broadcast 2-row bounds join + welchT's single pass. */
+  def trimmedWelch(users: DataFrame, armCol: String, yCol: String,
+                   loBp: Int = 500, hiBp: Int = 9500): DataFrame = {
+    require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
+      s"need 0 <= loBp < hiBp <= 10000, got ($loBp, $hiBp)")
+    requireIntegral(users, yCol, "trimmedWelch")
+    val base = users.filter(col(armCol).isNotNull && col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        col(yCol).cast("long").as("__y"))
+    val (aLbl, bLbl) = twoArms(base, "trimmedWelch")
+    val bounds = Profile.groupQuantiles(base, "__arm", "__y", Seq(loBp, hiBp))
+      .groupBy(col("group").as("__arm"))
+      .agg(min(when(col("q_bp") === loBp.toLong, col("value"))).cast(LongType)
+          .as("__lo"),
+        min(when(col("q_bp") === hiBp.toLong, col("value"))).cast(LongType)
+          .as("__hi"))
+    val clamped = base.join(broadcast(bounds), "__arm")
+      .select(col("__arm"),
+        greatest(col("__lo"), least(col("__hi"), col("__y"))).as("__yw"))
+    val boundsRow = bounds.agg(
+      min(when(col("__arm") === aLbl, col("__lo"))).as("lo_a"),
+      min(when(col("__arm") === aLbl, col("__hi"))).as("hi_a"),
+      min(when(col("__arm") === bLbl, col("__lo"))).as("lo_b"),
+      min(when(col("__arm") === bLbl, col("__hi"))).as("hi_b"))
+    welchT(clamped, "__arm", "__yw").crossJoin(broadcast(boundsRow))
+  }
+
   /** DELTA-METHOD readout for a RATIO metric — r = Σy/Σx per arm
     * (revenue per session, purchases per event, tokens per doc):
     * THE standard A/B subtlety, because the ratio's denominator is

@@ -966,6 +966,54 @@ object EventQueries {
       FROM g"""))
 
 
+  // 251. winsorized Welch on the armed frame: each arm clamped at its
+  // OWN exact p5/p95 disc quantiles (integral element picks), then
+  // the row-239 integer-sum t — the heavy-tail A/B hygiene step; the
+  // row ships its clamp bounds.
+  val qAbTrimmed = QueryDef("q_ab_trimmed",
+    (s, dir) => {
+      graft.operators.Experiment.trimmedWelch(armedUsers(s, dir), "split", "y")
+    },
+    Some(s"""
+      WITH $armedUsersSql,
+      q AS (SELECT arm, CAST(quantile_disc(y, 0.05) AS BIGINT) AS lo,
+                   CAST(quantile_disc(y, 0.95) AS BIGINT) AS hi
+            FROM u GROUP BY 1),
+      c AS (SELECT u.arm, greatest(q.lo, least(q.hi, u.y)) AS y
+            FROM u JOIN q USING (arm)),
+      sm AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+                    sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sa,
+                    sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS sb,
+                    sum(CASE WHEN arm = 'a' THEN y * y ELSE 0 END) AS ssa,
+                    sum(CASE WHEN arm = 'b' THEN y * y ELSE 0 END) AS ssb
+             FROM c),
+      v AS (SELECT *, na * ssa - sa * sa AS vna, nb * ssb - sb * sb AS vnb FROM sm),
+      se AS (SELECT *,
+               CASE WHEN na > 1 THEN CAST(vna AS DOUBLE) / (na * (na - 1)) / na END AS sea,
+               CASE WHEN nb > 1 THEN CAST(vnb AS DOUBLE) / (nb * (nb - 1)) / nb END AS seb
+             FROM v),
+      f AS (SELECT *, sea + seb AS se2 FROM se),
+      bounds AS (SELECT
+                   min(CASE WHEN arm = 'a' THEN lo END) AS lo_a,
+                   min(CASE WHEN arm = 'a' THEN hi END) AS hi_a,
+                   min(CASE WHEN arm = 'b' THEN lo END) AS lo_b,
+                   min(CASE WHEN arm = 'b' THEN hi END) AS hi_b
+                 FROM q)
+      SELECT 'a' AS arm_a, 'b' AS arm_b,
+             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
+             round(CAST(sa AS DOUBLE) / na, 6) AS mean_a_r6,
+             round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b_r6,
+             round(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na, 6) AS diff_r6,
+             round(CASE WHEN se2 > 0 THEN
+               (CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na) / sqrt(se2) END, 4) AS t_r4,
+             round(CASE WHEN se2 > 0 THEN
+               (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1)) END, 2) AS df_r2,
+             CAST(lo_a AS BIGINT) AS lo_a, CAST(hi_a AS BIGINT) AS hi_a,
+             CAST(lo_b AS BIGINT) AS lo_b, CAST(hi_b AS BIGINT) AS hi_b
+      FROM f, bounds"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -994,5 +1042,6 @@ object EventQueries {
     qAbSrm,
     qAbRatio,
     qMhStrat,
+    qAbTrimmed,
   )
 }

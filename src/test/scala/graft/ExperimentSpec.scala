@@ -182,6 +182,25 @@ class ExperimentSpec extends SparkSpec {
     assert(e.getAs[Double]("chi2_r4") > 10.0)
   }
 
+  test("trimmedWelch: clamps tails per arm, bounds shipped, outlier neutralized") {
+    // arm a: 1..20 plus one 1000-whale; arm b: 1..20. Untrimmed Welch
+    // sees a huge diff driven by the whale; winsorized at p5/p95 the
+    // arms are near-identical.
+    val df = ((1 to 20).map(i => ("a", i.toLong)) :+ (("a", 1000L)) ++
+      (1 to 20).map(i => ("b", i.toLong))).toDF("arm", "y")
+    val t = graft.operators.Experiment.trimmedWelch(df, "arm", "y")
+      .collect().head
+    // a's p95 over 21 values: rank ceil(0.95*21)=20 -> value 20
+    assert(t.getAs[Long]("hi_a") == 20L && t.getAs[Long]("hi_b") == 19L)
+    assert(t.getAs[Long]("lo_a") == 2L && t.getAs[Long]("lo_b") == 1L)
+    // whale clamped to 20: means now close
+    assert(math.abs(t.getAs[Double]("diff_r6")) < 2.0)
+    val raw = graft.operators.Experiment.welchT(df, "arm", "y").collect().head
+    assert(math.abs(raw.getAs[Double]("diff_r6")) > 40.0)
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.trimmedWelch(df, "arm", "y", 9500, 500))
+  }
+
   test("bootstrapDiff: guards") {
     val df = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "arm", "y")
     assertThrows[IllegalArgumentException](
