@@ -186,7 +186,7 @@ class ExperimentSpec extends SparkSpec {
     // arm a: 1..20 plus one 1000-whale; arm b: 1..20. Untrimmed Welch
     // sees a huge diff driven by the whale; winsorized at p5/p95 the
     // arms are near-identical.
-    val df = ((1 to 20).map(i => ("a", i.toLong)) :+ (("a", 1000L)) ++
+    val df = (((1 to 20).map(i => ("a", i.toLong)) :+ (("a", 1000L))) ++
       (1 to 20).map(i => ("b", i.toLong))).toDF("arm", "y")
     val t = graft.operators.Experiment.trimmedWelch(df, "arm", "y")
       .collect().head
