@@ -1258,6 +1258,107 @@ object Profile {
           .as("ece_bp"))
   }
 
+  /** EQUALIZED-ODDS audit (Hardt, Price & Srebro 2016): per-group TPR
+    * and FPR of a binary prediction against truth, plus the corpus-
+    * level max−min gaps — the fairness companion to
+    * [[disparateImpact]] (which audits selection RATES unconditional
+    * on truth; equalized odds conditions on the label, separating "the
+    * model selects group X less" from "the model is WRONG about group
+    * X more"). A filter model that silently drops one language's
+    * positives shows up here as a TPR gap, not in any aggregate
+    * accuracy.
+    *
+    * Exact integer bp throughout: tpr_bp = tp·10⁴ DIV pos,
+    * fpr_bp = fp·10⁴ DIV neg, NULL (never NaN) for groups with no
+    * positives/negatives; the gap columns are max−min over the
+    * group-bounded frame (order-independent folds, no floating sums).
+    * `truthCol`/`predCol` integral 0/1; NULL group is its own group.
+    *
+    * Plan: ONE map-side-combined group rollup + bounded windows. */
+  def equalizedOdds(df: DataFrame, groupCol: String, truthCol: String,
+                    predCol: String): DataFrame = {
+    for (c <- Seq(truthCol, predCol)) {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"equalizedOdds: $c must be an integral type, got $dt")
+    }
+    val t = when(col(truthCol) =!= 0, 1L).otherwise(0L)
+    val p = when(col(predCol) =!= 0, 1L).otherwise(0L)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.filter(col(truthCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(t).as("__pos"), sum(lit(1L) - t).as("__neg"),
+        sum(t * p).as("__tp"), sum((lit(1L) - t) * p).as("__fp"))
+      .withColumn("tpr_bp", when(col("__pos") > 0,
+        expr("__tp * 10000 DIV __pos")).cast(LongType))
+      .withColumn("fpr_bp", when(col("__neg") > 0,
+        expr("__fp * 10000 DIV __neg")).cast(LongType))
+      .withColumn("tpr_gap_bp",
+        (max(col("tpr_bp")).over(w) - min(col("tpr_bp")).over(w)).cast(LongType))
+      .withColumn("fpr_gap_bp",
+        (max(col("fpr_bp")).over(w) - min(col("fpr_bp")).over(w)).cast(LongType))
+      .select("group", "n", "tpr_bp", "fpr_bp", "tpr_gap_bp", "fpr_gap_bp")
+  }
+
+  /** SPLIT-CONFORMAL calibration (Vovk et al. 2005; Lei et al. 2018
+    * popularized the split form): the distribution-free guarantee a
+    * quality-score consumer can actually hold — pick q̂ as the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual, and P(new
+    * residual ≤ q̂) ≥ 1−α with NO model assumptions. This operator
+    * computes q̂ on the calibration partition and CERTIFIES the
+    * guarantee by measuring empirical coverage on the held-out
+    * partition — the difference between quoting a theorem and
+    * shipping a number.
+    *
+    * Residuals are |pred_bp − label·10⁴| — exact integers, so q̂ is an
+    * element pick (the bounded ≤10⁴-distinct-value cumsum; no global
+    * sort) and coverage is integer bp. If the conformal rank exceeds
+    * n_cal (α too small for the sample), q̂ is NULL and coverage
+    * trivially 10⁴ — reported, not hidden. `predBpCol` integer bp
+    * (0..10⁴ by convention), `labelCol` integral 0/1, `calibCol`
+    * boolean (true = calibration row). */
+  def splitConformal(df: DataFrame, predBpCol: String, labelCol: String,
+                     calibCol: String, alphaBp: Int = 1000): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000, s"alphaBp in (0,10000), got $alphaBp")
+    for (c <- Seq(predBpCol, labelCol)) {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"splitConformal: $c must be an integral type, got $dt")
+    }
+    val base = df.filter(col(predBpCol).isNotNull && col(labelCol).isNotNull &&
+        col(calibCol).isNotNull)
+      .select(col(calibCol).as("__cal"),
+        abs(col(predBpCol).cast(LongType) -
+          when(col(labelCol) =!= 0, 10000L).otherwise(0L)).as("__r"))
+    // residual alphabet is bounded by the bp domain: the ordered
+    // cumsum below is a ≤10⁴+1-row window, not a data-volume sort
+    val calCounts = base.filter(col("__cal"))
+      .groupBy("__r").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__r"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val qhat = calCounts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__rank",
+        expr(s"((__n + 1) * ${10000 - alphaBp} + 9999) DIV 10000"))
+      .agg(max(col("__n")).as("n_cal"),
+        min(when(col("__cum") >= col("__rank"), col("__r"))).as("qhat"))
+    base.filter(!col("__cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("__ncal"), max(col("qhat")).as("__qhat"),
+        count(lit(1)).as("__nt"),
+        sum(when(col("qhat").isNull || col("__r") <= col("qhat"), 1L)
+          .otherwise(0L)).as("__cov"))
+      .select(col("__ncal").cast(LongType).as("n_cal"),
+        col("__nt").cast(LongType).as("n_test"),
+        col("__qhat").cast(LongType).as("qhat"),
+        lit((10000 - alphaBp).toLong).as("target_bp"),
+        when(col("__nt") > 0, expr("__cov * 10000 DIV __nt")).cast(LongType)
+          .as("coverage_bp"))
+  }
+
   /** KRUSKAL–WALLIS rank test (Kruskal & Wallis 1952): "does this
     * numeric column's distribution differ across k groups" without
     * normality assumptions — the k-sample generalization of

@@ -981,6 +981,67 @@ object Sampling {
       .select("id", "source", "rank_in_source", "interleave_key")
   }
 
+  /** NEYMAN-OPTIMAL stratified sample allocation (Neyman 1934): for a
+    * fixed label/inspection budget n, sampling each stratum
+    * proportional to N_h·σ_h minimizes the estimator variance —
+    * proportional allocation wastes budget on huge LOW-VARIANCE
+    * strata, the classic mistake of "sample 1% of everything". The
+    * planning table that should precede `quotaSample`/
+    * `inspectionSample`: per stratum, size, σ, and the integer
+    * allocation.
+    *
+    * Exactness discipline: σ_h from the exact integer (N, Σy, Σy²)
+    * rollup; the weight enters as s6_h = ⌊N_h·σ_h·10⁶⌋ (floor of one
+    * deterministic double — identical in any engine) and everything
+    * after is integer LARGEST-REMAINDER apportionment: base_h =
+    * n·s6_h DIV S6, the n − Σbase leftovers go to the largest
+    * remainders (ties by stratum label) — Σalloc = n EXACTLY, no
+    * floating shares. int64 bound: n·S6 < 9.2·10¹⁸ (e.g. budget 10⁵
+    * against Σ N_h·σ_h ≤ 10⁸). All-constant strata (S6 = 0) fall
+    * back to allocation ∝ N_h. Allocations are NOT capped at N_h
+    * (classic Neyman oversampling of a small hot stratum — capping
+    * and re-apportioning is the caller's policy decision). `valueCol`
+    * integral; NULL stratum is its own stratum.
+    *
+    * Plan: ONE map-side-combined stratum rollup; apportionment runs
+    * on the |strata|-row frame (bounded windows only). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       totalN: Long): DataFrame = {
+    require(totalN >= 0, s"need totalN >= 0, got $totalN")
+    val dt = df.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(dt),
+      s"neymanAllocation: $valueCol must be an integral type, got $dt")
+    val strata = df.filter(col(valueCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(valueCol).cast("long").as("__y"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("__ng"), sum(col("__y")).as("__s"),
+        sum(col("__y") * col("__y")).as("__ss"))
+      .withColumn("__sigma", when(col("__ng") > 1,
+        sqrt((col("__ng") * col("__ss") - col("__s") * col("__s")).cast("double") /
+          (col("__ng") * (col("__ng") - 1)))).otherwise(lit(0.0)))
+      .withColumn("__s6",
+        floor(col("__ng").cast("double") * col("__sigma") * lit(1000000))
+          .cast("long"))
+    val w = Window.partitionBy() // |strata|-row frame: bounded
+    val eff = strata
+      .withColumn("__tot6", sum(col("__s6")).over(w))
+      .withColumn("__w6",
+        when(col("__tot6") > 0, col("__s6")).otherwise(col("__ng")))
+      .withColumn("__sw6", sum(col("__w6")).over(w))
+      .withColumn("__base", expr(s"$totalN * __w6 DIV __sw6"))
+      .withColumn("__rem", lit(totalN) * col("__w6") - col("__base") * col("__sw6"))
+      .withColumn("__left", lit(totalN) - sum(col("__base")).over(w))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("stratum"))))
+    eff.select(col("stratum"), col("__ng").cast("long").as("n_rows"),
+      round(col("__sigma"), 4).as("sigma_r4"),
+      (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+        .cast("long").as("alloc"))
+  }
+
   /** Shared threshold CASE over a 0..9999 bucket column: fractions like
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */
   private def splitByBucket(df: DataFrame, bucket: Column,

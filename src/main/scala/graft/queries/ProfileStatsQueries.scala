@@ -1186,6 +1186,72 @@ object ProfileStatsQueries {
       FROM f"""))
 
 
+  // 253. split-conformal calibration of the synthetic bp score: qhat
+  // from the even-id calibration half (exact element pick over the
+  // bounded residual alphabet), the distribution-free coverage
+  // guarantee CERTIFIED on the odd-id holdout.
+  val qConformal = QueryDef("q_conformal",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_id").isNotNull)
+        .withColumn("pred_bp", expr(
+          "CAST(least(10000, greatest(0, CAST(floor(value) AS BIGINT)) * 100 DIV 3) AS BIGINT)"))
+        .withColumn("label", (col("value") >= 150d).cast(LongType))
+        .withColumn("cal", col("event_id") % 2 === 0)
+      graft.operators.Profile.splitConformal(e, "pred_bp", "label", "cal")
+    },
+    Some("""
+      WITH e AS (SELECT (event_id % 2 = 0) AS cal,
+                   abs(CAST(least(10000, (greatest(0, CAST(floor("value") AS BIGINT)) * 100) // 3) AS BIGINT)
+                       - CASE WHEN "value" >= 150 THEN 10000 ELSE 0 END) AS r
+                 FROM events WHERE "value" IS NOT NULL AND event_id IS NOT NULL),
+      cc AS (SELECT r, count(*) AS c FROM e WHERE cal GROUP BY 1),
+      cm AS (SELECT r, c, sum(c) OVER (ORDER BY r) AS cum, sum(c) OVER () AS n FROM cc),
+      q AS (SELECT max(n) AS n_cal,
+                   min(CASE WHEN cum >= ((n + 1) * 9000 + 9999) // 10000 THEN r END) AS qhat
+            FROM cm),
+      t AS (SELECT count(*) AS n_test,
+                   sum(CASE WHEN q.qhat IS NULL OR e.r <= q.qhat THEN 1 ELSE 0 END) AS cov
+            FROM e, q WHERE NOT e.cal)
+      SELECT CAST(q.n_cal AS BIGINT) AS n_cal, CAST(t.n_test AS BIGINT) AS n_test,
+             CAST(q.qhat AS BIGINT) AS qhat, CAST(9000 AS BIGINT) AS target_bp,
+             CAST(CASE WHEN t.n_test > 0 THEN t.cov * 10000 // t.n_test END AS BIGINT) AS coverage_bp
+      FROM q, t"""))
+
+
+  // 254. equalized-odds audit over the embedding corpus: per-id-bucket
+  // TPR/FPR of the sign-of-first-component pseudo-classifier against
+  // the binarized label, with corpus-level max-min gaps — label-
+  // conditioned fairness next to the unconditional disparate-impact.
+  val qEqualizedOdds = QueryDef("q_equalized_odds",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .filter(col("label").isNotNull && col("embedding").isNotNull)
+        .withColumn("g", pmod(col("vec_id"), lit(3)).cast("string"))
+        .withColumn("truth", (col("label") >= 5).cast(LongType))
+        .withColumn("pred", (element_at(col("embedding"), 1) >= 0f).cast(LongType))
+      graft.operators.Profile.equalizedOdds(e, "g", "truth", "pred")
+        .orderBy("group")
+    },
+    Some("""
+      WITH b AS (SELECT CAST(vec_id % 3 AS VARCHAR) AS g,
+                   CASE WHEN label >= 5 THEN 1 ELSE 0 END AS t,
+                   CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END AS p
+                 FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+      s AS (SELECT g, count(*) AS n, sum(t) AS pos, sum(1 - t) AS neg,
+                   sum(t * p) AS tp, sum((1 - t) * p) AS fp
+            FROM b GROUP BY 1),
+      r AS (SELECT g, n,
+                   CASE WHEN pos > 0 THEN tp * 10000 // pos END AS tpr,
+                   CASE WHEN neg > 0 THEN fp * 10000 // neg END AS fpr
+            FROM s)
+      SELECT g AS "group", CAST(n AS BIGINT) AS n,
+             CAST(tpr AS BIGINT) AS tpr_bp, CAST(fpr AS BIGINT) AS fpr_bp,
+             CAST(max(tpr) OVER () - min(tpr) OVER () AS BIGINT) AS tpr_gap_bp,
+             CAST(max(fpr) OVER () - min(fpr) OVER () AS BIGINT) AS fpr_gap_bp
+      FROM r ORDER BY "group""""))
+
+
   val all: Seq[QueryDef] = Seq(
     qProfileNumeric,
     qProfileStrings,
@@ -1225,5 +1291,7 @@ object ProfileStatsQueries {
     qHllDistinct,
     qCalibration,
     qKruskal,
+    qConformal,
+    qEqualizedOdds,
   )
 }

@@ -373,6 +373,40 @@ object SamplingQueries {
         FROM documents)
       WHERE rn <= 3 ORDER BY source, sample_rank"""))
 
+  // 252. Neyman-optimal stratified allocation over doc sources: the
+  // inspection-budget planning table - weight N_h*sigma_h, integer
+  // largest-remainder apportionment, sum(alloc) = budget exactly.
+  val qNeymanAlloc = QueryDef("q_neyman_alloc",
+    (s, dir) => {
+      graft.operators.Sampling.neymanAllocation(
+          table(s, dir, "documents"), "source", "n_chars", totalN = 100L)
+        .orderBy("stratum")
+    },
+    Some("""
+      WITH s AS (SELECT source AS stratum, count(*) AS n, sum(n_chars) AS sv,
+                        sum(n_chars * n_chars) AS ss
+                 FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      g AS (SELECT stratum, n,
+              CASE WHEN n > 1 THEN sqrt(CAST(n * ss - sv * sv AS DOUBLE) / (n * (n - 1)))
+                   ELSE 0.0 END AS sigma
+            FROM s),
+      e AS (SELECT *, CAST(floor(CAST(n AS DOUBLE) * sigma * 1000000) AS BIGINT) AS s6
+            FROM g),
+      t AS (SELECT sum(s6) AS tot6 FROM e),
+      f AS (SELECT e.*, CASE WHEN t.tot6 > 0 THEN e.s6 ELSE e.n END AS w6 FROM e, t),
+      t2 AS (SELECT sum(w6) AS sw6 FROM f),
+      b AS (SELECT f.*, 100 * f.w6 // t2.sw6 AS base,
+                   100 * f.w6 - (100 * f.w6 // t2.sw6) * t2.sw6 AS rem
+            FROM f, t2),
+      l AS (SELECT sum(base) AS sb FROM b),
+      r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+                   100 - l.sb AS leftv
+            FROM b, l)
+      SELECT stratum, CAST(n AS BIGINT) AS n_rows, round(sigma, 4) AS sigma_r4,
+             CAST(base + CASE WHEN rk <= leftv THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM r ORDER BY stratum"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSplitAssign,
     qPackBins,
@@ -389,5 +423,6 @@ object SamplingQueries {
     qSplitLeakage,
     qInterleave,
     qInspectionSample,
+    qNeymanAlloc,
   )
 }

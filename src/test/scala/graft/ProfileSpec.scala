@@ -387,6 +387,54 @@ class ProfileSpec extends SparkSpec {
       .head.getAs[java.lang.Double]("cramers_v_r6") == null)
   }
 
+  test("splitConformal: guarantee certified, small-sample NULL qhat") {
+    import spark.implicits._
+    // calibration residuals 0..99 (n=100): rank = ceil(101*0.9) = 91
+    // -> qhat = 90; test residuals 0..99 -> coverage 91%
+    val rows = ((0 until 100).map(i => (true, i.toLong)) ++
+      (0 until 100).map(i => (false, i.toLong)))
+      .map { case (cal, r) => (cal, r, 0L) } // pred_bp = r, label = 0
+      .toDF("cal", "p", "y")
+    val g = Profile.splitConformal(rows, "p", "y", "cal", alphaBp = 1000)
+      .collect().head
+    assert(g.getAs[Long]("n_cal") == 100 && g.getAs[Long]("n_test") == 100)
+    assert(g.getAs[Long]("qhat") == 90L)
+    assert(g.getAs[Long]("coverage_bp") == 9100L)
+    assert(g.getAs[Long]("target_bp") == 9000L)
+    // tiny calibration: rank 10 > n_cal 5 -> NULL qhat, full coverage
+    val tiny = ((0 until 5).map(i => (true, i.toLong, 0L)) ++
+      (0 until 5).map(i => (false, i.toLong, 0L))).toDF("cal", "p", "y")
+    val t = Profile.splitConformal(tiny, "p", "y", "cal", alphaBp = 1000)
+      .collect().head
+    assert(t.isNullAt(t.fieldIndex("qhat")))
+    assert(t.getAs[Long]("coverage_bp") == 10000L)
+    assertThrows[IllegalArgumentException](
+      Profile.splitConformal(rows, "p", "y", "cal", alphaBp = 0))
+  }
+
+  test("equalizedOdds: hand-computed rates and gaps, degenerate NULLs") {
+    import spark.implicits._
+    // g1: pos {pred 1,1,0} tpr 2/3; neg {pred 1,0} fpr 1/2
+    // g2: pos {pred 0,0} tpr 0;     neg {pred 0} fpr 0
+    val df = Seq(
+      ("g1", 1L, 1L), ("g1", 1L, 1L), ("g1", 1L, 0L),
+      ("g1", 0L, 1L), ("g1", 0L, 0L),
+      ("g2", 1L, 0L), ("g2", 1L, 0L), ("g2", 0L, 0L)).toDF("g", "t", "p")
+    val r = Profile.equalizedOdds(df, "g", "t", "p").collect()
+      .map(x => x.getAs[String]("group") -> x).toMap
+    assert(r("g1").getAs[Long]("tpr_bp") == 6666L)
+    assert(r("g1").getAs[Long]("fpr_bp") == 5000L)
+    assert(r("g2").getAs[Long]("tpr_bp") == 0L && r("g2").getAs[Long]("fpr_bp") == 0L)
+    assert(r("g1").getAs[Long]("tpr_gap_bp") == 6666L)
+    assert(r("g1").getAs[Long]("fpr_gap_bp") == 5000L)
+    // all-positive group: no negatives -> NULL fpr, gap ignores it
+    val deg = Seq(("a", 1L, 1L), ("b", 1L, 0L), ("b", 0L, 1L)).toDF("g", "t", "p")
+    val d = Profile.equalizedOdds(deg, "g", "t", "p").collect()
+      .map(x => x.getAs[String]("group") -> x).toMap
+    assert(d("a").isNullAt(d("a").fieldIndex("fpr_bp")))
+    assert(d("a").getAs[Long]("fpr_gap_bp") == 0L) // only b has an fpr
+  }
+
   test("kruskalWallis: hand-computed H, tie correction, null distribution") {
     import spark.implicits._
     // a=[1,2] b=[3,4]: ranks 1..4, R_a=3 R_b=7 -> H = 2.4, no ties

@@ -346,6 +346,29 @@ class SessionizeSpec extends SparkSpec {
     assert(e1(7L) == (7L * 2147483647L + 40959L + 17L) % n) // replayable
   }
 
+  test("neymanAllocation: variance-weighted, exact budget, constant fallback") {
+    // A has all the variance, B is constant: the whole budget goes to A
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L)).toDF("s", "y")
+    val r = Sampling.neymanAllocation(df, "s", "y", totalN = 10L)
+      .collect().map(x => x.getAs[String]("stratum") -> x).toMap
+    assert(r("A").getAs[Long]("alloc") == 10L && r("B").getAs[Long]("alloc") == 0L)
+    assert(r("A").getAs[Double]("sigma_r4") == math.rint(math.sqrt(50.0) * 1e4) / 1e4)
+    // all-constant strata fall back to allocation proportional to N
+    val flat = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L), ("B", 2L))
+      .toDF("s", "y")
+    val f = Sampling.neymanAllocation(flat, "s", "y", totalN = 5L)
+      .collect().map(x => x.getAs[String]("stratum") -> x.getAs[Long]("alloc")).toMap
+    assert(f == Map("A" -> 2L, "B" -> 3L))
+    // largest-remainder: the budget is hit EXACTLY whatever the shares
+    val mix = Seq(("A", 0L), ("A", 10L), ("B", 0L), ("B", 20L), ("C", 0L),
+      ("C", 7L)).toDF("s", "y")
+    val allocs = Sampling.neymanAllocation(mix, "s", "y", totalN = 10L)
+      .collect().map(_.getAs[Long]("alloc"))
+    assert(allocs.sum == 10L)
+    assertThrows[IllegalArgumentException](
+      Sampling.neymanAllocation(df, "s", "y", totalN = -1L))
+  }
+
   test("quota sampling caps each key deterministically") {
     val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val a = Sampling.quotaPerKey(df, "src", quota = 10, tieCol = "id")
