@@ -335,6 +335,61 @@ object Experiment {
             (col("__tv6").cast("double") * lit(1000000.0))), 4).as("chi2_r4"))
   }
 
+  /** Per-SEGMENT uplift detail — the drill-down behind
+    * [[mhStratified]]'s single pooled number: one row per stratum with
+    * both arms' conversion rates, the uplift, and a per-stratum
+    * two-proportion z (the [[Sessionize.abTest]] statistic applied
+    * within the segment). This is the "the win is all in segment 3"
+    * readout that decides targeted rollouts — and the table you eyeball
+    * when MH and the pooled 2×2 disagree (that disagreement IS
+    * Simpson's paradox, and this table localizes it).
+    *
+    * Exact integer rates (bp via DIV); z per ROW is one deterministic
+    * double expression (no cross-row floating sums — the
+    * chiSquareDrift shape); NULL z for degenerate segments (an empty
+    * arm, or all/none converting pooled). Same input contract as
+    * [[mhStratified]].
+    *
+    * Plan: ONE (stratum) conditional rollup, arithmetic on the
+    * |strata|-row frame. */
+  def upliftSegments(users: DataFrame, stratumCol: String, armCol: String,
+                     convCol: String): DataFrame = {
+    requireIntegral(users, convCol, "upliftSegments")
+    val base = users.filter(col(armCol).isNotNull && col(convCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(armCol).cast("string").as("__arm"),
+        when(col(convCol) =!= 0, 1L).otherwise(0L).as("__c"))
+    val (aLbl, bLbl) = twoArms(base, "upliftSegments")
+    base.groupBy("stratum")
+      .agg(
+        sum(when(col("__arm") === aLbl, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__arm") === bLbl, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__arm") === aLbl, col("__c")).otherwise(0L)).as("__ca"),
+        sum(when(col("__arm") === bLbl, col("__c")).otherwise(0L)).as("__cb"))
+      .withColumn("__p", (col("__ca") + col("__cb")).cast("double") /
+        (col("__na") + col("__nb")))
+      .select(col("stratum"),
+        col("__na").cast(LongType).as("users_a"),
+        col("__nb").cast(LongType).as("users_b"),
+        col("__ca").cast(LongType).as("conv_a"),
+        col("__cb").cast(LongType).as("conv_b"),
+        when(col("__na") > 0, expr("__ca * 10000 DIV __na")).cast(LongType)
+          .as("rate_a_bp"),
+        when(col("__nb") > 0, expr("__cb * 10000 DIV __nb")).cast(LongType)
+          .as("rate_b_bp"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          expr("__cb * 10000 DIV __nb") - expr("__ca * 10000 DIV __na"))
+          .cast(LongType).as("uplift_bp"),
+        round(when(col("__na") > 0 && col("__nb") > 0 &&
+            col("__ca") + col("__cb") > 0 &&
+            col("__ca") + col("__cb") < col("__na") + col("__nb"),
+          (col("__cb").cast("double") / col("__nb") -
+            col("__ca").cast("double") / col("__na")) /
+            sqrt(col("__p") * (lit(1.0) - col("__p")) *
+              (lit(1.0) / col("__na") + lit(1.0) / col("__nb")))), 4)
+          .as("z_r4"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check (Fabijan et al. 2019 call it the
     * most common way experiments silently rot): the assignment counts
     * an A/B readout TRUSTS are themselves a hypothesis — if the

@@ -1014,6 +1014,47 @@ object EventQueries {
       FROM f, bounds"""))
 
 
+  // 255. per-segment uplift detail under q_mh_strat: rates, uplift and
+  // a within-segment two-proportion z per stratum — the table that
+  // LOCALIZES a Simpson disagreement between pooled and MH readouts.
+  val qUpliftSegments = QueryDef("q_uplift_segments",
+    (s, dir) => {
+      val users = table(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("st", pmod(col("user_id"), lit(5)).cast("string"))
+      val armed = graft.operators.Sampling.portableSplit(
+        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      graft.operators.Experiment.upliftSegments(armed, "st", "split", "conv")
+        .orderBy("stratum")
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+                   CAST(user_id % 5 AS VARCHAR) AS st,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                        THEN 'a' ELSE 'b' END AS arm,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+      s AS (SELECT st AS stratum,
+              sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+              sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+              sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS ca,
+              sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS cb
+            FROM u GROUP BY 1),
+      p AS (SELECT *, CAST(ca + cb AS DOUBLE) / (na + nb) AS pp FROM s)
+      SELECT stratum, CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
+             CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+             CAST(CASE WHEN na > 0 THEN ca * 10000 // na END AS BIGINT) AS rate_a_bp,
+             CAST(CASE WHEN nb > 0 THEN cb * 10000 // nb END AS BIGINT) AS rate_b_bp,
+             CAST(CASE WHEN na > 0 AND nb > 0
+                       THEN cb * 10000 // nb - ca * 10000 // na END AS BIGINT) AS uplift_bp,
+             round(CASE WHEN na > 0 AND nb > 0 AND ca + cb > 0 AND ca + cb < na + nb
+                        THEN (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) /
+                             sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) END, 4) AS z_r4
+      FROM p ORDER BY stratum"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -1043,5 +1084,6 @@ object EventQueries {
     qAbRatio,
     qMhStrat,
     qAbTrimmed,
+    qUpliftSegments,
   )
 }

@@ -182,6 +182,25 @@ class ExperimentSpec extends SparkSpec {
     assert(e.getAs[Double]("chi2_r4") > 10.0)
   }
 
+  test("upliftSegments: per-stratum rates, z sign, degenerate NULL") {
+    def unit(st: String, arm: String, conv: Long, n: Int) =
+      (1 to n).map(_ => (st, arm, conv))
+    val df = (unit("s1", "a", 1L, 10) ++ unit("s1", "a", 0L, 90) ++
+      unit("s1", "b", 1L, 50) ++ unit("s1", "b", 0L, 50) ++
+      unit("s2", "a", 1L, 5) ++ unit("s2", "b", 1L, 5)) // all convert
+      .toDF("st", "arm", "conv")
+    val r = graft.operators.Experiment.upliftSegments(df, "st", "arm", "conv")
+      .collect().map(x => x.getAs[String]("stratum") -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getAs[Long]("rate_a_bp") == 1000L && s1.getAs[Long]("rate_b_bp") == 5000L)
+    assert(s1.getAs[Long]("uplift_bp") == 4000L)
+    assert(s1.getAs[Double]("z_r4") > 5.0) // strong positive uplift
+    // s2: everyone converts -> pooled p = 1 -> z NULL, uplift 0
+    val s2 = r("s2")
+    assert(s2.getAs[Long]("uplift_bp") == 0L)
+    assert(s2.isNullAt(s2.fieldIndex("z_r4")))
+  }
+
   test("trimmedWelch: clamps tails per arm, bounds shipped, outlier neutralized") {
     // arm a: 1..20 plus one 1000-whale; arm b: 1..20. Untrimmed Welch
     // sees a huge diff driven by the whale; winsorized at p5/p95 the
