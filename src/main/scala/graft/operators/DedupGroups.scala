@@ -287,4 +287,50 @@ object DedupGroups {
         expr("cluster_size * n_clusters * 10000 DIV greatest(__total, 1)")
           .cast("long").as("docs_bp"))
   }
+
+  /** TRIANGLE COUNT + global clustering coefficient of the similarity
+    * graph — the cluster-GEOMETRY signal the size histogram can't see:
+    * two 10-doc clusters with identical [[clusterSizeProfile]] rows
+    * can be a dense mirror-farm clique (every copy pairs with every
+    * copy — triangles everywhere) or a drifting template CHAIN (A~B,
+    * B~C, but A≁C — near-dup transitivity failing), and connected
+    * components treat both the same while the right dedup policy
+    * differs (drop-all-but-one vs re-verify the chain ends). Global
+    * coefficient = 3·triangles / open-or-closed triplets, the
+    * standard Watts–Strogatz transitivity ratio, in exact ppm.
+    *
+    * Input is the CANONICAL pair list (aCol < bCol, deduped — exactly
+    * what the LSH pipelines emit). Each triangle a<b<c is counted
+    * once via its (a,b),(b,c),(a,c) edges: two keyed self-joins of
+    * the pair frame, both on pair keys — candidate fan-out is
+    * Σ_deg²-bounded like the posting-list joins upstream, never a
+    * cross join; triplets = Σ deg(deg−1)/2 from one degree rollup
+    * (int64 to ~4·10⁹-degree nodes). No floating point anywhere.
+    *
+    * Plan: pairs is consumed three times (two join legs + degrees) —
+    * callers holding a persisted pair cache (the board does) pay the
+    * scan, not the LSH. */
+  def triangleStats(pairs: DataFrame, aCol: String = "id_a",
+                    bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .agg(count(lit(1)).as("__t"))
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    val trip = deg.agg(
+      count(lit(1)).as("__nodes"),
+      coalesce(sum(expr("__d * (__d - 1) DIV 2")), lit(0L)).as("__triplets"))
+    val edges = e.agg(count(lit(1)).as("__edges"))
+    tri.crossJoin(broadcast(trip)).crossJoin(broadcast(edges))
+      .select(col("__nodes").cast("long").as("nodes"),
+        col("__edges").cast("long").as("edges"),
+        col("__t").cast("long").as("triangles"),
+        col("__triplets").cast("long").as("triplets"),
+        when(col("__triplets") > 0,
+          expr("3 * __t * 1000000 DIV __triplets")).cast("long")
+          .as("transitivity_ppm"))
+  }
 }

@@ -136,6 +136,45 @@ object DedupQueries {
       GROUP BY min_d ORDER BY component"""))
 
 
+  // 256. triangle count + global transitivity of the bp>=2000 pair
+  // graph (same shared postings self-join): clique-vs-chain cluster
+  // GEOMETRY the size histogram can't see — near-dup transitivity
+  // failing shows as low transitivity_ppm. Exact integer folds.
+  val qDedupTriangles = QueryDef("q_dedup_triangles",
+    (s, dir) => {
+      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.DedupGroups.triangleStats(pairs)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      tri AS (SELECT count(*) AS t
+              FROM prs ab JOIN prs bc ON ab.ib = bc.ia
+                          JOIN prs ac ON ac.ia = ab.ia AND ac.ib = bc.ib),
+      deg AS (SELECT id, count(*) AS d FROM (
+                SELECT ia AS id FROM prs UNION ALL SELECT ib FROM prs)
+              GROUP BY 1),
+      trip AS (SELECT count(*) AS nodes,
+                      coalesce(sum(d * (d - 1) // 2), 0) AS triplets
+               FROM deg),
+      ed AS (SELECT count(*) AS edges FROM prs)
+      SELECT CAST(nodes AS BIGINT) AS nodes, CAST(edges AS BIGINT) AS edges,
+             CAST(t AS BIGINT) AS triangles, CAST(triplets AS BIGINT) AS triplets,
+             CAST(CASE WHEN triplets > 0 THEN 3 * t * 1000000 // triplets END AS BIGINT)
+               AS transitivity_ppm
+      FROM tri, trip, ed"""))
+
+
   // 87. duplication profile: the histogram of near-dup cluster sizes
   // over the same bp>=2000 jaccard pair graph as q_dedup_groups (one
   // shared postings self-join per session), INCLUDING the size-1 row
@@ -1110,5 +1149,6 @@ object DedupQueries {
     qDedupRecall,
     qDedupEditdist,
     qCorpusSimilarity,
+    qDedupTriangles,
   )
 }

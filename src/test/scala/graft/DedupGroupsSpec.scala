@@ -188,4 +188,29 @@ class DedupGroupsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(sumDocs == totalDocs)
   }
+
+  test("triangleStats: clique vs chain geometry, exact transitivity") {
+    import spark.implicits._
+    // triangle {1,2,3}: 3 edges, 1 triangle, triplets 3 -> ppm 1e6
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val c = graft.operators.DedupGroups.triangleStats(clique).collect().head
+    assert(c.getAs[Long]("nodes") == 3 && c.getAs[Long]("edges") == 3)
+    assert(c.getAs[Long]("triangles") == 1 && c.getAs[Long]("triplets") == 3)
+    assert(c.getAs[Long]("transitivity_ppm") == 1000000L)
+    // chain 1-2-3-4: 0 triangles, 2 open triplets -> ppm 0
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val h = graft.operators.DedupGroups.triangleStats(chain).collect().head
+    assert(h.getAs[Long]("triangles") == 0 && h.getAs[Long]("triplets") == 2)
+    assert(h.getAs[Long]("transitivity_ppm") == 0L)
+    // 4-clique: C(4,3) = 4 triangles, triplets 4*C(3,2) = 12 -> ppm 1e6
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val k = graft.operators.DedupGroups.triangleStats(k4).collect().head
+    assert(k.getAs[Long]("triangles") == 4 && k.getAs[Long]("transitivity_ppm") == 1000000L)
+    // empty pair list: all zeros, NULL ratio
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = graft.operators.DedupGroups.triangleStats(empty).collect().head
+    assert(e.getAs[Long]("triangles") == 0 && e.getAs[Long]("nodes") == 0)
+    assert(e.isNullAt(e.fieldIndex("transitivity_ppm")))
+  }
 }
