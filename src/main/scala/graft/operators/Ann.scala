@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -630,5 +630,60 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("q_label"), col("rank"), col("n_id"),
         col("n_label"), col("cosine"))
+  }
+
+  /** JOHNSON–LINDENSTRAUSS random-projection EVAL (JL 1984; Achlioptas
+    * 2003 for the practical dense-Gaussian form): before shipping a
+    * projDim-dimensional index — IVF on 16 dims costs a quarter of 64 —
+    * measure what the projection DOES to this corpus's neighborhoods
+    * instead of trusting the worst-case ε bound. Vectors project
+    * through the SAME fixed literal Gaussian planes as the LSH family
+    * (one matrix, driver-side, codegen'd dot products — projection is
+    * map-only and a 100 TB corpus projects in one pass); per probe the
+    * readout is recall@k of the projected neighborhood against the
+    * exact one, plus the max |cosΔ| over the TRUE top-k (the
+    * distortion that could actually reorder results).
+    *
+    * Exact where it matters: hits/recall_bp are integer; the
+    * distortion is a MAX over per-pair doubles (order-independent
+    * fold), rounded r4 at the end. Probe-side is broadcast like every
+    * eval harness here — size the probe set accordingly.
+    *
+    * Output: (q_id, k, hits, recall_bp, max_dist_r4). */
+  def jlProjectionEval(corpus: DataFrame, probes: DataFrame, idCol: String,
+                       vecCol: String, dim: Int, projDim: Int, k: Int,
+                       seed: Long = 42L): DataFrame = {
+    require(projDim >= 1 && projDim < dim, s"need 1 <= projDim < dim, got $projDim/$dim")
+    require(k >= 1, s"need k >= 1, got $k")
+    val pl = VectorFns.planes(projDim, dim, seed)
+    def proj(v: Column): Column =
+      array(pl.map(p => VectorFns.dot(v, typedlit(p))): _*)
+    def side(df: DataFrame, pfx: String) =
+      df.select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"${pfx}_vec"))
+        .withColumn(s"${pfx}_pvec", proj(col(s"${pfx}_vec")))
+        .withColumn(s"${pfx}_nsq", VectorFns.normSq(col(s"${pfx}_vec")))
+        .withColumn(s"${pfx}_pnsq", VectorFns.normSq(col(s"${pfx}_pvec")))
+    val scored = side(corpus, "n").crossJoin(broadcast(side(probes, "q")))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorFns.cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nsq"), col("n_nsq")).as("__co"),
+        VectorFns.cosineFromNorms(col("q_pvec"), col("n_pvec"),
+          col("q_pnsq"), col("n_pnsq")).as("__cp"))
+    val wO = Window.partitionBy("q_id").orderBy(col("__co").desc, col("n_id").asc)
+    val wP = Window.partitionBy("q_id").orderBy(col("__cp").desc, col("n_id").asc)
+    scored
+      .withColumn("__ro", row_number().over(wO))
+      .withColumn("__rp", row_number().over(wP))
+      .groupBy("q_id")
+      .agg(
+        sum(when(col("__ro") <= k && col("__rp") <= k, 1L).otherwise(0L))
+          .as("hits"),
+        max(when(col("__ro") <= k, abs(col("__co") - col("__cp")))).as("__md"))
+      .select(col("q_id"), lit(k.toLong).as("k"),
+        col("hits").cast(org.apache.spark.sql.types.LongType).as("hits"),
+        expr(s"hits * 10000 DIV $k").cast(org.apache.spark.sql.types.LongType)
+          .as("recall_bp"),
+        round(col("__md"), 4).as("max_dist_r4"))
   }
 }

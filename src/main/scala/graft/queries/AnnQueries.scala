@@ -577,6 +577,48 @@ object AnnQueries {
              round(max(rel), 6) AS max_rel_err_r6
       FROM e GROUP BY 1 ORDER BY 1"""))
 
+  // 257. Johnson-Lindenstrauss projection eval: 64 -> 16 dims through
+  // the literal Gaussian plane family; per probe the projected
+  // neighborhood's recall@5 vs the exact one + max |cosΔ| over the
+  // true top-5. The oracle embeds the exact plane doubles and replays
+  // the ordered-list projection.
+  private def jlOracle(projDim: Int, dim: Int, k: Int): String = {
+    val values = VectorFns.planes(projDim, dim).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n               ")
+    s"""
+      WITH planes(p, w) AS (VALUES $values),
+      pr AS (SELECT e.vec_id, e.embedding,
+               list(list_dot_product(e.embedding::DOUBLE[], pl.w) ORDER BY pl.p) AS pv
+             FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding),
+      s AS (SELECT q.vec_id q_id, n.vec_id n_id,
+              list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) /
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) *
+                     list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[])) AS co,
+              list_dot_product(q.pv, n.pv) /
+                sqrt(list_dot_product(q.pv, q.pv) * list_dot_product(n.pv, n.pv)) AS cp
+            FROM pr q JOIN pr n ON q.vec_id < 10 AND n.vec_id != q.vec_id),
+      r AS (SELECT q_id, n_id, co, cp,
+              row_number() OVER (PARTITION BY q_id ORDER BY co DESC, n_id) ro,
+              row_number() OVER (PARTITION BY q_id ORDER BY cp DESC, n_id) rp
+            FROM s)
+      SELECT q_id, CAST($k AS BIGINT) AS k,
+             CAST(sum(CASE WHEN ro <= $k AND rp <= $k THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN ro <= $k AND rp <= $k THEN 1 ELSE 0 END) * 10000 // $k AS BIGINT) AS recall_bp,
+             round(max(CASE WHEN ro <= $k THEN abs(co - cp) END), 4) AS max_dist_r4
+      FROM r GROUP BY q_id ORDER BY q_id"""
+  }
+
+  val qEmbedJl = QueryDef("q_embed_jl",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.jlProjectionEval(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, projDim = 16, k = 5)
+        .orderBy("q_id")
+    },
+    Some(jlOracle(projDim = 16, dim = 64, k = 5)))
+
+
   val all: Seq[QueryDef] = Seq(
     qAnnTopk,
     qAnnLsh,
@@ -593,5 +635,6 @@ object AnnQueries {
     qKnnAgreement,
     qHardNegatives,
     qEmbedQuant,
+    qEmbedJl,
   )
 }
