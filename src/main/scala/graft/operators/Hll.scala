@@ -78,6 +78,26 @@ object Hll {
         round(col("__e"), 2).as("hll_r2"))
   }
 
+  /** Whole-table CARDINALITY PROFILE in one pass: an HLL estimate per
+    * column — the sketch-cost answer to "which of these 80 columns are
+    * keys, enums, or free text", where [[Profile.numeric]]'s exact
+    * `count(DISTINCT)` per column costs a full shuffle of every
+    * column's value space (the thing you cannot afford on the first
+    * look at a 100 TB table; that exactness is what [[accuracy]]
+    * CERTIFIES the sketch against, once, on data small enough). All
+    * columns share ONE scan: the (column, value) projection unions
+    * map-only, and the register state is 64 rows per column.
+    * Register frames from shards/snapshots still max-merge. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    seed: Int = 42): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val stacked = cols.map { c =>
+      df.select(lit(c).as("__col"), col(c).cast("string").as("__v"))
+    }.reduce(_ unionByName _)
+    estimate(registers(stacked, "__col", "__v", seed))
+      .withColumnRenamed("group", "column")
+  }
+
   /** Accuracy harness: HLL estimate vs the exact distinct count per
     * group, error in floor'd basis points — the readout that certifies
     * the sketch before anyone trusts it on data too big to verify. */

@@ -162,4 +162,39 @@ object Skew {
           expr("join_rows * 10000 DIV greatest(__lm, __rm)"))
           .cast("long").as("amplification_bp"))
   }
+
+  /** JOIN-AMPLIFICATION HISTOGRAM — the drill-down behind
+    * [[joinSizeEstimate]]'s single summary row: per decimal magnitude
+    * of the per-key output size (1–9 rows, 10–99, 100–999, …), how
+    * many keys land there and how much of the join's output they
+    * produce. The operational question it answers is WHERE the output
+    * mass lives: a join whose total looks fine can still have 90% of
+    * its rows in a handful of 10⁶-amplification keys — the exact shape
+    * AQE skew-split or a salting pass has to handle, and THIS is the
+    * evidence for choosing one. Magnitude = digit count of the exact
+    * per-key product (string length — pure integer, engine-portable;
+    * no log10 double edge at exact powers of ten).
+    *
+    * Plan: the same two (key → count) rollups + keyed equi-join as
+    * the estimate, then a ≤19-row magnitude rollup (int64 products cap
+    * at 19 digits — same n_l·n_r bound as the estimate, documented
+    * there). Exact integer shares. */
+  def joinAmplificationHistogram(left: DataFrame, right: DataFrame,
+                                 leftKey: String, rightKey: String): DataFrame = {
+    val l = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).cast("string").as("__k")).agg(count(lit(1)).as("__cl"))
+    val r = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).cast("string").as("__rk")).agg(count(lit(1)).as("__cr"))
+    val keyed = l.join(r, col("__k") === col("__rk"))
+      .select((col("__cl") * col("__cr")).as("__prod"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    keyed
+      .groupBy(length(col("__prod").cast("string")).cast("long").as("magnitude"))
+      .agg(count(lit(1)).cast("long").as("keys"),
+        sum(col("__prod")).cast("long").as("join_rows"))
+      .withColumn("__tot", sum(col("join_rows")).over(w))
+      .withColumn("rows_share_bp",
+        when(col("__tot") > 0, expr("join_rows * 10000 DIV __tot")).cast("long"))
+      .select("magnitude", "keys", "join_rows", "rows_share_bp")
+  }
 }

@@ -872,6 +872,38 @@ object CurationQueries {
                        THEN sum(prod) * 10000 // greatest(sum(cl), sum(cr)) END AS BIGINT) AS amplification_bp
       FROM j"""))
 
+  // 259. join-amplification histogram: where the self-join's output
+  // mass LIVES by per-key magnitude (digit count of the exact product
+  // — no log10 double edge) — the evidence for choosing AQE skew-split
+  // vs salting that q_join_size's single summary can't give.
+  val qJoinAmplification = QueryDef("q_join_amplification",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+      graft.operators.Skew.joinAmplificationHistogram(e, e, "user_id", "user_id")
+        .withColumn("join_key", lit("user_id"))
+        .unionByName(
+          graft.operators.Skew.joinAmplificationHistogram(e, e,
+              "event_type", "event_type")
+            .withColumn("join_key", lit("event_type")))
+        .orderBy("join_key", "magnitude")
+    },
+    Some("""
+      WITH lu AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cl
+                  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      lt AS (SELECT event_type AS k, count(*) AS cl
+             FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      j AS (SELECT 'user_id' AS jk, cl * cl AS prod FROM lu
+            UNION ALL SELECT 'event_type', cl * cl FROM lt),
+      m AS (SELECT jk, length(CAST(prod AS VARCHAR)) AS magnitude,
+                   count(*) AS keys, sum(prod) AS join_rows
+            FROM j GROUP BY 1, 2),
+      t AS (SELECT jk, sum(join_rows) AS tot FROM m GROUP BY 1)
+      SELECT CAST(magnitude AS BIGINT) AS magnitude, CAST(keys AS BIGINT) AS keys,
+             CAST(join_rows AS BIGINT) AS join_rows,
+             CAST(CASE WHEN t.tot > 0 THEN join_rows * 10000 // t.tot END AS BIGINT) AS rows_share_bp,
+             m.jk AS join_key
+      FROM m JOIN t USING (jk) ORDER BY join_key, magnitude"""))
+
   val qUrlDomains = QueryDef("q_url_domains",
     (s, dir) => {
       graft.operators.UrlCuration.domainRollup(
@@ -1282,5 +1314,6 @@ object CurationQueries {
     qSchemaMatch,
     qJoinAdvisor,
     qFilterChainHygiene,
+    qJoinAmplification,
   )
 }

@@ -1252,6 +1252,42 @@ object ProfileStatsQueries {
       FROM r ORDER BY "group""""))
 
 
+  // 258. one-pass HLL cardinality profile of the lineitem table: which
+  // columns are keys vs enums, at 64-register sketch cost per column
+  // over ONE shared scan (the exactness row 240 certified once).
+  val qHllProfile = QueryDef("q_hll_profile",
+    (s, dir) => {
+      graft.operators.Hll.columnProfile(table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate"))
+        .orderBy("column")
+    },
+    Some("""
+      WITH src AS (
+        SELECT 'l_orderkey' AS g, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL
+        UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem WHERE l_partkey IS NOT NULL
+        UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem WHERE l_suppkey IS NOT NULL
+        UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem WHERE l_returnflag IS NOT NULL
+        UNION ALL SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem WHERE l_shipdate IS NOT NULL),
+      h AS (SELECT g, ('0x' || substr(md5(v || ':42'), 1, 15))::BIGINT AS h60 FROM src),
+      b AS (SELECT g, h60 % 64 AS bucket, h60 // 64 AS w FROM h),
+      r AS (SELECT g, bucket,
+              CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+            FROM b),
+      reg AS (SELECT g, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+      agg AS (SELECT g, count(*) AS present,
+                     sum(1::BIGINT << CAST(55 - m AS INT)) AS sp
+              FROM reg GROUP BY 1),
+      est AS (SELECT g, present, 64 - present AS vz,
+                CAST(2904.064 AS DOUBLE) /
+                  (CAST(sp + (64 - present) * (1::BIGINT << 55) AS DOUBLE) / 36028797018963968.0) AS eraw
+              FROM agg)
+      SELECT g AS "column", CAST(present AS BIGINT) AS buckets_present,
+             round(CASE WHEN eraw <= 160 AND vz > 0
+                        THEN 64 * ln(CAST(64 AS DOUBLE) / vz)
+                        ELSE eraw END, 2) AS hll_r2
+      FROM est ORDER BY 1"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qProfileNumeric,
     qProfileStrings,
@@ -1293,5 +1329,6 @@ object ProfileStatsQueries {
     qKruskal,
     qConformal,
     qEqualizedOdds,
+    qHllProfile,
   )
 }

@@ -52,6 +52,20 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("hll: columnProfile matches per-column estimates in one pass") {
+    val df = (1 to 300).map(i => (i.toLong, s"cat${i % 4}")).toDF("id", "cat")
+    val prof = Hll.columnProfile(df, Seq("id", "cat")).collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Double]("hll_r2")).toMap
+    // each column's profile estimate equals its standalone estimate
+    val idAlone = Hll.estimate(Hll.registers(
+      df.select(lit("id").as("g"), col("id").cast("string").as("v")), "g", "v"))
+      .collect().head.getAs[Double]("hll_r2")
+    assert(prof("id") == idAlone)
+    // the 4-value enum lands in linear counting near 4
+    assert(math.abs(prof("cat") - 4.0) < 1.5)
+    assertThrows[IllegalArgumentException](Hll.columnProfile(df, Nil))
+  }
+
   test("hll: NULL groups and values are excluded") {
     val df = Seq((Some("g"), Some("a")), (Some("g"), None),
       (None, Some("b")), (Some("g"), Some("c"))).toDF("g", "v")

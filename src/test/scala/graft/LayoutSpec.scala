@@ -121,4 +121,23 @@ class LayoutSpec extends SparkSpec {
     // p99 of 101 sorted counts: rank ceil(.99·101) = 100 → still 1; max is the 101st
     assert(r.getAs[Long]("p99_cnt") == 1L)
   }
+
+  test("joinAmplificationHistogram: magnitude buckets, exact shares") {
+    import spark.implicits._
+    // left: key a x1, b x3, c x40; right: a x1, b x4, c x30
+    // products: a=1 (1 digit), b=12 (2), c=1200 (4)
+    val l = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(40)("c")).toDF("k")
+    val r = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(30)("c")).toDF("k")
+    val h = Skew.joinAmplificationHistogram(l, r, "k", "k").collect()
+      .map(x => x.getAs[Long]("magnitude") -> x).toMap
+    assert(h.keySet == Set(1L, 2L, 4L))
+    assert(h(1L).getAs[Long]("keys") == 1 && h(1L).getAs[Long]("join_rows") == 1)
+    assert(h(2L).getAs[Long]("join_rows") == 12)
+    assert(h(4L).getAs[Long]("join_rows") == 1200)
+    // shares: total 1213 -> 1200*1e4 DIV 1213 = 9892
+    assert(h(4L).getAs[Long]("rows_share_bp") == 9892L)
+    // no matching keys: empty histogram
+    assert(Skew.joinAmplificationHistogram(
+      Seq("x").toDF("k"), Seq("y").toDF("k"), "k", "k").count() == 0L)
+  }
 }
