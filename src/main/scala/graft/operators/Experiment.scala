@@ -440,6 +440,86 @@ object Experiment {
           .as("srm"))
   }
 
+  /** RE-RANDOMIZATION (Fisher-style permutation) test for the diff of
+    * arm means: re-assign every unit K times with the SAME Bernoulli
+    * 50/50 mechanism the real experiment used (md5("<id>:perm<k>:
+    * <seed>") — valid exactly because assignment was Bernoulli, so
+    * each re-draw is a sample from the null assignment distribution;
+    * the fixed-margin label-shuffle variant needs a global permutation
+    * a distributed engine can't express one-pass) and ask how often a
+    * null re-draw beats the observed effect. The assumption-free
+    * companion to [[welchT]]/[[bootstrapDiff]]: no normality, no
+    * variance formula — just the randomization itself.
+    *
+    * All K re-draws fold in ONE conditional-sum pass (the
+    * [[bootstrapDiff]] shape: 2K+3 sums; each unit's k-th label is
+    * one md5 threshold test). Every replicate diff and the observed
+    * diff are double divisions of exact integer sums — identical in
+    * any engine — and the p-value is the add-one integer count
+    * p_bp = (1 + #{k : |diff_k| ≥ |obs|})·10⁴ DIV (K+1) (Phipson &
+    * Smyth 2010's never-zero estimator). Re-draws where an arm is
+    * empty count as extreme (conservative; probability 2^−n).
+    * int64: Σ|y| < 9·10¹⁸ (weights are 0/1 here). */
+  def permutationTest(users: DataFrame, idCol: String, armCol: String,
+                      yCol: String, k: Int = 40, seed: Int = 42): DataFrame = {
+    require(k >= 4, s"permutationTest: need k >= 4 re-draws, got $k")
+    requireIntegral(users, yCol, "permutationTest")
+    val base = users
+      .filter(col(idCol).isNotNull && col(armCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(armCol).cast("string").as("__arm"), col(yCol).cast("long").as("__y"))
+    val (aLbl, bLbl) = twoArms(base, "permutationTest")
+    def relabelA(r: Int) =
+      pmod(conv(substring(md5(concat(col("__id"), lit(s":perm$r:$seed"))), 1, 8),
+        16, 10).cast(LongType), lit(10000L)) < 5000L
+    val labeled = base.select(
+      Seq(col("__arm"), col("__y")) ++
+        (0 until k).map(r => relabelA(r).as(s"__a$r")): _*)
+    val aggs =
+      Seq(sum(when(col("__arm") === aLbl, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__arm") === aLbl, col("__y")).otherwise(0L)).as("__sya"),
+        sum(when(col("__arm") === bLbl, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__arm") === bLbl, col("__y")).otherwise(0L)).as("__syb")) ++
+      (0 until k).flatMap { r =>
+        Seq(sum(when(col(s"__a$r"), 1L).otherwise(0L)).as(s"__n$r"),
+          sum(when(col(s"__a$r"), col("__y")).otherwise(0L)).as(s"__s$r"))
+      }
+    val folded = labeled.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__nt", col("__na") + col("__nb"))
+      .withColumn("__syt", col("__sya") + col("__syb"))
+      .withColumn("__obs", abs(col("__syb").cast("double") / col("__nb") -
+        col("__sya").cast("double") / col("__na")))
+    val reps = folded.select(
+      col("__na"), col("__nb"), col("__sya"), col("__syb"), col("__obs"),
+      col("__nt"), col("__syt"),
+      posexplode(array((0 until k).map(r => struct(
+        col(s"__n$r").as("na"), col(s"__s$r").as("sa"))): _*))
+        .as(Seq("__r", "__s")))
+      .select(col("__na"), col("__nb"), col("__sya"), col("__syb"),
+        col("__obs"), col("__nt"), col("__syt"),
+        col("__s.na").as("__pna"), col("__s.sa").as("__psa"))
+      .withColumn("__pnb", col("__nt") - col("__pna"))
+      .withColumn("__extreme",
+        when(col("__pna") === 0 || col("__pnb") === 0, 1L).otherwise(
+          when(abs((col("__syt") - col("__psa")).cast("double") / col("__pnb") -
+            col("__psa").cast("double") / col("__pna")) >= col("__obs"), 1L)
+            .otherwise(0L)))
+    reps.agg(
+        max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        max(col("__sya")).as("__sya"), max(col("__syb")).as("__syb"),
+        max(col("__obs")).as("__obs"),
+        coalesce(sum(col("__extreme")), lit(0L)).as("__ext"))
+      .select(
+        lit(aLbl).as("arm_a"), lit(bLbl).as("arm_b"),
+        col("__na").cast(LongType).as("users_a"),
+        col("__nb").cast(LongType).as("users_b"),
+        round(col("__syb").cast("double") / col("__nb") -
+          col("__sya").cast("double") / col("__na"), 6).as("diff_r6"),
+        lit(k.toLong).as("redraws"),
+        col("__ext").cast(LongType).as("extreme_redraws"),
+        expr(s"(1 + __ext) * 10000 DIV ${k + 1}").cast(LongType).as("p_bp"))
+  }
+
   /** WELCH's unequal-variance t readout for a continuous (integral)
     * unit-grain metric — the two-proportion z in [[Sessionize.abTest]]
     * covers conversion; this covers "did mean events/revenue/tokens

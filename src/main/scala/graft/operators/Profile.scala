@@ -1359,6 +1359,68 @@ object Profile {
           .as("coverage_bp"))
   }
 
+  /** WILCOXON RANK-SUM (Mann–Whitney) significance readout: the
+    * two-sample special case completing the nonparametric A/B pair —
+    * [[aucExact]] reports the same U as an EFFECT SIZE (AUC is the
+    * probability a B draw outranks an A draw); this reports its
+    * SIGNIFICANCE, the test that stays honest on skewed metrics where
+    * [[graft.operators.Experiment.welchT]]'s normality leans on large
+    * n. Same exact machinery: doubled midranks from the shared
+    * two-level cumsum, doubled rank-sum R2_B = Σ c_Bv·(2·cumBelow+c+1)
+    * (int64 ≤ 2N²), E2 = n_B(N+1), tie-corrected normal variance
+    * var = (n_A·n_B/12)·((N+1) − Σ(t³−t)/(N(N−1))), z = (R2_B − E2) /
+    * (2·√var) as ONE double expression over the exact integer sums.
+    * No continuity correction (documented; both engines replay the
+    * same formula). NULL z on degenerate inputs (an empty arm or all
+    * values tied). Smaller arm label = A; int64 bounds as KW
+    * (Σ c³ ≤ N³ ⇒ N ≲ 2·10⁶, sample beyond — rank stats don't
+    * shard-merge). */
+  def wilcoxonRankSum(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), col(valueCol).as("__v"))
+    val arms = base.select("__g").distinct().collect().map(_.getString(0)).sorted
+    require(arms.length == 2,
+      s"wilcoxonRankSum needs exactly two groups, got: ${arms.mkString(", ")}")
+    val (aLbl, bLbl) = (arms(0), arms(1))
+    val vals = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val (run, release) = rangedRunningSumManaged(vals, "__v", "__c")
+    val mid = run.withColumn("__mr2",
+      lit(2L) * (col("__rsum") - col("__c")) + col("__c") + lit(1L))
+    val row = base.filter(col("__g") === bLbl)
+      .groupBy("__v").agg(count(lit(1)).as("__cb"))
+      .join(mid.select("__v", "__mr2"), "__v")
+      .agg(coalesce(sum(col("__cb") * col("__mr2")), lit(0L)).as("__r2b"))
+      .collect().head
+    val tieRow = mid.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum(col("__c") * col("__c") * col("__c") - col("__c")), lit(0L))
+        .as("__t")).collect().head
+    val nbRow = base.agg(
+      sum(when(col("__g") === aLbl, 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__g") === bLbl, 1L).otherwise(0L)).as("__nb")).collect().head
+    release()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nbRow.getLong(0), nbRow.getLong(1), tieRow.getLong(0),
+      tieRow.getLong(1), row.getLong(0)))
+      .toDF("__na", "__nb", "__n", "__t", "__r2b")
+      .withColumn("__e2", col("__nb") * (col("__n") + 1))
+      .withColumn("__var", when(col("__n") > 1,
+        (col("__na") * col("__nb")).cast("double") / 12.0 *
+          ((col("__n") + 1) - col("__t").cast("double") /
+            (col("__n") * (col("__n") - 1)))))
+      .select(
+        lit(aLbl).as("group_a"), lit(bLbl).as("group_b"),
+        col("__na").cast(LongType).as("n_a"),
+        col("__nb").cast(LongType).as("n_b"),
+        col("__r2b").cast(LongType).as("rank_sum_b_x2"),
+        col("__e2").cast(LongType).as("expected_b_x2"),
+        round(when(col("__var") > 0,
+          (col("__r2b") - col("__e2")).cast("double") /
+            (lit(2.0) * sqrt(col("__var")))), 4).as("z_r4"))
+  }
+
   /** KRUSKAL–WALLIS rank test (Kruskal & Wallis 1952): "does this
     * numeric column's distribution differ across k groups" without
     * normality assumptions — the k-sample generalization of

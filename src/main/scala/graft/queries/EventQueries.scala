@@ -1055,6 +1055,80 @@ object EventQueries {
       FROM p ORDER BY stratum"""))
 
 
+  // 260. Wilcoxon rank-sum z on the armed frame: the significance
+  // companion to AUC's effect size — honest on skew where the t leans
+  // on large n; doubled midranks from the shared two-level cumsum,
+  // tie-corrected variance, one double expression.
+  val qAbWilcoxon = QueryDef("q_ab_wilcoxon",
+    (s, dir) => {
+      graft.operators.Profile.wilcoxonRankSum(armedUsers(s, dir), "split", "y")
+    },
+    Some(s"""
+      WITH $armedUsersSql,
+      vals AS (SELECT y AS v, count(*) AS c FROM u GROUP BY 1),
+      run AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS rsum FROM vals),
+      mid AS (SELECT v, c, 2 * (rsum - c) + c + 1 AS mr2 FROM run),
+      rb AS (SELECT coalesce(sum(cb * mr2), 0) AS r2b FROM
+               (SELECT y AS v, count(*) AS cb FROM u WHERE arm = 'b' GROUP BY 1) b
+               JOIN mid USING (v)),
+      tt AS (SELECT sum(c) AS n, sum(c * c * c - c) AS t FROM mid),
+      nn AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb
+             FROM u),
+      f AS (SELECT na, nb, n, t, r2b, nb * (n + 1) AS e2,
+              CASE WHEN n > 1 THEN CAST(na * nb AS DOUBLE) / 12.0 *
+                ((n + 1) - CAST(t AS DOUBLE) / (n * (n - 1))) END AS v
+            FROM nn, tt, rb)
+      SELECT 'a' AS group_a, 'b' AS group_b,
+             CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             CAST(r2b AS BIGINT) AS rank_sum_b_x2,
+             CAST(e2 AS BIGINT) AS expected_b_x2,
+             round(CASE WHEN v > 0 THEN CAST(r2b - e2 AS DOUBLE) / (2.0 * sqrt(v)) END, 4) AS z_r4
+      FROM f"""))
+
+
+  // 261. re-randomization (permutation) p-value: 40 deterministic
+  // Bernoulli re-draws of the REAL assignment mechanism, all in one
+  // conditional-sum pass; add-one integer p in bp — the assumption-
+  // free readout beside z/t/bootstrap.
+  val qAbPermutation = QueryDef("q_ab_permutation",
+    (s, dir) => {
+      graft.operators.Experiment.permutationTest(
+        armedUsers(s, dir), "user_id", "split", "y")
+    },
+    Some(s"""
+      WITH $armedUsersSql,
+      rep AS (SELECT CAST(r.range AS BIGINT) AS r FROM range(0, 40) r),
+      l AS (SELECT u.y, rep.r,
+              (('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':perm' || CAST(rep.r AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000) < 5000 AS isa
+            FROM u, rep),
+      tot AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                     sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+                     sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
+                     sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb
+              FROM u),
+      o AS (SELECT na, nb, sya, syb, na + nb AS nt, sya + syb AS syt,
+              abs(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na) AS obs
+            FROM tot),
+      rs AS (SELECT r, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS pna,
+                    sum(CASE WHEN isa THEN y ELSE 0 END) AS psa
+             FROM l GROUP BY 1),
+      x AS (SELECT rs.r,
+              CASE WHEN pna = 0 OR (o.nt - pna) = 0 THEN 1
+                   WHEN abs(CAST(o.syt - psa AS DOUBLE) / (o.nt - pna) -
+                            CAST(psa AS DOUBLE) / pna) >= o.obs THEN 1
+                   ELSE 0 END AS ex
+            FROM rs, o),
+      c AS (SELECT coalesce(sum(ex), 0) AS ext FROM x)
+      SELECT 'a' AS arm_a, 'b' AS arm_b,
+             CAST(o.na AS BIGINT) AS users_a, CAST(o.nb AS BIGINT) AS users_b,
+             round(CAST(o.syb AS DOUBLE) / o.nb - CAST(o.sya AS DOUBLE) / o.na, 6) AS diff_r6,
+             CAST(40 AS BIGINT) AS redraws,
+             CAST(c.ext AS BIGINT) AS extreme_redraws,
+             CAST((1 + c.ext) * 10000 // 41 AS BIGINT) AS p_bp
+      FROM o, c"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -1085,5 +1159,7 @@ object EventQueries {
     qMhStrat,
     qAbTrimmed,
     qUpliftSegments,
+    qAbWilcoxon,
+    qAbPermutation,
   )
 }

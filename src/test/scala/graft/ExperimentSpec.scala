@@ -220,6 +220,39 @@ class ExperimentSpec extends SparkSpec {
       graft.operators.Experiment.trimmedWelch(df, "arm", "y", 9500, 500))
   }
 
+  test("permutationTest: zero-effect p=1, strong effect replayed via md5") {
+    // identical constant metric: observed diff 0, every re-draw ties
+    // it -> all 40 extreme -> p_bp = 41*1e4 DIV 41 = 10000
+    val flat = ((1 to 20).map(i => (i.toLong, "a", 5L)) ++
+      (21 to 40).map(i => (i.toLong, "b", 5L))).toDF("id", "arm", "y")
+    val f = graft.operators.Experiment.permutationTest(flat, "id", "arm", "y")
+      .collect().head
+    assert(f.getAs[Long]("extreme_redraws") == 40L)
+    assert(f.getAs[Long]("p_bp") == 10000L)
+    // strong separation: replay the md5 re-draws independently
+    val units = (1 to 30).map(i => (i.toLong, "a", 0L)) ++
+      (31 to 60).map(i => (i.toLong, "b", 1000L))
+    val df = units.toDF("id", "arm", "y")
+    val got = graft.operators.Experiment.permutationTest(df, "id", "arm", "y",
+      k = 16).collect().head
+    val (nt, syt) = (60L, 30000L)
+    val obs = 1000.0
+    val expectedExt = (0 until 16).count { r =>
+      val (pna, psa) = units.foldLeft((0L, 0L)) { case ((n, s), (id, _, y)) =>
+        val h = md5u32(s"$id:perm$r:42")
+        if (h % 10000 < 5000) (n + 1, s + y) else (n, s)
+      }
+      pna == 0 || nt - pna == 0 ||
+        math.abs((syt - psa).toDouble / (nt - pna) - psa.toDouble / pna) >= obs
+    }
+    assert(got.getAs[Long]("extreme_redraws") == expectedExt.toLong)
+    assert(got.getAs[Long]("p_bp") ==
+      (1L + expectedExt) * 10000L / 17L)
+    assert(got.getAs[Double]("diff_r6") == 1000.0)
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.permutationTest(flat, "id", "arm", "y", k = 2))
+  }
+
   test("bootstrapDiff: guards") {
     val df = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "arm", "y")
     assertThrows[IllegalArgumentException](

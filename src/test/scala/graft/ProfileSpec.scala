@@ -387,6 +387,24 @@ class ProfileSpec extends SparkSpec {
       .head.getAs[java.lang.Double]("cramers_v_r6") == null)
   }
 
+  test("wilcoxonRankSum: hand z, all-tied NULL, group guard") {
+    import spark.implicits._
+    // a=[1,2] b=[3,4]: R2_b = 14, E2 = 10, var = (4/12)*5 = 5/3
+    // z = 4 / (2*sqrt(5/3))
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = Profile.wilcoxonRankSum(sep, "g", "v").collect().head
+    assert(r.getAs[Long]("rank_sum_b_x2") == 14L)
+    assert(r.getAs[Long]("expected_b_x2") == 10L)
+    val z = 4.0 / (2.0 * math.sqrt(5.0 / 3))
+    assert(r.getAs[Double]("z_r4") == math.rint(z * 1e4) / 1e4)
+    // all values tied: variance collapses to 0 -> NULL z
+    val tied = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0)).toDF("g", "v")
+    val t = Profile.wilcoxonRankSum(tied, "g", "v").collect().head
+    assert(t.isNullAt(t.fieldIndex("z_r4")))
+    assertThrows[IllegalArgumentException](
+      Profile.wilcoxonRankSum(Seq(("a", 1.0)).toDF("g", "v"), "g", "v"))
+  }
+
   test("splitConformal: guarantee certified, small-sample NULL qhat") {
     import spark.implicits._
     // calibration residuals 0..99 (n=100): rank = ceil(101*0.9) = 91
