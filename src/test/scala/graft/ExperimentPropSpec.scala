@@ -1,0 +1,138 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Randomized differential fuzzing of the experiment-readout family:
+  * on ANY small unit frame (random arm labels, random integral
+  * metrics, degenerate shapes mixed in), [[graft.operators.Experiment]]
+  * must reproduce an INDEPENDENT plain-Scala replay of the published
+  * formulas — the same discipline as [[ContractFuzzSpec]], applied to
+  * the statistics. The hand-computed specs pin known shapes; this
+  * sweeps the space no hand case enumerates (tiny arms, zero
+  * variance, negative metrics, all-equal metrics). */
+object ExperimentPropSpec extends Properties("Experiment") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(25)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("arm", StringType, nullable = false),
+    StructField("y", LongType, nullable = false)))
+
+  /** at least 2 units per arm so n−1 denominators exist sometimes;
+    * metrics span negatives, zeros and ties */
+  private val genUnits: Gen[List[(String, Long)]] = for {
+    na <- Gen.choose(1, 15)
+    nb <- Gen.choose(1, 15)
+    ys <- Gen.listOfN(na + nb, Gen.choose(-50L, 50L))
+  } yield ys.take(na).map("a" -> _) ++ ys.drop(na).map("b" -> _)
+
+  private def toDf(units: List[(String, Long)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        units.zipWithIndex.map { case ((a, y), i) => Row(i.toLong, a, y) }, 2),
+      schema)
+
+  private def r(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  property("welchT matches a plain-Scala replay of the formulas") =
+    forAll(genUnits) { units =>
+      val row = graft.operators.Experiment.welchT(toDf(units), "arm", "y")
+        .collect().head
+      val as = units.filter(_._1 == "a").map(_._2)
+      val bs = units.filter(_._1 == "b").map(_._2)
+      val (na, nb) = (as.size.toLong, bs.size.toLong)
+      val (sa, sb) = (as.sum, bs.sum)
+      val (ssa, ssb) = (as.map(y => y * y).sum, bs.map(y => y * y).sum)
+      val vna = na * ssa - sa * sa
+      val vnb = nb * ssb - sb * sb
+      val sea = if (na > 1) Some(vna.toDouble / (na * (na - 1)) / na) else None
+      val seb = if (nb > 1) Some(vnb.toDouble / (nb * (nb - 1)) / nb) else None
+      val se2 = for { x <- sea; yv <- seb } yield x + yv
+      val meanA = sa.toDouble / na
+      val meanB = sb.toDouble / nb
+      val okMeans = row.getAs[Double]("mean_a_r6") == r(meanA, 6) &&
+        row.getAs[Double]("mean_b_r6") == r(meanB, 6) &&
+        row.getAs[Double]("diff_r6") == r(meanB - meanA, 6)
+      val expT = se2.filter(_ > 0).map(s => r((meanB - meanA) / math.sqrt(s), 4))
+      val gotT = Option(row.getAs[java.lang.Double]("t_r4")).map(_.toDouble)
+      val expDf = se2.filter(_ > 0).map { s =>
+        r(s * s / (sea.get * sea.get / (na - 1) + seb.get * seb.get / (nb - 1)), 2)
+      }
+      val gotDf = Option(row.getAs[java.lang.Double]("df_r2")).map(_.toDouble)
+      okMeans && gotT == expT && gotDf == expDf &&
+        row.getAs[Long]("users_a") == na && row.getAs[Long]("users_b") == nb
+    }
+
+  property("srmCheck z matches the binomial replay, verdict ties to |z|>3") =
+    forAll(genUnits, Gen.choose(1L, 9999L)) { (units, bpA) =>
+      val decl = Seq("a" -> bpA, "b" -> (10000L - bpA))
+      val rows = graft.operators.Experiment.srmCheck(toDf(units), "arm", decl)
+        .collect().map(x => x.getAs[String]("arm") -> x).toMap
+      val n = units.size.toLong
+      decl.forall { case (arm, bp) =>
+        val o = units.count(_._1 == arm).toLong
+        val p = bp.toDouble / 10000.0
+        val z = (o - n * p) / math.sqrt(n * p * (1.0 - p))
+        val got = rows(arm)
+        got.getAs[Long]("observed") == o &&
+          got.getAs[Double]("expected_r2") == r(n * p, 2) &&
+          got.getAs[Double]("z_r4") == r(z, 4) &&
+          got.getAs[Boolean]("srm") == (math.abs(z) > 3.0)
+      }
+    }
+
+  property("bootstrapDiff collapses to the exact diff on constant arms") =
+    forAll(Gen.choose(1, 12), Gen.choose(1, 12),
+      Gen.choose(-20L, 20L), Gen.choose(-20L, 20L)) { (na, nb, ca, cb) =>
+      val units = (1 to na).map(i => (s"$i", "a", ca)) ++
+        (1 to nb).map(i => (s"x$i", "b", cb))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          units.map { case (id, a, y) => Row(id, a, y) }, 2),
+        StructType(Seq(StructField("id", StringType, nullable = false),
+          StructField("arm", StringType, nullable = false),
+          StructField("y", LongType, nullable = false))))
+      val row = graft.operators.Experiment.bootstrapDiff(df, "id", "arm", "y",
+        b = 8).collect().head
+      val d = r((cb - ca).toDouble, 6)
+      row.getAs[Double]("diff_r6") == d &&
+        (row.getAs[Long]("replicas") == 0L ||
+          (row.getAs[Double]("boot_lo_r6") == d &&
+            row.getAs[Double]("boot_hi_r6") == d))
+    }
+
+  property("permutationTest p is the add-one count over the md5 re-draws") =
+    forAll(genUnits) { units =>
+      val k = 8
+      val row = graft.operators.Experiment.permutationTest(
+        toDf(units), "id", "arm", "y", k = k).collect().head
+      val withIds = units.zipWithIndex.map { case ((a, y), i) => (i.toLong, a, y) }
+      val as = units.filter(_._1 == "a").map(_._2)
+      val bs = units.filter(_._1 == "b").map(_._2)
+      val obs = math.abs(bs.sum.toDouble / bs.size - as.sum.toDouble / as.size)
+      val (nt, syt) = (units.size.toLong, units.map(_._2).sum)
+      def md5u32(s: String): Long = {
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(dg.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      val ext = (0 until k).count { rr =>
+        val (pna, psa) = withIds.foldLeft((0L, 0L)) { case ((n, s), (id, _, y)) =>
+          if (md5u32(s"$id:perm$rr:42") % 10000 < 5000) (n + 1, s + y) else (n, s)
+        }
+        pna == 0 || nt - pna == 0 ||
+          math.abs((syt - psa).toDouble / (nt - pna) - psa.toDouble / pna) >= obs
+      }
+      row.getAs[Long]("extreme_redraws") == ext.toLong &&
+        row.getAs[Long]("p_bp") == (1L + ext) * 10000L / (k + 1)
+    }
+}
