@@ -1,0 +1,120 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+
+/** Randomized differential fuzzing of the r9 time-series operators:
+  * random dense daily series (as event rows) must reproduce plain-
+  * Scala replays of the CUSUM max-recurrence, the seasonal-naive
+  * error sums, and Mann–Kendall's S/var18 — the [[ExperimentPropSpec]]
+  * discipline applied to the calendar operators, sweeping gap
+  * patterns and tie structures no hand-built series enumerates. */
+object TimeSeriesPropSpec extends Properties("TimeSeriesR9") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("event_type", StringType, nullable = false)))
+
+  /** a daily count series as raw event rows; count 0 days are
+    * PRESENT-day gaps the calendar densify must fill */
+  private val genSeries: Gen[List[Long]] = for {
+    n <- Gen.choose(3, 18)
+    xs <- Gen.listOfN(n, Gen.choose(0L, 9L))
+  } yield {
+    // endpoints must have >= 1 event or the day span shrinks —
+    // pin both so the replay's calendar matches the operator's
+    val l = xs.toArray
+    l(0) = math.max(1L, l(0)); l(n - 1) = math.max(1L, l(n - 1))
+    l.toList
+  }
+
+  private def toDf(xs: List[Long]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        xs.zipWithIndex.flatMap { case (c, d) =>
+          (0L until c).map(i => Row(new java.sql.Timestamp(86400000L * d + i), "k"))
+        }, 2),
+      schema)
+
+  property("cusum replays the max-recurrence day by day") =
+    forAll(genSeries) { xs =>
+      val rows = graft.operators.TimeSeries.cusum(toDf(xs), "event_type", "ts")
+        .collect().sortBy(_.getAs[String]("day"))
+      val n = xs.size
+      val ref4 = xs.sum * 10000L / n
+      val k4 = 500L * ref4 / 10000L
+      val h4 = 40000L * ref4 / 10000L
+      var (su, sd) = (0L, 0L)
+      rows.length == n && rows.zip(xs).forall { case (r, x) =>
+        val dev = x * 10000L - ref4
+        su = math.max(0L, su + dev - k4)
+        sd = math.max(0L, sd - dev - k4)
+        r.getAs[Long]("cnt") == x &&
+          r.getAs[Long]("cusum_up_e4") == su &&
+          r.getAs[Long]("cusum_down_e4") == sd &&
+          r.getAs[Boolean]("alarm_up") == (su > h4) &&
+          r.getAs[Boolean]("alarm_down") == (sd > h4)
+      }
+    }
+
+  property("seasonalBacktest replays the integer error sums") =
+    forAll(genSeries, Gen.choose(2, 9)) { (xs, season) =>
+      val r = graft.operators.TimeSeries
+        .seasonalBacktest(toDf(xs), "event_type", "ts", season = season)
+        .collect().head
+      val n = xs.size
+      val evalPairs = (season until n).map(d => (xs(d), xs(d - season)))
+      val naive = (1 until n).map(d => math.abs(xs(d) - xs(d - 1)))
+      val ne = evalPairs.size.toLong
+      val sae = evalPairs.map { case (x, f) => math.abs(x - f) }.sum
+      val okCore = r.getAs[Long]("n_days") == n.toLong &&
+        r.getAs[Long]("n_eval") == ne
+      if (ne == 0) okCore && r.isNullAt(r.fieldIndex("mae_r4"))
+      else {
+        def r4(x: Double) =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val sse = evalPairs.map { case (x, f) => (x - f) * (x - f) }.sum
+        val se = evalPairs.map { case (x, f) => x - f }.sum
+        val sae1 = naive.sum
+        val mase = if (sae1 > 0)
+          Some(r4(sae.toDouble * naive.size / (sae1.toDouble * ne))) else None
+        okCore &&
+          r.getAs[Double]("mae_r4") == r4(sae.toDouble / ne) &&
+          r.getAs[Double]("rmse_r4") == r4(math.sqrt(sse.toDouble / ne)) &&
+          r.getAs[Double]("bias_r4") == r4(se.toDouble / ne) &&
+          Option(r.getAs[java.lang.Double]("mase_r4")).map(_.toDouble) == mase
+      }
+    }
+
+  property("mannKendall replays S, var18 and the Sen median") =
+    forAll(genSeries) { xs =>
+      val r = graft.operators.TimeSeries.mannKendall(toDf(xs), "event_type", "ts")
+        .collect().head
+      val n = xs.size
+      val pairs = for {
+        i <- 0 until n; j <- i + 1 until n
+      } yield (math.signum(xs(j) - xs(i)).toLong,
+        (xs(j) - xs(i)).toDouble / (j - i))
+      val s = pairs.map(_._1).sum
+      val ties = xs.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = n.toLong * (n - 1) * (2L * n + 5) - ties
+      val slopes = pairs.map(_._2).sorted
+      val sen = slopes((slopes.size + 1) / 2 - 1)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getAs[Long]("n_days") == n.toLong &&
+        r.getAs[Long]("s") == s &&
+        r.getAs[Long]("var18") == var18 &&
+        r.getAs[Double]("sen_slope_r6") == r6(sen) &&
+        (var18 > 0) == !r.isNullAt(r.fieldIndex("z_r4"))
+    }
+}
