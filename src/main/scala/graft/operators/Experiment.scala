@@ -440,6 +440,54 @@ object Experiment {
           .as("srm"))
   }
 
+  /** COCHRAN–ARMITAGE trend test (Cochran 1954; Armitage 1955): "does
+    * conversion RISE with the ordered tier" — engagement deciles,
+    * spend bands, document-quality buckets. A chi-square over k
+    * groups ([[mhStratified]]'s cousin) only says the groups differ;
+    * CA spends its single degree of freedom on the MONOTONE direction,
+    * which is the hypothesis a funnel/quality analysis actually has.
+    * Scores are the integral tier values themselves.
+    *
+    * Exact integer folds: per-tier (n_i, a_i) rollup, then
+    * T·N = N·Σw·a − A·Σw·n and M = N·Σw²·n − (Σw·n)² (int64 — safe
+    * while k·N² < 9·10¹⁸, i.e. N ≲ 10⁹/√k; beyond, rescale scores),
+    * and z = TN / √(A·(N−A)·M / N) as ONE double expression over the
+    * exact components. NULL z when the trend variance degenerates
+    * (all converted, none converted, or a single tier). `tierCol`
+    * integral scores, `convCol` integral 0/1; NULL tiers excluded
+    * (an unordered bucket has no place on a trend axis — unlike MH
+    * strata, which keep NULL as a group).
+    *
+    * Plan: ONE map-side-combined tier rollup + a 1-row integer fold. */
+  def cochranArmitage(users: DataFrame, tierCol: String,
+                      convCol: String): DataFrame = {
+    requireIntegral(users, tierCol, "cochranArmitage")
+    requireIntegral(users, convCol, "cochranArmitage")
+    users.filter(col(tierCol).isNotNull && col(convCol).isNotNull)
+      .select(col(tierCol).cast("long").as("__w"),
+        when(col(convCol) =!= 0, 1L).otherwise(0L).as("__c"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__a"))
+      .agg(count(lit(1)).as("__k"),
+        coalesce(sum(col("__n")), lit(0L)).as("__nt"),
+        coalesce(sum(col("__a")), lit(0L)).as("__at"),
+        coalesce(sum(col("__w") * col("__n")), lit(0L)).as("__swn"),
+        coalesce(sum(col("__w") * col("__w") * col("__n")), lit(0L)).as("__sw2n"),
+        coalesce(sum(col("__w") * col("__a")), lit(0L)).as("__swa"))
+      .withColumn("__tn", col("__nt") * col("__swa") - col("__at") * col("__swn"))
+      .withColumn("__m",
+        col("__nt") * col("__sw2n") - col("__swn") * col("__swn"))
+      .select(
+        col("__k").cast(LongType).as("k_tiers"),
+        col("__nt").cast(LongType).as("n"),
+        col("__at").cast(LongType).as("conversions"),
+        col("__tn").cast(LongType).as("trend_num"),
+        round(when(col("__at") > 0 && col("__at") < col("__nt") && col("__m") > 0,
+          col("__tn").cast("double") /
+            sqrt(col("__at").cast("double") * (col("__nt") - col("__at")) *
+              col("__m") / col("__nt"))), 4).as("z_r4"))
+  }
+
   /** RE-RANDOMIZATION (Fisher-style permutation) test for the diff of
     * arm means: re-assign every unit K times with the SAME Bernoulli
     * 50/50 mechanism the real experiment used (md5("<id>:perm<k>:

@@ -1129,6 +1129,44 @@ object EventQueries {
       FROM o, c"""))
 
 
+  // 262. Cochran-Armitage trend: does purchase conversion RISE with
+  // the engagement tier (events-per-user band as the ordered score) —
+  // one df spent on the monotone direction; exact integer folds, z
+  // one double expression.
+  val qTrendTest = QueryDef("q_trend_test",
+    (s, dir) => {
+      val users = table(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("__ev"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("tier",
+          when(col("__ev") < 5, 0L).when(col("__ev") < 10, 1L)
+            .when(col("__ev") < 20, 2L).otherwise(3L))
+      graft.operators.Experiment.cochranArmitage(users, "tier", "conv")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, count(*) AS ev,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      t AS (SELECT CASE WHEN ev < 5 THEN 0 WHEN ev < 10 THEN 1
+                        WHEN ev < 20 THEN 2 ELSE 3 END AS w, conv
+            FROM u),
+      g AS (SELECT w, count(*) AS n, sum(conv) AS a FROM t GROUP BY 1),
+      f AS (SELECT count(*) AS k, sum(n) AS nt, sum(a) AS at,
+                   sum(w * n) AS swn, sum(w * w * n) AS sw2n, sum(w * a) AS swa
+            FROM g),
+      x AS (SELECT *, nt * swa - at * swn AS tn,
+                   nt * sw2n - swn * swn AS m
+            FROM f)
+      SELECT CAST(k AS BIGINT) AS k_tiers, CAST(nt AS BIGINT) AS n,
+             CAST(at AS BIGINT) AS conversions, CAST(tn AS BIGINT) AS trend_num,
+             round(CASE WHEN at > 0 AND at < nt AND m > 0 THEN
+               CAST(tn AS DOUBLE) /
+               sqrt(CAST(at AS DOUBLE) * (nt - at) * m / nt) END, 4) AS z_r4
+      FROM x"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -1161,5 +1199,6 @@ object EventQueries {
     qUpliftSegments,
     qAbWilcoxon,
     qAbPermutation,
+    qTrendTest,
   )
 }

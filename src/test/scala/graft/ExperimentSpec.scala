@@ -220,6 +220,38 @@ class ExperimentSpec extends SparkSpec {
       graft.operators.Experiment.trimmedWelch(df, "arm", "y", 9500, 500))
   }
 
+  test("cochranArmitage: hand-computed rising trend, flat zero, degenerate NULL") {
+    def tier(w: Long, conv: Int, non: Int) =
+      (1 to conv).map(_ => (w, 1L)) ++ (1 to non).map(_ => (w, 0L))
+    // (n,a) per tier 0/1/2 = (10,1),(10,5),(10,9):
+    // TN = 30*23 - 15*30 = 240, M = 30*50 - 900 = 600
+    // z = 240 / sqrt(15*15*600/30) = 240/sqrt(4500)
+    val rising = (tier(0L, 1, 9) ++ tier(1L, 5, 5) ++ tier(2L, 9, 1))
+      .toDF("tier", "conv")
+    val r = graft.operators.Experiment.cochranArmitage(rising, "tier", "conv")
+      .collect().head
+    assert(r.getAs[Long]("k_tiers") == 3 && r.getAs[Long]("n") == 30)
+    assert(r.getAs[Long]("trend_num") == 240L)
+    val z = 240.0 / math.sqrt(15.0 * 15 * 600 / 30)
+    assert(r.getAs[Double]("z_r4") ==
+      BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // identical rates per tier: zero trend
+    val flat = (tier(0L, 2, 8) ++ tier(1L, 2, 8) ++ tier(2L, 2, 8))
+      .toDF("tier", "conv")
+    assert(graft.operators.Experiment.cochranArmitage(flat, "tier", "conv")
+      .collect().head.getAs[Double]("z_r4") == 0.0)
+    // everyone converts: p(1-p) collapses -> NULL
+    val all1 = (tier(0L, 5, 0) ++ tier(1L, 5, 0)).toDF("tier", "conv")
+    val d = graft.operators.Experiment.cochranArmitage(all1, "tier", "conv")
+      .collect().head
+    assert(d.isNullAt(d.fieldIndex("z_r4")))
+    // single tier: M = 0 -> NULL
+    val one = tier(2L, 3, 3).toDF("tier", "conv")
+    val o = graft.operators.Experiment.cochranArmitage(one, "tier", "conv")
+      .collect().head
+    assert(o.isNullAt(o.fieldIndex("z_r4")))
+  }
+
   test("permutationTest: zero-effect p=1, strong effect replayed via md5") {
     // identical constant metric: observed diff 0, every re-draw ties
     // it -> all 40 extreme -> p_bp = 41*1e4 DIV 41 = 10000
