@@ -625,4 +625,80 @@ object Experiment {
               col("__seb") * col("__seb") / (col("__nb") - 1))), 2)
           .as("df_r2"))
   }
+
+  /** The four SPRT constants as e6-scaled integer literals, computed
+    * ONCE at plan-build time on the JVM and interpolated into BOTH
+    * engines' plans — the log-likelihood increments and Wald bounds
+    * never cross an engine boundary as floats (the [[PoissonThresholds]]
+    * discipline). Returns (l0_e6, l1_e6, lower_e6, upper_e6):
+    * l1 = ln(p1/p0) per conversion, l0 = ln((1−p1)/(1−p0)) per
+    * non-conversion, bounds ln(β/(1−α)) / ln((1−β)/α). */
+  def sprtConstants(p0Bp: Long, p1Bp: Long, alphaBp: Long,
+                    betaBp: Long): (Long, Long, Long, Long) = {
+    require(p0Bp > 0 && p1Bp < 10000 && p0Bp < p1Bp,
+      s"sprt: need 0 < p0 < p1 < 10000 bp, got p0=$p0Bp p1=$p1Bp")
+    require(alphaBp > 0 && alphaBp < 5000 && betaBp > 0 && betaBp < 5000,
+      s"sprt: need alpha, beta in (0, 5000) bp, got alpha=$alphaBp beta=$betaBp")
+    val (p0, p1) = (p0Bp / 10000.0, p1Bp / 10000.0)
+    val (a, b) = (alphaBp / 10000.0, betaBp / 10000.0)
+    (math.round(1e6 * math.log((1 - p1) / (1 - p0))),
+      math.round(1e6 * math.log(p1 / p0)),
+      math.round(1e6 * math.log(b / (1 - a))),
+      math.round(1e6 * math.log((1 - b) / a)))
+  }
+
+  /** WALD SPRT (Wald 1945) sequential conversion monitor: the
+    * PEEKING-SAFE readout — every fixed-horizon stat on the board
+    * ([[Sessionize.abTest]], [[welchT]], [[bootstrapDiff]]) is invalid
+    * if you look daily and stop on the first significant day; the SPRT
+    * is the test DESIGNED to be read after every arrival, with
+    * error rates α/β guaranteed by construction. Monitors each arm's
+    * cumulative conversion against H0: p = p0 vs H1: p = p1
+    * (0 < p0 < p1): LLR_t = a_t·l1 + (n_t − a_t)·l0 with the e6
+    * integer increments of [[sprtConstants]], decision at the FIRST
+    * day the walk exits [lower, upper] — 'h1' (rate is p1-like),
+    * 'h0' (p0-like), else 'continue'. Crossings are latched: the
+    * decision is the first exit even if the walk re-enters later
+    * (sequential semantics — you stopped).
+    *
+    * Everything is exact int64 (LLR ~ n·10⁶·|ln ratio| — safe to
+    * n ≈ 10¹⁰ units at typical increments; document p0→p1 spans that
+    * push |l| toward 10⁷ lower that to 10⁹). Plan: ONE (arm, day)
+    * map-side-combined rollup, a cumulative window per arm (partitions
+    * bounded by CALENDAR length, not unit volume), one arm-grain fold.
+    * `dayCol` a date, `convCol` integral 0/1 at unit grain. */
+  def sprtMonitor(units: DataFrame, armCol: String, dayCol: String,
+                  convCol: String, p0Bp: Long, p1Bp: Long,
+                  alphaBp: Long = 500, betaBp: Long = 500): DataFrame = {
+    requireIntegral(units, convCol, "sprtMonitor")
+    val (l0, l1, lower, upper) = sprtConstants(p0Bp, p1Bp, alphaBp, betaBp)
+    val w = Window.partitionBy("__arm").orderBy("__day")
+    val daily = units
+      .filter(col(armCol).isNotNull && col(dayCol).isNotNull && col(convCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"), col(dayCol).as("__day"),
+        when(col(convCol) =!= 0, 1L).otherwise(0L).as("__c"))
+      .groupBy("__arm", "__day")
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__a"))
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__ca", sum(col("__a")).over(w))
+      .withColumn("__llr",
+        col("__ca") * l1 + (col("__cn") - col("__ca")) * l0)
+      .withColumn("__dir",
+        when(col("__llr") >= upper, 1L)
+          .when(col("__llr") <= lower, -1L).otherwise(0L))
+    daily.groupBy(col("__arm").as("arm"))
+      .agg(
+        count(lit(1)).cast(LongType).as("days_observed"),
+        max(col("__cn")).cast(LongType).as("n"),
+        max(col("__ca")).cast(LongType).as("conversions"),
+        max(struct(col("__day"), col("__llr"))).getField("__llr")
+          .cast(LongType).as("llr_final_e6"),
+        min(when(col("__dir") =!= 0, col("__day"))).as("cross_day"),
+        min(when(col("__dir") =!= 0, struct(col("__day"), col("__dir"))))
+          .getField("__dir").as("__cdir"))
+      .withColumn("decision",
+        when(col("__cdir") === 1L, "h1")
+          .when(col("__cdir") === -1L, "h0").otherwise(lit("continue")))
+      .drop("__cdir")
+  }
 }

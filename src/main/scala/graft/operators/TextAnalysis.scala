@@ -880,6 +880,45 @@ object TextAnalysis {
       .withColumn("hapax_share_bp", expr("hapax * 10000 DIV types").cast("long"))
   }
 
+  /** UNSEEN-VOCABULARY estimate: Chao1 species richness (Chao 1984)
+    * + Good–Turing coverage (Good 1953) from the frequency-of-
+    * frequencies spectrum — "how much vocabulary does this corpus
+    * slice NOT contain", the question behind "will more data help"
+    * that [[vocabStats]]'s observed TTR/hapax can't answer and
+    * [[vocabularyGrowth]] only answers empirically at observed sizes.
+    * Chao1 extrapolates total richness from singletons/doubletons:
+    * V̂ = V + F₁(F₁−1)/(2(F₂+1)) (the bias-corrected form — defined
+    * even at F₂ = 0); Good–Turing says the probability the NEXT token
+    * is an unseen type is F₁/N. Both land as exact integer folds
+    * (floor DIV — the estimate's ±1 quantization is far below its
+    * sampling error; F₁ < 3·10⁹ for the int64 F₁² bound).
+    *
+    * Token grain shared verbatim with [[vocabStats]] (space split).
+    * Plan: one explode + ONE (word) rollup + a 1-row spectrum fold —
+    * posting-list-linear, the mergeable-spectrum shape (per-shard
+    * (word, count) rollups combine before the fold). */
+  def speciesRichness(df: DataFrame, textCol: String): DataFrame = {
+    df.filter(col(textCol).isNotNull)
+      .select(explode(TextFns.words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .agg(
+        coalesce(sum(col("__c")), lit(0L)).as("tokens"),
+        count(lit(1)).as("types"),
+        coalesce(sum(when(col("__c") === 1, 1L).otherwise(0L)), lit(0L)).as("f1"),
+        coalesce(sum(when(col("__c") === 2, 1L).otherwise(0L)), lit(0L)).as("f2"))
+      .select(
+        col("tokens").cast("long").as("tokens"),
+        col("types").cast("long").as("types"),
+        col("f1").cast("long").as("f1"),
+        col("f2").cast("long").as("f2"),
+        (col("types") + expr("f1 * (f1 - 1) DIV (2 * (f2 + 1))"))
+          .cast("long").as("chao1_est"),
+        when(col("tokens") > 0, expr("f1 * 10000 DIV tokens"))
+          .cast("long").as("unseen_mass_bp"),
+        when(col("tokens") > 0, lit(10000L) - expr("f1 * 10000 DIV tokens"))
+          .cast("long").as("coverage_bp"))
+  }
+
   /** Flesch reading-ease per document + per-group rollup, with the
     * classic vowel-run syllable heuristic (runs of [aeiouy] per word,
     * min 1): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/

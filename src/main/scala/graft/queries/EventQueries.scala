@@ -1167,6 +1167,58 @@ object EventQueries {
       FROM x"""))
 
 
+  // 263. Wald SPRT sequential conversion monitor: the peeking-safe
+  // daily readout — two hypothesis configs over the same ~40%
+  // user-day purchase stream, one crossing into h1 (truth above the
+  // band), one into h0 (truth at the null); exact e6-integer LLR walk,
+  // literals computed once on the JVM and interpolated into BOTH
+  // engines.
+  val qAbSprt = QueryDef("q_ab_sprt",
+    (s, dir) => {
+      val ud = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("seg", lit("all"))
+      def run(p0: Long, p1: Long, tag: String) =
+        graft.operators.Experiment.sprtMonitor(ud, "seg", "day", "conv", p0, p1)
+          .withColumn("monitor", lit(tag))
+      run(3000, 4000, "up_3000_4000")
+        .unionByName(run(4000, 5000, "null_4000_5000"))
+        .orderBy("monitor")
+    },
+    Some {
+      def one(p0: Long, p1: Long, tag: String): String = {
+        val (l0, l1, lo, up) =
+          graft.operators.Experiment.sprtConstants(p0, p1, 500, 500)
+        s"""SELECT 'all' AS arm, CAST(count(*) AS BIGINT) AS days_observed,
+             CAST(max(cn) AS BIGINT) AS n, CAST(max(ca) AS BIGINT) AS conversions,
+             CAST(arg_max(ca * $l1 + (cn - ca) * $l0, day) AS BIGINT) AS llr_final_e6,
+             min(CASE WHEN ca * $l1 + (cn - ca) * $l0 >= $up
+                        OR ca * $l1 + (cn - ca) * $l0 <= $lo THEN day END) AS cross_day,
+             coalesce(arg_min(CASE WHEN ca * $l1 + (cn - ca) * $l0 >= $up THEN 'h1'
+                                   WHEN ca * $l1 + (cn - ca) * $l0 <= $lo THEN 'h0' END, day)
+                      FILTER (WHERE ca * $l1 + (cn - ca) * $l0 >= $up
+                                 OR ca * $l1 + (cn - ca) * $l0 <= $lo),
+                      'continue') AS decision,
+             '$tag' AS monitor
+           FROM c"""
+      }
+      s"""
+      WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  GROUP BY 1, 2),
+      d AS (SELECT day, count(*) AS n, sum(conv) AS a FROM ud GROUP BY 1),
+      c AS (SELECT day, sum(n) OVER (ORDER BY day) AS cn,
+                   sum(a) OVER (ORDER BY day) AS ca FROM d)
+      ${one(3000, 4000, "up_3000_4000")}
+      UNION ALL
+      ${one(4000, 5000, "null_4000_5000")}
+      ORDER BY monitor"""
+    })
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -1200,5 +1252,6 @@ object EventQueries {
     qAbWilcoxon,
     qAbPermutation,
     qTrendTest,
+    qAbSprt,
   )
 }

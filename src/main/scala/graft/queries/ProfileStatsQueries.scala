@@ -1288,6 +1288,51 @@ object ProfileStatsQueries {
       FROM est ORDER BY 1"""))
 
 
+  // 264. empirical-Bayes shrinkage of per-source English share: the
+  // small-segment datasheet fix — beta-binomial prior fit by moments
+  // with e6-integer rates and EXACT-INTEGER regime decisions (no float
+  // ever picks the pooling/shrink/raw branch), posterior means pull
+  // thin sources toward the corpus prior.
+  val qEbShrinkage = QueryDef("q_eb_shrinkage",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("source"), (col("lang") === "en").cast(LongType).as("is_en"))
+      graft.operators.Profile.ebShrinkage(d, "source", "is_en")
+        .orderBy("group")
+    },
+    Some("""
+      WITH b AS (SELECT source AS g, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                 FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+      gr AS (SELECT g, count(*) AS n, sum(y) AS a FROM b GROUP BY 1),
+      r AS (SELECT g, n, a, a * 1000000 // n AS r FROM gr),
+      f AS (SELECT count(*) AS k, sum(r) AS sr, sum(r * r) AS sr2,
+                   sum(r * (1000000 - r) // n) AS v FROM r),
+      x AS (SELECT k, v, sr // k AS rb,
+                   sr2 - 2 * (sr // k) * sr + k * (sr // k) * (sr // k) AS s
+            FROM f),
+      y AS (SELECT k, rb, v, rb * (1000000 - rb) AS m,
+                   s * k - v * (k - 1) AS d FROM x),
+      z AS (SELECT *, CASE WHEN k >= 2 AND d > 0 AND d < m * k * (k - 1)
+                           THEN CAST(m AS DOUBLE) * k * (k - 1) / d - 1.0 END AS kk
+            FROM y)
+      SELECT r.g AS "group", CAST(n AS BIGINT) AS n,
+             CAST(a AS BIGINT) AS positives,
+             CAST(a * 10000 // n AS BIGINT) AS raw_bp,
+             round(CASE WHEN k < 2 THEN NULL
+                        WHEN d <= 0 THEN CAST(rb AS DOUBLE) / 1e6
+                        WHEN d >= m * k * (k - 1) THEN CAST(a AS DOUBLE) / n
+                        ELSE (a + CAST(rb AS DOUBLE) / 1e6 * kk) / (n + kk)
+                   END, 4) AS shrunk_r4,
+             CAST(k AS BIGINT) AS k_groups,
+             CAST(CASE WHEN k >= 2 THEN rb // 100 END AS BIGINT) AS prior_mean_bp,
+             round(CASE WHEN k < 2 THEN NULL
+                        WHEN d <= 0 THEN NULL
+                        WHEN d >= m * k * (k - 1) THEN 0.0
+                        ELSE kk END, 2) AS prior_strength_r2
+      FROM r, z ORDER BY 1"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qProfileNumeric,
     qProfileStrings,
@@ -1330,5 +1375,6 @@ object ProfileStatsQueries {
     qConformal,
     qEqualizedOdds,
     qHllProfile,
+    qEbShrinkage,
   )
 }

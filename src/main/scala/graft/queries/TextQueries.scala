@@ -689,6 +689,31 @@ object TextQueries {
       FROM a ORDER BY key"""))
 
 
+  // 265. unseen-vocabulary estimate: Chao1 richness + Good-Turing
+  // coverage from the corpus frequency spectrum — "how much vocabulary
+  // is this slice missing", exact integer folds over the shared
+  // space-split token grain.
+  val qVocabRichness = QueryDef("q_vocab_richness",
+    (s, dir) => {
+      graft.operators.TextAnalysis.speciesRichness(
+        table(s, dir, "documents"), "text")
+    },
+    Some("""
+      WITH wc AS (SELECT w, count(*) AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+      sp AS (SELECT sum(c) AS tokens, count(*) AS types,
+                    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+                    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+             FROM wc)
+      SELECT CAST(tokens AS BIGINT) AS tokens, CAST(types AS BIGINT) AS types,
+             CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             CAST(types + f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT) AS chao1_est,
+             CAST(f1 * 10000 // tokens AS BIGINT) AS unseen_mass_bp,
+             CAST(10000 - f1 * 10000 // tokens AS BIGINT) AS coverage_bp
+      FROM sp"""))
+
+
   // 130. declared-vs-detected language consistency per source — the
   // metadata-trust audit over the langid kernel.
   val qLangConsistency = QueryDef("q_lang_consistency",
@@ -1114,6 +1139,7 @@ object TextQueries {
     qJsDiv,
     qReadability,
     qVocabStats,
+    qVocabRichness,
     qLangConsistency,
     qTextBpe,
     qBpeOov,

@@ -293,4 +293,46 @@ class ExperimentSpec extends SparkSpec {
       graft.operators.Experiment.bootstrapDiff(
         Seq((1L, "a", 1.5)).toDF("id", "arm", "y"), "id", "arm", "y"))
   }
+
+  test("sprtMonitor: hand LLR walk, first-exit latching, continue path") {
+    import java.sql.Date
+    // p0=0.2 vs p1=0.6, alpha=beta=0.05: l1=ln(3)e6, l0=ln(0.5)e6,
+    // bounds ±ln(19)e6 = ±2944439
+    val (l0, l1, lo, up) =
+      graft.operators.Experiment.sprtConstants(2000, 6000, 500, 500)
+    assert(l1 == math.round(1e6 * math.log(3.0)) && l1 > 0)
+    assert(l0 == math.round(1e6 * math.log(0.5)) && l0 < 0)
+    assert(lo == -up && up == math.round(1e6 * math.log(19.0)))
+    def day(d: Int) = Date.valueOf(f"2024-01-$d%02d")
+    def units(spec: (Int, Int, Int)*): Seq[(String, Date, Long)] =
+      spec.flatMap { case (d, conv, non) =>
+        (1 to conv).map(_ => ("m", day(d), 1L)) ++
+          (1 to non).map(_ => ("m", day(d), 0L)) }
+    // day1: 3 conv -> 3*l1 = 3295837 >= up: h1 on day 1, latched even
+    // though day2's 12 straight misses would drag the walk below lower
+    val latch = units((1, 3, 0), (2, 0, 12)).toDF("arm", "day", "conv")
+    val r = graft.operators.Experiment.sprtMonitor(
+      latch, "arm", "day", "conv", 2000, 6000).collect().head
+    assert(r.getAs[String]("decision") == "h1")
+    assert(r.getAs[Date]("cross_day") == day(1))
+    assert(r.getAs[Long]("llr_final_e6") == 3 * l1 + 12 * l0)
+    assert(r.getAs[Long]("n") == 15 && r.getAs[Long]("conversions") == 3)
+    // 1 conv + 2 misses: llr = l1 - 2*ln2*e6 = -287682: inside band
+    val cont = units((1, 1, 2)).toDF("arm", "day", "conv")
+    val c = graft.operators.Experiment.sprtMonitor(
+      cont, "arm", "day", "conv", 2000, 6000).collect().head
+    assert(c.getAs[String]("decision") == "continue")
+    assert(c.isNullAt(c.fieldIndex("cross_day")))
+    assert(c.getAs[Long]("llr_final_e6") == l1 + 2 * l0)
+    // all-miss stream walks down to h0
+    val down = units((1, 0, 3), (2, 0, 3)).toDF("arm", "day", "conv")
+    val d = graft.operators.Experiment.sprtMonitor(
+      down, "arm", "day", "conv", 2000, 6000).collect().head
+    assert(d.getAs[String]("decision") == "h0")
+    assert(d.getAs[Date]("cross_day") == day(2))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.sprtConstants(4000, 3000, 500, 500))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.sprtConstants(2000, 6000, 5000, 500))
+  }
 }

@@ -2377,6 +2377,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got("s2") == ((2L, 1L, 0L, 5000L, 0L)))
   }
 
+  test("speciesRichness: hand spectrum, f2=0 form, saturated corpus") {
+    def run(texts: String*) = {
+      val r = TextAnalysis.speciesRichness(texts.toDF("text"), "text")
+        .collect().head
+      (r.getAs[Long]("tokens"), r.getAs[Long]("types"), r.getAs[Long]("f1"),
+        r.getAs[Long]("f2"), r.getAs[Long]("chao1_est"),
+        r.getAs[Long]("unseen_mass_bp"), r.getAs[Long]("coverage_bp"))
+    }
+    // counts a2 b1 c1 d2 e1: V=5, F1=3, F2=2 ->
+    // chao1 = 5 + 3*2 DIV (2*3) = 6, unseen = 3e4 DIV 7 = 4285
+    assert(run("a b a c", "d d e") == ((7L, 5L, 3L, 2L, 6L, 4285L, 5715L)))
+    // all singletons (F2=0, bias-corrected form stays finite):
+    // chao1 = 3 + 3*2 DIV 2 = 6, unseen mass = 10000
+    assert(run("a b c") == ((3L, 3L, 3L, 0L, 6L, 10000L, 0L)))
+    // saturated corpus: no singletons -> chao1 = observed, coverage 1
+    assert(run("a a a") == ((3L, 1L, 0L, 0L, 1L, 0L, 10000L)))
+  }
+
   test("splitLeakage reports per-split containment; a verbatim dup leaks") {
     import graft.operators.Contamination
     // ids chosen so the portable split puts 1,2 in train and 3 in val

@@ -503,4 +503,63 @@ class ProfileSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Profile.calibrationReport(Seq((0.5, 1L)).toDF("p", "y"), "p", "y"))
   }
+
+  test("ebShrinkage: all four prior-fit regimes, formula replay") {
+    def mk(spec: (String, Int, Int)*) =
+      spec.flatMap { case (g, pos, neg) =>
+        (1 to pos).map(_ => (g, 1L)) ++ (1 to neg).map(_ => (g, 0L)) }
+        .toDF("g", "y")
+    // spread within the Beta envelope -> genuine shrinkage; replay the
+    // exact integer fit in plain Scala
+    val groups = Seq(("a", 2, 8), ("b", 5, 5), ("c", 8, 2))
+    val rows = Profile.ebShrinkage(mk(groups: _*), "g", "y").collect()
+      .map(r => r.getAs[String]("group") -> r).toMap
+    val rs = groups.map { case (_, a, b) => a.toLong * 1000000L / (a + b) }
+    val k = rs.size.toLong
+    val rb = rs.sum / k
+    val s = rs.map(r => (r - rb) * (r - rb)).sum
+    val v = groups.zip(rs).map { case ((_, a, b), r) =>
+      r * (1000000L - r) / (a + b) }.sum
+    val m = rb * (1000000L - rb)
+    val d = s * k - v * (k - 1)
+    assert(d > 0 && d < m * k * (k - 1), "fixture must land in the shrink regime")
+    val kk = m.toDouble * k * (k - 1) / d - 1.0
+    groups.foreach { case (g, a, b) =>
+      val want = (a + rb.toDouble / 1e6 * kk) / (a + b + kk)
+      val row = rows(g)
+      assert(row.getAs[Double]("shrunk_r4") ==
+        BigDecimal(want).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(row.getAs[Double]("prior_strength_r2") ==
+        BigDecimal(kk).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(row.getAs[Long]("prior_mean_bp") == rb / 100)
+    }
+    // shrinkage orders correctly: below-prior group pulled UP,
+    // above-prior pulled DOWN, never past the prior
+    assert(rows("a").getAs[Double]("shrunk_r4") > 0.2 &&
+      rows("a").getAs[Double]("shrunk_r4") < rb / 1e6)
+    assert(rows("c").getAs[Double]("shrunk_r4") < 0.8 &&
+      rows("c").getAs[Double]("shrunk_r4") > rb / 1e6)
+    // identical rates: sampling noise explains all spread -> complete
+    // pooling, infinite prior strength reported NULL
+    val pooled = Profile.ebShrinkage(
+      mk(("a", 5, 5), ("b", 5, 5)), "g", "y").collect()
+    pooled.foreach { r =>
+      assert(r.getAs[Double]("shrunk_r4") == 0.5)
+      assert(r.isNullAt(r.fieldIndex("prior_strength_r2")))
+    }
+    // n=1 groups at the extremes: between-variance exceeds the Beta
+    // envelope -> prior uninformative, raw rates kept, strength 0
+    val raw = Profile.ebShrinkage(
+      mk(("a", 0, 1), ("b", 1, 0)), "g", "y").collect()
+      .map(r => r.getAs[String]("group") -> r).toMap
+    assert(raw("a").getAs[Double]("shrunk_r4") == 0.0)
+    assert(raw("b").getAs[Double]("shrunk_r4") == 1.0)
+    assert(raw("a").getAs[Double]("prior_strength_r2") == 0.0)
+    // single group: no between-group evidence -> NULL fit
+    val one = Profile.ebShrinkage(mk(("a", 3, 7)), "g", "y").collect().head
+    assert(one.isNullAt(one.fieldIndex("shrunk_r4")))
+    assert(one.getAs[Long]("raw_bp") == 3000L)
+    assertThrows[IllegalArgumentException](
+      Profile.ebShrinkage(Seq(("a", 0.5)).toDF("g", "y"), "g", "y"))
+  }
 }
