@@ -701,4 +701,162 @@ object Experiment {
           .when(col("__cdir") === -1L, "h0").otherwise(lit("continue")))
       .drop("__cdir")
   }
+
+  /** QUANTILE treatment effects (Doksum 1974; the Lehmann QTE): per-
+    * quantile arm differences — "the median user moved +0, the p90
+    * user moved +4" — the DISTRIBUTIONAL readout means-based tests
+    * ([[welchT]], [[Sessionize.abTest]]) flatten away, and the honest
+    * one when a treatment helps the tail but not the middle (latency,
+    * revenue, token counts). Per-arm EXACT disc quantiles via
+    * [[Profile.groupQuantiles]] (per-(arm, value) counts, cumulative
+    * window partitioned by arm — parallel in the arm key, never a
+    * global sort), pivoted to one row per requested quantile with
+    * qte = value_b − value_a. Disc picks are untouched input values,
+    * so the subtraction is exact in any engine; NULL when either arm
+    * is empty. `yCol` any orderable numeric. */
+  def quantileTreatmentEffects(users: DataFrame, armCol: String, yCol: String,
+                               qsBp: Seq[Int] = Seq(2500, 5000, 7500, 9000)): DataFrame = {
+    val base = users.filter(col(armCol).isNotNull && col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"), col(yCol).as("__y"))
+    val (aLbl, bLbl) = twoArms(base, "quantileTreatmentEffects")
+    Profile.groupQuantiles(base, "__arm", "__y", qsBp)
+      .groupBy(col("q_bp"))
+      .agg(min(when(col("group") === aLbl, col("value"))).as("value_a"),
+        min(when(col("group") === bLbl, col("value"))).as("value_b"))
+      .select(col("q_bp").cast(LongType).as("q_bp"), col("value_a"),
+        col("value_b"), (col("value_b") - col("value_a")).as("qte"))
+  }
+
+  /** [[permutationTest]] run per SEGMENT in one pass — the input to a
+    * multiple-testing gate ([[fdrReadout]]): testing "did the metric
+    * move" in every tier/country/device slice multiplies the false-
+    * positive budget by the slice count, and the per-slice p-values
+    * must exist before any correction can. Same machinery as the
+    * global test (md5 Bernoulli re-draws, add-one Phipson–Smyth
+    * p_bp = (1+ext)·10⁴ DIV (k+1), empty re-drawn arms count extreme),
+    * but all segments fold in ONE map-side-combined groupBy(segment)
+    * pass of 2k+4 conditional sums; the per-(segment, redraw) frame is
+    * segments·k rows, bounded by construction. A segment missing
+    * either REAL arm reports NULL diff/p (nothing to test — excluded
+    * from the correction's m by [[fdrReadout]]'s NULL filter). Note
+    * k's resolution bounds the smallest achievable p at 10⁴/(k+1):
+    * with a correction over m segments at level α you need
+    * k+1 ≥ m/α to be ABLE to reject at rank 1 — hence the k=99
+    * default (p_min = 100 bp). int64: per-segment Σ|y| < 9·10¹⁸. */
+  def permutationBySegment(users: DataFrame, segCol: String, idCol: String,
+                           armCol: String, yCol: String, k: Int = 99,
+                           seed: Int = 42): DataFrame = {
+    require(k >= 4, s"permutationBySegment: need k >= 4 re-draws, got $k")
+    requireIntegral(users, yCol, "permutationBySegment")
+    val base = users
+      .filter(col(segCol).isNotNull && col(idCol).isNotNull &&
+        col(armCol).isNotNull && col(yCol).isNotNull)
+      .select(col(segCol).cast("string").as("__seg"),
+        col(idCol).cast("string").as("__id"),
+        col(armCol).cast("string").as("__arm"), col(yCol).cast("long").as("__y"))
+    val (aLbl, bLbl) = twoArms(base, "permutationBySegment")
+    def relabelA(r: Int) =
+      pmod(conv(substring(md5(concat(col("__id"), lit(s":perm$r:$seed"))), 1, 8),
+        16, 10).cast(LongType), lit(10000L)) < 5000L
+    val labeled = base.select(
+      Seq(col("__seg"), col("__arm"), col("__y")) ++
+        (0 until k).map(r => relabelA(r).as(s"__a$r")): _*)
+    val aggs =
+      Seq(sum(when(col("__arm") === aLbl, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__arm") === aLbl, col("__y")).otherwise(0L)).as("__sya"),
+        sum(when(col("__arm") === bLbl, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__arm") === bLbl, col("__y")).otherwise(0L)).as("__syb")) ++
+      (0 until k).flatMap { r =>
+        Seq(sum(when(col(s"__a$r"), 1L).otherwise(0L)).as(s"__n$r"),
+          sum(when(col(s"__a$r"), col("__y")).otherwise(0L)).as(s"__s$r"))
+      }
+    val folded = labeled.groupBy("__seg").agg(aggs.head, aggs.tail: _*)
+      .withColumn("__nt", col("__na") + col("__nb"))
+      .withColumn("__syt", col("__sya") + col("__syb"))
+      .withColumn("__obs", when(col("__na") > 0 && col("__nb") > 0,
+        abs(col("__syb").cast("double") / col("__nb") -
+          col("__sya").cast("double") / col("__na"))))
+    val reps = folded.select(
+      col("__seg"), col("__na"), col("__nb"), col("__sya"), col("__syb"),
+      col("__obs"), col("__nt"), col("__syt"),
+      posexplode(array((0 until k).map(r => struct(
+        col(s"__n$r").as("na"), col(s"__s$r").as("sa"))): _*))
+        .as(Seq("__r", "__s")))
+      .withColumn("__pna", col("__s.na"))
+      .withColumn("__psa", col("__s.sa"))
+      .withColumn("__pnb", col("__nt") - col("__pna"))
+      .withColumn("__extreme",
+        when(col("__obs").isNull, lit(null).cast(LongType))
+          .when(col("__pna") === 0 || col("__pnb") === 0, 1L)
+          .otherwise(
+            when(abs((col("__syt") - col("__psa")).cast("double") / col("__pnb") -
+              col("__psa").cast("double") / col("__pna")) >= col("__obs"), 1L)
+              .otherwise(0L)))
+    reps.groupBy(col("__seg").as("segment"))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        max(col("__sya")).as("__sya"), max(col("__syb")).as("__syb"),
+        sum(col("__extreme")).as("__ext"))
+      .select(col("segment"),
+        col("__na").cast(LongType).as("users_a"),
+        col("__nb").cast(LongType).as("users_b"),
+        round(when(col("__na") > 0 && col("__nb") > 0,
+          col("__syb").cast("double") / col("__nb") -
+            col("__sya").cast("double") / col("__na")), 6).as("diff_r6"),
+        lit(k.toLong).as("redraws"),
+        col("__ext").cast(LongType).as("extreme_redraws"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          expr(s"(1 + __ext) * 10000 DIV ${k + 1}")).cast(LongType).as("p_bp"))
+  }
+
+  /** Multiple-testing gate over a (test, p_bp) frame: Benjamini–
+    * Hochberg FDR (1995) and Holm–Bonferroni FWER (1979) rejection
+    * sets in one readout — reading m per-segment p-values at α each
+    * inflates the family error to ~m·α, and THIS is the correction a
+    * metrics platform applies before flagging "tier 3 moved". Both
+    * procedures are EXACT INTEGER decisions over the already-integral
+    * p_bp: rank i by (p_bp, test) — the deterministic tiebreak both
+    * engines replay — then BH rejects ranks ≤ j* = max{j : p_j·m ≤
+    * j·α_bp} and Holm rejects the prefix while p_j·(m−j+1) ≤ α_bp.
+    * NULL p-values (untestable segments) are dropped BEFORE m is
+    * counted — they spend no error budget.
+    *
+    * Plan: the frame is TEST-grain (one row per hypothesis — segments,
+    * metrics; bounded by design, never unit-grain), so the global
+    * rank window and the broadcast 1-row m/j* folds are the right
+    * plan; don't feed this millions of rows. int64: p_bp·m < 9.2e18
+    * always (p ≤ 10⁴). */
+  def fdrReadout(tests: DataFrame, testCol: String, pBpCol: String,
+                 alphaBp: Long = 500, keepCols: Seq[String] = Nil): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000,
+      s"fdrReadout: alphaBp must be in (0, 10000), got $alphaBp")
+    requireIntegral(tests, pBpCol, "fdrReadout")
+    val base = tests.filter(col(pBpCol).isNotNull)
+      .select(col(testCol).cast("string").as("test") +:
+        col(pBpCol).cast("long").as("p_bp") +:
+        keepCols.map(col): _*)
+    // all window work shares ONE global sort of the test-grain frame:
+    // rank/m in the first stage, j*/holm-prefix in the second — the
+    // (possibly expensive) upstream `tests` plan is never re-executed
+    // for a side aggregate
+    val w = Window.orderBy(col("p_bp"), col("test"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = base
+      .withColumn("__rank", row_number().over(w).cast(LongType))
+      .withColumn("__m", count(lit(1)).over(whole))
+      .withColumn("__bh_ok", col("p_bp") * col("__m") <= col("__rank") * alphaBp)
+      .withColumn("__holm_ok",
+        col("p_bp") * (col("__m") - col("__rank") + 1L) <= alphaBp)
+    ranked
+      .withColumn("__jstar",
+        coalesce(max(when(col("__bh_ok"), col("__rank"))).over(whole), lit(0L)))
+      .withColumn("__holm_all",
+        min(when(col("__holm_ok"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("test") +: col("p_bp") +:
+        col("__rank").as("p_rank") +:
+        col("__m").cast(LongType).as("m_tests") +:
+        (col("__rank") <= col("__jstar")).as("bh_reject") +:
+        (col("__holm_all") === 1L).as("holm_reject") +:
+        keepCols.map(col): _*)
+  }
 }

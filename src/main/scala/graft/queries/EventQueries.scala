@@ -1219,6 +1219,115 @@ object EventQueries {
     })
 
 
+  // 266. quantile treatment effects on events-per-user: per-arm exact
+  // disc quantiles over the shared armed-users frame, pivoted to one
+  // row per quantile with the B-A difference — the distributional
+  // readout the mean-based tests flatten away.
+  val qAbQte = QueryDef("q_ab_qte",
+    (s, dir) => {
+      graft.operators.Experiment.quantileTreatmentEffects(
+        armedUsers(s, dir), "split", "y").orderBy("q_bp")
+    },
+    Some(s"""
+      WITH $armedUsersSql,
+      c AS (SELECT arm, y, count(*) AS cnt FROM u GROUP BY 1, 2),
+      w AS (SELECT arm, y,
+              sum(cnt) OVER (PARTITION BY arm ORDER BY y) AS cum,
+              sum(cnt) OVER (PARTITION BY arm) AS n
+            FROM c),
+      q AS (SELECT q_bp FROM (VALUES (2500), (5000), (7500), (9000)) v(q_bp)),
+      pick AS (SELECT q.q_bp, w.arm,
+                 min(CASE WHEN cum >= greatest(1, (q.q_bp * n + 9999) // 10000)
+                          THEN y END) AS val
+               FROM w, q GROUP BY 1, 2)
+      SELECT CAST(q_bp AS BIGINT) AS q_bp,
+             CAST(min(CASE WHEN arm = 'a' THEN val END) AS DOUBLE) AS value_a,
+             CAST(min(CASE WHEN arm = 'b' THEN val END) AS DOUBLE) AS value_b,
+             CAST(min(CASE WHEN arm = 'b' THEN val END)
+                - min(CASE WHEN arm = 'a' THEN val END) AS DOUBLE) AS qte
+      FROM pick GROUP BY 1 ORDER BY 1"""))
+
+
+  // 267/268. per-tier permutation p-values + BH/Holm multiple-testing
+  // gate: per-user purchase count tested in every engagement tier (md5
+  // null-true arms, k=99 re-draws -> p resolution 100 bp), then the
+  // FDR/FWER rejection sets as exact integer decisions over the
+  // 4-row test frame.
+  val qAbFdr = QueryDef("q_ab_fdr",
+    (s, dir) => {
+      val users = table(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("__ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("tier",
+          when(col("__ev") < 60, "t0").when(col("__ev") < 67, "t1")
+            .when(col("__ev") < 74, "t2").otherwise("t3"))
+      val armed = graft.operators.Sampling.portableSplit(
+        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      val per = graft.operators.Experiment.permutationBySegment(
+        armed, "tier", "user_id", "split", "conv", k = 99)
+      graft.operators.Experiment.fdrReadout(per, "segment", "p_bp",
+          alphaBp = 500,
+          keepCols = Seq("users_a", "users_b", "diff_r6", "extreme_redraws"))
+        .orderBy("p_rank")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, count(*) AS ev,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      t AS (SELECT user_id, conv,
+              CASE WHEN ev < 60 THEN 't0' WHEN ev < 67 THEN 't1'
+                   WHEN ev < 74 THEN 't2' ELSE 't3' END AS seg,
+              CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                   THEN 'a' ELSE 'b' END AS arm
+            FROM u),
+      rep AS (SELECT CAST(r.range AS BIGINT) AS r FROM range(0, 99) r),
+      l AS (SELECT t.seg, t.conv, rep.r,
+              (('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || ':perm' || CAST(rep.r AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000) < 5000 AS isa
+            FROM t, rep),
+      tot AS (SELECT seg, sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+                     sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+                     sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS sya,
+                     sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS syb
+              FROM t GROUP BY 1),
+      o AS (SELECT seg, na, nb, sya, syb, na + nb AS nt, sya + syb AS syt,
+              CASE WHEN na > 0 AND nb > 0
+                   THEN abs(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na) END AS obs
+            FROM tot),
+      rs AS (SELECT seg, r, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS pna,
+                    sum(CASE WHEN isa THEN conv ELSE 0 END) AS psa
+             FROM l GROUP BY 1, 2),
+      x AS (SELECT rs.seg,
+              CASE WHEN o.obs IS NULL THEN NULL
+                   WHEN pna = 0 OR (o.nt - pna) = 0 THEN 1
+                   WHEN abs(CAST(o.syt - psa AS DOUBLE) / (o.nt - pna) -
+                            CAST(psa AS DOUBLE) / pna) >= o.obs THEN 1
+                   ELSE 0 END AS ex
+            FROM rs JOIN o USING (seg)),
+      cc AS (SELECT seg, sum(ex) AS ext FROM x GROUP BY 1),
+      p AS (SELECT o.seg, o.na, o.nb,
+              CASE WHEN o.na > 0 AND o.nb > 0
+                   THEN round(CAST(o.syb AS DOUBLE) / o.nb - CAST(o.sya AS DOUBLE) / o.na, 6) END AS diff_r6,
+              cc.ext,
+              CASE WHEN o.na > 0 AND o.nb > 0 THEN (1 + cc.ext) * 10000 // 100 END AS p_bp
+            FROM o JOIN cc USING (seg)),
+      f AS (SELECT seg, p_bp, row_number() OVER (ORDER BY p_bp, seg) AS rk,
+                   count(*) OVER () AS m
+            FROM p WHERE p_bp IS NOT NULL),
+      j AS (SELECT coalesce(max(CASE WHEN p_bp * m <= rk * 500 THEN rk END), 0) AS jstar FROM f),
+      h AS (SELECT seg, p_bp, rk, m,
+                   min(CASE WHEN p_bp * (m - rk + 1) <= 500 THEN 1 ELSE 0 END)
+                     OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hall
+            FROM f)
+      SELECT h.seg AS test, CAST(h.p_bp AS BIGINT) AS p_bp,
+             CAST(h.rk AS BIGINT) AS p_rank, CAST(h.m AS BIGINT) AS m_tests,
+             h.rk <= j.jstar AS bh_reject, h.hall = 1 AS holm_reject,
+             CAST(p.na AS BIGINT) AS users_a, CAST(p.nb AS BIGINT) AS users_b,
+             p.diff_r6, CAST(p.ext AS BIGINT) AS extreme_redraws
+      FROM h, j, p WHERE p.seg = h.seg ORDER BY p_rank"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -1253,5 +1362,7 @@ object EventQueries {
     qAbPermutation,
     qTrendTest,
     qAbSprt,
+    qAbQte,
+    qAbFdr,
   )
 }

@@ -335,4 +335,94 @@ class ExperimentSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       graft.operators.Experiment.sprtConstants(2000, 6000, 5000, 500))
   }
+
+  test("quantileTreatmentEffects: hand disc picks, shifted-arm QTE") {
+    // a: 1..4, b: 3..6 (a + 2): every disc quantile shifts by exactly 2
+    val df = ((1 to 4).map(v => ("a", v.toLong)) ++
+      (3 to 6).map(v => ("b", v.toLong))).toDF("arm", "y")
+    val rows = graft.operators.Experiment
+      .quantileTreatmentEffects(df, "arm", "y")
+      .collect().map(r => r.getAs[Long]("q_bp") ->
+        ((r.getAs[Double]("value_a"), r.getAs[Double]("value_b"),
+          r.getAs[Double]("qte")))).toMap
+    // rank = max(1, ceil(q*n/1e4)): n=4 -> q2500->1, q5000->2,
+    // q7500->3, q9000->4
+    assert(rows(2500L) == ((1.0, 3.0, 2.0)))
+    assert(rows(5000L) == ((2.0, 4.0, 2.0)))
+    assert(rows(7500L) == ((3.0, 5.0, 2.0)))
+    assert(rows(9000L) == ((4.0, 6.0, 2.0)))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.quantileTreatmentEffects(
+        df.filter(col("arm") === "a"), "arm", "y"))
+  }
+
+  test("permutationBySegment: per-segment md5 replay, missing-arm NULL") {
+    // segment s1: strong separation; s2: constant metric (p = 1);
+    // s3: only arm a present -> NULL diff/p
+    val units = (1 to 10).map(i => (s"u$i", "s1", "a", 0L)) ++
+      (11 to 20).map(i => (s"u$i", "s1", "b", 100L)) ++
+      (21 to 26).map(i => (s"u$i", "s2", if (i % 2 == 0) "a" else "b", 7L)) ++
+      (27 to 29).map(i => (s"u$i", "s3", "a", 1L))
+    val df = units.toDF("id", "seg", "arm", "y")
+    val k = 16
+    val got = graft.operators.Experiment
+      .permutationBySegment(df, "seg", "id", "arm", "y", k = k)
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    // independent JVM replay of every (segment, redraw) fold
+    def replay(seg: String): Long = {
+      val in = units.filter(_._2 == seg)
+      val (na, nb) = (in.count(_._3 == "a").toLong, in.count(_._3 == "b").toLong)
+      val sya = in.filter(_._3 == "a").map(_._4).sum
+      val syb = in.filter(_._3 == "b").map(_._4).sum
+      val (nt, syt) = (na + nb, sya + syb)
+      val obs = math.abs(syb.toDouble / nb - sya.toDouble / na)
+      (0 until k).count { r =>
+        val (pna, psa) = in.foldLeft((0L, 0L)) { case ((n, s), (id, _, _, y)) =>
+          if (md5u32(s"$id:perm$r:42") % 10000 < 5000) (n + 1, s + y) else (n, s)
+        }
+        pna == 0 || nt - pna == 0 ||
+          math.abs((syt - psa).toDouble / (nt - pna) - psa.toDouble / pna) >= obs
+      }.toLong
+    }
+    for (seg <- Seq("s1", "s2")) {
+      val ext = replay(seg)
+      assert(got(seg).getAs[Long]("extreme_redraws") == ext)
+      assert(got(seg).getAs[Long]("p_bp") == (1L + ext) * 10000L / (k + 1))
+    }
+    assert(got("s1").getAs[Double]("diff_r6") == 100.0)
+    // constant metric: every re-draw ties the zero observed diff
+    assert(got("s2").getAs[Long]("extreme_redraws") == k.toLong)
+    assert(got("s2").getAs[Long]("p_bp") == 10000L)
+    assert(got("s3").isNullAt(got("s3").fieldIndex("p_bp")))
+    assert(got("s3").isNullAt(got("s3").fieldIndex("diff_r6")))
+    assert(got("s3").getAs[Long]("users_a") == 3L)
+  }
+
+  test("fdrReadout: hand BH j*, Holm prefix stop, NULL exclusion") {
+    val tests = Seq(("t1", Some(50L)), ("t2", Some(150L)), ("t3", Some(300L)),
+      ("t4", Some(2000L)), ("t5", Some(9000L)), ("t6", None))
+      .toDF("test_name", "p")
+    val rows = graft.operators.Experiment
+      .fdrReadout(tests, "test_name", "p", alphaBp = 500)
+      .collect().map(r => r.getAs[String]("test") -> r).toMap
+    // t6's NULL p is dropped before m is counted
+    assert(rows.size == 5 && !rows.contains("t6"))
+    assert(rows.values.forall(_.getAs[Long]("m_tests") == 5L))
+    // BH at alpha=500bp, m=5: flags 250<=500 T, 750<=1000 T,
+    // 1500<=1500 T, 10000<=2000 F, 45000<=2500 F -> j*=3
+    assert(rows("t1").getAs[Boolean]("bh_reject"))
+    assert(rows("t2").getAs[Boolean]("bh_reject"))
+    assert(rows("t3").getAs[Boolean]("bh_reject"))
+    assert(!rows("t4").getAs[Boolean]("bh_reject"))
+    assert(!rows("t5").getAs[Boolean]("bh_reject"))
+    // Holm: 50*5=250<=500 T; 150*4=600>500 stops the prefix there
+    assert(rows("t1").getAs[Boolean]("holm_reject"))
+    assert(!rows("t2").getAs[Boolean]("holm_reject"))
+    assert(!rows("t3").getAs[Boolean]("holm_reject"))
+    // ranks are the deterministic (p, test) order
+    assert(rows("t1").getAs[Long]("p_rank") == 1L)
+    assert(rows("t5").getAs[Long]("p_rank") == 5L)
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.fdrReadout(tests, "test_name", "p", alphaBp = 0))
+  }
 }
