@@ -621,4 +621,60 @@ object Curation {
         sum("__tok").cast("long").as("n_tokens"))
       .select(col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens"))
   }
+  /** TOKEN-BUDGET data selection: keep the highest-quality documents
+    * until a token budget is exhausted — THE curation decision a
+    * training run actually makes ("we can afford 10B tokens; which
+    * 10B?"), turning the board's quality SIGNALS (score chains, TTR,
+    * LM scores) into a concrete kept/cut corpus. Greedy by score:
+    * docs ordered by (score desc, id asc — the deterministic
+    * tiebreak), kept while the INCLUSIVE running token sum stays
+    * within `budgetTokens` (the first doc that would overflow the
+    * budget is cut, as is everything below it; a doc alone larger
+    * than the budget is never kept).
+    *
+    * Plan: the global greedy order is the board's two-level
+    * range-partition cumsum ([[Profile.rangedRunningSumManaged]] on
+    * the (neg score, id) struct key) — range exchange + per-partition
+    * window + broadcast offsets, NEVER a single-task global window.
+    * Returns the per-doc decision frame (id, score, tokens,
+    * cum_tokens, kept) + the release handle for the persisted range
+    * exchange; roll up per source/lang downstream. Score and tokens
+    * must be integral (exact ordering and sums — the board-wide
+    * discipline); negative-token rows are rejected loudly. int64:
+    * Σtokens < 9.2e18. */
+  def tokenBudgetSelectManaged(docs: DataFrame, idCol: String,
+                               scoreCol: String, tokensCol: String,
+                               budgetTokens: Long,
+                               keepCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    for (c <- Seq(scoreCol, tokensCol)) {
+      val dt = docs.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(dt),
+        s"tokenBudgetSelect: $c must be an integral type, got $dt")
+    }
+    val base = docs
+      .filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+        col(tokensCol).isNotNull)
+      .select(col(idCol).as("id") +: col(scoreCol).cast("long").as("score") +:
+        col(tokensCol).cast("long").as("tokens") +: keepCols.map(col): _*)
+      .withColumn("__ord", struct((-col("score")).as("ns"),
+        col("id").cast("string").as("i")))
+    val (run, release) = Profile.rangedRunningSumManaged(base, "__ord", "tokens")
+    (run.select(col("id") +: col("score") +: col("tokens") +:
+      col("__rsum").cast("long").as("cum_tokens") +:
+      (col("__rsum") <= budgetTokens).as("kept") +: keepCols.map(col): _*),
+      release)
+  }
+
+  /** [[tokenBudgetSelectManaged]] without the handle — the persisted
+    * range exchange lives until session end (the [[Profile.percentileRank]]
+    * facade precedent). */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budgetTokens: Long,
+                        keepCols: Seq[String] = Nil): DataFrame =
+    tokenBudgetSelectManaged(docs, idCol, scoreCol, tokensCol, budgetTokens,
+      keepCols)._1
 }

@@ -776,7 +776,7 @@ object Profile {
     * and the per-partition offsets chain within each group — N
     * independent global cumsums in ONE exchange (the fused-RFM
     * shape). */
-  private def rangedRunningSumManaged(vals: DataFrame, orderCol: String,
+  private[operators] def rangedRunningSumManaged(vals: DataFrame, orderCol: String,
                                       measureCol: String,
                                       partCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
     val parts = math.max(vals.sparkSession.conf

@@ -715,4 +715,48 @@ object TimeSeries {
           col("__sae").cast("double") * col("__n1") /
             (col("__sae1").cast("double") * col("__ne"))), 4).as("mase_r4"))
   }
+  /** FANO-FACTOR (index of dispersion) per key over the DENSE daily
+    * count series: VMR = sample variance / mean of daily counts — the
+    * one-number "is this stream Poisson-like or bursty" answer. A
+    * memoryless arrival process has VMR = 1; VMR >> 1 is bursty
+    * (batch loads, bots, retry storms clump into few days), VMR << 1
+    * is suspiciously regular (a scheduler, a quota). Absent days
+    * count 0 ([[volumeTrend]]'s rationale — silence is data).
+    *
+    * Exact integer folds: n, S = Σc, Q = Σc²; VMR = (nQ − S²) /
+    * ((n−1)·S) one double division, and the overdispersion VERDICT is
+    * the exact integer cross-multiplication (nQ − S²)·10⁴ >
+    * maxVmrBp·(n−1)·S — no float decides it. NULL VMR when n < 2 or
+    * S = 0. int64: n·Q < 9.2e18 (at 10⁵ days this bounds daily counts
+    * to ~3·10⁶; rescale to hourly grain beyond). Plan: one map-side-
+    * combined (key, day) rollup, span-bounded dense explode, one
+    * aggregation per key. */
+  def dispersionIndex(events: DataFrame, keyCol: String, tsCol: String,
+                      maxVmrBp: Long = 30000): DataFrame = {
+    require(maxVmrBp > 0, s"maxVmrBp must be positive, got $maxVmrBp")
+    val counts = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        to_date(date_trunc("day", col(tsCol))).as("__d"))
+      .agg(count(lit(1)).cast(LongType).as("__c"))
+    val cal = counts.groupBy("key")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(col("key"), explode(expr(
+        "sequence(__lo, __hi, interval 1 day)")).as("__d"))
+    cal.join(counts, Seq("key", "__d"), "left")
+      .select(col("key"), coalesce(col("__c"), lit(0L)).as("y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("__n"), sum("y").as("__s"),
+        sum(col("y") * col("y")).as("__q"))
+      .withColumn("__vn", col("__n") * col("__q") - col("__s") * col("__s"))
+      .select(col("key"), col("__n").cast(LongType).as("days"),
+        col("__s").cast(LongType).as("total"),
+        round(col("__s").cast("double") / col("__n"), 4).as("mean_r4"),
+        round(when(col("__n") > 1 && col("__s") > 0,
+          col("__vn").cast("double") / ((col("__n") - 1) * col("__s"))), 4)
+          .as("vmr_r4"),
+        when(col("__n") > 1 && col("__s") > 0,
+          col("__vn") * 10000L > lit(maxVmrBp) * (col("__n") - 1) * col("__s"))
+          .as("overdispersed"))
+  }
 }

@@ -1328,6 +1328,35 @@ object EventQueries {
       FROM h, j, p WHERE p.seg = h.seg ORDER BY p_rank"""))
 
 
+  // 270. Fano-factor overdispersion per event type: variance-to-mean
+  // ratio of the dense daily count series — Poisson-like vs bursty vs
+  // scheduler-regular; exact integer folds, verdict by integer
+  // cross-multiplication.
+  val qDispersion = QueryDef("q_dispersion",
+    (s, dir) => {
+      graft.operators.TimeSeries.dispersionIndex(
+        table(s, dir, "events"), "event_type", "ts").orderBy("key")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS key, CAST(ts AS DATE) AS d, count(*) AS c
+                 FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                 GROUP BY 1, 2),
+      span AS (SELECT key, min(d) AS lo, max(d) AS hi FROM c GROUP BY 1),
+      cal AS (SELECT key, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+              FROM span),
+      y AS (SELECT cal.key, coalesce(c.c, 0) AS y
+            FROM cal LEFT JOIN c ON cal.key = c.key AND cal.d = c.d),
+      f AS (SELECT key, count(*) AS n, sum(y) AS s, sum(y * y) AS q
+            FROM y GROUP BY 1)
+      SELECT key, CAST(n AS BIGINT) AS days, CAST(s AS BIGINT) AS total,
+             round(CAST(s AS DOUBLE) / n, 4) AS mean_r4,
+             round(CASE WHEN n > 1 AND s > 0
+                        THEN CAST(n * q - s * s AS DOUBLE) / ((n - 1) * s) END, 4) AS vmr_r4,
+             CASE WHEN n > 1 AND s > 0
+                  THEN (n * q - s * s) * 10000 > 30000 * (n - 1) * s END AS overdispersed
+      FROM f ORDER BY 1"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qSessionize,
     qEventFunnel,
@@ -1364,5 +1393,6 @@ object EventQueries {
     qAbSprt,
     qAbQte,
     qAbFdr,
+    qDispersion,
   )
 }

@@ -1115,6 +1115,52 @@ object TextQueries {
              CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS acc_bp
       FROM bn GROUP BY 1 ORDER BY 1"""))
 
+  // 269. token-budget data selection: keep the highest-TTR documents
+  // until a 20k-token budget is exhausted — greedy by (score desc,
+  // id-string asc) over the two-level range-partition cumsum, rolled
+  // up per language.
+  val qTokenBudget = QueryDef("q_token_budget",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(TextFns.words(col("text"))).cast(LongType).as("toks"),
+          size(array_distinct(TextFns.words(col("text")))).cast(LongType)
+            .as("__types"))
+        .withColumn("score", expr("__types * 10000 DIV toks"))
+      graft.operators.Curation.tokenBudgetSelect(
+          d, "doc_id", "score", "toks", 20000L, keepCols = Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType).as("kept_docs"),
+          sum(when(col("kept"), col("tokens")).otherwise(0L)).cast(LongType)
+            .as("kept_tokens"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).cast(LongType).as("cut_docs"),
+          sum(when(!col("kept"), col("tokens")).otherwise(0L)).cast(LongType)
+            .as("cut_tokens"),
+          min(when(col("kept"), col("score"))).cast(LongType)
+            .as("min_kept_score"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS toks,
+                   (len(list_distinct(string_split(text, ' '))) * 10000)
+                     // len(string_split(text, ' ')) AS score
+                 FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT *, sum(toks) OVER (
+              ORDER BY score DESC, CAST(doc_id AS VARCHAR)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+      SELECT lang,
+             CAST(sum(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+             CAST(sum(CASE WHEN cum <= 20000 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+             CAST(sum(CASE WHEN cum > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS cut_docs,
+             CAST(sum(CASE WHEN cum > 20000 THEN toks ELSE 0 END) AS BIGINT) AS cut_tokens,
+             CAST(min(CASE WHEN cum <= 20000 THEN score END) AS BIGINT) AS min_kept_score
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qTextLangid,
     qTextQuality,
@@ -1140,6 +1186,7 @@ object TextQueries {
     qReadability,
     qVocabStats,
     qVocabRichness,
+    qTokenBudget,
     qLangConsistency,
     qTextBpe,
     qBpeOov,

@@ -520,4 +520,34 @@ class CurationSpec extends SparkSpec {
     assert(issues.exists(_.contains("curation.markup")))
     assert(issues.exists(_.contains("curation.secrets")))
   }
+
+  test("tokenBudgetSelect: greedy prefix, overflow cut, string-id tiebreak") {
+    import graft.operators.Curation
+    // scores: d9 90, d10 90, d2 80, d5 50; string order puts "d10"
+    // before "d9" at the tied score
+    val docs = Seq(("d9", 90L, 4L, "en"), ("d10", 90L, 5L, "en"),
+      ("d2", 80L, 6L, "de"), ("d5", 50L, 2L, "de")).toDF("id", "s", "t", "lang")
+    val (sel, release) = Curation.tokenBudgetSelectManaged(
+      docs, "id", "s", "t", budgetTokens = 11L, keepCols = Seq("lang"))
+    val rows = sel.collect().map(r => r.getAs[String]("id") -> r).toMap
+    release()
+    // order: d10(5) cum 5, d9(4) cum 9, d2(6) cum 15 > 11 cut, d5(2)
+    // cum 17 cut (greedy prefix: once over budget everything below cuts)
+    assert(rows("d10").getAs[Long]("cum_tokens") == 5L &&
+      rows("d10").getAs[Boolean]("kept"))
+    assert(rows("d9").getAs[Long]("cum_tokens") == 9L &&
+      rows("d9").getAs[Boolean]("kept"))
+    assert(rows("d2").getAs[Long]("cum_tokens") == 15L &&
+      !rows("d2").getAs[Boolean]("kept"))
+    assert(!rows("d5").getAs[Boolean]("kept"))
+    assert(rows("d2").getAs[String]("lang") == "de")
+    // a budget no single doc fits keeps nothing
+    val none = Curation.tokenBudgetSelect(docs, "id", "s", "t", 1L)
+    assert(none.filter(col("kept")).count() == 0L)
+    assertThrows[IllegalArgumentException](
+      Curation.tokenBudgetSelect(docs, "id", "s", "t", 0L))
+    assertThrows[IllegalArgumentException](
+      Curation.tokenBudgetSelect(
+        Seq(("a", 0.5, 1L)).toDF("id", "s", "t"), "id", "s", "t", 5L))
+  }
 }

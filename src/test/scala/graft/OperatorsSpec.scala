@@ -2948,4 +2948,34 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("surprise_r4") ==
       BigDecimal(-math.log(0.5)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("dispersionIndex: hand VMR with dense zeros, regimes and NULLs") {
+    import graft.operators.TimeSeries
+    def mk(t: String, d: Int, n: Long) =
+      (0L until n).map(i => (new java.sql.Timestamp(86400000L * d + i), t))
+    // bursty: one 12-count day then silence over a 4-day span ->
+    // counts [12,0,0,0]: n=4 S=12 Q=144: vmr=(4*144-144)/(3*12)=12
+    // regular: 3/day for 4 days -> vmr = 0
+    val rows = (mk("bursty", 0, 12L) ++ mk("bursty", 3, 0L) ++
+      Seq((new java.sql.Timestamp(86400000L * 3), "bursty")) ++
+      (0 until 4).flatMap(d => mk("regular", d, 3L)) ++
+      mk("single", 0, 5L)).toDF("ts", "event_type")
+    val got = TimeSeries.dispersionIndex(rows, "event_type", "ts")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    // bursty counts are [12,0,0,1]: n=4 S=13 Q=145
+    val (n, sS, q) = (4L, 13L, 145L)
+    val vmr = (n * q - sS * sS).toDouble / ((n - 1) * sS)
+    assert(got("bursty").getAs[Long]("days") == 4L)
+    assert(got("bursty").getAs[Long]("total") == 13L)
+    assert(got("bursty").getAs[Double]("vmr_r4") ==
+      BigDecimal(vmr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got("bursty").getAs[Boolean]("overdispersed"))
+    assert(got("regular").getAs[Double]("vmr_r4") == 0.0)
+    assert(!got("regular").getAs[Boolean]("overdispersed"))
+    // single-day span: n=1 -> NULL vmr and verdict
+    assert(got("single").isNullAt(got("single").fieldIndex("vmr_r4")))
+    assert(got("single").isNullAt(got("single").fieldIndex("overdispersed")))
+    assertThrows[IllegalArgumentException](
+      TimeSeries.dispersionIndex(rows, "event_type", "ts", maxVmrBp = 0))
+  }
 }
