@@ -264,4 +264,65 @@ object StreamMonitor {
       .queryName(name)
       .outputMode(OutputMode.Append())
       .start()
+
+  final case class SprtState(n: Long, a: Long, decision: String,
+                             crossDay: Option[java.sql.Date])
+  final case class SprtUpdate(arm: String, n: Long, conversions: Long,
+                              llr_e6: Long, decision: String,
+                              cross_day: Option[java.sql.Date])
+
+  /** The STREAMING twin of [[graft.operators.Experiment.sprtMonitor]]:
+    * Wald's sequential test is DESIGNED to be re-read after every
+    * arrival — exactly what a stream does — and this runs it as
+    * per-arm `mapGroupsWithState`. Each micro-batch folds its units
+    * into the arm's exact integer (n, conversions) state (the LLR
+    * a·l1 + (n−a)·l0 is totals-based, so within-batch order is
+    * irrelevant), re-checks the Wald band once per batch, and LATCHES
+    * the first exit — later batches keep emitting the latched verdict
+    * even if the walk re-enters (you stopped; same sequential
+    * semantics as the batch operator, spec-asserted equal when fed
+    * day-partitioned batches). `cross_day` is the max event day of
+    * the latching batch — check-point grain IS micro-batch grain, so
+    * feed day-partitioned batches for day-exact attribution
+    * (coarser batches give coarser attribution, never a different
+    * decision for a walk that exits and stays out).
+    *
+    * Output mode Update (one row per arm per batch with new data).
+    * State is TWO longs + the latch per arm — bounded by the arm
+    * alphabet, no timeout needed. Constants from
+    * [[graft.operators.Experiment.sprtConstants]] — exact e6 integer
+    * increments, int64-safe to ~10¹⁰ units. */
+  def sprtMonitorStream(units: DataFrame, armCol: String, dayCol: String,
+                        convCol: String, p0Bp: Long, p1Bp: Long,
+                        alphaBp: Long = 500, betaBp: Long = 500): Dataset[SprtUpdate] = {
+    import units.sparkSession.implicits._
+    require(units.isStreaming,
+      "sprtMonitorStream is the streaming twin; use Experiment.sprtMonitor on batch frames")
+    val (l0, l1, lower, upper) =
+      graft.operators.Experiment.sprtConstants(p0Bp, p1Bp, alphaBp, betaBp)
+    val typed = units
+      .filter(col(armCol).isNotNull && col(dayCol).isNotNull && col(convCol).isNotNull)
+      .select(col(armCol).cast("string").as("arm"), col(dayCol).cast("date").as("day"),
+        when(col(convCol) =!= 0, 1L).otherwise(0L).as("c"))
+      .as[(String, java.sql.Date, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[SprtState, SprtUpdate](GroupStateTimeout.NoTimeout) {
+        (arm, rows, state: GroupState[SprtState]) =>
+          val prev = state.getOption.getOrElse(SprtState(0L, 0L, "continue", None))
+          var n = prev.n; var a = prev.a
+          var maxDay: java.sql.Date = null
+          rows.foreach { case (_, d, c) =>
+            n += 1; a += c
+            if (maxDay == null || d.after(maxDay)) maxDay = d
+          }
+          val llr = a * l1 + (n - a) * l0
+          val next =
+            if (prev.decision != "continue") prev.copy(n = n, a = a)
+            else if (llr >= upper) SprtState(n, a, "h1", Option(maxDay))
+            else if (llr <= lower) SprtState(n, a, "h0", Option(maxDay))
+            else SprtState(n, a, "continue", None)
+          state.update(next)
+          SprtUpdate(arm, n, a, llr, next.decision, next.crossDay)
+      }
+  }
 }

@@ -508,4 +508,48 @@ class StreamingSpec extends SparkSpec {
       assert(rows(3L) == (("pass", true)))
     } finally q.stop()
   }
+
+  test("streaming SPRT matches the batch monitor per day-batch, latches") {
+    implicit val sc = spark.sqlContext
+    import java.sql.Date
+    def day(d: Int) = Date.valueOf(f"2024-01-$d%02d")
+    // p0=0.2 vs p1=0.6: day1's 3 straight conversions cross h1; day2's
+    // 12 misses would re-enter the band - the latch must hold
+    val mem = MemoryStream[(String, Date, Long)]
+    val stream = mem.toDF().toDF("arm", "day", "conv")
+    val updates = StreamMonitor.sprtMonitorStream(
+      stream, "arm", "day", "conv", 2000, 6000)
+    val q = updates.writeStream.format("memory").queryName("sprt")
+      .outputMode("update").start()
+    def batchDecision(rows: Seq[(String, Date, Long)]) =
+      graft.operators.Experiment.sprtMonitor(
+        rows.toDF("arm", "day", "conv"), "arm", "day", "conv", 2000, 6000)
+        .collect().head
+    val d1 = (1 to 3).map(_ => ("m", day(1), 1L))
+    val d2 = (1 to 12).map(_ => ("m", day(2), 0L))
+    try {
+      mem.addData(d1: _*)
+      q.processAllAvailable()
+      val u1 = spark.table("sprt").orderBy(desc("n")).collect().head
+      val b1 = batchDecision(d1)
+      assert(u1.getAs[String]("decision") == "h1")
+      assert(u1.getAs[String]("decision") == b1.getAs[String]("decision"))
+      assert(u1.getAs[Long]("llr_e6") == b1.getAs[Long]("llr_final_e6"))
+      assert(u1.getAs[Date]("cross_day") == day(1))
+      mem.addData(d2: _*)
+      q.processAllAvailable()
+      val u2 = spark.table("sprt").orderBy(desc("n")).collect().head
+      val b2 = batchDecision(d1 ++ d2)
+      // latched h1 on both sides despite the LLR re-entering the band
+      assert(u2.getAs[Long]("n") == 15L)
+      assert(u2.getAs[String]("decision") == "h1")
+      assert(b2.getAs[String]("decision") == "h1")
+      assert(u2.getAs[Date]("cross_day") == day(1))
+      assert(u2.getAs[Long]("llr_e6") == b2.getAs[Long]("llr_final_e6"))
+    } finally q.stop()
+    // batch frames are rejected loudly - the batch operator is the twin
+    assertThrows[IllegalArgumentException](
+      StreamMonitor.sprtMonitorStream(
+        d1.toDF("arm", "day", "conv"), "arm", "day", "conv", 2000, 6000))
+  }
 }
