@@ -207,6 +207,58 @@ object Sessionize {
         sum(when(col("m") === "l", 1L).otherwise(0L)).cast("long").as("last_touch"))
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution: each
+    * conversion's credit spreads over its WHOLE touch path — 40%
+    * first, 40% last, 20% split over the middles — the standard
+    * compromise where [[touchAttribution]]'s first/last models
+    * disagree. Paths partition each user's stream at conversions
+    * (every touch credits at most once, toward the NEXT conversion);
+    * paths that never convert earn nothing; 1-touch paths take 100%,
+    * 2-touch paths 50/50.
+    *
+    * All credit is EXACT integer basis points: middles use the
+    * cumulative-share-difference split (middle j of m gets
+    * 2000·j DIV m − 2000·(j−1) DIV m), so every converted path's
+    * credits sum to EXACTLY 10000 — no truncation leak, any engine
+    * replays it. Plan: two stacked per-user sort-windows (path id =
+    * running conversion count, then position/length per (user, path)),
+    * one broadcast-free semi-join of touches onto converted paths via
+    * the conversion rows themselves, ONE channel rollup. Keyed
+    * shuffles only; state bounded per user path. */
+  def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
+                          typeCol: String, tieCol: String,
+                          convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__conv", (col(typeCol) === convType).cast("int"))
+      .withColumn("__path",
+        coalesce(sum(col("__conv")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val pw = Window.partitionBy(col(userCol), col("__path"))
+      .orderBy(col(tsCol), col(tieCol))
+    val touches = base.filter(col("__conv") === 0)
+      .withColumn("__pos", row_number().over(pw).cast("long"))
+      .withColumn("__k", count(lit(1)).over(
+        Window.partitionBy(col(userCol), col("__path"))).cast("long"))
+    val converted = base.filter(col("__conv") === 1)
+      .select(col(userCol).as("__cu"), col("__path").as("__cp"))
+      .distinct()
+    touches
+      .join(converted,
+        col(userCol) === col("__cu") && col("__path") === col("__cp"))
+      .withColumn("credit_bp",
+        when(col("__k") === 1L, 10000L)
+          .when(col("__k") === 2L, 5000L)
+          .when(col("__pos") === 1L, 4000L)
+          .when(col("__pos") === col("__k"), 4000L)
+          .otherwise(expr("2000 * (__pos - 1) DIV (__k - 2) - " +
+            "2000 * (__pos - 2) DIV (__k - 2)")))
+      .groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).cast("long").as("touches"),
+        sum(col("credit_bp")).cast("long").as("credit_bp"))
+  }
+
   /** Per-user conversion latency: the time from each user's FIRST
     * `fromType` event to their first `toType` event at-or-after it —
     * the latency DISTRIBUTION behind [[eventFunnel]]'s step counts

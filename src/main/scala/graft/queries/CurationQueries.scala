@@ -1283,6 +1283,35 @@ object CurationQueries {
       FROM ff GROUP BY 1 ORDER BY 1"""
     })
 
+  // 273. small-files compaction advisor: rows per physical file via
+  // input_file_name() rolled up per table, with the advised file count
+  // at a 3000-row target. The driver testdata ships each table as ONE
+  // parquet file, and the oracle pins that layout (n_files = 1) plus
+  // the full verdict/ceil arithmetic; the multi-file grouping path is
+  // spec-covered (LayoutSpec writes a 3-file table and inventories it).
+  val qSmallFiles = QueryDef("q_small_files",
+    (s, dir) => {
+      val tables = Seq("events", "documents", "orders", "customer")
+      tables.map { t =>
+        graft.sources.Layout.fileInventorySummary(table(s, dir, t), 3000L)
+          .withColumn("table_name", lit(t))
+      }.reduce(_ unionByName _).orderBy("table_name")
+    },
+    Some {
+      def one(t: String) =
+        s"""SELECT '$t' AS table_name, CAST(1 AS BIGINT) AS n_files,
+             CAST(count(*) AS BIGINT) AS rows,
+             CAST(count(*) AS BIGINT) AS min_file_rows,
+             CAST(count(*) AS BIGINT) AS max_file_rows,
+             CAST((count(*) + 2999) // 3000 AS BIGINT) AS files_target,
+             CASE WHEN count(*) > 6000 THEN 'split'
+                  WHEN count(*) * 2 < 3000 THEN 'compact'
+                  ELSE 'ok' END AS verdict
+           FROM $t"""
+      Seq("events", "documents", "orders", "customer").map(one)
+        .mkString("\n      UNION ALL\n      ") + "\n      ORDER BY table_name"
+    })
+
   val all: Seq[QueryDef] = Seq(
     qMultimodalMeta,
     qSourceContractRead,
@@ -1315,5 +1344,6 @@ object CurationQueries {
     qJoinAdvisor,
     qFilterChainHygiene,
     qJoinAmplification,
+    qSmallFiles,
   )
 }

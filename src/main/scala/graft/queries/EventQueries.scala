@@ -1328,6 +1328,43 @@ object EventQueries {
       FROM h, j, p WHERE p.seg = h.seg ORDER BY p_rank"""))
 
 
+  // 272. position-based (U-shaped) multi-touch attribution: 40/20/40
+  // credit over each conversion's touch path (paths partition the user
+  // stream at purchases), middles by the cumulative-share-difference
+  // split so every converted path credits exactly 10000 bp.
+  val qAttributionPosition = QueryDef("q_attribution_position",
+    (s, dir) => {
+      graft.operators.Sessionize.positionAttribution(
+          table(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          "purchase")
+        .orderBy("channel")
+    },
+    Some("""
+      WITH b AS (SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+                   coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS path
+                 FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+      t AS (SELECT user_id, event_type, path,
+              row_number() OVER (PARTITION BY user_id, path ORDER BY ts, event_id) AS pos,
+              count(*) OVER (PARTITION BY user_id, path) AS k
+            FROM b WHERE conv = 0),
+      cp AS (SELECT DISTINCT user_id, path FROM b WHERE conv = 1),
+      c AS (SELECT t.event_type AS channel,
+              CASE WHEN k = 1 THEN 10000
+                   WHEN k = 2 THEN 5000
+                   WHEN pos = 1 THEN 4000
+                   WHEN pos = k THEN 4000
+                   ELSE 2000 * (pos - 1) // (k - 2) - 2000 * (pos - 2) // (k - 2)
+              END AS credit_bp
+            FROM t JOIN cp ON t.user_id = cp.user_id AND t.path = cp.path)
+      SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+             CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
+
   // 270. Fano-factor overdispersion per event type: variance-to-mean
   // ratio of the dense daily count series — Poisson-like vs bursty vs
   // scheduler-regular; exact integer folds, verdict by integer
@@ -1394,5 +1431,6 @@ object EventQueries {
     qAbQte,
     qAbFdr,
     qDispersion,
+    qAttributionPosition,
   )
 }

@@ -140,4 +140,27 @@ class LayoutSpec extends SparkSpec {
     assert(Skew.joinAmplificationHistogram(
       Seq("x").toDF("k"), Seq("y").toDF("k"), "k", "k").count() == 0L)
   }
+
+  test("fileInventory groups by physical file; summary advises compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv").toString
+    spark.range(0, 900).toDF("id").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val inv = Layout.fileInventory(df, targetRows = 1000L).collect()
+    assert(inv.length == 3)
+    assert(inv.map(_.getAs[Long]("rows")).sum == 900L)
+    // every file under half the 1000-row target -> compact
+    assert(inv.forall(_.getAs[String]("verdict") == "compact"))
+    assert(inv.forall(_.getAs[String]("file").endsWith(".parquet")))
+    val sum1 = Layout.fileInventorySummary(df, 1000L).collect().head
+    assert(sum1.getAs[Long]("n_files") == 3L)
+    assert(sum1.getAs[Long]("rows") == 900L)
+    assert(sum1.getAs[Long]("files_target") == 1L)
+    assert(sum1.getAs[String]("verdict") == "compact")
+    // tiny target: the same files read oversized -> split wins
+    val sum2 = Layout.fileInventorySummary(df, 100L).collect().head
+    assert(sum2.getAs[Long]("files_target") == 9L)
+    assert(sum2.getAs[String]("verdict") == "split")
+    assertThrows[IllegalArgumentException](Layout.fileInventory(df, 0L))
+  }
 }

@@ -625,4 +625,51 @@ class SessionizeSpec extends SparkSpec {
     assert(acf(("gap", 1L)).contains(-1.0)) // pairs (0,2),(2,0) off the dense series
     assert(acf(("flat", 1L)).isEmpty)
   }
+
+  test("positionAttribution: U-shaped credits sum to 10000 per path") {
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(60000L * m)
+    // u1 path 0: view,click,view,search -> purchase (k=4: 4000/1000/
+    // 1000/4000); then path 1: click -> purchase (k=1: 10000); then a
+    // trailing view that never converts (no credit).
+    // u2: purchase with no prior touch, then view,click never converted.
+    val rows = Seq(
+      ("u1", t(1), "view", 1L), ("u1", t(2), "click", 2L),
+      ("u1", t(3), "view", 3L), ("u1", t(4), "search", 4L),
+      ("u1", t(5), "purchase", 5L),
+      ("u1", t(6), "click", 6L), ("u1", t(7), "purchase", 7L),
+      ("u1", t(8), "view", 8L),
+      ("u2", t(1), "purchase", 1L), ("u2", t(2), "view", 2L),
+      ("u2", t(3), "click", 3L)).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.operators.Sessionize.positionAttribution(
+        rows, "user_id", "ts", "event_type", "event_id", "purchase")
+      .collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("touches"), r.getAs[Long]("credit_bp")))).toMap
+    // k=4 middles (pos 2,3): 2000*1 DIV 2 = 1000 each
+    // view: pos1 of path0 (4000) + pos3 middle (1000) = 5000, 2 touches
+    // click: middle pos2 (1000) + singleton path (10000) = 11000
+    // search: pos4=k (4000)
+    assert(got("view") == ((2L, 5000L)))
+    assert(got("click") == ((2L, 11000L)))
+    assert(got("search") == ((1L, 4000L)))
+    assert(got.values.map(_._2).sum == 20000L) // 2 converted paths
+    // two-touch path credits 50/50
+    val two = Seq(
+      ("u", t(1), "a", 1L), ("u", t(2), "b", 2L), ("u", t(3), "purchase", 3L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val g2 = graft.operators.Sessionize.positionAttribution(
+        two, "user_id", "ts", "event_type", "event_id", "purchase")
+      .collect().map(r => r.getAs[String]("channel") -> r.getAs[Long]("credit_bp")).toMap
+    assert(g2("a") == 5000L && g2("b") == 5000L)
+    // k=5 middles split 2000 exactly: 666+667+667
+    val five = (Seq(("v", t(0), "c0", 0L)) ++ (1 to 5).map(i =>
+      ("v", t(i), s"c$i", i.toLong)) ++ Seq(("v", t(9), "purchase", 9L)))
+      .drop(1).toDF("user_id", "ts", "event_type", "event_id")
+    val g5 = graft.operators.Sessionize.positionAttribution(
+        five, "user_id", "ts", "event_type", "event_id", "purchase")
+      .collect().map(r => r.getAs[String]("channel") -> r.getAs[Long]("credit_bp")).toMap
+    assert(g5("c1") == 4000L && g5("c5") == 4000L)
+    assert(Seq("c2", "c3", "c4").map(g5).sorted == Seq(666L, 667L, 667L))
+    assert(g5.values.sum == 10000L)
+  }
 }
