@@ -1,0 +1,134 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Randomized differential fuzzing of the rank/quantile machinery the
+  * board leans on hardest — `groupQuantiles`, `exactQuantiles` (the
+  * two-level global cumsum), `weightedQuantiles`, the new
+  * `fdrReadout` and `tokenBudgetSelect` — against plain-Scala
+  * replays: random tie structures, degenerate groups and boundary
+  * quantiles no hand-written spec enumerates. The
+  * [[ExperimentPropSpec]] discipline applied to the Profile family. */
+object ProfilePropSpec extends Properties("ProfileRankQuantile") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  import graft.operators.{Curation, Experiment, Profile}
+
+  /** disc quantile the operators define: smallest v whose cumulative
+    * count reaches max(1, ceil(q·n/10000)) */
+  private def discPick(sorted: Vector[Double], q: Int): Double = {
+    val n = sorted.size.toLong
+    val rank = math.max(1L, (q * n + 9999L) / 10000L)
+    sorted((rank - 1).toInt)
+  }
+
+  private val genQs: Gen[List[Int]] = for {
+    k <- Gen.choose(1, 5)
+    qs <- Gen.listOfN(k, Gen.choose(0, 10000))
+  } yield qs.distinct
+
+  private val genGroups: Gen[Map[String, List[Long]]] = for {
+    g <- Gen.choose(1, 4)
+    sizes <- Gen.listOfN(g, Gen.choose(1, 12))
+    vals <- Gen.sequence[List[List[Long]], List[Long]](
+      sizes.map(n => Gen.listOfN(n, Gen.choose(-5L, 5L))))
+  } yield vals.zipWithIndex.map { case (vs, i) => s"g$i" -> vs }.toMap
+
+  property("groupQuantiles replays the per-group disc picks") =
+    forAll(genGroups, genQs) { (groups, qs) =>
+      import spark.implicits._
+      val df = groups.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+        .toDF("g", "v")
+      val got = Profile.groupQuantiles(df, "g", "v", qs)
+        .collect()
+        .map(r => (r.getAs[String]("group"), r.getAs[Long]("q_bp")) ->
+          r.getAs[Double]("value")).toMap
+      got.size == groups.size * qs.size && groups.forall { case (g, vs) =>
+        val sorted = vs.map(_.toDouble).sorted.toVector
+        qs.forall(q => got((g, q.toLong)) == discPick(sorted, q))
+      }
+    }
+
+  property("exactQuantiles (two-level cumsum) replays the disc picks") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-9L, 9L)), genQs) { (vs, qs) =>
+      import spark.implicits._
+      val got = Profile.exactQuantiles(vs.toDF("v"), "v", qs)
+        .collect().map(r => r.getAs[Long]("q_bp") -> r.getAs[Double]("value"))
+        .toMap
+      val sorted = vs.map(_.toDouble).sorted.toVector
+      qs.forall(q => got(q.toLong) == discPick(sorted, q))
+    }
+
+  property("weightedQuantiles replays the weighted cumulative picks") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(-9L, 9L), Gen.choose(0L, 6L))),
+      genQs) { (vw, qs) =>
+      import spark.implicits._
+      val df = vw.map { case (v, w) => (v.toDouble, w.toDouble) }.toDF("v", "w")
+      val got = Profile.weightedQuantiles(df, "v", "w", qs, scale = 1L)
+        .collect().map(r => r.getAs[Long]("q_bp") ->
+          (if (r.isNullAt(r.fieldIndex("value"))) None
+           else Some(r.getAs[Double]("value")))).toMap
+      // replay: per-value total weight, ascending cumulative, the
+      // operator's rank = max(1, ceil(q·W/10⁴)); zero-weight rows drop
+      val kept = vw.filter(_._2 > 0L)
+      if (kept.isEmpty) got.size == qs.size && got.values.forall(_.isEmpty)
+      else {
+        val byV = kept.groupBy(_._1).map { case (v, xs) =>
+          v.toDouble -> xs.map(_._2).sum }.toSeq.sortBy(_._1)
+        val bigW = byV.map(_._2).sum
+        qs.forall { q =>
+          val rank = math.max(1L, (q * bigW + 9999L) / 10000L)
+          var cum = 0L
+          val pick = byV.collectFirst {
+            case (v, w) if { cum += w; cum >= rank } => v }.get
+          got(q.toLong).contains(pick)
+        }
+      }
+    }
+
+  property("fdrReadout replays plain-Scala BH and Holm over random p") =
+    forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(0L, 10000L))),
+      Gen.choose(1L, 9999L)) { (ps, alpha) =>
+      import spark.implicits._
+      val tests = ps.zipWithIndex.map { case (p, i) => (f"t$i%03d", p) }
+      val got = Experiment.fdrReadout(
+          tests.toDF("t", "p"), "t", "p", alphaBp = alpha)
+        .collect().map(r => r.getAs[String]("test") ->
+          ((r.getAs[Long]("p_rank"), r.getAs[Boolean]("bh_reject"),
+            r.getAs[Boolean]("holm_reject")))).toMap
+      val live = tests.collect { case (t, Some(p)) => (t, p) }
+        .sortBy { case (t, p) => (p, t) }
+      val m = live.size.toLong
+      val jstar = live.zipWithIndex
+        .filter { case ((_, p), i) => p * m <= (i + 1) * alpha }
+        .map(_._2 + 1L).maxOption.getOrElse(0L)
+      var prefixOk = true
+      val holm = live.zipWithIndex.map { case ((_, p), i) =>
+        prefixOk &&= p * (m - i) <= alpha; prefixOk }
+      got.size.toLong == m && live.zipWithIndex.forall { case ((t, _), i) =>
+        val (rk, bh, hm) = got(t)
+        rk == i + 1L && bh == (i + 1L <= jstar) && hm == holm(i)
+      }
+    }
+
+  property("tokenBudgetSelect replays the greedy prefix") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 99L), Gen.choose(0L, 9L))),
+      Gen.choose(1L, 60L)) { (docs, budget) =>
+      import spark.implicits._
+      val rows = docs.zipWithIndex.map { case ((s, t), i) => (s"d$i", s, t) }
+      val got = Curation.tokenBudgetSelect(
+          rows.toDF("id", "s", "t"), "id", "s", "t", budget)
+        .collect().map(r => r.getAs[String]("id") ->
+          ((r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("kept")))).toMap
+      // greedy replay in the operator's (score desc, id-string asc) order
+      var cum = 0L
+      val replay = rows.sortBy { case (id, s, _) => (-s, id) }.map {
+        case (id, _, t) => cum += t; id -> ((cum, cum <= budget)) }.toMap
+      got == replay
+    }
+}
