@@ -1970,4 +1970,88 @@ object Profile {
             lit(0.0))
           .otherwise(col("__kk")), 2).as("prior_strength_r2"))
   }
+
+  /** VALUE-CONCENTRATION (whale) readout: what share of total metric
+    * value the top p% of keys hold — the Pareto datasheet line next
+    * to [[giniConcentration]]'s single coefficient (the Gini says
+    * "concentrated"; this says "the top 1% of users carry 62% of
+    * revenue", the number a capacity/abuse/monetization review reads).
+    * Values quantize to e4 integers per key (floor(total·10⁴)), keys
+    * rank by (value desc, key asc — deterministic ties), and each
+    * requested top_bp picks k = max(1, ceil(p·N/10⁴)) keys; the
+    * boundary TIE GROUP is included whole (distinct-value grain — a
+    * tie straddling the cutoff cannot be split deterministically), so
+    * users_included ≥ k, documented.
+    *
+    * Plan: one per-key rollup, then the exactQuantiles two-level
+    * shape on the DISTINCT per-key totals — range exchange,
+    * per-partition running (count, value) sums, broadcast offsets —
+    * and one 2·|topBps|-expression fold. Never a single-task global
+    * window. int64: Σ|value·10⁴| < 9.2e18. */
+  def valueConcentration(df: DataFrame, keyCol: String, valueCol: String,
+                         topBps: Seq[Int] = Seq(100, 1000, 2500)): DataFrame = {
+    require(topBps.nonEmpty, "need at least one top_bp")
+    require(topBps.forall(b => b >= 1 && b <= 10000),
+      s"top_bps are basis points in [1, 10000], got $topBps")
+    require(topBps.distinct.size == topBps.size, s"duplicate top_bps: $topBps")
+    val spark = df.sparkSession
+    val perKey = df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sum(floor(col(valueCol).cast(DoubleType) * 10000).cast(LongType))
+        .as("__v"))
+    // distinct-total grain: (value, #keys, value mass)
+    val counts = perKey.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__m"))
+    val parts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val within = w.partitionBy(col("__pid")).orderBy(col("__v").desc)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val ranged = counts.repartitionByRange(parts, col("__v").desc)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rc", sum(col("__c")).over(within))
+      .withColumn("__rm", sum(col("__m")).over(within))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // materialize before the offset/total forks
+    try {
+      val offW = w.orderBy(col("__pid"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)
+      val offsets = ranged.groupBy("__pid")
+        .agg(sum(col("__c")).as("__pc"), sum(col("__m")).as("__pm"))
+        .withColumn("__oc", (sum(col("__pc")).over(offW) - col("__pc")).cast("long"))
+        .withColumn("__om", (sum(col("__pm")).over(offW) - col("__pm")).cast("long"))
+        .select("__pid", "__oc", "__om")
+      val total = ranged.agg(sum(col("__c")).as("__n"), sum(col("__m")).as("__t"))
+      val cum = ranged.join(broadcast(offsets), "__pid")
+        .crossJoin(broadcast(total))
+        .withColumn("__cc", col("__rc") + col("__oc"))
+        .withColumn("__cm", col("__rm") + col("__om"))
+      // pick the FIRST suffix row via a struct-min keyed on the count
+      // cumsum (strictly increasing), not the mass cumsum — negative
+      // per-key totals make the mass non-monotone
+      val aggs = topBps.flatMap { b =>
+        val k = greatest(lit(1L), expr(s"($b * __n + 9999) DIV 10000"))
+        val pick = min(when(col("__cc") >= k,
+          struct(col("__cc").as("c"), col("__cm").as("m"))))
+        Seq(pick.getField("c").as(s"__u_$b"), pick.getField("m").as(s"__s_$b"))
+      }
+      val one = cum.agg(aggs.head, aggs.tail: _*)
+        .crossJoin(broadcast(total))
+      val rows = topBps.map(b => struct(
+        lit(b.toLong).as("top_bp"),
+        col(s"__u_$b").cast(LongType).as("keys_included"),
+        col(s"__s_$b").cast(LongType).as("value_e4"),
+        when(col("__t") =!= 0L, expr(s"__s_$b * 10000 DIV __t"))
+          .cast(LongType).as("value_share_bp"),
+        col("__n").cast(LongType).as("total_keys"),
+        col("__t").cast(LongType).as("total_value_e4")))
+      val out = one.select(explode(array(rows: _*)).as("r")).select("r.*")
+        .collect() // bounded: |topBps| rows
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "top_bp BIGINT, keys_included BIGINT, value_e4 BIGINT, " +
+            "value_share_bp BIGINT, total_keys BIGINT, total_value_e4 BIGINT"))
+    } finally ranged.unpersist()
+  }
 }

@@ -717,6 +717,51 @@ object Sessionize {
         expr("active_users * 10000 DIV cohort_users").cast("long").as("retention_bp"))
   }
 
+  /** Cohort LTV accumulation curve: [[cohortRetention]]'s monetized
+    * sibling — per (first-event cohort, period offset), the period's
+    * summed metric value, its running cumulative, and cumulative value
+    * PER COHORT USER (the "week-6 LTV" number a payback model reads).
+    * Values quantize to e4 integers per event row
+    * (floor(value·10⁴) — the [[Profile.effectiveSampleSize]]
+    * discipline) so every sum is exact and order-independent in any
+    * engine; per-user division is floor DIV (exact integer). Offsets
+    * with zero value emit no row — the cumulative at present offsets
+    * is unaffected (documented sparsity).
+    *
+    * Plan: one per-user min rollup (cohort frame), one (cohort,
+    * offset) value rollup, a user-keyed equi-join, and a per-cohort
+    * ordered window over the offsets (frames bounded by the calendar,
+    * not event volume). Linear in events. */
+  def ltvCurve(events: DataFrame, userCol: String, tsCol: String,
+               valueCol: String, granularity: String = "week"): DataFrame = {
+    require(Set("day", "week")(granularity),
+      s"granularity must be day or week, got $granularity")
+    val unitDays = if (granularity == "day") 1 else 7
+    val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val first = base.groupBy(col(userCol).as("__u"))
+      .agg(date_trunc(granularity, min(col(tsCol))).as("__cohort"))
+    val sizes = first.groupBy("__cohort").agg(count(lit(1)).as("__users"))
+    val vals = base.filter(col(valueCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        date_trunc(granularity, col(tsCol)).as("__b"),
+        floor(col(valueCol).cast("double") * 10000).cast("long").as("__v"))
+    val w = Window.partitionBy(col("__cohort")).orderBy(col("offset_n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.join(first, "__u")
+      .groupBy(col("__cohort"),
+        expr(s"datediff(__b, __cohort) DIV $unitDays").cast("long").as("offset_n"))
+      .agg(sum(col("__v")).as("__pv"))
+      .join(sizes, "__cohort")
+      .withColumn("__cum", sum(col("__pv")).over(w))
+      .select(
+        date_format(col("__cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset_n"),
+        col("__users").cast("long").as("cohort_users"),
+        col("__pv").cast("long").as("period_value_e4"),
+        col("__cum").cast("long").as("cum_value_e4"),
+        expr("__cum DIV __users").cast("long").as("cum_per_user_e4"))
+  }
+
   /** Kaplan–Meier survival curve of time-to-return (days from each
     * user's FIRST active day to their SECOND), with right-censoring at
     * the corpus's last day — the estimator behind every retention

@@ -1328,6 +1328,79 @@ object EventQueries {
       FROM h, j, p WHERE p.seg = h.seg ORDER BY p_rank"""))
 
 
+  // 274. cohort LTV accumulation curve: weekly first-purchase cohorts,
+  // per-offset purchase value (e4-quantized exact integers), running
+  // cumulative and per-user LTV — the monetized sibling of the
+  // retention matrix.
+  val qLtvCurve = QueryDef("q_ltv_curve",
+    (s, dir) => {
+      graft.operators.Sessionize.ltvCurve(
+          table(s, dir, "events").filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value", granularity = "week")
+        .orderBy("cohort", "offset_n")
+    },
+    Some("""
+      WITH p AS (SELECT user_id, ts, CAST(floor(value * 10000) AS BIGINT) AS v
+                 FROM events
+                 WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                   AND ts IS NOT NULL AND value IS NOT NULL),
+      f AS (SELECT user_id, date_trunc('week', min(ts)) cd FROM p GROUP BY 1),
+      cs AS (SELECT cd, count(*) cu FROM f GROUP BY 1),
+      per AS (SELECT f.cd, datediff('day', f.cd, date_trunc('week', p.ts)) // 7 AS o,
+                     sum(p.v) AS pv
+              FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+      c AS (SELECT cd, o, pv, cu,
+                   sum(pv) OVER (PARTITION BY cd ORDER BY o
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM per JOIN cs USING (cd))
+      SELECT strftime(cd, '%Y-%m-%d') AS cohort, CAST(o AS BIGINT) AS offset_n,
+             CAST(cu AS BIGINT) AS cohort_users,
+             CAST(pv AS BIGINT) AS period_value_e4,
+             CAST(cum AS BIGINT) AS cum_value_e4,
+             CAST(cum // cu AS BIGINT) AS cum_per_user_e4
+      FROM c ORDER BY 1, 2"""))
+
+
+  // 275. value concentration (whale curve): share of total purchase
+  // value held by the top 1%/10%/25% of users — exact e4-integer
+  // masses over the two-level descending cumsum, boundary tie groups
+  // included whole.
+  val qValueConcentration = QueryDef("q_value_concentration",
+    (s, dir) => {
+      val p = table(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      graft.operators.Profile.valueConcentration(p, "user_id", "value")
+        .orderBy("top_bp")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, sum(CAST(floor(value * 10000) AS BIGINT)) AS v
+                 FROM events
+                 WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                   AND value IS NOT NULL
+                 GROUP BY 1),
+      d AS (SELECT v, count(*) AS c, sum(v) AS m FROM u GROUP BY 1),
+      w AS (SELECT v, sum(c) OVER (ORDER BY v DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+            sum(m) OVER (ORDER BY v DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+            FROM d),
+      t AS (SELECT sum(c) AS n, sum(m) AS tt FROM d),
+      b AS (SELECT b.top_bp FROM (VALUES (100), (1000), (2500)) b(top_bp)),
+      pick AS (SELECT b.top_bp,
+                 min(CASE WHEN cc >= greatest(1, (b.top_bp * t.n + 9999) // 10000)
+                          THEN cc END) AS ki
+               FROM w, t, b GROUP BY 1),
+      res AS (SELECT p.top_bp, p.ki, w.cm
+              FROM pick p JOIN w ON w.cc = p.ki)
+      SELECT CAST(r.top_bp AS BIGINT) AS top_bp,
+             CAST(r.ki AS BIGINT) AS keys_included,
+             CAST(r.cm AS BIGINT) AS value_e4,
+             CAST(CASE WHEN t.tt != 0 THEN r.cm * 10000 // t.tt END AS BIGINT) AS value_share_bp,
+             CAST(t.n AS BIGINT) AS total_keys,
+             CAST(t.tt AS BIGINT) AS total_value_e4
+      FROM res r, t ORDER BY 1"""))
+
+
   // 272. position-based (U-shaped) multi-touch attribution: 40/20/40
   // credit over each conversion's touch path (paths partition the user
   // stream at purchases), middles by the cumulative-share-difference
@@ -1432,5 +1505,7 @@ object EventQueries {
     qAbFdr,
     qDispersion,
     qAttributionPosition,
+    qLtvCurve,
+    qValueConcentration,
   )
 }

@@ -562,4 +562,29 @@ class ProfileSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Profile.ebShrinkage(Seq(("a", 0.5)).toDF("g", "y"), "g", "y"))
   }
+
+  test("valueConcentration: whale shares, boundary tie group kept whole") {
+    // per-key totals e4: a=50000, b=30000, c=10000, d=10000 -> total 1e5
+    val df = Seq(("a", 3.0), ("a", 2.0), ("b", 3.0), ("c", 1.0), ("d", 1.0))
+      .toDF("k", "v")
+    val got = Profile.valueConcentration(df, "k", "v",
+        topBps = Seq(2500, 5000, 7500))
+      .collect().map(r => r.getAs[Long]("top_bp") -> r).toMap
+    // top 25% of 4 keys = 1 key (a): 50000/100000 = 5000 bp
+    assert(got(2500L).getAs[Long]("keys_included") == 1L)
+    assert(got(2500L).getAs[Long]("value_share_bp") == 5000L)
+    // top 50% = 2 keys (a, b): 80%
+    assert(got(5000L).getAs[Long]("keys_included") == 2L)
+    assert(got(5000L).getAs[Long]("value_share_bp") == 8000L)
+    // top 75% = 3 keys, but c and d TIE at 10000 -> whole tie group
+    // included: 4 keys, 100%
+    assert(got(7500L).getAs[Long]("keys_included") == 4L)
+    assert(got(7500L).getAs[Long]("value_share_bp") == 10000L)
+    assert(got.values.forall(_.getAs[Long]("total_keys") == 4L))
+    assert(got.values.forall(_.getAs[Long]("total_value_e4") == 100000L))
+    assertThrows[IllegalArgumentException](
+      Profile.valueConcentration(df, "k", "v", topBps = Seq(0)))
+    assertThrows[IllegalArgumentException](
+      Profile.valueConcentration(df, "k", "v", topBps = Seq(100, 100)))
+  }
 }

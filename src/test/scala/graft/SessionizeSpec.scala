@@ -672,4 +672,38 @@ class SessionizeSpec extends SparkSpec {
     assert(Seq("c2", "c3", "c4").map(g5).sorted == Seq(666L, 667L, 667L))
     assert(g5.values.sum == 10000L)
   }
+
+  test("ltvCurve: e4-exact cohort value accumulation per offset") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(86400000L * day) // 1970-01-01 = Thursday
+    // u1,u2 first buy Thu day0 (cohort Mon 1969-12-29); u1 buys again
+    // day7 = Jan 8, week of Mon Jan 5 -> offset 1. u3 (day5 = Jan 6)
+    // and u4 (day8 = Jan 9) both open in the 1970-01-05 cohort.
+    val rows = Seq(
+      ("u1", t(0), 1.25), ("u2", t(0), 2.0), ("u1", t(7), 0.5),
+      ("u3", t(5), 3.0),
+      ("u4", t(8), 10.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.operators.Sessionize.ltvCurve(
+        rows, "user_id", "ts", "value", granularity = "week")
+      .collect().map(r => (r.getAs[String]("cohort"), r.getAs[Long]("offset_n")) -> r)
+      .toMap
+    val c0 = got(("1969-12-29", 0L))
+    // period value = (1.25 + 2.0) e4 = 32500, 2 users
+    assert(c0.getAs[Long]("cohort_users") == 2L)
+    assert(c0.getAs[Long]("period_value_e4") == 32500L)
+    assert(c0.getAs[Long]("cum_value_e4") == 32500L)
+    assert(c0.getAs[Long]("cum_per_user_e4") == 16250L)
+    val c1 = got(("1969-12-29", 1L))
+    assert(c1.getAs[Long]("period_value_e4") == 5000L)
+    assert(c1.getAs[Long]("cum_value_e4") == 37500L)
+    assert(c1.getAs[Long]("cum_per_user_e4") == 18750L)
+    val n0 = got(("1970-01-05", 0L))
+    assert(n0.getAs[Long]("cohort_users") == 2L &&
+      n0.getAs[Long]("period_value_e4") == 130000L &&
+      n0.getAs[Long]("cum_per_user_e4") == 65000L)
+    assert(got.size == 3)
+    assertThrows[IllegalArgumentException](
+      graft.operators.Sessionize.ltvCurve(rows, "user_id", "ts", "value", "month"))
+  }
 }
