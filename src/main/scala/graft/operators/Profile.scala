@@ -763,7 +763,7 @@ object Profile {
   /** The two-level range-partition running sum — the ONE
     * implementation of the board's "global cumulative order without a
     * single-task window" idiom, shared by [[percentileRankManaged]]
-    * and [[aucExact]]: range-repartition on `orderCol`, per-partition
+    * and [[Eval.aucExact]]: range-repartition on `orderCol`, per-partition
     * window sum of `measureCol`, broadcast per-partition offsets.
     * Returns the input frame + `__rsum` (running sum of measure
     * through this row, INCLUSIVE, in global `orderCol` order), backed
@@ -1112,256 +1112,9 @@ object Profile {
       .select(lit(label).as("dataset"), col("n_rows"), col("xor60"), col("sum32"))
   }
 
-  /** EXACT distributed ROC-AUC of a score against a binary label via
-    * the Mann–Whitney U statistic with midrank tie handling — the
-    * threshold-free companion to [[gainsTableManaged]] (the gains
-    * curve is AUC's business-facing integral). Doubled to stay
-    * integral: U2 = Σ_values cnt_pos·(2·cnt_neg_below + cnt_neg_equal)
-    * (each tie contributes exactly ½), auc_bp = U2·10⁴ DIV
-    * (2·n_pos·n_neg) — no sampling, no sort-to-driver, no fp sums.
-    * NULL scores/labels excluded; degenerate corpora (one class
-    * absent) report NULL auc, never NaN. `labelCol` must be integral
-    * 0/1.
-    *
-    * Plan: one (score → pos/neg counts) rollup, then the row-92
-    * two-level range-partition cumsum over DISTINCT scores for the
-    * below-count — never a single-task global window; one 1-row fold.
-    * int64 bound: u2·10⁴ must fit, i.e. n_pos·n_neg < 4.6·10¹⁴
-    * (~2·10⁷ rows per balanced class) — evaluate on a stratified
-    * sample beyond (per-stratum U statistics do NOT merge into a
-    * corpus AUC, so there is no exact shard-and-combine path). */
-  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val dt = df.schema(labelCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"aucExact: $labelCol must be an integral type, got $dt")
-    val vals = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreCol).as("__v"))
-      .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__p"),
-        sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("__q"))
-    val (run, release) = rangedRunningSumManaged(vals, "__v", "__q")
-    // the result is ONE summary row: fold it eagerly (the
-    // quantileValues precedent) so the persisted rank frame releases
-    // HERE instead of leaking for the session
-    val row = run
-      // neg strictly below = running-neg-through-this-value − own negs
-      .withColumn("__qBelow", col("__rsum") - col("__q"))
-      .agg(coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
-        coalesce(sum(col("__q")), lit(0L)).as("n_neg"),
-        coalesce(sum(col("__p") * (lit(2L) * col("__qBelow") + col("__q"))),
-          lit(0L)).as("u2"))
-      .withColumn("auc_bp",
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          expr("u2 * 10000 DIV (2 * n_pos * n_neg)")).cast(LongType))
-      .collect().head
-    release()
-    val spark = df.sparkSession
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(Seq(row).asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("n_pos", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("n_neg", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("u2", LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("auc_bp", LongType, nullable = true))))
-  }
-
-  /** Per-class precision / recall / F1 from two label columns — the
-    * class-level drilldown behind [[cohenKappa]]'s single number and
-    * [[sliceAgreement]]'s metadata slices: a classifier can hold 90%
-    * accuracy while one class's recall is zero, and THAT is the number
-    * that decides relabel-vs-drop. One row per class in the UNION of
-    * truth and predicted alphabets (a class that is predicted but
-    * never true still earns its precision row); rows with NULL on
-    * either side excluded. Exact integer bp; p/r are NULL (never NaN)
-    * when their denominator is empty, f1 NULL when either side is.
-    *
-    * Plan: ONE (truth, predicted) confusion rollup (map-side
-    * combined); everything below runs on the |alphabet|²-bounded
-    * frame. */
-  def classPrf(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
-    val conf = df.filter(col(truthCol).isNotNull && col(predCol).isNotNull)
-      .groupBy(col(truthCol).cast(StringType).as("__t"),
-        col(predCol).cast(StringType).as("__p"))
-      .agg(count(lit(1)).as("__c"))
-    // each confusion cell contributes to its TRUTH class's margin and
-    // its PREDICTED class's margin: one alphabet²-bounded explode +
-    // rollup, so the corpus is scanned ONCE (three aggregate branches
-    // off the unpersisted confusion would re-scan it three times)
-    conf.select(explode(array(
-        struct(col("__t").as("cls"), col("__c").as("tn"), lit(0L).as("pn"),
-          when(col("__t") === col("__p"), col("__c")).otherwise(lit(0L)).as("tp")),
-        struct(col("__p").as("cls"), lit(0L).as("tn"), col("__c").as("pn"),
-          lit(0L).as("tp")))).as("__x"))
-      .groupBy(col("__x.cls").as("cls"))
-      .agg(sum("__x.tn").as("truth_n"), sum("__x.pn").as("pred_n"),
-        sum("__x.tp").as("tp"))
-      .withColumn("p_bp",
-        when(col("pred_n") > 0, expr("tp * 10000 DIV pred_n")).cast(LongType))
-      .withColumn("r_bp",
-        when(col("truth_n") > 0, expr("tp * 10000 DIV truth_n")).cast(LongType))
-      .withColumn("f1_bp",
-        when(col("p_bp").isNotNull && col("r_bp").isNotNull &&
-            col("p_bp") + col("r_bp") > 0,
-          expr("2 * p_bp * r_bp DIV (p_bp + r_bp)")).cast(LongType))
-      .select("cls", "truth_n", "pred_n", "tp", "p_bp", "r_bp", "f1_bp")
-  }
-
-  /** Reliability diagram + EXPECTED CALIBRATION ERROR (Naeini et al.
-    * 2015; Guo et al. 2017 made it the standard readout) of a
-    * predicted probability against a binary label — AUC ([[aucExact]])
-    * says whether the model RANKS well; THIS says whether "0.8" means
-    * 80%, the property a downstream threshold/quality-score consumer
-    * actually relies on. Fixed-width probability bins (map-only — at
-    * 100 TB an equal-frequency binning would cost a global rank pass
-    * for no diagnostic gain), per-bin predicted-vs-observed rates, and
-    * the n-weighted ECE.
-    *
-    * The caller supplies the prediction as INTEGER basis points
-    * (0..10000) — that choice keeps the whole operator exact-integer:
-    * conf_bp = Σpred DIV n, acc_bp = pos·10⁴ DIV n, and
-    * ece_bp = Σ_bins |pos_b·10⁴ − Σpred_b| DIV N (each bin's
-    * contribution is its n-weighted |acc−conf| gap in bp·rows) — no
-    * floating sum anywhere, any engine replays it bit-for-bit. int64:
-    * pos·10⁴ — safe to 9·10¹⁴ rows. Out-of-range preds are clamped to
-    * [0, 10000]; NULL pred/label rows excluded; only occupied bins
-    * emitted. `labelCol` integral 0/1.
-    *
-    * Plan: ONE map-side-combined bin rollup; the ECE fold and join run
-    * on the ≤nBins-row frame (broadcast of a 1-row total). */
-  def calibrationReport(df: DataFrame, predBpCol: String, labelCol: String,
-                        nBins: Int = 10): DataFrame = {
-    require(nBins >= 2 && nBins <= 100, s"need 2 <= nBins <= 100, got $nBins")
-    for (c <- Seq(predBpCol, labelCol)) {
-      val dt = df.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"calibrationReport: $c must be an integral type, got $dt")
-    }
-    val bins = df.filter(col(predBpCol).isNotNull && col(labelCol).isNotNull)
-      .select(
-        greatest(lit(0L), least(lit(10000L), col(predBpCol).cast(LongType)))
-          .as("__pred"),
-        when(col(labelCol) =!= 0, 1L).otherwise(0L).as("__y"))
-      .withColumn("bin",
-        least(expr(s"__pred * $nBins DIV 10000"), lit(nBins - 1L)).cast(LongType))
-      .groupBy("bin")
-      .agg(count(lit(1)).cast(LongType).as("n"),
-        sum(col("__y")).cast(LongType).as("positives"),
-        sum(col("__pred")).cast(LongType).as("__spred"))
-    val tot = bins.agg(
-      coalesce(sum(col("n")), lit(0L)).as("__tn"),
-      coalesce(sum(abs(col("positives") * 10000L - col("__spred"))), lit(0L))
-        .as("__gap"))
-    bins.crossJoin(broadcast(tot))
-      .select(col("bin"), col("n"), col("positives"),
-        expr("__spred DIV n").cast(LongType).as("conf_bp"),
-        expr("positives * 10000 DIV n").cast(LongType).as("acc_bp"),
-        when(col("__tn") > 0, expr("__gap DIV __tn")).cast(LongType)
-          .as("ece_bp"))
-  }
-
-  /** EQUALIZED-ODDS audit (Hardt, Price & Srebro 2016): per-group TPR
-    * and FPR of a binary prediction against truth, plus the corpus-
-    * level max−min gaps — the fairness companion to
-    * [[disparateImpact]] (which audits selection RATES unconditional
-    * on truth; equalized odds conditions on the label, separating "the
-    * model selects group X less" from "the model is WRONG about group
-    * X more"). A filter model that silently drops one language's
-    * positives shows up here as a TPR gap, not in any aggregate
-    * accuracy.
-    *
-    * Exact integer bp throughout: tpr_bp = tp·10⁴ DIV pos,
-    * fpr_bp = fp·10⁴ DIV neg, NULL (never NaN) for groups with no
-    * positives/negatives; the gap columns are max−min over the
-    * group-bounded frame (order-independent folds, no floating sums).
-    * `truthCol`/`predCol` integral 0/1; NULL group is its own group.
-    *
-    * Plan: ONE map-side-combined group rollup + bounded windows. */
-  def equalizedOdds(df: DataFrame, groupCol: String, truthCol: String,
-                    predCol: String): DataFrame = {
-    for (c <- Seq(truthCol, predCol)) {
-      val dt = df.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"equalizedOdds: $c must be an integral type, got $dt")
-    }
-    val t = when(col(truthCol) =!= 0, 1L).otherwise(0L)
-    val p = when(col(predCol) =!= 0, 1L).otherwise(0L)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    df.filter(col(truthCol).isNotNull && col(predCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("group"))
-      .agg(count(lit(1)).cast(LongType).as("n"),
-        sum(t).as("__pos"), sum(lit(1L) - t).as("__neg"),
-        sum(t * p).as("__tp"), sum((lit(1L) - t) * p).as("__fp"))
-      .withColumn("tpr_bp", when(col("__pos") > 0,
-        expr("__tp * 10000 DIV __pos")).cast(LongType))
-      .withColumn("fpr_bp", when(col("__neg") > 0,
-        expr("__fp * 10000 DIV __neg")).cast(LongType))
-      .withColumn("tpr_gap_bp",
-        (max(col("tpr_bp")).over(w) - min(col("tpr_bp")).over(w)).cast(LongType))
-      .withColumn("fpr_gap_bp",
-        (max(col("fpr_bp")).over(w) - min(col("fpr_bp")).over(w)).cast(LongType))
-      .select("group", "n", "tpr_bp", "fpr_bp", "tpr_gap_bp", "fpr_gap_bp")
-  }
-
-  /** SPLIT-CONFORMAL calibration (Vovk et al. 2005; Lei et al. 2018
-    * popularized the split form): the distribution-free guarantee a
-    * quality-score consumer can actually hold — pick q̂ as the
-    * ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual, and P(new
-    * residual ≤ q̂) ≥ 1−α with NO model assumptions. This operator
-    * computes q̂ on the calibration partition and CERTIFIES the
-    * guarantee by measuring empirical coverage on the held-out
-    * partition — the difference between quoting a theorem and
-    * shipping a number.
-    *
-    * Residuals are |pred_bp − label·10⁴| — exact integers, so q̂ is an
-    * element pick (the bounded ≤10⁴-distinct-value cumsum; no global
-    * sort) and coverage is integer bp. If the conformal rank exceeds
-    * n_cal (α too small for the sample), q̂ is NULL and coverage
-    * trivially 10⁴ — reported, not hidden. `predBpCol` integer bp
-    * (0..10⁴ by convention), `labelCol` integral 0/1, `calibCol`
-    * boolean (true = calibration row). */
-  def splitConformal(df: DataFrame, predBpCol: String, labelCol: String,
-                     calibCol: String, alphaBp: Int = 1000): DataFrame = {
-    require(alphaBp > 0 && alphaBp < 10000, s"alphaBp in (0,10000), got $alphaBp")
-    for (c <- Seq(predBpCol, labelCol)) {
-      val dt = df.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"splitConformal: $c must be an integral type, got $dt")
-    }
-    val base = df.filter(col(predBpCol).isNotNull && col(labelCol).isNotNull &&
-        col(calibCol).isNotNull)
-      .select(col(calibCol).as("__cal"),
-        abs(col(predBpCol).cast(LongType) -
-          when(col(labelCol) =!= 0, 10000L).otherwise(0L)).as("__r"))
-    // residual alphabet is bounded by the bp domain: the ordered
-    // cumsum below is a ≤10⁴+1-row window, not a data-volume sort
-    val calCounts = base.filter(col("__cal"))
-      .groupBy("__r").agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__r"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    val qhat = calCounts
-      .withColumn("__cum", sum(col("__c")).over(w))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .withColumn("__rank",
-        expr(s"((__n + 1) * ${10000 - alphaBp} + 9999) DIV 10000"))
-      .agg(max(col("__n")).as("n_cal"),
-        min(when(col("__cum") >= col("__rank"), col("__r"))).as("qhat"))
-    base.filter(!col("__cal"))
-      .crossJoin(broadcast(qhat))
-      .agg(max(col("n_cal")).as("__ncal"), max(col("qhat")).as("__qhat"),
-        count(lit(1)).as("__nt"),
-        sum(when(col("qhat").isNull || col("__r") <= col("qhat"), 1L)
-          .otherwise(0L)).as("__cov"))
-      .select(col("__ncal").cast(LongType).as("n_cal"),
-        col("__nt").cast(LongType).as("n_test"),
-        col("__qhat").cast(LongType).as("qhat"),
-        lit((10000 - alphaBp).toLong).as("target_bp"),
-        when(col("__nt") > 0, expr("__cov * 10000 DIV __nt")).cast(LongType)
-          .as("coverage_bp"))
-  }
-
   /** WILCOXON RANK-SUM (Mann–Whitney) significance readout: the
     * two-sample special case completing the nonparametric A/B pair —
-    * [[aucExact]] reports the same U as an EFFECT SIZE (AUC is the
+    * [[Eval.aucExact]] reports the same U as an EFFECT SIZE (AUC is the
     * probability a B draw outranks an A draw); this reports its
     * SIGNIFICANCE, the test that stays honest on skewed metrics where
     * [[graft.operators.Experiment.welchT]]'s normality leans on large
@@ -1424,7 +1177,7 @@ object Profile {
   /** KRUSKAL–WALLIS rank test (Kruskal & Wallis 1952): "does this
     * numeric column's distribution differ across k groups" without
     * normality assumptions — the k-sample generalization of
-    * [[aucExact]]'s Mann–Whitney machinery and the omnibus companion
+    * [[Eval.aucExact]]'s Mann–Whitney machinery and the omnibus companion
     * to the pairwise [[graft.operators.Experiment.welchT]]: the ANOVA
     * a drift/segment investigation actually wants on skewed metrics.
     *
@@ -1461,7 +1214,7 @@ object Profile {
       .agg(sum(col("__cgv")).as("__ng"),
         sum(col("__cgv") * col("__mr2")).as("__r2"))
     // one summary row: fold eagerly so the persisted rank frame
-    // releases here (the aucExact precedent)
+    // releases here (the Eval.aucExact precedent)
     val tieRow = mid.agg(
       coalesce(sum(col("__c")), lit(0L)).as("__n"),
       coalesce(sum(col("__c") * col("__c") * col("__c") - col("__c")), lit(0L))
@@ -1489,232 +1242,6 @@ object Profile {
         (col("__k") - 1L).cast(LongType).as("df"),
         round(col("__h"), 4).as("h_r4"),
         round(when(col("__c") > 0, col("__h") / col("__c")), 4).as("h_adj_r4"))
-  }
-
-  /** Decile gains/lift table of a score against a binary label — the
-    * model-eval readout behind "top 10% of scores captures X% of
-    * positives": bucket 1 holds the HIGHEST scores (equal-frequency
-    * via [[percentileRank]]'s exact global percent-rank, ties share a
-    * bucket), cumulative gain_bp = captured share of all positives,
-    * lift_bp = concentration vs the base rate ·10⁴. The gains curve is
-    * the business-facing integral of the ROC the calibration rows
-    * approximate. `labelCol` must be integral 0/1.
-    *
-    * Plan: the [[percentileRankManaged]] two-level rank (never a
-    * single-task global sort) + one bucket rollup; the cumulative
-    * windows run on the nBuckets-row frame — single partition by
-    * construction, bounded at nBuckets. Returns the managed release
-    * for the rank frame — call after the last materialization. */
-  def gainsTableManaged(df: DataFrame, scoreCol: String, labelCol: String,
-                        nBuckets: Int = 10): (DataFrame, () => Unit) = {
-    require(nBuckets >= 2 && nBuckets <= 100,
-      s"need 2 <= nBuckets <= 100, got $nBuckets")
-    val dt = df.schema(labelCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"gainsTable: $labelCol must be an integral type, got $dt")
-    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-    val (ranked, release) = percentileRankManaged(base, scoreCol)
-    val w = org.apache.spark.sql.expressions.Window
-    val byBucket = w.orderBy(col("bucket"))
-      .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val whole = w.orderBy(col("bucket"))
-      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
-    val out = ranked
-      .withColumn("bucket",
-        lit(nBuckets) - least(expr(s"pct_bp * $nBuckets DIV 10000"),
-          lit(nBuckets - 1L)))
-      .groupBy("bucket")
-      .agg(count(lit(1)).cast(LongType).as("n_rows"),
-        coalesce(sum(col(labelCol)), lit(0L)).cast(LongType).as("positives"))
-      .withColumn("cum_rows", sum(col("n_rows")).over(byBucket).cast(LongType))
-      .withColumn("cum_positives", sum(col("positives")).over(byBucket).cast(LongType))
-      .withColumn("__tot_rows", sum(col("n_rows")).over(whole))
-      .withColumn("__tot_pos", sum(col("positives")).over(whole))
-      .withColumn("gain_bp", when(col("__tot_pos") > 0,
-        expr("cum_positives * 10000 DIV __tot_pos")).cast(LongType))
-      // two-step DIV, not cum_pos·tot_rows·10⁴ in one product: the
-      // single product overflows int64 near 10⁸ rows; this form is
-      // safe to ~9·10¹⁴ rows (first factor is ≤ 10⁴ by construction)
-      // at the cost of ≤ 1 bp of extra floor rounding
-      .withColumn("lift_bp", when(col("__tot_pos") > 0,
-        expr("(cum_positives * 10000 DIV __tot_pos) * __tot_rows DIV cum_rows"))
-        .cast(LongType))
-      .drop("__tot_rows", "__tot_pos")
-    (out, release)
-  }
-
-  /** [[gainsTableManaged]] leaving the rank frame persisted for the
-    * session (repeated callers should use the managed form). */
-  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
-                 nBuckets: Int = 10): DataFrame =
-    gainsTableManaged(df, scoreCol, labelCol, nBuckets)._1
-
-  /** Disparate-impact (four-fifths rule) audit: per group, the
-    * selection rate of a boolean outcome and its ratio to the
-    * HIGHEST-rate group, flagged when the ratio falls below the
-    * threshold (8000 bp = the EEOC 80% rule) — the fairness screen
-    * that belongs next to the privacy checks in any ML-governance
-    * pass (a curation filter or quality gate that silently selects
-    * one source/language/demographic at half the rate of another is
-    * exactly what this catches). Exact integer bp via
-    * cross-multiplication: ratio_bp = sel·n_ref·10⁴ DIV (n·sel_ref);
-    * NULL groups/outcomes excluded; the reference group is the
-    * arg-max rate with the larger group label breaking exact-rate
-    * ties deterministically.
-    *
-    * int64 bound (exact-integer discipline, as [[aucExact]] /
-    * [[tCloseness]] / [[logRank]] document theirs): the ratio's
-    * numerator selected·n_ref·10⁴ must fit, i.e. selected·n_ref <
-    * 9.2·10¹⁴ — safe to ~3·10⁷ rows per group (balanced); pre-
-    * aggregate or sample groups beyond that before calling.
-    *
-    * Plan: ONE group rollup; the reference joins back as a broadcast
-    * 1-row max over the |groups|-bounded frame. */
-  def disparateImpact(df: DataFrame, groupCol: String, selectedCol: String,
-                      thresholdBp: Long = 8000L): DataFrame = {
-    require(thresholdBp >= 1 && thresholdBp <= 10000,
-      s"thresholdBp must be in [1, 10000], got $thresholdBp")
-    val per = df.filter(col(groupCol).isNotNull && col(selectedCol).isNotNull)
-      .groupBy(col(groupCol).cast(StringType).as("grp"))
-      .agg(count(lit(1)).cast(LongType).as("n_rows"),
-        coalesce(sum(when(col(selectedCol).cast("boolean"), 1L).otherwise(0L)),
-          lit(0L)).cast(LongType).as("selected"))
-      .withColumn("rate_bp", expr("selected * 10000 DIV n_rows").cast(LongType))
-    // reference = arg-max by EXACT rate (selected/n cross-multiplied
-    // inside the struct would need a common denominator; rate ties at
-    // bp precision break by group label) — the 1-row max over the
-    // aggregate frame, broadcast back
-    val ref = per.agg(max(struct(col("rate_bp"), col("grp").as("__rg"),
-      col("selected").as("__rs"), col("n_rows").as("__rn"))).as("__r"))
-      .select(col("__r.__rg").as("__refGrp"), col("__r.__rs").as("__refSel"),
-        col("__r.__rn").as("__refN"))
-    per.crossJoin(broadcast(ref))
-      .select(col("grp"), col("n_rows"), col("selected"), col("rate_bp"),
-        col("__refGrp").as("reference_group"),
-        when(col("__refSel") > 0,
-          expr("selected * __refN * 10000 DIV (n_rows * __refSel)"))
-          .cast(LongType).as("impact_ratio_bp"))
-      .withColumn("ok", coalesce(col("impact_ratio_bp") >= thresholdBp,
-        lit(false)))
-  }
-
-  /** Simpson's-paradox screen: does the SIGN of the x–y association
-    * flip between the pooled corpus and its strata — the aggregation
-    * trap behind most wrong dashboard conclusions (pooled "quality
-    * rises with length" while every source individually falls). Signs
-    * come from the covariance NUMERATOR n·Σxy − Σx·Σy, an exact int64
-    * over integral columns — no correlation doubles, no fp: the sign
-    * IS the claim. One row per stratum plus the '(pooled)' row;
-    * `paradox` is set on every row when the pooled sign contradicts
-    * the unanimous (non-zero) stratum signs.
-    *
-    * Plan: ONE stratum rollup (map-side combined); pooled sums and the
-    * contradiction flag fold over the |strata|-bounded frame. int64
-    * bound: rows·max|x|·max|y| per stratum must fit. */
-  def simpsonsCheck(df: DataFrame, stratumCol: String, xCol: String,
-                    yCol: String): DataFrame = {
-    for (c <- Seq(xCol, yCol)) {
-      val dt = df.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"simpsonsCheck: $c must be an integral type, got $dt")
-    }
-    val per = df.filter(col(stratumCol).isNotNull && col(xCol).isNotNull &&
-        col(yCol).isNotNull)
-      .groupBy(col(stratumCol).cast(StringType).as("stratum"))
-      .agg(count(lit(1)).as("__n"), sum(col(xCol)).as("__sx"),
-        sum(col(yCol)).as("__sy"), sum(col(xCol) * col(yCol)).as("__sxy"))
-      .withColumn("assoc_sign",
-        signum(col("__n") * col("__sxy") - col("__sx") * col("__sy"))
-          .cast(LongType))
-    val w = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    per
-      .withColumn("__pn", sum(col("__n")).over(w))
-      .withColumn("__psx", sum(col("__sx")).over(w))
-      .withColumn("__psy", sum(col("__sy")).over(w))
-      .withColumn("__psxy", sum(col("__sxy")).over(w))
-      .withColumn("pooled_sign",
-        signum(col("__pn") * col("__psxy") - col("__psx") * col("__psy"))
-          .cast(LongType))
-      // paradox: every non-zero stratum sign agrees AND the pooled
-      // sign is the opposite non-zero sign
-      .withColumn("__minS", min(when(col("assoc_sign") =!= 0, col("assoc_sign"))).over(w))
-      .withColumn("__maxS", max(when(col("assoc_sign") =!= 0, col("assoc_sign"))).over(w))
-      .withColumn("paradox",
-        col("__minS").isNotNull && col("__minS") === col("__maxS") &&
-          col("pooled_sign") =!= 0 && col("pooled_sign") =!= col("__minS"))
-      .select(col("stratum"), col("__n").cast(LongType).as("n_rows"),
-        col("assoc_sign"), col("pooled_sign"), col("paradox"))
-  }
-
-  /** Sliced agreement/accuracy readout: per slice of `sliceCol`, how
-    * often `aCol` and `bCol` agree (declared-vs-predicted label,
-    * human-vs-model annotation, two model generations) — plus the
-    * '(all)' ROLLUP row and an `is_worst` flag on the weakest slice.
-    * The eval-slicing discipline behind every model card: an aggregate
-    * accuracy hides the slice where the model is broken, and the
-    * worst-group number is what distributionally-robust training
-    * optimizes. Rows with a NULL slice or NULL on either side are
-    * excluded (agreement over absent labels is undefined); exact
-    * integer bp.
-    *
-    * Plan: ONE rollup pass (map-side combined) — the corpus is scanned
-    * once; the worst-slice min is a window over the |slices|+1-row
-    * AGGREGATE frame (single task over slice summaries, never data —
-    * a broadcast-join formulation would re-run the scan for the min
-    * branch). */
-  def sliceAgreement(df: DataFrame, sliceCol: String, aCol: String,
-                     bCol: String): DataFrame = {
-    val base = df.filter(col(sliceCol).isNotNull && col(aCol).isNotNull &&
-        col(bCol).isNotNull)
-      .select(col(sliceCol).cast(StringType).as("__s"),
-        (col(aCol) === col(bCol)).cast(LongType).as("__agree"))
-    val w = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    base.rollup(col("__s"))
-      .agg(count(lit(1)).cast(LongType).as("n_rows"),
-        coalesce(sum(col("__agree")), lit(0L)).cast(LongType).as("agree"))
-      .withColumn("acc_bp", expr("agree * 10000 DIV n_rows").cast(LongType))
-      .withColumn("__worst",
-        min(when(col("__s").isNotNull, col("acc_bp"))).over(w))
-      .select(coalesce(col("__s"), lit("(all)")).as("slice"),
-        col("n_rows"), col("agree"), col("acc_bp"),
-        (col("__s").isNotNull && col("acc_bp") === col("__worst")).as("is_worst"))
-  }
-
-  /** Leave-one-out target encoding: each row's category is replaced by
-    * the mean target of the OTHER rows sharing it, in exact basis
-    * points — (Σ_cat target − own) · 10⁴ DIV (n_cat − 1). The
-    * leakage-safe form of mean encoding: plain category means leak
-    * each row's own label into its feature (singleton categories leak
-    * it VERBATIM), which is exactly the target-leakage failure the
-    * contract's `target_leakage` check hunts. Singleton categories and
-    * NULL categories encode as NULL (no honest estimate exists —
-    * downstream imputes the global prior explicitly rather than this
-    * operator hiding one). `targetCol` must be integral (0/1 labels or
-    * counts) so the arithmetic is exact on both engines.
-    *
-    * Plan: one |categories|-bounded rollup broadcast back onto the
-    * rows — map-only after the rollup, no row-level shuffle, no
-    * window. */
-  def targetEncodeLoo(df: DataFrame, catCol: String,
-                      targetCol: String): DataFrame = {
-    val dt = df.schema(targetCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"targetEncodeLoo: $targetCol must be an integral type, got $dt")
-    val stats = df.filter(col(catCol).isNotNull && col(targetCol).isNotNull)
-      .groupBy(col(catCol).as("__cat"))
-      .agg(sum(col(targetCol)).as("__sum"), count(lit(1)).as("__n"))
-    df.join(broadcast(stats), col(catCol) === col("__cat"), "left_outer")
-      // DIV, not fractional-divide-then-cast: exact integral division,
-      // matching the DuckDB replay's `//`
-      .withColumn("enc_bp",
-        when(col("__n") > 1 && col(targetCol).isNotNull,
-          expr(s"(__sum - `$targetCol`) * 10000 DIV (__n - 1)"))
-          .cast(LongType))
-      .drop("__cat", "__sum", "__n")
   }
 
   /** Per-key monotonicity audit: ordered by `seqCol`, how often does

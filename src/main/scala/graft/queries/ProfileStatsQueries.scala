@@ -304,7 +304,7 @@ object ProfileStatsQueries {
     (s, dir) => {
       val e = table(s, dir, "events")
         .withColumn("label", (col("value") >= 150d).cast(LongType))
-      graft.operators.Profile.targetEncodeLoo(e, "event_type", "label")
+      graft.operators.Eval.targetEncodeLoo(e, "event_type", "label")
         .select(col("event_id"), col("event_type"), col("label"), col("enc_bp"))
         .orderBy("event_id")
     },
@@ -362,7 +362,7 @@ object ProfileStatsQueries {
     (s, dir) => {
       val df = table(s, dir, "documents")
         .withColumn("predicted", graft.operators.TextAnalysis.langId(col("text")))
-      graft.operators.Profile.classPrf(df, "lang", "predicted")
+      graft.operators.Eval.classPrf(df, "lang", "predicted")
         .orderBy("cls")
     },
     Some(langidPredictedCtes("lang") + """
@@ -393,7 +393,7 @@ object ProfileStatsQueries {
         val e = table(s, dir, "events")
           .withColumn("score", col("value") + (col("event_id") % 100))
           .withColumn("label", (col("value") >= 150d).cast(LongType))
-        graft.operators.Profile.gainsTable(e, "score", "label", nBuckets = 10)
+        graft.operators.Eval.gainsTable(e, "score", "label", nBuckets = 10)
       }.orderBy("bucket")
     },
     Some("""
@@ -421,7 +421,7 @@ object ProfileStatsQueries {
         val e = table(s, dir, "events")
           .withColumn("score", col("value") + (col("event_id") % 100))
           .withColumn("label", (col("value") >= 150d).cast(LongType))
-        graft.operators.Profile.aucExact(e, "score", "label")
+        graft.operators.Eval.aucExact(e, "score", "label")
       }
     },
     Some("""
@@ -644,7 +644,7 @@ object ProfileStatsQueries {
     (s, dir) => {
       val df = table(s, dir, "documents")
         .withColumn("predicted", graft.operators.TextAnalysis.langId(col("text")))
-      graft.operators.Profile.sliceAgreement(df, "source", "lang", "predicted")
+      graft.operators.Eval.sliceAgreement(df, "source", "lang", "predicted")
         .orderBy("slice")
     },
     Some(langidPredictedCtes("source, lang") + """
@@ -1135,7 +1135,7 @@ object ProfileStatsQueries {
         .withColumn("pred_bp", expr(
           "CAST(least(10000, greatest(0, CAST(floor(value) AS BIGINT)) * 100 DIV 3) AS BIGINT)"))
         .withColumn("label", (col("value") >= 150d).cast(LongType))
-      graft.operators.Profile.calibrationReport(e, "pred_bp", "label")
+      graft.operators.Eval.calibrationReport(e, "pred_bp", "label")
         .orderBy("bin")
     },
     Some("""
@@ -1198,7 +1198,7 @@ object ProfileStatsQueries {
           "CAST(least(10000, greatest(0, CAST(floor(value) AS BIGINT)) * 100 DIV 3) AS BIGINT)"))
         .withColumn("label", (col("value") >= 150d).cast(LongType))
         .withColumn("cal", col("event_id") % 2 === 0)
-      graft.operators.Profile.splitConformal(e, "pred_bp", "label", "cal")
+      graft.operators.Eval.splitConformal(e, "pred_bp", "label", "cal")
     },
     Some("""
       WITH e AS (SELECT (event_id % 2 = 0) AS cal,
@@ -1230,7 +1230,7 @@ object ProfileStatsQueries {
         .withColumn("g", pmod(col("vec_id"), lit(3)).cast("string"))
         .withColumn("truth", (col("label") >= 5).cast(LongType))
         .withColumn("pred", (element_at(col("embedding"), 1) >= 0f).cast(LongType))
-      graft.operators.Profile.equalizedOdds(e, "g", "truth", "pred")
+      graft.operators.Eval.equalizedOdds(e, "g", "truth", "pred")
         .orderBy("group")
     },
     Some("""

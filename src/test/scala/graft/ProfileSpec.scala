@@ -1,7 +1,7 @@
 package graft
 
 import graft.contracts.Constraint
-import graft.operators.Profile
+import graft.operators.{Eval, Profile}
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -192,17 +192,17 @@ class ProfileSpec extends SparkSpec {
     // pos scores {2, 3}, neg {1, 2}: pairs = 1 + ½ + 1 + 1 = 3.5 of 4
     val df = Seq((3.0, Some(1L)), (2.0, Some(1L)), (1.0, Some(0L)),
       (2.0, Some(0L)), (5.0, None: Option[Long])).toDF("score", "y")
-    val r = Profile.aucExact(df, "score", "y").collect().head
+    val r = Eval.aucExact(df, "score", "y").collect().head
     assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
     assert(r.getAs[Long]("u2") == 7L)        // doubled U = 2·3.5
     assert(r.getAs[Long]("auc_bp") == 8750L) // 3.5/4
     // one-class corpus: NULL auc, never NaN
-    val onlyPos = Profile.aucExact(df.filter($"y" === 1L), "score", "y")
+    val onlyPos = Eval.aucExact(df.filter($"y" === 1L), "score", "y")
       .collect().head
     assert(onlyPos.isNullAt(onlyPos.fieldIndex("auc_bp")))
     // non-integral label rejected loudly
     assertThrows[IllegalArgumentException](
-      Profile.aucExact(df.withColumn("y", $"y".cast("double")), "score", "y"))
+      Eval.aucExact(df.withColumn("y", $"y".cast("double")), "score", "y"))
   }
 
   test("classPrf: hand confusion, predicted-only class gets a precision row, exact bp") {
@@ -210,7 +210,7 @@ class ProfileSpec extends SparkSpec {
     // truth\pred:  en: en,en,de  de: de  (fr predicted once, never true)
     val df = Seq(("en", "en"), ("en", "en"), ("en", "de"), ("de", "de"),
       ("de", "fr"), (null.asInstanceOf[String], "en")).toDF("t", "p")
-    val got = Profile.classPrf(df, "t", "p").collect()
+    val got = Eval.classPrf(df, "t", "p").collect()
       .map(r => r.getAs[String]("cls") ->
         ((r.getAs[Long]("truth_n"), r.getAs[Long]("pred_n"), r.getAs[Long]("tp"),
           Option(r.getAs[java.lang.Long]("p_bp")).map(_.longValue),
@@ -231,7 +231,7 @@ class ProfileSpec extends SparkSpec {
     // buckets of 2: bucket 1 = scores {10, 9} (2 pos), bucket 2 = {8, 7} (1 pos)
     val df = (1L to 10L).map(s => (s.toDouble, if (s >= 8) 1L else 0L))
       .toDF("score", "label")
-    val (gains, release) = Profile.gainsTableManaged(df, "score", "label", nBuckets = 5)
+    val (gains, release) = Eval.gainsTableManaged(df, "score", "label", nBuckets = 5)
     val got = gains.collect().map(r => r.getAs[Long]("bucket") ->
       ((r.getAs[Long]("n_rows"), r.getAs[Long]("positives"),
         r.getAs[Long]("cum_positives"), r.getAs[Long]("gain_bp"),
@@ -246,7 +246,7 @@ class ProfileSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == 10L)
     // non-integral label rejected loudly
     assertThrows[IllegalArgumentException](
-      Profile.gainsTable(df.withColumn("label", $"label".cast("double")),
+      Eval.gainsTable(df.withColumn("label", $"label".cast("double")),
         "score", "label"))
   }
 
@@ -259,7 +259,7 @@ class ProfileSpec extends SparkSpec {
       (null.asInstanceOf[String], "en", "en"),  // NULL slice excluded
       ("s1", null.asInstanceOf[String], "en"),  // NULL label excluded
     ).toDF("src", "a", "b")
-    val got = Profile.sliceAgreement(df, "src", "a", "b").collect()
+    val got = Eval.sliceAgreement(df, "src", "a", "b").collect()
       .map(r => r.getAs[String]("slice") ->
         ((r.getAs[Long]("n_rows"), r.getAs[Long]("agree"),
           r.getAs[Long]("acc_bp"), r.getAs[Boolean]("is_worst")))).toMap
@@ -278,7 +278,7 @@ class ProfileSpec extends SparkSpec {
       (5L, None, Some(1L)),                            // NULL cat → NULL
       (6L, Some("a"), None),                           // NULL label → NULL, excluded from stats
     ).toDF("id", "cat", "y")
-    val got = Profile.targetEncodeLoo(df, "cat", "y").collect()
+    val got = Eval.targetEncodeLoo(df, "cat", "y").collect()
       .map(r => r.getAs[Long]("id") ->
         Option(r.getAs[java.lang.Long]("enc_bp")).map(_.longValue)).toMap
     // cat a stats exclude row 6: sum=2, n=3
@@ -288,7 +288,7 @@ class ProfileSpec extends SparkSpec {
     assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty)
     // non-integral target rejected loudly
     assertThrows[IllegalArgumentException](
-      Profile.targetEncodeLoo(df.withColumn("y", $"y".cast("double")), "cat", "y"))
+      Eval.targetEncodeLoo(df.withColumn("y", $"y".cast("double")), "cat", "y"))
   }
 
   test("monotonicityAudit: inversions counted, ties monotone, NULLs skipped") {
@@ -413,7 +413,7 @@ class ProfileSpec extends SparkSpec {
       (0 until 100).map(i => (false, i.toLong)))
       .map { case (cal, r) => (cal, r, 0L) } // pred_bp = r, label = 0
       .toDF("cal", "p", "y")
-    val g = Profile.splitConformal(rows, "p", "y", "cal", alphaBp = 1000)
+    val g = Eval.splitConformal(rows, "p", "y", "cal", alphaBp = 1000)
       .collect().head
     assert(g.getAs[Long]("n_cal") == 100 && g.getAs[Long]("n_test") == 100)
     assert(g.getAs[Long]("qhat") == 90L)
@@ -422,12 +422,12 @@ class ProfileSpec extends SparkSpec {
     // tiny calibration: rank 10 > n_cal 5 -> NULL qhat, full coverage
     val tiny = ((0 until 5).map(i => (true, i.toLong, 0L)) ++
       (0 until 5).map(i => (false, i.toLong, 0L))).toDF("cal", "p", "y")
-    val t = Profile.splitConformal(tiny, "p", "y", "cal", alphaBp = 1000)
+    val t = Eval.splitConformal(tiny, "p", "y", "cal", alphaBp = 1000)
       .collect().head
     assert(t.isNullAt(t.fieldIndex("qhat")))
     assert(t.getAs[Long]("coverage_bp") == 10000L)
     assertThrows[IllegalArgumentException](
-      Profile.splitConformal(rows, "p", "y", "cal", alphaBp = 0))
+      Eval.splitConformal(rows, "p", "y", "cal", alphaBp = 0))
   }
 
   test("equalizedOdds: hand-computed rates and gaps, degenerate NULLs") {
@@ -438,7 +438,7 @@ class ProfileSpec extends SparkSpec {
       ("g1", 1L, 1L), ("g1", 1L, 1L), ("g1", 1L, 0L),
       ("g1", 0L, 1L), ("g1", 0L, 0L),
       ("g2", 1L, 0L), ("g2", 1L, 0L), ("g2", 0L, 0L)).toDF("g", "t", "p")
-    val r = Profile.equalizedOdds(df, "g", "t", "p").collect()
+    val r = Eval.equalizedOdds(df, "g", "t", "p").collect()
       .map(x => x.getAs[String]("group") -> x).toMap
     assert(r("g1").getAs[Long]("tpr_bp") == 6666L)
     assert(r("g1").getAs[Long]("fpr_bp") == 5000L)
@@ -447,7 +447,7 @@ class ProfileSpec extends SparkSpec {
     assert(r("g1").getAs[Long]("fpr_gap_bp") == 5000L)
     // all-positive group: no negatives -> NULL fpr, gap ignores it
     val deg = Seq(("a", 1L, 1L), ("b", 1L, 0L), ("b", 0L, 1L)).toDF("g", "t", "p")
-    val d = Profile.equalizedOdds(deg, "g", "t", "p").collect()
+    val d = Eval.equalizedOdds(deg, "g", "t", "p").collect()
       .map(x => x.getAs[String]("group") -> x).toMap
     assert(d("a").isNullAt(d("a").fieldIndex("fpr_bp")))
     assert(d("a").getAs[Long]("fpr_gap_bp") == 0L) // only b has an fpr
@@ -483,7 +483,7 @@ class ProfileSpec extends SparkSpec {
     // bin 9 (pred 9500, clamp 12000->10000): labels 1,1 -> conf 9750, acc 10000
     val df = Seq((500L, 1L), (500L, 0L), (9500L, 1L), (12000L, 1L),
       (-50L, 0L)).toDF("p", "y")
-    val rows = Profile.calibrationReport(df, "p", "y").collect()
+    val rows = Eval.calibrationReport(df, "p", "y").collect()
       .sortBy(_.getAs[Long]("bin"))
     assert(rows.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 9L))
     val b0 = rows(0); val b9 = rows(1)
@@ -496,12 +496,12 @@ class ProfileSpec extends SparkSpec {
     assert(b0.getAs[Long]("ece_bp") == 1900L && b9.getAs[Long]("ece_bp") == 1900L)
     // perfectly calibrated degenerate: pred 10000, all positive -> ECE 0
     val perfect = Seq((10000L, 1L), (10000L, 1L)).toDF("p", "y")
-    assert(Profile.calibrationReport(perfect, "p", "y").collect()
+    assert(Eval.calibrationReport(perfect, "p", "y").collect()
       .head.getAs[Long]("ece_bp") == 0L)
     assertThrows[IllegalArgumentException](
-      Profile.calibrationReport(df, "p", "y", nBins = 1))
+      Eval.calibrationReport(df, "p", "y", nBins = 1))
     assertThrows[IllegalArgumentException](
-      Profile.calibrationReport(Seq((0.5, 1L)).toDF("p", "y"), "p", "y"))
+      Eval.calibrationReport(Seq((0.5, 1L)).toDF("p", "y"), "p", "y"))
   }
 
   test("ebShrinkage: all four prior-fit regimes, formula replay") {
