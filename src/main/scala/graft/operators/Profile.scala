@@ -1581,4 +1581,76 @@ object Profile {
             "value_share_bp BIGINT, total_keys BIGINT, total_value_e4 BIGINT"))
     } finally ranged.unpersist()
   }
+
+  /** NULL-PATTERN audit: row counts per combination of
+    * simultaneously-NULL columns — the STRUCTURE completeness-per-
+    * column (row 9) flattens away: "email and phone are each 20% null"
+    * hides whether they are null TOGETHER (one broken upstream join)
+    * or independently (two causes). One row per observed pattern
+    * (null columns comma-joined in caller order; "(none)" for complete
+    * rows) with exact share_bp. ≤ 2^|cols| output rows — `cols`
+    * capped at 10 so the frame stays bounded by construction.
+    * Plan: ONE map-side-combined rollup + a broadcast 1-row total. */
+  def nullPatternAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 10,
+      s"nullPatternAudit: need 1..10 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val live = df.columns.toSet
+    val missing = cols.filterNot(live)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val pattern = concat_ws(",", cols.map(c => when(col(c).isNull, lit(c))): _*)
+    val counts = df
+      .groupBy(when(length(pattern) > 0, pattern).otherwise("(none)")
+        .as("null_cols"))
+      .agg(count(lit(1)).as("rows"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("rows")).as("__t"))))
+      .select(col("null_cols"), col("rows").cast(LongType).as("rows"),
+        expr("rows * 10000 DIV __t").cast(LongType).as("share_bp"))
+  }
+
+  /** PARTIAL correlation r_xy·z (first-order): the x–y association
+    * with a confounder z HELD CONSTANT — the reading [[corrMatrix]]'s
+    * raw pairwise r can't give (engagement correlates with revenue,
+    * but both ride account age; the partial says what's left).
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) over the
+    * LISTWISE-complete rows (all three non-null — the three r's must
+    * come from one population or the formula is incoherent; documented
+    * difference from corrMatrix's pairwise deletion). Same
+    * covar_samp/stddev building blocks and zero-variance NULL guard
+    * as corrMatrix; NULL partial when either conditioning r is ±1.
+    * ONE aggregation pass. */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    require(Seq(xCol, yCol, zCol).distinct.size == 3,
+      s"partialCorr: columns must be distinct, got $xCol, $yCol, $zCol")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(zCol).isNotNull)
+      .select(col(xCol).cast(DoubleType).as("__x"),
+        col(yCol).cast(DoubleType).as("__y"), col(zCol).cast(DoubleType).as("__z"))
+    def r(a: String, b: String, sfx: String) = Seq(
+      covar_samp(col(a), col(b)).as(s"__c$sfx"),
+      stddev_samp(col(a)).as(s"__sa$sfx"),
+      stddev_samp(col(b)).as(s"__sb$sfx"))
+    val aggs = count(lit(1)).as("__n") +:
+      (r("__x", "__y", "xy") ++ r("__x", "__z", "xz") ++ r("__y", "__z", "yz"))
+    def corr(sfx: String) = when(
+      col(s"__sa$sfx") * col(s"__sb$sfx") > 0d,
+      col(s"__c$sfx") / (col(s"__sa$sfx") * col(s"__sb$sfx")))
+    base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__rxy", corr("xy"))
+      .withColumn("__rxz", corr("xz"))
+      .withColumn("__ryz", corr("yz"))
+      .withColumn("__den",
+        (lit(1.0) - col("__rxz") * col("__rxz")) *
+          (lit(1.0) - col("__ryz") * col("__ryz")))
+      .select(
+        lit(xCol).as("x"), lit(yCol).as("y"), lit(zCol).as("z"),
+        col("__n").cast(LongType).as("n"),
+        round(col("__rxy"), 4).as("r_xy_r4"),
+        round(col("__rxz"), 4).as("r_xz_r4"),
+        round(col("__ryz"), 4).as("r_yz_r4"),
+        round(when(col("__den") > 0d,
+          (col("__rxy") - col("__rxz") * col("__ryz")) / sqrt(col("__den"))), 4)
+          .as("partial_r4"))
+  }
 }

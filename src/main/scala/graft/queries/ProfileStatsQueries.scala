@@ -1333,6 +1333,79 @@ object ProfileStatsQueries {
       FROM r, z ORDER BY 1"""))
 
 
+  // 276. null-pattern audit: which columns go NULL TOGETHER — the
+  // structure per-column completeness hides. Driver testdata ships no
+  // NULLs, so the query derives them deterministically (nullif
+  // expressions both engines replay verbatim) to exercise the
+  // pattern grid.
+  val qNullPatterns = QueryDef("q_null_patterns",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .select(
+          when(pmod(col("user_id"), lit(7)) === 0, lit(null).cast("long"))
+            .otherwise(col("user_id")).as("uid"),
+          when(col("value") < 1.0, lit(null).cast("double"))
+            .otherwise(col("value")).as("val"),
+          when(col("event_type") === "error", lit(null).cast("string"))
+            .otherwise(col("event_type")).as("etype"))
+      graft.operators.Profile.nullPatternAudit(e, Seq("uid", "val", "etype"))
+        .orderBy("null_cols")
+    },
+    Some("""
+      WITH e AS (SELECT
+          CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS uid,
+          CASE WHEN value < 1.0 THEN NULL ELSE value END AS val,
+          CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype
+        FROM events),
+      p AS (SELECT coalesce(nullif(concat_ws(',',
+              CASE WHEN uid IS NULL THEN 'uid' END,
+              CASE WHEN val IS NULL THEN 'val' END,
+              CASE WHEN etype IS NULL THEN 'etype' END), ''), '(none)') AS null_cols
+            FROM e),
+      c AS (SELECT null_cols, count(*) AS rows FROM p GROUP BY 1),
+      t AS (SELECT sum(rows) AS tt FROM c)
+      SELECT null_cols, CAST(rows AS BIGINT) AS rows,
+             CAST(rows * 10000 // tt AS BIGINT) AS share_bp
+      FROM c, t ORDER BY 1"""))
+
+
+  // 277. partial correlation: events-per-user vs purchase count with
+  // distinct-active-days held constant — the confounder-adjusted
+  // association the raw pairwise corr can't read.
+  val qPartialCorr = QueryDef("q_partial_corr",
+    (s, dir) => {
+      val u = table(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("buys"),
+          countDistinct(to_date(col("ts"))).as("days"))
+      graft.operators.Profile.partialCorr(u, "ev", "buys", "days")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, count(*) AS ev,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buys,
+                   count(DISTINCT CAST(ts AS DATE)) AS days
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      f AS (SELECT count(*) AS n,
+              covar_samp(ev, buys) AS cxy, stddev_samp(ev) AS sx,
+              stddev_samp(buys) AS sy, stddev_samp(days) AS sz,
+              covar_samp(ev, days) AS cxz, covar_samp(buys, days) AS cyz
+            FROM u),
+      r AS (SELECT n,
+              CASE WHEN sx * sy > 0 THEN cxy / (sx * sy) END AS rxy,
+              CASE WHEN sx * sz > 0 THEN cxz / (sx * sz) END AS rxz,
+              CASE WHEN sy * sz > 0 THEN cyz / (sy * sz) END AS ryz
+            FROM f),
+      d AS (SELECT *, (1.0 - rxz * rxz) * (1.0 - ryz * ryz) AS den FROM r)
+      SELECT 'ev' AS x, 'buys' AS y, 'days' AS z, CAST(n AS BIGINT) AS n,
+             round(rxy, 4) AS r_xy_r4, round(rxz, 4) AS r_xz_r4,
+             round(ryz, 4) AS r_yz_r4,
+             round(CASE WHEN den > 0 THEN (rxy - rxz * ryz) / sqrt(den) END, 4)
+               AS partial_r4
+      FROM d"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qProfileNumeric,
     qProfileStrings,
@@ -1376,5 +1449,7 @@ object ProfileStatsQueries {
     qEqualizedOdds,
     qHllProfile,
     qEbShrinkage,
+    qNullPatterns,
+    qPartialCorr,
   )
 }

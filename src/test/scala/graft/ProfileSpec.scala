@@ -587,4 +587,63 @@ class ProfileSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Profile.valueConcentration(df, "k", "v", topBps = Seq(100, 100)))
   }
+
+  test("nullPatternAudit: joint patterns, (none) row, guards") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")),
+      (None, Some("c")), (None, None), (Some(5L), None), (None, None))
+      .toDF("id", "tag")
+    val got = Profile.nullPatternAudit(df, Seq("id", "tag"))
+      .collect().map(r => r.getAs[String]("null_cols") ->
+        ((r.getAs[Long]("rows"), r.getAs[Long]("share_bp")))).toMap
+    assert(got("(none)") == ((2L, 3333L)))
+    assert(got("id") == ((1L, 1666L)))
+    assert(got("tag") == ((1L, 1666L)))
+    assert(got("id,tag") == ((2L, 3333L)))
+    assert(got.size == 4)
+    assertThrows[IllegalArgumentException](
+      Profile.nullPatternAudit(df, Seq("id", "id")))
+    assertThrows[IllegalArgumentException](
+      Profile.nullPatternAudit(df, Seq("nope")))
+    assertThrows[IllegalArgumentException](
+      Profile.nullPatternAudit(df, Seq.empty))
+  }
+
+  test("partialCorr: confounder removal, degenerate guards") {
+    // x and y both driven by z plus tiny independent parts: raw r_xy
+    // strongly positive, partial near the independent-part correlation
+    val rows = (0 until 40).map { i =>
+      val z = i.toDouble
+      (z + (i % 3), z + (i % 5), z)
+    }
+    val r = Profile.partialCorr(rows.toDF("x", "y", "z"), "x", "y", "z")
+      .collect().head
+    assert(r.getAs[Long]("n") == 40L)
+    val rxy = r.getAs[Double]("r_xy_r4")
+    val part = r.getAs[Double]("partial_r4")
+    assert(rxy > 0.99, s"raw corr should be ~1 through z, got $rxy")
+    assert(math.abs(part) < 0.35,
+      s"partial must collapse once z is held constant, got $part")
+    // plain-Scala replay of the closed form from the three pairwise r's
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size; val ma = a.sum / n; val mb = b.sum / n
+      val cov = a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum / (n - 1)
+      val sa = math.sqrt(a.map(p => (p - ma) * (p - ma)).sum / (n - 1))
+      val sb = math.sqrt(b.map(q => (q - mb) * (q - mb)).sum / (n - 1))
+      cov / (sa / 1 * sb)
+    }
+    val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val (rxyS, rxzS, ryzS) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val want = (rxyS - rxzS * ryzS) /
+      math.sqrt((1 - rxzS * rxzS) * (1 - ryzS * ryzS))
+    assert(math.abs(part - want) < 1e-3)
+    // z constant: r_xz undefined -> NULL partial, never NaN
+    val const = (0 until 10).map(i => (i.toDouble, (i * 2).toDouble, 1.0))
+    val c = Profile.partialCorr(const.toDF("x", "y", "z"), "x", "y", "z")
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("partial_r4")))
+    assert(c.isNullAt(c.fieldIndex("r_xz_r4")))
+    assertThrows[IllegalArgumentException](
+      Profile.partialCorr(const.toDF("x", "y", "z"), "x", "x", "z"))
+  }
 }
