@@ -49,4 +49,59 @@ object TableSources {
     val wanted = contract.schema.fields.map(_.name).filter(live)
     df.select(wanted.map(org.apache.spark.sql.functions.col): _*)
   }
+
+  /** READ-SIDE quarantine for csv/json contracts: rows the parser
+    * cannot bind to the contract schema land in a `(raw_record)`
+    * quarantine frame instead of silently becoming all-NULL rows
+    * (PERMISSIVE's default) or killing the job (FAILFAST) — the
+    * read-side twin of [[graft.validators.Enforce]]'s write-side
+    * clean/quarantine split. Returns (good, quarantined); `good`
+    * carries exactly the contract columns. Implemented with
+    * `columnNameOfCorruptRecord` pinned into the read schema — the
+    * supported Spark mechanism — and the quarantine frame carries the
+    * PARTIALLY-parsed declared columns beside `raw_record` (useful for
+    * triage, and keeps a real data column referenced, which Spark's
+    * corrupt-column-only-reference restriction requires of a raw
+    * csv/json scan). Parquet/orc/catalog formats have no
+    * malformed-row concept at this layer (binary formats fail the
+    * whole file); rejected loudly. */
+  def readWithQuarantineManaged(spark: SparkSession, contract: Contract,
+                                pathOverride: Option[String] = None): (DataFrame, DataFrame, () => Unit) = {
+    import org.apache.spark.sql.functions.col
+    val location = pathOverride.getOrElse(contract.schema.location)
+    val corrupt = "__graft_corrupt"
+    val schema = ContractTypes.toStructType(contract.schema)
+      .add(corrupt, org.apache.spark.sql.types.StringType, nullable = true)
+    val fmt = contract.schema.format.toLowerCase
+    val raw = (fmt match {
+      case "csv" =>
+        spark.read.option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt)
+          .schema(schema).csv(location)
+      case "json" =>
+        spark.read.option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt)
+          .schema(schema).json(location)
+      case other => throw new IllegalArgumentException(
+        s"readWithQuarantine supports csv/json contracts, got '$other'")
+    // Spark disallows splitting on the corrupt column straight off a
+    // raw csv/json scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    // documented mechanism is to materialize the parsed scan once;
+    // both output frames then share that one copy (also means one
+    // parse for two consumers, the persist-before-fork discipline)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val declared = contract.schema.fields.map(f => col(f.name))
+    val good = raw.filter(col(corrupt).isNull).select(declared: _*)
+    val bad = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_record") +: declared: _*)
+    (good, bad, () => { raw.unpersist(); () })
+  }
+
+  /** [[readWithQuarantineManaged]] without the handle — the persisted
+    * parse lives until session end (the facade precedent). */
+  def readWithQuarantine(spark: SparkSession, contract: Contract,
+                         pathOverride: Option[String] = None): (DataFrame, DataFrame) = {
+    val (good, bad, _) = readWithQuarantineManaged(spark, contract, pathOverride)
+    (good, bad)
+  }
 }

@@ -265,6 +265,35 @@ object StreamMonitor {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Watermarked STREAM-STREAM attribution join: every conversion
+    * matched to the touches of the same key within a lookback horizon
+    * — the canonical Spark stream-stream interval join, state bounded
+    * on BOTH sides by the watermarks + the time-range condition (a
+    * touch's state drops once no future conversion can reach back to
+    * it). Emits one row per (touch, conversion) pair inside the
+    * horizon — the attribution JOIN; first/last/position credit
+    * models aggregate downstream ([[graft.operators.Sessionize]]'s
+    * batch family). On batch frames the identical join expression
+    * runs without watermarks (backfill parity, spec-asserted).
+    * Same-instant touches count (at-or-before, the
+    * conversionLatency convention). */
+  def attributionJoinStream(touches: DataFrame, conversions: DataFrame,
+                            keyCol: String, tsCol: String, typeCol: String,
+                            horizon: String,
+                            watermarkDelay: String = "0 seconds"): DataFrame = {
+    val t0 = touches.select(col(keyCol).as("key"), col(tsCol).as("touch_ts"),
+      col(typeCol).as("channel"))
+    val c0 = conversions.select(col(keyCol).as("__ck"), col(tsCol).as("conv_ts"))
+    val (t, c) =
+      if (touches.isStreaming) (t0.withWatermark("touch_ts", watermarkDelay),
+        c0.withWatermark("conv_ts", watermarkDelay))
+      else (t0, c0)
+    t.join(c, col("key") === col("__ck") &&
+        col("touch_ts") <= col("conv_ts") &&
+        col("conv_ts") <= col("touch_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("key"), col("channel"), col("touch_ts"), col("conv_ts"))
+  }
+
   final case class SprtState(n: Long, a: Long, decision: String,
                              crossDay: Option[java.sql.Date])
   final case class SprtUpdate(arm: String, n: Long, conversions: Long,

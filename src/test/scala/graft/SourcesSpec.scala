@@ -119,4 +119,35 @@ class SourcesSpec extends SparkSpec {
     assert(report.count() > 0)
     spark.sql(s"DROP TABLE $ident")
   }
+
+  test("readWithQuarantine splits malformed csv/json rows into quarantine") {
+    val tmp = Files.createTempDirectory("graft-quarantine").toString
+    // a csv with one unparseable numeric and one short row
+    val csv = s"$tmp/bad.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(csv),
+      "id,name,score\n1,a,1.5\nnot_a_number,b,2.5\n3,c,3.5\n".getBytes)
+    val contract = Contract(version = "1", name = "q", owner = "o",
+      schema = ContractSchema("csv", csv, Seq(
+        Field("id", "int64", nullable = false),
+        Field("name", "string"),
+        Field("score", "float64"))))
+    val (good, bad, release) = TableSources.readWithQuarantineManaged(spark, contract)
+    assert(good.columns.toSeq == Seq("id", "name", "score"))
+    assert(good.collect().map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 3L))
+    val rawBad = bad.collect().map(_.getAs[String]("raw_record"))
+    assert(rawBad.length == 1 && rawBad.head.startsWith("not_a_number"))
+    release()
+    // json variant: a syntactically broken line quarantines
+    val js = s"$tmp/bad.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(js),
+      ("""{"id": 1, "name": "a", "score": 1.5}""" + "\n" +
+        """{"id": broken""" + "\n").getBytes)
+    val (g2, b2) = TableSources.readWithQuarantine(spark,
+      contract.copy(schema = contract.schema.copy(format = "json", location = js)))
+    assert(g2.count() == 1L && b2.count() == 1L)
+    // binary formats have no malformed-row concept here
+    assertThrows[IllegalArgumentException](
+      TableSources.readWithQuarantine(spark,
+        contract.copy(schema = contract.schema.copy(format = "parquet"))))
+  }
 }

@@ -552,4 +552,41 @@ class StreamingSpec extends SparkSpec {
       StreamMonitor.sprtMonitorStream(
         d1.toDF("arm", "day", "conv"), "arm", "day", "conv", 2000, 6000))
   }
+
+  test("stream-stream attribution join bounds state with watermarks; batch parity") {
+    implicit val sc = spark.sqlContext
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(60000L * m)
+    val touchesMem = MemoryStream[(String, Timestamp, String)]
+    val convMem = MemoryStream[(String, Timestamp)]
+    val touches = touchesMem.toDF().toDF("user", "ts", "channel")
+    val convs = convMem.toDF().toDF("user", "ts").withColumn("channel", lit(""))
+    val joined = StreamMonitor.attributionJoinStream(
+      touches, convs, "user", "ts", "channel", horizon = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // u1: view at t1 and click at t5 both inside the 10-min horizon
+      // of the t8 conversion; the t1 touch of u2 is 20 min before its
+      // conversion -> out of horizon; u3 touch after conversion -> no
+      touchesMem.addData(("u1", t(1), "view"), ("u1", t(5), "click"),
+        ("u2", t(1), "view"), ("u3", t(9), "view"))
+      convMem.addData(("u1", t(8)), ("u2", t(21)), ("u3", t(7)))
+      q.processAllAvailable()
+      val got = spark.table("attr").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("channel"),
+          r.getAs[Timestamp]("touch_ts").getTime / 60000))
+        .toSet
+      assert(got == Set(("u1", "view", 1L), ("u1", "click", 5L)))
+    } finally q.stop()
+    // batch parity: the same expression over batch frames
+    val bt = Seq(("u1", t(1), "view"), ("u1", t(5), "click"),
+      ("u2", t(1), "view")).toDF("user", "ts", "channel")
+    val bc = Seq(("u1", t(8)), ("u2", t(21))).toDF("user", "ts")
+      .withColumn("channel", lit(""))
+    val batch = StreamMonitor.attributionJoinStream(
+        bt, bc, "user", "ts", "channel", horizon = "10 minutes")
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("channel"))).toSet
+    assert(batch == Set(("u1", "view"), ("u1", "click")))
+  }
 }
