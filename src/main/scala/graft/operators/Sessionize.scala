@@ -220,11 +220,12 @@ object Sessionize {
     * cumulative-share-difference split (middle j of m gets
     * 2000·j DIV m − 2000·(j−1) DIV m), so every converted path's
     * credits sum to EXACTLY 10000 — no truncation leak, any engine
-    * replays it. Plan: two stacked per-user sort-windows (path id =
-    * running conversion count, then position/length per (user, path)),
-    * one broadcast-free semi-join of touches onto converted paths via
-    * the conversion rows themselves, ONE channel rollup. Keyed
-    * shuffles only; state bounded per user path. */
+    * replays it. Plan: ONE pass — two stacked per-user sort-windows
+    * (path id = running conversion count, then position/size/converted
+    * per (user, path); the conversion row is by construction the LAST
+    * row of its own path partition, so "path converted" is a window
+    * max, not a self-join) + ONE channel rollup. Keyed shuffles only;
+    * state bounded per user path; the event scan runs once. */
   def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
                           typeCol: String, tieCol: String,
                           convType: String): DataFrame = {
@@ -237,16 +238,14 @@ object Sessionize {
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
     val pw = Window.partitionBy(col(userCol), col("__path"))
       .orderBy(col(tsCol), col(tieCol))
-    val touches = base.filter(col("__conv") === 0)
+    val whole = Window.partitionBy(col(userCol), col("__path"))
+    base
       .withColumn("__pos", row_number().over(pw).cast("long"))
-      .withColumn("__k", count(lit(1)).over(
-        Window.partitionBy(col(userCol), col("__path"))).cast("long"))
-    val converted = base.filter(col("__conv") === 1)
-      .select(col(userCol).as("__cu"), col("__path").as("__cp"))
-      .distinct()
-    touches
-      .join(converted,
-        col(userCol) === col("__cu") && col("__path") === col("__cp"))
+      .withColumn("__done", max(col("__conv")).over(whole))
+      // rows in the partition = touches + (at most one) conversion row
+      .withColumn("__k",
+        (count(lit(1)).over(whole) - col("__done")).cast("long"))
+      .filter(col("__conv") === 0 && col("__done") === 1)
       .withColumn("credit_bp",
         when(col("__k") === 1L, 10000L)
           .when(col("__k") === 2L, 5000L)
