@@ -135,4 +135,96 @@ object ExperimentPropSpec extends Properties("Experiment") {
       row.getAs[Long]("extreme_redraws") == ext.toLong &&
         row.getAs[Long]("p_bp") == (1L + ext) * 10000L / (k + 1)
     }
+
+  /** random daily (conversions, non-conversions) streams for the SPRT
+    * walk — endpoints free, zeros allowed (a day with no units still
+    * advances the calendar only if present) */
+  private val genDays: Gen[List[(Int, Int)]] = for {
+    n <- Gen.choose(1, 12)
+    ds <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6)))
+  } yield ds.filter { case (c, m) => c + m > 0 } match {
+    case Nil => List((1, 1))
+    case xs => xs
+  }
+
+  property("sprtMonitor replays the latched LLR walk day by day") =
+    forAll(genDays, Gen.choose(500L, 4000L)) { (days, p0) =>
+      val p1 = p0 + 3000L
+      import java.sql.Date
+      def day(d: Int) = Date.valueOf(f"2024-01-${d + 1}%02d")
+      val units = days.zipWithIndex.flatMap { case ((c, m), d) =>
+        (1 to c).map(_ => ("m", day(d), 1L)) ++
+          (1 to m).map(_ => ("m", day(d), 0L)) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          units.map { case (a, d, c) => Row(a, d, c) }, 2),
+        StructType(Seq(
+          StructField("arm", StringType, nullable = false),
+          StructField("day", org.apache.spark.sql.types.DateType, nullable = false),
+          StructField("conv", LongType, nullable = false))))
+      val row = graft.operators.Experiment.sprtMonitor(
+        df, "arm", "day", "conv", p0, p1).collect().head
+      val (l0, l1, lo, up) =
+        graft.operators.Experiment.sprtConstants(p0, p1, 500, 500)
+      var (n, a) = (0L, 0L)
+      var decision = "continue"; var crossIdx = -1
+      days.zipWithIndex.foreach { case ((c, m), d) =>
+        n += c + m; a += c
+        val llr = a * l1 + (n - a) * l0
+        if (decision == "continue") {
+          if (llr >= up) { decision = "h1"; crossIdx = d }
+          else if (llr <= lo) { decision = "h0"; crossIdx = d }
+        }
+      }
+      val llrFinal = a * l1 + (n - a) * l0
+      row.getAs[String]("decision") == decision &&
+        row.getAs[Long]("n") == n &&
+        row.getAs[Long]("conversions") == a &&
+        row.getAs[Long]("llr_final_e6") == llrFinal &&
+        (if (crossIdx < 0) row.isNullAt(row.fieldIndex("cross_day"))
+         else row.getAs[java.sql.Date]("cross_day") == day(crossIdx))
+    }
+
+  property("ebShrinkage replays the exact-integer regime fit") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 8)))
+      .suchThat(_.forall { case (p, q) => p + q > 0 })) { groups0 =>
+      val groups = groups0.take(12)
+      val units = groups.zipWithIndex.flatMap { case ((pos, neg), i) =>
+        (1 to pos).map(_ => (s"g$i", 1L)) ++ (1 to neg).map(_ => (s"g$i", 0L)) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          units.map { case (g, y) => Row(g, y) }, 2),
+        StructType(Seq(
+          StructField("g", StringType, nullable = false),
+          StructField("y", LongType, nullable = false))))
+      val rows = graft.operators.Profile.ebShrinkage(df, "g", "y")
+        .collect().map(x => x.getAs[String]("group") -> x).toMap
+      // plain-Scala replay of the published integer fit
+      val live = groups.zipWithIndex.filter { case ((p, q), _) => p + q > 0 }
+      val rs = live.map { case ((p, q), _) => p.toLong * 1000000L / (p + q) }
+      val k = rs.size.toLong
+      if (k < 2) rows.values.forall(_.isNullAt(
+        rows.values.head.fieldIndex("shrunk_r4")))
+      else {
+        val rb = rs.sum / k
+        val sS = rs.map(x => (x - rb) * (x - rb)).sum
+        val v = live.zip(rs).map { case (((p, q), _), x) =>
+          x * (1000000L - x) / (p + q) }.sum
+        val m = rb * (1000000L - rb)
+        val d = sS * k - v * (k - 1)
+        live.zip(rs).forall { case (((p, q), i), _) =>
+          val row = rows(s"g$i")
+          val got = if (row.isNullAt(row.fieldIndex("shrunk_r4"))) None
+            else Some(row.getAs[Double]("shrunk_r4"))
+          val want =
+            if (d <= 0) Some(r(rb.toDouble / 1e6, 4))
+            else if (d >= m * k * (k - 1)) Some(r(p.toDouble / (p + q), 4))
+            else {
+              val kk = m.toDouble * k * (k - 1) / d - 1.0
+              Some(r((p + rb.toDouble / 1e6 * kk) / (p + q + kk), 4))
+            }
+          got == want
+        }
+      }
+    }
 }
