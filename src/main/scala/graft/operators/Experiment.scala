@@ -709,8 +709,12 @@ object Experiment {
     * one when a treatment helps the tail but not the middle (latency,
     * revenue, token counts). Per-arm EXACT disc quantiles via
     * [[Profile.groupQuantiles]] (per-(arm, value) counts, cumulative
-    * window partitioned by arm — parallel in the arm key, never a
-    * global sort), pivoted to one row per requested quantile with
+    * window partitioned by arm — two partitions here, so each arm's
+    * window is one task over its DISTINCT metric values: fine for the
+    * integral/low-cardinality unit metrics experiments read; for a
+    * high-cardinality continuous metric run [[Profile.exactQuantiles]]
+    * per arm — the two-level plan — instead), pivoted to one row per
+    * requested quantile with
     * qte = value_b − value_a. Disc picks are untouched input values,
     * so the subtraction is exact in any engine; NULL when either arm
     * is empty. `yCol` any orderable numeric. */

@@ -1590,7 +1590,9 @@ object Profile {
     * (null columns comma-joined in caller order; "(none)" for complete
     * rows) with exact share_bp. ≤ 2^|cols| output rows — `cols`
     * capped at 10 so the frame stays bounded by construction.
-    * Plan: ONE map-side-combined rollup + a broadcast 1-row total. */
+    * Plan: ONE map-side-combined rollup; the total folds as a window
+    * over the ≤2^k-row pattern frame (bounded by construction), so the
+    * input scan never re-executes for a side aggregate. */
   def nullPatternAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.size <= 10,
       s"nullPatternAudit: need 1..10 columns, got ${cols.size}")
@@ -1599,11 +1601,12 @@ object Profile {
     val missing = cols.filterNot(live)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
     val pattern = concat_ws(",", cols.map(c => when(col(c).isNull, lit(c))): _*)
-    val counts = df
-      .groupBy(when(length(pattern) > 0, pattern).otherwise("(none)")
+    val w = org.apache.spark.sql.expressions.Window
+    df.groupBy(when(length(pattern) > 0, pattern).otherwise("(none)")
         .as("null_cols"))
       .agg(count(lit(1)).as("rows"))
-    counts.crossJoin(broadcast(counts.agg(sum(col("rows")).as("__t"))))
+      .withColumn("__t", sum(col("rows")).over(
+        w.partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
       .select(col("null_cols"), col("rows").cast(LongType).as("rows"),
         expr("rows * 10000 DIV __t").cast(LongType).as("share_bp"))
   }
