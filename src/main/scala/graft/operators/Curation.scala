@@ -659,7 +659,14 @@ object Curation {
       .filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
         col(tokensCol).isNotNull)
       .select(col(idCol).as("id") +: col(scoreCol).cast("long").as("score") +:
-        col(tokensCol).cast("long").as("tokens") +: keepCols.map(col): _*)
+        // a negative token count would make the running sum
+        // non-monotone and silently break the greedy-prefix contract -
+        // fail the task instead (the giniByGroup per-row discipline)
+        when(col(tokensCol) < 0, raise_error(concat(
+            lit(s"tokenBudgetSelect: negative $tokensCol for id "),
+            col(idCol).cast("string"))))
+          .otherwise(col(tokensCol).cast("long")).as("tokens") +:
+        keepCols.map(col): _*)
       .withColumn("__ord", struct((-col("score")).as("ns"),
         col("id").cast("string").as("i")))
     val (run, release) = Profile.rangedRunningSumManaged(base, "__ord", "tokens")

@@ -716,8 +716,10 @@ object Experiment {
     * per arm — the two-level plan — instead), pivoted to one row per
     * requested quantile with
     * qte = value_b − value_a. Disc picks are untouched input values,
-    * so the subtraction is exact in any engine; NULL when either arm
-    * is empty. `yCol` any orderable numeric. */
+    * so the subtraction is exact in any engine; the two-arm alphabet
+    * is enforced loudly (an arm with only NULL metrics filters away
+    * and trips the twoArms guard — no silent one-arm output).
+    * `yCol` any orderable numeric. */
   def quantileTreatmentEffects(users: DataFrame, armCol: String, yCol: String,
                                qsBp: Seq[Int] = Seq(2500, 5000, 7500, 9000)): DataFrame = {
     val base = users.filter(col(armCol).isNotNull && col(yCol).isNotNull)

@@ -779,27 +779,51 @@ object Profile {
   private[operators] def rangedRunningSumManaged(vals: DataFrame, orderCol: String,
                                       measureCol: String,
                                       partCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
+    val (out, release) =
+      rangedRunningSumsManaged(vals, orderCol, Seq(measureCol), partCols)
+    (out.withColumnRenamed(s"__rsum_$measureCol", "__rsum"), release)
+  }
+
+  /** Multi-measure form of the two-level running sum: every measure's
+    * global cumulative (`__rsum_<col>`) rides the SAME range exchange,
+    * per-partition window and broadcast offset pass — the one
+    * implementation of the idiom, so a fork/persist fix lands
+    * everywhere at once (single-measure callers go through the
+    * delegating overload above). */
+  private[operators] def rangedRunningSumsManaged(vals: DataFrame, orderCol: String,
+                                      measureCols: Seq[String],
+                                      partCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
+    require(measureCols.nonEmpty, "need at least one measure column")
     val parts = math.max(vals.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt, 1)
     val w = org.apache.spark.sql.expressions.Window
     val pc = partCols.map(col)
     val within = w.partitionBy(col("__pid") +: pc: _*).orderBy(col(orderCol))
       .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val ranged = vals.repartitionByRange(parts, pc :+ col(orderCol): _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrun", sum(col(measureCol)).over(within))
+    val ranged = measureCols.foldLeft(
+        vals.repartitionByRange(parts, pc :+ col(orderCol): _*)
+          .withColumn("__pid", spark_partition_id())) { (d, m) =>
+        d.withColumn(s"__lrun_$m", sum(col(m)).over(within))
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranged.count() // materialize before the offsets/consumer fork
     val offW = if (partCols.isEmpty) w.orderBy(col("__pid"))
       else w.partitionBy(pc: _*).orderBy(col("__pid"))
-    val offsets = ranged.groupBy("__pid", partCols: _*)
-      .agg(sum(col(measureCol)).as("__pc"))
-      .withColumn("__off", (sum(col("__pc")).over(offW
-        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast("long"))
-      .select((col("__pid") +: pc :+ col("__off")): _*)
-    val out = ranged.join(broadcast(offsets), "__pid" +: partCols)
-      .withColumn("__rsum", col("__lrun") + col("__off"))
-      .drop("__lrun", "__off", "__pid")
+    val offAggs = measureCols.map(m => sum(col(m)).as(s"__pc_$m"))
+    val offsets = measureCols.foldLeft(
+        ranged.groupBy("__pid", partCols: _*).agg(offAggs.head, offAggs.tail: _*)) {
+        (d, m) =>
+          d.withColumn(s"__off_$m", (sum(col(s"__pc_$m")).over(offW
+            .rowsBetween(w.unboundedPreceding, w.currentRow)) - col(s"__pc_$m"))
+            .cast("long"))
+      }
+      .select((col("__pid") +: pc) ++ measureCols.map(m => col(s"__off_$m")): _*)
+    val out = measureCols.foldLeft(
+        ranged.join(broadcast(offsets), "__pid" +: partCols)) { (d, m) =>
+        d.withColumn(s"__rsum_$m", col(s"__lrun_$m") + col(s"__off_$m"))
+          .drop(s"__lrun_$m", s"__off_$m")
+      }
+      .drop("__pid")
     (out, () => { ranged.unpersist(); () })
   }
 
@@ -1500,21 +1524,22 @@ object Profile {
 
   /** VALUE-CONCENTRATION (whale) readout: what share of total metric
     * value the top p% of keys hold — the Pareto datasheet line next
-    * to [[giniConcentration]]'s single coefficient (the Gini says
+    * to [[giniByGroup]]'s single coefficient (the Gini says
     * "concentrated"; this says "the top 1% of users carry 62% of
     * revenue", the number a capacity/abuse/monetization review reads).
-    * Values quantize to e4 integers per key (floor(total·10⁴)), keys
-    * rank by (value desc, key asc — deterministic ties), and each
-    * requested top_bp picks k = max(1, ceil(p·N/10⁴)) keys; the
-    * boundary TIE GROUP is included whole (distinct-value grain — a
-    * tie straddling the cutoff cannot be split deterministically), so
-    * users_included ≥ k, documented.
+    * Per-key totals are Σ floor(value·10⁴) over the key's rows (per-ROW
+    * e4 quantization — exact, order-independent sums, the
+    * [[effectiveSampleSize]] discipline), keys rank by value desc with
+    * ties collapsed to distinct-total grain, and each requested top_bp
+    * picks k = max(1, ceil(p·N/10⁴)) keys; the boundary TIE GROUP is
+    * included whole (a tie straddling the cutoff cannot be split
+    * deterministically), so keys_included ≥ k, documented.
     *
-    * Plan: one per-key rollup, then the exactQuantiles two-level
-    * shape on the DISTINCT per-key totals — range exchange,
-    * per-partition running (count, value) sums, broadcast offsets —
-    * and one 2·|topBps|-expression fold. Never a single-task global
-    * window. int64: Σ|value·10⁴| < 9.2e18. */
+    * Plan: one per-key rollup, one distinct-total rollup, then BOTH
+    * running sums (key count + value mass) ride ONE
+    * [[rangedRunningSumsManaged]] pass — the shared two-level range
+    * exchange, never a single-task global window — and one
+    * 2·|topBps|-expression fold. int64: Σ|value·10⁴| < 9.2e18. */
   def valueConcentration(df: DataFrame, keyCol: String, valueCol: String,
                          topBps: Seq[Int] = Seq(100, 1000, 2500)): DataFrame = {
     require(topBps.nonEmpty, "need at least one top_bp")
@@ -1526,43 +1551,29 @@ object Profile {
       .groupBy(col(keyCol).as("__k"))
       .agg(sum(floor(col(valueCol).cast(DoubleType) * 10000).cast(LongType))
         .as("__v"))
-    // distinct-total grain: (value, #keys, value mass)
+    // distinct-total grain: (total, #keys, value mass), descending
+    // order via the negated total (unique -> tie-free running sums)
     val counts = perKey.groupBy(col("__v"))
       .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__m"))
-    val parts = math.max(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
-    val w = org.apache.spark.sql.expressions.Window
-    val within = w.partitionBy(col("__pid")).orderBy(col("__v").desc)
-      .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val ranged = counts.repartitionByRange(parts, col("__v").desc)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rc", sum(col("__c")).over(within))
-      .withColumn("__rm", sum(col("__m")).over(within))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranged.count() // materialize before the offset/total forks
+      .withColumn("__negv", -col("__v"))
+    val (cum, release) =
+      rangedRunningSumsManaged(counts, "__negv", Seq("__c", "__m"))
     try {
-      val offW = w.orderBy(col("__pid"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)
-      val offsets = ranged.groupBy("__pid")
-        .agg(sum(col("__c")).as("__pc"), sum(col("__m")).as("__pm"))
-        .withColumn("__oc", (sum(col("__pc")).over(offW) - col("__pc")).cast("long"))
-        .withColumn("__om", (sum(col("__pm")).over(offW) - col("__pm")).cast("long"))
-        .select("__pid", "__oc", "__om")
-      val total = ranged.agg(sum(col("__c")).as("__n"), sum(col("__m")).as("__t"))
-      val cum = ranged.join(broadcast(offsets), "__pid")
-        .crossJoin(broadcast(total))
-        .withColumn("__cc", col("__rc") + col("__oc"))
-        .withColumn("__cm", col("__rm") + col("__om"))
+      val withTotals = cum
+        .withColumnRenamed("__rsum___c", "__cc")
+        .withColumnRenamed("__rsum___m", "__cm")
       // pick the FIRST suffix row via a struct-min keyed on the count
       // cumsum (strictly increasing), not the mass cumsum — negative
       // per-key totals make the mass non-monotone
+      val total = withTotals.agg(sum(col("__c")).as("__n"), sum(col("__m")).as("__t"))
+      val joined = withTotals.crossJoin(broadcast(total))
       val aggs = topBps.flatMap { b =>
         val k = greatest(lit(1L), expr(s"($b * __n + 9999) DIV 10000"))
         val pick = min(when(col("__cc") >= k,
           struct(col("__cc").as("c"), col("__cm").as("m"))))
         Seq(pick.getField("c").as(s"__u_$b"), pick.getField("m").as(s"__s_$b"))
       }
-      val one = cum.agg(aggs.head, aggs.tail: _*)
+      val one = joined.agg(aggs.head, aggs.tail: _*)
         .crossJoin(broadcast(total))
       val rows = topBps.map(b => struct(
         lit(b.toLong).as("top_bp"),
@@ -1579,7 +1590,7 @@ object Profile {
         org.apache.spark.sql.types.StructType.fromDDL(
           "top_bp BIGINT, keys_included BIGINT, value_e4 BIGINT, " +
             "value_share_bp BIGINT, total_keys BIGINT, total_value_e4 BIGINT"))
-    } finally ranged.unpersist()
+    } finally release()
   }
 
   /** NULL-PATTERN audit: row counts per combination of

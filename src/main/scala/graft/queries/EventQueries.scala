@@ -1340,11 +1340,12 @@ object EventQueries {
         .orderBy("cohort", "offset_n")
     },
     Some("""
-      WITH p AS (SELECT user_id, ts, CAST(floor(value * 10000) AS BIGINT) AS v
-                 FROM events
+      WITH b AS (SELECT user_id, ts, value FROM events
                  WHERE event_type = 'purchase' AND user_id IS NOT NULL
-                   AND ts IS NOT NULL AND value IS NOT NULL),
-      f AS (SELECT user_id, date_trunc('week', min(ts)) cd FROM p GROUP BY 1),
+                   AND ts IS NOT NULL),
+      p AS (SELECT user_id, ts, CAST(floor(value * 10000) AS BIGINT) AS v
+            FROM b WHERE value IS NOT NULL),
+      f AS (SELECT user_id, date_trunc('week', min(ts)) cd FROM b GROUP BY 1),
       cs AS (SELECT cd, count(*) cu FROM f GROUP BY 1),
       per AS (SELECT f.cd, datediff('day', f.cd, date_trunc('week', p.ts)) // 7 AS o,
                      sum(p.v) AS pv

@@ -161,10 +161,12 @@ object Layout {
         sum(col("rows")).cast("long").as("rows"),
         min(col("rows")).cast("long").as("min_file_rows"),
         max(col("rows")).cast("long").as("max_file_rows"),
-        ((sum(col("rows")) + targetRows - 1L) / targetRows).cast("long")
-          .as("files_target"),
         max(when(col("verdict") === "split", 1L).otherwise(0L)).as("__anySplit"),
         max(when(col("verdict") === "compact", 1L).otherwise(0L)).as("__anyCompact"))
+      // exact integer ceil - Column / is double division, which rounds
+      // past 2^53 and would break the "exact ceil" contract
+      .withColumn("files_target",
+        expr(s"(rows + ${targetRows - 1L}) DIV $targetRows").cast("long"))
       .withColumn("verdict",
         when(col("__anySplit") === 1L, "split")
           .when(col("__anyCompact") === 1L, "compact").otherwise("ok"))
