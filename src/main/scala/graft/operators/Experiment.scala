@@ -865,4 +865,62 @@ object Experiment {
         (col("__holm_all") === 1L).as("holm_reject") +:
         keepCols.map(col): _*)
   }
+
+  /** DIFFERENCE-IN-DIFFERENCES readout (the 2×2 panel estimator):
+    * (B_post − B_pre) − (A_post − A_pre) — the launch-analysis shape
+    * when assignment wasn't randomized but both groups share a trend
+    * (a rollout hit group B between the periods; the parallel-trends
+    * assumption does the identification, stated not tested here — eye
+    * the pre-period diff the output exposes). Repeated cross-section
+    * form: cells need not be balanced panels.
+    *
+    * ONE map-side-combined pass of exact integer sums (n, Σy, Σy² per
+    * arm × period cell); every mean is a double division of exact
+    * ints, the DID estimate their closed combination, and the Welch-
+    * style SE² = Σ_cells v_c/n_c with v_c = (n_c·Σy²_c − (Σy_c)²) /
+    * (n_c·(n_c−1)) — single deterministic double expressions. z NULL
+    * (never NaN) when any cell has n < 2 or all variances are zero;
+    * the estimate itself needs all four cells
+    * non-empty (NULL otherwise — an absent cell means the design
+    * collapsed, and a number would lie). int64: n·Σy² < 9.2e18 per cell. `periodCol` integral
+    * with 0 = pre, nonzero = post. */
+  def diffInDiff(units: DataFrame, armCol: String, periodCol: String,
+                 yCol: String): DataFrame = {
+    requireIntegral(units, yCol, "diffInDiff")
+    requireIntegral(units, periodCol, "diffInDiff")
+    val base = units
+      .filter(col(armCol).isNotNull && col(periodCol).isNotNull && col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("__arm"),
+        when(col(periodCol) =!= 0, 1).otherwise(0).as("__p"),
+        col(yCol).cast("long").as("__y"))
+    val (aLbl, bLbl) = twoArms(base, "diffInDiff")
+    def cell(arm: String, p: Int, sfx: String) = {
+      val in = col("__arm") === arm && col("__p") === p
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"__n$sfx"),
+        sum(when(in, col("__y")).otherwise(0L)).as(s"__s$sfx"),
+        sum(when(in, col("__y") * col("__y")).otherwise(0L)).as(s"__q$sfx"))
+    }
+    val aggs = cell(aLbl, 0, "a0") ++ cell(aLbl, 1, "a1") ++
+      cell(bLbl, 0, "b0") ++ cell(bLbl, 1, "b1")
+    val folded = base.agg(aggs.head, aggs.tail: _*)
+    val cells = Seq("a0", "a1", "b0", "b1")
+    val allNonEmpty = cells.map(c => col(s"__n$c") > 0).reduce(_ && _)
+    def mean(c: String) = col(s"__s$c").cast("double") / col(s"__n$c")
+    def seSq(c: String) = when(col(s"__n$c") > 1,
+      (col(s"__n$c") * col(s"__q$c") - col(s"__s$c") * col(s"__s$c"))
+        .cast("double") / (col(s"__n$c") * (col(s"__n$c") - 1)) / col(s"__n$c"))
+    val did = (mean("b1") - mean("b0")) - (mean("a1") - mean("a0"))
+    val se2 = cells.map(seSq).reduce(_ + _)
+    folded
+      .select(
+        lit(aLbl).as("arm_a"), lit(bLbl).as("arm_b"),
+        col("__na0").cast(LongType).as("n_a_pre"),
+        col("__na1").cast(LongType).as("n_a_post"),
+        col("__nb0").cast(LongType).as("n_b_pre"),
+        col("__nb1").cast(LongType).as("n_b_post"),
+        round(when(allNonEmpty, mean("b0") - mean("a0")), 6).as("pre_diff_r6"),
+        round(when(allNonEmpty, mean("b1") - mean("a1")), 6).as("post_diff_r6"),
+        round(when(allNonEmpty, did), 6).as("did_r6"),
+        round(when(allNonEmpty && se2 > 0d, did / sqrt(se2)), 4).as("z_r4"))
+  }
 }

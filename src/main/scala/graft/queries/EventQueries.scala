@@ -1328,6 +1328,65 @@ object EventQueries {
       FROM h, j, p WHERE p.seg = h.seg ORDER BY p_rank"""))
 
 
+  // 280. difference-in-differences: per-(user, half-month period)
+  // event counts, md5 arms — the 2x2 panel estimator with exact
+  // integer cell sums, pre/post diffs exposed for the parallel-trends
+  // eyeball.
+  val qAbDid = QueryDef("q_ab_did",
+    (s, dir) => {
+      val up = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"),
+          when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L).as("period"))
+        .agg(count(lit(1)).as("y"))
+      val armed = graft.operators.Sampling.portableSplit(
+        up, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      graft.operators.Experiment.diffInDiff(armed, "split", "period", "y")
+    },
+    Some("""
+      WITH up AS (SELECT user_id,
+                    CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS p,
+                    count(*) AS y
+                  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  GROUP BY 1, 2),
+      a AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                        THEN 'a' ELSE 'b' END AS arm, p, y
+            FROM up),
+      f AS (SELECT
+              sum(CASE WHEN arm = 'a' AND p = 0 THEN 1 ELSE 0 END) AS na0,
+              sum(CASE WHEN arm = 'a' AND p = 0 THEN y ELSE 0 END) AS sa0,
+              sum(CASE WHEN arm = 'a' AND p = 0 THEN y * y ELSE 0 END) AS qa0,
+              sum(CASE WHEN arm = 'a' AND p = 1 THEN 1 ELSE 0 END) AS na1,
+              sum(CASE WHEN arm = 'a' AND p = 1 THEN y ELSE 0 END) AS sa1,
+              sum(CASE WHEN arm = 'a' AND p = 1 THEN y * y ELSE 0 END) AS qa1,
+              sum(CASE WHEN arm = 'b' AND p = 0 THEN 1 ELSE 0 END) AS nb0,
+              sum(CASE WHEN arm = 'b' AND p = 0 THEN y ELSE 0 END) AS sb0,
+              sum(CASE WHEN arm = 'b' AND p = 0 THEN y * y ELSE 0 END) AS qb0,
+              sum(CASE WHEN arm = 'b' AND p = 1 THEN 1 ELSE 0 END) AS nb1,
+              sum(CASE WHEN arm = 'b' AND p = 1 THEN y ELSE 0 END) AS sb1,
+              sum(CASE WHEN arm = 'b' AND p = 1 THEN y * y ELSE 0 END) AS qb1
+            FROM a),
+      m AS (SELECT *,
+              CAST(sa0 AS DOUBLE) / na0 AS ma0, CAST(sa1 AS DOUBLE) / na1 AS ma1,
+              CAST(sb0 AS DOUBLE) / nb0 AS mb0, CAST(sb1 AS DOUBLE) / nb1 AS mb1,
+              (CASE WHEN na0 > 1 THEN CAST(na0 * qa0 - sa0 * sa0 AS DOUBLE) / (na0 * (na0 - 1)) / na0 END) +
+              (CASE WHEN na1 > 1 THEN CAST(na1 * qa1 - sa1 * sa1 AS DOUBLE) / (na1 * (na1 - 1)) / na1 END) +
+              (CASE WHEN nb0 > 1 THEN CAST(nb0 * qb0 - sb0 * sb0 AS DOUBLE) / (nb0 * (nb0 - 1)) / nb0 END) +
+              (CASE WHEN nb1 > 1 THEN CAST(nb1 * qb1 - sb1 * sb1 AS DOUBLE) / (nb1 * (nb1 - 1)) / nb1 END) AS se2
+            FROM f),
+      ok AS (SELECT *, na0 > 0 AND na1 > 0 AND nb0 > 0 AND nb1 > 0 AS nonempty,
+                    (mb1 - mb0) - (ma1 - ma0) AS did
+             FROM m)
+      SELECT 'a' AS arm_a, 'b' AS arm_b,
+             CAST(na0 AS BIGINT) AS n_a_pre, CAST(na1 AS BIGINT) AS n_a_post,
+             CAST(nb0 AS BIGINT) AS n_b_pre, CAST(nb1 AS BIGINT) AS n_b_post,
+             round(CASE WHEN nonempty THEN mb0 - ma0 END, 6) AS pre_diff_r6,
+             round(CASE WHEN nonempty THEN mb1 - ma1 END, 6) AS post_diff_r6,
+             round(CASE WHEN nonempty THEN did END, 6) AS did_r6,
+             round(CASE WHEN nonempty AND se2 > 0 THEN did / sqrt(se2) END, 4) AS z_r4
+      FROM ok"""))
+
+
   // 274. cohort LTV accumulation curve: weekly first-purchase cohorts,
   // per-offset purchase value (e4-quantized exact integers), running
   // cumulative and per-user LTV — the monetized sibling of the
@@ -1508,5 +1567,6 @@ object EventQueries {
     qAttributionPosition,
     qLtvCurve,
     qValueConcentration,
+    qAbDid,
   )
 }

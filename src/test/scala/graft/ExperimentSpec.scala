@@ -425,4 +425,39 @@ class ExperimentSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       graft.operators.Experiment.fdrReadout(tests, "test_name", "p", alphaBp = 0))
   }
+
+  test("diffInDiff: hand 2x2 means, parallel-trend zero, cell guards") {
+    def mk(arm: String, p: Long, ys: Long*) = ys.map(y => (arm, p, y))
+    // a: pre [1,2,3] post [2,3,4] (trend +1); b: pre [5,5] post [9,9]
+    // -> pre diff 3, post diff 6, did = (9-5) - (3-2) = 3
+    val df = (mk("a", 0, 1, 2, 3) ++ mk("a", 1, 2, 3, 4) ++
+      mk("b", 0, 5, 5) ++ mk("b", 1, 9, 9)).toDF("arm", "p", "y")
+    val r = graft.operators.Experiment.diffInDiff(df, "arm", "p", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_a_pre") == 3L && r.getAs[Long]("n_b_post") == 2L)
+    assert(r.getAs[Double]("pre_diff_r6") == 3.0)
+    assert(r.getAs[Double]("post_diff_r6") == 6.0)
+    assert(r.getAs[Double]("did_r6") == 3.0)
+    // b cells have zero variance; se2 = var_a0/3 + var_a1/3 = 2/3
+    val se = math.sqrt(1.0 / 3 + 1.0 / 3)
+    assert(r.getAs[Double]("z_r4") ==
+      BigDecimal(3.0 / se).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // perfectly parallel trends: did = 0
+    val par = (mk("a", 0, 1, 2) ++ mk("a", 1, 3, 4) ++
+      mk("b", 0, 10, 11) ++ mk("b", 1, 12, 13)).toDF("arm", "p", "y")
+    val pr = graft.operators.Experiment.diffInDiff(par, "arm", "p", "y")
+      .collect().head
+    assert(pr.getAs[Double]("did_r6") == 0.0)
+    // an empty cell collapses the design: NULL estimate, counts kept
+    val hole = (mk("a", 0, 1) ++ mk("a", 1, 2) ++ mk("b", 1, 5))
+      .toDF("arm", "p", "y")
+    val hr = graft.operators.Experiment.diffInDiff(hole, "arm", "p", "y")
+      .collect().head
+    assert(hr.getAs[Long]("n_b_pre") == 0L)
+    assert(hr.isNullAt(hr.fieldIndex("did_r6")))
+    assert(hr.isNullAt(hr.fieldIndex("z_r4")))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.diffInDiff(
+        df.withColumn("y", col("y").cast("double")), "arm", "p", "y"))
+  }
 }
