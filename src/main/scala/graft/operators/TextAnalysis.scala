@@ -880,6 +880,53 @@ object TextAnalysis {
       .withColumn("hapax_share_bp", expr("hapax * 10000 DIV types").cast("long"))
   }
 
+  /** Per-GROUP distinctive terms — cluster/source LABELING: each
+    * group's top-k words by LIFT over the corpus rate,
+    * lift = (c_gw/T_g) / (c_w/T) — "what does THIS source talk about
+    * that the corpus doesn't" ([[topTerms]] answers the per-DOC
+    * version; a mixture designer or dedup-cluster namer needs the
+    * group grain). Words below `minCount` occurrences in the group
+    * are dropped (hapax lift is noise, documented), and lift ranks on
+    * the deterministic double expression over exact integer counts
+    * (ties → lexicographically smaller word).
+    *
+    * Plan: one (group, word) rollup, one word rollup, one group
+    * rollup (all map-side combined), two broadcast-shaped joins
+    * (word totals are vocab-bounded; group totals group-bounded), a
+    * per-group top-k rank window (WindowGroupLimit prunes map-side —
+    * the heavy-hitters idiom). Posting-list-linear. */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+                       k: Int = 5, minCount: Long = 5L): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(minCount >= 1, "need minCount >= 1")
+    val terms = df
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        explode(TextFns.words(col(textCol))).as("word"))
+      .groupBy("group", "word").agg(count(lit(1)).as("__c"))
+    val wordTot = terms.groupBy("word").agg(sum(col("__c")).as("__cw"))
+    val grpTot = terms.groupBy("group").agg(sum(col("__c")).as("__tg"))
+    val corpus = wordTot.agg(sum(col("__cw")).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__lift").desc, col("word").asc)
+    terms.filter(col("__c") >= minCount)
+      .join(wordTot, "word")
+      .join(broadcast(grpTot), "group")
+      .crossJoin(broadcast(corpus))
+      // numerator/denominator multiply as DOUBLES: c·T and T_g·c_w can
+      // pass int64 at a 10¹³-token corpus; the lift stays one
+      // deterministic expression over exact integer inputs
+      .withColumn("__lift",
+        col("__c").cast("double") * col("__t").cast("double") /
+          (col("__tg").cast("double") * col("__cw").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("group"), col("rank"), col("word"),
+        col("__c").cast("long").as("occurrences"),
+        col("__cw").cast("long").as("corpus_occurrences"),
+        round(col("__lift"), 4).as("lift_r4"))
+  }
+
   /** UNSEEN-VOCABULARY estimate: Chao1 species richness (Chao 1984)
     * + Good–Turing coverage (Good 1953) from the frequency-of-
     * frequencies spectrum — "how much vocabulary does this corpus

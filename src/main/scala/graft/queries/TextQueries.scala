@@ -1161,6 +1161,37 @@ object TextQueries {
       FROM c GROUP BY 1 ORDER BY 1"""))
 
 
+  // 281. per-source distinctive terms (cluster labeling): top-5 words
+  // by lift over the corpus rate, min 5 occurrences — "what does THIS
+  // source talk about that the corpus doesn't".
+  val qSourceTerms = QueryDef("q_source_terms",
+    (s, dir) => {
+      graft.operators.TextAnalysis.distinctiveTerms(
+          table(s, dir, "documents"), "source", "text", k = 5, minCount = 5L)
+        .orderBy("group", "rank")
+    },
+    Some("""
+      WITH t AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+      gw AS (SELECT g, w, count(*) AS c FROM t GROUP BY 1, 2),
+      wt AS (SELECT w, sum(c) AS cw FROM gw GROUP BY 1),
+      gt AS (SELECT g, sum(c) AS tg FROM gw GROUP BY 1),
+      tot AS (SELECT sum(cw) AS t FROM wt),
+      l AS (SELECT gw.g, gw.w, gw.c, wt.cw,
+              CAST(gw.c AS DOUBLE) * CAST(tot.t AS DOUBLE) /
+                (CAST(gt.tg AS DOUBLE) * CAST(wt.cw AS DOUBLE)) AS lift
+            FROM gw JOIN wt USING (w) JOIN gt USING (g), tot
+            WHERE gw.c >= 5),
+      r AS (SELECT g, w, c, cw, lift,
+              row_number() OVER (PARTITION BY g ORDER BY lift DESC, w) AS rk
+            FROM l)
+      SELECT g AS "group", CAST(rk AS BIGINT) AS rank, w AS word,
+             CAST(c AS BIGINT) AS occurrences,
+             CAST(cw AS BIGINT) AS corpus_occurrences,
+             round(lift, 4) AS lift_r4
+      FROM r WHERE rk <= 5 ORDER BY 1, 2"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qTextLangid,
     qTextQuality,
@@ -1187,6 +1218,7 @@ object TextQueries {
     qVocabStats,
     qVocabRichness,
     qTokenBudget,
+    qSourceTerms,
     qLangConsistency,
     qTextBpe,
     qBpeOov,

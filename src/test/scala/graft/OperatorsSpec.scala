@@ -2978,4 +2978,31 @@ class OperatorsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       TimeSeries.dispersionIndex(rows, "event_type", "ts", maxVmrBp = 0))
   }
+
+  test("distinctiveTerms: lift ranks group-specific words, minCount prunes") {
+    // corpus: s1 heavy on "alpha", s2 heavy on "beta", both share "the";
+    // minCount=2 drops s1's singleton "gamma"
+    val docs = Seq(
+      ("s1", "alpha alpha alpha the the"),
+      ("s1", "alpha gamma the"),
+      ("s2", "beta beta the the"),
+      ("s2", "beta beta the")).toDF("source", "text")
+    val got = graft.operators.TextAnalysis
+      .distinctiveTerms(docs, "source", "text", k = 2, minCount = 2L)
+      .collect().map(r => (r.getAs[String]("group"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("word"), r.getAs[Long]("occurrences"),
+          r.getAs[Double]("lift_r4")))).toMap
+    // totals: alpha 4 (all s1), beta 4 (all s2), the 6, gamma 1; T=15
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // s1 (tg=8): lift(alpha) = (4/8)/(4/15) = 1.875; the: (3/8)/(6/15)
+    assert(got(("s1", 1L)) == (("alpha", 4L, 1.875)))
+    assert(got(("s1", 2L)) == (("the", 3L, r4((3.0 / 8) / (6.0 / 15)))))
+    // s2 (tg=7): lift(beta) = (4/7)/(4/15)
+    assert(got(("s2", 1L)) == (("beta", 4L, r4((4.0 / 7) / (4.0 / 15)))))
+    // gamma (1 occurrence) pruned by minCount
+    assert(!got.values.exists(_._1 == "gamma"))
+    assertThrows[IllegalArgumentException](
+      graft.operators.TextAnalysis.distinctiveTerms(docs, "source", "text", k = 0))
+  }
 }
