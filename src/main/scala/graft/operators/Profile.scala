@@ -1593,6 +1593,50 @@ object Profile {
     } finally release()
   }
 
+  /** Per-group TRIMMED means: the robust location datasheet — drop
+    * the lowest and highest ⌊trimBp·n/10⁴⌋ rows of each group BY RANK
+    * and average the rest, reported beside the raw mean so the gap
+    * itself is the outlier signal ([[winsorizeReport]] clamps,
+    * [[tukeyOutliers]] flags rows; this is the per-group robust
+    * average a source scorecard quotes). Rank-based trimming is
+    * tie-stable: the (value, rank) order is total, so equal values at
+    * the cut trim identically in any engine. Exact integer sums;
+    * means single double divisions; trimmed mean NULL when the trim
+    * empties the group (never NaN). Integral values required (exact
+    * sums — the giniByGroup discipline).
+    *
+    * Plan: one per-group rank window (parallelism from the group key —
+    * the groupQuantiles shape and one-giant-group caveat) + ONE
+    * map-side-combined rollup. */
+  def groupTrimmedMeans(df: DataFrame, groupCol: String, valueCol: String,
+                        trimBp: Long = 1000L): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000,
+      s"trimBp must be in [0, 5000), got $trimBp")
+    val dt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"groupTrimmedMeans: $valueCol must be an integral type, got $dt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__v"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    val inTrim = col("__rn") > col("__cut") &&
+      col("__rn") <= col("__n") - col("__cut")
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byGroup).cast("long"))
+      .withColumn("__cut", expr(s"($trimBp * __n) DIV 10000"))
+      .groupBy("group")
+      .agg(max(col("__n")).as("__n"), sum(col("__v")).as("__s"),
+        sum(when(inTrim, col("__v")).otherwise(0L)).as("__ts"),
+        sum(when(inTrim, 1L).otherwise(0L)).as("__tn"))
+      .select(col("group"), col("__n").cast(LongType).as("n"),
+        round(col("__s").cast("double") / col("__n"), 4).as("mean_r4"),
+        col("__tn").cast(LongType).as("trimmed_n"),
+        round(when(col("__tn") > 0,
+          col("__ts").cast("double") / col("__tn")), 4).as("trimmed_mean_r4"))
+  }
+
   /** NULL-PATTERN audit: row counts per combination of
     * simultaneously-NULL columns — the STRUCTURE completeness-per-
     * column (row 9) flattens away: "email and phone are each 20% null"

@@ -1406,6 +1406,33 @@ object ProfileStatsQueries {
       FROM d"""))
 
 
+  // 282. per-source trimmed mean of document length: rank-based 10%
+  // two-sided trim beside the raw mean — the robust per-group average
+  // with the raw-vs-trimmed gap as the outlier signal.
+  val qTrimmedMeans = QueryDef("q_trimmed_means",
+    (s, dir) => {
+      graft.operators.Profile.groupTrimmedMeans(
+          table(s, dir, "documents"), "source", "n_chars", trimBp = 1000L)
+        .orderBy("group")
+    },
+    Some("""
+      WITH b AS (SELECT source AS g, n_chars AS v FROM documents
+                 WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      r AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY g) AS n
+            FROM b),
+      c AS (SELECT *, (1000 * n) // 10000 AS cut FROM r)
+      SELECT g AS "group", CAST(max(n) AS BIGINT) AS n,
+             round(CAST(sum(v) AS DOUBLE) / max(n), 4) AS mean_r4,
+             CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_n,
+             round(CASE WHEN sum(CASE WHEN rn > cut AND rn <= n - cut THEN 1 ELSE 0 END) > 0
+                   THEN CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN v ELSE 0 END) AS DOUBLE)
+                      / sum(CASE WHEN rn > cut AND rn <= n - cut THEN 1 ELSE 0 END) END, 4)
+               AS trimmed_mean_r4
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
+
   val all: Seq[QueryDef] = Seq(
     qProfileNumeric,
     qProfileStrings,
@@ -1451,5 +1478,6 @@ object ProfileStatsQueries {
     qEbShrinkage,
     qNullPatterns,
     qPartialCorr,
+    qTrimmedMeans,
   )
 }

@@ -646,4 +646,39 @@ class ProfileSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Profile.partialCorr(const.toDF("x", "y", "z"), "x", "x", "z"))
   }
+
+  test("groupTrimmedMeans: rank trim, outlier resistance, empty-trim NULL") {
+    // g1: [1,2,3,4,1000]: n=5, cut = 10% of 5 = 0 -> no trim at 1000bp?
+    // use trimBp 2000: cut = 1, keep ranks 2..4 -> mean (2+3+4)/3 = 3
+    val df = (Seq(1L, 2L, 3L, 4L, 1000L).map(("g1", _)) ++
+      Seq(5L, 5L).map(("g2", _))).toDF("g", "v")
+    val got = graft.operators.Profile
+      .groupTrimmedMeans(df, "g", "v", trimBp = 2000L)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(got("g1").getAs[Long]("n") == 5L)
+    assert(got("g1").getAs[Double]("mean_r4") == 202.0)
+    assert(got("g1").getAs[Long]("trimmed_n") == 3L)
+    assert(got("g1").getAs[Double]("trimmed_mean_r4") == 3.0)
+    // g2: n=2, cut=0 -> trim keeps everything
+    assert(got("g2").getAs[Double]("trimmed_mean_r4") == 5.0)
+    assert(got("g2").getAs[Long]("trimmed_n") == 2L)
+    // aggressive trim empties a tiny group -> NULL, never NaN
+    val tiny = Seq(("t", 7L), ("t", 9L)).toDF("g", "v")
+    val t = graft.operators.Profile
+      .groupTrimmedMeans(tiny, "g", "v", trimBp = 4999L)
+      .collect().head
+    // cut = floor(4999*2/10000) = 0 -> keeps both; use 3 rows for cut=1
+    val tiny3 = Seq(("t", 7L), ("t", 9L), ("t", 11L)).toDF("g", "v")
+    val t3 = graft.operators.Profile
+      .groupTrimmedMeans(tiny3, "g", "v", trimBp = 4999L)
+      .collect().head
+    assert(t3.getAs[Long]("trimmed_n") == 1L &&
+      t3.getAs[Double]("trimmed_mean_r4") == 9.0)
+    assert(t.getAs[Long]("trimmed_n") == 2L)
+    assertThrows[IllegalArgumentException](
+      graft.operators.Profile.groupTrimmedMeans(df, "g", "v", trimBp = 5000L))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Profile.groupTrimmedMeans(
+        Seq(("a", 1.5)).toDF("g", "v"), "g", "v"))
+  }
 }
