@@ -30,6 +30,34 @@ object Sessionize {
       sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** SESSION-grain table: one row per (key, session) with event count,
+    * exact integer start/end/duration milliseconds, and the ENTRY
+    * event type (the session's first event by (ts, tie) — the
+    * "landing channel" bounce/engagement rollups group by). The
+    * composable mid-layer the per-key [[sessionStats]] rollup skips:
+    * bounce rate by entry channel, duration quantiles
+    * ([[Profile.exactQuantiles]] over `duration_ms`), funnel-entry
+    * mixes all read from here. Entry pick is a `min(struct)` —
+    * map-side combined, deterministic under the same total (ts, tie)
+    * order the boundary window uses.
+    *
+    * Plan: the [[withSessions]] per-key sort window + ONE (key,
+    * session) rollup. Linear; state bounded per key. */
+  def sessionTable(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, tieCol: String, gapMs: Long): DataFrame = {
+    val tms = unix_millis(col(tsCol).cast("timestamp"))
+    withSessions(df, keyCol, tsCol, gapMs, tieCol)
+      .select(col(keyCol).as("key"), col("session_idx"), tms.as("__tms"),
+        col(tieCol).as("__tie"), col(typeCol).as("__ty"))
+      .groupBy(col("key"), col("session_idx"))
+      .agg(count(lit(1)).cast("long").as("events"),
+        min(col("__tms")).cast("long").as("start_ms"),
+        max(col("__tms")).cast("long").as("end_ms"),
+        min(struct(col("__tms"), col("__tie"), col("__ty")))
+          .getField("__ty").as("entry_type"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+  }
+
   /** Per-key session stats: sessions, events, longest session. */
   def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
                    gapMs: Long, tieCol: String): DataFrame =

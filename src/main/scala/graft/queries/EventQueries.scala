@@ -1328,6 +1328,79 @@ object EventQueries {
       FROM h, j, p WHERE p.seg = h.seg ORDER BY p_rank"""))
 
 
+  // 283. bounce rate by entry channel: sessions grouped by their
+  // FIRST event's type, share with exactly one event — the landing
+  // quality readout over the shared 30-min session boundaries.
+  val qBounceRate = QueryDef("q_bounce_rate",
+    (s, dir) => {
+      graft.operators.Sessionize.sessionTable(
+          table(s, dir, "events").filter(col("user_id").isNotNull),
+          "user_id", "ts", "event_type", "event_id", gapMs = 1800000L)
+        .groupBy(col("entry_type"))
+        .agg(count(lit(1)).cast(LongType).as("sessions"),
+          sum(when(col("events") === 1L, 1L).otherwise(0L)).cast(LongType)
+            .as("bounces"),
+          sum(col("events")).cast(LongType).as("events"))
+        .withColumn("bounce_bp",
+          expr("bounces * 10000 DIV sessions").cast(LongType))
+        .orderBy("entry_type")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_id, event_type, epoch_ms(ts) tms,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+                 FROM events WHERE user_id IS NOT NULL),
+      b AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END ns
+            FROM x),
+      sess AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM b),
+      e AS (SELECT *, first_value(event_type) OVER (
+              PARTITION BY user_id, sid ORDER BY tms, event_id) AS entry
+            FROM sess),
+      st AS (SELECT user_id, sid, count(*) AS ev, min(entry) AS entry
+             FROM e GROUP BY 1, 2),
+      r AS (SELECT entry, count(*) AS sessions,
+              sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS bounces,
+              sum(ev) AS events
+            FROM st GROUP BY 1)
+      SELECT entry AS entry_type, CAST(sessions AS BIGINT) AS sessions,
+             CAST(bounces AS BIGINT) AS bounces, CAST(events AS BIGINT) AS events,
+             CAST(bounces * 10000 // sessions AS BIGINT) AS bounce_bp
+      FROM r ORDER BY 1"""))
+
+
+  // 284. session duration distribution: exact disc p50/p90 of session
+  // length (ms) over the session-grain table — the duration readout
+  // sessionStats' per-user event counts never give.
+  val qSessionDuration = QueryDef("q_session_duration",
+    (s, dir) => {
+      val st = graft.operators.Sessionize.sessionTable(
+        table(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_type", "event_id", gapMs = 1800000L)
+      graft.operators.Profile.exactQuantiles(st, "duration_ms",
+          Seq(5000, 9000))
+        .orderBy("q_bp")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_id, epoch_ms(ts) tms,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+                 FROM events WHERE user_id IS NOT NULL),
+      b AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END ns
+            FROM x),
+      sess AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM b),
+      d AS (SELECT max(tms) - min(tms) AS dur FROM sess GROUP BY user_id, sid),
+      o AS (SELECT dur, row_number() OVER (ORDER BY dur) AS rn,
+                   count(*) OVER () AS n
+            FROM d)
+      SELECT CAST(q.q_bp AS BIGINT) AS q_bp,
+             CAST(min(CASE WHEN rn >= greatest(1, (q.q_bp * n + 9999) // 10000)
+                      THEN dur END) AS DOUBLE) AS value
+      FROM o, (VALUES (5000), (9000)) q(q_bp)
+      GROUP BY 1 ORDER BY 1"""))
+
+
   // 280. difference-in-differences: per-(user, half-month period)
   // event counts, md5 arms — the 2x2 panel estimator with exact
   // integer cell sums, pre/post diffs exposed for the parallel-trends
@@ -1568,5 +1641,7 @@ object EventQueries {
     qLtvCurve,
     qValueConcentration,
     qAbDid,
+    qBounceRate,
+    qSessionDuration,
   )
 }

@@ -706,4 +706,37 @@ class SessionizeSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       graft.operators.Sessionize.ltvCurve(rows, "user_id", "ts", "value", "month"))
   }
+
+  test("sessionTable: boundaries, entry pick, duration; bounce composition") {
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(60000L * m)
+    // u1: [view@1, click@5] one session (gap 4m < 30m), then a lone
+    // purchase@50 (gap 45m) -> bounce; u2: single error@0 -> bounce
+    val rows = Seq(
+      ("u1", t(1), "view", 1L), ("u1", t(5), "click", 2L),
+      ("u1", t(50), "purchase", 3L),
+      ("u2", t(0), "error", 1L)).toDF("user_id", "ts", "event_type", "event_id")
+    val st = graft.operators.Sessionize.sessionTable(
+        rows, "user_id", "ts", "event_type", "event_id", gapMs = 1800000L)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("session_idx")) -> r)
+      .toMap
+    assert(st.size == 3)
+    val s1 = st(("u1", 1L))
+    assert(s1.getAs[Long]("events") == 2L)
+    assert(s1.getAs[String]("entry_type") == "view")
+    assert(s1.getAs[Long]("duration_ms") == 240000L)
+    val s2 = st(("u1", 2L))
+    assert(s2.getAs[Long]("events") == 1L &&
+      s2.getAs[String]("entry_type") == "purchase" &&
+      s2.getAs[Long]("duration_ms") == 0L)
+    assert(st(("u2", 1L)).getAs[String]("entry_type") == "error")
+    // tie at the same timestamp: smaller event_id wins the entry pick
+    val tie = Seq(("u", t(1), "b_type", 2L), ("u", t(1), "a_first", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val te = graft.operators.Sessionize.sessionTable(
+        tie, "user_id", "ts", "event_type", "event_id", 1800000L)
+      .collect().head
+    assert(te.getAs[String]("entry_type") == "a_first")
+    assert(te.getAs[Long]("events") == 2L)
+  }
 }
