@@ -54,7 +54,9 @@ object Sessionize {
         min(col("__tms")).cast("long").as("start_ms"),
         max(col("__tms")).cast("long").as("end_ms"),
         min(struct(col("__tms"), col("__tie"), col("__ty")))
-          .getField("__ty").as("entry_type"))
+          .getField("__ty").as("entry_type"),
+        max(struct(col("__tms"), col("__tie"), col("__ty")))
+          .getField("__ty").as("exit_type"))
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
 

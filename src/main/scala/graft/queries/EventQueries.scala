@@ -1369,6 +1369,73 @@ object EventQueries {
       FROM r ORDER BY 1"""))
 
 
+  // 285. session entry->exit flow matrix: where sessions that landed
+  // on X end up — the Sankey the funnel flattens; single-event
+  // sessions sit on the diagonal.
+  val qEntryExitMatrix = QueryDef("q_entry_exit",
+    (s, dir) => {
+      graft.operators.Sessionize.sessionTable(
+          table(s, dir, "events").filter(col("user_id").isNotNull),
+          "user_id", "ts", "event_type", "event_id", gapMs = 1800000L)
+        .groupBy(col("entry_type"), col("exit_type"))
+        .agg(count(lit(1)).cast(LongType).as("sessions"))
+        .orderBy("entry_type", "exit_type")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_id, event_type, epoch_ms(ts) tms,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+                 FROM events WHERE user_id IS NOT NULL),
+      b AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END ns
+            FROM x),
+      sess AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM b),
+      e AS (SELECT *,
+              first_value(event_type) OVER (PARTITION BY user_id, sid ORDER BY tms, event_id) AS entry,
+              last_value(event_type) OVER (PARTITION BY user_id, sid ORDER BY tms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS exit
+            FROM sess),
+      st AS (SELECT user_id, sid, min(entry) AS entry, min(exit) AS exit
+             FROM e GROUP BY 1, 2)
+      SELECT entry AS entry_type, exit AS exit_type,
+             CAST(count(*) AS BIGINT) AS sessions
+      FROM st GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+
+  // 286. session depth histogram: sessions per exact event-count
+  // bucket (1, 2, 3-4, 5-8, 9+) — the engagement-depth distribution
+  // behind the single bounce number.
+  val qSessionDepth = QueryDef("q_session_depth",
+    (s, dir) => {
+      graft.operators.Sessionize.sessionTable(
+          table(s, dir, "events").filter(col("user_id").isNotNull),
+          "user_id", "ts", "event_type", "event_id", gapMs = 1800000L)
+        .groupBy(
+          when(col("events") === 1L, "a_1").when(col("events") === 2L, "b_2")
+            .when(col("events") <= 4L, "c_3-4").when(col("events") <= 8L, "d_5-8")
+            .otherwise("e_9plus").as("depth_bucket"))
+        .agg(count(lit(1)).cast(LongType).as("sessions"),
+          sum(col("events")).cast(LongType).as("events"))
+        .orderBy("depth_bucket")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_id, epoch_ms(ts) tms,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+                 FROM events WHERE user_id IS NOT NULL),
+      b AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END ns
+            FROM x),
+      sess AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM b),
+      st AS (SELECT user_id, sid, count(*) AS ev FROM sess GROUP BY 1, 2)
+      SELECT CASE WHEN ev = 1 THEN 'a_1' WHEN ev = 2 THEN 'b_2'
+                  WHEN ev <= 4 THEN 'c_3-4' WHEN ev <= 8 THEN 'd_5-8'
+                  ELSE 'e_9plus' END AS depth_bucket,
+             CAST(count(*) AS BIGINT) AS sessions,
+             CAST(sum(ev) AS BIGINT) AS events
+      FROM st GROUP BY 1 ORDER BY 1"""))
+
+
   // 284. session duration distribution: exact disc p50/p90 of session
   // length (ms) over the session-grain table — the duration readout
   // sessionStats' per-user event counts never give.
@@ -1643,5 +1710,7 @@ object EventQueries {
     qAbDid,
     qBounceRate,
     qSessionDuration,
+    qEntryExitMatrix,
+    qSessionDepth,
   )
 }

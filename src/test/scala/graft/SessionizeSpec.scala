@@ -724,6 +724,7 @@ class SessionizeSpec extends SparkSpec {
     val s1 = st(("u1", 1L))
     assert(s1.getAs[Long]("events") == 2L)
     assert(s1.getAs[String]("entry_type") == "view")
+    assert(s1.getAs[String]("exit_type") == "click")
     assert(s1.getAs[Long]("duration_ms") == 240000L)
     val s2 = st(("u1", 2L))
     assert(s2.getAs[Long]("events") == 1L &&
@@ -737,6 +738,7 @@ class SessionizeSpec extends SparkSpec {
         tie, "user_id", "ts", "event_type", "event_id", 1800000L)
       .collect().head
     assert(te.getAs[String]("entry_type") == "a_first")
+    assert(te.getAs[String]("exit_type") == "b_type")
     assert(te.getAs[Long]("events") == 2L)
   }
 }
