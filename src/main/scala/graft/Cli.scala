@@ -271,7 +271,7 @@ object Cli {
       try {
         val df = spark.read.parquet(dataPath)
         println(ContractInit.toYaml(
-          graft.operators.Profile.suggestContract(df, name, owner)))
+          graft.operators.ProfileAudits.suggestContract(df, name, owner)))
       } finally spark.stop()
 
     case "drift" :: path :: currentPath :: referencePath :: rest =>

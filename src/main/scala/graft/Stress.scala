@@ -10,6 +10,25 @@ import org.apache.spark.sql.SparkSession
   * in SURVEY prose. The scale claims the SURVEY makes are thereby
   * re-checked mechanically every round instead of asserted.
   *
+  * BOARD PARITY (r10): the artifact stamps the registry size at
+  * generation time (`board_n`) and whether the run covered the full
+  * registry (`partial`). `StressSpec` re-reads the shipped artifact
+  * and fails the suite when its query set differs from the live
+  * registry — a stale artifact (r9 shipped 276 rows against a
+  * 278-query board) can no longer certify silently.
+  *
+  * UPWARD-SCALING RATIOS (r10): when `target/bench.json` (the same
+  * board's sf0.1 warm medians — run Bench first) is present, each
+  * query also ships `ratio` = stress-sec / sf0.1-warm-median, and the
+  * top-level `flagged` list names the queries whose ratio exceeds
+  * [[ratioFlagThreshold]] with stress time above [[ratioFlagFloorSec]]
+  * (sub-floor queries are fixed-cost noise at both points). A 10× data
+  * step should cost ≲10× on a linear operator; the known supra-linear
+  * cases are the copy-corpus collapse pipelines (the corpus is 10
+  * exact copies of every doc, so candidate volume grows faster than
+  * rows) — anything newly flagged needs a SURVEY §6 explanation or a
+  * fix.
+  *
   * Usage: `sbt "runMain graft.Stress [stressDir] [outPath] [query...]"`
   *   stressDir default `target/sf1x` (generate with
   *   `python3 tools/scaleup.py /root/testdata/sf0.1 target/sf1x 10`),
@@ -23,6 +42,26 @@ object Stress {
                      err: Option[String]) {
     def ok: Boolean = err.isEmpty
   }
+
+  /** Flag a query when its sf0.1→10× time ratio exceeds this. ~15 per
+    * the r9 review: 10× data on a linear plan plus fixed overhead sits
+    * well under it; the explained copy-corpus collapse outliers (23×,
+    * 37×) sit above and are waived by name in [[ratioWaivers]]. */
+  val ratioFlagThreshold: Double = 15.0
+
+  /** Ignore ratios for queries faster than this at 10× — a 0.02 s →
+    * 0.4 s move is scheduler noise, not a scaling signal. */
+  val ratioFlagFloorSec: Double = 0.5
+
+  /** Standing supra-linear queries on the 10×-COPY corpus, each with
+    * the reason the ratio is expected — shipped in the artifact so the
+    * flagged list only surfaces NEW cases. */
+  val ratioWaivers: Map[String, String] = Map(
+    "q_span_dedup" -> ("copy corpus: every span repeats 10x, so " +
+      "repeated-span postings grow ~quadratically in copies by design"),
+    "q_span_dedup_collapsed" -> "same span-postings growth, collapse path",
+    "q_dedup_editdist" -> ("quadratic-verify by design (documented " +
+      "family cost; 33 s at 10x in r9)"))
 
   /** Standing certification caveats — scope limits of the stress
     * evidence itself, shipped in the artifact so they are visible to
@@ -66,20 +105,53 @@ object Stress {
     sb.append("\"").toString
   }
 
-  def toJson(dir: String, warmupSec: Double, qs: Seq[Q]): String = {
+  /** sf0.1 warm medians from a Bench artifact (its `queries` map), for
+    * the upward-scaling ratios. Empty when the file is absent or
+    * unparseable — ratios are then omitted, never guessed. */
+  def readWarmMedians(benchPath: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(benchPath)
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        val q = root.get("queries")
+        if (q == null) Map.empty
+        else {
+          val it = q.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  def toJson(dir: String, warmupSec: Double, qs: Seq[Q], boardN: Int,
+             warmMedians: Map[String, Double] = Map.empty): String = {
     def fmt(d: Double): String =
       BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def ratioOf(q: Q): Option[Double] =
+      warmMedians.get(q.name).filter(m => q.ok && m > 0.0).map(q.sec / _)
     val body = qs.map { q =>
       jstr(q.name) + ":{\"ok\":" + q.ok + ",\"rows\":" + q.rows +
         ",\"sec\":" + fmt(q.sec) +
+        ratioOf(q).map(r => ",\"ratio\":" + fmt(r)).getOrElse("") +
         q.err.map(e => ",\"err\":" + jstr(e)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
+    val flagged = qs.filter { q =>
+      q.ok && q.sec >= ratioFlagFloorSec && !ratioWaivers.contains(q.name) &&
+        ratioOf(q).exists(_ > ratioFlagThreshold)
+    }.map(q => jstr(q.name)).mkString("[", ",", "]")
     val cav = caveats.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val waiv = ratioWaivers.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     s"""{"sf_dir":${jstr(dir)},"generated_by":"graft.Stress over tools/scaleup.py output",""" +
+      s""""board_n":$boardN,"partial":${qs.size != boardN},""" +
       s""""pass":${qs.count(_.ok)},"fail":${qs.count(!_.ok)},""" +
       s""""warmup_total":${fmt(warmupSec)},"total_sec":${fmt(qs.filter(_.ok).map(_.sec).sum)},""" +
-      s""""queries":$body,"caveats":$cav}"""
+      s""""flagged":$flagged,"queries":$body,"caveats":$cav,""" +
+      s""""ratio_waivers":$waiv}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,11 +181,13 @@ object Stress {
     }
     val warmupSec = (System.nanoTime() - t0) / 1e9
     val qs = runBoard(spark, dir, names)
-    val json = toJson(dir, warmupSec, qs)
+    val medians = readWarmMedians("target/bench.json")
+    val json = toJson(dir, warmupSec, qs, SparkEntry.queries.size, medians)
     val p = java.nio.file.Paths.get(out)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
-    System.err.println(s"[stress] ${qs.count(_.ok)}/${qs.size} ok -> $out")
+    System.err.println(s"[stress] ${qs.count(_.ok)}/${qs.size} ok -> $out" +
+      (if (qs.size != SparkEntry.queries.size) " (PARTIAL - not a board certificate)" else ""))
     spark.stop()
   }
 }

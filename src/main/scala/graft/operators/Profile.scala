@@ -448,44 +448,6 @@ object Profile {
       .agg(min(coalesce(col("__sum"), lit(0L))).cast(LongType).as("estimate"))
   }
 
-  /** Cohen's kappa agreement between two categorical columns —
-    * chance-corrected, which is the difference that matters on skewed
-    * label sets: two raters (or a declared label vs a detector, the
-    * lang-consistency pairing) can agree 90% raw while kappa ≈ 0
-    * because one dominant class explains it all. po = Σ n_kk / N,
-    * pe = Σ rowTot_k·colTot_k / N², kappa = (po − pe)/(1 − pe).
-    * Rows with a NULL on either side are excluded (no-opinion is not a
-    * category). One row out: (n, agree, po_r6, pe_r6, kappa_r6);
-    * kappa NULL when pe = 1 (both sides constant — undefined, never
-    * NaN).
-    *
-    * Exact integer counts; Σ r·c stays in long up to N < 3·10⁹ (row
-    * totals bound it by N²) — beyond that the margins should be
-    * pre-bucketed anyway. Plan: ONE map-side-combined confusion
-    * rollup, then every margin/total is an aggregate of the
-    * |categories|²-bounded confusion frame; results combine on
-    * broadcast 1-row frames. */
-  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val conf = df.filter(col(colA).isNotNull && col(colB).isNotNull)
-      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
-      .agg(count(lit(1)).as("__c"))
-    val n = conf.agg(sum("__c").as("__n"),
-      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("__agree"))
-    val rc = conf.groupBy("__a").agg(sum("__c").as("__r"))
-      .join(conf.groupBy("__b").agg(sum("__c").as("__k")),
-        col("__a") === col("__b"))
-      .agg(coalesce(sum(col("__r") * col("__k")), lit(0L)).as("__rc"))
-    n.crossJoin(broadcast(rc))
-      .select(col("__n").cast(LongType).as("n"),
-        col("__agree").cast(LongType).as("agree"),
-        round(col("__agree").cast(DoubleType) / col("__n"), 6).as("po_r6"),
-        round(col("__rc").cast(DoubleType) / (col("__n") * col("__n")), 6).as("pe_r6"),
-        when(col("__rc") =!= col("__n") * col("__n"),
-          round((col("__n") * col("__agree") - col("__rc")).cast(DoubleType) /
-            (col("__n") * col("__n") - col("__rc")).cast(DoubleType), 6))
-          .as("kappa_r6"))
-  }
-
   /** Tukey-fence outlier report per group: Q1/Q3 exact disc quantiles
     * (via the [[groupQuantiles]] machinery), fences at Q1 − k·IQR and
     * Q3 + k·IQR, and the count of rows strictly OUTSIDE each fence —
@@ -923,105 +885,6 @@ object Profile {
       .agg(count(lit(1)).cast(LongType).as("c"))
   }
 
-  /** Candidate-KEY discovery: for each proposed column set, is it a
-    * unique key of the table? Reports distinct key count, duplicated
-    * keys, rows living under duplicates, and the worst multiplicity —
-    * the data-driven half of writing a uniqueness contract (which
-    * asserts a KNOWN key; this FINDS one). NULLs group as values
-    * (null-safe tuple semantics — both engines' GROUP BY), so an
-    * all-NULL column can never masquerade as a key.
-    *
-    * One map-side-combined rollup per candidate — linear per
-    * candidate, no windows, no driver loops beyond the candidate
-    * list itself. */
-  def keyCandidates(df: DataFrame, candidates: Seq[Seq[String]]): DataFrame = {
-    require(candidates.nonEmpty && candidates.forall(_.nonEmpty),
-      "need at least one non-empty candidate column set")
-    candidates.map { cand =>
-      df.groupBy(cand.map(col): _*).agg(count(lit(1)).as("__c"))
-        .agg(count(lit(1)).cast(LongType).as("distinct_keys"),
-          sum("__c").cast(LongType).as("rows"),
-          sum(when(col("__c") > 1L, 1L).otherwise(0L)).cast(LongType).as("dup_keys"),
-          sum(when(col("__c") > 1L, col("__c")).otherwise(0L)).cast(LongType).as("dup_rows"),
-          max("__c").cast(LongType).as("max_multiplicity"))
-        .select(lit(cand.mkString("+")).as("candidate"), col("rows"),
-          col("distinct_keys"), col("dup_keys"), col("dup_rows"),
-          col("max_multiplicity"), (col("dup_keys") === 0L).as("is_key"))
-    }.reduce(_ unionByName _)
-  }
-
-  /** SPEARMAN rank correlation — the robust sibling of the Pearson
-    * matrix (row 106): Pearson over AVERAGE ranks, so monotone-but-
-    * nonlinear relationships score |ρ|≈1 and outliers can't dominate
-    * (a single 10⁹ glitch row moves Pearson arbitrarily, Spearman by
-    * one rank). Tie handling is the standard average-rank convention,
-    * computed EXACTLY: avg_rank = cum_before + (c+1)/2 — halves are
-    * exact in doubles, every product/sum below ~2⁵³ stays exact, so
-    * the result is partition-order-independent up to ~10⁵ rows per
-    * column pair at full exactness (beyond that the usual fp-sum
-    * caveat returns; the r6 rounding absorbs it).
-    *
-    * Plan: per column, the SAME two-level range-partition cumsum as
-    * [[percentileRank]] (distinct-value rollup → within-partition
-    * running sum → broadcast partition offsets — never a global
-    * single-task window), a value-equi-join back, then ONE 1-row
-    * Pearson aggregate. NULL in either column drops the row
-    * (complete-case, like the Pearson matrix). */
-  def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val src = df.filter(col(colA).isNotNull && col(colB).isNotNull)
-      .select(col(colA).cast(DoubleType).as("__x"),
-        col(colB).cast(DoubleType).as("__y"))
-    val parts = math.max(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, 1)
-    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
-    def avgRank(in: DataFrame, c: String, out: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-      val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)
-      // persist before the offsets/join fork: the range exchange is
-      // not reproducible, and the two consumers must see ONE copy
-      val ranged = in.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
-        .repartitionByRange(parts, col("__v"))
-        .withColumn("__pid", spark_partition_id())
-        .withColumn("__run", sum("__c").over(within))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranged.count()
-      persisted += ranged
-      val offsets = ranged.groupBy("__pid").agg(sum("__c").as("__pc"))
-        .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
-          .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast(LongType))
-        .select("__pid", "__off")
-      val ranks = ranged.join(broadcast(offsets), "__pid")
-        .withColumn(out,
-          (col("__run") + col("__off") - col("__c")).cast(DoubleType) +
-            (col("__c") + 1).cast(DoubleType) / 2.0)
-        .select(col("__v").as(c), col(out))
-      in.join(ranks, c)
-    }
-    try {
-      val ranked = avgRank(avgRank(src, "__x", "__rx"), "__y", "__ry")
-      val out = ranked.agg(
-          count(lit(1)).cast(LongType).as("n"),
-          sum("__rx").as("__sx"), sum("__ry").as("__sy"),
-          sum(col("__rx") * col("__ry")).as("__sxy"),
-          sum(col("__rx") * col("__rx")).as("__sxx"),
-          sum(col("__ry") * col("__ry")).as("__syy"))
-        .select(col("n"),
-          when(col("n") > 1 &&
-            (col("n") * col("__sxx") - col("__sx") * col("__sx")) > 0 &&
-            (col("n") * col("__syy") - col("__sy") * col("__sy")) > 0,
-            round((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-              sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
-                (col("n") * col("__syy") - col("__sy") * col("__sy"))), 6))
-            .as("spearman_r6"))
-      // one bounded row — collect and return a literal frame so the
-      // persisted rank frames release NOW, not at session end
-      val rows = out.collect()
-      val s = df.sparkSession
-      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
-    } finally { persisted.foreach(_.unpersist()); () }
-  }
-
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * customer-value cube, built scale-first: each metric's quintile
     * (or `bins`-tile) boundary comes from [[percentileRank]]'s
@@ -1094,621 +957,4 @@ object Profile {
         round(avg(col("__freq").cast(DoubleType)), 4).as("avg_frequency_r4"))
   }
 
-  /** Functional-dependency audit `det → dep`: does the determinant
-    * column decide the dependent one? Reports, per checked pair, the
-    * determinant count, how many determinants map to >1 distinct
-    * dependent value, the rows living under those violating
-    * determinants, and the verdict — the cross-column consistency test
-    * (one order_id → one customer; one doc_id → one source) that
-    * single-column constraints cannot express, next to the cross-TABLE
-    * referential check. One map-combined rollup per pair; NULL
-    * dependents count as a value (a det mapping to {x, NULL} is NOT
-    * functional — SQL distinctness treats NULL as one group). */
-  /** Order-independent dataset content fingerprint: one row per
-    * labeled frame with (n_rows, xor of a 60-bit portable row hash,
-    * sum of its low 32 bits) — the "did ANYTHING change anywhere"
-    * reproducibility check that costs one map-side-combined scan,
-    * where [[SnapshotDiff]] costs a keyed shuffle. XOR and the bounded
-    * sum are both commutative + associative, so the fingerprint is
-    * partition-order-independent, MERGEABLE across shards/days (xor
-    * the xors, add the sums — the row-158/189 mergeable-state story),
-    * and engine-replayable (md5-prefix hash, the board's portable
-    * family). XOR alone is blind to duplicate-row pairs (they cancel);
-    * the 32-bit-sum channel restores that sensitivity. int64-safe to
-    * ~2³¹ rows per fingerprint call; shard beyond. Each column is
-    * md5-hashed SEPARATELY before the fields are joined: the inner
-    * digests are fixed-width hex (never containing the chr(1) field
-    * delimiter, never colliding with the chr(2) NULL sentinel), so
-    * the row encoding is injective up to md5 collisions — a value
-    * that embeds the delimiter, or a literal string equal to the
-    * sentinel, cannot alias a different row (value→NULL flips
-    * included). */
-  def contentFingerprint(df: DataFrame, label: String,
-                         cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "contentFingerprint needs at least one column")
-    val h = expr("conv(substring(md5(concat_ws(chr(1), " +
-      cols.map(c => s"coalesce(md5(cast(`$c` AS STRING)), chr(2))").mkString(", ") +
-      ")), 1, 15), 16, 10)").cast(LongType)
-    df.select(h.as("__h"))
-      .agg(count(lit(1)).cast(LongType).as("n_rows"),
-        coalesce(expr("bit_xor(__h)"), lit(0L)).cast(LongType).as("xor60"),
-        coalesce(sum(expr("__h % 4294967296")), lit(0L)).cast(LongType).as("sum32"))
-      .select(lit(label).as("dataset"), col("n_rows"), col("xor60"), col("sum32"))
-  }
-
-  /** WILCOXON RANK-SUM (Mann–Whitney) significance readout: the
-    * two-sample special case completing the nonparametric A/B pair —
-    * [[Eval.aucExact]] reports the same U as an EFFECT SIZE (AUC is the
-    * probability a B draw outranks an A draw); this reports its
-    * SIGNIFICANCE, the test that stays honest on skewed metrics where
-    * [[graft.operators.Experiment.welchT]]'s normality leans on large
-    * n. Same exact machinery: doubled midranks from the shared
-    * two-level cumsum, doubled rank-sum R2_B = Σ c_Bv·(2·cumBelow+c+1)
-    * (int64 ≤ 2N²), E2 = n_B(N+1), tie-corrected normal variance
-    * var = (n_A·n_B/12)·((N+1) − Σ(t³−t)/(N(N−1))), z = (R2_B − E2) /
-    * (2·√var) as ONE double expression over the exact integer sums.
-    * No continuity correction (documented; both engines replay the
-    * same formula). NULL z on degenerate inputs (an empty arm or all
-    * values tied). Smaller arm label = A; int64 bounds as KW
-    * (Σ c³ ≤ N³ ⇒ N ≲ 2·10⁶, sample beyond — rank stats don't
-    * shard-merge). */
-  def wilcoxonRankSum(df: DataFrame, groupCol: String,
-                      valueCol: String): DataFrame = {
-    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).cast("string").as("__g"), col(valueCol).as("__v"))
-    val arms = base.select("__g").distinct().collect().map(_.getString(0)).sorted
-    require(arms.length == 2,
-      s"wilcoxonRankSum needs exactly two groups, got: ${arms.mkString(", ")}")
-    val (aLbl, bLbl) = (arms(0), arms(1))
-    val vals = base.groupBy("__v").agg(count(lit(1)).as("__c"))
-    val (run, release) = rangedRunningSumManaged(vals, "__v", "__c")
-    val mid = run.withColumn("__mr2",
-      lit(2L) * (col("__rsum") - col("__c")) + col("__c") + lit(1L))
-    val row = base.filter(col("__g") === bLbl)
-      .groupBy("__v").agg(count(lit(1)).as("__cb"))
-      .join(mid.select("__v", "__mr2"), "__v")
-      .agg(coalesce(sum(col("__cb") * col("__mr2")), lit(0L)).as("__r2b"))
-      .collect().head
-    val tieRow = mid.agg(
-      coalesce(sum(col("__c")), lit(0L)).as("__n"),
-      coalesce(sum(col("__c") * col("__c") * col("__c") - col("__c")), lit(0L))
-        .as("__t")).collect().head
-    val nbRow = base.agg(
-      sum(when(col("__g") === aLbl, 1L).otherwise(0L)).as("__na"),
-      sum(when(col("__g") === bLbl, 1L).otherwise(0L)).as("__nb")).collect().head
-    release()
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((nbRow.getLong(0), nbRow.getLong(1), tieRow.getLong(0),
-      tieRow.getLong(1), row.getLong(0)))
-      .toDF("__na", "__nb", "__n", "__t", "__r2b")
-      .withColumn("__e2", col("__nb") * (col("__n") + 1))
-      .withColumn("__var", when(col("__n") > 1,
-        (col("__na") * col("__nb")).cast("double") / 12.0 *
-          ((col("__n") + 1) - col("__t").cast("double") /
-            (col("__n") * (col("__n") - 1)))))
-      .select(
-        lit(aLbl).as("group_a"), lit(bLbl).as("group_b"),
-        col("__na").cast(LongType).as("n_a"),
-        col("__nb").cast(LongType).as("n_b"),
-        col("__r2b").cast(LongType).as("rank_sum_b_x2"),
-        col("__e2").cast(LongType).as("expected_b_x2"),
-        round(when(col("__var") > 0,
-          (col("__r2b") - col("__e2")).cast("double") /
-            (lit(2.0) * sqrt(col("__var")))), 4).as("z_r4"))
-  }
-
-  /** KRUSKAL–WALLIS rank test (Kruskal & Wallis 1952): "does this
-    * numeric column's distribution differ across k groups" without
-    * normality assumptions — the k-sample generalization of
-    * [[Eval.aucExact]]'s Mann–Whitney machinery and the omnibus companion
-    * to the pairwise [[graft.operators.Experiment.welchT]]: the ANOVA
-    * a drift/segment investigation actually wants on skewed metrics.
-    *
-    * Midranks via the same exact machinery as AUC: per distinct value,
-    * doubled midrank 2·mr(v) = 2·cumBelow(v) + c(v) + 1 from the
-    * two-level range-partition running sum. The statistic is then
-    * DEFINED as an integer recurrence (the [[logRank]] discipline —
-    * any engine replays it bit-for-bit): doubled mean rank per group
-    * rbar2_g = R2_g DIV n_g (R2_g = Σ c_gv·(2·cumBelow+c+1)),
-    * term_g = n_g·(rbar2_g − (N+1))², H = 3·Σterm / (N·(N+1)) as one
-    * double expression (the algebra folds the /4 from doubling into
-    * 12/4 = 3), tie correction C = 1 − Σ(c³−c)/(N³−N) with the
-    * denominator in doubles. The DIV floor perturbs H by O(k/N) —
-    * far below any decision threshold, and reproducibility beats the
-    * last decimal at this altitude. int64 bounds: Σ n_g·dev² ≤ 4N³
-    * and Σc³ ≤ N³ ⇒ exact to N ≈ 1.3·10⁶ rows — beyond that,
-    * evaluate on a stratified sample (rank statistics do not
-    * shard-and-combine; same caveat as AUC).
-    *
-    * Plan: one (value → count) rollup + the shared two-level cumsum +
-    * one (group, value) rollup joined back on the distinct-value
-    * frame, all folds map-side-combined; output is ONE row. */
-  def kruskalWallis(df: DataFrame, groupCol: String,
-                    valueCol: String): DataFrame = {
-    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).cast("string").as("__g"), col(valueCol).as("__v"))
-    val vals = base.groupBy("__v").agg(count(lit(1)).as("__c"))
-    val (run, release) = rangedRunningSumManaged(vals, "__v", "__c")
-    val mid = run.withColumn("__mr2",
-      lit(2L) * (col("__rsum") - col("__c")) + col("__c") + lit(1L))
-    val perGroup = base.groupBy("__g", "__v").agg(count(lit(1)).as("__cgv"))
-      .join(mid.select("__v", "__mr2"), "__v")
-      .groupBy("__g")
-      .agg(sum(col("__cgv")).as("__ng"),
-        sum(col("__cgv") * col("__mr2")).as("__r2"))
-    // one summary row: fold eagerly so the persisted rank frame
-    // releases here (the Eval.aucExact precedent)
-    val tieRow = mid.agg(
-      coalesce(sum(col("__c")), lit(0L)).as("__n"),
-      coalesce(sum(col("__c") * col("__c") * col("__c") - col("__c")), lit(0L))
-        .as("__ties")).collect().head
-    val (n, ties) = (tieRow.getLong(0), tieRow.getLong(1))
-    val gRow = perGroup
-      .withColumn("__rbar2", expr("__r2 DIV __ng"))
-      .agg(count(lit(1)).as("__k"),
-        coalesce(sum(col("__ng") *
-          (col("__rbar2") - lit(n + 1)) * (col("__rbar2") - lit(n + 1))),
-          lit(0L)).as("__t")).collect().head
-    release()
-    val (k, t) = (gRow.getLong(0), gRow.getLong(1))
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((n, k, t, ties)).toDF("__n", "__k", "__t", "__ties")
-      .withColumn("__h", when(col("__n") > 1,
-        lit(3.0) * col("__t") / (col("__n") * (col("__n") + 1))))
-      .withColumn("__c", when(col("__n") > 1,
-        lit(1.0) - col("__ties") /
-          (col("__n").cast("double") * col("__n") * col("__n") - col("__n"))))
-      .select(
-        col("__n").cast(LongType).as("n"),
-        col("__k").cast(LongType).as("k_groups"),
-        (col("__k") - 1L).cast(LongType).as("df"),
-        round(col("__h"), 4).as("h_r4"),
-        round(when(col("__c") > 0, col("__h") / col("__c")), 4).as("h_adj_r4"))
-  }
-
-  /** Per-key monotonicity audit: ordered by `seqCol`, how often does
-    * `valueCol` strictly DECREASE from one row to the next — the
-    * ordering contract behind event logs (timestamps vs ingest order),
-    * version counters, and watermark sanity. Reports per key: row
-    * count, inversion count, the first offending sequence value, and
-    * the verdict. NULL values are skipped (an absent measurement is
-    * not an inversion); NULL sequence positions are skipped too (their
-    * place in the order is undefined, and engines disagree on NULL
-    * sort position); ties are monotone (non-strict). `seqCol` must be
-    * unique per key — duplicate positions make the lag order, and so
-    * the counts, nondeterministic.
-    *
-    * Plan: one per-key lag window (state = 1 row) + one map-side
-    * combined rollup — keyed shuffles only, linear. */
-  def monotonicityAudit(df: DataFrame, keyCol: String, seqCol: String,
-                        valueCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("__s"))
-    df.filter(col(keyCol).isNotNull && col(seqCol).isNotNull &&
-        col(valueCol).isNotNull)
-      .select(col(keyCol).as("key"), col(seqCol).as("__s"),
-        col(valueCol).as("__x"))
-      .withColumn("__prev", lag(col("__x"), 1).over(w))
-      .withColumn("__inv", (col("__prev") > col("__x")).cast(LongType))
-      .groupBy("key")
-      .agg(count(lit(1)).cast(LongType).as("n_rows"),
-        coalesce(sum(col("__inv")), lit(0L)).cast(LongType).as("inversions"),
-        min(when(col("__inv") === 1L, col("__s"))).as("first_inversion_at"))
-      .withColumn("ok", col("inversions") === 0L)
-  }
-
-  def functionalDependency(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
-    require(pairs.nonEmpty, "need at least one (det, dep) pair")
-    pairs.map { case (det, dep) =>
-      df.filter(col(det).isNotNull)
-        .groupBy(col(det).as("__k"))
-        // NULL counts as one dependent value, with no string sentinel
-        // (sentinels can collide with real data): distinct non-nulls
-        // + 1 iff any null is present
-        .agg((countDistinct(col(dep)) +
-          max(when(col(dep).isNull, 1L).otherwise(0L))).as("__nd"),
-          count(lit(1)).as("__rows"))
-        .agg(count(lit(1)).as("__dets"),
-          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("__viol"),
-          sum(when(col("__nd") > 1, col("__rows")).otherwise(0L)).as("__vrows"))
-        .select(lit(det).as("det"), lit(dep).as("dep"),
-          col("__dets").cast(LongType).as("determinants"),
-          col("__viol").cast(LongType).as("violating_determinants"),
-          coalesce(col("__vrows"), lit(0L)).cast(LongType).as("violation_rows"),
-          (col("__viol") === 0L).as("fd_holds"))
-    }.reduce(_ unionByName _)
-  }
-
-  /** Association strength between two CATEGORICAL columns: mutual
-    * information (nats) and Cramér's V — what [[corrMatrix]] answers
-    * for numeric pairs ("is lang redundant given source?"; V ≈ 1 says
-    * one column determines the other, worth the same redundancy /
-    * leakage look as a high numeric corr).
-    *
-    * One contingency rollup (map-side combined, |X|·|Y| cells) + tiny
-    * broadcast margins; MI sums over observed cells, χ² over the full
-    * margin cross (zero cells carry (0−e)²/e = e). All counts and
-    * count products are exact integers below 2⁵³ (documented bound:
-    * n·max(n_x)·max(n_y) must stay under it — true far past trillion-
-    * row tables for bounded category counts). Degenerate single-
-    * category columns → NULL V (min(r,c)−1 = 0). */
-  def categoricalAssociation(df: DataFrame, colA: String,
-                             colB: String): DataFrame = {
-    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
-      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
-      .agg(count(lit(1)).as("__nab"))
-    val ma = cells.groupBy("__a").agg(sum("__nab").as("__na"))
-    val mb = cells.groupBy("__b").agg(sum("__nab").as("__nb"))
-    val tot = cells.agg(sum("__nab").as("__n"),
-      countDistinct("__a").as("__ra"), countDistinct("__b").as("__rb"))
-    val full = broadcast(ma).crossJoin(broadcast(mb))
-      .join(cells, Seq("__a", "__b"), "left")
-      .select(col("__na"), col("__nb"), coalesce(col("__nab"), lit(0L)).as("__o"))
-      .crossJoin(broadcast(tot))
-    full.select(
-        // MI term only where o > 0; χ² term everywhere (e > 0 always)
-        when(col("__o") > 0, col("__o").cast("double") / col("__n") *
-          log(col("__o").cast("double") * col("__n") /
-            (col("__na").cast("double") * col("__nb")))).otherwise(lit(0.0)).as("__mi"),
-        (col("__o").cast("double") - col("__na").cast("double") * col("__nb") / col("__n"))
-          .as("__om"),
-        (col("__na").cast("double") * col("__nb") / col("__n")).as("__e"),
-        col("__n"), col("__ra"), col("__rb"))
-      .agg(round(sum("__mi"), 6).as("mi_r6"),
-        sum(col("__om") * col("__om") / col("__e")).as("__chi2"),
-        first("__n").as("__n"), first("__ra").as("__ra"), first("__rb").as("__rb"))
-      .select(col("mi_r6"),
-        when(least(col("__ra"), col("__rb")) > 1,
-          round(sqrt(col("__chi2") /
-            (col("__n").cast("double") * (least(col("__ra"), col("__rb")) - 1))), 6))
-          .as("cramers_v_r6"),
-        col("__n").cast(LongType).as("n"),
-        (col("__ra") * col("__rb")).cast(LongType).as("cells"))
-  }
-
-  /** Suggests a contract from profile + schema: non-nullable where no
-    * nulls observed, allowed_values for low-cardinality strings, range
-    * for numerics — the data-driven `init --strict` the reference's
-    * profiling heritage implies. */
-  def suggestContract(df: DataFrame, name: String, owner: String,
-                      allowedValuesMaxCard: Int = 20): graft.contracts.Contract = {
-    import graft.contracts._
-    val base = ContractInit.fromTable(df, name, owner)
-    val numericCols = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
-    }.toSeq
-    val stringCols = df.schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
-    }.toSeq
-    val nums = if (numericCols.nonEmpty)
-      numeric(df, numericCols).collect().map(r => r.getString(0) -> r).toMap
-    else Map.empty[String, org.apache.spark.sql.Row]
-    // exact (unrounded) min/max for Range suggestions: a rounded bound
-    // can exclude the very data it was profiled from
-    val exactBounds: Map[String, (Double, Double)] = if (numericCols.nonEmpty) {
-      val aggs = numericCols.flatMap(c => Seq(
-        min(col(c).cast(DoubleType)).as(s"__mn_$c"),
-        max(col(c).cast(DoubleType)).as(s"__mx_$c")))
-      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
-      numericCols.flatMap { c =>
-        val mn = r.getAs[java.lang.Double](s"__mn_$c")
-        val mx = r.getAs[java.lang.Double](s"__mx_$c")
-        if (mn == null || mx == null) None else Some(c -> (mn.doubleValue, mx.doubleValue))
-      }.toMap
-    } else Map.empty
-    val strs = if (stringCols.nonEmpty)
-      strings(df, stringCols).collect().map(r => r.getString(0) -> r).toMap
-    else Map.empty[String, org.apache.spark.sql.Row]
-    val lowCard = strs.filter { case (_, r) =>
-      r.getAs[Long]("distinct_cnt") <= allowedValuesMaxCard && r.getAs[Long]("nulls") == 0
-    }.keySet
-    val lowCardValues: Map[String, Seq[String]] = lowCard.map { c =>
-      c -> df.select(col(c)).distinct().orderBy(col(c))
-        .collect().map(_.getString(0)).toSeq
-    }.toMap
-    // suggested drift gates close the loop: profile today's snapshot,
-    // store the contract, and every FUTURE snapshot is gated against a
-    // frozen reference ([[graft.validators.DriftContracts]]) — psi for
-    // the low-cardinality categoricals the allowed-values suggestion
-    // already identified (0.1 ≈ the industry "investigate" line), exact
-    // KS for the numerics (0.2 rejects a wholesale distribution swap
-    // while tolerating day-to-day noise at these scales)
-    val driftGates =
-      lowCard.toSeq.sorted.map(c =>
-        DistributionDriftCheck(c, method = "psi", max = 0.1)) ++
-      numericCols.filter(exactBounds.contains).map(c =>
-        DistributionDriftCheck(c, method = "ks", max = 0.2))
-    base.copy(
-      schema = base.schema.copy(fields = base.schema.fields.map { f =>
-        val noNulls =
-          nums.get(f.name).map(_.getAs[Long]("nulls") == 0)
-            .orElse(strs.get(f.name).map(_.getAs[Long]("nulls") == 0))
-        val constraints =
-          exactBounds.get(f.name).map { case (mn, mx) =>
-            Seq(Constraint.Range(mn, mx))
-          }.getOrElse(Nil) ++
-            lowCardValues.get(f.name).map(vs => Constraint.AllowedValues(vs)).toSeq
-        f.copy(nullable = !noNulls.getOrElse(false), constraints = constraints)
-      }),
-      qualityChecks = if (driftGates.isEmpty) base.qualityChecks
-        else Some(base.qualityChecks.getOrElse(QualityChecks())
-          .copy(drift = driftGates)))
-  }
-
-  /** EMPIRICAL-BAYES rate shrinkage (beta-binomial moment matching;
-    * the Efron–Morris 1975 program, Kleinman 1973's moment fit): the
-    * small-segment problem every per-domain datasheet has — a source
-    * with 8 docs and 7 English reads "88%" where a 10k-doc source's
-    * 64% is trustworthy; raw per-group rates overdisperse exactly by
-    * their sampling noise. Fit Beta(α, β) to the group rates by
-    * moments and report the posterior mean
-    * (a_g + p̄·K)/(n_g + K) — small groups pull toward the prior,
-    * big groups keep their data. This is the principled version of
-    * "add a pseudocount", with the pseudocount ESTIMATED from the
-    * corpus, and the shrinkage the leave-one-out target encoder
-    * ([[targetEncoding]]) deliberately omits.
-    *
-    * Engine-exact by construction: group rates fold to e6 integers
-    * r_g = a_g·10⁶ DIV n_g, and the three prior-fit regime decisions
-    * are EXACT INTEGER comparisons — with S = Σ(r_g − r̄)² (between-
-    * group), V = Σ(r_g·(10⁶−r_g) DIV n_g) (mean sampling noise),
-    * M = r̄·(10⁶−r̄), D = S·k − V·(k−1) (τ² = D/(k(k−1)) at e12):
-    * D ≤ 0 → complete pooling (noise explains all spread; shrunk = p̄,
-    * prior strength +∞ reported NULL); D ≥ M·k·(k−1) → τ² ≥ max Beta
-    * variance, prior uninformative (shrunk = raw, strength 0); else
-    * K = M·k·(k−1)/D − 1 and the posterior mean — K and shrunk_r4
-    * single deterministic double expressions over the exact integers,
-    * so no float ever decides a branch. int64 bounds: k²·10¹² and
-    * M·k² < 9.2·10¹⁸ → k ≤ ~3000 groups (plenty for segment grids;
-    * beyond, bucket the groups first). k < 2 → NULL fit (no between-
-    * group evidence).
-    *
-    * Plan: ONE map-side-combined group rollup, a 1-row moment fold
-    * broadcast back over the k-row frame. */
-  def ebShrinkage(df: DataFrame, groupCol: String,
-                  outcomeCol: String): DataFrame = {
-    val dt = df.schema(outcomeCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"ebShrinkage: $outcomeCol must be an integral type, got $dt")
-    val g = df.filter(col(groupCol).isNotNull && col(outcomeCol).isNotNull)
-      .select(col(groupCol).cast("string").as("group"),
-        when(col(outcomeCol) =!= 0, 1L).otherwise(0L).as("__y"))
-      .groupBy("group")
-      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__a"))
-      .withColumn("__r", expr("__a * 1000000 DIV __n"))
-    val fit = g.agg(
-        count(lit(1)).as("__k"),
-        coalesce(sum(col("__r")), lit(0L)).as("__sr"),
-        coalesce(sum(col("__r") * col("__r")), lit(0L)).as("__sr2"),
-        coalesce(sum(expr("__r * (1000000 - __r) DIV __n")), lit(0L)).as("__v"))
-      // Σ(r − r̄)² with the exact-integer mean r̄ = Σr DIV k:
-      // S = Σr² − 2·r̄·Σr + k·r̄²  (r̄ floor-truncated — the shared
-      // definition both engines replay; the ≤1e-6 mean quantization is
-      // far below the e12-scale variances it feeds)
-      .withColumn("__rb", expr("__sr DIV __k"))
-      .withColumn("__s",
-        col("__sr2") - lit(2L) * col("__rb") * col("__sr") +
-          col("__k") * col("__rb") * col("__rb"))
-      .withColumn("__m", col("__rb") * (lit(1000000L) - col("__rb")))
-      .withColumn("__d", col("__s") * col("__k") - col("__v") * (col("__k") - 1L))
-      .withColumn("__kk",
-        when(col("__k") >= 2 && col("__d") > 0 &&
-            col("__d") < col("__m") * col("__k") * (col("__k") - 1L),
-          col("__m").cast("double") * col("__k") * (col("__k") - 1L) /
-            col("__d") - 1.0))
-    g.crossJoin(broadcast(fit))
-      .select(
-        col("group"),
-        col("__n").cast(LongType).as("n"),
-        col("__a").cast(LongType).as("positives"),
-        expr("__a * 10000 DIV __n").cast(LongType).as("raw_bp"),
-        round(
-          when(col("__k") < 2, lit(null).cast("double"))
-            .when(col("__d") <= 0, col("__rb").cast("double") / 1e6)
-            .when(col("__d") >= col("__m") * col("__k") * (col("__k") - 1L),
-              col("__a").cast("double") / col("__n"))
-            .otherwise((col("__a") +
-              col("__rb").cast("double") / 1e6 * col("__kk")) /
-              (col("__n") + col("__kk"))), 4).as("shrunk_r4"),
-        col("__k").cast(LongType).as("k_groups"),
-        when(col("__k") >= 2, expr("__rb DIV 100")).cast(LongType)
-          .as("prior_mean_bp"),
-        round(when(col("__k") < 2, lit(null).cast("double"))
-          .when(col("__d") <= 0, lit(null).cast("double"))
-          .when(col("__d") >= col("__m") * col("__k") * (col("__k") - 1L),
-            lit(0.0))
-          .otherwise(col("__kk")), 2).as("prior_strength_r2"))
-  }
-
-  /** VALUE-CONCENTRATION (whale) readout: what share of total metric
-    * value the top p% of keys hold — the Pareto datasheet line next
-    * to [[giniByGroup]]'s single coefficient (the Gini says
-    * "concentrated"; this says "the top 1% of users carry 62% of
-    * revenue", the number a capacity/abuse/monetization review reads).
-    * Per-key totals are Σ floor(value·10⁴) over the key's rows (per-ROW
-    * e4 quantization — exact, order-independent sums, the
-    * [[effectiveSampleSize]] discipline), keys rank by value desc with
-    * ties collapsed to distinct-total grain, and each requested top_bp
-    * picks k = max(1, ceil(p·N/10⁴)) keys; the boundary TIE GROUP is
-    * included whole (a tie straddling the cutoff cannot be split
-    * deterministically), so keys_included ≥ k, documented.
-    *
-    * Plan: one per-key rollup, one distinct-total rollup, then BOTH
-    * running sums (key count + value mass) ride ONE
-    * [[rangedRunningSumsManaged]] pass — the shared two-level range
-    * exchange, never a single-task global window — and one
-    * 2·|topBps|-expression fold. int64: Σ|value·10⁴| < 9.2e18. */
-  def valueConcentration(df: DataFrame, keyCol: String, valueCol: String,
-                         topBps: Seq[Int] = Seq(100, 1000, 2500)): DataFrame = {
-    require(topBps.nonEmpty, "need at least one top_bp")
-    require(topBps.forall(b => b >= 1 && b <= 10000),
-      s"top_bps are basis points in [1, 10000], got $topBps")
-    require(topBps.distinct.size == topBps.size, s"duplicate top_bps: $topBps")
-    val spark = df.sparkSession
-    val perKey = df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
-      .groupBy(col(keyCol).as("__k"))
-      .agg(sum(floor(col(valueCol).cast(DoubleType) * 10000).cast(LongType))
-        .as("__v"))
-    // distinct-total grain: (total, #keys, value mass), descending
-    // order via the negated total (unique -> tie-free running sums)
-    val counts = perKey.groupBy(col("__v"))
-      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__m"))
-      .withColumn("__negv", -col("__v"))
-    val (cum, release) =
-      rangedRunningSumsManaged(counts, "__negv", Seq("__c", "__m"))
-    try {
-      val withTotals = cum
-        .withColumnRenamed("__rsum___c", "__cc")
-        .withColumnRenamed("__rsum___m", "__cm")
-      // pick the FIRST suffix row via a struct-min keyed on the count
-      // cumsum (strictly increasing), not the mass cumsum — negative
-      // per-key totals make the mass non-monotone
-      val total = withTotals.agg(sum(col("__c")).as("__n"), sum(col("__m")).as("__t"))
-      val joined = withTotals.crossJoin(broadcast(total))
-      val aggs = topBps.flatMap { b =>
-        val k = greatest(lit(1L), expr(s"($b * __n + 9999) DIV 10000"))
-        val pick = min(when(col("__cc") >= k,
-          struct(col("__cc").as("c"), col("__cm").as("m"))))
-        Seq(pick.getField("c").as(s"__u_$b"), pick.getField("m").as(s"__s_$b"))
-      }
-      val one = joined.agg(aggs.head, aggs.tail: _*)
-        .crossJoin(broadcast(total))
-      val rows = topBps.map(b => struct(
-        lit(b.toLong).as("top_bp"),
-        col(s"__u_$b").cast(LongType).as("keys_included"),
-        col(s"__s_$b").cast(LongType).as("value_e4"),
-        when(col("__t") =!= 0L, expr(s"__s_$b * 10000 DIV __t"))
-          .cast(LongType).as("value_share_bp"),
-        col("__n").cast(LongType).as("total_keys"),
-        col("__t").cast(LongType).as("total_value_e4")))
-      val out = one.select(explode(array(rows: _*)).as("r")).select("r.*")
-        .collect() // bounded: |topBps| rows
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "top_bp BIGINT, keys_included BIGINT, value_e4 BIGINT, " +
-            "value_share_bp BIGINT, total_keys BIGINT, total_value_e4 BIGINT"))
-    } finally release()
-  }
-
-  /** Per-group TRIMMED means: the robust location datasheet — drop
-    * the lowest and highest ⌊trimBp·n/10⁴⌋ rows of each group BY RANK
-    * and average the rest, reported beside the raw mean so the gap
-    * itself is the outlier signal ([[winsorizeReport]] clamps,
-    * [[tukeyOutliers]] flags rows; this is the per-group robust
-    * average a source scorecard quotes). Rank-based trimming is
-    * tie-stable: the (value, rank) order is total, so equal values at
-    * the cut trim identically in any engine. Exact integer sums;
-    * means single double divisions; trimmed mean NULL when the trim
-    * empties the group (never NaN). Integral values required (exact
-    * sums — the giniByGroup discipline).
-    *
-    * Plan: one per-group rank window (parallelism from the group key —
-    * the groupQuantiles shape and one-giant-group caveat) + ONE
-    * map-side-combined rollup. */
-  def groupTrimmedMeans(df: DataFrame, groupCol: String, valueCol: String,
-                        trimBp: Long = 1000L): DataFrame = {
-    require(trimBp >= 0 && trimBp < 5000,
-      s"trimBp must be in [0, 5000), got $trimBp")
-    val dt = df.schema(valueCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"groupTrimmedMeans: $valueCol must be an integral type, got $dt")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("group")).orderBy(col("__v"))
-    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
-    val inTrim = col("__rn") > col("__cut") &&
-      col("__rn") <= col("__n") - col("__cut")
-    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).cast("string").as("group"),
-        col(valueCol).cast("long").as("__v"))
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(byGroup).cast("long"))
-      .withColumn("__cut", expr(s"($trimBp * __n) DIV 10000"))
-      .groupBy("group")
-      .agg(max(col("__n")).as("__n"), sum(col("__v")).as("__s"),
-        sum(when(inTrim, col("__v")).otherwise(0L)).as("__ts"),
-        sum(when(inTrim, 1L).otherwise(0L)).as("__tn"))
-      .select(col("group"), col("__n").cast(LongType).as("n"),
-        round(col("__s").cast("double") / col("__n"), 4).as("mean_r4"),
-        col("__tn").cast(LongType).as("trimmed_n"),
-        round(when(col("__tn") > 0,
-          col("__ts").cast("double") / col("__tn")), 4).as("trimmed_mean_r4"))
-  }
-
-  /** NULL-PATTERN audit: row counts per combination of
-    * simultaneously-NULL columns — the STRUCTURE completeness-per-
-    * column (row 9) flattens away: "email and phone are each 20% null"
-    * hides whether they are null TOGETHER (one broken upstream join)
-    * or independently (two causes). One row per observed pattern
-    * (null columns comma-joined in caller order; "(none)" for complete
-    * rows) with exact share_bp. ≤ 2^|cols| output rows — `cols`
-    * capped at 10 so the frame stays bounded by construction.
-    * Plan: ONE map-side-combined rollup; the total folds as a window
-    * over the ≤2^k-row pattern frame (bounded by construction), so the
-    * input scan never re-executes for a side aggregate. */
-  def nullPatternAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty && cols.size <= 10,
-      s"nullPatternAudit: need 1..10 columns, got ${cols.size}")
-    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
-    val live = df.columns.toSet
-    val missing = cols.filterNot(live)
-    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
-    val pattern = concat_ws(",", cols.map(c => when(col(c).isNull, lit(c))): _*)
-    val w = org.apache.spark.sql.expressions.Window
-    df.groupBy(when(length(pattern) > 0, pattern).otherwise("(none)")
-        .as("null_cols"))
-      .agg(count(lit(1)).as("rows"))
-      .withColumn("__t", sum(col("rows")).over(
-        w.partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
-      .select(col("null_cols"), col("rows").cast(LongType).as("rows"),
-        expr("rows * 10000 DIV __t").cast(LongType).as("share_bp"))
-  }
-
-  /** PARTIAL correlation r_xy·z (first-order): the x–y association
-    * with a confounder z HELD CONSTANT — the reading [[corrMatrix]]'s
-    * raw pairwise r can't give (engagement correlates with revenue,
-    * but both ride account age; the partial says what's left).
-    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) over the
-    * LISTWISE-complete rows (all three non-null — the three r's must
-    * come from one population or the formula is incoherent; documented
-    * difference from corrMatrix's pairwise deletion). Same
-    * covar_samp/stddev building blocks and zero-variance NULL guard
-    * as corrMatrix; NULL partial when either conditioning r is ±1.
-    * ONE aggregation pass. */
-  def partialCorr(df: DataFrame, xCol: String, yCol: String,
-                  zCol: String): DataFrame = {
-    require(Seq(xCol, yCol, zCol).distinct.size == 3,
-      s"partialCorr: columns must be distinct, got $xCol, $yCol, $zCol")
-    val base = df
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(zCol).isNotNull)
-      .select(col(xCol).cast(DoubleType).as("__x"),
-        col(yCol).cast(DoubleType).as("__y"), col(zCol).cast(DoubleType).as("__z"))
-    def r(a: String, b: String, sfx: String) = Seq(
-      covar_samp(col(a), col(b)).as(s"__c$sfx"),
-      stddev_samp(col(a)).as(s"__sa$sfx"),
-      stddev_samp(col(b)).as(s"__sb$sfx"))
-    val aggs = count(lit(1)).as("__n") +:
-      (r("__x", "__y", "xy") ++ r("__x", "__z", "xz") ++ r("__y", "__z", "yz"))
-    def corr(sfx: String) = when(
-      col(s"__sa$sfx") * col(s"__sb$sfx") > 0d,
-      col(s"__c$sfx") / (col(s"__sa$sfx") * col(s"__sb$sfx")))
-    base.agg(aggs.head, aggs.tail: _*)
-      .withColumn("__rxy", corr("xy"))
-      .withColumn("__rxz", corr("xz"))
-      .withColumn("__ryz", corr("yz"))
-      .withColumn("__den",
-        (lit(1.0) - col("__rxz") * col("__rxz")) *
-          (lit(1.0) - col("__ryz") * col("__ryz")))
-      .select(
-        lit(xCol).as("x"), lit(yCol).as("y"), lit(zCol).as("z"),
-        col("__n").cast(LongType).as("n"),
-        round(col("__rxy"), 4).as("r_xy_r4"),
-        round(col("__rxz"), 4).as("r_xz_r4"),
-        round(col("__ryz"), 4).as("r_yz_r4"),
-        round(when(col("__den") > 0d,
-          (col("__rxy") - col("__rxz") * col("__ryz")) / sqrt(col("__den"))), 4)
-          .as("partial_r4"))
-  }
 }

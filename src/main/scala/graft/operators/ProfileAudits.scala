@@ -1,0 +1,347 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StringType}
+
+/** Structural audits over profiled tables — key discovery, functional
+  * dependencies, missingness patterns, monotonicity, concentration,
+  * and the data-driven contract suggestion (split out of [[Profile]]
+  * in r10, file-size discipline). */
+object ProfileAudits {
+
+  /** Per-key monotonicity audit: ordered by `seqCol`, how often does
+    * `valueCol` strictly DECREASE from one row to the next — the
+    * ordering contract behind event logs (timestamps vs ingest order),
+    * version counters, and watermark sanity. Reports per key: row
+    * count, inversion count, the first offending sequence value, and
+    * the verdict. NULL values are skipped (an absent measurement is
+    * not an inversion); NULL sequence positions are skipped too (their
+    * place in the order is undefined, and engines disagree on NULL
+    * sort position); ties are monotone (non-strict). `seqCol` must be
+    * unique per key — duplicate positions make the lag order, and so
+    * the counts, nondeterministic.
+    *
+    * Plan: one per-key lag window (state = 1 row) + one map-side
+    * combined rollup — keyed shuffles only, linear. */
+  def monotonicityAudit(df: DataFrame, keyCol: String, seqCol: String,
+                        valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__s"))
+    df.filter(col(keyCol).isNotNull && col(seqCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), col(seqCol).as("__s"),
+        col(valueCol).as("__x"))
+      .withColumn("__prev", lag(col("__x"), 1).over(w))
+      .withColumn("__inv", (col("__prev") > col("__x")).cast(LongType))
+      .groupBy("key")
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        coalesce(sum(col("__inv")), lit(0L)).cast(LongType).as("inversions"),
+        min(when(col("__inv") === 1L, col("__s"))).as("first_inversion_at"))
+      .withColumn("ok", col("inversions") === 0L)
+  }
+
+  def functionalDependency(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (det, dep) pair")
+    pairs.map { case (det, dep) =>
+      df.filter(col(det).isNotNull)
+        .groupBy(col(det).as("__k"))
+        // NULL counts as one dependent value, with no string sentinel
+        // (sentinels can collide with real data): distinct non-nulls
+        // + 1 iff any null is present
+        .agg((countDistinct(col(dep)) +
+          max(when(col(dep).isNull, 1L).otherwise(0L))).as("__nd"),
+          count(lit(1)).as("__rows"))
+        .agg(count(lit(1)).as("__dets"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("__viol"),
+          sum(when(col("__nd") > 1, col("__rows")).otherwise(0L)).as("__vrows"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          col("__dets").cast(LongType).as("determinants"),
+          col("__viol").cast(LongType).as("violating_determinants"),
+          coalesce(col("__vrows"), lit(0L)).cast(LongType).as("violation_rows"),
+          (col("__viol") === 0L).as("fd_holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** NULL-PATTERN audit: row counts per combination of
+    * simultaneously-NULL columns — the STRUCTURE completeness-per-
+    * column (row 9) flattens away: "email and phone are each 20% null"
+    * hides whether they are null TOGETHER (one broken upstream join)
+    * or independently (two causes). One row per observed pattern
+    * (null columns comma-joined in caller order; "(none)" for complete
+    * rows) with exact share_bp. ≤ 2^|cols| output rows — `cols`
+    * capped at 10 so the frame stays bounded by construction.
+    * Plan: ONE map-side-combined rollup; the total folds as a window
+    * over the ≤2^k-row pattern frame (bounded by construction), so the
+    * input scan never re-executes for a side aggregate. */
+  def nullPatternAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 10,
+      s"nullPatternAudit: need 1..10 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val live = df.columns.toSet
+    val missing = cols.filterNot(live)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val pattern = concat_ws(",", cols.map(c => when(col(c).isNull, lit(c))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+    df.groupBy(when(length(pattern) > 0, pattern).otherwise("(none)")
+        .as("null_cols"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("__t", sum(col("rows")).over(
+        w.partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+      .select(col("null_cols"), col("rows").cast(LongType).as("rows"),
+        expr("rows * 10000 DIV __t").cast(LongType).as("share_bp"))
+  }
+
+  /** Candidate-KEY discovery: for each proposed column set, is it a
+    * unique key of the table? Reports distinct key count, duplicated
+    * keys, rows living under duplicates, and the worst multiplicity —
+    * the data-driven half of writing a uniqueness contract (which
+    * asserts a KNOWN key; this FINDS one). NULLs group as values
+    * (null-safe tuple semantics — both engines' GROUP BY), so an
+    * all-NULL column can never masquerade as a key.
+    *
+    * One map-side-combined rollup per candidate — linear per
+    * candidate, no windows, no driver loops beyond the candidate
+    * list itself. */
+  def keyCandidates(df: DataFrame, candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty && candidates.forall(_.nonEmpty),
+      "need at least one non-empty candidate column set")
+    candidates.map { cand =>
+      df.groupBy(cand.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).cast(LongType).as("distinct_keys"),
+          sum("__c").cast(LongType).as("rows"),
+          sum(when(col("__c") > 1L, 1L).otherwise(0L)).cast(LongType).as("dup_keys"),
+          sum(when(col("__c") > 1L, col("__c")).otherwise(0L)).cast(LongType).as("dup_rows"),
+          max("__c").cast(LongType).as("max_multiplicity"))
+        .select(lit(cand.mkString("+")).as("candidate"), col("rows"),
+          col("distinct_keys"), col("dup_keys"), col("dup_rows"),
+          col("max_multiplicity"), (col("dup_keys") === 0L).as("is_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Suggests a contract from profile + schema: non-nullable where no
+    * nulls observed, allowed_values for low-cardinality strings, range
+    * for numerics — the data-driven `init --strict` the reference's
+    * profiling heritage implies. */
+  def suggestContract(df: DataFrame, name: String, owner: String,
+                      allowedValuesMaxCard: Int = 20): graft.contracts.Contract = {
+    import graft.contracts._
+    val base = ContractInit.fromTable(df, name, owner)
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
+    val nums = if (numericCols.nonEmpty)
+      Profile.numeric(df, numericCols).collect().map(r => r.getString(0) -> r).toMap
+    else Map.empty[String, org.apache.spark.sql.Row]
+    // exact (unrounded) min/max for Range suggestions: a rounded bound
+    // can exclude the very data it was profiled from
+    val exactBounds: Map[String, (Double, Double)] = if (numericCols.nonEmpty) {
+      val aggs = numericCols.flatMap(c => Seq(
+        min(col(c).cast(DoubleType)).as(s"__mn_$c"),
+        max(col(c).cast(DoubleType)).as(s"__mx_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+      numericCols.flatMap { c =>
+        val mn = r.getAs[java.lang.Double](s"__mn_$c")
+        val mx = r.getAs[java.lang.Double](s"__mx_$c")
+        if (mn == null || mx == null) None else Some(c -> (mn.doubleValue, mx.doubleValue))
+      }.toMap
+    } else Map.empty
+    val strs = if (stringCols.nonEmpty)
+      Profile.strings(df, stringCols).collect().map(r => r.getString(0) -> r).toMap
+    else Map.empty[String, org.apache.spark.sql.Row]
+    val lowCard = strs.filter { case (_, r) =>
+      r.getAs[Long]("distinct_cnt") <= allowedValuesMaxCard && r.getAs[Long]("nulls") == 0
+    }.keySet
+    val lowCardValues: Map[String, Seq[String]] = lowCard.map { c =>
+      c -> df.select(col(c)).distinct().orderBy(col(c))
+        .collect().map(_.getString(0)).toSeq
+    }.toMap
+    // suggested drift gates close the loop: profile today's snapshot,
+    // store the contract, and every FUTURE snapshot is gated against a
+    // frozen reference ([[graft.validators.DriftContracts]]) — psi for
+    // the low-cardinality categoricals the allowed-values suggestion
+    // already identified (0.1 ≈ the industry "investigate" line), exact
+    // KS for the numerics (0.2 rejects a wholesale distribution swap
+    // while tolerating day-to-day noise at these scales)
+    val driftGates =
+      lowCard.toSeq.sorted.map(c =>
+        DistributionDriftCheck(c, method = "psi", max = 0.1)) ++
+      numericCols.filter(exactBounds.contains).map(c =>
+        DistributionDriftCheck(c, method = "ks", max = 0.2))
+    base.copy(
+      schema = base.schema.copy(fields = base.schema.fields.map { f =>
+        val noNulls =
+          nums.get(f.name).map(_.getAs[Long]("nulls") == 0)
+            .orElse(strs.get(f.name).map(_.getAs[Long]("nulls") == 0))
+        val constraints =
+          exactBounds.get(f.name).map { case (mn, mx) =>
+            Seq(Constraint.Range(mn, mx))
+          }.getOrElse(Nil) ++
+            lowCardValues.get(f.name).map(vs => Constraint.AllowedValues(vs)).toSeq
+        f.copy(nullable = !noNulls.getOrElse(false), constraints = constraints)
+      }),
+      qualityChecks = if (driftGates.isEmpty) base.qualityChecks
+        else Some(base.qualityChecks.getOrElse(QualityChecks())
+          .copy(drift = driftGates)))
+  }
+
+  /** Functional-dependency audit `det → dep`: does the determinant
+    * column decide the dependent one? Reports, per checked pair, the
+    * determinant count, how many determinants map to >1 distinct
+    * dependent value, the rows living under those violating
+    * determinants, and the verdict — the cross-column consistency test
+    * (one order_id → one customer; one doc_id → one source) that
+    * single-column constraints cannot express, next to the cross-TABLE
+    * referential check. One map-combined rollup per pair; NULL
+    * dependents count as a value (a det mapping to {x, NULL} is NOT
+    * functional — SQL distinctness treats NULL as one group). */
+  /** Order-independent dataset content fingerprint: one row per
+    * labeled frame with (n_rows, xor of a 60-bit portable row hash,
+    * sum of its low 32 bits) — the "did ANYTHING change anywhere"
+    * reproducibility check that costs one map-side-combined scan,
+    * where [[SnapshotDiff]] costs a keyed shuffle. XOR and the bounded
+    * sum are both commutative + associative, so the fingerprint is
+    * partition-order-independent, MERGEABLE across shards/days (xor
+    * the xors, add the sums — the row-158/189 mergeable-state story),
+    * and engine-replayable (md5-prefix hash, the board's portable
+    * family). XOR alone is blind to duplicate-row pairs (they cancel);
+    * the 32-bit-sum channel restores that sensitivity. int64-safe to
+    * ~2³¹ rows per fingerprint call; shard beyond. Each column is
+    * md5-hashed SEPARATELY before the fields are joined: the inner
+    * digests are fixed-width hex (never containing the chr(1) field
+    * delimiter, never colliding with the chr(2) NULL sentinel), so
+    * the row encoding is injective up to md5 collisions — a value
+    * that embeds the delimiter, or a literal string equal to the
+    * sentinel, cannot alias a different row (value→NULL flips
+    * included). */
+  def contentFingerprint(df: DataFrame, label: String,
+                         cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentFingerprint needs at least one column")
+    val h = expr("conv(substring(md5(concat_ws(chr(1), " +
+      cols.map(c => s"coalesce(md5(cast(`$c` AS STRING)), chr(2))").mkString(", ") +
+      ")), 1, 15), 16, 10)").cast(LongType)
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).cast(LongType).as("xor60"),
+        coalesce(sum(expr("__h % 4294967296")), lit(0L)).cast(LongType).as("sum32"))
+      .select(lit(label).as("dataset"), col("n_rows"), col("xor60"), col("sum32"))
+  }
+
+  /** VALUE-CONCENTRATION (whale) readout: what share of total metric
+    * value the top p% of keys hold — the Pareto datasheet line next
+    * to [[giniByGroup]]'s single coefficient (the Gini says
+    * "concentrated"; this says "the top 1% of users carry 62% of
+    * revenue", the number a capacity/abuse/monetization review reads).
+    * Per-key totals are Σ floor(value·10⁴) over the key's rows (per-ROW
+    * e4 quantization — exact, order-independent sums, the
+    * [[effectiveSampleSize]] discipline), keys rank by value desc with
+    * ties collapsed to distinct-total grain, and each requested top_bp
+    * picks k = max(1, ceil(p·N/10⁴)) keys; the boundary TIE GROUP is
+    * included whole (a tie straddling the cutoff cannot be split
+    * deterministically), so keys_included ≥ k, documented.
+    *
+    * Plan: one per-key rollup, one distinct-total rollup, then BOTH
+    * running sums (key count + value mass) ride ONE
+    * [[rangedRunningSumsManaged]] pass — the shared two-level range
+    * exchange, never a single-task global window — and one
+    * 2·|topBps|-expression fold. int64: Σ|value·10⁴| < 9.2e18. */
+  def valueConcentration(df: DataFrame, keyCol: String, valueCol: String,
+                         topBps: Seq[Int] = Seq(100, 1000, 2500)): DataFrame = {
+    require(topBps.nonEmpty, "need at least one top_bp")
+    require(topBps.forall(b => b >= 1 && b <= 10000),
+      s"top_bps are basis points in [1, 10000], got $topBps")
+    require(topBps.distinct.size == topBps.size, s"duplicate top_bps: $topBps")
+    val spark = df.sparkSession
+    val perKey = df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sum(floor(col(valueCol).cast(DoubleType) * 10000).cast(LongType))
+        .as("__v"))
+    // distinct-total grain: (total, #keys, value mass), descending
+    // order via the negated total (unique -> tie-free running sums)
+    val counts = perKey.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__m"))
+      .withColumn("__negv", -col("__v"))
+    val (cum, release) =
+      Profile.rangedRunningSumsManaged(counts, "__negv", Seq("__c", "__m"))
+    try {
+      val withTotals = cum
+        .withColumnRenamed("__rsum___c", "__cc")
+        .withColumnRenamed("__rsum___m", "__cm")
+      // pick the FIRST suffix row via a struct-min keyed on the count
+      // cumsum (strictly increasing), not the mass cumsum — negative
+      // per-key totals make the mass non-monotone
+      val total = withTotals.agg(sum(col("__c")).as("__n"), sum(col("__m")).as("__t"))
+      val joined = withTotals.crossJoin(broadcast(total))
+      val aggs = topBps.flatMap { b =>
+        val k = greatest(lit(1L), expr(s"($b * __n + 9999) DIV 10000"))
+        val pick = min(when(col("__cc") >= k,
+          struct(col("__cc").as("c"), col("__cm").as("m"))))
+        Seq(pick.getField("c").as(s"__u_$b"), pick.getField("m").as(s"__s_$b"))
+      }
+      val one = joined.agg(aggs.head, aggs.tail: _*)
+        .crossJoin(broadcast(total))
+      val rows = topBps.map(b => struct(
+        lit(b.toLong).as("top_bp"),
+        col(s"__u_$b").cast(LongType).as("keys_included"),
+        col(s"__s_$b").cast(LongType).as("value_e4"),
+        when(col("__t") =!= 0L, expr(s"__s_$b * 10000 DIV __t"))
+          .cast(LongType).as("value_share_bp"),
+        col("__n").cast(LongType).as("total_keys"),
+        col("__t").cast(LongType).as("total_value_e4")))
+      val out = one.select(explode(array(rows: _*)).as("r")).select("r.*")
+        .collect() // bounded: |topBps| rows
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "top_bp BIGINT, keys_included BIGINT, value_e4 BIGINT, " +
+            "value_share_bp BIGINT, total_keys BIGINT, total_value_e4 BIGINT"))
+    } finally release()
+  }
+
+  /** Per-group TRIMMED means: the robust location datasheet — drop
+    * the lowest and highest ⌊trimBp·n/10⁴⌋ rows of each group BY RANK
+    * and average the rest, reported beside the raw mean so the gap
+    * itself is the outlier signal ([[winsorizeReport]] clamps,
+    * [[tukeyOutliers]] flags rows; this is the per-group robust
+    * average a source scorecard quotes). Rank-based trimming is
+    * tie-stable: the (value, rank) order is total, so equal values at
+    * the cut trim identically in any engine. Exact integer sums;
+    * means single double divisions; trimmed mean NULL when the trim
+    * empties the group (never NaN). Integral values required (exact
+    * sums — the giniByGroup discipline).
+    *
+    * Plan: one per-group rank window (parallelism from the group key —
+    * the groupQuantiles shape and one-giant-group caveat) + ONE
+    * map-side-combined rollup. */
+  def groupTrimmedMeans(df: DataFrame, groupCol: String, valueCol: String,
+                        trimBp: Long = 1000L): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000,
+      s"trimBp must be in [0, 5000), got $trimBp")
+    val dt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"groupTrimmedMeans: $valueCol must be an integral type, got $dt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__v"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    val inTrim = col("__rn") > col("__cut") &&
+      col("__rn") <= col("__n") - col("__cut")
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byGroup).cast("long"))
+      .withColumn("__cut", expr(s"($trimBp * __n) DIV 10000"))
+      .groupBy("group")
+      .agg(max(col("__n")).as("__n"), sum(col("__v")).as("__s"),
+        sum(when(inTrim, col("__v")).otherwise(0L)).as("__ts"),
+        sum(when(inTrim, 1L).otherwise(0L)).as("__tn"))
+      .select(col("group"), col("__n").cast(LongType).as("n"),
+        round(col("__s").cast("double") / col("__n"), 4).as("mean_r4"),
+        col("__tn").cast(LongType).as("trimmed_n"),
+        round(when(col("__tn") > 0,
+          col("__ts").cast("double") / col("__tn")), 4).as("trimmed_mean_r4"))
+  }
+}

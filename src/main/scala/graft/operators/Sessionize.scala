@@ -1059,499 +1059,3 @@ object Sessionize {
         (datediff(col("__maxd"), col("__d")) < horizonDays).as("censored"))
   }
 }
-
-/** Deterministic dataset splitting for reproducible train/val/test
-  * assignment — a hash of the key decides the split, so membership is
-  * stable under reshuffling, appends, and re-runs (the property the ML
-  * no_overlap / temporal checks in [[graft.validators.MlValidators]]
-  * audit).
-  */
-object Sampling {
-
-  /** Deterministic weighted interleave ORDER across sources — the
-    * training-order counterpart of `mixSample` (that one decides HOW
-    * MANY rows of each source; this decides the SEQUENCE they stream
-    * in): source s's r-th row (1-based rank by id) gets the integer
-    * sort key (2r − 1)·10⁹ DIV (2·w_s), the classic stride schedule —
-    * a source with double weight appears twice as often, uniformly
-    * spread, and the whole order is a pure function of (id, source,
-    * weights): any two engines (or the same job re-run after
-    * preemption) produce the identical epoch stream. Ties (same key)
-    * break by (source, id). Output: (id, source, rank_in_source,
-    * interleave_key); callers sort by (interleave_key, source, id) —
-    * usually as the write order of an export, so no global position
-    * column is materialized (assigning one at scale would need the
-    * two-level cumsum; the KEY is what the schedule needs). Sources
-    * absent from `weights` are EXCLUDED from the stream — like
-    * `mixSample`, the recipe decides the menu; weight a source 0-ish
-    * explicitly if you want a trickle rather than silence.
-    *
-    * Plan: one broadcast weight join + a per-source rank window
-    * (linear, partitioned by source — the per-source ordering any
-    * epoch scheduler needs anyway). Exact long arithmetic; safe for
-    * ranks up to ~4.6·10⁹ per source. */
-  def interleaveOrder(df: DataFrame, keyCol: String, idCol: String,
-                      weights: Seq[(String, Long)]): DataFrame = {
-    require(weights.nonEmpty && weights.forall(_._2 > 0),
-      "weights must be positive")
-    require(weights.map(_._1).distinct.size == weights.size,
-      s"duplicate weight keys: ${weights.map(_._1)}")
-    val session = df.sparkSession
-    import session.implicits._
-    val w = Window.partitionBy(col("source")).orderBy(col("id"))
-    df.select(col(idCol).as("id"), col(keyCol).as("source"))
-      .join(broadcast(weights.toDF("source", "__w")), Seq("source"))
-      .withColumn("rank_in_source", row_number().over(w).cast("long"))
-      .withColumn("interleave_key",
-        expr("(2 * rank_in_source - 1) * 1000000000 DIV (2 * __w)").cast("long"))
-      .select("id", "source", "rank_in_source", "interleave_key")
-  }
-
-  /** NEYMAN-OPTIMAL stratified sample allocation (Neyman 1934): for a
-    * fixed label/inspection budget n, sampling each stratum
-    * proportional to N_h·σ_h minimizes the estimator variance —
-    * proportional allocation wastes budget on huge LOW-VARIANCE
-    * strata, the classic mistake of "sample 1% of everything". The
-    * planning table that should precede `quotaSample`/
-    * `inspectionSample`: per stratum, size, σ, and the integer
-    * allocation.
-    *
-    * Exactness discipline: σ_h from the exact integer (N, Σy, Σy²)
-    * rollup; the weight enters as s6_h = ⌊N_h·σ_h·10⁶⌋ (floor of one
-    * deterministic double — identical in any engine) and everything
-    * after is integer LARGEST-REMAINDER apportionment: base_h =
-    * n·s6_h DIV S6, the n − Σbase leftovers go to the largest
-    * remainders (ties by stratum label) — Σalloc = n EXACTLY, no
-    * floating shares. int64 bound: n·S6 < 9.2·10¹⁸ (e.g. budget 10⁵
-    * against Σ N_h·σ_h ≤ 10⁸). All-constant strata (S6 = 0) fall
-    * back to allocation ∝ N_h. Allocations are NOT capped at N_h
-    * (classic Neyman oversampling of a small hot stratum — capping
-    * and re-apportioning is the caller's policy decision). `valueCol`
-    * integral; NULL stratum is its own stratum.
-    *
-    * Plan: ONE map-side-combined stratum rollup; apportionment runs
-    * on the |strata|-row frame (bounded windows only). */
-  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
-                       totalN: Long): DataFrame = {
-    require(totalN >= 0, s"need totalN >= 0, got $totalN")
-    val dt = df.schema(valueCol).dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.LongType).contains(dt),
-      s"neymanAllocation: $valueCol must be an integral type, got $dt")
-    val strata = df.filter(col(valueCol).isNotNull)
-      .select(col(stratumCol).cast("string").as("stratum"),
-        col(valueCol).cast("long").as("__y"))
-      .groupBy("stratum")
-      .agg(count(lit(1)).as("__ng"), sum(col("__y")).as("__s"),
-        sum(col("__y") * col("__y")).as("__ss"))
-      .withColumn("__sigma", when(col("__ng") > 1,
-        sqrt((col("__ng") * col("__ss") - col("__s") * col("__s")).cast("double") /
-          (col("__ng") * (col("__ng") - 1)))).otherwise(lit(0.0)))
-      .withColumn("__s6",
-        floor(col("__ng").cast("double") * col("__sigma") * lit(1000000))
-          .cast("long"))
-    val w = Window.partitionBy() // |strata|-row frame: bounded
-    val eff = strata
-      .withColumn("__tot6", sum(col("__s6")).over(w))
-      .withColumn("__w6",
-        when(col("__tot6") > 0, col("__s6")).otherwise(col("__ng")))
-      .withColumn("__sw6", sum(col("__w6")).over(w))
-      .withColumn("__base", expr(s"$totalN * __w6 DIV __sw6"))
-      .withColumn("__rem", lit(totalN) * col("__w6") - col("__base") * col("__sw6"))
-      .withColumn("__left", lit(totalN) - sum(col("__base")).over(w))
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__rem").desc, col("stratum"))))
-    eff.select(col("stratum"), col("__ng").cast("long").as("n_rows"),
-      round(col("__sigma"), 4).as("sigma_r4"),
-      (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
-        .cast("long").as("alloc"))
-  }
-
-  /** Shared threshold CASE over a 0..9999 bucket column: fractions like
-    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */
-  private def splitByBucket(df: DataFrame, bucket: Column,
-                            fractions: Seq[(String, Double)]): DataFrame = {
-    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }.tail
-    val split = fractions.map(_._1).zip(cuts).foldRight(lit(fractions.last._1)) {
-      case ((name, cut), acc) => when(bucket < cut, name).otherwise(acc)
-    }
-    df.withColumn("split", split)
-  }
-
-  /** Adds `split` from hash buckets of `keyCol`: fractions like
-    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */
-  def hashSplit(df: DataFrame, keyCol: String,
-                fractions: Seq[(String, Double)], seed: Int = 42): DataFrame =
-    splitByBucket(df, pmod(xxhash64(col(keyCol), lit(seed)), lit(10000L)), fractions)
-
-  /** Modulo variant (`keyCol % 10000`) — same semantics, replayable in
-    * any SQL engine; use when cross-engine reproducibility matters more
-    * than hash uniformity. */
-  def moduloSplit(df: DataFrame, keyCol: String,
-                  fractions: Seq[(String, Double)]): DataFrame =
-    splitByBucket(df, pmod(col(keyCol), lit(10000L)), fractions)
-
-  /** Portable AND uniform variant: the bucket is the first 8 hex chars
-    * of md5("<key>:<seed>") mod 10000 — the same md5 family
-    * [[mixSample]]'s rank uses, so the assignment replays identically
-    * in any engine with md5, and ids clustered in a narrow range (doc
-    * ids counting up from 0) still spread evenly where [[moduloSplit]]
-    * would put them all in one bucket. */
-  def portableSplit(df: DataFrame, keyCol: String,
-                    fractions: Seq[(String, Double)], seed: Int = 42): DataFrame =
-    splitByBucket(df,
-      pmod(conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$seed"))), 1, 8),
-        16, 10).cast("long"), lit(10000L)),
-      fractions)
-
-  /** Deterministic per-stratum INSPECTION sample: the k rows of each
-    * stratum with the smallest md5("<id>:<seed>") draw key — the
-    * "show me a few examples from every source" readout a datasheet
-    * or labeling pass starts from. Hash-ordered, so the sample is
-    * uniform-ish within each stratum, stable under appends of OTHER
-    * rows' ids, and replays identically in any engine with md5 —
-    * unlike TABLESAMPLE, which is none of those.
-    *
-    * Per-stratum top-k window (Spark collapses it to WindowGroupLimit
-    * — each map task pre-prunes to its local k before the shuffle, so
-    * the exchange carries ≤ k·partitions rows per stratum, not the
-    * stratum). */
-  def inspectionSample(df: DataFrame, stratumCol: String, idCol: String,
-                       k: Int, seed: Int = 42): DataFrame = {
-    require(k >= 1, s"need k >= 1, got $k")
-    val key = substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 16)
-    df.withColumn("__hk", key)
-      .withColumn("sample_rank", row_number().over(
-        Window.partitionBy(col(stratumCol)).orderBy(col("__hk"), col(idCol)))
-        .cast("long"))
-      .filter(col("sample_rank") <= k)
-      .drop("__hk")
-  }
-
-  /** Group-aware k-fold cross-validation assignment: `fold` ∈ [0, k)
-    * from the portable md5 bucket of `groupCol` — every row of a group
-    * (user, dup-cluster representative, document family) lands in ONE
-    * fold by construction, so no fold's training half ever sees its
-    * validation twin (the leakage the ML no_overlap check audits).
-    * Same md5(:seed) family as [[portableSplit]]/[[mixSample]]: the
-    * assignment replays identically in any engine with md5, is stable
-    * under appends and reshuffles, and needs no global state. Map-only. */
-  def kFold(df: DataFrame, groupCol: String, k: Int,
-            seed: Int = 42): DataFrame = {
-    require(k >= 2, s"need k >= 2 folds, got $k")
-    df.withColumn("fold",
-      pmod(conv(substring(md5(concat(col(groupCol).cast("string"), lit(s":$seed"))), 1, 8),
-        16, 10).cast("long"), lit(k.toLong)))
-  }
-
-  /** Deterministic negative sampling for contrastive training: each
-    * anchor id gets `k` pseudo-random partner ids from the corpus via
-    * the affine scatter `(anchor·P + j·Q) mod n` (P the Knuth
-    * multiplicative constant, Q an odd stride) — reproducible across
-    * runs and engines (plain integer arithmetic, no RNG state), spread
-    * across the id space (sequential anchors don't share negatives),
-    * and self-free (a draw landing on the anchor advances by one).
-    *
-    * EXACTNESS CONTRACT (caller-owned): ids must be the contiguous
-    * range [0, corpusSize) (the embeddings-table convention) — the
-    * draw is an id, not a row lookup, so a gapped id space yields
-    * phantom negatives; rank ids first (the exportShards positioning)
-    * for gapped spaces. Distinct j can collide on
-    * the same negative for tiny n (documented; duplicates are benign
-    * for training and absent for n ≫ k·Q). Map-only: k rows per
-    * anchor, no shuffle, no join. */
-  def negativePairs(anchors: DataFrame, idCol: String, corpusSize: Long,
-                    k: Int, seed: Int = 42): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(corpusSize >= 2, "need at least 2 ids to draw a non-self negative")
-    val draws = (1 to k).map { j =>
-      val raw = pmod(col(idCol) * 2654435761L + lit(j * 40503L + seed),
-        lit(corpusSize))
-      struct(lit(j.toLong).as("j"),
-        when(raw === col(idCol), pmod(raw + 1L, lit(corpusSize)))
-          .otherwise(raw).cast("long").as("neg_id"))
-    }
-    anchors
-      .select(col(idCol).as("anchor"), explode(array(draws: _*)).as("d"))
-      .select(col("anchor"), col("d.j").as("j"), col("d.neg_id").as("neg_id"))
-  }
-
-  /** Deterministic per-epoch shuffle: a bijective affine permutation
-    * of contiguous positions `pos_e = (pos·P + epoch·41·999 + 17) mod n`
-    * with P = 2³¹−1 (prime, so coprime to any n < P → a true
-    * permutation) — every training epoch sees the corpus in a
-    * different, REPRODUCIBLE order with zero state: no stored
-    * permutation table, no RNG, any worker computes any position's
-    * epoch order locally (the data-loader contract multi-epoch
-    * training wants). Map-only. Positions must be contiguous [0, n) —
-    * the [[exportShards]] output convention. */
-  def epochPermutation(df: DataFrame, posCol: String, n: Long,
-                       epoch: Int): DataFrame = {
-    require(n >= 1 && n < 2147483647L,
-      s"n must be in [1, 2^31-1) for the fixed prime multiplier, got $n")
-    require(epoch >= 0, "epoch must be >= 0")
-    df.withColumn("epoch_pos",
-      pmod(col(posCol) * 2147483647L + lit(epoch * 40959L + 17L), lit(n))
-        .cast("long"))
-  }
-
-  /** Per-stratum exact-fraction-ish sampling via per-stratum hash
-    * buckets: keeps ~fraction of each `strataCol` group,
-    * deterministically. */
-  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
-                       fraction: Double, seed: Int = 42): DataFrame =
-    df.filter(pmod(xxhash64(col(strataCol), col(keyCol), lit(seed)), lit(10000L))
-      < math.round(fraction * 10000))
-
-  /** At most `quota` rows per key, chosen by deterministic hash rank —
-    * the per-source/per-domain cap that stops one crawler or site from
-    * dominating a corpus. One shuffle on the key; selection is stable
-    * under reshuffling and re-runs (hash of `tieCol` decides, ties by
-    * `tieCol` itself). */
-  def quotaPerKey(df: DataFrame, keyCol: String, quota: Int,
-                  tieCol: String, seed: Int = 42): DataFrame = {
-    require(quota > 0, "quota must be positive")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-      .orderBy(xxhash64(col(tieCol), lit(seed)), col(tieCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota).drop("__rk")
-  }
-
-  /** Domain-mix sampling: draws a fixed-budget sample whose key
-    * (domain/language) proportions follow a declared recipe — the
-    * "data mixture" step of a training pipeline (sample web-heavy raw
-    * corpora down to e.g. 40% en / 20% de / ...). Per-key quota =
-    * round(weight × budget), capped by availability; within a key the
-    * winners are the lowest md5-rank rows (md5 of `tieCol` + seed, a
-    * hash every engine computes identically — this sampler's selection
-    * is REPLAYABLE outside Spark, unlike [[quotaPerKey]]'s xxhash64
-    * ranking). Keys absent from `weights` are dropped — and
-    * [[mixSampleReport]] is the honesty twin that makes every such
-    * decision visible (requested vs granted vs available per key,
-    * including unlisted keys at weight 0).
-    *
-    * Weights must sum to ≤ 1 (+1e-6 float slack): an over-subscribed
-    * recipe would silently grant quotas exceeding the budget — loud
-    * `require`, same policy as the simhash bucket guard.
-    *
-    * One shuffle on the key; Spark collapses the rank-filter into
-    * WindowGroupLimit, so each map task pre-prunes to its local top
-    * quota before the exchange — the shuffle carries O(keys × quota)
-    * rows no matter the corpus size. */
-  def mixSample(df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
-                budget: Int, tieCol: String, seed: Int = 42): DataFrame = {
-    requireRecipe(weights)
-    require(budget > 0, "budget must be positive")
-    val quota = weights.foldRight(lit(0L)) { case ((k, w), acc) =>
-      when(col(keyCol) === k, lit(math.round(w * budget))).otherwise(acc)
-    }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-      .orderBy(md5(concat(col(tieCol).cast("string"), lit(":" + seed)).cast("binary")),
-        col(tieCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota).drop("__rk")
-  }
-
-  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
-    * A-ES): k rows drawn with inclusion odds proportional to
-    * `weightCol`, deterministic and portable — each row's draw key is
-    * ln(u)/w with u ∈ (0, 1] from the first 8 md5 hex chars of
-    * "<key>:<seed>" (the [[portableSplit]] hash family), and the k
-    * LARGEST keys win (equivalently the top u^(1/w) of the classic
-    * formulation). No RNG state, stable under reshuffles and appends,
-    * replayable in any engine with md5 — the quality-weighted
-    * subsample step of a curation pipeline ("keep 1M docs, prefer
-    * high-quality ones") with none of `df.sample`'s seed-and-
-    * partitioning nondeterminism.
-    *
-    * Scale: map-only key computation + a distributed top-k
-    * (TakeOrdered — per-partition heaps, never a global sort). Rows
-    * with NULL or non-positive weight are excluded (zero-weight rows
-    * can never be drawn; A-ES is undefined for them). */
-  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
-                     k: Int, seed: Int = 42): DataFrame = {
-    require(k > 0, "k must be positive")
-    // u = (first-8-hex-of-md5 + 1) / 2^32 ∈ (2^-32, 1] — exact dyadic,
-    // so ln(u) is evaluated on bit-identical inputs in every engine
-    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
-        lit(s":$seed"))), 1, 8), 16, 10).cast("double") + 1.0) /
-      lit(4294967296.0)
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("__ak", log(u) / col(weightCol).cast("double"))
-      .orderBy(col("__ak").desc, col(keyCol))
-      .limit(k)
-      .drop("__ak")
-  }
-
-  private def requireRecipe(weights: Seq[(String, Double)]): Unit = {
-    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
-    val dups = weights.groupBy(_._1).collect { case (k, ws) if ws.size > 1 => k }
-    require(dups.isEmpty, s"duplicate recipe key(s): ${dups.mkString(", ")}")
-    val total = weights.map(_._2).sum
-    require(total <= 1.0 + 1e-6,
-      f"recipe weights sum to $total%.4f > 1: quotas would exceed the budget")
-  }
-
-  /** The per-key accounting of a [[mixSample]] draw: what the recipe
-    * `requested` (round(weight × budget)), how many rows were
-    * `available`, and how many the sampler `granted`
-    * (min(requested, available)) — including keys PRESENT in the data
-    * but absent from the recipe (weight 0, silently dropped by the
-    * sampler) and recipe keys with no data (available 0). The honesty
-    * report a mixture recipe ships with: an under-available key is a
-    * recipe the corpus cannot satisfy, visible here instead of as a
-    * silently smaller sample.
-    *
-    * One map-side-combined count per key + a broadcast-sized join
-    * against the literal recipe — strictly cheaper than the sample
-    * itself. */
-  def mixSampleReport(df: DataFrame, keyCol: String,
-                      weights: Seq[(String, Double)], budget: Int): DataFrame = {
-    requireRecipe(weights)
-    require(budget > 0, "budget must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val recipe = weights.toDF("key", "weight")
-      .withColumn("requested", round(col("weight") * budget).cast("long"))
-    val avail = df.groupBy(col(keyCol).cast("string").as("key"))
-      .agg(count(lit(1)).cast("long").as("available"))
-    avail.join(recipe, Seq("key"), "full_outer")
-      .select(col("key"),
-        coalesce(col("weight"), lit(0d)).as("weight"),
-        coalesce(col("requested"), lit(0L)).as("requested"),
-        coalesce(col("available"), lit(0L)).as("available"),
-        least(coalesce(col("requested"), lit(0L)),
-          coalesce(col("available"), lit(0L))).as("granted"))
-  }
-
-  /** Temperature-scaled mixture recipe (the XLM-R/mT5 multilingual
-    * sampling rule): sampling share q_i ∝ p_i^α where p_i is key i's
-    * natural corpus share. α = 1 reproduces natural proportions, α → 0
-    * approaches uniform; 0.3 is the multilingual standard that
-    * upsamples rare languages without drowning the head. The DATA-driven
-    * recipe builder feeding [[mixSample]], where that sampler's weights
-    * are caller-declared. Output per key: (key, n_rows, weight — the
-    * exact normalized share for programmatic chaining — p_nat_r6,
-    * weight_r6, upsample_r4); upsample = q_i/p_i is the effective
-    * epoch multiplier a fixed token budget implies for that key.
-    *
-    * Plan: one map-side-combined count per key, then two 1-row
-    * broadcast aggregates (corpus total, normalizer Z) — the per-key
-    * frame is keys-sized, never corpus-sized, at any scale. */
-  def temperatureWeights(df: DataFrame, keyCol: String,
-                         alpha: Double = 0.3): DataFrame = {
-    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
-    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
-      .agg(count(lit(1)).cast("long").as("n_rows"))
-    val powed = counts.crossJoin(broadcast(counts.agg(sum("n_rows").as("__n"))))
-      .withColumn("__p", col("n_rows").cast("double") / col("__n"))
-      .withColumn("__q", pow(col("__p"), lit(alpha)))
-    powed.crossJoin(broadcast(powed.agg(sum("__q").as("__z"))))
-      .select(col("key"), col("n_rows"),
-        (col("__q") / col("__z")).as("weight"),
-        round(col("__p"), 6).as("p_nat_r6"),
-        round(col("__q") / col("__z"), 6).as("weight_r6"),
-        round(col("__q") / col("__z") / col("__p"), 4).as("upsample_r4"))
-  }
-
-  /** Deterministic sequential packing: within each key, rows in
-    * `orderCol` order accumulate into token-budget bins — `bin` =
-    * exclusive-prefix-sum(`tokenCol`) div `budget`. The
-    * chunk-then-pack step that fills training context windows.
-    * Capacity-TARGETED, not capacity-capped: a row straddling a
-    * boundary joins the earlier bin (its bin index is decided before
-    * its own tokens count), so bins overshoot by at most one row —
-    * the standard streaming-pack approximation, and the price of
-    * keeping packing a single window function (one shuffle on the
-    * key, deterministic, SQL-replayable) instead of a sequential
-    * first-fit loop no engine can parallelize. */
-  def packBins(df: DataFrame, keyCol: String, orderCol: String,
-               tokenCol: String, budget: Long): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-      .orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__excl", (sum(col(tokenCol)).over(w) - col(tokenCol)).cast("long"))
-      .withColumn("bin", expr(s"__excl DIV ${budget}L")) // exact integer division
-      .drop("__excl")
-  }
-
-  /** Deterministic training-shard export: every row gets a contiguous
-    * GLOBAL position under the caller's total order, then
-    * `shard = pos div docsPerShard` — the last-mile step that turns a
-    * curated corpus into ordered training shards (curriculum order,
-    * quality order, plain id order).
-    *
-    * The global ordering is the two-level idiom, NEVER a global
-    * window (`row_number() OVER (ORDER BY …)` collapses the corpus
-    * into one task — the classic accidental scale-killer):
-    * range-repartition on the order key, rank WITHIN each partition
-    * (sorts run in parallel), then add per-partition offsets computed
-    * from partition sizes — a #partitions-row aggregate, broadcast
-    * back. Sampled range boundaries make the partition ASSIGNMENT
-    * nondeterministic, but the emitted positions depend only on the
-    * total order, so the output is deterministic anyway — `orderBy`
-    * must be a total order (append a unique id as the last key).
-    *
-    * Adds (`pos`, `shard`). One range shuffle + one tiny broadcast
-    * join; at any scale the driver state is #partitions rows. */
-  def exportShards(df: DataFrame, orderBy: Seq[Column],
-                   docsPerShard: Long): DataFrame =
-    exportShardsManaged(df, orderBy, docsPerShard)._1
-
-  /** As [[exportShards]], plus a cleanup handle releasing the
-    * materialized sort. Call it only AFTER the returned frame's last
-    * use. */
-  def exportShardsManaged(df: DataFrame, orderBy: Seq[Column],
-                          docsPerShard: Long): (DataFrame, () => Unit) = {
-    require(docsPerShard >= 1, "docsPerShard must be >= 1")
-    require(orderBy.nonEmpty, "need at least one order column")
-    val parts = math.max(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, 1)
-    val ranged = df.repartitionByRange(parts, orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-    val within = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(orderBy: _*)
-    // PERSIST + materialize before forking: the position join and the
-    // offsets aggregate below both consume this frame, and the range
-    // exchange is NOT reproducible across independent evaluations
-    // (sampled boundaries + AQE coalescing can partition the two
-    // branches differently, silently corrupting the offsets — observed
-    // at sf0.1). One disk-backed materialization of the sort is also
-    // what an export job wants: the manifest and the shard write then
-    // reuse it instead of re-sorting.
-    val ranked = ranged.withColumn("__rk", row_number().over(within).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranked.count() // force now, so every consumer reads the same copy
-    // the global cumsum below runs in ONE task over #partitions rows —
-    // that IS the idiom's point: the only sequential state is sketch-
-    // sized, never the corpus
-    val offsets = ranked.groupBy("__pid")
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__offset",
-        (sum(col("__n")).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__pid"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)) - col("__n"))
-          .cast("long"))
-      .select("__pid", "__offset")
-    val out = ranked.join(broadcast(offsets), "__pid")
-      .withColumn("pos", col("__offset") + col("__rk") - 1L)
-      .withColumn("shard", expr(s"pos DIV ${docsPerShard}L"))
-      .drop("__pid", "__rk", "__offset")
-    (out, () => { ranked.unpersist(); () })
-  }
-
-  /** Per-shard manifest for an [[exportShards]] output: docs, token
-    * total, and the position range — what a training job reads to plan
-    * its input. One aggregation. */
-  def shardManifest(sharded: DataFrame, tokenCol: String): DataFrame =
-    sharded.groupBy("shard")
-      .agg(count(lit(1)).cast("long").as("docs"),
-        sum(col(tokenCol)).cast("long").as("tokens"),
-        min("pos").cast("long").as("first_pos"),
-        max("pos").cast("long").as("last_pos"))
-}

@@ -888,9 +888,23 @@ object DedupQueries {
 
   val qDedupSnm = QueryDef("q_dedup_snm",
     (s, dir) => {
-      snmPairsCache.get(s, dir)(graft.operators.Dedup.sortedNeighborhoodPairs(
-          table(s, dir, "documents"), "doc_id", "text",
-          sortPrefixLen = 20, window = 10, n = 3, minJaccardBp = 2000L))
+      // r10: the memo now PINS the pair frame (persist + eager count),
+      // then releases the internal sort/shingle persists it subsumes —
+      // pre-r10 the memo held only the lazy plan, so every bench rep
+      // re-paid the full candidate-verify (~1 s), making this the one
+      // query that amplified transient process contention 3-6x (the r9
+      // warm anomaly; probe showed stable reps + zero eviction).
+      snmPairsCache.get(s, dir) {
+        val (pairs, release) =
+          graft.operators.Dedup.sortedNeighborhoodPairsManaged(
+            table(s, dir, "documents"), "doc_id", "text",
+            sortPrefixLen = 20, window = 10, n = 3, minJaccardBp = 2000L)
+        val pinned = pairs.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        release()
+        pinned
+      }
         .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
         .limit(30)
     },

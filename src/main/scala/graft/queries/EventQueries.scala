@@ -279,66 +279,6 @@ object EventQueries {
              CAST(s AS BIGINT) AS survival_e8
       FROM km ORDER BY t"""))
 
-  val qAbCuped = QueryDef("q_ab_cuped",
-    (s, dir) => {
-      cupedCache.get(s, dir) {
-        val ev = table(s, dir, "events")
-          .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        val mid = ev.agg(date_add(to_date(date_trunc("day", min(col("ts")))), 15)
-          .as("__mid"))
-        val users = ev.crossJoin(broadcast(mid))
-          .groupBy("user_id")
-          .agg(sum(when(to_date(date_trunc("day", col("ts"))) < col("__mid"), 1L)
-              .otherwise(0L)).as("x"),
-            sum(when(to_date(date_trunc("day", col("ts"))) >= col("__mid"), 1L)
-              .otherwise(0L)).as("y"))
-        val armed = graft.operators.Sampling.portableSplit(
-          users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
-        graft.operators.Sessionize.abCuped(armed, "split", "x", "y")
-      }
-    },
-    Some("""
-      WITH m AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) + 15 AS mid
-                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-      u AS (SELECT user_id,
-                   sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) < mid THEN 1 ELSE 0 END) AS x,
-                   sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE) >= mid THEN 1 ELSE 0 END) AS y,
-                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
-                        THEN 'a' ELSE 'b' END AS arm
-            FROM events, m
-            WHERE user_id IS NOT NULL AND ts IS NOT NULL
-            GROUP BY user_id, mid),
-      sm AS (SELECT count(*) AS n,
-                    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-                    sum(x * x) AS sxx, sum(y * y) AS syy,
-                    sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-                    sum(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS sxa,
-                    sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
-                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-                    sum(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS sxb,
-                    sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb
-             FROM u),
-      d AS (SELECT *,
-                   n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
-                   n * sxy - sx * sy AS cxy
-            FROM sm),
-      t AS (SELECT *,
-                   CASE WHEN vx > 0 THEN CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE) END AS theta
-            FROM d)
-      SELECT 'a' AS arm_a, 'b' AS arm_b,
-             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
-             round(theta, 6) AS theta_r6,
-             round(CAST(sya AS DOUBLE) / na, 6) AS raw_a_r6,
-             round(CAST(syb AS DOUBLE) / nb, 6) AS raw_b_r6,
-             round((CAST(sya AS DOUBLE) - coalesce(theta, 0.0) *
-                    (CAST(sxa AS DOUBLE) - CAST(na AS DOUBLE) * CAST(sx AS DOUBLE) / n)) / na, 6) AS adj_a_r6,
-             round((CAST(syb AS DOUBLE) - coalesce(theta, 0.0) *
-                    (CAST(sxb AS DOUBLE) - CAST(nb AS DOUBLE) * CAST(sx AS DOUBLE) / n)) / nb, 6) AS adj_b_r6,
-             round(CASE WHEN vx > 0 AND vy > 0
-                        THEN CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) /
-                             (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END, 6) AS var_reduction_r6
-      FROM t"""))
-
   val qLogRank = QueryDef("q_log_rank",
     (s, dir) => {
       logRankCache.get(s, dir) {
@@ -575,35 +515,6 @@ object EventQueries {
       FROM g GROUP BY key ORDER BY key"""))
 
 
-  // 179. A/B conversion readout: 50/50 portable split, purchase
-  // conversion per arm, pooled two-proportion z at r4 — every input an
-  // exact integer.
-  val qAbTest = QueryDef("q_ab_test",
-    (s, dir) => {
-      graft.operators.Sessionize.abTestReport(
-        table(s, dir, "events"), "user_id", "event_type", "purchase")
-    },
-    Some("""
-      WITH u AS (SELECT user_id,
-                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
-                        THEN 'a' ELSE 'b' END AS v,
-                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                 FROM events GROUP BY 1, 2),
-      arms AS (SELECT v, count(*) n, sum(conv) c FROM u GROUP BY 1),
-      a AS (SELECT n AS na, c AS ca FROM arms WHERE v = 'a'),
-      b AS (SELECT n AS nb, c AS cb FROM arms WHERE v = 'b')
-      SELECT CAST(na AS BIGINT) AS users_a, CAST(ca AS BIGINT) AS conv_a,
-             CAST(nb AS BIGINT) AS users_b, CAST(cb AS BIGINT) AS conv_b,
-             CAST(ca * 10000 // na AS BIGINT) AS rate_a_bp,
-             CAST(cb * 10000 // nb AS BIGINT) AS rate_b_bp,
-             CASE WHEN (ca + cb) > 0 AND (ca + cb) < (na + nb) THEN
-               round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) /
-                     sqrt((CAST(ca + cb AS DOUBLE)/(na + nb))
-                          * (1 - CAST(ca + cb AS DOUBLE)/(na + nb))
-                          * (1.0/na + 1.0/nb)), 4) END AS z_r4
-      FROM a, b"""))
-
-
   // 182. conversion-latency quantiles — rows 154 + 110 composed: the
   // distribution summary an SLA reads, exact disc percentiles over the
   // converted users' integer-ms latencies.
@@ -655,41 +566,6 @@ object EventQueries {
       FROM sc WHERE user_id < 50 GROUP BY 1 ORDER BY 1"""))
 
 
-  // 196. A/B POWER ANALYSIS — required users per arm at 5%/80% for a
-  // grid of MDEs against the measured big-ticket-purchase baseline
-  // (value ≥ 150 — plain "any purchase" converts EVERY user in this
-  // corpus, a degenerate p=1 baseline the operator now refuses with
-  // NULL): the planning readout that should precede row 179's z-test.
-  // All inputs exact integers; the closed-form n replays
-  // double-for-double.
-  val qAbPower = QueryDef("q_ab_power",
-    (s, dir) => {
-      graft.operators.Sessionize.abPowerReport(
-        table(s, dir, "events"), "user_id",
-        col("event_type") === "purchase" && col("value") >= 150.0,
-        Seq(100, 200, 500))
-    },
-    Some("""
-      WITH u AS (SELECT user_id,
-                   max(CASE WHEN event_type = 'purchase' AND "value" >= 150.0
-                       THEN 1 ELSE 0 END) AS conv
-                 FROM events GROUP BY 1),
-      t AS (SELECT count(*) AS users, sum(conv) AS converted FROM u),
-      m AS (SELECT unnest([100, 200, 500]) AS mde_bp),
-      x AS (SELECT CAST(mde_bp AS BIGINT) AS mde_bp, users, converted,
-                   CAST(converted AS DOUBLE) / users AS p1,
-                   CAST(converted AS DOUBLE) / users + CAST(mde_bp AS DOUBLE) / 10000.0 AS p2,
-                   CAST(mde_bp AS DOUBLE) / 10000.0 AS d
-            FROM t CROSS JOIN m)
-      SELECT mde_bp,
-             CAST(converted * 10000 // users AS BIGINT) AS baseline_bp,
-             CAST(users AS BIGINT) AS users, CAST(converted AS BIGINT) AS converted,
-             CAST(CASE WHEN p1 > 0.0 AND p1 < 1.0 AND p2 < 1.0 THEN
-               ceil(2.801585 * 2.801585 *
-                 (p1 * (1 - p1) + p2 * (1 - p2)) / (d * d)) END AS BIGINT) AS n_per_arm
-      FROM x ORDER BY mde_bp"""))
-
-
   // 201. FIRST/LAST-TOUCH ATTRIBUTION — which channel gets conversion
   // credit under both standard models at once; "(none)" keeps
   // untouched conversions in the total. One window pass (the two
@@ -718,615 +594,6 @@ object EventQueries {
              CAST(sum(CASE WHEN m = 'f' THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
              CAST(sum(CASE WHEN m = 'l' THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
       FROM x GROUP BY 1 ORDER BY 1"""))
-
-  // 238. DETERMINISTIC POISSON-BOOTSTRAP CI for the diff of per-user
-  // event-count means — all 40 replicas in ONE conditional-sum pass,
-  // unit weights the exact inverse-CDF lookup of md5("<id>:<r>:42")
-  // against the Poisson(1) thresholds, CI the percentile-DISC pick
-  // over replicate diffs (no interpolation): every number replays
-  // engine-to-engine from exact integer sums.
-  val qAbBootstrap = QueryDef("q_ab_bootstrap",
-    (s, dir) => {
-      graft.operators.Experiment.bootstrapDiff(
-        armedUsers(s, dir), "user_id", "split", "y")
-    },
-    Some(s"""
-      WITH $armedUsersSql,
-      rep AS (SELECT CAST(r.range AS BIGINT) AS r FROM range(0, 40) r),
-      h AS (SELECT u.arm, u.y, rep.r,
-              ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' || CAST(rep.r AS VARCHAR) || ':42'), 1, 8))::BIGINT AS hv
-            FROM u, rep),
-      w AS (SELECT arm, y, r,
-              (CASE WHEN hv >= 1580030168 THEN 1 ELSE 0 END) +
-              (CASE WHEN hv >= 3160060337 THEN 1 ELSE 0 END) +
-              (CASE WHEN hv >= 3950075421 THEN 1 ELSE 0 END) +
-              (CASE WHEN hv >= 4213413783 THEN 1 ELSE 0 END) +
-              (CASE WHEN hv >= 4279248373 THEN 1 ELSE 0 END) +
-              (CASE WHEN hv >= 4292415291 THEN 1 ELSE 0 END) +
-              (CASE WHEN hv >= 4294609777 THEN 1 ELSE 0 END) +
-              (CASE WHEN hv >= 4294923276 THEN 1 ELSE 0 END) AS w
-            FROM h),
-      rs AS (SELECT r,
-               sum(CASE WHEN arm = 'a' THEN w * y ELSE 0 END) AS swya,
-               sum(CASE WHEN arm = 'a' THEN w ELSE 0 END) AS swa,
-               sum(CASE WHEN arm = 'b' THEN w * y ELSE 0 END) AS swyb,
-               sum(CASE WHEN arm = 'b' THEN w ELSE 0 END) AS swb
-             FROM w GROUP BY 1),
-      tot AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-                     sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-                     sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
-                     sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb
-              FROM u),
-      d AS (SELECT r, CAST(swyb AS DOUBLE) / swb - CAST(swya AS DOUBLE) / swa AS diff
-            FROM rs WHERE swa > 0 AND swb > 0),
-      rk AS (SELECT diff, row_number() OVER (ORDER BY diff, r) AS rn,
-                    count(*) OVER () AS cnt
-             FROM d),
-      pick AS (SELECT max(CASE WHEN rn = greatest(1, CAST(ceil(0.025 * cnt) AS BIGINT)) THEN diff END) AS blo,
-                      max(CASE WHEN rn = CAST(ceil(0.975 * cnt) AS BIGINT) THEN diff END) AS bhi,
-                      CAST(max(cnt) AS BIGINT) AS replicas
-               FROM rk)
-      SELECT 'a' AS arm_a, 'b' AS arm_b,
-             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
-             round(CAST(sya AS DOUBLE) / na, 6) AS mean_a_r6,
-             round(CAST(syb AS DOUBLE) / nb, 6) AS mean_b_r6,
-             round(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na, 6) AS diff_r6,
-             replicas,
-             round(blo, 6) AS boot_lo_r6,
-             round(bhi, 6) AS boot_hi_r6
-      FROM tot, pick"""))
-
-
-  // 239. WELCH unequal-variance t on the same armed unit frame — the
-  // continuous-metric companion to row 179's two-proportion z; t and
-  // the Welch–Satterthwaite df as single deterministic double
-  // expressions over exact integer (n, Σy, Σy²) per arm.
-  val qAbWelch = QueryDef("q_ab_welch",
-    (s, dir) => {
-      graft.operators.Experiment.welchT(armedUsers(s, dir), "split", "y")
-    },
-    Some(s"""
-      WITH $armedUsersSql,
-      sm AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-                    sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sa,
-                    sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS sb,
-                    sum(CASE WHEN arm = 'a' THEN y * y ELSE 0 END) AS ssa,
-                    sum(CASE WHEN arm = 'b' THEN y * y ELSE 0 END) AS ssb
-             FROM u),
-      v AS (SELECT *, na * ssa - sa * sa AS vna, nb * ssb - sb * sb AS vnb FROM sm),
-      se AS (SELECT *,
-               CASE WHEN na > 1 THEN CAST(vna AS DOUBLE) / (na * (na - 1)) / na END AS sea,
-               CASE WHEN nb > 1 THEN CAST(vnb AS DOUBLE) / (nb * (nb - 1)) / nb END AS seb
-             FROM v),
-      f AS (SELECT *, sea + seb AS se2 FROM se)
-      SELECT 'a' AS arm_a, 'b' AS arm_b,
-             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
-             round(CAST(sa AS DOUBLE) / na, 6) AS mean_a_r6,
-             round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b_r6,
-             round(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na, 6) AS diff_r6,
-             round(CASE WHEN se2 > 0 THEN
-               (CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na) / sqrt(se2) END, 4) AS t_r4,
-             round(CASE WHEN se2 > 0 THEN
-               (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1)) END, 2) AS df_r2
-      FROM f"""))
-
-
-  // 246. sample-ratio-mismatch gate on the shared armed frame: the
-  // true 50/50 declaration passes, a deliberately mis-declared 60/40
-  // trips — both verdict paths certified; per-arm rows, no cross-row
-  // floating sums.
-  val qAbSrm = QueryDef("q_ab_srm",
-    (s, dir) => {
-      val armed = armedUsers(s, dir)
-      graft.operators.Experiment.srmCheck(armed, "split",
-          Seq("a" -> 5000L, "b" -> 5000L))
-        .withColumn("config", lit("declared_50_50"))
-        .unionByName(
-          graft.operators.Experiment.srmCheck(armed, "split",
-              Seq("a" -> 6000L, "b" -> 4000L))
-            .withColumn("config", lit("declared_60_40")))
-        .orderBy("config", "arm")
-    },
-    Some(s"""
-      WITH $armedUsersSql,
-      o AS (SELECT arm, count(*) AS observed FROM u GROUP BY 1),
-      n AS (SELECT sum(observed) AS n FROM o),
-      c AS (SELECT 'declared_50_50' AS config, 'a' AS arm, 5000 AS bp
-            UNION ALL SELECT 'declared_50_50', 'b', 5000
-            UNION ALL SELECT 'declared_60_40', 'a', 6000
-            UNION ALL SELECT 'declared_60_40', 'b', 4000),
-      j AS (SELECT c.config, c.arm, coalesce(o.observed, 0) AS observed, c.bp, n.n
-            FROM c LEFT JOIN o USING (arm), n),
-      z AS (SELECT *, CAST(bp AS DOUBLE) / 10000.0 AS p FROM j),
-      f AS (SELECT config, arm, observed, bp, n,
-              round(n * p, 2) AS expected_r2,
-              CASE WHEN bp > 0 AND bp < 10000 AND n > 0
-                   THEN (observed - n * p) / sqrt(n * p * (1 - p)) END AS zz
-            FROM z)
-      SELECT arm, CAST(observed AS BIGINT) AS observed,
-             CAST(bp AS BIGINT) AS declared_bp, expected_r2,
-             round(zz, 4) AS z_r4,
-             (coalesce(abs(zz) > 3.0, false) OR (bp = 0 AND observed > 0)
-              OR (bp = 10000 AND observed < n)) AS srm,
-             config
-      FROM f ORDER BY config, arm"""))
-
-
-  // 248. delta-method ratio metric: purchases per event — the
-  // denominator is random, so the naive mean-of-ratios is the wrong
-  // estimator; one exact-integer moment pass per arm, r/se/z single
-  // double expressions.
-  val qAbRatio = QueryDef("q_ab_ratio",
-    (s, dir) => {
-      val users = table(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .groupBy("user_id")
-        .agg(count(lit(1)).cast(LongType).as("x"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-      val armed = graft.operators.Sampling.portableSplit(
-        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
-      graft.operators.Experiment.ratioDelta(armed, "split", "x", "y")
-    },
-    Some("""
-      WITH u AS (SELECT user_id,
-                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
-                        THEN 'a' ELSE 'b' END AS arm,
-                   count(*) AS x,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-                 FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-      sm AS (SELECT
-               sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-               sum(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS sxa,
-               sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
-               sum(CASE WHEN arm = 'a' THEN x * y ELSE 0 END) AS sxya,
-               sum(CASE WHEN arm = 'a' THEN x * x ELSE 0 END) AS sxxa,
-               sum(CASE WHEN arm = 'a' THEN y * y ELSE 0 END) AS syya,
-               sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-               sum(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS sxb,
-               sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb,
-               sum(CASE WHEN arm = 'b' THEN x * y ELSE 0 END) AS sxyb,
-               sum(CASE WHEN arm = 'b' THEN x * x ELSE 0 END) AS sxxb,
-               sum(CASE WHEN arm = 'b' THEN y * y ELSE 0 END) AS syyb
-             FROM u),
-      d AS (SELECT *,
-              CASE WHEN sxa > 0 THEN CAST(sya AS DOUBLE) / sxa END AS ra,
-              CASE WHEN sxb > 0 THEN CAST(syb AS DOUBLE) / sxb END AS rb
-            FROM sm),
-      se AS (SELECT *,
-               CASE WHEN na > 1 AND sxa > 0 THEN
-                 (CAST(na * syya - sya * sya AS DOUBLE) / (na * (na - 1))
-                  - 2.0 * ra * (CAST(na * sxya - sxa * sya AS DOUBLE) / (na * (na - 1)))
-                  + ra * ra * (CAST(na * sxxa - sxa * sxa AS DOUBLE) / (na * (na - 1))))
-                 / (na * (CAST(sxa AS DOUBLE) / na) * (CAST(sxa AS DOUBLE) / na)) END AS sea,
-               CASE WHEN nb > 1 AND sxb > 0 THEN
-                 (CAST(nb * syyb - syb * syb AS DOUBLE) / (nb * (nb - 1))
-                  - 2.0 * rb * (CAST(nb * sxyb - sxb * syb AS DOUBLE) / (nb * (nb - 1)))
-                  + rb * rb * (CAST(nb * sxxb - sxb * sxb AS DOUBLE) / (nb * (nb - 1))))
-                 / (nb * (CAST(sxb AS DOUBLE) / nb) * (CAST(sxb AS DOUBLE) / nb)) END AS seb
-             FROM d),
-      f AS (SELECT *, sea + seb AS se2 FROM se)
-      SELECT 'a' AS arm_a, 'b' AS arm_b,
-             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
-             round(ra, 6) AS ratio_a_r6, round(rb, 6) AS ratio_b_r6,
-             round(rb - ra, 6) AS diff_r6,
-             round(CASE WHEN se2 > 0 THEN (rb - ra) / sqrt(se2) END, 4) AS z_r4
-      FROM f"""))
-
-
-  // 249. Mantel-Haenszel stratified conversion: the Simpson's-paradox
-  // guard — per-stratum 2x2 pooled with hypergeometric weights, the
-  // logRank e6 integer discipline per stratum; id-bucket strata as the
-  // deterministic stand-in for country/platform.
-  val qMhStrat = QueryDef("q_mh_strat",
-    (s, dir) => {
-      val users = table(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-        .withColumn("st", pmod(col("user_id"), lit(5)).cast("string"))
-      val armed = graft.operators.Sampling.portableSplit(
-        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
-      graft.operators.Experiment.mhStratified(armed, "st", "split", "conv")
-    },
-    Some("""
-      WITH u AS (SELECT user_id,
-                   CAST(user_id % 5 AS VARCHAR) AS st,
-                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
-                        THEN 'a' ELSE 'b' END AS arm,
-                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                 FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
-      s AS (SELECT st,
-              sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-              sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-              sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS a,
-              sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS b
-            FROM u GROUP BY 1),
-      x AS (SELECT *, na + nb AS n, a + b AS m1, na + nb - a - b AS m0,
-                   na - a AS cc, nb - b AS dd
-            FROM s),
-      e AS (SELECT *,
-              m1 * na * 1000000 // n AS ea6,
-              CASE WHEN n > 1 THEN ((m1 * na * nb // n) * m0 * 1000000) // (n * n - n)
-                   ELSE 0 END AS v6,
-              a * dd * 1000000 // n AS on6,
-              b * cc * 1000000 // n AS od6
-            FROM x),
-      f AS (SELECT count(*) AS strata, sum(na) AS tna, sum(nb) AS tnb,
-                   sum(a) AS ta, sum(b) AS tb, sum(ea6) AS tea6,
-                   sum(v6) AS tv6, sum(on6) AS ton6, sum(od6) AS tod6
-            FROM e),
-      g AS (SELECT *, greatest(CAST(abs(ta * 1000000 - tea6) - 500000 AS DOUBLE), 0.0) AS d6
-            FROM f)
-      SELECT 'a' AS arm_a, 'b' AS arm_b, CAST(strata AS BIGINT) AS strata,
-             CAST(tna AS BIGINT) AS users_a, CAST(tnb AS BIGINT) AS users_b,
-             CAST(ta AS BIGINT) AS conv_a, CAST(tb AS BIGINT) AS conv_b,
-             round(CASE WHEN tod6 > 0 THEN CAST(ton6 AS DOUBLE) / tod6 END, 4) AS mh_or_r4,
-             round(CASE WHEN tv6 > 0 THEN d6 * d6 / (CAST(tv6 AS DOUBLE) * 1000000.0) END, 4) AS chi2_r4
-      FROM g"""))
-
-
-  // 251. winsorized Welch on the armed frame: each arm clamped at its
-  // OWN exact p5/p95 disc quantiles (integral element picks), then
-  // the row-239 integer-sum t — the heavy-tail A/B hygiene step; the
-  // row ships its clamp bounds.
-  val qAbTrimmed = QueryDef("q_ab_trimmed",
-    (s, dir) => {
-      graft.operators.Experiment.trimmedWelch(armedUsers(s, dir), "split", "y")
-    },
-    Some(s"""
-      WITH $armedUsersSql,
-      q AS (SELECT arm, CAST(quantile_disc(y, 0.05) AS BIGINT) AS lo,
-                   CAST(quantile_disc(y, 0.95) AS BIGINT) AS hi
-            FROM u GROUP BY 1),
-      c AS (SELECT u.arm, greatest(q.lo, least(q.hi, u.y)) AS y
-            FROM u JOIN q USING (arm)),
-      sm AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-                    sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sa,
-                    sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS sb,
-                    sum(CASE WHEN arm = 'a' THEN y * y ELSE 0 END) AS ssa,
-                    sum(CASE WHEN arm = 'b' THEN y * y ELSE 0 END) AS ssb
-             FROM c),
-      v AS (SELECT *, na * ssa - sa * sa AS vna, nb * ssb - sb * sb AS vnb FROM sm),
-      se AS (SELECT *,
-               CASE WHEN na > 1 THEN CAST(vna AS DOUBLE) / (na * (na - 1)) / na END AS sea,
-               CASE WHEN nb > 1 THEN CAST(vnb AS DOUBLE) / (nb * (nb - 1)) / nb END AS seb
-             FROM v),
-      f AS (SELECT *, sea + seb AS se2 FROM se),
-      bounds AS (SELECT
-                   min(CASE WHEN arm = 'a' THEN lo END) AS lo_a,
-                   min(CASE WHEN arm = 'a' THEN hi END) AS hi_a,
-                   min(CASE WHEN arm = 'b' THEN lo END) AS lo_b,
-                   min(CASE WHEN arm = 'b' THEN hi END) AS hi_b
-                 FROM q)
-      SELECT 'a' AS arm_a, 'b' AS arm_b,
-             CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
-             round(CAST(sa AS DOUBLE) / na, 6) AS mean_a_r6,
-             round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b_r6,
-             round(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na, 6) AS diff_r6,
-             round(CASE WHEN se2 > 0 THEN
-               (CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na) / sqrt(se2) END, 4) AS t_r4,
-             round(CASE WHEN se2 > 0 THEN
-               (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1)) END, 2) AS df_r2,
-             CAST(lo_a AS BIGINT) AS lo_a, CAST(hi_a AS BIGINT) AS hi_a,
-             CAST(lo_b AS BIGINT) AS lo_b, CAST(hi_b AS BIGINT) AS hi_b
-      FROM f, bounds"""))
-
-
-  // 255. per-segment uplift detail under q_mh_strat: rates, uplift and
-  // a within-segment two-proportion z per stratum — the table that
-  // LOCALIZES a Simpson disagreement between pooled and MH readouts.
-  val qUpliftSegments = QueryDef("q_uplift_segments",
-    (s, dir) => {
-      val users = table(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-        .withColumn("st", pmod(col("user_id"), lit(5)).cast("string"))
-      val armed = graft.operators.Sampling.portableSplit(
-        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
-      graft.operators.Experiment.upliftSegments(armed, "st", "split", "conv")
-        .orderBy("stratum")
-    },
-    Some("""
-      WITH u AS (SELECT user_id,
-                   CAST(user_id % 5 AS VARCHAR) AS st,
-                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
-                        THEN 'a' ELSE 'b' END AS arm,
-                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                 FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
-      s AS (SELECT st AS stratum,
-              sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-              sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-              sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS ca,
-              sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS cb
-            FROM u GROUP BY 1),
-      p AS (SELECT *, CAST(ca + cb AS DOUBLE) / (na + nb) AS pp FROM s)
-      SELECT stratum, CAST(na AS BIGINT) AS users_a, CAST(nb AS BIGINT) AS users_b,
-             CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
-             CAST(CASE WHEN na > 0 THEN ca * 10000 // na END AS BIGINT) AS rate_a_bp,
-             CAST(CASE WHEN nb > 0 THEN cb * 10000 // nb END AS BIGINT) AS rate_b_bp,
-             CAST(CASE WHEN na > 0 AND nb > 0
-                       THEN cb * 10000 // nb - ca * 10000 // na END AS BIGINT) AS uplift_bp,
-             round(CASE WHEN na > 0 AND nb > 0 AND ca + cb > 0 AND ca + cb < na + nb
-                        THEN (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) /
-                             sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) END, 4) AS z_r4
-      FROM p ORDER BY stratum"""))
-
-
-  // 260. Wilcoxon rank-sum z on the armed frame: the significance
-  // companion to AUC's effect size — honest on skew where the t leans
-  // on large n; doubled midranks from the shared two-level cumsum,
-  // tie-corrected variance, one double expression.
-  val qAbWilcoxon = QueryDef("q_ab_wilcoxon",
-    (s, dir) => {
-      graft.operators.Profile.wilcoxonRankSum(armedUsers(s, dir), "split", "y")
-    },
-    Some(s"""
-      WITH $armedUsersSql,
-      vals AS (SELECT y AS v, count(*) AS c FROM u GROUP BY 1),
-      run AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS rsum FROM vals),
-      mid AS (SELECT v, c, 2 * (rsum - c) + c + 1 AS mr2 FROM run),
-      rb AS (SELECT coalesce(sum(cb * mr2), 0) AS r2b FROM
-               (SELECT y AS v, count(*) AS cb FROM u WHERE arm = 'b' GROUP BY 1) b
-               JOIN mid USING (v)),
-      tt AS (SELECT sum(c) AS n, sum(c * c * c - c) AS t FROM mid),
-      nn AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-                    sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb
-             FROM u),
-      f AS (SELECT na, nb, n, t, r2b, nb * (n + 1) AS e2,
-              CASE WHEN n > 1 THEN CAST(na * nb AS DOUBLE) / 12.0 *
-                ((n + 1) - CAST(t AS DOUBLE) / (n * (n - 1))) END AS v
-            FROM nn, tt, rb)
-      SELECT 'a' AS group_a, 'b' AS group_b,
-             CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-             CAST(r2b AS BIGINT) AS rank_sum_b_x2,
-             CAST(e2 AS BIGINT) AS expected_b_x2,
-             round(CASE WHEN v > 0 THEN CAST(r2b - e2 AS DOUBLE) / (2.0 * sqrt(v)) END, 4) AS z_r4
-      FROM f"""))
-
-
-  // 261. re-randomization (permutation) p-value: 40 deterministic
-  // Bernoulli re-draws of the REAL assignment mechanism, all in one
-  // conditional-sum pass; add-one integer p in bp — the assumption-
-  // free readout beside z/t/bootstrap.
-  val qAbPermutation = QueryDef("q_ab_permutation",
-    (s, dir) => {
-      graft.operators.Experiment.permutationTest(
-        armedUsers(s, dir), "user_id", "split", "y")
-    },
-    Some(s"""
-      WITH $armedUsersSql,
-      rep AS (SELECT CAST(r.range AS BIGINT) AS r FROM range(0, 40) r),
-      l AS (SELECT u.y, rep.r,
-              (('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':perm' || CAST(rep.r AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000) < 5000 AS isa
-            FROM u, rep),
-      tot AS (SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-                     sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-                     sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS sya,
-                     sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS syb
-              FROM u),
-      o AS (SELECT na, nb, sya, syb, na + nb AS nt, sya + syb AS syt,
-              abs(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na) AS obs
-            FROM tot),
-      rs AS (SELECT r, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS pna,
-                    sum(CASE WHEN isa THEN y ELSE 0 END) AS psa
-             FROM l GROUP BY 1),
-      x AS (SELECT rs.r,
-              CASE WHEN pna = 0 OR (o.nt - pna) = 0 THEN 1
-                   WHEN abs(CAST(o.syt - psa AS DOUBLE) / (o.nt - pna) -
-                            CAST(psa AS DOUBLE) / pna) >= o.obs THEN 1
-                   ELSE 0 END AS ex
-            FROM rs, o),
-      c AS (SELECT coalesce(sum(ex), 0) AS ext FROM x)
-      SELECT 'a' AS arm_a, 'b' AS arm_b,
-             CAST(o.na AS BIGINT) AS users_a, CAST(o.nb AS BIGINT) AS users_b,
-             round(CAST(o.syb AS DOUBLE) / o.nb - CAST(o.sya AS DOUBLE) / o.na, 6) AS diff_r6,
-             CAST(40 AS BIGINT) AS redraws,
-             CAST(c.ext AS BIGINT) AS extreme_redraws,
-             CAST((1 + c.ext) * 10000 // 41 AS BIGINT) AS p_bp
-      FROM o, c"""))
-
-
-  // 262. Cochran-Armitage trend: does purchase conversion RISE with
-  // the engagement tier (events-per-user band as the ordered score) —
-  // one df spent on the monotone direction; exact integer folds, z
-  // one double expression.
-  val qTrendTest = QueryDef("q_trend_test",
-    (s, dir) => {
-      val users = table(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("__ev"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-        .withColumn("tier",
-          when(col("__ev") < 5, 0L).when(col("__ev") < 10, 1L)
-            .when(col("__ev") < 20, 2L).otherwise(3L))
-      graft.operators.Experiment.cochranArmitage(users, "tier", "conv")
-    },
-    Some("""
-      WITH u AS (SELECT user_id, count(*) AS ev,
-                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                 FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-      t AS (SELECT CASE WHEN ev < 5 THEN 0 WHEN ev < 10 THEN 1
-                        WHEN ev < 20 THEN 2 ELSE 3 END AS w, conv
-            FROM u),
-      g AS (SELECT w, count(*) AS n, sum(conv) AS a FROM t GROUP BY 1),
-      f AS (SELECT count(*) AS k, sum(n) AS nt, sum(a) AS at,
-                   sum(w * n) AS swn, sum(w * w * n) AS sw2n, sum(w * a) AS swa
-            FROM g),
-      x AS (SELECT *, nt * swa - at * swn AS tn,
-                   nt * sw2n - swn * swn AS m
-            FROM f)
-      SELECT CAST(k AS BIGINT) AS k_tiers, CAST(nt AS BIGINT) AS n,
-             CAST(at AS BIGINT) AS conversions, CAST(tn AS BIGINT) AS trend_num,
-             round(CASE WHEN at > 0 AND at < nt AND m > 0 THEN
-               CAST(tn AS DOUBLE) /
-               sqrt(CAST(at AS DOUBLE) * (nt - at) * m / nt) END, 4) AS z_r4
-      FROM x"""))
-
-
-  // 263. Wald SPRT sequential conversion monitor: the peeking-safe
-  // daily readout — two hypothesis configs over the same ~40%
-  // user-day purchase stream, one crossing into h1 (truth above the
-  // band), one into h0 (truth at the null); exact e6-integer LLR walk,
-  // literals computed once on the JVM and interpolated into BOTH
-  // engines.
-  val qAbSprt = QueryDef("q_ab_sprt",
-    (s, dir) => {
-      val ud = table(s, dir, "events")
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-        .withColumn("seg", lit("all"))
-      def run(p0: Long, p1: Long, tag: String) =
-        graft.operators.Experiment.sprtMonitor(ud, "seg", "day", "conv", p0, p1)
-          .withColumn("monitor", lit(tag))
-      run(3000, 4000, "up_3000_4000")
-        .unionByName(run(4000, 5000, "null_4000_5000"))
-        .orderBy("monitor")
-    },
-    Some {
-      def one(p0: Long, p1: Long, tag: String): String = {
-        val (l0, l1, lo, up) =
-          graft.operators.Experiment.sprtConstants(p0, p1, 500, 500)
-        s"""SELECT 'all' AS arm, CAST(count(*) AS BIGINT) AS days_observed,
-             CAST(max(cn) AS BIGINT) AS n, CAST(max(ca) AS BIGINT) AS conversions,
-             CAST(arg_max(ca * $l1 + (cn - ca) * $l0, day) AS BIGINT) AS llr_final_e6,
-             min(CASE WHEN ca * $l1 + (cn - ca) * $l0 >= $up
-                        OR ca * $l1 + (cn - ca) * $l0 <= $lo THEN day END) AS cross_day,
-             coalesce(arg_min(CASE WHEN ca * $l1 + (cn - ca) * $l0 >= $up THEN 'h1'
-                                   WHEN ca * $l1 + (cn - ca) * $l0 <= $lo THEN 'h0' END, day)
-                      FILTER (WHERE ca * $l1 + (cn - ca) * $l0 >= $up
-                                 OR ca * $l1 + (cn - ca) * $l0 <= $lo),
-                      'continue') AS decision,
-             '$tag' AS monitor
-           FROM c"""
-      }
-      s"""
-      WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
-                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                  GROUP BY 1, 2),
-      d AS (SELECT day, count(*) AS n, sum(conv) AS a FROM ud GROUP BY 1),
-      c AS (SELECT day, sum(n) OVER (ORDER BY day) AS cn,
-                   sum(a) OVER (ORDER BY day) AS ca FROM d)
-      ${one(3000, 4000, "up_3000_4000")}
-      UNION ALL
-      ${one(4000, 5000, "null_4000_5000")}
-      ORDER BY monitor"""
-    })
-
-
-  // 266. quantile treatment effects on events-per-user: per-arm exact
-  // disc quantiles over the shared armed-users frame, pivoted to one
-  // row per quantile with the B-A difference — the distributional
-  // readout the mean-based tests flatten away.
-  val qAbQte = QueryDef("q_ab_qte",
-    (s, dir) => {
-      graft.operators.Experiment.quantileTreatmentEffects(
-        armedUsers(s, dir), "split", "y").orderBy("q_bp")
-    },
-    Some(s"""
-      WITH $armedUsersSql,
-      c AS (SELECT arm, y, count(*) AS cnt FROM u GROUP BY 1, 2),
-      w AS (SELECT arm, y,
-              sum(cnt) OVER (PARTITION BY arm ORDER BY y) AS cum,
-              sum(cnt) OVER (PARTITION BY arm) AS n
-            FROM c),
-      q AS (SELECT q_bp FROM (VALUES (2500), (5000), (7500), (9000)) v(q_bp)),
-      pick AS (SELECT q.q_bp, w.arm,
-                 min(CASE WHEN cum >= greatest(1, (q.q_bp * n + 9999) // 10000)
-                          THEN y END) AS val
-               FROM w, q GROUP BY 1, 2)
-      SELECT CAST(q_bp AS BIGINT) AS q_bp,
-             CAST(min(CASE WHEN arm = 'a' THEN val END) AS DOUBLE) AS value_a,
-             CAST(min(CASE WHEN arm = 'b' THEN val END) AS DOUBLE) AS value_b,
-             CAST(min(CASE WHEN arm = 'b' THEN val END)
-                - min(CASE WHEN arm = 'a' THEN val END) AS DOUBLE) AS qte
-      FROM pick GROUP BY 1 ORDER BY 1"""))
-
-
-  // 267/268. per-tier permutation p-values + BH/Holm multiple-testing
-  // gate: per-user purchase count tested in every engagement tier (md5
-  // null-true arms, k=99 re-draws -> p resolution 100 bp), then the
-  // FDR/FWER rejection sets as exact integer decisions over the
-  // 4-row test frame.
-  val qAbFdr = QueryDef("q_ab_fdr",
-    (s, dir) => {
-      val users = table(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("__ev"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-        .withColumn("tier",
-          when(col("__ev") < 60, "t0").when(col("__ev") < 67, "t1")
-            .when(col("__ev") < 74, "t2").otherwise("t3"))
-      val armed = graft.operators.Sampling.portableSplit(
-        users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
-      val per = graft.operators.Experiment.permutationBySegment(
-        armed, "tier", "user_id", "split", "conv", k = 99)
-      graft.operators.Experiment.fdrReadout(per, "segment", "p_bp",
-          alphaBp = 500,
-          keepCols = Seq("users_a", "users_b", "diff_r6", "extreme_redraws"))
-        .orderBy("p_rank")
-    },
-    Some("""
-      WITH u AS (SELECT user_id, count(*) AS ev,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                 FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-      t AS (SELECT user_id, conv,
-              CASE WHEN ev < 60 THEN 't0' WHEN ev < 67 THEN 't1'
-                   WHEN ev < 74 THEN 't2' ELSE 't3' END AS seg,
-              CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
-                   THEN 'a' ELSE 'b' END AS arm
-            FROM u),
-      rep AS (SELECT CAST(r.range AS BIGINT) AS r FROM range(0, 99) r),
-      l AS (SELECT t.seg, t.conv, rep.r,
-              (('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || ':perm' || CAST(rep.r AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000) < 5000 AS isa
-            FROM t, rep),
-      tot AS (SELECT seg, sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
-                     sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
-                     sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS sya,
-                     sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS syb
-              FROM t GROUP BY 1),
-      o AS (SELECT seg, na, nb, sya, syb, na + nb AS nt, sya + syb AS syt,
-              CASE WHEN na > 0 AND nb > 0
-                   THEN abs(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na) END AS obs
-            FROM tot),
-      rs AS (SELECT seg, r, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS pna,
-                    sum(CASE WHEN isa THEN conv ELSE 0 END) AS psa
-             FROM l GROUP BY 1, 2),
-      x AS (SELECT rs.seg,
-              CASE WHEN o.obs IS NULL THEN NULL
-                   WHEN pna = 0 OR (o.nt - pna) = 0 THEN 1
-                   WHEN abs(CAST(o.syt - psa AS DOUBLE) / (o.nt - pna) -
-                            CAST(psa AS DOUBLE) / pna) >= o.obs THEN 1
-                   ELSE 0 END AS ex
-            FROM rs JOIN o USING (seg)),
-      cc AS (SELECT seg, sum(ex) AS ext FROM x GROUP BY 1),
-      p AS (SELECT o.seg, o.na, o.nb,
-              CASE WHEN o.na > 0 AND o.nb > 0
-                   THEN round(CAST(o.syb AS DOUBLE) / o.nb - CAST(o.sya AS DOUBLE) / o.na, 6) END AS diff_r6,
-              cc.ext,
-              CASE WHEN o.na > 0 AND o.nb > 0 THEN (1 + cc.ext) * 10000 // 100 END AS p_bp
-            FROM o JOIN cc USING (seg)),
-      f AS (SELECT seg, p_bp, row_number() OVER (ORDER BY p_bp, seg) AS rk,
-                   count(*) OVER () AS m
-            FROM p WHERE p_bp IS NOT NULL),
-      j AS (SELECT coalesce(max(CASE WHEN p_bp * m <= rk * 500 THEN rk END), 0) AS jstar FROM f),
-      h AS (SELECT seg, p_bp, rk, m,
-                   min(CASE WHEN p_bp * (m - rk + 1) <= 500 THEN 1 ELSE 0 END)
-                     OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hall
-            FROM f)
-      SELECT h.seg AS test, CAST(h.p_bp AS BIGINT) AS p_bp,
-             CAST(h.rk AS BIGINT) AS p_rank, CAST(h.m AS BIGINT) AS m_tests,
-             h.rk <= j.jstar AS bh_reject, h.hall = 1 AS holm_reject,
-             CAST(p.na AS BIGINT) AS users_a, CAST(p.nb AS BIGINT) AS users_b,
-             p.diff_r6, CAST(p.ext AS BIGINT) AS extreme_redraws
-      FROM h, j, p WHERE p.seg = h.seg ORDER BY p_rank"""))
-
 
   // 283. bounce rate by entry channel: sessions grouped by their
   // FIRST event's type, share with exactly one event — the landing
@@ -1468,65 +735,6 @@ object EventQueries {
       GROUP BY 1 ORDER BY 1"""))
 
 
-  // 280. difference-in-differences: per-(user, half-month period)
-  // event counts, md5 arms — the 2x2 panel estimator with exact
-  // integer cell sums, pre/post diffs exposed for the parallel-trends
-  // eyeball.
-  val qAbDid = QueryDef("q_ab_did",
-    (s, dir) => {
-      val up = table(s, dir, "events")
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .groupBy(col("user_id"),
-          when(dayofmonth(col("ts")) >= 16, 1L).otherwise(0L).as("period"))
-        .agg(count(lit(1)).as("y"))
-      val armed = graft.operators.Sampling.portableSplit(
-        up, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
-      graft.operators.Experiment.diffInDiff(armed, "split", "period", "y")
-    },
-    Some("""
-      WITH up AS (SELECT user_id,
-                    CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS p,
-                    count(*) AS y
-                  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                  GROUP BY 1, 2),
-      a AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
-                        THEN 'a' ELSE 'b' END AS arm, p, y
-            FROM up),
-      f AS (SELECT
-              sum(CASE WHEN arm = 'a' AND p = 0 THEN 1 ELSE 0 END) AS na0,
-              sum(CASE WHEN arm = 'a' AND p = 0 THEN y ELSE 0 END) AS sa0,
-              sum(CASE WHEN arm = 'a' AND p = 0 THEN y * y ELSE 0 END) AS qa0,
-              sum(CASE WHEN arm = 'a' AND p = 1 THEN 1 ELSE 0 END) AS na1,
-              sum(CASE WHEN arm = 'a' AND p = 1 THEN y ELSE 0 END) AS sa1,
-              sum(CASE WHEN arm = 'a' AND p = 1 THEN y * y ELSE 0 END) AS qa1,
-              sum(CASE WHEN arm = 'b' AND p = 0 THEN 1 ELSE 0 END) AS nb0,
-              sum(CASE WHEN arm = 'b' AND p = 0 THEN y ELSE 0 END) AS sb0,
-              sum(CASE WHEN arm = 'b' AND p = 0 THEN y * y ELSE 0 END) AS qb0,
-              sum(CASE WHEN arm = 'b' AND p = 1 THEN 1 ELSE 0 END) AS nb1,
-              sum(CASE WHEN arm = 'b' AND p = 1 THEN y ELSE 0 END) AS sb1,
-              sum(CASE WHEN arm = 'b' AND p = 1 THEN y * y ELSE 0 END) AS qb1
-            FROM a),
-      m AS (SELECT *,
-              CAST(sa0 AS DOUBLE) / na0 AS ma0, CAST(sa1 AS DOUBLE) / na1 AS ma1,
-              CAST(sb0 AS DOUBLE) / nb0 AS mb0, CAST(sb1 AS DOUBLE) / nb1 AS mb1,
-              (CASE WHEN na0 > 1 THEN CAST(na0 * qa0 - sa0 * sa0 AS DOUBLE) / (na0 * (na0 - 1)) / na0 END) +
-              (CASE WHEN na1 > 1 THEN CAST(na1 * qa1 - sa1 * sa1 AS DOUBLE) / (na1 * (na1 - 1)) / na1 END) +
-              (CASE WHEN nb0 > 1 THEN CAST(nb0 * qb0 - sb0 * sb0 AS DOUBLE) / (nb0 * (nb0 - 1)) / nb0 END) +
-              (CASE WHEN nb1 > 1 THEN CAST(nb1 * qb1 - sb1 * sb1 AS DOUBLE) / (nb1 * (nb1 - 1)) / nb1 END) AS se2
-            FROM f),
-      ok AS (SELECT *, na0 > 0 AND na1 > 0 AND nb0 > 0 AND nb1 > 0 AS nonempty,
-                    (mb1 - mb0) - (ma1 - ma0) AS did
-             FROM m)
-      SELECT 'a' AS arm_a, 'b' AS arm_b,
-             CAST(na0 AS BIGINT) AS n_a_pre, CAST(na1 AS BIGINT) AS n_a_post,
-             CAST(nb0 AS BIGINT) AS n_b_pre, CAST(nb1 AS BIGINT) AS n_b_post,
-             round(CASE WHEN nonempty THEN mb0 - ma0 END, 6) AS pre_diff_r6,
-             round(CASE WHEN nonempty THEN mb1 - ma1 END, 6) AS post_diff_r6,
-             round(CASE WHEN nonempty THEN did END, 6) AS did_r6,
-             round(CASE WHEN nonempty AND se2 > 0 THEN did / sqrt(se2) END, 4) AS z_r4
-      FROM ok"""))
-
-
   // 274. cohort LTV accumulation curve: weekly first-purchase cohorts,
   // per-offset purchase value (e4-quantized exact integers), running
   // cumulative and per-user LTV — the monetized sibling of the
@@ -1569,7 +777,7 @@ object EventQueries {
     (s, dir) => {
       val p = table(s, dir, "events")
         .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
-      graft.operators.Profile.valueConcentration(p, "user_id", "value")
+      graft.operators.ProfileAudits.valueConcentration(p, "user_id", "value")
         .orderBy("top_bp")
     },
     Some("""
@@ -1676,7 +884,6 @@ object EventQueries {
     qStickiness,
     qChurnLabels,
     qKaplanMeier,
-    qAbCuped,
     qLogRank,
     qEventLift,
     qEventCadence,
@@ -1685,29 +892,13 @@ object EventQueries {
     qTopPaths,
     qConversionLatency,
     qActiveTime,
-    qAbTest,
     qLatencyQuantiles,
     qSequenceSurprise,
-    qAbPower,
     qAttribution,
-    qAbBootstrap,
-    qAbWelch,
-    qAbSrm,
-    qAbRatio,
-    qMhStrat,
-    qAbTrimmed,
-    qUpliftSegments,
-    qAbWilcoxon,
-    qAbPermutation,
-    qTrendTest,
-    qAbSprt,
-    qAbQte,
-    qAbFdr,
     qDispersion,
     qAttributionPosition,
     qLtvCurve,
     qValueConcentration,
-    qAbDid,
     qBounceRate,
     qSessionDuration,
     qEntryExitMatrix,

@@ -19,6 +19,6 @@ import QueryDef.table
 object PipelineQueries {
   val all: Seq[QueryDef] =
     DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++
-      EventQueries.all ++ SamplingQueries.all ++ ProfileStatsQueries.all ++
+      EventQueries.all ++ ExperimentQueries.all ++ SamplingQueries.all ++ ProfileStatsQueries.all ++
       DriftQueries.all ++ CurationQueries.all
 }

@@ -329,9 +329,9 @@ object ProfileStatsQueries {
   val qMonotonicAudit = QueryDef("q_monotonic_audit",
     (s, dir) => {
       val ev = table(s, dir, "events")
-      val byTs = graft.operators.Profile.monotonicityAudit(ev, "user_id", "event_id", "ts")
+      val byTs = graft.operators.ProfileAudits.monotonicityAudit(ev, "user_id", "event_id", "ts")
         .withColumn("audited", lit("ts"))
-      val byValue = graft.operators.Profile.monotonicityAudit(ev, "user_id", "event_id", "value")
+      val byValue = graft.operators.ProfileAudits.monotonicityAudit(ev, "user_id", "event_id", "value")
         .withColumn("audited", lit("value"))
       byTs.unionByName(byValue)
         .select(col("audited"), col("key"), col("n_rows"), col("inversions"),
@@ -444,10 +444,10 @@ object ProfileStatsQueries {
   // the "did anything change anywhere" reproducibility check.
   val qDatasetFingerprint = QueryDef("q_dataset_fingerprint",
     (s, dir) => {
-      graft.operators.Profile.contentFingerprint(
+      graft.operators.ProfileAudits.contentFingerprint(
           table(s, dir, "documents"), "documents",
           Seq("doc_id", "text", "lang", "source", "n_chars"))
-        .unionByName(graft.operators.Profile.contentFingerprint(
+        .unionByName(graft.operators.ProfileAudits.contentFingerprint(
           table(s, dir, "nation"), "nation",
           Seq("n_nationkey", "n_name", "n_regionkey")))
         .orderBy("dataset")
@@ -530,7 +530,7 @@ object ProfileStatsQueries {
   // between source and lang — the categorical twin of q_corr_matrix.
   val qCatAssoc = QueryDef("q_cat_assoc",
     (s, dir) => {
-      graft.operators.Profile.categoricalAssociation(
+      graft.operators.ProfileInference.categoricalAssociation(
         table(s, dir, "documents"), "source", "lang")
     },
     Some("""
@@ -584,7 +584,7 @@ object ProfileStatsQueries {
   // cross-column consistency check single-column constraints miss.
   val qFdCheck = QueryDef("q_fd_check",
     (s, dir) => {
-      graft.operators.Profile.functionalDependency(
+      graft.operators.ProfileAudits.functionalDependency(
           table(s, dir, "documents"),
           Seq(("doc_id", "source"), ("lang", "source")))
         .orderBy("det")
@@ -691,7 +691,7 @@ object ProfileStatsQueries {
   // on a skewed lang mix).
   val qKappa = QueryDef("q_kappa",
     (s, dir) => {
-      graft.operators.Profile.cohenKappa(
+      graft.operators.ProfileInference.cohenKappa(
         table(s, dir, "documents")
           .withColumn("predicted", graft.operators.TextAnalysis.langId(col("text"))),
         "lang", "predicted")
@@ -925,7 +925,7 @@ object ProfileStatsQueries {
   // candidate.
   val qKeyDiscovery = QueryDef("q_key_discovery",
     (s, dir) => {
-      graft.operators.Profile.keyCandidates(table(s, dir, "orders"),
+      graft.operators.ProfileAudits.keyCandidates(table(s, dir, "orders"),
           Seq(Seq("o_orderkey"), Seq("o_custkey"),
             Seq("o_custkey", "o_orderdate")))
         .orderBy("candidate")
@@ -974,7 +974,7 @@ object ProfileStatsQueries {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         def assoc(label: String) =
-          graft.operators.Profile.categoricalAssociation(pinned, "len_bin", label)
+          graft.operators.ProfileInference.categoricalAssociation(pinned, "len_bin", label)
             .withColumn("feature", lit(s"n_chars~$label"))
         val out = assoc("lang").unionByName(assoc("source"))
           .select("feature", "mi_r6", "cramers_v_r6", "n", "cells")
@@ -1027,7 +1027,7 @@ object ProfileStatsQueries {
       // the operator collects its 1-row result (releasing the rank
       // frames) — memoize the literal frame so repeated board runs
       // never re-rank
-      spearmanCache.get(s, dir)(graft.operators.Profile.spearman(
+      spearmanCache.get(s, dir)(graft.operators.ProfileInference.spearman(
         table(s, dir, "lineitem"), "l_quantity", "l_extendedprice"))
     },
     Some("""
@@ -1160,7 +1160,7 @@ object ProfileStatsQueries {
   // (logRank discipline), tie-corrected.
   val qKruskal = QueryDef("q_kruskal",
     (s, dir) => {
-      graft.operators.Profile.kruskalWallis(
+      graft.operators.ProfileInference.kruskalWallis(
         table(s, dir, "orders"), "o_orderpriority", "o_totalprice")
     },
     Some("""
@@ -1298,7 +1298,7 @@ object ProfileStatsQueries {
       val d = table(s, dir, "documents")
         .filter(col("lang").isNotNull && col("source").isNotNull)
         .select(col("source"), (col("lang") === "en").cast(LongType).as("is_en"))
-      graft.operators.Profile.ebShrinkage(d, "source", "is_en")
+      graft.operators.ProfileInference.ebShrinkage(d, "source", "is_en")
         .orderBy("group")
     },
     Some("""
@@ -1348,7 +1348,7 @@ object ProfileStatsQueries {
             .otherwise(col("value")).as("val"),
           when(col("event_type") === "error", lit(null).cast("string"))
             .otherwise(col("event_type")).as("etype"))
-      graft.operators.Profile.nullPatternAudit(e, Seq("uid", "val", "etype"))
+      graft.operators.ProfileAudits.nullPatternAudit(e, Seq("uid", "val", "etype"))
         .orderBy("null_cols")
     },
     Some("""
@@ -1380,7 +1380,7 @@ object ProfileStatsQueries {
         .agg(count(lit(1)).as("ev"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("buys"),
           countDistinct(to_date(col("ts"))).as("days"))
-      graft.operators.Profile.partialCorr(u, "ev", "buys", "days")
+      graft.operators.ProfileInference.partialCorr(u, "ev", "buys", "days")
     },
     Some("""
       WITH u AS (SELECT user_id, count(*) AS ev,
@@ -1411,7 +1411,7 @@ object ProfileStatsQueries {
   // with the raw-vs-trimmed gap as the outlier signal.
   val qTrimmedMeans = QueryDef("q_trimmed_means",
     (s, dir) => {
-      graft.operators.Profile.groupTrimmedMeans(
+      graft.operators.ProfileAudits.groupTrimmedMeans(
           table(s, dir, "documents"), "source", "n_chars", trimBp = 1000L)
         .orderBy("group")
     },

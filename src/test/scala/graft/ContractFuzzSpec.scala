@@ -460,7 +460,7 @@ object ContractFuzzSpec extends Properties("ContractEngine") {
   property("suggested contract validates green on its own frame") =
     forAll(genRows) { rows =>
       val df = toDf(rows).drop("emb") // suggest profiles numeric+string
-      val suggested = graft.operators.Profile.suggestContract(df, "fuzz", "qa")
+      val suggested = graft.operators.ProfileAudits.suggestContract(df, "fuzz", "qa")
       val res = new ContractValidator(asOf = Some(asOf))
         .validate(df, suggested).collect()
       val bad = res.filterNot(_.getAs[Boolean]("passed"))

@@ -197,7 +197,7 @@ object ExperimentPropSpec extends Properties("Experiment") {
         StructType(Seq(
           StructField("g", StringType, nullable = false),
           StructField("y", LongType, nullable = false))))
-      val rows = graft.operators.Profile.ebShrinkage(df, "g", "y")
+      val rows = graft.operators.ProfileInference.ebShrinkage(df, "g", "y")
         .collect().map(x => x.getAs[String]("group") -> x).toMap
       // plain-Scala replay of the published integer fit
       val live = groups.zipWithIndex.filter { case ((p, q), _) => p + q > 0 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Curation, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Curation, Dedup, Multimodal, ProfileAudits, ProfileInference, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -851,18 +851,18 @@ class OperatorsSpec extends SparkSpec {
     // 90 agreeing on 'x' + 5 agreeing on 'y' + 5 disagreements
     val skew = ((1 to 90).map(_ => ("x", "x")) ++ (1 to 5).map(_ => ("y", "y")) ++
       (1 to 5).map(_ => ("x", "y"))).toDF("a", "b")
-    val r = Profile.cohenKappa(skew, "a", "b").collect().head
+    val r = ProfileInference.cohenKappa(skew, "a", "b").collect().head
     assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("agree") == 95L)
     assert(r.getAs[Double]("po_r6") == 0.95)
     // pe = (95·90 + 5·10)/10000 = 0.86 → kappa = .09/.14 = 0.642857
     assert(r.getAs[Double]("pe_r6") == 0.86)
     assert(r.getAs[Double]("kappa_r6") == 0.642857)
     val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
-    assert(Profile.cohenKappa(perfect, "a", "b").collect().head
+    assert(ProfileInference.cohenKappa(perfect, "a", "b").collect().head
       .getAs[Double]("kappa_r6") == 1.0)
     // both sides constant → pe = 1 → kappa NULL, never NaN
     val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
-    assert(Profile.cohenKappa(const, "a", "b").collect().head.isNullAt(4))
+    assert(ProfileInference.cohenKappa(const, "a", "b").collect().head.isNullAt(4))
   }
 
   test("fuzzyJoin: cross-table token matches, true sizes, stop-token blocking") {
@@ -2660,7 +2660,7 @@ class OperatorsSpec extends SparkSpec {
     val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("b")),
       (4L, None: Option[String]), (5L, None: Option[String]))
       .toDF("id", "grp")
-    val r = Profile.keyCandidates(df, Seq(Seq("id"), Seq("grp")))
+    val r = ProfileAudits.keyCandidates(df, Seq(Seq("id"), Seq("grp")))
       .collect().map(x => x.getAs[String]("candidate") -> x).toMap
     assert(r("id").getAs[Boolean]("is_key") && r("id").getAs[Long]("distinct_keys") == 5)
     val g = r("grp")
@@ -2876,19 +2876,19 @@ class OperatorsSpec extends SparkSpec {
     // strictly monotone but nonlinear: rank correlation exactly 1
     val cube = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0), (5.0, 125.0))
       .toDF("x", "y")
-    assert(Profile.spearman(cube, "x", "y").collect().head
+    assert(ProfileInference.spearman(cube, "x", "y").collect().head
       .getAs[Double]("spearman_r6") == 1.0)
     // anti-monotone: exactly -1
     val anti = Seq((1.0, 5.0), (2.0, 4.0), (3.0, 3.0), (4.0, 1.0)).toDF("x", "y")
-    assert(Profile.spearman(anti, "x", "y").collect().head
+    assert(ProfileInference.spearman(anti, "x", "y").collect().head
       .getAs[Double]("spearman_r6") == -1.0)
     // tied pairs rank identically on both sides → still 1
     val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)).toDF("x", "y")
-    val r = Profile.spearman(ties, "x", "y").collect().head
+    val r = ProfileInference.spearman(ties, "x", "y").collect().head
     assert(r.getAs[Long]("n") == 4 && r.getAs[Double]("spearman_r6") == 1.0)
     // constant column → undefined, NULL not NaN
     val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
-    val c = Profile.spearman(const, "x", "y").collect().head
+    val c = ProfileInference.spearman(const, "x", "y").collect().head
     assert(c.isNullAt(c.fieldIndex("spearman_r6")))
   }
 

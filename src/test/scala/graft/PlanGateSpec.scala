@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-round plan-regression gate (suite twin of
+  * `tools/plancheck.py`): every query present in BOTH the latest bench
+  * artifact (`target/bench.json`, field `plans`) and the committed
+  * baseline (`tools/plans_baseline.json`) must keep its physical-plan
+  * fingerprint (exchange count, parquet-scan count) — a silent change
+  * is a plan-shape regression. Intentional changes are waived by name
+  * with a reason in the baseline's `waivers`, or re-baselined via
+  * `python3 tools/plancheck.py --update` in the same commit. New and
+  * removed queries are not failures (coverage growth is normal). */
+class PlanGateSpec extends AnyFunSuite {
+
+  private def readPlans(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, (Int, Int)] = {
+    val it = node.fields()
+    val b = Map.newBuilder[String, (Int, Int)]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> ((e.getValue.get(0).asInt, e.getValue.get(1).asInt))
+    }
+    b.result()
+  }
+
+  test("no unexplained plan-fingerprint change vs the committed baseline") {
+    val benchP = java.nio.file.Paths.get("target/bench.json")
+    assume(java.nio.file.Files.isRegularFile(benchP),
+      "no bench artifact in this checkout - nothing to gate")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bench = om.readTree(java.nio.file.Files.readAllBytes(benchP))
+    assume(bench.has("plans"), "bench artifact predates plan fingerprints")
+    val baseNode = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/plans_baseline.json")))
+    val current = readPlans(bench.get("plans")).filter(_._2 != ((-1, -1)))
+    val baseline = readPlans(baseNode.get("plans"))
+    val waivers = {
+      val it = baseNode.get("waivers").fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val unexplained = (current.keySet & baseline.keySet).toSeq.sorted
+      .filter(q => current(q) != baseline(q) && !waivers.contains(q))
+      .map(q => s"$q: ${baseline(q)} -> ${current(q)}")
+    assert(unexplained.isEmpty,
+      s"unexplained plan change(s) - fix, waive with a reason, or " +
+        s"`tools/plancheck.py --update`:\n  ${unexplained.mkString("\n  ")}")
+  }
+}

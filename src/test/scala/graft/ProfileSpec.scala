@@ -1,7 +1,7 @@
 package graft
 
 import graft.contracts.Constraint
-import graft.operators.{Eval, Profile}
+import graft.operators.{Eval, Profile, ProfileAudits, ProfileInference}
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -95,7 +95,7 @@ class ProfileSpec extends SparkSpec {
 
   test("suggestContract tightens nullability and infers constraints") {
     val df = spark.read.parquet(sf("orders"))
-    val c = Profile.suggestContract(df, "orders", "me")
+    val c = ProfileAudits.suggestContract(df, "orders", "me")
     val status = c.schema.fields.find(_.name == "o_orderstatus").get
     assert(!status.nullable) // no nulls observed
     assert(status.constraints.exists {
@@ -127,7 +127,7 @@ class ProfileSpec extends SparkSpec {
     // a rounded bound would immediately flag its own source data
     val df = Seq(0.12345001, 0.99999999, 0.123451, 7.00005)
       .map(Tuple1(_)).toDF("v")
-    val c = Profile.suggestContract(df, "t_rng", "me")
+    val c = ProfileAudits.suggestContract(df, "t_rng", "me")
     val report = new graft.validators.ContractValidator().validate(df, c)
       .collect().filter(_.getAs[String]("check") == "range")
     assert(report.nonEmpty && report.forall(_.getAs[Boolean]("passed")),
@@ -167,7 +167,7 @@ class ProfileSpec extends SparkSpec {
     val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None: Option[String]))
       .toDF("id", "v")
     def fp(df: org.apache.spark.sql.DataFrame) =
-      Profile.contentFingerprint(df, "t", Seq("id", "v")).collect().head
+      ProfileAudits.contentFingerprint(df, "t", Seq("id", "v")).collect().head
     val base = fp(a)
     // row order / partitioning never changes the print
     assert(fp(a.orderBy($"id".desc).repartition(7)).toSeq == base.toSeq)
@@ -301,7 +301,7 @@ class ProfileSpec extends SparkSpec {
       ("u", 6L, Some(6L)),                         // inversion at 6
       ("v", 1L, Some(1L)), ("v", 2L, Some(2L)),    // clean key
     ).toDF("k", "s", "x")
-    val got = Profile.monotonicityAudit(df, "k", "s", "x").collect()
+    val got = ProfileAudits.monotonicityAudit(df, "k", "s", "x").collect()
       .map(r => r.getAs[String]("key") ->
         ((r.getAs[Long]("n_rows"), r.getAs[Long]("inversions"),
           Option(r.getAs[java.lang.Long]("first_inversion_at")).map(_.longValue),
@@ -314,13 +314,13 @@ class ProfileSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (1L, Some("b")), (2L, Some("c")),
       (3L, None), (3L, Some("a"))).toDF("k", "d")
-    val r = Profile.functionalDependency(df, Seq(("k", "d"))).collect().head
+    val r = ProfileAudits.functionalDependency(df, Seq(("k", "d"))).collect().head
     assert(r.getAs[Long]("determinants") == 3)
     assert(r.getAs[Long]("violating_determinants") == 2) // k=1 and k=3 (null+a)
     assert(r.getAs[Long]("violation_rows") == 4)
     assert(!r.getAs[Boolean]("fd_holds"))
     val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "d")
-    assert(Profile.functionalDependency(clean, Seq(("k", "d")))
+    assert(ProfileAudits.functionalDependency(clean, Seq(("k", "d")))
       .collect().head.getAs[Boolean]("fd_holds"))
   }
 
@@ -370,7 +370,7 @@ class ProfileSpec extends SparkSpec {
     // perfectly dependent: b = f(a)
     val dep = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"), ("z", "3"))
       .toDF("a", "b")
-    val d = Profile.categoricalAssociation(dep, "a", "b").collect().head
+    val d = ProfileInference.categoricalAssociation(dep, "a", "b").collect().head
     assert(d.getAs[Double]("cramers_v_r6") == 1.0)
     assert(d.getAs[Long]("cells") == 9 && d.getAs[Long]("n") == 5)
     // mi for the dependent case = H(a) = -(2/5 ln 2/5)*2 - 1/5 ln 1/5
@@ -379,11 +379,11 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(d.getAs[Double]("mi_r6") - miExp) < 2e-6)
     // independent uniform 2x2: MI = 0, V = 0
     val ind = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")).toDF("a", "b")
-    val i = Profile.categoricalAssociation(ind, "a", "b").collect().head
+    val i = ProfileInference.categoricalAssociation(ind, "a", "b").collect().head
     assert(i.getAs[Double]("mi_r6") == 0.0 && i.getAs[Double]("cramers_v_r6") == 0.0)
     // degenerate single-category column → NULL V, not a crash
     val deg = Seq(("x", "1"), ("x", "2")).toDF("a", "b")
-    assert(Profile.categoricalAssociation(deg, "a", "b").collect()
+    assert(ProfileInference.categoricalAssociation(deg, "a", "b").collect()
       .head.getAs[java.lang.Double]("cramers_v_r6") == null)
   }
 
@@ -392,17 +392,17 @@ class ProfileSpec extends SparkSpec {
     // a=[1,2] b=[3,4]: R2_b = 14, E2 = 10, var = (4/12)*5 = 5/3
     // z = 4 / (2*sqrt(5/3))
     val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
-    val r = Profile.wilcoxonRankSum(sep, "g", "v").collect().head
+    val r = ProfileInference.wilcoxonRankSum(sep, "g", "v").collect().head
     assert(r.getAs[Long]("rank_sum_b_x2") == 14L)
     assert(r.getAs[Long]("expected_b_x2") == 10L)
     val z = 4.0 / (2.0 * math.sqrt(5.0 / 3))
     assert(r.getAs[Double]("z_r4") == math.rint(z * 1e4) / 1e4)
     // all values tied: variance collapses to 0 -> NULL z
     val tied = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0)).toDF("g", "v")
-    val t = Profile.wilcoxonRankSum(tied, "g", "v").collect().head
+    val t = ProfileInference.wilcoxonRankSum(tied, "g", "v").collect().head
     assert(t.isNullAt(t.fieldIndex("z_r4")))
     assertThrows[IllegalArgumentException](
-      Profile.wilcoxonRankSum(Seq(("a", 1.0)).toDF("g", "v"), "g", "v"))
+      ProfileInference.wilcoxonRankSum(Seq(("a", 1.0)).toDF("g", "v"), "g", "v"))
   }
 
   test("splitConformal: guarantee certified, small-sample NULL qhat") {
@@ -457,23 +457,23 @@ class ProfileSpec extends SparkSpec {
     import spark.implicits._
     // a=[1,2] b=[3,4]: ranks 1..4, R_a=3 R_b=7 -> H = 2.4, no ties
     val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
-    val r1 = Profile.kruskalWallis(sep, "g", "v").collect().head
+    val r1 = ProfileInference.kruskalWallis(sep, "g", "v").collect().head
     assert(r1.getAs[Long]("n") == 4 && r1.getAs[Long]("k_groups") == 2)
     assert(r1.getAs[Long]("df") == 1)
     assert(r1.getAs[Double]("h_r4") == 2.4 && r1.getAs[Double]("h_adj_r4") == 2.4)
     // full ties within values: a=[1,1] b=[2,2]: midranks 1.5/3.5 ->
     // H = 2.4, C = 1 - 12/60 = 0.8 -> adjusted 3.0
     val tied = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
-    val r2 = Profile.kruskalWallis(tied, "g", "v").collect().head
+    val r2 = ProfileInference.kruskalWallis(tied, "g", "v").collect().head
     assert(r2.getAs[Double]("h_r4") == 2.4 && r2.getAs[Double]("h_adj_r4") == 3.0)
     // identical distributions: H = 0
     val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
-    val r3 = Profile.kruskalWallis(same, "g", "v").collect().head
+    val r3 = ProfileInference.kruskalWallis(same, "g", "v").collect().head
     assert(r3.getAs[Double]("h_r4") == 0.0)
     // NULL group/value rows excluded
     val withNulls = Seq((Some("a"), Some(1.0)), (Some("a"), None),
       (None, Some(9.0)), (Some("b"), Some(2.0))).toDF("g", "v")
-    assert(Profile.kruskalWallis(withNulls, "g", "v").collect()
+    assert(ProfileInference.kruskalWallis(withNulls, "g", "v").collect()
       .head.getAs[Long]("n") == 2)
   }
 
@@ -512,7 +512,7 @@ class ProfileSpec extends SparkSpec {
     // spread within the Beta envelope -> genuine shrinkage; replay the
     // exact integer fit in plain Scala
     val groups = Seq(("a", 2, 8), ("b", 5, 5), ("c", 8, 2))
-    val rows = Profile.ebShrinkage(mk(groups: _*), "g", "y").collect()
+    val rows = ProfileInference.ebShrinkage(mk(groups: _*), "g", "y").collect()
       .map(r => r.getAs[String]("group") -> r).toMap
     val rs = groups.map { case (_, a, b) => a.toLong * 1000000L / (a + b) }
     val k = rs.size.toLong
@@ -541,7 +541,7 @@ class ProfileSpec extends SparkSpec {
       rows("c").getAs[Double]("shrunk_r4") > rb / 1e6)
     // identical rates: sampling noise explains all spread -> complete
     // pooling, infinite prior strength reported NULL
-    val pooled = Profile.ebShrinkage(
+    val pooled = ProfileInference.ebShrinkage(
       mk(("a", 5, 5), ("b", 5, 5)), "g", "y").collect()
     pooled.foreach { r =>
       assert(r.getAs[Double]("shrunk_r4") == 0.5)
@@ -549,25 +549,25 @@ class ProfileSpec extends SparkSpec {
     }
     // n=1 groups at the extremes: between-variance exceeds the Beta
     // envelope -> prior uninformative, raw rates kept, strength 0
-    val raw = Profile.ebShrinkage(
+    val raw = ProfileInference.ebShrinkage(
       mk(("a", 0, 1), ("b", 1, 0)), "g", "y").collect()
       .map(r => r.getAs[String]("group") -> r).toMap
     assert(raw("a").getAs[Double]("shrunk_r4") == 0.0)
     assert(raw("b").getAs[Double]("shrunk_r4") == 1.0)
     assert(raw("a").getAs[Double]("prior_strength_r2") == 0.0)
     // single group: no between-group evidence -> NULL fit
-    val one = Profile.ebShrinkage(mk(("a", 3, 7)), "g", "y").collect().head
+    val one = ProfileInference.ebShrinkage(mk(("a", 3, 7)), "g", "y").collect().head
     assert(one.isNullAt(one.fieldIndex("shrunk_r4")))
     assert(one.getAs[Long]("raw_bp") == 3000L)
     assertThrows[IllegalArgumentException](
-      Profile.ebShrinkage(Seq(("a", 0.5)).toDF("g", "y"), "g", "y"))
+      ProfileInference.ebShrinkage(Seq(("a", 0.5)).toDF("g", "y"), "g", "y"))
   }
 
   test("valueConcentration: whale shares, boundary tie group kept whole") {
     // per-key totals e4: a=50000, b=30000, c=10000, d=10000 -> total 1e5
     val df = Seq(("a", 3.0), ("a", 2.0), ("b", 3.0), ("c", 1.0), ("d", 1.0))
       .toDF("k", "v")
-    val got = Profile.valueConcentration(df, "k", "v",
+    val got = ProfileAudits.valueConcentration(df, "k", "v",
         topBps = Seq(2500, 5000, 7500))
       .collect().map(r => r.getAs[Long]("top_bp") -> r).toMap
     // top 25% of 4 keys = 1 key (a): 50000/100000 = 5000 bp
@@ -583,9 +583,9 @@ class ProfileSpec extends SparkSpec {
     assert(got.values.forall(_.getAs[Long]("total_keys") == 4L))
     assert(got.values.forall(_.getAs[Long]("total_value_e4") == 100000L))
     assertThrows[IllegalArgumentException](
-      Profile.valueConcentration(df, "k", "v", topBps = Seq(0)))
+      ProfileAudits.valueConcentration(df, "k", "v", topBps = Seq(0)))
     assertThrows[IllegalArgumentException](
-      Profile.valueConcentration(df, "k", "v", topBps = Seq(100, 100)))
+      ProfileAudits.valueConcentration(df, "k", "v", topBps = Seq(100, 100)))
   }
 
   test("nullPatternAudit: joint patterns, (none) row, guards") {
@@ -593,7 +593,7 @@ class ProfileSpec extends SparkSpec {
       (Some(1L), Some("a")), (Some(2L), Some("b")),
       (None, Some("c")), (None, None), (Some(5L), None), (None, None))
       .toDF("id", "tag")
-    val got = Profile.nullPatternAudit(df, Seq("id", "tag"))
+    val got = ProfileAudits.nullPatternAudit(df, Seq("id", "tag"))
       .collect().map(r => r.getAs[String]("null_cols") ->
         ((r.getAs[Long]("rows"), r.getAs[Long]("share_bp")))).toMap
     assert(got("(none)") == ((2L, 3333L)))
@@ -602,11 +602,11 @@ class ProfileSpec extends SparkSpec {
     assert(got("id,tag") == ((2L, 3333L)))
     assert(got.size == 4)
     assertThrows[IllegalArgumentException](
-      Profile.nullPatternAudit(df, Seq("id", "id")))
+      ProfileAudits.nullPatternAudit(df, Seq("id", "id")))
     assertThrows[IllegalArgumentException](
-      Profile.nullPatternAudit(df, Seq("nope")))
+      ProfileAudits.nullPatternAudit(df, Seq("nope")))
     assertThrows[IllegalArgumentException](
-      Profile.nullPatternAudit(df, Seq.empty))
+      ProfileAudits.nullPatternAudit(df, Seq.empty))
   }
 
   test("partialCorr: confounder removal, degenerate guards") {
@@ -616,7 +616,7 @@ class ProfileSpec extends SparkSpec {
       val z = i.toDouble
       (z + (i % 3), z + (i % 5), z)
     }
-    val r = Profile.partialCorr(rows.toDF("x", "y", "z"), "x", "y", "z")
+    val r = ProfileInference.partialCorr(rows.toDF("x", "y", "z"), "x", "y", "z")
       .collect().head
     assert(r.getAs[Long]("n") == 40L)
     val rxy = r.getAs[Double]("r_xy_r4")
@@ -639,12 +639,12 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(part - want) < 1e-3)
     // z constant: r_xz undefined -> NULL partial, never NaN
     val const = (0 until 10).map(i => (i.toDouble, (i * 2).toDouble, 1.0))
-    val c = Profile.partialCorr(const.toDF("x", "y", "z"), "x", "y", "z")
+    val c = ProfileInference.partialCorr(const.toDF("x", "y", "z"), "x", "y", "z")
       .collect().head
     assert(c.isNullAt(c.fieldIndex("partial_r4")))
     assert(c.isNullAt(c.fieldIndex("r_xz_r4")))
     assertThrows[IllegalArgumentException](
-      Profile.partialCorr(const.toDF("x", "y", "z"), "x", "x", "z"))
+      ProfileInference.partialCorr(const.toDF("x", "y", "z"), "x", "x", "z"))
   }
 
   test("groupTrimmedMeans: rank trim, outlier resistance, empty-trim NULL") {
@@ -652,7 +652,7 @@ class ProfileSpec extends SparkSpec {
     // use trimBp 2000: cut = 1, keep ranks 2..4 -> mean (2+3+4)/3 = 3
     val df = (Seq(1L, 2L, 3L, 4L, 1000L).map(("g1", _)) ++
       Seq(5L, 5L).map(("g2", _))).toDF("g", "v")
-    val got = graft.operators.Profile
+    val got = graft.operators.ProfileAudits
       .groupTrimmedMeans(df, "g", "v", trimBp = 2000L)
       .collect().map(r => r.getAs[String]("group") -> r).toMap
     assert(got("g1").getAs[Long]("n") == 5L)
@@ -664,21 +664,21 @@ class ProfileSpec extends SparkSpec {
     assert(got("g2").getAs[Long]("trimmed_n") == 2L)
     // aggressive trim empties a tiny group -> NULL, never NaN
     val tiny = Seq(("t", 7L), ("t", 9L)).toDF("g", "v")
-    val t = graft.operators.Profile
+    val t = graft.operators.ProfileAudits
       .groupTrimmedMeans(tiny, "g", "v", trimBp = 4999L)
       .collect().head
     // cut = floor(4999*2/10000) = 0 -> keeps both; use 3 rows for cut=1
     val tiny3 = Seq(("t", 7L), ("t", 9L), ("t", 11L)).toDF("g", "v")
-    val t3 = graft.operators.Profile
+    val t3 = graft.operators.ProfileAudits
       .groupTrimmedMeans(tiny3, "g", "v", trimBp = 4999L)
       .collect().head
     assert(t3.getAs[Long]("trimmed_n") == 1L &&
       t3.getAs[Double]("trimmed_mean_r4") == 9.0)
     assert(t.getAs[Long]("trimmed_n") == 2L)
     assertThrows[IllegalArgumentException](
-      graft.operators.Profile.groupTrimmedMeans(df, "g", "v", trimBp = 5000L))
+      graft.operators.ProfileAudits.groupTrimmedMeans(df, "g", "v", trimBp = 5000L))
     assertThrows[IllegalArgumentException](
-      graft.operators.Profile.groupTrimmedMeans(
+      graft.operators.ProfileAudits.groupTrimmedMeans(
         Seq(("a", 1.5)).toDF("g", "v"), "g", "v"))
   }
 }

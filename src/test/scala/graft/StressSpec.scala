@@ -3,9 +3,13 @@ package graft
 /** The stress artifact's FORMAT machinery, CI-checked: the real
   * 10×-corpus run happens out-of-band per round
   * (`runMain graft.Stress` after `tools/scaleup.py`), but the board
-  * runner, the JSON shape, and the standing caveats are asserted here
-  * so a malformed artifact can't ship silently. */
+  * runner, the JSON shape, the standing caveats, and — since r10 —
+  * BOARD PARITY of the shipped artifact are asserted here so a
+  * malformed or stale artifact can't ship silently. */
 class StressSpec extends SparkSpec {
+
+  private def parse(json: String) =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
 
   test("runBoard + toJson: per-query pass/fail, valid JSON, caveats present") {
     val names = Seq("q_dedup_exact", "q_text_vocab")
@@ -13,16 +17,17 @@ class StressSpec extends SparkSpec {
     assert(qs.map(_.name) == names)
     assert(qs.forall(_.ok), qs.flatMap(_.err))
     assert(qs.forall(_.rows > 0))
-    val json = Stress.toJson("/root/testdata/sf0.001", 1.234, qs)
-    // the artifact must parse as strict JSON — use the JVM's own
-    // nashorn-free check: Spark ships Jackson
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(json)
+    val json = Stress.toJson("/root/testdata/sf0.001", 1.234, qs,
+      boardN = SparkEntry.queries.size)
+    val m = parse(json)
     assert(m.get("pass").asInt == 2 && m.get("fail").asInt == 0)
     assert(m.get("queries").get("q_dedup_exact").get("ok").asBoolean)
     assert(m.get("queries").get("q_text_vocab").get("rows").asLong > 0)
     assert(m.get("caveats").has("q_dedup_pagerank"))
     assert(m.get("caveats").has("oracle_scope"))
+    // a 2-query run against the full registry is stamped partial
+    assert(m.get("partial").asBoolean)
+    assert(m.get("board_n").asInt == SparkEntry.queries.size)
   }
 
   test("runBoard reports a broken query as fail without aborting the board") {
@@ -30,9 +35,54 @@ class StressSpec extends SparkSpec {
     val qs = Stress.runBoard(spark, "/nonexistent-dir",
       Seq("q_dedup_exact"))
     assert(qs.size == 1 && !qs.head.ok && qs.head.rows == -1L)
-    val json = Stress.toJson("/nonexistent-dir", 0.0, qs)
-    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val json = Stress.toJson("/nonexistent-dir", 0.0, qs, boardN = 1)
+    val m = parse(json)
     assert(m.get("fail").asInt == 1)
     assert(m.get("queries").get("q_dedup_exact").has("err"))
+    assert(!m.get("partial").asBoolean)
+  }
+
+  test("toJson ships upward-scaling ratios and flags unexplained supra-linear queries") {
+    val qs = Seq(
+      Stress.Q("q_linear", 100L, 8.0, None),     // 8x on 10x data: fine
+      Stress.Q("q_blowup", 100L, 40.0, None),    // 20x: flagged
+      Stress.Q("q_tiny", 100L, 0.3, None),       // under the floor: ignored
+      Stress.Q("q_span_dedup", 100L, 46.0, None)) // waived by name
+    val medians = Map("q_linear" -> 1.0, "q_blowup" -> 2.0,
+      "q_tiny" -> 0.01, "q_span_dedup" -> 2.0)
+    val m = parse(Stress.toJson("d", 0.0, qs, boardN = 4, medians))
+    assert(m.get("queries").get("q_linear").get("ratio").asDouble == 8.0)
+    assert(m.get("queries").get("q_blowup").get("ratio").asDouble == 20.0)
+    val flagged = (0 until m.get("flagged").size())
+      .map(m.get("flagged").get(_).asText).toSet
+    assert(flagged == Set("q_blowup"))
+    assert(m.get("ratio_waivers").has("q_span_dedup"))
+  }
+
+  test("BOARD PARITY: the shipped target/stress.json certifies the live registry") {
+    // The r9 wart this gate exists for: an artifact generated before
+    // the round's last queries landed certified 276/278 while SURVEY
+    // claimed a final-board re-run. A stale, partial, or failing
+    // artifact now fails the suite; refresh it on the FINAL board
+    // (scaleup.py + runMain graft.Stress) before the closing sbt test.
+    val p = java.nio.file.Paths.get("target/stress.json")
+    assume(java.nio.file.Files.isRegularFile(p),
+      "no shipped stress artifact in this checkout - nothing to certify")
+    val m = parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val artifactQueries = {
+      val it = m.get("queries").fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val registry = SparkEntry.queries.keySet
+    val missing = registry -- artifactQueries
+    val extra = artifactQueries -- registry
+    assert(missing.isEmpty && extra.isEmpty,
+      s"stress.json is stale vs the registry: missing=${missing.toSeq.sorted.mkString(",")} " +
+        s"extra=${extra.toSeq.sorted.mkString(",")} - re-run graft.Stress on the final board")
+    assert(!m.get("partial").asBoolean, "shipped stress.json is a partial run")
+    assert(m.get("fail").asInt == 0,
+      s"shipped stress.json records failures: ${m.get("fail").asInt}")
   }
 }

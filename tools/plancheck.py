@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Cross-round plan-regression gate.
+
+Diffs the physical-plan fingerprints (exchange count, parquet-scan
+count) of the latest bench run (`target/bench.json`, field `plans`)
+against the committed baseline (`tools/plans_baseline.json`) and fails
+on any UNEXPLAINED change: a changed fingerprint means the query's plan
+shape regressed (or improved) and must be either fixed or consciously
+re-baselined in the same commit.
+
+Usage:
+  python3 tools/plancheck.py            # check, exit 1 on unexplained diffs
+  python3 tools/plancheck.py --update   # accept current plans as the baseline
+
+Waivers: `waivers` in the baseline maps query -> reason for a known,
+explained fingerprint change this round; `--update` clears them (a new
+baseline needs no waivers). New queries (in bench, not in baseline) and
+removed queries are reported as info, never failures — coverage growth
+is normal; silent plan drift is not.
+"""
+import json, sys, os
+
+BASELINE = os.path.join(os.path.dirname(__file__), "plans_baseline.json")
+BENCH = "target/bench.json"
+
+
+def main():
+    update = "--update" in sys.argv
+    if not os.path.isfile(BENCH):
+        print(f"[plancheck] {BENCH} missing - run graft.Bench first")
+        return 2
+    with open(BENCH) as f:
+        current = json.load(f).get("plans", {})
+    if not current:
+        print(f"[plancheck] {BENCH} has no plans field")
+        return 2
+    # drop error fingerprints: a failed query reports [-1,-1]
+    current = {k: v for k, v in current.items() if v != [-1, -1]}
+    if update:
+        out = {"source": "plancheck --update", "plans": current, "waivers": {}}
+        with open(BASELINE, "w") as f:
+            json.dump(out, f, indent=0, sort_keys=True)
+        print(f"[plancheck] baselined {len(current)} plans -> {BASELINE}")
+        return 0
+    with open(BASELINE) as f:
+        base = json.load(f)
+    baseline, waivers = base["plans"], base.get("waivers", {})
+    added = sorted(set(current) - set(baseline))
+    removed = sorted(set(baseline) - set(current))
+    changed = sorted(q for q in set(current) & set(baseline)
+                     if current[q] != baseline[q])
+    unexplained = [q for q in changed if q not in waivers]
+    if added:
+        print(f"[plancheck] {len(added)} new queries (info): {', '.join(added)}")
+    if removed:
+        print(f"[plancheck] {len(removed)} removed queries (info): {', '.join(removed)}")
+    for q in changed:
+        tag = "WAIVED: " + waivers[q] if q in waivers else "UNEXPLAINED"
+        print(f"[plancheck] plan changed {q}: {baseline[q]} -> {current[q]} ({tag})")
+    if unexplained:
+        print(f"[plancheck] FAIL: {len(unexplained)} unexplained plan change(s); "
+              f"fix the plan, or waive it with a reason in {BASELINE}, "
+              f"or re-baseline with --update")
+        return 1
+    print(f"[plancheck] OK: {len(changed)} changed (all waived), "
+          f"{len(set(current) & set(baseline))} compared")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
