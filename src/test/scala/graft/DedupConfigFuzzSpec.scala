@@ -1,0 +1,185 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Differential CONFIG fuzzing of the candidate-frame dedup family
+  * (r10, verdict item 4). [[DedupPropSpec]] pins collapsed == direct
+  * at one fixed configuration; here the configuration itself is
+  * random — shingle k, jaccard/containment thresholds, stop-shingle
+  * prune limits, minhash perm×band shapes — over random corpora with
+  * PLANTED near-duplicates (mutated copies) and exact copies, checked
+  * against an INDEPENDENT brute-force interpreter (plain Scala set
+  * arithmetic over the collected shingle sets — no Spark joins, no
+  * shared code with the operators beyond the shingling definition
+  * itself). 100 random configs total across the two properties.
+  *
+  * Laws checked:
+  *  - jaccardPairs / containmentPairs == brute force at ANY (k,
+  *    threshold, prune): same pair set, same exact integer rows —
+  *    including the documented prune semantics (inter counts KEPT
+  *    shared shingles; sizes stay true set sizes).
+  *  - minhashPairs ⊆ jaccardPairs at the same threshold (exact verify
+  *    ⇒ zero false positives at ANY perm×band shape).
+  *  - identical-shingle-set pairs are ALWAYS recalled by minhash
+  *    (identical sets ⇒ identical signatures ⇒ same buckets).
+  *  - collapsedJaccard/collapsedMinhash == direct under random config
+  *    (prune off — the prune-on divergence is the documented
+  *    per-distinct-text semantics). */
+object DedupConfigFuzzSpec extends Properties("DedupConfigFuzz") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(sys.env.get("GRAFT_FUZZ_N").map(_.toInt / 2)
+      .getOrElse(50))
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  private val genWord = Gen.oneOf("aa", "bb", "cc", "dd", "a", "b", "c")
+
+  private val genBaseText: Gen[Option[String]] = Gen.frequency(
+    1 -> Gen.const(None),
+    1 -> Gen.const(Some("")),
+    8 -> Gen.choose(1, 8).flatMap(k =>
+      Gen.listOfN(k, genWord).map(ws => Some(ws.mkString(" ")))))
+
+  /** One planted mutation of a text: drop last word, append a word, or
+    * replace the first word — the near-dup structure LSH must find. */
+  private def genMutant(t: String): Gen[String] = {
+    val ws = t.split(" ").toList.filter(_.nonEmpty)
+    if (ws.isEmpty) genWord
+    else Gen.choose(0, 2).flatMap {
+      case 0 => Gen.const(ws.dropRight(1).mkString(" "))
+      case 1 => genWord.map(w => (ws :+ w).mkString(" "))
+      case _ => genWord.map(w => (w :: ws.tail).mkString(" "))
+    }
+  }
+
+  /** Corpus: base docs + exact copies + planted mutated near-dups. */
+  private val genCorpus: Gen[List[(Long, Option[String])]] = for {
+    n <- Gen.choose(2, 7)
+    docs <- Gen.listOfN(n, genBaseText)
+    copies <- Gen.listOfN(n, Gen.choose(1, 2))
+    mutants <- Gen.sequence[List[Option[String]], Option[String]](docs.map {
+      case Some(t) if t.nonEmpty =>
+        Gen.option(genMutant(t)).map(_.map(identity))
+      case _ => Gen.const(None)
+    })
+  } yield (docs.zip(copies).flatMap { case (t, c) => Seq.fill(c)(t) } ++
+    mutants.flatten.map(Some(_): Option[String]))
+    .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def toDf(rows: List[(Long, Option[String])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, t) => Row(id, t.orNull) }, 2), schema)
+
+  /** Shingle sets exactly as the operators define them (the shingling
+    * is the shared definition; everything downstream is independent). */
+  private def shingleSets(rows: List[(Long, Option[String])],
+                          k: Int): Map[Long, Set[String]] =
+    toDf(rows).select(col("doc_id"), TextFns.wordShingles(col("text"), k).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Set.empty[String] else r.getSeq[String](1).toSet))
+      .toMap
+
+  /** Brute-force pair listing: plain Scala set arithmetic, replaying
+    * the documented prune semantics (candidates + inter over KEPT
+    * shingles, true set sizes). */
+  private def brute(sets: Map[Long, Set[String]], maxPost: Long)
+      : Seq[(Long, Long, Long, Long)] = {
+    val df = sets.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val kept = df.collect { case (s, c) if c <= maxPost => s }.toSet
+    val ids = sets.keys.toSeq.sorted
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sets(a) & sets(b) & kept).size.toLong
+      if inter > 0
+    } yield (a, b, inter, sets(a).size.toLong + sets(b).size - inter)
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+    df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+
+  private val genJaccConfig = for {
+    k <- Gen.choose(1, 3)
+    minJacc <- Gen.choose(100L, 9000L)
+    minContain <- Gen.choose(1000L, 9500L)
+    maxPost <- Gen.frequency(3 -> Gen.const(1000000L), 2 -> Gen.choose(2L, 5L))
+  } yield (k, minJacc, minContain, maxPost)
+
+  property("jaccard + containment == brute-force interpreter at random config") =
+    forAll(genCorpus, genJaccConfig) { case (rows, (k, minJacc, minContain, maxPost)) =>
+      val corpus = toDf(rows)
+      val sets = shingleSets(rows, k)
+      val all = brute(sets, maxPost)
+      val expJacc = all.map { case (a, b, inter, uni) =>
+        (a, b, inter, uni, inter * 10000L / uni)
+      }.filter(_._5 >= minJacc)
+        .map { case (a, b, i, u, j) => Seq[Any](a, b, i, u, j) }.toSet
+      val expCont = all.map { case (a, b, inter, _) =>
+        val (sa, sb) = (sets(a).size.toLong, sets(b).size.toLong)
+        (a, b, inter, sa, sb, inter * 10000L / math.min(sa, sb))
+      }.filter(_._6 >= minContain)
+        .map { case (a, b, i, sa, sb, c) => Seq[Any](a, b, i, sa, sb, c) }.toSet
+      val gotJacc = rowSet(Dedup.jaccardPairs(corpus, "doc_id", "text", n = k,
+        minJaccardBp = minJacc, maxShinglePostings = maxPost),
+        Seq("id_a", "id_b", "inter", "uni", "jacc_bp"))
+      val gotCont = rowSet(Dedup.containmentPairs(corpus, "doc_id", "text", n = k,
+        minContainBp = minContain, maxShinglePostings = maxPost),
+        Seq("id_a", "id_b", "inter", "sz_a", "sz_b", "contain_bp"))
+      val ok = gotJacc == expJacc && gotCont == expCont
+      if (!ok) println(s"BRUTE-MISMATCH k=$k jacc=$minJacc cont=$minContain " +
+        s"prune=$maxPost on $rows:\n jacc got ${gotJacc.size} exp ${expJacc.size}" +
+        s"\n cont got ${gotCont.size} exp ${expCont.size}")
+      ok
+    }
+
+  private val genMinhashConfig = for {
+    k <- Gen.choose(1, 3)
+    minJacc <- Gen.choose(100L, 9000L)
+    (perm, bands) <- Gen.oneOf((16, 16), (16, 8), (16, 4), (8, 8), (8, 2), (32, 8))
+  } yield (k, minJacc, perm, bands)
+
+  property("minhash: exact-verified subset, identical-set recall, collapsed twin") =
+    forAll(genCorpus, genMinhashConfig) { case (rows, (k, minJacc, perm, bands)) =>
+      val corpus = toDf(rows)
+      val cols = Seq("id_a", "id_b", "inter", "uni", "jacc_bp")
+      val exact = rowSet(Dedup.jaccardPairs(corpus, "doc_id", "text", n = k,
+        minJaccardBp = minJacc, maxShinglePostings = 1000000L), cols)
+      val mh = rowSet(Dedup.minhashPairs(corpus, "doc_id", "text", n = k,
+        numPerm = perm, numBands = bands, minJaccardBp = minJacc,
+        maxBucketSize = Long.MaxValue), cols)
+      val mhc = rowSet(Dedup.collapsedMinhashPairs(corpus, "doc_id", "text", n = k,
+        numPerm = perm, numBands = bands, minJaccardBp = minJacc,
+        maxBucketSize = Long.MaxValue), cols)
+      val jc = rowSet(Dedup.collapsedJaccardPairs(corpus, "doc_id", "text", n = k,
+        minJaccardBp = minJacc, maxShinglePostings = 1000000L), cols)
+      // identical nonempty shingle sets ⇒ identical signatures ⇒ recalled
+      val sets = shingleSets(rows, k)
+      val ids = sets.keys.toSeq.sorted
+      val identical = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = ids(i); b = ids(j)
+        if sets(a).nonEmpty && sets(a) == sets(b)
+      } yield Seq[Any](a, b, sets(a).size.toLong, sets(a).size.toLong, 10000L)).toSet
+      val ok = mh.subsetOf(exact) && identical.subsetOf(mh) &&
+        mhc == mh && jc == exact
+      if (!ok) println(s"MINHASH-MISMATCH k=$k t=$minJacc perm=$perm bands=$bands " +
+        s"on $rows: mh ${mh.size} exact ${exact.size} identical ${identical.size} " +
+        s"mhc ${mhc.size} jc ${jc.size}")
+      ok
+    }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.contracts.{Constraint, Contract, Field}
+import graft.operators.{Contamination, IncrementalDedup}
+import graft.validators.Enforce
+
+/** Randomized micro-batch-boundary parity for the ZERO-STATE streaming
+  * operators (r10, verdict item 5). Each claims batch ≡ stream at ANY
+  * micro-batch split because it holds no state across batches; the
+  * fixed-split specs in StreamingSpec exercise one boundary each.
+  * Here the SAME random document list is split into a RANDOM partition
+  * of 1..4 micro-batches (each `addData` + `processAllAvailable` pins
+  * a real batch boundary) and the streamed output must equal the
+  * batch twin over the whole frame — for decontaminateStream,
+  * lookupStream, and enforceStream's clean/quarantine split. */
+object StreamSplitPropSpec extends Properties("StreamSplitParity") {
+
+  private lazy val spark = SparkSpec.session
+  private var nameCounter = 0
+  private def freshName(prefix: String): String =
+    synchronized { nameCounter += 1; s"${prefix}_$nameCounter" }
+
+  // streaming queries are ~1s each; 10 random splits per operator keep
+  // the suite fast while sweeping the boundary space (incl. the 1-batch
+  // and every-doc-its-own-batch extremes via the random sizes)
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val benchText = "the quick brown fox jumps over the lazy dog today"
+  private val indexTexts = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "one two three four five six seven eight nine ten"))
+
+  private val genDoc: Gen[String] = Gen.frequency(
+    2 -> Gen.const(benchText),                       // fully contaminated
+    2 -> Gen.const(indexTexts.head._2),              // exact index dup
+    1 -> Gen.const(indexTexts.head._2 + " iota"),    // near dup
+    1 -> Gen.const("the quick brown fox sleeps all day long instead"),
+    3 -> Gen.listOfN(6, Gen.oneOf("red", "green", "blue", "spark", "query",
+      "engine", "corpus", "shard")).map(_.mkString(" ")),
+    1 -> Gen.const(null.asInstanceOf[String]))
+
+  /** docs + a random partition of them into consecutive micro-batches. */
+  private val genDocsAndSplit: Gen[(List[(Long, String)], List[Int])] = for {
+    n <- Gen.choose(1, 8)
+    texts <- Gen.listOfN(n, genDoc)
+    docs = texts.zipWithIndex.map { case (t, i) => ((i + 100).toLong, t) }
+    nBatches <- Gen.choose(1, math.min(4, n))
+    cuts <- Gen.pick(nBatches - 1, 1 until n)
+  } yield (docs, cuts.toList.sorted)
+
+  private def batches(docs: List[(Long, String)],
+                      cuts: List[Int]): List[List[(Long, String)]] = {
+    val bounds = (0 :: cuts) :+ docs.length
+    bounds.zip(bounds.tail).map { case (a, b) => docs.slice(a, b) }
+  }
+
+  import spark.implicits._
+
+  private lazy val bloom = Contamination.trainVocabularyBloom(
+    Seq((1L, benchText)).toDF("doc_id", "text"), "text", n = 3,
+    expectedItems = 1024L)
+  private lazy val index = IncrementalDedup.minhashIndex(
+    indexTexts.toDF("doc_id", "text"), "doc_id", "text", 16, 4)
+
+  property("decontaminateStream: any micro-batch split == batch twin") =
+    forAll(genDocsAndSplit) { case (docs, cuts) =>
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val name = freshName("decon_split")
+      val q = Contamination.decontaminateStream(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bloom,
+          n = 3, minBp = 5000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val streamed = try {
+        batches(docs, cuts).foreach { b =>
+          if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+        }
+        spark.table(name).collect()
+          .map(r => (r.getAs[Long]("id"), r.getAs[Long]("contamination_bp"))).toSet
+      } finally q.stop()
+      val batch = Contamination.decontaminateStream(
+          docs.toDF("doc_id", "text"), "doc_id", "text", bloom,
+          n = 3, minBp = 5000L)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("contamination_bp"))).toSet
+      val ok = streamed == batch
+      if (!ok) println(s"DECON-SPLIT-MISMATCH cuts=$cuts docs=$docs: " +
+        s"stream=$streamed batch=$batch")
+      ok
+    }
+
+  property("lookupStream: any micro-batch split == batch lookup") =
+    forAll(genDocsAndSplit) { case (docs0, cuts) =>
+      implicit val sc = spark.sqlContext
+      val docs = docs0.map { case (id, t) => (id, if (t == null) "" else t) }
+      val mem = MemoryStream[(Long, String)]
+      val name = freshName("lookup_split")
+      val q = IncrementalDedup.lookupStream(index,
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          numPerm = 16, numBands = 4, minEstBp = 5000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val streamed = try {
+        batches(docs, cuts).foreach { b =>
+          if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+        }
+        spark.table(name).collect().map(_.toSeq).toSet
+      } finally q.stop()
+      val batch = IncrementalDedup.lookup(index, docs.toDF("doc_id", "text"),
+          "doc_id", "text", numPerm = 16, numBands = 4, minEstBp = 5000L)
+        .collect().map(_.toSeq).toSet
+      val ok = streamed == batch
+      if (!ok) println(s"LOOKUP-SPLIT-MISMATCH cuts=$cuts docs=$docs: " +
+        s"stream=$streamed batch=$batch")
+      ok
+    }
+
+  private lazy val contract = Contract(
+    version = "1.0", name = "split_fuzz", owner = "qa",
+    schema = graft.contracts.ContractSchema("parquet", "mem", Seq(
+      Field("doc_id", "bigint", nullable = false),
+      Field("text", "string", nullable = false,
+        constraints = Seq(Constraint.Pattern("^[a-z ]*$"))))))
+
+  property("enforceStream: any micro-batch split == batch partition") =
+    forAll(genDocsAndSplit) { case (docs, cuts) =>
+      implicit val sc = spark.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("enforce_split")
+      val (cleanDir, qDir) = (s"$tmp/clean", s"$tmp/quarantine")
+      val mem = MemoryStream[(Long, String)]
+      val q = Enforce.enforceStream(mem.toDF().toDF("doc_id", "text"),
+        contract, cleanDir, qDir)
+      val (gotClean, gotQuar) = try {
+        batches(docs, cuts).foreach { b =>
+          if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+        }
+        def readSet(dir: String) =
+          if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+            Set.empty[Seq[Any]]
+          else spark.read.parquet(dir).select("doc_id", "text")
+            .collect().map(_.toSeq).toSet
+        (readSet(cleanDir), readSet(qDir))
+      } finally q.stop()
+      val (expClean, expQuar) = Enforce.partition(docs.toDF("doc_id", "text"), contract)
+      val ecs = expClean.select("doc_id", "text").collect().map(_.toSeq).toSet
+      val eqs = expQuar.select("doc_id", "text").collect().map(_.toSeq).toSet
+      val ok = gotClean == ecs && gotQuar == eqs
+      if (!ok) println(s"ENFORCE-SPLIT-MISMATCH cuts=$cuts docs=$docs: " +
+        s"clean $gotClean vs $ecs quar $gotQuar vs $eqs")
+      ok
+    }
+}
