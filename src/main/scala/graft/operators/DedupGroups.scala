@@ -333,4 +333,34 @@ object DedupGroups {
           expr("3 * __t * 1000000 DIV __triplets")).cast("long")
           .as("transitivity_ppm"))
   }
+
+  /** Per-CLUSTER edge density of the near-dup graph: for every
+    * connected component of `pairs`, its member count, intra-edge
+    * count, density = 2m/(n(n−1)) in exact bp, and a clique flag —
+    * the cluster-GEOMETRY datasheet line between the size histogram
+    * (row 87) and global transitivity (row 256): a density_bp near
+    * 10⁴ means true duplicate cliques, a low one means chained
+    * borderline matches (SNM/threshold artifacts) that a group-level
+    * collapse would over-merge.
+    *
+    * Plan: [[connectedComponents]] over the (already persisted,
+    * session-shared) pair frame, one equi-join of pairs → component
+    * on id_a (every edge is intra-component by CC construction, so
+    * one endpoint suffices), two group-bounded rollups. Exact
+    * integers throughout. */
+  def clusterDensity(pairs: DataFrame, aCol: String = "id_a",
+                     bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val members = cc.groupBy("component")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    val edges = pairs.select(col(aCol).as("id"))
+      .join(cc, "id")
+      .groupBy("component").agg(count(lit(1)).cast("long").as("edges"))
+    members.join(edges, "component")
+      .withColumn("density_bp",
+        expr("edges * 2 * 10000 DIV (n_members * (n_members - 1))").cast("long"))
+      .withColumn("is_clique",
+        col("edges") * 2 === col("n_members") * (col("n_members") - 1L))
+      .select("component", "n_members", "edges", "density_bp", "is_clique")
+  }
 }

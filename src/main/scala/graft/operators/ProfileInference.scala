@@ -428,4 +428,99 @@ object ProfileInference {
             lit(0.0))
           .otherwise(col("__kk")), 2).as("prior_strength_r2"))
   }
+
+  /** One-way ANOVA F over a DECLARED group alphabet — the parametric
+    * k-sample complement of [[kruskalWallis]]: does the MEAN of an
+    * integral metric differ across groups (Kruskal asks about rank
+    * distributions). `groups` pins the alphabet so the k per-group
+    * (n, Σv, Σv²) triples fold into ONE row of conditional sums — one
+    * fused map-side-combined pass, no second shuffle, and F is then a
+    * SINGLE double expression over exact integer aggregates whose
+    * shape both engines evaluate identically (the cross-engine
+    * determinism discipline: no double is ever summed ACROSS rows).
+    * `valueCol` must be exactly long-castable (quantities, counts,
+    * bp-scaled metrics) so the folds stay exact; at 100 TB this is one
+    * scan + a 1-row fold regardless of group sizes.
+    *
+    * Output (1 row): n, k_groups, df_between, df_within,
+    * ss_between_r4, ss_within_r4, f_r4 (NULL when any declared group
+    * is empty or df_within = 0). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String,
+             groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2, "need at least 2 groups")
+    require(groups.distinct.size == groups.size, "duplicate group label")
+    val v = col(valueCol).cast(LongType)
+    val base = df.filter(col(groupCol).isin(groups.map(x => x: Any): _*) &&
+      col(valueCol).isNotNull)
+    val aggs = groups.zipWithIndex.flatMap { case (g, i) =>
+      val in = col(groupCol) === g
+      Seq(sum(when(in, 1L).otherwise(0L)).cast(LongType).as(s"__n$i"),
+        sum(when(in, v).otherwise(0L)).cast(LongType).as(s"__s$i"),
+        sum(when(in, v * v).otherwise(0L)).cast(LongType).as(s"__q$i"))
+    }
+    val k = groups.size
+    val idx = groups.indices
+    // the two sums of squares as ONE expression each — a fixed
+    // left-to-right tree of k terms over the 1-row integer fold, so
+    // Spark and an oracle replay yield bit-identical doubles
+    val nTot = idx.map(i => s"__n$i").mkString(" + ")
+    val sTot = idx.map(i => s"__s$i").mkString(" + ")
+    val bSum = idx.map(i =>
+      s"CAST(__s$i AS DOUBLE) * __s$i / __n$i").mkString(" + ")
+    val wSum = idx.map(i =>
+      s"CAST(__q$i AS DOUBLE) - CAST(__s$i AS DOUBLE) * __s$i / __n$i")
+      .mkString(" + ")
+    val guard = idx.map(i => s"__n$i > 0").mkString(" AND ")
+    base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", expr(nTot).cast(LongType))
+      .withColumn("k_groups", lit(k.toLong))
+      .withColumn("df_between", lit((k - 1).toLong))
+      .withColumn("df_within", (col("n") - k.toLong).cast(LongType))
+      .withColumn("__ssb", expr(
+        s"CASE WHEN $guard THEN ($bSum) - CAST($sTot AS DOUBLE) * ($sTot) / ($nTot) END"))
+      .withColumn("__ssw", expr(s"CASE WHEN $guard THEN $wSum END"))
+      .withColumn("ss_between_r4", round(col("__ssb"), 4))
+      .withColumn("ss_within_r4", round(col("__ssw"), 4))
+      .withColumn("f_r4", round(
+        when(col("df_within") > 0 && col("__ssw") > 0d,
+          (col("__ssb") / (k - 1).toDouble) /
+            (col("__ssw") / col("df_within").cast(DoubleType))), 4))
+      .select("n", "k_groups", "df_between", "df_within",
+        "ss_between_r4", "ss_within_r4", "f_r4")
+  }
+
+  /** McNEMAR paired marginal-homogeneity test over two boolean columns
+    * measured on the SAME units — "is behavior A more prevalent than
+    * behavior B among the same users" (paired classifier comparison,
+    * before/after flags). Only the DISCORDANT cells carry signal:
+    * chi² = (b−c)²/(b+c), plus the continuity-corrected variant
+    * ((|b−c|−1)²/(b+c)) for small counts. ONE conditional-sum pass to
+    * a 1-row fold of exact integer cell counts; the statistics are
+    * single double expressions over them (r4-rounded).
+    *
+    * Output (1 row): n, both, a_only, b_only, neither, chi2_r4,
+    * chi2_cc_r4 (NULL when b+c = 0). */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).cast(LongType).as("both"),
+        sum(when(a && !b, 1L).otherwise(0L)).cast(LongType).as("a_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).cast(LongType).as("b_only"),
+        sum(when(!a && !b, 1L).otherwise(0L)).cast(LongType).as("neither"))
+      .withColumn("__d", col("a_only") + col("b_only"))
+      .withColumn("chi2_r4", round(
+        when(col("__d") > 0,
+          (col("a_only") - col("b_only")).cast(DoubleType) *
+            (col("a_only") - col("b_only")) / col("__d").cast(DoubleType)), 4))
+      .withColumn("chi2_cc_r4", round(
+        when(col("__d") > 0,
+          greatest(abs(col("a_only") - col("b_only")) - 1L, lit(0L))
+            .cast(DoubleType) *
+            greatest(abs(col("a_only") - col("b_only")) - 1L, lit(0L)) /
+            col("__d").cast(DoubleType)), 4))
+      .select("n", "both", "a_only", "b_only", "neither",
+        "chi2_r4", "chi2_cc_r4")
+  }
 }

@@ -873,6 +873,32 @@ object Sessionize {
         col("__r.s").as("survival_e8"))
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME over a [[kaplanMeier]] frame: the
+    * area under the KM step curve up to τ = the last observed event
+    * time — "expected days survived within the observation window",
+    * the single-number readout clinicians (and churn analysts) quote
+    * where a median fails (e.g. when survival never crosses 50%).
+    * S is right-continuous, so ∫₀^τ S dt = Σᵢ S(tᵢ₋₁)·(tᵢ−tᵢ₋₁) with
+    * S(t₀)=1 on [0, t₁) — every term an exact int64 product of the
+    * e8-scaled survival and integer day gaps, so rmst_e8 is EXACT and
+    * replays engine-to-engine; the day-unit form is one final double.
+    *
+    * The lag window below orders the KM frame — bounded by the
+    * distinct event-time alphabet (day grain: ≤ calendar span), never
+    * unit-grain data. Output (1 row): tau_days, rmst_e8, rmst_days_r4. */
+  def rmstFromKm(km: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    km.select(col("t").cast("long").as("t"),
+        col("survival_e8").cast("long").as("s"))
+      .withColumn("__tprev", lag(col("t"), 1, 0L).over(w))
+      .withColumn("__sprev", lag(col("s"), 1, 100000000L).over(w))
+      .agg(max("t").cast("long").as("tau_days"),
+        sum(col("__sprev") * (col("t") - col("__tprev"))).cast("long")
+          .as("rmst_e8"))
+      .withColumn("rmst_days_r4",
+        round(col("rmst_e8").cast("double") / 1e8, 4))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al. 2013) over a
     * per-user frame of (arm, pre-period covariate x, outcome y): the
     * adjusted outcome ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x)

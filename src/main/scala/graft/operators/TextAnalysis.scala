@@ -1029,4 +1029,48 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         graft.functions.BpeTokenizeExpr(
           TextFns.words(TextFns.normalize(col(textCol))), vocab).as("pieces"))
+
+  /** ZIPF rank-frequency slope of the corpus vocabulary — the
+    * corpus-health line next to the yield curve (row 77): natural text
+    * follows freq ∝ rank^(−s) with s ≈ 1; a slope far from 1 flags a
+    * degenerate corpus (template spam flattens the head, OCR noise
+    * fattens the tail). Estimated between two EXACT rank anchors —
+    * the ceil(N/100)-th and ceil(N/2)-th most frequent terms — whose
+    * frequencies come from the frequency-of-frequency rollup: the
+    * cumulative window below runs over the DISTINCT FREQUENCY VALUE
+    * alphabet (≪ vocabulary ≪ corpus), never term- or unit-grain
+    * rows, so the only unbounded stage is the one vocabulary-bounded
+    * term count every text operator shares. Ranks and frequencies are
+    * exact integers; the slope is one final r4 double (the same
+    * data-dependent-ln-at-r4 contract as BM25/PSI/MI).
+    *
+    * Output (1 row): n_terms, r_head, f_head, r_tail, f_tail,
+    * slope_r4 (NULL when the anchors coincide — degenerate vocab). */
+  def zipfSlope(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = vocabularyWithDocFreq(df, idCol, textCol)
+      .select(col("term_freq").as("__f"))
+    val fof = tf.groupBy("__f").agg(count(lit(1)).as("__m"))
+    // distinct-frequency-value alphabet: bounded (≤ a few thousand even
+    // at corpus scale — frequencies concentrate), documented above
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__f").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = fof.withColumn("__cum", sum("__m").over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchors = cum.agg(sum("__m").cast("long").as("n_terms"))
+      .withColumn("r_head", expr("(n_terms + 99) DIV 100").cast("long"))
+      .withColumn("r_tail", expr("(n_terms + 1) DIV 2").cast("long"))
+    val out = anchors
+      .join(cum.as("h"), expr("h.__cum >= r_head"))
+      .groupBy("n_terms", "r_head", "r_tail")
+      .agg(max("h.__f").cast("long").as("f_head"))
+      .join(cum.as("t2"), expr("t2.__cum >= r_tail"))
+      .groupBy("n_terms", "r_head", "r_tail", "f_head")
+      .agg(max("t2.__f").cast("long").as("f_tail"))
+      .withColumn("slope_r4", round(
+        when(col("r_tail") > col("r_head"),
+          (log(col("f_head").cast("double")) - log(col("f_tail").cast("double"))) /
+            (log(col("r_tail").cast("double")) - log(col("r_head").cast("double")))), 4))
+      .select("n_terms", "r_head", "f_head", "r_tail", "f_tail", "slope_r4")
+    out
+  }
 }

@@ -1132,7 +1132,51 @@ object DedupQueries {
                  THEN inter * 10000 // (za + zb - inter) ELSE 10000 END) AS BIGINT) AS abs_err_bp
       FROM mm, sz"""))
 
+  // 291. per-cluster edge density of the bp>=2000 near-dup graph —
+  // cluster geometry between the size histogram (87) and global
+  // transitivity (256): cliques are true dup groups, sparse chains
+  // are threshold artifacts a group collapse would over-merge. Same
+  // shared pair frame; exact integer density bp.
+  val qClusterDensity = QueryDef("q_cluster_density",
+    (s, dir) => {
+      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+      graft.operators.DedupGroups.clusterDensity(pairs)
+        .orderBy("component")
+    },
+    Some("""
+      WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      prs AS (
+        SELECT ia, ib FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      edges AS (SELECT ia s, ib d FROM prs UNION SELECT ib, ia FROM prs),
+      verts AS (SELECT DISTINCT s FROM edges)
+      , reach AS (
+        SELECT s, s AS d FROM verts
+        UNION
+        SELECT r.s, e.d FROM (SELECT s, d FROM reach) r JOIN edges e ON r.d = e.s
+      ),
+      comp AS (SELECT s AS id, min(d) AS component FROM reach GROUP BY s),
+      mem AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1),
+      ed AS (SELECT c.component, count(*) AS edges
+             FROM prs JOIN comp c ON prs.ia = c.id GROUP BY 1)
+      SELECT CAST(component AS BIGINT) AS component,
+             CAST(n_members AS BIGINT) AS n_members,
+             CAST(edges AS BIGINT) AS edges,
+             CAST(edges * 2 * 10000 // (n_members * (n_members - 1)) AS BIGINT)
+               AS density_bp,
+             edges * 2 = n_members * (n_members - 1) AS is_clique
+      FROM mem JOIN ed USING (component) ORDER BY component"""))
+
   val all: Seq[QueryDef] = Seq(
+    qClusterDensity,
     qDedupExact,
     qDedupJaccard,
     qDedupPagerank,

@@ -875,7 +875,56 @@ object EventQueries {
       FROM f ORDER BY 1"""))
 
 
+  // 289. restricted mean survival time over the row-225 KM curve: the
+  // exact area under the step function to the last observed gap —
+  // int64 e8 products summed exactly, day form one final r4 double.
+  val qRmst = QueryDef("q_rmst",
+    (s, dir) => {
+      graft.operators.Sessionize.rmstFromKm(
+        graft.operators.Sessionize.kaplanMeier(
+          table(s, dir, "events").filter(col("event_id") % 37 === 0),
+          "user_id", "ts"))
+    },
+    Some("""
+      WITH RECURSIVE dd AS (
+        SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS dy
+        FROM events WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+      m AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS maxd
+            FROM events
+            WHERE event_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+      r AS (SELECT u, dy, row_number() OVER (PARTITION BY u ORDER BY dy) AS rn FROM dd),
+      pu AS (SELECT u, min(CASE WHEN rn = 1 THEN dy END) AS d0,
+                    min(CASE WHEN rn = 2 THEN dy END) AS nxt
+             FROM r WHERE rn <= 2 GROUP BY 1),
+      pe AS (SELECT CASE WHEN nxt IS NOT NULL THEN datediff('day', d0, nxt)
+                         ELSE datediff('day', d0, m.maxd) END AS e,
+                    (nxt IS NOT NULL) AS ev
+             FROM pu, m),
+      pf AS (SELECT e, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS ev_d,
+                    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS ev_c
+             FROM pe WHERE e >= 1 GROUP BY 1),
+      tf AS (SELECT e AS t, ev_d, ev_c,
+                    sum(ev_d + ev_c) OVER (ORDER BY e DESC) AS n
+             FROM pf),
+      km AS (
+        SELECT t, ev_d, ev_c, n, (100000000 * (n - ev_d)) // n AS s
+        FROM tf WHERE t = (SELECT min(t) FROM tf)
+        UNION ALL
+        SELECT tf.t, tf.ev_d, tf.ev_c, tf.n, (km.s * (tf.n - tf.ev_d)) // tf.n
+        FROM km JOIN tf ON tf.t = (SELECT min(t2.t) FROM tf t2 WHERE t2.t > km.t)),
+      lagd AS (SELECT t, s,
+                 lag(t, 1, 0) OVER (ORDER BY t) AS tprev,
+                 lag(s, 1, 100000000) OVER (ORDER BY t) AS sprev
+               FROM km),
+      agg AS (SELECT CAST(max(t) AS BIGINT) AS tau_days,
+                     CAST(sum(sprev * (t - tprev)) AS BIGINT) AS rmst_e8
+              FROM lagd)
+      SELECT tau_days, rmst_e8,
+             round(CAST(rmst_e8 AS DOUBLE) / 1e8, 4) AS rmst_days_r4
+      FROM agg"""))
+
   val all: Seq[QueryDef] = Seq(
+    qRmst,
     qSessionize,
     qEventFunnel,
     qCohortRetention,

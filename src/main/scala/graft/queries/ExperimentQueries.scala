@@ -790,7 +790,86 @@ object ExperimentQueries {
              round(CASE WHEN nonempty AND se2 > 0 THEN did / sqrt(se2) END, 4) AS z_r4
       FROM ok"""))
 
+  // 287. one-way ANOVA F: does mean line-item quantity differ across
+  // return flags — the parametric complement of q_kruskal, one fused
+  // conditional-sum pass over the declared {A,N,R} alphabet, F as a
+  // single shape-shared double expression over exact integer folds.
+  val qAnova = QueryDef("q_anova",
+    (s, dir) => {
+      graft.operators.ProfileInference.anovaF(
+        table(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+        Seq("A", "N", "R"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s0,
+               CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q0,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'N', 'R') AND l_quantity IS NOT NULL),
+      e AS (
+        SELECT n0 + n1 + n2 AS n,
+               CASE WHEN n0 > 0 AND n1 > 0 AND n2 > 0 THEN
+                 (CAST(s0 AS DOUBLE) * s0 / n0 + CAST(s1 AS DOUBLE) * s1 / n1 +
+                  CAST(s2 AS DOUBLE) * s2 / n2)
+                 - CAST(s0 + s1 + s2 AS DOUBLE) * (s0 + s1 + s2) / (n0 + n1 + n2) END AS ssb,
+               CASE WHEN n0 > 0 AND n1 > 0 AND n2 > 0 THEN
+                 CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0 +
+                 CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1 +
+                 CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2 END AS ssw
+        FROM f)
+      SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_groups,
+             CAST(2 AS BIGINT) AS df_between,
+             CAST(n - 3 AS BIGINT) AS df_within,
+             round(ssb, 4) AS ss_between_r4, round(ssw, 4) AS ss_within_r4,
+             round(CASE WHEN n - 3 > 0 AND ssw > 0 THEN
+               (ssb / CAST(2 AS DOUBLE)) / (ssw / CAST(n - 3 AS DOUBLE)) END, 4) AS f_r4
+      FROM e"""))
+
+  // 288. McNemar paired marginal-homogeneity: among the SAME users, is
+  // 'view' more prevalent than 'purchase' — the paired 2x2 test whose
+  // signal is only the discordant cells. One conditional-sum pass.
+  val qMcnemar = QueryDef("q_mcnemar",
+    (s, dir) => {
+      val perUser = table(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "view", true).otherwise(false)).as("a"),
+          max(when(col("event_type") === "purchase", true).otherwise(false)).as("b"))
+      graft.operators.ProfileInference.mcnemar(perUser, "a", "b")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AS a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS b
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS "both",
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS neither
+        FROM u)
+      SELECT n, "both", a_only, b_only, neither,
+             round(CASE WHEN a_only + b_only > 0 THEN
+               CAST(a_only - b_only AS DOUBLE) * (a_only - b_only)
+                 / CAST(a_only + b_only AS DOUBLE) END, 4) AS chi2_r4,
+             round(CASE WHEN a_only + b_only > 0 THEN
+               CAST(greatest(abs(a_only - b_only) - 1, 0) AS DOUBLE)
+                 * greatest(abs(a_only - b_only) - 1, 0)
+                 / CAST(a_only + b_only AS DOUBLE) END, 4) AS chi2_cc_r4
+      FROM c"""))
+
   val all: Seq[QueryDef] = Seq(
+    qAnova,
+    qMcnemar,
     qAbCuped,
     qAbTest,
     qAbPower,

@@ -1192,7 +1192,37 @@ object TextQueries {
       FROM r WHERE rk <= 5 ORDER BY 1, 2"""))
 
 
+  // 290. Zipf rank-frequency slope between the exact ceil(N/100) and
+  // ceil(N/2) rank anchors of the corpus vocabulary — the corpus-
+  // health line (natural text ⇒ s ≈ 1). Frequency-of-frequency
+  // alphabet windows only; slope is the one final r4 double.
+  val qZipf = QueryDef("q_zipf",
+    (s, dir) => {
+      TextAnalysis.zipfSlope(table(s, dir, "documents"), "doc_id", "text")
+    },
+    Some("""
+      WITH t AS (SELECT count(*) AS f
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                 GROUP BY w),
+      fof AS (SELECT f, count(*) AS m FROM t GROUP BY 1),
+      cum AS (SELECT f, m, sum(m) OVER (ORDER BY f DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+              FROM fof),
+      r AS (SELECT CAST(sum(m) AS BIGINT) AS n_terms,
+                   CAST((sum(m) + 99) // 100 AS BIGINT) AS r_head,
+                   CAST((sum(m) + 1) // 2 AS BIGINT) AS r_tail
+            FROM fof),
+      h AS (SELECT CAST(max(f) AS BIGINT) AS f_head FROM cum, r WHERE cm >= r_head),
+      tl AS (SELECT CAST(max(f) AS BIGINT) AS f_tail FROM cum, r WHERE cm >= r_tail)
+      SELECT n_terms, r_head, f_head, r_tail, f_tail,
+             round(CASE WHEN r_tail > r_head THEN
+               (ln(CAST(f_head AS DOUBLE)) - ln(CAST(f_tail AS DOUBLE))) /
+               (ln(CAST(r_tail AS DOUBLE)) - ln(CAST(r_head AS DOUBLE))) END, 4)
+               AS slope_r4
+      FROM r, h, tl"""))
+
   val all: Seq[QueryDef] = Seq(
+    qZipf,
     qTextLangid,
     qTextQuality,
     qTextTokens,

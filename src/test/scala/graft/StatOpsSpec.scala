@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupGroups, ProfileInference, Sessionize, TextAnalysis}
+
+/** Edge-case units for the r10 statistics/geometry wave (rows
+  * 287-291); the cross-engine equivalence itself is driver-checked by
+  * the q_anova/q_mcnemar/q_rmst/q_zipf/q_cluster_density oracles. */
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("anovaF: hand-computed two-group F, NULL on empty declared group") {
+    // g1: 1,2,3 (n=3, S=6, Q=14); g2: 4,5,6,7 (n=4, S=22, Q=126)
+    // SSB = 36/3 + 484/4 - 784/7 = 21; SSW = (14-12) + (126-121) = 7
+    // F = (21/1)/(7/5) = 15
+    val df = (Seq(1L, 2L, 3L).map(("g1", _)) ++
+      Seq(4L, 5L, 6L, 7L).map(("g2", _))).toDF("g", "v")
+    val r = ProfileInference.anovaF(df, "g", "v", Seq("g1", "g2")).collect().head
+    assert(r.getAs[Long]("n") == 7L && r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Long]("df_between") == 1L && r.getAs[Long]("df_within") == 5L)
+    assert(r.getAs[Double]("ss_between_r4") == 21.0)
+    assert(r.getAs[Double]("ss_within_r4") == 7.0)
+    assert(r.getAs[Double]("f_r4") == 15.0)
+    // declaring a group absent from the data NULLs the statistic
+    val miss = ProfileInference.anovaF(df, "g", "v", Seq("g1", "g2", "g3"))
+      .collect().head
+    assert(miss.isNullAt(miss.fieldIndex("f_r4")))
+  }
+
+  test("mcnemar: discordant-cell chi2, NULL when no discordance") {
+    // both=2, a_only=6, b_only=2, neither=1: chi2 = 16/8 = 2; cc = 9/8
+    val df = (Seq.fill(2)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq((false, false))).toDF("a", "b")
+    val r = ProfileInference.mcnemar(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 11L && r.getAs[Long]("both") == 2L)
+    assert(r.getAs[Long]("a_only") == 6L && r.getAs[Long]("b_only") == 2L)
+    assert(r.getAs[Double]("chi2_r4") == 2.0)
+    assert(r.getAs[Double]("chi2_cc_r4") == 1.125)
+    val conc = Seq((true, true), (false, false)).toDF("a", "b")
+    val c = ProfileInference.mcnemar(conc, "a", "b").collect().head
+    assert(c.isNullAt(c.fieldIndex("chi2_r4")))
+  }
+
+  test("rmstFromKm: exact step-curve area") {
+    // steps: S=1e8 on [0,2), 5e7 on [2,5), 2.5e7 at 5 (tau) ->
+    // rmst_e8 = 2*1e8 + 3*5e7 = 3.5e8 -> 3.5 days
+    val km = Seq((2L, 50000000L), (5L, 25000000L)).toDF("t", "survival_e8")
+    val r = Sessionize.rmstFromKm(km).collect().head
+    assert(r.getAs[Long]("tau_days") == 5L)
+    assert(r.getAs[Long]("rmst_e8") == 350000000L)
+    assert(r.getAs[Double]("rmst_days_r4") == 3.5)
+  }
+
+  test("zipfSlope: anchors and slope on a constructed vocabulary; degenerate NULL") {
+    // 100 distinct terms: term0 f=64, term1..49 f=4, term50..99 f=1
+    // N=100 -> r_head=1 (f=64), r_tail=50 (f=4)
+    // slope = (ln64 - ln4)/(ln50 - ln1)
+    val docs = ((0 until 64).map(_ => "t0") ++
+      (1 until 50).flatMap(i => Seq.fill(4)(s"t$i")) ++
+      (50 until 100).map(i => s"t$i"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val r = TextAnalysis.zipfSlope(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_terms") == 100L)
+    assert(r.getAs[Long]("r_head") == 1L && r.getAs[Long]("f_head") == 64L)
+    assert(r.getAs[Long]("r_tail") == 50L && r.getAs[Long]("f_tail") == 4L)
+    val exp = (math.log(64.0) - math.log(4.0)) / (math.log(50.0) - math.log(1.0))
+    assert(math.abs(r.getAs[Double]("slope_r4") - exp) < 1e-4)
+    // single-term vocab: r_head == r_tail == 1 -> NULL slope
+    val one = Seq((1L, "solo"), (2L, "solo")).toDF("doc_id", "text")
+    val d = TextAnalysis.zipfSlope(one, "doc_id", "text").collect().head
+    assert(d.isNullAt(d.fieldIndex("slope_r4")))
+  }
+
+  test("clusterDensity: triangle is a clique, 3-chain is not") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle {1,2,3}
+      (10L, 11L), (11L, 12L))                     // chain {10,11,12}
+      .toDF("id_a", "id_b")
+    val got = DedupGroups.clusterDensity(pairs).collect()
+      .map(r => r.getAs[Long]("component") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("edges"),
+          r.getAs[Long]("density_bp"), r.getAs[Boolean]("is_clique")))).toMap
+    assert(got(1L) == ((3L, 3L, 10000L, true)))
+    assert(got(10L) == ((3L, 2L, 6666L, false)))
+  }
+}
