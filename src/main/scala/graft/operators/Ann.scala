@@ -686,4 +686,36 @@ object Ann {
           .as("recall_bp"),
         round(col("__md"), 4).as("max_dist_r4"))
   }
+
+  /** Embedding DEAD-ZONE profile per group: the fraction of elements
+    * whose magnitude sits under `eps`, and the count of dimensions
+    * that are near-zero across EVERY vector of the group — the "norm
+    * collapse / dead dimension" health check quantization and
+    * projection steps (rows 204, 257) need as a pre-flight: a dead
+    * dimension wastes an int8 lane and a JL output coordinate. All
+    * arithmetic is exact integer counting over raw stored floats
+    * (|v| < eps comparisons — no sums of floats anywhere), so the
+    * profile replays engine-to-engine bit-exactly.
+    *
+    * Plan: one posexplode + (group, pos) rollup + group rollup —
+    * groups × dims intermediate rows at any corpus scale. */
+  def embeddingDeadZone(df: DataFrame, groupCol: String, vecCol: String,
+                        eps: Double = 0.05): DataFrame = {
+    val ex = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+    ex.groupBy("group", "pos")
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(when(abs(col("v")) < eps, 1L).otherwise(0L)).cast("long").as("__z"))
+      .groupBy("group")
+      .agg(max("__n").cast("long").as("n_vecs"),
+        count(lit(1)).cast("long").as("dims"),
+        sum("__z").cast("long").as("nearzero_elems"),
+        sum(when(col("__z") === col("__n"), 1L).otherwise(0L)).cast("long")
+          .as("dead_dims"))
+      .withColumn("nearzero_bp",
+        expr("nearzero_elems * 10000 DIV (n_vecs * dims)").cast("long"))
+      .select("group", "n_vecs", "dims", "nearzero_elems", "nearzero_bp",
+        "dead_dims")
+  }
 }

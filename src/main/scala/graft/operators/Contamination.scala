@@ -266,4 +266,39 @@ object Contamination {
         round(col("cosine"), 4).as("cos_r4"),
         (col("cosine") >= tau).as("contaminated"))
   }
+
+  /** BLOOM-FILTER SIZING ADVISOR for the streaming decontamination
+    * gate ([[trainVocabularyBloom]]/[[decontaminateStream]]): given the
+    * benchmark corpus's TRUE distinct n-gram count (one exact
+    * countDistinct — the number the `expectedItems` guess stands in
+    * for), the standard optimal-filter math per candidate false-
+    * positive rate: bits m = ⌈−D·ln(p)/ln²2⌉, hashes k = ⌈log₂(1/p)⌉.
+    * The ln terms are DATA-INDEPENDENT constants computed once on the
+    * JVM and emitted as literals (the sprtConstants discipline), so
+    * the only data input is the exact integer D — the advisor replays
+    * engine-to-engine. An undersized filter silently raises the fpp
+    * and the gate starts dropping CLEAN docs (it is conservative by
+    * construction); this is the datasheet line that prevents that.
+    *
+    * Output: one row per fpp — fpp_bp, ngrams, bits, mib_r2, hashes. */
+  def bloomSizingAdvisor(benchmark: DataFrame, textCol: String, n: Int = 3,
+                         fppsBp: Seq[Long] = Seq(100L, 10L, 1L)): DataFrame = {
+    require(fppsBp.nonEmpty && fppsBp.forall(b => b >= 1L && b < 10000L),
+      "fpp_bp values must be in [1, 10000)")
+    val ngrams = benchmark
+      .select(explode(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .agg(countDistinct(col("sh")).cast("long").as("ngrams"))
+    val rows = fppsBp.map { bp =>
+      val p = bp.toDouble / 10000.0
+      val bitsPerItem = -math.log(p) / (math.log(2.0) * math.log(2.0))
+      val hashes = math.ceil(-math.log(p) / math.log(2.0)).toLong
+      ngrams
+        .withColumn("fpp_bp", lit(bp))
+        .withColumn("bits", ceil(col("ngrams") * lit(bitsPerItem)).cast("long"))
+        .withColumn("mib_r2", round(col("bits").cast("double") / lit(8.0 * 1024 * 1024), 2))
+        .withColumn("hashes", lit(hashes))
+        .select("fpp_bp", "ngrams", "bits", "mib_r2", "hashes")
+    }
+    rows.reduce(_.unionByName(_))
+  }
 }

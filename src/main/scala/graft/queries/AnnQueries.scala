@@ -619,7 +619,36 @@ object AnnQueries {
     Some(jlOracle(projDim = 16, dim = 64, k = 5)))
 
 
+  // 294. embedding dead-zone profile: per-label near-zero element
+  // fraction + dead-dimension count at |v| < 0.05 — exact integer
+  // counting over raw stored floats (no float sums anywhere), the
+  // pre-flight health check for the int8/JL steps (rows 204, 257).
+  val qEmbedDeadzone = QueryDef("q_embed_deadzone",
+    (s, dir) => {
+      graft.operators.Ann.embeddingDeadZone(
+          table(s, dir, "embeddings"), "label", "embedding", eps = 0.05)
+        .withColumn("group", col("group").cast(LongType))
+        .orderBy("group")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label, gg pos, embedding[gg]::DOUBLE v
+        FROM (SELECT label, embedding,
+                     unnest(generate_series(1, len(embedding))) gg
+              FROM embeddings WHERE embedding IS NOT NULL)),
+      pp AS (SELECT label, pos, count(*) AS n,
+                    sum(CASE WHEN abs(v) < 0.05 THEN 1 ELSE 0 END) AS z
+             FROM ex GROUP BY 1, 2)
+      SELECT CAST(label AS BIGINT) AS "group",
+             CAST(max(n) AS BIGINT) AS n_vecs,
+             CAST(count(*) AS BIGINT) AS dims,
+             CAST(sum(z) AS BIGINT) AS nearzero_elems,
+             CAST(sum(z) * 10000 // (max(n) * count(*)) AS BIGINT) AS nearzero_bp,
+             CAST(sum(CASE WHEN z = n THEN 1 ELSE 0 END) AS BIGINT) AS dead_dims
+      FROM pp GROUP BY 1 ORDER BY "group" """))
+
   val all: Seq[QueryDef] = Seq(
+    qEmbedDeadzone,
     qAnnTopk,
     qAnnLsh,
     qAnnMrr,

@@ -1312,7 +1312,41 @@ object CurationQueries {
         .mkString("\n      UNION ALL\n      ") + "\n      ORDER BY table_name"
     })
 
+  // 293. Bloom-filter sizing advisor for the streaming decontamination
+  // gate: exact distinct 3-gram count of the benchmark corpus x the
+  // optimal-filter math per candidate fpp, ln terms JVM literals.
+  private def bloomOracle: String = {
+    val blocks = Seq(100L, 10L, 1L).map { bp =>
+      val p = bp.toDouble / 10000.0
+      val c = -math.log(p) / (math.log(2.0) * math.log(2.0))
+      val k = math.ceil(-math.log(p) / math.log(2.0)).toLong
+      s"""SELECT CAST($bp AS BIGINT) AS fpp_bp, ngrams,
+               CAST(ceil(ngrams * $c) AS BIGINT) AS bits,
+               round(CAST(CAST(ceil(ngrams * $c) AS BIGINT) AS DOUBLE) / 8388608.0, 2) AS mib_r2,
+               CAST($k AS BIGINT) AS hashes FROM d"""
+    }
+    s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      d AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS ngrams FROM sh)
+      ${blocks.mkString("\n      UNION ALL ")}
+      ORDER BY fpp_bp DESC"""
+  }
+
+  val qBloomAdvisor = QueryDef("q_bloom_advisor",
+    (s, dir) => {
+      graft.operators.Contamination.bloomSizingAdvisor(
+          table(s, dir, "documents"), "text", n = 3,
+          fppsBp = Seq(100L, 10L, 1L))
+        .orderBy(col("fpp_bp").desc)
+    },
+    Some(bloomOracle))
+
   val all: Seq[QueryDef] = Seq(
+    qBloomAdvisor,
     qMultimodalMeta,
     qSourceContractRead,
     qJsonProps,

@@ -1132,6 +1132,70 @@ object DedupQueries {
                  THEN inter * 10000 // (za + zb - inter) ELSE 10000 END) AS BIGINT) AS abs_err_bp
       FROM mm, sz"""))
 
+  // 292. LSH banding-parameter sweep: per (bands x rows) shape of ONE
+  // shared 16-perm portable signature, the theoretical S-curve
+  // detection prob at jaccard 0.2 (JVM literal) next to the MEASURED
+  // candidate volume and true-pair yield — the tuning harness that
+  // picks the banding knee without re-running the pipeline per guess.
+  private val lshSweepConfigs = Seq((16, 1), (8, 2), (4, 4))
+
+  private def lshSweepOracle: String = {
+    val blocks = lshSweepConfigs.map { case (b, r) =>
+      val det = math.floor(
+        10000.0 * (1.0 - math.pow(1.0 - math.pow(0.2, r), b))).toLong
+      s"""      banded_${b}_$r AS (
+        SELECT doc_id, g,
+               array_to_string(sig[g*$r+1 : g*$r+$r], ',') bkey
+        FROM sigs, generate_series(0, ${b - 1}) t(g)),
+      cand_${b}_$r AS (
+        SELECT DISTINCT a.doc_id ia, b.doc_id ib
+        FROM banded_${b}_$r a JOIN banded_${b}_$r b
+          ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      ver_${b}_$r AS (
+        SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+               CAST($det AS BIGINT) AS det_bp_at_t,
+               CAST(count(*) AS BIGINT) AS candidates,
+               CAST(coalesce(sum(CASE WHEN inter * 10000 >= 2000 * (sa.sz + sb.sz - inter)
+                                       AND (sa.sz + sb.sz - inter) > 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS pairs_at_threshold
+        FROM cand_${b}_$r LEFT JOIN p USING (ia, ib)
+        LEFT JOIN sz sa ON ia = sa.doc_id LEFT JOIN sz sb ON ib = sb.doc_id)"""
+    }
+    val unions = lshSweepConfigs.map { case (b, r) => s"SELECT * FROM ver_${b}_$r" }
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      shl AS (SELECT doc_id, list(sh) shs FROM sh GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), p ->
+                 list_min(list_transform(shs, s ->
+                   ((1 + (p * 2654435761) % 2147483646)
+                      * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647))) sig
+        FROM shl),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+${blocks.mkString(",\n")}
+      $unions
+      ORDER BY rows_per_band"""
+  }
+
+  val qLshSweep = QueryDef("q_lsh_sweep",
+    (s, dir) => {
+      graft.operators.Dedup.minhashBandSweepPortable(
+          dedupPipeline(s, dir).shingled, numPerm = 16,
+          configs = lshSweepConfigs, thresholdBp = 2000L)
+        .orderBy("rows_per_band")
+    },
+    Some(lshSweepOracle))
+
   // 291. per-cluster edge density of the bp>=2000 near-dup graph —
   // cluster geometry between the size histogram (87) and global
   // transitivity (256): cliques are true dup groups, sparse chains
@@ -1177,6 +1241,7 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     qClusterDensity,
+    qLshSweep,
     qDedupExact,
     qDedupJaccard,
     qDedupPagerank,

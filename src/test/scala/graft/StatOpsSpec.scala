@@ -73,6 +73,53 @@ class StatOpsSpec extends SparkSpec {
     assert(d.isNullAt(d.fieldIndex("slope_r4")))
   }
 
+  test("minhashBandSweepPortable: monotone recall in bands, exact dups always caught") {
+    // 2 exact dups + 1 unrelated: the dup pair has identical sigs, so
+    // EVERY config's candidates include it; more bands (shorter rows)
+    // can only add candidates
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id").as("id"),
+      graft.functions.TextFns.wordShingles(col("text"), 3).as("sh"))
+    val got = graft.operators.Dedup.minhashBandSweepPortable(base, 16,
+      Seq((16, 1), (8, 2), (4, 4)), 2000L)
+      .collect().map(r => r.getAs[Long]("rows_per_band") ->
+        ((r.getAs[Long]("candidates"), r.getAs[Long]("pairs_at_threshold"),
+          r.getAs[Long]("det_bp_at_t")))).toMap
+    assert(got.values.forall(v => v._1 >= 1L && v._2 >= 1L))
+    assert(got(1L)._1 >= got(2L)._1 && got(2L)._1 >= got(4L)._1)
+    assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(4L)._3)
+  }
+
+  test("bloomSizingAdvisor: bits scale with -ln(p), hashes = ceil(log2(1/p))") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // 4 shingles
+    val got = graft.operators.Contamination.bloomSizingAdvisor(
+        docs, "text", n = 3, fppsBp = Seq(100L, 1L))
+      .collect().map(r => r.getAs[Long]("fpp_bp") ->
+        ((r.getAs[Long]("ngrams"), r.getAs[Long]("bits"),
+          r.getAs[Long]("hashes")))).toMap
+    assert(got(100L)._1 == 4L && got(1L)._1 == 4L)
+    // p=1%: 9.585 bits/item -> ceil(38.34) = 39; k = ceil(6.64) = 7
+    assert(got(100L)._2 == 39L && got(100L)._3 == 7L)
+    // p=0.01%: 19.17 bits/item -> ceil(76.68) = 77; k = 14
+    assert(got(1L)._2 == 77L && got(1L)._3 == 14L)
+  }
+
+  test("embeddingDeadZone: exact near-zero and dead-dim counting") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.2f, 0.01f)),
+      (1L, Seq(0.04f, -0.3f, -0.02f)),
+      (2L, Seq(1.0f, 1.0f, 1.0f))).toDF("label", "embedding")
+    val got = graft.operators.Ann.embeddingDeadZone(vecs, "label", "embedding")
+      .collect().map(r => r.getAs[Long]("group") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("dims"),
+          r.getAs[Long]("nearzero_elems"), r.getAs[Long]("dead_dims")))).toMap
+    // label 1: dims 0 and 2 are dead (|v|<0.05 in both rows); 4 near-zero elems
+    assert(got(1L) == ((2L, 3L, 4L, 2L)))
+    assert(got(2L) == ((1L, 3L, 0L, 0L)))
+  }
+
   test("clusterDensity: triangle is a clique, 3-chain is not") {
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle {1,2,3}
       (10L, 11L), (11L, 12L))                     // chain {10,11,12}
