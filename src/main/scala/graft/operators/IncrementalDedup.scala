@@ -100,4 +100,24 @@ object IncrementalDedup {
       .filter(col("est_bp") >= minEstBp)
       .select("id_batch", "id_index", "matches", "est_bp")
   }
+
+  /** Streaming WITHIN-STREAM exact dedup, watermark-bounded: each doc
+    * gets a normalized-content fingerprint and duplicates arriving
+    * within `delay` of the watermark are dropped via Spark's
+    * `dropDuplicatesWithinWatermark` — the self-dedup complement of
+    * [[lookupStream]] (which gates against a STATIC index and holds
+    * zero state): here the state store keeps one fingerprint row per
+    * distinct doc seen inside the watermark horizon and the engine
+    * evicts it as the watermark passes, so state is bounded by the
+    * dedup horizon × ingest rate, never the stream's lifetime — the
+    * property that makes exact self-dedup runnable on an unbounded
+    * 100 TB/day crawl where an unbounded `dropDuplicates` would OOM.
+    * First-arrival wins (the crawl-dedup keep policy). */
+  def selfDedupStream(stream: DataFrame, textCol: String, tsCol: String,
+                      delay: String): DataFrame =
+    stream
+      .withColumn("__fp", md5(graft.functions.TextFns.normalize(col(textCol))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }

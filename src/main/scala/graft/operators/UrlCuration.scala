@@ -143,4 +143,29 @@ object UrlCuration {
       .agg(count(lit(1)).cast("long").as("variants"),
         min(col("id")).cast("long").as("keep_id"))
       .filter(col("variants") > 1)
+
+  /** URL PATH-TEMPLATE mining — the crawler-trap / parameterized-page
+    * detector: digit runs (and long hex runs) in each URL's path
+    * collapse to `{n}` / `{hex}` placeholders, and the rollup per
+    * (host, template) shows which page GENERATORS dominate a crawl.
+    * A template whose `unique_bp` is near 10⁴ (every fetch a distinct
+    * URL) with high page count is the classic trap/calendar/session-id
+    * signature — pages a URL-level dedup (row 139) can't collapse
+    * because every URL IS distinct; the fix is a template-level crawl
+    * budget. Two regex projections + one rollup; linear, map-side
+    * combined. */
+  def pathTemplates(df: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), "#.*$", "")
+    val path = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val template = regexp_replace(
+      regexp_replace(path, "[0-9a-f]{8,}", "{hex}"), "[0-9]+", "{n}")
+    df.select(host(col(urlCol)).as("host"), template.as("template"),
+        col(urlCol).as("__u"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).cast("long").as("pages"),
+        countDistinct(col("__u")).cast("long").as("distinct_urls"))
+      .withColumn("unique_bp",
+        expr("distinct_urls * 10000 DIV pages").cast("long"))
+  }
 }

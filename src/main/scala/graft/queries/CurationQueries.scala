@@ -1345,8 +1345,38 @@ object CurationQueries {
     },
     Some(bloomOracle))
 
+  // 295. URL path-template mining: digit/hex runs in paths collapse to
+  // {n}/{hex} placeholders; per (host, template) page counts + the
+  // unique-URL ratio that fingerprints crawler traps and page
+  // generators URL-level dedup cannot collapse.
+  val qUrlTemplates = QueryDef("q_url_templates",
+    (s, dir) => {
+      graft.operators.UrlCuration.pathTemplates(
+          table(s, dir, "documents").withColumn("url", expr(urlExprSql)),
+          "url")
+        .orderBy(col("pages").desc, col("host"), col("template"))
+        .limit(40)
+    },
+    Some(s"""
+      WITH u AS (SELECT doc_id, $urlExprSql AS url FROM documents),
+      t AS (SELECT url,
+              regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1) AS host,
+              regexp_replace(
+                regexp_replace(
+                  regexp_extract(regexp_replace(url, '#.*$$', ''),
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '[0-9a-f]{8,}', '{hex}', 'g'),
+                '[0-9]+', '{n}', 'g') AS template
+            FROM u)
+      SELECT host, template, CAST(count(*) AS BIGINT) AS pages,
+             CAST(count(DISTINCT url) AS BIGINT) AS distinct_urls,
+             CAST(count(DISTINCT url) * 10000 // count(*) AS BIGINT) AS unique_bp
+      FROM t GROUP BY 1, 2
+      ORDER BY pages DESC, host, template LIMIT 40"""))
+
   val all: Seq[QueryDef] = Seq(
     qBloomAdvisor,
+    qUrlTemplates,
     qMultimodalMeta,
     qSourceContractRead,
     qJsonProps,

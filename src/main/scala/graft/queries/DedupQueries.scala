@@ -1187,6 +1187,58 @@ ${blocks.mkString(",\n")}
       ORDER BY rows_per_band"""
   }
 
+  // 296. minhash estimate calibration: |matching-components estimate −
+  // exact jaccard| per exact-similarity decile over the 4x4 portable
+  // LSH candidates — the signature-quality QA behind every
+  // estimate-gated decision (incremental dedup's minEstBp). All
+  // integer arithmetic.
+  val qMinhashCalibration = QueryDef("q_minhash_calibration",
+    (s, dir) => {
+      graft.operators.Dedup.minhashCalibrationPortable(
+          dedupPipeline(s, dir).shingled, numPerm = 16, numBands = 4)
+        .orderBy("bucket_bp")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      shl AS (SELECT doc_id, list(sh) shs FROM sh GROUP BY doc_id),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), p ->
+                 list_min(list_transform(shs, s ->
+                   ((1 + (p * 2654435761) % 2147483646)
+                      * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647))) sig
+        FROM shl),
+      banded AS (
+        SELECT doc_id, g,
+               array_to_string(sig[g*4+1 : g*4+4], ',') bkey
+        FROM sigs, generate_series(0, 3) t(g)),
+      cand AS (
+        SELECT DISTINCT a.doc_id ia, b.doc_id ib
+        FROM banded a JOIN banded b
+          ON a.g = b.g AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      scored AS (
+        SELECT len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) * 10000 // 16 AS est,
+               coalesce(p.inter, 0) * 10000 // (za.sz + zb.sz - coalesce(p.inter, 0)) AS exact
+        FROM cand
+        JOIN sigs sa ON cand.ia = sa.doc_id JOIN sigs sb ON cand.ib = sb.doc_id
+        JOIN sz za ON cand.ia = za.doc_id JOIN sz zb ON cand.ib = zb.doc_id
+        LEFT JOIN p ON p.ia = cand.ia AND p.ib = cand.ib
+        WHERE za.sz + zb.sz - coalesce(p.inter, 0) > 0)
+      SELECT CAST((exact // 1000) * 1000 AS BIGINT) AS bucket_bp,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(abs(est - exact)) // count(*) AS BIGINT) AS mae_bp,
+             CAST(sum(est) // count(*) AS BIGINT) AS mean_est_bp
+      FROM scored GROUP BY 1 ORDER BY bucket_bp"""))
+
   val qLshSweep = QueryDef("q_lsh_sweep",
     (s, dir) => {
       graft.operators.Dedup.minhashBandSweepPortable(
@@ -1242,6 +1294,7 @@ ${blocks.mkString(",\n")}
   val all: Seq[QueryDef] = Seq(
     qClusterDensity,
     qLshSweep,
+    qMinhashCalibration,
     qDedupExact,
     qDedupJaccard,
     qDedupPagerank,

@@ -328,6 +328,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("selfDedupStream: within-watermark exact dedup, first arrival wins, state bounded") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.IncrementalDedup
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val q = IncrementalDedup.selfDedupStream(stream, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("self_dedup_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma", "2024-01-01 10:00:00"),
+        (2L, "ALPHA  beta   gamma", "2024-01-01 10:00:10"), // normalized dup of 1
+        (3L, "unique content here", "2024-01-01 10:00:20"))
+      q.processAllAvailable()
+      // a later micro-batch inside the watermark horizon: still dropped
+      mem.addData((4L, "alpha beta gamma", "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // advance the watermark far past the horizon, then repeat the
+      // content: the fingerprint's state row has been evicted, so the
+      // doc passes (dedup horizon, not lifetime dedup) — and state
+      // stays bounded
+      mem.addData((5L, "much later filler doc", "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      mem.addData((6L, "alpha beta gamma", "2024-01-01 12:00:30"))
+      q.processAllAvailable()
+      val got = spark.table("self_dedup_t").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(1L, 3L, 5L, 6L), got)
+      // bounded state: at most the distinct fingerprints inside the
+      // current watermark horizon
+      val health = StreamMonitor.stateStoreHealth(q).collect()
+      assert(health.forall(_.num_rows_total <= 3L), health.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup gates micro-batches against the static index, stateless") {
     implicit val sc = spark.sqlContext
     import graft.operators.IncrementalDedup
