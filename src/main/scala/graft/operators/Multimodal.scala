@@ -117,6 +117,90 @@ object Multimodal {
         (col("shared_blocks") * 10000L / col("n_blocks")).cast("long"))
   }
 
+  /** Gear table for content-defined chunking: 256 pseudo-random 64-bit
+    * constants from a FIXED splitmix-style recurrence — deterministic
+    * across runs/engines by construction (no RNG at runtime). */
+  private[operators] val GearTable: Array[Long] = {
+    var x = 0x9e3779b97f4a7c15L
+    Array.fill(256) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Content-defined chunk boundaries (gear rolling hash, FastCDC-style
+    * cut test): a boundary falls where the rolling gear hash has
+    * `avgBits` low zero bits, no earlier than `minSize` and forced at
+    * `maxSize`. Because boundaries depend only on LOCAL bytes, an
+    * insertion shifts at most the chunk it lands in — the property
+    * that lets storage dedup survive prepended headers/EXIF rewrites
+    * where fixed-offset blocks ([[blockDedup]]) lose every alignment.
+    * Returns (offset, length) pairs covering the array. */
+  def cdcBoundaries(bytes: Array[Byte], minSize: Int, avgBits: Int,
+                    maxSize: Int): Seq[(Int, Int)] = {
+    require(minSize >= 1 && maxSize >= minSize && avgBits >= 1 && avgBits <= 48,
+      "need 1 <= minSize <= maxSize and avgBits in [1, 48]")
+    if (bytes == null || bytes.isEmpty) return Nil
+    val mask = (1L << avgBits) - 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + GearTable(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize ||
+        i == bytes.length - 1) {
+        out += ((start, len))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Block-level binary dedup over CONTENT-DEFINED chunks — the
+    * shift-resistant twin of [[blockDedup]]: per doc, how many of its
+    * CDC chunks also appear in another doc. Same rollup shape (chunk
+    * md5 → docs-per-chunk → per-doc shared fraction, all exact
+    * integers); the chunker runs in codec-shaped `mapPartitions` (the
+    * justified use — byte-level rolling hash has no Column form),
+    * emitting only (id, chunk_hash) — chunk BYTES never shuffle.
+    * Output: id, n_chunks, shared_chunks, dedup_bp. */
+  def cdcDedup(df: DataFrame, idCol: String, binCol: String,
+               minSize: Int = 16, avgBits: Int = 6,
+               maxSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = df.select(col(idCol).cast("long").as("id"), col(binCol).as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, b) =>
+          if (b == null) Iterator.empty
+          else cdcBoundaries(b, minSize, avgBits, maxSize).iterator.map {
+            case (off, len) =>
+              md.reset(); md.update(b, off, len)
+              (id, md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("id", "__ch")
+    val docsPerChunk = chunks.distinct()
+      .groupBy("__ch").agg(count(lit(1)).as("__nd"))
+    chunks.join(docsPerChunk, "__ch")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("shared_chunks"))
+      .withColumn("dedup_bp",
+        (col("shared_chunks") * 10000L / col("n_chunks")).cast("long"))
+  }
+
   final case class MediaMeta(format: String, width: Int, height: Int, bitDepth: Int,
                              channels: Int, sampleRate: Int, nFrames: Int)
 

@@ -1073,4 +1073,33 @@ object TextAnalysis {
       .select("n_terms", "r_head", "f_head", "r_tail", "f_tail", "slope_r4")
     out
   }
+
+  /** HEAPS'-LAW exponent of the corpus — the scalar behind the yield
+    * curve (row 77): vocabulary grows as V ∝ N^β with β ≈ 0.5 for
+    * natural text; β near 1 means tokens barely repeat (ID-like junk,
+    * mixed encodings), β near 0 a template corpus. Estimated between
+    * the `halfCol`-half and the full corpus: one vocabulary-bounded
+    * (word → total count, half count) rollup + a 1-row fold of four
+    * exact integers; β is the one final r4 ln expression (same
+    * contract as BM25/PSI). Generalizes to any corpus prefix split the
+    * caller hands in (here: a deterministic doc-id parity half, which
+    * at 100 TB is a partition-pruned scan, not a shuffle). */
+  def heapsExponent(df: DataFrame, textCol: String,
+                    halfCond: Column): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(TextFns.words(col(textCol))).as("w"),
+        halfCond.as("__h"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__h"), 1L).otherwise(0L)).as("__ch"))
+      .agg(sum("__c").cast("long").as("n_full"),
+        count(lit(1)).cast("long").as("v_full"),
+        sum("__ch").cast("long").as("n_half"),
+        sum(when(col("__ch") > 0L, 1L).otherwise(0L)).cast("long").as("v_half"))
+      .withColumn("beta_r4", round(
+        when(col("n_full") > col("n_half") && col("n_half") > 0L &&
+          col("v_full") > 0L && col("v_half") > 0L,
+          (log(col("v_full").cast("double")) - log(col("v_half").cast("double"))) /
+            (log(col("n_full").cast("double")) - log(col("n_half").cast("double")))), 4))
+      .select("n_half", "v_half", "n_full", "v_full", "beta_r4")
 }

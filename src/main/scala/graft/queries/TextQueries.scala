@@ -1221,8 +1221,37 @@ object TextQueries {
                AS slope_r4
       FROM r, h, tl"""))
 
+  // 298. Heaps'-law exponent between the even-doc-id half and the full
+  // corpus: V ∝ N^β, β ≈ 0.5 for natural text — the scalar behind the
+  // yield curve. One vocabulary-bounded rollup + 1-row integer fold.
+  val qHeaps = QueryDef("q_heaps",
+    (s, dir) => {
+      TextAnalysis.heapsExponent(table(s, dir, "documents"), "text",
+        col("doc_id") % 2 === 0)
+    },
+    Some("""
+      WITH t AS (SELECT w, count(*) AS c,
+                   sum(CASE WHEN half THEN 1 ELSE 0 END) AS ch
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w,
+                              doc_id % 2 = 0 AS half
+                       FROM documents WHERE text IS NOT NULL)
+                 GROUP BY 1),
+      f AS (SELECT CAST(sum(c) AS BIGINT) AS n_full,
+                   CAST(count(*) AS BIGINT) AS v_full,
+                   CAST(sum(ch) AS BIGINT) AS n_half,
+                   CAST(sum(CASE WHEN ch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_half
+            FROM t)
+      SELECT n_half, v_half, n_full, v_full,
+             round(CASE WHEN n_full > n_half AND n_half > 0
+                         AND v_full > 0 AND v_half > 0 THEN
+               (ln(CAST(v_full AS DOUBLE)) - ln(CAST(v_half AS DOUBLE))) /
+               (ln(CAST(n_full AS DOUBLE)) - ln(CAST(n_half AS DOUBLE))) END, 4)
+               AS beta_r4
+      FROM f"""))
+
   val all: Seq[QueryDef] = Seq(
     qZipf,
+    qHeaps,
     qTextLangid,
     qTextQuality,
     qTextTokens,

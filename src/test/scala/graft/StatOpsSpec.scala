@@ -120,6 +120,37 @@ class StatOpsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 3L, 0L, 0L)))
   }
 
+  test("cdcBoundaries: coverage, size bounds, determinism") {
+    val rnd = new scala.util.Random(7)
+    val bytes = Array.fill(4096)(rnd.nextInt(256).toByte)
+    val ch = graft.operators.Multimodal.cdcBoundaries(bytes, 16, 6, 256)
+    assert(ch.map(_._2).sum == bytes.length)                 // full coverage
+    assert(ch.head._1 == 0)
+    assert(ch.zip(ch.tail).forall { case ((o1, l1), (o2, _)) => o1 + l1 == o2 })
+    assert(ch.dropRight(1).forall { case (_, l) => l >= 16 && l <= 256 })
+    assert(ch.size > 4096 / 256)                             // actually content-cut
+    assert(ch == graft.operators.Multimodal.cdcBoundaries(bytes, 16, 6, 256))
+    assert(graft.operators.Multimodal.cdcBoundaries(Array.empty[Byte], 16, 6, 256).isEmpty)
+  }
+
+  test("cdcDedup survives a shift that zeroes fixed-block dedup") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(4096)(rnd.nextInt(256).toByte)
+    val shifted = (Array[Byte](0x42) ++ base)                // 1-byte prepend
+    val unrelated = Array.fill(4096)(rnd.nextInt(256).toByte)
+    val df = Seq((1L, base), (2L, shifted), (3L, unrelated))
+      .toDF("doc_id", "payload")
+    val cdc = graft.operators.Multimodal.cdcDedup(df, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("dedup_bp")).toMap
+    // CDC: the prepend perturbs only the first chunk — most chunks shared
+    assert(cdc(1L) >= 7000L && cdc(2L) >= 7000L, cdc)
+    assert(cdc(3L) == 0L)
+    // fixed 64-byte blocks: every block boundary shifted — near-zero overlap
+    val fixed = graft.operators.Multimodal.blockDedup(df, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("dedup_bp")).toMap
+    assert(fixed(1L) <= 500L && fixed(2L) <= 500L, fixed)
+  }
+
   test("clusterDensity: triangle is a clique, 3-chain is not") {
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle {1,2,3}
       (10L, 11L), (11L, 12L))                     // chain {10,11,12}
