@@ -501,8 +501,10 @@ object DedupQueries {
   // spec-covered (bucketed ⊆ exact, plan-shape guard in OperatorsSpec).
   val qDedupEmbedding = QueryDef("q_dedup_embedding",
     (s, dir) => {
-      Dedup.embeddingPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.3, exact = false, numPlanes = 8, dim = 64)
+      // r10: collapsed twin (exact-duplicate-vector collapse) - output
+      // identical by construction, quadratic-copy-proof at 10x stress
+      Dedup.collapsedEmbeddingPairs(table(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.3, numPlanes = 8, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
         .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
         .limit(20)
@@ -520,8 +522,10 @@ object DedupQueries {
   // probed, so the xor test is exact.
   val qDedupEmbeddingMp = QueryDef("q_dedup_embedding_mp",
     (s, dir) => {
-      Dedup.embeddingPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.3, exact = false, numPlanes = 8, dim = 64, multiprobe = 8)
+      // r10: collapsed twin - the stress flag fix (18.6x -> linear on
+      // the 10x copy corpus; class pairs expand back to member pairs)
+      Dedup.collapsedEmbeddingPairs(table(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.3, numPlanes = 8, dim = 64, multiprobe = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
         .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
         .limit(20)

@@ -153,6 +153,33 @@ object DedupConfigFuzzSpec extends Properties("DedupConfigFuzz") {
     (perm, bands) <- Gen.oneOf((16, 16), (16, 8), (16, 4), (8, 8), (8, 2), (32, 8))
   } yield (k, minJacc, perm, bands)
 
+  private val genVecCorpus: Gen[List[(Long, Seq[Float])]] = for {
+    n <- Gen.choose(2, 6)
+    vecs <- Gen.listOfN(n, Gen.listOfN(4,
+      Gen.oneOf(-1.0f, -0.5f, 0.1f, 0.5f, 1.0f, 2.0f)).map(_.toSeq))
+    copies <- Gen.listOfN(n, Gen.choose(1, 3))
+  } yield vecs.zip(copies).flatMap { case (v, c) => Seq.fill(c)(v) }
+    .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  property("collapsedEmbeddingPairs == embeddingPairs at any multiprobe") =
+    forAll(genVecCorpus, Gen.oneOf(0, 2, 4)) { (rows, probe) =>
+      import spark.implicits._
+      val df = rows.toDF("vec_id", "embedding")
+      def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = key(Dedup.embeddingPairs(df, "vec_id", "embedding",
+        minCosine = 0.3, exact = false, numPlanes = 4, dim = 4,
+        multiprobe = probe))
+      val collapsed = key(Dedup.collapsedEmbeddingPairs(df, "vec_id",
+        "embedding", minCosine = 0.3, numPlanes = 4, dim = 4,
+        multiprobe = probe))
+      val ok = direct == collapsed
+      if (!ok) println(s"EMB-COLLAPSE-MISMATCH probe=$probe on $rows: " +
+        s"direct ${direct.size} collapsed ${collapsed.size} " +
+        s"d-c=${direct -- collapsed} c-d=${collapsed -- direct}")
+      ok
+    }
+
   property("minhash: exact-verified subset, identical-set recall, collapsed twin") =
     forAll(genCorpus, genMinhashConfig) { case (rows, (k, minJacc, perm, bands)) =>
       val corpus = toDf(rows)
