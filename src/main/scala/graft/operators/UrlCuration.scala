@@ -158,8 +158,13 @@ object UrlCuration {
     val noFrag = regexp_replace(col(urlCol), "#.*$", "")
     val path = regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // hex runs match BOTH casings (uppercase token/UUID ids are the
+    // common trap signature); an 8+ pure-digit run also lands in
+    // {hex} — indistinguishable from hex without letters, and the
+    // aggregation property (same generator -> same template) is what
+    // matters, not the placeholder label
     val template = regexp_replace(
-      regexp_replace(path, "[0-9a-f]{8,}", "{hex}"), "[0-9]+", "{n}")
+      regexp_replace(path, "[0-9a-fA-F]{8,}", "{hex}"), "[0-9]+", "{n}")
     df.select(host(col(urlCol)).as("host"), template.as("template"),
         col(urlCol).as("__u"))
       .groupBy("host", "template")

@@ -1365,7 +1365,7 @@ object CurationQueries {
                 regexp_replace(
                   regexp_extract(regexp_replace(url, '#.*$$', ''),
                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                  '[0-9a-f]{8,}', '{hex}', 'g'),
+                  '[0-9a-fA-F]{8,}', '{hex}', 'g'),
                 '[0-9]+', '{n}', 'g') AS template
             FROM u)
       SELECT host, template, CAST(count(*) AS BIGINT) AS pages,

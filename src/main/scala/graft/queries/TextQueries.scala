@@ -1198,7 +1198,8 @@ object TextQueries {
   // alphabet windows only; slope is the one final r4 double.
   val qZipf = QueryDef("q_zipf",
     (s, dir) => {
-      TextAnalysis.zipfSlope(table(s, dir, "documents"), "doc_id", "text")
+      zipfCache.get(s, dir)(
+        TextAnalysis.zipfSlope(table(s, dir, "documents"), "doc_id", "text"))
     },
     Some("""
       WITH t AS (SELECT count(*) AS f
@@ -1219,7 +1220,8 @@ object TextQueries {
                (ln(CAST(f_head AS DOUBLE)) - ln(CAST(f_tail AS DOUBLE))) /
                (ln(CAST(r_tail AS DOUBLE)) - ln(CAST(r_head AS DOUBLE))) END, 4)
                AS slope_r4
-      FROM r, h, tl"""))
+      FROM r, h, tl
+      WHERE f_head IS NOT NULL AND f_tail IS NOT NULL"""))
 
   // 298. Heaps'-law exponent between the even-doc-id half and the full
   // corpus: V ∝ N^β, β ≈ 0.5 for natural text — the scalar behind the

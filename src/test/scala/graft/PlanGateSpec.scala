@@ -35,12 +35,12 @@ class PlanGateSpec extends AnyFunSuite {
       java.nio.file.Paths.get("tools/plans_baseline.json")))
     val current = readPlans(bench.get("plans")).filter(_._2 != ((-1, -1)))
     val baseline = readPlans(baseNode.get("plans"))
-    val waivers = {
-      val it = baseNode.get("waivers").fieldNames()
+    val waivers = Option(baseNode.get("waivers")).map { w =>
+      val it = w.fieldNames()
       val b = Set.newBuilder[String]
       while (it.hasNext) b += it.next()
       b.result()
-    }
+    }.getOrElse(Set.empty[String])
     val unexplained = (current.keySet & baseline.keySet).toSeq.sorted
       .filter(q => current(q) != baseline(q) && !waivers.contains(q))
       .map(q => s"$q: ${baseline(q)} -> ${current(q)}")
