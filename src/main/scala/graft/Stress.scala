@@ -35,13 +35,23 @@ import org.apache.spark.sql.SparkSession
   *   outPath default `target/stress.json`. Empty query list = full
   *   board. An UNTIMED warmup pass pins the session-shared caches
   *   first (the Bench discipline), so per-query seconds are warm and
-  *   attribute each query's own cost. */
+  *   attribute each query's own cost; each `sec` is the MEDIAN of
+  *   [[timingReps]] warm runs (r11 — single samples produced the
+  *   q_vocab_stats false flag in r10). */
 object Stress {
 
   final case class Q(name: String, rows: Long, sec: Double,
                      err: Option[String]) {
     def ok: Boolean = err.isEmpty
   }
+
+  /** Per-query timing repetitions; `sec` is the MEDIAN of these. r10's
+    * one false flag (`q_vocab_stats` 15.8× on a single sample, 4.3× on
+    * immediate re-time) came from single-sample stress seconds on a box
+    * whose transient contention the bench gate already defeats with
+    * medians — same lesson, applied. `StressSpec` asserts the shipped
+    * artifact records ≥ 3. */
+  val timingReps: Int = 3
 
   /** Flag a query when its sf0.1→10× time ratio exceeds this. ~15 per
     * the r9 review: 10× data on a linear plan plus fixed overhead sits
@@ -61,7 +71,8 @@ object Stress {
       "repeated-span postings grow ~quadratically in copies by design"),
     "q_span_dedup_collapsed" -> "same span-postings growth, collapse path",
     "q_dedup_editdist" -> ("quadratic-verify by design (documented " +
-      "family cost; 33 s at 10x in r9)"))
+      "family cost; 33 s at 10x in r9); its collapsed twin " +
+      "q_dedup_editdist_collapsed is the copy-linear production path"))
 
   /** Standing certification caveats — scope limits of the stress
     * evidence itself, shipped in the artifact so they are visible to
@@ -77,13 +88,17 @@ object Stress {
       "driver's correctness gate."))
 
   def runBoard(spark: SparkSession, dir: String,
-               names: Seq[String]): Seq[Q] =
+               names: Seq[String], reps: Int = timingReps): Seq[Q] =
     names.map { name =>
       val fn = SparkEntry.queries(name)
       try {
-        val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
-        Q(name, n, (System.nanoTime() - t0) / 1e9, None)
+        val samples = (1 to math.max(1, reps)).map { _ =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, dir).count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        val secs = samples.map(_._2).sorted
+        Q(name, samples.head._1, secs(secs.size / 2), None)
       } catch {
         case e: Throwable =>
           Q(name, -1L, -1.0,
@@ -127,7 +142,8 @@ object Stress {
     } catch { case _: Throwable => Map.empty }
 
   def toJson(dir: String, warmupSec: Double, qs: Seq[Q], boardN: Int,
-             warmMedians: Map[String, Double] = Map.empty): String = {
+             warmMedians: Map[String, Double] = Map.empty,
+             reps: Int = timingReps): String = {
     def fmt(d: Double): String =
       BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def ratioOf(q: Q): Option[Double] =
@@ -147,7 +163,7 @@ object Stress {
     val waiv = ratioWaivers.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     s"""{"sf_dir":${jstr(dir)},"generated_by":"graft.Stress over tools/scaleup.py output",""" +
-      s""""board_n":$boardN,"partial":${qs.size != boardN},""" +
+      s""""board_n":$boardN,"partial":${qs.size != boardN},"timing_reps":$reps,""" +
       s""""pass":${qs.count(_.ok)},"fail":${qs.count(!_.ok)},""" +
       s""""warmup_total":${fmt(warmupSec)},"total_sec":${fmt(qs.filter(_.ok).map(_.sec).sum)},""" +
       s""""flagged":$flagged,"queries":$body,"caveats":$cav,""" +

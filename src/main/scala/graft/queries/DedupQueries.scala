@@ -1100,6 +1100,39 @@ object DedupQueries {
                 JOIN documents db ON ib = db.doc_id
       ORDER BY id_a, id_b"""))
 
+  // 200b. COLLAPSED edit-distance verify — the production path at
+  // scale: Levenshtein runs once per DISTINCT text pair (copy-
+  // invariant), then fingerprint joins expand back to member pairs.
+  // Identical rows to q_dedup_editdist by construction, so the oracle
+  // is the direct query's, byte for byte.
+  val qDedupEditdistCollapsed = QueryDef("q_dedup_editdist_collapsed",
+    (s, dir) => {
+      Dedup.collapsedEditDistancePairs(
+          sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L),
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      cand AS (SELECT ia, ib
+               FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+               WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000)
+      SELECT ia AS id_a, ib AS id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+             CAST(levenshtein(da.text, db.text) * 10000 //
+               greatest(length(da.text), length(db.text), 1) AS BIGINT) AS lev_bp
+      FROM cand JOIN documents da ON ia = da.doc_id
+                JOIN documents db ON ib = db.doc_id
+      ORDER BY id_a, id_b"""))
+
   val qCorpusSimilarity = QueryDef("q_corpus_similarity",
     (s, dir) => {
       corpusSimCache.get(s, dir) {
@@ -1339,6 +1372,7 @@ ${blocks.mkString(",\n")}
     qFuzzyJoin,
     qDedupRecall,
     qDedupEditdist,
+    qDedupEditdistCollapsed,
     qCorpusSimilarity,
     qDedupTriangles,
   )

@@ -209,4 +209,27 @@ object DedupConfigFuzzSpec extends Properties("DedupConfigFuzz") {
         s"mhc ${mhc.size} jc ${jc.size}")
       ok
     }
+
+  private val genEditConfig = for {
+    k <- Gen.choose(1, 3)
+    minJacc <- Gen.choose(100L, 6000L)
+    maxLev <- Gen.oneOf(10000L, 8000L, 5000L, 2000L, 0L)
+  } yield (k, minJacc, maxLev)
+
+  property("collapsedEditDistancePairs == editDistancePairs at random config") =
+    forAll(genCorpus, genEditConfig) { case (rows, (k, minJacc, maxLev)) =>
+      val corpus = toDf(rows)
+      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = k,
+        minJaccardBp = minJacc, maxShinglePostings = 1000000L)
+      val cols = Seq("id_a", "id_b", "lev", "lev_bp")
+      val direct = rowSet(Dedup.editDistancePairs(pairs, corpus,
+        "doc_id", "text", maxLevBp = maxLev), cols)
+      val collapsed = rowSet(Dedup.collapsedEditDistancePairs(pairs, corpus,
+        "doc_id", "text", maxLevBp = maxLev), cols)
+      val ok = collapsed == direct
+      if (!ok) println(s"EDITDIST-COLLAPSE-MISMATCH k=$k jacc=$minJacc " +
+        s"maxLev=$maxLev on $rows: direct ${direct.size} collapsed " +
+        s"${collapsed.size} d-c=${direct -- collapsed} c-d=${collapsed -- direct}")
+      ok
+    }
 }

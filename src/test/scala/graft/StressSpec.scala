@@ -15,6 +15,7 @@ class StressSpec extends SparkSpec {
     val names = Seq("q_dedup_exact", "q_text_vocab")
     val qs = Stress.runBoard(spark, "/root/testdata/sf0.001", names)
     assert(qs.map(_.name) == names)
+    assert(Stress.timingReps >= 3, "stress seconds must be medians of >=3 reps")
     assert(qs.forall(_.ok), qs.flatMap(_.err))
     assert(qs.forall(_.rows > 0))
     val json = Stress.toJson("/root/testdata/sf0.001", 1.234, qs,
@@ -84,5 +85,8 @@ class StressSpec extends SparkSpec {
     assert(!m.get("partial").asBoolean, "shipped stress.json is a partial run")
     assert(m.get("fail").asInt == 0,
       s"shipped stress.json records failures: ${m.get("fail").asInt}")
+    assert(m.has("timing_reps") && m.get("timing_reps").asInt >= 3,
+      "shipped stress.json seconds are not medians of >=3 reps - " +
+        "regenerate with the r11 Stress main")
   }
 }
