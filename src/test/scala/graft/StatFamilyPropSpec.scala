@@ -1,0 +1,392 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns
+import graft.operators.{Ann, Contamination, Dedup, DedupGroups,
+  ProfileInference, Sessionize, TextAnalysis}
+
+/** Randomized differential replay of the r10 statistics/geometry wave
+  * (verdict r10 item 3): [[StatOpsSpec]] pins each operator on one
+  * hand-computed shape; here random inputs (degenerate shapes mixed
+  * in) are checked against INDEPENDENT plain-Scala implementations of
+  * the published formulas — the [[ExperimentPropSpec]] discipline.
+  * Only the tokenization/shingling kernels are shared (they are the
+  * definition the oracles replay); every fold, window, join and
+  * rounding step is re-derived from scratch below. */
+object StatFamilyPropSpec extends Properties("StatFamily") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def optD(row: Row, f: String): Option[Double] =
+    if (row.isNullAt(row.fieldIndex(f))) None else Some(row.getAs[Double](f))
+  private def optL(row: Row, f: String): Option[Long] =
+    if (row.isNullAt(row.fieldIndex(f))) None else Some(row.getAs[Long](f))
+
+  // ---------------------------------------------------------------- anovaF
+
+  private val genAnova: Gen[(Seq[String], List[(String, Option[Long])])] = for {
+    k <- Gen.choose(2, 4)
+    declared = (1 to k).map(i => s"g$i")
+    n <- Gen.choose(0, 18)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.frequency(8 -> Gen.oneOf(declared), 1 -> Gen.const("undeclared"))
+      v <- Gen.frequency(8 -> Gen.choose(-20L, 20L).map(Some(_)),
+        1 -> Gen.const(None))
+    } yield (g, v))
+  } yield (declared, rows)
+
+  property("anovaF == plain-Scala replay of the exact-fold F") =
+    forAll(genAnova) { case (declared, rows) =>
+      val schema = StructType(Seq(StructField("g", StringType, nullable = false),
+        StructField("v", LongType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (g, v) =>
+          Row(g, v.map(Long.box).orNull) }, 2), schema)
+      val got = ProfileInference.anovaF(df, "g", "v", declared).collect().head
+
+      val kept = rows.collect { case (g, Some(v)) if declared.contains(g) => (g, v) }
+      val k = declared.size
+      val ns = declared.map(g => kept.count(_._1 == g).toLong)
+      val ss = declared.map(g => kept.filter(_._1 == g).map(_._2).sum)
+      val qs = declared.map(g => kept.filter(_._1 == g).map(p => p._2 * p._2).sum)
+      val expN = if (kept.isEmpty) None else Some(ns.sum)
+      val expF: (Option[Double], Option[Double], Option[Double]) =
+        if (kept.isEmpty || ns.exists(_ == 0L)) (None, None, None)
+        else {
+          val nTot = ns.sum; val sTot = ss.sum
+          val bSum = declared.indices
+            .map(i => ss(i).toDouble * ss(i) / ns(i)).reduceLeft(_ + _)
+          val wSum = declared.indices
+            .map(i => qs(i).toDouble - ss(i).toDouble * ss(i) / ns(i))
+            .reduceLeft(_ + _)
+          val ssb = bSum - sTot.toDouble * sTot / nTot
+          val dfw = nTot - k
+          val f = if (dfw > 0 && wSum > 0d)
+            Some(r4((ssb / (k - 1).toDouble) / (wSum / dfw.toDouble))) else None
+          (Some(r4(ssb)), Some(r4(wSum)), f)
+        }
+      val ok = optL(got, "n") == expN &&
+        got.getAs[Long]("k_groups") == k.toLong &&
+        got.getAs[Long]("df_between") == (k - 1).toLong &&
+        optL(got, "df_within") == expN.map(_ - k.toLong) &&
+        optD(got, "ss_between_r4") == expF._1 &&
+        optD(got, "ss_within_r4") == expF._2 &&
+        optD(got, "f_r4") == expF._3
+      if (!ok) println(s"ANOVA-MISMATCH $declared $rows: got=$got exp=$expN/$expF")
+      ok
+    }
+
+  // --------------------------------------------------------------- mcnemar
+
+  private val genPaired: Gen[List[(Option[Boolean], Option[Boolean])]] =
+    Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, Gen.zip(
+      Gen.frequency(6 -> Gen.oneOf(true, false).map(Some(_)), 1 -> Gen.const(None)),
+      Gen.frequency(6 -> Gen.oneOf(true, false).map(Some(_)), 1 -> Gen.const(None)))))
+
+  property("mcnemar == plain-Scala replay of the discordant-cell chi2") =
+    forAll(genPaired) { rows =>
+      val schema = StructType(Seq(StructField("a", BooleanType, nullable = true),
+        StructField("b", BooleanType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (a, b) =>
+          Row(a.map(Boolean.box).orNull, b.map(Boolean.box).orNull) }, 2), schema)
+      val got = ProfileInference.mcnemar(df, "a", "b").collect().head
+      val kept = rows.collect { case (Some(a), Some(b)) => (a, b) }
+      val both = kept.count(p => p._1 && p._2).toLong
+      val aOnly = kept.count(p => p._1 && !p._2).toLong
+      val bOnly = kept.count(p => !p._1 && p._2).toLong
+      val neither = kept.count(p => !p._1 && !p._2).toLong
+      val d = aOnly + bOnly
+      val expChi = if (kept.isEmpty || d == 0) None
+        else Some(r4((aOnly - bOnly).toDouble * (aOnly - bOnly) / d.toDouble))
+      val expCc = if (kept.isEmpty || d == 0) None
+        else {
+          val m = math.max(math.abs(aOnly - bOnly) - 1L, 0L)
+          Some(r4(m.toDouble * m / d.toDouble))
+        }
+      val expCells = if (kept.isEmpty) (None, None, None, None)
+        else (Some(both), Some(aOnly), Some(bOnly), Some(neither))
+      val ok = got.getAs[Long]("n") == kept.size.toLong &&
+        optL(got, "both") == expCells._1 && optL(got, "a_only") == expCells._2 &&
+        optL(got, "b_only") == expCells._3 && optL(got, "neither") == expCells._4 &&
+        optD(got, "chi2_r4") == expChi && optD(got, "chi2_cc_r4") == expCc
+      if (!ok) println(s"MCNEMAR-MISMATCH $rows: got=$got exp=$expChi/$expCc")
+      ok
+    }
+
+  // ------------------------------------------------------------ rmstFromKm
+
+  private val genKm: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 6)
+    ts <- Gen.listOfN(n, Gen.choose(1L, 40L)).map(_.distinct.sorted)
+    ss <- Gen.listOfN(ts.size, Gen.choose(0L, 100000000L))
+  } yield ts.zip(ss)
+
+  property("rmstFromKm == plain-Scala step-curve area") =
+    forAll(genKm) { km =>
+      import spark.implicits._
+      val got = Sessionize.rmstFromKm(km.toDF("t", "survival_e8")).collect().head
+      var (tPrev, sPrev, area) = (0L, 100000000L, 0L)
+      km.foreach { case (t, s) => area += sPrev * (t - tPrev); tPrev = t; sPrev = s }
+      val ok = got.getAs[Long]("tau_days") == km.map(_._1).max &&
+        got.getAs[Long]("rmst_e8") == area &&
+        got.getAs[Double]("rmst_days_r4") == r4(area.toDouble / 1e8)
+      if (!ok) println(s"RMST-MISMATCH $km: got=$got exp=$area")
+      ok
+    }
+
+  // ------------------------------------------------------------- zipfSlope
+
+  private val genZipfCorpus: Gen[List[(Long, Option[String])]] = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n, Gen.frequency(
+      1 -> Gen.const(None),
+      1 -> Gen.const(Some("")),
+      8 -> Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
+        // skewed alphabet so frequency ties and spreads both occur
+        Gen.frequency(6 -> Gen.const("the"), 3 -> Gen.oneOf("a", "b", "c"),
+          2 -> Gen.choose(0, 30).map(i => s"w$i"))).map(ws => Some(ws.mkString(" "))))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("zipfSlope == plain-Scala anchor replay") =
+    forAll(genZipfCorpus) { rows =>
+      val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (i, t) =>
+          Row(i, t.orNull) }, 2), schema)
+      val out = TextAnalysis.zipfSlope(df, "doc_id", "text").collect()
+      val tf = rows.flatMap(_._2).flatMap(_.split(" ", -1))
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      if (tf.isEmpty) {
+        val ok = out.isEmpty
+        if (!ok) println(s"ZIPF-MISMATCH empty corpus produced ${out.toSeq}")
+        ok
+      } else {
+        val nTerms = tf.size.toLong
+        val rHead = (nTerms + 99) / 100
+        val rTail = (nTerms + 1) / 2
+        val fof = tf.values.groupBy(identity).map { case (f, xs) => f -> xs.size.toLong }
+        val desc = fof.toSeq.sortBy(-_._1)
+        val cum = desc.scanLeft((0L, 0L)) { case ((_, c), (f, m)) => (f, c + m) }.tail
+        def anchor(r: Long): Long = cum.filter(_._2 >= r).map(_._1).max
+        val (fHead, fTail) = (anchor(rHead), anchor(rTail))
+        val expSlope = if (rTail > rHead)
+          Some(r4((math.log(fHead.toDouble) - math.log(fTail.toDouble)) /
+            (math.log(rTail.toDouble) - math.log(rHead.toDouble)))) else None
+        val got = out.head
+        val ok = out.length == 1 &&
+          got.getAs[Long]("n_terms") == nTerms &&
+          got.getAs[Long]("r_head") == rHead && got.getAs[Long]("f_head") == fHead &&
+          got.getAs[Long]("r_tail") == rTail && got.getAs[Long]("f_tail") == fTail &&
+          optD(got, "slope_r4") == expSlope
+        if (!ok) println(s"ZIPF-MISMATCH $rows: got=$got " +
+          s"exp=($nTerms,$rHead,$fHead,$rTail,$fTail,$expSlope)")
+        ok
+      }
+    }
+
+  // -------------------------------------------------------- clusterDensity
+
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    nodes <- Gen.choose(2, 12)
+    m <- Gen.choose(1, 16)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, nodes.toLong - 1)
+      b <- Gen.choose(0L, nodes.toLong - 1) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield es.distinct
+
+  property("clusterDensity == union-find + edge-count replay") =
+    forAll(genEdges) { edges =>
+      import spark.implicits._
+      val got = DedupGroups.clusterDensity(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getAs[Long]("component") ->
+          ((r.getAs[Long]("n_members"), r.getAs[Long]("edges"),
+            r.getAs[Long]("density_bp"), r.getAs[Boolean]("is_clique")))).toMap
+      // independent union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val comp = parent.keys.map(id => id -> find(id)).toMap
+      val exp = comp.groupBy(_._2).map { case (c, members) =>
+        val nm = members.size.toLong
+        val ec = edges.count { case (a, _) => comp(a) == c }.toLong
+        c -> ((nm, ec, ec * 2 * 10000 / (nm * (nm - 1)), ec * 2 == nm * (nm - 1)))
+      }
+      val ok = got == exp
+      if (!ok) println(s"DENSITY-MISMATCH $edges: got=$got exp=$exp")
+      ok
+    }
+
+  // ---------------------------------------------------- bloomSizingAdvisor
+
+  private val genBloom: Gen[(List[(Long, Option[String])], Int, List[Long])] = for {
+    rows <- genZipfCorpus
+    n <- Gen.choose(1, 3)
+    fpps <- Gen.nonEmptyListOf(Gen.choose(1L, 9999L)).map(_.distinct)
+  } yield (rows, n, fpps)
+
+  property("bloomSizingAdvisor == plain-Scala optimal-filter math") =
+    forAll(genBloom) { case (rows, n, fpps) =>
+      val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (i, t) =>
+          Row(i, t.orNull) }, 2), schema)
+      val got = Contamination.bloomSizingAdvisor(df, "text", n = n, fppsBp = fpps)
+        .collect().map(r => r.getAs[Long]("fpp_bp") ->
+          ((r.getAs[Long]("ngrams"), r.getAs[Long]("bits"),
+            r.getAs[Double]("mib_r2"), r.getAs[Long]("hashes")))).toMap
+      // distinct n-grams via the shared shingle definition, union across docs
+      val dset = df.select(TextFns.wordShingles(col("text"), n).as("sh"))
+        .collect().flatMap(r =>
+          if (r.isNullAt(0)) Nil else r.getSeq[String](0)).toSet
+      val d = dset.size.toLong
+      val exp = fpps.map { bp =>
+        val p = bp.toDouble / 10000.0
+        val bitsPerItem = -math.log(p) / (math.log(2.0) * math.log(2.0))
+        val bits = math.ceil(d * bitsPerItem).toLong
+        bp -> ((d, bits, r2(bits.toDouble / (8.0 * 1024 * 1024)),
+          math.ceil(-math.log(p) / math.log(2.0)).toLong))
+      }.toMap
+      val ok = got == exp
+      if (!ok) println(s"BLOOM-MISMATCH n=$n fpps=$fpps $rows: got=$got exp=$exp")
+      ok
+    }
+
+  // ------------------------------------------------------ embeddingDeadZone
+
+  private val genVecGroups: Gen[List[(Long, Option[Seq[Float]])]] = for {
+    g <- Gen.choose(1, 3)
+    perGroup <- Gen.sequence[List[(Long, List[Option[Seq[Float]]])], (Long, List[Option[Seq[Float]]])](
+      (1 to g).toList.map { gi =>
+        for {
+          dim <- Gen.choose(1, 4)
+          nv <- Gen.choose(1, 4)
+          vecs <- Gen.listOfN(nv, Gen.frequency(
+            1 -> Gen.const(None),
+            8 -> Gen.listOfN(dim, Gen.oneOf(0.0f, 0.04f, -0.049f, 0.05f,
+              -0.05f, 0.0499f, 0.3f, -1.0f, 2.5f)).map(v => Some(v.toSeq))))
+        } yield (gi.toLong, vecs)
+      })
+  } yield perGroup.flatMap { case (gi, vs) => vs.map(gi -> _) }
+
+  property("embeddingDeadZone == plain-Scala near-zero counting") =
+    forAll(genVecGroups) { rows =>
+      val schema = StructType(Seq(StructField("label", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false),
+          nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (g, v) =>
+          Row(g, v.orNull) }, 2), schema)
+      val got = Ann.embeddingDeadZone(df, "label", "embedding").collect()
+        .map(r => r.getAs[Long]("group") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Long]("dims"),
+            r.getAs[Long]("nearzero_elems"), r.getAs[Long]("nearzero_bp"),
+            r.getAs[Long]("dead_dims")))).toMap
+      val kept = rows.collect { case (g, Some(v)) => (g, v) }
+      val exp = kept.groupBy(_._1).map { case (g, vs) =>
+        val byPos = vs.flatMap { case (_, v) => v.zipWithIndex }
+          .groupBy(_._2).map { case (pos, xs) =>
+            pos -> ((xs.size.toLong,
+              xs.count(x => math.abs(x._1.toDouble) < 0.05).toLong))
+          }
+        val nVecs = byPos.values.map(_._1).max
+        val dims = byPos.size.toLong
+        val nz = byPos.values.map(_._2).sum
+        val dead = byPos.values.count(p => p._2 == p._1).toLong
+        g -> ((nVecs, dims, nz, nz * 10000 / (nVecs * dims), dead))
+      }
+      val ok = got == exp
+      if (!ok) println(s"DEADZONE-MISMATCH $rows: got=$got exp=$exp")
+      ok
+    }
+
+  // ---------------------------------------- minhashBandSweepPortable
+
+  private val genSweep: Gen[(List[(Long, Option[String])], Int, Long)] = for {
+    rows <- genZipfCorpus
+    numPerm <- Gen.oneOf(8, 16)
+    t <- Gen.choose(500L, 9500L)
+  } yield (rows, numPerm, t)
+
+  private val P = 2147483647L
+  private val K = 2654435761L
+
+  private def md5Prefix8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  private def portableSig(sh: Set[String], numPerm: Int): IndexedSeq[Long] = {
+    val hs = sh.toSeq.map(s => math.floorMod(md5Prefix8(s), P))
+    (0 until numPerm).map { p =>
+      val a = 1L + (p * K) % (P - 1)
+      val b = (p * K * 97L) % P
+      if (hs.isEmpty) Long.MaxValue else hs.map(h => (a * h + b) % P).min
+    }
+  }
+
+  property("minhashBandSweepPortable == plain-Scala band/S-curve replay") =
+    forAll(genSweep) { case (rows, numPerm, thresholdBp) =>
+      val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (i, t) =>
+          Row(i, t.orNull) }, 2), schema)
+      val base = df.select(col("doc_id").as("id"),
+        TextFns.wordShingles(col("text"), 3).as("sh"))
+      val configs = Seq(numPerm -> 1, numPerm / 2 -> 2, numPerm / 4 -> 4)
+      val got = Dedup.minhashBandSweepPortable(base, numPerm, configs, thresholdBp)
+        .collect().map(r => r.getAs[Long]("bands") ->
+          ((r.getAs[Long]("rows_per_band"), r.getAs[Long]("det_bp_at_t"),
+            r.getAs[Long]("candidates"), r.getAs[Long]("pairs_at_threshold")))).toMap
+      // independent replay: shingle sets (shared kernel), plain md5 sigs
+      val sets = base.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[String](1).toSet))).toMap
+      val live = sets.collect { case (id, Some(s)) => id -> s }
+      val sigs = live.map { case (id, s) => id -> portableSig(s, numPerm) }
+      val ids = live.keys.toSeq.sorted
+      val t = thresholdBp.toDouble / 10000.0
+      val exp = configs.map { case (b, r) =>
+        val cand = (for {
+          i <- ids.indices; j <- (i + 1) until ids.length
+          a = ids(i); c = ids(j)
+          if (0 until b).exists(bd =>
+            sigs(a).slice(bd * r, bd * r + r) == sigs(c).slice(bd * r, bd * r + r))
+        } yield (a, c)).toSet
+        val hits = cand.count { case (a, c) =>
+          val inter = (live(a) & live(c)).size.toLong
+          val uni = live(a).size.toLong + live(c).size - inter
+          uni > 0 && inter * 10000L >= thresholdBp * uni
+        }.toLong
+        val detBp = math.floor(
+          10000.0 * (1.0 - math.pow(1.0 - math.pow(t, r), b))).toLong
+        b.toLong -> ((r.toLong, detBp, cand.size.toLong, hits))
+      }.toMap
+      val ok = got == exp
+      if (!ok) println(s"SWEEP-MISMATCH perm=$numPerm t=$thresholdBp $rows: " +
+        s"got=$got exp=$exp")
+      ok
+    }
+}
