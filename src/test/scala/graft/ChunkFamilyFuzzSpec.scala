@@ -1,0 +1,166 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Curation
+
+/** Differential CONFIG fuzzing of the repeated-text transform family
+  * (r10 verdict item 7): [[chunkDedup]], [[stripBoilerplate]] and
+  * [[spanCoverage]] were pinned at fixed configs by their driver
+  * oracles; here chunk size, minDocFreq and span (k, minDocs) are
+  * RANDOM, over corpora with PLANTED cross-doc spans (a shared
+  * boilerplate phrase spliced into random positions) plus exact
+  * copies and null/empty texts, checked against independent
+  * plain-Scala interpreters (list slicing + Map counting — no Spark
+  * joins, windows or kernels; the word-split convention is re-derived
+  * from `split(" ", -1)`). 60 random configs across three properties. */
+object ChunkFamilyFuzzSpec extends Properties("ChunkFamilyFuzz") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  private def toDf(rows: List[(Long, Option[String])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, t) => Row(id, t.orNull) }, 2), schema)
+
+  // ------------------------------------------------------------ generators
+
+  private val genWord = Gen.oneOf("aa", "bb", "cc", "dd", "e", "f")
+  private val boiler = List("nav", "home", "contact", "legal")
+
+  /** Random doc: random words with the shared boilerplate span spliced
+    * in at a random position (sometimes), or empty/null. */
+  private val genDoc: Gen[Option[String]] = Gen.frequency(
+    1 -> Gen.const(None),
+    1 -> Gen.const(Some("")),
+    8 -> (for {
+      k <- Gen.choose(1, 9)
+      ws <- Gen.listOfN(k, genWord)
+      plant <- Gen.oneOf(true, true, false)
+      at <- Gen.choose(0, k)
+    } yield Some((if (plant) ws.take(at) ++ boiler ++ ws.drop(at) else ws)
+      .mkString(" "))))
+
+  private val genCorpus: Gen[List[(Long, Option[String])]] = for {
+    n <- Gen.choose(2, 7)
+    docs <- Gen.listOfN(n, genDoc)
+    copies <- Gen.listOfN(n, Gen.choose(1, 2))
+  } yield docs.zip(copies).flatMap { case (t, c) => Seq.fill(c)(t) }
+    .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  // --------------------------------------------------- plain-Scala replays
+
+  private def words(t: String): List[String] = t.split(" ", -1).toList
+
+  /** [[graft.functions.ShingleKernel.chunks]] re-derived: ceil(len/n)
+    * windows (min 1), window c = words[c·n ..< min(c·n+n, len)]. */
+  private def chunksOf(t: String, n: Int): List[(Long, String)] = {
+    val ws = words(t)
+    val total = math.max((ws.length + n - 1) / n, 1)
+    (0 until total).toList.map(c =>
+      c.toLong -> ws.slice(c * n, math.min(c * n + n, ws.length)).mkString(" "))
+  }
+
+  /** All k-gram windows with 0-based positions: max(len−k+1, 1)
+    * windows, clamped at the text end. */
+  private def gramsOf(t: String, k: Int): List[(Long, String)] = {
+    val ws = words(t)
+    val total = math.max(ws.length - k + 1, 1)
+    (0 until total).toList.map(p =>
+      p.toLong -> ws.slice(p, math.min(p + k, ws.length)).mkString(" "))
+  }
+
+  private def rowKey(r: Row): (Long, Long, Long, Option[String]) =
+    (r.getLong(0), r.getAs[Long]("total_chunks"), r.getAs[Long]("kept_chunks"),
+      if (r.isNullAt(r.fieldIndex("clean_text"))) None
+      else Some(r.getAs[String]("clean_text")))
+
+  /** Shared reassembly shape of chunkDedup/stripBoilerplate given the
+    * per-(doc, idx) keep predicate. */
+  private def expectTransform(rows: List[(Long, Option[String])], n: Int,
+                              keep: (Long, Long, String) => Boolean)
+      : Set[(Long, Long, Long, Option[String])] =
+    rows.map { case (id, t) =>
+      t match {
+        case None => (id, 0L, 0L, None)
+        case Some(txt) =>
+          val ch = chunksOf(txt, n)
+          val keptCh = ch.filter { case (idx, c) => keep(id, idx, c) }
+          (id, ch.size.toLong, keptCh.size.toLong,
+            if (keptCh.isEmpty) None
+            else Some(keptCh.sortBy(_._1).map(_._2).mkString(" ")))
+      }
+    }.toSet
+
+  // ------------------------------------------------------------ properties
+
+  property("chunkDedup == first-arrival interpreter at random chunk size") =
+    forAll(genCorpus, Gen.choose(1, 6)) { (rows, n) =>
+      val got = Curation.chunkDedup(toDf(rows), "doc_id", "text", chunkTokens = n)
+        .collect().map(rowKey).toSet
+      // first arrival of each distinct chunk text = min (doc, idx)
+      val first = rows.collect { case (id, Some(t)) =>
+        chunksOf(t, n).map { case (idx, c) => (c, (id, idx)) } }
+        .flatten.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+      val exp = expectTransform(rows, n,
+        (id, idx, c) => first(c) == ((id, idx)))
+      val ok = got == exp
+      if (!ok) println(s"CHUNKDEDUP-MISMATCH n=$n $rows:\n got=$got\n exp=$exp")
+      ok
+    }
+
+  property("stripBoilerplate == doc-frequency interpreter at random config") =
+    forAll(genCorpus, Gen.choose(1, 6), Gen.choose(2, 4)) { (rows, n, minDf) =>
+      val got = Curation.stripBoilerplate(toDf(rows), "doc_id", "text",
+        chunkTokens = n, minDocFreq = minDf).collect().map(rowKey).toSet
+      val df = rows.collect { case (id, Some(t)) =>
+        chunksOf(t, n).map(_._2).distinct.map(_ -> id) }
+        .flatten.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+      val exp = expectTransform(rows, n,
+        (_, _, c) => df(c) < minDf)
+      val ok = got == exp
+      if (!ok) println(s"STRIP-MISMATCH n=$n minDf=$minDf $rows:\n got=$got\n exp=$exp")
+      ok
+    }
+
+  property("spanCoverage == interval-union interpreter at random (k, minDocs)") =
+    forAll(genCorpus, Gen.choose(1, 5), Gen.choose(2, 4)) { (rows, k, minDocs) =>
+      val got = Curation.spanCoverage(toDf(rows), "doc_id", "text",
+        k = k, minDocs = minDocs).collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(r.fieldIndex("n_words"))) None
+          else Some(r.getAs[Long]("n_words")),
+          r.getAs[Long]("dup_grams"), r.getAs[Long]("covered_words"),
+          r.getAs[Long]("cov_bp")))).toMap
+      val dupGrams = rows.collect { case (id, Some(t)) =>
+        gramsOf(t, k).map(_._2).distinct.map(_ -> id) }
+        .flatten.groupBy(_._1).collect {
+          case (g, xs) if xs.map(_._2).distinct.size >= minDocs => g
+        }.toSet
+      val exp = rows.map {
+        case (id, None) => id -> ((None: Option[Long], 0L, 0L, 0L))
+        case (id, Some(t)) =>
+          val nWords = words(t).length.toLong
+          val hits = gramsOf(t, k).filter(g => dupGrams(g._2)).sortBy(_._1)
+          val covered = hits.zipAll(hits.drop(1).map(h => Some(h._1)), (0L, ""), None)
+            .map { case ((pos, _), next) =>
+              math.min(k.toLong, next.getOrElse(nWords) - pos) }.sum
+          id -> ((Some(nWords), hits.size.toLong, covered,
+            covered * 10000L / math.max(nWords, 1L)))
+      }.toMap
+      val ok = got == exp
+      if (!ok) println(s"SPAN-MISMATCH k=$k minDocs=$minDocs $rows:\n got=$got\n exp=$exp")
+      ok
+    }
+}
