@@ -28,6 +28,7 @@ import subprocess
 __all__ = [
     "GraftCliError", "run_cli", "validate", "check", "curate", "diff",
     "init", "suggest", "scan", "import_tests", "to_dataframe",
+    "validate_df", "profile_df",
 ]
 
 
@@ -189,3 +190,80 @@ def import_tests(path, owner, *, model=None, location=None, out=None,
 def to_dataframe(spark, rows):
     """Report rows → Spark DataFrame (plain createDataFrame)."""
     return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# pyspark-NATIVE surface (py4j into the running JVM — no subprocess).
+# The in-process analog of the reference's compiled Python bindings
+# (crates/contracts-python: validate_batch / profile_batch): the graft
+# classes must simply be on the session's driver classpath
+# (spark.driver.extraClassPath or the packaged jar).
+# ---------------------------------------------------------------------------
+
+
+def _wrap_jdf(jdf, spark):
+    from pyspark.sql import DataFrame as SparkDataFrame
+    return SparkDataFrame(jdf, spark)
+
+
+def _contract_text(contract, fmt):
+    """`contract` may be a YAML/JSON/TOML document or a path to one;
+    returns (text, format) with the format inferred from the path
+    extension exactly like the CLI's parseFile dispatch."""
+    import os
+    if "\n" not in contract and os.path.isfile(contract):
+        with open(contract) as f:
+            text = f.read()
+        inferred = "toml" if contract.lower().endswith(".toml") else "yaml"
+        return text, (fmt or inferred)
+    return contract, (fmt or "yaml")
+
+
+def validate_df(spark_df, contract, *, fmt=None, strict=False,
+                schema_only=False, as_dataframe=False):
+    """In-process contract validation of a LIVE pyspark DataFrame —
+    any frame, not just a freshly-read path: a cached join result, a
+    streaming foreachBatch micro-batch, a notebook scratch frame.
+
+    ``contract`` is contract text (YAML/JSON/TOML) or a path to a
+    contract file. Returns ``(passed, report_rows)`` where the rows
+    carry the same dict shape as the CLI's ``validate --json`` lines
+    (check, field, passed, metric, detail, severity) and ``passed``
+    applies the same gate (failed errors; ``strict`` gates warnings
+    too). With ``as_dataframe=True`` the report comes back as a
+    pyspark DataFrame instead — still distributed, never collected.
+    """
+    spark = spark_df.sparkSession
+    text, f = _contract_text(contract, fmt)
+    bridge = spark._jvm.graft.PySparkBridge
+    jreport = bridge.validate(spark_df._jdf, text, f, schema_only)
+    ok = bridge.passed(jreport, strict)
+    report = _wrap_jdf(jreport, spark)
+    if as_dataframe:
+        return ok, report
+    rows = [json.loads(s)
+            for s in report.orderBy("check", "field").toJSON().collect()]
+    return ok, rows
+
+
+def profile_df(spark_df, *, as_dataframe=False):
+    """In-process profile of a LIVE pyspark DataFrame — the analog of
+    the reference's ``profile_batch``. Returns ``{"numeric": rows,
+    "strings": rows}`` (each a list of per-column stat dicts; empty
+    when the frame has no columns of that kind). With
+    ``as_dataframe=True`` the values are pyspark DataFrames (or None).
+    """
+    spark = spark_df.sparkSession
+    bridge = spark._jvm.graft.PySparkBridge
+    out = {}
+    for key, fn in (("numeric", bridge.profileNumeric),
+                    ("strings", bridge.profileStrings)):
+        jdf = fn(spark_df._jdf)
+        if jdf is None:
+            out[key] = None if as_dataframe else []
+        elif as_dataframe:
+            out[key] = _wrap_jdf(jdf, spark)
+        else:
+            out[key] = [json.loads(s) for s in
+                        _wrap_jdf(jdf, spark).orderBy("column").toJSON().collect()]
+    return out

@@ -79,6 +79,52 @@ def main():
         assert "name: events" in yaml_text and "uniqueness" in yaml_text
         print(f"  import: contract from dbt tests ({len(warnings)} warnings)")
 
+        # 7. pyspark-NATIVE surface: validate_df/profile_df drive the
+        # RUNNING JVM via py4j — no CLI subprocess anywhere below.
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("graft-smoke")
+                 .config("spark.driver.extraClassPath",
+                         f"{REPO}/target/scala-2.13/classes")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+        try:
+            df = spark.read.parquet(events)
+            ok, native_rows = graft.validate_df(df, contract_path)
+            assert native_rows, "validate_df produced no report rows"
+            # dict shape == the CLI's --json lines, checked row-for-row
+            # against step 3's subprocess run on the same data+contract
+            assert set(native_rows[0]) == set(rows[0]), \
+                f"native cols {set(native_rows[0])} != CLI cols {set(rows[0])}"
+            cli_verdicts = {(r["check"], r["field"]): r["passed"] for r in rows}
+            nat_verdicts = {(r["check"], r["field"]): r["passed"]
+                            for r in native_rows}
+            assert nat_verdicts == cli_verdicts, \
+                "in-process verdicts diverge from the CLI's"
+            assert ok == passed, "in-process gate diverges from the CLI's"
+            print(f"  validate_df: {len(native_rows)} rows match the CLI "
+                  f"report, passed={ok}")
+
+            # gate flip on a live DERIVED frame (no path on disk): a
+            # range-violating projection must fail in-process
+            bad = df.withColumn("event_id", df.event_id.cast("string"))
+            ok_bad, bad_rows = graft.validate_df(bad, contract_path)
+            assert not ok_bad and any(not r["passed"] for r in bad_rows), \
+                "type-violating derived frame should fail validation"
+            print("  validate_df: derived-frame type violation gates (exit-1 analog)")
+
+            prof = graft.profile_df(df)
+            assert prof["numeric"] and prof["strings"]
+            ncols = {r["column"] for r in prof["numeric"]}
+            assert {"total", "nulls", "min_r4", "max_r4", "mean_r4",
+                    "p50_r4", "distinct_cnt"} <= set(prof["numeric"][0])
+            assert all(r["total"] > 0 for r in prof["numeric"])
+            print(f"  profile_df: numeric cols {sorted(ncols)}, "
+                  f"{len(prof['strings'])} string cols")
+        finally:
+            spark.stop()
+
     print("SMOKE OK")
 
 

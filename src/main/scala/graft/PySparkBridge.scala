@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+import graft.contracts.ContractParser
+import graft.validators.ContractValidator
+
+/** In-process entry points for the pyspark client (`python/graft.py`'s
+  * `validate_df` / `profile_df`) — the py4j analog of the reference's
+  * compiled Python bindings (crates/contracts-python/src/lib.rs:320-419,
+  * `validate_batch` / `profile_batch` over in-memory Arrow batches).
+  *
+  * Scala-object static forwarders make every method reachable from the
+  * ACTIVE session's gateway with the pyspark DataFrame's own JVM
+  * handle — e.g.
+  * `spark._jvm.graft.PySparkBridge.validate(df._jdf, yaml, "yaml", False)`
+  * — so validation runs inside the already-running JVM against the
+  * live (possibly derived, cached, un-materialized) frame: no
+  * subprocess, no re-read of the data path, and the returned report is
+  * itself a distributed DataFrame the Python side re-wraps. The CLI
+  * (`graft.Cli validate --json`) remains the batch-job surface; this
+  * is the notebook surface a pyspark user hits first. */
+object PySparkBridge {
+
+  /** Full contract validation of a live frame. `contractText` is the
+    * contract DOCUMENT (not a path); `format` selects the parser —
+    * "toml" for TOML, anything else (use "yaml") for YAML/JSON,
+    * mirroring [[ContractParser.parseFile]]'s extension dispatch.
+    * Returns the report frame (check, field, passed, metric, detail,
+    * severity) — the exact frame the CLI's --json lines serialize. */
+  def validate(df: DataFrame, contractText: String, format: String,
+               schemaOnly: Boolean): DataFrame = {
+    val c =
+      if (format != null && format.equalsIgnoreCase("toml"))
+        ContractParser.parseToml(contractText)
+      else ContractParser.parse(contractText)
+    val parts =
+      if (schemaOnly) ContractValidator.Part.SchemaOnly
+      else ContractValidator.Part.All
+    new ContractValidator().validate(df, c, parts)
+  }
+
+  /** The CLI's exit-code gate over a [[validate]] report: failed
+    * `error`-severity checks gate; `strict` gates warnings too
+    * (Cli.scala validate verb, mirroring the reference's strict mode). */
+  def passed(report: DataFrame, strict: Boolean): Boolean =
+    report.filter(!col("passed") &&
+      (lit(strict) || col("severity") === "error")).isEmpty
+
+  /** Numeric-column profile of a live frame (auto-detected columns, the
+    * CLI `profile` verb's selection); null when the frame has no
+    * numeric columns — py4j hands that to Python as None. */
+  def profileNumeric(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    if (cols.isEmpty) null
+    else graft.operators.Profile.numeric(df, cols)
+  }
+
+  /** String-column profile of a live frame; null when no string
+    * columns. */
+  def profileStrings(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSeq
+    if (cols.isEmpty) null
+    else graft.operators.Profile.strings(df, cols)
+  }
+}
