@@ -758,6 +758,73 @@ object CurationQueries {
     })
 
 
+  // 142. perceptual image near-dup (dHash): REAL PNG decode (zlib
+  // inflate, filters) → 9×8 luma grid → gradient-sign hash → pigeonhole
+  // block pairing, over the documents corpus (text payloads decode to
+  // None and are skipped — the honest-codec path at scale) plus the
+  // four pixel fixtures. DuckDB cannot inflate zlib, so the oracle is
+  // the PINNED expected pair set (hex-literal fixture heritage, values
+  // cross-checked against the independent reference dHash in
+  // OperatorsSpec): a re-encode pairs at hamming 0, the one-pixel
+  // blowout at 2, the inverted image and every text payload pair with
+  // nothing. Fixture ids are NEGATIVE (scaleup collision rule).
+  val qPerceptualDhash = QueryDef("q_perceptual_dhash",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(Seq(
+        (-9000L, PngDupAHex), (-9001L, PngDupBHex), (-9002L, PngNearHex),
+        (-9003L, PngFarHex), (-9004L, "00"))).toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("payload"))
+      val payloads = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionByName(fixtures)
+      Multimodal.perceptualPairs(payloads, "doc_id", "payload", maxHamming = 4)
+        .select("id_a", "id_b", "hamming", "dhash_a", "dhash_b")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(-9002 AS BIGINT), CAST(-9001 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(1306644381587490888 AS BIGINT), CAST(1306644381587228744 AS BIGINT)),
+        (CAST(-9002 AS BIGINT), CAST(-9000 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(1306644381587490888 AS BIGINT), CAST(1306644381587228744 AS BIGINT)),
+        (CAST(-9001 AS BIGINT), CAST(-9000 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(1306644381587228744 AS BIGINT), CAST(1306644381587228744 AS BIGINT)))
+        t(id_a, id_b, hamming, dhash_a, dhash_b)
+      ORDER BY id_a, id_b"""))
+
+
+  // 205. perceptual audio near-dup (energy signature): REAL 16-bit PCM
+  // decode → 65-window integer energies → gradient-sign hash → the
+  // same pigeonhole pairing, over the documents corpus (non-WAV
+  // payloads skipped) plus the four audio fixtures. Pinned oracle, as
+  // above: half-gain pairs at hamming 0 (energy SIGNS are gain-
+  // invariant), the one-window bump at 1, scatter pairs with nothing.
+  val qAudioSig = QueryDef("q_audio_sig",
+    (s, dir) => {
+      val fixtures = s.createDataFrame(Seq(
+        (-9000L, WavSigAHex), (-9001L, WavSigHalfHex),
+        (-9002L, WavSigScatterHex), (-9003L, WavSigBumpHex),
+        (-9004L, "00"))).toDF("doc_id", "hx")
+        .select(col("doc_id"), unhex(col("hx")).as("payload"))
+      val payloads = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionByName(fixtures)
+      Multimodal.audioPairs(payloads, "doc_id", "payload", maxHamming = 4)
+        .select("id_a", "id_b", "hamming", "asig_a", "asig_b")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(-9003 AS BIGINT), CAST(-9001 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(-8588886016 AS BIGINT), CAST(-8589934592 AS BIGINT)),
+        (CAST(-9003 AS BIGINT), CAST(-9000 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(-8588886016 AS BIGINT), CAST(-8589934592 AS BIGINT)),
+        (CAST(-9001 AS BIGINT), CAST(-9000 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(-8589934592 AS BIGINT), CAST(-8589934592 AS BIGINT)))
+        t(id_a, id_b, hamming, asig_a, asig_b)
+      ORDER BY id_a, id_b"""))
+
+
   // 95. Z-order (Morton) layout profile: interleave 16-bit
   // (l_partkey, l_suppkey) into a curve key, group into file-sized
   // curve ranges, report per-range min/max on BOTH dims — the
@@ -1392,6 +1459,8 @@ object CurationQueries {
     qPipelineFunnel,
     qPipelineFunnelV2,
     qMultimodalBlocks,
+    qPerceptualDhash,
+    qAudioSig,
     qLayoutZorder,
     qRangeJoin,
     qIntervalJoin,

@@ -209,6 +209,108 @@ private[queries] object PipelineShared {
     "524946462C00000057415645666D7420100000000100020044AC000010B102000400100064617461080000000000000000000000"
 
 
+  // 142/205: perceptual-fingerprint fixtures — REAL PNGs (zlib IDAT,
+  // valid CRCs, decoded by the product codec) and 16-bit PCM WAVs,
+  // generated once from deterministic patterns (FixtureGenSpec
+  // heritage): PngDupB re-encodes PngDupA's pixels under different
+  // row filters (byte-different, dHash-identical); PngNear blows out
+  // ONE sampled pixel (dHash hamming 2); PngFar inverts every byte
+  // (hamming 64). WavSigHalf is WavSigA at half gain (energy-sign
+  // invariant, hamming 0); WavSigBump raises one of the 65 energy
+  // windows (hamming 1); WavSigScatter is unrelated noise (hamming 33).
+  val PngDupAHex: String =
+    "89504E470D0A1A0A0000000D49484452000000120000001008020000009464B80B00" +
+    "0002BE49444154789C636060E753D531F60A8CC82FAB9D327BD1CE03C7EF3D7DC3CC" +
+    "25A8A16FE61B125D54D9307DDED23D874F3D7CF19E8D5744DBC832203CAEB4A69981" +
+    "5B48D2C0DC2E3426B9AAB163FEB2B5474E5F7AF9E13B9FA88CB19563447C5A6D4BF7" +
+    "A2951B8E9FBBFAE6F32F410979335B97E8A4CC86F63E063159156B27CF84F4BCD69E" +
+    "C9AB36EE387FEDEE97DF4C920AEA76AE3EC959851DFDD3D66ED97DE9E683EFFF5865" +
+    "94B51C3DFCD3724BBA27CD6450D4D077F30DC92EAA9C307DDED63D876F3D7CF19F8D" +
+    "5745DBC833203CAFB466F2AC853BF61FBBFBE43513A780BA9EA94F70546145FDB4B9" +
+    "4B18748CAD0223E2CB6A5B662F5A79E0F8B9A76F3E73094AE89BD98644275536B4CF" +
+    "5BBAE6F0A98B2FDE7FE3159136B274088F4BAD69EE5AB8623D83B99D6B4C72566347" +
+    "FFB2B55B4E5FBAF9E1FB3F5119652B478FF8B4DC96EE492B376C3F77F5CEE75F8C12" +
+    "F26AB62EDE499905ED7D53D76CDEC5E0E419909E57DA3379D6C61DFBAFDD7DF29B89" +
+    "53415DCFD52738ABB0A27FDADC2DBB0FDD7CF0FC1F2B8FB296A1877F586E49F5A499" +
+    "0BB6EF3BCA802794672D5CB1FFD8D927AF3F710A88EB99DA04472556D4B7CD5DB2FA" +
+    "D0C90B0C784279E99ACDA72EDE78FFEDAF88B492A5837B5C6A4E73D7C415EBB79DBD" +
+    "729B014F286FD8BEEFEA9DC7BF1839E4D5745DBC83320BCAFBA6CED9BCEBE08DFBCF" +
+    "18F084F2EE43271F3C7FC7CA23AC6568E11F165B52DD3473C1F27D47CF3C7EF59101" +
+    "4F281F3B7BE5F5A79F02E272A636CE518919F56DBD4B566F3A79E1FABBAF7F18F084" +
+    "F2C51BF7BFFD659156D27470F74BCD29EE9A3863FDB6BD576E3FFAC9C0CE802794EF" +
+    "3C7EC5C8C1AFA66BE21D1459505E3775CEE25D074FDC7FF696855B88014F283F7FF7" +
+    "954758CAD0C23E2C36A5BAA973C1F27547CF5C7EF5F107BF982C039E50FEF493415C" +
+    "4ED5C6D92B3123BFAD77CAEA4D3B2F5CBFF7F50FB394A20600A47EB290C4B2D92C00" +
+    "00000049454E44AE426082"
+
+  val PngDupBHex: String =
+    "89504E470D0A1A0A0000000D49484452000000120000001008020000009464B80B00" +
+    "00006049444154789C636460E753251D307193059805452430C18C19040459B09BA6" +
+    "8A4D0C499051C7D88A8E7E53D7D243F703119EC5E2376CFE4217648C884FA3A3DF6C" +
+    "1D5C48F4179E782304185BBA27D1D16FC1615178FC3003872041BF618F450020EC52" +
+    "F7AB73FB550000000049454E44AE426082"
+
+  val PngNearHex: String =
+    "89504E470D0A1A0A0000000D49484452000000120000001008020000009464B80B00" +
+    "0000D249444154789C636660E753D5D4B1B0B6F7F20B8C4D48C92F2E6B6AED9C3263" +
+    "B6BA969EA5AD838F7F705C526A614945737BD7B499733574F4ADED9C7C034398B9F9" +
+    "852430C08C1933F00B320B8A602A90C0A60B4590594C4A96485DC81C661979653479" +
+    "DEB6FA790B97E27121489BA2AA069A0A394555FC2E04690386183ED760D725C1AC63" +
+    "608C570176416623534B540558B4610A329B5BDB11B60C4384D9D6C105AF02EC2631" +
+    "3BB97992EA4290360F6F7F022EC426C80C4C97F87561358939382C0A8F2E5CCE668E" +
+    "8889C7AB02AB651200E4458776996266860000000049454E44AE426082"
+
+  val PngFarHex: String =
+    "89504E470D0A1A0A0000000D49484452000000120000001008020000009464B80B00" +
+    "00004D49444154789C63FAFFE3E3ADCB67B6AE5B3EA1B3293B25D6CDDE42514AF8CF" +
+    "D777D72F9CDCB47A496F5B7D466294B38DA99CB8C0CF4FAFAF9C3DB67EC5C2AEE61A" +
+    "A6AF6481516DA3DA46B63600EA10267927674A780000000049454E44AE426082"
+
+  val WavSigAHex: String =
+    "524946462801000057415645666D74201000000001000100401F0000803E00000200" +
+    "1000646174610401000000000000280028005000500078007800A000A000C800C800" +
+    "F000F00018011801400140016801680190019001B801B801E001E001080208023002" +
+    "30025802580280028002A802A802D002D002F802F802200320034803480370037003" +
+    "98039803C003C003E803E80310041004380438046004600488048804B004B004D804" +
+    "D8040005000500050005D804D804B004B00488048804600460043804380410041004" +
+    "E803E803C003C00398039803700370034803480320032003F802F802D002D002A802" +
+    "A80280028002580258023002300208020802E001E001B801B8019001900168016801" +
+    "4001400118011801F000F000C800C800A000A000780078005000500028002800"
+
+  val WavSigHalfHex: String =
+    "524946462801000057415645666D74201000000001000100401F0000803E00000200" +
+    "100064617461040100000000000014001400280028003C003C005000500064006400" +
+    "780078008C008C00A000A000B400B400C800C800DC00DC00F000F000040104011801" +
+    "18012C012C014001400154015401680168017C017C0190019001A401A401B801B801" +
+    "CC01CC01E001E001F401F401080208021C021C023002300244024402580258026C02" +
+    "6C0280028002800280026C026C025802580244024402300230021C021C0208020802" +
+    "F401F401E001E001CC01CC01B801B801A401A401900190017C017C01680168015401" +
+    "5401400140012C012C011801180104010401F000F000DC00DC00C800C800B400B400" +
+    "A000A0008C008C007800780064006400500050003C003C002800280014001400"
+
+  val WavSigScatterHex: String =
+    "524946462801000057415645666D74201000000001000100401F0000803E00000200" +
+    "1000646174610401000018FCF9020A021B012C003DFF4EFE5FFD70FC510362027301" +
+    "840095FFA6FEB7FDC8FCA903BA02CB01DC00EDFFFEFE0FFE20FD31FC120323023401" +
+    "450056FF67FE78FD89FC6A037B028C019D00AEFFBFFED0FDE1FCC203D302E401F500" +
+    "060017FF28FE39FD4AFC2B033C024D015E006FFF80FE91FDA2FC83039402A501B600" +
+    "C7FFD8FEE9FDFAFCDB03EC02FD010E011F0030FF41FE52FD63FC4403550266017700" +
+    "88FF99FEAAFDBBFC9C03AD02BE01CF00E0FFF1FE02FE13FD24FC0503160227013800" +
+    "49FF5AFE6BFD7CFC5D036E027F019000A1FFB2FEC3FDD4FCB503C602D701E800F9FF" +
+    "0AFF1BFE2CFD3DFC1E032F024001510062FF73FE84FD95FC760387029801A900"
+
+  val WavSigBumpHex: String =
+    "524946462801000057415645666D74201000000001000100401F0000803E00000200" +
+    "1000646174610401000000000000280028005000500078007800A000A000C800C800" +
+    "F000F00018011801400140016801680190019001B801B801E001E001080208023002" +
+    "30025802580280028002A802A802D002D002F802F802A406A4064803480370037003" +
+    "98039803C003C003E803E80310041004380438046004600488048804B004B004D804" +
+    "D8040005000500050005D804D804B004B00488048804600460043804380410041004" +
+    "E803E803C003C00398039803700370034803480320032003F802F802D002D002A802" +
+    "A80280028002580258023002300208020802E001E001B801B8019001900168016801" +
+    "4001400118011801F000F000C800C800A000A000780078005000500028002800"
+
+
   // 53. PII indicator scan (pre-train compliance scrub). The corpus is
   // synthetic, so three fixture docs plant every pattern class; the
   // oracle re-counts each regex with DuckDB's RE2 — the patterns live

@@ -750,6 +750,94 @@ object ProfileStatsQueries {
       FROM est LEFT JOIN counts ON est.k = counts.k ORDER BY key"""))
 
 
+  // 166. CM sketch MERGE surface — the incremental path row 158's
+  // one-shot estimate can't serve: two sketches built on DISJOINT
+  // event slices (id parity — per-day / per-shard stand-in), merged
+  // cell-wise-additively with cmMerge, probed with cmEstimateFor; the
+  // oracle replays the per-slice cell builds, the additive merge and
+  // the min-probe in DuckDB and checks estimates against whole-corpus
+  // exact counts — merge(sketch(A), sketch(B)) must estimate A ∪ B.
+  val qCmMerge = QueryDef("q_cm_merge",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val halves = Seq(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0))
+      val merged = graft.operators.Profile.cmMerge(halves.map(h =>
+        graft.operators.Profile.cmSketchCells(h, "event_type",
+          depth = 4, width = 8)))
+      val probes = Seq("click", "view", "purchase", "signup", "error", "absent_key")
+      val est = graft.operators.Profile.cmEstimateFor(merged, probes,
+        depth = 4, width = 8)
+      val exact = ev.filter(col("event_type").isNotNull)
+        .groupBy(col("event_type").cast("string").as("key"))
+        .agg(count(lit(1)).cast(LongType).as("exact"))
+      est.join(exact, Seq("key"), "left")
+        .select(col("key"), coalesce(col("exact"), lit(0L)).as("exact"),
+          col("estimate"))
+        .orderBy("key")
+    },
+    Some("""
+      WITH c0 AS (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS c
+                  FROM events WHERE event_type IS NOT NULL AND event_id % 2 = 0
+                  GROUP BY 1),
+      c1 AS (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS c
+             FROM events WHERE event_type IS NOT NULL AND event_id % 2 != 0
+             GROUP BY 1),
+      prow AS (SELECT unnest([1, 2, 3, 4]) AS p),
+      cells AS (SELECT p,
+                  ((1 + (p * 2654435761) % 2147483646)
+                    * (('0x' || substr(md5(k), 1, 8))::BIGINT % 2147483647)
+                    + (p * 2654435761 * 97) % 2147483647) % 2147483647 % 8 AS cell,
+                  sum(c) AS s
+                FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1) u, prow
+                GROUP BY 1, 2),
+      probes(k) AS (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+                           ('error'), ('absent_key')),
+      pc AS (SELECT k, p,
+               ((1 + (p * 2654435761) % 2147483646)
+                 * (('0x' || substr(md5(k), 1, 8))::BIGINT % 2147483647)
+                 + (p * 2654435761 * 97) % 2147483647) % 2147483647 % 8 AS cell
+             FROM probes, prow),
+      est AS (SELECT pc.k, min(coalesce(s, 0)) AS estimate
+              FROM pc LEFT JOIN cells ON pc.p = cells.p AND pc.cell = cells.cell
+              GROUP BY 1),
+      exact AS (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS c
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+      SELECT est.k AS key, CAST(coalesce(c, 0) AS BIGINT) AS exact,
+             CAST(estimate AS BIGINT) AS estimate
+      FROM est LEFT JOIN exact ON est.k = exact.k ORDER BY key"""))
+
+
+  // 199. histogram-sketch-cell MERGE surface — explicit bounds
+  // [0, 500) × 50 bins so per-slice cell frames are mergeable by plain
+  // groupBy-sum (the streaming/incremental contract sketchQuantiles'
+  // data-derived bounds can't give); out-of-range values clamp into
+  // the end bins (value tops ~560 in the corpus, so bin 49 carries the
+  // clamp). The oracle bins the whole corpus directly — counting is
+  // associative, so slice-merge must equal one-pass exactly.
+  val qSketchMerge = QueryDef("q_sketch_merge",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val cells = Seq(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0)).map(h =>
+        graft.operators.Profile.sketchCells(h, "value",
+          nBins = 50, lo = 0.0, hi = 500.0))
+      cells.reduce(_ unionByName _)
+        .groupBy("bin").agg(sum("c").cast(LongType).as("c"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH b AS (SELECT CAST(least(greatest(floor((value - 0.0) / 10.0), 0.0),
+                                   49.0) AS BIGINT) AS bin
+                 FROM events
+                 WHERE value IS NOT NULL
+                   AND (event_id % 2 = 0 OR event_id % 2 != 0))
+      SELECT bin, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1 ORDER BY bin"""))
+
+
   // 164. Kish effective sample size of the value column per type —
   // quantized-integer sums so the derived doubles replay bit-for-bit.
   val qEss = QueryDef("q_ess",
@@ -1460,6 +1548,8 @@ object ProfileStatsQueries {
     qTukeyOutliers,
     qKappa,
     qCmSketch,
+    qCmMerge,
+    qSketchMerge,
     qEss,
     qWeightedQuantiles,
     qReconcile,
