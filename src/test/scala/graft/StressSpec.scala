@@ -89,4 +89,26 @@ class StressSpec extends SparkSpec {
       "shipped stress.json seconds are not medians of >=3 reps - " +
         "regenerate with the r11 Stress main")
   }
+
+  test("SKEW PARITY: the shipped target/stress_skew.json certifies the live registry") {
+    // r11: the Zipf-skew corpus (tools/skewup.py — one hot key holding
+    // ~30% of rows on every join/window axis) gets the same board
+    // certificate as the 10x-copy corpus. Same staleness rules.
+    val p = java.nio.file.Paths.get("target/stress_skew.json")
+    assume(java.nio.file.Files.isRegularFile(p),
+      "no shipped skew-stress artifact in this checkout - nothing to certify")
+    val m = parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val artifactQueries = {
+      val it = m.get("queries").fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val registry = SparkEntry.queries.keySet
+    assert((registry -- artifactQueries).isEmpty && (artifactQueries -- registry).isEmpty,
+      "stress_skew.json is stale vs the registry - re-run graft.Stress on target/sfskew")
+    assert(!m.get("partial").asBoolean && m.get("fail").asInt == 0,
+      s"stress_skew.json partial=${m.get("partial")} fail=${m.get("fail")}")
+    assert(m.get("timing_reps").asInt >= 3)
+  }
 }

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Zipf-skew variant of the stress corpus (r11): same tables as the
+driver SF dir, but with ONE HOT KEY holding ~30% of the rows on each
+join/window axis the board exercises —
+
+  events.user_id       sessionize / rolling windows / stickiness /
+                       cohort / funnel families (the coalesce-sentinel
+                       window keys)
+  orders.o_custkey     customer rollups + the salted-join family
+                       (Skew.scala's q_skew_join / q_key_skew)
+  lineitem.l_orderkey  join amplification / layout / star joins
+  lineitem.l_partkey   co-located join + z-order families
+
+Events are also replicated `factor`x (event_id-shifted, ts kept — so
+the hot user's window partition carries exact-tie timestamps) to make
+the hot partition genuinely large. documents/embeddings copy
+unchanged: the dedup family's scale certificate is the 10x-copy
+corpus (tools/scaleup.py); this one certifies KEY SKEW.
+
+Hot keys are chosen from EXISTING key domains (min key), so
+referential integrity stays intact. Masks are deterministic
+(key % 10 < 3) — the corpus is reproducible bit-for-bit.
+
+Usage: python3 tools/skewup.py [src_sf_dir] [dst_dir] [factor]
+       (defaults: /root/testdata/sf0.1  target/sfskew  3)
+"""
+import glob
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sfskew"
+factor = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+os.makedirs(dst, exist_ok=True)
+
+for f in glob.glob(f"{src}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    if name not in ("events", "orders", "lineitem"):
+        shutil.copyfile(f, f"{dst}/{name}.parquet")
+
+
+def offset_for(col):
+    m = pc.max(col).as_py()
+    off = 1
+    while off <= m:
+        off *= 10
+    return off
+
+
+def set_col(t, name, arr):
+    return t.set_column(t.schema.get_field_index(name), name, arr)
+
+
+def skew_to_hot(t, mask_key, skew_key, hot):
+    """Rows where mask_key % 10 < 3 get skew_key = hot (~30%)."""
+    mask = (t.column(mask_key).to_numpy(zero_copy_only=False) % 10) < 3
+    orig = t.column(skew_key).to_numpy(zero_copy_only=False)
+    skewed = np.where(mask, hot, orig)
+    out = set_col(t, skew_key, pa.array(skewed, type=t.schema.field(skew_key).type))
+    share = mask.sum() / len(mask)
+    print(f"  {skew_key}: hot key {hot} now holds {share:.1%} of {len(mask)} rows")
+    return out
+
+
+# events: factor copies (id-shifted), then ~30% of rows -> one hot user
+ev = pq.read_table(f"{src}/events.parquet")
+off = offset_for(ev.column("event_id"))
+parts = []
+for k in range(factor):
+    ids = pc.add(ev.column("event_id"), k * off)
+    parts.append(set_col(ev, "event_id", ids))
+ev = pa.concat_tables(parts)
+hot_user = pc.min(ev.column("user_id")).as_py()
+ev = skew_to_hot(ev, "event_id", "user_id", hot_user)
+pq.write_table(ev, f"{dst}/events.parquet")
+print(f"events: x{factor} -> {ev.num_rows} rows (id offset {off})")
+
+# orders: ~30% of orders -> one hot customer
+orders = pq.read_table(f"{src}/orders.parquet")
+hot_cust = pc.min(orders.column("o_custkey")).as_py()
+hot_order = pc.min(orders.column("o_orderkey")).as_py()
+orders = skew_to_hot(orders, "o_orderkey", "o_custkey", hot_cust)
+pq.write_table(orders, f"{dst}/orders.parquet")
+print(f"orders: {orders.num_rows} rows")
+
+# lineitem: ~30% -> one hot order; independently ~30% -> one hot part
+li = pq.read_table(f"{src}/lineitem.parquet")
+hot_part = pc.min(li.column("l_partkey")).as_py()
+li = skew_to_hot(li, "l_linenumber", "l_orderkey", hot_order)
+li = skew_to_hot(li, "l_suppkey", "l_partkey", hot_part)
+pq.write_table(li, f"{dst}/lineitem.parquet")
+print(f"lineitem: {li.num_rows} rows")
