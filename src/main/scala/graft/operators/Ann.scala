@@ -718,4 +718,82 @@ object Ann {
       .select("group", "n_vecs", "dims", "nearzero_elems", "nearzero_bp",
         "dead_dims")
   }
+
+  /** PRODUCT-QUANTIZATION distortion report (Jégou et al. 2011, the
+    * memory layout every billion-vector ANN store runs): the dimension
+    * axis splits into `numSubspaces` contiguous sub-vectors, each
+    * quantized against its own `numCodes`-entry codebook, so a vector
+    * stores as numSubspaces small codes instead of dim floats
+    * (64-dim float32 → 4 codes ≈ 64× smaller). This is the PRE-FLIGHT
+    * datasheet line for that decision: per subspace, how many codes the
+    * corpus actually occupies and the exact-integer quantization
+    * distortion (Σ floor(min-d²·10⁴) — the same q4 fold as the k-means
+    * inertia, so any engine replays it bit-for-bit).
+    *
+    * Codebooks are the [[sampleCentroids]] deterministic pseudo-random
+    * sample, sliced per subspace — SQL-replayable like the IVF
+    * centroids (a production store would Lloyd-refine per subspace;
+    * the occupancy/distortion CONTRACT is identical). Completes the
+    * embedding-compression triptych: int8 scalar quantization (row
+    * 204), JL projection (row 257), PQ codes.
+    *
+    * Plan: ONE corpus scan — every subspace's code + distance computes
+    * in one projection (compiled [[graft.functions.CentroidDistsExpr]]
+    * kernels over array slices), exploded to (subspace, code, d²) and
+    * rolled up; driver-side state is numCodes × dim doubles. Output:
+    * one row per subspace — (subspace, sub_dims, codes, used_codes,
+    * vectors, distortion_q4, mean_d2_q4). */
+  def pqReport(corpus: DataFrame, idCol: String, vecCol: String,
+               numSubspaces: Int = 4, numCodes: Int = 16): DataFrame = {
+    require(numSubspaces >= 1 && numCodes >= 1,
+      "need numSubspaces >= 1 and numCodes >= 1")
+    val sampled = sampleCentroids(corpus, idCol, vecCol, numCodes)
+    val dim = sampled.head.size
+    require(dim % numSubspaces == 0,
+      s"dim $dim must be divisible by numSubspaces $numSubspaces")
+    val sub = dim / numSubspaces
+    val perM = (0 until numSubspaces).map { m =>
+      val cents = sampled.map(_.slice(m * sub, m * sub + sub))
+      val sv = slice(col("__v"), m * sub + 1, sub)
+      val d = graft.functions.CentroidDistsExpr(sv, VectorFns.normSq(sv), cents)
+      struct(lit(m.toLong).as("subspace"),
+        array_position(d, array_min(d)).cast("long").as("code"),
+        array_min(d).as("d2"))
+    }
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__v"))
+      .select(explode(array(perM: _*)).as("r"))
+      .groupBy(col("r.subspace").as("subspace"))
+      .agg(count(lit(1)).cast("long").as("vectors"),
+        countDistinct(col("r.code")).cast("long").as("used_codes"),
+        sum(floor(col("r.d2") * 10000).cast("long")).cast("long")
+          .as("distortion_q4"))
+      .select(col("subspace"), lit(sub.toLong).as("sub_dims"),
+        lit(numCodes.toLong).as("codes"), col("used_codes"), col("vectors"),
+        col("distortion_q4"),
+        expr("distortion_q4 DIV vectors").cast("long").as("mean_d2_q4"))
+  }
+
+  /** MUTUAL (reciprocal) top-k pairs over ANY neighbor frame in the
+    * board's (q_id, rank, n_id, cosine) shape: the pairs where each
+    * side ranks the other within ITS OWN top-k — the standard
+    * symmetrization that turns a kNN listing into a high-precision
+    * near-dup / entity-match edge set (a one-directional neighbor is
+    * often just a hub: everything's neighbor, nobody's reciprocal).
+    * Feed [[bruteForceTopK]] for the exact referee, or [[ivfTopK]] /
+    * [[lshTopK]] at scale — the reciprocity join is one self-equi-join
+    * on the (bounded, k·n-row) neighbor frame either way, never a
+    * touch of the vectors. Output: (id_a, id_b, rank_ab, rank_ba,
+    * cos_r4) with id_a < id_b. */
+  def mutualTopK(neighbors: DataFrame): DataFrame = {
+    val d = neighbors.select(col("q_id"), col("n_id"),
+      col("rank").cast(org.apache.spark.sql.types.LongType).as("rank"),
+      col("cosine"))
+    d.as("x").join(d.as("y"),
+        col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id"))
+      .filter(col("x.q_id") < col("x.n_id"))
+      .select(col("x.q_id").as("id_a"), col("x.n_id").as("id_b"),
+        col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"),
+        round(col("x.cosine"), 4).as("cos_r4"))
+  }
 }

@@ -684,4 +684,51 @@ object Curation {
                         keepCols: Seq[String] = Nil): DataFrame =
     tokenBudgetSelectManaged(docs, idCol, scoreCol, tokensCol, budgetTokens,
       keepCols)._1
+
+  /** DICTIONARY PHRASE TAGGING — exact multi-phrase matching of a
+    * (tag, phrase) dictionary against every document, the Aho-Corasick
+    * job (topic routing, blocklist tagging, compliance-term flagging)
+    * re-expressed as Spark joins: both sides normalize
+    * (lowercase + whitespace collapse), the dictionary's distinct
+    * word-LENGTH alphabet is collected (dictionary-bounded — a few
+    * values), the corpus is shingled once per length with the compiled
+    * kernel, and each shingle stream equi-joins the broadcast
+    * length-slice of the dictionary. A phrase matching millions of
+    * docs costs those docs one row each — popular phrases cannot go
+    * quadratic, and scan count = |distinct lengths|, never |phrases|
+    * (the win over a regex-alternation UDF, which also wouldn't
+    * codegen). Word-boundary exact by construction: shingles are
+    * space-joined word windows, so "scan" never matches "scans".
+    *
+    * Output: one row per (doc, tag) with ≥1 match —
+    * (id, tag, n_matches, n_phrases) where n_matches counts
+    * occurrences (windows) and n_phrases distinct dictionary phrases
+    * hit. */
+  def tagPhrases(docs: DataFrame, idCol: String, textCol: String,
+                 dict: DataFrame, tagCol: String = "tag",
+                 phraseCol: String = "phrase"): DataFrame = {
+    // distinct AFTER normalization: two raw spellings of one phrase
+    // must not double-count the windows they match
+    val d = dict.select(col(tagCol).cast("string").as("tag"),
+        TextFns.normalize(col(phraseCol)).as("ph"))
+      .filter(col("tag").isNotNull && col("ph").isNotNull &&
+        length(col("ph")) > 0)
+      .distinct()
+      .withColumn("__len", TextFns.wsTokenCount(col("ph")).cast("int"))
+    val lens = d.select("__len").distinct().collect().map(_.getInt(0)).sorted
+    require(lens.nonEmpty, "tagPhrases: empty dictionary")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        TextFns.words(TextFns.normalize(col(textCol))).as("__ws"))
+    val matches = lens.map { len =>
+      base.select(col("id"),
+          explode(graft.functions.WordShinglesExpr(col("__ws"), len,
+            distinct = false)).as("ph"))
+        .join(broadcast(d.filter(col("__len") === len).select("tag", "ph")),
+          Seq("ph"))
+    }.reduce(_ unionByName _)
+    matches.groupBy("id", "tag")
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        countDistinct(col("ph")).cast("long").as("n_phrases"))
+  }
 }

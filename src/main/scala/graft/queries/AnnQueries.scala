@@ -40,6 +40,75 @@ object AnnQueries {
       WHERE rank <= 5 ORDER BY q_id, rank"""))
 
 
+  // 300. mutual (reciprocal) top-k pairs — the kNN-graph
+  // symmetrization over the exact-referee neighbor frame of a fixed
+  // id-range subset; DuckDB replays the window ranking and the
+  // reciprocity self-join.
+  val qAnnMutual = QueryDef("q_ann_mutual",
+    (s, dir) => {
+      val sub = table(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Ann.mutualTopK(Ann.bruteForceTopK(sub, sub, "vec_id", "embedding", k = 5))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      nb AS (
+        SELECT a.vec_id q_id, b.vec_id n_id,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                    list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) c,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+                      list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) DESC,
+                 b.vec_id ASC) rank
+        FROM sub a JOIN sub b ON b.vec_id != a.vec_id),
+      k AS (SELECT * FROM nb WHERE rank <= 5)
+      SELECT x.q_id AS id_a, x.n_id AS id_b, CAST(x.rank AS BIGINT) AS rank_ab,
+             CAST(y.rank AS BIGINT) AS rank_ba, round(x.c, 4) AS cos_r4
+      FROM k x JOIN k y ON x.q_id = y.n_id AND x.n_id = y.q_id
+      WHERE x.q_id < x.n_id ORDER BY id_a, id_b"""))
+
+
+  // 301. product-quantization distortion report — per-subspace code
+  // occupancy + exact-q4 distortion against the deterministic sampled
+  // codebooks (the IVF centroid sample, sliced); DuckDB replays the
+  // sample, the sub-vector distances and the q4 fold.
+  val qEmbedPq = QueryDef("q_embed_pq",
+    (s, dir) => {
+      Ann.pqReport(table(s, dir, "embeddings"), "vec_id", "embedding",
+          numSubspaces = 4, numCodes = 16)
+        .orderBy("subspace")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY scat, vec_id) code, embedding
+        FROM (SELECT vec_id, embedding, (vec_id % 999983) * 2654435761 % 999983 scat
+              FROM embeddings ORDER BY scat, vec_id LIMIT 16)),
+      subs AS (SELECT unnest([0, 1, 2, 3]) m),
+      a AS (
+        SELECT e.vec_id, s.m, c.code,
+          list_dot_product(e.embedding[s.m*16+1 : s.m*16+16]::DOUBLE[],
+                           e.embedding[s.m*16+1 : s.m*16+16]::DOUBLE[])
+          - 2 * list_dot_product(e.embedding[s.m*16+1 : s.m*16+16]::DOUBLE[],
+                                 c.embedding[s.m*16+1 : s.m*16+16]::DOUBLE[])
+          + list_dot_product(c.embedding[s.m*16+1 : s.m*16+16]::DOUBLE[],
+                             c.embedding[s.m*16+1 : s.m*16+16]::DOUBLE[]) d
+        FROM embeddings e, subs s, cents c
+        WHERE e.embedding IS NOT NULL),
+      best AS (SELECT vec_id, m, code, d,
+                      row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d ASC, code ASC) rn
+               FROM a)
+      SELECT CAST(m AS BIGINT) AS subspace, CAST(16 AS BIGINT) AS sub_dims,
+             CAST(16 AS BIGINT) AS codes,
+             CAST(count(DISTINCT code) AS BIGINT) AS used_codes,
+             CAST(count(*) AS BIGINT) AS vectors,
+             CAST(sum(CAST(floor(d * 10000) AS BIGINT)) AS BIGINT) AS distortion_q4,
+             CAST(sum(CAST(floor(d * 10000) AS BIGINT)) // count(*) AS BIGINT) AS mean_d2_q4
+      FROM best WHERE rn = 1 GROUP BY m ORDER BY subspace"""))
+
+
   // 31. LSH-bucketed ANN. The hyperplanes are fixed driver-side literal
   // doubles, so the oracle embeds their exact values (Double.toString
   // round-trips) and recomputes bucket assignment + in-bucket ranking —
@@ -649,6 +718,8 @@ object AnnQueries {
 
   val all: Seq[QueryDef] = Seq(
     qEmbedDeadzone,
+    qAnnMutual,
+    qEmbedPq,
     qAnnTopk,
     qAnnLsh,
     qAnnMrr,

@@ -825,6 +825,44 @@ object CurationQueries {
       ORDER BY id_a, id_b"""))
 
 
+  // 302. dictionary phrase tagging — exact multi-phrase matching via
+  // per-length shingle equi-joins against a broadcast dictionary
+  // (topic routing / blocklist tagging); DuckDB replays the
+  // normalization, the per-length shingling and the joins.
+  val qTagPhrases = QueryDef("q_tag_phrases",
+    (s, dir) => {
+      val dict = s.createDataFrame(Seq(
+        ("engine", "spark"), ("engine", "query"),
+        ("perf", "fast sort"), ("perf", "slow"),
+        ("layout", "table table"), ("layout", "scan group big")))
+        .toDF("tag", "phrase")
+      graft.operators.Curation.tagPhrases(
+          table(s, dir, "documents"), "doc_id", "text", dict)
+        .orderBy("id", "tag")
+    },
+    Some("""
+      WITH dict(tag, phrase) AS (VALUES
+        ('engine', 'spark'), ('engine', 'query'),
+        ('perf', 'fast sort'), ('perf', 'slow'),
+        ('layout', 'table table'), ('layout', 'scan group big')),
+      d AS (SELECT tag, trim(regexp_replace(lower(phrase), '\s+', ' ', 'g')) ph
+            FROM dict),
+      d2 AS (SELECT tag, ph, len(string_split(ph, ' ')) L FROM d),
+      w AS (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                ' ') ws
+            FROM documents WHERE text IS NOT NULL),
+      sh AS (SELECT doc_id, L,
+                    unnest(list_transform(
+                      generate_series(1, greatest(len(ws) - L + 1, 1)),
+                      g -> array_to_string(ws[g : g + L - 1], ' '))) ph
+             FROM w, (SELECT DISTINCT L FROM d2) ls)
+      SELECT doc_id AS id, tag, CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(count(DISTINCT sh.ph) AS BIGINT) AS n_phrases
+      FROM sh JOIN d2 ON sh.ph = d2.ph AND sh.L = d2.L
+      GROUP BY 1, 2 ORDER BY id, tag"""))
+
+
   // 95. Z-order (Morton) layout profile: interleave 16-bit
   // (l_partkey, l_suppkey) into a curve key, group into file-sized
   // curve ranges, report per-range min/max on BOTH dims — the
@@ -1461,6 +1499,7 @@ object CurationQueries {
     qMultimodalBlocks,
     qPerceptualDhash,
     qAudioSig,
+    qTagPhrases,
     qLayoutZorder,
     qRangeJoin,
     qIntervalJoin,

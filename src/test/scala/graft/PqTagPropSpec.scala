@@ -1,0 +1,171 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.{Ann, Curation}
+
+/** Randomized differential replays for the r11 operators (the
+  * [[StatFamilyPropSpec]] discipline): pqReport, mutualTopK and
+  * tagPhrases vs independent plain-Scala interpreters on random
+  * inputs — random dims/subspace/codebook shapes, random directed
+  * neighbor graphs, random dictionaries with messy whitespace and
+  * duplicate spellings. */
+object PqTagPropSpec extends Properties("PqTag") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  // ------------------------------------------------------------- pqReport
+
+  private val genPq: Gen[(List[(Long, Seq[Float])], Int, Int)] = for {
+    dim <- Gen.oneOf(4, 8)
+    m <- Gen.oneOf(Seq(1, 2, 4).filter(dim % _ == 0))
+    k <- Gen.choose(2, 4)
+    n <- Gen.choose(k, 9) // sample needs k rows
+    ids <- Gen.pick(n, 1L to 40L)
+    vecs <- Gen.listOfN(n, Gen.listOfN(dim,
+      Gen.oneOf(-2.0f, -1.0f, -0.5f, 0.0f, 0.25f, 1.0f, 3.0f)).map(_.toSeq))
+  } yield (ids.toList.zip(vecs), m, k)
+
+  property("pqReport == plain-Scala sample/slice/distance replay") =
+    forAll(genPq) { case (rows, m, k) =>
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false),
+          nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, v) =>
+          Row(id, v) }, 2), schema)
+      val got = Ann.pqReport(df, "vec_id", "embedding",
+          numSubspaces = m, numCodes = k)
+        .collect().map(r => r.getAs[Long]("subspace") ->
+          ((r.getAs[Long]("sub_dims"), r.getAs[Long]("codes"),
+            r.getAs[Long]("used_codes"), r.getAs[Long]("vectors"),
+            r.getAs[Long]("distortion_q4"), r.getAs[Long]("mean_d2_q4")))).toMap
+      val dim = rows.head._2.size
+      val sub = dim / m
+      val sampled = rows.sortBy { case (id, _) =>
+        ((id % 999983L) * 2654435761L % 999983L, id)
+      }.take(k).map(_._2.map(_.toDouble))
+      val exp = (0 until m).map { mm =>
+        val cents = sampled.map(_.slice(mm * sub, mm * sub + sub))
+        val assigned = rows.map { case (_, v) =>
+          val sv = v.slice(mm * sub, mm * sub + sub).map(_.toDouble)
+          val ds = cents.map(c =>
+            sv.map(x => x * x).sum -
+              2 * sv.zip(c).map(p => p._1 * p._2).sum +
+              c.map(x => x * x).sum)
+          (ds.indexOf(ds.min) + 1, math.floor(ds.min * 10000).toLong)
+        }
+        val dist = assigned.map(_._2).sum
+        mm.toLong -> ((sub.toLong, k.toLong,
+          assigned.map(_._1).distinct.size.toLong, rows.size.toLong,
+          dist, Math.floorDiv(dist, rows.size.toLong)))
+      }.toMap
+      val ok = got == exp
+      if (!ok) println(s"PQ-MISMATCH m=$m k=$k $rows:\n got=$got\n exp=$exp")
+      ok
+    }
+
+  // ----------------------------------------------------------- mutualTopK
+
+  private val genGraph: Gen[List[(Long, Int, Long, Double)]] = for {
+    n <- Gen.choose(2, 8)
+    edges <- Gen.listOfN(n * 2, for {
+      q <- Gen.choose(1L, n.toLong)
+      t <- Gen.choose(1L, n.toLong) if t != q
+      c <- Gen.oneOf(0.1, 0.25, 0.5, 0.75, 0.9)
+    } yield (q, t, c))
+  } yield {
+    // a valid neighbor frame: per q, distinct targets ranked by
+    // (cosine desc, id asc) — exactly what the ANN paths emit
+    edges.groupBy(_._1).toList.flatMap { case (q, es) =>
+      es.map(e => (e._2, e._3)).distinct
+        .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).max) }.toList
+        .sortBy { case (t, c) => (-c, t) }
+        .zipWithIndex.map { case ((t, c), i) => (q, i + 1, t, c) }
+    }
+  }
+
+  property("mutualTopK == reciprocal-edge interpreter") =
+    forAll(genGraph) { nb =>
+      import spark.implicits._
+      val got = Ann.mutualTopK(nb.toDF("q_id", "rank", "n_id", "cosine"))
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          ((r.getAs[Long]("rank_ab"), r.getAs[Long]("rank_ba")))).toMap
+      val directed = nb.map(e => (e._1, e._3) -> e._2.toLong).toMap
+      val exp = directed.keys.toList
+        .filter { case (q, t) => q < t && directed.contains((t, q)) }
+        .map { case (q, t) => (q, t) -> ((directed((q, t)), directed((t, q)))) }
+        .toMap
+      val ok = got == exp
+      if (!ok) println(s"MUTUAL-MISMATCH $nb:\n got=$got\n exp=$exp")
+      ok
+    }
+
+  // ----------------------------------------------------------- tagPhrases
+
+  private val genWord = Gen.oneOf("aa", "bb", "cc", "dd")
+
+  private val genTagging: Gen[(List[(Long, Option[String])],
+                               List[(String, String)])] = for {
+    nDocs <- Gen.choose(1, 6)
+    docs <- Gen.listOfN(nDocs, Gen.frequency(
+      1 -> Gen.const(None),
+      1 -> Gen.const(Some("")),
+      8 -> Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, genWord)
+        .map(ws => Some(ws.mkString(" "))))))
+    nPhrases <- Gen.choose(1, 5)
+    phrases <- Gen.listOfN(nPhrases, for {
+      tag <- Gen.oneOf("t1", "t2")
+      len <- Gen.choose(1, 3)
+      ws <- Gen.listOfN(len, genWord)
+      // messy spellings: padding + internal double spaces + case
+      sep <- Gen.oneOf(" ", "  ")
+      pad <- Gen.oneOf("", " ", "\t")
+    } yield (tag, pad + ws.mkString(sep).toUpperCase + pad))
+  } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, phrases)
+
+  private def norm(t: String): String = t.toLowerCase.trim.replaceAll("\\s+", " ")
+
+  property("tagPhrases == brute-force window interpreter") =
+    forAll(genTagging) { case (docs, dict) =>
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true)))
+      val docDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, t) =>
+          Row(i, t.orNull) }, 2), docSchema)
+      import spark.implicits._
+      val got = Curation.tagPhrases(docDf, "doc_id", "text",
+          dict.toDF("tag", "phrase"))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("tag")) ->
+          ((r.getAs[Long]("n_matches"), r.getAs[Long]("n_phrases")))).toMap
+      val d = dict.map { case (tag, p) => (tag, norm(p)) }
+        .filter(_._2.nonEmpty).distinct
+      val exp = (for {
+        (id, Some(t0)) <- docs
+        t = norm(t0)
+        ws = t.split(" ", -1).toList
+        lens = d.map(_._2.split(" ", -1).length).distinct
+        len <- lens
+        windows = (0 until math.max(ws.length - len + 1, 1)).toList
+          .map(i => ws.slice(i, math.min(i + len, ws.length)).mkString(" "))
+        (tag, ph) <- d if ph.split(" ", -1).length == len
+        hits = windows.count(_ == ph)
+        if hits > 0
+      } yield ((id, tag), (hits.toLong, ph))).groupBy(_._1)
+        .map { case (k, xs) =>
+          k -> ((xs.map(_._2._1).sum, xs.map(_._2._2).distinct.size.toLong))
+        }
+      val ok = got == exp
+      if (!ok) println(s"TAG-MISMATCH $docs $dict:\n got=$got\n exp=$exp")
+      ok
+    }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Curation}
+
+/** Units for the r11 additions: PQ distortion report, mutual top-k
+  * pairs, dictionary phrase tagging (driver equivalence is
+  * oracle-checked by q_embed_pq / q_ann_mutual / q_tag_phrases). */
+class PqTagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pqReport == plain-Scala replay of sample, codes and q4 distortion") {
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      (1L, Seq(1f, 0f, 0f, 2f)), (2L, Seq(0f, 1f, 2f, 0f)),
+      (3L, Seq(1f, 1f, 0f, 0f)), (4L, Seq(-1f, 0.5f, 1f, -2f)),
+      (5L, Seq(2f, 2f, 2f, 2f)), (6L, Seq(0f, 0f, 0f, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Ann.pqReport(df, "vec_id", "embedding",
+        numSubspaces = 2, numCodes = 2)
+      .collect().map(r => r.getAs[Long]("subspace") ->
+        ((r.getAs[Long]("sub_dims"), r.getAs[Long]("codes"),
+          r.getAs[Long]("used_codes"), r.getAs[Long]("vectors"),
+          r.getAs[Long]("distortion_q4"), r.getAs[Long]("mean_d2_q4")))).toMap
+
+    // independent replay: the deterministic sample order, then per
+    // subspace the min squared distance over the sliced codebook
+    val sampled = vecs.sortBy { case (id, _) =>
+      ((id % 999983L) * 2654435761L % 999983L, id)
+    }.take(2).map(_._2.map(_.toDouble))
+    val exp = (0 until 2).map { m =>
+      val cents = sampled.map(_.slice(m * 2, m * 2 + 2))
+      val assigned = vecs.map { case (_, v) =>
+        val sv = v.slice(m * 2, m * 2 + 2).map(_.toDouble)
+        val ds = cents.map(c =>
+          sv.map(x => x * x).sum - 2 * sv.zip(c).map(p => p._1 * p._2).sum +
+            c.map(x => x * x).sum)
+        val code = ds.indexOf(ds.min) + 1
+        (code, math.floor(ds.min * 10000).toLong)
+      }
+      val dist = assigned.map(_._2).sum
+      m.toLong -> ((2L, 2L, assigned.map(_._1).distinct.size.toLong,
+        vecs.size.toLong, dist, dist / vecs.size))
+    }.toMap
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
+  test("mutualTopK keeps only reciprocal edges with both ranks") {
+    // 1↔2 and 2↔3 and 3↔4 mutual; 1→3 one-directional (3's top-k
+    // misses 1 — the hub case the symmetrization exists to drop)
+    val nb = Seq(
+      (1L, 1, 2L, 0.9), (1L, 2, 3L, 0.8),
+      (2L, 1, 3L, 0.95), (2L, 2, 1L, 0.9),
+      (3L, 1, 2L, 0.95), (3L, 2, 4L, 0.5),
+      (4L, 1, 3L, 0.5)).toDF("q_id", "rank", "n_id", "cosine")
+    val got = Ann.mutualTopK(nb).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("rank_ab"), r.getAs[Long]("rank_ba"),
+          r.getAs[Double]("cos_r4")))).toMap
+    assert(got.keySet == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got((1L, 2L)) == ((1L, 2L, 0.9)))
+    assert(got((2L, 3L)) == ((1L, 1L, 0.95)))
+    assert(got((3L, 4L)) == ((2L, 1L, 0.5)))
+  }
+
+  test("tagPhrases: word-boundary exact, multi-length, normalization, counts") {
+    val docs = Seq(
+      (1L, Some("the Spark engine runs a fast sort and a fast sort again")),
+      (2L, Some("scans are not scan and tables are not table table")),
+      (3L, Some("  SLOW\tslow  spark ")), // messy whitespace + case
+      (4L, None: Option[String]),
+      (5L, Some(""))).toDF("doc_id", "text")
+    val dict = Seq(("engine", "spark"), ("perf", "fast sort"),
+      ("perf", "slow"), ("layout", "table table"), ("noise", " "))
+      .toDF("tag", "phrase")
+    val got = Curation.tagPhrases(docs, "doc_id", "text", dict).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("tag")) ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("n_phrases")))).toMap
+    assert(got == Map(
+      (1L, "engine") -> ((1L, 1L)),   // "Spark" lowercased
+      (1L, "perf") -> ((2L, 1L)),     // "fast sort" twice, one phrase
+      (2L, "layout") -> ((1L, 1L)),   // "scans"/"tables" never match
+      (3L, "engine") -> ((1L, 1L)),
+      (3L, "perf") -> ((2L, 1L))),    // SLOW + slow, whitespace collapsed
+      got)
+  }
+
+  test("tagPhrases rejects an effectively empty dictionary") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val dict = Seq(("t", " "), ("t", null.asInstanceOf[String]))
+      .toDF("tag", "phrase")
+    intercept[IllegalArgumentException] {
+      Curation.tagPhrases(docs, "doc_id", "text", dict)
+    }
+  }
+}
