@@ -72,7 +72,13 @@ object Stress {
     "q_span_dedup_collapsed" -> "same span-postings growth, collapse path",
     "q_dedup_editdist" -> ("quadratic-verify by design (documented " +
       "family cost; 33 s at 10x in r9); its collapsed twin " +
-      "q_dedup_editdist_collapsed is the copy-linear production path"))
+      "q_dedup_editdist_collapsed is the copy-linear production path"),
+    "q_dedup_jaccard" -> ("top-15 readout over the session-shared pair " +
+      "frame: candidate pairs grow ~quadratically in copies on the " +
+      "10x-copy corpus by design (~33M pairs at 10x vs a tiny sf0.1 " +
+      "median, so the ratio hovers at the threshold); the collapsed " +
+      "twin q_dedup_jaccard_collapsed (~3.6x) is the copy-linear " +
+      "production path"))
 
   /** Standing certification caveats — scope limits of the stress
     * evidence itself, shipped in the artifact so they are visible to
