@@ -206,12 +206,22 @@ def _wrap_jdf(jdf, spark):
     return SparkDataFrame(jdf, spark)
 
 
+#: extensions that mark a contract argument as a PATH (the CLI's
+#: parseFile dispatch set). A newline-free inline document that merely
+#: coincides with some relative file name is NOT read from disk.
+_CONTRACT_EXTS = (".yaml", ".yml", ".json", ".toml")
+
+
 def _contract_text(contract, fmt):
     """`contract` may be a YAML/JSON/TOML document or a path to one;
-    returns (text, format) with the format inferred from the path
-    extension exactly like the CLI's parseFile dispatch."""
+    only strings ending in a contract extension are treated as paths
+    (a one-line inline document can't be shadowed by a same-named
+    file). Returns (text, format) with the format inferred from the
+    path extension exactly like the CLI's parseFile dispatch."""
     import os
-    if "\n" not in contract and os.path.isfile(contract):
+    looks_like_path = ("\n" not in contract and
+                       contract.lower().endswith(_CONTRACT_EXTS))
+    if looks_like_path and os.path.isfile(contract):
         with open(contract) as f:
             text = f.read()
         inferred = "toml" if contract.lower().endswith(".toml") else "yaml"

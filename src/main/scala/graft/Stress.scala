@@ -104,7 +104,13 @@ object Stress {
           (n, (System.nanoTime() - t0) / 1e9)
         }
         val secs = samples.map(_._2).sorted
-        Q(name, samples.head._1, secs(secs.size / 2), None)
+        // true median: mean of the two middle samples when the rep
+        // count is even (secs(n/2) alone would bias even-rep runs
+        // toward the slower middle sample); odd counts unchanged
+        val med =
+          if (secs.size % 2 == 1) secs(secs.size / 2)
+          else (secs(secs.size / 2 - 1) + secs(secs.size / 2)) / 2.0
+        Q(name, samples.head._1, med, None)
       } catch {
         case e: Throwable =>
           Q(name, -1L, -1.0,

@@ -760,14 +760,19 @@ object Ann {
         array_position(d, array_min(d)).cast("long").as("code"),
         array_min(d).as("d2"))
     }
+    // per-vector d2 clamps at 0 before the q4 fold: a vector that
+    // coincides with a sampled centroid can carry a tiny NEGATIVE fp
+    // residue (x - 2x + x pairwise), and floor(-1e-12 * 1e4) = -1
+    // would make distortion_q4 sign-indeterminate — with it clamped,
+    // the total stays >= 0 and SQL DIV, DuckDB // and floorDiv agree
     corpus.filter(col(vecCol).isNotNull)
       .select(col(vecCol).as("__v"))
       .select(explode(array(perM: _*)).as("r"))
       .groupBy(col("r.subspace").as("subspace"))
       .agg(count(lit(1)).cast("long").as("vectors"),
         countDistinct(col("r.code")).cast("long").as("used_codes"),
-        sum(floor(col("r.d2") * 10000).cast("long")).cast("long")
-          .as("distortion_q4"))
+        sum(floor(greatest(col("r.d2"), lit(0d)) * 10000).cast("long"))
+          .cast("long").as("distortion_q4"))
       .select(col("subspace"), lit(sub.toLong).as("sub_dims"),
         lit(numCodes.toLong).as("codes"), col("used_codes"), col("vectors"),
         col("distortion_q4"),
@@ -775,7 +780,13 @@ object Ann {
   }
 
   /** MUTUAL (reciprocal) top-k pairs over ANY neighbor frame in the
-    * board's (q_id, rank, n_id, cosine) shape: the pairs where each
+    * board's (q_id, rank, n_id, cosine) shape. CONTRACT: the frame
+    * holds at most ONE row per directed (q_id, n_id) edge — every
+    * producer in this object guarantees it (bruteForceTopK / lshTopK /
+    * ivfTopK emit rank-distinct neighbors per query id); a frame with
+    * duplicate directed edges would fan each duplicate out through
+    * the reciprocity self-join, so dedupe upstream rather than paying
+    * an unconditional extra shuffle here. Kept pairs: those where each
     * side ranks the other within ITS OWN top-k — the standard
     * symmetrization that turns a kNN listing into a high-precision
     * near-dup / entity-match edge set (a one-directional neighbor is

@@ -104,8 +104,8 @@ object AnnQueries {
              CAST(16 AS BIGINT) AS codes,
              CAST(count(DISTINCT code) AS BIGINT) AS used_codes,
              CAST(count(*) AS BIGINT) AS vectors,
-             CAST(sum(CAST(floor(d * 10000) AS BIGINT)) AS BIGINT) AS distortion_q4,
-             CAST(sum(CAST(floor(d * 10000) AS BIGINT)) // count(*) AS BIGINT) AS mean_d2_q4
+             CAST(sum(CAST(floor(greatest(d, 0) * 10000) AS BIGINT)) AS BIGINT) AS distortion_q4,
+             CAST(sum(CAST(floor(greatest(d, 0) * 10000) AS BIGINT)) // count(*) AS BIGINT) AS mean_d2_q4
       FROM best WHERE rn = 1 GROUP BY m ORDER BY subspace"""))
 
 

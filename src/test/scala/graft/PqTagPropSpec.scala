@@ -61,7 +61,8 @@ object PqTagPropSpec extends Properties("PqTag") {
             sv.map(x => x * x).sum -
               2 * sv.zip(c).map(p => p._1 * p._2).sum +
               c.map(x => x * x).sum)
-          (ds.indexOf(ds.min) + 1, math.floor(ds.min * 10000).toLong)
+          (ds.indexOf(ds.min) + 1,
+            math.floor(math.max(ds.min, 0.0) * 10000).toLong)
         }
         val dist = assigned.map(_._2).sum
         mm.toLong -> ((sub.toLong, k.toLong,

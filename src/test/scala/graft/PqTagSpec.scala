@@ -36,7 +36,7 @@ class PqTagSpec extends SparkSpec {
           sv.map(x => x * x).sum - 2 * sv.zip(c).map(p => p._1 * p._2).sum +
             c.map(x => x * x).sum)
         val code = ds.indexOf(ds.min) + 1
-        (code, math.floor(ds.min * 10000).toLong)
+        (code, math.floor(math.max(ds.min, 0.0) * 10000).toLong)
       }
       val dist = assigned.map(_._2).sum
       m.toLong -> ((2L, 2L, assigned.map(_._1).distinct.size.toLong,

@@ -21,6 +21,14 @@ Hot keys are chosen from EXISTING key domains (min key), so
 referential integrity stays intact. Masks are deterministic
 (key % 10 < 3) — the corpus is reproducible bit-for-bit.
 
+CAVEAT — lineitem PK duplication is INTENTIONAL: rerouting ~30% of
+rows to the hot l_orderkey keeps each row's original l_linenumber, so
+this corpus holds duplicate (l_orderkey, l_linenumber) keys. Any
+future board query that assumes lineitem PK uniqueness would see
+inflated rows here — such a query must NOT be certified against this
+corpus without a waiver naming this caveat (the 10x-copy corpus keeps
+PKs unique via id offsets; use that axis instead).
+
 Usage: python3 tools/skewup.py [src_sf_dir] [dst_dir] [factor]
        (defaults: /root/testdata/sf0.1  target/sfskew  3)
 """
