@@ -70,9 +70,6 @@ object Stress {
     "q_span_dedup" -> ("copy corpus: every span repeats 10x, so " +
       "repeated-span postings grow ~quadratically in copies by design"),
     "q_span_dedup_collapsed" -> "same span-postings growth, collapse path",
-    "q_dedup_editdist" -> ("quadratic-verify by design (documented " +
-      "family cost; 33 s at 10x in r9); its collapsed twin " +
-      "q_dedup_editdist_collapsed is the copy-linear production path"),
     "q_dedup_jaccard" -> ("top-15 readout over the session-shared pair " +
       "frame: candidate pairs grow ~quadratically in copies on the " +
       "10x-copy corpus by design (~33M pairs at 10x vs a tiny sf0.1 " +
