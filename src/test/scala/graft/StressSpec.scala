@@ -43,21 +43,56 @@ class StressSpec extends SparkSpec {
     assert(!m.get("partial").asBoolean)
   }
 
-  test("toJson ships upward-scaling ratios and flags unexplained supra-linear queries") {
+  test("toJson fits measured exponents and gates them against declared complexity") {
+    // Three-point fits (copies=10 -> x grid {0,1,2}, slope=(y3-y1)/2):
+    //   q_linear:  0.1 -> 1.0 -> 10.0  => exponent 1.0 (<= 1.18, pass)
+    //   q_blowup:  0.1 -> 1.0 -> 100.0 => exponent 1.5 (> 1.18, FLAG)
+    //   q_span_dedup: 0.1 -> 1.0 -> 400 => exponent ~1.8, declared 2.0: pass
+    //   q_tiny: under the stress floor -> never gated
     val qs = Seq(
-      Stress.Q("q_linear", 100L, 8.0, None),     // 8x on 10x data: fine
-      Stress.Q("q_blowup", 100L, 40.0, None),    // 20x: flagged
-      Stress.Q("q_tiny", 100L, 0.3, None),       // under the floor: ignored
-      Stress.Q("q_span_dedup", 100L, 46.0, None)) // waived by name
-    val medians = Map("q_linear" -> 1.0, "q_blowup" -> 2.0,
-      "q_tiny" -> 0.01, "q_span_dedup" -> 2.0)
-    val m = parse(Stress.toJson("d", 0.0, qs, boardN = 4, medians))
-    assert(m.get("queries").get("q_linear").get("ratio").asDouble == 8.0)
-    assert(m.get("queries").get("q_blowup").get("ratio").asDouble == 20.0)
+      Stress.Q("q_linear", 100L, 10.0, None),
+      Stress.Q("q_blowup", 100L, 100.0, None),
+      Stress.Q("q_tiny", 100L, 0.3, None),
+      Stress.Q("q_span_dedup", 100L, 400.0, None))
+    val sf01 = Map("q_linear" -> 1.0, "q_blowup" -> 1.0,
+      "q_tiny" -> 0.01, "q_span_dedup" -> 1.0)
+    val sf001 = Map("q_linear" -> 0.1, "q_blowup" -> 0.1,
+      "q_span_dedup" -> 0.1)
+    val m = parse(Stress.toJson("d", 0.0, qs, boardN = 4, sf01,
+      copies = 10, sf001Secs = sf001))
+    assert(m.get("queries").get("q_linear").get("ratio").asDouble == 10.0)
+    assert(m.get("queries").get("q_linear").get("exponent").asDouble == 1.0)
+    assert(m.get("queries").get("q_blowup").get("exponent").asDouble == 1.5)
+    assert(m.get("queries").get("q_span_dedup").get("declared_exp").asDouble == 2.0)
+    assert(m.get("queries").get("q_linear").get("exp_d1").asDouble == 1.0)
     val flagged = (0 until m.get("flagged").size())
       .map(m.get("flagged").get(_).asText).toSet
     assert(flagged == Set("q_blowup"))
-    assert(m.get("ratio_waivers").has("q_span_dedup"))
+    assert(m.get("declared_exponents").has("q_span_dedup"))
+    assert(m.get("copies").asInt == 10)
+  }
+
+  test("exponent fit degrades to the one-decade slope and the ratio fallback still gates") {
+    // only the sf0.1 point present: slope over one decade of copies
+    val e = Stress.fitExponent(None, Some(1.0), 10.0, copies = 10)
+    assert(e.exists(v => math.abs(v - 1.0) < 1e-9))
+    // fewer than two points, or no copy scale: no exponent, never a guess
+    assert(Stress.fitExponent(None, None, 10.0, copies = 10).isEmpty)
+    assert(Stress.fitExponent(Some(0.1), Some(1.0), 10.0, copies = 0).isEmpty)
+    // no bench artifact at all (no medians): nothing to gate on
+    val qs = Seq(Stress.Q("q_x", 1L, 50.0, None))
+    val m = parse(Stress.toJson("d", 0.0, qs, boardN = 1, Map.empty,
+      copies = 10, sf001Secs = Map.empty))
+    assert(m.get("flagged").size() == 0)
+    assert(!m.get("queries").get("q_x").has("exponent"))
+    // same-size corpus (skew/mutation: copies=0, no slope defined):
+    // the sf0.1 ratio stands in - 10^(1+0.18) ~ 15.1x for linear rows
+    val m2 = parse(Stress.toJson("d", 0.0,
+      Seq(Stress.Q("q_x", 1L, 20.0, None), Stress.Q("q_y", 1L, 8.0, None)),
+      boardN = 2, Map("q_x" -> 1.0, "q_y" -> 1.0), copies = 0))
+    val f2 = (0 until m2.get("flagged").size()).map(m2.get("flagged").get(_).asText)
+    assert(f2 == Seq("q_x"))
+    assert(!m2.get("queries").get("q_x").has("exponent"))
   }
 
   test("BOARD PARITY: the shipped target/stress.json certifies the live registry") {
@@ -88,6 +123,26 @@ class StressSpec extends SparkSpec {
     assert(m.has("timing_reps") && m.get("timing_reps").asInt >= 3,
       "shipped stress.json seconds are not medians of >=3 reps - " +
         "regenerate with the r11 Stress main")
+    // r12: the scaling gate is MEASURED, not prose. The copy-corpus
+    // artifact must carry fitted exponents (set
+    // SPARK_GRAFT_STRESS_COPIES=10 and run Bench first so both lower
+    // scale points exist) and its flagged list must be empty: every
+    // query's measured exponent sits within tolerance of its declared
+    // complexity, including the declared-quadratic pair listings.
+    assert(m.get("flagged").size() == 0,
+      s"stress.json flags queries above their declared exponent: ${m.get("flagged")}")
+    assert(m.has("copies") && m.get("copies").asInt >= 2,
+      "stress.json was generated without SPARK_GRAFT_STRESS_COPIES - " +
+        "no exponent fit, not a scaling certificate")
+    val it2 = m.get("queries").elements()
+    var total = 0; var withExp = 0
+    while (it2.hasNext) {
+      val q = it2.next(); total += 1
+      if (q.has("exponent")) withExp += 1
+    }
+    assert(withExp == total,
+      s"only $withExp/$total stress rows carry a fitted exponent - " +
+        "run Bench (both scale points) before Stress")
   }
 
   test("SKEW PARITY: the shipped target/stress_skew.json certifies the live registry") {
