@@ -229,8 +229,36 @@ def _contract_text(contract, fmt):
     return contract, (fmt or "yaml")
 
 
+#: valid ``scope=`` values — the part-scoped verbs of the reference's
+#: Python bindings (validate_schema_only / validate_quality_only /
+#: validate_ml_only) plus the CLI's custom/freshness scoping.
+VALIDATE_SCOPES = ("all", "schema", "quality", "ml", "custom", "freshness")
+
+
+def _resolve_scope(scope, schema_only):
+    if scope is not None and schema_only:
+        raise ValueError("pass either scope= or schema_only=, not both")
+    if schema_only:
+        return "schema"
+    if scope is None:
+        return "all"
+    if scope not in VALIDATE_SCOPES:
+        raise ValueError(f"scope must be one of {VALIDATE_SCOPES}, got {scope!r}")
+    return scope
+
+
+def _report_out(bridge, jreport, spark, strict, as_dataframe):
+    ok = bridge.passed(jreport, strict)
+    report = _wrap_jdf(jreport, spark)
+    if as_dataframe:
+        return ok, report
+    rows = [json.loads(s)
+            for s in report.orderBy("check", "field").toJSON().collect()]
+    return ok, rows
+
+
 def validate_df(spark_df, contract, *, fmt=None, strict=False,
-                schema_only=False, as_dataframe=False):
+                schema_only=False, scope=None, as_dataframe=False):
     """In-process contract validation of a LIVE pyspark DataFrame —
     any frame, not just a freshly-read path: a cached join result, a
     streaming foreachBatch micro-batch, a notebook scratch frame.
@@ -242,18 +270,44 @@ def validate_df(spark_df, contract, *, fmt=None, strict=False,
     applies the same gate (failed errors; ``strict`` gates warnings
     too). With ``as_dataframe=True`` the report comes back as a
     pyspark DataFrame instead — still distributed, never collected.
+
+    ``scope`` runs a PART of the contract only — ``"schema"`` |
+    ``"quality"`` | ``"ml"`` | ``"custom"`` | ``"freshness"`` — the
+    in-process analog of the reference bindings'
+    ``validate_schema_only`` / ``validate_quality_only`` /
+    ``validate_ml_only``. ``schema_only=True`` is the historical
+    alias for ``scope="schema"``.
     """
     spark = spark_df.sparkSession
     text, f = _contract_text(contract, fmt)
     bridge = spark._jvm.graft.PySparkBridge
-    jreport = bridge.validate(spark_df._jdf, text, f, schema_only)
-    ok = bridge.passed(jreport, strict)
-    report = _wrap_jdf(jreport, spark)
-    if as_dataframe:
-        return ok, report
-    rows = [json.loads(s)
-            for s in report.orderBy("check", "field").toJSON().collect()]
-    return ok, rows
+    jreport = bridge.validateScoped(spark_df._jdf, text, f,
+                                    _resolve_scope(scope, schema_only))
+    return _report_out(bridge, jreport, spark, strict, as_dataframe)
+
+
+def validate_batches(spark_dfs, contract, *, fmt=None, strict=False,
+                     schema_only=False, scope=None, as_dataframe=False):
+    """Validate SEVERAL pyspark DataFrames as one dataset — the
+    in-process analog of the reference bindings' ``validate_batches``:
+    the frames are unioned by column name inside the JVM and the
+    contract validates the union ONCE, so global checks (uniqueness
+    across batches, freshness of the latest batch, ML split rules)
+    see all batches together instead of passing vacuously per batch.
+    Same return shape and kwargs as :func:`validate_df`.
+    """
+    dfs = list(spark_dfs)
+    if not dfs:
+        raise ValueError("validate_batches needs at least one DataFrame")
+    spark = dfs[0].sparkSession
+    text, f = _contract_text(contract, fmt)
+    bridge = spark._jvm.graft.PySparkBridge
+    jlist = spark._jvm.java.util.ArrayList()
+    for d in dfs:
+        jlist.add(d._jdf)
+    jreport = bridge.validateBatches(jlist, text, f,
+                                     _resolve_scope(scope, schema_only))
+    return _report_out(bridge, jreport, spark, strict, as_dataframe)
 
 
 def profile_df(spark_df, *, as_dataframe=False):

@@ -114,6 +114,84 @@ def main():
                 "type-violating derived frame should fail validation"
             print("  validate_df: derived-frame type violation gates (exit-1 analog)")
 
+            # 7b. part-scoped verbs (the reference bindings'
+            # validate_schema_only / validate_quality_only /
+            # validate_ml_only analogs), on a contract that HAS all
+            # three kinds: augment the bootstrapped schema contract
+            # with quality + ML checks so every scope is non-vacuous.
+            rich_path = os.path.join(tmp, "events_rich.yaml")
+            with open(contract_path) as f:
+                rich = f.read()
+            rich += (
+                "\nquality_checks:\n"
+                "  completeness:\n"
+                "    threshold: 0.5\n"
+                "    fields: [event_id]\n"
+                "  uniqueness:\n"
+                "    fields: [event_id]\n"
+                "    scope: global\n"
+                "  ml_checks:\n"
+                "    class_balance:\n"
+                "      label_field: event_type\n"
+                "      max_proportion: 0.9\n")
+            with open(rich_path, "w") as f:
+                f.write(rich)
+            ok_full, full_rows = graft.validate_df(df, rich_path)
+            full_verdicts = {(r["check"], r["field"]): r["passed"]
+                             for r in full_rows}
+            # scoped reports must PARTITION the full report: no scope
+            # invents a check, no check appears under two scopes, and
+            # every scoped verdict replays the full run's.
+            seen_scoped = set()
+            scoped_n = {}
+            for scope in ("schema", "quality", "ml"):
+                ok_s, scoped = graft.validate_df(df, rich_path, scope=scope)
+                scoped_n[scope] = len(scoped)
+                for r in scoped:
+                    key = (r["check"], r["field"])
+                    assert key in full_verdicts, \
+                        f"scope={scope} invented check {key}"
+                    assert r["passed"] == full_verdicts[key], \
+                        f"scope={scope} verdict flip on {key}"
+                    assert key not in seen_scoped, \
+                        f"{key} reported by two scopes"
+                    seen_scoped.add(key)
+            assert all(scoped_n[s] > 0 for s in scoped_n), \
+                f"a scope came back empty on the rich contract: {scoped_n}"
+            print(f"  validate_df scoped: rows per scope {scoped_n}, "
+                  f"verdicts replay the full run")
+            # schema_only=True stays the alias for scope="schema"
+            _, legacy = graft.validate_df(df, rich_path, schema_only=True)
+            _, scoped_schema = graft.validate_df(df, rich_path,
+                                                 scope="schema")
+            assert {(r["check"], r["field"]) for r in legacy} == \
+                   {(r["check"], r["field"]) for r in scoped_schema}
+
+            # 7c. multi-batch accumulate (the reference's
+            # validate_batches): two disjoint halves of the same table
+            # validated as ONE dataset must reproduce the full-frame
+            # verdicts exactly — uniqueness sees both batches together
+            # instead of passing vacuously per batch.
+            half_a = df.filter(df.event_id % 2 == 0)
+            half_b = df.filter(df.event_id % 2 == 1)
+            ok_b, batch_rows = graft.validate_batches(
+                [half_a, half_b], rich_path)
+            batch_verdicts = {(r["check"], r["field"]): r["passed"]
+                              for r in batch_rows}
+            assert batch_verdicts == full_verdicts, \
+                "batched union verdicts diverge from the single-frame run"
+            assert ok_b == ok_full
+            # a DUPLICATED batch must flip the global uniqueness check
+            # — proof the union is validated as one dataset
+            ok_dup, dup_rows = graft.validate_batches([df, df], rich_path,
+                                                      scope="quality")
+            dup_uniq = [r for r in dup_rows if "unique" in r["check"].lower()]
+            assert dup_uniq and not any(r["passed"] for r in dup_uniq), \
+                "duplicated batches should fail global uniqueness"
+            print(f"  validate_batches: {len(batch_rows)} rows over 2 "
+                  f"batches match the single-frame report, passed={ok_b}; "
+                  f"duplicated batch flips uniqueness")
+
             prof = graft.profile_df(df)
             assert prof["numeric"] and prof["strings"]
             ncols = {r["column"] for r in prof["numeric"]}

@@ -24,6 +24,28 @@ import graft.validators.ContractValidator
   * is the notebook surface a pyspark user hits first. */
 object PySparkBridge {
 
+  private def parseContract(contractText: String, format: String) =
+    if (format != null && format.equalsIgnoreCase("toml"))
+      ContractParser.parseToml(contractText)
+    else ContractParser.parse(contractText)
+
+  /** The Part set a python-side scope string selects, mirroring the
+    * reference's part-scoped binding verbs (validate_schema_only /
+    * validate_quality_only / validate_ml_only,
+    * crates/contracts-python/src/lib.rs:371-417) plus the CLI's
+    * custom/freshness scoping. */
+  private def partsFor(scope: String): Set[ContractValidator.Part] =
+    Option(scope).map(_.toLowerCase) match {
+      case None | Some("") | Some("all") => ContractValidator.Part.All
+      case Some("schema") => ContractValidator.Part.SchemaOnly
+      case Some("quality") => ContractValidator.Part.QualityOnly
+      case Some("ml") => ContractValidator.Part.MlOnly
+      case Some("custom") => ContractValidator.Part.CustomOnly
+      case Some("freshness") => ContractValidator.Part.FreshnessOnly
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown scope '$other' - use all|schema|quality|ml|custom|freshness")
+    }
+
   /** Full contract validation of a live frame. `contractText` is the
     * contract DOCUMENT (not a path); `format` selects the parser —
     * "toml" for TOML, anything else (use "yaml") for YAML/JSON,
@@ -31,15 +53,33 @@ object PySparkBridge {
     * Returns the report frame (check, field, passed, metric, detail,
     * severity) — the exact frame the CLI's --json lines serialize. */
   def validate(df: DataFrame, contractText: String, format: String,
-               schemaOnly: Boolean): DataFrame = {
-    val c =
-      if (format != null && format.equalsIgnoreCase("toml"))
-        ContractParser.parseToml(contractText)
-      else ContractParser.parse(contractText)
-    val parts =
-      if (schemaOnly) ContractValidator.Part.SchemaOnly
-      else ContractValidator.Part.All
-    new ContractValidator().validate(df, c, parts)
+               schemaOnly: Boolean): DataFrame =
+    validateScoped(df, contractText, format,
+      if (schemaOnly) "schema" else "all")
+
+  /** Part-scoped validation — the py4j analog of the reference's
+    * validate_schema_only / validate_quality_only / validate_ml_only
+    * bindings. `scope` ∈ all | schema | quality | ml | custom |
+    * freshness (case-insensitive), mapping onto
+    * [[ContractValidator.Part]]'s sets. */
+  def validateScoped(df: DataFrame, contractText: String, format: String,
+                     scope: String): DataFrame =
+    new ContractValidator().validate(df, parseContract(contractText, format),
+      partsFor(scope))
+
+  /** Multi-batch accumulate-then-validate — the reference's
+    * validate_batches (crates/contracts-python/src/lib.rs:342-369):
+    * all frames are unioned BY NAME and the contract validates the
+    * union once, so the global checks (uniqueness, freshness, ML
+    * split rules) see every batch together — the exact reason the
+    * reference accumulates rows instead of looping validate over
+    * batches. The union is lazy; nothing materializes on the driver. */
+  def validateBatches(dfs: java.util.List[DataFrame], contractText: String,
+                      format: String, scope: String): DataFrame = {
+    require(!dfs.isEmpty, "validate_batches needs at least one frame")
+    import scala.jdk.CollectionConverters._
+    val union = dfs.asScala.reduce(_.unionByName(_))
+    validateScoped(union, contractText, format, scope)
   }
 
   /** The CLI's exit-code gate over a [[validate]] report: failed
