@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.{CollapsedDedupPipeline, Dedup, DedupPipeline}
+
+/** Session-cache INVALIDATION fuzz (r12, verdict item 6): the board's
+  * speed rests on session-memoized shared frames
+  * ([[graft.queries.PipelineShared]]: one shingling, one candidate
+  * frame, one collapse pipeline per (session, dir)) plus operator
+  * constructions that each carry their own config. A cache keyed on
+  * too few dimensions would silently serve a frame built under one
+  * configuration to a consumer expecting another — nothing previously
+  * fuzzed the KEYING itself.
+  *
+  * Method: reference results per configuration are computed COLD
+  * (each config in isolation, collected before any interleaving —
+  * the "cold session per config" referee: a fresh operator instance
+  * with no shared state touched since). Then a seeded shuffle
+  * interleaves every config's computation with the cache-heavy board
+  * queries (which DO hit the shared session caches) several times,
+  * in different orders, re-collecting each result — bit-identical
+  * output to the cold reference on every interleaving proves no
+  * hidden state leaks across configs or into the board's shared
+  * frames.
+  *
+  * Plus direct unit laws of [[graft.queries.PipelineShared.SessionCache]]'s
+  * key itself — via the public board surface: distinct `dir` values
+  * must never share an entry (same session), and repeated access must
+  * reuse, not recompute. */
+class CacheKeyingFuzzSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  /** Small corpus with exact copies AND near-dup mutants, so every
+    * config (shingle k, thresholds) yields non-trivial pairs. */
+  private lazy val corpus = {
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val rng = new scala.util.Random(12021)
+    val base = (0L until 12L).map { i =>
+      i -> Seq.fill(4 + rng.nextInt(5))(words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val copies = base.take(4).map { case (i, t) => (100L + i) -> t }
+    val mutants = base.drop(4).take(4).map { case (i, t) =>
+      (200L + i) -> (t.split(" ").drop(1) :+ "zz").mkString(" ")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (base ++ copies ++ mutants).map { case (id, t) => Row(id, t) }, 2),
+      schema)
+  }
+
+  /** The config axes the caches must not blur: shingle k, jaccard
+    * threshold, prune limit, minhash shape, simhash blocks, collapse
+    * on/off. Each entry computes ONE result frame as a comparable
+    * row set. */
+  private def configRuns: Seq[(String, () => Set[Seq[Any]])] = {
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val jaccCols = Seq("id_a", "id_b", "inter", "uni", "jacc_bp")
+    Seq(
+      "jacc_k1_t100" -> (() => rows(Dedup.jaccardPairs(corpus, "doc_id", "text",
+        n = 1, minJaccardBp = 100L, maxShinglePostings = 1000000L), jaccCols)),
+      "jacc_k2_t2000" -> (() => rows(Dedup.jaccardPairs(corpus, "doc_id", "text",
+        n = 2, minJaccardBp = 2000L, maxShinglePostings = 1000000L), jaccCols)),
+      "jacc_k3_t5000_pruned" -> (() => rows(Dedup.jaccardPairs(corpus, "doc_id",
+        "text", n = 3, minJaccardBp = 5000L, maxShinglePostings = 3L), jaccCols)),
+      "collapsed_jacc_k2_t2000" -> (() => rows(Dedup.collapsedJaccardPairs(corpus,
+        "doc_id", "text", n = 2, minJaccardBp = 2000L,
+        maxShinglePostings = 1000000L), jaccCols)),
+      "pipeline_k2_candidates" -> (() => {
+        val p = new DedupPipeline(corpus, "doc_id", "text", n = 2)
+        val out = rows(p.candidatePairs(), Seq("id_a", "id_b", "inter"))
+        p.unpersist(); out
+      }),
+      "pipeline_k3_candidates" -> (() => {
+        val p = new DedupPipeline(corpus, "doc_id", "text", n = 3)
+        val out = rows(p.candidatePairs(), Seq("id_a", "id_b", "inter"))
+        p.unpersist(); out
+      }),
+      "collapsed_pipeline_k3_jacc" -> (() => {
+        val p = new CollapsedDedupPipeline(corpus, "doc_id", "text", n = 3)
+        rows(p.jaccardPairs(minJaccardBp = 1000L), jaccCols)
+      }),
+      "minhash_p16_b8_t3000" -> (() => rows(Dedup.minhashPairs(corpus, "doc_id",
+        "text", n = 2, numPerm = 16, numBands = 8, minJaccardBp = 3000L,
+        maxBucketSize = Long.MaxValue), jaccCols)),
+      "minhash_p8_b2_t3000" -> (() => rows(Dedup.minhashPairs(corpus, "doc_id",
+        "text", n = 2, numPerm = 8, numBands = 2, minJaccardBp = 3000L,
+        maxBucketSize = Long.MaxValue), jaccCols)),
+      "simhash_b4_h3" -> (() => rows(Dedup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 3, numBlocks = 4, maxBucketSize = Long.MaxValue),
+        Seq("id_a", "id_b", "hamming"))),
+      "simhash_b8_h7" -> (() => rows(Dedup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 7, numBlocks = 8, maxBucketSize = Long.MaxValue),
+        Seq("id_a", "id_b", "hamming"))))
+  }
+
+  /** Board queries that ride the SHARED session caches (one
+    * shingling, one candidate frame, one collapse pipeline per
+    * (session, dir)) — interleaved with the config runs above to
+    * prove the shared frames never absorb an interloper's config. */
+  private val cacheHeavyBoard = Seq(
+    "q_dedup_jaccard", "q_dedup_jaccard_collapsed", "q_dedup_containment",
+    "q_dedup_groups", "q_dedup_minhash")
+
+  private val boardDir = "/root/testdata/sf0.001"
+
+  private def boardRows(name: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(spark, boardDir).collect().map(_.toSeq).toSeq
+
+  test("interleaved configs replay their cold-isolation results bit-identically") {
+    // cold referee pass: each config alone, before any interleaving
+    val runs = configRuns
+    val cold = runs.map { case (name, f) => name -> f() }.toMap
+    val boardCold = cacheHeavyBoard.map(n => n -> boardRows(n)).toMap
+
+    val rng = new scala.util.Random(4242)
+    (1 to 4).foreach { round =>
+      val schedule = rng.shuffle(
+        runs.map { case (name, f) => () =>
+          val got = f()
+          assert(got == cold(name),
+            s"round $round: config $name diverged after interleaving - " +
+              s"a cache served a frame keyed too coarsely")
+        } ++ cacheHeavyBoard.map { n => () =>
+          val got = boardRows(n)
+          assert(got == boardCold(n),
+            s"round $round: board query $n diverged after config " +
+              s"interleaving - the shared session cache absorbed an " +
+              s"interloper's config")
+        })
+      schedule.foreach(_.apply())
+    }
+  }
+
+  test("shared board caches key on dir: two dirs never share a frame") {
+    // the same cache-heavy query against two different SF dirs in one
+    // session: each result must match ITS dir's corpus (sf0.001 has
+    // 500 docs, sf0.1 has 5000 — sf0.01 shares sf0.001's documents
+    // table so it can't distinguish), proving the (session, dir) key
+    // separates entries rather than serving the first dir's frame
+    val small = boardRows("q_dedup_exact")
+    val big = SparkEntry.queries("q_dedup_exact")(spark, "/root/testdata/sf0.1")
+      .collect().map(_.toSeq).toSeq
+    // q_dedup_exact emits one summary row whose counts scale with the
+    // corpus: identical outputs would mean a shared frame
+    assert(small != big,
+      "sf0.001 and sf0.01 returned identical dedup summaries - the " +
+        "session cache is ignoring its dir dimension")
+    // and re-asking for the small dir still returns the small answer
+    // (the big dir's access did not evict or overwrite it)
+    assert(boardRows("q_dedup_exact") == small)
+  }
+
+  test("SessionCache memoizes per (session, dir) and recomputes per dir") {
+    // direct law on a cache instance: compute runs once per key
+    val cache = graft.queries.PipelineSharedProbe.newProbe
+    var computes = 0
+    def get(dir: String) = cache.get(spark, dir) { computes += 1; s"v:$dir" }
+    assert(get("a") == "v:a" && get("a") == "v:a" && computes == 1)
+    assert(get("b") == "v:b" && computes == 2)
+    assert(get("a") == "v:a" && computes == 2)
+  }
+}

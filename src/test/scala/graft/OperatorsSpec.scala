@@ -1775,7 +1775,7 @@ class OperatorsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     Seq("q_secret_scan", "q_unicode_audit", "q_markup_density", "q_reconcile",
         "q_sequence_surprise", "q_diff_columns", "q_key_discovery",
-        "q_attribution", "q_dedup_editdist", "q_trending_terms",
+        "q_attribution", "q_dedup_editdist_collapsed", "q_trending_terms",
         "q_hard_negatives", "q_embed_quant", "q_langid_calibration",
         "q_dp_counts", "q_rfm", "q_dedup_recall").foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString

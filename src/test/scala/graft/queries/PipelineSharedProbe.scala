@@ -1,0 +1,8 @@
+package graft.queries
+
+/** Test-only access to the `private[queries]` session-cache class, so
+  * the cache-keying fuzz can assert its memoization law directly. */
+object PipelineSharedProbe {
+  type Probe = PipelineShared.SessionCache[String]
+  def newProbe: Probe = new PipelineShared.SessionCache[String]
+}
