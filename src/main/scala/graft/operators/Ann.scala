@@ -236,20 +236,31 @@ object Ann {
     * accumulates NO lineage: centroids round-trip through the driver
     * as literals, so every iteration plans fresh over the corpus —
     * plan depth is constant in `iters` and needs no checkpoint. */
-  def kmeansProfile(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int = 1): DataFrame = {
+  /** The assignment frame every kmeans-family readout shares: each
+    * vector with its per-centroid squared-distance array (`__d`,
+    * CentroidDistsExpr — one codegen'd pass, centroids inlined as
+    * literals) and its 1-based argmin cell. */
+  private def kmeansAssigned(corpus: DataFrame, vecCol: String,
+                             cents: Seq[Seq[Double]]): DataFrame = corpus
+    .select(col(vecCol).as("v"))
+    .filter(col("v").isNotNull)
+    .withColumn("nsq", VectorFns.normSq(col("v")))
+    .withColumn("__d", graft.functions.CentroidDistsExpr(col("v"), col("nsq"), cents))
+    .withColumn("cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
+
+  /** The deterministic Lloyd centroids behind [[kmeansProfile]] /
+    * [[kmeansSilhouette]]: the scatter-sampled seeds refined `iters`
+    * times with fixed-point (2^20) coordinate sums so the update is
+    * order-independent and SQL-replayable. Collects k×dim numbers per
+    * iteration — centroid-bounded, never corpus-bounded. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 1): Seq[Seq[Double]] = {
     require(k >= 1, "need k >= 1")
     require(iters >= 0, "need iters >= 0")
     val scale = 1048576L // 2^20
-    def assigned(cents: Seq[Seq[Double]]) = corpus
-      .select(col(vecCol).as("v"))
-      .filter(col("v").isNotNull)
-      .withColumn("nsq", VectorFns.normSq(col("v")))
-      .withColumn("__d", graft.functions.CentroidDistsExpr(col("v"), col("nsq"), cents))
-      .withColumn("cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
-    val centroids = (0 until iters).foldLeft(sampleCentroids(corpus, idCol, vecCol, k)) {
+    (0 until iters).foldLeft(sampleCentroids(corpus, idCol, vecCol, k)) {
       (cents, _) =>
-        val sums = assigned(cents)
+        val sums = kmeansAssigned(corpus, vecCol, cents)
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
           .agg(sum(floor(col("x").cast("double") * scale).cast("long")).as("s"),
@@ -265,12 +276,95 @@ object Ann {
           else seed
         }
     }
-    assigned(centroids)
+  }
+
+  def kmeansProfile(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 1): DataFrame =
+    kmeansAssigned(corpus, vecCol, kmeansCentroids(corpus, idCol, vecCol, k, iters))
       .select(col("cell"), array_min(col("__d")).as("__d2"))
       .groupBy("cell")
       .agg(count(lit(1)).cast("long").as("size"),
         sum(floor(col("__d2") * 10000).cast("long")).as("inertia_q4"))
       .select(col("cell").cast("long").as("cell"), col("size"), col("inertia_q4"))
+
+  /** Centroid (simplified / "medoid-free") silhouette per kmeans cell
+    * — the cluster-quality readout next to [[kmeansProfile]]'s
+    * inertia: for each vector, a² = squared distance to its OWN
+    * centroid (the argmin), b² = squared distance to the nearest
+    * OTHER centroid (the second-smallest entry of the same distance
+    * array), s = (b² − a²) / max(a², b²) ∈ [0, 1] (non-negative by
+    * construction — the assignment IS the argmin; 0 means the vector
+    * sits on a cell boundary, 1 means its own centroid coincides with
+    * it). The squared-distance form keeps the whole readout inside
+    * the one codegen'd distance array — no sqrt, no second pass, no
+    * pairwise stage (the classic silhouette's all-pairs a/b is
+    * quadratic and needs none of it to rank cluster quality).
+    *
+    * One scan: the distance array is computed once per vector
+    * (centroids as literals), s quantized to floor(s·10⁴) and summed
+    * per cell — order-independent integer totals, mean by integer
+    * division, both engine-exact. Scales as map-only over the corpus.
+    *
+    * Output: one row per cell — (cell, size, sil_sum_q4,
+    * sil_mean_q4). */
+  def kmeansSilhouette(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int = 1): DataFrame = {
+    require(k >= 2, "silhouette needs k >= 2 (no 'other' cluster at k=1)")
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters)
+    kmeansAssigned(corpus, vecCol, cents)
+      .withColumn("a2", array_min(col("__d")))
+      .withColumn("b2", element_at(array_sort(col("__d")), 2))
+      .withColumn("s", when(greatest(col("a2"), col("b2")) <= lit(0.0), lit(0.0))
+        .otherwise((col("b2") - col("a2")) / greatest(col("a2"), col("b2"))))
+      .groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("size"),
+        sum(floor(col("s") * 10000).cast("long")).as("sil_sum_q4"))
+      .select(col("cell").cast("long").as("cell"), col("size"),
+        col("sil_sum_q4"),
+        (col("sil_sum_q4") / col("size")).cast("long").as("sil_mean_q4"))
+  }
+
+  /** TwoNN intrinsic-dimension ratios (Facco et al. 2017, "Estimating
+    * the intrinsic dimension of datasets by a minimal neighborhood
+    * information"): for each probe, the ratio μ² = d₂²/d₁² of its
+    * second- to first-nearest-neighbor SQUARED distances. Under the
+    * TwoNN model μ = d₂/d₁ is Pareto(d) with the intrinsic dimension
+    * d as shape, so d̂ = N / Σln μ = 2N / Σln μ² — the squared form
+    * avoids any sqrt on the measurement path; probes whose nearest
+    * neighbor coincides exactly (d₁ = 0, μ undefined) are dropped, as
+    * the estimator prescribes.
+    *
+    * Plan shape: corpus × broadcast(probes) scored in one pass (the
+    * [[bruteForceTopK]] referee idiom — probes are a bounded sample
+    * by contract), rank ≤ 2 via one window per probe (WindowGroupLimit
+    * prunes per partition before the shuffle), then a 2-row pivot per
+    * probe. At 100 TB you sample probes, never the corpus.
+    *
+    * Output: one row per valid probe — (q_id, n1_id, n2_id,
+    * mu_sq_r4 = round(d₂²/d₁², 4)). */
+  def twoNNRatios(corpus: DataFrame, probes: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_nsq", VectorFns.normSq(col("n_vec")))
+    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nsq", VectorFns.normSq(col("q_vec")))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("q_nsq") + col("n_nsq") -
+          VectorFns.dot(col("q_vec"), col("n_vec")) * 2.0).as("d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy("q_id")
+      .agg(
+        max(when(col("rank") === 1, col("n_id"))).as("n1_id"),
+        max(when(col("rank") === 2, col("n_id"))).as("n2_id"),
+        max(when(col("rank") === 1, col("d2"))).as("d2_1"),
+        max(when(col("rank") === 2, col("d2"))).as("d2_2"))
+      .filter(col("d2_1") > 0.0 && col("n2_id").isNotNull)
+      .select(col("q_id"), col("n1_id"), col("n2_id"),
+        round(col("d2_2") / col("d2_1"), 4).as("mu_sq_r4"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-

@@ -923,4 +923,87 @@ object Experiment {
         round(when(allNonEmpty, did), 6).as("did_r6"),
         round(when(allNonEmpty && se2 > 0d, did / sqrt(se2)), 4).as("z_r4"))
   }
+
+  /** O'Brien–Fleming group-sequential A/B monitor: the calendar is
+    * cut into `looks` equal-rank chunks of its distinct days, and at
+    * each look the CUMULATIVE two-proportion z (pooled, the
+    * q_ab_test statistic) is compared against the OBF boundary
+    * b_k = c·sqrt(K/k) — steep early (look 1 of 3 needs |z| ≥ c·√3),
+    * flat at the end (look K needs |z| ≥ c) — the spending shape that
+    * lets a monitor PEEK K times while holding overall α. `cFactor`
+    * is the final-look critical value for the chosen K and α; the
+    * classical two-sided α ≈ 0.05, K = 3 value is 2.004 (the
+    * sprtConstants discipline: the constant is computed offline and
+    * inlined, so both engines compare against the identical literal).
+    *
+    * Why next to the SPRT (row 263): the SPRT monitors a stream
+    * continuously against fixed simple hypotheses; OBF is the
+    * fixed-horizon committee version — scheduled looks, composite
+    * alternative, the shape interim analyses actually run.
+    *
+    * Scale shape: one pass builds per-(look, arm) exact integer
+    * counts (the day→look map is a broadcast of a calendar-bounded
+    * frame; its ranking window is |distinct days| rows by contract);
+    * the cumulative sums and the z ride on 2·K rows. z is one
+    * deterministic double expression over exact integer sums, rounded
+    * r4; `crossed` compares the UNROUNDED z against the identical
+    * full-precision boundary literal.
+    *
+    * Input grain: one row per (arm, day, unit) with a 0/1 `convCol`.
+    * Output: one row per look — (look, days, n_a, conv_a, n_b,
+    * conv_b, z_r4, bound_r6, crossed). */
+  def obrienFleming(df: DataFrame, armCol: String, dayCol: String,
+                    convCol: String, looks: Int = 3,
+                    cFactor: Double = 2.004): DataFrame = {
+    require(looks >= 1, "need at least one look")
+    val spark = df.sparkSession
+    // calendar-bounded by contract: |distinct days| rows ride one task
+    val dCount = df.select(col(dayCol)).distinct().count()
+    require(dCount >= looks, s"need >= $looks distinct days, got $dCount")
+    val wd = Window.orderBy(col(dayCol))
+    val lookOf = df.select(col(dayCol)).distinct()
+      .withColumn("__r", row_number().over(wd))
+      .select(col(dayCol),
+        (((col("__r") - 1) * looks) / lit(dCount)).cast("long").as("look"))
+    val perLook = df.join(broadcast(lookOf), Seq(dayCol))
+      .withColumn("look", col("look") + 1)
+      .groupBy(col("look"), col(armCol).as("__arm"))
+      .agg(count(lit(1)).cast(LongType).as("__n"),
+        sum(col(convCol)).cast(LongType).as("__x"))
+    val wc = Window.partitionBy("__arm").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perLook
+      .withColumn("__cn", sum(col("__n")).over(wc))
+      .withColumn("__cx", sum(col("__x")).over(wc))
+    val days = lookOf.withColumn("look", col("look") + 1)
+      .groupBy("look").agg(count(lit(1)).cast(LongType).as("days"))
+    val pivoted = cum.groupBy("look")
+      .agg(
+        max(when(col("__arm") === "a", col("__cn"))).as("n_a"),
+        max(when(col("__arm") === "a", col("__cx"))).as("conv_a"),
+        max(when(col("__arm") === "b", col("__cn"))).as("n_b"),
+        max(when(col("__arm") === "b", col("__cx"))).as("conv_b"))
+      .join(broadcast(days), Seq("look"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val xa = col("conv_a").cast("double"); val xb = col("conv_b").cast("double")
+    val p = (xa + xb) / (na + nb)
+    val z = (xa / na - xb / nb) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    val zOk = col("n_a") > 0 && col("n_b") > 0 &&
+      (col("conv_a") + col("conv_b")) > 0 &&
+      (col("conv_a") + col("conv_b")) < (col("n_a") + col("n_b"))
+    // boundary literals per look, full precision (both engines parse
+    // the identical shortest-roundtrip text)
+    val bound = (1 to looks).map(k => k -> cFactor * math.sqrt(looks.toDouble / k))
+      .foldLeft(lit(Double.NaN)) { case (acc, (k, b)) =>
+        when(col("look") === k, lit(b)).otherwise(acc)
+      }
+    pivoted
+      .select(col("look"), col("days"),
+        col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(when(zOk, z), 4).as("z_r4"),
+        round(bound, 6).as("bound_r6"),
+        when(zOk, abs(z) >= bound).otherwise(lit(false)).as("crossed"))
+      .orderBy("look")
+  }
 }

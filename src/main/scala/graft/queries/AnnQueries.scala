@@ -716,7 +716,103 @@ object AnnQueries {
              CAST(sum(CASE WHEN z = n THEN 1 ELSE 0 END) AS BIGINT) AS dead_dims
       FROM pp GROUP BY 1 ORDER BY "group" """))
 
+  // 303. TwoNN intrinsic-dimension ratios (Facco et al. 2017): per
+  // probe the ratio of second- to first-NN SQUARED distances — the
+  // raw material of d-hat = 2N / sum(ln mu_sq). Squared-distance form
+  // throughout (no sqrt crosses an engine boundary); probes with an
+  // exact-duplicate nearest neighbor (d1 = 0) are dropped per the
+  // estimator. DuckDB replays the rank<=2 window and the 2-row pivot.
+  val qEmbedTwonn = QueryDef("q_embed_twonn",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Ann.twoNNRatios(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding")
+        .orderBy("q_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT p.vec_id q_id, c.vec_id n_id,
+               list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])
+                 + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                 - 2 * list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d2
+        FROM embeddings p JOIN embeddings c
+          ON p.vec_id < 50 AND c.vec_id != p.vec_id),
+      r AS (
+        SELECT q_id, n_id, d2,
+               row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) rank
+        FROM d),
+      pv AS (
+        SELECT q_id,
+               max(CASE WHEN rank = 1 THEN n_id END) AS n1_id,
+               max(CASE WHEN rank = 2 THEN n_id END) AS n2_id,
+               max(CASE WHEN rank = 1 THEN d2 END) AS d2_1,
+               max(CASE WHEN rank = 2 THEN d2 END) AS d2_2
+        FROM r WHERE rank <= 2 GROUP BY q_id)
+      SELECT q_id, n1_id, n2_id, round(d2_2 / d2_1, 4) AS mu_sq_r4
+      FROM pv WHERE d2_1 > 0 AND n2_id IS NOT NULL ORDER BY q_id"""))
+
+  // 304. Centroid silhouette per kmeans cell — cluster-quality next
+  // to q_kmeans's inertia, over the IDENTICAL deterministic Lloyd
+  // centroids (the oracle re-derives them with the same cents0/cents1
+  // CTEs, then replays the one-pass a2/b2/s readout). s in [0,1] by
+  // construction (a2 is the argmin); quantized q4 sums + integer-
+  // division means keep both engines bit-equal.
+  val qKmeansSilhouette = QueryDef("q_kmeans_silhouette",
+    (s, dir) => {
+      graft.operators.Ann.kmeansSilhouette(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)
+        .orderBy("cell")
+    },
+    Some("""
+      WITH cents0 AS (
+        SELECT row_number() OVER (ORDER BY scat, vec_id) AS cell,
+               embedding::DOUBLE[] AS ce
+        FROM (SELECT vec_id, embedding, (vec_id % 999983) * 2654435761 % 999983 AS scat
+              FROM embeddings ORDER BY scat, vec_id LIMIT 8)),
+      a1 AS (SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                   + list_dot_product(c.ce, c.ce) ASC, c.cell ASC) AS rn
+             FROM embeddings e, cents0 c),
+      as1 AS (SELECT vec_id, embedding, cell FROM a1 WHERE rn = 1),
+      ux AS (SELECT cell, unnest(embedding::DOUBLE[]) AS x,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM as1),
+      upd AS (SELECT cell, pos, sum(CAST(floor(x * 1048576) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM ux GROUP BY 1, 2),
+      cents1 AS (SELECT cell, list(s / (n * 1048576.0) ORDER BY pos) AS ce
+                 FROM upd GROUP BY cell
+                 UNION ALL
+                 SELECT cell, ce FROM cents0
+                 WHERE cell NOT IN (SELECT cell FROM upd)),
+      a2 AS (SELECT e.vec_id, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                 + list_dot_product(c.ce, c.ce) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - list_dot_product(e.embedding::DOUBLE[], c.ce) * 2
+                   + list_dot_product(c.ce, c.ce) ASC, c.cell ASC) AS rn
+             FROM embeddings e, cents1 c),
+      pv AS (SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cell END) AS cell,
+               max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+               max(CASE WHEN rn = 2 THEN d2 END) AS b2
+             FROM a2 WHERE rn <= 2 GROUP BY vec_id),
+      sil AS (SELECT cell,
+               CASE WHEN greatest(a2, b2) <= 0 THEN 0.0
+                    ELSE (b2 - a2) / greatest(a2, b2) END AS s
+             FROM pv)
+      SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS size,
+             CAST(sum(CAST(floor(s * 10000) AS BIGINT)) AS BIGINT) AS sil_sum_q4,
+             CAST(sum(CAST(floor(s * 10000) AS BIGINT)) // count(*) AS BIGINT) AS sil_mean_q4
+      FROM sil GROUP BY cell ORDER BY cell"""))
+
   val all: Seq[QueryDef] = Seq(
+    qEmbedTwonn,
+    qKmeansSilhouette,
     qEmbedDeadzone,
     qAnnMutual,
     qEmbedPq,

@@ -867,7 +867,76 @@ object ExperimentQueries {
                  / CAST(a_only + b_only AS DOUBLE) END, 4) AS chi2_cc_r4
       FROM c"""))
 
+  // 305. O'Brien-Fleming group-sequential monitor: three scheduled
+  // looks over the calendar (equal-rank day terciles, integer
+  // arithmetic both engines), cumulative pooled two-proportion z per
+  // look vs the OBF boundary c*sqrt(K/k) with the classical K=3,
+  // two-sided alpha~0.05 constant c=2.004 inlined as full-precision
+  // literals (the sprtConstants discipline). Conversion is the
+  // big-ticket purchase (value >= 150) so the baseline is
+  // non-degenerate (plain 'purchase' converts every user here);
+  // grain is (user, day) with portable md5 50/50 arms.
+  val qAbObrien = QueryDef("q_ab_obrien",
+    (s, dir) => {
+      val ud = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0,
+          1L).otherwise(0L)).as("conv"))
+      val armed = graft.operators.Sampling.portableSplit(
+        ud, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      graft.operators.Experiment.obrienFleming(armed, "split", "day", "conv")
+    },
+    Some {
+      val bounds = (1 to 3).map(k => k -> 2.004 * math.sqrt(3.0 / k))
+      // ::DOUBLE so DuckDB doesn't parse the final look's short literal
+      // (2.004) as DECIMAL and render round() with trailing zeros
+      val boundCase = "CASE look " +
+        bounds.map { case (k, b) => s"WHEN $k THEN ${b}::DOUBLE" }.mkString(" ") + " END"
+      s"""
+      WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                         THEN 'a' ELSE 'b' END AS arm,
+                    max(CASE WHEN event_type = 'purchase' AND "value" >= 150.0
+                        THEN 1 ELSE 0 END) AS conv
+                  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  GROUP BY 1, 2, 3),
+      dd AS (SELECT day, row_number() OVER (ORDER BY day) AS r,
+                    count(*) OVER () AS nd
+             FROM (SELECT DISTINCT day FROM ud)),
+      lk AS (SELECT day, ((r - 1) * 3) // nd + 1 AS look FROM dd),
+      g AS (SELECT look, arm, count(*) AS n, sum(conv) AS x
+            FROM ud JOIN lk USING (day) GROUP BY 1, 2),
+      c AS (SELECT look, arm,
+                   sum(n) OVER (PARTITION BY arm ORDER BY look) AS cn,
+                   sum(x) OVER (PARTITION BY arm ORDER BY look) AS cx
+            FROM g),
+      ld AS (SELECT look, count(*) AS days FROM lk GROUP BY 1),
+      pv AS (SELECT look,
+               max(CASE WHEN arm = 'a' THEN cn END) AS n_a,
+               max(CASE WHEN arm = 'a' THEN cx END) AS conv_a,
+               max(CASE WHEN arm = 'b' THEN cn END) AS n_b,
+               max(CASE WHEN arm = 'b' THEN cx END) AS conv_b
+             FROM c GROUP BY look),
+      zz AS (SELECT pv.*, ld.days,
+               CASE WHEN n_a > 0 AND n_b > 0 AND (conv_a + conv_b) > 0
+                         AND (conv_a + conv_b) < (n_a + n_b) THEN
+                 (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+                 sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) END AS z
+             FROM pv JOIN ld USING (look))
+      SELECT CAST(look AS BIGINT) AS look, CAST(days AS BIGINT) AS days,
+             CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+             CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+             round(z, 4) AS z_r4,
+             round($boundCase, 6) AS bound_r6,
+             coalesce(abs(z) >= $boundCase, false) AS crossed
+      FROM zz ORDER BY look"""
+    })
+
   val all: Seq[QueryDef] = Seq(
+    qAbObrien,
     qAnova,
     qMcnemar,
     qAbCuped,
