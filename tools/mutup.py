@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Synthesize a content-DIVERSE scale-up of documents + embeddings: N
+copies where copy 0 is the original and every copy k>=1 is MUTATED at
+declared rates — token swaps, typos, token drops, tail truncations for
+text; small relative jitter for embeddings. Other tables are copied
+as-is (they feed no similarity query).
+
+Why this corpus exists (r12): the 10x-copy corpus (tools/scaleup.py)
+is exact copies, which the collapse paths fold away for free and which
+every hash family detects trivially — so near-dup RECALL under
+realistic mutation was never exercised at scale. Here no two copies
+are byte-identical, the exact-duplicate collapse finds (almost)
+nothing to collapse, and the (original, mutant) pairs form a
+CONSTRUCTED ground-truth set of known size (copies-1 per doc) against
+which `graft.StressMut` measures each similarity family's recall.
+
+Determinism: every random draw is seeded by (doc_id, k), so the corpus
+is bit-reproducible and the Scala side can rely on stable ids: copy k
+shifts ids by k*OFFSET (next power of ten above the max id), so
+base_id = id % OFFSET and copy = id // OFFSET.
+
+Mutation rates (per copy, declared so the recall floors are
+interpretable): adjacent-token swap 5% of positions, per-token typo
+3%, per-token drop 2%, whole-doc tail truncation 20% of copies
+(keeping a 70-95% prefix). Expected 3-shingle Jaccard vs the original
+stays mostly above ~0.5 (each point mutation kills <=3 shingles);
+embeddings get +-2% relative jitter per component (cosine >= ~0.999).
+
+NOTE: like the skew corpus, this corpus intentionally breaks the
+"documents are distinct texts" assumption MILDLY (mutants are close
+to their originals, not equal); any future query assuming global text
+uniqueness holds here, unlike on the copy corpus.
+
+Usage: python3 tools/mutup.py [src_sf_dir] [dst_dir] [copies]
+"""
+import glob, os, random, shutil, string, sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sfmut"
+copies = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+
+P_SWAP, P_TYPO, P_DROP, P_TRUNC = 0.05, 0.03, 0.02, 0.20
+
+os.makedirs(dst, exist_ok=True)
+
+
+def offset_for(vals):
+    m = max(vals)
+    off = 1
+    while off <= m:
+        off *= 10
+    return off
+
+
+def mutate_text(text, rng):
+    toks = text.split(" ")
+    if rng.random() < P_TRUNC and len(toks) > 4:
+        keep = max(3, int(len(toks) * rng.uniform(0.70, 0.95)))
+        toks = toks[:keep]
+    i = 0
+    while i < len(toks) - 1:
+        if rng.random() < P_SWAP:
+            toks[i], toks[i + 1] = toks[i + 1], toks[i]
+            i += 2
+        else:
+            i += 1
+    out = []
+    for t in toks:
+        if t and rng.random() < P_DROP:
+            continue
+        if t and rng.random() < P_TYPO:
+            j = rng.randrange(len(t))
+            t = t[:j] + rng.choice(string.ascii_lowercase) + t[j + 1:]
+        out.append(t)
+    return " ".join(out) if out else toks[0]
+
+
+def scale_documents():
+    t = pq.read_table(f"{src}/documents.parquet")
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = t.column("source").to_pylist()
+    off = offset_for(ids)
+    out_id, out_text, out_lang, out_src, out_n = [], [], [], [], []
+    for k in range(copies):
+        for i, base in enumerate(ids):
+            if k == 0:
+                txt = texts[i]
+            else:
+                txt = mutate_text(texts[i], random.Random(f"{base}:{k}"))
+            out_id.append(base + k * off)
+            out_text.append(txt)
+            out_lang.append(langs[i])
+            out_src.append(sources[i])
+            out_n.append(len(txt))
+    out = pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                    "text": pa.array(out_text, pa.string()),
+                    "lang": pa.array(out_lang, pa.string()),
+                    "source": pa.array(out_src, pa.string()),
+                    "n_chars": pa.array(out_n, pa.int64())})
+    pq.write_table(out, f"{dst}/documents.parquet")
+    print(f"documents: {t.num_rows} -> {out.num_rows} rows (id offset {off}, "
+          f"{copies - 1} mutated copies per doc)")
+    return off
+
+
+def scale_embeddings():
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    labels = t.column("label").to_pylist()
+    off = offset_for(ids)
+    out_id, out_vec, out_label = [], [], []
+    for k in range(copies):
+        for i, base in enumerate(ids):
+            if k == 0:
+                v = vecs[i]
+            else:
+                rng = random.Random(f"e{base}:{k}")
+                v = [x * (1.0 + rng.uniform(-0.02, 0.02)) for x in vecs[i]]
+            out_id.append(base + k * off)
+            out_vec.append(v)
+            out_label.append(labels[i])
+    out = pa.table({"vec_id": pa.array(out_id, pa.int64()),
+                    "embedding": pa.array(out_vec, pa.list_(pa.float32())),
+                    "label": pa.array(out_label, pa.int32())})
+    pq.write_table(out, f"{dst}/embeddings.parquet")
+    print(f"embeddings: {t.num_rows} -> {out.num_rows} rows (id offset {off})")
+
+
+for f in glob.glob(f"{src}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    if name not in ("documents", "embeddings"):
+        shutil.copyfile(f, f"{dst}/{name}.parquet")
+
+scale_documents()
+scale_embeddings()
