@@ -145,6 +145,44 @@ class StressSpec extends SparkSpec {
         "run Bench (both scale points) before Stress")
   }
 
+  test("MUT PARITY + RECALL: the shipped target/stress_mut.json certifies the live registry") {
+    // r12: the content-diverse mutated corpus (tools/mutup.py) gets the
+    // same board certificate as the copy and skew corpora, PLUS the
+    // similarity-family recall gates against the constructed
+    // (original, mutant) ground truth. Same staleness rules; every
+    // recall row must pass its declared floor and the floors must be
+    // the ones StressMut declares (an artifact regenerated against
+    // weakened floors fails here).
+    val p = java.nio.file.Paths.get("target/stress_mut.json")
+    assume(java.nio.file.Files.isRegularFile(p),
+      "no shipped mutated-corpus artifact in this checkout - nothing to certify")
+    val m = parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val artifactQueries = {
+      val it = m.get("queries").fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val registry = SparkEntry.queries.keySet
+    assert((registry -- artifactQueries).isEmpty && (artifactQueries -- registry).isEmpty,
+      "stress_mut.json is stale vs the registry - re-run graft.StressMut on target/sfmut")
+    assert(!m.get("partial").asBoolean && m.get("fail").asInt == 0,
+      s"stress_mut.json partial=${m.get("partial")} fail=${m.get("fail")}")
+    assert(m.get("timing_reps").asInt >= 3)
+    val rec = m.get("recall")
+    assert(rec != null, "stress_mut.json carries no recall section")
+    StressMut.recallFloorsBp.foreach { case (family, floor) =>
+      val row = rec.get(family)
+      assert(row != null, s"recall section missing family $family")
+      assert(row.get("floor_bp").asLong == floor,
+        s"$family floor in artifact (${row.get("floor_bp")}) != declared $floor")
+      assert(row.get("pass").asBoolean && row.get("recall_bp").asLong >= floor,
+        s"$family recall ${row.get("recall_bp")} below floor $floor")
+      assert(row.get("truth_pairs").asLong > 1000L,
+        s"$family certified against a trivial truth set (${row.get("truth_pairs")})")
+    }
+  }
+
   test("SKEW PARITY: the shipped target/stress_skew.json certifies the live registry") {
     // r11: the Zipf-skew corpus (tools/skewup.py — one hot key holding
     // ~30% of rows on every join/window axis) gets the same board
