@@ -491,35 +491,15 @@ object DedupQueries {
       ORDER BY id_batch, id_index"""))
 
 
-  // unique memory-sink names for the in-query streaming runs below:
-  // Bench/Stress invoke a query many times per session, and a second
-  // `queryName` registration over a live temp view would collide
-  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Runs `build(input)` as a real streaming query over a MemoryStream
-    * fed `batches` one micro-batch at a time (each addData +
-    * processAllAvailable pins a batch boundary, so watermarks advance
-    * exactly once per batch), then returns the memory sink read back
-    * as a table — the sink-readback pattern that gives a streaming
-    * operator a driver-oracle surface. */
+  /** Sink-readback runner — see [[StreamBoard.run]] (extracted r12 so
+    * the stateful-monitor boardings share it). */
   private def runStream[T: org.apache.spark.sql.Encoder](
       s: org.apache.spark.sql.SparkSession, prefix: String,
       batches: Seq[Seq[T]],
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       toDf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
-    val name = s"${prefix}_${streamSinkSeq.incrementAndGet()}"
-    val q = build(toDf(mem.toDF()))
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
-      batches.foreach { b =>
-        if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
-      }
-    } finally q.stop()
-    s.table(name)
-  }
+      : org.apache.spark.sql.DataFrame =
+    StreamBoard.run(s, prefix, batches, build, toDf)
 
   // 297 (boarded r12). STREAMING within-stream exact dedup, watermark-
   // bounded (`IncrementalDedup.selfDedupStream`:

@@ -935,7 +935,104 @@ object ExperimentQueries {
       FROM zz ORDER BY look"""
     })
 
+  // 271 (boarded r12). STREAMING SPRT monitor via sink-readback: the
+  // per-arm mapGroupsWithState Wald walk runs as a real streaming
+  // query over three day-tercile micro-batches (the q_ab_obrien chunk
+  // arithmetic), update-mode memory sink read back as the result —
+  // one row per (arm, batch): cumulative exact-integer (n,
+  // conversions), the e6 LLR, the LATCHED decision and its cross_day
+  // (max event day of the latching batch). DuckDB replays the
+  // tercile assignment, the cumulative totals, the literal
+  // sprtConstants band, and the first-exit latch — the stateful
+  // streaming semantics checked as VALUES. Units are (user, day)
+  // big-ticket conversions restricted to user_id < 500 so the
+  // MemoryStream feed is a bounded driver collect (documented grain;
+  // the operator itself is unbounded).
+  val qStreamSprt = QueryDef("q_stream_sprt",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val ud = table(s, dir, "events")
+        .filter(c("user_id").isNotNull && c("ts").isNotNull && c("user_id") < 500)
+        .groupBy(c("user_id"), to_date(c("ts")).as("day"))
+        .agg(max(when(c("event_type") === "purchase" && c("value") >= 150.0,
+          1L).otherwise(0L)).as("conv"))
+      val armed = graft.operators.Sampling.portableSplit(
+        ud, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      val dCount = armed.select("day").distinct().count()
+      val wd = org.apache.spark.sql.expressions.Window.orderBy(c("day"))
+      val chunked = armed.join(
+        broadcast(armed.select("day").distinct()
+          .withColumn("__r", row_number().over(wd))
+          .select(c("day"),
+            (((c("__r") - 1) * 3) / lit(dCount)).cast("int").as("__chunk"))),
+        Seq("day"))
+      // the feed collects as plain strings/longs (dates ride as
+      // yyyy-MM-dd text; sprtMonitorStream casts its day column to
+      // DATE itself), so the MemoryStream needs only primitive
+      // encoders and the driver batch is a bounded flat tuple list
+      val rows = chunked
+        .select(c("__chunk").cast("int"), c("split"),
+          date_format(c("day"), "yyyy-MM-dd").as("__day"), c("conv"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getString(1), r.getString(2), r.getLong(3))))
+      val batches = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2).toSeq)
+      implicit val enc: org.apache.spark.sql.Encoder[(String, String, Long)] =
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong)
+      StreamBoard.run[(String, String, Long)](
+        s, "sprt_stream", batches,
+        df => graft.streaming.StreamMonitor.sprtMonitorStream(
+          df, "arm", "day", "conv", p0Bp = 3000, p1Bp = 4000).toDF(),
+        df => df.toDF("arm", "day", "conv"),
+        outputMode = "update")
+        .orderBy("arm", "n")
+    },
+    Some {
+      val (l0, l1, lo, up) =
+        graft.operators.Experiment.sprtConstants(3000, 4000, 500, 500)
+      s"""
+      WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                         THEN 'a' ELSE 'b' END AS arm,
+                    max(CASE WHEN event_type = 'purchase' AND "value" >= 150.0
+                        THEN 1 ELSE 0 END) AS conv
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id < 500
+                  GROUP BY 1, 2, 3),
+      dd AS (SELECT day, row_number() OVER (ORDER BY day) AS r,
+                    count(*) OVER () AS nd
+             FROM (SELECT DISTINCT day FROM ud)),
+      lk AS (SELECT day, ((r - 1) * 3) // nd + 1 AS chunk FROM dd),
+      g AS (SELECT chunk, arm, count(*) AS n, sum(conv) AS a, max(day) AS mx
+            FROM ud JOIN lk USING (day) GROUP BY 1, 2),
+      cum AS (SELECT chunk, arm, mx,
+                sum(n) OVER (PARTITION BY arm ORDER BY chunk) AS cn,
+                sum(a) OVER (PARTITION BY arm ORDER BY chunk) AS ca
+              FROM g),
+      d AS (SELECT *, ca * $l1 + (cn - ca) * $l0 AS llr,
+              CASE WHEN ca * $l1 + (cn - ca) * $l0 >= $up THEN 'h1'
+                   WHEN ca * $l1 + (cn - ca) * $l0 <= $lo THEN 'h0' END AS ex
+            FROM cum),
+      lat AS (SELECT *,
+                min(CASE WHEN ex IS NOT NULL THEN chunk END)
+                  OVER (PARTITION BY arm ORDER BY chunk) AS latch_chunk
+              FROM d),
+      lab AS (SELECT arm, chunk AS latch_chunk, ex AS latch_ex, mx AS latch_mx
+              FROM lat WHERE chunk = latch_chunk)
+      SELECT l.arm, CAST(l.cn AS BIGINT) AS n, CAST(l.ca AS BIGINT) AS conversions,
+             CAST(l.llr AS BIGINT) AS llr_e6,
+             coalesce(b.latch_ex, 'continue') AS decision,
+             b.latch_mx AS cross_day
+      FROM lat l LEFT JOIN lab b
+        ON l.arm = b.arm AND l.latch_chunk = b.latch_chunk
+      ORDER BY l.arm, n"""
+    })
+
   val all: Seq[QueryDef] = Seq(
+    qStreamSprt,
     qAbObrien,
     qAnova,
     qMcnemar,

@@ -1,0 +1,37 @@
+package graft.queries
+
+/** The sink-readback pattern that gives a STREAMING operator a
+  * driver-oracle surface: run the operator as a real streaming query
+  * over a MemoryStream fed one micro-batch at a time (each addData +
+  * processAllAvailable pins a batch boundary, so watermarks and state
+  * advance exactly once per batch), then read the memory sink back as
+  * a table — a plain DataFrame DuckDB can value-check. Extracted from
+  * the r12 q_stream_self_dedup boarding so every streaming family
+  * (dedup: append mode; stateful monitors: update mode) shares one
+  * helper. */
+private[queries] object StreamBoard {
+
+  // unique memory-sink names: Bench/Stress invoke a query many times
+  // per session, and a second queryName registration over a live temp
+  // view would collide
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def run[T: org.apache.spark.sql.Encoder](
+      s: org.apache.spark.sql.SparkSession, prefix: String,
+      batches: Seq[Seq[T]],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      toDf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String = "append"): org.apache.spark.sql.DataFrame = {
+    implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
+    val q = build(toDf(mem.toDF()))
+      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    s.table(name)
+  }
+}
