@@ -324,6 +324,47 @@ object Ann {
         (col("sil_sum_q4") / col("size")).cast("long").as("sil_mean_q4"))
   }
 
+  /** Embedding-space ANISOTROPY per group (Ethayarajh 2019, "How
+    * contextual are contextualized word representations?"): the mean
+    * pairwise cosine between DISTINCT vectors — near 0 for directions
+    * spread over the sphere, near 1 when the space collapses into a
+    * narrow cone (the pathology that flattens cosine-based retrieval
+    * and dedup thresholds; read next to row 294's dead-zone profile).
+    *
+    * One pass, never a pair join: with unit-normalized vectors u_i,
+    * E_{i≠j}[u_i·u_j] = (‖Σu‖² − n) / (n(n−1)) — the component sums
+    * are one posexplode aggregation, the identity is exact, and the
+    * r4 rounding absorbs cross-engine float-sum order (the
+    * q_embed_stats convention). Zero-norm vectors have no direction
+    * and are excluded (their "cosine" is undefined).
+    *
+    * Output: one row per group — (group, n_vecs, mean_pair_cos_r4). */
+  def embeddingAnisotropy(corpus: DataFrame, groupCol: String,
+                          vecCol: String): DataFrame = {
+    val unit = corpus
+      .select(col(groupCol).as("group"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("nsq", VectorFns.normSq(col("v")))
+      .filter(col("nsq") > 0.0)
+      .select(col("group"),
+        transform(col("v"), x => x.cast("double") / sqrt(col("nsq"))).as("u"))
+    val sums = unit
+      .select(col("group"), posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy("group", "pos")
+      .agg(sum(col("x")).as("s"))
+    val n = unit.groupBy("group").agg(count(lit(1)).cast("long").as("n_vecs"))
+    sums.groupBy("group")
+      .agg(sum(col("s") * col("s")).as("ssq"))
+      .join(n, Seq("group"))
+      .filter(col("n_vecs") >= 2)
+      .select(col("group"), col("n_vecs"),
+        // + 0.0 collapses IEEE negative zero: a mean cosine a hair
+        // under 0 rounds to -0.0 in one engine and +0.0 in the other
+        (round((col("ssq") - col("n_vecs")) /
+          (col("n_vecs") * (col("n_vecs") - lit(1L))), 4) + lit(0.0))
+          .as("mean_pair_cos_r4"))
+  }
+
   /** TwoNN intrinsic-dimension ratios (Facco et al. 2017, "Estimating
     * the intrinsic dimension of datasets by a minimal neighborhood
     * information"): for each probe, the ratio μ² = d₂²/d₁² of its

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -922,6 +922,59 @@ object Experiment {
         round(when(allNonEmpty, mean("b1") - mean("a1")), 6).as("post_diff_r6"),
         round(when(allNonEmpty, did), 6).as("did_r6"),
         round(when(allNonEmpty && se2 > 0d, did / sqrt(se2)), 4).as("z_r4"))
+  }
+
+  /** Delete-one-group JACKKNIFE standard error for the two-proportion
+    * difference (arm b − arm a): the day-bucketed resampling readout
+    * A/B practice reaches for when unit-level independence is doubtful
+    * (within-day correlation, mixed exposure) — the z-test's closed
+    * form assumes it away, the jackknife MEASURES it from the day
+    * replicates. θ_(i) recomputes the difference with day i's
+    * contributions removed from the exact integer totals;
+    * se² = (D−1)/D · Σ(θ_(i) − θ̄)², folded as Σθ and Σθ² in ONE
+    * aggregation over the D-row per-day pivot (never a D-pass loop).
+    *
+    * Scale shape: one groupBy (day, arm) over the units (map-side
+    * combined), one broadcast of the 1-row totals onto the
+    * calendar-bounded day frame, one final fold. All replicate
+    * arithmetic is deterministic doubles over exact integer sums;
+    * rounding (r6/r4) absorbs engine fold order.
+    *
+    * Output (1 row): days, n_a, conv_a, n_b, conv_b, diff_r6,
+    * se_jack_r6, z_jack_r4. */
+  def jackknifeDiff(df: DataFrame, armCol: String, dayCol: String,
+                    convCol: String): DataFrame = {
+    val perDay = df
+      .groupBy(col(dayCol).as("day"))
+      .agg(
+        sum(when(col(armCol) === "a", 1L).otherwise(0L)).as("n_a_d"),
+        sum(when(col(armCol) === "a", col(convCol)).otherwise(0L)).as("x_a_d"),
+        sum(when(col(armCol) === "b", 1L).otherwise(0L)).as("n_b_d"),
+        sum(when(col(armCol) === "b", col(convCol)).otherwise(0L)).as("x_b_d"))
+    val totals = perDay.agg(
+      count(lit(1)).cast(LongType).as("days"),
+      sum("n_a_d").cast(LongType).as("n_a"), sum("x_a_d").cast(LongType).as("conv_a"),
+      sum("n_b_d").cast(LongType).as("n_b"), sum("x_b_d").cast(LongType).as("conv_b"))
+    def rate(x: Column, n: Column): Column =
+      when(n > 0, x.cast("double") / n)
+    val theta_i =
+      rate(col("conv_b") - col("x_b_d"), col("n_b") - col("n_b_d")) -
+        rate(col("conv_a") - col("x_a_d"), col("n_a") - col("n_a_d"))
+    val folded = perDay.crossJoin(broadcast(totals))
+      .select(col("days"), col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        theta_i.as("th"))
+      .groupBy("days", "n_a", "conv_a", "n_b", "conv_b")
+      .agg(sum("th").as("s1"), sum(col("th") * col("th")).as("s2"),
+        count(col("th")).cast(LongType).as("d_ok"))
+    val diff = rate(col("conv_b"), col("n_b")) - rate(col("conv_a"), col("n_a"))
+    val mean = col("s1") / col("d_ok")
+    val se = sqrt(((col("d_ok") - 1).cast("double") / col("d_ok")) *
+      (col("s2") - col("d_ok") * mean * mean))
+    folded.select(col("days"), col("n_a"), col("conv_a"),
+      col("n_b"), col("conv_b"),
+      round(diff, 6).as("diff_r6"),
+      round(se, 6).as("se_jack_r6"),
+      round(when(se > 0d, diff / se), 4).as("z_jack_r4"))
   }
 
   /** O'Brien–Fleming group-sequential A/B monitor: the calendar is

@@ -810,7 +810,42 @@ object AnnQueries {
              CAST(sum(CAST(floor(s * 10000) AS BIGINT)) // count(*) AS BIGINT) AS sil_mean_q4
       FROM sil GROUP BY cell ORDER BY cell"""))
 
+  // 306. Embedding anisotropy per label (Ethayarajh 2019): mean
+  // pairwise cosine of the unit-normalized vectors via the one-pass
+  // identity (||sum u||^2 - n) / (n(n-1)) - no pair join; r4 absorbs
+  // float-sum order (the q_embed_stats convention). The cone-collapse
+  // readout next to the dead-zone profile.
+  val qEmbedAnisotropy = QueryDef("q_embed_anisotropy",
+    (s, dir) => {
+      graft.operators.Ann.embeddingAnisotropy(
+          table(s, dir, "embeddings"), "label", "embedding")
+        .select(col("group").cast(LongType).as("group"),
+          col("n_vecs"), col("mean_pair_cos_r4"))
+        .orderBy("group")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label, vec_id, gg pos, embedding[gg]::DOUBLE v
+        FROM (SELECT label, vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) gg
+              FROM embeddings)),
+      nrm AS (SELECT label, vec_id, sqrt(sum(v * v)) nv
+              FROM ex GROUP BY 1, 2),
+      u AS (SELECT ex.label, ex.vec_id, ex.pos, ex.v / nrm.nv AS x
+            FROM ex JOIN nrm ON ex.label = nrm.label AND ex.vec_id = nrm.vec_id
+            WHERE nrm.nv > 0),
+      s AS (SELECT label, pos, sum(x) AS sv FROM u GROUP BY 1, 2),
+      agg AS (SELECT label, sum(sv * sv) AS ssq FROM s GROUP BY 1),
+      n AS (SELECT label, count(DISTINCT vec_id) AS n_vecs FROM u GROUP BY 1)
+      SELECT CAST(agg.label AS BIGINT) AS "group",
+             CAST(n.n_vecs AS BIGINT) AS n_vecs,
+             round((agg.ssq - n.n_vecs) / (n.n_vecs * (n.n_vecs - 1)), 4) + 0.0
+               AS mean_pair_cos_r4
+      FROM agg JOIN n ON agg.label = n.label
+      WHERE n.n_vecs >= 2 ORDER BY "group" """))
+
   val all: Seq[QueryDef] = Seq(
+    qEmbedAnisotropy,
     qEmbedTwonn,
     qKmeansSilhouette,
     qEmbedDeadzone,

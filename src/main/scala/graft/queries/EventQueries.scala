@@ -923,7 +923,79 @@ object EventQueries {
              round(CAST(rmst_e8 AS DOUBLE) / 1e8, 4) AS rmst_days_r4
       FROM agg"""))
 
+  // 278 (boarded r12). STREAM-STREAM attribution join via two-stream
+  // sink-readback: touches (non-purchase events, channel = type) and
+  // conversions (purchases) of a bounded user slice arrive as THREE
+  // ts-tercile micro-batch pairs into the watermarked interval join
+  // (`StreamMonitor.attributionJoinStream`, horizon 1 h) - join state
+  // spans the batch boundaries and the watermark evicts expired
+  // touches, while the fed data is never late (tercile k+1's rows all
+  // exceed tercile k's max ts), so the streamed output equals the
+  // batch interval join DuckDB replays directly. Timestamps ride as
+  // microsecond strings into the MemoryStream and back to TIMESTAMP
+  // inside the plan.
+  val qStreamAttribution = QueryDef("q_stream_attribution",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("user_id") < 200)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val dCount = ev.select(to_date(col("ts")).as("day")).distinct().count()
+      val wd = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      val chunkOf = ev.select(to_date(col("ts")).as("day")).distinct()
+        .withColumn("__r", row_number().over(wd))
+        .select(col("day"),
+          (((col("__r") - 1) * 3) / lit(dCount)).cast("int").as("__chunk"))
+      val rows = ev.join(broadcast(chunkOf), ev("ts").cast("date") === chunkOf("day"))
+        .select(col("__chunk"), col("user_id").cast("string").as("key"),
+          date_format(col("ts"), fmt).as("tss"), col("event_type"))
+        .collect()
+      def side(purchase: Boolean) = rows
+        .filter(r => (r.getString(3) == "purchase") == purchase)
+        .groupBy(_.getInt(0))
+      val touches = side(purchase = false)
+        .map { case (k, rs) => k -> rs.map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq }
+      val convs = side(purchase = true)
+        .map { case (k, rs) => k -> rs.map(r => (r.getString(1), r.getString(2))).toSeq }
+      val batches = (0 to 2).map(k =>
+        (touches.getOrElse(k, Seq.empty), convs.getOrElse(k, Seq.empty)))
+      implicit val encA: org.apache.spark.sql.Encoder[(String, String, String)] =
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING)
+      implicit val encB: org.apache.spark.sql.Encoder[(String, String)] =
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING)
+      StreamBoard.run2[(String, String, String), (String, String)](
+        s, "attr_stream", batches,
+        (t, c) => graft.streaming.StreamMonitor.attributionJoinStream(
+          t, c, "key", "ts", "channel", horizon = "1 hour"),
+        t => t.toDF("key", "__ts", "channel")
+          .withColumn("ts", to_timestamp(col("__ts"))).drop("__ts"),
+        c => c.toDF("key", "__ts")
+          .withColumn("ts", to_timestamp(col("__ts"))).drop("__ts")
+          .withColumn("channel", lit("")))
+        .select(col("key").cast(LongType).as("key"), col("channel"),
+          col("touch_ts"), col("conv_ts"))
+        .orderBy("key", "channel", "touch_ts", "conv_ts")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, ts, event_type FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id < 200),
+      t AS (SELECT user_id AS key, ts AS touch_ts, event_type AS channel
+            FROM ev WHERE event_type != 'purchase'),
+      c AS (SELECT user_id AS key, ts AS conv_ts FROM ev
+            WHERE event_type = 'purchase')
+      SELECT CAST(t.key AS BIGINT) AS key, t.channel, t.touch_ts, c.conv_ts
+      FROM t JOIN c ON t.key = c.key
+        AND t.touch_ts <= c.conv_ts
+        AND c.conv_ts <= t.touch_ts + INTERVAL 1 HOUR
+      ORDER BY key, channel, touch_ts, conv_ts"""))
+
   val all: Seq[QueryDef] = Seq(
+    qStreamAttribution,
     qRmst,
     qSessionize,
     qEventFunnel,

@@ -1031,7 +1031,65 @@ object ExperimentQueries {
       ORDER BY l.arm, n"""
     })
 
+  // 307. Delete-one-day jackknife SE for the conversion-rate
+  // difference: day replicates of the exact integer totals, se^2 =
+  // (D-1)/D * (sum th^2 - D*mean^2) folded in one aggregation; the
+  // resampling companion to q_ab_test's closed-form z (whose
+  // independence assumption the day buckets interrogate). Same
+  // big-ticket conversion + md5 arms as q_ab_obrien.
+  val qAbJackknife = QueryDef("q_ab_jackknife",
+    (s, dir) => {
+      val ud = table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0,
+          1L).otherwise(0L)).as("conv"))
+      val armed = graft.operators.Sampling.portableSplit(
+        ud, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      graft.operators.Experiment.jackknifeDiff(armed, "split", "day", "conv")
+    },
+    Some("""
+      WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                         THEN 'a' ELSE 'b' END AS arm,
+                    max(CASE WHEN event_type = 'purchase' AND "value" >= 150.0
+                        THEN 1 ELSE 0 END) AS conv
+                  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  GROUP BY 1, 2, 3),
+      pd AS (SELECT day,
+               sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS n_a_d,
+               sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS x_a_d,
+               sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS n_b_d,
+               sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS x_b_d
+             FROM ud GROUP BY 1),
+      t AS (SELECT count(*) AS days, sum(n_a_d) AS n_a, sum(x_a_d) AS conv_a,
+                   sum(n_b_d) AS n_b, sum(x_b_d) AS conv_b
+            FROM pd),
+      th AS (SELECT t.days, t.n_a, t.conv_a, t.n_b, t.conv_b,
+               (CASE WHEN t.n_b - pd.n_b_d > 0
+                     THEN CAST(t.conv_b - pd.x_b_d AS DOUBLE) / (t.n_b - pd.n_b_d) END)
+               - (CASE WHEN t.n_a - pd.n_a_d > 0
+                       THEN CAST(t.conv_a - pd.x_a_d AS DOUBLE) / (t.n_a - pd.n_a_d) END)
+                 AS th
+             FROM pd, t),
+      f AS (SELECT days, n_a, conv_a, n_b, conv_b,
+                   sum(th) AS s1, sum(th * th) AS s2, count(th) AS d_ok
+            FROM th GROUP BY 1, 2, 3, 4, 5)
+      SELECT CAST(days AS BIGINT) AS days,
+             CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+             CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+             round(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a, 6) AS diff_r6,
+             round(sqrt((CAST(d_ok - 1 AS DOUBLE) / d_ok)
+                        * (s2 - d_ok * (s1 / d_ok) * (s1 / d_ok))), 6) AS se_jack_r6,
+             round(CASE WHEN sqrt((CAST(d_ok - 1 AS DOUBLE) / d_ok)
+                                  * (s2 - d_ok * (s1 / d_ok) * (s1 / d_ok))) > 0
+                        THEN (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+                             / sqrt((CAST(d_ok - 1 AS DOUBLE) / d_ok)
+                                    * (s2 - d_ok * (s1 / d_ok) * (s1 / d_ok))) END, 4) AS z_jack_r4
+      FROM f"""))
+
   val all: Seq[QueryDef] = Seq(
+    qAbJackknife,
     qStreamSprt,
     qAbObrien,
     qAnova,

@@ -16,6 +16,33 @@ private[queries] object StreamBoard {
   // view would collide
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Two-stream variant for stream-stream joins: each batch carries
+    * BOTH sides' rows, added before one processAllAvailable so the
+    * micro-batch boundary (and both watermarks) advance once per
+    * batch. */
+  def run2[A: org.apache.spark.sql.Encoder, B: org.apache.spark.sql.Encoder](
+      s: org.apache.spark.sql.SparkSession, prefix: String,
+      batches: Seq[(Seq[A], Seq[B])],
+      build: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      toDfA: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      toDfB: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String = "append"): org.apache.spark.sql.DataFrame = {
+    implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+    val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+    val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
+    val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
+    val q = build(toDfA(memA.toDF()), toDfB(memB.toDF()))
+      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      batches.foreach { case (a, b) =>
+        if (a.nonEmpty) memA.addData(a)
+        if (b.nonEmpty) memB.addData(b)
+        if (a.nonEmpty || b.nonEmpty) q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+  }
+
   def run[T: org.apache.spark.sql.Encoder](
       s: org.apache.spark.sql.SparkSession, prefix: String,
       batches: Seq[Seq[T]],
