@@ -78,6 +78,13 @@ object Stress {
     * an exact-copy corpus by construction, each with a copy-linear
     * collapsed twin as the documented production path. */
   val declaredExponents: Map[String, (Double, String)] = Map(
+    "q_stream_attribution" -> (2.0, "a watermarked interval join's " +
+      "OUTPUT is quadratic in a single key's event density inside the " +
+      "horizon: the Zipf corpus concentrates 30% of all events on one " +
+      "user inside the query's bounded sample slice, so joined rows " +
+      "grow 8000x (1.8M vs 223) while per-row cost stays flat - " +
+      "output volume, not plan inefficiency; production bounds are " +
+      "the horizon (present) plus per-key touch caps"),
     "q_span_dedup" -> (2.0, "repeated-span postings grow quadratically " +
       "in exact copies by design; collapsed twin is the production path"),
     "q_span_dedup_collapsed" -> (2.0, "same span-postings growth - the " +
