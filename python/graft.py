@@ -232,6 +232,9 @@ def _contract_text(contract, fmt):
 #: valid ``scope=`` values — the part-scoped verbs of the reference's
 #: Python bindings (validate_schema_only / validate_quality_only /
 #: validate_ml_only) plus the CLI's custom/freshness scoping.
+#: ``"quality"`` includes the ML checks, exactly as the reference's
+#: validate_quality_only does (it runs the ml_validator in addition to
+#: quality+freshness); ``"ml"`` runs them alone.
 VALIDATE_SCOPES = ("all", "schema", "quality", "ml", "custom", "freshness")
 
 
@@ -275,8 +278,10 @@ def validate_df(spark_df, contract, *, fmt=None, strict=False,
     ``"quality"`` | ``"ml"`` | ``"custom"`` | ``"freshness"`` — the
     in-process analog of the reference bindings'
     ``validate_schema_only`` / ``validate_quality_only`` /
-    ``validate_ml_only``. ``schema_only=True`` is the historical
-    alias for ``scope="schema"``.
+    ``validate_ml_only``. ``scope="quality"`` includes the ML checks
+    (the reference's validate_quality_only runs quality + freshness +
+    ML); ``scope="ml"`` runs them alone. ``schema_only=True`` is the
+    historical alias for ``scope="schema"``.
     """
     spark = spark_df.sparkSession
     text, f = _contract_text(contract, fmt)

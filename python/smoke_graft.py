@@ -139,27 +139,35 @@ def main():
             ok_full, full_rows = graft.validate_df(df, rich_path)
             full_verdicts = {(r["check"], r["field"]): r["passed"]
                              for r in full_rows}
-            # scoped reports must PARTITION the full report: no scope
-            # invents a check, no check appears under two scopes, and
-            # every scoped verdict replays the full run's.
-            seen_scoped = set()
+            # scoped semantics mirror the reference bindings: schema is
+            # disjoint from quality/ml, quality INCLUDES the ml checks
+            # (validate_quality_only runs quality + freshness + ML,
+            # engine.rs:427-452), ml runs them alone — and every scoped
+            # verdict replays the full run's.
+            scoped_keys = {}
             scoped_n = {}
             for scope in ("schema", "quality", "ml"):
                 ok_s, scoped = graft.validate_df(df, rich_path, scope=scope)
                 scoped_n[scope] = len(scoped)
+                keys = set()
                 for r in scoped:
                     key = (r["check"], r["field"])
                     assert key in full_verdicts, \
                         f"scope={scope} invented check {key}"
                     assert r["passed"] == full_verdicts[key], \
                         f"scope={scope} verdict flip on {key}"
-                    assert key not in seen_scoped, \
-                        f"{key} reported by two scopes"
-                    seen_scoped.add(key)
+                    keys.add(key)
+                scoped_keys[scope] = keys
             assert all(scoped_n[s] > 0 for s in scoped_n), \
                 f"a scope came back empty on the rich contract: {scoped_n}"
+            assert not (scoped_keys["schema"] & scoped_keys["quality"]), \
+                "schema and quality scopes overlap"
+            assert scoped_keys["ml"] <= scoped_keys["quality"], \
+                "quality scope must include the ml checks (reference parity)"
+            assert scoped_keys["ml"] < scoped_keys["quality"], \
+                "quality scope must also run non-ml quality checks"
             print(f"  validate_df scoped: rows per scope {scoped_n}, "
-                  f"verdicts replay the full run")
+                  f"ml within quality (reference parity), verdicts replay")
             # schema_only=True stays the alias for scope="schema"
             _, legacy = graft.validate_df(df, rich_path, schema_only=True)
             _, scoped_schema = graft.validate_df(df, rich_path,

@@ -33,7 +33,10 @@ object PySparkBridge {
     * reference's part-scoped binding verbs (validate_schema_only /
     * validate_quality_only / validate_ml_only,
     * crates/contracts-python/src/lib.rs:371-417) plus the CLI's
-    * custom/freshness scoping. */
+    * custom/freshness scoping. "quality" includes the ML checks, as
+    * the reference's validate_quality_only does
+    * (contracts_validator/src/engine.rs:427-452 runs the ml_validator
+    * in addition to quality+freshness); "ml" runs them alone. */
   private def partsFor(scope: String): Set[ContractValidator.Part] =
     Option(scope).map(_.toLowerCase) match {
       case None | Some("") | Some("all") => ContractValidator.Part.All

@@ -133,7 +133,11 @@ object StressMut {
 
   final case class Recall(family: String, config: String, truthPairs: Long,
                           hits: Long) {
-    def recallBp: Long = if (truthPairs == 0) 10000L else hits * 10000L / truthPairs
+    /** Recall over NO truth pairs is a FAILURE (0), never a vacuous
+      * pass — [[recallRows]] additionally refuses to construct rows
+      * from an empty/short truth set, so a 0 here means a caller
+      * bypassed it. */
+    def recallBp: Long = if (truthPairs == 0) 0L else hits * 10000L / truthPairs
     def floorBp: Long = recallFloorsBp(family)
     def pass: Boolean = recallBp >= floorBp
   }
@@ -158,12 +162,21 @@ object StressMut {
     * re-derive pair memberships that are pair-computable. The
     * predicates below are definitionally the candidate-stage
     * membership tests of the production operators.) */
-  def recallRows(spark: SparkSession, dir: String, copies: Int): Seq[Recall] = {
+  def recallRows(spark: SparkSession, dir: String, copies: Int,
+                 minTruthPairs: Long = 1L): Seq[Recall] = {
     val docs = graft.queries.QueryDef.table(spark, dir, "documents")
     val docTruth = truthDocPairs(spark, dir, copies)
       .filter(col("jacc_bp") >= truthJaccardBp)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docTruth.count() // pin before the fan-out of consumers
+    // pin before the fan-out of consumers — and FAIL LOUDLY on an
+    // empty/short truth set: recallBp would otherwise report a vacuous
+    // 10000 on a copies-env/corpus mismatch or a bad mutup run, and
+    // every gate downstream would pass on nothing
+    val truthDocs = docTruth.count()
+    require(truthDocs >= minTruthPairs,
+      s"constructed doc truth set too small ($truthDocs < $minTruthPairs) - " +
+        s"copies=$copies does not match the corpus at $dir (re-run tools/mutup.py " +
+        "or fix SPARK_GRAFT_STRESS_COPIES)")
 
     // jaccard candidate stage: a pair is a candidate iff it shares at
     // least one KEPT shingle (posting count <= the prune cap). The
@@ -182,6 +195,12 @@ object StressMut {
       .groupBy("id_a", "id_b")
       .agg(max(when(col("__stop").isNull, true).otherwise(false)).as("__hit"))
     val (t1, h1) = countHits(jaccHit)
+    // each family's hit frame is an inner join back to per-doc
+    // fingerprints: a silently-shrunk denominator (missing ids, null
+    // fingerprints) would inflate recall, so equality with the pinned
+    // truth count is REQUIRED, not assumed
+    require(t1 == truthDocs,
+      s"jaccard hit frame lost truth pairs: $t1 != $truthDocs")
     val jaccard = Recall("jaccard_candidates",
       s"shingle n=3, maxShinglePostings=$cap", t1, h1)
 
@@ -200,6 +219,8 @@ object StressMut {
           slice(col("sig_a"), b * r + 1, lit(r)) ===
             slice(col("sig_b"), b * r + 1, lit(r))).as("__hit"))
     val (t2, h2) = countHits(bandHit)
+    require(t2 == truthDocs,
+      s"minhash hit frame lost truth pairs: $t2 != $truthDocs")
     val minhash = Recall("minhash_lsh", s"numPerm=$numPerm, bands=$bands", t2, h2)
 
     // simhash: detected iff bit_count(sim_a XOR sim_b) <= 7 (the
@@ -213,6 +234,8 @@ object StressMut {
       .select(col("id_a"), col("id_b"),
         (bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 7).as("__hit"))
     val (t3, h3) = countHits(simHit)
+    require(t3 == truthDocs,
+      s"simhash hit frame lost truth pairs: $t3 != $truthDocs")
     val simhash = Recall("simhash_h7",
       "portable 60-bit sims, hamming<=7, pigeonhole-complete", t3, h3)
 
@@ -225,16 +248,24 @@ object StressMut {
       VectorFns.rhpBucket(col("embedding"), 8, 64).as("bucket"))
     val vecTruth = truthVecPairs(spark, dir, copies)
       .filter(col("cosine") >= truthCosine)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truthVecs = vecTruth.count()
+    require(truthVecs >= minTruthPairs,
+      s"constructed vector truth set too small ($truthVecs < $minTruthPairs) - " +
+        s"copies=$copies does not match the corpus at $dir")
     val embHit = vecTruth
       .join(buckets.select(col("vec_id").as("id_a"), col("bucket").as("b_a")), Seq("id_a"))
       .join(buckets.select(col("vec_id").as("id_b"), col("bucket").as("b_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (bit_count(col("b_a").bitwiseXOR(col("b_b"))) <= 1).as("__hit"))
     val (t4, h4) = countHits(embHit)
+    require(t4 == truthVecs,
+      s"embedding hit frame lost truth pairs: $t4 != $truthVecs")
     val embR = Recall("embedding_rhp_mp",
       s"numPlanes=8, multiprobe=8, minCosine=$truthCosine", t4, h4)
 
     docTruth.unpersist()
+    vecTruth.unpersist()
     Seq(jaccard, minhash, simhash, embR)
   }
 
@@ -264,7 +295,9 @@ object StressMut {
     spark.sparkContext.setLogLevel("ERROR")
 
     val t0 = System.nanoTime()
-    val recalls = recallRows(spark, dir, copies)
+    // >1000 truth pairs required at artifact grade (StressSpec's floor,
+    // enforced at generation time too — a vacuous pass must not ship)
+    val recalls = recallRows(spark, dir, copies, minTruthPairs = 1000L)
     val recallSec = (System.nanoTime() - t0) / 1e9
     recalls.foreach(r => System.err.println(
       s"[mut-recall] ${r.family}: ${r.hits}/${r.truthPairs} = ${r.recallBp}bp " +

@@ -321,7 +321,10 @@ object Ann {
         sum(floor(col("s") * 10000).cast("long")).as("sil_sum_q4"))
       .select(col("cell").cast("long").as("cell"), col("size"),
         col("sil_sum_q4"),
-        (col("sil_sum_q4") / col("size")).cast("long").as("sil_mean_q4"))
+        // integer division (div), matching the oracle's exact `//` —
+        // a double quotient truncated to long can in principle differ
+        // from floor division for adversarial sum/size pairs
+        expr("sil_sum_q4 div size").cast("long").as("sil_mean_q4"))
   }
 
   /** Embedding-space ANISOTROPY per group (Ethayarajh 2019, "How

@@ -451,8 +451,14 @@ object ContractValidator {
       Set(Schema, Constraints, Completeness, Uniqueness, Freshness, Custom, Ml, Vector,
         Quantile, Conditional)
     val SchemaOnly: Set[Part] = Set(Schema)
+    /** "quality" scope = quality checks + freshness + ML, matching the
+      * reference's validate_quality_only exactly (engine.rs:427-452
+      * runs the ml_validator in addition to quality+freshness) — ML
+      * checks live under quality_checks.ml_checks in the contract, so
+      * a quality-scoped run must see them. MlOnly remains the
+      * ML-alone scope. */
     val QualityOnly: Set[Part] =
-      Set(Completeness, Uniqueness, Freshness, Vector, Quantile, Conditional)
+      Set(Completeness, Uniqueness, Freshness, Ml, Vector, Quantile, Conditional)
     val FreshnessOnly: Set[Part] = Set(Freshness)
     val CustomOnly: Set[Part] = Set(Custom)
     val MlOnly: Set[Part] = Set(Ml)

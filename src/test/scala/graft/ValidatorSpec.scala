@@ -363,6 +363,26 @@ class ValidatorSpec extends SparkSpec {
         "allowed_values", "range", "pattern", "custom:never_neg"))
   }
 
+  test("quality scope includes ML checks (reference validate_quality_only parity)") {
+    // the reference's validate_quality_only (engine.rs:427-452) runs
+    // quality + freshness + the ml_validator; a contract WITH ml_checks
+    // must surface them under the quality scope, not only under ml
+    import graft.validators.ContractValidator.Part
+    val mlContract = contract.copy(qualityChecks = Some(
+      contract.qualityChecks.get.copy(mlChecks = Some(MlChecks(
+        classBalance = Some(ClassBalanceCheck("status", 0.9, None)))))))
+    val df = mkDf(Seq(
+      (1L, "on", 50.0, "ABC", "2024-01-01 10:00:00"),
+      (2L, "off", 60.0, "XYZ", "2024-01-01 10:30:00")))
+    val asOf = Some(Timestamp.valueOf("2024-01-01 10:45:00"))
+    def checksOf(parts: Set[Part]): Set[String] =
+      new ContractValidator(asOf).validate(df, mlContract, parts)
+        .select("check").collect().map(_.getString(0)).toSet
+    assert(checksOf(Part.MlOnly) == Set("ml_class_balance"))
+    assert(checksOf(Part.QualityOnly) ==
+      Set("completeness", "uniqueness", "freshness", "ml_class_balance"))
+  }
+
   test("ml checks: overlap, temporal, balance, drift, leakage, null spread") {
     val n = 200
     val rows = (0 until n).map { i =>
