@@ -23,8 +23,12 @@ import org.apache.spark.sql.SparkSession
   * corpus (`SPARK_GRAFT_STRESS_COPIES` set) — `exponent`, the
   * least-squares slope of log10(warm sec) vs log10(scale) across the
   * three measurement points (sf0.01 warm from bench pass2, sf0.1 warm
-  * median, copies×sf0.1 stress median). The `flagged` list names the
-  * queries whose measured exponent exceeds their DECLARED complexity
+  * median, copies×sf0.1 stress median) AND `exp_last`, the
+  * final-segment slope log10(stress/sf0.1)/log10(copies) (r13 — the
+  * 3-point fit dilutes a last-decade blowup toward the early
+  * segment; the gate takes the max of the two). The `flagged` list
+  * names the queries whose max(exponent, exp_last) exceeds their
+  * DECLARED complexity
   * ([[declaredExponents]], default linear) plus [[expTolerance]],
   * with stress time above [[ratioFlagFloorSec]] (sub-floor queries
   * are fixed-cost noise at every point). "Waived by structure" is
@@ -92,7 +96,24 @@ object Stress {
     "q_dedup_jaccard" -> (2.0, "top-15 readout over the session-shared " +
       "candidate pair frame, which grows quadratically in exact copies " +
       "by design; q_dedup_jaccard_collapsed is the copy-linear " +
-      "production path"))
+      "production path"),
+    "q_dedup_editdist_collapsed" -> (2.0, "a pair-VERIFIER: its input " +
+      "and output are the candidate pairs themselves, and on any " +
+      "corpus where copies are near-dups rather than byte-identical " +
+      "(the mutated axis) every copy-pair of a near-dup pair is a " +
+      "distinct candidate - pair count, Levenshtein calls and OUTPUT " +
+      "rows all grow with the square of the copy factor (r12 measured " +
+      "66.8x at 12x mutated, final-decade slope 1.69). The collapse " +
+      "defuses exactly the byte-identical case; bounding a " +
+      "content-diverse corpus is the CANDIDATE stage's job (jaccard " +
+      "threshold / postings cap), not the verifier's"),
+    "q_minhash_calibration" -> (2.0, "calibration is measured OVER the " +
+      "LSH candidate pairs, and band-collision candidates grow " +
+      "quadratically in exact copies by construction (every copy " +
+      "shares every band key, so a c-copy class contributes c(c-1)/2 " +
+      "pairs to every bucket it occupies) - r12 measured 15.9x at " +
+      "10x-copy, final-decade slope 1.20; output (decile rows) stays " +
+      "constant, the pair SCORING stage is what scales"))
 
   def declaredExp(name: String): Double =
     declaredExponents.get(name).map(_._1).getOrElse(1.0)
@@ -113,9 +134,12 @@ object Stress {
       "embeddings (tools/scaleup.py copies the relational tables " +
       "as-is), so for relational-table queries the third point adds " +
       "no data and the fitted slope is DILUTED toward the sf0.01-" +
-      "sf0.1 decade - a conservative under-estimate, never an " +
-      "inflated one; their per-decade behavior is separately visible " +
-      "as exp_d1."))
+      "sf0.1 decade. For document-family queries the same dilution " +
+      "can MASK a blowup confined to the final segment (flat decade " +
+      "then quadratic fits ~1.0) - which is why the gate takes " +
+      "max(exponent, exp_last): exp_last is the FINAL-segment slope " +
+      "log10(stress/sf0.1)/log10(copies), undiluted by the early " +
+      "decade. The sf0.01->sf0.1 decade alone ships as exp_d1."))
 
   def runBoard(spark: SparkSession, dir: String,
                names: Seq[String], reps: Int = timingReps): Seq[Q] =
@@ -186,6 +210,20 @@ object Stress {
     * are pure timer noise and would swing log-space slopes wildly. */
   private def logSec(s: Double): Double = math.log10(math.max(s, 0.01))
 
+  /** FINAL-segment slope: log10(stress sec / sf0.1 warm) /
+    * log10(copies) — the last decade's measured exponent, undiluted
+    * by the sf0.01→sf0.1 segment. The r12 gate fit ONE slope across
+    * all three points, so a query flat for the first decade and
+    * quadratic in the last fitted ~1.0 and passed a declared-1.0 gate
+    * (q_dedup_editdist_collapsed: 66.8× at 12× mutated, fitted 1.04,
+    * last-segment 1.69). The gate now takes max(fit, last). None when
+    * either endpoint is missing — measured or absent, never guessed. */
+  def lastSegmentExponent(sf01: Option[Double], stressSec: Double,
+                          copies: Int): Option[Double] =
+    if (copies < 2 || stressSec <= 0.0) None
+    else sf01.filter(_ > 0).map(s =>
+      (logSec(stressSec) - logSec(s)) / math.log10(copies.toDouble))
+
   /** Least-squares slope of log10(sec) vs log10(scale) across the
     * available measurement points for one query — the measured
     * complexity exponent the SURVEY's scale claims reduce to.
@@ -231,6 +269,17 @@ object Stress {
       if (!q.ok) None
       else fitExponent(sf001Secs.get(q.name), warmMedians.get(q.name),
         q.sec, copies)
+    def expLastOf(q: Q): Option[Double] =
+      if (!q.ok) None
+      else lastSegmentExponent(warmMedians.get(q.name), q.sec, copies)
+    // the GATED measure: the worst of the diluted 3-point fit and the
+    // undiluted final segment (see the exponent_scope caveat — a
+    // flat-then-quadratic profile fits ~1.0 but exp_last catches it)
+    def expGateOf(q: Q): Option[Double] =
+      (expOf(q), expLastOf(q)) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b) => a.orElse(b)
+      }
     // the sf0.01 -> sf0.1 decade slope alone: the scaling signal for
     // relational-table queries the copy corpus does not grow (see the
     // exponent_scope caveat); informational, not gated (sf0.01 times
@@ -246,20 +295,22 @@ object Stress {
         ratioOf(q).map(r => ",\"ratio\":" + fmt(r)).getOrElse("") +
         expOf(q).map(e => ",\"exponent\":" + fmt(e) +
           ",\"declared_exp\":" + fmt(declaredExp(q.name))).getOrElse("") +
+        expLastOf(q).map(e => ",\"exp_last\":" + fmt(e)).getOrElse("") +
         d1Of(q).map(e => ",\"exp_d1\":" + fmt(e)).getOrElse("") +
         q.err.map(e => ",\"err\":" + jstr(e)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
-    // gate: measured exponent <= declared + tolerance. When no fit is
-    // possible (no bench artifact, or a SAME-SIZE corpus — skew,
-    // mutation — where the scale step is 1 and a slope is undefined)
-    // the sf0.1 ratio stands in through the identical model: a
-    // declared-e query may cost up to 10^(e + tol) per decade, and a
-    // same-size corpus is zero decades, so the limit is one decade's
-    // slack over parity.
+    // gate: max(fitted exponent, final-segment slope) <= declared +
+    // tolerance — the fit alone dilutes a last-decade blowup toward
+    // the early segment (What's-wrong #2, r12). When no slope is
+    // possible (no bench artifact, or a SAME-SIZE corpus — skew —
+    // where the scale step is 1 and a slope is undefined) the sf0.1
+    // ratio stands in through the identical model: a declared-e query
+    // may cost up to 10^(e + tol) per decade, and a same-size corpus
+    // is zero decades, so the limit is one decade's slack over parity.
     val flagged = qs.filter { q =>
       q.ok && q.sec >= ratioFlagFloorSec && {
         val limit = declaredExp(q.name) + expTolerance
-        expOf(q) match {
+        expGateOf(q) match {
           case Some(e) => e > limit
           case None => ratioOf(q).exists(r => math.log10(r) > limit)
         }

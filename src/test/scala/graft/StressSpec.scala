@@ -47,13 +47,15 @@ class StressSpec extends SparkSpec {
     // Three-point fits (copies=10 -> x grid {0,1,2}, slope=(y3-y1)/2):
     //   q_linear:  0.1 -> 1.0 -> 10.0  => exponent 1.0 (<= 1.18, pass)
     //   q_blowup:  0.1 -> 1.0 -> 100.0 => exponent 1.5 (> 1.18, FLAG)
-    //   q_span_dedup: 0.1 -> 1.0 -> 400 => exponent ~1.8, declared 2.0: pass
+    //   q_span_dedup: 0.1 -> 1.0 -> 100 => exponent 1.5, exp_last 2.0,
+    //     declared 2.0: pass under the max-gate (r13: a 400x point
+    //     would now FLAG - exp_last 2.6 > 2.18 - as it should)
     //   q_tiny: under the stress floor -> never gated
     val qs = Seq(
       Stress.Q("q_linear", 100L, 10.0, None),
       Stress.Q("q_blowup", 100L, 100.0, None),
       Stress.Q("q_tiny", 100L, 0.3, None),
-      Stress.Q("q_span_dedup", 100L, 400.0, None))
+      Stress.Q("q_span_dedup", 100L, 100.0, None))
     val sf01 = Map("q_linear" -> 1.0, "q_blowup" -> 1.0,
       "q_tiny" -> 0.01, "q_span_dedup" -> 1.0)
     val sf001 = Map("q_linear" -> 0.1, "q_blowup" -> 0.1,
@@ -70,6 +72,32 @@ class StressSpec extends SparkSpec {
     assert(flagged == Set("q_blowup"))
     assert(m.get("declared_exponents").has("q_span_dedup"))
     assert(m.get("copies").asInt == 10)
+  }
+
+  test("flat-then-quadratic profile is caught by exp_last, not masked by the diluted fit") {
+    // The r12 dilution hole: a query FLAT across sf0.01 -> sf0.1 and
+    // quadratic in the final copies segment fits a ~1.0 slope across
+    // the three points and passed a declared-1.0 gate (concretely
+    // q_dedup_editdist_collapsed: 66.8x at 12x mutated => last-segment
+    // slope 1.69, fitted 1.04). The gate now takes max(fit, exp_last).
+    //   q_mask: 1.0 -> 1.0 -> 100.0 at copies=10
+    //     fit over x {0,1,2}: slope = (2-0)/2 = 1.0  (passes alone)
+    //     exp_last = log10(100/1)/log10(10) = 2.0    (FLAGS)
+    val qs = Seq(Stress.Q("q_mask", 100L, 100.0, None))
+    val m = parse(Stress.toJson("d", 0.0, qs, boardN = 1,
+      Map("q_mask" -> 1.0), copies = 10, sf001Secs = Map("q_mask" -> 1.0)))
+    val row = m.get("queries").get("q_mask")
+    assert(row.get("exponent").asDouble == 1.0) // the diluted fit alone would pass
+    assert(row.get("exp_last").asDouble == 2.0)
+    val flagged = (0 until m.get("flagged").size())
+      .map(m.get("flagged").get(_).asText).toSet
+    assert(flagged == Set("q_mask"), "exp_last must close the dilution hole")
+    // and a DECLARED-2.0 row with the same profile passes the max-gate
+    val m2 = parse(Stress.toJson("d", 0.0,
+      Seq(Stress.Q("q_span_dedup", 100L, 100.0, None)), boardN = 1,
+      Map("q_span_dedup" -> 1.0), copies = 10,
+      sf001Secs = Map("q_span_dedup" -> 1.0)))
+    assert(m2.get("flagged").size() == 0)
   }
 
   test("exponent fit degrades to the one-decade slope and the ratio fallback still gates") {
@@ -135,14 +163,20 @@ class StressSpec extends SparkSpec {
       "stress.json was generated without SPARK_GRAFT_STRESS_COPIES - " +
         "no exponent fit, not a scaling certificate")
     val it2 = m.get("queries").elements()
-    var total = 0; var withExp = 0
+    var total = 0; var withExp = 0; var withLast = 0
     while (it2.hasNext) {
       val q = it2.next(); total += 1
       if (q.has("exponent")) withExp += 1
+      if (q.has("exp_last")) withLast += 1
     }
     assert(withExp == total,
       s"only $withExp/$total stress rows carry a fitted exponent - " +
         "run Bench (both scale points) before Stress")
+    // r13: the gate takes max(fit, final-segment slope) — an artifact
+    // without exp_last was generated by the dilutable r12 gate
+    assert(withLast == total,
+      s"only $withLast/$total stress rows carry exp_last - " +
+        "regenerate with the r13 Stress main (max-gate)")
   }
 
   test("MUT PARITY + RECALL: the shipped target/stress_mut.json certifies the live registry") {
