@@ -923,53 +923,120 @@ object EventQueries {
              round(CAST(rmst_e8 AS DOUBLE) / 1e8, 4) AS rmst_days_r4
       FROM agg"""))
 
-  // 278 (boarded r12). STREAM-STREAM attribution join via two-stream
-  // sink-readback: touches (non-purchase events, channel = type) and
-  // conversions (purchases) of a bounded user slice arrive as THREE
-  // ts-tercile micro-batch pairs into the watermarked interval join
-  // (`StreamMonitor.attributionJoinStream`, horizon 1 h) - join state
-  // spans the batch boundaries and the watermark evicts expired
+  /** Shared harness feed for the two attribution stream queries: the
+    * BOUNDED event slice — first 30 distinct users, first 40 events
+    * per user by (ts, event_id) — split into three ts-tercile
+    * micro-batch pairs (touches = non-purchase events, conversions =
+    * purchases). ROW-CAPPED by construction (≤ 1,200 rows on ANY
+    * corpus shape): r12 sliced by `user_id < 200`, and on the
+    * Zipf-skew corpus the hot user (30% of ALL events) landed inside
+    * that id range — 1.81M joined rows, 176 s — because an id-range
+    * slice is unbounded in adversarial shape. `flush` appends a
+    * far-future sentinel batch on both sides (needed by the
+    * append-mode windowed CREDIT query to close its last real
+    * windows; the sentinel's own window never closes, so it never
+    * reaches the sink). Timestamps ride as microsecond strings into
+    * the MemoryStream and back to TIMESTAMP inside the plan. */
+  private val attributionFeedCache =
+    new PipelineShared.SessionCache[Seq[(Seq[(String, String, String)], Seq[(String, String)])]]
+
+  private def attributionFeed(s: org.apache.spark.sql.SparkSession, dir: String,
+                              flush: Boolean)
+      : Seq[(Seq[(String, String, String)], Seq[(String, String)])] = {
+    // the slice rows are deterministic per (session, dir), and the prep
+    // (distinct users, per-user window, day terciles, collect) costs
+    // several event-table scans — memoized like every other shared
+    // board frame so warm runs time the STREAMING semantics, not the
+    // harness's feed derivation; the sentinel flush batch is a
+    // constant appended per call
+    val batches = attributionFeedCache.get(s, dir)(attributionFeedUncached(s, dir))
+    if (!flush) batches
+    else {
+      // the sentinel rides INSIDE the last tercile batch (not a 4th
+      // round-trip): the watermark still advances to it at that
+      // batch's end, and the trailing no-data micro-batch flushes
+      // every real window. Beyond any testdata instant; deterministic.
+      val sentinel = "2100-01-01 00:00:00.000000"
+      val (lt, lc) = batches.last
+      batches.init :+ ((lt :+ (("999999999", sentinel, "sentinel")),
+        lc :+ (("999999999", sentinel))))
+    }
+  }
+
+  private def attributionFeedUncached(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Seq[(String, String, String)], Seq[(String, String)])] = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val base = table(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val users = base.select("user_id").distinct().orderBy("user_id").limit(30)
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = base.join(broadcast(users), Seq("user_id"))
+      .withColumn("__rn", row_number().over(wu))
+      .filter(col("__rn") <= 40)
+    val days = ev.select(to_date(col("ts")).as("day")).distinct()
+    val dCount = days.count()
+    val wd = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val chunkOf = days
+      .withColumn("__r", row_number().over(wd))
+      .select(col("day"),
+        (((col("__r") - 1) * 3) / lit(dCount)).cast("int").as("__chunk"))
+    val rows = ev.join(broadcast(chunkOf), ev("ts").cast("date") === chunkOf("day"))
+      .select(col("__chunk"), col("user_id").cast("string").as("key"),
+        date_format(col("ts"), fmt).as("tss"), col("event_type"))
+      .collect()
+    def side(purchase: Boolean) = rows
+      .filter(r => (r.getString(3) == "purchase") == purchase)
+      .groupBy(_.getInt(0))
+    val touches = side(purchase = false)
+      .map { case (k, rs) => k -> rs.map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq }
+    val convs = side(purchase = true)
+      .map { case (k, rs) => k -> rs.map(r => (r.getString(1), r.getString(2))).toSeq }
+    (0 to 2).map(k =>
+      (touches.getOrElse(k, Seq.empty), convs.getOrElse(k, Seq.empty)))
+  }
+
+  private implicit val attrEncA: org.apache.spark.sql.Encoder[(String, String, String)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING)
+  private implicit val attrEncB: org.apache.spark.sql.Encoder[(String, String)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING)
+
+  /** The bounded-slice CTEs both attribution oracles share. */
+  private val attributionOracleBase = """
+      WITH u AS (SELECT user_id FROM (SELECT DISTINCT user_id FROM events
+                                      WHERE user_id IS NOT NULL)
+                 ORDER BY user_id LIMIT 30),
+      ev AS (SELECT user_id, ts, event_type FROM (
+               SELECT e.user_id, e.ts, e.event_type,
+                      row_number() OVER (PARTITION BY e.user_id
+                                         ORDER BY e.ts, e.event_id) AS rn
+               FROM events e JOIN u USING (user_id)
+               WHERE e.ts IS NOT NULL)
+             WHERE rn <= 40),
+      t AS (SELECT user_id AS key, ts AS touch_ts, event_type AS channel
+            FROM ev WHERE event_type != 'purchase'),
+      c AS (SELECT user_id AS key, ts AS conv_ts FROM ev
+            WHERE event_type = 'purchase')"""
+
+  // 278 (boarded r12; slice row-capped r13). STREAM-STREAM attribution
+  // join via two-stream sink-readback: the bounded slice arrives as
+  // THREE ts-tercile micro-batch pairs into the watermarked interval
+  // join (`StreamMonitor.attributionJoinStream`, horizon 1 h) - join
+  // state spans the batch boundaries and the watermark evicts expired
   // touches, while the fed data is never late (tercile k+1's rows all
   // exceed tercile k's max ts), so the streamed output equals the
-  // batch interval join DuckDB replays directly. Timestamps ride as
-  // microsecond strings into the MemoryStream and back to TIMESTAMP
-  // inside the plan.
+  // batch interval join DuckDB replays directly. The raw pair listing
+  // stays declared-quadratic in per-key horizon density (output-bound);
+  // q_stream_attribution_credit is the bounded production twin.
   val qStreamAttribution = QueryDef("q_stream_attribution",
     (s, dir) => {
-      val ev = table(s, dir, "events")
-        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("user_id") < 200)
-      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      val dCount = ev.select(to_date(col("ts")).as("day")).distinct().count()
-      val wd = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
-      val chunkOf = ev.select(to_date(col("ts")).as("day")).distinct()
-        .withColumn("__r", row_number().over(wd))
-        .select(col("day"),
-          (((col("__r") - 1) * 3) / lit(dCount)).cast("int").as("__chunk"))
-      val rows = ev.join(broadcast(chunkOf), ev("ts").cast("date") === chunkOf("day"))
-        .select(col("__chunk"), col("user_id").cast("string").as("key"),
-          date_format(col("ts"), fmt).as("tss"), col("event_type"))
-        .collect()
-      def side(purchase: Boolean) = rows
-        .filter(r => (r.getString(3) == "purchase") == purchase)
-        .groupBy(_.getInt(0))
-      val touches = side(purchase = false)
-        .map { case (k, rs) => k -> rs.map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq }
-      val convs = side(purchase = true)
-        .map { case (k, rs) => k -> rs.map(r => (r.getString(1), r.getString(2))).toSeq }
-      val batches = (0 to 2).map(k =>
-        (touches.getOrElse(k, Seq.empty), convs.getOrElse(k, Seq.empty)))
-      implicit val encA: org.apache.spark.sql.Encoder[(String, String, String)] =
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.STRING)
-      implicit val encB: org.apache.spark.sql.Encoder[(String, String)] =
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.STRING)
       StreamBoard.run2[(String, String, String), (String, String)](
-        s, "attr_stream", batches,
+        s, "attr_stream", attributionFeed(s, dir, flush = false),
         (t, c) => graft.streaming.StreamMonitor.attributionJoinStream(
           t, c, "key", "ts", "channel", horizon = "1 hour"),
         t => t.toDF("key", "__ts", "channel")
@@ -981,21 +1048,55 @@ object EventQueries {
           col("touch_ts"), col("conv_ts"))
         .orderBy("key", "channel", "touch_ts", "conv_ts")
     },
-    Some("""
-      WITH ev AS (SELECT user_id, ts, event_type FROM events
-                  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id < 200),
-      t AS (SELECT user_id AS key, ts AS touch_ts, event_type AS channel
-            FROM ev WHERE event_type != 'purchase'),
-      c AS (SELECT user_id AS key, ts AS conv_ts FROM ev
-            WHERE event_type = 'purchase')
+    Some(attributionOracleBase + """
       SELECT CAST(t.key AS BIGINT) AS key, t.channel, t.touch_ts, c.conv_ts
       FROM t JOIN c ON t.key = c.key
         AND t.touch_ts <= c.conv_ts
         AND c.conv_ts <= t.touch_ts + INTERVAL 1 HOUR
       ORDER BY key, channel, touch_ts, conv_ts"""))
 
+  // 278b (r13). BOUNDED stream-stream attribution: the same two-stream
+  // feed through `StreamMonitor.attributionCreditStream` - the
+  // interval join rolled up IN-STREAM (stream-stream join -> windowed
+  // aggregation, Spark's multiple-stateful-operator chain) to per
+  // (key, channel, conversion-hour) touch-credit counts. Pair rows
+  // reduce map-side before the shuffle and the sink volume is bounded
+  // by |keys x channels x windows| regardless of key heat - the
+  // 100 TB-safe twin of the declared-quadratic raw pair listing. The
+  // feed's sentinel flush batch advances both watermarks so the last
+  // real hour-windows emit (append mode holds a window until the
+  // watermark passes its end); the sentinel's own window never closes
+  // and never reaches the sink. DuckDB replays the rollup as a plain
+  // GROUP BY over the batch interval join.
+  val qStreamAttributionCredit = QueryDef("q_stream_attribution_credit",
+    (s, dir) => {
+      StreamBoard.run2[(String, String, String), (String, String)](
+        s, "attr_credit", attributionFeed(s, dir, flush = true),
+        (t, c) => graft.streaming.StreamMonitor.attributionCreditStream(
+          t, c, "key", "ts", "channel", horizon = "1 hour",
+          creditWindow = "1 hour"),
+        t => t.toDF("key", "__ts", "channel")
+          .withColumn("ts", to_timestamp(col("__ts"))).drop("__ts"),
+        c => c.toDF("key", "__ts")
+          .withColumn("ts", to_timestamp(col("__ts"))).drop("__ts")
+          .withColumn("channel", lit("")))
+        .select(col("key").cast(LongType).as("key"), col("channel"),
+          col("win_start_s"), col("touch_pairs"))
+        .orderBy("key", "channel", "win_start_s")
+    },
+    Some(attributionOracleBase + """
+      SELECT CAST(t.key AS BIGINT) AS key, t.channel,
+             CAST(epoch(date_trunc('hour', c.conv_ts)) AS BIGINT) AS win_start_s,
+             CAST(count(*) AS BIGINT) AS touch_pairs
+      FROM t JOIN c ON t.key = c.key
+        AND t.touch_ts <= c.conv_ts
+        AND c.conv_ts <= t.touch_ts + INTERVAL 1 HOUR
+      GROUP BY 1, 2, 3
+      ORDER BY key, channel, win_start_s"""))
+
   val all: Seq[QueryDef] = Seq(
     qStreamAttribution,
+    qStreamAttributionCredit,
     qRmst,
     qSessionize,
     qEventFunnel,

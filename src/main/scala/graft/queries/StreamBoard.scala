@@ -16,6 +16,75 @@ private[queries] object StreamBoard {
   // view would collide
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Run `body` with harness-sized streaming confs — shuffle
+    * partitions scoped down to [[streamPartitions]] and whole-stage
+    * codegen OFF — restoring the session values after.
+    *
+    * The board's streaming harnesses feed ~10²–10³ driver rows through
+    * 3-4 REAL micro-batches; the per-batch fixed costs, not data
+    * volume, were 23.6 s of the r12 bench wall (both SFs equally).
+    * Two of them are config-addressable:
+    *
+    *  - a stateful operator instantiates one state store per shuffle
+    *    partition PER BATCH — at the bench session's 32 partitions
+    *    each micro-batch pays 32 state-store lifecycles to shuffle a
+    *    feed that fits in one;
+    *  - a WATERMARKED operator's generated code embeds the watermark
+    *    VALUE as a literal, so every micro-batch's plan is new source
+    *    and whole-stage codegen RECOMPILES (~0.5 s of janino per
+    *    batch) — for a thousand-row feed, interpreted execution is
+    *    orders of magnitude cheaper than compiling.
+    *
+    * Neither conf affects VALUES: stateful results are
+    * partition-count-invariant (per-key grouping, equi-join,
+    * fingerprint dedup — all exact) and codegen is an execution
+    * strategy, not a semantics (the DuckDB oracles replay every sink
+    * readback either way). Production streams size their own
+    * sessions and keep codegen. The restore is exception-safe; board
+    * queries run serially within a session (Bench/Verify/Stress all
+    * do), so the scoped values never leak into a concurrent batch
+    * plan. */
+  private val streamPartitions = "1"
+
+  /** A throwaway tmpfs checkpoint dir for one harness query, deleted
+    * after. Every micro-batch fsyncs offset/commit logs plus one
+    * delta file per state store instance; on a disk-backed temp dir
+    * those fsyncs ARE the per-batch floor for a thousand-row feed.
+    * The harness replays to completion inside one call and reads the
+    * sink, so checkpoint durability buys nothing — memory-backed
+    * checkpoints are semantics-neutral here. Falls back to the
+    * default temp location when /dev/shm is absent. */
+  private def withCheckpoint[T](name: String)(body: String => T): T = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, s"graft_ckpt_$name")
+      else java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
+    try body(dir.toString)
+    finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.forEach(c => rm(c)) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }
+  }
+  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val kP = "spark.sql.shuffle.partitions"
+    val kC = "spark.sql.codegen.wholeStage"
+    val prevP = s.conf.get(kP)
+    val prevC = s.conf.get(kC)
+    s.conf.set(kP, streamPartitions)
+    s.conf.set(kC, "false")
+    try body finally {
+      s.conf.set(kP, prevP)
+      s.conf.set(kC, prevC)
+    }
+  }
+
   /** Two-stream variant for stream-stream joins: each batch carries
     * BOTH sides' rows, added before one processAllAvailable so the
     * micro-batch boundary (and both watermarks) advance once per
@@ -31,15 +100,20 @@ private[queries] object StreamBoard {
     val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
     val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
     val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
-    val q = build(toDfA(memA.toDF()), toDfB(memB.toDF()))
-      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
-    try {
-      batches.foreach { case (a, b) =>
-        if (a.nonEmpty) memA.addData(a)
-        if (b.nonEmpty) memB.addData(b)
-        if (a.nonEmpty || b.nonEmpty) q.processAllAvailable()
+    withStreamPartitions(s) {
+      withCheckpoint(name) { ckpt =>
+        val q = build(toDfA(memA.toDF()), toDfB(memB.toDF()))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode(outputMode).start()
+        try {
+          batches.foreach { case (a, b) =>
+            if (a.nonEmpty) memA.addData(a)
+            if (b.nonEmpty) memB.addData(b)
+            if (a.nonEmpty || b.nonEmpty) q.processAllAvailable()
+          }
+        } finally q.stop()
       }
-    } finally q.stop()
+    }
     s.table(name)
   }
 
@@ -52,13 +126,18 @@ private[queries] object StreamBoard {
     implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
     val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
-    val q = build(toDf(mem.toDF()))
-      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
-    try {
-      batches.foreach { b =>
-        if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+    withStreamPartitions(s) {
+      withCheckpoint(name) { ckpt =>
+        val q = build(toDf(mem.toDF()))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode(outputMode).start()
+        try {
+          batches.foreach { b =>
+            if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+          }
+        } finally q.stop()
       }
-    } finally q.stop()
+    }
     s.table(name)
   }
 }

@@ -294,6 +294,39 @@ object StreamMonitor {
       .select(col("key"), col("channel"), col("touch_ts"), col("conv_ts"))
   }
 
+  /** BOUNDED-output attribution: [[attributionJoinStream]]'s interval
+    * join rolled up in-stream to per (key, channel, conversion-hour)
+    * touch-credit COUNTS — the 100 TB-safe twin of the raw pair
+    * listing. The pair join's OUTPUT is quadratic in a hot key's
+    * event density inside the horizon (one Zipf-skew user produced
+    * 1.81M pair rows in r12); here the same join feeds a watermarked
+    * time-window aggregation instead of the sink, so pairs reduce
+    * map-side (partial aggregation before the shuffle) and sink/state/
+    * downstream volume is bounded by |keys × channels × windows| no
+    * matter how hot a key runs. Spark supports the stream-stream join
+    * → event-time-window aggregation chain natively (multiple stateful
+    * operators); on batch frames the identical expression runs without
+    * watermarks (backfill parity, spec-asserted).
+    *
+    * Append-mode caveat the harness must honor: a window emits only
+    * once the watermark passes its end, so the feed needs a final
+    * advancing batch (e.g. a far-future sentinel on both sides) to
+    * flush the last real windows; the sentinel's own window never
+    * closes and is therefore never emitted.
+    *
+    * Output: (key, channel, win_start_s — epoch seconds of the
+    * conversion's window start — touch_pairs). */
+  def attributionCreditStream(touches: DataFrame, conversions: DataFrame,
+                              keyCol: String, tsCol: String, typeCol: String,
+                              horizon: String, creditWindow: String = "1 hour",
+                              watermarkDelay: String = "0 seconds"): DataFrame =
+    attributionJoinStream(touches, conversions, keyCol, tsCol, typeCol,
+        horizon, watermarkDelay)
+      .groupBy(window(col("conv_ts"), creditWindow), col("key"), col("channel"))
+      .agg(count(lit(1)).as("touch_pairs"))
+      .select(col("key"), col("channel"),
+        col("window.start").cast("long").as("win_start_s"), col("touch_pairs"))
+
   final case class SprtState(n: Long, a: Long, decision: String,
                              crossDay: Option[java.sql.Date])
   final case class SprtUpdate(arm: String, n: Long, conversions: Long,

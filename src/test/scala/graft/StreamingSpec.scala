@@ -625,4 +625,55 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("channel"))).toSet
     assert(batch == Set(("u1", "view"), ("u1", "click")))
   }
+
+  test("attribution credit stream: bounded per-(key,channel,hour) rollup; batch parity") {
+    // the 100 TB-safe twin of the raw pair join: the interval join
+    // feeds an in-stream windowed COUNT, so a hot key's quadratic pair
+    // volume reduces map-side and the sink sees one row per
+    // (key, channel, conversion-hour). Append mode: a window emits
+    // only once the watermark passes its end - the far-future sentinel
+    // pair flushes the real windows and its own window never closes.
+    implicit val sc = spark.sqlContext
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(60000L * m)
+    val touchesMem = MemoryStream[(String, Timestamp, String)]
+    val convMem = MemoryStream[(String, Timestamp)]
+    val touches = touchesMem.toDF().toDF("user", "ts", "channel")
+    val convs = convMem.toDF().toDF("user", "ts").withColumn("channel", lit(""))
+    val credit = StreamMonitor.attributionCreditStream(
+      touches, convs, "user", "ts", "channel",
+      horizon = "10 minutes", creditWindow = "1 hour")
+    val q = credit.writeStream.format("memory").queryName("attr_credit")
+      .outputMode("append").start()
+    try {
+      // u1 "hot": 3 views inside the horizon of BOTH t8 conversions ->
+      // 6 pair rows, ONE credit row (same hour window); u2 out of
+      // horizon -> none
+      touchesMem.addData(("u1", t(1), "view"), ("u1", t(3), "view"),
+        ("u1", t(5), "view"), ("u2", t(1), "view"))
+      convMem.addData(("u1", t(8)), ("u1", t(9)), ("u2", t(31)))
+      q.processAllAvailable()
+      // sentinel far past every window end; flushes the hour window
+      touchesMem.addData(("zz", t(100000), "sentinel"))
+      convMem.addData(("zz", t(100000)))
+      q.processAllAvailable()
+      val got = spark.table("attr_credit").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("channel"),
+          r.getAs[Long]("win_start_s"), r.getAs[Long]("touch_pairs")))
+        .toSet
+      assert(got == Set(("u1", "view", 0L, 6L)),
+        s"credit rows: $got (sentinel window must not emit)")
+    } finally q.stop()
+    // batch parity: identical expression, no watermarks
+    val bt = Seq(("u1", t(1), "view"), ("u1", t(3), "view"),
+      ("u1", t(5), "view"), ("u2", t(1), "view")).toDF("user", "ts", "channel")
+    val bc = Seq(("u1", t(8)), ("u1", t(9)), ("u2", t(31))).toDF("user", "ts")
+      .withColumn("channel", lit(""))
+    val batch = StreamMonitor.attributionCreditStream(
+        bt, bc, "user", "ts", "channel",
+        horizon = "10 minutes", creditWindow = "1 hour")
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("channel"),
+        r.getAs[Long]("win_start_s"), r.getAs[Long]("touch_pairs"))).toSet
+    assert(batch == Set(("u1", "view", 0L, 6L)))
+  }
 }
