@@ -95,8 +95,10 @@ object StressMut {
     * Jaccard — a matched equi-join on base id (linear in corpus size),
     * never an all-pairs stage. Carries both shingle arrays so every
     * downstream membership check stays pair-local. */
-  def truthDocPairs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
-    val docs = graft.queries.QueryDef.table(spark, dir, "documents")
+  def truthDocPairs(spark: SparkSession, dir: String, copies: Int): DataFrame =
+    truthDocPairsFrom(graft.queries.QueryDef.table(spark, dir, "documents"), copies)
+
+  def truthDocPairsFrom(docs: DataFrame, copies: Int): DataFrame = {
     val maxId = docs.agg(max("doc_id")).head().getLong(0)
     val off = idOffset(maxId, copies)
     val sh = docs.select(col("doc_id"),
@@ -114,8 +116,10 @@ object StressMut {
   }
 
   /** Constructed (original, mutant) vector pairs with exact cosine. */
-  def truthVecPairs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
-    val emb = graft.queries.QueryDef.table(spark, dir, "embeddings")
+  def truthVecPairs(spark: SparkSession, dir: String, copies: Int): DataFrame =
+    truthVecPairsFrom(graft.queries.QueryDef.table(spark, dir, "embeddings"), copies)
+
+  def truthVecPairsFrom(emb: DataFrame, copies: Int): DataFrame = {
     val maxId = emb.agg(max("vec_id")).head().getLong(0)
     val off = idOffset(maxId, copies)
     val v = emb.select(col("vec_id"), col("embedding").as("vec"))
@@ -163,9 +167,23 @@ object StressMut {
     * predicates below are definitionally the candidate-stage
     * membership tests of the production operators.) */
   def recallRows(spark: SparkSession, dir: String, copies: Int,
-                 minTruthPairs: Long = 1L): Seq[Recall] = {
-    val docs = graft.queries.QueryDef.table(spark, dir, "documents")
-    val docTruth = truthDocPairs(spark, dir, copies)
+                 minTruthPairs: Long = 1L): Seq[Recall] =
+    recallRowsFrom(
+      graft.queries.QueryDef.table(spark, dir, "documents"),
+      graft.queries.QueryDef.table(spark, dir, "embeddings"),
+      copies, minTruthPairs, where = dir)
+
+  /** Frame-based twin of [[recallRows]] — the spec surface:
+    * `RecallFloorSpec` feeds an in-test mutated fixture (the mutup
+    * mutation model ported to seeded Scala) through the SAME recall
+    * machinery and the SAME [[recallFloorsBp]], so a kernel change
+    * that silently costs similarity recall fails `sbt test`, not just
+    * the round's stress artifact. */
+  def recallRowsFrom(docs: DataFrame, emb: DataFrame, copies: Int,
+                     minTruthPairs: Long = 1L,
+                     where: String = "<frames>"): Seq[Recall] = {
+    val dir = where
+    val docTruth = truthDocPairsFrom(docs, copies)
       .filter(col("jacc_bp") >= truthJaccardBp)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pin before the fan-out of consumers — and FAIL LOUDLY on an
@@ -243,10 +261,9 @@ object StressMut {
     // buckets are equal or differ in exactly one bit (multiprobe=8
     // probes every one-bit flip; the cosine verify cannot drop a truth
     // pair — truth cosine >= the verify threshold by construction).
-    val emb = graft.queries.QueryDef.table(spark, dir, "embeddings")
     val buckets = emb.select(col("vec_id"),
       VectorFns.rhpBucket(col("embedding"), 8, 64).as("bucket"))
-    val vecTruth = truthVecPairs(spark, dir, copies)
+    val vecTruth = truthVecPairsFrom(emb, copies)
       .filter(col("cosine") >= truthCosine)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truthVecs = vecTruth.count()

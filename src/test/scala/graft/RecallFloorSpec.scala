@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Similarity-recall floors as a SUITE gate (r13, closing r12's "the
+  * 4 recall rows live only in stress_mut.json"): a small in-test
+  * mutated corpus — the `tools/mutup.py` mutation model ported to
+  * seeded Scala at the SAME declared rates (adjacent-token swap 5%,
+  * per-token typo 3%, per-token drop 2%, tail truncation on 20% of
+  * copies keeping a 70–95% prefix; ±2% relative embedding jitter) —
+  * runs through `StressMut.recallRowsFrom`, i.e. the exact recall
+  * machinery and the exact [[StressMut.recallFloorsBp]] the round
+  * artifact gates. A kernel change that silently costs near-dup
+  * recall (a shingle regression, a signature-mixing bug, an RHP
+  * bucketing change) now fails `sbt test` immediately instead of
+  * surfacing only in the next stress_mut regeneration. */
+class RecallFloorSpec extends SparkSpec {
+
+  private val copies = 3
+
+  // --- tools/mutup.py mutate_text, ported verbatim (rates + order:
+  // truncate, then adjacent swaps, then per-token drop/typo) with a
+  // per-(doc_id, copy) seed so the fixture is deterministic ---
+  private val pSwap = 0.05; private val pTypo = 0.03
+  private val pDrop = 0.02; private val pTrunc = 0.20
+
+  private def mutateText(text: String, rng: scala.util.Random): String = {
+    var toks = text.split(" ", -1).toVector
+    if (rng.nextDouble() < pTrunc && toks.length > 4) {
+      val keep = math.max(3,
+        (toks.length * (0.70 + 0.25 * rng.nextDouble())).toInt)
+      toks = toks.take(keep)
+    }
+    val arr = toks.toArray
+    var i = 0
+    while (i < arr.length - 1) {
+      if (rng.nextDouble() < pSwap) {
+        val t = arr(i); arr(i) = arr(i + 1); arr(i + 1) = t
+        i += 2
+      } else i += 1
+    }
+    val out = Vector.newBuilder[String]
+    arr.foreach { t0 =>
+      var t = t0
+      val dropped = t.nonEmpty && rng.nextDouble() < pDrop
+      if (!dropped) {
+        if (t.nonEmpty && rng.nextDouble() < pTypo) {
+          val j = rng.nextInt(t.length)
+          t = t.substring(0, j) + ('a' + rng.nextInt(26)).toChar + t.substring(j + 1)
+        }
+        out += t
+      }
+    }
+    val res = out.result()
+    if (res.nonEmpty) res.mkString(" ") else arr(0)
+  }
+
+  private def jitter(v: Array[Float], rng: scala.util.Random): Array[Float] =
+    v.map(x => (x * (1.0 + 0.02 * (2.0 * rng.nextDouble() - 1.0))).toFloat)
+
+  test("mutated-fixture recall meets the declared floors for all four families") {
+    import spark.implicits._
+    val baseDocs = spark.read.parquet(sf("documents"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val baseEmb = spark.read.parquet(sf("embeddings"))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // id layout = mutup's: copy k shifts by k*OFFSET, OFFSET = next
+    // power of ten above the max BASE id (StressMut.idOffset
+    // reconstructs it from the mutated corpus max)
+    def off(maxId: Long): Long = { var p = 1L; while (p <= maxId) p *= 10; p }
+    val dOff = off(baseDocs.map(_._1).max)
+    val eOff = off(baseEmb.map(_._1).max)
+    val mutDocs = baseDocs ++ (1 until copies).flatMap(k => baseDocs.map {
+      case (id, t) =>
+        val rng = new scala.util.Random(id * 1000003L + k)
+        (k * dOff + id, if (t == null) null else mutateText(t, rng))
+    })
+    val mutEmb = baseEmb ++ (1 until copies).flatMap(k => baseEmb.map {
+      case (id, v) =>
+        val rng = new scala.util.Random(id * 7000003L + k)
+        (k * eOff + id, if (v == null) null else jitter(v, rng))
+    })
+    val docsDf = mutDocs.toSeq.toDF("doc_id", "text")
+    val embDf = mutEmb.toSeq.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val rows = StressMut.recallRowsFrom(docsDf, embDf, copies,
+      minTruthPairs = 200L, where = "in-test mutated fixture")
+    assert(rows.map(_.family).toSet == StressMut.recallFloorsBp.keySet)
+    rows.foreach { r =>
+      // the SAME floors the stress artifact gates — shared constants,
+      // not a spec-local copy
+      assert(r.pass,
+        s"${r.family} recall ${r.recallBp}bp below floor ${r.floorBp}bp " +
+          s"(${r.hits}/${r.truthPairs} on the in-test mutated fixture)")
+    }
+  }
+
+  test("recall machinery refuses an empty/mismatched truth set") {
+    import spark.implicits._
+    // copies value that matches no id layout -> empty truth -> LOUD
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException](
+      StressMut.recallRowsFrom(docs, emb, copies = 2, minTruthPairs = 1L))
+  }
+}
