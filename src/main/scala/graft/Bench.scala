@@ -39,9 +39,12 @@ import org.apache.spark.sql.SparkSession
   * per-round scaling-ratio signal the driver can read mechanically,
   * instead of a manual tools/scaleup.py claim.
   *
-  * A per-query physical plan fingerprint (exchange + scan counts) goes
-  * to stderr as a `[bench-plans]` line: a changed count between rounds
-  * pinpoints the query whose plan shape regressed.
+  * A per-query physical plan fingerprint (exchange + scan counts of
+  * the STATIC plan, [[PlanFingerprint]] — r13: run-order/AQE
+  * deterministic, cached subtrees excluded) goes to stderr as a
+  * `[bench-plans]` line and into `target/bench.json` (`plans`): a
+  * changed count between rounds pinpoints the query whose plan shape
+  * regressed (`tools/plancheck.py` / `PlanGateSpec` gate it).
   */
 object Bench {
   final case class R(name: String, cold: Double, warms: Seq[Double],
@@ -98,10 +101,8 @@ object Bench {
           val warms = warmResults.collect { case Right((t, _)) => t }
           val err = warmResults.collectFirst { case Left(e) => e }
           val plan = warmResults.collectFirst { case Right((_, df)) =>
-            try {
-              val p = df.queryExecution.executedPlan.toString
-              (raw"Exchange".r.findAllIn(p).size, raw"Scan parquet".r.findAllIn(p).size)
-            } catch { case _: Throwable => (-1, -1) }
+            try PlanFingerprint.of(df)
+            catch { case _: Throwable => (-1, -1) }
           }.getOrElse((-1, -1))
           R(name, cold, warms, err, plan)
       }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Deterministic physical-plan fingerprint: (exchange count, file-scan
+  * count) of a query's STATIC plan — the cross-round plan-shape gate's
+  * comparison unit (`tools/plancheck.py` / `PlanGateSpec`).
+  *
+  * Determinism is the point (r13, fixing r12's What's-wrong #1). The
+  * r12 fingerprint regex-counted `executedPlan.toString` AFTER
+  * execution, which under AQE is the FINAL adaptive plan — runtime
+  * artifacts (exchange reuse, coalesced reads, runtime join swaps)
+  * and, through `InMemoryRelation`'s innerChildren, the cached
+  * subtrees' own final plans all leak into the count, so the same
+  * query fingerprinted in two differently-ordered board runs disagreed
+  * by 2 exchanges (`q_dedup_jaccard_collapsed`: [173,144] in the
+  * stamping run vs [171,144] in the driver's) and the committed
+  * baseline could not be reproduced. Two changes close it:
+  *
+  *  1. STATIC plan: for an AQE root, [[AdaptiveSparkPlanExec.initialPlan]]
+  *     — fixed at plan compilation, identical whether or not (and in
+  *     whatever order) the query has executed. Runtime re-planning is
+  *     invisible to it by construction.
+  *  2. TREE traversal, not string matching: `collect` follows
+  *     `children` only, so cached subtrees (`InMemoryTableScanExec`
+  *     holds its cached plan as an innerChild) and subquery plans are
+  *     excluded — a shared cache's own shape is stamped by whichever
+  *     query OWNS it, not re-counted (with materialization-dependent
+  *     drift) by every rider.
+  *
+  * The counts therefore read "exchanges/scans this query's own plan
+  * performs outside shared caches" — smaller than the r12 string
+  * counts, and the gate's semantics are unchanged: a new shuffle or a
+  * lost pushdown in a query's own plan still moves its fingerprint.
+  *
+  * CANONICAL STATE: capture AFTER every session-shared cache has
+  * materialized (Bench's untimed warmup pass guarantees it). An
+  * InMemoryRelation's stats switch from estimate to actual cached
+  * bytes at materialization, which can re-select a rider's join
+  * strategy in the initial plan — so pre-materialization fingerprints
+  * are a different plan, by design, and must not be compared to the
+  * baseline. `PlanFingerprintSpec` asserts run-order/execution
+  * invariance within the canonical state on the collapse family that
+  * caught r12's drift. */
+object PlanFingerprint {
+
+  /** (exchanges, file scans) of `df`'s static physical plan. Safe on
+    * executed and unexecuted frames alike — both fingerprint the same
+    * initial plan. */
+  def of(df: DataFrame): (Int, Int) = {
+    val static: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = static.collect { case _: Exchange => 1 }.sum
+    val scans = static.collect {
+      case _: FileSourceScanExec => 1
+      case _: BatchScanExec => 1
+    }.sum
+    (exchanges, scans)
+  }
+}

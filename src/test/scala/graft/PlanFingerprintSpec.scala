@@ -1,0 +1,62 @@
+package graft
+
+/** Run-order / execution invariance of [[PlanFingerprint]] — the
+  * property whose absence made r12's plan gate unreproducible: the
+  * builder's stamping run and the driver's bench run fingerprinted
+  * `q_dedup_jaccard_collapsed` differently ([173,144] vs [171,144])
+  * because the r12 fingerprint read the post-execution AQE plan, which
+  * drifts with cache-materialization timing and runtime re-planning.
+  *
+  * The collapse family is the hard case on purpose: all its queries
+  * ride the session-shared `CollapsedDedupPipeline` caches, so their
+  * plans are maximally sensitive to WHEN those caches materialize
+  * (InMemoryRelation stats switch from estimate to actual bytes at
+  * materialization, which can re-select a rider's join strategy). In
+  * the canonical post-warmup state — every shared cache materialized,
+  * exactly when Bench captures — the static fingerprint must be
+  * identical across fresh/executed frames and across board orders, or
+  * the committed baseline is a lottery ticket. */
+class PlanFingerprintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  // the r12 drift query + its collapse-family siblings + a plain
+  // aggregate as the control
+  private val names = Seq(
+    "q_dedup_jaccard_collapsed",
+    "q_dedup_minhash_collapsed",
+    "q_dedup_simhash_collapsed",
+    "q_dedup_exact")
+
+  private def fp(name: String, execute: Boolean): (Int, Int) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    if (execute) df.count()
+    PlanFingerprint.of(df)
+  }
+
+  test("static fingerprints are invariant to execution and board order " +
+    "in the canonical (caches-materialized) state") {
+    // The canonical fingerprint state is POST-WARMUP: an
+    // InMemoryRelation's stats change when it materializes (estimate →
+    // actual cached bytes), which can flip a rider's join strategy in
+    // the INITIAL plan — so pre-materialization fingerprints are a
+    // different (and non-canonical) plan by design. Bench fingerprints
+    // only after its untimed warmup pass; this spec replays that state.
+    names.foreach(n => { SparkEntry.queries(n)(spark, dir).count(); () })
+    // (a) fresh, unexecuted frames (the "plan only" capture)
+    val fresh = names.map(n => n -> fp(n, execute = false)).toMap
+    // (b) executed in reverse order — under the r12 post-execution
+    // scheme this drifted with AQE runtime re-planning
+    val postReverse = names.reverse.map(n => n -> fp(n, execute = true)).toMap
+    // (c) executed again in forward order
+    val postForward = names.map(n => n -> fp(n, execute = true)).toMap
+    names.foreach { n =>
+      assert(fresh(n) == postReverse(n),
+        s"$n fingerprint drifted across execution: ${fresh(n)} -> ${postReverse(n)}")
+      assert(postReverse(n) == postForward(n),
+        s"$n fingerprint drifted across board order: ${postReverse(n)} -> ${postForward(n)}")
+      // (0, 0) is legitimate for a rider whose whole plan is a shared
+      // cache read; only the error sentinel is degenerate
+      assert(fresh(n) != ((-1, -1)), s"$n fingerprint errored")
+    }
+  }
+}

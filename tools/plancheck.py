@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Cross-round plan-regression gate.
 
-Diffs the physical-plan fingerprints (exchange count, parquet-scan
-count) of the latest bench run (`target/bench.json`, field `plans`)
-against the committed baseline (`tools/plans_baseline.json`) and fails
-on any UNEXPLAINED change: a changed fingerprint means the query's plan
-shape regressed (or improved) and must be either fixed or consciously
-re-baselined in the same commit.
+Diffs the physical-plan fingerprints (exchange count, file-scan count
+of the STATIC plan — graft.PlanFingerprint, r13: run-order/AQE
+deterministic, cached subtrees excluded) of the latest bench run
+(`target/bench.json`, field `plans`) against the committed baseline
+(`tools/plans_baseline.json`) and fails on any UNEXPLAINED change: a
+changed fingerprint means the query's plan shape regressed (or
+improved) and must be either fixed or consciously re-baselined in the
+same commit.
 
 Usage:
   python3 tools/plancheck.py            # check, exit 1 on unexplained diffs
