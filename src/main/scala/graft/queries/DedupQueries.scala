@@ -1262,6 +1262,53 @@ object DedupQueries {
                 JOIN documents db ON ib = db.doc_id
       ORDER BY id_a, id_b"""))
 
+  // 200c (r13). BOUNDED edit-distance verify — the scale adjudication
+  // of the r12 mutated-corpus finding: candidate pairs (and therefore
+  // Levenshtein calls and output rows) grow QUADRATICALLY in the
+  // duplication factor when copies are near-dups instead of
+  // byte-identical, so the production path caps candidates per left
+  // doc at the top-8 by similarity (deterministic jacc_bp DESC, id_b
+  // ASC order) and reports the cut per row as dropped_a - total
+  // verify work <= n*cap on ANY corpus shape. The collapsed kernel
+  // still folds byte-identical texts under the cap.
+  val qDedupEditdistBounded = QueryDef("q_dedup_editdist_bounded",
+    (s, dir) => {
+      Dedup.boundedEditDistancePairs(
+          sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L),
+          table(s, dir, "documents"), "doc_id", "text", maxPairsPerDoc = 8)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      cand AS (SELECT ia, ib,
+                      inter * 10000 // (sa.sz + sb.sz - inter) AS jbp
+               FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+               WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      cnt AS (SELECT ia, count(*) AS cand_total FROM cand GROUP BY 1),
+      keep AS (SELECT ia, ib FROM (
+                 SELECT ia, ib,
+                        row_number() OVER (PARTITION BY ia
+                                           ORDER BY jbp DESC, ib) AS rk
+                 FROM cand)
+               WHERE rk <= 8)
+      SELECT keep.ia AS id_a, keep.ib AS id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+             CAST(levenshtein(da.text, db.text) * 10000 //
+               greatest(length(da.text), length(db.text), 1) AS BIGINT) AS lev_bp,
+             CAST(cnt.cand_total - least(cnt.cand_total, 8) AS BIGINT) AS dropped_a
+      FROM keep JOIN documents da ON keep.ia = da.doc_id
+                JOIN documents db ON keep.ib = db.doc_id
+                JOIN cnt ON cnt.ia = keep.ia
+      ORDER BY id_a, id_b"""))
+
   val qCorpusSimilarity = QueryDef("q_corpus_similarity",
     (s, dir) => {
       corpusSimCache.get(s, dir) {
@@ -1513,6 +1560,7 @@ ${blocks.mkString(",\n")}
     // growing pair frame); the collapsed twin certifies the family's
     // scale path at ~4x.
     qDedupEditdistCollapsed,
+    qDedupEditdistBounded,
     qCorpusSimilarity,
     qDedupTriangles,
   )

@@ -2800,6 +2800,39 @@ class OperatorsSpec extends SparkSpec {
     assert(near.length == 1 && near.head.getLong(1) == 2L)
   }
 
+  test("bounded edit distance caps candidates per doc and reports the cut") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delte"),
+      (3L, "alpha beta gamma delt"),
+      (4L, "alpha beta gamma del"),
+      (5L, "alpha beta gamma d"),
+    ).toDF("doc_id", "text")
+    // doc 1 has 4 candidates at descending similarity; cap 2 must keep
+    // the TOP-2 by jacc_bp (ties impossible here) and report 2 dropped
+    val pairs = Seq(
+      (1L, 2L, 9000L), (1L, 3L, 8000L), (1L, 4L, 7000L), (1L, 5L, 6000L),
+      (2L, 3L, 8500L)).toDF("id_a", "id_b", "jacc_bp")
+    val capped = Dedup.boundedEditDistancePairs(pairs, docs, "doc_id", "text",
+        maxPairsPerDoc = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("dropped_a"))
+      .toMap
+    assert(capped.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"cap must keep the highest-similarity candidates: ${capped.keySet}")
+    assert(capped((1L, 2L)) == 2L && capped((1L, 3L)) == 2L) // 4 cands - 2 kept
+    assert(capped((2L, 3L)) == 0L)                           // under the cap
+    // a non-binding cap reproduces the unbounded verifier's pairs
+    val unbounded = Dedup.editDistancePairs(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("lev"))).toSet
+    val loose = Dedup.boundedEditDistancePairs(pairs, docs, "doc_id", "text",
+        maxPairsPerDoc = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("lev"))).toSet
+    assert(loose == unbounded)
+    assertThrows[IllegalArgumentException](
+      Dedup.boundedEditDistancePairs(pairs, docs, "doc_id", "text", 0))
+  }
+
   test("touch attribution credits first and last prior channels") {
     import graft.operators.Sessionize
     val ev = Seq(
