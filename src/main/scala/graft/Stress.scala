@@ -97,6 +97,19 @@ object Stress {
       "candidate pair frame, which grows quadratically in exact copies " +
       "by design; q_dedup_jaccard_collapsed is the copy-linear " +
       "production path"),
+    "q_dedup_minhash" -> (2.0, "pair LISTING: band-collision pairs grow " +
+      "quadratically in exact copies by construction (every copy " +
+      "shares every band key, a c-copy class emits c(c-1)/2 pairs - " +
+      "250,600 output rows at 10x vs ~2.5k at 1x), and the signature/" +
+      "verify work follows the pair count. Caught by exp_last in r13 " +
+      "(1.87; the r12 3-point fit diluted it to 1.14); " +
+      "q_dedup_minhash_collapsed is the copy-linear production path " +
+      "(measured exp_last 0.19 on the same corpus)"),
+    "q_dedup_minhash_portable" -> (2.0, "same band-collision pair " +
+      "growth as q_dedup_minhash over the portable hash family (top-15 " +
+      "readout; the pair STAGE is what scales - r13 exp_last 1.59, " +
+      "r12 diluted fit 0.91); the collapsed path is the production " +
+      "twin"),
     "q_dedup_editdist_collapsed" -> (2.0, "a pair-VERIFIER: its input " +
       "and output are the candidate pairs themselves, and on any " +
       "corpus where copies are near-dups rather than byte-identical " +
