@@ -110,6 +110,24 @@ object Stress {
       "readout; the pair STAGE is what scales - r13 exp_last 1.59, " +
       "r12 diluted fit 0.91); the collapsed path is the production " +
       "twin"),
+    "q_dedup_groups" -> (2.0, "connected components over the shared " +
+      "jaccard candidate frame: its EDGES grow quadratically in exact " +
+      "copies by construction (a c-copy class contributes c(c-1)/2 " +
+      "edges - the copy corpus packs ~100x pair density at 10x), so " +
+      "CC work is input-bound quadratic on this corpus. Production " +
+      "order is exact-collapse FIRST, then group near-dups - which " +
+      "makes the edge set copy-invariant"),
+    "q_dedup_incremental" -> (2.0, "batch-vs-index near-dup probe: " +
+      "every (batch copy, index copy) of a duplicated doc band-" +
+      "collides, so probe candidates and HIT OUTPUT grow " +
+      "quadratically in exact copies; production ingest exact-dedups " +
+      "(or collapses) the batch before the near-dup probe, making the " +
+      "probe linear"),
+    "q_dedup_recall" -> (2.0, "offline QA harness comparing the FULL " +
+      "candidate pair frame to the FULL exact-jaccard pair frame - " +
+      "both quadratic in exact copies by construction; it grades the " +
+      "same frames the declared-2.0 pair listings emit, so it " +
+      "inherits their scaling by definition"),
     "q_dedup_editdist_collapsed" -> (2.0, "a pair-VERIFIER: its input " +
       "and output are the candidate pairs themselves, and on any " +
       "corpus where copies are near-dups rather than byte-identical " +
