@@ -47,19 +47,21 @@ class StressSpec extends SparkSpec {
     // Three-point fits (copies=10 -> x grid {0,1,2}, slope=(y3-y1)/2):
     //   q_linear:  0.1 -> 1.0 -> 10.0  => exponent 1.0 (<= 1.18, pass)
     //   q_blowup:  0.1 -> 1.0 -> 100.0 => exponent 1.5 (> 1.18, FLAG)
-    //   q_span_dedup: 0.1 -> 1.0 -> 100 => exponent 1.5, exp_last 2.0,
-    //     declared 2.0: pass under the max-gate (r13: a 400x point
+    //   q_span_dedup: 1.0 -> 10 -> 1000 => exponent 1.5, exp_last 2.0,
+    //     declared 2.0: pass under the max-gate (r13: a 4000x point
     //     would now FLAG - exp_last 2.6 > 2.18 - as it should)
     //   q_tiny: under the stress floor -> never gated
+    // (anchors sit above gateBaseFloorSec so the fixture exercises the
+    // slopes, not the overhead floor — that has its own test)
     val qs = Seq(
-      Stress.Q("q_linear", 100L, 10.0, None),
-      Stress.Q("q_blowup", 100L, 100.0, None),
+      Stress.Q("q_linear", 100L, 100.0, None),
+      Stress.Q("q_blowup", 100L, 1000.0, None),
       Stress.Q("q_tiny", 100L, 0.3, None),
-      Stress.Q("q_span_dedup", 100L, 100.0, None))
-    val sf01 = Map("q_linear" -> 1.0, "q_blowup" -> 1.0,
-      "q_tiny" -> 0.01, "q_span_dedup" -> 1.0)
-    val sf001 = Map("q_linear" -> 0.1, "q_blowup" -> 0.1,
-      "q_span_dedup" -> 0.1)
+      Stress.Q("q_span_dedup", 100L, 1000.0, None))
+    val sf01 = Map("q_linear" -> 10.0, "q_blowup" -> 10.0,
+      "q_tiny" -> 0.01, "q_span_dedup" -> 10.0)
+    val sf001 = Map("q_linear" -> 1.0, "q_blowup" -> 1.0,
+      "q_span_dedup" -> 1.0)
     val m = parse(Stress.toJson("d", 0.0, qs, boardN = 4, sf01,
       copies = 10, sf001Secs = sf001))
     assert(m.get("queries").get("q_linear").get("ratio").asDouble == 10.0)
@@ -98,6 +100,24 @@ class StressSpec extends SparkSpec {
       Map("q_span_dedup" -> 1.0), copies = 10,
       sf001Secs = Map("q_span_dedup" -> 1.0)))
     assert(m2.get("flagged").size() == 0)
+  }
+
+  test("gated slope floors an overhead-dominated sf0.1 anchor; real blowups still flag") {
+    // q_tiny_base: 0.1 s bench median -> 3.2 s at 10x. Raw slope would
+    // read log10(32)=1.51 and flag a linear query whose base is pure
+    // fixed overhead (the r13 q_bloom_advisor false flag); floored at
+    // 0.25 s the slope is log10(12.8)=1.11 -> passes.
+    val ok = parse(Stress.toJson("d", 0.0,
+      Seq(Stress.Q("q_tiny_base", 10L, 3.2, None)), boardN = 1,
+      Map("q_tiny_base" -> 0.1), copies = 10))
+    assert(ok.get("flagged").size() == 0,
+      s"overhead-dominated base must not flag: ${ok.get("flagged")}")
+    // a REAL quadratic from the same tiny base clears the floor easily:
+    // 0.1 s -> 25 s reads log10(100)=2.0 on the floored anchor -> flags
+    val bad = parse(Stress.toJson("d", 0.0,
+      Seq(Stress.Q("q_tiny_blowup", 10L, 25.0, None)), boardN = 1,
+      Map("q_tiny_blowup" -> 0.1), copies = 10))
+    assert(bad.get("flagged").size() == 1)
   }
 
   test("exponent fit degrades to the one-decade slope and the ratio fallback still gates") {
