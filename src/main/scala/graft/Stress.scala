@@ -87,6 +87,26 @@ object Stress {
     * gated. */
   val gateBaseFloorSec: Double = 0.25
 
+  /** Secondary guard for SUB-FLOOR anchors (r14, closing the r13
+    * advice hole): flooring the anchor at [[gateBaseFloorSec]] bounds
+    * a declared-linear query's stress time at floor·copies^1.18
+    * (~3.8 s at 10×) — but a genuine super-linear query with a tiny
+    * true base can hide under that bound (0.05 s → 2.5 s is real 50×
+    * growth, floored slope 1.0). For rows whose sf0.1 anchor sits
+    * UNDER the floor the gate therefore also checks the RAW
+    * (unfloored) final-segment slope against declared + THIS looser
+    * tolerance — loose because a sub-floor anchor genuinely mixes
+    * operator time with session-shape overhead delta (the stress
+    * session runs local[8] vs the bench's local[32]; the r13
+    * q_bloom_advisor false flag measured that delta at raw slope
+    * ~1.18 from a 0.21 s base, and the same ~3 s absolute overhead
+    * point from a 0.1 s base reads ~1.5 — the tolerance must clear
+    * both) — and only once the stress point itself reaches
+    * copies×floor, i.e. is no longer explicable as fixed overhead at
+    * all. Shipped as `exp_last_raw` on sub-floor rows so the artifact
+    * shows what was gated. */
+  val subFloorRawTolerance: Double = 0.6
+
   /** DECLARED complexity exponents in the COPY dimension (r12 — the
     * measured replacement for the former prose ratio waivers): warm
     * seconds are modeled as sec ∝ scale^e and the artifact gates
@@ -280,6 +300,16 @@ object Stress {
       (logSec(stressSec) - logSec(math.max(s, gateBaseFloorSec))) /
         math.log10(copies.toDouble))
 
+  /** [[lastSegmentExponent]] on the RAW anchor (no
+    * [[gateBaseFloorSec]]) — the sub-floor secondary guard's measure
+    * (see [[subFloorRawTolerance]]). Only meaningful when the anchor
+    * is under the floor; equals exp_last otherwise. */
+  def lastSegmentExponentRaw(sf01: Option[Double], stressSec: Double,
+                             copies: Int): Option[Double] =
+    if (copies < 2 || stressSec <= 0.0) None
+    else sf01.filter(_ > 0).map(s =>
+      (logSec(stressSec) - logSec(s)) / math.log10(copies.toDouble))
+
   /** Least-squares slope of log10(sec) vs log10(scale) across the
     * available measurement points for one query — the measured
     * complexity exponent the SURVEY's scale claims reduce to.
@@ -333,6 +363,11 @@ object Stress {
     def expLastOf(q: Q): Option[Double] =
       if (!q.ok) None
       else lastSegmentExponent(warmMedians.get(q.name), q.sec, copies)
+    // raw-anchor slope, SUB-FLOOR rows only (see subFloorRawTolerance)
+    def expLastRawOf(q: Q): Option[Double] =
+      if (!q.ok) None
+      else warmMedians.get(q.name).filter(m => m > 0.0 && m < gateBaseFloorSec)
+        .flatMap(_ => lastSegmentExponentRaw(warmMedians.get(q.name), q.sec, copies))
     // the GATED measure: the worst of the diluted 3-point fit and the
     // undiluted final segment (see the exponent_scope caveat — a
     // flat-then-quadratic profile fits ~1.0 but exp_last catches it)
@@ -357,6 +392,7 @@ object Stress {
         expOf(q).map(e => ",\"exponent\":" + fmt(e) +
           ",\"declared_exp\":" + fmt(declaredExp(q.name))).getOrElse("") +
         expLastOf(q).map(e => ",\"exp_last\":" + fmt(e)).getOrElse("") +
+        expLastRawOf(q).map(e => ",\"exp_last_raw\":" + fmt(e)).getOrElse("") +
         d1Of(q).map(e => ",\"exp_d1\":" + fmt(e)).getOrElse("") +
         q.err.map(e => ",\"err\":" + jstr(e)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
@@ -371,10 +407,20 @@ object Stress {
     val flagged = qs.filter { q =>
       q.ok && q.sec >= ratioFlagFloorSec && {
         val limit = declaredExp(q.name) + expTolerance
-        expGateOf(q) match {
+        val primary = expGateOf(q) match {
           case Some(e) => e > limit
           case None => ratioOf(q).exists(r => math.log10(r) > limit)
         }
+        // sub-floor secondary guard: the floored slope bounds a
+        // declared-e row at floor*copies^(e+tol) absolute seconds, so a
+        // real blowup from a tiny base can hide under it — the raw
+        // slope (looser tolerance, see subFloorRawTolerance) catches
+        // it once the stress point exceeds copies*floor (i.e. is no
+        // longer fixed-overhead-explicable)
+        val subFloor = expLastRawOf(q).exists(e =>
+          e > declaredExp(q.name) + subFloorRawTolerance &&
+            q.sec >= copies * gateBaseFloorSec)
+        primary || subFloor
       }
     }.map(q => jstr(q.name)).mkString("[", ",", "]")
     val cav = caveats.toSeq.sortBy(_._1)

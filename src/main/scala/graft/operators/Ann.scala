@@ -321,9 +321,11 @@ object Ann {
         sum(floor(col("s") * 10000).cast("long")).as("sil_sum_q4"))
       .select(col("cell").cast("long").as("cell"), col("size"),
         col("sil_sum_q4"),
-        // integer division (div), matching the oracle's exact `//` —
-        // a double quotient truncated to long can in principle differ
-        // from floor division for adversarial sum/size pairs
+        // TRUNCATING integer division: Spark's `div` truncates toward
+        // zero, exactly like DuckDB's integer `//` (-5 div 2 = -2 on
+        // both) — parity holds for negative silhouette sums too. Do
+        // NOT "fix" this toward mathematical floor semantics: that
+        // would break the oracle match precisely on negative sums.
         expr("sil_sum_q4 div size").cast("long").as("sil_mean_q4"))
   }
 

@@ -182,6 +182,98 @@ object CurationQueries {
       GROUP BY 1 ORDER BY 1"""))
 
 
+  // 82 (boarded r14 — the last spec-only row with an SQL-expressible
+  // twin). ZERO-STATE STREAMING DECONTAMINATION GATE via sink-readback:
+  // a bounded eval slice (odd doc_id < 600) arrives as TWO real
+  // micro-batches into `Contamination.decontaminateStream` — each doc
+  // row-locally probed against the broadcast benchmark Bloom (trained
+  // once per session on the doc_id % 20 slice), kept iff estimated
+  // containment < 50%. The Bloom has NO false negatives, so the
+  // streamed kept set is provably ⊆ the exact-containment kept set —
+  // that subset bound IS the oracled quantity (`bloom_subset_
+  // violations` = streamed-kept ∖ exact-kept, identically 0), next to
+  // the exact kept counts DuckDB replays outright. A dead sink can't
+  // pass vacuously: `stream_batch_mismatch` is the symmetric
+  // difference between the SINK's kept ids and the identical gate run
+  // as a batch frame (same Bloom, same rows, deterministic hashes) —
+  // also identically 0, and nonzero the moment the stream drops or
+  // duplicates a row. Batching is semantically irrelevant by
+  // construction (zero state), which is exactly what the row claims.
+  private val decontamBloomCache =
+    new PipelineShared.SessionCache[
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
+  private val decontamFeedCache =
+    new PipelineShared.SessionCache[Seq[Seq[(Long, String)]]]
+
+  val qStreamDecontaminate = QueryDef("q_stream_decontaminate",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 20 === 0)
+      val evalSlice = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 600)
+      // the MB-sized sketch is the frozen-benchmark state: build once
+      // per (session, dir), probe from every batch and the batch twin
+      val bloom = decontamBloomCache.get(s, dir)(
+        graft.operators.Contamination.trainVocabularyBloom(train, "text", n = 3))
+      val batches = decontamFeedCache.get(s, dir) {
+        val rows = evalSlice.select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        Seq(rows.filter(_._1 % 4 == 1L), rows.filter(_._1 % 4 == 3L))
+      }
+      import s.implicits._
+      val sink = StreamBoard.run[(Long, String)](s, "graft_decontam", batches,
+        df => graft.operators.Contamination.decontaminateStream(
+          df, "doc_id", "text", bloom, n = 3, minBp = 5000L),
+        df => df.toDF("doc_id", "text"))
+      val streamKept = sink.select(col("id"))
+      val batchKept = graft.operators.Contamination.decontaminateStream(
+          evalSlice.select(col("doc_id"), col("text")), "doc_id", "text",
+          bloom, n = 3, minBp = 5000L)
+        .select(col("id"))
+      val exactKept = graft.operators.Contamination.decontaminate(
+          train, evalSlice, "doc_id", "text", n = 3, minBp = 5000L)
+        .select(col("doc_id").as("id"))
+      val bySource = docs.select(col("doc_id").as("id"), col("source"))
+      def perSource(ids: org.apache.spark.sql.DataFrame, as: String) =
+        ids.join(bySource, "id").groupBy("source")
+          .agg(count(lit(1)).cast(LongType).as(as))
+      val violations = perSource(
+        streamKept.join(exactKept, Seq("id"), "left_anti"),
+        "bloom_subset_violations")
+      val mismatch = perSource(
+        streamKept.join(batchKept, Seq("id"), "left_anti")
+          .unionByName(batchKept.join(streamKept, Seq("id"), "left_anti")),
+        "stream_batch_mismatch")
+      evalSlice.groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("streamed_docs"))
+        .join(perSource(exactKept, "exact_kept_docs"), Seq("source"), "left")
+        .join(violations, Seq("source"), "left")
+        .join(mismatch, Seq("source"), "left")
+        .na.fill(0L, Seq("exact_kept_docs", "bloom_subset_violations",
+          "stream_batch_mismatch"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          i -> array_to_string(ws[i:i+2], ' '))) sh
+             FROM w),
+      tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+      ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1 AND doc_id < 600),
+      r AS (SELECT ev.doc_id id, count(*) total,
+                   sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) matched
+            FROM ev LEFT JOIN tr ON ev.sh = tr.sh GROUP BY 1),
+      bad AS (SELECT id FROM r WHERE matched * 10000 // total >= 5000)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS streamed_docs,
+             CAST(sum(CASE WHEN doc_id IN (SELECT id FROM bad) THEN 0 ELSE 1 END) AS BIGINT) AS exact_kept_docs,
+             CAST(0 AS BIGINT) AS bloom_subset_violations,
+             CAST(0 AS BIGINT) AS stream_batch_mismatch
+      FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id < 600
+      GROUP BY source ORDER BY source"""))
+
+
   // 54. as-of (point-in-time) join — each event sees the latest order
   // of its customer at or before the event date, never a future one
   // (leakage-free feature attachment). The oracle replays it with
@@ -1487,6 +1579,7 @@ object CurationQueries {
     qJsonProps,
     qContamination,
     qDecontaminate,
+    qStreamDecontaminate,
     qAsofJoin,
     qSkewJoin,
     qSqlApi,

@@ -956,10 +956,16 @@ object EventQueries {
       // round-trip): the watermark still advances to it at that
       // batch's end, and the trailing no-data micro-batch flushes
       // every real window. Beyond any testdata instant; deterministic.
+      // NON-NUMERIC key: real keys are stringified numeric user_ids,
+      // so "__sentinel__" can never collide with one (the r13 advice
+      // hole — a numeric sentinel was safe only through the slice's
+      // first-30-ascending invariant, enforced nowhere near it). The
+      // sentinel's own window never closes, so it never reaches the
+      // sink either way.
       val sentinel = "2100-01-01 00:00:00.000000"
       val (lt, lc) = batches.last
-      batches.init :+ ((lt :+ (("999999999", sentinel, "sentinel")),
-        lc :+ (("999999999", sentinel))))
+      batches.init :+ ((lt :+ (("__sentinel__", sentinel, "sentinel")),
+        lc :+ (("__sentinel__", sentinel))))
     }
   }
 
@@ -1070,8 +1076,18 @@ object EventQueries {
   // GROUP BY over the batch interval join.
   val qStreamAttributionCredit = QueryDef("q_stream_attribution_credit",
     (s, dir) => {
+      // TWO micro-batch pairs, not three (r14, verdict item 6): the
+      // multiple-stateful-operator chain needs A real batch boundary
+      // for its state to span plus the watermark flush — it does not
+      // need three. Merging terciles 1+2 keeps the feed time-ordered
+      // (the merged batch's max ts < tercile 3's min ts by the tercile
+      // construction), halves the per-batch fixed cost (2 stateful
+      // operators x state-store lifecycle x round trips), and the
+      // oracle is batch-replayed — values are batching-invariant.
+      val b3 = attributionFeed(s, dir, flush = true)
+      val feed = Seq((b3(0)._1 ++ b3(1)._1, b3(0)._2 ++ b3(1)._2), b3(2))
       StreamBoard.run2[(String, String, String), (String, String)](
-        s, "attr_credit", attributionFeed(s, dir, flush = true),
+        s, "attr_credit", feed,
         (t, c) => graft.streaming.StreamMonitor.attributionCreditStream(
           t, c, "key", "ts", "channel", horizon = "1 hour",
           creditWindow = "1 hour"),

@@ -676,4 +676,75 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("win_start_s"), r.getAs[Long]("touch_pairs"))).toSet
     assert(batch == Set(("u1", "view", 0L, 6L)))
   }
+
+  test("maxTouchesPerKey caps the join's pair enumeration; a non-binding cap is the identity") {
+    // r14 (verdict item 4): the credit rollup bounds SINK volume, this
+    // knob bounds the interval join's transient CPU — at most `cap`
+    // touches per key per horizon bucket reach the join, admission =
+    // one per time slot, audited by touchCapDrops.
+    implicit val sc = spark.sqlContext
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(60000L * m)
+    def runStream(cap: Int): Set[(String, String, Long)] = {
+      val touchesMem = MemoryStream[(String, Timestamp, String)]
+      val convMem = MemoryStream[(String, Timestamp)]
+      val joined = StreamMonitor.attributionJoinStream(
+        touchesMem.toDF().toDF("user", "ts", "channel"),
+        convMem.toDF().toDF("user", "ts").withColumn("channel", lit("")),
+        "user", "ts", "channel", horizon = "10 minutes",
+        maxTouchesPerKey = cap)
+      val name = s"attr_cap_$cap"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // u1 "bot-hot": the t1 view REPLAYED (exact duplicate) — both
+        // land in slot 0 of bucket 0 (cap=2 splits the 10-min horizon
+        // into 5-min slots), so a binding cap admits exactly one of
+        // them (identical rows: the survivor is unambiguous) plus the
+        // t6 click in slot 1
+        touchesMem.addData(("u1", t(1), "view"), ("u1", t(1), "view"),
+          ("u1", t(6), "click"))
+        convMem.addData(("u1", t(8)))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getAs[String]("key"), r.getAs[String]("channel"),
+            r.getAs[Timestamp]("touch_ts").getTime / 60000)).toSet
+      } finally q.stop()
+    }
+    // binding cap=2: one of the two duplicate views is cut -> 2 pairs
+    assert(runStream(2) == Set(("u1", "view", 1L), ("u1", "click", 6L)))
+    // non-binding cap = identity vs unbounded, on a corpus where every
+    // slot holds <= 1 touch (exact-duplicate timestamps share a slot
+    // at ANY cap, so the identity corpus uses distinct ts)
+    val bt = Seq(("u1", t(1), "view"), ("u1", t(6), "click"),
+      ("u2", t(3), "view")).toDF("user", "ts", "channel")
+    val bc = Seq(("u1", t(8)), ("u2", t(9))).toDF("user", "ts")
+      .withColumn("channel", lit(""))
+    def runBatch(cap: Int) = StreamMonitor.attributionJoinStream(
+        bt, bc, "user", "ts", "channel", horizon = "10 minutes",
+        maxTouchesPerKey = cap)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("channel"))).toSet
+    assert(runBatch(64) == runBatch(0),
+      "a cap no slot reaches must be the identity")
+    // the audit sees exactly what a binding cap cuts — and nothing on
+    // the non-binding corpus
+    val bot = Seq(("u1", t(1), "view"), ("u1", t(1), "view"),
+      ("u1", t(6), "click")).toDF("user", "ts", "channel")
+    val drops = StreamMonitor.touchCapDrops(bot, "user", "ts",
+        horizon = "10 minutes", maxTouchesPerKey = 2)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("bucket_start_s"),
+        r.getAs[Long]("offered"), r.getAs[Long]("admitted"), r.getAs[Long]("dropped")))
+    assert(drops.toSeq == Seq(("u1", 0L, 3L, 2L, 1L)))
+    assert(StreamMonitor.touchCapDrops(bt, "user", "ts",
+      horizon = "10 minutes", maxTouchesPerKey = 2).isEmpty,
+      "empty drop report = the cap never binds on this corpus")
+    // batch parity where the cap binds: earliest-in-slot == the
+    // stream's first-arriving survivor on this time-ordered feed
+    val cappedBatch = StreamMonitor.attributionJoinStream(
+        bot, Seq(("u1", t(8))).toDF("user", "ts").withColumn("channel", lit("")),
+        "user", "ts", "channel", horizon = "10 minutes", maxTouchesPerKey = 2)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("channel"),
+        r.getAs[Timestamp]("touch_ts").getTime / 60000)).toSet
+    assert(cappedBatch == Set(("u1", "view", 1L), ("u1", "click", 6L)))
+  }
 }

@@ -120,6 +120,42 @@ class StressSpec extends SparkSpec {
     assert(bad.get("flagged").size() == 1)
   }
 
+  test("sub-floor raw guard: a genuine blowup hiding UNDER the floored bound still flags") {
+    // The r13 advice hole: the floored slope bounds a declared-linear
+    // sub-floor row at floor*copies^1.18 ~ 3.78 s absolute, so a real
+    // 50x growth from a tiny base (0.05 s -> 2.5 s) read floored slope
+    // 1.0 and passed. The raw-anchor secondary guard (tolerance 0.6,
+    // armed only past copies*floor = 2.5 s) catches it: raw slope
+    // log10(50) = 1.70 > 1.6.
+    val caught = parse(Stress.toJson("d", 0.0,
+      Seq(Stress.Q("q_hidden_blowup", 10L, 2.5, None)), boardN = 1,
+      Map("q_hidden_blowup" -> 0.05), copies = 10))
+    val row = caught.get("queries").get("q_hidden_blowup")
+    assert(row.has("exp_last_raw"), "sub-floor rows must ship the raw slope")
+    assert(row.get("exp_last_raw").asDouble > 1.6)
+    assert(caught.get("flagged").size() == 1,
+      s"raw guard must catch the sub-floored blowup: ${caught.get("flagged")}")
+    // the observed overhead-delta profile stays unflagged: 0.21 s ->
+    // 3.2 s (the r13 q_bloom_advisor case, raw slope 1.18)
+    val ok = parse(Stress.toJson("d", 0.0,
+      Seq(Stress.Q("q_overhead", 10L, 3.2, None)), boardN = 1,
+      Map("q_overhead" -> 0.21), copies = 10))
+    assert(ok.get("flagged").size() == 0)
+    // an at-floor-or-above anchor never ships/gates the raw slope
+    val above = parse(Stress.toJson("d", 0.0,
+      Seq(Stress.Q("q_normal", 10L, 3.0, None)), boardN = 1,
+      Map("q_normal" -> 0.5), copies = 10))
+    assert(!above.get("queries").get("q_normal").has("exp_last_raw"))
+    // and a sub-floor row that never reaches copies*floor stays noise
+    // even with a hot raw slope: 0.05 s -> 2.2 s raw slope 1.64 > 1.6
+    // but absolute 2.2 < 2.5 -> fixed-overhead-explicable, pass
+    val tiny = parse(Stress.toJson("d", 0.0,
+      Seq(Stress.Q("q_tiny_noise", 10L, 2.2, None)), boardN = 1,
+      Map("q_tiny_noise" -> 0.05), copies = 10))
+    assert(tiny.get("queries").get("q_tiny_noise").get("exp_last_raw").asDouble > 1.6)
+    assert(tiny.get("flagged").size() == 0)
+  }
+
   test("exponent fit degrades to the one-decade slope and the ratio fallback still gates") {
     // only the sf0.1 point present: slope over one decade of copies
     val e = Stress.fitExponent(None, Some(1.0), 10.0, copies = 10)
@@ -223,6 +259,14 @@ class StressSpec extends SparkSpec {
     assert(!m.get("partial").asBoolean && m.get("fail").asInt == 0,
       s"stress_mut.json partial=${m.get("partial")} fail=${m.get("fail")}")
     assert(m.get("timing_reps").asInt >= 3)
+    // r14: the r13 round shipped a mut artifact carrying
+    // flagged=["q_dedup_editdist_bounded"] (generated before the row's
+    // declaration landed) and the suite could not see it — only the
+    // copy-corpus gate asserted the flag list. ALL THREE parity gates
+    // now do: a flagged stress artifact on ANY axis fails sbt test.
+    assert(m.get("flagged").size() == 0,
+      s"stress_mut.json flags queries above their declared exponent: ${m.get("flagged")} - " +
+        "regenerate after fixing the plan or declaring the exponent with a written reason")
     val rec = m.get("recall")
     assert(rec != null, "stress_mut.json carries no recall section")
     StressMut.recallFloorsBp.foreach { case (family, floor) =>
@@ -257,5 +301,9 @@ class StressSpec extends SparkSpec {
     assert(!m.get("partial").asBoolean && m.get("fail").asInt == 0,
       s"stress_skew.json partial=${m.get("partial")} fail=${m.get("fail")}")
     assert(m.get("timing_reps").asInt >= 3)
+    // r14: same flagged gate as the copy and mut axes (see MUT PARITY)
+    assert(m.get("flagged").size() == 0,
+      s"stress_skew.json flags queries above their declared exponent: ${m.get("flagged")} - " +
+        "regenerate after fixing the plan or declaring the exponent with a written reason")
   }
 }
