@@ -133,6 +133,14 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // shared-cache BUILD fingerprints, captured BEFORE the warmup pass
+    // materializes (and cache-substitutes) the real pinned twins — see
+    // graft.queries.CachePlans: in this pre-cache state the static
+    // build plans are deterministic, so the `cache:` rows in `plans`
+    // gate the shared pipelines' own shapes across rounds
+    val cachePlans =
+      try graft.queries.CachePlans.fingerprints(spark, sfDir)
+      catch { case _: Throwable => Seq.empty[(String, (Int, Int))] }
     val warmupSec = warmup(spark, sfDir, names)
     val rows = runBoard(spark, sfDir, nWarm, names)
 
@@ -184,7 +192,8 @@ object Bench {
       if (allErrors.size <= 8) allErrors
       else allErrors.take(8) :+ s""""_more_errors":${allErrors.size - 8}"""
     val errorsFull = rows.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
-    val plans = rows.map(r => s""""${r.name}":[${r.plan._1},${r.plan._2}]""").mkString("{", ",", "}")
+    val plans = (rows.map(r => r.name -> r.plan) ++ cachePlans)
+      .map { case (n, p) => s""""$n":[${p._1},${p._2}]""" }.mkString("{", ",", "}")
     System.err.println(s"""[bench-plans] $plans""")
 
     // Second-point summary: warm (second-run) total over succeeding

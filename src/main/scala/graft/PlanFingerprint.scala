@@ -28,14 +28,19 @@ import org.apache.spark.sql.execution.exchange.Exchange
   *  2. TREE traversal, not string matching: `collect` follows
   *     `children` only, so cached subtrees (`InMemoryTableScanExec`
   *     holds its cached plan as an innerChild) and subquery plans are
-  *     excluded — a shared cache's own shape is stamped by whichever
-  *     query OWNS it, not re-counted (with materialization-dependent
-  *     drift) by every rider.
+  *     excluded from EVERY query's fingerprint — including the cache's
+  *     own first consumer, which after `persist()` also reads through
+  *     `InMemoryTableScanExec` (r14 doc fix: no query row gates a
+  *     shared cache's build shape).
   *
   * The counts therefore read "exchanges/scans this query's own plan
   * performs outside shared caches" — smaller than the r12 string
   * counts, and the gate's semantics are unchanged: a new shuffle or a
   * lost pushdown in a query's own plan still moves its fingerprint.
+  * The shared caches' BUILD plans are gated separately:
+  * [[graft.queries.CachePlans]] fingerprints side-effect-free build
+  * twins pre-warmup and Bench stamps them as `cache:` rows in the same
+  * `plans` map (r14, closing the r13 advice hole).
   *
   * CANONICAL STATE: capture AFTER every session-shared cache has
   * materialized (Bench's untimed warmup pass guarantees it). An

@@ -164,14 +164,17 @@ object Stress {
       "inherits their scaling by definition"),
     "q_dedup_editdist_bounded" -> (2.0, "output and Levenshtein work = " +
       "min(candidate pairs, n*cap): quadratic in duplication DENSITY " +
-      "below the cap and linear above it. The 12x mutated corpus " +
-      "averages ~5.6 near-dup siblings per doc - under cap=8, so the " +
-      "cap barely binds there (287,543 capped rows vs 335,509 " +
-      "uncapped) and the measured slope tracks the corpus's density " +
-      "growth like any pair verifier; past saturation (denser corpora " +
-      "or higher copy factors) output is n*cap and growth is linear - " +
-      "the cap bounds the ASYMPTOTE, which the uncapped twin lacks " +
-      "entirely"),
+      "below the cap and linear above it. The board query's cap=8 " +
+      "barely binds on the 12x mutated corpus (~5.6 siblings/doc; " +
+      "287,543 capped rows vs 335,509 uncapped), so the BOARD row's " +
+      "measured slope tracks density growth like any pair verifier - " +
+      "hence 2.0. The saturated regime is separately MEASURED, not " +
+      "argued (r14, stress_mut.json `saturation` section, gated by " +
+      "StressSpec): at cap=2 the cap binds hard (occupancy 0.89/0.95 " +
+      "at 6x/12x), rows <= corpus*cap holds EXACTLY at both points, " +
+      "and the inter-point slope stays under 1.3 (vs the uncapped " +
+      "twin's 1.69 on the same corpus family) - the cap bounds the " +
+      "ASYMPTOTE, which the uncapped twin lacks entirely"),
     "q_dedup_editdist_collapsed" -> (2.0, "a pair-VERIFIER: its input " +
       "and output are the candidate pairs themselves, and on any " +
       "corpus where copies are near-dups rather than byte-identical " +

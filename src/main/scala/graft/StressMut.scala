@@ -286,6 +286,133 @@ object StressMut {
     Seq(jaccard, minhash, simhash, embR)
   }
 
+  /** SATURATED-REGIME measurement for the bounded edit-distance
+    * verifier (r14, verdict item 2): the r13 declaration argued the
+    * cap bounds the asymptote at n·cap but only measured the
+    * SUB-saturation regime (cap=8 barely binds when docs average ~5.6
+    * siblings). This measures the regime where the cap BINDS HARD —
+    * cap=2 on the mutated corpus, which gives every doc ~copies−1
+    * near-dup siblings — at two scales that are BOTH saturated
+    * (copies/2 and copies), so the measured slope is the asymptote,
+    * not the transition into it. Gated quantities:
+    *
+    *  - `exp_rows`: log(rows_hi/rows_lo)/log(2) over EXACT output
+    *    row counts — the verifier's output (and Levenshtein-call)
+    *    growth; ≤ [[satMaxExpRows]] certifies linear output at
+    *    saturation. Deterministic, the primary gate.
+    *  - `exp_sec`: the same slope over median-of-3 warm seconds of
+    *    the bounded verify stage alone (candidates pre-materialized —
+    *    the candidate stage's own quadratic growth is declared
+    *    separately and is not what the cap claims to bound);
+    *    ≤ [[satMaxExpSec]], looser because a factor-2 scale step
+    *    carries timing noise the row gate doesn't.
+    *
+    * Saturation is asserted, not assumed: both points must report
+    * mean kept-pairs-per-emitting-doc ≥ 0.9·cap (`sat_lo`/`sat_hi`),
+    * otherwise the measurement would be grading the transition. */
+  final case class Saturation(cap: Int, copiesLo: Int, copiesHi: Int,
+                              rowsLo: Long, rowsHi: Long,
+                              docsLo: Long, docsHi: Long,
+                              corpusLo: Long, corpusHi: Long,
+                              uncappedRowsHi: Long,
+                              secLo: Double, secHi: Double) {
+    def expRows: Double =
+      math.log(rowsHi.toDouble / rowsLo) / math.log(copiesHi.toDouble / copiesLo)
+    def expSec: Double =
+      math.log(math.max(secHi, 0.01) / math.max(secLo, Stress.gateBaseFloorSec)) /
+        math.log(copiesHi.toDouble / copiesLo)
+    /** Mean kept pairs per EMITTING doc over the cap — how hard the
+      * cap binds (1.0 = every emitting doc at the cap). */
+    def satLo: Double = rowsLo.toDouble / math.max(docsLo, 1L) / cap
+    def satHi: Double = rowsHi.toDouble / math.max(docsHi, 1L) / cap
+    def saturated: Boolean = satLo >= satFloor && satHi >= satFloor
+    /** The HARD bound the operator claims: output (= Levenshtein
+      * calls) can never exceed corpus-docs × cap, at any scale. */
+    def boundHolds: Boolean =
+      rowsLo <= corpusLo * cap && rowsHi <= corpusHi * cap
+    def pass: Boolean = saturated && boundHolds &&
+      expRows <= satMaxExpRows && expSec <= satMaxExpSec
+  }
+
+  val satCap = 2
+
+  /** Gate constants, calibrated on the r14 measurement (sfmut12):
+    *  - satFloor 0.85: measured occupancy 0.894 @ 6× / 0.949 @ 12× —
+    *    the cap binds hard at both points (vs cap=8, which the 12×
+    *    corpus's ~5.6 siblings/doc never saturated).
+    *  - satMaxExpRows/Sec 1.3: the n·cap CEILING grows with slope
+    *    exactly 1.0; the measured inter-point slope can exceed it
+    *    only through occupancy still rising toward the ceiling
+    *    (0.894 → 0.949 explains the r14 rows slope 1.238), and the
+    *    bound `rows ≤ corpus·cap` is asserted EXACTLY at both points
+    *    so the excess can never be real growth. 1.3 sits well under
+    *    the UNCAPPED verifier's measured 1.69 final-decade slope on
+    *    this same corpus family (r12) — the gate separates "bounded,
+    *    approaching its ceiling" from "unbounded pair growth". */
+  val satFloor = 0.85
+  val satMaxExpRows = 1.3
+  val satMaxExpSec = 1.3
+
+  def saturation(spark: SparkSession, dir: String, copies: Int): Saturation = {
+    val docs = graft.queries.QueryDef.table(spark, dir, "documents")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val off = idOffset(maxId, copies)
+    val lo = math.max(copies / 2, 1)
+    // (rows, emitting docs, corpus docs, uncapped rows, median sec)
+    def measure(nCopies: Int): (Long, Long, Long, Long, Double) = {
+      // BOTH inputs of the timed stage are pre-materialized persisted
+      // frames: the candidate stage's own (declared-quadratic) cost
+      // and the constant full-file text scan would otherwise mask the
+      // verify stage's scaling in the seconds (r14 first cut measured
+      // a flat 25 s dominated by re-decoding the same parquet at both
+      // points)
+      val sub = docs.filter(col("doc_id") < nCopies * off)
+        .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusDocs = sub.count()
+      val pipe = new graft.operators.DedupPipeline(sub, "doc_id", "text", n = 3)
+      val cand = Dedup.jaccardFromCandidates(pipe.candidatePairs(), 2000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uncapped = cand.count()
+      def stage() = Dedup.boundedEditDistancePairs(
+        cand, sub, "doc_id", "text", maxPairsPerDoc = satCap)
+      stage().count() // untimed warmup: the LO point otherwise absorbs
+      // the session's first-job codegen/scheduler warmup and the sec
+      // slope reads spuriously negative (r14 first cut: -0.73)
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = stage().count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val emittingDocs = stage().select("id_a").distinct().count()
+      cand.unpersist(); pipe.unpersist(); sub.unpersist()
+      (samples.head._1, emittingDocs, corpusDocs, uncapped,
+        samples.map(_._2).sorted.apply(1))
+    }
+    val (rLo, dLo, cLo, _, tLo) = measure(lo)
+    val (rHi, dHi, cHi, uHi, tHi) = measure(copies)
+    Saturation(satCap, lo, copies, rLo, rHi, dLo, dHi, cLo, cHi, uHi, tLo, tHi)
+  }
+
+  def saturationJson(s: Saturation): String = {
+    def fmt(d: Double): String =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    "{\"query\":\"q_dedup_editdist_bounded\",\"cap\":" + s.cap +
+      ",\"copies_lo\":" + s.copiesLo + ",\"copies_hi\":" + s.copiesHi +
+      ",\"rows_lo\":" + s.rowsLo + ",\"rows_hi\":" + s.rowsHi +
+      ",\"docs_lo\":" + s.docsLo + ",\"docs_hi\":" + s.docsHi +
+      ",\"corpus_lo\":" + s.corpusLo + ",\"corpus_hi\":" + s.corpusHi +
+      ",\"uncapped_rows_hi\":" + s.uncappedRowsHi +
+      ",\"sec_lo\":" + fmt(s.secLo) + ",\"sec_hi\":" + fmt(s.secHi) +
+      ",\"sat_lo\":" + fmt(s.satLo) + ",\"sat_hi\":" + fmt(s.satHi) +
+      ",\"sat_floor\":" + fmt(satFloor) +
+      ",\"bound_holds\":" + s.boundHolds +
+      ",\"exp_rows\":" + fmt(s.expRows) + ",\"exp_sec\":" + fmt(s.expSec) +
+      ",\"max_exp_rows\":" + fmt(satMaxExpRows) +
+      ",\"max_exp_sec\":" + fmt(satMaxExpSec) +
+      ",\"pass\":" + s.pass + "}"
+  }
+
   def recallJson(rows: Seq[Recall]): String =
     rows.map { r =>
       Stress.jstr(r.family) + ":{\"config\":" + Stress.jstr(r.config) +
@@ -298,6 +425,7 @@ object StressMut {
     val dir = args.headOption.getOrElse("target/sfmut")
     val out = args.drop(1).headOption.getOrElse("target/stress_mut.json")
     val recallOnly = args.contains("--recall-only")
+    val saturationOnly = args.contains("--saturation-only")
     require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
       s"mutated dir $dir missing - generate it: " +
         "python3 tools/mutup.py /root/testdata/sf0.1 target/sfmut 30")
@@ -310,6 +438,13 @@ object StressMut {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (saturationOnly) {
+      val sat = saturation(spark, dir, copies)
+      System.err.println(s"[mut-saturation] ${saturationJson(sat)}")
+      spark.stop()
+      return
+    }
 
     val t0 = System.nanoTime()
     // >1000 truth pairs required at artifact grade (StressSpec's floor,
@@ -326,6 +461,15 @@ object StressMut {
       return
     }
 
+    // saturated-regime certificate for the bounded verifier (r14):
+    // cap=2 binds hard on this corpus; both points saturated
+    require(copies >= 2, s"saturation measurement needs copies >= 2, got $copies")
+    val sat = saturation(spark, dir, copies)
+    System.err.println(s"[mut-saturation] cap=${sat.cap} " +
+      s"rows ${sat.rowsLo}@${sat.copiesLo}x -> ${sat.rowsHi}@${sat.copiesHi}x " +
+      f"(exp_rows ${sat.expRows}%.3f, exp_sec ${sat.expSec}%.3f, " +
+      f"sat ${sat.satLo}%.2f/${sat.satHi}%.2f, ${if (sat.pass) "pass" else "FAIL"})")
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val w0 = System.nanoTime()
     names.foreach { n =>
@@ -337,6 +481,7 @@ object StressMut {
     val medians = Stress.readWarmMedians("target/bench.json")
     val sf001 = Stress.readBenchField("target/bench.json", "pass2")
     val extra = ",\"recall\":" + recallJson(recalls) +
+      ",\"saturation\":" + saturationJson(sat) +
       ",\"mutation\":{\"tool\":\"tools/mutup.py\",\"p_swap\":0.05," +
       "\"p_typo\":0.03,\"p_drop\":0.02,\"p_trunc\":0.20," +
       "\"embedding_jitter\":0.02,\"truth_jaccard_bp\":" + truthJaccardBp +

@@ -24,12 +24,20 @@ import graft.functions.TextFns
   * p.unpersist()
   * }}}
   */
-final class DedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int = 3) {
+final class DedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                          pin: Boolean = true) {
 
-  /** (id, sh) arrays, computed and cached once — the shared prep. */
-  val shingled: DataFrame = df.select(col(idCol).as("id"),
-      TextFns.wordShingles(col(textCol), n).as("sh"))
-    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def maybePin(d: DataFrame): DataFrame =
+    if (pin) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
+
+  /** (id, sh) arrays, computed and cached once — the shared prep.
+    * `pin = false` builds the identical plan WITHOUT registering it in
+    * the cache manager — the side-effect-free twin
+    * [[graft.queries.CachePlans]] fingerprints (a persist mark would
+    * both pin memory and make every same-plan frame in the session
+    * read through the cache). */
+  val shingled: DataFrame = maybePin(df.select(col(idCol).as("id"),
+    TextFns.wordShingles(col(textCol), n).as("sh")))
 
   def jaccardPairs(minJaccardBp: Long = 1000L,
                    maxShinglePostings: Long = 10000L): DataFrame =
@@ -100,28 +108,32 @@ final class DedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int 
   * Output semantics are the one-shot operators' — identical, pair for
   * pair (they delegate here). */
 final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String,
-                                   n: Int = 3) {
+                                   n: Int = 3, pin: Boolean = true) {
   import org.apache.spark.sql.Column
   import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-  private val cls = Dedup.collapseExact(df, idCol, textCol)
+  /** `pin = false`: identical plans, no cache-manager registration —
+    * the fingerprintable build twin (see [[DedupPipeline]]). */
+  private def maybePin(d: DataFrame): DataFrame =
+    if (pin) d.persist(MEMORY_AND_DISK) else d
+
+  private val cls = Dedup.collapseExact(df, idCol, textCol, pin)
 
   /** member id → class representative, persisted: every pair expansion
     * reads it twice (id_a side + id_b side) per derived operator. */
-  val byRep: DataFrame = cls.byRep.persist(MEMORY_AND_DISK)
+  val byRep: DataFrame = maybePin(cls.byRep)
 
   /** (rid, __text) over DISTINCT texts, persisted lazily — the
     * collapse itself (corpus md5 + class-min join) must run once per
     * pipeline, not once per derived operator run (simhash fingerprints
     * and the span-coverage sweep both read it). */
-  lazy val repDocs: DataFrame = cls.repDocs.persist(MEMORY_AND_DISK)
+  lazy val repDocs: DataFrame = maybePin(cls.repDocs)
 
   /** (id = rid, sh) over DISTINCT texts, computed and cached once —
     * shared by the jaccard and minhash derivations. Lazy: a
     * simhash-only pipeline never shingles. */
-  lazy val repShingled: DataFrame = repDocs
-    .select(col("rid").as("id"), TextFns.wordShingles(col("__text"), n).as("sh"))
-    .persist(MEMORY_AND_DISK)
+  lazy val repShingled: DataFrame = maybePin(repDocs
+    .select(col("rid").as("id"), TextFns.wordShingles(col("__text"), n).as("sh")))
 
   /** [[Dedup.collapsedJaccardPairs]] from the shared prep. */
   def jaccardPairs(minJaccardBp: Long = 1000L,
@@ -151,10 +163,9 @@ final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String
   def simhashPairs(maxHamming: Int = 3, maxBucketSize: Long = 1000L,
                    numBlocks: Int = 4, blockLoBit: Int = 0,
                    wordHashes: Column => Column = TextFns.wordHashes): DataFrame = {
-    val repSims = repDocs
+    val repSims = maybePin(repDocs
       .withColumn("__h", wordHashes(col("__text")))
-      .select(col("rid").as("id"), graft.functions.SimHash64(col("__h")).as("sim"))
-      .persist(MEMORY_AND_DISK)
+      .select(col("rid").as("id"), graft.functions.SimHash64(col("__h")).as("sim")))
     val (rpairs, _) = Dedup.simhashFromSims(repSims, maxHamming, maxBucketSize,
       numBlocks, blockLoBit)
     val cross = Dedup.expandCross(rpairs, byRep)((ma, mb) => Seq(

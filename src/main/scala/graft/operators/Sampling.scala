@@ -498,4 +498,61 @@ object Sampling {
         sum(col(tokenCol)).cast("long").as("tokens"),
         min("pos").cast("long").as("first_pos"),
         max("pos").cast("long").as("last_pos"))
+
+  /** TWO-MARGIN mixture calibration by iterative proportional fitting
+    * (Deming–Stephan 1940 raking, the survey-statistics workhorse,
+    * applied to training-data mixing): given per-(rowKey, colKey)
+    * token counts, find per-cell sampling quotas whose ROW marginals
+    * match a uniform target (equalize the sources) while the COLUMN
+    * marginals stay at their observed shares (keep the language mix)
+    * — the 2-D generalization of the 1-D recipes ([[mixSample]],
+    * temperature sampling), which cannot satisfy two marginals at
+    * once. `iterations` alternating row/column scalings; each scaling
+    * is exact integer arithmetic (w·target DIV marginal, all
+    * non-negative bigints), so the fixed-point prefix is bit-exact in
+    * any engine — the oracle unrolls the same iterations as CTEs.
+    *
+    * Output: (rowKey, colKey, tokens, raked_tokens, weight_bp) —
+    * weight_bp = raked·10000 DIV tokens is the per-cell sampling rate
+    * a downstream [[weightedSample]]/[[mixSample]] pass applies.
+    *
+    * Plan at 100 TB: ONE map-side-combined aggregation of the corpus
+    * to |rows × cols| cells (tens to thousands of rows); every
+    * iteration is a groupBy + broadcast join ON THE CELLS — driver-free
+    * and independent of corpus size. int64 headroom: w·target ≤
+    * (total tokens)², so keep total under ~3·10⁹ tokens per calibration
+    * scope (per-snapshot/per-shard at 100 TB) or widen to DECIMAL. */
+  def rakeMixture(cells: DataFrame, rowCol: String, colCol: String,
+                  valueCol: String, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val base = cells
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(sum(col(valueCol)).cast("long").as("tokens"))
+      .filter(col("tokens") > 0)
+    // row target: uniform — total DIV |rows| (the floor remainder is
+    // < |rows| tokens and raking is approximate under integer floors
+    // anyway); column target: the observed column totals
+    val totals = base.agg(sum("tokens").cast("long").as("__t"),
+      countDistinct("__r").cast("long").as("__nr"))
+    val rowTarget = base.select("__r").distinct()
+      .crossJoin(broadcast(totals))
+      .select(col("__r"), expr("__t DIV __nr").as("__rt"))
+    val colTarget = base.groupBy("__c")
+      .agg(sum("tokens").cast("long").as("__ct"))
+    val out = (1 to iterations).foldLeft(
+      base.withColumn("w", col("tokens"))) { (acc, _) =>
+      val rowSums = acc.groupBy("__r").agg(sum("w").cast("long").as("__rs"))
+      val rowScaled = acc
+        .join(broadcast(rowSums), "__r").join(broadcast(rowTarget), "__r")
+        .withColumn("w", expr("w * __rt DIV greatest(__rs, 1L)")).drop("__rs", "__rt")
+      val colSums = rowScaled.groupBy("__c").agg(sum("w").cast("long").as("__cs"))
+      rowScaled
+        .join(broadcast(colSums), "__c").join(broadcast(colTarget), "__c")
+        .withColumn("w", expr("w * __ct DIV greatest(__cs, 1L)")).drop("__cs", "__ct")
+    }
+    out.select(col("__r").as(rowCol), col("__c").as(colCol), col("tokens"),
+      col("w").as("raked_tokens"),
+      expr("w * 10000 DIV tokens").cast("long").as("weight_bp"))
+  }
 }

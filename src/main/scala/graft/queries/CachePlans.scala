@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Build-plan fingerprints for the session-shared PERSISTED pipeline
+  * frames — closing the r13 advice hole in the plan gate.
+  *
+  * [[graft.PlanFingerprint]] deliberately excludes cached subtrees
+  * (children-only traversal), which makes per-query fingerprints
+  * run-order-deterministic — but it also means NO query's fingerprint
+  * covers a shared cache's own build plan: after `persist()`, even the
+  * cache's first consumer reads it through `InMemoryTableScanExec`, so
+  * a plan regression INSIDE a shared cached pipeline (a new shuffle in
+  * the pair-frame build, a lost pushdown in the shingling scan) was
+  * invisible to the gate entirely. This object fingerprints the cache
+  * BUILDS directly: side-effect-free twins of the heavy shared frames
+  * (`pin = false` pipelines — identical plans, no cache-manager
+  * registration), stamped into `target/bench.json`'s `plans` map under
+  * `cache:`-prefixed names, so `tools/plancheck.py` / `PlanGateSpec`
+  * diff them across rounds exactly like query fingerprints.
+  *
+  * CAPTURE STATE: call BEFORE any session cache materializes (Bench
+  * stamps these before its warmup pass). Spark's CacheManager
+  * substitutes cached plans into ANY matching subtree session-wide, so
+  * once the real (pinned) twins exist, these builds would read through
+  * the cache and fingerprint the substituted plan instead of the
+  * build. In a fresh session the capture is deterministic — the
+  * baseline is reproducible by construction.
+  *
+  * Covered builds — the PipelineShared frames whose cost dominates the
+  * dedup board (the advice's named example):
+  *  - `cache:dedup_shingled` — the corpus shingling every direct-path
+  *    operator reads ([[graft.operators.DedupPipeline]] prep).
+  *  - `cache:candidate_pairs` — the postings self-join candidate frame
+  *    (shingling inclusive), `PipelineShared.sharedCandidatePairs`'s
+  *    pre-persist plan.
+  *  - `cache:collapsed_jaccard_pairs` — the full collapse + rep
+  *    shingling + pair expansion build,
+  *    `PipelineShared.sharedCollapsedJaccardPairs`'s pre-persist plan.
+  *
+  * Deeper-nested internal persists (e.g. the postings cache inside
+  * standalone operators) remain ungated — the three builds above span
+  * every stage the shared dedup pipeline caches. */
+object CachePlans {
+
+  /** The named build twins, constructed WITHOUT persist marks.
+    * Exposed (not just fingerprints) so the spec can assert the twins
+    * really are side-effect-free (`storageLevel == NONE`). */
+  def builds(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val docs = QueryDef.table(s, dir, "documents")
+    val pipe = new graft.operators.DedupPipeline(docs, "doc_id", "text",
+      n = 3, pin = false)
+    val cpipe = new graft.operators.CollapsedDedupPipeline(docs, "doc_id", "text",
+      n = 3, pin = false)
+    Seq(
+      "cache:dedup_shingled" -> docs.select(col("doc_id").as("id"),
+        TextFns.wordShingles(col("text"), 3).as("sh")),
+      "cache:candidate_pairs" -> pipe.candidatePairs(),
+      "cache:collapsed_jaccard_pairs" -> cpipe.jaccardPairs(minJaccardBp = 100L))
+  }
+
+  /** (name, (exchanges, scans)) of each build's static physical plan —
+    * the rows Bench merges into its `plans` map. Errors degrade to the
+    * (-1, -1) sentinel plancheck drops, never abort the bench. */
+  def fingerprints(s: SparkSession, dir: String): Seq[(String, (Int, Int))] =
+    builds(s, dir).map { case (name, df) =>
+      name -> (try graft.PlanFingerprint.of(df)
+      catch { case _: Throwable => (-1, -1) })
+    }
+}

@@ -940,7 +940,9 @@ object EventQueries {
   private val attributionFeedCache =
     new PipelineShared.SessionCache[Seq[(Seq[(String, String, String)], Seq[(String, String)])]]
 
-  private def attributionFeed(s: org.apache.spark.sql.SparkSession, dir: String,
+  // private[queries]: q_stream_srm (ExperimentQueries) rides the same
+  // bounded slice + sentinel-flush feed - one parse, three queries
+  private[queries] def attributionFeed(s: org.apache.spark.sql.SparkSession, dir: String,
                               flush: Boolean)
       : Seq[(Seq[(String, String, String)], Seq[(String, String)])] = {
     // the slice rows are deterministic per (session, dir), and the prep
@@ -1013,7 +1015,7 @@ object EventQueries {
       org.apache.spark.sql.Encoders.STRING)
 
   /** The bounded-slice CTEs both attribution oracles share. */
-  private val attributionOracleBase = """
+  private[queries] val attributionOracleBase = """
       WITH u AS (SELECT user_id FROM (SELECT DISTINCT user_id FROM events
                                       WHERE user_id IS NOT NULL)
                  ORDER BY user_id LIMIT 30),

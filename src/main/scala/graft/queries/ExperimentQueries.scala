@@ -1040,6 +1040,66 @@ object ExperimentQueries {
       ORDER BY l.arm, n"""
     })
 
+  // 311 (r14). STREAMING sample-ratio-mismatch gate
+  // (`StreamMonitor.srmGateStream` - the live twin of q_ab_srm's batch
+  // check): the bounded attribution slice (EventQueries.attributionFeed
+  // - one parse, three streaming queries) arrives as two micro-batch
+  // unit streams (touches + conversions merged to (key, ts) rows, md5
+  // 50/50 arms assigned in-stream via portableSplit), and ONE
+  // watermarked hour-window aggregation emits per-window per-arm
+  // observed counts + the exact binomial z against the declared share
+  // once the watermark passes the window end (the sentinel flush batch
+  // closes the last real windows; its own window never emits). State =
+  // |open windows| regardless of traffic - the broken-randomizer alarm
+  // that should fire DURING the experiment, not in the readout. DuckDB
+  // replays the slice, the md5 arms, the hour windows and the z.
+  val qStreamSrm = QueryDef("q_stream_srm",
+    (s, dir) => {
+      val b3 = EventQueries.attributionFeed(s, dir, flush = true)
+      // two round trips (the q_stream_attribution_credit discipline):
+      // one real batch boundary + the sentinel flush
+      val merged = Seq(
+        (b3(0)._1 ++ b3(1)._1, b3(0)._2 ++ b3(1)._2), b3(2))
+      val feed: Seq[Seq[(String, String)]] =
+        merged.map { case (t, c) => t.map(r => (r._1, r._2)) ++ c }
+      implicit val enc: org.apache.spark.sql.Encoder[(String, String)] =
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING)
+      StreamBoard.run[(String, String)](s, "graft_srm", feed,
+        df => graft.streaming.StreamMonitor.srmGateStream(
+          graft.operators.Sampling.portableSplit(df, "key",
+            Seq("a" -> 0.5, "b" -> 0.5)),
+          "split", "ts", Seq("a" -> 5000L, "b" -> 5000L),
+          windowDuration = "1 hour"),
+        df => df.toDF("key", "__ts")
+          .withColumn("ts", to_timestamp(col("__ts"))).drop("__ts"))
+        .orderBy("win_start_s", "arm")
+    },
+    Some(EventQueries.attributionOracleBase + """,
+      uu AS (SELECT key, touch_ts AS ts FROM t
+             UNION ALL SELECT key, conv_ts FROM c),
+      aa AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+                    CASE WHEN ('0x' || substr(md5(key || ':42'), 1, 8))::BIGINT % 10000 < 5000
+                         THEN 'a' ELSE 'b' END AS arm
+             FROM uu),
+      nn AS (SELECT win_start_s, count(*) AS n FROM aa GROUP BY 1),
+      oo AS (SELECT win_start_s, arm, count(*) AS observed FROM aa GROUP BY 1, 2),
+      dd AS (SELECT 'a' AS arm, 5000 AS bp UNION ALL SELECT 'b', 5000),
+      jj AS (SELECT nn.win_start_s, dd.arm, coalesce(oo.observed, 0) AS observed,
+                    dd.bp, nn.n
+             FROM nn CROSS JOIN dd
+             LEFT JOIN oo ON oo.win_start_s = nn.win_start_s AND oo.arm = dd.arm),
+      ff AS (SELECT *, CAST(bp AS DOUBLE) / 10000.0 AS p FROM jj)
+      SELECT win_start_s, arm, CAST(observed AS BIGINT) AS observed,
+             CAST(bp AS BIGINT) AS declared_bp,
+             round(n * p, 2) AS expected_r2,
+             round(CASE WHEN n > 0
+                        THEN (observed - n * p) / sqrt(n * p * (1 - p)) END, 4) AS z_r4,
+             coalesce(abs((observed - n * p) / sqrt(n * p * (1 - p))) > 3.0,
+                      false) AS srm
+      FROM ff ORDER BY win_start_s, arm"""))
+
   // 307. Delete-one-day jackknife SE for the conversion-rate
   // difference: day replicates of the exact integer totals, se^2 =
   // (D-1)/D * (sum th^2 - D*mean^2) folded in one aggregation; the
@@ -1100,6 +1160,7 @@ object ExperimentQueries {
   val all: Seq[QueryDef] = Seq(
     qAbJackknife,
     qStreamSprt,
+    qStreamSrm,
     qAbObrien,
     qAnova,
     qMcnemar,

@@ -132,6 +132,67 @@ object SamplingQueries {
       FROM p CROSS JOIN z ORDER BY key"""))
 
 
+  // 310 (r14). TWO-MARGIN mixture calibration by iterative
+  // proportional fitting (Deming–Stephan raking): per-(source, lang)
+  // token cells scaled through 3 alternating row/column fittings so
+  // source marginals approach uniform while lang marginals stay at
+  // their observed shares — the 2-D recipe builder the 1-D mixes
+  // (q_mix_sample / q_mix_temperature) cannot express. Every scaling
+  // is exact integer arithmetic (w·target DIV marginal), so the
+  // oracle replays the identical 3 iterations as unrolled CTEs —
+  // bit-exact, no convergence tolerance anywhere. Scale shape: one
+  // corpus aggregation to |sources × langs| cells; the iterations run
+  // on the cells (broadcast joins), independent of corpus size.
+  val qMixRake = QueryDef("q_mix_rake",
+    (s, dir) => {
+      val cells = table(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextFns.wsTokenCount(col("text")).cast(LongType).as("tok"))
+      graft.operators.Sampling.rakeMixture(cells, "source", "lang", "tok",
+          iterations = 3)
+        .orderBy("source", "lang")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT source, lang,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1, 2
+        HAVING sum(length(text) - length(replace(text, ' ', '')) + 1) > 0),
+      tt AS (SELECT sum(tokens) AS t, count(DISTINCT source) AS nr FROM cells),
+      rt AS (SELECT source, (SELECT t // nr FROM tt) AS rtarget
+             FROM (SELECT DISTINCT source FROM cells)),
+      ct AS (SELECT lang, sum(tokens) AS ctarget FROM cells GROUP BY 1),
+      r1 AS (SELECT c.source, c.lang, c.tokens,
+                    c.tokens * rt.rtarget // greatest(s.s, 1) AS w
+             FROM cells c JOIN rt USING (source)
+             JOIN (SELECT source, sum(tokens) AS s FROM cells GROUP BY 1) s USING (source)),
+      c1 AS (SELECT r.source, r.lang, r.tokens,
+                    r.w * ct.ctarget // greatest(s.s, 1) AS w
+             FROM r1 r JOIN ct USING (lang)
+             JOIN (SELECT lang, sum(w) AS s FROM r1 GROUP BY 1) s USING (lang)),
+      r2 AS (SELECT c.source, c.lang, c.tokens,
+                    c.w * rt.rtarget // greatest(s.s, 1) AS w
+             FROM c1 c JOIN rt USING (source)
+             JOIN (SELECT source, sum(w) AS s FROM c1 GROUP BY 1) s USING (source)),
+      c2 AS (SELECT r.source, r.lang, r.tokens,
+                    r.w * ct.ctarget // greatest(s.s, 1) AS w
+             FROM r2 r JOIN ct USING (lang)
+             JOIN (SELECT lang, sum(w) AS s FROM r2 GROUP BY 1) s USING (lang)),
+      r3 AS (SELECT c.source, c.lang, c.tokens,
+                    c.w * rt.rtarget // greatest(s.s, 1) AS w
+             FROM c2 c JOIN rt USING (source)
+             JOIN (SELECT source, sum(w) AS s FROM c2 GROUP BY 1) s USING (source)),
+      c3 AS (SELECT r.source, r.lang, r.tokens,
+                    r.w * ct.ctarget // greatest(s.s, 1) AS w
+             FROM r3 r JOIN ct USING (lang)
+             JOIN (SELECT lang, sum(w) AS s FROM r3 GROUP BY 1) s USING (lang))
+      SELECT source, lang, tokens, CAST(w AS BIGINT) AS raked_tokens,
+             CAST(w * 10000 // tokens AS BIGINT) AS weight_bp
+      FROM c3 ORDER BY source, lang"""))
+
+
   // 65. dedup-aware (group-consistent) splits: every member of a
   // near-dup cluster (same bp>=2000 pair list as q_dedup_groups) lands
   // in the same split — the leakage-prevention step a per-doc split
@@ -424,5 +485,6 @@ object SamplingQueries {
     qInterleave,
     qInspectionSample,
     qNeymanAlloc,
+    qMixRake,
   )
 }

@@ -447,6 +447,75 @@ object StreamMonitor {
       .select(col("key"), col("channel"),
         col("window.start").cast("long").as("win_start_s"), col("touch_pairs"))
 
+  /** STREAMING sample-ratio-mismatch gate — the live twin of
+    * [[graft.operators.Experiment.srmCheck]] (row 246): a broken
+    * randomizer should page you DURING the experiment, not in the
+    * readout. Per event-time window, each declared arm's observed
+    * count is tested against its declared share with the same exact
+    * binomial z as the batch gate — z = (o − n·p)/√(n·p·(1−p)) over
+    * the window's own n — plus an `undeclared` count (assignments
+    * outside the declared alphabet trip the gate unconditionally).
+    *
+    * Shape: ONE watermarked time-window aggregation whose per-arm
+    * counts are conditional sums over the DECLARED literal alphabet
+    * (the fused-scan discipline — no second stateful operator, no
+    * per-arm shuffle), then a stateless per-window explode back to
+    * per-arm rows with the z arithmetic. Append mode: a window's
+    * verdict emits once the watermark passes its end — state is
+    * bounded by |open windows|, independent of traffic. On batch
+    * frames the identical expression runs without the watermark
+    * (backfill parity, spec-asserted).
+    *
+    * Output: (win_start_s, arm, observed, declared_bp, expected_r2,
+    * z_r4, srm) — the batch gate's row shape plus the window. */
+  def srmGateStream(units: DataFrame, armCol: String, tsCol: String,
+                    declared: Seq[(String, Long)],
+                    windowDuration: String = "1 hour",
+                    watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(declared.nonEmpty && declared.map(_._2).sum == 10000L,
+      s"declared shares must sum to 10000 bp, got ${declared.map(_._2).sum}")
+    require(declared.map(_._1).distinct.size == declared.size,
+      "declared arm labels must be unique")
+    val base0 = units.filter(col(armCol).isNotNull && col(tsCol).isNotNull)
+    val base = if (units.isStreaming) base0.withWatermark(tsCol, watermarkDelay)
+    else base0
+    val armSet = declared.map(_._1)
+    val aggs: Seq[Column] =
+      count(lit(1)).cast("long").as("__n") +:
+        sum(when(!col(armCol).isin(armSet.map(lit(_)): _*), 1L).otherwise(0L))
+          .cast("long").as("__undeclared") +:
+        declared.zipWithIndex.map { case ((a, _), i) =>
+          sum(when(col(armCol) === a, 1L).otherwise(0L))
+            .cast("long").as(s"__o$i")
+        }
+    val counts = base
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+    val perArm = counts.select(
+      col("window.start").cast("long").as("win_start_s"),
+      col("__n"), col("__undeclared"),
+      explode(array(declared.zipWithIndex.map { case ((a, bp), i) =>
+        struct(lit(a).as("arm"), col(s"__o$i").as("observed"),
+          lit(bp).as("declared_bp"))
+      }: _*)).as("__a"))
+      .select(col("win_start_s"), col("__a.arm"), col("__a.observed"),
+        col("__a.declared_bp"), col("__n"), col("__undeclared"))
+    perArm
+      .withColumn("__p", col("declared_bp").cast("double") / 10000.0)
+      .withColumn("__z",
+        when(col("declared_bp") > 0 && col("declared_bp") < 10000 && col("__n") > 0,
+          (col("observed") - col("__n") * col("__p")) /
+            sqrt(col("__n") * col("__p") * (lit(1.0) - col("__p")))))
+      .select(col("win_start_s"), col("arm"), col("observed"),
+        col("declared_bp"),
+        round(col("__n") * col("__p"), 2).as("expected_r2"),
+        round(col("__z"), 4).as("z_r4"),
+        (coalesce(abs(col("__z")) > 3.0, lit(false)) ||
+          col("__undeclared") > 0 ||
+          (col("declared_bp") === 10000L && col("observed") < col("__n")))
+          .as("srm"))
+  }
+
   final case class SprtState(n: Long, a: Long, decision: String,
                              crossDay: Option[java.sql.Date])
   final case class SprtUpdate(arm: String, n: Long, conversions: Long,

@@ -59,4 +59,30 @@ class PlanFingerprintSpec extends SparkSpec {
       assert(fresh(n) != ((-1, -1)), s"$n fingerprint errored")
     }
   }
+
+  test("cache build twins are side-effect-free and fingerprint deterministically") {
+    // r14 (closing the r13 advice hole): the per-query fingerprints
+    // exclude cached subtrees, so the shared caches' BUILD plans get
+    // their own gate rows (graft.queries.CachePlans, stamped by Bench
+    // pre-warmup). Two properties the gate depends on:
+    //  (a) constructing the twins registers NOTHING in the cache
+    //      manager (pin=false) — a persist mark would both pin memory
+    //      and cache-substitute every same-plan frame in the session;
+    //  (b) repeated construction fingerprints identically in a fixed
+    //      cache state (the capture is a pure function of the code).
+    // The exact VALUES are state-dependent by design (Bench captures
+    // pre-warmup; this suite's session may hold caches), so the spec
+    // asserts purity and determinism, not specific counts.
+    val a = graft.queries.CachePlans.builds(spark, dir)
+    a.foreach { case (name, df) =>
+      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        s"$name build twin is persist-marked - the twin must be side-effect-free")
+    }
+    val f1 = graft.queries.CachePlans.fingerprints(spark, dir).toMap
+    val f2 = graft.queries.CachePlans.fingerprints(spark, dir).toMap
+    assert(f1 == f2, s"cache build fingerprints drifted across construction: $f1 vs $f2")
+    assert(f1.keySet == Set("cache:dedup_shingled", "cache:candidate_pairs",
+      "cache:collapsed_jaccard_pairs"))
+    assert(f1.values.forall(_ != ((-1, -1))), s"cache build fingerprint errored: $f1")
+  }
 }

@@ -369,6 +369,49 @@ class SessionizeSpec extends SparkSpec {
       Sampling.neymanAllocation(df, "s", "y", totalN = -1L))
   }
 
+  test("rakeMixture: column marginals held, row marginals pulled toward uniform, exact integers") {
+    // s1 dominates (10k of 12.6k tokens); raking to uniform sources
+    // while keeping the observed en/de language split
+    val cells = Seq(
+      ("s1", "en", 8000L), ("s1", "de", 2000L),
+      ("s2", "en", 1000L), ("s2", "de", 1000L),
+      ("s3", "en", 500L), ("s3", "de", 100L),
+      (null.asInstanceOf[String], "en", 999L), // null keys excluded
+      ("s1", null.asInstanceOf[String], 999L)).toDF("src", "lang", "tok")
+    val out = Sampling.rakeMixture(cells, "src", "lang", "tok").collect()
+    assert(out.length == 6, "null-keyed cells must be excluded")
+    val raked = out.map(r => (r.getAs[String]("src"), r.getAs[String]("lang")) ->
+      r.getAs[Long]("raked_tokens")).toMap
+    val tokens = out.map(r => (r.getAs[String]("src"), r.getAs[String]("lang")) ->
+      r.getAs[Long]("tokens")).toMap
+    // the final step is a COLUMN fit: each column marginal matches its
+    // observed total up to one floor per cell
+    val colObs = tokens.groupBy(_._1._2).view.mapValues(_.values.sum)
+    val colRaked = raked.groupBy(_._1._2).view.mapValues(_.values.sum)
+    colObs.foreach { case (lang, obs) =>
+      assert(math.abs(colRaked(lang) - obs) <= 3,
+        s"$lang marginal ${colRaked(lang)} != observed $obs")
+    }
+    // row marginals move toward uniform (4200 each): max deviation
+    // must shrink vs the raw counts (10000/2000/600 -> near 4200)
+    val target = 12600L / 3
+    def maxDev(m: Map[String, Long]) = m.values.map(v => math.abs(v - target)).max
+    val rowObs = tokens.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val rowRaked = raked.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(maxDev(rowRaked) < maxDev(rowObs) / 10,
+      s"raking barely moved row marginals: $rowRaked")
+    // weight_bp is the exact integer ratio, and the whole run is
+    // deterministic
+    out.foreach { r =>
+      assert(r.getAs[Long]("weight_bp") ==
+        r.getAs[Long]("raked_tokens") * 10000L / r.getAs[Long]("tokens"))
+    }
+    val again = Sampling.rakeMixture(cells, "src", "lang", "tok").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("raked_tokens")).toMap
+    assert(again == raked)
+  }
+
   test("quota sampling caps each key deterministically") {
     val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val a = Sampling.quotaPerKey(df, "src", quota = 10, tieCol = "id")

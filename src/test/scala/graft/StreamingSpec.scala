@@ -677,6 +677,46 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set(("u1", "view", 0L, 6L)))
   }
 
+  test("streaming SRM gate: per-window binomial z in append mode; undeclared arm trips; batch parity") {
+    implicit val sc = spark.sqlContext
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(60000L * m)
+    val mem = MemoryStream[(String, Timestamp)]
+    val gated = StreamMonitor.srmGateStream(
+      mem.toDF().toDF("arm", "ts"), "arm", "ts",
+      Seq("a" -> 5000L, "b" -> 5000L), windowDuration = "10 minutes")
+    val q = gated.writeStream.format("memory").queryName("srm_stream")
+      .outputMode("append").start()
+    try {
+      // window 0: 3a + 1b (|z| = 1 each, no trip); window 1: 4a + 0b
+      // (|z| = 2, no trip) PLUS one undeclared arm "c" -> trips BOTH
+      // rows of window 1 unconditionally
+      mem.addData(("a", t(1)), ("a", t(3)), ("a", t(5)), ("b", t(7)),
+        ("a", t(11)), ("a", t(13)), ("a", t(15)), ("a", t(17)), ("c", t(19)))
+      q.processAllAvailable()
+      mem.addData(("a", t(100000))) // sentinel: flush both real windows
+      q.processAllAvailable()
+      val got = spark.table("srm_stream").collect()
+        .map(r => (r.getAs[Long]("win_start_s"), r.getAs[String]("arm"),
+          r.getAs[Long]("observed"), r.getAs[Boolean]("srm"))).toSet
+      assert(got == Set(
+        (0L, "a", 3L, false), (0L, "b", 1L, false),
+        (600L, "a", 4L, true), (600L, "b", 0L, true)),
+        s"got $got")
+    } finally q.stop()
+    // batch parity: identical expression, no watermark, plus the
+    // z values themselves (window 0: p=.5, n=4, z = +/-1)
+    val batch = StreamMonitor.srmGateStream(
+      Seq(("a", t(1)), ("a", t(3)), ("a", t(5)), ("b", t(7)))
+        .toDF("arm", "ts"), "arm", "ts",
+      Seq("a" -> 5000L, "b" -> 5000L), windowDuration = "10 minutes")
+      .collect().map(r => (r.getAs[String]("arm"),
+        r.getAs[Double]("expected_r2"),
+        r.getAs[Double]("z_r4"), r.getAs[Boolean]("srm"))).toSet
+    assert(batch == Set(("a", 2.0, 1.0, false), ("b", 2.0, -1.0, false)),
+      s"batch: $batch")
+  }
+
   test("maxTouchesPerKey caps the join's pair enumeration; a non-binding cap is the identity") {
     // r14 (verdict item 4): the credit rollup bounds SINK volume, this
     // knob bounds the interval join's transient CPU — at most `cap`

@@ -279,6 +279,23 @@ class StressSpec extends SparkSpec {
       assert(row.get("truth_pairs").asLong > 1000L,
         s"$family certified against a trivial truth set (${row.get("truth_pairs")})")
     }
+    // r14: the bounded edit-distance verifier's SATURATED-regime
+    // certificate — cap=2 binds hard on this corpus, and the measured
+    // slope between two saturated scale points must be the linear
+    // asymptote the declaration claims (rows exactly, seconds with
+    // noise headroom), with saturation itself asserted in the artifact
+    val sat = m.get("saturation")
+    assert(sat != null, "stress_mut.json carries no saturation section - " +
+      "regenerate with the r14 StressMut main")
+    assert(sat.get("cap").asInt == StressMut.satCap)
+    assert(sat.get("max_exp_rows").asDouble == StressMut.satMaxExpRows &&
+      sat.get("max_exp_sec").asDouble == StressMut.satMaxExpSec &&
+      sat.get("sat_floor").asDouble == StressMut.satFloor,
+      "saturation gate limits in artifact differ from the declared constants")
+    assert(sat.get("bound_holds").asBoolean,
+      s"rows <= corpus*cap bound violated: $sat")
+    assert(sat.get("pass").asBoolean,
+      s"bounded-verifier saturation certificate failed: $sat")
   }
 
   test("SKEW PARITY: the shipped target/stress_skew.json certifies the live registry") {

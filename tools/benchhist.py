@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Stamp a bench_history entry from a bench artifact.
+
+The r13 verdict's What's-wrong #2: bench_history/r13.json was stamped
+from a BUILDER session whose warm_total disagreed with the driver's
+BENCH_r13.json by 25% — session-level environment drift in the very
+file that exists to make round-over-round per-query diffs trustworthy.
+Convention since r14: every history entry carries a `session` field
+("driver" or "builder"), and at ROUND START the previous round's
+DRIVER bench (the target/bench.json the driver leaves behind, whose
+warm_total matches BENCH_r{N-1}.json) is preserved as
+r{N-1}_driver.json BEFORE the builder regenerates target/. Per-query
+conclusions should prefer same-session diffs (driver vs driver).
+
+Usage:
+  python3 tools/benchhist.py <round> <session> [benchPath] [outPath]
+  e.g. python3 tools/benchhist.py 13 driver target/bench.json \
+         bench_history/r13_driver.json
+"""
+import json, sys
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    rnd, session = int(sys.argv[1]), sys.argv[2]
+    bench_path = sys.argv[3] if len(sys.argv) > 3 else "target/bench.json"
+    out_path = (sys.argv[4] if len(sys.argv) > 4
+                else f"bench_history/r{rnd}_{session}.json"
+                if session != "builder" else f"bench_history/r{rnd}.json")
+    with open(bench_path) as f:
+        b = json.load(f)
+    out = {
+        "round": rnd,
+        "session": session,
+        "sf": b.get("sf"),
+        "sf_2": b.get("sf_2"),
+        "warm_total": b.get("warm_total"),
+        "warm_total_2": b.get("warm_total_2"),
+        "warm_median": b.get("queries", {}),
+        "warm_sf2": b.get("pass2", {}),
+        "plans": b.get("plans", {}),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=0, sort_keys=True)
+    print(f"[benchhist] r{rnd} ({session}) warm_total={out['warm_total']} "
+          f"({len(out['warm_median'])} queries) -> {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
