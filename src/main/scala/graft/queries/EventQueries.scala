@@ -1031,9 +1031,10 @@ object EventQueries {
       c AS (SELECT user_id AS key, ts AS conv_ts FROM ev
             WHERE event_type = 'purchase')"""
 
-  // 278 (boarded r12; slice row-capped r13). STREAM-STREAM attribution
-  // join via two-stream sink-readback: the bounded slice arrives as
-  // THREE ts-tercile micro-batch pairs into the watermarked interval
+  // 278 (boarded r12; slice row-capped r13; feed merged to two batch
+  // pairs r14). STREAM-STREAM attribution join via two-stream
+  // sink-readback: the bounded slice arrives as TWO micro-batch pairs
+  // (terciles 1+2 merged) into the watermarked interval
   // join (`StreamMonitor.attributionJoinStream`, horizon 1 h) - join
   // state spans the batch boundaries and the watermark evicts expired
   // touches, while the fed data is never late (tercile k+1's rows all
@@ -1043,8 +1044,15 @@ object EventQueries {
   // q_stream_attribution_credit is the bounded production twin.
   val qStreamAttribution = QueryDef("q_stream_attribution",
     (s, dir) => {
+      // TWO micro-batch pairs (r14, same merge as the credit twin):
+      // the interval join needs A real batch boundary for its state to
+      // span, not two; inner-join rows emit as they match (no
+      // watermark hold), so no flush batch is needed and values are
+      // batching-invariant (oracle = batch replay, unchanged)
+      val b3 = attributionFeed(s, dir, flush = false)
+      val feed = Seq((b3(0)._1 ++ b3(1)._1, b3(0)._2 ++ b3(1)._2), b3(2))
       StreamBoard.run2[(String, String, String), (String, String)](
-        s, "attr_stream", attributionFeed(s, dir, flush = false),
+        s, "attr_stream", feed,
         (t, c) => graft.streaming.StreamMonitor.attributionJoinStream(
           t, c, "key", "ts", "channel", horizon = "1 hour"),
         t => t.toDF("key", "__ts", "channel")
