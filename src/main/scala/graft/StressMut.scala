@@ -321,6 +321,17 @@ object StressMut {
     def expSec: Double =
       math.log(math.max(secHi, 0.01) / math.max(secLo, Stress.gateBaseFloorSec)) /
         math.log(copiesHi.toDouble / copiesLo)
+    /** RAW-anchor sec slope — the sub-floor secondary guard, mirroring
+      * Stress.subFloorRawTolerance: the floored [[expSec]] could pass
+      * a genuinely super-linear per-pair cost hiding under a
+      * sub-quarter-second lo anchor. Gated (with the same 0.6
+      * headroom) only when the lo anchor IS sub-floor. */
+    def expSecRaw: Double =
+      math.log(math.max(secHi, 0.01) / math.max(secLo, 0.01)) /
+        math.log(copiesHi.toDouble / copiesLo)
+    def secRawOk: Boolean =
+      secLo >= Stress.gateBaseFloorSec ||
+        expSecRaw <= satMaxExpSec + Stress.subFloorRawTolerance
     /** Mean kept pairs per EMITTING doc over the cap — how hard the
       * cap binds (1.0 = every emitting doc at the cap). */
     def satLo: Double = rowsLo.toDouble / math.max(docsLo, 1L) / cap
@@ -331,7 +342,7 @@ object StressMut {
     def boundHolds: Boolean =
       rowsLo <= corpusLo * cap && rowsHi <= corpusHi * cap
     def pass: Boolean = saturated && boundHolds &&
-      expRows <= satMaxExpRows && expSec <= satMaxExpSec
+      expRows <= satMaxExpRows && expSec <= satMaxExpSec && secRawOk
   }
 
   val satCap = 2
@@ -407,6 +418,8 @@ object StressMut {
       ",\"sat_lo\":" + fmt(s.satLo) + ",\"sat_hi\":" + fmt(s.satHi) +
       ",\"sat_floor\":" + fmt(satFloor) +
       ",\"bound_holds\":" + s.boundHolds +
+      (if (s.secLo < Stress.gateBaseFloorSec)
+        ",\"exp_sec_raw\":" + fmt(s.expSecRaw) else "") +
       ",\"exp_rows\":" + fmt(s.expRows) + ",\"exp_sec\":" + fmt(s.expSec) +
       ",\"max_exp_rows\":" + fmt(satMaxExpRows) +
       ",\"max_exp_sec\":" + fmt(satMaxExpSec) +
@@ -439,6 +452,9 @@ object StressMut {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // saturation needs two distinct scale points whichever path runs
+    require(copies >= 2, s"saturation measurement needs copies >= 2, got $copies")
+
     if (saturationOnly) {
       val sat = saturation(spark, dir, copies)
       System.err.println(s"[mut-saturation] ${saturationJson(sat)}")
@@ -463,7 +479,6 @@ object StressMut {
 
     // saturated-regime certificate for the bounded verifier (r14):
     // cap=2 binds hard on this corpus; both points saturated
-    require(copies >= 2, s"saturation measurement needs copies >= 2, got $copies")
     val sat = saturation(spark, dir, copies)
     System.err.println(s"[mut-saturation] cap=${sat.cap} " +
       s"rows ${sat.rowsLo}@${sat.copiesLo}x -> ${sat.rowsHi}@${sat.copiesHi}x " +

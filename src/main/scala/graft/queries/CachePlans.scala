@@ -55,9 +55,12 @@ object CachePlans {
       n = 3, pin = false)
     val cpipe = new graft.operators.CollapsedDedupPipeline(docs, "doc_id", "text",
       n = 3, pin = false)
+    // pipe.shingled IS the shared cache's build frame (pin=false: same
+    // plan, no persist mark) — never hand-rebuild the expression here,
+    // or a change to the pipeline's prep would leave this gate row
+    // fingerprinting a plan nobody runs
     Seq(
-      "cache:dedup_shingled" -> docs.select(col("doc_id").as("id"),
-        TextFns.wordShingles(col("text"), 3).as("sh")),
+      "cache:dedup_shingled" -> pipe.shingled,
       "cache:candidate_pairs" -> pipe.candidatePairs(),
       "cache:collapsed_jaccard_pairs" -> cpipe.jaccardPairs(minJaccardBp = 100L))
   }

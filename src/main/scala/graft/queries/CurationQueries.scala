@@ -239,9 +239,15 @@ object CurationQueries {
       val violations = perSource(
         streamKept.join(exactKept, Seq("id"), "left_anti"),
         "bloom_subset_violations")
+      // per-id COUNT comparison, not set difference: a sink that
+      // duplicated a kept row would survive an anti-join in both
+      // directions (both copies match), but not a count mismatch
       val mismatch = perSource(
-        streamKept.join(batchKept, Seq("id"), "left_anti")
-          .unionByName(batchKept.join(streamKept, Seq("id"), "left_anti")),
+        streamKept.groupBy("id").agg(count(lit(1)).as("__ns"))
+          .join(batchKept.groupBy("id").agg(count(lit(1)).as("__nb")),
+            Seq("id"), "full_outer")
+          .filter(coalesce(col("__ns"), lit(0L)) =!= coalesce(col("__nb"), lit(0L)))
+          .select("id"),
         "stream_batch_mismatch")
       evalSlice.groupBy("source")
         .agg(count(lit(1)).cast(LongType).as("streamed_docs"))

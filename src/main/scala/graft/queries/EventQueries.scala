@@ -940,6 +940,19 @@ object EventQueries {
   private val attributionFeedCache =
     new PipelineShared.SessionCache[Seq[(Seq[(String, String, String)], Seq[(String, String)])]]
 
+  /** [[attributionFeed]] merged to TWO micro-batch pairs (terciles 1+2
+    * concatenated) — the r14 round-trip discipline all three streaming
+    * consumers share: one real batch boundary for state to span, plus
+    * (under `flush`) the sentinel that closes append windows. The
+    * exactly-3-terciles invariant of the underlying feed is encoded
+    * HERE, once. */
+  private[queries] def attributionFeedMerged(
+      s: org.apache.spark.sql.SparkSession, dir: String, flush: Boolean)
+      : Seq[(Seq[(String, String, String)], Seq[(String, String)])] = {
+    val b3 = attributionFeed(s, dir, flush)
+    Seq((b3(0)._1 ++ b3(1)._1, b3(0)._2 ++ b3(1)._2), b3(2))
+  }
+
   // private[queries]: q_stream_srm (ExperimentQueries) rides the same
   // bounded slice + sentinel-flush feed - one parse, three queries
   private[queries] def attributionFeed(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -1049,10 +1062,8 @@ object EventQueries {
       // span, not two; inner-join rows emit as they match (no
       // watermark hold), so no flush batch is needed and values are
       // batching-invariant (oracle = batch replay, unchanged)
-      val b3 = attributionFeed(s, dir, flush = false)
-      val feed = Seq((b3(0)._1 ++ b3(1)._1, b3(0)._2 ++ b3(1)._2), b3(2))
       StreamBoard.run2[(String, String, String), (String, String)](
-        s, "attr_stream", feed,
+        s, "attr_stream", attributionFeedMerged(s, dir, flush = false),
         (t, c) => graft.streaming.StreamMonitor.attributionJoinStream(
           t, c, "key", "ts", "channel", horizon = "1 hour"),
         t => t.toDF("key", "__ts", "channel")
@@ -1094,10 +1105,8 @@ object EventQueries {
       // construction), halves the per-batch fixed cost (2 stateful
       // operators x state-store lifecycle x round trips), and the
       // oracle is batch-replayed — values are batching-invariant.
-      val b3 = attributionFeed(s, dir, flush = true)
-      val feed = Seq((b3(0)._1 ++ b3(1)._1, b3(0)._2 ++ b3(1)._2), b3(2))
       StreamBoard.run2[(String, String, String), (String, String)](
-        s, "attr_credit", feed,
+        s, "attr_credit", attributionFeedMerged(s, dir, flush = true),
         (t, c) => graft.streaming.StreamMonitor.attributionCreditStream(
           t, c, "key", "ts", "channel", horizon = "1 hour",
           creditWindow = "1 hour"),

@@ -1055,13 +1055,11 @@ object ExperimentQueries {
   // replays the slice, the md5 arms, the hour windows and the z.
   val qStreamSrm = QueryDef("q_stream_srm",
     (s, dir) => {
-      val b3 = EventQueries.attributionFeed(s, dir, flush = true)
-      // two round trips (the q_stream_attribution_credit discipline):
+      // two round trips (the shared attributionFeedMerged discipline):
       // one real batch boundary + the sentinel flush
-      val merged = Seq(
-        (b3(0)._1 ++ b3(1)._1, b3(0)._2 ++ b3(1)._2), b3(2))
       val feed: Seq[Seq[(String, String)]] =
-        merged.map { case (t, c) => t.map(r => (r._1, r._2)) ++ c }
+        EventQueries.attributionFeedMerged(s, dir, flush = true)
+          .map { case (t, c) => t.map(r => (r._1, r._2)) ++ c }
       implicit val enc: org.apache.spark.sql.Encoder[(String, String)] =
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.STRING,

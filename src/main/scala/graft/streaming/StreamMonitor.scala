@@ -311,6 +311,19 @@ object StreamMonitor {
     * event time (spec-asserted). A cap that never binds (every slot
     * holds ≤ 1 touch) is the identity on both paths.
     *
+    * CROSS-BATCH enforcement (the part a naive delay gets wrong):
+    * `dropDuplicatesWithinWatermark` only guarantees dedup for rows
+    * within the WATERMARK DELAY of each other — at delay 0 a slot's
+    * admission state evicts the moment the watermark passes it, and a
+    * later micro-batch could re-admit the same slot. The dedup
+    * watermark therefore runs at max(watermarkDelay, slot width):
+    * any two same-slot touches differ by < slot width in event time,
+    * so either the first admission's state is still alive when the
+    * second arrives (deduped) or the second is behind the watermark
+    * entirely (dropped as late before the join) — admitted twice is
+    * impossible, spec-asserted across batches. Dedup state stays
+    * bounded: ≤ cap live slots per key per delay window.
+    *
     * Audit the cut with [[touchCapDrops]] — the
     * `simhashPairsWithStats` convention: a bound you can't see is a
     * bug you can't find. */
@@ -318,13 +331,17 @@ object StreamMonitor {
                        typeCol: String, horizon: String, maxTouchesPerKey: Int,
                        watermarkDelay: String = "0 seconds"): DataFrame = {
     require(maxTouchesPerKey > 0, "maxTouchesPerKey must be positive")
-    val (bucket, slot) = bucketSlot(tsCol, horizonMicros(horizon), maxTouchesPerKey)
+    val horizonUs = horizonMicros(horizon)
+    val (bucket, slot) = bucketSlot(tsCol, horizonUs, maxTouchesPerKey)
     val tagged = touches.withColumn("__cap_bucket", bucket)
       .withColumn("__cap_slot", slot)
     val admitted =
-      if (touches.isStreaming)
-        tagged.withWatermark(tsCol, watermarkDelay)
+      if (touches.isStreaming) {
+        val slotUs = horizonUs / maxTouchesPerKey
+        val delayUs = math.max(horizonMicros(watermarkDelay), slotUs)
+        tagged.withWatermark(tsCol, s"$delayUs microseconds")
           .dropDuplicatesWithinWatermark(keyCol, "__cap_bucket", "__cap_slot")
+      }
       else {
         val all = struct(tagged.columns.map(col): _*)
         tagged.groupBy(col(keyCol), col("__cap_bucket"), col("__cap_slot"))

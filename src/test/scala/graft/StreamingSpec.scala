@@ -787,4 +787,44 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Timestamp]("touch_ts").getTime / 60000)).toSet
     assert(cappedBatch == Set(("u1", "view", 1L), ("u1", "click", 6L)))
   }
+
+  test("maxTouchesPerKey holds ACROSS micro-batches (admission state outlives the naive delay)") {
+    // The review-caught hole: at watermark delay 0 a slot's admission
+    // state evicts as soon as the watermark passes it, so a LATER
+    // batch could re-admit the same (key, bucket, slot) and the cap
+    // would silently fail exactly on the multi-batch hot-key feeds it
+    // exists for. capTouchesPerKey therefore runs its dedup watermark
+    // at >= slot width: a same-slot touch in a later batch is either
+    // deduped (state alive) or behind the watermark (late, dropped
+    // before the join) — admitted twice is impossible.
+    implicit val sc = spark.sqlContext
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(60000L * m)
+    val touchesMem = MemoryStream[(String, Timestamp, String)]
+    val convMem = MemoryStream[(String, Timestamp)]
+    val joined = StreamMonitor.attributionJoinStream(
+      touchesMem.toDF().toDF("user", "ts", "channel"),
+      convMem.toDF().toDF("user", "ts").withColumn("channel", lit("")),
+      "user", "ts", "channel", horizon = "10 minutes", maxTouchesPerKey = 2)
+    val q = joined.writeStream.format("memory").queryName("attr_cap_xbatch")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1's slot-0 admission at t1, plus u2 at t3 advancing
+      // the max event time past t1 (under delay 0 this would evict
+      // u1's slot-0 state at batch end)
+      touchesMem.addData(("u1", t(1), "view"), ("u2", t(3), "view"))
+      q.processAllAvailable()
+      // batch 2: u1 retries slot 0 at t4 (same 5-min slot) — must NOT
+      // be re-admitted; the slot-1 click at t6 is a fresh slot
+      touchesMem.addData(("u1", t(4), "retry"), ("u1", t(6), "click"))
+      q.processAllAvailable()
+      convMem.addData(("u1", t(8)))
+      q.processAllAvailable()
+      val got = spark.table("attr_cap_xbatch").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("channel"),
+          r.getAs[Timestamp]("touch_ts").getTime / 60000)).toSet
+      assert(got == Set(("u1", "view", 1L), ("u1", "click", 6L)),
+        s"cross-batch readmission leaked into the join: $got")
+    } finally q.stop()
+  }
 }
