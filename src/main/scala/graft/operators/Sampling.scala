@@ -509,50 +509,77 @@ object Sampling {
     * temperature sampling), which cannot satisfy two marginals at
     * once. `iterations` alternating row/column scalings; each scaling
     * is exact integer arithmetic (w·target DIV marginal, all
-    * non-negative bigints), so the fixed-point prefix is bit-exact in
-    * any engine — the oracle unrolls the same iterations as CTEs.
+    * non-negative longs, truncation = floor), so the fixed-point
+    * prefix is bit-exact in any engine — the oracle unrolls the same
+    * iterations as CTEs.
     *
     * Output: (rowKey, colKey, tokens, raked_tokens, weight_bp) —
     * weight_bp = raked·10000 DIV tokens is the per-cell sampling rate
     * a downstream [[weightedSample]]/[[mixSample]] pass applies.
     *
     * Plan at 100 TB: ONE map-side-combined aggregation of the corpus
-    * to |rows × cols| cells (tens to thousands of rows); every
-    * iteration is a groupBy + broadcast join ON THE CELLS — driver-free
-    * and independent of corpus size. int64 headroom: w·target ≤
-    * (total tokens)², so keep total under ~3·10⁹ tokens per calibration
-    * scope (per-snapshot/per-shard at 100 TB) or widen to DECIMAL. */
+    * to |rows × cols| cells, then the fittings run DRIVER-SIDE on the
+    * collected cells — deliberately. Cells are marginal-cardinality-
+    * bounded by construction (sources × languages, not documents), so
+    * this is the quantile-literals / arm-alphabet convention: fold the
+    * tiny frozen state eagerly rather than pay 6·iterations shuffles
+    * of a 100-row frame — the first cut kept the iterations as
+    * DataFrame ops and each iteration's marginal sums re-derived the
+    * whole corpus aggregation per lineage branch (3.5 s at sf0.1 for
+    * ~100 cells; unboundedly worse at scale). A loud `require` caps
+    * the collect at `maxCells` so a mis-keyed call (per-document
+    * "cells") fails with a message, not an OOM. int64 headroom:
+    * w·target ≤ (total tokens)² — keep total under ~3·10⁹ tokens per
+    * calibration scope or widen to DECIMAL. */
   def rakeMixture(cells: DataFrame, rowCol: String, colCol: String,
-                  valueCol: String, iterations: Int = 3): DataFrame = {
+                  valueCol: String, iterations: Int = 3,
+                  maxCells: Int = 1000000): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    val spark = cells.sparkSession
     val base = cells
       .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
       .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
       .agg(sum(col(valueCol)).cast("long").as("tokens"))
       .filter(col("tokens") > 0)
+    val collected = base.collect()
+    require(collected.length <= maxCells,
+      s"rakeMixture collected ${collected.length} cells > maxCells=" +
+        s"$maxCells - the row/col keys must be marginal-grade " +
+        "(sources, languages), not row-grade ids")
+    val toks = collected.map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
     // row target: uniform — total DIV |rows| (the floor remainder is
     // < |rows| tokens and raking is approximate under integer floors
     // anyway); column target: the observed column totals
-    val totals = base.agg(sum("tokens").cast("long").as("__t"),
-      countDistinct("__r").cast("long").as("__nr"))
-    val rowTarget = base.select("__r").distinct()
-      .crossJoin(broadcast(totals))
-      .select(col("__r"), expr("__t DIV __nr").as("__rt"))
-    val colTarget = base.groupBy("__c")
-      .agg(sum("tokens").cast("long").as("__ct"))
-    val out = (1 to iterations).foldLeft(
-      base.withColumn("w", col("tokens"))) { (acc, _) =>
-      val rowSums = acc.groupBy("__r").agg(sum("w").cast("long").as("__rs"))
-      val rowScaled = acc
-        .join(broadcast(rowSums), "__r").join(broadcast(rowTarget), "__r")
-        .withColumn("w", expr("w * __rt DIV greatest(__rs, 1L)")).drop("__rs", "__rt")
-      val colSums = rowScaled.groupBy("__c").agg(sum("w").cast("long").as("__cs"))
-      rowScaled
-        .join(broadcast(colSums), "__c").join(broadcast(colTarget), "__c")
-        .withColumn("w", expr("w * __ct DIV greatest(__cs, 1L)")).drop("__cs", "__ct")
+    val total = toks.valuesIterator.sum
+    val rowKeys = toks.keysIterator.map(_._1).toSet
+    val rowTarget = total / rowKeys.size
+    val colTarget = toks.groupBy(_._1._2).map { case (c, m) => c -> m.valuesIterator.sum }
+    val fitted = (1 to iterations).foldLeft(toks) { (acc, _) =>
+      val rowSums = acc.groupBy(_._1._1).map { case (r, m) => r -> m.valuesIterator.sum }
+      val rowScaled = acc.map { case (k @ (r, _), w) =>
+        k -> w * rowTarget / math.max(rowSums(r), 1L)
+      }
+      val colSums = rowScaled.groupBy(_._1._2).map { case (c, m) => c -> m.valuesIterator.sum }
+      rowScaled.map { case (k @ (_, c), w) =>
+        k -> w * colTarget(c) / math.max(colSums(c), 1L)
+      }
     }
-    out.select(col("__r").as(rowCol), col("__c").as(colCol), col("tokens"),
-      col("w").as("raked_tokens"),
-      expr("w * 10000 DIV tokens").cast("long").as("weight_bp"))
+    val outRows = collected.map { r =>
+      val k = (r.get(0), r.get(1))
+      val w = fitted(k)
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.getLong(2), w,
+        w * 10000L / r.getLong(2))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      base.schema.fields(0).copy(name = rowCol),
+      base.schema.fields(1).copy(name = colCol),
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("raked_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("weight_bp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toSeq, 1), schema)
   }
 }
