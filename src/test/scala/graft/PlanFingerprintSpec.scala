@@ -73,10 +73,37 @@ class PlanFingerprintSpec extends SparkSpec {
     // The exact VALUES are state-dependent by design (Bench captures
     // pre-warmup; this suite's session may hold caches), so the spec
     // asserts purity and determinism, not specific counts.
-    val a = graft.queries.CachePlans.builds(spark, dir)
-    a.foreach { case (name, df) =>
-      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
-        s"$name build twin is persist-marked - the twin must be side-effect-free")
+    //
+    // The no-persist property is tested on UNIQUE frames: DataFrame
+    // .storageLevel is PLAN-matched against the session CacheManager,
+    // so a twin built over the same parquet dir as the memoized
+    // (pinned) pipelines reports THEIR storage level for the identical
+    // plan even though it never called persist — a unique local frame
+    // cannot alias anything.
+    import spark.implicits._
+    val uniq = Seq((1L, "cache twin purity probe a b c"),
+      (2L, "never cached anywhere else")).toDF("doc_id", "text")
+    val p = new graft.operators.DedupPipeline(uniq, "doc_id", "text",
+      n = 3, pin = false)
+    assert(p.shingled.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "pin=false DedupPipeline persisted its shingling")
+    val cp = new graft.operators.CollapsedDedupPipeline(uniq, "doc_id", "text",
+      n = 3, pin = false)
+    val cj = cp.jaccardPairs(minJaccardBp = 100L)
+    Seq(cp.byRep, cp.repDocs, cp.repShingled, cj).foreach { f =>
+      assert(f.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "pin=false CollapsedDedupPipeline persisted an internal frame")
+    }
+    // and no INTERNAL subframe (e.g. collapseExact's members) is
+    // persist-marked either: over a unique frame nothing can alias a
+    // foreign cache, so any InMemoryTableScan in the plan is a pin
+    // leak from inside the pipeline
+    Seq(p.candidatePairs(), cj).foreach { f =>
+      val cached = f.queryExecution.executedPlan.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
+      }
+      assert(cached.isEmpty,
+        s"pin=false pipeline reads through a cache: ${cached.headOption}")
     }
     val f1 = graft.queries.CachePlans.fingerprints(spark, dir).toMap
     val f2 = graft.queries.CachePlans.fingerprints(spark, dir).toMap
