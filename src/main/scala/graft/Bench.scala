@@ -140,7 +140,13 @@ object Bench {
     // gate the shared pipelines' own shapes across rounds
     val cachePlans =
       try graft.queries.CachePlans.fingerprints(spark, sfDir)
-      catch { case _: Throwable => Seq.empty[(String, (Int, Int))] }
+      catch {
+        case t: Throwable =>
+          // loud degrade: plancheck fails when baseline cache: rows go
+          // missing, so the swallowed cause must be visible (r14 advice)
+          System.err.println(s"[bench] CachePlans.fingerprints threw: $t")
+          Seq.empty[(String, (Int, Int))]
+      }
     val warmupSec = warmup(spark, sfDir, names)
     val rows = runBoard(spark, sfDir, nWarm, names)
 

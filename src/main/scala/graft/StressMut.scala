@@ -452,8 +452,11 @@ object StressMut {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // saturation needs two distinct scale points whichever path runs
-    require(copies >= 2, s"saturation measurement needs copies >= 2, got $copies")
+    // saturation needs two distinct scale points — but only the paths
+    // that actually run it may demand that (recall-only runs on a
+    // single-copy corpus are legitimate; r14 advice)
+    if (!recallOnly)
+      require(copies >= 2, s"saturation measurement needs copies >= 2, got $copies")
 
     if (saturationOnly) {
       val sat = saturation(spark, dir, copies)

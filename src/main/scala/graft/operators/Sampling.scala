@@ -542,6 +542,9 @@ object Sampling {
       .agg(sum(col(valueCol)).cast("long").as("tokens"))
       .filter(col("tokens") > 0)
     val collected = base.collect()
+    require(collected.nonEmpty,
+      s"rakeMixture found no cells: every row of the input is null in " +
+        s"$rowCol/$colCol or non-positive in $valueCol")
     require(collected.length <= maxCells,
       s"rakeMixture collected ${collected.length} cells > maxCells=" +
         s"$maxCells - the row/col keys must be marginal-grade " +
@@ -551,6 +554,13 @@ object Sampling {
     // < |rows| tokens and raking is approximate under integer floors
     // anyway); column target: the observed column totals
     val total = toks.valuesIterator.sum
+    // int64 headroom for the scaling products below: w ≤ total and
+    // target ≤ total, so w·target ≤ total² must stay under 2^63 —
+    // loud rail instead of the silent wraparound the doc bound implied
+    require(total <= 3000000000L,
+      s"rakeMixture total tokens $total exceeds the int64-safe bound " +
+        "3e9 (w*target <= total^2 must fit a long) - split the " +
+        "calibration scope or widen the fittings to BigInt")
     val rowKeys = toks.keysIterator.map(_._1).toSet
     val rowTarget = total / rowKeys.size
     val colTarget = toks.groupBy(_._1._2).map { case (c, m) => c -> m.valuesIterator.sum }

@@ -49,6 +49,12 @@ def main():
     baseline, waivers = base["plans"], base.get("waivers", {})
     added = sorted(set(current) - set(baseline))
     removed = sorted(set(baseline) - set(current))
+    # `cache:` rows only vanish when CachePlans.fingerprints threw (the
+    # Bench guard degrades to an empty list) or a build errored to
+    # [-1,-1] — either way the shared-cache gate silently disabled
+    # itself, which is a failure, not coverage shrinkage (r14 advice).
+    cache_gone = [q for q in removed if q.startswith("cache:")]
+    removed = [q for q in removed if not q.startswith("cache:")]
     changed = sorted(q for q in set(current) & set(baseline)
                      if current[q] != baseline[q])
     unexplained = [q for q in changed if q not in waivers]
@@ -56,6 +62,12 @@ def main():
         print(f"[plancheck] {len(added)} new queries (info): {', '.join(added)}")
     if removed:
         print(f"[plancheck] {len(removed)} removed queries (info): {', '.join(removed)}")
+    if cache_gone:
+        print(f"[plancheck] FAIL: {len(cache_gone)} cache-build fingerprint(s) "
+              f"absent from bench plans ({', '.join(cache_gone)}) - "
+              f"CachePlans.fingerprints threw or a cache build errored; "
+              f"the shared-cache plan gate is disarmed")
+        return 1
     for q in changed:
         tag = "WAIVED: " + waivers[q] if q in waivers else "UNEXPLAINED"
         print(f"[plancheck] plan changed {q}: {baseline[q]} -> {current[q]} ({tag})")
