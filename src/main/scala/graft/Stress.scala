@@ -175,6 +175,14 @@ object Stress {
       "and the inter-point slope stays under 1.3 (vs the uncapped " +
       "twin's 1.69 on the same corpus family) - the cap bounds the " +
       "ASYMPTOTE, which the uncapped twin lacks entirely"),
+    "q_dedup_jaccard_bounded" -> (2.0, "reads the session-shared " +
+      "candidate pair frame, whose generation is quadratic in exact " +
+      "copies by construction (the q_dedup_jaccard declaration); the " +
+      "cap bounds the OUTPUT and all downstream work to n*cap on any " +
+      "corpus shape (the r14 ask: every declared-2.0 listing gets a " +
+      "bounded production twin), but the board row still pays the " +
+      "shared candidate STAGE, so its measured slope tracks that " +
+      "input like the editdist verifiers do"),
     "q_dedup_editdist_collapsed" -> (2.0, "a pair-VERIFIER: its input " +
       "and output are the candidate pairs themselves, and on any " +
       "corpus where copies are near-dups rather than byte-identical " +

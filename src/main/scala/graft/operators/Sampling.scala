@@ -592,4 +592,32 @@ object Sampling {
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows.toSeq, 1), schema)
   }
+
+  /** The raking recipe MATERIALIZED: [[rakeMixture]]'s per-cell
+    * `weight_bp` attached to every row of its cell (broadcast join on
+    * the tiny cell frame), then a k-row [[weightedSample]] draw with
+    * inclusion odds ∝ weight_bp — so rows from cells the calibration
+    * upweights (underrepresented sources) are drawn proportionally
+    * more often. The 2-D analogue of the recipe→sample composition
+    * the 1-D board already proves ([[temperatureWeights]] →
+    * [[mixSample]]), closing the loop from calibrated recipe to an
+    * actual deterministic sample.
+    *
+    * Scale: two corpus passes — the map-side-combined cell
+    * aggregation inside [[rakeMixture]], then a map-only weight
+    * attach + distributed top-k (TakeOrdered per-partition heaps,
+    * never a global sort). Rows in cells raked to weight_bp = 0
+    * (downweighted below 1/10000) are excluded by [[weightedSample]]'s
+    * positive-weight contract — deterministic and replayable. */
+  def rakeWeightedSample(df: DataFrame, rowCol: String, colCol: String,
+                         valueCol: String, keyCol: String, k: Int,
+                         iterations: Int = 3, seed: Int = 42,
+                         maxCells: Int = 1000000): DataFrame = {
+    val weights = rakeMixture(
+        df.select(col(rowCol), col(colCol), col(valueCol)),
+        rowCol, colCol, valueCol, iterations, maxCells)
+      .select(col(rowCol), col(colCol), col("weight_bp"))
+    weightedSample(df.join(broadcast(weights), Seq(rowCol, colCol)),
+      keyCol, "weight_bp", k, seed)
+  }
 }

@@ -1309,6 +1309,93 @@ object DedupQueries {
                 JOIN cnt ON cnt.ia = keep.ia
       ORDER BY id_a, id_b"""))
 
+
+  // 26e (r15). BOUNDED jaccard pair listing: Dedup.boundedPairs caps
+  // the shared candidate frame (bp>=2000, the same cached input the
+  // editdist verifiers read) at the top-5 most-similar pairs per left
+  // doc (jacc_bp DESC, id_b — a total order both engines replay) and
+  // reports the cut per row as dropped_a — so the declared-quadratic
+  // pair LISTING itself now has a production twin whose output is
+  // <= n*cap on ANY corpus shape, not only on corpora the exact-copy
+  // collapse defuses (the r14 verdict's ask). WindowGroupLimit prunes
+  // the rank filter per-partition; no hot doc sorts its full list.
+  val qDedupJaccardBounded = QueryDef("q_dedup_jaccard_bounded",
+    (s, dir) => {
+      Dedup.boundedPairs(
+          sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
+            .select("id_a", "id_b", "jacc_bp"),
+          "jacc_bp", simDesc = true, maxPairsPerDoc = 5)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      cand AS (SELECT ia, ib,
+                      inter * 10000 // (sa.sz + sb.sz - inter) AS jbp
+               FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+               WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 2000),
+      cnt AS (SELECT ia, count(*) AS cand_total FROM cand GROUP BY 1),
+      keep AS (SELECT ia, ib, jbp FROM (
+                 SELECT ia, ib, jbp,
+                        row_number() OVER (PARTITION BY ia
+                                           ORDER BY jbp DESC, ib) AS rk
+                 FROM cand)
+               WHERE rk <= 5)
+      SELECT keep.ia AS id_a, keep.ib AS id_b,
+             CAST(keep.jbp AS BIGINT) AS jacc_bp,
+             CAST(cnt.cand_total - least(cnt.cand_total, 5) AS BIGINT) AS dropped_a
+      FROM keep JOIN cnt ON cnt.ia = keep.ia
+      ORDER BY id_a, id_b"""))
+
+
+  // 28c (r15). BOUNDED simhash pair listing: the same boundedPairs cap
+  // over the collapsed simhash family (oracle-exact config — unbounded
+  // buckets, hamming<=7 completeness), ordered hamming ASC (distance:
+  // lowest first), id_b. Output <= n*cap with the per-row dropped_a
+  // cut report; rides the session-shared collapsed fingerprint pass.
+  val qDedupSimhashBounded = QueryDef("q_dedup_simhash_bounded",
+    (s, dir) => {
+      val pairs = collapsedPipeline(s, dir)
+        .simhashPairs(maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+          maxBucketSize = Long.MaxValue,
+          wordHashes = TextFns.portableWordHashes)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast(LongType).as("hamming"))
+      Dedup.boundedPairs(pairs, "hamming", simDesc = false, maxPairsPerDoc = 5)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH wh AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)),
+      votes AS (
+        SELECT doc_id, j, CASE WHEN sum(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END v
+        FROM wh, generate_series(0, 59) t(j) GROUP BY doc_id, j),
+      ham AS (
+        SELECT a.doc_id ia, b.doc_id ib,
+               CAST(sum(CASE WHEN a.v != b.v THEN 1 ELSE 0 END) AS BIGINT) hamming
+        FROM votes a JOIN votes b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cand AS (SELECT ia, ib, hamming FROM ham WHERE hamming <= 7),
+      cnt AS (SELECT ia, count(*) AS cand_total FROM cand GROUP BY 1),
+      keep AS (SELECT ia, ib, hamming FROM (
+                 SELECT ia, ib, hamming,
+                        row_number() OVER (PARTITION BY ia
+                                           ORDER BY hamming, ib) AS rk
+                 FROM cand)
+               WHERE rk <= 5)
+      SELECT keep.ia AS id_a, keep.ib AS id_b, keep.hamming,
+             CAST(cnt.cand_total - least(cnt.cand_total, 5) AS BIGINT) AS dropped_a
+      FROM keep JOIN cnt ON cnt.ia = keep.ia
+      ORDER BY id_a, id_b"""))
+
   val qCorpusSimilarity = QueryDef("q_corpus_similarity",
     (s, dir) => {
       corpusSimCache.get(s, dir) {
@@ -1561,6 +1648,8 @@ ${blocks.mkString(",\n")}
     // scale path at ~4x.
     qDedupEditdistCollapsed,
     qDedupEditdistBounded,
+    qDedupJaccardBounded,
+    qDedupSimhashBounded,
     qCorpusSimilarity,
     qDedupTriangles,
   )

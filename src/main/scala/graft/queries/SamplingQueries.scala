@@ -193,6 +193,77 @@ object SamplingQueries {
       FROM c3 ORDER BY source, lang"""))
 
 
+  // 312 (r15). The raking recipe MATERIALIZED: q_mix_rake's per-cell
+  // weight_bp attached to every document of its (source, lang) cell
+  // (broadcast join on the tiny cell frame), then an 80-row A-ES
+  // weighted draw (q_weighted_sample's exact portable-md5 machinery)
+  // with inclusion odds ∝ weight_bp — documents from cells the
+  // calibration upweights are drawn proportionally more often. The
+  // 2-D analogue of the 1-D recipe→sample composition the board
+  // already proves (q_mix_temperature → q_mix_sample), closing the
+  // r14 gap: the calibrated recipe now demonstrably DRIVES a sample.
+  // Scale: the rake's one cell aggregation + a map-only weight attach
+  // + TakeOrdered top-k (per-partition heaps, no global sort). The
+  // oracle replays the full unrolled raking, the join, and the
+  // ln(u)/w draw keys bit-for-bit.
+  val qMixRakeSample = QueryDef("q_mix_rake_sample",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          TextFns.wsTokenCount(col("text")).cast(LongType).as("tok"))
+      graft.operators.Sampling.rakeWeightedSample(docs, "source", "lang",
+          "tok", "doc_id", k = 80, iterations = 3)
+        .select(col("doc_id"), col("source"), col("lang"), col("weight_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT source, lang,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1, 2
+        HAVING sum(length(text) - length(replace(text, ' ', '')) + 1) > 0),
+      tt AS (SELECT sum(tokens) AS t, count(DISTINCT source) AS nr FROM cells),
+      rt AS (SELECT source, (SELECT t // nr FROM tt) AS rtarget
+             FROM (SELECT DISTINCT source FROM cells)),
+      ct AS (SELECT lang, sum(tokens) AS ctarget FROM cells GROUP BY 1),
+      r1 AS (SELECT c.source, c.lang, c.tokens,
+                    c.tokens * rt.rtarget // greatest(s.s, 1) AS w
+             FROM cells c JOIN rt USING (source)
+             JOIN (SELECT source, sum(tokens) AS s FROM cells GROUP BY 1) s USING (source)),
+      c1 AS (SELECT r.source, r.lang, r.tokens,
+                    r.w * ct.ctarget // greatest(s.s, 1) AS w
+             FROM r1 r JOIN ct USING (lang)
+             JOIN (SELECT lang, sum(w) AS s FROM r1 GROUP BY 1) s USING (lang)),
+      r2 AS (SELECT c.source, c.lang, c.tokens,
+                    c.w * rt.rtarget // greatest(s.s, 1) AS w
+             FROM c1 c JOIN rt USING (source)
+             JOIN (SELECT source, sum(w) AS s FROM c1 GROUP BY 1) s USING (source)),
+      c2 AS (SELECT r.source, r.lang, r.tokens,
+                    r.w * ct.ctarget // greatest(s.s, 1) AS w
+             FROM r2 r JOIN ct USING (lang)
+             JOIN (SELECT lang, sum(w) AS s FROM r2 GROUP BY 1) s USING (lang)),
+      r3 AS (SELECT c.source, c.lang, c.tokens,
+                    c.w * rt.rtarget // greatest(s.s, 1) AS w
+             FROM c2 c JOIN rt USING (source)
+             JOIN (SELECT source, sum(w) AS s FROM c2 GROUP BY 1) s USING (source)),
+      c3 AS (SELECT r.source, r.lang, r.tokens,
+                    r.w * ct.ctarget // greatest(s.s, 1) AS w
+             FROM r3 r JOIN ct USING (lang)
+             JOIN (SELECT lang, sum(w) AS s FROM r3 GROUP BY 1) s USING (lang)),
+      wt AS (SELECT source, lang, CAST(w * 10000 // tokens AS BIGINT) AS weight_bp
+             FROM c3),
+      sel AS (SELECT d.doc_id, d.source, d.lang, wt.weight_bp,
+                     ln((CAST(('0x' || substr(md5(d.doc_id || ':42'), 1, 8))::BIGINT AS DOUBLE)
+                         + 1.0) / 4294967296.0) / CAST(wt.weight_bp AS DOUBLE) AS ak
+              FROM documents d JOIN wt USING (source, lang)
+              WHERE wt.weight_bp > 0),
+      top AS (SELECT doc_id, source, lang, weight_bp FROM sel
+              ORDER BY ak DESC, doc_id LIMIT 80)
+      SELECT doc_id, source, lang, weight_bp FROM top ORDER BY doc_id"""))
+
+
   // 65. dedup-aware (group-consistent) splits: every member of a
   // near-dup cluster (same bp>=2000 pair list as q_dedup_groups) lands
   // in the same split — the leakage-prevention step a per-doc split
@@ -486,5 +557,6 @@ object SamplingQueries {
     qInspectionSample,
     qNeymanAlloc,
     qMixRake,
+    qMixRakeSample,
   )
 }
