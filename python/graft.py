@@ -29,6 +29,14 @@ __all__ = [
     "GraftCliError", "run_cli", "validate", "check", "curate", "diff",
     "init", "suggest", "scan", "import_tests", "to_dataframe",
     "validate_df", "profile_df",
+    # pipeline operator families (in-process, DataFrame-in/DataFrame-out)
+    "dedup_exact_groups", "drop_exact_duplicates", "jaccard_pairs",
+    "minhash_pairs", "simhash_pairs", "bounded_pairs", "dedup_groups",
+    "text_quality", "lang_id", "token_counts", "pii_scan", "redact_df",
+    "chunk_text", "ngram_containment", "decontaminate_df", "hash_split",
+    "portable_split", "weighted_sample", "mix_sample",
+    "temperature_weights", "pack_bins", "rake_mixture",
+    "rake_weighted_sample", "filter_chain", "token_budget_select",
 ]
 
 
@@ -336,3 +344,256 @@ def profile_df(spark_df, *, as_dataframe=False):
             out[key] = [json.loads(s) for s in
                         _wrap_jdf(jdf, spark).orderBy("column").toJSON().collect()]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pipeline operator families (r15) — the in-process py4j surface for the
+# training-data operators (dedup, text analysis, contamination,
+# sampling/splits, curation). Every function takes LIVE pyspark
+# DataFrames, runs the Scala operator inside the already-running JVM,
+# and returns a pyspark DataFrame — still distributed, never collected,
+# no subprocess, no path re-read. Determinism carries over: the hash
+# families (md5/xxhash) are seed-stable, so a sample/split computed here
+# replays identically in a Scala job or any SQL engine with md5.
+# ---------------------------------------------------------------------------
+
+
+def _bridge_of(df):
+    return df.sparkSession._jvm.graft.PySparkBridge, df.sparkSession
+
+
+def _recipe_lists(spark, recipe):
+    """A recipe is a dict (insertion-ordered) or an iterable of
+    (name, fraction) pairs; returns the parallel java lists the bridge
+    takes (py4j cannot round-trip Scala tuples)."""
+    items = list(recipe.items()) if isinstance(recipe, dict) else list(recipe)
+    names = spark._jvm.java.util.ArrayList()
+    fracs = spark._jvm.java.util.ArrayList()
+    for k, v in items:
+        names.add(k)
+        fracs.add(float(v))
+    return names, fracs
+
+
+# --- dedup family ---
+
+
+def dedup_exact_groups(df, id_col, text_col):
+    """Exact-duplicate groups by normalized-text md5: one row per group
+    with (fingerprint, dup_count, keep_id)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.dedupExactGroups(df._jdf, id_col, text_col), spark)
+
+
+def drop_exact_duplicates(df, id_col, text_col):
+    """Keeps one row per exact-duplicate group (the min id)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.dropExactDuplicates(df._jdf, id_col, text_col), spark)
+
+
+def jaccard_pairs(df, id_col, text_col, *, n=3, min_jaccard_bp=1000):
+    """Exact word-n-gram Jaccard near-dup pairs >= min_jaccard_bp/10000
+    (inverted-index join): (id_a, id_b, inter, uni, jacc_bp)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.jaccardPairs(df._jdf, id_col, text_col, int(n),
+                                    int(min_jaccard_bp)), spark)
+
+
+def minhash_pairs(df, id_col, text_col, *, n=3, num_perm=128, num_bands=32,
+                  min_jaccard_bp=1000):
+    """MinHash+LSH banded candidate pairs verified to exact Jaccard —
+    the sublinear scale path of :func:`jaccard_pairs`."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.minhashPairs(df._jdf, id_col, text_col, int(n),
+                                    int(num_perm), int(num_bands),
+                                    int(min_jaccard_bp)), spark)
+
+
+def simhash_pairs(df, id_col, text_col, *, max_hamming=3):
+    """64-bit SimHash block-LSH near-dup pairs at hamming <= max_hamming:
+    (id_a, id_b, hamming, sim_a, sim_b)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.simhashPairs(df._jdf, id_col, text_col,
+                                    int(max_hamming)), spark)
+
+
+def bounded_pairs(pairs, sim_col, *, sim_desc=True, max_pairs_per_doc=8):
+    """Caps ANY (id_a, id_b, <sim_col>) pair frame at the
+    top-max_pairs_per_doc per left doc (most-similar first; set
+    sim_desc=False for distance columns like hamming) and reports the
+    cut per row as dropped_a — output <= n*cap on any corpus shape."""
+    b, spark = _bridge_of(pairs)
+    return _wrap_jdf(b.boundedPairs(pairs._jdf, sim_col, bool(sim_desc),
+                                    int(max_pairs_per_doc)), spark)
+
+
+def dedup_groups(pairs):
+    """Connected components over an (id_a, id_b) pair frame:
+    (id, component) cluster labels for group-consistent dedup."""
+    b, spark = _bridge_of(pairs)
+    return _wrap_jdf(b.dedupGroups(pairs._jdf), spark)
+
+
+# --- text-analysis family ---
+
+
+def text_quality(df, text_col):
+    """Per-row quality features (length / punctuation / stopword-ratio
+    and friends) — the Gopher-style rule inputs."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.textQualityFeatures(df._jdf, text_col), spark)
+
+
+def lang_id(df, text_col):
+    """Attaches a `lang_pred` column (stopword n-gram heuristic,
+    codegen kernel — no UDF)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.langId(df._jdf, text_col), spark)
+
+
+def token_counts(df, text_col):
+    """Whitespace + BPE-ish-regex token counts per row."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.tokenCounts(df._jdf, text_col), spark)
+
+
+def pii_scan(df, text_col):
+    """Per-row PII indicator counts (emails / phones / SSNs / IPs /
+    card-length digit runs)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.piiScan(df._jdf, text_col), spark)
+
+
+def redact_df(df, text_col):
+    """Attaches a `redacted` column — the PII transform the scan
+    feeds."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.redact(df._jdf, text_col), spark)
+
+
+def chunk_text(df, id_col, text_col, chunk_tokens, *, overlap_tokens=0):
+    """Context-window chunking into chunk_tokens-token windows with
+    declared overlap: (id, chunk_idx, chunk, chunk_tokens)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.chunkText(df._jdf, id_col, text_col,
+                                 int(chunk_tokens), int(overlap_tokens)), spark)
+
+
+# --- contamination family ---
+
+
+def ngram_containment(train, eval_df, id_col, text_col, *, n=3):
+    """Per-eval-doc n-gram containment against the train corpus — the
+    benchmark-leak scan: (id, total, matched, contamination_bp)."""
+    b, spark = _bridge_of(train)
+    return _wrap_jdf(b.ngramContainment(train._jdf, eval_df._jdf, id_col,
+                                        text_col, int(n)), spark)
+
+
+def decontaminate_df(benchmark, corpus, id_col, text_col, *, n=3,
+                     min_bp=5000):
+    """The corpus minus rows whose containment against the benchmark is
+    >= min_bp/10000 — the decontamination filter itself."""
+    b, spark = _bridge_of(corpus)
+    return _wrap_jdf(b.decontaminate(benchmark._jdf, corpus._jdf, id_col,
+                                     text_col, int(n), int(min_bp)), spark)
+
+
+# --- sampling / splits family ---
+
+
+def hash_split(df, key_col, fractions, *, seed=42):
+    """Reproducible named splits (xxhash64 buckets). ``fractions`` is a
+    dict or (name, fraction) pairs, e.g. {"train": .8, "val": .1,
+    "test": .1}; adds a `split` column."""
+    b, spark = _bridge_of(df)
+    names, fracs = _recipe_lists(spark, fractions)
+    return _wrap_jdf(b.hashSplit(df._jdf, key_col, names, fracs, int(seed)),
+                     spark)
+
+
+def portable_split(df, key_col, fractions, *, seed=42):
+    """The md5-bucket split variant every engine replays (and uniform
+    under clustered integer ids)."""
+    b, spark = _bridge_of(df)
+    names, fracs = _recipe_lists(spark, fractions)
+    return _wrap_jdf(b.portableSplit(df._jdf, key_col, names, fracs,
+                                     int(seed)), spark)
+
+
+def weighted_sample(df, key_col, weight_col, k, *, seed=42):
+    """Deterministic A-ES weighted k-row sample without replacement
+    (inclusion odds proportional to weight_col; no RNG state)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.weightedSample(df._jdf, key_col, weight_col, int(k),
+                                      int(seed)), spark)
+
+
+def mix_sample(df, key_col, weights, budget, *, tie_col=None, seed=42):
+    """Domain-mix quota sample under a declared recipe (dict or (key,
+    weight) pairs summing to <= 1): round(weight*budget) hash-ordered
+    rows per key. ``tie_col`` defaults to ``key_col``'s row id — pass
+    the frame's id column for the documented deterministic order."""
+    b, spark = _bridge_of(df)
+    names, fracs = _recipe_lists(spark, weights)
+    return _wrap_jdf(b.mixSample(df._jdf, key_col, names, fracs, int(budget),
+                                 tie_col or key_col, int(seed)), spark)
+
+
+def temperature_weights(df, key_col, *, alpha=0.3):
+    """The α-sampling (XLM-R/mT5) data-driven recipe builder: per-key
+    natural share, temperature-scaled weight, upsample factor."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.temperatureWeights(df._jdf, key_col, float(alpha)),
+                     spark)
+
+
+def pack_bins(df, key_col, order_col, token_col, budget):
+    """Sequence packing: assigns each row a `bin` so per-key running
+    token mass fits the budget — the training-shard packing step."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.packBins(df._jdf, key_col, order_col, token_col,
+                                int(budget)), spark)
+
+
+def rake_mixture(cells, row_col, col_col, value_col, *, iterations=3):
+    """Two-margin IPF raking (Deming–Stephan) over (row, col) value
+    cells: per-cell calibrated quotas whose row marginals approach
+    uniform while column marginals hold — the 2-D recipe calibrator."""
+    b, spark = _bridge_of(cells)
+    return _wrap_jdf(b.rakeMixture(cells._jdf, row_col, col_col, value_col,
+                                   int(iterations)), spark)
+
+
+def rake_weighted_sample(df, row_col, col_col, value_col, key_col, k, *,
+                         iterations=3, seed=42):
+    """The raked recipe MATERIALIZED: per-cell weight_bp attached to
+    every row, then a deterministic k-row A-ES draw with inclusion odds
+    proportional to the calibrated weight."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.rakeWeightedSample(df._jdf, row_col, col_col,
+                                          value_col, key_col, int(k),
+                                          int(iterations), int(seed)), spark)
+
+
+# --- curation family ---
+
+
+def filter_chain(df, text_col, contract, *, fmt=None):
+    """The ordered first-fail curation cascade DECLARED by a contract's
+    ``quality_checks.curation`` rules (document text or path, like
+    :func:`validate_df`). Returns every doc with its verdict
+    (`keep`, `first_fail`)."""
+    b, spark = _bridge_of(df)
+    text, f = _contract_text(contract, fmt)
+    return _wrap_jdf(b.curationFilterChain(df._jdf, text_col, text, f), spark)
+
+
+def token_budget_select(docs, id_col, score_col, tokens_col, budget_tokens):
+    """Greedy score-ordered selection under a total token budget — the
+    "best N tokens" data-selection step; exact, deterministic,
+    distributed."""
+    b, spark = _bridge_of(docs)
+    return _wrap_jdf(b.tokenBudgetSelect(docs._jdf, id_col, score_col,
+                                         tokens_col, int(budget_tokens)),
+                     spark)

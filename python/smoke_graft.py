@@ -208,6 +208,149 @@ def main():
             assert all(r["total"] > 0 for r in prof["numeric"])
             print(f"  profile_df: numeric cols {sorted(ncols)}, "
                   f"{len(prof['strings'])} string cols")
+
+            # 8. pipeline operator families (r15): the in-process
+            # DataFrame-in/DataFrame-out surface over the documents
+            # table. Each family's wrapper must return a DISTRIBUTED
+            # pyspark frame whose semantics replay the Scala board's.
+            from pyspark.sql import functions as F
+            docs_df = spark.read.parquet(docs)
+            n_docs = docs_df.count()
+
+            # 8a. dedup: exact groups vs drop round-trip arithmetic,
+            # on a corpus with FORCED duplicates (3 re-id'd copies) so
+            # the group count cannot pass vacuously at tiny SFs
+            copies = (docs_df.orderBy("doc_id").limit(3)
+                      .withColumn("doc_id",
+                                  F.col("doc_id") + 1000000))
+            duped = docs_df.unionByName(copies)
+            n_duped = n_docs + 3
+            groups = graft.dedup_exact_groups(duped, "doc_id", "text")
+            dup_rows = groups.selectExpr(
+                "sum(dup_count) s", "count(*) g").first()
+            assert (dup_rows.g or 0) >= 3, \
+                f"forced duplicates not detected: {dup_rows.g} groups"
+            kept = graft.drop_exact_duplicates(duped, "doc_id", "text")
+            n_kept = kept.count()
+            dup_excess = ((dup_rows.s or 0) - (dup_rows.g or 0))
+            assert n_kept == n_duped - dup_excess, \
+                f"drop_exact_duplicates kept {n_kept}, expected " \
+                f"{n_duped}-{dup_excess}"
+            print(f"  dedup: {dup_rows.g or 0} exact groups, "
+                  f"{n_kept}/{n_duped} kept after drop")
+
+            # near-dup listing + cap: bounded output <= input, carries
+            # dropped_a, and per-doc counts respect the cap
+            pairs = graft.jaccard_pairs(docs_df, "doc_id", "text",
+                                        min_jaccard_bp=2000)
+            capped = graft.bounded_pairs(pairs.select(
+                "id_a", "id_b", "jacc_bp"), "jacc_bp",
+                max_pairs_per_doc=2)
+            over = (capped.groupBy("id_a").count()
+                    .filter(F.col("count") > 2).count())
+            assert over == 0, "bounded_pairs exceeded the per-doc cap"
+            assert "dropped_a" in capped.columns
+            n_pairs, n_capped = pairs.count(), capped.count()
+            assert n_capped <= n_pairs
+            comps = graft.dedup_groups(pairs)
+            assert {"id", "component"} <= set(comps.columns)
+            print(f"  near-dup: {n_pairs} pairs -> {n_capped} capped, "
+                  f"{comps.select('component').distinct().count()} clusters")
+
+            # 8b. text family: quality + langid + tokens + pii/redact +
+            # chunking on the live frame
+            tq = graft.text_quality(docs_df, "text")
+            assert tq.count() == n_docs
+            li = graft.lang_id(docs_df, "text")
+            assert li.filter(F.col("lang_pred").isNotNull()).count() > 0
+            tc = graft.token_counts(docs_df, "text")
+            tok_col = [c for c in tc.columns if "token" in c][0]
+            pii = graft.pii_scan(docs_df, "text")
+            red = graft.redact_df(docs_df, "text")
+            assert "redacted" in red.columns
+            chunks = graft.chunk_text(docs_df, "doc_id", "text", 64,
+                                      overlap_tokens=8)
+            assert chunks.count() >= n_docs - \
+                docs_df.filter(F.col("text").isNull()).count()
+            print(f"  text: quality/langid/tokens/pii/redact ok, "
+                  f"{chunks.count()} chunks of 64 tokens")
+
+            # 8c. contamination: a benchmark built FROM corpus texts
+            # must be flagged, and decontaminate must remove exactly
+            # the flagged rows
+            bench_df = docs_df.filter(F.col("doc_id") % 17 == 0) \
+                .select("doc_id", "text")
+            cont = graft.ngram_containment(bench_df, docs_df, "doc_id",
+                                           "text", n=3)
+            flagged = cont.filter(F.col("contamination_bp") >= 5000).count()
+            clean = graft.decontaminate_df(bench_df, docs_df, "doc_id",
+                                           "text", min_bp=5000)
+            assert clean.count() == n_docs - flagged
+            assert flagged >= bench_df.filter(
+                F.col("text").isNotNull()).count() // 2, \
+                "benchmark members should flag as contaminated"
+            print(f"  contamination: {flagged} flagged, "
+                  f"{clean.count()} survive decontaminate")
+
+            # 8d. sampling: split fractions sum, weighted draw size,
+            # raked sample determinism across two invocations
+            split = graft.portable_split(docs_df, "doc_id",
+                                         {"train": .8, "val": .1,
+                                          "test": .1})
+            per = dict(split.groupBy("split").count().collect()
+                       and [(r["split"], r["count"]) for r in
+                            split.groupBy("split").count().collect()])
+            assert set(per) == {"train", "val", "test"} and \
+                sum(per.values()) == n_docs
+            ws = graft.weighted_sample(docs_df.filter(
+                F.col("n_chars") > 0), "doc_id", "n_chars", 25)
+            assert ws.count() == 25
+            tw = graft.temperature_weights(docs_df, "source")
+            assert {"key", "weight_r6"} <= set(tw.columns)
+            cells = docs_df.select("source", "lang",
+                                   F.size(F.split("text", " "))
+                                   .cast("long").alias("tok"))
+            rake = graft.rake_mixture(cells, "source", "lang", "tok")
+            assert {"tokens", "raked_tokens", "weight_bp"} <= \
+                set(rake.columns)
+            rs1 = graft.rake_weighted_sample(
+                docs_df.withColumn("tok", F.size(F.split("text", " "))
+                                   .cast("long")),
+                "source", "lang", "tok", "doc_id", 30)
+            rs2 = graft.rake_weighted_sample(
+                docs_df.withColumn("tok", F.size(F.split("text", " "))
+                                   .cast("long")),
+                "source", "lang", "tok", "doc_id", 30)
+            ids1 = sorted(r["doc_id"] for r in rs1.select("doc_id").collect())
+            ids2 = sorted(r["doc_id"] for r in rs2.select("doc_id").collect())
+            assert ids1 == ids2 and len(ids1) == 30, \
+                "rake_weighted_sample must be deterministic"
+            print(f"  sampling: split {per}, 25-row A-ES draw, "
+                  f"{rake.count()} raked cells, 30-row raked draw replays")
+
+            # 8e. curation: contract-declared filter chain + token
+            # budget selection
+            cur_path = os.path.join(tmp, "curation.yaml")
+            with open(cur_path, "w") as f:
+                f.write("name: docs\nversion: 1.0.0\nowner: smoke\n"
+                        "schema: {}\n"
+                        "quality_checks:\n"
+                        "  curation:\n"
+                        "    - rule: min_words\n"
+                        "      min: 5\n")
+            chain = graft.filter_chain(docs_df, "text", cur_path)
+            assert {"keep", "first_fail"} <= set(chain.columns)
+            n_pass = chain.filter(F.col("keep")).count()
+            assert 0 < n_pass <= n_docs
+            scored = tc.withColumn("score", F.col(tok_col).cast("long"))
+            sel = graft.token_budget_select(
+                scored.withColumn("doc_id", F.monotonically_increasing_id()),
+                "doc_id", "score", tok_col, 5000)
+            kept_sel = sel.filter(F.col("kept"))
+            got = kept_sel.agg(F.sum("tokens")).first()[0]
+            assert got is not None and got <= 5000
+            print(f"  curation: chain passes {n_pass}/{n_docs}, "
+                  f"budget select {kept_sel.count()} docs / {got} tokens")
         finally:
             spark.stop()
 

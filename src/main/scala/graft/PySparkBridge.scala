@@ -112,4 +112,194 @@ object PySparkBridge {
     if (cols.isEmpty) null
     else graft.operators.Profile.strings(df, cols)
   }
+
+  // ------------------------------------------------------------------
+  // Pipeline operator families (r15): the ~300 training-data operators
+  // were Scala-only — PySpark is where a real training-data user
+  // lives, so the DataFrame-in/DataFrame-out family entry points get
+  // py4j adapters here. Adapters exist only where the Scala signature
+  // is not py4j-callable as-is (default args py4j cannot omit,
+  // Seq[(String, Double)] recipes, Column parameters, Contract
+  // objects); the convention is the same as validate/profile above:
+  // every method takes the live frame's JVM handle plus JDK-typed
+  // scalars/lists, runs in-process against the running session, and
+  // returns a distributed frame the Python side re-wraps — nothing
+  // collects, nothing re-reads a path.
+  // ------------------------------------------------------------------
+
+  private def recipe(keys: java.util.List[String],
+                     weights: java.util.List[java.lang.Double]): Seq[(String, Double)] = {
+    require(keys.size == weights.size,
+      s"keys (${keys.size}) and weights (${weights.size}) must align")
+    import scala.jdk.CollectionConverters._
+    keys.asScala.toSeq.zip(weights.asScala.toSeq.map(_.doubleValue()))
+  }
+
+  // --- dedup family ---
+
+  /** [[graft.operators.Dedup.exactGroups]]: exact-duplicate groups by
+    * normalized-text md5 — (fingerprint, dup_count, keep_id). */
+  def dedupExactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup.exactGroups(df, idCol, textCol)
+
+  /** [[graft.operators.Dedup.dropExactDuplicates]]: one row per
+    * exact-duplicate group (the min id). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup.dropExactDuplicates(df, idCol, textCol)
+
+  /** [[graft.operators.Dedup.jaccardPairs]]: word-n-gram Jaccard
+    * near-dup pairs >= `minJaccardBp` (exact, inverted-index join). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJaccardBp: Long): DataFrame =
+    graft.operators.Dedup.jaccardPairs(df, idCol, textCol, n, minJaccardBp)
+
+  /** [[graft.operators.Dedup.minhashPairs]]: MinHash+LSH banded
+    * candidates verified to exact Jaccard — the sublinear scale path. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   numPerm: Int, numBands: Int, minJaccardBp: Long): DataFrame =
+    graft.operators.Dedup.minhashPairs(df, idCol, textCol, n, numPerm,
+      numBands, minJaccardBp)
+
+  /** [[graft.operators.Dedup.simhashPairs]]: 64-bit SimHash block-LSH
+    * pairs at hamming <= `maxHamming`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame =
+    graft.operators.Dedup.simhashPairs(df, idCol, textCol, maxHamming)
+
+  /** [[graft.operators.Dedup.boundedPairs]]: cap ANY (id_a, id_b, sim)
+    * pair frame at the top-`maxPairsPerDoc` per left doc with a
+    * per-row `dropped_a` cut report — output <= n*cap on any corpus. */
+  def boundedPairs(pairs: DataFrame, simCol: String, simDesc: Boolean,
+                   maxPairsPerDoc: Int): DataFrame =
+    graft.operators.Dedup.boundedPairs(pairs, simCol, simDesc, maxPairsPerDoc)
+
+  /** [[graft.operators.DedupGroups.connectedComponents]] over an
+    * (id_a, id_b) pair frame — (id, component) cluster labels. */
+  def dedupGroups(pairs: DataFrame): DataFrame =
+    graft.operators.DedupGroups.connectedComponents(pairs)
+
+  // --- text-analysis family ---
+
+  /** [[graft.operators.TextAnalysis.qualityFeatures]]: per-row length /
+    * punctuation / stopword-ratio quality features. */
+  def textQualityFeatures(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.qualityFeatures(df, textCol)
+
+  /** [[graft.operators.TextAnalysis.langId]] attached as a `lang_pred`
+    * column (stopword n-gram heuristic, codegen kernel). */
+  def langId(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_pred", graft.operators.TextAnalysis.langId(col(textCol)))
+
+  /** [[graft.operators.TextAnalysis.tokenCounts]]: whitespace +
+    * BPE-ish-regex token counts per row. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.tokenCounts(df, textCol)
+
+  /** [[graft.operators.TextAnalysis.piiScan]]: per-row PII indicator
+    * counts (emails/phones/SSNs/IPs/card-length digit runs). */
+  def piiScan(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.piiScan(df, textCol)
+
+  /** [[graft.operators.Curation.redact]] attached as a `redacted`
+    * column — the transform the PII scan feeds. */
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("redacted", graft.operators.Curation.redact(col(textCol)))
+
+  /** [[graft.operators.TextAnalysis.chunk]]: context-window chunking
+    * into `chunkTokens`-token windows with declared overlap. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlapTokens: Int): DataFrame =
+    graft.operators.TextAnalysis.chunk(df, idCol, textCol, chunkTokens,
+      overlapTokens)
+
+  // --- contamination family ---
+
+  /** [[graft.operators.Contamination.ngramContainment]]: per-eval-doc
+    * n-gram containment against the train corpus (benchmark-leak
+    * scan). */
+  def ngramContainment(train: DataFrame, eval: DataFrame, idCol: String,
+                       textCol: String, n: Int): DataFrame =
+    graft.operators.Contamination.ngramContainment(train, eval, idCol,
+      textCol, n)
+
+  /** [[graft.operators.Contamination.decontaminate]]: the corpus minus
+    * rows whose containment against `benchmark` is >= `minBp`. */
+  def decontaminate(benchmark: DataFrame, corpus: DataFrame, idCol: String,
+                    textCol: String, n: Int, minBp: Long): DataFrame =
+    graft.operators.Contamination.decontaminate(benchmark, corpus, idCol,
+      textCol, n, minBp)
+
+  // --- sampling / splits family ---
+
+  /** [[graft.operators.Sampling.hashSplit]]: reproducible named splits
+    * (xxhash64 buckets); `names`/`fractions` are parallel lists. */
+  def hashSplit(df: DataFrame, keyCol: String, names: java.util.List[String],
+                fractions: java.util.List[java.lang.Double], seed: Int): DataFrame =
+    graft.operators.Sampling.hashSplit(df, keyCol, recipe(names, fractions), seed)
+
+  /** [[graft.operators.Sampling.portableSplit]]: the md5 bucket variant
+    * every engine replays (and uniform under clustered ids). */
+  def portableSplit(df: DataFrame, keyCol: String, names: java.util.List[String],
+                    fractions: java.util.List[java.lang.Double], seed: Int): DataFrame =
+    graft.operators.Sampling.portableSplit(df, keyCol, recipe(names, fractions), seed)
+
+  /** [[graft.operators.Sampling.weightedSample]]: deterministic A-ES
+    * weighted k-row draw without replacement. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: Int): DataFrame =
+    graft.operators.Sampling.weightedSample(df, keyCol, weightCol, k, seed)
+
+  /** [[graft.operators.Sampling.mixSample]]: domain-mix quota sample
+    * under a declared recipe (parallel `names`/`weights` lists). */
+  def mixSample(df: DataFrame, keyCol: String, names: java.util.List[String],
+                weights: java.util.List[java.lang.Double], budget: Int,
+                tieCol: String, seed: Int): DataFrame =
+    graft.operators.Sampling.mixSample(df, keyCol, recipe(names, weights),
+      budget, tieCol, seed)
+
+  /** [[graft.operators.Sampling.temperatureWeights]]: the α-sampling
+    * (XLM-R/mT5) data-driven recipe builder. */
+  def temperatureWeights(df: DataFrame, keyCol: String, alpha: Double): DataFrame =
+    graft.operators.Sampling.temperatureWeights(df, keyCol, alpha)
+
+  /** [[graft.operators.Sampling.packBins]]: sequence packing into
+    * token-budget bins. */
+  def packBins(df: DataFrame, keyCol: String, orderCol: String,
+               tokenCol: String, budget: Long): DataFrame =
+    graft.operators.Sampling.packBins(df, keyCol, orderCol, tokenCol, budget)
+
+  /** [[graft.operators.Sampling.rakeMixture]]: two-margin IPF raking
+    * over (rowCol, colCol) value cells — the 2-D recipe calibrator. */
+  def rakeMixture(cells: DataFrame, rowCol: String, colCol: String,
+                  valueCol: String, iterations: Int): DataFrame =
+    graft.operators.Sampling.rakeMixture(cells, rowCol, colCol, valueCol,
+      iterations)
+
+  /** [[graft.operators.Sampling.rakeWeightedSample]]: the raked recipe
+    * MATERIALIZED as a k-row weighted draw. */
+  def rakeWeightedSample(df: DataFrame, rowCol: String, colCol: String,
+                         valueCol: String, keyCol: String, k: Int,
+                         iterations: Int, seed: Int): DataFrame =
+    graft.operators.Sampling.rakeWeightedSample(df, rowCol, colCol, valueCol,
+      keyCol, k, iterations, seed)
+
+  // --- curation family ---
+
+  /** [[graft.operators.Curation.filterChainForContract]]: the ordered
+    * first-fail curation cascade DECLARED by a contract's
+    * `quality_checks.curation` rules; `contractText`/`format` follow
+    * [[validate]]'s conventions. Returns every doc with its verdict
+    * (`keep`, `first_fail`). */
+  def curationFilterChain(df: DataFrame, textCol: String,
+                          contractText: String, format: String): DataFrame =
+    graft.operators.Curation.filterChainForContract(df, textCol,
+      parseContract(contractText, format))
+
+  /** [[graft.operators.Curation.tokenBudgetSelect]]: greedy
+    * score-ordered selection under a total token budget — the
+    * "best 1B tokens" data-selection step. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budgetTokens: Long): DataFrame =
+    graft.operators.Curation.tokenBudgetSelect(docs, idCol, scoreCol,
+      tokensCol, budgetTokens)
 }
