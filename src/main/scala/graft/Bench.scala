@@ -188,6 +188,15 @@ object Bench {
     val okRows = rows.filter(_.ok)
     val coldTotal = okRows.map(_.cold).sum
     val warmTotal = okRows.map(_.warmMedian).sum
+    // streaming fixed-cost rollup (r14 verdict item 7): the q_stream_*
+    // rows' warm medians are micro-batch harness wall time, fixed per
+    // query and SF-independent — tracked here so board growth in
+    // streaming rows stays a visible budget, not a per-round
+    // rediscovery. (Sink-memoized streaming queries contribute their
+    // readback here; their build cost rides warmup_total like every
+    // other session-shared frame.)
+    val streamingFixed = okRows.filter(_.name.startsWith("q_stream_"))
+      .map(_.warmMedian).sum
     // stdout error messages are truncated hard (full 200-char versions
     // live in target/bench.json) and capped at 8 entries: a systemic
     // failure (bad SF dir) errors every query, and 79 × ~100-byte
@@ -220,6 +229,7 @@ object Bench {
         (if (withQueries) s""","queries":${jmap(rows)(r => fmt3(r.warmMedian))}""" else "") +
         s""","warm_total":${fmt3(warmTotal)}""" +
         s""","warmup_total":${fmt3(warmupSec)}""" +
+        s""","streaming_fixed_s":${fmt3(streamingFixed)}""" +
         pass2Fields +
         s""","errors":{${errors.mkString(",")}}""" +
         s""","sf":"$sfDir"}"""

@@ -1055,23 +1055,15 @@ object ExperimentQueries {
   // replays the slice, the md5 arms, the hour windows and the z.
   val qStreamSrm = QueryDef("q_stream_srm",
     (s, dir) => {
-      // two round trips (the shared attributionFeedMerged discipline):
-      // one real batch boundary + the sentinel flush
-      val feed: Seq[Seq[(String, String)]] =
-        EventQueries.attributionFeedMerged(s, dir, flush = true)
-          .map { case (t, c) => t.map(r => (r._1, r._2)) ++ c }
-      implicit val enc: org.apache.spark.sql.Encoder[(String, String)] =
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.STRING)
-      StreamBoard.run[(String, String)](s, "graft_srm", feed,
-        df => graft.streaming.StreamMonitor.srmGateStream(
-          graft.operators.Sampling.portableSplit(df, "key",
-            Seq("a" -> 0.5, "b" -> 0.5)),
-          "split", "ts", Seq("a" -> 5000L, "b" -> 5000L),
-          windowDuration = "1 hour"),
-        df => df.toDF("key", "__ts")
-          .withColumn("ts", to_timestamp(col("__ts"))).drop("__ts"))
+      // Shared execution (r15): the SRM gate runs as the third
+      // pipeline of the ONE attribution-feed streaming run
+      // (EventQueries.attributionSharedSinks — its units stream is
+      // the touches ∪ conversions union of the same two-sided feed,
+      // row-identical to the previous merged single stream) and this
+      // query reads its sink. Two round trips: one real batch
+      // boundary + the sentinel flush; the sentinel's window never
+      // emits, so the sink needs no filter.
+      EventQueries.attributionSharedSinks(s, dir)._3
         .orderBy("win_start_s", "arm")
     },
     Some(EventQueries.attributionOracleBase + """,

@@ -117,6 +117,53 @@ private[queries] object StreamBoard {
     s.table(name)
   }
 
+  /** SHARED two-stream execution (r14 verdict item 6, r15): N harness
+    * queries over copies of the same two-sided feed, started together
+    * and drained inside ONE batch loop. Each query gets its OWN
+    * MemoryStream pair — [[org.apache.spark.sql.execution.streaming.runtime.MemoryStream]]'s
+    * `commit` TRUNCATES consumed batches (`batches.dropInPlace`), so a
+    * single stream cannot safely feed two queries at different paces —
+    * but the queries' micro-batches run concurrently on their own
+    * execution threads between the `addData` fan-out and the
+    * `processAllAvailable` joins, so the wall clock for the set is the
+    * SLOWEST pipeline plus readback, not the sum of all pipelines.
+    * Returns one sink frame per build, in order. */
+  def run2Shared[A: org.apache.spark.sql.Encoder, B: org.apache.spark.sql.Encoder](
+      s: org.apache.spark.sql.SparkSession, prefix: String,
+      batches: Seq[(Seq[A], Seq[B])],
+      builds: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame],
+      toDfA: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      toDfB: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String = "append"): Seq[org.apache.spark.sql.DataFrame] = {
+    implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+    val streams = builds.map { _ =>
+      (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B])
+    }
+    val names = builds.map(_ => s"${prefix}_${sinkSeq.incrementAndGet()}")
+    withStreamPartitions(s) {
+      withCheckpoint(prefix) { ckptRoot =>
+        val qs = builds.lazyZip(streams).lazyZip(names).map {
+          case (build, (ma, mb), name) =>
+            build(toDfA(ma.toDF()), toDfB(mb.toDF()))
+              .writeStream.format("memory").queryName(name)
+              .option("checkpointLocation", s"$ckptRoot/$name")
+              .outputMode(outputMode).start()
+        }
+        try {
+          batches.foreach { case (a, b) =>
+            streams.foreach { case (ma, mb) =>
+              if (a.nonEmpty) ma.addData(a)
+              if (b.nonEmpty) mb.addData(b)
+            }
+            if (a.nonEmpty || b.nonEmpty) qs.foreach(_.processAllAvailable())
+          }
+        } finally qs.foreach(_.stop())
+      }
+    }
+    names.map(s.table)
+  }
+
   def run[T: org.apache.spark.sql.Encoder](
       s: org.apache.spark.sql.SparkSession, prefix: String,
       batches: Seq[Seq[T]],
