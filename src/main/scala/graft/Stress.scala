@@ -183,6 +183,12 @@ object Stress {
       "bounded production twin), but the board row still pays the " +
       "shared candidate STAGE, so its measured slope tracks that " +
       "input like the editdist verifiers do"),
+    "q_dedup_minhash_bounded" -> (2.0, "the boundedPairs cap over " +
+      "q_dedup_minhash's banded-candidate pipeline: the cap bounds " +
+      "OUTPUT and downstream work to n*cap, but the band-collision " +
+      "candidate STAGE it reads is quadratic in exact copies by " +
+      "construction (the q_dedup_minhash declaration), so the " +
+      "measured slope tracks that input"),
     "q_dedup_editdist_collapsed" -> (2.0, "a pair-VERIFIER: its input " +
       "and output are the candidate pairs themselves, and on any " +
       "corpus where copies are near-dups rather than byte-identical " +

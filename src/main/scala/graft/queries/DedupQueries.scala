@@ -289,6 +289,48 @@ object DedupQueries {
       ORDER BY id_a, id_b"""))
 
 
+  // 27e (r15). BOUNDED minhash pair listing: the boundedPairs cap over
+  // the same banded-candidate→exact-verify pipeline as q_dedup_minhash
+  // (shared session shingling), top-5 most-similar per left doc with
+  // the per-row dropped_a cut report — the last of the three declared
+  // pair-listing families to gain a production cap (r14 ask).
+  val qDedupMinhashBounded = QueryDef("q_dedup_minhash_bounded",
+    (s, dir) => {
+      Dedup.boundedPairs(
+          dedupPipeline(s, dir)
+            .minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L)
+            .select("id_a", "id_b", "jacc_bp"),
+          "jacc_bp", simDesc = true, maxPairsPerDoc = 5)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                          g -> array_to_string(ws[g:g+2], ' '))) sh
+             FROM w),
+      sz AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      cand AS (SELECT ia, ib,
+                      inter * 10000 // (sa.sz + sb.sz - inter) AS jbp
+               FROM p JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+               WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= 5000),
+      cnt AS (SELECT ia, count(*) AS cand_total FROM cand GROUP BY 1),
+      keep AS (SELECT ia, ib, jbp FROM (
+                 SELECT ia, ib, jbp,
+                        row_number() OVER (PARTITION BY ia
+                                           ORDER BY jbp DESC, ib) AS rk
+                 FROM cand)
+               WHERE rk <= 5)
+      SELECT keep.ia AS id_a, keep.ib AS id_b,
+             CAST(keep.jbp AS BIGINT) AS jacc_bp,
+             CAST(cnt.cand_total - least(cnt.cand_total, 5) AS BIGINT) AS dropped_a
+      FROM keep JOIN cnt ON cnt.ia = keep.ia
+      ORDER BY id_a, id_b"""))
+
+
   // 27b. MinHash with a PORTABLE hash family over the FULL corpus: one
   // md5 per shingle for the base hash, then the closed-form affine
   // family (MinHashSignature.portable) — every stage (signature, bands,
@@ -1650,6 +1692,7 @@ ${blocks.mkString(",\n")}
     qDedupEditdistBounded,
     qDedupJaccardBounded,
     qDedupSimhashBounded,
+    qDedupMinhashBounded,
     qCorpusSimilarity,
     qDedupTriangles,
   )
