@@ -3038,4 +3038,35 @@ class OperatorsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       graft.operators.TextAnalysis.distinctiveTerms(docs, "source", "text", k = 0))
   }
+
+  test("boundedPairs: per-doc cap with dropped_a report, both orders, no-op under cap") {
+    val pairs = Seq(
+      ("a", "b", 9000L), ("a", "c", 8000L), ("a", "d", 7000L),
+      ("b", "c", 6000L), ("e", "f", 5000L)).toDF("id_a", "id_b", "jacc_bp")
+    // cap=2: doc a keeps its TOP-2 by similarity and reports the one cut
+    val capped = Dedup.boundedPairs(pairs, "jacc_bp", simDesc = true, maxPairsPerDoc = 2)
+      .collect().map(r => (r.getAs[String]("id_a"), r.getAs[String]("id_b")) ->
+        ((r.getAs[Long]("jacc_bp"), r.getAs[Long]("dropped_a")))).toMap
+    assert(capped.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"), ("e", "f")))
+    assert(capped(("a", "b")) == ((9000L, 1L)) && capped(("a", "c")) == ((8000L, 1L)))
+    assert(capped(("b", "c"))._2 == 0L && capped(("e", "f"))._2 == 0L)
+    // distance order (simDesc=false) keeps the LOWEST values
+    val dist = Seq(("a", "b", 1L), ("a", "c", 3L), ("a", "d", 2L))
+      .toDF("id_a", "id_b", "hamming")
+    val keptD = Dedup.boundedPairs(dist, "hamming", simDesc = false, maxPairsPerDoc = 2)
+      .collect().map(r => r.getAs[String]("id_b")).toSet
+    assert(keptD == Set("b", "d"))
+    // cap above every count: output == input, dropped_a all zero
+    val loose = Dedup.boundedPairs(pairs, "jacc_bp", simDesc = true, maxPairsPerDoc = 10)
+      .collect()
+    assert(loose.length == 5 && loose.forall(_.getAs[Long]("dropped_a") == 0L))
+    // ties break on id_b ascending - a total order both engines replay
+    val ties = Seq(("a", "c", 5000L), ("a", "b", 5000L), ("a", "d", 5000L))
+      .toDF("id_a", "id_b", "jacc_bp")
+    val keptT = Dedup.boundedPairs(ties, "jacc_bp", simDesc = true, maxPairsPerDoc = 2)
+      .collect().map(_.getAs[String]("id_b")).sorted.toSeq
+    assert(keptT == Seq("b", "c"))
+    assertThrows[IllegalArgumentException](
+      Dedup.boundedPairs(pairs, "jacc_bp", simDesc = true, maxPairsPerDoc = 0))
+  }
 }

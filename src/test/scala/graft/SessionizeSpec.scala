@@ -412,6 +412,41 @@ class SessionizeSpec extends SparkSpec {
     assert(again == raked)
   }
 
+  test("rakeMixture loud rails: empty cells and int64-headroom overflow both throw") {
+    // every row null-keyed or non-positive -> no cells -> a message,
+    // not a divide-by-zero (r14 advice)
+    val empty = Seq((null.asInstanceOf[String], "en", 5L), ("s1", "en", 0L))
+      .toDF("src", "lang", "tok")
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.rakeMixture(empty, "src", "lang", "tok"))
+    assert(e1.getMessage.contains("no cells"))
+    // total past the w*target <= total^2 int64 bound -> loud, not wrap
+    val huge = Seq(("s1", "en", 2000000000L), ("s2", "de", 1500000001L))
+      .toDF("src", "lang", "tok")
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.rakeMixture(huge, "src", "lang", "tok"))
+    assert(e2.getMessage.contains("int64-safe"))
+  }
+
+  test("rakeWeightedSample: k rows, deterministic, upweighted cells overrepresented") {
+    // s2 is tiny (underrepresented) -> raking upweights it; the draw
+    // must then include s2 docs at well above their 4% natural share
+    val docs = ((0 until 480).map(i => (s"d$i", "s1", "en", 100L)) ++
+      (480 until 500).map(i => (s"d$i", "s2", "en", 100L)))
+      .toDF("id", "src", "lang", "tok")
+    val out = Sampling.rakeWeightedSample(docs, "src", "lang", "tok", "id", k = 50)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    val bySrc = rows.groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    // natural share would give s2 ~2 of 50; calibrated-to-uniform odds
+    // (s2 weight ~24x s1's) must pull it far above that
+    assert(bySrc.getOrElse("s2", 0) >= 10,
+      s"upweighted source underdrawn: $bySrc")
+    val again = Sampling.rakeWeightedSample(docs, "src", "lang", "tok", "id", k = 50)
+      .collect().map(_.getAs[String]("id")).sorted
+    assert(again.toSeq == rows.map(_.getAs[String]("id")).sorted.toSeq)
+  }
+
   test("quota sampling caps each key deterministically") {
     val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val a = Sampling.quotaPerKey(df, "src", quota = 10, tieCol = "id")
