@@ -37,6 +37,7 @@ __all__ = [
     "portable_split", "weighted_sample", "mix_sample",
     "temperature_weights", "pack_bins", "rake_mixture",
     "rake_weighted_sample", "filter_chain", "token_budget_select",
+    "ann_topk", "ann_lsh_topk", "embedding_pairs", "semantic_dedup",
 ]
 
 
@@ -574,6 +575,44 @@ def rake_weighted_sample(df, row_col, col_col, value_col, key_col, k, *,
     return _wrap_jdf(b.rakeWeightedSample(df._jdf, row_col, col_col,
                                           value_col, key_col, int(k),
                                           int(iterations), int(seed)), spark)
+
+
+# --- ANN / embedding family ---
+
+
+def ann_topk(corpus, probes, id_col, vec_col, k):
+    """Exact cosine top-k neighbors of every probe row against the
+    corpus (the ANN recall baseline): (q_id, rank, n_id, cosine...)."""
+    b, spark = _bridge_of(corpus)
+    return _wrap_jdf(b.annTopK(corpus._jdf, probes._jdf, id_col, vec_col,
+                               int(k)), spark)
+
+
+def ann_lsh_topk(corpus, probes, id_col, vec_col, k, *, num_planes=6,
+                 dim=64):
+    """Random-hyperplane-bucketed approximate top-k — the sublinear
+    scale path of :func:`ann_topk`."""
+    b, spark = _bridge_of(corpus)
+    return _wrap_jdf(b.annLshTopK(corpus._jdf, probes._jdf, id_col,
+                                  vec_col, int(k), int(num_planes),
+                                  int(dim)), spark)
+
+
+def embedding_pairs(df, id_col, vec_col, *, min_cosine=0.95, exact=False):
+    """Embedding near-dup pairs at cosine >= min_cosine via
+    random-hyperplane buckets (exact=True runs the all-pairs verify —
+    small frames only)."""
+    b, spark = _bridge_of(df)
+    return _wrap_jdf(b.embeddingPairs(df._jdf, id_col, vec_col,
+                                      float(min_cosine), bool(exact)), spark)
+
+
+def semantic_dedup(corpus, id_col, vec_col, *, tau=0.95, num_cells=16):
+    """SemDeDup (Abbas et al. 2023): per-Voronoi-cell cosine dedup at
+    threshold tau — keeps one representative per semantic cluster."""
+    b, spark = _bridge_of(corpus)
+    return _wrap_jdf(b.semanticDedup(corpus._jdf, id_col, vec_col,
+                                     float(tau), int(num_cells)), spark)
 
 
 # --- curation family ---

@@ -328,7 +328,36 @@ def main():
             print(f"  sampling: split {per}, 25-row A-ES draw, "
                   f"{rake.count()} raked cells, 30-row raked draw replays")
 
-            # 8e. curation: contract-declared filter chain + token
+            # 8e. ANN/embedding family over the embeddings table:
+            # exact top-k shape, LSH recall against it, semantic dedup
+            emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+            n_emb = emb.count()
+            probes = emb.filter(F.col("vec_id") < 5)
+            exact_nn = graft.ann_topk(emb, probes, "vec_id", "embedding", 3)
+            per_q = (exact_nn.groupBy("q_id").count()
+                     .filter(F.col("count") != 3).count())
+            assert per_q == 0, "ann_topk must return exactly k per probe"
+            # identical-vector probes: an exact twin lands in the SAME
+            # RHP bucket by construction, so LSH must retrieve it at
+            # rank 1 with cosine ~1 - a non-vacuous recall floor even
+            # on random vectors (where true neighbors rarely share a
+            # bucket)
+            twins = (emb.filter(F.col("vec_id") < 3)
+                     .withColumn("vec_id", F.col("vec_id") + 1000000))
+            lsh_nn = graft.ann_lsh_topk(emb, twins, "vec_id",
+                                        "embedding", 3)
+            top1 = {r["q_id"]: r["n_id"] for r in
+                    lsh_nn.filter(F.col("rank") == 1).collect()}
+            assert top1 == {1000000: 0, 1000001: 1, 1000002: 2}, \
+                f"LSH missed identical-vector twins: {top1}"
+            print(f"  ann: 5 probes x top-3 exact; lsh finds all 3 "
+                  f"identical-vector twins at rank 1")
+            sem = graft.semantic_dedup(emb, "vec_id", "embedding",
+                                       tau=0.99)
+            assert 0 < sem.count() <= n_emb
+            print(f"  semantic dedup: {sem.count()}/{n_emb} kept at tau=0.99")
+
+            # 8f. curation: contract-declared filter chain + token
             # budget selection
             cur_path = os.path.join(tmp, "curation.yaml")
             with open(cur_path, "w") as f:

@@ -283,6 +283,35 @@ object PySparkBridge {
     graft.operators.Sampling.rakeWeightedSample(df, rowCol, colCol, valueCol,
       keyCol, k, iterations, seed)
 
+  // --- ANN / embedding family ---
+
+  /** [[graft.operators.Ann.bruteForceTopK]]: exact cosine top-k
+    * neighbors of every probe against the corpus — the ANN recall
+    * baseline. */
+  def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame =
+    graft.operators.Ann.bruteForceTopK(corpus, probes, idCol, vecCol, k)
+
+  /** [[graft.operators.Ann.lshTopK]]: random-hyperplane-bucketed
+    * approximate top-k — the sublinear scale path (multiprobe 0). */
+  def annLshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame =
+    graft.operators.Ann.lshTopK(corpus, probes, idCol, vecCol, k,
+      numPlanes, dim)
+
+  /** [[graft.operators.Dedup.embeddingPairs]]: near-dup pairs at
+    * cosine >= `minCosine` via RHP buckets (exact=false) or the exact
+    * all-pairs verify (exact=true; small frames only). */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, exact: Boolean): DataFrame =
+    graft.operators.Dedup.embeddingPairs(df, idCol, vecCol, minCosine, exact)
+
+  /** [[graft.operators.Ann.semanticDedup]] (SemDeDup, Abbas et al.
+    * 2023): per-Voronoi-cell cosine dedup at threshold `tau`. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, numCells: Int): DataFrame =
+    graft.operators.Ann.semanticDedup(corpus, idCol, vecCol, tau, numCells)
+
   // --- curation family ---
 
   /** [[graft.operators.Curation.filterChainForContract]]: the ordered
