@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level performance configuration shared by every main
+  * (Bench / Verify / TimeQ / ProfileQ / Stress / StressMut), applied
+  * at builder time so static SQL confs land before the first session
+  * exists. Guide §9 ("a reasonable starting configuration") plus §2.2
+  * (AQE partition coalescing), each value env-overridable so nothing
+  * is tuned TO the bench harness — the defaults are the values a
+  * production deployment of this library would run, and the local
+  * bench inherits them.
+  *
+  * What is set and why (r15 optimization round, measured in
+  * OPTIMIZATION_r15.md):
+  *
+  *  - `spark.sql.codegen.cache.maxEntries` (default 100 → 3000,
+  *    `SPARK_GRAFT_CODEGEN_CACHE`): the whole-stage-codegen compile
+  *    cache is keyed on generated source; a 300+-query session
+  *    generates far more than 100 codegen units, so the default LRU
+  *    thrashes and EVERY query's first timed run re-pays janino
+  *    compilation (~0.1-0.5 s each) for code the warmup pass already
+  *    compiled. A driver serving many distinct queries (any analytics
+  *    service, not just this bench) wants the cache to cover its
+  *    working set; entries are compiled classes (~100 KB-1 MB), so
+  *    3000 is a few hundred MB of driver heap at worst. Affects
+  *    compile-time caching only — never plans or values.
+  *
+  *  - `spark.sql.adaptive.coalescePartitions.parallelismFirst`
+  *    (default true → false, `SPARK_GRAFT_AQE_PARALLELISM_FIRST`):
+  *    with the default, AQE ignores `advisoryPartitionSizeInBytes`
+  *    and splits every post-shuffle stage to max parallelism, i.e.
+  *    dozens of near-empty reduce tasks per exchange at any scale
+  *    where a stage's bytes fit one advisory chunk. The Spark docs
+  *    themselves recommend false for production ("it's recommended
+  *    to set this config to false and respect the configured target
+  *    size"); guide §2.2: fewer, larger reduce partitions. At 100 TB
+  *    the advisory size (64 MB default) governs and stages get
+  *    thousands of right-sized tasks; at bench scale stages coalesce
+  *    to a handful of tasks instead of 32 mostly-empty ones.
+  *
+  *  - `spark.sql.adaptive.advisoryPartitionSizeInBytes` and
+  *    `coalescePartitions.minPartitionSize` stay at the Spark
+  *    defaults (64 MB / 1 MB) but are exposed as envs
+  *    (`SPARK_GRAFT_AQE_ADVISORY_MB`, `SPARK_GRAFT_AQE_MIN_PARTITION_MB`)
+  *    so a deployment can size post-shuffle chunks to its own
+  *    CPU-per-byte profile without a code change. Measured at bench
+  *    scale (r15): 2 MB vs 8 MB vs 64 MB advisory is timing-neutral
+  *    on the 16 most shuffle-sensitive queries — the text kernels'
+  *    cost is not task-granularity-bound here, so no local override
+  *    is shipped.
+  *
+  * NOT set, deliberately:
+  *  - `spark.sql.shuffle.partitions` stays = SPARK_GRAFT_CPUS (the
+  *    driver contract; AQE coalescing makes the initial number
+  *    scale-safe in both directions).
+  *  - `spark.sql.join.preferSortMergeJoin` stays default: the board's
+  *    small-side joins already broadcast (plan-gated — no
+  *    BroadcastNestedLoopJoin, auto-broadcast under 10 MB covers the
+  *    dimension tables), and shuffled-hash has the worse OOM profile
+  *    at 100 TB for what it would buy here.
+  *  - compression codecs stay default (lz4): shuffle volumes at bench
+  *    scale are KB-MB so the codec is unmeasurable locally; a 100 TB
+  *    deployment should measure §2.3's zstd advice on its own data.
+  */
+object GraftTuning {
+  def apply(b: SparkSession.Builder): SparkSession.Builder =
+    apply(b, dataDir = None, cpus = None)
+
+  /** `dataDir`/`cpus`: when the main knows its input directory and
+    * core count (Bench/Verify/Stress all do), scan-split sizing is
+    * DERIVED FROM INPUT SIZE instead of Spark's fixed 128 MB default
+    * (guide §2.5/§6; the round brief's "derive from input size" rule).
+    * The board's tables are single parquet files, so at the default a
+    * 2-20 MB table scans as ONE task and every map-side kernel (per-
+    * word hashing, shingling, regex scans, the 40-99× md5 redraw
+    * projections) runs serial while 31 cores idle — measured 0.2-0.4 s
+    * single-task stages under q_ab_bootstrap/q_ab_fdr. The formula
+    * targets `SPARK_GRAFT_SCAN_TASKS_PER_CORE` (default 2) scan tasks
+    * per core over the directory's total bytes, clamped to
+    * [1 MB, 1 GB]: at sf0.1 (~17 MB) that is ~1 MB splits (≈17 scan
+    * tasks); at 100 TB on 10k cores it is the 1 GB ceiling — exactly
+    * §6's "large sequential scans on fast storage" advice, so the SAME
+    * rule serves both ends. `spark.sql.files.openCostInBytes` scales
+    * with it (a quarter of the split, capped at Spark's 4 MB default)
+    * so packing many small files still respects the target. Override
+    * outright with `SPARK_GRAFT_MAX_PARTITION_BYTES` (bytes). */
+  def apply(b: SparkSession.Builder, dataDir: Option[String],
+            cpus: Option[Int]): SparkSession.Builder = {
+    def env(k: String, d: String): String = sys.env.getOrElse(k, d)
+    val tuned = b.config("spark.sql.codegen.cache.maxEntries",
+        env("SPARK_GRAFT_CODEGEN_CACHE", "3000"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        env("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        env("SPARK_GRAFT_AQE_ADVISORY_MB", "64") + "m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        env("SPARK_GRAFT_AQE_MIN_PARTITION_MB", "1") + "m")
+    val explicit = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").map(_.toLong)
+    val derived = explicit.orElse {
+      for {
+        dir <- dataDir
+        cores <- cpus
+        bytes <- dirBytes(dir) if bytes > 0
+      } yield {
+        val perCore = env("SPARK_GRAFT_SCAN_TASKS_PER_CORE", "2").toInt
+        val target = bytes / math.max(cores.toLong * perCore, 1L)
+        math.min(math.max(target, 1L << 20), 1L << 30)
+      }
+    }
+    derived.fold(tuned) { mpb =>
+      tuned.config("spark.sql.files.maxPartitionBytes", mpb.toString)
+        .config("spark.sql.files.openCostInBytes",
+          math.min(mpb / 4, 4L << 20).toString)
+    }
+  }
+
+  private def dirBytes(dir: String): Option[Long] =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(p)) None
+      else {
+        val st = java.nio.file.Files.list(p)
+        try Some(st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum())
+        finally st.close()
+      }
+    } catch { case _: Throwable => None }
+}

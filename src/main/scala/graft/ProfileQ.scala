@@ -1,0 +1,59 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: attribute one warm run of each named query to its phases —
+  * DataFrame construction (fn), Catalyst phases (parsing/analysis/
+  * optimization/planning from QueryExecution.tracker), and execution
+  * (count) — so the board's fixed per-query overhead is measured, not
+  * guessed. `runMain graft.ProfileQ q_a,q_b[,...]` or `all`.
+  * Guide §1: measure first. */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names =
+      if (args.isEmpty || args(0) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(0).split(",").toSeq
+    val spark = GraftTuning(SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"), Some(sfDir), Some(cpus.toInt)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // one untimed warmup run per query (pins shared frames + codegen cache)
+    names.foreach { n =>
+      try { SparkEntry.queries(n)(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
+    }
+    println(f"${"query"}%-34s ${"total"}%8s ${"build"}%8s ${"analysis"}%8s ${"optim"}%8s ${"plan"}%8s ${"exec"}%8s jobs")
+    val agg = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    names.foreach { n =>
+      try {
+        val sc = spark.sparkContext
+        val before = sc.statusTracker.getJobIdsForGroup(null).length
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val t1 = System.nanoTime()
+        val qe = df.queryExecution
+        qe.executedPlan // force planning
+        val t2 = System.nanoTime()
+        df.count()
+        val t3 = System.nanoTime()
+        val phases = qe.tracker.phases
+        def ph(k: String): Double =
+          phases.get(k).map(p => (p.endTimeMs - p.startTimeMs) / 1e3).getOrElse(0.0)
+        val total = (t3 - t0) / 1e9; val build = (t1 - t0) / 1e9
+        val planWall = (t2 - t1) / 1e9; val exec = (t3 - t2) / 1e9
+        val jobs = sc.statusTracker.getJobIdsForGroup(null).length - before
+        agg("total") += total; agg("build") += build; agg("analysis") += ph("analysis")
+        agg("optim") += ph("optimization"); agg("plan") += planWall; agg("exec") += exec
+        agg("jobs") += jobs
+        println(f"$n%-34s ${total}%8.3f ${build}%8.3f ${ph("analysis")}%8.3f ${ph("optimization")}%8.3f ${planWall}%8.3f ${exec}%8.3f $jobs%d")
+      } catch { case e: Throwable => println(s"$n ERR ${e.getClass.getSimpleName}") }
+    }
+    println(f"${"TOTALS"}%-34s ${agg("total")}%8.2f ${agg("build")}%8.2f ${agg("analysis")}%8.2f ${agg("optim")}%8.2f ${agg("plan")}%8.2f ${agg("exec")}%8.2f ${agg("jobs").toLong}%d")
+    // leak check: pinned RDDs at end of a full board pass — session-
+    // shared memos are expected (one per SessionCache entry); growth
+    // proportional to REP COUNT means a per-invocation persist leak
+    println(s"[profileq] persistent RDDs at end: ${spark.sparkContext.getPersistentRDDs.size}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: per-stage wall/task attribution for ONE query's warm run.
+  * `runMain graft.StageProf q_name` — prints each stage's duration,
+  * task count and total task time, plus inter-job driver gaps, so a
+  * flat-in-SF exec cost can be pinned to stages vs scheduling vs
+  * driver gaps. Guide §7.1 without the UI. */
+object StageProf {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftTuning(SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"), Some(sfDir), Some(cpus.toInt)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm: shared frames + codegen
+    (1 to 2).foreach { _ =>
+      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
+    }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long, Int, Long)]()
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val taskTime = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        taskTime.computeIfAbsent(t.stageId, _ => new java.util.concurrent.atomic.AtomicLong())
+          .addAndGet(t.taskInfo.duration); ()
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        stages.add((i.stageId, i.name.take(60),
+          i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L),
+          i.numTasks,
+          Option(taskTime.get(i.stageId)).map(_.get()).getOrElse(0L))); ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = { () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = { () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, sfDir).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let the listener bus drain
+    println(f"[stageprof] $name wall ${wall}%.3f s")
+    import scala.jdk.CollectionConverters._
+    val ss = stages.asScala.toSeq.sortBy(_._3)
+    var prevEnd = 0L
+    ss.foreach { case (id, nm, sub, done, nt, tt) =>
+      val gap = if (prevEnd == 0) 0 else sub - prevEnd
+      println(f"stage $id%4d dur=${(done - sub) / 1e3}%7.3f gapBefore=${gap / 1e3}%7.3f tasks=$nt%3d taskTime=${tt / 1e3}%7.3f  $nm")
+      prevEnd = math.max(prevEnd, done)
+    }
+    spark.stop()
+  }
+}

@@ -444,11 +444,11 @@ object StressMut {
         "python3 tools/mutup.py /root/testdata/sf0.1 target/sfmut 30")
     val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val spark = GraftTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"), Some(dir), Some(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -12,9 +12,9 @@ object TimeQ {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val noClear = sys.env.get("SPARK_GRAFT_TIMEQ_NOCLEAR").contains("1")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = GraftTuning(SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false"), Some(sfDir), Some(cpus.toInt)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to reps).foreach { i =>
       if (!noClear) spark.sharedState.cacheManager.clearCache()

