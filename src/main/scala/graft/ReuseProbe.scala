@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+
+/** SCRATCH main (not part of the driver contract): verifies the r16
+  * lazy-cumsum assumption that Spark's AQE stage reuse executes the
+  * range exchange ONCE when the offsets branch and the consumer branch
+  * share one repartitionByRange frame. Prints (materialized, reused)
+  * range-exchange counts from the post-execution adaptive plan plus a
+  * value check vs the single-task ground truth. */
+object ReuseProbe {
+  def rangeExchanges(root: SparkPlan): (Int, Int) = {
+    var mat = 0; var reused = 0
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(n: SparkPlan): Unit = {
+      if (!seen.add(n)) return
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec =>
+          r.child match {
+            case s: ShuffleExchangeExec
+              if s.outputPartitioning.isInstanceOf[RangePartitioning] =>
+              reused += 1
+            case _ => ()
+          }
+          r.children.foreach(walk)
+        case s: ShuffleExchangeExec =>
+          if (s.outputPartitioning.isInstanceOf[RangePartitioning]) mat += 1
+          s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      n.subqueries.foreach(walk)
+    }
+    walk(root)
+    (mat, reused)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = GraftTuning(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false"), Some(dir), Some(8))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val eq = graft.operators.Profile.exactQuantiles(li, "l_extendedprice",
+      Seq(100, 2500, 5000, 7500, 9900))
+    val rows = eq.collect().sortBy(_.getLong(0))
+    val (mat, reused) = rangeExchanges(eq.queryExecution.executedPlan)
+    println(s"[probe] exactQuantiles range exchanges: materialized=$mat reused=$reused")
+    println(s"[probe] values: ${rows.mkString(", ")}")
+
+    // ground truth: single-task global window over the distinct values
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val counts = li.filter(col("l_extendedprice").isNotNull)
+      .groupBy(col("l_extendedprice").cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(w))
+    val n = counts.agg(sum("__c")).collect().head.getLong(0)
+    val truth = Seq(100, 2500, 5000, 7500, 9900).map { q =>
+      val rank = math.max(1L, (q * n + 9999) / 10000)
+      val v = counts.filter(col("__cum") >= rank).agg(min("__v")).collect().head.getDouble(0)
+      (q.toLong, v)
+    }
+    println(s"[probe] truth:  ${truth.mkString(", ")}")
+    val got = rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    println(s"[probe] match=${got == truth}")
+
+    println("[probe] ---- exactQuantiles final plan ----")
+    println(eq.queryExecution.executedPlan.toString.take(6000))
+
+    // repeat on the kruskal path (3 consumers of one exchange)
+    val kw = graft.operators.ProfileInference.kruskalWallis(li, "l_returnflag", "l_extendedprice")
+    val kwRow = kw.collect().head
+    val (m2, r2) = rangeExchanges(kw.queryExecution.executedPlan)
+    println(s"[probe] kruskal range exchanges: materialized=$m2 reused=$r2 row=$kwRow")
+    println("[probe] ---- kruskal final plan ----")
+    println(kw.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

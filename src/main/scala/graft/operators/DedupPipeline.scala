@@ -167,7 +167,7 @@ final class CollapsedDedupPipeline(df: DataFrame, idCol: String, textCol: String
       .withColumn("__h", wordHashes(col("__text")))
       .select(col("rid").as("id"), graft.functions.SimHash64(col("__h")).as("sim")))
     val (rpairs, _) = Dedup.simhashFromSims(repSims, maxHamming, maxBucketSize,
-      numBlocks, blockLoBit)
+      numBlocks, blockLoBit, pin = pin)
     val cross = Dedup.expandCross(rpairs, byRep)((ma, mb) => Seq(
       col("hamming"),
       // sims follow the representative of each expanded member; a swap

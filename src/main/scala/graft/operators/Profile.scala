@@ -86,61 +86,40 @@ object Profile {
     * conditional-min aggregation over the cumulative frame (map-side
     * partial aggregation; no theta-join, no second sort).
     *
-    * EAGER: the result (≤ |qsBp| rows) is computed now and returned as
-    * a local frame, because the ranked intermediate must be persisted
-    * for fork-consistency (the offsets branch and the extraction branch
-    * must see the SAME sampled range boundaries — the exportShards
-    * lesson) and releasing it requires materializing first. NULLs are
-    * excluded, matching SQL ordered-set aggregates. */
+    * LAZY since r16 (was eager persist + count + collect): one plan in
+    * which the offsets branch, the total branch and the extraction
+    * branch all read the SAME range exchange via exchange/stage reuse
+    * ([[rangedRunningSumLazy]] — the fork-consistency property the old
+    * persist bought, minus two jobs and a driver round-trip per call).
+    * Values and output schema are unchanged (rank rule, integer
+    * arithmetic, q_bp non-null / value nullable). NULLs are excluded,
+    * matching SQL ordered-set aggregates. Callers that fold the result
+    * into literals ([[quantileValues]]) collect the ≤|qsBp|-row frame
+    * in ONE job. */
   def exactQuantiles(df: DataFrame, valueCol: String,
                      qsBp: Seq[Int]): DataFrame = {
     require(qsBp.nonEmpty, "need at least one quantile")
     require(qsBp.forall(q => q >= 0 && q <= 10000),
       s"quantiles are basis points in [0, 10000], got $qsBp")
     require(qsBp.distinct.size == qsBp.size, s"duplicate quantiles: $qsBp")
-    val spark = df.sparkSession
-    val parts = math.max(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast(DoubleType).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val ranged = counts.repartitionByRange(parts, col("__v"))
-      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
-    val within = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = ranged.withColumn("__cumIn", sum(col("__c")).over(within))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ranked.count() // materialize: both branches must see one copy
-      val offsets = ranked.groupBy("__pid").agg(sum("__c").as("__pn"))
-        .withColumn("__offset",
-          (sum(col("__pn")).over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("__pid"))
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)) - col("__pn"))
-            .cast(LongType))
-      val total = offsets.agg(sum("__pn").cast(LongType).as("__n"))
-      val cum = ranked.join(broadcast(offsets.select("__pid", "__offset")), "__pid")
-        .withColumn("__cum", col("__offset") + col("__cumIn"))
-        .crossJoin(broadcast(total))
-      // rank_q = max(1, ceil(q·n/10000)), exact in integer arithmetic
-      val aggs = qsBp.map { q =>
-        val rank = greatest(lit(1L), expr(s"($q * __n + 9999) DIV 10000"))
-        min(when(col("__cum") >= rank, col("__v"))).as(s"__q_$q")
-      }
-      val one = cum.agg(aggs.head, aggs.tail: _*)
-      val rows = qsBp.map(q => struct(
-        lit(q.toLong).as("q_bp"), col(s"__q_$q").as("value")))
-      val out = one.select(explode(array(rows: _*)).as("r")).select("r.*")
-        .collect() // bounded: |qsBp| rows
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("q_bp", LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("value", DoubleType, nullable = true))))
-    } finally { ranked.unpersist(); () }
+    // __rsum = offset + within-partition running count = the old __cum
+    val run = rangedRunningSumLazy(counts, "__v", "__c")
+    // the total rides the counts aggregation's exchange (reused by the
+    // range-exchange branch's map side) — never a second source scan
+    val total = counts.agg(coalesce(sum("__c"), lit(0L)).cast(LongType).as("__n"))
+    val cum = run.crossJoin(broadcast(total))
+    // rank_q = max(1, ceil(q·n/10000)), exact in integer arithmetic
+    val aggs = qsBp.map { q =>
+      val rank = greatest(lit(1L), expr(s"($q * __n + 9999) DIV 10000"))
+      min(when(col("__rsum") >= rank, col("__v"))).as(s"__q_$q")
+    }
+    val one = cum.agg(aggs.head, aggs.tail: _*)
+    val rows = qsBp.map(q => struct(
+      lit(q.toLong).as("q_bp"), col(s"__q_$q").as("value")))
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
   /** [[exactQuantiles]] collected to a (q_bp → value) map — the form
@@ -203,13 +182,31 @@ object Profile {
     * many-group shapes. NULL values excluded as everywhere. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      qsBp: Seq[Int]): DataFrame = {
+    val one = groupQuantilesWide(groupValueCounts(df, groupCol, valueCol), qsBp)
+    val rows = qsBp.map(q => struct(
+      lit(q.toLong).as("q_bp"), col(s"__q_$q").as("value")))
+    one.select(col("group"), explode(array(rows: _*)).as("r"))
+      .select(col("group"), col("r.q_bp"), col("r.value"))
+  }
+
+  /** The shared (group, __v, __c) distinct-value rollup both
+    * [[groupQuantiles]] and [[tukeyOutliers]] fold over — factored out
+    * (r16) so tukey's fence pass and its quartile pass read ONE
+    * map-side-combined aggregation instead of scanning the source
+    * twice. */
+  private def groupValueCounts(df: DataFrame, groupCol: String,
+                               valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"), col(valueCol).cast(DoubleType).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** [[groupQuantiles]]' un-exploded core: one row per group with a
+    * `__q_<bp>` column per requested quantile. */
+  private def groupQuantilesWide(counts: DataFrame, qsBp: Seq[Int]): DataFrame = {
     require(qsBp.nonEmpty, "need at least one quantile")
     require(qsBp.forall(q => q >= 0 && q <= 10000),
       s"quantiles are basis points in [0, 10000], got $qsBp")
     require(qsBp.distinct.size == qsBp.size, s"duplicate quantiles: $qsBp")
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol).as("group"), col(valueCol).cast(DoubleType).as("__v"))
-      .agg(count(lit(1)).as("__c"))
     val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
     val cumW = byGroup.orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -221,11 +218,7 @@ object Profile {
       val rank = greatest(lit(1L), expr(s"($q * __n + 9999) DIV 10000"))
       min(when(col("__cum") >= rank, col("__v"))).as(s"__q_$q")
     }
-    val one = cum.groupBy("group").agg(aggs.head, aggs.tail: _*)
-    val rows = qsBp.map(q => struct(
-      lit(q.toLong).as("q_bp"), col(s"__q_$q").as("value")))
-    one.select(col("group"), explode(array(rows: _*)).as("r"))
-      .select(col("group"), col("r.q_bp"), col("r.value"))
+    cum.groupBy("group").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact WEIGHTED disc quantiles: the smallest value whose cumulative
@@ -247,13 +240,10 @@ object Profile {
     * never a single-task global window; one row per requested
     * quantile.
     *
-    * EAGER, unlike its managed siblings: the |qsBp|-row answer is
-    * collected and returned as a literal frame so the persisted range
-    * exchange releases before this method returns (no handle for the
-    * caller to leak). Driver traffic is bounded by the requested
-    * quantile count — never data — so the eagerness is a lifecycle
-    * choice, not a scale hazard; callers that need laziness should use
-    * [[exactQuantiles]]' managed pattern instead. */
+    * LAZY since r16 (was eager persist + count + collect): one plan,
+    * the [[rangedRunningSumLazy]] exchange-reuse idiom replacing the
+    * persisted fork — same values, same (all-nullable) output schema,
+    * two fewer jobs and no driver round-trip per call. */
   def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
                         qsBp: Seq[Int], scale: Long = 10000L): DataFrame = {
     require(qsBp.nonEmpty, "need at least one quantile")
@@ -266,39 +256,24 @@ object Profile {
       .select(col(valueCol).cast(DoubleType).as("__v"), wq.as("__w"))
       .filter(col("__v").isNotNull && !isnan(col("__v")) && col("__w") > 0)
       .groupBy("__v").agg(sum("__w").as("__c"))
-    val parts = math.max(counts.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, 1)
-    val w = org.apache.spark.sql.expressions.Window
-    val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
-      .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val ranged = counts.repartitionByRange(parts, col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rc", sum(col("__c")).over(within))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranged.count() // force before the offset/total forks read it
-    val offsets = ranged.groupBy("__pid")
-      .agg(sum(col("__c")).as("__pc"))
-      .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast("long"))
-      .select("__pid", "__off")
-    val total = ranged.agg(sum(col("__c")).as("__W"))
-    val cum = ranged.join(broadcast(offsets), "__pid")
-      .crossJoin(broadcast(total))
-      .withColumn("__cum", col("__rc") + col("__off"))
+    val run = rangedRunningSumLazy(counts, "__v", "__c")
+    val total = counts.agg(sum(col("__c")).as("__W"))
+    val cum = run.crossJoin(broadcast(total))
     val aggs = qsBp.map { q =>
       val rank = greatest(lit(1L), expr(s"($q * __W + 9999) DIV 10000"))
-      min(when(col("__cum") >= rank, col("__v"))).as(s"__q_$q")
+      min(when(col("__rsum") >= rank, col("__v"))).as(s"__q_$q")
     }
     val one = cum.agg(aggs.head, aggs.tail: _*)
+    // the historical contract (StructType.fromDDL) is ALL-nullable —
+    // the when(true, …) wrapper keeps q_bp nullable so the output
+    // schema is byte-identical to the eager implementation's
     val rows = qsBp.map(q => struct(
       lit(q.toLong).as("q_bp"), col(s"__q_$q").as("value")))
-    val out = one.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.q_bp"), col("r.value")).collect()
-    ranged.unpersist()
-    val s = df.sparkSession
-    s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1),
-      org.apache.spark.sql.types.StructType.fromDDL("q_bp BIGINT, value DOUBLE"))
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(when(lit(true), col("r.q_bp")).as("q_bp"),
+        col("r.value").as("value"))
   }
+
 
   /** Winsorization report: clip a numeric column at the [loBp, hiBp]
     * [[exactQuantiles]] percentiles and report what clipping did —
@@ -465,20 +440,24 @@ object Profile {
   def tukeyOutliers(df: DataFrame, groupCol: String, valueCol: String,
                     k: Double = 1.5): DataFrame = {
     require(k > 0, "k must be positive")
-    val quart = groupQuantiles(df, groupCol, valueCol, Seq(2500, 7500))
-      .groupBy("group")
-      .agg(min(when(col("q_bp") === 2500, col("value"))).as("__q1"),
-        min(when(col("q_bp") === 7500, col("value"))).as("__q3"))
+    // r16: BOTH passes fold over one shared (group, value, count)
+    // rollup — the quartiles via the wide per-group frame, the fence
+    // counts as count-weighted sums over the same distinct values —
+    // instead of the quartile pass and a second full source scan
+    // (guide §2.3 aggregate before you shuffle: the join now carries
+    // distinct values, not rows). Values and schema unchanged.
+    val counts = groupValueCounts(df, groupCol, valueCol)
+    val quart = groupQuantilesWide(counts, Seq(2500, 7500))
+      .select(col("group"), col("__q_2500").as("__q1"), col("__q_7500").as("__q3"))
       .withColumn("__lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
       .withColumn("__hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
-    val v = col(valueCol).cast(DoubleType)
-    df.filter(v.isNotNull)
-      .select(col(groupCol).as("group"), v.as("__v"))
-      .join(quart, "group")
+    counts.join(quart, "group")
       .groupBy("group")
-      .agg(count(lit(1)).cast(LongType).as("total"),
-        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).cast(LongType).as("n_low"),
-        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L)).cast(LongType).as("n_high"),
+      .agg(coalesce(sum(col("__c")), lit(0L)).cast(LongType).as("total"),
+        sum(when(col("__v") < col("__lo"), col("__c")).otherwise(0L))
+          .cast(LongType).as("n_low"),
+        sum(when(col("__v") > col("__hi"), col("__c")).otherwise(0L))
+          .cast(LongType).as("n_high"),
         round(first(col("__q1")), 4).as("q1_r4"),
         round(first(col("__q3")), 4).as("q3_r4"),
         round(first(col("__lo")), 4).as("lo_fence_r4"),
@@ -738,7 +717,7 @@ object Profile {
     * and the per-partition offsets chain within each group — N
     * independent global cumsums in ONE exchange (the fused-RFM
     * shape). */
-  private[operators] def rangedRunningSumManaged(vals: DataFrame, orderCol: String,
+  private[graft] def rangedRunningSumManaged(vals: DataFrame, orderCol: String,
                                       measureCol: String,
                                       partCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
     val (out, release) =
@@ -752,7 +731,7 @@ object Profile {
     * implementation of the idiom, so a fork/persist fix lands
     * everywhere at once (single-measure callers go through the
     * delegating overload above). */
-  private[operators] def rangedRunningSumsManaged(vals: DataFrame, orderCol: String,
+  private[graft] def rangedRunningSumsManaged(vals: DataFrame, orderCol: String,
                                       measureCols: Seq[String],
                                       partCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
     require(measureCols.nonEmpty, "need at least one measure column")
@@ -787,6 +766,85 @@ object Profile {
       }
       .drop("__pid")
     (out, () => { ranged.unpersist(); () })
+  }
+
+  /** LAZY single-plan form of the two-level running sum (r16, guide
+    * §2.4 exchange reuse): the offsets subtree and the consumer subtree
+    * are built over the SAME range-exchange frame, so Spark's exchange /
+    * AQE-stage reuse (canonicalized-subtree keyed) executes the
+    * sampling-nondeterministic range partitioning ONCE per action and
+    * every branch reads one materialization — the fork-consistency
+    * property the managed form buys with persist + count, without the
+    * extra job, the cache-manager entry, or the driver round-trip.
+    *
+    * Output values are partition-boundary-independent (offset(pid) +
+    * within-partition running sum telescopes to the global cumulative
+    * for ANY boundary placement), so even across separate actions the
+    * result is deterministic; within one action the reused exchange
+    * additionally guarantees the offsets join on `__pid` is consistent.
+    * The reuse property itself is gated by ProfilePropSpec (exactly one
+    * materialized range exchange in the executed plan + value identity
+    * vs the managed form). AQE cannot coalesce or skew-split this
+    * exchange: an explicit-numPartitions repartitionByRange is
+    * REPARTITION_BY_NUM, which AQE leaves alone — `__pid` is therefore
+    * the same physical range partition in every branch.
+    *
+    * Use this for single-action consumers (a statistic folded to a few
+    * rows). Callers that hand the running-sum frame to MANY separate
+    * actions should keep the managed form: each action re-executes the
+    * exchange, which the persist amortizes. */
+  private[graft] def rangedRunningSumLazy(vals: DataFrame, orderCol: String,
+                                   measureCol: String,
+                                   partCols: Seq[String] = Nil): DataFrame =
+    rangedRunningSumsLazy(vals, orderCol, Seq(measureCol), partCols)
+      .withColumnRenamed(s"__rsum_$measureCol", "__rsum")
+
+  private[graft] def rangedRunningSumsLazy(vals: DataFrame, orderCol: String,
+                                    measureCols: Seq[String],
+                                    partCols: Seq[String] = Nil): DataFrame = {
+    require(measureCols.nonEmpty, "need at least one measure column")
+    val parts = math.max(vals.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val pc = partCols.map(col)
+    val within = w.partitionBy(col("__pid") +: pc: _*).orderBy(col(orderCol))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    // ONE range-exchange frame; both branches below derive from it so
+    // their exchange subtrees canonicalize identically and reuse
+    val ranged = vals.repartitionByRange(parts, pc :+ col(orderCol): _*)
+      .withColumn("__pid", spark_partition_id())
+    val withRun = measureCols.foldLeft(ranged) { (d, m) =>
+      d.withColumn(s"__lrun_$m", sum(col(m)).over(within))
+    }
+    // offsets need only the per-partition totals — they read the raw
+    // exchange output (no window), one tiny row per (pid, partCols)
+    val offW = if (partCols.isEmpty) w.orderBy(col("__pid"))
+      else w.partitionBy(pc: _*).orderBy(col("__pid"))
+    val offAggs = measureCols.map(m => sum(col(m)).as(s"__pc_$m"))
+    val offsets = measureCols.foldLeft(
+        ranged.groupBy("__pid", partCols: _*).agg(offAggs.head, offAggs.tail: _*)) {
+        (d, m) =>
+          d.withColumn(s"__off_$m", (sum(col(s"__pc_$m")).over(offW
+            .rowsBetween(w.unboundedPreceding, w.currentRow)) - col(s"__pc_$m"))
+            .cast(LongType))
+      }
+      .select((col("__pid") +: pc) ++ measureCols.map(m => col(s"__off_$m")): _*)
+    // LEFT join, deliberately: if a downstream consumer prunes every
+    // __rsum column, the optimizer strips the offsets payload to a
+    // bare distinct-pid subplan whose differently-pruned range exchange
+    // canonicalizes differently and does NOT reuse — an INNER join on
+    // __pid against that independent materialization could then drop
+    // rows wherever the two samplings produce different empty-partition
+    // sets (ReuseProbe, r16). A left join is row-preserving no matter
+    // what, and offsets is unique per (__pid, partCols) by construction
+    // so it can never duplicate. Consumers that DO read __rsum reuse
+    // the exchange (identical canonical form), where left ≡ inner.
+    measureCols.foldLeft(
+        withRun.join(broadcast(offsets), "__pid" +: partCols, "left")) { (d, m) =>
+        d.withColumn(s"__rsum_$m", col(s"__lrun_$m") + col(s"__off_$m"))
+          .drop(s"__lrun_$m", s"__off_$m")
+      }
+      .drop("__pid")
   }
 
   def percentileRankManaged(df: DataFrame,

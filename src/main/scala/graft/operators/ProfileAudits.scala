@@ -264,41 +264,38 @@ object ProfileAudits {
     val counts = perKey.groupBy(col("__v"))
       .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__m"))
       .withColumn("__negv", -col("__v"))
-    val (cum, release) =
-      Profile.rangedRunningSumsManaged(counts, "__negv", Seq("__c", "__m"))
-    try {
-      val withTotals = cum
-        .withColumnRenamed("__rsum___c", "__cc")
-        .withColumnRenamed("__rsum___m", "__cm")
-      // pick the FIRST suffix row via a struct-min keyed on the count
-      // cumsum (strictly increasing), not the mass cumsum — negative
-      // per-key totals make the mass non-monotone
-      val total = withTotals.agg(sum(col("__c")).as("__n"), sum(col("__m")).as("__t"))
-      val joined = withTotals.crossJoin(broadcast(total))
-      val aggs = topBps.flatMap { b =>
-        val k = greatest(lit(1L), expr(s"($b * __n + 9999) DIV 10000"))
-        val pick = min(when(col("__cc") >= k,
-          struct(col("__cc").as("c"), col("__cm").as("m"))))
-        Seq(pick.getField("c").as(s"__u_$b"), pick.getField("m").as(s"__s_$b"))
-      }
-      val one = joined.agg(aggs.head, aggs.tail: _*)
-        .crossJoin(broadcast(total))
-      val rows = topBps.map(b => struct(
-        lit(b.toLong).as("top_bp"),
-        col(s"__u_$b").cast(LongType).as("keys_included"),
-        col(s"__s_$b").cast(LongType).as("value_e4"),
-        when(col("__t") =!= 0L, expr(s"__s_$b * 10000 DIV __t"))
-          .cast(LongType).as("value_share_bp"),
-        col("__n").cast(LongType).as("total_keys"),
-        col("__t").cast(LongType).as("total_value_e4")))
-      val out = one.select(explode(array(rows: _*)).as("r")).select("r.*")
-        .collect() // bounded: |topBps| rows
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "top_bp BIGINT, keys_included BIGINT, value_e4 BIGINT, " +
-            "value_share_bp BIGINT, total_keys BIGINT, total_value_e4 BIGINT"))
-    } finally release()
+    // r16: LAZY — the dual cumsum rides the exchange-reuse idiom, the
+    // total folds off the distinct-total rollup, and the |topBps|-row
+    // answer stays a plan (one job instead of three, no pinned frame).
+    // Values and the historical all-nullable (fromDDL) schema unchanged.
+    val withTotals = Profile.rangedRunningSumsLazy(counts, "__negv", Seq("__c", "__m"))
+      .withColumnRenamed("__rsum___c", "__cc")
+      .withColumnRenamed("__rsum___m", "__cm")
+    // pick the FIRST suffix row via a struct-min keyed on the count
+    // cumsum (strictly increasing), not the mass cumsum — negative
+    // per-key totals make the mass non-monotone
+    val total = counts.agg(sum(col("__c")).as("__n"), sum(col("__m")).as("__t"))
+    val joined = withTotals.crossJoin(broadcast(total))
+    val aggs = topBps.flatMap { b =>
+      val k = greatest(lit(1L), expr(s"($b * __n + 9999) DIV 10000"))
+      val pick = min(when(col("__cc") >= k,
+        struct(col("__cc").as("c"), col("__cm").as("m"))))
+      Seq(pick.getField("c").as(s"__u_$b"), pick.getField("m").as(s"__s_$b"))
+    }
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(total))
+    val rows = topBps.map(b => struct(
+      lit(b.toLong).as("top_bp"),
+      col(s"__u_$b").cast(LongType).as("keys_included"),
+      col(s"__s_$b").cast(LongType).as("value_e4"),
+      when(col("__t") =!= 0L, expr(s"__s_$b * 10000 DIV __t"))
+        .cast(LongType).as("value_share_bp"),
+      col("__n").cast(LongType).as("total_keys"),
+      col("__t").cast(LongType).as("total_value_e4")))
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(when(lit(true), col("r.top_bp")).as("top_bp"),
+        col("r.keys_included"), col("r.value_e4"), col("r.value_share_bp"),
+        col("r.total_keys"), col("r.total_value_e4"))
   }
 
   /** Per-group TRIMMED means: the robust location datasheet — drop

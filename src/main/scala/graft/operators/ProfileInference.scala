@@ -30,55 +30,39 @@ object ProfileInference {
     val src = df.filter(col(colA).isNotNull && col(colB).isNotNull)
       .select(col(colA).cast(DoubleType).as("__x"),
         col(colB).cast(DoubleType).as("__y"))
-    val parts = math.max(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, 1)
-    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    // r16: each column's cumsum rides the lazy exchange-reuse idiom
+    // (Profile.rangedRunningSumLazy) instead of a persist+count fork —
+    // the whole statistic is ONE job, no pinned frames to release
     def avgRank(in: DataFrame, c: String, out: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-      val within = w.partitionBy(col("__pid")).orderBy(col("__v"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)
-      // persist before the offsets/join fork: the range exchange is
-      // not reproducible, and the two consumers must see ONE copy
-      val ranged = in.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
-        .repartitionByRange(parts, col("__v"))
-        .withColumn("__pid", spark_partition_id())
-        .withColumn("__run", sum("__c").over(within))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranged.count()
-      persisted += ranged
-      val offsets = ranged.groupBy("__pid").agg(sum("__c").as("__pc"))
-        .withColumn("__off", (sum(col("__pc")).over(w.orderBy(col("__pid"))
-          .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__pc")).cast(LongType))
-        .select("__pid", "__off")
-      val ranks = ranged.join(broadcast(offsets), "__pid")
+      val vals = in.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+      val ranks = Profile.rangedRunningSumLazy(vals, "__v", "__c")
         .withColumn(out,
-          (col("__run") + col("__off") - col("__c")).cast(DoubleType) +
+          (col("__rsum") - col("__c")).cast(DoubleType) +
             (col("__c") + 1).cast(DoubleType) / 2.0)
         .select(col("__v").as(c), col(out))
       in.join(ranks, c)
     }
-    try {
-      val ranked = avgRank(avgRank(src, "__x", "__rx"), "__y", "__ry")
-      val out = ranked.agg(
-          count(lit(1)).cast(LongType).as("n"),
-          sum("__rx").as("__sx"), sum("__ry").as("__sy"),
-          sum(col("__rx") * col("__ry")).as("__sxy"),
-          sum(col("__rx") * col("__rx")).as("__sxx"),
-          sum(col("__ry") * col("__ry")).as("__syy"))
-        .select(col("n"),
-          when(col("n") > 1 &&
-            (col("n") * col("__sxx") - col("__sx") * col("__sx")) > 0 &&
-            (col("n") * col("__syy") - col("__sy") * col("__sy")) > 0,
-            round((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-              sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
-                (col("n") * col("__syy") - col("__sy") * col("__sy"))), 6))
-            .as("spearman_r6"))
-      // one bounded row — collect and return a literal frame so the
-      // persisted rank frames release NOW, not at session end
-      val rows = out.collect()
-      val s = df.sparkSession
-      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
-    } finally { persisted.foreach(_.unpersist()); () }
+    val ranked = avgRank(avgRank(src, "__x", "__rx"), "__y", "__ry")
+    val out = ranked.agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum("__rx").as("__sx"), sum("__ry").as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+      .select(col("n"),
+        when(col("n") > 1 &&
+          (col("n") * col("__sxx") - col("__sx") * col("__sx")) > 0 &&
+          (col("n") * col("__syy") - col("__sy") * col("__sy")) > 0,
+          round((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+            sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+              (col("n") * col("__syy") - col("__sy") * col("__sy"))), 6))
+          .as("spearman_r6"))
+    // one bounded row — collect and return a literal frame so the
+    // session memo (q_spearman) caches VALUES, not a plan whose every
+    // re-execution replays the full rank pass
+    val rows = out.collect()
+    val s = df.sparkSession
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
   /** Cohen's kappa agreement between two categorical columns —
@@ -139,32 +123,36 @@ object ProfileInference {
                       valueCol: String): DataFrame = {
     val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"), col(valueCol).as("__v"))
+    // the 2-arm contract stays a construction-time require (spec-pinned
+    // failure mode) — the one remaining eager job of this operator
     val arms = base.select("__g").distinct().collect().map(_.getString(0)).sorted
     require(arms.length == 2,
       s"wilcoxonRankSum needs exactly two groups, got: ${arms.mkString(", ")}")
     val (aLbl, bLbl) = (arms(0), arms(1))
     val vals = base.groupBy("__v").agg(count(lit(1)).as("__c"))
-    val (run, release) = Profile.rangedRunningSumManaged(vals, "__v", "__c")
+    // r16: lazy exchange-reuse cumsum + the three summary folds as
+    // broadcast 1-row frames in ONE plan — replaces the managed
+    // persist+count chain and its three sequential driver collects
+    val run = Profile.rangedRunningSumLazy(vals, "__v", "__c")
     val mid = run.withColumn("__mr2",
       lit(2L) * (col("__rsum") - col("__c")) + col("__c") + lit(1L))
-    val row = base.filter(col("__g") === bLbl)
+    val r2b = base.filter(col("__g") === bLbl)
       .groupBy("__v").agg(count(lit(1)).as("__cb"))
       .join(mid.select("__v", "__mr2"), "__v")
       .agg(coalesce(sum(col("__cb") * col("__mr2")), lit(0L)).as("__r2b"))
-      .collect().head
-    val tieRow = mid.agg(
+    // tie fold reads the distinct-value frame DIRECTLY (same rows as
+    // mid, minus the cumsum columns it doesn't use) — a mid-based fold
+    // would be column-pruned into an extra, non-reusable copy of the
+    // range exchange (ReuseProbe, r16)
+    val tie = vals.agg(
       coalesce(sum(col("__c")), lit(0L)).as("__n"),
       coalesce(sum(col("__c") * col("__c") * col("__c") - col("__c")), lit(0L))
-        .as("__t")).collect().head
-    val nbRow = base.agg(
-      sum(when(col("__g") === aLbl, 1L).otherwise(0L)).as("__na"),
-      sum(when(col("__g") === bLbl, 1L).otherwise(0L)).as("__nb")).collect().head
-    release()
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((nbRow.getLong(0), nbRow.getLong(1), tieRow.getLong(0),
-      tieRow.getLong(1), row.getLong(0)))
-      .toDF("__na", "__nb", "__n", "__t", "__r2b")
+        .as("__t"))
+    base.agg(
+        coalesce(sum(when(col("__g") === aLbl, 1L).otherwise(0L)), lit(0L)).as("__na"),
+        coalesce(sum(when(col("__g") === bLbl, 1L).otherwise(0L)), lit(0L)).as("__nb"))
+      .crossJoin(broadcast(tie))
+      .crossJoin(broadcast(r2b))
       .withColumn("__e2", col("__nb") * (col("__n") + 1))
       .withColumn("__var", when(col("__n") > 1,
         (col("__na") * col("__nb")).cast("double") / 12.0 *
@@ -212,7 +200,10 @@ object ProfileInference {
     val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"), col(valueCol).as("__v"))
     val vals = base.groupBy("__v").agg(count(lit(1)).as("__c"))
-    val (run, release) = Profile.rangedRunningSumManaged(vals, "__v", "__c")
+    // r16: fully lazy — the exchange-reuse cumsum plus both summary
+    // folds in ONE plan (no persist, no driver collects; the old
+    // managed chain ran 3 jobs per invocation)
+    val run = Profile.rangedRunningSumLazy(vals, "__v", "__c")
     val mid = run.withColumn("__mr2",
       lit(2L) * (col("__rsum") - col("__c")) + col("__c") + lit(1L))
     val perGroup = base.groupBy("__g", "__v").agg(count(lit(1)).as("__cgv"))
@@ -220,24 +211,25 @@ object ProfileInference {
       .groupBy("__g")
       .agg(sum(col("__cgv")).as("__ng"),
         sum(col("__cgv") * col("__mr2")).as("__r2"))
-    // one summary row: fold eagerly so the persisted rank frame
-    // releases here (the Eval.aucExact precedent)
-    val tieRow = mid.agg(
-      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+    // vals-based, not mid-based: see the wilcoxon tie-fold note
+    val tie = vals.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n0"),
       coalesce(sum(col("__c") * col("__c") * col("__c") - col("__c")), lit(0L))
-        .as("__ties")).collect().head
-    val (n, ties) = (tieRow.getLong(0), tieRow.getLong(1))
-    val gRow = perGroup
+        .as("__ties0"))
+    // deviation term needs N per group row: broadcast the 1-row tie
+    // fold across the k-row group frame, then re-derive (n, ties) via
+    // first() with an empty-input coalesce (k = 0 ⇒ n = ties = 0,
+    // matching the old collected-literals path)
+    perGroup
       .withColumn("__rbar2", expr("__r2 DIV __ng"))
+      .crossJoin(broadcast(tie))
       .agg(count(lit(1)).as("__k"),
         coalesce(sum(col("__ng") *
-          (col("__rbar2") - lit(n + 1)) * (col("__rbar2") - lit(n + 1))),
-          lit(0L)).as("__t")).collect().head
-    release()
-    val (k, t) = (gRow.getLong(0), gRow.getLong(1))
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((n, k, t, ties)).toDF("__n", "__k", "__t", "__ties")
+          (col("__rbar2") - (col("__n0") + 1L)) *
+          (col("__rbar2") - (col("__n0") + 1L))),
+          lit(0L)).as("__t"),
+        coalesce(first(col("__n0")), lit(0L)).as("__n"),
+        coalesce(first(col("__ties0")), lit(0L)).as("__ties"))
       .withColumn("__h", when(col("__n") > 1,
         lit(3.0) * col("__t") / (col("__n") * (col("__n") + 1))))
       .withColumn("__c", when(col("__n") > 1,

@@ -340,41 +340,24 @@ object SnapshotDiff {
       df.select(col("v"), col("cnt").as(cnt)).withColumn(other, lit(0L))
     val u = side(countsA, "ca", "cb").unionByName(side(countsB, "cb", "ca"))
       .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
-    val parts = math.max(u.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, 1)
-    val w = org.apache.spark.sql.expressions.Window
-    val within = w.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(w.unboundedPreceding, w.currentRow)
-    val ranged = u.repartitionByRange(parts, col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("ra", sum("ca").over(within))
-      .withColumn("rb", sum("cb").over(within))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // force before the fork below reads it twice — and the row count
-    // IS the distinct-value count, so reuse it instead of re-scanning
-    val nDistinct = ranged.count()
-    val offsets = ranged.groupBy("__pid")
-      .agg(sum("ca").as("__na"), sum("cb").as("__nb"))
-      .withColumn("oa", (sum(col("__na")).over(w.orderBy(col("__pid"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__na")).cast("long"))
-      .withColumn("ob", (sum(col("__nb")).over(w.orderBy(col("__pid"))
-        .rowsBetween(w.unboundedPreceding, w.currentRow)) - col("__nb")).cast("long"))
-      .select("__pid", "oa", "ob")
-    val totals = ranged.agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
-    val out = ranged.join(broadcast(offsets), "__pid")
-      .crossJoin(broadcast(totals))
-      .select(abs((col("ra") + col("oa")).cast("double") / col("__ta") -
-        (col("rb") + col("ob")).cast("double") / col("__tb")).as("__d"))
+    // r16: LAZY — the dual cumsum rides Profile.rangedRunningSumsLazy's
+    // exchange-reuse idiom (one materialized range exchange per action,
+    // both branches consistent by construction); the totals and the
+    // distinct-value count fold off the merged-counts aggregation
+    // instead of a separate persisted count job. Values and schema
+    // unchanged; one job instead of three and no pinned frame.
+    val run = graft.operators.Profile.rangedRunningSumsLazy(
+      u, "v", Seq("ca", "cb"))
+    val totals = u.agg(sum("ca").as("__ta"), sum("cb").as("__tb"),
+      count(lit(1)).as("__nd"))
+    run.crossJoin(broadcast(totals))
+      .select(abs(col("__rsum_ca").cast("double") / col("__ta") -
+        col("__rsum_cb").cast("double") / col("__tb")).as("__d"))
       .agg(round(max("__d"), 6).as("ks_r6"))
       .crossJoin(broadcast(totals.select(col("__ta").cast("long").as("n_a"),
-        col("__tb").cast("long").as("n_b"))))
-      .withColumn("distinct_values", lit(nDistinct))
+        col("__tb").cast("long").as("n_b"),
+        col("__nd").as("distinct_values"))))
       .select("ks_r6", "n_a", "n_b", "distinct_values")
-    // materialize before unpersist: one row, negligible
-    val row = out.collect()
-    ranged.unpersist()
-    val s = countsA.sparkSession
-    s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
   }
 
   /** EXACT 1-Wasserstein (earth-mover) distance between two snapshots
@@ -422,14 +405,21 @@ object SnapshotDiff {
     val w = org.apache.spark.sql.expressions.Window
     val within = w.partitionBy(col("__pid")).orderBy(col("v"))
       .rowsBetween(w.unboundedPreceding, w.currentRow)
+    // r16: LAZY — one plan over ONE range-exchange frame, the same
+    // exchange-reuse fork-consistency idiom as
+    // [[graft.operators.Profile.rangedRunningSumLazy]] (hand-inlined
+    // because this operator additionally carries each partition's
+    // successor value through the offsets branch). The totals and
+    // distinct-value count fold off the merged-counts aggregation —
+    // one job instead of three, no pinned frame. Values and output
+    // schema unchanged.
     val ranged = u.repartitionByRange(parts, col("v"))
       .withColumn("__pid", spark_partition_id())
+    val main = ranged
       .withColumn("ra", sum("ca").over(within))
       .withColumn("rb", sum("cb").over(within))
       .withColumn("__lv", lead(col("v"), 1).over(
         w.partitionBy(col("__pid")).orderBy(col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDistinct = ranged.count() // force before the forks below
     val offW = w.orderBy(col("__pid"))
       .rowsBetween(w.unboundedPreceding, w.currentRow)
     val offsets = ranged.groupBy("__pid")
@@ -438,8 +428,9 @@ object SnapshotDiff {
       .withColumn("ob", (sum(col("__nb")).over(offW) - col("__nb")).cast("long"))
       .withColumn("__nxt", lead(col("__minv"), 1).over(w.orderBy(col("__pid"))))
       .select("__pid", "oa", "ob", "__nxt")
-    val totals = ranged.agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
-    val out = ranged.join(broadcast(offsets), "__pid")
+    val totals = u.agg(sum("ca").as("__ta"), sum("cb").as("__tb"),
+      count(lit(1)).as("__nd"))
+    main.join(broadcast(offsets), "__pid")
       .crossJoin(broadcast(totals))
       .withColumn("__gap", coalesce(col("__lv"), col("__nxt")) - col("v"))
       .filter(col("__gap").isNotNull)
@@ -452,11 +443,7 @@ object SnapshotDiff {
           round(col("__s").cast("double") / (col("__ta") * col("__tb")), 6))
           .as("w1_r6"),
         col("__ta").cast("long").as("n_a"),
-        col("__tb").cast("long").as("n_b"))
-      .withColumn("distinct_values", lit(nDistinct))
-    val row = out.collect() // one row; materialize before unpersist
-    ranged.unpersist()
-    val s = v1.sparkSession
-    s.createDataFrame(s.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
+        col("__tb").cast("long").as("n_b"),
+        col("__nd").as("distinct_values"))
   }
 }

@@ -62,7 +62,26 @@ object CachePlans {
     Seq(
       "cache:dedup_shingled" -> pipe.shingled,
       "cache:candidate_pairs" -> pipe.candidatePairs(),
-      "cache:collapsed_jaccard_pairs" -> cpipe.jaccardPairs(minJaccardBp = 100L))
+      "cache:collapsed_jaccard_pairs" -> cpipe.jaccardPairs(minJaccardBp = 100L),
+      // r15 verdict item 3: the minhash/simhash memos moved their
+      // candidate pipelines behind InMemoryTableScan, so the QUERY
+      // fingerprints no longer cover them — these twins gate the build
+      // plans directly (configs mirror PipelineShared verbatim)
+      "cache:minhash_pairs" -> pipe.minhashPairs(
+        numPerm = 64, numBands = 32, minJaccardBp = 5000L),
+      "cache:collapsed_minhash_pairs" -> cpipe.minhashPairs(
+        numPerm = 64, numBands = 32, minJaccardBp = 5000L),
+      "cache:simhash_pairs" -> graft.operators.Dedup.simhashPairs(
+        docs, "doc_id", "text", maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+        maxBucketSize = Long.MaxValue,
+        wordHashes = TextFns.portableWordHashes, pin = false),
+      "cache:collapsed_simhash_pairs" -> cpipe.simhashPairs(
+        maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+        maxBucketSize = Long.MaxValue,
+        wordHashes = TextFns.portableWordHashes),
+      // r16: the armed-users rollup is persisted now (7 consumers) —
+      // gate its build like every other shared pinned frame
+      "cache:armed_users" -> PipelineShared.armedUsersBuild(s, dir))
   }
 
   /** (name, (exchanges, scans)) of each build's static physical plan —

