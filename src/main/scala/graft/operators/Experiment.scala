@@ -35,12 +35,25 @@ object Experiment {
       s"$op: $c must be an integral type, got $dt")
   }
 
-  private def twoArms(base: DataFrame, op: String): (String, String) = {
-    // eager 2-row collect, bounded by design (the abCuped precedent)
-    val arms = base.select("__arm").distinct().collect().map(_.getString(0)).sorted
-    require(arms.length == 2, s"$op needs exactly two arms, got: ${arms.mkString(", ")}")
-    (arms(0), arms(1))
-  }
+  private def twoArms(base: DataFrame, op: String,
+                      declared: Option[(String, String)] = None): (String, String) =
+    declared match {
+      // r16: callers that CONSTRUCT the arm column (portableSplit with
+      // literal labels — every board query) can declare the alphabet
+      // and skip the discovery job, which otherwise re-runs the whole
+      // upstream rollup once per invocation just to learn two strings.
+      // Declared labels keep the sorted (a, b) convention; a declared
+      // label absent from the data folds to zero-count sums, which is
+      // the caller's contract to avoid (discovery mode still guards).
+      case Some((a, b)) =>
+        require(a < b, s"$op: declared arms must be sorted, got ($a, $b)")
+        (a, b)
+      case None =>
+        // eager 2-row collect, bounded by design (the abCuped precedent)
+        val arms = base.select("__arm").distinct().collect().map(_.getString(0)).sorted
+        require(arms.length == 2, s"$op needs exactly two arms, got: ${arms.mkString(", ")}")
+        (arms(0), arms(1))
+    }
 
   /** Deterministic POISSON-BOOTSTRAP percentile CI for the difference
     * of arm means (Chamandy et al. 2012, "Estimating uncertainty for
@@ -79,14 +92,15 @@ object Experiment {
     * up by); `yCol` integral. B=40 gives disc indices 1 and 39 — the
     * narrowest B where the 95% CI is not simply [min, max]. */
   def bootstrapDiff(users: DataFrame, idCol: String, armCol: String,
-                    yCol: String, b: Int = 40, seed: Int = 42): DataFrame = {
+                    yCol: String, b: Int = 40, seed: Int = 42,
+                    arms: Option[(String, String)] = None): DataFrame = {
     require(b >= 4, s"bootstrapDiff: need b >= 4 replicas, got $b")
     requireIntegral(users, yCol, "bootstrapDiff")
     val base = users
       .filter(col(idCol).isNotNull && col(armCol).isNotNull && col(yCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(armCol).cast("string").as("__arm"), col(yCol).cast("long").as("__y"))
-    val (aLbl, bLbl) = twoArms(base, "bootstrapDiff")
+    val (aLbl, bLbl) = twoArms(base, "bootstrapDiff", arms)
     def weight(r: Int) = {
       val h = conv(substring(md5(concat(col("__id"), lit(s":$r:$seed"))), 1, 8),
         16, 10).cast(LongType)
@@ -509,14 +523,15 @@ object Experiment {
     * empty count as extreme (conservative; probability 2^−n).
     * int64: Σ|y| < 9·10¹⁸ (weights are 0/1 here). */
   def permutationTest(users: DataFrame, idCol: String, armCol: String,
-                      yCol: String, k: Int = 40, seed: Int = 42): DataFrame = {
+                      yCol: String, k: Int = 40, seed: Int = 42,
+                      arms: Option[(String, String)] = None): DataFrame = {
     require(k >= 4, s"permutationTest: need k >= 4 re-draws, got $k")
     requireIntegral(users, yCol, "permutationTest")
     val base = users
       .filter(col(idCol).isNotNull && col(armCol).isNotNull && col(yCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(armCol).cast("string").as("__arm"), col(yCol).cast("long").as("__y"))
-    val (aLbl, bLbl) = twoArms(base, "permutationTest")
+    val (aLbl, bLbl) = twoArms(base, "permutationTest", arms)
     def relabelA(r: Int) =
       pmod(conv(substring(md5(concat(col("__id"), lit(s":perm$r:$seed"))), 1, 8),
         16, 10).cast(LongType), lit(10000L)) < 5000L
@@ -751,7 +766,8 @@ object Experiment {
     * default (p_min = 100 bp). int64: per-segment Σ|y| < 9·10¹⁸. */
   def permutationBySegment(users: DataFrame, segCol: String, idCol: String,
                            armCol: String, yCol: String, k: Int = 99,
-                           seed: Int = 42): DataFrame = {
+                           seed: Int = 42,
+                           arms: Option[(String, String)] = None): DataFrame = {
     require(k >= 4, s"permutationBySegment: need k >= 4 re-draws, got $k")
     requireIntegral(users, yCol, "permutationBySegment")
     val base = users
@@ -760,7 +776,7 @@ object Experiment {
       .select(col(segCol).cast("string").as("__seg"),
         col(idCol).cast("string").as("__id"),
         col(armCol).cast("string").as("__arm"), col(yCol).cast("long").as("__y"))
-    val (aLbl, bLbl) = twoArms(base, "permutationBySegment")
+    val (aLbl, bLbl) = twoArms(base, "permutationBySegment", arms)
     def relabelA(r: Int) =
       pmod(conv(substring(md5(concat(col("__id"), lit(s":perm$r:$seed"))), 1, 8),
         16, 10).cast(LongType), lit(10000L)) < 5000L

@@ -144,8 +144,11 @@ object ExperimentQueries {
   // engine-to-engine from exact integer sums.
   val qAbBootstrap = QueryDef("q_ab_bootstrap",
     (s, dir) => {
+      // r16: arms declared (portableSplit literals) — skips the
+      // per-invocation alphabet-discovery job
       graft.operators.Experiment.bootstrapDiff(
-        armedUsers(s, dir), "user_id", "split", "y")
+        armedUsers(s, dir), "user_id", "split", "y",
+        arms = Some(("a", "b")))
     },
     Some(s"""
       WITH $armedUsersSql,
@@ -502,8 +505,10 @@ object ExperimentQueries {
   // free readout beside z/t/bootstrap.
   val qAbPermutation = QueryDef("q_ab_permutation",
     (s, dir) => {
+      // r16: arms declared (portableSplit literals)
       graft.operators.Experiment.permutationTest(
-        armedUsers(s, dir), "user_id", "split", "y")
+        armedUsers(s, dir), "user_id", "split", "y",
+        arms = Some(("a", "b")))
     },
     Some(s"""
       WITH $armedUsersSql,
@@ -670,8 +675,11 @@ object ExperimentQueries {
             .when(col("__ev") < 74, "t2").otherwise("t3"))
       val armed = graft.operators.Sampling.portableSplit(
         users, "user_id", Seq("a" -> 0.5, "b" -> 0.5))
+      // r16: arms declared — the discovery collect re-ran the whole
+      // (uncached) tier rollup once per invocation
       val per = graft.operators.Experiment.permutationBySegment(
-        armed, "tier", "user_id", "split", "conv", k = 99)
+        armed, "tier", "user_id", "split", "conv", k = 99,
+        arms = Some(("a", "b")))
       graft.operators.Experiment.fdrReadout(per, "segment", "p_bp",
           alphaBp = 500,
           keepCols = Seq("users_a", "users_b", "diff_r6", "extreme_redraws"))

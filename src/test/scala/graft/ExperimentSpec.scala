@@ -67,6 +67,30 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("users_a") == 30L && r.getAs[Long]("users_b") == 40L)
   }
 
+  test("declared arms match discovery and reject unsorted labels (r16)") {
+    // the declared-arms fast path must be OUTPUT-IDENTICAL to the
+    // discovery collect it skips, for all three converted operators
+    val df = ((1 to 30).map(i => (i.toLong, "a", (i % 4).toLong)) ++
+      (31 to 70).map(i => (i.toLong, "b", (i % 5).toLong))).toDF("id", "arm", "y")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSeq
+    assert(rows(graft.operators.Experiment.bootstrapDiff(
+        df, "id", "arm", "y", arms = Some(("a", "b")))) ==
+      rows(graft.operators.Experiment.bootstrapDiff(df, "id", "arm", "y")))
+    assert(rows(graft.operators.Experiment.permutationTest(
+        df, "id", "arm", "y", arms = Some(("a", "b")))) ==
+      rows(graft.operators.Experiment.permutationTest(df, "id", "arm", "y")))
+    val seg = df.withColumn("seg",
+      org.apache.spark.sql.functions.expr("CASE WHEN id % 2 = 0 THEN 's0' ELSE 's1' END"))
+    assert(rows(graft.operators.Experiment.permutationBySegment(
+        seg, "seg", "id", "arm", "y", arms = Some(("a", "b")))) ==
+      rows(graft.operators.Experiment.permutationBySegment(
+        seg, "seg", "id", "arm", "y")))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Experiment.bootstrapDiff(
+        df, "id", "arm", "y", arms = Some(("b", "a"))))
+  }
+
   test("bootstrapDiff: weights replay the md5 inverse-CDF lookup exactly") {
     // drive the whole CI through an independent JVM-side replay of the
     // hash -> threshold-count weight on a tiny frame, and compare

@@ -20,7 +20,42 @@ Usage:
 import json, sys
 
 
+def scaling(rnd, main_path, low_path, out_path):
+    """r16 (r15 verdict item 2): merge a main-core and a low-core bench
+    artifact into one per-query scaling entry so the round's low/high
+    core ratios are adjudicable from the repo (the driver's PERF
+    `scaling.per_query` block cannot populate from stdout at 314
+    queries)."""
+    with open(main_path) as f:
+        hi = json.load(f)
+    with open(low_path) as f:
+        lo = json.load(f)
+    qs = {q: [hi["queries"].get(q), lo["queries"].get(q)]
+          for q in sorted(set(hi.get("queries", {})) | set(lo.get("queries", {})))}
+    out = {
+        "round": rnd,
+        "kind": "scaling",
+        "sf": hi.get("sf"),
+        "warm_total_main": hi.get("warm_total"),
+        "warm_total_low": lo.get("warm_total"),
+        "per_query_warm_median": qs,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=0, sort_keys=True)
+    print(f"[benchhist] r{rnd} scaling main={out['warm_total_main']} "
+          f"low={out['warm_total_low']} ({len(qs)} queries) -> {out_path}")
+    return 0
+
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "scaling":
+        if len(sys.argv) < 5:
+            print("usage: benchhist.py scaling <round> <mainBench> <lowBench> [out]")
+            return 2
+        rnd = int(sys.argv[2])
+        out = (sys.argv[5] if len(sys.argv) > 5
+               else f"bench_history/r{rnd}_scaling.json")
+        return scaling(rnd, sys.argv[3], sys.argv[4], out)
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
@@ -41,6 +76,16 @@ def main():
         "warm_median": b.get("queries", {}),
         "warm_sf2": b.get("pass2", {}),
         "plans": b.get("plans", {}),
+        # r16 (r14 verdict item 3 / r15 item 2): per-query cold times and
+        # every warm run ride along so a history entry alone supports
+        # round-over-round and scaling diffs (the bench's stdout line
+        # cannot carry per-query data past ~60 queries — the driver's
+        # 2,000-byte tail capture clips anything bigger, so committed
+        # history entries are the only adjudicable per-query record).
+        "cold": b.get("cold", {}),
+        "warm_runs": b.get("warm_runs", {}),
+        "streaming_fixed_s": b.get("streaming_fixed_s"),
+        "warmup_total": b.get("warmup_total"),
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=0, sort_keys=True)
